@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-surface corpus (SURVEY.md §2b): every construct the reference's
+  * generated/accepted SQL exercises, expressed as idiomatic DataFrame plans so
+  * Catalyst handles pushdown/pruning/join selection.
+  *
+  * Float discipline: aggregate over DOUBLE goes through DECIMAL so Spark and
+  * the DuckDB oracle produce bit-identical results (double summation order is
+  * nondeterministic across engines; decimal addition is exact).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Exact sum of a double column: decimal accumulate, double out.
+    * Double summation order differs across engines; decimal addition is
+    * exact, so Spark and the DuckDB oracle agree bit-for-bit.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+  /** avg = exact decimal sum cast to double, divided by count (double
+    * division of identical operands is deterministic across engines;
+    * decimal division scale rules are not).
+    */
+  private def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  // q1: TPC-H Q1-style aggregation (GROUP BY + SUM/AVG/COUNT, HAVING-free)
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // q2: projection + filter with parquet pushdown (IS NULL / >= / OR / IN)
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 100000.0 &&
+        col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+
+  val q2Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_totalprice >= 100000.0 AND o_orderstatus IN ('O','F')""".stripMargin
+
+  // q3: multi-way LEFT JOIN (the f_battles.sql shape: chained equi left joins)
+  def q3MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .join(n, c("c_nationkey") === n("n_nationkey"), "left")
+      .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+      .select(o("o_orderkey"), c("c_name"), n("n_name").as("nation"),
+        r("r_name").as("region"), o("o_totalprice"))
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey, c_name, n_name AS nation, r_name AS region, o_totalprice
+      |FROM orders
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  // q4: EXISTS → left_semi (merge_tables / IN-subquery shape)
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  val q4Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)""".stripMargin
+
+  // q5: NOT EXISTS → left_anti (the delete half of merge_tables)
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+
+  // q6: UNION (dedup) of two projections (f_fighter_results.sql shape)
+  def q6Union(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val b = li.filter(col("l_linestatus") === "F")
+      .select(col("l_orderkey"), col("l_partkey"))
+    a.union(b).distinct()
+  }
+
+  val q6Sql: String =
+    """SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |UNION
+      |SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'""".stripMargin
+
+  // q7: CASE WHEN + CAST + string concat || (f_battles/f_fighter_results shape)
+  def q7CaseCastConcat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        concat(col("p_brand"), lit("#"), col("p_partkey").cast("string")).as("part_code"),
+        when(col("p_size") >= 25, lit("large"))
+          .when(col("p_size") >= 10, lit("medium"))
+          .otherwise(lit("small")).as("size_class"),
+        col("p_retailprice").cast("decimal(12,2)").cast("string").as("price_str"))
+
+  val q7Sql: String =
+    """SELECT p_brand || '#' || CAST(p_partkey AS VARCHAR) AS part_code,
+      |  CASE WHEN p_size >= 25 THEN 'large'
+      |       WHEN p_size >= 10 THEN 'medium'
+      |       ELSE 'small' END AS size_class,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str
+      |FROM part""".stripMargin
+
+  // q8: GROUP BY + HAVING (standard-tests unique-check shape)
+  def q8Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 4)
+
+  val q8Sql: String =
+    """SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+      |GROUP BY l_orderkey HAVING COUNT(*) > 4""".stripMargin
+
+  // q9: ORDER BY / LIMIT → Spark TakeOrderedAndProject (top-k, no full sort)
+  def q9TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  val q9Sql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // q10: COUNT(DISTINCT) + SUM group-by (f_rankings.sql shape)
+  def q10Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        dsum(col("l_quantity")).as("sum_qty"))
+
+  val q10Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // q11: window functions — row_number + running sum with frame
+  def q11Window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        dsumOver(col("o_totalprice"), w).as("running_spend"))
+      .filter(col("rn") <= 3)
+  }
+
+  private def dsumOver(c: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    import org.apache.spark.sql.expressions.Window
+    sum(c.cast("decimal(28,6)"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .cast("double")
+  }
+
+  val q11Sql: String =
+    """SELECT o_orderkey, o_custkey, rn, running_spend FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  // q12: ROLLUP (grouping sets surface)
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+
+  val q12Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // q13: IN-subquery → left_semi (redshift_merge_tables shape)
+  def q13InSubquery(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part").filter(col("p_size") > 40).select(col("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+  }
+
+  val q13Sql: String =
+    """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)""".stripMargin
+
+  // q14: scalar-subquery watermark (incremental extract, copy.py:632-691)
+  def q14Watermark(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // High-watermark = max orderdate minus margin; reference semantics keep
+    // NULL keys (copy.py:668-675). Watermark stays IN the plan (broadcast
+    // scalar) — no driver-side collect, works at any scale.
+    val wm = o.agg((max(col("o_orderdate")) - expr("INTERVAL 30 DAY")).as("wm_cutoff"))
+    o.join(broadcast(wm))
+      .filter(col("o_orderdate").isNull || col("o_orderdate") >= col("wm_cutoff"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+  }
+
+  val q14Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+      |WHERE o_orderdate IS NULL OR o_orderdate >=
+      |  (SELECT MAX(o_orderdate) - INTERVAL 30 DAY FROM orders)""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_multi_join" -> (q3MultiJoin _),
+    "q4_semi_join" -> (q4SemiJoin _),
+    "q5_anti_join" -> (q5AntiJoin _),
+    "q6_union" -> (q6Union _),
+    "q7_case_cast_concat" -> (q7CaseCastConcat _),
+    "q8_having" -> (q8Having _),
+    "q9_topk" -> (q9TopK _),
+    "q10_distinct" -> (q10Distinct _),
+    "q11_window" -> (q11Window _),
+    "q12_rollup" -> (q12Rollup _),
+    "q13_in_subquery" -> (q13InSubquery _),
+    "q14_watermark" -> (q14Watermark _))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_multi_join" -> q3Sql,
+    "q4_semi_join" -> q4Sql,
+    "q5_anti_join" -> q5Sql,
+    "q6_union" -> q6Sql,
+    "q7_case_cast_concat" -> q7Sql,
+    "q8_having" -> q8Sql,
+    "q9_topk" -> q9Sql,
+    "q10_distinct" -> q10Sql,
+    "q11_window" -> q11Sql,
+    "q12_rollup" -> q12Sql,
+    "q13_in_subquery" -> q13Sql,
+    "q14_watermark" -> q14Sql)
+}
