@@ -1,0 +1,243 @@
+package graft.app
+
+import graft.core._
+import graft.core.Result.Result
+import graft.db.SparkDatabase
+import graft.tasks._
+import scala.collection.mutable
+
+/** One task declaration: `cfg` carries the YAML-shaped map including
+  * `type`, `parents`, `tags`, `on_fail` and type-specific keys.
+  */
+final case class TaskSpec(name: String, group: String, cfg: Map[String, Any])
+
+/** Execution report: statuses in execution order + failures. */
+final case class RunReport(
+    order: Seq[String],
+    statuses: Map[String, TaskStatus],
+    errors: Map[String, GraftError]) {
+  def succeeded: Boolean = !statuses.values.exists(_ == TaskStatus.Failed)
+  def summary: String =
+    order.map(n => s"$n=${statuses(n).name}").mkString(", ")
+}
+
+/** Task lifecycle holder (sayn/tasks/task_wrapper.py): owns the runner,
+  * status transitions, lineage and skip logic.
+  */
+final class TaskWrapper(
+    val spec: TaskSpec,
+    db: SparkDatabase,
+    objects: DbObjectCompiler,
+    parameters: Map[String, Any],
+    args: RunArguments,
+    userTasks: Map[String, UserTask]) {
+
+  var status: TaskStatus = TaskStatus.Configuring
+  var runner: TaskRunner = _
+  var ctx: TaskContext = _
+  var error: Option[GraftError] = None
+
+  def name: String = spec.name
+  def group: String = spec.group
+
+  private def cfgSeq(key: String): Seq[String] =
+    spec.cfg.get(key).map {
+      case xs: Seq[_] => xs.map(_.toString)
+      case xs: java.util.List[_] => xs.toArray.map(_.toString).toSeq
+      case one => Seq(one.toString)
+    }.getOrElse(Nil)
+
+  var explicitParents: Seq[String] = Nil
+  var tags: Seq[String] = Nil
+  var onFail: String = "skip" // skip | no_skip (task_wrapper.py:269-300)
+
+  /** Instantiate + configure the runner; compiles SQL and collects
+    * src/out lineage (task_wrapper.py:128-249).
+    */
+  def config(): Result[Unit] = {
+    explicitParents = cfgSeq("parents")
+    tags = cfgSeq("tags")
+    onFail = spec.cfg.get("on_fail").map(_.toString).getOrElse("skip")
+
+    val taskParams = spec.cfg.get("parameters") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty[String, Any]
+    }
+    ctx = new TaskContext(name, group, db, objects, parameters ++ taskParams, args)
+
+    val taskType = spec.cfg.get("type").map(_.toString).getOrElse("")
+    val made: Result[TaskRunner] = taskType match {
+      case "autosql" => Right(new SqlTask(isAutoSql = true))
+      case "sql" => Right(new SqlTask(isAutoSql = false))
+      case "copy" => Right(new CopyTask)
+      case "test" => Right(new TestTask)
+      case "dummy" => Right(new DummyTask)
+      case "user" | "python" =>
+        val key = spec.cfg.get("class").map(_.toString).getOrElse(name)
+        userTasks.get(key) match {
+          case Some(ut) => Right(new UserTaskRunner(ut))
+          case None => Left(ConfigError(s"task $name: no registered user task '$key'"))
+        }
+      case other => Left(ConfigError(s"task $name: unknown task type '$other'"))
+    }
+
+    val result = made.flatMap { r =>
+      runner = r
+      r.config(ctx, spec.cfg).map { _ =>
+        // config() macro may add parents/tags (autosql.py:241-288)
+        r match {
+          case s: SqlTask =>
+            explicitParents ++= s.configOverrides.get("parents").toSeq.flatMap {
+              case xs: Seq[_] => xs.map(_.toString)
+              case one => Seq(one.toString)
+            }
+            tags ++= s.configOverrides.get("tags").toSeq.flatMap {
+              case xs: Seq[_] => xs.map(_.toString)
+              case one => Seq(one.toString)
+            }
+            s.configOverrides.get("on_fail").foreach(v => onFail = v.toString)
+          case _ =>
+        }
+      }
+    }
+    result match {
+      case Right(_) => status = TaskStatus.ReadyForSetup; Right(())
+      case Left(e) => status = TaskStatus.Failed; error = Some(e); Left(e)
+    }
+  }
+}
+
+/** The engine application: configure tasks, assemble the DAG (explicit +
+  * implicit output→source edges), filter with the task query, then run
+  * serially in topo order with skip propagation — the Spark re-expression
+  * of sayn/core/app.py:126-654. Parallel branches can be added later; the
+  * serial loop matches reference behavior (app.py:611-654).
+  */
+final class App(
+    val db: SparkDatabase,
+    val objects: DbObjectCompiler,
+    val parameters: Map[String, Any] = Map.empty,
+    val userTasks: Map[String, UserTask] = Map.empty,
+    val compileDir: Option[java.nio.file.Path] = None) {
+
+  def run(specs: Seq[TaskSpec], args: RunArguments = RunArguments()): Result[RunReport] = {
+    // 1. config all tasks (config failures mark the task, children skip)
+    val wrappers = specs.map(s =>
+      new TaskWrapper(s, db, objects, parameters, args, userTasks))
+    val byName = wrappers.map(w => w.name -> w).toMap
+    if (byName.size != wrappers.size) {
+      val dups = wrappers.groupBy(_.name).collect { case (n, ws) if ws.size > 1 => n }
+      return Left(ConfigError(s"duplicate task names: ${dups.toSeq.sorted.mkString(", ")}"))
+    }
+    wrappers.foreach(_.config())
+
+    // 2. implicit edges: producer of object X parents any task sourcing X
+    // (app.py:419-432); orphan sources are fine (read pre-existing tables)
+    val producers: Map[String, String] = (for {
+      w <- wrappers if w.ctx != null
+      o <- w.ctx.outputs
+    } yield o.key -> w.name).toMap
+
+    val dag: Map[String, Seq[String]] = wrappers.map { w =>
+      val implicitParents =
+        if (w.ctx == null) Nil
+        else w.ctx.sources.toSeq.flatMap(o => producers.get(o.key)).filter(_ != w.name)
+      val known = (w.explicitParents ++ implicitParents).distinct
+      w.name -> known
+    }.toMap
+
+    for {
+      _ <- Dag.validate(dag)
+      meta = wrappers.map(w => w.name -> TaskQuery.TaskMeta(w.group, w.tags)).toMap
+      q <- TaskQuery.getQuery(meta, args.include, args.exclude)
+      selected <- TaskQuery.apply(dag, q._1, q._2)
+    } yield {
+      val selectedSet = selected.toSet
+      wrappers.foreach { w =>
+        if (!selectedSet.contains(w.name) && w.status != TaskStatus.Failed)
+          w.status = TaskStatus.NotInQuery
+      }
+
+      // 3. upstream-prod: sources not produced by this run read prod names
+      // (app.py:503-511)
+      if (args.upstreamProd) {
+        val produced = selected.flatMap(n => byName(n).ctx.outputs.map(_.key)).toSet
+        val external = for {
+          n <- selected
+          o <- byName(n).ctx.sources if !produced.contains(o.key)
+        } yield o
+        objects.setSourcesFromProd(external.toSet)
+      }
+
+      // 4. setup then execute, serially in topo order (app.py:611-654)
+      val statuses = mutable.LinkedHashMap.empty[String, TaskStatus]
+      val errors = mutable.LinkedHashMap.empty[String, GraftError]
+      var interrupted = false
+
+      for (name <- selected) {
+        val w = byName(name)
+        if (w.status == TaskStatus.Failed) {
+          errors(name) = w.error.get
+          statuses(name) = TaskStatus.Failed
+        } else if (interrupted) {
+          w.status = TaskStatus.Skipped
+          statuses(name) = TaskStatus.Skipped
+        } else {
+          // skip propagation (task_wrapper.py:269-300)
+          val badParent = dag(name).exists { p =>
+            val ps = statuses.get(p).orElse(Some(byName(p).status)).get
+            (ps == TaskStatus.Failed && byName(p).onFail != "no_skip") ||
+              ps == TaskStatus.Skipped
+          }
+          if (badParent) {
+            w.status = TaskStatus.Skipped
+            statuses(name) = TaskStatus.Skipped
+          } else {
+            w.status = TaskStatus.Executing
+            val result = w.runner.setup().flatMap { _ =>
+              args.command match {
+                case "run" =>
+                  w.runner.run().flatMap { _ =>
+                    if (args.withTests) w.runner.test() else Right(())
+                  }
+                case "test" => w.runner.test()
+                case "compile" =>
+                  w.runner.compile().map { steps =>
+                    compileDir.foreach(writeCompiled(_, w, steps))
+                  }
+                case other =>
+                  Left(ConfigError(s"unknown command '$other'"))
+              }
+            }
+            result match {
+              case Right(_) =>
+                w.status = TaskStatus.Succeeded
+                statuses(name) = TaskStatus.Succeeded
+              case Left(e) =>
+                w.status = TaskStatus.Failed
+                w.error = Some(e)
+                errors(name) = e
+                statuses(name) = TaskStatus.Failed
+                if (args.failFast) interrupted = true
+            }
+          }
+        }
+      }
+      RunReport(selected, statuses.toMap, errors.toMap)
+    }
+  }
+
+  /** compile command output: compile/<group>/<task>.sql
+    * (sayn/tasks/task.py:321-338).
+    */
+  private def writeCompiled(
+      dir: java.nio.file.Path, w: TaskWrapper, steps: Seq[(String, String)]): Unit = {
+    if (steps.nonEmpty) {
+      val groupDir = dir.resolve(w.group)
+      java.nio.file.Files.createDirectories(groupDir)
+      val text = steps.map { case (step, sql) => s"-- step: $step\n$sql" }
+        .mkString("\n;\n")
+      java.nio.file.Files.writeString(groupDir.resolve(s"${w.name}.sql"), text)
+    }
+  }
+}

@@ -1,0 +1,187 @@
+package graft.app
+
+import graft.core._
+import graft.core.Result.Result
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** YAML project loader (sayn/core/project.py, sayn/core/settings.py):
+  *
+  *   project.yaml   — parameters, presets, autogroups (`groups:`)
+  *   tasks dir      — one yaml per task group (`tasks: {name: {...}}`),
+  *                    group = file stem
+  *   settings.yaml  — profiles: parameters + stringify + from_prod;
+  *                    `default_profile`; env overrides GRAFT_PROFILE /
+  *                    GRAFT_PARAMETER_<name> (settings.py:14-102 semantics)
+  *
+  * SQL tasks reference files under `sql/` via `file_name`; autogroups expand
+  * a glob into one task per file with `{{ task.name }}` available
+  * (project.py:281-440).
+  */
+object Project {
+
+  final case class Loaded(
+      specs: Seq[TaskSpec],
+      parameters: Map[String, Any],
+      stringify: StringifyConfig,
+      prodStringify: StringifyConfig,
+      fromProd: Seq[String],
+      defaultDb: String)
+
+  // ---- yaml plumbing -----------------------------------------------------
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other => other
+  }
+
+  def parseYaml(text: String): Result[Map[String, Any]] =
+    Result.attempt {
+      val yaml = new org.yaml.snakeyaml.Yaml()
+      Option(yaml.load[java.util.Map[String, Object]](text))
+        .map(m => toScala(m).asInstanceOf[Map[String, Any]])
+        .getOrElse(Map.empty)
+    }
+
+  private def mapAt(m: Map[String, Any], key: String): Map[String, Any] =
+    m.get(key) match {
+      case Some(mm: Map[_, _]) => mm.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty
+    }
+
+  // ---- loading -------------------------------------------------------------
+
+  def load(
+      projectDir: Path,
+      profileOverride: Option[String] = None): Result[Loaded] = {
+    val projectFile = projectDir.resolve("project.yaml")
+    if (!Files.exists(projectFile))
+      return Left(ConfigError(s"missing ${projectFile}"))
+
+    for {
+      project <- parseYaml(Files.readString(projectFile))
+      settings <- {
+        val f = projectDir.resolve("settings.yaml")
+        if (Files.exists(f)) parseYaml(Files.readString(f))
+        else Right(Map.empty[String, Any])
+      }
+      groupSpecs <- loadTaskGroups(projectDir)
+      autoSpecs <- expandAutogroups(projectDir, mapAt(project, "groups"))
+    } yield {
+      // profile selection: flag > GRAFT_PROFILE > default_profile > first
+      val profiles = mapAt(settings, "profiles")
+      val profileName = profileOverride
+        .orElse(sys.env.get("GRAFT_PROFILE"))
+        .orElse(settings.get("default_profile").map(_.toString))
+        .orElse(profiles.keys.toSeq.sorted.headOption)
+      val profile = profileName.map(mapAt(profiles, _)).getOrElse(Map.empty)
+
+      // parameters: project defaults <- profile <- env GRAFT_PARAMETER_*
+      val envParams = sys.env.collect {
+        case (k, v) if k.startsWith("GRAFT_PARAMETER_") =>
+          k.stripPrefix("GRAFT_PARAMETER_").toLowerCase -> (v: Any)
+      }
+      val parameters =
+        mapAt(project, "parameters") ++ mapAt(profile, "parameters") ++ envParams
+
+      def mangling(m: Map[String, Any], t: String): Mangling = Mangling(
+        prefix = m.get(s"${t}_prefix").map(_.toString),
+        suffix = m.get(s"${t}_suffix").map(_.toString),
+        overrideFmt = m.get(s"${t}_override").map(_.toString))
+      def stringifyOf(m: Map[String, Any]): StringifyConfig = StringifyConfig(
+        database = mangling(m, "database"),
+        schema = mangling(m, "schema"),
+        table = mangling(m, "table"))
+
+      val presets = mapAt(project, "presets")
+      val withPresets = (groupSpecs ++ autoSpecs).map { s =>
+        s.cfg.get("preset").map(_.toString) match {
+          case Some(p) if presets.contains(p) =>
+            // preset values underlie task values (project.py:101-205)
+            s.copy(cfg = mapAt(presets, p) ++ (s.cfg - "preset"))
+          case _ => s
+        }
+      }
+
+      Loaded(
+        specs = withPresets,
+        parameters = parameters,
+        stringify = stringifyOf(mapAt(profile, "stringify")),
+        prodStringify = stringifyOf(mapAt(settings, "prod_stringify")),
+        fromProd = profile.get("from_prod") match {
+          case Some(xs: Seq[_]) => xs.map(_.toString)
+          case _ => Nil
+        },
+        defaultDb = project.get("default_db").map(_.toString).getOrElse("spark"))
+    }
+  }
+
+  /** tasks-dir yamls → TaskSpecs; group name = file stem (project.py:83-93). */
+  private def loadTaskGroups(projectDir: Path): Result[Seq[TaskSpec]] = {
+    val tasksDir = projectDir.resolve("tasks")
+    if (!Files.exists(tasksDir)) return Right(Nil)
+    val files = Files.list(tasksDir).iterator().asScala
+      .filter(f => f.toString.endsWith(".yaml") || f.toString.endsWith(".yml"))
+      .toSeq.sortBy(_.toString)
+    Result.sequence(files.map { f =>
+      val group = f.getFileName.toString.replaceAll("\\.ya?ml$", "")
+      parseYaml(Files.readString(f)).flatMap { y =>
+        Result.sequence(mapAt(y, "tasks").toSeq.sortBy(_._1).map {
+          case (name, cfg: Map[_, _]) =>
+            inlineSqlFile(projectDir, name,
+              cfg.asInstanceOf[Map[String, Any]]).map(TaskSpec(name, group, _))
+          case (name, _) =>
+            Left(ConfigError(s"task $name: config must be a mapping"))
+        })
+      }
+    }).map(_.flatten)
+  }
+
+  /** `file_name` → inline `sql` contents, templating `{{ task.name }}`
+    * later at compile time (sql files live under sql/, python-analog tasks
+    * register in code).
+    */
+  private def inlineSqlFile(
+      projectDir: Path, name: String, cfg: Map[String, Any]): Result[Map[String, Any]] =
+    cfg.get("file_name") match {
+      case Some(fn: String) =>
+        val p = projectDir.resolve("sql").resolve(fn)
+        if (!Files.exists(p))
+          Left(ConfigError(s"task $name: missing sql file $p"))
+        else Right(cfg ++ Map("sql" -> Files.readString(p)))
+      case _ => Right(cfg)
+    }
+
+  /** Autogroups (project.py:281-440): a project.yaml `groups:` entry expands
+    * a `file_name` glob into one task per matching sql file, named by stem.
+    */
+  private def expandAutogroups(
+      projectDir: Path, groups: Map[String, Any]): Result[Seq[TaskSpec]] =
+    Result.sequence(groups.toSeq.sortBy(_._1).map {
+      case (group, cfg: Map[_, _]) =>
+        val cfgMap = cfg.asInstanceOf[Map[String, Any]]
+        cfgMap.get("file_name") match {
+          case Some(glob: String) =>
+            val sqlDir = projectDir.resolve("sql")
+            val matcher = java.nio.file.FileSystems.getDefault
+              .getPathMatcher(s"glob:$glob")
+            val files =
+              if (!Files.exists(sqlDir)) Nil
+              else Files.walk(sqlDir).iterator().asScala
+                .filter(Files.isRegularFile(_))
+                .filter(f => matcher.matches(sqlDir.relativize(f)))
+                .toSeq.sortBy(_.toString)
+            Result.sequence(files.map { f =>
+              val name = f.getFileName.toString.replaceAll("\\.sql$", "")
+              Result.attempt(Files.readString(f)).map { sql =>
+                TaskSpec(name, group, cfgMap - "file_name" ++ Map("sql" -> sql))
+              }
+            })
+          case _ =>
+            Left(ConfigError(s"autogroup $group: needs file_name glob"))
+        }
+      case (group, _) => Left(ConfigError(s"autogroup $group: must be a mapping"))
+    }).map(_.flatten)
+}

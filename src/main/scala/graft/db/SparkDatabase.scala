@@ -1,0 +1,344 @@
+package graft.db
+
+import graft.core.{DbError, Result, TestFailed}
+import graft.core.Result.Result
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's single "warehouse connection": every ETL/materialisation
+  * operator from SURVEY §2a, executed through the Spark session catalog.
+  *
+  * Where the reference compiles SQL strings per dialect
+  * (sayn/database/__init__.py), this layer goes straight to DataFrame
+  * actions so Catalyst plans the physical execution (pushdown, pruning,
+  * join selection, AQE). SQL-text entry points remain (`execute`,
+  * `readData`) because user tasks are SQL-first.
+  */
+final class SparkDatabase(
+    val spark: SparkSession,
+    val tmpPrefix: String = "graft_tmp_") {
+
+  // ---- raw SQL surface (§2a rows 1-3) ----------------------------------
+
+  /** Run a multi-statement script: split on top-level `;`
+    * (sayn/database/__init__.py:441-448).
+    */
+  def execute(script: String): Result[Unit] =
+    Result.sequence(splitStatements(script).map(st =>
+      Result.attempt(spark.sql(st)))).map(_ => ())
+
+  /** SELECT → local rows; tests/small results only
+    * (sayn/database/__init__.py:450-467).
+    */
+  def readData(query: String): Result[Seq[Row]] =
+    Result.attempt(spark.sql(query).collect().toSeq)
+
+  /** Lazy query handle — the Spark analog of the reference's server-side
+    * cursor stream (sayn/database/__init__.py:469-489).
+    */
+  def readDataStream(query: String): Result[DataFrame] =
+    Result.attempt(spark.sql(query))
+
+  // ---- loading (§2a rows 4-5) ------------------------------------------
+
+  /** Bulk load a DataFrame into a table. Replaces the reference's
+    * batched-INSERT and four warehouse-native bulk paths
+    * (sayn/database/__init__.py:513-587) with one distributed parquet
+    * write — bulk by construction, no driver-side batching.
+    */
+  def loadDataFrame(
+      df: DataFrame,
+      table: String,
+      replace: Boolean = false,
+      ddl: Ddl = Ddl.empty): Result[Unit] =
+    Result.attempt {
+      ensureDatabase(table)
+      val mode = if (replace) SaveMode.Overwrite else SaveMode.Append
+      if (!replace && spark.catalog.tableExists(table)) {
+        // append aligns by name (schema reconciliation, copy.py:543-630)
+        val cols = spark.table(table).columns
+        df.select(cols.map(col).toIndexedSeq: _*)
+          .write.mode(mode).insertInto(table)
+      } else {
+        writer(applySort(df, ddl), ddl).mode(mode).saveAsTable(table)
+      }
+    }
+
+  /** Row-wise load used by user tasks (the reference's `load_data`,
+    * sayn/database/__init__.py:513-587).
+    */
+  def loadData(
+      rows: Seq[Row],
+      schema: org.apache.spark.sql.types.StructType,
+      table: String,
+      replace: Boolean = false): Result[Unit] =
+    Result.attempt(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+    ).flatMap(loadDataFrame(_, table, replace))
+
+  // ---- materialisation (§2a rows 6-11) -----------------------------------
+
+  /** CTAS with physical layout (sayn/database/__init__.py:633-676,
+    * templates/create_table.sql). Declared column types are applied as
+    * casts; partition/cluster/sort map to partitionBy/bucketBy/
+    * sortWithinPartitions. UNIQUE/NOT NULL are not enforced by Spark —
+    * they surface via `standardTests`.
+    */
+  def createTable(
+      table: String,
+      select: String,
+      ddl: Ddl = Ddl.empty,
+      replace: Boolean = false): Result[Unit] =
+    Result.attempt {
+      ensureDatabase(table)
+      var df = spark.sql(select)
+      // declared types → casts, declared order → projection
+      if (ddl.columns.exists(_.dataType.isDefined)) {
+        df = df.select(ddl.columns.map { c =>
+          c.dataType match {
+            case Some(t) => col(c.name).cast(Ddl.sparkType(t)).as(c.name)
+            case None => col(c.name)
+          }
+        }.toIndexedSeq: _*)
+      }
+      val mode = if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists
+      writer(applySort(df, ddl), ddl).mode(mode).saveAsTable(table)
+    }.flatMap(_ => runHooks(ddl))
+
+  /** Full-refresh materialisation (sayn/database/__init__.py:747-787).
+    * CTAS into a tmp table then swap, so a mid-write failure never leaves
+    * a missing/partial destination (same guarantee as the reference's
+    * tmp-swap dance) and self-referencing SELECTs are safe.
+    */
+  def replaceTable(
+      table: String,
+      select: String,
+      ddl: Ddl = Ddl.empty): Result[Unit] = {
+    val tmp = tmpName(table)
+    for {
+      _ <- createTable(tmp, select, ddl, replace = true)
+      _ <- moveTable(tmp, table)
+      _ <- runHooks(ddl)
+    } yield ()
+  }
+
+  /** (Re)create a view over the compiled SELECT
+    * (sayn/database/__init__.py:789-817).
+    */
+  def replaceView(view: String, select: String, ddl: Ddl = Ddl.empty): Result[Unit] =
+    Result.attempt {
+      ensureDatabase(view)
+      spark.sql(s"CREATE OR REPLACE VIEW $view AS $select"); ()
+    }.flatMap(_ => runHooks(ddl))
+
+  /** Upsert src into dst on `deleteKey`: delete matching dst rows, insert
+    * all src rows (sayn/database/__init__.py:678-699,
+    * templates/merge_tables.sql). Spark expression: anti-join + unionByName
+    * → tmp → swap. Drops src afterwards like the reference (cleanup=true).
+    */
+  def mergeTables(src: String, dst: String, deleteKey: String): Result[Unit] = {
+    val result = Result.attempt {
+      val srcDf = spark.table(src)
+      val dstDf = spark.table(dst)
+      val merged = dstDf
+        .join(srcDf, Seq(deleteKey), "left_anti")
+        .unionByName(srcDf.select(dstDf.columns.map(col).toIndexedSeq: _*))
+      // distinct stage name: src may itself be tmpName(dst) (mergeQuery)
+      val tmp = tmpName(dst, "merge_")
+      merged.write.mode(SaveMode.Overwrite).saveAsTable(tmp)
+      tmp
+    }
+    for {
+      tmp <- result
+      _ <- moveTable(tmp, dst)
+      _ <- Result.attempt { spark.sql(s"DROP TABLE IF EXISTS $src"); () }
+    } yield ()
+  }
+
+  /** Incremental materialisation: stage the SELECT, then merge into the
+    * destination (sayn/database/__init__.py:819-846). Creates the
+    * destination outright when missing.
+    */
+  def mergeQuery(
+      table: String,
+      select: String,
+      deleteKey: String,
+      ddl: Ddl = Ddl.empty): Result[Unit] =
+    if (!tableExists(table)) replaceTable(table, select, ddl)
+    else {
+      val tmp = tmpName(table)
+      for {
+        _ <- createTable(tmp, select, ddl, replace = true)
+        _ <- mergeTables(tmp, table, deleteKey)
+        _ <- runHooks(ddl)
+      } yield ()
+    }
+
+  /** Rename/swap (sayn/database/__init__.py:701-743,
+    * templates/move_table.sql). Index recreation is a no-op on Spark.
+    */
+  def moveTable(src: String, dst: String): Result[Unit] =
+    Result.attempt {
+      spark.sql(s"DROP TABLE IF EXISTS $dst")
+      spark.sql(s"DROP VIEW IF EXISTS $dst")
+      spark.sql(s"ALTER TABLE $src RENAME TO $dst"); ()
+    }
+
+  // ---- introspection (§2a row 16) ----------------------------------------
+
+  def tableExists(name: String): Boolean =
+    try spark.catalog.tableExists(name)
+    catch { case _: Exception => false }
+
+  /** `table` / `view` / absent — drives create-vs-merge decisions
+    * (sayn/database/__init__.py:190-229, 374-416).
+    */
+  def objectType(name: String): Option[String] =
+    if (!tableExists(name)) None
+    else
+      try {
+        val t = spark.catalog.getTable(name)
+        Some(if (t.tableType != null && t.tableType.equalsIgnoreCase("VIEW")) "view"
+        else "table")
+      } catch { case _: Exception => Some("table") }
+
+  def tableSchema(name: String): Option[org.apache.spark.sql.types.StructType] =
+    if (tableExists(name)) Some(spark.table(name).schema) else None
+
+  // ---- data-quality tests (§2a rows 17-19) -------------------------------
+
+  /** Offending-values scan for one column test. Pass = empty result.
+    * Mirrors the per-test SQL shape (sayn/tasks/tests/standard_tests.sql):
+    * value, count, test type, column name.
+    */
+  private def testViolations(
+      df: DataFrame, c: ColumnDdl, t: ColumnTest): DataFrame = {
+    val base = t match {
+      case UniqueTest =>
+        df.groupBy(col(c.name)).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1)
+      case NotNullTest =>
+        df.filter(col(c.name).isNull)
+          .groupBy(col(c.name)).agg(count(lit(1)).as("cnt"))
+      case AllowedValuesTest(values) =>
+        df.filter(!col(c.name).isin(values.map(_.asInstanceOf[Any]): _*))
+          .groupBy(col(c.name)).agg(count(lit(1)).as("cnt"))
+    }
+    val typeName = t match {
+      case UniqueTest => "unique"
+      case NotNullTest => "not_null"
+      case AllowedValuesTest(_) => "allowed_values"
+    }
+    base.select(
+      col(c.name).cast("string").as("value"),
+      col("cnt"),
+      lit(typeName).as("test_type"),
+      lit(c.name).as("column_name"))
+  }
+
+  /** Run all declared column tests for a table as one unioned scan,
+    * capped at 5 offending rows like the reference
+    * (sayn/database/__init__.py:239-297). Left = failure with samples.
+    */
+  def standardTests(table: String, ddl: Ddl): Result[Unit] =
+    Result.attempt {
+      val df = spark.table(table)
+      val scans = for {
+        c <- ddl.columnsWithTests
+        t <- c.tests
+      } yield testViolations(df, c, t)
+      scans.reduceOption(_ unionByName _) match {
+        case None => Nil
+        case Some(all) => all.limit(5).collect().toSeq
+      }
+    }.flatMap { offending =>
+      if (offending.isEmpty) Right(())
+      else
+        Left(TestFailed(
+          s"standard tests failed on $table",
+          offending.map(r =>
+            s"column=${r.getString(3)} test=${r.getString(2)} value=${r.getString(0)} count=${r.getLong(1)}")))
+    }
+
+  /** Custom SQL test: pass iff the query returns no rows; report up to 5
+    * (sayn/tasks/test.py:66-175).
+    */
+  def customTest(query: String): Result[Unit] =
+    Result.attempt(spark.sql(query).limit(5).collect().toSeq).flatMap { rows =>
+      if (rows.isEmpty) Right(())
+      else Left(TestFailed(
+        s"custom test returned ${rows.size} row(s)",
+        rows.map(_.toString)))
+    }
+
+  // ---- helpers ------------------------------------------------------------
+
+  def tmpName(table: String, extra: String = ""): String = {
+    val parts = table.split("\\.")
+    (parts.init :+ (tmpPrefix + extra + parts.last)).mkString(".")
+  }
+
+  /** Create the schema (Spark database) component on demand — the engine
+    * analog of the reference's `CREATE SCHEMA` feature handling.
+    */
+  private def ensureDatabase(table: String): Unit = {
+    val parts = table.split("\\.")
+    if (parts.length == 2)
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${parts(0)}")
+  }
+
+  private def applySort(df: DataFrame, ddl: Ddl): DataFrame =
+    if (ddl.sortBy.nonEmpty)
+      df.sortWithinPartitions(ddl.sortBy.map(col).toIndexedSeq: _*)
+    else df
+
+  private def writer(df: DataFrame, ddl: Ddl) = {
+    var w = df.write.format("parquet")
+    if (ddl.partitionBy.nonEmpty) w = w.partitionBy(ddl.partitionBy: _*)
+    if (ddl.clusterBy.nonEmpty) w = w.bucketBy(ddl.buckets, ddl.clusterBy.head, ddl.clusterBy.tail: _*)
+    w
+  }
+
+  private def runHooks(ddl: Ddl): Result[Unit] =
+    Result.sequence(ddl.postHooks.map(h => Result.attempt(spark.sql(h))))
+      .map(_ => ())
+
+  /** Split a SQL script into statements on top-level semicolons, honoring
+    * quotes and comments (the engine analog of
+    * sayn/database/__init__.py:441-448 + dialect overrides).
+    */
+  private[db] def splitStatements(script: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0
+    val n = script.length
+    var state: Char = ' ' // ' '=normal, '\''=string, '"'=quoted ident, '-'=line comment, '*'=block comment
+    while (i < n) {
+      val ch = script(i)
+      state match {
+        case ' ' =>
+          if (ch == ';') { out += cur.result(); cur.clear() }
+          else {
+            if (ch == '\'' || ch == '"') state = ch
+            else if (ch == '-' && i + 1 < n && script(i + 1) == '-') state = '-'
+            else if (ch == '/' && i + 1 < n && script(i + 1) == '*') state = '*'
+            cur.append(ch)
+          }
+        case '\'' | '"' =>
+          cur.append(ch)
+          if (ch == state) state = ' '
+        case '-' =>
+          cur.append(ch)
+          if (ch == '\n') state = ' '
+        case '*' =>
+          cur.append(ch)
+          if (ch == '/' && i > 0 && script(i - 1) == '*') state = ' '
+        case _ =>
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+}

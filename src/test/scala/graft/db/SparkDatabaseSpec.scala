@@ -1,0 +1,137 @@
+package graft.db
+
+import graft.SparkSpec
+import graft.core.TestFailed
+
+class SparkDatabaseSpec extends SparkSpec {
+
+  lazy val db = new SparkDatabase(spark)
+  import spark.implicits._
+
+  test("execute splits multi-statement scripts, honoring quotes") {
+    val r = db.execute(
+      """CREATE TABLE exec_t1 AS SELECT 1 AS x;
+        |CREATE TABLE exec_t2 AS SELECT ';' AS s, 2 AS x;
+        |-- comment with ; inside
+        |INSERT INTO exec_t1 SELECT 3""".stripMargin)
+    assert(r.isRight, r)
+    assert(rows(spark.table("exec_t1")) == Set(Seq(1), Seq(3)))
+    assert(spark.table("exec_t2").count() == 1)
+  }
+
+  test("statement splitter edge cases") {
+    assert(db.splitStatements("SELECT 1") == Seq("SELECT 1"))
+    assert(db.splitStatements("a; b ;; c;") == Seq("a", "b", "c"))
+    assert(db.splitStatements("SELECT ';'; SELECT 2") ==
+      Seq("SELECT ';'", "SELECT 2"))
+    assert(db.splitStatements("SELECT 1 -- tail; not a split\n; SELECT 2") ==
+      Seq("SELECT 1 -- tail; not a split", "SELECT 2"))
+    assert(db.splitStatements("SELECT /* ; */ 1; SELECT 2") ==
+      Seq("SELECT /* ; */ 1", "SELECT 2"))
+  }
+
+  test("readData returns rows") {
+    val Right(rs) = db.readData("SELECT 1 AS a UNION ALL SELECT 2")
+    assert(rs.map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
+  test("loadDataFrame replace and append modes") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    assert(db.loadDataFrame(df, "load_t", replace = true).isRight)
+    assert(spark.table("load_t").count() == 2)
+    // append aligns by name even when column order differs
+    val more = Seq(("z", 3L)).toDF("name", "id")
+    assert(db.loadDataFrame(more, "load_t", replace = false).isRight)
+    assert(rows(spark.table("load_t")) ==
+      Set(Seq(1L, "x"), Seq(2L, "y"), Seq(3L, "z")))
+  }
+
+  test("createTable applies declared types as casts") {
+    val ddl = Ddl(columns = Seq(
+      ColumnDdl("a", dataType = Some("BIGINT")),
+      ColumnDdl("b", dataType = Some("TEXT"))))
+    assert(db.createTable("typed_t", "SELECT 1 AS a, 2 AS b", ddl).isRight)
+    val schema = spark.table("typed_t").schema
+    assert(schema("a").dataType.typeName == "long")
+    assert(schema("b").dataType.typeName == "string")
+  }
+
+  test("replaceTable is a full refresh and tolerates self-reference") {
+    assert(db.replaceTable("rep_t", "SELECT 1 AS x").isRight)
+    assert(db.replaceTable("rep_t", "SELECT x + 1 AS x FROM rep_t").isRight)
+    assert(rows(spark.table("rep_t")) == Set(Seq(2)))
+  }
+
+  test("replaceView creates and replaces") {
+    assert(db.replaceTable("view_src", "SELECT 1 AS x").isRight)
+    assert(db.replaceView("v1", "SELECT * FROM view_src").isRight)
+    assert(db.objectType("v1").contains("view"))
+    assert(db.replaceView("v1", "SELECT x + 1 AS x FROM view_src").isRight)
+    assert(rows(spark.table("v1")) == Set(Seq(2)))
+  }
+
+  test("mergeTables upserts on delete_key and drops the source") {
+    Seq((1L, Some(1L), "old1"), (2L, None: Option[Long], "old2"))
+      .toDF("id", "updated_at", "name")
+      .write.saveAsTable("merge_dst")
+    Seq((2L, Some(5L), "new2"), (3L, Some(6L), "new3"))
+      .toDF("id", "updated_at", "name")
+      .write.saveAsTable("merge_src")
+    assert(db.mergeTables("merge_src", "merge_dst", "id").isRight)
+    assert(rows(spark.table("merge_dst")) == Set(
+      Seq(1L, 1L, "old1"),   // unmatched dst row kept
+      Seq(2L, 5L, "new2"),   // matched dst row replaced
+      Seq(3L, 6L, "new3")))  // new row inserted
+    assert(!db.tableExists("merge_src"))
+  }
+
+  test("mergeQuery creates missing destination, then merges") {
+    assert(db.mergeQuery("mq_t", "SELECT 1 AS id, 'a' AS v", "id").isRight)
+    assert(rows(spark.table("mq_t")) == Set(Seq(1, "a")))
+    assert(db.mergeQuery("mq_t", "SELECT 1 AS id, 'b' AS v", "id").isRight)
+    assert(rows(spark.table("mq_t")) == Set(Seq(1, "b")))
+  }
+
+  test("moveTable replaces the destination") {
+    assert(db.replaceTable("mv_src", "SELECT 1 AS x").isRight)
+    assert(db.replaceTable("mv_dst", "SELECT 99 AS x").isRight)
+    assert(db.moveTable("mv_src", "mv_dst").isRight)
+    assert(rows(spark.table("mv_dst")) == Set(Seq(1)))
+    assert(!db.tableExists("mv_src"))
+  }
+
+  test("standard tests: pass on clean data") {
+    Seq((1L, "a"), (2L, "b")).toDF("id", "cat").write.saveAsTable("clean_t")
+    val ddl = Ddl(columns = Seq(
+      ColumnDdl("id", tests = Seq(UniqueTest, NotNullTest)),
+      ColumnDdl("cat", tests = Seq(AllowedValuesTest(Seq("a", "b"))))))
+    assert(db.standardTests("clean_t", ddl).isRight)
+  }
+
+  test("standard tests: report duplicates, nulls, out-of-domain values") {
+    Seq((Some(1L), "a"), (Some(1L), "b"), (None, "zzz"))
+      .toDF("id", "cat").write.saveAsTable("dirty_t")
+    val ddl = Ddl(columns = Seq(
+      ColumnDdl("id", tests = Seq(UniqueTest, NotNullTest)),
+      ColumnDdl("cat", tests = Seq(AllowedValuesTest(Seq("a", "b"))))))
+    val Left(e: TestFailed) = db.standardTests("dirty_t", ddl)
+    val report = e.offending.mkString("\n")
+    assert(report.contains("unique"))
+    assert(report.contains("not_null") || report.contains("allowed_values"))
+  }
+
+  test("custom test passes iff query returns no rows") {
+    assert(db.customTest("SELECT 1 WHERE 1 = 0").isRight)
+    assert(db.customTest("SELECT 1").isLeft)
+  }
+
+  test("partitioned create lays out partition directories") {
+    val ddl = Ddl(partitionBy = Seq("p"))
+    assert(db.createTable(
+      "part_t", "SELECT id, id % 2 AS p FROM RANGE(10)", ddl).isRight)
+    assert(spark.table("part_t").count() == 10)
+    // partition column present in catalog partitioning
+    val cat = spark.sql("DESCRIBE TABLE EXTENDED part_t").collect().map(_.getString(0))
+    assert(cat.contains("# Partition Information"))
+  }
+}
