@@ -105,11 +105,17 @@ object Project {
         }
       }
 
+      // dev stringify falls back per-key to prod_stringify (objects.py:77:
+      // {k: v or prod_stringify[k]}), so a profile defining only
+      // prod_stringify still mangles dev objects
+      val prodStringifyMap = mapAt(settings, "prod_stringify")
+      val devStringifyMap = prodStringifyMap ++ mapAt(profile, "stringify")
+
       Loaded(
         specs = withPresets,
         parameters = parameters,
-        stringify = stringifyOf(mapAt(profile, "stringify")),
-        prodStringify = stringifyOf(mapAt(settings, "prod_stringify")),
+        stringify = stringifyOf(devStringifyMap),
+        prodStringify = stringifyOf(prodStringifyMap),
         fromProd = profile.get("from_prod") match {
           case Some(xs: Seq[_]) => xs.map(_.toString)
           case _ => Nil

@@ -84,6 +84,10 @@ final class SparkDatabase(
     * casts; partition/cluster/sort map to partitionBy/bucketBy/
     * sortWithinPartitions. UNIQUE/NOT NULL are not enforced by Spark —
     * they surface via `standardTests`.
+    *
+    * Post hooks are NOT fired here: the materialisation entry points
+    * (`replaceTable`/`replaceView`/`mergeQuery`) run them exactly once,
+    * after the destination swap, so hooks never observe a tmp table.
     */
   def createTable(
       table: String,
@@ -104,7 +108,7 @@ final class SparkDatabase(
       }
       val mode = if (replace) SaveMode.Overwrite else SaveMode.ErrorIfExists
       writer(applySort(df, ddl), ddl).mode(mode).saveAsTable(table)
-    }.flatMap(_ => runHooks(ddl))
+    }
 
   /** Full-refresh materialisation (sayn/database/__init__.py:747-787).
     * CTAS into a tmp table then swap, so a mid-write failure never leaves
@@ -134,26 +138,65 @@ final class SparkDatabase(
 
   /** Upsert src into dst on `deleteKey`: delete matching dst rows, insert
     * all src rows (sayn/database/__init__.py:678-699,
-    * templates/merge_tables.sql). Spark expression: anti-join + unionByName
-    * → tmp → swap. Drops src afterwards like the reference (cleanup=true).
+    * templates/merge_tables.sql). Drops src afterwards like the reference
+    * (cleanup=true).
+    *
+    * Scale path: when the destination is partitioned, only the partitions
+    * touched by src are rewritten (dynamic partition overwrite) — an
+    * incremental run that ingests 0.1% of rows must not rewrite 100% of a
+    * 100 TB table. Fallback (unpartitioned dst): anti-join + unionByName
+    * → tmp (written with the declared layout) → swap.
     */
-  def mergeTables(src: String, dst: String, deleteKey: String): Result[Unit] = {
-    val result = Result.attempt {
+  def mergeTables(
+      src: String, dst: String, deleteKey: String,
+      ddl: Ddl = Ddl.empty): Result[Unit] = {
+    val partitionMerge = Result.attempt {
       val srcDf = spark.table(src)
       val dstDf = spark.table(dst)
-      val merged = dstDf
-        .join(srcDf, Seq(deleteKey), "left_anti")
-        .unionByName(srcDf.select(dstDf.columns.map(col).toIndexedSeq: _*))
-      // distinct stage name: src may itself be tmpName(dst) (mergeQuery)
-      val tmp = tmpName(dst, "merge_")
-      merged.write.mode(SaveMode.Overwrite).saveAsTable(tmp)
-      tmp
+      val dstCols = dstDf.columns.toIndexedSeq
+      val srcAligned = srcDf.select(dstCols.map(col): _*)
+      val partCols = spark.catalog.listColumns(dst)
+        .collect().filter(_.isPartition).map(_.name).toSeq
+      if (partCols.nonEmpty) {
+        // only dst rows in partitions present in src participate; dynamic
+        // overwrite then replaces exactly those partitions
+        val touched = srcAligned.select(partCols.map(col): _*).distinct()
+        val affected = dstDf.join(touched, partCols, "left_semi")
+        val merged = affected
+          .join(srcAligned, Seq(deleteKey), "left_anti")
+          .unionByName(srcAligned)
+          .select(dstCols.map(col): _*) // insertInto is positional
+        withConf("spark.sql.sources.partitionOverwriteMode", "dynamic") {
+          merged.write.mode(SaveMode.Overwrite).insertInto(dst)
+        }
+        None
+      } else {
+        val merged = dstDf
+          .join(srcAligned, Seq(deleteKey), "left_anti")
+          .unionByName(srcAligned)
+        // distinct stage name: src may itself be tmpName(dst) (mergeQuery)
+        val tmp = tmpName(dst, "merge_")
+        writer(applySort(merged, ddl), ddl)
+          .mode(SaveMode.Overwrite).saveAsTable(tmp)
+        Some(tmp)
+      }
     }
     for {
-      tmp <- result
-      _ <- moveTable(tmp, dst)
+      tmp <- partitionMerge
+      _ <- tmp.map(moveTable(_, dst)).getOrElse(Right(()))
       _ <- Result.attempt { spark.sql(s"DROP TABLE IF EXISTS $src"); () }
     } yield ()
+  }
+
+  /** Run `body` with a session conf temporarily set. */
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Incremental materialisation: stage the SELECT, then merge into the
@@ -170,19 +213,40 @@ final class SparkDatabase(
       val tmp = tmpName(table)
       for {
         _ <- createTable(tmp, select, ddl, replace = true)
-        _ <- mergeTables(tmp, table, deleteKey)
+        _ <- mergeTables(tmp, table, deleteKey, ddl)
         _ <- runHooks(ddl)
       } yield ()
     }
 
   /** Rename/swap (sayn/database/__init__.py:701-743,
-    * templates/move_table.sql). Index recreation is a no-op on Spark.
+    * templates/move_table.sql). The existing destination is renamed to a
+    * backup before src takes its place, so no single failure leaves the
+    * destination absent (the reference's own swap dance); the backup is
+    * restored if the final rename throws. Index recreation is a no-op on
+    * Spark.
     */
   def moveTable(src: String, dst: String): Result[Unit] =
     Result.attempt {
-      spark.sql(s"DROP TABLE IF EXISTS $dst")
-      spark.sql(s"DROP VIEW IF EXISTS $dst")
-      spark.sql(s"ALTER TABLE $src RENAME TO $dst"); ()
+      val backup = tmpName(dst, "backup_")
+      spark.sql(s"DROP TABLE IF EXISTS $backup")
+      val dstType = objectType(dst)
+      dstType match {
+        case Some("view") =>
+          // view swap: views can't back a RENAME target; dropping is
+          // metadata-only and effectively atomic
+          spark.sql(s"DROP VIEW IF EXISTS $dst")
+        case Some(_) =>
+          spark.sql(s"ALTER TABLE $dst RENAME TO $backup")
+        case None =>
+      }
+      try spark.sql(s"ALTER TABLE $src RENAME TO $dst")
+      catch {
+        case e: Throwable =>
+          if (dstType.exists(_ != "view"))
+            spark.sql(s"ALTER TABLE $backup RENAME TO $dst")
+          throw e
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $backup"); ()
     }
 
   // ---- introspection (§2a row 16) ----------------------------------------

@@ -22,6 +22,7 @@ final class CopyTask extends TaskRunner {
 
   private var ctx: TaskContext = _
   private var sourceRef: String = _
+  private var compiledSrc: String = _ // compiled object string, pre-resolution
   private var resolvedSrc: String = _
   private var resolvedDst: String = _
   private var incrementalKey: Option[String] = None
@@ -67,6 +68,7 @@ final class CopyTask extends TaskRunner {
             rs <- if (isPath(s1)) Right(s1) else ctx.src(s1)
             rd <- ctx.out(d1)
           } yield {
+            compiledSrc = s1
             resolvedSrc = rs
             resolvedDst = rd
           }
@@ -75,6 +77,14 @@ final class CopyTask extends TaskRunner {
         Left(ConfigError(s"task ${ctx.name}: copy requires source and destination"))
     }
   }
+
+  /** Re-resolve the physical source name: `--upstream-prod` marks external
+    * sources from_prod only after all tasks configure (app.py:503-511), so
+    * names captured during config() may be stale by setup time.
+    */
+  override def setup(): Result[Unit] =
+    if (isPath(compiledSrc)) Right(())
+    else ctx.src(compiledSrc).map { rs => resolvedSrc = rs }
 
   private def isPath(s: String): Boolean =
     s.contains("/") || s.matches("^(parquet|csv|json|orc):.*")
@@ -123,7 +133,11 @@ final class CopyTask extends TaskRunner {
     }
 
   /** High-watermark extraction (copy.py:632-691): rows with NULL key are
-    * always re-extracted (copy.py:668-675).
+    * always re-extracted, and a NULL watermark (empty or all-NULL-key
+    * destination) disables the filter entirely rather than dropping every
+    * row (copy.py:668-675 skips the WHERE when the watermark is NULL).
+    * The watermark stays in-plan as a broadcast scalar — no driver-side
+    * collect, works at any scale.
     */
   private def applyWatermark(df: DataFrame): DataFrame =
     (incrementalKey, dstIncrementalKey) match {
@@ -131,7 +145,8 @@ final class CopyTask extends TaskRunner {
           if ctx.db.tableExists(resolvedDst) && !ctx.runArgs.fullLoad =>
         val wm = ctx.spark.table(resolvedDst).agg(max(col(dstKey)).as("_wm"))
         df.join(broadcast(wm))
-          .filter(col(srcKey).isNull || col(srcKey) >= col("_wm"))
+          .filter(col("_wm").isNull ||
+            col(srcKey).isNull || col(srcKey) >= col("_wm"))
           .drop("_wm")
       case _ => df
     }
@@ -174,7 +189,8 @@ final class CopyTask extends TaskRunner {
   private def mergeChunk(chunk: DataFrame): Result[Unit] = {
     val tmp = ctx.db.tmpName(resolvedDst)
     ctx.db.loadDataFrame(chunk, tmp, replace = true)
-      .flatMap(_ => ctx.db.mergeTables(tmp, resolvedDst, dstIncrementalKeyOrDelete))
+      .flatMap(_ =>
+        ctx.db.mergeTables(tmp, resolvedDst, dstIncrementalKeyOrDelete, ddl))
   }
 
   private def dstIncrementalKeyOrDelete: String =
@@ -184,8 +200,11 @@ final class CopyTask extends TaskRunner {
 
   /** Bounded chunked merge (copy.py:350-366): re-extract up to 100
     * `max_merge_rows`-sized chunks ordered by the incremental key until a
-    * chunk comes back short. Parity behavior for bounded-memory warehouses;
-    * unnecessary for pure-Spark copies, where one distributed pass wins.
+    * chunk comes back short. Parity behavior for bounded-memory JDBC-style
+    * sources only — unnecessary for pure-Spark copies, where one
+    * distributed pass wins; leave `max_merge_rows` unset on big tables.
+    * Each chunk is cached so the count and the merge share one execution
+    * of the global-sort plan instead of running it twice.
     */
   private def chunkedMerge(limit: Int): Result[Unit] = {
     var iterations = 0
@@ -196,12 +215,15 @@ final class CopyTask extends TaskRunner {
         projectColumns(applyWatermark(src0)).flatMap { projected =>
           val key = dstIncrementalKey.get
           val chunk = projected.orderBy(col(key).asc_nulls_first).limit(limit)
-          val n = chunk.count()
-          if (n == 0) { done = true; Right(()) }
-          else {
-            if (n < limit) done = true
-            mergeChunk(chunk)
-          }
+            .cache()
+          try {
+            val n = chunk.count()
+            if (n == 0) { done = true; Right(()) }
+            else {
+              if (n < limit) done = true
+              mergeChunk(chunk)
+            }
+          } finally chunk.unpersist()
         }
       }
       iterations += 1

@@ -12,6 +12,7 @@ final class TestTask extends TaskRunner {
 
   private var ctx: TaskContext = _
   private var customSql: Option[String] = None
+  private var tableRefRaw: Option[String] = None
   private var table: Option[String] = None
   private var ddl: Ddl = Ddl.empty
 
@@ -31,12 +32,24 @@ final class TestTask extends TaskRunner {
         case (None, Some(t)) =>
           if (ddl.columnsWithTests.isEmpty)
             Left(ConfigError(s"task ${ctx.name}: test task on a table needs column tests"))
-          else ctx.src(t).map { resolved => table = Some(resolved) }
+          else ctx.src(t).map { resolved =>
+            tableRefRaw = Some(t)
+            table = Some(resolved)
+          }
         case (None, None) =>
           Left(ConfigError(s"task ${ctx.name}: test task needs sql or table+columns"))
       }
     }
   }
+
+  /** Re-resolve the tested table so `--upstream-prod` (marked after all
+    * configs; app.py:503-511) applies to names captured during config().
+    */
+  override def setup(): Result[Unit] =
+    tableRefRaw match {
+      case Some(t) => ctx.src(t).map { resolved => table = Some(resolved) }
+      case None => Right(())
+    }
 
   private def execute(): Result[Unit] =
     customSql match {

@@ -100,6 +100,64 @@ class SparkDatabaseSpec extends SparkSpec {
     assert(!db.tableExists("mv_src"))
   }
 
+  test("mergeTables on a partitioned destination rewrites only touched partitions") {
+    val ddl = Ddl(partitionBy = Seq("p"))
+    assert(db.createTable("pmerge_dst",
+      "SELECT id, CAST(id % 3 AS INT) AS p, 'old' AS v FROM RANGE(9)", ddl).isRight)
+    // src touches only partition p=1
+    assert(db.createTable("pmerge_src",
+      "SELECT id, CAST(1 AS INT) AS p, 'new' AS v FROM RANGE(1, 9, 3)", ddl).isRight)
+
+    def partFiles(p: Int): Set[String] = {
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED pmerge_dst").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val dir = new java.io.File(new java.net.URI(s"$loc/p=$p"))
+      Option(dir.listFiles()).map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    }
+    val untouchedBefore = partFiles(0) ++ partFiles(2)
+
+    assert(db.mergeTables("pmerge_src", "pmerge_dst", "id", ddl).isRight)
+    // merge semantics hold: p=1 rows upserted, others untouched
+    assert(spark.table("pmerge_dst").count() == 9)
+    assert(rows(spark.table("pmerge_dst").filter($"p" === 1).select($"v")) ==
+      Set(Seq("new")))
+    assert(rows(spark.table("pmerge_dst").filter($"p" =!= 1).select($"v")) ==
+      Set(Seq("old")))
+    // untouched partitions' files were not rewritten
+    assert(partFiles(0) ++ partFiles(2) == untouchedBefore)
+    assert(!db.tableExists("pmerge_src"))
+  }
+
+  test("mergeTables preserves the destination's declared layout") {
+    val ddl = Ddl(sortBy = Seq("id"))
+    assert(db.createTable("lmerge_dst",
+      "SELECT id, 'old' AS v FROM RANGE(5)", ddl).isRight)
+    Seq((2L, "new")).toDF("id", "v").write.saveAsTable("lmerge_src")
+    assert(db.mergeTables("lmerge_src", "lmerge_dst", "id", ddl).isRight)
+    assert(spark.table("lmerge_dst").count() == 5)
+    assert(rows(spark.table("lmerge_dst").filter($"id" === 2).select($"v")) ==
+      Set(Seq("new")))
+  }
+
+  test("moveTable keeps the destination alive when the rename fails") {
+    assert(db.replaceTable("atomic_dst", "SELECT 1 AS x").isRight)
+    // src missing → ALTER TABLE RENAME throws → backup must be restored
+    assert(db.moveTable("no_such_src_table", "atomic_dst").isLeft)
+    assert(db.tableExists("atomic_dst"))
+    assert(rows(spark.table("atomic_dst")) == Set(Seq(1)))
+  }
+
+  test("post hooks fire exactly once, after the destination swap") {
+    val ddl = Ddl(postHooks = Seq(
+      "INSERT INTO hook_log SELECT COUNT(*) FROM hook_t"))
+    assert(db.execute("CREATE TABLE hook_log (n BIGINT)").isRight)
+    assert(db.replaceTable("hook_t", "SELECT 1 AS x UNION ALL SELECT 2", ddl).isRight)
+    // one hook row, and it observed the final table (2 rows), not a tmp
+    assert(rows(spark.table("hook_log")) == Set(Seq(2L)))
+    assert(db.mergeQuery("hook_t", "SELECT 3 AS x", "x", ddl).isRight)
+    assert(spark.table("hook_log").count() == 2)
+  }
+
   test("standard tests: pass on clean data") {
     Seq((1L, "a"), (2L, "b")).toDF("id", "cat").write.saveAsTable("clean_t")
     val ddl = Ddl(columns = Seq(
