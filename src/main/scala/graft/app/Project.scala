@@ -107,9 +107,12 @@ object Project {
 
       // dev stringify falls back per-key to prod_stringify (objects.py:77:
       // {k: v or prod_stringify[k]}), so a profile defining only
-      // prod_stringify still mangles dev objects
+      // prod_stringify still mangles dev objects. The reference fallback is
+      // truthiness-based: an explicit null/empty profile value falls back to
+      // prod rather than overriding it (and would otherwise NPE in mangling).
       val prodStringifyMap = mapAt(settings, "prod_stringify")
       val devStringifyMap = prodStringifyMap ++ mapAt(profile, "stringify")
+        .filter { case (_, v) => v != null && v.toString.nonEmpty }
 
       Loaded(
         specs = withPresets,

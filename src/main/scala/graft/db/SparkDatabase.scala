@@ -144,8 +144,20 @@ final class SparkDatabase(
     * Scale path: when the destination is partitioned, only the partitions
     * touched by src are rewritten (dynamic partition overwrite) — an
     * incremental run that ingests 0.1% of rows must not rewrite 100% of a
-    * 100 TB table. Fallback (unpartitioned dst): anti-join + unionByName
-    * → tmp (written with the declared layout) → swap.
+    * 100 TB table. "Touched" includes partitions holding dst rows whose
+    * `deleteKey` reappears in src under a different partition value, so a
+    * key that moves between partitions never leaves a stale duplicate
+    * behind (matches the reference's whole-table DELETE,
+    * templates/merge_tables.sql). Finding those costs one scan of dst
+    * (semi-join against the distinct src keys) but rewrites nothing extra.
+    *
+    * Atomicity: the partitioned path commits each touched partition via
+    * Spark's job commit — a failure mid-commit can leave a subset of
+    * touched partitions replaced while others are stale, and concurrent
+    * readers may observe that mix. Weaker than the unpartitioned
+    * tmp+swap guarantee; the trade for not rewriting the full table.
+    * Fallback (unpartitioned dst): anti-join + unionByName → tmp
+    * (written with the declared layout) → swap.
     */
   def mergeTables(
       src: String, dst: String, deleteKey: String,
@@ -158,9 +170,15 @@ final class SparkDatabase(
       val partCols = spark.catalog.listColumns(dst)
         .collect().filter(_.isPartition).map(_.name).toSeq
       if (partCols.nonEmpty) {
-        // only dst rows in partitions present in src participate; dynamic
-        // overwrite then replaces exactly those partitions
-        val touched = srcAligned.select(partCols.map(col): _*).distinct()
+        // touched = partitions present in src ∪ partitions of dst rows whose
+        // delete key is in src (the key may have MOVED partitions between
+        // runs — its old partition must be rewritten too or the stale row
+        // survives); dynamic overwrite then replaces exactly those partitions
+        val srcKeys = srcAligned.select(col(deleteKey)).distinct()
+        val movedParts = dstDf.join(srcKeys, Seq(deleteKey), "left_semi")
+          .select(partCols.map(col): _*).distinct()
+        val touched = srcAligned.select(partCols.map(col): _*)
+          .union(movedParts).distinct()
         val affected = dstDf.join(touched, partCols, "left_semi")
         val merged = affected
           .join(srcAligned, Seq(deleteKey), "left_anti")
@@ -219,21 +237,27 @@ final class SparkDatabase(
     }
 
   /** Rename/swap (sayn/database/__init__.py:701-743,
-    * templates/move_table.sql). The existing destination is renamed to a
-    * backup before src takes its place, so no single failure leaves the
-    * destination absent (the reference's own swap dance); the backup is
-    * restored if the final rename throws. Index recreation is a no-op on
-    * Spark.
+    * templates/move_table.sql). For table destinations, the existing
+    * destination is renamed to a backup before src takes its place, so no
+    * single failure leaves the destination absent (the reference's own swap
+    * dance); the backup is restored if the final rename throws. A view
+    * destination can't back a RENAME target, so it is dropped — but only
+    * after verifying src exists, leaving a missing-src failure with the
+    * view intact. Index recreation is a no-op on Spark.
     */
   def moveTable(src: String, dst: String): Result[Unit] =
     Result.attempt {
+      if (!tableExists(src))
+        throw new IllegalStateException(s"moveTable: source $src does not exist")
       val backup = tmpName(dst, "backup_")
       spark.sql(s"DROP TABLE IF EXISTS $backup")
       val dstType = objectType(dst)
       dstType match {
         case Some("view") =>
           // view swap: views can't back a RENAME target; dropping is
-          // metadata-only and effectively atomic
+          // metadata-only and effectively atomic. src existence was
+          // verified above, so the rename below can only fail on
+          // catalog-level faults.
           spark.sql(s"DROP VIEW IF EXISTS $dst")
         case Some(_) =>
           spark.sql(s"ALTER TABLE $dst RENAME TO $backup")
