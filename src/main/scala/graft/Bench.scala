@@ -1,24 +1,63 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main (driver contract): times the read-only query corpus at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Methodology (VERDICT r1 "bench hygiene"):
+  *   - deterministic query order (sorted names), so per-query numbers are
+  *     comparable across rounds;
+  *   - one untimed warmup pass per query (JVM/codegen/parquet-footer
+  *     warmup is real but isn't the query's cost);
+  *   - results are materialised with a noop-format write, which evaluates
+  *     every projected column — `.count()` would let Catalyst prune all
+  *     expression work;
+  *   - a failed query aborts the bench (exit 1) instead of timing as -1;
+  *   - AQE on, aligned with the CLI session config;
+  *   - the JSON line goes to stdout AND to SPARK_GRAFT_BENCH_OUT
+  *     (default bench_out.json) so the driver can parse it without
+  *     scraping sbt log noise.
+  *
+  * Mutating end-to-end entries (q22/q23: engine table writes) are excluded
+  * — they benchmark the local catalog, not the query engine.
+  */
 object Bench {
+  private val excluded = Set("q22_merge", "q23_copy")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.filterNot(excluded).toSeq.sorted
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    names.foreach(materialize) // warmup pass, untimed
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      materialize(name) // failure propagates: a broken query must not bench
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
   }
 }

@@ -8,12 +8,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1Agg(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * LLM-data-pipeline suite (dedup / similarity / text analysis /
+    * multimodal / sessionization) + end-to-end ETL operators.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all
+    Relational.all ++ Pipeline.all ++ EtlShapes.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. LSH/approximate entries are omitted by
+    * design (rows-only driver check; recall is asserted in ScalaTest).
+    */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ Pipeline.oracles ++ EtlShapes.oracles
 }

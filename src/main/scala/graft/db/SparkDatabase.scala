@@ -325,18 +325,26 @@ final class SparkDatabase(
       lit(c.name).as("column_name"))
   }
 
+  /** Full problematic-values report for all declared column tests: one
+    * unioned scan, every offending value with its count (the reference's
+    * per-failure diagnostic SELECT, sayn/tasks/tests/standard_test_output
+    * .sql:1-17). None when no tests are declared. The caller decides how
+    * much to materialise — `standardTests` samples 5 rows, a debug dump
+    * can write the whole report.
+    */
+  def violationReport(df: DataFrame, ddl: Ddl): Option[DataFrame] =
+    (for {
+      c <- ddl.columnsWithTests
+      t <- c.tests
+    } yield testViolations(df, c, t)).reduceOption(_ unionByName _)
+
   /** Run all declared column tests for a table as one unioned scan,
     * capped at 5 offending rows like the reference
     * (sayn/database/__init__.py:239-297). Left = failure with samples.
     */
   def standardTests(table: String, ddl: Ddl): Result[Unit] =
     Result.attempt {
-      val df = spark.table(table)
-      val scans = for {
-        c <- ddl.columnsWithTests
-        t <- c.tests
-      } yield testViolations(df, c, t)
-      scans.reduceOption(_ unionByName _) match {
+      violationReport(spark.table(table), ddl) match {
         case None => Nil
         case Some(all) => all.limit(5).collect().toSeq
       }

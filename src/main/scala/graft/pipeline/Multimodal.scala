@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with a
+  * typed metadata struct, plus the transform plumbing (decode, resize spec,
+  * frame sampling) a training-data pipeline runs over them.
+  *
+  * Design for 100 TB: the payload travels as one BinaryType column so Spark
+  * never interprets it; metadata lives in a separate struct so filters and
+  * joins touch ONLY metadata (parquet column pruning keeps payload bytes on
+  * disk — a `where meta.n_bytes < x` scan reads zero payload pages).
+  * Partitioning guidance: repartition by a size-bucket column before heavy
+  * decode stages so task input bytes stay balanced (see [[sizeBucket]]).
+  *
+  * DECODE IS A STUB: real image/audio codecs are external native libraries
+  * (not in this build), so [[fakeDecodeMeta]] derives deterministic fake
+  * dimensions from the payload bytes. The Spark-side plumbing — schema,
+  * batch shape, column pruning, partitioning — is real and tested; swap the
+  * fake projection for a vectorized decode (Pandas-UDF style `mapInPandas`
+  * batches in PySpark, or a JNI codec behind `mapPartitions` here) without
+  * touching any surrounding plan.
+  */
+object Multimodal {
+
+  /** Metadata schema carried next to every payload. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sha256", StringType, nullable = false)))
+
+  /** Wrap a text/binary column as a multimodal asset: payload bytes +
+    * typed metadata struct. `modality` ∈ image|audio|video|text.
+    */
+  def ingest(df: DataFrame, payloadCol: String, modality: String): DataFrame = {
+    val bytes =
+      if (df.schema(payloadCol).dataType == BinaryType) col(payloadCol)
+      else encode(col(payloadCol), "UTF-8")
+    df.withColumn("media_bytes", bytes)
+      .withColumn("media_meta", struct(
+        lit(modality).as("modality"),
+        length(col("media_bytes")).cast("long").as("n_bytes"),
+        sha2(col("media_bytes"), 256).as("sha256")))
+  }
+
+  /** STUB decode: deterministic fake image dimensions / frame counts
+    * derived from payload size (a real build replaces this projection with
+    * a codec). Kept as pure column expressions so the stub exercises the
+    * exact plan shape a real decode plugs into.
+    */
+  def fakeDecodeMeta(df: DataFrame): DataFrame =
+    df
+      .withColumn("fake_width",
+        (lit(16) + col("media_meta.n_bytes") % 64).cast("int"))
+      .withColumn("fake_height",
+        (lit(16) + expr("media_meta.n_bytes div 64") % 64).cast("int"))
+      .withColumn("fake_n_frames",
+        (lit(1) + col("media_meta.n_bytes") % 30).cast("int"))
+
+  /** Deterministic frame sampling for video payloads: every `stride`-th
+    * frame index up to the (fake-)decoded frame count, exploded to one row
+    * per sampled frame. The real pipeline shape: explode BEFORE decode so
+    * frame extraction parallelizes per frame, not per video.
+    */
+  def sampleFrames(df: DataFrame, stride: Int = 10): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), col("fake_n_frames") - 1, lit(stride))))
+
+  /** Size-bucket column for balanced decode stages: payloads within a
+    * bucket are within 2× of each other, so `repartition(col("size_bucket"))`
+    * (or range-partition on it) evens out task input bytes before a heavy
+    * per-row decode.
+    */
+  def sizeBucket(df: DataFrame): DataFrame =
+    df.withColumn("size_bucket",
+      ceil(log2(greatest(col("media_meta.n_bytes"), lit(1)))).cast("int"))
+}

@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * Every operator is expressed with built-in Catalyst expressions (no UDFs)
+  * so the hot path stays inside whole-stage codegen, and every pairing step
+  * is BUCKETED — candidates meet through an equi-join key (content hash,
+  * shared shingle, LSH band hash, SimHash band), never an all-pairs cross
+  * join — so the same plan holds at 100 TB: the only shuffles are
+  * hash-partitioned joins/aggregations on those keys.
+  *
+  * Scale ladder:
+  *   - [[exactDedup]]: one hash-aggregate. The cheapest pass; run first.
+  *   - [[jaccardPairs]]: inverted-index join on shingles — exact, but a
+  *     frequent shingle fans out quadratically; cap with `maxShingleDocs`
+  *     (stop-shingle pruning, standard in dedup pipelines).
+  *   - [[minhashPairs]]: MinHash signatures + banded LSH join — candidates
+  *     are pairs agreeing on ≥1 band, verified with exact Jaccard. The
+  *     100 TB path: cost is O(docs × perms) + O(candidates).
+  *   - [[simhashPairs]]: 64-bit SimHash fingerprints, banded by pigeonhole
+  *     (hamming ≤ k pairs share ≥1 of k+1 bands), verified with bit_count.
+  */
+object TextDedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct content
+    * with the id to keep (min) and the duplicate count. A single
+    * hash-aggregate over md5(content) — the shuffle key is the 128-bit
+    * hash, not the document text, so shuffled bytes stay tiny at scale.
+    */
+  def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word n-gram shingles per document: (id, shingle) rows.
+    * Tokenization is a single-space split (the corpus contract); shingles
+    * are built with lead() windows inside each document — no self-join.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val parts = (0 until n).map(i =>
+      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
+    val withSep = parts.flatMap(p => Seq(p, lit(" "))).dropRight(1)
+    df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      // concat (not concat_ws) so a partial window tail yields NULL, not a
+      // short shingle
+      .select(col(idCol), concat(withSep: _*).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard similarity ≥ `threshold` via an
+    * inverted-index join: pairs meet on a shared shingle (equi-join, so it
+    * buckets at scale), intersection counts come from one aggregation, and
+    * sizes join in afterwards.
+    *
+    * `maxShingleDocs` drops shingles appearing in more than that many
+    * documents (document-frequency pruning): a stop-shingle contributes
+    * O(df²) candidate pairs but almost no Jaccard signal. At 100 TB this
+    * cap is what keeps the join bounded; for exact semantics at test scale
+    * leave it at Int.MaxValue.
+    */
+  def jaccardPairs(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxShingleDocs: Int = Int.MaxValue): DataFrame = {
+    val pruned =
+      if (maxShingleDocs == Int.MaxValue) sh
+      else {
+        val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDocs).select(col("shingle"))
+        sh.join(dfreq, "shingle")
+      }
+    val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val a = pruned.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = pruned.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: one row per document with `numPerms` columns
+    * `mh0..mhN`, where mh_i = min over shingles of xxhash64(i, shingle).
+    * Seeding the hash with the permutation index gives independent
+    * permutations from one pass — numPerms min-aggregates over a single
+    * explode, no per-permutation shuffle.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, numPerms: Int = 64): DataFrame = {
+    val mins = (0 until numPerms).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded-LSH candidate pairs from MinHash signatures, verified with
+    * exact Jaccard. Signatures are split into `bands` bands of
+    * numPerms/bands rows; a pair is a candidate iff some band hashes
+    * equal — the band hash is the JOIN KEY, so candidate generation is a
+    * shuffle on (band_id, band_hash) buckets, never all-pairs.
+    *
+    * Returns (doc_a, doc_b, n_common, jaccard) for verified pairs with
+    * jaccard ≥ threshold. With r rows/band, P(candidate) ≈ 1-(1-s^r)^b —
+    * at r=4, b=16 the S-curve crosses ~0.5 near s≈0.5.
+    */
+  def minhashPairs(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      numPerms: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+    val sig = minhashSignatures(sh, idCol, numPerms)
+    val bandStructs = (0 until bands).map { j =>
+      val rowsJ = (0 until r).map(i => col(s"mh${j * r + i}"))
+      struct(lit(j).as("band_id"), xxhash64(rowsJ: _*).as("band_hash"))
+    }
+    val banded = sig
+      .select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"), Seq("band_id", "band_hash"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard — intersection via the shingle
+    // join RESTRICTED to candidate pairs (semi-join), sizes joined after
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash fingerprint per document: bit i of the fingerprint is
+    * the sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1). Computed as 64
+    * conditional-sum aggregates over one token explode — single shuffle on
+    * the document id.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$i")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[Column](_.bitwiseOR(_))
+    sums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance ≤ `maxHamming`,
+    * bucketed by pigeonhole: split the 64-bit fingerprint into
+    * `maxHamming + 1` bands — any pair within the distance agrees exactly
+    * on ≥1 band, so candidates meet through an equi-join on
+    * (band_id, band_bits) and are verified with bit_count(xor).
+    */
+  def simhashPairs(fp: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val bandStructs = (0 until nBands).map { j =>
+      val bits =
+        shiftrightunsigned(col("simhash"), j * width)
+          .bitwiseAND(if (j == nBands - 1) -1L >>> (j * width)
+          else (1L << width) - 1)
+      struct(lit(j).as("band_id"), bits.as("band_bits"))
+    }
+    val banded = fp
+      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.band_id"), col("b.band_bits"))
+    banded.as("x").join(banded.as("y"), Seq("band_id", "band_bits"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(
+        col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.DbObjectCompiler
+import graft.db.{AllowedValuesTest, ColumnDdl, Ddl, SparkDatabase, UniqueTest}
+import graft.tasks.{CopyTask, RunArguments, TaskContext}
+
+/** End-to-end oracle coverage for the ETL/materialisation layer (VERDICT
+  * "Oracle-cover the ETL layer"): each entry drives the REAL engine
+  * operator — `mergeTables`, `CopyTask`, `violationReport` — against the
+  * session catalog and returns the resulting table/report, so a regression
+  * in the engine (not just in a query plan) flips the driver's CORRECTNESS
+  * gate. The DuckDB oracle re-states each operator's declarative semantics
+  * (merge_tables.sql / copy.py projection / standard_tests.sql).
+  */
+object EtlShapes {
+
+  private def fail(e: graft.core.GraftError): Nothing =
+    throw new RuntimeException(e.toString)
+
+  /** Drop a table AND its warehouse directory. A fresh session's in-memory
+    * catalog forgets previous runs' tables while their managed locations
+    * persist on disk, and a later saveAsTable then fails with
+    * LOCATION_ALREADY_EXISTS — so physical cleanup must not depend on the
+    * catalog knowing the name.
+    */
+  private def dropPhysical(s: SparkSession, tables: String*): Unit = {
+    tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    tables.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** q22: upsert semantics of `mergeTables` (anti-join + insert on the
+    * delete key, templates/merge_tables.sql:1-12): dst = orders, src =
+    * every 7th order with a changed price; result keeps unmatched dst rows
+    * and replaces matched keys (tests/test_task_autosql.py:70-115 shape).
+    */
+  def q22Merge(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val orders3 = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    dropPhysical(s, "q22_dst", "q22_src",
+      "graft_tmp_merge_q22_dst", "graft_tmp_backup_q22_dst")
+    orders3.write.mode("overwrite").saveAsTable("q22_dst")
+    orders3.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .write.mode("overwrite").saveAsTable("q22_src")
+    db.mergeTables("q22_src", "q22_dst", "o_orderkey").left.foreach(fail)
+    s.table("q22_dst")
+  }
+
+  val q22Sql: String =
+    """WITH src AS (SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+      |             FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = o.o_orderkey)
+      |UNION ALL SELECT o_orderkey, o_custkey, o_totalprice FROM src""".stripMargin
+
+  /** q23: full `CopyTask` run — path source, declared columns with
+    * rename + cast (`dst_name`, copy.py:625-630), tmp+swap write — then
+    * read the destination back.
+    */
+  def q23Copy(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val objects = new DbObjectCompiler("spark")
+    val ctx = new TaskContext("q23_copy", "verify", db, objects, Map.empty, RunArguments())
+    dropPhysical(s, "q23_copy_dst",
+      "graft_tmp_q23_copy_dst", "graft_tmp_backup_q23_copy_dst")
+    val task = new CopyTask
+    val cfg = Map[String, Any](
+      "source" -> s"parquet:$dir/orders.parquet",
+      "destination" -> "q23_copy_dst",
+      "columns" -> Seq(
+        Map("name" -> "o_orderkey", "dst_name" -> "order_id"),
+        Map("name" -> "o_totalprice", "type" -> "double", "dst_name" -> "amount"),
+        Map("name" -> "o_orderpriority", "dst_name" -> "priority")))
+    (for {
+      _ <- task.config(ctx, cfg)
+      _ <- task.setup()
+      _ <- task.run()
+    } yield ()).left.foreach(fail)
+    val resolved = objects.fromString("q23_copy_dst")
+      .map(objects.outValue).fold(fail, identity)
+    s.table(resolved)
+  }
+
+  val q23Sql: String =
+    """SELECT o_orderkey AS order_id, CAST(o_totalprice AS DOUBLE) AS amount,
+      |  o_orderpriority AS priority
+      |FROM orders""".stripMargin
+
+  /** q24: standard column tests as a violation report (standard_tests.sql
+    * shape: value, count, test type, column): unique on l_orderkey (fails —
+    * lineitem has ~4 rows per order) and allowed_values on l_returnflag
+    * restricted to (A, N) (fails on R rows).
+    */
+  def q24Violations(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val ddl = Ddl(columns = Seq(
+      ColumnDdl("l_orderkey", tests = Seq(UniqueTest)),
+      ColumnDdl("l_returnflag", tests = Seq(AllowedValuesTest(Seq("A", "N"))))))
+    db.violationReport(Tables(s, dir, "lineitem"), ddl)
+      .getOrElse(sys.error("no tests declared"))
+  }
+
+  val q24Sql: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) AS value, cnt, 'unique' AS test_type,
+      |  'l_orderkey' AS column_name
+      |FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+      |      GROUP BY 1 HAVING COUNT(*) > 1)
+      |UNION ALL
+      |SELECT CAST(l_returnflag AS VARCHAR), cnt, 'allowed_values', 'l_returnflag'
+      |FROM (SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+      |      WHERE l_returnflag NOT IN ('A','N') GROUP BY 1)""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_merge" -> (q22Merge _),
+    "q23_copy" -> (q23Copy _),
+    "q24_violations" -> (q24Violations _))
+
+  def oracles: Map[String, String] = Map(
+    "q22_merge" -> q22Sql,
+    "q23_copy" -> q23Sql,
+    "q24_violations" -> q24Sql)
+}

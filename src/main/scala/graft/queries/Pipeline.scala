@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Multimodal, Sessionize, Similarity, TextDedup, TextStats}
+
+/** LLM-data-pipeline corpus over the `documents` / `embeddings` / `events`
+  * fixtures: dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash),
+  * similarity search (brute-force + random-hyperplane LSH), text analysis
+  * (token stats, quality, language id, fingerprints), multimodal plumbing
+  * and sessionization.
+  *
+  * Exact/brute-force variants carry a DuckDB oracle (bit-deterministic by
+  * construction: integer counts, quantized embeddings, single final
+  * double division — see the operator docs). The LSH variants are
+  * approximate and engine-specific, so they ship without oracle SQL
+  * (rows-only driver check) and their recall against the exact answer is
+  * asserted in the ScalaTest suite.
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  // q15: exact dedup — hash-aggregate on md5(content)
+  def q15DedupExact(s: SparkSession, dir: String): DataFrame =
+    TextDedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+
+  val q15Sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // q16: exact 3-gram Jaccard near-dup pairs via inverted-index join
+  def q16NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(
+      TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.12)
+
+  val q16Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.12""".stripMargin
+
+  // q17: brute-force cosine top-10 for query vectors (quantized → exact ints)
+  def q17Knn(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceKnn(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 5, k = 10)
+
+  val q17Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, pos, qv FROM e WHERE vec_id < 5),
+      |dots AS (SELECT q.qid, e.vec_id AS nid, SUM(q.qv * e.qv) AS dot
+      |         FROM q JOIN e ON q.pos = e.pos GROUP BY 1,2),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+      |scored AS (
+      |  SELECT qid, nid,
+      |    CAST(dot AS DOUBLE) / SQRT(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cosine
+      |  FROM dots JOIN norms nq ON qid = nq.vec_id JOIN norms nn ON nid = nn.vec_id
+      |  WHERE qid <> nid)
+      |SELECT qid, nid, rank, cosine FROM (
+      |  SELECT qid, nid, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin
+
+  // q18: per-document token statistics
+  def q18TextStats(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenStats(t(s, dir, "documents"), "doc_id", "text", "lang", "n_chars")
+
+  val q18Sql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+      |SELECT d.doc_id, d.lang, d.n_chars,
+      |  COUNT(*) AS n_tokens,
+      |  COUNT(DISTINCT t.tok) AS n_distinct,
+      |  CAST(SUM(length(t.tok)) AS DOUBLE) / COUNT(*) AS avg_tok_len,
+      |  CAST(COUNT(DISTINCT t.tok) AS DOUBLE) / COUNT(*) AS ttr
+      |FROM documents d JOIN tk t ON d.doc_id = t.doc_id
+      |GROUP BY 1,2,3""".stripMargin
+
+  // q19: corpus quality profile per (lang, source)
+  def q19Quality(s: SparkSession, dir: String): DataFrame =
+    TextStats.qualityProfile(
+      t(s, dir, "documents"), "doc_id", "text", "n_chars",
+      groupCols = Seq("lang", "source"))
+
+  val q19Sql: String =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |per_doc AS (
+      |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+      |    COUNT(*) AS n_tokens,
+      |    SUM(CASE WHEN t.tok IN ('the','a','of','to','and','in') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM documents d JOIN tk t ON d.doc_id = t.doc_id
+      |  GROUP BY 1,2,3,4)
+      |SELECT lang, source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stopword_ratio,
+      |  CAST(SUM(CASE WHEN n_chars >= 200 AND n_chars <= 450 AND n_stop * 20 >= n_tokens
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+      |FROM per_doc GROUP BY 1,2""".stripMargin
+
+  /** Tiny deterministic lexicon over the fixture vocabulary — stands in for
+    * per-language character-n-gram profiles; the operator plan is what is
+    * under test.
+    */
+  private val lexiconRows: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "row" -> "en", "table" -> "en",
+    "data" -> "es", "value" -> "es", "line" -> "es",
+    "key" -> "fr", "hash" -> "fr", "merge" -> "fr",
+    "spark" -> "de", "query" -> "de", "join" -> "de",
+    "window" -> "zh", "batch" -> "zh", "stream" -> "zh")
+
+  // q20: lexicon-based language id (argmax over per-language token hits)
+  def q20LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = lexiconRows.toDF("tok", "lex_lang")
+    val docs = t(s, dir, "documents")
+    TextStats.langId(docs, "doc_id", "text", lex)
+      .join(docs.select(col("doc_id"), col("lang").as("labeled_lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("labeled_lang"), col("detected_lang"), col("score"))
+  }
+
+  val q20Sql: String =
+    """WITH lex(tok, lex_lang) AS (VALUES
+      |  ('the','en'),('a','en'),('row','en'),('table','en'),
+      |  ('data','es'),('value','es'),('line','es'),
+      |  ('key','fr'),('hash','fr'),('merge','fr'),
+      |  ('spark','de'),('query','de'),('join','de'),
+      |  ('window','zh'),('batch','zh'),('stream','zh')),
+      |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |scores AS (
+      |  SELECT t.doc_id, l.lex_lang, COUNT(*) AS score
+      |  FROM tk t JOIN lex l ON t.tok = l.tok GROUP BY 1,2),
+      |best AS (
+      |  SELECT doc_id, lex_lang, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lex_lang ASC) AS rn
+      |  FROM scores)
+      |SELECT d.doc_id, d.lang AS labeled_lang,
+      |  COALESCE(b.lex_lang, 'und') AS detected_lang,
+      |  COALESCE(b.score, 0) AS score
+      |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id""".stripMargin
+
+  // q21: gap-based sessionization of the event stream (30-minute gap).
+  // The fixture's ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+  // reader rejects; read nanos as long and convert exactly — every fixture
+  // ts has zero sub-microsecond part, so `div 1000` loses nothing.
+  def q21Sessions(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Sessionize.label(events, "user_id", "ts", tieBreak = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total_value"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"))
+  }
+
+  val q21Sql: String =
+    """WITH flag AS (
+      |  SELECT user_id, event_id, event_type, value, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flag)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+      |FROM sess GROUP BY 1,2""".stripMargin
+
+  // q25: multimodal ingest + (stubbed) decode metadata — binary plumbing
+  def q25Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fakeDecodeMeta(
+      Multimodal.ingest(t(s, dir, "documents"), "text", "image"))
+      .select(
+        col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.sha256").as("content_sha"),
+        col("fake_width"), col("fake_height"))
+
+  val q25Sql: String =
+    """SELECT doc_id,
+      |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |  sha256(text) AS content_sha,
+      |  16 + octet_length(CAST(text AS BLOB)) % 64 AS fake_width,
+      |  16 + (octet_length(CAST(text AS BLOB)) // 64) % 64 AS fake_height
+      |FROM documents""".stripMargin
+
+  // q26: embedding-cosine near-duplicate pairs (exact, quantized)
+  def q26EmbedDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+
+  val q26Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+      |  FROM embeddings),
+      |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.qv*b.qv) AS dot
+      |         FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id GROUP BY 1,2),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1)
+      |SELECT vec_a, vec_b,
+      |  CAST(dot AS DOUBLE)/SQRT(CAST(na.nrm AS DOUBLE)*CAST(nb.nrm AS DOUBLE)) AS cosine
+      |FROM dots JOIN norms na ON vec_a=na.vec_id JOIN norms nb ON vec_b=nb.vec_id
+      |WHERE CAST(dot AS DOUBLE)/SQRT(CAST(na.nrm AS DOUBLE)*CAST(nb.nrm AS DOUBLE)) >= 0.4""".stripMargin
+
+  // ---- LSH / approximate variants: no SQL oracle (driver rows-only
+  // check); recall vs the exact answer is asserted in PipelineSpec -------
+
+  // q27: MinHash-LSH near-dup pairs (banded candidates + exact verify)
+  def q27MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashPairs(
+      TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.5)
+
+  // q28: ANN via random-hyperplane LSH + exact re-rank
+  def q28AnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annLsh(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 5, k = 10)
+
+  // q29: SimHash fingerprints + banded hamming-near pairs
+  def q29SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(
+      TextDedup.simhash(t(s, dir, "documents"), "doc_id", "text"),
+      "doc_id", maxHamming = 8)
+
+  // q30: winnowing fingerprints (rolling-hash document signatures)
+  def q30Fingerprints(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_dedup_exact" -> (q15DedupExact _),
+    "q16_ngram_jaccard" -> (q16NgramJaccard _),
+    "q17_knn" -> (q17Knn _),
+    "q18_text_stats" -> (q18TextStats _),
+    "q19_quality" -> (q19Quality _),
+    "q20_lang_id" -> (q20LangId _),
+    "q21_sessions" -> (q21Sessions _),
+    "q25_multimodal" -> (q25Multimodal _),
+    "q26_embed_dup" -> (q26EmbedDup _),
+    "q27_minhash_lsh" -> (q27MinhashLsh _),
+    "q28_ann_lsh" -> (q28AnnLsh _),
+    "q29_simhash_pairs" -> (q29SimhashPairs _),
+    "q30_fingerprints" -> (q30Fingerprints _))
+
+  def oracles: Map[String, String] = Map(
+    "q15_dedup_exact" -> q15Sql,
+    "q16_ngram_jaccard" -> q16Sql,
+    "q17_knn" -> q17Sql,
+    "q18_text_stats" -> q18Sql,
+    "q19_quality" -> q19Sql,
+    "q20_lang_id" -> q20Sql,
+    "q21_sessions" -> q21Sql,
+    "q25_multimodal" -> q25Sql,
+    "q26_embed_dup" -> q26Sql)
+}
