@@ -1,0 +1,234 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit + recall tests for the LLM-data-pipeline operators. The sf0.001
+  * fixtures provide realistic planted near-duplicates; crafted frames
+  * cover the exact semantics the fixtures can't (true duplicates, known
+  * sessions, known languages).
+  */
+class PipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  // ---- exact dedup -------------------------------------------------------
+
+  test("exactDedup groups identical content, keeps min id") {
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"), (4L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.exactDedup(df, "doc_id", "text")
+      .select("keep_id", "n_copies")
+    assert(rows(out) == Set(Seq(1L, 3L), Seq(3L, 1L)))
+  }
+
+  // ---- jaccard / minhash -------------------------------------------------
+
+  test("shingles builds distinct n-grams, no partial tails") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = TextDedup.shingles(df, "doc_id", "text", n = 3)
+    assert(rows(sh.select("shingle")) == Set(Seq("a b c"), Seq("b c d")))
+  }
+
+  test("jaccardPairs computes exact jaccard") {
+    // doc1: {a b c, b c d}; doc2: {a b c, b c e} → inter 1, union 3
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val sh = TextDedup.shingles(df, "doc_id", "text", n = 3)
+    val out = TextDedup.jaccardPairs(sh, "doc_id", threshold = 0.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("document-frequency pruning drops stop-shingles") {
+    val df = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"))
+      .toDF("doc_id", "text")
+    val sh = TextDedup.shingles(df, "doc_id", "text", n = 3)
+    // 'x y z' appears in all 3 docs; cap at 2 removes it → no pairs left
+    val pruned = TextDedup.jaccardPairs(sh, "doc_id", 0.0, maxShingleDocs = 2)
+    assert(pruned.count() == 0)
+  }
+
+  test("minhash-LSH recall vs exact jaccard on fixture docs") {
+    val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(TextDedup.jaccardPairs(sh, "doc_id", 0.5))
+    val lsh = pairSet(TextDedup.minhashPairs(sh, "doc_id", 0.5))
+    assert(exact.nonEmpty, "fixture should contain planted near-duplicates")
+    // verification step makes precision exact: no false positives possible
+    assert(lsh.subsetOf(exact))
+    // banded LSH at r=4,b=16 catches s>=0.5 pairs with prob >=~97%
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("minhash signature agreement tracks similarity") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
+      .toDF("doc_id", "text")
+    val sh = TextDedup.shingles(df, "doc_id", "text", n = 2)
+    val sig = TextDedup.minhashSignatures(sh, "doc_id", numPerms = 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    assert(sig(1L) == sig(2L)) // identical docs → identical signatures
+    assert(sig(1L) != sig(3L)) // disjoint docs → (a.s.) different signatures
+  }
+
+  // ---- simhash -----------------------------------------------------------
+
+  test("simhash: identical docs collide, hamming pairs found via bands") {
+    val df = Seq(
+      (1L, "spark query engine fast scan"),
+      (2L, "spark query engine fast scan"),
+      (3L, "completely different words entirely here"))
+      .toDF("doc_id", "text")
+    val fp = TextDedup.simhash(df, "doc_id", "text")
+    val byId = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == byId(2L))
+    val pairs = TextDedup.simhashPairs(fp, "doc_id", maxHamming = 0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("simhashPairs respects the hamming bound (no band false positives)") {
+    // fingerprints differing in >k bits must not pair even if a band matches
+    val fp = Seq((1L, 0L), (2L, 0xFFL), (3L, 1L)).toDF("doc_id", "simhash")
+    val out = TextDedup.simhashPairs(fp, "doc_id", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 3L, 1)))
+  }
+
+  // ---- similarity --------------------------------------------------------
+
+  test("bruteForceKnn: rank 1 is the true nearest by quantized cosine") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceKnn(df, "vec_id", "embedding",
+      queryPred = col("vec_id") === 0, k = 3).collect()
+    assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("annLsh recall vs brute force on fixture embeddings") {
+    def topSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = col("vec_id") < 5
+    val exact = topSet(Similarity.bruteForceKnn(embs, "vec_id", "embedding", pred, k = 10))
+    // 50-vector fixture: size buckets for the corpus (4-bit buckets ≈ 3
+    // vecs/table; 16 tables) — the bits/tables trade is the operator's
+    // recall knob, and the scale default (8×8) is far too fine for n=50
+    val ann = topSet(Similarity.annLsh(embs, "vec_id", "embedding", pred,
+      k = 10, tables = 16, bits = 4))
+    assert(exact.size == 50)
+    // approximate: assert it finds most true neighbors on unclustered
+    // (hard-case) vectors, and never invents self-matches
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+    assert(ann.forall { case (q, n) => q != n })
+  }
+
+  test("embeddingDupPairs finds the planted duplicate pair") {
+    val df = Seq(
+      (0L, Array(0.5f, 0.5f, 0.1f)),
+      (1L, Array(0.5f, 0.5f, 0.1f)),
+      (2L, Array(-0.5f, 0.4f, -0.3f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDupPairs(df, "vec_id", "embedding", 0.95)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((0L, 1L)))
+  }
+
+  // ---- text stats --------------------------------------------------------
+
+  test("tokenStats counts tokens and distincts") {
+    val df = Seq((1L, "a b a c", "en", 7L)).toDF("doc_id", "text", "lang", "n_chars")
+    val r = TextStats.tokenStats(df, "doc_id", "text", "lang", "n_chars").collect().head
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[Double]("ttr") == 0.75)
+  }
+
+  test("langId picks argmax language, und on no hits") {
+    val lex = Seq(("bonjour", "fr"), ("hello", "en"), ("world", "en"))
+      .toDF("tok", "lex_lang")
+    val df = Seq(
+      (1L, "hello world bonjour"), (2L, "bonjour bonjour hello"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val out = TextStats.langId(df, "doc_id", "text", lex).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "fr", 3L -> "und"))
+  }
+
+  test("fingerprints: shared k-token run ⇒ shared fingerprint") {
+    val shared = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, s"intro $shared tail"), (2L, s"other prefix words $shared"),
+      (3L, "totally unrelated content stream here now ok yes"))
+      .toDF("doc_id", "text")
+    val fp = TextStats.fingerprints(df, "doc_id", "text")
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+  }
+
+  // ---- sessionize --------------------------------------------------------
+
+  test("sessionize splits on gap > threshold per key") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L),
+      (1L, "2024-01-01 00:10:00", 2L), // same session (10 min)
+      (1L, "2024-01-01 01:00:00", 3L), // new session (50 min gap)
+      (2L, "2024-01-01 00:00:00", 4L)) // separate key
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = Sessionize.label(df, "user_id", "ts", tieBreak = Seq("event_id"))
+      .select("event_id", "session_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  // ---- multimodal --------------------------------------------------------
+
+  test("multimodal ingest: payload bytes + typed metadata struct") {
+    val df = Seq((1L, "hello")).toDF("doc_id", "text")
+    val out = Multimodal.ingest(df, "text", "image")
+    assert(out.schema("media_bytes").dataType.typeName == "binary")
+    val meta = out.select("media_meta.*").collect().head
+    assert(meta.getAs[String]("modality") == "image")
+    assert(meta.getAs[Long]("n_bytes") == 5L)
+    assert(meta.getAs[String]("sha256").length == 64)
+  }
+
+  test("multimodal frame sampling explodes stride-spaced frames") {
+    val df = Multimodal.fakeDecodeMeta(
+      Multimodal.ingest(Seq((1L, "x" * 100)).toDF("doc_id", "text"), "text", "video"))
+    val nFrames = df.select("fake_n_frames").head().getInt(0)
+    val sampled = Multimodal.sampleFrames(df, stride = 3)
+      .select("frame_idx").collect().map(_.getInt(0)).toSeq
+    assert(sampled == (0 until nFrames by 3))
+  }
+
+  test("multimodal size buckets are log2-spaced") {
+    val df = Seq((1L, "ab"), (2L, "x" * 100), (3L, "y" * 5000))
+      .toDF("doc_id", "text")
+    val out = Multimodal.sizeBucket(Multimodal.ingest(df, "text", "image"))
+      .select("doc_id", "size_bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 7, 3L -> 13))
+  }
+}
