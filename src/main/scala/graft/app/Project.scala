@@ -67,8 +67,11 @@ object Project {
         if (Files.exists(f)) parseYaml(Files.readString(f))
         else Right(Map.empty[String, Any])
       }
-      groupSpecs <- loadTaskGroups(projectDir)
+      groupsLoaded <- loadTaskGroups(projectDir)
+      (groupSpecs, groupPresets) = groupsLoaded
       autoSpecs <- expandAutogroups(projectDir, mapAt(project, "groups"))
+      withPresets <- applyPresets(
+        groupSpecs ++ autoSpecs, groupPresets, mapAt(project, "presets"))
     } yield {
       // profile selection: flag > GRAFT_PROFILE > default_profile > first
       val profiles = mapAt(settings, "profiles")
@@ -95,16 +98,6 @@ object Project {
         schema = mangling(m, "schema"),
         table = mangling(m, "table"))
 
-      val presets = mapAt(project, "presets")
-      val withPresets = (groupSpecs ++ autoSpecs).map { s =>
-        s.cfg.get("preset").map(_.toString) match {
-          case Some(p) if presets.contains(p) =>
-            // preset values underlie task values (project.py:101-205)
-            s.copy(cfg = mapAt(presets, p) ++ (s.cfg - "preset"))
-          case _ => s
-        }
-      }
-
       // dev stringify falls back per-key to prod_stringify (objects.py:77:
       // {k: v or prod_stringify[k]}), so a profile defining only
       // prod_stringify still mangles dev objects. The reference fallback is
@@ -127,10 +120,69 @@ object Project {
     }
   }
 
-  /** tasks-dir yamls → TaskSpecs; group name = file stem (project.py:83-93). */
-  private def loadTaskGroups(projectDir: Path): Result[Seq[TaskSpec]] = {
+  /** Preset resolution (sayn/core/project.py:101-205):
+    *
+    *   - project presets may inherit from each other via their own
+    *     `preset:` key — a DAG, walked ancestor-first; cycles and unknown
+    *     names are config errors;
+    *   - task-group files may declare their own `presets:`, which may
+    *     inherit from PROJECT presets (one hop, like the reference);
+    *   - a task's `preset:` resolves against its group's presets first,
+    *     then the project's.
+    *
+    * Merge order everywhere: ancestor ← descendant ← task (task wins).
+    */
+  private def applyPresets(
+      specs: Seq[TaskSpec],
+      groupPresets: Map[String, Map[String, Any]],
+      projectPresets: Map[String, Any]): Result[Seq[TaskSpec]] = {
+
+    def asMap(name: String, v: Any): Result[Map[String, Any]] = v match {
+      case m: Map[_, _] => Right(m.asInstanceOf[Map[String, Any]])
+      case _ => Left(ConfigError(s"preset '$name' must be a mapping"))
+    }
+
+    def resolveProject(name: String, seen: Seq[String]): Result[Map[String, Any]] =
+      if (seen.contains(name))
+        Left(ConfigError(s"preset cycle: ${(seen :+ name).mkString(" -> ")}"))
+      else projectPresets.get(name) match {
+        case None => Left(ConfigError(s"unknown preset '$name'"))
+        case Some(v) => asMap(name, v).flatMap { m =>
+          m.get("preset").map(_.toString) match {
+            case Some(parent) =>
+              resolveProject(parent, seen :+ name).map(_ ++ (m - "preset"))
+            case None => Right(m)
+          }
+        }
+      }
+
+    def resolve(name: String, group: String): Result[Map[String, Any]] =
+      groupPresets.getOrElse(group, Map.empty).get(name) match {
+        case Some(v) => asMap(name, v).flatMap { m =>
+          m.get("preset").map(_.toString) match {
+            case Some(parent) => resolveProject(parent, Nil).map(_ ++ (m - "preset"))
+            case None => Right(m)
+          }
+        }
+        case None => resolveProject(name, Nil)
+      }
+
+    Result.sequence(specs.map { s =>
+      s.cfg.get("preset").map(_.toString) match {
+        case Some(p) =>
+          resolve(p, s.group).map(pc => s.copy(cfg = pc ++ (s.cfg - "preset")))
+        case None => Right(s)
+      }
+    })
+  }
+
+  /** tasks-dir yamls → TaskSpecs + per-group presets; group name = file
+    * stem (project.py:83-93).
+    */
+  private def loadTaskGroups(
+      projectDir: Path): Result[(Seq[TaskSpec], Map[String, Map[String, Any]])] = {
     val tasksDir = projectDir.resolve("tasks")
-    if (!Files.exists(tasksDir)) return Right(Nil)
+    if (!Files.exists(tasksDir)) return Right((Nil, Map.empty))
     val files = Files.list(tasksDir).iterator().asScala
       .filter(f => f.toString.endsWith(".yaml") || f.toString.endsWith(".yml"))
       .toSeq.sortBy(_.toString)
@@ -143,9 +195,11 @@ object Project {
               cfg.asInstanceOf[Map[String, Any]]).map(TaskSpec(name, group, _))
           case (name, _) =>
             Left(ConfigError(s"task $name: config must be a mapping"))
-        })
+        }).map(specs => (specs, group -> mapAt(y, "presets")))
       }
-    }).map(_.flatten)
+    }).map { loaded =>
+      (loaded.flatMap(_._1), loaded.map(_._2).filter(_._2.nonEmpty).toMap)
+    }
   }
 
   /** `file_name` → inline `sql` contents, templating `{{ task.name }}`

@@ -4,14 +4,22 @@ import graft.core.Result.Result
 import scala.collection.mutable
 
 /** Mini template engine covering the constructs the reference's projects
-  * actually exercise (sayn/utils/compiler.py:31-135): `{{ expression }}`
-  * substitution over parameters and globals (`full_load`, `start_dt`,
-  * `end_dt`, `task.name`, `task.group`), plus the three macros
-  * `src('obj')`, `out('obj')` and `config(key=value, ...)`.
+  * exercise (sayn/utils/compiler.py:31-135, which exposes full Jinja):
   *
-  * No Jinja control flow ({% %}) appears in reference SQL, so none is
-  * implemented; encountering one is an explicit error rather than silent
-  * passthrough.
+  *   - `{{ expression }}` substitution over parameters and globals
+  *     (`full_load`, `start_dt`, `end_dt`, `task.name`, `task.group`)
+  *     plus the three macros `src('obj')`, `out('obj')`,
+  *     `config(key=value, ...)`;
+  *   - control flow: `{% if cond %}` / `{% elif %}` / `{% else %}` /
+  *     `{% endif %}` and `{% for x in seq %}` / `{% endfor %}` with Jinja's
+  *     `loop.index/index0/first/last/length` variables;
+  *   - `{# comments #}` (dropped).
+  *
+  * Conditions follow Python/Jinja semantics: truthiness (None/false/""/0/
+  * empty list are falsy), `== != < <= > >=`, `in`/`not in`, `not`, `and`,
+  * `or`, parentheses; an undefined variable evaluates as None (Jinja's
+  * falsy Undefined) rather than erroring, because reference projects guard
+  * optional parameters with bare `{% if flag %}`.
   */
 object Compiler {
 
@@ -26,33 +34,209 @@ object Compiler {
       config: Map[String, Any] => Unit = _ => (),
       allowConfig: Boolean = false)
 
-  private val ExprRe = "\\{\\{(.*?)\\}\\}".r
-  private val ControlRe = "\\{%.*?%\\}".r
+  // ---- template AST ------------------------------------------------------
 
-  def compile(template: String, ctx: Context): Result[String] = {
-    if (ControlRe.findFirstIn(template).isDefined)
-      return Left(ParseError(
-        "control-flow blocks ({% %}) are not supported by the template engine"))
-    val sb = new StringBuilder
+  private sealed trait Node
+  private final case class Text(s: String) extends Node
+  private final case class Interp(expr: String) extends Node
+  private final case class IfNode(
+      branches: Seq[(String, Seq[Node])], elseBody: Seq[Node]) extends Node
+  private final case class ForNode(
+      varName: String, iterExpr: String, body: Seq[Node]) extends Node
+
+  /** `{{ expr }}` | `{% tag %}` (with optional whitespace-control dashes,
+    * treated as plain tags) | `{# comment #}`.
+    */
+  private val TokenRe =
+    "(?s)\\{\\{(.*?)\\}\\}|\\{%-?\\s*(.*?)\\s*-?%\\}|\\{#.*?#\\}".r
+
+  def compile(template: String, ctx: Context): Result[String] =
+    parseTemplate(template).flatMap(render(_, ctx, ctx.params))
+
+  // ---- parser ------------------------------------------------------------
+
+  private def parseTemplate(template: String): Result[Seq[Node]] = {
+    // lex into raw (text | interp | tag) pieces
+    sealed trait Tok
+    final case class TText(s: String) extends Tok
+    final case class TInterp(e: String) extends Tok
+    final case class TTag(words: String) extends Tok
+    val toks = mutable.ArrayBuffer.empty[Tok]
     var last = 0
-    for (m <- ExprRe.findAllMatchIn(template)) {
-      sb.append(template.substring(last, m.start))
-      evalExpr(m.group(1).trim, ctx) match {
-        case Right(v) => sb.append(v)
-        case l @ Left(_) => return l
-      }
+    for (m <- TokenRe.findAllMatchIn(template)) {
+      if (m.start > last) toks += TText(template.substring(last, m.start))
+      if (m.group(1) != null) toks += TInterp(m.group(1).trim)
+      else if (m.group(2) != null) toks += TTag(m.group(2).trim)
+      // comments drop
       last = m.end
     }
-    sb.append(template.substring(last))
+    if (last < template.length) toks += TText(template.substring(last))
+
+    var i = 0
+    def parseBlock(stop: Set[String]): Result[(Seq[Node], Option[String])] = {
+      val out = mutable.ArrayBuffer.empty[Node]
+      while (i < toks.length) {
+        toks(i) match {
+          case TText(s) => out += Text(s); i += 1
+          case TInterp(e) => out += Interp(e); i += 1
+          case TTag(tag) =>
+            val keyword = tag.split("\\s+", 2).head
+            if (stop.contains(keyword)) return Right((out.toSeq, Some(tag)))
+            keyword match {
+              case "if" =>
+                i += 1
+                parseIf(tag.stripPrefix("if").trim) match {
+                  case Right(n) => out += n
+                  case Left(e) => return Left(e)
+                }
+              case "for" =>
+                i += 1
+                parseFor(tag.stripPrefix("for").trim) match {
+                  case Right(n) => out += n
+                  case Left(e) => return Left(e)
+                }
+              case other =>
+                return Left(ParseError(s"unexpected template tag '{% $tag %}'" +
+                  (if (Set("elif", "else", "endif", "endfor").contains(other))
+                    " outside its block" else "")))
+            }
+        }
+      }
+      Right((out.toSeq, None))
+    }
+
+    def parseIf(firstCond: String): Result[Node] = {
+      val branches = mutable.ArrayBuffer.empty[(String, Seq[Node])]
+      var cond = firstCond
+      var elseBody: Seq[Node] = Nil
+      var closed = false
+      while (!closed) {
+        parseBlock(Set("elif", "else", "endif")) match {
+          case Left(e) => return Left(e)
+          case Right((body, Some(tag))) =>
+            branches += ((cond, body))
+            i += 1 // consume the stop tag
+            val kw = tag.split("\\s+", 2).head
+            kw match {
+              case "elif" => cond = tag.stripPrefix("elif").trim
+              case "else" =>
+                parseBlock(Set("endif")) match {
+                  case Left(e) => return Left(e)
+                  case Right((eb, Some(_))) => elseBody = eb; i += 1; closed = true
+                  case Right((_, None)) =>
+                    return Left(ParseError("unclosed {% else %}: missing {% endif %}"))
+                }
+              case "endif" => closed = true
+            }
+          case Right((_, None)) =>
+            return Left(ParseError("unclosed {% if %}: missing {% endif %}"))
+        }
+      }
+      Right(IfNode(branches.toSeq, elseBody))
+    }
+
+    def parseFor(header: String): Result[Node] = {
+      val ForHeader = "^([a-zA-Z_][a-zA-Z0-9_]*)\\s+in\\s+(.+)$".r
+      header match {
+        case ForHeader(v, iterExpr) =>
+          parseBlock(Set("endfor")) match {
+            case Left(e) => Left(e)
+            case Right((body, Some(_))) => i += 1; Right(ForNode(v, iterExpr, body))
+            case Right((_, None)) =>
+              Left(ParseError("unclosed {% for %}: missing {% endfor %}"))
+          }
+        case _ =>
+          Left(ParseError(s"malformed for tag: {% for $header %} " +
+            "(expected {% for var in sequence %})"))
+      }
+    }
+
+    parseBlock(Set.empty).flatMap {
+      case (nodes, None) => Right(nodes)
+      case (_, Some(tag)) => Left(ParseError(s"unexpected '{% $tag %}'"))
+    }
+  }
+
+  // ---- renderer ----------------------------------------------------------
+
+  private def render(
+      nodes: Seq[Node], ctx: Context, scope: Map[String, Any]): Result[String] = {
+    val sb = new StringBuilder
+    for (n <- nodes) {
+      val piece: Result[String] = n match {
+        case Text(s) => Right(s)
+        case Interp(e) => evalExpr(e, ctx, scope)
+        case IfNode(branches, elseBody) =>
+          branches.find { case (cond, _) =>
+            Expr.eval(cond, scope) match {
+              case Right(v) => Expr.truthy(v)
+              case Left(_) => false
+            }
+          } match {
+            // surface condition *syntax* errors even when a later branch
+            // would match — re-evaluate the chosen branch for its error
+            case Some((cond, body)) =>
+              Expr.eval(cond, scope).flatMap(_ => render(body, ctx, scope))
+            case None =>
+              branches.collectFirst {
+                case (cond, _) if Expr.eval(cond, scope).isLeft =>
+                  Expr.eval(cond, scope).left.toOption.get
+              } match {
+                case Some(err) => Left(err)
+                case None => render(elseBody, ctx, scope)
+              }
+          }
+        case ForNode(v, iterExpr, body) =>
+          Expr.eval(iterExpr, scope).flatMap {
+            case items: Seq[_] =>
+              val n = items.length
+              items.zipWithIndex.foldLeft(Right(""): Result[String]) {
+                case (acc, (item, idx)) =>
+                  acc.flatMap { prev =>
+                    val loopScope = scope ++ Map(
+                      v -> item,
+                      "loop" -> Map(
+                        "index" -> (idx + 1L), "index0" -> idx.toLong,
+                        "first" -> (idx == 0), "last" -> (idx == n - 1),
+                        "length" -> n.toLong))
+                    render(body, ctx, loopScope).map(prev + _)
+                  }
+              }
+            case other => Left(ParseError(
+              s"for-loop iterable '$iterExpr' is not a list (got " +
+                s"${if (other == null) "none" else other.getClass.getSimpleName})"))
+          }
+      }
+      piece match {
+        case Right(s) => sb.append(s)
+        case l @ Left(_) => return l.asInstanceOf[Result[String]]
+      }
+    }
     Right(sb.result())
   }
 
   private val CallRe = "^([a-zA-Z_][a-zA-Z0-9_]*)\\((.*)\\)$".r
 
-  private def evalExpr(expr: String, ctx: Context): Result[String] =
+  /** An unquoted macro argument: `src(tbl)` references the template
+    * variable `tbl` (Jinja semantics); if no such variable exists the word
+    * is kept as a literal string (back-compat with `src(schema.table)`
+    * written unquoted).
+    */
+  private[core] final case class BareWord(word: String)
+
+  private def resolveArg(v: Any, scope: Map[String, Any]): Any = v match {
+    case BareWord(w) => lookup(w, scope).getOrElse(w)
+    case xs: Seq[_] => xs.map(resolveArg(_, scope))
+    case other => other
+  }
+
+  private def evalExpr(
+      expr: String, ctx: Context, scope: Map[String, Any]): Result[String] =
     expr match {
       case CallRe(fn, argStr) =>
-        parseArgs(argStr).flatMap { case (pos, kw) =>
+        parseArgs(argStr).flatMap { case (pos0, kw0) =>
+          val pos = pos0.map(resolveArg(_, scope))
+          val kw = kw0.map { case (k, v) => k -> resolveArg(v, scope) }
           fn match {
             case "src" =>
               pos match {
@@ -75,13 +259,13 @@ object Compiler {
           }
         }
       case path =>
-        lookup(path, ctx.params) match {
-          case Some(v) => Right(render(v))
+        lookup(path, scope) match {
+          case Some(v) => Right(renderValue(v))
           case None => Left(ParseError(s"undefined template variable '$path'"))
         }
     }
 
-  private def lookup(path: String, params: Map[String, Any]): Option[Any] =
+  private[core] def lookup(path: String, params: Map[String, Any]): Option[Any] =
     path.split("\\.", -1).toList match {
       case head :: rest =>
         rest.foldLeft(params.get(head)) {
@@ -92,7 +276,7 @@ object Compiler {
       case Nil => None
     }
 
-  private def render(v: Any): String = v match {
+  private def renderValue(v: Any): String = v match {
     case s: String => s
     case null => ""
     case other => other.toString
@@ -151,7 +335,9 @@ object Compiler {
             case num if num.matches("-?\\d+") => Right(num.toLong)
             case num if num.matches("-?\\d*\\.\\d+") => Right(num.toDouble)
             case "" => Left(ParseError(s"empty argument token in '$s'"))
-            case other => Right(other) // bare word → string
+            // bare word → template-variable reference, resolved (or kept
+            // as a literal string) by the caller against the live scope
+            case _ => Right(BareWord(tok))
           }
       }
     }
@@ -186,5 +372,239 @@ object Compiler {
       }
     }
     Right((pos.toSeq, kw.toMap))
+  }
+}
+
+/** Condition/iterable expression evaluator for template control flow —
+  * the Jinja-expression subset reference projects use: literals, variable
+  * paths, lists, comparisons, membership, boolean algebra, parentheses.
+  * Python semantics: truthiness, numeric cross-type equality (1 == 1.0),
+  * undefined → None (falsy).
+  */
+private[core] object Expr {
+
+  private sealed trait Tok
+  private final case class TLit(v: Any) extends Tok
+  private final case class TPath(p: String) extends Tok
+  private final case class TOp(op: String) extends Tok
+
+  def truthy(v: Any): Boolean = v match {
+    case null => false
+    case b: Boolean => b
+    case s: String => s.nonEmpty
+    case n: Long => n != 0L
+    case n: Int => n != 0
+    case n: Double => n != 0.0
+    case xs: Seq[_] => xs.nonEmpty
+    case m: Map[_, _] => m.nonEmpty
+    case _ => true
+  }
+
+  def eval(expr: String, scope: Map[String, Any]): Result.Result[Any] =
+    lex(expr).flatMap { toks =>
+      val p = new Parser(toks, scope, expr)
+      p.parseOr().flatMap { v =>
+        if (p.atEnd) Right(v)
+        else Left(ParseError(s"trailing tokens in expression '$expr'"))
+      }
+    }
+
+  private def lex(s: String): Result.Result[Vector[Tok]] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'' || c == '"') {
+        val sb = new StringBuilder; i += 1
+        while (i < n && s(i) != c) {
+          if (s(i) == '\\' && i + 1 < n) { sb.append(s(i + 1)); i += 2 }
+          else { sb.append(s(i)); i += 1 }
+        }
+        if (i >= n) return Left(ParseError(s"unterminated string in '$s'"))
+        i += 1
+        out += TLit(sb.result())
+      } else if (c.isDigit ||
+        (c == '-' && i + 1 < n && s(i + 1).isDigit &&
+          // '-' is a sign only at expression/operator position
+          (out.result().lastOption match {
+            case Some(TLit(_)) | Some(TPath(_)) | Some(TOp(")")) | Some(TOp("]")) => false
+            case _ => true
+          }))) {
+        val start = i
+        i += 1
+        while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+        val tok = s.substring(start, i)
+        out += TLit(if (tok.contains('.')) tok.toDouble else tok.toLong)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i += 1
+        s.substring(start, i) match {
+          case "true" | "True" => out += TLit(true)
+          case "false" | "False" => out += TLit(false)
+          case "none" | "None" | "null" => out += TLit(null)
+          case "and" | "or" | "not" | "in" => out += TOp(s.substring(start, i))
+          case path => out += TPath(path)
+        }
+      } else {
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        two match {
+          case "==" | "!=" | "<=" | ">=" => out += TOp(two); i += 2
+          case _ =>
+            c match {
+              case '<' | '>' | '(' | ')' | '[' | ']' | ',' =>
+                out += TOp(c.toString); i += 1
+              case other =>
+                return Left(ParseError(s"unexpected '$other' in expression '$s'"))
+            }
+        }
+      }
+    }
+    Right(out.result())
+  }
+
+  private final class Parser(
+      toks: Vector[Tok], scope: Map[String, Any], src: String) {
+    private var i = 0
+    def atEnd: Boolean = i >= toks.length
+    private def peek: Option[Tok] = toks.lift(i)
+    private def peekOp(op: String): Boolean = peek.contains(TOp(op))
+    private def take(): Tok = { val t = toks(i); i += 1; t }
+
+    def parseOr(): Result.Result[Any] =
+      parseAnd().flatMap { first =>
+        var acc = first
+        var err: Option[GraftError] = None
+        while (err.isEmpty && peekOp("or")) {
+          take()
+          // Python short-circuit: return first truthy operand's value
+          parseAnd() match {
+            case Right(v) => if (!truthy(acc)) acc = v
+            case Left(e) => err = Some(e)
+          }
+        }
+        err.map(Left(_)).getOrElse(Right(acc))
+      }
+
+    private def parseAnd(): Result.Result[Any] =
+      parseNot().flatMap { first =>
+        var acc = first
+        var err: Option[GraftError] = None
+        while (err.isEmpty && peekOp("and")) {
+          take()
+          parseNot() match {
+            case Right(v) => if (truthy(acc)) acc = v
+            case Left(e) => err = Some(e)
+          }
+        }
+        err.map(Left(_)).getOrElse(Right(acc))
+      }
+
+    private def parseNot(): Result.Result[Any] =
+      if (peekOp("not")) { take(); parseNot().map(v => !truthy(v)) }
+      else parseCmp()
+
+    private def parseCmp(): Result.Result[Any] =
+      parsePrimary().flatMap { left =>
+        peek match {
+          case Some(TOp(op)) if Set("==", "!=", "<", "<=", ">", ">=").contains(op) =>
+            take()
+            parsePrimary().map(right => compare(op, left, right))
+          case Some(TOp("in")) =>
+            take()
+            parsePrimary().map(right => isIn(left, right))
+          case Some(TOp("not")) if toks.lift(i + 1).contains(TOp("in")) =>
+            take(); take()
+            parsePrimary().map(right => !isIn(left, right))
+          case _ => Right(left)
+        }
+      }
+
+    private def parsePrimary(): Result.Result[Any] = peek match {
+      case Some(TLit(v)) => take(); Right(v)
+      case Some(TPath(p)) =>
+        take()
+        // undefined → None (Jinja Undefined is falsy; guards like
+        // {% if optional_flag %} must not error)
+        Right(Compiler.lookup(p, scope).orNull)
+      case Some(TOp("(")) =>
+        take()
+        parseOr().flatMap { v =>
+          if (peekOp(")")) { take(); Right(v) }
+          else Left(ParseError(s"missing ')' in expression '$src'"))
+        }
+      case Some(TOp("[")) =>
+        take()
+        val items = mutable.ArrayBuffer.empty[Any]
+        if (peekOp("]")) { take(); Right(items.toSeq) }
+        else {
+          var err: Option[GraftError] = None
+          var done = false
+          while (!done && err.isEmpty) {
+            parseOr() match {
+              case Right(v) => items += v
+              case Left(e) => err = Some(e)
+            }
+            if (err.isEmpty) {
+              if (peekOp(",")) take()
+              else if (peekOp("]")) { take(); done = true }
+              else err = Some(ParseError(s"malformed list in expression '$src'"))
+            }
+          }
+          err.map(Left(_)).getOrElse(Right(items.toSeq))
+        }
+      case other =>
+        Left(ParseError(s"unexpected ${other.getOrElse("end")} in expression '$src'"))
+    }
+
+    private def num(v: Any): Option[Double] = v match {
+      case n: Long => Some(n.toDouble)
+      case n: Int => Some(n.toDouble)
+      case n: Double => Some(n)
+      case _ => None
+    }
+
+    private def compare(op: String, l: Any, r: Any): Boolean = {
+      val eq = (num(l), num(r)) match {
+        case (Some(a), Some(b)) => a == b
+        case _ => l == r
+      }
+      op match {
+        case "==" => eq
+        case "!=" => !eq
+        case _ =>
+          val ord: Option[Int] = (num(l), num(r)) match {
+            case (Some(a), Some(b)) => Some(a.compare(b))
+            case _ => (l, r) match {
+              case (a: String, b: String) => Some(a.compareTo(b))
+              case _ => None
+            }
+          }
+          ord.exists { c =>
+            op match {
+              case "<" => c < 0
+              case "<=" => c <= 0
+              case ">" => c > 0
+              case ">=" => c >= 0
+            }
+          }
+      }
+    }
+
+    private def isIn(l: Any, r: Any): Boolean = r match {
+      case xs: Seq[_] => xs.exists { x =>
+        (num(l), num(x)) match {
+          case (Some(a), Some(b)) => a == b
+          case _ => x == l
+        }
+      }
+      case s: String => l match {
+        case ls: String => s.contains(ls)
+        case _ => false
+      }
+      case m: Map[_, _] => m.asInstanceOf[Map[Any, Any]].contains(l)
+      case _ => false
+    }
   }
 }

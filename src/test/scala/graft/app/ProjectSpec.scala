@@ -75,6 +75,63 @@ class ProjectSpec extends SparkSpec {
     assert(byName("auto_model").cfg("destination") == "{{ task.name }}")
   }
 
+  test("preset inheritance: preset→preset DAG, group presets, cycles error") {
+    val dir = Files.createTempDirectory("graft_proj_")
+    Files.writeString(dir.resolve("project.yaml"),
+      """presets:
+        |  base_model:
+        |    type: autosql
+        |    materialisation: table
+        |  incremental_model:
+        |    preset: base_model
+        |    materialisation: incremental
+        |    delete_key: id
+        |""".stripMargin)
+    val tasks = dir.resolve("tasks")
+    Files.createDirectories(tasks)
+    Files.writeString(tasks.resolve("core.yaml"),
+      """presets:
+        |  core_inc:
+        |    preset: incremental_model
+        |    schema: core
+        |tasks:
+        |  t1:
+        |    preset: core_inc
+        |    sql: SELECT 1 AS id
+        |  t2:
+        |    preset: incremental_model
+        |    delete_key: other
+        |    sql: SELECT 2 AS id
+        |""".stripMargin)
+    val Right(loaded) = Project.load(dir)
+    val byName = loaded.specs.map(s => s.name -> s.cfg).toMap
+    // t1: group preset → project chain base←incremental←core_inc
+    assert(byName("t1")("type") == "autosql")
+    assert(byName("t1")("materialisation") == "incremental")
+    assert(byName("t1")("delete_key") == "id")
+    assert(byName("t1")("schema") == "core")
+    // t2: task value wins over inherited preset value
+    assert(byName("t2")("delete_key") == "other")
+    assert(byName("t2")("materialisation") == "incremental")
+
+    // unknown preset errors (the reference validates names)
+    Files.writeString(tasks.resolve("core.yaml"),
+      "tasks:\n  t1:\n    preset: nope\n    sql: SELECT 1\n")
+    assert(Project.load(dir).isLeft)
+
+    // preset cycle errors
+    Files.writeString(tasks.resolve("core.yaml"),
+      "tasks:\n  t1:\n    preset: a\n    sql: SELECT 1\n")
+    Files.writeString(dir.resolve("project.yaml"),
+      """presets:
+        |  a:
+        |    preset: b
+        |  b:
+        |    preset: a
+        |""".stripMargin)
+    assert(Project.load(dir).isLeft)
+  }
+
   test("loaded project runs end-to-end with implicit ordering") {
     val dir = scaffold()
     val Right(loaded) = Project.load(dir)

@@ -60,8 +60,65 @@ class CompilerSpec extends AnyFunSuite {
     assert(!called)
   }
 
-  test("control-flow blocks are rejected") {
-    assert(Compiler.compile("{% if x %}y{% endif %}", Context()).isLeft)
+  // ---- control flow (Jinja subset, sayn/utils/compiler.py:31-135) -------
+
+  test("if/else on truthiness: full_load guard") {
+    val t = "SELECT * FROM t{% if full_load %} -- full{% else %} WHERE d >= '{{ start_dt }}'{% endif %}"
+    assert(Compiler.compile(t, Context(Map("full_load" -> true))) ==
+      Right("SELECT * FROM t -- full"))
+    assert(Compiler.compile(t,
+      Context(Map("full_load" -> false, "start_dt" -> "2024-01-01"))) ==
+      Right("SELECT * FROM t WHERE d >= '2024-01-01'"))
+  }
+
+  test("elif chain and comparisons") {
+    val t = "{% if n > 10 %}big{% elif n > 5 %}mid{% else %}small{% endif %}"
+    assert(Compiler.compile(t, Context(Map("n" -> 20L))) == Right("big"))
+    assert(Compiler.compile(t, Context(Map("n" -> 7L))) == Right("mid"))
+    assert(Compiler.compile(t, Context(Map("n" -> 1L))) == Right("small"))
+  }
+
+  test("condition operators: ==, in, not, and/or, dotted paths") {
+    def run(cond: String, params: Map[String, Any]): String =
+      Compiler.compile(s"{% if $cond %}Y{% else %}N{% endif %}",
+        Context(params)).toOption.get
+    assert(run("task.name == 'load'",
+      Map("task" -> Map("name" -> "load"))) == "Y")
+    assert(run("x in ['a', 'b']", Map("x" -> "b")) == "Y")
+    assert(run("x not in ['a', 'b']", Map("x" -> "c")) == "Y")
+    assert(run("not flag and n >= 2", Map("flag" -> false, "n" -> 2L)) == "Y")
+    assert(run("flag or fallback", Map("flag" -> false, "fallback" -> true)) == "Y")
+    // undefined variable is falsy (Jinja Undefined), not an error
+    assert(run("missing_flag", Map.empty) == "N")
+    // python numeric cross-type equality
+    assert(run("n == 1", Map("n" -> 1.0)) == "Y")
+  }
+
+  test("for loop with loop variables") {
+    val t = "{% for c in cols %}{{ c }}{% if not loop.last %}, {% endif %}{% endfor %}"
+    assert(Compiler.compile(t,
+      Context(Map("cols" -> Seq("a", "b", "c")))) == Right("a, b, c"))
+    val t2 = "{% for x in xs %}{{ loop.index }}:{{ x }} {% endfor %}"
+    assert(Compiler.compile(t2,
+      Context(Map("xs" -> Seq("p", "q")))) == Right("1:p 2:q "))
+  }
+
+  test("nested control flow and macros inside blocks") {
+    val t = "{% for s in segs %}{% if s != 'skip' %}SELECT * FROM {{ src(s) }};{% endif %}{% endfor %}"
+    val ctx = Context(Map("segs" -> Seq("t1", "skip", "t2")), src = s => s"db.$s")
+    assert(Compiler.compile(t, ctx) ==
+      Right("SELECT * FROM db.t1;SELECT * FROM db.t2;"))
+  }
+
+  test("comments are dropped; unclosed blocks and bad tags error") {
+    assert(Compiler.compile("a{# note #}b", Context()) == Right("ab"))
+    assert(Compiler.compile("{% if x %}y", Context()).isLeft)
+    assert(Compiler.compile("{% for x in xs %}y", Context(Map("xs" -> Seq(1)))).isLeft)
+    assert(Compiler.compile("{% endif %}", Context()).isLeft)
+    assert(Compiler.compile("{% frobnicate %}", Context()).isLeft)
+    // non-list iterable errors rather than silently skipping
+    assert(Compiler.compile("{% for x in n %}y{% endfor %}",
+      Context(Map("n" -> 3L))).isLeft)
   }
 
   test("arg parser: numbers, bools, lists, mixed kwargs") {
