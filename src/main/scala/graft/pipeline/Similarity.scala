@@ -26,25 +26,31 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** (id, pos, qv): quantized embedding elements, one row per dimension.
-    * floor() not round() — round's tie behavior differs across engines.
+  /** (id, q, nrm): embedding quantized into one `array<long>` plus its
+    * squared norm. floor() not round() — round's tie behavior differs
+    * across engines. Dot products over the packed array run in-row through
+    * the codegen'd [[graft.functions.LongArrayDot]].
     */
-  def quantize(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  private def packedWithNorm(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(
       col(idCol),
-      posexplode(col(embCol)).as(Seq("pos", "v")))
-      .select(
-        col(idCol), col("pos"),
-        floor(col("v").cast("double") * lit(1000.0)).cast("long").as("qv"))
+      transform(col(embCol),
+        v => floor(v.cast("double") * lit(1000.0)).cast("long")).as("q"))
+      .select(col(idCol), col("q"), packedDot(col("q"), col("q")).as("nrm"))
+
+  private def packedDot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.longArrayDot(a, b)
 
   /** Exact top-k neighbors by quantized cosine for the query set
     * (`queryPred` selects query ids). Output: (qid, nid, rank, cosine),
     * self-matches excluded, ties broken by neighbor id.
     *
-    * The query side (queries × dims rows) is broadcast into a hash join on
-    * `pos`, so the corpus scan stays partition-local; the per-(query,
-    * vector) dot products then aggregate on the pair key. Norms are one
-    * extra aggregate over the same quantized scan.
+    * The packed query side is broadcast into a nested-loop join, so the
+    * corpus scan stays partition-local with zero shuffles before the
+    * top-k; each (query, vector) cosine is one in-row codegen'd dot
+    * product. Top-k runs per-query through a rank window over
+    * queries × corpus rows — at extreme corpus sizes push a partial
+    * per-partition top-k first.
     */
   def bruteForceKnn(
       df: DataFrame,
@@ -52,20 +58,14 @@ object Similarity {
       embCol: String,
       queryPred: Column,
       k: Int = 10): DataFrame = {
-    val e = quantize(df, idCol, embCol)
-    val q = e.filter(queryPred)
-      .select(col(idCol).as("qid"), col("pos"), col("qv").as("q_qv"))
-    val dots = e.join(broadcast(q), Seq("pos"))
-      .groupBy(col("qid"), col(idCol).as("nid"))
-      .agg(sum(col("q_qv") * col("qv")).as("dot"))
-    val norms = e.groupBy(col(idCol)).agg(sum(col("qv") * col("qv")).as("nrm"))
-    val cosine = col("dot").cast("double") /
-      sqrt(col("q_nrm").cast("double") * col("n_nrm").cast("double"))
-    val scored = dots
-      .join(broadcast(norms.select(col(idCol).as("qid"), col("nrm").as("q_nrm"))), Seq("qid"))
-      .join(norms.select(col(idCol).as("nid"), col("nrm").as("n_nrm")), Seq("nid"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine.as("cosine"))
+    val e = packedWithNorm(df, idCol, embCol)
+    val q = df.filter(queryPred).select(col(idCol).as("_query_id"))
+    val qSide = e.join(q, e(idCol) === q("_query_id"), "left_semi")
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nrm").as("q_nrm"))
+    val cosine = packedDot(col("qq"), col("q")).cast("double") /
+      sqrt(col("q_nrm").cast("double") * col("nrm").cast("double"))
+    val scored = e.join(broadcast(qSide), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"), cosine.as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid").asc)
     scored.select(col("qid"), col("nid"), row_number().over(w).as("rank"), col("cosine"))
@@ -73,29 +73,30 @@ object Similarity {
   }
 
   /** All pairs with quantized cosine ≥ threshold (embedding-based
-    * near-duplicate detection). Exact — pairs meet through the dimension
-    * join, so this is O(corpus²) per dimension and is the ORACLE BASELINE
-    * at test scale; at 100 TB use [[annLsh]] candidates followed by this
-    * scoring restricted to candidates.
+    * near-duplicate detection). Exact — inherently O(corpus²) dot
+    * products, the ORACLE BASELINE at test scale; at 100 TB use [[annLsh]]
+    * candidates followed by exact re-ranking instead.
+    *
+    * Plan: pack each vector into one array<long> row, broadcast the right
+    * side (a 1M×64-dim corpus packs to ~500 MB — beyond that, block the
+    * join), nested-loop join on id<id, and compute each dot product
+    * IN-ROW. No shuffle at all — versus the exploded-dimension
+    * formulation whose (pair × dim) hash aggregate moves 100× the data.
+    * Integer math in index order → same exact result either way.
     */
   def embeddingDupPairs(
       df: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double): DataFrame = {
-    val e = quantize(df, idCol, embCol)
-    val a = e.select(col(idCol).as("vec_a"), col("pos"), col("qv").as("a_qv"))
-    val b = e.select(col(idCol).as("vec_b"), col("pos"), col("qv").as("b_qv"))
-    val dots = a.join(b, Seq("pos"))
-      .filter(col("vec_a") < col("vec_b"))
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(sum(col("a_qv") * col("b_qv")).as("dot"))
-    val norms = e.groupBy(col(idCol)).agg(sum(col("qv") * col("qv")).as("nrm"))
+    val withNorm = packedWithNorm(df, idCol, embCol)
+    val a = withNorm.select(col(idCol).as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
+    val b = withNorm.select(col(idCol).as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
-    dots
-      .join(norms.select(col(idCol).as("vec_a"), col("nrm").as("na")), Seq("vec_a"))
-      .join(norms.select(col(idCol).as("vec_b"), col("nrm").as("nb")), Seq("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("na"), col("nb"),
+        packedDot(col("qa"), col("qb")).as("dot"))
       .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -157,21 +158,16 @@ object Similarity {
       .filter(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("nid"))
       .distinct()
-    // exact re-rank restricted to candidates
-    val e = quantize(df, idCol, embCol)
+    // exact re-rank restricted to candidates: packed arrays join in (query
+    // side broadcast), each cosine is one in-row codegen'd dot product
+    val e = packedWithNorm(df, idCol, embCol)
     val qe = e.join(qb, e(idCol) === qb("qid"), "left_semi")
-      .select(col(idCol).as("qid"), col("pos"), col("qv").as("q_qv"))
-    val ce = e.select(col(idCol).as("nid"), col("pos"), col("qv").as("n_qv"))
-    val dots = ce.join(broadcast(qe), Seq("pos"))
-      .join(candidates, Seq("qid", "nid"), "left_semi")
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum(col("q_qv") * col("n_qv")).as("dot"))
-    val norms = e.groupBy(col(idCol)).agg(sum(col("qv") * col("qv")).as("nrm"))
-    val cosine = col("dot").cast("double") /
+      .select(col(idCol).as("qid"), col("q").as("qq"), col("nrm").as("q_nrm"))
+    val cosine = packedDot(col("qq"), col("nq")).cast("double") /
       sqrt(col("q_nrm").cast("double") * col("n_nrm").cast("double"))
-    val scored = dots
-      .join(broadcast(norms.select(col(idCol).as("qid"), col("nrm").as("q_nrm"))), Seq("qid"))
-      .join(norms.select(col(idCol).as("nid"), col("nrm").as("n_nrm")), Seq("nid"))
+    val scored = candidates
+      .join(e.select(col(idCol).as("nid"), col("q").as("nq"), col("nrm").as("n_nrm")), Seq("nid"))
+      .join(broadcast(qe), Seq("qid"))
       .select(col("qid"), col("nid"), cosine.as("cosine"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("nid").asc)
