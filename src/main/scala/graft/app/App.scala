@@ -30,7 +30,8 @@ final class TaskWrapper(
     objects: DbObjectCompiler,
     parameters: Map[String, Any],
     args: RunArguments,
-    userTasks: Map[String, UserTask]) {
+    userTasks: Map[String, UserTask],
+    tracker: Tracker = Tracker.noop) {
 
   var status: TaskStatus = TaskStatus.Configuring
   var runner: TaskRunner = _
@@ -63,7 +64,8 @@ final class TaskWrapper(
       case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
       case _ => Map.empty[String, Any]
     }
-    ctx = new TaskContext(name, group, db, objects, parameters ++ taskParams, args)
+    ctx = new TaskContext(name, group, db, objects, parameters ++ taskParams,
+      args, tracker.task(name))
 
     val taskType = spec.cfg.get("type").map(_.toString).getOrElse("")
     val made: Result[TaskRunner] = taskType match {
@@ -120,10 +122,16 @@ final class App(
     val userTasks: Map[String, UserTask] = Map.empty,
     val compileDir: Option[java.nio.file.Path] = None) {
 
-  def run(specs: Seq[TaskSpec], args: RunArguments = RunArguments()): Result[RunReport] = {
-    // 1. config all tasks (config failures mark the task, children skip)
+  /** Configure all tasks and assemble the validated DAG (explicit +
+    * implicit output→source edges, app.py:419-432). Shared by `run` and
+    * `dag` (the dag-image command). Orphan sources are fine — they read
+    * pre-existing tables.
+    */
+  private def configure(
+      specs: Seq[TaskSpec], args: RunArguments, tracker: Tracker):
+      Result[(Seq[TaskWrapper], Map[String, TaskWrapper], Map[String, Seq[String]])] = {
     val wrappers = specs.map(s =>
-      new TaskWrapper(s, db, objects, parameters, args, userTasks))
+      new TaskWrapper(s, db, objects, parameters, args, userTasks, tracker))
     val byName = wrappers.map(w => w.name -> w).toMap
     if (byName.size != wrappers.size) {
       val dups = wrappers.groupBy(_.name).collect { case (n, ws) if ws.size > 1 => n }
@@ -131,14 +139,12 @@ final class App(
     }
     wrappers.foreach(_.config())
 
-    // 2. implicit edges: producer of object X parents any task sourcing X
-    // (app.py:419-432); orphan sources are fine (read pre-existing tables)
     val producers: Map[String, String] = (for {
       w <- wrappers if w.ctx != null
       o <- w.ctx.outputs
     } yield o.key -> w.name).toMap
 
-    val dag: Map[String, Seq[String]] = wrappers.map { w =>
+    val dagMap: Map[String, Seq[String]] = wrappers.map { w =>
       val implicitParents =
         if (w.ctx == null) Nil
         else w.ctx.sources.toSeq.flatMap(o => producers.get(o.key)).filter(_ != w.name)
@@ -146,9 +152,24 @@ final class App(
       w.name -> known
     }.toMap
 
+    Dag.validate(dagMap).map(_ => (wrappers, byName, dagMap))
+  }
+
+  /** The validated task DAG (name → parents) without executing anything —
+    * feeds the CLI `dag-image` command (sayn/cli.py:331).
+    */
+  def dag(specs: Seq[TaskSpec], args: RunArguments = RunArguments()):
+      Result[Map[String, Seq[String]]] =
+    configure(specs, args, Tracker.noop).map(_._3)
+
+  def run(
+      specs: Seq[TaskSpec],
+      args: RunArguments = RunArguments(),
+      tracker: Tracker = Tracker.noop): Result[RunReport] = {
+    val runT0 = Tracker.now()
+    configure(specs, args, tracker).flatMap { case (wrappers, byName, dag) =>
     for {
-      _ <- Dag.validate(dag)
-      meta = wrappers.map(w => w.name -> TaskQuery.TaskMeta(w.group, w.tags)).toMap
+      meta <- Right(wrappers.map(w => w.name -> TaskQuery.TaskMeta(w.group, w.tags)).toMap)
       q <- TaskQuery.getQuery(meta, args.include, args.exclude)
       selected <- TaskQuery.apply(dag, q._1, q._2)
     } yield {
@@ -170,18 +191,27 @@ final class App(
       }
 
       // 4. setup then execute, serially in topo order (app.py:611-654)
+      tracker.emit(RunEvent.RunStarted(args.command, selected.size, Tracker.now()))
       val statuses = mutable.LinkedHashMap.empty[String, TaskStatus]
       val errors = mutable.LinkedHashMap.empty[String, GraftError]
       var interrupted = false
+      var taskIdx = 0
 
       for (name <- selected) {
         val w = byName(name)
+        taskIdx += 1
+        val taskT0 = Tracker.now()
+        def finish(status: TaskStatus, err: Option[GraftError]): Unit =
+          tracker.emit(RunEvent.TaskFinished(name, status.name,
+            Tracker.now() - taskT0, err.map(_.toString), Tracker.now()))
         if (w.status == TaskStatus.Failed) {
           errors(name) = w.error.get
           statuses(name) = TaskStatus.Failed
+          finish(TaskStatus.Failed, w.error)
         } else if (interrupted) {
           w.status = TaskStatus.Skipped
           statuses(name) = TaskStatus.Skipped
+          finish(TaskStatus.Skipped, None)
         } else {
           // skip propagation (task_wrapper.py:269-300)
           val badParent = dag(name).exists { p =>
@@ -192,8 +222,10 @@ final class App(
           if (badParent) {
             w.status = TaskStatus.Skipped
             statuses(name) = TaskStatus.Skipped
+            finish(TaskStatus.Skipped, None)
           } else {
             w.status = TaskStatus.Executing
+            tracker.emit(RunEvent.TaskStarted(name, taskIdx, selected.size, taskT0))
             val result = w.runner.setup().flatMap { _ =>
               args.command match {
                 case "run" =>
@@ -213,17 +245,23 @@ final class App(
               case Right(_) =>
                 w.status = TaskStatus.Succeeded
                 statuses(name) = TaskStatus.Succeeded
+                finish(TaskStatus.Succeeded, None)
               case Left(e) =>
                 w.status = TaskStatus.Failed
                 w.error = Some(e)
                 errors(name) = e
                 statuses(name) = TaskStatus.Failed
+                finish(TaskStatus.Failed, Some(e))
                 if (args.failFast) interrupted = true
             }
           }
         }
       }
-      RunReport(selected, statuses.toMap, errors.toMap)
+      val report = RunReport(selected, statuses.toMap, errors.toMap)
+      tracker.emit(RunEvent.RunFinished(
+        report.succeeded, Tracker.now() - runT0, Tracker.now()))
+      report
+    }
     }
   }
 

@@ -7,12 +7,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Command-line entry point (sayn/cli.py surface):
   *
-  *   run | compile | test
+  *   run | compile | test | init [NAME] | dag-image
   *     [-t selector ...] [-x selector ...] [-f|--full-load]
   *     [--start-dt D] [--end-dt D] [--profile P] [--with-tests]
   *     [--fail-fast] [-u|--upstream-prod] [--project-dir DIR] [--debug]
   *
-  * Exit code 1 when any task fails (cli.py:286-289).
+  * Exit code 1 when any task fails (cli.py:286-289). Runs log per-task
+  * progress to the console and JSONL events to .graft/logs/.
   */
 object Cli {
 
@@ -20,6 +21,11 @@ object Cli {
     val parsed = parse(args.toList)
     val projectDir = java.nio.file.Paths.get(
       parsed.getOrElse("project-dir", "."))
+
+    if (parsed.get("command").contains("init")) {
+      init(projectDir.resolve(parsed.getOrElse("arg", "graft_project")))
+      return
+    }
 
     Project.load(projectDir, parsed.get("profile")) match {
       case Left(e) =>
@@ -65,17 +71,96 @@ object Cli {
           userTasks = loadUserTasks(),
           compileDir = Some(projectDir.resolve("compile")))
 
-        app.run(loaded.specs, runArgs) match {
+        if (runArgs.command == "dag-image") {
+          app.dag(loaded.specs, runArgs.copy(command = "compile")) match {
+            case Left(e) =>
+              System.err.println(s"error: $e"); spark.stop(); sys.exit(1)
+            case Right(dag) =>
+              val out = projectDir.resolve("dag.dot")
+              java.nio.file.Files.writeString(out, toDot(dag))
+              println(s"wrote $out (render with: dot -Tpng dag.dot -o dag.png)")
+              spark.stop(); return
+          }
+        }
+
+        // console progress + JSONL file log (sayn/logging analog)
+        val logFile = projectDir.resolve(".graft").resolve("logs")
+          .resolve(s"${runArgs.command}_${System.currentTimeMillis()}.jsonl")
+        val tracker = Tracker(
+          new ConsoleTracker(debug = runArgs.debug),
+          new FileTracker(logFile))
+
+        val result = app.run(loaded.specs, runArgs, tracker)
+        tracker.close()
+        result match {
           case Left(e) =>
             System.err.println(s"error: $e")
             spark.stop(); sys.exit(1)
           case Right(report) =>
-            println(report.summary)
             report.errors.foreach { case (t, e) => System.err.println(s"  $t: $e") }
             spark.stop()
             sys.exit(if (report.succeeded) 0 else 1)
         }
     }
+  }
+
+  /** Graphviz DOT of the task DAG (the reference's `dag_image`,
+    * sayn/cli.py:331 — graphviz isn't bundled here, so emit .dot).
+    */
+  private[app] def toDot(dag: Map[String, Seq[String]]): String = {
+    val nodes = dag.keys.toSeq.sorted.map(n => s"""  "$n";""")
+    val edges = for {
+      (child, parents) <- dag.toSeq.sortBy(_._1)
+      p <- parents.sorted
+    } yield s"""  "$p" -> "$child";"""
+    (Seq("digraph graft {", "  rankdir=LR;") ++ nodes ++ edges :+ "}")
+      .mkString("\n")
+  }
+
+  /** `init NAME`: scaffold a runnable starter project (sayn/cli.py:210-214,
+    * sayn/scaffolding/data/init_project reduced to its engine-relevant
+    * files).
+    */
+  private[app] def init(dir: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(dir)) {
+      System.err.println(s"error: $dir already exists")
+      sys.exit(1)
+    }
+    Files.createDirectories(dir.resolve("tasks"))
+    Files.createDirectories(dir.resolve("sql"))
+    Files.writeString(dir.resolve("project.yaml"),
+      """default_db: spark
+        |parameters:
+        |  user_prefix: ""
+        |presets:
+        |  model:
+        |    type: autosql
+        |    materialisation: table
+        |""".stripMargin)
+    Files.writeString(dir.resolve("settings.yaml"),
+      """default_profile: dev
+        |profiles:
+        |  dev:
+        |    parameters:
+        |      user_prefix: dev_
+        |""".stripMargin)
+    Files.writeString(dir.resolve("tasks").resolve("base.yaml"),
+      """tasks:
+        |  load_data:
+        |    type: sql
+        |    file_name: load_data.sql
+        |  dim_numbers:
+        |    preset: model
+        |    destination: dim_numbers
+        |    file_name: dim_numbers.sql
+        |""".stripMargin)
+    // out() records lineage so dim_numbers orders after load_data
+    Files.writeString(dir.resolve("sql").resolve("load_data.sql"),
+      "CREATE OR REPLACE VIEW {{ out('raw_numbers') }} AS\nSELECT id FROM RANGE(100);")
+    Files.writeString(dir.resolve("sql").resolve("dim_numbers.sql"),
+      "SELECT id, id % 2 = 0 AS is_even\nFROM {{ src('raw_numbers') }}")
+    println(s"initialized $dir — run: graft run --project-dir $dir")
   }
 
   /** User tasks register via Java ServiceLoader: a project jar exposes
@@ -106,6 +191,8 @@ object Cli {
         case Nil => acc
         case cmd :: tail if !cmd.startsWith("-") && !acc.contains("command") =>
           go(tail, acc + ("command" -> cmd))
+        case v :: tail if !v.startsWith("-") && !acc.contains("arg") =>
+          go(tail, acc + ("arg" -> v)) // positional arg (init NAME)
         case a :: tail if flags.contains(norm(a)) =>
           go(tail, acc + (norm(a) -> "true"))
         case a :: v :: tail if a.startsWith("-") =>

@@ -1,0 +1,127 @@
+package graft.app
+
+import graft.tasks.TaskTracker
+
+/** Run/task/step event stream — the engine analog of the reference's
+  * logging stack (sayn/logging/: Logger/TaskEventTracker/ConsoleLogger/
+  * FileLogger, 1,175 LoC). One event type, many listeners; trackers are
+  * cheap enough to wire into every run, and the CLI attaches a console
+  * renderer plus a JSONL file log.
+  */
+sealed trait RunEvent { def ts: Long }
+object RunEvent {
+  final case class RunStarted(command: String, nTasks: Int, ts: Long) extends RunEvent
+  final case class TaskStarted(task: String, index: Int, total: Int, ts: Long) extends RunEvent
+  final case class TaskFinished(
+      task: String, status: String, durationMs: Long,
+      error: Option[String], ts: Long) extends RunEvent
+  final case class StepStarted(task: String, step: String, ts: Long) extends RunEvent
+  final case class StepFinished(
+      task: String, step: String, ok: Boolean, durationMs: Long, ts: Long) extends RunEvent
+  final case class Message(
+      level: String, task: Option[String], text: String, ts: Long) extends RunEvent
+  final case class RunFinished(succeeded: Boolean, durationMs: Long, ts: Long) extends RunEvent
+}
+
+trait EventListener {
+  def onEvent(e: RunEvent): Unit
+  def close(): Unit = ()
+}
+
+/** Event multiplexer. A listener failure never fails the run. */
+final class Tracker(listeners: Seq[EventListener]) {
+  def emit(e: RunEvent): Unit =
+    listeners.foreach(l => try l.onEvent(e) catch { case _: Exception => () })
+  def task(name: String): TaskTracker = new TaskTracker(name, emit)
+  def close(): Unit =
+    listeners.foreach(l => try l.close() catch { case _: Exception => () })
+}
+
+object Tracker {
+  val noop: Tracker = new Tracker(Nil)
+  def apply(listeners: EventListener*): Tracker = new Tracker(listeners)
+  def now(): Long = System.currentTimeMillis()
+}
+
+/** Console renderer: one line per task with index/total, status and
+  * duration; step detail with `debug`. (The reference's rich progress
+  * console, sayn/logging/log_formatter.py, reduced to plain lines.)
+  */
+final class ConsoleTracker(
+    debug: Boolean = false,
+    out: String => Unit = println) extends EventListener {
+  import RunEvent._
+  private def fmt(ms: Long): String =
+    if (ms < 1000) s"${ms}ms" else f"${ms / 1000.0}%.1fs"
+  override def onEvent(e: RunEvent): Unit = e match {
+    case RunStarted(cmd, n, _) => out(s"$cmd: $n task(s)")
+    case TaskStarted(t, i, n, _) => out(s"[$i/$n] $t ...")
+    case TaskFinished(t, status, ms, err, _) =>
+      out(s"[$t] $status (${fmt(ms)})" + err.map(e => s": $e").getOrElse(""))
+    case StepStarted(t, s, _) => if (debug) out(s"  [$t] step $s ...")
+    case StepFinished(t, s, ok, ms, _) =>
+      if (debug) out(s"  [$t] step $s ${if (ok) "done" else "FAILED"} (${fmt(ms)})")
+    case Message(level, task, text, _) =>
+      if (debug || level != "debug")
+        out(s"  ${task.map(t => s"[$t] ").getOrElse("")}$text")
+    case RunFinished(ok, ms, _) =>
+      out(s"${if (ok) "succeeded" else "FAILED"} in ${fmt(ms)}")
+  }
+}
+
+/** JSONL file log, one event per line (the reference's file logger,
+  * sayn/logging/file_logger.py). Append-only; `close()` flushes.
+  */
+final class FileTracker(path: java.nio.file.Path) extends EventListener {
+  import RunEvent._
+  java.nio.file.Files.createDirectories(path.getParent)
+  private val w = java.nio.file.Files.newBufferedWriter(
+    path,
+    java.nio.file.StandardOpenOption.CREATE,
+    java.nio.file.StandardOpenOption.APPEND)
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def line(fields: (String, Any)*): String =
+    fields.map {
+      case (k, v: String) => s"${q(k)}: ${q(v)}"
+      case (k, v: Boolean) => s"${q(k)}: $v"
+      case (k, v) => s"${q(k)}: $v"
+    }.mkString("{", ", ", "}")
+
+  override def onEvent(e: RunEvent): Unit = {
+    val json = e match {
+      case RunStarted(cmd, n, ts) =>
+        line("event" -> "run_started", "command" -> cmd, "n_tasks" -> n, "ts" -> ts)
+      case TaskStarted(t, i, n, ts) =>
+        line("event" -> "task_started", "task" -> t, "index" -> i, "total" -> n, "ts" -> ts)
+      case TaskFinished(t, st, ms, err, ts) =>
+        line(Seq("event" -> "task_finished", "task" -> t, "status" -> st,
+          "duration_ms" -> ms) ++ err.map("error" -> (_: Any)).toSeq :+ ("ts" -> ts): _*)
+      case StepStarted(t, s, ts) =>
+        line("event" -> "step_started", "task" -> t, "step" -> s, "ts" -> ts)
+      case StepFinished(t, s, ok, ms, ts) =>
+        line("event" -> "step_finished", "task" -> t, "step" -> s,
+          "ok" -> ok, "duration_ms" -> ms, "ts" -> ts)
+      case Message(level, task, text, ts) =>
+        line(Seq("event" -> "message", "level" -> level) ++
+          task.map("task" -> (_: Any)).toSeq ++
+          Seq("text" -> text, "ts" -> ts): _*)
+      case RunFinished(ok, ms, ts) =>
+        line("event" -> "run_finished", "succeeded" -> ok, "duration_ms" -> ms, "ts" -> ts)
+    }
+    w.write(json)
+    w.newLine()
+  }
+
+  override def close(): Unit = { w.flush(); w.close() }
+}

@@ -94,20 +94,35 @@ final class SqlTask(isAutoSql: Boolean) extends TaskRunner {
     * full-load destination → full refresh; incremental → merge;
     * table → full refresh; script → execute statements.
     */
-  override def run(): Result[Unit] =
-    recompile().flatMap { sql =>
+  override def run(): Result[Unit] = {
+    ctx.track.startStep("compile")
+    val out = recompile().flatMap { sql =>
+      // step names mirror the reference's run steps (autosql.py:311-372)
       materialisation match {
-        case "view" => ctx.db.replaceView(resolvedDst, sql, ddl)
-        case "script" => ctx.db.execute(sql)
+        case "view" =>
+          ctx.track.startStep("create_view")
+          ctx.db.replaceView(resolvedDst, sql, ddl)
+        case "script" =>
+          ctx.track.startStep("execute_sql")
+          ctx.db.execute(sql)
         case "incremental" =>
           val dstMissing = !ctx.db.tableExists(resolvedDst) ||
             ctx.db.objectType(resolvedDst).contains("view")
-          if (ctx.runArgs.fullLoad || dstMissing)
+          if (ctx.runArgs.fullLoad || dstMissing) {
+            ctx.track.startStep("load_table")
             ctx.db.replaceTable(resolvedDst, sql, ddl)
-          else ctx.db.mergeQuery(resolvedDst, sql, deleteKey.get, ddl)
-        case "table" => ctx.db.replaceTable(resolvedDst, sql, ddl)
+          } else {
+            ctx.track.startStep("merge_table")
+            ctx.db.mergeQuery(resolvedDst, sql, deleteKey.get, ddl)
+          }
+        case "table" =>
+          ctx.track.startStep("load_table")
+          ctx.db.replaceTable(resolvedDst, sql, ddl)
       }
     }
+    ctx.track.finishCurrentStep(out.isRight)
+    out
+  }
 
   override def compile(): Result[Seq[(String, String)]] =
     recompile().map(sql => Seq((materialisation, sql)))

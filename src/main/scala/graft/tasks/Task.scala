@@ -47,7 +47,12 @@ final class TaskContext(
     val db: SparkDatabase,
     val objects: DbObjectCompiler,
     val parameters: Map[String, Any],
-    val runArgs: RunArguments) {
+    val runArgs: RunArguments,
+    val tracker: TaskTracker = null) {
+
+  /** Step/progress API (python.py:91-114); defaults to a no-op sink. */
+  val track: TaskTracker =
+    if (tracker != null) tracker else TaskTracker.noop(name)
 
   def spark: SparkSession = db.spark
 

@@ -1,0 +1,130 @@
+package graft.app
+
+import graft.SparkSpec
+import graft.core.DbObjectCompiler
+import graft.db.SparkDatabase
+import graft.tasks.RunArguments
+import scala.collection.mutable
+
+/** Event-stream coverage: run/task/step events through a real App.run,
+  * console + file listeners, DOT output, init scaffold, copy compile dump.
+  */
+class TrackerSpec extends SparkSpec {
+
+  lazy val db = new SparkDatabase(spark)
+
+  private class Capture extends EventListener {
+    val events = mutable.ArrayBuffer.empty[RunEvent]
+    override def onEvent(e: RunEvent): Unit = events += e
+  }
+
+  private def specs = Seq(
+    TaskSpec("t_ok", "g", Map("type" -> "sql",
+      "sql" -> "CREATE OR REPLACE VIEW trk_v AS SELECT 1 AS x")),
+    TaskSpec("t_tbl", "g", Map("type" -> "autosql",
+      "materialisation" -> "table", "destination" -> "trk_t",
+      "sql" -> "SELECT * FROM {{ src('trk_v') }}", "parents" -> Seq("t_ok"))))
+
+  test("run emits run/task/step lifecycle events in order") {
+    val cap = new Capture
+    val app = new App(db, new DbObjectCompiler("spark"))
+    val Right(report) = app.run(specs, RunArguments(), Tracker(cap))
+    assert(report.succeeded)
+    val kinds = cap.events.map(_.getClass.getSimpleName)
+    assert(kinds.head == "RunStarted")
+    assert(kinds.last == "RunFinished")
+    assert(kinds.count(_ == "TaskStarted") == 2)
+    assert(kinds.count(_ == "TaskFinished") == 2)
+    // sql tasks emit compile + materialisation steps
+    val steps = cap.events.collect { case RunEvent.StepStarted(t, s, _) => (t, s) }
+    assert(steps.contains(("t_ok", "compile")))
+    assert(steps.contains(("t_ok", "execute_sql")))
+    assert(steps.contains(("t_tbl", "load_table")))
+    // every finished step carries a duration and ok=true
+    val fins = cap.events.collect { case f: RunEvent.StepFinished => f }
+    assert(fins.nonEmpty && fins.forall(f => f.ok && f.durationMs >= 0))
+    // task order respected in events
+    val started = cap.events.collect { case RunEvent.TaskStarted(t, _, _, _) => t }
+    assert(started == Seq("t_ok", "t_tbl"))
+  }
+
+  test("failed task emits TaskFinished(failed) and skip propagates to child") {
+    val cap = new Capture
+    val bad = Seq(
+      TaskSpec("t_bad", "g", Map("type" -> "sql", "sql" -> "SELECT FROM nope")),
+      TaskSpec("t_child", "g", Map("type" -> "sql",
+        "sql" -> "SELECT 1", "parents" -> Seq("t_bad"))))
+    val app = new App(db, new DbObjectCompiler("spark"))
+    val Right(report) = app.run(bad, RunArguments(), Tracker(cap))
+    assert(!report.succeeded)
+    val finished = cap.events.collect {
+      case RunEvent.TaskFinished(t, st, _, _, _) => (t, st)
+    }.toMap
+    assert(finished("t_bad") == "failed")
+    assert(finished("t_child") == "skipped")
+    val failedStep = cap.events.collect {
+      case RunEvent.StepFinished("t_bad", s, ok, _, _) => (s, ok)
+    }
+    assert(failedStep.exists(!_._2))
+  }
+
+  test("file tracker writes valid JSONL; console renders lines") {
+    val cap = new Capture
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trk_")
+    val file = new FileTracker(tmp.resolve("logs").resolve("run.jsonl"))
+    val lines = mutable.ArrayBuffer.empty[String]
+    val console = new ConsoleTracker(debug = true, out = lines += _)
+    val app = new App(db, new DbObjectCompiler("spark"))
+    val Right(_) = app.run(specs, RunArguments(), Tracker(cap, file, console))
+    file.close()
+    val written = java.nio.file.Files
+      .readAllLines(tmp.resolve("logs").resolve("run.jsonl"))
+    assert(written.size == cap.events.size)
+    // every line parses as a JSON object with an event field
+    written.forEach { l =>
+      assert(l.startsWith("{") && l.endsWith("}") && l.contains("\"event\""), l)
+    }
+    assert(lines.exists(_.contains("[1/2] t_ok")))
+    assert(lines.exists(_.startsWith("succeeded in")))
+  }
+
+  test("dag() returns parent map; toDot renders graphviz") {
+    val app = new App(db, new DbObjectCompiler("spark"))
+    val Right(dag) = app.dag(specs)
+    assert(dag("t_tbl").contains("t_ok"))
+    val dot = Cli.toDot(dag)
+    assert(dot.startsWith("digraph graft {"))
+    assert(dot.contains("\"t_ok\" -> \"t_tbl\";"))
+  }
+
+  test("init scaffolds a loadable, runnable project") {
+    val base = java.nio.file.Files.createTempDirectory("graft_init_")
+    val dir = base.resolve("proj")
+    Cli.init(dir)
+    val Right(loaded) = Project.load(dir)
+    assert(loaded.specs.map(_.name).toSet == Set("load_data", "dim_numbers"))
+    val app = new App(db, new DbObjectCompiler(loaded.defaultDb), loaded.parameters)
+    val Right(report) = app.run(loaded.specs, RunArguments())
+    assert(report.succeeded, report.errors)
+    assert(spark.table("dim_numbers").count() == 100)
+  }
+
+  test("copy task compile() dumps projection and watermark") {
+    import graft.tasks.{CopyTask, TaskContext}
+    val ctx = new TaskContext("c", "g", db, new DbObjectCompiler("spark"),
+      Map.empty, RunArguments())
+    val task = new CopyTask
+    val Right(_) = task.config(ctx, Map(
+      "source" -> "src_t", "destination" -> "dst_t",
+      "incremental_key" -> "updated_at", "delete_key" -> "id",
+      "columns" -> Seq(
+        Map("name" -> "id"),
+        Map("name" -> "updated_at"),
+        Map("name" -> "val", "type" -> "int", "dst_name" -> "value"))))
+    val Right(Seq((step, text))) = task.compile()
+    assert(step == "copy")
+    assert(text.contains("val CAST AS INT AS value"))
+    assert(text.contains("incremental watermark: updated_at"))
+    assert(text.contains("SELECT MAX(updated_at) FROM"))
+  }
+}

@@ -128,6 +128,22 @@ class SparkDatabaseSpec extends SparkSpec {
     assert(!db.tableExists("pmerge_src"))
   }
 
+  test("partitioned merge removes the stale row when a key changes partition") {
+    val ddl = Ddl(partitionBy = Seq("p"))
+    // id=1 lives in partition p=0; the incoming run moves it to p=1
+    assert(db.createTable("pmove_dst",
+      "SELECT id, CAST(id % 2 AS INT) AS p, 'old' AS v FROM RANGE(4)", ddl).isRight)
+    assert(db.createTable("pmove_src",
+      "SELECT CAST(0 AS BIGINT) AS id, CAST(1 AS INT) AS p, 'new' AS v", ddl).isRight)
+    assert(db.mergeTables("pmove_src", "pmove_dst", "id", ddl).isRight)
+    // whole-table delete semantics (merge_tables.sql): no duplicate id=0 —
+    // its old p=0 row is gone, the new p=1 row is present
+    assert(spark.table("pmove_dst").filter($"id" === 0).count() == 1)
+    assert(rows(spark.table("pmove_dst").filter($"id" === 0).select($"p", $"v")) ==
+      Set(Seq(1, "new")))
+    assert(spark.table("pmove_dst").count() == 4)
+  }
+
   test("mergeTables preserves the destination's declared layout") {
     val ddl = Ddl(sortBy = Seq("id"))
     assert(db.createTable("lmerge_dst",
