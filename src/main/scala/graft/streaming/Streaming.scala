@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** One event of the sessionization stream (the `events` fixture shape).
+  * Top-level case class: Spark's state-encoder codegen requires a
+  * constructor without an outer-object reference.
+  */
+final case class Event(
+    user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** A closed session emitted once its gap elapses. */
+final case class Session(
+    user_id: Long, session_id: Long, n_events: Long,
+    total_value: Double, start_ts: Timestamp, end_ts: Timestamp)
+
+private[streaming] final case class SessionAcc(
+    sessionId: Long, startMs: Long, lastMs: Long,
+    nEvents: Long, totalValue: Double)
+
+/** Structured Streaming surface: the streaming twins of the batch
+  * operators, built on event-time watermarks so state is bounded and the
+  * same job runs unchanged on an unbounded source. Everything here is
+  * `readStream → transform → writeStream`-shaped: the functions take the
+  * streaming DataFrame/Dataset and return the transformed stream, sinks
+  * stay with the caller.
+  *
+  * State at scale: all three operators key their state by a column
+  * (shuffle on the key, state store per partition); the watermark bounds
+  * every store — late data beyond it is dropped, closed state is evicted.
+  */
+object Streaming {
+
+  /** Watermarked sliding-window aggregation: events per (window, key)
+    * with exact-decimal value sums (same float discipline as the batch
+    * corpus). Append-mode compatible: results emit once the watermark
+    * passes the window end.
+    */
+  def windowedCounts(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowLen: String = "10 minutes",
+      slide: Option[String] = None,
+      watermark: String = "30 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(
+        slide.map(s => window(col(tsCol), windowLen, s))
+          .getOrElse(window(col(tsCol), windowLen)),
+        col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("total_value"))
+
+  /** Streaming exact dedup: first occurrence per key within the watermark
+    * horizon passes, replays are dropped. The streaming twin of
+    * [[graft.pipeline.TextDedup.exactDedup]] — state is the key set,
+    * bounded by the watermark (keys older than it are evicted, so a
+    * 100 TB/day stream holds only the horizon's keys).
+    */
+  def dedupStream(df: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  /** Streaming gap-based sessionization — the streaming twin of
+    * [[graft.pipeline.Sessionize]]: a session closes when `gapMinutes`
+    * pass with no event for the key. Custom state via
+    * flatMapGroupsWithState with an EVENT-TIME timeout: the watermark both
+    * closes idle sessions and bounds the state store. Sessions emit in
+    * Append mode when closed (by a later event or by timeout).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    val gapMs = gapMinutes * 60000L
+    implicit val accEnc = Encoders.product[SessionAcc]
+    implicit val outEnc = Encoders.product[Session]
+    implicit val keyEnc = Encoders.scalaLong
+
+    def close(userId: Long, acc: SessionAcc): Session =
+      Session(userId, acc.sessionId, acc.nEvents, acc.totalValue,
+        new Timestamp(acc.startMs), new Timestamp(acc.lastMs))
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[SessionAcc]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val done = state.get
+        state.remove()
+        Iterator.single(close(userId, done))
+      } else {
+        // fold the micro-batch in event-time order into the open session
+        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        var acc = state.getOption.orNull
+        val closed = Seq.newBuilder[Session]
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          if (acc == null) {
+            acc = SessionAcc(1L, t, t, 1L, e.value)
+          } else if (t - acc.lastMs > gapMs) {
+            closed += close(userId, acc)
+            acc = SessionAcc(acc.sessionId + 1, t, t, 1L, e.value)
+          } else {
+            acc = acc.copy(lastMs = math.max(acc.lastMs, t),
+              nEvents = acc.nEvents + 1, totalValue = acc.totalValue + e.value)
+          }
+        }
+        if (acc != null) {
+          state.update(acc)
+          // close via watermark once the gap elapses with no new events
+          state.setTimeoutTimestamp(acc.lastMs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** MemoryStream-driven coverage of the streaming operators. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedCounts aggregates per tumbling window with watermark") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.windowedCounts(in.toDF(), "ts", "user_id")
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    in.addData(
+      Event(1L, ts(0), "view", 1.0), Event(1L, ts(5), "view", 2.0),
+      Event(1L, ts(12), "view", 4.0), Event(2L, ts(1), "click", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc")
+      .selectExpr("user_id", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // user 1: [0,10) has 2 events (3.0), [10,20) has 1 (4.0); user 2: 1 (8.0)
+    assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("dedupStream drops replayed keys inside the watermark horizon") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.dedupStream(in.toDF(), "ts", Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    in.addData(
+      Event(1L, ts(0), "view", 1.0), Event(1L, ts(0), "view", 1.0),
+      Event(1L, ts(0), "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1L, ts(0), "view", 1.0)) // replay in a later batch
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dd").count() == 2)
+  }
+
+  test("sessionize closes sessions on gap and on stream end (timeout)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionize(in.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // user 1: two events 10min apart (one session), then a 50-min gap
+    // opens session 2; user 2: a single event
+    in.addData(
+      Event(1L, ts(0), "view", 1.0), Event(1L, ts(10), "view", 2.0),
+      Event(2L, ts(0), "view", 8.0))
+    q.processAllAvailable()
+    in.addData(Event(1L, ts(60), "view", 4.0))
+    q.processAllAvailable()
+    // advance the watermark far past every open session's gap so the
+    // event-time timeout fires and the open sessions close
+    in.addData(Event(99L, ts(600), "view", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(99L, ts(1300), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess").as[Session].collect()
+      .map(s => (s.user_id, s.session_id) -> ((s.n_events, s.total_value))).toMap
+    assert(sessions((1L, 1L)) == ((2L, 3.0)))
+    assert(sessions((1L, 2L)) == ((1L, 4.0)))
+    assert(sessions((2L, 1L)) == ((1L, 8.0)))
+  }
+}
