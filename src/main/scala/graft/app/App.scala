@@ -194,75 +194,203 @@ final class App(
       tracker.emit(RunEvent.RunStarted(args.command, selected.size, Tracker.now()))
       val statuses = mutable.LinkedHashMap.empty[String, TaskStatus]
       val errors = mutable.LinkedHashMap.empty[String, GraftError]
-      var interrupted = false
-      var taskIdx = 0
 
-      for (name <- selected) {
-        val w = byName(name)
-        taskIdx += 1
-        val taskT0 = Tracker.now()
-        def finish(status: TaskStatus, err: Option[GraftError]): Unit =
-          tracker.emit(RunEvent.TaskFinished(name, status.name,
-            Tracker.now() - taskT0, err.map(_.toString), Tracker.now()))
-        if (w.status == TaskStatus.Failed) {
-          errors(name) = w.error.get
-          statuses(name) = TaskStatus.Failed
-          finish(TaskStatus.Failed, w.error)
-        } else if (interrupted) {
-          w.status = TaskStatus.Skipped
-          statuses(name) = TaskStatus.Skipped
-          finish(TaskStatus.Skipped, None)
-        } else {
-          // skip propagation (task_wrapper.py:269-300)
-          val badParent = dag(name).exists { p =>
-            val ps = statuses.get(p).orElse(Some(byName(p).status)).get
-            (ps == TaskStatus.Failed && byName(p).onFail != "no_skip") ||
-              ps == TaskStatus.Skipped
-          }
-          if (badParent) {
-            w.status = TaskStatus.Skipped
-            statuses(name) = TaskStatus.Skipped
-            finish(TaskStatus.Skipped, None)
-          } else {
-            w.status = TaskStatus.Executing
-            tracker.emit(RunEvent.TaskStarted(name, taskIdx, selected.size, taskT0))
-            val result = w.runner.setup().flatMap { _ =>
-              args.command match {
-                case "run" =>
-                  w.runner.run().flatMap { _ =>
-                    if (args.withTests) w.runner.test() else Right(())
-                  }
-                case "test" => w.runner.test()
-                case "compile" =>
-                  w.runner.compile().map { steps =>
-                    compileDir.foreach(writeCompiled(_, w, steps))
-                  }
-                case other =>
-                  Left(ConfigError(s"unknown command '$other'"))
-              }
-            }
-            result match {
-              case Right(_) =>
-                w.status = TaskStatus.Succeeded
-                statuses(name) = TaskStatus.Succeeded
-                finish(TaskStatus.Succeeded, None)
-              case Left(e) =>
-                w.status = TaskStatus.Failed
-                w.error = Some(e)
-                errors(name) = e
-                statuses(name) = TaskStatus.Failed
-                finish(TaskStatus.Failed, Some(e))
-                if (args.failFast) interrupted = true
-            }
-          }
-        }
-      }
+      if (args.jobs <= 1)
+        serialExecute(selected, byName, dag, args, tracker, statuses, errors)
+      else
+        parallelExecute(selected, byName, dag, args, tracker, statuses, errors)
+
       val report = RunReport(selected, statuses.toMap, errors.toMap)
       tracker.emit(RunEvent.RunFinished(
         report.succeeded, Tracker.now() - runT0, Tracker.now()))
       report
     }
     }
+  }
+
+  /** Execute one task's configured command. Pure of scheduler state —
+    * shared by the serial and parallel executors.
+    */
+  private def executeOne(w: TaskWrapper, args: RunArguments): Result[Unit] =
+    w.runner.setup().flatMap { _ =>
+      args.command match {
+        case "run" =>
+          w.runner.run().flatMap { _ =>
+            if (args.withTests) w.runner.test() else Right(())
+          }
+        case "test" => w.runner.test()
+        case "compile" =>
+          w.runner.compile().map { steps =>
+            compileDir.foreach(writeCompiled(_, w, steps))
+          }
+        case other =>
+          Left(ConfigError(s"unknown command '$other'"))
+      }
+    }
+
+  /** Reference-parity executor: strictly serial in topo order
+    * (app.py:611-654) with skip propagation (task_wrapper.py:269-300).
+    */
+  private def serialExecute(
+      selected: Seq[String],
+      byName: Map[String, TaskWrapper],
+      dag: Map[String, Seq[String]],
+      args: RunArguments,
+      tracker: Tracker,
+      statuses: mutable.LinkedHashMap[String, TaskStatus],
+      errors: mutable.LinkedHashMap[String, GraftError]): Unit = {
+    var interrupted = false
+    var taskIdx = 0
+    for (name <- selected) {
+      val w = byName(name)
+      taskIdx += 1
+      val taskT0 = Tracker.now()
+      def finish(status: TaskStatus, err: Option[GraftError]): Unit =
+        tracker.emit(RunEvent.TaskFinished(name, status.name,
+          Tracker.now() - taskT0, err.map(_.toString), Tracker.now()))
+      if (w.status == TaskStatus.Failed) {
+        errors(name) = w.error.get
+        statuses(name) = TaskStatus.Failed
+        finish(TaskStatus.Failed, w.error)
+      } else if (interrupted) {
+        w.status = TaskStatus.Skipped
+        statuses(name) = TaskStatus.Skipped
+        finish(TaskStatus.Skipped, None)
+      } else {
+        val badParent = dag(name).exists { p =>
+          val ps = statuses.get(p).orElse(Some(byName(p).status)).get
+          (ps == TaskStatus.Failed && byName(p).onFail != "no_skip") ||
+            ps == TaskStatus.Skipped
+        }
+        if (badParent) {
+          w.status = TaskStatus.Skipped
+          statuses(name) = TaskStatus.Skipped
+          finish(TaskStatus.Skipped, None)
+        } else {
+          w.status = TaskStatus.Executing
+          tracker.emit(RunEvent.TaskStarted(name, taskIdx, selected.size, taskT0))
+          executeOne(w, args) match {
+            case Right(_) =>
+              w.status = TaskStatus.Succeeded
+              statuses(name) = TaskStatus.Succeeded
+              finish(TaskStatus.Succeeded, None)
+            case Left(e) =>
+              w.status = TaskStatus.Failed
+              w.error = Some(e)
+              errors(name) = e
+              statuses(name) = TaskStatus.Failed
+              finish(TaskStatus.Failed, Some(e))
+              if (args.failFast) interrupted = true
+          }
+        }
+      }
+    }
+  }
+
+  /** Concurrent executor: up to `args.jobs` ready tasks run at once as
+    * concurrent Spark jobs (one SparkSession schedules them FIFO across
+    * the cluster). Dependency, skip-propagation and on_fail semantics are
+    * identical to the serial path — a task launches only when every
+    * parent is terminal; failFast stops LAUNCHING new tasks (in-flight
+    * ones finish). The win at scale: a 1000-executor cluster stays busy
+    * while an un-parallelizable branch would otherwise leave it idle.
+    */
+  private def parallelExecute(
+      selected: Seq[String],
+      byName: Map[String, TaskWrapper],
+      dag: Map[String, Seq[String]],
+      args: RunArguments,
+      tracker: Tracker,
+      statuses: mutable.LinkedHashMap[String, TaskStatus],
+      errors: mutable.LinkedHashMap[String, GraftError]): Unit = {
+    val selectedSet = selected.toSet
+    val pending = mutable.LinkedHashSet(selected: _*)
+    val running = mutable.Set.empty[String]
+    var interrupted = false
+    val completion =
+      new java.util.concurrent.LinkedBlockingQueue[(String, Result[Unit], Long)]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(args.jobs)
+    var taskIdx = 0
+
+    def terminal(s: TaskStatus): Boolean = s match {
+      case TaskStatus.Succeeded | TaskStatus.Failed | TaskStatus.Skipped => true
+      case _ => false
+    }
+    def parentStatuses(name: String): Seq[(TaskStatus, String)] =
+      dag(name).filter(selectedSet.contains)
+        .map(p => (byName(p).status, byName(p).onFail))
+    def finishEvent(name: String, status: TaskStatus,
+        err: Option[GraftError], t0: Long): Unit =
+      tracker.emit(RunEvent.TaskFinished(name, status.name,
+        Tracker.now() - t0, err.map(_.toString), Tracker.now()))
+
+    /** Mark everything skippable (config-failed children, failed/skipped
+      * parents, failFast) and launch every ready task. Returns when
+      * nothing more can change without a completion.
+      */
+    def schedule(): Unit = {
+      var changed = true
+      while (changed) {
+        changed = false
+        for (name <- pending.toSeq) {
+          val w = byName(name)
+          val t0 = Tracker.now()
+          if (w.status == TaskStatus.Failed) { // config failure
+            pending -= name
+            errors(name) = w.error.get
+            statuses(name) = TaskStatus.Failed
+            finishEvent(name, TaskStatus.Failed, w.error, t0)
+            changed = true
+          } else if (interrupted ||
+            parentStatuses(name).exists { case (ps, onFail) =>
+              (ps == TaskStatus.Failed && onFail != "no_skip") ||
+                ps == TaskStatus.Skipped
+            }) {
+            pending -= name
+            w.status = TaskStatus.Skipped
+            statuses(name) = TaskStatus.Skipped
+            finishEvent(name, TaskStatus.Skipped, None, t0)
+            changed = true
+          } else if (running.size < args.jobs &&
+            parentStatuses(name).forall(p => terminal(p._1))) {
+            pending -= name
+            running += name
+            w.status = TaskStatus.Executing
+            taskIdx += 1
+            tracker.emit(RunEvent.TaskStarted(name, taskIdx, selected.size, t0))
+            pool.execute(() => {
+              val r =
+                try executeOne(w, args)
+                catch { case e: Throwable => Left(TaskFailed(e.toString, Some(e))) }
+              completion.put((name, r, t0))
+            })
+            changed = true
+          }
+        }
+      }
+    }
+
+    schedule()
+    while (running.nonEmpty) {
+      val (name, result, t0) = completion.take()
+      running -= name
+      val w = byName(name)
+      result match {
+        case Right(_) =>
+          w.status = TaskStatus.Succeeded
+          statuses(name) = TaskStatus.Succeeded
+          finishEvent(name, TaskStatus.Succeeded, None, t0)
+        case Left(e) =>
+          w.status = TaskStatus.Failed
+          w.error = Some(e)
+          errors(name) = e
+          statuses(name) = TaskStatus.Failed
+          finishEvent(name, TaskStatus.Failed, Some(e), t0)
+          if (args.failFast) interrupted = true
+      }
+      schedule()
+    }
+    pool.shutdown()
   }
 
   /** compile command output: compile/<group>/<task>.sql

@@ -65,7 +65,8 @@ object Cli {
           failFast = parsed.contains("fail-fast"),
           upstreamProd = parsed.contains("upstream-prod"),
           profile = parsed.get("profile"),
-          debug = parsed.contains("debug"))
+          debug = parsed.contains("debug"),
+          jobs = parsed.get("jobs").map(_.toInt).getOrElse(1))
 
         val app = new App(db, objects, loaded.parameters,
           userTasks = loadUserTasks(),

@@ -28,10 +28,14 @@ trait EventListener {
   def close(): Unit = ()
 }
 
-/** Event multiplexer. A listener failure never fails the run. */
+/** Event multiplexer. A listener failure never fails the run; emission is
+  * synchronized so parallel task execution can't interleave inside a
+  * listener (the file log writes whole lines).
+  */
 final class Tracker(listeners: Seq[EventListener]) {
-  def emit(e: RunEvent): Unit =
+  def emit(e: RunEvent): Unit = synchronized {
     listeners.foreach(l => try l.onEvent(e) catch { case _: Exception => () })
+  }
   def task(name: String): TaskTracker = new TaskTracker(name, emit)
   def close(): Unit =
     listeners.foreach(l => try l.close() catch { case _: Exception => () })

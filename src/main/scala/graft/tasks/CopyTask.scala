@@ -86,15 +86,30 @@ final class CopyTask extends TaskRunner {
     if (isPath(compiledSrc)) Right(())
     else ctx.src(compiledSrc).map { rs => resolvedSrc = rs }
 
+  /** Path-vs-identifier precedence: any `/` or a `format:` prefix means a
+    * file source; everything else resolves through the catalog. A catalog
+    * identifier therefore can never contain `/` — acceptable on Spark,
+    * where identifiers are dot-separated.
+    */
   private def isPath(s: String): Boolean =
     s.contains("/") || s.matches("^(parquet|csv|json|orc):.*")
+
+  /** Schema inference for csv/json scans the file; cache the inferred
+    * schema so repeated reads (chunked merges, setup+run) scan data once.
+    */
+  private var inferredSchema: Option[org.apache.spark.sql.types.StructType] = None
 
   private def readSource(): DataFrame =
     if (isPath(resolvedSrc)) {
       resolvedSrc.split(":", 2) match {
         case Array(fmt, path) if Seq("parquet", "csv", "json", "orc").contains(fmt) =>
-          ctx.spark.read.format(fmt)
-            .option("header", "true").option("inferSchema", "true").load(path)
+          val reader = ctx.spark.read.format(fmt).option("header", "true")
+          val df = inferredSchema match {
+            case Some(s) => reader.schema(s).load(path)
+            case None => reader.option("inferSchema", "true").load(path)
+          }
+          inferredSchema = Some(df.schema)
+          df
         case _ => ctx.spark.read.parquet(resolvedSrc)
       }
     } else ctx.spark.table(resolvedSrc)

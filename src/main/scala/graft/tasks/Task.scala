@@ -34,7 +34,13 @@ final case class RunArguments(
     failFast: Boolean = false,
     upstreamProd: Boolean = false,
     profile: Option[String] = None,
-    debug: Boolean = false)
+    debug: Boolean = false,
+    /** Concurrent task slots. 1 = the reference's strictly-serial order
+      * (app.py:611-654); >1 runs independent DAG branches as concurrent
+      * Spark jobs — on a large cluster serial task order leaves executors
+      * idle whenever a branch doesn't saturate the cluster.
+      */
+    jobs: Int = 1)
 
 /** Everything a task runner sees: the Spark warehouse handle, the template
   * compiler, object resolution with lineage capture, and run parameters.
