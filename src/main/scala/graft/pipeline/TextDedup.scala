@@ -36,20 +36,34 @@ object TextDedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct word n-gram shingles per document: (id, shingle) rows.
-    * Tokenization is a single-space split (the corpus contract); shingles
-    * are built with lead() windows inside each document — no self-join.
+    * Tokenization is a single-space split (the corpus contract).
+    *
+    * Shingles are built IN-ROW — tokens array → n-gram array (transform
+    * over the valid start positions) → array_distinct → explode — so
+    * shingling is a pure projection: zero shuffles at any scale, and a
+    * consumer that reads this DataFrame several times (signatures +
+    * verification joins) re-runs a cheap scan rather than a window
+    * exchange. (A lead()-window formulation computes the same set but
+    * shuffles every token by document id, per use.)
+    *
+    * Precondition: `idCol` is unique per input row (one row per document)
+    * — per-document dedup happens in-row, so a repeated id would
+    * duplicate (id, shingle) pairs downstream.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val parts = (0 until n).map(i =>
-      if (i == 0) col("tok") else lead(col("tok"), i).over(w))
-    val withSep = parts.flatMap(p => Seq(p, lit(" "))).dropRight(1)
-    df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      // concat (not concat_ws) so a partial window tail yields NULL, not a
-      // short shingle
-      .select(col(idCol), concat(withSep: _*).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .distinct()
+    // materialize the token array FIRST: referencing split(...) inside the
+    // transform lambda re-evaluates the split per element_at call
+    // (n × grams × per row) — binding it to a column evaluates it once
+    val toks = col("_toks")
+    // guard: sequence(1, 0) runs DESCENDING in Spark, so short docs need
+    // an explicit empty start list
+    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(
+      starts,
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Exact pairwise n-gram Jaccard similarity ≥ `threshold` via an
