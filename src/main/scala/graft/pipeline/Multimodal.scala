@@ -1,8 +1,16 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** One payload row entering the batched decoder. Top-level case class:
+  * encoder codegen wants constructors without outer references.
+  */
+final case class MediaPayload(doc_id: Long, media_bytes: Array[Byte])
+
+/** Output of the (stub) image decode. */
+final case class DecodedImage(doc_id: Long, width: Int, height: Int, checksum: Long)
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with a
   * typed metadata struct, plus the transform plumbing (decode, resize spec,
@@ -67,6 +75,45 @@ object Multimodal {
   def sampleFrames(df: DataFrame, stride: Int = 10): DataFrame =
     df.withColumn("frame_idx",
       explode(sequence(lit(0), col("fake_n_frames") - 1, lit(stride))))
+
+  /** Batched decode plumbing — the Scala analog of a Pandas-UDF
+    * `mapInPandas` stage: rows stream through the codec in bounded
+    * batches, so a vectorized or native decoder amortizes its per-call
+    * overhead and memory is bounded by `batchSize`, never by partition
+    * size. The plan shape (typed mapPartitions after a payload
+    * projection) is exactly what a real codec plugs into; the default
+    * codec is the deterministic STUB [[stubDecodeBatch]].
+    *
+    * `mapPartitions` is justified here (the "last resort" rule): a batch
+    * call into an external codec is genuine per-partition imperative
+    * logic no Catalyst expression can express.
+    */
+  def decodeImagesBatched(
+      df: DataFrame,
+      idCol: String,
+      batchSize: Int = 64,
+      codec: Seq[MediaPayload] => Seq[DecodedImage] = stubDecodeBatch)
+      : Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("media_bytes"))
+      .as[MediaPayload]
+      .mapPartitions(_.grouped(batchSize).flatMap(b => codec(b.toSeq)))
+  }
+
+  /** STUB batch codec (a real build swaps in the native decoder):
+    * deterministic fake dimensions from payload size plus a rolling
+    * checksum over the bytes — enough to prove the bytes crossed the
+    * boundary intact.
+    */
+  def stubDecodeBatch(batch: Seq[MediaPayload]): Seq[DecodedImage] =
+    batch.map { p =>
+      val n = p.media_bytes.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum = sum * 31 + (p.media_bytes(i) & 0xff); i += 1 }
+      DecodedImage(p.doc_id, 16 + n % 64, 16 + (n / 64) % 64, sum)
+    }
 
   /** Size-bucket column for balanced decode stages: payloads within a
     * bucket are within 2× of each other, so `repartition(col("size_bucket"))`

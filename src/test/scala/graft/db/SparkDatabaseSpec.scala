@@ -163,6 +163,29 @@ class SparkDatabaseSpec extends SparkSpec {
     assert(rows(spark.table("atomic_dst")) == Set(Seq(1)))
   }
 
+  test("bucketed tables (cluster ddl) join without a shuffle exchange") {
+    val ddl = Ddl(clusterBy = Seq("id"), buckets = 4)
+    assert(db.createTable("bk_left",
+      "SELECT id, id * 2 AS a FROM RANGE(1000)", ddl).isRight)
+    assert(db.createTable("bk_right",
+      "SELECT id, id * 3 AS b FROM RANGE(1000)", ddl).isRight)
+    // small fixtures would broadcast (also shuffle-free, but that proves
+    // nothing about bucketing) — force the sort-merge path to show the
+    // co-located join: both sides pre-bucketed on the key with the same
+    // bucket count need NO shuffle exchange, the point of cluster/bucket
+    // DDL at 100 TB where neither side broadcasts
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_left")
+        .join(spark.table("bk_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("post hooks fire exactly once, after the destination swap") {
     val ddl = Ddl(postHooks = Seq(
       "INSERT INTO hook_log SELECT COUNT(*) FROM hook_t"))

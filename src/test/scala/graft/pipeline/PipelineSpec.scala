@@ -223,6 +223,30 @@ class PipelineSpec extends SparkSpec {
     assert(sampled == (0 until nFrames by 3))
   }
 
+  test("batched decode: bounded batches, bytes intact, dims match meta") {
+    val df = Multimodal.ingest(
+      spark.range(0, 200).selectExpr("id AS doc_id", "repeat('x', CAST(id AS INT) + 1) AS text"),
+      "text", "image")
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val decoded = Multimodal.decodeImagesBatched(df, "doc_id", batchSize = 16,
+      codec = { batch =>
+        batchSizes.add(batch.size)
+        Multimodal.stubDecodeBatch(batch)
+      }).collect()
+    assert(decoded.length == 200)
+    // batch shape: no call saw more than batchSize rows
+    assert(batchSizes.value.size() > 1)
+    batchSizes.value.forEach(s => assert(s <= 16))
+    // dims agree with the column-expression stub (same formula)
+    val viaMeta = Multimodal.fakeDecodeMeta(df)
+      .selectExpr("doc_id", "fake_width", "fake_height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    decoded.foreach(d => assert(viaMeta(d.doc_id) == ((d.width, d.height))))
+    // checksum proves payload bytes crossed the boundary intact:
+    // doc_id 0 is "x" → checksum = 'x'.toLong
+    assert(decoded.find(_.doc_id == 0L).get.checksum == 'x'.toLong)
+  }
+
   test("multimodal size buckets are log2-spaced") {
     val df = Seq((1L, "ab"), (2L, "x" * 100), (3L, "y" * 5000))
       .toDF("doc_id", "text")
