@@ -148,14 +148,16 @@ object TextDedup {
       .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard — intersection via the shingle
-    // join RESTRICTED to candidate pairs (semi-join), sizes joined after
+    // verify candidates with exact Jaccard, expanding ONLY candidate
+    // pairs against their shingle sets: candidates ⋈ sh(doc_a) then a
+    // semi-join on (doc_b, shingle) counts the intersection. Cost is
+    // O(candidates × shingles/doc) — NOT the full inverted-index join,
+    // which would cost as much as exact jaccardPairs and defeat the LSH.
     val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
     val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    val inter = candidates.join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val jac = col("n_common").cast("double") /
