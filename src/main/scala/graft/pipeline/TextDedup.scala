@@ -170,23 +170,14 @@ object TextDedup {
   }
 
   /** 64-bit SimHash fingerprint per document: bit i of the fingerprint is
-    * the sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1). Computed as 64
-    * conditional-sum aggregates over one token explode — single shuffle on
-    * the document id.
+    * the sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1). Computed in-row
+    * by the codegen'd [[graft.functions.SimHash64]] expression — a pure
+    * projection with zero shuffles (the aggregate formulation explodes
+    * every token and shuffles them all by document id).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s$i")
-    }
-    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce[Column](_.bitwiseOR(_))
-    sums.select(col(idCol), fp.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHash64.simhash64(split(col(textCol), " ")).as("simhash"))
 
   /** Near-duplicate pairs by SimHash hamming distance ≤ `maxHamming`,
     * bucketed by pigeonhole: split the 64-bit fingerprint into

@@ -107,6 +107,54 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((1L, 3L, 1)))
   }
 
+  test("simhash64 expression agrees with the aggregate formulation and eval") {
+    val sample = docs.limit(20)
+    val viaExpr = TextDedup.simhash(sample, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference formulation: explode + 64 conditional-sum aggregates
+    val tok = sample.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fpCol = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+    val viaAgg = sums.select(col("doc_id"), fpCol.as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+    // interpreted eval path matches codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val text = sample.select("text").head().getString(0)
+    val id = sample.select("doc_id").head().getLong(0)
+    val lit0 = Literal(
+      new GenericArrayData(text.split(" ").map(UTF8String.fromString(_: String))),
+      ArrayType(StringType))
+    assert(graft.functions.SimHash64(lit0).eval(null) == viaExpr(id))
+  }
+
+  test("longArrayDot: interpreted eval matches codegen result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val a = Array(3L, -4L, 5L)
+    val b = Array(2L, 10L, -1L)
+    val expected = 3L * 2 + -4L * 10 + 5L * -1
+    val viaEval = graft.functions.LongArrayDot(
+      Literal(new GenericArrayData(a), ArrayType(LongType)),
+      Literal(new GenericArrayData(b), ArrayType(LongType))).eval(null)
+    assert(viaEval == expected)
+    val viaDf = spark.sql("SELECT 1")
+      .select(graft.functions.GraftFunctions.longArrayDot(
+        typedlit(a.toSeq), typedlit(b.toSeq)))
+      .head().getLong(0)
+    assert(viaDf == expected)
+  }
+
   // ---- similarity --------------------------------------------------------
 
   test("bruteForceKnn: rank 1 is the true nearest by quantized cosine") {
