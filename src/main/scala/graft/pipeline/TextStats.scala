@@ -24,16 +24,21 @@ object TextStats {
     df.select(keep.map(col) :+ explode(split(col(textCol), " ")).as("tok"): _*)
 
   /** Per-document token statistics: token count, distinct count, average
-    * token length, type-token ratio.
+    * token length, type-token ratio. Computed IN-ROW over the token array
+    * — a pure projection, no shuffle at any scale (the groupBy
+    * formulation reshuffles every token by document id). Integer counts +
+    * one final double division keep it bit-identical to the SQL oracle.
     */
   def tokenStats(df: DataFrame, idCol: String, textCol: String, keep: String*): DataFrame = {
-    val tk = tokens(df, textCol, idCol +: keep: _*)
-    tk.groupBy((idCol +: keep).map(col): _*)
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("tok")).as("n_distinct"),
-        (sum(length(col("tok"))).cast("double") / count(lit(1))).as("avg_tok_len"),
-        (countDistinct(col("tok")).cast("double") / count(lit(1))).as("ttr"))
+    val toks = col("_toks")
+    val lenSum = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    df.select((idCol +: keep).map(col) :+ split(col(textCol), " ").as("_toks"): _*)
+      .select(
+        (idCol +: keep).map(col) ++ Seq(
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          (lenSum.cast("double") / size(toks)).as("avg_tok_len"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr")): _*)
   }
 
   /** Stopword list for quality scoring — function words whose density
@@ -55,12 +60,16 @@ object TextStats {
       groupCols: Seq[String],
       minChars: Int = 200,
       maxChars: Int = 450): DataFrame = {
-    val tk = tokens(df, textCol, (idCol +: charsCol +: groupCols).distinct: _*)
-    val perDoc = tk
-      .groupBy((idCol +: charsCol +: groupCols).distinct.map(col): _*)
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"))
+    // per-doc counts in-row (no doc-id shuffle); the only exchange left
+    // is the final group rollup
+    val toks = col("_toks")
+    val stopArr = typedlit(stopwords)
+    val perDoc = df
+      .select((idCol +: charsCol +: groupCols).distinct.map(col) :+
+        split(col(textCol), " ").as("_toks"): _*)
+      .select((idCol +: charsCol +: groupCols).distinct.map(col) ++ Seq(
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("n_stop")): _*)
     perDoc.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
@@ -104,23 +113,32 @@ object TextStats {
     * shingles (distinct). Two documents sharing any fingerprint share a
     * k-token run — the standard plagiarism/near-dup fingerprint
     * (Schleimer et al., SIGMOD'03). Output: (idCol, fingerprint).
+    *
+    * Fully in-row: positional shingle hashes as an array, rolling minima
+    * via slice + array_min, distinct, explode — a pure projection with no
+    * window exchange (the lead()/min()-over-window formulation shuffles
+    * every token by document id, twice).
     */
   def fingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4): DataFrame = {
-    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val parts = (0 until k).map(i =>
-      if (i == 0) col("tok") else lead(col("tok"), i).over(byPos))
-    val withSep = parts.flatMap(p => Seq(p, lit(" "))).dropRight(1)
-    val hashed = df
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
-      .select(col(idCol), col("pos"), concat(withSep: _*).as("shingle"))
-      .filter(col("shingle").isNotNull)
-      .select(col(idCol), col("pos"), xxhash64(col("shingle")).as("h"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(0, window - 1)
-    hashed
-      .select(col(idCol), min(col("h")).over(win).as("fingerprint"))
-      .distinct()
+    val toks = col("_toks")
+    val hArr = col("_hashes")
+    val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    // positional k-gram hashes (duplicates preserved — winnowing windows
+    // are positional)
+    val gramHashes = transform(
+      starts,
+      i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+    val winStarts = when(size(hArr) >= window,
+      sequence(lit(1), size(hArr) - (window - 1)))
+      .otherwise(when(size(hArr) > 0, sequence(lit(1), lit(1)))
+        .otherwise(array().cast("array<int>")))
+    val mins = transform(winStarts,
+      w => array_min(slice(hArr, w, least(lit(window), size(hArr)))))
+    df.select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), gramHashes.as("_hashes"))
+      .select(col(idCol), explode(array_distinct(mins)).as("fingerprint"))
   }
 }
