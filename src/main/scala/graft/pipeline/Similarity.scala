@@ -137,18 +137,21 @@ object Similarity {
       tables: Int = 8,
       bits: Int = 8): DataFrame = {
     val dims = df.select(size(col(embCol))).head().getInt(0)
+    // planes quantized to longs so every sign bit is one codegen'd
+    // integer dot product over the packed vector (the double-HOF
+    // formulation ran tables × bits interpreted lambda dots per row);
+    // scaling preserves sign structure, so it's the same LSH family
     val ps = planes(tables, bits, dims)
+      .map(_.map(_.map(d => math.floor(d * 1000000.0).toLong)))
+    val e = packedWithNorm(df, idCol, embCol)
     val bucketStructs = (0 until tables).map { t =>
       val bucket = (0 until bits).map { b =>
-        val plane = typedlit(ps(t)(b).toSeq)
-        val dot = aggregate(
-          zip_with(col(embCol), plane, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, x) => acc + x)
+        val dot = packedDot(col("q"), typedlit(ps(t)(b).toSeq))
         when(dot > 0, lit(1 << b)).otherwise(lit(0))
       }.reduce[Column](_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
-    val hashed = df
+    val hashed = e
       .select(col(idCol), explode(array(bucketStructs: _*)).as("h"))
       .select(col(idCol), col("h.tbl"), col("h.bucket"))
     val qb = df.filter(queryPred).select(col(idCol).as("qid"))
@@ -160,7 +163,6 @@ object Similarity {
       .distinct()
     // exact re-rank restricted to candidates: packed arrays join in (query
     // side broadcast), each cosine is one in-row codegen'd dot product
-    val e = packedWithNorm(df, idCol, embCol)
     val qe = e.join(qb, e(idCol) === qb("qid"), "left_semi")
       .select(col(idCol).as("qid"), col("q").as("qq"), col("nrm").as("q_nrm"))
     val cosine = packedDot(col("qq"), col("nq")).cast("double") /
