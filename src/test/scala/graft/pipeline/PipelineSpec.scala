@@ -47,6 +47,18 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
   }
 
+  test("shingles/fingerprints edge cases: docs shorter than n/k/window") {
+    val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "a b c d e")).toDF("doc_id", "text")
+    // n=3: doc1 has no shingle, doc2 exactly one, doc3 three
+    val sh = TextDedup.shingles(df, "doc_id", "text", n = 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(sh == Map(2L -> 1, 3L -> 3))
+    // k=5,window=4: doc3 has exactly one 5-gram → one (short-window) print
+    val fp = TextStats.fingerprints(df, "doc_id", "text").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(fp == Map(3L -> 1))
+  }
+
   test("document-frequency pruning drops stop-shingles") {
     val df = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"))
       .toDF("doc_id", "text")
