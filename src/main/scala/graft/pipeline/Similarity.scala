@@ -161,8 +161,16 @@ object Similarity {
       .filter(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("nid"))
       .distinct()
-    // exact re-rank restricted to candidates: packed arrays join in (query
-    // side broadcast), each cosine is one in-row codegen'd dot product
+    exactReRank(e, idCol, qb, candidates, k)
+  }
+
+  /** Exact cosine re-rank of (qid, nid) candidate pairs over the packed
+    * frame: query side broadcast, one in-row codegen'd dot per pair,
+    * top-k per query (ties → lower id).
+    */
+  private def exactReRank(
+      e: DataFrame, idCol: String, qb: DataFrame,
+      candidates: DataFrame, k: Int): DataFrame = {
     val qe = e.join(qb, e(idCol) === qb("qid"), "left_semi")
       .select(col(idCol).as("qid"), col("q").as("qq"), col("nrm").as("q_nrm"))
     val cosine = packedDot(col("qq"), col("nq")).cast("double") /
@@ -175,5 +183,83 @@ object Similarity {
       .orderBy(col("cosine").desc, col("nid").asc)
     scored.select(col("qid"), col("nid"), row_number().over(w).as("rank"), col("cosine"))
       .filter(col("rank") <= k)
+  }
+
+  /** IVF (inverted-file) approximate nearest neighbors — the second
+    * standard scale path next to [[annLsh]]: a k-means coarse quantizer
+    * partitions the corpus into `nlist` inverted lists; a query probes its
+    * `nprobe` nearest centroids and exact-re-ranks only those lists.
+    * Cost: O(rows × nlist) assignment (codegen'd integer dots against
+    * centroid literals, no shuffle) + O(queries × nprobe × rows/nlist)
+    * re-rank through the (cluster) equi-join — never all-pairs.
+    *
+    * Training is `iters` Lloyd iterations, fully deterministic: centroids
+    * initialize from an id-ordered stride sample (no RNG), assignments
+    * break ties toward the lower centroid index, and means floor-quantize.
+    * Each iteration collects nlist × dims longs to the driver — they ARE
+    * the next round's broadcast literals.
+    */
+  def annIvf(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val e = packedWithNorm(df, idCol, embCol)
+
+    // (score, j) per centroid; struct ordering gives argmin with
+    // deterministic index tie-break. |q|² is constant per row, so
+    // score = |c|² − 2·q·c orders identically to squared distance.
+    def scoreStructs(cents: Array[Array[Long]]): Seq[Column] =
+      cents.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+        val cNorm = c.map(x => x * x).sum
+        struct(
+          (lit(cNorm) - lit(2L) * packedDot(col("q"), typedlit(c.toSeq))).as("score"),
+          lit(j).as("cluster"))
+      }
+    def assigned(cents: Array[Array[Long]]): DataFrame =
+      e.select(col(idCol), col("q"), col("nrm"),
+        array_min(array(scoreStructs(cents): _*)).getField("cluster").as("cluster"))
+
+    // deterministic init: the nlist lowest id-hashes — a pseudo-random
+    // but reproducible spread sample, planned as TakeOrderedAndProject
+    // (top-k, no global sort materialization)
+    var centroids = e
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nlist)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+
+    for (_ <- 0 until iters) {
+      val means = assigned(centroids)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(floor(avg(col("v"))).cast("long").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { j =>
+        byCluster.get(j) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+          case None => centroids(j) // empty cluster keeps its centroid
+        }
+      }.toArray
+    }
+
+    val lists = assigned(centroids).select(col(idCol), col("cluster"))
+    val qb = df.filter(queryPred).select(col(idCol).as("qid"))
+    // probe lists: nprobe best clusters per query via sorted score array
+    val probes = e.join(qb, e(idCol) === qb("qid"), "left_semi")
+      .select(col(idCol).as("qid"),
+        slice(sort_array(array(scoreStructs(centroids): _*)), 1, nprobe).as("ps"))
+      .select(col("qid"), explode(col("ps")).as("p"))
+      .select(col("qid"), col("p.cluster").as("cluster"))
+    val candidates = lists.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"))
+      .distinct()
+    exactReRank(e, idCol, qb, candidates, k)
   }
 }

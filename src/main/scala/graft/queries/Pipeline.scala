@@ -241,6 +241,12 @@ object Pipeline {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       queryPred = col("vec_id") < 5, k = 10)
 
+  // q31: ANN via IVF (k-means inverted lists + probe + exact re-rank)
+  def q31AnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 5, k = 10)
+
   // q29: SimHash fingerprints + banded hamming-near pairs
   def q29SimhashPairs(s: SparkSession, dir: String): DataFrame =
     TextDedup.simhashPairs(
@@ -263,6 +269,7 @@ object Pipeline {
     "q26_embed_dup" -> (q26EmbedDup _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
+    "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
     "q30_fingerprints" -> (q30Fingerprints _))
 

@@ -201,6 +201,24 @@ class PipelineSpec extends SparkSpec {
     assert(ann.forall { case (q, n) => q != n })
   }
 
+  test("annIvf recall vs brute force on fixture embeddings") {
+    def topSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = col("vec_id") < 5
+    val exact = topSet(Similarity.bruteForceKnn(embs, "vec_id", "embedding", pred, k = 10))
+    // 50-vector fixture: 8 lists of ~6, probing 4 covers ~half the corpus
+    val ivf = topSet(Similarity.annIvf(embs, "vec_id", "embedding", pred,
+      k = 10, nlist = 8, nprobe = 4))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall")
+    assert(ivf.forall { case (q, n) => q != n })
+    // deterministic: same inputs → same answer
+    val again = topSet(Similarity.annIvf(embs, "vec_id", "embedding", pred,
+      k = 10, nlist = 8, nprobe = 4))
+    assert(ivf == again)
+  }
+
   test("embeddingDupPairs finds the planted duplicate pair") {
     val df = Seq(
       (0L, Array(0.5f, 0.5f, 0.1f)),
