@@ -43,6 +43,7 @@ object Compiler {
       branches: Seq[(String, Seq[Node])], elseBody: Seq[Node]) extends Node
   private final case class ForNode(
       varName: String, iterExpr: String, body: Seq[Node]) extends Node
+  private final case class SetNode(varName: String, expr: String) extends Node
 
   /** `{{ expr }}` | `{% tag %}` (with optional whitespace-control dashes,
     * treated as plain tags) | `{# comment #}`.
@@ -94,6 +95,14 @@ object Compiler {
                 parseFor(tag.stripPrefix("for").trim) match {
                   case Right(n) => out += n
                   case Left(e) => return Left(e)
+                }
+              case "set" =>
+                i += 1
+                val SetHeader = "^([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*(.+)$".r
+                tag.stripPrefix("set").trim match {
+                  case SetHeader(v, e) => out += SetNode(v, e)
+                  case other => return Left(ParseError(
+                    s"malformed set tag: {% set $other %} (expected {% set var = expr %})"))
                 }
               case other =>
                 return Left(ParseError(s"unexpected template tag '{% $tag %}'" +
@@ -160,11 +169,17 @@ object Compiler {
   // ---- renderer ----------------------------------------------------------
 
   private def render(
-      nodes: Seq[Node], ctx: Context, scope: Map[String, Any]): Result[String] = {
+      nodes: Seq[Node], ctx: Context, scope0: Map[String, Any]): Result[String] = {
     val sb = new StringBuilder
+    var scope = scope0 // {% set %} extends the scope for the rest of the block
     for (n <- nodes) {
       val piece: Result[String] = n match {
         case Text(s) => Right(s)
+        case SetNode(v, e) =>
+          Expr.eval(e, scope) match {
+            case Right(value) => scope += (v -> value); Right("")
+            case Left(err) => Left(err)
+          }
         case Interp(e) => evalExpr(e, ctx, scope)
         case IfNode(branches, elseBody) =>
           branches.find { case (cond, _) =>

@@ -110,6 +110,19 @@ class CompilerSpec extends AnyFunSuite {
       Right("SELECT * FROM db.t1;SELECT * FROM db.t2;"))
   }
 
+  test("set assigns for the rest of the block, shadows params") {
+    val t = "{% set lim = n %}{% if lim > 5 %}big {{ lim }}{% endif %}"
+    assert(Compiler.compile(t, Context(Map("n" -> 9L))) == Right("big 9"))
+    // shadowing and literals
+    assert(Compiler.compile(
+      "{% set x = 'over' %}{{ x }}", Context(Map("x" -> "orig"))) == Right("over"))
+    // inside a for body, set lives per iteration scope onwards
+    assert(Compiler.compile(
+      "{% for i in xs %}{% set y = i %}{{ y }}{% endfor %}",
+      Context(Map("xs" -> Seq(1L, 2L)))) == Right("12"))
+    assert(Compiler.compile("{% set = 3 %}", Context()).isLeft)
+  }
+
   test("comments are dropped; unclosed blocks and bad tags error") {
     assert(Compiler.compile("a{# note #}b", Context()) == Right("ab"))
     assert(Compiler.compile("{% if x %}y", Context()).isLeft)
