@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property tests over random micro-corpora (deterministic seeds, the
+  * DagSpec pattern): algebraic invariants the example-based spec can't pin
+  * down — bounds, conservation, content-determinism.
+  */
+class PipelinePropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val word = Gen.oneOf("spark", "scan", "row", "agg", "key", "hash",
+    "table", "join", "batch", "merge")
+  private val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word))
+    .map(_.mkString(" "))
+  private val corpus = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, doc))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g(Gen.Parameters.default, Seed(seed)).get
+
+  private def df(docs: List[String]) =
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("property: exactDedup conserves rows; keep_id is a member id") {
+    (1 to 8).foreach { s =>
+      val docs = sample(corpus, s.toLong)
+      val out = TextDedup.exactDedup(df(docs), "doc_id", "text").collect()
+      assert(out.map(_.getAs[Long]("n_copies")).sum == docs.size, s"seed $s")
+      assert(out.forall { r =>
+        val k = r.getAs[Long]("keep_id"); k >= 0 && k < docs.size
+      }, s"seed $s")
+    }
+  }
+
+  test("property: jaccard in (0,1], ordered pairs, identical docs score 1") {
+    (1 to 8).foreach { s =>
+      val docs = sample(corpus, 100L + s)
+      val withDup = docs :+ docs.head // force one identical pair
+      val sh = TextDedup.shingles(df(withDup), "doc_id", "text", n = 2)
+      val pairs = TextDedup.jaccardPairs(sh, "doc_id", threshold = 0.0).collect()
+      pairs.foreach { r =>
+        val j = r.getAs[Double]("jaccard")
+        assert(j > 0.0 && j <= 1.0, s"seed $s: $j")
+        assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"), s"seed $s")
+      }
+      if (withDup.head.split(" ").length >= 2) {
+        val dup = pairs.find(r => r.getAs[Long]("doc_a") == 0L &&
+          r.getAs[Long]("doc_b") == withDup.size - 1L)
+        assert(dup.exists(_.getAs[Double]("jaccard") == 1.0), s"seed $s")
+      }
+    }
+  }
+
+  test("property: simhash depends only on content") {
+    (1 to 8).foreach { s =>
+      val docs = sample(corpus, 200L + s)
+      val frame = df(docs ++ docs) // every doc twice under different ids
+      val fp = TextDedup.simhash(frame, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.indices.foreach { i =>
+        assert(fp(i.toLong) == fp((i + docs.size).toLong), s"seed $s doc $i")
+      }
+    }
+  }
+
+  test("property: identical docs have identical minhash signatures") {
+    (1 to 8).foreach { s =>
+      val d = sample(doc, 300L + s)
+      if (d.split(" ").length >= 2) {
+        val frame = Seq((0L, d), (1L, d)).toDF("doc_id", "text")
+        val sh = TextDedup.shingles(frame, "doc_id", "text", n = 2)
+        val sig = TextDedup.minhashSignatures(sh, "doc_id", numPerms = 8)
+          .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+        assert(sig(0L) == sig(1L), s"seed $s")
+      }
+    }
+  }
+}
