@@ -226,6 +226,24 @@ object Pipeline {
       |FROM dots JOIN norms na ON vec_a=na.vec_id JOIN norms nb ON vec_b=nb.vec_id
       |WHERE CAST(dot AS DOUBLE)/SQRT(CAST(na.nrm AS DOUBLE)*CAST(nb.nrm AS DOUBLE)) >= 0.4""".stripMargin
 
+  // q32: semi-structured extraction — JSON props column (the reference's
+  // JSON type maps through warehouse JSON functions; here
+  // get_json_object, codegen'd, pushes no UDF into the scan)
+  def q32JsonProps(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"))
+  }
+
+  val q32Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   // ---- LSH / approximate variants: no SQL oracle (driver rows-only
   // check); recall vs the exact answer is asserted in PipelineSpec -------
 
@@ -267,6 +285,7 @@ object Pipeline {
     "q21_sessions" -> (q21Sessions _),
     "q25_multimodal" -> (q25Multimodal _),
     "q26_embed_dup" -> (q26EmbedDup _),
+    "q32_json_props" -> (q32JsonProps _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -282,5 +301,6 @@ object Pipeline {
     "q20_lang_id" -> q20Sql,
     "q21_sessions" -> q21Sql,
     "q25_multimodal" -> q25Sql,
-    "q26_embed_dup" -> q26Sql)
+    "q26_embed_dup" -> q26Sql,
+    "q32_json_props" -> q32Sql)
 }
