@@ -209,10 +209,17 @@ final class App(
   }
 
   /** Execute one task's configured command. Pure of scheduler state —
-    * shared by the serial and parallel executors.
+    * shared by the serial and parallel executors. Every Spark job the
+    * task triggers runs under a job group named after the task, so the
+    * Spark UI / event logs attribute cluster work to engine tasks — the
+    * job group is thread-local, so concurrent tasks don't clobber each
+    * other's group.
     */
-  private def executeOne(w: TaskWrapper, args: RunArguments): Result[Unit] =
-    w.runner.setup().flatMap { _ =>
+  private def executeOne(w: TaskWrapper, args: RunArguments): Result[Unit] = {
+    val sc = db.spark.sparkContext
+    sc.setJobGroup(s"graft:${w.name}",
+      s"graft ${args.command} ${w.group}/${w.name}", interruptOnCancel = true)
+    try w.runner.setup().flatMap { _ =>
       args.command match {
         case "run" =>
           w.runner.run().flatMap { _ =>
@@ -226,7 +233,8 @@ final class App(
         case other =>
           Left(ConfigError(s"unknown command '$other'"))
       }
-    }
+    } finally sc.clearJobGroup()
+  }
 
   /** Reference-parity executor: strictly serial in topo order
     * (app.py:611-654) with skip propagation (task_wrapper.py:269-300).

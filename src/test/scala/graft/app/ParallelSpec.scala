@@ -85,6 +85,28 @@ class ParallelSpec extends SparkSpec {
     assert(report.statuses("s_tail").name == "skipped")
   }
 
+  test("each task's Spark jobs run under its own job group") {
+    import graft.core.Result.Result
+    import graft.tasks.{RunArguments => RA, TaskContext, UserTask}
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    class Probe(name: String) extends UserTask {
+      override def run(ctx: TaskContext): Result[Unit] = {
+        seen.put(name,
+          ctx.spark.sparkContext.getLocalProperty("spark.jobGroup.id"))
+        Right(())
+      }
+    }
+    val specs = Seq(
+      TaskSpec("jg_a", "g", Map("type" -> "user")),
+      TaskSpec("jg_b", "g", Map("type" -> "user")))
+    val app = new App(db, new DbObjectCompiler("spark"),
+      userTasks = Map("jg_a" -> new Probe("jg_a"), "jg_b" -> new Probe("jg_b")))
+    val Right(report) = app.run(specs, RA(jobs = 2))
+    assert(report.succeeded, report.errors)
+    assert(seen.get("jg_a") == "graft:jg_a")
+    assert(seen.get("jg_b") == "graft:jg_b")
+  }
+
   test("parallel and serial agree on a mixed DAG") {
     def specs(tag: String) = Seq(
       sqlTask(s"m_a_$tag", s"CREATE OR REPLACE VIEW mix_a_$tag AS SELECT 1 AS x"),
