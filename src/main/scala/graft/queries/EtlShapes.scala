@@ -94,6 +94,48 @@ object EtlShapes {
       |  o_orderpriority AS priority
       |FROM orders""".stripMargin
 
+  /** q33: full incremental CopyTask run — the watermark + delete-key merge
+    * path end-to-end (copy.py:632-691 semantics). The destination is
+    * pre-seeded with a stale snapshot (rows with upd < 50, zeroed price);
+    * the copy extracts src rows with upd >= max(dst.upd) − the reference's
+    * `>=` watermark — and upserts them on the order key, so rows at the
+    * watermark boundary (upd = 49) refresh and everything below stays
+    * stale. Final state is pure SQL for the oracle.
+    */
+  def q33CopyIncremental(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val objects = new DbObjectCompiler("spark")
+    val ctx = new TaskContext("q33_copy_inc", "verify", db, objects, Map.empty, RunArguments())
+    dropPhysical(s, "q33_src", "q33_dst",
+      "graft_tmp_q33_dst", "graft_tmp_merge_q33_dst", "graft_tmp_backup_q33_dst")
+    val src = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("o_orderkey") % 100).as("upd"))
+    src.write.mode("overwrite").saveAsTable("q33_src")
+    src.filter(col("upd") < 50)
+      .withColumn("o_totalprice", lit(0.0))
+      .write.mode("overwrite").saveAsTable("q33_dst")
+    val task = new CopyTask
+    val cfg = Map[String, Any](
+      "source" -> "q33_src", "destination" -> "q33_dst",
+      "incremental_key" -> "upd", "delete_key" -> "o_orderkey")
+    (for {
+      _ <- task.config(ctx, cfg)
+      _ <- task.setup()
+      _ <- task.run()
+    } yield ()).left.foreach(fail)
+    val resolved = objects.fromString("q33_dst")
+      .map(objects.outValue).fold(fail, identity)
+    s.table(resolved)
+  }
+
+  val q33Sql: String =
+    """WITH src AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |  o_orderkey % 100 AS upd FROM orders)
+      |SELECT o_orderkey, o_custkey, 0.0 AS o_totalprice, upd FROM src WHERE upd < 49
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, upd FROM src WHERE upd >= 49""".stripMargin
+
   /** q24: standard column tests as a violation report (standard_tests.sql
     * shape: value, count, test type, column): unique on l_orderkey (fails —
     * lineitem has ~4 rows per order) and allowed_values on l_returnflag
@@ -121,10 +163,12 @@ object EtlShapes {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_merge" -> (q22Merge _),
     "q23_copy" -> (q23Copy _),
-    "q24_violations" -> (q24Violations _))
+    "q24_violations" -> (q24Violations _),
+    "q33_copy_incremental" -> (q33CopyIncremental _))
 
   def oracles: Map[String, String] = Map(
     "q22_merge" -> q22Sql,
     "q23_copy" -> q23Sql,
-    "q24_violations" -> q24Sql)
+    "q24_violations" -> q24Sql,
+    "q33_copy_incremental" -> q33Sql)
 }
