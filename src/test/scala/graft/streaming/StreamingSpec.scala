@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -43,6 +44,34 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dd").count() == 2)
+  }
+
+  test("file-source stream: readStream over the events fixture parquet") {
+    // the real readStream → transform → writeStream path (not MemoryStream):
+    // nanos ts read as long, converted exactly to µs timestamps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    // file streams watch a DIRECTORY; stage the fixture file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Streaming.windowedCounts(stream, "ts", "event_type",
+        windowLen = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("fs").outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val batchTotals = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamTotals = spark.table("fs")
+      .groupBy("event_type").sum("n_events").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamTotals == batchTotals) // stream saw every event exactly once
   }
 
   test("sessionize closes sessions on gap and on stream end (timeout)") {
