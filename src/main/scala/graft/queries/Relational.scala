@@ -247,6 +247,57 @@ object Relational {
       |WHERE o_orderdate IS NULL OR o_orderdate >=
       |  (SELECT MAX(o_orderdate) - INTERVAL 30 DAY FROM orders)""".stripMargin
 
+  // q34: FULL OUTER JOIN + COALESCE (reconciliation-report shape)
+  def q34FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"), col("c_name"))
+    val o = t(s, dir, "orders").filter(col("o_custkey") >= 50)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+        c("c_name"), o("n_orders"))
+  }
+
+  val q34Sql: String =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100),
+      |o AS (SELECT o_custkey, COUNT(*) AS n_orders
+      |      FROM orders WHERE o_custkey >= 50 GROUP BY 1)
+      |SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+      |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey""".stripMargin
+
+  // q35: scalar-function battery — date parts/trunc, string case/substr/
+  // length, abs/floor, greatest/least (the everyday warehouse-SQL surface)
+  def q35ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_orderkey") % 10 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        lower(col("o_orderstatus")).as("status_lower"),
+        substring(col("o_orderpriority"), 1, 3).as("pri3"),
+        length(col("o_orderpriority")).as("pri_len"),
+        abs(col("o_totalprice") - 100000.0).as("dist"),
+        floor(col("o_totalprice") / 1000.0).as("k_bucket"),
+        greatest(col("o_custkey"), lit(1000L)).as("g"),
+        least(col("o_custkey"), lit(1000L)).as("l"))
+
+  val q35Sql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  upper(o_orderpriority) AS pri_upper, lower(o_orderstatus) AS status_lower,
+      |  substring(o_orderpriority, 1, 3) AS pri3,
+      |  length(o_orderpriority) AS pri_len,
+      |  abs(o_totalprice - 100000.0) AS dist,
+      |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS k_bucket,
+      |  greatest(o_custkey, 1000) AS g, least(o_custkey, 1000) AS l
+      |FROM orders WHERE o_orderdate IS NOT NULL AND o_orderkey % 10 = 0""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -261,7 +312,9 @@ object Relational {
     "q11_window" -> (q11Window _),
     "q12_rollup" -> (q12Rollup _),
     "q13_in_subquery" -> (q13InSubquery _),
-    "q14_watermark" -> (q14Watermark _))
+    "q14_watermark" -> (q14Watermark _),
+    "q34_full_outer" -> (q34FullOuter _),
+    "q35_scalar_funcs" -> (q35ScalarFuncs _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -277,5 +330,7 @@ object Relational {
     "q11_window" -> q11Sql,
     "q12_rollup" -> q12Sql,
     "q13_in_subquery" -> q13Sql,
-    "q14_watermark" -> q14Sql)
+    "q14_watermark" -> q14Sql,
+    "q34_full_outer" -> q34Sql,
+    "q35_scalar_funcs" -> q35Sql)
 }
