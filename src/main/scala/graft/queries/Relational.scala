@@ -298,6 +298,32 @@ object Relational {
       |  greatest(o_custkey, 1000) AS g, least(o_custkey, 1000) AS l
       |FROM orders WHERE o_orderdate IS NOT NULL AND o_orderkey % 10 = 0""".stripMargin
 
+  // q36: ranking/navigation window battery — rank, dense_rank, lag, lead,
+  // ntile (integer-valued, so cross-engine deterministic; ordering fully
+  // tie-broken)
+  def q36WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 30)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |  lag(o_orderkey, 1) OVER w AS prev_key, lead(o_orderkey, 1) OVER w AS next_key,
+      |  ntile(4) OVER w AS quartile
+      |FROM orders WHERE o_custkey <= 30
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -314,7 +340,8 @@ object Relational {
     "q13_in_subquery" -> (q13InSubquery _),
     "q14_watermark" -> (q14Watermark _),
     "q34_full_outer" -> (q34FullOuter _),
-    "q35_scalar_funcs" -> (q35ScalarFuncs _))
+    "q35_scalar_funcs" -> (q35ScalarFuncs _),
+    "q36_window_funcs" -> (q36WindowFuncs _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -332,5 +359,6 @@ object Relational {
     "q13_in_subquery" -> q13Sql,
     "q14_watermark" -> q14Sql,
     "q34_full_outer" -> q34Sql,
-    "q35_scalar_funcs" -> q35Sql)
+    "q35_scalar_funcs" -> q35Sql,
+    "q36_window_funcs" -> q36Sql)
 }
