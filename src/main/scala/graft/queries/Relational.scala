@@ -324,6 +324,32 @@ object Relational {
       |FROM orders WHERE o_custkey <= 30
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
 
+  // q37: EXCEPT / INTERSECT set operations (distinct semantics), combined
+  // so one entry covers both remaining set operators
+  def q37SetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val except = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .except(li.filter(col("l_linestatus") === "F")
+        .select(col("l_orderkey"), col("l_partkey")))
+    val intersect = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+      .intersect(li.filter(col("l_returnflag") === "A").select(col("l_orderkey")))
+    except.join(intersect, Seq("l_orderkey"), "left_semi")
+  }
+
+  val q37Sql: String =
+    """WITH ex AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |  EXCEPT
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+      |ins AS (
+      |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      |  INTERSECT
+      |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+      |SELECT l_orderkey, l_partkey FROM ex
+      |WHERE l_orderkey IN (SELECT l_orderkey FROM ins)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -341,7 +367,8 @@ object Relational {
     "q14_watermark" -> (q14Watermark _),
     "q34_full_outer" -> (q34FullOuter _),
     "q35_scalar_funcs" -> (q35ScalarFuncs _),
-    "q36_window_funcs" -> (q36WindowFuncs _))
+    "q36_window_funcs" -> (q36WindowFuncs _),
+    "q37_set_ops" -> (q37SetOps _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -360,5 +387,6 @@ object Relational {
     "q14_watermark" -> q14Sql,
     "q34_full_outer" -> q34Sql,
     "q35_scalar_funcs" -> q35Sql,
-    "q36_window_funcs" -> q36Sql)
+    "q36_window_funcs" -> q36Sql,
+    "q37_set_ops" -> q37Sql)
 }
