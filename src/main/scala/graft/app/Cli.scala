@@ -43,6 +43,7 @@ object Cli {
             sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
           .config("spark.sql.adaptive.enabled", "true")
           .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
           .config("spark.sql.warehouse.dir", warehouse.resolve("warehouse").toString)
           .config("javax.jdo.option.ConnectionURL",
             s"jdbc:derby:;databaseName=${warehouse.resolve("metastore")};create=true")

@@ -150,6 +150,9 @@ final class SparkDatabase(
     * behind (matches the reference's whole-table DELETE,
     * templates/merge_tables.sql). Finding those costs one scan of dst
     * (semi-join against the distinct src keys) but rewrites nothing extra.
+    * A touched partition that empties entirely is cleared explicitly
+    * (dynamic overwrite only replaces partitions present in the written
+    * data, so an emptied one would otherwise keep its stale files).
     *
     * Atomicity: the partitioned path commits each touched partition via
     * Spark's job commit — a failure mid-commit can leave a subset of
@@ -163,12 +166,27 @@ final class SparkDatabase(
       src: String, dst: String, deleteKey: String,
       ddl: Ddl = Ddl.empty): Result[Unit] = {
     val partitionMerge = Result.attempt {
-      val srcDf = spark.table(src)
-      val dstDf = spark.table(dst)
-      val dstCols = dstDf.columns.toIndexedSeq
-      val srcAligned = srcDf.select(dstCols.map(col): _*)
       val partCols = spark.catalog.listColumns(dst)
         .collect().filter(_.isPartition).map(_.name).toSeq
+      // isolated session for the partitioned path: same SparkContext,
+      // SAME catalog/warehouse (SharedState), but a PRIVATE SQLConf —
+      // dynamic partition overwrite is scoped to this merge and can
+      // neither leak into nor be clobbered by tasks the parallel executor
+      // runs concurrently on the main session. (A writer-level
+      // .option("partitionOverwriteMode", ...) is not forwarded by
+      // insertInto, and a shared-session conf.set is exactly the race
+      // the r3 review flagged.)
+      val session =
+        if (partCols.isEmpty) spark
+        else {
+          val s = spark.newSession()
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          s
+        }
+      val srcDf = session.table(src)
+      val dstDf = session.table(dst)
+      val dstCols = dstDf.columns.toIndexedSeq
+      val srcAligned = srcDf.select(dstCols.map(col): _*)
       if (partCols.nonEmpty) {
         // touched = partitions present in src ∪ partitions of dst rows whose
         // delete key is in src (the key may have MOVED partitions between
@@ -177,16 +195,40 @@ final class SparkDatabase(
         val srcKeys = srcAligned.select(col(deleteKey)).distinct()
         val movedParts = dstDf.join(srcKeys, Seq(deleteKey), "left_semi")
           .select(partCols.map(col): _*).distinct()
-        val touched = srcAligned.select(partCols.map(col): _*)
+        val touchedRows = srcAligned.select(partCols.map(col): _*)
           .union(movedParts).distinct()
-        val affected = dstDf.join(touched, partCols, "left_semi")
-        val merged = affected
+          .collect() // bounded: one tuple per partition touched by this batch
+        // literal OR-of-ANDs predicate → STATIC partition pruning on the
+        // dst scan (only touched partitions are read, no runtime DPP needed)
+        val touchedPred = touchedRows.toIndexedSeq.map { r =>
+          partCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        val merged = dstDf.filter(touchedPred)
           .join(srcAligned, Seq(deleteKey), "left_anti")
           .unionByName(srcAligned)
           .select(dstCols.map(col): _*) // insertInto is positional
-        withConf("spark.sql.sources.partitionOverwriteMode", "dynamic") {
+          .cache() // bounded by the incremental batch's touched partitions
+        try {
+          val remaining = merged.select(partCols.map(col): _*).distinct()
+            .collect().map(_.toSeq).toSet
+          // dynamic overwrite via the isolated session's conf (see above):
+          // replaces exactly the partitions present in `merged`
           merged.write.mode(SaveMode.Overwrite).insertInto(dst)
-        }
+          // a touched partition whose rows ALL merged away (every key moved
+          // or was replaced elsewhere) appears nowhere in the written data,
+          // so dynamic overwrite leaves its old files — DROP each such
+          // partition (metadata + data for managed tables). Non-null
+          // partition values only — null partition keys fall outside the
+          // reference's merge contract.
+          touchedRows.filterNot(r => remaining.contains(r.toSeq)).foreach { r =>
+            val spec = partCols.zipWithIndex.map { case (c, i) =>
+              s"$c=${sqlLiteral(r.get(i))}"
+            }.mkString(", ")
+            spark.sql(s"ALTER TABLE $dst DROP IF EXISTS PARTITION ($spec)")
+          }
+        } finally merged.unpersist()
         None
       } else {
         val merged = dstDf
@@ -204,17 +246,6 @@ final class SparkDatabase(
       _ <- tmp.map(moveTable(_, dst)).getOrElse(Right(()))
       _ <- Result.attempt { spark.sql(s"DROP TABLE IF EXISTS $src"); () }
     } yield ()
-  }
-
-  /** Run `body` with a session conf temporarily set. */
-  private def withConf[A](key: String, value: String)(body: => A): A = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
   }
 
   /** Incremental materialisation: stage the SELECT, then merge into the
@@ -369,6 +400,15 @@ final class SparkDatabase(
     }
 
   // ---- helpers ------------------------------------------------------------
+
+  /** SQL literal for a static partition-spec value. */
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: java.sql.Date => s"'$d'"
+    case t: java.sql.Timestamp => s"'$t'"
+    case other => other.toString
+  }
 
   def tmpName(table: String, extra: String = ""): String = {
     val parts = table.split("\\.")

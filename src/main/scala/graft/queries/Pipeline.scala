@@ -160,10 +160,11 @@ object Pipeline {
 
   // q21: gap-based sessionization of the event stream (30-minute gap).
   // The fixture's ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-  // reader rejects; read nanos as long and convert exactly — every fixture
-  // ts has zero sub-microsecond part, so `div 1000` loses nothing.
+  // reader rejects; nanosAsLong (set at SESSION BUILD by Bench/Verify/
+  // Explain/Cli — query functions never mutate the shared session conf)
+  // reads nanos as long, converted exactly — every fixture ts has zero
+  // sub-microsecond part, so `div 1000` loses nothing.
   def q21Sessions(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = t(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     Sessionize.label(events, "user_id", "ts", tieBreak = Seq("event_id"))
@@ -230,7 +231,6 @@ object Pipeline {
   // JSON type maps through warehouse JSON functions; here
   // get_json_object, codegen'd, pushes no UDF into the scan)
   def q32JsonProps(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(

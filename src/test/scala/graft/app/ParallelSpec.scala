@@ -107,6 +107,45 @@ class ParallelSpec extends SparkSpec {
     assert(seen.get("jg_b") == "graft:jg_b")
   }
 
+  test("partitioned merge beside a concurrent plain overwrite: no conf leak") {
+    // the merge scopes partitionOverwriteMode to an isolated session; a
+    // shared-session set (the old withConf) would race with this concurrent
+    // task's plain overwrite — under leaked dynamic mode the overwrite
+    // would keep partitions absent from the new data
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.db.Ddl
+    import spark.implicits._
+    val ddl = Ddl(partitionBy = Seq("p"))
+    assert(db.createTable("cc_dst",
+      "SELECT id, CAST(id % 4 AS INT) AS p, 'old' AS v FROM RANGE(40)", ddl).isRight)
+    assert(db.createTable("cc_src",
+      "SELECT id, CAST(1 AS INT) AS p, 'new' AS v FROM RANGE(0, 40, 4)", ddl).isRight)
+    assert(db.createTable("cc_other",
+      "SELECT id, CAST(id % 2 AS INT) AS p, 'stale' AS v FROM RANGE(10)", ddl).isRight)
+    val before = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val mergeF = Future(db.mergeTables("cc_src", "cc_dst", "id", ddl))
+    val overwriteF = Future {
+      // overwrite with data covering ONLY p=0, several times while the
+      // merge runs: static semantics must drop the p=1 partition each time
+      (1 to 3).map { _ =>
+        spark.sql("SELECT id, 'fresh' AS v, CAST(0 AS INT) AS p FROM RANGE(5)")
+          .write.mode("overwrite").insertInto("cc_other")
+        spark.table("cc_other").count()
+      }
+    }
+    assert(Await.result(mergeF, 5.minutes).isRight)
+    assert(Await.result(overwriteF, 5.minutes).forall(_ == 5L))
+    assert(spark.table("cc_other").filter($"p" === 1).count() == 0)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode") == before)
+    // and the merge itself is correct under concurrency
+    assert(spark.table("cc_dst").count() == 40)
+    assert(spark.table("cc_dst").filter($"v" === "new").count() == 10)
+    assert(spark.table("cc_dst").groupBy($"id").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
   test("parallel and serial agree on a mixed DAG") {
     def specs(tag: String) = Seq(
       sqlTask(s"m_a_$tag", s"CREATE OR REPLACE VIEW mix_a_$tag AS SELECT 1 AS x"),

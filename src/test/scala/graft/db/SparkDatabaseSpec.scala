@@ -144,6 +144,23 @@ class SparkDatabaseSpec extends SparkSpec {
     assert(spark.table("pmove_dst").count() == 4)
   }
 
+  test("partitioned merge clears a partition that empties entirely") {
+    val ddl = Ddl(partitionBy = Seq("p"))
+    // p=0 holds exactly ids 0 and 2; the incoming run moves BOTH to p=1,
+    // so partition p=0 must end up empty — dynamic overwrite alone would
+    // leave its old files (no p=0 rows are written) and the stale ids
+    // would resurface as duplicates
+    assert(db.createTable("pempty_dst",
+      "SELECT id, CAST(id % 2 AS INT) AS p, 'old' AS v FROM RANGE(4)", ddl).isRight)
+    assert(db.createTable("pempty_src",
+      "SELECT id, CAST(1 AS INT) AS p, 'new' AS v FROM RANGE(0, 4, 2)", ddl).isRight)
+    assert(db.mergeTables("pempty_src", "pempty_dst", "id", ddl).isRight)
+    assert(spark.table("pempty_dst").filter($"p" === 0).count() == 0)
+    assert(spark.table("pempty_dst").count() == 4)
+    assert(rows(spark.table("pempty_dst").filter($"id" === 0).select($"p", $"v")) ==
+      Set(Seq(1, "new")))
+  }
+
   test("mergeTables preserves the destination's declared layout") {
     val ddl = Ddl(sortBy = Seq("id"))
     assert(db.createTable("lmerge_dst",

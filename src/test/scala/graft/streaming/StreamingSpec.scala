@@ -48,8 +48,7 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source stream: readStream over the events fixture parquet") {
     // the real readStream → transform → writeStream path (not MemoryStream):
-    // nanos ts read as long, converted exactly to µs timestamps
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos ts read as long (SparkSpec session conf), converted to µs
     val dir = "/root/testdata/sf0.001"
     // file streams watch a DIRECTORY; stage the fixture file into one
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
