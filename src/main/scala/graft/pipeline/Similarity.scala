@@ -90,15 +90,66 @@ object Similarity {
       embCol: String,
       threshold: Double): DataFrame = {
     val withNorm = packedWithNorm(df, idCol, embCol)
-    val a = withNorm.select(col(idCol).as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
-    val b = withNorm.select(col(idCol).as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
+    scoredPairs(withNorm, withNorm, idCol, threshold)
+  }
+
+  /** Thresholded cosine over one (left × right) block: broadcast the
+    * right side, nested-loop join, each dot product in-row. `ordered`
+    * joins on id<id (left and right are the same set — every unordered
+    * pair meets once); disjoint blocks join on id≠id (always true, but
+    * keeps the nested loop an explicit theta join) and the output is
+    * normalized to vec_a < vec_b, under which each pair meets once too.
+    */
+  private def scoredPairs(
+      left: DataFrame, right: DataFrame, idCol: String,
+      threshold: Double, ordered: Boolean = true): DataFrame = {
+    val a = left.select(col(idCol).as("vec_a"), col("q").as("qa"), col("nrm").as("na"))
+    val b = right.select(col(idCol).as("vec_b"), col("q").as("qb"), col("nrm").as("nb"))
+    val cond =
+      if (ordered) col("vec_a") < col("vec_b") else col("vec_a") =!= col("vec_b")
     val cosine = col("dot").cast("double") /
       sqrt(col("na").cast("double") * col("nb").cast("double"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), cond)
       .select(col("vec_a"), col("vec_b"), col("na"), col("nb"),
         packedDot(col("qa"), col("qb")).as("dot"))
-      .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
+      .select(
+        least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        cosine.as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** [[embeddingDupPairs]] past broadcast size: the promised escape hatch
+    * when the packed corpus exceeds one executor's broadcast budget.
+    * Vectors are id-hashed into `blocks` buckets; every unordered block
+    * pair (i ≤ j) runs the same broadcast nested-loop with only block j
+    * (≈ corpus/blocks rows) broadcast. Same exact output as the
+    * single-broadcast path — id<id dedups within-block pairs; a
+    * cross-block pair meets in exactly one (i, j) branch (its members
+    * live in two fixed blocks) in whichever id order, normalized to
+    * vec_a < vec_b on output.
+    *
+    * Cost is unchanged (O(n²) dots — exactness is inherently quadratic;
+    * use [[annLsh]]/[[annIvf]] when approximate recall is acceptable);
+    * what changes is the MEMORY shape: broadcast size drops by `blocks`
+    * while the left scan runs `blocks + 1` passes over the corpus
+    * (pick blocks ≈ packed_corpus_bytes / broadcast_budget).
+    */
+  def embeddingDupPairsBlocked(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      blocks: Int = 8): DataFrame = {
+    require(blocks >= 1, "blocks must be >= 1")
+    val withNorm = packedWithNorm(df, idCol, embCol)
+      .withColumn("_blk", pmod(xxhash64(col(idCol)), lit(blocks)).cast("int"))
+    val branches = for { i <- 0 until blocks; j <- i until blocks } yield
+      scoredPairs(
+        withNorm.filter(col("_blk") === i).drop("_blk"),
+        withNorm.filter(col("_blk") === j).drop("_blk"),
+        idCol, threshold, ordered = i == j)
+    branches.reduce(_ unionByName _)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (xorshift64*, fixed

@@ -72,30 +72,68 @@ object TextDedup {
     * sizes join in afterwards.
     *
     * `maxShingleDocs` drops shingles appearing in more than that many
-    * documents (document-frequency pruning): a stop-shingle contributes
-    * O(df²) candidate pairs but almost no Jaccard signal. At 100 TB this
-    * cap is what keeps the join bounded; for exact semantics at test scale
-    * leave it at Int.MaxValue.
+    * documents (document-frequency pruning) from CANDIDATE GENERATION
+    * only: a stop-shingle contributes O(df²) candidate pairs but almost
+    * no Jaccard signal — one shingle with df=10⁶ alone yields 10¹²
+    * candidate pairs. The DEFAULT (500) is therefore bounded so the
+    * operator is safe at 100 TB out of the box. Surviving candidates are
+    * verified with exact Jaccard over the FULL shingle sets (same
+    * candidate/verify split as [[minhashPairs]]), so capped output ⊆
+    * exact output with bit-identical values; pruning can only lose pairs
+    * whose every common shingle is a stop-shingle — near-duplicates
+    * share many, so recall stays high (PipelineSpec asserts all three
+    * properties). Pass Int.MaxValue explicitly for fully exact semantics
+    * at oracle/test scale.
     */
   def jaccardPairs(
       sh: DataFrame,
       idCol: String,
       threshold: Double,
-      maxShingleDocs: Int = Int.MaxValue): DataFrame = {
-    val pruned =
-      if (maxShingleDocs == Int.MaxValue) sh
-      else {
-        val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDocs).select(col("shingle"))
-        sh.join(dfreq, "shingle")
-      }
-    val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val a = pruned.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = pruned.select(col(idCol).as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+      maxShingleDocs: Int = 500): DataFrame =
+    if (maxShingleDocs == Int.MaxValue) {
+      // fully exact: n_common straight off the inverted-index join
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+      val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+      val inter = a.join(b, Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      joinSizesAndFilter(inter, sizes, idCol, threshold)
+    } else {
+      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDocs).select(col("shingle"))
+      val pruned = sh.join(dfreq, "shingle")
+      val candidates = pruned.select(col(idCol).as("doc_a"), col("shingle"))
+        .join(pruned.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      verifyJaccard(sh, idCol, candidates, threshold)
+    }
+
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs over
+    * the full shingle sets: candidates ⋈ sh(doc_a) then a semi-join on
+    * (doc_b, shingle) counts the intersection — O(candidates ×
+    * shingles/doc), NOT the full inverted index. Shared by the LSH and
+    * df-capped paths.
+    */
+  private def verifyJaccard(
+      sh: DataFrame, idCol: String, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = candidates.join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"), "left_semi")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    joinSizesAndFilter(inter, sizes, idCol, threshold)
+  }
+
+  private def joinSizesAndFilter(
+      inter: DataFrame, sizes: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
     val jac = col("n_common").cast("double") /
       (col("na") + col("nb") - col("n_common"))
     inter
@@ -148,25 +186,10 @@ object TextDedup {
       .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard, expanding ONLY candidate
-    // pairs against their shingle sets: candidates ⋈ sh(doc_a) then a
-    // semi-join on (doc_b, shingle) counts the intersection. Cost is
-    // O(candidates × shingles/doc) — NOT the full inverted-index join,
-    // which would cost as much as exact jaccardPairs and defeat the LSH.
-    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = candidates.join(a, Seq("doc_a"))
-      .join(b, Seq("doc_b", "shingle"), "left_semi")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common").cast("double") /
-      (col("na") + col("nb") - col("n_common"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    // verify ONLY candidate pairs with exact Jaccard — NOT the full
+    // inverted-index join, which would cost as much as exact
+    // jaccardPairs and defeat the LSH
+    verifyJaccard(sh, idCol, candidates, threshold)
   }
 
   /** 64-bit SimHash fingerprint per document: bit i of the fingerprint is

@@ -30,11 +30,14 @@ object Pipeline {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text)""".stripMargin
 
-  // q16: exact 3-gram Jaccard near-dup pairs via inverted-index join
+  // q16: exact 3-gram Jaccard near-dup pairs via inverted-index join.
+  // maxShingleDocs = ∞ HERE ONLY: this entry is the exact oracle, so no
+  // document-frequency pruning; the operator's own default is bounded
+  // (500) for 100 TB safety.
   def q16NgramJaccard(s: SparkSession, dir: String): DataFrame =
     TextDedup.jaccardPairs(
       TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
-      "doc_id", threshold = 0.12)
+      "doc_id", threshold = 0.12, maxShingleDocs = Int.MaxValue)
 
   val q16Sql: String =
     """WITH tk AS (

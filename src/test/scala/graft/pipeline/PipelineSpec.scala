@@ -68,6 +68,27 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.count() == 0)
   }
 
+  test("default df-cap: capped pairs are a subset of exact, with high recall") {
+    // the operator DEFAULT (maxShingleDocs = 500) must be 100 TB-safe
+    // without sacrificing correctness properties: capped output ⊆ exact
+    // output, surviving pairs carry the exact jaccard (sizes computed on
+    // full sets), and near-duplicate recall stays high. A much tighter
+    // cap than the default is used so pruning actually fires at fixture
+    // scale.
+    val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
+    def pairMap(df: DataFrame): Map[(Long, Long), Double] =
+      df.select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairMap(
+      TextDedup.jaccardPairs(sh, "doc_id", 0.12, maxShingleDocs = Int.MaxValue))
+    val capped = pairMap(TextDedup.jaccardPairs(sh, "doc_id", 0.12, maxShingleDocs = 5))
+    assert(exact.nonEmpty)
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, j) => assert(j == exact(k), s"jaccard drifted for $k") }
+    val recall = capped.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${capped.size}/${exact.size})")
+  }
+
   test("minhash-LSH recall vs exact jaccard on fixture docs") {
     val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
     def pairSet(df: DataFrame): Set[(Long, Long)] =
@@ -217,6 +238,20 @@ class PipelineSpec extends SparkSpec {
     val again = topSet(Similarity.annIvf(embs, "vec_id", "embedding", pred,
       k = 10, nlist = 8, nprobe = 4))
     assert(ivf == again)
+  }
+
+  test("embeddingDupPairsBlocked matches the broadcast path exactly") {
+    // the past-broadcast-size escape hatch must be a pure memory-shape
+    // change: same pairs, same cosines, for any block count (including
+    // blocks the id-hash leaves empty)
+    def pairMap(df: DataFrame): Map[(Long, Long), Double] =
+      df.select("vec_a", "vec_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairMap(Similarity.embeddingDupPairs(embs, "vec_id", "embedding", 0.4))
+    assert(exact.nonEmpty)
+    for (blocks <- Seq(1, 3, 7))
+      assert(pairMap(Similarity.embeddingDupPairsBlocked(
+        embs, "vec_id", "embedding", 0.4, blocks)) == exact, s"blocks=$blocks")
   }
 
   test("embeddingDupPairs finds the planted duplicate pair") {
