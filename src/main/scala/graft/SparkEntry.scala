@@ -13,12 +13,13 @@ object SparkEntry {
     * multimodal / sessionization) + end-to-end ETL operators.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ Pipeline.all ++ EtlShapes.all
+    Relational.all ++ Pipeline.all ++ EtlShapes.all ++ StreamingEntries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. LSH/approximate entries are omitted by
     * design (rows-only driver check; recall is asserted in ScalaTest).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Pipeline.oracles ++ EtlShapes.oracles
+    Relational.oracles ++ Pipeline.oracles ++ EtlShapes.oracles ++
+      StreamingEntries.oracles
 }

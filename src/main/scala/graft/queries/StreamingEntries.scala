@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+import graft.streaming.{Event, Streaming}
+import java.nio.file.{Files, Paths}
+
+/** Driver-checked Structured Streaming entries: each runs a streaming
+  * operator over the events fixture as a REAL file-source stream
+  * (readStream → transform → writeStream, Trigger.AvailableNow, memory
+  * sink) and returns the drained result as a batch DataFrame, so the
+  * driver's DuckDB oracle can hash-compare it like any batch query.
+  *
+  * Finality: sessions close and append-mode windows emit only when the
+  * event-time watermark passes them, so a bounded stream's tail would
+  * stay open forever. The staged stream therefore appends one far-future
+  * SENTINEL event per user (10 days past the fixture's max ts): it
+  * closes every real session in-flow and drags the watermark past every
+  * real window on the final (no-data) micro-batch. Sentinel rows never
+  * surface — their own sessions stay open (unemitted) and their windows
+  * are filtered out.
+  *
+  * Oracle equivalence: a drained bounded stream equals the batch
+  * computation — gap-sessionization emits exactly the batch session set
+  * (q21's construction) and watermark-finalized tumbling windows equal
+  * the batch GROUP BY — which is precisely the invariant worth
+  * driver-checking about the streaming operators.
+  */
+object StreamingEntries {
+
+  /** Events read schema under the session's nanosAsLong conf: the
+    * fixture's TIMESTAMP(NANOS) column arrives as a long.
+    */
+  private val eventsSchema: StructType = StructType.fromDDL(
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING")
+
+  /** Stage the fixture events plus one sentinel event per user into a
+    * fresh directory for the file-stream source.
+    *
+    * All sentinels share ONE timestamp (global max + 10 days): the final
+    * watermark lands at sentinel − delay, strictly before every sentinel
+    * session's timeout (sentinel + gap), so no sentinel session can ever
+    * emit. (Per-user sentinels would leak: a user idle > 2·gap before
+    * the global max would get their sentinel session timed out.)
+    */
+  private def stageWithSentinels(s: SparkSession, dir: String): String = {
+    val staged = Files.createTempDirectory("graft_stream_entry_")
+    Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"))
+    val tenDaysNs = 10L * 24 * 3600 * 1000L * 1000 * 1000
+    val events = Tables(s, dir, "events")
+    val sentinelTs = events.agg(max(col("ts"))).head.getLong(0) + tenDaysNs
+    events.select(col("user_id")).distinct()
+      .select(
+        lit(-1L).as("event_id"),
+        lit(sentinelTs).as("ts"),
+        col("user_id"),
+        lit("_sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      .write.mode("append").parquet(staged.toString)
+    staged.toString
+  }
+
+  /** Drain a streaming DataFrame into a memory sink with
+    * Trigger.AvailableNow and return the sink table.
+    */
+  private def runAvailableNow(df: DataFrame, name: String): DataFrame = {
+    val s = df.sparkSession
+    s.catalog.dropTempView(name) // re-runs in one session (bench warmup)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private def eventStream(s: SparkSession, staged: String): DataFrame =
+    s.readStream.schema(eventsSchema).parquet(staged)
+      .select(
+        col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"),
+        col("value"))
+
+  // q38: streaming gap-sessionization (flatMapGroupsWithState, event-time
+  // timeout) drained over the fixture. Output = every real session's
+  // boundaries; timestamps surface as epoch micros so the hash compare
+  // is integer-exact on both engines.
+  def q38StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(s, dir)
+    val events = eventStream(s, staged).as[Event](Encoders.product[Event])
+    val sessions = Streaming.sessionize(events, gapMinutes = 30)
+    runAvailableNow(sessions.toDF(), "graft_q38_sessions")
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("start_ts")).as("start_us"),
+        unix_micros(col("end_ts")).as("end_us"))
+  }
+
+  val q38Sql: String =
+    """WITH flag AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flag)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS start_us,
+      |  epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS end_us
+      |FROM sess GROUP BY 1,2""".stripMargin
+
+  // q39: streaming watermarked tumbling-window aggregation drained over
+  // the fixture; append mode, so every emitted row is a FINALIZED window
+  // (the invariant the oracle checks — equal to the batch GROUP BY).
+  def q39StreamingWindow(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(s, dir)
+    val counts = Streaming.windowedCounts(
+      eventStream(s, staged), "ts", "event_type",
+      windowLen = "1 hour", watermark = "30 minutes")
+    runAvailableNow(counts, "graft_q39_window")
+      .filter(col("event_type") =!= "_sentinel")
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  val q39Sql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1,2""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_streaming_sessions" -> (q38StreamingSessions _),
+    "q39_streaming_window" -> (q39StreamingWindow _))
+
+  def oracles: Map[String, String] = Map(
+    "q38_streaming_sessions" -> q38Sql,
+    "q39_streaming_window" -> q39Sql)
+}

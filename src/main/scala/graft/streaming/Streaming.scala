@@ -18,7 +18,7 @@ final case class Session(
     total_value: Double, start_ts: Timestamp, end_ts: Timestamp)
 
 private[streaming] final case class SessionAcc(
-    sessionId: Long, startMs: Long, lastMs: Long,
+    sessionId: Long, startUs: Long, lastUs: Long,
     nEvents: Long, totalValue: Double)
 
 /** Structured Streaming surface: the streaming twins of the batch
@@ -74,14 +74,27 @@ object Streaming {
     * Append mode when closed (by a later event or by timeout).
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     implicit val accEnc = Encoders.product[SessionAcc]
     implicit val outEnc = Encoders.product[Session]
     implicit val keyEnc = Encoders.scalaLong
 
+    // local defs (not object methods): the update closure ships to
+    // executors and must not capture the enclosing object.
+    // Epoch MICROS of a Timestamp — getTime alone truncates to millis,
+    // which would shift session boundaries on µs-resolution event times.
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def tsFromMicros(us: Long): Timestamp = {
+      val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
     def close(userId: Long, acc: SessionAcc): Session =
       Session(userId, acc.sessionId, acc.nEvents, acc.totalValue,
-        new Timestamp(acc.startMs), new Timestamp(acc.lastMs))
+        tsFromMicros(acc.startUs), tsFromMicros(acc.lastUs))
 
     def update(
         userId: Long,
@@ -93,25 +106,27 @@ object Streaming {
         Iterator.single(close(userId, done))
       } else {
         // fold the micro-batch in event-time order into the open session
-        val sorted = batch.toSeq.sortBy(_.ts.getTime)
+        val sorted = batch.toSeq.sortBy(e => micros(e.ts))
         var acc = state.getOption.orNull
         val closed = Seq.newBuilder[Session]
         for (e <- sorted) {
-          val t = e.ts.getTime
+          val t = micros(e.ts)
           if (acc == null) {
             acc = SessionAcc(1L, t, t, 1L, e.value)
-          } else if (t - acc.lastMs > gapMs) {
+          } else if (t - acc.lastUs > gapUs) {
             closed += close(userId, acc)
             acc = SessionAcc(acc.sessionId + 1, t, t, 1L, e.value)
           } else {
-            acc = acc.copy(lastMs = math.max(acc.lastMs, t),
+            acc = acc.copy(lastUs = math.max(acc.lastUs, t),
               nEvents = acc.nEvents + 1, totalValue = acc.totalValue + e.value)
           }
         }
         if (acc != null) {
           state.update(acc)
           // close via watermark once the gap elapses with no new events
-          state.setTimeoutTimestamp(acc.lastMs + gapMs)
+          // (timeout API is millis; floor keeps it ≤ the true µs gap end,
+          // and a fire can only happen once the watermark has passed it)
+          state.setTimeoutTimestamp(acc.lastUs / 1000L + gapMinutes * 60000L)
         }
         closed.result().iterator
       }
