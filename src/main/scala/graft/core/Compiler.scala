@@ -13,6 +13,9 @@ import scala.collection.mutable
   *   - control flow: `{% if cond %}` / `{% elif %}` / `{% else %}` /
   *     `{% endif %}` and `{% for x in seq %}` / `{% endfor %}` with Jinja's
   *     `loop.index/index0/first/last/length` variables;
+  *   - filter pipes in interpolations: `{{ x | default('d') | upper }}` —
+  *     default (incl. boolean mode), join, upper, lower, trim, replace,
+  *     capitalize, title, length/count, first, last;
   *   - `{# comments #}` (dropped).
   *
   * Conditions follow Python/Jinja semantics: truthiness (None/false/""/0/
@@ -32,7 +35,8 @@ object Compiler {
       src: String => String = identity,
       out: String => String = identity,
       config: Map[String, Any] => Unit = _ => (),
-      allowConfig: Boolean = false)
+      allowConfig: Boolean = false,
+      warn: String => Unit = _ => ())
 
   // ---- template AST ------------------------------------------------------
 
@@ -182,25 +186,17 @@ object Compiler {
           }
         case Interp(e) => evalExpr(e, ctx, scope)
         case IfNode(branches, elseBody) =>
-          branches.find { case (cond, _) =>
-            Expr.eval(cond, scope) match {
-              case Right(v) => Expr.truthy(v)
-              case Left(_) => false
-            }
-          } match {
-            // surface condition *syntax* errors even when a later branch
-            // would match — re-evaluate the chosen branch for its error
-            case Some((cond, body)) =>
-              Expr.eval(cond, scope).flatMap(_ => render(body, ctx, scope))
-            case None =>
-              branches.collectFirst {
-                case (cond, _) if Expr.eval(cond, scope).isLeft =>
-                  Expr.eval(cond, scope).left.toOption.get
-              } match {
-                case Some(err) => Left(err)
-                case None => render(elseBody, ctx, scope)
-              }
+          // Jinja semantics: conditions evaluate strictly in order and the
+          // FIRST error propagates — a malformed guard must not be masked
+          // by a later branch matching (a typo'd condition would silently
+          // change the emitted SQL otherwise)
+          def choose(bs: Seq[(String, Seq[Node])]): Result[String] = bs match {
+            case (cond, body) +: rest =>
+              Expr.eval(cond, scope).flatMap(v =>
+                if (Expr.truthy(v)) render(body, ctx, scope) else choose(rest))
+            case _ => render(elseBody, ctx, scope)
           }
+          choose(branches)
         case ForNode(v, iterExpr, body) =>
           Expr.eval(iterExpr, scope).flatMap {
             case items: Seq[_] =>
@@ -239,28 +235,135 @@ object Compiler {
     */
   private[core] final case class BareWord(word: String)
 
-  private def resolveArg(v: Any, scope: Map[String, Any]): Any = v match {
-    case BareWord(w) => lookup(w, scope).getOrElse(w)
-    case xs: Seq[_] => xs.map(resolveArg(_, scope))
-    case other => other
+  private def resolveArg(v: Any, scope: Map[String, Any], ctx: Context): Any =
+    v match {
+      case BareWord(w) => lookup(w, scope) match {
+        case Some(value) =>
+          // data-dependent back-compat hazard: the same unquoted word is a
+          // LITERAL when no template variable shadows it — surface the
+          // shadowing so a parameter named like a table part can't change
+          // meaning silently
+          ctx.warn(s"macro argument '$w' resolved to template variable " +
+            s"'${renderValue(value)}'; quote it ('$w') to keep the literal")
+          value
+        case None => w
+      }
+      case xs: Seq[_] => xs.map(resolveArg(_, scope, ctx))
+      case other => other
+    }
+
+  /** Split an interpolation on top-level `|` (filter pipes), honoring
+    * quotes, parens and brackets. `||` never appears in `{{ }}` context
+    * (SQL concat lives in the SQL text, not inside interpolations).
+    */
+  private def splitPipes(s: String): Seq[String] = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
+        case '|' if depth == 0 => parts += cur.result(); cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    parts += cur.result()
+    parts.toSeq.map(_.trim)
   }
 
+  /** Jinja filter battery (the constructs real reference projects pipe
+    * through; sayn/utils/compiler.py exposes full Jinja). `value` is
+    * Some(v) for a defined input, None for an undefined variable —
+    * `default` is the one filter that accepts undefined input.
+    */
+  private def applyFilter(
+      value: Option[Any], name: String, args: Seq[Any],
+      expr: String): Result[Option[Any]] = {
+    def str(v: Any): String = renderValue(v)
+    def defined: Result[Any] = value match {
+      case Some(v) => Right(v)
+      case None => Left(ParseError(
+        s"undefined value piped into '$name' in '{{ $expr }}'"))
+    }
+    (name, args) match {
+      // Jinja |default: replaces undefined; with boolean=true, any falsy
+      case ("default", d +: rest) =>
+        val replaceFalsy = rest.headOption.contains(true)
+        Right(Some(value match {
+          case Some(v) if !replaceFalsy => v
+          case Some(v) if Expr.truthy(v) => v
+          case _ => d
+        }))
+      case ("default", Seq()) =>
+        Left(ParseError(s"default() needs a value in '{{ $expr }}'"))
+      case ("join", sep) if sep.size <= 1 =>
+        defined.flatMap {
+          case xs: Seq[_] =>
+            Right(Some(xs.map(str).mkString(sep.headOption.fold("")(str))))
+          case _ => Left(ParseError(s"join expects a list in '{{ $expr }}'"))
+        }
+      case ("upper", Seq()) => defined.map(v => Some(str(v).toUpperCase))
+      case ("lower", Seq()) => defined.map(v => Some(str(v).toLowerCase))
+      case ("trim", Seq()) => defined.map(v => Some(str(v).trim))
+      case ("capitalize", Seq()) => defined.map(v => Some(str(v).capitalize))
+      case ("title", Seq()) => defined.map(v =>
+        Some(str(v).split("(?<= )").map(_.capitalize).mkString))
+      case ("replace", Seq(a, b)) =>
+        defined.map(v => Some(str(v).replace(str(a), str(b))))
+      case ("length", Seq()) | ("count", Seq()) =>
+        defined.flatMap {
+          case xs: Seq[_] => Right(Some(xs.length.toLong))
+          case s: String => Right(Some(s.length.toLong))
+          case m: Map[_, _] => Right(Some(m.size.toLong))
+          case _ => Left(ParseError(s"length of non-sequence in '{{ $expr }}'"))
+        }
+      case ("first", Seq()) => defined.flatMap {
+        case xs: Seq[_] => Right(xs.headOption)
+        case s: String => Right(s.headOption.map(_.toString))
+        case _ => Left(ParseError(s"first of non-sequence in '{{ $expr }}'"))
+      }
+      case ("last", Seq()) => defined.flatMap {
+        case xs: Seq[_] => Right(xs.lastOption)
+        case s: String => Right(s.lastOption.map(_.toString))
+        case _ => Left(ParseError(s"last of non-sequence in '{{ $expr }}'"))
+      }
+      case (other, _) => Left(ParseError(
+        s"unknown or mis-applied filter '$other' in '{{ $expr }}'"))
+    }
+  }
+
+  private val FilterRe = "^([a-zA-Z_][a-zA-Z0-9_]*)(?:\\((.*)\\))?$".r
+
   private def evalExpr(
-      expr: String, ctx: Context, scope: Map[String, Any]): Result[String] =
-    expr match {
+      expr: String, ctx: Context, scope: Map[String, Any]): Result[String] = {
+    val pipes = splitPipes(expr)
+    val head = pipes.head
+    // head value: Some = defined, None = undefined (only |default may
+    // consume an undefined head — Jinja's Undefined-with-default idiom)
+    val headValue: Result[Option[Any]] = head match {
       case CallRe(fn, argStr) =>
         parseArgs(argStr).flatMap { case (pos0, kw0) =>
-          val pos = pos0.map(resolveArg(_, scope))
-          val kw = kw0.map { case (k, v) => k -> resolveArg(v, scope) }
+          val pos = pos0.map(resolveArg(_, scope, ctx))
+          val kw = kw0.map { case (k, v) => k -> resolveArg(v, scope, ctx) }
           fn match {
             case "src" =>
               pos match {
-                case Seq(one: String) => Right(ctx.src(one))
+                case Seq(one: String) => Right(Some(ctx.src(one)))
                 case _ => Left(ParseError(s"src() takes one string argument: {{ $expr }}"))
               }
             case "out" =>
               pos match {
-                case Seq(one: String) => Right(ctx.out(one))
+                case Seq(one: String) => Right(Some(ctx.out(one)))
                 case _ => Left(ParseError(s"out() takes one string argument: {{ $expr }}"))
               }
             case "config" =>
@@ -268,17 +371,32 @@ object Compiler {
                 Left(ParseError(s"config() takes only keyword arguments: {{ $expr }}"))
               else {
                 if (ctx.allowConfig) ctx.config(kw)
-                Right("")
+                Right(Some(""))
               }
             case other => Left(ParseError(s"unknown template function '$other'"))
           }
         }
-      case path =>
-        lookup(path, scope) match {
-          case Some(v) => Right(renderValue(v))
-          case None => Left(ParseError(s"undefined template variable '$path'"))
-        }
+      case path => Right(lookup(path, scope))
     }
+    val piped = pipes.tail.foldLeft(headValue) { (acc, f) =>
+      acc.flatMap { v =>
+        f match {
+          case FilterRe(name, argStr) =>
+            (Option(argStr) match {
+              case Some(a) => parseArgs(a).map(_._1.map(resolveArg(_, scope, ctx)))
+              case None => Right(Nil)
+            }).flatMap(args => applyFilter(v, name, args, expr))
+          case other =>
+            Left(ParseError(s"malformed filter '$other' in '{{ $expr }}'"))
+        }
+      }
+    }
+    piped.flatMap {
+      case Some(v) => Right(renderValue(v))
+      case None => Left(ParseError(s"undefined template variable '${pipes.head}'" +
+        (if (pipes.size > 1) s" in '{{ $expr }}'" else "")))
+    }
+  }
 
   private[core] def lookup(path: String, params: Map[String, Any]): Option[Any] =
     path.split("\\.", -1).toList match {

@@ -110,7 +110,8 @@ final class TaskContext(
         src = trap(src),
         out = trap(out),
         config = onConfig,
-        allowConfig = allowConfig))
+        allowConfig = allowConfig,
+        warn = track.warn))
     err.map(Left(_)).getOrElse(result)
   }
 }

@@ -134,6 +134,77 @@ class CompilerSpec extends AnyFunSuite {
       Context(Map("n" -> 3L))).isLeft)
   }
 
+  // ---- filters (Jinja battery) ------------------------------------------
+
+  test("filters: default catches undefined and falsy-with-boolean") {
+    assert(Compiler.compile("{{ missing | default('x') }}", Context()) ==
+      Right("x"))
+    assert(Compiler.compile("{{ v | default('x') }}",
+      Context(Map("v" -> "set"))) == Right("set"))
+    // Jinja: default(d) keeps a defined-but-falsy value...
+    assert(Compiler.compile("{{ v | default('x') }}",
+      Context(Map("v" -> ""))) == Right(""))
+    // ...unless boolean=true
+    assert(Compiler.compile("{{ v | default('x', true) }}",
+      Context(Map("v" -> ""))) == Right("x"))
+    // undefined without a default still errors (strict like the rest of
+    // the compiler), including mid-pipe
+    assert(Compiler.compile("{{ missing }}", Context()).isLeft)
+    assert(Compiler.compile("{{ missing | upper }}", Context()).isLeft)
+  }
+
+  test("filters: join, upper/lower, trim, replace, length, first/last") {
+    val ctx = Context(Map(
+      "cols" -> Seq("a", "b", "c"), "s" -> "  Mixed Case  ", "n" -> 7L))
+    assert(Compiler.compile("{{ cols | join(', ') }}", ctx) == Right("a, b, c"))
+    assert(Compiler.compile("{{ cols | join }}", ctx) == Right("abc"))
+    assert(Compiler.compile("{{ s | trim | upper }}", ctx) == Right("MIXED CASE"))
+    assert(Compiler.compile("{{ s | trim | lower }}", ctx) == Right("mixed case"))
+    assert(Compiler.compile("{{ s | replace('Case', 'Up') | trim }}", ctx) ==
+      Right("Mixed Up"))
+    assert(Compiler.compile("{{ cols | length }}", ctx) == Right("3"))
+    assert(Compiler.compile("{{ cols | first }}/{{ cols | last }}", ctx) ==
+      Right("a/c"))
+    // numbers render through string filters
+    assert(Compiler.compile("{{ n | upper }}", ctx) == Right("7"))
+    // filters chain onto macros too
+    assert(Compiler.compile("{{ src('t') | upper }}",
+      Context(src = s => s"dev_$s")) == Right("DEV_T"))
+    // unknown filter errors
+    assert(Compiler.compile("{{ cols | frobnicate }}", ctx).isLeft)
+    // join over a non-list errors
+    assert(Compiler.compile("{{ n | join(',') }}", ctx).isLeft)
+  }
+
+  // ---- error propagation --------------------------------------------------
+
+  test("if/elif: first malformed condition errors even if a later branch matches") {
+    // Jinja raises on the first evaluated bad condition; a typo'd guard
+    // must not silently fall through to a matching later branch
+    val t = "{% if n ?? 1 %}A{% elif true %}B{% endif %}"
+    assert(Compiler.compile(t, Context(Map("n" -> 1L))).isLeft)
+    // a bad condition BEHIND a matching first branch is never evaluated
+    // (same as Jinja: conditions evaluate lazily in order)
+    val t2 = "{% if true %}A{% elif n ?? 1 %}B{% endif %}"
+    assert(Compiler.compile(t2, Context()) == Right("A"))
+  }
+
+  test("bare-word macro args warn when a scope variable shadows the literal") {
+    var warned = List.empty[String]
+    val ctx = Context(
+      params = Map("schema" -> "dev_schema"),
+      src = identity, warn = w => warned ::= w)
+    // schema resolves to the variable → warn; table stays a literal → no warn
+    assert(Compiler.compile("{{ src(schema) }}", ctx) == Right("dev_schema"))
+    assert(warned.exists(_.contains("'schema'")))
+    warned = Nil
+    assert(Compiler.compile("{{ src(table) }}", ctx) == Right("table"))
+    assert(warned.isEmpty)
+    // quoting forces the literal, no warning
+    assert(Compiler.compile("{{ src('schema') }}", ctx) == Right("schema"))
+    assert(warned.isEmpty)
+  }
+
   test("arg parser: numbers, bools, lists, mixed kwargs") {
     val Right((pos, kw)) = Compiler.parseArgs("'a', 1, key=2.5, flag=true, xs=['p','q']")
     assert(pos == Seq("a", 1L))
