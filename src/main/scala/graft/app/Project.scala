@@ -11,8 +11,10 @@ import scala.jdk.CollectionConverters._
   *   tasks dir      — one yaml per task group (`tasks: {name: {...}}`),
   *                    group = file stem
   *   settings.yaml  — profiles: parameters + stringify + from_prod;
-  *                    `default_profile`; env overrides GRAFT_PROFILE /
-  *                    GRAFT_PARAMETER_<name> (settings.py:14-102 semantics)
+  *                    `default_profile`; env overrides GRAFT_PROFILE,
+  *                    GRAFT_PARAMETER_<name>,
+  *                    GRAFT_{DATABASE|SCHEMA|TABLE}_{PREFIX|SUFFIX|OVERRIDE}
+  *                    and GRAFT_FROM_PROD (settings.py:14-102 semantics)
   *
   * SQL tasks reference files under `sql/` via `file_name`; autogroups expand
   * a glob into one task per file with `{{ task.name }}` available
@@ -55,7 +57,8 @@ object Project {
 
   def load(
       projectDir: Path,
-      profileOverride: Option[String] = None): Result[Loaded] = {
+      profileOverride: Option[String] = None,
+      env: Map[String, String] = sys.env): Result[Loaded] = {
     val projectFile = projectDir.resolve("project.yaml")
     if (!Files.exists(projectFile))
       return Left(ConfigError(s"missing ${projectFile}"))
@@ -76,18 +79,36 @@ object Project {
       // profile selection: flag > GRAFT_PROFILE > default_profile > first
       val profiles = mapAt(settings, "profiles")
       val profileName = profileOverride
-        .orElse(sys.env.get("GRAFT_PROFILE"))
+        .orElse(env.get("GRAFT_PROFILE"))
         .orElse(settings.get("default_profile").map(_.toString))
         .orElse(profiles.keys.toSeq.sorted.headOption)
       val profile = profileName.map(mapAt(profiles, _)).getOrElse(Map.empty)
 
       // parameters: project defaults <- profile <- env GRAFT_PARAMETER_*
-      val envParams = sys.env.collect {
+      val envParams = env.collect {
         case (k, v) if k.startsWith("GRAFT_PARAMETER_") =>
           k.stripPrefix("GRAFT_PARAMETER_").toLowerCase -> (v: Any)
       }
       val parameters =
         mapAt(project, "parameters") ++ mapAt(profile, "parameters") ++ envParams
+
+      // stringify/from_prod env overrides (sayn/core/settings.py:14-102,
+      // 285-316): GRAFT_{DATABASE|SCHEMA|TABLE}_{PREFIX|SUFFIX|OVERRIDE}
+      // update the dev stringify; GRAFT_FROM_PROD (comma-separated globs)
+      // REPLACES from_prod. Like the reference's profile_name-is-None
+      // gate, they apply only when no explicit --profile was passed.
+      val envOverridesActive = profileOverride.isEmpty
+      val envStringify: Map[String, Any] =
+        if (!envOverridesActive) Map.empty
+        else (for {
+          t <- Seq("DATABASE", "SCHEMA", "TABLE")
+          s <- Seq("PREFIX", "SUFFIX", "OVERRIDE")
+          v <- env.get(s"GRAFT_${t}_$s")
+        } yield s"${t.toLowerCase}_${s.toLowerCase}" -> (v: Any)).toMap
+      val envFromProd: Option[Seq[String]] =
+        if (!envOverridesActive) None
+        else env.get("GRAFT_FROM_PROD")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
       def mangling(m: Map[String, Any], t: String): Mangling = Mangling(
         prefix = m.get(s"${t}_prefix").map(_.toString),
@@ -105,17 +126,18 @@ object Project {
       // prod rather than overriding it (and would otherwise NPE in mangling).
       val prodStringifyMap = mapAt(settings, "prod_stringify")
       val devStringifyMap = prodStringifyMap ++ mapAt(profile, "stringify")
-        .filter { case (_, v) => v != null && v.toString.nonEmpty }
+        .filter { case (_, v) => v != null && v.toString.nonEmpty } ++
+        envStringify
 
       Loaded(
         specs = withPresets,
         parameters = parameters,
         stringify = stringifyOf(devStringifyMap),
         prodStringify = stringifyOf(prodStringifyMap),
-        fromProd = profile.get("from_prod") match {
+        fromProd = envFromProd.getOrElse(profile.get("from_prod") match {
           case Some(xs: Seq[_]) => xs.map(_.toString)
           case _ => Nil
-        },
+        }),
         defaultDb = project.get("default_db").map(_.toString).getOrElse("spark"))
     }
   }

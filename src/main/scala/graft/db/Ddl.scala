@@ -34,6 +34,26 @@ final case class Ddl(
     sortBy: Seq[String] = Nil,
     postHooks: Seq[String] = Nil) {
   def columnsWithTests: Seq[ColumnDdl] = columns.filter(_.tests.nonEmpty)
+
+  /** Declared types whose Spark mapping drops information — VARCHAR/CHAR
+    * length (Spark STRING enforces no length) and TIME (no Spark
+    * TimeType). Tasks surface these through their tracker at config time
+    * so the divergence is visible instead of silent.
+    */
+  def typeWarnings: Seq[String] = columns.flatMap { c =>
+    c.dataType.flatMap { t =>
+      val up = t.trim.toUpperCase
+      up.takeWhile(_ != '(') match {
+        case "VARCHAR" | "CHAR" | "CHARACTER" if up.contains('(') =>
+          Some(s"column ${c.name}: declared type $t maps to STRING — " +
+            "the length is not enforced by Spark")
+        case "TIME" =>
+          Some(s"column ${c.name}: declared type $t maps to STRING " +
+            "(Spark has no TIME type)")
+        case _ => None
+      }
+    }
+  }
 }
 
 object Ddl {

@@ -62,6 +62,7 @@ final class CopyTask extends TaskRunner {
         }
         ddlResult.flatMap { d =>
           ddl = d
+          d.typeWarnings.foreach(ctx.track.warn)
           for {
             s1 <- ctx.compile(s0)
             d1 <- ctx.compile(d0)

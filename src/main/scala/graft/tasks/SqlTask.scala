@@ -56,6 +56,7 @@ final class SqlTask(isAutoSql: Boolean) extends TaskRunner {
           case _ => Right(Ddl.empty)
         }).flatMap { d =>
           ddl = d
+          d.typeWarnings.foreach(ctx.track.warn)
           // yaml values are templated too (task_wrapper.py:128-249), then
           // the destination resolves through out() (autosql.py:184-210)
           destination match {

@@ -27,6 +27,7 @@ final class TestTask extends TaskRunner {
     }
     ddlResult.flatMap { d =>
       ddl = d
+      d.typeWarnings.foreach(ctx.track.warn)
       (customSql, tableRef) match {
         case (Some(_), _) => Right(())
         case (None, Some(t)) =>

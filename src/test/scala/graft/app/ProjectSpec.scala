@@ -132,6 +132,39 @@ class ProjectSpec extends SparkSpec {
     assert(Project.load(dir).isLeft)
   }
 
+  test("env overrides: stringify and from_prod (settings.py precedence)") {
+    val dir = Files.createTempDirectory("graft_proj_")
+    Files.writeString(dir.resolve("project.yaml"), "default_db: spark\n")
+    Files.writeString(dir.resolve("settings.yaml"),
+      """default_profile: dev
+        |prod_stringify:
+        |  table_prefix: prod
+        |profiles:
+        |  dev:
+        |    stringify:
+        |      table_prefix: dev
+        |    from_prod:
+        |      - logs_*
+        |""".stripMargin)
+    val env = Map(
+      "GRAFT_TABLE_PREFIX" -> "envp",
+      "GRAFT_SCHEMA_SUFFIX" -> "envsfx",
+      "GRAFT_FROM_PROD" -> "dim_*, f_results")
+    // no explicit --profile: env overrides apply (dev stringify updated,
+    // from_prod REPLACED — settings.py:303-316)
+    val Right(loaded) = Project.load(dir, env = env)
+    assert(loaded.stringify.table.prefix.contains("envp"))
+    assert(loaded.stringify.schema.suffix.contains("envsfx"))
+    assert(loaded.prodStringify.table.prefix.contains("prod")) // untouched
+    assert(loaded.fromProd == Seq("dim_*", "f_results"))
+    // explicit --profile: env overrides are inert (reference's
+    // profile_name-is-None gate)
+    val Right(pinned) = Project.load(dir, Some("dev"), env = env)
+    assert(pinned.stringify.table.prefix.contains("dev"))
+    assert(pinned.stringify.schema.suffix.isEmpty)
+    assert(pinned.fromProd == Seq("logs_*"))
+  }
+
   test("loaded project runs end-to-end with implicit ordering") {
     val dir = scaffold()
     val Right(loaded) = Project.load(dir)
