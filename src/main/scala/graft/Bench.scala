@@ -24,7 +24,7 @@ import java.nio.file.{Files, Paths}
   * — they benchmark the local catalog, not the query engine.
   */
 object Bench {
-  private val excluded = Set("q22_merge", "q23_copy", "q33_copy_incremental")
+  private val excluded = SparkEntry.mutating
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

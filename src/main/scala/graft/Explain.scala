@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Plan-inspection tool: prints the formatted physical plan for the named
-  * queries (all, when none given) at SPARK_GRAFT_SF_DIR. Review targets:
-  * PushedFilters/ReadSchema on scans, broadcast vs sort-merge joins, and
-  * WholeStageCodegen span width.
+  * queries (all non-mutating ones, when none given) at SPARK_GRAFT_SF_DIR.
+  * The mutating ETL entries run real table writes during DataFrame
+  * construction, so they are excluded unless named explicitly. Review
+  * targets: PushedFilters/ReadSchema on scans, broadcast vs sort-merge
+  * joins, and WholeStageCodegen span width.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -20,7 +22,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names =
       if (args.nonEmpty) args.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.queries.keys.filterNot(SparkEntry.mutating).toSeq.sorted
     names.foreach { n =>
       println(s"\n==== $n ====")
       try SparkEntry.queries(n)(spark, sfDir).explain("formatted")

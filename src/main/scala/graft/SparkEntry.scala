@@ -15,6 +15,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Pipeline.all ++ EtlShapes.all ++ StreamingEntries.all
 
+  /** Entries whose DataFrame CONSTRUCTION executes engine writes
+    * (mergeTables / CopyTask against the local catalog). Bench skips them
+    * (they'd benchmark the catalog, not the engine) and Explain skips
+    * them by default (a plan-inspection tool must not mutate tables).
+    */
+  val mutating: Set[String] = Set("q22_merge", "q23_copy", "q33_copy_incremental")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. LSH/approximate entries are omitted by
     * design (rows-only driver check; recall is asserted in ScalaTest).

@@ -31,7 +31,8 @@ final class TaskWrapper(
     parameters: Map[String, Any],
     args: RunArguments,
     userTasks: Map[String, UserTask],
-    tracker: Tracker = Tracker.noop) {
+    tracker: Tracker = Tracker.noop,
+    compileDir: Option[java.nio.file.Path] = None) {
 
   var status: TaskStatus = TaskStatus.Configuring
   var runner: TaskRunner = _
@@ -65,7 +66,7 @@ final class TaskWrapper(
       case _ => Map.empty[String, Any]
     }
     ctx = new TaskContext(name, group, db, objects, parameters ++ taskParams,
-      args, tracker.task(name))
+      args, tracker.task(name), compileDir)
 
     val taskType = spec.cfg.get("type").map(_.toString).getOrElse("")
     val made: Result[TaskRunner] = taskType match {
@@ -131,7 +132,8 @@ final class App(
       specs: Seq[TaskSpec], args: RunArguments, tracker: Tracker):
       Result[(Seq[TaskWrapper], Map[String, TaskWrapper], Map[String, Seq[String]])] = {
     val wrappers = specs.map(s =>
-      new TaskWrapper(s, db, objects, parameters, args, userTasks, tracker))
+      new TaskWrapper(s, db, objects, parameters, args, userTasks, tracker,
+        compileDir))
     val byName = wrappers.map(w => w.name -> w).toMap
     if (byName.size != wrappers.size) {
       val dups = wrappers.groupBy(_.name).collect { case (n, ws) if ws.size > 1 => n }

@@ -52,7 +52,9 @@ object Cli {
         spark.sparkContext.setLogLevel(
           if (parsed.contains("debug")) "INFO" else "WARN")
 
-        val db = new SparkDatabase(spark)
+        val db = new SparkDatabase(spark,
+          acidMerge = sys.env.get("GRAFT_ACID_MERGE")
+            .exists(v => v == "1" || v.equalsIgnoreCase("true")))
         val objects = new DbObjectCompiler(
           loaded.defaultDb, loaded.stringify, loaded.prodStringify, loaded.fromProd)
         val runArgs = RunArguments(
@@ -67,7 +69,13 @@ object Cli {
           upstreamProd = parsed.contains("upstream-prod"),
           profile = parsed.get("profile"),
           debug = parsed.contains("debug"),
-          jobs = parsed.get("jobs").map(_.toInt).getOrElse(1))
+          jobs = parsed.get("jobs").map { j =>
+            j.toIntOption.filter(_ >= 1).getOrElse {
+              System.err.println(
+                s"config error: --jobs expects a positive integer, got '$j'")
+              spark.stop(); sys.exit(1)
+            }
+          }.getOrElse(1))
 
         val app = new App(db, objects, loaded.parameters,
           userTasks = loadUserTasks(),

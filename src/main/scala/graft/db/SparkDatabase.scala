@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   */
 final class SparkDatabase(
     val spark: SparkSession,
-    val tmpPrefix: String = "graft_tmp_") {
+    val tmpPrefix: String = "graft_tmp_",
+    /** Route mergeTables through transactional DELETE+INSERT SQL (the
+      * reference's own merge_tables.sql shape) instead of the
+      * partition-overwrite dance. Requires the destination to live in an
+      * ACID v2 catalog (Delta/Iceberg-style) that supports DELETE FROM;
+      * on plain parquet v1 tables Spark rejects the DELETE, so the flag
+      * defaults off. Closes the partitioned-merge commit window — see
+      * docs/ACID_MERGE.md. Enable via GRAFT_ACID_MERGE=1 on the CLI.
+      */
+    val acidMerge: Boolean = false) {
 
   // ---- raw SQL surface (§2a rows 1-3) ----------------------------------
 
@@ -165,6 +174,7 @@ final class SparkDatabase(
   def mergeTables(
       src: String, dst: String, deleteKey: String,
       ddl: Ddl = Ddl.empty): Result[Unit] = {
+    if (acidMerge) return mergeTablesAcid(src, dst, deleteKey)
     val partitionMerge = Result.attempt {
       val partCols = spark.catalog.listColumns(dst)
         .collect().filter(_.isPartition).map(_.name).toSeq
@@ -247,6 +257,23 @@ final class SparkDatabase(
       _ <- Result.attempt { spark.sql(s"DROP TABLE IF EXISTS $src"); () }
     } yield ()
   }
+
+  /** ACID-catalog merge: the reference's merge_tables.sql statements
+    * verbatim — DELETE dst rows whose key appears in src, INSERT all src
+    * rows — each statement a catalog transaction, so readers never see
+    * the partial-partition mix the overwrite path can expose
+    * (docs/ACID_MERGE.md). Runs only when [[acidMerge]] is set; plain
+    * parquet v1 tables reject DELETE FROM and surface a clear error.
+    */
+  private def mergeTablesAcid(
+      src: String, dst: String, deleteKey: String): Result[Unit] =
+    Result.attempt {
+      val cols = spark.table(dst).columns.mkString(", ")
+      spark.sql(
+        s"DELETE FROM $dst WHERE $deleteKey IN (SELECT $deleteKey FROM $src)")
+      spark.sql(s"INSERT INTO $dst ($cols) SELECT $cols FROM $src")
+      spark.sql(s"DROP TABLE IF EXISTS $src"); ()
+    }
 
   /** Incremental materialisation: stage the SELECT, then merge into the
     * destination (sayn/database/__init__.py:819-846). Creates the

@@ -281,5 +281,5 @@ final class CopyTask extends TaskRunner {
 
   override def test(): Result[Unit] =
     if (ddl.columnsWithTests.isEmpty) Right(())
-    else ctx.db.standardTests(resolvedDst, ddl)
+    else ctx.standardTests(resolvedDst, ddl)
 }

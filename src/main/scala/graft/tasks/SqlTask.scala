@@ -133,5 +133,5 @@ final class SqlTask(isAutoSql: Boolean) extends TaskRunner {
     */
   override def test(): Result[Unit] =
     if (ddl.columnsWithTests.isEmpty || materialisation == "script") Right(())
-    else ctx.db.standardTests(resolvedDst, ddl)
+    else ctx.standardTests(resolvedDst, ddl)
 }

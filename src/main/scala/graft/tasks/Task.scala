@@ -54,7 +54,8 @@ final class TaskContext(
     val objects: DbObjectCompiler,
     val parameters: Map[String, Any],
     val runArgs: RunArguments,
-    val tracker: TaskTracker = null) {
+    val tracker: TaskTracker = null,
+    val compileDir: Option[java.nio.file.Path] = None) {
 
   /** Step/progress API (python.py:91-114); defaults to a no-op sink. */
   val track: TaskTracker =
@@ -89,6 +90,27 @@ final class TaskContext(
       outputs += o
       objects.outValue(o)
     }
+
+  /** Standard column tests with the debug-dump UX: on failure under
+    * `--debug`, the FULL violation report (not just the 5-row sample in
+    * the error) is written as headered CSV to
+    * `compile/<group>/<task>_violations` — the engine analog of the
+    * reference's diagnostic SELECT (standard_test_output.sql).
+    */
+  def standardTests(tableName: String, ddl: graft.db.Ddl): Result[Unit] = {
+    val result = db.standardTests(tableName, ddl)
+    if (result.isLeft && runArgs.debug)
+      for {
+        dir <- compileDir
+        report <- db.violationReport(db.spark.table(tableName), ddl)
+      } {
+        val out = dir.resolve(group).resolve(s"${name}_violations")
+        report.coalesce(1).write.mode("overwrite")
+          .option("header", "true").csv(out.toString)
+        track.info(s"wrote full violation report to $out")
+      }
+    result
+  }
 
   /** Compile a template with src/out wired in; config() kwargs (if any)
     * flow to `onConfig` on the first pass only.

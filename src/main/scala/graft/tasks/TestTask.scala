@@ -57,7 +57,7 @@ final class TestTask extends TaskRunner {
       case Some(sqlTemplate) =>
         ctx.compile(sqlTemplate).flatMap(ctx.db.customTest)
       case None =>
-        ctx.db.standardTests(table.get, ddl)
+        ctx.standardTests(table.get, ddl)
     }
 
   override def run(): Result[Unit] = execute()

@@ -184,6 +184,29 @@ class AppSpec extends SparkSpec {
     assert(mkApp().run(passing).exists(_.succeeded))
   }
 
+  test("--debug dumps the FULL violation report to compile/<group>/<task>_violations") {
+    // 8 duplicated ids → 8 violation rows, but the failure error samples
+    // only 5; the debug dump must carry all of them
+    db.replaceTable("viol_t",
+      "SELECT id % 8 AS id, id AS payload FROM RANGE(16)")
+    val specs = Seq(TaskSpec("viol_test", "g", Map(
+      "type" -> "test", "table" -> "viol_t",
+      "columns" -> Seq(Map("name" -> "id", "tests" -> Seq("unique"))))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_compile_")
+    val app = new App(db, new DbObjectCompiler("spark"), compileDir = Some(dir))
+    val Right(report) = app.run(specs, RunArguments(debug = true))
+    assert(!report.succeeded)
+    val dump = dir.resolve("g").resolve("viol_test_violations")
+    assert(java.nio.file.Files.exists(dump))
+    val rows = spark.read.option("header", "true").csv(dump.toString).collect()
+    assert(rows.length == 8)
+    // without --debug, no dump is written
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_compile_")
+    val app2 = new App(db, new DbObjectCompiler("spark"), compileDir = Some(dir2))
+    assert(app2.run(specs, RunArguments()).exists(!_.succeeded))
+    assert(!java.nio.file.Files.exists(dir2.resolve("g").resolve("viol_test_violations")))
+  }
+
   test("skip propagation: child of failed parent skips; on_fail no_skip runs") {
     val specs = Seq(
       TaskSpec("bad", "g", Map("type" -> "sql", "sql" -> "SELECT * FROM missing_table_xyz")),
