@@ -11,11 +11,17 @@ import java.nio.file.{Files, Paths}
   *     comparable across rounds;
   *   - one untimed warmup pass per query (JVM/codegen/parquet-footer
   *     warmup is real but isn't the query's cost);
+  *   - per-query time is the MEDIAN of 3 timed runs — single-shot
+  *     timing showed order-dependent noise (r3's first-in-loop query
+  *     read 4.4× its r2 time);
   *   - results are materialised with a noop-format write, which evaluates
   *     every projected column — `.count()` would let Catalyst prune all
   *     expression work;
   *   - a failed query aborts the bench (exit 1) instead of timing as -1;
   *   - AQE on, aligned with the CLI session config;
+  *   - the JSON line carries per-query deltas (cur/prev ratio) against
+  *     the previous round's BENCH_r*.json (or SPARK_GRAFT_BENCH_PREV),
+  *     so regressions are visible in the artifact itself;
   *   - the JSON line goes to stdout AND to SPARK_GRAFT_BENCH_OUT
   *     (default bench_out.json) so the driver can parse it without
   *     scraping sbt log noise.
@@ -49,18 +55,63 @@ object Bench {
 
     names.foreach(materialize) // warmup pass, untimed
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      materialize(name) // failure propagates: a broken query must not bench
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(name) // failure propagates: a broken query must not bench
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(1) // median of 3
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val (prevName, deltas) = previousRoundDeltas(results.toMap)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir"$deltas}"""
     println(json)
+    prevName.foreach(p => System.err.println(s"[bench] deltas vs $p"))
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
+  }
+
+  /** Per-query cur/prev ratio against the previous round's bench file
+    * (SPARK_GRAFT_BENCH_PREV, else the highest-numbered BENCH_r*.json in
+    * the cwd) — the artifact itself shows regressions, not just totals.
+    */
+  private def previousRoundDeltas(
+      current: Map[String, Double]): (Option[String], String) = {
+    import scala.jdk.CollectionConverters._
+    val prev = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_))
+      .orElse {
+        Files.list(Paths.get(".")).iterator().asScala
+          .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+          .toSeq.sortBy(_.getFileName.toString).lastOption
+      }
+      .filter(Files.exists(_))
+    prev match {
+      case None => (None, "")
+      case Some(p) =>
+        // the driver wraps the bench line inside a JSON string field, so
+        // quotes may appear backslash-escaped in the raw text — match both
+        val text = Files.readString(p)
+        val inQueries = text.indexOf("queries") match {
+          case -1 => ""
+          case i => text.substring(i)
+        }
+        val PrevTime = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([0-9.eE+-]+)".r
+        val prevTimes = PrevTime.findAllMatchIn(inQueries)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ds = current.keys.toSeq.sorted.flatMap { q =>
+          prevTimes.get(q).filter(_ > 0).map { pt =>
+            "\"" + q + "\":" + f"${current(q) / pt}%.2f"
+          }
+        }
+        if (ds.isEmpty) (None, "")
+        else (
+          Some(p.getFileName.toString),
+          s""","prev":"${p.getFileName}","delta_vs_prev":${ds.mkString("{", ",", "}")}""")
+    }
   }
 }
