@@ -16,6 +16,8 @@ import scala.collection.mutable
   *   - filter pipes in interpolations: `{{ x | default('d') | upper }}` —
   *     default (incl. boolean mode), join, upper, lower, trim, replace,
   *     capitalize, title, length/count, first, last;
+  *   - `{% macro name(arg, arg2='default') %}` … `{% endmacro %}` with
+  *     positional/keyword/default arguments and definition-scope closure;
   *   - `{# comments #}` (dropped).
   *
   * Conditions follow Python/Jinja semantics: truthiness (None/false/""/0/
@@ -48,6 +50,17 @@ object Compiler {
   private final case class ForNode(
       varName: String, iterExpr: String, body: Seq[Node]) extends Node
   private final case class SetNode(varName: String, expr: String) extends Node
+  private final case class MacroNode(
+      name: String, params: Seq[(String, Option[Any])], body: Seq[Node]) extends Node
+
+  /** A defined `{% macro %}`, stored in the template scope like any other
+    * value; closes over its definition scope (Jinja semantics).
+    */
+  private final case class MacroDef(
+      name: String, params: Seq[(String, Option[Any])], body: Seq[Node],
+      defScope: Map[String, Any]) {
+    override def toString: String = s"<macro $name>"
+  }
 
   /** `{{ expr }}` | `{% tag %}` (with optional whitespace-control dashes,
     * treated as plain tags) | `{# comment #}`.
@@ -108,10 +121,16 @@ object Compiler {
                   case other => return Left(ParseError(
                     s"malformed set tag: {% set $other %} (expected {% set var = expr %})"))
                 }
+              case "macro" =>
+                i += 1
+                parseMacro(tag.stripPrefix("macro").trim) match {
+                  case Right(n) => out += n
+                  case Left(e) => return Left(e)
+                }
               case other =>
                 return Left(ParseError(s"unexpected template tag '{% $tag %}'" +
-                  (if (Set("elif", "else", "endif", "endfor").contains(other))
-                    " outside its block" else "")))
+                  (if (Set("elif", "else", "endif", "endfor", "endmacro")
+                    .contains(other)) " outside its block" else "")))
             }
         }
       }
@@ -164,10 +183,77 @@ object Compiler {
       }
     }
 
+    def parseMacro(header: String): Result[Node] = {
+      val MacroHeader = "^([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\((.*)\\)$".r
+      header match {
+        case MacroHeader(name, sig) =>
+          if (Set("src", "out", "config").contains(name))
+            return Left(ParseError(
+              s"macro name '$name' shadows a built-in template function"))
+          parseMacroSignature(sig).flatMap { params =>
+            parseBlock(Set("endmacro")) match {
+              case Left(e) => Left(e)
+              case Right((body, Some(_))) =>
+                i += 1; Right(MacroNode(name, params, body))
+              case Right((_, None)) =>
+                Left(ParseError("unclosed {% macro %}: missing {% endmacro %}"))
+            }
+          }
+        case _ => Left(ParseError(s"malformed macro tag: {% macro $header %} " +
+          "(expected {% macro name(arg, arg2='default') %})"))
+      }
+    }
+
     parseBlock(Set.empty).flatMap {
       case (nodes, None) => Right(nodes)
       case (_, Some(tag)) => Left(ParseError(s"unexpected '{% $tag %}'"))
     }
+  }
+
+  /** Ordered macro parameter list: `a, b='x', c=3` — declaration order
+    * matters for positional binding, so this is not parseArgs (whose kw
+    * map loses interleaving).
+    */
+  private def parseMacroSignature(
+      sig: String): Result[Seq[(String, Option[Any])]] = {
+    val Plain = "^([a-zA-Z_][a-zA-Z0-9_]*)$".r
+    val WithDefault = "(?s)^([a-zA-Z_][a-zA-Z0-9_]*)\\s*=\\s*(.+)$".r
+    if (sig.trim.isEmpty) Right(Nil)
+    else Result.sequence(splitTopLevel(sig, ',').map(_.trim).map {
+      case Plain(n) => Right((n, None: Option[Any]))
+      case WithDefault(n, v) =>
+        parseArgs(v).flatMap {
+          case (Seq(one), kw) if kw.isEmpty => Right((n, Some(one): Option[Any]))
+          case _ => Left(ParseError(s"bad default for macro arg '$n': $v"))
+        }
+      case other => Left(ParseError(s"bad macro parameter '$other'"))
+    })
+  }
+
+  /** Split on a top-level separator, honoring quotes/parens/brackets. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) {
+        cur.append(c)
+        if (c == '\\' && i + 1 < s.length) { cur.append(s(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '(' | '[' => depth += 1; cur.append(c)
+        case ')' | ']' => depth -= 1; cur.append(c)
+        case x if x == sep && depth == 0 => parts += cur.result(); cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    parts += cur.result()
+    parts.toSeq
   }
 
   // ---- renderer ----------------------------------------------------------
@@ -184,6 +270,13 @@ object Compiler {
             case Right(value) => scope += (v -> value); Right("")
             case Left(err) => Left(err)
           }
+        case MacroNode(mName, params, body) =>
+          // closes over the CURRENT scope (Jinja semantics); visible to
+          // the rest of the block like {% set %}. Self-recursion is not
+          // supported (the expression language has no arithmetic to
+          // terminate it anyway).
+          scope += (mName -> MacroDef(mName, params, body, scope))
+          Right("")
         case Interp(e) => evalExpr(e, ctx, scope)
         case IfNode(branches, elseBody) =>
           // Jinja semantics: conditions evaluate strictly in order and the
@@ -373,7 +466,11 @@ object Compiler {
                 if (ctx.allowConfig) ctx.config(kw)
                 Right(Some(""))
               }
-            case other => Left(ParseError(s"unknown template function '$other'"))
+            case other => lookup(other, scope) match {
+              case Some(m: MacroDef) =>
+                callMacro(m, pos, kw, ctx, expr).map(Some(_))
+              case _ => Left(ParseError(s"unknown template function '$other'"))
+            }
           }
         }
       case path => Right(lookup(path, scope))
@@ -396,6 +493,41 @@ object Compiler {
       case None => Left(ParseError(s"undefined template variable '${pipes.head}'" +
         (if (pipes.size > 1) s" in '{{ $expr }}'" else "")))
     }
+  }
+
+  /** Invoke a user macro: bind call args to declared params in order
+    * (positional, then keyword, then signature defaults — defaults may be
+    * bare words resolved against the definition scope), render the body
+    * with the definition scope extended by the bindings.
+    */
+  private def callMacro(
+      m: MacroDef, pos: Seq[Any], kw: Map[String, Any],
+      ctx: Context, expr: String): Result[String] = {
+    val names = m.params.map(_._1)
+    if (pos.length > names.length)
+      return Left(ParseError(
+        s"macro '${m.name}' takes ${names.length} argument(s): {{ $expr }}"))
+    val unknown = kw.keySet -- names.toSet
+    if (unknown.nonEmpty)
+      return Left(ParseError(s"macro '${m.name}' has no argument " +
+        s"'${unknown.toSeq.sorted.head}': {{ $expr }}"))
+    val bound = m.params.zipWithIndex.map { case ((p, dflt), idx) =>
+      if (idx < pos.length)
+        if (kw.contains(p))
+          Left(ParseError(
+            s"macro '${m.name}' argument '$p' given twice: {{ $expr }}"))
+        else Right(p -> pos(idx))
+      else kw.get(p) match {
+        case Some(v) => Right(p -> v)
+        case None => dflt match {
+          case Some(d) => Right(p -> resolveArg(d, m.defScope, ctx))
+          case None => Left(ParseError(
+            s"macro '${m.name}' missing argument '$p': {{ $expr }}"))
+        }
+      }
+    }
+    Result.sequence(bound)
+      .flatMap(bs => render(m.body, ctx, m.defScope ++ bs))
   }
 
   private[core] def lookup(path: String, params: Map[String, Any]): Option[Any] =

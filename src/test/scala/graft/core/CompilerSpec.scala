@@ -205,6 +205,42 @@ class CompilerSpec extends AnyFunSuite {
     assert(warned.isEmpty)
   }
 
+  // ---- {% macro %} -------------------------------------------------------
+
+  test("macro: positional, keyword and default arguments") {
+    val t =
+      """{% macro pick(table, alias='t', lim=10) %}SELECT {{ alias }}.* FROM {{ table }} {{ alias }} LIMIT {{ lim }}{% endmacro %}
+        |{{ pick('orders') }};{{ pick('lineitem', alias='l') }};{{ pick('part', 'p', lim=3) }}""".stripMargin
+    assert(Compiler.compile(t, Context()) == Right(
+      "\nSELECT t.* FROM orders t LIMIT 10;" +
+        "SELECT l.* FROM lineitem l LIMIT 10;" +
+        "SELECT p.* FROM part p LIMIT 3"))
+  }
+
+  test("macro closes over definition scope and can use src()") {
+    val t =
+      """{% set sch = 'core' %}{% macro ref(t) %}{{ src(t) }}_{{ sch }}{% endmacro %}{{ ref('orders') }}"""
+    assert(Compiler.compile(t, Context(src = s => s"dev_$s")) ==
+      Right("dev_orders_core"))
+  }
+
+  test("macro calling an earlier macro; filters on macro results") {
+    val t =
+      """{% macro inner(x) %}[{{ x }}]{% endmacro %}{% macro outer(x) %}({{ inner(x) }}){% endmacro %}{{ outer('v') | upper }}"""
+    assert(Compiler.compile(t, Context()) == Right("([V])"))
+  }
+
+  test("macro argument errors: missing, unknown, duplicate, reserved name") {
+    val t = "{% macro m(a, b) %}{{ a }}{{ b }}{% endmacro %}"
+    assert(Compiler.compile(s"$t{{ m('x') }}", Context()).isLeft) // missing b
+    assert(Compiler.compile(s"$t{{ m('x', c='y') }}", Context()).isLeft) // unknown c
+    assert(Compiler.compile(s"$t{{ m('x', 'y', a='z') }}", Context()).isLeft) // a twice
+    assert(Compiler.compile(
+      "{% macro src(a) %}{{ a }}{% endmacro %}", Context()).isLeft) // reserved
+    assert(Compiler.compile("{% macro m(a) %}x", Context()).isLeft) // unclosed
+    assert(Compiler.compile("{% endmacro %}", Context()).isLeft)
+  }
+
   test("arg parser: numbers, bools, lists, mixed kwargs") {
     val Right((pos, kw)) = Compiler.parseArgs("'a', 1, key=2.5, flag=true, xs=['p','q']")
     assert(pos == Seq("a", 1L))
