@@ -350,6 +350,128 @@ object Relational {
       |SELECT l_orderkey, l_partkey FROM ex
       |WHERE l_orderkey IN (SELECT l_orderkey FROM ins)""".stripMargin
 
+  // q40: CUBE grouping sets with grouping_id — the full grouping-set
+  // surface beyond q12's ROLLUP (all four (flag, status) combinations)
+  def q40GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+
+  val q40Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // q41: correlated scalar subquery in both SELECT and WHERE (Catalyst
+  // decorrelation — COUNT over an empty correlated group must read 0)
+  def q41CorrelatedScalar(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c.c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 8""".stripMargin)
+  }
+
+  val q41Sql: String =
+    """SELECT c.c_custkey,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 8""".stripMargin
+
+  // q42: date/time function battery — extraction, ISO weeks, month ends,
+  // day arithmetic; date outputs cross-engine-safe as ISO strings
+  def q42DateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(d).as("yr"),
+      quarter(d).as("qtr"),
+      month(d).as("mon"),
+      dayofmonth(d).as("dom"),
+      weekofyear(d).as("wk"),
+      last_day(d).cast("string").as("eom"),
+      datediff(lit("1998-12-31").cast("date"), d).as("days_to_end"),
+      date_add(d, 30).cast("string").as("due_date"))
+  }
+
+  val q42Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mon,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS wk,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_end,
+      |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS due_date
+      |FROM orders""".stripMargin
+
+  // q43: string function battery — case, substring, padding, regex
+  // extraction, search position, reverse
+  def q43StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      substring(col("p_name"), 1, 5).as("head5"),
+      length(col("p_name")).as("len"),
+      lpad(col("p_brand"), 12, "*").as("padded"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+      locate("a", col("p_name")).as("a_pos"),
+      reverse(col("p_brand")).as("rbrand"))
+
+  val q43Sql: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS uname,
+      |  substring(p_name, 1, 5) AS head5,
+      |  CAST(length(p_name) AS INT) AS len,
+      |  lpad(p_brand, 12, '*') AS padded,
+      |  regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+      |  CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+      |  reverse(p_brand) AS rbrand
+      |FROM part""".stripMargin
+
+  // q44: ordered aggregation into a delimited string — deterministic
+  // collect_list via sort_array (Spark's list order is otherwise
+  // partition-dependent), the string_agg/array_agg surface
+  def q44OrderedAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        array_join(sort_array(collect_list(col("o_orderpriority"))), ",")
+          .as("prios"),
+        count(lit(1)).as("n_orders"))
+
+  val q44Sql: String =
+    """SELECT o_custkey,
+      |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  // q45: pivot (long → wide) — Spark's relational pivot operator with an
+  // explicit value list; empty cells coalesce to 0 like the CASE oracle
+  def q45Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(
+        col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"))
+
+  val q45Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -368,7 +490,13 @@ object Relational {
     "q34_full_outer" -> (q34FullOuter _),
     "q35_scalar_funcs" -> (q35ScalarFuncs _),
     "q36_window_funcs" -> (q36WindowFuncs _),
-    "q37_set_ops" -> (q37SetOps _))
+    "q37_set_ops" -> (q37SetOps _),
+    "q40_grouping_sets" -> (q40GroupingSets _),
+    "q41_correlated_scalar" -> (q41CorrelatedScalar _),
+    "q42_date_funcs" -> (q42DateFuncs _),
+    "q43_string_funcs" -> (q43StringFuncs _),
+    "q44_ordered_agg" -> (q44OrderedAgg _),
+    "q45_pivot" -> (q45Pivot _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -388,5 +516,11 @@ object Relational {
     "q34_full_outer" -> q34Sql,
     "q35_scalar_funcs" -> q35Sql,
     "q36_window_funcs" -> q36Sql,
-    "q37_set_ops" -> q37Sql)
+    "q37_set_ops" -> q37Sql,
+    "q40_grouping_sets" -> q40Sql,
+    "q41_correlated_scalar" -> q41Sql,
+    "q42_date_funcs" -> q42Sql,
+    "q43_string_funcs" -> q43Sql,
+    "q44_ordered_agg" -> q44Sql,
+    "q45_pivot" -> q45Sql)
 }
