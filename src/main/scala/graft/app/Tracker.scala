@@ -47,29 +47,45 @@ object Tracker {
   def now(): Long = System.currentTimeMillis()
 }
 
-/** Console renderer: one line per task with index/total, status and
-  * duration; step detail with `debug`. (The reference's rich progress
-  * console, sayn/logging/log_formatter.py, reduced to plain lines.)
+/** Console renderer: one line per task with index/total, status,
+  * duration and a per-step duration breakdown (the reference's
+  * per-step progress console, sayn/logging/log_formatter.py, reduced
+  * to plain lines); live step lines with `debug`; a status tally at
+  * the end of the run. Emission is synchronized by [[Tracker]], so the
+  * per-task step state is safe under the parallel executor.
   */
 final class ConsoleTracker(
     debug: Boolean = false,
     out: String => Unit = println) extends EventListener {
   import RunEvent._
+  private val steps =
+    scala.collection.mutable.Map.empty[String, Vector[(String, Boolean, Long)]]
+  private val statuses = scala.collection.mutable.Map.empty[String, Int]
   private def fmt(ms: Long): String =
     if (ms < 1000) s"${ms}ms" else f"${ms / 1000.0}%.1fs"
   override def onEvent(e: RunEvent): Unit = e match {
-    case RunStarted(cmd, n, _) => out(s"$cmd: $n task(s)")
+    case RunStarted(cmd, n, _) =>
+      steps.clear(); statuses.clear()
+      out(s"$cmd: $n task(s)")
     case TaskStarted(t, i, n, _) => out(s"[$i/$n] $t ...")
     case TaskFinished(t, status, ms, err, _) =>
-      out(s"[$t] $status (${fmt(ms)})" + err.map(e => s": $e").getOrElse(""))
+      statuses(status) = statuses.getOrElse(status, 0) + 1
+      val detail = steps.remove(t).filter(_.nonEmpty).map(_.map {
+        case (s, ok, sms) => s"$s ${fmt(sms)}" + (if (ok) "" else " FAILED")
+      }.mkString(": ", ", ", "")).getOrElse("")
+      out(s"[$t] $status (${fmt(ms)}$detail)" + err.map(e => s": $e").getOrElse(""))
     case StepStarted(t, s, _) => if (debug) out(s"  [$t] step $s ...")
     case StepFinished(t, s, ok, ms, _) =>
+      steps(t) = steps.getOrElse(t, Vector.empty) :+ ((s, ok, ms))
       if (debug) out(s"  [$t] step $s ${if (ok) "done" else "FAILED"} (${fmt(ms)})")
     case Message(level, task, text, _) =>
       if (debug || level != "debug")
         out(s"  ${task.map(t => s"[$t] ").getOrElse("")}$text")
     case RunFinished(ok, ms, _) =>
-      out(s"${if (ok) "succeeded" else "FAILED"} in ${fmt(ms)}")
+      val tally = statuses.toSeq.sortBy(_._1)
+        .map { case (s, n) => s"$n $s" }.mkString(", ")
+      out(s"${if (ok) "succeeded" else "FAILED"} in ${fmt(ms)}" +
+        (if (tally.nonEmpty) s" ($tally)" else ""))
   }
 }
 

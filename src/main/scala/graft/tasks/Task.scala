@@ -162,6 +162,14 @@ final class DummyTask extends TaskRunner {
   * SQLAlchemy handle.
   */
 trait UserTask {
+  /** Parameters this task requires from project/profile/task YAML — the
+    * engine analog of the reference injecting parameters *by argument
+    * name* into the python callable (sayn/tasks/python.py:91-114): a
+    * python function with a `foo` argument fails loudly when no `foo`
+    * exists, so declared names here are validated at config time instead
+    * of surfacing as a None mid-run.
+    */
+  def requiredParameters: Seq[String] = Nil
   def setup(ctx: TaskContext): Result[Unit] = Right(())
   def run(ctx: TaskContext): Result[Unit]
   def test(ctx: TaskContext): Result[Unit] = Right(())
@@ -172,6 +180,11 @@ final class UserTaskRunner(userTask: UserTask) extends TaskRunner {
   private var ctx: TaskContext = _
   override def config(ctx: TaskContext, cfg: Map[String, Any]): Result[Unit] = {
     this.ctx = ctx
+    val missing = userTask.requiredParameters.filterNot(ctx.parameters.contains)
+    if (missing.nonEmpty)
+      return Left(ConfigError(s"task ${ctx.name}: missing required " +
+        s"parameter(s) ${missing.mkString(", ")} (declare in project/profile " +
+        "parameters, task parameters, or GRAFT_PARAMETER_* env)"))
     // declared sources/outputs make lineage explicit for python-ish tasks
     cfg.get("sources").toSeq.flatMap(asSeq).foldLeft(Right(()): Result[Unit]) {
       (acc, s) => acc.flatMap(_ => ctx.src(s.toString).map(_ => ()))

@@ -85,7 +85,53 @@ class TrackerSpec extends SparkSpec {
       assert(l.startsWith("{") && l.endsWith("}") && l.contains("\"event\""), l)
     }
     assert(lines.exists(_.contains("[1/2] t_ok")))
-    assert(lines.exists(_.startsWith("succeeded in")))
+    // run tally on the final line
+    assert(lines.exists(l => l.startsWith("succeeded in") &&
+      l.contains("2 succeeded")))
+  }
+
+  test("console task line carries the per-step duration breakdown") {
+    import graft.tasks.{TaskContext, UserTask, RunArguments => RA}
+    import graft.core.Result.Result
+    val stepped = new UserTask {
+      override def run(ctx: TaskContext): Result[Unit] = {
+        ctx.track.step("stage")(())
+        ctx.track.step("swap")(())
+        Right(())
+      }
+    }
+    val lines = mutable.ArrayBuffer.empty[String]
+    val console = new ConsoleTracker(debug = false, out = lines += _)
+    val app = new App(db, new DbObjectCompiler("spark"),
+      userTasks = Map("st" -> stepped))
+    val Right(report) = app.run(
+      Seq(TaskSpec("st", "g", Map("type" -> "user"))), RA(), Tracker(console))
+    assert(report.succeeded, report.errors)
+    val line = lines.find(_.startsWith("[st] succeeded")).get
+    assert(line.contains("stage") && line.contains("swap"), line)
+  }
+
+  test("user task requiredParameters are validated at config") {
+    import graft.tasks.{TaskContext, UserTask, RunArguments => RA}
+    import graft.core.Result.Result
+    val needy = new UserTask {
+      override def requiredParameters: Seq[String] = Seq("target_schema")
+      override def run(ctx: TaskContext): Result[Unit] = Right(())
+    }
+    val specs = Seq(TaskSpec("needy", "g", Map("type" -> "user")))
+    // missing → config error mentioning the parameter
+    val bare = new App(db, new DbObjectCompiler("spark"),
+      userTasks = Map("needy" -> needy))
+    val r = bare.run(specs, RA())
+    assert(r.isLeft || r.exists(!_.succeeded))
+    // provided via project parameters → runs
+    val fed = new App(db, new DbObjectCompiler("spark"),
+      Map("target_schema" -> "dev"), userTasks = Map("needy" -> needy))
+    assert(fed.run(specs, RA()).exists(_.succeeded))
+    // provided via per-task parameters → runs
+    val perTask = Seq(TaskSpec("needy", "g", Map(
+      "type" -> "user", "parameters" -> Map("target_schema" -> "x"))))
+    assert(bare.run(perTask, RA()).exists(_.succeeded))
   }
 
   test("dag() returns parent map; toDot renders graphviz") {
