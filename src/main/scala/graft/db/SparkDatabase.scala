@@ -2,7 +2,7 @@ package graft.db
 
 import graft.core.{DbError, Result, TestFailed}
 import graft.core.Result.Result
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The engine's single "warehouse connection": every ETL/materialisation
@@ -383,18 +383,58 @@ final class SparkDatabase(
       lit(c.name).as("column_name"))
   }
 
-  /** Full problematic-values report for all declared column tests: one
-    * unioned scan, every offending value with its count (the reference's
-    * per-failure diagnostic SELECT, sayn/tasks/tests/standard_test_output
-    * .sql:1-17). None when no tests are declared. The caller decides how
-    * much to materialise — `standardTests` samples 5 rows, a debug dump
-    * can write the whole report.
+  /** All UNIQUE tests in one pass: a grouping-sets aggregation with one
+    * set per tested column, so N unique tests cost ONE scan and ONE
+    * shuffle (Expand) instead of N groupBy scans — on a 100 TB table
+    * whose test suite checks several key columns, that is the difference
+    * between one pass over the data and one per column. Each output row
+    * belongs to exactly one grouping set; grouping_id() says which
+    * column, with Spark's bit order (first grouping column = highest
+    * bit).
     */
-  def violationReport(df: DataFrame, ddl: Ddl): Option[DataFrame] =
-    (for {
-      c <- ddl.columnsWithTests
-      t <- c.tests
-    } yield testViolations(df, c, t)).reduceOption(_ unionByName _)
+  private def uniqueViolationsOnePass(
+      df: DataFrame, cols: Seq[ColumnDdl]): DataFrame = {
+    val n = cols.length
+    val full = (1L << n) - 1
+    def gidFor(i: Int): Long = full & ~(1L << (n - 1 - i))
+    val agg = df
+      .groupingSets(cols.map(c => Seq(col(c.name))), cols.map(c => col(c.name)): _*)
+      .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))
+      .filter(col("cnt") > 1)
+    def pick(f: (ColumnDdl, Int) => Column): Column =
+      cols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (c, i)) => when(col("gid") === gidFor(i), f(c, i)).otherwise(acc)
+      }
+    agg.select(
+      pick((c, _) => col(c.name).cast("string")).as("value"),
+      col("cnt"),
+      lit("unique").as("test_type"),
+      pick((c, _) => lit(c.name)).as("column_name"))
+  }
+
+  /** Full problematic-values report for all declared column tests: every
+    * offending value with its count (the reference's per-failure
+    * diagnostic SELECT, sayn/tasks/tests/standard_test_output.sql:1-17).
+    * None when no tests are declared. Unique tests share one
+    * grouping-sets pass (see [[uniqueViolationsOnePass]]); not-null and
+    * allowed-values scans union in (their filters push into the scan, so
+    * they are cheap). The caller decides how much to materialise —
+    * `standardTests` samples 5 rows, a debug dump can write the whole
+    * report.
+    */
+  def violationReport(df: DataFrame, ddl: Ddl): Option[DataFrame] = {
+    val withTests = ddl.columnsWithTests
+    val uniqueCols = withTests.filter(_.tests.contains(UniqueTest))
+    val others = for {
+      c <- withTests
+      t <- c.tests if t != UniqueTest
+    } yield testViolations(df, c, t)
+    val uniques =
+      if (uniqueCols.size > 1 && uniqueCols.size <= 32)
+        Seq(uniqueViolationsOnePass(df, uniqueCols))
+      else uniqueCols.map(c => testViolations(df, c, UniqueTest))
+    (uniques ++ others).reduceOption(_ unionByName _)
+  }
 
   /** Run all declared column tests for a table as one unioned scan,
     * capped at 5 offending rows like the reference

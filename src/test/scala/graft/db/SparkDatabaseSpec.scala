@@ -172,6 +172,30 @@ class SparkDatabaseSpec extends SparkSpec {
       Set(Seq("new")))
   }
 
+  test("multiple unique tests share one grouping-sets pass (incl. null groups)") {
+    val ddl = Ddl(columns = Seq(
+      ColumnDdl("a", tests = Seq(UniqueTest)),
+      ColumnDdl("b", tests = Seq(UniqueTest)),
+      ColumnDdl("c", tests = Seq(NotNullTest))))
+    val df = Seq(
+      (1L, Some("p"), None: Option[Long]),
+      (1L, Some("q"), None),
+      (2L, Some("q"), Some(5L)),
+      (3L, None, Some(6L)),
+      (4L, None, Some(7L))).toDF("a", "b", "c")
+    val report = db.violationReport(df, ddl).get
+    assert(rows(report) == Set(
+      Seq("1", 2L, "unique", "a"),
+      Seq("q", 2L, "unique", "b"),
+      Seq(null, 2L, "unique", "b"),
+      Seq(null, 2L, "not_null", "c")))
+    // the two unique tests run as ONE grouping-sets aggregation: exactly
+    // one Expand in the optimized plan (N groupBys would have none but N
+    // separate exchanges over N scans)
+    val plan = report.queryExecution.optimizedPlan.toString
+    assert(plan.split("Expand").length - 1 == 1, plan)
+  }
+
   test("acidMerge flag routes to DELETE+INSERT and fails loudly on v1 tables") {
     // no ACID catalog is bundled, so on plain parquet the DELETE FROM
     // must surface Spark's v2-tables error — loud misconfiguration, not
