@@ -192,6 +192,61 @@ object TextDedup {
     verifyJaccard(sh, idCol, candidates, threshold)
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components over
+    * the pair graph, labeling every member with the component's minimum
+    * id as `canonical_id` — the keep-one-per-cluster step that turns
+    * pairwise output ([[jaccardPairs]]/[[minhashPairs]]/[[simhashPairs]])
+    * into an actionable dedup decision (near-duplication is transitive
+    * in effect: A~B and B~C must collapse to ONE kept document even when
+    * A~C scores below threshold).
+    *
+    * Iterative min-label propagation: each round spreads the smallest
+    * known label across edges (one equi-join + one min-aggregate), so
+    * rounds needed = component diameter — small for near-dup clusters,
+    * capped by `maxIter`. Each round materializes through an eager
+    * localCheckpoint: lineage stays flat (no exponential replan) and the
+    * loop state lives on executors, never the driver. The only driver
+    * values are the per-round convergence flag and counts. At extreme
+    * diameters swap in the large-star/small-star variant (O(log n)
+    * rounds) — same interface.
+    *
+    * Input: one row per undirected pair. Output: (doc_id, canonical_id)
+    * for every document that appears in some pair; unpaired documents
+    * are their own canonical by definition and are left to the caller.
+    */
+  def dupClusters(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b",
+      maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lab"))
+        .localCheckpoint(true)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIter) {
+        val viaEdges = sym
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("lab"))
+        val next = viaEdges.union(labels)
+          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+          .localCheckpoint(true)
+        val changed = next.as("n")
+          .join(labels.as("o"), "id")
+          .filter(col("n.lab") =!= col("o.lab"))
+          .limit(1).count() > 0
+        labels = next
+        converged = !changed
+        it += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lab").as("canonical_id"))
+    } finally sym.unpersist()
+  }
+
   /** 64-bit SimHash fingerprint per document: bit i of the fingerprint is
     * the sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1). Computed in-row
     * by the codegen'd [[graft.functions.SimHash64]] expression — a pure

@@ -247,6 +247,45 @@ object Pipeline {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // q46: duplicate clusters — connected components over the exact
+  // Jaccard near-dup pairs, every member labeled with the component min
+  // id. Oracle: transitive closure via a recursive CTE over the same
+  // pair set.
+  def q46DupClusters(s: SparkSession, dir: String): DataFrame =
+    TextDedup.dupClusters(
+      TextDedup.jaccardPairs(
+        TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
+        "doc_id", threshold = 0.12, maxShingleDocs = Int.MaxValue)
+        .select(col("doc_a"), col("doc_b")))
+
+  val q46Sql: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.12),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
+      |SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id""".stripMargin
+
   // ---- LSH / approximate variants: no SQL oracle (driver rows-only
   // check); recall vs the exact answer is asserted in PipelineSpec -------
 
@@ -289,6 +328,7 @@ object Pipeline {
     "q25_multimodal" -> (q25Multimodal _),
     "q26_embed_dup" -> (q26EmbedDup _),
     "q32_json_props" -> (q32JsonProps _),
+    "q46_dup_clusters" -> (q46DupClusters _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -305,5 +345,6 @@ object Pipeline {
     "q21_sessions" -> q21Sql,
     "q25_multimodal" -> q25Sql,
     "q26_embed_dup" -> q26Sql,
-    "q32_json_props" -> q32Sql)
+    "q32_json_props" -> q32Sql,
+    "q46_dup_clusters" -> q46Sql)
 }

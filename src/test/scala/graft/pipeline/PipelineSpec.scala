@@ -89,6 +89,39 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${capped.size}/${exact.size})")
   }
 
+  test("dupClusters labels connected components with the min id") {
+    // chain 1-2-3 (1~3 never paired directly) plus a separate pair 5-6:
+    // transitivity must collapse the chain to one canonical id
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // empty pair set → empty labeling, no crash
+    assert(TextDedup.dupClusters(pairs.limit(0)).count() == 0)
+  }
+
+  test("dupClusters matches union-find on the fixture near-dup pairs") {
+    val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
+    val pairs = TextDedup.jaccardPairs(sh, "doc_id", 0.12, Int.MaxValue)
+      .select("doc_a", "doc_b")
+    val got = TextDedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find over the collected pairs (small at sf0.001)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (parent.keySet ++ parent.values).map(x => x -> find(x)).toMap
+    assert(got.nonEmpty)
+    assert(got == got.keys.map(k => k -> expected.getOrElse(k, k)).toMap)
+  }
+
   test("minhash-LSH recall vs exact jaccard on fixture docs") {
     val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
     def pairSet(df: DataFrame): Set[(Long, Long)] =
