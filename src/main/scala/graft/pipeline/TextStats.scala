@@ -41,6 +41,37 @@ object TextStats {
           (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr")): _*)
   }
 
+  /** BPE-ish pre-tokenization pattern: word runs, digit runs, punctuation
+    * runs — the class structure GPT-style pre-tokenizers split on before
+    * merges (plain alternation, portable across Java and RE2 regex
+    * engines).
+    */
+  val bpePattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  /** Per-document token statistics under a REGEX tokenizer (default
+    * [[bpePattern]]) instead of the whitespace split: total/distinct
+    * counts plus per-class (word/number/punctuation) counts. Like
+    * [[tokenStats]] everything is computed IN-ROW over the extracted
+    * token array — regexp_extract_all then array filters, a pure
+    * codegen'd projection with zero shuffles at any scale.
+    */
+  def regexTokenStats(
+      df: DataFrame, idCol: String, textCol: String,
+      pattern: String = bpePattern): DataFrame = {
+    val toks = col("_toks")
+    def classCount(re: String) =
+      size(filter(toks, t => t.rlike(re))).cast("long")
+    df.select(col(idCol),
+      regexp_extract_all(col(textCol), lit(pattern), lit(0)).as("_toks"))
+      .select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        classCount("^[A-Za-z]+$").as("n_word"),
+        classCount("^[0-9]+$").as("n_num"),
+        classCount("^[^A-Za-z0-9 ]+$").as("n_punct"))
+  }
+
   /** Stopword list for quality scoring — function words whose density
     * separates prose from keyword soup (the classic C4/Gopher-style
     * heuristic, public domain knowledge).

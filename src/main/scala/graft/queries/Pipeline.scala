@@ -247,6 +247,25 @@ object Pipeline {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // q47: regex (BPE-ish pre-tokenizer) token statistics — the
+  // non-whitespace tokenization surface: regexp_extract_all + in-row
+  // array filters per token class
+  def q47RegexTokens(s: SparkSession, dir: String): DataFrame =
+    TextStats.regexTokenStats(t(s, dir, "documents"), "doc_id", "text")
+
+  val q47Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]+$'))) AS BIGINT) AS n_word,
+      |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_num,
+      |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[^A-Za-z0-9 ]+$'))) AS BIGINT) AS n_punct
+      |FROM tk""".stripMargin
+
   // q46: duplicate clusters — connected components over the exact
   // Jaccard near-dup pairs, every member labeled with the component min
   // id. Oracle: transitive closure via a recursive CTE over the same
@@ -329,6 +348,7 @@ object Pipeline {
     "q26_embed_dup" -> (q26EmbedDup _),
     "q32_json_props" -> (q32JsonProps _),
     "q46_dup_clusters" -> (q46DupClusters _),
+    "q47_regex_tokens" -> (q47RegexTokens _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -346,5 +366,6 @@ object Pipeline {
     "q25_multimodal" -> q25Sql,
     "q26_embed_dup" -> q26Sql,
     "q32_json_props" -> q32Sql,
-    "q46_dup_clusters" -> q46Sql)
+    "q46_dup_clusters" -> q46Sql,
+    "q47_regex_tokens" -> q47Sql)
 }

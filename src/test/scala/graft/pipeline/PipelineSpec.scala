@@ -89,6 +89,17 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${capped.size}/${exact.size})")
   }
 
+  test("regexTokenStats splits word/number/punctuation runs") {
+    val df = Seq((1L, "abc de 42 7x !? end")).toDF("doc_id", "text")
+    val r = TextStats.regexTokenStats(df, "doc_id", "text").collect().head
+    // tokens: abc, de, 42, 7, x, !?, end → 7 total, all distinct
+    assert(r.getLong(1) == 7L) // n_tokens
+    assert(r.getLong(2) == 7L) // n_distinct
+    assert(r.getLong(3) == 4L) // words: abc de x end
+    assert(r.getLong(4) == 2L) // numbers: 42 7
+    assert(r.getLong(5) == 1L) // punct: !?
+  }
+
   test("dupClusters labels connected components with the min id") {
     // chain 1-2-3 (1~3 never paired directly) plus a separate pair 5-6:
     // transitivity must collapse the chain to one canonical id
