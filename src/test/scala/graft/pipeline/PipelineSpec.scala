@@ -371,6 +371,43 @@ class PipelineSpec extends SparkSpec {
     assert(meta.getAs[String]("sha256").length == 64)
   }
 
+  test("imageMeta parses real PNG/BMP/GIF headers; audioMeta parses WAV") {
+    def beBytes(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    def leBytes(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    // PNG: signature + IHDR length + "IHDR" + width/height (big-endian)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      beBytes(13, 4) ++ "IHDR".getBytes ++ beBytes(640, 4) ++ beBytes(480, 4) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    // BMP: "BM" + 12 filler bytes + header size then width/height (LE) at 19/23
+    val bmp = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ leBytes(40, 4) ++
+      leBytes(800, 4) ++ leBytes(600, 4)
+    // GIF: "GIF89a" + logical screen w/h (LE)
+    val gif = "GIF89a".getBytes ++ leBytes(320, 2) ++ leBytes(200, 2)
+    // WAV: "RIFF" + size + "WAVE" + "fmt " + chunk size + PCM + channels,
+    // sample rate, byte rate, block align, bits per sample (all LE)
+    val wav = "RIFF".getBytes ++ leBytes(100, 4) ++ "WAVEfmt ".getBytes ++
+      leBytes(16, 4) ++ leBytes(1, 2) ++ leBytes(2, 2) ++ leBytes(44100, 4) ++
+      leBytes(176400, 4) ++ leBytes(4, 2) ++ leBytes(16, 2)
+    val junk = "not a media file".getBytes
+    val df = Seq((1L, png), (2L, bmp), (3L, gif), (4L, wav), (5L, junk))
+      .toDF("doc_id", "media_bytes")
+    val img = Multimodal.imageMeta(df).select("doc_id", "image_format", "width", "height")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(img(1L) == ((Some("png"), Some(640), Some(480))))
+    assert(img(2L) == ((Some("bmp"), Some(800), Some(600))))
+    assert(img(3L) == ((Some("gif"), Some(320), Some(200))))
+    assert(img(5L) == ((None, None, None)))
+    val aud = Multimodal.audioMeta(df)
+      .select("doc_id", "audio_format", "n_channels", "sample_rate", "bits_per_sample")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(aud(4L) == ((Some("wav"), Some(2), Some(44100), Some(16))))
+    assert(aud(1L) == ((None, None, None, None)))
+  }
+
   test("multimodal frame sampling explodes stride-spaced frames") {
     val df = Multimodal.fakeDecodeMeta(
       Multimodal.ingest(Seq((1L, "x" * 100)).toDF("doc_id", "text"), "text", "video"))
