@@ -67,6 +67,40 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dupClusters equals union-find on random graphs") {
+    // filter-free generator: a < b by construction (Gen filters can
+    // exhaust retries and yield None for some seeds)
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 14)
+      m <- Gen.chooseNum(1, 18)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 2)
+        d <- Gen.chooseNum(1, n - 1 - a)
+      } yield (a.toLong, (a + d).toLong))
+    } yield edges
+    (1 to 6).foreach { s =>
+      val edges = sample(edgeGen, 400L + s).distinct
+      if (edges.nonEmpty) {
+        val got = TextDedup.dupClusters(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        assert(got.keySet == nodes, s"seed $s")
+        nodes.foreach { x =>
+          assert(got(x) == find(x), s"seed $s node $x: ${got(x)} != ${find(x)}")
+        }
+      }
+    }
+  }
+
   test("property: identical docs have identical minhash signatures") {
     (1 to 8).foreach { s =>
       val d = sample(doc, 300L + s)
