@@ -247,6 +247,36 @@ object Pipeline {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // q48: blocked exact embedding dup pairs — same contract as q26 (the
+  // escape hatch must be output-identical to the broadcast path), so it
+  // shares q26's oracle verbatim
+  def q48EmbedDupBlocked(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDupPairsBlocked(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4, blocks = 4)
+
+  // q49: multimodal header round-trip — REAL PNG headers are built
+  // in-plan (signature + IHDR with per-doc dimensions as big-endian
+  // bytes via hex/lpad/unhex), then imageMeta decodes them back with
+  // byte expressions; the oracle predicts the encoded values directly
+  def q49ImageHeaders(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = (col("n_chars") % 512 + 16).cast("int")
+    val h = (col("doc_id") % 256 + 16).cast("int")
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + IHDR chunk head
+      unhex(lpad(hex(w), 8, "0")),
+      unhex(lpad(hex(h), 8, "0")),
+      unhex(lit("0806000000")))
+    Multimodal.imageMeta(docs.withColumn("media_bytes", png))
+      .select(col("doc_id"), col("image_format"), col("width"), col("height"))
+  }
+
+  val q49Sql: String =
+    """SELECT doc_id, 'png' AS image_format,
+      |  CAST(n_chars % 512 + 16 AS INT) AS width,
+      |  CAST(doc_id % 256 + 16 AS INT) AS height
+      |FROM documents""".stripMargin
+
   // q47: regex (BPE-ish pre-tokenizer) token statistics — the
   // non-whitespace tokenization surface: regexp_extract_all + in-row
   // array filters per token class
@@ -349,6 +379,8 @@ object Pipeline {
     "q32_json_props" -> (q32JsonProps _),
     "q46_dup_clusters" -> (q46DupClusters _),
     "q47_regex_tokens" -> (q47RegexTokens _),
+    "q48_embed_dup_blocked" -> (q48EmbedDupBlocked _),
+    "q49_image_headers" -> (q49ImageHeaders _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -367,5 +399,7 @@ object Pipeline {
     "q26_embed_dup" -> q26Sql,
     "q32_json_props" -> q32Sql,
     "q46_dup_clusters" -> q46Sql,
-    "q47_regex_tokens" -> q47Sql)
+    "q47_regex_tokens" -> q47Sql,
+    "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26
+    "q49_image_headers" -> q49Sql)
 }
