@@ -247,6 +247,25 @@ object Pipeline {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // q50: deterministic hash split — id-only membership (stable under
+  // reruns/appends/repartitioning) via the engine-portable md5 hash, so
+  // the oracle reproduces the exact assignment
+  def q50HashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.hashSplit(
+      t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+
+  val q50Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN h < 800000 THEN 'train'
+      |       WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 1000000 AS h
+      |  FROM documents)""".stripMargin
+
   // q48: blocked exact embedding dup pairs — same contract as q26 (the
   // escape hatch must be output-identical to the broadcast path), so it
   // shares q26's oracle verbatim
@@ -381,6 +400,7 @@ object Pipeline {
     "q47_regex_tokens" -> (q47RegexTokens _),
     "q48_embed_dup_blocked" -> (q48EmbedDupBlocked _),
     "q49_image_headers" -> (q49ImageHeaders _),
+    "q50_hash_split" -> (q50HashSplit _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -401,5 +421,6 @@ object Pipeline {
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26
-    "q49_image_headers" -> q49Sql)
+    "q49_image_headers" -> q49Sql,
+    "q50_hash_split" -> q50Sql)
 }

@@ -89,6 +89,35 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${capped.size}/${exact.size})")
   }
 
+  test("hashSplit: id-only membership, fractions hold, samples nest") {
+    import graft.pipeline.Sampling
+    val ids = (0L until 2000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val split = Sampling.hashSplit(ids, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byName = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byName("train") - 1600.0) < 120, byName)
+    assert(math.abs(byName("val") - 200.0) < 70, byName)
+    // membership depends only on the id: appending rows changes nothing
+    val before = split.filter($"doc_id" < 100).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val grown = Sampling.hashSplit(
+      (0L until 5000L).map(i => (i, s"d$i")).toDF("doc_id", "text"),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val after = grown.filter($"doc_id" < 100).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(before == after)
+    // nested samples: 1% ⊆ 10%
+    def keys(rate: Double) = Sampling.hashSample(ids, "doc_id", rate)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val (one, ten) = (keys(0.01), keys(0.10))
+    assert(one.subsetOf(ten) && one.size < ten.size)
+    // invalid fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "doc_id", Seq("a" -> 0.5))
+    }
+  }
+
   test("regexTokenStats splits word/number/punctuation runs") {
     val df = Seq((1L, "abc de 42 7x !? end")).toDF("doc_id", "text")
     val r = TextStats.regexTokenStats(df, "doc_id", "text").collect().head
