@@ -85,20 +85,28 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val prev = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_))
       .orElse {
-        Files.list(Paths.get(".")).iterator().asScala
+        val listing = Files.list(Paths.get("."))
+        try listing.iterator().asScala
           .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
           .toSeq.sortBy(_.getFileName.toString).lastOption
+        finally listing.close()
       }
       .filter(Files.exists(_))
     prev match {
       case None => (None, "")
       case Some(p) =>
         // the driver wraps the bench line inside a JSON string field, so
-        // quotes may appear backslash-escaped in the raw text — match both
+        // quotes may appear backslash-escaped in the raw text — match
+        // both. Parse ONLY the flat queries object (up to its closing
+        // brace): the file may also hold this bench's own delta_vs_prev
+        // map, whose ratios would otherwise shadow the times in toMap.
         val text = Files.readString(p)
         val inQueries = text.indexOf("queries") match {
           case -1 => ""
-          case i => text.substring(i)
+          case i =>
+            val start = i
+            val end = text.indexOf('}', start)
+            if (end == -1) text.substring(start) else text.substring(start, end)
         }
         val PrevTime = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([0-9.eE+-]+)".r
         val prevTimes = PrevTime.findAllMatchIn(inQueries)

@@ -43,7 +43,10 @@ object Cli {
             sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
           .config("spark.sql.adaptive.enabled", "true")
           .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          // NOTE: nanosAsLong is deliberately NOT set here (unlike the
+          // fixture tools Bench/Verify/Explain): silently reading a user
+          // project's TIMESTAMP(NANOS) columns as bigint would change
+          // query semantics; the loud Spark error is the better default.
           .config("spark.sql.warehouse.dir", warehouse.resolve("warehouse").toString)
           .config("javax.jdo.option.ConnectionURL",
             s"jdbc:derby:;databaseName=${warehouse.resolve("metastore")};create=true")

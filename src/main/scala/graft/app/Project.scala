@@ -103,7 +103,10 @@ object Project {
         else (for {
           t <- Seq("DATABASE", "SCHEMA", "TABLE")
           s <- Seq("PREFIX", "SUFFIX", "OVERRIDE")
-          v <- env.get(s"GRAFT_${t}_$s")
+          // set-but-empty env vars fall through like empty profile values
+          // (truthiness fallback, objects.py:77) instead of masking
+          // prod_stringify with ""
+          v <- env.get(s"GRAFT_${t}_$s") if v.nonEmpty
         } yield s"${t.toLowerCase}_${s.toLowerCase}" -> (v: Any)).toMap
       val envFromProd: Option[Seq[String]] =
         if (!envOverridesActive) None

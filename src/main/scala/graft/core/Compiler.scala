@@ -332,12 +332,14 @@ object Compiler {
     v match {
       case BareWord(w) => lookup(w, scope) match {
         case Some(value) =>
-          // data-dependent back-compat hazard: the same unquoted word is a
-          // LITERAL when no template variable shadows it — surface the
-          // shadowing so a parameter named like a table part can't change
-          // meaning silently
-          ctx.warn(s"macro argument '$w' resolved to template variable " +
-            s"'${renderValue(value)}'; quote it ('$w') to keep the literal")
+          // Dotted bare words are the back-compat LITERAL shape
+          // (src(schema.table) written unquoted) — when a template
+          // variable path shadows one, its meaning changes with the data,
+          // so surface it. Plain identifiers (src(s) in a for-loop) are
+          // ordinary Jinja variable references: no warning.
+          if (w.contains('.'))
+            ctx.warn(s"macro argument '$w' resolved to template variable " +
+              s"'${renderValue(value)}'; quote it ('$w') to keep the literal")
           value
         case None => w
       }

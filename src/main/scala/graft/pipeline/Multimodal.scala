@@ -80,15 +80,23 @@ object Multimodal {
   def imageMeta(df: DataFrame, binCol: String = "media_bytes"): DataFrame = {
     val b = col(binCol)
     val isPng = hex(substring(b, 1, 8)) === lit("89504E470D0A1A0A")
+    // 'BM' is genuinely all the magic BMP has (2 bytes, lookalikes
+    // possible by format design); GIF carries the full 6-byte version
+    // magic, so require it ("GIF87a" | "GIF89a")
     val isBmp = hex(substring(b, 1, 2)) === lit("424D")
-    val isGif = hex(substring(b, 1, 3)) === lit("474946")
+    val isGif = hex(substring(b, 1, 6)).isin("474946383761", "474946383961")
+    // BMP biHeight is SIGNED: negative means top-down row order — the
+    // dimension is its magnitude
+    val bmpHeightRaw = le(b, 23, 4)
+    val bmpHeight = when(bmpHeightRaw >= 2147483648L, lit(4294967296L) - bmpHeightRaw)
+      .otherwise(bmpHeightRaw)
     df.withColumn("image_format",
       when(isPng, "png").when(isBmp, "bmp").when(isGif, "gif"))
       .withColumn("width",
         when(isPng, be(b, 17, 4)).when(isBmp, le(b, 19, 4))
           .when(isGif, le(b, 7, 2)).cast("int"))
       .withColumn("height",
-        when(isPng, be(b, 21, 4)).when(isBmp, le(b, 23, 4))
+        when(isPng, be(b, 21, 4)).when(isBmp, bmpHeight)
           .when(isGif, le(b, 9, 2)).cast("int"))
   }
 

@@ -226,7 +226,7 @@ object TextDedup {
       var labels = sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lab"))
         .localCheckpoint(true)
-      var converged = false
+      var converged = sym.isEmpty
       var it = 0
       while (!converged && it < maxIter) {
         val viaEdges = sym
@@ -243,6 +243,14 @@ object TextDedup {
         converged = !changed
         it += 1
       }
+      // silent truncation would hand the caller two "canonical" ids for
+      // one component — fail loudly instead (diameters past maxIter mean
+      // pathological chains; raise maxIter or switch to the
+      // large-star/small-star variant)
+      if (!converged)
+        throw new IllegalStateException(
+          s"dupClusters did not converge within maxIter=$maxIter rounds " +
+            "(component diameter exceeds it); raise maxIter")
       labels.select(col("id").as("doc_id"), col("lab").as("canonical_id"))
     } finally sym.unpersist()
   }

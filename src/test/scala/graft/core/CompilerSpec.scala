@@ -189,19 +189,26 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.compile(t2, Context()) == Right("A"))
   }
 
-  test("bare-word macro args warn when a scope variable shadows the literal") {
+  test("dotted bare-word macro args warn when a scope path shadows the literal") {
     var warned = List.empty[String]
     val ctx = Context(
-      params = Map("schema" -> "dev_schema"),
+      params = Map(
+        "schema" -> Map("table" -> "dev_schema.t1"),
+        "seg" -> "s1"),
       src = identity, warn = w => warned ::= w)
-    // schema resolves to the variable → warn; table stays a literal → no warn
-    assert(Compiler.compile("{{ src(schema) }}", ctx) == Right("dev_schema"))
-    assert(warned.exists(_.contains("'schema'")))
+    // dotted word resolving through a variable path → warn (the unquoted
+    // literal shape src(schema.table) changed meaning)
+    assert(Compiler.compile("{{ src(schema.table) }}", ctx) == Right("dev_schema.t1"))
+    assert(warned.exists(_.contains("'schema.table'")))
     warned = Nil
-    assert(Compiler.compile("{{ src(table) }}", ctx) == Right("table"))
+    // plain identifier resolving to a variable is ordinary Jinja usage —
+    // no warning (a for-loop src(s) must not flood the console)
+    assert(Compiler.compile("{{ src(seg) }}", ctx) == Right("s1"))
     assert(warned.isEmpty)
-    // quoting forces the literal, no warning
-    assert(Compiler.compile("{{ src('schema') }}", ctx) == Right("schema"))
+    // unresolved words stay literals silently; quoting always forces the
+    // literal
+    assert(Compiler.compile("{{ src(other.table) }}", ctx) == Right("other.table"))
+    assert(Compiler.compile("{{ src('schema.table') }}", ctx) == Right("schema.table"))
     assert(warned.isEmpty)
   }
 

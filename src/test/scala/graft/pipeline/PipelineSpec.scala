@@ -420,7 +420,13 @@ class PipelineSpec extends SparkSpec {
       leBytes(16, 4) ++ leBytes(1, 2) ++ leBytes(2, 2) ++ leBytes(44100, 4) ++
       leBytes(176400, 4) ++ leBytes(4, 2) ++ leBytes(16, 2)
     val junk = "not a media file".getBytes
-    val df = Seq((1L, png), (2L, bmp), (3L, gif), (4L, wav), (5L, junk))
+    // top-down BMP: negative biHeight (two's complement) → magnitude
+    val bmpTopDown = "BM".getBytes ++ Array.fill[Byte](12)(0) ++ leBytes(40, 4) ++
+      leBytes(800, 4) ++ leBytes(0xFFFFFFFFL - 600 + 1, 4)
+    // 'GIF' prefix without the version magic must NOT classify as gif
+    val gifLookalike = "GIF export failed".getBytes
+    val df = Seq((1L, png), (2L, bmp), (3L, gif), (4L, wav), (5L, junk),
+      (6L, bmpTopDown), (7L, gifLookalike))
       .toDF("doc_id", "media_bytes")
     val img = Multimodal.imageMeta(df).select("doc_id", "image_format", "width", "height")
       .collect().map(r => r.getLong(0) ->
@@ -429,6 +435,8 @@ class PipelineSpec extends SparkSpec {
     assert(img(2L) == ((Some("bmp"), Some(800), Some(600))))
     assert(img(3L) == ((Some("gif"), Some(320), Some(200))))
     assert(img(5L) == ((None, None, None)))
+    assert(img(6L) == ((Some("bmp"), Some(800), Some(600))))
+    assert(img(7L) == ((None, None, None)))
     val aud = Multimodal.audioMeta(df)
       .select("doc_id", "audio_format", "n_channels", "sample_rate", "bits_per_sample")
       .collect().map(r => r.getLong(0) ->
