@@ -328,22 +328,26 @@ object Compiler {
     */
   private[core] final case class BareWord(word: String)
 
-  private def resolveArg(v: Any, scope: Map[String, Any], ctx: Context): Any =
+  private def resolveArg(
+      v: Any, scope: Map[String, Any], ctx: Context,
+      isKwargValue: Boolean = false): Any =
     v match {
       case BareWord(w) => lookup(w, scope) match {
         case Some(value) =>
           // Dotted bare words are the back-compat LITERAL shape
-          // (src(schema.table) written unquoted) — when a template
-          // variable path shadows one, its meaning changes with the data,
-          // so surface it. Plain identifiers (src(s) in a for-loop) are
+          // (src(schema.table) written unquoted), and keyword-argument
+          // values are conventionally literals too
+          // (config(materialisation=table)) — when a template variable
+          // shadows either, its meaning changes with the data, so surface
+          // it. Plain positional identifiers (src(s) in a for-loop) are
           // ordinary Jinja variable references: no warning.
-          if (w.contains('.'))
+          if (w.contains('.') || isKwargValue)
             ctx.warn(s"macro argument '$w' resolved to template variable " +
               s"'${renderValue(value)}'; quote it ('$w') to keep the literal")
           value
         case None => w
       }
-      case xs: Seq[_] => xs.map(resolveArg(_, scope, ctx))
+      case xs: Seq[_] => xs.map(resolveArg(_, scope, ctx, isKwargValue))
       case other => other
     }
 
@@ -449,7 +453,9 @@ object Compiler {
       case CallRe(fn, argStr) =>
         parseArgs(argStr).flatMap { case (pos0, kw0) =>
           val pos = pos0.map(resolveArg(_, scope, ctx))
-          val kw = kw0.map { case (k, v) => k -> resolveArg(v, scope, ctx) }
+          val kw = kw0.map { case (k, v) =>
+            k -> resolveArg(v, scope, ctx, isKwargValue = true)
+          }
           fn match {
             case "src" =>
               pos match {

@@ -212,6 +212,26 @@ class CompilerSpec extends AnyFunSuite {
     assert(warned.isEmpty)
   }
 
+  test("keyword-argument bare words warn when a scope variable shadows the literal") {
+    var warned = List.empty[String]
+    var conf = Map.empty[String, Any]
+    val ctx = Context(
+      params = Map("table" -> "my_var_value"),
+      config = m => conf = m, allowConfig = true,
+      warn = w => warned ::= w)
+    // kwarg values are conventionally literals (config(materialisation=table));
+    // a scope variable named `table` silently changing the meaning is the
+    // data-dependent hazard — warn and resolve to the variable (Jinja).
+    assert(Compiler.compile("{{ config(materialisation=table) }}", ctx) == Right(""))
+    assert(conf == Map("materialisation" -> "my_var_value"))
+    assert(warned.exists(w => w.contains("'table'") && w.contains("quote it")))
+    warned = Nil
+    // no shadowing variable → stays a literal, silently
+    assert(Compiler.compile("{{ config(materialisation=view) }}", ctx) == Right(""))
+    assert(conf == Map("materialisation" -> "view"))
+    assert(warned.isEmpty)
+  }
+
   // ---- {% macro %} -------------------------------------------------------
 
   test("macro: positional, keyword and default arguments") {
