@@ -48,7 +48,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = SparkEntry.queries.keys.filterNot(excluded).toSeq.sorted
+    // optional args: bench only the named queries (local iteration aid;
+    // the driver always runs the full corpus)
+    val names0 = SparkEntry.queries.keys.filterNot(excluded).toSeq.sorted
+    val names =
+      if (args.isEmpty) names0
+      else {
+        val unknown = args.toSet -- names0.toSet
+        require(unknown.isEmpty, s"unknown/mutating bench queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+        names0.filter(args.toSet)
+      }
     def materialize(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

@@ -229,17 +229,22 @@ object TextDedup {
       var converged = sym.isEmpty
       var it = 0
       while (!converged && it < maxIter) {
+        // propagate and carry each id's previous label through the same
+        // aggregate (every id has exactly one labels row, so max(prev)
+        // IS the previous label): convergence reads off the checkpointed
+        // result with a scan instead of a second join+shuffle per round
         val viaEdges = sym
           .join(labels.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), col("lab"))
-        val next = viaEdges.union(labels)
-          .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+          .select(col("dst").as("id"), col("lab"),
+            lit(null).cast(labels.schema("lab").dataType).as("prev"))
+        val step = viaEdges
+          .union(labels.select(col("id"), col("lab"), col("lab").as("prev")))
+          .groupBy(col("id"))
+          .agg(min(col("lab")).as("lab"), max(col("prev")).as("prev"))
           .localCheckpoint(true)
-        val changed = next.as("n")
-          .join(labels.as("o"), "id")
-          .filter(col("n.lab") =!= col("o.lab"))
-          .limit(1).count() > 0
-        labels = next
+        val changed =
+          step.filter(col("lab") =!= col("prev")).limit(1).count() > 0
+        labels = step.select(col("id"), col("lab"))
         converged = !changed
         it += 1
       }

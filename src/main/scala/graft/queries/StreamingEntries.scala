@@ -82,10 +82,47 @@ object StreamingEntries {
   private def runAvailableNow(df: DataFrame, name: String): DataFrame = {
     val s = df.sparkSession
     s.catalog.dropTempView(name) // re-runs in one session (bench warmup)
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // checkpoint on tmpfs when the host has one: every micro-batch fsyncs
+    // offset/commit logs and state deltas, and a drained bounded run's
+    // checkpoint is throwaway — RAM-backed IO is free speedup with no
+    // durability loss that matters here (a real deployment keeps its
+    // checkpoint on durable storage to resume).
+    val w = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+    val shm = Paths.get("/dev/shm")
+    val q =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+        val ckpt = Files.createTempDirectory(shm, "graft_ckpt_")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            import scala.jdk.CollectionConverters._
+            Files.walk(ckpt).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          } catch { case _: Exception => () }))
+        w.option("checkpointLocation", ckpt.toString).start()
+      } else w.start()
     q.awaitTermination()
     s.table(name)
+  }
+
+  /** State-partition count for the drained entries. The stateful shuffle
+    * width is frozen into the checkpoint at first run, and every
+    * micro-batch commits one state-store delta PER PARTITION — so the
+    * right number tracks key cardinality / throughput, not the session's
+    * batch-shuffle width (32 partitions over the fixture's 2k users is
+    * pure commit overhead). A production deployment sizes this up with
+    * the stream; see streaming/Streaming.scala scaladoc.
+    */
+  private val statePartitions = 4
+
+  /** Streaming entries run on a PRIVATE session (shared SparkContext and
+    * catalog, own SQLConf): the state-partition conf must not leak into
+    * concurrently-running batch queries on the shared session.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    s2
   }
 
   private def eventStream(s: SparkSession, staged: String): DataFrame =
@@ -102,7 +139,8 @@ object StreamingEntries {
   // is integer-exact on both engines.
   def q38StreamingSessions(s: SparkSession, dir: String): DataFrame = {
     val staged = stageWithSentinels(s, dir)
-    val events = eventStream(s, staged).as[Event](Encoders.product[Event])
+    val events =
+      eventStream(streamSession(s), staged).as[Event](Encoders.product[Event])
     val sessions = Streaming.sessionize(events, gapMinutes = 30)
     runAvailableNow(sessions.toDF(), "graft_q38_sessions")
       .select(
@@ -133,7 +171,7 @@ object StreamingEntries {
   def q39StreamingWindow(s: SparkSession, dir: String): DataFrame = {
     val staged = stageWithSentinels(s, dir)
     val counts = Streaming.windowedCounts(
-      eventStream(s, staged), "ts", "event_type",
+      eventStream(streamSession(s), staged), "ts", "event_type",
       windowLen = "1 hour", watermark = "30 minutes")
     runAvailableNow(counts, "graft_q39_window")
       .filter(col("event_type") =!= "_sentinel")
