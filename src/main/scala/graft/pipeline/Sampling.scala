@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deterministic sampling/splitting for training-data pipelines.
   *
@@ -53,5 +54,49 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, "rate in [0,1]")
     df.filter(portableHash(col(idCol)) < math.round(rate * 1000000L))
+  }
+
+  /** Deterministic global shuffle: assign every row a dense position
+    * 0..N-1 in md5-order of (seed, id) — the training-data shuffle that
+    * is reproducible across reruns and engines (same seed → same
+    * permutation; a new seed → an independent one).
+    *
+    * Scale shape: a single global row_number() window would serialize
+    * the whole corpus through ONE partition. Instead positions are
+    * assigned shard-locally and offset: rows hash into `shards` groups,
+    * each shard ranks its own rows in parallel (a window PER SHARD, so
+    * partition size is corpus/shards), and shard offsets come from a
+    * `shards`-row count table joined back by broadcast. Total order =
+    * offset + local rank, identical to the one-window answer. Size
+    * `shards` ≥ cluster cores; skew is impossible (md5 is uniform).
+    */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, seed: String = "0",
+      shards: Int = 64): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
+      .cast("binary"))
+    // shard = RANGE of the hash prefix, not prefix % shards: lowercase
+    // fixed-width hex sorts identically as string and as number, so
+    // (shard asc, _h asc) is the same total order as plain (_h asc) —
+    // the sharded positions equal the one-window answer exactly.
+    // prefix*shards < 2^52, so the double division is exact.
+    val prefix = conv(substring(col("_h"), 1, 8), 16, 10).cast("long")
+    val sharded = df.withColumn("_h", h)
+      .withColumn("_shard",
+        floor(prefix * shards / lit(4294967296L)).cast("long"))
+    val localRank = row_number().over(
+      Window.partitionBy(col("_shard")).orderBy(col("_h"), col(idCol)))
+    val counts = sharded.groupBy(col("_shard"))
+      .agg(count(lit(1)).as("_n"))
+    val offsets = counts.select(col("_shard"),
+      (sum(col("_n")).over(
+        Window.orderBy(col("_shard"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("_n")).as("_offset"))
+    sharded
+      .join(broadcast(offsets), Seq("_shard"))
+      .withColumn("shuffle_pos", col("_offset") + localRank - 1)
+      .drop("_h", "_shard", "_offset")
   }
 }

@@ -260,6 +260,97 @@ object TextDedup {
     } finally sym.unpersist()
   }
 
+  /** Exact shared-shingle pairs: documents sharing at least `minShared`
+    * distinct n-gram shingles — the cheap exact pair source when the
+    * overlap COUNT is the signal (verbatim-passage detection, pair input
+    * for [[dupClusters]]) and per-pair Jaccard normalization isn't
+    * needed. Same inverted-index equi-join as [[jaccardPairs]] without
+    * the size join; `maxShingleDocs` applies the same stop-shingle
+    * df-pruning (bounded by default — the 100 TB contract).
+    */
+  def sharedShinglePairs(
+      sh: DataFrame,
+      idCol: String,
+      minShared: Int = 1,
+      maxShingleDocs: Int = 500): DataFrame = {
+    val kept =
+      if (maxShingleDocs == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDocs).select(col("shingle")),
+        "shingle")
+    kept.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(kept.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Benchmark-contamination check: per document, how many of its distinct
+    * n-gram shingles appear in a held-out benchmark set — the standard
+    * decontamination gate (train documents overlapping an eval set's
+    * n-grams must be dropped or flagged before training).
+    *
+    * Plan shape: the document side streams through ONE left join on the
+    * shingle and one aggregate keyed by document id. The benchmark gram
+    * set is distinct'd and broadcast by default — eval suites are tiny
+    * next to a 100 TB corpus, so the contaminated-gram lookup reaches
+    * every executor without shuffling a single corpus row. Set
+    * `broadcastBench = false` when the reference set is itself huge
+    * (e.g. cross-corpus overlap), which falls back to the bucketed
+    * shuffle equi-join.
+    *
+    * Output: (idCol, n_grams, n_hit, hit_frac) for every input document;
+    * hit_frac is the single final double division (bit-stable).
+    */
+  def contamination(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      broadcastBench: Boolean = true): DataFrame = {
+    val benchGrams0 = shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    shingles(docs, idCol, textCol, n)
+      .join(benchGrams.withColumn("_hit", lit(1)), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(col("_hit")).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("hit_frac"))
+  }
+
+  /** Pick ONE representative document per duplicate cluster: cluster
+    * membership from [[dupClusters]] over `pairs`, then the best-scoring
+    * member per cluster wins (score desc, id asc — deterministic).
+    * Documents in no pair are their own singleton cluster and are always
+    * kept, so the `is_kept` rows ARE the deduplicated corpus.
+    *
+    * The argmax is a row_number window partitioned by canonical id:
+    * clusters are small (near-dup groups), so the window never sees a
+    * skewed partition at scale; everything upstream inherits
+    * [[dupClusters]]'s bounded design.
+    */
+  def clusterRepresentatives(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val labels = dupClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    docs.select(col(idCol), col(scoreCol))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
+      .withColumn("is_kept", row_number().over(w) === 1)
+      .select(col(idCol), col("canonical_id"), col(scoreCol), col("is_kept"))
+  }
+
   /** 64-bit SimHash fingerprint per document: bit i of the fingerprint is
     * the sign of Σ_tokens (2·bit_i(xxhash64(token)) − 1). Computed in-row
     * by the codegen'd [[graft.functions.SimHash64]] expression — a pure

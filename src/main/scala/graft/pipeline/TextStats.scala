@@ -111,6 +111,63 @@ object TextStats {
             col("n_stop") * 20 >= col("n_tokens"), 1).otherwise(0)).as("n_quality"))
   }
 
+  /** Gopher-style repetition and symbol signals per document — the
+    * quality-filter features that catch degenerate generations and
+    * boilerplate (Rae et al. 2021 §A1.1): the most-frequent-token share,
+    * the duplicated-bigram share, and the symbol-character share.
+    *
+    * Everything is computed IN-ROW: the top-token count folds once over
+    * the SORTED token array (equal tokens are adjacent, so the longest
+    * run is the highest frequency — O(L log L) per document, no
+    * explode/shuffle), bigrams are a positional transform, symbol chars
+    * a regexp strip. A pure codegen'd projection: zero exchanges at any
+    * scale. Ratios are one final double division each (bit-stable);
+    * degenerate denominators (empty doc, single token) yield null, the
+    * SQL-comparable convention.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = col("_toks")
+    val sorted = array_sort(toks)
+    // longest run of equal adjacent tokens in the sorted array == the top
+    // token's occurrence count; state threads (prev, run, best)
+    val topCount = aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (s, x) => {
+        val run2 = when(s.getField("prev") === x, s.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run2.as("run"),
+          greatest(s.getField("best"), run2).as("best"))
+      },
+      s => s.getField("best"))
+    val bigramStarts = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(bigramStarts,
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    val nSymbol =
+      length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[^A-Za-z0-9 ]", ""))
+    df.select(col(idCol), col(textCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), col(textCol), col("_toks"), bigrams.as("_bigrams"))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        topCount.cast("long").as("top_tok_count"),
+        size(col("_bigrams")).cast("long").as("n_bigrams"),
+        (size(col("_bigrams")) - size(array_distinct(col("_bigrams"))))
+          .cast("long").as("n_dup_bigrams"),
+        nSymbol.cast("long").as("n_symbol_chars"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .withColumn("top_tok_frac",
+        when(col("n_tokens") > 0,
+          col("top_tok_count").cast("double") / col("n_tokens")))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("n_dup_bigrams").cast("double") / col("n_bigrams")))
+      .withColumn("symbol_frac",
+        when(col("n_chars") > 0,
+          col("n_symbol_chars").cast("double") / col("n_chars")))
+  }
+
   /** Lexicon-based language identification: score = token hits per
     * language in `lexicon` (tok → lang), winner by (score desc, lang asc),
     * docs with zero hits → "und". The n-gram-profile approach at its

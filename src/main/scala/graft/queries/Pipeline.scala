@@ -354,6 +354,147 @@ object Pipeline {
       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
       |SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
+  // q51: benchmark-contamination gate — every corpus document scored by
+  // how many of its distinct 5-grams appear in a held-out "benchmark"
+  // slice (a deterministic 2% hash sample of the fixture, so the oracle
+  // reproduces the exact split). Bench gram set is broadcast.
+  def q51Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = graft.pipeline.Sampling.hashSample(docs, "doc_id", 0.02)
+    val corpus = docs.join(bench.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    TextDedup.contamination(corpus, bench, "doc_id", "text", n = 5)
+  }
+
+  val q51Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+      |        || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w AS shingle
+      |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |g2 AS (SELECT doc_id, shingle FROM g WHERE shingle IS NOT NULL),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 1000000 AS hh
+      |  FROM documents),
+      |bench AS (SELECT doc_id FROM h WHERE hh < 20000),
+      |corpus AS (SELECT doc_id FROM h WHERE hh >= 20000),
+      |bg AS (SELECT DISTINCT shingle FROM g2 JOIN bench USING (doc_id))
+      |SELECT g2.doc_id, COUNT(*) AS n_grams, COUNT(bg.shingle) AS n_hit,
+      |  CAST(COUNT(bg.shingle) AS DOUBLE) / COUNT(*) AS hit_frac
+      |FROM g2 JOIN corpus USING (doc_id)
+      |LEFT JOIN bg ON g2.shingle = bg.shingle
+      |GROUP BY g2.doc_id""".stripMargin
+
+  // q52: Gopher-style repetition/symbol quality signals, computed in-row
+  // (top-token share via a fold over the sorted token array — no
+  // explode/shuffle; the oracle recomputes them relationally)
+  def q52Repetition(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetitionStats(t(s, dir, "documents"), "doc_id", "text")
+
+  val q52Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY 1,2),
+      |top AS (SELECT doc_id, MAX(c) AS top_tok_count FROM tc GROUP BY 1),
+      |nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tk GROUP BY 1),
+      |bg0 AS (
+      |  SELECT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      |  FROM tk),
+      |bg AS (SELECT doc_id, bigram FROM bg0 WHERE bigram IS NOT NULL),
+      |bc AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |         COUNT(*) - COUNT(DISTINCT bigram) AS n_dup_bigrams
+      |  FROM bg GROUP BY 1),
+      |sym AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+      |      AS n_symbol_chars
+      |  FROM documents)
+      |SELECT d.doc_id, nt.n_tokens, top.top_tok_count,
+      |  COALESCE(bc.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(bc.n_dup_bigrams, 0) AS n_dup_bigrams,
+      |  sym.n_symbol_chars, sym.n_chars,
+      |  CASE WHEN nt.n_tokens > 0
+      |       THEN CAST(top.top_tok_count AS DOUBLE) / nt.n_tokens END AS top_tok_frac,
+      |  CASE WHEN COALESCE(bc.n_bigrams, 0) > 0
+      |       THEN CAST(bc.n_dup_bigrams AS DOUBLE) / bc.n_bigrams END AS dup_bigram_frac,
+      |  CASE WHEN sym.n_chars > 0
+      |       THEN CAST(sym.n_symbol_chars AS DOUBLE) / sym.n_chars END AS symbol_frac
+      |FROM documents d
+      |JOIN nt USING (doc_id) JOIN top USING (doc_id)
+      |LEFT JOIN bc USING (doc_id) JOIN sym USING (doc_id)""".stripMargin
+
+  // q53: deterministic global corpus shuffle — dense md5-order positions
+  // assigned shard-locally + offset (no single-partition window); the
+  // oracle's one-window ROW_NUMBER must match the sharded answer exactly
+  def q53Shuffle(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.deterministicShuffle(
+      t(s, dir, "documents"), "doc_id", seed = "r5", shards = 64)
+      .select(col("doc_id"), col("shuffle_pos"))
+
+  val q53Sql: String =
+    """SELECT doc_id,
+      |  ROW_NUMBER() OVER (ORDER BY md5('r5:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |    AS shuffle_pos
+      |FROM documents""".stripMargin
+
+  // q54: one kept representative per duplicate cluster — pairs from the
+  // exact shared-8-gram join (df-cap ∞ HERE ONLY: oracle entry; the
+  // operator default stays bounded), clusters from dupClusters, winner
+  // by (n_chars desc, doc_id asc). Singletons keep themselves, so
+  // is_kept = 1 rows ARE the deduplicated corpus.
+  def q54ClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = TextDedup.sharedShinglePairs(
+      TextDedup.shingles(docs, "doc_id", "text", n = 8),
+      "doc_id", minShared = 1, maxShingleDocs = Int.MaxValue)
+      .select(col("doc_a"), col("doc_b"))
+    TextDedup.clusterRepresentatives(docs, pairs, "doc_id", "n_chars")
+      .select(col("doc_id"), col("canonical_id"), col("n_chars"),
+        col("is_kept").cast("int").as("is_kept"))
+  }
+
+  val q54Sql: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+      |        || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w
+      |        || ' ' || lead(tok,5) OVER w || ' ' || lead(tok,6) OVER w
+      |        || ' ' || lead(tok,7) OVER w AS shingle
+      |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+      |labels AS (SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY 1),
+      |m AS (
+      |  SELECT d.doc_id, COALESCE(l.canonical_id, d.doc_id) AS canonical_id, d.n_chars
+      |  FROM documents d LEFT JOIN labels l USING (doc_id))
+      |SELECT doc_id, canonical_id, n_chars,
+      |  CASE WHEN ROW_NUMBER() OVER (
+      |         PARTITION BY canonical_id ORDER BY n_chars DESC, doc_id ASC) = 1
+      |       THEN 1 ELSE 0 END AS is_kept
+      |FROM m""".stripMargin
+
   // ---- LSH / approximate variants: no SQL oracle (driver rows-only
   // check); recall vs the exact answer is asserted in PipelineSpec -------
 
@@ -401,6 +542,10 @@ object Pipeline {
     "q48_embed_dup_blocked" -> (q48EmbedDupBlocked _),
     "q49_image_headers" -> (q49ImageHeaders _),
     "q50_hash_split" -> (q50HashSplit _),
+    "q51_contamination" -> (q51Contamination _),
+    "q52_repetition" -> (q52Repetition _),
+    "q53_shuffle" -> (q53Shuffle _),
+    "q54_cluster_reps" -> (q54ClusterReps _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -422,5 +567,9 @@ object Pipeline {
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26
     "q49_image_headers" -> q49Sql,
-    "q50_hash_split" -> q50Sql)
+    "q50_hash_split" -> q50Sql,
+    "q51_contamination" -> q51Sql,
+    "q52_repetition" -> q52Sql,
+    "q53_shuffle" -> q53Sql,
+    "q54_cluster_reps" -> q54Sql)
 }

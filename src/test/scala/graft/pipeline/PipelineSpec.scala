@@ -486,4 +486,72 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out == Map(1L -> 1, 2L -> 7, 3L -> 13))
   }
+
+  // ---- contamination / repetition / shuffle / representatives ------------
+
+  test("contamination counts benchmark-gram hits per corpus doc") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // grams: "a b c", "b c d", "c d e", "d e f"
+      (2L, "x y z w v u")).toDF("doc_id", "text")
+    val bench = Seq((10L, "b c d e q r")).toDF("doc_id", "text")
+    // bench grams: {b c d, c d e, d e q, e q r} → doc1 hits 2 of 4
+    val out = TextDedup.contamination(corpus, bench, "doc_id", "text", n = 3)
+    assert(rows(out.select("doc_id", "n_grams", "n_hit")) ==
+      Set(Seq(1L, 4L, 2L), Seq(2L, 4L, 0L)))
+    // shuffle-join fallback is output-identical to the broadcast path
+    val shuffled = TextDedup.contamination(
+      corpus, bench, "doc_id", "text", n = 3, broadcastBench = false)
+    assert(rows(out) == rows(shuffled))
+  }
+
+  test("repetitionStats: top-token share, dup bigrams, symbol chars in-row") {
+    val df = Seq(
+      (1L, "spam spam spam eggs"),  // top=3/4; bigrams: [spam spam]×2,[spam eggs] → 1 dup of 3
+      (2L, "one two three!?")).toDF("doc_id", "text")
+    val out = rows(TextStats.repetitionStats(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "top_tok_count", "n_bigrams",
+        "n_dup_bigrams", "n_symbol_chars"))
+    assert(out == Set(
+      Seq(1L, 4L, 3L, 3L, 1L, 0L),
+      Seq(2L, 3L, 1L, 2L, 0L, 2L)))
+  }
+
+  test("deterministicShuffle: dense permutation, shard-count invariant, seed-keyed") {
+    val df = docs.select("doc_id")
+    val n = df.count()
+    val p1 = Sampling.deterministicShuffle(df, "doc_id", "s1", shards = 7)
+    // dense 0..N-1: every position exactly once
+    assert(p1.select("shuffle_pos").distinct().count() == n)
+    assert(rows(p1.agg(min("shuffle_pos"), max("shuffle_pos"))) ==
+      Set(Seq(0L, n - 1)))
+    // positions are a pure function of (seed, id) — NOT of the shard count
+    val p64 = Sampling.deterministicShuffle(df, "doc_id", "s1", shards = 64)
+    assert(rows(p1) == rows(p64))
+    // a different seed is a different permutation (overwhelmingly)
+    val p2 = Sampling.deterministicShuffle(df, "doc_id", "s2", shards = 7)
+    assert(rows(p1) != rows(p2))
+  }
+
+  test("sharedShinglePairs: overlap counts and df-cap pruning") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "b c d e"), (3L, "p q r s"), (4L, "q r s t"))
+      .toDF("doc_id", "text")
+    val sh = TextDedup.shingles(df, "doc_id", "text", n = 3)
+    val pairs = TextDedup.sharedShinglePairs(sh, "doc_id",
+      minShared = 1, maxShingleDocs = Int.MaxValue)
+    assert(rows(pairs) == Set(Seq(1L, 2L, 1L), Seq(3L, 4L, 1L)))
+    // df-cap 0 prunes every shingle → no candidate pairs
+    assert(TextDedup.sharedShinglePairs(sh, "doc_id", 1, 0).count() == 0)
+  }
+
+  test("clusterRepresentatives: best score per cluster wins, singletons kept") {
+    val docsDf = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.clusterRepresentatives(docsDf, pairs, "doc_id", "score")
+    // cluster {1,2,3}: 2 and 3 tie on score → min id 2 kept; 4 singleton
+    assert(rows(out.select("doc_id", "canonical_id", "is_kept")) == Set(
+      Seq(1L, 1L, false), Seq(2L, 1L, true), Seq(3L, 1L, false),
+      Seq(4L, 4L, true)))
+  }
 }
