@@ -186,11 +186,91 @@ object StreamingEntries {
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1,2""".stripMargin
 
+  /** Stage the fixture events TWICE (a replayed stream — the
+    * at-least-once delivery shape dedupStream exists for). No sentinels:
+    * dedup emits first occurrences on arrival, so no watermark-finality
+    * wait is needed to drain. Memoized like [[stageWithSentinels]].
+    */
+  private val doubledDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageDoubled(dir: String): String =
+    doubledDirs.computeIfAbsent(dir, { _ =>
+      val staged = Files.createTempDirectory("graft_stream_replay_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.walk(staged).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Exception => () }))
+      Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events_a.parquet"))
+      Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events_b.parquet"))
+      staged.toString
+    })
+
+  // q55: streaming exact dedup over a REPLAYED stream (every event
+  // delivered twice) — first occurrence per full row passes, replays
+  // drop, so the drained output is exactly the original event set (the
+  // fixture's rows are unique), which is precisely the oracle.
+  def q55StreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageDoubled(dir)
+    val deduped = Streaming.dedupStream(
+      eventStream(streamSession(s), staged), "ts",
+      Seq("user_id", "event_type", "value"))
+    runAvailableNow(deduped, "graft_q55_dedup")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+  }
+
+  val q55Sql: String =
+    """SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  event_type, value
+      |FROM events""".stripMargin
+
+  // q56: stream-static enrichment — the unbounded event stream joins a
+  // small static dimension (event_type → category; Spark broadcasts the
+  // static side into every micro-batch), then aggregates per finalized
+  // window. LEFT join so sentinel rows survive to advance the watermark
+  // (an inner join would drop them BEFORE the watermark operator and the
+  // final windows would never emit).
+  def q56StreamingEnrich(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(s, dir)
+    val s2 = streamSession(s)
+    val dim = s2.createDataFrame(Seq(
+      ("click", "engagement"), ("view", "engagement"),
+      ("purchase", "conversion"), ("signup", "conversion"),
+      ("error", "error"))).toDF("event_type", "category")
+    val enriched = eventStream(s2, staged)
+      .join(broadcast(dim), Seq("event_type"), "left")
+      .withColumn("category", coalesce(col("category"), col("event_type")))
+    val counts = Streaming.windowedCounts(
+      enriched, "ts", "category",
+      windowLen = "1 hour", watermark = "30 minutes")
+    runAvailableNow(counts, "graft_q56_enrich")
+      .filter(col("category") =!= "_sentinel")
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("category"), col("n_events"), col("total_value"))
+  }
+
+  val q56Sql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+      |  CASE WHEN event_type IN ('click','view') THEN 'engagement'
+      |       WHEN event_type IN ('purchase','signup') THEN 'conversion'
+      |       ELSE 'error' END AS category,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1,2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_streaming_sessions" -> (q38StreamingSessions _),
-    "q39_streaming_window" -> (q39StreamingWindow _))
+    "q39_streaming_window" -> (q39StreamingWindow _),
+    "q55_streaming_dedup" -> (q55StreamingDedup _),
+    "q56_streaming_enrich" -> (q56StreamingEnrich _))
 
   def oracles: Map[String, String] = Map(
     "q38_streaming_sessions" -> q38Sql,
-    "q39_streaming_window" -> q39Sql)
+    "q39_streaming_window" -> q39Sql,
+    "q55_streaming_dedup" -> q55Sql,
+    "q56_streaming_enrich" -> q56Sql)
 }

@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on a LIVE session's FunctionRegistry
+    * (`sessionState` is `private[sql]`, hence bridged here). The
+    * builder-time path is `graft.functions.GraftExtensions` via
+    * `spark.sql.extensions`; this covers sessions the caller didn't
+    * build.
+    */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
 }

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL registration of the custom codegen expressions: both paths share
+  * one descriptor list, so asserting the live-install path against the
+  * Column API covers the builder-injection path's builders too.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("install registers simhash64 and long_array_dot for SQL") {
+    GraftExtensions.install(spark)
+    val df = Seq((1L, "the quick brown fox")).toDF("id", "text")
+    df.createOrReplaceTempView("ext_docs")
+
+    val sqlHash = spark.sql(
+      "SELECT simhash64(split(text, ' ')) AS h FROM ext_docs")
+      .head.getLong(0)
+    val colHash = df.select(SimHash64.simhash64(split($"text", " ")).as("h"))
+      .head.getLong(0)
+    assert(sqlHash == colHash)
+
+    val sqlDot = spark.sql(
+      "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head.getLong(0)
+    assert(sqlDot == 32L)
+
+    // install is idempotent
+    GraftExtensions.install(spark)
+    assert(spark.sql("SELECT simhash64(array('a')) AS h").count() == 1)
+  }
+
+  test("SQL builders reject wrong arities at analysis") {
+    GraftExtensions.install(spark)
+    val e = intercept[Exception](
+      spark.sql("SELECT simhash64(array('a'), array('b'))").collect())
+    assert(e.getMessage.contains("1 argument"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT long_array_dot(array(1L))").collect())
+    assert(e2.getMessage.contains("2 arguments"))
+  }
+}
