@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text normalization / PII scrubbing for training-data curation: the
+  * redaction pass every public-web corpus runs before training (emails,
+  * IPv4 addresses, long digit runs → typed placeholder tokens), with
+  * per-document match counts for filtering and audit.
+  *
+  * Pure in-row regexp projections — zero shuffles at any scale. Patterns
+  * stick to the regex subset with identical semantics in Java's engine
+  * and RE2 (no backrefs, no lookaround), so results are portable across
+  * engines — the property the oracle checks.
+  *
+  * Matches are counted stage-by-stage on the text AS EACH STAGE SEES IT
+  * (emails scrubbed before IPs before digit runs): a digit run inside an
+  * email must count as part of the email it belongs to, not again as a
+  * number.
+  */
+object TextClean {
+
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val digitRunRe = "[0-9]{7,}"
+
+  private def nMatches(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+
+  /** Adds `scrubbed_text`, `n_emails`, `n_ips`, `n_digit_runs` to the
+    * input. Replacement tokens are single words, so token-level
+    * statistics stay meaningful on the scrubbed column.
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, digitRunRe, "<NUM>")
+    df.withColumn("n_emails", nMatches(t0, emailRe))
+      .withColumn("n_ips", nMatches(t1, ipv4Re))
+      .withColumn("n_digit_runs", nMatches(t2, digitRunRe))
+      .withColumn("scrubbed_text", t3)
+  }
+}

@@ -196,6 +196,26 @@ object TextStats {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** Corpus vocabulary: the `topK` most frequent tokens with occurrence
+    * and document frequencies — the tokenizer-training / stopword-mining
+    * pass. One explode feeds one aggregate keyed by token (map-side
+    * partial aggregation collapses each partition's counts before the
+    * exchange, so shuffled bytes track DISTINCT tokens per partition,
+    * not corpus size); document frequency rides the same aggregate as a
+    * count_distinct. Top-k runs as TakeOrdered (per-partition heaps →
+    * driver merge of k rows), never a global sort; ties at the boundary
+    * break by token, so the cut is deterministic.
+    */
+  def vocabulary(
+      df: DataFrame, idCol: String, textCol: String, topK: Int = 100): DataFrame =
+    tokens(df, textCol, idCol)
+      .groupBy(col("tok"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("tok").asc)
+      .limit(topK)
+
   /** Winnowing-style document fingerprints: k-token rolling shingles →
     * 64-bit hashes → the minimum hash in each sliding window of `window`
     * shingles (distinct). Two documents sharing any fingerprint share a
