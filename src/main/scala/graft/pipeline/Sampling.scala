@@ -74,6 +74,10 @@ object Sampling {
       df: DataFrame, idCol: String, seed: String = "0",
       shards: Int = 64): DataFrame = {
     require(shards > 0, "shards must be positive")
+    // exactness precondition for the comment below: prefix < 2^32, so
+    // shards ≤ 2^20 keeps prefix*shards < 2^52 (double-exact); 2^20
+    // shards is far beyond any cluster's core count anyway
+    require(shards <= (1 << 20), s"shards must be <= 2^20, got $shards")
     val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))
       .cast("binary"))
     // shard = RANGE of the hash prefix, not prefix % shards: lowercase

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Multimodal, Sessionize, Similarity, TextDedup, TextStats}
+import graft.pipeline.{Multimodal, Sessionize, Similarity, TextClean, TextDedup, TextStats}
 
 /** LLM-data-pipeline corpus over the `documents` / `embeddings` / `events`
   * fixtures: dedup (exact, n-gram Jaccard, MinHash-LSH, SimHash),
@@ -546,11 +546,59 @@ object Pipeline {
     "q52_repetition" -> (q52Repetition _),
     "q53_shuffle" -> (q53Shuffle _),
     "q54_cluster_reps" -> (q54ClusterReps _),
+    "q57_pii_scrub" -> (q57PiiScrub _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
     "q30_fingerprints" -> (q30Fingerprints _))
+
+  // q57: PII scrub — the fixture text contains no PII, so the entry
+  // plants deterministic doc_id-derived PII in-plan (an email, an IPv4,
+  // a long digit run — IDENTICAL expressions on both engines), then
+  // runs the stage-ordered scrub. The oracle checks the risky part:
+  // that the regex subset really does behave identically in Java's
+  // engine (Spark) and RE2 (DuckDB), global replace included, and that
+  // counts are stage-ordered (the planted digits inside the email
+  // count as the email, not again as a number).
+  def q57PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 id "), (col("doc_id") + 1234567L).cast("string"))
+    TextClean.scrubPii(
+      t(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+      "text")
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        col("n_digit_runs"), col("scrubbed_text"))
+  }
+
+  val q57Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.7 id ' || CAST(doc_id + 1234567 AS VARCHAR) AS t0
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(t0,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g') AS t1
+      |  FROM aug),
+      |s2 AS (
+      |  SELECT doc_id, n_emails,
+      |    CAST(len(regexp_extract_all(t1,
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+      |    regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      |      '<IP>', 'g') AS t2
+      |  FROM s1)
+      |SELECT doc_id, n_emails, n_ips,
+      |  CAST(len(regexp_extract_all(t2, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs,
+      |  regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS scrubbed_text
+      |FROM s2""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
@@ -571,5 +619,6 @@ object Pipeline {
     "q51_contamination" -> q51Sql,
     "q52_repetition" -> q52Sql,
     "q53_shuffle" -> q53Sql,
-    "q54_cluster_reps" -> q54Sql)
+    "q54_cluster_reps" -> q54Sql,
+    "q57_pii_scrub" -> q57Sql)
 }

@@ -51,15 +51,41 @@ object StreamingEntries {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Recursive delete, ignoring races/missing files (cleanup best-effort). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Exception => () }
+
+  /** Create a temp dir under `parent` (or the default tmp dir) that is
+    * removed at JVM exit by ONE shutdown hook registered here — callers
+    * must not add their own per-dir hooks (a bench loop would accumulate
+    * an unbounded hook list).
+    */
+  private val exitDirs = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[java.nio.file.Path]()
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      exitDirs.iterator().asScala.foreach(deleteRecursively)
+    }))
+
+  private def tempDirCleanedAtExit(
+      parent: Option[java.nio.file.Path], prefix: String): java.nio.file.Path = {
+    exitHook
+    val d = parent match {
+      case Some(p) => Files.createTempDirectory(p, prefix)
+      case None => Files.createTempDirectory(prefix)
+    }
+    exitDirs.add(d)
+    d
+  }
+
   private def stageWithSentinels(s: SparkSession, dir: String): String =
     stagedDirs.computeIfAbsent(dir, { _ =>
-      val staged = Files.createTempDirectory("graft_stream_entry_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          Files.walk(staged).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        } catch { case _: Exception => () }))
+      val staged = tempDirCleanedAtExit(None, "graft_stream_entry_")
       Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"))
       val tenDaysNs = 10L * 24 * 3600 * 1000L * 1000 * 1000
       val events = Tables(s, dir, "events")
@@ -89,20 +115,27 @@ object StreamingEntries {
     // checkpoint on durable storage to resume).
     val w = df.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow())
-    val shm = Paths.get("/dev/shm")
-    val q =
-      if (Files.isDirectory(shm) && Files.isWritable(shm)) {
-        val ckpt = Files.createTempDirectory(shm, "graft_ckpt_")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try {
-            import scala.jdk.CollectionConverters._
-            Files.walk(ckpt).iterator().asScala.toSeq.reverse
-              .foreach(p => Files.deleteIfExists(p))
-          } catch { case _: Exception => () }))
-        w.option("checkpointLocation", ckpt.toString).start()
-      } else w.start()
-    q.awaitTermination()
+    // a drained bounded run's checkpoint is throwaway: it lives in a
+    // per-run subdir of ONE memoized parent (single exit hook) and is
+    // deleted as soon as the drain finishes, so repeated runs in one JVM
+    // (bench warmup + 3 timed passes) never accumulate RAM-backed state
+    val ckpt = Files.createTempDirectory(ckptParent, "run_")
+    val q = w.option("checkpointLocation", ckpt.toString).start()
+    try q.awaitTermination()
+    finally deleteRecursively(ckpt)
     s.table(name)
+  }
+
+  /** Parent dir for throwaway streaming checkpoints: tmpfs when the host
+    * has one (micro-batch offset/commit fsyncs are free on RAM with no
+    * durability loss that matters for a drained run), else default tmp.
+    * A real deployment keeps its checkpoint on durable storage to resume.
+    */
+  private lazy val ckptParent: java.nio.file.Path = {
+    val shm = Paths.get("/dev/shm")
+    val parent =
+      if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+    tempDirCleanedAtExit(parent, "graft_ckpt_")
   }
 
   /** State-partition count for the drained entries. The stateful shuffle
@@ -196,13 +229,7 @@ object StreamingEntries {
 
   private def stageDoubled(dir: String): String =
     doubledDirs.computeIfAbsent(dir, { _ =>
-      val staged = Files.createTempDirectory("graft_stream_replay_")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          Files.walk(staged).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-        } catch { case _: Exception => () }))
+      val staged = tempDirCleanedAtExit(None, "graft_stream_replay_")
       Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events_a.parquet"))
       Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events_b.parquet"))
       staged.toString
@@ -257,7 +284,8 @@ object StreamingEntries {
     """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
       |  CASE WHEN event_type IN ('click','view') THEN 'engagement'
       |       WHEN event_type IN ('purchase','signup') THEN 'conversion'
-      |       ELSE 'error' END AS category,
+      |       WHEN event_type = 'error' THEN 'error'
+      |       ELSE event_type END AS category,
       |  COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1,2""".stripMargin

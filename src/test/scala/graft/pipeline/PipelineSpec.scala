@@ -28,6 +28,24 @@ class PipelineSpec extends SparkSpec {
     assert(rows(out) == Set(Seq(1L, 3L), Seq(3L, 1L)))
   }
 
+  // ---- pii scrub ---------------------------------------------------------
+
+  test("scrubPii replaces all occurrences and counts stage-ordered") {
+    val df = Seq(
+      (1L, "mail a12345678@x.co and b@y.org ip 10.0.0.1 num 123456789"),
+      (2L, "clean text"),
+      (3L, "1.2.3.4 and 11.22.33.44"))
+      .toDF("doc_id", "text")
+    val out = TextClean.scrubPii(df, "text")
+      .select("doc_id", "n_emails", "n_ips", "n_digit_runs", "scrubbed_text")
+    // doc 1: the 8-digit run inside the email is scrubbed AS the email,
+    // so only the trailing 9-digit run counts as a number
+    assert(rows(out) == Set(
+      Seq(1L, 2L, 1L, 1L, "mail <EMAIL> and <EMAIL> ip <IP> num <NUM>"),
+      Seq(2L, 0L, 0L, 0L, "clean text"),
+      Seq(3L, 0L, 2L, 0L, "<IP> and <IP>")))
+  }
+
   // ---- jaccard / minhash -------------------------------------------------
 
   test("shingles builds distinct n-grams, no partial tails") {
