@@ -13,7 +13,8 @@ object SparkEntry {
     * multimodal / sessionization) + end-to-end ETL operators.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ Pipeline.all ++ EtlShapes.all ++ StreamingEntries.all
+    Relational.all ++ Pipeline.all ++ EtlShapes.all ++ StreamingEntries.all ++
+      Temporal.all
 
   /** Entries whose DataFrame CONSTRUCTION executes engine writes
     * (mergeTables / CopyTask against the local catalog). Bench skips them
@@ -28,5 +29,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Pipeline.oracles ++ EtlShapes.oracles ++
-      StreamingEntries.oracles
+      StreamingEntries.oracles ++ Temporal.oracles
 }

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Join utilities for skewed data. AQE's skew-join handling
   * (spark.sql.adaptive.skewJoin, on in the CLI session) rebalances
@@ -36,5 +37,104 @@ object Joins {
     val r = right.withColumn("_graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "_graft_salt", joinType).drop("_graft_salt")
+  }
+
+  /** As-of (point-in-time) join: each probe row picks up the build row
+    * with the LARGEST `buildTs` ≤ its `probeTs` within the same key —
+    * the lookup every event-enrichment pipeline needs (latest snapshot
+    * / price / profile as of the event), and one Spark has no built-in
+    * operator for. Left semantics: probe rows before the key's first
+    * build row keep the build payload columns as null.
+    *
+    * Spark-first plan instead of a per-key nested loop: UNION the two
+    * sides (build payload null on probe rows and vice versa), then one
+    * window per key ordered by (ts, side) carrying `last(payload,
+    * ignoreNulls)` forward, then keep probe rows. Cost = ONE shuffle on
+    * the key (same exchange a sort-merge join would pay) + a linear
+    * in-partition sweep; no range explosion, no per-probe-row binary
+    * search. At equal timestamps the build row sorts first, so a probe
+    * row sees a build row stamped at its own instant (ASOF `>=`
+    * semantics). Skew: a single hot key serializes its own sweep —
+    * same bound as any per-key ordered operator.
+    *
+    * Contract: `build` must be unique per (keys, buildTs) — pre-aggregate
+    * otherwise (which row of a same-instant tie wins is undefined). The
+    * build side's payload = every column not in `keys` and not `buildTs`;
+    * payload names must not collide with probe columns. To surface the
+    * matched snapshot's timestamp, duplicate it into a payload column
+    * before calling (`build.withColumn("snap_ts", col(ts))`).
+    */
+  def asOf(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTs: String,
+      buildTs: String): DataFrame = {
+    val buildPayload = build.columns.filterNot(c => keys.contains(c) || c == buildTs)
+    val probeCarry = probe.columns.filterNot(keys.contains)
+    val collisions = buildPayload.toSet intersect probe.columns.toSet
+    require(collisions.isEmpty,
+      s"build payload collides with probe columns: ${collisions.mkString(", ")}")
+    val buildTypes = build.schema.fields.map(f => f.name -> f.dataType).toMap
+    val probeTypes = probe.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    def nul(n: String, t: Map[String, org.apache.spark.sql.types.DataType]): Column =
+      lit(null).cast(t(n)).as(n)
+
+    val pU = probe.select(
+      keys.map(col) ++ Seq(col(probeTs).cast("long").as("_g_ts"), lit(1).as("_g_side")) ++
+        probeCarry.map(col) ++ buildPayload.map(nul(_, buildTypes)): _*)
+    val bU = build.select(
+      keys.map(col) ++ Seq(col(buildTs).cast("long").as("_g_ts"), lit(0).as("_g_side")) ++
+        probeCarry.map(nul(_, probeTypes)) ++ buildPayload.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_g_ts"), col("_g_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = buildPayload.foldLeft(bU.unionByName(pU)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_g_side") === 1).drop("_g_ts", "_g_side")
+  }
+
+  /** Interval (range) join: pair each point with every interval
+    * containing it (`start ≤ point ≤ end`, no equi-key). The naive plan
+    * is a cross join with an inequality filter — O(|points|·|intervals|)
+    * and a broadcast-nested-loop at any scale. This operator buckets
+    * instead: an interval replicates to each `bucketWidth`-wide bin it
+    * overlaps (`ceil(len/width)+1` bins), a point lands in exactly ONE
+    * bin, and the pairing becomes an equi-join on the bin id + an exact
+    * containment filter. Each qualifying pair is produced exactly once
+    * (the point's single bin), so no dedup pass is needed.
+    *
+    * Pick `bucketWidth` ≈ the typical interval length: replication stays
+    * ~2× and every comparison is bin-local. Cost = one shuffle on bin id;
+    * a hot bin (many co-located points/intervals) is an AQE-skew-join
+    * rebalance candidate, same as any hot equi-key.
+    *
+    * Column names of the two inputs must be disjoint; the three range
+    * columns are numeric (cast to long internally).
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = points.columns.toSet intersect intervals.columns.toSet
+    require(collisions.isEmpty,
+      s"points/intervals column collision: ${collisions.mkString(", ")}")
+    val w = lit(bucketWidth)
+    val iv = intervals.withColumn("_g_bucket",
+      explode(sequence(
+        floor(col(startCol).cast("long") / w).cast("long"),
+        floor(col(endCol).cast("long") / w).cast("long"))))
+    val pt = points.withColumn("_g_bucket",
+      floor(col(pointCol).cast("long") / w).cast("long"))
+    pt.join(iv, Seq("_g_bucket"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_g_bucket")
   }
 }

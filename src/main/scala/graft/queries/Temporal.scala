@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+
+/** Temporal join entries over the events fixture: as-of (point-in-time)
+  * enrichment and interval containment — the two join shapes event
+  * pipelines need beyond equi-joins, and that Spark has no built-in
+  * operator for (ops/Joins.scala implements both Spark-first: one
+  * keyed-window sweep / one bucketed equi-join, no nested loops).
+  *
+  * Reference scope note: sayn ships SQL to warehouses and has no join
+  * operators of its own; these are north-star pipeline surface. The
+  * DuckDB oracle uses its native ASOF JOIN / inequality join, so the
+  * check is genuinely cross-engine: two unrelated algorithms must agree
+  * row-for-row.
+  *
+  * Timestamps: the fixture's TIMESTAMP(NANOS) arrives as nanos longs
+  * (session nanosAsLong) and is compared at µs precision (`ts div
+  * 1000`), matching DuckDB's parquet nanos→µs truncation.
+  */
+object Temporal {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts div 1000").as("ts_us"))
+
+  // q58: as-of join — every event picks up the value of the SAME user's
+  // most recent purchase at-or-before its timestamp (null before the
+  // first purchase). Build side pre-aggregated to unique (user, instant),
+  // the operator's tie contract.
+  def q58AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us").as("p_ts_us"))
+      .agg(max(col("value")).as("last_purchase_value"))
+    Joins.asOf(
+      events.select(col("event_id"), col("user_id"), col("ts_us")),
+      purchases, keys = Seq("user_id"), probeTs = "ts_us", buildTs = "p_ts_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("last_purchase_value"))
+  }
+
+  val q58Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, max(value) AS last_purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+      |  p.last_purchase_value
+      |FROM events e ASOF LEFT JOIN p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+
+  // q59: interval join — every purchase paired with every error whose
+  // following hour contains it (incident-attribution shape). Bucket
+  // width = the interval length, so each interval spans ≤ 2 buckets.
+  def q59RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = ev(s, dir)
+    val hourUs = 3600L * 1000 * 1000
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_us").as("p_us"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts_us").as("start_us"),
+        (col("ts_us") + hourUs).as("end_us"))
+    Joins.rangeJoin(purchases, errors, "p_us", "start_us", "end_us",
+      bucketWidth = hourUs)
+      .select(col("purchase_id"), col("error_id"))
+  }
+
+  val q59Sql: String =
+    """SELECT p.event_id AS purchase_id, i.event_id AS error_id
+      |FROM events p, events i
+      |WHERE p.event_type = 'purchase' AND i.event_type = 'error'
+      |  AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_asof_join" -> (q58AsofJoin _),
+    "q59_range_join" -> (q59RangeJoin _))
+
+  def oracles: Map[String, String] = Map(
+    "q58_asof_join" -> q58Sql,
+    "q59_range_join" -> q59Sql)
+}

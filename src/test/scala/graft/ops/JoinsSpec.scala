@@ -43,4 +43,85 @@ class JoinsSpec extends SparkSpec {
       Joins.salted(skewed, dim, Seq("k"), "right")
     }
   }
+
+  // ---- asOf --------------------------------------------------------------
+
+  test("asOf picks latest build row at-or-before, null before first") {
+    val probe = Seq(
+      (1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"), (1L, 3L, "d"),
+      (2L, 7L, "e"), // key with no build rows at all
+      (3L, 15L, "f"))
+      .toDF("k", "t", "tag")
+    val build = Seq(
+      (1L, 5L, 100.0), (1L, 12L, 200.0),
+      (3L, 15L, 300.0)) // equal-instant match
+      .toDF("k", "bt", "price")
+    val out = Joins.asOf(probe, build, Seq("k"), "t", "bt")
+      .select("k", "t", "tag", "price")
+    assert(rows(out) == Set(
+      Seq(1L, 3L, "d", null), // before first snapshot
+      Seq(1L, 5L, "a", 100.0), // equal instant counts
+      Seq(1L, 10L, "b", 100.0),
+      Seq(1L, 20L, "c", 200.0),
+      Seq(2L, 7L, "e", null), // key absent from build
+      Seq(3L, 15L, "f", 300.0)))
+  }
+
+  test("asOf equals the per-row subquery answer on random data") {
+    val probe = spark.range(0, 2000)
+      .select(($"id" % 37).as("k"), pmod(xxhash64($"id"), lit(10000L)).as("t"),
+        $"id".as("pid"))
+    val build = spark.range(0, 500)
+      .select(($"id" % 37).as("k"),
+        pmod(xxhash64($"id" + 7), lit(10000L)).as("bt"))
+      .distinct()
+      .withColumn("payload", $"bt" * 2)
+    val out = Joins.asOf(probe, build, Seq("k"), "t", "bt")
+      .select("pid", "payload")
+    // oracle: max bt <= t per key, via a window-free aggregation join
+    val expected = probe.join(build, probe("k") === build("k") && $"bt" <= $"t", "left")
+      .groupBy($"pid").agg(max($"bt").as("mbt"))
+      .select($"pid", ($"mbt" * 2).as("payload"))
+    assert(out.count() == 2000)
+    assert(out.except(expected).isEmpty && expected.except(out).isEmpty)
+  }
+
+  test("asOf rejects payload/probe column collisions") {
+    val probe = Seq((1L, 2L, "x")).toDF("k", "t", "v")
+    val build = Seq((1L, 1L, "y")).toDF("k", "bt", "v")
+    intercept[IllegalArgumentException] {
+      Joins.asOf(probe, build, Seq("k"), "t", "bt")
+    }
+  }
+
+  // ---- rangeJoin ---------------------------------------------------------
+
+  test("rangeJoin equals the naive inequality join, each pair once") {
+    val points = spark.range(0, 3000)
+      .select($"id".as("pid"), pmod(xxhash64($"id"), lit(100000L)).as("p"))
+    val intervals = spark.range(0, 300)
+      .select($"id".as("iid"),
+        pmod(xxhash64($"id" + 3), lit(100000L)).as("s"))
+      .withColumn("e", $"s" + pmod(xxhash64($"iid"), lit(5000L)))
+    val out = Joins.rangeJoin(points, intervals, "p", "s", "e", bucketWidth = 2500L)
+      .select("pid", "iid")
+    val naive = points.join(intervals, $"p" >= $"s" && $"p" <= $"e")
+      .select("pid", "iid")
+    val n = naive.count()
+    assert(n > 0, "fixture produced no overlapping pairs")
+    assert(out.count() == n) // exact-once: counts match INCLUDING multiplicity
+    assert(out.except(naive).isEmpty && naive.except(out).isEmpty)
+  }
+
+  test("rangeJoin validates inputs") {
+    val points = Seq((1L, 2L)).toDF("pid", "p")
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoin(points, Seq((1L, 2L, 3L)).toDF("iid", "s", "e"),
+        "p", "s", "e", bucketWidth = 0L)
+    }
+    intercept[IllegalArgumentException] { // column collision
+      Joins.rangeJoin(points, Seq((1L, 2L, 3L)).toDF("pid", "s", "e"),
+        "p", "s", "e", bucketWidth = 10L)
+    }
+  }
 }
