@@ -22,9 +22,22 @@ object Sampling {
     * oracle-checkable and portable if a split is recomputed outside
     * Spark.
     */
-  def portableHash(c: Column): Column =
-    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+  def portableHash(c: Column): Column = portableHash(c, "")
+
+  /** Salted variant: different `salt`s give INDEPENDENT assignments over
+    * the same ids — a sample drawn for one purpose must not correlate
+    * with the train/val/test split or another sample (unsalted, a 10%
+    * sample is exactly the first tenth of the `train` hash range).
+    * Empty salt hashes the bare id (the pre-salt wire format, so
+    * existing splits stay stable).
+    */
+  def portableHash(c: Column, salt: String): Column = {
+    val keyed =
+      if (salt.isEmpty) c.cast("string")
+      else concat(lit(salt), lit(":"), c.cast("string"))
+    conv(substring(md5(keyed.cast("binary")), 1, 8), 16, 10)
       .cast("long") % 1000000L
+  }
 
   /** Add a `split` column assigning each row to a named fraction by hash
     * threshold, e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`.
@@ -54,6 +67,27 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1, "rate in [0,1]")
     df.filter(portableHash(col(idCol)) < math.round(rate * 1000000L))
+  }
+
+  /** Deterministic stratified downsample: a per-stratum keep rate
+    * (rebalancing a skewed corpus — e.g. downsample the dominant
+    * language hard, keep the rest), with the same id-only determinism as
+    * [[hashSample]]. Strata absent from `rates` keep `defaultRate`.
+    * Pure filter — zero shuffles; `salt` decorrelates from other
+    * hash-derived assignments on the same ids.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double,
+      salt: String = ""): DataFrame = {
+    (defaultRate +: rates.map(_._2)).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate must be in [0,1], got $r"))
+    val h = portableHash(col(idCol), salt)
+    val bound = rates.foldRight(lit(math.round(defaultRate * 1000000L)): Column) {
+      case ((s, r), acc) =>
+        when(col(stratumCol) === s, math.round(r * 1000000L)).otherwise(acc)
+    }
+    df.filter(h < bound)
   }
 
   /** Deterministic global shuffle: assign every row a dense position

@@ -23,6 +23,43 @@ object TextStats {
   def tokens(df: DataFrame, textCol: String, keep: String*): DataFrame =
     df.select(keep.map(col) :+ explode(split(col(textCol), " ")).as("tok"): _*)
 
+  /** Per-document top-k TF-IDF terms: term frequency in the document,
+    * document frequency across the corpus, `tf_idf = tf · ln(N/df)`, and
+    * the per-document rank. Keyword extraction / salient-term indexing
+    * for a corpus — the inverse of the stopword problem langId solves.
+    *
+    * Plan shape at scale: one explode, a (doc, term) count, a term-keyed
+    * df aggregate joined back on term (both map-side-combinable), N as a
+    * broadcast scalar (never collected to the driver), and ONE window per
+    * document for the top-k — three exchanges total, none wider than the
+    * token stream itself.
+    *
+    * Ranking is integer-deterministic: (tf desc, df asc, term asc) is a
+    * total order per document (terms are distinct), so top-k membership
+    * never depends on float comparison — `tf_idf` is data, not the sort
+    * key. (ln() is libm-dependent in the last ulp; an engine-portable
+    * rank must not hinge on it.)
+    */
+  def topTermsTfIdf(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = tokens(df, textCol, idCol).filter(col("tok") =!= "")
+    val tf = toks.groupBy(col(idCol), col("tok").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("tf_idf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"),
+        col("tf_idf"))
+  }
+
   /** Per-document token statistics: token count, distinct count, average
     * token length, type-token ratio. Computed IN-ROW over the token array
     * — a pure projection, no shuffle at any scale (the groupBy

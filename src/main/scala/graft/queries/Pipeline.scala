@@ -547,6 +547,8 @@ object Pipeline {
     "q53_shuffle" -> (q53Shuffle _),
     "q54_cluster_reps" -> (q54ClusterReps _),
     "q57_pii_scrub" -> (q57PiiScrub _),
+    "q60_tfidf_terms" -> (q60TfidfTerms _),
+    "q61_stratified_sample" -> (q61StratifiedSample _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -600,6 +602,53 @@ object Pipeline {
       |  regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS scrubbed_text
       |FROM s2""".stripMargin
 
+  // q60: per-document top-3 TF-IDF terms. The oracle checks the whole
+  // pipeline shape (explode → tf → df → join → per-doc top-k) on the
+  // integer-deterministic columns; the tf_idf double itself is excluded
+  // because its ln() is libm-dependent in the last ulp (the RANK never
+  // depends on it — see TextStats.topTermsTfIdf).
+  def q60TfidfTerms(s: SparkSession, dir: String): DataFrame =
+    TextStats.topTermsTfIdf(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumnRenamed("rank", "term_rank")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("term_rank"))
+
+  val q60Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |                       ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+      |      AS term_rank
+      |  FROM tf JOIN dfreq USING (term))
+      |SELECT doc_id, term, tf, df, CAST(term_rank AS BIGINT) AS term_rank
+      |FROM ranked WHERE term_rank <= 3""".stripMargin
+
+  // q61: stratified deterministic downsample — rebalance by language
+  // (dominant 'en' cut to 25%, rare 'zh' kept whole, default 50%),
+  // salted so membership is independent of the q50 split on the same
+  // ids. The oracle recomputes the salted portable hash and the
+  // per-stratum threshold.
+  def q61StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.stratifiedSample(
+      t(s, dir, "documents"), "doc_id", "lang",
+      rates = Seq("en" -> 0.25, "zh" -> 1.0), defaultRate = 0.5, salt = "s1")
+      .select(col("doc_id"), col("lang"))
+
+  val q61Sql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substring(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 1000000 AS h
+      |  FROM documents)
+      |WHERE h < CASE lang WHEN 'en' THEN 250000
+      |                    WHEN 'zh' THEN 1000000 ELSE 500000 END""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -620,5 +669,7 @@ object Pipeline {
     "q52_repetition" -> q52Sql,
     "q53_shuffle" -> q53Sql,
     "q54_cluster_reps" -> q54Sql,
-    "q57_pii_scrub" -> q57Sql)
+    "q57_pii_scrub" -> q57Sql,
+    "q60_tfidf_terms" -> q60Sql,
+    "q61_stratified_sample" -> q61Sql)
 }

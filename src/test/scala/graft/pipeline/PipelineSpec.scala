@@ -46,6 +46,45 @@ class PipelineSpec extends SparkSpec {
       Seq(3L, 0L, 2L, 0L, "<IP> and <IP>")))
   }
 
+  // ---- tf-idf ------------------------------------------------------------
+
+  test("topTermsTfIdf ranks by (tf desc, df asc, term asc) and scores") {
+    val df = Seq((1L, "a a b c"), (2L, "b c c d")).toDF("doc_id", "text")
+    val out = TextStats.topTermsTfIdf(df, "doc_id", "text", k = 2)
+    // doc1: a(tf2) first; b vs c tie on tf=1 df=2 → term asc picks b
+    // doc2: c(tf2) first; d(df1) beats b(df2) on rarity
+    assert(rows(out.select("doc_id", "term", "rank")) == Set(
+      Seq(1L, "a", 1L), Seq(1L, "b", 2L),
+      Seq(2L, "c", 1L), Seq(2L, "d", 2L)))
+    val aScore = out.filter($"term" === "a").select("tf_idf").head.getDouble(0)
+    assert(math.abs(aScore - 2 * math.log(2.0)) < 1e-12)
+  }
+
+  // ---- stratified sampling -----------------------------------------------
+
+  test("stratifiedSample applies per-stratum rates, salt decorrelates") {
+    val df = spark.range(0, 2000)
+      .select($"id".as("doc_id"),
+        when($"id" % 4 === 0, "en").when($"id" % 4 === 1, "zh")
+          .otherwise("de").as("lang"))
+    val out = Sampling.stratifiedSample(df, "doc_id", "lang",
+      rates = Seq("en" -> 0.1, "zh" -> 1.0), defaultRate = 0.5, salt = "s1")
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("zh") == 500) // rate 1.0 keeps the whole stratum
+    assert(byLang("en") < 100 && byLang("en") > 20) // ~50 of 500
+    assert(byLang("de") > 400 && byLang("de") < 600) // ~500 of 1000
+    // determinism: re-running reproduces the exact membership
+    val again = Sampling.stratifiedSample(df, "doc_id", "lang",
+      rates = Seq("en" -> 0.1, "zh" -> 1.0), defaultRate = 0.5, salt = "s1")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // a different salt draws a (near-)independent sample
+    val other = Sampling.stratifiedSample(df, "doc_id", "lang",
+      rates = Seq("en" -> 0.1, "zh" -> 1.0), defaultRate = 0.5, salt = "s2")
+    assert(out.filter($"lang" === "de").select("doc_id")
+      .except(other.select("doc_id")).count() > 0)
+  }
+
   // ---- jaccard / minhash -------------------------------------------------
 
   test("shingles builds distinct n-grams, no partial tails") {
