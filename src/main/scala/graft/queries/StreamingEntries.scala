@@ -290,15 +290,58 @@ object StreamingEntries {
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1,2""".stripMargin
 
+  /** Plain staged copy of the fixture (no sentinels, no doubling) for
+    * entries whose emission is match-driven rather than watermark-gated.
+    * Memoized like [[stageWithSentinels]].
+    */
+  private val plainDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagePlain(dir: String): String =
+    plainDirs.computeIfAbsent(dir, { _ =>
+      val staged = tempDirCleanedAtExit(None, "graft_stream_plain_")
+      Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"))
+      staged.toString
+    })
+
+  // q62: streaming interval join — purchase stream ⋈ error stream on
+  // "purchase within the hour after the error", as a watermarked
+  // stream-stream equi-join on the interval bucket (Streaming
+  // .intervalJoin). Inner-join emission is match-driven, so the drained
+  // answer equals the batch q59 range join — all three of the batch
+  // operator, the streaming operator, and DuckDB's inequality join must
+  // agree row-for-row, which is why this entry shares q59's oracle.
+  def q62StreamingIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagePlain(dir)
+    val s2 = streamSession(s)
+    val hourUs = 3600L * 1000 * 1000
+    def typed(tpe: String, idAs: String, tsAs: String): DataFrame =
+      s2.readStream.schema(eventsSchema).parquet(staged)
+        .filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs),
+          timestamp_micros(expr("ts div 1000")).as(tsAs))
+    val purchases = typed("purchase", "purchase_id", "p_ts")
+    val errors = typed("error", "error_id", "e_ts")
+    val joined = Streaming.intervalJoin(
+      purchases, "p_ts", errors, "e_ts",
+      lengthUs = hourUs, bucketWidthUs = hourUs)
+    runAvailableNow(joined.select(col("purchase_id"), col("error_id")),
+      "graft_q62_interval")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_streaming_sessions" -> (q38StreamingSessions _),
     "q39_streaming_window" -> (q39StreamingWindow _),
     "q55_streaming_dedup" -> (q55StreamingDedup _),
-    "q56_streaming_enrich" -> (q56StreamingEnrich _))
+    "q56_streaming_enrich" -> (q56StreamingEnrich _),
+    "q62_streaming_interval_join" -> (q62StreamingIntervalJoin _))
 
   def oracles: Map[String, String] = Map(
     "q38_streaming_sessions" -> q38Sql,
     "q39_streaming_window" -> q39Sql,
     "q55_streaming_dedup" -> q55Sql,
-    "q56_streaming_enrich" -> q56Sql)
+    "q56_streaming_enrich" -> q56Sql,
+    // all three of batch rangeJoin, streaming intervalJoin and DuckDB's
+    // inequality join compute the same pair set
+    "q62_streaming_interval_join" -> Temporal.q59Sql)
 }

@@ -66,6 +66,53 @@ object Streaming {
     df.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming interval (range) join — the streaming twin of
+    * [[graft.ops.Joins.rangeJoin]], same bucketed design: an interval
+    * [startTs, startTs + length] replicates to each `bucketWidthUs`-wide
+    * bin it overlaps, a point lands in exactly ONE bin, and the pairing
+    * becomes a stream-stream EQUI-join on the bin (Spark's symmetric
+    * hash join needs an equality key; the raw inequality pairing would
+    * not plan) plus the exact containment filter — each qualifying pair
+    * emitted exactly once.
+    *
+    * Both sides carry an event-time watermark and the join condition
+    * bounds the two event times against each other, so the join state is
+    * watermark-evicted: at any moment each side's store holds only rows
+    * newer than (watermark − length). Inner-join emission is match-driven
+    * (not watermark-gated), so a drained bounded stream emits exactly
+    * the batch answer.
+    *
+    * Column names of the two inputs must be disjoint. `lengthUs` is the
+    * interval length in µs; choose `bucketWidthUs` ≈ `lengthUs` (~2×
+    * replication), exactly as in the batch operator.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      pointTs: String,
+      intervals: DataFrame,
+      startTs: String,
+      lengthUs: Long,
+      bucketWidthUs: Long,
+      watermark: String = "30 minutes"): DataFrame = {
+    require(lengthUs >= 0, "lengthUs must be non-negative")
+    require(bucketWidthUs > 0, "bucketWidthUs must be positive")
+    val collisions = points.columns.toSet intersect intervals.columns.toSet
+    require(collisions.isEmpty,
+      s"points/intervals column collision: ${collisions.mkString(", ")}")
+    val w = lit(bucketWidthUs)
+    val pts = points.withWatermark(pointTs, watermark)
+      .withColumn("_g_pb", floor(unix_micros(col(pointTs)) / w).cast("long"))
+    val ivs = intervals.withWatermark(startTs, watermark)
+      .withColumn("_g_ib", explode(sequence(
+        floor(unix_micros(col(startTs)) / w).cast("long"),
+        floor((unix_micros(col(startTs)) + lengthUs) / w).cast("long"))))
+    pts.join(ivs,
+      col("_g_pb") === col("_g_ib") &&
+        col(pointTs) >= col(startTs) &&
+        col(pointTs) <= col(startTs) + expr(s"INTERVAL $lengthUs MICROSECOND"))
+      .drop("_g_pb", "_g_ib")
+  }
+
   /** Streaming gap-based sessionization — the streaming twin of
     * [[graft.pipeline.Sessionize]]: a session closes when `gapMinutes`
     * pass with no event for the key. Custom state via

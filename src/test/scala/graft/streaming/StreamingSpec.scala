@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd").count() == 2)
   }
 
+  test("intervalJoin pairs points with containing intervals, boundaries inclusive") {
+    implicit val sql = spark.sqlContext
+    val pts = MemoryStream[(Long, Timestamp)]
+    val ivs = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.intervalJoin(
+      pts.toDF().toDF("pid", "p_ts"), "p_ts",
+      ivs.toDF().toDF("iid", "i_ts"), "i_ts",
+      lengthUs = 10L * 60 * 1000000, // 10 minutes
+      bucketWidthUs = 10L * 60 * 1000000)
+    val q = joined.select("pid", "iid")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    ivs.addData((100L, ts(10)), (200L, ts(40)))
+    pts.addData(
+      (1L, ts(10)), // start boundary of 100 (inclusive)
+      (2L, ts(20)), // end boundary of 100 (inclusive)
+      (3L, ts(25)), // inside no interval
+      (4L, ts(45))) // inside 200
+    q.processAllAvailable()
+    // a LATER batch can still match state from the first (symmetric join)
+    pts.addData((5L, ts(15)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (4L, 200L), (5L, 100L)))
+  }
+
   test("file-source stream: readStream over the events fixture parquet") {
     // the real readStream → transform → writeStream path (not MemoryStream):
     // nanos ts read as long (SparkSpec session conf), converted to µs
