@@ -329,12 +329,39 @@ object StreamingEntries {
       "graft_q62_interval")
   }
 
+  // q63: streaming as-of enrichment — the event stream picks up each
+  // user's latest purchase value as of the event time from a STATIC
+  // purchase-snapshot table (Streaming.asOfStatic: validity intervals on
+  // the static side, stream-static left join). Stateless and
+  // match-driven, so the drained answer equals the batch as-of join —
+  // this entry shares q58's DuckDB ASOF oracle, making batch operator,
+  // streaming operator and DuckDB agree three ways.
+  def q63StreamingAsof(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagePlain(dir)
+    val s2 = streamSession(s)
+    val purchases = Tables(s2, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"),
+        timestamp_micros(expr("ts div 1000")).as("p_ts"))
+      .agg(max(col("value")).as("last_purchase_value"))
+      .withColumnRenamed("p_user", "user_id")
+    val stream = s2.readStream.schema(eventsSchema).parquet(staged)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+    val enriched = Streaming.asOfStatic(
+      stream, "ts", purchases, Seq("user_id"), "p_ts")
+    runAvailableNow(enriched, "graft_q63_asof")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("last_purchase_value"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_streaming_sessions" -> (q38StreamingSessions _),
     "q39_streaming_window" -> (q39StreamingWindow _),
     "q55_streaming_dedup" -> (q55StreamingDedup _),
     "q56_streaming_enrich" -> (q56StreamingEnrich _),
-    "q62_streaming_interval_join" -> (q62StreamingIntervalJoin _))
+    "q62_streaming_interval_join" -> (q62StreamingIntervalJoin _),
+    "q63_streaming_asof" -> (q63StreamingAsof _))
 
   def oracles: Map[String, String] = Map(
     "q38_streaming_sessions" -> q38Sql,
@@ -343,5 +370,7 @@ object StreamingEntries {
     "q56_streaming_enrich" -> q56Sql,
     // all three of batch rangeJoin, streaming intervalJoin and DuckDB's
     // inequality join compute the same pair set
-    "q62_streaming_interval_join" -> Temporal.q59Sql)
+    "q62_streaming_interval_join" -> Temporal.q59Sql,
+    // batch asOf, streaming asOfStatic and DuckDB ASOF agree three ways
+    "q63_streaming_asof" -> Temporal.q58Sql)
 }

@@ -113,6 +113,48 @@ object Streaming {
       .drop("_g_pb", "_g_ib")
   }
 
+  /** Streaming as-of enrichment against a STATIC snapshot table — the
+    * stream-static twin of [[graft.ops.Joins.asOf]]: each stream row
+    * picks up the dimension row with the largest `dimTs` ≤ its event
+    * time within the key (left semantics — null payload before the
+    * key's first snapshot).
+    *
+    * Streaming frames admit no window functions, so the batch union+
+    * window sweep can't run on the stream. Instead the WINDOW moves to
+    * the static side, where it is legal: snapshots become half-open
+    * validity intervals [dimTs, lead(dimTs)) per key, and the stream
+    * joins each event to the single interval containing it — a
+    * stream-static left join Spark re-executes per micro-batch,
+    * broadcasting the dimension when it is small. Equal-instant events
+    * match the snapshot stamped at their own time, exactly as in the
+    * batch operator.
+    *
+    * Contract: `dim` unique per (keys, dimTs); its other columns are the
+    * carried payload and must not collide with stream columns.
+    */
+  def asOfStatic(
+      stream: DataFrame,
+      streamTs: String,
+      dim: DataFrame,
+      keys: Seq[String],
+      dimTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = dim.columns.filterNot(c => keys.contains(c) || c == dimTs)
+    val collisions = payload.toSet intersect stream.columns.toSet
+    require(collisions.isEmpty,
+      s"dim payload collides with stream columns: ${collisions.mkString(", ")}")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dimTs))
+    val ivs = dim
+      .withColumn("_g_end", lead(col(dimTs), 1).over(w))
+      .select(keys.map(k => col(k).as(s"_g_k_$k")) ++
+        Seq(col(dimTs).as("_g_start"), col("_g_end")) ++ payload.map(col): _*)
+    val cond = keys.map(k => stream(k) === ivs(s"_g_k_$k")).reduce(_ && _) &&
+      stream(streamTs) >= ivs("_g_start") &&
+      (ivs("_g_end").isNull || stream(streamTs) < ivs("_g_end"))
+    stream.join(ivs, cond, "left")
+      .drop(keys.map(k => s"_g_k_$k") :+ "_g_start" :+ "_g_end": _*)
+  }
+
   /** Streaming gap-based sessionization — the streaming twin of
     * [[graft.pipeline.Sessionize]]: a session closes when `gapMinutes`
     * pass with no event for the key. Custom state via

@@ -73,6 +73,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 100L), (2L, 100L), (4L, 200L), (5L, 100L)))
   }
 
+  test("asOfStatic enriches with the latest snapshot at-or-before event time") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val dim = Seq(
+      (1L, ts(10), 100.0), (1L, ts(30), 200.0),
+      (3L, ts(5), 300.0))
+      .toDF("k", "snap_ts", "price")
+    val joined = Streaming.asOfStatic(
+      in.toDF().toDF("k", "e_ts", "tag"), "e_ts", dim, Seq("k"), "snap_ts")
+    val q = joined.select("k", "tag", "price")
+      .writeStream.format("memory").queryName("asf").outputMode("append").start()
+    in.addData(
+      (1L, ts(5), "before-first"), // → null
+      (1L, ts(10), "equal-instant"), // → 100 (snapshot at own time)
+      (1L, ts(29), "mid"), // → 100
+      (1L, ts(31), "after-second"), // → 200
+      (2L, ts(50), "no-key"), // → null
+      (3L, ts(60), "open-end")) // → 300 (last interval unbounded)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asf").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, "before-first", null), (1L, "equal-instant", 100.0),
+      (1L, "mid", 100.0), (1L, "after-second", 200.0),
+      (2L, "no-key", null), (3L, "open-end", 300.0)))
+  }
+
   test("file-source stream: readStream over the events fixture parquet") {
     // the real readStream → transform → writeStream path (not MemoryStream):
     // nanos ts read as long (SparkSpec session conf), converted to µs
