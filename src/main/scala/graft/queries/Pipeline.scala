@@ -549,6 +549,8 @@ object Pipeline {
     "q57_pii_scrub" -> (q57PiiScrub _),
     "q60_tfidf_terms" -> (q60TfidfTerms _),
     "q61_stratified_sample" -> (q61StratifiedSample _),
+    "q64_approx_distinct" -> (q64ApproxDistinct _),
+    "q65_approx_quantiles" -> (q65ApproxQuantiles _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -648,6 +650,19 @@ object Pipeline {
       |  FROM documents)
       |WHERE h < CASE lang WHEN 'en' THEN 250000
       |                    WHEN 'zh' THEN 1000000 ELSE 500000 END""".stripMargin
+
+  // q64/q65: sketch profiling — approx distinct users and approx value
+  // quantiles per event type. Declared rows-only entries (sketch
+  // estimates are engine-specific, so no DuckDB oracle can hash-match
+  // them); error bounds vs the exact answers are asserted in
+  // PipelineSpec, the same methodology as the LSH/ANN entries.
+  def q64ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketches.approxDistinctByKey(
+      t(s, dir, "events"), "event_type", "user_id", rsd = 0.02)
+
+  def q65ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sketches.approxQuantilesByKey(
+      t(s, dir, "events"), "event_type", "value", probs = Seq(0.5, 0.95))
 
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,

@@ -60,6 +60,43 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(aScore - 2 * math.log(2.0)) < 1e-12)
   }
 
+  // ---- sketches ----------------------------------------------------------
+
+  test("approxDistinctByKey stays within the declared HLL error bound") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val approx = Sketches.approxDistinctByKey(ev, "event_type", "user_id",
+      rsd = 0.02).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val rel = math.abs(approx(k) - e).toDouble / e
+      assert(rel < 0.10, s"$k: approx=${approx(k)} exact=$e rel=$rel") // 5 sd
+    }
+  }
+
+  test("approxQuantilesByKey tracks exact percentiles") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val approx = Sketches.approxQuantilesByKey(ev, "event_type", "value",
+      probs = Seq(0.5, 0.95)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        min("value").as("lo"), max("value").as("hi")).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    for ((k, (e50, e95, lo, hi)) <- exact) {
+      val (a50, a95) = approx(k)
+      val spread = hi - lo
+      assert(a50 <= a95, s"$k: quantiles out of order")
+      assert(math.abs(a50 - e50) <= 0.05 * spread, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a95 - e95) <= 0.05 * spread, s"$k p95: $a95 vs $e95")
+    }
+  }
+
   // ---- stratified sampling -----------------------------------------------
 
   test("stratifiedSample applies per-stratum rates, salt decorrelates") {
