@@ -231,8 +231,10 @@ object TextDedup {
       while (!converged && it < maxIter) {
         // propagate and carry each id's previous label through the same
         // aggregate (every id has exactly one labels row, so max(prev)
-        // IS the previous label): convergence reads off the checkpointed
-        // result with a scan instead of a second join+shuffle per round
+        // IS the previous label). Convergence rides the SAME job as the
+        // checkpoint materialization via observe() metrics — no
+        // second count job per round.
+        val obs = org.apache.spark.sql.Observation(s"graft_dup_it$it")
         val viaEdges = sym
           .join(labels.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("lab"),
@@ -241,11 +243,11 @@ object TextDedup {
           .union(labels.select(col("id"), col("lab"), col("lab").as("prev")))
           .groupBy(col("id"))
           .agg(min(col("lab")).as("lab"), max(col("prev")).as("prev"))
+          .observe(obs, sum(when(col("lab") =!= col("prev"), 1L)
+            .otherwise(0L)).as("changed"))
           .localCheckpoint(true)
-        val changed =
-          step.filter(col("lab") =!= col("prev")).limit(1).count() > 0
         labels = step.select(col("id"), col("lab"))
-        converged = !changed
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
         it += 1
       }
       // silent truncation would hand the caller two "canonical" ids for
