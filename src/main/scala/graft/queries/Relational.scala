@@ -472,6 +472,28 @@ object Relational {
       |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // q67: unpivot (wide → long), the inverse of q45's pivot — Spark's
+  // relational unpivot operator (UNPIVOT/melt); the oracle is the
+  // engine-portable UNION ALL form. Measure doubles pass through
+  // unchanged, so the hash compare is exact.
+  def q67Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "val")
+
+  val q67Sql: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -496,7 +518,8 @@ object Relational {
     "q42_date_funcs" -> (q42DateFuncs _),
     "q43_string_funcs" -> (q43StringFuncs _),
     "q44_ordered_agg" -> (q44OrderedAgg _),
-    "q45_pivot" -> (q45Pivot _))
+    "q45_pivot" -> (q45Pivot _),
+    "q67_unpivot" -> (q67Unpivot _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -522,5 +545,6 @@ object Relational {
     "q42_date_funcs" -> q42Sql,
     "q43_string_funcs" -> q43Sql,
     "q44_ordered_agg" -> q44Sql,
-    "q45_pivot" -> q45Sql)
+    "q45_pivot" -> q45Sql,
+    "q67_unpivot" -> q67Sql)
 }

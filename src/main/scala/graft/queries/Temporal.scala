@@ -74,11 +74,34 @@ object Temporal {
       |WHERE p.event_type = 'purchase' AND i.event_type = 'error'
       |  AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR""".stripMargin
 
+  // q66: changelog compaction — the latest event per (user, event_type)
+  // by event time, ties broken by event_id (Changelog.latestByKey's
+  // deterministic argmax). The CDC read shape downstream of every merge
+  // pipeline.
+  def q66LatestByKey(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Changelog.latestByKey(
+      ev(s, dir), keys = Seq("user_id", "event_type"),
+      orderCol = "ts_us", tieCols = Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"), col("value"))
+
+  val q66Sql: String =
+    """SELECT user_id, event_type, event_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id, event_type
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
-    "q59_range_join" -> (q59RangeJoin _))
+    "q59_range_join" -> (q59RangeJoin _),
+    "q66_latest_by_key" -> (q66LatestByKey _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
-    "q59_range_join" -> q59Sql)
+    "q59_range_join" -> q59Sql,
+    "q66_latest_by_key" -> q66Sql)
 }
