@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series regularization: resample irregular events onto a fixed
+  * grid per key, materializing empty buckets and carrying values across
+  * gaps — the feature-engineering step ("daily activity per user, zeros
+  * for silent days, last-known value forward") that plain GROUP BY can't
+  * produce because it has no rows for the gaps.
+  */
+object Timeseries {
+
+  /** Per-key fixed-step resample of an event stream with gap fill:
+    * one output row for EVERY `stepUs` bucket between the key's first
+    * and last event (inclusive), carrying
+    *   - `n_events`      events in the bucket (0 for gaps),
+    *   - `total_value`   exact-decimal sum of `valueCol` (0.0 for gaps),
+    *   - `ffill_value`   the most recent non-gap bucket's total, carried
+    *                     forward (never null: the grid starts at a bucket
+    *                     with data).
+    *
+    * Scale shape: one aggregate on (keys, bucket) — map-side combinable —
+    * then the grid EXPLODES from per-key (min, max) bounds, so the dense
+    * timeline is generated distributed, never enumerated on the driver;
+    * a left join puts sparse aggregates onto it and ONE per-key ordered
+    * window does the forward fill. Grid length per key = its active time
+    * range / step: size `stepUs` so that range/step stays sane (a year of
+    * dailies = 365 rows/key) — a too-fine step inflates output, not
+    * shuffle width.
+    */
+  def resampleFfill(
+      df: DataFrame,
+      keys: Seq[String],
+      tsUsCol: String,
+      stepUs: Long,
+      valueCol: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(stepUs > 0, "stepUs must be positive")
+    def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+    val kcols = keys.map(col)
+    val agg = df
+      .withColumn("_g_b", floor(col(tsUsCol).cast("long") / stepUs).cast("long"))
+      .groupBy(kcols :+ col("_g_b"): _*)
+      .agg(count(lit(1)).as("_g_n"), dsum(col(valueCol)).as("_g_tv"))
+    val grid = agg.groupBy(kcols: _*)
+      .agg(min(col("_g_b")).as("_g_lo"), max(col("_g_b")).as("_g_hi"))
+      .select(kcols :+ explode(sequence(col("_g_lo"), col("_g_hi"))).as("_g_b"): _*)
+    val w = Window.partitionBy(kcols: _*).orderBy(col("_g_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, keys :+ "_g_b", "left")
+      .select(kcols ++ Seq(
+        (col("_g_b") * stepUs).as("bucket_start_us"),
+        coalesce(col("_g_n"), lit(0L)).as("n_events"),
+        coalesce(col("_g_tv"), lit(0.0)).as("total_value"),
+        last(col("_g_tv"), ignoreNulls = true).over(w).as("ffill_value")): _*)
+  }
+}

@@ -95,13 +95,44 @@ object Temporal {
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
+  // q68: per-user daily resample with gap fill — every day between a
+  // user's first and last event gets a row; silent days carry zero
+  // counts and the forward-filled last active day's total
+  // (Timeseries.resampleFfill). The day bucket uses epoch µs / 86400e6
+  // (not date_trunc): identical integer arithmetic on both engines.
+  def q68Resample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.resampleFfill(
+      ev(s, dir), keys = Seq("user_id"), tsUsCol = "ts_us",
+      stepUs = 86400L * 1000 * 1000, valueCol = "value")
+
+  val q68Sql: String =
+    """WITH agg AS (
+      |  SELECT user_id, floor(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS b,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS tv
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(CAST(lo AS BIGINT), CAST(hi AS BIGINT))) AS b
+      |  FROM (SELECT user_id, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1)),
+      |j AS (
+      |  SELECT g.user_id, g.b, agg.n, agg.tv
+      |  FROM grid g LEFT JOIN agg ON g.user_id = agg.user_id AND g.b = agg.b)
+      |SELECT user_id, CAST(b * 86400000000 AS BIGINT) AS bucket_start_us,
+      |  COALESCE(n, 0) AS n_events,
+      |  COALESCE(tv, 0.0) AS total_value,
+      |  last_value(tv IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS ffill_value
+      |FROM j""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
-    "q66_latest_by_key" -> (q66LatestByKey _))
+    "q66_latest_by_key" -> (q66LatestByKey _),
+    "q68_resample" -> (q68Resample _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
     "q59_range_join" -> q59Sql,
-    "q66_latest_by_key" -> q66Sql)
+    "q66_latest_by_key" -> q66Sql,
+    "q68_resample" -> q68Sql)
 }
