@@ -124,15 +124,32 @@ object Temporal {
       |    PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS ffill_value
       |FROM j""".stripMargin
 
+  // q69: one-pass column profile over events (ts excluded: its ns→µs
+  // precision differs between the engines, so distinct counts could
+  // legitimately diverge — every other column is precision-stable).
+  def q69ColumnProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.columnProfile(
+      Tables(s, dir, "events"),
+      Seq("event_id", "user_id", "event_type", "value", "props"))
+
+  val q69Sql: String = Seq("event_id", "user_id", "event_type", "value", "props")
+    .map(c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+    .mkString("\nUNION ALL\n")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
     "q66_latest_by_key" -> (q66LatestByKey _),
-    "q68_resample" -> (q68Resample _))
+    "q68_resample" -> (q68Resample _),
+    "q69_column_profile" -> (q69ColumnProfile _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
     "q59_range_join" -> q59Sql,
     "q66_latest_by_key" -> q66Sql,
-    "q68_resample" -> q68Sql)
+    "q68_resample" -> q68Sql,
+    "q69_column_profile" -> q69Sql)
 }
