@@ -200,15 +200,16 @@ object TextDedup {
     * in effect: A~B and B~C must collapse to ONE kept document even when
     * A~C scores below threshold).
     *
-    * Iterative min-label propagation: each round spreads the smallest
-    * known label across edges (one equi-join + one min-aggregate), so
-    * rounds needed = component diameter — small for near-dup clusters,
-    * capped by `maxIter`. Each round materializes through an eager
-    * localCheckpoint: lineage stays flat (no exponential replan) and the
-    * loop state lives on executors, never the driver. The only driver
-    * values are the per-round convergence flag and counts. At extreme
-    * diameters swap in the large-star/small-star variant (O(log n)
-    * rounds) — same interface.
+    * Iterative min-label propagation with path halving: each round
+    * spreads the smallest known label across edges (one equi-join + one
+    * min-aggregate) and then jumps pointers (lab := lab(lab)), so round
+    * k reaches ~2^k hops and rounds needed = LOG of the component
+    * diameter (a maxIter=20 cap covers diameters past a million — a
+    * pathological duplicate chain converges instead of aborting). Each
+    * round materializes through an eager localCheckpoint: lineage stays
+    * flat (no exponential replan) and the loop state lives on
+    * executors, never the driver; convergence rides the same job as
+    * observe() metrics.
     *
     * Input: one row per undirected pair. Output: (doc_id, canonical_id)
     * for every document that appears in some pair; unpaired documents
@@ -239,10 +240,22 @@ object TextDedup {
           .join(labels.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("lab"),
             lit(null).cast(labels.schema("lab").dataType).as("prev"))
-        val step = viaEdges
+        val step0 = viaEdges
           .union(labels.select(col("id"), col("lab"), col("lab").as("prev")))
           .groupBy(col("id"))
           .agg(min(col("lab")).as("lab"), max(col("prev")).as("prev"))
+        // pointer jump (path halving): lab := lab(lab). Labels are node
+        // ids and only decrease, so the jump target exists and is ≤ lab;
+        // round k then propagates ~2^k hops, so rounds needed shrink
+        // from the component diameter to its log — for the same two
+        // shuffles per round on the (small) label table.
+        val step = step0.as("s")
+          .join(
+            step0.select(col("id").as("_g_jid"), col("lab").as("_g_jlab")).as("j"),
+            col("s.lab") === col("_g_jid"), "left")
+          .select(col("s.id").as("id"),
+            coalesce(col("_g_jlab"), col("s.lab")).as("lab"),
+            col("s.prev").as("prev"))
           .observe(obs, sum(when(col("lab") =!= col("prev"), 1L)
             .otherwise(0L)).as("changed"))
           .localCheckpoint(true)
@@ -251,13 +264,13 @@ object TextDedup {
         it += 1
       }
       // silent truncation would hand the caller two "canonical" ids for
-      // one component — fail loudly instead (diameters past maxIter mean
-      // pathological chains; raise maxIter or switch to the
-      // large-star/small-star variant)
+      // one component — fail loudly instead (with path halving, 20
+      // rounds cover diameters past a million, so hitting this means
+      // maxIter was lowered or the graph is adversarial)
       if (!converged)
         throw new IllegalStateException(
           s"dupClusters did not converge within maxIter=$maxIter rounds " +
-            "(component diameter exceeds it); raise maxIter")
+            "(~2^maxIter diameter with path halving); raise maxIter")
       labels.select(col("id").as("doc_id"), col("lab").as("canonical_id"))
     } finally sym.unpersist()
   }
