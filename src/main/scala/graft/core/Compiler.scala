@@ -426,6 +426,50 @@ object Compiler {
           case m: Map[_, _] => Right(Some(m.size.toLong))
           case _ => Left(ParseError(s"length of non-sequence in '{{ $expr }}'"))
         }
+      // numeric filters. |int / |float follow Jinja: unconvertible input
+      // yields the default (0 / 0.0, overridable); |round(n) rounds
+      // half-away-from-zero ("common" method) and returns a float.
+      case ("int", rest) if rest.size <= 1 =>
+        defined.map { v =>
+          Some(toLong(v).getOrElse(rest.headOption.flatMap(toLong).getOrElse(0L)))
+        }
+      case ("float", rest) if rest.size <= 1 =>
+        defined.map { v =>
+          Some(toDouble(v).getOrElse(
+            rest.headOption.flatMap(toDouble).getOrElse(0.0)))
+        }
+      // |abs takes real numbers only (Jinja: abs('42') is a TypeError)
+      case ("abs", Seq()) => defined.flatMap {
+        case n: Long => Right(Some(math.abs(n)))
+        case n: Int => Right(Some(math.abs(n.toLong)))
+        case d: Double => Right(Some(math.abs(d)))
+        case b: BigDecimal => Right(Some(b.abs))
+        case _ => Left(ParseError(s"abs of non-number in '{{ $expr }}'"))
+      }
+      case ("round", rest) if rest.size <= 1 =>
+        defined.flatMap { v =>
+          val prec = rest.headOption.flatMap(toLong).getOrElse(0L).toInt
+          toDouble(v) match {
+            case Some(d) => Right(Some(BigDecimal(d)
+              .setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            case None => Left(ParseError(s"round of non-number in '{{ $expr }}'"))
+          }
+        }
+      case ("min", Seq()) | ("max", Seq()) => defined.flatMap {
+        case xs: Seq[_] if xs.nonEmpty =>
+          val nums = xs.map(x => toDouble(x))
+          if (nums.exists(_.isEmpty))
+            Left(ParseError(s"$name of non-numeric list in '{{ $expr }}'"))
+          else {
+            val pairs = xs.zip(nums.map(_.get))
+            val best =
+              if (name == "min") pairs.minBy(_._2) else pairs.maxBy(_._2)
+            Right(Some(best._1))
+          }
+        case xs: Seq[_] =>
+          Left(ParseError(s"$name of empty list in '{{ $expr }}'"))
+        case _ => Left(ParseError(s"$name expects a list in '{{ $expr }}'"))
+      }
       case ("first", Seq()) => defined.flatMap {
         case xs: Seq[_] => Right(xs.headOption)
         case s: String => Right(s.headOption.map(_.toString))
@@ -439,6 +483,28 @@ object Compiler {
       case (other, _) => Left(ParseError(
         s"unknown or mis-applied filter '$other' in '{{ $expr }}'"))
     }
+  }
+
+  /** Numeric coercions for the filter battery (Jinja-ish: numbers pass,
+    * numeric strings parse, anything else is None).
+    */
+  private def toLong(v: Any): Option[Long] = v match {
+    case n: Long => Some(n)
+    case n: Int => Some(n.toLong)
+    case d: Double => Some(d.toLong) // Jinja |int truncates
+    case b: BigDecimal => Some(b.toLong)
+    case s: String => s.trim.toLongOption
+      .orElse(s.trim.toDoubleOption.map(_.toLong))
+    case _ => None
+  }
+
+  private def toDouble(v: Any): Option[Double] = v match {
+    case n: Long => Some(n.toDouble)
+    case n: Int => Some(n.toDouble)
+    case d: Double => Some(d)
+    case b: BigDecimal => Some(b.toDouble)
+    case s: String => s.trim.toDoubleOption
+    case _ => None
   }
 
   private val FilterRe = "^([a-zA-Z_][a-zA-Z0-9_]*)(?:\\((.*)\\))?$".r

@@ -176,6 +176,28 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.compile("{{ n | join(',') }}", ctx).isLeft)
   }
 
+  test("filters: int/float/abs/round/min/max numeric battery") {
+    val ctx = Context(Map(
+      "s" -> "42", "bad" -> "4x2", "d" -> 12.7, "neg" -> -3L,
+      "xs" -> Seq(3L, 1L, 2L), "ds" -> Seq(1.5, 0.5)))
+    assert(Compiler.compile("{{ s | int }}", ctx) == Right("42"))
+    assert(Compiler.compile("{{ d | int }}", ctx) == Right("12")) // truncates
+    assert(Compiler.compile("{{ bad | int }}", ctx) == Right("0")) // Jinja default
+    assert(Compiler.compile("{{ bad | int(9) }}", ctx) == Right("9"))
+    assert(Compiler.compile("{{ s | float }}", ctx) == Right("42.0"))
+    assert(Compiler.compile("{{ neg | abs }}", ctx) == Right("3"))
+    assert(Compiler.compile("{{ d | round }}", ctx) == Right("13.0"))
+    assert(Compiler.compile("{{ d | round(1) }}", ctx) == Right("12.7"))
+    assert(Compiler.compile("{{ xs | min }}/{{ xs | max }}", ctx) == Right("1/3"))
+    assert(Compiler.compile("{{ ds | max }}", ctx) == Right("1.5"))
+    // chains: parse then round
+    assert(Compiler.compile("{{ s | float | round(2) }}", ctx) == Right("42.0"))
+    // errors: abs of a string, min of empty, round of non-number
+    assert(Compiler.compile("{{ s | abs }}", ctx).isLeft) // string, not number
+    assert(Compiler.compile("{{ bad | round }}", ctx).isLeft)
+    assert(Compiler.compile("{{ missing | int }}", ctx).isLeft) // still strict
+  }
+
   // ---- error propagation --------------------------------------------------
 
   test("if/elif: first malformed condition errors even if a later branch matches") {
