@@ -75,6 +75,10 @@ object Joins {
     val collisions = buildPayload.toSet intersect probe.columns.toSet
     require(collisions.isEmpty,
       s"build payload collides with probe columns: ${collisions.mkString(", ")}")
+    val reserved = Set("_g_ts", "_g_side")
+      .intersect((probe.columns ++ build.columns).toSet)
+    require(reserved.isEmpty,
+      s"reserved column names in input: ${reserved.mkString(", ")}")
     val buildTypes = build.schema.fields.map(f => f.name -> f.dataType).toMap
     val probeTypes = probe.schema.fields.map(f => f.name -> f.dataType).toMap
 
@@ -126,6 +130,8 @@ object Joins {
     val collisions = points.columns.toSet intersect intervals.columns.toSet
     require(collisions.isEmpty,
       s"points/intervals column collision: ${collisions.mkString(", ")}")
+    require(!(points.columns ++ intervals.columns).contains("_g_bucket"),
+      "reserved column name in input: _g_bucket")
     val w = lit(bucketWidth)
     val iv = intervals.withColumn("_g_bucket",
       explode(sequence(

@@ -44,13 +44,15 @@ object Sketches {
       accuracy: Int = 10000): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       "probs must be in [0,1]")
+    val names = probs.map(p => "p" + math.round(p * 100).toString)
+    require(names.distinct.size == names.size,
+      s"probs collide on output names: ${names.mkString(", ")}")
     val qs: Column = percentile_approx(
       col(valueCol),
       array(probs.map(lit): _*),
       lit(accuracy))
-    val named = probs.zipWithIndex.map { case (p, i) =>
-      element_at(col("_g_qs"), i + 1)
-        .as("p" + math.round(p * 100).toString)
+    val named = names.zipWithIndex.map { case (n, i) =>
+      element_at(col("_g_qs"), i + 1).as(n)
     }
     df.groupBy(col(keyCol)).agg(qs.as("_g_qs"))
       .select(col(keyCol) +: named: _*)

@@ -99,6 +99,10 @@ object Streaming {
     val collisions = points.columns.toSet intersect intervals.columns.toSet
     require(collisions.isEmpty,
       s"points/intervals column collision: ${collisions.mkString(", ")}")
+    val reserved = Set("_g_pb", "_g_ib")
+      .intersect((points.columns ++ intervals.columns).toSet)
+    require(reserved.isEmpty,
+      s"reserved column names in input: ${reserved.mkString(", ")}")
     val w = lit(bucketWidthUs)
     val pts = points.withWatermark(pointTs, watermark)
       .withColumn("_g_pb", floor(unix_micros(col(pointTs)) / w).cast("long"))
