@@ -69,13 +69,30 @@ object Joins {
       build: DataFrame,
       keys: Seq[String],
       probeTs: String,
-      buildTs: String): DataFrame = {
+      buildTs: String): DataFrame =
+    asOf(probe, build, keys, probeTs, buildTs, tolerance = None)
+
+  /** As-of join with a staleness bound: a match older than `tolerance`
+    * (probeTs − buildTs, same units as the timestamps) yields null
+    * payload, exactly like an absent match — "the latest snapshot,
+    * unless it has gone stale". Same single-shuffle plan: the matched
+    * build timestamp rides the same carried-forward window, and the
+    * tolerance is one projection at the end.
+    */
+  def asOf(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      probeTs: String,
+      buildTs: String,
+      tolerance: Option[Long]): DataFrame = {
+    tolerance.foreach(t => require(t >= 0, s"tolerance must be >= 0, got $t"))
     val buildPayload = build.columns.filterNot(c => keys.contains(c) || c == buildTs)
     val probeCarry = probe.columns.filterNot(keys.contains)
     val collisions = buildPayload.toSet intersect probe.columns.toSet
     require(collisions.isEmpty,
       s"build payload collides with probe columns: ${collisions.mkString(", ")}")
-    val reserved = Set("_g_ts", "_g_side")
+    val reserved = Set("_g_ts", "_g_side", "_g_bts")
       .intersect((probe.columns ++ build.columns).toSet)
     require(reserved.isEmpty,
       s"reserved column names in input: ${reserved.mkString(", ")}")
@@ -85,20 +102,35 @@ object Joins {
     def nul(n: String, t: Map[String, org.apache.spark.sql.types.DataType]): Column =
       lit(null).cast(t(n)).as(n)
 
+    // with a tolerance, the matched build timestamp rides along as one
+    // more carried column so staleness is checkable per probe row
+    val carryTs = if (tolerance.isDefined) Seq("_g_bts") else Nil
     val pU = probe.select(
       keys.map(col) ++ Seq(col(probeTs).cast("long").as("_g_ts"), lit(1).as("_g_side")) ++
-        probeCarry.map(col) ++ buildPayload.map(nul(_, buildTypes)): _*)
+        probeCarry.map(col) ++ buildPayload.map(nul(_, buildTypes)) ++
+        carryTs.map(c => lit(null).cast("long").as(c)): _*)
     val bU = build.select(
       keys.map(col) ++ Seq(col(buildTs).cast("long").as("_g_ts"), lit(0).as("_g_side")) ++
-        probeCarry.map(nul(_, probeTypes)) ++ buildPayload.map(col): _*)
+        probeCarry.map(nul(_, probeTypes)) ++ buildPayload.map(col) ++
+        carryTs.map(c => col(buildTs).cast("long").as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_g_ts"), col("_g_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = buildPayload.foldLeft(bU.unionByName(pU)) { (df, c) =>
+    val carried = (buildPayload ++ carryTs).foldLeft(bU.unionByName(pU)) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
-    carried.filter(col("_g_side") === 1).drop("_g_ts", "_g_side")
+    val matched = carried.filter(col("_g_side") === 1)
+    val bounded = tolerance match {
+      case None => matched
+      case Some(t) =>
+        val fresh = col("_g_bts").isNotNull &&
+          col(probeTs).cast("long") - col("_g_bts") <= t
+        buildPayload.foldLeft(matched) { (df, c) =>
+          df.withColumn(c, when(fresh, col(c)))
+        }.drop("_g_bts")
+    }
+    bounded.drop("_g_ts", "_g_side")
   }
 
   /** Interval (range) join: pair each point with every interval

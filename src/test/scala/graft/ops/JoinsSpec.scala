@@ -86,6 +86,24 @@ class JoinsSpec extends SparkSpec {
     assert(out.except(expected).isEmpty && expected.except(out).isEmpty)
   }
 
+  test("asOf tolerance nulls out stale matches only") {
+    val probe = Seq((1L, 10L, "a"), (1L, 30L, "b"), (1L, 100L, "c"))
+      .toDF("k", "t", "tag")
+    val build = Seq((1L, 8L, 7.0)).toDF("k", "bt", "price")
+    val out = Joins.asOf(probe, build, Seq("k"), "t", "bt",
+      tolerance = Some(25L)).select("tag", "price")
+    assert(rows(out) == Set(
+      Seq("a", 7.0), // 2 behind: fresh
+      Seq("b", 7.0), // 22 behind: still inside 25
+      Seq("c", null))) // 92 behind: stale → null, row kept
+    // tolerance = unbounded equals the plain overload
+    val unbounded = Joins.asOf(probe, build, Seq("k"), "t", "bt",
+      tolerance = Some(Long.MaxValue)).select("tag", "price")
+    val plain = Joins.asOf(probe, build, Seq("k"), "t", "bt")
+      .select("tag", "price")
+    assert(rows(unbounded) == rows(plain))
+  }
+
   test("asOf rejects payload/probe column collisions") {
     val probe = Seq((1L, 2L, "x")).toDF("k", "t", "v")
     val build = Seq((1L, 1L, "y")).toDF("k", "bt", "v")
