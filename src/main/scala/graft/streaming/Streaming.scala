@@ -134,7 +134,10 @@ object Streaming {
     * batch operator.
     *
     * Contract: `dim` unique per (keys, dimTs); its other columns are the
-    * carried payload and must not collide with stream columns.
+    * carried payload and must not collide with stream columns. The
+    * interval view is recomputed per micro-batch like any stream-static
+    * side — `.cache()` the dim first on long-running streams so the
+    * lead() window doesn't re-read the source every batch.
     */
   def asOfStatic(
       stream: DataFrame,
