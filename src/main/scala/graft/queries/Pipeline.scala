@@ -551,6 +551,7 @@ object Pipeline {
     "q61_stratified_sample" -> (q61StratifiedSample _),
     "q64_approx_distinct" -> (q64ApproxDistinct _),
     "q65_approx_quantiles" -> (q65ApproxQuantiles _),
+    "q71_frame_sample" -> (q71FrameSample _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -651,6 +652,26 @@ object Pipeline {
       |WHERE h < CASE lang WHEN 'en' THEN 250000
       |                    WHEN 'zh' THEN 1000000 ELSE 500000 END""".stripMargin
 
+  // q71: deterministic frame sampling — every 7th frame index up to the
+  // stub-decoded frame count, exploded one row per sampled frame (the
+  // explode-before-decode shape that parallelizes per frame). Integer-
+  // deterministic end to end, so fully oracle-checkable.
+  def q71FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.fakeDecodeMeta(
+        Multimodal.ingest(t(s, dir, "documents"), "text", "video")),
+      stride = 7)
+      .select(col("doc_id"), col("fake_n_frames"), col("frame_idx"))
+
+  val q71Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(1 + octet_length(CAST(text AS BLOB)) % 30 AS INT) AS fake_n_frames
+      |  FROM documents)
+      |SELECT doc_id, fake_n_frames,
+      |  CAST(unnest(generate_series(0, fake_n_frames - 1, 7)) AS INT) AS frame_idx
+      |FROM f""".stripMargin
+
   // q64/q65: sketch profiling — approx distinct users and approx value
   // quantiles per event type. Declared rows-only entries (sketch
   // estimates are engine-specific, so no DuckDB oracle can hash-match
@@ -686,5 +707,6 @@ object Pipeline {
     "q54_cluster_reps" -> q54Sql,
     "q57_pii_scrub" -> q57Sql,
     "q60_tfidf_terms" -> q60Sql,
-    "q61_stratified_sample" -> q61Sql)
+    "q61_stratified_sample" -> q61Sql,
+    "q71_frame_sample" -> q71Sql)
 }

@@ -139,17 +139,35 @@ object Temporal {
          |  count(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
     .mkString("\nUNION ALL\n")
 
+  // q70: skew-salted equi-join — the salt must be semantics-free, so
+  // the oracle is simply the PLAIN join: lineitem×part through the
+  // salted path must equal the unsalted SQL row-for-row.
+  def q70SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").as("k"), col("l_quantity"))
+    val part = Tables(s, dir, "part")
+      .select(col("p_partkey").as("k"), col("p_name"))
+    graft.ops.Joins.salted(li, part, Seq("k"), salts = 8)
+      .select(col("l_orderkey"), col("k"), col("l_quantity"), col("p_name"))
+  }
+
+  val q70Sql: String =
+    """SELECT l_orderkey, l_partkey AS k, l_quantity, p_name
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
     "q66_latest_by_key" -> (q66LatestByKey _),
     "q68_resample" -> (q68Resample _),
-    "q69_column_profile" -> (q69ColumnProfile _))
+    "q69_column_profile" -> (q69ColumnProfile _),
+    "q70_salted_join" -> (q70SaltedJoin _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
     "q59_range_join" -> q59Sql,
     "q66_latest_by_key" -> q66Sql,
     "q68_resample" -> q68Sql,
-    "q69_column_profile" -> q69Sql)
+    "q69_column_profile" -> q69Sql,
+    "q70_salted_join" -> q70Sql)
 }
