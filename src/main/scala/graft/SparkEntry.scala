@@ -21,7 +21,8 @@ object SparkEntry {
     * (they'd benchmark the catalog, not the engine) and Explain skips
     * them by default (a plan-inspection tool must not mutate tables).
     */
-  val mutating: Set[String] = Set("q22_merge", "q23_copy", "q33_copy_incremental")
+  val mutating: Set[String] =
+    Set("q22_merge", "q23_copy", "q33_copy_incremental", "q72_script_chain")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. LSH/approximate entries are omitted by

@@ -160,15 +160,54 @@ object EtlShapes {
       |FROM (SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
       |      WHERE l_returnflag NOT IN ('A','N') GROUP BY 1)""".stripMargin
 
+  /** q72: the script/materialisation chain end-to-end — a multi-statement
+    * `execute` (quote/comment-aware splitting: the quoted ';' and the
+    * comment must survive), a CTAS reading the first statement's output,
+    * a `replaceTable` tmp+swap, and a `replaceView` — then the view is
+    * read back. Upgrades execute/create_table/replace_table/replace_view
+    * from ScalaTest-only to driver-checked.
+    */
+  def q72ScriptChain(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    dropPhysical(s, "q72_base", "q72_base2",
+      "graft_tmp_q72_base2", "graft_tmp_backup_q72_base2")
+    s.sql("DROP VIEW IF EXISTS q72_view")
+    Tables(s, dir, "orders").createOrReplaceTempView("q72_src")
+    db.execute(
+      """-- stage a projected base; the quoted ';' must not split the script
+        |CREATE TABLE q72_base AS
+        |  SELECT o_custkey, o_orderstatus, o_totalprice, 'a;b' AS tag
+        |  FROM q72_src;
+        |CREATE TABLE q72_base2 AS
+        |  SELECT o_custkey, o_totalprice FROM q72_base WHERE tag = 'a;b'
+        |""".stripMargin).left.foreach(fail)
+    db.replaceTable("q72_base2",
+      "SELECT o_custkey, o_totalprice FROM q72_base WHERE o_totalprice > 1000"
+    ).left.foreach(fail)
+    db.replaceView("q72_view",
+      "SELECT o_custkey, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total " +
+        "FROM q72_base2 GROUP BY o_custkey").left.foreach(fail)
+    s.table("q72_view")
+  }
+
+  val q72Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+      |FROM orders WHERE o_totalprice > 1000
+      |GROUP BY o_custkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_merge" -> (q22Merge _),
     "q23_copy" -> (q23Copy _),
     "q24_violations" -> (q24Violations _),
-    "q33_copy_incremental" -> (q33CopyIncremental _))
+    "q33_copy_incremental" -> (q33CopyIncremental _),
+    "q72_script_chain" -> (q72ScriptChain _))
 
   def oracles: Map[String, String] = Map(
     "q22_merge" -> q22Sql,
     "q23_copy" -> q23Sql,
     "q24_violations" -> q24Sql,
-    "q33_copy_incremental" -> q33Sql)
+    "q33_copy_incremental" -> q33Sql,
+    "q72_script_chain" -> q72Sql)
 }
