@@ -12,6 +12,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Joins {
 
+  /** Numeric view of an ordering column: timestamps become epoch MICROS
+    * (a bare cast to long would be epoch SECONDS — silently collapsing
+    * sub-second event times into ties); numerics cast to long as-is.
+    */
+  private def ordLong(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+
   /** Skew-resistant equi-join: the (skewed) left side gets a per-row salt
     * in [0, salts); the right side is replicated once per salt value; the
     * join key becomes (key…, salt). A hot key's rows then spread over
@@ -56,6 +67,10 @@ object Joins {
     * row sees a build row stamped at its own instant (ASOF `>=`
     * semantics). Skew: a single hot key serializes its own sweep —
     * same bound as any per-key ordered operator.
+    *
+    * Timestamp columns order at epoch µs (a bare long cast would
+    * truncate to SECONDS and collapse sub-second events into ties);
+    * numeric columns order as longs.
     *
     * Contract: `build` must be unique per (keys, buildTs) — pre-aggregate
     * otherwise (which row of a same-instant tie wins is undefined). The
@@ -106,13 +121,13 @@ object Joins {
     // more carried column so staleness is checkable per probe row
     val carryTs = if (tolerance.isDefined) Seq("_g_bts") else Nil
     val pU = probe.select(
-      keys.map(col) ++ Seq(col(probeTs).cast("long").as("_g_ts"), lit(1).as("_g_side")) ++
+      keys.map(col) ++ Seq(ordLong(probe, probeTs).as("_g_ts"), lit(1).as("_g_side")) ++
         probeCarry.map(col) ++ buildPayload.map(nul(_, buildTypes)) ++
         carryTs.map(c => lit(null).cast("long").as(c)): _*)
     val bU = build.select(
-      keys.map(col) ++ Seq(col(buildTs).cast("long").as("_g_ts"), lit(0).as("_g_side")) ++
+      keys.map(col) ++ Seq(ordLong(build, buildTs).as("_g_ts"), lit(0).as("_g_side")) ++
         probeCarry.map(nul(_, probeTypes)) ++ buildPayload.map(col) ++
-        carryTs.map(c => col(buildTs).cast("long").as(c)): _*)
+        carryTs.map(c => ordLong(build, buildTs).as(c)): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_g_ts"), col("_g_side"))
@@ -124,8 +139,9 @@ object Joins {
     val bounded = tolerance match {
       case None => matched
       case Some(t) =>
+        // same µs/long view of the probe timestamp as the union used
         val fresh = col("_g_bts").isNotNull &&
-          col(probeTs).cast("long") - col("_g_bts") <= t
+          ordLong(probe, probeTs) - col("_g_bts") <= t
         buildPayload.foldLeft(matched) { (df, c) =>
           df.withColumn(c, when(fresh, col(c)))
         }.drop("_g_bts")
@@ -149,7 +165,10 @@ object Joins {
     * rebalance candidate, same as any hot equi-key.
     *
     * Column names of the two inputs must be disjoint; the three range
-    * columns are numeric (cast to long internally).
+    * columns are numeric (bucketed as longs) or timestamps (bucketed at
+    * epoch µs — `bucketWidth` is then in µs; a bare long cast would be
+    * SECONDS). The containment filter compares the original columns at
+    * native precision.
     */
   def rangeJoin(
       points: DataFrame,
@@ -167,10 +186,10 @@ object Joins {
     val w = lit(bucketWidth)
     val iv = intervals.withColumn("_g_bucket",
       explode(sequence(
-        floor(col(startCol).cast("long") / w).cast("long"),
-        floor(col(endCol).cast("long") / w).cast("long"))))
+        floor(ordLong(intervals, startCol) / w).cast("long"),
+        floor(ordLong(intervals, endCol) / w).cast("long"))))
     val pt = points.withColumn("_g_bucket",
-      floor(col(pointCol).cast("long") / w).cast("long"))
+      floor(ordLong(points, pointCol) / w).cast("long"))
     pt.join(iv, Seq("_g_bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_g_bucket")

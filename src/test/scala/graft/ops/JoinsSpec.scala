@@ -104,6 +104,27 @@ class JoinsSpec extends SparkSpec {
     assert(rows(unbounded) == rows(plain))
   }
 
+  test("asOf orders timestamp columns at µs precision, not seconds") {
+    import java.sql.Timestamp
+    def ts(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    // two snapshots 300µs apart inside the same second: a seconds cast
+    // would tie them and pick arbitrarily
+    val probe = Seq((1L, ts(1000500), "p")).toDF("k", "t", "tag")
+    val build = Seq((1L, ts(1000200), 1.0), (1L, ts(1000700), 2.0))
+      .toDF("k", "bt", "price")
+    val out = Joins.asOf(probe, build, Seq("k"), "t", "bt")
+      .select("tag", "price")
+    assert(rows(out) == Set(Seq("p", 1.0))) // 200µs snapshot, not 700µs
+    // tolerance operates in µs for timestamp columns
+    val tight = Joins.asOf(probe, build, Seq("k"), "t", "bt",
+      tolerance = Some(100L)).select("tag", "price")
+    assert(rows(tight) == Set(Seq("p", null))) // 300µs behind > 100µs
+  }
+
   test("asOf rejects payload/probe column collisions") {
     val probe = Seq((1L, 2L, "x")).toDF("k", "t", "v")
     val build = Seq((1L, 1L, "y")).toDF("k", "bt", "v")
