@@ -39,9 +39,16 @@ object Timeseries {
     require(keys.nonEmpty, "at least one key column")
     require(stepUs > 0, "stepUs must be positive")
     def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+    // timestamps bucket at epoch µs (a bare long cast would be SECONDS
+    // — off by 10^6 against stepUs); numerics are taken as µs longs
+    val tsUs = df.schema(tsUsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(tsUsCol))
+      case _ => col(tsUsCol).cast("long")
+    }
     val kcols = keys.map(col)
     val agg = df
-      .withColumn("_g_b", floor(col(tsUsCol).cast("long") / stepUs).cast("long"))
+      .withColumn("_g_b", floor(tsUs / stepUs).cast("long"))
       .groupBy(kcols :+ col("_g_b"): _*)
       .agg(count(lit(1)).as("_g_n"), dsum(col(valueCol)).as("_g_tv"))
     val grid = agg.groupBy(kcols: _*)
