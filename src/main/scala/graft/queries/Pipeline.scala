@@ -552,6 +552,7 @@ object Pipeline {
     "q64_approx_distinct" -> (q64ApproxDistinct _),
     "q65_approx_quantiles" -> (q65ApproxQuantiles _),
     "q71_frame_sample" -> (q71FrameSample _),
+    "q73_heavy_hitters" -> (q73HeavyHitters _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -671,6 +672,18 @@ object Pipeline {
       |SELECT doc_id, fake_n_frames,
       |  CAST(unnest(generate_series(0, fake_n_frames - 1, 7)) AS INT) AS frame_idx
       |FROM f""".stripMargin
+
+  // q73: Misra-Gries heavy hitters over the token stream — the custom
+  // mergeable Aggregator (functions/HeavyHitters.scala). Declared
+  // rows-only: which low-frequency counters survive depends on merge
+  // order, so no cross-engine oracle; the support guarantee (every term
+  // above n/(k+1) present, estimates = lower bounds within budget) is
+  // asserted in PipelineSpec.
+  def q73HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.functions.HeavyHitters.heavyHitters(
+      graft.pipeline.TextStats.tokens(t(s, dir, "documents"), "text")
+        .toDF("tok"),
+      "tok", k = 32)
 
   // q64/q65: sketch profiling — approx distinct users and approx value
   // quantiles per event type. Declared rows-only entries (sketch

@@ -97,6 +97,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries heavy hitters: support guarantee and lower bounds") {
+    import graft.functions.HeavyHitters
+    val toks = TextStats.tokens(docs, "text").toDF("tok")
+    val n = toks.count()
+    val k = 32
+    val est = HeavyHitters.heavyHitters(toks, "tok", k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / (k + 1)
+    // every true heavy hitter survives the sketch...
+    for ((t, c) <- exact if c > bound)
+      assert(est.contains(t), s"heavy hitter '$t' (count $c > $bound) missing")
+    // ...and estimates are lower bounds within the error budget
+    for ((t, e) <- est) {
+      val c = exact(t)
+      assert(e <= c, s"'$t': estimate $e exceeds true count $c")
+      assert(c - e <= bound, s"'$t': error ${c - e} > $bound")
+    }
+    assert(est.size <= k)
+  }
+
   // ---- stratified sampling -----------------------------------------------
 
   test("stratifiedSample applies per-stratum rates, salt decorrelates") {
