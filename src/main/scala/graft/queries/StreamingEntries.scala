@@ -89,7 +89,7 @@ object StreamingEntries {
       Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"))
       val tenDaysNs = 10L * 24 * 3600 * 1000L * 1000 * 1000
       val events = Tables(s, dir, "events")
-      val sentinelTs = events.agg(max(col("ts"))).head.getLong(0) + tenDaysNs
+      val sentinelTs = events.agg(max(col("ts"))).head().getLong(0) + tenDaysNs
       events.select(col("user_id")).distinct()
         .select(
           lit(-1L).as("event_id"),
