@@ -152,9 +152,12 @@ object StreamingEntries {
     * catalog, own SQLConf): the state-partition conf must not leak into
     * concurrently-running batch queries on the shared session.
     */
-  private def streamSession(s: SparkSession): SparkSession = {
+  private def streamSession(s: SparkSession): SparkSession =
+    streamSession(s, statePartitions)
+
+  private def streamSession(s: SparkSession, partitions: Int): SparkSession = {
     val s2 = s.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    s2.conf.set("spark.sql.shuffle.partitions", partitions)
     s2
   }
 
@@ -313,7 +316,10 @@ object StreamingEntries {
   // agree row-for-row, which is why this entry shares q59's oracle.
   def q62StreamingIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val staged = stagePlain(dir)
-    val s2 = streamSession(s)
+    // wider than the stateful-agg entries: the join keeps TWO stores per
+    // partition but moves the whole corpus through the bucket shuffle —
+    // data movement, not commit overhead, dominates here
+    val s2 = streamSession(s, 8)
     val hourUs = 3600L * 1000 * 1000
     def typed(tpe: String, idAs: String, tsAs: String): DataFrame =
       s2.readStream.schema(eventsSchema).parquet(staged)
