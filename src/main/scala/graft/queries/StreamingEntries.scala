@@ -293,6 +293,43 @@ object StreamingEntries {
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1,2""".stripMargin
 
+  // q74: gap sessions via Spark's BUILT-IN session_window aggregation —
+  // the compose-existing-ops alternative to the custom
+  // flatMapGroupsWithState sessionizer (q38). Same merge semantics
+  // (events within the gap coalesce); the built-in window's end is
+  // last_event + gap rather than last_event, so the oracle adds the gap
+  // to MAX(ts). Sentinels drain it exactly like q38: their own sessions
+  // never finalize, every real one does.
+  def q74SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(s, dir)
+    val ev = eventStream(streamSession(s), staged)
+    val sessions = ev
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runAvailableNow(sessions, "graft_q74_session_window")
+      .select(
+        col("user_id"), col("n_events"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"))
+  }
+
+  val q74Sql: String =
+    """WITH flag AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flag)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS start_us,
+      |  epoch_us(CAST(MAX(ts) AS TIMESTAMP)) + 1800000000 AS end_us
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   /** Plain staged copy of the fixture (no sentinels, no doubling) for
     * entries whose emission is match-driven rather than watermark-gated.
     * Memoized like [[stageWithSentinels]].
@@ -367,7 +404,8 @@ object StreamingEntries {
     "q55_streaming_dedup" -> (q55StreamingDedup _),
     "q56_streaming_enrich" -> (q56StreamingEnrich _),
     "q62_streaming_interval_join" -> (q62StreamingIntervalJoin _),
-    "q63_streaming_asof" -> (q63StreamingAsof _))
+    "q63_streaming_asof" -> (q63StreamingAsof _),
+    "q74_session_window" -> (q74SessionWindow _))
 
   def oracles: Map[String, String] = Map(
     "q38_streaming_sessions" -> q38Sql,
@@ -378,5 +416,6 @@ object StreamingEntries {
     // inequality join compute the same pair set
     "q62_streaming_interval_join" -> Temporal.q59Sql,
     // batch asOf, streaming asOfStatic and DuckDB ASOF agree three ways
-    "q63_streaming_asof" -> Temporal.q58Sql)
+    "q63_streaming_asof" -> Temporal.q58Sql,
+    "q74_session_window" -> q74Sql)
 }
