@@ -70,7 +70,7 @@ object HeavyHitters {
     * counter, `(term, est_count)`, est_count a lower bound within
     * n/(k+1) of the truth. For per-key heavy hitters, use the same
     * Aggregator through `groupByKey(...).agg(new MisraGriesAgg(k)
-    * .toColumn)`.
+    * .toColumn)` or the [[udaf]] form in an untyped groupBy.
     */
   def heavyHitters(df: DataFrame, column: String, k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -80,4 +80,12 @@ object HeavyHitters {
       .select(explode(col("_g_hh")))
       .toDF("term", "est_count")
   }
+
+  /** The sketch as an untyped aggregate function, usable in any
+    * `groupBy(...).agg(...)` — including STREAMING windowed aggregation,
+    * where the MG state (≤ k counters) becomes the store's value and
+    * partial states merge exactly like map-side combines do in batch.
+    */
+  def udaf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new MisraGriesAgg(k))
 }

@@ -330,6 +330,32 @@ object StreamingEntries {
       |  epoch_us(CAST(MAX(ts) AS TIMESTAMP)) + 1800000000 AS end_us
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  // q75: the Misra-Gries sketch inside STREAMING windowed state — the
+  // custom Aggregator runs as a UDAF in a watermarked window aggregate,
+  // its ≤k-counter state living in the store and merging across
+  // micro-batches. k=8 ≥ the fixture's event-type cardinality, and MG
+  // is EXACT while under capacity (no evictions, no merge trims), so
+  // the drained result must equal the batch GROUP BY — a real oracle
+  // for the sketch's under-capacity contract AND its streaming merge
+  // path at once. Sentinel windows never finalize, so no filter needed.
+  def q75StreamingTopk(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(s, dir)
+    val ev = eventStream(streamSession(s), staged)
+    val counts = ev
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HeavyHitters.udaf(8)(col("event_type")).as("_g_hh"))
+    runAvailableNow(counts, "graft_q75_topk")
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        explode(col("_g_hh")))
+      .toDF("window_start_us", "term", "n_events")
+  }
+
+  val q75Sql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+      |  event_type AS term, COUNT(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Plain staged copy of the fixture (no sentinels, no doubling) for
     * entries whose emission is match-driven rather than watermark-gated.
     * Memoized like [[stageWithSentinels]].
@@ -405,7 +431,8 @@ object StreamingEntries {
     "q56_streaming_enrich" -> (q56StreamingEnrich _),
     "q62_streaming_interval_join" -> (q62StreamingIntervalJoin _),
     "q63_streaming_asof" -> (q63StreamingAsof _),
-    "q74_session_window" -> (q74SessionWindow _))
+    "q74_session_window" -> (q74SessionWindow _),
+    "q75_streaming_topk" -> (q75StreamingTopk _))
 
   def oracles: Map[String, String] = Map(
     "q38_streaming_sessions" -> q38Sql,
@@ -417,5 +444,6 @@ object StreamingEntries {
     "q62_streaming_interval_join" -> Temporal.q59Sql,
     // batch asOf, streaming asOfStatic and DuckDB ASOF agree three ways
     "q63_streaming_asof" -> Temporal.q58Sql,
-    "q74_session_window" -> q74Sql)
+    "q74_session_window" -> q74Sql,
+    "q75_streaming_topk" -> q75Sql)
 }
