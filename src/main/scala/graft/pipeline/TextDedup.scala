@@ -302,6 +302,38 @@ object TextDedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Edit-distance-verified near-duplicate pairs: candidates from the
+    * shared-shingle inverted index (cheap, equi-join), then the exact
+    * Levenshtein distance as the verification — the character-level
+    * near-dup signal n-gram Jaccard misses (small in-place edits move
+    * few shingles but every boundary one). Both stages are built-in
+    * codegen'd expressions.
+    *
+    * Cost model at scale: levenshtein is O(|a|·|b|) PER PAIR, so the
+    * candidate gate (`minShared`, df-bounded via `maxShingleDocs`) is
+    * what makes this runnable — never apply it all-pairs. For long
+    * documents cap the compared prefix or verify on fingerprints
+    * instead; `maxDist` only filters, it does not bound the compute.
+    */
+  def editVerifiedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minShared: Int = 3,
+      maxDist: Int = 200,
+      maxShingleDocs: Int = 500): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val pairs = sharedShinglePairs(sh, idCol, minShared, maxShingleDocs)
+    val dist = levenshtein(col("_g_ta"), col("_g_tb"))
+    pairs
+      .join(docs.select(col(idCol).as("doc_a"), col(textCol).as("_g_ta")), "doc_a")
+      .join(docs.select(col(idCol).as("doc_b"), col(textCol).as("_g_tb")), "doc_b")
+      .filter(dist <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        dist.cast("long").as("edit_dist"))
+  }
+
   /** Benchmark-contamination check: per document, how many of its distinct
     * n-gram shingles appear in a held-out benchmark set — the standard
     * decontamination gate (train documents overlapping an eval set's

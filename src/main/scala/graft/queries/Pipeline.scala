@@ -553,6 +553,7 @@ object Pipeline {
     "q65_approx_quantiles" -> (q65ApproxQuantiles _),
     "q71_frame_sample" -> (q71FrameSample _),
     "q73_heavy_hitters" -> (q73HeavyHitters _),
+    "q76_edit_near_dup" -> (q76EditNearDup _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -685,6 +686,40 @@ object Pipeline {
         .toDF("tok"),
       "tok", k = 32)
 
+  // q76: edit-distance-verified near-dup pairs — shared-8-gram
+  // candidates (∞ df-cap HERE because the oracle must be exact; the
+  // operator default is bounded), then exact Levenshtein ≤ 200. Checks
+  // that both engines' levenshtein implementations agree character for
+  // character on real text.
+  def q76EditNearDup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.editVerifiedPairs(
+      t(s, dir, "documents"), "doc_id", "text",
+      n = 8, minShared = 3, maxDist = 200, maxShingleDocs = Int.MaxValue)
+
+  val q76Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+      |        || ' ' || lead(tok,3) OVER w || ' ' || lead(tok,4) OVER w
+      |        || ' ' || lead(tok,5) OVER w || ' ' || lead(tok,6) OVER w
+      |        || ' ' || lead(tok,7) OVER w AS shingle
+      |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+      |SELECT p.doc_a, p.doc_b, p.n_shared,
+      |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+      |FROM pairs p
+      |JOIN documents da ON p.doc_a = da.doc_id
+      |JOIN documents db ON p.doc_b = db.doc_id
+      |WHERE levenshtein(da.text, db.text) <= 200""".stripMargin
+
   // q64/q65: sketch profiling — approx distinct users and approx value
   // quantiles per event type. Declared rows-only entries (sketch
   // estimates are engine-specific, so no DuckDB oracle can hash-match
@@ -721,5 +756,6 @@ object Pipeline {
     "q57_pii_scrub" -> q57Sql,
     "q60_tfidf_terms" -> q60Sql,
     "q61_stratified_sample" -> q61Sql,
-    "q71_frame_sample" -> q71Sql)
+    "q71_frame_sample" -> q71Sql,
+    "q76_edit_near_dup" -> q76Sql)
 }

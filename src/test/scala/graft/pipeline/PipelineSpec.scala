@@ -97,6 +97,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("editVerifiedPairs: shingle candidates verified by levenshtein") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("w15", "w15x")), // tiny edit: candidate + close
+      (3L, (1 to 30).map(i => s"v$i").mkString(" ")), // no shared shingles
+      (4L, base + " tail tail tail tail tail tail tail tail extra extra"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.editVerifiedPairs(df, "doc_id", "text",
+      n = 8, minShared = 3, maxDist = 5)
+    // (1,2): one-char edit → dist 1; (1,4)/(2,4): share shingles but the
+    // 50-char tail exceeds maxDist; 3 never becomes a candidate
+    assert(rows(out.select("doc_a", "doc_b", "edit_dist")) ==
+      Set(Seq(1L, 2L, 1L)))
+  }
+
   test("Misra-Gries heavy hitters: support guarantee and lower bounds") {
     import graft.functions.HeavyHitters
     val toks = TextStats.tokens(docs, "text").toDF("tok")
