@@ -22,7 +22,8 @@ object SparkEntry {
     * them by default (a plan-inspection tool must not mutate tables).
     */
   val mutating: Set[String] =
-    Set("q22_merge", "q23_copy", "q33_copy_incremental", "q72_script_chain")
+    Set("q22_merge", "q23_copy", "q33_copy_incremental", "q72_script_chain",
+      "q77_copy_csv")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. LSH/approximate entries are omitted by

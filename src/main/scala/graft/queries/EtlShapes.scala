@@ -94,6 +94,66 @@ object EtlShapes {
       |  o_orderpriority AS priority
       |FROM orders""".stripMargin
 
+  /** q77: CopyTask over a CSV source — the non-parquet file-source path
+    * (`csv:` prefix, header + schema inference + declared-type casts)
+    * driver-checked end to end. The CSV is staged once from the orders
+    * fixture (memoized; doubles round-trip CSV text exactly via
+    * shortest-repr, and the staged columns avoid timestamp-format
+    * precision traps by construction).
+    */
+  private val csvDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageCsv(s: SparkSession, dir: String): String =
+    csvDirs.computeIfAbsent(dir, { _ =>
+      val stagedPath = java.nio.file.Files.createTempDirectory("graft_csv_src_")
+      // one hook per fixture dir (memoized → bounded), removed at JVM exit
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(stagedPath).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () }))
+      val staged = stagedPath.toString
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(staged)
+      staged
+    })
+
+  def q77CopyCsv(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val objects = new DbObjectCompiler("spark")
+    val ctx = new TaskContext("q77_copy_csv", "verify", db, objects, Map.empty,
+      RunArguments())
+    dropPhysical(s, "q77_csv_dst",
+      "graft_tmp_q77_csv_dst", "graft_tmp_backup_q77_csv_dst")
+    val task = new CopyTask
+    val cfg = Map[String, Any](
+      "source" -> s"csv:${stageCsv(s, dir)}",
+      "destination" -> "q77_csv_dst",
+      "columns" -> Seq(
+        // declared types pin what CSV inference would leave engine-specific
+        Map("name" -> "o_orderkey", "type" -> "bigint", "dst_name" -> "order_id"),
+        Map("name" -> "o_custkey", "type" -> "bigint", "dst_name" -> "cust_id"),
+        Map("name" -> "o_orderstatus", "dst_name" -> "status"),
+        Map("name" -> "o_totalprice", "type" -> "double", "dst_name" -> "amount")))
+    (for {
+      _ <- task.config(ctx, cfg)
+      _ <- task.setup()
+      _ <- task.run()
+    } yield ()).left.foreach(fail)
+    val resolved = objects.fromString("q77_csv_dst")
+      .map(objects.outValue).fold(fail, identity)
+    s.table(resolved)
+  }
+
+  val q77Sql: String =
+    """SELECT o_orderkey AS order_id, o_custkey AS cust_id,
+      |  o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS amount
+      |FROM orders""".stripMargin
+
   /** q33: full incremental CopyTask run — the watermark + delete-key merge
     * path end-to-end (copy.py:632-691 semantics). The destination is
     * pre-seeded with a stale snapshot (rows with upd < 50, zeroed price);
@@ -202,12 +262,14 @@ object EtlShapes {
     "q23_copy" -> (q23Copy _),
     "q24_violations" -> (q24Violations _),
     "q33_copy_incremental" -> (q33CopyIncremental _),
-    "q72_script_chain" -> (q72ScriptChain _))
+    "q72_script_chain" -> (q72ScriptChain _),
+    "q77_copy_csv" -> (q77CopyCsv _))
 
   def oracles: Map[String, String] = Map(
     "q22_merge" -> q22Sql,
     "q23_copy" -> q23Sql,
     "q24_violations" -> q24Sql,
     "q33_copy_incremental" -> q33Sql,
-    "q72_script_chain" -> q72Sql)
+    "q72_script_chain" -> q72Sql,
+    "q77_copy_csv" -> q77Sql)
 }
