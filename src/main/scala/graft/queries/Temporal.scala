@@ -155,13 +155,41 @@ object Temporal {
     """SELECT l_orderkey, l_partkey AS k, l_quantity, p_name
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  // q78: RANGE window frame — trailing 7-day count/sum per user at each
+  // event, a VALUE-based frame over epoch-µs (rowsBetween covers the
+  // row-count shape in q11; range frames are the distinct construct —
+  // and they include all timestamp TIES as peers, which is what makes
+  // the answer deterministic where a ROWS frame would depend on tie
+  // order). Decimal discipline on the windowed sum.
+  def q78RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 7L * 24 * 3600 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-weekUs, 0)
+    ev(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      count(lit(1)).over(w).as("n_7d"),
+      sum(col("value").cast("decimal(28,6)")).over(w).cast("double")
+        .as("sum_7d"))
+  }
+
+  val q78Sql: String =
+    """SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  COUNT(*) OVER w AS n_7d,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_7d
+      |FROM events
+      |WINDOW w AS (
+      |  PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
     "q66_latest_by_key" -> (q66LatestByKey _),
     "q68_resample" -> (q68Resample _),
     "q69_column_profile" -> (q69ColumnProfile _),
-    "q70_salted_join" -> (q70SaltedJoin _))
+    "q70_salted_join" -> (q70SaltedJoin _),
+    "q78_range_frame" -> (q78RangeFrame _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
@@ -169,5 +197,6 @@ object Temporal {
     "q66_latest_by_key" -> q66Sql,
     "q68_resample" -> q68Sql,
     "q69_column_profile" -> q69Sql,
-    "q70_salted_join" -> q70Sql)
+    "q70_salted_join" -> q70Sql,
+    "q78_range_frame" -> q78Sql)
 }
