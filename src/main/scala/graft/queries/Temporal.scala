@@ -182,6 +182,28 @@ object Temporal {
       |  PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
       |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // q79: LATERAL correlated subquery with ORDER BY + LIMIT — top-2
+  // lineitems per order as a lateral join (the per-row-subquery shape;
+  // Catalyst decorrelates it into a ranked join rather than executing
+  // per-row). Identical SQL on both engines.
+  def q79Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "orders").createOrReplaceTempView("q79_orders")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("q79_lineitem")
+    s.sql(
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM q79_orders o, LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM q79_lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l""".stripMargin)
+  }
+
+  val q79Sql: String =
+    """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+      |FROM orders o, LATERAL (
+      |  SELECT l_linenumber, l_extendedprice FROM lineitem
+      |  WHERE l_orderkey = o.o_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
@@ -189,7 +211,8 @@ object Temporal {
     "q68_resample" -> (q68Resample _),
     "q69_column_profile" -> (q69ColumnProfile _),
     "q70_salted_join" -> (q70SaltedJoin _),
-    "q78_range_frame" -> (q78RangeFrame _))
+    "q78_range_frame" -> (q78RangeFrame _),
+    "q79_lateral" -> (q79Lateral _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
@@ -198,5 +221,6 @@ object Temporal {
     "q68_resample" -> q68Sql,
     "q69_column_profile" -> q69Sql,
     "q70_salted_join" -> q70Sql,
-    "q78_range_frame" -> q78Sql)
+    "q78_range_frame" -> q78Sql,
+    "q79_lateral" -> q79Sql)
 }
