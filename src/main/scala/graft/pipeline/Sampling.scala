@@ -90,6 +90,22 @@ object Sampling {
     df.filter(h < bound)
   }
 
+  /** Deterministic weighted (importance) sample: each row's keep
+    * probability is its OWN `rate` expression, clamped to [0,1] — the
+    * quality-proportional downsample ("keep good documents more often")
+    * with the same id-only determinism as [[hashSample]]: reruns,
+    * appends and repartitioning never change membership, and the same
+    * row keeps the same fate as long as its rate doesn't change. Pure
+    * filter, zero shuffles. The rate expression must be deterministic
+    * and engine-portable for the oracle to reproduce it (integer inputs
+    * + a single division are; chained float math is not).
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, rate: Column,
+      salt: String = ""): DataFrame =
+    df.filter(portableHash(col(idCol), salt) <
+      least(greatest(rate, lit(0.0)), lit(1.0)) * 1000000L)
+
   /** Deterministic global shuffle: assign every row a dense position
     * 0..N-1 in md5-order of (seed, id) — the training-data shuffle that
     * is reproducible across reruns and engines (same seed → same

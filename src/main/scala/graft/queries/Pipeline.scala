@@ -554,6 +554,7 @@ object Pipeline {
     "q71_frame_sample" -> (q71FrameSample _),
     "q73_heavy_hitters" -> (q73HeavyHitters _),
     "q76_edit_near_dup" -> (q76EditNearDup _),
+    "q80_weighted_sample" -> (q80WeightedSample _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -720,6 +721,24 @@ object Pipeline {
       |JOIN documents db ON p.doc_b = db.doc_id
       |WHERE levenshtein(da.text, db.text) <= 200""".stripMargin
 
+  // q80: weighted sample — keep probability proportional to document
+  // length (clamped), id-deterministic via the salted portable hash.
+  // The rate is one integer division, so the oracle reproduces it
+  // bit-for-bit.
+  def q80WeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.weightedSample(
+      t(s, dir, "documents"), "doc_id",
+      rate = col("n_chars") / 1000.0, salt = "w1")
+      .select(col("doc_id"), col("n_chars"))
+
+  val q80Sql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(concat('0x', substring(md5('w1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 1000000 AS h
+      |  FROM documents)
+      |WHERE h < LEAST(GREATEST(n_chars / 1000.0, 0.0), 1.0) * 1000000""".stripMargin
+
   // q64/q65: sketch profiling — approx distinct users and approx value
   // quantiles per event type. Declared rows-only entries (sketch
   // estimates are engine-specific, so no DuckDB oracle can hash-match
@@ -757,5 +776,6 @@ object Pipeline {
     "q60_tfidf_terms" -> q60Sql,
     "q61_stratified_sample" -> q61Sql,
     "q71_frame_sample" -> q71Sql,
-    "q76_edit_near_dup" -> q76Sql)
+    "q76_edit_near_dup" -> q76Sql,
+    "q80_weighted_sample" -> q80Sql)
 }

@@ -137,6 +137,23 @@ class PipelineSpec extends SparkSpec {
 
   // ---- stratified sampling -----------------------------------------------
 
+  test("weightedSample keeps proportionally to the clamped rate") {
+    val df = spark.range(0, 3000)
+      .select($"id".as("doc_id"),
+        when($"id" % 3 === 0, 0.0) // never kept
+          .when($"id" % 3 === 1, 2.0) // clamps to 1.0: always kept
+          .otherwise(0.3).as("w"))
+    val out = Sampling.weightedSample(df, "doc_id", col("w"), salt = "t")
+    val byW = out.groupBy("w").count().collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!byW.contains(0.0)) // rate 0 drops everything
+    assert(byW(2.0) == 1000) // clamped rate 1 keeps everything
+    assert(byW(0.3) > 200 && byW(0.3) < 400) // ~300 of 1000
+    // determinism
+    val again = Sampling.weightedSample(df, "doc_id", col("w"), salt = "t")
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
+
   test("stratifiedSample applies per-stratum rates, salt decorrelates") {
     val df = spark.range(0, 2000)
       .select($"id".as("doc_id"),
