@@ -9,6 +9,11 @@ import org.apache.spark.sql.types._
   */
 final case class MediaPayload(doc_id: Long, media_bytes: Array[Byte])
 
+/** One row entering the batched image ENCODER: target dimensions only;
+  * pixel content is derived deterministically from (doc_id, x, y).
+  */
+final case class ImageSpecRow(doc_id: Long, width: Int, height: Int)
+
 /** Output of the (stub) image decode. */
 final case class DecodedImage(doc_id: Long, width: Int, height: Int, checksum: Long)
 
@@ -26,14 +31,17 @@ final case class DecodedImage(doc_id: Long, width: Int, height: Int, checksum: L
   * Decode layers: HEADER decode is REAL — [[imageMeta]]/[[audioMeta]]
   * parse PNG/BMP/GIF dimensions and WAV audio parameters from the payload
   * bytes with built-in byte expressions (no codec library, stays in
-  * codegen). PIXEL/SAMPLE decode is a STUB: decompression needs external
-  * native codecs (not in this build), so [[fakeDecodeMeta]] derives
-  * deterministic fake dimensions and [[decodeImagesBatched]] runs a stub
-  * batch codec. The Spark-side plumbing — schema, batch shape, column
-  * pruning, partitioning — is real and tested; swap the stub for a
-  * vectorized decode (Pandas-UDF style `mapInPandas` batches in PySpark,
-  * or a JNI codec behind `mapPartitions` here) without touching any
-  * surrounding plan.
+  * codegen). PIXEL decode is ALSO real: [[imageioDecodeBatch]] runs the
+  * JDK's `javax.imageio` codec (PNG/BMP/GIF/JPEG — ships with the JVM,
+  * no external deps) inside the batched `mapPartitions` boundary, and is
+  * the default codec of [[decodeImagesBatched]]; [[encodeImagesBatched]]
+  * is the matching real encoder, so an encode→decode pixel round-trip
+  * runs entirely in-plan. [[fakeDecodeMeta]]/[[stubDecodeBatch]] remain
+  * as zero-dependency deterministic fakes for plan-shape tests and for
+  * modalities whose codecs genuinely aren't in the JVM (video/audio
+  * sample decode). A vectorized/native codec (Pandas-UDF `mapInPandas`
+  * in PySpark, JNI here) slots into the same boundary without touching
+  * any surrounding plan.
   */
 object Multimodal {
 
@@ -154,7 +162,7 @@ object Multimodal {
       df: DataFrame,
       idCol: String,
       batchSize: Int = 64,
-      codec: Seq[MediaPayload] => Seq[DecodedImage] = stubDecodeBatch)
+      codec: Seq[MediaPayload] => Seq[DecodedImage] = imageioDecodeBatch)
       : Dataset[DecodedImage] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -163,10 +171,86 @@ object Multimodal {
       .mapPartitions(_.grouped(batchSize).flatMap(b => codec(b.toSeq)))
   }
 
-  /** STUB batch codec (a real build swaps in the native decoder):
-    * deterministic fake dimensions from payload size plus a rolling
-    * checksum over the bytes — enough to prove the bytes crossed the
-    * boundary intact.
+  /** REAL batch codec: `javax.imageio.ImageIO` (JDK-bundled; decodes
+    * PNG/BMP/GIF/JPEG with zero external deps, works headless). Returns
+    * the decoded raster's true dimensions plus a rolling checksum over
+    * the decoded RGB pixels in row-major order — the checksum depends on
+    * decompressed pixel VALUES, so it proves real pixel decode, not just
+    * header parsing. Undecodable payloads yield (-1, -1, 0) rather than
+    * poisoning the batch.
+    */
+  def imageioDecodeBatch(batch: Seq[MediaPayload]): Seq[DecodedImage] =
+    batch.map { p =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(p.media_bytes))
+      if (img == null) DecodedImage(p.doc_id, -1, -1, 0L)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum = sum * 31 + (img.getRGB(x, y) & 0xffffff); x += 1
+          }
+          y += 1
+        }
+        DecodedImage(p.doc_id, w, h, sum)
+      }
+    }
+
+  /** Deterministic pixel value for the synthetic encode path: a fixed
+    * mix of (doc_id, x, y) into 24-bit RGB, reproducible by any engine
+    * (and by [[PipelineSpec]] when cross-checking the decoded checksum).
+    */
+  def syntheticRgb(docId: Long, x: Int, y: Int): Int =
+    (((docId * 2654435761L) + x * 7919L + y * 104729L) & 0xffffffL).toInt
+
+  /** REAL batched image ENCODER — the write-side twin of
+    * [[imageioDecodeBatch]]: fills a BufferedImage with the deterministic
+    * [[syntheticRgb]] pattern at the requested per-row dimensions and
+    * compresses it through `javax.imageio` (default PNG). Output rows are
+    * (doc_id, media_bytes) payloads that any standards-compliant PNG
+    * decoder — including [[imageMeta]]'s header parse — must agree on.
+    * Runs in the same bounded-batch `mapPartitions` boundary as decode,
+    * so encoder buffer memory is bounded by `batchSize`.
+    */
+  def encodeImagesBatched(
+      df: DataFrame,
+      idCol: String,
+      widthCol: String,
+      heightCol: String,
+      format: String = "png",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(widthCol).cast("int").as("width"),
+        col(heightCol).cast("int").as("height"))
+      .as[ImageSpecRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val img = new java.awt.image.BufferedImage(
+          r.width, r.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < r.height) {
+          var x = 0
+          while (x < r.width) {
+            img.setRGB(x, y, syntheticRgb(r.doc_id, x, y)); x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, format, out)
+        MediaPayload(r.doc_id, out.toByteArray)
+      }))
+      .toDF("doc_id", "media_bytes")
+  }
+
+  /** STUB batch codec (kept for plan-shape tests and as the template for
+    * modalities with no JVM codec): deterministic fake dimensions from
+    * payload size plus a rolling checksum over the bytes — enough to
+    * prove the bytes crossed the boundary intact.
     */
   def stubDecodeBatch(batch: Seq[MediaPayload]): Seq[DecodedImage] =
     batch.map { p =>

@@ -555,6 +555,7 @@ object Pipeline {
     "q73_heavy_hitters" -> (q73HeavyHitters _),
     "q76_edit_near_dup" -> (q76EditNearDup _),
     "q80_weighted_sample" -> (q80WeightedSample _),
+    "q81_imageio_round_trip" -> (q81ImageioRoundTrip _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -752,6 +753,42 @@ object Pipeline {
     graft.pipeline.Sketches.approxQuantilesByKey(
       t(s, dir, "events"), "event_type", "value", probs = Seq(0.5, 0.95))
 
+  // q81: REAL codec round-trip — encodeImagesBatched compresses a
+  // deterministic pixel pattern through the JDK's javax.imageio PNG
+  // writer IN the plan; the payload is then decoded two independent
+  // ways: (a) imageMeta's byte-expression header parse and (b)
+  // imageioDecodeBatch's full pixel decode (the default codec of
+  // decodeImagesBatched). The entry emits the decoded dimensions plus
+  // the header-parse agreement flag; the oracle predicts the spec
+  // dimensions directly, so a pass certifies encoder, header parser and
+  // pixel decoder all agree on real compressed bytes. (The decoded
+  // pixel CHECKSUM is cross-checked against the generative formula in
+  // PipelineSpec — it has no SQL-expressible oracle.)
+  def q81ImageioRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val specs = t(s, dir, "documents").select(
+      col("doc_id"),
+      (col("n_chars") % 48 + 8).cast("int").as("spec_w"),
+      (col("doc_id") % 48 + 8).cast("int").as("spec_h"))
+    val encoded = Multimodal.encodeImagesBatched(specs, "doc_id", "spec_w", "spec_h")
+    val hdr = Multimodal.imageMeta(encoded)
+      .select(col("doc_id"), col("image_format"),
+        col("width").as("hdr_w"), col("height").as("hdr_h"))
+    val dec = Multimodal.decodeImagesBatched(encoded, "doc_id")
+      .toDF("doc_id", "dec_w", "dec_h", "pix_checksum")
+    hdr.join(dec, "doc_id").select(
+      col("doc_id"), col("image_format"),
+      col("dec_w").as("width"), col("dec_h").as("height"),
+      (col("dec_w") === col("hdr_w") && col("dec_h") === col("hdr_h"))
+        .as("hdr_agrees"))
+  }
+
+  val q81Sql: String =
+    """SELECT doc_id, 'png' AS image_format,
+      |  CAST(n_chars % 48 + 8 AS INT) AS width,
+      |  CAST(doc_id % 48 + 8 AS INT) AS height,
+      |  TRUE AS hdr_agrees
+      |FROM documents""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -777,5 +814,6 @@ object Pipeline {
     "q61_stratified_sample" -> q61Sql,
     "q71_frame_sample" -> q71Sql,
     "q76_edit_near_dup" -> q76Sql,
-    "q80_weighted_sample" -> q80Sql)
+    "q80_weighted_sample" -> q80Sql,
+    "q81_imageio_round_trip" -> q81Sql)
 }
