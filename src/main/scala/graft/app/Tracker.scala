@@ -48,11 +48,13 @@ object Tracker {
 }
 
 /** Console renderer: one line per task with index/total, status,
-  * duration and a per-step duration breakdown (the reference's
-  * per-step progress console, sayn/logging/log_formatter.py, reduced
-  * to plain lines); live step lines with `debug`; a status tally at
-  * the end of the run. Emission is synchronized by [[Tracker]], so the
-  * per-task step state is safe under the parallel executor.
+  * duration and a per-step duration breakdown; live step lines with
+  * `debug`; and an end-of-run SUMMARY TABLE — one aligned row per task
+  * (status, wall time, step breakdown, error) plus the status tally
+  * (the reference's per-step progress console and grouped run summary,
+  * sayn/logging/log_formatter.py, reduced to plain lines). Emission is
+  * synchronized by [[Tracker]], so the per-task step state is safe
+  * under the parallel executor.
   */
 final class ConsoleTracker(
     debug: Boolean = false,
@@ -61,18 +63,23 @@ final class ConsoleTracker(
   private val steps =
     scala.collection.mutable.Map.empty[String, Vector[(String, Boolean, Long)]]
   private val statuses = scala.collection.mutable.Map.empty[String, Int]
+  // finish-order rows for the run summary: (task, status, ms, steps, err)
+  private val finished = scala.collection.mutable.ArrayBuffer
+    .empty[(String, String, Long, String, Option[String])]
   private def fmt(ms: Long): String =
     if (ms < 1000) s"${ms}ms" else f"${ms / 1000.0}%.1fs"
   override def onEvent(e: RunEvent): Unit = e match {
     case RunStarted(cmd, n, _) =>
-      steps.clear(); statuses.clear()
+      steps.clear(); statuses.clear(); finished.clear()
       out(s"$cmd: $n task(s)")
     case TaskStarted(t, i, n, _) => out(s"[$i/$n] $t ...")
     case TaskFinished(t, status, ms, err, _) =>
       statuses(status) = statuses.getOrElse(status, 0) + 1
-      val detail = steps.remove(t).filter(_.nonEmpty).map(_.map {
+      val stepDetail = steps.remove(t).filter(_.nonEmpty).map(_.map {
         case (s, ok, sms) => s"$s ${fmt(sms)}" + (if (ok) "" else " FAILED")
-      }.mkString(": ", ", ", "")).getOrElse("")
+      }.mkString(", ")).getOrElse("")
+      finished += ((t, status, ms, stepDetail, err))
+      val detail = if (stepDetail.isEmpty) "" else s": $stepDetail"
       out(s"[$t] $status (${fmt(ms)}$detail)" + err.map(e => s": $e").getOrElse(""))
     case StepStarted(t, s, _) => if (debug) out(s"  [$t] step $s ...")
     case StepFinished(t, s, ok, ms, _) =>
@@ -82,6 +89,20 @@ final class ConsoleTracker(
       if (debug || level != "debug")
         out(s"  ${task.map(t => s"[$t] ").getOrElse("")}$text")
     case RunFinished(ok, ms, _) =>
+      if (finished.nonEmpty) {
+        val wTask = finished.map(_._1.length).max
+        val wStatus = finished.map(_._2.length).max
+        val wDur = finished.map(f => fmt(f._3).length).max
+        out("run summary:")
+        finished.foreach { case (t, status, tms, stepDetail, err) =>
+          val base = s"  ${t.padTo(wTask, ' ')}  " +
+            s"${status.padTo(wStatus, ' ')}  " +
+            fmt(tms).reverse.padTo(wDur, ' ').reverse
+          val tail = (if (stepDetail.isEmpty) "" else s"  $stepDetail") +
+            err.map(e => s"  error: $e").getOrElse("")
+          out(base + tail)
+        }
+      }
       val tally = statuses.toSeq.sortBy(_._1)
         .map { case (s, n) => s"$n $s" }.mkString(", ")
       out(s"${if (ok) "succeeded" else "FAILED"} in ${fmt(ms)}" +

@@ -273,8 +273,7 @@ object Compiler {
         case MacroNode(mName, params, body) =>
           // closes over the CURRENT scope (Jinja semantics); visible to
           // the rest of the block like {% set %}. Self-recursion is not
-          // supported (the expression language has no arithmetic to
-          // terminate it anyway).
+          // supported.
           scope += (mName -> MacroDef(mName, params, body, scope))
           Right("")
         case Interp(e) => evalExpr(e, ctx, scope)
@@ -716,9 +715,17 @@ object Compiler {
 
 /** Condition/iterable expression evaluator for template control flow —
   * the Jinja-expression subset reference projects use: literals, variable
-  * paths, lists, comparisons, membership, boolean algebra, parentheses.
-  * Python semantics: truthiness, numeric cross-type equality (1 == 1.0),
-  * undefined → None (falsy).
+  * paths, lists, comparisons, membership, boolean algebra, parentheses,
+  * arithmetic (`+ - * / %` with Python semantics: true division, floor
+  * modulo, string/list concatenation, string repetition — use
+  * `{% set %}` to bind computed values for `{{ }}` output),
+  * and Jinja tests (`x is defined`, `is not none`, `is number`, `is
+  * string`, `is boolean`, `is mapping`, `is sequence`, `is iterable`,
+  * `is even/odd`, `is true/false`). Python semantics: truthiness,
+  * numeric cross-type equality (1 == 1.0), undefined → None (falsy);
+  * `is defined` tests scope presence, so a variable explicitly set to
+  * none IS defined (sayn/utils/compiler.py:31-135 exposes full Jinja —
+  * these tests are the constructs real projects hit first).
   */
 private[core] object Expr {
 
@@ -783,7 +790,7 @@ private[core] object Expr {
           case "true" | "True" => out += TLit(true)
           case "false" | "False" => out += TLit(false)
           case "none" | "None" | "null" => out += TLit(null)
-          case "and" | "or" | "not" | "in" => out += TOp(s.substring(start, i))
+          case "and" | "or" | "not" | "in" | "is" => out += TOp(s.substring(start, i))
           case path => out += TPath(path)
         }
       } else {
@@ -792,7 +799,8 @@ private[core] object Expr {
           case "==" | "!=" | "<=" | ">=" => out += TOp(two); i += 2
           case _ =>
             c match {
-              case '<' | '>' | '(' | ')' | '[' | ']' | ',' =>
+              case '<' | '>' | '(' | ')' | '[' | ']' | ',' |
+                  '+' | '-' | '*' | '/' | '%' =>
                 out += TOp(c.toString); i += 1
               case other =>
                 return Left(ParseError(s"unexpected '$other' in expression '$s'"))
@@ -844,21 +852,186 @@ private[core] object Expr {
       if (peekOp("not")) { take(); parseNot().map(v => !truthy(v)) }
       else parseCmp()
 
-    private def parseCmp(): Result.Result[Any] =
-      parsePrimary().flatMap { left =>
+    private def parseCmp(): Result.Result[Any] = {
+      // a BARE path on the left is remembered so `is defined` can test
+      // presence in scope rather than the (undefined → None) value —
+      // Jinja distinguishes a variable set to none from a missing one
+      val leftPath = peek match {
+        case Some(TPath(p)) => Some(p)
+        case _ => None
+      }
+      parseAdd().flatMap { left =>
         peek match {
           case Some(TOp(op)) if Set("==", "!=", "<", "<=", ">", ">=").contains(op) =>
             take()
-            parsePrimary().map(right => compare(op, left, right))
+            parseAdd().map(right => compare(op, left, right))
           case Some(TOp("in")) =>
             take()
-            parsePrimary().map(right => isIn(left, right))
+            parseAdd().map(right => isIn(left, right))
           case Some(TOp("not")) if toks.lift(i + 1).contains(TOp("in")) =>
             take(); take()
-            parsePrimary().map(right => !isIn(left, right))
+            parseAdd().map(right => !isIn(left, right))
+          case Some(TOp("is")) =>
+            take()
+            val negate = if (peekOp("not")) { take(); true } else false
+            val tested: Result.Result[Boolean] =
+              if (atEnd) Left(ParseError(s"missing test after 'is' in '$src'"))
+              else take() match {
+                case TPath(name) => applyTest(name, left, leftPath)
+                case TLit(null) => applyTest("none", left, leftPath)
+                // Jinja `is true` / `is false`: exact boolean identity
+                case TLit(b: Boolean) => Right(left == b)
+                case other =>
+                  Left(ParseError(s"unknown test '$other' after 'is' in '$src'"))
+              }
+            tested.map(b => if (negate) !b else b)
           case _ => Right(left)
         }
       }
+    }
+
+    /** Jinja tests (the `x is <test>` construct). `defined`/`undefined`
+      * consult the SCOPE (a bare path resolves its presence; any other
+      * operand is a value and thus defined); the rest test the value.
+      * `number` is true for booleans too — Python's bool is an int
+      * subclass and Jinja inherits that; `sequence` matches anything
+      * indexable with a length (lists, strings, mappings), exactly as
+      * Jinja's does.
+      */
+    private def applyTest(
+        name: String, left: Any, leftPath: Option[String]): Result.Result[Boolean] = {
+      def defined: Boolean = leftPath match {
+        case Some(p) => Compiler.lookup(p, scope).isDefined
+        case None => true
+      }
+      name match {
+        case "defined" => Right(defined)
+        case "undefined" => Right(!defined)
+        case "none" => Right(left == null)
+        case "number" => Right(left match {
+          case _: Long | _: Int | _: Double | _: Boolean => true
+          case _ => false
+        })
+        case "string" => Right(left.isInstanceOf[String])
+        case "boolean" => Right(left.isInstanceOf[Boolean])
+        case "mapping" => Right(left.isInstanceOf[Map[_, _]])
+        case "sequence" => Right(left match {
+          case _: Seq[_] | _: String | _: Map[_, _] => true
+          case _ => false
+        })
+        case "iterable" => Right(left match {
+          case _: Seq[_] | _: String | _: Map[_, _] => true
+          case _ => false
+        })
+        case "even" | "odd" => left match {
+          case n: Long => Right(if (name == "even") n % 2 == 0 else n % 2 != 0)
+          case n: Int => Right(if (name == "even") n % 2 == 0 else n % 2 != 0)
+          case other => Left(ParseError(
+            s"test '$name' needs an integer, got '$other' in '$src'"))
+        }
+        case other => Left(ParseError(s"unknown test '$other' in '$src'"))
+      }
+    }
+
+    // ---- arithmetic (Python semantics) ------------------------------------
+    // precedence: cmp > add/sub > mul/div/mod > unary minus > primary
+
+    private def parseAdd(): Result.Result[Any] =
+      parseMul().flatMap { first =>
+        var acc: Result.Result[Any] = Right(first)
+        while (acc.isRight && (peekOp("+") || peekOp("-"))) {
+          val op = take().asInstanceOf[TOp].op
+          acc = acc.flatMap(l => parseMul().flatMap(r => arith(op, l, r)))
+        }
+        acc
+      }
+
+    private def parseMul(): Result.Result[Any] =
+      parseUnary().flatMap { first =>
+        var acc: Result.Result[Any] = Right(first)
+        while (acc.isRight && (peekOp("*") || peekOp("/") || peekOp("%"))) {
+          val op = take().asInstanceOf[TOp].op
+          acc = acc.flatMap(l => parseUnary().flatMap(r => arith(op, l, r)))
+        }
+        acc
+      }
+
+    private def parseUnary(): Result.Result[Any] =
+      if (peekOp("-")) {
+        take()
+        parseUnary().flatMap {
+          case n: Long => Right(-n)
+          case n: Int => Right(-n.toLong)
+          case n: Double => Right(-n)
+          case b: Boolean => Right(if (b) -1L else 0L)
+          case other => Left(ParseError(
+            s"unary '-' needs a number, got '$other' in '$src'"))
+        }
+      } else if (peekOp("+")) {
+        take()
+        parseUnary().flatMap {
+          case n @ (_: Long | _: Int | _: Double | _: Boolean) => Right(n)
+          case other => Left(ParseError(
+            s"unary '+' needs a number, got '$other' in '$src'"))
+        }
+      } else parsePrimary()
+
+    /** Python arithmetic: ints stay ints except true division (always
+      * float, like Python 3); mixed numeric widens to float; `%` follows
+      * the DIVISOR's sign (floorMod, the Python rule — Java's % follows
+      * the dividend); booleans count as 0/1 (bool is an int subclass);
+      * `+` concatenates strings and lists; `*` repeats a string by an
+      * int count. Division/modulo by zero is a template error, not an
+      * exception.
+      */
+    private def arith(op: String, l: Any, r: Any): Result.Result[Any] = {
+      def asLong(v: Any): Option[Long] = v match {
+        case n: Long => Some(n)
+        case n: Int => Some(n.toLong)
+        case b: Boolean => Some(if (b) 1L else 0L)
+        case _ => None
+      }
+      def pyFmod(a: Double, b: Double): Double = {
+        val m = a % b
+        if (m != 0.0 && ((m < 0) != (b < 0))) m + b else m
+      }
+      (asLong(l), asLong(r)) match {
+        case (Some(a), Some(b)) => op match {
+          case "+" => Right(a + b)
+          case "-" => Right(a - b)
+          case "*" => Right(a * b)
+          case "/" =>
+            if (b == 0) Left(ParseError(s"division by zero in '$src'"))
+            else Right(a.toDouble / b.toDouble) // Python 3 true division
+          case "%" =>
+            if (b == 0) Left(ParseError(s"modulo by zero in '$src'"))
+            else Right(math.floorMod(a, b))
+        }
+        case _ => (num(l), num(r)) match {
+          case (Some(a), Some(b)) => op match {
+            case "+" => Right(a + b)
+            case "-" => Right(a - b)
+            case "*" => Right(a * b)
+            case "/" =>
+              if (b == 0.0) Left(ParseError(s"division by zero in '$src'"))
+              else Right(a / b)
+            case "%" =>
+              if (b == 0.0) Left(ParseError(s"modulo by zero in '$src'"))
+              else Right(pyFmod(a, b))
+          }
+          case _ => (op, l, r) match {
+            case ("+", a: String, b: String) => Right(a + b)
+            case ("+", a: Seq[_], b: Seq[_]) => Right(a ++ b)
+            case ("*", a: String, _) if asLong(r).isDefined =>
+              Right(a * math.max(0L, asLong(r).get).toInt)
+            case ("*", _, b: String) if asLong(l).isDefined =>
+              Right(b * math.max(0L, asLong(l).get).toInt)
+            case _ => Left(ParseError(
+              s"unsupported operand types for '$op' in '$src': '$l', '$r'"))
+          }
+        }
+      }
+    }
 
     private def parsePrimary(): Result.Result[Any] = peek match {
       case Some(TLit(v)) => take(); Right(v)
@@ -901,6 +1074,7 @@ private[core] object Expr {
       case n: Long => Some(n.toDouble)
       case n: Int => Some(n.toDouble)
       case n: Double => Some(n)
+      case b: Boolean => Some(if (b) 1.0 else 0.0) // Python: bool ⊂ int
       case _ => None
     }
 

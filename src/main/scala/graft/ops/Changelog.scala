@@ -28,6 +28,7 @@ object Changelog {
       orderCol: String,
       tieCols: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "at least one key column")
+    require(!df.columns.contains("_g_rn"), "reserved column name in input: _g_rn")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((orderCol +: tieCols).map(c => col(c).desc): _*)
     df.withColumn("_g_rn", row_number().over(w))

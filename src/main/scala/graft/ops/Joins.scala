@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Join utilities for skewed data. AQE's skew-join handling
   * (spark.sql.adaptive.skewJoin, on in the CLI session) rebalances
@@ -107,7 +108,7 @@ object Joins {
     val collisions = buildPayload.toSet intersect probe.columns.toSet
     require(collisions.isEmpty,
       s"build payload collides with probe columns: ${collisions.mkString(", ")}")
-    val reserved = Set("_g_ts", "_g_side", "_g_bts")
+    val reserved = Set("_g_ts", "_g_side", "_g_payload")
       .intersect((probe.columns ++ build.columns).toSet)
     require(reserved.isEmpty,
       s"reserved column names in input: ${reserved.mkString(", ")}")
@@ -117,36 +118,46 @@ object Joins {
     def nul(n: String, t: Map[String, org.apache.spark.sql.types.DataType]): Column =
       lit(null).cast(t(n)).as(n)
 
-    // with a tolerance, the matched build timestamp rides along as one
-    // more carried column so staleness is checkable per probe row
+    // Row-atomic carry: the WHOLE build payload (plus the matched build
+    // timestamp when a tolerance applies) rides as ONE struct, non-null
+    // exactly on build rows. Carrying columns independently would let a
+    // NULL payload cell in the matched row reach back to an OLDER build
+    // row's non-null value — resurrecting stale data and mixing columns
+    // from different build rows (DuckDB ASOF returns the matched row's
+    // nulls verbatim; so do we).
     val carryTs = if (tolerance.isDefined) Seq("_g_bts") else Nil
+    val payloadType = StructType(
+      buildPayload.map(c => StructField(c, buildTypes(c))) ++
+        carryTs.map(StructField(_, LongType)))
     val pU = probe.select(
       keys.map(col) ++ Seq(ordLong(probe, probeTs).as("_g_ts"), lit(1).as("_g_side")) ++
-        probeCarry.map(col) ++ buildPayload.map(nul(_, buildTypes)) ++
-        carryTs.map(c => lit(null).cast("long").as(c)): _*)
+        probeCarry.map(col) :+ lit(null).cast(payloadType).as("_g_payload"): _*)
     val bU = build.select(
       keys.map(col) ++ Seq(ordLong(build, buildTs).as("_g_ts"), lit(0).as("_g_side")) ++
-        probeCarry.map(nul(_, probeTypes)) ++ buildPayload.map(col) ++
-        carryTs.map(c => ordLong(build, buildTs).as(c)): _*)
+        probeCarry.map(nul(_, probeTypes)) :+
+        struct(buildPayload.map(col) ++
+          carryTs.map(c => ordLong(build, buildTs).as(c)): _*).as("_g_payload"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_g_ts"), col("_g_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (buildPayload ++ carryTs).foldLeft(bU.unionByName(pU)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = bU.unionByName(pU)
+      .withColumn("_g_payload", last(col("_g_payload"), ignoreNulls = true).over(w))
     val matched = carried.filter(col("_g_side") === 1)
-    val bounded = tolerance match {
-      case None => matched
+    val unpacked = tolerance match {
+      case None =>
+        buildPayload.foldLeft(matched) { (df, c) =>
+          df.withColumn(c, col(s"_g_payload.$c"))
+        }
       case Some(t) =>
         // same µs/long view of the probe timestamp as the union used
-        val fresh = col("_g_bts").isNotNull &&
-          ordLong(probe, probeTs) - col("_g_bts") <= t
+        val fresh = col("_g_payload._g_bts").isNotNull &&
+          ordLong(probe, probeTs) - col("_g_payload._g_bts") <= t
         buildPayload.foldLeft(matched) { (df, c) =>
-          df.withColumn(c, when(fresh, col(c)))
-        }.drop("_g_bts")
+          df.withColumn(c, when(fresh, col(s"_g_payload.$c")))
+        }
     }
-    bounded.drop("_g_ts", "_g_side")
+    unpacked.drop("_g_payload", "_g_ts", "_g_side")
   }
 
   /** Interval (range) join: pair each point with every interval

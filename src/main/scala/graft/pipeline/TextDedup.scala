@@ -206,10 +206,18 @@ object TextDedup {
     * k reaches ~2^k hops and rounds needed = LOG of the component
     * diameter (a maxIter=20 cap covers diameters past a million — a
     * pathological duplicate chain converges instead of aborting). Each
-    * round materializes through an eager localCheckpoint: lineage stays
-    * flat (no exponential replan) and the loop state lives on
-    * executors, never the driver; convergence rides the same job as
-    * observe() metrics.
+    * round materializes eagerly so lineage stays flat (no exponential
+    * replan) and the loop state lives on executors, never the driver;
+    * convergence rides the same job as observe() metrics.
+    *
+    * Fault tolerance: when the SparkContext has a RELIABLE checkpoint
+    * directory configured (`sc.setCheckpointDir`, an HDFS/object-store
+    * path on a real cluster), each round checkpoints there — an
+    * executor loss mid-loop recovers from the checkpoint files. Without
+    * one, rounds fall back to `localCheckpoint` (executor-local
+    * blocks): the right local-mode trade, but a lost executor kills
+    * the job, so ALWAYS set a checkpoint dir for cluster runs
+    * (docs/SCALING.md).
     *
     * Input: one row per undirected pair. Output: (doc_id, canonical_id)
     * for every document that appears in some pair; unpaired documents
@@ -220,13 +228,20 @@ object TextDedup {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIter: Int = 20): DataFrame = {
+    // eager, lineage-truncating materialization: reliable checkpoint
+    // when a checkpoint dir is set (survives executor loss), else
+    // executor-local blocks
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().cache()
     try {
-      var labels = sym.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("lab"))
-        .localCheckpoint(true)
+      var labels = materialize(
+        sym.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("lab")))
       var converged = sym.isEmpty
       var it = 0
       while (!converged && it < maxIter) {
@@ -240,10 +255,13 @@ object TextDedup {
           .join(labels.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("lab"),
             lit(null).cast(labels.schema("lab").dataType).as("prev"))
-        val step0 = viaEdges
+        // materialized BEFORE the pointer-jump self-join: step0 feeds
+        // the join twice (probe + jump target), and an unmaterialized
+        // subtree would be computed twice per round
+        val step0 = materialize(viaEdges
           .union(labels.select(col("id"), col("lab"), col("lab").as("prev")))
           .groupBy(col("id"))
-          .agg(min(col("lab")).as("lab"), max(col("prev")).as("prev"))
+          .agg(min(col("lab")).as("lab"), max(col("prev")).as("prev")))
         // pointer jump (path halving): lab := lab(lab). Labels are node
         // ids and only decrease, so the jump target exists and is ≤ lab;
         // round k then propagates ~2^k hops, so rounds needed shrink
@@ -258,8 +276,7 @@ object TextDedup {
             col("s.prev").as("prev"))
           .observe(obs, sum(when(col("lab") =!= col("prev"), 1L)
             .otherwise(0L)).as("changed"))
-          .localCheckpoint(true)
-        labels = step.select(col("id"), col("lab"))
+        labels = materialize(step).select(col("id"), col("lab"))
         converged = obs.get("changed").asInstanceOf[Long] == 0L
         it += 1
       }

@@ -106,15 +106,8 @@ object EtlShapes {
 
   private def stageCsv(s: SparkSession, dir: String): String =
     csvDirs.computeIfAbsent(dir, { _ =>
-      val stagedPath = java.nio.file.Files.createTempDirectory("graft_csv_src_")
-      // one hook per fixture dir (memoized → bounded), removed at JVM exit
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(stagedPath).iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Exception => () }))
-      val staged = stagedPath.toString
+      val staged =
+        TempDirs.tempDirCleanedAtExit(None, "graft_csv_src_").toString
       Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderstatus"), col("o_totalprice"))

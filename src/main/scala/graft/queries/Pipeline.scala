@@ -178,15 +178,22 @@ object Pipeline {
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"))
   }
 
+  // Gap check and ordering at epoch µs (not raw ts): if DuckDB reads the
+  // fixture's TIMESTAMP(NANOS) at ns precision, a raw-ts gap comparison
+  // would resolve sub-µs differences the Spark side truncated away.
   val q21Sql: String =
-    """WITH flag AS (
-      |  SELECT user_id, event_id, event_type, value, ts,
-      |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flag AS (
+      |  SELECT user_id, event_id, event_type, value, us,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us > lag(us) OVER w + 1800000000
       |         THEN 1 ELSE 0 END AS is_new
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |sess AS (
       |  SELECT user_id, event_id, event_type, value,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
       |                      ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM flag)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
@@ -556,6 +563,7 @@ object Pipeline {
     "q76_edit_near_dup" -> (q76EditNearDup _),
     "q80_weighted_sample" -> (q80WeightedSample _),
     "q81_imageio_round_trip" -> (q81ImageioRoundTrip _),
+    "q82_sql_functions" -> (q82SqlFunctions _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -789,6 +797,40 @@ object Pipeline {
       |  TRUE AS hdr_agrees
       |FROM documents""".stripMargin
 
+  // q82: the SQL-REGISTERED custom expressions — this entry computes
+  // through `spark.sql` text, so `long_array_dot` must resolve via the
+  // FunctionRegistry (GraftExtensions.install path), not the Column API.
+  // Two dots per vector over the quantized embedding (norm² and a dot
+  // with its own reversal — asymmetric, so argument ORDER matters); the
+  // DuckDB oracle reproduces the integer arithmetic with list_transform
+  // + list_sum. A pass certifies registration, the parser→Expression
+  // bridge, and the codegen'd loop itself, cross-engine.
+  def q82SqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftExtensions.install(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("q82_embeddings")
+    s.sql(
+      """SELECT vec_id,
+        |  long_array_dot(ql, ql) AS norm_sq,
+        |  long_array_dot(ql, reverse(ql)) AS rev_dot
+        |FROM (
+        |  SELECT vec_id,
+        |    transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)) AS ql
+        |  FROM q82_embeddings)""".stripMargin)
+  }
+
+  val q82Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS ql
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(list_sum(list_transform(ql, x -> x * x)) AS BIGINT) AS norm_sq,
+      |  CAST(list_sum(list_transform(range(1, len(ql) + 1),
+      |    i -> ql[i] * ql[len(ql) + 1 - i])) AS BIGINT) AS rev_dot
+      |FROM q""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -815,5 +857,6 @@ object Pipeline {
     "q71_frame_sample" -> q71Sql,
     "q76_edit_near_dup" -> q76Sql,
     "q80_weighted_sample" -> q80Sql,
-    "q81_imageio_round_trip" -> q81Sql)
+    "q81_imageio_round_trip" -> q81Sql,
+    "q82_sql_functions" -> q82Sql)
 }

@@ -96,17 +96,21 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM orders o
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)""".stripMargin
 
-  // q5: NOT EXISTS → left_anti (the delete half of merge_tables)
+  // q5: NOT EXISTS → left_anti (the delete half of merge_tables). The
+  // subquery filters to high-value orders so the expected result is
+  // NON-empty at sf0.01 (30 customers with only sub-300k orders): an
+  // empty-set oracle would hash-match an anti-join that drops everything.
   def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }
 
   val q5Sql: String =
     """SELECT c_custkey, c_name FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin
 
   // q6: UNION (dedup) of two projections (f_fighter_results.sql shape)
   def q6Union(s: SparkSession, dir: String): DataFrame = {

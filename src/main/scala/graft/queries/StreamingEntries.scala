@@ -51,37 +51,14 @@ object StreamingEntries {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Recursive delete, ignoring races/missing files (cleanup best-effort). */
+  // temp-dir staging + single exit hook live in TempDirs (shared with
+  // EtlShapes.stageCsv)
   private def deleteRecursively(root: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    } catch { case _: Exception => () }
-
-  /** Create a temp dir under `parent` (or the default tmp dir) that is
-    * removed at JVM exit by ONE shutdown hook registered here — callers
-    * must not add their own per-dir hooks (a bench loop would accumulate
-    * an unbounded hook list).
-    */
-  private val exitDirs = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[java.nio.file.Path]()
-  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
-    new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      exitDirs.iterator().asScala.foreach(deleteRecursively)
-    }))
+    TempDirs.deleteRecursively(root)
 
   private def tempDirCleanedAtExit(
-      parent: Option[java.nio.file.Path], prefix: String): java.nio.file.Path = {
-    exitHook
-    val d = parent match {
-      case Some(p) => Files.createTempDirectory(p, prefix)
-      case None => Files.createTempDirectory(prefix)
-    }
-    exitDirs.add(d)
-    d
-  }
+      parent: Option[java.nio.file.Path], prefix: String): java.nio.file.Path =
+    TempDirs.tempDirCleanedAtExit(parent, prefix)
 
   private def stageWithSentinels(s: SparkSession, dir: String): String =
     stagedDirs.computeIfAbsent(dir, { _ =>
@@ -185,20 +162,25 @@ object StreamingEntries {
         unix_micros(col("end_ts")).as("end_us"))
   }
 
+  // Gap check and ordering at epoch µs (not raw ts) — same precision
+  // discipline as the Spark side; see q21Sql's note.
   val q38Sql: String =
-    """WITH flag AS (
-      |  SELECT user_id, event_id, ts,
-      |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flag AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us > lag(us) OVER w + 1800000000
       |         THEN 1 ELSE 0 END AS is_new
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |sess AS (
-      |  SELECT user_id, ts,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  SELECT user_id, us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
       |                      ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM flag)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
-      |  epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS start_us,
-      |  epoch_us(CAST(MAX(ts) AS TIMESTAMP)) AS end_us
+      |  MIN(us) AS start_us,
+      |  MAX(us) AS end_us
       |FROM sess GROUP BY 1,2""".stripMargin
 
   // q39: streaming watermarked tumbling-window aggregation drained over
@@ -314,20 +296,24 @@ object StreamingEntries {
         unix_micros(col("session_window.end")).as("end_us"))
   }
 
+  // Gap check and ordering at epoch µs (not raw ts) — see q21Sql's note.
   val q74Sql: String =
-    """WITH flag AS (
-      |  SELECT user_id, event_id, ts,
-      |    CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |flag AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us > lag(us) OVER w + 1800000000
       |         THEN 1 ELSE 0 END AS is_new
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |sess AS (
-      |  SELECT user_id, ts,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |  SELECT user_id, us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
       |                      ROWS UNBOUNDED PRECEDING) AS session_id
       |  FROM flag)
       |SELECT user_id, COUNT(*) AS n_events,
-      |  epoch_us(CAST(MIN(ts) AS TIMESTAMP)) AS start_us,
-      |  epoch_us(CAST(MAX(ts) AS TIMESTAMP)) + 1800000000 AS end_us
+      |  MIN(us) AS start_us,
+      |  MAX(us) + 1800000000 AS end_us
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
   // q75: the Misra-Gries sketch inside STREAMING windowed state — the

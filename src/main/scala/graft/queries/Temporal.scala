@@ -43,14 +43,21 @@ object Temporal {
         col("last_purchase_value"))
   }
 
+  // Oracle matches the Spark side's µs discipline EXPLICITLY (group, join
+  // and compare on epoch_us, never raw ts): if DuckDB reads the fixture's
+  // TIMESTAMP(NANOS) at ns precision (TIMESTAMP_NS in newer versions),
+  // raw-ts comparisons would resolve sub-µs differences the Spark side
+  // truncated away — version- and data-fragile. Same pattern as q78Sql.
   val q58Sql: String =
     """WITH p AS (
-      |  SELECT user_id, ts, max(value) AS last_purchase_value
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+      |    max(value) AS last_purchase_value
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
       |SELECT e.event_id, e.user_id, epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
       |  p.last_purchase_value
       |FROM events e ASOF LEFT JOIN p
-      |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+      |  ON e.user_id = p.user_id
+      |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= p.p_us""".stripMargin
 
   // q59: interval join — every purchase paired with every error whose
   // following hour contains it (incident-attribution shape). Bucket
@@ -68,11 +75,14 @@ object Temporal {
       .select(col("purchase_id"), col("error_id"))
   }
 
+  // µs discipline as in q58Sql: containment compared on epoch_us.
   val q59Sql: String =
     """SELECT p.event_id AS purchase_id, i.event_id AS error_id
       |FROM events p, events i
       |WHERE p.event_type = 'purchase' AND i.event_type = 'error'
-      |  AND p.ts >= i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR""".stripMargin
+      |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(i.ts AS TIMESTAMP))
+      |  AND epoch_us(CAST(p.ts AS TIMESTAMP))
+      |    <= epoch_us(CAST(i.ts AS TIMESTAMP)) + 3600000000""".stripMargin
 
   // q66: changelog compaction — the latest event per (user, event_type)
   // by event time, ties broken by event_id (Changelog.latestByKey's
@@ -85,13 +95,15 @@ object Temporal {
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("ts_us"), col("value"))
 
+  // µs discipline as in q58Sql: the argmax orders on epoch_us so the
+  // event_id tie-break fires on exactly the ties Spark sees.
   val q66Sql: String =
     """SELECT user_id, event_type, event_id,
       |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
       |FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY user_id, event_type
-      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
@@ -155,6 +167,47 @@ object Temporal {
     """SELECT l_orderkey, l_partkey AS k, l_quantity, p_name
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
+  // q83/q84: skew-stress pair — the SAME deliberately hot-keyed join
+  // (~90% of events collapse onto one key) through Joins.salted (q83)
+  // and the plain equi-join (q84), sharing one oracle. The two bench
+  // rows give docs/SCALING.md's skew-salting claim a MEASURED number
+  // every round; AQE's runtime skew split applies to the plain variant,
+  // so the pair also measures deterministic salting against AQE on a
+  // genuinely hot key. Correctness side: salting must be
+  // semantics-free, so both entries hash-match the identical SQL.
+  private def hotKeyed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val hot = ev(s, dir).select(
+      col("event_id"),
+      when(col("event_id") % 10 < 9, 0L)
+        .otherwise(col("event_id") % 50).as("hk"),
+      col("value"))
+    val dim = s.range(0, 50)
+      .select(col("id").as("hk"), (col("id") * 7).as("dim_tag"))
+    (hot, dim)
+  }
+
+  def q83SkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (hot, dim) = hotKeyed(s, dir)
+    Joins.salted(hot, dim, Seq("hk"), salts = 16)
+      .select(col("event_id"), col("hk"), col("value"), col("dim_tag"))
+  }
+
+  def q84SkewPlainJoin(s: SparkSession, dir: String): DataFrame = {
+    val (hot, dim) = hotKeyed(s, dir)
+    hot.join(dim, Seq("hk"))
+      .select(col("event_id"), col("hk"), col("value"), col("dim_tag"))
+  }
+
+  val q83Sql: String =
+    """WITH hot AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 10 < 9 THEN 0 ELSE event_id % 50 END AS hk,
+      |    value
+      |  FROM events),
+      |dim AS (SELECT range AS hk, range * 7 AS dim_tag FROM range(50))
+      |SELECT h.event_id, h.hk, h.value, d.dim_tag
+      |FROM hot h JOIN dim d USING (hk)""".stripMargin
+
   // q78: RANGE window frame — trailing 7-day count/sum per user at each
   // event, a VALUE-based frame over epoch-µs (rowsBetween covers the
   // row-count shape in q11; range frames are the distinct construct —
@@ -212,7 +265,9 @@ object Temporal {
     "q69_column_profile" -> (q69ColumnProfile _),
     "q70_salted_join" -> (q70SaltedJoin _),
     "q78_range_frame" -> (q78RangeFrame _),
-    "q79_lateral" -> (q79Lateral _))
+    "q79_lateral" -> (q79Lateral _),
+    "q83_skew_salted_join" -> (q83SkewSaltedJoin _),
+    "q84_skew_plain_join" -> (q84SkewPlainJoin _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
@@ -222,5 +277,7 @@ object Temporal {
     "q69_column_profile" -> q69Sql,
     "q70_salted_join" -> q70Sql,
     "q78_range_frame" -> q78Sql,
-    "q79_lateral" -> q79Sql)
+    "q79_lateral" -> q79Sql,
+    "q83_skew_salted_join" -> q83Sql,
+    "q84_skew_plain_join" -> q83Sql) // same data, same SQL: parity check
 }

@@ -134,27 +134,40 @@ object Streaming {
     * batch operator.
     *
     * Contract: `dim` unique per (keys, dimTs); its other columns are the
-    * carried payload and must not collide with stream columns. The
-    * interval view is recomputed per micro-batch like any stream-static
-    * side — `.cache()` the dim first on long-running streams so the
-    * lead() window doesn't re-read the source every batch.
+    * carried payload and must not collide with stream columns.
+    *
+    * Spark re-executes a stream-static side EVERY micro-batch; with
+    * `cacheDim` (the default) the derived interval frame is persisted,
+    * so the lead() window and the dim scan run ONCE — later batches
+    * read cached blocks (StreamingSpec asserts the evaluation count
+    * stays flat across batches). The stream therefore joins one
+    * CONSISTENT snapshot: a mutated dim table is intentionally not
+    * picked up mid-stream. To roll the snapshot, probe the table for
+    * change (version/count), `unpersist()` and restart the query from
+    * its checkpoint — or pass `cacheDim = false` to re-read the dim
+    * each batch (per-batch window rebuild, the pre-cache behavior —
+    * only sensible when the dim is tiny and freshness beats cost).
     */
   def asOfStatic(
       stream: DataFrame,
       streamTs: String,
       dim: DataFrame,
       keys: Seq[String],
-      dimTs: String): DataFrame = {
+      dimTs: String,
+      cacheDim: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val payload = dim.columns.filterNot(c => keys.contains(c) || c == dimTs)
     val collisions = payload.toSet intersect stream.columns.toSet
     require(collisions.isEmpty,
       s"dim payload collides with stream columns: ${collisions.mkString(", ")}")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dimTs))
-    val ivs = dim
+    val ivs0 = dim
       .withColumn("_g_end", lead(col(dimTs), 1).over(w))
       .select(keys.map(k => col(k).as(s"_g_k_$k")) ++
         Seq(col(dimTs).as("_g_start"), col("_g_end")) ++ payload.map(col): _*)
+    val ivs = if (cacheDim)
+      ivs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ivs0
     val cond = keys.map(k => stream(k) === ivs(s"_g_k_$k")).reduce(_ && _) &&
       stream(streamTs) >= ivs("_g_start") &&
       (ivs("_g_end").isNull || stream(streamTs) < ivs("_g_end"))

@@ -88,6 +88,33 @@ class TrackerSpec extends SparkSpec {
     // run tally on the final line
     assert(lines.exists(l => l.startsWith("succeeded in") &&
       l.contains("2 succeeded")))
+    // end-of-run summary table: one aligned row per task with status,
+    // wall time and the step breakdown
+    val hdr = lines.indexWhere(_ == "run summary:")
+    assert(hdr >= 0, lines.mkString("\n"))
+    val rows = lines.slice(hdr + 1, hdr + 3)
+    assert(rows.exists(r => r.trim.startsWith("t_ok") &&
+      r.contains("succeeded") && r.contains("execute_sql")), rows)
+    assert(rows.exists(r => r.trim.startsWith("t_tbl") &&
+      r.contains("succeeded") && r.contains("load_table")), rows)
+    // wall time present on each row (ms or s suffix after the status)
+    assert(rows.forall(r => r.matches(""".*\d+(\.\d+)?(ms|s)\b.*""")), rows)
+  }
+
+  test("failed task's summary row carries the error") {
+    val lines = mutable.ArrayBuffer.empty[String]
+    val console = new ConsoleTracker(debug = false, out = lines += _)
+    val app = new App(db, new DbObjectCompiler("spark"))
+    val bad = Seq(
+      TaskSpec("t_bad", "g", Map("type" -> "sql", "sql" -> "SELECT FROM nope")))
+    val Right(report) = app.run(bad, RunArguments(), Tracker(console))
+    assert(!report.succeeded)
+    val hdr = lines.indexWhere(_ == "run summary:")
+    assert(hdr >= 0, lines.mkString("\n"))
+    val row = lines(hdr + 1)
+    assert(row.trim.startsWith("t_bad") && row.contains("failed") &&
+      row.contains("error: "), row)
+    assert(lines.last.startsWith("FAILED in"), lines.last)
   }
 
   test("console task line carries the per-step duration breakdown") {

@@ -94,6 +94,82 @@ class CompilerSpec extends AnyFunSuite {
     assert(run("n == 1", Map("n" -> 1.0)) == "Y")
   }
 
+  test("arithmetic in conditions and set: python semantics") {
+    def run(t: String, params: Map[String, Any] = Map.empty): String =
+      Compiler.compile(t, Context(params)).toOption.get
+    def cond(c: String, params: Map[String, Any] = Map.empty): String =
+      run(s"{% if $c %}Y{% else %}N{% endif %}", params)
+    // precedence: mul binds tighter than add, parens override
+    assert(cond("1 + 2 * 3 == 7")  == "Y")
+    assert(cond("(1 + 2) * 3 == 9") == "Y")
+    // true division (Python 3): int / int is a float
+    assert(cond("1 / 2 == 0.5") == "Y")
+    // floor modulo: sign follows the divisor, unlike Java's %
+    assert(cond("-7 % 3 == 2") == "Y")
+    assert(cond("7 % -3 == -2") == "Y")
+    // unary minus on a variable; bool counts as 1 (Python bool ⊂ int)
+    assert(cond("-n + 1 == -4", Map("n" -> 5L)) == "Y")
+    assert(cond("flag + 1 == 2", Map("flag" -> true)) == "Y")
+    // string/list concatenation and string repetition
+    assert(cond("'ab' + 'cd' == 'abcd'") == "Y")
+    assert(cond("'ab' * 2 == 'abab'") == "Y")
+    assert(cond("x + [3] == [1, 2, 3]", Map("x" -> Seq(1L, 2L))) == "Y")
+    // computed values flow through {% set %} into output and loops
+    assert(run("{% set m = n * 2 + 1 %}{{ m }}", Map("n" -> 3L)) == "7")
+    assert(run("{% for c in cols + ['z'] %}{{ c }}{% endfor %}",
+      Map("cols" -> Seq("a", "b"))) == "abz")
+    // loop.index arithmetic — the alternating-rows shape
+    assert(run("{% for c in cols %}{% if loop.index % 2 == 1 %}{{ c }}" +
+      "{% endif %}{% endfor %}", Map("cols" -> Seq("a", "b", "c"))) == "ac")
+    // division / modulo by zero and type errors are template errors
+    assert(Compiler.compile("{% if 1 / 0 %}Y{% endif %}", Context()).isLeft)
+    assert(Compiler.compile("{% if 1 % 0 %}Y{% endif %}", Context()).isLeft)
+    assert(Compiler.compile("{% if 'a' - 1 %}Y{% endif %}", Context()).isLeft)
+  }
+
+  test("jinja tests: is defined / is none / is number and friends") {
+    def run(cond: String, params: Map[String, Any]): String =
+      Compiler.compile(s"{% if $cond %}Y{% else %}N{% endif %}",
+        Context(params)).toOption.get
+    // defined consults the SCOPE: a var set to none IS defined (Jinja)
+    assert(run("x is defined", Map("x" -> 1L)) == "Y")
+    assert(run("x is defined", Map("x" -> null)) == "Y")
+    assert(run("x is defined", Map.empty) == "N")
+    assert(run("x is not defined", Map.empty) == "Y")
+    assert(run("x is undefined", Map.empty) == "Y")
+    assert(run("x.y is defined", Map("x" -> Map("y" -> false))) == "Y")
+    assert(run("x.y is defined", Map("x" -> Map("z" -> 1L))) == "N")
+    // none tests the VALUE: undefined → none (Jinja's Undefined semantics
+    // diverge here; our undefined collapses to none, documented)
+    assert(run("x is none", Map("x" -> null)) == "Y")
+    assert(run("x is none", Map("x" -> 0L)) == "N")
+    assert(run("x is not none", Map("x" -> "v")) == "Y")
+    // type tests; booleans count as numbers, exactly like Python/Jinja
+    assert(run("n is number", Map("n" -> 1.5)) == "Y")
+    assert(run("n is number", Map("n" -> true)) == "Y")
+    assert(run("n is number", Map("n" -> "7")) == "N")
+    assert(run("s is string", Map("s" -> "")) == "Y")
+    assert(run("b is boolean", Map("b" -> false)) == "Y")
+    assert(run("m is mapping", Map("m" -> Map("k" -> 1L))) == "Y")
+    assert(run("l is sequence", Map("l" -> Seq(1L, 2L))) == "Y")
+    assert(run("s is sequence", Map("s" -> "ab")) == "Y") // strings index
+    assert(run("n is sequence", Map("n" -> 3L)) == "N")
+    assert(run("n is even", Map("n" -> 4L)) == "Y")
+    assert(run("n is odd", Map("n" -> 4L)) == "N")
+    assert(run("b is true", Map("b" -> true)) == "Y")
+    assert(run("b is not false", Map("b" -> true)) == "Y")
+    // is-true is IDENTITY, not truthiness (1 is truthy but not True)
+    assert(run("n is true", Map("n" -> 1L)) == "N")
+    // tests compose with boolean algebra
+    assert(run("x is defined and x is not none", Map("x" -> 5L)) == "Y")
+    assert(run("x is defined and x is not none", Map("x" -> null)) == "N")
+    // unknown test and non-integer even/odd are template errors
+    assert(Compiler.compile("{% if x is frobnicated %}Y{% endif %}",
+      Context(Map("x" -> 1L))).isLeft)
+    assert(Compiler.compile("{% if x is even %}Y{% endif %}",
+      Context(Map("x" -> "nope"))).isLeft)
+  }
+
   test("for loop with loop variables") {
     val t = "{% for c in cols %}{{ c }}{% if not loop.last %}, {% endif %}{% endfor %}"
     assert(Compiler.compile(t,

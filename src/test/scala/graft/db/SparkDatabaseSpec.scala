@@ -56,6 +56,19 @@ class SparkDatabaseSpec extends SparkSpec {
     assert(schema("b").dataType.typeName == "string")
   }
 
+  test("declared TIME column materialises as STRING, values verbatim") {
+    // SURVEY §1.2's documented divergence surfaced END TO END: Spark has
+    // no TimeType, so a declared TIME column lands as a string table
+    // column carrying the literal 'HH:MM:SS' values — and the Ddl warns.
+    val ddl = Ddl(columns = Seq(ColumnDdl("t", dataType = Some("TIME"))))
+    assert(ddl.typeWarnings.exists(_.contains("TIME")))
+    assert(db.createTable("time_t",
+      "SELECT '13:45:07' AS t UNION ALL SELECT '00:00:00' AS t", ddl).isRight)
+    val tbl = spark.table("time_t")
+    assert(tbl.schema("t").dataType.typeName == "string")
+    assert(rows(tbl) == Set(Seq("13:45:07"), Seq("00:00:00")))
+  }
+
   test("replaceTable is a full refresh and tolerates self-reference") {
     assert(db.replaceTable("rep_t", "SELECT 1 AS x").isRight)
     assert(db.replaceTable("rep_t", "SELECT x + 1 AS x FROM rep_t").isRight)

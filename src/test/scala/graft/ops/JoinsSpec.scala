@@ -125,6 +125,26 @@ class JoinsSpec extends SparkSpec {
     assert(rows(tight) == Set(Seq("p", null))) // 300µs behind > 100µs
   }
 
+  test("asOf match is row-atomic: matched row's NULL payload stays NULL") {
+    // build row at t=20 has a NULL price and a non-null qty; the older
+    // row at t=10 has both. A per-column carry would resurrect 1.0 from
+    // t=10 for the probe at t=25 — mixing columns from two build rows.
+    val probe = Seq((1L, 25L, "p"), (1L, 15L, "q")).toDF("k", "t", "tag")
+    val build = Seq(
+      (1L, 10L, Some(1.0), Some(11L)),
+      (1L, 20L, None: Option[Double], Some(22L)))
+      .toDF("k", "bt", "price", "qty")
+    val out = Joins.asOf(probe, build, Seq("k"), "t", "bt")
+      .select("tag", "price", "qty")
+    assert(rows(out) == Set(
+      Seq("p", null, 22L), // matched t=20 verbatim: price NULL
+      Seq("q", 1.0, 11L))) // matched t=10 verbatim
+    // same discipline under a tolerance
+    val tol = Joins.asOf(probe, build, Seq("k"), "t", "bt",
+      tolerance = Some(100L)).select("tag", "price", "qty")
+    assert(rows(tol) == rows(out))
+  }
+
   test("asOf rejects payload/probe column collisions") {
     val probe = Seq((1L, 2L, "x")).toDF("k", "t", "v")
     val build = Seq((1L, 1L, "y")).toDF("k", "bt", "v")

@@ -289,6 +289,27 @@ class PipelineSpec extends SparkSpec {
     assert(TextDedup.dupClusters(pairs.limit(0)).count() == 0)
   }
 
+  test("dupClusters under a reliable checkpoint dir matches localCheckpoint mode") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 9L), (5L, 6L), (7L, 6L))
+      .toDF("doc_a", "doc_b")
+    val localMode = TextDedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty) // above ran the localCheckpoint path
+    val ckpt = graft.queries.TempDirs
+      .tempDirCleanedAtExit(None, "graft_test_ckpt_")
+    sc.setCheckpointDir(ckpt.toString)
+    try {
+      val reliable = TextDedup.dupClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == localMode)
+      assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        9L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+      // checkpoint files actually landed in the reliable dir
+      assert(java.nio.file.Files.walk(ckpt).count() > 1)
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("dupClusters matches union-find on the fixture near-dup pairs") {
     val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
     val pairs = TextDedup.jaccardPairs(sh, "doc_id", 0.12, Int.MaxValue)

@@ -102,6 +102,54 @@ class StreamingSpec extends SparkSpec {
       (2L, "no-key", null), (3L, "open-end", 300.0)))
   }
 
+  test("asOfStatic caches the interval frame: dim evaluated once across batches") {
+    implicit val sql = spark.sqlContext
+    // an accumulator-tagged dim: every EXECUTION of the dim subtree adds
+    // one per partition, so a per-micro-batch rebuild shows up as growth
+    def tagged(acc: org.apache.spark.util.LongAccumulator) =
+      Seq((1L, ts(10), 100.0), (1L, ts(30), 200.0))
+        .toDS()
+        .mapPartitions { it => acc.add(1); it }
+        .toDF("k", "snap_ts", "price")
+    val accCached = spark.sparkContext.longAccumulator("dim_evals_cached")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streaming.asOfStatic(
+      in.toDF().toDF("k", "e_ts", "tag"), "e_ts",
+      tagged(accCached), Seq("k"), "snap_ts")
+    val q = joined.select("k", "tag", "price")
+      .writeStream.format("memory").queryName("asfc").outputMode("append").start()
+    in.addData((1L, ts(15), "b1"))
+    q.processAllAvailable()
+    val afterFirst = accCached.value
+    in.addData((1L, ts(35), "b2"))
+    q.processAllAvailable()
+    in.addData((1L, ts(40), "b3"))
+    q.processAllAvailable()
+    q.stop()
+    assert(afterFirst > 0) // the dim really ran through the tagged stage
+    assert(accCached.value == afterFirst,
+      s"dim re-evaluated across batches: ${accCached.value} vs $afterFirst")
+    val got = spark.table("asfc").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(("b1", 100.0), ("b2", 200.0), ("b3", 200.0)))
+    // cacheDim = false is the pre-cache behavior: re-executed per batch
+    val accPlain = spark.sparkContext.longAccumulator("dim_evals_plain")
+    val in2 = MemoryStream[(Long, Timestamp, String)]
+    val q2 = Streaming.asOfStatic(
+        in2.toDF().toDF("k", "e_ts", "tag"), "e_ts",
+        tagged(accPlain), Seq("k"), "snap_ts", cacheDim = false)
+      .select("k", "tag", "price")
+      .writeStream.format("memory").queryName("asfp").outputMode("append").start()
+    in2.addData((1L, ts(15), "b1"))
+    q2.processAllAvailable()
+    val plainFirst = accPlain.value
+    in2.addData((1L, ts(35), "b2"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(accPlain.value > plainFirst,
+      "uncached dim should re-execute on the second micro-batch")
+  }
+
   test("file-source stream: readStream over the events fixture parquet") {
     // the real readStream → transform → writeStream path (not MemoryStream):
     // nanos ts read as long (SparkSpec session conf), converted to µs
