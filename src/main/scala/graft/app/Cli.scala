@@ -89,9 +89,12 @@ object Cli {
             case Left(e) =>
               System.err.println(s"error: $e"); spark.stop(); sys.exit(1)
             case Right(dag) =>
-              val out = projectDir.resolve("dag.dot")
-              java.nio.file.Files.writeString(out, toDot(dag))
-              println(s"wrote $out (render with: dot -Tpng dag.dot -o dag.png)")
+              val dot = projectDir.resolve("dag.dot")
+              java.nio.file.Files.writeString(dot, toDot(dag))
+              val svg = projectDir.resolve("dag.svg")
+              java.nio.file.Files.writeString(svg, toSvg(dag))
+              println(s"wrote $svg and $dot " +
+                "(dot -Tpng dag.dot -o dag.png for graphviz layout)")
               spark.stop(); return
           }
         }
@@ -118,7 +121,7 @@ object Cli {
   }
 
   /** Graphviz DOT of the task DAG (the reference's `dag_image`,
-    * sayn/cli.py:331 — graphviz isn't bundled here, so emit .dot).
+    * sayn/cli.py:331; [[toSvg]] renders the actual image).
     */
   private[app] def toDot(dag: Map[String, Seq[String]]): String = {
     val nodes = dag.keys.toSeq.sorted.map(n => s"""  "$n";""")
@@ -128,6 +131,63 @@ object Cli {
     } yield s"""  "$p" -> "$child";"""
     (Seq("digraph graft {", "  rankdir=LR;") ++ nodes ++ edges :+ "}")
       .mkString("\n")
+  }
+
+  /** Self-contained SVG rendering of the task DAG — the reference's
+    * `dag_image` produces a real image (sayn/cli.py:328 via graphviz);
+    * graphviz isn't bundled here, so this renders one directly:
+    * longest-path layering (a node sits one column right of its deepest
+    * parent — the standard Sugiyama first phase), names sorted within a
+    * column, rounded boxes, bezier edges with one shared arrowhead
+    * marker. Deterministic output, zero dependencies.
+    */
+  private[app] def toSvg(dag: Map[String, Seq[String]]): String = {
+    val layer = scala.collection.mutable.Map.empty[String, Int]
+    def depth(n: String, seen: Set[String]): Int = layer.getOrElseUpdate(n, {
+      val ps = dag.getOrElse(n, Nil).filterNot(seen) // cycle-safe: App validates
+      if (ps.isEmpty) 0 else 1 + ps.map(depth(_, seen + n)).max
+    })
+    dag.keys.foreach(depth(_, Set.empty))
+    val cols = layer.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (c, ns) => c -> ns.map(_._1).sorted }
+    val boxH = 28
+    val gapY = 22
+    val colW = 190
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // (x, y) of each node's box top-left; width from the label length
+    val pos = (for {
+      (c, ns) <- cols
+      (n, i) <- ns.zipWithIndex
+    } yield n -> (30 + c * colW, 30 + i * (boxH + gapY))).toMap
+    def bw(n: String): Int = math.max(60, n.length * 8 + 16)
+    val nodes = pos.toSeq.sortBy(_._1).map { case (n, (x, y)) =>
+      s"""  <rect x="$x" y="$y" rx="6" width="${bw(n)}" height="$boxH"
+         |   fill="#eef4fb" stroke="#3b6ea5"/>
+         |  <text x="${x + bw(n) / 2}" y="${y + 19}" text-anchor="middle"
+         |   font-family="monospace" font-size="13">${esc(n)}</text>""".stripMargin
+    }
+    val edges = for {
+      (child, parents) <- dag.toSeq.sortBy(_._1)
+      p <- parents.sorted
+      (px, py) = pos(p)
+      (cx, cy) = pos(child)
+    } yield {
+      val (x1, y1) = (px + bw(p), py + boxH / 2)
+      val (x2, y2) = (cx, cy + boxH / 2)
+      val mx = (x1 + x2) / 2
+      s"""  <path d="M $x1 $y1 C $mx $y1, $mx $y2, ${x2 - 6} $y2"
+         |   fill="none" stroke="#3b6ea5" marker-end="url(#g_arrow)"/>""".stripMargin
+    }
+    val w = 60 + cols.size * colW
+    val h = 60 + (if (cols.isEmpty) 0
+      else cols.map(_._2.size).max * (boxH + gapY))
+    (Seq(
+      s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h">""",
+      """  <defs><marker id="g_arrow" markerWidth="8" markerHeight="8"""",
+      """   refX="6" refY="3" orient="auto" markerUnits="strokeWidth">""",
+      """   <path d="M0,0 L6,3 L0,6 z" fill="#3b6ea5"/></marker></defs>""") ++
+      edges ++ nodes :+ "</svg>").mkString("\n")
   }
 
   /** `init NAME`: scaffold a runnable starter project (sayn/cli.py:210-214,

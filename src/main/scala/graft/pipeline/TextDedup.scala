@@ -144,15 +144,37 @@ object TextDedup {
   }
 
   /** MinHash signatures: one row per document with `numPerms` columns
-    * `mh0..mhN`, where mh_i = min over shingles of xxhash64(i, shingle).
-    * Seeding the hash with the permutation index gives independent
-    * permutations from one pass — numPerms min-aggregates over a single
-    * explode, no per-permutation shuffle.
+    * `mh0..mhN`, where mh_i = min over shingles of π_i(h32) for
+    * h32 = xxhash64(shingle) masked to 32 bits and π_i(h) = (a_i·h +
+    * b_i) mod 2^32 with ODD a_i — a bijection on Z/2^32, so each π_i is
+    * a genuine permutation of the (32-bit, the classic minhash width)
+    * hash ring and the min-wise collision probability stays ≈ Jaccard
+    * (the standard one-hash + linear-permutation family; Spark ML's
+    * MinHashLSH uses the same trick). The string bytes are hashed ONCE
+    * per (doc, shingle) row and each permutation is one multiply-add —
+    * versus seeding xxhash64 per permutation, which re-reads the whole
+    * string numPerms times per row (the dominant cost on long shingles
+    * at corpus scale). Keeping a_i < 2^31 and h32 < 2^32 bounds every
+    * intermediate under 2^63: no overflow, ANSI-mode safe. The (a_i,
+    * b_i) are fixed literals (deterministic seed), so the signature is
+    * one codegen'd hash-aggregate: numPerms min-aggregates over a
+    * single scan, no per-permutation shuffle.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, numPerms: Int = 64): DataFrame = {
-    val mins = (0 until numPerms).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val mask32 = 0xffffffffL
+    val rnd = new java.util.SplittableRandom(0x9e3779b97f4a7c15L)
+    val perms = (0 until numPerms).map { _ =>
+      ((rnd.nextLong() & 0x7fffffffL) | 1L, rnd.nextLong() & mask32)
+    }
+    // explicit projection: the string hashes exactly once per row by
+    // construction (not by relying on codegen subexpression elimination
+    // across the numPerms aggregate expressions)
+    val hashed = sh.select(col(idCol),
+      xxhash64(col("shingle")).bitwiseAND(lit(mask32)).as("_g_h"))
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("_g_h") * lit(a) + lit(b)).bitwiseAND(lit(mask32))).as(s"mh$i")
+    }
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** Banded-LSH candidate pairs from MinHash signatures, verified with

@@ -170,6 +170,33 @@ class TrackerSpec extends SparkSpec {
     assert(dot.contains("\"t_ok\" -> \"t_tbl\";"))
   }
 
+  test("toSvg renders a layered image: boxes, edges, child right of parent") {
+    val dag = Map(
+      "load" -> Seq.empty[String],
+      "stage" -> Seq("load"),
+      "mart_a" -> Seq("stage"),
+      "mart_b" -> Seq("stage", "load"))
+    val svg = Cli.toSvg(dag)
+    assert(svg.startsWith("<svg xmlns=\"http://www.w3.org/2000/svg\""))
+    assert(svg.endsWith("</svg>"))
+    // one box + label per task, one bezier edge per dependency
+    assert(dag.keys.forall(n => svg.contains(s">$n</text>")))
+    assert(svg.sliding(6).count(_ == "<rect ") == 4)
+    assert(svg.sliding(6).count(_ == "<path ") == 4 + 1) // 4 edges + arrow marker
+    // longest-path layering: mart_b sits one column right of stage even
+    // though it also depends on load directly
+    def x(n: String): Int = {
+      val i = svg.indexOf(s">$n</text>")
+      val tx = svg.lastIndexOf("<text x=\"", i) + "<text x=\"".length
+      svg.substring(tx, svg.indexOf("\"", tx)).toInt
+    }
+    assert(x("load") < x("stage") && x("stage") < x("mart_a"))
+    assert(x("mart_a") == x("mart_b"))
+    // escaping: a node name with XML specials renders escaped
+    val svg2 = Cli.toSvg(Map("a<b" -> Nil))
+    assert(svg2.contains("a&lt;b") && !svg2.contains(">a<b<"))
+  }
+
   test("init scaffolds a loadable, runnable project") {
     val base = java.nio.file.Files.createTempDirectory("graft_init_")
     val dir = base.resolve("proj")
