@@ -257,6 +257,34 @@ object Temporal {
       |  WHERE l_orderkey = o.o_orderkey
       |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l""".stripMargin
 
+  // q85: SCD2 build — compact each user's event_type change stream into
+  // type-2 validity intervals (ops/Scd2.build: one keyed shuffle, two
+  // windows over the same key so the Exchange is reused). The oracle
+  // rebuilds the intervals with DuckDB's own lag/lead windows at the
+  // same µs discipline — two independent run-collapsing implementations
+  // must agree on every interval bound.
+  def q85Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd2.build(
+      ev(s, dir).select(col("user_id"), col("event_type"),
+        col("ts_us"), col("event_id")),
+      keys = Seq("user_id"), orderCol = "ts_us",
+      attrs = Seq("event_type"), tieCols = Seq("event_id"))
+
+  val q85Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_type, ts_us, event_id FROM o
+      |  WHERE prev IS DISTINCT FROM event_type)
+      |SELECT user_id, event_type, ts_us AS valid_from,
+      |  lead(ts_us) OVER w AS valid_to,
+      |  lead(ts_us) OVER w IS NULL AS is_current
+      |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
@@ -267,7 +295,8 @@ object Temporal {
     "q78_range_frame" -> (q78RangeFrame _),
     "q79_lateral" -> (q79Lateral _),
     "q83_skew_salted_join" -> (q83SkewSaltedJoin _),
-    "q84_skew_plain_join" -> (q84SkewPlainJoin _))
+    "q84_skew_plain_join" -> (q84SkewPlainJoin _),
+    "q85_scd2" -> (q85Scd2 _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
@@ -279,5 +308,6 @@ object Temporal {
     "q78_range_frame" -> q78Sql,
     "q79_lateral" -> q79Sql,
     "q83_skew_salted_join" -> q83Sql,
-    "q84_skew_plain_join" -> q83Sql) // same data, same SQL: parity check
+    "q84_skew_plain_join" -> q83Sql, // same data, same SQL: parity check
+    "q85_scd2" -> q85Sql)
 }
