@@ -103,6 +103,20 @@ final class ConsoleTracker(
           out(base + tail)
         }
       }
+      // errors grouped by message (the reference's grouped end-of-run
+      // error summary): one line per distinct error, worst-first, with
+      // every task that hit it — so 40 tasks failing on one bad
+      // connection read as one problem, not 40.
+      val errGroups = finished.filter(_._5.isDefined)
+        .groupBy(_._5.get).toSeq
+        .map { case (e, fs) => (e, fs.map(_._1).toSeq) }
+        .sortBy { case (e, ts) => (-ts.size, e) }
+      if (errGroups.nonEmpty) {
+        out("errors:")
+        errGroups.foreach { case (e, ts) =>
+          out(s"  ${ts.size}× $e — ${ts.mkString(", ")}")
+        }
+      }
       val tally = statuses.toSeq.sortBy(_._1)
         .map { case (s, n) => s"$n $s" }.mkString(", ")
       out(s"${if (ok) "succeeded" else "FAILED"} in ${fmt(ms)}" +

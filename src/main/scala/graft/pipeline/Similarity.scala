@@ -250,6 +250,25 @@ object Similarity {
     * Each iteration collects nlist × dims longs to the driver — they ARE
     * the next round's broadcast literals.
     */
+  /** Per-group centroid of an embedding column, dimension-wise: one
+    * output row per (group, dim_idx) with the group's mean value at that
+    * dimension and the group's vector count. posexplode multiplies rows
+    * by d, but the (group, dim) aggregation combines MAP-SIDE, so the
+    * exchange carries at most groups × d partial rows per partition —
+    * never the exploded row count. Sums go through DECIMAL(28,6): float
+    * summation order is partitioning-dependent, decimal addition is
+    * exact, so the centroid is bit-stable across any cluster layout (the
+    * same discipline as graft.queries.Relational.dsum).
+    */
+  def centroids(df: DataFrame, groupCol: String, embCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(embCol)).as(Seq("dim_idx", "_g_e")))
+      .groupBy(col(groupCol), col("dim_idx").cast("bigint").as("dim_idx"))
+      .agg(
+        (sum(col("_g_e").cast("double").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+
   def annIvf(
       df: DataFrame,
       idCol: String,

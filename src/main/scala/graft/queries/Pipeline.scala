@@ -564,6 +564,7 @@ object Pipeline {
     "q80_weighted_sample" -> (q80WeightedSample _),
     "q81_imageio_round_trip" -> (q81ImageioRoundTrip _),
     "q82_sql_functions" -> (q82SqlFunctions _),
+    "q87_embed_centroids" -> (q87EmbedCentroids _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -831,6 +832,25 @@ object Pipeline {
       |    i -> ql[i] * ql[len(ql) + 1 - i])) AS BIGINT) AS rev_dot
       |FROM q""".stripMargin
 
+  // q87: per-label embedding centroids, dimension-wise
+  // (Similarity.centroids: posexplode + map-side-combined (label, dim)
+  // aggregation; decimal-sum discipline makes the mean bit-stable across
+  // partitionings). The DuckDB oracle zips two parallel unnests — value
+  // and subscript — then averages with the same decimal cast.
+  def q87EmbedCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")
+
+  val q87Sql: String =
+    """WITH x AS (
+      |  SELECT label, unnest(range(len(embedding))) AS dim_idx,
+      |    unnest(embedding) AS e
+      |  FROM embeddings)
+      |SELECT label, dim_idx,
+      |  CAST(sum(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+      |    / count(*) AS centroid,
+      |  count(*) AS n
+      |FROM x GROUP BY label, dim_idx""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -858,5 +878,6 @@ object Pipeline {
     "q76_edit_near_dup" -> q76Sql,
     "q80_weighted_sample" -> q80Sql,
     "q81_imageio_round_trip" -> q81Sql,
-    "q82_sql_functions" -> q82Sql)
+    "q82_sql_functions" -> q82Sql,
+    "q87_embed_centroids" -> q87Sql)
 }

@@ -498,6 +498,32 @@ object Relational {
       |UNION ALL
       |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin
 
+  // q88: EXACT percentiles per group (not approx_percentile — the
+  // rows-only q65 covers the sketch; this is the sort-based exact
+  // aggregate, cross-checked against DuckDB's quantile_cont). Both
+  // engines interpolate at rank p·(n−1); p ∈ {.25,.5,.75} is
+  // binary-exact so the rank arithmetic is deterministic, and the
+  // result is rounded through DECIMAL(28,6) on both sides to absorb
+  // any last-ulp interpolation difference.
+  private def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+
+  def q88GroupPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        d6(percentile(col("l_quantity"), lit(0.25))).as("p25_qty"),
+        d6(percentile(col("l_quantity"), lit(0.5))).as("p50_qty"),
+        d6(percentile(col("l_quantity"), lit(0.75))).as("p75_qty"),
+        d6(percentile(col("l_extendedprice"), lit(0.5))).as("median_price"))
+
+  val q88Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(quantile_cont(l_quantity, 0.25) AS DECIMAL(28,6)) AS DOUBLE) AS p25_qty,
+      |  CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(28,6)) AS DOUBLE) AS p50_qty,
+      |  CAST(CAST(quantile_cont(l_quantity, 0.75) AS DECIMAL(28,6)) AS DOUBLE) AS p75_qty,
+      |  CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,6)) AS DOUBLE) AS median_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -523,7 +549,8 @@ object Relational {
     "q43_string_funcs" -> (q43StringFuncs _),
     "q44_ordered_agg" -> (q44OrderedAgg _),
     "q45_pivot" -> (q45Pivot _),
-    "q67_unpivot" -> (q67Unpivot _))
+    "q67_unpivot" -> (q67Unpivot _),
+    "q88_group_percentiles" -> (q88GroupPercentiles _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -550,5 +577,6 @@ object Relational {
     "q43_string_funcs" -> q43Sql,
     "q44_ordered_agg" -> q44Sql,
     "q45_pivot" -> q45Sql,
-    "q67_unpivot" -> q67Sql)
+    "q67_unpivot" -> q67Sql,
+    "q88_group_percentiles" -> q88Sql)
 }

@@ -410,6 +410,62 @@ object StreamingEntries {
         unix_micros(col("ts")).as("ts_us"), col("last_purchase_value"))
   }
 
+  /** Sharded staged copy of the fixture (4 parquet shards) so
+    * `maxFilesPerTrigger=1` yields several sequential micro-batches — a
+    * real multi-batch run for per-batch sinks. Memoized like
+    * [[stageWithSentinels]].
+    */
+  private val shardedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageSharded(s: SparkSession, dir: String): String =
+    shardedDirs.computeIfAbsent(dir, { _ =>
+      val staged = tempDirCleanedAtExit(None, "graft_stream_shards_")
+      Tables(s, dir, "events").repartition(4)
+        .write.mode("overwrite").parquet(staged.toString)
+      staged.toString
+    })
+
+  // q89: streaming CDC apply — the foreachBatch UPSERT sink: every
+  // micro-batch merges into a versioned parquet table (read current ∪
+  // batch → Changelog.latestByKey → write next version → pointer swap),
+  // the streaming half of the q66 compaction story. The staged fixture
+  // is sharded 4 ways and read with maxFilesPerTrigger=1, so the drain
+  // really performs 4 sequential upserts whose intermediate states are
+  // each a valid compacted table. The final table must equal the batch
+  // changelog compaction — this entry shares q66's oracle, making batch
+  // operator, streaming sink and DuckDB agree three ways. (On a real
+  // cluster the versioned-dir swap is the poor man's ACID table; swap in
+  // a lakehouse MERGE sink for concurrent writers.)
+  def q89StreamingCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageSharded(s, dir)
+    val s2 = streamSession(s)
+    val root = tempDirCleanedAtExit(None, "graft_q89_cdc_")
+    val stream = s2.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+    @volatile var current: Option[String] = None
+    val upsert: (DataFrame, Long) => Unit = { (batch, id) =>
+      val acc = current match {
+        case Some(p) => batch.sparkSession.read.parquet(p).unionByName(batch)
+        case None => batch
+      }
+      val next = root.resolve(s"v$id").toString
+      graft.ops.Changelog.latestByKey(
+        acc, Seq("user_id", "event_type"), "ts_us", Seq("event_id"))
+        .write.mode("overwrite").parquet(next)
+      current = Some(next)
+    }
+    val ckpt = Files.createTempDirectory(ckptParent, "run_")
+    val q = stream.writeStream.foreachBatch(upsert)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.awaitTermination()
+    finally deleteRecursively(ckpt)
+    s.read.parquet(current.getOrElse(sys.error("q89: no micro-batch ran")))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_streaming_sessions" -> (q38StreamingSessions _),
     "q39_streaming_window" -> (q39StreamingWindow _),
@@ -418,7 +474,8 @@ object StreamingEntries {
     "q62_streaming_interval_join" -> (q62StreamingIntervalJoin _),
     "q63_streaming_asof" -> (q63StreamingAsof _),
     "q74_session_window" -> (q74SessionWindow _),
-    "q75_streaming_topk" -> (q75StreamingTopk _))
+    "q75_streaming_topk" -> (q75StreamingTopk _),
+    "q89_streaming_cdc_apply" -> (q89StreamingCdcApply _))
 
   def oracles: Map[String, String] = Map(
     "q38_streaming_sessions" -> q38Sql,
@@ -431,5 +488,8 @@ object StreamingEntries {
     // batch asOf, streaming asOfStatic and DuckDB ASOF agree three ways
     "q63_streaming_asof" -> Temporal.q58Sql,
     "q74_session_window" -> q74Sql,
-    "q75_streaming_topk" -> q75Sql)
+    "q75_streaming_topk" -> q75Sql,
+    // batch latestByKey, the streaming foreachBatch upsert sink, and
+    // DuckDB's row_number argmax agree three ways
+    "q89_streaming_cdc_apply" -> Temporal.q66Sql)
 }

@@ -285,6 +285,26 @@ object Temporal {
       |  lead(ts_us) OVER w IS NULL AS is_current
       |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
 
+  // q86: bloom-pruned semi join — probe (lineitem) rows are dropped at
+  // the scan by a bitmap built from the selective build side (orders >
+  // 400k) BEFORE the join's shuffle; the exact semi join then removes
+  // bloom false positives, so the result is identical to the plain semi
+  // join the oracle runs. ops/BloomPrune: mergeable bitmap Aggregator,
+  // codegen'd xxhash64 probe, 1 MiB driver round-trip at 2^23 bits.
+  def q86BloomPruneJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.BloomPrune.semiJoin(
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      "l_orderkey",
+      Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey")),
+      "o_orderkey")
+
+  val q86Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
@@ -296,7 +316,8 @@ object Temporal {
     "q79_lateral" -> (q79Lateral _),
     "q83_skew_salted_join" -> (q83SkewSaltedJoin _),
     "q84_skew_plain_join" -> (q84SkewPlainJoin _),
-    "q85_scd2" -> (q85Scd2 _))
+    "q85_scd2" -> (q85Scd2 _),
+    "q86_bloom_prune_join" -> (q86BloomPruneJoin _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
@@ -309,5 +330,6 @@ object Temporal {
     "q79_lateral" -> q79Sql,
     "q83_skew_salted_join" -> q83Sql,
     "q84_skew_plain_join" -> q83Sql, // same data, same SQL: parity check
-    "q85_scd2" -> q85Sql)
+    "q85_scd2" -> q85Sql,
+    "q86_bloom_prune_join" -> q86Sql)
 }

@@ -117,6 +117,26 @@ class TrackerSpec extends SparkSpec {
     assert(lines.last.startsWith("FAILED in"), lines.last)
   }
 
+  test("end-of-run errors group by message, worst-first, listing tasks") {
+    import RunEvent._
+    val lines = mutable.ArrayBuffer.empty[String]
+    val console = new ConsoleTracker(debug = false, out = lines += _)
+    console.onEvent(RunStarted("run", 4, 0L))
+    def fin(t: String, st: String, err: Option[String]): Unit =
+      console.onEvent(TaskFinished(t, st, 5L, err, 0L))
+    fin("a", "failed", Some("connection refused"))
+    fin("b", "failed", Some("connection refused"))
+    fin("c", "failed", Some("syntax error"))
+    fin("d", "succeeded", None)
+    console.onEvent(RunFinished(false, 20L, 0L))
+    val hdr = lines.indexOf("errors:")
+    assert(hdr >= 0, lines.mkString("\n"))
+    // the 2× group leads; each line carries count, message, task list
+    assert(lines(hdr + 1).trim == "2× connection refused — a, b", lines(hdr + 1))
+    assert(lines(hdr + 2).trim == "1× syntax error — c", lines(hdr + 2))
+    assert(lines.last.startsWith("FAILED in"), lines.last)
+  }
+
   test("console task line carries the per-step duration breakdown") {
     import graft.tasks.{TaskContext, UserTask, RunArguments => RA}
     import graft.core.Result.Result

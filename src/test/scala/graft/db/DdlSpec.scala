@@ -58,5 +58,8 @@ class DdlSpec extends AnyFunSuite {
     assert(Ddl.sparkType("NUMBER") == "DECIMAL(38,18)")
     assert(Ddl.sparkType("int4") == "INT")
     assert(Ddl.sparkType("timestamptz") == "TIMESTAMP")
+    // datetime.time has no Spark type: documented STRING divergence
+    // (SURVEY §1.2), warned via typeWarnings above
+    assert(Ddl.sparkType("TIME") == "STRING")
   }
 }
