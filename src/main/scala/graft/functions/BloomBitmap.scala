@@ -65,11 +65,13 @@ object BloomBitmap {
   def mightContain(
       key: Column, bitmap: Array[Long], numBits: Int, numHashes: Int): Column = {
     val words = typedlit(bitmap.toSeq)
-    (0 until numHashes).map { i =>
-      val pos = pmod(xxhash64(key, lit(i)), lit(numBits.toLong))
-      val word = element_at(words, (pos / 64).cast("int") + lit(1))
-      call_function("shiftright", word, (pos % 64).cast("int"))
-        .bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    // forall over the in-plan position array: the bitmap literal appears
+    // ONCE in the expression tree (k element_at's against the same array
+    // would embed k copies of a MiB-sized literal in the serialized plan)
+    forall(positions(key, numBits, numHashes), pos =>
+      call_function("shiftright",
+        element_at(words, (pos / 64).cast("int") + lit(1)),
+        (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L))
   }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Multimodal, Sessionize, Similarity, TextClean, TextDedup, TextStats}
 
@@ -565,6 +565,7 @@ object Pipeline {
     "q81_imageio_round_trip" -> (q81ImageioRoundTrip _),
     "q82_sql_functions" -> (q82SqlFunctions _),
     "q87_embed_centroids" -> (q87EmbedCentroids _),
+    "q92_array_funcs" -> (q92ArrayFuncs _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -851,6 +852,47 @@ object Pipeline {
       |  count(*) AS n
       |FROM x GROUP BY label, dim_idx""".stripMargin
 
+  // q92: higher-order array function battery over the embedding column —
+  // sort+index, lambda filter, transform+fold, zip_with+reverse — the
+  // in-row array surface a vector pipeline leans on, all codegen-capable
+  // built-ins, cross-checked against DuckDB's list functions. Fold sums
+  // go through DECIMAL(28,6) with the accumulator re-cast each step
+  // (decimal addition widens precision; an unstable accumulator type
+  // would fail analysis), so both engines' folds are order-exact.
+  def q92ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val dec0 = lit(0).cast("decimal(28,6)")
+    def d(c: Column): Column = c.cast("double")
+    val e = col("embedding")
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      d(sort_array(e, asc = false).getItem(0)).as("top1"),
+      d(sort_array(e, asc = false).getItem(1)).as("top2"),
+      d(sort_array(e, asc = false).getItem(2)).as("top3"),
+      size(filter(e, v => v > lit(0.0))).cast("bigint").as("n_pos"),
+      d(aggregate(e, dec0,
+        (acc, x) => (acc + abs(d(x)).cast("decimal(28,6)")).cast("decimal(28,6)")))
+        .as("l1_norm"),
+      d(aggregate(
+        zip_with(e, reverse(e), (x, y) => (d(x) * d(y)).cast("decimal(28,6)")),
+        dec0, (acc, x) => (acc + x).cast("decimal(28,6)")))
+        .as("rev_dot"))
+  }
+
+  val q92Sql: String =
+    """SELECT vec_id,
+      |  CAST(list_sort(embedding, 'DESC')[1] AS DOUBLE) AS top1,
+      |  CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE) AS top2,
+      |  CAST(list_sort(embedding, 'DESC')[3] AS DOUBLE) AS top3,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(abs(CAST(x AS DOUBLE)) AS DECIMAL(28,6)))) AS DOUBLE)
+      |    AS l1_norm,
+      |  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+      |    i -> CAST(CAST(embedding[i] AS DOUBLE)
+      |      * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
+      |      AS DECIMAL(28,6)))) AS DOUBLE) AS rev_dot
+      |FROM embeddings""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -879,5 +921,6 @@ object Pipeline {
     "q80_weighted_sample" -> q80Sql,
     "q81_imageio_round_trip" -> q81Sql,
     "q82_sql_functions" -> q82Sql,
-    "q87_embed_centroids" -> q87Sql)
+    "q87_embed_centroids" -> q87Sql,
+    "q92_array_funcs" -> q92Sql)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Joins
 
@@ -298,12 +298,94 @@ object Temporal {
       "l_orderkey",
       Tables(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
         .select(col("o_orderkey")),
-      "o_orderkey")
+      "o_orderkey",
+      // sized to the build side: ~30k keys at sf0.1 → FPR ~1e-4 at 2^20
+      // bits; the 2^23 default is for ~0.6M-key builds
+      numBits = 1 << 20)
 
   val q86Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE l_orderkey IN (
       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin
+
+  // q90: snapshot reconciliation — the latest state per (user,
+  // event_type) BEFORE the fixture's midpoint diffed against the latest
+  // state AFTER it (ops/TableDiff: one full-outer join, in-row null-safe
+  // value compare). The cut is derived IN-PLAN from min/max (1-row
+  // broadcast crossJoin — no driver round-trip); the oracle rebuilds
+  // both argmax snapshots and the full-outer classification in DuckDB.
+  // changed_cols surfaces as a comma-joined string: float→string
+  // formatting differs across engines, column NAMES don't.
+  def q90SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val bounds = e.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    val withCut = e.crossJoin(broadcast(bounds))
+      .withColumn("cut", expr("lo + (hi - lo) div 2")).drop("lo", "hi")
+    val keys = Seq("user_id", "event_type")
+    def snap(pred: Column): DataFrame =
+      graft.ops.Changelog.latestByKey(
+        withCut.filter(pred).drop("cut"), keys, "ts_us", Seq("event_id"))
+    graft.ops.TableDiff.diff(
+      snap(col("ts_us") <= col("cut")), snap(col("ts_us") > col("cut")), keys)
+      .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+  }
+
+  val q90Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+      |c AS (SELECT min(ts_us) + (max(ts_us) - min(ts_us)) // 2 AS cut FROM e),
+      |a1 AS (SELECT * FROM (
+      |  SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM e, c WHERE ts_us <= cut) WHERE rn = 1),
+      |b1 AS (SELECT * FROM (
+      |  SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts_us DESC, event_id DESC) AS rn
+      |  FROM e, c WHERE ts_us > cut) WHERE rn = 1)
+      |SELECT coalesce(a1.user_id, b1.user_id) AS user_id,
+      |  coalesce(a1.event_type, b1.event_type) AS event_type,
+      |  CASE WHEN a1.user_id IS NULL THEN 'added'
+      |       WHEN b1.user_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status,
+      |  CASE WHEN a1.user_id IS NOT NULL AND b1.user_id IS NOT NULL THEN
+      |    array_to_string(list_concat(list_concat(
+      |      CASE WHEN a1.event_id IS DISTINCT FROM b1.event_id
+      |           THEN ['event_id'] ELSE [] END,
+      |      CASE WHEN a1.value IS DISTINCT FROM b1.value
+      |           THEN ['value'] ELSE [] END),
+      |      CASE WHEN a1.ts_us IS DISTINCT FROM b1.ts_us
+      |           THEN ['ts_us'] ELSE [] END), ',')
+      |  ELSE NULL END AS changed_cols
+      |FROM a1 FULL OUTER JOIN b1
+      |  ON a1.user_id = b1.user_id AND a1.event_type = b1.event_type""".stripMargin
+
+  // q91: incremental-rollup maintenance — per-(event_type, day) PARTIAL
+  // aggregate states built separately for even and odd days (standing in
+  // for "history" and "new batch"), merged state-wise, finalized per
+  // event_type (ops/IncrementalAgg). The oracle aggregates the raw
+  // events directly: partial-merge-finalize must equal the one-shot
+  // aggregation — the monoid law that makes incremental materialised
+  // aggregates sound.
+  def q91IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalAgg
+    val withDay = ev(s, dir)
+      .withColumn("day", expr("ts_us div 86400000000"))
+    val keys = Seq("event_type")
+    def part(pred: Column): DataFrame =
+      IncrementalAgg.partials(withDay.filter(pred), keys, "day", "value")
+    IncrementalAgg.finalize(
+      IncrementalAgg.mergePartials(
+        part(col("day") % 2 === 0), part(col("day") % 2 =!= 0), keys, "day"),
+      keys)
+  }
+
+  val q91Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS avg,
+      |  min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
@@ -317,7 +399,9 @@ object Temporal {
     "q83_skew_salted_join" -> (q83SkewSaltedJoin _),
     "q84_skew_plain_join" -> (q84SkewPlainJoin _),
     "q85_scd2" -> (q85Scd2 _),
-    "q86_bloom_prune_join" -> (q86BloomPruneJoin _))
+    "q86_bloom_prune_join" -> (q86BloomPruneJoin _),
+    "q90_snapshot_diff" -> (q90SnapshotDiff _),
+    "q91_incremental_agg" -> (q91IncrementalAgg _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
@@ -331,5 +415,7 @@ object Temporal {
     "q83_skew_salted_join" -> q83Sql,
     "q84_skew_plain_join" -> q83Sql, // same data, same SQL: parity check
     "q85_scd2" -> q85Sql,
-    "q86_bloom_prune_join" -> q86Sql)
+    "q86_bloom_prune_join" -> q86Sql,
+    "q90_snapshot_diff" -> q90Sql,
+    "q91_incremental_agg" -> q91Sql)
 }
