@@ -17,6 +17,12 @@ final case class ImageSpecRow(doc_id: Long, width: Int, height: Int)
 /** Output of the (stub) image decode. */
 final case class DecodedImage(doc_id: Long, width: Int, height: Int, checksum: Long)
 
+/** Perceptual average-hash of a decoded image, split into two 32-bit
+  * halves (cells 32–63 / 0–31) so neither engine shifts into the sign
+  * bit when an oracle rebuilds it arithmetically.
+  */
+final case class ImageAHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with a
   * typed metadata struct, plus the transform plumbing (decode, resize spec,
   * frame sampling) a training-data pipeline runs over them.
@@ -245,6 +251,68 @@ object Multimodal {
         MediaPayload(r.doc_id, out.toByteArray)
       }))
       .toDF("doc_id", "media_bytes")
+  }
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: decode
+    * through `javax.imageio`, partition the raster into an 8×8 cell grid
+    * (pixel (x,y) → cell (y·8/h, x·8/w)), average integer luma per cell
+    * (BT.601 weights, integer arithmetic throughout), and set each
+    * cell's bit iff its average ≥ the mean of the 64 cell averages. Two
+    * images within a few Hamming bits are near-duplicates REGARDLESS of
+    * resolution — the visual analog of SimHash, and the pairing step
+    * composes with the same pigeonhole banding (`TextDedup.simhashPairs`
+    * operates on any 64-bit fingerprint).
+    *
+    * All-integer and codec-exact for lossless formats, so an engine with
+    * no image codec can reproduce the hash arithmetically from known
+    * pixel values — exactly what the q93 DuckDB oracle does against this
+    * implementation's output on real compressed PNGs. Requires w ≥ 8 and
+    * h ≥ 8 (every cell must own ≥ 1 pixel); undecodable or too-small
+    * payloads yield (-1, -1).
+    */
+  def aHashImagesBatched(
+      df: DataFrame,
+      idCol: String,
+      batchSize: Int = 64): Dataset[ImageAHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("media_bytes"))
+      .as[MediaPayload]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.media_bytes))
+        if (img == null || img.getWidth < 8 || img.getHeight < 8)
+          ImageAHash(p.doc_id, -1L, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y) & 0xffffff
+              val luma = (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+              val cell = (y * 8 / h) * 8 + (x * 8 / w)
+              cellSum(cell) += luma; cellCnt(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val cellAvg = Array.tabulate(64)(i => cellSum(i) / cellCnt(i))
+          val mean = cellAvg.sum / 64L
+          var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (cellAvg(i) >= mean) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          ImageAHash(p.doc_id, hi, lo)
+        }
+      }))
   }
 
   /** STUB batch codec (kept for plan-shape tests and as the template for

@@ -250,13 +250,55 @@ object EtlShapes {
       |FROM orders WHERE o_totalprice > 1000
       |GROUP BY o_custkey""".stripMargin
 
+  // q94: co-located (bucketed) join — both sides written as 8-bucket
+  // tables on the join key, so the sort-merge join reads bucket i
+  // against bucket i with ZERO exchanges before the join (the layout
+  // trade behind `Ddl.clusterBy`: pay the shuffle once at write, join
+  // shuffle-free forever after — at 100 TB the difference between
+  // re-shuffling the fact table per query and never). hint("merge")
+  // pins the sort-merge path so the plan shape is the bucketed one at
+  // any SF (a small build side would otherwise broadcast — also
+  // exchange-free, but not the layout being demonstrated).
+  // BucketingSpec asserts the no-Exchange plan; the oracle only cares
+  // that the join result is the plain join's.
+  def q94BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    dropPhysical(s, "q94_lineitem_b", "q94_orders_b")
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("q94_lineitem_b")
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("q94_orders_b")
+    val li = s.table("q94_lineitem_b")
+    val o = s.table("q94_orders_b")
+    li.hint("merge")
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double")
+          .as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q94Sql: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o_custkey""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_merge" -> (q22Merge _),
     "q23_copy" -> (q23Copy _),
     "q24_violations" -> (q24Violations _),
     "q33_copy_incremental" -> (q33CopyIncremental _),
     "q72_script_chain" -> (q72ScriptChain _),
-    "q77_copy_csv" -> (q77CopyCsv _))
+    "q77_copy_csv" -> (q77CopyCsv _),
+    "q94_bucketed_join" -> (q94BucketedJoin _))
 
   def oracles: Map[String, String] = Map(
     "q22_merge" -> q22Sql,
@@ -264,5 +306,6 @@ object EtlShapes {
     "q24_violations" -> q24Sql,
     "q33_copy_incremental" -> q33Sql,
     "q72_script_chain" -> q72Sql,
-    "q77_copy_csv" -> q77Sql)
+    "q77_copy_csv" -> q77Sql,
+    "q94_bucketed_join" -> q94Sql)
 }

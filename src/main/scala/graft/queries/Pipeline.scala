@@ -566,6 +566,7 @@ object Pipeline {
     "q82_sql_functions" -> (q82SqlFunctions _),
     "q87_embed_centroids" -> (q87EmbedCentroids _),
     "q92_array_funcs" -> (q92ArrayFuncs _),
+    "q93_image_ahash" -> (q93ImageAhash _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -893,6 +894,54 @@ object Pipeline {
       |      AS DECIMAL(28,6)))) AS DOUBLE) AS rev_dot
       |FROM embeddings""".stripMargin
 
+  // q93: perceptual aHash over REAL compressed pixels — encode the
+  // deterministic pattern at per-doc dimensions to actual PNG bytes,
+  // decode through javax.imageio, and average-hash the decoded raster
+  // (Multimodal.aHashImagesBatched). The DuckDB oracle has NO image
+  // codec: it rebuilds every hash arithmetically from the synthetic
+  // pixel formula over an exploded (x, y) grid — so a pass proves the
+  // codec round-trip is pixel-exact AND the hash arithmetic is
+  // engine-portable. The all-integer pipeline (BT.601 luma, floor-div
+  // cell grid) makes that cross-engine equality exact, not approximate.
+  def q93ImageAhash(s: SparkSession, dir: String): DataFrame = {
+    val specs = t(s, dir, "documents").select(
+      col("doc_id"),
+      (col("n_chars") % 48 + 8).cast("int").as("spec_w"),
+      (col("doc_id") % 48 + 8).cast("int").as("spec_h"))
+    val encoded = Multimodal.encodeImagesBatched(specs, "doc_id", "spec_w", "spec_h")
+    Multimodal.aHashImagesBatched(encoded, "doc_id").toDF()
+  }
+
+  val q93Sql: String =
+    """WITH spec AS (
+      |  SELECT doc_id, CAST(n_chars % 48 + 8 AS BIGINT) AS w,
+      |    CAST(doc_id % 48 + 8 AS BIGINT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM spec),
+      |gray AS (
+      |  SELECT doc_id,
+      |    ((y * 8) // h) * 8 + (x * 8) // w AS cell,
+      |    (299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
+      |      + 114 * (rgb & 255)) // 1000 AS luma
+      |  FROM (
+      |    SELECT doc_id, w, h, i % w AS x, i // w AS y,
+      |      (doc_id * 2654435761 + (i % w) * 7919 + (i // w) * 104729)
+      |        & 16777215 AS rgb
+      |    FROM px)),
+      |cells AS (
+      |  SELECT doc_id, cell, sum(luma) // count(*) AS ca
+      |  FROM gray GROUP BY 1, 2),
+      |m AS (SELECT doc_id, sum(ca) // 64 AS mean FROM cells GROUP BY 1)
+      |SELECT c.doc_id,
+      |  CAST(sum(CASE WHEN ca >= mean AND cell >= 32
+      |      THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END)
+      |    AS BIGINT) AS ahash_hi,
+      |  CAST(sum(CASE WHEN ca >= mean AND cell < 32
+      |      THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END)
+      |    AS BIGINT) AS ahash_lo
+      |FROM cells c JOIN m USING (doc_id) GROUP BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -922,5 +971,6 @@ object Pipeline {
     "q81_imageio_round_trip" -> q81Sql,
     "q82_sql_functions" -> q82Sql,
     "q87_embed_centroids" -> q87Sql,
-    "q92_array_funcs" -> q92Sql)
+    "q92_array_funcs" -> q92Sql,
+    "q93_image_ahash" -> q93Sql)
 }
