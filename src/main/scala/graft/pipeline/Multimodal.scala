@@ -23,6 +23,18 @@ final case class DecodedImage(doc_id: Long, width: Int, height: Int, checksum: L
   */
 final case class ImageAHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
 
+/** One row entering the batched WAV encoder: sample count only; sample
+  * values derive deterministically from (doc_id, i).
+  */
+final case class WavSpecRow(doc_id: Long, n_samples: Int)
+
+/** Integer signal statistics of decoded PCM16 samples. `mean_square`
+  * is the floor of sum(s²)/n — the RMS without the sqrt, kept integer
+  * so any engine reproduces it exactly.
+  */
+final case class AudioStats(
+    doc_id: Long, n_samples: Long, mean_square: Long, peak: Long)
+
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with a
   * typed metadata struct, plus the transform plumbing (decode, resize spec,
   * frame sampling) a training-data pipeline runs over them.
@@ -311,6 +323,96 @@ object Multimodal {
             i += 1
           }
           ImageAHash(p.doc_id, hi, lo)
+        }
+      }))
+  }
+
+  /** Deterministic 16-bit PCM sample for the synthetic WAV encode path —
+    * the audio twin of [[syntheticRgb]], reproducible by any engine.
+    */
+  def syntheticPcm16(docId: Long, i: Int): Int =
+    (((docId * 31L + i * 2654435761L) & 0xffffL) - 32768L).toInt
+
+  /** REAL batched WAV ENCODER: fills a canonical mono PCM16 WAV (44-byte
+    * RIFF/fmt/data header + little-endian samples) with the
+    * deterministic [[syntheticPcm16]] signal at the requested per-row
+    * sample count. The bytes satisfy [[audioMeta]]'s header parse and
+    * any standards-compliant WAV reader. Bounded-batch mapPartitions,
+    * like the image codecs.
+    */
+  def encodeWavBatched(
+      df: DataFrame,
+      idCol: String,
+      nSamplesCol: String,
+      sampleRate: Int = 16000,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(nSamplesCol).cast("int").as("n_samples"))
+      .as[WavSpecRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val dataLen = r.n_samples * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVEfmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(1) // PCM, mono
+          .putInt(sampleRate).putInt(sampleRate * 2)
+          .putShort(2).putShort(16) // block align, bit depth
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < r.n_samples) {
+          buf.putShort(syntheticPcm16(r.doc_id, i).toShort); i += 1
+        }
+        MediaPayload(r.doc_id, buf.array())
+      }))
+      .toDF("doc_id", "media_bytes")
+  }
+
+  /** REAL batched PCM16 sample decode + integer signal statistics: parse
+    * the canonical WAV layout (the one [[audioMeta]] reads and
+    * [[encodeWavBatched]] writes — RIFF/"WAVEfmt "/leading fmt chunk,
+    * "data" at offset 36), read the little-endian samples, and reduce to
+    * all-integer stats (count, floor-mean-square, peak |s|) an engine
+    * with no audio reader can reproduce arithmetically — the q95 oracle
+    * does exactly that. Non-WAV or non-canonical payloads yield
+    * (-1, -1, -1).
+    */
+  def audioStatsBatched(
+      df: DataFrame,
+      idCol: String,
+      batchSize: Int = 64): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("media_bytes"))
+      .as[MediaPayload]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { p =>
+        val b = p.media_bytes
+        def tag(off: Int, s: String): Boolean =
+          b.length >= off + s.length &&
+            s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => b(off + i) == c }
+        if (!tag(0, "RIFF") || !tag(8, "WAVEfmt ") || !tag(36, "data"))
+          AudioStats(p.doc_id, -1L, -1L, -1L)
+        else {
+          val buf = java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val dataLen = buf.getInt(40)
+          val n = dataLen / 2
+          if (n <= 0 || 44 + dataLen > b.length) AudioStats(p.doc_id, -1L, -1L, -1L)
+          else {
+            var sumSq = 0L; var peak = 0L
+            var i = 0
+            while (i < n) {
+              val s = buf.getShort(44 + 2 * i).toLong
+              sumSq += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioStats(p.doc_id, n.toLong, sumSq / n, peak)
+          }
         }
       }))
   }

@@ -277,13 +277,18 @@ object TextDedup {
           .join(labels.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("lab"),
             lit(null).cast(labels.schema("lab").dataType).as("prev"))
-        // materialized BEFORE the pointer-jump self-join: step0 feeds
-        // the join twice (probe + jump target), and an unmaterialized
-        // subtree would be computed twice per round
-        val step0 = materialize(viaEdges
+        // step0 feeds the pointer-jump self-join twice (probe + jump
+        // target) as the SAME subplan ending in a shuffle, so Catalyst's
+        // ReuseExchange serves the second read from the first's shuffle
+        // files — no double compute (PipelineSpec pins a ReusedExchange
+        // in the round plan). Measured alternatives both lost: an eager
+        // checkpoint per round added a second full job (+30% on q46),
+        // a lazy persist raced both join branches into computing the
+        // same partitions before either cached.
+        val step0 = viaEdges
           .union(labels.select(col("id"), col("lab"), col("lab").as("prev")))
           .groupBy(col("id"))
-          .agg(min(col("lab")).as("lab"), max(col("prev")).as("prev")))
+          .agg(min(col("lab")).as("lab"), max(col("prev")).as("prev"))
         // pointer jump (path halving): lab := lab(lab). Labels are node
         // ids and only decrease, so the jump target exists and is ≤ lab;
         // round k then propagates ~2^k hops, so rounds needed shrink

@@ -567,6 +567,7 @@ object Pipeline {
     "q87_embed_centroids" -> (q87EmbedCentroids _),
     "q92_array_funcs" -> (q92ArrayFuncs _),
     "q93_image_ahash" -> (q93ImageAhash _),
+    "q95_audio_stats" -> (q95AudioStats _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -942,6 +943,41 @@ object Pipeline {
       |    AS BIGINT) AS ahash_lo
       |FROM cells c JOIN m USING (doc_id) GROUP BY 1""".stripMargin
 
+  // q95: WAV PCM sample decode — the audio twin of q93: encode the
+  // deterministic PCM16 signal into REAL canonical WAV bytes, parse the
+  // header with audioMeta's byte expressions AND decode the samples in
+  // the batched codec, reducing to all-integer stats. The DuckDB oracle
+  // has no audio reader: it rebuilds count/floor-mean-square/peak from
+  // the sample formula, so a pass proves the byte round-trip is
+  // sample-exact. Completes the multimodal decode story: image headers
+  // (q49), image pixels (q81/q93), audio samples (here).
+  def q95AudioStats(s: SparkSession, dir: String): DataFrame = {
+    val specs = t(s, dir, "documents").select(
+      col("doc_id"), (col("n_chars") % 1500 + 100).cast("int").as("n_spec"))
+    val wav = Multimodal.encodeWavBatched(specs, "doc_id", "n_spec")
+    val hdr = Multimodal.audioMeta(wav)
+      .select(col("doc_id"), col("audio_format"),
+        col("sample_rate"), col("n_channels"))
+    hdr.join(Multimodal.audioStatsBatched(wav, "doc_id").toDF(), "doc_id")
+      .select(col("doc_id"), col("audio_format"), col("sample_rate"),
+        col("n_channels"), col("n_samples"), col("mean_square"), col("peak"))
+  }
+
+  val q95Sql: String =
+    """WITH spec AS (
+      |  SELECT doc_id, CAST(n_chars % 1500 + 100 AS BIGINT) AS n
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, n,
+      |    ((doc_id * 31 + unnest(range(n)) * 2654435761) & 65535) - 32768 AS smp
+      |  FROM spec)
+      |SELECT doc_id, 'wav' AS audio_format, 16000 AS sample_rate,
+      |  1 AS n_channels,
+      |  CAST(max(n) AS BIGINT) AS n_samples,
+      |  CAST(sum(smp * smp) // max(n) AS BIGINT) AS mean_square,
+      |  CAST(max(abs(smp)) AS BIGINT) AS peak
+      |FROM v GROUP BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -972,5 +1008,6 @@ object Pipeline {
     "q82_sql_functions" -> q82Sql,
     "q87_embed_centroids" -> q87Sql,
     "q92_array_funcs" -> q92Sql,
-    "q93_image_ahash" -> q93Sql)
+    "q93_image_ahash" -> q93Sql,
+    "q95_audio_stats" -> q95Sql)
 }

@@ -289,6 +289,30 @@ class PipelineSpec extends SparkSpec {
     assert(TextDedup.dupClusters(pairs.limit(0)).count() == 0)
   }
 
+  test("dup-cluster round serves the jump join's second step0 read from ReusedExchange") {
+    // the exact per-round plan shape dupClusters builds: step0 (union +
+    // groupBy) feeds the pointer-jump self-join twice; the second read
+    // must come from the first's shuffle files, not a recompute — this
+    // pins the ReuseExchange behavior the loop's cost model relies on
+    val sym = (1L to 200L).map(i => (i, i % 50)).toDF("src", "dst")
+    val labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab")).localCheckpoint(true)
+    val viaEdges = sym.join(labels.withColumnRenamed("id", "src"), "src")
+      .select(col("dst").as("id"), col("lab"),
+        lit(null).cast("long").as("prev"))
+    val step0 = viaEdges
+      .union(labels.select(col("id"), col("lab"), col("lab").as("prev")))
+      .groupBy(col("id"))
+      .agg(min(col("lab")).as("lab"), max(col("prev")).as("prev"))
+    val step = step0.as("s").join(
+        step0.select(col("id").as("_g_jid"), col("lab").as("_g_jlab")).as("j"),
+        col("s.lab") === col("_g_jid"), "left")
+      .select(col("s.id"), coalesce(col("_g_jlab"), col("s.lab")).as("lab"))
+    step.collect()
+    val plan = step.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan.take(2000))
+  }
+
   test("dupClusters under a reliable checkpoint dir matches localCheckpoint mode") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 9L), (5L, 6L), (7L, 6L))
       .toDF("doc_a", "doc_b")
