@@ -32,7 +32,8 @@ final class TaskWrapper(
     args: RunArguments,
     userTasks: Map[String, UserTask],
     tracker: Tracker = Tracker.noop,
-    compileDir: Option[java.nio.file.Path] = None) {
+    compileDir: Option[java.nio.file.Path] = None,
+    templateLoader: String => Option[String] = _ => None) {
 
   var status: TaskStatus = TaskStatus.Configuring
   var runner: TaskRunner = _
@@ -66,7 +67,7 @@ final class TaskWrapper(
       case _ => Map.empty[String, Any]
     }
     ctx = new TaskContext(name, group, db, objects, parameters ++ taskParams,
-      args, tracker.task(name), compileDir)
+      args, tracker.task(name), compileDir, templateLoader)
 
     val taskType = spec.cfg.get("type").map(_.toString).getOrElse("")
     val made: Result[TaskRunner] = taskType match {
@@ -121,7 +122,8 @@ final class App(
     val objects: DbObjectCompiler,
     val parameters: Map[String, Any] = Map.empty,
     val userTasks: Map[String, UserTask] = Map.empty,
-    val compileDir: Option[java.nio.file.Path] = None) {
+    val compileDir: Option[java.nio.file.Path] = None,
+    val templateLoader: String => Option[String] = _ => None) {
 
   /** Configure all tasks and assemble the validated DAG (explicit +
     * implicit output→source edges, app.py:419-432). Shared by `run` and
@@ -133,7 +135,7 @@ final class App(
       Result[(Seq[TaskWrapper], Map[String, TaskWrapper], Map[String, Seq[String]])] = {
     val wrappers = specs.map(s =>
       new TaskWrapper(s, db, objects, parameters, args, userTasks, tracker,
-        compileDir))
+        compileDir, templateLoader))
     val byName = wrappers.map(w => w.name -> w).toMap
     if (byName.size != wrappers.size) {
       val dups = wrappers.groupBy(_.name).collect { case (n, ws) if ws.size > 1 => n }

@@ -82,7 +82,8 @@ object Cli {
 
         val app = new App(db, objects, loaded.parameters,
           userTasks = loadUserTasks(),
-          compileDir = Some(projectDir.resolve("compile")))
+          compileDir = Some(projectDir.resolve("compile")),
+          templateLoader = Project.fileLoader(projectDir))
 
         if (runArgs.command == "dag-image") {
           app.dag(loaded.specs, runArgs.copy(command = "compile")) match {

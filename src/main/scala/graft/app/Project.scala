@@ -55,6 +55,20 @@ object Project {
 
   // ---- loading -------------------------------------------------------------
 
+  /** Template loader for `{% include %}` / `{% import %}`: resolves
+    * paths against the project directory (the reference's
+    * FileSystemLoader(Path("."))), refusing traversal outside it — a
+    * template must not read `../../etc/passwd` however the path is
+    * spelled.
+    */
+  def fileLoader(projectDir: Path): String => Option[String] = { rel =>
+    val root = projectDir.toAbsolutePath.normalize
+    val p = root.resolve(rel).normalize
+    if (p.startsWith(root) && Files.isRegularFile(p))
+      Some(Files.readString(p))
+    else None
+  }
+
   def load(
       projectDir: Path,
       profileOverride: Option[String] = None,

@@ -18,6 +18,11 @@ import scala.collection.mutable
   *     capitalize, title, length/count, first, last;
   *   - `{% macro name(arg, arg2='default') %}` … `{% endmacro %}` with
   *     positional/keyword/default arguments and definition-scope closure;
+  *   - cross-file composition via the Context loader: `{% include 'f' %}`
+  *     (rendered in the current scope), `{% import 'f' %}` (flat merge of
+  *     the file's macros/assignments) and `{% from 'f' import a, b %}`;
+  *     namespaced `import … as ns` is rejected with a pointer to the
+  *     supported forms;
   *   - `{# comments #}` (dropped).
   *
   * Conditions follow Python/Jinja semantics: truthiness (None/false/""/0/
@@ -38,7 +43,13 @@ object Compiler {
       out: String => String = identity,
       config: Map[String, Any] => Unit = _ => (),
       allowConfig: Boolean = false,
-      warn: String => Unit = _ => ())
+      warn: String => Unit = _ => (),
+      /** Resolves `{% include %}` / `{% import %}` paths to template
+        * text (the engine analog of the reference's
+        * FileSystemLoader(Path("."), sayn/utils/compiler.py:48-50)).
+        * None = no such template; the default loader loads nothing.
+        */
+      loader: String => Option[String] = _ => None)
 
   // ---- template AST ------------------------------------------------------
 
@@ -52,6 +63,12 @@ object Compiler {
   private final case class SetNode(varName: String, expr: String) extends Node
   private final case class MacroNode(
       name: String, params: Seq[(String, Option[Any])], body: Seq[Node]) extends Node
+  private final case class IncludeNode(pathExpr: String) extends Node
+  /** `names = None` imports every macro/assignment; `Some(ns)` is the
+    * `{% from %}` form restricted to those names.
+    */
+  private final case class ImportNode(
+      pathExpr: String, names: Option[Seq[String]]) extends Node
 
   /** A defined `{% macro %}`, stored in the template scope like any other
     * value; closes over its definition scope (Jinja semantics).
@@ -126,6 +143,33 @@ object Compiler {
                 parseMacro(tag.stripPrefix("macro").trim) match {
                   case Right(n) => out += n
                   case Left(e) => return Left(e)
+                }
+              case "include" =>
+                i += 1
+                out += IncludeNode(tag.stripPrefix("include").trim)
+              case "import" =>
+                i += 1
+                val header = tag.stripPrefix("import").trim
+                // namespaced `{% import 'x' as m %}` would need dotted
+                // call resolution — fail loudly instead of silently
+                // flattening (use {% from 'x' import name %} or a plain
+                // import, which merges macros into the current scope)
+                if (header.split("\\s+").contains("as"))
+                  return Left(ParseError(
+                    "namespaced import ('{% import ... as ns %}') is not " +
+                      "supported; use {% from 'file' import name, ... %} " +
+                      "or {% import 'file' %} (flat merge)"))
+                out += ImportNode(header, None)
+              case "from" =>
+                i += 1
+                val FromHeader = "(?s)^(.+?)\\s+import\\s+(.+)$".r
+                tag.stripPrefix("from").trim match {
+                  case FromHeader(path, names) =>
+                    out += ImportNode(path.trim,
+                      Some(names.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+                  case other => return Left(ParseError(
+                    s"malformed from tag: {% from $other %} " +
+                      "(expected {% from 'file' import name, ... %})"))
                 }
               case other =>
                 return Left(ParseError(s"unexpected template tag '{% $tag %}'" +
@@ -259,7 +303,19 @@ object Compiler {
   // ---- renderer ----------------------------------------------------------
 
   private def render(
-      nodes: Seq[Node], ctx: Context, scope0: Map[String, Any]): Result[String] = {
+      nodes: Seq[Node], ctx: Context, scope0: Map[String, Any],
+      depth: Int = 0): Result[String] =
+    renderScope(nodes, ctx, scope0, depth).map(_._1)
+
+  /** Render and ALSO return the final scope — `{% import %}` needs the
+    * macros/assignments an imported template defined.
+    */
+  private def renderScope(
+      nodes: Seq[Node], ctx: Context, scope0: Map[String, Any],
+      depth: Int): Result[(String, Map[String, Any])] = {
+    if (depth > MaxIncludeDepth)
+      return Left(ParseError(
+        s"include/import nesting exceeds $MaxIncludeDepth (cycle?)"))
     val sb = new StringBuilder
     var scope = scope0 // {% set %} extends the scope for the rest of the block
     for (n <- nodes) {
@@ -285,8 +341,9 @@ object Compiler {
           def choose(bs: Seq[(String, Seq[Node])]): Result[String] = bs match {
             case (cond, body) +: rest =>
               Expr.eval(cond, scope).flatMap(v =>
-                if (Expr.truthy(v)) render(body, ctx, scope) else choose(rest))
-            case _ => render(elseBody, ctx, scope)
+                if (Expr.truthy(v)) render(body, ctx, scope, depth)
+                else choose(rest))
+            case _ => render(elseBody, ctx, scope, depth)
           }
           choose(branches)
         case ForNode(v, iterExpr, body) =>
@@ -302,21 +359,70 @@ object Compiler {
                         "index" -> (idx + 1L), "index0" -> idx.toLong,
                         "first" -> (idx == 0), "last" -> (idx == n - 1),
                         "length" -> n.toLong))
-                    render(body, ctx, loopScope).map(prev + _)
+                    render(body, ctx, loopScope, depth).map(prev + _)
                   }
               }
             case other => Left(ParseError(
               s"for-loop iterable '$iterExpr' is not a list (got " +
                 s"${if (other == null) "none" else other.getClass.getSimpleName})"))
           }
+        case IncludeNode(pathExpr) =>
+          // rendered with the CURRENT scope (Jinja include semantics);
+          // scope changes inside the included file do not leak back
+          loadTemplate(pathExpr, ctx, scope)
+            .flatMap { case (_, nodes2) => render(nodes2, ctx, scope, depth + 1) }
+        case ImportNode(pathExpr, names) =>
+          // Jinja import semantics: the imported template renders against
+          // the GLOBAL context only (not the including scope), its output
+          // is discarded, and its macros/assignments enter this scope
+          loadTemplate(pathExpr, ctx, scope).flatMap { case (path, nodes2) =>
+            renderScope(nodes2, ctx, ctx.params, depth + 1).flatMap {
+              case (_, imported) =>
+                val defined = imported.filter { case (k, v) =>
+                  !ctx.params.get(k).exists(_ == v)
+                }
+                names match {
+                  case None => scope ++= defined; Right("")
+                  case Some(ns) =>
+                    val missing = ns.filterNot(defined.contains)
+                    if (missing.nonEmpty)
+                      Left(ParseError(s"template '$path' does not define: " +
+                        missing.mkString(", ")))
+                    else {
+                      scope ++= defined.view.filterKeys(ns.toSet).toMap
+                      Right("")
+                    }
+                }
+            }
+          }
       }
       piece match {
         case Right(s) => sb.append(s)
-        case l @ Left(_) => return l.asInstanceOf[Result[String]]
+        case Left(e) => return Left(e)
       }
     }
-    Right(sb.result())
+    Right((sb.result(), scope))
   }
+
+  private val MaxIncludeDepth = 16
+
+  /** Evaluate an include/import path expression, resolve it through the
+    * context loader, and parse the template.
+    */
+  private def loadTemplate(
+      pathExpr: String, ctx: Context,
+      scope: Map[String, Any]): Result[(String, Seq[Node])] =
+    Expr.eval(pathExpr, scope).flatMap {
+      case p: String =>
+        ctx.loader(p) match {
+          case Some(text) => parseTemplate(text).map((p, _))
+          case None => Left(ParseError(
+            s"template '$p' not found (no template loader configured, " +
+              "or the file does not exist under the project directory)"))
+        }
+      case other => Left(ParseError(
+        s"include/import path must be a string, got: $other"))
+    }
 
   private val CallRe = "^([a-zA-Z_][a-zA-Z0-9_]*)\\((.*)\\)$".r
 

@@ -55,7 +55,8 @@ final class TaskContext(
     val parameters: Map[String, Any],
     val runArgs: RunArguments,
     val tracker: TaskTracker = null,
-    val compileDir: Option[java.nio.file.Path] = None) {
+    val compileDir: Option[java.nio.file.Path] = None,
+    val templateLoader: String => Option[String] = _ => None) {
 
   /** Step/progress API (python.py:91-114); defaults to a no-op sink. */
   val track: TaskTracker =
@@ -133,7 +134,8 @@ final class TaskContext(
         out = trap(out),
         config = onConfig,
         allowConfig = allowConfig,
-        warn = track.warn))
+        warn = track.warn,
+        loader = templateLoader))
     err.map(Left(_)).getOrElse(result)
   }
 }

@@ -177,4 +177,23 @@ class ProjectSpec extends SparkSpec {
     // autogroup destination templated from task name
     assert(rows(spark.table("auto_model")) == Set(Seq(1)))
   }
+
+  test("fileLoader serves project-relative templates, refuses traversal") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_loader_")
+    java.nio.file.Files.createDirectories(dir.resolve("sql"))
+    java.nio.file.Files.writeString(
+      dir.resolve("sql/frag.sql"), "WHERE x > 0")
+    java.nio.file.Files.writeString(
+      dir.getParent.resolve("graft_loader_escape.txt"), "secret")
+    val load = Project.fileLoader(dir)
+    assert(load("sql/frag.sql") == Some("WHERE x > 0"))
+    assert(load("missing.sql").isEmpty)
+    assert(load("../graft_loader_escape.txt").isEmpty) // no traversal
+    assert(load("sql/../../graft_loader_escape.txt").isEmpty)
+    // and the compiler surfaces it end-to-end
+    val ctx = graft.core.Compiler.Context(loader = load)
+    assert(graft.core.Compiler.compile(
+      "SELECT 1 {% include 'sql/frag.sql' %}", ctx)
+      == Right("SELECT 1 WHERE x > 0"))
+  }
 }

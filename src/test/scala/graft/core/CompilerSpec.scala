@@ -371,4 +371,49 @@ class CompilerSpec extends AnyFunSuite {
     assert(pos == Seq("a", 1L))
     assert(kw == Map("key" -> 2.5, "flag" -> true, "xs" -> Seq("p", "q")))
   }
+
+  // ---- include / import (cross-file composition via Context.loader) ----
+
+  private val files = Map(
+    "frag.sql" -> "WHERE dt >= '{{ start_dt }}'",
+    "macros.sql" -> ("{% macro greet(n) %}hello {{ n }}{% endmacro %}" +
+      "{% macro shout(n) %}{{ n | upper }}{% endmacro %}" +
+      "{% set version = 3 %}"),
+    "a.sql" -> "A{% include 'b.sql' %}",
+    "b.sql" -> "B{% include 'a.sql' %}")
+  private def loaded(params: Map[String, Any] = Map("start_dt" -> "2026-01-01")) =
+    Context(params = params, loader = files.get)
+
+  test("include renders the file in the current scope") {
+    assert(Compiler.compile("SELECT * FROM t {% include 'frag.sql' %}", loaded())
+      == Right("SELECT * FROM t WHERE dt >= '2026-01-01'"))
+    // set before the include is visible inside it (Jinja include scope)
+    val ctx = Context(loader = Map("f" -> "{{ x }}").get)
+    assert(Compiler.compile("{% set x = 7 %}{% include 'f' %}", ctx) == Right("7"))
+  }
+
+  test("import merges macros and assignments; from-import selects names") {
+    assert(Compiler.compile(
+      "{% import 'macros.sql' %}{{ greet('w') }} v{{ version }}", loaded())
+      == Right("hello w v3"))
+    assert(Compiler.compile(
+      "{% from 'macros.sql' import shout %}{{ shout('hi') }}", loaded())
+      == Right("HI"))
+    // from-import does NOT bring in unlisted names
+    assert(Compiler.compile(
+      "{% from 'macros.sql' import shout %}{{ greet('w') }}", loaded()).isLeft)
+    // a listed name the file never defines errors loudly
+    val Left(e1) = Compiler.compile(
+      "{% from 'macros.sql' import nope %}", loaded())
+    assert(e1.toString.contains("does not define"))
+  }
+
+  test("import is namespaced-free by design; missing files and cycles error") {
+    val Left(e1) = Compiler.compile("{% import 'macros.sql' as m %}", loaded())
+    assert(e1.toString.contains("namespaced import"))
+    val Left(e2) = Compiler.compile("{% include 'gone.sql' %}", loaded())
+    assert(e2.toString.contains("not found"))
+    val Left(e3) = Compiler.compile("{% include 'a.sql' %}", loaded())
+    assert(e3.toString.contains("nesting exceeds"))
+  }
 }
