@@ -466,6 +466,68 @@ object StreamingEntries {
     s.read.parquet(current.getOrElse(sys.error("q89: no micro-batch ran")))
   }
 
+  /** Fixture plus ONE far-future sentinel row (not per-user): enough to
+    * drag both sides' watermarks past every real row for outer-join
+    * finality, without the per-user sentinel set's cross product when
+    * both streams keep their sentinels. Memoized like the others.
+    */
+  private val oneSentinelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageOneSentinel(s: SparkSession, dir: String): String =
+    oneSentinelDirs.computeIfAbsent(dir, { _ =>
+      val staged = tempDirCleanedAtExit(None, "graft_stream_one_sentinel_")
+      Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"))
+      val tenDaysNs = 10L * 24 * 3600 * 1000L * 1000 * 1000
+      val events = Tables(s, dir, "events")
+      val sentinelTs = events.agg(max(col("ts"))).head().getLong(0) + tenDaysNs
+      events.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit(sentinelTs).as("ts"),
+          lit(-1L).as("user_id"),
+          lit("_sentinel").as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+        .write.mode("append").parquet(staged.toString)
+      staged.toString
+    })
+
+  // q97: streaming LEFT OUTER interval join — q62's pairing, but every
+  // purchase emits even when no error precedes it (null error_id), the
+  // attribution-with-coverage shape. Outer emission is watermark-gated:
+  // an unmatched purchase finalizes only when the ERROR side's watermark
+  // passes its last possible match time, so both streams carry the
+  // single far-future sentinel (its self-match and any sentinel rows are
+  // filtered by id). Drained result must equal DuckDB's batch LEFT
+  // inequality join.
+  def q97StreamingLeftIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageOneSentinel(s, dir)
+    val s2 = streamSession(s, 8)
+    val hourUs = 3600L * 1000 * 1000
+    def typed(tpe: String, idAs: String, tsAs: String): DataFrame =
+      s2.readStream.schema(eventsSchema).parquet(staged)
+        .filter(col("event_type").isin(tpe, "_sentinel"))
+        .select(col("event_id").as(idAs),
+          timestamp_micros(expr("ts div 1000")).as(tsAs))
+    val purchases = typed("purchase", "purchase_id", "p_ts")
+    val errors = typed("error", "error_id", "e_ts")
+    val joined = Streaming.intervalJoin(
+      purchases, "p_ts", errors, "e_ts",
+      lengthUs = hourUs, bucketWidthUs = hourUs, joinType = "left_outer")
+    runAvailableNow(
+      joined.select(col("purchase_id"), col("error_id")), "graft_q97_left_interval")
+      .filter(col("purchase_id") =!= -1L &&
+        (col("error_id").isNull || col("error_id") =!= -1L))
+  }
+
+  val q97Sql: String =
+    """SELECT p.event_id AS purchase_id, i.event_id AS error_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') i
+      |  ON epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(i.ts AS TIMESTAMP))
+      |  AND epoch_us(CAST(p.ts AS TIMESTAMP))
+      |    <= epoch_us(CAST(i.ts AS TIMESTAMP)) + 3600000000""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_streaming_sessions" -> (q38StreamingSessions _),
     "q39_streaming_window" -> (q39StreamingWindow _),
@@ -475,7 +537,8 @@ object StreamingEntries {
     "q63_streaming_asof" -> (q63StreamingAsof _),
     "q74_session_window" -> (q74SessionWindow _),
     "q75_streaming_topk" -> (q75StreamingTopk _),
-    "q89_streaming_cdc_apply" -> (q89StreamingCdcApply _))
+    "q89_streaming_cdc_apply" -> (q89StreamingCdcApply _),
+    "q97_streaming_left_interval_join" -> (q97StreamingLeftIntervalJoin _))
 
   def oracles: Map[String, String] = Map(
     "q38_streaming_sessions" -> q38Sql,
@@ -491,5 +554,6 @@ object StreamingEntries {
     "q75_streaming_topk" -> q75Sql,
     // batch latestByKey, the streaming foreachBatch upsert sink, and
     // DuckDB's row_number argmax agree three ways
-    "q89_streaming_cdc_apply" -> Temporal.q66Sql)
+    "q89_streaming_cdc_apply" -> Temporal.q66Sql,
+    "q97_streaming_left_interval_join" -> q97Sql)
 }

@@ -387,6 +387,34 @@ object Temporal {
       |  min(value) AS min_value, max(value) AS max_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  // q96: IGNORE NULLS window battery — the carry-forward surface SQL
+  // pipelines lean on (last non-null observation per key: the windowed
+  // form of resampleFfill's fill step) plus plain lag, both at the µs
+  // ordering discipline. Values are carried verbatim (no arithmetic),
+  // so the cross-engine compare is exact.
+  def q96IgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    ev(s, dir).select(
+      col("user_id"), col("event_id"), col("ts_us"),
+      last(when(col("event_type") === "purchase", col("value")),
+        ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("last_purchase"),
+      lag(col("value"), 1).over(w).as("prev_value"))
+  }
+
+  val q96Sql: String =
+    """SELECT user_id, event_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |    IGNORE NULLS) OVER (w ROWS UNBOUNDED PRECEDING) AS last_purchase,
+      |  lag(value, 1) OVER w AS prev_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
@@ -401,7 +429,8 @@ object Temporal {
     "q85_scd2" -> (q85Scd2 _),
     "q86_bloom_prune_join" -> (q86BloomPruneJoin _),
     "q90_snapshot_diff" -> (q90SnapshotDiff _),
-    "q91_incremental_agg" -> (q91IncrementalAgg _))
+    "q91_incremental_agg" -> (q91IncrementalAgg _),
+    "q96_ignore_nulls" -> (q96IgnoreNulls _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
@@ -417,5 +446,6 @@ object Temporal {
     "q85_scd2" -> q85Sql,
     "q86_bloom_prune_join" -> q86Sql,
     "q90_snapshot_diff" -> q90Sql,
-    "q91_incremental_agg" -> q91Sql)
+    "q91_incremental_agg" -> q91Sql,
+    "q96_ignore_nulls" -> q96Sql)
 }

@@ -93,9 +93,19 @@ object Streaming {
       startTs: String,
       lengthUs: Long,
       bucketWidthUs: Long,
-      watermark: String = "30 minutes"): DataFrame = {
+      watermark: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(lengthUs >= 0, "lengthUs must be non-negative")
     require(bucketWidthUs > 0, "bucketWidthUs must be positive")
+    // left_outer: unmatched POINTS emit null-augmented rows once the
+    // intervals-side watermark passes their last possible match time —
+    // the event-time range condition below is what makes Spark accept
+    // the outer stream-stream join and bound its state. Points are not
+    // exploded (one bucket per point), so an unmatched point emits
+    // exactly once. A bounded drain needs a far-future row on BOTH
+    // streams or tail rows inside the watermark delay never finalize.
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val collisions = points.columns.toSet intersect intervals.columns.toSet
     require(collisions.isEmpty,
       s"points/intervals column collision: ${collisions.mkString(", ")}")
@@ -113,7 +123,8 @@ object Streaming {
     pts.join(ivs,
       col("_g_pb") === col("_g_ib") &&
         col(pointTs) >= col(startTs) &&
-        col(pointTs) <= col(startTs) + expr(s"INTERVAL $lengthUs MICROSECOND"))
+        col(pointTs) <= col(startTs) + expr(s"INTERVAL $lengthUs MICROSECOND"),
+      joinType)
       .drop("_g_pb", "_g_ib")
   }
 

@@ -71,6 +71,30 @@ class Scd2Spec extends SparkSpec {
     assert(rows(merged) == rows(full))
   }
 
+  test("SCD2 + as-of join reconstructs any point-in-time snapshot") {
+    // the composition the operator exists for: asOf(probe@T, dim on
+    // valid_from) must return each key's state at T — identical to
+    // compacting the changelog truncated at T
+    val hist = (1 to 30).map { i =>
+      val key = (i % 3).toLong
+      ((key, i.toLong * 10, i.toLong, Seq("a", "b", "c")((i * 7 + key.toInt) % 3)))
+    }
+    val changes = hist.toDF("user_id", "ts", "chg_id", "status")
+    val dim = Scd2.build(changes, Seq("user_id"), "ts", Seq("status"), Seq("chg_id"))
+    for (t <- Seq(45L, 150L, 300L)) {
+      val probe = Seq(0L, 1L, 2L).toDF("user_id").withColumn("ts",
+        org.apache.spark.sql.functions.lit(t))
+      val viaAsof = Joins.asOf(
+        probe, dim.select($"user_id", $"status", $"valid_from"),
+        keys = Seq("user_id"), probeTs = "ts", buildTs = "valid_from")
+        .select($"user_id", $"status")
+      val truth = graft.ops.Changelog.latestByKey(
+        changes.filter($"ts" <= t), Seq("user_id"), "ts", Seq("chg_id"))
+        .select($"user_id", $"status")
+      assert(rows(viaAsof) == rows(truth), s"snapshot at t=$t")
+    }
+  }
+
   test("merge leaves untouched keys byte-identical") {
     val dim = Scd2.build(
       changes((1L, 10L, 1L, "a"), (2L, 10L, 2L, "b")),

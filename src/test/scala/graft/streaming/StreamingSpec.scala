@@ -73,6 +73,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 100L), (2L, 100L), (4L, 200L), (5L, 100L)))
   }
 
+  test("left_outer intervalJoin emits unmatched points once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    val pts = MemoryStream[(Long, Timestamp)]
+    val ivs = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.intervalJoin(
+      pts.toDF().toDF("pid", "p_ts"), "p_ts",
+      ivs.toDF().toDF("iid", "i_ts"), "i_ts",
+      lengthUs = 10L * 60 * 1000000,
+      bucketWidthUs = 10L * 60 * 1000000,
+      watermark = "5 minutes",
+      joinType = "left_outer")
+    val q = joined.select("pid", "iid")
+      .writeStream.format("memory").queryName("loij").outputMode("append").start()
+    ivs.addData((100L, ts(10)))
+    pts.addData(
+      (1L, ts(15)), // inside 100 → matched
+      (2L, ts(45))) // inside nothing → must still emit (null iid)
+    q.processAllAvailable()
+    // far-future rows on BOTH sides advance both watermarks past t=45+10m
+    ivs.addData((-1L, ts(10000)))
+    pts.addData((-1L, ts(10000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("loij").collect()
+      .filter(_.getLong(0) != -1L)
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, null)))
+  }
+
   test("asOfStatic enriches with the latest snapshot at-or-before event time") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, String)]
