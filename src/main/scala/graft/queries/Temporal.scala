@@ -415,6 +415,25 @@ object Temporal {
       |WINDOW w AS (PARTITION BY user_id
       |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)""".stripMargin
 
+  // q98: FILTER-clause conditional aggregation — the per-branch
+  // aggregate surface (count/sum/distinct-count under different
+  // predicates in ONE pass over the data, no self-joins). Identical SQL
+  // text on both engines, q79-style; the decimal discipline keeps the
+  // filtered sum bit-stable.
+  def q98FilterAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "events").createOrReplaceTempView("q98_events")
+    s.sql(q98Sql.replace("FROM events", "FROM q98_events"))
+  }
+
+  val q98Sql: String =
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE value > 50) AS n_big,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) FILTER (WHERE user_id % 2 = 0)
+      |    AS DOUBLE) AS even_user_sum,
+      |  count(DISTINCT user_id) FILTER (WHERE value > 90) AS big_spenders
+      |FROM events GROUP BY event_type""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
@@ -430,7 +449,8 @@ object Temporal {
     "q86_bloom_prune_join" -> (q86BloomPruneJoin _),
     "q90_snapshot_diff" -> (q90SnapshotDiff _),
     "q91_incremental_agg" -> (q91IncrementalAgg _),
-    "q96_ignore_nulls" -> (q96IgnoreNulls _))
+    "q96_ignore_nulls" -> (q96IgnoreNulls _),
+    "q98_filter_agg" -> (q98FilterAgg _))
 
   def oracles: Map[String, String] = Map(
     "q58_asof_join" -> q58Sql,
@@ -447,5 +467,6 @@ object Temporal {
     "q86_bloom_prune_join" -> q86Sql,
     "q90_snapshot_diff" -> q90Sql,
     "q91_incremental_agg" -> q91Sql,
-    "q96_ignore_nulls" -> q96Sql)
+    "q96_ignore_nulls" -> q96Sql,
+    "q98_filter_agg" -> q98Sql)
 }
