@@ -120,6 +120,63 @@ object Sampling {
     * offset + local rank, identical to the one-window answer. Size
     * `shards` ≥ cluster cores; skew is impossible (md5 is uniform).
     */
+  /** Contiguous sequence packing: assign each row the capacity-sized bin
+    * where it STARTS in the `orderCol`-ordered concatenation of `sizeCol`
+    * units — the crude-but-standard way a training pipeline groups
+    * documents into fixed-budget sequences without splitting them.
+    * Output adds `pack_prefix` (the row's exclusive running-size offset)
+    * and `seq_bin` (= pack_prefix div capacity).
+    *
+    * Same no-single-partition-window discipline as
+    * [[deterministicShuffle]]: rows shard by a MONOTONIC range map over
+    * `orderCol` (any contiguous split yields the same prefix sums, so
+    * boundary rounding is harmless), the running sum runs per shard, and
+    * per-shard totals become broadcast offsets — the global prefix is
+    * exact at any scale with no global window.
+    *
+    * Contract: `orderCol` numeric and row-unique (ties would make the
+    * concatenation order — hence the bins — undefined); sizes ≥ 0.
+    */
+  def packContiguous(
+      df: DataFrame,
+      orderCol: String,
+      sizeCol: String,
+      capacity: Long,
+      shards: Int = 64): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(shards > 0 && shards <= (1 << 20),
+      s"shards must be in (0, 2^20], got $shards")
+    val reserved = Seq("_lo", "_hi", "_shard", "_n", "_offset")
+      .intersect(df.columns.toSeq)
+    require(reserved.isEmpty,
+      s"reserved column names in input: ${reserved.mkString(", ")}")
+    val bounds = df.agg(
+      min(col(orderCol)).cast("double").as("_lo"),
+      max(col(orderCol)).cast("double").as("_hi"))
+    val sharded = df.crossJoin(broadcast(bounds))
+      .withColumn("_shard", least(
+        lit(shards - 1L),
+        floor((col(orderCol).cast("double") - col("_lo")) * shards /
+          (col("_hi") - col("_lo") + 1d)).cast("long")))
+      .drop("_lo", "_hi")
+    val localPrefix = sum(col(sizeCol)).over(
+      Window.partitionBy(col("_shard")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+      col(sizeCol)
+    val counts = sharded.groupBy(col("_shard"))
+      .agg(sum(col(sizeCol)).as("_n"))
+    val offsets = counts.select(col("_shard"),
+      (sum(col("_n")).over(
+        Window.orderBy(col("_shard"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("_n")).as("_offset"))
+    sharded
+      .join(broadcast(offsets), Seq("_shard"))
+      .withColumn("pack_prefix", (col("_offset") + localPrefix).cast("long"))
+      .withColumn("seq_bin", expr(s"pack_prefix div $capacity"))
+      .drop("_shard", "_offset")
+  }
+
   def deterministicShuffle(
       df: DataFrame, idCol: String, seed: String = "0",
       shards: Int = 64): DataFrame = {

@@ -264,6 +264,43 @@ object TextStats {
     * window exchange (the lead()/min()-over-window formulation shuffles
     * every token by document id, twice).
     */
+  /** Split documents into fixed-width character chunks with overlap —
+    * the context-window preparation step of a training pipeline. Chunk i
+    * starts at i·stride (stride = chunkChars − overlapChars) and spans
+    * chunkChars characters (the final chunk is shorter when the text
+    * runs out); every document yields ≥ 1 chunk, and a document shorter
+    * than chunkChars yields exactly itself. Pure in-row explode +
+    * substring — zero shuffles, any engine reproduces the arithmetic
+    * (the q99 oracle does). Swap character counts for token counts
+    * upstream (tokenStats) when chunking by tokens.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkChars: Int,
+      overlapChars: Int = 0): DataFrame = {
+    require(chunkChars > 0, s"chunkChars must be positive, got $chunkChars")
+    require(overlapChars >= 0 && overlapChars < chunkChars,
+      s"overlapChars must be in [0, chunkChars), got $overlapChars")
+    val stride = chunkChars - overlapChars
+    // double division, NOT integer division (which would floor before
+    // ceil); lengths are far below 2^53 so the quotient is exact
+    val nChunks = greatest(lit(1L),
+      ceil((length(col(textCol)) - lit(overlapChars)).cast("double") / stride)
+        .cast("long"))
+    df.select(
+        col(idCol),
+        col(textCol),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col(textCol)
+          .substr(col("chunk_idx") * stride + 1, lit(chunkChars))
+          .as("chunk_text"))
+  }
+
   def fingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4): DataFrame = {

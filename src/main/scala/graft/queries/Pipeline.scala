@@ -568,6 +568,8 @@ object Pipeline {
     "q92_array_funcs" -> (q92ArrayFuncs _),
     "q93_image_ahash" -> (q93ImageAhash _),
     "q95_audio_stats" -> (q95AudioStats _),
+    "q99_chunking" -> (q99Chunking _),
+    "q100_sequence_packing" -> (q100SequencePacking _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -978,6 +980,43 @@ object Pipeline {
       |  CAST(max(abs(smp)) AS BIGINT) AS peak
       |FROM v GROUP BY doc_id""".stripMargin
 
+  // q99: document chunking — fixed-width character chunks with overlap
+  // (TextStats.chunkDocuments: in-row explode + substr, zero shuffles).
+  // The oracle rebuilds every chunk with generate_series + substring —
+  // chunk COUNT, boundaries and text must all agree.
+  def q99Chunking(s: SparkSession, dir: String): DataFrame =
+    TextStats.chunkDocuments(
+      t(s, dir, "documents"), "doc_id", "text",
+      chunkChars = 200, overlapChars = 50)
+
+  val q99Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |    greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS BIGINT)) AS nc
+      |  FROM documents)
+      |SELECT doc_id, unnest(range(nc)) AS chunk_idx,
+      |  substring(text, CAST(unnest(range(nc)) * 150 + 1 AS INT), 200) AS chunk_text
+      |FROM n""".stripMargin
+
+  // q100: contiguous sequence packing — every document lands in the
+  // capacity-sized bin where it starts in the doc_id-ordered size
+  // stream (Sampling.packContiguous: sharded running sums + broadcast
+  // offsets, NO single-partition window). The oracle computes the same
+  // prefix with one global window — the sharded answer must equal it
+  // exactly, the same law deterministicShuffle's oracle pins.
+  def q100SequencePacking(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.packContiguous(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      orderCol = "doc_id", sizeCol = "n_chars", capacity = 8192L)
+      .select(col("doc_id"), col("n_chars"), col("pack_prefix"), col("seq_bin"))
+
+  val q100Sql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(sum(n_chars) OVER w - n_chars AS BIGINT) AS pack_prefix,
+      |  CAST((sum(n_chars) OVER w - n_chars) // 8192 AS BIGINT) AS seq_bin
+      |FROM documents
+      |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -1009,5 +1048,7 @@ object Pipeline {
     "q87_embed_centroids" -> q87Sql,
     "q92_array_funcs" -> q92Sql,
     "q93_image_ahash" -> q93Sql,
-    "q95_audio_stats" -> q95Sql)
+    "q95_audio_stats" -> q95Sql,
+    "q99_chunking" -> q99Sql,
+    "q100_sequence_packing" -> q100Sql)
 }
