@@ -301,6 +301,50 @@ object TextStats {
           .as("chunk_text"))
   }
 
+  /** Deflate-compression quality signal: bytes-in vs deflated bytes-out
+    * per document. Highly repetitive or templated text compresses far
+    * below natural prose, and near-random noise barely compresses — the
+    * corpus-hygiene ratio the Gopher/MassiveText filters cut on. Runs in
+    * the same bounded-batch `mapPartitions` boundary as the media codecs
+    * (one java.util.zip.Deflater reused per partition, reset per doc);
+    * the OUTPUT LENGTH is implementation-specific by nature, so the
+    * driver entry is declared rows-only and the ordering/bounds
+    * properties are asserted in ScalaTest instead of a cross-engine
+    * hash.
+    */
+  def compressionSignal(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      level: Int = 6,
+      batchSize: Int = 256): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level in [1,9], got $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, raw.length.toLong, out)
+        })
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated")
+      .withColumn("compression_ratio",
+        // NULL on empty text: deflate's 8-byte empty-stream header would
+        // otherwise read as a nonsense ratio of 8.0
+        when(col("n_bytes") === 0L, lit(null))
+          .otherwise(col("n_deflated").cast("double") / col("n_bytes")))
+  }
+
   def fingerprints(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4): DataFrame = {

@@ -533,6 +533,14 @@ object Pipeline {
   def q30Fingerprints(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")
 
+  // q101: deflate-compression quality signal — rows-only by design
+  // (deflate output length is implementation-specific; no cross-engine
+  // oracle can hash it). Ordering/bounds properties — repetitive text
+  // compresses below prose, ratios bounded, batch-size invariance — are
+  // asserted in PipelineSpec/ChunkPackSpec instead.
+  def q101CompressionSignal(s: SparkSession, dir: String): DataFrame =
+    TextStats.compressionSignal(t(s, dir, "documents"), "doc_id", "text")
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_dedup_exact" -> (q15DedupExact _),
     "q16_ngram_jaccard" -> (q16NgramJaccard _),
@@ -574,6 +582,7 @@ object Pipeline {
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
+    "q101_compression_signal" -> (q101CompressionSignal _),
     "q30_fingerprints" -> (q30Fingerprints _))
 
   // q57: PII scrub — the fixture text contains no PII, so the entry

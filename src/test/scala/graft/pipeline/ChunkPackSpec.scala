@@ -26,6 +26,28 @@ class ChunkPackSpec extends SparkSpec {
     }
   }
 
+  test("compressionSignal: repetitive < prose < noise; bounds; batch invariance") {
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, "spam " * 400), // highly repetitive
+      (2L, ("the quick brown fox jumps over the lazy dog and then " +
+        "wanders off towards the river bank looking for supper ") * 20),
+      (3L, Array.fill(2000)((rnd.nextInt(94) + 33).toChar).mkString), // noise
+      (4L, "")) // empty doc must not divide by zero
+      .toDF("doc_id", "text")
+    val rows4 = TextStats.compressionSignal(docs, "doc_id", "text").collect()
+    val out = rows4.filterNot(_.isNullAt(3))
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L), out)
+    assert(out.values.forall(r => r >= 0.0 && r < 1.2), out)
+    // empty text: ratio is NULL, not the deflate header artifact
+    assert(rows4.find(_.getLong(0) == 4L).get.isNullAt(3))
+    val b1 = TextStats.compressionSignal(docs, "doc_id", "text", batchSize = 1)
+      .collect().map(_.toSeq).toSet
+    assert(b1 == TextStats.compressionSignal(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("packContiguous: exact prefix bins, shard-count invariance") {
     val docs = (1L to 6L).map(i => (i, 5L)).toDF("doc_id", "sz")
     val out = Sampling.packContiguous(docs, "doc_id", "sz", capacity = 10)
