@@ -25,6 +25,28 @@ class AHashSpec extends SparkSpec {
     assert(row == ImageAHash(1L, 0x0f0f0f0fL, 0x0f0f0f0fL))
   }
 
+  test("aHash near-dup pairing composes with the SimHash pigeonhole bands") {
+    import org.apache.spark.sql.functions._
+    // 32×32 → each aHash cell is one 4×4 block. base = 4px checkerboard
+    // (bits alternate); near = base with ONE block inverted (hamming 1);
+    // far = 8px vertical stripes (disagrees on half the cells).
+    val base = (x: Int, y: Int) =>
+      if ((x / 4 + y / 4) % 2 == 0) 0xffffff else 0x000000
+    val near = (x: Int, y: Int) =>
+      if (x < 4 && y < 4) 0xffffff - base(x, y) else base(x, y)
+    val far = (x: Int, _: Int) => if ((x / 8) % 2 == 0) 0xffffff else 0x000000
+    val df = Seq(
+      (1L, pngBytes(32, 32)(base)),
+      (2L, pngBytes(32, 32)(near)),
+      (3L, pngBytes(32, 32)(far))).toDF("doc_id", "media_bytes")
+    val fps = Multimodal.aHashImagesBatched(df, "doc_id").toDF()
+      .select(col("doc_id"),
+        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("simhash"))
+    val pairs = TextDedup.simhashPairs(fps, "doc_id", maxHamming = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs)
+  }
+
   test("aHash is batch-size invariant and rejects undecodable/small payloads") {
     val imgs = (1L to 5L).map(i =>
       (i, pngBytes(16, 12)((x, y) => if ((x + y + i).toInt % 3 == 0) 0xffffff else 0x202020)))
