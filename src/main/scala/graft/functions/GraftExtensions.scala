@@ -52,6 +52,7 @@ object GraftExtensions {
   val descriptors: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     one("simhash64")(SimHash64(_)),
+    one("byte_entropy")(ByteEntropy(_)),
     two("long_array_dot")(LongArrayDot(_, _)))
 
   /** Register on a live session (idempotent: re-registration replaces). */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling: per-column row/null/distinct counts in ONE pass —
@@ -35,5 +35,84 @@ object Profile {
         col(s"_g_nn_$c").as("n_nulls"),
         col(s"_g_nd_$c").as("n_distinct"))): _*)).as("_g_p"))
       .select(col("_g_p.*"))
+  }
+
+  /** Equi-width histogram via `width_bucket`: bucket 1..nBuckets covers
+    * [lo, hi) in equal widths, bucket 0 is underflow and nBuckets+1
+    * overflow (SQL-standard semantics). Output: (bucket, lo_edge,
+    * hi_edge, n_rows); NULL edges on the open under/overflow buckets,
+    * empty buckets absent (a LEFT JOIN against a bucket spine adds
+    * them when a dense axis is wanted).
+    *
+    * One partial-aggregated groupBy whose exchange carries ≤ nBuckets+2
+    * rows per partition — profiling cost is one scan at any corpus
+    * scale. Edge values are lo + bucket·(hi−lo)/n in double, the same
+    * IEEE expression an oracle engine evaluates.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val inRange = col("bucket") >= 1 && col("bucket") <= nBuckets
+    df.select(expr(
+        s"width_bucket(CAST(`$valueCol` AS DOUBLE), $lo, $hi, $nBuckets)")
+        .as("bucket"))
+      .filter(col("bucket").isNotNull) // NULL input falls in no bucket
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        col("bucket"),
+        when(inRange, lit(lo) + (col("bucket") - 1) * ((hi - lo) / nBuckets))
+          .as("lo_edge"),
+        when(inRange, lit(lo) + col("bucket") * ((hi - lo) / nBuckets))
+          .as("hi_edge"),
+        col("n_rows"))
+  }
+
+  /** Tukey-fence outlier report per key: exact quartiles (sort-based
+    * `percentile`, the [[columnProfile]] exactness contract), fences at
+    * q1 − factor·IQR / q3 + factor·IQR, and the count of rows outside
+    * them. Output per key: (keys…, n_rows, n_outliers, lo_fence,
+    * hi_fence), fences rounded through DECIMAL(28,6) for cross-engine
+    * display; the COMPARISON uses the raw double fences (both engines
+    * derive them from identical order statistics with the same IEEE
+    * arithmetic, so the cut is deterministic).
+    *
+    * Two passes over the keyed data: one percentile aggregate (the
+    * exact-answer price — swap in approx_percentile at corpus scale for
+    * a one-pass sketch), one broadcast join back (the fence frame is
+    * one row per key) + count aggregate.
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      factor: Double = 1.5): DataFrame = {
+    require(keys.nonEmpty, "iqrOutliers needs at least one key column")
+    require(factor >= 0, s"factor must be non-negative, got $factor")
+    val reserved = Seq("_g_q1", "_g_q3", "_g_lo", "_g_hi")
+    reserved.foreach(n => require(!df.columns.contains(n),
+      s"reserved column name in input: $n"))
+    val v = col(valueCol).cast("double")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val fences = df.groupBy(keys.map(col): _*)
+      .agg(
+        percentile(v, lit(0.25)).as("_g_q1"),
+        percentile(v, lit(0.75)).as("_g_q3"))
+      .select(keys.map(col) ++ Seq(
+        (col("_g_q1") - (col("_g_q3") - col("_g_q1")) * factor).as("_g_lo"),
+        (col("_g_q3") + (col("_g_q3") - col("_g_q1")) * factor).as("_g_hi")): _*)
+    df.join(broadcast(fences), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(v < col("_g_lo") || v > col("_g_hi"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        d6(first(col("_g_lo"))).as("lo_fence"),
+        d6(first(col("_g_hi"))).as("hi_fence"))
   }
 }

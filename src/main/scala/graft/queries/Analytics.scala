@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.ByteEntropy
+import graft.ops.Profile
+import graft.pipeline.Behavior
+
+/** Behavioral-analytics and data-quality profiling entries: funnel /
+  * transition / retention over the events fixture (the questions a team
+  * asks right after sessionization) and histogram / outlier / entropy
+  * profiling (the data-quality snapshot before a corpus ships).
+  *
+  * All exact with cross-engine oracles. Determinism notes per entry —
+  * the common discipline: timestamps at µs (`ts div 1000`, matching
+  * DuckDB's parquet nanos handling, see [[Temporal]]), bucket and
+  * period arithmetic on INTEGERS (`div`, never `/`), doubles only
+  * where both engines derive them from identical exact values.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts div 1000").as("ts_us"))
+
+  private def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+
+  private val dayUs = 86400L * 1000 * 1000
+
+  // q102: sequential funnel signup → click → purchase within 24h of the
+  // signup, greedy-first binding (Behavior.funnelUsers). 24h makes the
+  // span bind at sf0.01 (150 → 65 → 15 users), so the oracle checks the
+  // span arithmetic, not just presence of each event type.
+  def q102Funnel(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnelCounts(ev(s, dir), "user_id", "event_type", "ts_us",
+      steps = Seq("signup", "click", "purchase"), maxSpan = dayUs)
+
+  val q102Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t1
+      |       FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, s1.t1, min(e.ts_us) AS t2
+      |       FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+      |         AND e.ts_us <= s1.t1 + 86400000000 GROUP BY 1, 2),
+      |s3 AS (SELECT e.user_id, min(e.ts_us) AS t3
+      |       FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+      |         AND e.ts_us <= s2.t1 + 86400000000 GROUP BY 1)
+      |SELECT 1 AS step_idx, 'signup' AS step_name,
+      |       (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
+
+  // q103: Markov transition counts over each user's event sequence,
+  // ordered by (ts_us, event_id) — the tiebreaker makes the sequence
+  // deterministic in BOTH engines when two events share a µs.
+  def q103Transitions(s: SparkSession, dir: String): DataFrame =
+    Behavior.transitions(ev(s, dir), "user_id", "event_type", "ts_us",
+      tieCol = "event_id")
+
+  val q103Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS to_type
+      |  FROM e)
+      |SELECT from_type, to_type, count(*) AS n_transitions
+      |FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  // q104: cohort retention on 6-hour periods (6h binds at sf0.01: 854
+  // varied cells across 8 cohorts; a weekly grid is all-ones). Period
+  // ids via integer `div` — double division of epoch-µs sits within a
+  // few ulp of bucket boundaries.
+  def q104CohortRetention(s: SparkSession, dir: String): DataFrame =
+    Behavior.cohortRetention(ev(s, dir), "user_id", "ts_us",
+      periodLen = 6L * 3600 * 1000 * 1000)
+
+  val q104Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS period
+      |  FROM events),
+      |c AS (SELECT user_id, min(period) AS cohort FROM p GROUP BY 1)
+      |SELECT c.cohort AS cohort_period, p.period - c.cohort AS period_offset,
+      |  count(DISTINCT p.user_id) AS n_users
+      |FROM p JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin
+
+  // q105: equi-width histogram of document lengths via width_bucket
+  // ([0,600) in 12 buckets of 50). The oracle reproduces SQL-standard
+  // width_bucket with integer arithmetic ((12·x) // 600 + 1), exact
+  // because the bucket quotient x/50 is never within an ulp of an
+  // integer unless it IS one.
+  def q105LengthHistogram(s: SparkSession, dir: String): DataFrame =
+    Profile.histogram(t(s, dir, "documents"), "n_chars",
+      lo = 0.0, hi = 600.0, nBuckets = 12)
+
+  val q105Sql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN n_chars < 0 THEN 0
+      |              WHEN n_chars >= 600 THEN 13
+      |              ELSE (12 * n_chars) // 600 + 1 END AS bucket
+      |  FROM documents)
+      |SELECT bucket,
+      |  CASE WHEN bucket BETWEEN 1 AND 12
+      |       THEN (bucket - 1) * CAST(50.0 AS DOUBLE) END AS lo_edge,
+      |  CASE WHEN bucket BETWEEN 1 AND 12
+      |       THEN bucket * CAST(50.0 AS DOUBLE) END AS hi_edge,
+      |  count(*) AS n_rows
+      |FROM b GROUP BY 1""".stripMargin
+
+  // q106: Tukey-fence outliers per event type. Values quantized to
+  // integer CENTS first (the fixture's `value` carries 2 decimals), so
+  // quartiles interpolate exact doubles at binary-exact fractions
+  // (p·(n−1) mod 1 ∈ {0,.25,.5,.75}) and the fences are exact
+  // eighth-cents — bit-identical in any IEEE engine REGARDLESS of each
+  // engine's interpolation formula shape. Raw doubles would leave the
+  // strict fence comparison one ulp from flipping.
+  def q106IqrOutliers(s: SparkSession, dir: String): DataFrame =
+    Profile.iqrOutliers(
+      ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents")),
+      keys = Seq("event_type"), valueCol = "value_cents", factor = 1.5)
+
+  val q106Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (SELECT event_type,
+      |        quantile_cont(CAST(cents AS DOUBLE), 0.25) AS q1,
+      |        quantile_cont(CAST(cents AS DOUBLE), 0.75) AS q3
+      |      FROM e GROUP BY 1),
+      |g AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+      |             q3 + 1.5 * (q3 - q1) AS hi FROM f)
+      |SELECT e.event_type, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN CAST(cents AS DOUBLE) < lo
+      |                  OR CAST(cents AS DOUBLE) > hi
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(CAST(min(lo) AS DECIMAL(28,6)) AS DOUBLE) AS lo_fence,
+      |  CAST(CAST(min(hi) AS DECIMAL(28,6)) AS DOUBLE) AS hi_fence
+      |FROM e JOIN g USING (event_type) GROUP BY 1""".stripMargin
+
+  // q107: per-document Shannon entropy (bits/symbol) through the
+  // codegen'd ByteEntropy expression — zero shuffles; the oracle
+  // recomputes it with DuckDB's entropy() aggregate over exploded
+  // characters (byte ≡ char on the ASCII fixture; asserted ASCII-only
+  // at entry construction would cost a pass, so documented instead).
+  // Both sides round through DECIMAL(28,6): the two engines sum the
+  // histogram in different orders.
+  def q107ByteEntropy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        d6(ByteEntropy.byteEntropy(col("text"))).as("entropy_bits"))
+
+  val q107Sql: String =
+    """WITH c AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+      |SELECT doc_id,
+      |  CAST(CAST(entropy(ch) AS DECIMAL(28,6)) AS DOUBLE) AS entropy_bits
+      |FROM c GROUP BY doc_id""".stripMargin
+
+  // q108: corpus character histogram — the alphabet/charset QA snapshot
+  // (mojibake and encoding junk surface as unexpected symbols). Spark's
+  // split(text, '') keeps a trailing '' (Java split, limit −1), DuckDB's
+  // string_split does not — hence the explicit filter.
+  def q108CharHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_occurrences"))
+
+  val q108Sql: String =
+    """SELECT ch, count(*) AS n_occurrences
+      |FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
+      |GROUP BY ch""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_funnel" -> (q102Funnel _),
+    "q103_transitions" -> (q103Transitions _),
+    "q104_cohort_retention" -> (q104CohortRetention _),
+    "q105_length_histogram" -> (q105LengthHistogram _),
+    "q106_iqr_outliers" -> (q106IqrOutliers _),
+    "q107_byte_entropy" -> (q107ByteEntropy _),
+    "q108_char_histogram" -> (q108CharHistogram _))
+
+  def oracles: Map[String, String] = Map(
+    "q102_funnel" -> q102Sql,
+    "q103_transitions" -> q103Sql,
+    "q104_cohort_retention" -> q104Sql,
+    "q105_length_histogram" -> q105Sql,
+    "q106_iqr_outliers" -> q106Sql,
+    "q107_byte_entropy" -> q107Sql,
+    "q108_char_histogram" -> q108Sql)
+}

@@ -23,4 +23,51 @@ class ProfileSpec extends SparkSpec {
       Profile.columnProfile(df, Seq("nope"))
     }
   }
+
+  test("histogram buckets [lo,hi) with under/overflow and null-skip") {
+    val df = Seq[Option[Double]](
+      Some(-1.0), Some(0.0), Some(5.0), Some(9.9), Some(10.0), Some(25.0),
+      None).toDF("v")
+    val out = Profile.histogram(df, "v", lo = 0.0, hi = 10.0, nBuckets = 2)
+    assert(rows(out) == Set(
+      Seq(0L, null, null, 1L), // -1 underflows
+      Seq(1L, 0.0, 5.0, 1L), // 0.0 only: edges are half-open
+      Seq(2L, 5.0, 10.0, 2L), // 5.0 and 9.9
+      Seq(3L, null, null, 2L))) // 10.0 (hi is exclusive) and 25.0
+  }
+
+  test("histogram validates its parameters") {
+    val df = Seq(1.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "v", 0.0, 10.0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.histogram(df, "v", 10.0, 10.0, 4)
+    }
+  }
+
+  test("iqrOutliers fences at q1/q3 ± 1.5·IQR per key") {
+    // key a: values 0..100 by 10 plus an extreme 1000 → exactly one
+    // outlier; key b: tight cluster, none.
+    val a = (0 to 100 by 10).map(v => ("a", v.toLong)) :+ (("a", 1000L))
+    val b = Seq(("b", 5L), ("b", 6L), ("b", 7L))
+    val df = (a ++ b).toDF("k", "v")
+    val out = Profile.iqrOutliers(df, Seq("k"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("a", 12L, 1L), ("b", 3L, 0L)))
+  }
+
+  test("iqrOutliers guards keys, reserved names and factor") {
+    val df = Seq(("a", 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Profile.iqrOutliers(df, Nil, "v")
+    }
+    intercept[IllegalArgumentException] {
+      Profile.iqrOutliers(df, Seq("k"), "v", factor = -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.iqrOutliers(
+        Seq(("a", 1L, 0.0)).toDF("k", "v", "_g_q1"), Seq("k"), "v")
+    }
+  }
 }

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, type, ts) — u1 completes a→b→c; u2 stalls at b (c precedes
+  // b); u3 completes a→b but c lands outside the span; u4 never starts.
+  private def fixture = Seq(
+    (1L, "a", 100L), (1L, "b", 200L), (1L, "c", 300L),
+    (2L, "a", 100L), (2L, "c", 150L), (2L, "b", 200L),
+    (3L, "a", 100L), (3L, "b", 500L), (3L, "c", 1300L),
+    (4L, "b", 100L), (4L, "c", 200L)
+  ).toDF("user_id", "event_type", "ts")
+
+  test("funnelUsers binds each step greedily within the span") {
+    val out = Behavior.funnelUsers(fixture, "user_id", "event_type", "ts",
+      steps = Seq("a", "b", "c"), maxSpan = 1000L)
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (1L, 100L, Some(200L), Some(300L)),
+      (2L, 100L, Some(200L), None), // c at 150 precedes b — not counted
+      (3L, 100L, Some(500L), None) // c at 1300 > 100+1000
+    ))
+  }
+
+  test("funnelCounts is non-increasing and matches funnelUsers") {
+    val counts = Behavior.funnelCounts(fixture, "user_id", "event_type",
+      "ts", steps = Seq("a", "b", "c"), maxSpan = 1000L)
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(counts.toSeq == Seq((1, "a", 3L), (2, "b", 3L), (3, "c", 1L)))
+  }
+
+  test("funnel greedy-first semantics: an early step-2 can forfeit step 3") {
+    // b binds at 200 (greedy); the only c (150) precedes it, even though
+    // binding b to a later occurrence could never help here — but with
+    // b at 200 AND 400 and c at 300, greedy still completes via c > 200.
+    val df = Seq(
+      (1L, "a", 100L), (1L, "b", 200L), (1L, "b", 400L), (1L, "c", 300L)
+    ).toDF("user_id", "event_type", "ts")
+    val row = Behavior.funnelUsers(df, "user_id", "event_type", "ts",
+      Seq("a", "b", "c"), maxSpan = 1000L).collect().head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((100L, 200L, 300L)))
+  }
+
+  test("transitions counts adjacent pairs with deterministic tie-break") {
+    val df = Seq(
+      // u1: a->b->b->c; the two ts=200 events order by event_id (2 then 3)
+      (1L, 1L, "a", 100L), (1L, 2L, "b", 200L), (1L, 3L, "b", 200L),
+      (1L, 4L, "c", 300L),
+      (2L, 5L, "a", 100L) // single event: no transition
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val out = Behavior.transitions(df, "user_id", "event_type", "ts",
+      tieCol = "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(("a", "b", 1L), ("b", "b", 1L), ("b", "c", 1L)))
+  }
+
+  test("cohortRetention assigns cohorts by first activity period") {
+    val df = Seq(
+      (1L, 5L), (1L, 15L), (1L, 25L), // cohort 0, active 0/1/2
+      (2L, 15L), (2L, 35L), // cohort 1, active offsets 0 and 2
+      (3L, 15L) // cohort 1, offset 0 only
+    ).toDF("user_id", "ts")
+    val out = Behavior.cohortRetention(df, "user_id", "ts", periodLen = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 2L, 1L),
+      (1L, 0L, 2L), (1L, 2L, 1L)))
+  }
+
+  test("reserved-name guards reject colliding inputs") {
+    val bad = Seq((1L, "a", 1L, 1L)).toDF("user_id", "event_type", "ts", "_g_ts")
+    intercept[IllegalArgumentException] {
+      Behavior.funnelUsers(bad, "user_id", "event_type", "ts", Seq("a", "b"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Behavior.funnelUsers(bad.drop("_g_ts"), "user_id", "event_type", "ts",
+        Seq("a"), 10L) // < 2 steps
+    }
+    intercept[IllegalArgumentException] {
+      Behavior.cohortRetention(
+        Seq((1L, 1L, 1L)).toDF("user_id", "ts", "_g_period"),
+        "user_id", "ts", 10L)
+    }
+  }
+}
