@@ -150,4 +150,39 @@ object Behavior {
         (col("_g_period") - col("_g_cohort")).as("period_offset"))
       .agg(countDistinct(u).as("n_users"))
   }
+
+  /** Activity streaks (gaps-and-islands): group each user's DISTINCT
+    * active periods (`tsCol div periodLen`) into maximal consecutive
+    * runs via the classic `period − row_number()` island id, and
+    * report per user the streak count, the longest streak and the
+    * start of the longest streak (earliest such start on ties —
+    * deterministic).
+    *
+    * One keyed window over the distinct (user, period) set + two
+    * keyed aggregates, all on the user key.
+    */
+  def streaks(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodLen: Long): DataFrame = {
+    require(periodLen > 0, s"periodLen must be positive, got $periodLen")
+    requireFree(events, "_g_period", "_g_isl")
+    val u = col(userCol)
+    val periods = events
+      .select(u, expr(s"`$tsCol` div ${periodLen}L").as("_g_period"))
+      .distinct()
+    val w = Window.partitionBy(u).orderBy(col("_g_period"))
+    periods
+      .withColumn("_g_isl", col("_g_period") - row_number().over(w))
+      .groupBy(u, col("_g_isl"))
+      .agg(count(lit(1)).as("_g_len"), min(col("_g_period")).as("_g_start"))
+      .withColumn("_g_max", max(col("_g_len")).over(Window.partitionBy(u)))
+      .groupBy(u)
+      .agg(
+        count(lit(1)).as("n_streaks"),
+        max(col("_g_len")).as("max_streak_len"),
+        min(when(col("_g_len") === col("_g_max"), col("_g_start")))
+          .as("max_streak_start"))
+  }
 }

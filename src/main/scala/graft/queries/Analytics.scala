@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.ByteEntropy
-import graft.ops.Profile
+import graft.ops.{Profile, ZOrder}
 import graft.pipeline.Behavior
 
 /** Behavioral-analytics and data-quality profiling entries: funnel /
@@ -184,6 +184,55 @@ object Analytics {
       |FROM (SELECT unnest(string_split(text, '')) AS ch FROM documents)
       |GROUP BY ch""".stripMargin
 
+  // q110: Z-order (Morton) keys over two bounded join/filter dimensions
+  // — the data-skipping sort key behind ZOrder.layoutByZOrder (locality
+  // and file-pruning proved in ZOrderSpec; this entry pins the key
+  // arithmetic cross-engine). 8 bits per dimension; the oracle rebuilds
+  // the interleave with explicit shift/mask terms.
+  def q110ZorderKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 256).as("zx"),
+        (col("l_suppkey") % 256).as("zy"))
+      .withColumn("zkey", ZOrder.zKey(col("zx"), col("zy"), bits = 8))
+
+  val q110Sql: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"(((zx >> $i) & 1) << ${2 * i})",
+      s"(((zy >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    l_partkey % 256 AS zx, l_suppkey % 256 AS zy FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, zx, zy, $terms AS zkey FROM b""".stripMargin
+  }
+
+  // q111: gaps-and-islands activity streaks per user on the 6h period
+  // grid (q104's period arithmetic feeding the classic period −
+  // row_number() island id). Longest-streak start ties break to the
+  // earliest — deterministic in both engines.
+  def q111Streaks(s: SparkSession, dir: String): DataFrame =
+    Behavior.streaks(ev(s, dir), "user_id", "ts_us",
+      periodLen = 6L * 3600 * 1000 * 1000)
+
+  val q111Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS period
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, period,
+      |    period - row_number() OVER (PARTITION BY user_id ORDER BY period)
+      |      AS isl_id
+      |  FROM p),
+      |runs AS (
+      |  SELECT user_id, count(*) AS len, min(period) AS start
+      |  FROM isl GROUP BY user_id, isl_id),
+      |runs2 AS (
+      |  SELECT *, max(len) OVER (PARTITION BY user_id) AS mx FROM runs)
+      |SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak_len,
+      |  min(CASE WHEN len = mx THEN start END) AS max_streak_start
+      |FROM runs2 GROUP BY user_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_funnel" -> (q102Funnel _),
     "q103_transitions" -> (q103Transitions _),
@@ -191,7 +240,9 @@ object Analytics {
     "q105_length_histogram" -> (q105LengthHistogram _),
     "q106_iqr_outliers" -> (q106IqrOutliers _),
     "q107_byte_entropy" -> (q107ByteEntropy _),
-    "q108_char_histogram" -> (q108CharHistogram _))
+    "q108_char_histogram" -> (q108CharHistogram _),
+    "q110_zorder_key" -> (q110ZorderKey _),
+    "q111_streaks" -> (q111Streaks _))
 
   def oracles: Map[String, String] = Map(
     "q102_funnel" -> q102Sql,
@@ -200,5 +251,7 @@ object Analytics {
     "q105_length_histogram" -> q105Sql,
     "q106_iqr_outliers" -> q106Sql,
     "q107_byte_entropy" -> q107Sql,
-    "q108_char_histogram" -> q108Sql)
+    "q108_char_histogram" -> q108Sql,
+    "q110_zorder_key" -> q110Sql,
+    "q111_streaks" -> q111Sql)
 }

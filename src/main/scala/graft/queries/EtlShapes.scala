@@ -147,6 +147,56 @@ object EtlShapes {
       |  o_orderstatus AS status, CAST(o_totalprice AS DOUBLE) AS amount
       |FROM orders""".stripMargin
 
+  /** q109: CopyTask over a JSONL source — the `json:` file-source path
+    * driver-checked end to end (q77's CSV twin). Spark's json writer
+    * emits one JSON object per line; doubles round-trip JSON text
+    * exactly via shortest-repr, and declared types pin what inference
+    * would leave engine-specific. The oracle never reads the staged
+    * file: the JSONL is a deterministic projection of `orders`, so the
+    * copied table must equal that same projection.
+    */
+  private val jsonlDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageJsonl(s: SparkSession, dir: String): String =
+    jsonlDirs.computeIfAbsent(dir, { _ =>
+      val staged =
+        TempDirs.tempDirCleanedAtExit(None, "graft_jsonl_src_").toString
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").json(staged)
+      staged
+    })
+
+  def q109CopyJsonl(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val objects = new DbObjectCompiler("spark")
+    val ctx = new TaskContext("q109_copy_jsonl", "verify", db, objects,
+      Map.empty, RunArguments())
+    dropPhysical(s, "q109_jsonl_dst",
+      "graft_tmp_q109_jsonl_dst", "graft_tmp_backup_q109_jsonl_dst")
+    val task = new CopyTask
+    val cfg = Map[String, Any](
+      "source" -> s"json:${stageJsonl(s, dir)}",
+      "destination" -> "q109_jsonl_dst",
+      "columns" -> Seq(
+        Map("name" -> "o_orderkey", "type" -> "bigint", "dst_name" -> "order_id"),
+        Map("name" -> "o_custkey", "type" -> "bigint", "dst_name" -> "cust_id"),
+        Map("name" -> "o_orderstatus", "dst_name" -> "status"),
+        Map("name" -> "o_totalprice", "type" -> "double", "dst_name" -> "amount")))
+    (for {
+      _ <- task.config(ctx, cfg)
+      _ <- task.setup()
+      _ <- task.run()
+    } yield ()).left.foreach(fail)
+    val resolved = objects.fromString("q109_jsonl_dst")
+      .map(objects.outValue).fold(fail, identity)
+    s.table(resolved)
+  }
+
+  val q109Sql: String = q77Sql // same projection contract as the CSV twin
+
   /** q33: full incremental CopyTask run — the watermark + delete-key merge
     * path end-to-end (copy.py:632-691 semantics). The destination is
     * pre-seeded with a stale snapshot (rows with upd < 50, zeroed price);
@@ -298,7 +348,8 @@ object EtlShapes {
     "q33_copy_incremental" -> (q33CopyIncremental _),
     "q72_script_chain" -> (q72ScriptChain _),
     "q77_copy_csv" -> (q77CopyCsv _),
-    "q94_bucketed_join" -> (q94BucketedJoin _))
+    "q94_bucketed_join" -> (q94BucketedJoin _),
+    "q109_copy_jsonl" -> (q109CopyJsonl _))
 
   def oracles: Map[String, String] = Map(
     "q22_merge" -> q22Sql,
@@ -307,5 +358,6 @@ object EtlShapes {
     "q33_copy_incremental" -> q33Sql,
     "q72_script_chain" -> q72Sql,
     "q77_copy_csv" -> q77Sql,
-    "q94_bucketed_join" -> q94Sql)
+    "q94_bucketed_join" -> q94Sql,
+    "q109_copy_jsonl" -> q109Sql)
 }

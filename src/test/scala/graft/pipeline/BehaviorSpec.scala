@@ -77,6 +77,26 @@ class BehaviorSpec extends SparkSpec {
       (1L, 0L, 2L), (1L, 2L, 1L)))
   }
 
+  test("streaks groups consecutive periods into islands") {
+    val df = Seq(
+      // u1: periods 0,1,2 then 5,6 → streaks of 3 and 2
+      (1L, 5L), (1L, 15L), (1L, 25L), (1L, 55L), (1L, 65L),
+      // u2: 0 and 2 → two singleton streaks; tie on max len breaks to
+      // the EARLIEST start
+      (2L, 5L), (2L, 25L),
+      // duplicate events inside one period collapse
+      (3L, 5L), (3L, 6L)
+    ).toDF("user_id", "ts")
+    val out = Behavior.streaks(df, "user_id", "ts", periodLen = 10L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 2L, 3L, 0L), // 2 streaks, longest 3 starting at period 0
+      (2L, 2L, 1L, 0L), // tie → earliest start
+      (3L, 1L, 1L, 0L)))
+  }
+
   test("reserved-name guards reject colliding inputs") {
     val bad = Seq((1L, "a", 1L, 1L)).toDF("user_id", "event_type", "ts", "_g_ts")
     intercept[IllegalArgumentException] {
