@@ -73,6 +73,31 @@ object Profile {
         col("n_rows"))
   }
 
+  /** Key-skew diagnostic: the top-K keys by row count with their share
+    * of the table — the number a pipeline reads before deciding whether
+    * a join needs [[Joins.salted]] or AQE skew handling. Output:
+    * (key, n_rows, share), ordered ties broken by key ascending so the
+    * cut is deterministic. NULL keys are excluded (engines disagree on
+    * NULL ordering; count them via [[columnProfile]]'s null column).
+    *
+    * Scale shape: one partial-agg groupBy, then `orderBy().limit(K)` —
+    * Spark plans TakeOrderedAndProject (per-partition top-K merged on
+    * the driver, K rows each), NEVER a single-partition global sort —
+    * and the grand total rides in as a 1-row crossJoin (broadcast),
+    * the in-plan-N pattern.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("_g_total"))
+    counts.orderBy(col("n_rows").desc, col(keyCol).asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("n_rows"),
+        (col("n_rows") / col("_g_total"))
+          .cast("decimal(28,6)").cast("double").as("share"))
+  }
+
   /** Tukey-fence outlier report per key: exact quartiles (sort-based
     * `percentile`, the [[columnProfile]] exactness contract), fences at
     * q1 − factor·IQR / q3 + factor·IQR, and the count of rows outside

@@ -112,6 +112,53 @@ object TextDedup {
       verifyJaccard(sh, idCol, candidates, threshold)
     }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (the PPJoin family,
+    * Xiao et al., WWW'08 — public literature): rank each document's
+    * shingles by ascending global document frequency (rarest first — a
+    * canonical total order, ties broken by the shingle string), and
+    * join documents only on their first p = n − ⌊t·n⌋ + 1 shingles.
+    * Any pair with Jaccard ≥ t MUST collide inside these prefixes
+    * (pigeonhole on the ⌈t·n⌉ overlaps a qualifying pair needs), so
+    * unlike [[jaccardPairs]]'s df-cap this pruning is LOSSLESS: output
+    * ≡ the fully exact inverted-index answer, bit for bit — but the
+    * candidate join touches only the rare end of every posting list.
+    * The prefix length is deliberately one longer than the tight
+    * p = n − ⌈t·n⌉ + 1 bound, absorbing any floating-point wobble in
+    * ⌊t·n⌋ on the conservative side.
+    *
+    * Cost shape at 100 TB: one df aggregate, one doc-keyed window for
+    * the ranks, a candidate equi-join whose key frequencies are
+    * df-SUPPRESSED by construction (a stop-shingle enters a prefix
+    * only when a document consists of almost nothing else), then the
+    * shared exact verify over candidates only. Versus the ∞-cap exact
+    * path, the quadratic blowup on common shingles disappears without
+    * giving up a single pair.
+    */
+  def jaccardPairsPrefix(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_g_df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_g_df"), col("shingle"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("_g_rank", row_number().over(w))
+      .withColumn("_g_n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val prefix = ranked.filter(
+      col("_g_rank") <=
+        col("_g_n") - floor(col("_g_n") * threshold).cast("long") + 1)
+      .select(col(idCol), col("shingle"))
+    val candidates = prefix.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyJaccard(sh, idCol, candidates, threshold)
+  }
+
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs over
     * the full shingle sets: candidates ⋈ sh(doc_a) then a semi-join on
     * (doc_b, shingle) counts the intersection — O(candidates ×

@@ -233,6 +233,23 @@ object Analytics {
       |  min(CASE WHEN len = mx THEN start END) AS max_streak_start
       |FROM runs2 GROUP BY user_id""".stripMargin
 
+  // q113: key-skew diagnostic over the lineitem part key — top-10 keys
+  // by count with deterministic (count DESC, key ASC) tie-break, share
+  // decimal-rounded. The read before a salted-join decision.
+  def q113KeySkew(s: SparkSession, dir: String): DataFrame =
+    Profile.keySkew(t(s, dir, "lineitem"), "l_partkey", topK = 10)
+
+  val q113Sql: String =
+    """WITH c AS (
+      |  SELECT l_partkey, count(*) AS n_rows FROM lineitem
+      |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |t AS (SELECT sum(n_rows) AS total FROM c)
+      |SELECT l_partkey, n_rows,
+      |  CAST(CAST(CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS share
+      |FROM (SELECT * FROM c ORDER BY n_rows DESC, l_partkey LIMIT 10)
+      |CROSS JOIN t""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_funnel" -> (q102Funnel _),
     "q103_transitions" -> (q103Transitions _),
@@ -242,7 +259,8 @@ object Analytics {
     "q107_byte_entropy" -> (q107ByteEntropy _),
     "q108_char_histogram" -> (q108CharHistogram _),
     "q110_zorder_key" -> (q110ZorderKey _),
-    "q111_streaks" -> (q111Streaks _))
+    "q111_streaks" -> (q111Streaks _),
+    "q113_key_skew" -> (q113KeySkew _))
 
   def oracles: Map[String, String] = Map(
     "q102_funnel" -> q102Sql,
@@ -253,5 +271,6 @@ object Analytics {
     "q107_byte_entropy" -> q107Sql,
     "q108_char_histogram" -> q108Sql,
     "q110_zorder_key" -> q110Sql,
-    "q111_streaks" -> q111Sql)
+    "q111_streaks" -> q111Sql,
+    "q113_key_skew" -> q113Sql)
 }

@@ -59,6 +59,16 @@ object Pipeline {
       |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.12""".stripMargin
 
+  // q112: the SAME exact contract as q16, computed via PPJoin-style
+  // prefix filtering — lossless df-suppressed candidate generation, so
+  // it shares q16's oracle VERBATIM: two different pruning algorithms
+  // (full inverted index vs rarest-prefix join) must produce the same
+  // bit-exact pair set. The scale path q16's ∞-cap entry can't be.
+  def q112JaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairsPrefix(
+      TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.12)
+
   // q17: brute-force cosine top-10 for query vectors (quantized → exact ints)
   def q17Knn(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceKnn(
@@ -583,6 +593,7 @@ object Pipeline {
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
     "q101_compression_signal" -> (q101CompressionSignal _),
+    "q112_jaccard_prefix" -> (q112JaccardPrefix _),
     "q30_fingerprints" -> (q30Fingerprints _))
 
   // q57: PII scrub — the fixture text contains no PII, so the entry
@@ -1059,5 +1070,6 @@ object Pipeline {
     "q93_image_ahash" -> q93Sql,
     "q95_audio_stats" -> q95Sql,
     "q99_chunking" -> q99Sql,
-    "q100_sequence_packing" -> q100Sql)
+    "q100_sequence_packing" -> q100Sql,
+    "q112_jaccard_prefix" -> q16Sql) // lossless ⇒ q16's oracle verbatim
 }

@@ -46,6 +46,25 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("keySkew reports top-K shares with deterministic tie-break") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(2)("b") ++ Seq.fill(2)("a") ++
+      Seq("c") ++ Seq(null.asInstanceOf[String])).toDF("k")
+    val out = Profile.keySkew(df, "k", topK = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // null excluded from counts AND the total; count ties break by key asc
+    assert(out.toSeq == Seq(
+      ("hot", 6L, 0.545455), ("a", 2L, 0.181818), ("b", 2L, 0.181818)))
+  }
+
+  test("keySkew plans a TakeOrdered top-K, not a global sort") {
+    val df = Seq.tabulate(100)(i => s"k${i % 37}").toDF("k")
+    val q = Profile.keySkew(df, "k", topK = 5)
+    q.collect() // materialize so AQE finalizes the stages
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), plan) // no global sort anywhere
+  }
+
   test("iqrOutliers fences at q1/q3 ± 1.5·IQR per key") {
     // key a: values 0..100 by 10 plus an extreme 1000 → exactly one
     // outlier; key b: tight cluster, none.

@@ -55,6 +55,26 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: prefix-filtered jaccard is LOSSLESS vs the exact path") {
+    // the PPJoin losslessness claim, pinned over random corpora and two
+    // thresholds: identical pair sets AND identical jaccard values
+    (1 to 8).foreach { s =>
+      val docs = sample(corpus, 300L + s) :+ sample(corpus, 300L + s).head
+      Seq(0.2, 0.5).foreach { t =>
+        val sh = TextDedup.shingles(df(docs), "doc_id", "text", n = 2)
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+            r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))
+        val exact = TextDedup
+          .jaccardPairs(sh, "doc_id", t, maxShingleDocs = Int.MaxValue)
+          .collect().map(key).toSet
+        val prefix = TextDedup.jaccardPairsPrefix(sh, "doc_id", t)
+          .collect().map(key).toSet
+        assert(prefix == exact, s"seed $s threshold $t")
+      }
+    }
+  }
+
   test("property: simhash depends only on content") {
     (1 to 8).foreach { s =>
       val docs = sample(corpus, 200L + s)
