@@ -149,11 +149,17 @@ object TextDedup {
     val prefix = ranked.filter(
       col("_g_rank") <=
         col("_g_n") - floor(col("_g_n") * threshold).cast("long") + 1)
-      .select(col(idCol), col("shingle"))
-    val candidates = prefix.select(col(idCol).as("doc_a"), col("shingle"))
-      .join(prefix.select(col(idCol).as("doc_b"), col("shingle")),
-        Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col(idCol), col("shingle"), col("_g_n"))
+    // length filter (the standard companion prune): J ≥ t forces
+    // t·max(n_a,n_b) ≤ min(n_a,n_b), so size-incompatible pairs die at
+    // candidate generation, before the exact verify pays for them
+    val candidates = prefix
+      .select(col(idCol).as("doc_a"), col("shingle"), col("_g_n").as("_g_na"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"),
+        col("_g_n").as("_g_nb")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("_g_na") * threshold <= col("_g_nb") &&
+        col("_g_nb") * threshold <= col("_g_na"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     verifyJaccard(sh, idCol, candidates, threshold)
