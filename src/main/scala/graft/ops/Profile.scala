@@ -98,6 +98,44 @@ object Profile {
           .cast("decimal(28,6)").cast("double").as("share"))
   }
 
+  /** Winsorization at the Tukey fences: the TRANSFORM twin of
+    * [[iqrOutliers]] — every row survives, but the value column is
+    * clipped into [q1 − factor·IQR, q3 + factor·IQR] per key (the
+    * standard outlier-robust normalization before aggregating noisy
+    * numeric features). Adds `<valueCol>_winsorized`; NULL values pass
+    * through NULL.
+    *
+    * Same exactness discipline as [[iqrOutliers]]: feed integer-
+    * quantized values (e.g. cents) and the quartiles interpolate at
+    * binary-exact fractions, making the fences — and therefore every
+    * clipped value — bit-identical across engines.
+    */
+  def winsorizeIqr(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      factor: Double = 1.5): DataFrame = {
+    require(keys.nonEmpty, "winsorizeIqr needs at least one key column")
+    require(factor >= 0, s"factor must be non-negative, got $factor")
+    val reserved = Seq("_g_q1", "_g_q3", "_g_lo", "_g_hi")
+    reserved.foreach(n => require(!df.columns.contains(n),
+      s"reserved column name in input: $n"))
+    val v = col(valueCol).cast("double")
+    val fences = df.groupBy(keys.map(col): _*)
+      .agg(
+        percentile(v, lit(0.25)).as("_g_q1"),
+        percentile(v, lit(0.75)).as("_g_q3"))
+      .select(keys.map(col) ++ Seq(
+        (col("_g_q1") - (col("_g_q3") - col("_g_q1")) * factor).as("_g_lo"),
+        (col("_g_q3") + (col("_g_q3") - col("_g_q1")) * factor).as("_g_hi")): _*)
+    df.join(broadcast(fences), keys)
+      // guard the NULL case explicitly: greatest/least SKIP nulls (in
+      // Spark and DuckDB both), which would clip a NULL to the fence
+      .withColumn(s"${valueCol}_winsorized",
+        when(v.isNotNull, least(greatest(v, col("_g_lo")), col("_g_hi"))))
+      .drop("_g_lo", "_g_hi")
+  }
+
   /** Tukey-fence outlier report per key: exact quartiles (sort-based
     * `percentile`, the [[columnProfile]] exactness contract), fences at
     * q1 − factor·IQR / q3 + factor·IQR, and the count of rows outside

@@ -250,6 +250,32 @@ object Analytics {
       |FROM (SELECT * FROM c ORDER BY n_rows DESC, l_partkey LIMIT 10)
       |CROSS JOIN t""".stripMargin
 
+  // q114: winsorized event values — q106's fences applied as a clip
+  // (same cent quantization ⇒ same exact eighth-cent fences; every
+  // output value is either the original integer or an exact fence).
+  def q114Winsorize(s: SparkSession, dir: String): DataFrame =
+    Profile.winsorizeIqr(
+      ev(s, dir).select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("value_cents")),
+      keys = Seq("event_type"), valueCol = "value_cents", factor = 1.5)
+      .select(col("event_id"), col("event_type"), col("value_cents"),
+        col("value_cents_winsorized"))
+
+  val q114Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS value_cents FROM events),
+      |f AS (SELECT event_type,
+      |        quantile_cont(CAST(value_cents AS DOUBLE), 0.25) AS q1,
+      |        quantile_cont(CAST(value_cents AS DOUBLE), 0.75) AS q3
+      |      FROM e GROUP BY 1),
+      |g AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+      |             q3 + 1.5 * (q3 - q1) AS hi FROM f)
+      |SELECT event_id, e.event_type, value_cents,
+      |  LEAST(GREATEST(CAST(value_cents AS DOUBLE), lo), hi)
+      |    AS value_cents_winsorized
+      |FROM e JOIN g USING (event_type)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_funnel" -> (q102Funnel _),
     "q103_transitions" -> (q103Transitions _),
@@ -260,7 +286,8 @@ object Analytics {
     "q108_char_histogram" -> (q108CharHistogram _),
     "q110_zorder_key" -> (q110ZorderKey _),
     "q111_streaks" -> (q111Streaks _),
-    "q113_key_skew" -> (q113KeySkew _))
+    "q113_key_skew" -> (q113KeySkew _),
+    "q114_winsorize" -> (q114Winsorize _))
 
   def oracles: Map[String, String] = Map(
     "q102_funnel" -> q102Sql,
@@ -272,5 +299,6 @@ object Analytics {
     "q108_char_histogram" -> q108Sql,
     "q110_zorder_key" -> q110Sql,
     "q111_streaks" -> q111Sql,
-    "q113_key_skew" -> q113Sql)
+    "q113_key_skew" -> q113Sql,
+    "q114_winsorize" -> q114Sql)
 }

@@ -76,6 +76,22 @@ class ProfileSpec extends SparkSpec {
     assert(out == Set(("a", 12L, 1L), ("b", 3L, 0L)))
   }
 
+  test("winsorizeIqr clips to the fences and keeps every row") {
+    val a = (0 to 100 by 10).map(v => ("a", v.toLong)) :+ (("a", 1000L))
+    val df = a.toDF("k", "v")
+    // fences: q1=27.5, q3=82.5, IQR=55 → [-55, 165]; only 1000 clips
+    val out = Profile.winsorizeIqr(df, Seq("k"), "v")
+    assert(out.count() == 12)
+    val clipped = out.collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(clipped(1000L) == 165.0)
+    assert(clipped(0L) == 0.0 && clipped(100L) == 100.0) // inside: untouched
+    val nulls = Seq(("a", Some(1L)), ("a", None), ("a", Some(2L)),
+      ("a", Some(3L))).toDF("k", "v")
+    val nOut = Profile.winsorizeIqr(nulls, Seq("k"), "v").collect()
+    assert(nOut.count(_.isNullAt(2)) == 1) // NULL passes through
+  }
+
   test("iqrOutliers guards keys, reserved names and factor") {
     val df = Seq(("a", 1L)).toDF("k", "v")
     intercept[IllegalArgumentException] {
