@@ -528,7 +528,32 @@ object StreamingEntries {
       |  AND epoch_us(CAST(p.ts AS TIMESTAMP))
       |    <= epoch_us(CAST(i.ts AS TIMESTAMP)) + 3600000000""".stripMargin
 
+  // q115: streaming sequential funnel (flatMapGroupsWithState, span-bound
+  // finality: a user's row emits exactly once, when the watermark passes
+  // t1 + 24h — then the state tombstones so a later signup cannot
+  // re-enter). Drained per-user rows aggregate to the SAME step counts
+  // as the batch funnel: q102's oracle verbatim, so batch, streaming
+  // and DuckDB agree three ways.
+  def q115StreamingFunnel(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(s, dir)
+    val events =
+      eventStream(streamSession(s), staged).as[Event](Encoders.product[Event])
+    val steps = Seq("signup", "click", "purchase")
+    val res = Streaming.funnel(events, steps, maxSpanUs = 86400000000L)
+    val rows = runAvailableNow(res.toDF(), "graft_q115_funnel")
+    val aggs = steps.indices.map(i =>
+      count(when(size(col("step_us")) >= i + 1, lit(1))).as(s"_g_n_${i + 1}"))
+    rows.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (name, i) => struct(
+        lit(i + 1).as("step_idx"),
+        lit(name).as("step_name"),
+        col(s"_g_n_${i + 1}").as("n_users"))
+      }: _*)).as("_g_s"))
+      .select(col("_g_s.*"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_streaming_funnel" -> (q115StreamingFunnel _),
     "q38_streaming_sessions" -> (q38StreamingSessions _),
     "q39_streaming_window" -> (q39StreamingWindow _),
     "q55_streaming_dedup" -> (q55StreamingDedup _),
@@ -555,5 +580,8 @@ object StreamingEntries {
     // batch latestByKey, the streaming foreachBatch upsert sink, and
     // DuckDB's row_number argmax agree three ways
     "q89_streaming_cdc_apply" -> Temporal.q66Sql,
-    "q97_streaming_left_interval_join" -> q97Sql)
+    "q97_streaming_left_interval_join" -> q97Sql,
+    // batch funnel, streaming span-bound funnel and the DuckDB
+    // progressive-CTE rebuild agree three ways
+    "q115_streaming_funnel" -> Analytics.q102Sql)
 }

@@ -21,6 +21,15 @@ private[streaming] final case class SessionAcc(
     sessionId: Long, startUs: Long, lastUs: Long,
     nEvents: Long, totalValue: Double)
 
+/** One user's funnel result: `step_us(i)` is the µs event time the
+  * (i+1)-th step bound at; shorter than the step list when the user
+  * stalled. Emitted exactly once per user.
+  */
+final case class FunnelResult(user_id: Long, step_us: Seq[Long])
+
+private[streaming] final case class FunnelAcc(
+    stepUs: Seq[Long], emitted: Boolean)
+
 /** Structured Streaming surface: the streaming twins of the batch
   * operators, built on event-time watermarks so state is bounded and the
   * same job runs unchanged on an unbounded source. Everything here is
@@ -254,6 +263,85 @@ object Streaming {
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming sequential funnel — the streaming twin of
+    * [[graft.pipeline.Behavior.funnelUsers]], same greedy-first
+    * contract: step i binds to the earliest eligible occurrence
+    * (strictly after step i−1, within `maxSpanUs` of step 1). Greedy
+    * binding is ORDER-INCREMENTAL — folding events in ascending event
+    * time binds exactly the batch answer — so per-batch sorting plus
+    * the watermark contract (same as [[sessionize]]) reproduce the
+    * batch result on a drained stream.
+    *
+    * Finality comes from the span bound: once the watermark passes
+    * t1 + span no step can bind anymore, so the event-time timeout
+    * emits each user's row exactly once. The state then becomes a
+    * TOMBSTONE that never expires: in batch semantics t1 is the
+    * earliest step-1 event ever, so a later step-1 occurrence must NOT
+    * restart the funnel — the retained state is one tiny row per user
+    * who entered, the same cardinality class as a streaming distinct.
+    */
+  def funnel(
+      events: Dataset[Event],
+      steps: Seq[String],
+      maxSpanUs: Long,
+      watermarkDelay: String = "30 minutes"): Dataset[FunnelResult] = {
+    require(steps.size >= 2, s"funnel needs >= 2 steps, got ${steps.size}")
+    require(maxSpanUs > 0, s"maxSpanUs must be positive, got $maxSpanUs")
+    implicit val accEnc = Encoders.product[FunnelAcc]
+    implicit val outEnc = Encoders.product[FunnelResult]
+    implicit val keyEnc = Encoders.scalaLong
+
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[FunnelAcc]): Iterator[FunnelResult] = {
+      if (state.hasTimedOut) {
+        val acc = state.get
+        // tombstone WITHOUT a new timeout: lives until query end so a
+        // later step-1 event cannot re-enter the funnel
+        state.update(FunnelAcc(acc.stepUs, emitted = true))
+        if (acc.emitted) Iterator.empty
+        else Iterator.single(FunnelResult(userId, acc.stepUs))
+      } else {
+        val acc = state.getOption.getOrElse(FunnelAcc(Seq.empty, emitted = false))
+        if (acc.emitted) Iterator.empty // settled: drain and ignore
+        else {
+          val sorted = batch.toSeq.sortBy(e => micros(e.ts))
+          val bound = acc.stepUs.toBuffer
+          for (e <- sorted) {
+            val next = bound.size
+            if (next < steps.size && e.event_type == steps(next)) {
+              val t = micros(e.ts)
+              if (next == 0) bound += t
+              else if (t > bound(next - 1) && t <= bound.head + maxSpanUs)
+                bound += t
+            }
+          }
+          if (bound.nonEmpty) {
+            state.update(FunnelAcc(bound.toSeq, emitted = false))
+            // fire once the watermark passes t1 + span (ms floor + 1 keeps
+            // it strictly past the µs bound); clamp above the current
+            // watermark — a just-admitted late entrant may already be
+            // beyond its own span
+            state.setTimeoutTimestamp(math.max(
+              (bound.head + maxSpanUs) / 1000L + 1,
+              state.getCurrentWatermarkMs + 1))
+          }
+          Iterator.empty
+        }
+      }
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)

@@ -232,4 +232,40 @@ class StreamingSpec extends SparkSpec {
     assert(sessions((1L, 2L)) == ((1L, 4.0)))
     assert(sessions((2L, 1L)) == ((1L, 8.0)))
   }
+
+  test("funnel binds greedily, emits exactly once, tombstones the user") {
+    implicit val sql = spark.sqlContext
+    def us(minute: Int): Long = ts(minute).getTime * 1000L
+    val in = MemoryStream[Event]
+    val q = Streaming.funnel(in.toDS(), Seq("a", "b", "c"),
+      maxSpanUs = 20L * 60 * 1000000, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("fun").outputMode("append").start()
+    // u1 completes a→b→c inside the 20-min span; u2's c PRECEDES its b
+    // (greedy: stalls after b); u3's c lands outside the span
+    in.addData(
+      Event(1L, ts(0), "a", 0), Event(1L, ts(5), "b", 0), Event(1L, ts(10), "c", 0),
+      Event(2L, ts(0), "a", 0), Event(2L, ts(2), "c", 0), Event(2L, ts(5), "b", 0),
+      Event(3L, ts(0), "a", 0), Event(3L, ts(5), "b", 0), Event(3L, ts(30), "c", 0))
+    q.processAllAvailable()
+    // two watermark advances: the first batch moves the watermark past
+    // every t1+span, the second's trigger fires the timeouts
+    in.addData(Event(98L, ts(600), "view", 0))
+    q.processAllAvailable()
+    in.addData(Event(97L, ts(700), "view", 0))
+    q.processAllAvailable()
+    // tombstone check: a LATER step-1 event for an emitted user must not
+    // restart the funnel (batch t1 = global min — one row per user)
+    in.addData(Event(1L, ts(800), "a", 0))
+    q.processAllAvailable()
+    in.addData(Event(96L, ts(1500), "view", 0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("fun").count() == 3) // exactly once — no re-entry row
+    val rows = spark.table("fun").as[FunnelResult].collect()
+      .map(r => r.user_id -> r.step_us).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == Seq(us(0), us(5), us(10)))
+    assert(rows(2L) == Seq(us(0), us(5))) // c@2 before b — never bound
+    assert(rows(3L) == Seq(us(0), us(5))) // c@30 outside span
+  }
 }
