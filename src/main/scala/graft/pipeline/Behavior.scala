@@ -123,12 +123,16 @@ object Behavior {
   }
 
   /** Cohort retention: assign each user to the cohort period of their
-    * first event (`tsCol div periodLen`), then count distinct users
-    * active in each (cohort_period, period_offset) cell. Offset 0 is
-    * the cohort period itself, so its count is the cohort size.
+    * first event (`tsCol div periodLen`), then count the users active
+    * in each (cohort_period, period_offset) cell. Offset 0 is the
+    * cohort period itself, so its count is the cohort size.
     *
-    * Two user-keyed aggregates + one join; the retention matrix is
-    * (periods × offsets) rows — tiny at any corpus scale.
+    * One scan: the cohort is a min() window over the SAME distinct
+    * (user, period) frame the cells aggregate (a join against a
+    * separately-aggregated cohort frame reads the input twice), and
+    * because that frame is distinct, each user hits a cell at most
+    * once — plain count(), no countDistinct Expand. The retention
+    * matrix is (periods × offsets) rows — tiny at any corpus scale.
     */
   def cohortRetention(
       events: DataFrame,
@@ -140,15 +144,15 @@ object Behavior {
     val u = col(userCol)
     // integer `div`, NOT `/`: double division of epoch-µs longs sits
     // within a few ulp of integer bucket boundaries
-    val periods = events
+    events
       .select(u, expr(s"`$tsCol` div ${periodLen}L").as("_g_period"))
       .distinct()
-    val cohorts = periods.groupBy(u).agg(min(col("_g_period")).as("_g_cohort"))
-    periods.join(cohorts, userCol)
+      .withColumn("_g_cohort",
+        min(col("_g_period")).over(Window.partitionBy(u)))
       .groupBy(
         col("_g_cohort").as("cohort_period"),
         (col("_g_period") - col("_g_cohort")).as("period_offset"))
-      .agg(countDistinct(u).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Activity streaks (gaps-and-islands): group each user's DISTINCT

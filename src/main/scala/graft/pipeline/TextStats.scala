@@ -60,6 +60,41 @@ object TextStats {
         col("tf_idf"))
   }
 
+  /** Per-document unigram language-model score: the corpus itself is the
+    * model (p(tok) = corpus count / corpus total), and each document
+    * scores avg_logprob = (Σ_tokens ln p(tok)) / n_tokens — per-token
+    * log-likelihood, the classic cheap perplexity proxy (exp(−avg) is
+    * the document's unigram perplexity). Documents full of corpus-rare
+    * tokens (mojibake, code in a prose corpus, other-language text)
+    * score far below the mode; a filter on avg_logprob is the standard
+    * "looks like the corpus" cut when no external LM is available.
+    *
+    * Every token exists in the corpus by construction (the model IS the
+    * corpus), so no smoothing term is needed. Scoring a FOREIGN corpus
+    * against this model needs OOV handling — join the counts frame with
+    * a default probability instead.
+    *
+    * Plan shape at scale: one explode, one token-keyed count (vocab-
+    * sized result — broadcast-joined back when small, shuffle otherwise;
+    * Zipf skew on the join key is bounded because the hot tokens are
+    * exactly the ones whose count rows broadcast), corpus total as a
+    * 1-row crossJoin, one doc-keyed sum. ln() differs by ≤1 ulp across
+    * engines — round through DECIMAL for cross-engine compares (q60's
+    * tf·ln(N/df) discipline).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(df, textCol, idCol).filter(col("tok") =!= "")
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("_g_cnt"))
+    val total = counts.agg(sum(col("_g_cnt")).as("_g_total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(log(col("_g_cnt").cast("double") / col("_g_total"))) /
+          count(lit(1))).as("avg_logprob"))
+  }
+
   /** Per-document token statistics: token count, distinct count, average
     * token length, type-token ratio. Computed IN-ROW over the token array
     * — a pure projection, no shuffle at any scale (the groupBy

@@ -276,6 +276,28 @@ object Analytics {
       |    AS value_cents_winsorized
       |FROM e JOIN g USING (event_type)""".stripMargin
 
+  // q116: unigram LM quality score — the corpus is its own model; each
+  // doc's per-token log-likelihood (exp(−avg) = unigram perplexity).
+  // avg_logprob d6-rounded: ln() may differ by an ulp across engines.
+  def q116UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.pipeline.TextStats.unigramLogProb(
+      t(s, dir, "documents"), "doc_id", "text")
+    out.select(col("doc_id"), col("n_tokens"),
+      d6(col("avg_logprob")).as("avg_logprob"))
+  }
+
+  val q116Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |c AS (SELECT tok, count(*) AS cnt FROM tk2 GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(CAST(sum(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+      |      / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_logprob
+      |FROM tk2 JOIN c USING (tok) CROSS JOIN t
+      |GROUP BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_funnel" -> (q102Funnel _),
     "q103_transitions" -> (q103Transitions _),
@@ -287,7 +309,8 @@ object Analytics {
     "q110_zorder_key" -> (q110ZorderKey _),
     "q111_streaks" -> (q111Streaks _),
     "q113_key_skew" -> (q113KeySkew _),
-    "q114_winsorize" -> (q114Winsorize _))
+    "q114_winsorize" -> (q114Winsorize _),
+    "q116_unigram_logprob" -> (q116UnigramLogprob _))
 
   def oracles: Map[String, String] = Map(
     "q102_funnel" -> q102Sql,
@@ -300,5 +323,6 @@ object Analytics {
     "q110_zorder_key" -> q110Sql,
     "q111_streaks" -> q111Sql,
     "q113_key_skew" -> q113Sql,
-    "q114_winsorize" -> q114Sql)
+    "q114_winsorize" -> q114Sql,
+    "q116_unigram_logprob" -> q116Sql)
 }

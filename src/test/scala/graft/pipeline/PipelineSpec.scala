@@ -60,6 +60,17 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(aScore - 2 * math.log(2.0)) < 1e-12)
   }
 
+  test("unigramLogProb scores docs by corpus-model per-token likelihood") {
+    val df = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
+    // corpus: a×2, b×1, total 3 → doc1 avg = ln(2/3), doc2 = ln(1/3)
+    val out = TextStats.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 2L && out(2L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - math.log(2.0 / 3)) < 1e-12)
+    assert(math.abs(out(2L)._2 - math.log(1.0 / 3)) < 1e-12)
+    assert(out(2L)._2 < out(1L)._2) // rare-token doc scores lower
+  }
+
   // ---- sketches ----------------------------------------------------------
 
   test("approxDistinctByKey stays within the declared HLL error bound") {
