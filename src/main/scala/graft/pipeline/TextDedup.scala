@@ -35,6 +35,31 @@ object TextDedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the production shape: dedupe an INCOMING
+    * batch against an already-accumulated corpus without rescanning the
+    * corpus's content (only its hashes). A batch group survives iff its
+    * content hash is absent from the corpus; within the batch the usual
+    * min-id representative wins. Output: (content_hash, keep_id,
+    * n_copies) for surviving groups — [[exactDedup]]'s contract,
+    * filtered by the corpus.
+    *
+    * At scale: one batch-keyed aggregate + one hash-keyed LEFT ANTI
+    * join. The corpus side projects to its hash column only, so the
+    * nightly run shuffles 16 bytes/doc of corpus, not documents; keep
+    * the corpus's hash column materialized (it is this operator's
+    * output) and the anti-join probe is a column scan.
+    */
+  def incrementalExactDedup(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame =
+    incoming
+      .groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .join(corpus.select(md5(col(contentCol)).as("content_hash")),
+        Seq("content_hash"), "left_anti")
+
   /** Distinct word n-gram shingles per document: (id, shingle) rows.
     * Tokenization is a single-space split (the corpus contract).
     *

@@ -78,6 +78,38 @@ object Pipeline {
       TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
       "doc_id", threshold = 0.5)
 
+  // q117: incremental exact dedup — a batch vs the accumulated corpus.
+  // The fixture has no cross-half duplicates, so the incoming batch
+  // PLANTS them in-plan (the q57 pattern): 30 re-crawled corpus docs
+  // under new ids (dropped by the anti-join) and one in-batch dup of
+  // doc 250 (collapses to n_copies=2) — the oracle checks both kill
+  // paths with non-trivial effect, not an empty diff.
+  def q117IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 250)
+    val incoming = docs.filter(col("doc_id") >= 250)
+      .unionAll(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") === 250)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    TextDedup.incrementalExactDedup(corpus, incoming, "doc_id", "text")
+  }
+
+  val q117Sql: String =
+    """WITH inc AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text FROM documents WHERE doc_id = 250),
+      |g AS (
+      |  SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |    count(*) AS n_copies
+      |  FROM inc GROUP BY 1)
+      |SELECT content_hash, keep_id, n_copies FROM g
+      |WHERE content_hash NOT IN (
+      |  SELECT md5(text) FROM documents WHERE doc_id < 250)""".stripMargin
+
   // q17: brute-force cosine top-10 for query vectors (quantized → exact ints)
   def q17Knn(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceKnn(
@@ -603,6 +635,7 @@ object Pipeline {
     "q29_simhash_pairs" -> (q29SimhashPairs _),
     "q101_compression_signal" -> (q101CompressionSignal _),
     "q112_jaccard_prefix" -> (q112JaccardPrefix _),
+    "q117_incremental_dedup" -> (q117IncrementalDedup _),
     "q30_fingerprints" -> (q30Fingerprints _))
 
   // q57: PII scrub — the fixture text contains no PII, so the entry
@@ -1080,5 +1113,6 @@ object Pipeline {
     "q95_audio_stats" -> q95Sql,
     "q99_chunking" -> q99Sql,
     "q100_sequence_packing" -> q100Sql,
-    "q112_jaccard_prefix" -> jaccardOracle(0.5)) // lossless ⇒ q16's SQL
+    "q112_jaccard_prefix" -> jaccardOracle(0.5), // lossless ⇒ q16's SQL
+    "q117_incremental_dedup" -> q117Sql)
 }

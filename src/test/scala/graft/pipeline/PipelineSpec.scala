@@ -60,6 +60,18 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(aScore - 2 * math.log(2.0)) < 1e-12)
   }
 
+  test("incrementalExactDedup drops corpus dups, collapses batch dups") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha"), // already in the corpus → dropped
+      (11L, "gamma"), (12L, "gamma"), // in-batch dup → one group, min id
+      (13L, "delta")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.incrementalExactDedup(corpus, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((11L, 2L), (13L, 1L)))
+  }
+
   test("unigramLogProb scores docs by corpus-model per-token likelihood") {
     val df = Seq((1L, "a a"), (2L, "b")).toDF("doc_id", "text")
     // corpus: a×2, b×1, total 3 → doc1 avg = ln(2/3), doc2 = ln(1/3)
