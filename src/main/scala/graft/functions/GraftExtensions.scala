@@ -22,8 +22,11 @@ import org.apache.spark.sql.graftbridge.GraftSqlBridge
   * the identical codegen'd expression — not a UDF shadow.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // flag-gated rewrites (no-ops unless the session opts in)
+    ext.injectOptimizerRule(ApproxDistinctRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -55,9 +58,18 @@ object GraftExtensions {
     one("byte_entropy")(ByteEntropy(_)),
     two("long_array_dot")(LongArrayDot(_, _)))
 
-  /** Register on a live session (idempotent: re-registration replaces). */
-  def install(spark: SparkSession): Unit =
+  /** Register on a live session (idempotent: re-registration replaces,
+    * and the optimizer rule is appended once). The rule goes through
+    * `spark.experimental.extraOptimizations` — the live-session analog
+    * of `injectOptimizerRule` for sessions the caller didn't build.
+    */
+  def install(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       GraftSqlBridge.registerFunction(spark, id, info, builder)
     }
+    val existing = spark.experimental.extraOptimizations
+    if (!existing.exists(_.isInstanceOf[ApproxDistinctRewrite]))
+      spark.experimental.extraOptimizations =
+        existing :+ ApproxDistinctRewrite(spark)
+  }
 }

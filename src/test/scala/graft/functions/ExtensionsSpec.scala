@@ -33,6 +33,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT simhash64(array('a')) AS h").count() == 1)
   }
 
+  test("ApproxDistinctRewrite swaps exact distinct for HLL only under the flag") {
+    GraftExtensions.install(spark)
+    val df = (1 to 1000).map(i => (i % 7, i % 400)).toDF("k", "v")
+    df.createOrReplaceTempView("adr_t")
+    def optimized(): String =
+      spark.sql("SELECT k, count(DISTINCT v) AS d FROM adr_t GROUP BY k")
+        .queryExecution.optimizedPlan.toString
+
+    spark.conf.unset("spark.graft.approxDistinct.enabled")
+    assert(!optimized().contains("approx_count_distinct"))
+
+    spark.conf.set("spark.graft.approxDistinct.enabled", "true")
+    try {
+      assert(optimized().contains("approx_count_distinct"))
+      // rewritten counts stay within HLL's advertised ±2% (×5 safety)
+      val approx = spark
+        .sql("SELECT count(DISTINCT v) AS d FROM adr_t").head.getLong(0)
+      assert(math.abs(approx - 400L) <= 40, s"approx=$approx")
+      // multi-column distinct stays exact (semantics subtler — not rewritten)
+      assert(!spark.sql("SELECT count(DISTINCT k, v) FROM adr_t")
+        .queryExecution.optimizedPlan.toString.contains("approx_count_distinct"))
+    } finally spark.conf.unset("spark.graft.approxDistinct.enabled")
+  }
+
   test("SQL builders reject wrong arities at analysis") {
     GraftExtensions.install(spark)
     val e = intercept[Exception](
