@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     // flag-gated rewrites (no-ops unless the session opts in)
     ext.injectOptimizerRule(ApproxDistinctRewrite)
+    // planner strategy for graft's custom logical nodes (TopKPerKey)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 
@@ -71,5 +73,9 @@ object GraftExtensions {
     if (!existing.exists(_.isInstanceOf[ApproxDistinctRewrite]))
       spark.experimental.extraOptimizations =
         existing :+ ApproxDistinctRewrite(spark)
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.exists(_ eq graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        strategies :+ graft.plans.TopKStrategy
   }
 }

@@ -298,6 +298,29 @@ object Analytics {
       |FROM tk2 JOIN c USING (tok) CROSS JOIN t
       |GROUP BY doc_id""".stripMargin
 
+  // q118: per-key top-k through the CUSTOM physical operator
+  // (TopKPerKeyExec: one Exchange + bounded heaps, no sort) — the
+  // LogicalPlan/SparkStrategy/SparkPlan extension point driver-checked
+  // against DuckDB's window formulation. Total order via the
+  // (price DESC, orderkey, linenumber) tie-break.
+  def q118TopkPerKey(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.perKey(
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice")),
+      keyCols = Seq("l_returnflag"),
+      orderBy = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc),
+      k = 5)
+
+  val q118Sql: String =
+    """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+      |          l_extendedprice FROM lineitem))
+      |WHERE rn <= 5""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_funnel" -> (q102Funnel _),
     "q103_transitions" -> (q103Transitions _),
@@ -310,7 +333,8 @@ object Analytics {
     "q111_streaks" -> (q111Streaks _),
     "q113_key_skew" -> (q113KeySkew _),
     "q114_winsorize" -> (q114Winsorize _),
-    "q116_unigram_logprob" -> (q116UnigramLogprob _))
+    "q116_unigram_logprob" -> (q116UnigramLogprob _),
+    "q118_topk_per_key" -> (q118TopkPerKey _))
 
   def oracles: Map[String, String] = Map(
     "q102_funnel" -> q102Sql,
@@ -324,5 +348,6 @@ object Analytics {
     "q111_streaks" -> q111Sql,
     "q113_key_skew" -> q113Sql,
     "q114_winsorize" -> q114Sql,
-    "q116_unigram_logprob" -> q116Sql)
+    "q116_unigram_logprob" -> q116Sql,
+    "q118_topk_per_key" -> q118Sql)
 }

@@ -14,6 +14,17 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`) — needed to hand custom logical nodes like
+    * [[graft.plans.TopKPerKey]] to the planner.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL function on a LIVE session's FunctionRegistry
     * (`sessionState` is `private[sql]`, hence bridged here). The
     * builder-time path is `graft.functions.GraftExtensions` via
