@@ -636,6 +636,7 @@ object Pipeline {
     "q101_compression_signal" -> (q101CompressionSignal _),
     "q112_jaccard_prefix" -> (q112JaccardPrefix _),
     "q117_incremental_dedup" -> (q117IncrementalDedup _),
+    "q119_training_prep" -> (q119TrainingPrep _),
     "q30_fingerprints" -> (q30Fingerprints _))
 
   // q57: PII scrub — the fixture text contains no PII, so the entry
@@ -1079,6 +1080,45 @@ object Pipeline {
       |FROM documents
       |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  // q119: the END-TO-END training-data prep chain in one entry —
+  // deterministic global shuffle → contiguous sequence packing over the
+  // shuffled order → hash split — all three operators composed, and the
+  // oracle rebuilds the ENTIRE chain (row_number over the md5 order,
+  // prefix-sum bins over that order, md5 split) in one SQL statement:
+  // every intermediate is deterministic, so composition stays hash-exact.
+  def q119TrainingPrep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val shuffled = graft.pipeline.Sampling.deterministicShuffle(
+      docs, "doc_id", seed = "r7", shards = 64)
+    val packed = graft.pipeline.Sampling.packContiguous(
+      shuffled, orderCol = "shuffle_pos", sizeCol = "n_chars",
+      capacity = 8192L)
+    val split = graft.pipeline.Sampling.hashSplit(
+      packed, "doc_id",
+      Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+    split.select(col("doc_id"), col("shuffle_pos"), col("seq_bin"),
+      col("split"))
+  }
+
+  val q119Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY md5('r7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |      AS shuffle_pos
+      |  FROM documents),
+      |pk AS (
+      |  SELECT doc_id, shuffle_pos,
+      |    CAST((sum(n_chars) OVER w - n_chars) // 8192 AS BIGINT) AS seq_bin
+      |  FROM sh WINDOW w AS (ORDER BY shuffle_pos ROWS UNBOUNDED PRECEDING))
+      |SELECT doc_id, shuffle_pos, seq_bin,
+      |  CASE WHEN h < 900000 THEN 'train'
+      |       WHEN h < 950000 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT *,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 1000000 AS h
+      |  FROM pk)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
@@ -1114,5 +1154,6 @@ object Pipeline {
     "q99_chunking" -> q99Sql,
     "q100_sequence_packing" -> q100Sql,
     "q112_jaccard_prefix" -> jaccardOracle(0.5), // lossless ⇒ q16's SQL
-    "q117_incremental_dedup" -> q117Sql)
+    "q117_incremental_dedup" -> q117Sql,
+    "q119_training_prep" -> q119Sql)
 }
