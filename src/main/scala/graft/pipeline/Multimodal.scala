@@ -28,6 +28,9 @@ final case class ImageAHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
   */
 final case class WavSpecRow(doc_id: Long, n_samples: Int)
 
+/** One decoded pixel (24-bit RGB) from the pixel-explode decode. */
+final case class PixelRow(doc_id: Long, x: Int, y: Int, rgb: Int)
+
 /** Integer signal statistics of decoded PCM16 samples. `mean_square`
   * is the floor of sum(s²)/n — the RMS without the sqrt, kept integer
   * so any engine reproduces it exactly.
@@ -324,6 +327,96 @@ object Multimodal {
           }
           ImageAHash(p.doc_id, hi, lo)
         }
+      }))
+  }
+
+  /** REAL batched image RESIZE through the codec boundary: decode via
+    * `javax.imageio`, downscale by integer BOX AVERAGING (each output
+    * pixel is the per-channel floor-average of its input box
+    * [⌊x·w/outW⌋, ⌊(x+1)·w/outW⌋) × [⌊y·h/outH⌋, ⌊(y+1)·h/outH⌋)), and
+    * re-encode. Box averaging is chosen over Graphics2D scaling because
+    * its arithmetic is EXACT and engine-reproducible — the q120 oracle
+    * recomputes every resized pixel from the synthetic-pattern formula
+    * — and it is the correct downsampling filter anyway (area average =
+    * no aliasing). Undecodable or smaller-than-target payloads are
+    * dropped. Bounded-batch mapPartitions, like the other codecs.
+    */
+  def resizeImagesBatched(
+      df: DataFrame,
+      idCol: String,
+      outW: Int,
+      outH: Int,
+      format: String = "png",
+      batchSize: Int = 64): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"bad target size ${outW}x$outH")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("media_bytes"))
+      .as[MediaPayload]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.media_bytes))
+        if (img == null || img.getWidth < outW || img.getHeight < outH) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val out = new java.awt.image.BufferedImage(
+            outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < outH) {
+            val y0 = y * h / outH; val y1 = (y + 1) * h / outH
+            var x = 0
+            while (x < outW) {
+              val x0 = x * w / outW; val x1 = (x + 1) * w / outW
+              var r = 0L; var g = 0L; var b = 0L
+              var yy = y0
+              while (yy < y1) {
+                var xx = x0
+                while (xx < x1) {
+                  val v = img.getRGB(xx, yy)
+                  r += (v >> 16) & 0xff; g += (v >> 8) & 0xff; b += v & 0xff
+                  xx += 1
+                }
+                yy += 1
+              }
+              val n = (x1 - x0).toLong * (y1 - y0)
+              out.setRGB(x, y,
+                (((r / n) << 16) | ((g / n) << 8) | (b / n)).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, format, bos)
+          Some(MediaPayload(p.doc_id, bos.toByteArray))
+        }
+      }))
+      .toDF("doc_id", "media_bytes")
+  }
+
+  /** Batched pixel-explode decode: one row per decoded pixel —
+    * (doc_id, x, y, 24-bit rgb). The feature-extraction primitive
+    * downstream stages (histograms, channel stats, patch models) build
+    * on, and the strongest possible codec check: every pixel VALUE is a
+    * row an oracle can rebuild. Use on small/resized images (the row
+    * count is w×h per doc — explode AFTER [[resizeImagesBatched]], not
+    * before). Undecodable payloads yield no rows.
+    */
+  def decodePixelsBatched(
+      df: DataFrame,
+      idCol: String,
+      batchSize: Int = 64): Dataset[PixelRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("media_bytes"))
+      .as[MediaPayload]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.media_bytes))
+        if (img == null) Iterator.empty
+        else for {
+          y <- Iterator.range(0, img.getHeight)
+          x <- Iterator.range(0, img.getWidth)
+        } yield PixelRow(p.doc_id, x, y, img.getRGB(x, y) & 0xffffff)
       }))
   }
 

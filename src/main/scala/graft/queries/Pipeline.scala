@@ -637,6 +637,7 @@ object Pipeline {
     "q112_jaccard_prefix" -> (q112JaccardPrefix _),
     "q117_incremental_dedup" -> (q117IncrementalDedup _),
     "q119_training_prep" -> (q119TrainingPrep _),
+    "q120_image_resize" -> (q120ImageResize _),
     "q30_fingerprints" -> (q30Fingerprints _))
 
   // q57: PII scrub — the fixture text contains no PII, so the entry
@@ -1080,6 +1081,39 @@ object Pipeline {
       |FROM documents
       |WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  // q120: REAL image resize through the codec — 16×16 synthetic PNGs
+  // box-averaged to 8×8 (integer floor per channel), re-encoded, then
+  // pixel-explode decoded to one row per RESIZED pixel. The oracle
+  // rebuilds every resized pixel value from the synthetic-pattern
+  // formula + the same 2×2 box-average arithmetic: codec decode, the
+  // resize kernel and the re-encode round-trip must all be pixel-exact
+  // for 6400 rows to hash-match. Documents capped at 100 to bound the
+  // pixel-row count.
+  def q120ImageResize(s: SparkSession, dir: String): DataFrame = {
+    val specs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), lit(16).as("spec_w"), lit(16).as("spec_h"))
+    val encoded = Multimodal.encodeImagesBatched(specs, "doc_id", "spec_w", "spec_h")
+    val resized = Multimodal.resizeImagesBatched(encoded, "doc_id", 8, 8)
+    Multimodal.decodePixelsBatched(resized, "doc_id").toDF()
+  }
+
+  val q120Sql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+      |grid AS (
+      |  SELECT doc_id, ox.x, oy.y, dx.dx, dy.dy,
+      |    ((doc_id * 2654435761 + (2*ox.x + dx.dx) * 7919
+      |      + (2*oy.y + dy.dy) * 104729) & 16777215) AS v
+      |  FROM ids,
+      |    (SELECT unnest(range(8)) AS x) ox,
+      |    (SELECT unnest(range(8)) AS y) oy,
+      |    (SELECT unnest(range(2)) AS dx) dx,
+      |    (SELECT unnest(range(2)) AS dy) dy)
+      |SELECT doc_id, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+      |  CAST(((sum((v >> 16) & 255) // 4) << 16)
+      |     | ((sum((v >> 8) & 255) // 4) << 8)
+      |     | (sum(v & 255) // 4) AS INT) AS rgb
+      |FROM grid GROUP BY doc_id, x, y""".stripMargin
+
   // q119: the END-TO-END training-data prep chain in one entry —
   // deterministic global shuffle → contiguous sequence packing over the
   // shuffled order → hash split — all three operators composed, and the
@@ -1155,5 +1189,6 @@ object Pipeline {
     "q100_sequence_packing" -> q100Sql,
     "q112_jaccard_prefix" -> jaccardOracle(0.5), // lossless ⇒ q16's SQL
     "q117_incremental_dedup" -> q117Sql,
-    "q119_training_prep" -> q119Sql)
+    "q119_training_prep" -> q119Sql,
+    "q120_image_resize" -> q120Sql)
 }

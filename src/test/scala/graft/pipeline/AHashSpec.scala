@@ -15,6 +15,34 @@ class AHashSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("resizeImagesBatched box-averages channels with floor division") {
+    // 4×4 → 2×2: each output pixel averages a 2×2 box. Top-left box:
+    // (10,20,30)×3 + (14,20,30) → r=(30+14)/4=11, g=20, b=30.
+    val px = Array(
+      Array(0x0a141e, 0x0a141e, 0x111111, 0x111111),
+      Array(0x0a141e, 0x0e141e, 0x111111, 0x131313),
+      Array(0xff0000, 0x000000, 0xffffff, 0x000000),
+      Array(0x00ff00, 0x000000, 0x000000, 0x000000))
+    val df = Seq((1L, pngBytes(4, 4)((x, y) => px(y)(x)))).toDF("doc_id", "media_bytes")
+    val out = Multimodal.decodePixelsBatched(
+      Multimodal.resizeImagesBatched(df, "doc_id", 2, 2), "doc_id")
+      .collect().map(r => ((r.x, r.y), r.rgb)).toMap
+    assert(out((0, 0)) == 0x0b141e)
+    assert(out((1, 0)) == 0x111111) // (17·3+19)/4 floors back to 17 per channel
+    assert(out((0, 1)) == ((0xff / 4) << 16 | (0xff / 4) << 8)) // r and g boxes each hold one full-bright pixel
+    assert(out((1, 1)) == ((0xff / 4) << 16 | (0xff / 4) << 8 | 0xff / 4))
+  }
+
+  test("resize drops undecodable and too-small payloads") {
+    val df = Seq(
+      (1L, pngBytes(8, 8)((_, _) => 0x123456)),
+      (2L, Array[Byte](1, 2, 3)), // undecodable
+      (3L, pngBytes(2, 2)((_, _) => 0))) // smaller than target
+      .toDF("doc_id", "media_bytes")
+    val out = Multimodal.resizeImagesBatched(df, "doc_id", 4, 4)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("aHash of a half-bright 8x8 image is the known bit pattern") {
     // 8×8 → one pixel per cell; left half white (luma 255), right black
     // (0); mean = 127 → bits set exactly where x < 4: 0x0F0F0F0F in
