@@ -510,6 +510,68 @@ object Multimodal {
       }))
   }
 
+  /** REAL batched audio DECIMATION — the audio twin of
+    * [[resizeImagesBatched]]: decode the canonical WAV layout, reduce
+    * the sample rate by `factor` with integer BOX AVERAGING (each
+    * output sample is the average of its `factor` input samples,
+    * TRUNCATED toward zero — JVM long division and DuckDB's `//` agree
+    * on that convention for the negative sums signed PCM produces;
+    * floorDiv would NOT), and re-encode at rate/factor. Exact arithmetic by
+    * construction, so an oracle rebuilds every output sample from the
+    * input formula. A trailing partial group averages over its actual
+    * count. Non-canonical payloads are dropped.
+    */
+  def decimateWavBatched(
+      df: DataFrame,
+      idCol: String,
+      factor: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, s"factor must be positive, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("media_bytes"))
+      .as[MediaPayload]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { p =>
+        val b = p.media_bytes
+        def tag(off: Int, s: String): Boolean =
+          b.length >= off + s.length &&
+            s.getBytes("US-ASCII").zipWithIndex.forall { case (c, i) => b(off + i) == c }
+        if (!tag(0, "RIFF") || !tag(8, "WAVEfmt ") || !tag(36, "data")) None
+        else {
+          val in = java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val rate = in.getInt(24)
+          val n = in.getInt(40) / 2
+          if (n <= 0 || 44 + n * 2 > b.length) None
+          else {
+            val outN = (n + factor - 1) / factor
+            val dataLen = outN * 2
+            val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val outRate = math.max(rate / factor, 1)
+            out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+              .put("WAVEfmt ".getBytes("US-ASCII"))
+              .putInt(16).putShort(1).putShort(1)
+              .putInt(outRate).putInt(outRate * 2)
+              .putShort(2).putShort(16)
+              .put("data".getBytes("US-ASCII")).putInt(dataLen)
+            var i = 0
+            while (i < outN) {
+              val lo = i * factor
+              val hi = math.min(lo + factor, n)
+              var sum = 0L
+              var j = lo
+              while (j < hi) { sum += in.getShort(44 + 2 * j); j += 1 }
+              out.putShort((sum / (hi - lo)).toShort)
+              i += 1
+            }
+            Some(MediaPayload(p.doc_id, out.array()))
+          }
+        }
+      }))
+      .toDF("doc_id", "media_bytes")
+  }
+
   /** STUB batch codec (kept for plan-shape tests and as the template for
     * modalities with no JVM codec): deterministic fake dimensions from
     * payload size plus a rolling checksum over the bytes — enough to

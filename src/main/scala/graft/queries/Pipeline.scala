@@ -638,6 +638,7 @@ object Pipeline {
     "q117_incremental_dedup" -> (q117IncrementalDedup _),
     "q119_training_prep" -> (q119TrainingPrep _),
     "q120_image_resize" -> (q120ImageResize _),
+    "q121_audio_decimate" -> (q121AudioDecimate _),
     "q30_fingerprints" -> (q30Fingerprints _))
 
   // q57: PII scrub — the fixture text contains no PII, so the entry
@@ -1044,6 +1045,41 @@ object Pipeline {
       |  CAST(max(abs(smp)) AS BIGINT) AS peak
       |FROM v GROUP BY doc_id""".stripMargin
 
+  // q121: REAL audio decimation — encode the synthetic PCM16 signal,
+  // decimate ×4 (truncated-average sample boxes: JVM `/` and DuckDB `//`
+  // both truncate toward zero), then integer stats over the RESULT.
+  // The oracle rebuilds the decimated samples from the input formula:
+  // decode, the decimation kernel and the WAV re-encode round-trip must
+  // be sample-exact. The header parse pins the new sample rate.
+  def q121AudioDecimate(s: SparkSession, dir: String): DataFrame = {
+    val specs = t(s, dir, "documents").select(
+      col("doc_id"), (col("n_chars") % 1500 + 100).cast("int").as("n_spec"))
+    val wav = Multimodal.encodeWavBatched(specs, "doc_id", "n_spec")
+    val dec = Multimodal.decimateWavBatched(wav, "doc_id", factor = 4)
+    val hdr = Multimodal.audioMeta(dec)
+      .select(col("doc_id"), col("sample_rate"))
+    hdr.join(Multimodal.audioStatsBatched(dec, "doc_id").toDF(), "doc_id")
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("mean_square"), col("peak"))
+  }
+
+  val q121Sql: String =
+    """WITH spec AS (
+      |  SELECT doc_id, CAST(n_chars % 1500 + 100 AS BIGINT) AS n
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, unnest(range(n)) AS i,
+      |    ((doc_id * 31 + unnest(range(n)) * 2654435761) & 65535) - 32768 AS smp
+      |  FROM spec),
+      |d AS (
+      |  SELECT doc_id, i // 4 AS oi, sum(smp) // count(*) AS osmp
+      |  FROM v GROUP BY doc_id, i // 4)
+      |SELECT doc_id, 4000 AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(osmp * osmp) // count(*) AS BIGINT) AS mean_square,
+      |  CAST(max(abs(osmp)) AS BIGINT) AS peak
+      |FROM d GROUP BY doc_id""".stripMargin
+
   // q99: document chunking — fixed-width character chunks with overlap
   // (TextStats.chunkDocuments: in-row explode + substr, zero shuffles).
   // The oracle rebuilds every chunk with generate_series + substring —
@@ -1190,5 +1226,6 @@ object Pipeline {
     "q112_jaccard_prefix" -> jaccardOracle(0.5), // lossless ⇒ q16's SQL
     "q117_incremental_dedup" -> q117Sql,
     "q119_training_prep" -> q119Sql,
-    "q120_image_resize" -> q120Sql)
+    "q120_image_resize" -> q120Sql,
+    "q121_audio_decimate" -> q121Sql)
 }

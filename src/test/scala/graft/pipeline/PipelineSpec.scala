@@ -617,6 +617,27 @@ class PipelineSpec extends SparkSpec {
     assert(meta.getAs[String]("sha256").length == 64)
   }
 
+  test("decimateWavBatched truncated-averages sample boxes, re-rates header") {
+    // doc 1: 10 samples → factor 4 → boxes (0..3)(4..7)(8..9); compare
+    // against the generative formula folded the same way
+    val specs = Seq((1L, 10)).toDF("doc_id", "n_spec")
+    val wav = Multimodal.encodeWavBatched(specs, "doc_id", "n_spec",
+      sampleRate = 16000)
+    val dec = Multimodal.decimateWavBatched(wav, "doc_id", factor = 4)
+    val rate = Multimodal.audioMeta(dec).select("sample_rate")
+      .head.getInt(0)
+    assert(rate == 4000)
+    val stats = Multimodal.audioStatsBatched(dec, "doc_id").collect().head
+    val smp = (0 until 10).map(Multimodal.syntheticPcm16(1L, _).toLong)
+    val boxes = smp.grouped(4).map(g => g.sum / g.size).toSeq
+    assert(stats.n_samples == 3L)
+    assert(stats.mean_square == boxes.map(v => v * v).sum / 3)
+    assert(stats.peak == boxes.map(math.abs).max)
+    // junk payloads are dropped, not poisoned
+    val junk = Seq((2L, Array[Byte](9, 9, 9))).toDF("doc_id", "media_bytes")
+    assert(Multimodal.decimateWavBatched(junk, "doc_id", 4).count() == 0)
+  }
+
   test("imageMeta parses real PNG/BMP/GIF headers; audioMeta parses WAV") {
     def beBytes(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
