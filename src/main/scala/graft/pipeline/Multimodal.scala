@@ -31,6 +31,17 @@ final case class WavSpecRow(doc_id: Long, n_samples: Int)
 /** One decoded pixel (24-bit RGB) from the pixel-explode decode. */
 final case class PixelRow(doc_id: Long, x: Int, y: Int, rgb: Int)
 
+/** One row entering the batched animated-GIF encoder: frame count only;
+  * frame content derives deterministically from (doc_id, frame, x, y).
+  */
+final case class AnimSpecRow(doc_id: Long, n_frames: Int)
+
+/** One decoded animation frame: its index, the container's frame count
+  * and the frame's white-pixel count (the two-color pattern's feature).
+  */
+final case class GifFrame(
+    doc_id: Long, frame_idx: Int, n_frames: Long, white_count: Long)
+
 /** Integer signal statistics of decoded PCM16 samples. `mean_square`
   * is the floor of sum(s²)/n — the RMS without the sqrt, kept integer
   * so any engine reproduces it exactly.
@@ -570,6 +581,115 @@ object Multimodal {
         }
       }))
       .toDF("doc_id", "media_bytes")
+  }
+
+  /** Whether grid cell (x, y) of frame f in doc `docId`'s synthetic
+    * animation is WHITE — a deterministic two-color pattern
+    * (GIF-palette-safe: the indexed encoder preserves pure black/white
+    * exactly, where arbitrary 24-bit colors would quantize) whose
+    * per-frame white count varies with (doc, frame) so the q122 oracle
+    * is non-degenerate.
+    */
+  def syntheticFrameWhite(docId: Long, f: Int, x: Int, y: Int): Boolean =
+    (docId * 31 + f * 7 + x * 3 + y) % 5 < 2
+
+  /** REAL batched multi-frame GIF ENCODER: each row becomes an animated
+    * GIF of `framesCol` full frames (w×h, the [[syntheticFrameWhite]]
+    * two-color pattern) written through `javax.imageio`'s sequence API
+    * — the VIDEO-modality twin of [[encodeImagesBatched]], upgrading
+    * frame handling from the deterministic fake to a real multi-frame
+    * container.
+    */
+  def encodeGifAnimBatched(
+      df: DataFrame,
+      idCol: String,
+      framesCol: String,
+      w: Int,
+      h: Int,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(framesCol).cast("int").as("n_frames"))
+      .as[AnimSpecRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersBySuffix("gif").next()
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < r.n_frames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                if (syntheticFrameWhite(r.doc_id, f, x, y)) 0xffffff else 0)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        ios.close()
+        MediaPayload(r.doc_id, bos.toByteArray)
+      }))
+      .toDF("doc_id", "media_bytes")
+  }
+
+  /** REAL batched multi-frame GIF DECODER: count the container's frames
+    * with the codec (`getNumImages(true)`) and reduce each decoded
+    * frame's raster to its white-pixel count — one row per frame,
+    * (doc_id, frame_idx, n_frames, white_count). The real replacement
+    * for [[fakeDecodeMeta]]+[[sampleFrames]]'s frame counting on the
+    * one animated container the JVM ships a codec for. Undecodable
+    * payloads yield no rows.
+    */
+  def decodeGifFramesBatched(
+      df: DataFrame,
+      idCol: String,
+      batchSize: Int = 64): Dataset[GifFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("media_bytes"))
+      .as[MediaPayload]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.iterator.flatMap { p =>
+        val readers = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
+        if (!readers.hasNext) Iterator.empty
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(p.media_bytes)))
+            val n = reader.getNumImages(true)
+            (0 until n).iterator.map { f =>
+              val img = reader.read(f)
+              var white = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  if ((img.getRGB(x, y) & 0xffffff) == 0xffffff) white += 1
+                  x += 1
+                }
+                y += 1
+              }
+              GifFrame(p.doc_id, f, n.toLong, white)
+            }.toVector.iterator
+          } catch {
+            case _: Exception => Iterator.empty
+          } finally reader.dispose()
+        }
+      }))
   }
 
   /** STUB batch codec (kept for plan-shape tests and as the template for

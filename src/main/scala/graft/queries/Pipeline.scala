@@ -639,6 +639,7 @@ object Pipeline {
     "q119_training_prep" -> (q119TrainingPrep _),
     "q120_image_resize" -> (q120ImageResize _),
     "q121_audio_decimate" -> (q121AudioDecimate _),
+    "q122_gif_frames" -> (q122GifFrames _),
     "q30_fingerprints" -> (q30Fingerprints _))
 
   // q57: PII scrub — the fixture text contains no PII, so the entry
@@ -1080,6 +1081,37 @@ object Pipeline {
       |  CAST(max(abs(osmp)) AS BIGINT) AS peak
       |FROM d GROUP BY doc_id""".stripMargin
 
+  // q122: REAL multi-frame (animated GIF) round-trip — the video-modality
+  // frame path through an actual codec: encode doc_id%5+2 full frames of
+  // the two-color pattern, decode with getNumImages + per-frame raster
+  // reads, reduce each frame to its white-pixel count. The oracle
+  // rebuilds frame counts AND every frame's white count from the
+  // pattern formula — container framing, palette round-trip and frame
+  // rasters must all be exact. Docs capped at 100.
+  def q122GifFrames(s: SparkSession, dir: String): DataFrame = {
+    val specs = t(s, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), (col("doc_id") % 5 + 2).cast("int").as("nf"))
+    val gifs = Multimodal.encodeGifAnimBatched(specs, "doc_id", "nf", 16, 16)
+    Multimodal.decodeGifFramesBatched(gifs, "doc_id").toDF()
+  }
+
+  val q122Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id, doc_id % 5 + 2 AS nf
+      |  FROM documents WHERE doc_id < 100),
+      |fr AS (SELECT doc_id, nf, unnest(range(nf)) AS f FROM ids),
+      |px AS (
+      |  SELECT doc_id, nf, f,
+      |    CASE WHEN (doc_id * 31 + f * 7 + gx.x * 3 + gy.y) % 5 < 2
+      |         THEN 1 ELSE 0 END AS wht
+      |  FROM fr,
+      |    (SELECT unnest(range(16)) AS x) gx,
+      |    (SELECT unnest(range(16)) AS y) gy)
+      |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(sum(wht) AS BIGINT) AS white_count
+      |FROM px GROUP BY doc_id, f, nf""".stripMargin
+
   // q99: document chunking — fixed-width character chunks with overlap
   // (TextStats.chunkDocuments: in-row explode + substr, zero shuffles).
   // The oracle rebuilds every chunk with generate_series + substring —
@@ -1227,5 +1259,6 @@ object Pipeline {
     "q117_incremental_dedup" -> q117Sql,
     "q119_training_prep" -> q119Sql,
     "q120_image_resize" -> q120Sql,
-    "q121_audio_decimate" -> q121Sql)
+    "q121_audio_decimate" -> q121Sql,
+    "q122_gif_frames" -> q122Sql)
 }

@@ -638,6 +638,24 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decimateWavBatched(junk, "doc_id", 4).count() == 0)
   }
 
+  test("animated GIF round-trip: frame counts and rasters survive the codec") {
+    val specs = Seq((7L, 4)).toDF("doc_id", "nf")
+    val gifs = Multimodal.encodeGifAnimBatched(specs, "doc_id", "nf", 16, 16)
+    val frames = Multimodal.decodeGifFramesBatched(gifs, "doc_id")
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 4 && frames.forall(_.n_frames == 4L))
+    frames.foreach { fr =>
+      val expected = (for {
+        y <- 0 until 16; x <- 0 until 16
+        if Multimodal.syntheticFrameWhite(7L, fr.frame_idx, x, y)
+      } yield 1).sum.toLong
+      assert(fr.white_count == expected, s"frame ${fr.frame_idx}")
+    }
+    // junk payloads yield no rows rather than failing the batch
+    val junk = Seq((8L, Array[Byte](1, 2))).toDF("doc_id", "media_bytes")
+    assert(Multimodal.decodeGifFramesBatched(junk, "doc_id").count() == 0)
+  }
+
   test("imageMeta parses real PNG/BMP/GIF headers; audioMeta parses WAV") {
     def beBytes(v: Long, n: Int): Array[Byte] =
       (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
