@@ -667,9 +667,10 @@ object Multimodal {
         if (!readers.hasNext) Iterator.empty
         else {
           val reader = readers.next()
+          val in = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(p.media_bytes))
           try {
-            reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-              new java.io.ByteArrayInputStream(p.media_bytes)))
+            reader.setInput(in)
             val n = reader.getNumImages(true)
             (0 until n).iterator.map { f =>
               val img = reader.read(f)
@@ -687,7 +688,10 @@ object Multimodal {
             }.toVector.iterator
           } catch {
             case _: Exception => Iterator.empty
-          } finally reader.dispose()
+          } finally {
+            reader.dispose()
+            in.close() // memory-backed here, but executors run for days
+          }
         }
       }))
   }
