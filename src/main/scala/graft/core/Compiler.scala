@@ -65,10 +65,11 @@ object Compiler {
       name: String, params: Seq[(String, Option[Any])], body: Seq[Node]) extends Node
   private final case class IncludeNode(pathExpr: String) extends Node
   /** `names = None` imports every macro/assignment; `Some(ns)` is the
-    * `{% from %}` form restricted to those names.
+    * `{% from %}` form restricted to those `(source, boundAs)` pairs —
+    * `boundAs` differs from `source` under `{% from 'f' import a as b %}`.
     */
   private final case class ImportNode(
-      pathExpr: String, names: Option[Seq[String]]) extends Node
+      pathExpr: String, names: Option[Seq[(String, String)]]) extends Node
 
   /** A defined `{% macro %}`, stored in the template scope like any other
     * value; closes over its definition scope (Jinja semantics).
@@ -165,8 +166,26 @@ object Compiler {
                 val FromHeader = "(?s)^(.+?)\\s+import\\s+(.+)$".r
                 tag.stripPrefix("from").trim match {
                   case FromHeader(path, names) =>
-                    out += ImportNode(path.trim,
-                      Some(names.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+                    // each item is `name` or `name as alias` (Jinja)
+                    val parsed = names.split(",").map(_.trim).filter(_.nonEmpty)
+                      .map { item =>
+                        item.split("\\s+as\\s+") match {
+                          case Array(src) => Right((src, src))
+                          case Array(src, alias)
+                              if src.nonEmpty && alias.nonEmpty &&
+                                !alias.contains(" ") =>
+                            Right((src.trim, alias.trim))
+                          case _ => Left(ParseError(
+                            s"malformed from-import item '$item' " +
+                              "(expected `name` or `name as alias`)"))
+                        }
+                      }.toSeq
+                    parsed.collectFirst { case Left(e) => e } match {
+                      case Some(e) => return Left(e)
+                      case None =>
+                        out += ImportNode(path.trim,
+                          Some(parsed.collect { case Right(p) => p }))
+                    }
                   case other => return Left(ParseError(
                     s"malformed from tag: {% from $other %} " +
                       "(expected {% from 'file' import name, ... %})"))
@@ -307,23 +326,28 @@ object Compiler {
       depth: Int = 0): Result[String] =
     renderScope(nodes, ctx, scope0, depth).map(_._1)
 
-  /** Render and ALSO return the final scope — `{% import %}` needs the
-    * macros/assignments an imported template defined.
+  /** Render and ALSO return the final scope plus the set of names the
+    * block itself DEFINED (`{% set %}` / `{% macro %}` / transitive
+    * imports) — `{% import %}` exposes exactly those, tracked by key so
+    * a definition whose value happens to equal a global param still
+    * counts as defined.
     */
   private def renderScope(
       nodes: Seq[Node], ctx: Context, scope0: Map[String, Any],
-      depth: Int): Result[(String, Map[String, Any])] = {
+      depth: Int): Result[(String, Map[String, Any], Set[String])] = {
     if (depth > MaxIncludeDepth)
       return Left(ParseError(
         s"include/import nesting exceeds $MaxIncludeDepth (cycle?)"))
     val sb = new StringBuilder
     var scope = scope0 // {% set %} extends the scope for the rest of the block
+    var definedKeys = Set.empty[String]
     for (n <- nodes) {
       val piece: Result[String] = n match {
         case Text(s) => Right(s)
         case SetNode(v, e) =>
           Expr.eval(e, scope) match {
-            case Right(value) => scope += (v -> value); Right("")
+            case Right(value) =>
+              scope += (v -> value); definedKeys += v; Right("")
             case Left(err) => Left(err)
           }
         case MacroNode(mName, params, body) =>
@@ -331,6 +355,7 @@ object Compiler {
           // the rest of the block like {% set %}. Self-recursion is not
           // supported.
           scope += (mName -> MacroDef(mName, params, body, scope))
+          definedKeys += mName
           Right("")
         case Interp(e) => evalExpr(e, ctx, scope)
         case IfNode(branches, elseBody) =>
@@ -377,19 +402,24 @@ object Compiler {
           // is discarded, and its macros/assignments enter this scope
           loadTemplate(pathExpr, ctx, scope).flatMap { case (path, nodes2) =>
             renderScope(nodes2, ctx, ctx.params, depth + 1).flatMap {
-              case (_, imported) =>
-                val defined = imported.filter { case (k, v) =>
-                  !ctx.params.get(k).exists(_ == v)
-                }
+              case (_, imported, importedKeys) =>
                 names match {
-                  case None => scope ++= defined; Right("")
+                  case None =>
+                    scope ++= imported.view.filterKeys(importedKeys).toMap
+                    definedKeys ++= importedKeys
+                    Right("")
                   case Some(ns) =>
-                    val missing = ns.filterNot(defined.contains)
+                    val missing = ns.collect {
+                      case (src, _) if !importedKeys.contains(src) => src
+                    }
                     if (missing.nonEmpty)
                       Left(ParseError(s"template '$path' does not define: " +
                         missing.mkString(", ")))
                     else {
-                      scope ++= defined.view.filterKeys(ns.toSet).toMap
+                      ns.foreach { case (src, alias) =>
+                        scope += (alias -> imported(src))
+                        definedKeys += alias
+                      }
                       Right("")
                     }
                 }
@@ -401,7 +431,7 @@ object Compiler {
         case Left(e) => return Left(e)
       }
     }
-    Right((sb.result(), scope))
+    Right((sb.result(), scope, definedKeys))
   }
 
   private val MaxIncludeDepth = 16

@@ -408,6 +408,34 @@ class CompilerSpec extends AnyFunSuite {
     assert(e1.toString.contains("does not define"))
   }
 
+  test("from-import supports `name as alias` and binds only the alias") {
+    assert(Compiler.compile(
+      "{% from 'macros.sql' import shout as yell %}{{ yell('hi') }}", loaded())
+      == Right("HI"))
+    // the source name is NOT bound, only the alias
+    assert(Compiler.compile(
+      "{% from 'macros.sql' import shout as yell %}{{ shout('hi') }}",
+      loaded()).isLeft)
+    // mixed plain + aliased items in one tag
+    assert(Compiler.compile(
+      "{% from 'macros.sql' import greet, version as v %}" +
+        "{{ greet('w') }} v{{ v }}", loaded())
+      == Right("hello w v3"))
+    // a malformed item errors loudly instead of parsing as one name
+    val Left(e) = Compiler.compile(
+      "{% from 'macros.sql' import shout as a b %}", loaded())
+    assert(e.toString.contains("malformed from-import item"))
+  }
+
+  test("import exposes a definition whose value equals a global param") {
+    // `version = 3` is also a global param with the SAME value: tracking
+    // by defined keys (not value diffing) must still export it
+    val ctx = Context(params = Map("version" -> 3L), loader = files.get)
+    assert(Compiler.compile(
+      "{% from 'macros.sql' import version %}v{{ version }}", ctx)
+      == Right("v3"))
+  }
+
   test("import is namespaced-free by design; missing files and cycles error") {
     val Left(e1) = Compiler.compile("{% import 'macros.sql' as m %}", loaded())
     assert(e1.toString.contains("namespaced import"))
