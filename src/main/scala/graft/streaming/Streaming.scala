@@ -28,7 +28,8 @@ private[streaming] final case class SessionAcc(
 final case class FunnelResult(user_id: Long, step_us: Seq[Long])
 
 private[streaming] final case class FunnelAcc(
-    stepUs: Seq[Long], emitted: Boolean)
+    stepUs: Seq[Long], pendingUs: Seq[Long], pendingType: Seq[String],
+    emitted: Boolean)
 
 /** Structured Streaming surface: the streaming twins of the batch
   * operators, built on event-time watermarks so state is bounded and the
@@ -272,10 +273,16 @@ object Streaming {
     * [[graft.pipeline.Behavior.funnelUsers]], same greedy-first
     * contract: step i binds to the earliest eligible occurrence
     * (strictly after step i−1, within `maxSpanUs` of step 1). Greedy
-    * binding is ORDER-INCREMENTAL — folding events in ascending event
-    * time binds exactly the batch answer — so per-batch sorting plus
-    * the watermark contract (same as [[sessionize]]) reproduce the
-    * batch result on a drained stream.
+    * binding is ORDER-INCREMENTAL — it is only correct when events are
+    * folded in ascending event time — so arriving step events are
+    * BUFFERED in state and bound only once the watermark passes them:
+    * no event older than the watermark can still arrive (the same
+    * contract as [[sessionize]]), which makes the fold watermark-order
+    * = event-time-order and reproduces the batch answer even on
+    * OUT-OF-ORDER sources. The buffer holds at most the user's step
+    * events inside the watermark-delay window (the stream-stream-join
+    * state class), and drains to nothing for users who never bind
+    * step 1.
     *
     * Finality comes from the span bound: once the watermark passes
     * t1 + span no step can bind anymore, so the event-time timeout
@@ -299,42 +306,59 @@ object Streaming {
     def micros(t: Timestamp): Long =
       math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+    val stepSet = steps.toSet
+
     def update(
         userId: Long,
         batch: Iterator[Event],
         state: GroupState[FunnelAcc]): Iterator[FunnelResult] = {
-      if (state.hasTimedOut) {
-        val acc = state.get
-        // tombstone WITHOUT a new timeout: lives until query end so a
-        // later step-1 event cannot re-enter the funnel
-        state.update(FunnelAcc(acc.stepUs, emitted = true))
-        if (acc.emitted) Iterator.empty
-        else Iterator.single(FunnelResult(userId, acc.stepUs))
-      } else {
-        val acc = state.getOption.getOrElse(FunnelAcc(Seq.empty, emitted = false))
-        if (acc.emitted) Iterator.empty // settled: drain and ignore
-        else {
-          val sorted = batch.toSeq.sortBy(e => micros(e.ts))
-          val bound = acc.stepUs.toBuffer
-          for (e <- sorted) {
-            val next = bound.size
-            if (next < steps.size && e.event_type == steps(next)) {
-              val t = micros(e.ts)
-              if (next == 0) bound += t
-              else if (t > bound(next - 1) && t <= bound.head + maxSpanUs)
-                bound += t
-            }
+      val acc = state.getOption
+        .getOrElse(FunnelAcc(Seq.empty, Seq.empty, Seq.empty, emitted = false))
+      if (acc.emitted) Iterator.empty // tombstone: drain and ignore
+      else {
+        val wmMs = state.getCurrentWatermarkMs
+        val wmUs = wmMs * 1000L
+        // watermark-order fold: only events the watermark has passed may
+        // bind (nothing older can still arrive); the rest wait in the
+        // buffer. Strict < keeps the ms-granularity watermark honest
+        // about µs event times.
+        val pending =
+          (acc.pendingUs.zip(acc.pendingType).iterator ++
+            batch.filter(e => stepSet.contains(e.event_type))
+              .map(e => (micros(e.ts), e.event_type))).toSeq
+        val (ready, waiting) = pending.partition(_._1 < wmUs)
+        val bound = acc.stepUs.toBuffer
+        for ((t, tpe) <- ready.sortBy(_._1)) {
+          val next = bound.size
+          if (next < steps.size && tpe == steps(next)) {
+            if (next == 0) bound += t
+            else if (t > bound(next - 1) && t <= bound.head + maxSpanUs)
+              bound += t
           }
-          if (bound.nonEmpty) {
-            state.update(FunnelAcc(bound.toSeq, emitted = false))
-            // fire once the watermark passes t1 + span (ms floor + 1 keeps
-            // it strictly past the µs bound); clamp above the current
-            // watermark — a just-admitted late entrant may already be
-            // beyond its own span
-            state.setTimeoutTimestamp(math.max(
-              (bound.head + maxSpanUs) / 1000L + 1,
-              state.getCurrentWatermarkMs + 1))
-          }
+        }
+        if (bound.nonEmpty && wmUs > bound.head + maxSpanUs) {
+          // final: every bindable event has ts <= t1 + span < watermark,
+          // so it was in `ready` — emit once, tombstone forever
+          state.update(FunnelAcc(bound.toSeq, Seq.empty, Seq.empty,
+            emitted = true))
+          Iterator.single(FunnelResult(userId, bound.toSeq))
+        } else if (bound.isEmpty && waiting.isEmpty) {
+          // nothing bound, nothing buffered: no reason to keep state
+          if (state.exists) state.remove()
+          Iterator.empty
+        } else {
+          // a complete funnel can bind nothing more — drop the buffer
+          val keep = if (bound.size == steps.size) Seq.empty else waiting
+          state.update(FunnelAcc(bound.toSeq,
+            keep.map(_._1), keep.map(_._2), emitted = false))
+          // bound: fire once the watermark passes t1 + span (ms floor + 1
+          // keeps it strictly past the µs bound). Buffer-only: fire on the
+          // next watermark advance so buffered events bind without new
+          // arrivals. Either way clamp above the current watermark.
+          val target =
+            if (bound.nonEmpty) (bound.head + maxSpanUs) / 1000L + 1
+            else wmMs + 1
+          state.setTimeoutTimestamp(math.max(target, wmMs + 1))
           Iterator.empty
         }
       }

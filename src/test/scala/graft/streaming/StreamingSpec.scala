@@ -268,4 +268,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows(2L) == Seq(us(0), us(5))) // c@2 before b — never bound
     assert(rows(3L) == Seq(us(0), us(5))) // c@30 outside span
   }
+
+  test("funnel binds out-of-order arrivals inside the watermark like batch") {
+    implicit val sql = spark.sqlContext
+    def us(minute: Int): Long = ts(minute).getTime * 1000L
+    val in = MemoryStream[Event]
+    val q = Streaming.funnel(in.toDS(), Seq("a", "b", "c"),
+      maxSpanUs = 20L * 60 * 1000000, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("fun_ooo").outputMode("append").start()
+    // c@10 arrives BEFORE b@5 across batches: eager per-batch binding
+    // would discard c (step b not bound yet) and stall at a→b; buffering
+    // until the watermark passes must bind the batch answer a→b→c
+    in.addData(Event(5L, ts(0), "a", 0), Event(5L, ts(10), "c", 0))
+    q.processAllAvailable()
+    in.addData(Event(5L, ts(5), "b", 0)) // late but within the watermark
+    q.processAllAvailable()
+    in.addData(Event(99L, ts(600), "view", 0))
+    q.processAllAvailable()
+    in.addData(Event(98L, ts(700), "view", 0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fun_ooo").as[FunnelResult].collect()
+      .map(r => r.user_id -> r.step_us).toMap
+    assert(rows == Map(5L -> Seq(us(0), us(5), us(10))))
+  }
 }
