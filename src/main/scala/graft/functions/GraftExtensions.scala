@@ -69,13 +69,18 @@ object GraftExtensions {
     descriptors.foreach { case (id, info, builder) =>
       GraftSqlBridge.registerFunction(spark, id, info, builder)
     }
-    val existing = spark.experimental.extraOptimizations
-    if (!existing.exists(_.isInstanceOf[ApproxDistinctRewrite]))
-      spark.experimental.extraOptimizations =
-        existing :+ ApproxDistinctRewrite(spark)
-    val strategies = spark.experimental.extraStrategies
-    if (!strategies.exists(_ eq graft.plans.TopKStrategy))
-      spark.experimental.extraStrategies =
-        strategies :+ graft.plans.TopKStrategy
+    // extraOptimizations/extraStrategies are plain vars on the session:
+    // serialize the check-then-append so concurrent install() calls
+    // can't double-register or drop each other's entry
+    GraftExtensions.synchronized {
+      val existing = spark.experimental.extraOptimizations
+      if (!existing.exists(_.isInstanceOf[ApproxDistinctRewrite]))
+        spark.experimental.extraOptimizations =
+          existing :+ ApproxDistinctRewrite(spark)
+      val strategies = spark.experimental.extraStrategies
+      if (!strategies.exists(_ eq graft.plans.TopKStrategy))
+        spark.experimental.extraStrategies =
+          strategies :+ graft.plans.TopKStrategy
+    }
   }
 }

@@ -77,6 +77,11 @@ final case class AudioStats(
   */
 object Multimodal {
 
+  /** Largest per-row WAV sample count [[encodeWavBatched]] accepts:
+    * 44 + 2·n must stay an Int, with headroom (≈1 GiB of PCM16).
+    */
+  val MaxWavSamples: Int = 1 << 29
+
   /** Metadata schema carried next to every payload. */
   val metaSchema: StructType = StructType(Seq(
     StructField("modality", StringType, nullable = false),
@@ -457,6 +462,10 @@ object Multimodal {
         col(nSamplesCol).cast("int").as("n_samples"))
       .as[WavSpecRow]
       .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        // negative counts would NegativeArraySizeException at task time and
+        // counts past ~1G samples overflow the 44 + dataLen Int below
+        require(r.n_samples >= 0 && r.n_samples <= MaxWavSamples,
+          s"n_samples in [0, $MaxWavSamples], got ${r.n_samples} (doc ${r.doc_id})")
         val dataLen = r.n_samples * 2
         val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -362,7 +362,7 @@ object TextStats {
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(level)
         val buf = new Array[Byte](64 * 1024)
-        it.grouped(batchSize).flatMap(_.map { case (id, text) =>
+        val rows = it.grouped(batchSize).flatMap(_.map { case (id, text) =>
           val raw = Option(text).getOrElse("").getBytes("UTF-8")
           deflater.reset()
           deflater.setInput(raw)
@@ -371,6 +371,17 @@ object TextStats {
           while (!deflater.finished()) out += deflater.deflate(buf)
           (id, raw.length.toLong, out)
         })
+        // release native zlib state deterministically when the partition
+        // drains — finalization is too late on long-lived executors
+        new Iterator[(Long, Long, Long)] {
+          private var ended = false
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h && !ended) { deflater.end(); ended = true }
+            h
+          }
+          def next(): (Long, Long, Long) = rows.next()
+        }
       }
       .toDF("doc_id", "n_bytes", "n_deflated")
       .withColumn("compression_ratio",

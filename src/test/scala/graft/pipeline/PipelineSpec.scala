@@ -638,6 +638,23 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decimateWavBatched(junk, "doc_id", 4).count() == 0)
   }
 
+  test("encodeWavBatched rejects negative and oversized sample counts") {
+    // a negative count would NegativeArraySizeException deep in the task
+    // and an oversized one would overflow 44 + 2n — both fail loudly
+    val neg = Seq((1L, -4)).toDF("doc_id", "n_spec")
+    val e1 = intercept[Exception] {
+      Multimodal.encodeWavBatched(neg, "doc_id", "n_spec").collect()
+    }
+    assert(e1.toString.contains("n_samples") ||
+      Option(e1.getCause).exists(_.toString.contains("n_samples")))
+    val big = Seq((2L, Int.MaxValue)).toDF("doc_id", "n_spec")
+    val e2 = intercept[Exception] {
+      Multimodal.encodeWavBatched(big, "doc_id", "n_spec").collect()
+    }
+    assert(e2.toString.contains("n_samples") ||
+      Option(e2.getCause).exists(_.toString.contains("n_samples")))
+  }
+
   test("animated GIF round-trip: frame counts and rasters survive the codec") {
     val specs = Seq((7L, 4)).toDF("doc_id", "nf")
     val gifs = Multimodal.encodeGifAnimBatched(specs, "doc_id", "nf", 16, 16)
