@@ -14,7 +14,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.all ++ Pipeline.all ++ EtlShapes.all ++ StreamingEntries.all ++
-      Temporal.all ++ Analytics.all
+      Temporal.all ++ Analytics.all ++ Corpus.all
 
   /** Entries whose DataFrame CONSTRUCTION executes engine writes
     * (mergeTables / CopyTask against the local catalog). Bench skips them
@@ -31,5 +31,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Pipeline.oracles ++ EtlShapes.oracles ++
-      StreamingEntries.oracles ++ Temporal.oracles ++ Analytics.oracles
+      StreamingEntries.oracles ++ Temporal.oracles ++ Analytics.oracles ++
+      Corpus.oracles
 }

@@ -58,6 +58,7 @@ object GraftExtensions {
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     one("simhash64")(SimHash64(_)),
     one("byte_entropy")(ByteEntropy(_)),
+    one("nfc_normalize")(NfcNormalize(_)),
     two("long_array_dot")(LongArrayDot(_, _)))
 
   /** Register on a live session (idempotent: re-registration replaces,

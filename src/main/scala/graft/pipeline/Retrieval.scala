@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval and vocabulary operators: BM25 relevance scoring
+  * (the IR baseline every RAG/contamination pipeline reaches for before
+  * anything neural) and vocabulary-coverage profiling (the OOV-rate
+  * check run before committing to a tokenizer vocabulary).
+  *
+  * Reference capability: sayn exposes arbitrary SQL through its task
+  * SELECTs (sayn/tasks/sql.py); ranking/coverage queries like these are
+  * what its users hand-write. Here they are first-class operators with
+  * the 100 TB shapes worked out.
+  */
+object Retrieval {
+
+  /** BM25 (Okapi, Lucene-style positive idf) scores of every matching
+    * document against a bag of query terms, top `topK` by score:
+    *
+    *   idf(t)  = ln((N − df_t + 0.5) / (df_t + 0.5) + 1)
+    *   s(d)    = Σ_t idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Tokenization is the corpus contract (single-space split), matching
+    * [[TextStats]]. Scores are d6-rounded and ranked (score DESC, id
+    * ASC) so the top-k boundary is deterministic across engines and
+    * partitionings — raw doubles differ in ulps by summation order.
+    *
+    * Scale shape: one token explode feeds BOTH df and tf through an
+    * early `isin(queryTerms)` filter, so only query-term rows ever
+    * shuffle (|terms| × N_matching, not corpus tokens). The df side
+    * collapses to ≤ |terms| rows (broadcast join); corpus N/avgdl ride
+    * a 1-row crossJoin (in-plan, the q60 TF-IDF discipline); the final
+    * top-k is TakeOrderedAndProject — no global sort.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 50): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 > 0 && b >= 0 && b <= 1, s"k1 > 0, b in [0,1]; got k1=$k1 b=$b")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    // per-doc length over ALL tokens (dl), before the query-term filter
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_g_dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("_g_ndocs"),
+      (sum(col("_g_dl")).cast("double") / count(lit(1))).as("_g_avgdl"))
+    val qToks = toks.filter(col("tok").isin(queryTerms: _*))
+    val tf = qToks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("_g_tf"))
+    val dfreq = qToks.groupBy(col("tok"))
+      .agg(countDistinct(col(idCol)).cast("double").as("_g_df"))
+    val term =
+      log((col("_g_ndocs") - col("_g_df") + 0.5) / (col("_g_df") + 0.5) + 1.0) *
+        col("_g_tf") * lit(k1 + 1.0) /
+        (col("_g_tf") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("_g_dl") / col("_g_avgdl")))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(sum(term).cast("decimal(28,6)").cast("double").as("bm25_score"))
+      .orderBy(col("bm25_score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
+    * (frequency DESC, token ASC — a total order) and report each
+    * document's out-of-vocabulary token count and rate. The distribution
+    * of `oov_rate` is the go/no-go read on a candidate tokenizer vocab:
+    * a fat tail means the vocabulary is too small or the corpus too
+    * dirty.
+    *
+    * Scale shape: token counts partial-aggregate before the exchange
+    * (≤ |vocab of partition| rows each); the top-N is
+    * TakeOrderedAndProject (no global sort) and the resulting vocab —
+    * `vocabSize` rows by construction — broadcast-joins back onto the
+    * token stream. One doc-keyed aggregate finishes; nothing wide ever
+    * shuffles.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_g_cnt"))
+      .orderBy(col("_g_cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("_g_in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_g_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        (col("n_oov").cast("double") / col("n_tokens"))
+          .cast("decimal(28,6)").cast("double"))
+  }
+}

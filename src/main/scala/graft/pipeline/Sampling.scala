@@ -106,6 +106,53 @@ object Sampling {
     df.filter(portableHash(col(idCol), salt) <
       least(greatest(rate, lit(0.0)), lit(1.0)) * 1000000L)
 
+  /** Domain-mix (token-budget) sample: downsample each domain to its
+    * TARGET SHARE of a global size budget — the data-mixing step that
+    * turns a raw crawl's accidental domain distribution into the
+    * curated mixture a training run actually wants. Each domain `d`
+    * keeps rows at rate
+    *
+    *   r_d = min(1, budget · weight_d / size_d)
+    *
+    * where size_d = Σ `sizeCol` over the domain, so the EXPECTED kept
+    * size per domain is budget·weight_d (clamped when the domain is
+    * too small to fill its share — under-represented domains keep
+    * everything; the shortfall is reported, not silently rebalanced).
+    * Membership is [[hashSample]]'s salted portable hash on the row id:
+    * deterministic across reruns, appends and partitionings, and
+    * independent of any other sample or split drawn with a different
+    * salt. Domains absent from `weights` are dropped (weight 0).
+    *
+    * Scale shape: one domain-keyed partial aggregate for the sizes
+    * (≤ |domains| rows), the per-domain rate frame broadcast back, and
+    * a pure filter — the corpus itself never shuffles. Output keeps the
+    * input columns plus `keep_rate`.
+    */
+  def budgetMixSample(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      sizeCol: String,
+      weights: Map[String, Double],
+      budget: Long,
+      salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(w => w >= 0 && !w.isNaN),
+      "weights must be non-negative")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(domainCol, "_g_w")
+    val rates = df.groupBy(col(domainCol))
+      .agg(sum(col(sizeCol)).cast("double").as("_g_tot"))
+      .join(wdf, domainCol)
+      .select(col(domainCol),
+        least(lit(1.0), lit(budget.toDouble) * col("_g_w") / col("_g_tot"))
+          .as("keep_rate"))
+    df.join(broadcast(rates), domainCol)
+      .filter(portableHash(col(idCol), salt) < col("keep_rate") * 1000000L)
+  }
+
   /** Deterministic global shuffle: assign every row a dense position
     * 0..N-1 in md5-order of (seed, id) — the training-data shuffle that
     * is reproducible across reruns and engines (same seed → same

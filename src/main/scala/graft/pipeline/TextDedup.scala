@@ -557,4 +557,49 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Sub-document (chunk-level) corpus dedup — the C4/RefinedWeb
+    * boilerplate cut: chunk every document into fixed-width spans, drop
+    * every span whose text appears in MORE than one document except in
+    * its first (min-id) owner, and reassemble what survives. Catches
+    * the duplication document-level dedup can't see: navigation chrome,
+    * cookie banners, license boilerplate pasted into otherwise-distinct
+    * pages.
+    *
+    * Output per input document: (id, n_chunks, n_dropped, dedup_text) —
+    * `dedup_text` is the surviving chunks re-concatenated in order
+    * (possibly "" if every chunk was shared boilerplate).
+    *
+    * Scale shape: chunking is an in-row explode (q99's formula); the
+    * cross-corpus ownership aggregate and the join back are keyed on
+    * md5(chunk_text) — 16 bytes on the exchange regardless of chunk
+    * width, [[exactDedup]]'s discipline. Reassembly's collect_list is
+    * bounded by a single document's own chunk count, never corpus-wide.
+    */
+  def chunkDedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkChars: Int): DataFrame = {
+    val ch = TextStats
+      .chunkDocuments(df, idCol, textCol, chunkChars, overlapChars = 0)
+      .withColumn("_g_key", md5(col("chunk_text")))
+    val own = ch.groupBy(col("_g_key"))
+      .agg(min(col(idCol)).as("_g_owner"),
+        countDistinct(col(idCol)).as("_g_ndocs"))
+    val kept = ch.join(own, "_g_key")
+      .filter(col("_g_ndocs") === 1 || col(idCol) === col("_g_owner"))
+    val keptAgg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_g_nkept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            x => x.getField("chunk_text")),
+          "").as("_g_text"))
+    ch.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("_g_nkept"), lit(0L))).as("n_dropped"),
+        coalesce(col("_g_text"), lit("")).as("dedup_text"))
+  }
 }

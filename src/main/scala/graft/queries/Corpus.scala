@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.NfcNormalize
+import graft.ops.Graph
+import graft.pipeline.{Behavior, Retrieval, Sampling, TextDedup}
+
+/** Corpus-curation entries (round 8): retrieval scoring, Unicode key
+  * normalization, sub-document dedup, domain mixing, vocabulary
+  * coverage and link-graph scoring — the remaining steps of a
+  * training-data pipeline between "crawl landed" and "tokens shipped".
+  *
+  * Determinism discipline as [[Analytics]]: doubles d6-rounded wherever
+  * the two engines sum in different orders, ranks always carry an id
+  * tie-break, planted Unicode/boilerplate is injected IN-PLAN with
+  * identical expressions on both sides (the q57 pattern).
+  */
+object Corpus {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  private def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+
+  // q123: BM25 top-50 against a 3-term query. Scores are d6-rounded
+  // BEFORE the rank (score DESC, doc_id) — the top-k boundary at sf0.01
+  // sits 3e-4 wide, far beyond rounding noise. ln() may differ an ulp
+  // across engines; d6 absorbs it (q116's discipline).
+  def q123Bm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("spark", "merge", "vector"), k1 = 1.2, b = 0.75,
+      topK = 50)
+
+  val q123Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dlen FROM tk2 GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |              CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT * FROM (VALUES ('spark'), ('merge'), ('vector')) v(term)),
+      |df AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |       FROM tk2 JOIN qt ON tok = term GROUP BY 1),
+      |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM tk2 JOIN qt ON tok = term GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+      |        tf.tf * 2.2 /
+      |        (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dlen AS DOUBLE) / st.avgdl)))
+      |      AS score
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1)
+      |SELECT doc_id, CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE) AS bm25_score
+      |FROM sc ORDER BY 2 DESC, doc_id LIMIT 50""".stripMargin
+
+  // q124: NFC normalization through the codegen'd NfcNormalize
+  // expression. The ASCII fixture is trivially normalized, so the entry
+  // plants decomposed sequences IN-PLAN (combining acute/diaeresis +
+  // one of ring/tilde/cedilla by doc_id) — identical expressions both
+  // sides — and the oracle's nfc_normalize() must produce the same
+  // composed string, byte for byte, plus the codepoint-count drop.
+  def q124NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    // the combining marks are spelled as \u escapes so the planted text
+    // is DECOMPOSED regardless of how an editor or transcoder re-saves
+    // this file; precomposed literals would make the pass a no-op
+    val marked = concat(
+      lit("Cafe\u0301 stra\u00DFe no\u0308 "),
+      when(col("doc_id") % 3 === 0, lit("a\u030A"))
+        .when(col("doc_id") % 3 === 1, lit("n\u0303"))
+        .otherwise(lit("c\u0327")),
+      lit(" "), substring(col("text"), 1, 40))
+    t(s, dir, "documents")
+      .select(col("doc_id"), marked.as("raw"))
+      .select(col("doc_id"),
+        NfcNormalize.nfcNormalize(col("raw")).as("nfc_text"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(NfcNormalize.nfcNormalize(col("raw"))).cast("long").as("len_nfc"))
+  }
+
+  val q124Sql: String =
+    """WITH marked AS (
+      |  SELECT doc_id,
+      |    concat('Cafe', chr(769), ' stra', chr(223), 'e no', chr(776), ' ',
+      |           CASE doc_id % 3 WHEN 0 THEN concat('a', chr(778))
+      |                           WHEN 1 THEN concat('n', chr(771))
+      |                           ELSE concat('c', chr(807)) END,
+      |           ' ', substring(text, 1, 40)) AS raw
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+      |  CAST(length(raw) AS BIGINT) AS len_raw,
+      |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc
+      |FROM marked""".stripMargin
+
+  // q125: chunk-level corpus dedup. The fixture has no cross-document
+  // boilerplate, so a 60-char banner is planted onto every 5th document
+  // IN-PLAN (both engines identically); dedup must strip it everywhere
+  // except its min-id owner (doc 0). At sf0.01 the corpus ALSO
+  // contributes ~21 natural duplicate 60-char chunks from its near-dup
+  // documents — the planted rows are not the only kill path.
+  private val Boiler =
+    "subscribe to our newsletter today for updates and offers now"
+
+  def q125ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    TextDedup.chunkDedupCorpus(
+      t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit(Boiler), col("text")))
+          .otherwise(col("text")).as("text")),
+      "doc_id", "text", chunkChars = 60)
+
+  val q125Sql: String =
+    s"""WITH marked AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$Boiler' || text ELSE text END AS t
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, t,
+       |    greatest(1, CAST(ceil(length(t) / 60.0) AS BIGINT)) AS nc FROM marked),
+       |ch AS (
+       |  SELECT doc_id, unnest(range(nc)) AS chunk_idx,
+       |    substring(t, CAST(unnest(range(nc)) * 60 + 1 AS INT), 60) AS chunk
+       |  FROM n),
+       |own AS (
+       |  SELECT chunk, min(doc_id) AS owner, count(DISTINCT doc_id) AS n_docs
+       |  FROM ch GROUP BY 1),
+       |kept AS (
+       |  SELECT ch.doc_id, ch.chunk_idx, ch.chunk
+       |  FROM ch JOIN own USING (chunk)
+       |  WHERE own.n_docs = 1 OR ch.doc_id = own.owner),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1)
+       |SELECT tot.doc_id, tot.n_chunks,
+       |  tot.n_chunks - coalesce(k.n_kept, 0) AS n_dropped,
+       |  coalesce(k.dedup_text, '') AS dedup_text
+       |FROM tot LEFT JOIN (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(chunk, '' ORDER BY chunk_idx) AS dedup_text
+       |  FROM kept GROUP BY 1) k USING (doc_id)""".stripMargin
+
+  // q126: domain-mix sample to a 30k-char budget. src0's half-share
+  // overflows its ~8k chars → rate clamps to 1 (everything kept); the
+  // long tail keeps ~2%. Rates are single-division doubles (portable);
+  // membership is the salted md5 hash, the q80 predicate.
+  def q126MixSample(s: SparkSession, dir: String): DataFrame = {
+    val weights: Map[String, Double] =
+      Map("src0" -> 0.5, "src1" -> 0.1) ++
+        (2 until 20).map(i => s"src$i" -> 0.4 / 18).toMap
+    Sampling.budgetMixSample(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "doc_id", "source", "n_chars", weights, budget = 30000L, salt = "mix")
+      .select(col("doc_id"), col("source"), d6(col("keep_rate")).as("keep_rate"))
+  }
+
+  val q126Sql: String =
+    """WITH wts AS (
+      |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS tot,
+      |    CASE WHEN source = 'src0' THEN 0.5
+      |         WHEN source = 'src1' THEN 0.1
+      |         ELSE 0.4 / 18 END AS w
+      |  FROM documents GROUP BY source),
+      |r AS (
+      |  SELECT source, least(1.0, 30000.0 * w / tot) AS rate FROM wts)
+      |SELECT d.doc_id, d.source,
+      |  CAST(CAST(r.rate AS DECIMAL(28,6)) AS DOUBLE) AS keep_rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE CAST(concat('0x', substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+      |        1, 8)) AS BIGINT) % 1000000 < r.rate * 1000000""".stripMargin
+
+  // q127: vocabulary coverage against the top-10 corpus vocabulary
+  // (frequency DESC, token ASC — a total order, so the vocab set is
+  // identical cross-engine). OOV rate d6-rounded.
+  def q127VocabOov(s: SparkSession, dir: String): DataFrame =
+    Retrieval.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
+      vocabSize = 10)
+
+  val q127Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |v AS (SELECT tok FROM tk2 GROUP BY tok
+      |      ORDER BY count(*) DESC, tok LIMIT 10)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_oov,
+      |  CAST(CAST(CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1
+      |    END) AS DOUBLE) / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS oov_rate
+      |FROM tk2 GROUP BY doc_id""".stripMargin
+
+  // q128: PageRank over the event-type transition graph (q103's edges),
+  // 10 fixed power-iteration rounds, damping 0.85. The oracle rebuilds
+  // the same iteration with a recursive CTE whose working table is the
+  // previous round's scores; the teleport term is written (1.0 − 0.85)
+  // both sides (≠ the literal 0.15 by one ulp). Scores d6-rounded —
+  // each engine sums incoming mass in its own order. The fixture graph
+  // has no dangling nodes (all 5 types transition out), so the
+  // operator's dangling redistribution contributes exactly 0 here; its
+  // semantics are pinned in GraphSpec.
+  def q128PageRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val edges = Behavior.transitions(ev, "user_id", "event_type", "ts_us",
+      tieCol = "event_id")
+    Graph.pageRank(edges, "from_type", "to_type", "n_transitions",
+        iters = 10, damping = 0.85)
+      .select(col("node"), d6(col("pagerank")).as("pagerank"))
+  }
+
+  val q128Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |seq AS (SELECT event_type AS from_type,
+      |          lead(event_type) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id) AS to_type
+      |        FROM e),
+      |ed AS (SELECT from_type, to_type, count(*) AS n FROM seq
+      |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT from_type, to_type,
+      |        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+      |      FROM ed),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |            SELECT from_type AS node FROM ed
+      |            UNION ALL SELECT to_type FROM ed)),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |ranks AS (
+      |  SELECT 0 AS it, node, 1.0 / (SELECT CAST(n AS DOUBLE) FROM nn) AS score
+      |  FROM nodes
+      |  UNION ALL
+      |  SELECT r.it + 1, w.to_type,
+      |    (1.0 - 0.85) / (SELECT CAST(n AS DOUBLE) FROM nn)
+      |      + 0.85 * sum(r.score * w.p)
+      |  FROM ranks r JOIN w ON w.from_type = r.node
+      |  WHERE r.it < 10
+      |  GROUP BY r.it, w.to_type)
+      |SELECT node, CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE) AS pagerank
+      |FROM ranks WHERE it = 10""".stripMargin
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_bm25" -> (q123Bm25 _),
+    "q124_nfc_normalize" -> (q124NfcNormalize _),
+    "q125_chunk_dedup" -> (q125ChunkDedup _),
+    "q126_mix_sample" -> (q126MixSample _),
+    "q127_vocab_oov" -> (q127VocabOov _),
+    "q128_pagerank" -> (q128PageRank _))
+
+  def oracles: Map[String, String] = Map(
+    "q123_bm25" -> q123Sql,
+    "q124_nfc_normalize" -> q124Sql,
+    "q125_chunk_dedup" -> q125Sql,
+    "q126_mix_sample" -> q126Sql,
+    "q127_vocab_oov" -> q127Sql,
+    "q128_pagerank" -> q128Sql)
+}

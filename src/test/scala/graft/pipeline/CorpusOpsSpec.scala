@@ -1,0 +1,241 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.{GraftExtensions, NfcNormalize}
+import graft.ops.Graph
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-8 corpus-curation operators: BM25 / vocabulary coverage
+  * (Retrieval), NFC normalization (NfcNormalize), chunk-level corpus
+  * dedup (TextDedup.chunkDedupCorpus), domain-mix sampling
+  * (Sampling.budgetMixSample) and PageRank (Graph.pageRank).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- NfcNormalize ----
+
+  test("nfcNormalize composes decomposed sequences; NFC text untouched") {
+    val out = Seq(
+        "Café",        // e + combining acute -> é
+        "å b ñ", // ring/tilde
+        "already fine",      // ASCII fast path
+        "")
+      .toDF("s").select(NfcNormalize.nfcNormalize(col("s"))).as[String]
+      .collect()
+    assert(out(0) == "Café")
+    assert(out(1) == "å b ñ")
+    assert(out(2) == "already fine")
+    assert(out(3) == "")
+    // composition shortens the codepoint count
+    assert("Café".length == 5 && out(0).length == 4)
+  }
+
+  test("nfcNormalize codegen and interpreted paths agree; NULL propagates") {
+    val strings = Seq("Café", "straße", "nö", "plain")
+    val viaDf = strings.toDF("s")
+      .select(NfcNormalize.nfcNormalize(col("s"))).as[String].collect().toSeq
+    val viaEval = strings.map(s =>
+      NfcNormalize(Literal(UTF8String.fromString(s)))
+        .eval(null).asInstanceOf[UTF8String].toString)
+    assert(viaDf == viaEval)
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(NfcNormalize.nfcNormalize(col("s"))).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("nfc_normalize registers for SQL and rejects non-string input") {
+    GraftExtensions.install(spark)
+    val r = spark.sql("SELECT nfc_normalize('Café') AS s")
+      .as[String].collect()
+    assert(r.head == "Café")
+    val err = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize(42)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("nfcNormalize makes decomposed/precomposed dedup keys collide") {
+    val docs = Seq((1L, "Café menu"), (2L, "Café menu"))
+      .toDF("doc_id", "text")
+    val naive = TextDedup.exactDedup(docs, "doc_id", "text")
+    val normalized = TextDedup.exactDedup(
+      docs.withColumn("text", NfcNormalize.nfcNormalize(col("text"))),
+      "doc_id", "text")
+    assert(naive.count() == 2)      // byte-distinct, visually identical
+    assert(normalized.count() == 1) // the point of the normalization pass
+  }
+
+  // ---- Retrieval.bm25TopK ----
+
+  test("bm25TopK matches the hand-computed score on a tiny corpus") {
+    // 3 docs, query = {x}: df=2, N=3, avgdl = (2+4+3)/3 = 3
+    // idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    // doc1: tf=1, dl=2: s = idf·1·2.2/(1 + 1.2·(0.25+0.75·2/3))
+    // doc2: tf=2, dl=4: s = idf·2·2.2/(2 + 1.2·(0.25+0.75·4/3))
+    val docs = Seq(
+        (1L, "x y"), (2L, "x x y z"), (3L, "y z w")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x"), topK = 10)
+      .as[(Long, Double)].collect().toMap
+    val idf = math.log(1.6)
+    val s1 = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 3))
+    val s2 = idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 4.0 / 3))
+    assert(out.keySet == Set(1L, 2L)) // doc3 has no query term
+    assert(math.abs(out(1L) - s1) < 1e-6)
+    assert(math.abs(out(2L) - s2) < 1e-6)
+    // higher tf wins here despite the longer doc
+    assert(out(2L) > out(1L))
+  }
+
+  test("bm25TopK respects topK with the (score, id) tie-break") {
+    val docs = (1L to 20L).map(i => (i, "x pad")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x"), topK = 5)
+      .as[(Long, Double)].collect()
+    // identical docs -> identical scores -> lowest ids win
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  // ---- Retrieval.vocabCoverage ----
+
+  test("vocabCoverage counts OOV tokens against the top-N vocab") {
+    // counts: a=4, b=3, c=2, d=1 -> vocab(2) = {a, b}
+    val docs = Seq(
+        (1L, "a a b c"), (2L, "a b d"), (3L, "a b c")).toDF("doc_id", "text")
+    val out = Retrieval.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((3L, 1L, 0.333333)))
+    assert(out(3L) == ((3L, 1L, 0.333333)))
+  }
+
+  test("vocabCoverage vocab cut is deterministic on count ties") {
+    // b and c tie at 2; token ASC admits b, not c
+    val docs = Seq((1L, "a a b b c c")).toDF("doc_id", "text")
+    val out = Retrieval.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out._3 == 2L) // the two c's are OOV
+  }
+
+  // ---- TextDedup.chunkDedupCorpus ----
+
+  test("chunkDedupCorpus strips shared chunks except from the min-id owner") {
+    val boiler = "0123456789" // chunkChars = 10 -> exactly one chunk
+    val docs = Seq(
+        (5L, boiler + "aaaaaaaaaa"), // owner of the shared chunk
+        (7L, boiler + "bbbbbbbbbb"),
+        (9L, "cccccccccc" + "dddddddddd")).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedupCorpus(docs, "doc_id", "text", 10)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(5L) == ((2L, 0L, boiler + "aaaaaaaaaa"))) // owner keeps
+    assert(out(7L) == ((2L, 1L, "bbbbbbbbbb")))          // boiler stripped
+    assert(out(9L) == ((2L, 0L, "cccccccccc" + "dddddddddd")))
+  }
+
+  test("chunkDedupCorpus reassembles multi-chunk survivors in order") {
+    // 25 chars at width 10 -> chunks of 10, 10, 5; no cross-doc dups
+    val docs = Seq((1L, "aaaaaaaaaabbbbbbbbbbccccc")).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedupCorpus(docs, "doc_id", "text", 10)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out == ((1L, 3L, 0L, "aaaaaaaaaabbbbbbbbbbccccc")))
+  }
+
+  test("chunkDedupCorpus empties a document that is ALL shared boilerplate") {
+    val docs = Seq(
+        (1L, "xxxxxxxxxx"), (2L, "xxxxxxxxxx")).toDF("doc_id", "text")
+    val out = TextDedup.chunkDedupCorpus(docs, "doc_id", "text", 10)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 0L, "xxxxxxxxxx")))
+    assert(out(2L) == ((1L, 1L, ""))) // nothing survives; row still present
+  }
+
+  // ---- Sampling.budgetMixSample ----
+
+  test("budgetMixSample clamps overweighted domains and drops unweighted") {
+    val docs = (1L to 200L).map { i =>
+      (i, if (i <= 50) "big" else if (i <= 100) "small" else "junk", 10L)
+    }.toDF("doc_id", "domain", "sz")
+    // big: 500 units, weight .5 of budget 1000 -> rate 1 (clamped)
+    // small: 500 units, weight .05 -> rate 0.1; junk: no weight -> dropped
+    val out = Sampling.budgetMixSample(docs, "doc_id", "domain", "sz",
+      Map("big" -> 0.5, "small" -> 0.05), budget = 1000L)
+    val byDom = out.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDom("big") == 50L) // rate 1 keeps everything
+    assert(byDom.get("junk").isEmpty)
+    val small = byDom.getOrElse("small", 0L)
+    assert(small > 0 && small < 25, s"~10% of 50 expected, got $small")
+    // keep_rate column carries the clamped rate
+    val rates = out.select("domain", "keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("big") == 1.0 && math.abs(rates("small") - 0.1) < 1e-12)
+  }
+
+  test("budgetMixSample is deterministic and salt-independent of splits") {
+    val docs = (1L to 300L).map(i => (i, "d", 1L)).toDF("doc_id", "domain", "sz")
+    val w = Map("d" -> 1.0)
+    def ids(salt: String): Set[Long] =
+      Sampling.budgetMixSample(docs, "doc_id", "domain", "sz", w,
+        budget = 150L, salt = salt).select("doc_id").as[Long].collect().toSet
+    assert(ids("mix") == ids("mix")) // rerun-stable
+    val a = ids("mix"); val b = ids("other")
+    assert(a != b) // different salt, independent membership
+    assert(math.abs(a.size - 150) < 40 && math.abs(b.size - 150) < 40)
+  }
+
+  // ---- Graph.pageRank ----
+
+  test("pageRank on a symmetric graph is uniform and sums to 1") {
+    val edges = Seq(
+        ("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L)).toDF("s", "d", "n")
+    val out = Graph.pageRank(edges, "s", "d", "n", iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(out.size == 3)
+    out.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("pageRank matches the hand-iterated answer on an asymmetric graph") {
+    // a -> b, b -> a, a -> a is absent; c -> a: classic 3-node chain
+    val edges = Seq(
+        ("a", "b", 1L), ("b", "a", 1L), ("c", "a", 1L)).toDF("s", "d", "n")
+    val out = Graph.pageRank(edges, "s", "d", "n", iters = 10)
+      .as[(String, Double)].collect().toMap
+    // hand power iteration (c has no inlinks: (1-d)/3 each round)
+    var (a, b, c) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    val t = (1.0 - 0.85) / 3
+    for (_ <- 0 until 10) {
+      val (na, nb, nc) = (t + 0.85 * (b + c), t + 0.85 * a, t)
+      a = na; b = nb; c = nc
+    }
+    assert(math.abs(out("a") - a) < 1e-12, s"a: ${out("a")} vs $a")
+    assert(math.abs(out("b") - b) < 1e-12)
+    assert(math.abs(out("c") - c) < 1e-12)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank redistributes dangling mass so scores still sum to 1") {
+    // b has no outgoing edges: its mass re-enters uniformly
+    val edges = Seq(("a", "b", 1L)).toDF("s", "d", "n")
+    val out = Graph.pageRank(edges, "s", "d", "n", iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(out.size == 2)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    assert(out("b") > out("a")) // b gets a's full vote plus teleport
+  }
+
+  test("pageRank weights edges: heavier edges carry more mass") {
+    // a splits 3:1 between b and c
+    val edges = Seq(
+        ("a", "b", 3L), ("a", "c", 1L),
+        ("b", "a", 1L), ("c", "a", 1L)).toDF("s", "d", "n")
+    val out = Graph.pageRank(edges, "s", "d", "n", iters = 20)
+      .as[(String, Double)].collect().toMap
+    assert(out("b") > out("c"))
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+}
