@@ -332,4 +332,50 @@ object Similarity {
       .distinct()
     exactReRank(e, idCol, qb, candidates, k)
   }
+
+  /** SemDeDup-style semantic deduplication: drop every embedding whose
+    * cosine to an already-kept one clears `threshold`, transitively —
+    * near-duplicate MEANING, not near-duplicate bytes (a paraphrased
+    * re-crawl that defeats every n-gram method lands in the same
+    * cluster here). Pairs → connected components ([[graft.pipeline
+    * .TextDedup.dupClusters]]' label propagation) → min-id
+    * representative per component; every input row comes back with its
+    * `canonical_id` and an `is_kept` 0/1 flag (kept rows ARE the
+    * semantically deduplicated corpus).
+    *
+    * Pair source: the exact blocked path ([[embeddingDupPairsBlocked]])
+    * — quadratic by contract, which is what makes the operator
+    * oracle-exact. At corpus scale swap the pair stage for [[annLsh]]
+    * candidates verified at `threshold` (the standard SemDeDup trade:
+    * recall < 1 for linear cost); the clustering and keep logic are
+    * unchanged — or use [[semanticDedupFromPairs]] with any pair frame.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      blocks: Int = 8): DataFrame =
+    semanticDedupFromPairs(df, idCol,
+      embeddingDupPairsBlocked(df, idCol, embCol, threshold, blocks))
+
+  /** Keep/drop assignment from a precomputed near-dup pair frame
+    * (columns `vec_a`, `vec_b`): components via label propagation,
+    * min-id keeps. Shared by [[semanticDedup]] and any
+    * approximate-candidate caller.
+    */
+  def semanticDedupFromPairs(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val clusters = graft.pipeline.TextDedup
+      .dupClusters(pairs.select(col("vec_a"), col("vec_b")), "vec_a", "vec_b")
+      .withColumnRenamed("doc_id", idCol)
+    df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
+      .withColumn("is_kept",
+        (col(idCol) === col("canonical_id")).cast("int"))
+  }
 }

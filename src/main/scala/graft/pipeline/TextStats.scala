@@ -95,6 +95,58 @@ object TextStats {
           count(lit(1))).as("avg_logprob"))
   }
 
+  /** Bigram language-model quality score with add-k smoothing — the
+    * sharper sibling of [[unigramLogProb]]: the corpus is its own bigram
+    * model, each document scored by its average per-bigram
+    * log-likelihood
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·V)
+    *
+    * with c(w₁·) the context count (Σ over successors) and V the corpus
+    * vocabulary size, so unseen-in-corpus transitions score ln(k/(c+kV))
+    * instead of −∞. Word-salad text that passes the unigram filter
+    * (right words, wrong order) scores far below prose here; exp(−avg)
+    * is the bigram perplexity.
+    *
+    * Scale shape: bigrams form in-doc via one doc-keyed window (lead
+    * over position); corpus bigram/context counts partial-aggregate
+    * before their exchanges; V rides a 1-row broadcast crossJoin. The
+    * count joins are keyed on (w₁,w₂)/w₁ — Zipf-skewed but bounded by
+    * AQE + map-side combine, the q116 posture. Documents with fewer
+    * than two tokens have no bigrams and are absent from the output by
+    * contract.
+    */
+  def bigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be positive, got $addK")
+    val toks = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("_g_pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_g_pos"))
+    val bi = toks
+      .withColumn("_g_next", lead(col("tok"), 1).over(w))
+      .filter(col("_g_next").isNotNull)
+      .select(col(idCol), col("tok"), col("_g_next"))
+    val c12 = bi.groupBy(col("tok"), col("_g_next"))
+      .agg(count(lit(1)).as("_g_c12"))
+    val c1 = bi.groupBy(col("tok")).agg(count(lit(1)).as("_g_c1"))
+    val vocab = toks.agg(countDistinct(col("tok")).cast("double").as("_g_v"))
+    val p =
+      (col("_g_c12").cast("double") + lit(addK)) /
+        (col("_g_c1").cast("double") + lit(addK) * col("_g_v"))
+    bi.join(c12, Seq("tok", "_g_next"))
+      .join(c1, Seq("tok"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(log(p)) / count(lit(1))).as("avg_logprob"))
+  }
+
   /** Per-document token statistics: token count, distinct count, average
     * token length, type-token ratio. Computed IN-ROW over the token array
     * — a pure projection, no shuffle at any scale (the groupBy

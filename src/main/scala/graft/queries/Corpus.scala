@@ -236,13 +236,84 @@ object Corpus {
       |SELECT node, CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE) AS pagerank
       |FROM ranks WHERE it = 10""".stripMargin
 
+  // q129: SemDeDup-style semantic dedup over the embeddings fixture —
+  // exact blocked cosine pairs at t=0.4 (q26's pair set), connected
+  // components, min-id keeps. 58 of 500 vectors drop at sf0.01. The
+  // oracle rebuilds the closure with a recursive CTE (q46's method on
+  // q26's pairs).
+  def q129SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.semanticDedup(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+
+  val q129Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+      |           AS qv
+      |  FROM embeddings),
+      |dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.qv*b.qv) AS dot
+      |         FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      |         GROUP BY 1,2),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+      |pairs AS (
+      |  SELECT vec_a, vec_b
+      |  FROM dots JOIN norms na ON vec_a=na.vec_id JOIN norms nb ON vec_b=nb.vec_id
+      |  WHERE CAST(dot AS DOUBLE)/SQRT(CAST(na.nrm AS DOUBLE)*CAST(nb.nrm AS DOUBLE))
+      |        >= 0.4),
+      |edges AS (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION SELECT vec_b, vec_a FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+      |cl AS (SELECT id, MIN(lab) AS canonical_id FROM reach GROUP BY id)
+      |SELECT v.vec_id,
+      |  coalesce(cl.canonical_id, v.vec_id) AS canonical_id,
+      |  CASE WHEN coalesce(cl.canonical_id, v.vec_id) = v.vec_id
+      |       THEN 1 ELSE 0 END AS is_kept
+      |FROM embeddings v LEFT JOIN cl ON v.vec_id = cl.id""".stripMargin
+
+  // q130: bigram LM quality score, add-k smoothing (k=0.5 — exact in
+  // binary, so both engines smooth identically). avg_logprob d6 as
+  // q116; per-doc bigram formation shares the window tie-free (pos is
+  // unique per doc).
+  def q130BigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.pipeline.TextStats.bigramLogProb(
+      t(s, dir, "documents"), "doc_id", "text", addK = 0.5)
+    out.select(col("doc_id"), col("n_bigrams"),
+      d6(col("avg_logprob")).as("avg_logprob"))
+  }
+
+  val q130Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, pos, tok FROM tk WHERE tok <> ''),
+      |bi AS (
+      |  SELECT doc_id, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT doc_id, tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |c12 AS (SELECT tok, nxt, count(*) AS c12 FROM bi2 GROUP BY 1,2),
+      |c1 AS (SELECT tok, count(*) AS c1 FROM bi2 GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tk2)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(CAST(sum(ln((CAST(c12 AS DOUBLE) + 0.5)
+      |      / (CAST(c1 AS DOUBLE) + 0.5 * v)))
+      |    / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_logprob
+      |FROM bi2 JOIN c12 USING (tok, nxt) JOIN c1 USING (tok) CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
     "q125_chunk_dedup" -> (q125ChunkDedup _),
     "q126_mix_sample" -> (q126MixSample _),
     "q127_vocab_oov" -> (q127VocabOov _),
-    "q128_pagerank" -> (q128PageRank _))
+    "q128_pagerank" -> (q128PageRank _),
+    "q129_semantic_dedup" -> (q129SemanticDedup _),
+    "q130_bigram_logprob" -> (q130BigramLogprob _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -250,5 +321,7 @@ object Corpus {
     "q125_chunk_dedup" -> q125Sql,
     "q126_mix_sample" -> q126Sql,
     "q127_vocab_oov" -> q127Sql,
-    "q128_pagerank" -> q128Sql)
+    "q128_pagerank" -> q128Sql,
+    "q129_semantic_dedup" -> q129Sql,
+    "q130_bigram_logprob" -> q130Sql)
 }

@@ -238,4 +238,68 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("b") > out("c"))
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
   }
+
+  // ---- Similarity.semanticDedup ----
+
+  test("semanticDedup keeps min-id per near-dup component, others drop") {
+    // vectors: 1 ≈ 2 ≈ 3 (chain), 4 orthogonal — {1,2,3} cluster, 1 kept
+    val e = Seq(
+        (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.999f, 0.04f)),
+        (3L, Seq(0.995f, 0.09f)), (4L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.99, blocks = 2)
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 1)))
+    assert(out(2L) == ((1L, 0)))
+    assert(out(3L) == ((1L, 0)))
+    assert(out(4L) == ((4L, 1))) // no pair: keeps itself
+  }
+
+  test("semanticDedupFromPairs accepts any candidate pair frame") {
+    val e = Seq((10L, Seq(1.0f)), (20L, Seq(1.0f)), (30L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((10L, 30L)).toDF("vec_a", "vec_b")
+    val out = Similarity.semanticDedupFromPairs(e, "vec_id", pairs)
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out == Map(10L -> 1, 20L -> 1, 30L -> 0))
+  }
+
+  // ---- TextStats.bigramLogProb ----
+
+  test("bigramLogProb matches the hand-computed smoothed model") {
+    // corpus: "a b a b" and "a b": bigrams ab,ba,ab + ab
+    // c12: (a,b)=3, (b,a)=1; c1: a=3, b=1; V=2, k=0.5
+    // P(b|a) = 3.5/(3+1) = 0.875; P(a|b) = 1.5/(1+1) = 0.75
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProb(docs, "doc_id", "text", addK = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val d1 = (math.log(0.875) + math.log(0.75) + math.log(0.875)) / 3
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - d1) < 1e-12)
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2 - math.log(0.875)) < 1e-12)
+  }
+
+  test("bigramLogProb ranks scrambled text below its source prose") {
+    // same unigram bag, different order: bigram LM must separate them
+    val prose = "the cat sat on the mat and the dog sat on the rug"
+    val salad = "the the the cat dog mat on sat rug and sat on mat the"
+    val docs = (1L to 6L).map(i => (i, prose)).toDF("doc_id", "text")
+      .unionAll(Seq((99L, salad)).toDF("doc_id", "text"))
+    val out = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(99L) < out(1L), s"salad ${out(99L)} !< prose ${out(1L)}")
+  }
+
+  test("bigramLogProb omits documents with fewer than two tokens") {
+    val docs = Seq((1L, "only"), (2L, "two tokens")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L))
+  }
 }
