@@ -162,6 +162,25 @@ object StreamingEntries {
         unix_micros(col("end_ts")).as("end_us"))
   }
 
+  // q132: the SAME sessionization through Spark 4's transformWithState
+  // arbitrary-state API (typed ValueState + event-time timers on the
+  // RocksDB store) — batch q21, flatMapGroupsWithState q38, built-in
+  // session_window q74 and this entry agree FOUR ways on one oracle.
+  def q132SessionizeTws(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(s, dir)
+    val s2 = streamSession(s)
+    // transformWithState requires the RocksDB state store provider
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = eventStream(s2, staged).as[Event](Encoders.product[Event])
+    val sessions = Streaming.sessionizeTws(events, gapMinutes = 30)
+    runAvailableNow(sessions.toDF(), "graft_q132_sessions")
+      .select(
+        col("user_id"), col("session_id"), col("n_events"),
+        unix_micros(col("start_ts")).as("start_us"),
+        unix_micros(col("end_ts")).as("end_us"))
+  }
+
   // Gap check and ordering at epoch µs (not raw ts) — same precision
   // discipline as the Spark side; see q21Sql's note.
   val q38Sql: String =
@@ -552,7 +571,90 @@ object StreamingEntries {
       .select(col("_g_s.*"))
   }
 
+  /** q117's incoming document set (new crawl + corpus re-crawls + one
+    * duplicate pair) staged as FOUR shard files so the file stream
+    * delivers it across four micro-batches — with the duplicate pair
+    * (doc 250 and its 20250 copy) deliberately split across DIFFERENT
+    * batches, so the cross-batch merge path is load-bearing, not
+    * incidental. Memoized like the event stages.
+    */
+  private val incDocDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageIncrementalDocs(s: SparkSession, dir: String): String =
+    incDocDirs.computeIfAbsent(dir, { _ =>
+      val staged = tempDirCleanedAtExit(None, "graft_q131_docs_")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val incoming = docs.filter(col("doc_id") >= 250)
+        .unionAll(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") === 250)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val shard = when(col("doc_id") >= 20000, 3)
+        .when(col("doc_id") >= 10000, 2)
+        .when(col("doc_id") < 375, 0)
+        .otherwise(1)
+      (0 until 4).foreach { i =>
+        incoming.filter(shard === i).coalesce(1)
+          .write.mode("append").parquet(staged.toString)
+      }
+      staged.toString
+    })
+
+  /** q131: streaming incremental exact dedup — the nightly-ingest shape
+    * of q117 run as a stream. Each micro-batch runs the BATCH operator
+    * (TextDedup.incrementalExactDedup against the accumulated corpus's
+    * hashes), and a foreachBatch sink merges surviving groups across
+    * batches (full-outer on content_hash: keep_id = least, n_copies
+    * summed — a commutative monoid, so file/batch order cannot change
+    * the answer). Batch q117, this stream, and DuckDB agree three ways
+    * on the same oracle.
+    */
+  def q131StreamingIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageIncrementalDocs(s, dir)
+    val s2 = streamSession(s)
+    val root = tempDirCleanedAtExit(None, "graft_q131_state_")
+    val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val stream = s2.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    @volatile var current: Option[String] = None
+    val upsert: (DataFrame, Long) => Unit = { (batch, id) =>
+      val sp = batch.sparkSession
+      val corpus = Tables(sp, dir, "documents")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 250)
+      val survived = graft.pipeline.TextDedup
+        .incrementalExactDedup(corpus, batch, "doc_id", "text")
+      val acc = current match {
+        case Some(p) =>
+          val old = sp.read.parquet(p)
+          old.select(col("content_hash"), col("keep_id").as("_o_keep"),
+              col("n_copies").as("_o_n"))
+            .join(survived.select(col("content_hash"),
+                col("keep_id").as("_n_keep"), col("n_copies").as("_n_n")),
+              Seq("content_hash"), "full_outer")
+            .select(col("content_hash"),
+              least(coalesce(col("_o_keep"), col("_n_keep")),
+                coalesce(col("_n_keep"), col("_o_keep"))).as("keep_id"),
+              (coalesce(col("_o_n"), lit(0L)) + coalesce(col("_n_n"), lit(0L)))
+                .as("n_copies"))
+        case None => survived
+      }
+      val next = root.resolve(s"v$id").toString
+      acc.write.mode("overwrite").parquet(next)
+      current = Some(next)
+    }
+    val ckpt = Files.createTempDirectory(ckptParent, "run_")
+    val q = stream.writeStream.foreachBatch(upsert)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt.toString).start()
+    try q.awaitTermination()
+    finally deleteRecursively(ckpt)
+    s.read.parquet(current.getOrElse(sys.error("q131: no micro-batch ran")))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_streaming_incremental_dedup" -> (q131StreamingIncrementalDedup _),
+    "q132_sessionize_tws" -> (q132SessionizeTws _),
     "q115_streaming_funnel" -> (q115StreamingFunnel _),
     "q38_streaming_sessions" -> (q38StreamingSessions _),
     "q39_streaming_window" -> (q39StreamingWindow _),
@@ -566,6 +668,12 @@ object StreamingEntries {
     "q97_streaming_left_interval_join" -> (q97StreamingLeftIntervalJoin _))
 
   def oracles: Map[String, String] = Map(
+    // batch incrementalExactDedup (q117), the streaming foreachBatch
+    // merge, and DuckDB agree three ways
+    "q131_streaming_incremental_dedup" -> Pipeline.q117Sql,
+    // batch q21, fMGWS q38, session_window q74 and transformWithState
+    // q132 agree four ways
+    "q132_sessionize_tws" -> q38Sql,
     "q38_streaming_sessions" -> q38Sql,
     "q39_streaming_window" -> q39Sql,
     "q55_streaming_dedup" -> q55Sql,

@@ -21,6 +21,91 @@ private[streaming] final case class SessionAcc(
     sessionId: Long, startUs: Long, lastUs: Long,
     nEvents: Long, totalValue: Double)
 
+/** [[Streaming.sessionizeTws]]'s stateful processor: one typed
+  * `ValueState[SessionAcc]` per user plus one live event-time timer at
+  * last-event + gap. Top-level class — instances serialize to executors
+  * without an outer reference.
+  */
+private[streaming] final class SessionizeProcessor(gapMinutes: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, Session] {
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private val gapUs = gapMinutes * 60000000L
+  private val gapMs = gapMinutes * 60000L
+  @transient private var state: ValueState[SessionAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[SessionAcc](
+      "session", Encoders.product[SessionAcc], TTLConfig.NONE)
+
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def close(userId: Long, acc: SessionAcc): Session =
+    Session(userId, acc.sessionId, acc.nEvents, acc.totalValue,
+      tsFromMicros(acc.startUs), tsFromMicros(acc.lastUs))
+
+  // timer expiry for an open session: ms floor keeps it ≤ the true µs
+  // gap end; it can only fire once the watermark passes it (the same
+  // arithmetic sessionize uses for its group-state timeout)
+  private def dueMs(acc: SessionAcc): Long = acc.lastUs / 1000L + gapMs
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[Session] = {
+    val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+    var acc = if (state.exists()) state.get() else null
+    val prevDue = if (acc != null) Some(dueMs(acc)) else None
+    val closed = Seq.newBuilder[Session]
+    for (e <- sorted) {
+      val t = micros(e.ts)
+      if (acc == null) {
+        acc = SessionAcc(1L, t, t, 1L, e.value)
+      } else if (t - acc.lastUs > gapUs) {
+        closed += close(userId, acc)
+        acc = SessionAcc(acc.sessionId + 1, t, t, 1L, e.value)
+      } else {
+        acc = acc.copy(lastUs = math.max(acc.lastUs, t),
+          nEvents = acc.nEvents + 1, totalValue = acc.totalValue + e.value)
+      }
+    }
+    if (acc != null) {
+      state.update(acc)
+      val due = dueMs(acc)
+      if (!prevDue.contains(due)) {
+        prevDue.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(due)
+      }
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      userId: Long,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+    if (!state.exists()) Iterator.empty
+    else {
+      val acc = state.get()
+      // guard: only the CURRENT session's timer may close it — a stale
+      // timer (earlier due time) means later events extended the session
+      if (expiredTimerInfo.getExpiryTimeInMs() >= dueMs(acc)) {
+        state.clear()
+        Iterator.single(close(userId, acc))
+      } else Iterator.empty
+    }
+  }
+}
+
 /** One user's funnel result: `step_us(i)` is the µs event time the
   * (i+1)-th step bound at; shorter than the step list when the user
   * stalled. Emitted exactly once per user.
@@ -267,6 +352,39 @@ object Streaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Gap-sessionization on the `transformWithState` ARBITRARY-STATE API
+    * (Spark 4's successor to flatMapGroupsWithState): typed
+    * `ValueState` holds the open session, an EVENT-TIME TIMER replaces
+    * the group-state timeout for gap-elapsed closing, and mid-batch
+    * session breaks emit inline exactly as [[sessionize]] does. Output
+    * ≡ [[sessionize]] ≡ the batch operator on a drained stream — the
+    * same three-way law, on the API new pipelines should target (typed
+    * composable state, multiple states per key, state TTL, and the
+    * RocksDB store it requires are the production posture).
+    *
+    * Timer discipline: each fold re-registers the timer at the new
+    * last-event + gap and deletes the superseded one, so at most one
+    * live timer per key; `handleExpiredTimer` still guards on the
+    * CURRENT session's due time, so a stale timer that slipped through
+    * (e.g. restored from a checkpoint) can never close a session early.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does
+    * not run on the default HDFS-backed store.
+    */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    implicit val outEnc = Encoders.product[Session]
+    implicit val keyEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionizeProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Streaming sequential funnel — the streaming twin of

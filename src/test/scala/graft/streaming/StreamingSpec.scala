@@ -292,4 +292,61 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.user_id -> r.step_us).toMap
     assert(rows == Map(5L -> Seq(us(0), us(5), us(10))))
   }
+
+  test("sessionizeTws (transformWithState) matches sessionize on RocksDB") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    implicit val sql = s2.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionizeTws(in.toDS(), gapMinutes = 30)
+      .toDF().writeStream.format("memory").queryName("tws_sess")
+      .outputMode("append").start()
+    // user 1: two sessions (gap > 30m between minute 10 and 70);
+    // user 2: one session extended across micro-batches
+    in.addData(
+      Event(1L, ts(0), "view", 1.0), Event(1L, ts(10), "view", 2.0),
+      Event(2L, ts(5), "click", 4.0))
+    q.processAllAvailable()
+    in.addData(
+      Event(1L, ts(70), "view", 8.0), Event(2L, ts(20), "view", 16.0))
+    q.processAllAvailable()
+    // watermark-advancing tail closes every session (sentinel far ahead;
+    // the second tail event closes the first tail user's session too)
+    in.addData(Event(99L, ts(600), "view", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(98L, ts(700), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s2.table("tws_sess")
+      .selectExpr("user_id", "session_id", "n_events", "total_value")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows == Set(
+      (1L, 1L, 2L, 3.0), (1L, 2L, 1L, 8.0), (2L, 1L, 2L, 20.0),
+      (99L, 1L, 1L, 0.0)))
+  }
+
+  test("sessionizeTws emits mid-batch session breaks inline") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    implicit val sql = s2.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[Event]
+    val in = MemoryStream[Event]
+    val q = Streaming.sessionizeTws(in.toDS(), gapMinutes = 30)
+      .toDF().writeStream.format("memory").queryName("tws_mid")
+      .outputMode("append").start()
+    // one batch, two sessions for user 5: the first closes INLINE (no
+    // timer involved), before any watermark movement
+    in.addData(
+      Event(5L, ts(0), "view", 1.0), Event(5L, ts(90), "view", 2.0))
+    q.processAllAvailable()
+    val early = s2.table("tws_mid").count()
+    q.stop()
+    assert(early == 1L) // first session emitted in the same batch
+  }
 }
