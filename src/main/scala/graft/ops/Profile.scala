@@ -73,6 +73,44 @@ object Profile {
         col("n_rows"))
   }
 
+  /** Equi-depth (quantile) bucket assignment — the scale-correct form
+    * of `ntile` over a whole table: a global-ORDER-BY window serializes
+    * the corpus through ONE partition, while this computes the
+    * `nBuckets − 1` boundary values once (exact sort-based percentile)
+    * and assigns every row IN-ROW by counting boundaries ≤ its value —
+    * a broadcast of (nBuckets−1) doubles plus a pure projection. The
+    * curriculum-binning step of a training pipeline (order by quality
+    * decile) and the histogram whose buckets hold equal mass instead of
+    * equal width ([[histogram]]'s complement).
+    *
+    * Cross-engine determinism: decile fractions are not binary-exact,
+    * and Spark's `(1−g)·a + g·b` interpolation differs in SHAPE from
+    * DuckDB's `a + g·(b−a)` — up to a few ulps on identical data — so
+    * boundaries are rounded to 4 decimals before comparison; with
+    * integer-quantized inputs every boundary's fractional part is a
+    * multiple of the interpolation fraction, safely away from the
+    * rounding cliff. Equal-to-boundary rows go UP a bucket (boundary
+    * intervals are left-open). Buckets run 0..nBuckets−1. At 100 TB
+    * swap the exact percentile for approx_percentile; assignment is
+    * unchanged.
+    */
+  def quantileBuckets(
+      df: DataFrame,
+      valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.agg(
+      expr(s"percentile(CAST(`$valueCol` AS DOUBLE), array(${probs.mkString(",")}))")
+        .as("_g_bs"))
+      .select(transform(col("_g_bs"), b => round(b, 4)).as("_g_bs"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(col("_g_bs"), b => b <= col(valueCol).cast("double")))
+          .cast("long"))
+      .drop("_g_bs")
+  }
+
   /** Key-skew diagnostic: the top-K keys by row count with their share
     * of the table — the number a pipeline reads before deciding whether
     * a join needs [[Joins.salted]] or AQE skew handling. Output:

@@ -321,7 +321,62 @@ object Analytics {
       |          l_extendedprice FROM lineitem))
       |WHERE rn <= 5""".stripMargin
 
+  // q133: per-key correlation/covariance between event value (cents)
+  // and hour-of-day — the "does the metric move with time" profiling
+  // read. Both engines accumulate co-moments in their own order and
+  // merge shape; the inputs are identical integers and the sums stay
+  // ≤ 2^53-exact territory relative to d6, so d6 rounding pins it.
+  def q133GroupCorr(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").cast("double").as("cents"),
+        (expr("ts_us div 3600000000") % 24).cast("double").as("hr"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        d6(corr(col("cents"), col("hr"))).as("corr_value_hour"),
+        d6(covar_samp(col("cents"), col("hr"))).as("covar_value_hour"))
+
+  val q133Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS cents,
+      |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24
+      |      AS DOUBLE) AS hr
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(CAST(corr(cents, hr) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS corr_value_hour,
+      |  CAST(CAST(covar_samp(cents, hr) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS covar_value_hour
+      |FROM e GROUP BY 1""".stripMargin
+
+  // q134: equi-depth decile assignment of document lengths through
+  // Profile.quantileBuckets — the scale-correct ntile (boundaries
+  // broadcast, assignment in-row; a global ORDER BY window would
+  // serialize the corpus through one partition). Boundaries rounded to
+  // 4 decimals both sides: decile fractions aren't binary-exact and the
+  // two engines' interpolation FORMULAS differ in shape by ulps.
+  def q134QuantileBuckets(s: SparkSession, dir: String): DataFrame =
+    Profile.quantileBuckets(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "n_chars", nBuckets = 10)
+
+  val q134Sql: String =
+    """WITH b AS (
+      |  SELECT list_transform(
+      |    quantile_cont(CAST(n_chars AS DOUBLE),
+      |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |    q -> round(q, 4)) AS bs
+      |  FROM documents)
+      |SELECT doc_id, n_chars,
+      |  CAST(len(list_filter((SELECT bs FROM b),
+      |    q -> q <= CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
+      |FROM documents""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_group_corr" -> (q133GroupCorr _),
+    "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q102_funnel" -> (q102Funnel _),
     "q103_transitions" -> (q103Transitions _),
     "q104_cohort_retention" -> (q104CohortRetention _),
@@ -337,6 +392,8 @@ object Analytics {
     "q118_topk_per_key" -> (q118TopkPerKey _))
 
   def oracles: Map[String, String] = Map(
+    "q133_group_corr" -> q133Sql,
+    "q134_quantile_buckets" -> q134Sql,
     "q102_funnel" -> q102Sql,
     "q103_transitions" -> q103Sql,
     "q104_cohort_retention" -> q104Sql,

@@ -105,4 +105,31 @@ class ProfileSpec extends SparkSpec {
         Seq(("a", 1L, 0.0)).toDF("k", "v", "_g_q1"), Seq("k"), "v")
     }
   }
+
+  test("quantileBuckets assigns equal-depth buckets; boundary rows go up") {
+    // values 1..100: quartile boundaries at 25.75, 50.5, 75.25
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val out = Profile.quantileBuckets(df, "v", nBuckets = 4)
+      .select("v", "bucket").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L && out(25L) == 0L)
+    assert(out(26L) == 1L && out(50L) == 1L)
+    assert(out(51L) == 2L && out(75L) == 2L)
+    assert(out(76L) == 3L && out(100L) == 3L)
+    // equal depth: 25 rows per bucket
+    val sizes = Profile.quantileBuckets(df, "v", 4)
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    assert(sizes == Map(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 25L))
+  }
+
+  test("quantileBuckets: a row equal to an integer boundary goes up") {
+    // 5 values, median boundary = exactly 30: the 30 row lands in the
+    // upper bucket (left-open boundary intervals)
+    val df = Seq(10L, 20L, 30L, 40L, 50L).toDF("v")
+    val out = Profile.quantileBuckets(df, "v", nBuckets = 2)
+      .select("v", "bucket").as[(Long, Long)].collect().toMap
+    assert(out(20L) == 0L && out(30L) == 1L && out(40L) == 1L)
+    intercept[IllegalArgumentException] {
+      Profile.quantileBuckets(df, "v", nBuckets = 1)
+    }
+  }
 }
