@@ -341,6 +341,64 @@ object EtlShapes {
       |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       |GROUP BY o_custkey""".stripMargin
 
+
+  /** q135: CopyTask over a REAL second database — supplier staged into
+    * an embedded Derby instance (the JDBC engine already on the
+    * classpath), then copied back through the `jdbc:` source with
+    * projection + renames. This is the reference's headline feature
+    * (cross-warehouse replication, sayn/tasks/copy.py) driven end to
+    * end: Spark's JDBC DataSource reads Derby over a real connection,
+    * and the oracle never sees Derby — the staged table is a verbatim
+    * copy of `supplier`, so the copied result must equal the parquet.
+    * (Incremental-watermark pushdown into the remote WHERE is pinned in
+    * CopyJdbcSpec.)
+    */
+  private val derbyDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageDerby(s: SparkSession, dir: String): String =
+    derbyDirs.computeIfAbsent(dir, { _ =>
+      val db = TempDirs.tempDirCleanedAtExit(None, "graft_derby_")
+        .resolve("db")
+      val url = s"jdbc:derby:$db"
+      Tables(s, dir, "supplier").write.format("jdbc")
+        .option("url", s"$url;create=true").option("dbtable", "SUPPLIER")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite").save()
+      url
+    })
+
+  def q135CopyJdbc(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val objects = new DbObjectCompiler("spark")
+    val ctx = new TaskContext("q135_copy_jdbc", "verify", db, objects,
+      Map.empty, RunArguments())
+    dropPhysical(s, "q135_jdbc_dst",
+      "graft_tmp_q135_jdbc_dst", "graft_tmp_backup_q135_jdbc_dst")
+    val task = new CopyTask
+    val cfg = Map[String, Any](
+      "source" -> s"${stageDerby(s, dir)}|SUPPLIER",
+      "destination" -> "q135_jdbc_dst",
+      "columns" -> Seq(
+        Map("name" -> "s_suppkey", "type" -> "bigint", "dst_name" -> "supp_id"),
+        Map("name" -> "s_name", "dst_name" -> "name"),
+        Map("name" -> "s_nationkey", "type" -> "bigint", "dst_name" -> "nation_id"),
+        Map("name" -> "s_acctbal", "type" -> "double", "dst_name" -> "balance")))
+    (for {
+      _ <- task.config(ctx, cfg)
+      _ <- task.setup()
+      _ <- task.run()
+    } yield ()).left.foreach(fail)
+    val resolved = objects.fromString("q135_jdbc_dst")
+      .map(objects.outValue).fold(fail, identity)
+    s.table(resolved)
+  }
+
+  val q135Sql: String =
+    """SELECT s_suppkey AS supp_id, s_name AS name,
+      |  s_nationkey AS nation_id, CAST(s_acctbal AS DOUBLE) AS balance
+      |FROM supplier""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_merge" -> (q22Merge _),
     "q23_copy" -> (q23Copy _),
@@ -349,7 +407,8 @@ object EtlShapes {
     "q72_script_chain" -> (q72ScriptChain _),
     "q77_copy_csv" -> (q77CopyCsv _),
     "q94_bucketed_join" -> (q94BucketedJoin _),
-    "q109_copy_jsonl" -> (q109CopyJsonl _))
+    "q109_copy_jsonl" -> (q109CopyJsonl _),
+    "q135_copy_jdbc" -> (q135CopyJdbc _))
 
   def oracles: Map[String, String] = Map(
     "q22_merge" -> q22Sql,
@@ -359,5 +418,6 @@ object EtlShapes {
     "q72_script_chain" -> q72Sql,
     "q77_copy_csv" -> q77Sql,
     "q94_bucketed_join" -> q94Sql,
-    "q109_copy_jsonl" -> q109Sql)
+    "q109_copy_jsonl" -> q109Sql,
+    "q135_copy_jdbc" -> q135Sql)
 }

@@ -7,10 +7,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Table replication with full / incremental / append modes
-  * (sayn/tasks/copy.py). Sources are catalog tables or file paths
-  * (parquet/csv/json — a path containing '/' or a `format:path` spec);
-  * the reference's cross-database JDBC surface is scoped to these, with
-  * the connector interface left open (SURVEY §7).
+  * (sayn/tasks/copy.py). Sources are catalog tables, file paths
+  * (parquet/csv/json — a path containing '/' or a `format:path` spec),
+  * or ANOTHER DATABASE over JDBC — `jdbc:<url>|<dbtable>[|<driver>]`,
+  * the reference's headline cross-database copy (sayn/tasks/copy.py
+  * exists to move rows BETWEEN warehouses). The JDBC scan is a real
+  * Spark DataSource: the incremental watermark predicate pushes down
+  * into the remote database's WHERE clause (PushedFilters), so a
+  * nightly copy ships only new rows over the wire — the engine-side
+  * form of the reference's `select_stream` + max-watermark query.
   *
   * Where the reference streams rows through the Python driver in 50k-row
   * batches (copy.py:481-502), this engine moves data executor-to-executor:
@@ -93,7 +98,8 @@ final class CopyTask extends TaskRunner {
     * where identifiers are dot-separated.
     */
   private def isPath(s: String): Boolean =
-    s.contains("/") || s.matches("^(parquet|csv|json|orc):.*")
+    s.startsWith("jdbc:") ||
+      s.contains("/") || s.matches("^(parquet|csv|json|orc):.*")
 
   /** Schema inference for csv/json scans the file; cache the inferred
     * schema so repeated reads (chunked merges, setup+run) scan data once.
@@ -101,7 +107,21 @@ final class CopyTask extends TaskRunner {
   private var inferredSchema: Option[org.apache.spark.sql.types.StructType] = None
 
   private def readSource(): DataFrame =
-    if (isPath(resolvedSrc)) {
+    if (resolvedSrc.startsWith("jdbc:")) {
+      // `<url>|<dbtable>[|<driver>]`; the driver defaults from the URL
+      // for the embedded engine on the classpath (Derby), else
+      // DriverManager resolution applies
+      val parts = resolvedSrc.split("\\|")
+      require(parts.length >= 2,
+        s"jdbc source must be '<url>|<dbtable>[|<driver>]', got $resolvedSrc")
+      val reader = ctx.spark.read.format("jdbc")
+        .option("url", parts(0)).option("dbtable", parts(1))
+      val driver = parts.lift(2).orElse(
+        if (parts(0).startsWith("jdbc:derby:"))
+          Some("org.apache.derby.jdbc.EmbeddedDriver")
+        else None)
+      driver.fold(reader)(d => reader.option("driver", d)).load()
+    } else if (isPath(resolvedSrc)) {
       resolvedSrc.split(":", 2) match {
         case Array(fmt, path) if Seq("parquet", "csv", "json", "orc").contains(fmt) =>
           val reader = ctx.spark.read.format(fmt).option("header", "true")
