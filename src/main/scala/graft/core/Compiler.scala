@@ -678,11 +678,24 @@ object Compiler {
             case other => lookup(other, scope) match {
               case Some(m: MacroDef) =>
                 callMacro(m, pos, kw, ctx, expr).map(Some(_))
-              case _ => Left(ParseError(s"unknown template function '$other'"))
+              case _ =>
+                // expression-level builtins (range): evaluate the whole
+                // head as an expression before declaring it unknown
+                Expr.eval(head, scope) match {
+                  case Right(v) => Right(Some(v))
+                  case Left(_) =>
+                    Left(ParseError(s"unknown template function '$other'"))
+                }
             }
           }
         }
-      case path => Right(lookup(path, scope))
+      case path =>
+        if (path.matches("[A-Za-z_][A-Za-z0-9_.]*")) Right(lookup(path, scope))
+        else
+          // not a bare variable path: a full expression head, e.g.
+          // `{{ a + b }}` / `{{ n * 2 - 1 }}` — Jinja evaluates these
+          // anywhere, not only inside {% if %}/{% set %}
+          Expr.eval(path, scope).map(v => Some(v))
     }
     val piped = pipes.tail.foldLeft(headValue) { (acc, f) =>
       acc.flatMap { v =>
@@ -1171,6 +1184,39 @@ private[core] object Expr {
 
     private def parsePrimary(): Result.Result[Any] = peek match {
       case Some(TLit(v)) => take(); Right(v)
+      case Some(TPath("range")) if toks.lift(i + 1).contains(TOp("(")) =>
+        take(); take()
+        // Jinja's range() global: 1-3 integer args, exclusive stop,
+        // Python step semantics — the loop-count idiom `{% for i in
+        // range(n) %}`
+        val args = mutable.ArrayBuffer.empty[Any]
+        var err: Option[GraftError] = None
+        var done = peekOp(")")
+        if (done) take()
+        while (!done && err.isEmpty) {
+          parseOr() match {
+            case Right(v) => args += v
+            case Left(e) => err = Some(e)
+          }
+          if (err.isEmpty) {
+            if (peekOp(",")) take()
+            else if (peekOp(")")) { take(); done = true }
+            else err = Some(ParseError(s"malformed range() in '$src'"))
+          }
+        }
+        err.map(Left(_)).getOrElse {
+          def asL(v: Any): Option[Long] = v match {
+            case n: Long => Some(n); case n: Int => Some(n.toLong); case _ => None
+          }
+          args.toSeq.map(asL) match {
+            case Seq(Some(stop)) => Right((0L until stop).toVector)
+            case Seq(Some(st), Some(stop)) => Right((st until stop).toVector)
+            case Seq(Some(st), Some(stop), Some(step)) if step != 0 =>
+              Right((st until stop by step).toVector)
+            case _ => Left(ParseError(
+              s"range() takes 1-3 integer arguments (step != 0) in '$src'"))
+          }
+        }
       case Some(TPath(p)) =>
         take()
         // undefined → None (Jinja Undefined is falsy; guards like

@@ -444,4 +444,29 @@ class CompilerSpec extends AnyFunSuite {
     val Left(e3) = Compiler.compile("{% include 'a.sql' %}", loaded())
     assert(e3.toString.contains("nesting exceeds"))
   }
+
+  test("range() global: for-loops, membership, arithmetic interpolation") {
+    // the Jinja loop-count idiom
+    assert(Compiler.compile(
+      "{% for i in range(3) %}{{ i }}{% endfor %}", Context())
+      == Right("012"))
+    assert(Compiler.compile(
+      "{% for i in range(2, 8, 3) %}{{ i }},{% endfor %}", Context())
+      == Right("2,5,"))
+    // membership + empty range
+    assert(Compiler.compile(
+      "{% if 2 in range(3) %}y{% endif %}{% if 5 in range(3) %}n{% endif %}",
+      Context()) == Right("y"))
+    assert(Compiler.compile(
+      "{% for i in range(0) %}x{% endfor %}-", Context()) == Right("-"))
+    // step 0 errors loudly
+    assert(Compiler.compile("{% for i in range(1, 5, 0) %}{% endfor %}",
+      Context()).isLeft)
+    // arithmetic heads render directly (not just inside conditions)
+    val ctx = Context(params = Map("n" -> 4L))
+    assert(Compiler.compile("{{ n * 2 + 1 }}", ctx) == Right("9"))
+    assert(Compiler.compile("{{ (n + 2) % 3 }}", ctx) == Right("0"))
+    // undefined bare paths still error (the |default contract)
+    assert(Compiler.compile("{{ missing }}", Context()).isLeft)
+  }
 }
