@@ -399,6 +399,68 @@ object EtlShapes {
       |  s_nationkey AS nation_id, CAST(s_acctbal AS DOUBLE) AS balance
       |FROM supplier""".stripMargin
 
+
+  /** q136: INCREMENTAL CopyTask over the Derby source — the remote
+    * nightly shape: destination starts from a stale slice, the copy
+    * reads only past-watermark rows from the remote database (the
+    * predicate lands in Derby's WHERE via JDBC pushdown, CopyJdbcSpec)
+    * and delete-key-merges them in. Shares q33's algebra on a remote
+    * source: the result must equal the fresh-rows-over-stale union.
+    */
+  private val derbyIncDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageDerbyInc(s: SparkSession, dir: String): String =
+    derbyIncDirs.computeIfAbsent(dir, { _ =>
+      val db = TempDirs.tempDirCleanedAtExit(None, "graft_derby_inc_")
+        .resolve("db")
+      val url = s"jdbc:derby:$db"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (col("o_orderkey") % 100).as("upd"))
+        .write.format("jdbc")
+        .option("url", s"$url;create=true").option("dbtable", "ORDERS_SRC")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .mode("overwrite").save()
+      url
+    })
+
+  def q136CopyJdbcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val objects = new DbObjectCompiler("spark")
+    val ctx = new TaskContext("q136_copy_jdbc_inc", "verify", db, objects,
+      Map.empty, RunArguments())
+    dropPhysical(s, "q136_jdbc_dst", "graft_tmp_q136_jdbc_dst",
+      "graft_tmp_merge_q136_jdbc_dst", "graft_tmp_backup_q136_jdbc_dst")
+    // stale destination: watermark values < 50 with zeroed prices
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("o_orderkey") % 100).as("upd"))
+      .filter(col("upd") < 50)
+      .withColumn("o_totalprice", lit(0.0))
+      .write.mode("overwrite").saveAsTable("q136_jdbc_dst")
+    val task = new CopyTask
+    val cfg = Map[String, Any](
+      "source" -> s"${stageDerbyInc(s, dir)}|ORDERS_SRC",
+      "destination" -> "q136_jdbc_dst",
+      "incremental_key" -> "upd", "delete_key" -> "o_orderkey")
+    (for {
+      _ <- task.config(ctx, cfg)
+      _ <- task.setup()
+      _ <- task.run()
+    } yield ()).left.foreach(fail)
+    val resolved = objects.fromString("q136_jdbc_dst")
+      .map(objects.outValue).fold(fail, identity)
+    s.table(resolved)
+  }
+
+  val q136Sql: String =
+    """WITH src AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |  o_orderkey % 100 AS upd FROM orders)
+      |SELECT o_orderkey, o_custkey, 0.0 AS o_totalprice, upd FROM src WHERE upd < 49
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, upd FROM src WHERE upd >= 49""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_merge" -> (q22Merge _),
     "q23_copy" -> (q23Copy _),
@@ -408,7 +470,8 @@ object EtlShapes {
     "q77_copy_csv" -> (q77CopyCsv _),
     "q94_bucketed_join" -> (q94BucketedJoin _),
     "q109_copy_jsonl" -> (q109CopyJsonl _),
-    "q135_copy_jdbc" -> (q135CopyJdbc _))
+    "q135_copy_jdbc" -> (q135CopyJdbc _),
+    "q136_copy_jdbc_incremental" -> (q136CopyJdbcIncremental _))
 
   def oracles: Map[String, String] = Map(
     "q22_merge" -> q22Sql,
@@ -419,5 +482,6 @@ object EtlShapes {
     "q77_copy_csv" -> q77Sql,
     "q94_bucketed_join" -> q94Sql,
     "q109_copy_jsonl" -> q109Sql,
-    "q135_copy_jdbc" -> q135Sql)
+    "q135_copy_jdbc" -> q135Sql,
+    "q136_copy_jdbc_incremental" -> q136Sql)
 }
