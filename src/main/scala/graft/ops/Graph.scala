@@ -35,6 +35,13 @@ object Graph {
     * two keyed exchanges, the classic distributed-PageRank shape.
     *
     * Output: (node, pagerank) for every node appearing in any edge.
+    *
+    * Precondition: `weightCol` values are non-negative with a positive
+    * per-source sum (they normalize to transition probabilities); a
+    * negative weight silently corrupts the distribution, and checking
+    * it would cost a pass — validate upstream where weights are born
+    * (transition counts and tf-idf weights are non-negative by
+    * construction).
     */
   def pageRank(
       edges: DataFrame,

@@ -43,6 +43,10 @@ object Retrieval {
       topK: Int = 50): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k1 > 0 && b >= 0 && b <= 1, s"k1 > 0, b in [0,1]; got k1=$k1 b=$b")
+    // a repeated term would join its tf/df rows twice and double its
+    // score contribution; bag-of-words queries weight by repetition
+    // upstream, not here
+    val terms = queryTerms.distinct
     val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -51,7 +55,7 @@ object Retrieval {
     val stats = dl.agg(
       count(lit(1)).cast("double").as("_g_ndocs"),
       (sum(col("_g_dl")).cast("double") / count(lit(1))).as("_g_avgdl"))
-    val qToks = toks.filter(col("tok").isin(queryTerms: _*))
+    val qToks = toks.filter(col("tok").isin(terms: _*))
     val tf = qToks.groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).cast("double").as("_g_tf"))
     val dfreq = qToks.groupBy(col("tok"))

@@ -583,6 +583,10 @@ object TextDedup {
     * md5(chunk_text) — 16 bytes on the exchange regardless of chunk
     * width, [[exactDedup]]'s discipline. Reassembly's collect_list is
     * bounded by a single document's own chunk count, never corpus-wide.
+    *
+    * Precondition: `idCol` is unique per input row (one row per
+    * document — [[shingles]]' contract); a repeated id would conflate
+    * two documents' chunks in reassembly.
     */
   def chunkDedupCorpus(
       df: DataFrame,

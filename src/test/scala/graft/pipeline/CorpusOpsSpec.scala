@@ -302,4 +302,29 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(2L))
   }
+
+  test("bm25TopK is invariant to repeated query terms") {
+    val docs = Seq((1L, "x y z"), (2L, "x x w")).toDF("doc_id", "text")
+    val once = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x", "y"))
+      .as[(Long, Double)].collect().toMap
+    val duped = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("x", "y", "x", "x")).as[(Long, Double)].collect().toMap
+    assert(once == duped)
+  }
+
+  test("chunkDedupCorpus reassembly law: no cross-doc dups => identity") {
+    // distinct single-char alphabets guarantee no shared chunks
+    val docs = (0 until 8).map { i =>
+      val ch = ('a' + i).toChar.toString
+      (i.toLong, ch * (7 + 3 * i)) // lengths straddle chunk boundaries
+    }.toDF("doc_id", "text")
+    val out = TextDedup.chunkDedupCorpus(docs, "doc_id", "text", 5)
+      .select("doc_id", "n_dropped", "dedup_text")
+      .as[(Long, Long, String)].collect()
+    val orig = docs.as[(Long, String)].collect().toMap
+    out.foreach { case (id, dropped, text) =>
+      assert(dropped == 0L, s"doc $id dropped chunks")
+      assert(text == orig(id), s"doc $id reassembly differs")
+    }
+  }
 }
