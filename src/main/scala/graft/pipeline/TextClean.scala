@@ -27,6 +27,21 @@ object TextClean {
   private def nMatches(c: Column, re: String): Column =
     size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
 
+  /** Canonical text form for DEDUP KEYS: Unicode NFC (composes the
+    * byte-distinct decomposed/precomposed renderings of the same
+    * glyphs — [[graft.functions.NfcNormalize]]), casefold to lower,
+    * collapse whitespace runs, trim. Two crawls of one page that
+    * differ only in encoder normalization, case, or spacing hash to
+    * the SAME key afterwards — the canonicalization pass that makes
+    * [[TextDedup.exactDedup]] catch what byte-equality misses. A pure
+    * in-row projection (zero shuffles); NOT a replacement for the
+    * stored text — canonicalize the KEY, keep the original bytes.
+    */
+  def canonicalForDedup(textCol: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.NfcNormalize.nfcNormalize(textCol)),
+      "\\s+", " "))
+
   /** Adds `scrubbed_text`, `n_emails`, `n_ips`, `n_digit_runs` to the
     * input. Replacement tokens are single words, so token-level
     * statistics stay meaningful on the scrubbed column.

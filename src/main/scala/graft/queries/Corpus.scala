@@ -305,6 +305,43 @@ object Corpus {
       |FROM bi2 JOIN c12 USING (tok, nxt) JOIN c1 USING (tok) CROSS JOIN v
       |GROUP BY doc_id""".stripMargin
 
+
+  // q137: canonical-form dedup — exactDedup over
+  // TextClean.canonicalForDedup keys. Every document gains a precomposed
+  // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
+  // (id+30000) that is uppercased, double-spaced and DECOMPOSED
+  // (CAFE + combining acute). Byte-equality sees 572 distinct texts;
+  // the canonical key (NFC → lower → whitespace collapse → trim) must
+  // collapse each re-crawl onto its source: 500 groups, 72 of size 2.
+  def q137CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val aug = docs
+      .select(col("doc_id"), concat(col("text"), lit(" caf\u00E9")).as("t"))
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(regexp_replace(upper(col("text")), " ", "  "),
+            lit(" CAFE\u0301")).as("t")))
+    TextDedup.exactDedup(
+      aug.select(col("doc_id"),
+        graft.pipeline.TextClean.canonicalForDedup(col("t")).as("t")),
+      "doc_id", "t")
+  }
+
+  val q137Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text || ' caf' || chr(233) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000,
+      |    regexp_replace(upper(text), ' ', '  ', 'g') || ' CAFE' || chr(769)
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |canon AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g')) AS c
+      |  FROM aug)
+      |SELECT md5(c) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM canon GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -313,7 +350,8 @@ object Corpus {
     "q127_vocab_oov" -> (q127VocabOov _),
     "q128_pagerank" -> (q128PageRank _),
     "q129_semantic_dedup" -> (q129SemanticDedup _),
-    "q130_bigram_logprob" -> (q130BigramLogprob _))
+    "q130_bigram_logprob" -> (q130BigramLogprob _),
+    "q137_canonical_dedup" -> (q137CanonicalDedup _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -323,5 +361,6 @@ object Corpus {
     "q127_vocab_oov" -> q127Sql,
     "q128_pagerank" -> q128Sql,
     "q129_semantic_dedup" -> q129Sql,
-    "q130_bigram_logprob" -> q130Sql)
+    "q130_bigram_logprob" -> q130Sql,
+    "q137_canonical_dedup" -> q137Sql)
 }

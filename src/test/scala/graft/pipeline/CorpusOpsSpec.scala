@@ -327,4 +327,17 @@ class CorpusOpsSpec extends SparkSpec {
       assert(text == orig(id), s"doc $id reassembly differs")
     }
   }
+
+  test("canonicalForDedup collapses case/space/normalization variants") {
+    val c = TextClean.canonicalForDedup(col("s"))
+    val out = Seq(
+        "Hello   World café",       // precomposed, multi-space
+        "hello world CAFE\u0301",   // decomposed, upper
+        "  hello world café  ",     // padded
+        "hello worlds café")        // genuinely different
+      .toDF("s").select(c).as[String].collect()
+    assert(out(0) == out(1) && out(1) == out(2))
+    assert(out(0) == "hello world café")
+    assert(out(3) != out(0))
+  }
 }
