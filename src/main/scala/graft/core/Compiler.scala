@@ -1208,13 +1208,19 @@ private[core] object Expr {
           def asL(v: Any): Option[Long] = v match {
             case n: Long => Some(n); case n: Int => Some(n.toLong); case _ => None
           }
-          args.toSeq.map(asL) match {
-            case Seq(Some(stop)) => Right((0L until stop).toVector)
-            case Seq(Some(st), Some(stop)) => Right((st until stop).toVector)
+          val r = args.toSeq.map(asL) match {
+            case Seq(Some(stop)) => Right(0L until stop)
+            case Seq(Some(st), Some(stop)) => Right(st until stop)
             case Seq(Some(st), Some(stop), Some(step)) if step != 0 =>
-              Right((st until stop by step).toVector)
+              Right(st until stop by step)
             case _ => Left(ParseError(
               s"range() takes 1-3 integer arguments (step != 0) in '$src'"))
+          }
+          // a typo'd bound must not materialize a billion-element list
+          r.flatMap { rng =>
+            if (rng.length > 1000000) Left(ParseError(
+              s"range() over 1e6 elements in '$src' (got ${rng.length})"))
+            else Right(rng.toVector)
           }
         }
       case Some(TPath(p)) =>
