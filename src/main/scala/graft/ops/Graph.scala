@@ -99,4 +99,132 @@ object Graph {
     }
     scores.select(col("node"), col("score").as("pagerank"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected graph given as (possibly directed, possibly duplicated)
+    * edge rows. Self-loops are dropped; each unordered pair counts once.
+    *
+    * Enumeration is DEGREE-ORDERED (the compact-forward shape): every
+    * edge is oriented from its lower-(degree, rank) endpoint to the
+    * higher, wedges are generated only at each edge's low end, and a
+    * wedge closes iff its (v, w) pair is itself an oriented edge. The
+    * wedge count is then Σ_u d⁺(u)² with d⁺(u) ≤ O(√m) on any graph —
+    * the hub node of a star generates ZERO wedges instead of deg², which
+    * is what keeps the shuffle bounded on power-law graphs at corpus
+    * scale. The (degree, label) order key rides as an ORDERABLE STRUCT
+    * column — `least`/`greatest` and hash joins work on structs — so no
+    * global rank window (a single-partition sort at graph scale) is
+    * ever built.
+    *
+    * Output: (node, degree, n_triangles, clustering_coeff) for every
+    * node with at least one edge; coefficient = 2·t / (deg·(deg−1)),
+    * 0.0 where deg < 2.
+    */
+  def triangles(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("_g_a"), col(dstCol).as("_g_b"))
+      .filter(col("_g_a") =!= col("_g_b"))
+    // canonical undirected pair set: (min, max), once
+    val und = raw.select(
+        least(col("_g_a"), col("_g_b")).as("_g_a"),
+        greatest(col("_g_a"), col("_g_b")).as("_g_b"))
+      .distinct()
+    val deg = und.select(col("_g_a").as("node"))
+      .union(und.select(col("_g_b")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // the total order: (degree, label) as an orderable struct key
+    val ka = deg.select(col("node").as("_g_a"),
+      struct(col("degree"), col("node")).as("_g_ka"))
+    val kb = deg.select(col("node").as("_g_b"),
+      struct(col("degree"), col("node")).as("_g_kb"))
+    // orient each edge low-key → high-key
+    val oriented = und.join(ka, "_g_a").join(kb, "_g_b")
+      .select(least(col("_g_ka"), col("_g_kb")).as("_g_lo"),
+        greatest(col("_g_ka"), col("_g_kb")).as("_g_hi"))
+    val e1 = oriented.select(col("_g_lo").as("_g_u"), col("_g_hi").as("_g_v"))
+    val e2 = oriented.select(col("_g_lo").as("_g_u"), col("_g_hi").as("_g_w"))
+    val wedges = e1.join(e2, "_g_u").filter(col("_g_v") < col("_g_w"))
+    val tri = wedges.join(oriented,
+      wedges("_g_v") === oriented("_g_lo") &&
+        wedges("_g_w") === oriented("_g_hi"), "left_semi")
+    // each triangle (u,v,w) credits all three corners
+    val perNode = tri.select(explode(array(
+        col("_g_u"), col("_g_v"), col("_g_w"))).as("_g_k"))
+      .groupBy(col("_g_k.node").as("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, "node")
+      .select(col("node"), col("degree"), col("n_triangles"))
+      .unionByName(
+        deg.join(perNode, Seq("node"), "left_anti")
+          .select(col("node"), col("degree"), lit(0L).as("n_triangles")))
+      .select(col("node"), col("degree"), col("n_triangles"),
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(col("n_triangles") * 2.0 /
+            (col("degree") * (col("degree") - lit(1L))))
+          .as("clustering_coeff"))
+  }
+
+  /** Weighted HITS (hubs & authorities) by power iteration:
+    *
+    *   auth'(v) = Σ_{u→v} w(u,v)·hub(u)
+    *   hub'(u)  = Σ_{u→v} w(u,v)·auth'(v)
+    *
+    * Each round L1-normalizes the hub vector (a 1-row aggregate riding a
+    * broadcast crossJoin) — normalization is what keeps 20 iterations of
+    * count-valued weights inside double range at corpus scale, and since
+    * every step is linear the scale factors cancel: the FINAL L1-
+    * normalized (hub, authority) pair is identical to an unnormalized
+    * run normalized once at the end, which is exactly what a SQL oracle
+    * can express in a single recursive CTE. Returns every node in any
+    * edge with (node, hub, authority), both vectors summing to 1.
+    *
+    * Same loop discipline as [[pageRank]]: frames materialized per
+    * round, two keyed exchanges per iteration, nothing driver-side.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val w = materialize(edges.select(
+      col(srcCol).as("_g_src"), col(dstCol).as("_g_dst"),
+      col(weightCol).cast("double").as("_g_w")))
+    val nodes = materialize(
+      w.select(col("_g_src").as("node"))
+        .union(w.select(col("_g_dst"))).distinct())
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val a = w.join(hub, w("_g_src") === hub("node"))
+        .groupBy(col("_g_dst"))
+        .agg(sum(col("_g_w") * col("hub")).as("_g_auth"))
+      auth = materialize(
+        nodes.join(a, nodes("node") === a("_g_dst"), "left")
+          .select(col("node"),
+            coalesce(col("_g_auth"), lit(0.0)).as("auth")))
+      val h = w.join(auth, w("_g_dst") === auth("node"))
+        .groupBy(col("_g_src"))
+        .agg(sum(col("_g_w") * col("auth")).as("_g_hub"))
+      val hTot = h.agg(sum(col("_g_hub")).as("_g_tot"))
+      hub = materialize(
+        nodes.join(h, nodes("node") === h("_g_src"), "left")
+          .crossJoin(broadcast(hTot))
+          .select(col("node"),
+            (coalesce(col("_g_hub"), lit(0.0)) / col("_g_tot")).as("hub")))
+      it += 1
+    }
+    val aTot = auth.agg(sum(col("auth")).as("_g_atot"))
+    hub.join(auth, "node").crossJoin(broadcast(aTot))
+      .select(col("node"), col("hub"),
+        (col("auth") / col("_g_atot")).as("authority"))
+  }
 }

@@ -42,6 +42,41 @@ object TextClean {
       lower(graft.functions.NfcNormalize.nfcNormalize(textCol)),
       "\\s+", " "))
 
+  // markup-stripping patterns: the regex subset with identical Java/RE2
+  // semantics (inline (?s) dotall, lazy repeat, no lookaround)
+  val scriptBlockRe = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+  val tagRe = "<[^>]+>"
+
+  /** HTML/boilerplate strip — the first pass of web-corpus curation:
+    * drop <script>/<style> blocks wholesale, replace every remaining
+    * tag with a space (so `a<br>b` stays two tokens), decode the six
+    * ubiquitous character entities, collapse whitespace, trim. Returns
+    * the input plus `n_blocks` (script/style blocks dropped), `n_tags`
+    * (tags stripped after block removal) and `stripped_text`.
+    *
+    * Entity order matters and is part of the contract: `&amp;` decodes
+    * LAST, so `&amp;lt;` yields the literal text `&lt;` rather than
+    * double-decoding to `<` — the standard single-pass rule. Pure
+    * in-row regexp/replace projections: zero shuffles at any scale.
+    * This is a TEXT-HEURISTIC pass (no DOM); CDATA and conditional
+    * comments are out of scope.
+    */
+  def stripMarkup(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, scriptBlockRe, " ")
+    val t2 = regexp_replace(t1, tagRe, " ")
+    val entities = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val t3 = entities.foldLeft(t2) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to)) // literal, same as SQL replace()
+    }
+    val t4 = trim(regexp_replace(t3, "\\s+", " "))
+    df.withColumn("n_blocks", nMatches(t0, scriptBlockRe))
+      .withColumn("n_tags", nMatches(t1, tagRe))
+      .withColumn("stripped_text", t4)
+  }
+
   /** Adds `scrubbed_text`, `n_emails`, `n_ips`, `n_digit_runs` to the
     * input. Replacement tokens are single words, so token-level
     * statistics stay meaningful on the scrubbed column.

@@ -116,6 +116,100 @@ object TextStats {
     * than two tokens have no bigrams and are absent from the output by
     * contract.
     */
+  /** Per-document Unicode-script composition: codepoint counts for the
+    * Latin / Cyrillic / Greek / Han scripts and ASCII digits, their
+    * shares of the document length, and a dominant-script label. The
+    * script signal is the cheap first gate of corpus language routing —
+    * it catches what a lexicon language id structurally cannot (a
+    * Russian document shares zero tokens with an English stopword list,
+    * but its Cyrillic share is ~1.0).
+    *
+    * Counting is length-after-projection — `length(regexp_replace(t,
+    * [^script], ''))` — one pass per script with NO per-char list
+    * allocation (regexp_extract_all would build one), a pure in-row
+    * projection: zero shuffles at any scale. Patterns use each engine's
+    * script-property spelling (`\p{IsLatin}` in Java, `\p{Latin}` in
+    * RE2) of the SAME Unicode script property, the portability contract
+    * the oracle checks. The dominant label resolves ties by a fixed
+    * chain (latin > cyrillic > greek > han) — deterministic cross-engine.
+    */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(script: String) =
+      length(regexp_replace(t, s"[^\\p{Is$script}]", "")).cast("long")
+    val nDigit = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    df.select(col(idCol), length(t).cast("long").as("n_chars"),
+        cnt("Latin").as("n_latin"), cnt("Cyrillic").as("n_cyrillic"),
+        cnt("Greek").as("n_greek"), cnt("Han").as("n_han"),
+        nDigit.as("n_digit"))
+      .select(col(idCol), col("n_chars"), col("n_latin"),
+        col("n_cyrillic"), col("n_greek"), col("n_han"), col("n_digit"),
+        d6(col("n_latin").cast("double") / col("n_chars")).as("latin_share"),
+        d6(col("n_cyrillic").cast("double") / col("n_chars"))
+          .as("cyrillic_share"),
+        when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_greek") &&
+            col("n_latin") >= col("n_han"), lit("latin"))
+          .when(col("n_cyrillic") >= col("n_greek") &&
+            col("n_cyrillic") >= col("n_han"), lit("cyrillic"))
+          .when(col("n_greek") >= col("n_han"), lit("greek"))
+          .otherwise(lit("han")).as("dominant_script"))
+  }
+
+  /** Corpus-level top-k bigram collocations by pointwise mutual
+    * information: pmi(x,y) = ln( p(xy) / (p(x)·p(y)) ) with p(xy) over
+    * adjacent-pair occurrences and p(·) over token occurrences —
+    * the classic collocation extractor (Church & Hanks 1990), and the
+    * vocabulary-merging signal a BPE-style tokenizer pipeline reads.
+    * `minCount` gates rare pairs (PMI's known pathology: a hapax pair
+    * scores the maximum).
+    *
+    * Plan shape at scale: one explode, one per-document lead() window
+    * (keyed by doc — the narrow shuffle), two token-keyed counts with
+    * map-side combine, the two 1-row totals ride broadcast crossJoins,
+    * and the top-k is a TakeOrdered (no global sort materialized).
+    * Ranking is total-ordered: (pmi d6-rounded DESC, pair ASC) — the
+    * rank never hinges on a sub-rounding float difference.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("_g_pos", "tok")))
+      .filter(col("tok") =!= "")
+    val nt = toks.agg(count(lit(1)).cast("double").as("_g_nt"))
+    val ct = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("_g_c"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_g_pos"))
+    val bi = toks
+      .withColumn("_g_next", lead(col("tok"), 1).over(w))
+      .filter(col("_g_next").isNotNull)
+      .select(col("tok").as("tok_a"), col("_g_next").as("tok_b"))
+    val nb = bi.agg(count(lit(1)).cast("double").as("_g_nb"))
+    val c12 = bi.groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val ca = ct.select(col("tok").as("tok_a"), col("_g_c").as("_g_ca"))
+    val cb = ct.select(col("tok").as("tok_b"), col("_g_c").as("_g_cb"))
+    val pmi = log(
+      (col("n_pair").cast("double") / col("_g_nb")) /
+        ((col("_g_ca") / col("_g_nt")) * (col("_g_cb") / col("_g_nt"))))
+    c12.join(ca, "tok_a").join(cb, "tok_b")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nt))
+      .select(col("tok_a"), col("tok_b"), col("n_pair"),
+        pmi.cast("decimal(28,6)").cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
+
   def bigramLogProb(
       df: DataFrame,
       idCol: String,

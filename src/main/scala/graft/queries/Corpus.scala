@@ -306,6 +306,251 @@ object Corpus {
       |GROUP BY doc_id""".stripMargin
 
 
+  // q138: triangle count + local clustering coefficient over the token
+  // co-occurrence graph (tokens adjacent iff they share a document).
+  // The fixture's compact vocabulary makes the graph dense, so every
+  // code path — wedge generation, closure, zero-triangle pendants — is
+  // exercised. The oracle enumerates each triangle once via the a<b<c
+  // ordered 3-way self-join; the operator's degree-ordered orientation
+  // must land on the same per-node counts.
+  def q138Triangles(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val a = toks.select(col("doc_id"), col("tok").as("tok_a"))
+    val b = toks.select(col("doc_id"), col("tok").as("tok_b"))
+    val pairs = a.join(b, "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .select(col("tok_a"), col("tok_b")).distinct()
+    graft.ops.Graph.triangles(pairs, "tok_a", "tok_b")
+      .select(col("node"), col("degree"), col("n_triangles"),
+        d6(col("clustering_coeff")).as("clustering_coeff"))
+  }
+
+  val q138Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk2 AS (SELECT DISTINCT doc_id, tok FROM tk WHERE tok <> ''),
+      |und AS (
+      |  SELECT DISTINCT a.tok AS ta, b.tok AS tb
+      |  FROM tk2 a JOIN tk2 b ON a.doc_id = b.doc_id AND a.tok < b.tok),
+      |deg AS (
+      |  SELECT node, count(*) AS degree FROM (
+      |    SELECT ta AS node FROM und UNION ALL SELECT tb FROM und)
+      |  GROUP BY 1),
+      |tri AS (
+      |  SELECT u.ta AS a, u.tb AS b, v.tb AS c
+      |  FROM und u JOIN und v ON v.ta = u.tb
+      |             JOIN und w ON w.ta = u.ta AND w.tb = v.tb),
+      |pt AS (
+      |  SELECT node, count(*) AS n_triangles FROM (
+      |    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY 1)
+      |SELECT deg.node, deg.degree,
+      |  coalesce(pt.n_triangles, 0) AS n_triangles,
+      |  CAST(CAST(CASE WHEN deg.degree < 2 THEN 0.0
+      |    ELSE coalesce(pt.n_triangles, 0) * 2.0
+      |         / (deg.degree * (deg.degree - 1)) END
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS clustering_coeff
+      |FROM deg LEFT JOIN pt USING (node)""".stripMargin
+
+  // q139: weighted HITS over the q128 transition graph, 10 rounds. The
+  // operator L1-normalizes the hub vector EVERY round (what keeps
+  // count-valued weights inside double range at corpus scale); the
+  // oracle runs the same iteration UNNORMALIZED in one recursive CTE —
+  // h_i = A·Aᵀ·h_{i-1} as a two-hop join — and normalizes once at the
+  // end. Every step is linear, so the scale factors cancel and the two
+  // normalized vectors agree to fp noise; d6 absorbs it. The recursive
+  // column is CAST to DOUBLE in the base case (the DuckDB type-pinning
+  // gotcha).
+  def q139Hits(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val edges = Behavior.transitions(ev, "user_id", "event_type", "ts_us",
+      tieCol = "event_id")
+    graft.ops.Graph.hits(edges, "from_type", "to_type", "n_transitions",
+        iters = 10)
+      .select(col("node"), d6(col("hub")).as("hub"),
+        d6(col("authority")).as("authority"))
+  }
+
+  val q139Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |seq AS (SELECT event_type AS from_type,
+      |          lead(event_type) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id) AS to_type
+      |        FROM e),
+      |ed AS (SELECT from_type, to_type, CAST(count(*) AS DOUBLE) AS n
+      |       FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |            SELECT from_type AS node FROM ed
+      |            UNION ALL SELECT to_type FROM ed)),
+      |ranks(it, node, hub) AS (
+      |  SELECT 0, node, CAST(1.0 AS DOUBLE) FROM nodes
+      |  UNION ALL
+      |  SELECT r.it + 1, eu.from_type, sum(eu.n * ex.n * r.hub)
+      |  FROM ranks r JOIN ed ex ON ex.from_type = r.node
+      |               JOIN ed eu ON eu.to_type = ex.to_type
+      |  WHERE r.it < 10
+      |  GROUP BY 1, 2),
+      |hfin AS (SELECT node, hub FROM ranks WHERE it = 10),
+      |hprev AS (SELECT node, hub FROM ranks WHERE it = 9),
+      |afin AS (SELECT ed.to_type AS node, sum(ed.n * hprev.hub) AS auth
+      |         FROM ed JOIN hprev ON ed.from_type = hprev.node GROUP BY 1),
+      |hs AS (SELECT sum(hub) AS s FROM hfin),
+      |asum AS (SELECT sum(auth) AS s FROM afin)
+      |SELECT n.node,
+      |  CAST(CAST(coalesce(h.hub, 0) / (SELECT s FROM hs)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS hub,
+      |  CAST(CAST(coalesce(a.auth, 0) / (SELECT s FROM asum)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS authority
+      |FROM nodes n LEFT JOIN hfin h USING (node)
+      |             LEFT JOIN afin a ON a.node = n.node""".stripMargin
+
+  // q140: Unicode-script composition. The ASCII fixture is all-Latin, so
+  // Cyrillic/Greek/Han runs (precomposed codepoints — no normalization
+  // hazard, unlike q124's combining marks) plus a digit run are planted
+  // IN-PLAN by doc_id class, identically on both sides. Each engine
+  // spells the SAME script property its own way (\p{IsLatin} Java,
+  // \p{Latin} RE2) — the portability contract under test.
+  def q140ScriptMix(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(substring(col("text"), 1, 60), lit(" 4207 "),
+      when(col("doc_id") % 4 === 0, lit("привет мир"))
+        .when(col("doc_id") % 4 === 1, lit("γεια σου κόσμε"))
+        .when(col("doc_id") % 4 === 2, lit("你好世界"))
+        .otherwise(lit("hello world")))
+    graft.pipeline.TextStats.scriptMix(
+      t(s, dir, "documents").select(col("doc_id"), planted.as("t")),
+      "doc_id", "t")
+  }
+
+  val q140Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    substring(text, 1, 60) || ' 4207 ' ||
+      |    CASE doc_id % 4 WHEN 0 THEN 'привет мир'
+      |                    WHEN 1 THEN 'γεια σου κόσμε'
+      |                    WHEN 2 THEN '你好世界'
+      |                    ELSE 'hello world' END AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_replace(t, '[^\p{Latin}]', '', 'g')) AS BIGINT)
+      |      AS n_latin,
+      |    CAST(length(regexp_replace(t, '[^\p{Cyrillic}]', '', 'g')) AS BIGINT)
+      |      AS n_cyrillic,
+      |    CAST(length(regexp_replace(t, '[^\p{Greek}]', '', 'g')) AS BIGINT)
+      |      AS n_greek,
+      |    CAST(length(regexp_replace(t, '[^\p{Han}]', '', 'g')) AS BIGINT)
+      |      AS n_han,
+      |    CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS n_digit
+      |  FROM m)
+      |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_greek, n_han, n_digit,
+      |  CAST(CAST(CAST(n_latin AS DOUBLE) / n_chars AS DECIMAL(28,6))
+      |    AS DOUBLE) AS latin_share,
+      |  CAST(CAST(CAST(n_cyrillic AS DOUBLE) / n_chars AS DECIMAL(28,6))
+      |    AS DOUBLE) AS cyrillic_share,
+      |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+      |         AND n_latin >= n_han THEN 'latin'
+      |       WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han
+      |         THEN 'cyrillic'
+      |       WHEN n_greek >= n_han THEN 'greek'
+      |       ELSE 'han' END AS dominant_script
+      |FROM c""".stripMargin
+
+  // q141: markup strip. Script/style blocks (with a '<' inside the JS —
+  // the case that breaks naive tag-stripping), attribute-bearing tags
+  // and the six standard entities (incl. the &amp;lt; double-decode
+  // trap) are planted IN-PLAN; both engines must strip to the same
+  // plain text and count the same blocks/tags.
+  def q141StripMarkup(s: SparkSession, dir: String): DataFrame = {
+    val marked = concat(
+      lit("<html><body class=\"page\"><script type=\"text/js\">var x = 1 < 2;" +
+        "</script><h1>"),
+      substring(col("text"), 1, 50),
+      lit("</h1><style>.a { color: red; }</style>" +
+        "<p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39; A&nbsp;B" +
+        " literal &amp;lt; stays</p>"),
+      when(col("doc_id") % 3 === 0, lit("<br><div id='x'>tail</div>"))
+        .otherwise(lit(" plain tail")))
+    graft.pipeline.TextClean.stripMarkup(
+        t(s, dir, "documents").select(col("doc_id"), marked.as("t")), "t")
+      .select(col("doc_id"), col("n_blocks"), col("n_tags"),
+        col("stripped_text"))
+  }
+
+  val q141Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    '<html><body class="page"><script type="text/js">var x = 1 < 2;'
+      |    || '</script><h1>' || substring(text, 1, 50)
+      |    || '</h1><style>.a { color: red; }</style>'
+      |    || '<p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;q&#39; A&nbsp;B'
+      |    || ' literal &amp;lt; stays</p>'
+      |    || CASE WHEN doc_id % 3 = 0 THEN '<br><div id=''x''>tail</div>'
+      |            ELSE ' plain tail' END AS t
+      |  FROM m0),
+      |s1 AS (
+      |  SELECT doc_id, t,
+      |    CAST(len(regexp_extract_all(t,
+      |      '(?s)<(script|style)[^>]*>.*?</(script|style)>')) AS BIGINT)
+      |      AS n_blocks,
+      |    regexp_replace(t, '(?s)<(script|style)[^>]*>.*?</(script|style)>',
+      |      ' ', 'g') AS t1
+      |  FROM m),
+      |s2 AS (
+      |  SELECT doc_id, n_blocks,
+      |    CAST(len(regexp_extract_all(t1, '<[^>]+>')) AS BIGINT) AS n_tags,
+      |    regexp_replace(t1, '<[^>]+>', ' ', 'g') AS t2
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, n_blocks, n_tags,
+      |    replace(replace(replace(replace(replace(replace(t2,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&') AS t3
+      |  FROM s2)
+      |SELECT doc_id, n_blocks, n_tags,
+      |  trim(regexp_replace(t3, '\s+', ' ', 'g')) AS stripped_text
+      |FROM s3""".stripMargin.replace("FROM m0", "FROM documents")
+
+  // q142: top-50 bigram collocations by PMI (Church-Hanks), pair count
+  // >= 5. PMI is d6-rounded BEFORE the rank and the (pmi DESC, pair)
+  // order is total, so the top-k boundary is rounding-stable; the
+  // probability quotient is spelled with the same operation order both
+  // sides.
+  def q142PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.pmiCollocations(
+      t(s, dir, "documents"), "doc_id", "text", minCount = 5L, topK = 50)
+
+  val q142Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, pos, tok FROM tk WHERE tok <> ''),
+      |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tk2),
+      |ct AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM tk2 GROUP BY 1),
+      |bi AS (
+      |  SELECT doc_id, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bi2),
+      |c12 AS (SELECT tok, nxt, count(*) AS n_pair FROM bi2
+      |        GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT c12.tok AS tok_a, c12.nxt AS tok_b, c12.n_pair,
+      |  CAST(CAST(ln((CAST(c12.n_pair AS DOUBLE) / nb.n)
+      |      / ((ca.c / nt.n) * (cb.c / nt.n)))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS pmi
+      |FROM c12 JOIN ct ca ON ca.tok = c12.tok
+      |         JOIN ct cb ON cb.tok = c12.nxt
+      |         CROSS JOIN nb CROSS JOIN nt
+      |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -351,7 +596,12 @@ object Corpus {
     "q128_pagerank" -> (q128PageRank _),
     "q129_semantic_dedup" -> (q129SemanticDedup _),
     "q130_bigram_logprob" -> (q130BigramLogprob _),
-    "q137_canonical_dedup" -> (q137CanonicalDedup _))
+    "q137_canonical_dedup" -> (q137CanonicalDedup _),
+    "q138_cooccur_triangles" -> (q138Triangles _),
+    "q139_hits" -> (q139Hits _),
+    "q140_script_mix" -> (q140ScriptMix _),
+    "q141_strip_markup" -> (q141StripMarkup _),
+    "q142_pmi_collocations" -> (q142PmiCollocations _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -362,5 +612,10 @@ object Corpus {
     "q128_pagerank" -> q128Sql,
     "q129_semantic_dedup" -> q129Sql,
     "q130_bigram_logprob" -> q130Sql,
-    "q137_canonical_dedup" -> q137Sql)
+    "q137_canonical_dedup" -> q137Sql,
+    "q138_cooccur_triangles" -> q138Sql,
+    "q139_hits" -> q139Sql,
+    "q140_script_mix" -> q140Sql,
+    "q141_strip_markup" -> q141Sql,
+    "q142_pmi_collocations" -> q142Sql)
 }

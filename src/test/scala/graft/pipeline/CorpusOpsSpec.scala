@@ -239,6 +239,112 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
   }
 
+  // ---- Graph.triangles ----
+
+  test("triangles counts K4 as 3 per node, coefficient 1") {
+    val nodes = Seq("a", "b", "c", "d")
+    val edges = (for {
+      x <- nodes; y <- nodes if x < y
+    } yield (x, y)).toDF("s", "d")
+    val out = Graph.triangles(edges, "s", "d")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size == 4)
+    out.values.foreach { case (deg, tri, cc) =>
+      assert(deg == 3L && tri == 3L && math.abs(cc - 1.0) < 1e-15)
+    }
+  }
+
+  test("triangles: star graph has none; pendant nodes report 0.0") {
+    val edges = Seq(("hub", "x"), ("hub", "y"), ("hub", "z")).toDF("s", "d")
+    val out = Graph.triangles(edges, "s", "d")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("hub") == ((3L, 0L, 0.0)))
+    Seq("x", "y", "z").foreach(n => assert(out(n) == ((1L, 0L, 0.0))))
+  }
+
+  test("triangles canonicalizes direction, duplicates and self-loops") {
+    // triangle a-b-c given with mixed directions, a dup edge and a loop
+    val edges = Seq(("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"),
+      ("c", "c")).toDF("s", "d")
+    val out = Graph.triangles(edges, "s", "d")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.size == 3)
+    out.values.foreach { case (deg, tri, cc) =>
+      assert(deg == 2L && tri == 1L && math.abs(cc - 1.0) < 1e-15)
+    }
+  }
+
+  test("triangles: triangle with a pendant tail mixes coefficients") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "t"))
+      .toDF("s", "d")
+    val out = Graph.triangles(edges, "s", "d")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((2L, 1L, 1.0)))
+    assert(out("b") == ((2L, 1L, 1.0)))
+    assert(out("c")._1 == 3L && out("c")._2 == 1L)
+    assert(math.abs(out("c")._3 - 1.0 / 3) < 1e-15)
+    assert(out("t") == ((1L, 0L, 0.0)))
+  }
+
+  // ---- Graph.hits ----
+
+  test("hits: two hubs, one authority — hub mass splits by edge weight") {
+    // a -> c (w=1), b -> c (w=2): the shared auth(c) factors out of
+    // h(u) = w(u,c)·auth(c), so h(a):h(b) = 1:2; c is the only authority
+    val edges = Seq(("a", "c", 1L), ("b", "c", 2L)).toDF("s", "d", "n")
+    val out = Graph.hits(edges, "s", "d", "n", iters = 10)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 3)
+    assert(math.abs(out("a")._1 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out("b")._1 - 2.0 / 3) < 1e-12)
+    assert(math.abs(out("c")._1 - 0.0) < 1e-12) // c points at nothing
+    assert(math.abs(out("c")._2 - 1.0) < 1e-12)
+    assert(math.abs(out("a")._2) < 1e-12 && math.abs(out("b")._2) < 1e-12)
+  }
+
+  test("hits: symmetric cycle is uniform; both vectors sum to 1") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("s", "d", "n")
+    val out = Graph.hits(edges, "s", "d", "n", iters = 10)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    out.values.foreach { case (h, a) =>
+      assert(math.abs(h - 1.0 / 3) < 1e-12)
+      assert(math.abs(a - 1.0 / 3) < 1e-12)
+    }
+  }
+
+  test("hits per-round normalization matches end-only normalization") {
+    // the q139 oracle contract: scale factors cancel because every step
+    // is linear — verify against a hand-run unnormalized iteration
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("a", "c", 3L),
+      ("c", "a", 1L)).toDF("s", "d", "n")
+    val w = Map(("a", "b") -> 2.0, ("b", "c") -> 1.0, ("a", "c") -> 3.0,
+      ("c", "a") -> 1.0)
+    val ns = Seq("a", "b", "c")
+    var hub = ns.map(_ -> 1.0).toMap
+    var auth = Map.empty[String, Double]
+    for (_ <- 0 until 10) {
+      auth = ns.map(v => v ->
+        ns.map(u => w.getOrElse((u, v), 0.0) * hub(u)).sum).toMap
+      hub = ns.map(u => u ->
+        ns.map(v => w.getOrElse((u, v), 0.0) * auth(v)).sum).toMap
+    }
+    val hs = hub.values.sum; val as0 = auth.values.sum
+    val out = Graph.hits(edges, "s", "d", "n", iters = 10)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    ns.foreach { n =>
+      assert(math.abs(out(n)._1 - hub(n) / hs) < 1e-9, s"hub $n")
+      assert(math.abs(out(n)._2 - auth(n) / as0) < 1e-9, s"auth $n")
+    }
+  }
+
   // ---- Similarity.semanticDedup ----
 
   test("semanticDedup keeps min-id per near-dup component, others drop") {

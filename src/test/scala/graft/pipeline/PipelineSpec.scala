@@ -46,6 +46,79 @@ class PipelineSpec extends SparkSpec {
       Seq(3L, 0L, 2L, 0L, "<IP> and <IP>")))
   }
 
+  // ---- markup strip ------------------------------------------------------
+
+  test("stripMarkup drops blocks, strips tags, decodes entities once") {
+    val df = Seq(
+      (1L, "<p>a &amp; b</p><script>if (1 < 2) x();</script><b>c</b>"),
+      (2L, "plain"),
+      (3L, "x &amp;lt; y &nbsp;&quot;q&quot; &#39;s&#39; <br/>z"))
+      .toDF("doc_id", "text")
+    val out = TextClean.stripMarkup(df, "text")
+      .select("doc_id", "n_blocks", "n_tags", "stripped_text")
+    assert(rows(out) == Set(
+      Seq(1L, 1L, 4L, "a & b c"),
+      Seq(2L, 0L, 0L, "plain"),
+      // &amp;lt; decodes to the literal text "&lt;" — not twice to "<"
+      Seq(3L, 0L, 1L, "x &lt; y \"q\" 's' z")))
+  }
+
+  test("stripMarkup: style blocks with inner newlines die under (?s)") {
+    val df = Seq((1L, "a<style>\n.b {\n color: red;\n}\n</style>b"))
+      .toDF("doc_id", "text")
+    val out = TextClean.stripMarkup(df, "text")
+      .select("doc_id", "n_blocks", "n_tags", "stripped_text")
+    assert(rows(out) == Set(Seq(1L, 1L, 0L, "a b")))
+  }
+
+  // ---- script mix --------------------------------------------------------
+
+  test("scriptMix counts scripts per codepoint and labels the dominant") {
+    val df = Seq(
+      (1L, "abc привет 12"), // 3 latin, 6 cyrillic, 2 digit, 13 chars
+      (2L, "αβγδ ab"), // greek dominant
+      (3L, "你好"), // han
+      (4L, "--- ???")) // nothing: all counts 0, latin wins the tie chain
+      .toDF("doc_id", "text")
+    val out = TextStats.scriptMix(df, "doc_id", "text")
+      .select("doc_id", "n_chars", "n_latin", "n_cyrillic", "n_greek",
+        "n_han", "n_digit", "dominant_script")
+    assert(rows(out) == Set(
+      Seq(1L, 13L, 3L, 6L, 0L, 0L, 2L, "cyrillic"),
+      Seq(2L, 7L, 2L, 0L, 4L, 0L, 0L, "greek"),
+      Seq(3L, 2L, 0L, 0L, 0L, 2L, 0L, "han"),
+      Seq(4L, 7L, 0L, 0L, 0L, 0L, 0L, "latin")))
+  }
+
+  test("scriptMix shares divide count by total length") {
+    val df = Seq((1L, "ab ёж")).toDF("doc_id", "text") // 2+2 of 5
+    val r = TextStats.scriptMix(df, "doc_id", "text")
+      .select("latin_share", "cyrillic_share").as[(Double, Double)]
+      .collect().head
+    assert(r == ((0.4, 0.4)))
+  }
+
+  // ---- PMI collocations --------------------------------------------------
+
+  test("pmiCollocations ranks exclusive pairs above promiscuous ones") {
+    // "x y" always co-occur exclusively; "a b" also appear apart
+    val docs = (1 to 10).map(i => (i.toLong, "x y a b a c b c"))
+    val out = TextStats.pmiCollocations(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minCount = 5L, topK = 3)
+      .select("tok_a", "tok_b", "n_pair").as[(String, String, Long)]
+      .collect()
+    assert(out.head == (("x", "y", 10L))) // the exclusive pair wins
+    assert(out.length == 3)
+  }
+
+  test("pmiCollocations minCount gates rare pairs out") {
+    val docs = Seq((1L, "p q"), (2L, "p q"), (3L, "r s"))
+    val out = TextStats.pmiCollocations(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minCount = 2L, topK = 10)
+      .select("tok_a", "tok_b").as[(String, String)].collect().toSet
+    assert(out == Set(("p", "q"))) // (r,s) count 1 < 2
+  }
+
   // ---- tf-idf ------------------------------------------------------------
 
   test("topTermsTfIdf ranks by (tf desc, df asc, term asc) and scores") {
