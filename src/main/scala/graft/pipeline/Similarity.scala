@@ -269,6 +269,49 @@ object Similarity {
           count(lit(1))).as("centroid"),
         count(lit(1)).as("n"))
 
+  /** Per-dimension z-score normalization of an embedding column — the
+    * feature-scaling pass before clustering / ANN indexing when
+    * dimensions carry different scales. Values quantize to the
+    * floor(v·1000) integer grid first (the module contract: integer
+    * sums are exact in ANY accumulation order, so the per-dimension
+    * mean/variance are bit-identical across partitionings and engines);
+    * mean and sample variance then come from the exact (Σq, Σq², n)
+    * sums in one fixed double-op order, z = (q − μ)/σ, and a dimension
+    * with σ = 0 normalizes to 0.0.
+    *
+    * Plan shape at scale: one posexplode, a dim-keyed aggregate with
+    * map-side combine (d partial rows per partition), the d-row stats
+    * frame BROADCAST back onto the exploded stream, and one id-keyed
+    * re-pack via sort_array(collect_list(struct(dim, z))) — two
+    * exchanges total, neither wider than rows × d.
+    */
+  def zNormalize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val ex = df.select(col(idCol),
+        posexplode(col(embCol)).as(Seq("dim_idx", "_g_e")))
+      .select(col(idCol), col("dim_idx").cast("bigint").as("dim_idx"),
+        floor(col("_g_e").cast("double") * lit(1000.0)).cast("long")
+          .as("_g_q"))
+    val stats = ex.groupBy(col("dim_idx")).agg(
+      count(lit(1)).as("_g_n"),
+      sum(col("_g_q")).as("_g_sm"),
+      sum(col("_g_q") * col("_g_q")).as("_g_sq"))
+    val mean = col("_g_sm").cast("double") / col("_g_n")
+    val varS = (col("_g_sq").cast("double") -
+      col("_g_sm").cast("double") * col("_g_sm").cast("double") /
+        col("_g_n")) / (col("_g_n") - lit(1L))
+    val z = when(col("_g_var") <= 0.0 || col("_g_n") === 1, lit(0.0))
+      .otherwise((col("_g_q").cast("double") - col("_g_mean")) /
+        sqrt(col("_g_var")))
+    ex.join(broadcast(stats.select(col("dim_idx"), mean.as("_g_mean"),
+        varS.as("_g_var"), col("_g_n"))), "dim_idx")
+      .select(col(idCol), col("dim_idx"),
+        z.cast("decimal(28,6)").cast("double").as("_g_z"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim_idx"), col("_g_z")))),
+        s => s.getField("_g_z")).as("z_embedding"))
+  }
+
   def annIvf(
       df: DataFrame,
       idCol: String,

@@ -42,6 +42,26 @@ object TextClean {
       lower(graft.functions.NfcNormalize.nfcNormalize(textCol)),
       "\\s+", " "))
 
+  /** URL → host: the text between `scheme://` and the first `/` (or
+    * end). Regex-only (no java.net.URI — its parse failures would be a
+    * row-level exception, and the pattern must stay RE2-portable).
+    */
+  def urlHost(u: Column): Column =
+    regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+
+  /** Host → naive registrable domain: strip a leading `www.`, keep the
+    * last two labels. (A real public-suffix-list lookup is a broadcast
+    * join against the PSL table; the two-label heuristic is the
+    * documented approximation — it calls `bbc.co.uk` registrable at
+    * `co.uk`.)
+    */
+  def registrableDomain(h: Column): Column = {
+    val stripped = regexp_replace(h, "^www\\.", "")
+    when(stripped.rlike("[^.]+\\.[^.]+$"),
+      regexp_extract(stripped, "([^.]+\\.[^.]+)$", 1))
+      .otherwise(stripped)
+  }
+
   // markup-stripping patterns: the regex subset with identical Java/RE2
   // semantics (inline (?s) dotall, lazy repeat, no lookaround)
   val scriptBlockRe = "(?s)<(script|style)[^>]*>.*?</(script|style)>"

@@ -116,6 +116,57 @@ object TextStats {
     * than two tokens have no bigrams and are absent from the output by
     * contract.
     */
+  /** Composed C4-style quality gate — the keep/drop verdict that feeds
+    * the corpus mixer, built from in-row signals only: token count,
+    * average token length, symbol share, digit share. `reason` names the
+    * FIRST failing rule in a fixed order (too_short → token_len →
+    * symbol → numeric → kept), so the verdict is deterministic when
+    * several rules fire. Every share is one integer-count division
+    * (exact cross-engine); threshold comparisons happen on those exact
+    * values, never on rounded output. A pure projection: zero shuffles
+    * at any scale — the filter runs AT the scan, before any exchange.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Long = 40L,
+      minAvgTokLen: Double = 2.0,
+      maxAvgTokLen: Double = 12.0,
+      maxSymbolShare: Double = 0.1,
+      maxDigitShare: Double = 0.15): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(t, " "), x => x =!= "")
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, x => length(x)), lit(0),
+      (a, x) => a + x)
+    val avgTokLen = when(nTok === 0, lit(0.0))
+      .otherwise(sumLen.cast("double") / nTok)
+    val nChars = length(t).cast("long")
+    val nSym = length(regexp_replace(t, "[A-Za-z0-9 ]", "")).cast("long")
+    val nDig = length(regexp_replace(t, "[^0-9]", "")).cast("long")
+    val symbolShare = when(nChars === 0, lit(0.0))
+      .otherwise(nSym.cast("double") / nChars)
+    val digitShare = when(nChars === 0, lit(0.0))
+      .otherwise(nDig.cast("double") / nChars)
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    df.select(col(idCol), nTok.as("n_tokens"),
+        avgTokLen.as("_g_atl"), symbolShare.as("_g_sym"),
+        digitShare.as("_g_dig"))
+      .select(col(idCol), col("n_tokens"),
+        d6(col("_g_atl")).as("avg_tok_len"),
+        d6(col("_g_sym")).as("symbol_share"),
+        d6(col("_g_dig")).as("digit_share"),
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("_g_atl") < minAvgTokLen ||
+            col("_g_atl") > maxAvgTokLen, lit("token_len"))
+          .when(col("_g_sym") > maxSymbolShare, lit("symbol"))
+          .when(col("_g_dig") > maxDigitShare, lit("numeric"))
+          .otherwise(lit("kept")).as("reason"))
+      .withColumn("is_kept", (col("reason") === "kept").cast("int"))
+  }
+
   /** Per-document Unicode-script composition: codepoint counts for the
     * Latin / Cyrillic / Greek / Han scripts and ASCII digits, their
     * shares of the document length, and a dominant-script label. The

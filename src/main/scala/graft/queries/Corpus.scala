@@ -551,6 +551,154 @@ object Corpus {
       |         CROSS JOIN nb CROSS JOIN nt
       |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin
 
+  // q144: per-dimension z-score normalization of the embeddings fixture.
+  // The operator returns the re-packed array; the ENTRY posexplodes it
+  // back to (vec_id, dim_idx, z) rows because the driver's compare
+  // stringifies cells (a parquet array and a DuckDB list don't render
+  // identically). Stats come from exact integer sums on the
+  // floor(v·1000) grid, so only the final few double ops matter — and
+  // they're spelled in the same order both sides; d6 pins the output.
+  def q144EmbedZnorm(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.zNormalize(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"),
+        posexplode(col("z_embedding")).as(Seq("dim_idx", "z")))
+      .select(col("vec_id"), col("dim_idx").cast("bigint").as("dim_idx"),
+        col("z"))
+
+  val q144Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim_idx,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+      |      AS q
+      |  FROM embeddings),
+      |st AS (SELECT dim_idx, count(*) AS n, sum(q) AS sm, sum(q*q) AS sq
+      |       FROM e GROUP BY 1),
+      |sv AS (SELECT dim_idx, n, CAST(sm AS DOUBLE) / n AS mean,
+      |         (CAST(sq AS DOUBLE)
+      |           - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n) / (n - 1)
+      |           AS var
+      |       FROM st)
+      |SELECT e.vec_id, CAST(e.dim_idx AS BIGINT) AS dim_idx,
+      |  CAST(CAST(CASE WHEN sv.var <= 0 OR sv.n = 1 THEN 0.0
+      |    ELSE (CAST(e.q AS DOUBLE) - sv.mean) / sqrt(sv.var) END
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS z
+      |FROM e JOIN sv USING (dim_idx)""".stripMargin
+
+  // q145: per-domain corpus stats over planted URLs (the fixture has no
+  // url column): five host shapes cover www-stripping, subdomains and
+  // the two-label registrable heuristic's documented co.uk behavior.
+  // Extraction is the RE2-portable regex pair in TextClean.
+  def q145DomainStats(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 5 === 0, lit("www.example.com"))
+        .when(col("doc_id") % 5 === 1, lit("blog.example.com"))
+        .when(col("doc_id") % 5 === 2, lit("example.org"))
+        .when(col("doc_id") % 5 === 3, lit("www.news.co.uk"))
+        .otherwise(lit("cdn.assets.example.com")),
+      lit("/p/"), col("doc_id").cast("string"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+    val withDom = docs.select(col("doc_id"), col("n_chars"),
+      graft.pipeline.TextClean.urlHost(col("url")).as("host"))
+      .select(col("doc_id"), col("n_chars"), col("host"),
+        graft.pipeline.TextClean.registrableDomain(col("host")).as("domain"))
+    withDom.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
+  val q145Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |    'https://' ||
+      |    CASE doc_id % 5 WHEN 0 THEN 'www.example.com'
+      |                    WHEN 1 THEN 'blog.example.com'
+      |                    WHEN 2 THEN 'example.org'
+      |                    WHEN 3 THEN 'www.news.co.uk'
+      |                    ELSE 'cdn.assets.example.com' END
+      |    || '/p/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, n_chars,
+      |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host
+      |  FROM u),
+      |d AS (
+      |  SELECT doc_id, n_chars, host,
+      |    CASE WHEN regexp_matches(regexp_replace(host, '^www\.', ''),
+      |                '[^.]+\.[^.]+$')
+      |         THEN regexp_extract(regexp_replace(host, '^www\.', ''),
+      |                '([^.]+\.[^.]+)$', 1)
+      |         ELSE regexp_replace(host, '^www\.', '') END AS domain
+      |  FROM h)
+      |SELECT domain, count(*) AS n_docs,
+      |  count(DISTINCT host) AS n_hosts,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM d GROUP BY 1""".stripMargin
+
+  // q146: the composed C4-style quality gate over planted degradations:
+  // a digit flood (numeric), a symbol flood (symbol), a 20-char stub
+  // (too_short), natural text untouched. Tail sizes dominate the
+  // longest fixture doc (553 chars), so each planted class crosses its
+  // threshold deterministically; the shortest natural docs legitimately
+  // gate as too_short on BOTH sides — agreement, not purity, is the
+  // contract.
+  def q146C4Filter(s: SparkSession, dir: String): DataFrame = {
+    val planted =
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" "), repeat(lit("12345 "), 30)))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" "), repeat(lit("@#$%& "), 25)))
+        .when(col("doc_id") % 4 === 2, substring(col("text"), 1, 20))
+        .otherwise(col("text"))
+    graft.pipeline.TextStats.qualityFilter(
+      t(s, dir, "documents").select(col("doc_id"), planted.as("t")),
+      "doc_id", "t")
+  }
+
+  val q146Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, CASE doc_id % 4
+      |    WHEN 0 THEN text || ' ' || repeat('12345 ', 30)
+      |    WHEN 1 THEN text || ' ' || repeat('@#$%& ', 25)
+      |    WHEN 2 THEN substring(text, 1, 20)
+      |    ELSE text END AS t
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM m),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |ts AS (SELECT doc_id, count(*) AS n_tokens, sum(length(tok)) AS sl
+      |       FROM tk2 GROUP BY 1),
+      |ch AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_replace(t, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      |      AS n_sym,
+      |    CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS n_dig
+      |  FROM m),
+      |j AS (
+      |  SELECT ch.doc_id, coalesce(ts.n_tokens, 0) AS n_tokens,
+      |    CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN 0.0
+      |         ELSE CAST(ts.sl AS DOUBLE) / ts.n_tokens END AS atl,
+      |    CASE WHEN ch.n_chars = 0 THEN 0.0
+      |         ELSE CAST(ch.n_sym AS DOUBLE) / ch.n_chars END AS sym,
+      |    CASE WHEN ch.n_chars = 0 THEN 0.0
+      |         ELSE CAST(ch.n_dig AS DOUBLE) / ch.n_chars END AS dig
+      |  FROM ch LEFT JOIN ts USING (doc_id)),
+      |v AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(CAST(atl AS DECIMAL(28,6)) AS DOUBLE) AS avg_tok_len,
+      |    CAST(CAST(sym AS DECIMAL(28,6)) AS DOUBLE) AS symbol_share,
+      |    CAST(CAST(dig AS DECIMAL(28,6)) AS DOUBLE) AS digit_share,
+      |    CASE WHEN n_tokens < 40 THEN 'too_short'
+      |         WHEN atl < 2.0 OR atl > 12.0 THEN 'token_len'
+      |         WHEN sym > 0.1 THEN 'symbol'
+      |         WHEN dig > 0.15 THEN 'numeric'
+      |         ELSE 'kept' END AS reason
+      |  FROM j)
+      |SELECT doc_id, n_tokens, avg_tok_len, symbol_share, digit_share,
+      |  reason, CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS is_kept
+      |FROM v""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -601,7 +749,10 @@ object Corpus {
     "q139_hits" -> (q139Hits _),
     "q140_script_mix" -> (q140ScriptMix _),
     "q141_strip_markup" -> (q141StripMarkup _),
-    "q142_pmi_collocations" -> (q142PmiCollocations _))
+    "q142_pmi_collocations" -> (q142PmiCollocations _),
+    "q144_embed_znorm" -> (q144EmbedZnorm _),
+    "q145_domain_stats" -> (q145DomainStats _),
+    "q146_c4_filter" -> (q146C4Filter _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -617,5 +768,8 @@ object Corpus {
     "q139_hits" -> q139Sql,
     "q140_script_mix" -> q140Sql,
     "q141_strip_markup" -> q141Sql,
-    "q142_pmi_collocations" -> q142Sql)
+    "q142_pmi_collocations" -> q142Sql,
+    "q144_embed_znorm" -> q144Sql,
+    "q145_domain_stats" -> q145Sql,
+    "q146_c4_filter" -> q146Sql)
 }

@@ -197,6 +197,54 @@ object EtlShapes {
 
   val q109Sql: String = q77Sql // same projection contract as the CSV twin
 
+  /** q143: CopyTask over an ORC source — the remaining `orc:` file-source
+    * path (CopyTask.scala:126) driver-checked end to end. Unlike the
+    * CSV/JSONL twins, ORC carries its schema: the declared types here
+    * exercise the reconciliation no-op (declared == carried), and the
+    * column list still drives projection + rename.
+    */
+  private val orcDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageOrc(s: SparkSession, dir: String): String =
+    orcDirs.computeIfAbsent(dir, { _ =>
+      val staged =
+        TempDirs.tempDirCleanedAtExit(None, "graft_orc_src_").toString
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").orc(staged)
+      staged
+    })
+
+  def q143CopyOrc(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    val objects = new DbObjectCompiler("spark")
+    val ctx = new TaskContext("q143_copy_orc", "verify", db, objects,
+      Map.empty, RunArguments())
+    dropPhysical(s, "q143_orc_dst",
+      "graft_tmp_q143_orc_dst", "graft_tmp_backup_q143_orc_dst")
+    val task = new CopyTask
+    val cfg = Map[String, Any](
+      "source" -> s"orc:${stageOrc(s, dir)}",
+      "destination" -> "q143_orc_dst",
+      "columns" -> Seq(
+        Map("name" -> "o_orderkey", "type" -> "bigint", "dst_name" -> "order_id"),
+        Map("name" -> "o_custkey", "type" -> "bigint", "dst_name" -> "cust_id"),
+        Map("name" -> "o_orderstatus", "dst_name" -> "status"),
+        Map("name" -> "o_totalprice", "type" -> "double", "dst_name" -> "amount")))
+    (for {
+      _ <- task.config(ctx, cfg)
+      _ <- task.setup()
+      _ <- task.run()
+    } yield ()).left.foreach(fail)
+    val resolved = objects.fromString("q143_orc_dst")
+      .map(objects.outValue).fold(fail, identity)
+    s.table(resolved)
+  }
+
+  val q143Sql: String = q77Sql // same projection contract as the CSV twin
+
   /** q33: full incremental CopyTask run — the watermark + delete-key merge
     * path end-to-end (copy.py:632-691 semantics). The destination is
     * pre-seeded with a stale snapshot (rows with upd < 50, zeroed price);
@@ -471,7 +519,8 @@ object EtlShapes {
     "q94_bucketed_join" -> (q94BucketedJoin _),
     "q109_copy_jsonl" -> (q109CopyJsonl _),
     "q135_copy_jdbc" -> (q135CopyJdbc _),
-    "q136_copy_jdbc_incremental" -> (q136CopyJdbcIncremental _))
+    "q136_copy_jdbc_incremental" -> (q136CopyJdbcIncremental _),
+    "q143_copy_orc" -> (q143CopyOrc _))
 
   def oracles: Map[String, String] = Map(
     "q22_merge" -> q22Sql,
@@ -483,5 +532,6 @@ object EtlShapes {
     "q94_bucketed_join" -> q94Sql,
     "q109_copy_jsonl" -> q109Sql,
     "q135_copy_jdbc" -> q135Sql,
-    "q136_copy_jdbc_incremental" -> q136Sql)
+    "q136_copy_jdbc_incremental" -> q136Sql,
+    "q143_copy_orc" -> q143Sql)
 }

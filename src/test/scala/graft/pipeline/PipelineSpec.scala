@@ -119,6 +119,76 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set(("p", "q"))) // (r,s) count 1 < 2
   }
 
+  // ---- url/domain --------------------------------------------------------
+
+  test("urlHost and registrableDomain parse the planted shapes") {
+    val df = Seq(
+      "https://www.example.com/p/1", "http://blog.example.com",
+      "https://example.org/a?q=1", "https://www.news.co.uk/x#f",
+      "https://localhost/x")
+      .toDF("url")
+    val out = df.select(
+      TextClean.urlHost(col("url")).as("h"),
+      TextClean.registrableDomain(TextClean.urlHost(col("url"))).as("d"))
+      .as[(String, String)].collect().toSet
+    assert(out == Set(
+      ("www.example.com", "example.com"),
+      ("blog.example.com", "example.com"),
+      ("example.org", "example.org"),
+      ("www.news.co.uk", "co.uk"), // documented two-label approximation
+      ("localhost", "localhost"))) // no dot: falls through unchanged
+  }
+
+  // ---- quality filter ----------------------------------------------------
+
+  test("qualityFilter fires the first failing rule in fixed order") {
+    val many = ("word " * 50).trim
+    val df = Seq(
+      (1L, many), // kept
+      (2L, "too few words"), // too_short
+      (3L, ("verylongtokenindeedxx " * 45).trim), // token_len (avg > 12)
+      (4L, many + " " + ("@#$%& " * 30).trim), // symbol
+      (5L, many + " " + ("12345 " * 30).trim)) // numeric
+      .toDF("doc_id", "text")
+    val got = TextStats.qualityFilter(df, "doc_id", "text")
+      .select("doc_id", "reason", "is_kept").as[(Long, String, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("kept", 1)))
+    assert(got(2L) == (("too_short", 0)))
+    assert(got(3L) == (("token_len", 0)))
+    assert(got(4L) == (("symbol", 0)))
+    assert(got(5L) == (("numeric", 0)))
+  }
+
+  // ---- embedding z-normalization -----------------------------------------
+
+  test("zNormalize standardizes each dimension on the quantized grid") {
+    import graft.pipeline.Similarity
+    // dim0 values quantize to 1000, 2000, 3000: mean 2000, sd 1000
+    // dim1 is constant → sigma 0 → z = 0.0
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f)), (2L, Seq(2.0f, 5.0f)), (3L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.zNormalize(df, "vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(-1.0, 0.0))
+    assert(out(2L) == Seq(0.0, 0.0))
+    assert(out(3L) == Seq(1.0, 0.0))
+  }
+
+  test("zNormalize is invariant to partitioning (exact integer sums)") {
+    import graft.pipeline.Similarity
+    val base = (1L to 40L).map(i =>
+      (i, Seq((i % 7).toFloat / 3, (i % 5).toFloat / 7)))
+    val a = Similarity.zNormalize(
+      base.toDF("vec_id", "embedding").repartition(1),
+      "vec_id", "embedding").as[(Long, Seq[Double])].collect().toMap
+    val b = Similarity.zNormalize(
+      base.toDF("vec_id", "embedding").repartition(13),
+      "vec_id", "embedding").as[(Long, Seq[Double])].collect().toMap
+    assert(a == b)
+  }
+
   // ---- tf-idf ------------------------------------------------------------
 
   test("topTermsTfIdf ranks by (tf desc, df asc, term asc) and scores") {
