@@ -110,4 +110,34 @@ object Retrieval {
         (col("n_oov").cast("double") / col("n_tokens"))
           .cast("decimal(28,6)").cast("double"))
   }
+
+  /** Feature-hashed bag-of-words (the hashing trick): every token maps
+    * in-row to `dim = md5_prefix(token) mod dims`, and the document's
+    * sparse vector is the per-(doc, dim) occurrence count plus the
+    * distinct-term count (collision visibility). The cheap, vocabulary-
+    * free featurizer that feeds linear quality classifiers — no vocab
+    * table to build, broadcast or version.
+    *
+    * The hash is the engine-portable md5-prefix idiom (the
+    * [[Sampling]] membership hash): deterministic across engines,
+    * partitionings and releases — a re-featurized corpus is
+    * comparable with last month's. ONE doc-keyed aggregate over the
+    * exploded stream (dim is a projection, not a join); map-side
+    * combine keeps the exchange at docs × dims partial rows.
+    */
+  def hashedBow(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 32): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val dim = conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % dims
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(idCol), dim.as("dim"), col("tok"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).as("weight"),
+        countDistinct(col("tok")).as("n_terms"))
+  }
 }

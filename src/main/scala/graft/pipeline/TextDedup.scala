@@ -35,6 +35,32 @@ object TextDedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-corpus novelty gate: flag each incoming document as novel
+    * (1) or already present in the seen corpus (0), matching on the
+    * CANONICAL content key ([[TextClean.canonicalForDedup]]: NFC →
+    * casefold → whitespace collapse), so a re-crawl that differs only
+    * in encoding, case or spacing is caught. The per-row-flag sibling
+    * of [[incrementalExactDedup]] (which returns surviving groups):
+    * use this one when downstream wants the full batch annotated.
+    *
+    * At scale: the seen corpus projects to DISTINCT 16-byte md5 keys
+    * before the hash-keyed LEFT join — the shuffle carries hashes, not
+    * documents; broadcast it when the seen key set fits.
+    */
+  def novelAgainst(
+      newDf: DataFrame,
+      seenDf: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val key = md5(TextClean.canonicalForDedup(col(contentCol)))
+    val seenKeys = seenDf.select(key.as("_g_k")).distinct()
+      .withColumn("_g_seen", lit(1))
+    newDf.select(col(idCol), key.as("_g_k"))
+      .join(seenKeys, Seq("_g_k"), "left")
+      .select(col(idCol),
+        col("_g_seen").isNull.cast("int").as("is_novel"))
+  }
+
   /** Incremental exact dedup — the production shape: dedupe an INCOMING
     * batch against an already-accumulated corpus without rescanning the
     * corpus's content (only its hashes). A batch group survives iff its

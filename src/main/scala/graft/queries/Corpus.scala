@@ -699,6 +699,62 @@ object Corpus {
       |  reason, CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS is_kept
       |FROM v""".stripMargin
 
+  // q148: cross-corpus novelty gate. Seen corpus = docs with id%3 != 0;
+  // the incoming crawl is re-crawls of seen docs (uppercased +
+  // double-trailing-space — canonical-equal under q137's key) plus
+  // genuinely new docs (a unique token appended), both built IN-PLAN
+  // identically on both sides. Re-crawls must flag 0, new docs 1.
+  def q148NovelAgainst(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val seen = docs.filter(col("doc_id") % 3 =!= 0)
+    val crawl = docs.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 50000).as("doc_id"),
+        concat(upper(col("text")), lit("  ")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 60000).as("doc_id"),
+          concat(col("text"), lit(" xyzzy"),
+            col("doc_id").cast("string")).as("text")))
+    TextDedup.novelAgainst(crawl, seen, "doc_id", "text")
+  }
+
+  val q148Sql: String =
+    """WITH seen AS (
+      |  SELECT DISTINCT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+      |    '\s+', ' ', 'g'))) AS k
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |crawl AS (
+      |  SELECT doc_id + 50000 AS doc_id, upper(text) || '  ' AS text
+      |  FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 60000, text || ' xyzzy' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |k AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(nfc_normalize(text)),
+      |    '\s+', ' ', 'g'))) AS k
+      |  FROM crawl)
+      |SELECT k.doc_id,
+      |  CASE WHEN seen.k IS NULL THEN 1 ELSE 0 END AS is_novel
+      |FROM k LEFT JOIN seen USING (k)""".stripMargin
+
+  // q149: feature-hashed bag-of-words, 32 dims. The md5-prefix dim
+  // assignment is the engine-portable membership hash (q50/q80's idiom)
+  // applied to featurization; the oracle recomputes it with DuckDB's
+  // hex-literal cast.
+  def q149HashedBow(s: SparkSession, dir: String): DataFrame =
+    Retrieval.hashedBow(t(s, dir, "documents"), "doc_id", "text", dims = 32)
+
+  val q149Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |h AS (
+      |  SELECT doc_id, tok,
+      |    CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 32 AS dim
+      |  FROM tk2)
+      |SELECT doc_id, dim, count(*) AS weight,
+      |  count(DISTINCT tok) AS n_terms
+      |FROM h GROUP BY 1, 2""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -752,7 +808,9 @@ object Corpus {
     "q142_pmi_collocations" -> (q142PmiCollocations _),
     "q144_embed_znorm" -> (q144EmbedZnorm _),
     "q145_domain_stats" -> (q145DomainStats _),
-    "q146_c4_filter" -> (q146C4Filter _))
+    "q146_c4_filter" -> (q146C4Filter _),
+    "q148_novel_against" -> (q148NovelAgainst _),
+    "q149_hashed_bow" -> (q149HashedBow _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -771,5 +829,7 @@ object Corpus {
     "q142_pmi_collocations" -> q142Sql,
     "q144_embed_znorm" -> q144Sql,
     "q145_domain_stats" -> q145Sql,
-    "q146_c4_filter" -> q146Sql)
+    "q146_c4_filter" -> q146Sql,
+    "q148_novel_against" -> q148Sql,
+    "q149_hashed_bow" -> q149Sql)
 }

@@ -223,6 +223,36 @@ object StreamingEntries {
       |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1,2""".stripMargin
 
+  // q147: SLIDING-window streaming aggregation (2h window, 1h slide) —
+  // the overlapping-window path q39's tumbling entry never exercises.
+  // Every event lands in exactly len/slide = 2 windows, so the oracle is
+  // the batch GROUP BY over the event set UNION ALL'd once per window
+  // it belongs to (start = trunc(ts) and trunc(ts) − 1h).
+  def q147StreamingSlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinels(s, dir)
+    val counts = Streaming.windowedCounts(
+      eventStream(streamSession(s), staged), "ts", "event_type",
+      windowLen = "2 hours", slide = Some("1 hour"),
+      watermark = "30 minutes")
+    runAvailableNow(counts, "graft_q147_sliding")
+      .filter(col("event_type") =!= "_sentinel")
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  val q147Sql: String =
+    """WITH e2 AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT epoch_us(date_trunc('hour', ts) - INTERVAL 1 HOUR),
+      |    event_type, value
+      |  FROM events)
+      |SELECT ws AS window_start_us, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      |FROM e2 GROUP BY 1, 2""".stripMargin
+
   /** Stage the fixture events TWICE (a replayed stream — the
     * at-least-once delivery shape dedupStream exists for). No sentinels:
     * dedup emits first occurrences on arrival, so no watermark-finality
@@ -665,7 +695,8 @@ object StreamingEntries {
     "q74_session_window" -> (q74SessionWindow _),
     "q75_streaming_topk" -> (q75StreamingTopk _),
     "q89_streaming_cdc_apply" -> (q89StreamingCdcApply _),
-    "q97_streaming_left_interval_join" -> (q97StreamingLeftIntervalJoin _))
+    "q97_streaming_left_interval_join" -> (q97StreamingLeftIntervalJoin _),
+    "q147_streaming_sliding_window" -> (q147StreamingSlidingWindow _))
 
   def oracles: Map[String, String] = Map(
     // batch incrementalExactDedup (q117), the streaming foreachBatch
@@ -689,6 +720,7 @@ object StreamingEntries {
     // DuckDB's row_number argmax agree three ways
     "q89_streaming_cdc_apply" -> Temporal.q66Sql,
     "q97_streaming_left_interval_join" -> q97Sql,
+    "q147_streaming_sliding_window" -> q147Sql,
     // batch funnel, streaming span-bound funnel and the DuckDB
     // progressive-CTE rebuild agree three ways
     "q115_streaming_funnel" -> Analytics.q102Sql)

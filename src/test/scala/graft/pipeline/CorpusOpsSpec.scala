@@ -290,6 +290,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("t") == ((1L, 0L, 0.0)))
   }
 
+  test("triangles matches brute force on seeded random graphs") {
+    // fixed-seed graphs, brute-force O(n^3) reference
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 14
+      val und = (for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.3
+      } yield (s"n$a", s"n$b")).toSet
+      val adj = und ++ und.map { case (a, b) => (b, a) }
+      val names = adj.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val expTri = names.map { v =>
+        val nb = names.filter(u => adj(( v, u)))
+        val t = (for {
+          i <- nb.indices; j <- i + 1 until nb.size
+          if adj((nb(i), nb(j)))
+        } yield 1).size
+        v -> ((nb.size.toLong, t.toLong))
+      }.toMap
+      // feed edges in scrambled directions to exercise canonicalization
+      val edges = und.toSeq.map { case (a, b) =>
+        if (rnd.nextBoolean()) (a, b) else (b, a)
+      }.toDF("s", "d")
+      val out = Graph.triangles(edges, "s", "d")
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out == expTri, s"seed $seed")
+    }
+  }
+
   // ---- Graph.hits ----
 
   test("hits: two hubs, one authority — hub mass splits by edge weight") {
@@ -342,6 +371,38 @@ class CorpusOpsSpec extends SparkSpec {
     ns.foreach { n =>
       assert(math.abs(out(n)._1 - hub(n) / hs) < 1e-9, s"hub $n")
       assert(math.abs(out(n)._2 - auth(n) / as0) < 1e-9, s"auth $n")
+    }
+  }
+
+  test("hits matches a hand-run iteration on seeded random weighted graphs") {
+    for (seed <- Seq(5, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 8
+      val es = (for {
+        a <- 0 until n; b <- 0 until n
+        if a != b && rnd.nextDouble() < 0.35
+      } yield (s"n$a", s"n$b", rnd.nextInt(9).toLong + 1L))
+      val ns = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val w = es.map(e => (e._1, e._2) -> e._3.toDouble).toMap
+      var hub = ns.map(_ -> 1.0).toMap
+      var auth = Map.empty[String, Double]
+      for (_ <- 0 until 10) {
+        auth = ns.map(v => v ->
+          ns.map(u => w.getOrElse((u, v), 0.0) * hub(u)).sum).toMap
+        val h = ns.map(u => u ->
+          ns.map(v => w.getOrElse((u, v), 0.0) * auth(v)).sum).toMap
+        val s = h.values.sum
+        hub = h.map { case (k, v) => k -> v / s } // mirror per-round L1
+      }
+      val as0 = auth.values.sum
+      val out = Graph.hits(es.toDF("s", "d", "n"), "s", "d", "n", iters = 10)
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      ns.foreach { v =>
+        assert(math.abs(out(v)._1 - hub(v)) < 1e-9, s"hub $v seed $seed")
+        assert(math.abs(out(v)._2 - auth(v) / as0) < 1e-9,
+          s"auth $v seed $seed")
+      }
     }
   }
 

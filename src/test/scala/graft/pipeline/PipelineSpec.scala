@@ -119,6 +119,55 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set(("p", "q"))) // (r,s) count 1 < 2
   }
 
+  // ---- cross-corpus novelty ----------------------------------------------
+
+  test("novelAgainst flags canonical re-crawls 0 and new docs 1") {
+    val seen = Seq((1L, "alpha beta gamma"), (2L, "delta eps"))
+      .toDF("doc_id", "text")
+    val crawl = Seq(
+      (10L, "ALPHA  BETA gamma "), // re-crawl of 1: case + spacing drift
+      (11L, "delta eps"), // byte-equal re-crawl of 2
+      (12L, "zeta theta")) // genuinely new
+      .toDF("doc_id", "text")
+    val out = TextDedup.novelAgainst(crawl, seen, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(10L -> 0, 11L -> 0, 12L -> 1))
+  }
+
+  // ---- hashed bag-of-words -----------------------------------------------
+
+  test("hashedBow matches a hand-computed md5-prefix dim assignment") {
+    import graft.pipeline.Retrieval
+    def dimOf(tok: String, dims: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % dims
+    }
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Retrieval.hashedBow(df, "doc_id", "text", dims = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val (da, db, dc) = (dimOf("a", 8), dimOf("b", 8), dimOf("c", 8))
+    // doc1: a×2 in dim(a), b×1 in dim(b); doc2: b, c
+    val exp = Seq(
+      (1L, da) -> ((2L, 1L)), (1L, db) -> ((1L, 1L)),
+      (2L, db) -> ((1L, 1L)), (2L, dc) -> ((1L, 1L)))
+      .groupBy(_._1)
+      .map { case (k, vs) => // collisions merge weights and terms
+        k -> vs.map(_._2).reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+      }
+    assert(out == exp)
+  }
+
+  test("hashedBow total weight equals the corpus token count") {
+    import graft.pipeline.Retrieval
+    val df = Seq((1L, "x y z  w"), (2L, "x x")).toDF("doc_id", "text")
+    val out = Retrieval.hashedBow(df, "doc_id", "text", dims = 4)
+    assert(out.agg(sum("weight")).as[Long].head() == 6L)
+    assert(out.select("dim").as[Long].collect().forall(d => d >= 0 && d < 4))
+  }
+
   // ---- url/domain --------------------------------------------------------
 
   test("urlHost and registrableDomain parse the planted shapes") {
