@@ -63,4 +63,42 @@ object Timeseries {
         coalesce(col("_g_tv"), lit(0.0)).as("total_value"),
         last(col("_g_tv"), ignoreNulls = true).over(w).as("ffill_value")): _*)
   }
+
+  /** Calendar-dimension generator: one row per day spanning
+    * [min, max] of `dateCol`, with the attributes every reporting model
+    * joins on — year / quarter / month / day, ISO day-of-week, ISO
+    * week, weekend and month-boundary flags. The date itself surfaces
+    * as an ISO `yyyy-MM-dd` STRING (`date_key`) — the join-key form
+    * that is render-identical across engines and file formats.
+    *
+    * The day-of-week is pure arithmetic — `((days_since_epoch + 3)
+    * mod 7) + 1` (epoch day 0 was a Thursday = ISO 4) — rather than an
+    * engine dow() whose week-start convention varies; ISO week uses
+    * Spark's weekofyear (ISO-8601, matching DuckDB's week()).
+    *
+    * Scale: the bounds are an in-plan 1-row aggregate (never
+    * collected); sequence() explodes the span from that one row — a
+    * century of days is ~36k rows, so single-task generation is
+    * correct at any corpus size (repartition downstream if a join
+    * needs it spread).
+    */
+  def dateDim(df: DataFrame, dateCol: String): DataFrame = {
+    val d = col("d")
+    val isoDow = ((datediff(d, to_date(lit("1970-01-01"))) + 3) % 7) + 1
+    df.agg(min(col(dateCol).cast("date")).as("_g_lo"),
+        max(col(dateCol).cast("date")).as("_g_hi"))
+      .select(explode(sequence(col("_g_lo"), col("_g_hi"),
+        expr("interval 1 day"))).as("d"))
+      .select(
+        date_format(d, "yyyy-MM-dd").as("date_key"),
+        year(d).cast("long").as("year"),
+        quarter(d).cast("long").as("quarter"),
+        month(d).cast("long").as("month"),
+        dayofmonth(d).cast("long").as("day"),
+        isoDow.cast("long").as("iso_dow"),
+        weekofyear(d).cast("long").as("iso_week"),
+        (isoDow >= 6).cast("int").as("is_weekend"),
+        (d === trunc(d, "month")).cast("int").as("is_month_start"),
+        (d === last_day(d)).cast("int").as("is_month_end"))
+  }
 }

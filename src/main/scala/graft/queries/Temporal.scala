@@ -434,7 +434,38 @@ object Temporal {
       |  count(DISTINCT user_id) FILTER (WHERE value > 90) AS big_spenders
       |FROM events GROUP BY event_type""".stripMargin
 
+  // q150: calendar dimension spanning the orders fixture. The dow is
+  // pure epoch-day arithmetic (engine dow() conventions differ); the
+  // date key surfaces as an ISO string (render-identical across
+  // engines); ISO week pits Spark's weekofyear against DuckDB's week()
+  // across six year boundaries (both ISO-8601).
+  def q150DateDim(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.dateDim(Tables(s, dir, "orders"), "o_orderdate")
+
+  val q150Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+      |         CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+      |ds AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS d
+      |  FROM b)
+      |SELECT strftime(d, '%Y-%m-%d') AS date_key,
+      |  CAST(year(d) AS BIGINT) AS year,
+      |  CAST(quarter(d) AS BIGINT) AS quarter,
+      |  CAST(month(d) AS BIGINT) AS month,
+      |  CAST(day(d) AS BIGINT) AS day,
+      |  CAST(((d - DATE '1970-01-01' + 3) % 7) + 1 AS BIGINT) AS iso_dow,
+      |  CAST(week(d) AS BIGINT) AS iso_week,
+      |  CASE WHEN ((d - DATE '1970-01-01' + 3) % 7) + 1 >= 6
+      |       THEN 1 ELSE 0 END AS is_weekend,
+      |  CASE WHEN d = CAST(date_trunc('month', d) AS DATE)
+      |       THEN 1 ELSE 0 END AS is_month_start,
+      |  CASE WHEN d = last_day(d) THEN 1 ELSE 0 END AS is_month_end
+      |FROM ds""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_date_dim" -> (q150DateDim _),
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
     "q66_latest_by_key" -> (q66LatestByKey _),
@@ -453,6 +484,7 @@ object Temporal {
     "q98_filter_agg" -> (q98FilterAgg _))
 
   def oracles: Map[String, String] = Map(
+    "q150_date_dim" -> q150Sql,
     "q58_asof_join" -> q58Sql,
     "q59_range_join" -> q59Sql,
     "q66_latest_by_key" -> q66Sql,

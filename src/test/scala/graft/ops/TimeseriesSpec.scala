@@ -31,4 +31,24 @@ class TimeseriesSpec extends SparkSpec {
       Timeseries.resampleFfill(df, Seq("k"), "ts_us", 0L, "v")
     }
   }
+
+  test("dateDim spans the bounds with correct calendar attributes") {
+    import org.apache.spark.sql.functions.col
+    // span covers a leap day, a month boundary and an ISO-week-53 start
+    val df = Seq("2020-12-28", "2021-01-03", "2020-02-28")
+      .toDF("d0").select(col("d0").cast("date").as("d0"))
+    val out = Timeseries.dateDim(df, "d0").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size == 311) // 2020-02-28 .. 2021-01-03 inclusive
+    val leap = out("2020-02-29")
+    assert(leap.getLong(4) == 29L && leap.getLong(3) == 2L) // day, month
+    assert(leap.getLong(5) == 6L && leap.getInt(7) == 1) // Saturday, weekend
+    val nye = out("2021-01-01") // Friday, ISO week 53 of 2020
+    assert(nye.getLong(5) == 5L && nye.getLong(6) == 53L)
+    assert(nye.getInt(8) == 1 && nye.getInt(7) == 0) // month start, weekday
+    val eom = out("2020-03-31")
+    assert(eom.getInt(9) == 1 && eom.getInt(8) == 0) // month end
+    val monday = out("2020-03-02")
+    assert(monday.getLong(5) == 1L) // ISO Monday = 1
+  }
 }
