@@ -328,6 +328,41 @@ object Relational {
       |FROM orders WHERE o_custkey <= 30
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
 
+  // q151: distribution-window battery — percent_rank, cume_dist,
+  // nth_value (q36's navigation battery doesn't cover these). The
+  // ordering is fully tie-broken so the ranks are deterministic;
+  // percent_rank/cume_dist are single exact-rational divisions
+  // ((rank−1)/(n−1), rank/n) — bit-identical cross-engine without
+  // rounding. nth_value takes the whole-partition frame EXPLICITLY:
+  // its default running frame is a different (and rarely wanted)
+  // function.
+  def q151WindowDistBattery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") <= 30)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("o_orderkey"), 2).over(wFull).as("second_key"))
+  }
+
+  val q151Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS second_key
+      |FROM orders WHERE o_custkey <= 30
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
+
   // q37: EXCEPT / INTERSECT set operations (distinct semantics), combined
   // so one entry covers both remaining set operators
   def q37SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -542,6 +577,7 @@ object Relational {
     "q34_full_outer" -> (q34FullOuter _),
     "q35_scalar_funcs" -> (q35ScalarFuncs _),
     "q36_window_funcs" -> (q36WindowFuncs _),
+    "q151_window_dist_battery" -> (q151WindowDistBattery _),
     "q37_set_ops" -> (q37SetOps _),
     "q40_grouping_sets" -> (q40GroupingSets _),
     "q41_correlated_scalar" -> (q41CorrelatedScalar _),
@@ -570,6 +606,7 @@ object Relational {
     "q34_full_outer" -> q34Sql,
     "q35_scalar_funcs" -> q35Sql,
     "q36_window_funcs" -> q36Sql,
+    "q151_window_dist_battery" -> q151Sql,
     "q37_set_ops" -> q37Sql,
     "q40_grouping_sets" -> q40Sql,
     "q41_correlated_scalar" -> q41Sql,
