@@ -59,6 +59,7 @@ object GraftExtensions {
     one("simhash64")(SimHash64(_)),
     one("byte_entropy")(ByteEntropy(_)),
     one("nfc_normalize")(NfcNormalize(_)),
+    one("script_counts")(ScriptCounts(_)),
     two("long_array_dot")(LongArrayDot(_, _)))
 
   /** Register on a live session (idempotent: re-registration replaces,

@@ -417,16 +417,27 @@ object Corpus {
   // IN-PLAN by doc_id class, identically on both sides. Each engine
   // spells the SAME script property its own way (\p{IsLatin} Java,
   // \p{Latin} RE2) — the portability contract under test.
-  def q140ScriptMix(s: SparkSession, dir: String): DataFrame = {
-    val planted = concat(substring(col("text"), 1, 60), lit(" 4207 "),
+  private def q140Planted: Column =
+    concat(substring(col("text"), 1, 60), lit(" 4207 "),
       when(col("doc_id") % 4 === 0, lit("привет мир"))
         .when(col("doc_id") % 4 === 1, lit("γεια σου κόσμε"))
         .when(col("doc_id") % 4 === 2, lit("你好世界"))
         .otherwise(lit("hello world")))
+
+  def q140ScriptMix(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.TextStats.scriptMix(
-      t(s, dir, "documents").select(col("doc_id"), planted.as("t")),
+      t(s, dir, "documents").select(col("doc_id"), q140Planted.as("t")),
       "doc_id", "t")
-  }
+
+  // q152: q140 through the codegen'd single-pass ScriptCounts
+  // expression — one text walk instead of five regex automata, same
+  // output contract. Shares q140's oracle verbatim: the SQL is the
+  // cross-check that Character.UnicodeScript.of and the two regex
+  // engines' \p{Script} classes agree on the planted corpus.
+  def q152ScriptMixFast(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.scriptMixFast(
+      t(s, dir, "documents").select(col("doc_id"), q140Planted.as("t")),
+      "doc_id", "t")
 
   val q140Sql: String =
     """WITH m AS (
@@ -810,7 +821,8 @@ object Corpus {
     "q145_domain_stats" -> (q145DomainStats _),
     "q146_c4_filter" -> (q146C4Filter _),
     "q148_novel_against" -> (q148NovelAgainst _),
-    "q149_hashed_bow" -> (q149HashedBow _))
+    "q149_hashed_bow" -> (q149HashedBow _),
+    "q152_script_mix_fast" -> (q152ScriptMixFast _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -831,5 +843,6 @@ object Corpus {
     "q145_domain_stats" -> q145Sql,
     "q146_c4_filter" -> q146Sql,
     "q148_novel_against" -> q148Sql,
-    "q149_hashed_bow" -> q149Sql)
+    "q149_hashed_bow" -> q149Sql,
+    "q152_script_mix_fast" -> q140Sql) // shared oracle: same contract
 }

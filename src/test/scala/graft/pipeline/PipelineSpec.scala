@@ -90,6 +90,25 @@ class PipelineSpec extends SparkSpec {
       Seq(4L, 7L, 0L, 0L, 0L, 0L, 0L, "latin")))
   }
 
+  test("scriptMixFast (codegen single-pass) equals the regex scriptMix") {
+    val df = Seq(
+      (1L, "abc привет 12"), (2L, "αβγδ ab"), (3L, "你好"),
+      (4L, "--- ???"), (5L, "mixed мир 你 γ 9"),
+      (6L, "emoji 😀 ok")) // supplementary plane counts once
+      .toDF("doc_id", "text")
+    val slow = rows(TextStats.scriptMix(df, "doc_id", "text"))
+    val fast = rows(TextStats.scriptMixFast(df, "doc_id", "text"))
+    assert(fast == slow)
+  }
+
+  test("script_counts registers as a SQL function") {
+    graft.functions.GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT script_counts('ab мир 42') AS c").head().getSeq[Long](0)
+    // 9 codepoints: 2 latin, 3 cyrillic, 2 digits
+    assert(r == Seq(9L, 2L, 3L, 0L, 0L, 2L))
+  }
+
   test("scriptMix shares divide count by total length") {
     val df = Seq((1L, "ab ёж")).toDF("doc_id", "text") // 2+2 of 5
     val r = TextStats.scriptMix(df, "doc_id", "text")
