@@ -222,6 +222,46 @@ object TextDedup {
     * shingles/doc), NOT the full inverted index. Shared by the LSH and
     * df-capped paths.
     */
+  /** Cross-corpus exact Jaccard near-dup pairs: every (new, seen) pair
+    * sharing at least one shingle, verified at `threshold` — the
+    * NEAR-DUP sibling of [[novelAgainst]] (which only catches canonical
+    * byte-equality), and the incremental form of [[jaccardPairs]]: a
+    * nightly crawl dedupes against the accumulated corpus without
+    * pairing the corpus with itself.
+    *
+    * Exact and lossless: candidates come off the inverted-index join
+    * (only shared-shingle pairs materialize — never a cross join), and
+    * n_common counts shared shingles directly. At production scale
+    * apply the same df-pruning/prefix-filter gates as the within-corpus
+    * variants before the index join (hot boilerplate shingles pair
+    * everything with everything); exact-verify keeps the output
+    * identical, it only re-prices candidate generation.
+    *
+    * Inputs are [[shingles]] frames (distinct per doc). Output:
+    * (new_id, seen_id, n_common, jaccard).
+    */
+  def jaccardPairsAcross(
+      newSh: DataFrame,
+      seenSh: DataFrame,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    val a = newSh.select(col(idCol).as("new_id"), col("shingle"))
+    val b = seenSh.select(col(idCol).as("seen_id"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .groupBy(col("new_id"), col("seen_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val na = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("na"))
+    val nb = seenSh.groupBy(col(idCol)).agg(count(lit(1)).as("nb"))
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(na.select(col(idCol).as("new_id"), col("na")), Seq("new_id"))
+      .join(nb.select(col(idCol).as("seen_id"), col("nb")), Seq("seen_id"))
+      .select(col("new_id"), col("seen_id"), col("n_common"),
+        jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   private def verifyJaccard(
       sh: DataFrame, idCol: String, candidates: DataFrame,
       threshold: Double): DataFrame = {

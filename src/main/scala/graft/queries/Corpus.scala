@@ -766,6 +766,59 @@ object Corpus {
       |  count(DISTINCT tok) AS n_terms
       |FROM h GROUP BY 1, 2""".stripMargin
 
+  // q153: cross-corpus near-dup pairs — the nightly-crawl-vs-corpus
+  // shape. The incoming crawl is every even-id doc with a 'zzz' token
+  // prefixed (ids +70000): one shingle replaced at the front, so each
+  // crawl doc pairs with its source at J = (s)/(s+1) ≈ 0.9+, well over
+  // the 0.6 gate; natural fixture near-dups across the halves surface
+  // too (deterministic both sides). Exact and lossless, so the oracle
+  // is the full inverted-index SQL.
+  def q153CrossNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val crawl = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        concat(lit("zzz "), col("text")).as("text"))
+    TextDedup.jaccardPairsAcross(
+      TextDedup.shingles(crawl, "doc_id", "text", n = 3),
+      TextDedup.shingles(docs, "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.6)
+  }
+
+  val q153Sql: String =
+    """WITH crawl AS (
+      |  SELECT doc_id + 70000 AS doc_id, 'zzz ' || text AS text
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |tka AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok FROM crawl),
+      |sha AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+      |      AS shingle
+      |  FROM tka WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sha2 AS (SELECT doc_id, shingle FROM sha WHERE shingle IS NOT NULL),
+      |tkb AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok FROM documents),
+      |shb AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+      |      AS shingle
+      |  FROM tkb WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |shb2 AS (SELECT doc_id, shingle FROM shb WHERE shingle IS NOT NULL),
+      |sza AS (SELECT doc_id, COUNT(*) AS n FROM sha2 GROUP BY 1),
+      |szb AS (SELECT doc_id, COUNT(*) AS n FROM shb2 GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS seen_id, COUNT(*) AS n_common
+      |  FROM sha2 a JOIN shb2 b ON a.shingle = b.shingle
+      |  GROUP BY 1, 2)
+      |SELECT new_id, seen_id, n_common,
+      |  CAST(n_common AS DOUBLE) / (sza.n + szb.n - n_common) AS jaccard
+      |FROM inter JOIN sza ON new_id = sza.doc_id
+      |           JOIN szb ON seen_id = szb.doc_id
+      |WHERE CAST(n_common AS DOUBLE) / (sza.n + szb.n - n_common)
+      |  >= 0.6""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -822,7 +875,8 @@ object Corpus {
     "q146_c4_filter" -> (q146C4Filter _),
     "q148_novel_against" -> (q148NovelAgainst _),
     "q149_hashed_bow" -> (q149HashedBow _),
-    "q152_script_mix_fast" -> (q152ScriptMixFast _))
+    "q152_script_mix_fast" -> (q152ScriptMixFast _),
+    "q153_cross_near_dup" -> (q153CrossNearDup _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -844,5 +898,6 @@ object Corpus {
     "q146_c4_filter" -> q146Sql,
     "q148_novel_against" -> q148Sql,
     "q149_hashed_bow" -> q149Sql,
-    "q152_script_mix_fast" -> q140Sql) // shared oracle: same contract
+    "q152_script_mix_fast" -> q140Sql, // shared oracle: same contract
+    "q153_cross_near_dup" -> q153Sql)
 }

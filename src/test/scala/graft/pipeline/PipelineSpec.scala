@@ -138,6 +138,38 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set(("p", "q"))) // (r,s) count 1 < 2
   }
 
+  // ---- cross-corpus near-dups --------------------------------------------
+
+  test("jaccardPairsAcross pairs only shared-shingle docs over threshold") {
+    val seen = Seq(
+      (1L, "a b c d e f"), // 4 3-shingles
+      (2L, "p q r s t u")) // unrelated
+      .toDF("doc_id", "text")
+    val crawl = Seq(
+      (10L, "zzz a b c d e f"), // prefix perturbation of 1: 5 shingles
+      (11L, "x y z w v u")) // shares no shingle with anything
+      .toDF("doc_id", "text")
+    val out = TextDedup.jaccardPairsAcross(
+      TextDedup.shingles(crawl, "doc_id", "text", n = 3),
+      TextDedup.shingles(seen, "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (nid, sid, common, jac) = out.head
+    // common = 4 original shingles; union = 5 + 4 - 4 = 5
+    assert(nid == 10L && sid == 1L && common == 4L && jac == 0.8)
+  }
+
+  test("jaccardPairsAcross never pairs the seen corpus with itself") {
+    val seen = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val crawl = Seq((10L, "e f g h")).toDF("doc_id", "text")
+    val out = TextDedup.jaccardPairsAcross(
+      TextDedup.shingles(crawl, "doc_id", "text", n = 3),
+      TextDedup.shingles(seen, "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.1)
+    assert(out.count() == 0) // seen 1≈2 is NOT this operator's job
+  }
+
   // ---- cross-corpus novelty ----------------------------------------------
 
   test("novelAgainst flags canonical re-crawls 0 and new docs 1") {
