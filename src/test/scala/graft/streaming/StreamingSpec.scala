@@ -31,6 +31,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
   }
 
+  test("windowedCounts with slide lands each event in len/slide windows") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streaming.windowedCounts(in.toDF(), "ts", "user_id",
+        windowLen = "20 minutes", slide = Some("10 minutes"))
+      .writeStream.format("memory").queryName("swc")
+      .outputMode("update").start()
+    in.addData(Event(1L, ts(15), "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("swc")
+      .selectExpr("window.start", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    // minute 15 is inside [0,20) and [10,30): exactly two windows
+    assert(rows == Set((ts(0), 1L), (ts(10), 1L)))
+  }
+
   test("dedupStream drops replayed keys inside the watermark horizon") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Event]
