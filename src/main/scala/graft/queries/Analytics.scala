@@ -351,6 +351,58 @@ object Analytics {
       |    AS covar_value_hour
       |FROM e GROUP BY 1""".stripMargin
 
+  // q154: robust (median/MAD) outlier statistics per event type — the
+  // heavy-tail-immune sibling of q106's Tukey fences. Values quantize
+  // to integer cents (q106's discipline) so both medians interpolate
+  // exact doubles; the modified z-score 0.6745·(c−med)/MAD compares
+  // against 3.5 (Iglewicz-Hoaglin) on bit-identical inputs, so the
+  // outlier count is deterministic cross-engine. MAD = 0 (a majority
+  // of identical values) guards to zero outliers.
+  def q154RobustMad(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").cast("double").as("c"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(c, 0.5)").as("med"))
+    val dev = e.join(med, "event_type")
+      .select(col("event_type"), col("c"), col("med"),
+        abs(col("c") - col("med")).as("ad"))
+    val st = dev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), expr("percentile(ad, 0.5)").as("mad"),
+        max(col("med")).as("med"))
+    val outl = dev.drop("med").join(st, "event_type")
+      .filter(col("mad") > 0 &&
+        abs(lit(0.6745) * (col("c") - col("med")) / col("mad")) > 3.5)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_outliers"))
+    st.join(outl, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        d6(col("med")).as("median_cents"), d6(col("mad")).as("mad_cents"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+  }
+
+  val q154Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS c
+      |  FROM events),
+      |med AS (SELECT event_type, quantile_cont(c, 0.5) AS med
+      |        FROM e GROUP BY 1),
+      |dev AS (SELECT e.event_type, c, med, abs(c - med) AS ad
+      |        FROM e JOIN med USING (event_type)),
+      |st AS (SELECT event_type, count(*) AS n,
+      |         quantile_cont(ad, 0.5) AS mad, max(med) AS med
+      |       FROM dev GROUP BY 1),
+      |outl AS (
+      |  SELECT dev.event_type, count(*) AS n_outliers
+      |  FROM dev JOIN st USING (event_type)
+      |  WHERE st.mad > 0
+      |    AND abs(0.6745 * (dev.c - st.med) / st.mad) > 3.5
+      |  GROUP BY 1)
+      |SELECT st.event_type, st.n,
+      |  CAST(CAST(st.med AS DECIMAL(28,6)) AS DOUBLE) AS median_cents,
+      |  CAST(CAST(st.mad AS DECIMAL(28,6)) AS DOUBLE) AS mad_cents,
+      |  coalesce(outl.n_outliers, 0) AS n_outliers
+      |FROM st LEFT JOIN outl USING (event_type)""".stripMargin
+
   // q134: equi-depth decile assignment of document lengths through
   // Profile.quantileBuckets — the scale-correct ntile (boundaries
   // broadcast, assignment in-row; a global ORDER BY window would
@@ -377,6 +429,7 @@ object Analytics {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
+    "q154_robust_mad" -> (q154RobustMad _),
     "q102_funnel" -> (q102Funnel _),
     "q103_transitions" -> (q103Transitions _),
     "q104_cohort_retention" -> (q104CohortRetention _),
@@ -394,6 +447,7 @@ object Analytics {
   def oracles: Map[String, String] = Map(
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
+    "q154_robust_mad" -> q154Sql,
     "q102_funnel" -> q102Sql,
     "q103_transitions" -> q103Sql,
     "q104_cohort_retention" -> q104Sql,

@@ -363,6 +363,46 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey
       |  ORDER BY o_totalprice DESC, o_orderkey ASC)""".stripMargin
 
+  // q155: the TPC-H Q5 shape — a 6-table snowflake with a cross-branch
+  // equi condition (supplier and customer must share a nation), the
+  // classic join-reorder test. The plan is declared in fixture order
+  // and Catalyst's cost-based reorder + AQE pick the physical order;
+  // revenue goes through the decimal discipline.
+  def q155JoinReorder(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    r.join(n, r("r_regionkey") === n("n_regionkey"))
+      .join(c, n("n_nationkey") === c("c_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .groupBy(n("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  val q155Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM region
+      |JOIN nation ON r_regionkey = n_regionkey
+      |JOIN customer ON n_nationkey = c_nationkey
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
   // q37: EXCEPT / INTERSECT set operations (distinct semantics), combined
   // so one entry covers both remaining set operators
   def q37SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -578,6 +618,7 @@ object Relational {
     "q35_scalar_funcs" -> (q35ScalarFuncs _),
     "q36_window_funcs" -> (q36WindowFuncs _),
     "q151_window_dist_battery" -> (q151WindowDistBattery _),
+    "q155_join_reorder" -> (q155JoinReorder _),
     "q37_set_ops" -> (q37SetOps _),
     "q40_grouping_sets" -> (q40GroupingSets _),
     "q41_correlated_scalar" -> (q41CorrelatedScalar _),
@@ -607,6 +648,7 @@ object Relational {
     "q35_scalar_funcs" -> q35Sql,
     "q36_window_funcs" -> q36Sql,
     "q151_window_dist_battery" -> q151Sql,
+    "q155_join_reorder" -> q155Sql,
     "q37_set_ops" -> q37Sql,
     "q40_grouping_sets" -> q40Sql,
     "q41_correlated_scalar" -> q41Sql,
