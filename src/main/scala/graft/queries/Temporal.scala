@@ -257,6 +257,51 @@ object Temporal {
       |  WHERE l_orderkey = o.o_orderkey
       |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l""".stripMargin
 
+  // q156: the TPC-H Q21 shape — DOUBLE correlated subqueries (EXISTS +
+  // NOT EXISTS against the same fact table, correlated on the order key
+  // with a non-equi inner condition) adapted to the fixture's columns
+  // (l_returnflag = 'R' stands in for the late-receipt predicate).
+  // Catalyst must decorrelate both into semi/anti joins — the classic
+  // hardest-decorrelation benchmark query. Identical SQL both engines.
+  def q156MultiExists(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "supplier").createOrReplaceTempView("q156_supplier")
+    Tables(s, dir, "orders").createOrReplaceTempView("q156_orders")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("q156_lineitem")
+    s.sql(
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM q156_supplier s
+        |JOIN q156_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        |JOIN q156_orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM q156_lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM q156_lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name""".stripMargin)
+  }
+
+  val q156Sql: String =
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name""".stripMargin
+
   // q85: SCD2 build — compact each user's event_type change stream into
   // type-2 validity intervals (ops/Scd2.build: one keyed shuffle, two
   // windows over the same key so the Exchange is reused). The oracle
@@ -466,6 +511,7 @@ object Temporal {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_date_dim" -> (q150DateDim _),
+    "q156_multi_exists" -> (q156MultiExists _),
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
     "q66_latest_by_key" -> (q66LatestByKey _),
@@ -485,6 +531,7 @@ object Temporal {
 
   def oracles: Map[String, String] = Map(
     "q150_date_dim" -> q150Sql,
+    "q156_multi_exists" -> q156Sql,
     "q58_asof_join" -> q58Sql,
     "q59_range_join" -> q59Sql,
     "q66_latest_by_key" -> q66Sql,
