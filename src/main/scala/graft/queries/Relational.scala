@@ -403,6 +403,43 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name""".stripMargin
 
+  // q157: null-semantics battery. NULLIF plants nulls; plain equality
+  // propagates them, null-safe equality (<=> / IS NOT DISTINCT FROM)
+  // treats NULL as a value, and the same operator serves as a JOIN KEY
+  // (EqualNullSafe is an equi-join key in Spark — the null bucket hash
+  // joins like any other) against a 4-row dim covering the null row.
+  def q157NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_linenumber") % 3, lit(0)).as("a"),
+        nullif(col("l_linenumber") % 3, lit(1)).as("b"))
+    val dim = s.range(1, 3)
+      .select(col("id").as("k"),
+        concat(lit("grp_"), col("id").cast("string")).as("label"))
+      .unionAll(s.range(1).select(lit(null).cast("bigint").as("k"),
+        lit("grp_null").as("label")))
+    li.join(dim, li("a") <=> dim("k"), "left")
+      .groupBy(col("label"),
+        (col("a") === col("b")).as("eq"),
+        (col("a") <=> col("b")).as("nse"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q157Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    nullif(l_linenumber % 3, 0) AS a,
+      |    nullif(l_linenumber % 3, 1) AS b
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT i AS k, 'grp_' || CAST(i AS VARCHAR) AS label
+      |  FROM range(1, 3) t(i)
+      |  UNION ALL SELECT NULL, 'grp_null')
+      |SELECT dim.label, li.a = li.b AS eq,
+      |  li.a IS NOT DISTINCT FROM li.b AS nse, count(*) AS n
+      |FROM li LEFT JOIN dim ON li.a IS NOT DISTINCT FROM dim.k
+      |GROUP BY 1, 2, 3""".stripMargin
+
   // q37: EXCEPT / INTERSECT set operations (distinct semantics), combined
   // so one entry covers both remaining set operators
   def q37SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -619,6 +656,7 @@ object Relational {
     "q36_window_funcs" -> (q36WindowFuncs _),
     "q151_window_dist_battery" -> (q151WindowDistBattery _),
     "q155_join_reorder" -> (q155JoinReorder _),
+    "q157_null_semantics" -> (q157NullSemantics _),
     "q37_set_ops" -> (q37SetOps _),
     "q40_grouping_sets" -> (q40GroupingSets _),
     "q41_correlated_scalar" -> (q41CorrelatedScalar _),
@@ -649,6 +687,7 @@ object Relational {
     "q36_window_funcs" -> q36Sql,
     "q151_window_dist_battery" -> q151Sql,
     "q155_join_reorder" -> q155Sql,
+    "q157_null_semantics" -> q157Sql,
     "q37_set_ops" -> q37Sql,
     "q40_grouping_sets" -> q40Sql,
     "q41_correlated_scalar" -> q41Sql,
