@@ -121,6 +121,31 @@ class PipelinePropertySpec extends SparkSpec {
     }
   }
 
+  test("property: jaccardPairsAcross matches brute force on random corpora") {
+    def sh3(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    (1 to 6).foreach { s =>
+      val seen = sample(corpus, 500L + s)
+      val crawl = sample(corpus, 600L + s)
+      val exp = (for {
+        (ct, ci) <- crawl.zipWithIndex
+        (st, si) <- seen.zipWithIndex
+        a = sh3(ct); b = sh3(st)
+        inter = (a & b).size
+        if a.nonEmpty && b.nonEmpty && inter > 0
+        j = inter.toDouble / (a.size + b.size - inter)
+        if j >= 0.3
+      } yield (ci.toLong, si.toLong, inter.toLong, j)).toSet
+      val got = TextDedup.jaccardPairsAcross(
+        TextDedup.shingles(df(crawl), "doc_id", "text", n = 3),
+        TextDedup.shingles(df(seen), "doc_id", "text", n = 3),
+        "doc_id", threshold = 0.3)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == exp, s"seed $s")
+    }
+  }
+
   test("property: identical docs have identical minhash signatures") {
     (1 to 8).foreach { s =>
       val d = sample(doc, 300L + s)
