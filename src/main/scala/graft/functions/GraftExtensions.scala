@@ -59,6 +59,7 @@ object GraftExtensions {
     one("simhash64")(SimHash64(_)),
     one("byte_entropy")(ByteEntropy(_)),
     one("nfc_normalize")(NfcNormalize(_)),
+    one("accent_strip")(AccentStrip(_)),
     one("script_counts")(ScriptCounts(_)),
     two("long_array_dot")(LongArrayDot(_, _)))
 

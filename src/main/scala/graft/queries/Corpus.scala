@@ -819,6 +819,40 @@ object Corpus {
       |WHERE CAST(n_common AS DOUBLE) / (sza.n + szb.n - n_common)
       |  >= 0.6""".stripMargin
 
+  // q158: accent folding through the codegen'd AccentStrip expression —
+  // precomposed accents (é à ü ñ ç Å) AND decomposed combining
+  // sequences (́, ̃ — spelled as escapes, the q124
+  // discipline) plant in-plan; DuckDB's strip_accents() must produce
+  // the same fold. Only canonically-decomposable marks are in the
+  // planted set (ł/ø-style base-codepoint diacritics are documented
+  // pass-throughs and deliberately absent).
+  def q158AccentFold(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("café àü ñoço Ångström "),
+      lit("e\u0301 n\u0303 "), substring(col("text"), 1, 40))
+    t(s, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        graft.functions.AccentStrip.accentStrip(col("raw")).as("folded"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(graft.functions.AccentStrip.accentStrip(col("raw")))
+          .cast("long").as("len_folded"))
+  }
+
+  val q158Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    'caf' || chr(233) || ' ' || chr(224) || chr(252) || ' '
+      |    || chr(241) || 'o' || chr(231) || 'o ' || chr(197)
+      |    || 'ngstr' || chr(246) || 'm '
+      |    || 'e' || chr(769) || ' n' || chr(771) || ' '
+      |    || substring(text, 1, 40) AS raw
+      |  FROM documents)
+      |SELECT doc_id, strip_accents(raw) AS folded,
+      |  CAST(length(raw) AS BIGINT) AS len_raw,
+      |  CAST(length(strip_accents(raw)) AS BIGINT) AS len_folded
+      |FROM m""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -876,7 +910,8 @@ object Corpus {
     "q148_novel_against" -> (q148NovelAgainst _),
     "q149_hashed_bow" -> (q149HashedBow _),
     "q152_script_mix_fast" -> (q152ScriptMixFast _),
-    "q153_cross_near_dup" -> (q153CrossNearDup _))
+    "q153_cross_near_dup" -> (q153CrossNearDup _),
+    "q158_accent_fold" -> (q158AccentFold _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -899,5 +934,6 @@ object Corpus {
     "q148_novel_against" -> q148Sql,
     "q149_hashed_bow" -> q149Sql,
     "q152_script_mix_fast" -> q140Sql, // shared oracle: same contract
-    "q153_cross_near_dup" -> q153Sql)
+    "q153_cross_near_dup" -> q153Sql,
+    "q158_accent_fold" -> q158Sql)
 }

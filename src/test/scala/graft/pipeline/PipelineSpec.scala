@@ -101,6 +101,26 @@ class PipelineSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("accentStrip folds combining accents, passes base-cp diacritics") {
+    import graft.functions.AccentStrip
+    val df = Seq(
+      "café", // precomposed é → cafe
+      "éclair", // decomposed → eclair
+      "Ångström", // Å ö → Angstrom
+      "łødđ", // ł ø đ: no canonical decomposition → unchanged
+      "ascii stays").toDF("t")
+    val out = df.select(AccentStrip.accentStrip(col("t"))).as[String]
+      .collect().toSet
+    assert(out == Set("cafe", "eclair", "Angstrom",
+      "łødđ", "ascii stays"))
+  }
+
+  test("accent_strip registers as a SQL function") {
+    graft.functions.GraftExtensions.install(spark)
+    assert(spark.sql("SELECT accent_strip('résumé')")
+      .head().getString(0) == "resume")
+  }
+
   test("script_counts registers as a SQL function") {
     graft.functions.GraftExtensions.install(spark)
     val r = spark.sql(
