@@ -853,6 +853,41 @@ object Corpus {
       |  CAST(length(strip_accents(raw)) AS BIGINT) AS len_folded
       |FROM m""".stripMargin
 
+  // q160: accent-insensitive dedup — the opt-in AccentStrip stage
+  // composed ONTO q137's canonical key (NFC → casefold → whitespace →
+  // fold accents). Re-crawls that differ by accent encoding AND case
+  // ("CAFÉ  bar" vs "cafe bar") collapse onto one group; q137's
+  // canonical key alone would keep them apart.
+  def q160AccentDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val aug = docs
+      .select(col("doc_id"), concat(col("text"), lit(" cafe bar")).as("t"))
+      .unionAll(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(upper(col("text")), lit(" CAFÉ  BÀR")).as("t")))
+    TextDedup.exactDedup(
+      aug.select(col("doc_id"),
+        graft.functions.AccentStrip.accentStrip(
+          graft.pipeline.TextClean.canonicalForDedup(col("t"))).as("t")),
+      "doc_id", "t")
+  }
+
+  val q160Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text || ' cafe bar' AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 40000,
+      |    upper(text) || ' CAF' || chr(201) || '  BA' || chr(768) || 'R'
+      |  FROM documents WHERE doc_id % 9 = 0),
+      |canon AS (
+      |  SELECT doc_id,
+      |    strip_accents(trim(regexp_replace(lower(nfc_normalize(t)),
+      |      '\s+', ' ', 'g'))) AS c
+      |  FROM aug)
+      |SELECT md5(c) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM canon GROUP BY 1""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -911,7 +946,8 @@ object Corpus {
     "q149_hashed_bow" -> (q149HashedBow _),
     "q152_script_mix_fast" -> (q152ScriptMixFast _),
     "q153_cross_near_dup" -> (q153CrossNearDup _),
-    "q158_accent_fold" -> (q158AccentFold _))
+    "q158_accent_fold" -> (q158AccentFold _),
+    "q160_accent_dedup" -> (q160AccentDedup _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -935,5 +971,6 @@ object Corpus {
     "q149_hashed_bow" -> q149Sql,
     "q152_script_mix_fast" -> q140Sql, // shared oracle: same contract
     "q153_cross_near_dup" -> q153Sql,
-    "q158_accent_fold" -> q158Sql)
+    "q158_accent_fold" -> q158Sql,
+    "q160_accent_dedup" -> q160Sql)
 }

@@ -440,6 +440,29 @@ object Relational {
       |FROM li LEFT JOIN dim ON li.a IS NOT DISTINCT FROM dim.k
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // q159: COUNT(DISTINCT) OVER a window — Spark does not support
+  // DISTINCT window aggregates, so the engine's rewrite is
+  // size(collect_set(x) OVER w) (set semantics in the aggregation
+  // buffer); DuckDB runs the literal COUNT(DISTINCT) OVER. Both count
+  // distinct suppliers per order beside each line — the
+  // cross-engine-equivalent-rewrite case the SQL surface must handle.
+  def q159WindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_orderkey"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        size(collect_set(col("l_suppkey")).over(w)).cast("long")
+          .as("n_suppliers"),
+        count(lit(1)).over(w).as("n_lines"))
+  }
+
+  val q159Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(COUNT(DISTINCT l_suppkey) OVER w AS BIGINT) AS n_suppliers,
+      |  COUNT(*) OVER w AS n_lines
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey)""".stripMargin
+
   // q37: EXCEPT / INTERSECT set operations (distinct semantics), combined
   // so one entry covers both remaining set operators
   def q37SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -657,6 +680,7 @@ object Relational {
     "q151_window_dist_battery" -> (q151WindowDistBattery _),
     "q155_join_reorder" -> (q155JoinReorder _),
     "q157_null_semantics" -> (q157NullSemantics _),
+    "q159_window_distinct" -> (q159WindowDistinct _),
     "q37_set_ops" -> (q37SetOps _),
     "q40_grouping_sets" -> (q40GroupingSets _),
     "q41_correlated_scalar" -> (q41CorrelatedScalar _),
@@ -688,6 +712,7 @@ object Relational {
     "q151_window_dist_battery" -> q151Sql,
     "q155_join_reorder" -> q155Sql,
     "q157_null_semantics" -> q157Sql,
+    "q159_window_distinct" -> q159Sql,
     "q37_set_ops" -> q37Sql,
     "q40_grouping_sets" -> q40Sql,
     "q41_correlated_scalar" -> q41Sql,
