@@ -64,6 +64,44 @@ object Timeseries {
         last(col("_g_tv"), ignoreNulls = true).over(w).as("ffill_value")): _*)
   }
 
+  /** Per-key TIME-WEIGHTED average of a piecewise-constant signal:
+    * each observation's value holds until the next observation, so
+    *
+    *   twa(k) = Σ_i v_i·(t_{i+1} − t_i) / (t_last − t_first)
+    *
+    * — the correct mean for irregularly-sampled state (a gauge, a
+    * price, a queue depth), where the arithmetic mean over-weights
+    * bursts of samples. Keys with fewer than two observations emit
+    * NULL (zero elapsed time carries no average).
+    *
+    * One keyed lead() window (single exchange); the weighted sum runs
+    * through DECIMAL (value×duration products summed in engine order
+    * otherwise) and one final double division. Duration units cancel,
+    * so any monotone integer timestamp works.
+    */
+  def timeWeightedAvg(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val nextTs = lead(col(tsCol), 1).over(w)
+    val seg = df
+      .withColumn("_g_dur", (nextTs - col(tsCol)).cast("double"))
+      .filter(col("_g_dur").isNotNull)
+    seg.groupBy(kcols: _*)
+      .agg(
+        (sum((col(valueCol).cast("double") * col("_g_dur"))
+            .cast("decimal(28,6)")).cast("double") /
+          sum(col("_g_dur").cast("decimal(28,6)")).cast("double"))
+          .as("twa"),
+        count(lit(1)).cast("long").as("n_segments"))
+  }
+
   /** Calendar-dimension generator: one row per day spanning
     * [min, max] of `dateCol`, with the attributes every reporting model
     * joins on — year / quarter / month / day, ISO day-of-week, ISO

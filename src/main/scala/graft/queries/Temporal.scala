@@ -302,6 +302,40 @@ object Temporal {
       |      AND l3.l_returnflag = 'R')
       |GROUP BY s.s_name""".stripMargin
 
+  // q161: time-weighted average event value per type — the
+  // piecewise-constant mean for irregularly-sampled state, where the
+  // arithmetic mean over-weights sample bursts. Weighted products and
+  // durations sum through DECIMAL (engine summation order), one final
+  // double division, d6.
+  def q161TimeWeightedAvg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.timeWeightedAvg(
+        ev(s, dir).select(col("event_type"), col("ts_us"), col("value"),
+          col("event_id")),
+        keys = Seq("event_type"), tsCol = "ts_us", valueCol = "value",
+        tieCols = Seq("event_id"))
+      .select(col("event_type"),
+        col("twa").cast("decimal(28,6)").cast("double").as("twa"),
+        col("n_segments"))
+
+  val q161Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    value, event_id
+      |  FROM events),
+      |seg AS (
+      |  SELECT event_type, value,
+      |    CAST(lead(ts_us) OVER (PARTITION BY event_type
+      |        ORDER BY ts_us, event_id) - ts_us AS DOUBLE) AS dur
+      |  FROM e),
+      |s2 AS (SELECT * FROM seg WHERE dur IS NOT NULL)
+      |SELECT event_type,
+      |  CAST(CAST(
+      |    CAST(sum(CAST(value * dur AS DECIMAL(28,6))) AS DOUBLE)
+      |    / CAST(sum(CAST(dur AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS twa,
+      |  count(*) AS n_segments
+      |FROM s2 GROUP BY 1""".stripMargin
+
   // q85: SCD2 build — compact each user's event_type change stream into
   // type-2 validity intervals (ops/Scd2.build: one keyed shuffle, two
   // windows over the same key so the Exchange is reused). The oracle
@@ -512,6 +546,7 @@ object Temporal {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_date_dim" -> (q150DateDim _),
     "q156_multi_exists" -> (q156MultiExists _),
+    "q161_time_weighted_avg" -> (q161TimeWeightedAvg _),
     "q58_asof_join" -> (q58AsofJoin _),
     "q59_range_join" -> (q59RangeJoin _),
     "q66_latest_by_key" -> (q66LatestByKey _),
@@ -532,6 +567,7 @@ object Temporal {
   def oracles: Map[String, String] = Map(
     "q150_date_dim" -> q150Sql,
     "q156_multi_exists" -> q156Sql,
+    "q161_time_weighted_avg" -> q161Sql,
     "q58_asof_join" -> q58Sql,
     "q59_range_join" -> q59Sql,
     "q66_latest_by_key" -> q66Sql,

@@ -32,6 +32,28 @@ class TimeseriesSpec extends SparkSpec {
     }
   }
 
+  test("timeWeightedAvg weights each value by its holding duration") {
+    // k=1: value 10 holds 1..3 (dur 2), 20 holds 3..9 (dur 6):
+    // twa = (10*2 + 20*6) / 8 = 17.5 — the arithmetic mean (15) is wrong
+    val df = Seq(
+      (1L, 1L, 10.0), (1L, 3L, 20.0), (1L, 9L, 99.0), // last value unused
+      (2L, 5L, 7.0)) // single observation: no elapsed time → absent
+      .toDF("k", "ts", "v")
+    val out = Timeseries.timeWeightedAvg(df, Seq("k"), "ts", "v")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((17.5, 2L))))
+  }
+
+  test("timeWeightedAvg equals the plain mean on a regular grid") {
+    val df = (0L to 10L).map(i => (1L, i, (i % 3).toDouble))
+      .toDF("k", "ts", "v")
+    val got = Timeseries.timeWeightedAvg(df, Seq("k"), "ts", "v")
+      .select("twa").as[Double].head()
+    val exp = (0L until 10L).map(i => (i % 3).toDouble).sum / 10
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
   test("dateDim spans the bounds with correct calendar attributes") {
     import org.apache.spark.sql.functions.col
     // span covers a leap day, a month boundary and an ISO-week-53 start
