@@ -888,6 +888,19 @@ object Corpus {
       |  count(*) AS n_copies
       |FROM canon GROUP BY 1""".stripMargin
 
+  // q162: Count-Min frequency estimates over the corpus token stream —
+  // the point-estimate sibling of the q73 Misra-Gries sketch. DECLARED
+  // ROWS-ONLY: the hash family isn't portable SQL, so there is no
+  // cross-engine oracle; the CM guarantees (never underestimates,
+  // bounded overestimate, partitioning-invariance from exact integer
+  // sums) are asserted in PipelineSpec.
+  def q162CountMin(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CountMin.estimates(
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= ""),
+      "tok")
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -947,7 +960,8 @@ object Corpus {
     "q152_script_mix_fast" -> (q152ScriptMixFast _),
     "q153_cross_near_dup" -> (q153CrossNearDup _),
     "q158_accent_fold" -> (q158AccentFold _),
-    "q160_accent_dedup" -> (q160AccentDedup _))
+    "q160_accent_dedup" -> (q160AccentDedup _),
+    "q162_count_min" -> (q162CountMin _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,

@@ -158,6 +158,33 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set(("p", "q"))) // (r,s) count 1 < 2
   }
 
+  // ---- count-min sketch --------------------------------------------------
+
+  test("countMin never underestimates and stays within the CM bound") {
+    import graft.functions.CountMin
+    val toks = (1 to 400).map(i => s"t${i % 37}") ++ Seq.fill(90)("hot")
+    val df = toks.toDF("tok")
+    val exact = toks.groupBy(identity).map { case (t, v) => t -> v.size }
+    val est = CountMin.estimates(df, "tok", depth = 4, width = 256)
+      .as[(String, Long)].collect().toMap
+    val n = toks.size
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t underestimated")
+      assert(est(t) <= c + 2L * n / 256 + 1, s"$t over the bound")
+    }
+    assert(est("hot") == 90L || est("hot") <= 90L + 2L * n / 256)
+  }
+
+  test("countMin estimates are partitioning-invariant (exact sums)") {
+    import graft.functions.CountMin
+    val toks = (1 to 500).map(i => s"w${i % 23}")
+    val a = CountMin.estimates(toks.toDF("tok").repartition(1), "tok")
+      .as[(String, Long)].collect().toMap
+    val b = CountMin.estimates(toks.toDF("tok").repartition(13), "tok")
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+
   // ---- cross-corpus near-dups --------------------------------------------
 
   test("jaccardPairsAcross pairs only shared-shingle docs over threshold") {
