@@ -23,6 +23,9 @@ import scala.collection.mutable
   *     the file's macros/assignments) and `{% from 'f' import a, b %}`;
   *     namespaced `import … as ns` is rejected with a pointer to the
   *     supported forms;
+  *   - `{% raw %} … {% endraw %}` verbatim blocks (template syntax
+  *     inside passes through untouched — the escape hatch for SQL that
+  *     itself contains `{{`);
   *   - `{# comments #}` (dropped).
   *
   * Conditions follow Python/Jinja semantics: truthiness (None/false/""/0/
@@ -86,12 +89,49 @@ object Compiler {
   private val TokenRe =
     "(?s)\\{\\{(.*?)\\}\\}|\\{%-?\\s*(.*?)\\s*-?%\\}|\\{#.*?#\\}".r
 
+  /** One left-to-right alternation: a comment (passes through for the
+    * main lexer to drop) OR a raw block (content captured verbatim).
+    */
+  private val RawOrCommentRe =
+    ("(?s)(\\{#.*?#\\})|" +
+      "\\{%-?\\s*raw\\s*-?%\\}(.*?)\\{%-?\\s*endraw\\s*-?%\\}").r
+  private val RawOpenRe = "\\{%-?\\s*raw\\s*-?%\\}".r
+  private val CommentRe = "(?s)\\{#.*?#\\}".r
+  private val SentinelRe = "\u0000(\\d+)\u0000".r
+
   def compile(template: String, ctx: Context): Result[String] =
     parseTemplate(template).flatMap(render(_, ctx, ctx.params))
 
   // ---- parser ------------------------------------------------------------
 
   private def parseTemplate(template: String): Result[Seq[Node]] = {
+    // {% raw %} pre-pass, BEFORE lexing: raw content must not tokenize
+    // ({{...}} inside it is literal output — the Jinja escape hatch for
+    // SQL that itself contains template syntax). One left-to-right scan
+    // matches comments and raw blocks together, so a raw opener inside
+    // a comment stays commented and a comment inside raw stays literal
+    // — the same precedence a single-pass Jinja lexer gives. Contents
+    // stash under NUL-framed sentinels (never produced by the
+    // lexer's other tokens) and re-expand at Text-node construction.
+    val rawStash = mutable.ArrayBuffer.empty[String]
+    val preprocessed = RawOrCommentRe.replaceAllIn(template, m =>
+      if (m.group(1) != null) // a comment: leave for the lexer to drop
+        scala.util.matching.Regex.quoteReplacement(m.group(1))
+      else {
+        rawStash += m.group(2)
+        "\u0000" + (rawStash.size - 1) + "\u0000"
+      })
+    // an opener surviving the pre-pass OUTSIDE a comment is a raw block
+    // that never closed (openers inside comments were preserved above
+    // deliberately — they are commented out, not unterminated)
+    if (RawOpenRe.findFirstIn(
+        CommentRe.replaceAllIn(preprocessed, "")).isDefined)
+      return Left(ParseError("unterminated {% raw %} block"))
+    def unstash(s: String): String =
+      if (rawStash.isEmpty || s.indexOf('\u0000') < 0) s
+      else SentinelRe.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(rawStash(m.group(1).toInt)))
+
     // lex into raw (text | interp | tag) pieces
     sealed trait Tok
     final case class TText(s: String) extends Tok
@@ -99,14 +139,14 @@ object Compiler {
     final case class TTag(words: String) extends Tok
     val toks = mutable.ArrayBuffer.empty[Tok]
     var last = 0
-    for (m <- TokenRe.findAllMatchIn(template)) {
-      if (m.start > last) toks += TText(template.substring(last, m.start))
+    for (m <- TokenRe.findAllMatchIn(preprocessed)) {
+      if (m.start > last) toks += TText(unstash(preprocessed.substring(last, m.start)))
       if (m.group(1) != null) toks += TInterp(m.group(1).trim)
       else if (m.group(2) != null) toks += TTag(m.group(2).trim)
       // comments drop
       last = m.end
     }
-    if (last < template.length) toks += TText(template.substring(last))
+    if (last < preprocessed.length) toks += TText(unstash(preprocessed.substring(last)))
 
     var i = 0
     def parseBlock(stop: Set[String]): Result[(Seq[Node], Option[String])] = {

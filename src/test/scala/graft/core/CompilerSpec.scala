@@ -469,4 +469,25 @@ class CompilerSpec extends AnyFunSuite {
     // undefined bare paths still error (the |default contract)
     assert(Compiler.compile("{{ missing }}", Context()).isLeft)
   }
+
+  test("raw blocks pass template syntax through verbatim") {
+    val ctx = Context(params = Map("x" -> 1L))
+    assert(Compiler.compile(
+      "a {% raw %}{{ x }} and {% if %} junk{% endraw %} b {{ x }}", ctx)
+      == Right("a {{ x }} and {% if %} junk b 1"))
+    // a comment INSIDE raw is literal output, not dropped
+    assert(Compiler.compile("{% raw %}{# kept #}{% endraw %}", ctx)
+      == Right("{# kept #}"))
+    // a raw opener INSIDE a comment is dropped with the comment
+    assert(Compiler.compile("x{# {% raw %} #}y", ctx) == Right("xy"))
+    // multiple raw blocks, multiline content
+    assert(Compiler.compile(
+      "{% raw %}{{a}}{% endraw %}-{% raw %}\n{%for%}\n{% endraw %}", ctx)
+      == Right("{{a}}-\n{%for%}\n"))
+    // whitespace-control dashes on the raw delimiters parse too
+    assert(Compiler.compile("{%- raw -%}{{ x }}{%- endraw -%}", ctx)
+      == Right("{{ x }}"))
+    // unterminated raw is a parse error, not silent passthrough
+    assert(Compiler.compile("{% raw %}{{ x }}", ctx).isLeft)
+  }
 }
