@@ -188,23 +188,8 @@ object Similarity {
       tables: Int = 8,
       bits: Int = 8): DataFrame = {
     val dims = df.select(size(col(embCol))).head().getInt(0)
-    // planes quantized to longs so every sign bit is one codegen'd
-    // integer dot product over the packed vector (the double-HOF
-    // formulation ran tables × bits interpreted lambda dots per row);
-    // scaling preserves sign structure, so it's the same LSH family
-    val ps = planes(tables, bits, dims)
-      .map(_.map(_.map(d => math.floor(d * 1000000.0).toLong)))
     val e = packedWithNorm(df, idCol, embCol)
-    val bucketStructs = (0 until tables).map { t =>
-      val bucket = (0 until bits).map { b =>
-        val dot = packedDot(col("q"), typedlit(ps(t)(b).toSeq))
-        when(dot > 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce[Column](_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
-    val hashed = e
-      .select(col(idCol), explode(array(bucketStructs: _*)).as("h"))
-      .select(col(idCol), col("h.tbl"), col("h.bucket"))
+    val hashed = lshBuckets(e, idCol, tables, bits, dims)
     val qb = df.filter(queryPred).select(col(idCol).as("qid"))
     val qHashed = hashed.join(qb, hashed(idCol) === qb("qid"), "left_semi")
       .select(col(idCol).as("qid"), col("tbl"), col("bucket"))
@@ -213,6 +198,30 @@ object Similarity {
       .select(col("qid"), col(idCol).as("nid"))
       .distinct()
     exactReRank(e, idCol, qb, candidates, k)
+  }
+
+  /** (id, tbl, bucket) for every (row, hash table): `bits` sign bits of
+    * hyperplane projections packed into one bucket id per table. The
+    * planes are quantized to longs so every sign bit is one codegen'd
+    * integer dot product over the packed vector (the double-HOF
+    * formulation ran tables × bits interpreted lambda dots per row);
+    * scaling preserves sign structure, so it's the same LSH family.
+    * No shuffle — a pure projection over the packed frame.
+    */
+  private def lshBuckets(
+      e: DataFrame, idCol: String,
+      tables: Int, bits: Int, dims: Int): DataFrame = {
+    val ps = planes(tables, bits, dims)
+      .map(_.map(_.map(d => math.floor(d * 1000000.0).toLong)))
+    val bucketStructs = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        val dot = packedDot(col("q"), typedlit(ps(t)(b).toSeq))
+        when(dot > 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce[Column](_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    e.select(col(idCol), explode(array(bucketStructs: _*)).as("h"))
+      .select(col(idCol), col("h.tbl"), col("h.bucket"))
   }
 
   /** Exact cosine re-rank of (qid, nid) candidate pairs over the packed
@@ -401,6 +410,71 @@ object Similarity {
       blocks: Int = 8): DataFrame =
     semanticDedupFromPairs(df, idCol,
       embeddingDupPairsBlocked(df, idCol, embCol, threshold, blocks))
+
+  /** LSH-candidate near-duplicate pairs verified at `threshold` — the
+    * linear-cost pair stage for [[semanticDedupAnn]]. Every vector
+    * hashes into `tables` sign-pattern buckets ([[lshBuckets]] — no
+    * shuffle); candidate pairs meet through the (tbl, bucket) self
+    * equi-join on id<id, deduplicate on the pair key, and each
+    * surviving candidate pays exactly one in-row codegen'd dot for the
+    * exact-cosine verify. NEVER all-pairs: the only shuffles are the
+    * bucket join and the pair-key distinct, both O(candidates).
+    *
+    * Output (`vec_a` < `vec_b`, `cosine`) matches
+    * [[embeddingDupPairs]]' contract — verified pairs are a SUBSET of
+    * the exact pair set (false positives die at the verify; false
+    * negatives are pairs whose buckets never collide). Recall is
+    * 1 − (1 − p^bits)^tables at plane-agreement p = 1 − θ/π; defaults
+    * (24 tables × 3 bits) hold empirical recall 1.0 on the test
+    * fixture's cosine ≥ 0.4 pairs at every SF (asserted in
+    * SimilaritySpec), making the ANN path byte-equal to the exact one
+    * there. At production thresholds (≥ 0.9) far fewer tables suffice.
+    */
+  def annDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      tables: Int = 24,
+      bits: Int = 3): DataFrame = {
+    val dims = df.select(size(col(embCol))).head().getInt(0)
+    val e = packedWithNorm(df, idCol, embCol)
+    val hashed = lshBuckets(e, idCol, tables, bits, dims)
+    val cand = hashed.select(col("tbl"), col("bucket"), col(idCol).as("vec_a"))
+      .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val cosine = col("dot").cast("double") /
+      sqrt(col("na").cast("double") * col("nb").cast("double"))
+    cand
+      .join(e.select(col(idCol).as("vec_a"), col("q").as("qa"), col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col(idCol).as("vec_b"), col("q").as("qb"), col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("na"), col("nb"),
+        packedDot(col("qa"), col("qb")).as("dot"))
+      .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** [[semanticDedup]] with the quadratic pair stage swapped for
+    * [[annDupPairs]] LSH candidates — the 100 TB SemDeDup path:
+    * O(rows × tables × bits) hashing + O(candidates) verify, then the
+    * same label-propagation components and min-id keeps. Identical
+    * output to [[semanticDedup]] whenever LSH recall on the
+    * ≥ `threshold` pairs is 1.0 (the fixture regime — see
+    * [[annDupPairs]]); under partial recall some near-dup clusters
+    * split, the standard approximate-dedup trade.
+    */
+  def semanticDedupAnn(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      tables: Int = 24,
+      bits: Int = 3): DataFrame =
+    semanticDedupFromPairs(df, idCol,
+      annDupPairs(df, idCol, embCol, threshold, tables, bits))
 
   /** Keep/drop assignment from a precomputed near-dup pair frame
     * (columns `vec_a`, `vec_b`): components via label propagation,

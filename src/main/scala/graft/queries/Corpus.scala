@@ -901,6 +901,20 @@ object Corpus {
         .filter(col("tok") =!= ""),
       "tok")
 
+  // q163: the ANN-fed SemDeDup — q129's contract with the quadratic
+  // pair stage swapped for LSH-bucketed candidates verified at the
+  // exact threshold (Similarity.semanticDedupAnn). Shares q129's
+  // oracle VERBATIM: at 24 tables × 3 bits the fixture's cosine ≥ 0.4
+  // pairs all collide in some bucket (recall 1.0, asserted per-SF in
+  // SimilaritySpec), and verified candidates ⊆ exact pairs always, so
+  // the pair sets — hence components, keeps, and bytes — are equal.
+  // This is the 100 TB path driver-checked end-to-end: hashing is
+  // shuffle-free, candidates meet through the bucket equi-join, and
+  // nothing in the plan is all-pairs.
+  def q163SemanticDedupAnn(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.semanticDedupAnn(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -961,7 +975,8 @@ object Corpus {
     "q153_cross_near_dup" -> (q153CrossNearDup _),
     "q158_accent_fold" -> (q158AccentFold _),
     "q160_accent_dedup" -> (q160AccentDedup _),
-    "q162_count_min" -> (q162CountMin _))
+    "q162_count_min" -> (q162CountMin _),
+    "q163_semantic_dedup_ann" -> (q163SemanticDedupAnn _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -986,5 +1001,6 @@ object Corpus {
     "q152_script_mix_fast" -> q140Sql, // shared oracle: same contract
     "q153_cross_near_dup" -> q153Sql,
     "q158_accent_fold" -> q158Sql,
-    "q160_accent_dedup" -> q160Sql)
+    "q160_accent_dedup" -> q160Sql,
+    "q163_semantic_dedup_ann" -> q129Sql) // shared oracle: recall-1.0 ANN ≡ exact
 }

@@ -834,6 +834,30 @@ class PipelineSpec extends SparkSpec {
         embs, "vec_id", "embedding", 0.4, blocks)) == exact, s"blocks=$blocks")
   }
 
+  test("annDupPairs at q163 defaults: recall 1.0 vs exact pairs on the fixture") {
+    // THE q163 PRECONDITION: the ANN-fed semantic dedup shares q129's
+    // exact oracle, which is sound iff the LSH candidate stage misses
+    // no cosine ≥ 0.4 pair on this fixture (verified candidates are a
+    // subset of exact pairs by construction, so recall 1.0 ⇒ equality)
+    def pairMap(df: DataFrame): Map[(Long, Long), Double] =
+      df.select("vec_a", "vec_b", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairMap(Similarity.embeddingDupPairs(embs, "vec_id", "embedding", 0.4))
+    val ann = pairMap(Similarity.annDupPairs(embs, "vec_id", "embedding", 0.4))
+    assert(exact.nonEmpty)
+    val missed = exact.keySet -- ann.keySet
+    assert(missed.isEmpty, s"LSH missed ${missed.size} true pairs: $missed")
+    assert(ann == exact) // subset + recall 1.0 + identical exact cosines
+  }
+
+  test("semanticDedupAnn equals the exact semanticDedup under recall 1.0") {
+    def keeps(df: DataFrame): Set[Seq[Any]] = rows(
+      df.select("vec_id", "canonical_id", "is_kept"))
+    val exact = keeps(Similarity.semanticDedup(embs, "vec_id", "embedding", 0.4))
+    val ann = keeps(Similarity.semanticDedupAnn(embs, "vec_id", "embedding", 0.4))
+    assert(ann == exact)
+  }
+
   test("embeddingDupPairs finds the planted duplicate pair") {
     val df = Seq(
       (0L, Array(0.5f, 0.5f, 0.1f)),
