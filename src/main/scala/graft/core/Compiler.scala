@@ -130,7 +130,13 @@ object Compiler {
     def unstash(s: String): String =
       if (rawStash.isEmpty || s.indexOf('\u0000') < 0) s
       else SentinelRe.replaceAllIn(s, m =>
-        scala.util.matching.Regex.quoteReplacement(rawStash(m.group(1).toInt)))
+        // a template can itself contain a literal NUL-framed number
+        // (we only ever emit indexes below the stash size) — leave any
+        // sentinel that doesn't address the stash verbatim instead of
+        // substituting wrongly or throwing
+        scala.util.matching.Regex.quoteReplacement(
+          m.group(1).toIntOption.filter(_ < rawStash.size)
+            .map(rawStash).getOrElse(m.matched)))
 
     // lex into raw (text | interp | tag) pieces
     sealed trait Tok
@@ -1249,18 +1255,25 @@ private[core] object Expr {
             case n: Long => Some(n); case n: Int => Some(n.toLong); case _ => None
           }
           val r = args.toSeq.map(asL) match {
-            case Seq(Some(stop)) => Right(0L until stop)
-            case Seq(Some(st), Some(stop)) => Right(st until stop)
+            case Seq(Some(stop)) => Right((0L, stop, 1L))
+            case Seq(Some(st), Some(stop)) => Right((st, stop, 1L))
             case Seq(Some(st), Some(stop), Some(step)) if step != 0 =>
-              Right(st until stop by step)
+              Right((st, stop, step))
             case _ => Left(ParseError(
               s"range() takes 1-3 integer arguments (step != 0) in '$src'"))
           }
-          // a typo'd bound must not materialize a billion-element list
-          r.flatMap { rng =>
-            if (rng.length > 1000000) Left(ParseError(
-              s"range() over 1e6 elements in '$src' (got ${rng.length})"))
-            else Right(rng.toVector)
+          // a typo'd bound must not materialize a billion-element list;
+          // count in BigInt BEFORE building the range — NumericRange
+          // itself throws past Int.MaxValue elements, which would escape
+          // compile()'s Result contract as an exception
+          r.flatMap { case (st, stop, step) =>
+            val d = BigInt(stop) - BigInt(st)
+            val n =
+              if (step > 0) (d + step - 1).max(0) / step
+              else (d + step + 1).min(0) / step
+            if (n > 1000000) Left(ParseError(
+              s"range() over 1e6 elements in '$src' (got $n)"))
+            else Right((st until stop by step).toVector)
           }
         }
       case Some(TPath(p)) =>

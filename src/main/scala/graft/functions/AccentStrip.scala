@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Accent folding as a codegen'd Catalyst expression: NFD-decompose,
-  * drop combining marks (Unicode category Mn), leave everything else —
+  * drop combining marks (Unicode category Mn), NFC-recompose —
   * `café` → `cafe`, `Ångström` → `Angstrom`. The OPT-IN lossy stage of
   * key canonicalization that [[NfcNormalize]]'s scaladoc points to:
   * accent-insensitive dedup keys, search-term folding, and the
@@ -22,8 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * base codepoint and has no canonical decomposition (ł, ø, đ) pass
   * through unchanged — the documented contract (matching what pure
   * UAX#15 NFD can express; a locale-aware transliterator is a
-  * different, heavier operator). Fast path: a string that is already
-  * NFD and carries no combining mark is its own fold, so ASCII (the
+  * different, heavier operator). Output is always NFC: the slow path
+  * recomposes after dropping marks, so mark-free characters with
+  * canonical decompositions (precomposed Hangul) round-trip unchanged
+  * and folded keys compose with NFC-keyed canonicalization. Fast
+  * path: a string normal under BOTH NFD and NFC with no combining
+  * mark is a fixed point of the whole pipeline, so ASCII (the
   * overwhelmingly common case) returns the input UTF8String without
   * allocating — one scan, no decode. NULL → NULL. A pure projection —
   * zero shuffles at any scale.
@@ -62,7 +66,12 @@ object AccentStrip {
     */
   def ofUtf8(s: UTF8String): UTF8String = {
     val str = s.toString
-    if (Normalizer.isNormalized(str, Normalizer.Form.NFD) && !hasMark(str)) s
+    // NFD-normal + NFC-normal + mark-free ⇒ fixed point of
+    // NFC(stripMn(NFD(x))): NFD leaves it, the strip finds nothing,
+    // NFC leaves it. (NFD-normal alone is NOT enough — decomposed
+    // jamo are NFD-normal and mark-free but NFC-compose.)
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFD) &&
+        Normalizer.isNormalized(str, Normalizer.Form.NFC) && !hasMark(str)) s
     else {
       val nfd = Normalizer.normalize(str, Normalizer.Form.NFD)
       val sb = new java.lang.StringBuilder(nfd.length)
@@ -73,7 +82,10 @@ object AccentStrip {
           sb.appendCodePoint(cp)
         i += Character.charCount(cp)
       }
-      UTF8String.fromString(sb.toString)
+      // recompose: the fold of a mark-free precomposed character is
+      // itself, and downstream NFC-keyed joins see NFC keys
+      UTF8String.fromString(
+        Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
     }
   }
 

@@ -71,8 +71,8 @@ object Timeseries {
     *
     * — the correct mean for irregularly-sampled state (a gauge, a
     * price, a queue depth), where the arithmetic mean over-weights
-    * bursts of samples. Keys with fewer than two observations emit
-    * NULL (zero elapsed time carries no average).
+    * bursts of samples. Keys with fewer than two observations are
+    * OMITTED from the output (zero elapsed time carries no average).
     *
     * One keyed lead() window (single exchange); the weighted sum runs
     * through DECIMAL (value×duration products summed in engine order

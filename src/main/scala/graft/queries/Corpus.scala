@@ -157,7 +157,11 @@ object Corpus {
       |    CASE WHEN source = 'src0' THEN 0.5
       |         WHEN source = 'src1' THEN 0.1
       |         ELSE 0.4 / 18 END AS w
-      |  FROM documents GROUP BY source),
+      |  FROM documents
+      |  -- mirror the Spark side's weight-map inner join: a domain
+      |  -- absent from the weight map is DROPPED, not defaulted
+      |  WHERE regexp_matches(source, '^src([0-9]|1[0-9])$')
+      |  GROUP BY source),
       |r AS (
       |  SELECT source, least(1.0, 30000.0 * w / tot) AS rate FROM wts)
       |SELECT d.doc_id, d.source,

@@ -462,6 +462,16 @@ class CompilerSpec extends AnyFunSuite {
     // step 0 errors loudly
     assert(Compiler.compile("{% for i in range(1, 5, 0) %}{% endfor %}",
       Context()).isLeft)
+    // a bound past Int.MaxValue elements is the same loud ParseError,
+    // not a NumericRange.length IllegalArgumentException escaping
+    // compile()'s Result contract
+    assert(Compiler.compile("{{ range(3000000000) }}", Context()).isLeft)
+    assert(Compiler.compile(
+      "{{ range(0, 9223372036854775807, 2) }}", Context()).isLeft)
+    // negative-step count uses the same Long math
+    assert(Compiler.compile(
+      "{% for i in range(10, 0, -4) %}{{ i }},{% endfor %}", Context())
+      == Right("10,6,2,"))
     // arithmetic heads render directly (not just inside conditions)
     val ctx = Context(params = Map("n" -> 4L))
     assert(Compiler.compile("{{ n * 2 + 1 }}", ctx) == Right("9"))
@@ -489,5 +499,13 @@ class CompilerSpec extends AnyFunSuite {
       == Right("{{ x }}"))
     // unterminated raw is a parse error, not silent passthrough
     assert(Compiler.compile("{% raw %}{{ x }}", ctx).isLeft)
+    // a literal NUL-framed number already in the template must not be
+    // mistaken for a stash sentinel: out-of-range indexes stay verbatim
+    assert(Compiler.compile("a\u000042\u0000b {% raw %}r{% endraw %}", ctx)
+      == Right("a\u000042\u0000b r"))
+    // nor crash when the digits overflow Int
+    assert(Compiler.compile(
+      "a\u000099999999999999\u0000 {% raw %}r{% endraw %}", ctx)
+      == Right("a\u000099999999999999\u0000 r"))
   }
 }

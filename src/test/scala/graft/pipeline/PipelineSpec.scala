@@ -115,6 +115,23 @@ class PipelineSpec extends SparkSpec {
       "łødđ", "ascii stays"))
   }
 
+  test("accentStrip output is NFC: mark-free decomposables round-trip") {
+    import java.text.Normalizer
+    import graft.functions.AccentStrip
+    // precomposed Hangul decomposes canonically but carries no accent —
+    // the NFC recompose must hand it back byte-identical, and every
+    // output (accented or not) must be NFC for downstream key joins
+    val hangul = "한국어"
+    val jamo = Normalizer.normalize(hangul, Normalizer.Form.NFD)
+    assert(jamo != hangul) // the trap: NFD really decomposes it
+    val df = Seq(hangul, jamo, "café", "résumé NFD: " + Normalizer
+      .normalize("résumé", Normalizer.Form.NFD)).toDF("t")
+    val out = df.select(AccentStrip.accentStrip(col("t"))).as[String].collect()
+    assert(out.forall(Normalizer.isNormalized(_, Normalizer.Form.NFC)))
+    assert(out.count(_ == hangul) == 2) // both forms land precomposed
+    assert(out.toSet == Set(hangul, "cafe", "resume NFD: resume"))
+  }
+
   test("accent_strip registers as a SQL function") {
     graft.functions.GraftExtensions.install(spark)
     assert(spark.sql("SELECT accent_strip('résumé')")
