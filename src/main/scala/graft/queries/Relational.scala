@@ -463,6 +463,78 @@ object Relational {
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_orderkey)""".stripMargin
 
+  // q164: the TPC-H Q13 shape — LEFT join customer→orders with the
+  // join-side filter INSIDE the join condition (a customer with only
+  // filtered-out orders must still appear, at count 0), then the
+  // count-of-counts histogram. The outer-join-then-distribution
+  // pattern funnel-coverage reports are built on: at scale the first
+  // aggregate shuffles on c_custkey (same key as the join — AQE
+  // coalesces), the second on the tiny c_count domain.
+  def q164CustDist(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") =!= "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q164Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count""".stripMargin
+
+  // q165: the TPC-H Q22 shape — substring-derived country code, a
+  // scalar-average threshold, and an anti-join ("well-funded customers
+  // in these codes with no urgent orders"). The scalar avg stays
+  // IN-PLAN as a 1-row (sum, count) aggregate broadcast-crossJoined
+  // onto the stream, and the threshold compares c_acctbal·n > Σ —
+  // double×int against an exact decimal sum, so both engines make
+  // bit-identical keep decisions (a raw avg's last-ulp would flip
+  // boundary rows). The anti-join is Spark's LeftAnti on o_custkey.
+  def q165GlobalSalesOpp(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+    val sel = t(s, dir, "customer")
+      .withColumn("cntrycode",
+        expr("substring(c_name, length(c_name)-1, 2)"))
+      .filter(col("cntrycode").isin(codes: _*))
+    val stats = sel.filter(col("c_acctbal") > 0.0)
+      .agg(sum(col("c_acctbal").cast("decimal(28,6)")).cast("double").as("_th_s"),
+        count(lit(1)).as("_th_n"))
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    sel.join(urgent, sel("c_custkey") === urgent("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(col("c_acctbal") * col("_th_n") > col("_th_s"))
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+  }
+
+  val q165Sql: String =
+    """WITH sel AS (
+      |  SELECT substring(c_name, length(c_name)-1, 2) AS cntrycode,
+      |         c_custkey, c_acctbal
+      |  FROM customer
+      |  WHERE substring(c_name, length(c_name)-1, 2)
+      |        IN ('13','31','23','29','30','18','17')),
+      |st AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS s,
+      |         count(*) AS n
+      |  FROM sel WHERE c_acctbal > 0.0)
+      |SELECT cntrycode, count(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS totacctbal
+      |FROM sel, st
+      |WHERE c_acctbal * st.n > st.s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = sel.c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY cntrycode""".stripMargin
+
   // q37: EXCEPT / INTERSECT set operations (distinct semantics), combined
   // so one entry covers both remaining set operators
   def q37SetOps(s: SparkSession, dir: String): DataFrame = {
@@ -681,6 +753,8 @@ object Relational {
     "q155_join_reorder" -> (q155JoinReorder _),
     "q157_null_semantics" -> (q157NullSemantics _),
     "q159_window_distinct" -> (q159WindowDistinct _),
+    "q164_cust_dist" -> (q164CustDist _),
+    "q165_global_sales_opp" -> (q165GlobalSalesOpp _),
     "q37_set_ops" -> (q37SetOps _),
     "q40_grouping_sets" -> (q40GroupingSets _),
     "q41_correlated_scalar" -> (q41CorrelatedScalar _),
@@ -713,6 +787,8 @@ object Relational {
     "q155_join_reorder" -> q155Sql,
     "q157_null_semantics" -> q157Sql,
     "q159_window_distinct" -> q159Sql,
+    "q164_cust_dist" -> q164Sql,
+    "q165_global_sales_opp" -> q165Sql,
     "q37_set_ops" -> q37Sql,
     "q40_grouping_sets" -> q40Sql,
     "q41_correlated_scalar" -> q41Sql,
