@@ -919,6 +919,90 @@ object Corpus {
     graft.pipeline.Similarity.semanticDedupAnn(
       t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
 
+  // q166: the fused CLEANING-PATH ingest — stripMarkup →
+  // qualityFilter (on the stripped text) → canonicalForDedup →
+  // exactDedup composed as ONE entry, the way the stages actually run
+  // in an ingest job; the oracle rebuilds the whole chain, proving the
+  // stages compose hash-exactly (the q119 composition pattern for the
+  // cleaning path). Every 3rd doc re-enters as a markup'd re-crawl
+  // (tags + entity + upper + double spacing, id+50000): the strip
+  // recovers the text, the gate scores copy and original identically
+  // (stripMarkup's whitespace collapse equalizes their token stats),
+  // and the canonical key collapses each surviving re-crawl onto its
+  // source. Short/degraded docs drop AT the gate, before the dedup
+  // exchange — at scale the only shuffles are the doc_id semi-join
+  // and the 16-byte-hash groupBy.
+  def q166IngestChain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val aug = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat(lit("<div class=\"post\"> "),
+            regexp_replace(upper(col("text")), " ", "  "),
+            lit(" </div>&nbsp;<script>var t = 1 < 2;</script>")).as("text")))
+    val stripped = graft.pipeline.TextClean.stripMarkup(aug, "text")
+      .select(col("doc_id"), col("stripped_text"))
+    val gate = graft.pipeline.TextStats.qualityFilter(
+      stripped, "doc_id", "stripped_text")
+    val kept = stripped.join(
+      gate.filter(col("is_kept") === 1).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    graft.pipeline.TextDedup.exactDedup(
+      kept.select(col("doc_id"),
+        graft.pipeline.TextClean.canonicalForDedup(col("stripped_text")).as("c")),
+      "doc_id", "c")
+  }
+
+  val q166Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 50000,
+      |    '<div class="post"> ' || regexp_replace(upper(text), ' ', '  ', 'g')
+      |    || ' </div>&nbsp;<script>var t = 1 < 2;</script>'
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |s1 AS (SELECT doc_id, regexp_replace(t,
+      |    '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t1
+      |  FROM aug),
+      |s2 AS (SELECT doc_id, regexp_replace(t1, '<[^>]+>', ' ', 'g') AS t2
+      |  FROM s1),
+      |s3 AS (SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(t2,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&') AS t3
+      |  FROM s2),
+      |st AS (SELECT doc_id, trim(regexp_replace(t3, '\s+', ' ', 'g'))
+      |    AS stripped FROM s3),
+      |tk AS (SELECT doc_id, unnest(string_split(stripped, ' ')) AS tok
+      |  FROM st),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |ts AS (SELECT doc_id, count(*) AS n_tokens, sum(length(tok)) AS sl
+      |  FROM tk2 GROUP BY 1),
+      |q AS (
+      |  SELECT st.doc_id, st.stripped,
+      |    coalesce(ts.n_tokens, 0) AS n_tokens,
+      |    CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN 0.0
+      |         ELSE CAST(ts.sl AS DOUBLE) / ts.n_tokens END AS atl,
+      |    CASE WHEN length(st.stripped) = 0 THEN 0.0
+      |         ELSE CAST(length(regexp_replace(st.stripped,
+      |             '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |           / length(st.stripped) END AS sym,
+      |    CASE WHEN length(st.stripped) = 0 THEN 0.0
+      |         ELSE CAST(length(regexp_replace(st.stripped,
+      |             '[^0-9]', '', 'g')) AS DOUBLE)
+      |           / length(st.stripped) END AS dig
+      |  FROM st LEFT JOIN ts USING (doc_id)),
+      |kept AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(nfc_normalize(stripped)), '\s+', ' ', 'g'))
+      |      AS c
+      |  FROM q
+      |  WHERE n_tokens >= 40 AND atl >= 2.0 AND atl <= 12.0
+      |    AND sym <= 0.1 AND dig <= 0.15)
+      |SELECT md5(c) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM kept GROUP BY 1""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -980,7 +1064,8 @@ object Corpus {
     "q158_accent_fold" -> (q158AccentFold _),
     "q160_accent_dedup" -> (q160AccentDedup _),
     "q162_count_min" -> (q162CountMin _),
-    "q163_semantic_dedup_ann" -> (q163SemanticDedupAnn _))
+    "q163_semantic_dedup_ann" -> (q163SemanticDedupAnn _),
+    "q166_ingest_chain" -> (q166IngestChain _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1006,5 +1091,6 @@ object Corpus {
     "q153_cross_near_dup" -> q153Sql,
     "q158_accent_fold" -> q158Sql,
     "q160_accent_dedup" -> q160Sql,
-    "q163_semantic_dedup_ann" -> q129Sql) // shared oracle: recall-1.0 ANN ≡ exact
+    "q163_semantic_dedup_ann" -> q129Sql, // shared oracle: recall-1.0 ANN ≡ exact
+    "q166_ingest_chain" -> q166Sql)
 }
