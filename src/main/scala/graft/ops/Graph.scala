@@ -37,11 +37,18 @@ object Graph {
     * Output: (node, pagerank) for every node appearing in any edge.
     *
     * Precondition: `weightCol` values are non-negative with a positive
-    * per-source sum (they normalize to transition probabilities); a
-    * negative weight silently corrupts the distribution, and checking
-    * it would cost a pass — validate upstream where weights are born
-    * (transition counts and tf-idf weights are non-negative by
-    * construction).
+    * per-source sum (they normalize to transition probabilities).
+    * VALIDATED for free: an observe() on the edge-normalization pass
+    * (which touches every weight anyway) checks `min(weight) >= 0` in
+    * the same job and throws instead of silently corrupting the
+    * distribution.
+    *
+    * Convergence telemetry: each round's plan carries a named
+    * observe() — `graft_pagerank_it<i>` with `l1_delta` =
+    * Σ|score′−score| — riding the SAME job as the round's
+    * materialization (no extra pass). The metrics reach every
+    * QueryExecutionListener and the event log, so a fixed-iteration
+    * run at 100 TB reports how converged it is without being re-run.
     */
   def pageRank(
       edges: DataFrame,
@@ -62,11 +69,18 @@ object Graph {
     // every round and a cached frame still carries its full logical
     // plan, which Catalyst re-analyzes and re-optimizes per action
     // (the dupClusters lesson, BASELINE.md r8)
+    val wObs = org.apache.spark.sql.Observation("graft_pagerank_weights")
     val w = materialize(edges.select(
         col(srcCol).as("_g_src"), col(dstCol).as("_g_dst"),
         col(weightCol).cast("double").as("_g_w"))
+      .observe(wObs, min(col("_g_w")).as("min_w"))
       .withColumn("_g_p", col("_g_w") / sum(col("_g_w")).over(perSrc))
       .select(col("_g_src"), col("_g_dst"), col("_g_p")))
+    val minW = wObs.get("min_w")
+    if (minW != null && minW.asInstanceOf[Double] < 0)
+      throw new IllegalArgumentException(
+        s"pageRank weights must be non-negative to normalize into " +
+          s"transition probabilities; min($weightCol) = $minW")
     val nodes = materialize(
       w.select(col("_g_src").as("node"))
         .union(w.select(col("_g_dst")))
@@ -86,15 +100,20 @@ object Graph {
         .agg(sum(col("score") * col("_g_p")).as("_g_in"))
       val dangling = scores.join(srcs, Seq("node"), "left_anti")
         .agg(coalesce(sum(col("score")), lit(0.0)).as("_g_dangling"))
-      val next = nodes
-        .join(contrib, nodes("node") === contrib("_g_dst"), "left")
+      // joining contrib onto SCORES (same node set as `nodes`, plus the
+      // previous score in-row) lets the round's L1 delta ride the same
+      // job as the materialization — no second pass, no extra exchange
+      val obs = org.apache.spark.sql.Observation(s"graft_pagerank_it$it")
+      val next = scores
+        .join(contrib, scores("node") === contrib("_g_dst"), "left")
         .crossJoin(broadcast(nn))
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("score").as("_g_prev"),
           (lit(1.0 - damping) / col("_g_n") +
             lit(damping) * (coalesce(col("_g_in"), lit(0.0)) +
               col("_g_dangling") / col("_g_n"))).as("score"))
-      scores = materialize(next)
+        .observe(obs, sum(abs(col("score") - col("_g_prev"))).as("l1_delta"))
+      scores = materialize(next).select(col("node"), col("score"))
       it += 1
     }
     scores.select(col("node"), col("score").as("pagerank"))
@@ -181,7 +200,11 @@ object Graph {
     * edge with (node, hub, authority), both vectors summing to 1.
     *
     * Same loop discipline as [[pageRank]]: frames materialized per
-    * round, two keyed exchanges per iteration, nothing driver-side.
+    * round, two keyed exchanges per iteration, nothing driver-side —
+    * and the same free validation/telemetry: `min(weight) >= 0` checked
+    * by an observe() on the edge-load pass, and each round's hub-vector
+    * L1 delta emitted as `graft_hits_it<i>`/`l1_delta` riding the
+    * round's own materialization job.
     */
   def hits(
       edges: DataFrame,
@@ -194,9 +217,15 @@ object Graph {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
+    val wObs = org.apache.spark.sql.Observation("graft_hits_weights")
     val w = materialize(edges.select(
-      col(srcCol).as("_g_src"), col(dstCol).as("_g_dst"),
-      col(weightCol).cast("double").as("_g_w")))
+        col(srcCol).as("_g_src"), col(dstCol).as("_g_dst"),
+        col(weightCol).cast("double").as("_g_w"))
+      .observe(wObs, min(col("_g_w")).as("min_w")))
+    val minW = wObs.get("min_w")
+    if (minW != null && minW.asInstanceOf[Double] < 0)
+      throw new IllegalArgumentException(
+        s"hits weights must be non-negative; min($weightCol) = $minW")
     val nodes = materialize(
       w.select(col("_g_src").as("node"))
         .union(w.select(col("_g_dst"))).distinct())
@@ -215,11 +244,17 @@ object Graph {
         .groupBy(col("_g_src"))
         .agg(sum(col("_g_w") * col("auth")).as("_g_hub"))
       val hTot = h.agg(sum(col("_g_hub")).as("_g_tot"))
+      // hub (not nodes) on the left: the previous hub value rides
+      // in-row, so the round's L1 delta observes on the same job
+      val obs = org.apache.spark.sql.Observation(s"graft_hits_it$it")
       hub = materialize(
-        nodes.join(h, nodes("node") === h("_g_src"), "left")
+        hub.join(h, hub("node") === h("_g_src"), "left")
           .crossJoin(broadcast(hTot))
-          .select(col("node"),
-            (coalesce(col("_g_hub"), lit(0.0)) / col("_g_tot")).as("hub")))
+          .select(col("node"), col("hub").as("_g_prev"),
+            (coalesce(col("_g_hub"), lit(0.0)) / col("_g_tot")).as("hub"))
+          .observe(obs,
+            sum(abs(col("hub") - col("_g_prev"))).as("l1_delta")))
+        .select(col("node"), col("hub"))
       it += 1
     }
     val aTot = auth.agg(sum(col("auth")).as("_g_atot"))

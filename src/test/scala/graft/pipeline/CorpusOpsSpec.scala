@@ -239,6 +239,66 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRank rejects negative weights loudly") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", -1L)).toDF("s", "d", "n")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "s", "d", "n", iters = 2).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.hits(edges, "s", "d", "n", iters = 2).collect()
+    }
+    assert(e2.getMessage.contains("non-negative"))
+  }
+
+  test("pageRank/hits emit per-round l1_delta convergence metrics") {
+    // the named observe() rides each round's materialization job and
+    // reaches every QueryExecutionListener — capture them and assert
+    // the fixed-iteration run actually reports (and reaches)
+    // convergence on a graph that mixes well
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_pagerank_it") ||
+              name.startsWith("graft_hits_it"))
+            seen.put(name, row.getAs[Double]("l1_delta"))
+        }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = Seq(
+          ("a", "b", 1L), ("b", "c", 2L), ("c", "a", 1L), ("a", "c", 1L))
+        .toDF("s", "d", "n")
+      Graph.pageRank(edges, "s", "d", "n", iters = 12).collect()
+      Graph.hits(edges, "s", "d", "n", iters = 12).collect()
+      // listener delivery is async: poll until the last round's metric
+      // lands (bounded)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((!seen.containsKey("graft_pagerank_it11") ||
+          !seen.containsKey("graft_hits_it11")) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(seen.containsKey("graft_pagerank_it0"))
+      assert(seen.containsKey("graft_pagerank_it11"))
+      assert(seen.containsKey("graft_hits_it11"))
+      // power iteration contracts by ~damping per round (0.85^11 of
+      // the initial delta): the reported numbers must show that decay
+      // (this is what an operator reads at 100 TB instead of
+      // re-running) — near-zero needs ~80 rounds, not 12
+      assert(seen.get("graft_pagerank_it11") < 1e-2,
+        s"pagerank final delta ${seen.get("graft_pagerank_it11")}")
+      assert(seen.get("graft_pagerank_it11") <
+        seen.get("graft_pagerank_it0") / 5.0)
+      assert(seen.get("graft_hits_it11") < 1e-2,
+        s"hits final delta ${seen.get("graft_hits_it11")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // ---- Graph.triangles ----
 
   test("triangles counts K4 as 3 per node, coefficient 1") {
