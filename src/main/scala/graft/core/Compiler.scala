@@ -20,9 +20,9 @@ import scala.collection.mutable
   *     positional/keyword/default arguments and definition-scope closure;
   *   - cross-file composition via the Context loader: `{% include 'f' %}`
   *     (rendered in the current scope), `{% import 'f' %}` (flat merge of
-  *     the file's macros/assignments) and `{% from 'f' import a, b %}`;
-  *     namespaced `import … as ns` is rejected with a pointer to the
-  *     supported forms;
+  *     the file's macros/assignments), `{% from 'f' import a, b as c %}`
+  *     and namespaced `{% import 'f' as ns %}` with dotted access
+  *     (`{{ ns.macro(...) }}`, `{{ ns.var }}`);
   *   - `{% raw %} … {% endraw %}` verbatim blocks (template syntax
   *     inside passes through untouched — the escape hatch for SQL that
   *     itself contains `{{`);
@@ -70,9 +70,13 @@ object Compiler {
   /** `names = None` imports every macro/assignment; `Some(ns)` is the
     * `{% from %}` form restricted to those `(source, boundAs)` pairs —
     * `boundAs` differs from `source` under `{% from 'f' import a as b %}`.
+    * `alias = Some(ns)` is the namespaced `{% import 'f' as ns %}` form:
+    * the file's definitions bind under ONE scope key as a map, reached
+    * with dotted access (`{{ ns.macro(...) }}`, `{{ ns.var }}`).
     */
   private final case class ImportNode(
-      pathExpr: String, names: Option[Seq[(String, String)]]) extends Node
+      pathExpr: String, names: Option[Seq[(String, String)]],
+      alias: Option[String] = None) extends Node
 
   /** A defined `{% macro %}`, stored in the template scope like any other
     * value; closes over its definition scope (Jinja semantics).
@@ -197,16 +201,21 @@ object Compiler {
               case "import" =>
                 i += 1
                 val header = tag.stripPrefix("import").trim
-                // namespaced `{% import 'x' as m %}` would need dotted
-                // call resolution — fail loudly instead of silently
-                // flattening (use {% from 'x' import name %} or a plain
-                // import, which merges macros into the current scope)
-                if (header.split("\\s+").contains("as"))
-                  return Left(ParseError(
-                    "namespaced import ('{% import ... as ns %}') is not " +
-                      "supported; use {% from 'file' import name, ... %} " +
-                      "or {% import 'file' %} (flat merge)"))
-                out += ImportNode(header, None)
+                val NsHeader = "(?s)^(.+?)\\s+as\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+                header match {
+                  // namespaced `{% import 'x' as ns %}`: definitions
+                  // bind under the single name `ns`, reached via dotted
+                  // access — Jinja module semantics
+                  case NsHeader(path, ns) =>
+                    out += ImportNode(path.trim, None, Some(ns))
+                  case _ if header.split("\\s+").contains("as") =>
+                    return Left(ParseError(
+                      s"malformed import tag: {% import $header %} " +
+                        "(expected {% import 'file' %} or " +
+                        "{% import 'file' as ns %})"))
+                  case _ =>
+                    out += ImportNode(header, None)
+                }
               case "from" =>
                 i += 1
                 val FromHeader = "(?s)^(.+?)\\s+import\\s+(.+)$".r
@@ -442,19 +451,29 @@ object Compiler {
           // scope changes inside the included file do not leak back
           loadTemplate(pathExpr, ctx, scope)
             .flatMap { case (_, nodes2) => render(nodes2, ctx, scope, depth + 1) }
-        case ImportNode(pathExpr, names) =>
+        case ImportNode(pathExpr, names, alias) =>
           // Jinja import semantics: the imported template renders against
           // the GLOBAL context only (not the including scope), its output
           // is discarded, and its macros/assignments enter this scope
           loadTemplate(pathExpr, ctx, scope).flatMap { case (path, nodes2) =>
             renderScope(nodes2, ctx, ctx.params, depth + 1).flatMap {
               case (_, imported, importedKeys) =>
-                names match {
-                  case None =>
+                (names, alias) match {
+                  case (None, Some(ns)) =>
+                    // namespaced: ONE scope binding holding the module's
+                    // definitions as a map — lookup()'s dotted-path walk
+                    // makes {{ ns.var }} / {{ ns.macro(...) }} resolve,
+                    // and a later {% set ns = ... %} shadows the module
+                    // like any other name (Jinja behavior)
+                    scope += (ns ->
+                      imported.view.filterKeys(importedKeys).toMap)
+                    definedKeys += ns
+                    Right("")
+                  case (None, None) =>
                     scope ++= imported.view.filterKeys(importedKeys).toMap
                     definedKeys ++= importedKeys
                     Right("")
-                  case Some(ns) =>
+                  case (Some(ns), _) =>
                     val missing = ns.collect {
                       case (src, _) if !importedKeys.contains(src) => src
                     }
@@ -500,7 +519,9 @@ object Compiler {
         s"include/import path must be a string, got: $other"))
     }
 
-  private val CallRe = "^([a-zA-Z_][a-zA-Z0-9_]*)\\((.*)\\)$".r
+  // dotted head names resolve through lookup(), so a namespaced-import
+  // macro ({{ ns.macro(...) }}) calls like a flat one
+  private val CallRe = "^([a-zA-Z_][a-zA-Z0-9_.]*)\\((.*)\\)$".r
 
   /** An unquoted macro argument: `src(tbl)` references the template
     * variable `tbl` (Jinja semantics); if no such variable exists the word

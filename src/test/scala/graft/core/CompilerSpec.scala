@@ -436,9 +436,43 @@ class CompilerSpec extends AnyFunSuite {
       == Right("v3"))
   }
 
-  test("import is namespaced-free by design; missing files and cycles error") {
-    val Left(e1) = Compiler.compile("{% import 'macros.sql' as m %}", loaded())
-    assert(e1.toString.contains("namespaced import"))
+  test("namespaced import: dotted macro calls, vars, and shadowing") {
+    // macros and top-level assignments reach through the namespace
+    assert(Compiler.compile(
+      "{% import 'macros.sql' as m %}{{ m.greet('w') }} v{{ m.version }}",
+      loaded()) == Right("hello w v3"))
+    // filters compose on the dotted call like any head
+    assert(Compiler.compile(
+      "{% import 'macros.sql' as m %}{{ m.shout('hi') }}", loaded())
+      == Right("HI"))
+    // the namespace is ONE binding: unqualified names stay undefined
+    assert(Compiler.compile(
+      "{% import 'macros.sql' as m %}{{ greet('w') }}", loaded()).isLeft)
+    assert(Compiler.compile(
+      "{% import 'macros.sql' as m %}{{ version }}", loaded()).isLeft)
+    // an undefined member errors like any undefined path
+    assert(Compiler.compile(
+      "{% import 'macros.sql' as m %}{{ m.nope }}", loaded()).isLeft)
+    // {% set %} shadows the module name afterwards (Jinja scoping)
+    assert(Compiler.compile(
+      "{% import 'macros.sql' as m %}{% set m = 9 %}{{ m }}", loaded())
+      == Right("9"))
+    // two namespaces of the same file coexist; flat import still works
+    assert(Compiler.compile(
+      "{% import 'macros.sql' as a %}{% import 'macros.sql' as b %}" +
+        "{% import 'macros.sql' %}{{ a.version }}{{ b.version }}{{ version }}",
+      loaded()) == Right("333"))
+    // `is defined` consults the namespace map
+    assert(Compiler.compile(
+      "{% import 'macros.sql' as m %}" +
+        "{% if m.version is defined %}Y{% endif %}" +
+        "{% if m.nope is defined %}N{% endif %}", loaded()) == Right("Y"))
+    // a malformed alias is a loud parse error
+    val Left(e0) = Compiler.compile("{% import 'macros.sql' as 2x %}", loaded())
+    assert(e0.toString.contains("malformed import"))
+  }
+
+  test("missing files and include cycles error") {
     val Left(e2) = Compiler.compile("{% include 'gone.sql' %}", loaded())
     assert(e2.toString.contains("not found"))
     val Left(e3) = Compiler.compile("{% include 'a.sql' %}", loaded())
