@@ -495,4 +495,75 @@ object Similarity {
       .withColumn("is_kept",
         (col(idCol) === col("canonical_id")).cast("int"))
   }
+
+  /** Symmetric per-vector int8 quantization: each embedding is scaled by
+    * its own max-|v|/127 and rounded, so every component lands in
+    * [-127, 127] and the vector's direction survives to ~0.4% relative
+    * error — the standard 4× storage cut (float32 → int8) for a 100 TB
+    * embedding store, and the precondition for integer-only distance
+    * kernels ([[quantizedKnn]]).
+    *
+    * Entirely in-row (array higher-order functions, no UDF, no shuffle):
+    * the quantized corpus is produced by a single scan and writes
+    * straight back out. Determinism: v·127/max runs in IEEE double on
+    * every engine; ties round away from zero on both Spark (HALF_UP)
+    * and DuckDB, and can only arise from exactly-representable halves.
+    * All-zero vectors quantize to all zeros with scale 0 (no 0/0).
+    *
+    * Output: (idCol, qv: array<long> of int8-range values,
+    * scale: double = max-|v|/127 — the dequantization factor the store
+    * keeps beside each vector; v ≈ qv·scale).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol),
+        transform(col(embCol), v => v.cast("double")).as("_v"))
+      .select(col(idCol), col("_v"),
+        array_max(transform(col("_v"), v => abs(v))).as("_ma"))
+      .select(col(idCol),
+        when(col("_ma") === 0.0, transform(col("_v"), _ => lit(0L)))
+          .otherwise(transform(col("_v"),
+            v => round(v * lit(127.0) / col("_ma"), 0).cast("long")))
+          .as("qv"),
+        (col("_ma") / lit(127.0)).as("scale"))
+
+  /** Exact inner-product top-k (MIPS) over the int8-quantized corpus —
+    * the retrieval kernel a quantized dense-retriever store actually
+    * runs (FAISS SQ8 style): the hot loop is one INTEGER dot product
+    * per pair (in-row through the codegen'd
+    * [[graft.functions.LongArrayDot]]), then the score dequantizes as
+    * idot·scale_q·scale_n with the two per-vector scales the store
+    * keeps beside the vectors. The dequantized score is d6-rounded
+    * BEFORE the rank (q123's discipline — the three-factor product is
+    * IEEE-deterministic in fixed order, d6 absorbs nothing but keeps
+    * the contract uniform) with an id tie-break.
+    *
+    * Same broadcast nested-loop shape as [[bruteForceKnn]]: the
+    * quantized query block broadcasts, the corpus scan never
+    * reshuffles. Ranking is by inner product, not cosine — for cosine
+    * semantics L2-normalize upstream before quantizing. This is the
+    * re-rank kernel; at corpus scale feed it [[annLsh]] / IVF
+    * candidates instead of the full corpus, exactly as with the float
+    * path. Output: (qid, nid, rank, score).
+    */
+  def quantizedKnn(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int = 10): DataFrame = {
+    val e = quantizeInt8(df, idCol, embCol)
+    val q = df.filter(queryPred).select(col(idCol).as("_query_id"))
+    val qSide = e.join(q, e(idCol) === q("_query_id"), "left_semi")
+      .select(col(idCol).as("qid"), col("qv").as("qq"),
+        col("scale").as("q_scale"))
+    val score = (packedDot(col("qq"), col("qv")).cast("double") *
+      col("q_scale") * col("scale")).cast("decimal(28,6)").cast("double")
+    val scored = e.join(broadcast(qSide), col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"), score.as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    scored.select(col("qid"), col("nid"), row_number().over(w).as("rank"),
+        col("score"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -62,6 +62,41 @@ object TextClean {
       .otherwise(stripped)
   }
 
+  /** Absolute-URL canonicalization — the dedup key for a crawl frontier
+    * / URL-level dedup pass: lowercase the scheme and host (they are
+    * case-insensitive; the path is NOT touched), drop the fragment,
+    * strip the ubiquitous tracking parameters (`utm_*`, `gclid`,
+    * `fbclid`) wherever they sit in the query string, drop the scheme's
+    * default port (`:80` http / `:443` https — others kept), and
+    * normalize an empty path to `/`. Regex-only (no java.net.URI — its
+    * parse failures throw row-level, and every pattern here is
+    * RE2-portable: no lookaround, no backrefs in replacements).
+    * Assumes absolute `scheme://...` URLs; anything else passes
+    * through with an empty scheme/host and is the caller's filter.
+    *
+    * Pure in-row projection — canonicalizing 100 TB of URLs is a scan.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport = lower(
+      regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val rest0 = regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", "")
+    val rest1 = regexp_replace(rest0, "#.*$", "")
+    // tracking params: non-leading ones drop with their '&'; a leading
+    // one hands '?' to the first survivor, or vanishes with the query
+    val rest2 = regexp_replace(rest1,
+      "&(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&]*", "")
+    val rest3 = regexp_replace(rest2,
+      "\\?(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&]*&", "?")
+    val rest4 = regexp_replace(rest3,
+      "\\?(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&]*$", "")
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = when(rest4 === "", lit("/")).otherwise(rest4)
+    concat(scheme, lit("://"), host, path)
+  }
+
   // markup-stripping patterns: the regex subset with identical Java/RE2
   // semantics (inline (?s) dotall, lazy repeat, no lookaround)
   val scriptBlockRe = "(?s)<(script|style)[^>]*>.*?</(script|style)>"

@@ -1003,6 +1003,220 @@ object Corpus {
       |  count(*) AS n_copies
       |FROM kept GROUP BY 1""".stripMargin
 
+  // q167: symmetric per-vector int8 quantization — the 4× storage cut
+  // a 100 TB embedding store takes before anything else touches it.
+  // Output is the long form (vec_id, pos, qv, scale) so the oracle
+  // compares 32k INTEGER cells plus the per-vector dequant scale, no
+  // array-serialization ambiguity. The scale v·127/max runs in IEEE
+  // double on both engines over identical FLOAT→DOUBLE inputs; ties
+  // (exactly-representable halves) round away from zero on both. One
+  // scan, in-row, no shuffle.
+  def q167QuantizeEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.quantizeInt8(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), d6(col("scale")).as("scale"),
+        posexplode(col("qv")).as(Seq("p0", "qv")))
+      .select(col("vec_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("qv"), col("scale"))
+
+  val q167Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, MAX(ABS(v)) AS ma FROM e GROUP BY 1)
+      |SELECT e.vec_id, CAST(pos AS BIGINT) AS pos,
+      |  CASE WHEN m.ma = 0 THEN 0
+      |       ELSE CAST(ROUND(v * 127.0 / m.ma) AS BIGINT) END AS qv,
+      |  CAST(CAST(m.ma / 127.0 AS DECIMAL(28,6)) AS DOUBLE) AS scale
+      |FROM e JOIN m ON e.vec_id = m.vec_id""".stripMargin
+
+  // q168: exact inner-product top-k (MIPS) over the int8-quantized
+  // corpus — the FAISS-SQ8-style retrieval kernel: the hot loop is one
+  // in-row codegen'd INTEGER dot per pair (LongArrayDot), dequantized
+  // as idot·scale_q·scale_n with the stored per-vector scales, ranked
+  // after d6 rounding with a nid tie-break (quantized scores tie more
+  // often than full-precision ones — the tie-break is load-bearing on
+  // BOTH sides). Quantized queries broadcast into a nested-loop join; the
+  // only movement is the per-query rank window.
+  def q168QuantizedKnn(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.quantizedKnn(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 5, k = 10)
+
+  val q168Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, MAX(ABS(v)) AS ma FROM e GROUP BY 1),
+      |q8 AS (
+      |  SELECT e.vec_id, pos,
+      |    CASE WHEN m.ma = 0 THEN 0
+      |         ELSE CAST(ROUND(v * 127.0 / m.ma) AS BIGINT) END AS qv
+      |  FROM e JOIN m ON e.vec_id = m.vec_id),
+      |q AS (SELECT vec_id AS qid, pos, qv FROM q8 WHERE vec_id < 5),
+      |dots AS (SELECT q.qid, q8.vec_id AS nid,
+      |           CAST(SUM(q.qv * q8.qv) AS BIGINT) AS idot
+      |         FROM q JOIN q8 ON q.pos = q8.pos GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT qid, nid,
+      |    CAST(CAST(CAST(idot AS DOUBLE) * (mq.ma / 127.0) * (mn.ma / 127.0)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS score
+      |  FROM dots JOIN m mq ON qid = mq.vec_id JOIN m mn ON nid = mn.vec_id
+      |  WHERE qid <> nid)
+      |SELECT qid, nid, rank, score FROM (
+      |  SELECT qid, nid, score,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC)
+      |      AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin
+
+  // q169: URL canonicalization + URL-level dedup — the crawl-frontier
+  // key. Planted variants (the fixture has no url column — q145's
+  // pattern) exercise every rule: case-folding scheme/host, default
+  // port drop (:80/:443) vs non-default keep (:8080), fragment drop,
+  // tracking-param strip in leading/trailing/only position, empty-path
+  // → '/'. Variant 2 plants page=doc_id−1 so its canonical COLLIDES
+  // with variant 1's for the adjacent id (real dup groups, n_urls=2),
+  // and variant 5 is id-independent (one big group). GroupBy canonical
+  // = the frontier dedup; at scale it's a 16-byte-hashable string key
+  // on the only exchange.
+  def q169UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url =
+      when(id % 6 === 0, concat(lit("HTTP://WWW.Example.COM:80/Art/"),
+        id.cast("string")))
+      .when(id % 6 === 1, concat(lit("https://example.com/a?utm_source=feed&page="),
+        id.cast("string")))
+      .when(id % 6 === 2, concat(lit("https://Example.COM:443/a?page="),
+        (id - 1).cast("string"), lit("&utm_campaign=z#frag")))
+      .when(id % 6 === 3, concat(lit("https://example.com/"),
+        id.cast("string"), lit("?utm_a=1&fbclid=xyz")))
+      .when(id % 6 === 4, concat(lit("http://example.com:8080/x"),
+        id.cast("string"), lit("#sec")))
+      .otherwise(lit("HTTPS://CDN.Example.com"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.pipeline.TextClean.canonicalUrl(url).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_urls"))
+  }
+
+  val q169Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Art/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN 'https://example.com/a?utm_source=feed&page=' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'https://Example.COM:443/a?page=' || CAST(doc_id - 1 AS VARCHAR) || '&utm_campaign=z#frag'
+      |      WHEN 3 THEN 'https://example.com/' || CAST(doc_id AS VARCHAR) || '?utm_a=1&fbclid=xyz'
+      |      WHEN 4 THEN 'http://example.com:8080/x' || CAST(doc_id AS VARCHAR) || '#sec'
+      |      ELSE 'HTTPS://CDN.Example.com' END AS url
+      |  FROM documents),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+      |    regexp_replace(regexp_replace(url,
+      |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', ''), '#.*$', '') AS r1
+      |  FROM u),
+      |q3 AS (
+      |  SELECT doc_id, scheme, hostport,
+      |    regexp_replace(regexp_replace(regexp_replace(r1,
+      |      '&(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&]*', '', 'g'),
+      |      '\?(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&]*&', '?'),
+      |      '\?(utm_[a-zA-Z0-9]+|gclid|fbclid)=[^&]*$', '') AS rest
+      |  FROM parts),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' ||
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |         ELSE hostport END ||
+      |    CASE WHEN rest = '' THEN '/' ELSE rest END AS canonical_url
+      |  FROM q3)
+      |SELECT canonical_url, min(doc_id) AS first_doc, count(*) AS n_urls
+      |FROM canon GROUP BY 1""".stripMargin
+
+  // q170: the per-language corpus mix report — the table a pretraining
+  // run reads before setting sampling weights (docs, tokens, chars,
+  // chars/token, share of corpus tokens per language). One partial-agg
+  // groupBy over in-row token counts; the grand total rides back in as
+  // a 1-row broadcast crossJoin (the in-plan-N pattern), so the report
+  // is two scans of nothing but the agg output at any corpus size.
+  def q170CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = t(s, dir, "documents").select(col("lang"), col("n_chars"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_toks"))
+    val g = perDoc.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(col("n_chars")).as("total_chars"))
+    val tot = g.agg(sum(col("n_tokens")).as("_g_tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("total_chars"),
+        d6(col("total_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"),
+        d6(col("n_tokens").cast("double") / col("_g_tot").cast("double"))
+          .as("token_share"))
+  }
+
+  val q170Sql: String =
+    """WITH td AS (
+      |  SELECT lang, n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS BIGINT) AS n_toks
+      |  FROM documents),
+      |g AS (SELECT lang, count(*) AS n_docs,
+      |        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |        CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |      FROM td GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM g)
+      |SELECT lang, n_docs, n_tokens, total_chars,
+      |  CAST(CAST(CAST(total_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS chars_per_token,
+      |  CAST(CAST(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS token_share
+      |FROM g CROSS JOIN t""".stripMargin
+
+  // q171: CCNet-style perplexity tiers — every document lands in
+  // head/middle/tail by unigram-LM per-token logprob tertile, the
+  // standard quality split before sampling. Composes two green
+  // operators: q116's LM scoring (d6-rounded, its exact discipline)
+  // and q134's equi-depth bucketing (exact percentile boundaries,
+  // round(·,4), broadcast back — the scale-correct ntile: no global
+  // sort anywhere, the boundary frame is 1 row).
+  def q171PerplexityTiers(s: SparkSession, dir: String): DataFrame = {
+    val lp = graft.pipeline.TextStats.unigramLogProb(
+      t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), d6(col("avg_logprob")).as("lp"))
+    graft.ops.Profile.quantileBuckets(lp, "lp", nBuckets = 3)
+      .select(col("doc_id"), col("n_tokens"), col("lp"),
+        when(col("bucket") === 2, lit("head"))
+          .when(col("bucket") === 1, lit("middle"))
+          .otherwise(lit("tail")).as("tier"))
+  }
+
+  val q171Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |c AS (SELECT tok, count(*) AS cnt FROM tk2 GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+      |lp AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(CAST(sum(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+      |        / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS lp
+      |  FROM tk2 JOIN c USING (tok) CROSS JOIN t
+      |  GROUP BY doc_id),
+      |b AS (SELECT list_transform(quantile_cont(lp, [1.0/3, 2.0/3]),
+      |        q -> round(q, 4)) AS bs FROM lp)
+      |SELECT doc_id, n_tokens, lp,
+      |  CASE len(list_filter((SELECT bs FROM b), q -> q <= lp))
+      |    WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
+      |FROM lp""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -1065,7 +1279,12 @@ object Corpus {
     "q160_accent_dedup" -> (q160AccentDedup _),
     "q162_count_min" -> (q162CountMin _),
     "q163_semantic_dedup_ann" -> (q163SemanticDedupAnn _),
-    "q166_ingest_chain" -> (q166IngestChain _))
+    "q166_ingest_chain" -> (q166IngestChain _),
+    "q167_quantize_embed" -> (q167QuantizeEmbed _),
+    "q168_quantized_knn" -> (q168QuantizedKnn _),
+    "q169_url_canonicalize" -> (q169UrlCanonicalize _),
+    "q170_corpus_report" -> (q170CorpusReport _),
+    "q171_perplexity_tiers" -> (q171PerplexityTiers _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1092,5 +1311,10 @@ object Corpus {
     "q158_accent_fold" -> q158Sql,
     "q160_accent_dedup" -> q160Sql,
     "q163_semantic_dedup_ann" -> q129Sql, // shared oracle: recall-1.0 ANN ≡ exact
-    "q166_ingest_chain" -> q166Sql)
+    "q166_ingest_chain" -> q166Sql,
+    "q167_quantize_embed" -> q167Sql,
+    "q168_quantized_knn" -> q168Sql,
+    "q169_url_canonicalize" -> q169Sql,
+    "q170_corpus_report" -> q170Sql,
+    "q171_perplexity_tiers" -> q171Sql)
 }

@@ -15,6 +15,31 @@ import org.apache.spark.unsafe.types.UTF8String
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- canonicalUrl ----
+
+  test("canonicalUrl: case, ports, fragments, tracking params, empty path") {
+    val cases = Seq(
+      // scheme+host case-fold, default port drop, path case kept
+      "HTTP://WWW.Example.COM:80/Art/7" -> "http://www.example.com/Art/7",
+      "https://Example.COM:443/a?page=1" -> "https://example.com/a?page=1",
+      // non-default port survives
+      "http://example.com:8080/x#sec" -> "http://example.com:8080/x",
+      // tracking params: leading (hands ? to survivor), trailing, only
+      "https://e.com/a?utm_source=f&page=2" -> "https://e.com/a?page=2",
+      "https://e.com/a?page=2&utm_campaign=z" -> "https://e.com/a?page=2",
+      "https://e.com/a?utm_a=1&fbclid=x" -> "https://e.com/a",
+      // consecutive tracked params around a survivor
+      "https://e.com/a?utm_a=1&gclid=2&p=3&utm_b=4" -> "https://e.com/a?p=3",
+      // empty path → '/', host lowered
+      "HTTPS://CDN.Example.com" -> "https://cdn.example.com/",
+      // non-tracking params and path are untouched
+      "https://e.com/A/B?x=1&y=2" -> "https://e.com/A/B?x=1&y=2")
+    val out = cases.map(_._1).toDF("u")
+      .select(TextClean.canonicalUrl(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
   // ---- NfcNormalize ----
 
   test("nfcNormalize composes decomposed sequences; NFC text untouched") {

@@ -875,6 +875,52 @@ class PipelineSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("quantizeInt8: symmetric max-abs scale, zero-vector safe, int8 range") {
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getDouble(2))))
+      .toMap
+    // scale = 1.0/127: round(63.5) away from zero = 64; max component
+    // pins to exactly -127; the zero vector never divides by zero
+    assert(out(0L) == ((Seq(64L, -127L, 32L, 0L), 1.0 / 127.0)))
+    assert(out(1L) == ((Seq(0L, 0L, 0L, 0L), 0.0)))
+    // fixture-wide: every component in [-127, 127], and every non-zero
+    // vector attains |127| at its max-magnitude component
+    val fx = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+      .select(array_max(transform(col("qv"), v => abs(v))).as("m"))
+      .collect().map(_.getLong(0))
+    assert(fx.forall(_ == 127L))
+  }
+
+  test("quantizedKnn: integer MIPS agrees with exact float inner product") {
+    val pred = col("vec_id") < 5
+    val quant = Similarity.quantizedKnn(embs, "vec_id", "embedding", pred, k = 10)
+    val qs = quant.collect()
+    assert(qs.length == 50) // 5 queries × k
+    assert(qs.forall(r => r.getLong(0) != r.getLong(1))) // no self-match
+    // per-query ranks are exactly 1..10
+    assert(qs.groupBy(_.getLong(0)).values
+      .forall(_.map(_.getInt(2)).sorted.toSeq == (1 to 10)))
+    // exact FLOAT inner-product baseline (the metric quantizedKnn
+    // approximates — MIPS, not cosine), computed directly
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val exact = (for {
+      (qid, qv) <- all if qid < 5
+      (nid, _) <- all.sortBy { case (nid, nv) =>
+        (-qv.zip(nv).map { case (a, b) => a * b }.sum, nid)
+      }.filter(_._1 != qid).take(10)
+    } yield (qid, nid)).toSet
+    // int8 quantization perturbs scores ~0.4%: the top-k sets stay
+    // nearly identical to the float kernel's on 64-dim vectors
+    val got = qs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact intersect got).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"overlap $overlap")
+  }
+
   test("embeddingDupPairs finds the planted duplicate pair") {
     val df = Seq(
       (0L, Array(0.5f, 0.5f, 0.1f)),
