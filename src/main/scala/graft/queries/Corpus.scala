@@ -1217,6 +1217,100 @@ object Corpus {
       |    WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS tier
       |FROM lp""".stripMargin
 
+  // q172: the filter-funnel attrition report — per-rule drop counts
+  // for the C4 gate cascade (q146's planted corpus), the table a
+  // curation run publishes so "we filtered 60% of the crawl" is
+  // decomposable by reason. qualityFilter already emits the
+  // first-failing-rule reason per doc; the report is one groupBy over
+  // it plus the in-plan total for shares. At scale: the same single
+  // scan as the gate itself, agg output is ≤ 5 rows.
+  def q172FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    val planted =
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" "), repeat(lit("12345 "), 30)))
+        .when(col("doc_id") % 4 === 1,
+          concat(col("text"), lit(" "), repeat(lit("@#$%& "), 25)))
+        .when(col("doc_id") % 4 === 2, substring(col("text"), 1, 20))
+        .otherwise(col("text"))
+    val gate = graft.pipeline.TextStats.qualityFilter(
+      t(s, dir, "documents").select(col("doc_id"), planted.as("t")),
+      "doc_id", "t")
+    val g = gate.groupBy(col("reason")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_docs")).as("_g_tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col("reason"), col("n_docs"), col("n_tokens"),
+        d6(col("n_docs").cast("double") / col("_g_tot").cast("double"))
+          .as("doc_share"))
+  }
+
+  val q172Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id, CASE doc_id % 4
+      |    WHEN 0 THEN text || ' ' || repeat('12345 ', 30)
+      |    WHEN 1 THEN text || ' ' || repeat('@#$%& ', 25)
+      |    WHEN 2 THEN substring(text, 1, 20)
+      |    ELSE text END AS t
+      |  FROM documents),
+      |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM m),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |ts AS (SELECT doc_id, count(*) AS n_tokens, sum(length(tok)) AS sl
+      |       FROM tk2 GROUP BY 1),
+      |ch AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_replace(t, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      |      AS n_sym,
+      |    CAST(length(regexp_replace(t, '[^0-9]', '', 'g')) AS BIGINT)
+      |      AS n_dig
+      |  FROM m),
+      |j AS (
+      |  SELECT ch.doc_id, coalesce(ts.n_tokens, 0) AS n_tokens,
+      |    CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN 0.0
+      |         ELSE CAST(ts.sl AS DOUBLE) / ts.n_tokens END AS atl,
+      |    CASE WHEN ch.n_chars = 0 THEN 0.0
+      |         ELSE CAST(ch.n_sym AS DOUBLE) / ch.n_chars END AS sym,
+      |    CASE WHEN ch.n_chars = 0 THEN 0.0
+      |         ELSE CAST(ch.n_dig AS DOUBLE) / ch.n_chars END AS dig
+      |  FROM ch LEFT JOIN ts USING (doc_id)),
+      |v AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN n_tokens < 40 THEN 'too_short'
+      |         WHEN atl < 2.0 OR atl > 12.0 THEN 'token_len'
+      |         WHEN sym > 0.1 THEN 'symbol'
+      |         WHEN dig > 0.15 THEN 'numeric'
+      |         ELSE 'kept' END AS reason
+      |  FROM j),
+      |g AS (SELECT reason, count(*) AS n_docs,
+      |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |      FROM v GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM g)
+      |SELECT reason, n_docs, n_tokens,
+      |  CAST(CAST(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS doc_share
+      |FROM g CROSS JOIN tt""".stripMargin
+
+  // q173: leakage-safe grouped split — train/val/test assigned by the
+  // GROUP key (source domain), not the row, so every document of a
+  // source lands in the same split: near-duplicates and templated
+  // pages cluster within sources, and a row-level split would leak
+  // them across train/test (the dedup-aware split rule). Same
+  // portable-md5 thresholds as q50; grouping costs nothing — the hash
+  // input just switches to the group column. Pure projection, zero
+  // shuffles, trivially 100 TB-safe.
+  def q173GroupSplit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.hashSplit(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  val q173Sql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN h < 800000 THEN 'train'
+      |       WHEN h < 900000 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST(concat('0x', substring(md5(source), 1, 8)) AS BIGINT)
+      |      % 1000000 AS h
+      |  FROM documents)""".stripMargin
+
   // q137: canonical-form dedup — exactDedup over
   // TextClean.canonicalForDedup keys. Every document gains a precomposed
   // ' café' suffix; every 7th doc also re-enters as a "re-crawl"
@@ -1284,7 +1378,9 @@ object Corpus {
     "q168_quantized_knn" -> (q168QuantizedKnn _),
     "q169_url_canonicalize" -> (q169UrlCanonicalize _),
     "q170_corpus_report" -> (q170CorpusReport _),
-    "q171_perplexity_tiers" -> (q171PerplexityTiers _))
+    "q171_perplexity_tiers" -> (q171PerplexityTiers _),
+    "q172_filter_funnel" -> (q172FilterFunnel _),
+    "q173_group_split" -> (q173GroupSplit _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1316,5 +1412,7 @@ object Corpus {
     "q168_quantized_knn" -> q168Sql,
     "q169_url_canonicalize" -> q169Sql,
     "q170_corpus_report" -> q170Sql,
-    "q171_perplexity_tiers" -> q171Sql)
+    "q171_perplexity_tiers" -> q171Sql,
+    "q172_filter_funnel" -> q172Sql,
+    "q173_group_split" -> q173Sql)
 }

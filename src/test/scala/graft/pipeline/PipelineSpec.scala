@@ -921,6 +921,20 @@ class PipelineSpec extends SparkSpec {
     assert(overlap >= 0.9, s"overlap $overlap")
   }
 
+  test("grouped hashSplit keeps every group in exactly one split") {
+    // the q173 contract: splitting on the GROUP key means no source
+    // ever straddles train/val/test — the leakage-safe split
+    val out = Sampling.hashSplit(
+      docs.select(col("doc_id"), col("source")), "source",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val perSource = out.groupBy("source")
+      .agg(countDistinct(col("split")).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perSource.nonEmpty && perSource.forall(_ == 1L))
+    // and the split frame covers every row exactly once
+    assert(out.count() == docs.count())
+  }
+
   test("embeddingDupPairs finds the planted duplicate pair") {
     val df = Seq(
       (0L, Array(0.5f, 0.5f, 0.1f)),
