@@ -46,9 +46,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events fixture ts is parquet TIMESTAMP(NANOS); set at session
-      // build so query functions never mutate the shared session conf
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -102,49 +99,59 @@ object Bench {
   }
 
   /** Per-query cur/prev ratio against the previous round's bench file
-    * (SPARK_GRAFT_BENCH_PREV, else the highest-numbered BENCH_r*.json in
-    * the cwd) — the artifact itself shows regressions, not just totals.
+    * (SPARK_GRAFT_BENCH_PREV, else the NEWEST BENCH_r*.json in the cwd
+    * whose queries object actually parses — a crashed round leaves an
+    * artifact with no timings, e.g. BENCH_r09's rc=1 stub, and deltas
+    * should then come from the last VALID round, not silently vanish) —
+    * the artifact itself shows regressions, not just totals.
     */
   private def previousRoundDeltas(
       current: Map[String, Double]): (Option[String], String) = {
     import scala.jdk.CollectionConverters._
-    val prev = sys.env.get("SPARK_GRAFT_BENCH_PREV").map(Paths.get(_))
-      .orElse {
+    val candidates = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .map(p => Seq(Paths.get(p)))
+      .getOrElse {
         val listing = Files.list(Paths.get("."))
         try listing.iterator().asScala
           .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
-          .toSeq.sortBy(_.getFileName.toString).lastOption
+          .toSeq.sortBy(_.getFileName.toString).reverse
         finally listing.close()
       }
       .filter(Files.exists(_))
-    prev match {
+    candidates.view.map { p =>
+      // the driver wraps the bench line inside a JSON string field, so
+      // quotes may appear backslash-escaped in the raw text — match
+      // both. Parse ONLY the flat queries object (up to its closing
+      // brace): the file may also hold this bench's own delta_vs_prev
+      // map, whose ratios would otherwise shadow the times in toMap.
+      // The driver's wrapper keeps only a bounded TAIL of the line, so
+      // the "queries" marker itself may be truncated away while q-times
+      // remain: then scan from the front to the first '}' (inside a
+      // front-truncated queries object that region is exactly the
+      // surviving times; non-query keys are dropped by the name
+      // intersection below).
+      val text = Files.readString(p)
+      val start = text.indexOf("queries") match {
+        case -1 => 0
+        case i => i
+      }
+      val end = text.indexOf('}', start)
+      val inQueries =
+        if (end == -1) text.substring(start) else text.substring(start, end)
+      val PrevTime = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([0-9.eE+-]+)".r
+      val prevTimes = PrevTime.findAllMatchIn(inQueries)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val ds = current.keys.toSeq.sorted.flatMap { q =>
+        prevTimes.get(q).filter(_ > 0).map { pt =>
+          "\"" + q + "\":" + f"${current(q) / pt}%.2f"
+        }
+      }
+      p -> ds
+    }.find(_._2.nonEmpty) match {
+      case Some((p, ds)) => (
+        Some(p.getFileName.toString),
+        s""","prev":"${p.getFileName}","delta_vs_prev":${ds.mkString("{", ",", "}")}""")
       case None => (None, "")
-      case Some(p) =>
-        // the driver wraps the bench line inside a JSON string field, so
-        // quotes may appear backslash-escaped in the raw text — match
-        // both. Parse ONLY the flat queries object (up to its closing
-        // brace): the file may also hold this bench's own delta_vs_prev
-        // map, whose ratios would otherwise shadow the times in toMap.
-        val text = Files.readString(p)
-        val inQueries = text.indexOf("queries") match {
-          case -1 => ""
-          case i =>
-            val start = i
-            val end = text.indexOf('}', start)
-            if (end == -1) text.substring(start) else text.substring(start, end)
-        }
-        val PrevTime = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([0-9.eE+-]+)".r
-        val prevTimes = PrevTime.findAllMatchIn(inQueries)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val ds = current.keys.toSeq.sorted.flatMap { q =>
-          prevTimes.get(q).filter(_ > 0).map { pt =>
-            "\"" + q + "\":" + f"${current(q) / pt}%.2f"
-          }
-        }
-        if (ds.isEmpty) (None, "")
-        else (
-          Some(p.getFileName.toString),
-          s""","prev":"${p.getFileName}","delta_vs_prev":${ds.mkString("{", ",", "}")}""")
     }
   }
 }

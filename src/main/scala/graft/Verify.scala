@@ -21,13 +21,24 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events fixture ts is parquet TIMESTAMP(NANOS); set at session
-      // build so query functions never mutate the shared session conf
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-schema canary: surface the events ts flavor in the round
+    // logs AND as a sidecar, so a driver-side fixture regeneration shows
+    // up as a visible diff instead of silently vanished entries (the
+    // round-9 failure mode). The engine adapts either way (Tables.tsUs);
+    // this is observability, not a gate.
+    try {
+      val tsType =
+        graft.queries.Tables(spark, sfDir, "events").schema("ts").dataType.sql
+      System.err.println(s"[verify] events ts type: $tsType")
+      Files.writeString(Paths.get(s"$outDir/ts_canary.json"),
+        s"""{"events_ts_type": "$tsType"}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] ts canary failed: ${e.getMessage}")
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -43,10 +43,11 @@ object Cli {
             sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
           .config("spark.sql.adaptive.enabled", "true")
           .config("spark.sql.session.timeZone", "UTC")
-          // NOTE: nanosAsLong is deliberately NOT set here (unlike the
-          // fixture tools Bench/Verify/Explain): silently reading a user
-          // project's TIMESTAMP(NANOS) columns as bigint would change
-          // query semantics; the loud Spark error is the better default.
+          // NOTE: the legacy nanosAsLong conf is deliberately not set:
+          // silently reading a user project's TIMESTAMP(NANOS) columns as
+          // bigint would change query semantics; the loud Spark error is
+          // the better default. (Fixture event-time reads are instead
+          // schema-adaptive — queries/Tables.tsUs.)
           .config("spark.sql.warehouse.dir", warehouse.resolve("warehouse").toString)
           .config("javax.jdo.option.ConnectionURL",
             s"jdbc:derby:;databaseName=${warehouse.resolve("metastore")};create=true")

@@ -187,17 +187,37 @@ object Similarity {
       k: Int = 10,
       tables: Int = 8,
       bits: Int = 8): DataFrame = {
+    val e = packedWithNorm(df, idCol, embCol)
+    val qb = df.filter(queryPred).select(col(idCol).as("qid"))
+    val candidates =
+      lshCandidates(df, idCol, embCol, queryPred, tables, bits)
+    exactReRank(e, idCol, qb, candidates, k)
+  }
+
+  /** [[annLsh]]'s candidate stage alone: the (qid, nid) pairs that share
+    * an LSH bucket with a query in some table, for feeding an alternate
+    * re-rank kernel ([[quantizedKnnFromCandidates]] is the int8 one).
+    * Same cost shape as annLsh — shuffle-free hashing, query buckets
+    * broadcast, candidates meet through the (tbl, bucket) equi-join,
+    * never all-pairs — and the same tables/bits recall knobs.
+    */
+  def lshCandidates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      tables: Int = 8,
+      bits: Int = 8): DataFrame = {
     val dims = df.select(size(col(embCol))).head().getInt(0)
     val e = packedWithNorm(df, idCol, embCol)
     val hashed = lshBuckets(e, idCol, tables, bits, dims)
     val qb = df.filter(queryPred).select(col(idCol).as("qid"))
     val qHashed = hashed.join(qb, hashed(idCol) === qb("qid"), "left_semi")
       .select(col(idCol).as("qid"), col("tbl"), col("bucket"))
-    val candidates = hashed.join(broadcast(qHashed), Seq("tbl", "bucket"))
+    hashed.join(broadcast(qHashed), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("nid"))
       .distinct()
-    exactReRank(e, idCol, qb, candidates, k)
   }
 
   /** (id, tbl, bucket) for every (row, hash table): `bits` sign bits of
@@ -560,6 +580,45 @@ object Similarity {
       col("q_scale") * col("scale")).cast("decimal(28,6)").cast("double")
     val scored = e.join(broadcast(qSide), col("qid") =!= col(idCol))
       .select(col("qid"), col(idCol).as("nid"), score.as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid").asc)
+    scored.select(col("qid"), col("nid"), row_number().over(w).as("rank"),
+        col("score"))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[quantizedKnn]]'s integer re-rank kernel fed by a precomputed
+    * (qid, nid) candidate frame — the documented ANN→SQ8-re-rank
+    * composition a quantized retrieval store runs at corpus scale:
+    * [[lshCandidates]] (or IVF lists) bound the pair count, then ONE
+    * codegen'd integer dot per surviving pair scores and ranks. Equal
+    * to [[quantizedKnn]] over the full corpus whenever the candidates
+    * contain each query's true top-k (recall 1.0 — the fixture regime,
+    * asserted per-SF in sbt); under partial recall the tail of a
+    * query's list degrades first, the standard ANN trade.
+    *
+    * Plan shape: the quantized query block broadcasts into the
+    * candidate join; the corpus side arrives through one hash join on
+    * nid. Nothing is all-pairs and nothing reshuffles the corpus.
+    */
+  def quantizedKnnFromCandidates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      candidates: DataFrame,
+      k: Int = 10): DataFrame = {
+    val e = quantizeInt8(df, idCol, embCol)
+    val qb = candidates.select(col("qid")).distinct()
+    val qSide = e.join(qb, e(idCol) === qb("qid"), "left_semi")
+      .select(col(idCol).as("qid"), col("qv").as("qq"),
+        col("scale").as("q_scale"))
+    val score = (packedDot(col("qq"), col("qv")).cast("double") *
+      col("q_scale") * col("scale")).cast("decimal(28,6)").cast("double")
+    val scored = candidates
+      .join(e.select(col(idCol).as("nid"), col("qv"), col("scale")),
+        Seq("nid"))
+      .join(broadcast(qSide), Seq("qid"))
+      .select(col("qid"), col("nid"), score.as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("nid").asc)
     scored.select(col("qid"), col("nid"), row_number().over(w).as("rank"),

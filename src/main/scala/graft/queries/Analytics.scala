@@ -12,8 +12,8 @@ import graft.pipeline.Behavior
   * profiling (the data-quality snapshot before a corpus ships).
   *
   * All exact with cross-engine oracles. Determinism notes per entry —
-  * the common discipline: timestamps at µs (`ts div 1000`, matching
-  * DuckDB's parquet nanos handling, see [[Temporal]]), bucket and
+  * the common discipline: timestamps at epoch-µs longs ([[Tables.tsUs]]'s
+  * schema-adaptive read, matching the oracles' `epoch_us`), bucket and
   * period arithmetic on INTEGERS (`div`, never `/`), doubles only
   * where both engines derive them from identical exact values.
   */
@@ -23,9 +23,9 @@ object Analytics {
     Tables(s, dir, n)
 
   private def ev(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    Tables.eventsUs(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), expr("ts div 1000").as("ts_us"))
+        col("value"), col("ts_us"))
 
   private def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
 

@@ -200,9 +200,9 @@ object Corpus {
   // operator's dangling redistribution contributes exactly 0 here; its
   // semantics are pinned in GraphSpec.
   def q128PageRank(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    val ev = Tables.eventsUs(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        col("ts_us"))
     val edges = Behavior.transitions(ev, "user_id", "event_type", "ts_us",
       tieCol = "event_id")
     Graph.pageRank(edges, "from_type", "to_type", "n_transitions",
@@ -369,9 +369,9 @@ object Corpus {
   // column is CAST to DOUBLE in the base case (the DuckDB type-pinning
   // gotcha).
   def q139Hits(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
+    val ev = Tables.eventsUs(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("ts_us"))
+        col("ts_us"))
     val edges = Behavior.transitions(ev, "user_id", "event_type", "ts_us",
       tieCol = "event_id")
     graft.ops.Graph.hits(edges, "from_type", "to_type", "n_transitions",
@@ -1071,6 +1071,28 @@ object Corpus {
       |      AS rank
       |  FROM scored) WHERE rank <= 10""".stripMargin
 
+  // q174: the ANN-fed quantized retrieval — q168's int8 MIPS kernel fed
+  // by LSH candidates instead of the full corpus
+  // (Similarity.quantizedKnnFromCandidates ∘ lshCandidates), mirroring
+  // q163's pattern for retrieval: shares q168's oracle VERBATIM. At
+  // 24 tables × 3 bits every query's true top-10 collides with it in
+  // some bucket (recall 1.0 on the fixture, asserted per-SF in
+  // PipelineSpec), so candidate re-rank ≡ full-corpus re-rank. This is
+  // the int8 path's 100 TB story driver-checked end-to-end: hashing is
+  // shuffle-free, candidates meet through the bucket equi-join, the
+  // quantized query block broadcasts, and nothing is all-pairs. (The
+  // fixture-tuned 24×3 maximizes recall on 500-5k vectors; a real
+  // corpus raises bits with size so buckets stay selective — the same
+  // knob trade q163 documents.)
+  def q174QuantizedKnnAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val candidates = graft.pipeline.Similarity.lshCandidates(
+      emb, "vec_id", "embedding", queryPred = col("vec_id") < 5,
+      tables = 24, bits = 3)
+    graft.pipeline.Similarity.quantizedKnnFromCandidates(
+      emb, "vec_id", "embedding", candidates, k = 10)
+  }
+
   // q169: URL canonicalization + URL-level dedup — the crawl-frontier
   // key. Planted variants (the fixture has no url column — q145's
   // pattern) exercise every rule: case-folding scheme/host, default
@@ -1380,7 +1402,8 @@ object Corpus {
     "q170_corpus_report" -> (q170CorpusReport _),
     "q171_perplexity_tiers" -> (q171PerplexityTiers _),
     "q172_filter_funnel" -> (q172FilterFunnel _),
-    "q173_group_split" -> (q173GroupSplit _))
+    "q173_group_split" -> (q173GroupSplit _),
+    "q174_quantized_knn_ann" -> (q174QuantizedKnnAnn _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1414,5 +1437,7 @@ object Corpus {
     "q170_corpus_report" -> q170Sql,
     "q171_perplexity_tiers" -> q171Sql,
     "q172_filter_funnel" -> q172Sql,
-    "q173_group_split" -> q173Sql)
+    "q173_group_split" -> q173Sql,
+    // shared oracle: recall-1.0 ANN candidates ≡ full-corpus MIPS
+    "q174_quantized_knn_ann" -> q168Sql)
 }

@@ -213,14 +213,13 @@ object Pipeline {
       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id""".stripMargin
 
   // q21: gap-based sessionization of the event stream (30-minute gap).
-  // The fixture's ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-  // reader rejects; nanosAsLong (set at SESSION BUILD by Bench/Verify/
-  // Explain/Cli — query functions never mutate the shared session conf)
-  // reads nanos as long, converted exactly — every fixture ts has zero
-  // sub-microsecond part, so `div 1000` loses nothing.
+  // The fixture's on-disk ts flavor has changed across driver
+  // regenerations; Tables.eventsUs adapts (nanos-long / timestamp /
+  // timestamp_ntz → epoch-µs long), and the session boundary compare
+  // happens at µs — matching the oracle's epoch_us discipline exactly.
   def q21Sessions(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = Tables.eventsUs(s, dir)
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
     Sessionize.label(events, "user_id", "ts", tieBreak = Seq("event_id"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(

@@ -30,12 +30,17 @@ import java.nio.file.{Files, Paths}
   */
 object StreamingEntries {
 
-  /** Events read schema under the session's nanosAsLong conf: the
-    * fixture's TIMESTAMP(NANOS) column arrives as a long.
+  /** Read schema of a staged events dir: the ACTUAL on-disk schema from
+    * the parquet footers (staging copies or rewrites fixture files, so
+    * this is the fixture's current ts flavor — nanos-long, timestamp or
+    * timestamp_ntz). File streams need an explicit schema; deriving it
+    * from the staged files rather than hard-coding one is what makes the
+    * streaming entries survive fixture-schema regenerations, with
+    * [[Tables.tsUs]] adapting the event-time conversion to whatever the
+    * footer says.
     */
-  private val eventsSchema: StructType = StructType.fromDDL(
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING")
+  private def stagedSchema(s: SparkSession, staged: String): StructType =
+    s.read.parquet(staged).schema
 
   /** Stage the fixture events plus one sentinel event per user into a
     * fresh directory for the file-stream source. Staged dirs are
@@ -64,13 +69,16 @@ object StreamingEntries {
     stagedDirs.computeIfAbsent(dir, { _ =>
       val staged = tempDirCleanedAtExit(None, "graft_stream_entry_")
       Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"))
-      val tenDaysNs = 10L * 24 * 3600 * 1000L * 1000 * 1000
+      val tenDaysUs = 10L * 24 * 3600 * 1000L * 1000
       val events = Tables(s, dir, "events")
-      val sentinelTs = events.agg(max(col("ts"))).head().getLong(0) + tenDaysNs
+      val sentinelUs =
+        events.agg(max(Tables.tsUs(events, "ts"))).head().getLong(0) + tenDaysUs
+      // sentinel ts rendered back in the fixture's own flavor, so the
+      // staged dir stays schema-homogeneous for the file stream
       events.select(col("user_id")).distinct()
         .select(
           lit(-1L).as("event_id"),
-          lit(sentinelTs).as("ts"),
+          Tables.tsLit(events.schema("ts").dataType, sentinelUs).as("ts"),
           col("user_id"),
           lit("_sentinel").as("event_type"),
           lit(0.0).as("value"),
@@ -138,13 +146,15 @@ object StreamingEntries {
     s2
   }
 
-  private def eventStream(s: SparkSession, staged: String): DataFrame =
-    s.readStream.schema(eventsSchema).parquet(staged)
+  private def eventStream(s: SparkSession, staged: String): DataFrame = {
+    val schema = stagedSchema(s, staged)
+    s.readStream.schema(schema).parquet(staged)
       .select(
         col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        timestamp_micros(Tables.tsUs(schema, "ts")).as("ts"),
         col("event_type"),
         col("value"))
+  }
 
   // q38: streaming gap-sessionization (flatMapGroupsWithState, event-time
   // timeout) drained over the fixture. Output = every real session's
@@ -419,11 +429,12 @@ object StreamingEntries {
     // data movement, not commit overhead, dominates here
     val s2 = streamSession(s, 8)
     val hourUs = 3600L * 1000 * 1000
+    val schema = stagedSchema(s2, staged)
     def typed(tpe: String, idAs: String, tsAs: String): DataFrame =
-      s2.readStream.schema(eventsSchema).parquet(staged)
+      s2.readStream.schema(schema).parquet(staged)
         .filter(col("event_type") === tpe)
         .select(col("event_id").as(idAs),
-          timestamp_micros(expr("ts div 1000")).as(tsAs))
+          timestamp_micros(Tables.tsUs(schema, "ts")).as(tsAs))
     val purchases = typed("purchase", "purchase_id", "p_ts")
     val errors = typed("error", "error_id", "e_ts")
     val joined = Streaming.intervalJoin(
@@ -443,15 +454,16 @@ object StreamingEntries {
   def q63StreamingAsof(s: SparkSession, dir: String): DataFrame = {
     val staged = stagePlain(dir)
     val s2 = streamSession(s)
-    val purchases = Tables(s2, dir, "events")
+    val purchases = Tables.eventsUs(s2, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id").as("p_user"),
-        timestamp_micros(expr("ts div 1000")).as("p_ts"))
+        timestamp_micros(col("ts_us")).as("p_ts"))
       .agg(max(col("value")).as("last_purchase_value"))
       .withColumnRenamed("p_user", "user_id")
-    val stream = s2.readStream.schema(eventsSchema).parquet(staged)
+    val schema = stagedSchema(s2, staged)
+    val stream = s2.readStream.schema(schema).parquet(staged)
       .select(col("event_id"), col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+        timestamp_micros(Tables.tsUs(schema, "ts")).as("ts"))
     val enriched = Streaming.asOfStatic(
       stream, "ts", purchases, Seq("user_id"), "p_ts")
     runAvailableNow(enriched, "graft_q63_asof")
@@ -490,10 +502,11 @@ object StreamingEntries {
     val staged = stageSharded(s, dir)
     val s2 = streamSession(s)
     val root = tempDirCleanedAtExit(None, "graft_q89_cdc_")
-    val stream = s2.readStream.schema(eventsSchema)
+    val schema = stagedSchema(s2, staged)
+    val stream = s2.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
       .select(col("user_id"), col("event_type"), col("event_id"),
-        expr("ts div 1000").as("ts_us"), col("value"))
+        Tables.tsUs(schema, "ts").as("ts_us"), col("value"))
     @volatile var current: Option[String] = None
     val upsert: (DataFrame, Long) => Unit = { (batch, id) =>
       val acc = current match {
@@ -527,12 +540,13 @@ object StreamingEntries {
     oneSentinelDirs.computeIfAbsent(dir, { _ =>
       val staged = tempDirCleanedAtExit(None, "graft_stream_one_sentinel_")
       Files.copy(Paths.get(s"$dir/events.parquet"), staged.resolve("events.parquet"))
-      val tenDaysNs = 10L * 24 * 3600 * 1000L * 1000 * 1000
+      val tenDaysUs = 10L * 24 * 3600 * 1000L * 1000
       val events = Tables(s, dir, "events")
-      val sentinelTs = events.agg(max(col("ts"))).head().getLong(0) + tenDaysNs
+      val sentinelUs =
+        events.agg(max(Tables.tsUs(events, "ts"))).head().getLong(0) + tenDaysUs
       events.limit(1).select(
           lit(-1L).as("event_id"),
-          lit(sentinelTs).as("ts"),
+          Tables.tsLit(events.schema("ts").dataType, sentinelUs).as("ts"),
           lit(-1L).as("user_id"),
           lit("_sentinel").as("event_type"),
           lit(0.0).as("value"),
@@ -553,11 +567,12 @@ object StreamingEntries {
     val staged = stageOneSentinel(s, dir)
     val s2 = streamSession(s, 8)
     val hourUs = 3600L * 1000 * 1000
+    val schema = stagedSchema(s2, staged)
     def typed(tpe: String, idAs: String, tsAs: String): DataFrame =
-      s2.readStream.schema(eventsSchema).parquet(staged)
+      s2.readStream.schema(schema).parquet(staged)
         .filter(col("event_type").isin(tpe, "_sentinel"))
         .select(col("event_id").as(idAs),
-          timestamp_micros(expr("ts div 1000")).as(tsAs))
+          timestamp_micros(Tables.tsUs(schema, "ts")).as(tsAs))
     val purchases = typed("purchase", "purchase_id", "p_ts")
     val errors = typed("error", "error_id", "e_ts")
     val joined = Streaming.intervalJoin(

@@ -16,16 +16,16 @@ import graft.ops.Joins
   * check is genuinely cross-engine: two unrelated algorithms must agree
   * row-for-row.
   *
-  * Timestamps: the fixture's TIMESTAMP(NANOS) arrives as nanos longs
-  * (session nanosAsLong) and is compared at µs precision (`ts div
-  * 1000`), matching DuckDB's parquet nanos→µs truncation.
+  * Timestamps: normalized to epoch-µs longs by [[Tables.tsUs]]'s
+  * schema-adaptive read (nanos-long / timestamp / timestamp_ntz all
+  * land on the same µs values), matching the oracles' `epoch_us`.
   */
 object Temporal {
 
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "events")
+    Tables.eventsUs(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), expr("ts div 1000").as("ts_us"))
+        col("value"), col("ts_us"))
 
   // q58: as-of join — every event picks up the value of the SAME user's
   // most recent purchase at-or-before its timestamp (null before the

@@ -16,9 +16,6 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // events fixture ts is parquet TIMESTAMP(NANOS); session-build conf,
-    // mirroring Bench/Verify (query/operator code never mutates it)
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir", base.resolve("warehouse").toString)
     .config("javax.jdo.option.ConnectionURL",

@@ -921,6 +921,25 @@ class PipelineSpec extends SparkSpec {
     assert(overlap >= 0.9, s"overlap $overlap")
   }
 
+  test("ANN-fed quantizedKnn equals the full-corpus kernel (recall 1.0)") {
+    // q174's precondition at BOTH the spec SF and the driver's compare
+    // SF: at 24 tables × 3 bits the LSH candidates contain every
+    // query's true top-10, so candidate re-rank ≡ full-corpus re-rank
+    // (the retrieval mirror of q163's semantic-dedup assertion)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val pred = col("vec_id") < 5
+      def key(df: DataFrame): Set[Seq[Any]] =
+        rows(df.select("qid", "nid", "rank", "score"))
+      val full = key(Similarity.quantizedKnn(e, "vec_id", "embedding", pred, k = 10))
+      val cand = Similarity.lshCandidates(
+        e, "vec_id", "embedding", pred, tables = 24, bits = 3)
+      val ann = key(Similarity.quantizedKnnFromCandidates(
+        e, "vec_id", "embedding", cand, k = 10))
+      assert(ann == full, s"$sf: ANN-fed result diverges — recall < 1.0")
+    }
+  }
+
   test("grouped hashSplit keeps every group in exactly one split") {
     // the q173 contract: splitting on the GROUP key means no source
     // ever straddles train/val/test — the leakage-safe split

@@ -198,7 +198,8 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source stream: readStream over the events fixture parquet") {
     // the real readStream → transform → writeStream path (not MemoryStream):
-    // nanos ts read as long (SparkSpec session conf), converted to µs
+    // ts normalized to µs by the schema-adaptive helper, whatever the
+    // fixture's current on-disk flavor
     val dir = "/root/testdata/sf0.001"
     // file streams watch a DIRECTORY; stage the fixture file into one
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
@@ -208,7 +209,8 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts",
+        timestamp_micros(graft.queries.Tables.tsUs(schema, "ts")))
     val q = Streaming.windowedCounts(stream, "ts", "event_type",
         windowLen = "1 hour", watermark = "2 hours")
       .writeStream.format("memory").queryName("fs").outputMode("update").start()
@@ -365,5 +367,30 @@ class StreamingSpec extends SparkSpec {
     val early = s2.table("tws_mid").count()
     q.stop()
     assert(early == 1L) // first session emitted in the same batch
+  }
+
+  test("drained entry timestamps stay inside the fixture's µs range") {
+    // the invariant that catches a silent timestamp-scale error (the
+    // round-9 fixture flip put streamed timestamps 1000× off) even
+    // without a DuckDB oracle: every drained event-time the entries
+    // surface must fall inside the fixture's own [min, max] epoch-µs
+    // span (sentinel rows are filtered by the entries themselves)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val dir = "/root/testdata/sf0.001"
+    val bounds = graft.queries.Tables.eventsUs(spark, dir)
+      .agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    assert(lo > 1000000000L * 1000000L, "fixture ts should be past 2001 in µs")
+    val entries = graft.queries.StreamingEntries.all
+    val checks = Seq( // entry -> its surfaced µs columns
+      "q38_streaming_sessions" -> Seq("start_us", "end_us"),
+      "q63_streaming_asof" -> Seq("ts_us"),
+      "q89_streaming_cdc_apply" -> Seq("ts_us"))
+    for ((name, cols) <- checks; c <- cols) {
+      val df = entries(name)(spark, dir)
+      val mm = df.agg(min(col(c)), max(col(c))).head()
+      assert(mm.getLong(0) >= lo && mm.getLong(1) <= hi,
+        s"$name.$c [${mm.getLong(0)}, ${mm.getLong(1)}] outside fixture [$lo, $hi]")
+    }
   }
 }
