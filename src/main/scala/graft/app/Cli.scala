@@ -105,7 +105,9 @@ object Cli {
         val logFile = projectDir.resolve(".graft").resolve("logs")
           .resolve(s"${runArgs.command}_${System.currentTimeMillis()}.jsonl")
         val tracker = Tracker(
-          new ConsoleTracker(debug = runArgs.debug),
+          // color only on a real terminal: piped/CI output stays plain
+          new ConsoleTracker(debug = runArgs.debug,
+            color = System.console() != null),
           new FileTracker(logFile))
 
         val result = app.run(loaded.specs, runArgs, tracker)

@@ -52,14 +52,27 @@ object Tracker {
   * `debug`; and an end-of-run SUMMARY TABLE — one aligned row per task
   * (status, wall time, step breakdown, error) plus the status tally
   * (the reference's per-step progress console and grouped run summary,
-  * sayn/logging/log_formatter.py, reduced to plain lines). Emission is
+  * sayn/logging/log_formatter.py, reduced to plain lines — the
+  * remaining delta vs its spinners is deliberate: a live repaint loop
+  * garbles piped/CI output, which is where this engine's runs live).
+  * With `color` (the CLI turns it on for a real terminal), statuses
+  * paint ANSI green/red/yellow; padding always happens BEFORE painting
+  * so summary-table alignment is escape-code-independent. Emission is
   * synchronized by [[Tracker]], so the per-task step state is safe
   * under the parallel executor.
   */
 final class ConsoleTracker(
     debug: Boolean = false,
+    color: Boolean = false,
     out: String => Unit = println) extends EventListener {
   import RunEvent._
+  private def paint(code: String, s: String): String =
+    if (color) s"\u001b[${code}m$s\u001b[0m" else s
+  private def st(s: String): String =
+    if (s.startsWith("succ")) paint("32", s)
+    else if (s.startsWith("fail") || s == "FAILED") paint("31", s)
+    else if (s == "skipped" || s == "not_in_query") paint("33", s)
+    else s
   private val steps =
     scala.collection.mutable.Map.empty[String, Vector[(String, Boolean, Long)]]
   private val statuses = scala.collection.mutable.Map.empty[String, Int]
@@ -80,7 +93,8 @@ final class ConsoleTracker(
       }.mkString(", ")).getOrElse("")
       finished += ((t, status, ms, stepDetail, err))
       val detail = if (stepDetail.isEmpty) "" else s": $stepDetail"
-      out(s"[$t] $status (${fmt(ms)}$detail)" + err.map(e => s": $e").getOrElse(""))
+      out(s"[$t] ${st(status)} (${fmt(ms)}$detail)" +
+        err.map(e => s": $e").getOrElse(""))
     case StepStarted(t, s, _) => if (debug) out(s"  [$t] step $s ...")
     case StepFinished(t, s, ok, ms, _) =>
       steps(t) = steps.getOrElse(t, Vector.empty) :+ ((s, ok, ms))
@@ -96,7 +110,7 @@ final class ConsoleTracker(
         out("run summary:")
         finished.foreach { case (t, status, tms, stepDetail, err) =>
           val base = s"  ${t.padTo(wTask, ' ')}  " +
-            s"${status.padTo(wStatus, ' ')}  " +
+            s"${st(status.padTo(wStatus, ' '))}  " +
             fmt(tms).reverse.padTo(wDur, ' ').reverse
           val tail = (if (stepDetail.isEmpty) "" else s"  $stepDetail") +
             err.map(e => s"  error: $e").getOrElse("")
@@ -119,7 +133,7 @@ final class ConsoleTracker(
       }
       val tally = statuses.toSeq.sortBy(_._1)
         .map { case (s, n) => s"$n $s" }.mkString(", ")
-      out(s"${if (ok) "succeeded" else "FAILED"} in ${fmt(ms)}" +
+      out(s"${st(if (ok) "succeeded" else "FAILED")} in ${fmt(ms)}" +
         (if (tally.nonEmpty) s" ($tally)" else ""))
   }
 }

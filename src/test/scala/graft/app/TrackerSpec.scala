@@ -247,4 +247,29 @@ class TrackerSpec extends SparkSpec {
     assert(text.contains("incremental watermark: updated_at"))
     assert(text.contains("SELECT MAX(updated_at) FROM"))
   }
+
+  test("color mode paints statuses; padding stays escape-independent") {
+    import RunEvent._
+    def run(color: Boolean): Seq[String] = {
+      val lines = mutable.ArrayBuffer.empty[String]
+      val console =
+        new ConsoleTracker(debug = false, color = color, out = lines += _)
+      console.onEvent(RunStarted("run", 2, 0L))
+      console.onEvent(TaskFinished("long_task_name", "succeeded", 5L, None, 0L))
+      console.onEvent(TaskFinished("b", "failed", 5L, Some("boom"), 0L))
+      console.onEvent(RunFinished(false, 20L, 0L))
+      lines.toSeq
+    }
+    val plain = run(color = false)
+    val colored = run(color = true)
+    // plain output carries NO escape codes (piped/CI mode)
+    assert(plain.forall(!_.contains("\u001b[")), plain)
+    assert(colored.exists(_.contains("\u001b[32msucceeded")), colored)
+    assert(colored.exists(_.contains("\u001b[31mfailed")), colored)
+    assert(colored.last.contains("\u001b[31mFAILED"), colored.last)
+    // stripping the escapes yields EXACTLY the plain lines: color is
+    // presentation-only, and summary-table padding widths are unchanged
+    val stripped = colored.map(_.replaceAll("\u001b\\[[0-9]+m", ""))
+    assert(stripped == plain)
+  }
 }
