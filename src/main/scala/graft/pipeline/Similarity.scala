@@ -119,6 +119,44 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Embedding-space benchmark contamination gate — the SEMANTIC twin of
+    * the n-gram contamination gate (TextDedup.contamination): one row per
+    * corpus vector with its max quantized cosine against the benchmark
+    * set and the ≥ `threshold` verdict. Catches paraphrased/translated
+    * eval leakage the n-gram gate can't see.
+    *
+    * Plan shape mirrors the n-gram gate's broadcast-bench contract: a
+    * benchmark set is SMALL by definition, so the packed bench block
+    * broadcasts and every (corpus, bench) cosine is one in-row codegen'd
+    * integer dot — O(N·B) with B bounded, corpus scan partition-local,
+    * never corpus × corpus. The per-vector max partial-aggregates
+    * map-side (each corpus row's B cosines live in one partition), so
+    * the only exchange carries one (id, double) row per corpus vector.
+    * MAX over doubles is order-independent: no rounding needed for the
+    * cross-engine compare.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      corpusEmbCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchEmbCol: String,
+      threshold: Double): DataFrame = {
+    val c = packedWithNorm(corpus, corpusIdCol, corpusEmbCol)
+    val b = packedWithNorm(bench, benchIdCol, benchEmbCol)
+      .select(col(benchIdCol).as("_g_bid"), col("q").as("_g_qb"),
+        col("nrm").as("_g_nb"))
+    val cosine = packedDot(col("q"), col("_g_qb")).cast("double") /
+      sqrt(col("nrm").cast("double") * col("_g_nb").cast("double"))
+    c.join(broadcast(b))
+      .select(col(corpusIdCol), cosine.as("_g_cos"))
+      .groupBy(col(corpusIdCol))
+      .agg(max(col("_g_cos")).as("max_cosine"))
+      .select(col(corpusIdCol), col("max_cosine"),
+        (col("max_cosine") >= threshold).cast("int").as("is_contaminated"))
+  }
+
   /** [[embeddingDupPairs]] past broadcast size: the promised escape hatch
     * when the packed corpus exceeds one executor's broadcast budget.
     * Vectors are id-hashed into `blocks` buckets; every unordered block

@@ -1093,6 +1093,46 @@ object Corpus {
       emb, "vec_id", "embedding", candidates, k = 10)
   }
 
+  // q175: embedding-space benchmark contamination — the SEMANTIC twin of
+  // the n-gram contamination gate q51 (catches paraphrased/translated
+  // eval leakage n-grams can't see). Benchmark stand-in = the first 20
+  // fixture vectors; every remaining corpus vector reports its max
+  // quantized cosine against the bench block and the ≥ 0.4 verdict. The
+  // oracle rebuilds the same quantized dots in SQL (q26's discipline);
+  // MAX over the identical IEEE doubles is order-independent, so the
+  // compare is exact with no rounding. Scale shape: bench broadcasts
+  // (small by definition), corpus scan stays partition-local, the only
+  // exchange is one (id, double) row per corpus vector.
+  def q175SemanticContamination(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.pipeline.Similarity.semanticContamination(
+      emb.filter(col("vec_id") >= 20), "vec_id", "embedding",
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      threshold = 0.4)
+  }
+
+  val q175Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+      |dots AS (
+      |  SELECT c.vec_id AS cid, b.vec_id AS bid, SUM(c.qv*b.qv) AS dot
+      |  FROM e c JOIN e b ON c.pos = b.pos
+      |  WHERE c.vec_id >= 20 AND b.vec_id < 20
+      |  GROUP BY 1, 2),
+      |cs AS (
+      |  SELECT cid,
+      |    CAST(dot AS DOUBLE)/SQRT(CAST(nc.nrm AS DOUBLE)*CAST(nb.nrm AS DOUBLE))
+      |      AS cosine
+      |  FROM dots JOIN norms nc ON cid = nc.vec_id
+      |            JOIN norms nb ON bid = nb.vec_id)
+      |SELECT cid AS vec_id, MAX(cosine) AS max_cosine,
+      |  CAST(CASE WHEN MAX(cosine) >= 0.4 THEN 1 ELSE 0 END AS INT)
+      |    AS is_contaminated
+      |FROM cs GROUP BY 1""".stripMargin
+
   // q169: URL canonicalization + URL-level dedup — the crawl-frontier
   // key. Planted variants (the fixture has no url column — q145's
   // pattern) exercise every rule: case-folding scheme/host, default
@@ -1403,7 +1443,8 @@ object Corpus {
     "q171_perplexity_tiers" -> (q171PerplexityTiers _),
     "q172_filter_funnel" -> (q172FilterFunnel _),
     "q173_group_split" -> (q173GroupSplit _),
-    "q174_quantized_knn_ann" -> (q174QuantizedKnnAnn _))
+    "q174_quantized_knn_ann" -> (q174QuantizedKnnAnn _),
+    "q175_semantic_contamination" -> (q175SemanticContamination _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1439,5 +1480,6 @@ object Corpus {
     "q172_filter_funnel" -> q172Sql,
     "q173_group_split" -> q173Sql,
     // shared oracle: recall-1.0 ANN candidates ≡ full-corpus MIPS
-    "q174_quantized_knn_ann" -> q168Sql)
+    "q174_quantized_knn_ann" -> q168Sql,
+    "q175_semantic_contamination" -> q175Sql)
 }

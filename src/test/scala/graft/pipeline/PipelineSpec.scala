@@ -940,6 +940,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semanticContamination flags planted near-bench vectors only") {
+    // bench = two orthogonal-ish vectors; corpus plants one near-copy of
+    // bench 0 (contaminated), one anti-parallel (cos = -1, clean), one
+    // orthogonal (clean)
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.05f, 0.0f)), // ~bench 0
+      (11L, Array(-1.0f, 0.0f, 0.0f)), // anti-parallel
+      (12L, Array(0.0f, 0.0f, 1.0f))) // orthogonal
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(
+        corpus, "vec_id", "embedding", bench, "vec_id", "embedding",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2))))
+      .toMap
+    assert(out.keySet == Set(10L, 11L, 12L)) // one row per corpus vector
+    assert(out(10L)._2 == 1 && out(10L)._1 > 0.99)
+    assert(out(11L)._2 == 0 && out(11L)._1 <= 0.0) // max is vs bench 1 (0.0)
+    assert(out(12L)._2 == 0 && out(12L)._1 == 0.0)
+  }
+
   test("grouped hashSplit keeps every group in exactly one split") {
     // the q173 contract: splitting on the GROUP key means no source
     // ever straddles train/val/test — the leakage-safe split
