@@ -654,6 +654,54 @@ object TextDedup {
     * document — [[shingles]]' contract); a repeated id would conflate
     * two documents' chunks in reassembly.
     */
+  /** Cross-document boilerplate LINE removal — the RefinedWeb/FineWeb
+    * line-dedup cut: a line appearing in ≥ `minDocs` DISTINCT documents
+    * is boilerplate (nav links, share buttons, cookie banners) and drops
+    * from EVERY document; surviving lines reassemble in order. Lines
+    * shorter than `minLineChars` never count and never drop — blank
+    * lines and stray punctuation are structure, not boilerplate.
+    *
+    * Output: (idCol, n_lines, n_dropped, clean_text).
+    *
+    * Scale shape: the document-frequency count shuffles 16-byte line
+    * hashes (never line text); the hot set — only lines at df ≥
+    * `minDocs` — is small by construction and broadcasts back; the only
+    * other exchange is the doc-keyed in-order reassembly (chunk-dedup's
+    * discipline). Nothing is all-pairs.
+    */
+  def dropBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long,
+      minLineChars: Int = 5): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("_g_idx", "_g_line")))
+    val eligible = length(col("_g_line")) >= minLineChars
+    val hot = lines.filter(eligible)
+      .select(col(idCol), md5(col("_g_line")).as("_g_key"))
+      .groupBy(col("_g_key"))
+      .agg(countDistinct(col(idCol)).as("_g_ndocs"))
+      .filter(col("_g_ndocs") >= minDocs)
+      .select(col("_g_key"), lit(1).as("_g_hot"))
+    val flagged = lines
+      .withColumn("_g_key", md5(col("_g_line")))
+      .join(broadcast(hot), Seq("_g_key"), "left")
+      .withColumn("_g_drop",
+        (col("_g_hot").isNotNull && eligible).cast("int"))
+    flagged.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("_g_drop")).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_g_drop") === 0,
+                struct(col("_g_idx"), col("_g_line"))))),
+            x => x.getField("_g_line")),
+          "\n").as("clean_text"))
+  }
+
   def chunkDedupCorpus(
       df: DataFrame,
       idCol: String,

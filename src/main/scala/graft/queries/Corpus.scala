@@ -1133,6 +1133,54 @@ object Corpus {
       |    AS is_contaminated
       |FROM cs GROUP BY 1""".stripMargin
 
+  // q176: cross-document boilerplate line removal — the RefinedWeb/
+  // FineWeb line-dedup cut (TextDedup.dropBoilerplateLines). The fixture
+  // text is single-line, so the entry plants the structure: every even
+  // doc appends a shared "share on social media" line (df ≈ 250 ≥ 5 →
+  // dropped everywhere), every doc appends a unique ref-<id> line
+  // (df = 1 → kept), and a short "--" line rides along unconditionally
+  // (below minLineChars → structural, never counted, never dropped).
+  // The oracle rebuilds the df-count + drop + in-order string_agg
+  // reassembly; COALESCE matches Spark's empty-join on all-dropped docs.
+  def q176BoilerplateLines(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          lit("\nSHARE THIS ARTICLE ON SOCIAL MEDIA")).otherwise(lit("")),
+        lit("\n--"),
+        concat(lit("\nref-"), col("doc_id").cast("string"))).as("t"))
+    graft.pipeline.TextDedup.dropBoilerplateLines(
+      aug, "doc_id", "t", minDocs = 5, minLineChars = 5)
+  }
+
+  val q176Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN chr(10) || 'SHARE THIS ARTICLE ON SOCIAL MEDIA'
+      |         ELSE '' END ||
+      |    chr(10) || '--' ||
+      |    chr(10) || 'ref-' || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(t, chr(10))) AS line,
+      |    generate_subscripts(string_split(t, chr(10)), 1) AS line_idx
+      |  FROM aug),
+      |hot AS (
+      |  SELECT line FROM l WHERE length(line) >= 5
+      |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 5),
+      |fl AS (
+      |  SELECT l.doc_id, l.line_idx, l.line,
+      |    CASE WHEN length(l.line) >= 5 AND h.line IS NOT NULL
+      |         THEN 1 ELSE 0 END AS dropped
+      |  FROM l LEFT JOIN hot h ON l.line = h.line)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN dropped = 0 THEN line END,
+      |    chr(10) ORDER BY line_idx), '') AS clean_text
+      |FROM fl GROUP BY 1""".stripMargin
+
   // q169: URL canonicalization + URL-level dedup — the crawl-frontier
   // key. Planted variants (the fixture has no url column — q145's
   // pattern) exercise every rule: case-folding scheme/host, default
@@ -1444,7 +1492,8 @@ object Corpus {
     "q172_filter_funnel" -> (q172FilterFunnel _),
     "q173_group_split" -> (q173GroupSplit _),
     "q174_quantized_knn_ann" -> (q174QuantizedKnnAnn _),
-    "q175_semantic_contamination" -> (q175SemanticContamination _))
+    "q175_semantic_contamination" -> (q175SemanticContamination _),
+    "q176_boilerplate_lines" -> (q176BoilerplateLines _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1481,5 +1530,6 @@ object Corpus {
     "q173_group_split" -> q173Sql,
     // shared oracle: recall-1.0 ANN candidates ≡ full-corpus MIPS
     "q174_quantized_knn_ann" -> q168Sql,
-    "q175_semantic_contamination" -> q175Sql)
+    "q175_semantic_contamination" -> q175Sql,
+    "q176_boilerplate_lines" -> q176Sql)
 }

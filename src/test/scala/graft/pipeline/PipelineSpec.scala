@@ -940,6 +940,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dropBoilerplateLines drops hot lines, keeps short and unique ones") {
+    // "nav" appears in 3 docs (≥ minDocs=3 → dropped everywhere);
+    // "a" is short (structural, never dropped even at df 3);
+    // body lines are unique (kept); doc 4 is ALL boilerplate → ""
+    val df = Seq(
+      (1L, "nav menu line\nbody one\na"),
+      (2L, "nav menu line\nbody two\na"),
+      (3L, "nav menu line\nbody three\na"),
+      (4L, "nav menu line"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.dropBoilerplateLines(df, "doc_id", "text",
+        minDocs = 3, minLineChars = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, "body one\na")))
+    assert(out(2L) == ((3L, 1L, "body two\na")))
+    assert(out(3L) == ((3L, 1L, "body three\na")))
+    assert(out(4L) == ((1L, 1L, "")))
+  }
+
   test("semanticContamination flags planted near-bench vectors only") {
     // bench = two orthogonal-ish vectors; corpus plants one near-copy of
     // bench 0 (contaminated), one anti-parallel (cos = -1, clean), one
