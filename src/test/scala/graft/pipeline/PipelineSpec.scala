@@ -961,6 +961,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, "")))
   }
 
+  test("dropBoilerplateLines is lossless when no line reaches minDocs") {
+    // with the df threshold above the corpus size nothing is hot, so
+    // reassembly must reproduce every document byte-for-byte — the
+    // split/flag/collect pipeline adds or loses nothing
+    val docs500 = docs.select(col("doc_id"), col("text"))
+    val out = TextDedup.dropBoilerplateLines(
+      docs500, "doc_id", "text", minDocs = 1000000L)
+    val diff = out.join(docs500, "doc_id")
+      .filter(col("clean_text") =!= col("text") || col("n_dropped") =!= 0)
+      .count()
+    assert(diff == 0L)
+  }
+
   test("semanticContamination flags planted near-bench vectors only") {
     // bench = two orthogonal-ish vectors; corpus plants one near-copy of
     // bench 0 (contaminated), one anti-parallel (cos = -1, clean), one
