@@ -45,9 +45,15 @@ class FixtureSchemaSpec extends SparkSpec {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), lit(null).cast("string").as("props"))
     df.coalesce(1).write.mode("overwrite").parquet(dir.resolve("tmp").toString)
-    // the loaders read "$dir/events.parquet"; a parquet DIRECTORY of that
-    // name is equally valid input for spark.read.parquet
-    java.nio.file.Files.move(dir.resolve("tmp"), dir.resolve("events.parquet"))
+    // the driver fixture is a single FILE named events.parquet (the
+    // streaming stages Files.copy it as one); extract the part file
+    val part = java.nio.file.Files.list(dir.resolve("tmp")).iterator()
+    val single = Iterator.continually(part)
+      .takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("no part file written"))
+    java.nio.file.Files.move(single, dir.resolve("events.parquet"))
+    TempDirs.deleteRecursively(dir.resolve("tmp"))
     dir.toString
   }
 
@@ -72,6 +78,26 @@ class FixtureSchemaSpec extends SparkSpec {
     // user 1 splits at the 40-min gap; user 2 has one single-event session
     assert(reference.map(r => (r(0), r(2))) ==
       Set((1L, 2L), (1L, 1L), (2L, 1L)))
+    for ((flavor, got) <- byFlavor.tail)
+      assert(got == reference, s"flavor=$flavor diverges from nanos_long")
+  }
+
+  test("streaming sessionization drains the same sessions on all flavors") {
+    // the streaming path was round 9's SILENT failure mode (µs values
+    // read where ns were assumed): q38 stages sentinels, reads a real
+    // file stream with the footer-derived schema, and drains — all of
+    // which must adapt per flavor and agree
+    val byFlavor = Seq("nanos_long", "timestamp", "timestamp_ntz").map { f =>
+      val out = StreamingEntries.all("q38_streaming_sessions")(spark, stage(f))
+      f -> rows(out.select("user_id", "session_id", "n_events",
+        "start_us", "end_us"))
+    }
+    val (_, reference) = byFlavor.head
+    // same session structure as the batch q21 test, with µs bounds:
+    // user 1 session 1 spans [base, base+5min+250ms]
+    assert(reference.exists(r => r(0) == 1L && r(2) == 2L &&
+      r(3) == baseUs && r(4) == baseUs + 5L * 60000000L + 250000L), reference)
+    assert(reference.size == 3)
     for ((flavor, got) <- byFlavor.tail)
       assert(got == reference, s"flavor=$flavor diverges from nanos_long")
   }
