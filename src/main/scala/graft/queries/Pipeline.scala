@@ -228,9 +228,10 @@ object Pipeline {
         sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"))
   }
 
-  // Gap check and ordering at epoch µs (not raw ts): if DuckDB reads the
-  // fixture's TIMESTAMP(NANOS) at ns precision, a raw-ts gap comparison
-  // would resolve sub-µs differences the Spark side truncated away.
+  // Gap check and ordering at epoch µs (not raw ts): whatever ts flavor
+  // and precision the fixture ships (it has changed across driver
+  // regenerations), epoch_us pins both engines to the SAME µs values the
+  // Spark side computes through Tables.tsUs.
   val q21Sql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, value,

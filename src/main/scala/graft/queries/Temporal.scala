@@ -44,10 +44,10 @@ object Temporal {
   }
 
   // Oracle matches the Spark side's µs discipline EXPLICITLY (group, join
-  // and compare on epoch_us, never raw ts): if DuckDB reads the fixture's
-  // TIMESTAMP(NANOS) at ns precision (TIMESTAMP_NS in newer versions),
-  // raw-ts comparisons would resolve sub-µs differences the Spark side
-  // truncated away — version- and data-fragile. Same pattern as q78Sql.
+  // and compare on epoch_us, never raw ts): whatever ts flavor/precision
+  // the fixture ships, raw-ts comparisons could resolve sub-µs detail the
+  // Spark side never sees — version- and data-fragile. Same pattern as
+  // q78Sql.
   val q58Sql: String =
     """WITH p AS (
       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
