@@ -702,6 +702,34 @@ object TextDedup {
           "\n").as("clean_text"))
   }
 
+  /** WITHIN-document repeated-line dedup — the intra-doc half of the
+    * line-dedup family ([[dropBoilerplateLines]] is the cross-doc half):
+    * a line repeated inside one document (pagination artifacts, template
+    * glitches, scraper double-fires) keeps its FIRST occurrence and
+    * drops the rest. Lines below `minLineChars` are structure (blank
+    * separators, "--") and always survive.
+    *
+    * Output: (idCol, n_lines, n_dropped, clean_text).
+    *
+    * Entirely IN-ROW: the document arrived as one row, so first-occurrence
+    * checks are array ops on its own split lines (array_position = first
+    * index) — a pure projection at the scan, ZERO shuffles, no window.
+    * O(lines²) per doc worst case, bounded by doc size by construction.
+    */
+  def dedupLinesWithin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val kept = filter(lines, (x, i) =>
+      length(x) < minLineChars || array_position(lines, x) === i + 1)
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
   def chunkDedupCorpus(
       df: DataFrame,
       idCol: String,

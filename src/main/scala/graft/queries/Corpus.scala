@@ -1181,6 +1181,51 @@ object Corpus {
       |    chr(10) ORDER BY line_idx), '') AS clean_text
       |FROM fl GROUP BY 1""".stripMargin
 
+  // q177: within-document repeated-line dedup — the intra-doc half of
+  // the line-dedup family (TextDedup.dedupLinesWithin; q176 is the
+  // cross-doc half). Planted: every doc carries a long CTA line TWICE
+  // (2nd occurrence drops), a unique mid line (kept), and a short "--"
+  // twice (structural, both kept). Pure in-row array ops — the oracle
+  // rebuilds first-occurrence via row_number over (doc, line) by
+  // position, which is exactly array_position's semantics.
+  def q177DedupLinesWithin(s: SparkSession, dir: String): DataFrame = {
+    val aug = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("\nCLICK HERE TO READ MORE"),
+        concat(lit("\nmid-"), col("doc_id").cast("string")),
+        lit("\n--"),
+        lit("\nCLICK HERE TO READ MORE"),
+        lit("\n--")).as("t"))
+    graft.pipeline.TextDedup.dedupLinesWithin(
+      aug, "doc_id", "t", minLineChars = 5)
+  }
+
+  val q177Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text ||
+      |    chr(10) || 'CLICK HERE TO READ MORE' ||
+      |    chr(10) || 'mid-' || CAST(doc_id AS VARCHAR) ||
+      |    chr(10) || '--' ||
+      |    chr(10) || 'CLICK HERE TO READ MORE' ||
+      |    chr(10) || '--' AS t
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(t, chr(10))) AS line,
+      |    generate_subscripts(string_split(t, chr(10)), 1) AS idx
+      |  FROM aug),
+      |r AS (
+      |  SELECT doc_id, idx, line,
+      |    CASE WHEN length(line) >= 5 AND
+      |      row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) > 1
+      |    THEN 1 ELSE 0 END AS dropped
+      |  FROM l)
+      |SELECT doc_id, COUNT(*) AS n_lines,
+      |  CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+      |  COALESCE(string_agg(CASE WHEN dropped = 0 THEN line END,
+      |    chr(10) ORDER BY idx), '') AS clean_text
+      |FROM r GROUP BY 1""".stripMargin
+
   // q169: URL canonicalization + URL-level dedup — the crawl-frontier
   // key. Planted variants (the fixture has no url column — q145's
   // pattern) exercise every rule: case-folding scheme/host, default
@@ -1493,7 +1538,8 @@ object Corpus {
     "q173_group_split" -> (q173GroupSplit _),
     "q174_quantized_knn_ann" -> (q174QuantizedKnnAnn _),
     "q175_semantic_contamination" -> (q175SemanticContamination _),
-    "q176_boilerplate_lines" -> (q176BoilerplateLines _))
+    "q176_boilerplate_lines" -> (q176BoilerplateLines _),
+    "q177_dedup_lines_within" -> (q177DedupLinesWithin _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1531,5 +1577,6 @@ object Corpus {
     // shared oracle: recall-1.0 ANN candidates ≡ full-corpus MIPS
     "q174_quantized_knn_ann" -> q168Sql,
     "q175_semantic_contamination" -> q175Sql,
-    "q176_boilerplate_lines" -> q176Sql)
+    "q176_boilerplate_lines" -> q176Sql,
+    "q177_dedup_lines_within" -> q177Sql)
 }

@@ -961,6 +961,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, "")))
   }
 
+  test("dedupLinesWithin keeps first occurrence, short lines survive") {
+    val df = Seq(
+      (1L, "CALL TO ACTION\nbody text\nCALL TO ACTION\n--\n--"),
+      (2L, "only line"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.dedupLinesWithin(df, "doc_id", "text",
+        minLineChars = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // 2nd CALL TO ACTION drops; both "--" survive (structural)
+    assert(out(1L) == ((5L, 1L, "CALL TO ACTION\nbody text\n--\n--")))
+    assert(out(2L) == ((1L, 0L, "only line")))
+  }
+
   test("dropBoilerplateLines is lossless when no line reaches minDocs") {
     // with the df threshold above the corpus size nothing is hot, so
     // reassembly must reproduce every document byte-for-byte — the
