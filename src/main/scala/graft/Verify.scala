@@ -25,27 +25,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // fixture-schema canary: surface the events ts flavor in the round
-    // logs AND as a sidecar, so a driver-side fixture regeneration shows
-    // up as a visible diff instead of silently vanished entries (the
-    // round-9 failure mode). The engine adapts either way (Tables.tsUs);
-    // this is observability, not a gate.
-    try {
-      val tsType =
-        graft.queries.Tables(spark, sfDir, "events").schema("ts").dataType.sql
-      System.err.println(s"[verify] events ts type: $tsType")
-      Files.writeString(Paths.get(s"$outDir/ts_canary.json"),
-        s"""{"events_ts_type": "$tsType"}""")
-    } catch { case e: Throwable =>
-      System.err.println(s"[verify] ts canary failed: ${e.getMessage}")
-    }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -58,6 +37,40 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // fixture-schema canary: surface the events ts flavor AND every
+    // fixture table's full schema in the round logs + a sidecar, so a
+    // driver-side fixture regeneration shows up as a visible diff
+    // instead of silently vanished entries (the round-9 failure mode:
+    // events.ts flipped nanos-long → timestamp[us] and 33 entries
+    // dropped out of the run). The engine adapts the ts flavor either
+    // way (Tables.tsUs); this is observability, not a gate.
+    try {
+      val tsType =
+        graft.queries.Tables(spark, sfDir, "events").schema("ts").dataType.sql
+      System.err.println(s"[verify] events ts type: $tsType")
+      val tables = graft.queries.Tables.names.map { n =>
+        val ddl =
+          try graft.queries.Tables(spark, sfDir, n).schema.toDDL
+          catch { case e: Throwable => s"<unreadable: ${e.getMessage}>" }
+        s"""    ${q(n)}: ${q(ddl)}"""
+      }.mkString(",\n")
+      Files.writeString(Paths.get(s"$outDir/ts_canary.json"),
+        s"""{
+           |  "events_ts_type": ${q(tsType)},
+           |  "fixture_schemas": {
+           |$tables
+           |  }
+           |}""".stripMargin)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] ts canary failed: ${e.getMessage}")
+    }
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
