@@ -133,7 +133,10 @@ object Similarity {
     * map-side (each corpus row's B cosines live in one partition), so
     * the only exchange carries one (id, double) row per corpus vector.
     * MAX over doubles is order-independent: no rounding needed for the
-    * cross-engine compare.
+    * cross-engine compare. If the benchmark side ever grows past the
+    * small-by-definition regime (N·B dots too many), swap the pair
+    * stage for [[lshCandidates]] between corpus and bench and verify at
+    * the threshold — the q163/q174 composition pattern.
     */
   def semanticContamination(
       corpus: DataFrame,

@@ -667,7 +667,10 @@ object TextDedup {
     * hashes (never line text); the hot set — only lines at df ≥
     * `minDocs` — is small by construction and broadcasts back; the only
     * other exchange is the doc-keyed in-order reassembly (chunk-dedup's
-    * discipline). Nothing is all-pairs.
+    * discipline). Nothing is all-pairs. The broadcast presumes a sane
+    * `minDocs` (a near-1 threshold makes most distinct lines "hot");
+    * if the hot set ever outgrows the broadcast budget, drop the hint
+    * and let the join shuffle its 16-byte keys.
     */
   def dropBoilerplateLines(
       df: DataFrame,
