@@ -643,4 +643,54 @@ object TextStats {
       .select(col(idCol), gramHashes.as("_hashes"))
       .select(col(idCol), explode(array_distinct(mins)).as("fingerprint"))
   }
+
+  /** Duplicate-n-gram fraction (Gopher/Dolma): per document, the share
+    * of its DISTINCT token n-grams that also occur in at least one
+    * OTHER document — the drop-heavily-duplicated-docs signal that
+    * needs no pair enumeration (the metric form of what the dedup
+    * family removes). Documents with fewer than `n` tokens score 0.0
+    * over 0 grams.
+    *
+    * Output: (idCol, n_grams, n_shared, shared_frac).
+    *
+    * Scale shape: grams hash in-row to md5 keys; the df count and the
+    * join back exchange 32-byte keys, never text. A stop-gram shared by
+    * every document makes one hot join key — AQE's skew split is the
+    * knob (same skew surface as the shingle joins, q83's measured
+    * territory). shared_frac is one integer division — IEEE-identical
+    * cross-engine, no rounding needed.
+    */
+  def sharedNgramFraction(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    // staged projections so the token array materializes ONCE per row —
+    // inlining split() into the transform lambda would re-split the
+    // text at every element_at (O(len²) per doc; fingerprints' lesson)
+    val toks = col("_g_toks")
+    val starts = when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = array_distinct(transform(col("_g_starts"), i =>
+      md5(concat_ws(" ",
+        (0 until n).map(j => element_at(toks, i + j)): _*))))
+    val exploded = df
+      .select(col(idCol), split(col(textCol), " ").as("_g_toks"))
+      .select(col(idCol), toks, starts.as("_g_starts"))
+      .select(col(idCol), explode(grams).as("_g_gh"))
+    val dfreq = exploded.groupBy(col("_g_gh"))
+      .agg(countDistinct(col(idCol)).as("_g_ndocs"))
+    val per = exploded.join(dfreq, Seq("_g_gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_g_ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_shared").cast("double") / col("n_grams"))
+          .as("shared_frac"))
+  }
 }

@@ -1226,6 +1226,40 @@ object Corpus {
       |    chr(10) ORDER BY idx), '') AS clean_text
       |FROM r GROUP BY 1""".stripMargin
 
+  // q178: duplicate-n-gram fraction (Gopher/Dolma) — per doc, the share
+  // of its distinct 8-token grams occurring in ≥1 OTHER doc
+  // (TextStats.sharedNgramFraction): the drop-heavily-duplicated signal
+  // without pair enumeration. The fixture's planted exact duplicates
+  // (q15's groups) score 1.0 against each other; unique docs score on
+  // natural overlap only. shared_frac is one integer division — exact
+  // cross-engine, no rounding.
+  def q178SharedNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.sharedNgramFraction(
+      t(s, dir, "documents"), "doc_id", "text", n = 8)
+
+  val q178Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |pos AS (
+      |  SELECT doc_id, toks,
+      |    unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+      |  FROM tk),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gh
+      |  FROM pos),
+      |df AS (SELECT gh, COUNT(DISTINCT doc_id) AS ndocs FROM g GROUP BY 1),
+      |per AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_grams,
+      |    SUM(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS n_shared
+      |  FROM g JOIN df USING (gh) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_grams, 0) AS n_grams,
+      |  CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+      |  CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+      |       ELSE CAST(p.n_shared AS DOUBLE) / p.n_grams END AS shared_frac
+      |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
+
   // q169: URL canonicalization + URL-level dedup — the crawl-frontier
   // key. Planted variants (the fixture has no url column — q145's
   // pattern) exercise every rule: case-folding scheme/host, default
@@ -1539,7 +1573,8 @@ object Corpus {
     "q174_quantized_knn_ann" -> (q174QuantizedKnnAnn _),
     "q175_semantic_contamination" -> (q175SemanticContamination _),
     "q176_boilerplate_lines" -> (q176BoilerplateLines _),
-    "q177_dedup_lines_within" -> (q177DedupLinesWithin _))
+    "q177_dedup_lines_within" -> (q177DedupLinesWithin _),
+    "q178_shared_ngrams" -> (q178SharedNgrams _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1578,5 +1613,6 @@ object Corpus {
     "q174_quantized_knn_ann" -> q168Sql,
     "q175_semantic_contamination" -> q175Sql,
     "q176_boilerplate_lines" -> q176Sql,
-    "q177_dedup_lines_within" -> q177Sql)
+    "q177_dedup_lines_within" -> q177Sql,
+    "q178_shared_ngrams" -> q178Sql)
 }

@@ -961,6 +961,27 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, "")))
   }
 
+  test("sharedNgramFraction scores cross-doc gram overlap per doc") {
+    // n=2 grams: docs 1/2 share "a b" (half their grams); doc 3 is
+    // disjoint (0.0); doc 4 is too short for any gram (0 over 0)
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b d"), (3L, "x y z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val out = TextStats.sharedNgramFraction(df, "doc_id", "text", n = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // exact duplicates score 1.0 against each other
+    val dup = Seq((1L, "p q r s"), (2L, "p q r s")).toDF("doc_id", "text")
+    val fr = TextStats.sharedNgramFraction(dup, "doc_id", "text", n = 2)
+      .select("shared_frac").collect().map(_.getDouble(0))
+    assert(fr.forall(_ == 1.0))
+  }
+
   test("dedupLinesWithin keeps first occurrence, short lines survive") {
     val df = Seq(
       (1L, "CALL TO ACTION\nbody text\nCALL TO ACTION\n--\n--"),
