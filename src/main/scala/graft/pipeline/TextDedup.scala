@@ -724,13 +724,19 @@ object TextDedup {
       idCol: String,
       textCol: String,
       minLineChars: Int = 5): DataFrame = {
-    val lines = split(col(textCol), "\n", -1)
+    // staged projections: the split lines and the filtered array each
+    // materialize ONCE per row — referencing the raw split() inside the
+    // lambda would re-split the text per element (sharedNgramFraction's
+    // measured lesson), and `kept` feeds two output columns
+    val lines = col("_g_lines")
     val kept = filter(lines, (x, i) =>
       length(x) < minLineChars || array_position(lines, x) === i + 1)
-    df.select(col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      (size(lines) - size(kept)).cast("long").as("n_dropped"),
-      array_join(kept, "\n").as("clean_text"))
+    df.select(col(idCol), split(col(textCol), "\n", -1).as("_g_lines"))
+      .select(col(idCol), lines, kept.as("_g_kept"))
+      .select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        (size(lines) - size(col("_g_kept"))).cast("long").as("n_dropped"),
+        array_join(col("_g_kept"), "\n").as("clean_text"))
   }
 
   def chunkDedupCorpus(
