@@ -518,6 +518,51 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** CROSS-SET LSH near-duplicate pairs — the embedding twin of the
+    * text side's incremental gates (`jaccardPairsAcross` /
+    * `incrementalExactDedup`): every (incoming, corpus) pair within
+    * cosine `threshold`, found through shared LSH buckets and verified
+    * at the exact quantized cosine. The nightly-crawl semantic dedup:
+    * both sides are large, so neither broadcasts — candidates meet
+    * through the (tbl, bucket) equi-join, never incoming × corpus.
+    * Verified candidates ⊆ exact pairs always; at recall 1.0 (the
+    * fixture regime, asserted in sbt) the pair set IS the exact one.
+    * The corpus never pairs with itself — only cross-set pairs emit.
+    * Id spaces must be disjoint (the incremental contract).
+    *
+    * Output: (in_id, corpus_id, cosine).
+    */
+  def annDupPairsAcross(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      tables: Int = 24,
+      bits: Int = 3): DataFrame = {
+    val dims = incoming.select(size(col(embCol))).head().getInt(0)
+    val inE = packedWithNorm(incoming, idCol, embCol)
+    val coE = packedWithNorm(corpus, idCol, embCol)
+    val inHashed = lshBuckets(inE, idCol, tables, bits, dims)
+      .select(col("tbl"), col("bucket"), col(idCol).as("in_id"))
+    val coHashed = lshBuckets(coE, idCol, tables, bits, dims)
+      .select(col("tbl"), col("bucket"), col(idCol).as("corpus_id"))
+    val cand = inHashed.join(coHashed, Seq("tbl", "bucket"))
+      .select(col("in_id"), col("corpus_id"))
+      .distinct()
+    val cosine = col("dot").cast("double") /
+      sqrt(col("na").cast("double") * col("nb").cast("double"))
+    cand
+      .join(inE.select(col(idCol).as("in_id"), col("q").as("qa"),
+        col("nrm").as("na")), Seq("in_id"))
+      .join(coE.select(col(idCol).as("corpus_id"), col("q").as("qb"),
+        col("nrm").as("nb")), Seq("corpus_id"))
+      .select(col("in_id"), col("corpus_id"), col("na"), col("nb"),
+        packedDot(col("qa"), col("qb")).as("dot"))
+      .select(col("in_id"), col("corpus_id"), cosine.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** [[semanticDedup]] with the quadratic pair stage swapped for
     * [[annDupPairs]] LSH candidates — the 100 TB SemDeDup path:
     * O(rows × tables × bits) hashing + O(candidates) verify, then the

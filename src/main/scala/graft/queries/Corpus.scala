@@ -1260,6 +1260,42 @@ object Corpus {
       |       ELSE CAST(p.n_shared AS DOUBLE) / p.n_grams END AS shared_frac
       |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin
 
+  // q179: cross-set semantic near-dup pairs — the nightly-crawl
+  // embedding dedup (Similarity.annDupPairsAcross): the first 100
+  // fixture vectors stand in as the incoming batch, the rest as the
+  // accumulated corpus; LSH-bucketed candidates verified at the exact
+  // quantized cosine ≥ 0.4. Oracle = the EXACT cross-set inequality
+  // join (q26's quantization discipline, set predicates instead of
+  // a<b): verified candidates ⊆ exact always, and at 24×3 recall is
+  // 1.0 on the fixture (asserted in PipelineSpec vs a brute-force
+  // reference), so the sets are equal. Neither side broadcasts or
+  // self-pairs — the both-sides-large incremental scale shape.
+  def q179CrossSetSemanticPairs(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.pipeline.Similarity.annDupPairsAcross(
+      emb.filter(col("vec_id") < 100), emb.filter(col("vec_id") >= 100),
+      "vec_id", "embedding", threshold = 0.4)
+  }
+
+  val q179Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS qv
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id AS in_id, b.vec_id AS corpus_id, SUM(a.qv*b.qv) AS dot
+      |  FROM e a JOIN e b ON a.pos = b.pos
+      |  WHERE a.vec_id < 100 AND b.vec_id >= 100
+      |  GROUP BY 1, 2)
+      |SELECT in_id, corpus_id,
+      |  CAST(dot AS DOUBLE)/SQRT(CAST(na.nrm AS DOUBLE)*CAST(nb.nrm AS DOUBLE))
+      |    AS cosine
+      |FROM dots JOIN norms na ON in_id = na.vec_id
+      |          JOIN norms nb ON corpus_id = nb.vec_id
+      |WHERE CAST(dot AS DOUBLE)/SQRT(CAST(na.nrm AS DOUBLE)*CAST(nb.nrm AS DOUBLE))
+      |  >= 0.4""".stripMargin
+
   // q169: URL canonicalization + URL-level dedup — the crawl-frontier
   // key. Planted variants (the fixture has no url column — q145's
   // pattern) exercise every rule: case-folding scheme/host, default
@@ -1574,7 +1610,8 @@ object Corpus {
     "q175_semantic_contamination" -> (q175SemanticContamination _),
     "q176_boilerplate_lines" -> (q176BoilerplateLines _),
     "q177_dedup_lines_within" -> (q177DedupLinesWithin _),
-    "q178_shared_ngrams" -> (q178SharedNgrams _))
+    "q178_shared_ngrams" -> (q178SharedNgrams _),
+    "q179_cross_set_semantic_pairs" -> (q179CrossSetSemanticPairs _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1614,5 +1651,6 @@ object Corpus {
     "q175_semantic_contamination" -> q175Sql,
     "q176_boilerplate_lines" -> q176Sql,
     "q177_dedup_lines_within" -> q177Sql,
-    "q178_shared_ngrams" -> q178Sql)
+    "q178_shared_ngrams" -> q178Sql,
+    "q179_cross_set_semantic_pairs" -> q179Sql)
 }

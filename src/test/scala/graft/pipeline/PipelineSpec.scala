@@ -961,6 +961,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, "")))
   }
 
+  test("annDupPairsAcross equals the exact cross-set pairs (recall 1.0)") {
+    // q179's precondition: at 24 tables × 3 bits the LSH candidates
+    // contain every exact cross-set pair at ≥ 0.4. Brute-force
+    // reference over the sf0.001 fixture with the same floor(v·1000)
+    // quantization discipline.
+    val split = 100L
+    val got = Similarity.annDupPairsAcross(
+        embs.filter(col("vec_id") < split), embs.filter(col("vec_id") >= split),
+        "vec_id", "embedding", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = embs.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1000.0)).toArray)
+    val exact = (for {
+      (a, va) <- all if a < split
+      (b, vb) <- all if b >= split
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = va.map(x => x * x).sum
+      nb = vb.map(x => x * x).sum
+      if na > 0 && nb > 0 && dot / math.sqrt(na * nb) >= 0.4
+    } yield (a, b)).toSet
+    assert(got == exact, s"got ${got.size} vs exact ${exact.size}")
+    assert(exact.nonEmpty) // the fixture's planted near-dups cross the split
+  }
+
   test("sharedNgramFraction scores cross-doc gram overlap per doc") {
     // n=2 grams: docs 1/2 share "a b" (half their grams); doc 3 is
     // disjoint (0.0); doc 4 is too short for any gram (0 over 0)
