@@ -986,6 +986,20 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty) // the fixture's planted near-dups cross the split
   }
 
+  test("annDupPairsAcross stays a SUBSET of exact under partial recall") {
+    // the one-sided guarantee that holds at ANY tables/bits setting:
+    // exact verification means a candidate below threshold never emits
+    // and a non-candidate never appears — so even a deliberately
+    // low-recall setting (2 tables × 8 bits) yields only true pairs,
+    // all cross-set
+    val split = 100L
+    val got = Similarity.annDupPairsAcross(
+        embs.filter(col("vec_id") < split), embs.filter(col("vec_id") >= split),
+        "vec_id", "embedding", threshold = 0.4, tables = 2, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (a, b, c) => a < split && b >= split && c >= 0.4 })
+  }
+
   test("sharedNgramFraction scores cross-doc gram overlap per doc") {
     // n=2 grams: docs 1/2 share "a b" (half their grams); doc 3 is
     // disjoint (0.0); doc 4 is too short for any gram (0 over 0)
