@@ -765,4 +765,74 @@ object TextDedup {
         (col("n_chunks") - coalesce(col("_g_nkept"), lit(0L))).as("n_dropped"),
         coalesce(col("_g_text"), lit("")).as("dedup_text"))
   }
+
+  /** LONG-RUN contamination gate: every (corpus doc, bench doc) pair that
+    * shares a run of at least `k + window − 1` CONSECUTIVE tokens, with
+    * the count of distinct shared runs — the exact-substring
+    * decontamination check (the GPT-3 13-gram / The-Stack 50-token
+    * family), as opposed to [[contamination]]'s bag-of-shingles overlap
+    * fraction.
+    *
+    * Two stages, exact by the winnowing guarantee:
+    *
+    *  1. CANDIDATES: both sides fingerprinted with
+    *     [[TextStats.fingerprints]] (winnowing over k-gram hashes,
+    *     window w). Any shared run of ≥ k+w−1 tokens contains a full
+    *     window of w identical consecutive k-gram hashes in BOTH
+    *     documents, and winnowing selects that window's minimum on both
+    *     sides — so every truly-contaminated pair shares a fingerprint
+    *     VALUE and survives the equi-join. Fingerprint density is
+    *     ~2/(w+1) per token, so the corpus side ships a fraction of its
+    *     grams into the join instead of all of them.
+    *  2. VERIFY: only candidate documents re-expand their full
+    *     (k+w−1)-gram set (token array materialized ONCE per row — see
+    *     [[dedupLinesWithin]]'s lesson) and pairs are confirmed on gram
+    *     CONTENT, discarding hash-collision candidates. Sharing a
+    *     (k+w−1)-gram is literally sharing a (k+w−1)-token run, so the
+    *     verified output is the exact target set.
+    *
+    * Plan shape at 100 TB: the bench side (an eval suite — tiny next to
+    * the corpus) broadcasts in both stages by default; the corpus side's
+    * only exchanges are the fingerprint values and the candidate
+    * documents' grams. Set `broadcastBench = false` for corpus-vs-corpus
+    * runs, which falls back to shuffle equi-joins on the same keys.
+    */
+  def longRunContamination(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      window: Int = 5,
+      broadcastBench: Boolean = true): DataFrame = {
+    require(k >= 1 && window >= 1, "k and window must be positive")
+    val runLen = k + window - 1
+    def rgrams(df: DataFrame, outId: String): DataFrame = {
+      val toks = col("_g_toks")
+      val starts =
+        when(size(toks) >= runLen, sequence(lit(1), size(toks) - (runLen - 1)))
+          .otherwise(array().cast("array<int>"))
+      val grams = transform(starts,
+        i => concat_ws(" ", (0 until runLen).map(j => element_at(toks, i + j)): _*))
+      df.select(col(idCol).as(outId), split(col(textCol), " ").as("_g_toks"))
+        .select(col(outId), explode(array_distinct(grams)).as("_g_run"))
+    }
+    val fpDocs = TextStats.fingerprints(docs, idCol, textCol, k, window)
+    val fpBench0 = TextStats.fingerprints(bench, idCol, textCol, k, window)
+      .withColumnRenamed(idCol, "bench_id")
+    val fpBench = if (broadcastBench) broadcast(fpBench0) else fpBench0
+    val candPairs = fpDocs.join(fpBench, "fingerprint")
+      .select(col(idCol), col("bench_id")).distinct()
+    val docsR = rgrams(
+      docs.join(candPairs.select(col(idCol)).distinct(), Seq(idCol), "left_semi"),
+      idCol)
+    val benchR0 = rgrams(
+      bench.join(candPairs.select(col("bench_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"),
+      "bench_id")
+    val benchR = if (broadcastBench) broadcast(benchR0) else benchR0
+    docsR.join(benchR, "_g_run")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_runs"))
+  }
 }

@@ -1277,6 +1277,40 @@ object Corpus {
       "vec_id", "embedding", threshold = 0.4)
   }
 
+  // q180: long-run (exact-substring) contamination gate — every corpus
+  // document sharing a run of ≥ 8 consecutive tokens (k=4, w=5 →
+  // k+w−1 = 8) with a bench document, per-pair with the distinct shared
+  // run count. Bench = doc_id % 7 (a deterministic eval-suite stand-in,
+  // ~14% of the fixture — DISJOINT from q51's hash split on purpose so
+  // the two gates don't share a bug). The operator's winnowed-candidate
+  // + exact-verify path is EXACT by the winnowing guarantee, so the
+  // oracle is the brute-force 8-gram equi-join.
+  def q180LongRunContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextDedup.longRunContamination(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", k = 4, window = 5)
+  }
+
+  val q180Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    string_agg(tok,' ') OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS gram,
+      |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS glen
+      |  FROM tk),
+      |gr AS (SELECT DISTINCT doc_id, gram FROM g WHERE glen = 8)
+      |SELECT c.doc_id, b.doc_id AS bench_id,
+      |  COUNT(DISTINCT c.gram) AS n_shared_runs
+      |FROM gr c JOIN gr b ON c.gram = b.gram
+      |WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+      |GROUP BY 1, 2""".stripMargin
+
   val q179Sql: String =
     """WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
@@ -1611,7 +1645,8 @@ object Corpus {
     "q176_boilerplate_lines" -> (q176BoilerplateLines _),
     "q177_dedup_lines_within" -> (q177DedupLinesWithin _),
     "q178_shared_ngrams" -> (q178SharedNgrams _),
-    "q179_cross_set_semantic_pairs" -> (q179CrossSetSemanticPairs _))
+    "q179_cross_set_semantic_pairs" -> (q179CrossSetSemanticPairs _),
+    "q180_long_run_contamination" -> (q180LongRunContamination _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1652,5 +1687,6 @@ object Corpus {
     "q176_boilerplate_lines" -> q176Sql,
     "q177_dedup_lines_within" -> q177Sql,
     "q178_shared_ngrams" -> q178Sql,
-    "q179_cross_set_semantic_pairs" -> q179Sql)
+    "q179_cross_set_semantic_pairs" -> q179Sql,
+    "q180_long_run_contamination" -> q180Sql)
 }

@@ -1036,6 +1036,47 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((1L, 0L, "only line")))
   }
 
+  test("longRunContamination finds exactly the >= k+w-1 token runs") {
+    // k=4, w=5 → run threshold 8 tokens. bench doc 100 plants an
+    // 8-token sentence; corpus doc 1 embeds it verbatim (hit, 1 run),
+    // doc 2 shares only the first 7 of its tokens (miss), doc 3 is
+    // disjoint (miss), doc 4 repeats the planted run at two offsets
+    // (still 1 DISTINCT shared 8-gram... plus the extended overlaps)
+    val run8 = "the quick brown fox jumps over the dog"
+    val bench = Seq((100L, s"HEAD $run8 TAIL")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro words $run8 outro"),
+      (2L, "the quick brown fox jumps over the cat"),
+      (3L, "completely unrelated text with eight tokens here ok"),
+      (4L, run8))
+      .toDF("doc_id", "text")
+    val got = TextDedup.longRunContamination(
+        corpus, bench, "doc_id", "text", k = 4, window = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 100L, 1L), (4L, 100L, 1L)))
+  }
+
+  test("longRunContamination equals the brute-force 8-gram join on the fixture") {
+    // the winnowing-candidate path must be EXACT: same pairs, same
+    // distinct-run counts as exploding every 8-gram on both sides
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val got = TextDedup.longRunContamination(
+      corpus, bench, "doc_id", "text", k = 4, window = 5)
+    def grams(df: org.apache.spark.sql.DataFrame, out: String) = {
+      val toks = col("_toks")
+      val starts = when(size(toks) >= 8, sequence(lit(1), size(toks) - 7))
+        .otherwise(array().cast("array<int>"))
+      df.select(col("doc_id").as(out), split(col("text"), " ").as("_toks"))
+        .select(col(out), explode(array_distinct(transform(starts,
+          i => concat_ws(" ", (0 until 8).map(j =>
+            element_at(toks, i + j)): _*)))).as("g"))
+    }
+    val brute = grams(corpus, "doc_id").join(grams(bench, "bench_id"), "g")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared_runs"))
+    assert(rows(got) == rows(brute) && got.count() > 0)
+  }
+
   test("dropBoilerplateLines is lossless when no line reaches minDocs") {
     // with the df threshold above the corpus size nothing is hot, so
     // reassembly must reproduce every document byte-for-byte — the
