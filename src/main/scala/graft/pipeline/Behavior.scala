@@ -189,4 +189,61 @@ object Behavior {
         min(when(col("_g_len") === col("_g_max"), col("_g_start")))
           .as("max_streak_start"))
   }
+
+  /** Per-key INTER-ARRIVAL profile: gap statistics of each key's event
+    * stream — n_events, min/max gap, mean gap, and the coefficient of
+    * variation of gaps (the burstiness signal: cv ≈ 1 is Poisson-like,
+    * cv ≫ 1 is bursty, cv ≪ 1 is metronomic — the behavioral feature
+    * that separates organic users from schedulers and scrapers).
+    *
+    * Keys with fewer than three events are omitted (a sample variance
+    * needs ≥ 2 gaps). Determinism discipline: gaps are exact integer
+    * timestamps differences from one keyed lead() window (the gap
+    * MULTISET doesn't depend on tie order — equal timestamps just
+    * contribute zero gaps), moments are exact integer/decimal sums
+    * (Σg as long, Σg² through DECIMAL(19,0)×DECIMAL(19,0) — a µs gap
+    * squared overflows a long), and doubles appear only in the final
+    * identical-order arithmetic, d6-rounded.
+    *
+    * One exchange on the key serves both the window and the aggregate.
+    */
+  def interArrivalStats(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    requireFree(events, "_g_gap", "_g_n", "_g_s1", "_g_s2")
+    val u = col(keyCol)
+    val w = Window.partitionBy(u).orderBy(col(tsCol))
+    val gapDec = col("_g_gap").cast("decimal(19,0)")
+    val agg = events
+      .withColumn("_g_gap", lead(col(tsCol), 1).over(w) - col(tsCol))
+      .filter(col("_g_gap").isNotNull)
+      .groupBy(u)
+      .agg(
+        count(lit(1)).as("_g_n"),
+        sum(col("_g_gap")).as("_g_s1"),
+        sum(gapDec * gapDec).as("_g_s2"),
+        min(col("_g_gap")).as("min_gap"),
+        max(col("_g_gap")).as("max_gap"))
+      .filter(col("_g_n") >= 2)
+    val nD = col("_g_n").cast("double")
+    val s1D = col("_g_s1").cast("double")
+    val s2D = col("_g_s2").cast("double")
+    val mean = s1D / nD
+    // clamp at 0: equal-gap keys cancel to an exact integer zero, but
+    // the double-rounded moments can land epsilon-negative → sqrt(NaN)
+    val variance = greatest(
+      (nD * s2D - s1D * s1D) / (nD * (nD - lit(1.0))), lit(0.0))
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    agg.select(u,
+      (col("_g_n") + 1L).as("n_events"),
+      col("min_gap"), col("max_gap"),
+      // exact integer µs: a d6 double can't hold a ~1e11-µs mean to six
+      // decimals (needs 17+ significant digits), so the fractional form
+      // is cross-engine-unstable; the floor µs is exact and sufficient
+      expr("_g_s1 div _g_n").as("mean_gap_us"),
+      // cv is O(1): the two ~1e10 magnitudes cancel, d6 is well inside
+      // double precision here
+      d6(sqrt(variance) / mean).as("cv_gap"))
+  }
 }

@@ -693,4 +693,41 @@ object TextStats {
           .otherwise(col("n_shared").cast("double") / col("n_grams"))
           .as("shared_frac"))
   }
+
+  /** BPE pair statistics — the first iteration of byte-pair-encoding
+    * vocabulary induction: corpus-wide frequencies of ADJACENT character
+    * pairs inside whitespace words, top `topK` by count (the merge
+    * candidates a BPE trainer would fuse first).
+    *
+    * Computed the way real BPE trainers do it: collapse the corpus to
+    * the DISTINCT-WORD count table first (one hash aggregate — the only
+    * corpus-sized exchange, and its key is the word itself), then
+    * enumerate each distinct word's pairs ONCE in-row and weight by the
+    * word count. Pair work is vocab-sized, not corpus-sized — a 100 TB
+    * corpus with a 10 M-word vocabulary does 10 M rows of pair
+    * expansion, not 10 T. The final top-k is (count DESC, pair ASC)
+    * through orderBy+limit → TakeOrderedAndProject, never a global
+    * sort; the key is unique so the cut is deterministic.
+    *
+    * Characters via substr (codepoint semantics, matching other
+    * engines' `substring`), not a regex split on "" (code units).
+    * Classic BPE also counts an end-of-word marker pair; this surface
+    * reports intra-word pairs only — compose with a sentinel-appended
+    * word column when the marker matters.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val wc = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("_g_n"))
+    val starts =
+      when(length(col("word")) >= 2, sequence(lit(1), length(col("word")) - 1))
+        .otherwise(array().cast("array<int>"))
+    wc.select(col("_g_n"),
+        explode(transform(starts, i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("_g_n")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

@@ -426,6 +426,39 @@ object Analytics {
       |    q -> q <= CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket
       |FROM documents""".stripMargin
 
+  // q182: per-user inter-arrival burstiness — gap count/min/max plus
+  // d6-rounded mean and coefficient of variation, moments from EXACT
+  // integer sums (Σg long, Σg² through DECIMAL — a µs gap squared
+  // overflows BIGINT in both engines) with the final double arithmetic
+  // written in the identical order on both sides.
+  def q182InterArrival(s: SparkSession, dir: String): DataFrame =
+    Behavior.interArrivalStats(ev(s, dir), "user_id", "ts_us")
+
+  val q182Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |g0 AS (
+      |  SELECT user_id,
+      |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) - ts_us AS gap
+      |  FROM e),
+      |g AS (SELECT user_id, gap FROM g0 WHERE gap IS NOT NULL),
+      |a AS (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(gap) AS BIGINT) AS s1,
+      |    SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS s2,
+      |    MIN(gap) AS min_gap, MAX(gap) AS max_gap
+      |  FROM g GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT user_id, n + 1 AS n_events, min_gap, max_gap,
+      |  s1 // n AS mean_gap_us,
+      |  CAST(CAST(
+      |    SQRT(GREATEST(
+      |      (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0))
+      |    / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS cv_gap
+      |FROM a""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
@@ -442,7 +475,8 @@ object Analytics {
     "q113_key_skew" -> (q113KeySkew _),
     "q114_winsorize" -> (q114Winsorize _),
     "q116_unigram_logprob" -> (q116UnigramLogprob _),
-    "q118_topk_per_key" -> (q118TopkPerKey _))
+    "q118_topk_per_key" -> (q118TopkPerKey _),
+    "q182_interarrival" -> (q182InterArrival _))
 
   def oracles: Map[String, String] = Map(
     "q133_group_corr" -> q133Sql,
@@ -460,5 +494,6 @@ object Analytics {
     "q113_key_skew" -> q113Sql,
     "q114_winsorize" -> q114Sql,
     "q116_unigram_logprob" -> q116Sql,
-    "q118_topk_per_key" -> q118Sql)
+    "q118_topk_per_key" -> q118Sql,
+    "q182_interarrival" -> q182Sql)
 }

@@ -1311,6 +1311,28 @@ object Corpus {
       |WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
       |GROUP BY 1, 2""".stripMargin
 
+  // q181: BPE pair statistics — top-50 adjacent character pairs inside
+  // whitespace words, weighted by corpus word frequency: the first
+  // merge-candidate table of byte-pair-encoding vocabulary induction.
+  // Both engines enumerate pairs over the DISTINCT-word count table
+  // and cut at a unique (count DESC, pair ASC) key, so the top-50 is
+  // deterministic; counts are exact integers (BIGINT-cast in DuckDB —
+  // its SUM(BIGINT) would otherwise surface as DECIMAL/float).
+  def q181BpePairs(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.bpePairStats(t(s, dir, "documents"), "text")
+
+  val q181Sql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(text,' ')) AS word FROM documents),
+      |wc AS (SELECT word, COUNT(*) AS n FROM w WHERE length(word)>0 GROUP BY 1),
+      |ch AS (
+      |  SELECT word, n, unnest(generate_series(1, length(word)-1)) AS i FROM wc),
+      |p AS (
+      |  SELECT substring(word, i, 2) AS pair, CAST(SUM(n) AS BIGINT) AS pair_count
+      |  FROM ch GROUP BY 1)
+      |SELECT pair, pair_count FROM p
+      |QUALIFY row_number() OVER (ORDER BY pair_count DESC, pair ASC) <= 50""".stripMargin
+
   val q179Sql: String =
     """WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
@@ -1646,7 +1668,8 @@ object Corpus {
     "q177_dedup_lines_within" -> (q177DedupLinesWithin _),
     "q178_shared_ngrams" -> (q178SharedNgrams _),
     "q179_cross_set_semantic_pairs" -> (q179CrossSetSemanticPairs _),
-    "q180_long_run_contamination" -> (q180LongRunContamination _))
+    "q180_long_run_contamination" -> (q180LongRunContamination _),
+    "q181_bpe_pairs" -> (q181BpePairs _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1688,5 +1711,6 @@ object Corpus {
     "q177_dedup_lines_within" -> q177Sql,
     "q178_shared_ngrams" -> q178Sql,
     "q179_cross_set_semantic_pairs" -> q179Sql,
-    "q180_long_run_contamination" -> q180Sql)
+    "q180_long_run_contamination" -> q180Sql,
+    "q181_bpe_pairs" -> q181Sql)
 }

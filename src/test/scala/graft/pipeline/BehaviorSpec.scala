@@ -97,6 +97,26 @@ class BehaviorSpec extends SparkSpec {
       (3L, 1L, 1L, 0L)))
   }
 
+  test("interArrivalStats: hand-computed moments, <3-event keys omitted") {
+    // user 1: ts 0,10,30 → gaps 10,20: mean 15, var (2·500−900)/2 = 50,
+    // cv = sqrt(50)/15; user 2: one gap → omitted; user 3: metronomic
+    // gaps 5,5,5 → cv exactly 0
+    val df = Seq(
+      (1L, 0L), (1L, 10L), (1L, 30L),
+      (2L, 0L), (2L, 5L),
+      (3L, 0L), (3L, 5L), (3L, 10L), (3L, 15L))
+      .toDF("user_id", "ts_us")
+    val got = Behavior.interArrivalStats(df, "user_id", "ts_us")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet == Set(1L, 3L))
+    // cv d6-rounds: sqrt(50)/15 = 0.4714045… → 0.471405
+    assert(got(1L) == ((3L, 10L, 20L, 15L, 0.471405)))
+    assert(got(3L) == ((4L, 5L, 5L, 5L, 0.0)))
+  }
+
   test("reserved-name guards reject colliding inputs") {
     val bad = Seq((1L, "a", 1L, 1L)).toDF("user_id", "event_type", "ts", "_g_ts")
     intercept[IllegalArgumentException] {

@@ -1077,6 +1077,20 @@ class PipelineSpec extends SparkSpec {
     assert(rows(got) == rows(brute) && got.count() > 0)
   }
 
+  test("bpePairStats weights pairs by corpus word frequency") {
+    // "ab" appears 3× (2 in doc 1, 1 in doc 2) → pair "ab" count 3;
+    // "aab" once → pairs "aa", "ab" → "ab" totals 4; single-char word
+    // "x" contributes nothing
+    val df = Seq((1L, "ab ab x"), (2L, "ab aab")).toDF("doc_id", "text")
+    val got = TextStats.bpePairStats(df, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 4L, "aa" -> 1L))
+    // the top-k cut is on the unique (count desc, pair asc) key
+    val top1 = TextStats.bpePairStats(df, "text", topK = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("ab"))
+  }
+
   test("dropBoilerplateLines is lossless when no line reaches minDocs") {
     // with the df threshold above the corpus size nothing is hot, so
     // reassembly must reproduce every document byte-for-byte — the
