@@ -139,4 +139,72 @@ object Timeseries {
         (d === trunc(d, "month")).cast("int").as("is_month_start"),
         (d === last_day(d)).cast("int").as("is_month_end"))
   }
+
+  /** Event-RATE anomaly detection: per key, bucket the stream into
+    * fixed windows, compare each bucket's count against the trailing
+    * `baselineBuckets` buckets' mean/σ, and flag buckets whose z-score
+    * magnitude exceeds `tau` — the ops alarm for traffic spikes and
+    * outages (a dead source flatlining, a scraper bursting).
+    *
+    * Determinism discipline: the anomaly PREDICATE is evaluated in
+    * exact integer arithmetic —
+    *
+    *   |z| > τ  ⟺  (n·c − S1)²·(n−1) > τ²·n·(n·S2 − S1²)
+    *
+    * over the trailing frame's exact sums (S1, S2, n are window sums
+    * of integer counts), so the flag can NEVER flicker on a float
+    * boundary; the reported z itself is a d6 double for humans. Var=0
+    * frames flag exactly when c ≠ mean (RHS 0 < LHS). Buckets with
+    * fewer than `minBaseline` trailing observations emit z NULL and
+    * flag 0 (warm-up). The trailing frame is a RANGE frame over bucket
+    * NUMBERS, so missing (empty) buckets simply don't contribute —
+    * densify upstream with [[resampleFfill]] when zeros should count.
+    *
+    * One exchange on the key serves the bucket aggregate and the
+    * window; frame sums are O(1) per row (Spark's sliding RANGE frame).
+    */
+  def rateAnomalies(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      bucketUs: Long,
+      baselineBuckets: Int = 24,
+      minBaseline: Int = 12,
+      tau: Int = 3): DataFrame = {
+    require(bucketUs > 0 && baselineBuckets >= 1 && tau >= 1,
+      "bucketUs, baselineBuckets and tau must be positive")
+    require(minBaseline >= 2, "minBaseline must be >= 2 (sample variance)")
+    val kcols = keys.map(col)
+    val counts = df
+      .select(kcols :+ expr(s"`$tsCol` div ${bucketUs}L").as("_g_b"): _*)
+      .groupBy(kcols :+ col("_g_b"): _*)
+      .agg(count(lit(1)).as("_g_c"))
+    val w = Window.partitionBy(kcols: _*).orderBy(col("_g_b"))
+      .rangeBetween(-baselineBuckets.toLong, -1L)
+    val c = col("_g_c")
+    val n = col("_g_n")
+    val s1 = col("_g_s1")
+    val s2 = col("_g_s2")
+    val lhs = (n * c - s1) * (n * c - s1) * (n - 1L)
+    val rhs = lit(tau.toLong * tau) * n * (n * s2 - s1 * s1)
+    val mean = s1.cast("double") / n.cast("double")
+    val varS = (n.cast("double") * s2.cast("double") -
+      s1.cast("double") * s1.cast("double")) /
+      (n.cast("double") * (n.cast("double") - lit(1.0)))
+    val z = (c.cast("double") - mean) / sqrt(varS)
+    counts
+      .withColumn("_g_n", count(c).over(w))
+      .withColumn("_g_s1", sum(c).over(w))
+      .withColumn("_g_s2", sum(c * c).over(w))
+      .select(kcols ++ Seq(
+        (col("_g_b") * bucketUs).as("bucket_start_us"),
+        c.as("n_events"),
+        n.as("n_baseline"),
+        when(n >= minBaseline,
+          mean.cast("decimal(28,6)").cast("double")).as("baseline_mean"),
+        when(n >= minBaseline && varS > 0.0,
+          z.cast("decimal(28,6)").cast("double")).as("z_score"),
+        when(n >= minBaseline && lhs > rhs, 1).otherwise(0)
+          .as("is_anomaly")): _*)
+  }
 }

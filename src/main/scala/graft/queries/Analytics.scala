@@ -459,6 +459,48 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS cv_gap
       |FROM a""".stripMargin
 
+  // q183: hourly event-rate anomalies per event type — each hour bucket
+  // vs its trailing-24h mean/σ at τ=3. The anomaly flag is an exact
+  // INTEGER inequality over the frame's sums (no float boundary can
+  // flip it); mean and z are d6 doubles computed in identical order on
+  // both sides, NULL during the <12-bucket warm-up and (for z) on
+  // zero-variance frames.
+  def q183RateAnomalies(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.rateAnomalies(
+      ev(s, dir), Seq("event_type"), "ts_us", bucketUs = 3600L * 1000 * 1000)
+
+  val q183Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b FROM events),
+      |c AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |wnd AS (
+      |  SELECT event_type, b, c,
+      |    COUNT(c) OVER w AS n,
+      |    CAST(SUM(c) OVER w AS BIGINT) AS s1,
+      |    CAST(SUM(c*c) OVER w AS BIGINT) AS s2
+      |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY b
+      |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, b * 3600000000 AS bucket_start_us,
+      |  c AS n_events, n AS n_baseline,
+      |  CASE WHEN n >= 12 THEN
+      |    CAST(CAST(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS baseline_mean,
+      |  CASE WHEN n >= 12 AND
+      |      (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0.0 THEN
+      |    CAST(CAST(
+      |      (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / SQRT((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS z_score,
+      |  CASE WHEN n >= 12 AND
+      |    (n*c - s1) * (n*c - s1) * (n - 1) > 9 * n * (n*s2 - s1*s1)
+      |    THEN 1 ELSE 0 END AS is_anomaly
+      |FROM wnd""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
@@ -476,7 +518,8 @@ object Analytics {
     "q114_winsorize" -> (q114Winsorize _),
     "q116_unigram_logprob" -> (q116UnigramLogprob _),
     "q118_topk_per_key" -> (q118TopkPerKey _),
-    "q182_interarrival" -> (q182InterArrival _))
+    "q182_interarrival" -> (q182InterArrival _),
+    "q183_rate_anomalies" -> (q183RateAnomalies _))
 
   def oracles: Map[String, String] = Map(
     "q133_group_corr" -> q133Sql,
@@ -495,5 +538,6 @@ object Analytics {
     "q114_winsorize" -> q114Sql,
     "q116_unigram_logprob" -> q116Sql,
     "q118_topk_per_key" -> q118Sql,
-    "q182_interarrival" -> q182Sql)
+    "q182_interarrival" -> q182Sql,
+    "q183_rate_anomalies" -> q183Sql)
 }

@@ -73,4 +73,52 @@ class TimeseriesSpec extends SparkSpec {
     val monday = out("2020-03-02")
     assert(monday.getLong(5) == 1L) // ISO Monday = 1
   }
+
+  test("rateAnomalies: exact integer flag, zero-variance and warm-up") {
+    import org.apache.spark.sql.functions.col
+    // key "a": buckets 0..23 hold 2 events each (variance 0), bucket 24
+    // holds 10 → frame n=24, s1=48, s2=96, var=0, c≠mean → flagged with
+    // z NULL (no finite z on a flat baseline); buckets <12 warm up
+    val bucket = 10L
+    val rows = ((0L until 24L).flatMap(b =>
+      Seq(("a", b * bucket), ("a", b * bucket + 1))) :+ ("a", 24L * bucket))
+      .flatMap { case (k, t) => Seq((k, t)) } ++
+      (0L until 10L).map(_ => ("a", 24L * bucket + 2))
+    val df = rows.toDF("k", "ts")
+    val out = Timeseries.rateAnomalies(
+        df, Seq("k"), "ts", bucketUs = bucket,
+        baselineBuckets = 24, minBaseline = 12, tau = 3)
+      .collect()
+      .map(r => (r.getLong(1) / bucket) ->
+        ((r.getLong(2), r.getLong(3), Option(r.get(4)), Option(r.get(5)),
+          r.getInt(6))))
+      .toMap
+    // warm-up: first buckets have n < 12 → NULL stats, flag 0
+    assert(out(0L) == ((2L, 0L, None, None, 0)))
+    assert(out(5L) == ((2L, 5L, None, None, 0)))
+    // steady state inside the flat region: c == mean → no flag
+    assert(out(23L) == ((2L, 23L, Some(2.0), None, 0)))
+    // the spike: 11 events vs flat-2 baseline → flag, z NULL (var 0)
+    assert(out(24L) == ((11L, 24L, Some(2.0), None, 1)))
+  }
+
+  test("rateAnomalies z-score matches the hand formula on a varied frame") {
+    import org.apache.spark.sql.functions.col
+    // counts 1,2,3,...,12 in buckets 0..11, then 30 in bucket 12:
+    // n=12, s1=78, s2=650, mean=6.5, var=(12·650−6084)/(12·11)=13,
+    // z=(30−6.5)/sqrt(13)=6.518…, flag: z>3
+    val rows = (0L until 12L).flatMap(b =>
+      (0L to b).map(i => ("a", b * 100L + i))) ++
+      (0L until 30L).map(i => ("a", 1200L + i % 9))
+    val df = rows.toDF("k", "ts")
+    val out = Timeseries.rateAnomalies(
+        df, Seq("k"), "ts", bucketUs = 100L,
+        baselineBuckets = 24, minBaseline = 12, tau = 3)
+      .collect().map(r => (r.getLong(1) / 100L) -> r).toMap
+    val spike = out(12L)
+    assert(spike.getLong(2) == 30L && spike.getLong(3) == 12L)
+    val expZ = BigDecimal((30.0 - 6.5) / math.sqrt(13.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(spike.getDouble(5) == expZ && spike.getInt(6) == 1)
+  }
 }
