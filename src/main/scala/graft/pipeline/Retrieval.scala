@@ -140,4 +140,49 @@ object Retrieval {
       .agg(count(lit(1)).as("weight"),
         countDistinct(col("tok")).as("n_terms"))
   }
+
+  /** RECIPROCAL RANK FUSION of pre-ranked candidate lists — the
+    * standard way to blend heterogeneous rankers (lexical BM25 +
+    * semantic cosine + a quality prior) without calibrating their
+    * score scales: fused(d) = Σ_lists 1/(rrfK + rank_list(d)), summed
+    * over the lists that contain d.
+    *
+    * Each input frame carries (`idCol`, `rank`) with rank ≥ 1 (a
+    * truncated top-k list is fine — absent docs contribute zero).
+    * Lists join full-outer IN ARGUMENT ORDER and contributions add
+    * left-to-right, so the double arithmetic is order-fixed and
+    * reproducible; the fused score is d6-rounded BEFORE the final
+    * (score DESC, id ASC) cut, so the top-k boundary can't sit on a
+    * float edge (q123's ranking discipline).
+    *
+    * Scale: candidate lists are top-k by construction — orders of
+    * magnitude smaller than the corpus — so the outer joins broadcast
+    * and the final cut is a TakeOrderedAndProject. The ranker stages
+    * upstream are where the corpus-sized work happens.
+    */
+  def reciprocalRankFusion(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rrfK: Int = 60,
+      topK: Int = 50): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 1 && topK >= 1, "rrfK and topK must be positive")
+    val renamed = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").as(s"_g_r$i"))
+    }
+    val joined = renamed.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(rrfK.toDouble) + col(s"_g_r$i").cast("double")),
+        lit(0.0)))
+      .reduce(_ + _)
+    val nLists = rankings.indices
+      .map(i => col(s"_g_r$i").isNotNull.cast("int"))
+      .reduce(_ + _)
+    joined
+      .select(col(idCol), nLists.as("n_lists"),
+        score.cast("decimal(28,6)").cast("double").as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

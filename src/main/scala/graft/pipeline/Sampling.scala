@@ -257,4 +257,53 @@ object Sampling {
       .withColumn("shuffle_pos", col("_offset") + localRank - 1)
       .drop("_h", "_shard", "_offset")
   }
+
+  /** COVERAGE CUT (the top-p / nucleus rule applied to corpus curation):
+    * rank members by integer weight descending and keep the smallest
+    * prefix whose weights cover at least `pNum/pDen` of the total — the
+    * pruning decision "which domains make up 90 % of the tokens" (and
+    * the long tail you can drop or down-weight). `keys` partitions the
+    * cut (pass Nil for one global cut).
+    *
+    * The keep predicate is EXACT integer arithmetic: a member is kept
+    * iff the weight sum STRICTLY BEFORE it (rank order: weight DESC,
+    * id ASC — fully deterministic) hasn't yet reached the target, i.e.
+    * `pDen·cum_before < pNum·total` — so the member that crosses the
+    * threshold is included and nothing after it is, and no float
+    * boundary decides membership. Output adds rank, exact cumulative
+    * weight, the d6 cumulative share, and the keep flag (the caller
+    * filters; emitting the tail too is what makes the report useful).
+    *
+    * One exchange on `keys` serves both windows; totals ride the same
+    * partition (no broadcast needed). Weight ties are ordered by id, so
+    * re-runs cut identically.
+    */
+  def coverageCut(
+      df: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      weightCol: String,
+      pNum: Long,
+      pDen: Long): DataFrame = {
+    require(pDen > 0 && pNum >= 0 && pNum <= pDen,
+      s"need 0 <= pNum/pDen <= 1, got $pNum/$pDen")
+    val kcols = keys.map(col)
+    val order = Window.partitionBy(kcols: _*)
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    val whole = Window.partitionBy(kcols: _*)
+    val w = col(weightCol).cast("long")
+    val cum = sum(w).over(
+      order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val total = sum(w).over(whole)
+    df.select(kcols ++ Seq(col(idCol), w.as(weightCol)): _*)
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum_weight", cum)
+      .withColumn("_g_total", total)
+      .select(kcols ++ Seq(col(idCol), col(weightCol), col("rank"),
+        col("cum_weight"),
+        (col("cum_weight").cast("double") / col("_g_total").cast("double"))
+          .cast("decimal(28,6)").cast("double").as("cum_share"),
+        (lit(pDen) * (col("cum_weight") - col(weightCol)) <
+          lit(pNum) * col("_g_total")).cast("int").as("is_kept")): _*)
+  }
 }

@@ -1311,6 +1311,117 @@ object Corpus {
       |WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
       |GROUP BY 1, 2""".stripMargin
 
+  // q184: coverage cut — sources ranked by total chars, keep the
+  // smallest prefix covering ≥ 90% of the corpus (the top-p pruning
+  // decision). Membership is the exact integer predicate
+  // 10·cum_before < 9·total on both sides; the cut input is the tiny
+  // per-source aggregate, so the unpartitioned window is over ~20 rows.
+  def q184CoverageCut(s: SparkSession, dir: String): DataFrame = {
+    val bySource = t(s, dir, "documents")
+      .groupBy("source").agg(sum(col("n_chars")).as("chars"))
+    Sampling.coverageCut(bySource, Nil, "source", "chars", pNum = 9, pDen = 10)
+  }
+
+  val q184Sql: String =
+    """WITH s AS (
+      |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT source, chars,
+      |    row_number() OVER (ORDER BY chars DESC, source ASC) AS rank,
+      |    CAST(SUM(chars) OVER (ORDER BY chars DESC, source ASC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
+      |    CAST(SUM(chars) OVER () AS BIGINT) AS total
+      |  FROM s)
+      |SELECT source, chars, rank, cum_weight,
+      |  CAST(CAST(CAST(cum_weight AS DOUBLE) / CAST(total AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS cum_share,
+      |  CASE WHEN 10 * (cum_weight - chars) < 9 * total
+      |    THEN 1 ELSE 0 END AS is_kept
+      |FROM r""".stripMargin
+
+  // q185: reciprocal-rank fusion of the BM25 lexical ranking (q123's
+  // query and parameters) with the bigram-LM fluency ranking (q130's
+  // model) — the score-scale-free blend a retrieval pipeline runs
+  // before anything neural. Both input rankings are over d6-ROUNDED
+  // scores with a doc_id tie-break (q123's discipline), both truncate
+  // at 50, and the fused score adds the two reciprocal terms in the
+  // same order on both sides before its own d6 + (score, id) cut.
+  def q185RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("spark", "merge", "vector"), topK = 50)
+    val wA = Window.orderBy(col("bm25_score").desc, col("doc_id").asc)
+    val ra = bm.select(col("doc_id"),
+      row_number().over(wA).cast("long").as("rank"))
+    val lmd = graft.pipeline.TextStats.bigramLogProb(docs, "doc_id", "text")
+      .select(col("doc_id"), d6(col("avg_logprob")).as("_s"))
+    val wB = Window.orderBy(col("_s").desc, col("doc_id").asc)
+    val rb = lmd.select(col("doc_id"),
+        row_number().over(wB).cast("long").as("rank"))
+      .filter(col("rank") <= 50)
+    Retrieval.reciprocalRankFusion(Seq(ra, rb), "doc_id")
+  }
+
+  val q185Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, pos, tok FROM tk WHERE tok <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dlen FROM tk2 GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |              CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT * FROM (VALUES ('spark'), ('merge'), ('vector')) v(term)),
+      |dfq AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |        FROM tk2 JOIN qt ON tok = term GROUP BY 1),
+      |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM tk2 JOIN qt ON tok = term GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(CAST(sum(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+      |        tf.tf * 2.2 /
+      |        (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dlen AS DOUBLE) / st.avgdl)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS score
+      |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1),
+      |bm AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
+      |  FROM (SELECT doc_id, score FROM sc
+      |        ORDER BY score DESC, doc_id LIMIT 50)),
+      |bi AS (
+      |  SELECT doc_id, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT doc_id, tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |c12 AS (SELECT tok, nxt, count(*) AS c12 FROM bi2 GROUP BY 1,2),
+      |c1 AS (SELECT tok, count(*) AS c1 FROM bi2 GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tk2),
+      |lmsc AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(sum(ln((CAST(c12 AS DOUBLE) + 0.5)
+      |        / (CAST(c1 AS DOUBLE) + 0.5 * v)))
+      |      / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS s
+      |  FROM bi2 JOIN c12 USING (tok, nxt) JOIN c1 USING (tok) CROSS JOIN v
+      |  GROUP BY doc_id),
+      |lm AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rb
+      |  FROM lmsc QUALIFY rb <= 50),
+      |f AS (
+      |  SELECT COALESCE(bm.doc_id, lm.doc_id) AS doc_id,
+      |    CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END
+      |      + CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END AS n_lists,
+      |    COALESCE(1.0 / (60.0 + CAST(ra AS DOUBLE)), 0.0)
+      |      + COALESCE(1.0 / (60.0 + CAST(rb AS DOUBLE)), 0.0) AS score
+      |  FROM bm FULL OUTER JOIN lm ON bm.doc_id = lm.doc_id)
+      |SELECT doc_id, n_lists,
+      |  CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE) AS rrf_score
+      |FROM f
+      |ORDER BY CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE) DESC, doc_id ASC
+      |LIMIT 50""".stripMargin
+
   // q181: BPE pair statistics — top-50 adjacent character pairs inside
   // whitespace words, weighted by corpus word frequency: the first
   // merge-candidate table of byte-pair-encoding vocabulary induction.
@@ -1669,7 +1780,9 @@ object Corpus {
     "q178_shared_ngrams" -> (q178SharedNgrams _),
     "q179_cross_set_semantic_pairs" -> (q179CrossSetSemanticPairs _),
     "q180_long_run_contamination" -> (q180LongRunContamination _),
-    "q181_bpe_pairs" -> (q181BpePairs _))
+    "q181_bpe_pairs" -> (q181BpePairs _),
+    "q184_coverage_cut" -> (q184CoverageCut _),
+    "q185_rrf_fusion" -> (q185RrfFusion _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1712,5 +1825,7 @@ object Corpus {
     "q178_shared_ngrams" -> q178Sql,
     "q179_cross_set_semantic_pairs" -> q179Sql,
     "q180_long_run_contamination" -> q180Sql,
-    "q181_bpe_pairs" -> q181Sql)
+    "q181_bpe_pairs" -> q181Sql,
+    "q184_coverage_cut" -> q184Sql,
+    "q185_rrf_fusion" -> q185Sql)
 }

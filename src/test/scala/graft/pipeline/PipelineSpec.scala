@@ -1091,6 +1091,50 @@ class PipelineSpec extends SparkSpec {
     assert(top1 == Seq("ab"))
   }
 
+  test("coverageCut keeps the crossing member, excludes an exact-bound tail") {
+    // weights 50,30,15,5 (total 100), p = 80/100: a and b reach exactly
+    // 80 — c's cum_before is 80, NOT < 80, so c and d are cut (the
+    // exact-boundary case a float predicate could flip)
+    val df = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L))
+      .toDF("id", "wt")
+    val got = Sampling.coverageCut(df, Nil, "id", "wt", 80, 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(5)))).toMap
+    assert(got == Map(
+      "a" -> ((1L, 50L, 1)), "b" -> ((2L, 80L, 1)),
+      "c" -> ((3L, 95L, 0)), "d" -> ((4L, 100L, 0))))
+    // p just above the boundary pulls in the crossing member
+    val got81 = Sampling.coverageCut(df, Nil, "id", "wt", 81, 100)
+      .filter(col("is_kept") === 1).collect().map(_.getString(0)).toSet
+    assert(got81 == Set("a", "b", "c"))
+    // per-key cut partitions independently; weight ties order by id
+    val keyed = Seq(("x", "a", 10L), ("x", "b", 10L), ("y", "c", 7L))
+      .toDF("k", "id", "wt")
+    val gotK = Sampling.coverageCut(keyed, Seq("k"), "id", "wt", 1, 2)
+      .filter(col("is_kept") === 1).collect().map(_.getString(1)).toSet
+    assert(gotK == Set("a", "c"))
+  }
+
+  test("reciprocalRankFusion blends truncated lists, absent docs score less") {
+    // A ranks 1,2,3 = docs 1,2,3; B ranks 1,2,3 = docs 2,3,4.
+    // fused: doc2 = 1/62+1/61 top, doc3 = 1/63+1/62, then the
+    // single-list docs 1 (1/61) and 4 (1/63)
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L), (4L, 3L)).toDF("doc_id", "rank")
+    val got = Retrieval.reciprocalRankFusion(Seq(a, b), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((2L, 2), (3L, 2), (1L, 1), (4L, 1)))
+    val top2 = Retrieval.reciprocalRankFusion(Seq(a, b), "doc_id", topK = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(2L, 3L))
+    // identical ranks → identical score → id tie-break
+    val tie = Retrieval.reciprocalRankFusion(
+      Seq(Seq((9L, 1L), (7L, 2L)).toDF("doc_id", "rank"),
+        Seq((7L, 1L), (9L, 2L)).toDF("doc_id", "rank")), "doc_id")
+      .collect().map(_.getLong(0))
+    assert(tie.toSeq == Seq(7L, 9L))
+  }
+
   test("dropBoilerplateLines is lossless when no line reaches minDocs") {
     // with the df threshold above the corpus size nothing is hot, so
     // reassembly must reproduce every document byte-for-byte — the
