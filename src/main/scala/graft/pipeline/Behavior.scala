@@ -97,6 +97,56 @@ object Behavior {
       .select(col("_g_s.*"))
   }
 
+  /** TIME-TO-CONVERT distribution: for each funnel step past the
+    * first, the count and the min/max/median/p90 of the delay from the
+    * step-1 binding to that step's greedy binding ([[funnelUsers]]
+    * semantics) — the "how long does conversion take" follow-up to
+    * [[funnelCounts]]' "how many convert".
+    *
+    * Determinism: min/max surface as exact integer timestamp units;
+    * the exact sort-based percentiles interpolate over delays
+    * CONVERTED TO SECONDS first — at µs magnitudes (~1e10) a
+    * six-decimal rounding needs more significant digits than a double
+    * carries and the two engines' double→decimal conventions diverge
+    * (the [[interArrivalStats]] lesson), while second-scale values
+    * keep d6 well inside double precision.
+    *
+    * One pass: every step's conditional aggregate runs in a single
+    * agg over the funnel frame, then explodes to tidy rows.
+    */
+  def funnelDelays(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String],
+      maxSpan: Long): DataFrame = {
+    val users = funnelUsers(events, userCol, typeCol, tsCol, steps, maxSpan)
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val aggs = steps.indices.drop(1).flatMap { i =>
+      val d = col(s"step_ts_${i + 1}") - col("step_ts_1")
+      val dSec = d.cast("double") / lit(1000000.0)
+      Seq(
+        count(d).as(s"_g_n_${i + 1}"),
+        min(d).as(s"_g_min_${i + 1}"),
+        max(d).as(s"_g_max_${i + 1}"),
+        d6(percentile(dSec, lit(0.5))).as(s"_g_p50_${i + 1}"),
+        d6(percentile(dSec, lit(0.9))).as(s"_g_p90_${i + 1}"))
+    }
+    users.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(steps.zipWithIndex.drop(1).map { case (name, i) =>
+        struct(
+          lit(i + 1).as("step_idx"),
+          lit(name).as("step_name"),
+          col(s"_g_n_${i + 1}").as("n_users"),
+          col(s"_g_min_${i + 1}").as("min_delay_us"),
+          col(s"_g_max_${i + 1}").as("max_delay_us"),
+          col(s"_g_p50_${i + 1}").as("p50_delay_s"),
+          col(s"_g_p90_${i + 1}").as("p90_delay_s"))
+      }: _*)).as("_g_s"))
+      .select(col("_g_s.*"))
+  }
+
   /** Markov transition counts: for each user's event sequence ordered
     * by (`tsCol`, `tieCol`), count every adjacent (from → to) pair.
     * The tiebreaker makes the sequence deterministic when two events
@@ -245,5 +295,50 @@ object Behavior {
       // cv is O(1): the two ~1e10 magnitudes cancel, d6 is well inside
       // double precision here
       d6(sqrt(variance) / mean).as("cv_gap"))
+  }
+
+  /** SESSION PATH analysis: the top `topK` most common event-type
+    * sequences across sessions — "what do users actually do in a
+    * visit" (the product-analytics view one step up from [[transitions]]'
+    * single-hop Markov counts). Sessions come from
+    * [[Sessionize.label]]'s gap rule; each session's path is its first
+    * `maxLen` event types joined with `>` (truncation keeps the path
+    * alphabet finite — raw full paths explode combinatorially and
+    * make every long session unique).
+    *
+    * Determinism: events order by (ts, tieBreak...) INSIDE the
+    * collected struct sort, so tied timestamps can't flip a path
+    * string; the top-k cuts on the unique (count DESC, path ASC) key
+    * via orderBy+limit → TakeOrderedAndProject.
+    *
+    * Scale: one exchange on the session key (shared by the labeling
+    * window and the per-session fold); the path aggregate's exchange
+    * carries one bounded-length string per session; the cut never
+    * sorts globally.
+    */
+  def sessionPaths(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      gap: String = "INTERVAL 30 MINUTES",
+      tieBreak: Seq[String] = Nil,
+      maxLen: Int = 10,
+      topK: Int = 20): DataFrame = {
+    require(maxLen >= 1 && topK >= 1, "maxLen and topK must be positive")
+    requireFree(events, "_g_evt", "_g_path")
+    val ordered = struct(
+      (col(tsCol) +: tieBreak.map(col)) :+ col(typeCol).as("_g_t"): _*)
+    Sessionize.label(events, keyCol, tsCol, gap, tieBreak)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(ordered.as("_g_evt"))), 1, maxLen),
+          e => e.getField("_g_t")),
+        ">").as("_g_path"))
+      .groupBy(col("_g_path").as("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
   }
 }

@@ -501,6 +501,81 @@ object Analytics {
       |    THEN 1 ELSE 0 END AS is_anomaly
       |FROM wnd""".stripMargin
 
+  // q186: top-20 session paths — the most common first-10-event-type
+  // sequences across 30-minute-gap sessions (q21's session rule).
+  // Event order inside a path ties by event_id, the top-k cuts on the
+  // unique (count DESC, path ASC) key, so the strings and the cut are
+  // deterministic on both sides.
+  def q186SessionPaths(s: SparkSession, dir: String): DataFrame =
+    Behavior.sessionPaths(ev(s, dir), "user_id", "event_type", "ts_us",
+      gap = "1800000000" /* 30 min in µs over the long ts */,
+      tieBreak = Seq("event_id"))
+
+  val q186Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |flag AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    CASE WHEN lag(us) OVER w IS NULL OR us > lag(us) OVER w + 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flag),
+      |first10 AS (
+      |  SELECT user_id, session_id, event_type, us, event_id
+      |  FROM sess
+      |  QUALIFY row_number() OVER (PARTITION BY user_id, session_id
+      |    ORDER BY us, event_id) <= 10),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      |  FROM first10 GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1
+      |QUALIFY row_number() OVER (ORDER BY COUNT(*) DESC, path ASC) <= 20""".stripMargin
+
+  // q187: time-to-convert — q102's funnel bindings, but the delay
+  // DISTRIBUTION per step instead of the headcount: exact integer
+  // min/max µs plus exact sort-based p50/p90 over delays in SECONDS
+  // (µs-magnitude d6 is cross-engine-unstable; see q182's note).
+  def q187FunnelDelays(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnelDelays(ev(s, dir), "user_id", "event_type", "ts_us",
+      steps = Seq("signup", "click", "purchase"), maxSpan = dayUs)
+
+  val q187Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, min(ts_us) AS t1
+      |       FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, s1.t1, min(e.ts_us) AS t2
+      |       FROM e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+      |         AND e.ts_us <= s1.t1 + 86400000000 GROUP BY 1, 2),
+      |s3 AS (SELECT e.user_id, s2.t1, min(e.ts_us) AS t3
+      |       FROM e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+      |         AND e.ts_us <= s2.t1 + 86400000000 GROUP BY 1, 2),
+      |d2 AS (SELECT t2 - t1 AS d FROM s2),
+      |d3 AS (SELECT t3 - t1 AS d FROM s3)
+      |SELECT 2 AS step_idx, 'click' AS step_name, COUNT(*) AS n_users,
+      |  MIN(d) AS min_delay_us, MAX(d) AS max_delay_us,
+      |  CAST(CAST(quantile_cont(CAST(d AS DOUBLE) / 1000000.0, 0.5)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS p50_delay_s,
+      |  CAST(CAST(quantile_cont(CAST(d AS DOUBLE) / 1000000.0, 0.9)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS p90_delay_s
+      |FROM d2
+      |UNION ALL
+      |SELECT 3, 'purchase', COUNT(*), MIN(d), MAX(d),
+      |  CAST(CAST(quantile_cont(CAST(d AS DOUBLE) / 1000000.0, 0.5)
+      |    AS DECIMAL(28,6)) AS DOUBLE),
+      |  CAST(CAST(quantile_cont(CAST(d AS DOUBLE) / 1000000.0, 0.9)
+      |    AS DECIMAL(28,6)) AS DOUBLE)
+      |FROM d3""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
@@ -519,7 +594,9 @@ object Analytics {
     "q116_unigram_logprob" -> (q116UnigramLogprob _),
     "q118_topk_per_key" -> (q118TopkPerKey _),
     "q182_interarrival" -> (q182InterArrival _),
-    "q183_rate_anomalies" -> (q183RateAnomalies _))
+    "q183_rate_anomalies" -> (q183RateAnomalies _),
+    "q186_session_paths" -> (q186SessionPaths _),
+    "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
     "q133_group_corr" -> q133Sql,
@@ -539,5 +616,7 @@ object Analytics {
     "q116_unigram_logprob" -> q116Sql,
     "q118_topk_per_key" -> q118Sql,
     "q182_interarrival" -> q182Sql,
-    "q183_rate_anomalies" -> q183Sql)
+    "q183_rate_anomalies" -> q183Sql,
+    "q186_session_paths" -> q186Sql,
+    "q187_funnel_delays" -> q187Sql)
 }

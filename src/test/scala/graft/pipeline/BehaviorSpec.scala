@@ -117,6 +117,48 @@ class BehaviorSpec extends SparkSpec {
     assert(got(3L) == ((4L, 5L, 5L, 5L, 0.0)))
   }
 
+  test("sessionPaths: gap split, tie order, truncation, top-k") {
+    // u1: a,b then (gap) c — two sessions "a>b" and "c"; u2: a,b in one
+    // session (tied ts at 100 orders by event_id: 1 before 2); u3: a
+    // 12-event session truncates to its first 10 types
+    val rows = Seq(
+      (1L, 1L, "a", 100L), (1L, 2L, "b", 200L), (1L, 3L, "c", 5000L),
+      (2L, 1L, "a", 100L), (2L, 2L, "b", 100L)) ++
+      (1L to 12L).map(i => (3L, i, (if (i <= 10) "x" else "y"), 100L + i))
+    val df = rows.toDF("user_id", "event_id", "event_type", "ts")
+    // numeric gap over the long ts: 1000 µs
+    val got = Behavior.sessionPaths(df, "user_id", "event_type", "ts",
+        gap = "1000", tieBreak = Seq("event_id"), maxLen = 10, topK = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "a>b" -> 2L, "c" -> 1L,
+      "x>x>x>x>x>x>x>x>x>x" -> 1L))
+    // topK cuts on (count DESC, path ASC)
+    val top1 = Behavior.sessionPaths(df, "user_id", "event_type", "ts",
+        gap = "1000", tieBreak = Seq("event_id"), topK = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("a>b"))
+  }
+
+  test("funnelDelays: per-step delay distribution from greedy bindings") {
+    // u1: a@100 → b@300 → c@600 (delays 200, 500)
+    // u2: a@100 → b@200 (delay 100), no c in span
+    // u3: a only. step-b delays {100,200}: p50 = 150/1e6 s; step-c {500}
+    val df = Seq(
+      (1L, "a", 100L), (1L, "b", 300L), (1L, "c", 600L),
+      (2L, "a", 100L), (2L, "b", 200L), (2L, "c", 2000L),
+      (3L, "a", 100L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = Behavior.funnelDelays(df, "user_id", "event_type", "ts",
+        steps = Seq("a", "b", "c"), maxSpan = 1000L)
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got(2) == (("b", 2L, 100L, 200L, 1.5e-4, 1.9e-4)))
+    assert(got(3) == (("c", 1L, 500L, 500L, 5.0e-4, 5.0e-4)))
+  }
+
   test("reserved-name guards reject colliding inputs") {
     val bad = Seq((1L, "a", 1L, 1L)).toDF("user_id", "event_type", "ts", "_g_ts")
     intercept[IllegalArgumentException] {
