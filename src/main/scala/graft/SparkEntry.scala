@@ -24,7 +24,8 @@ object SparkEntry {
   val mutating: Set[String] =
     Set("q22_merge", "q23_copy", "q33_copy_incremental", "q72_script_chain",
       "q77_copy_csv", "q94_bucketed_join", "q109_copy_jsonl",
-      "q135_copy_jdbc", "q136_copy_jdbc_incremental", "q143_copy_orc")
+      "q135_copy_jdbc", "q136_copy_jdbc_incremental", "q143_copy_orc",
+      "q188_compact")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. LSH/approximate entries are omitted by

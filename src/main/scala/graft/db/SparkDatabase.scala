@@ -331,6 +331,48 @@ final class SparkDatabase(
       spark.sql(s"DROP TABLE IF EXISTS $backup"); ()
     }
 
+  /** OPTIMIZE-style small-file compaction — the maintenance pass a
+    * lakehouse runs after incremental appends fragment a table into
+    * thousands of tiny files (each append under [[mergeTables]] /
+    * [[loadDataFrame]] commits its own files; small files tax every
+    * subsequent scan with per-file open/footer costs). Rewrites the
+    * table into ceil(rows / targetRowsPerFile) files through the same
+    * tmp+swap as [[replaceTable]], so a mid-compaction failure never
+    * loses the destination.
+    *
+    * The rewrite uses coalesce, NOT repartition: compaction only ever
+    * REDUCES file count, and at 100 TB the job must stay shuffle-free —
+    * each output task streams its assigned input files straight
+    * through. No-op (no rewrite) when the table already meets the
+    * target. Unpartitioned tables only: a partitioned table's files
+    * are partition-isolated, so it compacts partition-by-partition
+    * with the same primitive.
+    *
+    * Returns (files_before, files_after, rows).
+    */
+  def compactTable(
+      table: String, targetRowsPerFile: Long): Result[(Long, Long, Long)] = {
+    if (targetRowsPerFile <= 0)
+      Left(DbError(s"targetRowsPerFile must be positive, got $targetRowsPerFile"))
+    else Result.attempt {
+      val df = spark.table(table)
+      val before = df.inputFiles.length.toLong
+      val rows = df.count()
+      val target = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+      (before, rows, target)
+    }.flatMap { case (before, rows, target) =>
+      if (before <= target) Result.ok((before, before, rows))
+      else {
+        val tmp = tmpName(table)
+        Result.attempt {
+          spark.sql(s"DROP TABLE IF EXISTS $tmp")
+          spark.table(table).coalesce(target.toInt).write.saveAsTable(tmp)
+        }.flatMap(_ => moveTable(tmp, table))
+          .map(_ => (before, target, rows))
+      }
+    }
+  }
+
   // ---- introspection (§2a row 16) ----------------------------------------
 
   def tableExists(name: String): Boolean =

@@ -509,7 +509,30 @@ object EtlShapes {
       |UNION ALL
       |SELECT o_orderkey, o_custkey, o_totalprice, upd FROM src WHERE upd >= 49""".stripMargin
 
+  /** q188: small-file compaction — a lineitem projection written
+    * deliberately fragmented (48 files), then `compactTable` rewrites
+    * it to ~3 files via the tmp+swap path, and the destination reads
+    * back content-identical (the oracle only cares that compaction is
+    * LOSSLESS; the file-count mechanics are asserted in
+    * SparkDatabaseSpec).
+    */
+  def q188Compact(s: SparkSession, dir: String): DataFrame = {
+    val db = new SparkDatabase(s)
+    dropPhysical(s, "q188_frag",
+      "graft_tmp_q188_frag", "graft_tmp_backup_q188_frag")
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(48)
+      .write.saveAsTable("q188_frag")
+    db.compactTable("q188_frag", targetRowsPerFile = 20000L).left.foreach(fail)
+    s.table("q188_frag")
+  }
+
+  val q188Sql: String =
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem"
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_compact" -> (q188Compact _),
     "q22_merge" -> (q22Merge _),
     "q23_copy" -> (q23Copy _),
     "q24_violations" -> (q24Violations _),
@@ -523,6 +546,7 @@ object EtlShapes {
     "q143_copy_orc" -> (q143CopyOrc _))
 
   def oracles: Map[String, String] = Map(
+    "q188_compact" -> q188Sql,
     "q22_merge" -> q22Sql,
     "q23_copy" -> q23Sql,
     "q24_violations" -> q24Sql,

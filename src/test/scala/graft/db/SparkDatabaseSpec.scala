@@ -300,4 +300,20 @@ class SparkDatabaseSpec extends SparkSpec {
     val cat = spark.sql("DESCRIBE TABLE EXTENDED part_t").collect().map(_.getString(0))
     assert(cat.contains("# Partition Information"))
   }
+
+  test("compactTable rewrites fragmented files losslessly, no-ops when compact") {
+    spark.range(1000).toDF("id").repartition(16)
+      .write.mode("overwrite").saveAsTable("compact_t")
+    assert(spark.table("compact_t").inputFiles.length == 16)
+    val r = db.compactTable("compact_t", targetRowsPerFile = 500L)
+    assert(r == Right((16L, 2L, 1000L)))
+    assert(spark.table("compact_t").inputFiles.length == 2)
+    // content survives byte-identical
+    assert(spark.table("compact_t").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 1000L))
+    // already at/below target → reported as-is, nothing rewritten
+    assert(db.compactTable("compact_t", 500L) == Right((2L, 2L, 1000L)))
+    // invalid target is a typed error, not an exception
+    assert(db.compactTable("compact_t", 0L).isLeft)
+  }
 }
