@@ -730,4 +730,41 @@ object TextStats {
       .orderBy(col("pair_count").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /** APPLY a BPE merge list and count the resulting symbols — the
+    * token-budget estimator once a vocabulary exists (the consumer of
+    * [[bpePairStats]]' induction): each merge (pair → single
+    * private-use placeholder char) is applied corpus-wide as a
+    * leftmost-first, non-overlapping replace, exactly BPE's greedy
+    * merge order; later merges may reference earlier placeholders
+    * (hierarchical merges like `er`→□, `□n` → □₂). Merge strings must
+    * not contain spaces, so replaces can never fuse across a word
+    * boundary and the whole text merges in ONE pass without word
+    * splitting.
+    *
+    * Output per document: symbol count before any merge
+    * (`n_units_char`: non-space chars) and after all merges
+    * (`n_units_bpe`) — their difference is how many merges fired. Pure
+    * in-row projection, zero shuffles, codegen'd; the merge list is a
+    * compile-time literal chain (vocabulary-sized merge tables belong
+    * in a broadcast-joined explode, a different operator).
+    */
+  def bpeApplyCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need at least one merge")
+    require(merges.forall { case (p, r) => !p.contains(" ") && !r.contains(" ") },
+      "merge strings must not contain spaces (word-boundary safety)")
+    val merged = merges.foldLeft(col(textCol)) { case (c, (pair, unit)) =>
+      regexp_replace(c, lit(java.util.regex.Pattern.quote(pair)), lit(unit))
+    }
+    df.select(
+      col(idCol),
+      length(regexp_replace(col(textCol), lit(" "), lit("")))
+        .cast("long").as("n_units_char"),
+      length(regexp_replace(merged, lit(" "), lit("")))
+        .cast("long").as("n_units_bpe"))
+  }
 }

@@ -1422,6 +1422,35 @@ object Corpus {
       |ORDER BY CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE) DESC, doc_id ASC
       |LIMIT 50""".stripMargin
 
+  // q189: BPE merge application — q181's top pairs applied as real
+  // greedy merges (leftmost-first replace, identical semantics in both
+  // engines), including one hierarchical merge on an earlier
+  // placeholder ('in'→□ then '□g' ≡ 'ing'). Output = per-doc symbol
+  // counts before/after, the token-budget estimate a trained
+  // vocabulary gives. Placeholders are private-use chars (chr 57344+).
+  def q189BpeApply(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.bpeApplyCounts(
+      t(s, dir, "documents"), "doc_id", "text",
+      merges = Seq(
+        "er" -> "\uE000",
+        "in" -> "\uE001",
+        "\uE001g" -> "\uE002", // 'ing'
+        "th" -> "\uE003",
+        "or" -> "\uE004"))
+
+  val q189Sql: String =
+    """SELECT doc_id,
+      |  length(replace(text, ' ', '')) AS n_units_char,
+      |  length(replace(
+      |    replace(replace(replace(replace(replace(text,
+      |      'er', chr(57344)),
+      |      'in', chr(57345)),
+      |      chr(57345) || 'g', chr(57346)),
+      |      'th', chr(57347)),
+      |      'or', chr(57348)),
+      |    ' ', '')) AS n_units_bpe
+      |FROM documents""".stripMargin
+
   // q181: BPE pair statistics — top-50 adjacent character pairs inside
   // whitespace words, weighted by corpus word frequency: the first
   // merge-candidate table of byte-pair-encoding vocabulary induction.
@@ -1782,7 +1811,8 @@ object Corpus {
     "q180_long_run_contamination" -> (q180LongRunContamination _),
     "q181_bpe_pairs" -> (q181BpePairs _),
     "q184_coverage_cut" -> (q184CoverageCut _),
-    "q185_rrf_fusion" -> (q185RrfFusion _))
+    "q185_rrf_fusion" -> (q185RrfFusion _),
+    "q189_bpe_apply" -> (q189BpeApply _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1827,5 +1857,6 @@ object Corpus {
     "q180_long_run_contamination" -> q180Sql,
     "q181_bpe_pairs" -> q181Sql,
     "q184_coverage_cut" -> q184Sql,
-    "q185_rrf_fusion" -> q185Sql)
+    "q185_rrf_fusion" -> q185Sql,
+    "q189_bpe_apply" -> q189Sql)
 }

@@ -1135,6 +1135,30 @@ class PipelineSpec extends SparkSpec {
     assert(tie.toSeq == Seq(7L, 9L))
   }
 
+  test("bpeApplyCounts: greedy leftmost merges, hierarchical, word-safe") {
+    // "banana": an->A twice → b A A a: 6 chars → 4 symbols.
+    // hierarchical: in->I then Ig->G: "singing" → s I g I g → s G G: 3.
+    // word boundary: "ba nana" must NOT merge across the space
+    val df = Seq(
+      (1L, "banana"), (2L, "singing"), (3L, "ba nana"))
+      .toDF("doc_id", "text")
+    val anOnly = TextStats.bpeApplyCounts(df, "doc_id", "text",
+        Seq("an" -> "\uE000"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(anOnly(1L) == ((6L, 4L)))
+    assert(anOnly(3L) == ((6L, 5L))) // only "nana"'s 'an' merges
+    val hier = TextStats.bpeApplyCounts(df, "doc_id", "text",
+        Seq("in" -> "\uE001", "\uE001g" -> "\uE002"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hier(2L) == 3L) // s + ing + ing
+    // leftmost-first on overlap: "aaa" with aa->X gives X a (2), not 1
+    val ov = TextStats.bpeApplyCounts(
+        Seq((1L, "aaa")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq("aa" -> "\uE005"))
+      .collect().head
+    assert(ov.getLong(2) == 2L)
+  }
+
   test("dropBoilerplateLines is lossless when no line reaches minDocs") {
     // with the df threshold above the corpus size nothing is hot, so
     // reassembly must reproduce every document byte-for-byte — the
