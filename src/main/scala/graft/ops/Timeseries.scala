@@ -160,8 +160,11 @@ object Timeseries {
     * NUMBERS, so missing (empty) buckets simply don't contribute —
     * densify upstream with [[resampleFfill]] when zeros should count.
     *
-    * One exchange on the key serves the bucket aggregate and the
-    * window; frame sums are O(1) per row (Spark's sliding RANGE frame).
+    * Two exchanges, by design: the event-sized aggregate shuffles on
+    * the FINE (key, bucket) pair — low-cardinality keys (a handful of
+    * event types over 100 TB) would hot-spot a key-only shuffle — and
+    * only the aggregated frame (≤ keys × buckets rows) re-shuffles on
+    * the key for the sliding RANGE frame, whose sums are O(1) per row.
     */
   def rateAnomalies(
       df: DataFrame,
