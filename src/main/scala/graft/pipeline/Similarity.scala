@@ -711,4 +711,89 @@ object Similarity {
         col("score"))
       .filter(col("rank") <= k)
   }
+
+  /** DOMINANT PRINCIPAL COMPONENT of an embedding set — the direction
+    * of maximum variance, the vector the ABTT / all-but-the-top
+    * whitening recipe removes before similarity search (anisotropic
+    * embedding spaces park most of their variance in a few directions
+    * that carry frequency, not meaning).
+    *
+    * Exact-integer power iteration, so the result is bit-reproducible
+    * cross-engine with NO float tolerance anywhere in the loop:
+    *
+    *  - vectors quantize to the floor(v·1000) grid (q26's discipline);
+    *  - the d×d scatter matrix is exact integer arithmetic:
+    *    A = n·Σqqᵀ − SSᵀ (scaled covariance; scaling changes
+    *    eigenvalues, not eigenvectors), accumulated through
+    *    DECIMAL(38,0);
+    *  - each of the `iters` rounds computes w = A·v in exact integers
+    *    (sums are associative — engine order can't matter) and
+    *    rescales by the INTEGER division w div max(1, max|w| div 1000)
+    *    (truncation toward zero on both engines), keeping max|v| in
+    *    [1000, 2000) forever — the float-free stand-in for L2
+    *    normalization.
+    *
+    * Output: (j, pc_component, direction) — the exact integer
+    * component per dimension and its d6 L2-normalized direction (the
+    * norm is a ≤ d-term sum of exact small squares: every partial sum
+    * is double-exact, so the division is deterministic).
+    *
+    * Scale: the only corpus-sized work is the scatter accumulation —
+    * the id-keyed self-join explodes n·d² products that combine
+    * MAP-SIDE to ≤ d² partials per partition (the centroids
+    * discipline). The d×d matrix itself (≤ dims² decimals) is the one
+    * bounded `collect` contract point, like annIvf's centroid
+    * literals; the iteration is driver-side BigInt on that tiny
+    * matrix. At extreme n the DECIMAL(38,0) scatter saturates around
+    * n ≈ 1e16 rows — re-grid to floor(v·100) long before that.
+    */
+  def principalComponent(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      iters: Int = 100): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df
+      .select(col(idCol).as("_g_id"),
+        posexplode(col(embCol)).as(Seq("_g_p", "_g_v")))
+      .select(col("_g_id"), (col("_g_p") + 1).as("_g_j"),
+        floor(col("_g_v").cast("double") * 1000.0).cast("long").as("_g_q"))
+    val nF = e.agg(countDistinct(col("_g_id")).as("_g_n"))
+    val sF = e.groupBy(col("_g_j")).agg(sum(col("_g_q")).as("_g_s"))
+    val aF = e.select(col("_g_id"), col("_g_j").as("_g_ja"), col("_g_q").as("_g_qa"))
+      .join(e.select(col("_g_id"), col("_g_j").as("_g_jb"),
+        col("_g_q").as("_g_qb")), "_g_id")
+      .groupBy(col("_g_ja"), col("_g_jb"))
+      .agg(sum(col("_g_qa") * col("_g_qb")).as("_g_pp"))
+      .join(sF.select(col("_g_j").as("_g_ja"), col("_g_s").as("_g_sa")), "_g_ja")
+      .join(sF.select(col("_g_j").as("_g_jb"), col("_g_s").as("_g_sb")), "_g_jb")
+      .crossJoin(broadcast(nF))
+      .select(col("_g_ja"), col("_g_jb"),
+        (col("_g_n").cast("decimal(38,0)") * col("_g_pp").cast("decimal(38,0)")
+          - col("_g_sa").cast("decimal(38,0)") * col("_g_sb").cast("decimal(38,0)"))
+          .as("_g_a"))
+    // bounded contract point: d² decimals (≤ 1024 rows at d = 32)
+    val entries = aF.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        BigInt(r.getDecimal(2).toBigInteger)))
+      .toMap
+    val d = entries.keys.map(_._1).max
+    val a = Array.tabulate(d, d)((j, k) => entries((j + 1, k + 1)))
+    var v = Array.fill(d)(BigInt(1))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(j =>
+        (0 until d).foldLeft(BigInt(0))((acc, k) => acc + a(j)(k) * v(k)))
+      val divisor = (w.map(_.abs).max / 1000000) max BigInt(1)
+      v = w.map(_ / divisor) // BigInt / truncates toward zero, like SQL div
+    }
+    val norm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    val out = v.zipWithIndex.map { case (x, j) =>
+      val dir = BigDecimal(x.toDouble / norm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (j + 1L, x.toLong, dir)
+    }
+    out.toSeq.toDF("j", "pc_component", "direction")
+  }
 }

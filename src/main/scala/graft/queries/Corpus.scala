@@ -1451,6 +1451,53 @@ object Corpus {
       |    ' ', '')) AS n_units_bpe
       |FROM documents""".stripMargin
 
+  // q190: dominant principal component of the embedding fixture — the
+  // ABTT whitening direction, via EXACT-INTEGER power iteration
+  // (quantized grid → integer scatter matrix → integer-rescaled
+  // iterations), so both engines produce bit-identical components with
+  // no float tolerance in the loop; the oracle replays the identical
+  // arithmetic in a recursive CTE (q128's iterative-oracle class).
+  def q190PrincipalComponent(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.principalComponent(
+      t(s, dir, "embeddings"), "vec_id", "embedding")
+
+  val q190Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS j,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS q
+      |  FROM embeddings),
+      |nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n FROM e),
+      |s AS (SELECT j, CAST(SUM(q) AS HUGEINT) AS s FROM e GROUP BY 1),
+      |p AS (
+      |  SELECT a.j AS j, b.j AS k, CAST(SUM(a.q * b.q) AS HUGEINT) AS p
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |amat AS (
+      |  SELECT p.j, p.k, nn.n * p.p - sj.s * sk.s AS val
+      |  FROM p, nn
+      |  JOIN s sj ON p.j = sj.j JOIN s sk ON p.k = sk.j),
+      |pc(iter, j, val) AS (
+      |  SELECT 0, j, CAST(1 AS HUGEINT) FROM (SELECT DISTINCT j FROM s)
+      |  UNION ALL
+      |  SELECT iter, j,
+      |    CASE WHEN wv >= 0 THEN wv // dv ELSE -((-wv) // dv) END
+      |  FROM (
+      |    SELECT iter, j, wv,
+      |      GREATEST(CAST(1 AS HUGEINT),
+      |        MAX(ABS(wv)) OVER (PARTITION BY iter) // 1000000) AS dv
+      |    FROM (
+      |      SELECT p2.iter + 1 AS iter, a.j AS j, SUM(a.val * p2.val) AS wv
+      |      FROM amat a JOIN pc p2 ON a.k = p2.j
+      |      WHERE p2.iter < 100
+      |      GROUP BY 1, 2) t0) t1),
+      |fin AS (SELECT j, val FROM pc WHERE iter = 100),
+      |nrm AS (
+      |  SELECT SQRT(SUM(CAST(val AS DOUBLE) * CAST(val AS DOUBLE))) AS nrm
+      |  FROM fin)
+      |SELECT CAST(j AS BIGINT) AS j, CAST(val AS BIGINT) AS pc_component,
+      |  CAST(CAST(CAST(val AS DOUBLE) / nrm AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS direction
+      |FROM fin, nrm""".stripMargin
+
   // q181: BPE pair statistics — top-50 adjacent character pairs inside
   // whitespace words, weighted by corpus word frequency: the first
   // merge-candidate table of byte-pair-encoding vocabulary induction.
@@ -1812,7 +1859,8 @@ object Corpus {
     "q181_bpe_pairs" -> (q181BpePairs _),
     "q184_coverage_cut" -> (q184CoverageCut _),
     "q185_rrf_fusion" -> (q185RrfFusion _),
-    "q189_bpe_apply" -> (q189BpeApply _))
+    "q189_bpe_apply" -> (q189BpeApply _),
+    "q190_principal_component" -> (q190PrincipalComponent _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1858,5 +1906,6 @@ object Corpus {
     "q181_bpe_pairs" -> q181Sql,
     "q184_coverage_cut" -> q184Sql,
     "q185_rrf_fusion" -> q185Sql,
-    "q189_bpe_apply" -> q189Sql)
+    "q189_bpe_apply" -> q189Sql,
+    "q190_principal_component" -> q190Sql)
 }

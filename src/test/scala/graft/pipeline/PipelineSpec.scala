@@ -1159,6 +1159,53 @@ class PipelineSpec extends SparkSpec {
     assert(ov.getLong(2) == 2L)
   }
 
+  test("principalComponent recovers a planted dominant direction") {
+    // variance overwhelmingly along axis 1, slight tilt into axis 2;
+    // axis 3 is noise-free zero — the direction must load on axis 1,
+    // barely on 2, exactly 0 on 3
+    val df = Seq(
+      (1L, Array(10.0f, 1.0f, 0.0f)),
+      (2L, Array(-10.0f, -1.0f, 0.0f)),
+      (3L, Array(8.0f, 0.9f, 0.0f)),
+      (4L, Array(-8.0f, -0.8f, 0.0f)),
+      (5L, Array(0.2f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.principalComponent(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(math.abs(got(1L)._2) > 0.99)
+    assert(math.abs(got(2L)._2) < 0.2)
+    assert(got(3L)._1 == 0L && got(3L)._2 == 0.0)
+    // bit-deterministic across runs
+    val again = Similarity.principalComponent(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got.map { case (j, (c, _)) => j -> c })
+  }
+
+  test("principalComponent matches a float power-iteration reference") {
+    // the integer-rescaled loop must land on the same direction a
+    // conventional normalized double iteration finds on the fixture
+    val vecs = embs.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val d = vecs.head.length
+    val n = vecs.length.toDouble
+    val q = vecs.map(_.map(x => math.floor(x * 1000.0)))
+    val mean = Array.tabulate(d)(j => q.map(_(j)).sum / n)
+    val a = Array.tabulate(d, d)((j, k) =>
+      q.map(v => (v(j) - mean(j)) * (v(k) - mean(k))).sum)
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 300) {
+      val w = Array.tabulate(d)(j => (0 until d).map(k => a(j)(k) * v(k)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val got = Similarity.principalComponent(embs, "vec_id", "embedding")
+      .collect().sortBy(_.getLong(0)).map(_.getDouble(2))
+    val cos = math.abs(
+      got.zip(v).map { case (x, y) => x * y }.sum /
+        math.sqrt(got.map(x => x * x).sum))
+    assert(cos > 0.9999, s"cosine to reference was $cos")
+  }
+
   test("dropBoilerplateLines is lossless when no line reaches minDocs") {
     // with the df threshold above the corpus size nothing is hot, so
     // reassembly must reproduce every document byte-for-byte — the
