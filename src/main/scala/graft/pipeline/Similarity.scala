@@ -796,4 +796,47 @@ object Similarity {
     }
     out.toSeq.toDF("j", "pc_component", "direction")
   }
+
+  /** ABTT / all-but-the-top WHITENING: remove the dominant principal
+    * component from every embedding — the post-processing that
+    * measurably improves anisotropic embedding similarity (the top
+    * direction carries frequency, not meaning). Exact integer
+    * arithmetic end to end, composing [[principalComponent]]'s integer
+    * direction V:
+    *
+    *   w_j = ‖V‖²·q_j − (q·V)·V_j      (scaled residual: q's projection
+    *                                    off V, scaled by ‖V‖² to stay
+    *                                    integer — scaling doesn't move
+    *                                    cosines)
+    *
+    * so Σ_j w_j·V_j = ‖V‖²(q·V) − (q·V)‖V‖² = 0 EXACTLY: orthogonality
+    * is an integer identity, not a tolerance. Output: (id,
+    * `whitened` array<long>, `dot_pc` long).
+    *
+    * Scale: V collects once (d longs, the principalComponent contract
+    * point) and enters the plan as a LITERAL array; the whitening
+    * itself is a pure in-row zip_with projection — zero shuffles over
+    * the corpus. Magnitudes: |w| ≤ 2·‖V‖²·max|q| ≈ 5e17 at the
+    * default grids — inside long.
+    */
+  def removeTopComponent(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      iters: Int = 100): DataFrame = {
+    val v = principalComponent(df, idCol, embCol, iters)
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    val v2 = v.map(x => x * x).sum
+    val vLit = typedLit(v.toSeq)
+    val q = transform(col(embCol),
+      x => floor(x.cast("double") * lit(1000.0)).cast("long"))
+    df.select(col(idCol), q.as("_g_q"))
+      .select(col(idCol), col("_g_q"),
+        graft.functions.GraftFunctions.longArrayDot(col("_g_q"), vLit)
+          .as("dot_pc"))
+      .select(col(idCol),
+        zip_with(col("_g_q"), vLit,
+          (qj, vj) => lit(v2) * qj - col("dot_pc") * vj).as("whitened"),
+        col("dot_pc"))
+  }
 }

@@ -1498,6 +1498,35 @@ object Corpus {
       |    AS direction
       |FROM fin, nrm""".stripMargin
 
+  // q191: ABTT whitening — q190's integer top component removed from
+  // the first 500 vectors, per-component (the whole chain — scatter,
+  // iteration, projection — is exact integer arithmetic, so the
+  // whitened components hash-match bit-for-bit). Orthogonality to the
+  // removed direction is an integer identity, asserted in sbt.
+  def q191AbttWhiten(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.pipeline.Similarity.removeTopComponent(emb, "vec_id", "embedding")
+      .filter(col("vec_id") < 500)
+      .select(col("vec_id"), posexplode(col("whitened")).as(Seq("_p", "w")))
+      .select(col("vec_id"), (col("_p") + 1).cast("long").as("j"), col("w"))
+  }
+
+  val q191Sql: String = {
+    // reuse q190's recursive iteration verbatim, then project it out
+    val iterate = q190Sql.substring(0, q190Sql.indexOf(",\nfin AS"))
+    iterate +
+      """,
+        |fin AS (SELECT j, CAST(val AS BIGINT) AS v FROM pc WHERE iter = 100),
+        |v2 AS (SELECT CAST(SUM(v * v) AS BIGINT) AS v2 FROM fin),
+        |dots AS (
+        |  SELECT e.vec_id, CAST(SUM(e.q * fin.v) AS BIGINT) AS dot
+        |  FROM e JOIN fin USING (j) WHERE e.vec_id < 500 GROUP BY 1)
+        |SELECT e.vec_id, CAST(e.j AS BIGINT) AS j,
+        |  v2.v2 * e.q - dots.dot * fin.v AS w
+        |FROM e JOIN fin USING (j) JOIN dots USING (vec_id) CROSS JOIN v2
+        |WHERE e.vec_id < 500""".stripMargin
+  }
+
   // q181: BPE pair statistics — top-50 adjacent character pairs inside
   // whitespace words, weighted by corpus word frequency: the first
   // merge-candidate table of byte-pair-encoding vocabulary induction.
@@ -1860,7 +1889,8 @@ object Corpus {
     "q184_coverage_cut" -> (q184CoverageCut _),
     "q185_rrf_fusion" -> (q185RrfFusion _),
     "q189_bpe_apply" -> (q189BpeApply _),
-    "q190_principal_component" -> (q190PrincipalComponent _))
+    "q190_principal_component" -> (q190PrincipalComponent _),
+    "q191_abtt_whiten" -> (q191AbttWhiten _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1907,5 +1937,6 @@ object Corpus {
     "q184_coverage_cut" -> q184Sql,
     "q185_rrf_fusion" -> q185Sql,
     "q189_bpe_apply" -> q189Sql,
-    "q190_principal_component" -> q190Sql)
+    "q190_principal_component" -> q190Sql,
+    "q191_abtt_whiten" -> q191Sql)
 }

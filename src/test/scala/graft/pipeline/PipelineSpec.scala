@@ -1206,6 +1206,21 @@ class PipelineSpec extends SparkSpec {
     assert(cos > 0.9999, s"cosine to reference was $cos")
   }
 
+  test("removeTopComponent: whitened vectors are EXACTLY orthogonal to V") {
+    // sum_j w_j*V_j = |V|^2(q.V) - (q.V)|V|^2 = 0 is an integer
+    // identity — assert it with zero tolerance on the fixture
+    val white = Similarity.removeTopComponent(embs, "vec_id", "embedding")
+    val v = Similarity.principalComponent(embs, "vec_id", "embedding")
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1))
+    // w·V overflows long in-plan — verify a sample in BigInt instead
+    white.limit(100).collect().foreach { r =>
+      val w = r.getSeq[Long](1)
+      val dot = w.zip(v).map { case (a, b) => BigInt(a) * b }.sum
+      assert(dot == 0, s"vec ${r.getLong(0)} not orthogonal: $dot")
+    }
+    assert(white.count() == embs.count())
+  }
+
   test("dropBoilerplateLines is lossless when no line reaches minDocs") {
     // with the df threshold above the corpus size nothing is hot, so
     // reassembly must reproduce every document byte-for-byte — the
