@@ -306,4 +306,95 @@ object Sampling {
         (lit(pDen) * (col("cum_weight") - col(weightCol)) <
           lit(pNum) * col("_g_total")).cast("int").as("is_kept")): _*)
   }
+
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every raw document by how much more likely
+    * its hashed-unigram bag is under a small TARGET exemplar corpus
+    * than under the raw corpus itself — the cheap proxy-free way to
+    * tilt a 100 TB crawl toward a domain you only have examples of.
+    *
+    * Tokens hash into `nBuckets` buckets via the salted [[portableHash]]
+    * (md5 — engine-portable, so the oracle rebuilds every bucket
+    * bit-identically). With add-`alpha` smoothing over bucket counts,
+    * each bucket carries
+    *
+    *   λ_b = ln((t_b+α)/(T+αB)) − ln((r_b+α)/(R+αB))
+    *
+    * and a document's log importance weight is Σ λ_bucket(token) over
+    * its token OCCURRENCES. Output: (`idCol`, `n_tokens`, `logw`) for
+    * every raw document with ≥ 1 token; the caller rounds (d6) before
+    * ranking — ln may differ an ulp across engines (q116's discipline).
+    *
+    * Scale shape: two token-bucket partial aggregates (≤ B rows each on
+    * the exchange), the λ frame built by a B-row outer join and
+    * BROADCAST back onto the exploded tokens (the corpus-sized side
+    * never shuffles to meet it), then one doc-keyed partial-aggregating
+    * sum — the only corpus-sized exchange, carrying (id, partial-sum)
+    * pairs. Nothing is collected to the driver.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int,
+      alpha: Double = 1.0,
+      salt: String = "dsir"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(alpha > 0, s"alpha must be > 0 (smoothing), got $alpha")
+    def toks(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ explode(split(col(textCol), " ")).as("tok"): _*)
+        .filter(col("tok") =!= "")
+        .withColumn("_b", portableHash(col("tok"), salt) % nBuckets)
+    val rawT = toks(raw, col(idCol))
+    val rawC = rawT.groupBy(col("_b")).agg(count(lit(1)).as("_r"))
+    val tgtC = toks(target).groupBy(col("_b")).agg(count(lit(1)).as("_t"))
+    // B-row frames: outer join keeps target-only buckets (an external
+    // exemplar set need not be a subset of the raw corpus's vocabulary)
+    val joined = rawC.join(tgtC, Seq("_b"), "full_outer")
+      .select(col("_b"),
+        coalesce(col("_r"), lit(0L)).as("_r"),
+        coalesce(col("_t"), lit(0L)).as("_t"))
+    val totals = joined.agg(
+      sum(col("_r")).as("_gr"), sum(col("_t")).as("_gt"))
+    val lam = joined.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        (log((col("_t") + alpha) / (col("_gt") + alpha * nBuckets)) -
+          log((col("_r") + alpha) / (col("_gr") + alpha * nBuckets)))
+          .as("_lam"))
+    rawT.join(broadcast(lam), Seq("_b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lam")).as("logw"))
+  }
+
+  /** Gumbel-top-k: draw `k` rows WITHOUT replacement with probability
+    * proportional to exp(`logWeightCol`) — the resampling half of DSIR
+    * (and of any softmax-weighted corpus draw). The Gumbel-max trick
+    * makes it a ranking problem: perturb each log-weight with an
+    * independent Gumbel noise term and keep the k largest, which is
+    * distributionally exactly weighted sampling without replacement
+    * (Vieira 2014). Noise is DERIVED, not drawn: u = (h+0.5)/10^6 from
+    * the salted [[portableHash]] of the id, g = −ln(−ln u) — so the
+    * sample is reproducible across reruns, engines and partitionings,
+    * and a different `salt` yields an independent redraw.
+    *
+    * Output: input columns + `score` (d6-rounded BEFORE the cut, id
+    * tie-break — the top-k boundary can't sit on a float ulp). Plan
+    * shape: pure projection + TakeOrderedAndProject — no global sort,
+    * no shuffle of the unselected mass.
+    */
+  def gumbelTopK(
+      df: DataFrame,
+      idCol: String,
+      logWeightCol: String,
+      k: Int,
+      salt: String = "gumbel"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (portableHash(col(idCol), salt).cast("double") + 0.5) / 1000000.0
+    val score = (col(logWeightCol) - log(-log(u)))
+      .cast("decimal(28,6)").cast("double")
+    df.withColumn("score", score)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -1844,6 +1844,57 @@ object Corpus {
       |  count(*) AS n_copies
       |FROM canon GROUP BY 1""".stripMargin
 
+  // q192: DSIR-selected training subset — hashed-unigram importance
+  // weights toward an in-corpus target (the 'en' slice stands in for
+  // the exemplar set), Gumbel-top-k resampling without replacement.
+  // Every bucket, λ, weight and noise term is md5-derived, so the
+  // oracle rebuilds the whole chain bit-identically; ln ulp drift is
+  // d6-absorbed at the two contract points (logw before the noise,
+  // score before the cut — q116/q123's discipline). The 200-row cut
+  // at sf0.01 is far wider than rounding noise, and the (score DESC,
+  // doc_id) tie-break pins the boundary.
+  def q192DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val w = Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text", nBuckets = 64, alpha = 1.0, salt = "dsir")
+      .select(col("doc_id"), col("n_tokens"), d6(col("logw")).as("logw"))
+    Sampling.gumbelTopK(w, "doc_id", "logw", k = 200, salt = "gumbel")
+  }
+
+  val q192Sql: String =
+    """WITH tk0 AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substring(md5('dsir:' || tok), 1, 8)) AS BIGINT)
+      |      % 1000000 % 64 AS b
+      |  FROM tk0 WHERE tok <> ''),
+      |rc AS (SELECT b, count(*) AS r FROM tk GROUP BY 1),
+      |tc AS (SELECT b, count(*) AS tt FROM tk WHERE lang = 'en' GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(rc.b, tc.b) AS b, coalesce(r, 0) AS r,
+      |    coalesce(tt, 0) AS tt
+      |  FROM rc FULL OUTER JOIN tc ON rc.b = tc.b),
+      |g AS (SELECT CAST(sum(r) AS DOUBLE) AS gr, CAST(sum(tt) AS DOUBLE) AS gt
+      |      FROM j),
+      |lam AS (
+      |  SELECT b, ln((tt + 1.0) / (gt + 64.0)) - ln((r + 1.0) / (gr + 64.0))
+      |    AS lam
+      |  FROM j CROSS JOIN g),
+      |w AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(CAST(sum(lam) AS DECIMAL(28,6)) AS DOUBLE) AS logw
+      |  FROM tk JOIN lam USING (b) GROUP BY 1)
+      |SELECT doc_id, n_tokens, logw,
+      |  CAST(CAST(logw - ln(-ln(
+      |      (CAST(concat('0x', substring(md5('gumbel:' ||
+      |         CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 + 0.5)
+      |      / 1000000.0))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS score
+      |FROM w
+      |ORDER BY score DESC, doc_id LIMIT 200""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -1890,7 +1941,8 @@ object Corpus {
     "q185_rrf_fusion" -> (q185RrfFusion _),
     "q189_bpe_apply" -> (q189BpeApply _),
     "q190_principal_component" -> (q190PrincipalComponent _),
-    "q191_abtt_whiten" -> (q191AbttWhiten _))
+    "q191_abtt_whiten" -> (q191AbttWhiten _),
+    "q192_dsir_select" -> (q192DsirSelect _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1938,5 +1990,6 @@ object Corpus {
     "q185_rrf_fusion" -> q185Sql,
     "q189_bpe_apply" -> q189Sql,
     "q190_principal_component" -> q190Sql,
-    "q191_abtt_whiten" -> q191Sql)
+    "q191_abtt_whiten" -> q191Sql,
+    "q192_dsir_select" -> q192Sql)
 }

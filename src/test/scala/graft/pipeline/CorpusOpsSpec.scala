@@ -580,6 +580,80 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- Sampling.dsirWeights / gumbelTopK ----
+
+  test("dsirWeights tilts toward target-distinctive tokens") {
+    val raw = Seq(
+      (0L, "alpha alpha alpha"), // target-distinctive
+      (1L, "omega omega omega"), // raw-only
+      (2L, "alpha omega omega")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha alpha")).toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "doc_id", "text",
+      nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(0) > w(2) && w(2) > w(1),
+      s"expected alpha-heavy > mixed > omega-only, got $w")
+    // 256 buckets, 2 distinct tokens: collision odds are negligible, so
+    // per-token λ is exactly the smoothed log-ratio and doc 0's weight
+    // is 3× one alpha-λ
+    val lamAlpha = math.log(3.0 / (2 + 256.0)) - math.log(5.0 / (9 + 256.0))
+    assert(math.abs(w(0) - 3 * lamAlpha) < 1e-9, s"got ${w(0)}")
+  }
+
+  test("dsirWeights counts token occurrences and skips empty docs") {
+    val raw = Seq((0L, "a b  c"), (1L, ""), (2L, " ")).toDF("doc_id", "text")
+    val target = Seq((9L, "a")).toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(raw, target, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L), s"got $out") // double space => empty tok dropped
+  }
+
+  test("dsirWeights is invariant to partitioning and target-only vocab") {
+    val raw = (0L until 20L).map(i => (i, s"tok$i common")).toDF("doc_id", "text")
+    val target = Seq((99L, "unseen common")).toDF("doc_id", "text")
+    val a = Sampling.dsirWeights(raw, target, "doc_id", "text", 32)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val b = Sampling.dsirWeights(raw.repartition(7), target.repartition(3),
+      "doc_id", "text", 32)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(a.sameElements(b))
+  }
+
+  test("gumbelTopK: k >= n keeps all rows; score matches the formula") {
+    val df = Seq((1L, 2.0), (2L, -1.0)).toDF("doc_id", "logw")
+    val out = Sampling.gumbelTopK(df, "doc_id", "logw", 5, salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.size == 2)
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    def expect(id: Long, lw: Double): Double = {
+      val u = (h(id) + 0.5) / 1000000.0
+      BigDecimal(lw - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(out(1L) - expect(1L, 2.0)) < 1e-9, s"got ${out(1L)}")
+    assert(math.abs(out(2L) - expect(2L, -1.0)) < 1e-9, s"got ${out(2L)}")
+  }
+
+  test("gumbelTopK: overwhelming weight always wins; salt redraws") {
+    val df = (0L until 50L).map(i => (i, if (i == 7L) 1000.0 else 0.0))
+      .toDF("doc_id", "logw")
+    (1 to 4).foreach { s =>
+      val picked = Sampling.gumbelTopK(df, "doc_id", "logw", 5, salt = s"s$s")
+        .collect().map(_.getLong(0)).toSet
+      assert(picked.contains(7L), s"salt s$s missed the heavy doc")
+    }
+    val s1 = Sampling.gumbelTopK(df, "doc_id", "logw", 10, salt = "x")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.gumbelTopK(df, "doc_id", "logw", 10, salt = "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != s2, "independent salts drew identical samples")
+  }
+
   test("canonicalForDedup collapses case/space/normalization variants") {
     val c = TextClean.canonicalForDedup(col("s"))
     val out = Seq(
