@@ -367,6 +367,69 @@ object Sampling {
       .agg(count(lit(1)).as("n_tokens"), sum(col("_lam")).as("logw"))
   }
 
+  /** TEMPERATURE-SCALED mixture shares (the multilingual-sampling α of
+    * mBERT/XLM-R, the domain-temperature of Pile-style mixes): domain
+    * d's target share ∝ n_d^alpha for alpha ∈ (0, 1] — alpha = 1 keeps
+    * the corpus's natural proportions, alpha → 0 flattens toward
+    * uniform, so low-resource domains are up-weighted without ever
+    * repeating data the way raw upsampling would.
+    *
+    * Determinism discipline: pow() may differ an ulp across engines
+    * AND the share denominator is a float sum whose order Spark does
+    * not fix — so each n^alpha is d6-QUANTIZED first and the
+    * denominator sums those quanta as exact DECIMALs (order-free);
+    * only the final division is float, d6-rounded. Output per domain:
+    * (`domainCol`, n, share, temp_share).
+    *
+    * One |domains|-row partial aggregate; the totals ride a 1-row
+    * broadcast. The corpus never shuffles.
+    */
+  def temperatureShares(
+      df: DataFrame, domainCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .withColumn("_w", pow(col("n").cast("double"), lit(alpha))
+        .cast("decimal(28,6)"))
+    val tot = counts.agg(sum(col("n")).as("_tn"), sum(col("_w")).as("_tw"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n"),
+        d6(col("n").cast("double") / col("_tn").cast("double")).as("share"),
+        d6(col("_w").cast("double") / col("_tw").cast("double"))
+          .as("temp_share"))
+  }
+
+  /** ROUND-ROBIN INTERLEAVE: the deterministic curriculum schedule that
+    * feeds training one document per domain in rotation (position p of
+    * every domain before position p+1 of any, domains in lexicographic
+    * order within a round; domains that run out simply drop from later
+    * rounds). `schedule_rank` is exactly `row_number() OVER (ORDER BY
+    * pos, domain)` — but computed WITHOUT a global single-partition
+    * window: rank(p, d) = Σ_d' min(n_d', p−1) + |{d' ≤ d : n_d' ≥ p}|,
+    * an in-row fold over the broadcast per-domain count list on top of
+    * the per-domain position window (the only exchange). The count
+    * list is a bounded driver-side literal (the IVF-centroid contract:
+    * |domains| ≤ `maxDomains`, loudly enforced).
+    */
+  def interleave(
+      df: DataFrame, idCol: String, domainCol: String,
+      maxDomains: Int = 1000): DataFrame = {
+    val wd = Window.partitionBy(col(domainCol)).orderBy(col(idCol).asc)
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.length <= maxDomains,
+      s"interleave: ${counts.length} domains exceeds maxDomains=$maxDomains" +
+        " — raise the cap or pre-bucket the domain column")
+    val pos = col("pos")
+    val base = counts.map { case (_, n) => least(lit(n), pos - 1L) }
+      .reduceLeft[Column](_ + _)
+    val off = counts.map { case (d, n) =>
+      when(lit(d) <= col(domainCol) && lit(n) >= pos, 1L).otherwise(0L)
+    }.reduceLeft[Column](_ + _)
+    df.withColumn("pos", row_number().over(wd).cast("long"))
+      .withColumn("schedule_rank", (base + off).cast("long"))
+  }
+
   /** Gumbel-top-k: draw `k` rows WITHOUT replacement with probability
     * proportional to exp(`logWeightCol`) — the resampling half of DSIR
     * (and of any softmax-weighted corpus draw). The Gumbel-max trick

@@ -839,4 +839,50 @@ object Similarity {
           (qj, vj) => lit(v2) * qj - col("dot_pc") * vj).as("whitened"),
         col("dot_pc"))
   }
+
+  /** HARD-NEGATIVE MINING for contrastive/metric training: for each
+    * query vector, the exact top-k most-similar vectors with a
+    * DIFFERENT label — the near-misses a triplet/InfoNCE loss learns
+    * the most from (an easy random negative contributes ~zero
+    * gradient). Same quantized-integer cosine as [[bruteForceKnn]]
+    * (bit-reproducible, codegen'd dot), with the label inequality
+    * applied IN the join condition, so same-label pairs are discarded
+    * before scoring, not after ranking — rank k means the k-th hardest
+    * true negative, never a filtered-out positive's ghost slot.
+    *
+    * Output: (qid, q_label, nid, n_label, rank, cosine). Plan shape =
+    * bruteForceKnn's declared exact baseline: query block broadcast,
+    * corpus scan partition-local, per-query rank window; feed it ANN
+    * candidates (the q174 pattern) when the query side stops fitting
+    * in a broadcast.
+    */
+  def hardNegatives(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      queryPred: Column,
+      k: Int = 10): DataFrame = {
+    val e = df.select(
+        col(idCol), col(labelCol),
+        transform(col(embCol),
+          v => floor(v.cast("double") * lit(1000.0)).cast("long")).as("q"))
+      .select(col(idCol), col(labelCol), col("q"),
+        packedDot(col("q"), col("q")).as("nrm"))
+    val qSide = e.filter(queryPred)
+      .select(col(idCol).as("qid"), col(labelCol).as("q_label"),
+        col("q").as("qq"), col("nrm").as("q_nrm"))
+    val cosine = packedDot(col("qq"), col("q")).cast("double") /
+      sqrt(col("q_nrm").cast("double") * col("nrm").cast("double"))
+    val scored = e.join(broadcast(qSide),
+        col("qid") =!= col(idCol) && col("q_label") =!= col(labelCol))
+      .select(col("qid"), col("q_label"), col(idCol).as("nid"),
+        col(labelCol).as("n_label"), cosine.as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
+        col("rank"), col("cosine"))
+  }
 }

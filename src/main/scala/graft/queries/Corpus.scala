@@ -1357,10 +1357,15 @@ object Corpus {
       row_number().over(wA).cast("long").as("rank"))
     val lmd = graft.pipeline.TextStats.bigramLogProb(docs, "doc_id", "text")
       .select(col("doc_id"), d6(col("avg_logprob")).as("_s"))
+    // top-50 cut FIRST (TakeOrderedAndProject — per-partition heaps,
+    // no global sort), then ranks assigned within the bounded 50-row
+    // frame; the total (score, id) order makes this identical to
+    // rank-then-filter, without ever moving the corpus-sized score
+    // frame through one WindowExec partition
     val wB = Window.orderBy(col("_s").desc, col("doc_id").asc)
-    val rb = lmd.select(col("doc_id"),
+    val rb = lmd.orderBy(col("_s").desc, col("doc_id").asc).limit(50)
+      .select(col("doc_id"),
         row_number().over(wB).cast("long").as("rank"))
-      .filter(col("rank") <= 50)
     Retrieval.reciprocalRankFusion(Seq(ra, rb), "doc_id")
   }
 
@@ -1895,6 +1900,95 @@ object Corpus {
       |FROM w
       |ORDER BY score DESC, doc_id LIMIT 200""".stripMargin
 
+  // q197: hard-negative mining over the embeddings table — per query,
+  // the top-10 nearest DIFFERENT-label vectors (q17's exact quantized
+  // cosine with the label inequality in the join condition). The
+  // oracle rebuilds the integer dots and the label gate; cosine is the
+  // division of identical exact integers, so bytes agree unrounded
+  // (q17's precedent).
+  def q197HardNegatives(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.hardNegatives(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+      queryPred = col("vec_id") < 8, k = 10)
+
+  val q197Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+      |      AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, pos, qv FROM e WHERE vec_id < 8),
+      |dots AS (SELECT q.qid, e.vec_id AS nid, SUM(q.qv * e.qv) AS dot
+      |         FROM q JOIN e ON q.pos = e.pos GROUP BY 1,2),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+      |scored AS (
+      |  SELECT qid, lq.label AS q_label, nid, ln2.label AS n_label,
+      |    CAST(dot AS DOUBLE)
+      |      / SQRT(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cosine
+      |  FROM dots
+      |  JOIN norms nq ON qid = nq.vec_id
+      |  JOIN norms nn ON nid = nn.vec_id
+      |  JOIN embeddings lq ON qid = lq.vec_id
+      |  JOIN embeddings ln2 ON nid = ln2.vec_id
+      |  WHERE qid <> nid AND lq.label <> ln2.label)
+      |SELECT qid, q_label, nid, n_label, rank, cosine FROM (
+      |  SELECT qid, q_label, nid, n_label, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC)
+      |      AS rank
+      |  FROM scored) WHERE rank <= 10""".stripMargin
+
+  // q198: temperature-scaled language mix (α = 0.5) plus the keep rate
+  // that downsamples each language to its tempered share of a
+  // 2000-doc budget. pow() ulp and float-sum order are both absorbed
+  // by temperatureShares' d6-quantize-then-exact-decimal-sum
+  // discipline; keep_rate chains ONLY deterministic double ops on the
+  // already-d6 share.
+  def q198TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureShares(t(s, dir, "documents"), "lang", alpha = 0.5)
+      .select(col("lang"), col("n"), col("share"), col("temp_share"),
+        d6(least(lit(1.0),
+          lit(2000.0) * col("temp_share") / col("n").cast("double")))
+          .as("keep_rate"))
+
+  val q198Sql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      |w AS (SELECT lang, n,
+      |        CAST(POWER(CAST(n AS DOUBLE), 0.5) AS DECIMAL(28,6)) AS w6
+      |      FROM c),
+      |t AS (SELECT SUM(n) AS tn, SUM(w6) AS tw FROM w),
+      |ts AS (
+      |  SELECT lang, n,
+      |    CAST(CAST(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS share,
+      |    CAST(CAST(CAST(w6 AS DOUBLE) / CAST(tw AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS temp_share
+      |  FROM w CROSS JOIN t)
+      |SELECT lang, n, share, temp_share,
+      |  CAST(CAST(LEAST(1.0, 2000.0 * temp_share / CAST(n AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS keep_rate
+      |FROM ts""".stripMargin
+
+  // q199: the round-robin curriculum interleave over sources —
+  // schedule_rank must equal the single-window row_number() OVER
+  // (ORDER BY pos, source) the oracle computes, while the engine
+  // builds it from per-domain windows + the broadcast count fold
+  // (no global single-partition window anywhere in the plan).
+  def q199Interleave(s: SparkSession, dir: String): DataFrame =
+    Sampling.interleave(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "doc_id", "source")
+
+  val q199Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS pos
+      |  FROM documents)
+      |SELECT doc_id, source, pos,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY pos, source) AS BIGINT)
+      |    AS schedule_rank
+      |FROM p""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -1942,7 +2036,10 @@ object Corpus {
     "q189_bpe_apply" -> (q189BpeApply _),
     "q190_principal_component" -> (q190PrincipalComponent _),
     "q191_abtt_whiten" -> (q191AbttWhiten _),
-    "q192_dsir_select" -> (q192DsirSelect _))
+    "q192_dsir_select" -> (q192DsirSelect _),
+    "q197_hard_negatives" -> (q197HardNegatives _),
+    "q198_temperature_mix" -> (q198TemperatureMix _),
+    "q199_interleave" -> (q199Interleave _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -1991,5 +2088,8 @@ object Corpus {
     "q189_bpe_apply" -> q189Sql,
     "q190_principal_component" -> q190Sql,
     "q191_abtt_whiten" -> q191Sql,
-    "q192_dsir_select" -> q192Sql)
+    "q192_dsir_select" -> q192Sql,
+    "q197_hard_negatives" -> q197Sql,
+    "q198_temperature_mix" -> q198Sql,
+    "q199_interleave" -> q199Sql)
 }

@@ -731,6 +731,142 @@ object Relational {
       |  CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,6)) AS DOUBLE) AS median_price
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  // q193: the TPC-H Q15 shape — a revenue "view" (per-supplier quarter
+  // revenue) consumed twice: once as the stream, once reduced to a
+  // global max the stream is equality-filtered against. The revenue
+  // stays DECIMAL end-to-end until output, so the max-equality keep
+  // decision is exact in both engines (a double revenue's last ulp
+  // would drop/keep the boundary supplier differently); the 1-row max
+  // frame broadcast-crossJoins onto the per-supplier frame (never a
+  // second scan of lineitem, never a collect).
+  def q193TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,6)")).as("_rev"))
+    val mx = rev.agg(max(col("_rev")).as("_mx"))
+    t(s, dir, "supplier")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(mx))
+      .filter(col("_rev") === col("_mx"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("_rev").cast("double").as("total_revenue"))
+  }
+
+  val q193Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)))
+      |      AS r
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE r = (SELECT max(r) FROM rev)""".stripMargin
+
+  // q194: the TPC-H Q17 shape — the correlated per-part scalar average
+  // ("lineitems below 20% of their part's average quantity")
+  // decorrelated to a per-part aggregate joined back. The keep
+  // predicate runs in EXACT integers: q < 0.2·Σq/n  ⇔  5·q·n < Σq
+  // (quantities are integer-valued), so no float threshold decides
+  // membership. Only the one brand's parts survive the first join —
+  // the per-part frame is dimension-sized and broadcasts.
+  def q194SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val pt = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem")
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .withColumn("_q", col("l_quantity").cast("long"))
+    val perPart = li.groupBy(col("l_partkey").as("_pk"))
+      .agg(sum(col("_q")).as("_sq"), count(lit(1)).as("_n"))
+    li.join(broadcast(perPart), col("l_partkey") === col("_pk"))
+      .filter(lit(5L) * col("_q") * col("_n") < col("_sq"))
+      .agg(d6(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  val q194Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#1'),
+      |pp AS (SELECT l_partkey AS pk, SUM(q) AS sq, count(*) AS n
+      |       FROM li GROUP BY 1)
+      |SELECT CAST(CAST(
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0
+      |  AS DECIMAL(28,6)) AS DOUBLE) AS avg_yearly
+      |FROM li JOIN pp ON l_partkey = pk
+      |WHERE 5 * q * n < sq""".stripMargin
+
+  // q195: the TPC-H Q18 shape — large-volume orders: a HAVING over a
+  // per-order quantity rollup, semi-joined back through orders to the
+  // customer, top-100 by (o_totalprice DESC, o_orderkey). The sum rides
+  // exact BIGINTs; the ordering compares STORED doubles (no arithmetic,
+  // so cross-engine bytes agree) with the orderkey tie-break pinning
+  // the cut. TakeOrderedAndProject — the heap never sorts the corpus.
+  def q195LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 200L)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val q195Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // q196: the TPC-H Q10 shape — returned-item reporting: customers
+  // ranked by the revenue they returned in a quarter, top-20. Revenue
+  // through the decimal sum (exact, so the rank keys agree across
+  // engines bit-for-bit), c_custkey tie-break, TakeOrderedAndProject.
+  def q196ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    t(s, dir, "customer")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q196Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -763,7 +899,11 @@ object Relational {
     "q44_ordered_agg" -> (q44OrderedAgg _),
     "q45_pivot" -> (q45Pivot _),
     "q67_unpivot" -> (q67Unpivot _),
-    "q88_group_percentiles" -> (q88GroupPercentiles _))
+    "q88_group_percentiles" -> (q88GroupPercentiles _),
+    "q193_top_supplier" -> (q193TopSupplier _),
+    "q194_small_qty_revenue" -> (q194SmallQtyRevenue _),
+    "q195_large_orders" -> (q195LargeOrders _),
+    "q196_returned_items" -> (q196ReturnedItems _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -797,5 +937,9 @@ object Relational {
     "q44_ordered_agg" -> q44Sql,
     "q45_pivot" -> q45Sql,
     "q67_unpivot" -> q67Sql,
-    "q88_group_percentiles" -> q88Sql)
+    "q88_group_percentiles" -> q88Sql,
+    "q193_top_supplier" -> q193Sql,
+    "q194_small_qty_revenue" -> q194Sql,
+    "q195_large_orders" -> q195Sql,
+    "q196_returned_items" -> q196Sql)
 }

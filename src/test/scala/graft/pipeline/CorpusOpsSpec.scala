@@ -654,6 +654,61 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s1 != s2, "independent salts drew identical samples")
   }
 
+  // ---- Similarity.hardNegatives / Sampling.temperatureShares/interleave ----
+
+  test("hardNegatives never returns a same-label neighbor; ranks are dense") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), // query
+      (1L, Array(0.99f, 0.1f), 0),  // same label: closest but excluded
+      (2L, Array(0.9f, 0.3f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.8f, 0.5f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+      col("vec_id") === 0, k = 2).orderBy("rank").collect()
+    assert(out.forall(r => r.getAs[Int]("n_label") != r.getAs[Int]("q_label")))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    // hardest true negatives by cosine to (1,0): vec 2 then vec 4
+    assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(2L, 4L))
+  }
+
+  test("temperatureShares: alpha=1 is the natural mix; alpha<1 flattens") {
+    val df = (0 until 90).map(i => (i.toLong, if (i < 80) "big" else "small"))
+      .toDF("doc_id", "d")
+    val nat = Sampling.temperatureShares(df, "d", 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(nat("big")._1 == nat("big")._2 && nat("small")._1 == nat("small")._2)
+    val flat = Sampling.temperatureShares(df, "d", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(flat("small") > nat("small")._2 && flat("big") < nat("big")._2)
+    assert(math.abs(flat("small") + flat("big") - 1.0) < 1e-5)
+  }
+
+  test("interleave equals the single-window row_number reference") {
+    // unequal domain sizes so late rounds lose domains
+    val df = (0L until 23L).map(i => (i, s"d${i % 4}"))
+      .filter { case (i, d) => !(d == "d3" && i > 11) } // d3 runs out early
+      .toDF("doc_id", "dom")
+    val out = Sampling.interleave(df, "doc_id", "dom")
+    val got = out.orderBy("schedule_rank")
+      .select("doc_id", "schedule_rank").as[(Long, Long)].collect()
+    import org.apache.spark.sql.expressions.Window
+    val ref = out.select(col("doc_id"),
+        row_number().over(Window.orderBy(col("pos"), col("dom")))
+          .cast("long").as("r"))
+      .orderBy("r").as[(Long, Long)].collect()
+    assert(got.map(_._1).sameElements(ref.map(_._1)))
+    assert(got.map(_._2).toSeq == (1L to got.length).toSeq)
+  }
+
+  test("interleave enforces the domain cap loudly") {
+    val df = (0L until 30L).map(i => (i, s"d$i")).toDF("doc_id", "dom")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.interleave(df, "doc_id", "dom", maxDomains = 10)
+    }
+    assert(e.getMessage.contains("maxDomains"))
+  }
+
   test("canonicalForDedup collapses case/space/normalization variants") {
     val c = TextClean.canonicalForDedup(col("s"))
     val out = Seq(
