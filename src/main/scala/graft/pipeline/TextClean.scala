@@ -146,4 +146,83 @@ object TextClean {
       .withColumn("n_digit_runs", nMatches(t2, digitRunRe))
       .withColumn("scrubbed_text", t3)
   }
+
+  /** jusText-lite CONTENT-LINE extraction — the per-line pass a web
+    * extractor runs between tag stripping and document filtering:
+    * navigation chrome / legal footers / button labels are short or
+    * stopword-free, prose isn't. A line is kept iff it has at least
+    * `minChars` characters AND its stopword density clears
+    * `stopNum/stopDen` — the density test is EXACT integers
+    * (stopDen · n_stop ≥ stopNum · n_tokens), so no float boundary
+    * decides a line. Output adds `n_lines`, `n_kept`, and
+    * `content_text` (the kept lines re-joined with newlines, original
+    * order — extraction never reorders).
+    *
+    * Everything is in-row higher-order array functions over the
+    * line split: a pure projection at the scan, zero shuffles at any
+    * corpus size. Stopword sets are small by nature (the classic
+    * jusText lists are a few hundred words) and enter as an array
+    * literal inside codegen.
+    */
+  def extractContentLines(
+      df: DataFrame,
+      textCol: String,
+      stopwords: Seq[String],
+      minChars: Int = 20,
+      stopNum: Int = 1,
+      stopDen: Int = 20): DataFrame = {
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    require(minChars >= 0 && stopNum >= 0 && stopDen > 0,
+      s"bad thresholds: minChars=$minChars stop=$stopNum/$stopDen")
+    val stops = typedLit(stopwords)
+    val lines = split(col(textCol), "\n")
+    def keep(line: Column): Column = {
+      val toks = filter(split(line, " "), t => t =!= "")
+      val nStop = size(filter(toks, t => array_contains(stops, t)))
+      (length(line) >= minChars) &&
+        (nStop.cast("long") * stopDen >= size(toks).cast("long") * stopNum)
+    }
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(filter(lines, keep _)).cast("long"))
+      .withColumn("content_text", array_join(filter(lines, keep _), "\n"))
+  }
+
+  /** DOMAIN POLICY GATE — the per-site curation rules a crawl pipeline
+    * applies before any content look: drop blocklisted registrable
+    * domains (spam mills, link farms, opted-out sites) and cap each
+    * surviving domain at `maxPerDomain` documents in crawl order
+    * (id-ascending), so no single site dominates the mix. The domain
+    * comes from the full canonicalization chain
+    * ([[canonicalUrl]] → [[urlHost]] → [[registrableDomain]]).
+    *
+    * Output adds `domain`, `is_blocked`, `domain_rank` (1-based
+    * id-order position within the domain) and `is_kept`; the caller
+    * filters on `is_kept` — emitting the judgments makes the gate
+    * auditable (q172's attrition-report discipline).
+    *
+    * Scale shape: the blocklist is an in-codegen array literal (policy
+    * lists are thousands of entries — swap for a broadcast anti-join
+    * past ~10⁵); the cap is ONE id-ordered window per domain key — the
+    * gate's only exchange, and the same partitioning a following
+    * per-domain aggregate would reuse.
+    */
+  def domainPolicyGate(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      blocked: Seq[String],
+      maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    import org.apache.spark.sql.expressions.Window
+    val dom = registrableDomain(urlHost(canonicalUrl(col(urlCol))))
+    val w = Window.partitionBy(col("domain")).orderBy(col(idCol).asc)
+    df.withColumn("domain", dom)
+      .withColumn("is_blocked",
+        (if (blocked.isEmpty) lit(false)
+         else array_contains(typedLit(blocked), col("domain"))).cast("int"))
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .withColumn("is_kept",
+        (col("is_blocked") === 0 && col("domain_rank") <= maxPerDomain)
+          .cast("int"))
+  }
 }

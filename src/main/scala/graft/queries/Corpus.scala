@@ -1989,6 +1989,79 @@ object Corpus {
       |    AS schedule_rank
       |FROM p""".stripMargin
 
+  // q200: jusText-lite content-line extraction over planted page chrome
+  // (q57's inject-identically-on-both-sides pattern): every document
+  // gains a nav bar, a button label and a legal footer; the extractor
+  // must keep exactly the lines that are long enough AND clear the
+  // integer stopword-density test — for the fixture prose that's the
+  // document's own line (when it qualifies), never the chrome.
+  def q200ContentExtract(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat_ws("\n",
+      lit("Home | Products | Contact"),
+      col("text"),
+      lit("OK"),
+      lit("Copyright 2024 Example Corp All Rights Reserved"))
+    graft.pipeline.TextClean.extractContentLines(
+      t(s, dir, "documents").withColumn("_aug", planted),
+      "_aug", stopwords = Seq("the", "a", "of", "to", "and", "in"),
+      minChars = 20, stopNum = 1, stopDen = 20)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("content_text"))
+  }
+
+  val q200Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    'Home | Products | Contact' || chr(10) || text || chr(10) ||
+      |    'OK' || chr(10) ||
+      |    'Copyright 2024 Example Corp All Rights Reserved' AS t
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(t, chr(10)), 1) AS ord,
+      |    unnest(string_split(t, chr(10))) AS ln
+      |  FROM aug),
+      |k AS (
+      |  SELECT doc_id, ord, ln,
+      |    CASE WHEN length(ln) >= 20 AND
+      |      20 * len(list_filter(list_filter(string_split(ln, ' '),
+      |            x -> x <> ''),
+      |          x -> list_contains(['the','a','of','to','and','in'], x)))
+      |        >= len(list_filter(string_split(ln, ' '), x -> x <> ''))
+      |      THEN 1 ELSE 0 END AS kept
+      |  FROM l)
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(sum(kept) AS BIGINT) AS n_kept,
+      |  coalesce(string_agg(CASE WHEN kept = 1 THEN ln END, chr(10)
+      |    ORDER BY ord), '') AS content_text
+      |FROM k GROUP BY 1""".stripMargin
+
+  // q201: the domain policy gate — registrable-domain blocklist + a
+  // 40-doc per-domain crawl-order cap, judged over URLs synthesized
+  // from the source column so the oracle can state the expected domain
+  // DIRECTLY (the parse chain itself is q169's detailed contract).
+  def q201DomainPolicy(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://WWW."), col("source"),
+      lit(".Example/p/"), col("doc_id").cast("string"),
+      lit("?utm_source=crawl"))
+    graft.pipeline.TextClean.domainPolicyGate(
+      t(s, dir, "documents").withColumn("_url", url),
+      "doc_id", "_url",
+      blocked = Seq("src0.example", "src7.example"), maxPerDomain = 40)
+      .select(col("doc_id"), col("domain"), col("is_blocked"),
+        col("domain_rank"), col("is_kept"))
+  }
+
+  val q201Sql: String =
+    """SELECT doc_id, source || '.example' AS domain,
+      |  CASE WHEN source IN ('src0', 'src7') THEN 1 ELSE 0 END AS is_blocked,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+      |    AS BIGINT) AS domain_rank,
+      |  CASE WHEN source NOT IN ('src0', 'src7')
+      |    AND ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 40
+      |    THEN 1 ELSE 0 END AS is_kept
+      |FROM documents""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -2039,7 +2112,9 @@ object Corpus {
     "q192_dsir_select" -> (q192DsirSelect _),
     "q197_hard_negatives" -> (q197HardNegatives _),
     "q198_temperature_mix" -> (q198TemperatureMix _),
-    "q199_interleave" -> (q199Interleave _))
+    "q199_interleave" -> (q199Interleave _),
+    "q200_content_extract" -> (q200ContentExtract _),
+    "q201_domain_policy" -> (q201DomainPolicy _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -2091,5 +2166,7 @@ object Corpus {
     "q192_dsir_select" -> q192Sql,
     "q197_hard_negatives" -> q197Sql,
     "q198_temperature_mix" -> q198Sql,
-    "q199_interleave" -> q199Sql)
+    "q199_interleave" -> q199Sql,
+    "q200_content_extract" -> q200Sql,
+    "q201_domain_policy" -> q201Sql)
 }

@@ -709,6 +709,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxDomains"))
   }
 
+  // ---- TextClean.extractContentLines / domainPolicyGate ----
+
+  test("extractContentLines keeps prose, drops chrome/short/stop-free lines") {
+    val stops = Seq("the", "a", "of", "to", "and", "in")
+    val df = Seq((1L, Seq(
+      "Home | Products | Contact",            // no stopwords -> drop
+      "the quick brown fox jumps over the lazy dog today", // prose -> keep
+      "OK",                                   // short -> drop
+      "a second sentence with the right density of words", // prose -> keep
+      "Copyright 2024 Example Corp All Rights Reserved"    // drop
+    ).mkString("\n"))).toDF("doc_id", "text")
+    val out = TextClean.extractContentLines(df, "text", stops,
+      minChars = 20, stopNum = 1, stopDen = 20).collect()(0)
+    assert(out.getAs[Long]("n_lines") == 5)
+    assert(out.getAs[Long]("n_kept") == 2)
+    val kept = out.getAs[String]("content_text").split("\n")
+    assert(kept.length == 2 && kept(0).startsWith("the quick") &&
+      kept(1).startsWith("a second"))
+  }
+
+  test("extractContentLines density boundary is exact: 1/20 at 1-in-20") {
+    val stops = Seq("the")
+    // exactly 20 tokens, 1 stopword: 20*1 >= 20*1 -> keep
+    val at = (Seq("the") ++ (1 to 19).map(i => s"w$i")).mkString(" ")
+    // 21 tokens, 1 stopword: 20*1 >= 21*1 is false -> drop
+    val under = (Seq("the") ++ (1 to 20).map(i => s"w$i")).mkString(" ")
+    val out = TextClean.extractContentLines(
+      Seq((1L, s"$at\n$under")).toDF("doc_id", "text"), "text", stops,
+      minChars = 1, stopNum = 1, stopDen = 20).collect()(0)
+    assert(out.getAs[Long]("n_kept") == 1)
+    assert(out.getAs[String]("content_text") == at)
+  }
+
+  test("domainPolicyGate blocks domains and caps crawl-order rank") {
+    val df = (0L until 10L).map { i =>
+      val d = if (i % 2 == 0) "good.org" else "spam.net"
+      (i, s"https://www.$d/page/$i")
+    }.toDF("doc_id", "url")
+    val out = TextClean.domainPolicyGate(df, "doc_id", "url",
+      blocked = Seq("spam.net"), maxPerDomain = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+        r.getAs[Int]("is_blocked"), r.getAs[Long]("domain_rank"),
+        r.getAs[Int]("is_kept"))).sortBy(_._1)
+    assert(out.forall { case (i, d, b, _, _) =>
+      d == (if (i % 2 == 0) "good.org" else "spam.net") &&
+        b == (if (i % 2 == 0) 0 else 1) })
+    // good.org docs 0,2,4,6,8: ranks 1..5, kept only first 3
+    val good = out.filter(_._2 == "good.org")
+    assert(good.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(good.map(_._5).toSeq == Seq(1, 1, 1, 0, 0))
+    assert(out.filter(_._2 == "spam.net").forall(_._5 == 0))
+  }
+
   test("canonicalForDedup collapses case/space/normalization variants") {
     val c = TextClean.canonicalForDedup(col("s"))
     val out = Seq(
