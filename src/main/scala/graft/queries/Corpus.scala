@@ -2062,6 +2062,120 @@ object Corpus {
       |    THEN 1 ELSE 0 END AS is_kept
       |FROM documents""".stripMargin
 
+  // q202: the whole crawl-to-train-ready pipeline as ONE declarative
+  // plan — domain policy gate → content-line extraction → canonical
+  // dedup (min-id per key) → PII scrub (planted email, q57's pattern)
+  // → integer token gate → deterministic split. The oracle rebuilds
+  // every stage; the only exchanges in the whole chain are the policy
+  // gate's domain-keyed window and the dedup's 16-byte-hash-keyed
+  // window (q166's discipline, now with the round's new gates in
+  // front). Everything else happens AT the scan.
+  def q202PipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = graft.pipeline.TextClean
+    val url = concat(lit("https://WWW."), col("source"),
+      lit(".Example/p/"), col("doc_id").cast("string"),
+      lit("?utm_source=crawl"))
+    val pol = tc.domainPolicyGate(
+        t(s, dir, "documents").withColumn("_url", url),
+        "doc_id", "_url",
+        blocked = Seq("src0.example", "src7.example"), maxPerDomain = 40)
+      .filter(col("is_kept") === 1)
+      .select(col("doc_id"), col("domain"), col("text"))
+    val aug = pol.withColumn("_aug", concat_ws("\n",
+      lit("Home | Products | Contact"), col("text"), lit("OK"),
+      lit("Copyright 2024 Example Corp All Rights Reserved")))
+    val ext = tc.extractContentLines(aug, "_aug",
+        stopwords = Seq("the", "a", "of", "to", "and", "in"),
+        minChars = 20, stopNum = 1, stopDen = 20)
+      .select(col("doc_id"), col("domain"), col("content_text"))
+    val wk = Window.partitionBy(col("_ckey"))
+    val ded = ext
+      .withColumn("_ckey",
+        md5(tc.canonicalForDedup(col("content_text")).cast("binary")))
+      .withColumn("_keep", min(col("doc_id")).over(wk))
+      .filter(col("doc_id") === col("_keep"))
+    val planted = concat(col("content_text"), lit(" reach-"),
+      col("doc_id").cast("string"), lit("@ex.com"))
+    val scr = tc.scrubPii(ded.withColumn("_w", planted), "_w")
+    val toks = filter(split(col("scrubbed_text"), " "), x => x =!= "")
+    val gated = scr.withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_tokens") >= 12)
+    Sampling.hashSplit(gated, "doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .select(col("doc_id"), col("domain"), col("split"), col("n_tokens"),
+        col("n_emails"),
+        md5(col("scrubbed_text").cast("binary")).as("content_hash"))
+  }
+
+  val q202Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, source || '.example' AS domain, text,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+      |  FROM documents),
+      |pol AS (
+      |  SELECT doc_id, domain, text FROM u
+      |  WHERE domain NOT IN ('src0.example', 'src7.example') AND rnk <= 40),
+      |aug AS (
+      |  SELECT doc_id, domain,
+      |    'Home | Products | Contact' || chr(10) || text || chr(10) ||
+      |    'OK' || chr(10) ||
+      |    'Copyright 2024 Example Corp All Rights Reserved' AS t
+      |  FROM pol),
+      |l AS (
+      |  SELECT doc_id, domain,
+      |    generate_subscripts(string_split(t, chr(10)), 1) AS ord,
+      |    unnest(string_split(t, chr(10))) AS ln
+      |  FROM aug),
+      |k AS (
+      |  SELECT doc_id, domain, ord, ln,
+      |    CASE WHEN length(ln) >= 20 AND
+      |      20 * len(list_filter(list_filter(string_split(ln, ' '),
+      |            x -> x <> ''),
+      |          x -> list_contains(['the','a','of','to','and','in'], x)))
+      |        >= len(list_filter(string_split(ln, ' '), x -> x <> ''))
+      |      THEN 1 ELSE 0 END AS kept
+      |  FROM l),
+      |ext AS (
+      |  SELECT doc_id, domain,
+      |    coalesce(string_agg(CASE WHEN kept = 1 THEN ln END, chr(10)
+      |      ORDER BY ord), '') AS content
+      |  FROM k GROUP BY doc_id, domain),
+      |ded AS (
+      |  SELECT doc_id, domain, content,
+      |    min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
+      |      lower(nfc_normalize(content)), '\s+', ' ', 'g')))) AS keep_id
+      |  FROM ext),
+      |kept AS (
+      |  SELECT doc_id, domain,
+      |    content || ' reach-' || CAST(doc_id AS VARCHAR) || '@ex.com' AS w
+      |  FROM ded WHERE doc_id = keep_id),
+      |s1 AS (
+      |  SELECT doc_id, domain,
+      |    CAST(len(regexp_extract_all(w,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |      AS n_emails,
+      |    regexp_replace(w, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g') AS t1
+      |  FROM kept),
+      |s3 AS (
+      |  SELECT doc_id, domain, n_emails,
+      |    regexp_replace(regexp_replace(t1,
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      |      '<IP>', 'g'), '[0-9]{7,}', '<NUM>', 'g') AS s
+      |  FROM s1),
+      |g AS (
+      |  SELECT doc_id, domain, n_emails, s,
+      |    CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM s3)
+      |SELECT doc_id, domain,
+      |  CASE WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+      |      1, 8)) AS BIGINT) % 1000000 < 900000
+      |    THEN 'train' ELSE 'test' END AS split,
+      |  n_tokens, n_emails, md5(s) AS content_hash
+      |FROM g WHERE n_tokens >= 12""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -2114,7 +2228,8 @@ object Corpus {
     "q198_temperature_mix" -> (q198TemperatureMix _),
     "q199_interleave" -> (q199Interleave _),
     "q200_content_extract" -> (q200ContentExtract _),
-    "q201_domain_policy" -> (q201DomainPolicy _))
+    "q201_domain_policy" -> (q201DomainPolicy _),
+    "q202_pipeline_e2e" -> (q202PipelineE2e _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -2168,5 +2283,6 @@ object Corpus {
     "q198_temperature_mix" -> q198Sql,
     "q199_interleave" -> q199Sql,
     "q200_content_extract" -> q200Sql,
-    "q201_domain_policy" -> q201Sql)
+    "q201_domain_policy" -> q201Sql,
+    "q202_pipeline_e2e" -> q202Sql)
 }
