@@ -325,6 +325,81 @@ object TextStats {
         (sum(log(p)) / count(lit(1))).as("avg_logprob"))
   }
 
+  /** HELD-OUT bigram scoring — CCNet's "score the crawl against a clean
+    * LM" step: the smoothed bigram model is estimated on `model` (the
+    * trusted corpus) and applied to `df`'s documents, so fluency is
+    * judged against curated text rather than the crawl's own
+    * distribution ([[bigramLogProb]] scores a corpus against itself).
+    * Unseen bigrams and unseen contexts fall back to the add-k floor
+    * k/(c1 + k·V) — exactly the backoff a divergent document should pay.
+    *
+    * Same arithmetic discipline as [[bigramLogProb]]: counts exact,
+    * one log per bigram, the caller d6-rounds the per-doc mean. Scale
+    * shape: model counts are vocab²-bounded aggregates; the scored
+    * corpus's bigrams meet them in (tok, next)-keyed equi-joins (left,
+    * so the corpus side never drops rows); V rides a 1-row broadcast.
+    */
+  def bigramLogProbAgainst(
+      model: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be positive, got $addK")
+    def bigrams(d: DataFrame, keep: Seq[String]): DataFrame = {
+      val toks = d
+        .select(keep.map(col) :+
+          posexplode(split(col(textCol), " ")).as(Seq("_g_pos", "tok")): _*)
+        .filter(col("tok") =!= "")
+      val w = Window.partitionBy(keep.map(col): _*).orderBy(col("_g_pos"))
+      toks
+        .withColumn("_g_next", lead(col("tok"), 1).over(w))
+        .filter(col("_g_next").isNotNull)
+        .select(keep.map(col) :+ col("tok") :+ col("_g_next"): _*)
+    }
+    val mb = bigrams(model.select(
+      monotonically_increasing_id().as("_g_mid"), col(textCol)), Seq("_g_mid"))
+    val c12 = mb.groupBy(col("tok"), col("_g_next"))
+      .agg(count(lit(1)).as("_g_c12"))
+    val c1 = mb.groupBy(col("tok")).agg(count(lit(1)).as("_g_c1"))
+    val vocab = model
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).cast("double").as("_g_v"))
+    val p =
+      (coalesce(col("_g_c12"), lit(0L)).cast("double") + lit(addK)) /
+        (coalesce(col("_g_c1"), lit(0L)).cast("double") + lit(addK) * col("_g_v"))
+    bigrams(df, Seq(idCol))
+      .join(c12, Seq("tok", "_g_next"), "left")
+      .join(c1, Seq("tok"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(log(p)) / count(lit(1))).as("avg_logprob"))
+  }
+
+  /** Regex sentence segmentation — the sentence-per-row explode feeding
+    * sentence-level dedup, alignment, or length profiling. The splitter
+    * consumes runs of `.!?` followed by spaces (an RE2-portable
+    * pattern: no lookbehind, so the oracle splits identically);
+    * trailing end punctuation on the final sentence is trimmed the
+    * same way. Output one row per non-empty sentence: (`idCol`,
+    * sent_idx (0-based), sentence, n_chars, n_tokens). Pure in-row
+    * posexplode — zero shuffles.
+    */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val parts = split(col(textCol), "[.!?]+ +")
+    df.select(col(idCol),
+        posexplode(parts).as(Seq("sent_idx", "_g_raw")))
+      .select(col(idCol), col("sent_idx"),
+        regexp_replace(col("_g_raw"), "[.!?]+$", "").as("sentence"))
+      .filter(col("sentence") =!= "")
+      .withColumn("n_chars", length(col("sentence")).cast("long"))
+      .withColumn("n_tokens",
+        size(filter(split(col("sentence"), " "), t => t =!= "")).cast("long"))
+  }
+
   /** Per-document token statistics: token count, distinct count, average
     * token length, type-token ratio. Computed IN-ROW over the token array
     * — a pure projection, no shuffle at any scale (the groupBy

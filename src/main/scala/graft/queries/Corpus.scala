@@ -2176,6 +2176,150 @@ object Corpus {
       |  n_tokens, n_emails, md5(s) AS content_hash
       |FROM g WHERE n_tokens >= 12""".stripMargin
 
+  // q203: held-out LM scoring — the bigram model estimated ONLY on the
+  // 'en' slice (the trusted corpus), applied to every document (q130
+  // scores the corpus against itself). Unseen bigrams/contexts pay the
+  // add-k floor via left joins + coalesce 0; d6 on the per-doc mean
+  // (q116's ln discipline).
+  def q203HeldOutLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.TextStats.bigramLogProbAgainst(
+      docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"),
+        d6(col("avg_logprob")).as("avg_logprob"))
+  }
+
+  val q203Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    generate_subscripts(string_split(text,' '),1) AS pos,
+      |    unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, lang, pos, tok FROM tk WHERE tok <> ''),
+      |bi AS (
+      |  SELECT doc_id, lang, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT doc_id, lang, tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |c12 AS (SELECT tok, nxt, count(*) AS c12 FROM bi2
+      |        WHERE lang = 'en' GROUP BY 1, 2),
+      |c1 AS (SELECT tok, count(*) AS c1 FROM bi2
+      |       WHERE lang = 'en' GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tk2
+      |      WHERE lang = 'en')
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(CAST(sum(ln((CAST(coalesce(c12, 0) AS DOUBLE) + 0.5)
+      |      / (CAST(coalesce(c1, 0) AS DOUBLE) + 0.5 * v)))
+      |    / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_logprob
+      |FROM bi2 LEFT JOIN c12 USING (tok, nxt) LEFT JOIN c1 USING (tok)
+      |CROSS JOIN v
+      |GROUP BY doc_id""".stripMargin
+
+  // q204: regex sentence segmentation over planted punctuation (the
+  // fixture prose has none — q57's inject-identically pattern): every
+  // document becomes four sentences, trailing end punctuation trimmed
+  // the same way on both sides. RE2-portable split, so DuckDB's
+  // string_split_regex IS the same splitter.
+  def q204Sentences(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(lit("Intro sentence one. "), col("text"),
+      lit("! A short tail? Done."))
+    graft.pipeline.TextStats.sentences(
+      t(s, dir, "documents").withColumn("_aug", aug), "doc_id", "_aug")
+  }
+
+  val q204Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    'Intro sentence one. ' || text || '! A short tail? Done.' AS t
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split_regex(t, '[.!?]+ +'), 1) - 1
+      |      AS sent_idx,
+      |    unnest(string_split_regex(t, '[.!?]+ +')) AS raw
+      |  FROM aug),
+      |s AS (
+      |  SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+      |    regexp_replace(raw, '[.!?]+$', '') AS sentence
+      |  FROM p)
+      |SELECT doc_id, sent_idx, sentence,
+      |  CAST(length(sentence) AS BIGINT) AS n_chars,
+      |  CAST(len(list_filter(string_split(sentence, ' '), x -> x <> ''))
+      |    AS BIGINT) AS n_tokens
+      |FROM s WHERE sentence <> ''""".stripMargin
+
+  // q205: perceptual image dedup — REAL codec path end to end: each
+  // distinct image seed (doc_id % 250, so re-uploads share a payload)
+  // is PNG-encoded once, pixel-decoded to its 64-bit aHash (q93's
+  // kernel), joined back to its documents, and near-dup pairs come out
+  // of simhashPairs' pigeonhole banding over the combined fingerprint
+  // — never an all-pairs image compare. The oracle rebuilds the hash
+  // arithmetically from the generative pixel formula (q93's CTE) and
+  // takes the exact hamming-0..3 pairs.
+  def q205ImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val mm = graft.pipeline.Multimodal
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 250).as("seed"))
+    val specs = docs.select(col("seed")).distinct()
+      .select(col("seed"),
+        (col("seed") % 48 + 8).as("w"), (col("seed") % 37 + 8).as("h"))
+    val hashed = mm.aHashImagesBatched(
+        mm.encodeImagesBatched(specs, "seed", "w", "h"), "doc_id")
+      .toDF().withColumnRenamed("doc_id", "seed")
+    val fp = docs.join(broadcast(hashed), "seed")
+      .select(col("doc_id"),
+        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo"))
+          .as("simhash"))
+    graft.pipeline.TextDedup.simhashPairs(fp, "doc_id", maxHamming = 3)
+  }
+
+  val q205Sql: String =
+    """WITH seeds AS (SELECT DISTINCT doc_id % 250 AS seed FROM documents),
+      |spec AS (
+      |  SELECT seed, CAST(seed % 48 + 8 AS BIGINT) AS w,
+      |    CAST(seed % 37 + 8 AS BIGINT) AS h
+      |  FROM seeds),
+      |px AS (SELECT seed, w, h, unnest(range(w * h)) AS i FROM spec),
+      |gray AS (
+      |  SELECT seed,
+      |    ((y * 8) // h) * 8 + (x * 8) // w AS cell,
+      |    (299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
+      |      + 114 * (rgb & 255)) // 1000 AS luma
+      |  FROM (
+      |    SELECT seed, w, h, i % w AS x, i // w AS y,
+      |      (seed * 2654435761 + (i % w) * 7919 + (i // w) * 104729)
+      |        & 16777215 AS rgb
+      |    FROM px)),
+      |cells AS (
+      |  SELECT seed, cell, sum(luma) // count(*) AS ca
+      |  FROM gray GROUP BY 1, 2),
+      |m AS (SELECT seed, sum(ca) // 64 AS mean FROM cells GROUP BY 1),
+      |fp0 AS (
+      |  SELECT c.seed,
+      |    CAST(sum(CASE WHEN ca >= mean AND cell >= 32
+      |        THEN CAST(1 AS BIGINT) << CAST(cell - 32 AS INT) ELSE 0 END)
+      |      AS BIGINT) AS hi,
+      |    CAST(sum(CASE WHEN ca >= mean AND cell < 32
+      |        THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END)
+      |      AS BIGINT) AS lo
+      |  FROM cells c JOIN m USING (seed) GROUP BY 1),
+      |fpu AS (
+      |  -- Spark's shiftleft wraps two's-complement; DuckDB << checks
+      |  -- overflow, so build the signed 64-bit value via HUGEINT
+      |  SELECT seed, CAST(hi AS HUGEINT) * 4294967296 + lo AS u
+      |  FROM fp0),
+      |fp1 AS (
+      |  SELECT seed,
+      |    CAST(CASE WHEN u > 9223372036854775807
+      |      THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS f
+      |  FROM fpu),
+      |fp AS (
+      |  SELECT d.doc_id, f.f AS fp
+      |  FROM documents d JOIN fp1 f ON d.doc_id % 250 = f.seed)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -2229,7 +2373,10 @@ object Corpus {
     "q199_interleave" -> (q199Interleave _),
     "q200_content_extract" -> (q200ContentExtract _),
     "q201_domain_policy" -> (q201DomainPolicy _),
-    "q202_pipeline_e2e" -> (q202PipelineE2e _))
+    "q202_pipeline_e2e" -> (q202PipelineE2e _),
+    "q203_held_out_lm" -> (q203HeldOutLm _),
+    "q204_sentences" -> (q204Sentences _),
+    "q205_image_dedup" -> (q205ImageDedup _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -2284,5 +2431,8 @@ object Corpus {
     "q199_interleave" -> q199Sql,
     "q200_content_extract" -> q200Sql,
     "q201_domain_policy" -> q201Sql,
-    "q202_pipeline_e2e" -> q202Sql)
+    "q202_pipeline_e2e" -> q202Sql,
+    "q203_held_out_lm" -> q203Sql,
+    "q204_sentences" -> q204Sql,
+    "q205_image_dedup" -> q205Sql)
 }

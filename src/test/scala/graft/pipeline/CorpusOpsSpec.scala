@@ -762,6 +762,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(_._2 == "spam.net").forall(_._5 == 0))
   }
 
+  // ---- TextStats.bigramLogProbAgainst / sentences; image dedup ----
+
+  test("bigramLogProbAgainst matches the hand-computed held-out model") {
+    val model = Seq((1L, "a b a b")).toDF("mid", "text") // c12: (a,b)=2 (b,a)=1; c1: a=2 b=1; V=2
+    val target = Seq((7L, "a b"), (8L, "z z")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProbAgainst(model, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val seen = math.log((2 + 0.5) / (2 + 0.5 * 2))     // p(b|a)
+    val unseen = math.log((0 + 0.5) / (0 + 0.5 * 2))   // both counts floor
+    assert(out(7L)._1 == 1L && math.abs(out(7L)._2 - seen) < 1e-12)
+    assert(out(8L)._1 == 1L && math.abs(out(8L)._2 - unseen) < 1e-12)
+    assert(out(7L)._2 > out(8L)._2, "in-model text must outscore unseen")
+  }
+
+  test("sentences splits on punctuation runs, trims tail, keeps order") {
+    val df = Seq((1L, "First one. Second!!  Third thing? Tail.")).toDF("doc_id", "text")
+    val out = TextStats.sentences(df, "doc_id", "text")
+      .orderBy("sent_idx")
+      .select("sent_idx", "sentence", "n_tokens").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0, "First one", 2L), (1, "Second", 1L),
+      (2, "Third thing", 2L), (3, "Tail", 1L)))
+  }
+
+  test("image near-dup pairs: shared payloads pair at hamming 0, distinct don't") {
+    val docs = Seq((0L, 5L), (1L, 6L), (2L, 5L)).toDF("doc_id", "seed")
+    val specs = docs.select(col("seed")).distinct()
+      .select(col("seed"), (col("seed") % 48 + 8).as("w"),
+        (col("seed") % 37 + 8).as("h"))
+    val hashed = Multimodal.aHashImagesBatched(
+        Multimodal.encodeImagesBatched(specs, "seed", "w", "h"), "doc_id")
+      .toDF().withColumnRenamed("doc_id", "seed")
+    val fp = docs.join(hashed, "seed")
+      .select(col("doc_id"),
+        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo")).as("simhash"))
+    val pairs = TextDedup.simhashPairs(fp, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((0L, 2L, 0)))
+  }
+
   test("canonicalForDedup collapses case/space/normalization variants") {
     val c = TextClean.canonicalForDedup(col("s"))
     val out = Seq(
