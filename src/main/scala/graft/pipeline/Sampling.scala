@@ -347,14 +347,17 @@ object Sampling {
         .filter(col("tok") =!= "")
         .withColumn("_b", portableHash(col("tok"), salt) % nBuckets)
     val rawT = toks(raw, col(idCol))
-    val rawC = rawT.groupBy(col("_b")).agg(count(lit(1)).as("_r"))
-    val tgtC = toks(target).groupBy(col("_b")).agg(count(lit(1)).as("_t"))
-    // B-row frames: outer join keeps target-only buckets (an external
-    // exemplar set need not be a subset of the raw corpus's vocabulary)
-    val joined = rawC.join(tgtC, Seq("_b"), "full_outer")
-      .select(col("_b"),
-        coalesce(col("_r"), lit(0L)).as("_r"),
-        coalesce(col("_t"), lit(0L)).as("_t"))
+    // ONE tagged union-aggregate instead of joining two per-side count
+    // frames: a full-outer join of the B-row frames would plan a
+    // sort-merge join (full outer can't broadcast) and a third
+    // exchange; the union counts both sides in a single pass and
+    // covers target-only buckets for free (an external exemplar set
+    // need not be a subset of the raw corpus's vocabulary)
+    val joined = rawT.select(col("_b"), lit(1L).as("_r"), lit(0L).as("_t"))
+      .unionAll(toks(target)
+        .select(col("_b"), lit(0L).as("_r"), lit(1L).as("_t")))
+      .groupBy(col("_b"))
+      .agg(sum(col("_r")).as("_r"), sum(col("_t")).as("_t"))
     val totals = joined.agg(
       sum(col("_r")).as("_gr"), sum(col("_t")).as("_gt"))
     val lam = joined.crossJoin(broadcast(totals))

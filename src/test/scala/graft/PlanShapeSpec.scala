@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Pins the documented plan SHAPES of flagship entries — the scale
+  * claims in docs/SCALING.md stated as executable assertions, so a
+  * refactor that silently adds an exchange (or turns a broadcast into
+  * a sort-merge join) fails here instead of surfacing as a 100 TB
+  * regression. Counts run on the pre-AQE physical plan at sf0.001,
+  * PlanLintSpec's convention.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Post-EnsureRequirements plan with AQE off: sparkPlan has no
+    * exchanges inserted yet, and the AQE wrapper hides them — this is
+    * the concrete static plan whose exchange count the docs promise.
+    */
+  private def plans(name: String): Seq[SparkPlan] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      p +: p.subqueriesAll
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+  private def shuffles(name: String): Int =
+    plans(name).map(_.collect { case e: ShuffleExchangeExec => e }.size).sum
+
+  test("q200 content extraction and q204 sentences are zero-shuffle scans") {
+    assert(shuffles("q200_content_extract") == 0)
+    assert(shuffles("q204_sentences") == 0)
+  }
+
+  test("q201 domain policy gate shuffles exactly once (the cap window)") {
+    assert(shuffles("q201_domain_policy") == 1)
+  }
+
+  test("q202 end-to-end pipeline holds its two-exchange contract") {
+    // the policy gate's domain-keyed window + the dedup's hash-keyed
+    // window; every other stage (extraction, scrub, token gate, split)
+    // must stay at the scan
+    assert(shuffles("q202_pipeline_e2e") == 2)
+  }
+
+  test("q199 interleave never plans an unpartitioned window") {
+    val wins = plans("q199_interleave")
+      .flatMap(_.collect { case w: WindowExec => w })
+    assert(wins.nonEmpty, "expected the per-domain position window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "interleave's windows must all be domain-partitioned")
+  }
+
+  test("q192 DSIR joins the lambda model by broadcast, never sort-merge") {
+    // the tagged union-aggregate replaced the B-row full-outer join, so
+    // the ONLY join in the weighting pass is the broadcast of the
+    // lambda frame onto the exploded tokens
+    val ps = plans("q192_dsir_select")
+    val smj = ps.flatMap(_.collect { case j: SortMergeJoinExec => j })
+    assert(smj.isEmpty,
+      s"DSIR must not sort-merge-join anywhere: $smj")
+    val bhj = ps.flatMap(_.collect { case j: BroadcastHashJoinExec => j })
+    assert(bhj.nonEmpty,
+      "expected the B-row lambda frame to broadcast onto the tokens")
+  }
+}
