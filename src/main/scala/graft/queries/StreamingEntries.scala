@@ -697,8 +697,75 @@ object StreamingEntries {
     s.read.parquet(current.getOrElse(sys.error("q131: no micro-batch ran")))
   }
 
+  /** Stage documents as FOUR id-range shard files with strictly
+    * increasing modification times, so the file stream replays the
+    * corpus in doc_id order (FileStreamSource orders by modTime): the
+    * arrival-order-follows-ids precondition under which the streaming
+    * cap gate must reproduce the batch rank cap exactly.
+    */
+  private val policyDocDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagePolicyDocs(s: SparkSession, dir: String): String =
+    policyDocDirs.computeIfAbsent(dir, { _ =>
+      import scala.jdk.CollectionConverters._
+      val staged = tempDirCleanedAtExit(None, "graft_q206_docs_")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val nShards = 4
+      val width = docs.agg(max("doc_id")).head().getLong(0) / nShards + 1
+      (0 until nShards).foreach { i =>
+        val tmp = tempDirCleanedAtExit(None, "graft_q206_tmp_")
+        docs.filter(col("doc_id") >= i * width && col("doc_id") < (i + 1) * width)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally listing.close()
+        val dest = staged.resolve(f"shard_$i%03d.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      staged.toString
+    })
+
+  /** q206: the STREAMING domain policy gate — the batch q201 run as a
+    * crawl ingest: domain extraction (canonicalUrl chain) is stateless
+    * on the stream, the per-domain cap is one GroupState counter per
+    * domain persisting across micro-batches
+    * ([[Streaming.domainCapGate]]), the blocklist verdict is stateless
+    * after. One shard per micro-batch in id order, so the drained
+    * stream hash-matches q201's oracle VERBATIM — batch gate, streaming
+    * gate, and DuckDB agree three ways.
+    */
+  def q206StreamingDomainPolicy(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagePolicyDocs(s, dir)
+    val s2 = streamSession(s)
+    val schema = StructType.fromDDL("doc_id BIGINT, source STRING")
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val tc = graft.pipeline.TextClean
+    val url = concat(lit("https://WWW."), col("source"),
+      lit(".Example/p/"), col("doc_id").cast("string"),
+      lit("?utm_source=crawl"))
+    val dom = tc.registrableDomain(tc.urlHost(tc.canonicalUrl(url)))
+    val arrivals = stream.select(col("doc_id"), dom.as("domain"))
+      .as[graft.streaming.DocArrival](
+        Encoders.product[graft.streaming.DocArrival])
+    val gated = Streaming.domainCapGate(arrivals, maxPerDomain = 40)
+    val blockedCol = col("domain").isin("src0.example", "src7.example")
+    runAvailableNow(gated.toDF(), "graft_q206_policy")
+      .select(col("doc_id"), col("domain"),
+        blockedCol.cast("int").as("is_blocked"),
+        col("domain_rank"),
+        (!blockedCol && col("is_kept") === 1).cast("int").as("is_kept"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_streaming_incremental_dedup" -> (q131StreamingIncrementalDedup _),
+    "q206_streaming_domain_policy" -> (q206StreamingDomainPolicy _),
     "q132_sessionize_tws" -> (q132SessionizeTws _),
     "q115_streaming_funnel" -> (q115StreamingFunnel _),
     "q38_streaming_sessions" -> (q38StreamingSessions _),
@@ -717,6 +784,9 @@ object StreamingEntries {
     // batch incrementalExactDedup (q117), the streaming foreachBatch
     // merge, and DuckDB agree three ways
     "q131_streaming_incremental_dedup" -> Pipeline.q117Sql,
+    // batch q201's gate, the streaming stateful cap, and DuckDB agree
+    // three ways on the same oracle
+    "q206_streaming_domain_policy" -> Corpus.q201Sql,
     // batch q21, fMGWS q38, session_window q74 and transformWithState
     // q132 agree four ways
     "q132_sessionize_tws" -> q38Sql,

@@ -21,6 +21,15 @@ private[streaming] final case class SessionAcc(
     sessionId: Long, startUs: Long, lastUs: Long,
     nEvents: Long, totalValue: Double)
 
+/** One crawl arrival for [[Streaming.domainCapGate]]: the document id
+  * and its (pre-extracted, stateless) registrable domain.
+  */
+final case class DocArrival(doc_id: Long, domain: String)
+
+/** [[Streaming.domainCapGate]]'s judgment for one arrival. */
+final case class GateVerdict(
+    doc_id: Long, domain: String, domain_rank: Long, is_kept: Int)
+
 /** [[Streaming.sessionizeTws]]'s stateful processor: one typed
   * `ValueState[SessionAcc]` per user plus one live event-time timer at
   * last-event + gap. Top-level class — instances serialize to executors
@@ -487,5 +496,47 @@ object Streaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** STREAMING per-domain crawl cap — the stateful half of
+    * [[graft.pipeline.TextClean.domainPolicyGate]] for an ingest that
+    * never ends: each domain's running document count persists across
+    * micro-batches (one `GroupState[Long]` per domain, NoTimeout — a
+    * policy count must never expire), and every arrival is judged with
+    * `domain_rank` = its 1-based position in the domain's arrival order
+    * and `is_kept` = rank ≤ `maxPerDomain`. Within a micro-batch the
+    * group's rows are folded in ascending id order, so when arrival
+    * order follows ids (the crawl-frontier case) the drained stream
+    * reproduces the batch gate's rank cap EXACTLY — the invariant the
+    * driver oracle checks. Blocklisting is stateless and belongs
+    * upstream as a plain filter.
+    *
+    * State is one long per domain — bounded by the domain universe, not
+    * the stream; the only exchange is the domain-keyed state shuffle.
+    */
+  def domainCapGate(
+      docs: Dataset[DocArrival], maxPerDomain: Int): Dataset[GateVerdict] = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    implicit val keyEnc = Encoders.STRING
+    implicit val stateEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[GateVerdict]
+
+    def update(
+        domain: String,
+        batch: Iterator[DocArrival],
+        state: GroupState[Long]): Iterator[GateVerdict] = {
+      var seen = state.getOption.getOrElse(0L)
+      val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+        seen += 1
+        GateVerdict(d.doc_id, domain, seen,
+          if (seen <= maxPerDomain) 1 else 0)
+      }
+      state.update(seen)
+      out.iterator
+    }
+
+    docs.groupByKey(_.domain)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 }

@@ -393,4 +393,24 @@ class StreamingSpec extends SparkSpec {
         s"$name.$c [${mm.getLong(0)}, ${mm.getLong(1)}] outside fixture [$lo, $hi]")
     }
   }
+
+  test("domainCapGate counts persist across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.{DocArrival, GateVerdict}
+    val in = MemoryStream[DocArrival]
+    val q = Streaming.domainCapGate(in.toDS(), maxPerDomain = 3)
+      .writeStream.format("memory").queryName("gate")
+      .outputMode("append").start()
+    in.addData(DocArrival(2L, "a"), DocArrival(1L, "a"), DocArrival(5L, "b"))
+    q.processAllAvailable()
+    in.addData(DocArrival(9L, "a"), DocArrival(8L, "a"), DocArrival(7L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("gate").as[GateVerdict].collect()
+      .map(v => v.doc_id -> (v.domain_rank, v.is_kept)).toMap
+    // batch 1 folds each group in id order; batch 2 CONTINUES the count
+    assert(out(1L) == (1L, 1) && out(2L) == (2L, 1))
+    assert(out(8L) == (3L, 1) && out(9L) == (4L, 0), s"state lost: $out")
+    assert(out(5L) == (1L, 1) && out(7L) == (2L, 1))
+  }
 }
