@@ -305,6 +305,43 @@ object Pipeline {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // q207: the Spark 4 VARIANT path for semi-structured props — parse
+  // once to the binary variant encoding, typed try_variant_get
+  // extraction after (the open-schema ingestion pattern that replaces
+  // per-field get_json_object re-parses; at scale the parse cost is
+  // paid once per row and extraction is a cheap binary probe). A
+  // malformed row is PLANTED in-plan: try_parse_json nulls it instead
+  // of failing the job, and the null flows through count/sum/min/max
+  // exactly like DuckDB's json_valid guard.
+  def q207VariantProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bad = Seq(("_bad", "{oops")).toDF("event_type", "props")
+    t(s, dir, "events").select(col("event_type"), col("props"))
+      .unionAll(bad)
+      .select(col("event_type"),
+        expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')")
+          .as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_valid"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
+  val q207Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, props FROM events
+      |  UNION ALL SELECT '_bad', '{oops'),
+      |x AS (
+      |  SELECT event_type,
+      |    CASE WHEN json_valid(props)
+      |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM ev)
+      |SELECT event_type, count(*) AS n,
+      |  count(k) AS n_valid,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM x GROUP BY 1""".stripMargin
+
   // q50: deterministic hash split — id-only membership (stable under
   // reruns/appends/repartitioning) via the engine-portable md5 hash, so
   // the oracle reproduces the exact assignment
@@ -603,6 +640,7 @@ object Pipeline {
     "q25_multimodal" -> (q25Multimodal _),
     "q26_embed_dup" -> (q26EmbedDup _),
     "q32_json_props" -> (q32JsonProps _),
+    "q207_variant_props" -> (q207VariantProps _),
     "q46_dup_clusters" -> (q46DupClusters _),
     "q47_regex_tokens" -> (q47RegexTokens _),
     "q48_embed_dup_blocked" -> (q48EmbedDupBlocked _),
@@ -1232,6 +1270,7 @@ object Pipeline {
     "q25_multimodal" -> q25Sql,
     "q26_embed_dup" -> q26Sql,
     "q32_json_props" -> q32Sql,
+    "q207_variant_props" -> q207Sql,
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26
