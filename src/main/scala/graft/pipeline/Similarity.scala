@@ -885,4 +885,45 @@ object Similarity {
       .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
         col("rank"), col("cosine"))
   }
+
+  /** [[hardNegatives]] fed by a candidate pair frame (`qid`, `nid`) —
+    * the corpus-scale composition ([[lshCandidates]] in front, the
+    * q174 pattern): only candidate pairs are scored, the label gate
+    * and ranking are identical, so recall-1.0 candidates reproduce the
+    * exact miner bit-for-bit (the precondition PipelineSpec asserts
+    * and the shared q197 oracle checks end-to-end).
+    */
+  def hardNegativesFromCandidates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      candidates: DataFrame,
+      k: Int = 10): DataFrame = {
+    val e = df.select(
+        col(idCol), col(labelCol),
+        transform(col(embCol),
+          v => floor(v.cast("double") * lit(1000.0)).cast("long")).as("q"))
+      .select(col(idCol), col(labelCol), col("q"),
+        packedDot(col("q"), col("q")).as("nrm"))
+    val qb = candidates.select(col("qid")).distinct()
+    val qSide = e.join(qb, e(idCol) === qb("qid"), "left_semi")
+      .select(col(idCol).as("qid"), col(labelCol).as("q_label"),
+        col("q").as("qq"), col("nrm").as("q_nrm"))
+    val cosine = packedDot(col("qq"), col("q")).cast("double") /
+      sqrt(col("q_nrm").cast("double") * col("nrm").cast("double"))
+    val scored = candidates
+      .join(e.select(col(idCol).as("nid"), col(labelCol).as("n_label"),
+        col("q"), col("nrm")), Seq("nid"))
+      .join(broadcast(qSide), Seq("qid"))
+      .filter(col("q_label") =!= col("n_label"))
+      .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
+        cosine.as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("q_label"), col("nid"), col("n_label"),
+        col("rank"), col("cosine"))
+  }
 }

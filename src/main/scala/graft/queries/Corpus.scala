@@ -2320,6 +2320,20 @@ object Corpus {
       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
 
+  // q208: the ANN-fed hard-negative miner — q197's exact kernel fed by
+  // lshCandidates at the q174 recall-1.0 parameters, SHARING q197's
+  // oracle verbatim: the corpus-scale composition for contrastive
+  // mining, driver-checked end-to-end (PipelineSpec asserts the
+  // recall-1.0 precondition at both SFs).
+  def q208HardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cand = graft.pipeline.Similarity.lshCandidates(
+      e, "vec_id", "embedding", queryPred = col("vec_id") < 8,
+      tables = 24, bits = 3)
+    graft.pipeline.Similarity.hardNegativesFromCandidates(
+      e, "vec_id", "embedding", "label", cand, k = 10)
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -2376,7 +2390,8 @@ object Corpus {
     "q202_pipeline_e2e" -> (q202PipelineE2e _),
     "q203_held_out_lm" -> (q203HeldOutLm _),
     "q204_sentences" -> (q204Sentences _),
-    "q205_image_dedup" -> (q205ImageDedup _))
+    "q205_image_dedup" -> (q205ImageDedup _),
+    "q208_hard_negatives_ann" -> (q208HardNegativesAnn _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -2434,5 +2449,7 @@ object Corpus {
     "q202_pipeline_e2e" -> q202Sql,
     "q203_held_out_lm" -> q203Sql,
     "q204_sentences" -> q204Sql,
-    "q205_image_dedup" -> q205Sql)
+    "q205_image_dedup" -> q205Sql,
+    // shared oracle: recall-1.0 LSH candidates ≡ the exact miner
+    "q208_hard_negatives_ann" -> q197Sql)
 }

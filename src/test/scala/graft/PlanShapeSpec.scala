@@ -55,6 +55,16 @@ class PlanShapeSpec extends SparkSpec {
       "interleave's windows must all be domain-partitioned")
   }
 
+  test("q208 ANN-fed miner never plans the all-pairs nested loop") {
+    // q197 is the DECLARED exact baseline (broadcast nested loop by
+    // design); its scale composition q208 must meet candidates through
+    // equi-joins only
+    val nl = plans("q208_hard_negatives_ann").flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        => j })
+    assert(nl.isEmpty, s"ANN-fed miner fell back to all-pairs: $nl")
+  }
+
   test("q192 DSIR joins the lambda model by broadcast, never sort-merge") {
     // the tagged union-aggregate replaced the B-row full-outer join, so
     // the ONLY join in the weighting pass is the broadcast of the

@@ -940,6 +940,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ANN-fed hardNegatives equals the exact miner (recall 1.0)") {
+    // q208's precondition at both the spec SF and the driver's compare
+    // SF: at 24 tables × 3 bits the LSH candidates contain every
+    // query's true top-10 different-label neighbors, so the candidate
+    // miner ≡ the exact miner (q174's retrieval assertion, with the
+    // label gate in play)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val pred = col("vec_id") < 8
+      def key(df: DataFrame): Set[Seq[Any]] =
+        rows(df.select("qid", "q_label", "nid", "n_label", "rank", "cosine"))
+      val full = key(Similarity.hardNegatives(
+        e, "vec_id", "embedding", "label", pred, k = 10))
+      val cand = Similarity.lshCandidates(
+        e, "vec_id", "embedding", pred, tables = 24, bits = 3)
+      val ann = key(Similarity.hardNegativesFromCandidates(
+        e, "vec_id", "embedding", "label", cand, k = 10))
+      assert(ann == full, s"$sf: ANN-fed miner diverges — recall < 1.0")
+    }
+  }
+
   test("dropBoilerplateLines drops hot lines, keeps short and unique ones") {
     // "nav" appears in 3 docs (≥ minDocs=3 → dropped everywhere);
     // "a" is short (structural, never dropped even at df 3);
