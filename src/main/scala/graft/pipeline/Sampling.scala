@@ -46,18 +46,46 @@ object Sampling {
     */
   def hashSplit(
       df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)]): DataFrame = {
+      splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitOf(col(idCol), splits))
+
+  /** The split assignment as a COLUMN over any id expression — the
+    * factored heart of [[hashSplit]]. Because membership is a pure
+    * function of the id, any frame that carries ids can recover splits
+    * IN-ROW: no join against a split table, ever.
+    */
+  def splitOf(id: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty, "at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
-    val h = portableHash(col(idCol))
+    val h = portableHash(id)
     val bounds = splits.zip(splits.scanLeft(0.0)(_ + _._2).tail)
       .map { case ((n, _), cum) => (n, math.round(cum * 1000000L)) }
-    val splitCol = bounds.init.foldRight(lit(bounds.last._1): Column) {
+    bounds.init.foldRight(lit(bounds.last._1): Column) {
       case ((n, b), acc) => when(h < b, n).otherwise(acc)
     }
-    df.withColumn("split", splitCol)
   }
+
+  /** SPLIT-LEAKAGE AUDIT: given a near-duplicate pair frame (`aCol`,
+    * `bCol`) and a hash-split definition, count pairs by (split_a,
+    * split_b) — the audit a training pipeline publishes to prove its
+    * test set is not contaminated by train-side near-duplicates (a
+    * cross-split near-dup pair IS leakage: the model sees the test
+    * document's twin during training). The deterministic hash split
+    * makes both memberships recoverable IN-ROW from the pair's own ids
+    * ([[splitOf]]) — zero joins, zero extra shuffles beyond the tiny
+    * rollup. Compare [[hashSplit]]-by-id with the GROUPED split
+    * (`q173`'s operator), which prevents this leakage by construction.
+    */
+  def splitLeakageAudit(
+      pairs: DataFrame, aCol: String, bCol: String,
+      splits: Seq[(String, Double)]): DataFrame =
+    pairs
+      .withColumn("split_a", splitOf(col(aCol), splits))
+      .withColumn("split_b", splitOf(col(bCol), splits))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", (col("split_a") =!= col("split_b")).cast("int"))
 
   /** Deterministic downsample: keep rows whose hash falls under `rate`.
     * Nested samples: a 1% sample is a subset of the 10% sample of the

@@ -2334,6 +2334,52 @@ object Corpus {
       e, "vec_id", "embedding", "label", cand, k = 10)
   }
 
+  // q209: the split-leakage audit — exact near-dup pairs (q26's
+  // operator and threshold) judged against the q50-style hash split,
+  // counted by (split_a, split_b). Both memberships come back IN-ROW
+  // from the pair's own ids (the split is a pure hash function), so
+  // the audit adds zero joins; the oracle rebuilds pairs + thresholds.
+  def q209SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.pipeline.Similarity.embeddingDupPairs(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+    Sampling.splitLeakageAudit(pairs, "vec_a", "vec_b",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  }
+
+  val q209Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+      |      AS qv
+      |  FROM embeddings),
+      |dots AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.qv*b.qv) AS dot
+      |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+      |pairs AS (
+      |  SELECT vec_a, vec_b
+      |  FROM dots JOIN norms na ON vec_a = na.vec_id
+      |  JOIN norms nb ON vec_b = nb.vec_id
+      |  WHERE CAST(dot AS DOUBLE)
+      |    / SQRT(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.4),
+      |sp AS (
+      |  SELECT vec_a, vec_b,
+      |    CASE WHEN CAST(concat('0x', substring(md5(CAST(vec_a AS VARCHAR)),
+      |        1, 8)) AS BIGINT) % 1000000 < 800000 THEN 'train'
+      |      WHEN CAST(concat('0x', substring(md5(CAST(vec_a AS VARCHAR)),
+      |        1, 8)) AS BIGINT) % 1000000 < 900000 THEN 'val'
+      |      ELSE 'test' END AS split_a,
+      |    CASE WHEN CAST(concat('0x', substring(md5(CAST(vec_b AS VARCHAR)),
+      |        1, 8)) AS BIGINT) % 1000000 < 800000 THEN 'train'
+      |      WHEN CAST(concat('0x', substring(md5(CAST(vec_b AS VARCHAR)),
+      |        1, 8)) AS BIGINT) % 1000000 < 900000 THEN 'val'
+      |      ELSE 'test' END AS split_b
+      |  FROM pairs)
+      |SELECT split_a, split_b, count(*) AS n_pairs,
+      |  CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS is_cross
+      |FROM sp GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -2391,7 +2437,8 @@ object Corpus {
     "q203_held_out_lm" -> (q203HeldOutLm _),
     "q204_sentences" -> (q204Sentences _),
     "q205_image_dedup" -> (q205ImageDedup _),
-    "q208_hard_negatives_ann" -> (q208HardNegativesAnn _))
+    "q208_hard_negatives_ann" -> (q208HardNegativesAnn _),
+    "q209_split_leakage" -> (q209SplitLeakage _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -2451,5 +2498,6 @@ object Corpus {
     "q204_sentences" -> q204Sql,
     "q205_image_dedup" -> q205Sql,
     // shared oracle: recall-1.0 LSH candidates ≡ the exact miner
-    "q208_hard_negatives_ann" -> q197Sql)
+    "q208_hard_negatives_ann" -> q197Sql,
+    "q209_split_leakage" -> q209Sql)
 }

@@ -803,6 +803,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((0L, 2L, 0)))
   }
 
+  test("splitLeakageAudit conserves pairs; grouped keys cannot cross") {
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val pairs = (0L until 40L).map(i => (i, i + 100L)).toDF("a", "b")
+    val out = Sampling.splitLeakageAudit(pairs, "a", "b", splits).collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == 40L)
+    out.foreach { r =>
+      assert((r.getAs[Int]("is_cross") == 1) ==
+        (r.getString(0) != r.getString(1)))
+    }
+    // row-level splits DO leak on this pair set (that's what the audit
+    // is for) …
+    assert(out.exists(_.getAs[Int]("is_cross") == 1))
+    // … while pairs keyed by a shared group column cannot: both sides
+    // hash the same key, so every pair lands on the diagonal (q173's
+    // leakage-safety, stated through the audit)
+    val grouped = (0L until 40L).map(i => (s"g${i % 7}", s"g${i % 7}"))
+      .toDF("a", "b")
+    val gOut = Sampling.splitLeakageAudit(grouped, "a", "b", splits).collect()
+    assert(gOut.forall(_.getAs[Int]("is_cross") == 0))
+    assert(gOut.map(_.getAs[Long]("n_pairs")).sum == 40L)
+  }
+
   test("canonicalForDedup collapses case/space/normalization variants") {
     val c = TextClean.canonicalForDedup(col("s"))
     val out = Seq(
