@@ -87,6 +87,33 @@ object Sampling {
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("is_cross", (col("split_a") =!= col("split_b")).cast("int"))
 
+  /** EXACT fixed-size stratified sample: exactly min(n, |stratum|) rows
+    * per stratum, deterministically — the sample a rate-based draw
+    * ([[stratifiedSample]]) cannot promise (a rate gives a BINOMIAL
+    * count; an eval set needs "exactly 1000 per language"). Membership
+    * = the n smallest salted portable hashes within the stratum, so
+    * the draw is uniform, reproducible across reruns/partitionings,
+    * and independent (per salt) of every other sample or split.
+    * Output adds `sample_rank` (1-based hash-order position, a
+    * deterministic row id within the sample).
+    *
+    * Executes through the custom TopKPerKeyExec physical operator
+    * (q118's): one exchange on the stratum key into bounded n-row
+    * heaps — the corpus is never sorted, per-stratum or otherwise.
+    */
+  def fixedSizeStratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String, n: Int,
+      salt: String = "fixed"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val withHash = df.withColumn("_h", portableHash(col(idCol), salt))
+    graft.ops.TopK.perKey(withHash, Seq(strataCol),
+        Seq(col("_h").asc, col(idCol).asc), n)
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy(col(strataCol))
+          .orderBy(col("_h").asc, col(idCol).asc)).cast("long"))
+      .drop("_h")
+  }
+
   /** Deterministic downsample: keep rows whose hash falls under `rate`.
     * Nested samples: a 1% sample is a subset of the 10% sample of the
     * same corpus (thresholds nest), which makes scaling experiments

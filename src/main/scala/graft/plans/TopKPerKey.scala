@@ -68,6 +68,14 @@ final case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  // rows stay where the required clustering put them, and the default
+  // (UnknownPartitioning) would make a following same-key operator —
+  // a window ranking the retained rows, a per-key aggregate — re-shuffle
+  // what is already co-located
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys

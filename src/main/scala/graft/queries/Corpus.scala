@@ -2380,6 +2380,28 @@ object Corpus {
       |  CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS is_cross
       |FROM sp GROUP BY 1, 2""".stripMargin
 
+  // q210: exact fixed-size stratified sample — exactly 30 docs per
+  // language by salted-hash order, drawn through the custom
+  // TopKPerKeyExec (bounded heaps, and its output partitioning lets
+  // the rank window reuse the SAME exchange — PlanShapeSpec pins the
+  // single-shuffle plan). Oracle = the window rebuild.
+  def q210FixedStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.fixedSizeStratifiedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      "doc_id", "lang", n = 30)
+
+  val q210Sql: String =
+    """SELECT doc_id, lang, sample_rank FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+      |      AS BIGINT) AS sample_rank
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      CAST(concat('0x', substring(md5('fixed:' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS h
+      |    FROM documents))
+      |WHERE sample_rank <= 30""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -2438,7 +2460,8 @@ object Corpus {
     "q204_sentences" -> (q204Sentences _),
     "q205_image_dedup" -> (q205ImageDedup _),
     "q208_hard_negatives_ann" -> (q208HardNegativesAnn _),
-    "q209_split_leakage" -> (q209SplitLeakage _))
+    "q209_split_leakage" -> (q209SplitLeakage _),
+    "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
     "q123_bm25" -> q123Sql,
@@ -2499,5 +2522,6 @@ object Corpus {
     "q205_image_dedup" -> q205Sql,
     // shared oracle: recall-1.0 LSH candidates ≡ the exact miner
     "q208_hard_negatives_ann" -> q197Sql,
-    "q209_split_leakage" -> q209Sql)
+    "q209_split_leakage" -> q209Sql,
+    "q210_fixed_stratified" -> q210Sql)
 }

@@ -65,6 +65,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(nl.isEmpty, s"ANN-fed miner fell back to all-pairs: $nl")
   }
 
+  test("q210 fixed-size sample: the rank window reuses TopK's exchange") {
+    // TopKPerKeyExec reports its child's partitioning, so the
+    // sample_rank window over the same key must NOT re-shuffle
+    assert(shuffles("q210_fixed_stratified") == 1)
+  }
+
   test("q192 DSIR joins the lambda model by broadcast, never sort-merge") {
     // the tagged union-aggregate replaced the B-row full-outer join, so
     // the ONLY join in the weighting pass is the broadcast of the

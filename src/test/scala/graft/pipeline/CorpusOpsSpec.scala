@@ -825,6 +825,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(gOut.map(_.getAs[Long]("n_pairs")).sum == 40L)
   }
 
+  test("fixedSizeStratifiedSample: exact counts, nesting, partitioning-proof") {
+    val df = (0L until 100L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "st")
+    val out = Sampling.fixedSizeStratifiedSample(df, "doc_id", "st", 10)
+    val counts = out.groupBy("st").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    // a small stratum yields ALL its rows, ranks dense from 1
+    val small = df.filter(col("doc_id") < 5)
+    val allOf = Sampling.fixedSizeStratifiedSample(small, "doc_id", "st", 10)
+    assert(allOf.count() == 5)
+    assert(allOf.filter(col("st") === "s0")
+      .orderBy("sample_rank").select("sample_rank")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    // nesting: the 5-sample is exactly the first five ranks of the
+    // 10-sample (hash-prefix order), and repartitioning changes nothing
+    val ten = Sampling.fixedSizeStratifiedSample(df, "doc_id", "st", 10)
+      .filter(col("sample_rank") <= 5).select("doc_id", "st").collect().toSet
+    val five = Sampling.fixedSizeStratifiedSample(
+      df.repartition(13), "doc_id", "st", 5)
+      .select("doc_id", "st").collect().toSet
+    assert(five == ten)
+  }
+
   test("canonicalForDedup collapses case/space/normalization variants") {
     val c = TextClean.canonicalForDedup(col("s"))
     val out = Seq(
