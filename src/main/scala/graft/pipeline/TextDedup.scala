@@ -304,17 +304,37 @@ object TextDedup {
     * one codegen'd hash-aggregate: numPerms min-aggregates over a
     * single scan, no per-permutation shuffle.
     */
-  def minhashSignatures(sh: DataFrame, idCol: String, numPerms: Int = 64): DataFrame = {
+  /** The (odd a_i, b_i) permutation constants, deterministic from a
+    * fixed seed — public so the portable oracle (q211) can embed the
+    * SAME constants in its SQL.
+    */
+  def minhashPerms(numPerms: Int): Seq[(Long, Long)] = {
     val mask32 = 0xffffffffL
     val rnd = new java.util.SplittableRandom(0x9e3779b97f4a7c15L)
-    val perms = (0 until numPerms).map { _ =>
+    (0 until numPerms).map { _ =>
       ((rnd.nextLong() & 0x7fffffffL) | 1L, rnd.nextLong() & mask32)
     }
+  }
+
+  def minhashSignatures(
+      sh: DataFrame, idCol: String, numPerms: Int = 64,
+      portable: Boolean = false): DataFrame = {
+    val mask32 = 0xffffffffL
+    val perms = minhashPerms(numPerms)
+    // base row hash: xxhash64 by default (cheapest); `portable` swaps
+    // in the 32-bit md5 prefix — bit-identical across engines, so the
+    // whole signature → band → candidate → verify chain becomes
+    // oracle-checkable (xxhash64 seeds/variants differ outside Spark).
+    // Same 32-bit ring either way; only the base hash differs.
+    val base =
+      if (portable)
+        conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10)
+          .cast("long")
+      else xxhash64(col("shingle")).bitwiseAND(lit(mask32))
     // explicit projection: the string hashes exactly once per row by
     // construction (not by relying on codegen subexpression elimination
     // across the numPerms aggregate expressions)
-    val hashed = sh.select(col(idCol),
-      xxhash64(col("shingle")).bitwiseAND(lit(mask32)).as("_g_h"))
+    val hashed = sh.select(col(idCol), base.as("_g_h"))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       min((col("_g_h") * lit(a) + lit(b)).bitwiseAND(lit(mask32))).as(s"mh$i")
     }
@@ -336,10 +356,11 @@ object TextDedup {
       idCol: String,
       threshold: Double,
       numPerms: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16,
+      portable: Boolean = false): DataFrame = {
     require(numPerms % bands == 0, "numPerms must divide into bands")
     val r = numPerms / bands
-    val sig = minhashSignatures(sh, idCol, numPerms)
+    val sig = minhashSignatures(sh, idCol, numPerms, portable)
     val bandStructs = (0 until bands).map { j =>
       val rowsJ = (0 until r).map(i => col(s"mh${j * r + i}"))
       struct(lit(j).as("band_id"), xxhash64(rowsJ: _*).as("band_hash"))

@@ -599,6 +599,64 @@ object Pipeline {
       TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
       "doc_id", threshold = 0.5)
 
+  // q211: the PORTABLE MinHash-LSH twin — identical permutations,
+  // banding and exact verify as q27, with the base row hash swapped
+  // from xxhash64 (cheapest, Spark-only) to the 32-bit md5 prefix, so
+  // the whole signature → band → candidate → verify chain is
+  // bit-reproducible in DuckDB and the banded-LSH path gets a
+  // hash-exact driver check (q27 stays recall-bounded rows-only by
+  // design — xxhash64 is not portable). The oracle embeds the SAME
+  // (a, b) permutation constants the operator draws.
+  def q211MinhashPortable(s: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashPairs(
+      TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.5, portable = true)
+
+  val q211Sql: String = {
+    val perms = TextDedup.minhashPerms(64)
+    val permRows = perms.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+       |         unnest(string_split(text,' ')) AS tok
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+       |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |h AS (
+       |  SELECT doc_id, shingle,
+       |    CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) AS hv
+       |  FROM sh2),
+       |perms AS (SELECT * FROM (VALUES $permRows) p(i, a, b)),
+       |sig AS (
+       |  SELECT doc_id, i, min((hv * a + b) % 4294967296) AS mh
+       |  FROM h CROSS JOIN perms GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band_id,
+       |    CAST(list(mh ORDER BY i) AS VARCHAR) AS band_key
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |    AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh2 a ON a.doc_id = c.doc_a
+       |  JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM inter JOIN sz sa ON doc_a = sa.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"""
+      .stripMargin
+  }
+
   // q28: ANN via random-hyperplane LSH + exact re-rank
   def q28AnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annLsh(
@@ -668,6 +726,7 @@ object Pipeline {
     "q99_chunking" -> (q99Chunking _),
     "q100_sequence_packing" -> (q100SequencePacking _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
+    "q211_minhash_portable" -> (q211MinhashPortable _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
@@ -1271,6 +1330,7 @@ object Pipeline {
     "q26_embed_dup" -> q26Sql,
     "q32_json_props" -> q32Sql,
     "q207_variant_props" -> q207Sql,
+    "q211_minhash_portable" -> q211Sql,
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26

@@ -701,6 +701,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("portable minhash twin: same guarantees, md5 ring (q211)") {
+    val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(TextDedup.jaccardPairs(sh, "doc_id", 0.5))
+    val portable = pairSet(
+      TextDedup.minhashPairs(sh, "doc_id", 0.5, portable = true))
+    // exact verify ⇒ no false positives, whatever the base hash
+    assert(portable.subsetOf(exact))
+    assert(portable.size.toDouble / exact.size >= 0.9,
+      s"portable recall ${portable.size}/${exact.size}")
+  }
+
   test("minhash signature agreement tracks similarity") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
