@@ -235,6 +235,19 @@ object Similarity {
     exactReRank(e, idCol, qb, candidates, k)
   }
 
+  /** The quantized hyperplane constants as (tbl, bit, pos, w) rows
+    * (pos 1-based, w = floor(plane·10⁶) — exactly what [[lshBuckets]]
+    * dots against) — public so the ANN oracle can embed the SAME
+    * constants in generated SQL: every stage of annLsh is integer
+    * arithmetic over these, so the whole path is oracle-checkable.
+    */
+  def planeRows(tables: Int, bits: Int, dims: Int): Seq[(Int, Int, Int, Long)] =
+    for {
+      (tbl, t) <- planes(tables, bits, dims).toSeq.zipWithIndex
+      (row, b) <- tbl.toSeq.zipWithIndex
+      (w, p) <- row.toSeq.zipWithIndex
+    } yield (t, b, p + 1, math.floor(w * 1000000.0).toLong)
+
   /** [[annLsh]]'s candidate stage alone: the (qid, nid) pairs that share
     * an LSH bucket with a query in some table, for feeding an alternate
     * re-rank kernel ([[quantizedKnnFromCandidates]] is the int8 one).

@@ -631,6 +631,41 @@ object TextDedup {
     * on ≥1 band, so candidates meet through an equi-join on
     * (band_id, band_bits) and are verified with bit_count(xor).
     */
+  /** PORTABLE SimHash fingerprints — the md5 twin of [[simhash]] (whose
+    * codegen'd [[graft.functions.SimHash64]] rides xxhash64): each
+    * token's 64-bit hash is the first 16 md5 hex digits (two 32-bit
+    * conv halves — a single conv of 16 digits would overflow the
+    * signed cast), each bit position accumulates ±1 over token
+    * OCCURRENCES, and the fingerprint sets the bits with positive
+    * sums. Feed the output straight to [[simhashPairs]] — banding and
+    * verify are pure bit arithmetic, so the ENTIRE near-dup path
+    * becomes oracle-checkable (q213). Same plan shape as
+    * [[minhashSignatures]]: one explode + 64 map-side-combining sums
+    * per document.
+    */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    def half(from: Int): Column =
+      conv(substring(md5(col("tok").cast("binary")), from, 8), 16, 10)
+        .cast("long")
+    val hashed = tk.select(col(idCol), half(1).as("_hi"), half(9).as("_lo"))
+    val sums = (0 until 64).map { b =>
+      val word = if (b >= 32) col("_hi") else col("_lo")
+      val bit = shiftrightunsigned(word, if (b >= 32) b - 32 else b)
+        .bitwiseAND(lit(1L))
+      sum(bit * 2 - 1).as(s"_s$b")
+    }
+    val agg = hashed.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    // disjoint bit values sum without carries, so + assembles the
+    // two's-complement fingerprint exactly (bit 63 = Long.MinValue
+    // joins a non-negative partial sum — no overflow even under ANSI)
+    val fp = (0 until 64).map { b =>
+      when(col(s"_s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+
   def simhashPairs(fp: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands

@@ -594,6 +594,62 @@ object Pipeline {
   // check); recall vs the exact answer is asserted in PipelineSpec -------
 
   // q27: MinHash-LSH near-dup pairs (banded candidates + exact verify)
+  // q213: the portable SimHash near-dup path — md5-derived token
+  // hashes, the same pigeonhole banding and exact hamming verify as
+  // q29 (whose codegen'd xxhash64 fingerprint stays the production
+  // default, rows-only by design). The oracle rebuilds bit sums,
+  // fingerprints (kept as two 32-bit halves — DuckDB's << checks the
+  // sign-bit overflow Spark wraps), band slices and hamming.
+  def q213SimhashPortable(s: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(
+      TextDedup.simhashPortable(t(s, dir, "documents"), "doc_id", "text"),
+      "doc_id", maxHamming = 3)
+
+  val q213Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS hi,
+      |    CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT) AS lo
+      |  FROM tk2),
+      |bits AS (
+      |  SELECT doc_id, bb.b AS b,
+      |    SUM(((CASE WHEN bb.b >= 32 THEN hi >> (bb.b - 32)
+      |          ELSE lo >> bb.b END) & 1) * 2 - 1) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+      |  GROUP BY 1, 2),
+      |halves AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN s > 0 AND b >= 32
+      |      THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END)
+      |      AS BIGINT) AS fhi,
+      |    CAST(SUM(CASE WHEN s > 0 AND b < 32
+      |      THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END)
+      |      AS BIGINT) AS flo
+      |  FROM bits GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, bj.j AS band_id,
+      |    CASE bj.j WHEN 0 THEN flo & 65535
+      |      WHEN 1 THEN (flo >> 16) & 65535
+      |      WHEN 2 THEN fhi & 65535
+      |      ELSE (fhi >> 16) & 65535 END AS band_bits
+      |  FROM halves CROSS JOIN (SELECT unnest(range(4)) AS j) bj),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.band_bits = y.band_bits
+      |    AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo))
+      |    AS INT) AS hamming
+      |FROM cand
+      |JOIN halves a ON doc_a = a.doc_id
+      |JOIN halves b ON doc_b = b.doc_id
+      |WHERE bit_count(xor(a.fhi, b.fhi)) + bit_count(xor(a.flo, b.flo)) <= 3"""
+      .stripMargin
+
   def q27MinhashLsh(s: SparkSession, dir: String): DataFrame =
     TextDedup.minhashPairs(
       TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
@@ -663,6 +719,54 @@ object Pipeline {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       queryPred = col("vec_id") < 5, k = 10)
 
+  /** q28's oracle — a round-10 UPGRADE from rows-only: every stage of
+    * annLsh (quantized vectors, integer plane dots, sign-bit buckets,
+    * candidate equi-join, exact re-rank) is integer-deterministic, so
+    * the whole path rebuilds in DuckDB with the 8×8×64 quantized plane
+    * constants embedded as a VALUES table. Rows-only was never a math
+    * limitation — only the constants needed embedding.
+    */
+  val q28Sql: String = {
+    val planeRows = Similarity.planeRows(8, 8, 64)
+      .map { case (t, b, p, w) => s"($t,$b,$p,$w)" }.mkString(",")
+    s"""WITH e AS (
+       |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+       |      AS qv
+       |  FROM embeddings),
+       |pl AS (SELECT * FROM (VALUES $planeRows) p(tbl, bit, pos, w)),
+       |dots AS (
+       |  SELECT e.vec_id, pl.tbl, pl.bit, SUM(e.qv * pl.w) AS dot
+       |  FROM e JOIN pl ON e.pos = pl.pos
+       |  GROUP BY 1, 2, 3),
+       |bk AS (
+       |  SELECT vec_id, tbl,
+       |    SUM(CASE WHEN dot > 0 THEN (1 << bit) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+       |dots2 AS (
+       |  SELECT cand.qid, cand.nid, SUM(a.qv * b.qv) AS dot
+       |  FROM cand
+       |  JOIN e a ON a.vec_id = cand.qid
+       |  JOIN e b ON b.vec_id = cand.nid AND b.pos = a.pos
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT qid, nid,
+       |    CAST(dot AS DOUBLE)
+       |      / SQRT(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cosine
+       |  FROM dots2 JOIN norms nq ON qid = nq.vec_id
+       |  JOIN norms nn ON nid = nn.vec_id)
+       |SELECT qid, nid, rank, cosine FROM (
+       |  SELECT qid, nid, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC)
+       |      AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+  }
+
   // q31: ANN via IVF (k-means inverted lists + probe + exact re-rank)
   def q31AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(
@@ -727,6 +831,7 @@ object Pipeline {
     "q100_sequence_packing" -> (q100SequencePacking _),
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q211_minhash_portable" -> (q211MinhashPortable _),
+    "q213_simhash_portable" -> (q213SimhashPortable _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
@@ -1331,6 +1436,8 @@ object Pipeline {
     "q32_json_props" -> q32Sql,
     "q207_variant_props" -> q207Sql,
     "q211_minhash_portable" -> q211Sql,
+    "q28_ann_lsh" -> q28Sql,
+    "q213_simhash_portable" -> q213Sql,
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26

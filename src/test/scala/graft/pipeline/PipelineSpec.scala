@@ -715,6 +715,24 @@ class PipelineSpec extends SparkSpec {
       s"portable recall ${portable.size}/${exact.size}")
   }
 
+  test("simhashPortable: duplicates collide, near-dups land close (q213)") {
+    val df = Seq(
+      (1L, "spark scan merge join filter window batch row"),
+      (2L, "spark scan merge join filter window batch row"),  // exact dup
+      (3L, "spark scan merge join filter window batch agg"),  // 1 token off
+      (4L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text") // unrelated
+    val fp = TextDedup.simhashPortable(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "identical text must produce identical bits")
+    val ham13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val ham14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(ham13 < ham14, s"near-dup $ham13 should beat unrelated $ham14")
+    val pairs = TextDedup.simhashPairs(
+      TextDedup.simhashPortable(df, "doc_id", "text"), "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
   test("minhash signature agreement tracks similarity") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
