@@ -449,6 +449,48 @@ object Pipeline {
       |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id)
       |SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id""".stripMargin
 
+  // q214: duplicate-cluster size histogram — the report a dedup run
+  // publishes ("how big are my duplicate families?"): q46's components
+  // rolled up to (cluster_size, n_clusters), plus the singleton row
+  // (documents touching no near-dup pair — every pair-graph cluster
+  // has size ≥ 2 by construction, so singletons are the complement).
+  // Oracle = q46's recursive-CTE closure + the same rollup.
+  def q214ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cl = TextDedup.dupClusters(
+      TextDedup.jaccardPairs(
+        TextDedup.shingles(docs, "doc_id", "text", n = 3),
+        "doc_id", threshold = 0.12, maxShingleDocs = Int.MaxValue)
+        .select(col("doc_a"), col("doc_b")))
+    val hist = cl.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singletons = docs.agg(count(lit(1)).as("_n"))
+      .crossJoin(broadcast(cl.agg(count(lit(1)).as("_c"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("_n") - col("_c")).as("n_clusters"))
+    hist.unionAll(singletons)
+  }
+
+  val q214Sql: String = {
+    // q46's closure verbatim, then the size rollup
+    val marker =
+      "SELECT id AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY id"
+    require(q46Sql.endsWith(marker), "q46Sql final SELECT moved")
+    q46Sql.stripSuffix(marker).trim + ",\n" +
+      """cl AS (SELECT id AS doc_id, MIN(lab) AS canonical_id
+        |       FROM reach GROUP BY id),
+        |szs AS (SELECT canonical_id, count(*) AS sz FROM cl GROUP BY 1),
+        |hist AS (SELECT sz AS cluster_size, count(*) AS n_clusters
+        |         FROM szs GROUP BY 1)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(n_clusters AS BIGINT) AS n_clusters FROM hist
+        |UNION ALL
+        |SELECT 1, CAST((SELECT count(*) FROM documents)
+        |  - (SELECT count(*) FROM cl) AS BIGINT)""".stripMargin
+  }
+
   // q51: benchmark-contamination gate — every corpus document scored by
   // how many of its distinct 5-grams appear in a held-out "benchmark"
   // slice (a deterministic 2% hash sample of the fixture, so the oracle
@@ -832,6 +874,7 @@ object Pipeline {
     "q27_minhash_lsh" -> (q27MinhashLsh _),
     "q211_minhash_portable" -> (q211MinhashPortable _),
     "q213_simhash_portable" -> (q213SimhashPortable _),
+    "q214_cluster_sizes" -> (q214ClusterSizes _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
@@ -1438,6 +1481,7 @@ object Pipeline {
     "q211_minhash_portable" -> q211Sql,
     "q28_ann_lsh" -> q28Sql,
     "q213_simhash_portable" -> q213Sql,
+    "q214_cluster_sizes" -> q214Sql,
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26
