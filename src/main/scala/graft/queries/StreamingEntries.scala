@@ -763,9 +763,42 @@ object StreamingEntries {
         (!blockedCol && col("is_kept") === 1).cast("int").as("is_kept"))
   }
 
+  /** q215: q206's cap gate on the transformWithState API (typed
+    * ValueState counter on RocksDB, TimeMode.None — policy counts never
+    * expire). Same staging, same stateless domain chain, same verdict
+    * composition — so batch q201, fMGWS q206, TWS q215 and DuckDB agree
+    * FOUR ways on one oracle (the q38/q74/q132 sessionization pattern
+    * applied to the policy gate).
+    */
+  def q215StreamingDomainPolicyTws(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagePolicyDocs(s, dir)
+    val s2 = streamSession(s)
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = StructType.fromDDL("doc_id BIGINT, source STRING")
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val tc = graft.pipeline.TextClean
+    val url = concat(lit("https://WWW."), col("source"),
+      lit(".Example/p/"), col("doc_id").cast("string"),
+      lit("?utm_source=crawl"))
+    val dom = tc.registrableDomain(tc.urlHost(tc.canonicalUrl(url)))
+    val arrivals = stream.select(col("doc_id"), dom.as("domain"))
+      .as[graft.streaming.DocArrival](
+        Encoders.product[graft.streaming.DocArrival])
+    val gated = Streaming.domainCapGateTws(arrivals, maxPerDomain = 40)
+    val blockedCol = col("domain").isin("src0.example", "src7.example")
+    runAvailableNow(gated.toDF(), "graft_q215_policy")
+      .select(col("doc_id"), col("domain"),
+        blockedCol.cast("int").as("is_blocked"),
+        col("domain_rank"),
+        (!blockedCol && col("is_kept") === 1).cast("int").as("is_kept"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_streaming_incremental_dedup" -> (q131StreamingIncrementalDedup _),
     "q206_streaming_domain_policy" -> (q206StreamingDomainPolicy _),
+    "q215_streaming_domain_policy_tws" -> (q215StreamingDomainPolicyTws _),
     "q132_sessionize_tws" -> (q132SessionizeTws _),
     "q115_streaming_funnel" -> (q115StreamingFunnel _),
     "q38_streaming_sessions" -> (q38StreamingSessions _),
@@ -787,6 +820,8 @@ object StreamingEntries {
     // batch q201's gate, the streaming stateful cap, and DuckDB agree
     // three ways on the same oracle
     "q206_streaming_domain_policy" -> Corpus.q201Sql,
+    // ...and the transformWithState form makes it FOUR ways
+    "q215_streaming_domain_policy_tws" -> Corpus.q201Sql,
     // batch q21, fMGWS q38, session_window q74 and transformWithState
     // q132 agree four ways
     "q132_sessionize_tws" -> q38Sql,

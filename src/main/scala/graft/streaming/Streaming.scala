@@ -26,6 +26,44 @@ private[streaming] final case class SessionAcc(
   */
 final case class DocArrival(doc_id: Long, domain: String)
 
+/** [[Streaming.domainCapGateTws]]'s stateful processor — the
+  * transformWithState (Spark 4 arbitrary-state v2) form of the cap
+  * gate: one typed `ValueState[Long]` counter per domain, no timers
+  * (TimeMode.None — a policy count must never expire). Top-level class:
+  * instances serialize to executors without an outer reference.
+  */
+private[streaming] final class DomainCapProcessor(maxPerDomain: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, DocArrival, GateVerdict] {
+  import org.apache.spark.sql.streaming.{
+    ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Long](
+      "seen", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      domain: String,
+      rows: Iterator[DocArrival],
+      timerValues: TimerValues): Iterator[GateVerdict] = {
+    var n = if (seen.exists()) seen.get() else 0L
+    val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+      n += 1
+      GateVerdict(d.doc_id, domain, n, if (n <= maxPerDomain) 1 else 0)
+    }
+    seen.update(n)
+    out.iterator
+  }
+
+  override def handleExpiredTimer(
+      domain: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[GateVerdict] =
+    Iterator.empty
+}
+
 /** [[Streaming.domainCapGate]]'s judgment for one arrival. */
 final case class GateVerdict(
     doc_id: Long, domain: String, domain_rank: Long, is_kept: Int)
@@ -538,5 +576,23 @@ object Streaming {
     docs.groupByKey(_.domain)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** [[domainCapGate]] on the transformWithState API (Spark 4's
+    * successor to flatMapGroupsWithState, RocksDB-backed typed state) —
+    * the same counter contract through [[DomainCapProcessor]], so the
+    * fMGWS form, this form, the batch gate and DuckDB all agree on one
+    * oracle (q132's pattern applied to the policy gate).
+    */
+  def domainCapGateTws(
+      docs: Dataset[DocArrival], maxPerDomain: Int): Dataset[GateVerdict] = {
+    require(maxPerDomain >= 1, s"maxPerDomain must be >= 1, got $maxPerDomain")
+    implicit val keyEnc = Encoders.STRING
+    implicit val outEnc = Encoders.product[GateVerdict]
+    docs.groupByKey(_.domain)
+      .transformWithState(
+        new DomainCapProcessor(maxPerDomain),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 }

@@ -394,6 +394,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("domainCapGateTws (transformWithState) matches the fMGWS counter") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.{DocArrival, GateVerdict}
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[DocArrival]
+      val q = Streaming.domainCapGateTws(in.toDS(), maxPerDomain = 2)
+        .writeStream.format("memory").queryName("gate_tws")
+        .outputMode("append").start()
+      in.addData(DocArrival(4L, "a"), DocArrival(2L, "a"))
+      q.processAllAvailable()
+      in.addData(DocArrival(9L, "a"))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("gate_tws").as[GateVerdict].collect()
+        .map(v => v.doc_id -> (v.domain_rank, v.is_kept)).toMap
+      assert(out == Map(2L -> (1L, 1), 4L -> (2L, 1), 9L -> (3L, 0)),
+        s"got $out")
+    } finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("domainCapGate counts persist across micro-batches") {
     implicit val sql = spark.sqlContext
     import graft.streaming.{DocArrival, GateVerdict}
