@@ -867,6 +867,35 @@ object Relational {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  // q216: the TPC-H Q14 shape — promo revenue share: a conditional
+  // aggregate ratio over a month's lineitem ⋈ part join. Both decimal
+  // sums are exact, the single division is the only float op, d6 both
+  // sides; the dimension side broadcasts.
+  def q216PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(28,6)")
+    l.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(d6(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)
+          .cast("decimal(28,6)"))).cast("double") /
+        sum(rev).cast("double")).as("promo_revenue"))
+  }
+
+  val q216Sql: String =
+    """SELECT CAST(CAST(100.0 *
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(28,6))) AS DOUBLE)
+      |  AS DECIMAL(28,6)) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -903,7 +932,8 @@ object Relational {
     "q193_top_supplier" -> (q193TopSupplier _),
     "q194_small_qty_revenue" -> (q194SmallQtyRevenue _),
     "q195_large_orders" -> (q195LargeOrders _),
-    "q196_returned_items" -> (q196ReturnedItems _))
+    "q196_returned_items" -> (q196ReturnedItems _),
+    "q216_promo_revenue" -> (q216PromoRevenue _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -941,5 +971,6 @@ object Relational {
     "q193_top_supplier" -> q193Sql,
     "q194_small_qty_revenue" -> q194Sql,
     "q195_large_orders" -> q195Sql,
-    "q196_returned_items" -> q196Sql)
+    "q196_returned_items" -> q196Sql,
+    "q216_promo_revenue" -> q216Sql)
 }
