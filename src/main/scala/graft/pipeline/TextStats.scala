@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -698,16 +698,24 @@ object TextStats {
 
   def fingerprints(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, window: Int = 4): DataFrame = {
+      k: Int = 5, window: Int = 4, portable: Boolean = false): DataFrame = {
     val toks = col("_toks")
     val hArr = col("_hashes")
     val starts = when(size(toks) >= k, sequence(lit(1), size(toks) - (k - 1)))
       .otherwise(array().cast("array<int>"))
     // positional k-gram hashes (duplicates preserved — winnowing windows
-    // are positional)
+    // are positional). `portable` swaps xxhash64 for the 32-bit md5
+    // prefix — bit-identical across engines, so the gram → window-min →
+    // distinct chain becomes oracle-checkable (q217; the q211/q213
+    // portable-twin pattern)
+    def gramHash(g: Column): Column =
+      if (portable)
+        conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")
+      else xxhash64(g)
     val gramHashes = transform(
       starts,
-      i => xxhash64(concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      i => gramHash(
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
     val winStarts = when(size(hArr) >= window,
       sequence(lit(1), size(hArr) - (window - 1)))
       .otherwise(when(size(hArr) > 0, sequence(lit(1), lit(1)))

@@ -825,6 +825,39 @@ object Pipeline {
   def q30Fingerprints(s: SparkSession, dir: String): DataFrame =
     TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")
 
+  // q217: the PORTABLE winnowing twin — q30's gram → window-min →
+  // distinct chain on the 32-bit md5 ring, so the whole fingerprint
+  // selection is rebuilt in DuckDB: positional 5-gram hashes, 4-wide
+  // window minima (single window when a short doc has 1-3 grams),
+  // distinct per document. q30's xxhash64 form stays the cheap
+  // production default.
+  def q217FingerprintsPortable(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text",
+      portable = true)
+
+  val q217Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+      |  FROM tk WHERE len(toks) >= 5),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    CAST(concat('0x', substring(md5(
+      |      array_to_string(toks[i:i+4], ' ')), 1, 8)) AS BIGINT) AS h
+      |  FROM g0),
+      |ng AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |wins AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, CASE WHEN n >= 4 THEN n - 2 ELSE 2 END)) AS w
+      |  FROM ng),
+      |wm AS (
+      |  SELECT w.doc_id, w.w, MIN(g.h) AS fp
+      |  FROM wins w JOIN g ON g.doc_id = w.doc_id
+      |    AND g.i >= w.w AND g.i <= w.w + 3
+      |  GROUP BY 1, 2)
+      |SELECT DISTINCT doc_id, fp AS fingerprint FROM wm""".stripMargin
+
   // q101: deflate-compression quality signal — rows-only by design
   // (deflate output length is implementation-specific; no cross-engine
   // oracle can hash it). Ordering/bounds properties — repetitive text
@@ -875,6 +908,7 @@ object Pipeline {
     "q211_minhash_portable" -> (q211MinhashPortable _),
     "q213_simhash_portable" -> (q213SimhashPortable _),
     "q214_cluster_sizes" -> (q214ClusterSizes _),
+    "q217_fingerprints_portable" -> (q217FingerprintsPortable _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
@@ -1482,6 +1516,7 @@ object Pipeline {
     "q28_ann_lsh" -> q28Sql,
     "q213_simhash_portable" -> q213Sql,
     "q214_cluster_sizes" -> q214Sql,
+    "q217_fingerprints_portable" -> q217Sql,
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26

@@ -733,6 +733,21 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)))
   }
 
+  test("portable fingerprints: dup docs collide, overlap shares (q217)") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base),                        // exact duplicate
+      (3L, (11 to 40).map(i => s"w$i").mkString(" ")), // large overlap
+      (4L, (1 to 40).map(i => s"z$i").mkString(" "))) // disjoint
+      .toDF("doc_id", "text")
+    val fp = TextStats.fingerprints(df, "doc_id", "text", portable = true)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    assert(fp(1L) == fp(2L))
+    assert((fp(1L) & fp(3L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fp(1L) & fp(4L)).isEmpty)
+  }
+
   test("minhash signature agreement tracks similarity") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
