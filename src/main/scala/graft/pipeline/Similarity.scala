@@ -403,7 +403,8 @@ object Similarity {
       k: Int = 10,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 3): DataFrame = {
+      iters: Int = 3,
+      portable: Boolean = false): DataFrame = {
     val e = packedWithNorm(df, idCol, embCol)
 
     // (score, j) per centroid; struct ordering gives argmin with
@@ -422,9 +423,14 @@ object Similarity {
 
     // deterministic init: the nlist lowest id-hashes — a pseudo-random
     // but reproducible spread sample, planned as TakeOrderedAndProject
-    // (top-k, no global sort materialization)
+    // (top-k, no global sort materialization). `portable` switches the
+    // hash to the md5 ring so the whole training replay is
+    // oracle-checkable (q218)
+    val initHash =
+      if (portable) Sampling.portableHash(col(idCol))
+      else xxhash64(col(idCol))
     var centroids = e
-      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nlist)
+      .orderBy(initHash.asc, col(idCol).asc).limit(nlist)
       .select(col("q")).collect()
       .map(_.getSeq[Long](0).toArray)
 
@@ -439,7 +445,15 @@ object Similarity {
         byCluster.get(j) match {
           case Some(rows) =>
             rows.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
-          case None => centroids(j) // empty cluster keeps its centroid
+          case None =>
+            // portable mode's oracle replays ONLY populated clusters
+            // (a recursive CTE cannot carry the previous centroid a
+            // second self-reference would need) — so an empty cluster
+            // must fail LOUDLY there instead of silently diverging
+            if (portable) throw new IllegalStateException(
+              s"annIvf portable: cluster $j emptied during training — " +
+                "the oracle contract requires all clusters stay populated")
+            centroids(j) // empty cluster keeps its centroid
         }
       }.toArray
     }

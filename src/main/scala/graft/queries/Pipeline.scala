@@ -809,6 +809,98 @@ object Pipeline {
        |  FROM scored) WHERE rank <= 10""".stripMargin
   }
 
+  // q218: the PORTABLE IVF twin — q31's Lloyd training REPLAYED in the
+  // oracle: md5-ordered init sample, three recursive-CTE iterations
+  // (assignment = integer argmin with cluster tie-break, means =
+  // floor(avg) — DuckDB allows aggregation + windows in the recursive
+  // term, q190's precedent), then final lists, nprobe probes and the
+  // exact re-rank. The portable operator throws LOUDLY if a cluster
+  // ever empties (the single-self-reference CTE cannot carry a
+  // previous centroid), so the oracle contract is self-enforcing.
+  // With q211/q213/q28/q217 this closes the set: every non-sketch
+  // algorithmic operator in the engine now has a hash-exact
+  // driver-checked form.
+  def q218AnnIvfPortable(s: SparkSession, dir: String): DataFrame =
+    Similarity.annIvf(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 5, k = 10, portable = true)
+
+  val q218Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+      |      AS qv
+      |  FROM embeddings),
+      |cent(iter, cluster, pos, m) AS (
+      |  SELECT 0, i.cluster, e.pos, e.qv
+      |  FROM (
+      |    SELECT vec_id, rn - 1 AS cluster FROM (
+      |      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+      |      FROM (
+      |        SELECT DISTINCT vec_id,
+      |          CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),
+      |            1, 8)) AS BIGINT) % 1000000 AS h
+      |        FROM e) t0) t1 WHERE rn <= 16) i
+      |  JOIN e ON e.vec_id = i.vec_id
+      |  UNION ALL
+      |  SELECT pts.iter, pts.cluster, pts.pos,
+      |    CAST(FLOOR(AVG(pts.qv)) AS BIGINT)
+      |  FROM (
+      |    SELECT asg.iter, asg.cluster, e2.pos, e2.qv
+      |    FROM (
+      |      SELECT iter, vec_id, cluster FROM (
+      |        SELECT iter, vec_id, cluster,
+      |          ROW_NUMBER() OVER (PARTITION BY iter, vec_id
+      |            ORDER BY score, cluster) AS rn
+      |        FROM (
+      |          SELECT c.iter + 1 AS iter, e1.vec_id, c.cluster,
+      |            SUM(c.m * c.m) - 2 * SUM(e1.qv * c.m) AS score
+      |          FROM cent c JOIN e e1 ON e1.pos = c.pos
+      |          WHERE c.iter < 3
+      |          GROUP BY 1, 2, 3) sc) rk
+      |      WHERE rn = 1) asg
+      |    JOIN e e2 ON e2.vec_id = asg.vec_id) pts
+      |  GROUP BY 1, 2, 3),
+      |fc AS (SELECT cluster, pos, m FROM cent WHERE iter = 3),
+      |fscore AS (
+      |  SELECT e.vec_id, f.cluster,
+      |    SUM(f.m * f.m) - 2 * SUM(e.qv * f.m) AS score
+      |  FROM e JOIN fc f ON e.pos = f.pos GROUP BY 1, 2),
+      |lists AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster)
+      |        AS rn
+      |    FROM fscore) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster)
+      |        AS rn
+      |    FROM fscore WHERE vec_id < 5) t WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, l.vec_id AS nid
+      |  FROM probes p JOIN lists l ON p.cluster = l.cluster
+      |  WHERE l.vec_id <> p.qid),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+      |dots2 AS (
+      |  SELECT c.qid, c.nid, SUM(a.qv * b.qv) AS dot
+      |  FROM cand c
+      |  JOIN e a ON a.vec_id = c.qid
+      |  JOIN e b ON b.vec_id = c.nid AND b.pos = a.pos
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT qid, nid,
+      |    CAST(dot AS DOUBLE)
+      |      / SQRT(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE)) AS cosine
+      |  FROM dots2 JOIN norms nq ON qid = nq.vec_id
+      |  JOIN norms nn ON nid = nn.vec_id)
+      |SELECT qid, nid, rank, cosine FROM (
+      |  SELECT qid, nid, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC)
+      |      AS rank
+      |  FROM scored) t WHERE rank <= 10""".stripMargin
+
   // q31: ANN via IVF (k-means inverted lists + probe + exact re-rank)
   def q31AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(
@@ -909,6 +1001,7 @@ object Pipeline {
     "q213_simhash_portable" -> (q213SimhashPortable _),
     "q214_cluster_sizes" -> (q214ClusterSizes _),
     "q217_fingerprints_portable" -> (q217FingerprintsPortable _),
+    "q218_ann_ivf_portable" -> (q218AnnIvfPortable _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
@@ -1517,6 +1610,7 @@ object Pipeline {
     "q213_simhash_portable" -> q213Sql,
     "q214_cluster_sizes" -> q214Sql,
     "q217_fingerprints_portable" -> q217Sql,
+    "q218_ann_ivf_portable" -> q218Sql,
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26

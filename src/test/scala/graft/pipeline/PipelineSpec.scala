@@ -884,6 +884,23 @@ class PipelineSpec extends SparkSpec {
     assert(ivf == again)
   }
 
+  test("annIvf portable: md5 init, same recall floor, repartition-proof") {
+    def topSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = col("vec_id") < 5
+    val exact = topSet(
+      Similarity.bruteForceKnn(embs, "vec_id", "embedding", pred, k = 10))
+    val ivf = topSet(Similarity.annIvf(embs, "vec_id", "embedding", pred,
+      k = 10, nlist = 8, nprobe = 4, portable = true))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"portable recall $recall")
+    val again = topSet(Similarity.annIvf(embs.repartition(7),
+      "vec_id", "embedding", pred, k = 10, nlist = 8, nprobe = 4,
+      portable = true))
+    assert(ivf == again, "portable IVF must survive repartitioning")
+  }
+
   test("embeddingDupPairsBlocked matches the broadcast path exactly") {
     // the past-broadcast-size escape hatch must be a pure memory-shape
     // change: same pairs, same cosines, for any block count (including
