@@ -379,6 +379,66 @@ object TextDedup {
     verifyJaccard(sh, idCol, candidates, threshold)
   }
 
+  /** INCREMENTAL MinHash near-dup: a new batch against a corpus whose
+    * signatures were computed ONCE and persisted — the nightly-crawl
+    * shape of [[minhashPairs]] (and the near-dup sibling of
+    * [[incrementalExactDedup]]). The corpus side contributes only its
+    * STORED signature table (`numPerms` longs/doc — the corpus text
+    * never re-shingles, never re-hashes); the batch hashes itself,
+    * candidates meet cross-set on band equality, and ONLY candidate
+    * corpus documents are re-read (via `shCorpus`) for the exact
+    * Jaccard verify. Emits (doc_a = batch id, doc_b = corpus id,
+    * n_common, jaccard ≥ threshold).
+    *
+    * Exchanges: the batch's band frame (bands × batch rows), the
+    * corpus band frame derived from the signature table (never text),
+    * and the verify joins restricted to candidate ids. Same `portable`
+    * contract as [[minhashSignatures]] — with it, the whole incremental
+    * chain is oracle-checkable (q219).
+    */
+  def minhashPairsAcross(
+      shNew: DataFrame,
+      sigCorpus: DataFrame,
+      shCorpus: DataFrame,
+      idCol: String,
+      threshold: Double,
+      numPerms: Int = 64,
+      bands: Int = 16,
+      portable: Boolean = false): DataFrame = {
+    require(numPerms % bands == 0, "numPerms must divide into bands")
+    val r = numPerms / bands
+    def banded(sig: DataFrame): DataFrame = {
+      val bandStructs = (0 until bands).map { j =>
+        val rowsJ = (0 until r).map(i => col(s"mh${j * r + i}"))
+        struct(lit(j).as("band_id"), xxhash64(rowsJ: _*).as("band_hash"))
+      }
+      sig.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+        .select(col(idCol), col("b.band_id"), col("b.band_hash"))
+    }
+    val newBands = banded(minhashSignatures(shNew, idCol, numPerms, portable))
+    val corpusBands = banded(sigCorpus)
+    val candidates = newBands.as("x").join(corpusBands.as("y"),
+        Seq("band_id", "band_hash"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      .distinct()
+    // exact verify over the two sides' OWN shingle sets
+    val a = shNew.select(col(idCol).as("doc_a"), col("shingle"))
+    val b = shCorpus.select(col(idCol).as("doc_b"), col("shingle"))
+    val inter = candidates.join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizesA = shNew.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val sizesB = shCorpus.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val jac = col("n_common").cast("double") /
+      (col("na") + col("nb") - col("n_common"))
+    inter
+      .join(sizesA.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizesB.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), jac.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Duplicate CLUSTERS from near-dup pairs: connected components over
     * the pair graph, labeling every member with the component's minimum
     * id as `canonical_id` — the keep-one-per-cluster step that turns

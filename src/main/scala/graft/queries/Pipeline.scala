@@ -697,6 +697,81 @@ object Pipeline {
       TextDedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 3),
       "doc_id", threshold = 0.5)
 
+  // q219: incremental near-dup ingest — the nightly batch (fresh docs +
+  // q117-style re-crawls) against the corpus's STORED portable MinHash
+  // signatures: the corpus never re-shingles or re-hashes, candidates
+  // meet cross-set on band equality, exact verify re-reads only
+  // candidate corpus docs. The near-dup sibling of q117's exact-hash
+  // incremental dedup; the oracle rebuilds both sides' signature
+  // chains with the embedded permutation constants (q211's md5 ring).
+  def q219MinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+      .unionAll(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val shC = TextDedup.shingles(corpus, "doc_id", "text", n = 3)
+    val shN = TextDedup.shingles(batch, "doc_id", "text", n = 3)
+    val sigC = TextDedup.minhashSignatures(shC, "doc_id", numPerms = 64,
+      portable = true)
+    TextDedup.minhashPairsAcross(shN, sigC, shC, "doc_id",
+      threshold = 0.5, portable = true)
+  }
+
+  val q219Sql: String = {
+    val perms = TextDedup.minhashPerms(64)
+      .zipWithIndex.map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH all0 AS (
+       |  SELECT 'c' AS side, doc_id, text FROM documents WHERE doc_id < 250
+       |  UNION ALL
+       |  SELECT 'n', doc_id, text FROM documents WHERE doc_id >= 250
+       |  UNION ALL
+       |  SELECT 'n', doc_id + 10000, text FROM documents WHERE doc_id < 30),
+       |tk AS (
+       |  SELECT side, doc_id,
+       |    generate_subscripts(string_split(text,' '),1) AS pos,
+       |    unnest(string_split(text,' ')) AS tok
+       |  FROM all0),
+       |sh AS (
+       |  SELECT DISTINCT side, doc_id,
+       |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+       |      AS shingle
+       |  FROM tk WINDOW w AS (PARTITION BY side, doc_id ORDER BY pos)),
+       |sh2 AS (SELECT side, doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       |h AS (
+       |  SELECT side, doc_id, shingle,
+       |    CAST(concat('0x', substring(md5(shingle), 1, 8)) AS BIGINT) AS hv
+       |  FROM sh2),
+       |perms AS (SELECT * FROM (VALUES $perms) p(i, a, b)),
+       |sig AS (
+       |  SELECT side, doc_id, i, min((hv * a + b) % 4294967296) AS mh
+       |  FROM h CROSS JOIN perms GROUP BY 1, 2, 3),
+       |bands AS (
+       |  SELECT side, doc_id, i // 4 AS band_id,
+       |    CAST(list(mh ORDER BY i) AS VARCHAR) AS bk
+       |  FROM sig GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_a, c.doc_id AS doc_b
+       |  FROM bands n JOIN bands c
+       |    ON n.band_id = c.band_id AND n.bk = c.bk
+       |  WHERE n.side = 'n' AND c.side = 'c'),
+       |sz AS (SELECT side, doc_id, count(*) AS n FROM sh2 GROUP BY 1, 2),
+       |inter AS (
+       |  SELECT cand.doc_a, cand.doc_b, count(*) AS n_common
+       |  FROM cand
+       |  JOIN sh2 a ON a.side = 'n' AND a.doc_id = cand.doc_a
+       |  JOIN sh2 b ON b.side = 'c' AND b.doc_id = cand.doc_b
+       |    AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.side = 'n' AND doc_a = sa.doc_id
+       |JOIN sz sb ON sb.side = 'c' AND doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5"""
+      .stripMargin
+  }
+
   // q211: the PORTABLE MinHash-LSH twin — identical permutations,
   // banding and exact verify as q27, with the base row hash swapped
   // from xxhash64 (cheapest, Spark-only) to the 32-bit md5 prefix, so
@@ -1002,6 +1077,7 @@ object Pipeline {
     "q214_cluster_sizes" -> (q214ClusterSizes _),
     "q217_fingerprints_portable" -> (q217FingerprintsPortable _),
     "q218_ann_ivf_portable" -> (q218AnnIvfPortable _),
+    "q219_minhash_incremental" -> (q219MinhashIncremental _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
     "q29_simhash_pairs" -> (q29SimhashPairs _),
@@ -1611,6 +1687,7 @@ object Pipeline {
     "q214_cluster_sizes" -> q214Sql,
     "q217_fingerprints_portable" -> q217Sql,
     "q218_ann_ivf_portable" -> q218Sql,
+    "q219_minhash_incremental" -> q219Sql,
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,
     "q48_embed_dup_blocked" -> q26Sql, // identical contract to q26

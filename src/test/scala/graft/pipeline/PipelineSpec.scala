@@ -748,6 +748,33 @@ class PipelineSpec extends SparkSpec {
     assert((fp(1L) & fp(4L)).isEmpty)
   }
 
+  test("minhashPairsAcross: stored corpus signatures catch re-crawls") {
+    // corpus 0..3 with stored signatures; batch = one exact re-crawl of
+    // doc 1 (id 100), one fresh doc, one near-copy of doc 2
+    val corpus = Seq(
+      (0L, "spark scan merge join filter window batch row agg key"),
+      (1L, "table data line value sort group hash stream big small"),
+      (2L, "vector query column part order batch merge scan row join"),
+      (3L, "aa bb cc dd ee ff gg hh ii jj")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "table data line value sort group hash stream big small"),
+      (101L, "vector query column part order batch merge scan row sort"),
+      (102L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val shC = TextDedup.shingles(corpus, "doc_id", "text", n = 3)
+    val shN = TextDedup.shingles(batch, "doc_id", "text", n = 3)
+    val sigC = TextDedup.minhashSignatures(shC, "doc_id", 64, portable = true)
+    val out = TextDedup.minhashPairsAcross(shN, sigC, shC, "doc_id",
+        threshold = 0.5, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // the exact re-crawl pairs at jaccard 1.0 with its corpus original
+    assert(out.exists { case (a, b, j) => a == 100L && b == 1L && j == 1.0 },
+      s"re-crawl missed: ${out.toSeq}")
+    // directionality: doc_a is always batch-side, doc_b corpus-side
+    assert(out.forall { case (a, b, _) => a >= 100L && b < 100L })
+    // the disjoint fresh doc pairs with nothing
+    assert(!out.exists(_._1 == 102L))
+  }
+
   test("minhash signature agreement tracks similarity") {
     val df = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), (3L, "q r s t u v w x"))
