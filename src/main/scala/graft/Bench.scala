@@ -95,6 +95,14 @@ object Bench {
     println(json)
     prevName.foreach(p => System.err.println(s"[bench] deltas vs $p"))
     Files.writeString(Paths.get(outPath), json + "\n")
+    // full-corpus runs also persist a COMMITTED snapshot (VERDICT r10):
+    // the driver's BENCH_r*.json keeps only a ~2KB tail of this line,
+    // which silently dropped per-query deltas for 147 of 207 entries —
+    // BENCH_LOCAL.json carries the complete queries+delta maps, survives
+    // the round-end auto-commit, and is the preferred delta baseline for
+    // the next round. Subset runs (local iteration) must not overwrite it.
+    if (args.isEmpty)
+      Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 
@@ -112,7 +120,9 @@ object Bench {
       .map(p => Seq(Paths.get(p)))
       .getOrElse {
         val listing = Files.list(Paths.get("."))
-        try listing.iterator().asScala
+        // BENCH_LOCAL.json first: the previous round's FULL snapshot
+        // (the driver's BENCH_r*.json is a truncated tail — see main)
+        try Paths.get("BENCH_LOCAL.json") +: listing.iterator().asScala
           .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
           .toSeq.sortBy(_.getFileName.toString).reverse
         finally listing.close()

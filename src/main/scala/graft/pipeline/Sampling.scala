@@ -473,11 +473,18 @@ object Sampling {
       df: DataFrame, idCol: String, domainCol: String,
       maxDomains: Int = 1000): DataFrame = {
     val wd = Window.partitionBy(col(domainCol)).orderBy(col(idCol).asc)
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    require(counts.length <= maxDomains,
-      s"interleave: ${counts.length} domains exceeds maxDomains=$maxDomains" +
+    // Bound BEFORE collecting (ADVICE r10): limit(maxDomains+1) caps what
+    // reaches the driver, so the guard fires without first materialising
+    // an unbounded count list. The key is read via get(0).toString so a
+    // non-string domain column fails loudly here, not deep in getString.
+    val rawCounts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .limit(maxDomains + 1).collect()
+    require(rawCounts.length <= maxDomains,
+      s"interleave: >${maxDomains} domains exceeds maxDomains=$maxDomains" +
         " — raise the cap or pre-bucket the domain column")
+    val counts = rawCounts
+      .map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1))
+      .sortBy(_._1)
     val pos = col("pos")
     val base = counts.map { case (_, n) => least(lit(n), pos - 1L) }
       .reduceLeft[Column](_ + _)

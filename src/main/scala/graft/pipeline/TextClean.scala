@@ -182,9 +182,15 @@ object TextClean {
       (length(line) >= minChars) &&
         (nStop.cast("long") * stopDen >= size(toks).cast("long") * stopNum)
     }
+    // bind the filtered array ONCE (ADVICE r10): the keep() filter runs a
+    // per-token stopword scan over every line, and deriving n_kept and
+    // content_text from one bound column doesn't rely on codegen
+    // subexpression elimination (the _toks discipline from shingles)
     df.withColumn("n_lines", size(lines).cast("long"))
-      .withColumn("n_kept", size(filter(lines, keep _)).cast("long"))
-      .withColumn("content_text", array_join(filter(lines, keep _), "\n"))
+      .withColumn("_kept", filter(lines, keep _))
+      .withColumn("n_kept", size(col("_kept")).cast("long"))
+      .withColumn("content_text", array_join(col("_kept"), "\n"))
+      .drop("_kept")
   }
 
   /** DOMAIN POLICY GATE — the per-site curation rules a crawl pipeline

@@ -334,7 +334,7 @@ object Pipeline {
       |x AS (
       |  SELECT event_type,
       |    CASE WHEN json_valid(props)
-      |      THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
       |  FROM ev)
       |SELECT event_type, count(*) AS n,
       |  count(k) AS n_valid,

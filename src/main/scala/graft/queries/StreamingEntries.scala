@@ -773,8 +773,21 @@ object StreamingEntries {
   def q215StreamingDomainPolicyTws(s: SparkSession, dir: String): DataFrame = {
     val staged = stagePolicyDocs(s, dir)
     val s2 = streamSession(s)
-    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // RocksDB is scoped to THIS entry (ADVICE r10): save/restore the
+    // provider so later entries on the shared stream session keep their
+    // own state-store choice (mirrors the StreamingSpec pattern).
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s2.conf.getOption(provKey)
+    s2.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try q215Body(s2, staged)
+    finally prevProv match {
+      case Some(v) => s2.conf.set(provKey, v)
+      case None => s2.conf.unset(provKey)
+    }
+  }
+
+  private def q215Body(s2: SparkSession, staged: String): DataFrame = {
     val schema = StructType.fromDDL("doc_id BIGINT, source STRING")
     val stream = s2.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
