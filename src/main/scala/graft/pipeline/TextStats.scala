@@ -850,4 +850,87 @@ object TextStats {
       length(regexp_replace(merged, lit(" "), lit("")))
         .cast("long").as("n_units_bpe"))
   }
+
+  /** ITERATIVE BPE vocabulary induction — the actual tokenizer trainer
+    * that [[bpePairStats]] (one counting pass) and [[bpeApplyCounts]]
+    * (apply a GIVEN merge list) bracket: alternate count → argmax →
+    * merge for `nMerges` steps and emit the learned merge table, one
+    * row per step: (`step`, `lhs`, `rhs`, `merged`, `pair_count`,
+    * `units_after`). `pair_count` is the winning pair's corpus
+    * frequency at selection time; `units_after` is the total corpus
+    * symbol count once that merge is applied — the oracle replays BOTH,
+    * so the driver checks the merge APPLICATION, not just the pick.
+    *
+    * Training runs on the distinct-word count table (the classic BPE
+    * trainer move, and the reason this scales: a 100 TB corpus with a
+    * 10 M-word vocabulary does 10 M rows of symbol work per step, not
+    * 10 T — the corpus-sized exchange happens ONCE, in the initial
+    * word-count aggregate, which is cached across steps). Per step:
+    * one vocab-sized job for pair counts planned as
+    * TakeOrderedAndProject(limit=1) (a bounded 1-row collect, the
+    * q218 Lloyd-iteration contract), one in-row fold applying the
+    * merge, one 1-row total-units aggregate.
+    *
+    * Merge application is a leftmost-first non-overlapping fold over
+    * the symbol array (`aggregate` HOF): fuse when the accumulator's
+    * last symbol is `lhs` and the incoming one is `rhs`. For lhs ≠ rhs
+    * matches can never overlap (a fused l would have had to be the
+    * previous match's r); for lhs = rhs runs, the fold takes offsets
+    * 0, 2, 4… of each run — exactly greedy BPE. A fused symbol
+    * (lhs+rhs, non-empty rhs) can never re-match as `lhs` within the
+    * same pass, so one fold IS the whole step. Selection tie-break is
+    * (count DESC, lhs ASC, rhs ASC) — fully deterministic, engine-
+    * and partitioning-independent, hence DuckDB-replayable as an
+    * N-step chained-CTE (see q220's oracle).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"),
+        col("n"))
+      .persist()
+    try {
+      var words = vocab
+      val learned = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+      for (step <- 1 to nMerges) {
+        val pairIdx =
+          when(size(col("syms")) >= 2, sequence(lit(1), size(col("syms")) - 1))
+            .otherwise(array().cast("array<int>"))
+        val best = words
+          .select(col("n"), explode(transform(pairIdx, i => struct(
+            element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum(col("n")).as("c"))
+          .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).collect()
+        // the fixed-unroll oracle needs exactly nMerges picks — running
+        // out of pairs must fail loudly, not silently return fewer rows
+        require(best.nonEmpty, s"bpeTrain: no adjacent pairs left at " +
+          s"step $step — corpus fully merged; lower nMerges")
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val fused = aggregate(col("syms"), array().cast("array<string>"),
+          (acc, s) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+                s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(s))))
+        words = words.select(fused.as("syms"), col("n"))
+        val unitsAfter = words
+          .agg(sum(col("n") * size(col("syms"))).as("u"))
+          .collect()(0).getLong(0)
+        learned += ((step, l, r, l + r, c, unitsAfter))
+      }
+      import spark.implicits._
+      learned.result().toDF(
+        "step", "lhs", "rhs", "merged", "pair_count", "units_after")
+    } finally vocab.unpersist()
+  }
 }

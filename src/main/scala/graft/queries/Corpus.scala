@@ -1456,6 +1456,86 @@ object Corpus {
       |    ' ', '')) AS n_units_bpe
       |FROM documents""".stripMargin
 
+  // q220: ITERATIVE BPE TRAINING — the tokenizer trainer q181 (first
+  // pair table) and q189 (apply a given merge list) bracket: 8 rounds
+  // of count → argmax(count DESC, lhs, rhs) → greedy merge on the
+  // distinct-word table, emitting the learned merge list plus the
+  // corpus symbol total after each merge. The oracle replays ALL of it
+  // as an 8-step chained CTE (scalar subqueries carry each step's
+  // winning pair into the next step's rewrite; greedy leftmost
+  // non-overlap = islands of consecutive match positions taken at even
+  // offsets), so the driver hash-checks both the merge SELECTION and
+  // its APPLICATION per step — the q218 portable-training contract
+  // applied to BPE.
+  def q220BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.bpeTrain(t(s, dir, "documents"), "text", 8)
+
+  val q220Sql: String = {
+    val steps = 8
+    // w/s0/s{i} are MATERIALIZED: each is referenced by every later
+    // step, and DuckDB would otherwise re-evaluate the whole upstream
+    // chain (re-opening the parquet) once per reference — the 8-step
+    // unroll exhausts file handles without the hint.
+    val head =
+      """WITH w AS MATERIALIZED (
+        |  SELECT word AS wid, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t0
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT wid, pos, substring(wid, pos, 1) AS sym FROM (
+        |    SELECT wid, unnest(generate_series(1, length(wid))) AS pos
+        |    FROM w) t1)""".stripMargin
+    // per step i (reading s{i-1}): pair counts → 1-row argmax →
+    // match flags → consecutive-match islands → greedy merge at even
+    // island offsets → rewritten symbol table s{i} (drop the consumed
+    // right symbol, renumber). SUM(BIGINT) casts guard DuckDB's
+    // HUGEINT widening.
+    val stepSql = (1 to steps).map { i =>
+      val p = s"s${i - 1}"
+      s"""pc$i AS (
+         |  SELECT a.sym AS lhs, b.sym AS rhs, CAST(SUM(w.n) AS BIGINT) AS c
+         |  FROM $p a JOIN $p b ON a.wid = b.wid AND b.pos = a.pos + 1
+         |  JOIN w ON w.wid = a.wid GROUP BY 1, 2),
+         |best$i AS (SELECT lhs, rhs, c FROM pc$i
+         |  ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+         |m$i AS (
+         |  SELECT wid, pos, sym,
+         |    CASE WHEN sym = (SELECT lhs FROM best$i) AND
+         |      lead(sym) OVER (PARTITION BY wid ORDER BY pos) =
+         |        (SELECT rhs FROM best$i)
+         |    THEN 1 ELSE 0 END AS mt
+         |  FROM $p),
+         |g$i AS (
+         |  SELECT wid, pos, sym, mt,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY wid, mt ORDER BY pos)
+         |      AS isl
+         |  FROM m$i),
+         |mm$i AS (
+         |  SELECT wid, pos, sym,
+         |    CASE WHEN mt = 1 AND
+         |      (pos - MIN(pos) OVER (PARTITION BY wid, mt, isl)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS merged
+         |  FROM g$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
+         |      AS pos,
+         |    CASE WHEN merged = 1
+         |      THEN (SELECT lhs || rhs FROM best$i) ELSE sym END AS sym
+         |  FROM (
+         |    SELECT wid, pos, sym, merged,
+         |      lag(merged) OVER (PARTITION BY wid ORDER BY pos) AS pm
+         |    FROM mm$i) t$i
+         |  WHERE COALESCE(pm, 0) = 0)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to steps).map { i =>
+      s"""SELECT $i AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count,
+         |  (SELECT CAST(SUM(w.n) AS BIGINT) FROM s$i
+         |   JOIN w ON s$i.wid = w.wid) AS units_after
+         |FROM best$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$head,\n$stepSql\n$rows"
+  }
+
   // q190: dominant principal component of the embedding fixture — the
   // ABTT whitening direction, via EXACT-INTEGER power iteration
   // (quantized grid → integer scatter matrix → integer-rescaled
@@ -2447,6 +2527,7 @@ object Corpus {
     "q184_coverage_cut" -> (q184CoverageCut _),
     "q185_rrf_fusion" -> (q185RrfFusion _),
     "q189_bpe_apply" -> (q189BpeApply _),
+    "q220_bpe_train" -> (q220BpeTrain _),
     "q190_principal_component" -> (q190PrincipalComponent _),
     "q191_abtt_whiten" -> (q191AbttWhiten _),
     "q192_dsir_select" -> (q192DsirSelect _),
@@ -2508,6 +2589,7 @@ object Corpus {
     "q184_coverage_cut" -> q184Sql,
     "q185_rrf_fusion" -> q185Sql,
     "q189_bpe_apply" -> q189Sql,
+    "q220_bpe_train" -> q220Sql,
     "q190_principal_component" -> q190Sql,
     "q191_abtt_whiten" -> q191Sql,
     "q192_dsir_select" -> q192Sql,

@@ -1271,6 +1271,43 @@ class PipelineSpec extends SparkSpec {
     assert(ov.getLong(2) == 2L)
   }
 
+  test("bpeTrain: learned merges replay to the trainer's own statistics") {
+    val merges = TextStats.bpeTrain(docs, "text", 6).collect()
+    assert(merges.length == 6)
+    // the first iteration IS bpePairStats: same pick, same count
+    val top1 = TextStats.bpePairStats(docs, "text", topK = 1).collect().head
+    assert(merges(0).getString(3) == top1.getString(0))
+    assert(merges(0).getLong(4) == top1.getLong(1))
+    // BPE's max pair count never increases across steps (a new pair's
+    // count is bounded by the just-merged symbol's occurrence count)
+    val counts = merges.map(_.getLong(4)).toSeq
+    assert(counts == counts.sorted(Ordering[Long].reverse))
+    // each merge shrinks the corpus by at most its pair count (strictly
+    // fewer when a self-pair run overlaps itself), never grows it
+    val initialUnits = docs
+      .agg(sum(length(regexp_replace(col("text"), " ", "")).cast("long")))
+      .collect().head.getLong(0)
+    val units = initialUnits +: merges.map(_.getLong(5)).toSeq
+    units.sliding(2).zip(counts.iterator).foreach { case (Seq(a, b), c) =>
+      assert(b < a && a - b <= c, s"units $a -> $b vs pair count $c")
+    }
+    // REPLAY LAW: express the learned merges through placeholder chars
+    // (each symbol = one char, so string merges are isomorphic to the
+    // trainer's symbol-array fold) and apply with bpeApplyCounts — the
+    // corpus token total must equal the trainer's final units_after
+    var ph = Map.empty[String, String].withDefault(identity)
+    val phMerges = Seq.newBuilder[(String, String)]
+    merges.zipWithIndex.foreach { case (m, i) =>
+      val u = (0xE100 + i).toChar.toString
+      phMerges += ((ph(m.getString(1)) + ph(m.getString(2))) -> u)
+      ph += (m.getString(3) -> u)
+    }
+    val replayed = TextStats.bpeApplyCounts(
+        docs, "doc_id", "text", phMerges.result())
+      .agg(sum(col("n_units_bpe"))).collect().head.getLong(0)
+    assert(replayed == units.last)
+  }
+
   test("principalComponent recovers a planted dominant direction") {
     // variance overwhelmingly along axis 1, slight tilt into axis 2;
     // axis 3 is noise-free zero — the direction must load on axis 1,
