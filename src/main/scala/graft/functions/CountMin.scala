@@ -27,7 +27,7 @@ final case class CMState(table: Array[Long], processed: Long)
   * Hashes are MurmurHash3 string hashes under `depth` fixed seeds —
   * deterministic across JVMs, partitions and releases.
   */
-final class CountMinAgg(depth: Int, width: Int)
+final class CountMinAgg(depth: Int, width: Int, portable: Boolean = false)
     extends Aggregator[String, CMState, CMState] {
   require(depth >= 1 && depth <= 16, s"depth in [1,16], got $depth")
   require(width >= 16 && width <= (1 << 22), s"width in [16, 4M], got $width")
@@ -37,7 +37,7 @@ final class CountMinAgg(depth: Int, width: Int)
   override def reduce(s: CMState, x: String): CMState = {
     var i = 0
     while (i < depth) {
-      s.table(i * width + CountMin.bucket(x, i, width)) += 1L
+      s.table(i * width + CountMin.bucket(x, i, width, portable)) += 1L
       i += 1
     }
     CMState(s.table, s.processed + 1L)
@@ -59,18 +59,32 @@ final class CountMinAgg(depth: Int, width: Int)
 object CountMin {
 
   /** Row-i bucket of term x: MurmurHash3 under a fixed per-row seed,
-    * floor-mod to the table width. Pure function of (x, i, width).
+    * floor-mod to the table width (the fast production default); with
+    * `portable = true`, the first 32 md5 bits of "i:x" mod width — the
+    * md5-ring convention (Sampling.portableHash) every other portable
+    * twin uses, expressible verbatim in DuckDB so the whole counter
+    * table is cross-engine rebuildable (q221). Pure function of
+    * (x, i, width) either way; md5 costs ~4× murmur per token, the
+    * price of the oracle, not of the operator.
     */
-  def bucket(x: String, i: Int, width: Int): Int =
-    java.lang.Math.floorMod(
-      scala.util.hashing.MurmurHash3.stringHash(x, 0x9747b28c + i), width)
+  def bucket(x: String, i: Int, width: Int, portable: Boolean = false): Int =
+    if (portable) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$x".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (h % width).toInt
+    } else
+      java.lang.Math.floorMod(
+        scala.util.hashing.MurmurHash3.stringHash(x, 0x9747b28c + i), width)
 
   /** Point estimate from a finished sketch: min over the depth rows. */
-  def estimate(s: CMState, x: String, depth: Int, width: Int): Long = {
+  def estimate(s: CMState, x: String, depth: Int, width: Int,
+      portable: Boolean = false): Long = {
     var best = Long.MaxValue
     var i = 0
     while (i < depth) {
-      val c = s.table(i * width + bucket(x, i, width))
+      val c = s.table(i * width + bucket(x, i, width, portable))
       if (c < best) best = c
       i += 1
     }
@@ -87,13 +101,15 @@ object CountMin {
       df: DataFrame,
       column: String,
       depth: Int = 4,
-      width: Int = 1024): DataFrame = {
+      width: Int = 1024,
+      portable: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val terms = df.select(col(column).cast("string")).as[String]
-    val sketch = terms.select(new CountMinAgg(depth, width).toColumn).head()
+    val sketch =
+      terms.select(new CountMinAgg(depth, width, portable).toColumn).head()
     terms.distinct()
-      .map(t => (t, estimate(sketch, t, depth, width)))
+      .map(t => (t, estimate(sketch, t, depth, width, portable)))
       .toDF("term", "est_count")
   }
 }

@@ -81,6 +81,40 @@ object HeavyHitters {
       .toDF("term", "est_count")
   }
 
+  /** The PORTABLE Misra-Gries twin: the same summary computed as ONE
+    * giant merge instead of a stream fold. The mergeable-summaries
+    * result (Agarwal et al., PODS '12) is that MG summaries combine by
+    * adding counters, subtracting the (k+1)-st largest value and
+    * dropping non-positives — applied to the exact count table (an MG
+    * summary with zero error and too many counters), one such merge IS
+    * the canonical order-independent MG summary: est(t) = count(t) −
+    * c₍k+1₎ for the top k terms (count DESC, term ASC; c₍k+1₎ = 0 when
+    * fewer than k+1 terms), positives only. Every MG guarantee holds —
+    * est ≤ true count, est ≥ true − n/(k+1) (k+1 terms each count
+    * ≥ c₍k+1₎, so c₍k+1₎ ≤ n/(k+1)), ≤ k counters — and unlike the
+    * streaming fold ([[heavyHitters]]), which keeps its
+    * partitioning-dependent survivor set, this form is a pure function
+    * of the multiset: hash-exact cross-engine (q222's oracle).
+    *
+    * Scale shape: one hash aggregate (the only corpus-sized exchange)
+    * then TakeOrderedAndProject(k+1) — the threshold and survivors are
+    * a bounded k+1-row collect (the IVF-centroid contract).
+    */
+  def heavyHittersPortable(df: DataFrame, column: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val top = df.select(col(column).cast("string").as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k + 1).collect()
+    val thr = if (top.length > k) top(k).getLong(1) else 0L
+    top.take(k).toSeq
+      .map(r => (r.getString(0), r.getLong(1) - thr))
+      .filter(_._2 > 0)
+      .toDF("term", "est_count")
+  }
+
   /** The sketch as an untyped aggregate function, usable in any
     * `groupBy(...).agg(...)` — including STREAMING windowed aggregation,
     * where the MG state (≤ k counters) becomes the store's value and

@@ -894,16 +894,75 @@ object Corpus {
 
   // q162: Count-Min frequency estimates over the corpus token stream —
   // the point-estimate sibling of the q73 Misra-Gries sketch. DECLARED
-  // ROWS-ONLY: the hash family isn't portable SQL, so there is no
-  // cross-engine oracle; the CM guarantees (never underestimates,
-  // bounded overestimate, partitioning-invariance from exact integer
-  // sums) are asserted in PipelineSpec.
+  // ROWS-ONLY: murmur isn't portable SQL; the CM guarantees (never
+  // underestimates, bounded overestimate, partitioning-invariance from
+  // exact integer sums) are asserted in PipelineSpec, and q221 is the
+  // hash-exact md5-ring twin that driver-checks the identical table +
+  // estimate path.
   def q162CountMin(s: SparkSession, dir: String): DataFrame =
     graft.functions.CountMin.estimates(
       t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= ""),
       "tok")
+
+  // q221: the PORTABLE Count-Min twin — q162's sketch on the md5-ring
+  // hash family, width 16 so the fixture's 31-term vocabulary actually
+  // collides (estimates genuinely exceed true counts). The oracle
+  // rebuilds the ENTIRE depth×width counter table by group-by over the
+  // md5-derived (row, bucket) pairs, then answers every distinct term
+  // with the same min-over-rows probe — so the driver hash-checks the
+  // sketch's table, hashes and estimate path end to end. q162's murmur
+  // form stays the fast production default (rows-only by design).
+  def q221CountMinPortable(s: SparkSession, dir: String): DataFrame =
+    graft.functions.CountMin.estimates(
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= ""),
+      "tok", depth = 4, width = 16, portable = true)
+
+  val q221Sql: String =
+    """WITH tk AS MATERIALIZED (
+      |  SELECT word AS term FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t0
+      |  WHERE word <> ''),
+      |h AS MATERIALIZED (
+      |  SELECT term, i,
+      |    CAST(concat('0x', substring(md5(CAST(i AS VARCHAR) || ':' || term),
+      |      1, 8)) AS BIGINT) % 16 AS b
+      |  FROM tk CROSS JOIN range(0, 4) AS s(i)),
+      |tab AS MATERIALIZED (SELECT i, b, COUNT(*) AS c FROM h GROUP BY 1, 2),
+      |d AS (SELECT DISTINCT term, i, b FROM h)
+      |SELECT d.term, CAST(MIN(tab.c) AS BIGINT) AS est_count
+      |FROM d JOIN tab ON d.i = tab.i AND d.b = tab.b
+      |GROUP BY 1""".stripMargin
+
+  // q222: the PORTABLE Misra-Gries twin — the same summary computed as
+  // ONE mergeable-summaries merge over the exact count table (est =
+  // count − c₍k+1₎ for the top k, positives only) instead of the
+  // order-dependent stream fold. Order-independent, hence the
+  // cross-engine oracle q73 can't have; k=8 on a 31-term vocabulary so
+  // the threshold subtraction genuinely fires. All MG guarantees hold
+  // (see HeavyHitters.heavyHittersPortable scaladoc).
+  def q222HeavyHittersPortable(s: SparkSession, dir: String): DataFrame =
+    graft.functions.HeavyHitters.heavyHittersPortable(
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= ""),
+      "tok", k = 8)
+
+  val q222Sql: String =
+    """WITH tk AS (
+      |  SELECT word AS term FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t0
+      |  WHERE word <> ''),
+      |c AS (SELECT term, COUNT(*) AS n FROM tk GROUP BY 1),
+      |r AS (SELECT term, n,
+      |  ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS rn FROM c),
+      |thr AS (SELECT COALESCE(MAX(CASE WHEN rn = 9 THEN n END), 0) AS t
+      |  FROM r)
+      |SELECT term, CAST(n - thr.t AS BIGINT) AS est_count
+      |FROM r, thr WHERE rn <= 8 AND n - thr.t > 0""".stripMargin
 
   // q163: the ANN-fed SemDeDup — q129's contract with the quadratic
   // pair stage swapped for LSH-bucketed candidates verified at the
@@ -2528,6 +2587,8 @@ object Corpus {
     "q185_rrf_fusion" -> (q185RrfFusion _),
     "q189_bpe_apply" -> (q189BpeApply _),
     "q220_bpe_train" -> (q220BpeTrain _),
+    "q221_count_min_portable" -> (q221CountMinPortable _),
+    "q222_heavy_hitters_portable" -> (q222HeavyHittersPortable _),
     "q190_principal_component" -> (q190PrincipalComponent _),
     "q191_abtt_whiten" -> (q191AbttWhiten _),
     "q192_dsir_select" -> (q192DsirSelect _),
@@ -2590,6 +2651,8 @@ object Corpus {
     "q185_rrf_fusion" -> q185Sql,
     "q189_bpe_apply" -> q189Sql,
     "q220_bpe_train" -> q220Sql,
+    "q221_count_min_portable" -> q221Sql,
+    "q222_heavy_hitters_portable" -> q222Sql,
     "q190_principal_component" -> q190Sql,
     "q191_abtt_whiten" -> q191Sql,
     "q192_dsir_select" -> q192Sql,

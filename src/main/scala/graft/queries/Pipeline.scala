@@ -1207,9 +1207,10 @@ object Pipeline {
   // q73: Misra-Gries heavy hitters over the token stream — the custom
   // mergeable Aggregator (functions/HeavyHitters.scala). Declared
   // rows-only: which low-frequency counters survive depends on merge
-  // order, so no cross-engine oracle; the support guarantee (every term
-  // above n/(k+1) present, estimates = lower bounds within budget) is
-  // asserted in PipelineSpec.
+  // order, so no cross-engine oracle for THIS fold; the support
+  // guarantee (every term above n/(k+1) present, estimates = lower
+  // bounds within budget) is asserted in PipelineSpec, and q222 is the
+  // order-independent one-merge MG form that IS hash-exact checkable.
   def q73HeavyHitters(s: SparkSession, dir: String): DataFrame =
     graft.functions.HeavyHitters.heavyHitters(
       graft.pipeline.TextStats.tokens(t(s, dir, "documents"), "text")

@@ -202,6 +202,27 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("countMin portable twin: same guarantees on the md5 hash family") {
+    import graft.functions.CountMin
+    val toks = (1 to 400).map(i => s"t${i % 37}") ++ Seq.fill(90)("hot")
+    val exact = toks.groupBy(identity).map { case (t, v) => t -> v.size }
+    val n = toks.size
+    // narrow width forces real collisions — the CM bound must still hold
+    val est = CountMin.estimates(
+        toks.toDF("tok"), "tok", depth = 4, width = 16, portable = true)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t underestimated")
+      assert(est(t) <= c + 2L * n / 16 + 1, s"$t over the bound")
+    }
+    // partitioning-invariant like the murmur form (exact integer sums)
+    val b = CountMin.estimates(
+        toks.toDF("tok").repartition(13), "tok",
+        depth = 4, width = 16, portable = true)
+      .as[(String, Long)].collect().toMap
+    assert(est == b)
+  }
+
   // ---- cross-corpus near-dups --------------------------------------------
 
   test("jaccardPairsAcross pairs only shared-shingle docs over threshold") {
@@ -463,6 +484,31 @@ class PipelineSpec extends SparkSpec {
       assert(c - e <= bound, s"'$t': error ${c - e} > $bound")
     }
     assert(est.size <= k)
+  }
+
+  test("Misra-Gries portable twin: order-independent MG with the same laws") {
+    import graft.functions.HeavyHitters
+    val toks = TextStats.tokens(docs, "text").toDF("tok")
+    val n = toks.count()
+    val k = 8
+    val est = HeavyHitters.heavyHittersPortable(toks, "tok", k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / (k + 1)
+    assert(est.size <= k && est.nonEmpty)
+    for ((t, c) <- exact if c > bound)
+      assert(est.contains(t), s"heavy hitter '$t' (count $c > $bound) missing")
+    for ((t, e) <- est) {
+      assert(e <= exact(t) && exact(t) - e <= bound,
+        s"'$t': est $e vs true ${exact(t)}, budget $bound")
+      assert(e > 0, s"'$t': non-positive counter survived")
+    }
+    // order-independence: a reshuffled corpus yields the identical summary
+    val reshuffled = HeavyHitters.heavyHittersPortable(
+        toks.repartition(13), "tok", k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == reshuffled)
   }
 
   // ---- stratified sampling -----------------------------------------------
