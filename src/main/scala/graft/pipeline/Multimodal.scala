@@ -23,6 +23,12 @@ final case class DecodedImage(doc_id: Long, width: Int, height: Int, checksum: L
   */
 final case class ImageAHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
 
+/** One decoded-image profile row: container dimensions + perceptual
+  * hash, the metadata a lossy-codec path can still promise exactly.
+  */
+final case class ImageProfile(
+    doc_id: Long, width: Int, height: Int, ahash_hi: Long, ahash_lo: Long)
+
 /** One row entering the batched WAV encoder: sample count only; sample
   * values derive deterministically from (doc_id, i).
   */
@@ -315,33 +321,122 @@ object Multimodal {
         if (img == null || img.getWidth < 8 || img.getHeight < 8)
           ImageAHash(p.doc_id, -1L, -1L)
         else {
-          val w = img.getWidth; val h = img.getHeight
-          val cellSum = new Array[Long](64)
-          val cellCnt = new Array[Long](64)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y) & 0xffffff
-              val luma = (299L * ((rgb >> 16) & 0xff) +
-                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
-              val cell = (y * 8 / h) * 8 + (x * 8 / w)
-              cellSum(cell) += luma; cellCnt(cell) += 1
-              x += 1
-            }
-            y += 1
-          }
-          val cellAvg = Array.tabulate(64)(i => cellSum(i) / cellCnt(i))
-          val mean = cellAvg.sum / 64L
-          var hi = 0L; var lo = 0L
-          var i = 0
-          while (i < 64) {
-            if (cellAvg(i) >= mean) {
-              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-            }
-            i += 1
-          }
+          val (hi, lo) = aHashOf(img)
           ImageAHash(p.doc_id, hi, lo)
+        }
+      }))
+  }
+
+  /** The aHash core over an in-memory raster — shared by the lossless
+    * ([[aHashImagesBatched]]) and lossy ([[jpegProfileBatched]]) paths.
+    */
+  private def aHashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) & 0xffffff
+        val luma = (299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+        val cell = (y * 8 / h) * 8 + (x * 8 / w)
+        cellSum(cell) += luma; cellCnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cellAvg = Array.tabulate(64)(i => cellSum(i) / cellCnt(i))
+    val mean = cellAvg.sum / 64L
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (cellAvg(i) >= mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** REAL batched JPEG ENCODER — the lossy member of the codec matrix
+    * (PNG/BMP/GIF are bit-exact; the dominant format of an actual web
+    * crawl is JPEG, which isn't): same deterministic [[syntheticRgb]]
+    * fill as [[encodeImagesBatched]], compressed through the JDK's JPEG
+    * writer at an explicit `quality`. Lossy coding makes pixel values
+    * implementation-specific, so NO arithmetic pixel oracle exists by
+    * design — the promises a JPEG path can keep exactly are container
+    * dimensions and perceptual STABILITY (aHash within a few Hamming
+    * bits across quality levels / vs the lossless encode), asserted in
+    * PipelineSpec; q223 is the declared rows-only entry.
+    */
+  def encodeJpegBatched(
+      df: DataFrame,
+      idCol: String,
+      widthCol: String,
+      heightCol: String,
+      quality: Float = 0.85f,
+      batchSize: Int = 64): DataFrame = {
+    require(quality > 0f && quality <= 1f, s"quality in (0,1], got $quality")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(widthCol).cast("int").as("width"),
+        col(heightCol).cast("int").as("height"))
+      .as[ImageSpecRow]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+        val img = new java.awt.image.BufferedImage(
+          r.width, r.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < r.height) {
+          var x = 0
+          while (x < r.width) {
+            img.setRGB(x, y, syntheticRgb(r.doc_id, x, y)); x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer =
+          javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(quality)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null),
+            param)
+        } finally { writer.dispose(); ios.close() }
+        MediaPayload(r.doc_id, bos.toByteArray)
+      }))
+      .toDF("doc_id", "media_bytes")
+  }
+
+  /** Decode a (JPEG or any imageio-readable) payload ONCE and emit the
+    * exact-by-contract profile: container dimensions + aHash. One codec
+    * pass per row inside the bounded-batch boundary — dims and hash
+    * never pay two decodes. Undecodable / sub-8×8 payloads yield
+    * (-1, -1, -1, -1).
+    */
+  def jpegProfileBatched(
+      df: DataFrame,
+      idCol: String,
+      batchSize: Int = 64): Dataset[ImageProfile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col("media_bytes"))
+      .as[MediaPayload]
+      .mapPartitions(_.grouped(batchSize).flatMap(_.map { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.media_bytes))
+        if (img == null || img.getWidth < 8 || img.getHeight < 8)
+          ImageProfile(p.doc_id, -1, -1, -1L, -1L)
+        else {
+          val (hi, lo) = aHashOf(img)
+          ImageProfile(p.doc_id, img.getWidth, img.getHeight, hi, lo)
         }
       }))
   }

@@ -1068,6 +1068,7 @@ object Pipeline {
     "q87_embed_centroids" -> (q87EmbedCentroids _),
     "q92_array_funcs" -> (q92ArrayFuncs _),
     "q93_image_ahash" -> (q93ImageAhash _),
+    "q223_jpeg_profile" -> (q223JpegProfile _),
     "q95_audio_stats" -> (q95AudioStats _),
     "q99_chunking" -> (q99Chunking _),
     "q100_sequence_packing" -> (q100SequencePacking _),
@@ -1459,6 +1460,26 @@ object Pipeline {
       |      THEN CAST(1 AS BIGINT) << CAST(cell AS INT) ELSE 0 END)
       |    AS BIGINT) AS ahash_lo
       |FROM cells c JOIN m USING (doc_id) GROUP BY 1""".stripMargin
+
+  // q223: JPEG — the dominant format of a real web crawl, and the one
+  // lossy member of the codec matrix (PNG/BMP/GIF/WAV are bit-exact).
+  // Encode the q93 synthetic pattern through the JDK JPEG writer at
+  // quality 0.85, decode ONCE, emit dims + aHash. DECLARED ROWS-ONLY:
+  // lossy coefficient quantization makes pixel values
+  // implementation-specific, so no arithmetic pixel oracle can exist —
+  // the exact-by-contract surface is container dimensions and
+  // perceptual stability, both pinned in PipelineSpec (dims match the
+  // spec table; aHash within a few Hamming bits of the lossless PNG
+  // encode and across quality levels).
+  def q223JpegProfile(s: SparkSession, dir: String): DataFrame = {
+    val specs = t(s, dir, "documents").select(
+      col("doc_id"),
+      (col("n_chars") % 48 + 8).cast("int").as("spec_w"),
+      (col("doc_id") % 48 + 8).cast("int").as("spec_h"))
+    val encoded = Multimodal.encodeJpegBatched(
+      specs, "doc_id", "spec_w", "spec_h", quality = 0.85f)
+    Multimodal.jpegProfileBatched(encoded, "doc_id").toDF()
+  }
 
   // q95: WAV PCM sample decode — the audio twin of q93: encode the
   // deterministic PCM16 signal into REAL canonical WAV bytes, parse the

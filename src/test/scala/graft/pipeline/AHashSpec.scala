@@ -53,6 +53,47 @@ class AHashSpec extends SparkSpec {
     assert(row == ImageAHash(1L, 0x0f0f0f0fL, 0x0f0f0f0fL))
   }
 
+  test("JPEG path: exact dims, perceptually stable hash across codecs") {
+    import org.apache.spark.sql.functions.col
+    // planted spec table mirroring q223's construction
+    val specs = Seq((1L, 40, 24), (2L, 17, 55), (3L, 8, 8))
+      .toDF("doc_id", "spec_w", "spec_h")
+    def hamming(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    def profiles(q: Float) = Multimodal.jpegProfileBatched(
+        Multimodal.encodeJpegBatched(
+          specs, "doc_id", "spec_w", "spec_h", quality = q), "doc_id")
+      .collect().map(p => p.doc_id ->
+        ((p.width, p.height, (p.ahash_hi, p.ahash_lo)))).toMap
+    val hi = profiles(0.9f)
+    // container dimensions survive lossy coding EXACTLY
+    assert(hi.map { case (id, (w, h, _)) => (id, w, h) }.toSet ==
+      Set((1L, 40, 24), (2L, 17, 55), (3L, 8, 8)))
+    // encode-decode-hash stability: vs the lossless PNG encode of the
+    // SAME synthetic raster, and across JPEG quality levels. The
+    // synthetic pattern is pseudo-random NOISE — JPEG's spectral worst
+    // case, where threshold-adjacent cells flip easiest — so the pin is
+    // 10 bits (measured: <=7), still well inside the q205 near-dup
+    // pairing radius
+    val png = Multimodal.aHashImagesBatched(
+        Multimodal.encodeImagesBatched(specs, "doc_id", "spec_w", "spec_h"),
+        "doc_id")
+      .collect().map(p => p.doc_id -> ((p.ahash_hi, p.ahash_lo))).toMap
+    val lo = profiles(0.5f)
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(hamming(hi(id)._3, png(id)) <= 10,
+        s"doc $id: JPEG q0.9 drifted ${hamming(hi(id)._3, png(id))} bits from PNG")
+      assert(hamming(hi(id)._3, lo(id)._3) <= 10,
+        s"doc $id: q0.9 vs q0.5 drift ${hamming(hi(id)._3, lo(id)._3)} bits")
+    }
+    // undecodable payloads profile as the (-1,...) sentinel row
+    val bad = Multimodal.jpegProfileBatched(
+        Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media_bytes"),
+        "doc_id").collect()
+    assert(bad.toSeq == Seq(ImageProfile(9L, -1, -1, -1L, -1L)))
+  }
+
   test("aHash near-dup pairing composes with the SimHash pigeonhole bands") {
     import org.apache.spark.sql.functions._
     // 32×32 → each aHash cell is one 4×4 block. base = 4px checkerboard
