@@ -395,37 +395,35 @@ object Similarity {
         s => s.getField("_g_z")).as("z_embedding"))
   }
 
-  def annIvf(
-      df: DataFrame,
-      idCol: String,
-      embCol: String,
-      queryPred: Column,
-      k: Int = 10,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      iters: Int = 3,
-      portable: Boolean = false): DataFrame = {
-    val e = packedWithNorm(df, idCol, embCol)
+  /** (score, j) per centroid; struct ordering gives argmin with
+    * deterministic index tie-break. |q|² is constant per row, so
+    * score = |c|² − 2·q·c orders identically to squared distance.
+    */
+  private def centroidScoreStructs(
+      cents: Array[Array[Long]], qCol: Column): Seq[Column] =
+    cents.toIndexedSeq.zipWithIndex.map { case (c, j) =>
+      val cNorm = c.map(x => x * x).sum
+      struct(
+        (lit(cNorm) - lit(2L) * packedDot(qCol, typedlit(c.toSeq))).as("score"),
+        lit(j).as("cluster"))
+    }
 
-    // (score, j) per centroid; struct ordering gives argmin with
-    // deterministic index tie-break. |q|² is constant per row, so
-    // score = |c|² − 2·q·c orders identically to squared distance.
-    def scoreStructs(cents: Array[Array[Long]]): Seq[Column] =
-      cents.toIndexedSeq.zipWithIndex.map { case (c, j) =>
-        val cNorm = c.map(x => x * x).sum
-        struct(
-          (lit(cNorm) - lit(2L) * packedDot(col("q"), typedlit(c.toSeq))).as("score"),
-          lit(j).as("cluster"))
-      }
-    def assigned(cents: Array[Array[Long]]): DataFrame =
-      e.select(col(idCol), col("q"), col("nrm"),
-        array_min(array(scoreStructs(cents): _*)).getField("cluster").as("cluster"))
-
-    // deterministic init: the nlist lowest id-hashes — a pseudo-random
-    // but reproducible spread sample, planned as TakeOrderedAndProject
-    // (top-k, no global sort materialization). `portable` switches the
-    // hash to the md5 ring so the whole training replay is
-    // oracle-checkable (q218)
+  /** Deterministic Lloyd training over the packed frame `e` — the
+    * shared coarse-quantizer trainer of [[annIvf]] and [[annIvfPq]].
+    * Init is the `nlist` lowest id-hashes (a reproducible spread
+    * sample, planned as TakeOrderedAndProject — top-k, no global sort
+    * materialization); `portable` switches the hash to the md5 ring so
+    * the whole training replay is oracle-checkable (q218/q224). Each
+    * iteration assigns (argmin with index tie-break) and re-centers
+    * with floor(avg); the nlist × dims means are the bounded per-round
+    * driver collect that becomes the next round's broadcast literals.
+    */
+  private def lloydTrain(
+      e: DataFrame, idCol: String, nlist: Int, iters: Int,
+      portable: Boolean, opName: String): Array[Array[Long]] = {
+    def assignedCluster(cents: Array[Array[Long]]): Column =
+      array_min(array(centroidScoreStructs(cents, col("q")): _*))
+        .getField("cluster")
     val initHash =
       if (portable) Sampling.portableHash(col(idCol))
       else xxhash64(col(idCol))
@@ -433,10 +431,10 @@ object Similarity {
       .orderBy(initHash.asc, col(idCol).asc).limit(nlist)
       .select(col("q")).collect()
       .map(_.getSeq[Long](0).toArray)
-
     for (_ <- 0 until iters) {
-      val means = assigned(centroids)
-        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+      val means = e
+        .select(assignedCluster(centroids).as("cluster"),
+          posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(floor(avg(col("v"))).cast("long").as("m"))
         .collect()
@@ -451,12 +449,34 @@ object Similarity {
             // second self-reference would need) — so an empty cluster
             // must fail LOUDLY there instead of silently diverging
             if (portable) throw new IllegalStateException(
-              s"annIvf portable: cluster $j emptied during training — " +
+              s"$opName portable: cluster $j emptied during training — " +
                 "the oracle contract requires all clusters stay populated")
             centroids(j) // empty cluster keeps its centroid
         }
       }.toArray
     }
+    centroids
+  }
+
+  def annIvf(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val e = packedWithNorm(df, idCol, embCol)
+    def scoreStructs(cents: Array[Array[Long]]): Seq[Column] =
+      centroidScoreStructs(cents, col("q"))
+    def assigned(cents: Array[Array[Long]]): DataFrame =
+      e.select(col(idCol), col("q"), col("nrm"),
+        array_min(array(scoreStructs(cents): _*)).getField("cluster").as("cluster"))
+
+    val centroids =
+      lloydTrain(e, idCol, nlist, iters, portable, opName = "annIvf")
 
     val lists = assigned(centroids).select(col(idCol), col("cluster"))
     val qb = df.filter(queryPred).select(col(idCol).as("qid"))
@@ -471,6 +491,149 @@ object Similarity {
       .select(col("qid"), col(idCol).as("nid"))
       .distinct()
     exactReRank(e, idCol, qb, candidates, k)
+  }
+
+  /** IVF-PQ — the billion-vector ANN store layout: [[annIvf]]'s coarse
+    * k-means bounds the candidate lists, and instead of exact re-rank
+    * each candidate is scored from its PRODUCT-QUANTIZATION code — the
+    * vector compressed to `m` bytes-ish (one codeword index per
+    * subspace), 32× smaller than the packed int vector at the defaults.
+    * Scoring is ASYMMETRIC (ADC): the query stays full-precision and
+    * each (subspace, codeword) contributes a precomputed integer dot
+    * product — per candidate the score is `m` table lookups and adds,
+    * no vector arithmetic at all. That lookup-table scan is what makes
+    * PQ the scale path: at 100 TB the codes table is the only
+    * corpus-sized operand (m small ints per vector), centroids and
+    * query LUTs are broadcast literals, and the only shuffle is the
+    * coarse-list candidate join.
+    *
+    * Training: per-subspace Lloyd on the packed subvector slices — ALL
+    * `m` codebooks train in ONE job per iteration (the subspace axis
+    * rides an in-row explode, means aggregate per (m, cluster, pos);
+    * the driver collect is bounded by m × ksub × d/m = d × ksub longs).
+    * Init mirrors the coarse trainer: the ksub lowest id-hashes, each
+    * sliced into its m subvectors. Codes are raw-vector encodings
+    * (FAISS's non-residual IndexIVFPQ mode; residual encoding is a
+    * quality refinement on the same plumbing — documented divergence).
+    *
+    * Everything is exact integer arithmetic with deterministic
+    * tie-breaks, so `portable = true` makes the ENTIRE path — coarse
+    * training, per-subspace codebooks, code assignment, LUT, ADC top-k
+    * — replayable in SQL (q224's oracle). Output: (qid, nid, rank,
+    * adc_score); rank by score DESC with id tie-break. Recall vs the
+    * exact [[bruteForceKnn]] is pinned in PipelineSpec.
+    *
+    * Codebook-size boundary: assignment argmin is an in-row fold over
+    * centroid LITERALS — codegen-friendly to ~10² codewords total,
+    * beyond which the generated method outgrows the JIT limit and
+    * Spark falls back to interpreted eval (correct, slower). At
+    * FAISS-classic ksub = 256, swap assignment to a broadcast-join +
+    * min_by over a centroid FRAME — same semantics, one extra
+    * broadcast, no giant expression.
+    */
+  def annIvfPq(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      k: Int = 10,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      coarseIters: Int = 3,
+      m: Int = 8,
+      ksub: Int = 8,
+      pqIters: Int = 2,
+      portable: Boolean = false): DataFrame = {
+    val e = packedWithNorm(df, idCol, embCol)
+    val d = e.select(size(col("q"))).head().getInt(0)
+    require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    val sub = d / m
+    def subCol(mi: Int): Column = slice(col("q"), mi * sub + 1, sub)
+
+    // ---- coarse quantizer: shared deterministic Lloyd ----
+    val coarse =
+      lloydTrain(e, idCol, nlist, coarseIters, portable, opName = "annIvfPq")
+    def coarseCluster: Column =
+      array_min(array(centroidScoreStructs(coarse, col("q")): _*))
+        .getField("cluster")
+    val lists = e.select(col(idCol), coarseCluster.as("cluster"))
+
+    // ---- PQ codebooks: per-subspace Lloyd, all subspaces per job ----
+    val initHash =
+      if (portable) Sampling.portableHash(col(idCol))
+      else xxhash64(col(idCol))
+    val initRows = e.orderBy(initHash.asc, col(idCol).asc).limit(ksub)
+      .select(col("q")).collect().map(_.getSeq[Long](0).toArray)
+    require(initRows.length == ksub,
+      s"annIvfPq: corpus smaller than ksub=$ksub")
+    var books: Array[Array[Array[Long]]] = // (m)(ksub)(sub)
+      Array.tabulate(m)(mi =>
+        initRows.map(_.slice(mi * sub, mi * sub + sub)))
+    def codeCol(mi: Int): Column =
+      array_min(array(centroidScoreStructs(books(mi), subCol(mi)): _*))
+        .getField("cluster")
+    for (_ <- 0 until pqIters) {
+      val means = e
+        .select(explode(array((0 until m).map(mi => struct(
+          lit(mi).as("mi"), codeCol(mi).as("cluster"),
+          subCol(mi).as("sv"))): _*)).as("s"))
+        .select(col("s.mi"), col("s.cluster"),
+          posexplode(col("s.sv")).as(Seq("pos", "v")))
+        .groupBy(col("mi"), col("cluster"), col("pos"))
+        .agg(floor(avg(col("v"))).cast("long").as("mn"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(m) { mi =>
+        Array.tabulate(ksub) { j =>
+          byKey.get((mi, j)) match {
+            case Some(rows) => rows.sortBy(_.getInt(2)).map(_.getLong(3))
+            case None =>
+              if (portable) throw new IllegalStateException(
+                s"annIvfPq portable: subspace $mi codeword $j emptied — " +
+                  "the oracle contract requires all codewords stay populated")
+              books(mi)(j)
+          }
+        }
+      }
+    }
+
+    // ---- codes: the compressed corpus representation ----
+    val codes = e.select(
+      col(idCol) +: (0 until m).map(mi => codeCol(mi).as(s"c$mi")): _*)
+
+    // ---- probes + ADC scoring ----
+    val qb = df.filter(queryPred).select(col(idCol).as("qid"))
+    val probes = e.join(qb, e(idCol) === qb("qid"), "left_semi")
+      .select(col(idCol).as("qid"),
+        slice(sort_array(array(centroidScoreStructs(coarse, col("q")): _*)),
+          1, nprobe).as("ps"))
+      .select(col("qid"), explode(col("ps")).as("p"))
+      .select(col("qid"), col("p.cluster").as("cluster"))
+    val candidates = lists.join(broadcast(probes), Seq("cluster"))
+      .filter(col("qid") =!= col(idCol))
+      .select(col("qid"), col(idCol).as("nid"))
+      .distinct()
+    val qe = e.join(qb, e(idCol) === qb("qid"), "left_semi")
+      .select(col(idCol).as("qid"), col("q").as("qq"))
+    // ADC: per subspace, look the candidate's codeword up in the 2-D
+    // codebook literal and dot it with the query's subvector — integer
+    // exact, so the portable replay is bit-for-bit
+    def qSubCol(mi: Int): Column = slice(col("qq"), mi * sub + 1, sub)
+    val adc = (0 until m).map { mi =>
+      packedDot(qSubCol(mi),
+        element_at(typedlit(books(mi).map(_.toSeq).toSeq),
+          col(s"c$mi") + 1))
+    }.reduce(_ + _)
+    val scored = candidates
+      .join(codes.withColumnRenamed(idCol, "nid"), Seq("nid"))
+      .join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("nid"), adc.as("adc_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_score").desc, col("nid").asc)
+    scored
+      .select(col("qid"), col("nid"), row_number().over(w).as("rank"),
+        col("adc_score"))
+      .filter(col("rank") <= k)
   }
 
   /** SemDeDup-style semantic deduplication: drop every embedding whose

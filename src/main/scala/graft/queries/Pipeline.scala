@@ -976,6 +976,142 @@ object Pipeline {
       |      AS rank
       |  FROM scored) t WHERE rank <= 10""".stripMargin
 
+  // q224: IVF-PQ — the billion-vector store layout on top of q218's
+  // replayable training: the coarse k-means replays VERBATIM (same
+  // recursive CTE), a second recursive CTE trains all 8 per-subspace
+  // codebooks at once (subspace axis as a column), codes are the
+  // argmin per (vector, subspace), the query LUT is one grouped dot
+  // per (query, subspace, codeword), and ADC scores are m integer
+  // lookups summed. All-integer with deterministic tie-breaks, so
+  // codebooks, assignments AND the top-k are hash-exact driver-checked.
+  def q224AnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.annIvfPq(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") < 5, k = 10, portable = true)
+
+  val q224Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+      |      AS qv
+      |  FROM embeddings),
+      |cent(iter, cluster, pos, m) AS (
+      |  SELECT 0, i.cluster, e.pos, e.qv
+      |  FROM (
+      |    SELECT vec_id, rn - 1 AS cluster FROM (
+      |      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+      |      FROM (
+      |        SELECT DISTINCT vec_id,
+      |          CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),
+      |            1, 8)) AS BIGINT) % 1000000 AS h
+      |        FROM e) t0) t1 WHERE rn <= 16) i
+      |  JOIN e ON e.vec_id = i.vec_id
+      |  UNION ALL
+      |  SELECT pts.iter, pts.cluster, pts.pos,
+      |    CAST(FLOOR(AVG(pts.qv)) AS BIGINT)
+      |  FROM (
+      |    SELECT asg.iter, asg.cluster, e2.pos, e2.qv
+      |    FROM (
+      |      SELECT iter, vec_id, cluster FROM (
+      |        SELECT iter, vec_id, cluster,
+      |          ROW_NUMBER() OVER (PARTITION BY iter, vec_id
+      |            ORDER BY score, cluster) AS rn
+      |        FROM (
+      |          SELECT c.iter + 1 AS iter, e1.vec_id, c.cluster,
+      |            SUM(c.m * c.m) - 2 * SUM(e1.qv * c.m) AS score
+      |          FROM cent c JOIN e e1 ON e1.pos = c.pos
+      |          WHERE c.iter < 3
+      |          GROUP BY 1, 2, 3) sc) rk
+      |      WHERE rn = 1) asg
+      |    JOIN e e2 ON e2.vec_id = asg.vec_id) pts
+      |  GROUP BY 1, 2, 3),
+      |fc AS (SELECT cluster, pos, m FROM cent WHERE iter = 3),
+      |fscore AS (
+      |  SELECT e.vec_id, f.cluster,
+      |    SUM(f.m * f.m) - 2 * SUM(e.qv * f.m) AS score
+      |  FROM e JOIN fc f ON e.pos = f.pos GROUP BY 1, 2),
+      |lists AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster)
+      |        AS rn
+      |    FROM fscore) t WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS qid, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster)
+      |        AS rn
+      |    FROM fscore WHERE vec_id < 5) t WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT p.qid, l.vec_id AS nid
+      |  FROM probes p JOIN lists l ON p.cluster = l.cluster
+      |  WHERE l.vec_id <> p.qid),
+      |es AS MATERIALIZED (
+      |  SELECT vec_id, CAST((pos - 1) // 8 AS INT) AS mi,
+      |    ((pos - 1) % 8) + 1 AS spos, qv
+      |  FROM e),
+      |pinit AS (
+      |  SELECT vec_id, rn - 1 AS cluster FROM (
+      |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+      |    FROM (
+      |      SELECT DISTINCT vec_id,
+      |        CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),
+      |          1, 8)) AS BIGINT) % 1000000 AS h
+      |      FROM e) u0) u1 WHERE rn <= 8),
+      |pcent(iter, mi, cluster, spos, v) AS (
+      |  SELECT 0, es.mi, i.cluster, es.spos, es.qv
+      |  FROM pinit i JOIN es ON es.vec_id = i.vec_id
+      |  UNION ALL
+      |  SELECT pts.iter, pts.mi, pts.cluster, pts.spos,
+      |    CAST(FLOOR(AVG(pts.qv)) AS BIGINT)
+      |  FROM (
+      |    SELECT asg.iter, asg.mi, asg.cluster, e2.spos, e2.qv
+      |    FROM (
+      |      SELECT iter, vec_id, mi, cluster FROM (
+      |        SELECT iter, vec_id, mi, cluster,
+      |          ROW_NUMBER() OVER (PARTITION BY iter, vec_id, mi
+      |            ORDER BY score, cluster) AS rn
+      |        FROM (
+      |          SELECT c.iter + 1 AS iter, e1.vec_id, c.mi, c.cluster,
+      |            SUM(c.v * c.v) - 2 * SUM(e1.qv * c.v) AS score
+      |          FROM pcent c JOIN es e1
+      |            ON e1.mi = c.mi AND e1.spos = c.spos
+      |          WHERE c.iter < 2
+      |          GROUP BY 1, 2, 3, 4) sc) rk
+      |      WHERE rn = 1) asg
+      |    JOIN es e2 ON e2.vec_id = asg.vec_id AND e2.mi = asg.mi) pts
+      |  GROUP BY 1, 2, 3, 4),
+      |fpc AS MATERIALIZED (
+      |  SELECT mi, cluster, spos, v FROM pcent WHERE iter = 2),
+      |pscore AS (
+      |  SELECT es.vec_id, f.mi, f.cluster,
+      |    SUM(f.v * f.v) - 2 * SUM(es.qv * f.v) AS score
+      |  FROM es JOIN fpc f ON es.mi = f.mi AND es.spos = f.spos
+      |  GROUP BY 1, 2, 3),
+      |pcodes AS (
+      |  SELECT vec_id, mi, cluster AS code FROM (
+      |    SELECT vec_id, mi, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+      |        ORDER BY score, cluster) AS rn
+      |    FROM pscore) t WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.vec_id AS qid, f.mi, f.cluster, SUM(q.qv * f.v) AS dot
+      |  FROM es q JOIN fpc f ON q.mi = f.mi AND q.spos = f.spos
+      |  WHERE q.vec_id < 5
+      |  GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT c.qid, c.nid, CAST(SUM(l.dot) AS BIGINT) AS adc_score
+      |  FROM cand c
+      |  JOIN pcodes pc ON pc.vec_id = c.nid
+      |  JOIN lut l ON l.qid = c.qid AND l.mi = pc.mi
+      |    AND l.cluster = pc.code
+      |  GROUP BY 1, 2)
+      |SELECT qid, nid, rank, adc_score FROM (
+      |  SELECT qid, nid, adc_score,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY adc_score DESC, nid ASC) AS rank
+      |  FROM adc) t WHERE rank <= 10""".stripMargin
+
   // q31: ANN via IVF (k-means inverted lists + probe + exact re-rank)
   def q31AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(
@@ -1078,6 +1214,7 @@ object Pipeline {
     "q214_cluster_sizes" -> (q214ClusterSizes _),
     "q217_fingerprints_portable" -> (q217FingerprintsPortable _),
     "q218_ann_ivf_portable" -> (q218AnnIvfPortable _),
+    "q224_ann_ivfpq_portable" -> (q224AnnIvfPq _),
     "q219_minhash_incremental" -> (q219MinhashIncremental _),
     "q28_ann_lsh" -> (q28AnnLsh _),
     "q31_ann_ivf" -> (q31AnnIvf _),
@@ -1709,6 +1846,7 @@ object Pipeline {
     "q214_cluster_sizes" -> q214Sql,
     "q217_fingerprints_portable" -> q217Sql,
     "q218_ann_ivf_portable" -> q218Sql,
+    "q224_ann_ivfpq_portable" -> q224Sql,
     "q219_minhash_incremental" -> q219Sql,
     "q46_dup_clusters" -> q46Sql,
     "q47_regex_tokens" -> q47Sql,

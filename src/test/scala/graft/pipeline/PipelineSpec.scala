@@ -974,6 +974,31 @@ class PipelineSpec extends SparkSpec {
     assert(ivf == again, "portable IVF must survive repartitioning")
   }
 
+  test("annIvfPq: ADC recall floor vs brute force, repartition-proof") {
+    def topSet(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = col("vec_id") < 5
+    val exact = topSet(
+      Similarity.bruteForceKnn(embs, "vec_id", "embedding", pred, k = 10))
+    // 50-vector fixture of near-orthogonal RANDOM vectors — PQ's hard
+    // case (no cluster structure for codebooks to exploit; measured
+    // recall 0.18 at 8x8 up to 0.64 at 32x16). Probe ALL lists so the
+    // floor isolates ADC quantization error from list truncation;
+    // 8 subspaces x 16 codewords measures 0.36 — pin 0.25 with margin
+    val pq = topSet(Similarity.annIvfPq(embs, "vec_id", "embedding", pred,
+      k = 10, nlist = 8, nprobe = 8, ksub = 16, portable = true))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.25, s"IVF-PQ recall $recall")
+    assert(pq.forall { case (q, n) => q != n })
+    // codes + training are a pure function of the multiset: identical
+    // output under any partitioning (the q224 oracle contract)
+    val again = topSet(Similarity.annIvfPq(embs.repartition(7),
+      "vec_id", "embedding", pred, k = 10, nlist = 8, nprobe = 8,
+      ksub = 16, portable = true))
+    assert(pq == again, "portable IVF-PQ must survive repartitioning")
+  }
+
   test("embeddingDupPairsBlocked matches the broadcast path exactly") {
     // the past-broadcast-size escape hatch must be a pure memory-shape
     // change: same pairs, same cosines, for any block count (including
