@@ -83,4 +83,55 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj.nonEmpty,
       "expected the B-row lambda frame to broadcast onto the tokens")
   }
+
+  test("AQE splits the 90%-hot plain join (the q84 regime) at runtime") {
+    // docs/SCALING.md's skew story has two legs: deterministic salting
+    // (Joins.salted, JoinsSpec) and AQE's runtime skew split for the
+    // plain join. The second leg was only a conf claim until now — pin
+    // it: a 90%-hot sort-merge join under AQE must come back with the
+    // OptimizeSkewedJoin marker (SortMergeJoinExec.isSkewJoin), so a
+    // future conf regression fails HERE, not as a q84 bench delta.
+    // Thresholds are scaled to test-size partitions; the *decision
+    // logic* (skewed-partition factor vs median) is the production one.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // q84's shape at a size where the skewed partition clears the
+      // (scaled) threshold: ~90% of 200k rows on one key, dim of 50.
+      val hot = spark.range(0, 200000).select(
+        col("id").as("event_id"),
+        when(col("id") % 10 < 9, 0L).otherwise(col("id") % 50).as("hk"),
+        (col("id") * 3).as("value"))
+      val dim = spark.range(0, 50)
+        .select(col("id").as("hk"), (col("id") * 7).as("dim_tag"))
+      val joined = hot.join(dim, Seq("hk"))
+        .select(col("event_id"), col("hk"), col("value"), col("dim_tag"))
+      // collect(), not count(): count() plans a NEW QueryExecution and
+      // the skew marker must be read off the one that actually ran
+      assert(joined.collect().length == 200000)
+      val finalPlan = (joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }).toString
+      // string match: the SMJ sits inside query-stage wrappers that
+      // TreeNode.collect does not descend into
+      assert(finalPlan.contains("SortMergeJoin"),
+        s"expected a sort-merge join, got:\n$finalPlan")
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot join as skew-handled:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
