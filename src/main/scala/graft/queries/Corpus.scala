@@ -1595,6 +1595,127 @@ object Corpus {
     s"$head,\n$stepSql\n$rows"
   }
 
+  // q225/q226: TRAINED QUALITY CLASSIFIER — the GPT-3/CCNet curation
+  // move: distill a labeling rule (here the stopword-density gate:
+  // fraction of {the, a} ≥ 6.4%) into a linear model over md5-hashed
+  // bag-of-words features by fixed-point full-batch gradient descent,
+  // then score the corpus with the learned weights. All-integer
+  // arithmetic with a RATIONAL fast sigmoid (pipeline/Classifier
+  // scaladoc), so the oracle replays the entire training — features,
+  // centering, margins, sigmoids, gradients, the 8-step weight
+  // trajectory — as a chained CTE, and q226's per-document scores ride
+  // the same replay. q225 outputs the trajectory (a divergence
+  // pinpoints its first step); q226 the final scores + predictions.
+  // Learnability is pinned in PipelineSpec (accuracy beats the
+  // majority class by a wide floor; centered-vs-uncentered measured).
+  private def q225Label: Column = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val stopCnt = size(filter(toks, t => t.isin("the", "a")))
+    lit(10000L) * stopCnt >= lit(640L) * size(toks)
+  }
+
+  def q225QualityClassifierTrain(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Classifier.trainLogistic(
+      t(s, dir, "documents"), "doc_id", "text", q225Label)
+
+  def q226QualityClassifierScore(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Classifier.scoreLogistic(
+      t(s, dir, "documents"), "doc_id", "text", q225Label)
+
+  /** Shared CTE chain replaying Classifier.trainLogistic at the entry
+    * defaults (B=128, 8 steps, lr=2, salt "qlr"). Integer-division
+    * notes: `%` keeps the dividend's sign in both engines, so
+    * (a − a % d) is exactly divisible and `//` of it is exact for
+    * either sign; bare `//` appears only on non-negative operands
+    * (where floor = trunc); the update's trunc-toward-zero is written
+    * sign-split to match Scala's `/`. MATERIALIZED on every CTE the
+    * step chain re-reads (the q220 lesson: DuckDB otherwise re-opens
+    * the parquet once per reference).
+    */
+  private def classifierReplayCtes: String = {
+    val steps = 8
+    val head =
+      """WITH tt AS MATERIALIZED (
+        |  SELECT doc_id, tok,
+        |    CAST(concat('0x', substring(md5('qlr:' || tok), 1, 8)) AS BIGINT)
+        |      % 1000000 % 128 AS b
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) t0
+        |  WHERE tok <> ''),
+        |doc AS MATERIALIZED (
+        |  SELECT doc_id, COUNT(*) AS n,
+        |    CASE WHEN 10000 * SUM(CASE WHEN tok IN ('the', 'a')
+        |                          THEN 1 ELSE 0 END) >= 640 * COUNT(*)
+        |      THEN 1 ELSE 0 END AS y
+        |  FROM tt GROUP BY 1),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS nd FROM doc),
+        |f0 AS MATERIALIZED (
+        |  SELECT tt.doc_id, tt.b, (1280000 * COUNT(*)) // d.n AS x
+        |  FROM tt JOIN doc d ON tt.doc_id = d.doc_id
+        |  GROUP BY tt.doc_id, tt.b, d.n),
+        |mus AS (SELECT b, SUM(x) AS sx FROM f0 GROUP BY 1),
+        |mu AS MATERIALIZED (
+        |  SELECT CAST(r.range AS BIGINT) AS b,
+        |    CAST(COALESCE(m.sx, 0) // nn.nd AS BIGINT) AS mu
+        |  FROM range(128) r CROSS JOIN nn LEFT JOIN mus m ON m.b = r.range),
+        |dense AS MATERIALIZED (
+        |  SELECT d.doc_id, m.b, CAST(COALESCE(f.x, 0) - m.mu AS BIGINT) AS x
+        |  FROM doc d CROSS JOIN mu m
+        |  LEFT JOIN f0 f ON f.doc_id = d.doc_id AND f.b = m.b
+        |  UNION ALL
+        |  SELECT doc_id, CAST(128 AS BIGINT) AS b, CAST(10000 AS BIGINT) AS x
+        |  FROM doc),
+        |w0 AS MATERIALIZED (
+        |  SELECT CAST(range AS BIGINT) AS b, CAST(0 AS HUGEINT) AS w
+        |  FROM range(129))""".stripMargin
+    val stepSql = (1 to steps).map { i =>
+      s"""mg$i AS (
+         |  SELECT dn.doc_id, SUM(dn.x * w.w) AS mg
+         |  FROM dense dn JOIN w${i - 1} w ON dn.b = w.b GROUP BY 1),
+         |pp$i AS (
+         |  SELECT doc_id, m6, 1000000 + abs(m6) AS p FROM (
+         |    SELECT doc_id, (mg - mg % 10000) // 10000 AS m6 FROM mg$i) t$i),
+         |ee$i AS MATERIALIZED (
+         |  SELECT p.doc_id,
+         |    (1000000 * (p.p + p.m6)) // (2 * p.p) - 1000000 * d.y AS e
+         |  FROM pp$i p JOIN doc d USING (doc_id)),
+         |gg$i AS (
+         |  SELECT dn.b, SUM(e.e * dn.x) AS g
+         |  FROM dense dn JOIN ee$i e USING (doc_id) GROUP BY 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.b,
+         |    w.w - (CASE WHEN 2 * g.g >= 0
+         |           THEN (2 * g.g) // (10000 * nn.nd)
+         |           ELSE -((-(2 * g.g)) // (10000 * nn.nd)) END) AS w
+         |  FROM w${i - 1} w JOIN gg$i g ON g.b = w.b CROSS JOIN nn)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"$head,\n$stepSql"
+  }
+
+  val q225Sql: String = {
+    val rows = (1 to 8).map { i =>
+      s"""SELECT $i AS step, CAST(b AS INTEGER) AS bucket,
+         |  CAST(w AS BIGINT) AS weight FROM w$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$classifierReplayCtes\n$rows"
+  }
+
+  val q226Sql: String =
+    s"""$classifierReplayCtes,
+       |mgf AS (
+       |  SELECT dn.doc_id, SUM(dn.x * w.w) AS mg
+       |  FROM dense dn JOIN w8 w ON dn.b = w.b GROUP BY 1),
+       |ppf AS (
+       |  SELECT doc_id, m6, 1000000 + abs(m6) AS p FROM (
+       |    SELECT doc_id, (mg - mg % 10000) // 10000 AS m6 FROM mgf) tf),
+       |sc AS (
+       |  SELECT doc_id, (1000000 * (p + m6)) // (2 * p) AS s6 FROM ppf)
+       |SELECT d.doc_id, CAST(d.y AS BIGINT) AS y,
+       |  CAST(d.n AS BIGINT) AS n_tokens, CAST(sc.s6 AS BIGINT) AS score6,
+       |  CAST(CASE WHEN sc.s6 >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       |FROM doc d JOIN sc USING (doc_id)""".stripMargin
+
   // q190: dominant principal component of the embedding fixture — the
   // ABTT whitening direction, via EXACT-INTEGER power iteration
   // (quantized grid → integer scatter matrix → integer-rescaled
@@ -2589,6 +2710,8 @@ object Corpus {
     "q220_bpe_train" -> (q220BpeTrain _),
     "q221_count_min_portable" -> (q221CountMinPortable _),
     "q222_heavy_hitters_portable" -> (q222HeavyHittersPortable _),
+    "q225_quality_classifier_train" -> (q225QualityClassifierTrain _),
+    "q226_quality_classifier_score" -> (q226QualityClassifierScore _),
     "q190_principal_component" -> (q190PrincipalComponent _),
     "q191_abtt_whiten" -> (q191AbttWhiten _),
     "q192_dsir_select" -> (q192DsirSelect _),
@@ -2653,6 +2776,8 @@ object Corpus {
     "q220_bpe_train" -> q220Sql,
     "q221_count_min_portable" -> q221Sql,
     "q222_heavy_hitters_portable" -> q222Sql,
+    "q225_quality_classifier_train" -> q225Sql,
+    "q226_quality_classifier_score" -> q226Sql,
     "q190_principal_component" -> q190Sql,
     "q191_abtt_whiten" -> q191Sql,
     "q192_dsir_select" -> q192Sql,

@@ -1803,6 +1803,52 @@ class PipelineSpec extends SparkSpec {
     assert(TextDedup.sharedShinglePairs(sh, "doc_id", 1, 0).count() == 0)
   }
 
+  test("trainLogistic learns the stopword gate well past the majority class") {
+    // the q225/q226 configuration: distill the stopword-density label
+    // into hashed-BoW logistic weights. Floors measured with margin:
+    // fixture accuracy 0.814 vs majority 0.51 (uncentered features
+    // plateau AT the majority — the centering is what buys the gap)
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val label = lit(10000L) * size(filter(toks, t => t.isin("the", "a"))) >=
+      lit(640L) * size(toks)
+    val scored = Classifier.scoreLogistic(docs, "doc_id", "text", label)
+      .select(col("y"), col("pred")).collect()
+    val n = scored.length.toDouble
+    val acc = scored.count(r => r.getLong(0) == r.getLong(1)) / n
+    val majority = math.max(
+      scored.count(_.getLong(0) == 1L), scored.count(_.getLong(0) == 0L)) / n
+    assert(majority < 0.65, s"label degenerated: majority=$majority")
+    assert(acc >= majority + 0.15,
+      s"no real learning: acc=$acc majority=$majority")
+    assert(acc >= 0.75, s"accuracy regressed: $acc")
+  }
+
+  test("trainLogistic trajectory is partitioning-invariant") {
+    // every step is exact integer arithmetic over order-free sums, so
+    // the learned trajectory cannot depend on how the corpus is split
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val label = lit(10000L) * size(filter(toks, t => t.isin("the", "a"))) >=
+      lit(640L) * size(toks)
+    val t1 = Classifier.trainLogistic(
+      docs, "doc_id", "text", label, nBuckets = 16, steps = 3)
+    val t7 = Classifier.trainLogistic(
+      docs.repartition(7), "doc_id", "text", label, nBuckets = 16, steps = 3)
+    assert(rows(t1) == rows(t7))
+    assert(t1.count() == 3L * 17L) // steps × (buckets + bias)
+  }
+
+  test("scoreLogistic: sigmoid stays in [0, S_W] and pred matches its half") {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val label = lit(10000L) * size(filter(toks, t => t.isin("the", "a"))) >=
+      lit(640L) * size(toks)
+    val bad = Classifier.scoreLogistic(
+        docs, "doc_id", "text", label, nBuckets = 16, steps = 2)
+      .filter(col("score6") < 0 || col("score6") > 1000000L ||
+        (col("pred") === 1L) =!= (col("score6") >= 500000L))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("clusterRepresentatives: best score per cluster wins, singletons kept") {
     val docsDf = Seq(
       (1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L)).toDF("doc_id", "score")
