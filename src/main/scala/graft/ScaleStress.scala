@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.nio.file.{Files, Paths}
+
+/** Scale-stress sidecar (VERDICT r10 #6): re-runs the flagship dedup /
+  * ANN / streaming / pipeline entries at FACTOR× the bench fixture and
+  * records wall-clock plus per-task shuffle extremes, converting the
+  * plan-shape scale arguments ("the plan would hold") into a measured
+  * scaling exponent ("the plan held at 10×").
+  *
+  * Methodology:
+  *   - the FACTOR× corpus is synthesized deterministically from the
+  *     sf0.1 fixture (never by touching /root/testdata): each replica r
+  *     offsets every id key far past the original range and perturbs
+  *     content (a ` ~r` text suffix; +r/1000 on embedding dim 0) so
+  *     duplicate/neighbor structure REPLICATES instead of collapsing —
+  *     dup ratio, cluster sizes and kNN degree stay constant while N
+  *     scales, which is the regime a 10× crawl actually presents.
+  *     Users scale with replicas (user_id offset), so per-key state
+  *     and session shapes are invariant — more keys, not hotter keys.
+  *   - one untimed warmup per entry at the base SF (JVM/codegen warmup
+  *     is shared across SFs; warming at the scale SF would double the
+  *     expensive runs), then ONE timed run per (entry, sf) — this
+  *     artifact measures scaling RATIOS, not absolute medians, and the
+  *     1-min load averages are recorded so an inflated run is
+  *     self-identifying (Bench.scala's convention).
+  *   - results materialise with the noop-format write (every projected
+  *     column evaluates; count() would let Catalyst prune work).
+  *   - a TaskEnd listener records the max per-task shuffle read/write
+  *     bytes of each scale run — the "does any partition outgrow its
+  *     executor" number that wall-clock alone hides.
+  *
+  * Expected regimes (graded against docs/SCALING.md):
+  *   - q15/q27/q202/q38: ~linear (hash-keyed exchanges, replicated key
+  *     universes);
+  *   - q163 AT FIXTURE PARAMETERS: superlinear BY THE DENSITY LAW —
+  *     its LSH config (tables=24, bits=3) is fixture-tuned, so bucket
+  *     occupancy grows ∝ N and candidate pairs ∝ N²/2^bits (measured
+  *     ~17× at F=10). This is the documented behavior, not a plan
+  *     defect: SCALING.md's rule is that bits scale with log N so
+  *     occupancy stays constant. The sidecar therefore ALSO measures
+  *     `q163_bits_scaled` — the same operator at the scale SF with
+  *     bits=6 (64 buckets: occupancy 20000/64 ≈ the base's 2000/8) —
+  *     whose ratio vs the base q163 shows the occupancy-constant
+  *     config scaling near-linearly. (Recall at a new size must be
+  *     re-validated when bits move; this sidecar measures cost.)
+  *   - q129: the DECLARED exact-quadratic baseline — expected ~F² in
+  *     its pair stage; it is in the list precisely to show the exact
+  *     form's growth against the ANN twin's scale path.
+  */
+object ScaleStress {
+
+  private val entries = Seq(
+    "q1_agg", "q15_dedup_exact", "q27_minhash_lsh", "q38_streaming_sessions",
+    "q129_semantic_dedup", "q163_semantic_dedup_ann", "q202_pipeline_e2e")
+
+  /** Big tables replicated FACTOR×; dims copied through unchanged. */
+  private val replicated = Seq(
+    "lineitem", "orders", "events", "documents", "embeddings")
+  private val copied = Seq(
+    "region", "nation", "customer", "supplier", "part")
+
+  private final class MaxTaskListener extends SparkListener {
+    @volatile var maxShuffleRead = 0L
+    @volatile var maxShuffleWrite = 0L
+    def reset(): Unit = { maxShuffleRead = 0L; maxShuffleWrite = 0L }
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) synchronized {
+        maxShuffleRead = math.max(maxShuffleRead,
+          m.shuffleReadMetrics.totalBytesRead)
+        maxShuffleWrite = math.max(maxShuffleWrite,
+          m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  /** Deterministic FACTOR× blow-up of one fixture table. Offsets are
+    * 10^9-scale so replica key ranges can never collide with the
+    * original's; replica 0 is the original bit-for-bit.
+    */
+  private def replicate(
+      df: DataFrame, name: String, factor: Int): DataFrame = {
+    val off = 1000000000L
+    val dEmb: Int =
+      if (name == "embeddings")
+        df.select(size(col("embedding"))).head().getInt(0)
+      else 0
+    (0 until factor).map { r =>
+      val tag = lit(r.toLong * off)
+      name match {
+        case "lineitem" => df.withColumn("l_orderkey", col("l_orderkey") + tag)
+        case "orders" => df.withColumn("o_orderkey", col("o_orderkey") + tag)
+        case "events" =>
+          df.withColumn("event_id", col("event_id") + tag)
+            .withColumn("user_id", col("user_id") + lit(r.toLong * 1000000L))
+        case "documents" =>
+          df.withColumn("doc_id", col("doc_id") + tag)
+            .withColumn("text",
+              if (r == 0) col("text")
+              else concat(col("text"), lit(s" ~$r")))
+            .withColumn("n_chars",
+              col("n_chars") + lit(if (r == 0) 0L else s" ~$r".length.toLong))
+        case "embeddings" =>
+          // replica r = cyclic shift of the vector by r positions: an
+          // ISOMETRY for same-shift dot products, so each replica's
+          // internal neighbor structure replicates exactly, while
+          // cross-replica cosines decorrelate. A small additive
+          // perturbation instead (first attempt) made every replica a
+          // near-duplicate of its original — dup clusters grew ×F and
+          // LSH pair work ×F², and the measured "superlinearity" was
+          // the planted duplicate mass, not the operator (q163 read
+          // 18.5× at F=10 under that synthesis, 100×-pair regime).
+          df.withColumn("vec_id", col("vec_id") + tag)
+            .withColumn("embedding",
+              if (r == 0) col("embedding")
+              else {
+                // k ∈ [1, d−1] even past d replicas (k = 0 would make
+                // the replica an exact copy again)
+                val k = (r % (dEmb - 1)) + 1
+                concat(slice(col("embedding"), k + 1, dEmb - k),
+                  slice(col("embedding"), 1, k))
+              })
+        case other => sys.error(s"no replication rule for $other")
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  private def synthesize(
+      spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val marker = Paths.get(out, s"_GRAFT_SCALE_F$factor")
+    if (Files.exists(marker)) return
+    replicated.foreach { n =>
+      replicate(spark.read.parquet(s"$base/$n.parquet"), n, factor)
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    copied.foreach { n =>
+      spark.read.parquet(s"$base/$n.parquet")
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    Files.createDirectories(Paths.get(out))
+    Files.writeString(marker, s"factor=$factor base=$base\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("GRAFT_SCALE_FACTOR", "10").toInt
+    val scaleDir = sys.env.getOrElse("GRAFT_SCALE_DIR", "target/scale/sf1")
+    val outPath = sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE_LOCAL.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+
+    synthesize(spark, base, scaleDir, factor)
+
+    val names =
+      if (args.isEmpty) entries
+      else { require(args.forall(entries.contains), s"unknown: ${args.toSeq}")
+             entries.filter(args.toSet) }
+
+    def timed(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+    val mb = 1024.0 * 1024.0
+    val baseTimes = scala.collection.mutable.Map[String, Double]()
+    def row(name: String, baseSec: Double, scaleSec: Double): String = {
+      System.err.println(f"[scale] $name base=$baseSec%.1fs " +
+        f"x$factor=$scaleSec%.1fs ratio=${scaleSec / baseSec}%.2f")
+      f""""$name":{"base_sec":$baseSec%.2f,"scale_sec":$scaleSec%.2f,""" +
+        f""""ratio":${scaleSec / baseSec}%.2f,""" +
+        f""""max_task_shuffle_read_mb":${listener.maxShuffleRead / mb}%.1f,""" +
+        f""""max_task_shuffle_write_mb":${listener.maxShuffleWrite / mb}%.1f}"""
+    }
+    val rows = names.map { name =>
+      timed(name, base) // untimed warmup (codegen/JVM, shared across SFs)
+      val baseSec = timed(name, base)
+      baseTimes(name) = baseSec
+      listener.reset()
+      val scaleSec = timed(name, scaleDir)
+      row(name, baseSec, scaleSec)
+    }
+    // occupancy-constant q163: bits raised with log F so per-bucket
+    // density at the scale SF matches the base config's. Its "ratio"
+    // is scale-vs-BASE-q163 — the apples-to-apples scale-path number.
+    val extraRows =
+      if (names.contains("q163_semantic_dedup_ann")) {
+        listener.reset()
+        val t0 = System.nanoTime()
+        graft.pipeline.Similarity.semanticDedupAnn(
+            graft.queries.Tables(spark, scaleDir, "embeddings"),
+            "vec_id", "embedding", threshold = 0.4, tables = 24, bits = 6)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Seq(row("q163_bits_scaled",
+          baseTimes("q163_semantic_dedup_ann"), sec))
+      } else Seq.empty
+    val loadEnd = osBean.getSystemLoadAverage
+    val json =
+      s"""{"factor":$factor,"base":"$base","scale_dir":"$scaleDir",""" +
+        s""""cpus":$cpus,""" +
+        f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,""" +
+        s""""entries":{${(rows ++ extraRows).mkString(",")}}}"""
+    println(json)
+    Files.writeString(Paths.get(outPath), json + "\n")
+    spark.stop()
+  }
+}
