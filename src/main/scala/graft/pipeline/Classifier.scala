@@ -207,6 +207,59 @@ object Classifier {
   private def sigmaOf(xvec: Column, w: Array[Long]): Column =
     sigma6(marginOf(xvec, w.toIndexedSeq))
 
+  /** A fitted model: final weights + the feature means they were
+    * trained against (scoring must center with the SAME means).
+    */
+  final case class LogisticModel(
+      weights: Array[Long], means: Array[Long], nBuckets: Int, salt: String)
+
+  /** Fit and return the model (the publishable artifact a batch
+    * training job hands to the ingest-time scorer).
+    */
+  def fitLogistic(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      nBuckets: Int = 128, steps: Int = 8, lrNum: Long = 2L,
+      salt: String = "qlr"): LogisticModel = {
+    val (_, w, mu) = trainInternal(
+      df, idCol, textCol, labelCol, nBuckets, steps, lrNum, salt)
+    LogisticModel(w, mu, nBuckets, salt)
+  }
+
+  /** Score documents with a fitted model using PURE IN-ROW work — no
+    * exchange at all: the token→bucket hash, per-bucket counts,
+    * centering, margin and sigmoid are all higher-order-function
+    * expressions over the text column, and the model rides in as
+    * literals. Produces bit-identical rows to [[scoreLogistic]] (same
+    * integer arithmetic, counts from the same tokenization), which is
+    * what lets a STREAMING ingest score statelessly per micro-batch
+    * row and still hash-match the batch oracle. Cost note: the
+    * per-token md5 is computed once per token; the bucket-count build
+    * is O(B·n_tokens) integer compares per document.
+    */
+  def scoreRowwise(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      model: LogisticModel): DataFrame = {
+    val b = model.nBuckets
+    require(model.weights.length == b + 1 && model.means.length == b + 1,
+      s"model arrays must be length nBuckets+1=${b + 1}")
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val buckets = transform(toks, t =>
+      Sampling.portableHash(t, model.salt) % b)
+    val n = size(toks).cast("long")
+    val xRaw = concat(
+      transform(sequence(lit(0), lit(b - 1)), p =>
+        floor(lit(SF * b) *
+          size(filter(buckets, h => h === p.cast("long"))).cast("long")
+          / n).cast("long")),
+      array(lit(SF)))
+    val xvec = zip_with(xRaw, typedlit(model.means.toSeq), (x, m) => x - m)
+    df.filter(size(filter(split(col(textCol), " "), t => t =!= "")) > 0)
+      .select(col(idCol), labelCol.cast("long").as("y"),
+        n.as("n_tokens"),
+        sigma6(marginOf(xvec, model.weights.toIndexedSeq)).as("score6"))
+      .withColumn("pred", (col("score6") >= lit(SW / 2)).cast("long"))
+  }
+
   /** Train, then score every document with the FINAL weights: (`idCol`,
     * y, n_tokens, score6, pred) where score6 ∈ [0, S_W] is the
     * fixed-point sigmoid and pred = 1 iff score6 ≥ S_W/2. Scoring is

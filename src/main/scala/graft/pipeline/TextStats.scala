@@ -379,6 +379,82 @@ object TextStats {
         (sum(log(p)) / count(lit(1))).as("avg_logprob"))
   }
 
+  /** Kneser-Ney-smoothed bigram log-probability of `df`'s documents
+    * under a model corpus — the stronger LM judge beside the add-k
+    * backoff of [[bigramLogProbAgainst]] (absolute discounting with
+    * CONTINUATION probabilities is what actually ranks fluency well;
+    * it is the smoothing KenLM popularized for corpus filtering):
+    *
+    *   P(w|v) = (max(c(vw) − d, 0) + d·N1+(v·)·Pcont(w)) / c(v)
+    *   Pcont(w) = (N1+(·w) + 1) / (T + V)
+    *
+    * with discount d = 0.75, T = distinct bigram types, V = distinct
+    * unigrams; the +1 / +V pair folds one OOV type into the
+    * continuation distribution so an unseen word scores 1/(T+V)
+    * instead of −∞. A bigram whose CONTEXT v is unseen backs off to
+    * Pcont(w) directly (no context statistics exist to discount).
+    * Bigrams are within-document (the q203 windows — no cross-doc
+    * seams).
+    *
+    * Determinism: every count is exact; the probability expression is
+    * written in ONE fixed operator order mirrored by the oracle, and
+    * only the per-document average log-prob is float — d6-rounded, the
+    * q203 contract. Scale shape (q203's): model frames are vocab- /
+    * vocab²-bounded and meet the eval bigrams in (v,w)/(v)/(w)
+    * equi-joins; T,V ride a 1-row broadcast; the only corpus-sized
+    * exchange is the per-doc aggregate.
+    */
+  def knLogProbAgainst(
+      model: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def bigrams(d: DataFrame, keep: Seq[String]): DataFrame = {
+      val toks = d
+        .select(keep.map(col) :+
+          posexplode(split(col(textCol), " ")).as(Seq("_g_pos", "tok")): _*)
+        .filter(col("tok") =!= "")
+      val w = Window.partitionBy(keep.map(col): _*).orderBy(col("_g_pos"))
+      toks
+        .withColumn("_g_next", lead(col("tok"), 1).over(w))
+        .filter(col("_g_next").isNotNull)
+        .select(keep.map(col) :+ col("tok") :+ col("_g_next"): _*)
+    }
+    val mb = bigrams(model.select(
+      monotonically_increasing_id().as("_g_mid"), col(textCol)), Seq("_g_mid"))
+    val c12 = mb.groupBy(col("tok"), col("_g_next"))
+      .agg(count(lit(1)).as("_g_c12"))
+    // context stats from the bigram-type table: c(v), N1+(v·)
+    val ctx = c12.groupBy(col("tok"))
+      .agg(sum(col("_g_c12")).as("_g_c1"),
+        count(lit(1)).as("_g_n1post"))
+    val pre = c12.groupBy(col("_g_next"))
+      .agg(count(lit(1)).as("_g_n1pre"))
+    val tv = c12.agg(count(lit(1)).cast("double").as("_g_t"))
+      .crossJoin(model
+        .select(explode(split(col(textCol), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .agg(countDistinct(col("tok")).cast("double").as("_g_v")))
+    val pcont = (coalesce(col("_g_n1pre"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("_g_t") + col("_g_v"))
+    val p = when(col("_g_c1").isNull, pcont)
+      .otherwise(
+        (greatest(coalesce(col("_g_c12"), lit(0L)).cast("double") - lit(0.75),
+          lit(0.0)) +
+          lit(0.75) * col("_g_n1post").cast("double") * pcont) /
+          col("_g_c1").cast("double"))
+    bigrams(df, Seq(idCol))
+      .join(c12, Seq("tok", "_g_next"), "left")
+      .join(ctx, Seq("tok"), "left")
+      .join(pre, Seq("_g_next"), "left")
+      .crossJoin(broadcast(tv))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(log(p)) / count(lit(1))).cast("decimal(28,6)").cast("double")
+          .as("avg_logprob_kn"))
+  }
+
   /** Regex sentence segmentation — the sentence-per-row explode feeding
     * sentence-level dedup, alignment, or length profiling. The splitter
     * consumes runs of `.!?` followed by spaces (an RE2-portable

@@ -1608,7 +1608,7 @@ object Corpus {
   // pinpoints its first step); q226 the final scores + predictions.
   // Learnability is pinned in PipelineSpec (accuracy beats the
   // majority class by a wide floor; centered-vs-uncentered measured).
-  private def q225Label: Column = {
+  private[queries] def q225Label: Column = {
     val toks = filter(split(col("text"), " "), t => t =!= "")
     val stopCnt = size(filter(toks, t => t.isin("the", "a")))
     lit(10000L) * stopCnt >= lit(640L) * size(toks)
@@ -1701,7 +1701,10 @@ object Corpus {
     s"$classifierReplayCtes\n$rows"
   }
 
-  val q226Sql: String =
+  /** The replay chain extended with final-weight scoring (shared by
+    * q226 and the q230 calibration rollup).
+    */
+  private def classifierScoreCtes: String =
     s"""$classifierReplayCtes,
        |mgf AS (
        |  SELECT dn.doc_id, SUM(dn.x * w.w) AS mg
@@ -1710,11 +1713,126 @@ object Corpus {
        |  SELECT doc_id, m6, 1000000 + abs(m6) AS p FROM (
        |    SELECT doc_id, (mg - mg % 10000) // 10000 AS m6 FROM mgf) tf),
        |sc AS (
-       |  SELECT doc_id, (1000000 * (p + m6)) // (2 * p) AS s6 FROM ppf)
+       |  SELECT doc_id, (1000000 * (p + m6)) // (2 * p) AS s6 FROM ppf)"""
+      .stripMargin
+
+  val q226Sql: String =
+    s"""$classifierScoreCtes
        |SELECT d.doc_id, CAST(d.y AS BIGINT) AS y,
        |  CAST(d.n AS BIGINT) AS n_tokens, CAST(sc.s6 AS BIGINT) AS score6,
        |  CAST(CASE WHEN sc.s6 >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred
        |FROM doc d JOIN sc USING (doc_id)""".stripMargin
+
+  // q230: CALIBRATION REPORT over the trained classifier — the
+  // reliability diagram an ML-ops pipeline publishes before trusting a
+  // score threshold: decile score bins × (count, positives, exact
+  // integer mean score, trunc fixed-point positive rate). Every cell
+  // is exact integer arithmetic over q226's scores, so the whole
+  // report rides the training replay hash-exactly.
+  def q230ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.pipeline.Classifier.scoreLogistic(
+      t(s, dir, "documents"), "doc_id", "text", q225Label)
+    scored
+      .withColumn("bin",
+        least(floor(col("score6") / lit(100000.0)).cast("long"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("score6")).as("_s"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        ((col("_s") - col("_s") % col("n")) / col("n")).cast("long")
+          .as("mean_score6"),
+        ((lit(10000L) * col("n_pos") -
+          (lit(10000L) * col("n_pos")) % col("n")) / col("n")).cast("long")
+          .as("pos_rate4"))
+  }
+
+  val q230Sql: String =
+    s"""$classifierScoreCtes,
+       |binned AS (
+       |  SELECT LEAST(sc.s6 // 100000, 9) AS bin, d.y, sc.s6
+       |  FROM doc d JOIN sc USING (doc_id))
+       |SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+       |  CAST(SUM(y) AS BIGINT) AS n_pos,
+       |  CAST(SUM(s6) // COUNT(*) AS BIGINT) AS mean_score6,
+       |  CAST((10000 * SUM(y)) // COUNT(*) AS BIGINT) AS pos_rate4
+       |FROM binned GROUP BY 1""".stripMargin
+
+  // q228: DOLMA-STYLE TAGGER + MIXER — the two-phase curation
+  // architecture: taggers annotate every doc with a typed attribute
+  // struct (token stats, stopword/repetition fractions, PII hits —
+  // never dropping anything), then a declarative ordered rule list
+  // decides keep/drop and RECORDS WHICH rule fired. PII is planted
+  // in-plan on every 7th doc (the q57 pattern) so the pii rule
+  // genuinely fires; thresholds sit at measured fixture percentiles so
+  // every rule has real positives. The oracle rebuilds taggers and the
+  // when-chain; all attribute arithmetic is trunc fixed-point.
+  def q228TagMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Attributes
+    import graft.pipeline.Attributes.MixRule
+    val planted = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" reach me at user"),
+        col("doc_id").cast("string"), lit("@example.com")))
+      .otherwise(col("text"))
+    val tagged = Attributes.tagDocs(
+      t(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+      "doc_id", "text")
+    Attributes.mix(tagged, Seq(
+      MixRule("empty", col("attrs.n_tokens") === 0L),
+      MixRule("pii", col("attrs.n_pii") > 0L),
+      MixRule("too_short", col("attrs.n_tokens") < 20L),
+      MixRule("low_stopword", col("attrs.stop_frac4") < 200L),
+      MixRule("repetitive", col("attrs.max_share4") >= 1600L)))
+      .select(col("doc_id"), col("attrs.n_tokens"), col("attrs.n_chars"),
+        col("attrs.stop_frac4"), col("attrs.max_share4"),
+        col("attrs.mean_len4"), col("attrs.n_pii"),
+        col("drop_reason"), col("is_kept"))
+  }
+
+  val q228Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+      |        || '@example.com'
+      |      ELSE text END AS text
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug) t0
+      |  WHERE tok <> '' GROUP BY 1, 2),
+      |d AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(c) AS BIGINT)
+      |      AS mx,
+      |    CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END)
+      |      AS BIGINT) AS st,
+      |    CAST(SUM(c * length(tok)) AS BIGINT) AS sl
+      |  FROM tc GROUP BY 1),
+      |attrs AS (
+      |  SELECT a.doc_id, COALESCE(d.n, 0) AS n_tokens,
+      |    CAST(length(a.text) AS BIGINT) AS n_chars,
+      |    CASE WHEN COALESCE(d.n, 0) > 0
+      |      THEN CAST((10000 * d.st) // d.n AS BIGINT) END AS stop_frac4,
+      |    CASE WHEN COALESCE(d.n, 0) > 0
+      |      THEN CAST((10000 * d.mx) // d.n AS BIGINT) END AS max_share4,
+      |    CASE WHEN COALESCE(d.n, 0) > 0
+      |      THEN CAST((10000 * d.sl) // d.n AS BIGINT) END AS mean_len4,
+      |    CAST(len(regexp_extract_all(a.text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |      AS n_pii
+      |  FROM aug a LEFT JOIN d USING (doc_id)),
+      |mixed AS (
+      |  SELECT *,
+      |    CASE WHEN n_tokens = 0 THEN 'empty'
+      |         WHEN n_pii > 0 THEN 'pii'
+      |         WHEN n_tokens < 20 THEN 'too_short'
+      |         WHEN stop_frac4 < 200 THEN 'low_stopword'
+      |         WHEN max_share4 >= 1600 THEN 'repetitive' END AS drop_reason
+      |  FROM attrs)
+      |SELECT doc_id, n_tokens, n_chars, stop_frac4, max_share4, mean_len4,
+      |  n_pii, drop_reason,
+      |  CAST(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_kept
+      |FROM mixed""".stripMargin
 
   // q190: dominant principal component of the embedding fixture — the
   // ABTT whitening direction, via EXACT-INTEGER power iteration
@@ -2474,6 +2592,54 @@ object Corpus {
       |CROSS JOIN v
       |GROUP BY doc_id""".stripMargin
 
+  // q229: KNESER-NEY held-out LM scoring — q203's judge upgraded to
+  // the smoothing KenLM made standard for corpus filtering: absolute
+  // discounting (d = 3/4, exact in binary) with continuation
+  // probabilities, one folded OOV type so unseen words score
+  // 1/(T+V), unseen CONTEXTS backing off to Pcont directly. Model =
+  // the 'en' slice, scored over the whole corpus. Every count is
+  // exact; the probability expression is written in one operator
+  // order mirrored by the oracle; d6 on the final per-doc average
+  // (q203's contract).
+  def q229KneserNeyLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.TextStats.knLogProbAgainst(
+      docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+  }
+
+  val q229Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    generate_subscripts(string_split(text,' '),1) AS pos,
+      |    unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, lang, pos, tok FROM tk WHERE tok <> ''),
+      |bi AS (
+      |  SELECT doc_id, lang, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT doc_id, lang, tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |c12 AS (SELECT tok, nxt, count(*) AS c12 FROM bi2
+      |        WHERE lang = 'en' GROUP BY 1, 2),
+      |ctx AS (SELECT tok, CAST(SUM(c12) AS BIGINT) AS c1,
+      |          COUNT(*) AS n1post FROM c12 GROUP BY 1),
+      |pre AS (SELECT nxt, COUNT(*) AS n1pre FROM c12 GROUP BY 1),
+      |tv AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM c12) AS t,
+      |         (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) FROM tk2
+      |          WHERE lang = 'en') AS v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(CAST(sum(ln(CASE WHEN ctx.c1 IS NULL
+      |      THEN (CAST(coalesce(pre.n1pre, 0) AS DOUBLE) + 1.0)
+      |        / (tv.t + tv.v)
+      |      ELSE (GREATEST(CAST(coalesce(c12.c12, 0) AS DOUBLE) - 0.75, 0.0)
+      |            + 0.75 * CAST(ctx.n1post AS DOUBLE) *
+      |              ((CAST(coalesce(pre.n1pre, 0) AS DOUBLE) + 1.0)
+      |               / (tv.t + tv.v)))
+      |           / CAST(ctx.c1 AS DOUBLE) END))
+      |    / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_logprob_kn
+      |FROM bi2 LEFT JOIN c12 USING (tok, nxt) LEFT JOIN ctx USING (tok)
+      |LEFT JOIN pre USING (nxt) CROSS JOIN tv
+      |GROUP BY doc_id""".stripMargin
+
   // q204: regex sentence segmentation over planted punctuation (the
   // fixture prose has none — q57's inject-identically pattern): every
   // document becomes four sentences, trailing end punctuation trimmed
@@ -2712,6 +2878,9 @@ object Corpus {
     "q222_heavy_hitters_portable" -> (q222HeavyHittersPortable _),
     "q225_quality_classifier_train" -> (q225QualityClassifierTrain _),
     "q226_quality_classifier_score" -> (q226QualityClassifierScore _),
+    "q228_tag_mix" -> (q228TagMix _),
+    "q229_kneser_ney_lm" -> (q229KneserNeyLm _),
+    "q230_score_calibration" -> (q230ScoreCalibration _),
     "q190_principal_component" -> (q190PrincipalComponent _),
     "q191_abtt_whiten" -> (q191AbttWhiten _),
     "q192_dsir_select" -> (q192DsirSelect _),
@@ -2778,6 +2947,9 @@ object Corpus {
     "q222_heavy_hitters_portable" -> q222Sql,
     "q225_quality_classifier_train" -> q225Sql,
     "q226_quality_classifier_score" -> q226Sql,
+    "q228_tag_mix" -> q228Sql,
+    "q229_kneser_ney_lm" -> q229Sql,
+    "q230_score_calibration" -> q230Sql,
     "q190_principal_component" -> q190Sql,
     "q191_abtt_whiten" -> q191Sql,
     "q192_dsir_select" -> q192Sql,

@@ -808,7 +808,53 @@ object StreamingEntries {
         (!blockedCol && col("is_kept") === 1).cast("int").as("is_kept"))
   }
 
+  /** Documents staged as FOUR id-range shard files for the stateless
+    * scoring stream — scoring has no cross-batch state, so shard
+    * order is irrelevant; sharding just exercises the multi-batch
+    * path. Memoized like the other stages.
+    */
+  private val scoreDocDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageScoreDocs(s: SparkSession, dir: String): String =
+    scoreDocDirs.computeIfAbsent(dir, { _ =>
+      val staged = tempDirCleanedAtExit(None, "graft_q227_docs_")
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val width = docs.agg(max("doc_id")).head().getLong(0) / 4 + 1
+      (0 until 4).foreach { i =>
+        docs.filter(col("doc_id") >= i * width && col("doc_id") < (i + 1) * width)
+          .coalesce(1).write.mode("append").parquet(staged.toString)
+      }
+      staged.toString
+    })
+
+  /** q227: STREAMING quality-classifier scoring — the deployment shape
+    * of q225/q226: the model is fit OFFLINE on the batch corpus
+    * (Classifier.fitLogistic — the same training the q225 oracle
+    * replays), published as literals, and the ingest stream scores
+    * STATELESSLY per row via Classifier.scoreRowwise (in-row
+    * featurization + margin + sigmoid; no streaming aggregation, no
+    * state store — a pure Append projection). Row-wise and grouped
+    * featurization produce bit-identical integers, so the drained
+    * stream hash-matches q226's oracle VERBATIM: batch scorer,
+    * streaming scorer, and DuckDB's full training replay agree three
+    * ways.
+    */
+  def q227StreamingQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageScoreDocs(s, dir)
+    val model = graft.pipeline.Classifier.fitLogistic(
+      Tables(s, dir, "documents"), "doc_id", "text", Corpus.q225Label)
+    val s2 = streamSession(s)
+    val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val stream = s2.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val scored = graft.pipeline.Classifier.scoreRowwise(
+      stream, "doc_id", "text", Corpus.q225Label, model)
+    runAvailableNow(scored, "graft_q227_score")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_streaming_quality_score" -> (q227StreamingQualityScore _),
     "q131_streaming_incremental_dedup" -> (q131StreamingIncrementalDedup _),
     "q206_streaming_domain_policy" -> (q206StreamingDomainPolicy _),
     "q215_streaming_domain_policy_tws" -> (q215StreamingDomainPolicyTws _),
@@ -827,6 +873,9 @@ object StreamingEntries {
     "q147_streaming_sliding_window" -> (q147StreamingSlidingWindow _))
 
   def oracles: Map[String, String] = Map(
+    // batch q226 scorer, the stateless streaming scorer, and DuckDB's
+    // full gradient-descent replay agree three ways
+    "q227_streaming_quality_score" -> Corpus.q226Sql,
     // batch incrementalExactDedup (q117), the streaming foreachBatch
     // merge, and DuckDB agree three ways
     "q131_streaming_incremental_dedup" -> Pipeline.q117Sql,

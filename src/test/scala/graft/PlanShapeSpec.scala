@@ -36,6 +36,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles("q204_sentences") == 0)
   }
 
+  test("q228 tagger + mixer is a zero-shuffle scan") {
+    // Dolma-style tagging and mixing are both in-row struct work —
+    // re-mixing must never cost an exchange
+    assert(shuffles("q228_tag_mix") == 0)
+  }
+
   test("q201 domain policy gate shuffles exactly once (the cap window)") {
     assert(shuffles("q201_domain_policy") == 1)
   }

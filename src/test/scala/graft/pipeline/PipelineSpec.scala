@@ -1803,6 +1803,64 @@ class PipelineSpec extends SparkSpec {
     assert(TextDedup.sharedShinglePairs(sh, "doc_id", 1, 0).count() == 0)
   }
 
+  test("knLogProbAgainst: hand-computed Kneser-Ney cases") {
+    // model "a b a c": c12 = {ab:1, ba:1, ac:1}; c(a)=2, c(b)=1;
+    // N1+(a·)=2, N1+(b·)=1; N1+(·a)=N1+(·b)=N1+(·c)=1; T=3, V=3
+    // → Pcont(seen w) = (1+1)/6 = 1/3, Pcont(unseen w) = 1/6
+    val model = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val ev = Seq(
+      (1L, "a b"), // (max(1−.75,0) + .75·2·(1/3))/2 = 0.375
+      (2L, "x q"), // unseen context x → Pcont(q) = 1/6
+      (3L, "b x")) // (0 + .75·1·(1/6))/1 = 0.125
+      .toDF("doc_id", "text")
+    val out = TextStats.knLogProbAgainst(model, ev, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(out(1L) - math.log(0.375)) < 1e-6)
+    assert(math.abs(out(2L) - math.log(1.0 / 6)) < 1e-6)
+    assert(math.abs(out(3L) - math.log(0.125)) < 1e-6)
+    // the fixture model must rank in-model text above noise on average
+    // (checked by the driver oracle at corpus level; here: all probs
+    // are genuine probabilities)
+    assert(out.values.forall(_ < 0.0))
+  }
+
+  test("Attributes: taggers annotate, mixer's FIRST matching rule wins") {
+    import Attributes.MixRule
+    val df = Seq(
+      (1L, ""), // → empty
+      (2L, "x@example.com a b"), // pii AND too_short → pii (first)
+      (3L, "b c d e"), // → too_short
+      (4L, (1 to 25).map(i => s"w$i").mkString(" ")), // → low_stopword
+      (5L, "the a " + (1 to 23).map(i => s"w$i").mkString(" ")), // kept
+      (6L, "the z z z z z " + (1 to 14).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text") // 6: 5 z of 20 = 2500 ≥ 1600 → repetitive
+    val rules = Seq(
+      MixRule("empty", col("attrs.n_tokens") === 0L),
+      MixRule("pii", col("attrs.n_pii") > 0L),
+      MixRule("too_short", col("attrs.n_tokens") < 20L),
+      MixRule("low_stopword", col("attrs.stop_frac4") < 200L),
+      MixRule("repetitive", col("attrs.max_share4") >= 1600L))
+    val out = Attributes.mix(Attributes.tagDocs(df, "doc_id", "text"), rules)
+      .select(col("doc_id"), col("drop_reason"), col("is_kept"),
+        col("attrs.n_tokens"), col("attrs.stop_frac4"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> ((Some("empty"), 0L)), 2L -> ((Some("pii"), 0L)),
+      3L -> ((Some("too_short"), 0L)), 4L -> ((Some("low_stopword"), 0L)),
+      5L -> ((None, 1L)), 6L -> ((Some("repetitive"), 0L))))
+    // exact attribute arithmetic: doc 5 has 2 stopwords of 25 tokens
+    val a5 = Attributes.tagDocs(df, "doc_id", "text")
+      .filter(col("doc_id") === 5L).select("attrs.*").head()
+    assert(a5.getAs[Long]("n_tokens") == 25L)
+    assert(a5.getAs[Long]("stop_frac4") == 10000L * 2 / 25)
+    // empty doc: null fracs, not an error
+    val a1 = Attributes.tagDocs(df, "doc_id", "text")
+      .filter(col("doc_id") === 1L).select("attrs.*").head()
+    assert(a1.getAs[Long]("n_tokens") == 0L && a1.isNullAt(
+      a1.fieldIndex("stop_frac4")))
+  }
+
   test("trainLogistic learns the stopword gate well past the majority class") {
     // the q225/q226 configuration: distill the stopword-density label
     // into hashed-BoW logistic weights. Floors measured with margin:
@@ -1835,6 +1893,21 @@ class PipelineSpec extends SparkSpec {
       docs.repartition(7), "doc_id", "text", label, nBuckets = 16, steps = 3)
     assert(rows(t1) == rows(t7))
     assert(t1.count() == 3L * 17L) // steps × (buckets + bias)
+  }
+
+  test("scoreRowwise is bit-identical to the grouped scorer") {
+    // the streaming deployment path (q227): in-row featurization +
+    // literal weights must reproduce scoreLogistic EXACTLY — same
+    // tokenization, same integer counts, same centered arithmetic
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val label = lit(10000L) * size(filter(toks, t => t.isin("the", "a"))) >=
+      lit(640L) * size(toks)
+    val model = Classifier.fitLogistic(
+      docs, "doc_id", "text", label, nBuckets = 16, steps = 3)
+    val grouped = Classifier.scoreLogistic(
+      docs, "doc_id", "text", label, nBuckets = 16, steps = 3)
+    val rowwise = Classifier.scoreRowwise(docs, "doc_id", "text", label, model)
+    assert(rows(rowwise) == rows(grouped))
   }
 
   test("scoreLogistic: sigmoid stays in [0, S_W] and pred matches its half") {
