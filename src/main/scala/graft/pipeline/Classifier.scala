@@ -219,10 +219,22 @@ object Classifier {
   def fitLogistic(
       df: DataFrame, idCol: String, textCol: String, labelCol: Column,
       nBuckets: Int = 128, steps: Int = 8, lrNum: Long = 2L,
-      salt: String = "qlr"): LogisticModel = {
-    val (_, w, mu) = trainInternal(
+      salt: String = "qlr"): LogisticModel =
+    fitLogisticTraced(
+      df, idCol, textCol, labelCol, nBuckets, steps, lrNum, salt)._2
+
+  /** Fit returning BOTH the weight trajectory rows (step, bucket,
+    * weight) and the model — the one-training form the entry-layer
+    * model registry caches so the trajectory entry, the scorers and
+    * the funnel share a single training run.
+    */
+  def fitLogisticTraced(
+      df: DataFrame, idCol: String, textCol: String, labelCol: Column,
+      nBuckets: Int = 128, steps: Int = 8, lrNum: Long = 2L,
+      salt: String = "qlr"): (Seq[(Int, Int, Long)], LogisticModel) = {
+    val (trace, w, mu) = trainInternal(
       df, idCol, textCol, labelCol, nBuckets, steps, lrNum, salt)
-    LogisticModel(w, mu, nBuckets, salt)
+    (trace, LogisticModel(w, mu, nBuckets, salt))
   }
 
   /** Score documents with a fitted model using PURE IN-ROW work — no
@@ -236,27 +248,48 @@ object Classifier {
     * per-token md5 is computed once per token; the bucket-count build
     * is O(B·n_tokens) integer compares per document.
     */
+  /** The single-pass hashed bag-of-words of `textCol` under the
+    * model's (B, salt): `[count_0 … count_{B−1}, n_tokens]`. Bind this
+    * ONCE with withColumn before feeding [[scoreFromCounts]] — the
+    * kernel is the per-row cost center and the codebase does not rely
+    * on codegen subexpression elimination.
+    */
+  def bucketCountsFor(textCol: Column, model: LogisticModel): Column = {
+    require(model.weights.length == model.nBuckets + 1 &&
+      model.means.length == model.nBuckets + 1,
+      s"model arrays must be length nBuckets+1=${model.nBuckets + 1}")
+    graft.functions.HashedBucketCounts.bucketCounts(
+      textCol, model.nBuckets, model.salt)
+  }
+
+  /** Fixed-point sigmoid score from a bound [[bucketCountsFor]]
+    * column: length-normalize (the trunc fixed-point features), center
+    * with the model means, margin against the weight literal, sigmoid.
+    * All in-row; the only remaining lambdas run over B+1-length arrays
+    * (not per token). Null when n_tokens = 0 (unscoreable by the
+    * featurization contract; the guard keeps the division total).
+    */
+  def scoreFromCounts(cn: Column, model: LogisticModel): Column = {
+    val b = model.nBuckets
+    val n = element_at(cn, b + 1)
+    val xRaw = concat(
+      transform(slice(cn, 1, b), c =>
+        floor(lit(SF * b) * c / n).cast("long")),
+      array(lit(SF)))
+    val xvec = zip_with(xRaw, typedlit(model.means.toSeq), (x, m) => x - m)
+    when(n > 0L, sigma6(marginOf(xvec, model.weights.toIndexedSeq)))
+  }
+
   def scoreRowwise(
       df: DataFrame, idCol: String, textCol: String, labelCol: Column,
       model: LogisticModel): DataFrame = {
     val b = model.nBuckets
-    require(model.weights.length == b + 1 && model.means.length == b + 1,
-      s"model arrays must be length nBuckets+1=${b + 1}")
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val buckets = transform(toks, t =>
-      Sampling.portableHash(t, model.salt) % b)
-    val n = size(toks).cast("long")
-    val xRaw = concat(
-      transform(sequence(lit(0), lit(b - 1)), p =>
-        floor(lit(SF * b) *
-          size(filter(buckets, h => h === p.cast("long"))).cast("long")
-          / n).cast("long")),
-      array(lit(SF)))
-    val xvec = zip_with(xRaw, typedlit(model.means.toSeq), (x, m) => x - m)
-    df.filter(size(filter(split(col(textCol), " "), t => t =!= "")) > 0)
+    df.withColumn("_g_cn", bucketCountsFor(col(textCol), model))
+      .withColumn("_g_nt", element_at(col("_g_cn"), b + 1))
+      .filter(col("_g_nt") > 0L)
       .select(col(idCol), labelCol.cast("long").as("y"),
-        n.as("n_tokens"),
-        sigma6(marginOf(xvec, model.weights.toIndexedSeq)).as("score6"))
+        col("_g_nt").as("n_tokens"),
+        scoreFromCounts(col("_g_cn"), model).as("score6"))
       .withColumn("pred", (col("score6") >= lit(SW / 2)).cast("long"))
   }
 

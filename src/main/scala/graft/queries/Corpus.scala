@@ -1614,13 +1614,32 @@ object Corpus {
     lit(10000L) * stopCnt >= lit(640L) * size(toks)
   }
 
-  def q225QualityClassifierTrain(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Classifier.trainLogistic(
-      t(s, dir, "documents"), "doc_id", "text", q225Label)
+  /** ONE training per fixture dir (the model-registry idiom; same
+    * memoization the streaming stages use): the trajectory entry, both
+    * scorers, the calibration report and the funnel all consume this
+    * single fit instead of re-running the 8-pass training per entry.
+    * The cached values are plain integers — session-independent.
+    */
+  private val q225FitCache = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (Seq[(Int, Int, Long)], graft.pipeline.Classifier.LogisticModel)]()
+
+  private[queries] def classifierFit(s: SparkSession, dir: String)
+      : (Seq[(Int, Int, Long)], graft.pipeline.Classifier.LogisticModel) =
+    q225FitCache.computeIfAbsent(dir, { _ =>
+      graft.pipeline.Classifier.fitLogisticTraced(
+        t(s, dir, "documents"), "doc_id", "text", q225Label)
+    })
+
+  def q225QualityClassifierTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    classifierFit(s, dir)._1.toDF("step", "bucket", "weight")
+  }
 
   def q226QualityClassifierScore(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Classifier.scoreLogistic(
-      t(s, dir, "documents"), "doc_id", "text", q225Label)
+    graft.pipeline.Classifier.scoreRowwise(
+      t(s, dir, "documents"), "doc_id", "text", q225Label,
+      classifierFit(s, dir)._2)
 
   /** Shared CTE chain replaying Classifier.trainLogistic at the entry
     * defaults (B=128, 8 steps, lr=2, salt "qlr"). Integer-division
@@ -1730,8 +1749,9 @@ object Corpus {
   // is exact integer arithmetic over q226's scores, so the whole
   // report rides the training replay hash-exactly.
   def q230ScoreCalibration(s: SparkSession, dir: String): DataFrame = {
-    val scored = graft.pipeline.Classifier.scoreLogistic(
-      t(s, dir, "documents"), "doc_id", "text", q225Label)
+    val scored = graft.pipeline.Classifier.scoreRowwise(
+      t(s, dir, "documents"), "doc_id", "text", q225Label,
+      classifierFit(s, dir)._2)
     scored
       .withColumn("bin",
         least(floor(col("score6") / lit(100000.0)).cast("long"), lit(9L)))
@@ -1833,6 +1853,97 @@ object Corpus {
       |  CAST(CASE WHEN drop_reason IS NULL THEN 1 ELSE 0 END AS BIGINT)
       |    AS is_kept
       |FROM mixed""".stripMargin
+
+  // q231: CURATION FUNNEL V2 — the new round's operators composed the
+  // way a curation job actually chains them, with a PER-STAGE AUDIT
+  // row for every document: mixer rules (q228's thresholds, no PII
+  // plant — the text must stay q225's so the classifier replay reuses
+  // verbatim) → exact dedup among mix survivors (md5 canonical, min-id
+  // keeps) → classifier gate at the q226 threshold → 80/10/10 hash
+  // split for the final keeps. ONE exchange total (the dedup window;
+  // PlanShapeSpec pins it): tagging, mixing, scoring and splitting are
+  // all in-row, and the classifier model enters as literals from the
+  // driver-side fit. The oracle = the training-replay CTEs + mixer +
+  // windowed canonical + the q50 split hash, one chain.
+  def q231CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.{Attributes, Classifier, Sampling}
+    import graft.pipeline.Attributes.MixRule
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val model = classifierFit(s, dir)._2
+    val rules = Seq(
+      MixRule("empty", col("attrs.n_tokens") === 0L),
+      MixRule("too_short", col("attrs.n_tokens") < 20L),
+      MixRule("low_stopword", col("attrs.stop_frac4") < 200L),
+      MixRule("repetitive", col("attrs.max_share4") >= 1600L))
+    val mixed = Attributes.mix(
+      Attributes.tagDocs(docs, "doc_id", "text"), rules)
+    val wk = Window.partitionBy(col("_k"))
+    val h = Sampling.portableHash(col("doc_id"))
+    val out = mixed
+      .withColumn("_k", md5(col("text").cast("binary")))
+      .withColumn("_min_kept",
+        min(when(col("is_kept") === 1L, col("doc_id"))).over(wk))
+      .withColumn("is_canonical",
+        when(col("is_kept") === 1L,
+          (col("doc_id") === col("_min_kept")).cast("long")))
+      .withColumn("_cn", Classifier.bucketCountsFor(col("text"), model))
+      .withColumn("score6", Classifier.scoreFromCounts(col("_cn"), model))
+      .withColumn("pred",
+        when(col("score6").isNotNull,
+          (col("score6") >= lit(500000L)).cast("long")))
+      .withColumn("split",
+        when(col("is_kept") === 1L && col("is_canonical") === 1L &&
+          col("pred") === 1L,
+          when(h < 800000L, "train").when(h < 900000L, "val")
+            .otherwise("test")))
+      .withColumn("final_kept", col("split").isNotNull.cast("long"))
+    out.select(col("doc_id"), col("drop_reason"), col("is_canonical"),
+      col("score6"), col("pred"), col("split"), col("final_kept"))
+  }
+
+  val q231Sql: String =
+    s"""$classifierScoreCtes,
+       |mxc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tt GROUP BY 1, 2),
+       |mxd AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(MAX(c) AS BIGINT) AS mx,
+       |    CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN c ELSE 0 END)
+       |      AS BIGINT) AS st
+       |  FROM mxc GROUP BY 1),
+       |mx AS (
+       |  SELECT d2.doc_id, d2.text,
+       |    CASE WHEN COALESCE(mxd.n, 0) = 0 THEN 'empty'
+       |         WHEN mxd.n < 20 THEN 'too_short'
+       |         WHEN (10000 * mxd.st) // mxd.n < 200 THEN 'low_stopword'
+       |         WHEN (10000 * mxd.mx) // mxd.n >= 1600 THEN 'repetitive'
+       |    END AS drop_reason
+       |  FROM documents d2 LEFT JOIN mxd USING (doc_id)),
+       |canon AS (
+       |  SELECT doc_id, drop_reason,
+       |    CASE WHEN drop_reason IS NULL THEN
+       |      CASE WHEN doc_id = MIN(CASE WHEN drop_reason IS NULL
+       |          THEN doc_id END) OVER (PARTITION BY md5(text))
+       |        THEN 1 ELSE 0 END END AS is_canonical
+       |  FROM mx),
+       |fin AS (
+       |  SELECT c.doc_id, c.drop_reason,
+       |    CAST(c.is_canonical AS BIGINT) AS is_canonical,
+       |    CAST(sc.s6 AS BIGINT) AS score6,
+       |    CASE WHEN sc.s6 IS NULL THEN NULL
+       |         WHEN sc.s6 >= 500000 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS pred,
+       |    CAST(concat('0x', substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))
+       |      AS BIGINT) % 1000000 AS h
+       |  FROM canon c LEFT JOIN sc USING (doc_id))
+       |SELECT doc_id, drop_reason, is_canonical, score6, pred,
+       |  CASE WHEN drop_reason IS NULL AND is_canonical = 1 AND pred = 1
+       |    THEN (CASE WHEN h < 800000 THEN 'train'
+       |               WHEN h < 900000 THEN 'val' ELSE 'test' END)
+       |  END AS split,
+       |  CAST(CASE WHEN drop_reason IS NULL AND is_canonical = 1
+       |      AND pred = 1 THEN 1 ELSE 0 END AS BIGINT) AS final_kept
+       |FROM fin""".stripMargin
 
   // q190: dominant principal component of the embedding fixture — the
   // ABTT whitening direction, via EXACT-INTEGER power iteration
@@ -2881,6 +2992,7 @@ object Corpus {
     "q228_tag_mix" -> (q228TagMix _),
     "q229_kneser_ney_lm" -> (q229KneserNeyLm _),
     "q230_score_calibration" -> (q230ScoreCalibration _),
+    "q231_curation_funnel" -> (q231CurationFunnel _),
     "q190_principal_component" -> (q190PrincipalComponent _),
     "q191_abtt_whiten" -> (q191AbttWhiten _),
     "q192_dsir_select" -> (q192DsirSelect _),
@@ -2950,6 +3062,7 @@ object Corpus {
     "q228_tag_mix" -> q228Sql,
     "q229_kneser_ney_lm" -> q229Sql,
     "q230_score_calibration" -> q230Sql,
+    "q231_curation_funnel" -> q231Sql,
     "q190_principal_component" -> q190Sql,
     "q191_abtt_whiten" -> q191Sql,
     "q192_dsir_select" -> q192Sql,

@@ -842,8 +842,7 @@ object StreamingEntries {
     */
   def q227StreamingQualityScore(s: SparkSession, dir: String): DataFrame = {
     val staged = stageScoreDocs(s, dir)
-    val model = graft.pipeline.Classifier.fitLogistic(
-      Tables(s, dir, "documents"), "doc_id", "text", Corpus.q225Label)
+    val model = Corpus.classifierFit(s, dir)._2
     val s2 = streamSession(s)
     val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
     val stream = s2.readStream.schema(docSchema)

@@ -42,6 +42,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles("q228_tag_mix") == 0)
   }
 
+  test("q231 curation funnel holds its one-exchange contract") {
+    // mix, classifier scoring and split are in-row; the ONLY exchange
+    // is the md5-canonical dedup window (model-fit jobs run at entry
+    // CONSTRUCTION, driver-side, and are not part of this plan)
+    assert(shuffles("q231_curation_funnel") == 1)
+  }
+
   test("q201 domain policy gate shuffles exactly once (the cap window)") {
     assert(shuffles("q201_domain_policy") == 1)
   }
