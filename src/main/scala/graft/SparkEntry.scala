@@ -13,8 +13,8 @@ object SparkEntry {
     * multimodal / sessionization) + end-to-end ETL operators.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ Pipeline.all ++ EtlShapes.all ++ StreamingEntries.all ++
-      Temporal.all ++ Analytics.all ++ Corpus.all
+    Relational.all ++ RelationalTpch.all ++ Pipeline.all ++ EtlShapes.all ++
+      StreamingEntries.all ++ Temporal.all ++ Analytics.all ++ Corpus.all
 
   /** Entries whose DataFrame CONSTRUCTION executes engine writes
     * (mergeTables / CopyTask against the local catalog). Bench skips them
@@ -32,7 +32,7 @@ object SparkEntry {
     * design (rows-only driver check; recall is asserted in ScalaTest).
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Pipeline.oracles ++ EtlShapes.oracles ++
-      StreamingEntries.oracles ++ Temporal.oracles ++ Analytics.oracles ++
-      Corpus.oracles
+    Relational.oracles ++ RelationalTpch.oracles ++ Pipeline.oracles ++
+      EtlShapes.oracles ++ StreamingEntries.oracles ++ Temporal.oracles ++
+      Analytics.oracles ++ Corpus.oracles
 }

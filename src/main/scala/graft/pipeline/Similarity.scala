@@ -753,6 +753,100 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Corpus-size-aware LSH configuration: the (tables, bits) pair that
+    * minimizes a dot-product cost model subject to a recall floor — the
+    * closed form of SCALING.md's "bits grow with log N" density law, so
+    * callers stop hand-tuning per fixture (SCALE_r11 measured the
+    * fixture-tuned config going 13.6× at 10× data; the occupancy-constant
+    * config 6.7×).
+    *
+    * Model (unit = one plane/vector dot):
+    *   - recall constraint: sign-LSH plane agreement for a pair at the
+    *     cosine threshold is p = 1 − acos(t)/π; a ≥-threshold pair
+    *     survives some table with prob 1 − (1 − p^bits)^tables, so
+    *     tables(bits) = ⌈ln(1 − recall) / ln(1 − p^bits)⌉ is the minimum
+    *     table count holding `recall`;
+    *   - hash cost: n × tables × bits plane dots;
+    *   - verify cost: random pairs agree per plane with prob ≈ 1/2, so
+    *     expected candidates ≈ tables × n²/2^(bits+1), one packed dot each.
+    * The argmin over bits ∈ [1, 24] balances the two: more bits → fewer,
+    * purer candidates but more tables for the same recall. All math is
+    * deterministic in (n, threshold, recall) — no RNG, no data pass.
+    *
+    * At t = 0.4 / recall 0.999 the argmin moves with corpus size as the
+    * density law requires — n = 500 → (41 tables, 4 bits), n = 5000 →
+    * (170, 7), n = 50000 → (687, 10): bits tracks log₂ n, so bucket
+    * occupancy (and with it candidates per row) stays bounded where a
+    * frozen config's grows ∝ n. Empirical recall of the derived config is
+    * 1.0 on the fixture's ≥-threshold pairs at every SF (asserted in
+    * SimilaritySpec), which is what lets the auto entry share the exact
+    * oracle. Throws (rather than silently degrading recall) if no
+    * bits ≤ 24 satisfies the floor within `maxTables`; past the ceiling
+    * (n ≳ 5×10⁵ at low thresholds) the model pins the largest feasible
+    * config — raise `maxTables` or relax `recall` there, the documented
+    * low-threshold-ANN price.
+    */
+  def lshAutoConfig(
+      n: Long,
+      threshold: Double,
+      recall: Double = 0.999,
+      maxTables: Int = 1024): (Int, Int) = {
+    require(n > 0, "lshAutoConfig: empty corpus")
+    require(threshold > -1.0 && threshold < 1.0, s"bad threshold $threshold")
+    require(recall > 0.0 && recall < 1.0, s"bad recall target $recall")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val lnMiss = math.log(1.0 - recall)
+    val candidates = (1 to 24).flatMap { bits =>
+      val pb = math.pow(p, bits)
+      if (pb >= 1.0) None // threshold ~1: one table suffices
+      else {
+        val tables = math.ceil(lnMiss / math.log(1.0 - pb)).toInt.max(1)
+        if (tables > maxTables) None
+        else {
+          val hash = n.toDouble * tables * bits
+          val verify = tables * (n.toDouble * n / math.pow(2.0, bits + 1))
+          Some(((tables, bits), hash + verify))
+        }
+      }
+    }
+    require(candidates.nonEmpty,
+      s"lshAutoConfig: no bits ≤ 24 holds recall $recall within " +
+        s"$maxTables tables at threshold $threshold — lower the recall " +
+        "floor or raise maxTables (low thresholds are the expensive " +
+        "regime: p^bits collapses as acos(t) grows)")
+    candidates.minBy(_._2)._1
+  }
+
+  /** [[annDupPairs]] with the LSH config derived from the corpus size by
+    * [[lshAutoConfig]] — one count() job (metadata-cheap on parquet), then
+    * the standard bucketed pair stage. The scale-safe default: at 10× the
+    * data the config moves with log N, so bucket occupancy — and with it
+    * the candidate volume per row — stays constant instead of growing
+    * linearly (the SCALE_r11 density-law finding, closed).
+    */
+  def annDupPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      recall: Double = 0.999): DataFrame = {
+    val (tables, bits) = lshAutoConfig(df.count(), threshold, recall)
+    annDupPairs(df, idCol, embCol, threshold, tables, bits)
+  }
+
+  /** [[semanticDedupAnn]] with the [[lshAutoConfig]]-derived config — the
+    * form a caller should reach for when the corpus size isn't known at
+    * authoring time (i.e. always, at 100 TB).
+    */
+  def semanticDedupAnnAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      recall: Double = 0.999): DataFrame =
+    semanticDedupFromPairs(df, idCol,
+      annDupPairsAuto(df, idCol, embCol, threshold, recall))
+
   /** [[semanticDedup]] with the quadratic pair stage swapped for
     * [[annDupPairs]] LSH candidates — the 100 TB SemDeDup path:
     * O(rows × tables × bits) hashing + O(candidates) verify, then the

@@ -978,6 +978,19 @@ object Corpus {
     graft.pipeline.Similarity.semanticDedupAnn(
       t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
 
+  // q243: q163 with the LSH config DERIVED from the corpus size
+  // (Similarity.lshAutoConfig — the cost-model argmin under a 0.999
+  // recall floor) instead of hand-tuned constants. This is the config
+  // SCALE_r11's density-law finding demands: bits move with log N, so
+  // the entry that ships to a 100 TB corpus is this one, not a frozen
+  // (tables, bits). Shares q129's exact oracle on the same grounds as
+  // q163: the derived config's empirical recall on the fixture's
+  // ≥ 0.4-cosine pairs is 1.0 at every SF (asserted per-SF in
+  // SimilaritySpec), and verified candidates ⊆ exact pairs always.
+  def q243SemanticDedupAnnAuto(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Similarity.semanticDedupAnnAuto(
+      t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+
   // q166: the fused CLEANING-PATH ingest — stripMarkup →
   // qualityFilter (on the stripped text) → canonicalForDedup →
   // exactDedup composed as ONE entry, the way the stages actually run
@@ -2965,6 +2978,7 @@ object Corpus {
     "q160_accent_dedup" -> (q160AccentDedup _),
     "q162_count_min" -> (q162CountMin _),
     "q163_semantic_dedup_ann" -> (q163SemanticDedupAnn _),
+    "q243_semantic_dedup_ann_auto" -> (q243SemanticDedupAnnAuto _),
     "q166_ingest_chain" -> (q166IngestChain _),
     "q167_quantize_embed" -> (q167QuantizeEmbed _),
     "q168_quantized_knn" -> (q168QuantizedKnn _),
@@ -3034,6 +3048,7 @@ object Corpus {
     "q158_accent_fold" -> q158Sql,
     "q160_accent_dedup" -> q160Sql,
     "q163_semantic_dedup_ann" -> q129Sql, // shared oracle: recall-1.0 ANN ≡ exact
+    "q243_semantic_dedup_ann_auto" -> q129Sql, // shared oracle: auto config, same regime
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -1037,6 +1037,38 @@ class PipelineSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("lshAutoConfig: bits track log n, recall floor holds, loud overflow") {
+    // density law: larger corpora get more bits (never fewer)
+    val byN = Seq(50L, 500L, 5000L, 50000L)
+      .map(n => Similarity.lshAutoConfig(n, 0.4))
+    assert(byN.map(_._2) == byN.map(_._2).sorted, s"bits not monotone: $byN")
+    // every derived config satisfies the closed-form recall bound
+    val p = 1.0 - math.acos(0.4) / math.Pi
+    byN.foreach { case (tables, bits) =>
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+      assert(recall >= 0.999, s"($tables,$bits) formula recall $recall")
+    }
+    // high thresholds are cheap: far fewer tables than t=0.4 at equal n
+    val (tHi, _) = Similarity.lshAutoConfig(50000L, 0.9)
+    assert(tHi < byN(3)._1)
+    // impossible floors fail loudly instead of silently degrading
+    // (bits=1 already holds 0.999 recall with ≤10 tables at any t>0, so
+    // only a cap below that is genuinely infeasible)
+    assertThrows[IllegalArgumentException](
+      Similarity.lshAutoConfig(50000L, 0.4, recall = 0.999, maxTables = 4))
+  }
+
+  test("semanticDedupAnnAuto equals exact dedup (auto config, recall 1.0)") {
+    // the q243 contract: the size-derived config keeps the fixture in the
+    // recall-1.0 regime, so the auto entry shares q129's exact oracle
+    def keeps(df: DataFrame): Set[Seq[Any]] = rows(
+      df.select("vec_id", "canonical_id", "is_kept"))
+    val exact = keeps(Similarity.semanticDedup(embs, "vec_id", "embedding", 0.4))
+    val auto = keeps(
+      Similarity.semanticDedupAnnAuto(embs, "vec_id", "embedding", 0.4))
+    assert(auto == exact)
+  }
+
   test("quantizeInt8: symmetric max-abs scale, zero-vector safe, int8 range") {
     val df = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
