@@ -208,8 +208,35 @@ object ScaleStress {
             "vec_id", "embedding", threshold = 0.4, tables = 24, bits = 6)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        Seq(row("q163_bits_scaled",
+        val bitsScaled = Seq(row("q163_bits_scaled",
           baseTimes("q163_semantic_dedup_ann"), sec))
+        // lshAutoConfig rows: the HARD-recall-floor config (q243) at both
+        // SFs. Theory predicts cost ∝ n^(1+ρ) with ρ = ln(1/p)/ln 2 —
+        // the classic LSH exponent — so the expected 10× ratio is
+        // 10^(1+ρ): ~46× at t = 0.4 (ρ ≈ 0.66) and ~18× at the
+        // production dedup threshold 0.9 (ρ ≈ 0.22). bits_scaled's
+        // gentler 6.7× is the recall-DEGRADING config (formula recall
+        // 0.79 at 10×): the measured triple {frozen config 13.6×,
+        // degrading config 6.7×, floor-holding config ~10^(1+ρ)×}
+        // quantifies the actual recall/cost trade instead of implying
+        // scale comes free.
+        val autoRows = Seq(0.4, 0.9).map { t =>
+          def run(dir: String): Double = {
+            val t0 = System.nanoTime()
+            graft.pipeline.Similarity.semanticDedupAnnAuto(
+                graft.queries.Tables(spark, dir, "embeddings"),
+                "vec_id", "embedding", threshold = t)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          run(base) // warmup (fresh auto-config plan shapes)
+          val baseSec = run(base)
+          listener.reset()
+          val scaleSec = run(scaleDir)
+          val tag = if (t == 0.4) "q243_auto_recall_floor" else "q243_auto_t09"
+          row(tag, baseSec, scaleSec)
+        }
+        bitsScaled ++ autoRows
       } else Seq.empty
     val loadEnd = osBean.getSystemLoadAverage
     val json =

@@ -991,6 +991,46 @@ object Corpus {
     graft.pipeline.Similarity.semanticDedupAnnAuto(
       t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
 
+  // q244: mojibake detect + repair (ftfy-lite) over PLANTED corruption:
+  // every 3rd doc's text gains a suffix shipped through the real
+  // UTF-8-bytes-read-as-cp1252 round trip (the corrupt literal is
+  // DERIVED from the charsets at class load, never hand-typed);
+  // TextClean.fixMojibake must count and reverse exactly the planted
+  // sequences and pass the clean ASCII fixture docs through untouched.
+  // The oracle replays the identical replace chain with the table
+  // embedded as literals — generated from the same derived table; the
+  // independent check that the table IS the true corruption lives in
+  // PipelineSpec (re-derivation from first principles per character).
+  private val mojibakeCleanSample = "café résumé — “naïve” • €99™ dança"
+  private val mojibakeCorruptSample = new String(
+    mojibakeCleanSample.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.Charset.forName("windows-1252"))
+
+  def q244MojibakeRepair(s: SparkSession, dir: String): DataFrame = {
+    val corrupted = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" " + mojibakeCorruptSample))
+        .otherwise(lit("")))
+    graft.pipeline.TextClean.fixMojibake(
+        t(s, dir, "documents").select(col("doc_id"), corrupted.as("t")), "t")
+      .select(col("doc_id"), col("n_mojibake"), col("fixed_text"))
+  }
+
+  val q244Sql: String = {
+    val chain = graft.pipeline.TextClean.mojibakeTable.foldLeft("t") {
+      case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+    }
+    val re = graft.pipeline.TextClean.mojibakeRe
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    text || CASE WHEN doc_id % 3 = 0
+       |      THEN ' $mojibakeCorruptSample' ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$re')) AS BIGINT) AS n_mojibake,
+       |  $chain AS fixed_text
+       |FROM m""".stripMargin
+  }
+
   // q166: the fused CLEANING-PATH ingest — stripMarkup →
   // qualityFilter (on the stripped text) → canonicalForDedup →
   // exactDedup composed as ONE entry, the way the stages actually run
@@ -2979,6 +3019,7 @@ object Corpus {
     "q162_count_min" -> (q162CountMin _),
     "q163_semantic_dedup_ann" -> (q163SemanticDedupAnn _),
     "q243_semantic_dedup_ann_auto" -> (q243SemanticDedupAnnAuto _),
+    "q244_mojibake_repair" -> (q244MojibakeRepair _),
     "q166_ingest_chain" -> (q166IngestChain _),
     "q167_quantize_embed" -> (q167QuantizeEmbed _),
     "q168_quantized_knn" -> (q168QuantizedKnn _),
@@ -3049,6 +3090,7 @@ object Corpus {
     "q160_accent_dedup" -> q160Sql,
     "q163_semantic_dedup_ann" -> q129Sql, // shared oracle: recall-1.0 ANN ≡ exact
     "q243_semantic_dedup_ann_auto" -> q129Sql, // shared oracle: auto config, same regime
+    "q244_mojibake_repair" -> q244Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

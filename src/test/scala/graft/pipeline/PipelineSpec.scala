@@ -1037,6 +1037,47 @@ class PipelineSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("mojibake table IS the UTF-8-as-cp1252 corruption, per character") {
+    // independent re-derivation: every (corrupt, fixed) pair must be the
+    // real encoding round trip, keys unique, nothing a no-op, and the
+    // chain ordered longest-corrupt-first so 3-byte repairs can't be
+    // shadowed
+    val table = TextClean.mojibakeTable
+    assert(table.nonEmpty)
+    table.foreach { case (corrupt, fixed) =>
+      val expected = new String(
+        fixed.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.Charset.forName("windows-1252"))
+      assert(corrupt == expected, s"table lies for '$fixed'")
+      assert(corrupt != fixed)
+      assert(fixed.length == 1 && corrupt.length >= 2)
+    }
+    assert(table.map(_._1).distinct.size == table.size)
+    val lens = table.map(_._1.length)
+    assert(lens == lens.sorted.reverse, "not longest-first")
+  }
+
+  test("fixMojibake repairs planted corruption, counts it, spares clean text") {
+    def corrupt(s: String) = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+    val df = Seq(
+      (1L, corrupt("café")+ " and " + corrupt("don’t — naïve")),
+      (2L, "plain ascii text"),
+      (3L, corrupt("€99 • “ok”"))).toDF("doc_id", "text")
+    val out = TextClean.fixMojibake(df, "text")
+      .select("doc_id", "n_mojibake", "fixed_text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((4L, "café and don’t — naïve")))
+    assert(out(2L) == ((0L, "plain ascii text")))
+    assert(out(3L) == ((4L, "€99 • “ok”")))
+    // idempotent on repaired output: fixed chars are not corrupt keys
+    val again = TextClean.fixMojibake(
+      Seq((1L, out(1L)._2)).toDF("doc_id", "text"), "text")
+      .select("n_mojibake", "fixed_text").head()
+    assert(again.getLong(0) == 0L && again.getString(1) == out(1L)._2)
+  }
+
   test("lshAutoConfig: bits track log n, recall floor holds, loud overflow") {
     // density law: larger corpora get more bits (never fewer)
     val byN = Seq(50L, 500L, 5000L, 50000L)
