@@ -773,24 +773,28 @@ object Similarity {
     * purer candidates but more tables for the same recall. All math is
     * deterministic in (n, threshold, recall) — no RNG, no data pass.
     *
-    * At t = 0.4 / recall 0.999 the argmin moves with corpus size as the
-    * density law requires — n = 500 → (41 tables, 4 bits), n = 5000 →
-    * (170, 7), n = 50000 → (687, 10): bits tracks log₂ n, so bucket
-    * occupancy (and with it candidates per row) stays bounded where a
-    * frozen config's grows ∝ n. Empirical recall of the derived config is
-    * 1.0 on the fixture's ≥-threshold pairs at every SF (asserted in
-    * SimilaritySpec), which is what lets the auto entry share the exact
-    * oracle. Throws (rather than silently degrading recall) if no
-    * bits ≤ 24 satisfies the floor within `maxTables`; past the ceiling
-    * (n ≳ 5×10⁵ at low thresholds) the model pins the largest feasible
-    * config — raise `maxTables` or relax `recall` there, the documented
-    * low-threshold-ANN price.
+    * `maxTables` (default 64) is a PRACTICAL plan bound, not tuning: each
+    * table is a plan branch (bucket projection + union arm), so hundreds
+    * of tables blow up codegen/plan size long before the math stops
+    * working (measured: the unbounded argmin picked 687 tables at
+    * n = 50000 / t = 0.4 and the 10× sidecar run OOM'd on plan weight).
+    * Under the cap the recall floor ALWAYS stays satisfiable — bits = 1
+    * holds 0.999 recall with ≤ 10 tables at any positive threshold — the
+    * cap only stops bits from growing once tables(bits) would exceed it,
+    * so pressure shows up as verify-candidate COST, never as silent
+    * recall loss. Concretely at recall 0.999: t = 0.9 (the semantic-dedup
+    * regime) tracks the density law across sizes — n = 500 → (14, 6),
+    * n = 50000 → (41, 12) — while t = 0.4 saturates at (41, 4) past
+    * n ≈ 500: the documented handoff point to IVF ([[annIvf]]/
+    * [[annIvfPq]]), which is the right index family for low-threshold
+    * high-recall search at scale. Throws (rather than silently degrading
+    * recall) only when `maxTables` is set below the bits = 1 requirement.
     */
   def lshAutoConfig(
       n: Long,
       threshold: Double,
       recall: Double = 0.999,
-      maxTables: Int = 1024): (Int, Int) = {
+      maxTables: Int = 64): (Int, Int) = {
     require(n > 0, "lshAutoConfig: empty corpus")
     require(threshold > -1.0 && threshold < 1.0, s"bad threshold $threshold")
     require(recall > 0.0 && recall < 1.0, s"bad recall target $recall")
@@ -819,10 +823,10 @@ object Similarity {
 
   /** [[annDupPairs]] with the LSH config derived from the corpus size by
     * [[lshAutoConfig]] — one count() job (metadata-cheap on parquet), then
-    * the standard bucketed pair stage. The scale-safe default: at 10× the
-    * data the config moves with log N, so bucket occupancy — and with it
-    * the candidate volume per row — stays constant instead of growing
-    * linearly (the SCALE_r11 density-law finding, closed).
+    * the standard bucketed pair stage. The scale-safe default: the config
+    * moves with corpus size instead of being frozen at authoring time
+    * (the SCALE_r11 density-law finding, closed), within the practical
+    * table budget documented on [[lshAutoConfig]].
     */
   def annDupPairsAuto(
       df: DataFrame,

@@ -1009,4 +1009,127 @@ object TextStats {
         "step", "lhs", "rhs", "merged", "pair_count", "units_after")
     } finally vocab.unpersist()
   }
+
+  /** SentencePiece-style unigram-LM tokenizer induction (Kudo 2018,
+    * arXiv:1804.10959) — the OTHER real tokenizer family next to
+    * [[bpeTrain]]'s merge induction — made deterministic enough to
+    * replay in a SQL oracle:
+    *
+    *   1. corpus → DISTINCT-WORD count table (the only corpus-sized
+    *      exchange, same contract as [[bpeTrain]]); words longer than
+    *      `maxWordLen` are excluded (documented training cap, the
+    *      SentencePiece max-piece-length analog);
+    *   2. seed vocabulary: every substring of length ≤ `lMax`, scored
+    *      by Σ word_count × occurrences; ALL single characters (the
+    *      coverage floor) + the top (seedK − |chars|) multi-character
+    *      pieces by (score DESC, piece ASC);
+    *   3. `nIters` rounds of Viterbi-EM: piece costs are fixed-point
+    *      MICRO-NATS — d6(−ln(s/Σs)) × 10⁶ as a long — so the per-word
+    *      segmentation DP is pure INTEGER arithmetic (the d6-at-the-ln
+    *      contract q116/q130/q192 established); the E-step re-counts
+    *      pieces over best segmentations; unused multi-char pieces drop
+    *      out, unused characters keep a floor count of 1;
+    *   4. output: top `keepK` pieces by (count DESC, piece ASC) with
+    *      final counts and d6 costs against the kept total.
+    *
+    * DP determinism: each prefix's best value is encoded as
+    * cost×32 + backpointer (word length < 32 by the cap), so the
+    * integer MIN resolves cost ties toward the SMALLER backpointer —
+    * the longest candidate piece — identically in any engine; the
+    * backtrace then reads backpointers straight out of the array.
+    * Segmentation runs IN-ROW (one `aggregate` HOF pass per word, the
+    * cost table a broadcast map literal); per-round driver state is the
+    * ≤ seedK-piece vocabulary (the bounded-contract-point class:
+    * centroids, BPE argmax). At 100 TB: the corpus is touched once for
+    * word counts, each EM round is one map-side projection over the
+    * distinct-word table plus one vocab-keyed count aggregate — nothing
+    * corpus-sized shuffles after step 1.
+    */
+  def unigramTrain(
+      df: DataFrame,
+      textCol: String,
+      lMax: Int = 4,
+      seedK: Int = 64,
+      nIters: Int = 2,
+      keepK: Int = 48,
+      maxWordLen: Int = 24): DataFrame = {
+    require(lMax >= 2 && lMax <= 8, s"lMax $lMax out of range")
+    require(nIters >= 1 && nIters <= 4, s"nIters $nIters out of range")
+    require(maxWordLen < 32, "backpointer encoding needs word length < 32")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0 && length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val w = col("word")
+      val seed = words.select(col("n"), explode(flatten(
+          transform(sequence(lit(1), length(w)), p =>
+            transform(sequence(lit(1), least(lit(lMax), length(w) - p + 1)),
+              l => w.substr(p, l))))).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("s"))
+      val chars = seed.filter(length(col("piece")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      require(chars.nonEmpty, "unigramTrain: empty corpus")
+      require(chars.length < seedK,
+        s"unigramTrain: ${chars.length} distinct characters exceed seedK=" +
+          s"$seedK — the coverage floor leaves no room for learned pieces")
+      val multi = seed.filter(length(col("piece")) > 1)
+        .orderBy(col("s").desc, col("piece").asc)
+        .limit(seedK - chars.length)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      var vocab: Seq[(String, Long)] = chars ++ multi
+
+      val INF = 1000000000000L
+      // micro-nat cost at the d6-ln contract point: shortest-repr
+      // HALF_UP at scale 6, the same convention the engine's own
+      // double→decimal cast uses
+      def micro(s: Long, total: Long): Long =
+        (BigDecimal.decimal(-math.log(s.toDouble / total.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+
+      var counts: Seq[(String, Long)] = null
+      for (_ <- 1 to nIters) {
+        val total = vocab.map(_._2).sum
+        val cm = typedlit(vocab.map { case (p, s) => p -> micro(s, total) }.toMap)
+        // DP over prefix lengths: acc(k) = enc for the best segmentation
+        // of the first k−1 characters; enc = cost*32 + backpointer
+        val dp = aggregate(sequence(lit(1), length(w)),
+          array(lit(0L)),
+          (acc, i) => concat(acc, array(array_min(
+            transform(sequence(greatest(lit(1), i - lMax + 1), i), p =>
+              (shiftright(element_at(acc, p), 5) +
+                coalesce(element_at(cm, w.substr(p, i - p + 1)), lit(INF))) *
+                lit(32L) + (p - 1).cast("long"))))))
+        // backtrace: pos walks backpointers from |word| to 0; each hop
+        // emits the piece the DP chose
+        val st0 = struct(length(w).cast("int").as("pos"),
+          array().cast("array<string>").as("ps"))
+        val walk = aggregate(sequence(lit(1), length(w)), st0, (st, _) => {
+          val pos = st.getField("pos")
+          val j = (element_at(col("acc"), pos + 1) % 32).cast("int")
+          when(pos > lit(0),
+            struct(j.as("pos"),
+              concat(st.getField("ps"),
+                array(w.substr(j + 1, pos - j))).as("ps")))
+            .otherwise(st)
+        })
+        counts = words.withColumn("acc", dp).withColumn("wk", walk)
+          .select(col("n"), explode(col("wk.ps")).as("piece"))
+          .groupBy("piece").agg(sum(col("n")).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+        val cMap = counts.toMap
+        vocab = chars.map { case (ch, _) => ch -> cMap.getOrElse(ch, 1L) } ++
+          counts.filter(_._1.length > 1)
+      }
+      val kept = vocab.sortBy { case (p, s) => (-s, p) }.take(keepK)
+      val tKept = kept.map(_._2).sum
+      kept.map { case (p, s) =>
+        val cost6 = BigDecimal.decimal(-math.log(s.toDouble / tKept.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (p, s, cost6)
+      }.toDF("piece", "cnt", "cost6")
+    } finally { words.unpersist(); () }
+  }
 }

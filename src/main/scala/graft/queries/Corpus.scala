@@ -1031,6 +1031,112 @@ object Corpus {
        |FROM m""".stripMargin
   }
 
+  // q245: SentencePiece-style unigram-LM tokenizer induction
+  // (TextStats.unigramTrain) — seed substring vocabulary, two rounds of
+  // integer-cost Viterbi-EM, char coverage floor, top-48 output. The
+  // oracle replays ALL of it: the Viterbi DP per distinct word is a
+  // recursive CTE whose state carries the (cost×32 + backpointer)
+  // array (so the integer MIN resolves ties identically), the
+  // backtrace a second recursive CTE walking the backpointers, and
+  // each EM round re-derives costs from the previous round's counts at
+  // the d6-ln contract point — the q218/q220 replayable-training class
+  // applied to the second real tokenizer family.
+  def q245UnigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.unigramTrain(t(s, dir, "documents"), "text")
+
+  val q245Sql: String = {
+    val INF = "1000000000000"
+    val BIG = "999999999999999"
+    def costs(k: Int, vocab: String): String =
+      s"""t$k AS (SELECT CAST(SUM(s) AS DOUBLE) AS t FROM $vocab),
+         |costs$k AS (
+         |  SELECT piece,
+         |    CAST(CAST(-ln(s / t$k.t) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+         |      AS m
+         |  FROM $vocab, t$k)""".stripMargin
+    def emRound(k: Int): String =
+      s"""dp$k(word, n, i, acc) AS (
+         |  SELECT word, n, 0, [CAST(0 AS BIGINT)] FROM words
+         |  UNION ALL
+         |  SELECT d.word, d.n, d.i + 1, list_append(d.acc, LEAST(
+         |    (d.acc[d.i + 1] // 32 + COALESCE(c1.m, $INF)) * 32 + d.i,
+         |    CASE WHEN d.i + 1 >= 2 THEN
+         |      (d.acc[d.i] // 32 + COALESCE(c2.m, $INF)) * 32 + (d.i - 1)
+         |      ELSE $BIG END,
+         |    CASE WHEN d.i + 1 >= 3 THEN
+         |      (d.acc[d.i - 1] // 32 + COALESCE(c3.m, $INF)) * 32 + (d.i - 2)
+         |      ELSE $BIG END,
+         |    CASE WHEN d.i + 1 >= 4 THEN
+         |      (d.acc[d.i - 2] // 32 + COALESCE(c4.m, $INF)) * 32 + (d.i - 3)
+         |      ELSE $BIG END))
+         |  FROM dp$k d
+         |  LEFT JOIN costs$k c1 ON c1.piece = substr(d.word, d.i + 1, 1)
+         |  LEFT JOIN costs$k c2 ON d.i + 1 >= 2
+         |    AND c2.piece = substr(d.word, d.i, 2)
+         |  LEFT JOIN costs$k c3 ON d.i + 1 >= 3
+         |    AND c3.piece = substr(d.word, d.i - 1, 3)
+         |  LEFT JOIN costs$k c4 ON d.i + 1 >= 4
+         |    AND c4.piece = substr(d.word, d.i - 2, 4)
+         |  WHERE d.i < len(d.word)),
+         |dpf$k AS (SELECT word, n, acc FROM dp$k WHERE i = len(word)),
+         |wk$k(word, n, acc, pos, ps) AS (
+         |  SELECT word, n, acc, CAST(len(word) AS BIGINT),
+         |    CAST([] AS VARCHAR[]) FROM dpf$k
+         |  UNION ALL
+         |  SELECT word, n, acc, acc[CAST(pos AS INT) + 1] % 32,
+         |    list_append(ps, substr(word,
+         |      CAST(acc[CAST(pos AS INT) + 1] % 32 AS INT) + 1,
+         |      CAST(pos AS INT) - CAST(acc[CAST(pos AS INT) + 1] % 32 AS INT)))
+         |  FROM wk$k WHERE pos > 0),
+         |counts$k AS (
+         |  SELECT piece, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM (SELECT n, unnest(ps) AS piece FROM wk$k WHERE pos = 0) u
+         |  GROUP BY 1)""".stripMargin
+    def vocabFrom(name: String, cnts: String): String =
+      s"""$name AS (
+         |  SELECT ch.piece, COALESCE(ct.c, CAST(1 AS BIGINT)) AS s
+         |  FROM chars ch LEFT JOIN $cnts ct ON ch.piece = ct.piece
+         |  UNION ALL
+         |  SELECT piece, c FROM $cnts WHERE len(piece) > 1)""".stripMargin
+    s"""WITH RECURSIVE
+       |words AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+       |  WHERE word <> '' AND len(word) <= 24
+       |  GROUP BY 1),
+       |pos1 AS (SELECT word, n, unnest(range(1, len(word) + 1)) AS p FROM words),
+       |sub1 AS (
+       |  SELECT word, n, p,
+       |    unnest(range(1, LEAST(4, len(word) - p + 1) + 1)) AS l
+       |  FROM pos1),
+       |seed AS (
+       |  SELECT substr(word, CAST(p AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(SUM(n) AS BIGINT) AS s
+       |  FROM sub1 GROUP BY 1),
+       |chars AS (SELECT piece, s FROM seed WHERE len(piece) = 1),
+       |nch AS (SELECT COUNT(*) AS c FROM chars),
+       |multi AS (
+       |  SELECT piece, s FROM (
+       |    SELECT piece, s, ROW_NUMBER() OVER (ORDER BY s DESC, piece) AS rn
+       |    FROM seed WHERE len(piece) > 1) r, nch
+       |  WHERE r.rn <= 64 - nch.c),
+       |vocab1 AS (SELECT piece, s FROM chars UNION ALL SELECT piece, s FROM multi),
+       |${costs(1, "vocab1")},
+       |${emRound(1)},
+       |${vocabFrom("vocab2", "counts1")},
+       |${costs(2, "vocab2")},
+       |${emRound(2)},
+       |${vocabFrom("vocabf", "counts2")},
+       |kept AS (
+       |  SELECT piece, s, ROW_NUMBER() OVER (ORDER BY s DESC, piece) AS rn
+       |  FROM vocabf),
+       |k2 AS (SELECT piece, s FROM kept WHERE rn <= 48),
+       |tf AS (SELECT CAST(SUM(s) AS DOUBLE) AS t FROM k2)
+       |SELECT piece, s AS cnt,
+       |  CAST(CAST(-ln(s / tf.t) AS DECIMAL(28,6)) AS DOUBLE) AS cost6
+       |FROM k2, tf""".stripMargin
+  }
+
   // q166: the fused CLEANING-PATH ingest — stripMarkup →
   // qualityFilter (on the stripped text) → canonicalForDedup →
   // exactDedup composed as ONE entry, the way the stages actually run
@@ -3020,6 +3126,7 @@ object Corpus {
     "q163_semantic_dedup_ann" -> (q163SemanticDedupAnn _),
     "q243_semantic_dedup_ann_auto" -> (q243SemanticDedupAnnAuto _),
     "q244_mojibake_repair" -> (q244MojibakeRepair _),
+    "q245_unigram_train" -> (q245UnigramTrain _),
     "q166_ingest_chain" -> (q166IngestChain _),
     "q167_quantize_embed" -> (q167QuantizeEmbed _),
     "q168_quantized_knn" -> (q168QuantizedKnn _),
@@ -3091,6 +3198,7 @@ object Corpus {
     "q163_semantic_dedup_ann" -> q129Sql, // shared oracle: recall-1.0 ANN ≡ exact
     "q243_semantic_dedup_ann_auto" -> q129Sql, // shared oracle: auto config, same regime
     "q244_mojibake_repair" -> q244Sql,
+    "q245_unigram_train" -> q245Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -1037,6 +1037,32 @@ class PipelineSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("unigramTrain: hand-computed EM on a tiny corpus; coverage law") {
+    // corpus: "ab ab b" → words ab(×2), b(×1). seed (lMax=2):
+    // a:2, b:3, ab:2. Viterbi iter1: total=7, cost(ab)=-ln(2/7) <
+    // cost(a)+cost(b) → "ab" segments as [ab]; counts ab=2, b=1, a→floor 1.
+    // iter2: total=4, costs ab=-ln(2/4) < a+b again → stable.
+    // kept order (cnt DESC, piece ASC): ab(2), a(1), b(1).
+    val df = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val out = TextStats.unigramTrain(df, "text",
+        lMax = 2, seedK = 8, nIters = 2, keepK = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("ab", 2L), ("a", 1L), ("b", 1L)))
+    // cost6 = d6(-ln(cnt/4))
+    def d6ln(r: Double) = BigDecimal.decimal(-math.log(r))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.map(_._3).toSeq == Seq(d6ln(2.0 / 4), d6ln(1.0 / 4), d6ln(1.0 / 4)))
+    // coverage law on the fixture: every character of every (capped)
+    // word is a piece, so any corpus word re-segments under the vocab
+    val fx = TextStats.unigramTrain(docs, "text")
+      .collect().map(_.getString(0)).toSet
+    val cs = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")).between(1, 24))
+      .select(explode(split(col("w"), "")).as("c"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(cs.subsetOf(fx), s"chars missing from vocab: ${cs -- fx}")
+  }
+
   test("mojibake table IS the UTF-8-as-cp1252 corruption, per character") {
     // independent re-derivation: every (corrupt, fixed) pair must be the
     // real encoding round trip, keys unique, nothing a no-op, and the
@@ -1089,9 +1115,11 @@ class PipelineSpec extends SparkSpec {
       val recall = 1.0 - math.pow(1.0 - math.pow(p, bits), tables)
       assert(recall >= 0.999, s"($tables,$bits) formula recall $recall")
     }
-    // high thresholds are cheap: far fewer tables than t=0.4 at equal n
-    val (tHi, _) = Similarity.lshAutoConfig(50000L, 0.9)
-    assert(tHi < byN(3)._1)
+    // high thresholds afford more bits within the same table budget, so
+    // the dedup regime keeps tracking the density law where t=0.4
+    // saturates at the practical cap (see lshAutoConfig scaladoc)
+    val (tHi, bHi) = Similarity.lshAutoConfig(50000L, 0.9)
+    assert(tHi <= 64 && bHi > byN(3)._2, s"($tHi,$bHi) vs ${byN(3)}")
     // impossible floors fail loudly instead of silently degrading
     // (bits=1 already holds 0.999 recall with ≤10 tables at any t>0, so
     // only a cap below that is genuinely infeasible)
@@ -1108,6 +1136,12 @@ class PipelineSpec extends SparkSpec {
     val auto = keeps(
       Similarity.semanticDedupAnnAuto(embs, "vec_id", "embedding", 0.4))
     assert(auto == exact)
+    // and at sf0.01 — the driver's oracle SF (n=500 → config (41,4))
+    val embs01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact01 = keeps(Similarity.semanticDedup(embs01, "vec_id", "embedding", 0.4))
+    val auto01 = keeps(
+      Similarity.semanticDedupAnnAuto(embs01, "vec_id", "embedding", 0.4))
+    assert(auto01 == exact01)
   }
 
   test("quantizeInt8: symmetric max-abs scale, zero-vector safe, int8 range") {
