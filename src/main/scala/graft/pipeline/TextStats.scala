@@ -1132,4 +1132,65 @@ object TextStats {
       }.toDF("piece", "cnt", "cost6")
     } finally { words.unpersist(); () }
   }
+
+  /** APPLY a unigram vocabulary — [[unigramTrain]]'s deployment consumer,
+    * the token-budget estimator the way [[bpeApplyCounts]] consumes
+    * [[bpeTrain]]: segment every word by the same integer Viterbi DP and
+    * report per-document piece statistics. `costs` maps piece →
+    * micro-nat cost (any fixed longs; a trained vocab's costs or a
+    * hand-authored table). NO coverage requirement: a character absent
+    * from the vocab still segments (single-char fallback at an INF
+    * penalty) and is REPORTED through `n_unk_pieces` — the "how much of
+    * this corpus does my tokenizer not know" audit signal.
+    *
+    * Walk-free counting: the DP value packs cost×1024 + pieces×32 +
+    * backpointer, so the best piece count reads straight out of the
+    * final cell ((enc >> 5) mod 32) and the unknown count is the INF
+    * multiple of the cost field (cost div INF — each unknown char
+    * contributes exactly one INF). Ties resolve toward (fewer pieces,
+    * then smaller backpointer) — a DIFFERENT documented tie-break from
+    * [[unigramTrain]]'s (the training DP never needs the piece count in
+    * the key). Everything is one in-row projection over the document —
+    * zero joins, zero shuffles at any scale; words longer than
+    * `maxWordLen` are skipped and counted.
+    *
+    * Output: idCol, `n_words`, `n_skipped`, `n_pieces`, `n_unk_pieces`.
+    */
+  def unigramSegmentStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      costs: Map[String, Long],
+      lMax: Int = 4,
+      maxWordLen: Int = 24): DataFrame = {
+    require(costs.nonEmpty, "empty vocabulary")
+    require(costs.values.forall(c => c >= 0 && c < 1000000000L),
+      "piece costs must be in [0, 1e9) micro-nats")
+    require(maxWordLen < 32, "piece-count encoding needs word length < 32")
+    val INF = 1000000000000L
+    val cm = typedlit(costs)
+    val allWords = filter(split(col(textCol), " "), w => length(w) > lit(0))
+    val okWords = filter(allWords, w => length(w) <= lit(maxWordLen))
+    def finalEnc(w: Column): Column = {
+      val dp = aggregate(sequence(lit(1), length(w)), array(lit(0L)),
+        (acc, i) => concat(acc, array(array_min(
+          transform(sequence(greatest(lit(1), i - lMax + 1), i), p =>
+            (shiftright(element_at(acc, p), 10) +
+              coalesce(element_at(cm, w.substr(p, i - p + 1)), lit(INF))) *
+              lit(1024L) +
+              ((shiftright(element_at(acc, p), 5) % 32 + 1) * 32) +
+              (p - 1).cast("long"))))))
+      element_at(dp, length(w) + 1)
+    }
+    val encs = transform(okWords, w => finalEnc(w))
+    df.withColumn("n_words", size(allWords).cast("long"))
+      .withColumn("n_skipped", (size(allWords) - size(okWords)).cast("long"))
+      .withColumn("n_pieces",
+        aggregate(encs, lit(0L), (a, e) => a + shiftright(e, 5) % 32))
+      .withColumn("n_unk_pieces",
+        aggregate(encs, lit(0L),
+          (a, e) => a + floor(shiftright(e, 10) / lit(INF)).cast("long")))
+      .select(col(idCol), col("n_words"), col("n_skipped"),
+        col("n_pieces"), col("n_unk_pieces"))
+  }
 }

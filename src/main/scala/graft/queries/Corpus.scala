@@ -1044,6 +1044,85 @@ object Corpus {
   def q245UnigramTrain(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.TextStats.unigramTrain(t(s, dir, "documents"), "text")
 
+  // q246: unigram-vocabulary APPLICATION (TextStats.unigramSegmentStats)
+  // — q245's deployment consumer, the q220→q189 train/apply pairing for
+  // the unigram family: a fixed piece→micro-nat cost table (chars +
+  // common English units at hand-authored costs; characters OUTSIDE the
+  // table exercise the INF-penalty unknown path) segments every fixture
+  // doc in-row and reports the per-doc token budget + unknown audit.
+  // The oracle replays the same DP once per DISTINCT word (recursive
+  // CTE, identical cost×1024+pieces×32+backpointer encoding) and joins
+  // the word stats back to documents.
+  private val q246Vocab: Seq[(String, Long)] =
+    ("abcdefghijklmnopqrstuvwxyz".map(c => c.toString -> 3912023L) ++
+      Seq("th" -> 2995732L, "he" -> 3218876L, "in" -> 3218876L,
+        "er" -> 3401197L, "an" -> 3401197L, "re" -> 3506558L,
+        "ing" -> 2813411L, "the" -> 2302585L, "ed" -> 3612092L,
+        "at" -> 3688879L)).toSeq
+
+  def q246UnigramApply(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.unigramSegmentStats(
+      t(s, dir, "documents"), "doc_id", "text", q246Vocab.toMap)
+
+  val q246Sql: String = {
+    val values = q246Vocab
+      .map { case (p, m) => s"('$p', CAST($m AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |v(piece, m) AS (VALUES $values),
+       |tk AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents) u
+       |  WHERE word <> ''),
+       |dwords AS (SELECT DISTINCT word FROM tk WHERE len(word) <= 24),
+       |dp(word, i, acc) AS (
+       |  SELECT word, 0, [CAST(0 AS BIGINT)] FROM dwords
+       |  UNION ALL
+       |  SELECT d.word, d.i + 1, list_append(d.acc, LEAST(
+       |    (d.acc[d.i + 1] // 1024 + COALESCE(c1.m, 1000000000000)) * 1024
+       |      + ((d.acc[d.i + 1] // 32) % 32 + 1) * 32 + d.i,
+       |    CASE WHEN d.i + 1 >= 2 THEN
+       |      (d.acc[d.i] // 1024 + COALESCE(c2.m, 1000000000000)) * 1024
+       |      + ((d.acc[d.i] // 32) % 32 + 1) * 32 + (d.i - 1)
+       |      ELSE 900000000000000000 END,
+       |    CASE WHEN d.i + 1 >= 3 THEN
+       |      (d.acc[d.i - 1] // 1024 + COALESCE(c3.m, 1000000000000)) * 1024
+       |      + ((d.acc[d.i - 1] // 32) % 32 + 1) * 32 + (d.i - 2)
+       |      ELSE 900000000000000000 END,
+       |    CASE WHEN d.i + 1 >= 4 THEN
+       |      (d.acc[d.i - 2] // 1024 + COALESCE(c4.m, 1000000000000)) * 1024
+       |      + ((d.acc[d.i - 2] // 32) % 32 + 1) * 32 + (d.i - 3)
+       |      ELSE 900000000000000000 END))
+       |  FROM dp d
+       |  LEFT JOIN v c1 ON c1.piece = substr(d.word, d.i + 1, 1)
+       |  LEFT JOIN v c2 ON d.i + 1 >= 2 AND c2.piece = substr(d.word, d.i, 2)
+       |  LEFT JOIN v c3 ON d.i + 1 >= 3
+       |    AND c3.piece = substr(d.word, d.i - 1, 3)
+       |  LEFT JOIN v c4 ON d.i + 1 >= 4
+       |    AND c4.piece = substr(d.word, d.i - 2, 4)
+       |  WHERE d.i < len(d.word)),
+       |wstats AS (
+       |  SELECT word,
+       |    (acc[len(word) + 1] // 32) % 32 AS pieces,
+       |    (acc[len(word) + 1] // 1024) // 1000000000000 AS unk
+       |  FROM dp WHERE i = len(word)),
+       |agg AS (
+       |  SELECT t.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(CASE WHEN len(t.word) > 24 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_skipped,
+       |    CAST(SUM(COALESCE(w.pieces, 0)) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(COALESCE(w.unk, 0)) AS BIGINT) AS n_unk_pieces
+       |  FROM tk t LEFT JOIN wstats w ON t.word = w.word
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_words, 0) AS n_words,
+       |  COALESCE(a.n_skipped, 0) AS n_skipped,
+       |  COALESCE(a.n_pieces, 0) AS n_pieces,
+       |  COALESCE(a.n_unk_pieces, 0) AS n_unk_pieces
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+  }
+
   val q245Sql: String = {
     val INF = "1000000000000"
     val BIG = "999999999999999"
@@ -3127,6 +3206,7 @@ object Corpus {
     "q243_semantic_dedup_ann_auto" -> (q243SemanticDedupAnnAuto _),
     "q244_mojibake_repair" -> (q244MojibakeRepair _),
     "q245_unigram_train" -> (q245UnigramTrain _),
+    "q246_unigram_apply" -> (q246UnigramApply _),
     "q166_ingest_chain" -> (q166IngestChain _),
     "q167_quantize_embed" -> (q167QuantizeEmbed _),
     "q168_quantized_knn" -> (q168QuantizedKnn _),
@@ -3199,6 +3279,7 @@ object Corpus {
     "q243_semantic_dedup_ann_auto" -> q129Sql, // shared oracle: auto config, same regime
     "q244_mojibake_repair" -> q244Sql,
     "q245_unigram_train" -> q245Sql,
+    "q246_unigram_apply" -> q246Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

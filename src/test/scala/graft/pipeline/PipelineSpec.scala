@@ -1063,6 +1063,22 @@ class PipelineSpec extends SparkSpec {
     assert(cs.subsetOf(fx), s"chars missing from vocab: ${cs -- fx}")
   }
 
+  test("unigramSegmentStats: DP picks cheapest split, counts unknowns, skips long words") {
+    val vocab = Map("a" -> 100L, "b" -> 100L, "ab" -> 150L)
+    val df = Seq(
+      (1L, "ab ba"),            // [ab]=150 beats [a,b]=200 → 1+2 pieces
+      (2L, "aZb"),              // Z unknown: ["aZ","b"] (one INF either
+                                // way, fewer pieces win) → 2 pieces, 1 unk
+      (3L, "x".repeat(30) + " ab")) // 30-char word skipped, counted
+      .toDF("doc_id", "text")
+    val out = TextStats.unigramSegmentStats(df, "doc_id", "text", vocab, lMax = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((2L, 0L, 3L, 0L)))
+    assert(out(2L) == ((1L, 0L, 2L, 1L)))
+    assert(out(3L) == ((2L, 1L, 1L, 0L)))
+  }
+
   test("mojibake table IS the UTF-8-as-cp1252 corruption, per character") {
     // independent re-derivation: every (corrupt, fixed) pair must be the
     // real encoding round trip, keys unique, nothing a no-op, and the
