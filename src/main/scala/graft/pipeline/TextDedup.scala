@@ -351,6 +351,53 @@ object TextDedup {
     * jaccard ≥ threshold. With r rows/band, P(candidate) ≈ 1-(1-s^r)^b —
     * at r=4, b=16 the S-curve crosses ~0.5 near s≈0.5.
     */
+  /** S-curve placement for the banded-MinHash config — [[minhashPairs]]'
+    * analog of `Similarity.lshAutoConfig`, but closed-form in the
+    * THRESHOLD alone: band-bucket space is effectively unbounded (a band
+    * hash collides only on equal row minima), so unlike sign-LSH there
+    * is no corpus-size density term — candidate volume tracks the true
+    * near-dup mass plus the S-curve's false-positive tail, at any n.
+    * Returns the (numPerms, bands) = (b·r, b) minimizing signature width
+    * subject to
+    *   - recall ≥ `recall` at `threshold`:  1 − (1 − t^r)^b,
+    *   - candidate probability ≤ `fpBudget` at `sLow` (the "clearly not
+    *     a duplicate" similarity, default threshold/2): keeps the verify
+    *     stage from degenerating toward all-pairs on low-sim corpora.
+    * Ties prefer more rows per band (a sharper S-curve). Deterministic
+    * in its arguments; throws if the two constraints are jointly
+    * infeasible within r ≤ 32, b ≤ 256 rather than silently widening —
+    * which is the honest MinHash answer for LOW thresholds: separating
+    * recall 0.99 at t from fp 0.1 at t/2 needs S-curve sharpness
+    * r ≈ log(recall/fp)/log 2, and b = Θ(1/t^r) explodes below t ≈ 0.55.
+    * Low-threshold Jaccard belongs to the EXACT paths (q16's inverted
+    * index / q112's prefix filter), not banded LSH; this tuner makes
+    * that boundary a loud error instead of a silent recall cliff.
+    */
+  def minhashAutoConfig(
+      threshold: Double,
+      recall: Double = 0.99,
+      fpBudget: Double = 0.1,
+      sLow: Double = -1.0): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"bad threshold $threshold")
+    require(recall > 0.0 && recall < 1.0, s"bad recall $recall")
+    val s0 = if (sLow < 0) threshold / 2 else sLow
+    require(s0 > 0.0 && s0 < threshold, s"sLow $s0 must be in (0, threshold)")
+    val feasible = for {
+      r <- 1 to 32
+      b <- 1 to 256
+      if 1.0 - math.pow(1.0 - math.pow(threshold, r), b) >= recall
+      if 1.0 - math.pow(1.0 - math.pow(s0, r), b) <= fpBudget
+    } yield (b * r, b, r)
+    require(feasible.nonEmpty,
+      s"minhashAutoConfig: no (bands ≤ 256, rows ≤ 32) holds recall " +
+        s"$recall at $threshold with candidate prob ≤ $fpBudget at $s0 — " +
+        "below t ≈ 0.55 banded MinHash cannot hold both; use the exact " +
+        "inverted-index/prefix-filter paths there")
+    val (numPerms, bands, _) =
+      feasible.minBy { case (np, _, r) => (np, -r) }
+    (numPerms, bands)
+  }
+
   def minhashPairs(
       sh: DataFrame,
       idCol: String,

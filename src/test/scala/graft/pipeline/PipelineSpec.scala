@@ -1063,6 +1063,27 @@ class PipelineSpec extends SparkSpec {
     assert(cs.subsetOf(fx), s"chars missing from vocab: ${cs -- fx}")
   }
 
+  test("minhashAutoConfig: S-curve placement holds both closed-form bounds") {
+    for (t <- Seq(0.6, 0.7, 0.8, 0.9)) {
+      val (np, b) = TextDedup.minhashAutoConfig(t)
+      val r = np / b
+      assert(np % b == 0)
+      val recall = 1.0 - math.pow(1.0 - math.pow(t, r), b)
+      val fp = 1.0 - math.pow(1.0 - math.pow(t / 2, r), b)
+      assert(recall >= 0.99, s"t=$t ($np,$b): recall $recall")
+      assert(fp <= 0.1, s"t=$t ($np,$b): fp $fp")
+    }
+    // higher thresholds are cheaper: fewer permutations buy the floor
+    val w06 = TextDedup.minhashAutoConfig(0.6)._1
+    val w09 = TextDedup.minhashAutoConfig(0.9)._1
+    assert(w09 < w06, s"$w09 vs $w06")
+    // low-threshold banded LSH fails loudly (the documented exact-path
+    // boundary), as do jointly impossible floors
+    assertThrows[IllegalArgumentException](TextDedup.minhashAutoConfig(0.3))
+    assertThrows[IllegalArgumentException](
+      TextDedup.minhashAutoConfig(0.9, recall = 0.999999, fpBudget = 1e-12))
+  }
+
   test("unigramSegmentStats: DP picks cheapest split, counts unknowns, skips long words") {
     val vocab = Map("a" -> 100L, "b" -> 100L, "ab" -> 150L)
     val df = Seq(
