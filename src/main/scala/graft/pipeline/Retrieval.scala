@@ -185,4 +185,161 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** Multi-query BM25: the batched form of [[bm25TopK]] — one corpus
+    * pass scores EVERY query's term bag and emits each query's top
+    * `topK` (rank ∈ 1..topK). This is the shape a retrieval-eval or
+    * hard-negative-mining run actually presents: thousands of queries
+    * against one corpus, where re-scanning per query (the single-query
+    * form in a loop) would read the corpus Q times.
+    *
+    * Scale shape: the (doc, term) score contribution is computed ONCE
+    * per matched term — tf/df/dl flow exactly as in [[bm25TopK]] — and
+    * the query→term mapping joins on as a broadcast (queries are
+    * driver-supplied, vocab-sized). The per-query cut runs through the
+    * custom TopKPerKeyExec (bounded heaps after ONE query-keyed
+    * exchange, never a corpus-sized sort per query), and the rank
+    * window reuses that exchange's partitioning over the ≤topK-row
+    * frames. Scores are d6-rounded BEFORE the cut (q123's discipline)
+    * so the boundary is deterministic across engines.
+    */
+  def bm25MultiTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, Seq[String])],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(queries.forall(_._2.nonEmpty), "every query needs >= 1 term")
+    require(k1 > 0 && b >= 0 && b <= 1, s"k1 > 0, b in [0,1]; got k1=$k1 b=$b")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val terms = queries.flatMap(_._2).distinct
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("_g_dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("_g_ndocs"),
+      (sum(col("_g_dl")).cast("double") / count(lit(1))).as("_g_avgdl"))
+    val qToks = toks.filter(col("tok").isin(terms: _*))
+    val tf = qToks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("_g_tf"))
+    val dfreq = qToks.groupBy(col("tok"))
+      .agg(countDistinct(col(idCol)).cast("double").as("_g_df"))
+    val term =
+      log((col("_g_ndocs") - col("_g_df") + 0.5) / (col("_g_df") + 0.5) + 1.0) *
+        col("_g_tf") * lit(k1 + 1.0) /
+        (col("_g_tf") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("_g_dl") / col("_g_avgdl")))
+    val contrib = tf.join(broadcast(dfreq), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("tok"), term.as("_g_ts"))
+    val scored = contrib
+      .join(broadcast(qt), col("tok") === col("term"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("_g_ts")).cast("decimal(28,6)").cast("double")
+        .as("bm25_score"))
+    val cut = graft.ops.TopK.perKey(scored, Seq("query_id"),
+      Seq(col("bm25_score").desc, col(idCol).asc), topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("bm25_score").desc, col(idCol).asc)
+    cut.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** Ranking-quality metrics — Recall@k, MRR@k and nDCG@k per query —
+    * of a top-k `run` against graded relevance judgments `qrels`. The
+    * evaluation half of every retrieval loop: before a ranker's output
+    * feeds RAG context windows or hard-negative mining, this is the
+    * scorecard that says whether it retrieves anything worth reading.
+    *
+    *   Recall@k = |retrieved ∩ relevant| / |relevant|   (rel ≥ `relThreshold`)
+    *   MRR@k    = 1 / rank of the first relevant hit    (0 if none)
+    *   nDCG@k   = DCG@k / IDCG@k,  DCG = Σ (2^rel − 1) / log2(rank + 1)
+    *
+    * IDCG is computed WITHOUT sorting the per-query judgment lists:
+    * grades are small integers, so per-query grade COUNTS (≤ maxGrade
+    * rows each) plus a broadcast 1..k position frame reconstruct the
+    * ideal ranking's discount sum arithmetically — the ideal list puts
+    * the `n₃` grade-3 docs at positions 1..n₃, grade-2 next, and the
+    * position-window [start, end] per grade falls out of a running sum.
+    * Queries × k rows total; nothing corpus-sized moves after the
+    * (query, doc) equi-join against qrels.
+    *
+    * `run` carries (`queryCol`, `idCol`, `rank` ∈ 1..k); `qrels`
+    * carries (`queryCol`, `idCol`, `relCol` ≥ 1 integer grades —
+    * grade-0/absent pairs are simply not judged relevant). All metric
+    * columns are d6-rounded so cross-engine float summation order
+    * cannot move a hash.
+    */
+  def rankingMetrics(
+      run: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      idCol: String,
+      relCol: String,
+      k: Int,
+      relThreshold: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(relThreshold >= 1, s"relThreshold must be >= 1, got $relThreshold")
+    val spark = run.sparkSession
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    val joined = run.filter(col("rank") <= k)
+      .join(qrels.select(col(queryCol), col(idCol),
+        col(relCol).cast("long").as("_g_rel")), Seq(queryCol, idCol), "left")
+      .withColumn("_g_rel", coalesce(col("_g_rel"), lit(0L)))
+    val perQ = joined.groupBy(col(queryCol)).agg(
+      sum(when(col("_g_rel") >= relThreshold, 1L).otherwise(0L))
+        .as("hits_at_k"),
+      min(when(col("_g_rel") >= relThreshold, col("rank"))).as("_g_first"),
+      sum((pow(lit(2.0), col("_g_rel").cast("double")) - 1.0) /
+        log2(col("rank").cast("double") + 1.0)).as("_g_dcg"))
+    val relTotals = qrels.filter(col(relCol) >= relThreshold)
+      .groupBy(col(queryCol)).agg(count(lit(1)).as("n_rel"))
+    // ideal-DCG from grade counts: cumulative docs at grades >= g give
+    // the position window each grade occupies in the ideal ranking
+    val gc = qrels.filter(col(relCol) >= 1)
+      .groupBy(col(queryCol), col(relCol).cast("long").as("_g_g"))
+      .agg(count(lit(1)).as("_g_n"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryCol))
+      .orderBy(col("_g_g").desc)
+    val bands = gc
+      .withColumn("_g_cum", sum(col("_g_n")).over(wg))
+      .withColumn("_g_start", col("_g_cum") - col("_g_n") + 1L)
+      .withColumn("_g_end", least(col("_g_cum"), lit(k.toLong)))
+      .filter(col("_g_start") <= k)
+    val pos = spark.range(1, k + 1L).toDF("_g_p")
+    val idcg = bands.join(broadcast(pos),
+        col("_g_p").between(col("_g_start"), col("_g_end")))
+      .groupBy(col(queryCol))
+      .agg(sum((pow(lit(2.0), col("_g_g").cast("double")) - 1.0) /
+        log2(col("_g_p").cast("double") + 1.0)).as("_g_idcg"))
+    perQ
+      .join(relTotals, Seq(queryCol), "left")
+      .join(idcg, Seq(queryCol), "left")
+      .select(
+        col(queryCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits_at_k"),
+        d6(when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("hits_at_k").cast("double") /
+            col("n_rel").cast("double"))).as("recall_at_k"),
+        d6(when(col("_g_first").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("_g_first").cast("double")))
+          .as("mrr_at_k"),
+        d6(col("_g_dcg")).as("dcg_at_k"),
+        d6(coalesce(col("_g_idcg"), lit(0.0))).as("idcg_at_k"),
+        d6(when(coalesce(col("_g_idcg"), lit(0.0)) === 0.0, lit(0.0))
+          .otherwise(col("_g_dcg") / col("_g_idcg"))).as("ndcg_at_k"))
+  }
 }

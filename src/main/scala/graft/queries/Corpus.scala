@@ -3177,6 +3177,124 @@ object Corpus {
       |    FROM documents))
       |WHERE sample_rank <= 30""".stripMargin
 
+  // q247: retrieval evaluation — Recall@20 / MRR@20 / nDCG@20 of the
+  // batched multi-query BM25 run (Retrieval.bm25MultiTopK: one corpus
+  // pass for all three queries, per-query cut through TopKPerKeyExec)
+  // against deterministic graded qrels derived from the corpus itself:
+  // rel(q, d) = #{query terms with tf(d, t) >= 3} (grades 1..3,
+  // "relevant" = grade >= 2). IDCG is rebuilt arithmetically from
+  // per-query grade counts + a broadcast 1..k position frame — no
+  // per-query sort of the judgment lists on either engine. All metric
+  // columns d6-rounded (cross-engine float summation order).
+  private val q247Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "merge", "vector"),
+    2L -> Seq("stream", "window", "join"),
+    3L -> Seq("filter", "group", "sort"))
+
+  def q247RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val run = Retrieval.bm25MultiTopK(docs, "doc_id", "text",
+      q247Queries, topK = 20)
+    val qt = q247Queries
+      .flatMap { case (q, ts) => ts.map(term => (q, term)) }
+      .toDF("query_id", "term")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val qrels = tf.join(broadcast(qt), col("tok") === col("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(when(col("_tf") >= 3, 1L).otherwise(0L)).as("rel"))
+      .filter(col("rel") >= 1)
+    Retrieval.rankingMetrics(run, qrels, "query_id", "doc_id", "rel",
+      k = 20, relThreshold = 2)
+  }
+
+  val q247Sql: String = {
+    val vals = q247Queries
+      .flatMap { case (q, ts) => ts.map(term => s"($q, '$term')") }
+      .mkString(", ")
+    s"""WITH qt AS (SELECT * FROM (VALUES $vals) v(query_id, term)),
+       |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |       FROM documents),
+       |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dlen FROM tk2 GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |              CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |terms AS (SELECT DISTINCT term FROM qt),
+       |dfq AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |        FROM tk2 JOIN terms ON tok = term GROUP BY 1),
+       |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM tk2 JOIN terms ON tok = term GROUP BY 1, 2),
+       |contrib AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+       |    tf.tf * 2.2 /
+       |    (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dlen AS DOUBLE) / st.avgdl))
+       |      AS ts
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       |sc AS (
+       |  SELECT qt.query_id, c.doc_id,
+       |    CAST(CAST(sum(c.ts) AS DECIMAL(28,6)) AS DOUBLE) AS score
+       |  FROM contrib c JOIN qt ON c.term = qt.term GROUP BY 1, 2),
+       |run AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM sc QUALIFY rnk <= 20),
+       |qrels AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    sum(CASE WHEN tf.tf >= 3 THEN 1 ELSE 0 END) AS rel
+       |  FROM tf JOIN qt USING (term) GROUP BY 1, 2
+       |  HAVING sum(CASE WHEN tf.tf >= 3 THEN 1 ELSE 0 END) >= 1),
+       |j AS (
+       |  SELECT r.query_id, r.rnk, COALESCE(q.rel, 0) AS rel
+       |  FROM run r LEFT JOIN qrels q USING (query_id, doc_id)),
+       |perq AS (
+       |  SELECT query_id,
+       |    CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hits_at_k,
+       |    min(CASE WHEN rel >= 2 THEN rnk END) AS first_rel,
+       |    sum((pow(2.0, rel) - 1.0) / log2(CAST(rnk AS DOUBLE) + 1.0))
+       |      AS dcg
+       |  FROM j GROUP BY 1),
+       |relt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |         FROM qrels WHERE rel >= 2 GROUP BY 1),
+       |gc AS (SELECT query_id, rel AS g, count(*) AS n
+       |       FROM qrels WHERE rel >= 1 GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT query_id, g, n,
+       |    sum(n) OVER (PARTITION BY query_id ORDER BY g DESC) AS cum
+       |  FROM gc),
+       |bands2 AS (
+       |  SELECT query_id, g, cum - n + 1 AS s, LEAST(cum, 20) AS e
+       |  FROM bands WHERE cum - n + 1 <= 20),
+       |pos AS (SELECT unnest(generate_series(1, 20)) AS p),
+       |idcg AS (
+       |  SELECT query_id,
+       |    sum((pow(2.0, g) - 1.0) / log2(CAST(p AS DOUBLE) + 1.0)) AS idcg
+       |  FROM bands2 JOIN pos ON p BETWEEN s AND e GROUP BY 1)
+       |SELECT CAST(p.query_id AS BIGINT) AS query_id,
+       |  COALESCE(r.n_rel, 0) AS n_rel,
+       |  p.hits_at_k,
+       |  CAST(CAST(CASE WHEN COALESCE(r.n_rel, 0) = 0 THEN 0.0
+       |    ELSE CAST(p.hits_at_k AS DOUBLE) / r.n_rel END
+       |    AS DECIMAL(28,6)) AS DOUBLE) AS recall_at_k,
+       |  CAST(CAST(CASE WHEN p.first_rel IS NULL THEN 0.0
+       |    ELSE 1.0 / p.first_rel END AS DECIMAL(28,6)) AS DOUBLE)
+       |    AS mrr_at_k,
+       |  CAST(CAST(p.dcg AS DECIMAL(28,6)) AS DOUBLE) AS dcg_at_k,
+       |  CAST(CAST(COALESCE(i.idcg, 0.0) AS DECIMAL(28,6)) AS DOUBLE)
+       |    AS idcg_at_k,
+       |  CAST(CAST(CASE WHEN COALESCE(i.idcg, 0.0) = 0.0 THEN 0.0
+       |    ELSE p.dcg / i.idcg END AS DECIMAL(28,6)) AS DOUBLE)
+       |    AS ndcg_at_k
+       |FROM perq p LEFT JOIN relt r USING (query_id)
+       |LEFT JOIN idcg i USING (query_id)""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
@@ -3207,6 +3325,7 @@ object Corpus {
     "q244_mojibake_repair" -> (q244MojibakeRepair _),
     "q245_unigram_train" -> (q245UnigramTrain _),
     "q246_unigram_apply" -> (q246UnigramApply _),
+    "q247_retrieval_eval" -> (q247RetrievalEval _),
     "q166_ingest_chain" -> (q166IngestChain _),
     "q167_quantize_embed" -> (q167QuantizeEmbed _),
     "q168_quantized_knn" -> (q168QuantizedKnn _),
@@ -3280,6 +3399,7 @@ object Corpus {
     "q244_mojibake_repair" -> q244Sql,
     "q245_unigram_train" -> q245Sql,
     "q246_unigram_apply" -> q246Sql,
+    "q247_retrieval_eval" -> q247Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Batched BM25 (Retrieval.bm25MultiTopK) and ranking-quality metrics
+  * (Retrieval.rankingMetrics) — the retrieval-eval pair behind q247.
+  */
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "x y a"), (2L, "x x y z b"), (3L, "y z w c"),
+    (4L, "w w x a b"), (5L, "z z z y x")).toDF("doc_id", "text")
+
+  test("bm25MultiTopK agrees with the single-query form per query") {
+    val multi = Retrieval.bm25MultiTopK(corpus, "doc_id", "text",
+      Seq(10L -> Seq("x"), 20L -> Seq("z", "w")), topK = 10)
+      .select("query_id", "doc_id", "bm25_score")
+      .as[(Long, Long, Double)].collect()
+    for ((qid, terms) <- Seq(10L -> Seq("x"), 20L -> Seq("z", "w"))) {
+      val single = Retrieval.bm25TopK(corpus, "doc_id", "text", terms,
+          topK = 10)
+        .as[(Long, Double)].collect().toMap
+      val got = multi.filter(_._1 == qid).map(t => t._2 -> t._3).toMap
+      assert(got.keySet == single.keySet, s"query $qid doc set")
+      got.foreach { case (d, s) =>
+        assert(math.abs(s - single(d)) < 1e-6, s"query $qid doc $d")
+      }
+    }
+  }
+
+  test("bm25MultiTopK ranks are 1..k in (score DESC, id ASC) order") {
+    val out = Retrieval.bm25MultiTopK(corpus, "doc_id", "text",
+      Seq(1L -> Seq("x", "y")), topK = 3)
+      .orderBy("rank")
+      .select("doc_id", "bm25_score", "rank")
+      .as[(Long, Double, Long)].collect()
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    val resorted = out.sortBy(r => (-r._2, r._1)).map(_._1).toSeq
+    assert(out.map(_._1).toSeq == resorted)
+  }
+
+  test("rankingMetrics matches the hand computation") {
+    val run = Seq(
+      (1L, 101L, 1L), (1L, 102L, 2L), (1L, 103L, 3L),
+      (2L, 101L, 1L), (2L, 102L, 2L)).toDF("query_id", "doc_id", "rank")
+    // query 1: grade-3 doc retrieved at rank 2, grade-1 at rank 1,
+    // a grade-2 doc (109) never retrieved; query 2: nothing judged
+    val qrels = Seq(
+      (1L, 102L, 3L), (1L, 109L, 2L), (1L, 101L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Retrieval.rankingMetrics(run, qrels, "query_id", "doc_id",
+        "rel", k = 3, relThreshold = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_rel") == 2L)
+    assert(q1.getAs[Long]("hits_at_k") == 1L)
+    assert(math.abs(q1.getAs[Double]("recall_at_k") - 0.5) < 1e-6)
+    assert(math.abs(q1.getAs[Double]("mrr_at_k") - 0.5) < 1e-6)
+    val dcg = 1.0 / lg2(2.0) + 7.0 / lg2(3.0) // rank1 gain 1, rank2 gain 7
+    val idcg = 7.0 / lg2(2.0) + 3.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    assert(math.abs(q1.getAs[Double]("dcg_at_k") - dcg) < 1e-5)
+    assert(math.abs(q1.getAs[Double]("idcg_at_k") - idcg) < 1e-5)
+    assert(math.abs(q1.getAs[Double]("ndcg_at_k") - dcg / idcg) < 1e-5)
+
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("n_rel") == 0L)
+    assert(q2.getAs[Long]("hits_at_k") == 0L)
+    assert(q2.getAs[Double]("recall_at_k") == 0.0)
+    assert(q2.getAs[Double]("mrr_at_k") == 0.0)
+    assert(q2.getAs[Double]("ndcg_at_k") == 0.0)
+  }
+
+  test("IDCG band arithmetic equals the brute-force sorted ideal") {
+    // 60 judged docs across grades 1..3, k = 10: the ideal list is
+    // longer than k on every grade boundary shape
+    val grades = (1L to 60L).map(d => (1L, d, (d % 3) + 1)) // 20 per grade
+    val qrels = grades.toDF("query_id", "doc_id", "rel")
+    val run = Seq((1L, 1L, 1L)).toDF("query_id", "doc_id", "rank")
+    val k = 10
+    val got = Retrieval.rankingMetrics(run, qrels, "query_id", "doc_id",
+        "rel", k = k, relThreshold = 2)
+      .select("idcg_at_k").as[Double].head()
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val ideal = grades.map(_._3).sortBy(-_).take(k).zipWithIndex
+      .map { case (g, i) => (math.pow(2.0, g.toDouble) - 1) / lg2(i + 2.0) }
+      .sum
+    assert(math.abs(got - ideal) < 1e-5)
+  }
+
+  test("rankingMetrics with recall-threshold grade 1 counts all judged") {
+    val run = Seq((1L, 101L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 101L, 1L), (1L, 102L, 1L))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Retrieval.rankingMetrics(run, qrels, "query_id", "doc_id",
+      "rel", k = 5, relThreshold = 1).collect().head
+    assert(out.getAs[Long]("n_rel") == 2L)
+    assert(math.abs(out.getAs[Double]("recall_at_k") - 0.5) < 1e-6)
+    assert(math.abs(out.getAs[Double]("mrr_at_k") - 1.0) < 1e-6)
+  }
+}
