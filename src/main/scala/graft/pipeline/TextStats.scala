@@ -1010,6 +1010,106 @@ object TextStats {
     } finally vocab.unpersist()
   }
 
+  /** WordPiece vocabulary induction (Schuster & Nakajima 2012 — the
+    * BERT tokenizer's trainer), completing the tokenizer-family trio
+    * next to [[bpeTrain]] (frequency merges) and [[unigramTrain]]
+    * (likelihood pruning). Structurally it IS the BPE loop — count →
+    * argmax → greedy in-row merge over the distinct-word table — with
+    * exactly one substitution: the merge choice maximizes the corpus
+    * LIKELIHOOD GAIN score count(lr) / (count(l) · count(r)), not the
+    * raw pair frequency, so a rare-but-cohesive pair beats a frequent
+    * pair of already-frequent symbols. Symbols carry the `##`
+    * continuation convention (word "abc" → ["a", "##b", "##c"]);
+    * fusing l with r concatenates and strips r's `##`, so learned
+    * pieces are word-initial or `##`-continuations exactly as BERT
+    * vocabularies spell them.
+    *
+    * Determinism/portability: the score is compared in LOG domain at
+    * the established d6-ln contract point (q116/q130/q245) —
+    * micro-nats, `(ln c_lr − ln c_l − ln c_r)` d6-rounded × 10⁶ as a
+    * signed long — with (score DESC, pair_count DESC, lhs ASC, rhs
+    * ASC) tie-break: fully deterministic, partitioning- and
+    * engine-independent, hence replayable as an N-step chained-CTE
+    * DuckDB oracle (q248). Exact-rational comparison via cross-
+    * multiplication was rejected: the three-way integer product
+    * overflows 64-bit near 1e6-token corpora, and the codebase's
+    * portable-float contract is d6, not int128.
+    *
+    * Scale: identical to [[bpeTrain]] — the corpus-sized exchange
+    * happens once (word counts, cached); each step does one vocab-sized
+    * pair count + one symbol count (both map-side-combined), a 1-row
+    * argmax collect (bounded contract point), and one in-row fold.
+    * Output per step: (`step`, `lhs`, `rhs`, `merged`, `pair_count`,
+    * `score_unat`, `units_after`).
+    */
+  def wordpieceTrain(
+      df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    val vocab = df
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          when(i === 1, col("word").substr(i, lit(1)))
+            .otherwise(concat(lit("##"), col("word").substr(i, lit(1)))))
+          .as("syms"),
+        col("n"))
+      .persist()
+    try {
+      var words = vocab
+      val learned =
+        Seq.newBuilder[(Int, String, String, String, Long, Long, Long)]
+      for (step <- 1 to nMerges) {
+        val symCounts = words
+          .select(col("n"), explode(col("syms")).as("s"))
+          .groupBy(col("s")).agg(sum(col("n")).as("sc"))
+        val pairIdx =
+          when(size(col("syms")) >= 2, sequence(lit(1), size(col("syms")) - 1))
+            .otherwise(array().cast("array<int>"))
+        val pairs = words
+          .select(col("n"), explode(transform(pairIdx, i => struct(
+            element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum(col("n")).as("c"))
+        // micro-nat likelihood score at the d6-ln contract point
+        val su = ((log(col("c")) - log(col("lc")) - log(col("rc")))
+          .cast("decimal(28,6)") * 1000000).cast("long")
+        val best = pairs
+          .join(broadcast(symCounts.select(
+            col("s").as("lhs"), col("sc").as("lc"))), "lhs")
+          .join(broadcast(symCounts.select(
+            col("s").as("rhs"), col("sc").as("rc"))), "rhs")
+          .select(col("lhs"), col("rhs"), col("c"), su.as("su"))
+          .orderBy(col("su").desc, col("c").desc, col("lhs").asc,
+            col("rhs").asc)
+          .limit(1).collect()
+        require(best.nonEmpty, s"wordpieceTrain: no adjacent pairs left " +
+          s"at step $step — corpus fully merged; lower nMerges")
+        val (l, r, c, s) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2), best(0).getLong(3))
+        val merged = l + r.stripPrefix("##")
+        val fused = aggregate(col("syms"), array().cast("array<string>"),
+          (acc, sym) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+                sym === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+              .otherwise(concat(acc, array(sym))))
+        words = words.select(fused.as("syms"), col("n"))
+        val unitsAfter = words
+          .agg(sum(col("n") * size(col("syms"))).as("u"))
+          .collect()(0).getLong(0)
+        learned += ((step, l, r, merged, c, s, unitsAfter))
+      }
+      import spark.implicits._
+      learned.result().toDF(
+        "step", "lhs", "rhs", "merged", "pair_count", "score_unat",
+        "units_after")
+    } finally vocab.unpersist()
+  }
+
   /** SentencePiece-style unigram-LM tokenizer induction (Kudo 2018,
     * arXiv:1804.10959) — the OTHER real tokenizer family next to
     * [[bpeTrain]]'s merge induction — made deterministic enough to

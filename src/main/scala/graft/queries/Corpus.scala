@@ -1767,6 +1767,90 @@ object Corpus {
   def q220BpeTrain(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.TextStats.bpeTrain(t(s, dir, "documents"), "text", 8)
 
+  // q248: WORDPIECE vocabulary induction — the tokenizer trio's third
+  // family (q220 BPE merges, q245 unigram pruning, q248 WordPiece
+  // likelihood merges). Same 8-round chained-CTE replay as q220, with
+  // the two WordPiece deltas: symbols carry the `##` continuation
+  // prefix (s0 plants it; each step's rewrite strips the rhs's `##`
+  // on fusion), and the per-step argmax maximizes the micro-nat
+  // likelihood score d6(ln c_pair − ln c_lhs − ln c_rhs)×10⁶ — which
+  // needs a per-step SYMBOL-count CTE next to the pair counts. The
+  // driver hash-checks selection score, pick, and application per step.
+  def q248WordpieceTrain(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.wordpieceTrain(t(s, dir, "documents"), "text", 8)
+
+  val q248Sql: String = {
+    val steps = 8
+    val head =
+      """WITH w AS MATERIALIZED (
+        |  SELECT word AS wid, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t0
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT wid, pos,
+        |    CASE WHEN pos = 1 THEN substring(wid, pos, 1)
+        |         ELSE '##' || substring(wid, pos, 1) END AS sym
+        |  FROM (
+        |    SELECT wid, unnest(generate_series(1, length(wid))) AS pos
+        |    FROM w) t1)""".stripMargin
+    val stepSql = (1 to steps).map { i =>
+      val p = s"s${i - 1}"
+      s"""sc$i AS (
+         |  SELECT a.sym, CAST(SUM(w.n) AS BIGINT) AS sc
+         |  FROM $p a JOIN w ON w.wid = a.wid GROUP BY 1),
+         |pc$i AS (
+         |  SELECT a.sym AS lhs, b.sym AS rhs, CAST(SUM(w.n) AS BIGINT) AS c
+         |  FROM $p a JOIN $p b ON a.wid = b.wid AND b.pos = a.pos + 1
+         |  JOIN w ON w.wid = a.wid GROUP BY 1, 2),
+         |best$i AS (
+         |  SELECT p.lhs, p.rhs, p.c,
+         |    CAST(CAST(ln(p.c) - ln(l.sc) - ln(r.sc) AS DECIMAL(28,6))
+         |      * 1000000 AS BIGINT) AS su
+         |  FROM pc$i p JOIN sc$i l ON p.lhs = l.sym
+         |  JOIN sc$i r ON p.rhs = r.sym
+         |  ORDER BY su DESC, c DESC, lhs ASC, rhs ASC LIMIT 1),
+         |mg$i AS (
+         |  SELECT lhs || CASE WHEN rhs LIKE '##%' THEN substring(rhs, 3)
+         |    ELSE rhs END AS mrg FROM best$i),
+         |m$i AS (
+         |  SELECT wid, pos, sym,
+         |    CASE WHEN sym = (SELECT lhs FROM best$i) AND
+         |      lead(sym) OVER (PARTITION BY wid ORDER BY pos) =
+         |        (SELECT rhs FROM best$i)
+         |    THEN 1 ELSE 0 END AS mt
+         |  FROM $p),
+         |g$i AS (
+         |  SELECT wid, pos, sym, mt,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY wid, mt ORDER BY pos)
+         |      AS isl
+         |  FROM m$i),
+         |mm$i AS (
+         |  SELECT wid, pos, sym,
+         |    CASE WHEN mt = 1 AND
+         |      (pos - MIN(pos) OVER (PARTITION BY wid, mt, isl)) % 2 = 0
+         |    THEN 1 ELSE 0 END AS merged
+         |  FROM g$i),
+         |s$i AS MATERIALIZED (
+         |  SELECT wid, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos)
+         |      AS pos,
+         |    CASE WHEN merged = 1 THEN (SELECT mrg FROM mg$i) ELSE sym END
+         |      AS sym
+         |  FROM (
+         |    SELECT wid, pos, sym, merged,
+         |      lag(merged) OVER (PARTITION BY wid ORDER BY pos) AS pm
+         |    FROM mm$i) t$i
+         |  WHERE COALESCE(pm, 0) = 0)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to steps).map { i =>
+      s"""SELECT $i AS step, lhs, rhs, (SELECT mrg FROM mg$i) AS merged,
+         |  c AS pair_count, su AS score_unat,
+         |  (SELECT CAST(SUM(w.n) AS BIGINT) FROM s$i
+         |   JOIN w ON s$i.wid = w.wid) AS units_after
+         |FROM best$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$head,\n$stepSql\n$rows"
+  }
+
   val q220Sql: String = {
     val steps = 8
     // w/s0/s{i} are MATERIALIZED: each is referenced by every later
@@ -3346,6 +3430,7 @@ object Corpus {
     "q185_rrf_fusion" -> (q185RrfFusion _),
     "q189_bpe_apply" -> (q189BpeApply _),
     "q220_bpe_train" -> (q220BpeTrain _),
+    "q248_wordpiece_train" -> (q248WordpieceTrain _),
     "q221_count_min_portable" -> (q221CountMinPortable _),
     "q222_heavy_hitters_portable" -> (q222HeavyHittersPortable _),
     "q225_quality_classifier_train" -> (q225QualityClassifierTrain _),
@@ -3421,6 +3506,7 @@ object Corpus {
     "q185_rrf_fusion" -> q185Sql,
     "q189_bpe_apply" -> q189Sql,
     "q220_bpe_train" -> q220Sql,
+    "q248_wordpiece_train" -> q248Sql,
     "q221_count_min_portable" -> q221Sql,
     "q222_heavy_hitters_portable" -> q222Sql,
     "q225_quality_classifier_train" -> q225Sql,
