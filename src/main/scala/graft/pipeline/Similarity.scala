@@ -890,6 +890,73 @@ object Similarity {
         (col(idCol) === col("canonical_id")).cast("int"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
+    * with the quadratic pair stage bounded by K-MEANS CLUSTERS instead
+    * of LSH buckets: the third pair-generation regime next to the
+    * exact blocked form ([[semanticDedup]]) and the LSH-candidate form
+    * ([[semanticDedupAnn]]).
+    *
+    *   1. coarse k-means over the packed integer embeddings (the
+    *      shared [[lloydTrain]] — `portable = true` replays the whole
+    *      training in the oracle, q218's contract);
+    *   2. exact pairwise quantized cosine WITHIN each cluster only
+    *      (`vec_a < vec_b` self-equi-join on the cluster key);
+    *   3. pairs ≥ `threshold` → connected components → min-id keeps
+    *      (the [[semanticDedupFromPairs]] contract, so all three
+    *      regimes share one keep rule and one output schema, plus the
+    *      assignment's `cluster` column for audit).
+    *
+    * Documented divergence from the paper: within a duplicate group
+    * SemDeDup keeps the example with LOWEST cosine to its cluster
+    * centroid (a data-diversity heuristic); this operator keeps the
+    * MIN-ID member — deterministic, engine-portable, and consistent
+    * with every other dedup family here. The priority is one sort-key
+    * swap in the keep rule if the paper's choice is wanted; the
+    * cluster/pair machinery — the scale-bearing part — is identical.
+    *
+    * Scale: cluster-bounded pairs cost Σ_c |c|² /2 dots — with
+    * `nlist` grown ∝ √N (the paper runs 50k clusters for LAION-scale
+    * corpora) the expected per-cluster population stays flat and total
+    * pair work stays ~linear. The failure mode is a MEGA-CLUSTER
+    * (embedding-space hub): its |c|² pair stage regains the quadratic
+    * — raise `nlist`, or route that cluster's members through
+    * [[annDupPairs]] (LSH bounds work per-row regardless of density).
+    * Cosine misses across cluster boundaries are the approximation the
+    * paper accepts; boundary recall is measured against the exact pair
+    * set in SimilaritySpec.
+    */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      iters: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    require(nlist >= 2, s"nlist must be >= 2, got $nlist")
+    val e = packedWithNorm(df, idCol, embCol)
+    val centroids =
+      lloydTrain(e, idCol, nlist, iters, portable, opName = "semDeDup")
+    val assigned = e.select(col(idCol), col("q"), col("nrm"),
+      array_min(array(centroidScoreStructs(centroids, col("q")): _*))
+        .getField("cluster").cast("long").as("cluster"))
+    val a = assigned.select(col("cluster"), col(idCol).as("vec_a"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col(idCol).as("vec_b"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val cosine = col("dot").cast("double") /
+      sqrt(col("na").cast("double") * col("nb").cast("double"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        col("na"), col("nb"), packedDot(col("qa"), col("qb")).as("dot"))
+      .select(col("vec_a"), col("vec_b"), cosine.as("cosine"))
+      .filter(col("cosine") >= threshold)
+    semanticDedupFromPairs(df, idCol, pairs)
+      .join(assigned.select(col(idCol), col("cluster")), Seq(idCol))
+  }
+
   /** Symmetric per-vector int8 quantization: each embedding is scaled by
     * its own max-|v|/127 and rounded, so every component lands in
     * [-127, 127] and the vector's direction survives to ~0.4% relative

@@ -1112,6 +1112,97 @@ object Pipeline {
       |      ORDER BY adc_score DESC, nid ASC) AS rank
       |  FROM adc) t WHERE rank <= 10""".stripMargin
 
+  // q249: SemDeDup — semantic dedup with the pair stage bounded by
+  // k-means clusters (Abbas et al. 2023). Oracle: q218's Lloyd-training
+  // recursive CTE VERBATIM (same init, 3 iterations, same tie-breaks)
+  // → final assignment lists → exact within-cluster cosine pairs at
+  // 0.4 → q46's transitive-closure CTE → min-id keeps + the cluster
+  // audit column. The keep rule is the documented min-id divergence
+  // from the paper's lowest-centroid-similarity pick (scaladoc).
+  def q249SemDeDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDeDup(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, nlist = 16, iters = 3, portable = true)
+
+  val q249Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+      |      AS qv
+      |  FROM embeddings),
+      |cent(iter, cluster, pos, m) AS (
+      |  SELECT 0, i.cluster, e.pos, e.qv
+      |  FROM (
+      |    SELECT vec_id, rn - 1 AS cluster FROM (
+      |      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+      |      FROM (
+      |        SELECT DISTINCT vec_id,
+      |          CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),
+      |            1, 8)) AS BIGINT) % 1000000 AS h
+      |        FROM e) t0) t1 WHERE rn <= 16) i
+      |  JOIN e ON e.vec_id = i.vec_id
+      |  UNION ALL
+      |  SELECT pts.iter, pts.cluster, pts.pos,
+      |    CAST(FLOOR(AVG(pts.qv)) AS BIGINT)
+      |  FROM (
+      |    SELECT asg.iter, asg.cluster, e2.pos, e2.qv
+      |    FROM (
+      |      SELECT iter, vec_id, cluster FROM (
+      |        SELECT iter, vec_id, cluster,
+      |          ROW_NUMBER() OVER (PARTITION BY iter, vec_id
+      |            ORDER BY score, cluster) AS rn
+      |        FROM (
+      |          SELECT c.iter + 1 AS iter, e1.vec_id, c.cluster,
+      |            SUM(c.m * c.m) - 2 * SUM(e1.qv * c.m) AS score
+      |          FROM cent c JOIN e e1 ON e1.pos = c.pos
+      |          WHERE c.iter < 3
+      |          GROUP BY 1, 2, 3) sc) rk
+      |      WHERE rn = 1) asg
+      |    JOIN e e2 ON e2.vec_id = asg.vec_id) pts
+      |  GROUP BY 1, 2, 3),
+      |fc AS (SELECT cluster, pos, m FROM cent WHERE iter = 3),
+      |fscore AS (
+      |  SELECT e.vec_id, f.cluster,
+      |    SUM(f.m * f.m) - 2 * SUM(e.qv * f.m) AS score
+      |  FROM e JOIN fc f ON e.pos = f.pos GROUP BY 1, 2),
+      |lists AS MATERIALIZED (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster)
+      |        AS rn
+      |    FROM fscore) t WHERE rn = 1),
+      |norms AS (SELECT vec_id, SUM(qv*qv) AS nrm FROM e GROUP BY 1),
+      |pr AS (
+      |  SELECT la.vec_id AS va, lb.vec_id AS vb
+      |  FROM lists la JOIN lists lb
+      |    ON la.cluster = lb.cluster AND la.vec_id < lb.vec_id),
+      |dots AS (
+      |  SELECT pr.va, pr.vb, SUM(a.qv * b.qv) AS dot
+      |  FROM pr JOIN e a ON a.vec_id = pr.va
+      |  JOIN e b ON b.vec_id = pr.vb AND b.pos = a.pos
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT va, vb FROM dots
+      |  JOIN norms na ON va = na.vec_id JOIN norms nb ON vb = nb.vec_id
+      |  WHERE CAST(dot AS DOUBLE)
+      |    / SQRT(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) >= 0.4),
+      |edges AS (
+      |  SELECT va AS src, vb AS dst FROM pairs
+      |  UNION SELECT vb, va FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e2.src, r.lab FROM edges e2 JOIN reach r ON e2.dst = r.id),
+      |comp AS (SELECT id, MIN(lab) AS canonical_id FROM reach GROUP BY id)
+      |SELECT v.vec_id,
+      |  COALESCE(c.canonical_id, v.vec_id) AS canonical_id,
+      |  CASE WHEN COALESCE(c.canonical_id, v.vec_id) = v.vec_id
+      |       THEN 1 ELSE 0 END AS is_kept,
+      |  l.cluster
+      |FROM embeddings v
+      |LEFT JOIN comp c ON c.id = v.vec_id
+      |JOIN lists l ON l.vec_id = v.vec_id""".stripMargin
+
   // q31: ANN via IVF (k-means inverted lists + probe + exact re-rank)
   def q31AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.annIvf(
@@ -1214,6 +1305,7 @@ object Pipeline {
     "q214_cluster_sizes" -> (q214ClusterSizes _),
     "q217_fingerprints_portable" -> (q217FingerprintsPortable _),
     "q218_ann_ivf_portable" -> (q218AnnIvfPortable _),
+    "q249_semdedup" -> (q249SemDeDup _),
     "q224_ann_ivfpq_portable" -> (q224AnnIvfPq _),
     "q219_minhash_incremental" -> (q219MinhashIncremental _),
     "q28_ann_lsh" -> (q28AnnLsh _),
@@ -1846,6 +1938,7 @@ object Pipeline {
     "q214_cluster_sizes" -> q214Sql,
     "q217_fingerprints_portable" -> q217Sql,
     "q218_ann_ivf_portable" -> q218Sql,
+    "q249_semdedup" -> q249Sql,
     "q224_ann_ivfpq_portable" -> q224Sql,
     "q219_minhash_incremental" -> q219Sql,
     "q46_dup_clusters" -> q46Sql,

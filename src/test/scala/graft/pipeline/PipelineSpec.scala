@@ -1037,6 +1037,55 @@ class PipelineSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("semDeDup: dropped set is a subset of exact's, with bounded loss") {
+    // cluster-boundary misses are semDeDup's DECLARED approximation
+    // (scaladoc): its pair graph is a subgraph of the exact one, so
+    // (a) every doc it drops, the exact path drops too (a sem drop
+    // means a smaller-id neighbor in the same cluster — a true pair,
+    // so the doc is non-minimal in its exact component as well), and
+    // (b) the loss is bounded — at sf0.001/nlist=16 the measured drop
+    // recall is ~0.44 (25/57); the floor pins against silent collapse
+    // of the pair stage, not the paper's quality claim.
+    def dropped(df: DataFrame): Set[Long] =
+      df.filter(col("is_kept") === 0).select("vec_id").as[Long]
+        .collect().toSet
+    val exact = dropped(
+      Similarity.semanticDedup(embs, "vec_id", "embedding", 0.4))
+    val sem = Similarity.semDeDup(embs, "vec_id", "embedding", 0.4)
+    val semDropped = dropped(sem)
+    assert(exact.nonEmpty)
+    assert(semDropped.subsetOf(exact),
+      s"sem dropped docs not in exact: ${semDropped -- exact}")
+    assert(semDropped.size >= (exact.size * 0.3).toInt,
+      s"drop recall collapsed: ${semDropped.size}/${exact.size}")
+    // every vector carries its audit cluster, and clusters are 0..15
+    val cl = sem.select("cluster").as[Long].collect()
+    assert(cl.length == embs.count())
+    assert(cl.forall(c => c >= 0 && c < 16))
+  }
+
+  test("semDeDup drops within-cluster planted duplicates, keeps min id") {
+    // 3 orthogonal directions ×2 near-copies each + far separation →
+    // k-means (nlist=2 still) must co-cluster each near-pair; dedup
+    // keeps the lower id of each pair regardless of cluster layout
+    val base = Seq(
+      Array(1.0f, 0f, 0f, 0f), Array(0f, 1.0f, 0f, 0f),
+      Array(0f, 0f, 1.0f, 0f))
+    val vecs = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i * 2L, v.toSeq), (i * 2L + 1, v.map(_ * 0.99f).toSeq))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(df, "vec_id", "embedding",
+        threshold = 0.95, nlist = 2, iters = 2)
+      .select("vec_id", "canonical_id", "is_kept")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    for (i <- 0 until 3) {
+      assert(out(i * 2L) == ((i * 2L, 1)))
+      assert(out(i * 2L + 1) == ((i * 2L, 0))) // near-copy dropped
+    }
+  }
+
   test("unigramTrain: hand-computed EM on a tiny corpus; coverage law") {
     // corpus: "ab ab b" → words ab(×2), b(×1). seed (lMax=2):
     // a:2, b:3, ab:2. Viterbi iter1: total=7, cost(ab)=-ln(2/7) <
