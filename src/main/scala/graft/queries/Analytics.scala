@@ -576,7 +576,118 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE)
       |FROM d3""".stripMargin
 
+  // q250: Poisson-bootstrap percentile CI for the corpus mean document
+  // length — the uncertainty band a curation report puts next to its
+  // point estimate. 200 replicates, each a deterministic md5-seeded
+  // Poisson(1) reweighting of the full corpus (the distributed
+  // bootstrap: no global resample coordination); the oracle replays
+  // every weight from the same integer inverse-CDF thresholds, so the
+  // whole band is hash-exact.
+  def q250BootstrapCi(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.bootstrapCI(
+      t(s, dir, "documents"), "doc_id", "n_chars", reps = 200)
+
+  val q250Sql: String =
+    """WITH r AS (SELECT unnest(generate_series(0, 199)) AS rep),
+      |w AS (
+      |  SELECT rep, n_chars,
+      |    CASE
+      |      WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+      |      WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+      |      WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+      |      WHEN u < 999916 THEN 6 WHEN u < 999989 THEN 7
+      |      ELSE 8 END AS wt
+      |  FROM (
+      |    SELECT r.rep, d.doc_id, d.n_chars,
+      |      CAST(concat('0x', substring(md5('boot' || CAST(r.rep AS VARCHAR)
+      |        || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % 1000000 AS u
+      |    FROM r CROSS JOIN documents d) t0),
+      |m AS (
+      |  SELECT rep,
+      |    CAST(CAST(CAST(SUM(wt * n_chars) AS DOUBLE)
+      |      / CAST(SUM(wt) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS mn
+      |  FROM w GROUP BY 1),
+      |rk AS (
+      |  SELECT mn, ROW_NUMBER() OVER (ORDER BY mn ASC, rep ASC) AS rk
+      |  FROM m),
+      |b AS (
+      |  SELECT MIN(CASE WHEN rk = 5 THEN mn END) AS ci_low,
+      |         MIN(CASE WHEN rk = 196 THEN mn END) AS ci_high
+      |  FROM rk),
+      |base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS est_mean
+      |  FROM documents)
+      |SELECT n_rows, CAST(200 AS BIGINT) AS n_reps, est_mean,
+      |  ci_low, ci_high
+      |FROM base CROSS JOIN b""".stripMargin
+
+  // q251: Welch two-sample t-test on an md5-hash-assigned A/B split of
+  // users, metric = events per user. A null experiment by construction
+  // (both arms draw from one population), so the entry doubles as an
+  // A/A sanity readout; exact-integer sufficient statistics make the
+  // t and Welch-df hash-exact. significant uses the documented normal
+  // approximation to the 5% critical value.
+  def q251AbTtest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("arm",
+        (graft.pipeline.Sampling.portableHash(col("user_id"), "ab")
+          >= 500000L).cast("int"))
+    graft.pipeline.Stats.welchTTest(perUser, "arm", "n_events")
+  }
+
+  val q251Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CASE WHEN CAST(concat('0x', substring(md5('ab:' ||
+      |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      >= 500000 THEN 1 ELSE 0 END AS arm
+      |  FROM events GROUP BY 1),
+      |agg AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN n_events ELSE 0 END) AS BIGINT)
+      |      AS s0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN n_events ELSE 0 END) AS BIGINT)
+      |      AS s1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN n_events * n_events ELSE 0 END)
+      |      AS BIGINT) AS q0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN n_events * n_events ELSE 0 END)
+      |      AS BIGINT) AS q1
+      |  FROM pu),
+      |d AS (
+      |  SELECT n0, n1,
+      |    CAST(s0 AS DOUBLE) / n0 AS m0, CAST(s1 AS DOUBLE) / n1 AS m1,
+      |    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * (CAST(s0 AS DOUBLE)
+      |      / n0)) / (n0 - 1.0) AS v0,
+      |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE)
+      |      / n1)) / (n1 - 1.0) AS v1
+      |  FROM agg),
+      |e AS (
+      |  SELECT n0, n1, m0, m1, v0, v1, v0 / n0 AS se0, v1 / n1 AS se1
+      |  FROM d)
+      |SELECT n0 AS n_a, n1 AS n_b,
+      |  CAST(CAST(m0 AS DECIMAL(28,6)) AS DOUBLE) AS mean_a,
+      |  CAST(CAST(m1 AS DECIMAL(28,6)) AS DOUBLE) AS mean_b,
+      |  CAST(CAST(v0 AS DECIMAL(28,6)) AS DOUBLE) AS var_a,
+      |  CAST(CAST(v1 AS DECIMAL(28,6)) AS DOUBLE) AS var_b,
+      |  CAST(CAST((m0 - m1) / SQRT(se0 + se1) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS t_stat,
+      |  CAST(CAST(POW(se0 + se1, 2.0) /
+      |    (POW(se0, 2.0) / (n0 - 1.0) + POW(se1, 2.0) / (n1 - 1.0))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS welch_df,
+      |  CAST(CASE WHEN ABS((m0 - m1) / SQRT(se0 + se1)) >= 1.959964
+      |    THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM e""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q250_bootstrap_ci" -> (q250BootstrapCi _),
+    "q251_ab_ttest" -> (q251AbTtest _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -599,6 +710,8 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q250_bootstrap_ci" -> q250Sql,
+    "q251_ab_ttest" -> q251Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,
