@@ -3379,7 +3379,106 @@ object Corpus {
        |LEFT JOIN idcg i USING (query_id)""".stripMargin
   }
 
+  // q252/q253: DISTRIBUTED SUFFIX ARRAY (prefix doubling) + the
+  // cross-document repeated-suffix report — the exact-substring-dedup
+  // primitive (Lee et al. 2022) complementing the winnowed q180 gate.
+  // Entries run on a deterministic 20%-of-docs slice: the SA is the
+  // most index-heavy operator in the library (⌈log₂ L⌉ rounds × 2
+  // corpus shuffles), and a practical corpus pass builds it per shard.
+  // The oracle replays the WHOLE construction as a recursive CTE whose
+  // state is one rank-array row per document (a single self-reference;
+  // the doubling shift reads the same row's array at p + 2^it) with
+  // the global dense rank + re-listing inside the recursive term —
+  // and it iterates ⌈log₂ max_len⌉ times unconditionally, while the
+  // operator early-stops once ranks go all-distinct: the extra rounds
+  // are provable no-ops (dense rank of an already-total order), so
+  // both replays agree bit-for-bit.
+  private def q252Base(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+
+  def q252SuffixRanks(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.SuffixArray.suffixRanks(
+      q252Base(s, dir), "doc_id", "text", maxRounds = 10)
+
+  /** The shared recursive-CTE suffix-rank construction over `baseSql`
+    * (must yield (doc_id, text)); leaves `fin` = (doc_id, pos, sa_rank)
+    * and `mxl`/`rk` in scope for the caller's final SELECT.
+    */
+  private def saCte(baseSql: String): String =
+    s"""WITH RECURSIVE d0 AS ($baseSql),
+       |mxl AS (SELECT MAX(length(text)) AS mx FROM d0),
+       |b0 AS (
+       |  SELECT doc_id, unnest(generate_series(1, length(text))) AS pos,
+       |    text FROM d0),
+       |r0 AS (
+       |  SELECT doc_id, pos,
+       |    DENSE_RANK() OVER (ORDER BY substring(text, pos, 1)) AS r
+       |  FROM b0),
+       |rk(it, d, arr) AS (
+       |  SELECT 0, doc_id, list(r ORDER BY pos) FROM r0 GROUP BY doc_id
+       |  UNION ALL
+       |  SELECT it + 1, d, list(gr ORDER BY p) FROM (
+       |    SELECT it, d, p,
+       |      DENSE_RANK() OVER (ORDER BY r1, r2) AS gr
+       |    FROM (
+       |      SELECT it, d, p, r1, COALESCE(arr[p + (1 << it)], 0) AS r2
+       |      FROM (
+       |        SELECT it, d, arr, generate_subscripts(arr, 1) AS p,
+       |          unnest(arr) AS r1
+       |        FROM rk
+       |        WHERE (1 << it) < (SELECT mx FROM mxl)) q1) q2) q3
+       |  GROUP BY 1, 2),
+       |fin AS (
+       |  SELECT d AS doc_id, CAST(p AS BIGINT) AS pos,
+       |    CAST(r AS BIGINT) AS sa_rank
+       |  FROM (
+       |    SELECT d, generate_subscripts(arr, 1) AS p, unnest(arr) AS r
+       |    FROM rk WHERE it = (SELECT MAX(it) FROM rk)) t)""".stripMargin
+
+  val q252Sql: String =
+    saCte("SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0") +
+      "\nSELECT doc_id, pos, sa_rank FROM fin"
+
+  def q253RepeatedSuffixes(s: SparkSession, dir: String): DataFrame = {
+    val base = q252Base(s, dir)
+    // planted shared tails (no byte-identical docs exist in the
+    // fixture): every 25th doc gets a shadow twin that IS its own
+    // suffix from char 101 on — identical expression in the oracle
+    val shadow = base
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) > 120)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text").substr(lit(101), length(col("text"))).as("text"))
+    graft.pipeline.SuffixArray.repeatedSuffixes(
+      base.unionByName(shadow), "doc_id", "text", minLen = 20,
+      maxRounds = 10)
+  }
+
+  val q253Sql: String =
+    saCte(
+      """SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substring(text, 101)
+        |  FROM documents
+        |  WHERE doc_id % 25 = 0 AND length(text) > 120""".stripMargin) +
+      """
+        |, lens AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM d0),
+        |j AS (
+        |  SELECT f.sa_rank, f.doc_id, f.pos, l.len - f.pos + 1 AS suffix_len
+        |  FROM fin f JOIN lens l USING (doc_id)
+        |  WHERE l.len - f.pos + 1 >= 20)
+        |SELECT sa_rank, suffix_len,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS rep_doc,
+        |  CAST(min_by(pos, doc_id) AS BIGINT) AS rep_pos
+        |FROM j GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_suffix_ranks" -> (q252SuffixRanks _),
+    "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
     "q125_chunk_dedup" -> (q125ChunkDedup _),
@@ -3485,6 +3584,8 @@ object Corpus {
     "q245_unigram_train" -> q245Sql,
     "q246_unigram_apply" -> q246Sql,
     "q247_retrieval_eval" -> q247Sql,
+    "q252_suffix_ranks" -> q252Sql,
+    "q253_repeated_suffixes" -> q253Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction (SuffixArray.suffixRanks,
+  * q252) and the cross-document repeated-suffix report (q253).
+  */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(docs: Seq[(Long, String)]): Map[(Long, Long), Long] =
+    SuffixArray.suffixRanks(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("banana: the classic suffix array") {
+    // suffixes sorted: a(6) ana(4) anana(2) banana(1) na(5) nana(3)
+    val rk = ranksOf(Seq((1L, "banana")))
+    assert(rk == Map(
+      (1L, 6L) -> 1L, (1L, 4L) -> 2L, (1L, 2L) -> 3L,
+      (1L, 1L) -> 4L, (1L, 5L) -> 5L, (1L, 3L) -> 6L))
+  }
+
+  test("a shorter suffix sorts before every extension") {
+    // all suffixes: ab < abc < b < bc < c
+    val rk = ranksOf(Seq((1L, "ab"), (2L, "abc")))
+    assert(rk((1L, 1L)) == 1L) // "ab"
+    assert(rk((2L, 1L)) == 2L) // "abc"
+    assert(rk((1L, 2L)) == 3L) // "b"
+    assert(rk((2L, 2L)) == 4L) // "bc"
+    assert(rk((2L, 3L)) == 5L) // "c"
+  }
+
+  test("byte-identical suffixes share a rank across documents") {
+    val rk = ranksOf(Seq((1L, "same"), (2L, "same"), (3L, "tame")))
+    for (p <- 1L to 4L) assert(rk((1L, p)) == rk((2L, p)))
+    // "ame" is shared by all three from their second char
+    assert(rk((1L, 2L)) == rk((3L, 2L)))
+    assert(rk((1L, 1L)) != rk((3L, 1L))) // "same" vs "tame"
+  }
+
+  test("rank order equals brute-force string sort on random docs") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 12L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(15))("abcab" (rnd.nextInt(5))).mkString))
+    val rk = ranksOf(docs)
+    val brute = docs.flatMap { case (d, t) =>
+      (1 to t.length).map(p => ((d, p.toLong), t.substring(p - 1)))
+    }
+    val expected = brute.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (sfx, i) => sfx -> (i + 1L) }.toMap
+    brute.foreach { case (key, sfx) =>
+      assert(rk(key) == expected(sfx), s"suffix '$sfx' at $key")
+    }
+  }
+
+  test("suffixRanks is partitioning-invariant") {
+    val docs = (1L to 20L).map(i => (i, ("abcab" * 8).drop((i % 5).toInt)))
+    val one = SuffixArray.suffixRanks(
+      docs.toDF("doc_id", "text").coalesce(1), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val many = SuffixArray.suffixRanks(
+      docs.toDF("doc_id", "text").repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(one == many)
+  }
+
+  test("repeatedSuffixes finds exactly the planted shared tail") {
+    val docs = Seq(
+      (1L, "xyzhello world suffix"),
+      (2L, "hello world suffix"),
+      (3L, "unrelated text here")).toDF("doc_id", "text")
+    val out = SuffixArray.repeatedSuffixes(docs, "doc_id", "text",
+        minLen = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("suffix_len"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("rep_doc"), r.getAs[Long]("rep_pos")))
+    // doc2 is doc1's tail from pos 4: every doc2 suffix of len >= 5 is
+    // shared (len 18 down to 5 = 14 groups), nothing else is
+    assert(out.length == 14)
+    assert(out.forall(_._2 == 2L))
+    assert(out.forall(_._3 == 1L)) // representative is the min doc id
+    // the longest shared suffix is doc1's pos 4 ("hello world suffix")
+    val longest = out.maxBy(_._1)
+    assert(longest == ((18L, 2L, 1L, 4L)))
+  }
+}
