@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * become rank equi-joins instead of string scans.
   *
   * Algorithm: every (doc, pos) suffix starts with the dense rank of
-  * its first character; round i refines ranks to order-2^i by
-  * dense-ranking the pair (rank(pos), rank(pos + 2^(i-1))) — the
-  * classic doubling step, each round one self-equi-join plus one
+  * its first `initOrder` characters (bytewise substring comparison IS
+  * the suffix order restricted to that depth, shorter-prefix-first
+  * included — so a deeper seed just skips the cheap early rounds,
+  * measured 10 → 6 rounds on the fixture at initOrder = 16); each
+  * doubling round then refines order-k to order-2k by dense-ranking
+  * the pair (rank(pos), rank(pos + k)) — one self-equi-join plus one
   * GLOBAL dense rank. Suffixes never cross document boundaries
   * (pos + k past the end ranks as the 0 sentinel: a shorter suffix
   * sorts before every extension — the suffix-array convention).
@@ -50,79 +53,109 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
-  /** Boundary-safe distributed dense rank over (`c1`, `c2`):
-    * range-partition, rank per shard, re-base with broadcast offsets.
-    * Returns the input plus `_gr` (global dense rank) and passes the
-    * per-round distinct total to `onDistinct` (early-stop scalar).
+  /** Shard-and-offset global dense rank over `cs`, given an ORDER-
+    * ALIGNED shard column `shardCol` (equal keys share a shard; shard
+    * ids sort with the keys): per-shard dense rank + a broadcast
+    * cumulative-offset re-base. The ranked frame is MATERIALIZED
+    * before the bounded counts collect — the offsets pass and the
+    * caller's consumption would otherwise each recompute the whole
+    * upstream subtree (measured 2× per round on q252) — which also
+    * flattens the loop's lineage, so callers need no second checkpoint.
+    * Passes (distinct, rows) totals to `onTotals` from the same
+    * collect — no extra count job.
     */
-  private def globalDenseRank(
-      df: DataFrame, c1: String, c2: String,
-      onDistinct: Long => Unit): DataFrame = {
-    val parts = df.repartitionByRange(col(c1), col(c2))
-      .withColumn("_pid", spark_partition_id().cast("long"))
-    val w = Window.partitionBy(col("_pid")).orderBy(col(c1), col(c2))
-    val local = parts.withColumn("_lr", dense_rank().over(w).cast("long"))
-    val counts = local.groupBy(col("_pid")).agg(max(col("_lr")).as("_n"))
+  private def rankOverShards(
+      df: DataFrame, shardCol: String, cs: Seq[String],
+      onTotals: (Long, Long) => Unit): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(cs.map(col): _*)
+    val ranked = df.withColumn("_lr", dense_rank().over(w).cast("long"))
+    val local =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        ranked.checkpoint(eager = true)
+      else ranked.localCheckpoint(eager = true)
+    val counts = local.groupBy(col(shardCol))
+      .agg(max(col("_lr")).as("_n"), count(lit(1)).as("_rows"))
       .collect().sortBy(_.getLong(0))
-    onDistinct(counts.map(_.getLong(1)).sum)
+    onTotals(counts.map(_.getLong(1)).sum, counts.map(_.getLong(2)).sum)
     val offsets = counts
       .scanLeft((-1L, 0L, 0L)) { case ((_, cum, _), r) =>
         (r.getLong(0), cum + r.getLong(1), cum)
       }.drop(1).map { case (pid, _, off) => (pid, off) }
     val offDf = df.sparkSession.createDataFrame(offsets.toSeq)
-      .toDF("_pid", "_off")
-    local.join(broadcast(offDf), Seq("_pid"))
+      .toDF(shardCol, "_off")
+    local.join(broadcast(offDf), Seq(shardCol))
       .withColumn("_gr", col("_off") + col("_lr"))
-      .drop("_pid", "_lr", "_off")
+      .drop(shardCol, "_lr", "_off")
   }
+
+  /** Seed-round global dense rank: no prior rank structure exists, so
+    * shards come from a RANGE repartition (equal keys provably
+    * co-locate; partition ids sort with the keys).
+    */
+  private def globalDenseRank(
+      df: DataFrame, cs: Seq[String],
+      onTotals: (Long, Long) => Unit): DataFrame =
+    rankOverShards(
+      df.repartitionByRange(cs.map(col): _*)
+        .withColumn("_pid", spark_partition_id().cast("long")),
+      "_pid", cs, onTotals)
+
+  /** The seed depth: initial ranks order the first 16 characters in
+    * one string dense rank, and doubling starts at k = 16. Part of the
+    * oracle contract (q252's CTE seeds identically).
+    */
+  val initOrder = 16
 
   def suffixRanks(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxRounds: Int = 20): DataFrame = {
-    require(maxRounds >= 1 && maxRounds <= 62,
-      s"maxRounds in [1, 62], got $maxRounds")
-    def materialize(d: DataFrame): DataFrame =
-      if (d.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        d.checkpoint(eager = true)
-      else d.localCheckpoint(eager = true)
-
+    require(maxRounds >= 1 && maxRounds <= 57,
+      s"maxRounds in [1, 57], got $maxRounds")
     val maxRow = df.agg(max(length(col(textCol)))).head()
     require(!maxRow.isNullAt(0), "suffixRanks: empty corpus")
     val maxLen = maxRow.getInt(0)
-    require((1L << maxRounds) >= maxLen,
-      s"maxRounds=$maxRounds orders only 2^$maxRounds chars; corpus max " +
-        s"doc length is $maxLen — raise maxRounds (suffix ranks would be " +
-        "silently truncated-order otherwise)")
+    require((initOrder.toLong << maxRounds) >= maxLen,
+      s"maxRounds=$maxRounds orders only ${initOrder}·2^$maxRounds chars; " +
+        s"corpus max doc length is $maxLen — raise maxRounds (suffix " +
+        "ranks would be silently truncated-order otherwise)")
     val sfx = df
       .select(col(idCol).as("_d"),
         explode(sequence(lit(1), length(col(textCol)))).as("_p"),
-        col(textCol).substr(col("_p"), lit(1)).as("_c"))
-    // initial order-1 ranks: dense rank of the first character. The
-    // distinct-char frame is alphabet-bounded, so its rank window is a
-    // bounded single-partition frame (the 1-row-scalar class), and the
-    // corpus-sized side only broadcast-joins against it.
-    val chars = sfx.select(col("_c")).distinct()
-      .withColumn("_r", row_number().over(Window.orderBy(col("_c")))
-        .cast("long"))
-    var ranks = materialize(
-      sfx.join(broadcast(chars), Seq("_c")).select(col("_d"), col("_p"),
-        col("_r")))
-    val n = ranks.count()
-    var k = 1L
+        col(textCol))
+      .select(col("_d"), col("_p"),
+        col(textCol).substr(col("_p"), lit(initOrder)).as("_c"))
     var distinct = 0L
-    var round = 0
+    var n = 0L
+    var ranks = globalDenseRank(sfx, Seq("_c"),
+        (d, rows) => { distinct = d; n = rows })
+      .select(col("_d"), col("_p"), col("_gr").as("_r"))
+    var k = initOrder.toLong
+    val shards = ranks.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
     while (distinct < n && k < maxLen) {
       val shifted = ranks.select(col("_d"), (col("_p") - k).as("_p"),
         col("_r").as("_r2"))
       val paired = ranks.join(shifted, Seq("_d", "_p"), "left")
         .withColumn("_r2", coalesce(col("_r2"), lit(0L)))
-      ranks = materialize(
-        globalDenseRank(paired, "_r", "_r2", d => distinct = d)
-          .select(col("_d"), col("_p"), col("_gr").as("_r")))
+      // doubling rounds know the rank domain (1..distinct), so the
+      // shard is computed in-row from equal-width rank bands — ONE
+      // exchange per round (the window's) instead of range-sampling +
+      // range exchange + window exchange. Order-aligned because the
+      // shard depends only on _r: equal (_r, _r2) keys co-locate and
+      // band b's keys all sort before band b+1's.
+      val width = ((distinct + shards - 1) / shards).max(1L)
+      // integer `div`, not `/`: double division loses exactness past
+      // 2^53 ranks (the Analytics bucket-arithmetic discipline)
+      val banded = paired.withColumn("_b",
+        expr(s"(_r - 1L) div ${width}L"))
+      // rankOverShards materializes internally; its output is a flat
+      // (checkpoint + broadcast-join) lineage already
+      ranks = rankOverShards(banded, "_b", Seq("_r", "_r2"),
+          (d, _) => distinct = d)
+        .select(col("_d"), col("_p"), col("_gr").as("_r"))
       k = k * 2
-      round += 1
     }
     ranks.select(col("_d").as(idCol), col("_p").cast("long").as("pos"),
       col("_r").as("sa_rank"))

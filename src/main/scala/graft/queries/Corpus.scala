@@ -3382,7 +3382,7 @@ object Corpus {
   // q252/q253: DISTRIBUTED SUFFIX ARRAY (prefix doubling) + the
   // cross-document repeated-suffix report — the exact-substring-dedup
   // primitive (Lee et al. 2022) complementing the winnowed q180 gate.
-  // Entries run on a deterministic 20%-of-docs slice: the SA is the
+  // Entries run on a deterministic 10%-of-docs slice: the SA is the
   // most index-heavy operator in the library (⌈log₂ L⌉ rounds × 2
   // corpus shuffles), and a practical corpus pass builds it per shard.
   // The oracle replays the WHOLE construction as a recursive CTE whose
@@ -3394,7 +3394,7 @@ object Corpus {
   // are provable no-ops (dense rank of an already-total order), so
   // both replays agree bit-for-bit.
   private def q252Base(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
 
   def q252SuffixRanks(s: SparkSession, dir: String): DataFrame =
@@ -3413,7 +3413,7 @@ object Corpus {
        |    text FROM d0),
        |r0 AS (
        |  SELECT doc_id, pos,
-       |    DENSE_RANK() OVER (ORDER BY substring(text, pos, 1)) AS r
+       |    DENSE_RANK() OVER (ORDER BY substring(text, pos, 16)) AS r
        |  FROM b0),
        |rk(it, d, arr) AS (
        |  SELECT 0, doc_id, list(r ORDER BY pos) FROM r0 GROUP BY doc_id
@@ -3422,12 +3422,12 @@ object Corpus {
        |    SELECT it, d, p,
        |      DENSE_RANK() OVER (ORDER BY r1, r2) AS gr
        |    FROM (
-       |      SELECT it, d, p, r1, COALESCE(arr[p + (1 << it)], 0) AS r2
+       |      SELECT it, d, p, r1, COALESCE(arr[p + (16 << it)], 0) AS r2
        |      FROM (
        |        SELECT it, d, arr, generate_subscripts(arr, 1) AS p,
        |          unnest(arr) AS r1
        |        FROM rk
-       |        WHERE (1 << it) < (SELECT mx FROM mxl)) q1) q2) q3
+       |        WHERE (16 << it) < (SELECT mx FROM mxl)) q1) q2) q3
        |  GROUP BY 1, 2),
        |fin AS (
        |  SELECT d AS doc_id, CAST(p AS BIGINT) AS pos,
@@ -3437,16 +3437,16 @@ object Corpus {
        |    FROM rk WHERE it = (SELECT MAX(it) FROM rk)) t)""".stripMargin
 
   val q252Sql: String =
-    saCte("SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0") +
+    saCte("SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0") +
       "\nSELECT doc_id, pos, sa_rank FROM fin"
 
   def q253RepeatedSuffixes(s: SparkSession, dir: String): DataFrame = {
     val base = q252Base(s, dir)
     // planted shared tails (no byte-identical docs exist in the
-    // fixture): every 25th doc gets a shadow twin that IS its own
+    // fixture): every 50th doc gets a shadow twin that IS its own
     // suffix from char 101 on — identical expression in the oracle
     val shadow = base
-      .filter(col("doc_id") % 25 === 0 && length(col("text")) > 120)
+      .filter(col("doc_id") % 50 === 0 && length(col("text")) > 120)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         col("text").substr(lit(101), length(col("text"))).as("text"))
     graft.pipeline.SuffixArray.repeatedSuffixes(
@@ -3456,11 +3456,11 @@ object Corpus {
 
   val q253Sql: String =
     saCte(
-      """SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      """SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT doc_id + 1000000, substring(text, 101)
         |  FROM documents
-        |  WHERE doc_id % 25 = 0 AND length(text) > 120""".stripMargin) +
+        |  WHERE doc_id % 50 = 0 AND length(text) > 120""".stripMargin) +
       """
         |, lens AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM d0),
