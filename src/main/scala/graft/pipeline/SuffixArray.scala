@@ -201,4 +201,73 @@ object SuffixArray {
       .select(col("sa_rank"), col("suffix_len"), col("n_occurrences"),
         col("n_docs"), col("rep_doc"), col("rep_pos"))
   }
+
+  /** LONGEST REPEATED SUBSTRINGS — the maximal-internal-substring
+    * report ([[repeatedSuffixes]]' suffix-granularity caveat, closed):
+    * the classic suffix-array result that every maximal repeat is
+    * either (a) the LCP of two RANK-ADJACENT distinct suffixes, or
+    * (b) a whole duplicated suffix (a rank with ≥ 2 occurrences —
+    * dense ranking collapsed what a tie-broken SA would lay adjacent).
+    * The top `topK` candidates by (length DESC, rank ASC), each with a
+    * ≤ 60-char preview — the report Lee et al. 2022 act on when
+    * deciding what to cut.
+    *
+    * LCP per adjacent pair is computed IN-ROW from the two
+    * representative suffixes (first-mismatch scan via one array HOF —
+    * O(L) per pair, ~n pairs total, no join fan-out); representatives
+    * join text back ONCE per rank, so the corpus-sized frame is
+    * touched twice after construction (reps + text attach). Output:
+    * (`sa_rank`, `repeat_len`, `n_occurrences`, `source`
+    * 'adjacent'|'dup', `rep_doc`, `rep_pos`, `preview`).
+    */
+  def longestRepeats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 20,
+      maxRounds: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ranks = suffixRanks(df, idCol, textCol, maxRounds)
+    val texts = df.select(col(idCol).as("_td"), col(textCol).as("_t"))
+    val reps = ranks.groupBy(col("sa_rank"))
+      .agg(min(col(idCol)).as("rep_doc"),
+        min_by(col("pos"), col(idCol)).as("rep_pos"),
+        count(lit(1)).as("n_occurrences"))
+      .join(texts, col("rep_doc") === col("_td"))
+      .select(col("sa_rank"), col("rep_doc"), col("rep_pos"),
+        col("n_occurrences"),
+        (length(col("_t")).cast("long") - col("rep_pos") + 1L)
+          .as("_slen"), col("_t"))
+    // (b) duplicated whole suffixes: the repeat IS the suffix
+    val dups = reps.filter(col("n_occurrences") >= 2)
+      .select(col("sa_rank"), col("_slen").as("repeat_len"),
+        col("n_occurrences"), lit("dup").as("source"),
+        col("rep_doc"), col("rep_pos"),
+        col("_t").substr(col("rep_pos").cast("int"),
+          least(col("_slen"), lit(60L)).cast("int")).as("preview"))
+    // (a) rank-adjacent LCPs: dense ranks make adjacency r ↔ r+1
+    val a = reps.select(col("sa_rank"), col("rep_doc"), col("rep_pos"),
+      col("_slen").as("_la"), col("_t").as("_ta"))
+    val b = reps.select((col("sa_rank") - 1L).as("sa_rank"),
+      col("rep_pos").as("_pb"), col("_slen").as("_lb"),
+      col("_t").as("_tb"))
+    val bound = least(col("_la"), col("_lb"))
+    val eqArr = transform(sequence(lit(1L), bound), i =>
+      col("_ta").substr((col("rep_pos") + i - 1L).cast("int"), lit(1)) ===
+        col("_tb").substr((col("_pb") + i - 1L).cast("int"), lit(1)))
+    val mism = array_position(eqArr, false)
+    val adj = a.join(b, "sa_rank")
+      .withColumn("repeat_len",
+        when(mism === 0L, bound).otherwise(mism - 1L))
+      .filter(col("repeat_len") >= 1L)
+      .select(col("sa_rank"), col("repeat_len"),
+        lit(2L).as("n_occurrences"), lit("adjacent").as("source"),
+        col("rep_doc"), col("rep_pos"),
+        col("_ta").substr(col("rep_pos").cast("int"),
+          least(col("repeat_len"), lit(60L)).cast("int")).as("preview"))
+    dups.unionByName(adj)
+      .orderBy(col("repeat_len").desc, col("sa_rank").asc,
+        col("source").asc)
+      .limit(topK)
+  }
 }

@@ -3440,27 +3440,89 @@ object Corpus {
     saCte("SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0") +
       "\nSELECT doc_id, pos, sa_rank FROM fin"
 
-  def q253RepeatedSuffixes(s: SparkSession, dir: String): DataFrame = {
+  /** q253/q254's corpus: the q252 slice + planted shared tails (no
+    * byte-identical docs exist in the fixture) — every 50th doc gets a
+    * shadow twin that IS its own suffix from char 101 on; identical
+    * expression in the oracles.
+    */
+  private def q253Corpus(s: SparkSession, dir: String): DataFrame = {
     val base = q252Base(s, dir)
-    // planted shared tails (no byte-identical docs exist in the
-    // fixture): every 50th doc gets a shadow twin that IS its own
-    // suffix from char 101 on — identical expression in the oracle
     val shadow = base
       .filter(col("doc_id") % 50 === 0 && length(col("text")) > 120)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         col("text").substr(lit(101), length(col("text"))).as("text"))
-    graft.pipeline.SuffixArray.repeatedSuffixes(
-      base.unionByName(shadow), "doc_id", "text", minLen = 20,
-      maxRounds = 10)
+    base.unionByName(shadow)
   }
 
+  def q253RepeatedSuffixes(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.SuffixArray.repeatedSuffixes(
+      q253Corpus(s, dir), "doc_id", "text", minLen = 20, maxRounds = 10)
+
+  // q254: longest repeated substrings — the classic LCP-over-the-
+  // suffix-array result (max repeat = rank-adjacent LCP or a whole
+  // duplicated suffix); the report a Lee-et-al-style exact dedup pass
+  // acts on. Oracle: the q253 CTE + representative texts + the same
+  // first-mismatch LCP scan (correlated generate_series per adjacent
+  // pair) + the identical (len DESC, rank, source) top-25.
+  def q254LongestRepeats(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.SuffixArray.longestRepeats(
+      q253Corpus(s, dir), "doc_id", "text", topK = 25, maxRounds = 10)
+
+  private val q253BaseSql: String =
+    """SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, substring(text, 101)
+      |  FROM documents
+      |  WHERE doc_id % 50 = 0 AND length(text) > 120""".stripMargin
+
+  val q254Sql: String =
+    saCte(q253BaseSql) +
+      """
+        |, texts AS (SELECT doc_id AS td, text AS t FROM d0),
+        |reps AS (
+        |  SELECT f.sa_rank, MIN(f.doc_id) AS rep_doc,
+        |    CAST(min_by(f.pos, f.doc_id) AS BIGINT) AS rep_pos,
+        |    CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |  FROM fin f GROUP BY 1),
+        |reps2 AS (
+        |  SELECT r.sa_rank, r.rep_doc, r.rep_pos, r.n_occurrences,
+        |    CAST(length(t.t) AS BIGINT) - r.rep_pos + 1 AS slen, t.t
+        |  FROM reps r JOIN texts t ON r.rep_doc = t.td),
+        |dup AS (
+        |  SELECT sa_rank, slen AS repeat_len, n_occurrences,
+        |    'dup' AS source, rep_doc, rep_pos,
+        |    substring(t, CAST(rep_pos AS INT),
+        |      CAST(LEAST(slen, 60) AS INT)) AS preview
+        |  FROM reps2 WHERE n_occurrences >= 2),
+        |adjp AS (
+        |  SELECT a.sa_rank, a.rep_doc, a.rep_pos, a.slen AS la, a.t AS ta,
+        |    b.rep_pos AS pb, b.slen AS lb, b.t AS tb
+        |  FROM reps2 a JOIN reps2 b ON b.sa_rank = a.sa_rank + 1),
+        |ex AS (
+        |  SELECT sa_rank, rep_pos, pb, ta, tb,
+        |    unnest(generate_series(1, LEAST(la, lb))) AS l
+        |  FROM adjp),
+        |mm AS (
+        |  SELECT sa_rank, MIN(l) AS m FROM ex
+        |  WHERE substring(ta, CAST(rep_pos + l - 1 AS INT), 1)
+        |     <> substring(tb, CAST(pb + l - 1 AS INT), 1)
+        |  GROUP BY 1),
+        |adj AS (
+        |  SELECT p.sa_rank,
+        |    COALESCE(mm.m - 1, LEAST(p.la, p.lb)) AS repeat_len,
+        |    CAST(2 AS BIGINT) AS n_occurrences, 'adjacent' AS source,
+        |    p.rep_doc, p.rep_pos,
+        |    substring(p.ta, CAST(p.rep_pos AS INT),
+        |      CAST(LEAST(COALESCE(mm.m - 1, LEAST(p.la, p.lb)), 60) AS INT))
+        |      AS preview
+        |  FROM adjp p LEFT JOIN mm ON p.sa_rank = mm.sa_rank
+        |  WHERE COALESCE(mm.m - 1, LEAST(p.la, p.lb)) >= 1)
+        |SELECT * FROM (SELECT * FROM dup UNION ALL SELECT * FROM adj) u
+        |ORDER BY repeat_len DESC, sa_rank ASC, source ASC LIMIT 25"""
+        .stripMargin
+
   val q253Sql: String =
-    saCte(
-      """SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, substring(text, 101)
-        |  FROM documents
-        |  WHERE doc_id % 50 = 0 AND length(text) > 120""".stripMargin) +
+    saCte(q253BaseSql) +
       """
         |, lens AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM d0),
@@ -3479,6 +3541,7 @@ object Corpus {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
+    "q254_longest_repeats" -> (q254LongestRepeats _),
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
     "q125_chunk_dedup" -> (q125ChunkDedup _),
@@ -3586,6 +3649,7 @@ object Corpus {
     "q247_retrieval_eval" -> q247Sql,
     "q252_suffix_ranks" -> q252Sql,
     "q253_repeated_suffixes" -> q253Sql,
+    "q254_longest_repeats" -> q254Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -66,6 +66,42 @@ class SuffixArraySpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("longestRepeats finds the planted internal repeat via adjacent LCP") {
+    // "abcdefgh" appears INSIDE two docs (not as a tail), so only the
+    // LCP of rank-adjacent suffixes can see it; the trailing junk
+    // differs so no suffix is shared
+    val docs = Seq(
+      (1L, "xx abcdefgh qq one"),
+      (2L, "yy abcdefgh zz two"),
+      (3L, "nothing in common")).toDF("doc_id", "text")
+    val out = SuffixArray.longestRepeats(docs, "doc_id", "text", topK = 3)
+      .collect()
+    val top = out.head
+    // the longest repeat is " abcdefgh " — 10 chars including BOTH
+    // flanking spaces ("xx_" and "yy_" share the left one; the docs
+    // diverge at 'q' vs 'z' after the right one)
+    assert(top.getAs[String]("source") == "adjacent")
+    assert(top.getAs[String]("preview") == " abcdefgh ")
+    assert(top.getAs[Long]("repeat_len") == 10L)
+    assert(top.getAs[Long]("rep_doc") == 1L)
+    assert(top.getAs[Long]("rep_pos") == 3L)
+  }
+
+  test("longestRepeats reports a duplicated suffix as a dup row") {
+    val docs = Seq(
+      (1L, "AAA shared tail here"),
+      (2L, "BBBB shared tail here"),
+      (3L, "something else")).toDF("doc_id", "text")
+    val out = SuffixArray.longestRepeats(docs, "doc_id", "text", topK = 2)
+      .collect()
+    val top = out.head
+    // " shared tail here" (17 chars) is a full shared suffix → dup
+    assert(top.getAs[String]("source") == "dup")
+    assert(top.getAs[Long]("repeat_len") == 17L)
+    assert(top.getAs[Long]("n_occurrences") == 2L)
+    assert(top.getAs[String]("preview") == " shared tail here")
+  }
+
   test("repeatedSuffixes finds exactly the planted shared tail") {
     val docs = Seq(
       (1L, "xyzhello world suffix"),
