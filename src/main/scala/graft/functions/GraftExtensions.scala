@@ -61,7 +61,8 @@ object GraftExtensions {
     one("nfc_normalize")(NfcNormalize(_)),
     one("accent_strip")(AccentStrip(_)),
     one("script_counts")(ScriptCounts(_)),
-    two("long_array_dot")(LongArrayDot(_, _)))
+    two("long_array_dot")(LongArrayDot(_, _)),
+    two("jaro_winkler")(JaroWinkler(_, _)))
 
   /** Register on a live session (idempotent: re-registration replaces,
     * and the optimizer rule is appended once). The rule goes through

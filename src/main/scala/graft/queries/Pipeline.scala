@@ -1289,6 +1289,7 @@ object Pipeline {
     "q71_frame_sample" -> (q71FrameSample _),
     "q73_heavy_hitters" -> (q73HeavyHitters _),
     "q76_edit_near_dup" -> (q76EditNearDup _),
+    "q255_entity_resolution" -> (q255EntityResolution _),
     "q80_weighted_sample" -> (q80WeightedSample _),
     "q81_imageio_round_trip" -> (q81ImageioRoundTrip _),
     "q82_sql_functions" -> (q82SqlFunctions _),
@@ -1480,6 +1481,44 @@ object Pipeline {
       |JOIN documents da ON p.doc_a = da.doc_id
       |JOIN documents db ON p.doc_b = db.doc_id
       |WHERE levenshtein(da.text, db.text) <= 200""".stripMargin
+
+  // q255: blocked entity resolution on part names — planted perturbed
+  // twins (every 20th part re-keyed with its 4th name char dropped,
+  // same brand+size so blocking catches it; identical expression in
+  // the oracle), (p_brand, p_size) blocking, codegen'd Jaro-Winkler ≥
+  // 0.88 + exact Levenshtein. The 0.88 cut sits 4.5e-4 from the
+  // nearest fixture pair (measured) — far beyond cross-engine ulp
+  // noise; jw is d6-truncated at the output contract point.
+  def q255EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val base = p.select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+      col("p_brand"), col("p_size"))
+    val shadow = p.filter(col("p_partkey") % 20 === 0)
+      .select((col("p_partkey") + 1000000L).as("pk"),
+        concat(col("p_name").substr(lit(1), lit(3)),
+          col("p_name").substr(lit(5), length(col("p_name")))).as("nm"),
+        col("p_brand"), col("p_size"))
+    graft.pipeline.EntityResolution.blockedPairs(
+      base.unionByName(shadow), "pk", "nm",
+      blockCols = Seq("p_brand", "p_size"), jwMin = 0.88)
+  }
+
+  val q255Sql: String =
+    """WITH base AS (
+      |  SELECT p_partkey AS pk, p_name AS nm, p_brand, p_size FROM part
+      |  UNION ALL
+      |  SELECT p_partkey + 1000000,
+      |    substring(p_name, 1, 3) || substring(p_name, 5),
+      |    p_brand, p_size
+      |  FROM part WHERE p_partkey % 20 = 0),
+      |nrm AS (SELECT pk, lower(trim(nm)) AS nm, p_brand, p_size FROM base)
+      |SELECT a.pk AS id_a, b.pk AS id_b,
+      |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev,
+      |  CAST(CAST(jaro_winkler_similarity(a.nm, b.nm) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS jw
+      |FROM nrm a JOIN nrm b
+      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.pk < b.pk
+      |WHERE jaro_winkler_similarity(a.nm, b.nm) >= 0.88""".stripMargin
 
   // q80: weighted sample — keep probability proportional to document
   // length (clamped), id-deterministic via the salted portable hash.
@@ -1955,6 +1994,7 @@ object Pipeline {
     "q61_stratified_sample" -> q61Sql,
     "q71_frame_sample" -> q71Sql,
     "q76_edit_near_dup" -> q76Sql,
+    "q255_entity_resolution" -> q255Sql,
     "q80_weighted_sample" -> q80Sql,
     "q81_imageio_round_trip" -> q81Sql,
     "q82_sql_functions" -> q82Sql,

@@ -68,6 +68,22 @@ class PlanShapeSpec extends SparkSpec {
       "interleave's windows must all be domain-partitioned")
   }
 
+  test("q255 entity resolution pairs only through the block equi-join") {
+    // blocking is the whole 100 TB story: the self-join must be a hash
+    // equi-join on (brand, size) — never a nested-loop/cartesian pair
+    // enumeration with the JW filter applied after the fact
+    val ps = plans("q255_entity_resolution")
+    val nl = ps.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c })
+    assert(nl.isEmpty, s"entity resolution fell back to all-pairs: $nl")
+    val eq = ps.flatMap(_.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j })
+    assert(eq.nonEmpty, "expected a hash/sort-merge equi-join on block keys")
+  }
+
   test("q208 ANN-fed miner never plans the all-pairs nested loop") {
     // q197 is the DECLARED exact baseline (broadcast nested loop by
     // design); its scale composition q208 must meet candidates through
