@@ -148,4 +148,69 @@ object Stats {
       d6(t).as("t_stat"), d6(dfW).as("welch_df"),
       (abs(t) >= 1.959964).cast("int").as("significant"))
   }
+
+  /** Population-drift report between a reference and a current slice
+    * of the same frame — the dataset-monitoring gate a recurring
+    * ingest runs BEFORE shipping a new training mix (has the source /
+    * length / score distribution moved since the last accepted
+    * snapshot?). Per bucket and dimension: counts, Laplace-smoothed
+    * shares, and the PSI contribution; every row also carries its
+    * dimension's total PSI (the alarm number — industry folklore:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 act).
+    *
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) — the symmetrized KL
+    * divergence. Add-one (Laplace) smoothing on COUNTS, not share
+    * clipping: p = (c_ref+1)/(N_ref+B) keeps every share an exact
+    * rational (no ε-clip float compare), totals over the OBSERVED
+    * bucket union B, so one-sided buckets contribute finite terms.
+    * Documented divergence from clip-at-1e-4 textbook PSI.
+    *
+    * Float discipline: counts/totals are exact longs; shares divide
+    * once to double in fixed order; the per-bucket term is d6-truncated
+    * at its contract point, and the dimension PSI is a DECIMAL sum of
+    * the truncated terms — so cross-engine ln() ulp drift is absorbed
+    * per-bucket and cannot accumulate (q192/q203's discipline).
+    *
+    * Scale shape: one groupBy exchange per dimension over bucket keys
+    * (map-side combined — exchange carries B partials per partition,
+    * never rows); the share/PSI arithmetic runs on the B-row aggregate
+    * inside unpartitioned windows over that bounded frame (the
+    * 1-row-scalar class — B is bucket cardinality, not corpus). The
+    * input is scanned once per dimension; pre-cache upstream of a
+    * many-dimension report.
+    */
+  def psiDrift(
+      df: DataFrame,
+      curCol: String,
+      dims: Seq[(String, Column)]): DataFrame = {
+    require(dims.nonEmpty, "psiDrift needs at least one dimension")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val cur = col(curCol).cast("boolean")
+    val perDim = dims.map { case (dimName, bucket) =>
+      val cnt = df.groupBy(bucket.cast("string").as("bucket"))
+        .agg(
+          sum(when(cur, lit(0L)).otherwise(lit(1L))).as("n_ref"),
+          sum(when(cur, lit(1L)).otherwise(lit(0L))).as("n_cur"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val tRef = sum(col("n_ref")).over(w)
+      val tCur = sum(col("n_cur")).over(w)
+      val b = count(lit(1)).over(w)
+      val p = (col("n_ref") + lit(1L)).cast("double") /
+        (tRef + b).cast("double")
+      val q = (col("n_cur") + lit(1L)).cast("double") /
+        (tCur + b).cast("double")
+      val term = d6((p - q) * log(p / q))
+      val withTerm = cnt.select(
+        lit(dimName).as("dim"), col("bucket"),
+        col("n_ref"), col("n_cur"),
+        d6(p).as("p_ref"), d6(q).as("p_cur"), term.as("psi_term"))
+      withTerm.withColumn("psi",
+        sum(col("psi_term").cast("decimal(28,6)")).over(w)
+          .cast("double"))
+    }
+    perDim.reduce(_ unionByName _)
+  }
 }

@@ -685,8 +685,77 @@ object Analytics {
       |    THEN 1 ELSE 0 END AS INT) AS significant
       |FROM e""".stripMargin
 
+  // q256: population-drift monitor — PSI between the first and second
+  // half of the event stream (epoch split at the in-plan midpoint
+  // timestamp, the pure-integer inequality ts·2 ≥ mn+mx so no division
+  // touches the split), over one categorical dimension (event_type)
+  // and one fixed-width numeric one (50-unit value buckets — fixed
+  // width, not quantiles, so bucket edges are engine-independent
+  // IEEE ops). Laplace-smoothed shares; per-bucket terms d6 at the
+  // contract point; dimension PSI as a decimal sum of truncated terms.
+  def q256DriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val bounds = e.agg(min(col("ts_us")).as("_mn"), max(col("ts_us")).as("_mx"))
+    val flagged = e.crossJoin(broadcast(bounds))
+      .withColumn("is_cur", col("ts_us") * 2 >= col("_mn") + col("_mx"))
+    graft.pipeline.Stats.psiDrift(flagged, "is_cur", Seq(
+      "event_type" -> col("event_type"),
+      "value_bucket" -> floor(col("value") / 50.0).cast("long")))
+  }
+
+  val q256Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |bd AS (SELECT MIN(ts_us) AS mn, MAX(ts_us) AS mx FROM e),
+      |f AS (
+      |  SELECT e.event_type, e.value, (e.ts_us * 2 >= bd.mn + bd.mx) AS cur
+      |  FROM e CROSS JOIN bd),
+      |c1 AS (
+      |  SELECT event_type AS bucket,
+      |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM f GROUP BY 1),
+      |c2 AS (
+      |  SELECT CAST(CAST(floor(value / 50.0) AS BIGINT) AS VARCHAR) AS bucket,
+      |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM f GROUP BY 1),
+      |s1 AS (
+      |  SELECT 'event_type' AS dim, bucket, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE)
+      |      / CAST(SUM(n_ref) OVER () + COUNT(*) OVER () AS DOUBLE) AS p,
+      |    CAST(n_cur + 1 AS DOUBLE)
+      |      / CAST(SUM(n_cur) OVER () + COUNT(*) OVER () AS DOUBLE) AS q
+      |  FROM c1),
+      |s2 AS (
+      |  SELECT 'value_bucket' AS dim, bucket, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE)
+      |      / CAST(SUM(n_ref) OVER () + COUNT(*) OVER () AS DOUBLE) AS p,
+      |    CAST(n_cur + 1 AS DOUBLE)
+      |      / CAST(SUM(n_cur) OVER () + COUNT(*) OVER () AS DOUBLE) AS q
+      |  FROM c2),
+      |t1 AS (
+      |  SELECT dim, bucket, n_ref, n_cur,
+      |    CAST(CAST(p AS DECIMAL(28,6)) AS DOUBLE) AS p_ref,
+      |    CAST(CAST(q AS DECIMAL(28,6)) AS DOUBLE) AS p_cur,
+      |    CAST(CAST((p - q) * ln(p / q) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS psi_term
+      |  FROM s1
+      |  UNION ALL
+      |  SELECT dim, bucket, n_ref, n_cur,
+      |    CAST(CAST(p AS DECIMAL(28,6)) AS DOUBLE),
+      |    CAST(CAST(q AS DECIMAL(28,6)) AS DOUBLE),
+      |    CAST(CAST((p - q) * ln(p / q) AS DECIMAL(28,6)) AS DOUBLE)
+      |  FROM s2)
+      |SELECT dim, bucket, n_ref, n_cur, p_ref, p_cur, psi_term,
+      |  CAST(SUM(CAST(psi_term AS DECIMAL(28,6)))
+      |    OVER (PARTITION BY dim) AS DOUBLE) AS psi
+      |FROM t1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q250_bootstrap_ci" -> (q250BootstrapCi _),
+    "q256_drift_monitor" -> (q256DriftMonitor _),
     "q251_ab_ttest" -> (q251AbTtest _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
@@ -711,6 +780,7 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "q250_bootstrap_ci" -> q250Sql,
+    "q256_drift_monitor" -> q256Sql,
     "q251_ab_ttest" -> q251Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,

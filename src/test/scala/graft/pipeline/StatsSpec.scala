@@ -71,4 +71,46 @@ class StatsSpec extends SparkSpec {
     assert(r1.getAs[Int]("significant") == 1)
     assert(r1.getAs[Double]("t_stat") < -1.96)
   }
+
+  test("psiDrift: hand-computed two-bucket swap") {
+    // ref {a:3, b:1}, cur {a:1, b:3}; Laplace over B=2 observed buckets:
+    // p_a = 4/6, q_a = 2/6 → term = (1/3)·ln2 = 0.231049 (d6); psi =
+    // 0.462098 on every row of the dimension
+    val df = (Seq.fill(3)(("a", false)) ++ Seq(("b", false)) ++
+      Seq(("a", true)) ++ Seq.fill(3)(("b", true)))
+      .toDF("k", "cur")
+    val out = Stats.psiDrift(df, "cur", Seq("k" -> col("k")))
+      .collect().map(r => (r.getAs[String]("bucket"),
+        r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+        r.getAs[Double]("psi_term"), r.getAs[Double]("psi"))).toSet
+    assert(out == Set(
+      ("a", 3L, 1L, 0.231049, 0.462098),
+      ("b", 1L, 3L, 0.231049, 0.462098)))
+  }
+
+  test("psiDrift: identical distributions score zero; one-sided buckets stay finite") {
+    val same = (1 to 40).flatMap(i =>
+      Seq((s"k${i % 4}", false), (s"k${i % 4}", true))).toDF("k", "cur")
+    val zero = Stats.psiDrift(same, "cur", Seq("k" -> col("k"))).collect()
+    assert(zero.forall(_.getAs[Double]("psi") == 0.0))
+    // bucket 'n' never appears in ref — Laplace smoothing keeps the
+    // term finite (clip-free by construction)
+    val oneSided = (Seq.fill(5)(("m", false)) ++ Seq.fill(4)(("m", true)) ++
+      Seq(("n", true))).toDF("k", "cur")
+    val r = Stats.psiDrift(oneSided, "cur", Seq("k" -> col("k"))).collect()
+    assert(r.forall(x => !x.getAs[Double]("psi_term").isNaN &&
+      !x.getAs[Double]("psi_term").isInfinite))
+    assert(r.head.getAs[Double]("psi") > 0.0)
+  }
+
+  test("psiDrift is partitioning-invariant and handles multi-dimension input") {
+    val df = (1 to 60).map(i =>
+      (s"t${i % 3}", (i % 7).toLong, i % 2 == 0)).toDF("t", "v", "cur")
+    val dims = Seq("type" -> col("t"), "val" -> col("v"))
+    val a = Stats.psiDrift(df, "cur", dims).collect().map(_.toSeq).toSet
+    val b = Stats.psiDrift(df.repartition(7), "cur", dims)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.map(_.head).toSet == Set("type", "val"))
+  }
 }
