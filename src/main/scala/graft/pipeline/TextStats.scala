@@ -1293,4 +1293,107 @@ object TextStats {
       .select(col(idCol), col("n_words"), col("n_skipped"),
         col("n_pieces"), col("n_unk_pieces"))
   }
+
+  /** T5-style span corruption (Raffel et al. 2020): mask token spans
+    * with `<extra_id_K>` sentinels, emit the (input, target) pair the
+    * denoising objective trains on — the augmentation pass a
+    * pretraining pipeline runs over the whole corpus.
+    *
+    * BLOCK-LOCAL sampling, the documented divergence from the paper's
+    * sequential span sampler: positions partition into fixed
+    * `blockLen`-token blocks; each block independently decides (one
+    * md5 draw) whether it hosts a span and where. Same corruption
+    * statistics (rate ≈ thr/1e6 · E[len]/blockLen per token, spans
+    * never overlap BY CONSTRUCTION), but every decision is a pure
+    * function of (salt, doc, block) — embarrassingly parallel, O(1)
+    * state, and replayable row-by-row in a SQL oracle, where the
+    * paper's sampler is an inherently sequential scan per document.
+    *
+    * Span k's sentinel index K counts effective spans before it in
+    * the same document (a span is effective when its offset lands
+    * inside the possibly-partial block). Reconstruction law (asserted
+    * on real fixture docs): splicing target spans back into the input
+    * at their sentinels reproduces the original token stream exactly.
+    *
+    * Scale shape: ONE in-row projection — tokens, block draws, span
+    * flags, both output strings and the audit counts are array HOFs
+    * over bound intermediates (no repeated subexpressions); zero
+    * shuffles at any corpus size. Per-doc cost O(n_tokens +
+    * n_blocks²) — the K prefix count is quadratic in blocks/doc,
+    * ≤ ~2e4 ops for a 1000-token doc.
+    *
+    * Output: (`id`, `input_text`, `target_text`, `n_spans`,
+    * `n_masked`).
+    */
+  def spanCorrupt(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      salt: String = "sc",
+      blockLen: Int = 8,
+      corruptPpm: Long = 350000L,
+      maxSpan: Int = 3): DataFrame = {
+    require(blockLen >= 2 && maxSpan >= 1 && maxSpan < blockLen,
+      s"need 1 <= maxSpan < blockLen, got maxSpan=$maxSpan blockLen=$blockLen")
+    val bl = blockLen.toLong
+    // exact integer floor-division via double (operands < 2^52: exact)
+    def idiv(a: Column, b: Long): Column =
+      floor(a / lit(b.toDouble)).cast("long")
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val stage = df
+      .withColumn("_toks", split(col(textCol), " "))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_info", transform(
+        when(col("_n") > 0,
+          sequence(lit(0L), idiv(col("_n") + (bl - 1L), bl) - 1L))
+          .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)")),
+        b => {
+          val u = conv(substring(md5(
+              concat(lit(salt), lit(":"), col(idCol).cast("string"),
+                lit(":"), b.cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 1000000L
+          val r = least(col("_n") - b * bl, lit(bl))
+          val len = lit(1L) + u % maxSpan.toLong
+          val off = idiv(u, 7L) % (lit(bl) - len + 1L)
+          val eff = (u < corruptPpm) && (off < r)
+          struct(b.as("b"), eff.as("eff"), off.as("off"),
+            least(len, r - off).as("clip"))
+        }))
+      // K per block: effective spans strictly before it (prefix count)
+      .withColumn("_k", transform(col("_info"), (_, i) =>
+        size(filter(slice(col("_info"), lit(1), i),
+          x => x.getField("eff"))).cast("long")))
+      .withColumn("_eff", filter(col("_info"), x => x.getField("eff")))
+    val pos = when(col("_n") > 0, sequence(lit(0L), col("_n") - 1L))
+      .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))
+    val inputToks = filter(
+      transform(pos, p => {
+        val s = element_at(col("_info"), (idiv(p, bl) + 1L).cast("int"))
+        val rel = p % bl
+        val kHere = element_at(col("_k"),
+          (s.getField("b") + 1L).cast("int"))
+        when(s.getField("eff") && rel === s.getField("off"),
+          sentinel(kHere))
+          .when(s.getField("eff") && rel >= s.getField("off") &&
+            rel < s.getField("off") + s.getField("clip"),
+            lit(null).cast("string"))
+          .otherwise(element_at(col("_toks"), (p + 1L).cast("int")))
+      }),
+      t => t.isNotNull)
+    val targetParts = transform(col("_eff"), s => {
+      val kHere = element_at(col("_k"), (s.getField("b") + 1L).cast("int"))
+      concat(sentinel(kHere), lit(" "),
+        array_join(slice(col("_toks"),
+          (s.getField("b") * bl + s.getField("off") + 1L).cast("int"),
+          s.getField("clip").cast("int")), " "))
+    })
+    stage.select(
+      col(idCol),
+      array_join(inputToks, " ").as("input_text"),
+      array_join(targetParts, " ").as("target_text"),
+      size(col("_eff")).cast("long").as("n_spans"),
+      coalesce(aggregate(col("_eff"), lit(0L),
+        (acc, s) => acc + s.getField("clip")), lit(0L)).as("n_masked"))
+  }
 }

@@ -3538,8 +3538,78 @@ object Corpus {
         |FROM j GROUP BY 1, 2
         |HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
 
+  // q257: T5 span corruption over the documents corpus — block-local
+  // md5-decided spans (the documented parallel divergence from the
+  // paper's sequential sampler), sentinel-numbered input/target pair +
+  // audit counts. The oracle replays every block draw, span bound,
+  // sentinel index and both ordered reassemblies row-by-row.
+  def q257SpanCorrupt(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.spanCorrupt(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  val q257Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1)-1 AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |bu AS (
+      |  SELECT doc_id, pos // 8 AS b, COUNT(*) AS r
+      |  FROM tk GROUP BY 1, 2),
+      |bi AS (
+      |  SELECT doc_id, b, r,
+      |    CAST(concat('0x', substring(md5('sc:' || CAST(doc_id AS VARCHAR)
+      |      || ':' || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS u
+      |  FROM bu),
+      |bj AS (
+      |  SELECT doc_id, b, r, u, 1 + u % 3 AS len,
+      |    (u // 7) % (8 - (1 + u % 3) + 1) AS off
+      |  FROM bi),
+      |be AS (
+      |  SELECT doc_id, b, off, LEAST(len, r - off) AS clip,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY b) - 1 AS k
+      |  FROM bj WHERE u < 350000 AND off < r),
+      |mask AS (
+      |  SELECT t.doc_id, t.pos, t.tok, t.pos % 8 AS rel, e.b
+      |  FROM tk t JOIN be e ON t.doc_id = e.doc_id AND t.pos // 8 = e.b
+      |  WHERE t.pos % 8 >= e.off AND t.pos % 8 < e.off + e.clip),
+      |inp AS (
+      |  SELECT t.doc_id, t.pos AS sk, t.tok
+      |  FROM tk t LEFT JOIN mask m
+      |    ON t.doc_id = m.doc_id AND t.pos = m.pos
+      |  WHERE m.pos IS NULL
+      |  UNION ALL
+      |  SELECT doc_id, b * 8 + off,
+      |    '<extra_id_' || CAST(k AS VARCHAR) || '>'
+      |  FROM be),
+      |istr AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY sk) AS input_text
+      |  FROM inp GROUP BY 1),
+      |tgt AS (
+      |  SELECT doc_id, b AS bb, CAST(-1 AS BIGINT) AS sub,
+      |    '<extra_id_' || CAST(k AS VARCHAR) || '>' AS tok
+      |  FROM be
+      |  UNION ALL
+      |  SELECT doc_id, b, rel, tok FROM mask),
+      |tstr AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY bb, sub) AS target_text
+      |  FROM tgt GROUP BY 1),
+      |st AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(SUM(clip) AS BIGINT) AS n_masked
+      |  FROM be GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(i.input_text, '') AS input_text,
+      |  COALESCE(ts.target_text, '') AS target_text,
+      |  CAST(COALESCE(st.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(COALESCE(st.n_masked, 0) AS BIGINT) AS n_masked
+      |FROM documents d
+      |LEFT JOIN istr i ON d.doc_id = i.doc_id
+      |LEFT JOIN tstr ts ON d.doc_id = ts.doc_id
+      |LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
+    "q257_span_corrupt" -> (q257SpanCorrupt _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q123_bm25" -> (q123Bm25 _),
@@ -3650,6 +3720,7 @@ object Corpus {
     "q252_suffix_ranks" -> q252Sql,
     "q253_repeated_suffixes" -> q253Sql,
     "q254_longest_repeats" -> q254Sql,
+    "q257_span_corrupt" -> q257Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,
