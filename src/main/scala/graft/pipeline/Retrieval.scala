@@ -342,4 +342,68 @@ object Retrieval {
         d6(when(coalesce(col("_g_idcg"), lit(0.0)) === 0.0, lit(0.0))
           .otherwise(col("_g_dcg") / col("_g_idcg"))).as("ndcg_at_k"))
   }
+
+  /** ROUGE-N (Lin 2004) between a candidate and reference text pair —
+    * the n-gram-overlap metric summarization/distillation pipelines
+    * grade generated text with. Clipped multiset counts (match =
+    * Σ_g min(c_cand(g), c_ref(g))), precision = match/|cand grams|,
+    * recall = match/|ref grams|, F1 = 2PR/(P+R); the zero-match row
+    * (incl. empty-gram sides) scores 0.0 by definition, not NaN.
+    *
+    * Exactness: counts are integers end to end; the three ratios are
+    * single fixed-order double divisions d6-truncated at the output
+    * contract point — fully oracle-replayable.
+    *
+    * Scale shape: grams explode from an in-row array build (no window,
+    * no self-join); one (pair, gram) hash-aggregate then one (pair)
+    * rollup — two keyed exchanges, both map-side combined, carrying
+    * gram counts, never text. Pairs with no qualifying grams (short
+    * docs at n ≥ 2) come back as explicit zero rows via the
+    * ids-frame left join, so the metric is total over the input.
+    */
+  def rougeN(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    def grams(c: org.apache.spark.sql.Column) = {
+      val toks = split(c, " ")
+      if (n == 1) toks
+      else {
+        val m = size(toks) - (n - 1)
+        when(m > 0, transform(sequence(lit(0), m - 1),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+      }
+    }
+    val g = df.select(col(idCol).as("_id"),
+      grams(col(candCol)).as("_cg"), grams(col(refCol)).as("_rg"))
+    val ex = g.select(col("_id"), lit(1L).as("_c"),
+        explode(col("_cg")).as("_gram"))
+      .unionByName(g.select(col("_id"), lit(0L).as("_c"),
+        explode(col("_rg")).as("_gram")))
+    val agg = ex.groupBy(col("_id"), col("_gram"))
+      .agg(sum(col("_c")).as("_cc"), sum(lit(1L) - col("_c")).as("_cr"))
+      .groupBy(col("_id"))
+      .agg(sum(least(col("_cc"), col("_cr"))).as("n_match"),
+        sum(col("_cc")).as("n_cand"), sum(col("_cr")).as("n_ref"))
+    val joined = df.select(col(idCol).as("_id"))
+      .join(agg, Seq("_id"), "left")
+      .select(col("_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val p = col("n_match").cast("double") / col("n_cand").cast("double")
+    val r = col("n_match").cast("double") / col("n_ref").cast("double")
+    joined.select(
+      col("_id").as(idCol), col("n_match"), col("n_cand"), col("n_ref"),
+      d6(when(col("n_match") === 0L, lit(0.0)).otherwise(p)).as("rouge_p"),
+      d6(when(col("n_match") === 0L, lit(0.0)).otherwise(r)).as("rouge_r"),
+      d6(when(col("n_match") === 0L, lit(0.0))
+        .otherwise(lit(2.0) * p * r / (p + r))).as("rouge_f1"))
+  }
 }

@@ -3607,9 +3607,99 @@ object Corpus {
       |LEFT JOIN tstr ts ON d.doc_id = ts.doc_id
       |LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
 
+  // q258: ROUGE-1/ROUGE-2 summarization-eval metrics — every 5th doc
+  // paired with a derived "summary" (its first ⌊n/3⌋ tokens with every
+  // 7th one swapped for 'the', so precision is non-degenerate and
+  // clipped counts + the F1 guard all exercise). The oracle rebuilds
+  // candidate derivation, both gram multisets, clipped matches and
+  // the identical fixed-order ratio arithmetic.
+  def q258RougeEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val toks = split(col("text"), " ")
+    val k = greatest(lit(1), floor(size(toks) / lit(3.0)).cast("int"))
+    val candToks = transform(slice(toks, lit(1), k),
+      (tk, i) => when(i % 7 === 3, lit("the")).otherwise(tk))
+    val pairs = docs.select(col("doc_id"),
+      array_join(candToks, " ").as("cand"), col("text").as("ref"))
+    val r1 = graft.pipeline.Retrieval
+      .rougeN(pairs, "doc_id", "cand", "ref", 1).withColumn("n", lit(1L))
+    val r2 = graft.pipeline.Retrieval
+      .rougeN(pairs, "doc_id", "cand", "ref", 2).withColumn("n", lit(2L))
+    r1.unionByName(r2)
+  }
+
+  val q258Sql: String =
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1)-1 AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM d0),
+      |nn AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1),
+      |cd AS (
+      |  SELECT t.doc_id, t.pos,
+      |    CASE WHEN t.pos % 7 = 3 THEN 'the' ELSE t.tok END AS tok
+      |  FROM tk t JOIN nn ON t.doc_id = nn.doc_id
+      |  WHERE t.pos < GREATEST(1, nn.n // 3)),
+      |cu AS (SELECT doc_id, tok AS g, COUNT(*) AS c FROM cd GROUP BY 1, 2),
+      |ru AS (SELECT doc_id, tok AS g, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+      |m1 AS (
+      |  SELECT COALESCE(cu.doc_id, ru.doc_id) AS doc_id,
+      |    SUM(LEAST(COALESCE(cu.c, 0), COALESCE(ru.c, 0))) AS n_match,
+      |    SUM(COALESCE(cu.c, 0)) AS n_cand,
+      |    SUM(COALESCE(ru.c, 0)) AS n_ref
+      |  FROM cu FULL JOIN ru ON cu.doc_id = ru.doc_id AND cu.g = ru.g
+      |  GROUP BY 1),
+      |cb AS (
+      |  SELECT doc_id, tok || ' ' ||
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM cd),
+      |cb2 AS (SELECT doc_id, g, COUNT(*) AS c FROM cb
+      |        WHERE g IS NOT NULL GROUP BY 1, 2),
+      |rb AS (
+      |  SELECT doc_id, tok || ' ' ||
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      |  FROM tk),
+      |rb2 AS (SELECT doc_id, g, COUNT(*) AS c FROM rb
+      |        WHERE g IS NOT NULL GROUP BY 1, 2),
+      |m2 AS (
+      |  SELECT COALESCE(cb2.doc_id, rb2.doc_id) AS doc_id,
+      |    SUM(LEAST(COALESCE(cb2.c, 0), COALESCE(rb2.c, 0))) AS n_match,
+      |    SUM(COALESCE(cb2.c, 0)) AS n_cand,
+      |    SUM(COALESCE(rb2.c, 0)) AS n_ref
+      |  FROM cb2 FULL JOIN rb2 ON cb2.doc_id = rb2.doc_id AND cb2.g = rb2.g
+      |  GROUP BY 1),
+      |u AS (
+      |  SELECT doc_id, 1 AS n, n_match, n_cand, n_ref FROM m1
+      |  UNION ALL
+      |  SELECT doc_id, 2, n_match, n_cand, n_ref FROM m2),
+      |fr AS (
+      |  SELECT d.doc_id, x.n FROM d0 d
+      |  CROSS JOIN (SELECT 1 AS n UNION ALL SELECT 2) x),
+      |j AS (
+      |  SELECT fr.doc_id, fr.n,
+      |    CAST(COALESCE(u.n_match, 0) AS BIGINT) AS n_match,
+      |    CAST(COALESCE(u.n_cand, 0) AS BIGINT) AS n_cand,
+      |    CAST(COALESCE(u.n_ref, 0) AS BIGINT) AS n_ref
+      |  FROM fr LEFT JOIN u ON fr.doc_id = u.doc_id AND fr.n = u.n),
+      |fin AS (
+      |  SELECT doc_id, n, n_match, n_cand, n_ref,
+      |    CAST(n_match AS DOUBLE) / CAST(n_cand AS DOUBLE) AS p,
+      |    CAST(n_match AS DOUBLE) / CAST(n_ref AS DOUBLE) AS r
+      |  FROM j)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n, n_match, n_cand, n_ref,
+      |  CAST(CAST(CASE WHEN n_match = 0 THEN 0.0 ELSE p END
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS rouge_p,
+      |  CAST(CAST(CASE WHEN n_match = 0 THEN 0.0 ELSE r END
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS rouge_r,
+      |  CAST(CAST(CASE WHEN n_match = 0 THEN 0.0
+      |    ELSE 2.0 * p * r / (p + r) END
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS rouge_f1
+      |FROM fin""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
+    "q258_rouge_eval" -> (q258RougeEval _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q123_bm25" -> (q123Bm25 _),
@@ -3721,6 +3811,7 @@ object Corpus {
     "q253_repeated_suffixes" -> q253Sql,
     "q254_longest_repeats" -> q254Sql,
     "q257_span_corrupt" -> q257Sql,
+    "q258_rouge_eval" -> q258Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,
