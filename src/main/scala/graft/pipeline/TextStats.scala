@@ -1294,6 +1294,67 @@ object TextStats {
         col("n_pieces"), col("n_unk_pieces"))
   }
 
+  /** Greedy bigram-LM text generation — the decode step that closes
+    * the corpus LM family (train: q116/q229-style count models; score:
+    * bigramLogProbAgainst; THIS: generate). From each of the `seeds`
+    * most frequent corpus tokens, walk `steps` argmax transitions of
+    * the corpus bigram model (tie-break: higher count, then
+    * lexicographically smaller continuation — total order, so the walk
+    * is a pure function of the corpus). A chain that reaches a token
+    * with no observed successor stalls and keeps its text (n_steps
+    * records actual transitions taken).
+    *
+    * Not a neural sampler and not meant to be — it is the classic
+    * deterministic Markov-chain decode, which is exactly what makes it
+    * engine-portable: the whole walk replays as a recursive CTE.
+    *
+    * Scale shape: the model collapses to a best-next TABLE (vocab-sized
+    * — one row per distinct token, built by one (cur,next) count
+    * aggregate + a cur-keyed top-1 window over counts, never corpus
+    * rows). Generation is `steps` chained joins of a seeds-sized frame
+    * against that table (broadcast at any realistic vocab; ~1M-token
+    * vocab ≈ tens of MB). The corpus is read once.
+    */
+  def bigramGreedyGenerate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seeds: Int = 5,
+      steps: Int = 12): DataFrame = {
+    require(seeds >= 1 && steps >= 1, s"need seeds/steps >= 1")
+    val tk = df.select(col(idCol).as("_d"),
+        posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
+    val bg = tk.withColumn("_nxt",
+        lead(col("_tok"), 1).over(
+          Window.partitionBy(col("_d")).orderBy(col("_pos"))))
+      .filter(col("_nxt").isNotNull)
+    val bestNext = bg.groupBy(col("_tok"), col("_nxt"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_tok"))
+          .orderBy(col("_c").desc, col("_nxt").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("_tok").as("_cur"), col("_nxt"))
+    val seedFrame = tk.groupBy(col("_tok")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_tok").asc)
+      .limit(seeds)
+      .select(col("_tok").as("seed"), col("_tok").as("generated"),
+        col("_tok").as("_cur"), lit(0L).as("n_steps"))
+    val walked = (1 to steps).foldLeft(seedFrame) { (state, _) =>
+      state.join(broadcast(bestNext), Seq("_cur"), "left")
+        .select(
+          col("seed"),
+          when(col("_nxt").isNull, col("generated"))
+            .otherwise(concat(col("generated"), lit(" "), col("_nxt")))
+            .as("generated"),
+          when(col("_nxt").isNull, col("_cur")).otherwise(col("_nxt"))
+            .as("_cur"),
+          (col("n_steps") + when(col("_nxt").isNull, lit(0L))
+            .otherwise(lit(1L))).as("n_steps"))
+    }
+    walked.select(col("seed"), col("generated"), col("n_steps"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020): mask token spans
     * with `<extra_id_K>` sentinels, emit the (input, target) pair the
     * denoising objective trains on — the augmentation pass a
