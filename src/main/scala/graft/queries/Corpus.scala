@@ -3359,23 +3359,27 @@ object Corpus {
        |idcg AS (
        |  SELECT query_id,
        |    sum((pow(2.0, g) - 1.0) / log2(CAST(p AS DOUBLE) + 1.0)) AS idcg
-       |  FROM bands2 JOIN pos ON p BETWEEN s AND e GROUP BY 1)
-       |SELECT CAST(p.query_id AS BIGINT) AS query_id,
+       |  FROM bands2 JOIN pos ON p BETWEEN s AND e GROUP BY 1),
+       |qs AS (SELECT DISTINCT query_id FROM run
+       |       UNION SELECT DISTINCT query_id FROM qrels)
+       |SELECT CAST(qs.query_id AS BIGINT) AS query_id,
        |  COALESCE(r.n_rel, 0) AS n_rel,
-       |  p.hits_at_k,
+       |  COALESCE(p.hits_at_k, 0) AS hits_at_k,
        |  CAST(CAST(CASE WHEN COALESCE(r.n_rel, 0) = 0 THEN 0.0
-       |    ELSE CAST(p.hits_at_k AS DOUBLE) / r.n_rel END
+       |    ELSE CAST(COALESCE(p.hits_at_k, 0) AS DOUBLE) / r.n_rel END
        |    AS DECIMAL(28,6)) AS DOUBLE) AS recall_at_k,
        |  CAST(CAST(CASE WHEN p.first_rel IS NULL THEN 0.0
        |    ELSE 1.0 / p.first_rel END AS DECIMAL(28,6)) AS DOUBLE)
        |    AS mrr_at_k,
-       |  CAST(CAST(p.dcg AS DECIMAL(28,6)) AS DOUBLE) AS dcg_at_k,
+       |  CAST(CAST(COALESCE(p.dcg, 0.0) AS DECIMAL(28,6)) AS DOUBLE)
+       |    AS dcg_at_k,
        |  CAST(CAST(COALESCE(i.idcg, 0.0) AS DECIMAL(28,6)) AS DOUBLE)
        |    AS idcg_at_k,
        |  CAST(CAST(CASE WHEN COALESCE(i.idcg, 0.0) = 0.0 THEN 0.0
-       |    ELSE p.dcg / i.idcg END AS DECIMAL(28,6)) AS DOUBLE)
-       |    AS ndcg_at_k
-       |FROM perq p LEFT JOIN relt r USING (query_id)
+       |    ELSE COALESCE(p.dcg, 0.0) / i.idcg END AS DECIMAL(28,6))
+       |    AS DOUBLE) AS ndcg_at_k
+       |FROM qs LEFT JOIN perq p USING (query_id)
+       |LEFT JOIN relt r USING (query_id)
        |LEFT JOIN idcg i USING (query_id)""".stripMargin
   }
 
@@ -3461,9 +3465,13 @@ object Corpus {
   // q254: longest repeated substrings — the classic LCP-over-the-
   // suffix-array result (max repeat = rank-adjacent LCP or a whole
   // duplicated suffix); the report a Lee-et-al-style exact dedup pass
-  // acts on. Oracle: the q253 CTE + representative texts + the same
-  // first-mismatch LCP scan (correlated generate_series per adjacent
-  // pair) + the identical (len DESC, rank, source) top-25.
+  // acts on. The operator computes LCPs by binary lifting over its own
+  // doubling rank tables (no text below the top-k boundary); the
+  // oracle replays the SAME VALUES via the naive first-mismatch scan
+  // (correlated generate_series per adjacent pair) — exact LCP is
+  // algorithm-independent — + the identical (len DESC, rank, source)
+  // top-25. Adjacent n_occurrences = the two rank groups' summed
+  // counts (the tight two-group lower bound), dups their exact count.
   def q254LongestRepeats(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.SuffixArray.longestRepeats(
       q253Corpus(s, dir), "doc_id", "text", topK = 25, maxRounds = 10)
@@ -3496,7 +3504,8 @@ object Corpus {
         |  FROM reps2 WHERE n_occurrences >= 2),
         |adjp AS (
         |  SELECT a.sa_rank, a.rep_doc, a.rep_pos, a.slen AS la, a.t AS ta,
-        |    b.rep_pos AS pb, b.slen AS lb, b.t AS tb
+        |    b.rep_pos AS pb, b.slen AS lb, b.t AS tb,
+        |    a.n_occurrences + b.n_occurrences AS n_occ2
         |  FROM reps2 a JOIN reps2 b ON b.sa_rank = a.sa_rank + 1),
         |ex AS (
         |  SELECT sa_rank, rep_pos, pb, ta, tb,
@@ -3510,7 +3519,7 @@ object Corpus {
         |adj AS (
         |  SELECT p.sa_rank,
         |    COALESCE(mm.m - 1, LEAST(p.la, p.lb)) AS repeat_len,
-        |    CAST(2 AS BIGINT) AS n_occurrences, 'adjacent' AS source,
+        |    p.n_occ2 AS n_occurrences, 'adjacent' AS source,
         |    p.rep_doc, p.rep_pos,
         |    substring(p.ta, CAST(p.rep_pos AS INT),
         |      CAST(LEAST(COALESCE(mm.m - 1, LEAST(p.la, p.lb)), 60) AS INT))
@@ -3520,6 +3529,41 @@ object Corpus {
         |SELECT * FROM (SELECT * FROM dup UNION ALL SELECT * FROM adj) u
         |ORDER BY repeat_len DESC, sa_rank ASC, source ASC LIMIT 25"""
         .stripMargin
+
+  // q259: the exact-substring dedup CUT — the acting step q252-q254
+  // only report (Lee et al. 2022's point): every ≥ 20-char suffix that
+  // occurs twice keeps its first (min doc, pos) occurrence and is cut
+  // from every other carrier; shadows that ARE another doc's tail come
+  // back empty. The oracle replays the whole SA construction + the
+  // group-representative pick + the min-cut-position reassembly.
+  def q259SaDedupCut(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.SuffixArray.cutSharedSuffixes(
+      q253Corpus(s, dir), "doc_id", "text", minLen = 20, maxRounds = 10)
+
+  val q259Sql: String =
+    saCte(q253BaseSql) +
+      """
+        |, lens AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len FROM d0),
+        |occ AS (
+        |  SELECT f.sa_rank, f.doc_id, f.pos
+        |  FROM fin f JOIN lens l USING (doc_id)
+        |  WHERE l.len - f.pos + 1 >= 20),
+        |grp AS (
+        |  SELECT sa_rank, MIN(doc_id) AS repd
+        |  FROM occ GROUP BY 1 HAVING COUNT(*) >= 2),
+        |cuts AS (
+        |  SELECT o.doc_id, MIN(o.pos) AS cutp
+        |  FROM occ o JOIN grp g USING (sa_rank)
+        |  WHERE o.doc_id <> g.repd
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN c.cutp IS NULL THEN d.text
+        |       ELSE substring(d.text, 1, CAST(c.cutp - 1 AS INT)) END
+        |    AS text,
+        |  CAST(length(d.text) AS BIGINT) AS orig_len,
+        |  CAST(COALESCE(c.cutp - 1, length(d.text)) AS BIGINT) AS kept_len
+        |FROM d0 d LEFT JOIN cuts c USING (doc_id)""".stripMargin
 
   val q253Sql: String =
     saCte(q253BaseSql) +
@@ -3696,12 +3740,57 @@ object Corpus {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS rouge_f1
       |FROM fin""".stripMargin
 
+  // q260: greedy bigram-LM generation — the deterministic Markov-chain
+  // decode closing the corpus LM family (train q116/q229, score, THIS:
+  // generate). The oracle replays the empty-token-filtered adjacency,
+  // the best-next table (count DESC, token ASC tie-break), the top-5
+  // seed ranking and all 12 chained walk steps as a recursive CTE.
+  def q260BigramGenerate(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.bigramGreedyGenerate(
+      t(s, dir, "documents"), "doc_id", "text", seeds = 5, steps = 12)
+
+  val q260Sql: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |tk2 AS (SELECT doc_id, pos, tok FROM tk WHERE tok <> ''),
+      |bg AS (
+      |  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+      |    AS nxt
+      |  FROM tk2),
+      |bn AS (SELECT tok, nxt, COUNT(*) AS c FROM bg
+      |       WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      |best AS (
+      |  SELECT tok AS cur, nxt FROM (
+      |    SELECT tok, nxt,
+      |      row_number() OVER (PARTITION BY tok
+      |        ORDER BY c DESC, nxt ASC) AS rn
+      |    FROM bn) t WHERE rn = 1),
+      |seeds AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, COUNT(*) AS c FROM tk2 GROUP BY 1
+      |    ORDER BY c DESC, tok ASC LIMIT 5) s),
+      |walk(i, seed, generated, cur, n_steps) AS (
+      |  SELECT 0, tok, tok, tok, CAST(0 AS BIGINT) FROM seeds
+      |  UNION ALL
+      |  SELECT w.i + 1, w.seed,
+      |    CASE WHEN b.nxt IS NULL THEN w.generated
+      |         ELSE w.generated || ' ' || b.nxt END,
+      |    COALESCE(b.nxt, w.cur),
+      |    w.n_steps + CASE WHEN b.nxt IS NULL THEN 0 ELSE 1 END
+      |  FROM walk w LEFT JOIN best b ON w.cur = b.cur
+      |  WHERE w.i < 12)
+      |SELECT seed, generated, n_steps FROM walk WHERE i = 12""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
     "q258_rouge_eval" -> (q258RougeEval _),
+    "q260_bigram_generate" -> (q260BigramGenerate _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
+    "q259_sa_dedup_cut" -> (q259SaDedupCut _),
     "q123_bm25" -> (q123Bm25 _),
     "q124_nfc_normalize" -> (q124NfcNormalize _),
     "q125_chunk_dedup" -> (q125ChunkDedup _),
@@ -3810,8 +3899,10 @@ object Corpus {
     "q252_suffix_ranks" -> q252Sql,
     "q253_repeated_suffixes" -> q253Sql,
     "q254_longest_repeats" -> q254Sql,
+    "q259_sa_dedup_cut" -> q259Sql,
     "q257_span_corrupt" -> q257Sql,
     "q258_rouge_eval" -> q258Sql,
+    "q260_bigram_generate" -> q260Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

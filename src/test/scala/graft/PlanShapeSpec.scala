@@ -84,6 +84,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(eq.nonEmpty, "expected a hash/sort-merge equi-join on block keys")
   }
 
+  test("q254 carries no document text below the top-k boundary") {
+    // the binary-lifting LCP contract: below the (len DESC, rank)
+    // top-k cut, frames hold ranks / positions / ≤16-char seed
+    // prefixes only — full text joins on exactly ONCE, above the cut,
+    // to render the topK previews. The old formulation attached each
+    // rank's whole representative text to the corpus-sized frame
+    // (L² bytes per document — the Kasai-avoidable naive-LCP cost).
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val ps = plans("q254_longest_repeats")
+    val topk = ps.flatMap(_.collect { case t: TakeOrderedAndProjectExec => t })
+    assert(topk.nonEmpty, "expected the top-k cut in the plan")
+    val textish = (n: org.apache.spark.sql.execution.SparkPlan) =>
+      n.output.exists(a => a.name == "_t" || a.name == "text")
+    // below the cut: no join or exchange output carries document text
+    // (scans still READ text to project lengths/seed prefixes in-row)
+    topk.foreach { t =>
+      assert(!t.collect {
+        case j: BaseJoinExec => textish(j)
+        case e: ShuffleExchangeExec => textish(e)
+      }.exists(identity),
+        "document text crossed a join/exchange below the top-k cut")
+    }
+    // above the cut: the preview attach is the one text-carrying join
+    val above = ps.flatMap(_.collect { case j: BaseJoinExec => j })
+      .filter(j => j.output.exists(_.name == "_t"))
+    assert(above.size == 1, s"expected exactly one preview join, got $above")
+  }
+
   test("q208 ANN-fed miner never plans the all-pairs nested loop") {
     // q197 is the DECLARED exact baseline (broadcast nested loop by
     // design); its scale composition q208 must meet candidates through

@@ -102,6 +102,88 @@ class SuffixArraySpec extends SparkSpec {
     assert(top.getAs[String]("preview") == " shared tail here")
   }
 
+  test("empty documents contribute no suffixes (phantom-sequence guard)") {
+    // Spark's sequence(1, 0) yields [1, 0]; unguarded, an empty doc
+    // would emit two phantom suffix rows incl. an invalid pos=0
+    val withEmpty = Seq((1L, "ab"), (2L, ""), (3L, "abc"))
+    val rk = ranksOf(withEmpty)
+    assert(!rk.keySet.exists(_._1 == 2L))
+    assert(rk == ranksOf(Seq((1L, "ab"), (3L, "abc"))))
+  }
+
+  test("adjacent rows report the two rank groups' summed occurrences") {
+    // " abcdefgh " repeat: both flanking rank groups are singletons
+    val docs = Seq(
+      (1L, "xx abcdefgh qq one"),
+      (2L, "yy abcdefgh zz two")).toDF("doc_id", "text")
+    val top = SuffixArray.longestRepeats(docs, "doc_id", "text", topK = 1)
+      .collect().head
+    assert(top.getAs[String]("source") == "adjacent")
+    assert(top.getAs[Long]("n_occurrences") == 2L)
+  }
+
+  test("heavy-key stress: one character repeated 100k times completes") {
+    // the adversarial corpus for the rank exchange: every early-round
+    // pair key is THE one heavy key; the distinct-first path collapses
+    // it map-side instead of sorting its whole row mass on one shard
+    val L = 100000
+    val df = Seq((1L, "a" * L)).toDF("doc_id", "text")
+    val rk = SuffixArray.suffixRanks(df, "doc_id", "text", maxRounds = 13)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(rk.size == L)
+    // suffixes are "a"×(L−p+1): strictly shorter sorts first, so the
+    // rank at position p is exactly L − p + 1
+    for (p <- Seq(1, 2, L / 2, L - 1, L))
+      assert(rk(p.toLong) == (L - p + 1).toLong, s"pos $p")
+  }
+
+  test("cutSharedSuffixes keeps the first occurrence, cuts the rest") {
+    val docs = Seq(
+      (1L, "AAA common tail"),
+      (2L, "BBBB common tail"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val out = SuffixArray.cutSharedSuffixes(docs, "doc_id", "text",
+        minLen = 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("orig_len"),
+          r.getAs[Long]("kept_len")))).toMap
+    // " common tail" (12 chars) is shared; doc1 (min id) keeps it,
+    // doc2 is cut at its first qualifying position (5)
+    assert(out(1L) == (("AAA common tail", 15L, 15L)))
+    assert(out(2L) == (("BBBB", 16L, 4L)))
+    assert(out(3L) == (("nothing here", 12L, 12L)))
+  }
+
+  test("cutSharedSuffixes cuts a whole-tail shadow down to empty") {
+    val docs = Seq(
+      (1L, "xyzhello world suffix"),
+      (2L, "hello world suffix")).toDF("doc_id", "text")
+    val out = SuffixArray.cutSharedSuffixes(docs, "doc_id", "text",
+        minLen = 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("kept_len")))).toMap
+    assert(out(1L) == (("xyzhello world suffix", 21L)))
+    assert(out(2L) == (("", 0L)))
+  }
+
+  test("law: after the cut, re-detection finds nothing above threshold") {
+    val docs = Seq(
+      (1L, "first document with a planted shared ending block"),
+      (2L, "second doc, same planted shared ending block"),
+      (3L, "third completely unrelated content"),
+      (4L, "shared ending block")).toDF("doc_id", "text")
+    val minLen = 10
+    val cut = SuffixArray.cutSharedSuffixes(docs, "doc_id", "text", minLen)
+      .select(col("doc_id"), col("text"))
+    assert(SuffixArray.repeatedSuffixes(cut, "doc_id", "text", minLen)
+      .count() == 0L)
+    // and the cut is idempotent: cutting again changes nothing
+    val twice = SuffixArray.cutSharedSuffixes(cut, "doc_id", "text", minLen)
+    assert(twice.filter(col("kept_len") =!= col("orig_len")).count() == 0L)
+  }
+
   test("repeatedSuffixes finds exactly the planted shared tail") {
     val docs = Seq(
       (1L, "xyzhello world suffix"),
