@@ -921,9 +921,18 @@ object Similarity {
     * (embedding-space hub): its |c|² pair stage regains the quadratic
     * — raise `nlist`, or route that cluster's members through
     * [[annDupPairs]] (LSH bounds work per-row regardless of density).
+    * That failure mode is GUARDED at runtime, not just documented: a
+    * pre-flight audit (one nlist-row aggregate over the assignment —
+    * the [[EntityResolution.blockSizes]] pre-flight, made mandatory)
+    * fails LOUDLY when any single cluster's pair stage |c|²/2 would
+    * exceed the whole run's balanced pair budget N²/(2·nlist), i.e.
+    * when |c| > N/√nlist. The bound is scale-invariant under the
+    * paper's nlist ∝ √N sizing (slack grows as √nlist: 224× at
+    * N=10⁹/nlist=50k, so only a true hub — not normal imbalance —
+    * can trip it; the fixture's worst cluster sits at 3× headroom).
     * Cosine misses across cluster boundaries are the approximation the
     * paper accepts; boundary recall is measured against the exact pair
-    * set in SimilaritySpec.
+    * set in PipelineSpec.
     */
   def semDeDup(
       df: DataFrame,
@@ -941,6 +950,19 @@ object Similarity {
     val assigned = e.select(col(idCol), col("q"), col("nrm"),
       array_min(array(centroidScoreStructs(centroids, col("q")): _*))
         .getField("cluster").cast("long").as("cluster"))
+    // mega-cluster pre-flight (scaladoc): nlist-row audit, loud fail
+    val sz = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("_cn"))
+      .agg(max(col("_cn")), sum(col("_cn"))).head()
+    val (maxC, nRows) = (sz.getLong(0), sz.getLong(1))
+    val bound = math.ceil(nRows / math.sqrt(nlist.toDouble)).toLong
+    require(maxC <= bound,
+      s"semDeDup mega-cluster: largest cluster holds $maxC of $nRows " +
+        s"rows (> N/sqrt(nlist) = $bound); its pair stage alone would " +
+        "exceed the run's balanced pair budget N^2/(2*nlist). Raise " +
+        "nlist (paper sizing: nlist ~ sqrt(N)) or route this corpus " +
+        "through annDupPairs (LSH bounds per-row work regardless of " +
+        "embedding-space hubs).")
     val a = assigned.select(col("cluster"), col(idCol).as("vec_a"),
       col("q").as("qa"), col("nrm").as("na"))
     val b = assigned.select(col("cluster"), col(idCol).as("vec_b"),

@@ -1086,6 +1086,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semDeDup mega-cluster pre-flight fails loudly on a planted hub") {
+    // 40 IDENTICAL vectors (identical assignment → they cannot split
+    // across clusters, whatever k-means does) + 8 scattered, nlist=4:
+    // the hub cluster holds ≥ 40 of 48 rows > N/√nlist = 24 → the
+    // pre-flight must refuse before paying the |c|² pair stage
+    val hub = (0L until 40L).map(i => (i, Seq(1.0f, 0f, 0f, 0f)))
+    val rest = Seq(
+      (100L, Seq(0f, 1.0f, 0f, 0f)), (101L, Seq(0f, -1.0f, 0f, 0f)),
+      (102L, Seq(0f, 0f, 1.0f, 0f)), (103L, Seq(0f, 0f, -1.0f, 0f)),
+      (104L, Seq(0f, 0f, 0f, 1.0f)), (105L, Seq(0f, 0f, 0f, -1.0f)),
+      (106L, Seq(0f, 0.7f, 0.7f, 0f)), (107L, Seq(0f, -0.7f, 0.7f, 0f)))
+    val df = (hub ++ rest).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.semDeDup(df, "vec_id", "embedding",
+        threshold = 0.95, nlist = 4, iters = 2)
+    }
+    assert(ex.getMessage.contains("mega-cluster"))
+    assert(ex.getMessage.contains("annDupPairs"))
+  }
+
   test("unigramTrain: hand-computed EM on a tiny corpus; coverage law") {
     // corpus: "ab ab b" → words ab(×2), b(×1). seed (lMax=2):
     // a:2, b:3, ab:2. Viterbi iter1: total=7, cost(ab)=-ln(2/7) <
