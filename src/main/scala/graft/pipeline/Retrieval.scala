@@ -324,23 +324,32 @@ object Retrieval {
       .groupBy(col(queryCol))
       .agg(sum((pow(lit(2.0), col("_g_g").cast("double")) - 1.0) /
         log2(col("_g_p").cast("double") + 1.0)).as("_g_idcg"))
-    perQ
+    // the output is TOTAL over the judged ∪ retrieved query universe:
+    // a query with judgments but zero retrieved rows (the run matched
+    // nothing) must surface as an explicit all-zero row, not silently
+    // vanish and bias a downstream macro-average upward
+    val universe = run.select(col(queryCol))
+      .union(qrels.select(col(queryCol))).distinct()
+    val hitsC = coalesce(col("hits_at_k"), lit(0L))
+    val dcgC = coalesce(col("_g_dcg"), lit(0.0))
+    universe
+      .join(perQ, Seq(queryCol), "left")
       .join(relTotals, Seq(queryCol), "left")
       .join(idcg, Seq(queryCol), "left")
       .select(
         col(queryCol),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
-        col("hits_at_k"),
+        hitsC.as("hits_at_k"),
         d6(when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0.0))
-          .otherwise(col("hits_at_k").cast("double") /
+          .otherwise(hitsC.cast("double") /
             col("n_rel").cast("double"))).as("recall_at_k"),
         d6(when(col("_g_first").isNull, lit(0.0))
           .otherwise(lit(1.0) / col("_g_first").cast("double")))
           .as("mrr_at_k"),
-        d6(col("_g_dcg")).as("dcg_at_k"),
+        d6(dcgC).as("dcg_at_k"),
         d6(coalesce(col("_g_idcg"), lit(0.0))).as("idcg_at_k"),
         d6(when(coalesce(col("_g_idcg"), lit(0.0)) === 0.0, lit(0.0))
-          .otherwise(col("_g_dcg") / col("_g_idcg"))).as("ndcg_at_k"))
+          .otherwise(dcgC / col("_g_idcg"))).as("ndcg_at_k"))
   }
 
   /** ROUGE-N (Lin 2004) between a candidate and reference text pair —

@@ -115,6 +115,12 @@ object Stats {
     * contract, as [[bootstrapCI]]); means/variances/t derive in one
     * fixed expression order and round d6. ONE aggregate over units —
     * conditional sums per arm, no join, no shuffle beyond it.
+    *
+    * Degenerate arms fail LOUDLY: an arm with < 2 units has no sample
+    * variance ((n−1) = 0 → silent NaN/null t_stat), so the plan embeds
+    * a conditional raise_error on the arm counts — the lazy-frame
+    * analogue of the library's require() discipline (counts are only
+    * known at execution, so a driver-side require can't see them).
     */
   def welchTTest(
       df: DataFrame,
@@ -141,8 +147,13 @@ object Stats {
     val t = (m0 - m1) / sqrt(se0 + se1)
     val dfW = pow(se0 + se1, 2.0) /
       (pow(se0, 2.0) / (n0 - 1.0) + pow(se1, 2.0) / (n1 - 1.0))
+    val armGuard = when(col("_n0") >= 2L && col("_n1") >= 2L, col("_n0"))
+      .otherwise(raise_error(concat(
+        lit("welchTTest: each arm needs >= 2 units for a sample "),
+        lit("variance; got n_a="), col("_n0").cast("string"),
+        lit(" n_b="), col("_n1").cast("string"))).cast("long"))
     agg.select(
-      col("_n0").as("n_a"), col("_n1").as("n_b"),
+      armGuard.as("n_a"), col("_n1").as("n_b"),
       d6(m0).as("mean_a"), d6(m1).as("mean_b"),
       d6(v0).as("var_a"), d6(v1).as("var_b"),
       d6(t).as("t_stat"), d6(dfW).as("welch_df"),

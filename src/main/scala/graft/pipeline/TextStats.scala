@@ -1322,8 +1322,12 @@ object TextStats {
       seeds: Int = 5,
       steps: Int = 12): DataFrame = {
     require(seeds >= 1 && steps >= 1, s"need seeds/steps >= 1")
+    // empty tokens (multi-space / empty docs) are dropped BEFORE the
+    // adjacency window — the bm25MultiTopK tokenization convention —
+    // so "" never enters the seed ranking or the transition table
     val tk = df.select(col(idCol).as("_d"),
         posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
+      .filter(col("_tok") =!= "")
     val bg = tk.withColumn("_nxt",
         lead(col("_tok"), 1).over(
           Window.partitionBy(col("_d")).orderBy(col("_pos"))))

@@ -555,6 +555,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set(2L))
   }
 
+  // ---- TextStats.bigramGreedyGenerate ----
+
+  test("bigramGreedyGenerate walks the hand-computed argmax chain") {
+    // corpus bigrams: (a,b)×3, (b,a)×1, (b,c)×2, (c,a)×1 →
+    // best-next: a→b (3), b→c (2 beats a's 1), c→a; most frequent
+    // token: a(4) > b(4 tie → a wins lexicographically? counts a=4,b=4
+    // — top-1 seed is 'a' by (count DESC, token ASC))
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "a b a"), (3L, "b c")).toDF("doc_id", "text")
+    val out = TextStats.bigramGreedyGenerate(docs, "doc_id", "text",
+        seeds = 1, steps = 4)
+      .collect().head
+    // walk from a: a →b →c →a →b = "a b c a b", 4 steps
+    assert(out.getAs[String]("seed") == "a")
+    assert(out.getAs[String]("generated") == "a b c a b")
+    assert(out.getAs[Long]("n_steps") == 4L)
+  }
+
+  test("bigramGreedyGenerate stalls on a successorless token") {
+    // z ends every doc — the chain from z takes zero transitions
+    val docs = Seq((1L, "z"), (2L, "z"), (3L, "q z")).toDF("doc_id", "text")
+    val out = TextStats.bigramGreedyGenerate(docs, "doc_id", "text",
+        seeds = 1, steps = 5)
+      .collect().head
+    assert(out.getAs[String]("seed") == "z")
+    assert(out.getAs[String]("generated") == "z")
+    assert(out.getAs[Long]("n_steps") == 0L)
+  }
+
+  test("bigramGreedyGenerate ignores empty tokens from multi-spaces") {
+    // "a  b" splits to [a, "", b]: the empty token must enter neither
+    // the seed ranking nor the transition table, and adjacency skips it
+    val docs = Seq((1L, "a  b"), (2L, "a  b"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val rows = TextStats.bigramGreedyGenerate(docs, "doc_id", "text",
+        seeds = 3, steps = 2)
+      .collect()
+    assert(rows.forall(r => r.getAs[String]("seed") != ""))
+    val byS = rows.map(r => r.getAs[String]("seed") ->
+      r.getAs[String]("generated")).toMap
+    assert(byS("a") == "a b") // a→b despite the "" between them
+  }
+
   test("bm25TopK is invariant to repeated query terms") {
     val docs = Seq((1L, "x y z"), (2L, "x x w")).toDF("doc_id", "text")
     val once = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x", "y"))

@@ -91,6 +91,27 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(math.abs(got - ideal) < 1e-5)
   }
 
+  test("a judged query the run never retrieved scores explicit zeros") {
+    // query 7 has relevant judgments but BM25 matched nothing — it
+    // must come back as an all-zero row (n_rel intact), not vanish
+    // and bias a downstream macro-average upward
+    val run = Seq((1L, 101L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 101L, 2L), (7L, 201L, 3L), (7L, 202L, 2L))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Retrieval.rankingMetrics(run, qrels, "query_id", "doc_id",
+        "rel", k = 5, relThreshold = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 7L))
+    val q7 = out(7L)
+    assert(q7.getAs[Long]("n_rel") == 2L)
+    assert(q7.getAs[Long]("hits_at_k") == 0L)
+    assert(q7.getAs[Double]("recall_at_k") == 0.0)
+    assert(q7.getAs[Double]("mrr_at_k") == 0.0)
+    assert(q7.getAs[Double]("dcg_at_k") == 0.0)
+    assert(q7.getAs[Double]("idcg_at_k") > 0.0) // the ideal exists
+    assert(q7.getAs[Double]("ndcg_at_k") == 0.0)
+  }
+
   test("rankingMetrics with recall-threshold grade 1 counts all judged") {
     val run = Seq((1L, 101L, 1L)).toDF("query_id", "doc_id", "rank")
     val qrels = Seq((1L, 101L, 1L), (1L, 102L, 1L))
