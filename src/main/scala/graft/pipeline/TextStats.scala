@@ -959,6 +959,26 @@ object TextStats {
     * and partitioning-independent, hence DuckDB-replayable as an
     * N-step chained-CTE (see q220's oracle).
     */
+  /** Plan-depth bound for the trainer loops: the per-step in-row merge
+    * stacks one `aggregate` HOF layer onto `words`, so an unchecked
+    * loop re-executes ALL prior layers at every step's action (O(n²)
+    * total symbol work) and a production-vocab run (30k merges) hits
+    * the codegen expression-depth wall long before that. Materializing
+    * every `trainerCkptEvery` steps caps both: re-execution depth ≤ 16
+    * layers, and each plan stays compilable regardless of nMerges.
+    * (The nMerges sequential JOBS are inherent to greedy induction —
+    * every argmax depends on the previous merge — and each is
+    * vocab-sized, not corpus-sized; the loop is the published
+    * trainer's structure, just distributed.)
+    */
+  private val trainerCkptEvery = 16
+
+  private def boundTrainerDepth(words: DataFrame, step: Int): DataFrame =
+    if (step % trainerCkptEvery != 0) words
+    else if (words.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      words.checkpoint(eager = true)
+    else words.localCheckpoint(eager = true)
+
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = df.sparkSession
@@ -998,7 +1018,8 @@ object TextStats {
                 s === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(s))))
-        words = words.select(fused.as("syms"), col("n"))
+        words = boundTrainerDepth(words.select(fused.as("syms"), col("n")),
+          step)
         val unitsAfter = words
           .agg(sum(col("n") * size(col("syms"))).as("u"))
           .collect()(0).getLong(0)
@@ -1097,7 +1118,8 @@ object TextStats {
                 sym === lit(r),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
               .otherwise(concat(acc, array(sym))))
-        words = words.select(fused.as("syms"), col("n"))
+        words = boundTrainerDepth(words.select(fused.as("syms"), col("n")),
+          step)
         val unitsAfter = words
           .agg(sum(col("n") * size(col("syms"))).as("u"))
           .collect()(0).getLong(0)

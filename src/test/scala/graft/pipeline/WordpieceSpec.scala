@@ -54,6 +54,30 @@ class WordpieceSpec extends SparkSpec {
     assert(out.toSeq.sliding(2).forall { case Seq(a, b) => b < a })
   }
 
+  test("100-merge run completes with bounded plan depth (both trainers)") {
+    // the production-vocab regime check: the per-step fused layer must
+    // not accumulate past the periodic materialization cadence — an
+    // unchecked loop is O(steps²) re-execution and hits the codegen
+    // expression-depth wall near real vocab sizes. 26 distinct 9-char
+    // words give ~200 mergeable steps of pair diversity.
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 26).map { i =>
+      val c = ('a' + i).toChar
+      s"$c" + (0 until 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val bpe = TextStats.bpeTrain(docs, "text", 100).collect()
+    assert(bpe.length == 100)
+    assert(bpe.forall(r =>
+      r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs")))
+    val wp = TextStats.wordpieceTrain(docs, "text", 100).collect()
+    assert(wp.length == 100)
+    // units shrink overall: 100 greedy merges on a 234-symbol corpus
+    assert(wp.last.getAs[Long]("units_after") <
+      wp.head.getAs[Long]("units_after"))
+  }
+
   test("training is partitioning-invariant") {
     val docs = (1 to 40).map(i => s"w$i word common common").toDF("text")
     val one = TextStats.wordpieceTrain(docs.coalesce(1), "text", 3)
