@@ -216,4 +216,29 @@ object Profile {
         d6(first(col("_g_lo"))).as("lo_fence"),
         d6(first(col("_g_hi"))).as("hi_fence"))
   }
+
+  /** k-anonymity audit over a quasi-identifier combination (Sweeney
+    * 2002) — the re-identification pre-flight a dataset release runs
+    * BEFORE shipping rows that carry demographic-ish columns: every
+    * equivalence class (distinct quasi-identifier tuple) smaller than
+    * `k` is a re-identification risk, because an attacker who knows a
+    * subject's quasi-identifiers narrows them to < k candidate rows.
+    *
+    * One quasi-key-keyed aggregate (map-side combined; the class table
+    * is bounded by the quasi-identifier domain product, not the row
+    * count). NULL quasi values form their own class (groupBy
+    * null-bucket semantics on both engines — a missing attribute is
+    * itself identifying). Output per equivalence class:
+    * (quasi cols…, n_records, is_violation) — `is_violation` = 1 iff
+    * n_records < k; the dataset is k-anonymous over these columns iff
+    * no row has it set. Suppression/generalisation is the caller's
+    * remediation — the audit names exactly which classes to act on.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("is_violation", (col("n_records") < k).cast("int"))
+  }
 }

@@ -379,6 +379,32 @@ object Retrieval {
     require(n >= 1, s"n must be >= 1, got $n")
     val d6 = (c: org.apache.spark.sql.Column) =>
       c.cast("decimal(28,6)").cast("double")
+    val joined = clippedGramCounts(df, idCol, candCol, refCol, n)
+    val p = col("n_match").cast("double") / col("n_cand").cast("double")
+    val r = col("n_match").cast("double") / col("n_ref").cast("double")
+    joined.select(
+      col("_id").as(idCol), col("n_match"), col("n_cand"), col("n_ref"),
+      d6(when(col("n_match") === 0L, lit(0.0)).otherwise(p)).as("rouge_p"),
+      d6(when(col("n_match") === 0L, lit(0.0)).otherwise(r)).as("rouge_r"),
+      d6(when(col("n_match") === 0L, lit(0.0))
+        .otherwise(lit(2.0) * p * r / (p + r))).as("rouge_f1"))
+  }
+
+  /** Shared n-gram counting core for [[rougeN]]/[[bleuN]]: per pair,
+    * the clipped multiset match Σ_g min(c_cand(g), c_ref(g)) and both
+    * sides' total gram counts, TOTAL over the input (pairs with no
+    * qualifying grams come back as explicit zero rows via the
+    * ids-frame left join). Grams build in-row (no window, no
+    * self-join); one (pair, gram) hash-aggregate then one (pair)
+    * rollup — two keyed exchanges, both map-side combined, carrying
+    * gram counts, never text.
+    */
+  private def clippedGramCounts(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      n: Int): DataFrame = {
     def grams(c: org.apache.spark.sql.Column) = {
       val toks = split(c, " ")
       if (n == 1) toks
@@ -400,19 +426,166 @@ object Retrieval {
       .groupBy(col("_id"))
       .agg(sum(least(col("_cc"), col("_cr"))).as("n_match"),
         sum(col("_cc")).as("n_cand"), sum(col("_cr")).as("n_ref"))
-    val joined = df.select(col(idCol).as("_id"))
+    df.select(col(idCol).as("_id"))
       .join(agg, Seq("_id"), "left")
       .select(col("_id"),
         coalesce(col("n_match"), lit(0L)).as("n_match"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"))
-    val p = col("n_match").cast("double") / col("n_cand").cast("double")
-    val r = col("n_match").cast("double") / col("n_ref").cast("double")
-    joined.select(
-      col("_id").as(idCol), col("n_match"), col("n_cand"), col("n_ref"),
-      d6(when(col("n_match") === 0L, lit(0.0)).otherwise(p)).as("rouge_p"),
-      d6(when(col("n_match") === 0L, lit(0.0)).otherwise(r)).as("rouge_r"),
-      d6(when(col("n_match") === 0L, lit(0.0))
-        .otherwise(lit(2.0) * p * r / (p + r))).as("rouge_f1"))
+  }
+
+  /** BLEU-N (Papineni et al. 2002) between candidate and reference —
+    * the MT/generation metric next to [[rougeN]]: geometric mean of
+    * the 1..maxN clipped modified precisions × the brevity penalty,
+    *
+    *   BLEU = BP · exp(Σ_n ln p_n / maxN),
+    *   BP = 1 if c ≥ r else exp(1 − r/c)
+    *
+    * UNSMOOTHED corpus-standard form (documented): any p_n = 0 —
+    * including a candidate shorter than n tokens — zeroes the score,
+    * exactly as the reference implementation behaves on short
+    * segments; smoothing variants change the metric's identity.
+    *
+    * Float discipline: each ln p_n d6-truncates at its contract point
+    * and the sum across n accumulates as DECIMAL (the q256 PSI
+    * discipline); the final single exp is d6-truncated at the output
+    * contract, so cross-engine libm drift is absorbed per-term, never
+    * accumulated. Token counts (whitespace grams, [[rougeN]]'s
+    * convention incl. its empty-string edge) stay exact longs.
+    *
+    * Scale shape: maxN unioned passes of the shared gram core — each
+    * two map-side-combined keyed exchanges carrying counts, never
+    * text; the final per-pair combine is one more keyed aggregate.
+    *
+    * Output per pair: (idCol, cand_len, ref_len, p_1..p_maxN, bp,
+    * bleu).
+    */
+  def bleuN(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in [1, 8], got $maxN")
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    val perN = (1 to maxN).map { n =>
+      clippedGramCounts(df, idCol, candCol, refCol, n)
+        .select(col("_id"), lit(n).as("_n"), col("n_match"),
+          col("n_cand"))
+    }.reduce(_ unionByName _)
+    val pN = col("n_match").cast("double") / col("n_cand").cast("double")
+    val aggCols =
+      sum(when(col("_n") === 1, col("n_cand")).otherwise(0L))
+        .as("cand_len") +:
+      min(when(col("n_match") >= 1L, 1L).otherwise(0L)).as("_allpos") +:
+      sum(when(col("n_match") >= 1L, d6(log(pN)).cast("decimal(28,6)"))
+        .otherwise(lit(0).cast("decimal(28,6)"))).cast("double")
+        .as("_slog") +:
+      (1 to maxN).map(n =>
+        max(when(col("_n") === n,
+          when(col("n_match") === 0L, lit(0.0)).otherwise(d6(pN))))
+          .as(s"p_$n"))
+    val stats = perN.groupBy(col("_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val refLen = df.select(col(idCol).as("_id"),
+      size(split(col(refCol), " ")).cast("long").as("ref_len"))
+    val c = col("cand_len").cast("double")
+    val r = col("ref_len").cast("double")
+    val logBp = when(col("cand_len") >= col("ref_len"), lit(0.0))
+      .otherwise(lit(1.0) - r / c)
+    val bleu = when(col("_allpos") === 0L, lit(0.0))
+      .otherwise(d6(exp(logBp + col("_slog") / maxN)))
+    stats.join(refLen, Seq("_id"))
+      .select(col("_id").as(idCol) +: col("cand_len") +: col("ref_len") +:
+        (1 to maxN).map(n => col(s"p_$n")) :+
+        d6(when(col("cand_len") >= col("ref_len"), lit(1.0))
+          .otherwise(exp(logBp))).as("bp") :+
+        bleu.as("bleu"): _*)
+  }
+
+  /** chrF (Popović 2015) between candidate and reference — the
+    * CHARACTER n-gram F-score that became the WMT-recommended
+    * complement to BLEU (tokenization-free, robust for morphologically
+    * rich languages): whitespace is stripped, clipped character
+    * n-gram precisions/recalls are computed for n = 1..maxN, and
+    *
+    *   chrF = mean_n (1+β²)·p_n·r_n / (β²·p_n + r_n)
+    *
+    * (β = 2 — recall weighted double, the published default). The
+    * per-n F convention: an n with zero clipped matches — including a
+    * side shorter than n chars — scores F_n = 0 and still counts in
+    * the mean (the sacreBLEU epsilon-free behavior at eps = 0),
+    * DOCUMENTED so the metric's identity is fixed.
+    *
+    * Float discipline: counts exact longs; each F_n derives in one
+    * fixed order and d6-truncates at its contract point; the mean
+    * accumulates the truncated terms as DECIMAL ÷ maxN, d6 at the
+    * output (the q256 PSI discipline).
+    *
+    * Scale shape: maxN unioned char-gram passes, each an in-row gram
+    * build + two map-side-combined keyed exchanges carrying counts.
+    * Per-doc gram count is O(maxN · chars) — in-row, never joined.
+    *
+    * Output per pair: (idCol, n_chars_cand, n_chars_ref, f_1..f_maxN,
+    * chrf).
+    */
+  def chrF(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 4,
+      beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in [1, 8], got $maxN")
+    require(beta > 0, s"beta must be > 0, got $beta")
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    def charGrams(c: org.apache.spark.sql.Column, n: Int) = {
+      val s = regexp_replace(c, " ", "")
+      val chars = split(s, "")
+      val m = length(s) - (n - 1)
+      when(m > 0, transform(sequence(lit(1), m),
+        i => array_join(slice(chars, i, lit(n)), "")))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    }
+    val perN = (1 to maxN).map { n =>
+      val g = df.select(col(idCol).as("_id"),
+        charGrams(col(candCol), n).as("_cg"),
+        charGrams(col(refCol), n).as("_rg"))
+      val ex = g.select(col("_id"), lit(1L).as("_c"),
+          explode(col("_cg")).as("_gram"))
+        .unionByName(g.select(col("_id"), lit(0L).as("_c"),
+          explode(col("_rg")).as("_gram")))
+      val agg = ex.groupBy(col("_id"), col("_gram"))
+        .agg(sum(col("_c")).as("_cc"), sum(lit(1L) - col("_c")).as("_cr"))
+        .groupBy(col("_id"))
+        .agg(sum(least(col("_cc"), col("_cr"))).as("_m"),
+          sum(col("_cc")).as("_nc"), sum(col("_cr")).as("_nr"))
+      df.select(col(idCol).as("_id"))
+        .join(agg, Seq("_id"), "left")
+        .select(col("_id"), lit(n).as("_n"),
+          coalesce(col("_m"), lit(0L)).as("_m"),
+          coalesce(col("_nc"), lit(0L)).as("_nc"),
+          coalesce(col("_nr"), lit(0L)).as("_nr"))
+    }.reduce(_ unionByName _)
+    val b2 = beta * beta
+    val p = col("_m").cast("double") / col("_nc").cast("double")
+    val r = col("_m").cast("double") / col("_nr").cast("double")
+    val fN = when(col("_m") === 0L, lit(0.0))
+      .otherwise(d6(lit(1.0 + b2) * p * r / (lit(b2) * p + r)))
+    val aggCols =
+      sum(when(col("_n") === 1, col("_nc")).otherwise(0L))
+        .as("n_chars_cand") +:
+      sum(when(col("_n") === 1, col("_nr")).otherwise(0L))
+        .as("n_chars_ref") +:
+      sum(fN.cast("decimal(28,6)")).cast("double").as("_fsum") +:
+      (1 to maxN).map(n =>
+        max(when(col("_n") === n, fN)).as(s"f_$n"))
+    val stats = perN.groupBy(col("_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    stats.select(col("_id").as(idCol) +: col("n_chars_cand") +:
+      col("n_chars_ref") +: (1 to maxN).map(n => col(s"f_$n")) :+
+      d6(col("_fsum") / maxN).as("chrf"): _*)
   }
 }

@@ -224,4 +224,308 @@ object Stats {
     }
     perDim.reduce(_ unionByName _)
   }
+
+  /** Jensen–Shannon divergence between a reference and a current slice
+    * over one categorical dimension — the BOUNDED drift monitor next
+    * to [[psiDrift]]: JS = ½KL(p‖m) + ½KL(q‖m) with m = (p+q)/2 lives
+    * in [0, ln 2] whatever happens, so a brand-new bucket moves the
+    * needle finitely where raw KL would blow up — the number a
+    * dashboard alarms on when distributions can gain/lose support
+    * between snapshots.
+    *
+    * Same estimation contract as [[psiDrift]]: add-one (Laplace)
+    * smoothing on COUNTS over the observed bucket union (shares stay
+    * exact rationals), per-bucket terms d6-truncated at their contract
+    * point, dimension total as a DECIMAL sum of truncated terms.
+    * Scale shape: one bucket-keyed map-side-combined aggregate; the
+    * windows run over the bucket-domain-bounded count table.
+    *
+    * Output per bucket: (bucket, n_ref, n_cur, p_ref, p_cur, js_term,
+    * js) — `js` repeats the dimension total on every row
+    * ([[psiDrift]]'s reporting convention).
+    */
+  def jsDrift(
+      df: DataFrame,
+      curCol: String,
+      bucket: Column): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val cur = col(curCol).cast("boolean")
+    val cnt = df.groupBy(bucket.cast("string").as("bucket"))
+      .agg(
+        sum(when(cur, lit(0L)).otherwise(lit(1L))).as("n_ref"),
+        sum(when(cur, lit(1L)).otherwise(lit(0L))).as("n_cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      (sum(col("n_ref")).over(w) + count(lit(1)).over(w)).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (sum(col("n_cur")).over(w) + count(lit(1)).over(w)).cast("double")
+    val m = (p + q) / 2.0
+    val term = d6((p * log(p / m) + q * log(q / m)) / 2.0)
+    cnt.select(col("bucket"), col("n_ref"), col("n_cur"),
+        d6(p).as("p_ref"), d6(q).as("p_cur"), term.as("js_term"))
+      .withColumn("js",
+        sum(col("js_term").cast("decimal(28,6)")).over(w).cast("double"))
+  }
+
+  /** Gini concentration coefficient of a per-key integer metric — the
+    * inequality diagnostic a data-mix report runs over domain token
+    * shares or per-user activity (G = 0: perfectly even; → 1: one key
+    * holds everything):
+    *
+    *   G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)   (x ascending, 1-based i)
+    *
+    * EXACT integer numerator via the [[mannWhitneyU]] doubled-rank
+    * trick: keys collapse to one row per distinct metric VALUE v with
+    * multiplicity m_v, a value-run's positions a+1..a+m contribute
+    * v·(m·(2a + m + 1) − m·(n+1)) — closed form, no per-key window;
+    * the cumulative runs over the value-domain-bounded distinct-value
+    * table. One double division at the end, d6.
+    *
+    * Output ONE row: (n_keys, total, gini).
+    */
+  def giniConcentration(
+      df: DataFrame,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val byVal = df
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val a = coalesce(sum(col("_m")).over(w), lit(0L))
+    val agg = byVal
+      .select(col("_v"), col("_m"),
+        (col("_m") * (lit(2L) * a + col("_m") + 1L)).as("_ri"))
+      .agg(
+        sum(col("_m")).as("_n"),
+        sum(col("_v") * col("_m")).as("_tot"),
+        sum(col("_v") * col("_ri")).as("_rsum"))
+    // Σ(2i−n−1)x_i = Σ v·(2·Σi_run) − (n+1)·Σx, with Σ over runs
+    val num = col("_rsum") - (col("_n") + 1L) * col("_tot")
+    val guard = when(col("_n") >= 1L && col("_tot") >= 1L, col("_n"))
+      .otherwise(raise_error(lit(
+        "giniConcentration: needs at least one key and a positive " +
+          "metric total")).cast("long"))
+    agg.select(
+      guard.as("n_keys"), col("_tot").as("total"),
+      d6(num.cast("double") /
+        (col("_n").cast("double") * col("_tot").cast("double")))
+        .as("gini"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test on an
+    * integer-valued per-unit metric — the NONPARAMETRIC A/B readout
+    * next to [[welchTTest]]: no normality assumption, robust to the
+    * heavy-tailed metrics (session lengths, token counts) where a
+    * t-test's mean is the wrong summary.
+    *
+    * Rank arithmetic is EXACT: pooled rows collapse to one row per
+    * distinct metric VALUE (the integer-metric contract bounds that
+    * table by the value domain, the GK-sketch frame class — so the
+    * cumulative window over it is domain-bounded, not corpus-bounded),
+    * and tied ranks are handled in DOUBLED units (2·avgRank =
+    * 2·cumBefore + t + 1 is always integral), so R₁, U₀, U₁ come out
+    * of integer sums. The normal approximation
+    *
+    *   z = (2U₁ − n₀n₁) / 2σ,   σ² = n₀n₁/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    *
+    * (tie-corrected, no continuity correction — documented choice, the
+    * ±0.5 correction is negligible at the n ≫ 20 scale this targets)
+    * is computed in one fixed expression order and d6-rounded;
+    * `significant` flags |z| ≥ 1.959964 ([[welchTTest]]'s two-sided 5%
+    * convention). Degenerate inputs (an empty arm, or every unit tied
+    * on one value → σ = 0) fail loudly via in-plan raise_error.
+    *
+    * Output ONE row: (n_a, n_b, u_a, u_b — the U statistics in halves
+    * as exact doubles — z_stat, significant).
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val arm = col(armCol).cast("int")
+    val byVal = df
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(
+        sum(when(arm === 0, 1L).otherwise(0L)).as("_c0"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("_c1"))
+      .withColumn("_t", col("_c0") + col("_c1"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val cumBefore = coalesce(sum(col("_t")).over(w), lit(0L))
+    val rank2 = lit(2L) * cumBefore + col("_t") + 1L // 2·avg rank, exact
+    val agg = byVal
+      .select(col("_c0"), col("_c1"), col("_t"), rank2.as("_r2"))
+      .agg(
+        sum(col("_c0")).as("_n0"), sum(col("_c1")).as("_n1"),
+        sum(col("_c1") * col("_r2")).as("_r1x2"),
+        sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_ties"))
+    val n0 = col("_n0").cast("double")
+    val n1 = col("_n1").cast("double")
+    val n = n0 + n1
+    val u1x2 = col("_r1x2") - col("_n1") * (col("_n1") + 1L) // exact long
+    val u0x2 = lit(2L) * col("_n0") * col("_n1") - u1x2
+    val varU = n0 * n1 / 12.0 *
+      ((n + 1.0) - col("_ties").cast("double") / (n * (n - 1.0)))
+    val z = (u1x2.cast("double") - n0 * n1) / (lit(2.0) * sqrt(varU))
+    val guard = when(col("_n0") >= 1L && col("_n1") >= 1L &&
+        col("_ties") < (col("_n0") + col("_n1")) *
+          (col("_n0") + col("_n1")) * (col("_n0") + col("_n1")) -
+          (col("_n0") + col("_n1")), col("_n0"))
+      .otherwise(raise_error(concat(
+        lit("mannWhitneyU: need both arms non-empty and at least two "),
+        lit("distinct metric values (sigma would be 0); got n_a="),
+        col("_n0").cast("string"), lit(" n_b="),
+        col("_n1").cast("string"))).cast("long"))
+    agg.select(
+      guard.as("n_a"), col("_n1").as("n_b"),
+      d6(u0x2.cast("double") / 2.0).as("u_a"),
+      d6(u1x2.cast("double") / 2.0).as("u_b"),
+      d6(z).as("z_stat"),
+      (abs(z) >= 1.959964).cast("int").as("significant"))
+  }
+
+  /** pass@k estimator (Chen et al. 2021, arXiv:2107.03374 §2.1) — the
+    * unbiased combinatorial estimator every code-generation eval
+    * reports: given n samples per problem of which c passed,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i)
+    *
+    * computed as the PRODUCT form (the paper's own numerically-stable
+    * recommendation — binomials overflow long before n reaches real
+    * sample counts), one fixed left-to-right fold per k, d6-rounded.
+    * A problem with fewer than k samples has no unbiased estimate and
+    * returns an explicit NULL (not a silently-biased clamp); when
+    * every sample failed the product is 1 (pass@k = 0), and when
+    * n − c < k some factor is 0 (pass@k = 1) — both exact.
+    *
+    * ONE aggregate over samples (problem-keyed, map-side combined)
+    * then in-row products: no joins, no windows, any corpus size.
+    * Output per problem: (problemCol, n_samples, n_correct,
+    * pass_at_<k> per requested k).
+    */
+  def passAtK(
+      df: DataFrame,
+      problemCol: String,
+      correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val agg = df.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col(correctCol).cast("long")).as("n_correct"))
+    val n = col("n_samples")
+    val c = col("n_correct")
+    val cols = ks.map { k =>
+      val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+        (acc, i) => acc * (n - c - i).cast("double") / (n - i).cast("double"))
+      when(n < k, lit(null).cast("double"))
+        .otherwise(d6(lit(1.0) - prod)).as(s"pass_at_$k")
+    }
+    agg.select(col(problemCol) +: n +: c +: cols: _*)
+  }
+
+  /** Benjamini–Hochberg FDR control (step-up, 1995) over a table of
+    * hypothesis p-values — the multiple-testing gate a per-domain /
+    * per-slice monitoring report needs before acting on its
+    * "significant" rows (m slices at α = .05 yield m/20 false alarms
+    * uncorrected).
+    *
+    * Ranks are (p ASC, key ASC) — deterministic under ties; the
+    * step-up cutoff k* = max{ i : p_i ≤ i·q/m } is ONE aggregate over
+    * the ranked frame broadcast back (no driver collect), and the
+    * monotone adjusted p-value p̃_i = min_{j ≥ i} (m·p_j/j) is the
+    * reverse cumulative min. Both windows run over the HYPOTHESIS
+    * table — m rows, report-sized by construction (one row per
+    * domain/slice), not corpus-sized; the corpus-sized work producing
+    * the p-values happens upstream.
+    *
+    * Output per hypothesis: (keyCol, p_value, rank, p_adj,
+    * rejected) — `rejected` = 1 iff rank ≤ k*.
+    */
+  def bhFdr(
+      df: DataFrame,
+      keyCol: String,
+      pCol: String,
+      q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"q in (0,1), got $q")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val p = col(pCol).cast("double")
+    val ranked = df
+      .select(col(keyCol), p.as("p_value"))
+      .withColumn("rank", row_number()
+        .over(W.orderBy(col("p_value").asc, col(keyCol).asc)).cast("long"))
+      .withColumn("_m", count(lit(1)).over(
+        W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val kStar = ranked
+      .agg(coalesce(max(when(
+        col("p_value") * col("_m") <= col("rank").cast("double") * q,
+        col("rank"))), lit(0L)).as("_kstar"))
+    val padj = min(col("p_value") * col("_m").cast("double") /
+        col("rank").cast("double"))
+      .over(W.orderBy(col("rank").desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked
+      .withColumn("p_adj", d6(least(padj, lit(1.0))))
+      .crossJoin(broadcast(kStar))
+      .select(col(keyCol), d6(col("p_value")).as("p_value"), col("rank"),
+        col("p_adj"),
+        (col("rank") <= col("_kstar")).cast("int").as("rejected"))
+  }
+
+  /** Cohen's kappa inter-rater agreement over two categorical label
+    * columns — the annotation-quality gate a labeling pipeline runs
+    * before trusting a rater pool (raw percent agreement overstates
+    * quality whenever the label distribution is skewed; kappa
+    * subtracts the chance-agreement floor):
+    *
+    *   κ = (p_o − p_e) / (1 − p_e),   p_e = Σ_k p_A(k)·p_B(k)
+    *
+    * ONE (a, b)-keyed aggregate over the label-domain-bounded
+    * confusion table; all counts exact longs, the two probabilities
+    * and κ derive in one fixed expression order, d6-rounded. Perfect
+    * chance agreement (p_e = 1: both raters constant on the same
+    * label) is the 0/0 edge — reported as κ = 1 when p_o = 1 (total
+    * agreement) per convention, else fails loudly.
+    *
+    * Output ONE row: (n_items, po, pe, kappa).
+    */
+  def cohensKappa(
+      df: DataFrame,
+      raterACol: String,
+      raterBCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val conf = df.groupBy(col(raterACol).cast("string").as("_a"),
+        col(raterBCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val agg = conf.agg(
+      sum(col("_n")).as("_tot"),
+      sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L)).as("_agree"))
+    val margA = conf.groupBy(col("_a").as("_k")).agg(sum(col("_n")).as("_na"))
+    val margB = conf.groupBy(col("_b").as("_k")).agg(sum(col("_n")).as("_nb"))
+    val pe = margA.join(margB, Seq("_k"), "inner")
+      .agg(coalesce(sum(col("_na") * col("_nb")), lit(0L)).as("_peNum"))
+    val j = agg.crossJoin(broadcast(pe))
+    val tot = col("_tot").cast("double")
+    val po = col("_agree").cast("double") / tot
+    val peD = col("_peNum").cast("double") / (tot * tot)
+    val kappa = when(col("_peNum") === col("_tot") * col("_tot"),
+        when(col("_agree") === col("_tot"), lit(1.0))
+          .otherwise(raise_error(lit(
+            "cohensKappa: chance agreement is 1 (both raters constant) " +
+              "with imperfect observed agreement — kappa undefined"))
+            .cast("double")))
+      .otherwise((po - peD) / (lit(1.0) - peD))
+    j.select(
+      col("_tot").as("n_items"),
+      d6(po).as("po"), d6(peD).as("pe"), d6(kappa).as("kappa"))
+  }
 }

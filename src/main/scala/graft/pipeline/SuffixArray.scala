@@ -444,15 +444,16 @@ object SuffixArray {
         col("source").asc)
       .limit(topK)
     // text crosses a join ONLY here, above the top-k boundary: topK
-    // rows broadcast against one more corpus scan, for the preview
+    // rows broadcast against one more corpus scan, for the preview.
+    // The ROW SET is already the ordered cut; no re-sort after the
+    // join (a bare global Sort is the lint-forbidden shape, and every
+    // consumer contract — driver compare included — is order-free)
     val texts = df.select(col(idCol).as("_td"), col(textCol).as("_t"))
     texts.join(broadcast(top), col("_td") === col("rep_doc"))
       .select(col("sa_rank"), col("repeat_len"), col("n_occurrences"),
         col("source"), col("rep_doc"), col("rep_pos"),
         col("_t").substr(col("rep_pos").cast("int"),
           least(col("repeat_len"), lit(60L)).cast("int")).as("preview"))
-      .orderBy(col("repeat_len").desc, col("sa_rank").asc,
-        col("source").asc)
   }
 
   /** EXACT-SUBSTRING DEDUPLICATION CUT — the acting step of the Lee

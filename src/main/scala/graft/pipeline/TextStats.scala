@@ -1483,4 +1483,172 @@ object TextStats {
       coalesce(aggregate(col("_eff"), lit(0L),
         (acc, s) => acc + s.getField("clip")), lit(0L)).as("n_masked"))
   }
+
+  /** Kneser–Ney LM quality GATE — the CCNet-style perplexity filter
+    * ([[knLogProbAgainst]] is the judge; THIS acts on its verdict):
+    * score every document against the clean-LM model and keep those at
+    * or above `minAvgLogprob`. The threshold is taken in LOG domain
+    * deliberately: a perplexity threshold P is exactly
+    * minAvgLogprob = −ln P, and comparing in log space avoids an exp()
+    * at the contract point (libm exp ulp drift is the one float the d6
+    * discipline could not absorb cheaply).
+    *
+    * TOTAL over the corpus: documents the scorer cannot judge (< 2
+    * tokens → no bigrams) come back with NULL score and kept = 0 — a
+    * quality gate that silently passes unjudgeable inputs is the
+    * failure mode; CCNet routes them to its "unrated" bucket, which is
+    * what the explicit row encodes.
+    *
+    * Output per document: (idCol, n_bigrams, avg_logprob_kn, kept).
+    */
+  def knQualityGate(
+      model: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minAvgLogprob: Double): DataFrame = {
+    val scored = knLogProbAgainst(model, df, idCol, textCol)
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob_kn"),
+        (col("avg_logprob_kn").isNotNull &&
+          col("avg_logprob_kn") >= minAvgLogprob).cast("int").as("kept"))
+  }
+
+  /** Heaps'-law fit — vocabulary growth V(n) = K·n^β over document
+    * prefixes (natural corpora run β ≈ 0.4–0.6; duplicated or
+    * template-generated corpora flatten toward 0 because new documents
+    * stop contributing new types): the companion diagnostic to
+    * [[zipfFit]] (the two laws are asymptotically linked).
+    *
+    * Prefixes are ID-VALUE slices: threshold T_j = min_id + j·(span/
+    * points), prefix j = documents with id < T_j — a pure in-row
+    * predicate, so all `points` checkpoints compute in ONE aggregate
+    * pass each over docs (n_j) and tokens (V_j = COUNT(DISTINCT token
+    * WHERE id < T_j); the multi-countDistinct plans as one Expand,
+    * ×points data growth — the [[graft.ops.Profile.columnProfile]]
+    * exact-answer price, bounded by the points parameter). With dense
+    * ids a value slice IS a count slice; with sparse ids it is still a
+    * monotone prefix family, which is all the fit needs. ln-ln least
+    * squares over the (n_j, V_j) checkpoints with the [[zipfFit]]
+    * d6/decimal discipline; empty prefixes are skipped.
+    *
+    * Output ONE row: (n_points, beta, ln_k, r2) — β is the Heaps
+    * exponent, K = exp(ln_k) the coefficient.
+    */
+  def heapsFit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      points: Int = 8): DataFrame = {
+    require(points >= 3 && points <= 64, s"points in [3, 64], got $points")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val dsum = (c: Column) => sum(c.cast("decimal(28,6)")).cast("double")
+    val bounds = df.agg(min(col(idCol)).cast("long").as("_mn"),
+      (max(col(idCol)).cast("long") + 1L).as("_mx"))
+    // integer `div` keeps thresholds exact (the Analytics
+    // bucket-arithmetic discipline); `/` on long columns is double
+    def thr(j: Int) =
+      col("_mn") + expr(s"((_mx - _mn) * $j) div ${points}L")
+    val docs = df.select(col(idCol).cast("long").as("_d"))
+      .crossJoin(broadcast(bounds))
+    val nCols = (1 to points).map(j =>
+      sum(when(col("_d") < thr(j), 1L).otherwise(0L)).as(s"_n$j"))
+    val nAgg = docs.agg(nCols.head, nCols.tail: _*)
+    val toks = df
+      .select(col(idCol).cast("long").as("_d"),
+        explode(split(col(textCol), " ")).as("_tok"))
+      .filter(col("_tok") =!= "")
+      .crossJoin(broadcast(bounds))
+    val vCols = (1 to points).map(j =>
+      countDistinct(when(col("_d") < thr(j), col("_tok"))).as(s"_v$j"))
+    val vAgg = toks.agg(vCols.head, vCols.tail: _*)
+    val pts = nAgg.crossJoin(vAgg)
+      .select(explode(array((1 to points).map(j =>
+        struct(col(s"_n$j").as("_nd"), col(s"_v$j").as("_vc"))): _*))
+        .as("_s"))
+      .select(col("_s._nd").as("_nd"), col("_s._vc").as("_vc"))
+      .filter(col("_nd") >= 1L && col("_vc") >= 1L)
+    val xy = pts
+      .select(d6(log(col("_nd").cast("double"))).as("_x"),
+        d6(log(col("_vc").cast("double"))).as("_y"))
+      .select(col("_x"), col("_y"),
+        d6(col("_x") * col("_y")).as("_xy"),
+        d6(col("_x") * col("_x")).as("_xx"),
+        d6(col("_y") * col("_y")).as("_yy"))
+    val agg = xy.agg(
+      count(lit(1)).cast("double").as("_n"),
+      dsum(col("_x")).as("_sx"), dsum(col("_y")).as("_sy"),
+      dsum(col("_xy")).as("_sxy"), dsum(col("_xx")).as("_sxx"),
+      dsum(col("_yy")).as("_syy"))
+    val cov = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    agg.select(
+      col("_n").cast("long").as("n_points"),
+      d6(cov / vx).as("beta"),
+      d6((col("_sy") - (cov / vx) * col("_sx")) / col("_n")).as("ln_k"),
+      d6(cov * cov / (vx * vy)).as("r2"))
+  }
+
+  /** Zipf's-law fit over the corpus frequency head — the
+    * vocabulary-shape diagnostic (natural language runs slope ≈ −1;
+    * boilerplate-heavy or template-generated corpora flatten, OCR
+    * noise steepens the tail): least-squares on (ln rank, ln freq)
+    * over the top `topR` tokens by (freq DESC, token ASC),
+    *
+    *   slope = (RΣxy − ΣxΣy) / (RΣx² − (Σx)²),   r² per the standard
+    *   product-moment form.
+    *
+    * The rank window runs over the top-R frame ONLY (orderBy + limit —
+    * TopK-planned, never a vocab-sized sort): R is a parameter, so the
+    * windowed frame is parameter-bounded. Zipf fitting on the head is
+    * the published convention — the tail is where the law breaks for
+    * uninteresting reasons (hapax plateau). Float discipline: per-rank
+    * ln terms d6-truncate at their contract point, the five sums
+    * accumulate as DECIMAL (q256's PSI discipline), and the final
+    * ratios derive in one fixed order, d6 — cross-engine ln ulp drift
+    * cannot accumulate.
+    *
+    * Output ONE row: (n_ranks, slope, intercept, r2).
+    */
+  def zipfFit(
+      df: DataFrame,
+      textCol: String,
+      topR: Int = 200): DataFrame = {
+    require(topR >= 3, s"topR must be >= 3, got $topR")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val dsum = (c: Column) => sum(c.cast("decimal(28,6)")).cast("double")
+    val top = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok").asc)
+      .limit(topR)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("tok").asc)
+    val xy = top
+      .withColumn("_r", row_number().over(w).cast("double"))
+      .select(d6(log(col("_r"))).as("_x"),
+        d6(log(col("f").cast("double"))).as("_y"))
+      .select(col("_x"), col("_y"),
+        d6(col("_x") * col("_y")).as("_xy"),
+        d6(col("_x") * col("_x")).as("_xx"),
+        d6(col("_y") * col("_y")).as("_yy"))
+    val agg = xy.agg(
+      count(lit(1)).cast("double").as("_n"),
+      dsum(col("_x")).as("_sx"), dsum(col("_y")).as("_sy"),
+      dsum(col("_xy")).as("_sxy"), dsum(col("_xx")).as("_sxx"),
+      dsum(col("_yy")).as("_syy"))
+    val cov = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    agg.select(
+      col("_n").cast("long").as("n_ranks"),
+      d6(cov / vx).as("slope"),
+      d6((col("_sy") - (cov / vx) * col("_sx")) / col("_n")).as("intercept"),
+      d6(cov * cov / (vx * vy)).as("r2"))
+  }
 }

@@ -753,10 +753,252 @@ object Analytics {
       |    OVER (PARTITION BY dim) AS DOUBLE) AS psi
       |FROM t1""".stripMargin
 
+  // q262: pass@k estimator (Chen et al. 2021) — 40 planted "problems"
+  // (user_id % 40), per-event sample verdicts from the portable md5
+  // hash (≈25% pass), the paper's product-form estimator at k=1/5/10.
+  // The oracle replays every per-problem product left-to-right.
+  def q262PassAtK(s: SparkSession, dir: String): DataFrame = {
+    val samples = ev(s, dir).select(
+      (col("user_id") % 40).as("problem_id"),
+      (graft.pipeline.Sampling.portableHash(col("event_id"), "pak")
+        < 250000L).cast("int").as("passed"))
+    graft.pipeline.Stats.passAtK(samples, "problem_id", "passed",
+      Seq(1, 5, 10))
+  }
+
+  val q262Sql: String =
+    """WITH sm AS (
+      |  SELECT user_id % 40 AS problem_id,
+      |    CASE WHEN CAST(concat('0x', substring(md5('pak:' ||
+      |      CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      < 250000 THEN 1 ELSE 0 END AS passed
+      |  FROM events),
+      |agg AS (
+      |  SELECT problem_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+      |    CAST(SUM(passed) AS BIGINT) AS n_correct
+      |  FROM sm GROUP BY 1),
+      |pk AS (
+      |  SELECT a.problem_id, a.n_samples, a.n_correct, x.k,
+      |    CASE WHEN a.n_samples < x.k THEN NULL
+      |      ELSE CAST(CAST(1.0 - list_aggregate(
+      |        list_transform(generate_series(0, x.k - 1), i ->
+      |          CAST(a.n_samples - a.n_correct - i AS DOUBLE)
+      |            / CAST(a.n_samples - i AS DOUBLE)), 'product')
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS p
+      |  FROM agg a CROSS JOIN (VALUES (1), (5), (10)) x(k))
+      |SELECT problem_id, n_samples, n_correct,
+      |  MAX(CASE WHEN k = 1 THEN p END) AS pass_at_1,
+      |  MAX(CASE WHEN k = 5 THEN p END) AS pass_at_5,
+      |  MAX(CASE WHEN k = 10 THEN p END) AS pass_at_10
+      |FROM pk GROUP BY 1, 2, 3""".stripMargin
+
+  // q263: Mann-Whitney U on the q251 A/B split — the nonparametric
+  // reading of the same experiment (per-user event counts are
+  // heavy-tailed; the rank test is the robust readout). The oracle
+  // replays the doubled-rank integer arithmetic and the tie-corrected
+  // normal approximation in the identical expression order.
+  def q263MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("arm",
+        (graft.pipeline.Sampling.portableHash(col("user_id"), "ab")
+          >= 500000L).cast("int"))
+    graft.pipeline.Stats.mannWhitneyU(perUser, "arm", "n_events")
+  }
+
+  val q263Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    CASE WHEN CAST(concat('0x', substring(md5('ab:' ||
+      |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      >= 500000 THEN 1 ELSE 0 END AS arm
+      |  FROM events GROUP BY 1),
+      |bv AS (
+      |  SELECT n_events AS v,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS t
+      |  FROM pu GROUP BY 1),
+      |r AS (
+      |  SELECT c0, c1, t,
+      |    COALESCE(SUM(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM bv),
+      |agg AS (
+      |  SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1,
+      |    CAST(SUM(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1x2,
+      |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+      |  FROM r),
+      |d AS (
+      |  SELECT n0, n1,
+      |    r1x2 - n1 * (n1 + 1) AS u1x2,
+      |    2 * n0 * n1 - (r1x2 - n1 * (n1 + 1)) AS u0x2,
+      |    CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+      |      ((CAST(n0 + n1 AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)
+      |        / (CAST(n0 + n1 AS DOUBLE) * (CAST(n0 + n1 AS DOUBLE) - 1.0)))
+      |      AS varu
+      |  FROM agg)
+      |SELECT n0 AS n_a, n1 AS n_b,
+      |  CAST(CAST(CAST(u0x2 AS DOUBLE) / 2.0 AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS u_a,
+      |  CAST(CAST(CAST(u1x2 AS DOUBLE) / 2.0 AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS u_b,
+      |  CAST(CAST((CAST(u1x2 AS DOUBLE) - CAST(n0 AS DOUBLE) *
+      |      CAST(n1 AS DOUBLE)) / (2.0 * sqrt(varu)) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS z_stat,
+      |  CAST(CASE WHEN abs((CAST(u1x2 AS DOUBLE) - CAST(n0 AS DOUBLE) *
+      |      CAST(n1 AS DOUBLE)) / (2.0 * sqrt(varu))) >= 1.959964
+      |    THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM d""".stripMargin
+
+  // q264: Benjamini-Hochberg FDR over 50 planted per-slice p-values
+  // (md5-uniform ppm, so every threshold comparison is boundary-clean)
+  // at q = 0.10 — step-up cutoff, monotone adjusted p-values, reject
+  // set. The oracle replays rank, k* and the reverse cumulative min.
+  def q264BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val hyp = ev(s, dir)
+      .select((col("user_id") % 50).as("slice_id")).distinct()
+      .withColumn("p_raw",
+        graft.pipeline.Sampling.portableHash(col("slice_id"), "bh")
+          .cast("double") / 1000000.0)
+    graft.pipeline.Stats.bhFdr(hyp, "slice_id", "p_raw", q = 0.10)
+  }
+
+  val q264Sql: String =
+    """WITH hyp AS (
+      |  SELECT DISTINCT user_id % 50 AS slice_id FROM events),
+      |p AS (
+      |  SELECT slice_id,
+      |    CAST(CAST(concat('0x', substring(md5('bh:' ||
+      |      CAST(slice_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      AS DOUBLE) / 1000000.0 AS pv
+      |  FROM hyp),
+      |rk AS (
+      |  SELECT slice_id, pv,
+      |    CAST(row_number() OVER (ORDER BY pv ASC, slice_id ASC)
+      |      AS BIGINT) AS rank,
+      |    COUNT(*) OVER () AS m
+      |  FROM p),
+      |ks AS (
+      |  SELECT COALESCE(MAX(CASE WHEN pv * m <= CAST(rank AS DOUBLE) * 0.10
+      |    THEN rank END), 0) AS kstar FROM rk),
+      |adj AS (
+      |  SELECT slice_id, pv, rank, m,
+      |    MIN(pv * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+      |      OVER (ORDER BY rank DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj
+      |  FROM rk)
+      |SELECT a.slice_id,
+      |  CAST(CAST(a.pv AS DECIMAL(28,6)) AS DOUBLE) AS p_value,
+      |  a.rank,
+      |  CAST(CAST(LEAST(a.padj, 1.0) AS DECIMAL(28,6)) AS DOUBLE) AS p_adj,
+      |  CAST(CASE WHEN a.rank <= ks.kstar THEN 1 ELSE 0 END AS INT)
+      |    AS rejected
+      |FROM adj a CROSS JOIN ks""".stripMargin
+
+  // q265: Cohen's kappa between two planted raters over documents —
+  // rater A buckets by length div 100 (capped at 3); rater B agrees
+  // except on every doc_id % 7 < 2, where its reading shifts one
+  // bucket up — so observed agreement ~5/7 against a skewed marginal.
+  // The oracle rebuilds the confusion marginals and the identical
+  // kappa arithmetic.
+  def q265CohensKappa(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = least(floor(length(col("text")) / 100).cast("long"), lit(3L))
+    val b = least(floor((length(col("text")) +
+      when(col("doc_id") % 7 < 2, 100).otherwise(0)) / 100).cast("long"),
+      lit(3L))
+    graft.pipeline.Stats.cohensKappa(
+      docs.select(a.as("rater_a"), b.as("rater_b")), "rater_a", "rater_b")
+  }
+
+  val q265Sql: String =
+    """WITH rt AS (
+      |  SELECT
+      |    LEAST(CAST(floor(length(text) / 100) AS BIGINT), 3) AS a,
+      |    LEAST(CAST(floor((length(text) +
+      |      CASE WHEN doc_id % 7 < 2 THEN 100 ELSE 0 END) / 100)
+      |      AS BIGINT), 3) AS b
+      |  FROM documents),
+      |conf AS (SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b,
+      |         CAST(COUNT(*) AS BIGINT) AS n FROM rt GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS tot,
+      |    CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS agree
+      |  FROM conf),
+      |ma AS (SELECT a AS k, SUM(n) AS na FROM conf GROUP BY 1),
+      |mb AS (SELECT b AS k, SUM(n) AS nb FROM conf GROUP BY 1),
+      |pe AS (SELECT COALESCE(CAST(SUM(na * nb) AS BIGINT), 0) AS penum
+      |       FROM ma JOIN mb USING (k))
+      |SELECT agg.tot AS n_items,
+      |  CAST(CAST(CAST(agree AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS po,
+      |  CAST(CAST(CAST(penum AS DOUBLE) /
+      |    (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS pe,
+      |  CAST(CAST((CAST(agree AS DOUBLE) / CAST(tot AS DOUBLE) -
+      |    CAST(penum AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)))
+      |    / (1.0 - CAST(penum AS DOUBLE) /
+      |      (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS kappa
+      |FROM agg CROSS JOIN pe""".stripMargin
+
+  // q268: k-anonymity audit over the customer quasi-identifier pair
+  // (nation, market segment) at k = 10 — every equivalence class with
+  // its size and violation flag; the release gate reads the flags.
+  def q268KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.kAnonymity(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)
+
+  val q268Sql: String =
+    """SELECT c_nationkey, c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_records,
+      |  CAST(CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS INT)
+      |    AS is_violation
+      |FROM customer GROUP BY 1, 2""".stripMargin
+
+  // q272: Gini concentration of per-user event counts — how unevenly
+  // activity spreads over the user base (the data-mix inequality
+  // diagnostic). The oracle replays the doubled-rank closed form and
+  // the single final division.
+  def q272Gini(s: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    graft.pipeline.Stats.giniConcentration(perUser, "n_events")
+  }
+
+  val q272Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+      |bv AS (SELECT n_events AS v, CAST(COUNT(*) AS BIGINT) AS m
+      |       FROM pu GROUP BY 1),
+      |r AS (
+      |  SELECT v, m,
+      |    COALESCE(SUM(m) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+      |  FROM bv),
+      |agg AS (
+      |  SELECT CAST(SUM(m) AS BIGINT) AS n,
+      |    CAST(SUM(v * m) AS BIGINT) AS tot,
+      |    CAST(SUM(v * (m * (2 * a + m + 1))) AS BIGINT) AS rsum
+      |  FROM r)
+      |SELECT n AS n_keys, tot AS total,
+      |  CAST(CAST(CAST(rsum - (n + 1) * tot AS DOUBLE) /
+      |    (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS gini
+      |FROM agg""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q250_bootstrap_ci" -> (q250BootstrapCi _),
     "q256_drift_monitor" -> (q256DriftMonitor _),
     "q251_ab_ttest" -> (q251AbTtest _),
+    "q262_pass_at_k" -> (q262PassAtK _),
+    "q263_mann_whitney" -> (q263MannWhitney _),
+    "q264_bh_fdr" -> (q264BhFdr _),
+    "q265_cohens_kappa" -> (q265CohensKappa _),
+    "q268_k_anonymity" -> (q268KAnonymity _),
+    "q272_gini" -> (q272Gini _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -782,6 +1024,12 @@ object Analytics {
     "q250_bootstrap_ci" -> q250Sql,
     "q256_drift_monitor" -> q256Sql,
     "q251_ab_ttest" -> q251Sql,
+    "q262_pass_at_k" -> q262Sql,
+    "q263_mann_whitney" -> q263Sql,
+    "q264_bh_fdr" -> q264Sql,
+    "q265_cohens_kappa" -> q265Sql,
+    "q268_k_anonymity" -> q268Sql,
+    "q272_gini" -> q272Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

@@ -3783,11 +3783,414 @@ object Corpus {
       |  WHERE w.i < 12)
       |SELECT seed, generated, n_steps FROM walk WHERE i = 12""".stripMargin
 
+  // q261: BLEU-4 over the q258 candidate/reference pairs — the
+  // unsmoothed corpus-standard geometric mean of clipped modified
+  // precisions with the brevity penalty. The oracle rebuilds all four
+  // gram multisets (lead-chain n-grams), the clipped counts, the
+  // decimal-summed d6-ln terms, and the identical bp/exp arithmetic.
+  def q261BleuEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val toks = split(col("text"), " ")
+    val k = greatest(lit(1), floor(size(toks) / lit(3.0)).cast("int"))
+    val candToks = transform(slice(toks, lit(1), k),
+      (tk, i) => when(i % 7 === 3, lit("the")).otherwise(tk))
+    val pairs = docs.select(col("doc_id"),
+      array_join(candToks, " ").as("cand"), col("text").as("ref"))
+    graft.pipeline.Retrieval.bleuN(pairs, "doc_id", "cand", "ref", maxN = 4)
+  }
+
+  val q261Sql: String =
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1)-1 AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM d0),
+      |nn AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1),
+      |cd AS (
+      |  SELECT t.doc_id, t.pos,
+      |    CASE WHEN t.pos % 7 = 3 THEN 'the' ELSE t.tok END AS tok
+      |  FROM tk t JOIN nn ON t.doc_id = nn.doc_id
+      |  WHERE t.pos < GREATEST(1, nn.n // 3)),
+      |cg AS (
+      |  SELECT doc_id, 1 AS n, tok AS g FROM cd
+      |  UNION ALL SELECT doc_id, 2, tok || ' ' || l1 FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1
+      |    FROM cd) x WHERE l1 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 3, tok || ' ' || l1 || ' ' || l2 FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+      |      lead(tok,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+      |    FROM cd) x WHERE l2 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 4,
+      |    tok || ' ' || l1 || ' ' || l2 || ' ' || l3 FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+      |      lead(tok,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+      |      lead(tok,3) OVER (PARTITION BY doc_id ORDER BY pos) AS l3
+      |    FROM cd) x WHERE l3 IS NOT NULL),
+      |rg AS (
+      |  SELECT doc_id, 1 AS n, tok AS g FROM tk
+      |  UNION ALL SELECT doc_id, 2, tok || ' ' || l1 FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1
+      |    FROM tk) x WHERE l1 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 3, tok || ' ' || l1 || ' ' || l2 FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+      |      lead(tok,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2
+      |    FROM tk) x WHERE l2 IS NOT NULL
+      |  UNION ALL SELECT doc_id, 4,
+      |    tok || ' ' || l1 || ' ' || l2 || ' ' || l3 FROM (
+      |    SELECT doc_id, tok,
+      |      lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS l1,
+      |      lead(tok,2) OVER (PARTITION BY doc_id ORDER BY pos) AS l2,
+      |      lead(tok,3) OVER (PARTITION BY doc_id ORDER BY pos) AS l3
+      |    FROM tk) x WHERE l3 IS NOT NULL),
+      |cu AS (SELECT doc_id, n, g, COUNT(*) AS c FROM cg GROUP BY 1,2,3),
+      |ru AS (SELECT doc_id, n, g, COUNT(*) AS c FROM rg GROUP BY 1,2,3),
+      |u AS (
+      |  SELECT COALESCE(cu.doc_id, ru.doc_id) AS doc_id,
+      |    COALESCE(cu.n, ru.n) AS n,
+      |    CAST(SUM(LEAST(COALESCE(cu.c,0), COALESCE(ru.c,0))) AS BIGINT)
+      |      AS m,
+      |    CAST(SUM(COALESCE(cu.c,0)) AS BIGINT) AS c
+      |  FROM cu FULL JOIN ru
+      |    ON cu.doc_id = ru.doc_id AND cu.n = ru.n AND cu.g = ru.g
+      |  GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT d.doc_id, x.n FROM d0 d
+      |  CROSS JOIN (VALUES (1),(2),(3),(4)) x(n)),
+      |j AS (
+      |  SELECT fr.doc_id, fr.n, COALESCE(u.m, 0) AS m, COALESCE(u.c, 0) AS c
+      |  FROM fr LEFT JOIN u ON fr.doc_id = u.doc_id AND fr.n = u.n),
+      |st AS (
+      |  SELECT doc_id,
+      |    CAST(MAX(CASE WHEN n = 1 THEN c END) AS BIGINT) AS cand_len,
+      |    MIN(CASE WHEN m >= 1 THEN 1 ELSE 0 END) AS allpos,
+      |    CAST(SUM(CASE WHEN m >= 1 THEN CAST(
+      |      CAST(ln(CAST(m AS DOUBLE) / CAST(c AS DOUBLE)) AS DECIMAL(28,6))
+      |      AS DECIMAL(28,6)) ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |      AS slog,
+      |    MAX(CASE WHEN n = 1 THEN (CASE WHEN m = 0 THEN 0.0 ELSE
+      |      CAST(CAST(CAST(m AS DOUBLE)/CAST(c AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) END) END) AS p_1,
+      |    MAX(CASE WHEN n = 2 THEN (CASE WHEN m = 0 THEN 0.0 ELSE
+      |      CAST(CAST(CAST(m AS DOUBLE)/CAST(c AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) END) END) AS p_2,
+      |    MAX(CASE WHEN n = 3 THEN (CASE WHEN m = 0 THEN 0.0 ELSE
+      |      CAST(CAST(CAST(m AS DOUBLE)/CAST(c AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) END) END) AS p_3,
+      |    MAX(CASE WHEN n = 4 THEN (CASE WHEN m = 0 THEN 0.0 ELSE
+      |      CAST(CAST(CAST(m AS DOUBLE)/CAST(c AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) END) END) AS p_4
+      |  FROM j GROUP BY 1),
+      |rl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+      |    AS ref_len FROM d0)
+      |SELECT st.doc_id, st.cand_len, rl.ref_len,
+      |  st.p_1, st.p_2, st.p_3, st.p_4,
+      |  CAST(CAST(CASE WHEN st.cand_len >= rl.ref_len THEN 1.0
+      |    ELSE exp(1.0 - CAST(rl.ref_len AS DOUBLE)
+      |      / CAST(st.cand_len AS DOUBLE)) END AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS bp,
+      |  CASE WHEN st.allpos = 0 THEN 0.0 ELSE
+      |    CAST(CAST(exp((CASE WHEN st.cand_len >= rl.ref_len THEN 0.0
+      |      ELSE 1.0 - CAST(rl.ref_len AS DOUBLE)
+      |        / CAST(st.cand_len AS DOUBLE) END) + st.slog / 4.0)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS bleu
+      |FROM st JOIN rl USING (doc_id)""".stripMargin
+
+  // q266: Zipf's-law fit over the top-200 corpus frequency head —
+  // slope/intercept/r² of the (ln rank, ln freq) least squares, the
+  // vocabulary-shape diagnostic. The oracle rebuilds the top-200 cut,
+  // the d6 per-rank terms, the decimal sums and the identical final
+  // ratios.
+  def q266ZipfFit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.zipfFit(t(s, dir, "documents"), "text", 200)
+
+  val q266Sql: String =
+    """WITH tk AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM tk
+      |       WHERE tok <> '' GROUP BY 1),
+      |top AS (SELECT tok, f FROM vc ORDER BY f DESC, tok ASC LIMIT 200),
+      |xy AS (
+      |  SELECT
+      |    CAST(CAST(ln(CAST(row_number() OVER (ORDER BY f DESC, tok ASC)
+      |      AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) AS x,
+      |    CAST(CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) AS y
+      |  FROM top),
+      |xy2 AS (
+      |  SELECT x, y,
+      |    CAST(CAST(x * y AS DECIMAL(28,6)) AS DOUBLE) AS xy,
+      |    CAST(CAST(x * x AS DECIMAL(28,6)) AS DOUBLE) AS xx,
+      |    CAST(CAST(y * y AS DECIMAL(28,6)) AS DOUBLE) AS yy
+      |  FROM xy),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(xy AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(xx AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(yy AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM xy2)
+      |SELECT CAST(n AS BIGINT) AS n_ranks,
+      |  CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS slope,
+      |  CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+      |    / n AS DECIMAL(28,6)) AS DOUBLE) AS intercept,
+      |  CAST(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS r2
+      |FROM agg""".stripMargin
+
+  // q267: the Kneser-Ney quality GATE acting on q229's judge — score
+  // every document against the 'en' clean-LM and keep those at or
+  // above the log-domain threshold; sub-2-token docs come back as
+  // explicit unjudgeable rows (kept = 0, NULL score). Oracle = the
+  // q229 CTE totalized over d0 + the same flag.
+  def q267KnGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.TextStats.knQualityGate(
+      docs.filter(col("lang") === "en"), docs, "doc_id", "text",
+      minAvgLogprob = -3.40)
+  }
+
+  val q267Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    generate_subscripts(string_split(text,' '),1) AS pos,
+      |    unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, lang, pos, tok FROM tk WHERE tok <> ''),
+      |bi AS (
+      |  SELECT doc_id, lang, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT doc_id, lang, tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |c12 AS (SELECT tok, nxt, count(*) AS c12 FROM bi2
+      |        WHERE lang = 'en' GROUP BY 1, 2),
+      |ctx AS (SELECT tok, CAST(SUM(c12) AS BIGINT) AS c1,
+      |          COUNT(*) AS n1post FROM c12 GROUP BY 1),
+      |pre AS (SELECT nxt, COUNT(*) AS n1pre FROM c12 GROUP BY 1),
+      |tv AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM c12) AS t,
+      |         (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) FROM tk2
+      |          WHERE lang = 'en') AS v),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(CAST(sum(ln(CASE WHEN ctx.c1 IS NULL
+      |        THEN (CAST(coalesce(pre.n1pre, 0) AS DOUBLE) + 1.0)
+      |          / (tv.t + tv.v)
+      |        ELSE (GREATEST(CAST(coalesce(c12.c12, 0) AS DOUBLE) - 0.75,
+      |              0.0)
+      |              + 0.75 * CAST(ctx.n1post AS DOUBLE) *
+      |                ((CAST(coalesce(pre.n1pre, 0) AS DOUBLE) + 1.0)
+      |                 / (tv.t + tv.v)))
+      |             / CAST(ctx.c1 AS DOUBLE) END))
+      |      / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_logprob_kn
+      |  FROM bi2 LEFT JOIN c12 USING (tok, nxt) LEFT JOIN ctx USING (tok)
+      |  LEFT JOIN pre USING (nxt) CROSS JOIN tv
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  sc.avg_logprob_kn,
+      |  CAST(CASE WHEN sc.avg_logprob_kn IS NOT NULL
+      |    AND sc.avg_logprob_kn >= -3.40 THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+
+  // q269: chrF (Popović 2015) over the q258/q261 candidate/reference
+  // pairs — character n-gram F-β=2 mean over n = 1..4, whitespace
+  // stripped. The oracle reassembles the candidate string, builds all
+  // four char-gram multisets by substring enumeration, and replays the
+  // clipped counts + the d6 F_n terms + the decimal-summed mean.
+  def q269Chrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val toks = split(col("text"), " ")
+    val k = greatest(lit(1), floor(size(toks) / lit(3.0)).cast("int"))
+    val candToks = transform(slice(toks, lit(1), k),
+      (tk, i) => when(i % 7 === 3, lit("the")).otherwise(tk))
+    val pairs = docs.select(col("doc_id"),
+      array_join(candToks, " ").as("cand"), col("text").as("ref"))
+    graft.pipeline.Retrieval.chrF(pairs, "doc_id", "cand", "ref",
+      maxN = 4, beta = 2.0)
+  }
+
+  val q269Sql: String =
+    """WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1)-1 AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM d0),
+      |nn AS (SELECT doc_id, COUNT(*) AS n FROM tk GROUP BY 1),
+      |cd AS (
+      |  SELECT t.doc_id, t.pos,
+      |    CASE WHEN t.pos % 7 = 3 THEN 'the' ELSE t.tok END AS tok
+      |  FROM tk t JOIN nn ON t.doc_id = nn.doc_id
+      |  WHERE t.pos < GREATEST(1, nn.n // 3)),
+      |cstr AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cand
+      |         FROM cd GROUP BY 1),
+      |sides AS (
+      |  SELECT d0.doc_id,
+      |    replace(COALESCE(cstr.cand, ''), ' ', '') AS cs,
+      |    replace(d0.text, ' ', '') AS rs
+      |  FROM d0 LEFT JOIN cstr USING (doc_id)),
+      |cg0 AS (
+      |  SELECT doc_id, x.n, cs,
+      |    unnest(generate_series(1, length(cs) - x.n + 1)) AS i
+      |  FROM sides CROSS JOIN (VALUES (1),(2),(3),(4)) x(n)),
+      |cg AS (SELECT doc_id, n, substring(cs, CAST(i AS INT), n) AS g
+      |       FROM cg0),
+      |rg0 AS (
+      |  SELECT doc_id, x.n, rs,
+      |    unnest(generate_series(1, length(rs) - x.n + 1)) AS i
+      |  FROM sides CROSS JOIN (VALUES (1),(2),(3),(4)) x(n)),
+      |rg AS (SELECT doc_id, n, substring(rs, CAST(i AS INT), n) AS g
+      |       FROM rg0),
+      |cu AS (SELECT doc_id, n, g, COUNT(*) AS c FROM cg GROUP BY 1,2,3),
+      |ru AS (SELECT doc_id, n, g, COUNT(*) AS c FROM rg GROUP BY 1,2,3),
+      |u AS (
+      |  SELECT COALESCE(cu.doc_id, ru.doc_id) AS doc_id,
+      |    COALESCE(cu.n, ru.n) AS n,
+      |    CAST(SUM(LEAST(COALESCE(cu.c,0), COALESCE(ru.c,0))) AS BIGINT)
+      |      AS m,
+      |    CAST(SUM(COALESCE(cu.c,0)) AS BIGINT) AS nc,
+      |    CAST(SUM(COALESCE(ru.c,0)) AS BIGINT) AS nr
+      |  FROM cu FULL JOIN ru
+      |    ON cu.doc_id = ru.doc_id AND cu.n = ru.n AND cu.g = ru.g
+      |  GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT d.doc_id, x.n FROM d0 d
+      |  CROSS JOIN (VALUES (1),(2),(3),(4)) x(n)),
+      |j AS (
+      |  SELECT fr.doc_id, fr.n, COALESCE(u.m, 0) AS m,
+      |    COALESCE(u.nc, 0) AS nc, COALESCE(u.nr, 0) AS nr
+      |  FROM fr LEFT JOIN u ON fr.doc_id = u.doc_id AND fr.n = u.n),
+      |f AS (
+      |  SELECT doc_id, n, m, nc, nr,
+      |    CASE WHEN m = 0 THEN 0.0 ELSE
+      |      CAST(CAST(5.0 * (CAST(m AS DOUBLE)/CAST(nc AS DOUBLE)) *
+      |        (CAST(m AS DOUBLE)/CAST(nr AS DOUBLE)) /
+      |        (4.0 * (CAST(m AS DOUBLE)/CAST(nc AS DOUBLE)) +
+      |         (CAST(m AS DOUBLE)/CAST(nr AS DOUBLE)))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS fn
+      |  FROM j)
+      |SELECT doc_id,
+      |  CAST(MAX(CASE WHEN n = 1 THEN nc END) AS BIGINT) AS n_chars_cand,
+      |  CAST(MAX(CASE WHEN n = 1 THEN nr END) AS BIGINT) AS n_chars_ref,
+      |  MAX(CASE WHEN n = 1 THEN fn END) AS f_1,
+      |  MAX(CASE WHEN n = 2 THEN fn END) AS f_2,
+      |  MAX(CASE WHEN n = 3 THEN fn END) AS f_3,
+      |  MAX(CASE WHEN n = 4 THEN fn END) AS f_4,
+      |  CAST(CAST(CAST(SUM(CAST(fn AS DECIMAL(28,6))) AS DOUBLE) / 4.0
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS chrf
+      |FROM f GROUP BY 1""".stripMargin
+
+  // q270: Heaps'-law fit — vocabulary growth over 8 id-value document
+  // prefixes, ln-ln least squares; the companion diagnostic to q266.
+  // The oracle rebuilds thresholds (integer div), both checkpoint
+  // aggregates and the identical d6/decimal regression.
+  def q270HeapsFit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.heapsFit(
+      t(s, dir, "documents"), "doc_id", "text", points = 8)
+
+  val q270Sql: String =
+    """WITH bounds AS (
+      |  SELECT CAST(MIN(doc_id) AS BIGINT) AS mn,
+      |    CAST(MAX(doc_id) + 1 AS BIGINT) AS mx FROM documents),
+      |thr AS (
+      |  SELECT x.j, b.mn + ((b.mx - b.mn) * x.j) // 8 AS t
+      |  FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8)) x(j)
+      |  CROSS JOIN bounds b),
+      |nd AS (
+      |  SELECT p.j, CAST(COUNT(*) AS BIGINT) AS ndocs
+      |  FROM thr p JOIN documents d ON d.doc_id < p.t GROUP BY 1),
+      |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |       FROM documents),
+      |tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+      |vc AS (
+      |  SELECT p.j, CAST(COUNT(DISTINCT k.tok) AS BIGINT) AS vtypes
+      |  FROM thr p JOIN tk2 k ON k.doc_id < p.t GROUP BY 1),
+      |pts AS (
+      |  SELECT nd.ndocs, vc.vtypes FROM nd JOIN vc USING (j)
+      |  WHERE nd.ndocs >= 1 AND vc.vtypes >= 1),
+      |xy AS (
+      |  SELECT
+      |    CAST(CAST(ln(CAST(ndocs AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS x,
+      |    CAST(CAST(ln(CAST(vtypes AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS y
+      |  FROM pts),
+      |xy2 AS (
+      |  SELECT x, y,
+      |    CAST(CAST(x * y AS DECIMAL(28,6)) AS DOUBLE) AS xy,
+      |    CAST(CAST(x * x AS DECIMAL(28,6)) AS DOUBLE) AS xx,
+      |    CAST(CAST(y * y AS DECIMAL(28,6)) AS DOUBLE) AS yy
+      |  FROM xy),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(xy AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(xx AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(yy AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      |  FROM xy2)
+      |SELECT CAST(n AS BIGINT) AS n_points,
+      |  CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS beta,
+      |  CAST(CAST((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+      |    / n AS DECIMAL(28,6)) AS DOUBLE) AS ln_k,
+      |  CAST(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS r2
+      |FROM agg""".stripMargin
+
+  // q271: Jensen-Shannon drift between the even/odd doc_id halves over
+  // the language dimension — the bounded companion to q256's PSI.
+  // Oracle replays the Laplace shares, the d6 per-bucket terms and the
+  // decimal total.
+  def q271JsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.jsDrift(
+      t(s, dir, "documents").withColumn("is_cur", col("doc_id") % 2 === 1),
+      "is_cur", col("lang"))
+
+  val q271Sql: String =
+    """WITH f AS (
+      |  SELECT lang AS bucket, (doc_id % 2 = 1) AS cur FROM documents),
+      |c AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM f GROUP BY 1),
+      |s AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE)
+      |      / CAST(SUM(n_ref) OVER () + COUNT(*) OVER () AS DOUBLE) AS p,
+      |    CAST(n_cur + 1 AS DOUBLE)
+      |      / CAST(SUM(n_cur) OVER () + COUNT(*) OVER () AS DOUBLE) AS q
+      |  FROM c),
+      |t AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    CAST(CAST(p AS DECIMAL(28,6)) AS DOUBLE) AS p_ref,
+      |    CAST(CAST(q AS DECIMAL(28,6)) AS DOUBLE) AS p_cur,
+      |    CAST(CAST((p * ln(p / ((p + q) / 2.0)) +
+      |               q * ln(q / ((p + q) / 2.0))) / 2.0
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS js_term
+      |  FROM s)
+      |SELECT bucket, n_ref, n_cur, p_ref, p_cur, js_term,
+      |  CAST(SUM(CAST(js_term AS DECIMAL(28,6))) OVER () AS DOUBLE) AS js
+      |FROM t""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
     "q258_rouge_eval" -> (q258RougeEval _),
     "q260_bigram_generate" -> (q260BigramGenerate _),
+    "q261_bleu_eval" -> (q261BleuEval _),
+    "q266_zipf_fit" -> (q266ZipfFit _),
+    "q267_kn_gate" -> (q267KnGate _),
+    "q269_chrf" -> (q269Chrf _),
+    "q270_heaps_fit" -> (q270HeapsFit _),
+    "q271_js_drift" -> (q271JsDrift _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q259_sa_dedup_cut" -> (q259SaDedupCut _),
@@ -3903,6 +4306,12 @@ object Corpus {
     "q257_span_corrupt" -> q257Sql,
     "q258_rouge_eval" -> q258Sql,
     "q260_bigram_generate" -> q260Sql,
+    "q261_bleu_eval" -> q261Sql,
+    "q266_zipf_fit" -> q266Sql,
+    "q267_kn_gate" -> q267Sql,
+    "q269_chrf" -> q269Sql,
+    "q270_heaps_fit" -> q270Sql,
+    "q271_js_drift" -> q271Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -26,6 +26,23 @@ class CompilerSpec extends AnyFunSuite {
     assert(Compiler.compile("{{ nope }}", Context()).isLeft)
   }
 
+  test("out-of-subset Jinja constructs fail loudly, not silently") {
+    // the documented template-engine boundary (README): {% filter %}
+    // blocks, {% call %}/caller(), and inheritance are OUTSIDE the
+    // implemented subset and must surface as parse errors rather than
+    // render wrong
+    for (tpl <- Seq(
+      "{% filter upper %}x{% endfilter %}",
+      "{% call m() %}body{% endcall %}",
+      "{% extends 'base.sql' %}",
+      "{% block content %}x{% endblock %}")) {
+      val r = Compiler.compile(tpl, Context())
+      assert(r.isLeft, s"expected loud failure for: $tpl")
+      assert(r.swap.exists(_.toString.contains("template tag")),
+        s"error should name the offending tag for: $tpl")
+    }
+  }
+
   test("src/out macros resolve and can record lineage") {
     var srcs = List.empty[String]
     var outs = List.empty[String]

@@ -132,4 +132,23 @@ class ProfileSpec extends SparkSpec {
       Profile.quantileBuckets(df, "v", nBuckets = 1)
     }
   }
+
+  test("kAnonymity flags exactly the small equivalence classes") {
+    // class (25, 'F') has 3 records < k=3? no — violation is < k, so
+    // 3 is safe at k=3; (30, 'M') has 1 → flagged; nulls form their
+    // own class
+    val df = Seq(
+      (25, "F"), (25, "F"), (25, "F"),
+      (30, "M"),
+      (40, null), (40, null)).toDF("age", "sex")
+    val out = Profile.kAnonymity(df, Seq("age", "sex"), k = 3)
+      .collect().map(r => (r.get(0), Option(r.get(1))) ->
+        ((r.getAs[Long]("n_records"), r.getAs[Int]("is_violation")))).toMap
+    assert(out((25, Some("F"))) == ((3L, 0)))
+    assert(out((30, Some("M"))) == ((1L, 1)))
+    assert(out((40, None)) == ((2L, 1)))
+    intercept[IllegalArgumentException] {
+      Profile.kAnonymity(df, Seq(), k = 3)
+    }
+  }
 }

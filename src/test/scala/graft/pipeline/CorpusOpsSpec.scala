@@ -555,6 +555,72 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set(2L))
   }
 
+  // ---- TextStats.zipfFit / knQualityGate ----
+
+  test("zipfFit recovers slope -1 exactly on a planted power law") {
+    // token w_r appears ⌊240/r⌋ times for r = 1..6 → ln f ≈ −ln r +
+    // ln 240; fit slope ≈ −1, r² ≈ 1 (floor() introduces tiny error)
+    val words = (1 to 6).flatMap(r => Seq.fill(240 / r)(s"w$r"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = TextStats.zipfFit(docs, "text", topR = 6).collect().head
+    assert(out.getAs[Long]("n_ranks") == 6L)
+    assert(math.abs(out.getAs[Double]("slope") - (-1.0)) < 0.01)
+    assert(out.getAs[Double]("r2") > 0.999)
+  }
+
+  test("zipfFit ranks ties deterministically and ignores empty tokens") {
+    val docs = Seq((1L, "b b  a a c")).toDF("doc_id", "text")
+    val out = TextStats.zipfFit(docs, "text", topR = 3).collect().head
+    // freqs: a=2, b=2, c=1 → ranks a(1), b(2), c(3); just completes
+    // deterministically — the d6/decimal pipeline is the oracle's job
+    assert(out.getAs[Long]("n_ranks") == 3L)
+    assert(out.getAs[Double]("slope") < 0.0)
+  }
+
+  test("heapsFit recovers beta = 1 when every doc adds fresh types") {
+    // doc i contributes 5 unique tokens → V(n) = 5n exactly: beta 1,
+    // ln_k = ln 5, r² = 1 (up to d6 rounding)
+    val docs = (0L until 16L).map(i =>
+      (i, (0 until 5).map(j => s"w_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextStats.heapsFit(docs, "doc_id", "text", points = 8)
+      .collect().head
+    assert(out.getAs[Long]("n_points") == 8L)
+    assert(math.abs(out.getAs[Double]("beta") - 1.0) < 0.001)
+    assert(math.abs(out.getAs[Double]("ln_k") - math.log(5.0)) < 0.001)
+    assert(out.getAs[Double]("r2") > 0.9999)
+  }
+
+  test("heapsFit flattens on a fully duplicated corpus") {
+    // every doc repeats the same 3 tokens → V(n) constant → beta ≈ 0
+    val docs = (0L until 16L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = TextStats.heapsFit(docs, "doc_id", "text", points = 8)
+      .collect().head
+    assert(math.abs(out.getAs[Double]("beta")) <= 2e-6)
+  }
+
+  test("knQualityGate is total: unjudgeable docs come back kept = 0") {
+    val model = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),  // scores high vs itself
+      (2L, "zz qq xx yy ww vv"),       // all-OOV, scores low
+      (3L, "single")).toDF("doc_id", "text") // < 2 tokens: unjudgeable
+    // threshold between the in-model doc (≈ −1.3 avg) and the all-OOV
+    // doc (ln(1/(T+V)) = ln 0.1 ≈ −2.3 per bigram on this tiny model)
+    val out = TextStats.knQualityGate(model, docs, "doc_id", "text",
+        minAvgLogprob = -2.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).getAs[Int]("kept") == 1)
+    assert(out(2L).getAs[Int]("kept") == 0)
+    assert(out(3L).getAs[Int]("kept") == 0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("avg_logprob_kn")))
+    assert(out(3L).getAs[Long]("n_bigrams") == 0L)
+    // the judged docs order correctly: in-model beats all-OOV
+    assert(out(1L).getAs[Double]("avg_logprob_kn") >
+      out(2L).getAs[Double]("avg_logprob_kn"))
+  }
+
   // ---- TextStats.bigramGreedyGenerate ----
 
   test("bigramGreedyGenerate walks the hand-computed argmax chain") {

@@ -113,4 +113,128 @@ class StatsSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_.head).toSet == Set("type", "val"))
   }
+
+  test("mannWhitneyU matches the hand computation with ties") {
+    // arm0: 1, 2, 2; arm1: 2, 3. pooled sorted: 1(r1) 2 2 2 (avg r3)
+    // 3(r5). R1 = 3 + 5 = 8; U1 = 8 - 2*3/2 = 5; U0 = 3*2 - 5 = 1.
+    // ties: value 2 has t=3 → Σ(t³−t) = 24. n=5.
+    // var = 3*2/12 * (6 − 24/(5*4)) = 0.5 * 4.8 = 2.4
+    // z = (2*5 − 3*2) / (2*sqrt(2.4)) = 4 / 3.09839 = 1.290994
+    val df = Seq((0, 1L), (0, 2L), (0, 2L), (1, 2L), (1, 3L))
+      .toDF("arm", "v")
+    val r = Stats.mannWhitneyU(df, "arm", "v").collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_a") == 1.0)
+    assert(r.getAs[Double]("u_b") == 5.0)
+    assert(math.abs(r.getAs[Double]("z_stat") - 1.290994) < 1e-6)
+    assert(r.getAs[Int]("significant") == 0)
+  }
+
+  test("mannWhitneyU fails loudly on an empty arm or all-tied values") {
+    val oneArm = Seq((0, 1L), (0, 2L)).toDF("arm", "v")
+    val e1 = intercept[Exception] {
+      Stats.mannWhitneyU(oneArm, "arm", "v").collect()
+    }
+    assert(e1.getMessage.contains("mannWhitneyU"))
+    val allTied = Seq((0, 5L), (0, 5L), (1, 5L)).toDF("arm", "v")
+    val e2 = intercept[Exception] {
+      Stats.mannWhitneyU(allTied, "arm", "v").collect()
+    }
+    assert(e2.getMessage.contains("mannWhitneyU"))
+  }
+
+  test("passAtK matches the closed-form combinatorics") {
+    // problem 1: n=4, c=2 → pass@1 = 1 − C(2,1)/C(4,1)·… product form:
+    // 1 − (2/4) = 0.5; pass@3 = 1 − (2·1·0)/(4·3·2) = 1.0
+    // problem 2: n=3, c=0 → pass@1 = 0; pass@3 = 0
+    // problem 3: n=2 → pass@3 undefined (NULL)
+    val df = Seq(
+      (1L, 1), (1L, 1), (1L, 0), (1L, 0),
+      (2L, 0), (2L, 0), (2L, 0),
+      (3L, 1), (3L, 0)).toDF("pid", "ok")
+    val out = Stats.passAtK(df, "pid", "ok", Seq(1, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("pass_at_1") == 0.5)
+    assert(out(1L).getAs[Double]("pass_at_3") == 1.0)
+    assert(out(2L).getAs[Double]("pass_at_1") == 0.0)
+    assert(out(2L).getAs[Double]("pass_at_3") == 0.0)
+    assert(math.abs(out(3L).getAs[Double]("pass_at_1") - 0.5) < 1e-9)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("pass_at_3")))
+  }
+
+  test("bhFdr reproduces the textbook step-up example") {
+    // m=5, q=0.25; p = .01 .02 .03 .20 .90 → thresholds i·q/m =
+    // .05 .10 .15 .20 .25 → k* = 4 (p4=.20 ≤ .20) → reject 1..4
+    // p_adj: from the top: min running of m·p/i = .90, .25, .05, .05, .05
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.20),
+      ("e", 0.90)).toDF("k", "p")
+    val out = Stats.bhFdr(df, "k", "p", q = 0.25)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("rank"), r.getAs[Double]("p_adj"),
+          r.getAs[Int]("rejected")))).toMap
+    assert(out("a") == ((1L, 0.05, 1)))
+    assert(out("b") == ((2L, 0.05, 1)))
+    assert(out("c") == ((3L, 0.05, 1)))
+    assert(out("d") == ((4L, 0.25, 1)))
+    assert(out("e") == ((5L, 0.9, 0)))
+  }
+
+  test("bhFdr with nothing significant rejects nothing") {
+    val df = Seq(("a", 0.5), ("b", 0.9)).toDF("k", "p")
+    val out = Stats.bhFdr(df, "k", "p", q = 0.05).collect()
+    assert(out.forall(_.getAs[Int]("rejected") == 0))
+  }
+
+  test("cohensKappa matches the classic worked example") {
+    // the standard 2×2 worked case: 20 yes-yes, 5 yes-no, 10 no-yes,
+    // 15 no-no → po = 35/50 = .7; pe = (25·30 + 25·20)/2500 = .5;
+    // κ = .2/.5 = .4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Stats.cohensKappa(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("n_items") == 50L)
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-9)
+  }
+
+  test("cohensKappa: constant agreeing raters score kappa = 1") {
+    val rows = Seq.fill(10)(("x", "x")).toDF("a", "b")
+    assert(Stats.cohensKappa(rows, "a", "b").collect()
+      .head.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("jsDrift: identical halves score zero; divergence is bounded") {
+    val same = (0 until 40).map(i => (s"b${(i / 2) % 4}", i % 2 == 0))
+      .toDF("k", "cur")
+    val z = Stats.jsDrift(same, "cur", col("k")).collect()
+    assert(z.forall(_.getAs[Double]("js") == 0.0))
+    // total support swap: still finite and ≤ ln 2
+    val swap = (Seq.fill(20)(("only_ref", false)) ++
+      Seq.fill(20)(("only_cur", true))).toDF("k", "cur")
+    val s = Stats.jsDrift(swap, "cur", col("k")).collect()
+    val js = s.head.getAs[Double]("js")
+    assert(js > 0.0 && js <= math.log(2.0) + 1e-9)
+  }
+
+  test("giniConcentration: textbook extremes") {
+    // {0, 10}: half the mass missing → sample Gini 0.5
+    val uneven = Seq((1L, 0L), (2L, 10L)).toDF("k", "v")
+      .select(col("v"))
+    assert(Stats.giniConcentration(uneven, "v").collect()
+      .head.getAs[Double]("gini") == 0.5)
+    // perfectly even → 0
+    val even = Seq(5L, 5L, 5L, 5L).toDF("v")
+    val r = Stats.giniConcentration(even, "v").collect().head
+    assert(r.getAs[Double]("gini") == 0.0)
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("total") == 20L)
+    // degenerate: all-zero metric fails loudly
+    val zeros = Seq(0L, 0L).toDF("v")
+    val e = intercept[Exception] {
+      Stats.giniConcentration(zeros, "v").collect()
+    }
+    assert(e.getMessage.contains("giniConcentration"))
+  }
 }

@@ -76,6 +76,7 @@ class SuffixArraySpec extends SparkSpec {
       (3L, "nothing in common")).toDF("doc_id", "text")
     val out = SuffixArray.longestRepeats(docs, "doc_id", "text", topK = 3)
       .collect()
+      .sortBy(r => (-r.getAs[Long]("repeat_len"), r.getAs[Long]("sa_rank")))
     val top = out.head
     // the longest repeat is " abcdefgh " — 10 chars including BOTH
     // flanking spaces ("xx_" and "yy_" share the left one; the docs
@@ -94,6 +95,7 @@ class SuffixArraySpec extends SparkSpec {
       (3L, "something else")).toDF("doc_id", "text")
     val out = SuffixArray.longestRepeats(docs, "doc_id", "text", topK = 2)
       .collect()
+      .sortBy(r => (-r.getAs[Long]("repeat_len"), r.getAs[Long]("sa_rank")))
     val top = out.head
     // " shared tail here" (17 chars) is a full shared suffix → dup
     assert(top.getAs[String]("source") == "dup")
