@@ -241,4 +241,123 @@ object Profile {
       .agg(count(lit(1)).as("n_records"))
       .withColumn("is_violation", (col("n_records") < k).cast("int"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    * [[kAnonymity]] misses: an equivalence class can hold ≥ k rows yet
+    * leak the sensitive attribute outright when every row agrees on it
+    * (homogeneity attack). Per class this reports BOTH published
+    * notions: distinct l (count of distinct sensitive values) and
+    * entropy l (exp of the Shannon entropy of the class's sensitive
+    * distribution — the stricter bar: a class 99%-dominated by one
+    * diagnosis has high distinct l but entropy l ≈ 1).
+    *
+    * Two key-bounded aggregates: (quasi, sensitive)-keyed counts, then
+    * a quasi-keyed rollup — the exchanges carry class×value rows, never
+    * the raw table. Entropy terms go through the decimal(28,6) sum
+    * discipline (each −(c/n)·ln(c/n) is d6-rounded BEFORE summing) so
+    * the sum is order-free and engine-portable; entropy_l = exp(H) is
+    * d6 at the output contract. NULL sensitive values count as a value
+    * of their own (an absent diagnosis still discloses). `is_violation`
+    * = 1 iff distinct_l < l — the original "well-represented" bar;
+    * entropy_l is reported for the caller's stricter gate.
+    *
+    * Output per class: (quasi cols…, n_records, distinct_l, entropy_l,
+    * is_violation).
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one quasi column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val qc = quasiCols.map(col)
+    val perValue = df.groupBy(
+        (qc :+ col(sensitiveCol).cast("string").as("_sv")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val withN = perValue
+      .withColumn("_n", sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(qc: _*)))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    withN
+      .withColumn("_h6", (-p * log(p)).cast("decimal(28,6)"))
+      .groupBy(qc: _*)
+      .agg(max(col("_n")).as("n_records"),
+        count(lit(1)).as("distinct_l"),
+        d6(exp(sum(col("_h6")).cast("double"))).as("entropy_l"))
+      .withColumn("is_violation", (col("distinct_l") < l).cast("int"))
+  }
+
+  /** t-closeness audit (Li et al. 2007) — the refinement after
+    * [[lDiversity]]: a class can be diverse yet still leak by SKEW
+    * (e.g. 50% rare-disease in a class vs 1% globally). For an ORDERED
+    * sensitive attribute the published distance is the Earth Mover's
+    * Distance with unit ground distance between adjacent values:
+    *
+    *   t(class) = Σ_i |CumP_i − CumQ_i| / (m − 1)
+    *
+    * over the m global distinct values in order (P = class
+    * distribution, Q = global). Classes with t above `threshold` are
+    * flagged.
+    *
+    * Shape: the value domain (m rows, with global counts) broadcasts
+    * against the class list — the working frame is classes × m, linear
+    * in the class count and ORDINAL-SIZED in m, never row-scaled; a
+    * lazy raise_error fires if m exceeds `maxDomain` (the regime bar:
+    * t-closeness is defined for ordinal/bucketed attributes — bucket
+    * first for continuous ones). Cumulative sums run per class over the
+    * value order (class-partitioned windows). |CumP − CumQ| terms are
+    * exact integer cross-differences (c_i·N − g_i·n over the common
+    * denominator n·N) accumulated as decimals, ONE division at the end,
+    * d6 at the contract.
+    *
+    * Output per class: (quasi cols…, n_records, t, is_violation).
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      threshold: Double,
+      maxDomain: Int = 10000): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi column")
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val qc = quasiCols.map(col)
+    val sv = col(sensitiveCol).cast("long")
+    // global value domain with global counts (m rows; guard the regime)
+    val domain = df.groupBy(sv.as("_v")).agg(count(lit(1)).as("_g"))
+      .withColumn("_m", count(lit(1)).over(
+        W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("_g", when(col("_m") <= maxDomain, col("_g"))
+        .otherwise(raise_error(concat(lit("tCloseness: sensitive domain "),
+          col("_m"), lit(s" exceeds maxDomain=$maxDomain — bucket the " +
+            "attribute first"))).cast("long")))
+      .withColumn("_gn", sum(col("_g")).over(
+        W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val classes = df.groupBy(qc: _*).agg(count(lit(1)).as("n_records"))
+    val perValue = df.groupBy((qc :+ sv.as("_v")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val grid = classes.crossJoin(broadcast(domain))
+      .join(perValue, quasiCols :+ "_v", "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val wOrd = W.partitionBy(qc: _*).orderBy(col("_v").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // |CumP − CumQ| = |cum_c·N − cum_g·n| / (n·N), all-integer numerator
+    val num = abs(sum(col("_c")).over(wOrd) * col("_gn") -
+      sum(col("_g")).over(wOrd) * col("n_records"))
+    grid
+      .withColumn("_num", num)
+      .groupBy((qc :+ col("n_records")): _*)
+      .agg((sum(col("_num").cast("decimal(38,0)")).cast("double") /
+          (col("n_records") * first(col("_gn")) *
+            (first(col("_m")) - lit(1L))).cast("double"))
+        .as("_t"))
+      .select((qc :+ col("n_records") :+ d6(col("_t")).as("t") :+
+        (d6(col("_t")) > threshold).cast("int").as("is_violation")): _*)
+  }
 }

@@ -457,6 +457,66 @@ object Sampling {
           .as("temp_share"))
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151) —
+    * the fairness-first alternative to [[temperatureShares]]: spread a
+    * total token budget `B` as EVENLY as possible across domains,
+    * subject to a per-domain repeat cap of `maxEpochs` passes over its
+    * `n_d` tokens. The exact water-filling solution: b_d = min(cap_d,
+    * L) with cap_d = maxEpochs·n_d and waterline L chosen so
+    * Σ b_d = B; when B exceeds total capacity every domain saturates
+    * and the surplus is reported, not silently redistributed.
+    *
+    * Closed form, no iteration: over domains sorted by cap ascending
+    * (ties by domain — the window runs on the domain-count-bounded
+    * table), the first k domains saturate iff cap_k·(D−k) ≤ B − s_k
+    * (s = running cap sum) — an ALL-INTEGER monotone predicate, so
+    * k* = max passing rank is one aggregate broadcast back, and
+    * L = (B − s_{k*})/(D − k*) is the only float (one division, d6).
+    *
+    * Output per domain: (domainCol, n_tokens, cap, budget, epochs,
+    * saturated) — `epochs` = budget/n_d is the repeat factor the
+    * sampler actually applies; Σ budget = min(B, Σ cap) by
+    * construction.
+    */
+  def unimaxBudgets(
+      df: DataFrame,
+      domainCol: String,
+      weightCol: String,
+      totalBudget: Long,
+      maxEpochs: Int): DataFrame = {
+    require(totalBudget >= 1, s"totalBudget must be >= 1, got $totalBudget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(domainCol))
+      .agg(sum(col(weightCol).cast("long")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    val wOrd = W.orderBy(col("cap").asc, col(domainCol).asc)
+    val ranked = counts
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .withColumn("_s", sum(col("cap")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("_d", count(lit(1)).over(
+        W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    val kStar = ranked.agg(
+      coalesce(max(when(
+        col("cap") * (col("_d") - col("_i")) <= lit(totalBudget) - col("_s"),
+        col("_i"))), lit(0L)).as("_k"),
+      max(when(col("cap") * (col("_d") - col("_i")) <=
+          lit(totalBudget) - col("_s"), col("_s"))).as("_sk"))
+    val dMinusK = col("_d") - col("_k")
+    val waterline = (lit(totalBudget) - coalesce(col("_sk"), lit(0L)))
+      .cast("double") / dMinusK.cast("double")
+    val budget = when(dMinusK === 0L, col("cap").cast("double"))
+      .otherwise(least(col("cap").cast("double"), waterline))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col(domainCol), col("n_tokens"), col("cap"),
+        d6(budget).as("budget"),
+        d6(budget / col("n_tokens").cast("double")).as("epochs"),
+        (col("_i") <= col("_k")).cast("int").as("saturated"))
+  }
+
   /** ROUND-ROBIN INTERLEAVE: the deterministic curriculum schedule that
     * feeds training one document per domain in rotation (position p of
     * every domain before position p+1 of any, domains in lexicographic

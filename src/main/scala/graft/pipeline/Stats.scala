@@ -225,6 +225,62 @@ object Stats {
     perDim.reduce(_ unionByName _)
   }
 
+  /** Fleiss' kappa (1971) — chance-corrected agreement for N ≥ 2
+    * raters, generalizing [[cohensKappa]] beyond pairs: the labeling-
+    * pool health check when every item carries several independent
+    * annotations. With n_ij = raters assigning category j to item i,
+    * R raters, N items:
+    *
+    *   P̄  = (Σ_ij n_ij² − N·R) / (N·R·(R−1))
+    *   P̄e = Σ_j (Σ_i n_ij)² / (N·R)²
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Every sum is an exact integer (the squares stay well inside long
+    * range for any real annotation pool); the three ratios and κ
+    * derive in one fixed expression order, d6. The degenerate P̄e = 1
+    * edge (all raters constant on one category) reports κ = 1 when
+    * agreement is perfect, else fails loudly — [[cohensKappa]]'s
+    * convention.
+    *
+    * Scale shape: one (item, category)-keyed aggregate (map-side
+    * combined), one category rollup, one 1-row combine. Output ONE
+    * row: (n_items, n_raters, p_bar, p_e, kappa).
+    */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, "fleissKappa needs >= 2 rater columns")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val r = raterCols.size
+    val votes = raterCols.map(rc =>
+        df.select(col(itemCol).as("_it"), col(rc).cast("string").as("_cat")))
+      .reduce(_ unionByName _)
+    val nij = votes.groupBy(col("_it"), col("_cat"))
+      .agg(count(lit(1)).as("_n"))
+    val perItem = nij.groupBy(col("_it"))
+      .agg(sum(col("_n") * col("_n")).as("_s2"))
+    val catTot = nij.groupBy(col("_cat"))
+      .agg(sum(col("_n")).as("_cj"))
+      .agg(sum(col("_cj") * col("_cj")).as("_sc2"))
+    val agg = perItem.agg(count(lit(1)).as("_ni"), sum(col("_s2")).as("_ss2"))
+      .crossJoin(broadcast(catTot))
+    val nD = col("_ni").cast("double")
+    val nr = nD * r
+    val pBar = (col("_ss2").cast("double") - nr) / (nr * (r - 1).toDouble)
+    val pE = col("_sc2").cast("double") / (nr * nr)
+    val kappa = when(col("_sc2") === col("_ni") * col("_ni") * (r.toLong * r),
+        when(col("_ss2") === col("_ni") * (r.toLong * r), lit(1.0))
+          .otherwise(raise_error(lit(
+            "fleissKappa: chance agreement is 1 (all raters constant) " +
+              "with imperfect observed agreement — kappa undefined"))
+            .cast("double")))
+      .otherwise((pBar - pE) / (lit(1.0) - pE))
+    agg.select(
+      col("_ni").as("n_items"), lit(r.toLong).as("n_raters"),
+      d6(pBar).as("p_bar"), d6(pE).as("p_e"), d6(kappa).as("kappa"))
+  }
+
   /** Jensen–Shannon divergence between a reference and a current slice
     * over one categorical dimension — the BOUNDED drift monitor next
     * to [[psiDrift]]: JS = ½KL(p‖m) + ½KL(q‖m) with m = (p+q)/2 lives
@@ -527,5 +583,93 @@ object Stats {
     j.select(
       col("_tot").as("n_items"),
       d6(po).as("po"), d6(peD).as("pe"), d6(kappa).as("kappa"))
+  }
+
+  /** EWMA control chart (Roberts 1959) over per-key integer series —
+    * the drift/spike monitor an ingestion pipeline runs on its daily
+    * volume counts: flag the points where today's value breaks away
+    * from the exponentially-weighted level predicted by STRICT history.
+    *
+    * The level is the TRUNCATED EWMA over the last `horizon` points
+    * with decay λ = 1/2 fixed BY DESIGN: the weights 2^{-j} are exact
+    * binary doubles, so weight·count products and their fixed-order sum
+    * are error-free on every IEEE engine — an arbitrary λ would smear
+    * the hash-exact contract across pow() implementations. Truncation
+    * at `horizon` (default 8, residual weight 2^-8 ≈ 0.4%) also keeps
+    * the plan a fixed fan of `lag`s instead of an unbounded running
+    * recurrence:
+    *
+    *   ewma_t = Σ_{j=1..H} 2^{-(j-1)} x_{t-j} / Σ_{j avail} 2^{-(j-1)}
+    *
+    * (series-start points normalise over the lags that exist; the
+    * first point has no history → NULL level, no alarm). The alarm bar
+    * is `nSigma` × a per-key robust scale — the mean absolute
+    * deviation from the key mean, accumulated through the
+    * decimal(28,6)-before-sum discipline so the sum is order-free.
+    *
+    * Shape: ONE key-partitioned window pass (H lags in a single window
+    * spec) + one key-keyed aggregate for the scale — two key-bounded
+    * exchanges, no global window, partition count = |keys| × series
+    * length like every per-entity op here.
+    *
+    * Output per (key, order) row: (keyCol, orderCol, valueCol, n_hist,
+    * ewma, sigma, is_alarm).
+    */
+  def ewmaControlChart(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      horizon: Int = 8,
+      nSigma: Double = 3.0): DataFrame = {
+    require(horizon >= 1 && horizon <= 32,
+      s"horizon must be in [1,32], got $horizon")
+    require(nSigma > 0, s"nSigma must be positive, got $nSigma")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+    val x = col(valueCol).cast("long")
+    // exact binary weights 2^{-(j-1)}, fixed left-assoc sum order —
+    // the oracle replays the identical chain
+    val terms = (1 to horizon).map { j =>
+      val wt = math.pow(2.0, -(j - 1)).toString.toDouble
+      (lag(x, j).over(w), lit(wt))
+    }
+    val num = terms.map { case (l, wt) =>
+      when(l.isNotNull, l.cast("double") * wt).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = terms.map { case (l, wt) =>
+      when(l.isNotNull, wt).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val nHist = terms.map { case (l, _) =>
+      when(l.isNotNull, 1).otherwise(0)
+    }.reduce(_ + _)
+    val keyed = df
+      .withColumn("_nh", nHist)
+      .withColumn("_ewma",
+        when(col("_nh") === 0, lit(null).cast("double"))
+          .otherwise(num / den))
+    // per-key robust scale: mean absolute deviation from the key mean
+    // (sum/count mean is one exact IEEE division; |x−mean| terms are
+    // d6-rounded BEFORE summing — the order-free dsum discipline)
+    val means = df.groupBy(col(keyCol))
+      .agg(sum(x).as("_sx"), count(lit(1)).as("_nx"))
+      .select(col(keyCol),
+        (col("_sx").cast("double") / col("_nx").cast("double")).as("_mu"),
+        col("_nx"))
+    val scale = df.join(means, Seq(keyCol))
+      .withColumn("_ad6",
+        abs(x.cast("double") - col("_mu")).cast("decimal(28,6)"))
+      .groupBy(col(keyCol))
+      .agg((sum(col("_ad6")).cast("double") /
+        first(col("_nx")).cast("double")).as("_sigma"))
+    keyed.join(scale, Seq(keyCol))
+      .select(col(keyCol), col(orderCol), col(valueCol),
+        col("_nh").as("n_hist"),
+        d6(col("_ewma")).as("ewma"),
+        d6(col("_sigma")).as("sigma"),
+        (col("_nh") > 0 &&
+          abs(x.cast("double") - d6(col("_ewma"))) >
+            lit(nSigma) * d6(col("_sigma"))).cast("int").as("is_alarm"))
   }
 }

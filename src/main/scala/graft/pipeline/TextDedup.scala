@@ -163,6 +163,75 @@ object TextDedup {
       verifyJaccard(sh, idCol, candidates, threshold)
     }
 
+  /** Exact asymmetric CONTAINMENT pairs over the shingle sets —
+    * c(A→B) = |A∩B| / |A|, the measure that catches PARTIAL COPIES
+    * (a quote, an excerpt, a doc that IS another's tail) which
+    * symmetric Jaccard dilutes: a 50-shingle excerpt fully inside a
+    * 5000-shingle page has containment 1.0 but Jaccard ≈ 0.01.
+    * One row per unordered candidate pair with BOTH directions;
+    * kept when either direction ≥ `threshold`.
+    *
+    * Same inverted-index equi-join discipline as [[jaccardPairs]]:
+    * pairs meet ONLY through a shared-shingle join; `maxShingleDocs`
+    * caps posting-list fan-out (df-pruning — documented lossy for
+    * pairs whose every shared shingle is a corpus-wide hub;
+    * Int.MaxValue = exact, the oracle mode). Ratios d6 at the output
+    * contract.
+    *
+    * Output: (doc_a, doc_b, n_common, c_a_in_b, c_b_in_a), doc_a <
+    * doc_b.
+    */
+  def containmentPairs(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      maxShingleDocs: Int = 500): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // candidate generation may be df-pruned, but n_common is ALWAYS
+    // re-counted against the full shingle sets (jaccardPairs'
+    // candidates-then-verify contract): the cap only decides which
+    // pairs are seen, never mis-measures a seen pair
+    val inter =
+      if (maxShingleDocs == Int.MaxValue) {
+        val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+        val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+        a.join(b, Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+      } else {
+        val pruned = sh.join(
+          sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxShingleDocs).select(col("shingle")),
+          "shingle")
+        val candidates = pruned
+          .select(col(idCol).as("doc_a"), col("shingle"))
+          .join(pruned.select(col(idCol).as("doc_b"), col("shingle")),
+            Seq("shingle"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+        val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+        val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+        candidates.join(a, Seq("doc_a"))
+          .join(b, Seq("doc_b", "shingle"), "left_semi")
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_common"))
+      }
+    val cab = col("n_common").cast("double") / col("na").cast("double")
+    val cba = col("n_common").cast("double") / col("nb").cast("double")
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .filter(greatest(cab, cba) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        d6(cab).as("c_a_in_b"), d6(cba).as("c_b_in_a"))
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING (the PPJoin family,
     * Xiao et al., WWW'08 — public literature): rank each document's
     * shingles by ascending global document frequency (rarest first — a

@@ -1517,6 +1517,49 @@ object TextStats {
           col("avg_logprob_kn") >= minAvgLogprob).cast("int").as("kept"))
   }
 
+  /** Moore–Lewis cross-entropy-difference data selection (Moore &
+    * Lewis 2010, ACL) — THE classic targeted-corpus selection method:
+    * score every candidate document under an IN-DOMAIN LM and a
+    * GENERAL LM and keep those where
+    *
+    *   delta = avg_logprob_in − avg_logprob_general ≥ minDelta
+    *
+    * (documents that look more like the target domain than like the
+    * background corpus — positive delta — are worth training on; the
+    * original paper thresholds exactly this difference). Both judges
+    * are the [[knLogProbAgainst]] Kneser–Ney scorer, so delta is a
+    * difference of two d6-rounded averages — exact once more, no new
+    * float surface. TOTAL over candidates ([[knQualityGate]]'s
+    * contract): sub-2-token documents come back with NULL scores and
+    * kept = 0.
+    *
+    * Output per document: (idCol, n_bigrams, lp_in, lp_general,
+    * delta, kept).
+    */
+  def mooreLewisSelect(
+      inDomain: DataFrame,
+      general: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDelta: Double): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val sIn = knLogProbAgainst(inDomain, df, idCol, textCol)
+      .select(col(idCol), col("n_bigrams"),
+        col("avg_logprob_kn").as("lp_in"))
+    val sGen = knLogProbAgainst(general, df, idCol, textCol)
+      .select(col(idCol), col("avg_logprob_kn").as("lp_general"))
+    val delta = d6(col("lp_in") - col("lp_general"))
+    df.select(col(idCol))
+      .join(sIn, Seq(idCol), "left")
+      .join(sGen, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lp_in"), col("lp_general"), delta.as("delta"),
+        (col("lp_in").isNotNull && col("lp_general").isNotNull &&
+          delta >= minDelta).cast("int").as("kept"))
+  }
+
   /** Heaps'-law fit — vocabulary growth V(n) = K·n^β over document
     * prefixes (natural corpora run β ≈ 0.4–0.6; duplicated or
     * template-generated corpora flatten toward 0 because new documents
@@ -1650,5 +1693,56 @@ object TextStats {
       d6(cov / vx).as("slope"),
       d6((col("_sy") - (cov / vx) * col("_sx")) / col("_n")).as("intercept"),
       d6(cov * cov / (vx * vy)).as("r2"))
+  }
+
+  /** Distinct-n diversity (Li et al. 2016, "A Diversity-Promoting
+    * Objective Function for Neural Conversation Models") — the standard
+    * lexical-diversity report card for a generation corpus: per group
+    * and per n ∈ [1, maxN], the count of n-gram TOKENS, the count of
+    * DISTINCT n-grams, and their ratio. Mode-collapsed or templated
+    * output shows up as distinct-2/distinct-3 falling toward 0; natural
+    * text sits much higher. The same numbers double as a corpus
+    * self-repetition audit next to [[sharedNgramFraction]] (which is
+    * per-document; this is the per-slice rollup).
+    *
+    * Tokens are the whitespace stream with empties dropped (the bigram
+    * family's convention); grams hash in-row to md5, so the distinct
+    * count exchanges 32-byte keys, never text. One exploded frame per n
+    * (maxN is a small constant — the union is maxN narrow aggregates),
+    * each a (group, gram)-keyed countDistinct. The ratio is one integer
+    * division — IEEE-identical cross-engine, no rounding contract
+    * needed.
+    *
+    * Output: (groupCol, n, n_total, n_distinct, distinct_ratio); groups
+    * whose texts have fewer than n tokens everywhere report (0, 0, 0.0).
+    */
+  def distinctNgramDiversity(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+    val toks = col("_g_toks")
+    val perN = (1 to maxN).map { n =>
+      val starts =
+        when(size(toks) >= n, sequence(lit(1), size(toks) - (n - 1)))
+          .otherwise(array().cast("array<int>"))
+      val grams = transform(col("_g_starts"), i =>
+        md5(concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      df.select(col(groupCol),
+          filter(split(col(textCol), " "), t => length(t) > 0).as("_g_toks"))
+        .select(col(groupCol), toks, starts.as("_g_starts"))
+        .select(col(groupCol), explode_outer(grams).as("_g_gh"))
+        .groupBy(col(groupCol))
+        .agg(
+          sum(when(col("_g_gh").isNotNull, 1L).otherwise(0L)).as("n_total"),
+          countDistinct(col("_g_gh")).as("n_distinct"))
+        .select(col(groupCol), lit(n).as("n"), col("n_total"),
+          col("n_distinct"),
+          when(col("n_total") === 0L, lit(0.0))
+            .otherwise(col("n_distinct").cast("double") / col("n_total"))
+            .as("distinct_ratio"))
+    }
+    perN.reduce(_ unionByName _)
   }
 }

@@ -958,6 +958,62 @@ object Analytics {
       |    AS is_violation
       |FROM customer GROUP BY 1, 2""".stripMargin
 
+  // q276: Fleiss' kappa over THREE planted raters (q265's pair
+  // extended): rater 1 buckets length div 100 (cap 3); raters 2/3
+  // shift one bucket up on disjoint id slices (doc_id % 7 < 2 and
+  // doc_id % 5 = 0). The oracle rebuilds n_ij, the exact integer
+  // sums and the identical kappa expression order.
+  def q276FleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def bucket(shiftWhen: Column) =
+      least(floor((length(col("text")) +
+        when(shiftWhen, 100).otherwise(0)) / 100).cast("long"), lit(3L))
+    graft.pipeline.Stats.fleissKappa(
+      docs.select(col("doc_id"),
+        bucket(lit(false)).as("r1"),
+        bucket(col("doc_id") % 7 < 2).as("r2"),
+        bucket(col("doc_id") % 5 === 0).as("r3")),
+      "doc_id", Seq("r1", "r2", "r3"))
+  }
+
+  val q276Sql: String =
+    """WITH rt AS (
+      |  SELECT doc_id,
+      |    LEAST(CAST(floor(length(text) / 100) AS BIGINT), 3) AS r1,
+      |    LEAST(CAST(floor((length(text) +
+      |      CASE WHEN doc_id % 7 < 2 THEN 100 ELSE 0 END) / 100)
+      |      AS BIGINT), 3) AS r2,
+      |    LEAST(CAST(floor((length(text) +
+      |      CASE WHEN doc_id % 5 = 0 THEN 100 ELSE 0 END) / 100)
+      |      AS BIGINT), 3) AS r3
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id, CAST(r1 AS VARCHAR) AS c FROM rt
+      |  UNION ALL SELECT doc_id, CAST(r2 AS VARCHAR) FROM rt
+      |  UNION ALL SELECT doc_id, CAST(r3 AS VARCHAR) FROM rt),
+      |nij AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM v GROUP BY 1, 2),
+      |pi AS (SELECT doc_id, SUM(n * n) AS s2 FROM nij GROUP BY 1),
+      |ct AS (SELECT CAST(SUM(cj * cj) AS BIGINT) AS sc2 FROM
+      |       (SELECT c, SUM(n) AS cj FROM nij GROUP BY 1) x),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni,
+      |       CAST(SUM(s2) AS BIGINT) AS ss2 FROM pi)
+      |SELECT ag.ni AS n_items, CAST(3 AS BIGINT) AS n_raters,
+      |  CAST(CAST((CAST(ag.ss2 AS DOUBLE) - CAST(ag.ni AS DOUBLE) * 3)
+      |    / ((CAST(ag.ni AS DOUBLE) * 3) * 2.0) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS p_bar,
+      |  CAST(CAST(CAST(ct.sc2 AS DOUBLE) /
+      |    ((CAST(ag.ni AS DOUBLE) * 3) * (CAST(ag.ni AS DOUBLE) * 3))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS p_e,
+      |  CAST(CAST(((CAST(ag.ss2 AS DOUBLE) - CAST(ag.ni AS DOUBLE) * 3)
+      |      / ((CAST(ag.ni AS DOUBLE) * 3) * 2.0)
+      |    - CAST(ct.sc2 AS DOUBLE) /
+      |      ((CAST(ag.ni AS DOUBLE) * 3) * (CAST(ag.ni AS DOUBLE) * 3)))
+      |    / (1.0 - CAST(ct.sc2 AS DOUBLE) /
+      |      ((CAST(ag.ni AS DOUBLE) * 3) * (CAST(ag.ni AS DOUBLE) * 3)))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS kappa
+      |FROM ag CROSS JOIN ct""".stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -999,6 +1055,7 @@ object Analytics {
     "q265_cohens_kappa" -> (q265CohensKappa _),
     "q268_k_anonymity" -> (q268KAnonymity _),
     "q272_gini" -> (q272Gini _),
+    "q276_fleiss_kappa" -> (q276FleissKappa _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1030,6 +1087,7 @@ object Analytics {
     "q265_cohens_kappa" -> q265Sql,
     "q268_k_anonymity" -> q268Sql,
     "q272_gini" -> q272Sql,
+    "q276_fleiss_kappa" -> q276Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

@@ -4180,6 +4180,132 @@ object Corpus {
       |  CAST(SUM(CAST(js_term AS DECIMAL(28,6))) OVER () AS DOUBLE) AS js
       |FROM t""".stripMargin
 
+  // q273: UniMax budget allocation (Chung et al. 2023) — water-fill a
+  // 30k-token budget over the language domains at a 2-epoch repeat
+  // cap. The oracle replays the all-integer saturation predicate, k*,
+  // the single waterline division and both d6 outputs.
+  def q273Unimax(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("lang"),
+      size(filter(split(col("text"), " "), t => length(t) > 0))
+        .cast("long").as("n_toks"))
+    graft.pipeline.Sampling.unimaxBudgets(docs, "lang", "n_toks",
+      totalBudget = 30000L, maxEpochs = 2)
+  }
+
+  val q273Sql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS nt
+      |  FROM documents),
+      |c AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      |      FROM d GROUP BY 1),
+      |r AS (
+      |  SELECT lang, n_tokens, n_tokens * 2 AS cap,
+      |    CAST(row_number() OVER (ORDER BY n_tokens * 2 ASC, lang ASC)
+      |      AS BIGINT) AS i,
+      |    SUM(n_tokens * 2) OVER (ORDER BY n_tokens * 2 ASC, lang ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS dd
+      |  FROM c),
+      |k AS (
+      |  SELECT
+      |    COALESCE(MAX(CASE WHEN cap * (dd - i) <= 30000 - s THEN i END),
+      |      0) AS kk,
+      |    MAX(CASE WHEN cap * (dd - i) <= 30000 - s THEN s END) AS sk
+      |  FROM r)
+      |SELECT r.lang, r.n_tokens, r.cap,
+      |  CAST(CAST(CASE WHEN r.dd - k.kk = 0 THEN CAST(r.cap AS DOUBLE)
+      |    ELSE LEAST(CAST(r.cap AS DOUBLE),
+      |      CAST(30000 - COALESCE(k.sk, 0) AS DOUBLE)
+      |        / CAST(r.dd - k.kk AS DOUBLE)) END
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS budget,
+      |  CAST(CAST((CASE WHEN r.dd - k.kk = 0 THEN CAST(r.cap AS DOUBLE)
+      |    ELSE LEAST(CAST(r.cap AS DOUBLE),
+      |      CAST(30000 - COALESCE(k.sk, 0) AS DOUBLE)
+      |        / CAST(r.dd - k.kk AS DOUBLE)) END)
+      |    / CAST(r.n_tokens AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS epochs,
+      |  CAST(CASE WHEN r.i <= k.kk THEN 1 ELSE 0 END AS INT) AS saturated
+      |FROM r CROSS JOIN k""".stripMargin
+
+  // q274: Moore-Lewis cross-entropy-difference selection — the 'en'
+  // Kneser-Ney judge vs the whole-corpus judge, keep delta >= 0. The
+  // oracle runs the q229 CTE twice (in-domain + general models) from
+  // one shared bigram stream and replays the difference/flag.
+  def q274MooreLewis(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.pipeline.TextStats.mooreLewisSelect(
+      docs.filter(col("lang") === "en"), docs, docs, "doc_id", "text",
+      minDelta = 0.0)
+  }
+
+  val q274Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    generate_subscripts(string_split(text,' '),1) AS pos,
+      |    unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, lang, pos, tok FROM tk WHERE tok <> ''),
+      |bi AS (
+      |  SELECT doc_id, lang, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT doc_id, lang, tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |c12i AS (SELECT tok, nxt, count(*) AS c12 FROM bi2
+      |         WHERE lang = 'en' GROUP BY 1, 2),
+      |ctxi AS (SELECT tok, CAST(SUM(c12) AS BIGINT) AS c1,
+      |           COUNT(*) AS n1post FROM c12i GROUP BY 1),
+      |prei AS (SELECT nxt, COUNT(*) AS n1pre FROM c12i GROUP BY 1),
+      |tvi AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM c12i) AS t,
+      |          (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) FROM tk2
+      |           WHERE lang = 'en') AS v),
+      |sci AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(CAST(sum(ln(CASE WHEN ctxi.c1 IS NULL
+      |        THEN (CAST(coalesce(prei.n1pre, 0) AS DOUBLE) + 1.0)
+      |          / (tvi.t + tvi.v)
+      |        ELSE (GREATEST(CAST(coalesce(c12i.c12, 0) AS DOUBLE) - 0.75,
+      |              0.0)
+      |              + 0.75 * CAST(ctxi.n1post AS DOUBLE) *
+      |                ((CAST(coalesce(prei.n1pre, 0) AS DOUBLE) + 1.0)
+      |                 / (tvi.t + tvi.v)))
+      |             / CAST(ctxi.c1 AS DOUBLE) END))
+      |      / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS lp_in
+      |  FROM bi2 LEFT JOIN c12i USING (tok, nxt)
+      |  LEFT JOIN ctxi USING (tok) LEFT JOIN prei USING (nxt)
+      |  CROSS JOIN tvi GROUP BY doc_id),
+      |c12g AS (SELECT tok, nxt, count(*) AS c12 FROM bi2 GROUP BY 1, 2),
+      |ctxg AS (SELECT tok, CAST(SUM(c12) AS BIGINT) AS c1,
+      |           COUNT(*) AS n1post FROM c12g GROUP BY 1),
+      |preg AS (SELECT nxt, COUNT(*) AS n1pre FROM c12g GROUP BY 1),
+      |tvg AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM c12g) AS t,
+      |          (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) FROM tk2) AS v),
+      |scg AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(sum(ln(CASE WHEN ctxg.c1 IS NULL
+      |        THEN (CAST(coalesce(preg.n1pre, 0) AS DOUBLE) + 1.0)
+      |          / (tvg.t + tvg.v)
+      |        ELSE (GREATEST(CAST(coalesce(c12g.c12, 0) AS DOUBLE) - 0.75,
+      |              0.0)
+      |              + 0.75 * CAST(ctxg.n1post AS DOUBLE) *
+      |                ((CAST(coalesce(preg.n1pre, 0) AS DOUBLE) + 1.0)
+      |                 / (tvg.t + tvg.v)))
+      |             / CAST(ctxg.c1 AS DOUBLE) END))
+      |      / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS lp_general
+      |  FROM bi2 LEFT JOIN c12g USING (tok, nxt)
+      |  LEFT JOIN ctxg USING (tok) LEFT JOIN preg USING (nxt)
+      |  CROSS JOIN tvg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(sci.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  sci.lp_in, scg.lp_general,
+      |  CAST(CAST(sci.lp_in - scg.lp_general AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS delta,
+      |  CAST(CASE WHEN sci.lp_in IS NOT NULL AND scg.lp_general IS NOT NULL
+      |    AND CAST(CAST(sci.lp_in - scg.lp_general AS DECIMAL(28,6))
+      |      AS DOUBLE) >= 0.0 THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM documents d LEFT JOIN sci USING (doc_id)
+      |LEFT JOIN scg USING (doc_id)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
@@ -4191,6 +4317,8 @@ object Corpus {
     "q269_chrf" -> (q269Chrf _),
     "q270_heaps_fit" -> (q270HeapsFit _),
     "q271_js_drift" -> (q271JsDrift _),
+    "q273_unimax" -> (q273Unimax _),
+    "q274_moore_lewis" -> (q274MooreLewis _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q259_sa_dedup_cut" -> (q259SaDedupCut _),
@@ -4312,6 +4440,8 @@ object Corpus {
     "q269_chrf" -> q269Sql,
     "q270_heaps_fit" -> q270Sql,
     "q271_js_drift" -> q271Sql,
+    "q273_unimax" -> q273Sql,
+    "q274_moore_lewis" -> q274Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -65,6 +65,57 @@ object Pipeline {
 
   val q16Sql: String = jaccardOracle(0.12)
 
+  // q275: asymmetric shingle CONTAINMENT pairs — the partial-copy
+  // detector symmetric Jaccard misses: every 25th doc gets a shadow
+  // twin that IS its tail from char 81 (containment 1.0 in the base,
+  // Jaccard far below any useful bar). Exact mode (no df cap — the
+  // oracle mode, like q16); the operator's default cap re-verifies
+  // candidates against full sets.
+  def q275Containment(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val shadow = base
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) > 100)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        col("text").substr(lit(81), length(col("text"))).as("text"))
+    TextDedup.containmentPairs(
+      TextDedup.shingles(base.unionByName(shadow), "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.9, maxShingleDocs = Int.MaxValue)
+  }
+
+  val q275Sql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, substring(text, 81) FROM documents
+      |  WHERE doc_id % 25 = 0 AND length(text) > 100),
+      |tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok
+      |  FROM d0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+      |      AS shingle
+      |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM sh2 a JOIN sh2 b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(CAST(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS c_a_in_b,
+      |  CAST(CAST(CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS c_b_in_a
+      |FROM inter JOIN sz sa ON doc_a = sa.doc_id
+      |JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE GREATEST(CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE),
+      |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.9"""
+      .stripMargin
+
   // q112: the SAME exact contract as q16's algorithm, computed via
   // PPJoin-style prefix filtering — lossless df-suppressed candidate
   // generation, so the oracle is the identical SQL (at threshold 0.5):
@@ -1263,6 +1314,7 @@ object Pipeline {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_dedup_exact" -> (q15DedupExact _),
     "q16_ngram_jaccard" -> (q16NgramJaccard _),
+    "q275_containment" -> (q275Containment _),
     "q17_knn" -> (q17Knn _),
     "q18_text_stats" -> (q18TextStats _),
     "q19_quality" -> (q19Quality _),
@@ -1962,6 +2014,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
+    "q275_containment" -> q275Sql,
     "q17_knn" -> q17Sql,
     "q18_text_stats" -> q18Sql,
     "q19_quality" -> q19Sql,

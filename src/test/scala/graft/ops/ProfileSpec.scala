@@ -151,4 +151,69 @@ class ProfileSpec extends SparkSpec {
       Profile.kAnonymity(df, Seq(), k = 3)
     }
   }
+
+  test("lDiversity catches the homogeneity attack kAnonymity misses") {
+    // class 'a': 4 records but ONE sensitive value → distinct_l 1,
+    // entropy_l 1.0, violation at l=2; class 'b': 2/2 split →
+    // distinct_l 2, entropy_l = exp(ln 2) = 2, safe
+    val df = Seq(
+      ("a", "flu"), ("a", "flu"), ("a", "flu"), ("a", "flu"),
+      ("b", "flu"), ("b", "flu"), ("b", "cold"), ("b", "cold"))
+      .toDF("zip", "diag")
+    val out = Profile.lDiversity(df, Seq("zip"), "diag", l = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_records") == 4L)
+    assert(out("a").getAs[Long]("distinct_l") == 1L)
+    assert(out("a").getAs[Double]("entropy_l") == 1.0)
+    assert(out("a").getAs[Int]("is_violation") == 1)
+    assert(out("b").getAs[Long]("distinct_l") == 2L)
+    assert(math.abs(out("b").getAs[Double]("entropy_l") - 2.0) < 1e-5)
+    assert(out("b").getAs[Int]("is_violation") == 0)
+  }
+
+  test("lDiversity: entropy l punishes skew that distinct l forgives") {
+    // 9/1 split: distinct_l = 2 passes l=2, but entropy l ≈ 1.38 —
+    // the stricter bar the caller can gate on
+    val df = (Seq.fill(9)(("z", "flu")) :+ (("z", "rare")))
+      .toDF("zip", "diag")
+    val r = Profile.lDiversity(df, Seq("zip"), "diag", l = 2)
+      .collect().head
+    assert(r.getAs[Long]("distinct_l") == 2L)
+    assert(r.getAs[Int]("is_violation") == 0)
+    val el = r.getAs[Double]("entropy_l")
+    assert(el > 1.3 && el < 1.5, s"entropy_l was $el")
+  }
+
+  test("tCloseness: EMD against the global distribution, hand case") {
+    // global over {1,2}: 50/50. class 'a' = all 1s → cum diff at v=1
+    // is |1.0 − 0.5| = 0.5, at v=2 it's 0; t = 0.5/(2−1) = 0.5.
+    // class 'b' mirrors. Both flagged at threshold 0.2.
+    val df = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("zip", "band")
+    val out = Profile.tCloseness(df, Seq("zip"), "band", threshold = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("t") == 0.5)
+    assert(out("a").getAs[Int]("is_violation") == 1)
+    assert(out("b").getAs[Double]("t") == 0.5)
+    assert(out("b").getAs[Int]("is_violation") == 1)
+  }
+
+  test("tCloseness: a class matching the global distribution scores 0") {
+    val df = Seq(
+      ("u", 1L), ("u", 2L), ("u", 3L),
+      ("v", 1L), ("v", 2L), ("v", 3L)).toDF("zip", "band")
+    val out = Profile.tCloseness(df, Seq("zip"), "band", threshold = 0.2)
+      .collect()
+    assert(out.forall(_.getAs[Double]("t") == 0.0))
+    assert(out.forall(_.getAs[Int]("is_violation") == 0))
+  }
+
+  test("tCloseness: oversized sensitive domain fails loudly") {
+    val df = (1L to 50L).map(v => ("z", v)).toDF("zip", "band")
+    val e = intercept[Exception] {
+      Profile.tCloseness(df, Seq("zip"), "band", threshold = 0.2,
+        maxDomain = 10).collect()
+    }
+    assert(e.getMessage.contains("maxDomain"))
+  }
 }

@@ -555,6 +555,118 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set(2L))
   }
 
+  // ---- Sampling.unimaxBudgets ----
+
+  test("unimaxBudgets water-fills: small domains saturate, big ones split") {
+    // caps {10, 100} at 1 epoch, budget 60: x saturates at 10, the
+    // waterline gives y the remaining 50 (0.5 epochs)
+    val rows = Seq.fill(10)(("x", 1L)) ++ Seq.fill(100)(("y", 1L))
+    val out = Sampling.unimaxBudgets(rows.toDF("dom", "w"), "dom", "w",
+        totalBudget = 60L, maxEpochs = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x").getAs[Double]("budget") == 10.0)
+    assert(out("x").getAs[Int]("saturated") == 1)
+    assert(out("x").getAs[Double]("epochs") == 1.0)
+    assert(out("y").getAs[Double]("budget") == 50.0)
+    assert(out("y").getAs[Int]("saturated") == 0)
+    assert(out("y").getAs[Double]("epochs") == 0.5)
+  }
+
+  test("unimaxBudgets: even domains share evenly; surplus is not invented") {
+    val even = (Seq.fill(50)(("a", 1L)) ++ Seq.fill(50)(("b", 1L)))
+      .toDF("dom", "w")
+    val o1 = Sampling.unimaxBudgets(even, "dom", "w", 60L, maxEpochs = 1)
+      .collect().map(_.getAs[Double]("budget"))
+    assert(o1.toSeq == Seq(30.0, 30.0))
+    // budget beyond total capacity: every domain caps out, Σ = capacity
+    val o2 = Sampling.unimaxBudgets(even, "dom", "w", 500L, maxEpochs = 2)
+      .collect().map(r => (r.getAs[Double]("budget"),
+        r.getAs[Int]("saturated")))
+    assert(o2.forall(_ == ((100.0, 1))))
+  }
+
+  // ---- TextStats.mooreLewisSelect ----
+
+  test("mooreLewisSelect keeps in-domain text, rejects background text") {
+    val inDom = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val gen = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "stocks fell hard on friday"),
+      (102L, "stocks rose hard on monday")).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "the cat sat on the mat"),   // in-domain: delta > 0
+      (2L, "stocks fell hard on monday"), // background-ish: delta < 0
+      (3L, "one")).toDF("doc_id", "text") // unjudgeable
+    val out = TextStats.mooreLewisSelect(inDom, gen, cand,
+        "doc_id", "text", minDelta = 0.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("kept") == 1)
+    assert(out(1L).getAs[Double]("delta") > 0.0)
+    assert(out(2L).getAs[Int]("kept") == 0)
+    assert(out(2L).getAs[Double]("delta") < 0.0)
+    assert(out(3L).getAs[Int]("kept") == 0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("delta")))
+  }
+
+  // ---- Stats.fleissKappa ----
+
+  test("fleissKappa matches the hand computation; kappa < 0 possible") {
+    // item 1 votes (a,a,b), item 2 (a,a,a): P̄ = (14−6)/12 = 2/3;
+    // category totals a=5, b=1 → Pe = 26/36; κ = (2/3−13/18)/(5/18) = −0.2
+    val df = Seq((1L, "a", "a", "b"), (2L, "a", "a", "a"))
+      .toDF("item", "r1", "r2", "r3")
+    val out = Stats.fleissKappa(df, "item", Seq("r1", "r2", "r3"))
+      .collect().head
+    assert(out.getAs[Long]("n_items") == 2L)
+    assert(out.getAs[Long]("n_raters") == 3L)
+    assert(math.abs(out.getAs[Double]("p_bar") - 2.0 / 3) < 1e-6)
+    assert(math.abs(out.getAs[Double]("p_e") - 26.0 / 36) < 1e-6)
+    assert(math.abs(out.getAs[Double]("kappa") - (-0.2)) < 1e-6)
+  }
+
+  test("fleissKappa: unanimous raters everywhere score kappa = 1") {
+    val df = Seq((1L, "x", "x"), (2L, "x", "x")).toDF("item", "r1", "r2")
+    assert(Stats.fleissKappa(df, "item", Seq("r1", "r2")).collect()
+      .head.getAs[Double]("kappa") == 1.0)
+  }
+
+  // ---- TextDedup.containmentPairs ----
+
+  test("containmentPairs finds the planted tail Jaccard misses") {
+    // doc 2 IS doc 1's second half: containment(2→1) = 1.0, but
+    // Jaccard ≈ 1/2 — below a 0.9 bar on either measure symmetric
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w7 w8 w9 w10 w11 w12"),
+      (3L, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
+    val out = TextDedup.containmentPairs(sh, "doc_id", threshold = 0.9,
+        maxShingleDocs = Int.MaxValue)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Double]("c_b_in_a") == 1.0) // all of 2's shingles in 1
+    assert(r.getAs[Double]("c_a_in_b") < 0.5)
+    // and the symmetric measure indeed misses it at the same bar
+    assert(TextDedup.jaccardPairs(sh, "doc_id", threshold = 0.9,
+      maxShingleDocs = Int.MaxValue).count() == 0L)
+  }
+
+  test("containmentPairs: df-capped candidates still verify exactly") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "e f g h"),
+      (3L, "a b c d e f g h z z2 z3")).toDF("doc_id", "text")
+    val sh = TextDedup.shingles(docs, "doc_id", "text", n = 3)
+    val exact = TextDedup.containmentPairs(sh, "doc_id", 0.9,
+      maxShingleDocs = Int.MaxValue).collect().map(_.toSeq).toSet
+    val capped = TextDedup.containmentPairs(sh, "doc_id", 0.9,
+      maxShingleDocs = 500).collect().map(_.toSeq).toSet
+    assert(exact == capped)
+    assert(exact.nonEmpty)
+  }
+
   // ---- TextStats.zipfFit / knQualityGate ----
 
   test("zipfFit recovers slope -1 exactly on a planted power law") {
@@ -968,5 +1080,70 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(0) == out(1) && out(1) == out(2))
     assert(out(0) == "hello world café")
     assert(out(3) != out(0))
+  }
+
+  // ---- TextStats.distinctNgramDiversity ----
+
+  test("distinctNgramDiversity separates repetitive from diverse text") {
+    val df = Seq(
+      ("rep", "x x x x"),   // unigram: 4 total, 1 distinct
+      ("div", "p q r")      // all grams distinct
+    ).toDF("grp", "text")
+    val out = TextStats.distinctNgramDiversity(df, "grp", "text", maxN = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out(("rep", 1)).getAs[Long]("n_total") == 4L)
+    assert(out(("rep", 1)).getAs[Long]("n_distinct") == 1L)
+    assert(out(("rep", 1)).getAs[Double]("distinct_ratio") == 0.25)
+    assert(out(("rep", 2)).getAs[Long]("n_total") == 3L)
+    assert(out(("rep", 2)).getAs[Long]("n_distinct") == 1L)
+    assert(out(("div", 1)).getAs[Double]("distinct_ratio") == 1.0)
+    assert(out(("div", 2)).getAs[Double]("distinct_ratio") == 1.0)
+    // 'div' has one 3-gram; 'rep' has two (identical)
+    assert(out(("div", 3)).getAs[Long]("n_total") == 1L)
+    assert(out(("rep", 3)).getAs[Long]("n_distinct") == 1L)
+  }
+
+  test("distinctNgramDiversity: short groups report 0 grams, ratio 0") {
+    val df = Seq(("s", "a b"), ("s", "  ")).toDF("grp", "text")
+    val out = TextStats.distinctNgramDiversity(df, "grp", "text", maxN = 3)
+      .collect().map(r => r.getInt(1) -> r).toMap
+    assert(out(3).getAs[Long]("n_total") == 0L)
+    assert(out(3).getAs[Long]("n_distinct") == 0L)
+    assert(out(3).getAs[Double]("distinct_ratio") == 0.0)
+    // grams pool across the group's documents: 2 unigrams from 'a b'
+    assert(out(1).getAs[Long]("n_total") == 2L)
+  }
+
+  // ---- Similarity.mmdLinear ----
+
+  test("mmdLinear: identical samples score 0; a shifted sample doesn't") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 7 + d * 3) % 11).toFloat / 11f)))
+    }
+    val x = vecs.toDF("vec_id", "embedding")
+    // Y = X exactly → every h-term cancels pairwise
+    val same = Similarity.mmdLinear(x, x, "vec_id", "embedding")
+      .collect().head
+    assert(same.getAs[Long]("n_x") == 40L)
+    assert(same.getAs[Long]("n_pairs") == 20L)
+    assert(same.getAs[Double]("mmd2") == 0.0)
+    // Y = X + constant shift in every dimension → mmd2 must move
+    val y = vecs.map { case (i, v) => (i, v.map(_ + 0.4f)) }
+      .toDF("vec_id", "embedding")
+    val shifted = Similarity.mmdLinear(x, y, "vec_id", "embedding")
+      .collect().head
+    assert(math.abs(shifted.getAs[Double]("mmd2")) > 0.01)
+  }
+
+  test("mmdLinear drops the length-mismatch tail and odd couple") {
+    val mk = (n: Int, off: Float) => (0L until n.toLong).map(i =>
+      (i, Array.tabulate(4)(d => off + i.toFloat / n))).toDF(
+      "vec_id", "embedding")
+    val out = Similarity.mmdLinear(mk(9, 0f), mk(7, 0.1f),
+      "vec_id", "embedding").collect().head
+    assert(out.getAs[Long]("n_x") == 9L)
+    assert(out.getAs[Long]("n_y") == 7L)
+    // min(9,7)=7 ranked pairs → 3 couples
+    assert(out.getAs[Long]("n_pairs") == 3L)
   }
 }

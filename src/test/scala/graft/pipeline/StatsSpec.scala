@@ -237,4 +237,47 @@ class StatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("giniConcentration"))
   }
+
+  test("ewmaControlChart flags the spike, not the steady state") {
+    // key 'k': 10,10,10,10,100 — the last point breaks the EWMA level
+    // (|100−10| = 90) over 3× the mean-abs-dev scale (3·28.8 = 86.4)
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 10L), ("k", 3L, 10L),
+      ("k", 4L, 10L), ("k", 5L, 100L)).toDF("key", "t", "x")
+    val out = Stats.ewmaControlChart(df, "key", "t", "x")
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    assert(out(1L).getAs[Int]("n_hist") == 0)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("ewma")))
+    assert(out(1L).getAs[Int]("is_alarm") == 0)
+    // partial-history normalisation: rows 2-5 all predict level 10
+    (2L to 5L).foreach { t =>
+      assert(out(t).getAs[Double]("ewma") == 10.0, s"t=$t")
+    }
+    assert(out(5L).getAs[Double]("sigma") == 28.8)
+    assert((2L to 4L).forall(out(_).getAs[Int]("is_alarm") == 0))
+    assert(out(5L).getAs[Int]("is_alarm") == 1)
+  }
+
+  test("ewmaControlChart: constant series never alarms; keys isolate") {
+    val df = ((1L to 20L).map(t => ("a", t, 7L)) ++
+      (1L to 3L).map(t => ("b", t, 1000L))).toDF("key", "t", "x")
+    val out = Stats.ewmaControlChart(df, "key", "t", "x").collect()
+    assert(out.forall(_.getAs[Int]("is_alarm") == 0))
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.filter(_.getAs[Int]("n_hist") > 0)
+      .forall(_.getAs[Double]("ewma") == 7.0))
+    // horizon caps history depth at 8
+    assert(a.map(_.getAs[Int]("n_hist")).max == 8)
+  }
+
+  test("ewmaControlChart: geometric half-life weights, exact levels") {
+    // 0,0,0,0,0,0,0,0,64: prediction AFTER the 64 (t=10) is
+    // (64·1)/(1+.5+…+2^-7) = 64/1.9921875 ≈ 32.125490
+    val df = ((1L to 8L).map(t => ("k", t, 0L)) :+ (("k", 9L, 64L)) :+
+      (("k", 10L, 0L))).toDF("key", "t", "x")
+    val out = Stats.ewmaControlChart(df, "key", "t", "x")
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    val expect = BigDecimal(64.0 / 1.9921875)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L).getAs[Double]("ewma") == expect)
+  }
 }
