@@ -347,15 +347,20 @@ object Profile {
       .withColumn("_c", coalesce(col("_c"), lit(0L)))
     val wOrd = W.partitionBy(qc: _*).orderBy(col("_v").asc)
       .rowsBetween(W.unboundedPreceding, W.currentRow)
-    // |CumP − CumQ| = |cum_c·N − cum_g·n| / (n·N), all-integer numerator
-    val num = abs(sum(col("_c")).over(wOrd) * col("_gn") -
-      sum(col("_g")).over(wOrd) * col("n_records"))
+    // |CumP − CumQ| = |cum_c·N − cum_g·n| / (n·N); the numerator runs
+    // in decimal(38,0) (cum_c·N can pass long range at corpus scale —
+    // exact 38-digit integers instead of a silent wrap), the
+    // denominator as double factors
+    val num = abs(sum(col("_c")).over(wOrd).cast("decimal(38,0)") *
+      col("_gn") -
+      sum(col("_g")).over(wOrd).cast("decimal(38,0)") * col("n_records"))
     grid
       .withColumn("_num", num)
       .groupBy((qc :+ col("n_records")): _*)
-      .agg((sum(col("_num").cast("decimal(38,0)")).cast("double") /
-          (col("n_records") * first(col("_gn")) *
-            (first(col("_m")) - lit(1L))).cast("double"))
+      .agg((sum(col("_num")).cast("double") /
+          (col("n_records").cast("double") *
+            first(col("_gn")).cast("double") *
+            (first(col("_m")) - lit(1L)).cast("double")))
         .as("_t"))
       .select((qc :+ col("n_records") :+ d6(col("_t")).as("t") :+
         (d6(col("_t")) > threshold).cast("int").as("is_violation")): _*)

@@ -1014,6 +1014,143 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS kappa
       |FROM ag CROSS JOIN ct""".stripMargin
 
+  // q277: l-diversity audit over the q268 classes with the account-
+  // balance band (floor(acctbal/2000), 6 ordinal bands) as the
+  // sensitive attribute at l = 3. The oracle rebuilds the per-class
+  // value histogram, the d6-before-sum entropy terms and exp.
+  def q277LDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.lDiversity(
+      t(s, dir, "customer").withColumn("bal_band",
+        floor(col("c_acctbal") / lit(2000.0)).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+
+  val q277Sql: String =
+    """WITH b AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS VARCHAR) AS sv
+      |  FROM customer),
+      |pv AS (SELECT c_nationkey, c_mktsegment, sv,
+      |         CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+      |wn AS (SELECT *, SUM(c) OVER
+      |         (PARTITION BY c_nationkey, c_mktsegment) AS n FROM pv)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(MAX(n) AS BIGINT) AS n_records,
+      |  CAST(COUNT(*) AS BIGINT) AS distinct_l,
+      |  CAST(CAST(exp(CAST(SUM(CAST(
+      |      -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      AS DECIMAL(28,6))) AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS entropy_l,
+      |  CAST(CASE WHEN COUNT(*) < 3 THEN 1 ELSE 0 END AS INT)
+      |    AS is_violation
+      |FROM wn GROUP BY 1, 2""".stripMargin
+
+  // q278: t-closeness over the same classes/attribute at t = 0.25 —
+  // the EMD of each class's band distribution against the global one.
+  // The oracle replays the classes x domain grid, the per-class
+  // cumulative windows and the exact integer numerators (HUGEINT
+  // there, decimal(38,0) in the engine).
+  def q278TCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.tCloseness(
+      t(s, dir, "customer").withColumn("bal_band",
+        floor(col("c_acctbal") / lit(2000.0)).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", threshold = 0.25)
+
+  val q278Sql: String =
+    """WITH b AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS v FROM customer),
+      |dom AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS g FROM b GROUP BY 1),
+      |dom2 AS (SELECT v, g,
+      |    CAST((SELECT COUNT(*) FROM dom) AS BIGINT) AS m,
+      |    CAST((SELECT SUM(g) FROM dom) AS BIGINT) AS gn FROM dom),
+      |cls AS (SELECT c_nationkey, c_mktsegment,
+      |          CAST(COUNT(*) AS BIGINT) AS n_records FROM b GROUP BY 1, 2),
+      |pv AS (SELECT c_nationkey, c_mktsegment, v,
+      |         CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+      |grid AS (
+      |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_records,
+      |    d.v, d.g, d.m, d.gn, COALESCE(pv.c, 0) AS c
+      |  FROM cls CROSS JOIN dom2 d
+      |  LEFT JOIN pv ON pv.c_nationkey = cls.c_nationkey
+      |    AND pv.c_mktsegment = cls.c_mktsegment AND pv.v = d.v),
+      |cum AS (
+      |  SELECT c_nationkey, c_mktsegment, n_records, m, gn,
+      |    ABS(CAST(SUM(c) OVER w AS HUGEINT) * gn -
+      |        CAST(SUM(g) OVER w AS HUGEINT) * n_records) AS num
+      |  FROM grid WINDOW w AS (
+      |    PARTITION BY c_nationkey, c_mktsegment ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT c_nationkey, c_mktsegment, n_records,
+      |  CAST(CAST(CAST(SUM(num) AS DOUBLE) /
+      |    (CAST(n_records AS DOUBLE) * CAST(MAX(gn) AS DOUBLE) *
+      |     CAST(MAX(m) - 1 AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) AS t,
+      |  CAST(CASE WHEN CAST(CAST(CAST(SUM(num) AS DOUBLE) /
+      |    (CAST(n_records AS DOUBLE) * CAST(MAX(gn) AS DOUBLE) *
+      |     CAST(MAX(m) - 1 AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) > 0.25
+      |    THEN 1 ELSE 0 END AS INT) AS is_violation
+      |FROM cum GROUP BY 1, 2, 3""".stripMargin
+
+  // q279: EWMA control chart over the daily per-type event volumes —
+  // the ingestion-health monitor. Half-life weights are exact binary
+  // 2^-j literals; the oracle replays the identical lag chain, the
+  // d6-summed MAD scale and the 3-sigma alarm bar.
+  def q279EwmaChart(s: SparkSession, dir: String): DataFrame = {
+    // day as yyyy-MM-dd STRING (sorts identically to the date; the
+    // parquet/DuckDB date flavors would stringify differently in the
+    // driver compare)
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    graft.pipeline.Stats.ewmaControlChart(
+      daily, "event_type", "day", "n_events")
+  }
+
+  val q279Sql: String = {
+    val terms = (1 to 8).map { j =>
+      (s"lag(x, $j) OVER w", math.pow(2.0, -(j - 1)).toString)
+    }
+    // fixed left-assoc chains, mirroring the engine's reduce(_ + _)
+    val num = terms.map { case (l, w) =>
+      s"CASE WHEN $l IS NOT NULL THEN CAST($l AS DOUBLE) * $w ELSE 0.0 END"
+    }.mkString(" +\n      ")
+    val den = terms.map { case (l, w) =>
+      s"CASE WHEN $l IS NOT NULL THEN $w ELSE 0.0 END"
+    }.mkString(" +\n      ")
+    val nh = terms.map { case (l, _) =>
+      s"CASE WHEN $l IS NOT NULL THEN 1 ELSE 0 END"
+    }.mkString(" +\n      ")
+    s"""WITH daily AS (
+       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |lv AS (
+       |  SELECT event_type, day, x,
+       |    CAST($nh AS INT) AS n_hist,
+       |    ($num) AS num,
+       |    ($den) AS den
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |mu AS (SELECT event_type,
+       |    CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+       |  FROM daily GROUP BY 1),
+       |sg AS (SELECT d.event_type,
+       |    CAST(SUM(CAST(ABS(CAST(d.x AS DOUBLE) - mu.mu)
+       |      AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |      AS sigma
+       |  FROM daily d JOIN mu USING (event_type) GROUP BY 1)
+       |SELECT lv.event_type, lv.day, lv.x AS n_events, lv.n_hist,
+       |  CAST(CAST(CASE WHEN lv.n_hist = 0 THEN NULL
+       |    ELSE lv.num / lv.den END AS DECIMAL(28,6)) AS DOUBLE) AS ewma,
+       |  CAST(CAST(sg.sigma AS DECIMAL(28,6)) AS DOUBLE) AS sigma,
+       |  CAST(CASE WHEN lv.n_hist > 0 AND
+       |    ABS(CAST(lv.x AS DOUBLE) -
+       |      CAST(CAST(lv.num / lv.den AS DECIMAL(28,6)) AS DOUBLE)) >
+       |    3.0 * CAST(CAST(sg.sigma AS DECIMAL(28,6)) AS DOUBLE)
+       |    THEN 1 ELSE 0 END AS INT) AS is_alarm
+       |FROM lv JOIN sg USING (event_type)""".stripMargin
+  }
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1056,6 +1193,9 @@ object Analytics {
     "q268_k_anonymity" -> (q268KAnonymity _),
     "q272_gini" -> (q272Gini _),
     "q276_fleiss_kappa" -> (q276FleissKappa _),
+    "q277_l_diversity" -> (q277LDiversity _),
+    "q278_t_closeness" -> (q278TCloseness _),
+    "q279_ewma_chart" -> (q279EwmaChart _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1088,6 +1228,9 @@ object Analytics {
     "q268_k_anonymity" -> q268Sql,
     "q272_gini" -> q272Sql,
     "q276_fleiss_kappa" -> q276Sql,
+    "q277_l_diversity" -> q277Sql,
+    "q278_t_closeness" -> q278Sql,
+    "q279_ewma_chart" -> q279Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

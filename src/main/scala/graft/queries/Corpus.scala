@@ -4306,6 +4306,88 @@ object Corpus {
       |FROM documents d LEFT JOIN sci USING (doc_id)
       |LEFT JOIN scg USING (doc_id)""".stripMargin
 
+  // q280: distinct-n lexical diversity per language — the generation
+  // report card (distinct-1/2/3) run as a corpus self-repetition
+  // audit. The oracle rebuilds the empty-filtered token stream, the
+  // md5 gram hashing and both counts per (lang, n).
+  def q280DistinctN(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.distinctNgramDiversity(
+      t(s, dir, "documents"), "lang", "text", maxN = 3)
+
+  val q280Sql: String = {
+    def block(n: Int) =
+      s"""SELECT d.lang, CAST($n AS INT) AS n,
+         |  CAST(COUNT(g.gh) AS BIGINT) AS n_total,
+         |  CAST(COUNT(DISTINCT g.gh) AS BIGINT) AS n_distinct,
+         |  CASE WHEN COUNT(g.gh) = 0 THEN 0.0
+         |       ELSE CAST(COUNT(DISTINCT g.gh) AS DOUBLE) / COUNT(g.gh)
+         |  END AS distinct_ratio
+         |FROM (SELECT DISTINCT lang FROM documents) d LEFT JOIN (
+         |  SELECT lang,
+         |    md5(array_to_string(list_slice(toks, i, i + $n - 1), ' '))
+         |      AS gh
+         |  FROM (
+         |    SELECT lang, toks,
+         |      unnest(generate_series(1, greatest(len(toks) - $n + 1, 0)))
+         |        AS i
+         |    FROM (SELECT lang,
+         |            list_filter(string_split(text, ' '), x -> x <> '')
+         |              AS toks
+         |          FROM documents))) g USING (lang)
+         |GROUP BY 1""".stripMargin
+    (1 to 3).map(block).mkString("\nUNION ALL\n")
+  }
+
+  // q281: linear-time MMD^2 two-sample drift between the label<5 and
+  // label>=5 embedding populations — quadratic kernel on the
+  // floor(v*1000) grid, consecutive-couple estimator. The oracle
+  // replays the rank pairing, the four per-couple dots (pos joins)
+  // and the single rescaling division.
+  def q281MmdTwoSample(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.pipeline.Similarity.mmdLinear(
+      e.filter(col("label") < 5), e.filter(col("label") >= 5),
+      "vec_id", "embedding")
+  }
+
+  val q281Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings),
+      |xr AS (SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS i, pos, qv
+      |       FROM q WHERE label < 5),
+      |yr AS (SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS i, pos, qv
+      |       FROM q WHERE label >= 5),
+      |xe AS (SELECT i // 2 AS j, pos, qv FROM xr WHERE i % 2 = 0),
+      |xo AS (SELECT i // 2 AS j, pos, qv FROM xr WHERE i % 2 = 1),
+      |ye AS (SELECT i // 2 AS j, pos, qv FROM yr WHERE i % 2 = 0),
+      |yo AS (SELECT i // 2 AS j, pos, qv FROM yr WHERE i % 2 = 1),
+      |dxx AS (SELECT j, SUM(a.qv * b.qv) AS d FROM xe a
+      |        JOIN xo b USING (j, pos) GROUP BY j),
+      |dyy AS (SELECT j, SUM(a.qv * b.qv) AS d FROM ye a
+      |        JOIN yo b USING (j, pos) GROUP BY j),
+      |dxy AS (SELECT j, SUM(a.qv * b.qv) AS d FROM xe a
+      |        JOIN yo b USING (j, pos) GROUP BY j),
+      |dyx AS (SELECT j, SUM(a.qv * b.qv) AS d FROM ye a
+      |        JOIN xo b USING (j, pos) GROUP BY j),
+      |h AS (SELECT dxx.j,
+      |        dxx.d * dxx.d + dyy.d * dyy.d -
+      |        dxy.d * dxy.d - dyx.d * dyx.d AS hv
+      |      FROM dxx JOIN dyy USING (j) JOIN dxy USING (j)
+      |      JOIN dyx USING (j))
+      |SELECT
+      |  (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM q
+      |   WHERE label < 5) AS n_x,
+      |  (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM q
+      |   WHERE label >= 5) AS n_y,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(CAST(CAST(SUM(hv) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) * 1.0e12) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS mmd2
+      |FROM h""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
@@ -4319,6 +4401,8 @@ object Corpus {
     "q271_js_drift" -> (q271JsDrift _),
     "q273_unimax" -> (q273Unimax _),
     "q274_moore_lewis" -> (q274MooreLewis _),
+    "q280_distinct_n" -> (q280DistinctN _),
+    "q281_mmd_two_sample" -> (q281MmdTwoSample _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q259_sa_dedup_cut" -> (q259SaDedupCut _),
@@ -4442,6 +4526,8 @@ object Corpus {
     "q271_js_drift" -> q271Sql,
     "q273_unimax" -> q273Sql,
     "q274_moore_lewis" -> q274Sql,
+    "q280_distinct_n" -> q280Sql,
+    "q281_mmd_two_sample" -> q281Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,
