@@ -541,18 +541,31 @@ object Retrieval {
     require(beta > 0, s"beta must be > 0, got $beta")
     val d6 = (c: org.apache.spark.sql.Column) =>
       c.cast("decimal(28,6)").cast("double")
-    def charGrams(c: org.apache.spark.sql.Column, n: Int) = {
-      val s = regexp_replace(c, " ", "")
-      val chars = split(s, "")
-      val m = length(s) - (n - 1)
+    // STAGED char arrays: the split must materialize ONCE per row —
+    // inlined into the transform lambda it would re-split the whole
+    // string at EVERY gram position (O(len²) per doc; the round-12
+    // bench read 23s for this entry from exactly that). The lambda
+    // body references the array attribute, and the position bound
+    // ALSO references it (least(m, size(chars)) — semantically a
+    // no-op since size ≥ length ≥ m), so CollapseProject sees two
+    // uses of a non-cheap alias and cannot push the split back into
+    // the per-element path.
+    val staged = df.select(col(idCol).as("_id"),
+      regexp_replace(col(candCol), " ", "").as("_cs"),
+      regexp_replace(col(refCol), " ", "").as("_rs"))
+      .select(col("_id"), col("_cs"), col("_rs"),
+        split(col("_cs"), "").as("_cch"), split(col("_rs"), "").as("_rch"))
+    def charGrams(sAttr: org.apache.spark.sql.Column,
+        chAttr: org.apache.spark.sql.Column, n: Int) = {
+      val m = least(length(sAttr) - (n - 1), size(chAttr))
       when(m > 0, transform(sequence(lit(1), m),
-        i => array_join(slice(chars, i, lit(n)), "")))
+        i => array_join(slice(chAttr, i, lit(n)), "")))
         .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
     }
     val perN = (1 to maxN).map { n =>
-      val g = df.select(col(idCol).as("_id"),
-        charGrams(col(candCol), n).as("_cg"),
-        charGrams(col(refCol), n).as("_rg"))
+      val g = staged.select(col("_id"),
+        charGrams(col("_cs"), col("_cch"), n).as("_cg"),
+        charGrams(col("_rs"), col("_rch"), n).as("_rg"))
       val ex = g.select(col("_id"), lit(1L).as("_c"),
           explode(col("_cg")).as("_gram"))
         .unionByName(g.select(col("_id"), lit(0L).as("_c"),

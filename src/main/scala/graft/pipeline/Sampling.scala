@@ -585,4 +585,40 @@ object Sampling {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Per-group percentile gate — "keep the top `keepFrac` of every
+    * domain BY ITS OWN score distribution": the curation cut that a
+    * single global quality threshold gets wrong, because score
+    * distributions differ by domain and a global bar silently empties
+    * the low-scoring domains (the FineWeb/DCLM lesson — filter within
+    * strata, then mix). Deterministic: rank by (score desc, id asc) so
+    * ties break stably, keep rank ≤ floor(keepFrac · n_group) with a
+    * minimum of 1 per non-empty group (a domain never vanishes
+    * outright; the mixer decides extinction, not the gate).
+    *
+    * Shape: ONE group-partitioned window (rank + count in the same
+    * spec) — per-group work, no global ordering anywhere. keepFrac·n is
+    * one double product; identical IEEE floor on every engine. Rows
+    * are flagged, not dropped: (…, n_group, grp_rank, kept) — audits
+    * read the 0s, the pipeline filters kept = 1.
+    */
+  def percentileGate(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0,1], got $keepFrac")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wAll = W.partitionBy(col(groupCol))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val nKeep = greatest(lit(1L),
+      floor(col("n_group").cast("double") * lit(keepFrac)).cast("long"))
+    df.withColumn("n_group", count(lit(1)).over(wAll))
+      .withColumn("grp_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", (col("grp_rank") <= nKeep).cast("int"))
+  }
 }

@@ -1334,6 +1334,47 @@ object Similarity {
     *
     * Output ONE row: (n_x, n_y, n_pairs, mmd2).
     */
+  /** Cluster-histogram JS divergence between two embedding corpora —
+    * the MAUVE-family recipe (Pillutla et al. 2021 quantizes both
+    * distributions onto a shared k-means codebook, then compares the
+    * histograms): train Lloyd ON THE UNION (portable mode, so the
+    * training replays in the oracle exactly like q218), assign every
+    * vector to its nearest centroid, and hand the per-side cluster
+    * histograms to [[graft.pipeline.Stats.jsDrift]] — pure composition
+    * of two already-verified components, and the bounded-[0, ln 2]
+    * answer to "did the embedding distribution shift, and WHERE?"
+    * ([[mmdLinear]] gives the scalar test; this names the clusters
+    * that moved).
+    *
+    * Scale shape = the components': Lloyd is nlist-bounded driver
+    * iterations over one narrow aggregate; assignment is an in-row
+    * argmin over nlist broadcast centroids; the drift rollup is one
+    * cluster-keyed aggregate. Contract: `idCol` values must be unique
+    * ACROSS BOTH inputs (they meet in the union Lloyd orders by id).
+    *
+    * Output per cluster: (bucket, n_ref, n_cur, p_ref, p_cur, js_term,
+    * js) — jsDrift's Laplace/d6 contract, `js` the corpus total.
+    */
+  def clusterJsDivergence(
+      dfRef: DataFrame,
+      dfCur: DataFrame,
+      idCol: String,
+      embCol: String,
+      nlist: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val u = dfRef.select(col(idCol), col(embCol)).withColumn("_cur", lit(0))
+      .unionByName(
+        dfCur.select(col(idCol), col(embCol)).withColumn("_cur", lit(1)))
+    val e = packedWithNorm(u, idCol, embCol)
+    val cents = lloydTrain(e, idCol, nlist, iters, portable = true,
+      opName = "clusterJsDivergence")
+    val assigned = e.select(col(idCol),
+        array_min(array(centroidScoreStructs(cents, col("q")): _*))
+          .getField("cluster").as("cluster"))
+      .join(u.select(col(idCol), col("_cur")), Seq(idCol))
+    graft.pipeline.Stats.jsDrift(assigned, "_cur", col("cluster"))
+  }
+
   def mmdLinear(
       dfX: DataFrame,
       dfY: DataFrame,

@@ -282,4 +282,43 @@ object TextClean {
         (col("is_blocked") === 0 && col("domain_rank") <= maxPerDomain)
           .cast("int"))
   }
+
+  /** Candidate shape for a payment-card number: 13–19 digits allowing
+    * single space/dash separators. Lookaround-free on purpose (RE2 has
+    * none) — over-long digit runs are cut by the post-strip LENGTH
+    * check instead of a boundary assertion, identically on both
+    * engines.
+    */
+  val cardCandidateRe = "[0-9][0-9 -]{11,21}[0-9]"
+
+  /** Payment-card PII audit — the two-stage detector that separates
+    * "looks like a card number" from "IS one": regexp candidates
+    * (shape: [[cardCandidateRe]], separator-stripped, 13–19 digits)
+    * verified in-row by the Luhn mod-10 checksum
+    * ([[graft.functions.LuhnCheck]], codegen'd). Random digit runs pass
+    * Luhn 10% of the time, so the verified count is the one a scrub
+    * decision can act on — counting raw shape hits (the q57 digit-run
+    * approach) over-redacts phone numbers and ids by ~10×.
+    *
+    * Pure in-row projection chain (regex → strip → length gate → Luhn),
+    * zero shuffles at any corpus scale, whole-stage-codegen end to end.
+    * Output per document: (idCol, n_candidates, n_luhn_valid,
+    * has_card).
+    */
+  def creditCardAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val raw = regexp_extract_all(col(textCol), lit(cardCandidateRe), lit(0))
+    val digits = transform(raw, c => regexp_replace(c, "[^0-9]", ""))
+    val shaped = filter(digits,
+      d => length(d) >= 13 && length(d) <= 19)
+    df.select(col(idCol), shaped.as("_cands"))
+      .select(col(idCol),
+        size(col("_cands")).cast("long").as("n_candidates"),
+        size(filter(col("_cands"),
+          d => graft.functions.LuhnCheck.luhnCheck(d)))
+          .cast("long").as("n_luhn_valid"))
+      .withColumn("has_card", (col("n_luhn_valid") > 0L).cast("int"))
+  }
 }

@@ -1745,4 +1745,161 @@ object TextStats {
     }
     perN.reduce(_ unionByName _)
   }
+
+  /** PMI collocation mining (Church & Hanks 1990) — the top adjacent
+    * word pairs that co-occur far beyond chance: the phrase/boilerplate
+    * detector a tokenizer team reads before choosing merge candidates,
+    * and the sanity check that a corpus's "multi-word entities" look
+    * like language rather than template glue.
+    *
+    *   PMI(w1,w2) = ln p(w1,w2) − ln p(w1) − ln p(w2)
+    *              = ln c12 + 2·ln Nt − ln Nb − ln c1 − ln c2
+    *
+    * (pair probability over the bigram total Nb, unigrams over the
+    * token total Nt) — computed as that fixed left-assoc chain of five
+    * ln terms over EXACT integer counts, d6 at the contract; the
+    * integers themselves never multiply (c12·Nt² would overflow long
+    * at corpus scale — the log-domain form is the 100 TB-safe one).
+    *
+    * Shape: the q229 bigram stream (doc-partitioned lead window), one
+    * pair-keyed and one token-keyed aggregate, two broadcast 1-row
+    * totals, `minCount` pruning BEFORE the joins, and the top-k is
+    * (count desc, w1, w2) through orderBy+limit →
+    * TakeOrderedAndProject, never a global sort.
+    *
+    * Output: (w1, w2, n_pair, n_w1, n_w2, pmi), top `topK` by count.
+    */
+  def collocations(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 50,
+      minCount: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val toks = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("_g_pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_g_pos"))
+    val bi = toks
+      .withColumn("_g_next", lead(col("tok"), 1).over(w))
+      .filter(col("_g_next").isNotNull)
+    val c12 = bi.groupBy(col("tok").as("w1"), col("_g_next").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val nt = toks.agg(count(lit(1)).as("_nt"))
+    val nb = bi.agg(count(lit(1)).as("_nb"))
+    val pmi =
+      log(col("n_pair").cast("double")) +
+        lit(2.0) * log(col("_nt").cast("double")) -
+        log(col("_nb").cast("double")) -
+        log(col("n_w1").cast("double")) -
+        log(col("n_w2").cast("double"))
+    c12.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_w1")),
+        Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_w2")),
+        Seq("w2"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        col("n_w2"), d6(pmi).as("pmi"))
+      .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Template/boilerplate score per corpus slice — how REPETITIVE a
+    * source's unit stream is (units = `delimRe`-split, trimmed,
+    * empties dropped; sentences or lines by the caller's regex): the
+    * duplicate-unit fraction and the Shannon entropy of the unit-hash
+    * distribution. Scraper-templated domains show high dup_frac and
+    * low entropy vs their unit count; prose shows the opposite — the
+    * slice-level cousin of the per-document repetition family.
+    *
+    * Units hash to md5 in-row (32-byte exchange keys); one
+    * (slice, unit)-keyed aggregate then a slice rollup; entropy terms
+    * are d6-rounded BEFORE summing (order-free, engine-portable — the
+    * lDiversity discipline). dup_frac = (n − distinct)/n is one
+    * integer-derived division.
+    *
+    * Output per slice: (groupCol, n_units, n_distinct, dup_frac,
+    * unit_entropy).
+    */
+  def templateScore(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      delimRe: String = "\n"): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val units = df
+      .select(col(groupCol).as("_grp"),
+        explode(filter(transform(split(col(textCol), delimRe),
+          u => trim(u)), u => length(u) > 0)).as("_u"))
+      .select(col("_grp"), md5(col("_u")).as("_uh"))
+    val perUnit = units.groupBy(col("_grp"), col("_uh"))
+      .agg(count(lit(1)).as("_c"))
+    val withN = perUnit.withColumn("_n", sum(col("_c")).over(
+      Window.partitionBy(col("_grp"))))
+    val p = col("_c").cast("double") / col("_n").cast("double")
+    withN
+      .withColumn("_h6", (-p * log(p)).cast("decimal(28,6)"))
+      .groupBy(col("_grp"))
+      .agg(max(col("_n")).as("n_units"),
+        count(lit(1)).as("n_distinct"),
+        d6(sum(col("_h6")).cast("double")).as("unit_entropy"))
+      .select(col("_grp").as(groupCol), col("n_units"), col("n_distinct"),
+        ((col("n_units") - col("n_distinct")).cast("double") /
+          col("n_units").cast("double")).as("dup_frac"),
+        col("unit_entropy"))
+  }
+
+  /** Pairwise vocabulary overlap between corpus slices — the
+    * cross-lingual / cross-domain contamination-and-kinship map: for
+    * every unordered slice pair, the sizes of the two distinct-token
+    * vocabularies, their intersection, and the Jaccard ratio. High
+    * overlap between "independent" sources flags shared boilerplate or
+    * mislabeled language; near-zero overlap across related domains
+    * flags a tokenization problem.
+    *
+    * Tokens are the empty-filtered whitespace stream, md5-hashed in-row
+    * so every exchange carries 32-byte keys. Shape: one
+    * (slice, token)-distinct aggregate, then the pair counts come from
+    * a token-keyed self-join — pairs MEET ONLY through shared tokens
+    * (inverted-index discipline, never slices × slices × vocab), and
+    * per token the pair fan-out is bounded by the SLICE count, not the
+    * corpus. Jaccard = c/(n_a + n_b − c) is one integer division,
+    * IEEE-identical cross-engine.
+    *
+    * Output: (grp_a, grp_b, n_a, n_b, n_common, jaccard), grp_a <
+    * grp_b; pairs with an empty intersection are absent (their Jaccard
+    * is 0 and the all-pairs frame would be slices², not data-sized).
+    */
+  def vocabOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val vocab = df
+      .select(col(groupCol).as("_grp"),
+        explode(filter(split(col(textCol), " "),
+          t => length(t) > 0)).as("_tok"))
+      .select(col("_grp"), md5(col("_tok")).as("_th"))
+      .distinct()
+    val sizes = vocab.groupBy(col("_grp")).agg(count(lit(1)).as("n"))
+    val pairs = vocab.select(col("_grp").as("grp_a"), col("_th"))
+      .join(vocab.select(col("_grp").as("grp_b"), col("_th")), Seq("_th"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("_grp").as("grp_a"), col("n").as("n_a")),
+        Seq("grp_a"))
+      .join(sizes.select(col("_grp").as("grp_b"), col("n").as("n_b")),
+        Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
 }

@@ -4388,6 +4388,180 @@ object Corpus {
       |    AS DOUBLE) AS mmd2
       |FROM h""".stripMargin
 
+  // q283: pairwise vocabulary overlap between language slices — the
+  // kinship/contamination map. The oracle rebuilds the md5 vocab sets,
+  // the token-keyed pair join and the integer-division Jaccard.
+  def q283VocabOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.vocabOverlap(
+      t(s, dir, "documents"), "lang", "text")
+
+  val q283Sql: String =
+    """WITH v AS (
+      |  SELECT DISTINCT lang, md5(tok) AS th FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) WHERE tok <> ''),
+      |sz AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |p AS (
+      |  SELECT a.lang AS grp_a, b.lang AS grp_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM v a JOIN v b ON a.th = b.th AND a.lang < b.lang
+      |  GROUP BY 1, 2)
+      |SELECT grp_a, grp_b, sa.n AS n_a, sb.n AS n_b, n_common,
+      |  CAST(n_common AS DOUBLE) /
+      |    CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+      |FROM p JOIN sz sa ON grp_a = sa.lang
+      |JOIN sz sb ON grp_b = sb.lang""".stripMargin
+
+  // q285: MAUVE-family cluster-histogram JS divergence between the
+  // label<5 and label>=5 embedding populations — q218's replayable
+  // Lloyd training on the union (the cent CTE verbatim; the union of
+  // the two sides IS the embeddings table), final assignment, then
+  // q271's JS formula over the per-side cluster histograms.
+  def q285ClusterJs(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.pipeline.Similarity.clusterJsDivergence(
+      e.filter(col("label") < 5), e.filter(col("label") >= 5),
+      "vec_id", "embedding")
+  }
+
+  val q285Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT)
+      |      AS qv
+      |  FROM embeddings),
+      |cent(iter, cluster, pos, m) AS (
+      |  SELECT 0, i.cluster, e.pos, e.qv
+      |  FROM (
+      |    SELECT vec_id, rn - 1 AS cluster FROM (
+      |      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+      |      FROM (
+      |        SELECT DISTINCT vec_id,
+      |          CAST(concat('0x', substring(md5(CAST(vec_id AS VARCHAR)),
+      |            1, 8)) AS BIGINT) % 1000000 AS h
+      |        FROM e) t0) t1 WHERE rn <= 16) i
+      |  JOIN e ON e.vec_id = i.vec_id
+      |  UNION ALL
+      |  SELECT pts.iter, pts.cluster, pts.pos,
+      |    CAST(FLOOR(AVG(pts.qv)) AS BIGINT)
+      |  FROM (
+      |    SELECT asg.iter, asg.cluster, e2.pos, e2.qv
+      |    FROM (
+      |      SELECT iter, vec_id, cluster FROM (
+      |        SELECT iter, vec_id, cluster,
+      |          ROW_NUMBER() OVER (PARTITION BY iter, vec_id
+      |            ORDER BY score, cluster) AS rn
+      |        FROM (
+      |          SELECT c.iter + 1 AS iter, e1.vec_id, c.cluster,
+      |            SUM(c.m * c.m) - 2 * SUM(e1.qv * c.m) AS score
+      |          FROM cent c JOIN e e1 ON e1.pos = c.pos
+      |          WHERE c.iter < 3
+      |          GROUP BY 1, 2, 3) sc) rk
+      |      WHERE rn = 1) asg
+      |    JOIN e e2 ON e2.vec_id = asg.vec_id) pts
+      |  GROUP BY 1, 2, 3),
+      |fc AS (SELECT cluster, pos, m FROM cent WHERE iter = 3),
+      |fscore AS (
+      |  SELECT e.vec_id, f.cluster,
+      |    SUM(f.m * f.m) - 2 * SUM(e.qv * f.m) AS score
+      |  FROM e JOIN fc f ON e.pos = f.pos GROUP BY 1, 2),
+      |lists AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, cluster)
+      |        AS rn
+      |    FROM fscore) t WHERE rn = 1),
+      |c AS (
+      |  SELECT CAST(l.cluster AS VARCHAR) AS bucket,
+      |    CAST(SUM(CASE WHEN emb.label >= 5 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_ref,
+      |    CAST(SUM(CASE WHEN emb.label >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_cur
+      |  FROM lists l JOIN embeddings emb USING (vec_id) GROUP BY 1),
+      |s AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE)
+      |      / CAST(SUM(n_ref) OVER () + COUNT(*) OVER () AS DOUBLE) AS p,
+      |    CAST(n_cur + 1 AS DOUBLE)
+      |      / CAST(SUM(n_cur) OVER () + COUNT(*) OVER () AS DOUBLE) AS q
+      |  FROM c),
+      |t AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    CAST(CAST(p AS DECIMAL(28,6)) AS DOUBLE) AS p_ref,
+      |    CAST(CAST(q AS DECIMAL(28,6)) AS DOUBLE) AS p_cur,
+      |    CAST(CAST((p * ln(p / ((p + q) / 2.0)) +
+      |               q * ln(q / ((p + q) / 2.0))) / 2.0
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS js_term
+      |  FROM s)
+      |SELECT bucket, n_ref, n_cur, p_ref, p_cur, js_term,
+      |  CAST(SUM(CAST(js_term AS DECIMAL(28,6))) OVER () AS DOUBLE) AS js
+      |FROM t""".stripMargin
+
+  // q286: PMI collocations over the corpus bigram stream — top-50 by
+  // pair count at minCount 5. The oracle replays the q229 bigram CTEs,
+  // the five-term log-domain PMI chain and the deterministic
+  // (count desc, w1, w2) cut.
+  def q286Collocations(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.collocations(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  val q286Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |    unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, pos, tok FROM tk WHERE tok <> ''),
+      |bi AS (
+      |  SELECT doc_id, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |c12 AS (SELECT tok AS w1, nxt AS w2, CAST(COUNT(*) AS BIGINT)
+      |          AS n_pair FROM bi2 GROUP BY 1, 2),
+      |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+      |        FROM tk2 GROUP BY 1),
+      |tot AS (SELECT
+      |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM tk2) AS nt,
+      |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM bi2) AS nb)
+      |SELECT w1, w2, n_pair, u1.n_tok AS n_w1, u2.n_tok AS n_w2,
+      |  CAST(CAST(ln(CAST(n_pair AS DOUBLE)) + 2.0 * ln(tot.nt)
+      |      - ln(tot.nb) - ln(CAST(u1.n_tok AS DOUBLE))
+      |      - ln(CAST(u2.n_tok AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS pmi
+      |FROM c12 JOIN uni u1 ON w1 = u1.tok JOIN uni u2 ON w2 = u2.tok
+      |CROSS JOIN tot
+      |WHERE n_pair >= 5
+      |ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
+
+  // q287: template/boilerplate score per source — sentence units
+  // ([.!?]+ split), duplicate-unit fraction and d6-summed unit-hash
+  // entropy. The oracle mirrors the split/trim/md5 chain.
+  def q287TemplateScore(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.templateScore(
+      t(s, dir, "documents"), "source", "text", delimRe = "[.!?]+")
+
+  val q287Sql: String =
+    """WITH u AS (
+      |  SELECT source, md5(un) AS uh FROM (
+      |    SELECT source, trim(x) AS un FROM (
+      |      SELECT source,
+      |        unnest(regexp_split_to_array(text, '[.!?]+')) AS x
+      |      FROM documents) t0) t1
+      |  WHERE un <> ''),
+      |pu AS (SELECT source, uh, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM u GROUP BY 1, 2),
+      |wn AS (SELECT *, SUM(c) OVER (PARTITION BY source) AS n FROM pu)
+      |SELECT source,
+      |  CAST(MAX(n) AS BIGINT) AS n_units,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(MAX(n) - COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+      |    AS dup_frac,
+      |  CAST(CAST(CAST(SUM(CAST(
+      |      -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS unit_entropy
+      |FROM wn GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
@@ -4403,6 +4577,10 @@ object Corpus {
     "q274_moore_lewis" -> (q274MooreLewis _),
     "q280_distinct_n" -> (q280DistinctN _),
     "q281_mmd_two_sample" -> (q281MmdTwoSample _),
+    "q283_vocab_overlap" -> (q283VocabOverlap _),
+    "q285_cluster_js" -> (q285ClusterJs _),
+    "q286_collocations" -> (q286Collocations _),
+    "q287_template_score" -> (q287TemplateScore _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q259_sa_dedup_cut" -> (q259SaDedupCut _),
@@ -4528,6 +4706,10 @@ object Corpus {
     "q274_moore_lewis" -> q274Sql,
     "q280_distinct_n" -> q280Sql,
     "q281_mmd_two_sample" -> q281Sql,
+    "q283_vocab_overlap" -> q283Sql,
+    "q285_cluster_js" -> q285Sql,
+    "q286_collocations" -> q286Sql,
+    "q287_template_score" -> q287Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -116,6 +116,79 @@ object Pipeline {
       |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.9"""
       .stripMargin
 
+  // q282: Luhn-verified payment-card audit — every 20th doc gets a
+  // planted VALID test card (4242…), every 30th-plus-1 an INVALID
+  // 16-digit run; the detector must count both as candidates but
+  // verify only the first. The oracle replays the shared RE2-safe
+  // regex, the separator strip, the 13-19 length gate and the integer
+  // mod-10 checksum.
+  def q282CardAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 20 === 0,
+        concat(col("text"), lit(" pay 4242 4242 4242 4242 now")))
+        .when(col("doc_id") % 30 === 1,
+          concat(col("text"), lit(" ref 1234-5678-9012-3456 x")))
+        .otherwise(col("text")).as("text"))
+    TextClean.creditCardAudit(docs, "doc_id", "text")
+  }
+
+  val q282Sql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id % 20 = 0 THEN text || ' pay 4242 4242 4242 4242 now'
+      |    WHEN doc_id % 30 = 1 THEN text || ' ref 1234-5678-9012-3456 x'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |cand AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, '[0-9][0-9 -]{11,21}[0-9]')) AS c
+      |  FROM d0),
+      |shaped AS (
+      |  SELECT doc_id, regexp_replace(c, '[^0-9]', '', 'g') AS d FROM cand
+      |  WHERE length(regexp_replace(c, '[^0-9]', '', 'g'))
+      |    BETWEEN 13 AND 19),
+      |luhn AS (
+      |  SELECT doc_id,
+      |    CASE WHEN list_sum(list_transform(
+      |        generate_series(1, length(d)), i ->
+      |        CASE WHEN (length(d) - i) % 2 = 1 THEN
+      |          CASE WHEN 2 * CAST(substr(d, i, 1) AS INT) > 9
+      |            THEN 2 * CAST(substr(d, i, 1) AS INT) - 9
+      |            ELSE 2 * CAST(substr(d, i, 1) AS INT) END
+      |        ELSE CAST(substr(d, i, 1) AS INT) END)) % 10 = 0
+      |      THEN 1 ELSE 0 END AS ok
+      |  FROM shaped),
+      |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nc,
+      |          CAST(SUM(ok) AS BIGINT) AS nv FROM luhn GROUP BY 1)
+      |SELECT d0.doc_id,
+      |  COALESCE(cnt.nc, 0) AS n_candidates,
+      |  COALESCE(cnt.nv, 0) AS n_luhn_valid,
+      |  CAST(CASE WHEN COALESCE(cnt.nv, 0) > 0 THEN 1 ELSE 0 END AS INT)
+      |    AS has_card
+      |FROM d0 LEFT JOIN cnt USING (doc_id)""".stripMargin
+
+  // q284: per-language percentile gate at keepFrac = 0.3 on n_chars —
+  // the within-stratum quality cut. The oracle replays the
+  // (score desc, id asc) rank, the windowed group count and the
+  // floor(0.3 n) bar with its min-1 floor.
+  def q284PercentileGate(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.percentileGate(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars")),
+      "lang", "doc_id", "n_chars", keepFrac = 0.3)
+
+  val q284Sql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS grp_rank,
+      |  CAST(CASE WHEN ROW_NUMBER() OVER w <= GREATEST(1,
+      |      CAST(FLOOR(CAST(COUNT(*) OVER (PARTITION BY lang) AS DOUBLE)
+      |        * 0.3) AS BIGINT))
+      |    THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM documents
+      |WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)"""
+      .stripMargin
+
   // q112: the SAME exact contract as q16's algorithm, computed via
   // PPJoin-style prefix filtering — lossless df-suppressed candidate
   // generation, so the oracle is the identical SQL (at threshold 0.5):
@@ -1315,6 +1388,8 @@ object Pipeline {
     "q15_dedup_exact" -> (q15DedupExact _),
     "q16_ngram_jaccard" -> (q16NgramJaccard _),
     "q275_containment" -> (q275Containment _),
+    "q282_card_audit" -> (q282CardAudit _),
+    "q284_percentile_gate" -> (q284PercentileGate _),
     "q17_knn" -> (q17Knn _),
     "q18_text_stats" -> (q18TextStats _),
     "q19_quality" -> (q19Quality _),
@@ -2015,6 +2090,8 @@ object Pipeline {
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
     "q275_containment" -> q275Sql,
+    "q282_card_audit" -> q282Sql,
+    "q284_percentile_gate" -> q284Sql,
     "q17_knn" -> q17Sql,
     "q18_text_stats" -> q18Sql,
     "q19_quality" -> q19Sql,

@@ -123,6 +123,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(nl.isEmpty, s"ANN-fed miner fell back to all-pairs: $nl")
   }
 
+  test("q282 card audit is a zero-shuffle scan (regex + Luhn in-row)") {
+    // the PII chain's whole 100 TB story: candidates, strip, length
+    // gate and the codegen'd checksum are all projections
+    assert(shuffles("q282_card_audit") == 0)
+  }
+
+  test("q284 percentile gate holds its one-exchange contract") {
+    // rank + group count share the single group-keyed exchange
+    assert(shuffles("q284_percentile_gate") == 1)
+    val wins = plans("q284_percentile_gate")
+      .flatMap(_.collect { case w: WindowExec => w })
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "percentileGate windows must all be group-partitioned")
+  }
+
+  test("q281 mmd and q275 containment never plan a cartesian product") {
+    // q281's only nested-loop joins are the documented 1-row scalar
+    // count broadcasts; a CartesianProduct (data × data) is the
+    // all-pairs failure both ops exist to avoid
+    Seq("q281_mmd_two_sample", "q275_containment").foreach { q =>
+      val cp = plans(q).flatMap(_.collect {
+        case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c })
+      assert(cp.isEmpty, s"$q fell back to a cartesian product: $cp")
+    }
+  }
+
   test("q210 fixed-size sample: the rank window reuses TopK's exchange") {
     // TopKPerKeyExec reports its child's partitioning, so the
     // sample_rank window over the same key must NOT re-shuffle

@@ -1135,6 +1135,160 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(shifted.getAs[Double]("mmd2")) > 0.01)
   }
 
+  // ---- TextClean.creditCardAudit ----
+
+  test("creditCardAudit verifies Luhn, counts shape hits separately") {
+    val docs = Seq(
+      (1L, "pay with 4242 4242 4242 4242 thanks"),   // valid, spaced
+      (2L, "ref 1234-5678-9012-3456 attached"),      // shape hit, invalid
+      (3L, "call 555 0100 soon"),                    // too short: no hit
+      (4L, "a 378282246310005 and 4242424242424241"),// valid + invalid
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextClean.creditCardAudit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_luhn_valid"),
+          r.getAs[Int]("has_card")))).toMap
+    assert(out(1L) == ((1L, 1L, 1)))
+    assert(out(2L) == ((1L, 0L, 0)))
+    assert(out(3L) == ((0L, 0L, 0)))
+    assert(out(4L) == ((2L, 1L, 1)))
+    assert(out(5L) == ((0L, 0L, 0)))
+  }
+
+  test("creditCardAudit: over-long digit runs fail the length gate") {
+    // 25 digits: candidate regex matches but the stripped length > 19
+    val docs = Seq((1L, "id 1111111111111111111111111 x"))
+      .toDF("doc_id", "text")
+    val r = TextClean.creditCardAudit(docs, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_candidates") == 0L)
+  }
+
+  // ---- TextStats.vocabOverlap ----
+
+  test("vocabOverlap: hand-computed pairwise Jaccard, absent when 0") {
+    val docs = Seq(
+      ("en", "the cat sat"), ("en", "the dog"),
+      ("de", "der cat hund"),
+      ("fr", "zzz www")).toDF("lang", "text")
+    // en vocab {the,cat,sat,dog}=4; de {der,cat,hund}=3; common {cat}
+    val out = TextStats.vocabOverlap(docs, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("de", "en"))) // fr shares nothing → absent
+    val r = out(("de", "en"))
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Double]("jaccard") == 1.0 / 6.0)
+  }
+
+  // ---- Sampling.percentileGate ----
+
+  test("percentileGate keeps the top fraction per group, min 1") {
+    val df = ((1L to 10L).map(i => ("big", i, i * 10L)) :+
+      (("tiny", 99L, 5L))).toDF("grp", "id", "score")
+    val out = Sampling.percentileGate(df, "grp", "id", "score", 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // big: floor(0.3·10)=3 → scores 100,90,80 (ids 10,9,8) kept
+    val kept = out.toSeq.collect { case ((g, id), r)
+      if r.getAs[Int]("kept") == 1 => (g, id) }.toSet
+    assert(kept == Set(("big", 10L), ("big", 9L), ("big", 8L),
+      ("tiny", 99L))) // tiny: floor(0.3·1)=0 → min-1 floor keeps its one
+    assert(out(("big", 10L)).getAs[Long]("grp_rank") == 1L)
+    assert(out(("big", 1L)).getAs[Long]("n_group") == 10L)
+  }
+
+  test("percentileGate: ties break by id ascending, deterministically") {
+    val df = Seq(("g", 1L, 7L), ("g", 2L, 7L), ("g", 3L, 7L), ("g", 4L, 1L))
+      .toDF("grp", "id", "score")
+    val out = Sampling.percentileGate(df, "grp", "id", "score", 0.5)
+      .collect().map(r => r.getLong(1) -> r.getAs[Int]("kept")).toMap
+    // floor(0.5·4)=2: the two LOWEST ids among the tied 7s win
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0))
+  }
+
+  // ---- TextStats.collocations ----
+
+  test("collocations: planted phrase tops the list with positive PMI") {
+    // 'hong kong' always adjacent (6×); filler words never repeat a
+    // pair 6 times
+    val docs = (1L to 6L).map(i =>
+      (i, s"visit hong kong t$i again w$i")).toDF("doc_id", "text")
+    val out = TextStats.collocations(docs, "doc_id", "text",
+      topK = 5, minCount = 2).collect()
+    val top = out.head
+    assert(top.getAs[String]("w1") == "hong" &&
+      top.getAs[String]("w2") == "kong")
+    assert(top.getAs[Long]("n_pair") == 6L)
+    assert(top.getAs[Long]("n_w1") == 6L && top.getAs[Long]("n_w2") == 6L)
+    // PMI = ln 6 + 2 ln 36 − ln 30 − ln 6 − ln 6 (Nt=36 tokens, Nb=30)
+    val expect = BigDecimal(math.log(6) + 2 * math.log(36) -
+        math.log(30) - math.log(6) - math.log(6))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getAs[Double]("pmi") == expect)
+    // 'visit hong' also occurs 6x — present; pairs under minCount gone
+    assert(out.forall(_.getAs[Long]("n_pair") >= 2L))
+  }
+
+  // ---- TextStats.templateScore ----
+
+  test("templateScore: templated slice shows high dup_frac, low entropy") {
+    val docs = Seq(
+      ("tpl", "Buy now! Buy now! Call us!"),
+      ("tpl", "Buy now! Call us!"),
+      ("prose", "The sky darkened. Rain began. Streets emptied."))
+      .toDF("source", "text")
+    val out = TextStats.templateScore(docs, "source", "text", "[.!?]+")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val tpl = out("tpl")
+    // units: 'Buy now' ×3, 'Call us' ×2 → n=5, distinct=2
+    assert(tpl.getAs[Long]("n_units") == 5L)
+    assert(tpl.getAs[Long]("n_distinct") == 2L)
+    assert(tpl.getAs[Double]("dup_frac") == 0.6)
+    val prose = out("prose")
+    assert(prose.getAs[Long]("n_units") == 3L)
+    assert(prose.getAs[Double]("dup_frac") == 0.0)
+    assert(prose.getAs[Double]("unit_entropy") >
+      tpl.getAs[Double]("unit_entropy"))
+  }
+
+  // ---- Similarity.clusterJsDivergence ----
+
+  test("clusterJsDivergence: JS is symmetric and probabilities close") {
+    // distinct lattice vectors (duplicate vectors could legitimately
+    // trip the portable empty-cluster guard); swapping ref and cur
+    // must give the IDENTICAL js (same union → same codebook; the
+    // term is symmetric in p and q)
+    val mk = (lo: Long, hi: Long) => (lo until hi).map(i =>
+      (i, Array.tabulate(6)(d => (i * 7 + d).toFloat / 300f)))
+    val ref = mk(0L, 20L).toDF("vec_id", "embedding")
+    val cur = mk(20L, 40L).toDF("vec_id", "embedding")
+    val out = Similarity.clusterJsDivergence(ref, cur, "vec_id",
+      "embedding").collect()
+    assert(out.nonEmpty)
+    val js = out.head.getAs[Double]("js")
+    assert(js >= 0.0)
+    // Laplace-smoothed histograms each sum to 1
+    val pSum = out.map(_.getAs[Double]("p_ref")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p_ref summed to $pSum")
+    val swapped = Similarity.clusterJsDivergence(cur, ref, "vec_id",
+      "embedding").collect()
+    assert(swapped.head.getAs[Double]("js") == js)
+  }
+
+  test("clusterJsDivergence: a shifted population moves the needle") {
+    // small codebook: a 16-cluster fit on 48 near-collinear points
+    // would legitimately empty clusters and trip the portable guard
+    val mk = (off: Long, shift: Float) => (0L until 24L).map(i =>
+      (i + off, Array.tabulate(6)(d =>
+        shift + ((i * 5 + d) % 13).toFloat / 13f)))
+    val ref = mk(0L, 0f).toDF("vec_id", "embedding")
+    val cur = mk(100L, 0.9f).toDF("vec_id", "embedding")
+    val out = Similarity.clusterJsDivergence(ref, cur, "vec_id",
+      "embedding", nlist = 2, iters = 2).collect()
+    val js = out.head.getAs[Double]("js")
+    assert(js > 0.1, s"expected clear divergence, got $js")
+  }
+
   test("mmdLinear drops the length-mismatch tail and odd couple") {
     val mk = (n: Int, off: Float) => (0L until n.toLong).map(i =>
       (i, Array.tabulate(4)(d => off + i.toFloat / n))).toDF(
