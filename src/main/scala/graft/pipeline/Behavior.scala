@@ -341,4 +341,62 @@ object Behavior {
       .orderBy(col("n_sessions").desc, col("path").asc)
       .limit(topK)
   }
+
+  /** First-touch / last-touch conversion attribution — which event
+    * types OPEN journeys that convert, and which ones CLOSE them: for
+    * every conversion event, the journey is the user's event run since
+    * their previous conversion (or stream start), and the journey's
+    * first and last NON-conversion events each earn one credit for
+    * their type. The two classic single-touch models, reported side by
+    * side (the gap between them is the usual argument for multi-touch).
+    *
+    * One user-keyed exchange: the journey id is a cumulative
+    * conversion count over the user window (conversions close their
+    * own journey, so the count EXCLUDES the current row), first/last
+    * picks are min/max over (journey, touch) structs — no second
+    * shuffle, no per-journey explode. Journeys that convert with zero
+    * touches (a conversion as the user's first event) credit nothing,
+    * by contract. Deterministic under timestamp ties via the
+    * (tsCol, idCol) total order.
+    *
+    * Output per touch type: (event_type, first_touch, last_touch) —
+    * credit counts over all converted journeys.
+    */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      idCol: String,
+      tsCol: String,
+      typeCol: String,
+      convType: String): DataFrame = {
+    requireFree(events, "_g_conv", "_g_j", "_g_first", "_g_last")
+    val u = col(userCol)
+    val ord = Seq(col(tsCol).asc, col(idCol).asc)
+    val w = Window.partitionBy(u).orderBy(ord: _*)
+    val isConv = (col(typeCol) === convType).cast("long")
+    val withJ = events
+      .withColumn("_g_conv", isConv)
+      // journeys: # of conversions STRICTLY BEFORE this row — a
+      // conversion terminates its own journey
+      .withColumn("_g_j",
+        coalesce(sum(col("_g_conv")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val touches = withJ.filter(col("_g_conv") === 0L)
+      .select(u, col("_g_j"),
+        struct(col(tsCol), col(idCol), col(typeCol)).as("_g_pick"))
+      .groupBy(u, col("_g_j"))
+      .agg(min(col("_g_pick")).as("_g_first"),
+        max(col("_g_pick")).as("_g_last"))
+    val converted = withJ.filter(col("_g_conv") === 1L)
+      .select(u, col("_g_j"))
+    val credits = converted.join(touches, Seq(userCol, "_g_j"))
+    credits
+      .select(col("_g_first").getField(typeCol).as("_t"), lit("f").as("_m"))
+      .unionByName(credits.select(
+        col("_g_last").getField(typeCol).as("_t"), lit("l").as("_m")))
+      .groupBy(col("_t").as("event_type"))
+      .agg(
+        sum(when(col("_m") === "f", 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("_m") === "l", 1L).otherwise(0L)).as("last_touch"))
+  }
 }

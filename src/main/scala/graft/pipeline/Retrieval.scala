@@ -601,4 +601,61 @@ object Retrieval {
       col("n_chars_ref") +: (1 to maxN).map(n => col(s"f_$n")) :+
       d6(col("_fsum") / maxN).as("chrf"): _*)
   }
+
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel 2010,
+    * truncated form) — "how similar are these two rankings, weighted
+    * toward the top?": the ranker-comparison number a retrieval stack
+    * reads before fusing runs (e.g. is the LM ranking adding signal
+    * over BM25, or re-ranking noise?).
+    *
+    *   RBO@k = (1 − p) · Σ_{d=1..k} p^{d−1} · |A_d ∩ B_d| / d
+    *
+    * p is FIXED at 1/2 by design: the p^{d−1} weights are exact binary
+    * doubles (the [[graft.pipeline.Stats.ewmaControlChart]] discipline
+    * — no pow() portability surface), each term d6-rounds before the
+    * order-free decimal sum. A doc in both runs enters the overlap at
+    * depth max(rank_a, rank_b); the per-depth overlap count is a
+    * cumulative over the K-ROW depth table — the only frames after the
+    * doc-keyed join are k-bounded, so the statistic costs one equi-join
+    * at any corpus scale.
+    *
+    * Inputs: two (docCol, rankCol) frames with ranks 1..k, rank-unique
+    * (the contract a top-k producer already meets). Output ONE row:
+    * (k, n_common, rbo).
+    */
+  def rankBiasedOverlap(
+      runA: DataFrame,
+      runB: DataFrame,
+      docCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1,62], got $k")
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    val a = runA.select(col(docCol).as("_doc"), col(rankCol).as("_ra"))
+      .filter(col("_ra") <= k)
+    val b = runB.select(col(docCol).as("_doc"), col(rankCol).as("_rb"))
+      .filter(col("_rb") <= k)
+    val entry = a.join(b, Seq("_doc"))
+      .select(greatest(col("_ra"), col("_rb")).as("_d0"))
+      .groupBy(col("_d0")).agg(count(lit(1)).as("_m"))
+    val depths = runA.sparkSession.range(1, k + 1).select(col("id").as("_d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("_d").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val terms = depths.join(entry, col("_d") === col("_d0"), "left")
+      .withColumn("_x", sum(coalesce(col("_m"), lit(0L))).over(w))
+      .select(col("_d"), col("_x"),
+        // p^{d−1} as 1/2^{d−1} via an integer shift — exact binary
+        // doubles with no pow() in the plan at all
+        ((lit(1.0) / expr("shiftleft(1L, CAST(_d - 1 AS INT))")
+            .cast("double")) *
+          (col("_x").cast("double") / col("_d").cast("double")))
+          .cast("decimal(28,6)").as("_t6"))
+    terms.agg(
+      lit(k.toLong).as("k"),
+      coalesce(max(col("_x")), lit(0L)).as("n_common"),
+      d6(lit(0.5) * sum(col("_t6")).cast("double")).as("rbo"))
+  }
 }

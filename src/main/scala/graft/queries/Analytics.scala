@@ -1151,6 +1151,47 @@ object Analytics {
        |FROM lv JOIN sg USING (event_type)""".stripMargin
   }
 
+  // q289: first/last-touch conversion attribution over the event
+  // stream — journeys reset at each purchase; the journey's first and
+  // last non-purchase events credit their types. The oracle replays
+  // the strictly-prior conversion count and both row_number picks.
+  def q289Attribution(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Behavior.attribution(t(s, dir, "events"),
+      "user_id", "event_id", "ts", "event_type", convType = "purchase")
+
+  val q289Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      |  FROM events),
+      |j AS (
+      |  SELECT *, COALESCE(SUM(conv) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+      |  FROM e),
+      |tch AS (
+      |  SELECT user_id, jid, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, jid
+      |      ORDER BY ts, event_id) AS rf,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, jid
+      |      ORDER BY ts DESC, event_id DESC) AS rl
+      |  FROM j WHERE conv = 0),
+      |cv AS (SELECT user_id, jid FROM j WHERE conv = 1),
+      |cr AS (
+      |  SELECT f.event_type AS t, 'f' AS m
+      |  FROM cv JOIN (SELECT user_id, jid, event_type FROM tch
+      |                WHERE rf = 1) f USING (user_id, jid)
+      |  UNION ALL
+      |  SELECT l.event_type, 'l'
+      |  FROM cv JOIN (SELECT user_id, jid, event_type FROM tch
+      |                WHERE rl = 1) l USING (user_id, jid))
+      |SELECT t AS event_type,
+      |  CAST(SUM(CASE WHEN m = 'f' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS first_touch,
+      |  CAST(SUM(CASE WHEN m = 'l' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS last_touch
+      |FROM cr GROUP BY 1""".stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1196,6 +1237,7 @@ object Analytics {
     "q277_l_diversity" -> (q277LDiversity _),
     "q278_t_closeness" -> (q278TCloseness _),
     "q279_ewma_chart" -> (q279EwmaChart _),
+    "q289_attribution" -> (q289Attribution _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1231,6 +1273,7 @@ object Analytics {
     "q277_l_diversity" -> q277Sql,
     "q278_t_closeness" -> q278Sql,
     "q279_ewma_chart" -> q279Sql,
+    "q289_attribution" -> q289Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

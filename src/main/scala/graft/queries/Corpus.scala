@@ -4562,6 +4562,89 @@ object Corpus {
       |    AS unit_entropy
       |FROM wn GROUP BY 1""".stripMargin
 
+  // q288: rank-biased overlap between q185's two input rankings (the
+  // BM25 top-50 and the bigram-LM top-50) — "how much do the lexical
+  // and LM rankers agree, top-weighted?". The oracle reuses q185's
+  // CTEs verbatim up to the two rank lists, then replays the
+  // depth-table cumulative and the shift-exact p=1/2 weights.
+  def q288Rbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val bm = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queryTerms = Seq("spark", "merge", "vector"), topK = 50)
+    val wA = Window.orderBy(col("bm25_score").desc, col("doc_id").asc)
+    val ra = bm.select(col("doc_id"),
+      row_number().over(wA).cast("long").as("rank"))
+    val lmd = graft.pipeline.TextStats.bigramLogProb(docs, "doc_id", "text")
+      .select(col("doc_id"), d6(col("avg_logprob")).as("_s"))
+    val wB = Window.orderBy(col("_s").desc, col("doc_id").asc)
+    val rb = lmd.orderBy(col("_s").desc, col("doc_id").asc).limit(50)
+      .select(col("doc_id"),
+        row_number().over(wB).cast("long").as("rank"))
+    Retrieval.rankBiasedOverlap(ra, rb, "doc_id", "rank", k = 50)
+  }
+
+  val q288Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos,
+      |         unnest(string_split(text,' ')) AS tok FROM documents),
+      |tk2 AS (SELECT doc_id, pos, tok FROM tk WHERE tok <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dlen FROM tk2 GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |              CAST(sum(dlen) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT * FROM (VALUES ('spark'), ('merge'), ('vector')) v(term)),
+      |dfq AS (SELECT tok AS term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |        FROM tk2 JOIN qt ON tok = term GROUP BY 1),
+      |tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS DOUBLE) AS tf
+      |       FROM tk2 JOIN qt ON tok = term GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(CAST(sum(ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+      |        tf.tf * 2.2 /
+      |        (tf.tf + 1.2 * (0.25 + 0.75 * CAST(dl.dlen AS DOUBLE) / st.avgdl)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS score
+      |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1),
+      |bm AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS ra
+      |  FROM (SELECT doc_id, score FROM sc
+      |        ORDER BY score DESC, doc_id LIMIT 50)),
+      |bi AS (
+      |  SELECT doc_id, tok,
+      |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      |  FROM tk2),
+      |bi2 AS (SELECT doc_id, tok, nxt FROM bi WHERE nxt IS NOT NULL),
+      |c12 AS (SELECT tok, nxt, count(*) AS c12 FROM bi2 GROUP BY 1,2),
+      |c1 AS (SELECT tok, count(*) AS c1 FROM bi2 GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM tk2),
+      |lmsc AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(sum(ln((CAST(c12 AS DOUBLE) + 0.5)
+      |        / (CAST(c1 AS DOUBLE) + 0.5 * v)))
+      |      / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS s
+      |  FROM bi2 JOIN c12 USING (tok, nxt) JOIN c1 USING (tok) CROSS JOIN v
+      |  GROUP BY doc_id),
+      |lm AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rb
+      |  FROM lmsc QUALIFY rb <= 50),
+      |ov AS (SELECT GREATEST(bm.ra, lm.rb) AS d0
+      |       FROM bm JOIN lm USING (doc_id)),
+      |ent AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS m FROM ov GROUP BY 1),
+      |dep AS (SELECT unnest(generate_series(1, 50)) AS d),
+      |cum AS (
+      |  SELECT d, SUM(COALESCE(ent.m, 0)) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x
+      |  FROM dep LEFT JOIN ent ON d = d0)
+      |SELECT CAST(50 AS BIGINT) AS k,
+      |  CAST(COALESCE(MAX(x), 0) AS BIGINT) AS n_common,
+      |  CAST(CAST(0.5 * CAST(SUM(CAST(
+      |      (1.0 / CAST(1 << (d - 1) AS DOUBLE)) *
+      |      (CAST(x AS DOUBLE) / CAST(d AS DOUBLE))
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS rbo
+      |FROM cum""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
@@ -4581,6 +4664,7 @@ object Corpus {
     "q285_cluster_js" -> (q285ClusterJs _),
     "q286_collocations" -> (q286Collocations _),
     "q287_template_score" -> (q287TemplateScore _),
+    "q288_rbo" -> (q288Rbo _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q259_sa_dedup_cut" -> (q259SaDedupCut _),
@@ -4710,6 +4794,7 @@ object Corpus {
     "q285_cluster_js" -> q285Sql,
     "q286_collocations" -> q286Sql,
     "q287_template_score" -> q287Sql,
+    "q288_rbo" -> q288Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

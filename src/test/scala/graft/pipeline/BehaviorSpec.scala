@@ -174,4 +174,39 @@ class BehaviorSpec extends SparkSpec {
         "user_id", "ts", 10L)
     }
   }
+
+  test("attribution: journeys reset at conversions; first/last credit") {
+    // user 1: view, click, BUY, click, BUY  → journey 0: first=view,
+    // last=click; journey 1: first=last=click
+    // user 2: BUY (no touches → no credit), then view (no conversion
+    // → no credit)
+    val ev = Seq(
+      (1L, 10L, 100L, "view"), (1L, 11L, 200L, "click"),
+      (1L, 12L, 300L, "buy"), (1L, 13L, 400L, "click"),
+      (1L, 14L, 500L, "buy"),
+      (2L, 20L, 100L, "buy"), (2L, 21L, 200L, "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Behavior.attribution(ev, "user_id", "event_id", "ts",
+        "event_type", convType = "buy")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("first_touch"), r.getAs[Long]("last_touch"))))
+      .toMap
+    assert(out("view") == ((1L, 0L)))
+    assert(out("click") == ((1L, 2L)))
+    assert(!out.contains("buy"))
+  }
+
+  test("attribution: timestamp ties break by event id") {
+    val ev = Seq(
+      (1L, 2L, 100L, "b_touch"), (1L, 1L, 100L, "a_touch"),
+      (1L, 3L, 200L, "conv")).toDF("user_id", "event_id", "ts",
+      "event_type")
+    val out = Behavior.attribution(ev, "user_id", "event_id", "ts",
+        "event_type", "conv")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("first_touch"), r.getAs[Long]("last_touch"))))
+      .toMap
+    assert(out("a_touch") == ((1L, 0L))) // lower id wins the tie
+    assert(out("b_touch") == ((0L, 1L)))
+  }
 }

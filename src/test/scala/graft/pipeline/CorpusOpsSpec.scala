@@ -1251,6 +1251,31 @@ class CorpusOpsSpec extends SparkSpec {
       tpl.getAs[Double]("unit_entropy"))
   }
 
+  // ---- Retrieval.rankBiasedOverlap ----
+
+  test("rankBiasedOverlap: identical rankings, disjoint, hand case") {
+    def run(docs: Long*) = docs.zipWithIndex
+      .map { case (d, i) => (d, (i + 1).toLong) }.toDF("doc", "rank")
+    // identical top-3: overlap d/d at every depth → RBO = (1−p)Σp^{d−1}
+    val same = Retrieval.rankBiasedOverlap(
+      run(7L, 8L, 9L), run(7L, 8L, 9L), "doc", "rank", k = 3)
+      .collect().head
+    assert(same.getAs[Long]("n_common") == 3L)
+    val expectSame = BigDecimal(0.5 * (1.0 + 0.5 + 0.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(same.getAs[Double]("rbo") == expectSame)
+    // disjoint → 0
+    val disj = Retrieval.rankBiasedOverlap(
+      run(1L, 2L), run(3L, 4L), "doc", "rank", k = 2).collect().head
+    assert(disj.getAs[Long]("n_common") == 0L)
+    assert(disj.getAs[Double]("rbo") == 0.0)
+    // hand case: A = [1,2], B = [2,1] — overlap 0 at d=1, 2 at d=2:
+    // RBO = 0.5·(1·0 + 0.5·(2/2)) = 0.25
+    val swap = Retrieval.rankBiasedOverlap(
+      run(1L, 2L), run(2L, 1L), "doc", "rank", k = 2).collect().head
+    assert(swap.getAs[Double]("rbo") == 0.25)
+  }
+
   // ---- Similarity.clusterJsDivergence ----
 
   test("clusterJsDivergence: JS is symmetric and probabilities close") {
