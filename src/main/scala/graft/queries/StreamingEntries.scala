@@ -840,6 +840,54 @@ object StreamingEntries {
     * streaming scorer, and DuckDB's full training replay agree three
     * ways.
     */
+  private val ewmaDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage the daily per-type event counts as three HASH shards (order
+    * deliberately unrelated to day order — the monitor's completion
+    * protocol must not care) plus one sentinel row per key carrying its
+    * expected row count.
+    */
+  private def stageDailyCounts(s: SparkSession, dir: String): String =
+    ewmaDirs.computeIfAbsent(dir, { _ =>
+      val staged = tempDirCleanedAtExit(None, "graft_q290_daily_")
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type").as("key"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("x"))
+      (0 until 3).foreach { i =>
+        daily.filter(abs(xxhash64(col("day"))) % 3 === i).coalesce(1)
+          .write.mode("append").parquet(staged.toString)
+      }
+      daily.groupBy(col("key"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("key"),
+          lit(graft.streaming.EwmaMonitor.Sentinel).as("day"), col("x"))
+        .coalesce(1).write.mode("append").parquet(staged.toString)
+      staged.toString
+    })
+
+  /** q290: the EWMA volume alarm run as a STREAM — same oracle as the
+    * batch q279 (the multi-form discipline): daily counts arrive in
+    * hash-sharded micro-batches, keys finalize via the completion
+    * sentinel, and the emitted chart must be hash-identical to the
+    * batch operator's.
+    */
+  def q290StreamingEwma(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageDailyCounts(s, dir)
+    val s2 = streamSession(s)
+    val schema = stagedSchema(s2, staged)
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .as[graft.streaming.DayCount](
+        Encoders.product[graft.streaming.DayCount])
+    val out = graft.streaming.Streaming.ewmaMonitor(stream)
+    runAvailableNow(out.toDF(), "graft_q290_ewma")
+      .select(col("key").as("event_type"), col("day"),
+        col("x").as("n_events"), col("n_hist"), col("ewma"),
+        col("sigma"), col("is_alarm"))
+  }
+
   def q227StreamingQualityScore(s: SparkSession, dir: String): DataFrame = {
     val staged = stageScoreDocs(s, dir)
     val model = Corpus.classifierFit(s, dir)._2
@@ -854,6 +902,7 @@ object StreamingEntries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q227_streaming_quality_score" -> (q227StreamingQualityScore _),
+    "q290_streaming_ewma" -> (q290StreamingEwma _),
     "q131_streaming_incremental_dedup" -> (q131StreamingIncrementalDedup _),
     "q206_streaming_domain_policy" -> (q206StreamingDomainPolicy _),
     "q215_streaming_domain_policy_tws" -> (q215StreamingDomainPolicyTws _),
@@ -875,6 +924,7 @@ object StreamingEntries {
     // batch q226 scorer, the stateless streaming scorer, and DuckDB's
     // full gradient-descent replay agree three ways
     "q227_streaming_quality_score" -> Corpus.q226Sql,
+    "q290_streaming_ewma" -> Analytics.q279Sql,
     // batch incrementalExactDedup (q117), the streaming foreachBatch
     // merge, and DuckDB agree three ways
     "q131_streaming_incremental_dedup" -> Pipeline.q117Sql,

@@ -595,4 +595,120 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** Streaming twin of [[graft.pipeline.Stats.ewmaControlChart]] — the
+    * ingestion-volume alarm run AS a stream: per-key daily counts
+    * arrive in micro-batches (any file/batch order), and once a key's
+    * series is complete the whole chart emits with EXACTLY the batch
+    * operator's numbers — same truncated λ=1/2 EWMA (exact binary
+    * weights, fixed fold order), same whole-series d6-summed MAD scale,
+    * same 3σ alarm bar. One oracle checks both forms (the q38/q132/q74
+    * multi-form discipline).
+    *
+    * Completion protocol instead of ordering assumptions: each key's
+    * stream carries one SENTINEL row (day = [[EwmaMonitor.Sentinel]],
+    * x = the key's expected row count). State buffers rows; when
+    * buffered == expected, the key finalizes, emits, and clears its
+    * state — commutative over any arrival order, so the file-stream's
+    * batch order can never corrupt the chart (the q131 order-proofing
+    * idea applied to an order-SENSITIVE statistic: buffer, then sort
+    * once at finalize). State is bounded by series length per key —
+    * the deployment note: an ordered production ingest would keep only
+    * the H-deep buffer and an online scale instead.
+    */
+  def ewmaMonitor(
+      rows: Dataset[DayCount],
+      horizon: Int = 8,
+      nSigma: Double = 3.0): Dataset[EwmaPoint] = {
+    require(horizon >= 1 && horizon <= 32,
+      s"horizon must be in [1,32], got $horizon")
+    implicit val accEnc = Encoders.product[EwmaBuf]
+    implicit val outEnc = Encoders.product[EwmaPoint]
+    implicit val keyEnc = Encoders.STRING
+
+    def d6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def finalize(key: String, buf: EwmaBuf): Iterator[EwmaPoint] = {
+      val series = buf.days.zip(buf.xs).sortBy(_._1)
+      val xs = series.map(_._2)
+      val n = xs.length
+      // whole-series MAD, the batch op's dsum discipline: one IEEE
+      // mean division, each |x−mean| d6-rounded BEFORE the exact
+      // decimal sum, one closing division
+      val mu = xs.sum.toDouble / n.toDouble
+      val sigma = series.map { case (_, x) =>
+        BigDecimal(math.abs(x.toDouble - mu))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble / n.toDouble
+      val sigma6 = d6(sigma)
+      series.zipWithIndex.iterator.map { case ((day, x), t) =>
+        // lag fold j = 1..horizon in ascending j, left-assoc — the
+        // batch expression order exactly
+        var num = 0.0
+        var den = 0.0
+        var nh = 0
+        var j = 1
+        while (j <= horizon) {
+          if (t - j >= 0) {
+            val w = math.pow(2.0, -(j - 1))
+            num += xs(t - j).toDouble * w
+            den += w
+            nh += 1
+          } else {
+            num += 0.0; den += 0.0
+          }
+          j += 1
+        }
+        val ewma6 =
+          if (nh == 0) None else Some(d6(num / den))
+        val alarm = ewma6 match {
+          case Some(e) if math.abs(x.toDouble - e) > nSigma * sigma6 => 1
+          case _ => 0
+        }
+        EwmaPoint(key, day, x, nh, ewma6, sigma6, alarm)
+      }
+    }
+
+    def update(
+        key: String,
+        batch: Iterator[DayCount],
+        state: GroupState[EwmaBuf]): Iterator[EwmaPoint] = {
+      var buf = state.getOption.getOrElse(EwmaBuf(Nil, Nil, -1L))
+      for (r <- batch) {
+        if (r.day == EwmaMonitor.Sentinel) buf = buf.copy(expected = r.x)
+        else buf = buf.copy(days = buf.days :+ r.day, xs = buf.xs :+ r.x)
+      }
+      if (buf.expected >= 0 && buf.days.length == buf.expected) {
+        state.remove()
+        finalize(key, buf)
+      } else {
+        state.update(buf)
+        Iterator.empty
+      }
+    }
+
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }
+
+object EwmaMonitor {
+  /** Sentinel day marker carrying the key's expected row count in x. */
+  val Sentinel = "~complete"
+}
+
+/** One per-key daily count for [[Streaming.ewmaMonitor]] (or its
+  * completion sentinel: day = [[EwmaMonitor.Sentinel]], x = expected
+  * row count for the key).
+  */
+final case class DayCount(key: String, day: String, x: Long)
+
+/** One emitted chart point of [[Streaming.ewmaMonitor]]. */
+final case class EwmaPoint(
+    key: String, day: String, x: Long, n_hist: Int,
+    ewma: Option[Double], sigma: Double, is_alarm: Int)
+
+private[streaming] final case class EwmaBuf(
+    days: Seq[String], xs: Seq[Long], expected: Long)

@@ -442,4 +442,37 @@ class StreamingSpec extends SparkSpec {
     assert(out(8L) == (3L, 1) && out(9L) == (4L, 0), s"state lost: $out")
     assert(out(5L) == (1L, 1) && out(7L) == (2L, 1))
   }
+
+  test("ewmaMonitor: arrival order (even sentinel-first) cannot change " +
+      "the chart, and it equals the batch operator") {
+    implicit val sql = spark.sqlContext
+    def day(i: Int) = f"2024-01-${i}%02d"
+    val data = (1 to 10).map(i =>
+      DayCount("k", day(i), if (i == 10) 100L else 10L))
+    def drain(batches: Seq[Seq[DayCount]], name: String) = {
+      val in = MemoryStream[DayCount]
+      val q = Streaming.ewmaMonitor(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getString(1) -> r.toSeq.drop(1)).toMap
+    }
+    val sentinel = DayCount("k", EwmaMonitor.Sentinel, 10L)
+    // sentinel FIRST, then data shuffled across two batches
+    val a = drain(Seq(Seq(sentinel), data.drop(5).reverse, data.take(5)),
+      "ewma_a")
+    // natural order, sentinel last
+    val b = drain(Seq(data.take(7), data.drop(7) :+ sentinel), "ewma_b")
+    assert(a == b)
+    assert(a.size == 10)
+    // equals the batch operator row-for-row
+    val batch = graft.pipeline.Stats.ewmaControlChart(
+        data.toDF("key", "day", "x"), "key", "day", "x")
+      .collect().map(r => r.getString(1) -> r.toSeq.drop(1)).toMap
+    assert(a == batch)
+    // and the spike actually alarms
+    assert(a(day(10)).last == 1)
+  }
 }
