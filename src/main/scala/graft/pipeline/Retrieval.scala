@@ -602,6 +602,61 @@ object Retrieval {
       d6(col("_fsum") / maxN).as("chrf"): _*)
   }
 
+  /** SQuAD-style answer scoring (Rajpurkar et al. 2016's official
+    * metric): EXACT MATCH and token-multiset F1 between a prediction
+    * and its gold answer, after the published normalization — lowercase,
+    * punctuation → space, article tokens (a / an / the) dropped,
+    * whitespace collapsed. The QA-eval workhorse, run as a corpus-sized
+    * projection:
+    *
+    *   m = Σ_tok min(c_pred, c_gold);  P = m/|pred|;  R = m/|gold|
+    *   F1 = 2PR/(P+R)   (0 when m = 0; 1.0 when BOTH normalize empty)
+    *
+    * Counts are exact integers from one (id, token)-keyed aggregate per
+    * side joined full-outer on (id, token) — the multiset min never
+    * materializes a cross product; F1 is two integer divisions and one
+    * fixed-order ratio, d6 at the contract. The normalization regex is
+    * RE2-safe (no lookaround), identical across engines.
+    *
+    * Output per row: (idCol, n_pred, n_gold, n_common, exact_match,
+    * f1).
+    */
+  def evalTokenF1(
+      df: DataFrame,
+      idCol: String,
+      predCol: String,
+      goldCol: String): DataFrame = {
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    def norm(c: org.apache.spark.sql.Column) =
+      filter(split(trim(regexp_replace(
+          lower(c), "[^a-z0-9]", " ")), " +"),
+        t => length(t) > 0 && t =!= "a" && t =!= "an" && t =!= "the")
+    val toks = df.select(col(idCol).as("_id"),
+      norm(col(predCol)).as("_p"), norm(col(goldCol)).as("_g"))
+    val pc = toks.select(col("_id"), explode(col("_p")).as("_t"))
+      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_cp"))
+    val gc = toks.select(col("_id"), explode(col("_g")).as("_t"))
+      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_cg"))
+    val m = pc.join(gc, Seq("_id", "_t"), "full_outer")
+      .groupBy(col("_id"))
+      .agg(sum(least(coalesce(col("_cp"), lit(0L)),
+        coalesce(col("_cg"), lit(0L)))).as("_m"))
+    val base = toks.select(col("_id"),
+      size(col("_p")).cast("long").as("n_pred"),
+      size(col("_g")).cast("long").as("n_gold"),
+      (concat_ws(" ", col("_p")) === concat_ws(" ", col("_g")))
+        .cast("int").as("exact_match"))
+    val p = col("_m").cast("double") / col("n_pred").cast("double")
+    val r = col("_m").cast("double") / col("n_gold").cast("double")
+    base.join(m, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_pred"), col("n_gold"),
+        coalesce(col("_m"), lit(0L)).as("n_common"), col("exact_match"),
+        when(col("n_pred") === 0L && col("n_gold") === 0L, lit(1.0))
+          .when(coalesce(col("_m"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(d6(lit(2.0) * p * r / (p + r))).as("f1"))
+  }
+
   /** Rank-biased overlap at depth k (Webber, Moffat & Zobel 2010,
     * truncated form) — "how similar are these two rankings, weighted
     * toward the top?": the ranker-comparison number a retrieval stack

@@ -672,4 +672,85 @@ object Stats {
           abs(x.cast("double") - d6(col("_ewma"))) >
             lit(nSigma) * d6(col("_sigma"))).cast("int").as("is_alarm"))
   }
+
+  /** Bradley–Terry strengths from pairwise outcomes (Bradley & Terry
+    * 1952) via the classic MM update (Hunter 2004) — the arena-style
+    * leaderboard fit: given win/loss games between items, the strength
+    * vector p with
+    *
+    *   p_i ← w_i / Σ_j n_ij / (p_i + p_j),   then p ← p / Σ p
+    *
+    * run for `iters` rounds from the uniform start. REPLAYABLE-TRAINING
+    * class (the q218 Lloyd / q225 gradient discipline): every
+    * per-opponent term d6-rounds BEFORE the order-free decimal sum, the
+    * update and the normalization each close with one d6 — so an
+    * independent engine replays the trajectory bit-for-bit, and the
+    * oracle checks the FIT, not just the report.
+    *
+    * Scale shape: games collapse once to the (i, j) pair-count table
+    * (one corpus-sized exchange); each round is one item-keyed
+    * aggregate over that pair table with the current p broadcast —
+    * driver state is the ITEM-bounded p vector (class-5 bounded state,
+    * Lloyd's contract). Items with zero wins fit to 0 (their true MLE
+    * limit); ties are not modeled — filter or split them upstream.
+    *
+    * Output per item: (item, n_wins, n_games, strength), strength from
+    * the final normalized round.
+    */
+  def bradleyTerry(
+      games: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val spark = games.sparkSession
+    import spark.implicits._
+    val pairs = games.select(col(winnerCol).cast("string").as("_w"),
+        col(loserCol).cast("string").as("_l"))
+      .groupBy(col("_w"), col("_l")).agg(count(lit(1)).as("_n"))
+      .cache()
+    val wins = pairs.groupBy(col("_w").as("_i")).agg(sum(col("_n")).as("_wi"))
+    val losses = pairs.groupBy(col("_l").as("_i")).agg(sum(col("_n")).as("_li"))
+    val items = wins.join(losses, Seq("_i"), "full_outer")
+      .select(col("_i"),
+        coalesce(col("_wi"), lit(0L)).as("n_wins"),
+        (coalesce(col("_wi"), lit(0L)) + coalesce(col("_li"), lit(0L)))
+          .as("n_games"))
+    // undirected opponent edges with the pair's total game count
+    val und = pairs.select(col("_w").as("_i"), col("_l").as("_j"), col("_n"))
+      .unionByName(
+        pairs.select(col("_l").as("_i"), col("_w").as("_j"), col("_n")))
+      .groupBy(col("_i"), col("_j")).agg(sum(col("_n")).as("_nij"))
+      .cache()
+    var p: Map[String, Double] =
+      items.select(col("_i")).as[String].collect().map(_ -> 1.0).toMap
+    for (_ <- 0 until iters) {
+      val pDf = broadcast(p.toSeq.toDF("_i", "_pi"))
+      val denTerms = und
+        .join(pDf, Seq("_i"))
+        .join(pDf.select(col("_i").as("_j"), col("_pi").as("_pj")),
+          Seq("_j"))
+        .withColumn("_t6", (col("_nij").cast("double") /
+          (col("_pi") + col("_pj"))).cast("decimal(28,6)"))
+        .groupBy(col("_i")).agg(sum(col("_t6")).cast("double").as("_den"))
+      val raw = items.join(denTerms, Seq("_i"), "left")
+        .select(col("_i"),
+          when(col("n_wins") === 0L || col("_den").isNull, lit(0.0))
+            .otherwise(d6(col("n_wins").cast("double") / col("_den")))
+            .as("_pr"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      // normalize to Σp = 1 with a d6-rounded total (order-free: the
+      // total is a decimal sum of the already-d6 strengths)
+      val tot = raw.map { case (_, v) => BigDecimal(v) }.sum.toDouble
+      p = raw.map { case (k, v) =>
+        k -> BigDecimal(v / tot).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }.toMap
+    }
+    val finalP = broadcast(p.toSeq.toDF("_i", "strength"))
+    items.join(finalP, Seq("_i"))
+      .select(col("_i").as("item"), col("n_wins"), col("n_games"),
+        col("strength"))
+  }
 }

@@ -1192,6 +1192,88 @@ object Analytics {
       |    AS last_touch
       |FROM cr GROUP BY 1""".stripMargin
 
+  // q293: Bradley-Terry strengths over head-to-head "games" between
+  // event types (consecutive events per user; higher value wins, value
+  // ties break to the lexicographically smaller type), 3 MM rounds.
+  // The oracle replays the fit in a recursive CTE that carries the
+  // strength vector as ONE packed (keys, values) row per iteration —
+  // the single-self-reference workaround the Lloyd replay cannot use
+  // for pairwise terms (p_i AND p_j from one iteration = list lookups,
+  // never a second recursive reference).
+  def q293BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("t"), col("value").as("v"))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .filter(col("nt").isNotNull && col("nt") =!= col("t"))
+    val firstWins = col("v") > col("nv") ||
+      (col("v") === col("nv") && col("t") < col("nt"))
+    val games = ev.select(
+      when(firstWins, col("t")).otherwise(col("nt")).as("winner"),
+      when(firstWins, col("nt")).otherwise(col("t")).as("loser"))
+    graft.pipeline.Stats.bradleyTerry(games, "winner", "loser", iters = 3)
+  }
+
+  val q293Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT event_type AS t, value AS v,
+      |    lead(event_type) OVER w AS nt, lead(value) OVER w AS nv
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT CASE WHEN v > nv OR (v = nv AND t < nt) THEN t ELSE nt END
+      |           AS w,
+      |         CASE WHEN v > nv OR (v = nv AND t < nt) THEN nt ELSE t END
+      |           AS l
+      |  FROM e WHERE nt IS NOT NULL AND nt <> t),
+      |pairs AS (SELECT w, l, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM g GROUP BY 1, 2),
+      |wins AS (SELECT w AS i, CAST(SUM(n) AS BIGINT) AS wi
+      |         FROM pairs GROUP BY 1),
+      |losses AS (SELECT l AS i, CAST(SUM(n) AS BIGINT) AS li
+      |           FROM pairs GROUP BY 1),
+      |items AS (
+      |  SELECT COALESCE(wins.i, losses.i) AS i,
+      |    COALESCE(wi, 0) AS n_wins,
+      |    COALESCE(wi, 0) + COALESCE(li, 0) AS n_games
+      |  FROM wins FULL OUTER JOIN losses ON wins.i = losses.i),
+      |und AS (
+      |  SELECT i, j, CAST(SUM(n) AS BIGINT) AS nij FROM (
+      |    SELECT w AS i, l AS j, n FROM pairs
+      |    UNION ALL SELECT l, w, n FROM pairs) x GROUP BY 1, 2),
+      |p(iter, ks, vs) AS (
+      |  SELECT 0,
+      |    (SELECT list(i ORDER BY i) FROM items),
+      |    (SELECT list(CAST(1.0 AS DOUBLE) ORDER BY i) FROM items)
+      |  UNION ALL
+      |  SELECT p.iter + 1, list(q.i ORDER BY q.i),
+      |    list(CAST(CAST(q.pr / q.tot AS DECIMAL(28,6)) AS DOUBLE)
+      |         ORDER BY q.i)
+      |  FROM p, LATERAL (
+      |    SELECT x.i, x.pr,
+      |      CAST(SUM(CAST(x.pr AS DECIMAL(28,6))) OVER () AS DOUBLE) AS tot
+      |    FROM (
+      |      SELECT it.i,
+      |        CASE WHEN it.n_wins = 0 OR d.den IS NULL THEN 0.0
+      |             ELSE CAST(CAST(CAST(it.n_wins AS DOUBLE) / d.den
+      |               AS DECIMAL(28,6)) AS DOUBLE) END AS pr
+      |      FROM items it LEFT JOIN (
+      |        SELECT u.i, CAST(SUM(CAST(CAST(u.nij AS DOUBLE) /
+      |            (p.vs[list_position(p.ks, u.i)] +
+      |             p.vs[list_position(p.ks, u.j)])
+      |          AS DECIMAL(28,6))) AS DOUBLE) AS den
+      |        FROM und u GROUP BY u.i) d ON it.i = d.i) x) q
+      |  WHERE p.iter < 3
+      |  GROUP BY p.iter)
+      |SELECT it.i AS item, it.n_wins, it.n_games,
+      |  f.vs[list_position(f.ks, it.i)] AS strength
+      |FROM items it CROSS JOIN (SELECT ks, vs FROM p WHERE iter = 3) f"""
+      .stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1238,6 +1320,7 @@ object Analytics {
     "q278_t_closeness" -> (q278TCloseness _),
     "q279_ewma_chart" -> (q279EwmaChart _),
     "q289_attribution" -> (q289Attribution _),
+    "q293_bradley_terry" -> (q293BradleyTerry _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1274,6 +1357,7 @@ object Analytics {
     "q278_t_closeness" -> q278Sql,
     "q279_ewma_chart" -> q279Sql,
     "q289_attribution" -> q289Sql,
+    "q293_bradley_terry" -> q293Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

@@ -4645,6 +4645,69 @@ object Corpus {
       |    AS DECIMAL(28,6))) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS rbo
       |FROM cum""".stripMargin
 
+  // q292: SQuAD-style EM + token-F1 — predictions planted from the
+  // gold text: every 3rd doc predicts its own first-half tokens
+  // (partial credit), every 7th predicts verbatim (EM), others predict
+  // a fixed wrong string. The oracle replays the normalization, the
+  // full-outer multiset min and the F1 arithmetic.
+  def q292TokenF1(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val half = array_join(
+      slice(toks, lit(1),
+        greatest(lit(1), floor(size(toks) / 2).cast("int"))), " ")
+    val pred = when(col("doc_id") % 7 === 0, col("text"))
+      .when(col("doc_id") % 3 === 0, half)
+      .otherwise(lit("no answer found"))
+    graft.pipeline.Retrieval.evalTokenF1(
+      docs.select(col("doc_id"), pred.as("pred"), col("text").as("gold")),
+      "doc_id", "pred", "gold")
+  }
+
+  val q292Sql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, text AS gold,
+      |    CASE WHEN doc_id % 7 = 0 THEN text
+      |         WHEN doc_id % 3 = 0 THEN array_to_string(list_slice(
+      |           list_filter(string_split(text, ' '), x -> x <> ''), 1,
+      |           GREATEST(1, CAST(FLOOR(len(list_filter(
+      |             string_split(text, ' '), x -> x <> '')) / 2) AS INT))),
+      |           ' ')
+      |         ELSE 'no answer found' END AS pred
+      |  FROM documents),
+      |nrm AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(regexp_replace(lower(pred),
+      |      '[^a-z0-9]', ' ', 'g')), ' +'),
+      |      x -> x <> '' AND x <> 'a' AND x <> 'an' AND x <> 'the') AS p,
+      |    list_filter(string_split_regex(trim(regexp_replace(lower(gold),
+      |      '[^a-z0-9]', ' ', 'g')), ' +'),
+      |      x -> x <> '' AND x <> 'a' AND x <> 'an' AND x <> 'the') AS g
+      |  FROM d0),
+      |pc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cp FROM
+      |       (SELECT doc_id, unnest(p) AS t FROM nrm) GROUP BY 1, 2),
+      |gc AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS cg FROM
+      |       (SELECT doc_id, unnest(g) AS t FROM nrm) GROUP BY 1, 2),
+      |m AS (
+      |  SELECT doc_id, CAST(SUM(LEAST(COALESCE(cp, 0), COALESCE(cg, 0)))
+      |    AS BIGINT) AS m
+      |  FROM pc FULL OUTER JOIN gc USING (doc_id, t) GROUP BY 1)
+      |SELECT nrm.doc_id,
+      |  CAST(len(p) AS BIGINT) AS n_pred,
+      |  CAST(len(g) AS BIGINT) AS n_gold,
+      |  COALESCE(m.m, 0) AS n_common,
+      |  CAST(CASE WHEN array_to_string(p, ' ') = array_to_string(g, ' ')
+      |    THEN 1 ELSE 0 END AS INT) AS exact_match,
+      |  CASE WHEN len(p) = 0 AND len(g) = 0 THEN 1.0
+      |       WHEN COALESCE(m.m, 0) = 0 THEN 0.0
+      |       ELSE CAST(CAST(2.0 *
+      |         (CAST(m.m AS DOUBLE) / CAST(len(p) AS DOUBLE)) *
+      |         (CAST(m.m AS DOUBLE) / CAST(len(g) AS DOUBLE)) /
+      |         ((CAST(m.m AS DOUBLE) / CAST(len(p) AS DOUBLE)) +
+      |          (CAST(m.m AS DOUBLE) / CAST(len(g) AS DOUBLE)))
+      |         AS DECIMAL(28,6)) AS DOUBLE) END AS f1
+      |FROM nrm LEFT JOIN m USING (doc_id)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
@@ -4665,6 +4728,7 @@ object Corpus {
     "q286_collocations" -> (q286Collocations _),
     "q287_template_score" -> (q287TemplateScore _),
     "q288_rbo" -> (q288Rbo _),
+    "q292_token_f1" -> (q292TokenF1 _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q259_sa_dedup_cut" -> (q259SaDedupCut _),
@@ -4795,6 +4859,7 @@ object Corpus {
     "q286_collocations" -> q286Sql,
     "q287_template_score" -> q287Sql,
     "q288_rbo" -> q288Sql,
+    "q292_token_f1" -> q292Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

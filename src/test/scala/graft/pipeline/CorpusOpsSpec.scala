@@ -1251,6 +1251,30 @@ class CorpusOpsSpec extends SparkSpec {
       tpl.getAs[Double]("unit_entropy"))
   }
 
+  // ---- Retrieval.evalTokenF1 ----
+
+  test("evalTokenF1: SQuAD normalization, partial credit, edge cases") {
+    val rows = Seq(
+      (1L, "The Eiffel Tower!", "eiffel tower"),        // EM after norm
+      (2L, "in the city of Paris", "Paris France"),     // partial
+      (3L, "no answer", "completely different thing"),  // zero overlap
+      (4L, "a the an", "the a an"),                     // both empty → 1
+      (5L, "", "something here")                        // pred empty → 0
+    ).toDF("id", "pred", "gold")
+    val out = Retrieval.evalTokenF1(rows, "id", "pred", "gold")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("exact_match") == 1)
+    assert(out(1L).getAs[Double]("f1") == 1.0)
+    // pred {in,city,of,paris} (4), gold {paris,france} (2), common 1:
+    // P=1/4, R=1/2, F1 = 2·(1/8)/(3/4) = 1/3
+    assert(out(2L).getAs[Long]("n_common") == 1L)
+    assert(math.abs(out(2L).getAs[Double]("f1") - 1.0 / 3) < 1e-6)
+    assert(out(3L).getAs[Double]("f1") == 0.0)
+    assert(out(4L).getAs[Double]("f1") == 1.0) // article-only: both empty
+    assert(out(4L).getAs[Int]("exact_match") == 1)
+    assert(out(5L).getAs[Double]("f1") == 0.0)
+  }
+
   // ---- Retrieval.rankBiasedOverlap ----
 
   test("rankBiasedOverlap: identical rankings, disjoint, hand case") {

@@ -238,6 +238,33 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("giniConcentration"))
   }
 
+  test("bradleyTerry: dominant item tops the fit; strengths sum to 1") {
+    // a beats b 9/1, b beats c 9/1, a beats c 9/1 — fit must order
+    // a > b > c with Σ strengths = 1 (d6 rounding aside)
+    val games = (Seq.fill(9)(("a", "b")) ++ Seq.fill(1)(("b", "a")) ++
+      Seq.fill(9)(("b", "c")) ++ Seq.fill(1)(("c", "b")) ++
+      Seq.fill(9)(("a", "c")) ++ Seq.fill(1)(("c", "a")))
+      .toDF("winner", "loser")
+    val out = Stats.bradleyTerry(games, "winner", "loser", iters = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (sa, sb, sc) = (out("a").getAs[Double]("strength"),
+      out("b").getAs[Double]("strength"), out("c").getAs[Double]("strength"))
+    assert(sa > sb && sb > sc, s"order violated: $sa, $sb, $sc")
+    assert(math.abs(sa + sb + sc - 1.0) < 1e-4)
+    assert(out("a").getAs[Long]("n_wins") == 18L)
+    assert(out("a").getAs[Long]("n_games") == 20L)
+  }
+
+  test("bradleyTerry: a zero-win item fits to strength 0") {
+    val games = Seq(("a", "z"), ("b", "z"), ("a", "b"), ("b", "a"))
+      .toDF("winner", "loser")
+    val out = Stats.bradleyTerry(games, "winner", "loser", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("strength"))
+      .toMap
+    assert(out("z") == 0.0)
+    assert(out("a") > 0.0 && out("b") > 0.0)
+  }
+
   test("ewmaControlChart flags the spike, not the steady state") {
     // key 'k': 10,10,10,10,100 — the last point breaks the EWMA level
     // (|100−10| = 90) over 3× the mean-abs-dev scale (3·28.8 = 86.4)
