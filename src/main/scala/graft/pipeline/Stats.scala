@@ -673,6 +673,78 @@ object Stats {
             lit(nSigma) * d6(col("_sigma"))).cast("int").as("is_alarm"))
   }
 
+  /** Split-conformal prediction gate (Vovk et al.; the Angelopoulos &
+    * Bates 2021 tutorial form) — the DISTRIBUTION-FREE way to turn any
+    * model score into a calibrated accept/flag decision: from a held-out
+    * calibration set of nonconformity scores s₁..s_n, the threshold is
+    * the ⌈(n+1)(1−α)⌉-th smallest score; a test row whose score is ≤
+    * that threshold is covered with probability ≥ 1−α under
+    * exchangeability, NO model assumptions. The production use: gate a
+    * classifier's outputs so at most ~α of in-distribution traffic gets
+    * flagged for review.
+    *
+    * The order statistic comes from [[graft.pipeline.Sampling
+    * .packContiguous]] unit-size ranks — sharded prefix sums, NO global
+    * window over the calibration frame (the naive percentile would drag
+    * every score through one WindowExec partition); the k-th row is one
+    * filter + 1-row broadcast. Ties: the k-th smallest under the total
+    * (score, idCol) order — idCol makes rank assignment deterministic,
+    * and the threshold COMPARISON uses the score value alone, so tied
+    * scores gate identically. k = ⌈(n+1)(1−α)⌉ is one IEEE
+    * double product + ceil, identical cross-engine; n < k (tiny
+    * calibration sets at strict α) clamps to n and is reported.
+    *
+    * Output: test rows as (idCol, scoreCol, qhat, is_covered) plus the
+    * calibration metadata columns (n_cal, k_rank) on every row — the
+    * audit trail a gate decision needs.
+    */
+  def conformalGate(
+      cal: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val W = org.apache.spark.sql.expressions.Window
+    val shards = 64
+    // sharded (score, id) rank — packContiguous's discipline with the
+    // ORDER key being the score: shard boundaries are monotone in
+    // score (ties stay inside one shard), local windows rank
+    // (score, id), per-shard counts broadcast back as offsets — no
+    // global window over the calibration frame
+    val scored = cal.select(col(idCol).as("_cid"),
+      col(scoreCol).cast("double").as("_s"))
+    val bounds = scored.agg(min(col("_s")).as("_lo"), max(col("_s")).as("_hi"))
+    val sharded = scored.crossJoin(broadcast(bounds))
+      .withColumn("_shard", least(lit(shards - 1L),
+        floor((col("_s") - col("_lo")) * shards /
+          (col("_hi") - col("_lo") + 1d)).cast("long")))
+      .drop("_lo", "_hi")
+    val localRank = row_number().over(
+      W.partitionBy(col("_shard")).orderBy(col("_s").asc, col("_cid").asc))
+      .cast("long") - 1L
+    val offsets = sharded.groupBy(col("_shard"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("_shard"),
+        (sum(col("_n")).over(W.orderBy(col("_shard"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)) - col("_n"))
+          .as("_offset"))
+    val ranked = sharded.withColumn("_lr", localRank)
+      .join(broadcast(offsets), Seq("_shard"))
+      .select(col("_s"), (col("_offset") + col("_lr")).as("_rank"))
+    val n = cal.agg(count(lit(1)).as("n_cal"),
+      ceil((count(lit(1)) + lit(1L)).cast("double") * lit(1.0 - alpha))
+        .cast("long").as("_k0"))
+      .select(col("n_cal"), least(col("_k0"), col("n_cal")).as("k_rank"))
+    val qhat = ranked
+      .join(broadcast(n), expr("_rank = k_rank - 1"))
+      .select(col("_s").as("qhat"), col("n_cal"), col("k_rank"))
+    test.select(col(idCol), col(scoreCol))
+      .crossJoin(broadcast(qhat))
+      .withColumn("is_covered",
+        (col(scoreCol).cast("double") <= col("qhat")).cast("int"))
+  }
+
   /** Bradley–Terry strengths from pairwise outcomes (Bradley & Terry
     * 1952) via the classic MM update (Hunter 2004) — the arena-style
     * leaderboard fit: given win/loss games between items, the strength

@@ -1274,6 +1274,35 @@ object Analytics {
       |FROM items it CROSS JOIN (SELECT ks, vs FROM p WHERE iter = 3) f"""
       .stripMargin
 
+  // q294: split-conformal gate at alpha = 0.1 — even doc_ids calibrate
+  // (score = n_chars), odd doc_ids are gated. The oracle replays the
+  // ceil((n+1)(1-alpha)) rank, the (score, id) order statistic and the
+  // coverage flags.
+  def q294ConformalGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    graft.pipeline.Stats.conformalGate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "n_chars", alpha = 0.1)
+  }
+
+  val q294Sql: String =
+    """WITH calset AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s FROM documents
+      |  WHERE doc_id % 2 = 0),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+      |        LEAST(CAST(CEIL(CAST(COUNT(*) + 1 AS DOUBLE) * 0.9)
+      |          AS BIGINT), CAST(COUNT(*) AS BIGINT)) AS k_rank
+      |      FROM calset),
+      |r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, doc_id) - 1 AS rnk
+      |      FROM calset),
+      |q AS (SELECT r.s AS qhat, n.n_cal, n.k_rank
+      |      FROM r, n WHERE r.rnk = n.k_rank - 1)
+      |SELECT d.doc_id, d.n_chars, q.qhat, q.n_cal, q.k_rank,
+      |  CAST(CASE WHEN CAST(d.n_chars AS DOUBLE) <= q.qhat
+      |    THEN 1 ELSE 0 END AS INT) AS is_covered
+      |FROM documents d CROSS JOIN q WHERE d.doc_id % 2 = 1""".stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1321,6 +1350,7 @@ object Analytics {
     "q279_ewma_chart" -> (q279EwmaChart _),
     "q289_attribution" -> (q289Attribution _),
     "q293_bradley_terry" -> (q293BradleyTerry _),
+    "q294_conformal_gate" -> (q294ConformalGate _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1358,6 +1388,7 @@ object Analytics {
     "q279_ewma_chart" -> q279Sql,
     "q289_attribution" -> q289Sql,
     "q293_bradley_terry" -> q293Sql,
+    "q294_conformal_gate" -> q294Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

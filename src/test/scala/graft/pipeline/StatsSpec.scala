@@ -265,6 +265,33 @@ class StatsSpec extends SparkSpec {
     assert(out("a") > 0.0 && out("b") > 0.0)
   }
 
+  test("conformalGate: exact order-statistic threshold and coverage") {
+    // 9 calibration scores 1..9; alpha=0.2 → k = ceil(10·0.8) = 8 →
+    // qhat = 8.0; test scores 5 and 9 → covered, not
+    val calset = (1L to 9L).map(i => (i, i.toDouble)).toDF("id", "s")
+    val test = Seq((100L, 5.0), (101L, 9.0), (102L, 8.0))
+      .toDF("id", "s")
+    val out = Stats.conformalGate(calset, test, "id", "s", alpha = 0.2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(100L).getAs[Double]("qhat") == 8.0)
+    assert(out(100L).getAs[Long]("n_cal") == 9L)
+    assert(out(100L).getAs[Long]("k_rank") == 8L)
+    assert(out(100L).getAs[Int]("is_covered") == 1)
+    assert(out(101L).getAs[Int]("is_covered") == 0)
+    assert(out(102L).getAs[Int]("is_covered") == 1) // boundary inclusive
+  }
+
+  test("conformalGate: k clamps to n on tiny calibration sets") {
+    val calset = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "s")
+    val test = Seq((10L, 1.5)).toDF("id", "s")
+    // alpha=0.05: ceil(3·0.95) = 3 > n=2 → clamp to 2, qhat = 2.0
+    val r = Stats.conformalGate(calset, test, "id", "s", 0.05)
+      .collect().head
+    assert(r.getAs[Long]("k_rank") == 2L)
+    assert(r.getAs[Double]("qhat") == 2.0)
+    assert(r.getAs[Int]("is_covered") == 1)
+  }
+
   test("ewmaControlChart flags the spike, not the steady state") {
     // key 'k': 10,10,10,10,100 — the last point breaks the EWMA level
     // (|100−10| = 90) over 3× the mean-abs-dev scale (3·28.8 = 86.4)
