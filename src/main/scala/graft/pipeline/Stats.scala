@@ -745,6 +745,81 @@ object Stats {
         (col(scoreCol).cast("double") <= col("qhat")).cast("int"))
   }
 
+  /** Isotonic calibration via pool-adjacent-violators (Ayer et al.
+    * 1955; the sklearn `IsotonicRegression` recipe) — fit a MONOTONE
+    * score→rate mapping: bucket the scores into `nBuckets` equal-width
+    * bins, then repeatedly merge adjacent pools whose empirical
+    * positive rates violate monotonicity, always the LEFTMOST
+    * violation first (a deterministic merge policy — classic PAV is
+    * order-free in its fixpoint, but the replay contract needs one
+    * canonical trajectory).
+    *
+    * EXACT until the output contract: pool rates are integer ratios
+    * (Σ label / Σ count) and every violation test cross-multiplies —
+    * s_i·n_{i+1} > s_{i+1}·n_i — so the fit involves NO floating point
+    * at all; the fitted rate d6-rounds only in the emitted table. The
+    * PAV loop runs driver-side over the B-row bucket table (bounded
+    * collect — the Lloyd/bradleyTerry class-5 contract; B ≤ 1000
+    * enforced), ≤ B−1 merges.
+    *
+    * Output one row per ORIGINAL bucket: (bucket, n, n_pos, raw_rate,
+    * fitted_rate) — `fitted_rate` is its pool's pooled rate, monotone
+    * non-decreasing in bucket; apply with a broadcast join on the
+    * caller's bucketed scores. Empty buckets simply don't exist in the
+    * table (the group-by only sees occupied bins); a constant score
+    * column collapses to bin 1.
+    */
+  def isotonicCalibrate(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets must be in [2,1000], got $nBuckets")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = col(scoreCol).cast("double")
+    val b = df.agg(min(s).as("_lo"), max(s).as("_hi"))
+    val bucket = when(col("_hi") === col("_lo"), lit(1L))
+      .otherwise(least(lit(nBuckets.toLong), greatest(lit(1L),
+        (floor((s - col("_lo")) * nBuckets / (col("_hi") - col("_lo"))) + 1L)
+          .cast("long"))))
+    val table = df.crossJoin(broadcast(b))
+      .select(bucket.as("bucket"), col(labelCol).cast("long").as("_y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
+    // PAV over the bounded bucket table: pools as (loBucket, hiBucket,
+    // sumPos, count), leftmost violation merged each step, all-integer
+    // comparisons
+    case class Pool(lo: Long, hi: Long, sp: Long, n: Long)
+    var pools = table.orderBy(col("bucket").asc)
+      .collect()
+      .map(r => Pool(r.getLong(0), r.getLong(0), r.getLong(2), r.getLong(1)))
+      .toVector
+    var merged = true
+    while (merged) {
+      val i = pools.indices.dropRight(1).find(i =>
+        pools(i).sp * pools(i + 1).n > pools(i + 1).sp * pools(i).n)
+      i match {
+        case Some(j) =>
+          val m = Pool(pools(j).lo, pools(j + 1).hi,
+            pools(j).sp + pools(j + 1).sp, pools(j).n + pools(j + 1).n)
+          pools = (pools.take(j) :+ m) ++ pools.drop(j + 2)
+        case None => merged = false
+      }
+    }
+    val fitted = pools.flatMap(p =>
+      (p.lo to p.hi).map(bk => (bk, p.sp, p.n)))
+      .toDF("bucket", "_psp", "_pn")
+    table.join(broadcast(fitted), Seq("bucket"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        d6(col("n_pos").cast("double") / col("n").cast("double"))
+          .as("raw_rate"),
+        d6(col("_psp").cast("double") / col("_pn").cast("double"))
+          .as("fitted_rate"))
+  }
+
   /** Bradley–Terry strengths from pairwise outcomes (Bradley & Terry
     * 1952) via the classic MM update (Hunter 2004) — the arena-style
     * leaderboard fit: given win/loss games between items, the strength

@@ -1303,6 +1303,63 @@ object Analytics {
       |    THEN 1 ELSE 0 END AS INT) AS is_covered
       |FROM documents d CROSS JOIN q WHERE d.doc_id % 2 = 1""".stripMargin
 
+  // q295: isotonic (PAV) calibration of "is English" against document
+  // length over 12 bins — the all-integer leftmost-violator trajectory
+  // replayed in a recursive CTE that carries the pool lists as one
+  // packed row (the q293 single-self-reference trick, now with
+  // data-dependent termination: recursion ends when no adjacent pair
+  // cross-multiplies into a violation).
+  def q295Isotonic(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.isotonicCalibrate(
+      t(s, dir, "documents").select(col("n_chars"),
+        (col("lang") === "en").cast("int").as("y")),
+      "n_chars", "y", nBuckets = 12)
+
+  val q295Sql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT MIN(CAST(n_chars AS DOUBLE)) AS lo,
+      |         MAX(CAST(n_chars AS DOUBLE)) AS hi FROM documents),
+      |t AS (
+      |  SELECT CASE WHEN b.hi = b.lo THEN 1
+      |    ELSE LEAST(12, GREATEST(1,
+      |      CAST(FLOOR((CAST(n_chars AS DOUBLE) - b.lo) * 12
+      |        / (b.hi - b.lo)) + 1 AS BIGINT))) END AS bucket,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents CROSS JOIN b),
+      |tb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(y) AS BIGINT) AS np FROM t GROUP BY 1),
+      |pav(iter, plo, phi, psp, pn) AS (
+      |  SELECT 0,
+      |    (SELECT list(bucket ORDER BY bucket) FROM tb),
+      |    (SELECT list(bucket ORDER BY bucket) FROM tb),
+      |    (SELECT list(np ORDER BY bucket) FROM tb),
+      |    (SELECT list(n ORDER BY bucket) FROM tb)
+      |  UNION ALL
+      |  SELECT iter + 1,
+      |    list_concat(list_concat(plo[1:j-1], [plo[j]]), plo[j+2:]),
+      |    list_concat(list_concat(phi[1:j-1], [phi[j+1]]), phi[j+2:]),
+      |    list_concat(list_concat(psp[1:j-1], [psp[j] + psp[j+1]]),
+      |      psp[j+2:]),
+      |    list_concat(list_concat(pn[1:j-1], [pn[j] + pn[j+1]]),
+      |      pn[j+2:])
+      |  FROM (
+      |    SELECT *, list_filter(generate_series(1, len(psp) - 1),
+      |      i -> psp[i] * pn[i+1] > psp[i+1] * pn[i])[1] AS j
+      |    FROM pav) x WHERE x.j IS NOT NULL),
+      |fin AS (SELECT plo, phi, psp, pn FROM pav
+      |        ORDER BY iter DESC LIMIT 1),
+      |pools AS (
+      |  SELECT plo[k] AS lo, phi[k] AS hi, psp[k] AS sp, pn[k] AS cnt
+      |  FROM (SELECT unnest(generate_series(1, len(psp))) AS k,
+      |          plo, phi, psp, pn FROM fin) e)
+      |SELECT tb.bucket, tb.n, tb.np AS n_pos,
+      |  CAST(CAST(CAST(tb.np AS DOUBLE) / CAST(tb.n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS raw_rate,
+      |  CAST(CAST(CAST(p.sp AS DOUBLE) / CAST(p.cnt AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS fitted_rate
+      |FROM tb JOIN pools p ON tb.bucket BETWEEN p.lo AND p.hi"""
+      .stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1351,6 +1408,7 @@ object Analytics {
     "q289_attribution" -> (q289Attribution _),
     "q293_bradley_terry" -> (q293BradleyTerry _),
     "q294_conformal_gate" -> (q294ConformalGate _),
+    "q295_isotonic" -> (q295Isotonic _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1389,6 +1447,7 @@ object Analytics {
     "q289_attribution" -> q289Sql,
     "q293_bradley_terry" -> q293Sql,
     "q294_conformal_gate" -> q294Sql,
+    "q295_isotonic" -> q295Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

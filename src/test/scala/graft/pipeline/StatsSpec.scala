@@ -265,6 +265,38 @@ class StatsSpec extends SparkSpec {
     assert(out("a") > 0.0 && out("b") > 0.0)
   }
 
+  test("isotonicCalibrate: PAV pools violations, output is monotone") {
+    // 4 occupied bins with rates 0.2, 0.8, 0.4, 1.0: bins 2 and 3
+    // violate → pool to (0.8+0.4)-ish = 6/10 = 0.6; result monotone
+    val rows =
+      (1 to 10).map(i => (0.05, if (i <= 2) 1 else 0)) ++   // bin 1: 0.2
+      (1 to 5).map(i => (0.30, if (i <= 4) 1 else 0)) ++    // bin ~4: 0.8
+      (1 to 5).map(i => (0.60, if (i <= 2) 1 else 0)) ++    // bin ~8: 0.4
+      (1 to 4).map(_ => (0.99, 1))                          // bin 12: 1.0
+    val out = Stats.isotonicCalibrate(
+        rows.toDF("score", "label"), "score", "label", nBuckets = 12)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val fitted = out.toSeq.sortBy(_._1).map(_._2.getAs[Double]("fitted_rate"))
+    assert(fitted == fitted.sorted, s"not monotone: $fitted")
+    // the two violating middle bins share the pooled 6/10 rate
+    val mids = out.filterKeys(k => k > 1 && k < 12).values
+      .map(_.getAs[Double]("fitted_rate")).toSet
+    assert(mids == Set(0.6), s"pooled mid rates: $mids")
+    assert(out(1L).getAs[Double]("fitted_rate") == 0.2)
+    assert(out(12L).getAs[Double]("fitted_rate") == 1.0)
+    // raw rates are reported unpooled
+    assert(out(1L).getAs[Double]("raw_rate") == 0.2)
+  }
+
+  test("isotonicCalibrate: already-monotone data is untouched") {
+    val rows = (1 to 10).map(i => (i.toDouble, if (i > 5) 1 else 0))
+    val out = Stats.isotonicCalibrate(
+        rows.toDF("score", "label"), "score", "label", nBuckets = 5)
+      .collect()
+    assert(out.forall(r =>
+      r.getAs[Double]("raw_rate") == r.getAs[Double]("fitted_rate")))
+  }
+
   test("conformalGate: exact order-statistic threshold and coverage") {
     // 9 calibration scores 1..9; alpha=0.2 → k = ceil(10·0.8) = 8 →
     // qhat = 8.0; test scores 5 and 9 → covered, not
