@@ -1854,6 +1854,114 @@ object TextStats {
         col("unit_entropy"))
   }
 
+  /** Lexical-richness report per corpus slice — the vocabulary-health
+    * panel next to [[heapsFit]]/[[zipfFit]]: per slice, from the word
+    * frequency SPECTRUM (V(m) = # types occurring exactly m times),
+    *
+    *   Yule's K   = 10⁴ · (Σ m²·V(m) − N) / N²      (repetitiveness)
+    *   Simpson's D = Σ m·(m−1)·V(m) / (N·(N−1))     (repeat-draw prob)
+    *   hapax_ratio = V(1) / V                        (novelty share)
+    *   ttr         = V / N                           (type/token)
+    *
+    * Every numerator is an EXACT integer from two aggregates (term
+    * counts → spectrum rollup); the four ratios d6 at the contract.
+    * K and D are length-insensitive (the reason they beat raw TTR for
+    * cross-slice comparison); a machine-generated or template slice
+    * shows K an order of magnitude above prose.
+    *
+    * Shape: one (slice, term)-keyed aggregate (md5 term keys on the
+    * exchange), one (slice, m)-keyed rollup, one slice rollup.
+    * Output: (groupCol, n_tokens, n_types, n_hapax, ttr, hapax_ratio,
+    * yule_k, simpson_d).
+    */
+  def lexicalRichness(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val terms = df
+      .select(col(groupCol).as("_grp"),
+        explode(filter(split(col(textCol), " "),
+          t => length(t) > 0)).as("_tok"))
+      .groupBy(col("_grp"), md5(col("_tok")).as("_th"))
+      .agg(count(lit(1)).as("_m"))
+    val spectrum = terms.groupBy(col("_grp"), col("_m"))
+      .agg(count(lit(1)).as("_vm"))
+    val agg = spectrum.groupBy(col("_grp"))
+      .agg(sum(col("_m") * col("_vm")).as("n_tokens"),
+        sum(col("_vm")).as("n_types"),
+        sum(when(col("_m") === 1L, col("_vm")).otherwise(0L)).as("n_hapax"),
+        sum(col("_m") * col("_m") * col("_vm")).as("_m2v"),
+        sum(col("_m") * (col("_m") - 1L) * col("_vm")).as("_mm1v"))
+    val n = col("n_tokens").cast("double")
+    agg.select(col("_grp").as(groupCol),
+      col("n_tokens"), col("n_types"), col("n_hapax"),
+      d6(col("n_types").cast("double") / n).as("ttr"),
+      d6(col("n_hapax").cast("double") / col("n_types").cast("double"))
+        .as("hapax_ratio"),
+      d6(lit(10000.0) * (col("_m2v").cast("double") - n) / (n * n))
+        .as("yule_k"),
+      when(col("n_tokens") < 2L, lit(0.0))
+        .otherwise(d6(col("_mm1v").cast("double") /
+          (n * (n - lit(1.0))))).as("simpson_d"))
+  }
+
+  /** "Fightin' Words" keyword extraction (Monroe, Colaresi & Quinn
+    * 2008) — WHICH terms distinguish corpus slice A from slice B,
+    * scored the statistically honest way: log-odds-ratio with a
+    * Dirichlet prior from the combined corpus, z-standardized by its
+    * estimated variance:
+    *
+    *   δ_t = ln((y_At + α_t)/(n_A + α0 − y_At − α_t))
+    *       − ln((y_Bt + α_t)/(n_B + α0 − y_Bt − α_t))
+    *   z_t = δ_t / sqrt(1/(y_At + α_t) + 1/(y_Bt + α_t))
+    *
+    * with α_t = α0·y_t/n (the combined-corpus prior). Raw PMI-style
+    * contrasts over-rank rare terms; the prior shrinks them and the
+    * variance normalizes — the published fix, and the tool a curation
+    * team uses to see what a filter actually removed.
+    *
+    * All counts exact integers from term-keyed aggregates; the ln/sqrt
+    * chain evaluates in one fixed order, d6 at the contract. Top-k by
+    * |z| via the (|z| desc, term asc) TakeOrdered cut — deterministic
+    * because z ties break on the term.
+    *
+    * Output: (term, n_a, n_b, delta, z), top `topK` by |z|.
+    */
+  def fightinWords(
+      df: DataFrame,
+      flagCol: String,
+      textCol: String,
+      alpha0: Double = 500.0,
+      topK: Int = 50,
+      minCount: Int = 5): DataFrame = {
+    require(alpha0 > 0, s"alpha0 must be positive, got $alpha0")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val flagged = df.select(col(flagCol).cast("boolean").as("_a"),
+      explode(filter(split(col(textCol), " "),
+        t => length(t) > 0)).as("term"))
+    val counts = flagged.groupBy(col("term"))
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_a"), 0L).otherwise(1L)).as("n_b"))
+      .filter(col("n_a") + col("n_b") >= minCount)
+    val tot = counts.agg(sum(col("n_a")).as("_na"), sum(col("n_b")).as("_nb"))
+    val withTot = counts.crossJoin(broadcast(tot))
+    val nTot = (col("_na") + col("_nb")).cast("double")
+    val at = lit(alpha0) * (col("n_a") + col("n_b")).cast("double") / nTot
+    val ya = col("n_a").cast("double") + at
+    val yb = col("n_b").cast("double") + at
+    val delta =
+      log(ya / (col("_na").cast("double") + lit(alpha0) - ya)) -
+        log(yb / (col("_nb").cast("double") + lit(alpha0) - yb))
+    val z = delta / sqrt(lit(1.0) / ya + lit(1.0) / yb)
+    withTot
+      .select(col("term"), col("n_a"), col("n_b"),
+        d6(delta).as("delta"), d6(z).as("z"))
+      .orderBy(abs(col("z")).desc, col("term").asc)
+      .limit(topK)
+  }
+
   /** Pairwise vocabulary overlap between corpus slices — the
     * cross-lingual / cross-domain contamination-and-kinship map: for
     * every unordered slice pair, the sizes of the two distinct-token

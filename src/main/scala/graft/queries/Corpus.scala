@@ -4708,6 +4708,96 @@ object Corpus {
       |         AS DECIMAL(28,6)) AS DOUBLE) END AS f1
       |FROM nrm LEFT JOIN m USING (doc_id)""".stripMargin
 
+  // q296: lexical-richness panel per language — Yule's K, Simpson's D,
+  // hapax ratio, TTR from the exact frequency spectrum. The oracle
+  // rebuilds the spectrum and the integer numerators.
+  def q296LexicalRichness(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.lexicalRichness(
+      t(s, dir, "documents"), "lang", "text")
+
+  val q296Sql: String =
+    """WITH tk AS (
+      |  SELECT lang, md5(tok) AS th FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) x WHERE tok <> ''),
+      |tc AS (SELECT lang, th, CAST(COUNT(*) AS BIGINT) AS m
+      |       FROM tk GROUP BY 1, 2),
+      |sp AS (SELECT lang, m, CAST(COUNT(*) AS BIGINT) AS vm
+      |       FROM tc GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT lang,
+      |    CAST(SUM(m * vm) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(vm) AS BIGINT) AS n_types,
+      |    CAST(SUM(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT)
+      |      AS n_hapax,
+      |    CAST(SUM(m * m * vm) AS BIGINT) AS m2v,
+      |    CAST(SUM(m * (m - 1) * vm) AS BIGINT) AS mm1v
+      |  FROM sp GROUP BY 1)
+      |SELECT lang, n_tokens, n_types, n_hapax,
+      |  CAST(CAST(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS ttr,
+      |  CAST(CAST(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS hapax_ratio,
+      |  CAST(CAST(10000.0 * (CAST(m2v AS DOUBLE) -
+      |      CAST(n_tokens AS DOUBLE)) /
+      |    (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS yule_k,
+      |  CASE WHEN n_tokens < 2 THEN 0.0
+      |    ELSE CAST(CAST(CAST(mm1v AS DOUBLE) /
+      |      (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS simpson_d
+      |FROM ag""".stripMargin
+
+  // q297: Fightin' Words (Monroe 2008) — prior-shrunk z-scored
+  // log-odds of terms, en vs the rest, top-50 by |z|. The oracle
+  // replays the Dirichlet prior, the two-ln delta, the variance
+  // normalization and the (|z| desc, term) cut.
+  def q297FightinWords(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.fightinWords(
+      t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+      "is_en", "text")
+
+  val q297Sql: String =
+    """WITH tk AS (
+      |  SELECT lang = 'en' AS a, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |counts AS (
+      |  SELECT term,
+      |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM tk WHERE term <> '' GROUP BY 1
+      |  HAVING SUM(CASE WHEN a THEN 1 ELSE 0 END)
+      |       + SUM(CASE WHEN a THEN 0 ELSE 1 END) >= 5),
+      |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na_tot,
+      |               CAST(SUM(n_b) AS BIGINT) AS nb_tot FROM counts),
+      |scored AS (
+      |  SELECT term, n_a, n_b,
+      |    CAST(CAST(
+      |      ln((CAST(n_a AS DOUBLE) + at) /
+      |         (CAST(na_tot AS DOUBLE) + 500.0 -
+      |          (CAST(n_a AS DOUBLE) + at))) -
+      |      ln((CAST(n_b AS DOUBLE) + at) /
+      |         (CAST(nb_tot AS DOUBLE) + 500.0 -
+      |          (CAST(n_b AS DOUBLE) + at)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS delta,
+      |    CAST(CAST(
+      |      (ln((CAST(n_a AS DOUBLE) + at) /
+      |          (CAST(na_tot AS DOUBLE) + 500.0 -
+      |           (CAST(n_a AS DOUBLE) + at))) -
+      |       ln((CAST(n_b AS DOUBLE) + at) /
+      |          (CAST(nb_tot AS DOUBLE) + 500.0 -
+      |           (CAST(n_b AS DOUBLE) + at)))) /
+      |      sqrt(1.0 / (CAST(n_a AS DOUBLE) + at) +
+      |           1.0 / (CAST(n_b AS DOUBLE) + at))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS z
+      |  FROM (
+      |    SELECT c.*, t.na_tot, t.nb_tot,
+      |      500.0 * CAST(c.n_a + c.n_b AS DOUBLE) /
+      |        CAST(t.na_tot + t.nb_tot AS DOUBLE) AS at
+      |    FROM counts c CROSS JOIN tot t) x)
+      |SELECT term, n_a, n_b, delta, z FROM scored
+      |ORDER BY ABS(z) DESC, term ASC LIMIT 50""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
@@ -4729,6 +4819,8 @@ object Corpus {
     "q287_template_score" -> (q287TemplateScore _),
     "q288_rbo" -> (q288Rbo _),
     "q292_token_f1" -> (q292TokenF1 _),
+    "q296_lexical_richness" -> (q296LexicalRichness _),
+    "q297_fightin_words" -> (q297FightinWords _),
     "q253_repeated_suffixes" -> (q253RepeatedSuffixes _),
     "q254_longest_repeats" -> (q254LongestRepeats _),
     "q259_sa_dedup_cut" -> (q259SaDedupCut _),
@@ -4860,6 +4952,8 @@ object Corpus {
     "q287_template_score" -> q287Sql,
     "q288_rbo" -> q288Sql,
     "q292_token_f1" -> q292Sql,
+    "q296_lexical_richness" -> q296Sql,
+    "q297_fightin_words" -> q297Sql,
     "q166_ingest_chain" -> q166Sql,
     "q167_quantize_embed" -> q167Sql,
     "q168_quantized_knn" -> q168Sql,

@@ -1251,6 +1251,51 @@ class CorpusOpsSpec extends SparkSpec {
       tpl.getAs[Double]("unit_entropy"))
   }
 
+  // ---- TextStats.lexicalRichness ----
+
+  test("lexicalRichness: hand-computed spectrum; repetition raises K") {
+    val docs = Seq(
+      ("rep", "x x x x y"),      // spectrum: V(4)=1, V(1)=1; N=5, V=2
+      ("div", "p q r s t")       // all hapax: N=5, V=5
+    ).toDF("grp", "text")
+    val out = TextStats.lexicalRichness(docs, "grp", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rep = out("rep")
+    assert(rep.getAs[Long]("n_tokens") == 5L)
+    assert(rep.getAs[Long]("n_types") == 2L)
+    assert(rep.getAs[Long]("n_hapax") == 1L)
+    assert(rep.getAs[Double]("ttr") == 0.4)
+    assert(rep.getAs[Double]("hapax_ratio") == 0.5)
+    // K = 10^4·(Σm²V(m) − N)/N² = 10^4·(16+1−5)/25 = 4800
+    assert(rep.getAs[Double]("yule_k") == 4800.0)
+    // D = Σm(m−1)V(m)/(N(N−1)) = 12/20 = 0.6
+    assert(rep.getAs[Double]("simpson_d") == 0.6)
+    val div = out("div")
+    assert(div.getAs[Double]("yule_k") == 0.0)
+    assert(div.getAs[Double]("simpson_d") == 0.0)
+    assert(div.getAs[Double]("ttr") == 1.0)
+  }
+
+  // ---- TextStats.fightinWords ----
+
+  test("fightinWords: the slice-exclusive term tops its side") {
+    // 'alpha' only in A (20x), 'beta' only in B (20x), 'shared'
+    // everywhere — shared must score near 0, alpha positive z, beta
+    // negative z, |z_alpha| among the top
+    val docs = (
+      (1 to 20).map(i => (true, "alpha shared")) ++
+      (1 to 20).map(i => (false, "beta shared"))).toDF("is_a", "text")
+    val out = TextStats.fightinWords(docs, "is_a", "text",
+        alpha0 = 10.0, topK = 3, minCount = 5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("alpha").getAs[Double]("z") > 0.5)
+    assert(out("beta").getAs[Double]("z") < -0.5)
+    assert(math.abs(out("shared").getAs[Double]("z")) <
+      out("alpha").getAs[Double]("z"))
+    assert(out("alpha").getAs[Long]("n_a") == 20L)
+    assert(out("alpha").getAs[Long]("n_b") == 0L)
+  }
+
   // ---- Retrieval.evalTokenF1 ----
 
   test("evalTokenF1: SQuAD normalization, partial credit, edge cases") {
