@@ -85,4 +85,100 @@ object EntityResolution {
         (col("n_records") * (col("n_records") - 1) / 2).cast("long"))
       .orderBy(col("n_pairs").desc +: blockCols.map(col): _*)
   }
+
+  /** Fellegi–Sunter match/non-match weights via unsupervised EM
+    * (Fellegi & Sunter 1969; the Winkler EM fit) — the probabilistic
+    * model behind every serious record-linkage stack: candidate pairs
+    * carry k boolean agreement fields, and a two-class mixture learns
+    * P(agree_j | match) = m_j, P(agree_j | unmatch) = u_j and the
+    * match prevalence p WITHOUT labels. Output per agreement PATTERN:
+    * its pair count, the match posterior γ, and the classic F-S weight
+    * ln(P(pattern|M)/P(pattern|U)) — the score a linkage threshold
+    * acts on.
+    *
+    * Scale shape: ONE corpus-sized aggregate collapses the pairs to
+    * the ≤ 2^k pattern table (k ≤ 10 enforced); the EM loop then runs
+    * ENTIRELY driver-side over that bounded table — zero per-round
+    * Spark jobs (tighter than the Lloyd class: the sufficient
+    * statistics are the pattern counts, so one job total).
+    * Replayable-training contract: γ is d6-rounded per round, the
+    * per-pattern moment terms γ·c are then EXACT 6-dp decimals (6-dp
+    * γ × integer c), accumulated order-free; every updated parameter
+    * d6-rounds then clamps to [1e-6, 1−1e-6] (the standard EM
+    * smoothing — also what keeps the final ln weights finite).
+    *
+    * Output: (agreementCols… as int, n_pairs, gamma, weight).
+    */
+  def fellegiSunterEM(
+      pairs: DataFrame,
+      agreementCols: Seq[String],
+      iters: Int = 5,
+      pInit: Double = 0.1,
+      mInit: Double = 0.8,
+      uInit: Double = 0.2): DataFrame = {
+    require(agreementCols.nonEmpty && agreementCols.size <= 10,
+      s"agreementCols must have 1..10 fields, got ${agreementCols.size}")
+    require(iters >= 1 && iters <= 100, s"iters in [1,100], got $iters")
+    val k = agreementCols.size
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def d6c(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def clamp(v: Double): Double = math.min(0.999999, math.max(0.000001, v))
+    val patDf = pairs.groupBy(
+        agreementCols.map(c => col(c).cast("int").as(c)): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+    // ≤ 2^k rows by construction — the bounded collect contract
+    val pats = patDf.collect().map { r =>
+      (agreementCols.indices.map(i => r.getInt(i)).toVector,
+        r.getLong(k))
+    }.sortBy(_._1.mkString)
+    var p = pInit
+    var m = Vector.fill(k)(mInit)
+    var u = Vector.fill(k)(uInit)
+    // products fold LEFT FROM THE PREVALENCE (p·x₁·x₂·…, exactly the
+    // oracle SQL's left-assoc chain — starting from 1.0 would
+    // associate differently and drift by ulps)
+    def likeM(from: Double, a: Vector[Int]): Double =
+      (0 until k).foldLeft(from)((acc, j) =>
+        acc * (if (a(j) == 1) m(j) else 1.0 - m(j)))
+    def likeU(from: Double, a: Vector[Int]): Double =
+      (0 until k).foldLeft(from)((acc, j) =>
+        acc * (if (a(j) == 1) u(j) else 1.0 - u(j)))
+    for (_ <- 0 until iters) {
+      val gam = pats.map { case (a, _) =>
+        val num = likeM(p, a)
+        d6c(num / (num + likeU(1.0 - p, a)))
+      }
+      // γ·c and (1−γ)·c are exact 6-dp decimals: order-free sums
+      val gc = pats.zip(gam).map { case ((_, c), g) =>
+        BigDecimal(g) * BigDecimal(c) }
+      val ngc = pats.zip(gam).map { case ((_, c), g) =>
+        BigDecimal(d6c(1.0 - g)) * BigDecimal(c) }
+      val n = pats.map(_._2).sum
+      val sumGc = gc.sum
+      val sumNgc = ngc.sum
+      p = clamp(d6c(sumGc.toDouble / n.toDouble))
+      m = Vector.tabulate(k)(j => clamp(d6c(
+        pats.indices.filter(i => pats(i)._1(j) == 1)
+          .map(gc).sum.toDouble / sumGc.toDouble)))
+      u = Vector.tabulate(k)(j => clamp(d6c(
+        pats.indices.filter(i => pats(i)._1(j) == 1)
+          .map(ngc).sum.toDouble / sumNgc.toDouble)))
+    }
+    val result = pats.map { case (a, c) =>
+      val num = likeM(p, a)
+      val gamma = d6c(num / (num + likeU(1.0 - p, a)))
+      val weight = d6c(math.log(likeM(1.0, a)) - math.log(likeU(1.0, a)))
+      (a.mkString(","), gamma, weight)
+    }
+    val scoreDf = broadcast(
+      result.toSeq.toDF("_pk", "gamma", "weight"))
+    patDf
+      .withColumn("_pk", concat_ws(",",
+        agreementCols.map(c => col(c).cast("string")): _*))
+      .join(scoreDf, Seq("_pk"))
+      .select(agreementCols.map(col) :+ col("n_pairs") :+ col("gamma") :+
+        col("weight"): _*)
+  }
 }

@@ -1360,6 +1360,133 @@ object Analytics {
       |FROM tb JOIN pools p ON tb.bucket BETWEEN p.lo AND p.hi"""
       .stripMargin
 
+  // q298: Fellegi-Sunter EM over blocked customer pairs — three
+  // agreement fields (same balance band, close balance, custkey
+  // residue), 4 EM rounds. The oracle replays the whole fit in a
+  // recursive CTE over the 8-row pattern table: per round the d6
+  // gamma, the EXACT 6-dp moment terms, the d6 + clamp M-step.
+  def q298FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val a = c.select(col("c_nationkey").as("nk"),
+      col("c_mktsegment").as("seg"), col("c_custkey").as("ka"),
+      col("c_acctbal").as("ba"))
+    val bb = c.select(col("c_nationkey").as("nk"),
+      col("c_mktsegment").as("seg"), col("c_custkey").as("kb"),
+      col("c_acctbal").as("bb"))
+    val pr = a.join(bb, Seq("nk", "seg")).filter(col("ka") < col("kb"))
+      .select(
+        (floor(col("ba") / 2000.0) === floor(col("bb") / 2000.0))
+          .as("a1"),
+        (abs(col("ba") - col("bb")) < lit(500.0)).as("a2"),
+        (col("ka") % 10 === col("kb") % 10).as("a3"))
+    graft.pipeline.EntityResolution.fellegiSunterEM(
+      pr, Seq("a1", "a2", "a3"), iters = 4)
+  }
+
+  val q298Sql: String =
+    """WITH RECURSIVE pr AS (
+      |  SELECT
+      |    CASE WHEN floor(a.c_acctbal / 2000.0) =
+      |      floor(b.c_acctbal / 2000.0) THEN 1 ELSE 0 END AS a1,
+      |    CASE WHEN abs(a.c_acctbal - b.c_acctbal) < 500.0
+      |      THEN 1 ELSE 0 END AS a2,
+      |    CASE WHEN a.c_custkey % 10 = b.c_custkey % 10
+      |      THEN 1 ELSE 0 END AS a3
+      |  FROM customer a JOIN customer b
+      |    ON a.c_nationkey = b.c_nationkey
+      |   AND a.c_mktsegment = b.c_mktsegment
+      |   AND a.c_custkey < b.c_custkey),
+      |pt AS (SELECT a1, a2, a3, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM pr GROUP BY 1, 2, 3),
+      |em(iter, p, m1, m2, m3, u1, u2, u3) AS (
+      |  SELECT 0, CAST(0.1 AS DOUBLE),
+      |    CAST(0.8 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.8 AS DOUBLE),
+      |    CAST(0.2 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.2 AS DOUBLE)
+      |  UNION ALL
+      |  SELECT iter + 1,
+      |    LEAST(0.999999, GREATEST(0.000001, CAST(CAST(
+      |      CAST(sgc AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE))),
+      |    LEAST(0.999999, GREATEST(0.000001, CAST(CAST(
+      |      CAST(g1 AS DOUBLE) / CAST(sgc AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE))),
+      |    LEAST(0.999999, GREATEST(0.000001, CAST(CAST(
+      |      CAST(g2 AS DOUBLE) / CAST(sgc AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE))),
+      |    LEAST(0.999999, GREATEST(0.000001, CAST(CAST(
+      |      CAST(g3 AS DOUBLE) / CAST(sgc AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE))),
+      |    LEAST(0.999999, GREATEST(0.000001, CAST(CAST(
+      |      CAST(h1 AS DOUBLE) / CAST(sngc AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE))),
+      |    LEAST(0.999999, GREATEST(0.000001, CAST(CAST(
+      |      CAST(h2 AS DOUBLE) / CAST(sngc AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE))),
+      |    LEAST(0.999999, GREATEST(0.000001, CAST(CAST(
+      |      CAST(h3 AS DOUBLE) / CAST(sngc AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE)))
+      |  FROM (
+      |    SELECT iter,
+      |      SUM(gc) AS sgc, SUM(ngc) AS sngc, SUM(c) AS n,
+      |      SUM(CASE WHEN a1 = 1 THEN gc ELSE 0 END) AS g1,
+      |      SUM(CASE WHEN a2 = 1 THEN gc ELSE 0 END) AS g2,
+      |      SUM(CASE WHEN a3 = 1 THEN gc ELSE 0 END) AS g3,
+      |      SUM(CASE WHEN a1 = 1 THEN ngc ELSE 0 END) AS h1,
+      |      SUM(CASE WHEN a2 = 1 THEN ngc ELSE 0 END) AS h2,
+      |      SUM(CASE WHEN a3 = 1 THEN ngc ELSE 0 END) AS h3
+      |    FROM (
+      |      SELECT iter, a1, a2, a3, c,
+      |        CAST(gamma * c AS DECIMAL(28,6)) AS gc,
+      |        CAST(CAST(CAST(1.0 - gamma AS DECIMAL(28,6)) AS DOUBLE)
+      |          * c AS DECIMAL(28,6)) AS ngc
+      |      FROM (
+      |        SELECT em.iter, pt.a1, pt.a2, pt.a3, pt.c,
+      |          CAST(CAST(
+      |            (em.p *
+      |             (CASE WHEN pt.a1 = 1 THEN em.m1 ELSE 1.0 - em.m1 END) *
+      |             (CASE WHEN pt.a2 = 1 THEN em.m2 ELSE 1.0 - em.m2 END) *
+      |             (CASE WHEN pt.a3 = 1 THEN em.m3 ELSE 1.0 - em.m3 END))
+      |            /
+      |            ((em.p *
+      |             (CASE WHEN pt.a1 = 1 THEN em.m1 ELSE 1.0 - em.m1 END) *
+      |             (CASE WHEN pt.a2 = 1 THEN em.m2 ELSE 1.0 - em.m2 END) *
+      |             (CASE WHEN pt.a3 = 1 THEN em.m3 ELSE 1.0 - em.m3 END))
+      |            +
+      |            ((1.0 - em.p) *
+      |             (CASE WHEN pt.a1 = 1 THEN em.u1 ELSE 1.0 - em.u1 END) *
+      |             (CASE WHEN pt.a2 = 1 THEN em.u2 ELSE 1.0 - em.u2 END) *
+      |             (CASE WHEN pt.a3 = 1 THEN em.u3 ELSE 1.0 - em.u3 END)))
+      |            AS DECIMAL(28,6)) AS DOUBLE) AS gamma
+      |        FROM em CROSS JOIN pt WHERE em.iter < 4) e0) e1
+      |    GROUP BY iter) ms),
+      |fin AS (SELECT * FROM em WHERE iter = 4)
+      |SELECT pt.a1, pt.a2, pt.a3, pt.c AS n_pairs,
+      |  CAST(CAST(
+      |    (f.p *
+      |     (CASE WHEN pt.a1 = 1 THEN f.m1 ELSE 1.0 - f.m1 END) *
+      |     (CASE WHEN pt.a2 = 1 THEN f.m2 ELSE 1.0 - f.m2 END) *
+      |     (CASE WHEN pt.a3 = 1 THEN f.m3 ELSE 1.0 - f.m3 END))
+      |    /
+      |    ((f.p *
+      |     (CASE WHEN pt.a1 = 1 THEN f.m1 ELSE 1.0 - f.m1 END) *
+      |     (CASE WHEN pt.a2 = 1 THEN f.m2 ELSE 1.0 - f.m2 END) *
+      |     (CASE WHEN pt.a3 = 1 THEN f.m3 ELSE 1.0 - f.m3 END))
+      |    +
+      |    ((1.0 - f.p) *
+      |     (CASE WHEN pt.a1 = 1 THEN f.u1 ELSE 1.0 - f.u1 END) *
+      |     (CASE WHEN pt.a2 = 1 THEN f.u2 ELSE 1.0 - f.u2 END) *
+      |     (CASE WHEN pt.a3 = 1 THEN f.u3 ELSE 1.0 - f.u3 END)))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS gamma,
+      |  CAST(CAST(
+      |    ln((CASE WHEN pt.a1 = 1 THEN f.m1 ELSE 1.0 - f.m1 END) *
+      |       (CASE WHEN pt.a2 = 1 THEN f.m2 ELSE 1.0 - f.m2 END) *
+      |       (CASE WHEN pt.a3 = 1 THEN f.m3 ELSE 1.0 - f.m3 END)) -
+      |    ln((CASE WHEN pt.a1 = 1 THEN f.u1 ELSE 1.0 - f.u1 END) *
+      |       (CASE WHEN pt.a2 = 1 THEN f.u2 ELSE 1.0 - f.u2 END) *
+      |       (CASE WHEN pt.a3 = 1 THEN f.u3 ELSE 1.0 - f.u3 END))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS weight
+      |FROM pt CROSS JOIN fin f""".stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1409,6 +1536,7 @@ object Analytics {
     "q293_bradley_terry" -> (q293BradleyTerry _),
     "q294_conformal_gate" -> (q294ConformalGate _),
     "q295_isotonic" -> (q295Isotonic _),
+    "q298_fellegi_sunter" -> (q298FellegiSunter _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1448,6 +1576,7 @@ object Analytics {
     "q293_bradley_terry" -> q293Sql,
     "q294_conformal_gate" -> q294Sql,
     "q295_isotonic" -> q295Sql,
+    "q298_fellegi_sunter" -> q298Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

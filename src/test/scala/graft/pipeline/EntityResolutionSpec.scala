@@ -59,4 +59,28 @@ class EntityResolutionSpec extends SparkSpec {
     assert(out.head == ("X", 3L, 3L))
     assert(out(1) == ("Y", 1L, 0L))
   }
+
+  test("fellegiSunterEM separates an all-agree mass from an all-disagree " +
+      "mass: gamma ordering, weight signs, posterior sanity") {
+    // 100 pairs agree on everything (the duplicate mass), 900 agree on
+    // nothing, 50 mixed — EM must put gamma(1,1,1) >> gamma(0,0,0) and
+    // the F-S weight positive for full agreement, negative for none
+    val rows = Seq.fill(100)((true, true, true)) ++
+      Seq.fill(900)((false, false, false)) ++
+      Seq.fill(50)((true, false, false))
+    val out = EntityResolution.fellegiSunterEM(
+        rows.toDF("a1", "a2", "a3"), Seq("a1", "a2", "a3"), iters = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r).toMap
+    val full = out((1, 1, 1))
+    val none = out((0, 0, 0))
+    assert(full.getAs[Long]("n_pairs") == 100L)
+    assert(full.getAs[Double]("gamma") > 0.9,
+      s"full-agreement gamma: ${full.getAs[Double]("gamma")}")
+    assert(none.getAs[Double]("gamma") < 0.1)
+    assert(full.getAs[Double]("weight") > 0.0)
+    assert(none.getAs[Double]("weight") < 0.0)
+    assert(out((1, 0, 0)).getAs[Double]("gamma") <
+      full.getAs[Double]("gamma"))
+  }
 }
