@@ -55,7 +55,11 @@ object ScaleStress {
 
   private val entries = Seq(
     "q1_agg", "q15_dedup_exact", "q27_minhash_lsh", "q38_streaming_sessions",
-    "q129_semantic_dedup", "q163_semantic_dedup_ann", "q202_pipeline_e2e")
+    "q129_semantic_dedup", "q163_semantic_dedup_ann", "q202_pipeline_e2e",
+    // round-12 additions: the new heavyweight (suffix-array dedup cut —
+    // class-5 corpus-sized loop state, the honest stress case) and the
+    // zero-shuffle PII chain (expected ~linear wall-clock, the control)
+    "q259_sa_dedup_cut", "q282_card_audit")
 
   /** Big tables replicated FACTOR×; dims copied through unchanged. */
   private val replicated = Seq(

@@ -158,4 +158,68 @@ class PipelinePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: tokenF1 is symmetric in (pred, gold); EM implies F1=1") {
+    (1 to 6).foreach { s =>
+      val a = sample(corpus, s.toLong)
+      val b = sample(corpus, s.toLong + 100)
+      val n = math.min(a.size, b.size)
+      val pairs = (0 until n).map(i => (i.toLong, a(i), b(i)))
+        .toDF("id", "pred", "gold")
+      val fwd = Retrieval.evalTokenF1(pairs, "id", "pred", "gold")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      val rev = Retrieval.evalTokenF1(
+          pairs.select(col("id"), col("gold").as("pred"),
+            col("pred").as("gold")), "id", "pred", "gold")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      fwd.foreach { case (id, r) =>
+        assert(r.getAs[Double]("f1") == rev(id).getAs[Double]("f1"),
+          s"seed $s id $id")
+        assert(r.getAs[Double]("f1") >= 0.0 && r.getAs[Double]("f1") <= 1.0)
+        if (r.getAs[Int]("exact_match") == 1)
+          assert(r.getAs[Double]("f1") == 1.0, s"seed $s id $id")
+      }
+    }
+  }
+
+  test("property: containment dominates jaccard on every surfaced pair") {
+    (1 to 6).foreach { s =>
+      val docs = sample(corpus, s.toLong)
+      val sh = TextDedup.shingles(df(docs), "doc_id", "text", n = 2)
+      val cont = TextDedup.containmentPairs(sh, "doc_id",
+          threshold = 0.01, maxShingleDocs = Int.MaxValue)
+        .collect()
+      cont.foreach { r =>
+        val cab = r.getAs[Double]("c_a_in_b")
+        val cba = r.getAs[Double]("c_b_in_a")
+        // jaccard = c/(na+nb−c) ≤ min containment direction bound:
+        // both containments ≥ jaccard since |A∪B| ≥ max(|A|,|B|)
+        val j = {
+          val common = r.getAs[Long]("n_common").toDouble
+          // reconstruct sizes from the two containments
+          val sa = common / cab; val sb = common / cba
+          common / (sa + sb - common)
+        }
+        assert(cab + 1e-9 >= j && cba + 1e-9 >= j, s"seed $s")
+        assert(cab <= 1.0 + 1e-9 && cba <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("property: percentileGate keeps exactly max(1, floor(frac·n))") {
+    (1 to 6).foreach { s =>
+      val docs = sample(corpus, s.toLong)
+      val scored = docs.zipWithIndex
+        .map { case (t, i) => (s"g${i % 3}", i.toLong, t.length.toLong) }
+        .toDF("grp", "id", "score")
+      val out = Sampling.percentileGate(scored, "grp", "id", "score", 0.4)
+        .collect()
+      out.groupBy(_.getString(0)).foreach { case (g, rows) =>
+        val n = rows.length
+        val kept = rows.count(_.getAs[Int]("kept") == 1)
+        assert(kept == math.max(1, math.floor(0.4 * n).toInt),
+          s"seed $s group $g n=$n kept=$kept")
+      }
+    }
+  }
 }
