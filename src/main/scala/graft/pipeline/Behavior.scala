@@ -399,4 +399,92 @@ object Behavior {
         sum(when(col("_m") === "f", 1L).otherwise(0L)).as("first_touch"),
         sum(when(col("_m") === "l", 1L).otherwise(0L)).as("last_touch"))
   }
+
+  /** EXACT Shapley channel attribution (Shapley 1953 applied to the
+    * marketing coalition game) — the principled answer to the
+    * first-vs-last-touch argument [[attribution]] reports: the
+    * characteristic function v(S) counts converted journeys whose
+    * touch-type SET is contained in S, and each channel gets its exact
+    * Shapley value. Journeys are [[attribution]]'s (reset at each
+    * conversion; zero-touch conversions contribute nothing — v(∅) = 0,
+    * so Σ φ = total attributed conversions, the conservation law the
+    * spec pins).
+    *
+    * Exactness at 100 TB: the corpus collapses to (journey touch-SET →
+    * count) — at most 2^k rows for k channels (k ≤ `maxChannels` ≤ 16
+    * enforced BEFORE any driver collect) — and the 2^k-subset Shapley
+    * enumeration runs driver-side in INTEGER arithmetic (weights
+    * s!(k−s−1)! scaled by k!, BigInt sums), one double division per
+    * channel at the output, d6. No sampling, no Monte Carlo — with the
+    * channel cardinality bounded, exact is affordable and replayable.
+    *
+    * Output per channel: (event_type, n_journeys, shapley).
+    */
+  def shapleyAttribution(
+      events: DataFrame,
+      userCol: String,
+      idCol: String,
+      tsCol: String,
+      typeCol: String,
+      convType: String,
+      maxChannels: Int = 10): DataFrame = {
+    require(maxChannels >= 1 && maxChannels <= 16,
+      s"maxChannels in [1,16], got $maxChannels")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val u = col(userCol)
+    val w = Window.partitionBy(u).orderBy(col(tsCol).asc, col(idCol).asc)
+    val isConv = (col(typeCol) === convType).cast("long")
+    val withJ = events
+      .withColumn("_g_conv", isConv)
+      .withColumn("_g_j",
+        coalesce(sum(col("_g_conv")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val touchSets = withJ.filter(col("_g_conv") === 0L)
+      .groupBy(u, col("_g_j"))
+      .agg(sort_array(collect_set(col(typeCol))).as("_g_set"))
+    val converted = withJ.filter(col("_g_conv") === 1L)
+      .select(u, col("_g_j"))
+    val setCountsDf = converted.join(touchSets, Seq(userCol, "_g_j"))
+      .groupBy(concat_ws("|", col("_g_set")).as("_g_key"))
+      .agg(count(lit(1)).as("_g_c"))
+    val nChannels = setCountsDf
+      .select(explode(split(col("_g_key"), "\\|")).as("_c")).distinct()
+      .count()
+    require(nChannels <= maxChannels,
+      s"shapleyAttribution: $nChannels channels exceed " +
+        s"maxChannels=$maxChannels — exact enumeration is 2^k")
+    // bounded collects: ≤ 2^k set rows, ≤ k channels
+    val setCounts = setCountsDf.collect()
+      .map(r => r.getString(0).split('|').filter(_.nonEmpty).toSet ->
+        r.getLong(1))
+    val channels = setCounts.flatMap(_._1).distinct.sorted
+    val k = channels.length
+    val idx = channels.zipWithIndex.toMap
+    val masked = setCounts.map { case (s, c) =>
+      s.foldLeft(0)((m, ch) => m | (1 << idx(ch))) -> c
+    }
+    val vFn = Array.tabulate(1 << k)(sub =>
+      masked.collect { case (m, c) if (m & sub) == m => c }.sum)
+    val fact = Array.iterate(BigInt(1), k + 1)(identity).zipWithIndex
+      .map { case (_, i) => (1 to i).foldLeft(BigInt(1))(_ * _) }
+    val rows = channels.zipWithIndex.map { case (ch, i) =>
+      val bit = 1 << i
+      var num = BigInt(0)
+      var sub = 0
+      while (sub < (1 << k)) {
+        if ((sub & bit) == 0) {
+          val s = java.lang.Integer.bitCount(sub)
+          num += fact(s) * fact(k - s - 1) *
+            BigInt(vFn(sub | bit) - vFn(sub))
+        }
+        sub += 1
+      }
+      val phi = BigDecimal(num.toDouble / fact(k).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nJ = masked.collect { case (m, c) if (m & bit) != 0 => c }.sum
+      (ch, nJ, phi)
+    }
+    rows.toSeq.toDF("event_type", "n_journeys", "shapley")
+  }
 }

@@ -673,6 +673,108 @@ object Stats {
             lit(nSigma) * d6(col("_sigma"))).cast("int").as("is_alarm"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013, the industry-standard
+    * experiment-sensitivity fix): adjust each unit's experiment-period
+    * metric by its PRE-period covariate, Y' = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X) — same mean, variance shrunk by the squared
+    * correlation, so the same experiment detects effects ~1/(1−ρ²)
+    * sooner. Reports per arm the raw and adjusted means plus the
+    * variance-reduction share.
+    *
+    * Moments come from ONE aggregate of exact decimal sums (ΣX, ΣY,
+    * ΣX², ΣXY, ΣY² as decimal(38,6) over d6-rounded inputs — the dsum
+    * discipline, so cov/var are order-free); θ is pooled across arms
+    * (the published estimator — computing it per arm would bias the
+    * adjustment), derived in one fixed expression order, d6 at every
+    * output. Degenerate var(X) = 0 fails loudly (no covariate signal —
+    * CUPED is the wrong tool).
+    *
+    * Output per arm: (armCol, n_units, mean_raw, mean_adj, theta,
+    * var_reduction).
+    */
+  def cuped(
+      df: DataFrame,
+      armCol: String,
+      preCol: String,
+      postCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val x6 = col(preCol).cast("decimal(28,6)")
+    val y6 = col(postCol).cast("decimal(28,6)")
+    val pooled = df.agg(
+      count(lit(1)).as("_n"),
+      sum(x6).as("_sx"), sum(y6).as("_sy"),
+      sum((x6 * x6).cast("decimal(38,6)")).as("_sxx"),
+      sum((x6 * y6).cast("decimal(38,6)")).as("_sxy"))
+    val nD = col("_n").cast("double")
+    val varX = col("_sxx").cast("double") / nD -
+      (col("_sx").cast("double") / nD) * (col("_sx").cast("double") / nD)
+    val covXY = col("_sxy").cast("double") / nD -
+      (col("_sx").cast("double") / nD) * (col("_sy").cast("double") / nD)
+    val thetaRaw = when(varX <= 0.0,
+        raise_error(lit("cuped: var(pre) = 0 — no covariate signal"))
+          .cast("double"))
+      .otherwise(covXY / varX)
+    val params = pooled.select(
+      d6(thetaRaw).as("theta"),
+      d6(col("_sx").cast("double") / nD).as("_xbar"),
+      d6(varX).as("_varx"), d6(covXY).as("_covxy"))
+    val perArm = df.groupBy(col(armCol))
+      .agg(count(lit(1)).as("n_units"),
+        sum(x6).as("_ax"), sum(y6).as("_ay"),
+        sum((y6 * y6).cast("decimal(38,6)")).as("_ayy"),
+        sum((x6 * y6).cast("decimal(38,6)")).as("_axy"),
+        sum((x6 * x6).cast("decimal(38,6)")).as("_axx"))
+      .crossJoin(broadcast(params))
+    val an = col("n_units").cast("double")
+    val meanY = col("_ay").cast("double") / an
+    val meanX = col("_ax").cast("double") / an
+    // per-arm var(Y) and var(Y') from the same moment set: var(Y') =
+    // var(Y) − 2θcov + θ²var(X), all per-arm centered
+    val aVarY = col("_ayy").cast("double") / an - meanY * meanY
+    val aVarX = col("_axx").cast("double") / an - meanX * meanX
+    val aCov = col("_axy").cast("double") / an - meanX * meanY
+    val adjVar = aVarY - lit(2.0) * col("theta") * aCov +
+      col("theta") * col("theta") * aVarX
+    perArm.select(col(armCol), col("n_units"),
+      d6(meanY).as("mean_raw"),
+      d6(meanY - col("theta") * (meanX - col("_xbar"))).as("mean_adj"),
+      col("theta"),
+      when(aVarY <= 0.0, lit(0.0))
+        .otherwise(d6(lit(1.0) - adjVar / aVarY)).as("var_reduction"))
+  }
+
+  /** Difference-in-differences (the canonical 2×2): treatment effect =
+    * (treated_post − treated_pre) − (control_post − control_pre) from
+    * four exact-decimal-summed cell means, one aggregate, d6 at the
+    * contract. The causal-reading caveat (parallel trends) is the
+    * caller's; the arithmetic is this.
+    *
+    * Output ONE row: (n_rows, mean_t_pre, mean_t_post, mean_c_pre,
+    * mean_c_post, did).
+    */
+  def diffInDiff(
+      df: DataFrame,
+      treatedCol: String,
+      postCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val v6 = col(valueCol).cast("decimal(28,6)")
+    val t = col(treatedCol).cast("boolean")
+    val p = col(postCol).cast("boolean")
+    def cell(ct: Boolean, cp: Boolean, nm: String) = Seq(
+      sum(when(t === ct && p === cp, v6)).as(s"_s$nm"),
+      sum(when(t === ct && p === cp, 1L).otherwise(0L)).as(s"_n$nm"))
+    val cells = cell(true, false, "tp") ++ cell(true, true, "tq") ++
+      cell(false, false, "cp") ++ cell(false, true, "cq")
+    val agg = df.agg(count(lit(1)).as("n_rows"), cells: _*)
+    def mean(nm: String) =
+      col(s"_s$nm").cast("double") / col(s"_n$nm").cast("double")
+    agg.select(col("n_rows"),
+      d6(mean("tp")).as("mean_t_pre"), d6(mean("tq")).as("mean_t_post"),
+      d6(mean("cp")).as("mean_c_pre"), d6(mean("cq")).as("mean_c_post"),
+      d6((mean("tq") - mean("tp")) - (mean("cq") - mean("cp"))).as("did"))
+  }
+
   /** Split-conformal prediction gate (Vovk et al.; the Angelopoulos &
     * Bates 2021 tutorial form) — the DISTRIBUTION-FREE way to turn any
     * model score into a calibrated accept/flag decision: from a held-out

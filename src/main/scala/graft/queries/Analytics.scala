@@ -1487,6 +1487,211 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS weight
       |FROM pt CROSS JOIN fin f""".stripMargin
 
+  // q299: CUPED over per-user event value (pre = first half of the
+  // time range, post = second; arms by user parity). The oracle
+  // replays the integer midpoint split, the decimal per-user sums,
+  // the pooled theta and both adjusted outputs.
+  def q299Cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val us = Tables.tsUs(ev, "ts")
+    val mid = ev.agg(min(us).as("_a"), max(us).as("_b"))
+      .select(expr("(_a + _b) div 2").as("_mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(us < col("_mid"),
+          col("value").cast("decimal(28,6)"))), lit(0).cast("decimal(28,6)"))
+          .cast("double").as("pre"),
+        coalesce(sum(when(us >= col("_mid"),
+          col("value").cast("decimal(28,6)"))), lit(0).cast("decimal(28,6)"))
+          .cast("double").as("post"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    graft.pipeline.Stats.cuped(perUser, "arm", "pre", "post")
+  }
+
+  // q300: difference-in-differences on event values — treated = even
+  // users, post = second half of the time range.
+  def q300DiD(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val us = Tables.tsUs(ev, "ts")
+    val mid = ev.agg(min(us).as("_a"), max(us).as("_b"))
+      .select(expr("(_a + _b) div 2").as("_mid"))
+    graft.pipeline.Stats.diffInDiff(
+      ev.crossJoin(broadcast(mid))
+        .select((col("user_id") % 2 === 0).as("treated"),
+          (us >= col("_mid")).as("post"), col("value")),
+      "treated", "post", "value")
+  }
+
+  // q301: EXACT Shapley channel attribution over purchase journeys —
+  // the coalition game on the 4 non-purchase event types. The oracle
+  // enumerates all 2^k subsets with bitmask membership, integer
+  // s!(k−s−1)! weights and one closing division by k!.
+  def q301Shapley(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Behavior.shapleyAttribution(t(s, dir, "events"),
+      "user_id", "event_id", "ts", "event_type", convType = "purchase")
+
+  val q299Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events),
+      |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM e),
+      |pu AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+      |    CAST(COALESCE(SUM(CASE WHEN us < m
+      |      THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS x,
+      |    CAST(COALESCE(SUM(CASE WHEN us >= m
+      |      THEN CAST(value AS DECIMAL(28,6)) END), 0) AS DOUBLE) AS y
+      |  FROM e CROSS JOIN mid GROUP BY 1, 2),
+      |pool AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(28,6))) AS sy,
+      |    SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+      |      AS DECIMAL(38,6))) AS sxx,
+      |    SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+      |      AS DECIMAL(38,6))) AS sxy
+      |  FROM pu),
+      |prm AS (
+      |  SELECT
+      |    CAST(CAST((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) -
+      |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) /
+      |      (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) -
+      |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS theta,
+      |    CAST(CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS xbar
+      |  FROM pool),
+      |arm AS (
+      |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+      |    SUM(CAST(x AS DECIMAL(28,6))) AS ax,
+      |    SUM(CAST(y AS DECIMAL(28,6))) AS ay,
+      |    SUM(CAST(CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+      |      AS DECIMAL(38,6))) AS ayy,
+      |    SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+      |      AS DECIMAL(38,6))) AS axy,
+      |    SUM(CAST(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+      |      AS DECIMAL(38,6))) AS axx
+      |  FROM pu GROUP BY 1)
+      |SELECT arm, n_units,
+      |  CAST(CAST(CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_raw,
+      |  CAST(CAST(CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE) -
+      |    theta * (CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE) - xbar)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_adj,
+      |  theta,
+      |  CASE WHEN CAST(ayy AS DOUBLE) / CAST(n_units AS DOUBLE) -
+      |      (CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)) *
+      |      (CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)) <= 0.0
+      |    THEN 0.0
+      |    ELSE CAST(CAST(1.0 -
+      |      (CAST(ayy AS DOUBLE) / CAST(n_units AS DOUBLE) -
+      |        (CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)) *
+      |        (CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)) -
+      |       2.0 * theta *
+      |        (CAST(axy AS DOUBLE) / CAST(n_units AS DOUBLE) -
+      |         (CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE)) *
+      |         (CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE))) +
+      |       theta * theta *
+      |        (CAST(axx AS DOUBLE) / CAST(n_units AS DOUBLE) -
+      |         (CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE)) *
+      |         (CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE)))) /
+      |      (CAST(ayy AS DOUBLE) / CAST(n_units AS DOUBLE) -
+      |        (CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)) *
+      |        (CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS var_reduction
+      |FROM arm CROSS JOIN prm""".stripMargin
+
+  val q300Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events),
+      |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS m FROM e),
+      |f AS (
+      |  SELECT user_id % 2 = 0 AS t, us >= m AS p,
+      |    CAST(value AS DECIMAL(28,6)) AS v
+      |  FROM e CROSS JOIN mid)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(CAST(CAST(SUM(CASE WHEN t AND NOT p THEN v END) AS DOUBLE) /
+      |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_t_pre,
+      |  CAST(CAST(CAST(SUM(CASE WHEN t AND p THEN v END) AS DOUBLE) /
+      |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_t_post,
+      |  CAST(CAST(CAST(SUM(CASE WHEN NOT t AND NOT p THEN v END)
+      |      AS DOUBLE) /
+      |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_c_pre,
+      |  CAST(CAST(CAST(SUM(CASE WHEN NOT t AND p THEN v END) AS DOUBLE) /
+      |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_c_post,
+      |  CAST(CAST(
+      |    (CAST(SUM(CASE WHEN t AND p THEN v END) AS DOUBLE) /
+      |      CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS DOUBLE) -
+      |     CAST(SUM(CASE WHEN t AND NOT p THEN v END) AS DOUBLE) /
+      |      CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS DOUBLE))
+      |    -
+      |    (CAST(SUM(CASE WHEN NOT t AND p THEN v END) AS DOUBLE) /
+      |      CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS DOUBLE) -
+      |     CAST(SUM(CASE WHEN NOT t AND NOT p THEN v END) AS DOUBLE) /
+      |      CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)
+      |        AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS did
+      |FROM f""".stripMargin
+
+  val q301Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_type,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      |  FROM events),
+      |j AS (
+      |  SELECT *, COALESCE(SUM(conv) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+      |  FROM e),
+      |ch AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS ci FROM
+      |       (SELECT DISTINCT event_type AS c FROM j WHERE conv = 0) x),
+      |kk AS (SELECT CAST(COUNT(*) AS INT) AS k FROM ch),
+      |tm AS (
+      |  SELECT j.user_id, j.jid,
+      |    CAST(SUM(DISTINCT (CAST(1 AS BIGINT) << ch.ci)) AS BIGINT)
+      |      AS mask
+      |  FROM j JOIN ch ON j.event_type = ch.c WHERE j.conv = 0
+      |  GROUP BY 1, 2),
+      |cv AS (SELECT user_id, jid FROM j WHERE conv = 1),
+      |jm AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM cv JOIN tm USING (user_id, jid) GROUP BY 1),
+      |subs AS (SELECT unnest(generate_series(0,
+      |           (SELECT (CAST(1 AS BIGINT) << k) - 1 FROM kk))) AS s),
+      |v AS (
+      |  SELECT s, COALESCE(SUM(CASE WHEN (jm.mask & subs.s) = jm.mask
+      |    THEN jm.cnt END), 0) AS v
+      |  FROM subs LEFT JOIN jm ON TRUE GROUP BY s),
+      |nj AS (
+      |  SELECT ch.c, ch.ci,
+      |    CAST(COALESCE(SUM(CASE WHEN
+      |      (jm.mask & (CAST(1 AS BIGINT) << ch.ci)) <> 0
+      |      THEN jm.cnt END), 0) AS BIGINT) AS n_journeys
+      |  FROM ch LEFT JOIN jm ON TRUE GROUP BY 1, 2),
+      |phi AS (
+      |  SELECT ch.c AS event_type, ch.ci,
+      |    SUM(factorial(bit_count(v0.s)) *
+      |        factorial(kk.k - bit_count(v0.s) - 1) *
+      |        (v1.v - v0.v)) AS num,
+      |    MAX(kk.k) AS k
+      |  FROM ch CROSS JOIN kk
+      |  JOIN v v0 ON (v0.s & (CAST(1 AS BIGINT) << ch.ci)) = 0
+      |  JOIN v v1 ON v1.s = (v0.s | (CAST(1 AS BIGINT) << ch.ci))
+      |  GROUP BY 1, 2)
+      |SELECT phi.event_type, nj.n_journeys,
+      |  CAST(CAST(CAST(phi.num AS DOUBLE) /
+      |    CAST(factorial(phi.k) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS shapley
+      |FROM phi JOIN nj ON phi.ci = nj.ci""".stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1537,6 +1742,9 @@ object Analytics {
     "q294_conformal_gate" -> (q294ConformalGate _),
     "q295_isotonic" -> (q295Isotonic _),
     "q298_fellegi_sunter" -> (q298FellegiSunter _),
+    "q299_cuped" -> (q299Cuped _),
+    "q300_did" -> (q300DiD _),
+    "q301_shapley" -> (q301Shapley _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1577,6 +1785,9 @@ object Analytics {
     "q294_conformal_gate" -> q294Sql,
     "q295_isotonic" -> q295Sql,
     "q298_fellegi_sunter" -> q298Sql,
+    "q299_cuped" -> q299Sql,
+    "q300_did" -> q300Sql,
+    "q301_shapley" -> q301Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

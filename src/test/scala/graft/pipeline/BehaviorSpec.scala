@@ -196,6 +196,39 @@ class BehaviorSpec extends SparkSpec {
     assert(!out.contains("buy"))
   }
 
+  test("shapleyAttribution: conservation, solo credit, symmetry") {
+    // journey 1 (user 1): touches {a} → conv: a gets full credit 1
+    // journey 2 (user 2): touches {a, b} → conv: symmetric → 0.5 each
+    // user 3: conv with no touches → contributes nothing
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "conv"),
+      (2L, 3L, 10L, "a"), (2L, 4L, 15L, "b"), (2L, 5L, 20L, "conv"),
+      (3L, 6L, 10L, "conv"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Behavior.shapleyAttribution(ev, "user_id", "event_id",
+        "ts", "event_type", "conv")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_journeys"), r.getAs[Double]("shapley")))).toMap
+    assert(out("a") == ((2L, 1.5)))  // full 1 + shared 0.5
+    assert(out("b") == ((1L, 0.5)))
+    // conservation: sum of credit = attributed conversions (2, not 3)
+    assert(out.values.map(_._2).sum == 2.0)
+  }
+
+  test("shapleyAttribution: channel-cardinality guard fires") {
+    val ev = (0L until 20L).map(i =>
+      (1L, i, i * 10, s"ch$i")).toDF("user_id", "event_id", "ts",
+      "event_type")
+    val e = intercept[IllegalArgumentException] {
+      Behavior.shapleyAttribution(
+        ev.unionByName(Seq((1L, 99L, 999L, "conv"))
+          .toDF("user_id", "event_id", "ts", "event_type")),
+        "user_id", "event_id", "ts", "event_type", "conv",
+        maxChannels = 8)
+    }
+    assert(e.getMessage.contains("maxChannels"))
+  }
+
   test("attribution: timestamp ties break by event id") {
     val ev = Seq(
       (1L, 2L, 100L, "b_touch"), (1L, 1L, 100L, "a_touch"),

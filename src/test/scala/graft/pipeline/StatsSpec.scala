@@ -297,6 +297,42 @@ class StatsSpec extends SparkSpec {
       r.getAs[Double]("raw_rate") == r.getAs[Double]("fitted_rate")))
   }
 
+  test("cuped: perfect covariate removes all variance; theta = 1") {
+    // Y = X exactly → theta 1, adjusted means equal across arms (all
+    // between-unit variance explained), var_reduction 1
+    val df = Seq((0, 1.0, 1.0), (0, 5.0, 5.0), (1, 2.0, 2.0),
+      (1, 8.0, 8.0)).toDF("arm", "pre", "post")
+    val out = Stats.cuped(df, "arm", "pre", "post")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[Double]("theta") == 1.0)
+    assert(out(0).getAs[Double]("var_reduction") == 1.0)
+    assert(out(1).getAs[Double]("var_reduction") == 1.0)
+    // adjusted mean = ȳ_arm − (x̄_arm − x̄_pool) = pooled mean = 4.0
+    assert(out(0).getAs[Double]("mean_adj") == 4.0)
+    assert(out(1).getAs[Double]("mean_adj") == 4.0)
+    // constant pre fails loudly
+    val e = intercept[Exception] {
+      Stats.cuped(Seq((0, 1.0, 2.0), (1, 1.0, 3.0))
+        .toDF("arm", "pre", "post"), "arm", "pre", "post").collect()
+    }
+    assert(e.getMessage.contains("cuped"))
+  }
+
+  test("diffInDiff: hand-computed 2x2") {
+    val df = Seq(
+      (true, false, 10.0), (true, false, 12.0),   // t_pre mean 11
+      (true, true, 20.0), (true, true, 22.0),     // t_post mean 21
+      (false, false, 5.0), (false, false, 7.0),   // c_pre mean 6
+      (false, true, 9.0), (false, true, 11.0))    // c_post mean 10
+      .toDF("treated", "post", "v")
+    val r = Stats.diffInDiff(df, "treated", "post", "v").collect().head
+    assert(r.getAs[Double]("mean_t_pre") == 11.0)
+    assert(r.getAs[Double]("mean_c_post") == 10.0)
+    // (21−11) − (10−6) = 6
+    assert(r.getAs[Double]("did") == 6.0)
+    assert(r.getAs[Long]("n_rows") == 8L)
+  }
+
   test("conformalGate: exact order-statistic threshold and coverage") {
     // 9 calibration scores 1..9; alpha=0.2 → k = ceil(10·0.8) = 8 →
     // qhat = 8.0; test scores 5 and 9 → covered, not
