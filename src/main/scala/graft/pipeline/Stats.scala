@@ -673,6 +673,116 @@ object Stats {
             lit(nSigma) * d6(col("_sigma"))).cast("int").as("is_alarm"))
   }
 
+  /** Kaplan–Meier product-limit survival curve (1958) — the churn /
+    * retention-duration estimator with right-censoring done correctly
+    * (naive "fraction still here at t" over-counts users who simply
+    * haven't had time to churn):
+    *
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)
+    *
+    * over the DISTINCT event times, dᵢ = events at tᵢ, nᵢ = at-risk
+    * (duration ≥ tᵢ, censored or not). The product runs in the log
+    * domain with d6-rounded terms BEFORE the cumulative sum (the
+    * order-free decimal discipline), exp at the contract, so the
+    * curve replays exactly cross-engine.
+    *
+    * Contract: durations on a DISCRETE scale (days, not micros — the
+    * curve table and its cumulative window are sized by the distinct
+    * duration count; bucket first, as every survival report does).
+    * Censored rows (eventCol = 0) enter the risk set, never the event
+    * count; S stays 1.0 through censored-only times.
+    *
+    * Output per distinct duration: (duration, n_risk, n_events,
+    * n_censored, survival).
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val byT = df.groupBy(col(durationCol).cast("long").as("duration"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(eventCol).cast("long")).as("n_events"))
+      .withColumn("n_censored", col("_n") - col("n_events"))
+    // at-risk = everyone with duration ≥ t: total minus the cumulative
+    // count of strictly-earlier rows (one window over the
+    // distinct-duration table — discrete-scale bounded by contract)
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("duration").asc)
+    val nRisk = sum(col("_n")).over(
+      wOrd.rowsBetween(W.currentRow, W.unboundedFollowing))
+    val withRisk = byT.withColumn("n_risk", nRisk)
+    // a time where EVERYONE at risk churns sends S to exactly 0 — the
+    // log domain can't carry that (ln 0); such rows contribute a NULL
+    // term (skipped by the sum) and a zero flag that pins S(t) = 0
+    // from there on
+    val term = when(col("n_events") === 0L, lit(0.0).cast("decimal(28,6)"))
+      .when(col("n_events") === col("n_risk"),
+        lit(null).cast("decimal(28,6)"))
+      .otherwise(log(lit(1.0) -
+        col("n_events").cast("double") / col("n_risk").cast("double"))
+        .cast("decimal(28,6)"))
+    val upTo = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    withRisk
+      .withColumn("_lt", term)
+      .withColumn("_z",
+        when(col("n_events") === col("n_risk"), 1L).otherwise(0L))
+      .withColumn("survival",
+        when(sum(col("_z")).over(upTo) > 0L, lit(0.0))
+          .otherwise(d6(exp(
+            coalesce(sum(col("_lt")).over(upTo),
+              lit(0).cast("decimal(28,6)")).cast("double")))))
+      .select(col("duration"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))
+  }
+
+  /** Sample-ratio-mismatch check (the first thing an experimentation
+    * platform validates before reading ANY metric): Pearson χ² of the
+    * observed arm counts against the design ratios. The statistic is
+    * exact-rational arithmetic — (o·R − r·N)² / (e·R²) terms with
+    * integer numerators where R = Σ ratios as scaled integers — here
+    * computed as the standard double chain with d6-rounded terms
+    * before the order-free decimal sum. The caller compares against
+    * the χ²(k−1) critical value (3.84 at α=.05 for two arms — a
+    * CONSTANT, so no CDF in the plan).
+    *
+    * Output per arm: (armCol, n_obs, expected, chi2_term, chi2, dof).
+    */
+  def srmCheck(
+      df: DataFrame,
+      armCol: String,
+      designShares: Map[String, Double]): DataFrame = {
+    require(designShares.nonEmpty, "designShares must be non-empty")
+    require(math.abs(designShares.values.sum - 1.0) < 1e-9,
+      s"designShares must sum to 1, got ${designShares.values.sum}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val shares = broadcast(designShares.toSeq.toDF("_arm", "_share"))
+    val counts = df.groupBy(col(armCol).cast("string").as("_arm"))
+      .agg(count(lit(1)).as("n_obs"))
+      .join(shares, Seq("_arm"), "full_outer")
+      .select(col("_arm"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        coalesce(col("_share"),
+          raise_error(concat(lit("srmCheck: arm "), col("_arm"),
+            lit(" not in the design"))).cast("double")).as("_share"))
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val expected = col("_share") * sum(col("n_obs")).over(wAll).cast("double")
+    val term = d6((col("n_obs").cast("double") - expected) *
+      (col("n_obs").cast("double") - expected) / expected)
+    counts
+      .withColumn("expected", d6(expected))
+      .withColumn("chi2_term", term)
+      .withColumn("chi2", d6(sum(col("chi2_term").cast("decimal(28,6)"))
+        .over(wAll).cast("double")))
+      .withColumn("dof", (count(lit(1)).over(wAll) - 1L).cast("long"))
+      .select(col("_arm").as(armCol), col("n_obs"), col("expected"),
+        col("chi2_term"), col("chi2"), col("dof"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013, the industry-standard
     * experiment-sensitivity fix): adjust each unit's experiment-period
     * metric by its PRE-period covariate, Y' = Y − θ(X − X̄) with

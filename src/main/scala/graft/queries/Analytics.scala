@@ -1692,6 +1692,84 @@ object Analytics {
       |    AS shapley
       |FROM phi JOIN nj ON phi.ci = nj.ci""".stripMargin
 
+  // q302: Kaplan-Meier churn curve — per-user activity span in DAYS,
+  // churned iff the last event precedes the corpus end by > 7 days
+  // (later actives are right-censored). The oracle replays the
+  // distinct-duration risk sets and the d6 log-domain product.
+  def q302KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val us = Tables.tsUs(ev, "ts")
+    val spans = ev.groupBy(col("user_id"))
+      .agg(min(us).as("_f"), max(us).as("_l"))
+    val mx = ev.agg(max(us).as("_mx"))
+    val day = 86400000000L
+    val users = spans.crossJoin(broadcast(mx))
+      .select(expr(s"(_l - _f) div ${day}L").as("duration_days"),
+        (col("_mx") - col("_l") > lit(7L * day)).cast("int").as("churned"))
+    graft.pipeline.Stats.kaplanMeier(users, "duration_days", "churned")
+  }
+
+  val q302Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |uu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e
+      |       GROUP BY 1),
+      |mx AS (SELECT MAX(us) AS mx FROM e),
+      |d AS (
+      |  SELECT (l - f) // 86400000000 AS duration,
+      |    CASE WHEN mx - l > 604800000000 THEN 1 ELSE 0 END AS ev
+      |  FROM uu CROSS JOIN mx),
+      |byt AS (SELECT duration, CAST(COUNT(*) AS BIGINT) AS n,
+      |          CAST(SUM(ev) AS BIGINT) AS n_events
+      |        FROM d GROUP BY 1),
+      |r AS (SELECT *, CAST(SUM(n) OVER (ORDER BY duration
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |        AS BIGINT) AS n_risk FROM byt),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN n_events = 0 THEN CAST(0.0 AS DECIMAL(28,6))
+      |         WHEN n_events = n_risk THEN NULL
+      |         ELSE CAST(ln(1.0 - CAST(n_events AS DOUBLE) /
+      |           CAST(n_risk AS DOUBLE)) AS DECIMAL(28,6)) END AS lt,
+      |    CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS z
+      |  FROM r)
+      |SELECT duration, n_risk, n_events,
+      |  CAST(n - n_events AS BIGINT) AS n_censored,
+      |  CASE WHEN SUM(z) OVER w > 0 THEN 0.0
+      |    ELSE CAST(CAST(exp(CAST(COALESCE(SUM(lt) OVER w,
+      |      CAST(0 AS DECIMAL(28,6))) AS DOUBLE)) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS survival
+      |FROM t WINDOW w AS (ORDER BY duration
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // q303: sample-ratio-mismatch chi-square for the user-parity split
+  // against the 50/50 design.
+  def q303Srm(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.srmCheck(
+      t(s, dir, "events").select((col("user_id") % 2).cast("string")
+        .as("arm")),
+      "arm", Map("0" -> 0.5, "1" -> 0.5))
+
+  val q303Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(user_id % 2 AS VARCHAR) AS arm,
+      |    CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT arm, n_obs, 0.5 AS share,
+      |        CAST(SUM(n_obs) OVER () AS DOUBLE) AS tot FROM c)
+      |SELECT arm, n_obs,
+      |  CAST(CAST(share * tot AS DECIMAL(28,6)) AS DOUBLE) AS expected,
+      |  CAST(CAST((CAST(n_obs AS DOUBLE) - share * tot) *
+      |    (CAST(n_obs AS DOUBLE) - share * tot) / (share * tot)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS chi2_term,
+      |  CAST(CAST(CAST(SUM(CAST((CAST(n_obs AS DOUBLE) - share * tot) *
+      |    (CAST(n_obs AS DOUBLE) - share * tot) / (share * tot)
+      |    AS DECIMAL(28,6))) OVER () AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS chi2,
+      |  CAST(COUNT(*) OVER () - 1 AS BIGINT) AS dof
+      |FROM s""".stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1745,6 +1823,8 @@ object Analytics {
     "q299_cuped" -> (q299Cuped _),
     "q300_did" -> (q300DiD _),
     "q301_shapley" -> (q301Shapley _),
+    "q302_kaplan_meier" -> (q302KaplanMeier _),
+    "q303_srm" -> (q303Srm _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1788,6 +1868,8 @@ object Analytics {
     "q299_cuped" -> q299Sql,
     "q300_did" -> q300Sql,
     "q301_shapley" -> q301Sql,
+    "q302_kaplan_meier" -> q302Sql,
+    "q303_srm" -> q303Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

@@ -297,6 +297,36 @@ class StatsSpec extends SparkSpec {
       r.getAs[Double]("raw_rate") == r.getAs[Double]("fitted_rate")))
   }
 
+  test("kaplanMeier: hand curve, censoring, and the S=0 edge") {
+    // durations (event flag): 1(1), 1(1), 2(1), 3(0 censored), 4(1)
+    val df = Seq((1L, 1), (1L, 1), (2L, 1), (3L, 0), (4L, 1))
+      .toDF("d", "ev")
+    val out = Stats.kaplanMeier(df, "d", "ev")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_risk") == 5L)
+    assert(out(1L).getAs[Double]("survival") == 0.6)     // 1 − 2/5
+    assert(out(2L).getAs[Double]("survival") == 0.4)     // ×(1 − 1/3)
+    assert(out(3L).getAs[Long]("n_censored") == 1L)
+    assert(out(3L).getAs[Double]("survival") == 0.4)     // censored: flat
+    assert(out(4L).getAs[Double]("survival") == 0.0)     // total churn
+  }
+
+  test("srmCheck: hand chi-square; unknown arm fails loudly") {
+    val df = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("arm")
+    val out = Stats.srmCheck(df, "arm", Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("expected") == 50.0)
+    assert(out("a").getAs[Double]("chi2_term") == 2.0)   // 100/50
+    assert(out("a").getAs[Double]("chi2") == 4.0)
+    assert(out("a").getAs[Long]("dof") == 1L)
+    val e = intercept[Exception] {
+      Stats.srmCheck(df.limit(60), "arm", Map("a" -> 1.0)).collect()
+      Stats.srmCheck(df, "arm", Map("a" -> 1.0)).collect()
+    }
+    assert(e.getMessage.contains("srmCheck") ||
+      e.getMessage.contains("not in the design"))
+  }
+
   test("cuped: perfect covariate removes all variance; theta = 1") {
     // Y = X exactly → theta 1, adjusted means equal across arms (all
     // between-unit variance explained), var_reduction 1
