@@ -673,6 +673,81 @@ object Stats {
             lit(nSigma) * d6(col("_sigma"))).cast("int").as("is_alarm"))
   }
 
+  /** Decile lift / gains table — the model-eval report every scored
+    * targeting pipeline prints: rank rows by score descending, split
+    * into `nBuckets` equal-count bands, and per band report the
+    * positive rate, the CUMULATIVE capture of all positives, and the
+    * cumulative lift over the base rate. "The top decile captures 43%
+    * of positives at 3.1× base" is this table's first row.
+    *
+    * Ranks come from the sharded (score desc, id asc) prefix pattern
+    * (conformalGate's — per-shard windows + broadcast offsets, NO
+    * global window); band = rank·B div n is exact integer arithmetic,
+    * so band edges are engine-independent. Cumulatives run over the
+    * B-row band table; rates/lift/capture are d6 at the contract.
+    * Ties split across band edges by the deterministic id order — the
+    * documented equal-COUNT (not equal-score) contract.
+    *
+    * Output per band (1-based, band 1 = highest scores): (band, n,
+    * n_pos, rate, cum_capture, cum_lift).
+    */
+  def liftTable(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets in [2,1000], got $nBuckets")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val shards = 64
+    val scored = df.select(col(idCol).as("_lid"),
+      col(scoreCol).cast("double").as("_s"),
+      col(labelCol).cast("long").as("_y"))
+    val bounds = scored.agg(min(col("_s")).as("_lo"),
+      max(col("_s")).as("_hi"))
+    // shard monotone in DESCENDING score so (shard asc, local rank)
+    // is the global (score desc, id asc) order
+    val sharded = scored.crossJoin(broadcast(bounds))
+      .withColumn("_shard", least(lit(shards - 1L),
+        floor((col("_hi") - col("_s")) * shards /
+          (col("_hi") - col("_lo") + 1d)).cast("long")))
+      .drop("_lo", "_hi")
+    val localRank = row_number().over(
+      W.partitionBy(col("_shard"))
+        .orderBy(col("_s").desc, col("_lid").asc)).cast("long") - 1L
+    val offsets = sharded.groupBy(col("_shard"))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("_shard"),
+        (sum(col("_n")).over(W.orderBy(col("_shard"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)) - col("_n"))
+          .as("_offset"))
+    val n = scored.agg(count(lit(1)).as("_tot"),
+      sum(col("_y")).as("_pos"))
+    val banded = sharded.withColumn("_lr", localRank)
+      .join(broadcast(offsets), Seq("_shard"))
+      .crossJoin(broadcast(n))
+      .withColumn("band",
+        expr(s"((_offset + _lr) * $nBuckets) div _tot") + 1L)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        first(col("_tot")).as("_tot"), first(col("_pos")).as("_pos"))
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("band").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cumPos = sum(col("n_pos")).over(wOrd)
+    val cumN = sum(col("n")).over(wOrd)
+    banded.select(col("band"), col("n"), col("n_pos"),
+      d6(col("n_pos").cast("double") / col("n").cast("double")).as("rate"),
+      when(col("_pos") === 0L, lit(0.0))
+        .otherwise(d6(cumPos.cast("double") / col("_pos").cast("double")))
+        .as("cum_capture"),
+      when(col("_pos") === 0L, lit(0.0))
+        .otherwise(d6((cumPos.cast("double") / cumN.cast("double")) /
+          (col("_pos").cast("double") / col("_tot").cast("double"))))
+        .as("cum_lift"))
+  }
+
   /** Kaplan–Meier product-limit survival curve (1958) — the churn /
     * retention-duration estimator with right-censoring done correctly
     * (naive "fraction still here at t" over-counts users who simply

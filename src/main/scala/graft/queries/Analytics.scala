@@ -1770,6 +1770,44 @@ object Analytics {
       |  CAST(COUNT(*) OVER () - 1 AS BIGINT) AS dof
       |FROM s""".stripMargin
 
+  // q304: decile lift/gains table — documents ranked by length,
+  // positives = English. The oracle replays the (score desc, id) rank,
+  // the integer band edges and the cumulative capture/lift chain.
+  def q304LiftTable(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.liftTable(
+      t(s, dir, "documents").select(col("doc_id"),
+        col("n_chars"), (col("lang") === "en").cast("int").as("y")),
+      "doc_id", "n_chars", "y", nBuckets = 10)
+
+  val q304Sql: String =
+    """WITH sc AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC) - 1
+      |        AS rk FROM sc),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot,
+      |        CAST(SUM(y) AS BIGINT) AS pos FROM sc),
+      |b AS (
+      |  SELECT (rk * 10) // tot + 1 AS band,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+      |    MAX(tot) AS tot, MAX(pos) AS pos
+      |  FROM r CROSS JOIN t GROUP BY 1)
+      |SELECT band, n, n_pos,
+      |  CAST(CAST(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS rate,
+      |  CASE WHEN pos = 0 THEN 0.0 ELSE
+      |    CAST(CAST(CAST(SUM(n_pos) OVER w AS DOUBLE) /
+      |      CAST(pos AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS cum_capture,
+      |  CASE WHEN pos = 0 THEN 0.0 ELSE
+      |    CAST(CAST((CAST(SUM(n_pos) OVER w AS DOUBLE) /
+      |      CAST(SUM(n) OVER w AS DOUBLE)) /
+      |      (CAST(pos AS DOUBLE) / CAST(tot AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS cum_lift
+      |FROM b WINDOW w AS (ORDER BY band
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1825,6 +1863,7 @@ object Analytics {
     "q301_shapley" -> (q301Shapley _),
     "q302_kaplan_meier" -> (q302KaplanMeier _),
     "q303_srm" -> (q303Srm _),
+    "q304_lift_table" -> (q304LiftTable _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1870,6 +1909,7 @@ object Analytics {
     "q301_shapley" -> q301Sql,
     "q302_kaplan_meier" -> q302Sql,
     "q303_srm" -> q303Sql,
+    "q304_lift_table" -> q304Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

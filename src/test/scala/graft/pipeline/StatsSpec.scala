@@ -297,6 +297,23 @@ class StatsSpec extends SparkSpec {
       r.getAs[Double]("raw_rate") == r.getAs[Double]("fitted_rate")))
   }
 
+  test("liftTable: hand-computed deciles; last band closes at lift 1") {
+    // 20 rows, scores 20..1, positives = the top 5 scores → band 1
+    // (ranks 0-1) all positive, capture 2/5, lift (2/2)/(5/20) = 4
+    val df = (1L to 20L).map(i => (i, (21 - i).toDouble,
+      if (i <= 5) 1 else 0)).toDF("id", "s", "y")
+    val out = Stats.liftTable(df, "id", "s", "y", nBuckets = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 10)
+    assert(out(1L).getAs[Long]("n") == 2L)
+    assert(out(1L).getAs[Double]("rate") == 1.0)
+    assert(out(1L).getAs[Double]("cum_capture") == 0.4)
+    assert(out(1L).getAs[Double]("cum_lift") == 4.0)
+    assert(out(3L).getAs[Double]("cum_capture") == 1.0) // 5th pos at rank 4
+    assert(out(10L).getAs[Double]("cum_lift") == 1.0)   // closes at base
+    assert(out(10L).getAs[Double]("cum_capture") == 1.0)
+  }
+
   test("kaplanMeier: hand curve, censoring, and the S=0 edge") {
     // durations (event flag): 1(1), 1(1), 2(1), 3(0 censored), 4(1)
     val df = Seq((1L, 1), (1L, 1), (2L, 1), (3L, 0), (4L, 1))
