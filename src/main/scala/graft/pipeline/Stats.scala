@@ -673,6 +673,87 @@ object Stats {
             lit(nSigma) * d6(col("_sigma"))).cast("int").as("is_alarm"))
   }
 
+  /** Cramér's V association strength between two categoricals (with
+    * the χ² it derives from) — "are language and source independent?"
+    * asked properly: V = sqrt(χ²/(N·min(r−1, c−1))) ∈ [0,1], the
+    * effect size a contingency report needs NEXT to the test statistic
+    * (χ² alone grows with N; V doesn't).
+    *
+    * One (a, b)-keyed aggregate (r·c bounded), margins from two
+    * rollups, expected counts e = (rowTot·colTot)/N as one division
+    * per cell, χ² terms d6-rounded before the order-free decimal sum,
+    * sqrt at the contract. Output ONE row: (n_rows, n_a, n_b, chi2,
+    * dof, cramers_v).
+    */
+  def cramersV(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // the FULL r×c grid, not just observed cells: an empty cell still
+    // contributes (0 − e)²/e — dropping it understates χ² (a perfect
+    // 2×2 association would read V ≈ 0.71 instead of 1)
+    val observed = df.groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_o"))
+    val cells = observed.select(col("_a")).distinct()
+      .crossJoin(broadcast(observed.select(col("_b")).distinct()))
+      .join(observed, Seq("_a", "_b"), "left")
+      .withColumn("_o", coalesce(col("_o"), lit(0L)))
+      .withColumn("_ra", sum(col("_o")).over(W.partitionBy(col("_a"))))
+      .withColumn("_cb", sum(col("_o")).over(W.partitionBy(col("_b"))))
+      .withColumn("_n", sum(col("_o")).over(wAll))
+    val e = col("_ra").cast("double") * col("_cb").cast("double") /
+      col("_n").cast("double")
+    val term = (col("_o").cast("double") - e) *
+      (col("_o").cast("double") - e) / e
+    cells
+      .withColumn("_t6", term.cast("decimal(28,6)"))
+      .agg(max(col("_n")).as("n_rows"),
+        countDistinct(col("_a")).as("n_a"),
+        countDistinct(col("_b")).as("n_b"),
+        sum(col("_t6")).as("_chi"))
+      .select(col("n_rows"), col("n_a"), col("n_b"),
+        d6(col("_chi").cast("double")).as("chi2"),
+        ((col("n_a") - 1L) * (col("n_b") - 1L)).as("dof"),
+        d6(sqrt(col("_chi").cast("double") /
+          (col("n_rows").cast("double") *
+            least(col("n_a") - 1L, col("n_b") - 1L).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  /** McNemar's test statistic for PAIRED binary outcomes (1947) — did
+    * the new model change the SAME items' verdicts, beyond symmetric
+    * noise? Only the discordant cells matter: with b = (old right,
+    * new wrong) and c = (old wrong, new right),
+    *
+    *   χ² = (b − c)² / (b + c)
+    *
+    * Exact integers until the single division (d6); b + c = 0 (no
+    * disagreements at all) reports 0.0 — nothing to test. Output ONE
+    * row: (n_pairs, n_10, n_01, chi2).
+    */
+  def mcnemar(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    df.agg(count(lit(1)).as("n_pairs"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n_10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n_01"))
+      .select(col("n_pairs"), col("n_10"), col("n_01"),
+        when(col("n_10") + col("n_01") === 0L, lit(0.0))
+          .otherwise(d6(
+            ((col("n_10") - col("n_01")) * (col("n_10") - col("n_01")))
+              .cast("double") /
+              (col("n_10") + col("n_01")).cast("double"))).as("chi2"))
+  }
+
   /** Decile lift / gains table — the model-eval report every scored
     * targeting pipeline prints: rank rows by score descending, split
     * into `nBuckets` equal-count bands, and per band report the

@@ -1808,6 +1808,94 @@ object Analytics {
       |FROM b WINDOW w AS (ORDER BY band
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // q305: Cramér's V between language and source — are the two
+  // document facets independent? The oracle replays cells, margins,
+  // expected counts and the d6 chi-square terms.
+  def q305CramersV(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.cramersV(t(s, dir, "documents"),
+      "lang", "source")
+
+  val q305Sql: String =
+    """WITH obs AS (
+      |  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT ga.a, gb.b, COALESCE(obs.o, 0) AS o
+      |  FROM (SELECT DISTINCT a FROM obs) ga
+      |  CROSS JOIN (SELECT DISTINCT b FROM obs) gb
+      |  LEFT JOIN obs USING (a, b)),
+      |m AS (
+      |  SELECT a, b, o,
+      |    SUM(o) OVER (PARTITION BY a) AS ra,
+      |    SUM(o) OVER (PARTITION BY b) AS cb,
+      |    SUM(o) OVER () AS n
+      |  FROM cells),
+      |t AS (
+      |  SELECT n,
+      |    CAST((CAST(o AS DOUBLE) -
+      |        CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) /
+      |          CAST(n AS DOUBLE)) *
+      |      (CAST(o AS DOUBLE) -
+      |        CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) /
+      |          CAST(n AS DOUBLE)) /
+      |      (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS t6,
+      |    a, b
+      |  FROM m),
+      |agg AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+      |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+      |    SUM(t6) AS chi FROM t)
+      |SELECT n_rows, n_a, n_b,
+      |  CAST(CAST(CAST(chi AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS chi2,
+      |  (n_a - 1) * (n_b - 1) AS dof,
+      |  CAST(CAST(sqrt(CAST(chi AS DOUBLE) /
+      |    (CAST(n_rows AS DOUBLE) *
+      |     CAST(LEAST(n_a - 1, n_b - 1) AS DOUBLE)))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS cramers_v
+      |FROM agg""".stripMargin
+
+  // q306: McNemar over q265's two planted raters read as binary
+  // verdicts (bucket > 0) — did rater 2's shift change verdicts
+  // asymmetrically?
+  def q306McNemar(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def bucket(shiftWhen: Column) =
+      least(floor((length(col("text")) +
+        when(shiftWhen, 100).otherwise(0)) / 100).cast("long"), lit(3L))
+    graft.pipeline.Stats.mcnemar(
+      docs.select((bucket(lit(false)) > 0L).as("a"),
+        (bucket(col("doc_id") % 7 < 2) > 0L).as("b")),
+      "a", "b")
+  }
+
+  val q306Sql: String =
+    """WITH v AS (
+      |  SELECT
+      |    LEAST(CAST(floor(length(text) / 100) AS BIGINT), 3) > 0 AS a,
+      |    LEAST(CAST(floor((length(text) +
+      |      CASE WHEN doc_id % 7 < 2 THEN 100 ELSE 0 END) / 100)
+      |      AS BIGINT), 3) > 0 AS b
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_10,
+      |  CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_01,
+      |  CASE WHEN SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) +
+      |      SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) = 0 THEN 0.0
+      |    ELSE CAST(CAST(CAST(
+      |      (SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) -
+      |       SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)) *
+      |      (SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) -
+      |       SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)) AS DOUBLE) /
+      |      CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) +
+      |       SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS chi2
+      |FROM v""".stripMargin
+
   // q272: Gini concentration of per-user event counts — how unevenly
   // activity spreads over the user base (the data-mix inequality
   // diagnostic). The oracle replays the doubled-rank closed form and
@@ -1864,6 +1952,8 @@ object Analytics {
     "q302_kaplan_meier" -> (q302KaplanMeier _),
     "q303_srm" -> (q303Srm _),
     "q304_lift_table" -> (q304LiftTable _),
+    "q305_cramers_v" -> (q305CramersV _),
+    "q306_mcnemar" -> (q306McNemar _),
     "q133_group_corr" -> (q133GroupCorr _),
     "q134_quantile_buckets" -> (q134QuantileBuckets _),
     "q154_robust_mad" -> (q154RobustMad _),
@@ -1910,6 +2000,8 @@ object Analytics {
     "q302_kaplan_meier" -> q302Sql,
     "q303_srm" -> q303Sql,
     "q304_lift_table" -> q304Sql,
+    "q305_cramers_v" -> q305Sql,
+    "q306_mcnemar" -> q306Sql,
     "q133_group_corr" -> q133Sql,
     "q134_quantile_buckets" -> q134Sql,
     "q154_robust_mad" -> q154Sql,

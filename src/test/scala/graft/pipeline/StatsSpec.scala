@@ -297,6 +297,33 @@ class StatsSpec extends SparkSpec {
       r.getAs[Double]("raw_rate") == r.getAs[Double]("fitted_rate")))
   }
 
+  test("cramersV: perfect association is 1, independence near 0") {
+    // perfect: b == a over a 2x2 → V = 1
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val r1 = Stats.cramersV(perfect, "a", "b").collect().head
+    assert(r1.getAs[Double]("cramers_v") == 1.0)
+    assert(r1.getAs[Long]("dof") == 1L)
+    // exact independence: uniform product table → chi2 = 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q") }
+      yield (a, b)).toDF("a", "b")
+    val r2 = Stats.cramersV(indep, "a", "b").collect().head
+    assert(r2.getAs[Double]("chi2") == 0.0)
+    assert(r2.getAs[Double]("cramers_v") == 0.0)
+  }
+
+  test("mcnemar: hand discordants; all-concordant reports 0") {
+    // 3 (true,false), 1 (false,true) → (3−1)²/4 = 1.0
+    val df = Seq((true, false), (true, false), (true, false),
+      (false, true), (true, true), (false, false)).toDF("a", "b")
+    val r = Stats.mcnemar(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n_10") == 3L && r.getAs[Long]("n_01") == 1L)
+    assert(r.getAs[Double]("chi2") == 1.0)
+    val same = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Stats.mcnemar(same, "a", "b").collect()
+      .head.getAs[Double]("chi2") == 0.0)
+  }
+
   test("liftTable: hand-computed deciles; last band closes at lift 1") {
     // 20 rows, scores 20..1, positives = the top 5 scores → band 1
     // (ranks 0-1) all positive, capture 2/5, lift (2/2)/(5/20) = 4
