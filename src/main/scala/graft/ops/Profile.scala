@@ -365,4 +365,53 @@ object Profile {
       .select((qc :+ col("n_records") :+ d6(col("_t")).as("t") :+
         (d6(col("_t")) > threshold).cast("int").as("is_violation")): _*)
   }
+
+  /** Benford first-digit audit of a positive integer metric — the
+    * classic fabricated-data / pipeline-bug detector: naturally
+    * occurring multi-magnitude quantities follow P(d) = log₁₀(1+1/d),
+    * and a slice that deviates hard (constant defaults, truncated
+    * loads, synthetic fill) shows up as a large chi-square / MAD.
+    *
+    * Determinism: the first significant digit is taken from the DECIMAL
+    * STRING of the long value (substring, no float log10 near
+    * power-of-10 boundaries); expected shares are d6-rounded before any
+    * multiplication; the chi-square follows [[graft.pipeline.Stats]]'
+    * SRM pattern (d6 terms, decimal window total). Non-positive rows
+    * are excluded and counted. One value scan + a 9-row frame — no
+    * corpus-sized shuffle beyond the digit aggregate.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val spark = df.sparkSession
+    val v = col(valueCol).cast("long")
+    val counts = df.filter(v > 0L)
+      .groupBy(substring(v.cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("_c"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val filled = spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("_c"), lit(0L)).as("n_obs"))
+    val tot = filled.agg(sum(col("n_obs")).as("_n"))
+    val base = filled.crossJoin(broadcast(tot))
+    val guard = when(col("_n") > 0L, col("n_obs"))
+      .otherwise(raise_error(
+        lit("benfordAudit: no positive values to audit")).cast("long"))
+    val nD = col("_n").cast("double")
+    val expShare = d6(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+    val obsShare = d6(col("n_obs").cast("double") / nD)
+    val staged = base.select(col("digit"), guard.as("n_obs"), col("_n"),
+      expShare.as("exp_share"), obsShare.as("obs_share"))
+    val expN = col("exp_share") * col("_n").cast("double")
+    val term6 = ((col("n_obs").cast("double") - expN) *
+      (col("n_obs").cast("double") - expN) / expN).cast("decimal(28,6)")
+    val absDiff6 = abs(col("obs_share") - col("exp_share"))
+      .cast("decimal(28,6)")
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    staged
+      .withColumn("chi2_term", d6(term6))
+      .withColumn("chi2", d6(sum(term6).over(w).cast("double")))
+      .withColumn("mad", d6(sum(absDiff6).over(w).cast("double") / 9.0))
+      .drop("_n")
+  }
 }

@@ -210,4 +210,90 @@ object Timeseries {
         when(n >= minBaseline && lhs > rhs, 1).otherwise(0)
           .as("is_anomaly")): _*)
   }
+
+  /** Holt double-exponential smoothing (level + linear trend) per
+    * series, with an h-step-ahead forecast — the one-line capacity /
+    * volume projection a monitoring pipeline wants next to its current
+    * rates. Smoothing constants are FIXED at α = β = 1/2, which makes
+    * the whole trajectory EXACT INTEGER arithmetic: with
+    * l_t = (y_t + l_{t−1} + b_{t−1})/2 and b_t = (l_t − l_{t−1} + b_{t−1})/2,
+    * the scaled state L = 4^t·l, B = 4^t·b follows
+    *
+    *   L_t = 2P·y + 2L + 2B,   B_t = P·y − L + 3B,   P_t = 4P
+    *
+    * (P = 4^{t−1}) — integer-closed, so both engines replay the exact
+    * same trajectory and only the final divisions round (d6). Init:
+    * l = y₁, b = y₁ − y₀ at the second observation.
+    *
+    * Contract (loud in-plan guards): integer metric with |y| ≤ 1e6,
+    * series length in [2, maxLen] with maxLen ≤ 48 — 4^46·1e6 ≈ 5·10³³
+    * stays inside decimal(38,0)/HUGEINT. Series are collected per key
+    * (bounded by maxLen — the same bounded-list contract as the
+    * tokenizer trainers), folded in-row by an aggregate HOF, and the
+    * horizon explodes in-row: one key-keyed exchange total, any number
+    * of series.
+    */
+  def holtForecast(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      horizon: Int = 3,
+      maxLen: Int = 48): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(maxLen >= 2 && maxLen <= 48,
+      s"maxLen must be in [2, 48], got $maxLen")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val series = df
+      .select(col(keyCol).cast("string").as("key"),
+        struct(col(timeCol).cast("long").as("t"),
+          col(valueCol).cast("long").as("y")).as("_p"))
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(col("_p"))).as("_ser"))
+    val n = size(col("_ser"))
+    val guarded = series.withColumn("_ser",
+      when(n >= 2 && n <= maxLen &&
+          forall(col("_ser"), p => abs(p.getField("y")) <= 1000000L),
+          col("_ser"))
+        .otherwise(raise_error(concat(
+          lit(s"holtForecast: series must have 2..$maxLen points with "),
+          lit("|y| <= 1e6; key="), col("key"), lit(" n="),
+          n.cast("string")))))
+    // state: (L, B, P) scaled by 4^t — see scaladoc; fold over items[2..]
+    val folded = guarded.withColumn("_st",
+      aggregate(
+        slice(col("_ser"), lit(3), greatest(size(col("_ser")) - 2, lit(0))),
+        struct(
+          element_at(col("_ser"), 2).getField("y").cast("decimal(38,0)")
+            .as("l"),
+          (element_at(col("_ser"), 2).getField("y") -
+            element_at(col("_ser"), 1).getField("y")).cast("decimal(38,0)")
+            .as("b"),
+          lit(1L).cast("decimal(38,0)").as("p")),
+        (st, pt) => {
+          val y = pt.getField("y").cast("decimal(38,0)")
+          val nl = (st.getField("p") * y * lit(2) + st.getField("l") * 2 +
+            st.getField("b") * 2).cast("decimal(38,0)")
+          val nb = (st.getField("p") * y - st.getField("l") +
+            st.getField("b") * 3).cast("decimal(38,0)")
+          struct(nl.as("l"), nb.as("b"),
+            (st.getField("p") * 4).cast("decimal(38,0)").as("p"))
+        }))
+    // after T fold steps the stored p is 4^T (init 4^0, ×4 per step),
+    // exactly the scale of L and B — including T = 0 (p = 1)
+    val denFix = col("_st").getField("p").cast("double")
+    val nObs = size(col("_ser")).cast("long")
+    val lvl = col("_st").getField("l").cast("double") / denFix
+    val trd = col("_st").getField("b").cast("double") / denFix
+    folded
+      .select(col("key"), nObs.as("n_obs"),
+        d6(lvl).as("level"), d6(trd).as("trend"),
+        explode(sequence(lit(1), lit(horizon))).as("h"),
+        col("_st"), denFix.as("_den"))
+      .withColumn("forecast",
+        d6((col("_st").getField("l").cast("double") +
+          col("h").cast("double") * col("_st").getField("b").cast("double"))
+          / col("_den")))
+      .drop("_st", "_den")
+  }
 }

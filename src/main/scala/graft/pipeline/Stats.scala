@@ -1268,4 +1268,316 @@ object Stats {
       .select(col("_i").as("item"), col("n_wins"), col("n_games"),
         col("strength"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test on an integer-valued metric with
+    * a 0/1 `armCol` — the distribution-shape companion to [[welchTTest]]
+    * (means) and [[mannWhitneyU]] (stochastic dominance): D is the max
+    * ECDF gap, so it catches variance/shape shifts a mean test misses
+    * entirely (the classic A/B failure mode: a change that speeds up
+    * half the users and slows down the other half).
+    *
+    * Determinism: D is computed as an EXACT integer maximum before any
+    * division — per distinct value, the ECDF gap is
+    * |cum0·n1 − cum1·n0| (all longs), and d_stat = max/(n0·n1) rounds
+    * once (d6). The p-value is the asymptotic Kolmogorov series
+    * (Numerical Recipes form: λ = (√ne + 0.12 + 0.11/√ne)·D,
+    * Q = 2·Σ_{k=1..20} (−1)^{k−1} e^{−2k²λ²}) with each term d6-rounded
+    * BEFORE the decimal sum, so both engines add identical values in
+    * any order. λ < 0.3 clamps to p = 1 (Q(0.3) ≈ 0.99988; below it
+    * the truncated series hasn't converged); at λ ≥ 0.3 the tail past
+    * k=20 is < e^{−72} — far below d6.
+    *
+    * Scale shape: one value-keyed aggregate (map-side combined), then
+    * the cumulative window over the DISTINCT-value frame — the same
+    * value-grouped-runs discipline as [[mannWhitneyU]] (bounded by the
+    * metric's cardinality, not the corpus). Empty arms fail loudly.
+    */
+  def ksTest(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val arm = col(armCol).cast("int")
+    val byVal = df
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(
+        sum(when(arm === 0, 1L).otherwise(0L)).as("_c0"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("_c1"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = byVal
+      .select(sum(col("_c0")).over(w).as("_a0"),
+        sum(col("_c1")).over(w).as("_a1"))
+    val tot = byVal.agg(sum(col("_c0")).as("_n0"), sum(col("_c1")).as("_n1"))
+    val agg = cum.crossJoin(broadcast(tot))
+      .agg(
+        max(abs(col("_a0") * col("_n1") - col("_a1") * col("_n0")))
+          .as("_dnum"),
+        max(col("_n0")).as("_n0"), max(col("_n1")).as("_n1"))
+    val n0 = col("_n0").cast("double")
+    val n1 = col("_n1").cast("double")
+    val dStat = d6(col("_dnum").cast("double") / (n0 * n1))
+    val guard = when(col("_n0") >= 1L && col("_n1") >= 1L, col("_n0"))
+      .otherwise(raise_error(concat(
+        lit("ksTest: both arms must be non-empty; got n_a="),
+        col("_n0").cast("string"), lit(" n_b="),
+        col("_n1").cast("string"))).cast("long"))
+    val staged = agg.select(guard.as("n_a"), col("_n1").as("n_b"),
+      col("_dnum").as("d_numerator"), dStat.as("d_stat"))
+    val ne = col("n_a").cast("double") * col("n_b").cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val lam = d6((sqrt(ne) + 0.12 + lit(0.11) / sqrt(ne)) * col("d_stat"))
+    val withLam = staged.withColumn("lambda", lam)
+    // Σ (−1)^{k−1}·d6(e^{−2k²λ²}) as a decimal fold: term values are
+    // identical across engines after d6, and decimal addition is
+    // order-independent, so the 20-term sum is bit-exact.
+    val series = (1 to 20).foldLeft(lit(BigDecimal(0)).cast("decimal(28,6)")) {
+      case (acc, k) =>
+        val sign = if (k % 2 == 1) 1.0 else -1.0
+        acc + (lit(sign) * exp(lit(-2.0 * k * k) *
+          col("lambda") * col("lambda"))).cast("decimal(28,6)")
+    }
+    // λ < 0.3 → p = 1 exactly: Q(0.3) ≈ 0.99988 ≈ 1 at d6 scale, and
+    // the truncated alternating series needs ~λ⁻¹ terms to converge
+    // there (at λ = 0 the 20-term partial sum is 0 — catastrophically
+    // wrong without the clamp)
+    withLam.select(col("n_a"), col("n_b"), col("d_numerator"),
+      col("d_stat"), col("lambda"),
+      when(col("lambda") < 0.3, lit(1.0))
+        .otherwise(d6(least(lit(1.0), greatest(lit(0.0),
+          lit(2.0) * series.cast("double"))))).as("p_value"))
+  }
+
+  /** Spearman rank correlation between two integer-valued per-row
+    * metrics — the monotone-association readout (does quality score
+    * track document length?) that is robust to any monotone
+    * transformation of either metric, where Pearson is not.
+    *
+    * Tie handling is the standard average-rank convention, kept EXACT
+    * by working in DOUBLED ranks: a value with `a` rows strictly below
+    * it and multiplicity `m` has 2·rank = 2a + m + 1, an integer. All
+    * five sufficient sums (Σx, Σy, Σxy, Σx², Σy² over doubled ranks)
+    * accumulate as decimal(38,0) — exact integers in any summation
+    * order at any corpus size (n·Σ(2r)² ≤ 4n⁴ needs > long past
+    * n ≈ 40k) — and rho derives in one fixed expression order, d6.
+    *
+    * Scale shape: two value-keyed aggregates with cumulative windows
+    * over their DISTINCT-value frames (the [[mannWhitneyU]]
+    * value-grouped-runs discipline), two broadcast-size rank maps
+    * joined back to the rows, ONE final aggregate. A constant column
+    * (zero rank variance) fails loudly.
+    */
+  def spearmanRho(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def rank2Map(c: String): DataFrame = {
+      val byVal = df.groupBy(col(c).cast("long").as("_v"))
+        .agg(count(lit(1)).as("_m"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      byVal.select(col("_v"),
+        (lit(2L) * coalesce(sum(col("_m")).over(w), lit(0L)) +
+          col("_m") + 1L).as("_r2"))
+    }
+    val rx = rank2Map(xCol).withColumnRenamed("_v", "_vx")
+      .withColumnRenamed("_r2", "_rx2")
+    val ry = rank2Map(yCol).withColumnRenamed("_v", "_vy")
+      .withColumnRenamed("_r2", "_ry2")
+    val rows = df
+      .select(col(xCol).cast("long").as("_vx"),
+        col(yCol).cast("long").as("_vy"))
+      .join(rx, Seq("_vx")).join(ry, Seq("_vy"))
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+    val agg = rows.agg(
+      count(lit(1)).cast("decimal(38,0)").as("_n"),
+      dsum(col("_rx2")).as("_sx"), dsum(col("_ry2")).as("_sy"),
+      dsum(col("_rx2") * col("_ry2")).as("_sxy"),
+      dsum(col("_rx2") * col("_rx2")).as("_sxx"),
+      dsum(col("_ry2") * col("_ry2")).as("_syy"))
+    val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val cov = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val guard = when(vx > 0 && vy > 0, col("_n").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("spearmanRho: a constant column has no rank variance "),
+        lit("(rho undefined); n="), col("_n").cast("string"))).cast("long"))
+    val rho = d6(cov.cast("double") /
+      sqrt(vx.cast("double") * vy.cast("double")))
+    val staged = agg.select(guard.as("n_rows"), rho.as("rho"))
+    val n = col("n_rows").cast("double")
+    val t = col("rho") * sqrt((n - 2.0) /
+      greatest(lit(1e-12), lit(1.0) - col("rho") * col("rho")))
+    staged.select(col("n_rows"), col("rho"),
+      d6(t).as("t_stat"),
+      (abs(t) >= 1.959964).cast("int").as("significant"))
+  }
+
+  /** Kendall rank correlation (τ-b, the tie-corrected form) between two
+    * DISCRETIZED per-row metrics — the concordance companion to
+    * [[spearmanRho]] with a direct probabilistic reading (P(concordant)
+    * − P(discordant) among comparable pairs).
+    *
+    * Pair counting is reduced to the CONTINGENCY GRID: rows collapse to
+    * (x, y) cells with multiplicities, and concordant/discordant counts
+    * are Σ m·m' over cell pairs with both coordinates strictly ordered
+    * — exact integers in decimal(38,0) (n² scale). The cell-pair join
+    * is the one quadratic step, so the operator REQUIRES bounded
+    * cardinality: a loud in-plan guard fails past `maxCells` distinct
+    * cells (the [[Profile.tCloseness]] grid discipline — discretize
+    * first, the intended use for corpus metrics). Ties use the exact
+    * τ-b denominator from the x / y margins.
+    *
+    * Scale shape: one cell aggregate (map-side combined, corpus-sized
+    * scan), then all remaining work on the ≤ maxCells² bounded frame.
+    */
+  def kendallTau(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      maxCells: Int = 4096): DataFrame = {
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val cells = df.groupBy(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .agg(count(lit(1)).as("_m"))
+    val nCells = cells.agg(count(lit(1)).as("_nc"))
+    val guarded = cells.crossJoin(broadcast(nCells))
+      .withColumn("_m", when(col("_nc") <= maxCells, col("_m"))
+        .otherwise(raise_error(concat(
+          lit(s"kendallTau: > $maxCells distinct (x,y) cells ("),
+          col("_nc").cast("string"),
+          lit(") — discretize the metrics first"))).cast("long")))
+      .drop("_nc")
+    val a = guarded.select(col("_x").as("_xa"), col("_y").as("_ya"),
+      col("_m").as("_ma"))
+    val b = guarded.select(col("_x").as("_xb"), col("_y").as("_yb"),
+      col("_m").as("_mb"))
+    def dsum(c: Column) = coalesce(sum(c.cast("decimal(38,0)")),
+      lit(BigDecimal(0)).cast("decimal(38,0)"))
+    // strictly-ordered cell pairs, counted once (xa < xb); the join is
+    // the documented bounded contract point (≤ maxCells² pair rows)
+    val pairs = a.join(b, col("_xa") < col("_xb"))
+      .agg(
+        dsum(when(col("_ya") < col("_yb"), col("_ma") * col("_mb"))
+          .otherwise(lit(0L))).as("_conc"),
+        dsum(when(col("_ya") > col("_yb"), col("_ma") * col("_mb"))
+          .otherwise(lit(0L))).as("_disc"))
+    val xTies = guarded.groupBy(col("_x"))
+      .agg(sum(col("_m")).as("_tx"))
+      .agg(dsum(col("_tx") * (col("_tx") - 1L) / 2L).as("_n1"))
+    val yTies = guarded.groupBy(col("_y"))
+      .agg(sum(col("_m")).as("_ty"))
+      .agg(dsum(col("_ty") * (col("_ty") - 1L) / 2L).as("_n2"))
+    val nTot = guarded.agg(sum(col("_m")).as("_n"))
+    val agg = pairs.crossJoin(broadcast(xTies))
+      .crossJoin(broadcast(yTies)).crossJoin(broadcast(nTot))
+    val n0 = (col("_n") * (col("_n") - 1L) / 2L).cast("decimal(38,0)")
+    val den = (n0 - col("_n1")).cast("double") *
+      (n0 - col("_n2")).cast("double")
+    val guard2 = when(n0 > col("_n1") && n0 > col("_n2"),
+        col("_n").cast("long"))
+      .otherwise(raise_error(concat(
+        lit("kendallTau: a constant column makes tau-b undefined; n="),
+        col("_n").cast("string"))).cast("long"))
+    agg.select(
+      guard2.as("n_rows"),
+      col("_conc").cast("long").as("n_concordant"),
+      col("_disc").cast("long").as("n_discordant"),
+      d6((col("_conc") - col("_disc")).cast("double") / sqrt(den))
+        .as("tau_b"))
+  }
+
+  /** Always-valid sequential A/B test — the mixture SPRT (mSPRT,
+    * Johari/Pekelis/Walsh 2015) over a period-keyed two-arm metric
+    * stream: unlike [[welchTTest]], the p-value trajectory may be
+    * PEEKED AT after every period and stopped on without inflating the
+    * false-positive rate (p_n is a running min of 1/Λ_n, and Λ_n is a
+    * test martingale under H₀).
+    *
+    * Per period the cumulative two-sample statistic uses the normal
+    * mixture with prior variance `tau2`:
+    *
+    *   n    = 2·N₀N₁/(N₀+N₁)          (effective per-arm size)
+    *   V    = 2σ̂²                     (pooled, cumulative)
+    *   Λ    = √(V/(V+nτ²)) · exp(n²τ²δ²/(2V(V+nτ²)))
+    *   p_n  = min(p_{n−1}, 1/Λ)
+    *
+    * Determinism: per-period sums are EXACT (long counts, decimal(38,0)
+    * Σx and Σx² of the integer metric — quantize doubles first);
+    * cumulative sums run over the PERIOD-grouped frame (bounded by the
+    * period count, not the corpus); δ, σ̂², Λ and p derive in one fixed
+    * expression order and round d6. Periods before both arms have ≥ 2
+    * observations and a positive variance report NULL stats with p = 1
+    * (no evidence yet), not an error — a monitoring stream must start
+    * somewhere.
+    */
+  def msprt(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String,
+      periodCol: String,
+      tau2: Double = 0.0001,
+      alpha: Double = 0.05): DataFrame = {
+    require(tau2 > 0, s"tau2 must be positive, got $tau2")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val arm = col(armCol).cast("int")
+    val x = col(valueCol).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byP = df.groupBy(col(periodCol).cast("long").as("period"))
+      .agg(
+        sum(when(arm === 0, 1L).otherwise(0L)).as("_pn0"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("_pn1"),
+        sum(when(arm === 0, dec(x)).otherwise(dec(lit(0L)))).as("_ps0"),
+        sum(when(arm === 1, dec(x)).otherwise(dec(lit(0L)))).as("_ps1"),
+        sum(when(arm === 0, dec(x) * dec(x)).otherwise(
+          dec(lit(0L)).cast("decimal(38,0)"))).as("_pq0"),
+        sum(when(arm === 1, dec(x) * dec(x)).otherwise(
+          dec(lit(0L)).cast("decimal(38,0)"))).as("_pq1"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("period"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = byP.select(col("period"),
+      sum(col("_pn0")).over(w).as("_n0"),
+      sum(col("_pn1")).over(w).as("_n1"),
+      sum(col("_ps0")).over(w).as("_s0"),
+      sum(col("_ps1")).over(w).as("_s1"),
+      sum(col("_pq0")).over(w).as("_q0"),
+      sum(col("_pq1")).over(w).as("_q1"))
+    val n0 = col("_n0").cast("double")
+    val n1 = col("_n1").cast("double")
+    val s0 = col("_s0").cast("double")
+    val s1 = col("_s1").cast("double")
+    val q0 = col("_q0").cast("double")
+    val q1 = col("_q1").cast("double")
+    val sigma2 = ((q0 - s0 * s0 / n0) + (q1 - s1 * s1 / n1)) /
+      (n0 + n1 - 2.0)
+    val valid = col("_n0") >= 2L && col("_n1") >= 2L && sigma2 > 0.0
+    val delta = s1 / n1 - s0 / n0
+    val nEff = lit(2.0) * n0 * n1 / (n0 + n1)
+    val vv = lit(2.0) * sigma2
+    val bb = vv + nEff * lit(tau2)
+    val lam = sqrt(vv / bb) *
+      exp(nEff * nEff * lit(tau2) * delta * delta / (lit(2.0) * vv * bb))
+    val pRaw = when(valid, least(lit(1.0), d6(lit(1.0) / lam)))
+      .otherwise(lit(1.0))
+    val staged = cum.select(col("period"),
+      col("_n0").as("n_a"), col("_n1").as("n_b"),
+      when(valid, d6(delta)).as("delta"),
+      when(valid, d6(sigma2)).as("sigma2"),
+      when(valid, d6(lam)).as("lambda"),
+      pRaw.as("_p"))
+    val wMin = org.apache.spark.sql.expressions.Window.orderBy(col("period"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    staged
+      .withColumn("p_always_valid", min(col("_p")).over(wMin))
+      .withColumn("significant",
+        (col("p_always_valid") <= alpha).cast("int"))
+      .drop("_p")
+  }
 }

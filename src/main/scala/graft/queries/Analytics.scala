@@ -1927,7 +1927,339 @@ object Analytics {
       |    AS DOUBLE) AS gini
       |FROM agg""".stripMargin
 
+  // q307: two-sample Kolmogorov-Smirnov on document length between the
+  // doc_id-parity arms — an A/A shape test (D should be small, p large).
+  // The oracle replays the exact integer ECDF-gap maximum and the
+  // 20-term Kolmogorov series with d6-rounded terms.
+  def q307KsTest(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.ksTest(
+      t(s, dir, "documents").select((col("doc_id") % 2).as("arm"),
+        col("n_chars")),
+      "arm", "n_chars")
+
+  val q307Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id % 2 AS arm, n_chars AS v FROM documents),
+      |bv AS (
+      |  SELECT v, CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM v GROUP BY 1),
+      |c AS (
+      |  SELECT
+      |    CAST(SUM(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS a0,
+      |    CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS a1
+      |  FROM bv),
+      |t AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+      |        CAST(SUM(c1) AS BIGINT) AS n1 FROM bv),
+      |m AS (
+      |  SELECT MAX(ABS(a0 * n1 - a1 * n0)) AS dnum,
+      |    MAX(n0) AS n0, MAX(n1) AS n1
+      |  FROM c CROSS JOIN t),
+      |s AS (
+      |  SELECT n0 AS n_a, n1 AS n_b, dnum AS d_numerator,
+      |    CAST(CAST(CAST(dnum AS DOUBLE) /
+      |      (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS d_stat
+      |  FROM m),
+      |l AS (
+      |  SELECT n_a, n_b, d_numerator, d_stat,
+      |    CAST(CAST((sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d_stat
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS lambda
+      |  FROM (SELECT s.*, CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+      |          CAST(n_a + n_b AS DOUBLE) AS ne FROM s)),
+      |ser AS (
+      |  SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+      |    MAX(d_numerator) AS d_numerator, MAX(d_stat) AS d_stat,
+      |    MAX(lambda) AS lambda,
+      |    SUM(CAST(CASE WHEN k % 2 = 1 THEN 1.0 ELSE -1.0 END *
+      |      exp(((-2.0 * k) * k * lambda) * lambda) AS DECIMAL(28,6)))
+      |      AS q
+      |  FROM l CROSS JOIN (SELECT unnest(range(1, 21)) AS k))
+      |SELECT n_a, n_b, d_numerator, d_stat, lambda,
+      |  CASE WHEN lambda < 0.3 THEN 1.0
+      |    ELSE CAST(CAST(LEAST(1.0, GREATEST(0.0,
+      |      2.0 * CAST(q AS DOUBLE))) AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS p_value
+      |FROM ser""".stripMargin
+
+  // q308: Spearman rank correlation between per-user activity count and
+  // active-span days — does being active longer track doing more? The
+  // oracle replays the doubled average ranks and the HUGEINT-exact
+  // sufficient sums.
+  def q308Spearman(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val perUser = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        expr("(max(ts_us) - min(ts_us)) div 86400000000").as("y"))
+    graft.pipeline.Stats.spearmanRho(perUser, "x", "y")
+  }
+
+  val q308Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |u AS (SELECT user_id, COUNT(*) AS x,
+      |        (MAX(us) - MIN(us)) // 86400000000 AS y FROM e GROUP BY 1),
+      |bx AS (SELECT x AS v, COUNT(*) AS m FROM u GROUP BY 1),
+      |rx AS (SELECT v, 2 * COALESCE(SUM(m) OVER (ORDER BY v
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + m + 1 AS r2 FROM bx),
+      |by_ AS (SELECT y AS v, COUNT(*) AS m FROM u GROUP BY 1),
+      |ry AS (SELECT v, 2 * COALESCE(SUM(m) OVER (ORDER BY v
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + m + 1 AS r2 FROM by_),
+      |j AS (SELECT rx.r2 AS a, ry.r2 AS b
+      |      FROM u JOIN rx ON u.x = rx.v JOIN ry ON u.y = ry.v),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(a) AS HUGEINT) AS sx, CAST(SUM(b) AS HUGEINT) AS sy,
+      |    CAST(SUM(a * b) AS HUGEINT) AS sxy,
+      |    CAST(SUM(a * a) AS HUGEINT) AS sxx,
+      |    CAST(SUM(b * b) AS HUGEINT) AS syy
+      |  FROM j),
+      |st AS (
+      |  SELECT CAST(n AS BIGINT) AS n_rows,
+      |    CAST(CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |           CAST(n * syy - sy * sy AS DOUBLE)) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS rho
+      |  FROM agg),
+      |tt AS (
+      |  SELECT n_rows, rho,
+      |    rho * sqrt((CAST(n_rows AS DOUBLE) - 2.0) /
+      |      GREATEST(1e-12, 1.0 - rho * rho)) AS t
+      |  FROM st)
+      |SELECT n_rows, rho,
+      |  CAST(CAST(t AS DECIMAL(28,6)) AS DOUBLE) AS t_stat,
+      |  CAST(ABS(t) >= 1.959964 AS INT) AS significant
+      |FROM tt""".stripMargin
+
+  // q309: Kendall tau-b between DISCRETIZED per-user activity (total
+  // count div 5) and purchase count — does more activity concord with
+  // more purchases? Contingency-grid pair counting; the oracle replays
+  // cells, strictly-ordered cell pairs and the exact tie-corrected
+  // denominator.
+  def q309Kendall(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val perUser = e.groupBy(col("user_id"))
+      .agg((count(lit(1)).cast("long") / 5L).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    graft.pipeline.Stats.kendallTau(perUser, "x", "y")
+  }
+
+  val q309Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type FROM events),
+      |u AS (SELECT user_id, COUNT(*) // 5 AS x,
+      |        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |          END) AS BIGINT) AS y
+      |      FROM e GROUP BY 1),
+      |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS m
+      |          FROM u GROUP BY 1, 2),
+      |p AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN a.y < b.y THEN CAST(a.m * b.m AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS conc,
+      |    CAST(SUM(CASE WHEN a.y > b.y THEN CAST(a.m * b.m AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS disc
+      |  FROM cells a JOIN cells b ON a.x < b.x),
+      |tx AS (SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n1 FROM
+      |         (SELECT SUM(m) AS t FROM cells GROUP BY x)),
+      |ty AS (SELECT CAST(SUM(t * (t - 1) // 2) AS HUGEINT) AS n2 FROM
+      |         (SELECT SUM(m) AS t FROM cells GROUP BY y)),
+      |nt AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM cells),
+      |agg AS (SELECT * FROM p CROSS JOIN tx CROSS JOIN ty CROSS JOIN nt)
+      |SELECT n AS n_rows,
+      |  CAST(conc AS BIGINT) AS n_concordant,
+      |  CAST(disc AS BIGINT) AS n_discordant,
+      |  CAST(CAST(CAST(conc - disc AS DOUBLE) /
+      |    sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n1 AS DOUBLE) *
+      |         CAST(CAST(n AS HUGEINT) * (n - 1) // 2 - n2 AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS tau_b
+      |FROM agg""".stripMargin
+
+  // q310: Benford first-digit audit of document lengths — the fixture's
+  // narrow-range lengths deviate hard from Benford (high chi2), which
+  // is exactly the signal the audit exists to raise. The oracle replays
+  // the string-derived digits, d6 expected shares and the SRM-pattern
+  // chi-square chain.
+  def q310Benford(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.benfordAudit(t(s, dir, "documents"), "n_chars")
+
+  val q310Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(substring(CAST(n_chars AS VARCHAR), 1, 1) AS INT)
+      |      AS digit,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents WHERE n_chars > 0 GROUP BY 1),
+      |sp AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+      |f AS (SELECT sp.digit, COALESCE(c.c, CAST(0 AS BIGINT)) AS n_obs
+      |      FROM sp LEFT JOIN c USING (digit)),
+      |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM f),
+      |b AS (
+      |  SELECT digit, n_obs, n,
+      |    CAST(CAST(log10(1.0 + 1.0 / CAST(digit AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS exp_share,
+      |    CAST(CAST(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS obs_share
+      |  FROM f CROSS JOIN t),
+      |g AS (
+      |  SELECT digit, n_obs, exp_share, obs_share,
+      |    CAST((CAST(n_obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE)) *
+      |      (CAST(n_obs AS DOUBLE) - exp_share * CAST(n AS DOUBLE)) /
+      |      (exp_share * CAST(n AS DOUBLE)) AS DECIMAL(28,6)) AS t6,
+      |    CAST(ABS(obs_share - exp_share) AS DECIMAL(28,6)) AS a6
+      |  FROM b)
+      |SELECT digit, n_obs, exp_share, obs_share,
+      |  CAST(t6 AS DOUBLE) AS chi2_term,
+      |  CAST(CAST(CAST(SUM(t6) OVER () AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS chi2,
+      |  CAST(CAST(CAST(SUM(a6) OVER () AS DOUBLE) / 9.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS mad
+      |FROM g""".stripMargin
+
+  // q311: always-valid mSPRT trajectory over the user-parity A/A split,
+  // daily periods, value quantized to cents (floor(value*100)). An A/A
+  // stream should keep p_always_valid at 1 — and the oracle replays the
+  // full cumulative-sufficient-statistic chain either way.
+  def q311Msprt(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    graft.pipeline.Stats.msprt(
+      e.select((col("user_id") % 2).as("arm"),
+        floor(col("value") * 100).cast("long").as("v"),
+        expr("ts_us div 86400000000").as("day")),
+      "arm", "v", "day", tau2 = 10000.0)
+  }
+
+  val q311Sql: String =
+    """WITH e AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(floor(value * 100) AS BIGINT) AS v,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period
+      |  FROM events),
+      |byp AS (
+      |  SELECT period,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pn0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pn1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(v AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS ps0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS ps1,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN CAST(v AS HUGEINT) *
+      |      CAST(v AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS HUGEINT)
+      |      AS pq0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN CAST(v AS HUGEINT) *
+      |      CAST(v AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS HUGEINT)
+      |      AS pq1
+      |  FROM e GROUP BY 1),
+      |cum AS (
+      |  SELECT period,
+      |    CAST(SUM(pn0) OVER w AS BIGINT) AS n0,
+      |    CAST(SUM(pn1) OVER w AS BIGINT) AS n1,
+      |    CAST(SUM(ps0) OVER w AS HUGEINT) AS s0,
+      |    CAST(SUM(ps1) OVER w AS HUGEINT) AS s1,
+      |    CAST(SUM(pq0) OVER w AS HUGEINT) AS q0,
+      |    CAST(SUM(pq1) OVER w AS HUGEINT) AS q1
+      |  FROM byp WINDOW w AS (ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |st AS (
+      |  SELECT period, n0, n1,
+      |    ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) /
+      |        CAST(n0 AS DOUBLE)) +
+      |     (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) /
+      |        CAST(n1 AS DOUBLE))) /
+      |      (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0) AS sg,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) -
+      |      CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS dl,
+      |    2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+      |      (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS ne
+      |  FROM cum),
+      |lm AS (
+      |  SELECT period, n0, n1, sg, dl,
+      |    n0 >= 2 AND n1 >= 2 AND sg > 0.0 AS ok,
+      |    sqrt((2.0 * sg) / ((2.0 * sg) + ne * 10000.0)) *
+      |      exp(ne * ne * 10000.0 * dl * dl /
+      |        (2.0 * (2.0 * sg) * ((2.0 * sg) + ne * 10000.0))) AS lam
+      |  FROM st),
+      |p AS (
+      |  SELECT period, n0 AS n_a, n1 AS n_b,
+      |    CASE WHEN ok THEN CAST(CAST(dl AS DECIMAL(28,6)) AS DOUBLE)
+      |      END AS delta,
+      |    CASE WHEN ok THEN CAST(CAST(sg AS DECIMAL(28,6)) AS DOUBLE)
+      |      END AS sigma2,
+      |    CASE WHEN ok THEN CAST(CAST(lam AS DECIMAL(28,6)) AS DOUBLE)
+      |      END AS lambda,
+      |    CASE WHEN ok THEN LEAST(1.0,
+      |      CAST(CAST(1.0 / lam AS DECIMAL(28,6)) AS DOUBLE))
+      |      ELSE 1.0 END AS praw
+      |  FROM lm)
+      |SELECT period, n_a, n_b, delta, sigma2, lambda,
+      |  MIN(praw) OVER (ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS p_always_valid,
+      |  CAST(MIN(praw) OVER (ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 0.05
+      |    AS INT) AS significant
+      |FROM p""".stripMargin
+
+  // q312: Holt level+trend forecast of daily per-type event volumes
+  // (alpha = beta = 1/2 — the exact-integer trajectory), horizon 3.
+  // The oracle replays the scaled integer recurrence as a recursive
+  // CTE in HUGEINT.
+  def q312Holt(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val daily = e.groupBy(col("event_type"),
+        expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    graft.ops.Timeseries.holtForecast(daily, "event_type", "day", "y",
+      horizon = 3)
+  }
+
+  val q312Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT event_type AS key,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t
+      |  FROM events),
+      |s AS (SELECT key, t, CAST(COUNT(*) AS BIGINT) AS y
+      |      FROM e GROUP BY 1, 2),
+      |o AS (SELECT key, t, y,
+      |        ROW_NUMBER() OVER (PARTITION BY key ORDER BY t) AS rn,
+      |        COUNT(*) OVER (PARTITION BY key) AS n
+      |      FROM s),
+      |tr AS (
+      |  SELECT a.key, a.n, CAST(2 AS BIGINT) AS done,
+      |    CAST(b.y AS HUGEINT) AS l, CAST(b.y - a.y AS HUGEINT) AS b,
+      |    CAST(1 AS HUGEINT) AS p
+      |  FROM o a JOIN o b ON a.key = b.key AND a.rn = 1 AND b.rn = 2
+      |  UNION ALL
+      |  SELECT tr.key, tr.n, tr.done + 1,
+      |    2 * tr.p * o.y + 2 * tr.l + 2 * tr.b,
+      |    tr.p * o.y - tr.l + 3 * tr.b,
+      |    4 * tr.p
+      |  FROM tr JOIN o ON o.key = tr.key AND o.rn = tr.done + 1),
+      |fin AS (SELECT * FROM tr WHERE done = n)
+      |SELECT key, n AS n_obs,
+      |  CAST(CAST(CAST(l AS DOUBLE) / CAST(p AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS level,
+      |  CAST(CAST(CAST(b AS DOUBLE) / CAST(p AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS trend,
+      |  CAST(h AS INT) AS h,
+      |  CAST(CAST((CAST(l AS DOUBLE) + CAST(h AS DOUBLE) *
+      |    CAST(b AS DOUBLE)) / CAST(p AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS forecast
+      |FROM fin CROSS JOIN (SELECT unnest(range(1, 4)) AS h)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_benford" -> (q310Benford _),
+    "q311_msprt" -> (q311Msprt _),
+    "q312_holt" -> (q312Holt _),
+    "q307_ks_test" -> (q307KsTest _),
+    "q308_spearman" -> (q308Spearman _),
+    "q309_kendall_tau" -> (q309Kendall _),
     "q250_bootstrap_ci" -> (q250BootstrapCi _),
     "q256_drift_monitor" -> (q256DriftMonitor _),
     "q251_ab_ttest" -> (q251AbTtest _),
@@ -1976,6 +2308,12 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q310_benford" -> q310Sql,
+    "q311_msprt" -> q311Sql,
+    "q312_holt" -> q312Sql,
+    "q307_ks_test" -> q307Sql,
+    "q308_spearman" -> q308Sql,
+    "q309_kendall_tau" -> q309Sql,
     "q250_bootstrap_ci" -> q250Sql,
     "q256_drift_monitor" -> q256Sql,
     "q251_ab_ttest" -> q251Sql,

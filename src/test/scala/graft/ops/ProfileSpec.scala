@@ -216,4 +216,49 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxDomain"))
   }
+
+  // ------------------------------------------------- benfordAudit (q310)
+
+  test("benfordAudit digits come from the decimal string, shares hand-check") {
+    // 10 values: digit 1 ×5, digit 2 ×3, digit 9 ×2 — including
+    // boundary values where float log10 could misbucket
+    val df = Seq(1L, 10L, 199L, 1000000L, 123456L,
+      2L, 25L, 299999L, 9L, 999999L).toDF("v")
+    val out = Profile.benfordAudit(df, "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r).toMap
+    assert(out.size == 9)
+    assert(out(1).getAs[Long]("n_obs") == 5L)
+    assert(out(2).getAs[Long]("n_obs") == 3L)
+    assert(out(9).getAs[Long]("n_obs") == 2L)
+    assert(out(3).getAs[Long]("n_obs") == 0L)
+    assert(out(1).getAs[Double]("obs_share") == 0.5)
+    // expected share of digit 1 is log10(2) = 0.301030 at d6
+    assert(out(1).getAs[Double]("exp_share") == 0.30103)
+    // chi2 and mad are constant across rows
+    assert(out.values.map(_.getAs[Double]("chi2")).toSet.size == 1)
+    assert(out.values.map(_.getAs[Double]("mad")).toSet.size == 1)
+  }
+
+  test("benfordAudit: a Benford-exact sample scores near-zero MAD") {
+    // counts proportional to log10(1+1/d) out of 1000
+    val counts = (1 to 9).map(d =>
+      d -> math.round(1000 * math.log10(1.0 + 1.0 / d)))
+    val df = counts.flatMap { case (d, n) =>
+      (1L to n).map(i => d.toLong * math.pow(10, 3).toLong + i % 1000)
+    }.toDF("v")
+    val r = Profile.benfordAudit(df, "v").collect().head
+    assert(r.getAs[Double]("mad") < 0.001)
+    assert(r.getAs[Double]("chi2") < 1.0)
+  }
+
+  test("benfordAudit ignores non-positive values and guards empty input") {
+    val df = Seq(-5L, 0L, 7L).toDF("v")
+    val out = Profile.benfordAudit(df, "v").collect()
+    assert(out.map(_.getAs[Long]("n_obs")).sum == 1L)
+    val bad = Seq(-1L, 0L).toDF("v")
+    val e = intercept[Exception] {
+      Profile.benfordAudit(bad, "v").collect()
+    }
+    assert(e.getMessage.contains("no positive"))
+  }
 }

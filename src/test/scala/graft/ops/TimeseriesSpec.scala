@@ -121,4 +121,76 @@ class TimeseriesSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(spike.getDouble(5) == expZ && spike.getInt(6) == 1)
   }
+
+  // ------------------------------------------------- holtForecast (q312)
+
+  test("holtForecast tracks a perfectly linear series exactly") {
+    // y = (1,2,3,4): init l=2,b=1; each step keeps b=1, l=y_t;
+    // forecasts are 4+h
+    val df = Seq(("a", 0L, 1L), ("a", 1L, 2L), ("a", 2L, 3L),
+      ("a", 3L, 4L)).toDF("k", "t", "y")
+    val out = Timeseries.holtForecast(df, "k", "t", "y", horizon = 3)
+      .orderBy("h").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Double]("level") == 4.0))
+    assert(out.forall(_.getAs[Double]("trend") == 1.0))
+    assert(out.map(_.getAs[Double]("forecast")).toSeq == Seq(5.0, 6.0, 7.0))
+    assert(out.head.getAs[Long]("n_obs") == 4L)
+  }
+
+  test("holtForecast two-point series extrapolates the segment") {
+    val df = Seq(("a", 0L, 10L), ("a", 5L, 16L)).toDF("k", "t", "y")
+    val out = Timeseries.holtForecast(df, "k", "t", "y", horizon = 2)
+      .orderBy("h").collect()
+    assert(out.head.getAs[Double]("level") == 16.0)
+    assert(out.head.getAs[Double]("trend") == 6.0)
+    assert(out.map(_.getAs[Double]("forecast")).toSeq == Seq(22.0, 28.0))
+  }
+
+  test("holtForecast matches the unscaled recurrence on a noisy series") {
+    // replay the plain double recurrence (exact for these magnitudes)
+    val ys = Seq(5L, 9L, 4L, 12L, 8L, 15L, 11L)
+    val df = ys.zipWithIndex.map { case (y, i) => ("k", i.toLong, y) }
+      .toDF("k", "t", "y")
+    var l = ys(1).toDouble
+    var b = (ys(1) - ys(0)).toDouble
+    ys.drop(2).foreach { y =>
+      val nl = (y + l + b) / 2.0
+      val nb = ((nl - l) + b) / 2.0
+      l = nl; b = nb
+    }
+    val r = Timeseries.holtForecast(df, "k", "t", "y", horizon = 1)
+      .collect().head
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("level") == d6(l))
+    assert(r.getAs[Double]("trend") == d6(b))
+    assert(r.getAs[Double]("forecast") == d6(l + b))
+  }
+
+  test("holtForecast is per-key and order-insensitive") {
+    val df = Seq(("b", 1L, 4L), ("a", 0L, 1L), ("a", 1L, 2L),
+      ("b", 0L, 2L), ("a", 2L, 3L)).toDF("k", "t", "y")
+    val out = Timeseries.holtForecast(df.repartition(7), "k", "t", "y",
+        horizon = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("forecast"))
+      .toMap
+    assert(out("a") == 4.0) // linear 1,2,3 -> 4
+    assert(out("b") == 6.0) // segment 2,4 -> 6
+  }
+
+  test("holtForecast guards: short series, long series, huge values") {
+    val one = Seq(("a", 0L, 1L)).toDF("k", "t", "y")
+    assert(intercept[Exception] {
+      Timeseries.holtForecast(one, "k", "t", "y").collect()
+    }.getMessage.contains("2.."))
+    val long = (0L until 60L).map(i => ("a", i, i)).toDF("k", "t", "y")
+    assert(intercept[Exception] {
+      Timeseries.holtForecast(long, "k", "t", "y").collect()
+    }.getMessage.contains("2..48"))
+    val huge = Seq(("a", 0L, 1L), ("a", 1L, 2000000L)).toDF("k", "t", "y")
+    assert(intercept[Exception] {
+      Timeseries.holtForecast(huge, "k", "t", "y").collect()
+    }.getMessage.contains("1e6"))
+  }
 }

@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 inference operators: two-sample KS (Stats.ksTest, q307),
+  * Spearman rho (Stats.spearmanRho, q308), Kendall tau-b
+  * (Stats.kendallTau, q309) and the always-valid mSPRT trajectory
+  * (Stats.msprt, q311).
+  */
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- KS
+
+  test("ksTest matches the hand-computed ECDF gap") {
+    // arm0 = {1,2,3,4}, arm1 = {3,4,5,6}: max gap at v=2 is |2/4 - 0| =
+    // 0.5 (numerator |2*4 - 0*4| = 8 over n0*n1 = 16)
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (0, 4L),
+      (1, 3L), (1, 4L), (1, 5L), (1, 6L)).toDF("arm", "v")
+    val r = Stats.ksTest(df, "arm", "v").collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("d_numerator") == 8L)
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.5 && p <= 1.0, s"tiny samples can't be significant: $p")
+  }
+
+  test("ksTest of identical samples is D = 0, p = 1") {
+    // the lambda < 0.3 clamp region: the truncated series would give a
+    // nonsense p here without it
+    val df = (1L to 50L).flatMap(i => Seq((0, i % 7), (1, i % 7)))
+      .toDF("arm", "v")
+    val r = Stats.ksTest(df, "arm", "v").collect().head
+    assert(r.getAs[Long]("d_numerator") == 0L)
+    assert(r.getAs[Double]("d_stat") == 0.0)
+    assert(r.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("ksTest flags a planted distribution shift") {
+    // arm1 shifted by 50: disjoint supports, D = 1, p ~ 0
+    val df = (1L to 200L).map(i => (0, i % 20)) ++
+      (1L to 200L).map(i => (1, 50 + i % 20))
+    val r = Stats.ksTest(df.toDF("arm", "v"), "arm", "v").collect().head
+    assert(r.getAs[Double]("d_stat") == 1.0)
+    assert(r.getAs[Double]("p_value") < 0.001)
+  }
+
+  test("ksTest is partitioning-invariant") {
+    val df = (1L to 300L).map(i => ((i % 2).toInt, (i * 31) % 97))
+      .toDF("arm", "v")
+    val a = Stats.ksTest(df.coalesce(1), "arm", "v").collect().head.toSeq
+    val b = Stats.ksTest(df.repartition(13), "arm", "v")
+      .collect().head.toSeq
+    assert(a == b)
+  }
+
+  test("ksTest fails loudly on an empty arm") {
+    val df = Seq((0, 1L), (0, 2L)).toDF("arm", "v")
+    val e = intercept[Exception] {
+      Stats.ksTest(df, "arm", "v").collect()
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  // ---------------------------------------------------------- Spearman
+
+  test("spearmanRho is 1 for any monotone map and -1 reversed") {
+    val up = (1L to 40L).map(i => (i, i * i)).toDF("x", "y")
+    val dn = (1L to 40L).map(i => (i, -(i * i))).toDF("x", "y")
+    assert(Stats.spearmanRho(up, "x", "y").collect().head
+      .getAs[Double]("rho") == 1.0)
+    assert(Stats.spearmanRho(dn, "x", "y").collect().head
+      .getAs[Double]("rho") == -1.0)
+  }
+
+  test("spearmanRho matches the tied-rank hand computation") {
+    // x=(1,1,2), y=(1,2,3): average ranks give rho = 18/sqrt(432) =
+    // 0.866025 (scipy agrees)
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    val r = Stats.spearmanRho(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(math.abs(r.getAs[Double]("rho") - 0.866025) < 1e-6)
+  }
+
+  test("spearmanRho fails loudly on a constant column") {
+    val df = (1L to 10L).map(i => (i, 5L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Stats.spearmanRho(df, "x", "y").collect()
+    }
+    assert(e.getMessage.contains("rank variance"))
+  }
+
+  test("spearmanRho is partitioning-invariant") {
+    val df = (1L to 200L).map(i => ((i * 7) % 53, (i * 13) % 31))
+      .toDF("x", "y")
+    val a = Stats.spearmanRho(df.coalesce(1), "x", "y")
+      .collect().head.toSeq
+    val b = Stats.spearmanRho(df.repartition(11), "x", "y")
+      .collect().head.toSeq
+    assert(a == b)
+  }
+
+  // ----------------------------------------------------------- Kendall
+
+  test("kendallTau matches hand-computed concordance (no ties)") {
+    // x=(1,2,3), y=(1,3,2): C=2, D=1, tau = 1/3
+    val df = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    val r = Stats.kendallTau(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_concordant") == 2L)
+    assert(r.getAs[Long]("n_discordant") == 1L)
+    assert(math.abs(r.getAs[Double]("tau_b") - 1.0 / 3.0) < 1e-6)
+  }
+
+  test("kendallTau tie-corrected: balanced grid is tau 0") {
+    // x=(1,1,2,2), y=(1,2,1,2): C=1, D=1 -> tau_b = 0
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("x", "y")
+    val r = Stats.kendallTau(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_concordant") == 1L)
+    assert(r.getAs[Long]("n_discordant") == 1L)
+    assert(r.getAs[Double]("tau_b") == 0.0)
+  }
+
+  test("kendallTau fails loudly past maxCells") {
+    val df = (1L to 50L).map(i => (i, i)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Stats.kendallTau(df, "x", "y", maxCells = 10).collect()
+    }
+    assert(e.getMessage.contains("discretize"))
+  }
+
+  test("kendallTau fails loudly on a constant column") {
+    val df = (1L to 10L).map(i => (i, 1L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Stats.kendallTau(df, "x", "y").collect()
+    }
+    assert(e.getMessage.contains("undefined"))
+  }
+
+  // ------------------------------------------------------------- mSPRT
+
+  test("msprt p-trajectory is non-increasing and starts at 1") {
+    val rows = (0L until 20L).flatMap { p =>
+      (1L to 10L).flatMap(i => Seq((0, 10L + i % 3, p), (1, 10L + (i + 1) % 3, p)))
+    }
+    val out = Stats.msprt(rows.toDF("arm", "v", "period"),
+        "arm", "v", "period", tau2 = 1.0)
+      .orderBy("period").collect()
+    val ps = out.map(_.getAs[Double]("p_always_valid"))
+    assert(ps.head <= 1.0)
+    ps.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+  }
+
+  test("msprt detects a planted persistent shift") {
+    // arm1 = arm0 + 50 across 30 periods: p must collapse below alpha
+    val rows = (0L until 30L).flatMap { p =>
+      (1L to 20L).flatMap(i =>
+        Seq((0, 100L + i % 5, p), (1, 150L + i % 5, p)))
+    }
+    val out = Stats.msprt(rows.toDF("arm", "v", "period"),
+        "arm", "v", "period", tau2 = 100.0)
+      .orderBy("period").collect()
+    assert(out.last.getAs[Double]("p_always_valid") < 0.05)
+    assert(out.last.getAs[Int]("significant") == 1)
+  }
+
+  test("msprt null-experiment stays insignificant") {
+    // A/A: identical per-period samples in both arms
+    val rows = (0L until 30L).flatMap { p =>
+      (1L to 20L).flatMap(i => Seq((0, 100L + i % 7, p), (1, 100L + i % 7, p)))
+    }
+    val out = Stats.msprt(rows.toDF("arm", "v", "period"),
+        "arm", "v", "period", tau2 = 100.0)
+      .orderBy("period").collect()
+    assert(out.forall(_.getAs[Int]("significant") == 0))
+    assert(out.last.getAs[Double]("p_always_valid") == 1.0)
+  }
+
+  test("msprt reports null stats with p = 1 before both arms have data") {
+    val rows = Seq((0, 10L, 0L), (0, 11L, 0L), (0, 12L, 0L),
+      (0, 13L, 1L), (1, 10L, 1L), (1, 12L, 1L),
+      (0, 11L, 2L), (1, 13L, 2L))
+    val out = Stats.msprt(rows.toDF("arm", "v", "period"),
+        "arm", "v", "period", tau2 = 1.0)
+      .orderBy("period").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("delta")))
+    assert(out(0).getAs[Double]("p_always_valid") == 1.0)
+    assert(!out(2).isNullAt(out(2).fieldIndex("delta")))
+  }
+}
