@@ -262,4 +262,137 @@ object Graph {
       .select(col("node"), col("hub"),
         (col("auth") / col("_g_atot")).as("authority"))
   }
+
+  /** Normalized undirected adjacency: self-loops dropped, each
+    * unordered pair once in BOTH directions, node ids as strings.
+    * Returned frame has columns (_g_a, _g_b). */
+  private def undirected(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("string")
+    val d = col(dstCol).cast("string")
+    val pairs = edges.filter(s =!= d)
+      .select(least(s, d).as("_g_a"), greatest(s, d).as("_g_b"))
+      .distinct()
+    pairs.union(pairs.select(col("_g_b"), col("_g_a")))
+  }
+
+  /** k-core decomposition membership: iteratively peel nodes of degree
+    * < k until the remaining subgraph is stable — the standard
+    * density-community primitive (a node in the k-core has ≥ k
+    * neighbors INSIDE the core). Output: (node, core_degree) for the
+    * surviving nodes, where core_degree is the node's degree within the
+    * final core.
+    *
+    * Execution follows the [[pageRank]] loop discipline: the normalized
+    * undirected edge frame and the alive set are materialized per round
+    * (lineage-truncated), each round is ONE b-side semi-join + ONE
+    * a-keyed count aggregate + ONE a-side semi-join, and the only
+    * driver-side value is the alive COUNT (an action, not a collect).
+    * Peeling converges in ≤ rounds proportional to the degeneracy
+    * ordering depth; `maxRounds` bounds a pathological chain (a path
+    * graph peels one layer per round) and failing it raises loudly
+    * rather than returning a half-peeled set.
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val und = materialize(undirected(edges, srcCol, dstCol))
+    var alive = materialize(und.select(col("_g_a").as("node")).distinct())
+    var n = alive.count()
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"kCore: not stable after $maxRounds peel rounds " +
+            s"($n nodes alive) — raise maxRounds")
+      val next = materialize(
+        und
+          .join(alive.select(col("node").as("_g_b")), Seq("_g_b"),
+            "left_semi")
+          .groupBy(col("_g_a")).agg(count(lit(1)).as("_g_deg"))
+          .filter(col("_g_deg") >= k)
+          .select(col("_g_a").as("node"))
+          .join(alive, Seq("node"), "left_semi"))
+      val m = next.count()
+      if (m == n) stable = true
+      else { alive = next; n = m }
+      if (n == 0) stable = true
+    }
+    und
+      .join(alive.select(col("node").as("_g_b")), Seq("_g_b"), "left_semi")
+      .join(alive.select(col("node").as("_g_a")), Seq("_g_a"), "left_semi")
+      .groupBy(col("_g_a").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Adamic–Adar link prediction over an undirected graph: for every
+    * NON-adjacent candidate pair (u, v) with at least one common
+    * neighbor, score = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) — common
+    * neighbors weighted by how selective they are (a shared rare
+    * neighbor says more than a shared hub). Top-`topK` pairs by
+    * (score desc, u, v). Output: (u, v, n_common, aa_score).
+    *
+    *   - deg(w) ≥ 2 by construction (w neighbors both u and v), so
+    *     ln(deg) > 0 always.
+    *   - Each 1/ln term is d6-rounded BEFORE the decimal sum —
+    *     summation-order-free, engine-exact.
+    *   - The candidate generator is the adjacency SELF-JOIN on the
+    *     shared neighbor — fan-out deg(w)² at each w, the classic AA
+    *     hot spot on power-law graphs. `maxNeighborDegree` prunes hub
+    *     intermediates ABOVE the cap before pairing (the q112 df-cap
+    *     discipline): a documented approximation — each dropped hub
+    *     contributes < 1/ln(cap) per pair — that bounds per-key fan-out
+    *     at any graph scale. Set it ≥ the max degree for the exact
+    *     score.
+    *
+    * Scale shape: degree aggregate, one equi-join pair generation
+    * (bounded by the cap), one (u,v)-keyed aggregate, one broadcast
+    * anti-join against the edge set, TakeOrdered top-K.
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      topK: Int = 20,
+      maxNeighborDegree: Int = 10000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxNeighborDegree >= 2,
+      s"maxNeighborDegree must be >= 2, got $maxNeighborDegree")
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = und.groupBy(col("_g_a").as("_g_w"))
+      .agg(count(lit(1)).as("_g_deg"))
+      .filter(col("_g_deg") <= maxNeighborDegree)
+    // (w, u) adjacency restricted to sub-cap intermediates, with the
+    // 1/ln(deg) weight already attached — joined ONCE, reused both sides
+    val adjW = und.select(col("_g_b").as("_g_w"), col("_g_a").as("_g_u"))
+      .join(deg, Seq("_g_w"))
+    val cand = adjW.select(col("_g_w"), col("_g_u"), col("_g_deg"))
+      .join(adjW.select(col("_g_w"), col("_g_u").as("_g_v")), Seq("_g_w"))
+      .filter(col("_g_u") < col("_g_v"))
+    val term6 = (lit(1.0) / log(col("_g_deg").cast("double")))
+      .cast("decimal(28,6)")
+    val scored = cand
+      .groupBy(col("_g_u"), col("_g_v"))
+      .agg(count(lit(1)).as("n_common"), sum(term6).as("_g_s6"))
+    val existing = und.filter(col("_g_a") < col("_g_b"))
+      .select(col("_g_a").as("_g_u"), col("_g_b").as("_g_v"))
+    scored
+      .join(existing, Seq("_g_u", "_g_v"), "left_anti")
+      .select(col("_g_u").as("u"), col("_g_v").as("v"), col("n_common"),
+        col("_g_s6").cast("double").cast("decimal(28,6)").cast("double")
+          .as("aa_score"))
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(topK)
+  }
 }

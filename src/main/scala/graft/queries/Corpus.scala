@@ -4798,7 +4798,100 @@ object Corpus {
       |SELECT term, n_a, n_b, delta, z FROM scored
       |ORDER BY ABS(z) DESC, term ASC LIMIT 50""".stripMargin
 
+  /** Co-purchase user graph: an edge between users who purchased in the
+    * same 6-hour bucket on >= 3 distinct buckets — sparse enough for a
+    * non-trivial k-core (88 of 150 users at sf0.01, 6 peel rounds). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.eventsUs(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_us div 21600000000").as("b"))
+      .distinct()
+    val q = p.select(col("user_id").as("v"), col("b"))
+    p.join(q, p("b") === q("b") && p("user_id") < col("v"))
+      .groupBy(p("user_id").as("u"), col("v"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  // q313: 15-core of the co-purchase graph — iterative peel to a fixed
+  // point. The oracle replays the peel as a packed-alive-list recursive
+  // CTE (the single-self-reference workaround: the alive SET rides one
+  // row per round, degrees come from list lambdas over the edge list).
+  def q313KCore(s: SparkSession, dir: String): DataFrame =
+    Graph.kCore(coPurchaseEdges(s, dir), "u", "v", k = 15)
+
+  val q313Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS b
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT CAST(a.user_id AS VARCHAR) AS u,
+      |    CAST(b.user_id AS VARCHAR) AS v
+      |  FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |und AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+      |ed AS (SELECT list({'a': a, 'b': b}) AS es FROM und),
+      |n0 AS (SELECT list_sort(list(DISTINCT a)) AS alive FROM und),
+      |peel(it, alive) AS (
+      |  SELECT 0, alive FROM n0
+      |  UNION ALL
+      |  SELECT it + 1,
+      |    list_sort(list_filter(peel.alive, x ->
+      |      len(list_filter(ed.es, e -> e.a = x AND
+      |        list_contains(peel.alive, e.b))) >= 15))
+      |  FROM peel, ed
+      |  WHERE it < 20 AND
+      |    list_sort(list_filter(peel.alive, x ->
+      |      len(list_filter(ed.es, e -> e.a = x AND
+      |        list_contains(peel.alive, e.b))) >= 15)) <> peel.alive),
+      |fin AS (SELECT alive FROM peel ORDER BY it DESC LIMIT 1),
+      |nodes AS (SELECT unnest(alive) AS node, alive FROM fin)
+      |SELECT nodes.node,
+      |  CAST(len(list_filter(ed.es, e -> e.a = nodes.node AND
+      |    list_contains(nodes.alive, e.b))) AS BIGINT) AS core_degree
+      |FROM nodes, ed""".stripMargin
+
+  // q314: Adamic-Adar link prediction on the same graph — top 20
+  // non-adjacent pairs by summed 1/ln(common-neighbor degree), each
+  // term d6-rounded before the decimal sum.
+  def q314AdamicAdar(s: SparkSession, dir: String): DataFrame =
+    Graph.adamicAdar(coPurchaseEdges(s, dir), "u", "v", topK = 20)
+
+  val q314Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS b
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT CAST(a.user_id AS VARCHAR) AS u,
+      |    CAST(b.user_id AS VARCHAR) AS v
+      |  FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |und AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+      |d AS (SELECT a AS w, CAST(COUNT(*) AS BIGINT) AS dg
+      |      FROM und GROUP BY 1),
+      |adj AS (SELECT b AS w, a AS u FROM und),
+      |cand AS (
+      |  SELECT x.u, y.u AS v, d.dg
+      |  FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u
+      |  JOIN d ON d.w = x.w),
+      |sc AS (
+      |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+      |    SUM(CAST(1.0 / ln(CAST(dg AS DOUBLE)) AS DECIMAL(28,6))) AS s6
+      |  FROM cand GROUP BY 1, 2),
+      |r AS (
+      |  SELECT sc.u, sc.v, sc.n_common, sc.s6 FROM sc
+      |  WHERE NOT EXISTS (SELECT 1 FROM und
+      |    WHERE und.a = sc.u AND und.b = sc.v))
+      |SELECT u, v, n_common,
+      |  CAST(CAST(CAST(s6 AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS aa_score
+      |FROM r ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_kcore" -> (q313KCore _),
+    "q314_adamic_adar" -> (q314AdamicAdar _),
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
     "q258_rouge_eval" -> (q258RougeEval _),
@@ -4900,6 +4993,8 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q313_kcore" -> q313Sql,
+    "q314_adamic_adar" -> q314Sql,
     "q123_bm25" -> q123Sql,
     "q124_nfc_normalize" -> q124Sql,
     "q125_chunk_dedup" -> q125Sql,

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** k-core decomposition (Graph.kCore, q313) and Adamic-Adar link
+  * prediction (Graph.adamicAdar, q314).
+  */
+class GraphCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // triangle {a,b,c} + pendant d-a + path d-e: the 2-core is exactly
+  // the triangle
+  private val triPlusTail = Seq(
+    ("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e"))
+
+  test("kCore peels pendants: the 2-core of a triangle+tail is the triangle") {
+    val out = Graph.kCore(triPlusTail.toDF("s", "d"), "s", "d", k = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("core_degree"))
+      .toMap
+    assert(out == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kCore cascade: removing one layer can strand the next") {
+    // path a-b-c-d: 2-core is empty (peel cascades end to end)
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    assert(Graph.kCore(path, "s", "d", k = 2).collect().isEmpty)
+    // but the 1-core keeps everything
+    assert(Graph.kCore(path, "s", "d", k = 1).count() == 4L)
+  }
+
+  test("kCore ignores self-loops, duplicates and edge direction") {
+    val messy = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "c"),
+      ("c", "a"), ("a", "b")).toDF("s", "d")
+    val out = Graph.kCore(messy, "s", "d", k = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("a", "b", "c"))
+  }
+
+  test("kCore core_degree is the WITHIN-core degree, not the raw degree") {
+    // a has raw degree 3 (b, c, pendant d) but core degree 2
+    val out = Graph.kCore(triPlusTail.toDF("s", "d"), "s", "d", k = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("core_degree"))
+      .toMap
+    assert(out("a") == 2L)
+  }
+
+  test("kCore maxRounds guards an unconverged peel loudly") {
+    // a 12-node path needs ~6 cascade rounds at k=2 (to empty);
+    // maxRounds=2 must throw, not return a half-peeled set
+    val longPath = (0 until 12).sliding(2)
+      .map(w => (s"n${w.head}", s"n${w.last}")).toSeq.toDF("s", "d")
+    val e = intercept[IllegalStateException] {
+      Graph.kCore(longPath, "s", "d", k = 2, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("maxRounds"))
+  }
+
+  test("adamicAdar scores the textbook common-neighbor case") {
+    // u and v share neighbors w1 (deg 2) and w2 (deg 3):
+    // score = 1/ln(2) + 1/ln(3)
+    val edges = Seq(("u", "w1"), ("v", "w1"), ("u", "w2"), ("v", "w2"),
+      ("x", "w2")).toDF("s", "d")
+    val out = Graph.adamicAdar(edges, "s", "d", topK = 10).collect()
+    val row = out.find(r => r.getString(0) == "u" && r.getString(1) == "v")
+      .getOrElse(fail("missing (u,v) candidate"))
+    assert(row.getAs[Long]("n_common") == 2L)
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = d6(d6(1.0 / math.log(2.0)) + d6(1.0 / math.log(3.0)))
+    assert(row.getAs[Double]("aa_score") == expected)
+  }
+
+  test("adamicAdar excludes already-adjacent pairs") {
+    // triangle: every pair adjacent -> no candidates at all
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    assert(Graph.adamicAdar(tri, "s", "d").collect().isEmpty)
+  }
+
+  test("adamicAdar maxNeighborDegree prunes hub intermediates") {
+    // star: hub h connects a,b,c,d — all pairs share only the hub
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"))
+      .toDF("s", "d")
+    assert(Graph.adamicAdar(star, "s", "d").count() == 6L)
+    // cap below the hub degree: no intermediate survives
+    assert(Graph.adamicAdar(star, "s", "d", maxNeighborDegree = 3)
+      .collect().isEmpty)
+  }
+
+  test("adamicAdar topK cuts by (score desc, u, v)") {
+    // chain of shared neighbors with distinct degrees gives distinct
+    // scores; ask for 2
+    val edges = Seq(
+      ("p", "w1"), ("q", "w1"),            // (p,q) via deg-2 w1
+      ("r", "w2"), ("s", "w2"), ("t", "w2") // 3 pairs via deg-3 w2
+    ).toDF("s", "d")
+    val out = Graph.adamicAdar(edges, "s", "d", topK = 2).collect()
+    assert(out.length == 2)
+    // 1/ln(2) > 1/ln(3): (p,q) first, then the lexicographically
+    // smallest deg-3 pair (r,s)
+    assert(out(0).getString(0) == "p" && out(0).getString(1) == "q")
+    assert(out(1).getString(0) == "r" && out(1).getString(1) == "s")
+  }
+}
