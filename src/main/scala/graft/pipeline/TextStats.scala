@@ -2010,4 +2010,138 @@ object TextStats {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .as("jaccard"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): tokens that
+    * survive the stopword filter become graph nodes, co-occurrence
+    * within `window` positions of the FILTERED sequence becomes a
+    * weighted undirected edge, and [[graft.ops.Graph.pageRank]] ranks
+    * the nodes — the graph-centrality alternative to frequency/PMI
+    * keywording ([[collocations]]): a term is important if important
+    * terms keep appearing next to it.
+    *
+    * Output: top-`topK` (token, n_occurrences, rank) by (rank desc,
+    * token). Determinism: the graph build is exact integer counts; the
+    * power iteration runs a FIXED `iters` rounds and the score rounds
+    * d6 at output (each engine sums incoming mass in its own order —
+    * the q128 discipline).
+    *
+    * Scale shape: one token explode, a per-doc window for the ≤
+    * (window−1) lead pairs, one pair-keyed count aggregate (vocab²
+    * bounded, in practice vocab-sized), then pageRank's fixed per-round
+    * exchanges on the VOCAB-sized graph — corpus-sized work is the one
+    * explode, everything after is vocabulary-sized.
+    */
+  def textRank(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      window: Int = 2,
+      iters: Int = 10,
+      damping: Double = 0.85,
+      topK: Int = 30): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val toks = df
+      .select(col(idCol).as("_g_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_g_pos", "tok")))
+      .filter(col("tok") =!= "" && !col("tok").isInCollection(stopwords))
+    val w = Window.partitionBy(col("_g_id")).orderBy(col("_g_pos"))
+    val seq = toks.withColumn("_g_rn", row_number().over(w))
+    val wLead = Window.partitionBy(col("_g_id")).orderBy(col("_g_rn"))
+    val pairs = (1 until window).map { j =>
+      seq.select(col("tok").as("_g_x"),
+        lead(col("tok"), j).over(wLead).as("_g_y"))
+    }.reduce(_ union _)
+      .filter(col("_g_y").isNotNull && col("_g_x") =!= col("_g_y"))
+    val und = pairs
+      .select(least(col("_g_x"), col("_g_y")).as("_g_a"),
+        greatest(col("_g_x"), col("_g_y")).as("_g_b"))
+      .groupBy(col("_g_a"), col("_g_b")).agg(count(lit(1)).as("_g_n"))
+    val edges = und.union(
+      und.select(col("_g_b"), col("_g_a"), col("_g_n")))
+    val pr = graft.ops.Graph.pageRank(edges, "_g_a", "_g_b", "_g_n",
+      iters = iters, damping = damping)
+    val occ = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
+    pr.join(occ, pr("node") === occ("tok"))
+      .select(col("tok").as("token"), col("n_occurrences"),
+        d6(col("pagerank")).as("rank"))
+      .orderBy(col("rank").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free token runs (capped at `maxPhraseLen` — the
+    * standard cap; longer runs are noise, not keyphrases), each word
+    * scores deg(w)/freq(w) over the candidate set (deg = Σ length of
+    * phrases containing w — words that live in long phrases score
+    * higher), and a phrase scores the sum of its word scores.
+    *
+    * Output: top-`topK` distinct phrases by (score desc, phrase) with
+    * occurrence counts. Word scores are d6-rounded before the decimal
+    * phrase sum (order-free), so the whole chain is engine-exact.
+    *
+    * Scale shape: one token explode, a per-doc window assigning each
+    * token its stopword-run id (one cumulative sum), then word- and
+    * phrase-keyed aggregates — all map-side-combinable; nothing holds a
+    * document's full text after the explode.
+    */
+  def rakeKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      maxPhraseLen: Int = 4,
+      topK: Int = 30): DataFrame = {
+    require(maxPhraseLen >= 1, s"maxPhraseLen must be >= 1, got $maxPhraseLen")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val toks = df
+      .select(col(idCol).as("_g_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_g_pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("_g_stop", col("tok").isInCollection(stopwords))
+    val w = Window.partitionBy(col("_g_id")).orderBy(col("_g_pos"))
+    // run id = number of stopwords seen so far: constant inside each
+    // stopword-free run, bumps at every boundary
+    val runs = toks
+      .withColumn("_g_run",
+        sum(col("_g_stop").cast("long")).over(w))
+      .filter(!col("_g_stop"))
+    val phrases = runs
+      .groupBy(col("_g_id"), col("_g_run"))
+      .agg(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("_g_pos"),
+          col("tok")))), p => p.getField("tok"))).as("phrase"),
+        count(lit(1)).as("_g_len"))
+      .filter(col("_g_len") <= maxPhraseLen)
+    // word stats over ALL candidate INSTANCES (RAKE's freq/deg count
+    // every occurrence), phrase score over DISTINCT phrase texts
+    val instWords = phrases
+      .select(col("phrase"), col("_g_len"),
+        explode(split(col("phrase"), " ")).as("_g_w"))
+    val wordScore = instWords
+      .groupBy(col("_g_w"))
+      .agg(sum(col("_g_len")).as("_g_deg"), count(lit(1)).as("_g_freq"))
+      .select(col("_g_w"),
+        (col("_g_deg").cast("double") / col("_g_freq").cast("double"))
+          .cast("decimal(28,6)").as("_g_ws6"))
+    val dist = phrases
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val phraseScore = dist
+      .select(col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("_g_w"))
+      .join(wordScore, Seq("_g_w"))
+      .groupBy(col("phrase"))
+      .agg(first(col("n_occurrences")).as("n_occurrences"),
+        sum(col("_g_ws6")).as("_g_s6"))
+    phraseScore
+      .select(col("phrase"), col("n_occurrences"),
+        col("_g_s6").cast("double").cast("decimal(28,6)").cast("double")
+          .as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topK)
+  }
 }

@@ -4889,9 +4889,102 @@ object Corpus {
       |    AS aa_score
       |FROM r ORDER BY aa_score DESC, u, v LIMIT 20""".stripMargin
 
+  // q315: TextRank keywords over the documents corpus — window-2
+  // co-occurrence graph of non-stopword tokens, 10 weighted PageRank
+  // rounds (the q128 replay machinery on the token graph), top 30.
+  def q315TextRank(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.textRank(t(s, dir, "documents"),
+      "doc_id", "text", stopwords = Seq("the", "a"))
+
+  val q315Sql: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1)
+      |      AS pos,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |ft AS (SELECT doc_id, pos, tok,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      |       FROM tk WHERE tok <> '' AND tok NOT IN ('the', 'a')),
+      |pr0 AS (SELECT a.tok AS x, b.tok AS y
+      |        FROM ft a JOIN ft b ON a.doc_id = b.doc_id
+      |          AND b.rn = a.rn + 1
+      |        WHERE a.tok <> b.tok),
+      |und AS (SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b,
+      |          COUNT(*) AS n
+      |        FROM pr0 GROUP BY 1, 2),
+      |ed AS (SELECT a, b, n FROM und
+      |       UNION ALL SELECT b, a, n FROM und),
+      |w AS (SELECT a AS from_t, b AS to_t,
+      |        CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY a) AS p
+      |      FROM ed),
+      |nodes AS (SELECT DISTINCT a AS node FROM ed),
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |ranks AS (
+      |  SELECT 0 AS it, node,
+      |    1.0 / (SELECT CAST(n AS DOUBLE) FROM nn) AS score
+      |  FROM nodes
+      |  UNION ALL
+      |  SELECT r.it + 1, w.to_t,
+      |    (1.0 - 0.85) / (SELECT CAST(n AS DOUBLE) FROM nn)
+      |      + 0.85 * SUM(r.score * w.p)
+      |  FROM ranks r JOIN w ON w.from_t = r.node
+      |  WHERE r.it < 10
+      |  GROUP BY r.it, w.to_t),
+      |occ AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |        FROM ft GROUP BY 1)
+      |SELECT r.node AS token, occ.n_occurrences,
+      |  CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE) AS rank
+      |FROM ranks r JOIN occ ON occ.tok = r.node WHERE it = 10
+      |ORDER BY rank DESC, token ASC LIMIT 30""".stripMargin
+
+  // q316: RAKE keyphrases — stopword-free runs (cap 4) scored by
+  // summed deg/freq word scores, d6 per word before the decimal sum.
+  def q316Rake(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.rakeKeywords(t(s, dir, "documents"),
+      "doc_id", "text", stopwords = Seq("the", "a"))
+
+  val q316Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1)
+      |      AS pos,
+      |    unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |st AS (SELECT doc_id, pos, tok, tok IN ('the', 'a') AS s
+      |       FROM tk WHERE tok <> ''),
+      |runs AS (
+      |  SELECT doc_id, pos, tok, s,
+      |    SUM(CASE WHEN s THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |      ROW) AS run
+      |  FROM st),
+      |ph AS (SELECT doc_id, run,
+      |         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+      |         COUNT(*) AS len
+      |       FROM runs WHERE NOT s GROUP BY 1, 2
+      |       HAVING COUNT(*) <= 4),
+      |iw AS (SELECT phrase, len, unnest(string_split(phrase, ' ')) AS w
+      |       FROM ph),
+      |ws AS (SELECT w, CAST(CAST(SUM(len) AS DOUBLE) /
+      |         CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS ws6
+      |       FROM iw GROUP BY 1),
+      |dist AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |         FROM ph GROUP BY 1),
+      |dw AS (SELECT phrase, n_occurrences,
+      |         unnest(string_split(phrase, ' ')) AS w
+      |       FROM dist),
+      |psc AS (SELECT phrase, MAX(n_occurrences) AS n_occurrences,
+      |          SUM(ws.ws6) AS s6
+      |        FROM dw JOIN ws USING (w) GROUP BY 1)
+      |SELECT phrase, n_occurrences,
+      |  CAST(CAST(CAST(s6 AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS score
+      |FROM psc ORDER BY score DESC, phrase ASC LIMIT 30""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_kcore" -> (q313KCore _),
     "q314_adamic_adar" -> (q314AdamicAdar _),
+    "q315_textrank" -> (q315TextRank _),
+    "q316_rake" -> (q316Rake _),
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
     "q258_rouge_eval" -> (q258RougeEval _),
@@ -4995,6 +5088,8 @@ object Corpus {
   def oracles: Map[String, String] = Map(
     "q313_kcore" -> q313Sql,
     "q314_adamic_adar" -> q314Sql,
+    "q315_textrank" -> q315Sql,
+    "q316_rake" -> q316Sql,
     "q123_bm25" -> q123Sql,
     "q124_nfc_normalize" -> q124Sql,
     "q125_chunk_dedup" -> q125Sql,

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** TextRank (TextStats.textRank, q315) and RAKE
+  * (TextStats.rakeKeywords, q316) keyword extraction.
+  */
+class KeywordSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stop = Seq("the", "a")
+
+  test("textRank: a hub token outranks its spokes") {
+    val df = Seq((1L, "alpha beta alpha gamma alpha delta alpha beta"))
+      .toDF("doc_id", "text")
+    val out = TextStats.textRank(df, "doc_id", "text", stop)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("rank")).toMap
+    assert(out("alpha") > out("beta"))
+    assert(out("alpha") > out("gamma") && out("alpha") > out("delta"))
+  }
+
+  test("textRank: stopwords are removed BEFORE windowing (bridge)") {
+    // "x the y": after filtering, x and y are adjacent — the graph has
+    // the (x, y) edge even though they never touch in the raw text
+    val df = Seq((1L, "x the y the x the y")).toDF("doc_id", "text")
+    val out = TextStats.textRank(df, "doc_id", "text", stop).collect()
+    assert(out.map(_.getString(0)).toSet == Set("x", "y"))
+    // symmetric 2-node graph: equal ranks
+    assert(out.map(_.getAs[Double]("rank")).toSet.size == 1)
+  }
+
+  test("textRank counts occurrences of surviving tokens") {
+    val df = Seq((1L, "m n m n m p")).toDF("doc_id", "text")
+    val out = TextStats.textRank(df, "doc_id", "text", stop)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_occurrences"))
+      .toMap
+    assert(out("m") == 3L && out("n") == 2L && out("p") == 1L)
+  }
+
+  test("textRank is partitioning-invariant") {
+    val docs = (1L to 40L)
+      .map(i => (i, s"tok${i % 5} tok${(i + 1) % 5} the tok${(i + 2) % 7}"))
+      .toDF("doc_id", "text")
+    val a = TextStats.textRank(docs.coalesce(1), "doc_id", "text", stop)
+      .collect().map(_.toSeq)
+    val b = TextStats.textRank(docs.repartition(9), "doc_id", "text", stop)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("rakeKeywords matches the hand-scored two-phrase case") {
+    // phrases: "deep learning", "deep model"; all word scores deg/freq
+    // = 2.0, both phrases score 4.0; tie broken by phrase asc
+    val df = Seq((1L, "deep learning the deep model")).toDF("doc_id", "text")
+    val out = TextStats.rakeKeywords(df, "doc_id", "text", stop).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("deep learning", "deep model"))
+    assert(out.forall(_.getAs[Double]("score") == 4.0))
+  }
+
+  test("rakeKeywords: repeated phrases count occurrences, score once") {
+    val df = Seq((1L, "big data the big data the x")).toDF("doc_id", "text")
+    val out = TextStats.rakeKeywords(df, "doc_id", "text", stop)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_occurrences"), r.getAs[Double]("score"))).toMap
+    // big: deg 4 freq 2 -> 2.0; data: same -> phrase score 4.0 (NOT
+    // 8.0: instances must not inflate the sum)
+    assert(out("big data") == (2L, 4.0))
+    assert(out("x") == (1L, 1.0))
+  }
+
+  test("rakeKeywords drops runs longer than maxPhraseLen") {
+    val df = Seq((1L, "one two three four five the u v"))
+      .toDF("doc_id", "text")
+    val out = TextStats.rakeKeywords(df, "doc_id", "text", stop,
+      maxPhraseLen = 4).collect()
+    assert(out.map(_.getString(0)).toSet == Set("u v"))
+  }
+
+  test("rakeKeywords favors words living in longer phrases") {
+    // "q" appears alone (deg 1 = freq 1 -> 1.0) while "r s t" words all
+    // score 3.0 -> the 3-word phrase scores 9.0
+    val df = Seq((1L, "q the r s t")).toDF("doc_id", "text")
+    val out = TextStats.rakeKeywords(df, "doc_id", "text", stop)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("score")).toMap
+    assert(out("r s t") == 9.0 && out("q") == 1.0)
+  }
+}
