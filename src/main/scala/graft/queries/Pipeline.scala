@@ -1384,7 +1384,86 @@ object Pipeline {
   def q101CompressionSignal(s: SparkSession, dir: String): DataFrame =
     TextStats.compressionSignal(t(s, dir, "documents"), "doc_id", "text")
 
+  // q317: quantile normalization of document lengths across sources —
+  // after it, every source slice has the identical length distribution.
+  // The oracle replays the within-slice ranks, the ceil-div order-
+  // statistic lookups and the single mean division.
+  def q317QuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.quantileNormalize(
+      t(s, dir, "documents"), "source", "doc_id", "n_chars")
+
+  val q317Sql: String =
+    """WITH r AS (
+      |  SELECT source, doc_id, n_chars AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rk
+      |  FROM documents),
+      |sz AS (SELECT source AS t, CAST(COUNT(*) AS BIGINT) AS nt
+      |       FROM r GROUP BY 1),
+      |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM sz),
+      |lk AS (
+      |  SELECT r.source, r.doc_id, r.v, oth.t,
+      |    (r.rk * oth.nt + own.nt - 1) // own.nt AS tr
+      |  FROM r JOIN sz own ON own.t = r.source CROSS JOIN sz oth),
+      |tv AS (SELECT source AS t, rk AS tr, v AS tv FROM r),
+      |agg AS (
+      |  SELECT lk.source, lk.doc_id, MAX(lk.v) AS v,
+      |    CAST(SUM(tv.tv) AS BIGINT) AS sm
+      |  FROM lk JOIN tv ON tv.t = lk.t AND tv.tr = lk.tr
+      |  GROUP BY 1, 2)
+      |SELECT source, doc_id, v AS n_chars,
+      |  CAST(CAST(CAST(sm AS DOUBLE) /
+      |    CAST((SELECT s FROM ns) AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS norm_score
+      |FROM agg""".stripMargin
+
+  // q318: first-fit-decreasing packing of documents into 2000-char
+  // bins over 8 md5 shards. The oracle replays the identical sorted
+  // first-fit fold as a per-shard recursive CTE with list state.
+  def q318PackFfd(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.packFirstFit(
+      t(s, dir, "documents"), "doc_id", "n_chars",
+      capacity = 2000L, shards = 8)
+
+  val q318Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id, n_chars AS sz,
+      |    (CAST(concat('0x', substring(md5('ffd:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)
+      |      * 8 // 1000000 AS shard
+      |  FROM documents),
+      |o AS (SELECT id, sz, shard,
+      |        ROW_NUMBER() OVER (PARTITION BY shard
+      |          ORDER BY sz DESC, id ASC) AS rn,
+      |        COUNT(*) OVER (PARTITION BY shard) AS n
+      |      FROM d),
+      |ff AS (
+      |  SELECT shard, n, CAST(0 AS BIGINT) AS done,
+      |    CAST([] AS BIGINT[]) AS loads, CAST([] AS INT[]) AS asg
+      |  FROM (SELECT DISTINCT shard, n FROM o)
+      |  UNION ALL
+      |  SELECT ff.shard, ff.n, ff.done + 1,
+      |    CASE WHEN list_filter(range(1, len(ff.loads) + 1),
+      |        i -> ff.loads[i] + o.sz <= 2000)[1] IS NULL
+      |      THEN list_append(ff.loads, CAST(o.sz AS BIGINT))
+      |      ELSE list_transform(ff.loads, (l, j) ->
+      |        CASE WHEN j = list_filter(range(1, len(ff.loads) + 1),
+      |            i -> ff.loads[i] + o.sz <= 2000)[1]
+      |          THEN l + o.sz ELSE l END) END,
+      |    list_append(ff.asg, CAST(COALESCE(
+      |      list_filter(range(1, len(ff.loads) + 1),
+      |        i -> ff.loads[i] + o.sz <= 2000)[1],
+      |      len(ff.loads) + 1) AS INT))
+      |  FROM ff JOIN o ON o.shard = ff.shard AND o.rn = ff.done + 1),
+      |fin AS (SELECT * FROM ff WHERE done = n)
+      |SELECT o.id AS doc_id, o.sz AS n_chars, o.shard AS pack_shard,
+      |  CAST(fin.asg[CAST(o.rn AS INT)] AS BIGINT) AS pack_bin,
+      |  fin.loads[fin.asg[CAST(o.rn AS INT)]] AS bin_fill
+      |FROM o JOIN fin ON fin.shard = o.shard""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_quantile_normalize" -> (q317QuantileNormalize _),
+    "q318_pack_ffd" -> (q318PackFfd _),
     "q15_dedup_exact" -> (q15DedupExact _),
     "q16_ngram_jaccard" -> (q16NgramJaccard _),
     "q275_containment" -> (q275Containment _),
@@ -2087,6 +2166,8 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q317_quantile_normalize" -> q317Sql,
+    "q318_pack_ffd" -> q318Sql,
     "q15_dedup_exact" -> q15Sql,
     "q16_ngram_jaccard" -> q16Sql,
     "q275_containment" -> q275Sql,
