@@ -296,4 +296,91 @@ object Timeseries {
           / col("_den")))
       .drop("_st", "_den")
   }
+
+  /** Classical additive seasonal decomposition x = trend + seasonal +
+    * residual per series — the monitoring primitive that separates "we
+    * always dip at 3am" from "volume is actually falling": alarms on
+    * the RESIDUAL don't re-fire every night.
+    *
+    *   - trend: centered moving average of length `period` (for even
+    *     periods the standard 2×p MA: half-weight endpoints) — computed
+    *     as an INTEGER window numerator over the raw values with ONE
+    *     d6 division, defined only where the full window exists;
+    *   - seasonal: per-phase mean of (x − trend), then centered to sum
+    *     ~0 over the period — both means are decimal sums of d6 values
+    *     (order-free) with one d6 division each;
+    *   - residual = x − trend − seasonal.
+    *
+    * Rows are phase-indexed by their within-series RANK (timeCol-
+    * ordered, ties broken undefined — use unique times), so gaps in
+    * the time axis shift phases: densify with [[resampleFfill]] first
+    * when buckets can be empty.
+    *
+    * Scale shape: per-series windows (series = one key's rows — the
+    * bounded-series class, like [[holtForecast]] but window-based so
+    * thousands of points per key are fine) and one phase-keyed
+    * aggregate broadcast back. Output: (keyCol, timeCol, valueCol,
+    * phase, trend, seasonal, residual).
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val base = df.select(col(keyCol).cast("string").as("key"),
+      col(timeCol).cast("long").as("t"), col(valueCol).cast("long").as("x"))
+    val wOrd = Window.partitionBy(col("key")).orderBy(col("t"))
+    val half = period / 2
+    val (num, den) =
+      if (period % 2 == 1) {
+        val w = wOrd.rowsBetween(-half, half)
+        (sum(col("x")).over(w), period.toLong)
+      } else {
+        // 2×p MA: x_{-h} + 2·(middle) + x_{+h} over 2p
+        val wIn = wOrd.rowsBetween(-(half - 1), half - 1)
+        val lo = lag(col("x"), half).over(wOrd)
+        val hi = lead(col("x"), half).over(wOrd)
+        (lo + lit(2L) * sum(col("x")).over(wIn) + hi, 2L * period)
+      }
+    val ranked = base
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_nk", count(lit(1)).over(
+        Window.partitionBy(col("key"))
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .withColumn("phase", ((col("_rn") - 1L) % period).cast("int"))
+      .withColumn("trend",
+        when(col("_rn") > half && col("_rn") <= col("_nk") - half,
+          d6(num.cast("double") / den.toDouble)))
+    val det6 = (col("x").cast("double") - col("trend"))
+      .cast("decimal(28,6)")
+    val phaseMeans = ranked
+      .filter(col("trend").isNotNull)
+      .groupBy(col("key"), col("phase"))
+      .agg(count(lit(1)).as("_pm_n"), sum(det6).as("_pm_s"))
+      .select(col("key"), col("phase"),
+        d6(col("_pm_s").cast("double") / col("_pm_n").cast("double"))
+          .as("_pm"))
+    val centers = phaseMeans
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("_c_n"),
+        sum(col("_pm").cast("decimal(28,6)")).as("_c_s"))
+      .select(col("key"),
+        d6(col("_c_s").cast("double") / col("_c_n").cast("double"))
+          .as("_ctr"))
+    ranked
+      .join(phaseMeans, Seq("key", "phase"), "left")
+      .join(broadcast(centers), Seq("key"))
+      .withColumn("seasonal",
+        when(col("_pm").isNotNull, d6(col("_pm") - col("_ctr"))))
+      .withColumn("residual",
+        when(col("trend").isNotNull && col("seasonal").isNotNull,
+          d6(col("x").cast("double") - col("trend") - col("seasonal"))))
+      .select(col("key").as(keyCol), col("t").as(timeCol),
+        col("x").as(valueCol), col("phase"), col("trend"),
+        col("seasonal"), col("residual"))
+  }
 }

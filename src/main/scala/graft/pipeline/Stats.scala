@@ -1491,6 +1491,127 @@ object Stats {
         .as("tau_b"))
   }
 
+  /** Theil–Sen robust trend: slope = median of all pairwise slopes
+    * (y₂−y₁)/(x₂−x₁), intercept = median of (y − m·x) — the
+    * outlier-proof alternative to least squares (breakdown point 29%
+    * vs 0%): one corrupted day in a month of volume data moves OLS
+    * arbitrarily, Theil–Sen not at all.
+    *
+    * Pair enumeration is O(n²), so the operator REQUIRES a bounded
+    * series (`maxPoints`, loud in-plan guard — the [[kendallTau]]
+    * bounded-frame discipline): it trends the AGGREGATED axis (daily
+    * totals, period metrics), not raw rows — aggregate first, the
+    * intended use. Slopes are exact-integer divisions (deterministic
+    * bits); medians are `percentile(·, 0.5)` (the q154 convention,
+    * DuckDB `median`-compatible), the median slope d6-rounds before
+    * the residual pass so intercept inputs are engine-identical.
+    *
+    * Output one row: (n_points, n_pairs, slope, intercept).
+    */
+  def theilSen(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      maxPoints: Int = 2000): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val pts = df.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+    val nPts = pts.agg(count(lit(1)).as("_n"))
+    val guarded = pts.crossJoin(broadcast(nPts))
+      .withColumn("_x",
+        when(col("_n").between(2, maxPoints), col("_x"))
+          .otherwise(raise_error(concat(
+            lit(s"theilSen: need 2..$maxPoints points, got "),
+            col("_n").cast("string"))).cast("long")))
+      .drop("_n")
+    val b = guarded.select(col("_x").as("_x2"), col("_y").as("_y2"))
+    val pairs = guarded.join(b, col("_x") < col("_x2"))
+      .select(((col("_y2") - col("_y")).cast("double") /
+        (col("_x2") - col("_x")).cast("double")).as("_slope"))
+    val mSlope = pairs.agg(count(lit(1)).as("n_pairs"),
+      d6(expr("percentile(_slope, 0.5)")).as("slope"))
+    val resid = guarded.crossJoin(broadcast(mSlope))
+      .select(col("n_pairs"), col("slope"),
+        (col("_y").cast("double") - col("slope") * col("_x").cast("double"))
+          .as("_r"))
+    resid.groupBy(col("n_pairs"), col("slope"))
+      .agg(count(lit(1)).as("n_points"),
+        d6(expr("percentile(_r, 0.5)")).as("intercept"))
+      .select(col("n_points"), col("n_pairs"), col("slope"),
+        col("intercept"))
+  }
+
+  /** CUSUM change detection (Page 1954) over a period-keyed integer
+    * metric — the sequential drift alarm that catches small persistent
+    * shifts an outlier gate never sees. Baseline μ₀ is the mean of the
+    * first `baselinePeriods` periods (phase-I estimate, in-plan);
+    * allowance k and threshold h are permille OF μ₀.
+    *
+    * Everything is EXACT INTEGER arithmetic via common-denominator
+    * scaling (denominator 1000·W·T-free): with T = Σ baseline values
+    * and W = baselinePeriods, the scaled one-sided statistics are
+    *
+    *   S⁺*_n = C_n − min_{j≤n} C_j,  C_n = Σ_{i≤n} (1000·W·x_i − (1000+k‰)·T)
+    *   S⁻*_n = max_{j≤n} D_j − D_n,  D_n = Σ_{i≤n} (1000·W·x_i − (1000−k‰)·T)
+    *
+    * (the prefix-sum/running-extremum closed form of the max(0, ·)
+    * recursion), and the alarms compare S* against h‰·W·T — integers
+    * end to end, so both engines agree bit-for-bit; only the reported
+    * s_pos/s_neg (descaled d6) round. Cumulative windows run over the
+    * PERIOD-grouped frame (bounded by period count).
+    *
+    * Output per period: (period, x, s_pos, s_neg, alarm_pos,
+    * alarm_neg); baseline periods are included in the scan.
+    */
+  def cusum(
+      df: DataFrame,
+      periodCol: String,
+      valueCol: String,
+      baselinePeriods: Int = 7,
+      kPermille: Int = 50,
+      hPermille: Int = 500): DataFrame = {
+    require(baselinePeriods >= 1, "baselinePeriods must be >= 1")
+    require(kPermille >= 0 && kPermille < 1000,
+      s"kPermille in [0, 1000), got $kPermille")
+    require(hPermille > 0, s"hPermille must be positive, got $hPermille")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val byP = df.groupBy(col(periodCol).cast("long").as("period"))
+      .agg(sum(col(valueCol).cast("long")).as("x"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.orderBy(col("period"))
+    val wCum = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ranked = byP.withColumn("_rn", row_number().over(wOrd))
+    val base = ranked.filter(col("_rn") <= baselinePeriods)
+      .agg(sum(col("x")).as("_t"), count(lit(1)).as("_w"))
+    val guarded = ranked.crossJoin(broadcast(base))
+      .withColumn("_t",
+        when(col("_w") === baselinePeriods && col("_t") > 0L, col("_t"))
+          .otherwise(raise_error(concat(
+            lit(s"cusum: need >= $baselinePeriods periods with a "),
+            lit("positive baseline sum; got w="),
+            col("_w").cast("string"), lit(" t="),
+            col("_t").cast("string"))).cast("long")))
+    val scale = lit(1000L) * lit(baselinePeriods.toLong)
+    val cPos = sum(scale * col("x") -
+      lit(1000L + kPermille) * col("_t")).over(wCum)
+    val dNeg = sum(scale * col("x") -
+      lit(1000L - kPermille) * col("_t")).over(wCum)
+    val staged = guarded.select(col("period"), col("x"), col("_t"),
+      cPos.as("_c"), dNeg.as("_d"))
+    val runMin = min(least(col("_c"), lit(0L))).over(wCum)
+    val runMax = max(greatest(col("_d"), lit(0L))).over(wCum)
+    val sPos = col("_c") - runMin
+    val sNeg = runMax - col("_d")
+    val hScaled = lit(hPermille.toLong) * col("_t")
+    staged
+      .select(col("period"), col("x"),
+        d6(sPos.cast("double") / scale.cast("double")).as("s_pos"),
+        d6(sNeg.cast("double") / scale.cast("double")).as("s_neg"),
+        (sPos >= hScaled).cast("int").as("alarm_pos"),
+        (sNeg >= hScaled).cast("int").as("alarm_neg"))
+  }
+
   /** Always-valid sequential A/B test — the mixture SPRT (mSPRT,
     * Johari/Pekelis/Walsh 2015) over a period-keyed two-arm metric
     * stream: unlike [[welchTTest]], the p-value trajectory may be

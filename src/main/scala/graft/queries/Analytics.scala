@@ -2253,7 +2253,137 @@ object Analytics {
       |    AS DOUBLE) AS forecast
       |FROM fin CROSS JOIN (SELECT unnest(range(1, 4)) AS h)""".stripMargin
 
+  // q319: Theil-Sen robust trend of daily event volume (30 points, 435
+  // pairwise slopes). The oracle replays the exact-integer slopes and
+  // the q154 median convention.
+  def q319TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(expr("ts_us div 86400000000").as("d"))
+      .agg(count(lit(1)).as("y"))
+    graft.pipeline.Stats.theilSen(daily, "d", "y")
+  }
+
+  val q319Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      |  FROM events),
+      |pts AS (SELECT d AS x, CAST(COUNT(*) AS BIGINT) AS y
+      |        FROM e GROUP BY 1),
+      |pr AS (SELECT CAST(b.y - a.y AS DOUBLE) /
+      |         CAST(b.x - a.x AS DOUBLE) AS s
+      |       FROM pts a JOIN pts b ON a.x < b.x),
+      |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |        CAST(CAST(median(s) AS DECIMAL(28,6)) AS DOUBLE) AS slope
+      |      FROM pr),
+      |r AS (SELECT m.n_pairs, m.slope,
+      |        CAST(y AS DOUBLE) - m.slope * CAST(x AS DOUBLE) AS rr
+      |      FROM pts CROSS JOIN m)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_points, n_pairs, slope,
+      |  CAST(CAST(median(rr) AS DECIMAL(28,6)) AS DOUBLE) AS intercept
+      |FROM r GROUP BY n_pairs, slope""".stripMargin
+
+  // q320: CUSUM drift alarm over daily event volume — baseline = first
+  // 7 days, k = 50 permille, h = 500 permille of the baseline mean. The
+  // oracle replays the integer prefix-sum/running-extremum closed form.
+  def q320Cusum(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.cusum(
+      ev(s, dir).select(expr("ts_us div 86400000000").as("day"),
+        lit(1L).as("one")),
+      "day", "one")
+
+  val q320Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period
+      |  FROM events),
+      |byp AS (SELECT period, CAST(COUNT(*) AS BIGINT) AS x
+      |        FROM e GROUP BY 1),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY period) AS rn
+      |       FROM byp),
+      |b AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM rk WHERE rn <= 7),
+      |c AS (
+      |  SELECT period, x, t,
+      |    CAST(SUM(7000 * x - 1050 * t) OVER w AS BIGINT) AS c,
+      |    CAST(SUM(7000 * x - 950 * t) OVER w AS BIGINT) AS dd
+      |  FROM rk CROSS JOIN b
+      |  WINDOW w AS (ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT period, x, t, c, dd,
+      |    MIN(LEAST(c, 0)) OVER w2 AS mn,
+      |    MAX(GREATEST(dd, 0)) OVER w2 AS mx
+      |  FROM c WINDOW w2 AS (ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT period, x,
+      |  CAST(CAST(CAST(c - mn AS DOUBLE) / 7000.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS s_pos,
+      |  CAST(CAST(CAST(mx - dd AS DOUBLE) / 7000.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS s_neg,
+      |  CAST(c - mn >= 500 * t AS INT) AS alarm_pos,
+      |  CAST(mx - dd >= 500 * t AS INT) AS alarm_neg
+      |FROM s""".stripMargin
+
+  // q321: additive seasonal decomposition of per-type 6h volumes with
+  // period 4 (the daily cycle) — 2x4 centered MA trend, per-phase
+  // centered seasonal means, residuals. All d6-before-decimal-sum.
+  def q321Seasonal(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.seasonalDecompose(buckets, "event_type", "b",
+      "x", period = 4)
+  }
+
+  val q321Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t)
+      |         AS rn,
+      |         COUNT(*) OVER (PARTITION BY k) AS nk
+      |       FROM s),
+      |tr AS (
+      |  SELECT k, t, x, rn, nk,
+      |    CAST((rn - 1) % 4 AS INT) AS phase,
+      |    CASE WHEN rn > 2 AND rn <= nk - 2 THEN
+      |      CAST(CAST(CAST(lag(x, 2) OVER wo + 2 * SUM(x) OVER win +
+      |        lead(x, 2) OVER wo AS DOUBLE) / 8.0 AS DECIMAL(28,6))
+      |        AS DOUBLE)
+      |    END AS trend
+      |  FROM rk
+      |  WINDOW wo AS (PARTITION BY k ORDER BY t),
+      |    win AS (PARTITION BY k ORDER BY t
+      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+      |pm AS (
+      |  SELECT k, phase,
+      |    CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) - trend
+      |      AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS pmv
+      |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+      |ctr AS (
+      |  SELECT k,
+      |    CAST(CAST(CAST(SUM(CAST(pmv AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS cv
+      |  FROM pm GROUP BY 1)
+      |SELECT tr.k AS event_type, tr.t AS b, tr.x, tr.phase, tr.trend,
+      |  CASE WHEN pm.pmv IS NOT NULL THEN
+      |    CAST(CAST(pm.pmv - ctr.cv AS DECIMAL(28,6)) AS DOUBLE)
+      |  END AS seasonal,
+      |  CASE WHEN tr.trend IS NOT NULL AND pm.pmv IS NOT NULL THEN
+      |    CAST(CAST(CAST(tr.x AS DOUBLE) - tr.trend -
+      |      CAST(CAST(pm.pmv - ctr.cv AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE)
+      |  END AS residual
+      |FROM tr
+      |LEFT JOIN pm ON pm.k = tr.k AND pm.phase = tr.phase
+      |JOIN ctr ON ctr.k = tr.k""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_theil_sen" -> (q319TheilSen _),
+    "q320_cusum" -> (q320Cusum _),
+    "q321_seasonal" -> (q321Seasonal _),
     "q310_benford" -> (q310Benford _),
     "q311_msprt" -> (q311Msprt _),
     "q312_holt" -> (q312Holt _),
@@ -2308,6 +2438,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q319_theil_sen" -> q319Sql,
+    "q320_cusum" -> q320Sql,
+    "q321_seasonal" -> q321Sql,
     "q310_benford" -> q310Sql,
     "q311_msprt" -> q311Sql,
     "q312_holt" -> q312Sql,

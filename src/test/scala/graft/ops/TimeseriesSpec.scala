@@ -179,6 +179,59 @@ class TimeseriesSpec extends SparkSpec {
     assert(out("b") == 6.0) // segment 2,4 -> 6
   }
 
+  // -------------------------------------------- seasonalDecompose (q321)
+
+  test("seasonalDecompose splits a pure period-2 oscillation") {
+    // x alternates 10, 20: interior trend = (10+2*?,..)/4 = 15,
+    // seasonal = ±5 centered, residual = 0
+    val df = (1L to 12L).map(i => ("k", i, if (i % 2 == 1) 10L else 20L))
+      .toDF("k", "t", "x")
+    val out = Timeseries.seasonalDecompose(df, "k", "t", "x", period = 2)
+      .orderBy("t").collect()
+    val interior = out.filter(!_.isNullAt(4))
+    assert(interior.nonEmpty)
+    assert(interior.forall(_.getAs[Double]("trend") == 15.0))
+    assert(interior.forall(r => math.abs(r.getAs[Double]("seasonal")) == 5.0))
+    assert(interior.forall(r => r.getAs[Double]("residual") == 0.0))
+    // edges: first and last rows have no full MA window
+    assert(out.head.isNullAt(4) && out.last.isNullAt(4))
+  }
+
+  test("seasonalDecompose: a clean linear trend has zero seasonal") {
+    val df = (1L to 16L).map(i => ("k", i, 2L * i)).toDF("k", "t", "x")
+    val out = Timeseries.seasonalDecompose(df, "k", "t", "x", period = 4)
+      .collect().filter(!_.isNullAt(4))
+    assert(out.forall(r => r.getAs[Double]("seasonal") == 0.0))
+    assert(out.forall(r => r.getAs[Double]("residual") == 0.0))
+    // interior trend equals the series itself (2t is linear)
+    assert(out.forall(r => r.getAs[Double]("trend") ==
+      2.0 * r.getAs[Long]("t")))
+  }
+
+  test("seasonalDecompose odd period uses the plain centered MA") {
+    // repeating 1,2,3 with period 3: trend = 2 everywhere interior,
+    // seasonal = (-1, 0, +1) by phase, residual 0
+    val df = (1L to 12L).map(i => ("k", i, (((i - 1) % 3) + 1)))
+      .toDF("k", "t", "x")
+    val out = Timeseries.seasonalDecompose(df, "k", "t", "x", period = 3)
+      .collect().filter(!_.isNullAt(4))
+    assert(out.forall(_.getAs[Double]("trend") == 2.0))
+    val byPhase = out.map(r => r.getAs[Int]("phase") ->
+      r.getAs[Double]("seasonal")).toMap
+    assert(byPhase == Map(0 -> -1.0, 1 -> 0.0, 2 -> 1.0))
+    assert(out.forall(_.getAs[Double]("residual") == 0.0))
+  }
+
+  test("seasonalDecompose is per-key and partitioning-invariant") {
+    val df = (1L to 40L).flatMap(i => Seq(
+      ("a", i, 10L + (i % 4)), ("b", i, 100L + (i % 4) * 10L)))
+      .toDF("k", "t", "x")
+    val a = Timeseries.seasonalDecompose(df.coalesce(1), "k", "t", "x", 4)
+    val b = Timeseries.seasonalDecompose(df.repartition(9), "k", "t", "x", 4)
+    assert(rows(a) == rows(b))
+    assert(a.count() == 80L)
+  }
+
   test("holtForecast guards: short series, long series, huge values") {
     val one = Seq(("a", 0L, 1L)).toDF("k", "t", "y")
     assert(intercept[Exception] {

@@ -176,6 +176,78 @@ class InferenceSpec extends SparkSpec {
     assert(out.last.getAs[Double]("p_always_valid") == 1.0)
   }
 
+  // --------------------------------------------------------- Theil-Sen
+
+  test("theilSen ignores a gross outlier that would wreck OLS") {
+    // y = 2x except one wild point: 6 of 10 pairwise slopes are exactly
+    // 2 -> median slope 2, median residual 0
+    val df = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 1000L))
+      .toDF("x", "y")
+    val r = Stats.theilSen(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_points") == 5L)
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 0.0)
+  }
+
+  test("theilSen exact fit recovers slope and intercept") {
+    val df = (1L to 20L).map(i => (i, 3L * i + 7L)).toDF("x", "y")
+    val r = Stats.theilSen(df, "x", "y").collect().head
+    assert(r.getAs[Double]("slope") == 3.0)
+    assert(r.getAs[Double]("intercept") == 7.0)
+  }
+
+  test("theilSen guards point counts loudly") {
+    val one = Seq((1L, 1L)).toDF("x", "y")
+    assert(intercept[Exception] {
+      Stats.theilSen(one, "x", "y").collect()
+    }.getMessage.contains("2.."))
+    val many = (1L to 30L).map(i => (i, i)).toDF("x", "y")
+    assert(intercept[Exception] {
+      Stats.theilSen(many, "x", "y", maxPoints = 10).collect()
+    }.getMessage.contains("2..10"))
+  }
+
+  // ------------------------------------------------------------- CUSUM
+
+  test("cusum stays silent on a flat series") {
+    val df = (0L until 20L).map(p => (p, 100L)).toDF("period", "v")
+    val out = Stats.cusum(df, "period", "v").orderBy("period").collect()
+    assert(out.forall(_.getAs[Double]("s_pos") == 0.0))
+    assert(out.forall(_.getAs[Double]("s_neg") == 0.0))
+    assert(out.forall(_.getAs[Int]("alarm_pos") == 0))
+    assert(out.forall(_.getAs[Int]("alarm_neg") == 0))
+  }
+
+  test("cusum fires on a planted level shift, with the hand value") {
+    // baseline 7 days at 100 (mu0 = 100), then 200: first jump period
+    // accumulates (200 - 100 - 5) = 95 -> s_pos = 95, above h = 50
+    val df = ((0L until 7L).map(p => (p, 100L)) ++
+      (7L until 12L).map(p => (p, 200L))).toDF("period", "v")
+    val out = Stats.cusum(df, "period", "v").orderBy("period").collect()
+    assert(out(6).getAs[Int]("alarm_pos") == 0)
+    assert(out(7).getAs[Double]("s_pos") == 95.0)
+    assert(out(7).getAs[Int]("alarm_pos") == 1)
+    assert(out.last.getAs[Int]("alarm_pos") == 1)
+    assert(out.forall(_.getAs[Int]("alarm_neg") == 0))
+  }
+
+  test("cusum catches a downward drift on the negative side") {
+    val df = ((0L until 7L).map(p => (p, 100L)) ++
+      (7L until 14L).map(p => (p, 30L))).toDF("period", "v")
+    val out = Stats.cusum(df, "period", "v").orderBy("period").collect()
+    assert(out.last.getAs[Int]("alarm_neg") == 1)
+    assert(out.last.getAs[Int]("alarm_pos") == 0)
+  }
+
+  test("cusum guards a short or empty baseline loudly") {
+    val df = (0L until 3L).map(p => (p, 10L)).toDF("period", "v")
+    val e = intercept[Exception] {
+      Stats.cusum(df, "period", "v", baselinePeriods = 7).collect()
+    }
+    assert(e.getMessage.contains("baseline"))
+  }
+
   test("msprt reports null stats with p = 1 before both arms have data") {
     val rows = Seq((0, 10L, 0L), (0, 11L, 0L), (0, 12L, 0L),
       (0, 13L, 1L), (1, 10L, 1L), (1, 12L, 1L),
