@@ -713,4 +713,57 @@ object Retrieval {
       coalesce(max(col("_x")), lit(0L)).as("n_common"),
       d6(lit(0.5) * sum(col("_t6")).cast("double")).as("rbo"))
   }
+
+  /** Word error rate — TOKEN-level Levenshtein distance over reference
+    * vs hypothesis, the ASR/translation eval staple (and the
+    * transcription-quality gate of a speech-data curation pipeline):
+    * WER = (substitutions + insertions + deletions) / |ref tokens|.
+    *
+    * The token DP rides the ENGINE'S codegen'd Levenshtein via an
+    * alphabet bijection: the pair's merged distinct-token vocab
+    * (sorted — engine-identical) maps each token to one character of
+    * the 94-char printable-ASCII alphabet, making character edits ≡
+    * token edits exactly. ASCII is load-bearing, not a convenience:
+    * DuckDB's levenshtein counts BYTES, Spark's counts code points —
+    * single-byte characters are the (only) regime where the two agree.
+    * No UDF, no in-row DP expression — the O(n·m) kernel is the
+    * built-in expression both engines already optimize. Pairs with
+    * > 94 distinct tokens fail loudly (`alphabet exhausted`) — the
+    * operator contract is utterance/sentence-level eval pairs.
+    *
+    * Output per row: (idCol, n_ref, n_hyp, distance, wer), wer = d6 of
+    * one division; empty references fail loudly (WER undefined).
+    * Scale shape: pure in-row projection — zero shuffles at any size.
+    */
+  def wordErrorRate(
+      df: DataFrame,
+      idCol: String,
+      refCol: String,
+      hypCol: String): DataFrame = {
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    val alphabet = (0x21 to 0x7E).map(_.toChar).mkString // 94 chars
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(c, " "), t => t =!= "")
+    val base = df.select(col(idCol), toks(col(refCol)).as("_r"),
+      toks(col(hypCol)).as("_h"))
+    val withVocab = base.withColumn("_v",
+      array_sort(array_distinct(concat(col("_r"), col("_h")))))
+    val guarded = withVocab.withColumn("_v",
+      when(size(col("_v")) <= 94 && size(col("_r")) >= 1, col("_v"))
+        .otherwise(raise_error(concat(
+          lit("wordErrorRate: empty reference or alphabet exhausted "),
+          lit("(> 94 distinct tokens); id="),
+          col(idCol).cast("string")))))
+    def mapped(c: org.apache.spark.sql.Column) =
+      concat_ws("", transform(c, t =>
+        lit(alphabet).substr(array_position(col("_v"), t).cast("int"),
+          lit(1))))
+    val dist = levenshtein(mapped(col("_r")), mapped(col("_h")))
+    guarded.select(col(idCol),
+      size(col("_r")).cast("long").as("n_ref"),
+      size(col("_h")).cast("long").as("n_hyp"),
+      dist.cast("long").as("distance"),
+      d6(dist.cast("double") / size(col("_r")).cast("double")).as("wer"))
+  }
 }

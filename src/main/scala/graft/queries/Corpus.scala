@@ -4980,11 +4980,70 @@ object Corpus {
       |    AS score
       |FROM psc ORDER BY score DESC, phrase ASC LIMIT 30""".stripMargin
 
+  // q323: word error rate of a derived noisy transcription — every
+  // 11th token substituted ('zzz'), every other 7th dropped. The
+  // oracle maps the pair vocab through the same 94-char ASCII
+  // alphabet and calls DuckDB's levenshtein: token edits ≡ char edits
+  // ≡ BYTE edits (DuckDB's unit) in the single-byte regime.
+  def q323Wer(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val hyp = filter(
+      transform(toks, (t, i) =>
+        when((i + 1) % 11 === 0, lit("zzz"))
+          .when((i + 1) % 7 === 0, lit(null))
+          .otherwise(t)),
+      x => x.isNotNull)
+    val pairs = t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").as("ref"),
+        concat_ws(" ", hyp).as("hyp"))
+    Retrieval.wordErrorRate(pairs, "doc_id", "ref", "hyp")
+  }
+
+  val q323Sql: String =
+    """WITH al AS (
+      |  SELECT string_agg(chr(CAST(33 + i AS INT)), ''
+      |    ORDER BY i) AS alpha
+      |  FROM (SELECT unnest(range(94)) AS i)),
+      |base AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS r
+      |  FROM documents WHERE length(text) > 0),
+      |hy AS (
+      |  SELECT doc_id, r,
+      |    list_filter(list_transform(r, (t, i) ->
+      |      CASE WHEN i % 11 = 0 THEN 'zzz'
+      |           WHEN i % 7 = 0 THEN NULL ELSE t END),
+      |      x -> x IS NOT NULL) AS h
+      |  FROM base),
+      |vx AS (
+      |  SELECT doc_id, r, h,
+      |    list_sort(list_distinct(list_concat(r, h))) AS v
+      |  FROM hy),
+      |mp AS (
+      |  SELECT doc_id, r, h,
+      |    list_aggregate(list_transform(r, t ->
+      |      substring(al.alpha, CAST(list_position(v, t) AS INT), 1)),
+      |      'string_agg', '') AS mr,
+      |    list_aggregate(list_transform(h, t ->
+      |      substring(al.alpha, CAST(list_position(v, t) AS INT), 1)),
+      |      'string_agg', '') AS mh
+      |  FROM vx CROSS JOIN al)
+      |SELECT doc_id, CAST(len(r) AS BIGINT) AS n_ref,
+      |  CAST(len(h) AS BIGINT) AS n_hyp,
+      |  CAST(levenshtein(COALESCE(mr, ''), COALESCE(mh, ''))
+      |    AS BIGINT) AS distance,
+      |  CAST(CAST(CAST(levenshtein(COALESCE(mr, ''), COALESCE(mh, ''))
+      |    AS DOUBLE) / CAST(len(r) AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS wer
+      |FROM mp""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_kcore" -> (q313KCore _),
     "q314_adamic_adar" -> (q314AdamicAdar _),
     "q315_textrank" -> (q315TextRank _),
     "q316_rake" -> (q316Rake _),
+    "q323_wer" -> (q323Wer _),
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
     "q258_rouge_eval" -> (q258RougeEval _),
@@ -5090,6 +5149,7 @@ object Corpus {
     "q314_adamic_adar" -> q314Sql,
     "q315_textrank" -> q315Sql,
     "q316_rake" -> q316Sql,
+    "q323_wer" -> q323Sql,
     "q123_bm25" -> q123Sql,
     "q124_nfc_normalize" -> q124Sql,
     "q125_chunk_dedup" -> q125Sql,

@@ -900,7 +900,88 @@ object StreamingEntries {
     runAvailableNow(scored, "graft_q227_score")
   }
 
+  private val cusumDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage per-type daily counts as hash shards + per-key completion
+    * sentinels for [[graft.streaming.Streaming.cusumMonitor]] (the
+    * q290 staging discipline: shard order deliberately unrelated to
+    * period order).
+    */
+  private def stageCusumCounts(s: SparkSession, dir: String): String =
+    cusumDirs.computeIfAbsent(dir, { _ =>
+      val staged = tempDirCleanedAtExit(None, "graft_q322_cusum_")
+      val daily = Tables.eventsUs(s, dir)
+        .groupBy(col("event_type").as("key"),
+          expr("ts_us div 86400000000").as("period"))
+        .agg(count(lit(1)).as("x"))
+      (0 until 3).foreach { i =>
+        daily.filter(abs(xxhash64(col("period"))) % 3 === i).coalesce(1)
+          .write.mode("append").parquet(staged.toString)
+      }
+      daily.groupBy(col("key"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("key"),
+          lit(graft.streaming.CusumMonitor.Sentinel).as("period"),
+          col("x"))
+        .coalesce(1).write.mode("append").parquet(staged.toString)
+      staged.toString
+    })
+
+  /** q322: the CUSUM drift alarm run as a STREAM, per event type —
+    * the q290 completion-sentinel discipline on the q320 integer
+    * closed form; the drained stream must hash-match the per-key
+    * batch replay in DuckDB.
+    */
+  def q322StreamingCusum(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageCusumCounts(s, dir)
+    val s2 = streamSession(s)
+    val schema = stagedSchema(s2, staged)
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .as[graft.streaming.PeriodCount](
+        Encoders.product[graft.streaming.PeriodCount])
+    val out = graft.streaming.Streaming.cusumMonitor(stream)
+    runAvailableNow(out.toDF(), "graft_q322_cusum")
+      .select(col("key").as("event_type"), col("period"), col("x"),
+        col("s_pos"), col("s_neg"), col("alarm_pos"), col("alarm_neg"))
+  }
+
+  val q322Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS period
+      |  FROM events),
+      |byp AS (SELECT k, period, CAST(COUNT(*) AS BIGINT) AS x
+      |        FROM e GROUP BY 1, 2),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY period)
+      |         AS rn FROM byp),
+      |b AS (SELECT k, CAST(SUM(x) AS BIGINT) AS t FROM rk
+      |      WHERE rn <= 7 GROUP BY 1),
+      |c AS (
+      |  SELECT rk.k, period, x, t,
+      |    CAST(SUM(7000 * x - 1050 * t) OVER w AS BIGINT) AS c,
+      |    CAST(SUM(7000 * x - 950 * t) OVER w AS BIGINT) AS dd
+      |  FROM rk JOIN b ON b.k = rk.k
+      |  WINDOW w AS (PARTITION BY rk.k ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT k, period, x, t, c, dd,
+      |    MIN(LEAST(c, 0)) OVER w2 AS mn,
+      |    MAX(GREATEST(dd, 0)) OVER w2 AS mx
+      |  FROM c WINDOW w2 AS (PARTITION BY k ORDER BY period
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT k AS event_type, period, x,
+      |  CAST(CAST(CAST(c - mn AS DOUBLE) / 7000.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS s_pos,
+      |  CAST(CAST(CAST(mx - dd AS DOUBLE) / 7000.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS s_neg,
+      |  CAST(c - mn >= 500 * t AS INT) AS alarm_pos,
+      |  CAST(mx - dd >= 500 * t AS INT) AS alarm_neg
+      |FROM s""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_streaming_cusum" -> (q322StreamingCusum _),
     "q227_streaming_quality_score" -> (q227StreamingQualityScore _),
     "q290_streaming_ewma" -> (q290StreamingEwma _),
     "q131_streaming_incremental_dedup" -> (q131StreamingIncrementalDedup _),
@@ -921,6 +1002,7 @@ object StreamingEntries {
     "q147_streaming_sliding_window" -> (q147StreamingSlidingWindow _))
 
   def oracles: Map[String, String] = Map(
+    "q322_streaming_cusum" -> q322Sql,
     // batch q226 scorer, the stateless streaming scorer, and DuckDB's
     // full gradient-descent replay agree three ways
     "q227_streaming_quality_score" -> Corpus.q226Sql,

@@ -692,12 +692,110 @@ object Streaming {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Streaming twin of [[graft.pipeline.Stats.cusum]] — the drift alarm
+    * run AS a stream, per key: period metrics arrive in micro-batches
+    * in ANY order, and once a key's series is complete (the
+    * [[ewmaMonitor]] completion-sentinel protocol) the whole CUSUM
+    * chart emits with EXACTLY the batch operator's numbers — the same
+    * permille-scaled INTEGER prefix-sum/running-extremum closed form,
+    * so drained-stream ≡ batch ≡ oracle three ways on one SQL.
+    *
+    * State is the bounded per-key period buffer (period count per key
+    * — the series is report-sized by contract); a key with fewer than
+    * `baselinePeriods` rows at its sentinel fails loudly, the batch
+    * guard's semantics.
+    */
+  def cusumMonitor(
+      rows: Dataset[PeriodCount],
+      baselinePeriods: Int = 7,
+      kPermille: Int = 50,
+      hPermille: Int = 500): Dataset[CusumPoint] = {
+    require(baselinePeriods >= 1, "baselinePeriods must be >= 1")
+    require(kPermille >= 0 && kPermille < 1000,
+      s"kPermille in [0, 1000), got $kPermille")
+    require(hPermille > 0, s"hPermille must be positive, got $hPermille")
+    implicit val accEnc = Encoders.product[CusumBuf]
+    implicit val outEnc = Encoders.product[CusumPoint]
+    implicit val keyEnc = Encoders.STRING
+
+    def d6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def finalizeKey(key: String, buf: CusumBuf): Iterator[CusumPoint] = {
+      val series = buf.periods.zip(buf.xs).sortBy(_._1)
+      require(series.length >= baselinePeriods,
+        s"cusumMonitor: key $key completed with ${series.length} < " +
+          s"$baselinePeriods baseline periods")
+      val t = series.take(baselinePeriods).map(_._2).sum
+      require(t > 0, s"cusumMonitor: key $key baseline sum $t not positive")
+      val scale = 1000L * baselinePeriods
+      var c = 0L; var d = 0L; var mn = 0L; var mx = 0L
+      series.iterator.map { case (p, x) =>
+        c += scale * x - (1000L + kPermille) * t
+        d += scale * x - (1000L - kPermille) * t
+        mn = math.min(mn, c) // includes the implicit C_0 = 0
+        mx = math.max(mx, d)
+        val sPos = c - mn
+        val sNeg = mx - d
+        CusumPoint(key, p, x,
+          d6(sPos.toDouble / scale.toDouble),
+          d6(sNeg.toDouble / scale.toDouble),
+          if (sPos >= hPermille * t) 1 else 0,
+          if (sNeg >= hPermille * t) 1 else 0)
+      }
+    }
+
+    def update(
+        key: String,
+        batch: Iterator[PeriodCount],
+        state: GroupState[CusumBuf]): Iterator[CusumPoint] = {
+      var buf = state.getOption.getOrElse(CusumBuf(Nil, Nil, -1L))
+      for (r <- batch) {
+        if (r.period == CusumMonitor.Sentinel) buf = buf.copy(expected = r.x)
+        else buf = buf.copy(periods = buf.periods :+ r.period,
+          xs = buf.xs :+ r.x)
+      }
+      if (buf.expected >= 0 && buf.periods.length == buf.expected) {
+        state.remove()
+        finalizeKey(key, buf)
+      } else {
+        state.update(buf)
+        Iterator.empty
+      }
+    }
+
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }
 
 object EwmaMonitor {
   /** Sentinel day marker carrying the key's expected row count in x. */
   val Sentinel = "~complete"
 }
+
+object CusumMonitor {
+  /** Sentinel period marker carrying the key's expected row count in
+    * x (periods are non-negative in the contract, so −1 is free). */
+  val Sentinel: Long = -1L
+}
+
+/** One per-key period metric for [[Streaming.cusumMonitor]] (or its
+  * completion sentinel: period = [[CusumMonitor.Sentinel]], x = the
+  * key's expected row count).
+  */
+final case class PeriodCount(key: String, period: Long, x: Long)
+
+/** One emitted CUSUM point of [[Streaming.cusumMonitor]] — the exact
+  * column contract of [[graft.pipeline.Stats.cusum]] plus the key. */
+final case class CusumPoint(
+    key: String, period: Long, x: Long, s_pos: Double, s_neg: Double,
+    alarm_pos: Int, alarm_neg: Int)
+
+private[streaming] final case class CusumBuf(
+    periods: Seq[Long], xs: Seq[Long], expected: Long)
 
 /** One per-key daily count for [[Streaming.ewmaMonitor]] (or its
   * completion sentinel: day = [[EwmaMonitor.Sentinel]], x = expected

@@ -122,4 +122,54 @@ class RetrievalEvalSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("recall_at_k") - 0.5) < 1e-6)
     assert(math.abs(out.getAs[Double]("mrr_at_k") - 1.0) < 1e-6)
   }
+
+  // ------------------------------------------------ wordErrorRate (q323)
+
+  test("wordErrorRate counts token substitutions/insertions/deletions") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"), // 0 edits
+      (2L, "the cat sat on the mat", "the dog sat on mat"),     // 1 sub + 1 del
+      (3L, "a b c", "a b c d e"),                               // 2 ins
+      (4L, "a b c d", "x y z w")                                // 4 subs
+    ).toDF("id", "ref", "hyp")
+    val out = Retrieval.wordErrorRate(df, "id", "ref", "hyp")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("distance"), r.getAs[Double]("wer"))).toMap
+    assert(out(1L) == (0L, 0.0))
+    assert(out(2L)._1 == 2L)
+    assert(out(3L) == (2L, BigDecimal(2.0 / 3.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(4L) == (4L, 1.0))
+  }
+
+  test("wordErrorRate: token-level, NOT character-level") {
+    // 'cat'->'cart' is ONE token substitution (char distance would be 1
+    // too, but 'catalog' proves the point: still one token edit)
+    val df = Seq((1L, "the cat sleeps", "the catalog sleeps"))
+      .toDF("id", "ref", "hyp")
+    val out = Retrieval.wordErrorRate(df, "id", "ref", "hyp")
+      .collect().head
+    assert(out.getAs[Long]("distance") == 1L)
+  }
+
+  test("wordErrorRate handles repeated whitespace and counts lengths") {
+    val df = Seq((1L, "a  b   c", "a c")).toDF("id", "ref", "hyp")
+    val out = Retrieval.wordErrorRate(df, "id", "ref", "hyp")
+      .collect().head
+    assert(out.getAs[Long]("n_ref") == 3L)
+    assert(out.getAs[Long]("n_hyp") == 2L)
+    assert(out.getAs[Long]("distance") == 1L)
+  }
+
+  test("wordErrorRate fails loudly on empty references and huge vocabs") {
+    val empty = Seq((1L, "", "a b")).toDF("id", "ref", "hyp")
+    assert(intercept[Exception] {
+      Retrieval.wordErrorRate(empty, "id", "ref", "hyp").collect()
+    }.getMessage.contains("empty reference"))
+    val big = Seq((1L, (1 to 60).map("r" + _).mkString(" "),
+      (1 to 60).map("h" + _).mkString(" "))).toDF("id", "ref", "hyp")
+    assert(intercept[Exception] {
+      Retrieval.wordErrorRate(big, "id", "ref", "hyp").collect()
+    }.getMessage.contains("alphabet exhausted"))
+  }
 }

@@ -475,4 +475,52 @@ class StreamingSpec extends SparkSpec {
     // and the spike actually alarms
     assert(a(day(10)).last == 1)
   }
+
+  test("cusumMonitor: any arrival order equals the batch cusum exactly") {
+    implicit val sql = spark.sqlContext
+    // 7 baseline periods at 100, then a sustained jump to 200
+    val data = (0 until 12).map(i =>
+      PeriodCount("k", i.toLong, if (i < 7) 100L else 200L))
+    def drain(batches: Seq[Seq[PeriodCount]], name: String) = {
+      val in = MemoryStream[PeriodCount]
+      val q = Streaming.cusumMonitor(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => r.getLong(1) -> r.toSeq.drop(1)).toMap
+    }
+    val sentinel = PeriodCount("k", CusumMonitor.Sentinel, 12L)
+    val a = drain(Seq(Seq(sentinel), data.drop(6).reverse, data.take(6)),
+      "cusum_a")
+    val b = drain(Seq(data.take(3), data.drop(3) :+ sentinel), "cusum_b")
+    assert(a == b)
+    assert(a.size == 12)
+    // equals the batch operator row-for-row (key dropped both sides)
+    val batch = graft.pipeline.Stats.cusum(
+        data.toDF("key", "period", "x").drop("key")
+          .withColumnRenamed("x", "v"), "period", "v")
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(a == batch)
+    // the jump alarms on the positive side and stays alarmed
+    assert(a(7L)(4) == 1 && a(11L)(4) == 1)
+    assert(a(6L)(4) == 0)
+  }
+
+  test("cusumMonitor: an incomplete key fails loudly at its sentinel") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[PeriodCount]
+    val q = Streaming.cusumMonitor(in.toDS(), baselinePeriods = 7)
+      .writeStream.format("memory").queryName("cusum_short")
+      .outputMode("append").start()
+    in.addData(PeriodCount("k", 0L, 5L), PeriodCount("k", 1L, 5L),
+      PeriodCount("k", CusumMonitor.Sentinel, 2L))
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage)
+      else String.valueOf(t.getMessage) + rootMsg(t.getCause)
+    assert(rootMsg(e).contains("baseline periods"))
+  }
 }
