@@ -395,4 +395,106 @@ object Graph {
       .orderBy(col("aa_score").desc, col("u"), col("v"))
       .limit(topK)
   }
+
+  /** Newman modularity Q of a GIVEN partition over an undirected graph
+    * — the partition-quality score that says whether a clustering
+    * (dup clusters, communities, shard assignments) actually follows
+    * the graph's edge structure (Q ≈ 0: no better than random; Q ≳
+    * 0.3: real community structure):
+    *
+    *   Q = Σ_c (e_c/m − (d_c/2m)²) = Σ_c (4m·e_c − d_c²) / 4m²
+    *
+    * (e_c = intra-community edges, d_c = total degree in c, m = edge
+    * count) — computed as the EXACT integer numerator Σ(4m·e_c − d_c²)
+    * in decimal(38,0) with ONE d6 division. Nodes missing from
+    * `membership` form singleton communities (e_c = 0 contributions
+    * still counted via their degrees).
+    *
+    * Scale shape: two broadcast-joins of the edge list onto the
+    * membership frame, one community-keyed aggregate — no iteration
+    * (this SCORES a partition; producing one is [[graft.pipeline
+    * .TextDedup.dupClusters]]' job).
+    */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      membership: DataFrame,
+      nodeCol: String,
+      communityCol: String): DataFrame = {
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    val und = undirected(edges, srcCol, dstCol)
+    val mem = membership.select(col(nodeCol).cast("string").as("_g_n"),
+      col(communityCol).cast("string").as("_g_c"))
+    // default community = the node itself (singleton)
+    val labeled = und
+      .join(mem.withColumnRenamed("_g_n", "_g_a")
+        .withColumnRenamed("_g_c", "_g_ca"), Seq("_g_a"), "left")
+      .join(mem.withColumnRenamed("_g_n", "_g_b")
+        .withColumnRenamed("_g_c", "_g_cb"), Seq("_g_b"), "left")
+      .select(
+        coalesce(col("_g_ca"), col("_g_a")).as("_g_ca"),
+        coalesce(col("_g_cb"), col("_g_b")).as("_g_cb"))
+    // both directions present: Σ rows = 2m; intra-pair rows = 2·e_c
+    val m2 = labeled.agg(count(lit(1)).as("_g_m2")) // = 2m
+    val perC = labeled
+      .groupBy(col("_g_ca"))
+      .agg(count(lit(1)).as("_g_dc"), // total degree of community
+        sum((col("_g_ca") === col("_g_cb")).cast("long")).as("_g_ec2"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val agg = perC.crossJoin(broadcast(m2))
+      .agg(count(lit(1)).as("n_communities"),
+        max(col("_g_m2")).as("_g_m2"),
+        // numerator Σ_c (4m·e_c − d_c²) = Σ_c (2m·(2e_c) − d_c²)
+        sum(dec(col("_g_m2")) * dec(col("_g_ec2")) -
+          dec(col("_g_dc")) * dec(col("_g_dc"))).as("_g_num"))
+    agg.select(
+      (col("_g_m2") / lit(2L)).cast("long").as("n_edges"),
+      col("n_communities"),
+      d6(col("_g_num").cast("double") /
+        (col("_g_m2").cast("double") * col("_g_m2").cast("double")))
+        .as("modularity"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over every edge — positive: hubs attach to hubs
+    * (social), negative: hubs attach to leaves (hub-and-spoke
+    * infrastructure, star-shaped crawl graphs). Computed over the
+    * DIRECTED double cover (each undirected edge contributes both
+    * orderings, the standard symmetric treatment) with exact
+    * decimal(38,0) sufficient sums and one d6 division.
+    */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = und.groupBy(col("_g_a").as("_g_n"))
+      .agg(count(lit(1)).as("_g_d"))
+    val paired = und
+      .join(deg.select(col("_g_n").as("_g_a"), col("_g_d").as("_g_x")),
+        Seq("_g_a"))
+      .join(deg.select(col("_g_n").as("_g_b"), col("_g_d").as("_g_y")),
+        Seq("_g_b"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val agg = paired.agg(
+      count(lit(1)).cast("decimal(38,0)").as("_n"),
+      sum(dec(col("_g_x"))).as("_sx"), sum(dec(col("_g_y"))).as("_sy"),
+      sum(dec(col("_g_x")) * dec(col("_g_y"))).as("_sxy"),
+      sum(dec(col("_g_x")) * dec(col("_g_x"))).as("_sxx"),
+      sum(dec(col("_g_y")) * dec(col("_g_y"))).as("_syy"))
+    val cov = col("_n") * col("_sxy") - col("_sx") * col("_sy")
+    val vx = col("_n") * col("_sxx") - col("_sx") * col("_sx")
+    val vy = col("_n") * col("_syy") - col("_sy") * col("_sy")
+    val guard = when(vx > 0 && vy > 0, (col("_n") / lit(2)).cast("long"))
+      .otherwise(raise_error(lit(
+        "assortativity: degree-regular graph has zero degree variance "
+          + "(r undefined)")).cast("long"))
+    agg.select(guard.as("n_edges"),
+      d6(cov.cast("double") /
+        sqrt(vx.cast("double") * vy.cast("double"))).as("assortativity"))
+  }
 }

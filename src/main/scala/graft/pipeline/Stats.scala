@@ -1612,6 +1612,54 @@ object Stats {
         (sNeg >= hScaled).cast("int").as("alarm_neg"))
   }
 
+  /** Brier score + expected/maximum calibration error over a scored
+    * binary-outcome frame — the one-row answer to "can I trust these
+    * probabilities?" that belongs next to any trained scorer's AUC.
+    * Scores arrive FIXED-POINT in [0, 10⁶] (the q225/q226 classifier's
+    * score6 convention), which makes every numerator exact:
+    *
+    *   brier = Σ (s6 − 10⁶·y)² / (n·10¹²)
+    *   ece   = Σ_b |10⁶·pos_b − Σ s6_b| / (n·10⁶)     (equal-width bins)
+    *   mce   = max_b d6(|10⁶·pos_b − Σ s6_b| / (n_b·10⁶))
+    *
+    * — integer sums (decimal(38,0)), one d6 division each; the ECE
+    * numerator |10⁶·pos_b − Σs6_b| IS n_b·|accuracy − confidence|
+    * cleared of both denominators. One score scan + one `bins`-row
+    * aggregate at any corpus size.
+    */
+  def calibrationError(
+      df: DataFrame,
+      scoreCol: String,
+      yCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val s6 = col(scoreCol).cast("long")
+    val y = col(yCol).cast("long")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val binned = df
+      .select(least(floor(s6.cast("double") * bins / 1000000.0)
+          .cast("long"), lit(bins - 1L)).as("_b"),
+        s6.as("_s"), y.as("_y"))
+      .groupBy(col("_b"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_pos"),
+        sum(dec(col("_s"))).as("_ss"),
+        sum(dec((col("_s") - lit(1000000L) * col("_y")) *
+          (col("_s") - lit(1000000L) * col("_y")))).as("_sq"))
+    val gap = abs(dec(lit(1000000L) * col("_pos")) - col("_ss"))
+    val agg = binned.agg(
+      sum(col("_n")).as("n_rows"),
+      sum(col("_sq")).as("_sqTot"),
+      sum(gap).as("_gapTot"),
+      max(d6(gap.cast("double") /
+        (col("_n").cast("double") * 1000000.0))).as("mce"))
+    val n = col("n_rows").cast("double")
+    agg.select(col("n_rows"),
+      d6(col("_sqTot").cast("double") / (n * 1.0e12)).as("brier"),
+      d6(col("_gapTot").cast("double") / (n * 1000000.0)).as("ece"),
+      col("mce"))
+  }
+
   /** Always-valid sequential A/B test — the mixture SPRT (mSPRT,
     * Johari/Pekelis/Walsh 2015) over a period-keyed two-arm metric
     * stream: unlike [[welchTTest]], the p-value trajectory may be

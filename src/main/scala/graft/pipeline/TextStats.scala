@@ -2071,6 +2071,62 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Good–Turing frequency re-estimation over the token stream (Good
+    * 1953) — the classic answer to "how much probability mass belongs
+    * to words we have NOT seen yet", and the adjusted counts r* that
+    * Katz backoff and held-out LM evaluation are built on:
+    *
+    *   r* = (r+1)·N_{r+1}/N_r        p_r = (r+1)·N_{r+1}/(N_r·N)
+    *   p_unseen = N_1/N              (the r = 0 row)
+    *
+    * over the frequency-of-frequencies spectrum N_r. Rows are emitted
+    * for r = 0..maxR; where N_{r+1} = 0 the plain GT estimate is
+    * undefined and r-star/p are NULL (the documented boundary — smoothing
+    * the spectrum is Simple GT, a different operator). All counts are
+    * exact longs; each output number is ONE d6 division of integer
+    * products.
+    *
+    * Scale shape: token-keyed counts (map-side combined), then the
+    * spectrum aggregate — ≤ distinct-count rows — and a self-join on
+    * r+1 over the ≤(maxR+1)-row frame.
+    */
+  def goodTuring(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxR: Int = 10): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val spark = df.sparkSession
+    val toks = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("_r"))
+    val spectrum = counts.groupBy(col("_r")).agg(count(lit(1)).as("_nr"))
+    val nTot = toks.agg(count(lit(1)).as("_n"))
+    val spine = spark.range(0, maxR + 1L).select(col("id").as("r"))
+    val cur = spectrum.select(col("_r").as("r"), col("_nr"))
+    val nxt = spectrum.select((col("_r") - 1L).as("r"),
+      col("_nr").as("_nr1"))
+    val joined = spine
+      .join(cur, Seq("r"), "left")
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("r"),
+        coalesce(col("_nr"), lit(0L)).as("n_r"),
+        coalesce(col("_nr1"), lit(0L)).as("_nr1"), col("_n"))
+    joined.select(col("r"), col("n_r"),
+      when(col("r") > 0L && col("n_r") > 0L && col("_nr1") > 0L,
+        d6(((col("r") + 1L) * col("_nr1")).cast("double") /
+          col("n_r").cast("double"))).as("r_star"),
+      when(col("r") === 0L,
+          d6(col("_nr1").cast("double") / col("_n").cast("double")))
+        .when(col("n_r") > 0L && col("_nr1") > 0L,
+          d6(((col("r") + 1L) * col("_nr1")).cast("double") /
+            (col("n_r").cast("double") * col("_n").cast("double"))))
+        .as("p_gt"))
+  }
+
   /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
     * maximal stopword-free token runs (capped at `maxPhraseLen` — the
     * standard cap; longer runs are noise, not keyphrases), each word

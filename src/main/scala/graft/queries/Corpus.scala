@@ -4854,9 +4854,15 @@ object Corpus {
 
   // q314: Adamic-Adar link prediction on the same graph — top 20
   // non-adjacent pairs by summed 1/ln(common-neighbor degree), each
-  // term d6-rounded before the decimal sum.
+  // term d6-rounded before the decimal sum. maxNeighborDegree = 64
+  // sits ABOVE sf0.01's max degree (60), so the oracle is the exact
+  // score — while at larger SFs, where the co-purchase graph
+  // densifies superlinearly, the cap bounds the pairing fan-out (the
+  // operator's documented scale valve, measured 22.5s -> bounded at
+  // sf0.1).
   def q314AdamicAdar(s: SparkSession, dir: String): DataFrame =
-    Graph.adamicAdar(coPurchaseEdges(s, dir), "u", "v", topK = 20)
+    Graph.adamicAdar(coPurchaseEdges(s, dir), "u", "v", topK = 20,
+      maxNeighborDegree = 64)
 
   val q314Sql: String =
     """WITH p AS (
@@ -5038,12 +5044,197 @@ object Corpus {
       |    AS DOUBLE) AS wer
       |FROM mp""".stripMargin
 
+  // q324: Brier + ECE/MCE over the trained quality classifier's scores
+  // — the one-row trust readout next to q230's reliability diagram.
+  // All-integer numerators ride the full training replay hash-exactly.
+  def q324CalibrationError(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.pipeline.Classifier.scoreRowwise(
+      t(s, dir, "documents"), "doc_id", "text", q225Label,
+      classifierFit(s, dir)._2)
+    graft.pipeline.Stats.calibrationError(scored, "score6", "y")
+  }
+
+  val q324Sql: String =
+    s"""$classifierScoreCtes,
+       |bn AS (
+       |  SELECT LEAST(CAST(floor(CAST(sc.s6 AS DOUBLE) * 10 / 1000000.0)
+       |      AS BIGINT), 9) AS b,
+       |    d.y, sc.s6
+       |  FROM doc d JOIN sc USING (doc_id)),
+       |g AS (
+       |  SELECT b, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+       |    CAST(SUM(CAST(s6 AS HUGEINT)) AS HUGEINT) AS ss,
+       |    CAST(SUM(CAST(s6 - 1000000 * y AS HUGEINT) *
+       |      CAST(s6 - 1000000 * y AS HUGEINT)) AS HUGEINT) AS sq
+       |  FROM bn GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, SUM(sq) AS sqt,
+       |    SUM(ABS(CAST(1000000 * pos AS HUGEINT) - ss)) AS gapt,
+       |    MAX(CAST(CAST(CAST(ABS(CAST(1000000 * pos AS HUGEINT) - ss)
+       |      AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+       |      AS DECIMAL(28,6)) AS DOUBLE)) AS mce
+       |  FROM g)
+       |SELECT n_rows,
+       |  CAST(CAST(CAST(sqt AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 1e12)
+       |    AS DECIMAL(28,6)) AS DOUBLE) AS brier,
+       |  CAST(CAST(CAST(gapt AS DOUBLE) /
+       |    (CAST(n_rows AS DOUBLE) * 1000000.0) AS DECIMAL(28,6))
+       |    AS DOUBLE) AS ece,
+       |  mce
+       |FROM a""".stripMargin
+
+  // q325: Newman modularity of the q46 dup-cluster partition on its
+  // own similarity graph — connected components make every edge
+  // intra-community, so Q = 1 − Σ(d_c/2m)²: the dedup-clustering
+  // quality score. Oracle = q46's closure + the exact integer
+  // numerator.
+  def q325Modularity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = TextDedup.jaccardPairs(
+      TextDedup.shingles(docs, "doc_id", "text", n = 3),
+      "doc_id", threshold = 0.12, maxShingleDocs = Int.MaxValue)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = TextDedup.dupClusters(pairs)
+    Graph.modularity(pairs, "doc_a", "doc_b", clusters, "doc_id",
+      "canonical_id")
+  }
+
+  val q325Sql: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, generate_subscripts(string_split(text,' '),1)
+      |      AS pos,
+      |    unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' ||
+      |      lead(tok,2) OVER w AS shingle
+      |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+      |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+      |    >= 0.12),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+      |cl AS (SELECT id, MIN(lab) AS c FROM reach GROUP BY id),
+      |lbl AS (
+      |  SELECT la.c AS ca, lb.c AS cb
+      |  FROM edges e JOIN cl la ON la.id = e.src
+      |  JOIN cl lb ON lb.id = e.dst),
+      |m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM lbl),
+      |perc AS (
+      |  SELECT ca, CAST(COUNT(*) AS BIGINT) AS dc,
+      |    CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ec2
+      |  FROM lbl GROUP BY 1),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+      |    MAX(m2.m2) AS m2,
+      |    SUM(CAST(m2.m2 AS HUGEINT) * CAST(ec2 AS HUGEINT) -
+      |        CAST(dc AS HUGEINT) * CAST(dc AS HUGEINT)) AS num
+      |  FROM perc CROSS JOIN m2)
+      |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges, n_communities,
+      |  CAST(CAST(CAST(num AS DOUBLE) /
+      |    (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS modularity
+      |FROM agg""".stripMargin
+
+  // q326: degree assortativity of the co-purchase graph — do heavy
+  // co-purchasers attach to each other? Exact HUGEINT sufficient sums
+  // over the directed double cover.
+  def q326Assortativity(s: SparkSession, dir: String): DataFrame =
+    Graph.assortativity(coPurchaseEdges(s, dir), "u", "v")
+
+  val q326Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS b
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT CAST(a.user_id AS VARCHAR) AS u,
+      |    CAST(b.user_id AS VARCHAR) AS v
+      |  FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |und AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+      |d AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS dg
+      |      FROM und GROUP BY 1),
+      |pr AS (
+      |  SELECT dx.dg AS x, dy.dg AS y
+      |  FROM und JOIN d dx ON dx.n = und.a JOIN d dy ON dy.n = und.b),
+      |agg AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+      |      AS sxy,
+      |    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+      |      AS sxx,
+      |    CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+      |      AS syy
+      |  FROM pr)
+      |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+      |  CAST(CAST(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS assortativity
+      |FROM agg""".stripMargin
+
+  // q327: Good-Turing frequency re-estimation over the corpus token
+  // stream — adjusted counts r*, smoothed p_r and the unseen mass
+  // (r = 0 row), spectrum rows 0..10.
+  def q327GoodTuring(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.goodTuring(t(s, dir, "documents"),
+      "doc_id", "text")
+
+  val q327Sql: String =
+    """WITH tk AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |t2 AS (SELECT tok FROM tk WHERE tok <> ''),
+      |c AS (SELECT tok, COUNT(*) AS r FROM t2 GROUP BY 1),
+      |sp AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM c GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t2),
+      |spine AS (SELECT unnest(range(0, 11)) AS r),
+      |j AS (
+      |  SELECT spine.r, COALESCE(cur.nr, 0) AS n_r,
+      |    COALESCE(nxt.nr, 0) AS nr1, n.n
+      |  FROM spine LEFT JOIN sp cur ON cur.r = spine.r
+      |  LEFT JOIN sp nxt ON nxt.r = spine.r + 1
+      |  CROSS JOIN n)
+      |SELECT CAST(r AS BIGINT) AS r, n_r,
+      |  CASE WHEN r > 0 AND n_r > 0 AND nr1 > 0 THEN
+      |    CAST(CAST(CAST((r + 1) * nr1 AS DOUBLE) / CAST(n_r AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS r_star,
+      |  CASE WHEN r = 0 THEN
+      |      CAST(CAST(CAST(nr1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE)
+      |    WHEN n_r > 0 AND nr1 > 0 THEN
+      |      CAST(CAST(CAST((r + 1) * nr1 AS DOUBLE) /
+      |        (CAST(n_r AS DOUBLE) * CAST(n AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS p_gt
+      |FROM j""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q313_kcore" -> (q313KCore _),
     "q314_adamic_adar" -> (q314AdamicAdar _),
     "q315_textrank" -> (q315TextRank _),
     "q316_rake" -> (q316Rake _),
     "q323_wer" -> (q323Wer _),
+    "q324_calibration_error" -> (q324CalibrationError _),
+    "q325_modularity" -> (q325Modularity _),
+    "q326_assortativity" -> (q326Assortativity _),
+    "q327_good_turing" -> (q327GoodTuring _),
     "q252_suffix_ranks" -> (q252SuffixRanks _),
     "q257_span_corrupt" -> (q257SpanCorrupt _),
     "q258_rouge_eval" -> (q258RougeEval _),
@@ -5150,6 +5341,10 @@ object Corpus {
     "q315_textrank" -> q315Sql,
     "q316_rake" -> q316Sql,
     "q323_wer" -> q323Sql,
+    "q324_calibration_error" -> q324Sql,
+    "q325_modularity" -> q325Sql,
+    "q326_assortativity" -> q326Sql,
+    "q327_good_turing" -> q327Sql,
     "q123_bm25" -> q123Sql,
     "q124_nfc_normalize" -> q124Sql,
     "q125_chunk_dedup" -> q125Sql,

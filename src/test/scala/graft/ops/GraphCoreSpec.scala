@@ -86,6 +86,54 @@ class GraphCoreSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("modularity of two clean triangles in their own communities is 0.5") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x")).toDF("s", "d")
+    val mem = Seq(("a", "1"), ("b", "1"), ("c", "1"),
+      ("x", "2"), ("y", "2"), ("z", "2")).toDF("node", "comm")
+    val r = Graph.modularity(edges, "s", "d", mem, "node", "comm")
+      .collect().head
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+  }
+
+  test("modularity of the all-in-one partition is 0") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val mem = Seq(("a", "1"), ("b", "1"), ("c", "1")).toDF("node", "comm")
+    val r = Graph.modularity(edges, "s", "d", mem, "node", "comm")
+      .collect().head
+    assert(r.getAs[Double]("modularity") == 0.0)
+  }
+
+  test("modularity: nodes missing from membership are singletons") {
+    // triangle split as {a,b} + singleton c: e_1 = 1, d_1 = 4; e_c = 0,
+    // d_c = 2; m = 3 -> Q = (1/3 - (4/6)^2) + (0 - (2/6)^2) = -2/9
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val mem = Seq(("a", "g"), ("b", "g")).toDF("node", "comm")
+    val r = Graph.modularity(edges, "s", "d", mem, "node", "comm")
+      .collect().head
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Double]("modularity") ==
+      BigDecimal(-2.0 / 9.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("assortativity of a star is exactly -1") {
+    val star = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("s", "d")
+    val r = Graph.assortativity(star, "s", "d").collect().head
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+  }
+
+  test("assortativity fails loudly on a degree-regular graph") {
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    val e = intercept[Exception] {
+      Graph.assortativity(tri, "s", "d").collect()
+    }
+    assert(e.getMessage.contains("degree variance"))
+  }
+
   test("adamicAdar topK cuts by (score desc, u, v)") {
     // chain of shared neighbors with distinct degrees gives distinct
     // scores; ask for 2

@@ -176,6 +176,37 @@ class InferenceSpec extends SparkSpec {
     assert(out.last.getAs[Double]("p_always_valid") == 1.0)
   }
 
+  // ------------------------------------------------- calibrationError
+
+  test("calibrationError: a perfectly calibrated bin scores ece 0") {
+    // all scores 0.5, half positive: confidence = accuracy = 0.5
+    val df = (1 to 10).map(i => (500000L, if (i <= 5) 1L else 0L))
+      .toDF("score6", "y")
+    val r = Stats.calibrationError(df, "score6", "y").collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Double]("ece") == 0.0)
+    assert(r.getAs[Double]("mce") == 0.0)
+    assert(r.getAs[Double]("brier") == 0.25)
+  }
+
+  test("calibrationError flags systematic overconfidence") {
+    // every score says 0.9, truth is always 0: gap 0.9 everywhere
+    val df = (1 to 20).map(_ => (900000L, 0L)).toDF("score6", "y")
+    val r = Stats.calibrationError(df, "score6", "y").collect().head
+    assert(r.getAs[Double]("ece") == 0.9)
+    assert(r.getAs[Double]("mce") == 0.9)
+    assert(r.getAs[Double]("brier") == 0.81)
+  }
+
+  test("calibrationError bins by equal score width, score 1e6 in top bin") {
+    val df = Seq((1000000L, 1L), (0L, 0L), (999999L, 1L))
+      .toDF("score6", "y")
+    val r = Stats.calibrationError(df, "score6", "y").collect().head
+    // perfect predictions: brier 0 at d6, ece ~ 1e-6-scale gap only
+    assert(r.getAs[Double]("brier") == 0.0)
+    assert(r.getAs[Double]("ece") < 1e-5)
+  }
+
   // --------------------------------------------------------- Theil-Sen
 
   test("theilSen ignores a gross outlier that would wreck OLS") {

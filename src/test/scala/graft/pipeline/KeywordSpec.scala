@@ -77,6 +77,40 @@ class KeywordSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet == Set("u v"))
   }
 
+  // --------------------------------------------- goodTuring (q327)
+
+  test("goodTuring matches the hand-computed spectrum") {
+    // "a a a b b c": N1=N2=N3=1, N=6
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextStats.goodTuring(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 11) // r = 0..10
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // unseen mass = N1/N = 1/6
+    assert(out(0L).getAs[Double]("p_gt") == d6(1.0 / 6.0))
+    // r=1: r* = 2*N2/N1 = 2, p = 2/6
+    assert(out(1L).getAs[Double]("r_star") == 2.0)
+    assert(out(1L).getAs[Double]("p_gt") == d6(2.0 / 6.0))
+    // r=2: r* = 3*N3/N2 = 3
+    assert(out(2L).getAs[Double]("r_star") == 3.0)
+    // r=3: N4 = 0 -> undefined, NULL
+    assert(out(3L).isNullAt(out(3L).fieldIndex("r_star")))
+    assert(out(3L).getAs[Long]("n_r") == 1L)
+  }
+
+  test("goodTuring discounts singletons on a Zipfy corpus") {
+    // many singletons: r*(1) < 1 (mass moved to unseen)
+    val text = ((1 to 50).map(i => s"hapax$i") ++
+      (1 to 10).flatMap(i => Seq(s"dis$i", s"dis$i"))).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextStats.goodTuring(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // r* (1) = 2*N2/N1 = 2*10/50 = 0.4 < 1: the GT discount
+    assert(out(1L).getAs[Double]("r_star") == 0.4)
+    assert(out(0L).getAs[Double]("p_gt") > 0.0)
+  }
+
   test("rakeKeywords favors words living in longer phrases") {
     // "q" appears alone (deg 1 = freq 1 -> 1.0) while "r s t" words all
     // score 3.0 -> the 3-word phrase scores 9.0
