@@ -59,7 +59,14 @@ object ScaleStress {
     // round-12 additions: the new heavyweight (suffix-array dedup cut —
     // class-5 corpus-sized loop state, the honest stress case) and the
     // zero-shuffle PII chain (expected ~linear wall-clock, the control)
-    "q259_sa_dedup_cut", "q282_card_audit")
+    "q259_sa_dedup_cut", "q282_card_audit",
+    // round-13 additions: FFD packing (bounded in-row folds over md5
+    // shards — expected ~linear; the maxShardRows guard is the hard
+    // ceiling this run exercises), quantile normalization (per-slice
+    // rank windows + x|slices| fan-out — linear in rows at fixed slice
+    // count) and TextRank (ONE corpus explode + vocabulary-sized graph
+    // rounds — the corpus axis should dominate)
+    "q318_pack_ffd", "q317_quantile_normalize", "q315_textrank")
 
   /** Big tables replicated FACTOR×; dims copied through unchanged. */
   private val replicated = Seq(

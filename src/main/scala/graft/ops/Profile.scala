@@ -366,6 +366,49 @@ object Profile {
         (d6(col("_t")) > threshold).cast("int").as("is_violation")): _*)
   }
 
+  /** Laplace-mechanism noisy count release — the ε-differential-privacy
+    * shape for publishing per-group counts (each group count's
+    * sensitivity is 1, so Lap(1/ε) noise gives ε-DP), with the
+    * standard post-processing (round, clamp at 0).
+    *
+    * The noise draw is md5-SEEDED (inverse-CDF Laplace from the salted
+    * portable hash of the group key): u = (h + 0.5)/10⁶ ∈ (0,1),
+    * noise = −(1/ε)·sgn(u−½)·ln(1−2|u−½|). DOCUMENTED TRADE: seeded
+    * noise makes releases reproducible and cross-engine-checkable —
+    * the library's determinism contract — but a real privacy release
+    * MUST swap in true randomness (and fresh randomness per release);
+    * with a fixed salt the mechanism is only as private as the salt is
+    * secret. The operator is the release MECHANICS (sensitivity-scaled
+    * noise, post-processing, epsilon bookkeeping), test-vectored.
+    *
+    * One group aggregate + in-row noise — no extra exchange. Output:
+    * (keyCols…, noisy_count, epsilon).
+    */
+  def dpNoisyCounts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      epsilon: Double,
+      salt: String = "dp"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    val keyStr = concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+    val u = (graft.pipeline.Sampling.portableHash(keyStr, salt)
+      .cast("double") + 0.5) / 1000000.0
+    val centered = u - 0.5
+    val noise = -(lit(1.0) / epsilon) *
+      signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+    // floor(x + 0.5), not round(): Spark rounds half-up, DuckDB
+    // half-away-from-zero — floor+0.5 is the same arithmetic in both
+    counts.select(keyCols.map(col) ++ Seq(
+      greatest(lit(0L),
+        floor(col("_n").cast("double") + d6(noise) + 0.5).cast("long"))
+        .as("noisy_count"),
+      lit(epsilon).as("epsilon")): _*)
+  }
+
   /** Benford first-digit audit of a positive integer metric — the
     * classic fabricated-data / pipeline-bug detector: naturally
     * occurring multi-magnitude quantities follow P(d) = log₁₀(1+1/d),

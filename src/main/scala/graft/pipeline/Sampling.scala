@@ -687,14 +687,18 @@ object Sampling {
     * FFD is inherently sequential, so packing runs independently per
     * md5-assigned SHARD: items hash into `shards` groups, each shard
     * sorts its items (size desc, id asc) and folds them through the
-    * classic first-fit scan — implemented as ONE in-row aggregate HOF
-    * over the collected shard list (the bounded-list contract:
-    * `maxShardRows` guards the collect, loudly). Bin ids are
-    * shard-local; global bin identity is (pack_shard, pack_bin).
-    * Shard-local packing costs at most one partially-empty bin per
-    * shard vs. global FFD — size `shards` so each shard holds ≥ ~100×
-    * capacity of items and the overhead vanishes; the parallelism is
-    * exactly the salted-shard discipline of [[deterministicShuffle]].
+    * classic first-fit scan — a typed `flatMapGroups` with MUTABLE
+    * loads (the documented imperative boundary, same class as
+    * TopKPerKeyExec): a Catalyst `aggregate` HOF was measured 752×
+    * at the 10× sidecar because immutable array state copies O(n)
+    * per element — the per-shard scan is O(items·bins) in Scala and
+    * O(items²·bins) as an expression. `maxShardRows` guards the
+    * per-group buffer, loudly. Bin ids are shard-local; global bin
+    * identity is (pack_shard, pack_bin). Shard-local packing costs at
+    * most one partially-empty bin per shard vs. global FFD — size
+    * `shards` so each shard holds ≥ ~100× capacity of items and the
+    * overhead vanishes; the parallelism is exactly the salted-shard
+    * discipline of [[deterministicShuffle]].
     *
     * Items larger than `capacity` fail LOUDLY (in-plan guard) — they
     * cannot pack; truncate or split upstream.
@@ -714,63 +718,42 @@ object Sampling {
     require(shards > 0 && shards <= (1 << 20),
       s"shards in (0, 2^20], got $shards")
     require(maxShardRows > 0, s"maxShardRows must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
     val sharded = df.select(
-      col(idCol).cast("string").as("_q_id"),
-      col(sizeCol).cast("long").as("_q_sz"),
-      (portableHash(col(idCol), salt) * shards / lit(1000000L))
-        .cast("long").as("pack_shard"))
-    val lists = sharded
-      .groupBy(col("pack_shard"))
-      .agg(sort_array(collect_list(struct(
-        (-col("_q_sz")).as("_q_neg"), col("_q_id"), col("_q_sz"))))
-        .as("_q_items"))
-    val guarded = lists.withColumn("_q_items",
-      when(size(col("_q_items")) <= maxShardRows &&
-          forall(col("_q_items"), it => it.getField("_q_sz") <= capacity &&
-            it.getField("_q_sz") >= 0L),
-          col("_q_items"))
-        .otherwise(raise_error(concat(
-          lit(s"packFirstFit: shard exceeds $maxShardRows rows or an "),
-          lit(s"item exceeds capacity $capacity / is negative; shard="),
-          col("pack_shard").cast("string"), lit(" rows="),
-          size(col("_q_items")).cast("string")))))
-    // classic first-fit over the sorted list: state = (bin loads,
-    // per-item bin assignments, aligned by position)
-    val folded = guarded.withColumn("_q_st",
-      aggregate(
-        col("_q_items"),
-        struct(
-          array().cast("array<bigint>").as("loads"),
-          array().cast("array<int>").as("asg")),
-        (st, it) => {
-          val sz = it.getField("_q_sz")
-          val loads = st.getField("loads")
-          // sequence(1, 0) would REVERSE (step defaults to -1) and probe
-          // index 0 — the empty-bin-list case short-circuits instead
-          val idx = when(size(loads) === 0, lit(null).cast("int"))
-            .otherwise(get(filter(
-              sequence(lit(1), size(loads)),
-              i => element_at(loads, i) + sz <= capacity), lit(0)))
-          val newLoads = when(idx.isNull, concat(loads, array(sz)))
-            .otherwise(transform(loads,
-              (l, j) => when(j + 1 === idx, l + sz).otherwise(l)))
-          val bin = when(idx.isNull, size(loads) + 1)
-            .otherwise(idx).cast("int")
-          struct(newLoads.as("loads"),
-            concat(st.getField("asg"), array(bin)).as("asg"))
-        }))
-    folded
-      .select(col("pack_shard"),
-        posexplode(arrays_zip(col("_q_items").as("it"),
-          col("_q_st").getField("asg").as("bin")))
-          .as(Seq("_q_pos", "_q_row")),
-        col("_q_st").getField("loads").as("_q_loads"))
-      .select(
-        col("_q_row").getField("it").getField("_q_id").as(idCol),
-        col("_q_row").getField("it").getField("_q_sz").as(sizeCol),
-        col("pack_shard"),
-        col("_q_row").getField("bin").cast("long").as("pack_bin"),
-        element_at(col("_q_loads"),
-          col("_q_row").getField("bin")).as("bin_fill"))
+        col(idCol).cast("string").as("_q_id"),
+        col(sizeCol).cast("long").as("_q_sz"),
+        (portableHash(col(idCol), salt) * shards / lit(1000000L))
+          .cast("long").as("pack_shard"))
+      .as[(String, Long, Long)]
+    val packed = sharded.groupByKey(_._3).flatMapGroups {
+      (shard: Long, rows: Iterator[(String, Long, Long)]) =>
+        val items = rows.map { case (id, sz, _) => (id, sz) }.toArray
+        require(items.length <= maxShardRows,
+          s"packFirstFit: shard $shard has ${items.length} rows " +
+            s"> maxShardRows $maxShardRows — raise shards")
+        items.foreach { case (id, sz) =>
+          require(sz >= 0 && sz <= capacity,
+            s"packFirstFit: item $id size $sz exceeds capacity " +
+              s"$capacity (or is negative) — truncate or split upstream")
+        }
+        // FFD: size desc, id asc; classic first-fit with mutable loads
+        val sorted = items.sortBy { case (id, sz) => (-sz, id) }
+        val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val asg = new Array[Int](sorted.length)
+        var i = 0
+        while (i < sorted.length) {
+          val sz = sorted(i)._2
+          var b = 0
+          while (b < loads.length && loads(b) + sz > capacity) b += 1
+          if (b == loads.length) loads += sz else loads(b) += sz
+          asg(i) = b + 1
+          i += 1
+        }
+        sorted.iterator.zipWithIndex.map { case ((id, sz), k) =>
+          (id, sz, shard, asg(k).toLong, loads(asg(k) - 1))
+        }
+    }
+    packed.toDF(idCol, sizeCol, "pack_shard", "pack_bin", "bin_fill")
   }
 }

@@ -1612,6 +1612,133 @@ object Stats {
         (sNeg >= hScaled).cast("int").as("alarm_neg"))
   }
 
+  /** Hill tail-index estimator over a positive integer metric — the
+    * standard heavy-tail diagnostic (Hill 1975): over the top k order
+    * statistics x₍₁₎ ≥ … ≥ x₍ₖ₎ with threshold x₍ₖ₊₁₎,
+    *
+    *   γ̂ = (1/k)·Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎),   α̂ = 1/γ̂
+    *
+    * α̂ ≈ 1–2: extreme heavy tail (a few users/domains dominate —
+    * budget caps and salting are mandatory); α̂ > 3: tails thin enough
+    * that mean-based sizing works. Complements [[TextStats.zipfFit]]
+    * (which fits the whole rank spectrum; Hill measures just the tail,
+    * where the operational risk lives).
+    *
+    * Determinism: the top-(k+1) VALUE multiset is order-unique (sorted
+    * by value alone), each log-ratio is d6-rounded before the decimal
+    * sum, one division each for γ̂/α̂. Scale shape: ONE TakeOrdered
+    * top-(k+1) (no global sort), then a (k+1)-row frame.
+    */
+  def hillTailIndex(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val v = col(valueCol).cast("long")
+    val top = df.filter(v > 0L).select(v.as("_x"))
+      .orderBy(col("_x").desc).limit(k + 1)
+    val nTop = top.agg(count(lit(1)).as("_nt"), min(col("_x")).as("_thr"))
+    val guarded = top.crossJoin(broadcast(nTop))
+      .withColumn("_thr",
+        when(col("_nt") === (k + 1).toLong, col("_thr"))
+          .otherwise(raise_error(concat(
+            lit(s"hillTailIndex: need > $k positive values, got "),
+            col("_nt").cast("string"))).cast("long")))
+    val term6 = when(col("_x") > col("_thr"),
+        log(col("_x").cast("double") / col("_thr").cast("double"))
+          .cast("decimal(28,6)"))
+      .otherwise(lit(BigDecimal(0)).cast("decimal(28,6)"))
+    val agg = guarded.agg(max(col("_thr")).as("threshold"),
+      sum(term6).as("_s6"))
+    val gamma = d6(col("_s6").cast("double") / k.toDouble)
+    agg.select(lit(k.toLong).as("k"), col("threshold"),
+        gamma.as("hill_gamma"))
+      .withColumn("tail_alpha",
+        when(col("hill_gamma") > 0.0, d6(lit(1.0) / col("hill_gamma"))))
+  }
+
+  /** Iterative-proportional-fitting (raking) weights over a 2-facet
+    * contingency table — reweight a corpus so its (row, col) margins
+    * match TARGET shares (Deming–Stephan 1940): the declarative answer
+    * to "make the training mix 25% per language AND match this source
+    * distribution" when the two constraints interact.
+    *
+    * `iters` fixed alternating margin-scaling rounds (row then col)
+    * over the cell table; every scaled weight d6-rounds, margin sums
+    * are decimal (order-free), so the whole trajectory is
+    * engine-replayable. Cells with zero target share rake to 0.
+    *
+    * Scale shape: ONE corpus-sized cell aggregate; the IPF rounds run
+    * driver-side over the ≤ `maxCells`-guarded cell table (the
+    * Bradley–Terry/Fellegi–Sunter class-5 discipline — zero per-round
+    * jobs). Output per cell: (rowCol, colCol, n_rows, weight) where
+    * `weight` multiplies a row's contribution so weighted margins hit
+    * the targets.
+    */
+  def rakeWeights(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String,
+      rowTargets: Map[String, Double],
+      colTargets: Map[String, Double],
+      iters: Int = 10,
+      maxCells: Int = 4096): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(rowTargets.nonEmpty && colTargets.nonEmpty, "targets required")
+    require(math.abs(rowTargets.values.sum - 1.0) < 1e-9 &&
+      math.abs(colTargets.values.sum - 1.0) < 1e-9,
+      "target shares must each sum to 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.groupBy(col(rowCol).cast("string").as("_r"),
+        col(colCol).cast("string").as("_c"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"rakeWeights: ${cells.length} cells > maxCells $maxCells")
+    val total = cells.map(_._3).sum.toDouble
+    def d6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // weights start at 1; each phase scales every cell's weight by
+    // (target total) / (current weighted margin), d6 after the division
+    var w = cells.map(_ => 1.0)
+    var it = 0
+    while (it < iters) {
+      val rowSums = cells.zip(w).groupBy(_._1._1)
+        .map { case (r, xs) =>
+          r -> xs.map { case ((_, _, n), wi) =>
+            // wi is d6-rounded: setScale(6) reproduces the oracle's
+            // DECIMAL(28,6) value exactly (a bare BigDecimal(double)
+            // would carry the full binary expansion instead)
+            BigDecimal(wi).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+              BigDecimal(n)
+          }.sum.toDouble
+        }
+      w = cells.zip(w).map { case ((r, _, _), wi) =>
+        val tgt = rowTargets.getOrElse(r, 0.0) * total
+        val cur = rowSums(r)
+        if (tgt == 0.0 || cur == 0.0) 0.0 else d6(wi * tgt / cur)
+      }
+      val colSums = cells.zip(w).groupBy(_._1._2)
+        .map { case (c, xs) =>
+          c -> xs.map { case ((_, _, n), wi) =>
+            BigDecimal(wi).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+              BigDecimal(n)
+          }.sum.toDouble
+        }
+      w = cells.zip(w).map { case ((_, c, _), wi) =>
+        val tgt = colTargets.getOrElse(c, 0.0) * total
+        val cur = colSums(c)
+        if (tgt == 0.0 || cur == 0.0) 0.0 else d6(wi * tgt / cur)
+      }
+      it += 1
+    }
+    cells.zip(w).toSeq
+      .map { case ((r, c, n), wi) => (r, c, n, wi) }
+      .toDF(rowCol, colCol, "n_rows", "weight")
+  }
+
   /** Brier score + expected/maximum calibration error over a scored
     * binary-outcome frame — the one-row answer to "can I trust these
     * probabilities?" that belongs next to any trained scorer's AUC.

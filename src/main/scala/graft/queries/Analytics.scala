@@ -2380,7 +2380,131 @@ object Analytics {
       |LEFT JOIN pm ON pm.k = tr.k AND pm.phase = tr.phase
       |JOIN ctr ON ctr.k = tr.k""".stripMargin
 
+  // q328: Hill tail index of per-user activity — how heavy is the
+  // power-user tail? Top-51 order statistics, d6 log-ratios, exact
+  // decimal sum.
+  def q328Hill(s: SparkSession, dir: String): DataFrame = {
+    val perUser = ev(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    graft.pipeline.Stats.hillTailIndex(perUser, "x", k = 50)
+  }
+
+  val q328Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |top AS (SELECT x FROM pu WHERE x > 0 ORDER BY x DESC LIMIT 51),
+      |th AS (SELECT MIN(x) AS thr, COUNT(*) AS nt FROM top),
+      |terms AS (
+      |  SELECT CASE WHEN x > thr THEN
+      |      CAST(ln(CAST(x AS DOUBLE) / CAST(thr AS DOUBLE))
+      |        AS DECIMAL(28,6))
+      |    ELSE CAST(0 AS DECIMAL(28,6)) END AS t6, thr
+      |  FROM top CROSS JOIN th),
+      |agg AS (SELECT MAX(thr) AS threshold, SUM(t6) AS s6 FROM terms),
+      |g AS (
+      |  SELECT CAST(50 AS BIGINT) AS k, threshold,
+      |    CAST(CAST(CAST(s6 AS DOUBLE) / 50.0 AS DECIMAL(28,6))
+      |      AS DOUBLE) AS hill_gamma
+      |  FROM agg)
+      |SELECT k, threshold, hill_gamma,
+      |  CASE WHEN hill_gamma > 0.0 THEN
+      |    CAST(CAST(1.0 / hill_gamma AS DECIMAL(28,6)) AS DOUBLE)
+      |  END AS tail_alpha
+      |FROM g""".stripMargin
+
+  // q329: Laplace-mechanism noisy count release per (lang, source) at
+  // epsilon = 1 — the DP release mechanics with md5-seeded noise (the
+  // documented reproducibility trade). The oracle replays the
+  // inverse-CDF draw and the floor(x+0.5) post-processing.
+  def q329DpRelease(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.dpNoisyCounts(t(s, dir, "documents"),
+      Seq("lang", "source"), epsilon = 1.0)
+
+  val q329Sql: String =
+    """WITH c AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |u AS (
+      |  SELECT lang, source, n,
+      |    (CAST(CAST(concat('0x', substring(md5('dp:' || lang || '|' ||
+      |      source), 1, 8)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5)
+      |      / 1000000.0 AS u
+      |  FROM c),
+      |z AS (
+      |  SELECT lang, source, n,
+      |    CAST(CAST((-(1.0 / 1.0) * sign(u - 0.5)) *
+      |      ln(1.0 - 2.0 * abs(u - 0.5)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS noise6
+      |  FROM u)
+      |SELECT lang, source,
+      |  GREATEST(CAST(0 AS BIGINT),
+      |    CAST(floor(CAST(n AS DOUBLE) + noise6 + 0.5) AS BIGINT))
+      |    AS noisy_count,
+      |  1.0 AS epsilon
+      |FROM z""".stripMargin
+
+  // q330: IPF raking weights that rebalance the corpus to uniform
+  // language shares (0.2 each) AND uniform source shares (0.05 each)
+  // simultaneously — 10 alternating margin-scaling rounds, every
+  // weight d6 after its division. The oracle replays the trajectory as
+  // a packed-cell-list recursive CTE with decimal margin sums.
+  def q330Raking(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val sources = (0 until 20).map(i => s"src$i")
+    graft.pipeline.Stats.rakeWeights(t(s, dir, "documents"),
+      "lang", "source",
+      rowTargets = langs.map(_ -> 0.2).toMap,
+      colTargets = sources.map(_ -> 0.05).toMap)
+  }
+
+  val q330Sql: String =
+    """WITH RECURSIVE c AS (
+      |  SELECT lang AS r, source AS c, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+      |init AS (
+      |  SELECT list({'r': r, 'c': c, 'n': n,
+      |      'w': CAST(1.0 AS DOUBLE)}
+      |    ORDER BY r, c) AS cells
+      |  FROM c),
+      |rake(it, cells) AS (
+      |  SELECT 0, cells FROM init
+      |  UNION ALL
+      |  SELECT w1.it + 1,
+      |    list_transform(w1.cells1, x -> {'r': x.r, 'c': x.c, 'n': x.n,
+      |      'w': CASE WHEN CAST(list_sum(list_transform(
+      |          list_filter(w1.cells1, y -> y.c = x.c),
+      |          y -> CAST(y.w AS DECIMAL(28,6)) * y.n)) AS DOUBLE) = 0.0
+      |        THEN 0.0
+      |        ELSE CAST(CAST(x.w * (0.05 * w1.total) /
+      |          CAST(list_sum(list_transform(
+      |            list_filter(w1.cells1, y -> y.c = x.c),
+      |            y -> CAST(y.w AS DECIMAL(28,6)) * y.n)) AS DOUBLE)
+      |          AS DECIMAL(28,6)) AS DOUBLE) END})
+      |  FROM (
+      |    SELECT it, tot.total,
+      |      list_transform(cells, x -> {'r': x.r, 'c': x.c, 'n': x.n,
+      |        'w': CASE WHEN CAST(list_sum(list_transform(
+      |            list_filter(cells, y -> y.r = x.r),
+      |            y -> CAST(y.w AS DECIMAL(28,6)) * y.n)) AS DOUBLE) = 0.0
+      |          THEN 0.0
+      |          ELSE CAST(CAST(x.w * (0.2 * tot.total) /
+      |            CAST(list_sum(list_transform(
+      |              list_filter(cells, y -> y.r = x.r),
+      |              y -> CAST(y.w AS DECIMAL(28,6)) * y.n)) AS DOUBLE)
+      |            AS DECIMAL(28,6)) AS DOUBLE) END}) AS cells1
+      |    FROM rake, tot WHERE it < 10) w1),
+      |fin AS (SELECT cells FROM rake ORDER BY it DESC LIMIT 1),
+      |ux AS (SELECT unnest(cells) AS x FROM fin)
+      |SELECT x.r AS lang, x.c AS source, CAST(x.n AS BIGINT) AS n_rows,
+      |  x.w AS weight
+      |FROM ux""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_hill_tail" -> (q328Hill _),
+    "q329_dp_release" -> (q329DpRelease _),
+    "q330_raking" -> (q330Raking _),
     "q319_theil_sen" -> (q319TheilSen _),
     "q320_cusum" -> (q320Cusum _),
     "q321_seasonal" -> (q321Seasonal _),
@@ -2438,6 +2562,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q328_hill_tail" -> q328Sql,
+    "q329_dp_release" -> q329Sql,
+    "q330_raking" -> q330Sql,
     "q319_theil_sen" -> q319Sql,
     "q320_cusum" -> q320Sql,
     "q321_seasonal" -> q321Sql,

@@ -1418,19 +1418,21 @@ object Pipeline {
       |FROM agg""".stripMargin
 
   // q318: first-fit-decreasing packing of documents into 2000-char
-  // bins over 8 md5 shards. The oracle replays the identical sorted
-  // first-fit fold as a per-shard recursive CTE with list state.
+  // bins over 16 md5 shards (sized so the maxShardRows guard holds
+  // through the 10x scale sidecar). The oracle replays the identical
+  // sorted first-fit fold as a per-shard recursive CTE with list
+  // state.
   def q318PackFfd(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Sampling.packFirstFit(
       t(s, dir, "documents"), "doc_id", "n_chars",
-      capacity = 2000L, shards = 8)
+      capacity = 2000L, shards = 16)
 
   val q318Sql: String =
     """WITH RECURSIVE d AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS id, n_chars AS sz,
       |    (CAST(concat('0x', substring(md5('ffd:' ||
       |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000)
-      |      * 8 // 1000000 AS shard
+      |      * 16 // 1000000 AS shard
       |  FROM documents),
       |o AS (SELECT id, sz, shard,
       |        ROW_NUMBER() OVER (PARTITION BY shard

@@ -217,6 +217,42 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("maxDomain"))
   }
 
+  // ------------------------------------------------ dpNoisyCounts (q329)
+
+  test("dpNoisyCounts is reproducible and epsilon-scaled") {
+    val df = (1L to 200L).map(i => (s"g${i % 4}", i)).toDF("g", "id")
+    val a = Profile.dpNoisyCounts(df, Seq("g"), epsilon = 100.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("noisy_count"))
+      .toMap
+    val b = Profile.dpNoisyCounts(df.repartition(7), Seq("g"),
+        epsilon = 100.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("noisy_count"))
+      .toMap
+    assert(a == b)
+    // epsilon = 100: Lap(0.01) noise — counts off by at most 1
+    assert(a.values.forall(v => math.abs(v - 50L) <= 1L))
+  }
+
+  test("dpNoisyCounts clamps negative releases to zero") {
+    // tiny counts + tiny epsilon: some noisy counts would go negative
+    val df = (1L to 40L).map(i => (s"g${i % 20}", i)).toDF("g", "id")
+    val out = Profile.dpNoisyCounts(df, Seq("g"), epsilon = 0.01)
+      .collect()
+    assert(out.forall(_.getAs[Long]("noisy_count") >= 0L))
+    // and the noise actually moves at least one group (true count 2)
+    assert(out.exists(_.getAs[Long]("noisy_count") != 2L))
+    assert(out.forall(_.getAs[Double]("epsilon") == 0.01))
+  }
+
+  test("dpNoisyCounts: different salts draw independent noise") {
+    val df = (1L to 400L).map(i => (s"g${i % 8}", i)).toDF("g", "id")
+    def rel(salt: String) =
+      Profile.dpNoisyCounts(df, Seq("g"), epsilon = 0.5, salt = salt)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("noisy_count"))
+        .toMap
+    assert(rel("dp") != rel("dp2"))
+  }
+
   // ------------------------------------------------- benfordAudit (q310)
 
   test("benfordAudit digits come from the decimal string, shares hand-check") {

@@ -176,6 +176,81 @@ class InferenceSpec extends SparkSpec {
     assert(out.last.getAs[Double]("p_always_valid") == 1.0)
   }
 
+  // ----------------------------------------------------- hillTailIndex
+
+  test("hillTailIndex matches the hand computation at k = 2") {
+    val df = (Seq(8L, 4L, 2L) ++ Seq.fill(10)(1L)).toDF("x")
+    val r = Stats.hillTailIndex(df, "x", k = 2).collect().head
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = d6((d6(math.log(8.0 / 2.0)) + d6(math.log(4.0 / 2.0)))
+      / 2.0)
+    assert(r.getAs[Long]("threshold") == 2L)
+    assert(r.getAs[Double]("hill_gamma") == expected)
+  }
+
+  test("hillTailIndex recovers a planted Pareto tail exponent") {
+    // x_i ~ (n/i)^(1/2): alpha = 2 Pareto tail
+    val n = 500
+    val df = (1 to n)
+      .map(i => math.floor(1000.0 * math.sqrt(n.toDouble / i)).toLong)
+      .toDF("x")
+    val a = Stats.hillTailIndex(df, "x", k = 50).collect().head
+      .getAs[Double]("tail_alpha")
+    assert(a > 1.5 && a < 2.5, s"tail_alpha $a not near 2")
+  }
+
+  test("hillTailIndex needs more than k positive values") {
+    val df = (1L to 20L).toDF("x")
+    val e = intercept[Exception] {
+      Stats.hillTailIndex(df, "x", k = 50).collect()
+    }
+    assert(e.getMessage.contains("need > 50"))
+  }
+
+  // -------------------------------------------------------- rakeWeights
+
+  test("rakeWeights hits both margin targets on an unbalanced 2x2") {
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val out = Stats.rakeWeights(rows.toDF("r", "c"), "r", "c",
+      rowTargets = Map("a" -> 0.5, "b" -> 0.5),
+      colTargets = Map("x" -> 0.5, "y" -> 0.5))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("weight"))).toMap
+    def margin(f: ((String, String)) => Boolean) =
+      out.filter { case (k, _) => f(k) }
+        .map { case (_, (n, w)) => n * w }.sum
+    // total 100: every margin should be ~50 after 10 rounds
+    assert(math.abs(margin(_._1 == "a") - 50.0) < 0.5)
+    assert(math.abs(margin(_._1 == "b") - 50.0) < 0.5)
+    assert(math.abs(margin(_._2 == "x") - 50.0) < 0.5)
+    assert(math.abs(margin(_._2 == "y") - 50.0) < 0.5)
+  }
+
+  test("rakeWeights on an already-balanced table is identically 1") {
+    val rows = for (r <- Seq("a", "b"); c <- Seq("x", "y");
+      _ <- 1 to 25) yield (r, c)
+    val out = Stats.rakeWeights(rows.toDF("r", "c"), "r", "c",
+      Map("a" -> 0.5, "b" -> 0.5), Map("x" -> 0.5, "y" -> 0.5))
+      .collect()
+    assert(out.forall(_.getAs[Double]("weight") == 1.0))
+  }
+
+  test("rakeWeights zeroes cells with zero target share and guards size") {
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "x"))
+    val out = Stats.rakeWeights(rows.toDF("r", "c"), "r", "c",
+      Map("a" -> 1.0, "b" -> 0.0), Map("x" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight"))
+      .toMap
+    assert(out("b") == 0.0 && out("a") > 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Stats.rakeWeights(rows.toDF("r", "c"), "r", "c",
+        Map("a" -> 0.5, "b" -> 0.5), Map("x" -> 1.0), maxCells = 1)
+    }
+    assert(e.getMessage.contains("maxCells"))
+  }
+
   // ------------------------------------------------- calibrationError
 
   test("calibrationError: a perfectly calibrated bin scores ece 0") {
