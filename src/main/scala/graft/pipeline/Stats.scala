@@ -1612,6 +1612,96 @@ object Stats {
         (sNeg >= hScaled).cast("int").as("alarm_neg"))
   }
 
+  /** Krippendorff's alpha (nominal) — the inter-rater agreement
+    * coefficient that, unlike [[cohensKappa]]/[[fleissKappa]],
+    * tolerates MISSING ratings (every unit contributes whatever pairs
+    * it has, weighted 1/(m_u−1)) — the realistic regime of a labeling
+    * campaign where raters overlap only partially:
+    *
+    *   A_o = Σ_c o_cc / n,   A_e = Σ_c n_c(n_c−1) / (n(n−1)),
+    *   α   = (A_o − A_e) / (1 − A_e)
+    *
+    * over the coincidence matrix o_ck = Σ_u n_uc·n_uk·[c≠k ∨ −1]/(m_u−1)
+    * (diagonal: n_uc(n_uc−1)/(m_u−1)). Units with a single rating are
+    * excluded (no pairable information), the standard treatment.
+    *
+    * Determinism: per-unit coincidence terms are rationals with
+    * denominator (m_u−1) — each d6-rounds BEFORE the decimal sums
+    * (order-free); n and the class margins stay exact integers; the
+    * three closing divisions are d6. One (unit, value)-keyed aggregate
+    * then value-keyed rollups — no pair explosion.
+    */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val byUV = df.groupBy(col(unitCol).as("_u"),
+        col(valueCol).cast("string").as("_v"))
+      .agg(count(lit(1)).as("_nuv"))
+    val withM = byUV.withColumn("_mu",
+      sum(col("_nuv")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_u"))))
+      .filter(col("_mu") >= 2L)
+    // diagonal coincidence o_cc contribution: n_uc(n_uc-1)/(m_u-1), d6
+    val diag6 = ((col("_nuv") * (col("_nuv") - 1L)).cast("double") /
+      (col("_mu") - 1L).cast("double")).cast("decimal(28,6)")
+    val agg = withM.agg(
+      sum(col("_nuv")).as("_n"),
+      sum(diag6).as("_occ6"))
+    val margins = withM.groupBy(col("_v"))
+      .agg(sum(col("_nuv")).as("_nc"))
+      .agg(sum(col("_nc") * (col("_nc") - 1L)).as("_epairs"),
+        count(lit(1)).as("_nclasses"))
+    val j = agg.crossJoin(broadcast(margins))
+    val n = col("_n").cast("double")
+    val aO = d6(col("_occ6").cast("double") / n)
+    val aE = d6(col("_epairs").cast("double") / (n * (n - lit(1.0))))
+    val staged = j.select(col("_n").as("n_ratings"),
+      col("_nclasses").as("n_classes"), aO.as("a_o"), aE.as("a_e"))
+    val guard = when(col("a_e") < 1.0, col("n_ratings"))
+      .otherwise(raise_error(lit(
+        "krippendorffAlpha: single-class data makes alpha undefined "
+          + "(A_e = 1)")).cast("long"))
+    staged.select(guard.as("n_ratings"), col("n_classes"),
+      col("a_o"), col("a_e"),
+      d6((col("a_o") - col("a_e")) / (lit(1.0) - col("a_e")))
+        .as("alpha"))
+  }
+
+  /** Class-balanced weights by effective number of samples (Cui et al.
+    * 2019): weight ∝ (1−β)/(1−β^{n_c}) — the re-weighting that
+    * saturates instead of exploding on rare classes (as n_c grows,
+    * marginal samples overlap; β ≈ 1−1/N controls the saturation).
+    * The training-mix answer to "upweight rare languages, but not by
+    * the raw 1/n cliff".
+    *
+    * β^n computes as exp(n·ln β) — ONE fixed expression shape both
+    * engines evaluate identically after d6; weights normalize to mean
+    * 1 over classes (Σ w_c = C) with d6 at each of the three steps.
+    * One label-keyed aggregate; everything after is classes-sized.
+    */
+  def classBalancedWeights(
+      df: DataFrame,
+      labelCol: String,
+      beta: Double = 0.999): DataFrame = {
+    require(beta > 0 && beta < 1, s"beta in (0,1), got $beta")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val counts = df.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val effN = d6((lit(1.0) - exp(col("n_rows").cast("double") *
+      math.log(beta))) / (1.0 - beta))
+    val raw = d6(lit(1.0) / effN)
+    val staged = counts.select(col(labelCol), col("n_rows"),
+      effN.as("eff_n"), raw.as("_w"))
+    val tot = staged.agg(sum(col("_w").cast("decimal(28,6)")).as("_s"),
+      count(lit(1)).as("_c"))
+    staged.crossJoin(broadcast(tot))
+      .select(col(labelCol), col("n_rows"), col("eff_n"),
+        d6(col("_w") * col("_c").cast("double") /
+          col("_s").cast("double")).as("weight"))
+  }
+
   /** Hill tail-index estimator over a positive integer metric — the
     * standard heavy-tail diagnostic (Hill 1975): over the top k order
     * statistics x₍₁₎ ≥ … ≥ x₍ₖ₎ with threshold x₍ₖ₊₁₎,

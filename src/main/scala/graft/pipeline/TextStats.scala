@@ -2071,6 +2071,66 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Mutual-information (information-gain) token selection against a
+    * binary document label — which tokens' PRESENCE carries the most
+    * bits about the class? The feature-selection complement to
+    * [[fightinWords]] (which ranks by shrunk log-odds DIRECTION; MI
+    * ranks by total information either way) — the classic first pass
+    * before training a classifier on hashed bags.
+    *
+    * Per token the 2×2 presence table (a,b,c,d over label × contains)
+    * is EXACT integers; MI = Σ_cells (n_cell/N)·ln(n_cell·N /
+    * (rowMargin·colMargin)) with empty cells contributing 0, each term
+    * d6-rounded before the decimal sum. One (token, label) DISTINCT
+    * presence aggregate + broadcast label totals, TakeOrdered top-K.
+    */
+  def infoGainTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      topK: Int = 30,
+      minDocs: Int = 5): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val y = col(labelCol).cast("int")
+    val docs = df.select(col(idCol), y.as("_y"), col(textCol))
+    val presence = docs
+      .select(col(idCol), col("_y"),
+        explode(array_distinct(filter(split(col(textCol), " "),
+          t => t =!= ""))).as("tok"))
+    val perTok = presence.groupBy(col("tok"))
+      .agg(sum(when(col("_y") === 1, 1L).otherwise(0L)).as("_a"),
+        sum(when(col("_y") === 0, 1L).otherwise(0L)).as("_b"))
+    val totals = docs.agg(
+      sum(when(col("_y") === 1, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_y") === 0, 1L).otherwise(0L)).as("_n0"))
+    val j = perTok.crossJoin(broadcast(totals))
+      .withColumn("_c", col("_n1") - col("_a"))
+      .withColumn("_d", col("_n0") - col("_b"))
+      .filter(col("_a") + col("_b") >= minDocs)
+    val nTot = (col("_n1") + col("_n0")).cast("double")
+    def term6(cell: Column, row: Column, ccol: Column) =
+      when(cell > 0L,
+        (cell.cast("double") / nTot *
+          log(cell.cast("double") * nTot /
+            (row.cast("double") * ccol.cast("double"))))
+          .cast("decimal(28,6)"))
+        .otherwise(lit(BigDecimal(0)).cast("decimal(28,6)"))
+    val present = col("_a") + col("_b")
+    val absent = col("_c") + col("_d")
+    val mi6 = term6(col("_a"), present, col("_n1")) +
+      term6(col("_b"), present, col("_n0")) +
+      term6(col("_c"), absent, col("_n1")) +
+      term6(col("_d"), absent, col("_n0"))
+    j.select(col("tok").as("token"),
+        col("_a").as("n_pos_docs"), col("_b").as("n_neg_docs"),
+        d6(mi6.cast("double")).as("mutual_info"))
+      .orderBy(col("mutual_info").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Good–Turing frequency re-estimation over the token stream (Good
     * 1953) — the classic answer to "how much probability mass belongs
     * to words we have NOT seen yet", and the adjusted counts r* that

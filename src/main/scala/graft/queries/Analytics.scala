@@ -2501,7 +2501,138 @@ object Analytics {
       |  x.w AS weight
       |FROM ux""".stripMargin
 
+  // q331: Krippendorff's alpha over a partial-coverage rating design —
+  // 3 raters, each rating 2/3 of the docs ((doc_id + r) % 3 != 0), value
+  // = a perturbed length bucket so raters genuinely disagree. The
+  // oracle replays the coincidence terms with d6-per-unit rationals.
+  def q331Krippendorff(s: SparkSession, dir: String): DataFrame = {
+    val raters = s.range(0, 3).select(col("id").as("r"))
+    val ratings = t(s, dir, "documents")
+      .crossJoin(broadcast(raters))
+      .filter((col("doc_id") + col("r")) % 3 =!= 0)
+      .select(col("doc_id"),
+        least(expr("(n_chars + r * 17) div 100"), lit(5L)).as("v"))
+    graft.pipeline.Stats.krippendorffAlpha(ratings, "doc_id", "v")
+  }
+
+  val q331Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    LEAST((n_chars + rr.r * 17) // 100, 5) AS v
+      |  FROM documents CROSS JOIN (SELECT unnest(range(3)) AS r) rr
+      |  WHERE (doc_id + rr.r) % 3 <> 0),
+      |byuv AS (SELECT doc_id AS u, CAST(v AS VARCHAR) AS v,
+      |           CAST(COUNT(*) AS BIGINT) AS nuv
+      |         FROM r GROUP BY 1, 2),
+      |wm AS (SELECT *, CAST(SUM(nuv) OVER (PARTITION BY u) AS BIGINT)
+      |         AS mu FROM byuv),
+      |f AS (SELECT * FROM wm WHERE mu >= 2),
+      |agg AS (
+      |  SELECT CAST(SUM(nuv) AS BIGINT) AS n,
+      |    SUM(CAST(CAST(nuv * (nuv - 1) AS DOUBLE) /
+      |      CAST(mu - 1 AS DOUBLE) AS DECIMAL(28,6))) AS occ6
+      |  FROM f),
+      |mg AS (
+      |  SELECT CAST(SUM(nc * (nc - 1)) AS BIGINT) AS epairs,
+      |    CAST(COUNT(*) AS BIGINT) AS ncl
+      |  FROM (SELECT v, CAST(SUM(nuv) AS BIGINT) AS nc
+      |        FROM f GROUP BY 1)),
+      |st AS (
+      |  SELECT n AS n_ratings, ncl AS n_classes,
+      |    CAST(CAST(CAST(occ6 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS a_o,
+      |    CAST(CAST(CAST(epairs AS DOUBLE) /
+      |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS a_e
+      |  FROM agg CROSS JOIN mg)
+      |SELECT n_ratings, n_classes, a_o, a_e,
+      |  CAST(CAST((a_o - a_e) / (1.0 - a_e) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS alpha
+      |FROM st""".stripMargin
+
+  // q332: class-balanced weights over document languages at beta =
+  // 0.999 — the effective-number re-weighting for the training mix.
+  def q332ClassBalance(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.classBalancedWeights(
+      t(s, dir, "documents"), "lang")
+
+  val q332Sql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM documents GROUP BY 1),
+      |e AS (
+      |  SELECT lang, n_rows,
+      |    CAST(CAST((1.0 - exp(CAST(n_rows AS DOUBLE) * ln(0.999))) /
+      |      (1.0 - 0.999) AS DECIMAL(28,6)) AS DOUBLE) AS eff_n
+      |  FROM c),
+      |w AS (SELECT *, CAST(CAST(1.0 / eff_n AS DECIMAL(28,6))
+      |        AS DOUBLE) AS wr FROM e),
+      |t AS (SELECT SUM(CAST(wr AS DECIMAL(28,6))) AS s,
+      |        CAST(COUNT(*) AS BIGINT) AS cc FROM w)
+      |SELECT lang, n_rows, eff_n,
+      |  CAST(CAST(wr * CAST(cc AS DOUBLE) / CAST(s AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS weight
+      |FROM w CROSS JOIN t""".stripMargin
+
+  // q333: mutual-information token selection for the English/non-English
+  // label — which tokens' presence says the most about the class. The
+  // oracle replays the 2x2 tables and d6 MI terms.
+  def q333InfoGain(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.infoGainTokens(
+      t(s, dir, "documents").withColumn("lang_en",
+        (col("lang") === "en").cast("int")),
+      "doc_id", "text", "lang_en", topK = 30, minDocs = 5)
+
+  val q333Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    text
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, y,
+      |    unnest(list_distinct(list_filter(string_split(text, ' '),
+      |      t -> t <> ''))) AS tok
+      |  FROM d),
+      |pt AS (SELECT tok, CAST(SUM(y) AS BIGINT) AS a,
+      |         CAST(SUM(1 - y) AS BIGINT) AS b
+      |       FROM p GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(y) AS BIGINT) AS n1,
+      |         CAST(SUM(1 - y) AS BIGINT) AS n0 FROM d),
+      |j AS (
+      |  SELECT tok, a, b, n1 - a AS c, n0 - b AS dd, n1, n0
+      |  FROM pt CROSS JOIN tt WHERE a + b >= 5),
+      |m AS (
+      |  SELECT tok, a, b,
+      |    (CASE WHEN a > 0 THEN CAST(CAST(a AS DOUBLE) /
+      |        CAST(n1 + n0 AS DOUBLE) * ln(CAST(a AS DOUBLE) *
+      |        CAST(n1 + n0 AS DOUBLE) / (CAST(a + b AS DOUBLE) *
+      |        CAST(n1 AS DOUBLE))) AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END +
+      |     CASE WHEN b > 0 THEN CAST(CAST(b AS DOUBLE) /
+      |        CAST(n1 + n0 AS DOUBLE) * ln(CAST(b AS DOUBLE) *
+      |        CAST(n1 + n0 AS DOUBLE) / (CAST(a + b AS DOUBLE) *
+      |        CAST(n0 AS DOUBLE))) AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END +
+      |     CASE WHEN c > 0 THEN CAST(CAST(c AS DOUBLE) /
+      |        CAST(n1 + n0 AS DOUBLE) * ln(CAST(c AS DOUBLE) *
+      |        CAST(n1 + n0 AS DOUBLE) / (CAST(c + dd AS DOUBLE) *
+      |        CAST(n1 AS DOUBLE))) AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END +
+      |     CASE WHEN dd > 0 THEN CAST(CAST(dd AS DOUBLE) /
+      |        CAST(n1 + n0 AS DOUBLE) * ln(CAST(dd AS DOUBLE) *
+      |        CAST(n1 + n0 AS DOUBLE) / (CAST(c + dd AS DOUBLE) *
+      |        CAST(n0 AS DOUBLE))) AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS mi6
+      |  FROM j)
+      |SELECT tok AS token, a AS n_pos_docs, b AS n_neg_docs,
+      |  CAST(CAST(CAST(mi6 AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS mutual_info
+      |FROM m ORDER BY mutual_info DESC, token ASC LIMIT 30""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q331_krippendorff" -> (q331Krippendorff _),
+    "q332_class_balance" -> (q332ClassBalance _),
+    "q333_info_gain" -> (q333InfoGain _),
     "q328_hill_tail" -> (q328Hill _),
     "q329_dp_release" -> (q329DpRelease _),
     "q330_raking" -> (q330Raking _),
@@ -2562,6 +2693,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q331_krippendorff" -> q331Sql,
+    "q332_class_balance" -> q332Sql,
+    "q333_info_gain" -> q333Sql,
     "q328_hill_tail" -> q328Sql,
     "q329_dp_release" -> q329Sql,
     "q330_raking" -> q330Sql,

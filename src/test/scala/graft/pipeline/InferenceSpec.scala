@@ -176,6 +176,62 @@ class InferenceSpec extends SparkSpec {
     assert(out.last.getAs[Double]("p_always_valid") == 1.0)
   }
 
+  // ------------------------------------------------- krippendorffAlpha
+
+  test("krippendorffAlpha matches the hand-computed partial design") {
+    // units: A=(1,1) B=(1,2) C=(2,2): A_o=4/6, A_e=12/30, alpha=0.444445
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 2L),
+      ("C", 2L), ("C", 2L)).toDF("u", "v")
+    val r = Stats.krippendorffAlpha(df, "u", "v").collect().head
+    assert(r.getAs[Long]("n_ratings") == 6L)
+    assert(r.getAs[Double]("a_o") == 0.666667)
+    assert(r.getAs[Double]("a_e") == 0.4)
+    assert(r.getAs[Double]("alpha") == 0.444445)
+  }
+
+  test("krippendorffAlpha: perfect agreement is 1, single ratings drop") {
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L),
+      ("LONELY", 1L)).toDF("u", "v")
+    val r = Stats.krippendorffAlpha(df, "u", "v").collect().head
+    // the single-rating unit contributes nothing
+    assert(r.getAs[Long]("n_ratings") == 4L)
+    assert(r.getAs[Double]("alpha") == 1.0)
+  }
+
+  test("krippendorffAlpha fails loudly on single-class data") {
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 1L), ("B", 1L))
+      .toDF("u", "v")
+    val e = intercept[Exception] {
+      Stats.krippendorffAlpha(df, "u", "v").collect()
+    }
+    assert(e.getMessage.contains("single-class"))
+  }
+
+  // --------------------------------------------- classBalancedWeights
+
+  test("classBalancedWeights saturates instead of 1/n exploding") {
+    val rows = Seq.fill(2000)("big") ++ Seq.fill(20)("small")
+    val out = Stats.classBalancedWeights(rows.toDF("lang"), "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("eff_n"), r.getAs[Double]("weight"))).toMap
+    // rare class upweighted, but far less than the 100x raw ratio
+    assert(out("small")._2 > out("big")._2)
+    assert(out("small")._2 / out("big")._2 < 50.0)
+    // effective n < n and saturating for the big class
+    assert(out("big")._1 < 1000.0)
+    // weights normalize to mean 1
+    val mean = out.values.map(_._2).sum / out.size
+    assert(math.abs(mean - 1.0) < 1e-5)
+  }
+
+  test("classBalancedWeights: a single-example class gets eff_n 1") {
+    val rows = Seq.fill(100)("a") :+ "b"
+    val out = Stats.classBalancedWeights(rows.toDF("lang"), "lang")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("eff_n"))
+      .toMap
+    assert(out("b") == 1.0)
+  }
+
   // ----------------------------------------------------- hillTailIndex
 
   test("hillTailIndex matches the hand computation at k = 2") {

@@ -77,6 +77,47 @@ class KeywordSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet == Set("u v"))
   }
 
+  // -------------------------------------------- infoGainTokens (q333)
+
+  test("infoGainTokens ranks a perfectly predictive token first") {
+    // 'marker' appears in exactly the positive docs; 'noise' in all
+    val docs = (1L to 20L).map { i =>
+      val pos = i <= 10
+      (i, if (pos) "marker noise filler" else "noise filler other",
+        if (pos) 1 else 0)
+    }.toDF("doc_id", "text", "y")
+    val out = TextStats.infoGainTokens(docs, "doc_id", "text", "y",
+      topK = 5, minDocs = 2).collect()
+    assert(out.head.getString(0) == "marker")
+    // perfectly predictive presence carries the full label entropy:
+    // cells a=d=10 contribute 0.5*ln2 each (d6 per term)
+    def d6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val half = d6(0.5 * math.log(2.0))
+    assert(out.head.getAs[Double]("mutual_info") == d6(half + half))
+    // an everywhere-token carries ~zero information
+    val noise = out.find(_.getString(0) == "noise")
+    assert(noise.forall(_.getAs[Double]("mutual_info") < 0.01))
+  }
+
+  test("infoGainTokens: presence is per-document, not per-occurrence") {
+    // token repeated many times in one doc must count once
+    val docs = Seq((1L, "x x x x x", 1), (2L, "y", 0), (3L, "x y", 1),
+      (4L, "y y", 0), (5L, "x", 1), (6L, "y x", 0)).toDF("doc_id", "text", "y")
+    val out = TextStats.infoGainTokens(docs, "doc_id", "text", "y",
+      topK = 5, minDocs = 1).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_pos_docs")).toMap
+    assert(out("x") == 3L)
+  }
+
+  test("infoGainTokens respects minDocs") {
+    val docs = Seq((1L, "rare a b", 1), (2L, "a b", 0), (3L, "a b", 1))
+      .toDF("doc_id", "text", "y")
+    val out = TextStats.infoGainTokens(docs, "doc_id", "text", "y",
+      topK = 10, minDocs = 2).collect().map(_.getString(0)).toSet
+    assert(!out.contains("rare"))
+  }
+
   // --------------------------------------------- goodTuring (q327)
 
   test("goodTuring matches the hand-computed spectrum") {
