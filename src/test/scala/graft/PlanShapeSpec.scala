@@ -219,4 +219,54 @@ class PlanShapeSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q314 Adamic-Adar pairs through equi-joins, never a cartesian") {
+    // the common-neighbor generator is the (w)-keyed adjacency
+    // self-join; a CartesianProduct (data x data) is the all-pairs
+    // failure the hub cap exists to avoid
+    val ps = plans("q314_adamic_adar")
+    val cart = ps.flatMap(_.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+        => c })
+    assert(cart.isEmpty, s"adamicAdar planned a cartesian: $cart")
+    val eq = ps.flatMap(_.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j })
+    assert(eq.nonEmpty, "expected hash/sort-merge joins on the " +
+      "shared-neighbor key")
+  }
+
+  test("q323 WER is a zero-shuffle in-row projection") {
+    // the alphabet bijection + levenshtein chain must never cost an
+    // exchange — per-row eval is the whole 100 TB story
+    assert(shuffles("q323_wer") == 0)
+  }
+
+  test("q307 KS and q320 CUSUM windows run over grouped/bounded frames") {
+    // both operators' cumulative windows sit on VALUE-/PERIOD-grouped
+    // frames after map-side-combined aggregates — the corpus itself
+    // crosses one hash-aggregate exchange, nothing more per stat
+    assert(shuffles("q307_ks_test") <= 3)
+    assert(shuffles("q320_cusum") <= 3)
+  }
+
+  test("q317 quantile normalization windows are slice-partitioned") {
+    val wins = plans("q317_quantile_normalize")
+      .flatMap(_.collect { case w: WindowExec => w })
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "quantileNormalize rank windows must be slice-partitioned " +
+        "(a global window would serialize the corpus)")
+  }
+
+  test("q315 TextRank explodes the corpus once; graph rounds are " +
+      "vocabulary-sized") {
+    // the pageRank loop materializes per round, so the ENTRY plan only
+    // shows the final round: its joins must be hash joins on the
+    // vocab-sized frames, never a cartesian
+    val ps = plans("q315_textrank")
+    val cart = ps.flatMap(_.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+        => c })
+    assert(cart.isEmpty, s"textRank planned a cartesian: $cart")
+  }
 }
