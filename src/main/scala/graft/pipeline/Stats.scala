@@ -1966,4 +1966,144 @@ object Stats {
         (col("p_always_valid") <= alpha).cast("int"))
       .drop("_p")
   }
+
+  /** ROC AUC (tie-corrected Mann–Whitney form) + threshold-stepped
+    * average precision over a scored binary-outcome frame — the ranking
+    * half of the scorer report card that [[calibrationError]]'s
+    * probability half belongs next to. A quality classifier that gates
+    * a corpus (q225/q226) is USED as a ranker (keep the top-X%), so
+    * AUC/AP — not accuracy — are the metrics that predict what the gate
+    * does to the mix.
+    *
+    * Ties are handled exactly, not by arbitrary ordering: group rows by
+    * DISTINCT score, then
+    *
+    *   2U  = Σ_s p_s·(2·negBelow_s + (n_s − p_s))        (midrank form)
+    *   AUC = 2U / (2·n₁·n₀)
+    *   AP  = Σ_s d6( p_s·TP_s / (n₁·(TP_s + FP_s)) )      (desc cumsum)
+    *
+    * — every numerator an exact integer (decimal(38,0) sums), one d6
+    * division for AUC, d6-per-term decimal sum for AP, so both engines
+    * replay the identical value regardless of row order within a tie.
+    *
+    * Scale shape: ONE score-keyed aggregate (corpus → distinct-score
+    * frame), then global windows over that frame — bounded by score
+    * CARDINALITY, not corpus size. Scores here are fixed-point/integer
+    * (the score6 convention caps cardinality at 10⁶+1); for an
+    * unbounded-cardinality double score, quantize first — the d6 world
+    * already concedes 1e-6 resolution.
+    */
+  def rocPrAuc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byScore = df
+      .select(col(scoreCol).cast("long").as("_s"),
+        col(labelCol).cast("long").as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_p"))
+    val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("_s"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_s").desc)
+    val staged = byScore.select(col("_s"), col("_n"), col("_p"),
+      coalesce(sum(col("_n") - col("_p"))
+        .over(wAsc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)).as("_negBelow"),
+      sum(col("_p")).over(wDesc).as("_tp"),
+      sum(col("_n") - col("_p")).over(wDesc).as("_fp"))
+    val tot = staged.agg(
+      sum(col("_p")).as("_n1"), sum(col("_n") - col("_p")).as("_n0"),
+      sum(dec(col("_p") * (lit(2L) * col("_negBelow") +
+        (col("_n") - col("_p"))))).as("_u2"))
+    val guarded = staged.crossJoin(broadcast(tot))
+      .withColumn("_n1",
+        when(col("_n1") > 0L && col("_n0") > 0L, col("_n1"))
+          .otherwise(raise_error(lit(
+            "rocPrAuc: need at least one positive and one negative"))
+            .cast("long")))
+    val apTerm = when(col("_p") > 0L,
+        (col("_p").cast("double") * col("_tp").cast("double") /
+          (col("_n1").cast("double") *
+            (col("_tp") + col("_fp")).cast("double")))
+          .cast("decimal(28,6)"))
+      .otherwise(lit(BigDecimal(0)).cast("decimal(28,6)"))
+    guarded
+      .groupBy(col("_n1"), col("_n0"), col("_u2"))
+      .agg(sum(apTerm).as("_ap6"))
+      .select(col("_n1").as("n_pos"), col("_n0").as("n_neg"),
+        d6(col("_u2").cast("double") /
+          (lit(2.0) * col("_n1").cast("double") *
+            col("_n0").cast("double")))
+          .as("auc"),
+        d6(col("_ap6").cast("double")).as("avg_precision"))
+  }
+
+  /** 1-Wasserstein (earth-mover) distance between two integer-metric
+    * slices — the drift number that, unlike KS (q307, sup-gap only) or
+    * PSI/JS (q256/q271, binned), reports HOW FAR mass moved in metric
+    * units: "the n_chars distribution shifted by ≈ 23 characters",
+    * directly actionable for length-budget and packing decisions.
+    *
+    * Over the merged distinct-value grid with inclusive cumulative
+    * counts C_a/C_b and gaps Δx to the next value,
+    *
+    *   W₁·n_a·n_b = Σ_v |C_a(v)·n_b − C_b(v)·n_a| · Δx(v)
+    *
+    * — the denominator-cleared form is an EXACT integer (decimal(38,0)
+    * sum), so the only rounding is the final d6 division. Both the
+    * scaled integer and the normalized distance are reported.
+    *
+    * Scale shape: one value-keyed aggregate (corpus → distinct-value
+    * frame), one global window over that frame — bounded by metric
+    * cardinality (quantize unbounded doubles first, as [[rocPrAuc]]).
+    */
+  def wasserstein1(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    require(groupA != groupB, "groupA and groupB must differ")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = col(groupCol).cast("string")
+    val byV = df
+      .filter(g === groupA || g === groupB)
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("_cb"))
+    val wAsc = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+    val cum = byV.select(col("_v"),
+      sum(col("_ca")).over(wAsc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .as("_cumA"),
+      sum(col("_cb")).over(wAsc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .as("_cumB"),
+      (lead(col("_v"), 1).over(wAsc) - col("_v")).as("_dx"))
+    val tot = byV.agg(sum(col("_ca")).as("_na"), sum(col("_cb")).as("_nb"))
+    val guarded = cum.crossJoin(broadcast(tot))
+      .withColumn("_na",
+        when(col("_na") > 0L && col("_nb") > 0L, col("_na"))
+          .otherwise(raise_error(lit(
+            s"wasserstein1: both slices must be non-empty " +
+              s"($groupA vs $groupB)")).cast("long")))
+    val term = when(col("_dx").isNotNull,
+        dec(abs(col("_cumA") * col("_nb") - col("_cumB") * col("_na")) *
+          col("_dx")))
+      .otherwise(dec(lit(0L)))
+    guarded
+      .groupBy(col("_na"), col("_nb"))
+      .agg(sum(term).as("_w1s"))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"),
+        // BIGINT output (comparison convention); overflows only past
+        // W1·n_a·n_b > 2^63 — sample the slices before that regime
+        col("_w1s").cast("long").as("w1_scaled"),
+        d6(col("_w1s").cast("double") /
+          (col("_na").cast("double") * col("_nb").cast("double")))
+          .as("w1"))
+  }
 }

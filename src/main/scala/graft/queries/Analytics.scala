@@ -2629,7 +2629,102 @@ object Analytics {
       |    AS mutual_info
       |FROM m ORDER BY mutual_info DESC, token ASC LIMIT 30""".stripMargin
 
+  // q334: ROC AUC + average precision of a deterministic document score
+  // against the English label — (n_chars·7 + doc_id) % 101 guarantees
+  // heavy score TIES (101 distinct values over the corpus), so the
+  // entry exercises the midrank/threshold-step handling, not just the
+  // easy untied path. The oracle replays the denominator-cleared 2U and
+  // the d6-per-threshold AP terms.
+  def q334RocAuc(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.rocPrAuc(
+      t(s, dir, "documents")
+        .select(((col("n_chars") * 7 + col("doc_id")) % 101).as("score"),
+          (col("lang") === "en").cast("long").as("y")),
+      "score", "y")
+
+  val q334Sql: String =
+    """WITH d AS (
+      |  SELECT (n_chars * 7 + doc_id) % 101 AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(y) AS BIGINT) AS p
+      |      FROM d GROUP BY 1),
+      |w AS (
+      |  SELECT s, n, p,
+      |    COALESCE(SUM(n - p) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS negbelow,
+      |    SUM(p) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+      |    SUM(n - p) OVER (ORDER BY s DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+      |  FROM g),
+      |tot AS (
+      |  SELECT CAST(SUM(p) AS BIGINT) AS n1,
+      |    CAST(SUM(n - p) AS BIGINT) AS n0,
+      |    SUM(CAST(p * (2 * negbelow + (n - p)) AS DECIMAL(38,0))) AS u2
+      |  FROM w),
+      |ap AS (
+      |  SELECT SUM(CASE WHEN p > 0 THEN
+      |      CAST(CAST(p AS DOUBLE) * CAST(tp AS DOUBLE) /
+      |        (CAST(n1 AS DOUBLE) * CAST(tp + fp AS DOUBLE))
+      |        AS DECIMAL(28,6))
+      |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS ap6
+      |  FROM w CROSS JOIN tot)
+      |SELECT n1 AS n_pos, n0 AS n_neg,
+      |  CAST(CAST(CAST(u2 AS DOUBLE) /
+      |    (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS auc,
+      |  CAST(CAST(CAST(ap6 AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS avg_precision
+      |FROM tot CROSS JOIN ap""".stripMargin
+
+  // q335: 1-Wasserstein distance between the English and Chinese
+  // n_chars distributions — "how many characters did the length
+  // distribution move", in character units. The oracle replays the
+  // merged-grid integer form Σ|C_a·n_b − C_b·n_a|·Δx.
+  def q335Wasserstein(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.wasserstein1(
+      t(s, dir, "documents"), "n_chars", "lang", "en", "zh")
+
+  val q335Sql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS v, lang FROM documents
+      |  WHERE lang IN ('en', 'zh')),
+      |g AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT v,
+      |    SUM(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |    SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |    LEAD(v) OVER (ORDER BY v) - v AS dx
+      |  FROM g),
+      |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |          CAST(SUM(cb) AS BIGINT) AS nb FROM g)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(SUM(CASE WHEN dx IS NOT NULL THEN
+      |      CAST(abs(cuma * nb - cumb * na) * dx AS DECIMAL(38,0))
+      |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS BIGINT)
+      |    AS w1_scaled,
+      |  CAST(CAST(CAST(SUM(CASE WHEN dx IS NOT NULL THEN
+      |      CAST(abs(cuma * nb - cumb * na) * dx AS DECIMAL(38,0))
+      |    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) /
+      |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS w1
+      |FROM c CROSS JOIN tot
+      |GROUP BY na, nb""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_roc_auc" -> (q334RocAuc _),
+    "q335_wasserstein" -> (q335Wasserstein _),
     "q331_krippendorff" -> (q331Krippendorff _),
     "q332_class_balance" -> (q332ClassBalance _),
     "q333_info_gain" -> (q333InfoGain _),
@@ -2693,6 +2788,8 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q334_roc_auc" -> q334Sql,
+    "q335_wasserstein" -> q335Sql,
     "q331_krippendorff" -> q331Sql,
     "q332_class_balance" -> q332Sql,
     "q333_info_gain" -> q333Sql,

@@ -476,4 +476,85 @@ class StatsSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out(10L).getAs[Double]("ewma") == expect)
   }
+
+  test("rocPrAuc: perfect ranker scores AUC 1, random-ish in between") {
+    // scores fully separate the classes → AUC = 1, AP = 1
+    val perfect = Seq((1L, 0L), (2L, 0L), (10L, 1L), (11L, 1L))
+      .toDF("s", "y")
+    val p = Stats.rocPrAuc(perfect, "s", "y").collect().head
+    assert(p.getAs[Long]("n_pos") == 2L && p.getAs[Long]("n_neg") == 2L)
+    assert(p.getAs[Double]("auc") == 1.0)
+    assert(p.getAs[Double]("avg_precision") == 1.0)
+    // reversed ranker → AUC = 0
+    val worst = Seq((10L, 0L), (11L, 0L), (1L, 1L), (2L, 1L))
+      .toDF("s", "y")
+    assert(Stats.rocPrAuc(worst, "s", "y").collect().head
+      .getAs[Double]("auc") == 0.0)
+  }
+
+  test("rocPrAuc: all-tied scores give AUC 1/2 and AP = prevalence") {
+    // one distinct score: midrank AUC = 0.5 exactly; the single
+    // threshold step has precision = prevalence = 3/10
+    val df = (1L to 10L).map(i => (5L, if (i <= 3) 1L else 0L))
+      .toDF("s", "y")
+    val r = Stats.rocPrAuc(df, "s", "y").collect().head
+    assert(r.getAs[Double]("auc") == 0.5)
+    assert(r.getAs[Double]("avg_precision") == 0.3)
+  }
+
+  test("rocPrAuc: hand-checked tied group, exact midrank value") {
+    // scores: neg at 1, {pos,neg} tied at 2, pos at 3
+    // 2U = pos@2·(2·1 + 1) + pos@3·(2·2 + 0) = 3 + 4 = 7 → AUC 7/8
+    val df = Seq((1L, 0L), (2L, 1L), (2L, 0L), (3L, 1L)).toDF("s", "y")
+    val r = Stats.rocPrAuc(df, "s", "y").collect().head
+    assert(r.getAs[Double]("auc") == 0.875)
+    // AP: threshold 3 → (1/2)·(1/1); threshold 2 → (1/2)·(2/3)
+    val expAp = BigDecimal(0.5).setScale(6) +
+      BigDecimal(2.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(r.getAs[Double]("avg_precision") == expAp.toDouble)
+  }
+
+  test("rocPrAuc raises on single-class input") {
+    val df = Seq((1L, 1L), (2L, 1L)).toDF("s", "y")
+    val e = intercept[Exception] {
+      Stats.rocPrAuc(df, "s", "y").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("wasserstein1: shifted copy moves exactly the shift") {
+    // b = a + 7 pointwise → W1 = 7
+    val a = (1L to 50L).map(v => (v, "a"))
+    val b = (1L to 50L).map(v => (v + 7L, "b"))
+    val df = (a ++ b).toDF("v", "g")
+    val r = Stats.wasserstein1(df, "v", "g", "a", "b").collect().head
+    assert(r.getAs[Long]("n_a") == 50L && r.getAs[Long]("n_b") == 50L)
+    assert(r.getAs[Double]("w1") == 7.0)
+    // scaled form: 7 · 50 · 50
+    assert(r.getAs[Long]("w1_scaled") == 7L * 50L * 50L)
+  }
+
+  test("wasserstein1: identical slices are distance zero; " +
+    "two-point asymmetric case is exact") {
+    val same = ((1L to 9L).map(v => (v, "x")) ++
+      (1L to 9L).map(v => (v, "y"))).toDF("v", "g")
+    assert(Stats.wasserstein1(same, "v", "g", "x", "y")
+      .collect().head.getAs[Double]("w1") == 0.0)
+    // a = {0,0,10}, b = {10}: quantile view — 2/3 of a's mass moves 10
+    // → W1 = 20/3
+    val df2 = Seq((0L, "a"), (0L, "a"), (10L, "a"), (10L, "b"))
+      .toDF("v", "g")
+    val r2 = Stats.wasserstein1(df2, "v", "g", "a", "b").collect().head
+    val exp = BigDecimal(20.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r2.getAs[Double]("w1") == exp)
+  }
+
+  test("wasserstein1 raises when a slice is empty") {
+    val df = Seq((1L, "a"), (2L, "a")).toDF("v", "g")
+    val e = intercept[Exception] {
+      Stats.wasserstein1(df, "v", "g", "a", "nope").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
