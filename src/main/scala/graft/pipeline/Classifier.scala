@@ -311,4 +311,133 @@ object Classifier {
         sigmaOf(col("xvec"), w).as("score6"))
       .withColumn("pred", (col("score6") >= lit(SW / 2)).cast("long"))
   }
+
+  private def toks(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+        col(labelCol).cast("string").as("_l"),
+        explode(split(col(textCol), " ")).as("_tok"))
+      .filter(col("_tok") =!= "")
+
+  /** Multinomial Naive Bayes model over whitespace tokens with add-one
+    * (Laplace) smoothing — the fastText-style MULTI-CLASS companion to
+    * the binary logistic gate ([[trainLogistic]]): language/source/
+    * domain routing where the label has more than two values and the
+    * closed-form count model needs no gradient loop at all. Training IS
+    * one aggregation pass — the 100 TB story is exactly "the model is a
+    * GROUP BY":
+    *
+    *   logp(t·c) = d6( ln( (count(t,c)+1) / (Σ_t count(t,c) + |V|) ) )
+    *
+    * with |V| the cross-class distinct-token vocabulary. Every input to
+    * the ln is an exact integer ratio evaluated in ONE expression shape,
+    * so both engines d6-round the identical double.
+    *
+    * Output: (`labelCol`, token, token_count, logp) — vocabulary×classes
+    * rows (only observed pairs; absent pairs take the per-class default
+    * ln(1/(n_c+|V|)) at score time, see [[naiveBayesScore]]).
+    *
+    * Scale shape: one token explode → one (label, token) aggregate +
+    * one label aggregate + one distinct-token count, all broadcast-
+    * joined back onto the vocabulary-sized model frame. No window, no
+    * driver loop, no iteration.
+    */
+  def naiveBayesModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val tk = toks(df, idCol, textCol, labelCol)
+    val pairs = tk.groupBy(col("_l"), col("_tok"))
+      .agg(count(lit(1)).as("token_count"))
+    val classTotals = pairs.groupBy(col("_l"))
+      .agg(sum(col("token_count")).as("_nl"))
+    val vocab = pairs.select(col("_tok")).distinct()
+      .agg(count(lit(1)).as("_v"))
+    pairs
+      .join(broadcast(classTotals), "_l")
+      .crossJoin(broadcast(vocab))
+      .select(col("_l").as(labelCol), col("_tok").as("token"),
+        col("token_count"),
+        d6(log((col("token_count") + 1L).cast("double") /
+          (col("_nl") + col("_v")).cast("double"))).as("logp"))
+  }
+
+  /** Train a [[naiveBayesModel]] on the frame's own labels, then score
+    * every document and emit the argmax class:
+    *
+    *   score(d·c) = d6(ln(docs_c/D)) + Σ_t tf(d,t) · logp(t·c)
+    *
+    * with unseen-in-class tokens taking the per-class default
+    * d6(ln(1/(n_c+|V|))). All terms are decimal(28,6) EXACTLY (tf is an
+    * integer multiplier on a d6 value; the sum is decimal), so the
+    * per-class scores — and therefore the argmax — are engine-portable
+    * bit-for-bit; ties break to the lexicographically smallest class.
+    *
+    * Output: (`idCol`, pred, score, is_correct) per document — empty
+    * (zero-token) documents score on priors alone.
+    *
+    * Scale shape: the model/prior/default frames are vocabulary- and
+    * classes-sized (broadcast); the corpus-sized work is one token
+    * explode, a ×|classes| bounded fan-out, one (doc, class) aggregate
+    * and a doc-keyed argmax window. |classes| is assumed dashboard-small
+    * (languages, sources); a 10⁴-class taxonomy wants a top-candidates
+    * prefilter first, which this signature deliberately does not hide.
+    */
+  def naiveBayesScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dd6(c: Column) = c.cast("decimal(28,6)")
+    val tk = toks(df, idCol, textCol, labelCol)
+    val pairs = tk.groupBy(col("_l"), col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+    val classTotals = pairs.groupBy(col("_l")).agg(sum(col("_c")).as("_nl"))
+    val vocab = pairs.select(col("_tok")).distinct()
+      .agg(count(lit(1)).as("_v"))
+    val model = pairs
+      .join(broadcast(classTotals), "_l")
+      .crossJoin(broadcast(vocab))
+      .select(col("_l").as("_cl"), col("_tok"),
+        d6(log((col("_c") + 1L).cast("double") /
+          (col("_nl") + col("_v")).cast("double"))).as("logp"))
+    val nDocs = df.agg(count(lit(1)).as("_d"))
+    val classes = df.groupBy(col(labelCol).cast("string").as("_cl"))
+      .agg(count(lit(1)).as("_dc"))
+      .join(broadcast(classTotals.withColumnRenamed("_l", "_cl")),
+        Seq("_cl"), "left") // a class of only empty docs still scores
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
+      .select(col("_cl"),
+        dd6(d6(log(col("_dc").cast("double") / col("_d").cast("double"))))
+          .as("_prior6"),
+        dd6(d6(log(lit(1.0) /
+          (coalesce(col("_nl"), lit(0L)) + col("_v")).cast("double"))))
+          .as("_dflt6"))
+    val docTf = tk.groupBy(col("_id"), col("_tok"))
+      .agg(count(lit(1)).as("_tf"))
+    val terms = docTf.crossJoin(broadcast(classes.select(
+        col("_cl"), col("_dflt6"))))
+      .join(broadcast(model), Seq("_cl", "_tok"), "left")
+      .groupBy(col("_id"), col("_cl"))
+      .agg(sum(col("_tf") * dd6(coalesce(col("logp"),
+        col("_dflt6").cast("double")))).as("_tsum"))
+    val base = df.select(col(idCol).as("_id"),
+        col(labelCol).cast("string").as("_y"))
+      .crossJoin(broadcast(classes.select(col("_cl"), col("_prior6"))))
+      .join(terms, Seq("_id", "_cl"), "left")
+      .select(col("_id"), col("_y"), col("_cl"),
+        (col("_prior6") + coalesce(col("_tsum"),
+          lit(BigDecimal(0)).cast("decimal(28,6)"))).as("_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id"))
+      .orderBy(col("_score").desc, col("_cl").asc)
+    base.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("_id").as(idCol), col("_cl").as("pred"),
+        d6(col("_score").cast("double")).as("score"),
+        (col("_cl") === col("_y")).cast("int").as("is_correct"))
+  }
 }

@@ -2041,6 +2041,72 @@ object Stats {
         d6(col("_ap6").cast("double")).as("avg_precision"))
   }
 
+  /** One-way ANOVA over an integer metric grouped by a categorical
+    * column — the k-arm generalisation of [[welchTTest]]: "do these k
+    * slices (languages, sources, experiment arms) share a mean, and how
+    * much of the variance does the slicing explain?" F is the test
+    * statistic; η² (variance explained) and the less-biased ω² are the
+    * effect sizes a curation report should quote alongside it.
+    *
+    * Sufficient statistics are EXACT — per-group (n, Σx, Σx²) as
+    * decimal(38,0) over the long-cast metric — and the derived values
+    * evaluate in ONE fixed expression order with d6 at each reported
+    * value:
+    *
+    *   SSB = Σ_g S_g²/n_g − S²/N    SSW = Q − Σ_g S_g²/n_g
+    *   F   = (SSB/(k−1)) / (SSW/(N−k))
+    *   η²  = SSB/(SSB+SSW)          ω² = (SSB−(k−1)·MSW)/(SST+MSW)
+    *
+    * Degenerate designs answer, not crash: SSW = 0 (all groups
+    * constant) reports NULL F (infinite evidence is not a number);
+    * k < 2 or N ≤ k raises loudly — that is a caller bug, not data.
+    *
+    * Scale shape: ONE group-keyed aggregate, then a k-row frame; no
+    * window, no second pass over the corpus.
+    */
+  def anovaOneWay(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(valueCol).cast("long")
+    val byG = df.groupBy(col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"), sum(dec(x)).as("_s"),
+        sum(dec(x) * dec(x)).as("_q"))
+    val agg = byG.agg(
+      count(lit(1)).as("_k"), sum(col("_n")).as("_nt"),
+      sum(col("_s")).as("_st"), sum(col("_q")).as("_qt"),
+      // d6-per-term decimal sum: order-free, engine-portable
+      sum((col("_s").cast("double") * col("_s").cast("double") /
+        col("_n").cast("double")).cast("decimal(28,6)")).as("_ssg6"))
+    val checked = agg.withColumn("_k",
+      when(col("_k") >= 2L && col("_nt") > col("_k"), col("_k"))
+        .otherwise(raise_error(concat(
+          lit("anovaOneWay: need >= 2 groups and N > k, got k="),
+          col("_k").cast("string"), lit(", N="),
+          col("_nt").cast("string"))).cast("long")))
+    val nT = col("_nt").cast("double")
+    val ssb = d6(col("_ssg6").cast("double") -
+      col("_st").cast("double") * col("_st").cast("double") / nT)
+    val ssw = d6(col("_qt").cast("double") - col("_ssg6").cast("double"))
+    val staged = checked.select(col("_k").as("k_groups"),
+      col("_nt").as("n_rows"), ssb.as("ss_between"), ssw.as("ss_within"))
+    val dfB = (col("k_groups") - 1L).cast("double")
+    val dfW = (col("n_rows") - col("k_groups")).cast("double")
+    val msw = col("ss_within") / dfW
+    staged.select(col("k_groups"), col("n_rows"),
+      col("ss_between"), col("ss_within"),
+      when(col("ss_within") > 0.0,
+        d6((col("ss_between") / dfB) / msw)).as("f_stat"),
+      when(col("ss_between") + col("ss_within") > 0.0,
+        d6(col("ss_between") /
+          (col("ss_between") + col("ss_within")))).as("eta2"),
+      when(col("ss_within") > 0.0,
+        d6((col("ss_between") - dfB * msw) /
+          (col("ss_between") + col("ss_within") + msw))).as("omega2"))
+  }
+
   /** 1-Wasserstein (earth-mover) distance between two integer-metric
     * slices — the drift number that, unlike KS (q307, sup-gap only) or
     * PSI/JS (q256/q271, binned), reports HOW FAR mass moved in metric

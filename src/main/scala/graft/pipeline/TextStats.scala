@@ -2260,4 +2260,64 @@ object TextStats {
       .orderBy(col("score").desc, col("phrase").asc)
       .limit(topK)
   }
+
+  /** Per-document readability battery — Flesch reading ease,
+    * Flesch–Kincaid grade and Gunning fog over a deterministic
+    * vowel-group syllable heuristic. Readability is a standard
+    * quality-mix axis next to the length/punct gates (q19) and the LM
+    * scores (q171): a pretraining mix wants its grade-level
+    * DISTRIBUTION, not just token counts.
+    *
+    * Portable counting rules (identical regex semantics both engines):
+    *   words      = whitespace tokens, empties dropped
+    *   sentences  = max(1, number of [.!?]+ runs)
+    *   syl(w)     = max(1, number of [aeiouy]+ runs in lower(w))
+    *   complex(w) = syl(w) ≥ 3
+    *
+    *   FRE  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    *   FK   = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+    *   fog  = 0.4·(W/S + 100·complex/W)
+    *
+    * each evaluated in one fixed DOUBLE shape from exact integer
+    * counts, then d6. Zero-word documents report NULL metrics (counts
+    * still emitted) — a gate can then route them explicitly.
+    *
+    * Scale shape: pure in-row projection over the text column — zero
+    * shuffles, zero explodes; the per-word work runs inside array HOFs
+    * on each row.
+    */
+  def readability(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val syl = (w: String) =>
+      s"greatest(1, size(regexp_extract_all(lower($w), '[aeiouy]+', 0)))"
+    val words = s"filter(split($textCol, ' '), w -> w != '')"
+    val staged = df.select(col(idCol),
+      expr(s"size($words)").cast("long").as("n_words"),
+      greatest(lit(1L),
+        expr(s"size(regexp_extract_all($textCol, '[.!?]+', 0))")
+          .cast("long")).as("n_sentences"),
+      expr(s"aggregate($words, CAST(0 AS BIGINT), " +
+        s"(acc, w) -> acc + ${syl("w")})").as("n_syllables"),
+      expr(s"size(filter($words, w -> ${syl("w")} >= 3))")
+        .cast("long").as("n_complex"))
+    val wps = col("n_words").cast("double") /
+      col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") /
+      col("n_words").cast("double")
+    val cpw = col("n_complex").cast("double") /
+      col("n_words").cast("double")
+    staged.select(col(idCol), col("n_words"), col("n_sentences"),
+      col("n_syllables"), col("n_complex"),
+      when(col("n_words") > 0L,
+        d6(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
+        .as("flesch_ease"),
+      when(col("n_words") > 0L,
+        d6(lit(0.39) * wps + lit(11.8) * spw - lit(15.59)))
+        .as("fk_grade"),
+      when(col("n_words") > 0L,
+        d6(lit(0.4) * (wps + lit(100.0) * cpw))).as("fog_index"))
+  }
 }

@@ -2722,7 +2722,51 @@ object Analytics {
       |FROM c CROSS JOIN tot
       |GROUP BY na, nb""".stripMargin
 
+  // q338: one-way ANOVA of n_chars across languages — does language
+  // explain document length, and how much (η²/ω²)? The oracle replays
+  // the exact sufficient statistics and the d6-per-group Σ S_g²/n_g
+  // decimal sum.
+  def q338Anova(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.anovaOneWay(
+      t(s, dir, "documents"), "lang", "n_chars")
+
+  val q338Sql: String =
+    """WITH g AS (
+      |  SELECT lang AS gr, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(n_chars AS DECIMAL(38,0))) AS s,
+      |    SUM(CAST(n_chars AS DECIMAL(38,0)) *
+      |        CAST(n_chars AS DECIMAL(38,0))) AS q
+      |  FROM documents GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(n) AS BIGINT) AS nt, SUM(s) AS st, SUM(q) AS qt,
+      |    SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |      CAST(n AS DOUBLE) AS DECIMAL(28,6))) AS ssg6
+      |  FROM g),
+      |b AS (
+      |  SELECT k, nt,
+      |    CAST(CAST(CAST(ssg6 AS DOUBLE) -
+      |      CAST(st AS DOUBLE) * CAST(st AS DOUBLE) /
+      |      CAST(nt AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS ssb,
+      |    CAST(CAST(CAST(qt AS DOUBLE) - CAST(ssg6 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS ssw
+      |  FROM a)
+      |SELECT k AS k_groups, nt AS n_rows,
+      |  ssb AS ss_between, ssw AS ss_within,
+      |  CASE WHEN ssw > 0 THEN CAST(CAST(
+      |    (ssb / CAST(k - 1 AS DOUBLE)) /
+      |    (ssw / CAST(nt - k AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |  END AS f_stat,
+      |  CASE WHEN ssb + ssw > 0 THEN CAST(CAST(ssb / (ssb + ssw)
+      |    AS DECIMAL(28,6)) AS DOUBLE) END AS eta2,
+      |  CASE WHEN ssw > 0 THEN CAST(CAST(
+      |    (ssb - CAST(k - 1 AS DOUBLE) * (ssw / CAST(nt - k AS DOUBLE)))
+      |    / (ssb + ssw + ssw / CAST(nt - k AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) END AS omega2
+      |FROM b""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_anova" -> (q338Anova _),
     "q334_roc_auc" -> (q334RocAuc _),
     "q335_wasserstein" -> (q335Wasserstein _),
     "q331_krippendorff" -> (q331Krippendorff _),
@@ -2788,6 +2832,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q338_anova" -> q338Sql,
     "q334_roc_auc" -> q334Sql,
     "q335_wasserstein" -> q335Sql,
     "q331_krippendorff" -> q331Sql,

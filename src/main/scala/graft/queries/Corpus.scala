@@ -5225,7 +5225,131 @@ object Corpus {
       |        AS DECIMAL(28,6)) AS DOUBLE) END AS p_gt
       |FROM j""".stripMargin
 
+  // q336/q337: MULTINOMIAL NAIVE BAYES — the closed-form multi-class
+  // companion to the q225/q226 logistic gate: language routing as one
+  // GROUP BY (train) + one broadcast-join scoring pass. q336 dumps the
+  // Laplace-smoothed model table; q337 trains on the corpus's own lang
+  // labels and emits the per-doc argmax with exact decimal scores (the
+  // argmax itself is engine-portable, not just the rounded score).
+  def q336NbModel(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Classifier.naiveBayesModel(
+      t(s, dir, "documents"), "doc_id", "text", "lang")
+
+  val q336Sql: String =
+    """WITH tk AS (
+      |  SELECT lang AS l,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS tok
+      |  FROM documents),
+      |p AS (SELECT l, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM tk GROUP BY 1, 2),
+      |ct AS (SELECT l, CAST(SUM(c) AS BIGINT) AS nl FROM p GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM p)
+      |SELECT p.l AS lang, p.tok AS token, p.c AS token_count,
+      |  CAST(CAST(ln(CAST(p.c + 1 AS DOUBLE) /
+      |    CAST(ct.nl + v.v AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS logp
+      |FROM p JOIN ct ON p.l = ct.l CROSS JOIN v""".stripMargin
+
+  def q337NbScore(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Classifier.naiveBayesScore(
+      t(s, dir, "documents"), "doc_id", "text", "lang")
+
+  val q337Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id AS id, lang AS l,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS tok
+      |  FROM documents),
+      |p AS (SELECT l, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM tk GROUP BY 1, 2),
+      |ct AS (SELECT l, CAST(SUM(c) AS BIGINT) AS nl FROM p GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM p),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+      |model AS (
+      |  SELECT p.l AS cl, p.tok,
+      |    CAST(CAST(ln(CAST(p.c + 1 AS DOUBLE) /
+      |      CAST(ct.nl + v.v AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS logp
+      |  FROM p JOIN ct ON p.l = ct.l CROSS JOIN v),
+      |classes AS (
+      |  SELECT dcs.lang AS cl,
+      |    CAST(CAST(CAST(ln(CAST(dcs.dc AS DOUBLE) /
+      |      CAST(nd.d AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS prior6,
+      |    CAST(CAST(CAST(ln(1.0 /
+      |      CAST(COALESCE(ct.nl, 0) + v.v AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)) AS dflt6
+      |  FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS dc
+      |        FROM documents GROUP BY 1) dcs
+      |  LEFT JOIN ct ON dcs.lang = ct.l CROSS JOIN v CROSS JOIN nd),
+      |dtf AS (SELECT id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      |        FROM tk GROUP BY 1, 2),
+      |terms AS (
+      |  SELECT dtf.id, c2.cl,
+      |    SUM(dtf.tf * CAST(COALESCE(m.logp, CAST(c2.dflt6 AS DOUBLE))
+      |      AS DECIMAL(28,6))) AS tsum
+      |  FROM dtf CROSS JOIN classes c2
+      |  LEFT JOIN model m ON m.cl = c2.cl AND m.tok = dtf.tok
+      |  GROUP BY 1, 2),
+      |base AS (
+      |  SELECT doc.doc_id AS id, doc.lang AS y, c.cl,
+      |    c.prior6 + COALESCE(terms.tsum, CAST(0 AS DECIMAL(28,6)))
+      |      AS score
+      |  FROM documents doc CROSS JOIN classes c
+      |  LEFT JOIN terms ON terms.id = doc.doc_id AND terms.cl = c.cl),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+      |         ORDER BY score DESC, cl ASC) AS r FROM base)
+      |SELECT id AS doc_id, cl AS pred,
+      |  CAST(CAST(CAST(score AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS score,
+      |  CASE WHEN cl = y THEN 1 ELSE 0 END AS is_correct
+      |FROM rk WHERE r = 1""".stripMargin
+
+  // q339: per-doc readability battery (Flesch ease / FK grade / fog)
+  // over the portable vowel-group syllable rule — the grade-level axis
+  // of the quality mix. Oracle replays the same regex counting rules.
+  def q339Readability(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.readability(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  val q339Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS words,
+      |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(words) AS BIGINT) AS nw,
+      |    CAST(ns AS BIGINT) AS ns,
+      |    CAST(COALESCE(list_sum(list_transform(words, x ->
+      |      GREATEST(1, len(regexp_extract_all(lower(x), '[aeiouy]+')))
+      |      )), 0) AS BIGINT) AS nsyl,
+      |    CAST(len(list_filter(words, x ->
+      |      GREATEST(1, len(regexp_extract_all(lower(x), '[aeiouy]+')))
+      |        >= 3)) AS BIGINT) AS ncx
+      |  FROM w)
+      |SELECT doc_id, nw AS n_words, ns AS n_sentences,
+      |  nsyl AS n_syllables, ncx AS n_complex,
+      |  CASE WHEN nw > 0 THEN CAST(CAST(206.835
+      |    - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+      |    - 84.6 * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) END AS flesch_ease,
+      |  CASE WHEN nw > 0 THEN CAST(CAST(
+      |    0.39 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+      |    + 11.8 * (CAST(nsyl AS DOUBLE) / CAST(nw AS DOUBLE)) - 15.59
+      |    AS DECIMAL(28,6)) AS DOUBLE) END AS fk_grade,
+      |  CASE WHEN nw > 0 THEN CAST(CAST(
+      |    0.4 * ((CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+      |    + 100.0 * (CAST(ncx AS DOUBLE) / CAST(nw AS DOUBLE)))
+      |    AS DECIMAL(28,6)) AS DOUBLE) END AS fog_index
+      |FROM c""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_readability" -> (q339Readability _),
+    "q336_nb_model" -> (q336NbModel _),
+    "q337_nb_score" -> (q337NbScore _),
     "q313_kcore" -> (q313KCore _),
     "q314_adamic_adar" -> (q314AdamicAdar _),
     "q315_textrank" -> (q315TextRank _),
@@ -5336,6 +5460,9 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q339_readability" -> q339Sql,
+    "q336_nb_model" -> q336Sql,
+    "q337_nb_score" -> q337Sql,
     "q313_kcore" -> q313Sql,
     "q314_adamic_adar" -> q314Sql,
     "q315_textrank" -> q315Sql,

@@ -1394,4 +1394,41 @@ class CorpusOpsSpec extends SparkSpec {
     // min(9,7)=7 ranked pairs → 3 couples
     assert(out.getAs[Long]("n_pairs") == 3L)
   }
+
+  test("readability: hand-counted words/sentences/syllables and scores") {
+    import spark.implicits._
+    // "The cat sat. It ran away!" → 6 words, 2 sentences,
+    // syllables: the(1) cat(1) sat.(1) it(1) ran(1) away!(2) = 7,
+    // complex (≥3 syl): none
+    val df = Seq((1L, "The cat sat. It ran away!")).toDF("doc_id", "text")
+    val r = TextStats.readability(df, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 7L)
+    assert(r.getAs[Long]("n_complex") == 0L)
+    def d6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("flesch_ease") ==
+      d6(206.835 - 1.015 * 3.0 - 84.6 * 7.0 / 6.0))
+    assert(r.getAs[Double]("fk_grade") ==
+      d6(0.39 * 3.0 + 11.8 * 7.0 / 6.0 - 15.59))
+    assert(r.getAs[Double]("fog_index") == d6(0.4 * 3.0))
+  }
+
+  test("readability: complex words count into fog; empty text is NULL") {
+    import spark.implicits._
+    // "incomprehensible" → vowel runs i-o-e-e-i-e = 6 → complex
+    val df = Seq((1L, "incomprehensible"), (2L, ""), (3L, "12 34"))
+      .toDF("doc_id", "text")
+    val out = TextStats.readability(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_complex") == 1L)
+    assert(out(1L).getAs[Long]("n_syllables") == 6L)
+    assert(out(2L).getAs[Long]("n_words") == 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("flesch_ease")))
+    assert(out(2L).getAs[Long]("n_sentences") == 1L) // floor at 1
+    // no-vowel "words" still count 1 syllable each
+    assert(out(3L).getAs[Long]("n_syllables") == 2L)
+    assert(out(3L).getAs[Long]("n_words") == 2L)
+  }
 }

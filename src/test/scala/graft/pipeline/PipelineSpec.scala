@@ -2135,6 +2135,56 @@ class PipelineSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("naiveBayesModel: hand-checked Laplace-smoothed log-probs") {
+    // class a: "x x y" (n_a=3), class b: "z" (n_b=1); V = 3
+    val docs = Seq((1L, "x x y", "a"), (2L, "z", "b"))
+      .toDF("doc_id", "text", "lang")
+    val m = Classifier.naiveBayesModel(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    def exp(num: Long, den: Long) =
+      BigDecimal(math.log(num.toDouble / den.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(("a", "x")).getAs[Long]("token_count") == 2L)
+    assert(m(("a", "x")).getAs[Double]("logp") == exp(3, 6)) // (2+1)/(3+3)
+    assert(m(("a", "y")).getAs[Double]("logp") == exp(2, 6))
+    assert(m(("b", "z")).getAs[Double]("logp") == exp(2, 4)) // (1+1)/(1+3)
+    assert(m.size == 3) // only observed (class, token) pairs
+  }
+
+  test("naiveBayesScore: separable classes classify correctly; " +
+    "empty docs fall back to the prior argmax") {
+    val docs = Seq(
+      (1L, "cat cat dog", "pet"), (2L, "cat dog dog", "pet"),
+      (3L, "stock bond", "fin"), (4L, "bond bond stock stock", "fin"),
+      (5L, "cat bond", "pet"), // mixed: token evidence must decide
+      (6L, "", "fin")) // empty: priors only → 'fin'? pet has 3 docs
+      .toDF("doc_id", "text", "lang")
+    val out = Classifier.naiveBayesScore(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size == 6)
+    assert(out(1L).getAs[String]("pred") == "pet")
+    assert(out(2L).getAs[String]("pred") == "pet")
+    assert(out(3L).getAs[String]("pred") == "fin")
+    assert(out(4L).getAs[String]("pred") == "fin")
+    assert(out(1L).getAs[Int]("is_correct") == 1)
+    // empty doc: prior argmax = 'pet' (3 docs vs 3? no: pet={1,2,5}=3,
+    // fin={3,4,6}=3 → tie → lexicographically smallest class 'fin')
+    assert(out(6L).getAs[String]("pred") == "fin")
+    assert(out(6L).getAs[Int]("is_correct") == 1)
+  }
+
+  test("naiveBayesScore is partitioning-invariant") {
+    val docs = (1L to 60L).map { i =>
+      val l = if (i % 3 == 0) "a" else "b"
+      (i, s"tok${i % 7} tok${i % 5} shared", l)
+    }.toDF("doc_id", "text", "lang")
+    val a = Classifier.naiveBayesScore(docs.repartition(1),
+      "doc_id", "text", "lang")
+    val b = Classifier.naiveBayesScore(docs.repartition(13),
+      "doc_id", "text", "lang")
+    assert(rows(a) == rows(b))
+  }
+
   test("clusterRepresentatives: best score per cluster wins, singletons kept") {
     val docsDf = Seq(
       (1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L)).toDF("doc_id", "score")

@@ -550,6 +550,42 @@ class StatsSpec extends SparkSpec {
     assert(r2.getAs[Double]("w1") == exp)
   }
 
+  test("anovaOneWay: hand-computed two-group case") {
+    // a={1,2,3}, b={4,5,6}: SSB=13.5, SSW=4, F=13.5/(4/4)=13.5
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "x")
+    val r = Stats.anovaOneWay(df, "g", "x").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Double]("ss_between") == 13.5)
+    assert(r.getAs[Double]("ss_within") == 4.0)
+    assert(r.getAs[Double]("f_stat") == 13.5)
+    def d6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("eta2") == d6(13.5 / 17.5))
+    assert(r.getAs[Double]("omega2") == d6(12.5 / 18.5))
+  }
+
+  test("anovaOneWay: zero within-variance reports NULL F, eta2 = 1") {
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
+      .toDF("g", "x")
+    val r = Stats.anovaOneWay(df, "g", "x").collect().head
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+    assert(r.getAs[Double]("eta2") == 1.0)
+    assert(r.getAs[Double]("ss_within") == 0.0)
+  }
+
+  test("anovaOneWay raises on degenerate designs") {
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "x")
+    assert(intercept[Exception] {
+      Stats.anovaOneWay(one, "g", "x").collect()
+    }.getMessage != null)
+    val saturated = Seq(("a", 1L), ("b", 2L)).toDF("g", "x")
+    assert(intercept[Exception] {
+      Stats.anovaOneWay(saturated, "g", "x").collect()
+    }.getMessage != null)
+  }
+
   test("wasserstein1 raises when a slice is empty") {
     val df = Seq((1L, "a"), (2L, "a")).toDF("v", "g")
     val e = intercept[Exception] {
