@@ -2107,6 +2107,78 @@ object Stats {
           (col("ss_between") + col("ss_within") + msw))).as("omega2"))
   }
 
+  /** Per-group fairness audit of a binary gate — selection rate,
+    * TPR/FPR, demographic-parity ratio and equalized-odds gaps by a
+    * protected/slice attribute. A corpus gate (quality filter, C4
+    * rule, trained classifier) is a POLICY; this is the table that
+    * says which languages/sources it throttles and whether its error
+    * rates are balanced — the audit regulators and data-governance
+    * reviews ask for by name (80%-rule = dp_ratio ≥ 0.8).
+    *
+    * All counts exact; every rate is ONE d6 division; cross-group
+    * references (max selection rate, overall TPR/FPR) are computed
+    * from the SAME d6 rates via a 1-row broadcast, so
+    *
+    *   dp_ratio = d6(sel_rate / max_g sel_rate)
+    *   tpr_gap  = d6(tpr − overall_tpr),  fpr_gap likewise
+    *
+    * replay identically cross-engine. Groups with no positives (or no
+    * negatives) report NULL tpr/tpr_gap (fpr/fpr_gap) — missing
+    * strata answer NULL, not 0, so a dashboard can tell "balanced"
+    * from "unmeasurable". Overall TPR/FPR come from the GLOBAL
+    * confusion counts (micro, not group-averaged).
+    *
+    * Scale shape: ONE group-keyed aggregate + a 1-row broadcast back;
+    * group cardinality bounds everything after the first pass.
+    */
+  def fairnessAudit(
+      df: DataFrame,
+      groupCol: String,
+      predCol: String,
+      labelCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val p = col(predCol).cast("long")
+    val y = col(labelCol).cast("long")
+    val byG = df.groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(p).as("_sel"),
+        sum(y).as("_pos"),
+        sum(p * y).as("_tp"),
+        sum(p * (lit(1L) - y)).as("_fp"))
+    val rates = byG.select(col(groupCol), col("n_rows"),
+      col("_sel").as("n_selected"),
+      d6(col("_sel").cast("double") / col("n_rows").cast("double"))
+        .as("sel_rate"),
+      when(col("_pos") > 0L,
+        d6(col("_tp").cast("double") / col("_pos").cast("double")))
+        .as("tpr"),
+      when(col("n_rows") - col("_pos") > 0L,
+        d6(col("_fp").cast("double") /
+          (col("n_rows") - col("_pos")).cast("double"))).as("fpr"),
+      col("_pos"), col("_tp"), col("_fp"))
+    val ref = rates.agg(max(col("sel_rate")).as("_maxSel"),
+      sum(col("_pos")).as("_posT"), sum(col("_tp")).as("_tpT"),
+      sum(col("_fp")).as("_fpT"),
+      sum(col("n_rows")).as("_nT"))
+    val withRef = rates.crossJoin(broadcast(ref))
+      .withColumn("_oTpr",
+        when(col("_posT") > 0L, d6(col("_tpT").cast("double") /
+          col("_posT").cast("double"))))
+      .withColumn("_oFpr",
+        when(col("_nT") - col("_posT") > 0L,
+          d6(col("_fpT").cast("double") /
+            (col("_nT") - col("_posT")).cast("double"))))
+    withRef.select(col(groupCol), col("n_rows"), col("n_selected"),
+      col("sel_rate"),
+      when(col("_maxSel") > 0.0,
+        d6(col("sel_rate") / col("_maxSel"))).as("dp_ratio"),
+      col("tpr"), col("fpr"),
+      when(col("tpr").isNotNull && col("_oTpr").isNotNull,
+        d6(col("tpr") - col("_oTpr"))).as("tpr_gap"),
+      when(col("fpr").isNotNull && col("_oFpr").isNotNull,
+        d6(col("fpr") - col("_oFpr"))).as("fpr_gap"))
+  }
+
   /** 1-Wasserstein (earth-mover) distance between two integer-metric
     * slices — the drift number that, unlike KS (q307, sup-gap only) or
     * PSI/JS (q256/q271, binned), reports HOW FAR mass moved in metric

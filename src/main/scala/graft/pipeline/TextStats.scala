@@ -2261,6 +2261,92 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Burrows' Delta stylometric distance between author/source slices
+    * (Burrows 2002): z-score each slice's relative frequency of the
+    * top-M corpus words across slices, then Delta(a,b) = mean |z_a −
+    * z_b|. The corpus-linguistics companion to Fightin' Words (q297):
+    * that ranks TERMS that separate two slices; Delta ranks SLICE
+    * PAIRS by overall stylistic distance — duplicate-author detection,
+    * mix diagnostics ("which sources write alike"), contamination
+    * triage.
+    *
+    * Determinism: top-M by (count DESC, word ASC); f = d6(c/n_a) on
+    * the full slice×word grid (absent words are true 0s); μ_w and the
+    * population variance use d6-per-term decimal sums over slices;
+    * σ_w = d6(sqrt(var)) (same IEEE sqrt both engines on the same d6
+    * input); zero-variance words are EXCLUDED and n_words reports the
+    * count actually used; Delta averages exact |z_a − z_b| decimal
+    * diffs. Output: (author_a < author_b, n_words, delta).
+    *
+    * Scale shape: one token-keyed aggregate (corpus-sized), then
+    * everything is (slices × M)-bounded; the pair join is M·A² rows —
+    * slices are dashboard-small by contract (loud maxAuthors guard).
+    */
+  def burrowsDelta(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      authorCol: String,
+      topM: Int = 30,
+      maxAuthors: Int = 1000): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dd6(c: Column) = c.cast("decimal(28,6)")
+    val tk = df.select(col(authorCol).cast("string").as("_a"),
+        explode(split(col(textCol), " ")).as("_w"))
+      .filter(col("_w") =!= "")
+    val counts = tk.groupBy(col("_a"), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+    val authorTotals = counts.groupBy(col("_a"))
+      .agg(sum(col("_c")).as("_na"))
+    val nAuthors = authorTotals.agg(count(lit(1)).as("_nA"))
+    val topWords = counts.groupBy(col("_w"))
+      .agg(sum(col("_c")).as("_ct"))
+      .orderBy(col("_ct").desc, col("_w").asc).limit(topM)
+      .select(col("_w"))
+    val grid = authorTotals.crossJoin(broadcast(topWords))
+      .join(counts, Seq("_a", "_w"), "left")
+      .select(col("_a"), col("_w"),
+        d6(coalesce(col("_c"), lit(0L)).cast("double") /
+          col("_na").cast("double")).as("_f"))
+    val mu = grid.groupBy(col("_w"))
+      .agg(sum(dd6(col("_f"))).as("_fSum"))
+      .crossJoin(broadcast(nAuthors))
+      .withColumn("_nA",
+        when(col("_nA") <= maxAuthors && col("_nA") >= 2L, col("_nA"))
+          .otherwise(raise_error(concat(lit(
+            s"burrowsDelta: need 2..$maxAuthors author slices, got "),
+            col("_nA").cast("string"))).cast("long")))
+      .select(col("_w"), col("_nA"),
+        d6(col("_fSum").cast("double") / col("_nA").cast("double"))
+          .as("_mu"))
+    val dev = grid.join(broadcast(mu), "_w")
+      .select(col("_a"), col("_w"), col("_nA"), col("_f"), col("_mu"),
+        dd6((col("_f") - col("_mu")) * (col("_f") - col("_mu")))
+          .as("_dev6"))
+    val sigma = dev.groupBy(col("_w"))
+      .agg(max(col("_nA")).as("_nA"), sum(col("_dev6")).as("_vSum"))
+      .select(col("_w"),
+        d6(sqrt(d6(col("_vSum").cast("double") /
+          col("_nA").cast("double")))).as("_sigma"))
+      .filter(col("_sigma") > 0.0)
+    val z = dev.join(broadcast(sigma), "_w")
+      .select(col("_a"), col("_w"),
+        dd6(d6((col("_f") - col("_mu")) / col("_sigma"))).as("_z"))
+    val za = z.select(col("_a").as("author_a"), col("_w"),
+      col("_z").as("_za"))
+    val zb = z.select(col("_a").as("author_b"), col("_w"),
+      col("_z").as("_zb"))
+    za.join(zb, Seq("_w"))
+      .filter(col("author_a") < col("author_b"))
+      .groupBy(col("author_a"), col("author_b"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(dd6(abs(col("_za") - col("_zb")))).as("_dSum"))
+      .select(col("author_a"), col("author_b"), col("n_words"),
+        d6(col("_dSum").cast("double") / col("n_words").cast("double"))
+          .as("delta"))
+  }
+
   /** Per-document readability battery — Flesch reading ease,
     * Flesch–Kincaid grade and Gunning fog over a deterministic
     * vowel-group syllable heuristic. Readability is a standard

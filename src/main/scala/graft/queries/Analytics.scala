@@ -2765,7 +2765,68 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE) END AS omega2
       |FROM b""".stripMargin
 
+  // q340: fairness audit of a deterministic length-flavored gate
+  // against a deterministic outcome label, sliced by language — the
+  // 80%-rule table (dp_ratio) + equalized-odds gaps. Both the gate and
+  // the label are exact integer functions of (doc_id, n_chars), so the
+  // confusion tables replay exactly.
+  def q340Fairness(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.fairnessAudit(
+      t(s, dir, "documents")
+        .withColumn("p",
+          ((col("doc_id") * 7 + col("n_chars")) % 5 < 2).cast("long"))
+        .withColumn("y",
+          ((col("doc_id") + col("n_chars")) % 3 === 0).cast("long")),
+      "lang", "p", "y")
+
+  val q340Sql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    CASE WHEN (doc_id * 7 + n_chars) % 5 < 2 THEN 1 ELSE 0 END
+      |      AS p,
+      |    CASE WHEN (doc_id + n_chars) % 3 = 0 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(p) AS BIGINT) AS sel, CAST(SUM(y) AS BIGINT) AS pos,
+      |    CAST(SUM(p * y) AS BIGINT) AS tp,
+      |    CAST(SUM(p * (1 - y)) AS BIGINT) AS fp
+      |  FROM d GROUP BY 1),
+      |r AS (
+      |  SELECT lang, n AS n_rows, sel AS n_selected,
+      |    CAST(CAST(CAST(sel AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS sel_rate,
+      |    CASE WHEN pos > 0 THEN CAST(CAST(CAST(tp AS DOUBLE) /
+      |      CAST(pos AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END AS tpr,
+      |    CASE WHEN n - pos > 0 THEN CAST(CAST(CAST(fp AS DOUBLE) /
+      |      CAST(n - pos AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END
+      |      AS fpr,
+      |    pos, tp, fp
+      |  FROM g),
+      |ref AS (
+      |  SELECT MAX(sel_rate) AS maxsel,
+      |    CAST(SUM(pos) AS BIGINT) AS post,
+      |    CAST(SUM(tp) AS BIGINT) AS tpt,
+      |    CAST(SUM(fp) AS BIGINT) AS fpt,
+      |    CAST(SUM(n_rows) AS BIGINT) AS nt
+      |  FROM r)
+      |SELECT lang, n_rows, n_selected, sel_rate,
+      |  CASE WHEN maxsel > 0 THEN
+      |    CAST(CAST(sel_rate / maxsel AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS dp_ratio,
+      |  tpr, fpr,
+      |  CASE WHEN tpr IS NOT NULL AND post > 0 THEN
+      |    CAST(CAST(tpr - CAST(CAST(CAST(tpt AS DOUBLE) /
+      |      CAST(post AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS tpr_gap,
+      |  CASE WHEN fpr IS NOT NULL AND nt - post > 0 THEN
+      |    CAST(CAST(fpr - CAST(CAST(CAST(fpt AS DOUBLE) /
+      |      CAST(nt - post AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS fpr_gap
+      |FROM r CROSS JOIN ref""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_fairness" -> (q340Fairness _),
     "q338_anova" -> (q338Anova _),
     "q334_roc_auc" -> (q334RocAuc _),
     "q335_wasserstein" -> (q335Wasserstein _),
@@ -2832,6 +2893,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q340_fairness" -> q340Sql,
     "q338_anova" -> q338Sql,
     "q334_roc_auc" -> q334Sql,
     "q335_wasserstein" -> q335Sql,

@@ -5346,7 +5346,63 @@ object Corpus {
       |    AS DECIMAL(28,6)) AS DOUBLE) END AS fog_index
       |FROM c""".stripMargin
 
+  // q341: Burrows' Delta over the 20 source slices, top-20 words —
+  // which sources write alike. The oracle replays the d6 grid /
+  // z-score / pair-mean chain verbatim.
+  def q341Burrows(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.burrowsDelta(
+      t(s, dir, "documents"), "doc_id", "text", "source", topM = 20)
+
+  val q341Sql: String =
+    """WITH tk AS (
+      |  SELECT source AS a,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS w
+      |  FROM documents),
+      |c AS (SELECT a, w, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM tk GROUP BY 1, 2),
+      |at AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na FROM c GROUP BY 1),
+      |nauth AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM at),
+      |tw AS (SELECT w FROM (
+      |  SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM c GROUP BY 1)
+      |  ORDER BY ct DESC, w ASC LIMIT 20),
+      |grid AS (
+      |  SELECT at.a, tw.w,
+      |    CAST(CAST(CAST(COALESCE(c.c, 0) AS DOUBLE) /
+      |      CAST(at.na AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS f
+      |  FROM at CROSS JOIN tw
+      |  LEFT JOIN c ON c.a = at.a AND c.w = tw.w),
+      |mu AS (
+      |  SELECT w, CAST(CAST(CAST(SUM(CAST(f AS DECIMAL(28,6)))
+      |    AS DOUBLE) / CAST(nauth.nn AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS mu
+      |  FROM grid CROSS JOIN nauth GROUP BY w, nauth.nn),
+      |dev AS (
+      |  SELECT g2.a, g2.w, g2.f, mu.mu,
+      |    CAST((g2.f - mu.mu) * (g2.f - mu.mu) AS DECIMAL(28,6))
+      |      AS dev6
+      |  FROM grid g2 JOIN mu ON g2.w = mu.w),
+      |sig AS (
+      |  SELECT w, CAST(CAST(sqrt(CAST(CAST(CAST(SUM(dev6) AS DOUBLE) /
+      |    CAST(nauth.nn AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS sigma
+      |  FROM dev CROSS JOIN nauth GROUP BY w, nauth.nn),
+      |sigf AS (SELECT * FROM sig WHERE sigma > 0),
+      |z AS (
+      |  SELECT dev.a, dev.w,
+      |    CAST(CAST(CAST((dev.f - dev.mu) / sigf.sigma
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)) AS z
+      |  FROM dev JOIN sigf ON dev.w = sigf.w)
+      |SELECT za.a AS author_a, zb.a AS author_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(CAST(CAST(SUM(CAST(abs(za.z - zb.z) AS DECIMAL(28,6)))
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS delta
+      |FROM z za JOIN z zb ON za.w = zb.w AND za.a < zb.a
+      |GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_burrows_delta" -> (q341Burrows _),
     "q339_readability" -> (q339Readability _),
     "q336_nb_model" -> (q336NbModel _),
     "q337_nb_score" -> (q337NbScore _),
@@ -5460,6 +5516,7 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q341_burrows_delta" -> q341Sql,
     "q339_readability" -> q339Sql,
     "q336_nb_model" -> q336Sql,
     "q337_nb_score" -> q337Sql,

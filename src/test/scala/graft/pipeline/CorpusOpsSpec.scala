@@ -1395,6 +1395,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_pairs") == 3L)
   }
 
+  test("burrowsDelta: two mirrored authors sit at the ±1σ poles") {
+    import spark.implicits._
+    // a: x-heavy, b: y-heavy → every used word has z = ±1 (A = 2),
+    // so delta = mean |z_a − z_b| = 2
+    val df = Seq((1L, "x x y", "a"), (2L, "x y y", "b"))
+      .toDF("doc_id", "text", "src")
+    val out = TextStats.burrowsDelta(df, "doc_id", "text", "src",
+      topM = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("author_a") == "a")
+    assert(out.head.getAs[Long]("n_words") == 2L)
+    assert(out.head.getAs[Double]("delta") == 2.0)
+  }
+
+  test("burrowsDelta: identical slices score 0; constant words drop") {
+    import spark.implicits._
+    val df = Seq((1L, "x y", "a"), (2L, "x y", "b"), (3L, "z z", "c"))
+      .toDF("doc_id", "text", "src")
+    val out = TextStats.burrowsDelta(df, "doc_id", "text", "src",
+      topM = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("a", "b")).getAs[Double]("delta") == 0.0)
+    assert(out(("a", "c")).getAs[Double]("delta") ==
+      out(("b", "c")).getAs[Double]("delta"))
+    assert(out(("a", "c")).getAs[Double]("delta") > 0.0)
+    // no word is constant across slices here, all 3 used
+    assert(out(("a", "c")).getAs[Long]("n_words") == 3L)
+  }
+
+  test("burrowsDelta raises on a single-slice corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "x y", "only")).toDF("doc_id", "text", "src")
+    assert(intercept[Exception] {
+      TextStats.burrowsDelta(df, "doc_id", "text", "src").collect()
+    }.getMessage != null)
+  }
+
   test("readability: hand-counted words/sentences/syllables and scores") {
     import spark.implicits._
     // "The cat sat. It ran away!" → 6 words, 2 sentences,

@@ -586,6 +586,30 @@ class StatsSpec extends SparkSpec {
     }.getMessage != null)
   }
 
+  test("fairnessAudit: hand confusion tables, NULL on missing strata") {
+    // g1: preds 1,1,0,0 / ys 1,0,1,0; g2: preds 1,1 / ys 1,1
+    val df = Seq(
+      ("g1", 1L, 1L), ("g1", 1L, 0L), ("g1", 0L, 1L), ("g1", 0L, 0L),
+      ("g2", 1L, 1L), ("g2", 1L, 1L)).toDF("g", "p", "y")
+    val out = Stats.fairnessAudit(df, "g", "p", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getAs[Long]("n_rows") == 4L)
+    assert(out("g1").getAs[Double]("sel_rate") == 0.5)
+    assert(out("g2").getAs[Double]("sel_rate") == 1.0)
+    assert(out("g1").getAs[Double]("dp_ratio") == 0.5)
+    assert(out("g2").getAs[Double]("dp_ratio") == 1.0)
+    assert(out("g1").getAs[Double]("tpr") == 0.5)
+    assert(out("g2").getAs[Double]("tpr") == 1.0)
+    // overall TPR = 3/4 → gaps −0.25 / +0.25
+    assert(out("g1").getAs[Double]("tpr_gap") == -0.25)
+    assert(out("g2").getAs[Double]("tpr_gap") == 0.25)
+    // g2 has no negatives → fpr and fpr_gap NULL, not 0
+    assert(out("g2").isNullAt(out("g2").fieldIndex("fpr")))
+    assert(out("g2").isNullAt(out("g2").fieldIndex("fpr_gap")))
+    assert(out("g1").getAs[Double]("fpr") == 0.5)
+    assert(out("g1").getAs[Double]("fpr_gap") == 0.0)
+  }
+
   test("wasserstein1 raises when a slice is empty") {
     val df = Seq((1L, "a"), (2L, "a")).toDF("v", "g")
     val e = intercept[Exception] {
