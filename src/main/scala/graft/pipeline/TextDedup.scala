@@ -1067,4 +1067,84 @@ object TextDedup {
       .groupBy(col(idCol), col("bench_id"))
       .agg(count(lit(1)).as("n_shared_runs"))
   }
+
+  /** Content-defined chunking (Rabin–Karp rolling-window form): cut a
+    * document where the hash of the trailing `window` code points hits
+    * 0 mod `divisor` — the storage-dedup trick (LBFS, restic, borg)
+    * applied to corpus text: unlike the fixed-size chunks of q99/q125,
+    * CDC boundaries SURVIVE insertions and deletions, so two page
+    * versions that differ by one paragraph still share every other
+    * chunk hash and the chunk-level dedup (q125's discipline) removes
+    * the overlap.
+    *
+    * The window hash is position-independent and needs NO sequential
+    * state:
+    *
+    *   h(i) = Σ_{j=0}^{w−1} code(cᵢ₋ⱼ)·B^j  mod M      (B=257, M=2³¹−1)
+    *   boundary after i  ⇔  i ≥ w−1  ∧  h(i) mod divisor = 0
+    *
+    * so every position evaluates independently inside one in-row array
+    * HOF — embarrassingly parallel across documents AND positions (a
+    * gear/FastCDC chain with per-chunk hash reset would instead force a
+    * sequential fold). Expected chunk length ≈ `divisor` code points.
+    *
+    * Determinism: integer arithmetic end-to-end (code points < 2²¹,
+    * products < 2⁵², window sums < 2⁵⁶ — no overflow before the mod);
+    * chunk identity is md5 of the substring. Zero-length docs emit no
+    * chunks; a doc shorter than `window` is one whole-doc chunk.
+    *
+    * Scale shape: zero shuffles — pure per-row compute, O(L·w) lambda
+    * steps per doc with a loud `maxChars` guard (the in-row-fold
+    * contract of q318: bound the row, or shard the doc with
+    * [[TextStats.chunkDocuments]] first).
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 16,
+      divisor: Int = 64,
+      maxChars: Int = 100000): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val M = 2147483647L
+    val pows = Iterator.iterate(1L)(p => (p * 257L) % M)
+      .take(window).toSeq
+    val powArr = s"array(${pows.map(p => s"${p}L").mkString(", ")})"
+    val t = "_g_t"
+    val guarded = df
+      .withColumn(t,
+        when(length(col(textCol)) <= maxChars, col(textCol))
+          .otherwise(raise_error(concat(
+            lit(s"cdcChunks: document longer than maxChars=$maxChars ("),
+            length(col(textCol)).cast("string"),
+            lit(s") — chunk it first")))))
+      .filter(length(col(t)) > 0)
+    // Each intermediate array is BOUND as a lambda variable (the
+    // transform(array(x), v -> ...) idiom) instead of referenced as a
+    // named column: projection collapse would otherwise inline the
+    // codes array into EVERY element_at call, turning the O(L·w)
+    // window scan into O(L²·w).
+    val codes = s"transform(sequence(1, length($t)), " +
+      s"i -> CAST(ascii(substr($t, i, 1)) AS BIGINT))"
+    val bounds = s"element_at(transform(array($codes), cs -> " +
+      s"filter(sequence(1, size(cs)), i -> i >= $window AND " +
+      s"(aggregate(sequence(0, ${window - 1}), CAST(0 AS BIGINT), " +
+      s"(acc, j) -> acc + element_at(cs, i - j) * " +
+      s"element_at($powArr, j + 1)) % ${M}L) % $divisor = 0)), 1)"
+    val chunks = s"element_at(transform(array($bounds), b -> " +
+      s"filter(transform(sequence(1, size(b) + 1), k -> " +
+      s"named_struct('s', IF(k = 1, 1, element_at(b, k - 1) + 1), " +
+      s"'e', IF(k = size(b) + 1, length($t), element_at(b, k)))), " +
+      s"c -> c.s <= c.e)), 1)"
+    val staged = guarded.withColumn("_g_ck", expr(chunks))
+    staged
+      .select(col(idCol), col(t),
+        posexplode(col("_g_ck")).as(Seq("_g_k", "_g_c")))
+      .select(col(idCol), (col("_g_k") + 1).cast("long").as("chunk_idx"),
+        col("_g_c.s").cast("long").as("chunk_start"),
+        (col("_g_c.e") - col("_g_c.s") + 1).cast("long").as("chunk_len"),
+        md5(expr(s"substr($t, _g_c.s, _g_c.e - _g_c.s + 1)")
+          .cast("binary")).as("chunk_md5"))
+  }
 }

@@ -1463,7 +1463,63 @@ object Pipeline {
       |  fin.loads[fin.asg[CAST(o.rn AS INT)]] AS bin_fill
       |FROM o JOIN fin ON fin.shard = o.shard""".stripMargin
 
+  // q342: content-defined chunking — rolling-window Rabin–Karp
+  // boundaries (w=16, divisor=64), insert/delete-stable chunk table.
+  // The oracle replays the identical mod-2³¹−1 window hash with the
+  // same precomputed 257^j mod M literals.
+  def q342CdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.cdcChunks(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  val q342Sql: String =
+    """WITH pw AS (
+      |  SELECT [1, 257, 66049, 16974593, 67503107, 168429323,
+      |    336663071, 623063367, 1213495441, 483199522, 1775709275,
+      |    1090750511, 1150007217, 1346595130, 330081243,
+      |    1079017218] AS p),
+      |d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+      |st AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, length(text) + 1), i ->
+      |      CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))
+      |      AS codes
+      |  FROM d),
+      |bd AS (
+      |  SELECT doc_id, text,
+      |    list_filter(range(1, length(text) + 1), i ->
+      |      i >= 16 AND
+      |      (list_sum(list_transform(range(0, 16), j ->
+      |        codes[CAST(i - j AS INTEGER)] *
+      |        p[CAST(j + 1 AS INTEGER)])) % 2147483647) % 64 = 0) AS b
+      |  FROM st CROSS JOIN pw),
+      |ck AS (
+      |  SELECT doc_id, text,
+      |    list_filter(
+      |      list_transform(range(1, len(starts) + 1), k ->
+      |        {'s': starts[CAST(k AS INTEGER)],
+      |         'e': ends[CAST(k AS INTEGER)]}),
+      |      c -> c.s <= c.e) AS fl
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      list_concat([CAST(1 AS BIGINT)],
+      |        list_transform(b, x -> x + 1)) AS starts,
+      |      list_concat(b, [CAST(length(text) AS BIGINT)]) AS ends
+      |    FROM bd)),
+      |ex AS (
+      |  SELECT doc_id, text,
+      |    unnest(list_transform(range(1, len(fl) + 1), k ->
+      |      {'ci': k, 's': fl[CAST(k AS INTEGER)].s,
+      |       'e': fl[CAST(k AS INTEGER)].e})) AS u
+      |  FROM ck)
+      |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+      |  CAST(u.s AS BIGINT) AS chunk_start,
+      |  CAST(u.e - u.s + 1 AS BIGINT) AS chunk_len,
+      |  md5(substr(text, CAST(u.s AS INTEGER),
+      |    CAST(u.e - u.s + 1 AS INTEGER))) AS chunk_md5
+      |FROM ex""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_cdc_chunks" -> (q342CdcChunks _),
     "q317_quantile_normalize" -> (q317QuantileNormalize _),
     "q318_pack_ffd" -> (q318PackFfd _),
     "q15_dedup_exact" -> (q15DedupExact _),
@@ -2168,6 +2224,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q342_cdc_chunks" -> q342Sql,
     "q317_quantile_normalize" -> q317Sql,
     "q318_pack_ffd" -> q318Sql,
     "q15_dedup_exact" -> q15Sql,

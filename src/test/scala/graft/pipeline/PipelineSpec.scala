@@ -2185,6 +2185,59 @@ class PipelineSpec extends SparkSpec {
     assert(rows(a) == rows(b))
   }
 
+  test("cdcChunks: chunks tile the document exactly") {
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 2000).map(_ => (33 + rnd.nextInt(94)).toChar)
+      .mkString
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+    val ch = TextDedup.cdcChunks(df, "doc_id", "text")
+      .orderBy("chunk_idx").collect()
+    assert(ch.length > 5, s"expected multiple chunks, got ${ch.length}")
+    // contiguous tiling from 1 to length
+    assert(ch.head.getAs[Long]("chunk_start") == 1L)
+    ch.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("chunk_start") ==
+        a.getAs[Long]("chunk_start") + a.getAs[Long]("chunk_len"))
+    }
+    assert(ch.map(_.getAs[Long]("chunk_len")).sum == base.length.toLong)
+    // chunk hash is the substring's md5
+    val c0 = ch.head
+    val sub = base.substring(0, c0.getAs[Long]("chunk_len").toInt)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sub.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(c0.getAs[String]("chunk_md5") == md)
+  }
+
+  test("cdcChunks: boundaries survive an insertion (the CDC property)") {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 3000).map(_ => (33 + rnd.nextInt(94)).toChar)
+      .mkString
+    val edited = base.substring(0, 80) + "!!! an inserted paragraph " +
+      base.substring(80)
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = TextDedup.cdcChunks(df, "doc_id", "text").collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_md5"))
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_md5"))
+    val shared = h1.toSet.intersect(h2.toSet)
+    // after the hash window resyncs past the edit, every later chunk
+    // is identical — the overwhelming majority must be shared
+    assert(shared.size >= h1.length / 2,
+      s"only ${shared.size}/${h1.length} chunks survived the insert")
+  }
+
+  test("cdcChunks: short docs are one chunk, empty docs none, " +
+    "oversized docs raise") {
+    val df = Seq((1L, "tiny"), (2L, "")).toDF("doc_id", "text")
+    val out = TextDedup.cdcChunks(df, "doc_id", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("chunk_len") == 4L)
+    val big = Seq((1L, "x" * 101)).toDF("doc_id", "text")
+    assert(intercept[Exception] {
+      TextDedup.cdcChunks(big, "doc_id", "text", maxChars = 100)
+        .collect()
+    }.getMessage != null)
+  }
+
   test("clusterRepresentatives: best score per cluster wins, singletons kept") {
     val docsDf = Seq(
       (1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L)).toDF("doc_id", "score")
