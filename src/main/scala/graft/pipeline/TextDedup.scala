@@ -1147,4 +1147,59 @@ object TextDedup {
         md5(expr(s"substr($t, _g_c.s, _g_c.e - _g_c.s + 1)")
           .cast("binary")).as("chunk_md5"))
   }
+
+  /** Cross-document near-duplicate pairs over [[cdcChunks]] — the
+    * dedup application CDC exists for: two page versions differing by
+    * an edit still share almost every chunk hash, so shared-chunk
+    * count is an edit-tolerant overlap measure that fixed-grid
+    * chunking (q125) misses when the edit shifts alignment.
+    *
+    * Pairing is BUCKETED on chunk_md5 (the library-wide never-all-pairs
+    * rule) with the df-pruning discipline of the shingle/prefix-filter
+    * family: a chunk hash present in more than `maxDocFreq` documents
+    * is boilerplate, not dedup evidence, and is dropped BEFORE the
+    * pair join (bounding any bucket at maxDocFreq²). Distinct chunk
+    * sets per doc (internal repeats count once).
+    *
+    *   overlap_a = n_shared / |distinct chunks of a|   (d6; likewise b)
+    *
+    * Output: (doc_a < doc_b, n_shared_chunks, overlap_a, overlap_b)
+    * for pairs with n_shared ≥ `minShared`.
+    */
+  def cdcDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 2,
+      maxDocFreq: Int = 100,
+      window: Int = 16,
+      divisor: Int = 64): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val dc = cdcChunks(df, idCol, textCol, window, divisor)
+      .select(col(idCol), col("chunk_md5")).distinct()
+    val pruned = dc.join(
+      dc.groupBy(col("chunk_md5")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDocFreq)
+        .select(col("chunk_md5")),
+      Seq("chunk_md5"))
+    val perDoc = dc.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nch"))
+    val a = pruned.select(col("chunk_md5"), col(idCol).as("doc_a"))
+    val b = pruned.select(col("chunk_md5"), col(idCol).as("doc_b"))
+    a.join(b, Seq("chunk_md5"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .filter(col("n_shared_chunks") >= minShared.toLong)
+      .join(perDoc.withColumnRenamed(idCol, "doc_a")
+        .withColumnRenamed("_nch", "_na"), Seq("doc_a"))
+      .join(perDoc.withColumnRenamed(idCol, "doc_b")
+        .withColumnRenamed("_nch", "_nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_chunks"),
+        d6(col("n_shared_chunks").cast("double") /
+          col("_na").cast("double")).as("overlap_a"),
+        d6(col("n_shared_chunks").cast("double") /
+          col("_nb").cast("double")).as("overlap_b"))
+  }
 }

@@ -1518,7 +1518,79 @@ object Pipeline {
       |    CAST(u.e - u.s + 1 AS INTEGER))) AS chunk_md5
       |FROM ex""".stripMargin
 
+  // q343: CDC chunk-level near-dup pairs — bucketed on chunk_md5 with
+  // boilerplate df-pruning; edit-tolerant overlap fractions.
+  def q343CdcDup(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.cdcDupPairs(
+      t(s, dir, "documents"), "doc_id", "text")
+
+  val q343Sql: String =
+    """WITH pw AS (
+      |  SELECT [1, 257, 66049, 16974593, 67503107, 168429323,
+      |    336663071, 623063367, 1213495441, 483199522, 1775709275,
+      |    1090750511, 1150007217, 1346595130, 330081243,
+      |    1079017218] AS p),
+      |d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+      |st AS (
+      |  SELECT doc_id, text,
+      |    list_transform(range(1, length(text) + 1), i ->
+      |      CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))
+      |      AS codes
+      |  FROM d),
+      |bd AS (
+      |  SELECT doc_id, text,
+      |    list_filter(range(1, length(text) + 1), i ->
+      |      i >= 16 AND
+      |      (list_sum(list_transform(range(0, 16), j ->
+      |        codes[CAST(i - j AS INTEGER)] *
+      |        p[CAST(j + 1 AS INTEGER)])) % 2147483647) % 64 = 0) AS b
+      |  FROM st CROSS JOIN pw),
+      |ck AS (
+      |  SELECT doc_id, text,
+      |    list_filter(
+      |      list_transform(range(1, len(starts) + 1), k ->
+      |        {'s': starts[CAST(k AS INTEGER)],
+      |         'e': ends[CAST(k AS INTEGER)]}),
+      |      c -> c.s <= c.e) AS fl
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      list_concat([CAST(1 AS BIGINT)],
+      |        list_transform(b, x -> x + 1)) AS starts,
+      |      list_concat(b, [CAST(length(text) AS BIGINT)]) AS ends
+      |    FROM bd)),
+      |ex AS (
+      |  SELECT doc_id, text, unnest(fl) AS u FROM ck),
+      |chunks AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substr(text, CAST(u.s AS INTEGER),
+      |      CAST(u.e - u.s + 1 AS INTEGER))) AS h
+      |  FROM ex),
+      |pruned AS (
+      |  SELECT c.* FROM chunks c
+      |  JOIN (SELECT h FROM chunks GROUP BY h
+      |        HAVING COUNT(*) <= 100) f ON c.h = f.h),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nch
+      |  FROM chunks GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared_chunks
+      |  FROM pruned a JOIN pruned b
+      |    ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT doc_a, doc_b, n_shared_chunks,
+      |  CAST(CAST(CAST(n_shared_chunks AS DOUBLE) /
+      |    CAST(pa.nch AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS overlap_a,
+      |  CAST(CAST(CAST(n_shared_chunks AS DOUBLE) /
+      |    CAST(pb.nch AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS overlap_b
+      |FROM pairs
+      |JOIN perdoc pa ON pa.doc_id = doc_a
+      |JOIN perdoc pb ON pb.doc_id = doc_b""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_cdc_dup_pairs" -> (q343CdcDup _),
     "q342_cdc_chunks" -> (q342CdcChunks _),
     "q317_quantile_normalize" -> (q317QuantileNormalize _),
     "q318_pack_ffd" -> (q318PackFfd _),
@@ -2224,6 +2296,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q343_cdc_dup_pairs" -> q343Sql,
     "q342_cdc_chunks" -> q342Sql,
     "q317_quantile_normalize" -> q317Sql,
     "q318_pack_ffd" -> q318Sql,

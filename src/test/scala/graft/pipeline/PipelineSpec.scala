@@ -2238,6 +2238,30 @@ class PipelineSpec extends SparkSpec {
     }.getMessage != null)
   }
 
+  test("cdcDupPairs: edited twin found, unrelated doc not; " +
+    "df-pruned boilerplate never pairs") {
+    val rnd = new scala.util.Random(11)
+    val base = (1 to 3000).map(_ => (33 + rnd.nextInt(94)).toChar)
+      .mkString
+    val edited = base.substring(0, 70) + " EDIT " + base.substring(70)
+    val other = (1 to 3000).map(_ => (33 + rnd.nextInt(94)).toChar)
+      .mkString
+    val df = Seq((1L, base), (2L, edited), (3L, other))
+      .toDF("doc_id", "text")
+    val out = TextDedup.cdcDupPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.contains((1L, 2L)), "edited twin must pair")
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+    val p = out((1L, 2L))
+    assert(p.getAs[Long]("n_shared_chunks") >= 2L)
+    assert(p.getAs[Double]("overlap_a") > 0.5)
+    // a chunk hash in every doc is dropped before pairing
+    val boiler = "SHARED BOILERPLATE CHUNK CONTENT HERE ~~~ " * 3
+    val many = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(TextDedup.cdcDupPairs(many, "doc_id", "text",
+      maxDocFreq = 3).count() == 0L)
+  }
+
   test("clusterRepresentatives: best score per cluster wins, singletons kept") {
     val docsDf = Seq(
       (1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L)).toDF("doc_id", "score")
