@@ -1411,4 +1411,89 @@ object Similarity {
             .cast("decimal(28,6)").cast("double"),
           lit(0.0)).as("mmd2"))
   }
+
+  /** Simplified (centroid-based) silhouette per cluster label — the
+    * clustering-quality score for a labeled/assigned embedding set:
+    * a(i) = distance to own centroid, b(i) = distance to the nearest
+    * OTHER centroid, s(i) = (b−a)/max(a,b) ∈ [−1, 1]; per-label mean
+    * answers "which clusters are coherent vs bleeding into a
+    * neighbor". The centroid form is the SCALABLE silhouette — the
+    * classic all-pairs definition is O(n²) and exists here only as
+    * the conceptual baseline (same preference order as q17 vs q28).
+    *
+    * Exactness: embeddings quantize to ql = floor(1000·x) (the q167
+    * convention); distance to a centroid clears the mean's
+    * denominator —
+    *
+    *   dist_c(i) = sqrt( Σ_d (n_c·ql_d − S_{c,d})² ) / n_c
+    *
+    * with the inner sum an EXACT decimal(38,0) integer, so the only
+    * float steps are one sqrt + one division, d6-rounded; argmin over
+    * d6 values is engine-stable. s(i) d6-rounds per point, per-label
+    * means use the decimal-sum discipline. Points at distance 0 from
+    * both centroids score 0.
+    *
+    * Scale shape: one (label, dim) aggregate → labels×dims centroid
+    * frame collapsed to per-label sum ARRAYS (broadcast — labels are
+    * cluster-count-small); the corpus-sized work is one ×|labels|
+    * bounded fan-out of in-row zip_with dot products + one vec-keyed
+    * aggregate + one label-keyed mean. No pair joins anywhere.
+    */
+  def centroidSilhouette(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dd6(c: Column) = c.cast("decimal(28,6)")
+    val q = df.select(col(idCol).as("_id"),
+      col(labelCol).cast("long").as("_l"),
+      transform(col(embCol),
+        v => floor(v.cast("double") * lit(1000.0)).cast("long")).as("_q"))
+    val sums = q.select(col("_l"), posexplode(col("_q"))
+        .as(Seq("_d", "_x")))
+      .groupBy(col("_l"), col("_d"))
+      .agg(sum(col("_x")).as("_s"))
+    val nPer = q.groupBy(col("_l")).agg(count(lit(1)).as("_n"))
+    val cents = sums
+      .groupBy(col("_l"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_d"), col("_s")))),
+        e => e.getField("_s")).as("_sarr"))
+      .join(nPer, "_l")
+      .select(col("_l").as("_cl"), col("_sarr"), col("_n"))
+    val guarded = cents
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("_nl"))))
+      .withColumn("_n",
+        when(col("_nl") >= 2L, col("_n"))
+          .otherwise(raise_error(lit(
+            "centroidSilhouette: need >= 2 cluster labels"))
+            .cast("long")))
+      .drop("_nl")
+    val dists = q.crossJoin(broadcast(guarded))
+      .select(col("_id"), col("_l"), col("_cl"),
+        // diff fits a long to ~10¹⁵ points/cluster; the square goes
+        // through decimal(38,0) (diff² can pass 2⁶³)
+        d6(sqrt(aggregate(
+          zip_with(col("_q"), col("_sarr"), (x, s) =>
+            ((col("_n") * x - s).cast("decimal(38,0)") *
+              (col("_n") * x - s).cast("decimal(38,0)"))
+              .cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)"),
+          (acc, v) => (acc + v).cast("decimal(38,0)"))
+          .cast("double")) / col("_n").cast("double")).as("_dist"))
+    val perPoint = dists.groupBy(col("_id"), col("_l"))
+      .agg(max(when(col("_cl") === col("_l"), col("_dist"))).as("_a"),
+        min(when(col("_cl") =!= col("_l"), col("_dist"))).as("_b"))
+      .select(col("_id"), col("_l"),
+        when(greatest(col("_a"), col("_b")) > 0.0,
+          d6((col("_b") - col("_a")) / greatest(col("_a"), col("_b"))))
+          .otherwise(lit(0.0)).as("_s"))
+    perPoint.groupBy(col("_l").as(labelCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum(dd6(col("_s"))).as("_sSum"))
+      .select(col(labelCol), col("n_points"),
+        d6(col("_sSum").cast("double") / col("n_points").cast("double"))
+          .as("mean_silhouette"))
+  }
 }

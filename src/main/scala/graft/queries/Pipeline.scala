@@ -1589,7 +1589,59 @@ object Pipeline {
       |JOIN perdoc pa ON pa.doc_id = doc_a
       |JOIN perdoc pb ON pb.doc_id = doc_b""".stripMargin
 
+  // q344: simplified (centroid) silhouette per embedding label — the
+  // clustering-quality score in the scalable centroid form; the
+  // denominator-cleared integer distance makes it hash-exact.
+  def q344Silhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidSilhouette(
+      t(s, dir, "embeddings"), "vec_id", "label", "embedding")
+
+  val q344Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS id, CAST(label AS BIGINT) AS l,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS ql
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT l, unnest(range(len(ql))) AS d, unnest(ql) AS x FROM q),
+      |sg AS (SELECT l, d, CAST(SUM(x) AS BIGINT) AS s
+      |       FROM sums GROUP BY 1, 2),
+      |np AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1),
+      |ce AS (SELECT l AS cl, list(s ORDER BY d) AS sarr
+      |       FROM sg GROUP BY l),
+      |cen AS (SELECT ce.cl, ce.sarr, np.n
+      |        FROM ce JOIN np ON np.l = ce.cl),
+      |dists AS (
+      |  SELECT q.id, q.l, c.cl,
+      |    CAST(CAST(sqrt(CAST(list_sum(list_transform(
+      |      range(1, len(ql) + 1), i ->
+      |      CAST(c.n * ql[CAST(i AS INTEGER)] -
+      |        c.sarr[CAST(i AS INTEGER)] AS HUGEINT) *
+      |      CAST(c.n * ql[CAST(i AS INTEGER)] -
+      |        c.sarr[CAST(i AS INTEGER)] AS HUGEINT)))
+      |      AS DOUBLE)) / CAST(c.n AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS dist
+      |  FROM q CROSS JOIN cen c),
+      |pp AS (
+      |  SELECT id, l,
+      |    MAX(CASE WHEN cl = l THEN dist END) AS a,
+      |    MIN(CASE WHEN cl <> l THEN dist END) AS b
+      |  FROM dists GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT id, l,
+      |    CASE WHEN GREATEST(a, b) > 0 THEN
+      |      CAST(CAST((b - a) / GREATEST(a, b) AS DECIMAL(28,6))
+      |        AS DOUBLE)
+      |    ELSE 0.0 END AS s
+      |  FROM pp)
+      |SELECT l AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  CAST(CAST(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS mean_silhouette
+      |FROM sc GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_silhouette" -> (q344Silhouette _),
     "q343_cdc_dup_pairs" -> (q343CdcDup _),
     "q342_cdc_chunks" -> (q342CdcChunks _),
     "q317_quantile_normalize" -> (q317QuantileNormalize _),
@@ -2296,6 +2348,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q344_silhouette" -> q344Sql,
     "q343_cdc_dup_pairs" -> q343Sql,
     "q342_cdc_chunks" -> q342Sql,
     "q317_quantile_normalize" -> q317Sql,

@@ -1395,6 +1395,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.getAs[Long]("n_pairs") == 3L)
   }
 
+  test("centroidSilhouette: separated clusters near 1, merged at 0, " +
+    "single label raises") {
+    import spark.implicits._
+    val a = (1L to 8L).map(i =>
+      (i, 0, Array(1.0f + (i % 2) * 0.01f, 0.0f)))
+    val b = (1L to 8L).map(i =>
+      (100L + i, 1, Array(-1.0f - (i % 2) * 0.01f, 0.0f)))
+    val sep = (a ++ b).toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidSilhouette(
+      sep, "vec_id", "label", "embedding")
+      .collect().map(r => r.getAs[Long]("label") -> r).toMap
+    assert(out(0L).getAs[Long]("n_points") == 8L)
+    assert(out(0L).getAs[Double]("mean_silhouette") > 0.9)
+    assert(out(1L).getAs[Double]("mean_silhouette") > 0.9)
+    // two labels over the IDENTICAL point cloud: a = b → s = 0 exactly
+    val c1 = (1L to 6L).map(i => (i, 0, Array(i.toFloat, 1.0f)))
+    val c2 = (1L to 6L).map(i => (50L + i, 1, Array(i.toFloat, 1.0f)))
+    val merged = (c1 ++ c2).toDF("vec_id", "label", "embedding")
+    Similarity.centroidSilhouette(merged, "vec_id", "label", "embedding")
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("mean_silhouette") == 0.0)
+      }
+    val solo = c1.toDF("vec_id", "label", "embedding")
+    assert(intercept[Exception] {
+      Similarity.centroidSilhouette(solo, "vec_id", "label", "embedding")
+        .collect()
+    }.getMessage != null)
+  }
+
   test("burrowsDelta: two mirrored authors sit at the ±1σ poles") {
     import spark.implicits._
     // a: x-heavy, b: y-heavy → every used word has z = ±1 (A = 2),
