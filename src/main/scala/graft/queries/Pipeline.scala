@@ -1640,7 +1640,66 @@ object Pipeline {
       |    AS mean_silhouette
       |FROM sc GROUP BY 1""".stripMargin
 
+  // q345: exact KNN-Shapley valuation of the training embeddings
+  // against the held-out sixth (vec_id % 17 = 0) — per-example value
+  // under the KNN utility via Jia et al.'s O(N log N) closed form.
+  def q345KnnShapley(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.pipeline.Valuation.knnShapley(
+      emb.filter(col("vec_id") % 17 =!= 0),
+      emb.filter(col("vec_id") % 17 === 0),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
+  val q345Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS id, CAST(label AS BIGINT) AS y,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS ql
+      |  FROM embeddings),
+      |tr AS (SELECT * FROM q WHERE id % 17 <> 0),
+      |te AS (SELECT * FROM q WHERE id % 17 = 0),
+      |p AS (
+      |  SELECT tr.id AS tid, te.id AS eid,
+      |    CASE WHEN tr.y = te.y THEN 1 ELSE 0 END AS m,
+      |    list_sum(list_transform(range(1, len(tr.ql) + 1), i ->
+      |      CAST(tr.ql[CAST(i AS INTEGER)] -
+      |        te.ql[CAST(i AS INTEGER)] AS HUGEINT) *
+      |      CAST(tr.ql[CAST(i AS INTEGER)] -
+      |        te.ql[CAST(i AS INTEGER)] AS HUGEINT))) AS d2
+      |  FROM tr CROSS JOIN te),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY eid
+      |      ORDER BY d2 ASC, tid ASC) AS i,
+      |    COUNT(*) OVER (PARTITION BY eid) AS n
+      |  FROM p),
+      |inc AS (
+      |  SELECT *,
+      |    CASE WHEN i < n THEN CAST(floor(
+      |      (CAST(m - LEAD(m) OVER (PARTITION BY eid ORDER BY i)
+      |        AS DOUBLE) * CAST(LEAST(5, i) AS DOUBLE)) /
+      |      (5.0 * CAST(i AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+      |      AS DECIMAL(28,6))
+      |    ELSE CAST(0 AS DECIMAL(28,6)) END AS ic,
+      |    MAX(CASE WHEN i = n THEN CAST(floor(CAST(m AS DOUBLE) /
+      |      CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      |      AS DECIMAL(28,6)) END)
+      |      OVER (PARTITION BY eid) AS sbase
+      |  FROM r),
+      |s AS (
+      |  SELECT tid, eid,
+      |    sbase + SUM(ic) OVER (PARTITION BY eid ORDER BY i DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv
+      |  FROM inc)
+      |SELECT tid AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_test,
+      |  CAST(CAST(floor(CAST(SUM(CAST(sv AS DECIMAL(28,6))) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      |    AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS shapley
+      |FROM s GROUP BY 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_knn_shapley" -> (q345KnnShapley _),
     "q344_silhouette" -> (q344Silhouette _),
     "q343_cdc_dup_pairs" -> (q343CdcDup _),
     "q342_cdc_chunks" -> (q342CdcChunks _),
@@ -2348,6 +2407,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q345_knn_shapley" -> q345Sql,
     "q344_silhouette" -> q344Sql,
     "q343_cdc_dup_pairs" -> q343Sql,
     "q342_cdc_chunks" -> q342Sql,

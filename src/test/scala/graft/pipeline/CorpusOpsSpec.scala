@@ -1424,6 +1424,62 @@ class CorpusOpsSpec extends SparkSpec {
     }.getMessage != null)
   }
 
+  test("knnShapley: hand case, equal-share case, efficiency law") {
+    import spark.implicits._
+    // K=1, one test point at origin with label 0; train: near match
+    // (label 0), far miss (label 1) → s_near = 1, s_far = 0
+    val train = Seq((1L, 0, Array(0.1f, 0f)), (2L, 1, Array(5f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val test = Seq((100L, 0, Array(0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Valuation.knnShapley(train, test, "vec_id", "embedding",
+      "label", k = 1).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("shapley") == 1.0)
+    assert(out(2L).getAs[Double]("shapley") == 0.0)
+    // all train points share the test label → every s_i = 1/N exactly
+    val tr4 = (1L to 4L).map(i => (i, 0, Array(i.toFloat, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val o4 = Valuation.knnShapley(tr4, test, "vec_id", "embedding",
+      "label", k = 2).collect()
+    assert(o4.forall(_.getAs[Double]("shapley") == 0.25))
+    // efficiency: Σ_i s_i ≈ v(full) = mean(m over top-K)
+    val rnd = new scala.util.Random(5)
+    val trBig = (1L to 40L).map(i =>
+      (i, rnd.nextInt(3), Array(rnd.nextFloat(), rnd.nextFloat())))
+      .toDF("vec_id", "label", "embedding")
+    val teBig = Seq((200L, 1, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val k = 5
+    val sv = Valuation.knnShapley(trBig, teBig, "vec_id", "embedding",
+      "label", k = k)
+    val total = sv.agg(sum(col("shapley"))).collect().head.getDouble(0)
+    // compute v(full) by brute force on the driver
+    val te = (0.5f, 0.5f)
+    val ranked = (1L to 40L).map { i =>
+      val r = trBig.filter(col("vec_id") === i).collect().head
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val q = e.map(v => math.floor(v * 1000.0).toLong)
+      val tq = Seq(math.floor(te._1 * 1000.0).toLong,
+        math.floor(te._2 * 1000.0).toLong)
+      val d2 = q.zip(tq).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d2, i, r.getAs[Int]("label"))
+    }.sortBy(t => (t._1, t._2))
+    val vFull = ranked.take(k).count(_._3 == 1).toDouble / k
+    assert(math.abs(total - vFull) < 1e-3,
+      s"efficiency: sum $total vs v(full) $vFull")
+  }
+
+  test("knnShapley raises on an oversized test set") {
+    import spark.implicits._
+    val tr = Seq((1L, 0, Array(0f))).toDF("vec_id", "label", "embedding")
+    val te = (1L to 5L).map(i => (100L + i, 0, Array(0f)))
+      .toDF("vec_id", "label", "embedding")
+    assert(intercept[Exception] {
+      Valuation.knnShapley(tr, te, "vec_id", "embedding", "label",
+        maxTest = 3).collect()
+    }.getMessage != null)
+  }
+
   test("burrowsDelta: two mirrored authors sit at the ±1σ poles") {
     import spark.implicits._
     // a: x-heavy, b: y-heavy → every used word has z = ±1 (A = 2),
