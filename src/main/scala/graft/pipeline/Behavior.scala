@@ -487,4 +487,96 @@ object Behavior {
     }
     rows.toSeq.toDF("event_type", "n_journeys", "shapley")
   }
+
+  /** Two-state HMM Viterbi decode over each key's event sequence: the
+    * max-score hidden-state path (e.g. browse/buy regimes) under
+    * INTEGER additive scores — max-product Viterbi in the tropical
+    * semiring, where every score is a long and the decode is therefore
+    * bit-identical across engines (the reason scores, not
+    * log-probabilities, are the contract; any log-prob HMM rescales to
+    * this form by fixed-point scaling).
+    *
+    * Per key: events are totally ordered by (tsCol, idCol), truncated
+    * to the first `maxLen` observations (the bounded-sequence contract,
+    * same as [[sessionPaths]]'s maxLen — a decode over an unbounded
+    * sequence would put an unbounded string on the row). The DP runs
+    * IN-ROW over the collected observation array via an `aggregate`
+    * fold whose accumulator carries, per state, the best score and its
+    * backtracked path so far — Viterbi's backpointer array collapses
+    * into the accumulated path strings, which is exactly the O(states²)
+    * work per step with states=2 hand-unrolled.
+    *
+    * Tie discipline (the cross-engine part): argmax ties prefer the
+    * LOWER-indexed previous state, and the final state pick prefers
+    * state 0 — both plain integer `>=` comparisons.
+    *
+    * Scale posture: ONE user-keyed exchange (the groupBy); the DP is
+    * in-row arithmetic over a ≤maxLen array, no second shuffle, no
+    * driver state. Event types missing from `emit` score 0 in both
+    * states (documented default — the open-vocabulary case).
+    *
+    * Reference scope: sayn users run segmentation like this as
+    * warehouse SQL or a python task (sayn/tasks/python.py); here it is
+    * a first-class operator with an exact recursive-CTE oracle.
+    *
+    * @param emit  per event type, the (state0, state1) emission scores
+    * @param start start scores added to the first observation's emission
+    * @param trans transition scores (t00, t01, t10, t11)
+    */
+  def viterbiDecode(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      emit: Seq[(String, Long, Long)],
+      start: (Long, Long),
+      trans: (Long, Long, Long, Long),
+      stateNames: (String, String) = ("A", "B"),
+      maxLen: Int = 100): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    require(emit.nonEmpty, "emission table must be non-empty")
+    require(stateNames._1.nonEmpty && stateNames._2.nonEmpty,
+      "state names must be non-empty (empty path marks the DP start)")
+    requireFree(events, "_g_obs", "_g_acc")
+    val (t00, t01, t10, t11) = trans
+    val emitMap = map(emit.flatMap { case (o, e0, e1) =>
+      Seq(lit(o), struct(lit(e0).as("e0"), lit(e1).as("e1"))) }: _*)
+    val ordered =
+      struct(col(tsCol), col(idCol), col(typeCol).as("_g_t"))
+    val zero = struct(lit(0L).as("s0"), lit(0L).as("s1"),
+      lit("").as("p0"), lit("").as("p1"))
+    val acc = aggregate(
+      col("_g_obs"), zero,
+      (a, o) => {
+        val e = coalesce(element_at(emitMap, o),
+          struct(lit(0L).as("e0"), lit(0L).as("e1")))
+        val first = length(a.getField("p0")) === 0
+        val c00 = a.getField("s0") + lit(t00)
+        val c10 = a.getField("s1") + lit(t10)
+        val c01 = a.getField("s0") + lit(t01)
+        val c11 = a.getField("s1") + lit(t11)
+        struct(
+          (when(first, lit(start._1)).otherwise(greatest(c00, c10)) +
+            e.getField("e0")).as("s0"),
+          (when(first, lit(start._2)).otherwise(greatest(c01, c11)) +
+            e.getField("e1")).as("s1"),
+          concat(when(first, lit("")).otherwise(
+            when(c00 >= c10, a.getField("p0"))
+              .otherwise(a.getField("p1"))), lit(stateNames._1)).as("p0"),
+          concat(when(first, lit("")).otherwise(
+            when(c01 >= c11, a.getField("p0"))
+              .otherwise(a.getField("p1"))), lit(stateNames._2)).as("p1"))
+      })
+    events.groupBy(col(keyCol))
+      .agg(transform(
+        slice(array_sort(collect_list(ordered)), 1, maxLen),
+        e => e.getField("_g_t")).as("_g_obs"))
+      .withColumn("_g_acc", acc)
+      .select(col(keyCol),
+        size(col("_g_obs")).cast("long").as("n_obs"),
+        greatest(col("_g_acc.s0"), col("_g_acc.s1")).as("best_score"),
+        when(col("_g_acc.s0") >= col("_g_acc.s1"), col("_g_acc.p0"))
+          .otherwise(col("_g_acc.p1")).as("path"))
+  }
 }

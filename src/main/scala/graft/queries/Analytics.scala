@@ -2825,7 +2825,58 @@ object Analytics {
       |      AS DECIMAL(28,6)) AS DOUBLE) END AS fpr_gap
       |FROM r CROSS JOIN ref""".stripMargin
 
+  // q346: two-state HMM Viterbi decode of each user's event sequence
+  // (Behavior.viterbiDecode) — browse/buy regime segmentation under
+  // integer tropical-semiring scores. The oracle replays the DP as a
+  // recursive CTE whose per-step state is the two (score, backtracked
+  // path) pairs, with the same >=-prefers-state-0 tie discipline, so
+  // the decoded path strings are hash-exact.
+  def q346Viterbi(s: SparkSession, dir: String): DataFrame =
+    Behavior.viterbiDecode(ev(s, dir), "user_id", "event_type",
+      "ts_us", "event_id",
+      emit = Seq(("view", 2L, -1L), ("click", 1L, 1L),
+        ("signup", 0L, 1L), ("error", 1L, 0L), ("purchase", -2L, 3L)),
+      start = (0L, -1L), trans = (1L, -1L, -1L, 1L),
+      stateNames = ("A", "B"), maxLen = 100)
+
+  val q346Sql: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS i
+      |  FROM events),
+      |obs AS (SELECT * FROM ev WHERE i <= 100),
+      |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs
+      |      FROM obs GROUP BY 1),
+      |em AS (SELECT * FROM (VALUES
+      |  ('view', 2, -1), ('click', 1, 1), ('signup', 0, 1),
+      |  ('error', 1, 0), ('purchase', -2, 3)) t(et, e0, e1)),
+      |r AS (
+      |  SELECT o.user_id, o.i,
+      |    CAST(0 + em.e0 AS BIGINT) AS s0,
+      |    CAST(-1 + em.e1 AS BIGINT) AS s1,
+      |    'A' AS p0, 'B' AS p1
+      |  FROM obs o JOIN em ON em.et = o.event_type
+      |  WHERE o.i = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.i,
+      |    GREATEST(r.s0 + 1, r.s1 - 1) + em.e0,
+      |    GREATEST(r.s0 - 1, r.s1 + 1) + em.e1,
+      |    (CASE WHEN r.s0 + 1 >= r.s1 - 1 THEN r.p0 ELSE r.p1 END)
+      |      || 'A',
+      |    (CASE WHEN r.s0 - 1 >= r.s1 + 1 THEN r.p0 ELSE r.p1 END)
+      |      || 'B'
+      |  FROM r
+      |  JOIN obs o ON o.user_id = r.user_id AND o.i = r.i + 1
+      |  JOIN em ON em.et = o.event_type)
+      |SELECT r.user_id, n.n_obs,
+      |  CAST(CASE WHEN r.s0 >= r.s1 THEN r.s0 ELSE r.s1 END AS BIGINT)
+      |    AS best_score,
+      |  CASE WHEN r.s0 >= r.s1 THEN r.p0 ELSE r.p1 END AS path
+      |FROM r JOIN n ON n.user_id = r.user_id AND r.i = n.n_obs""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_viterbi" -> (q346Viterbi _),
     "q340_fairness" -> (q340Fairness _),
     "q338_anova" -> (q338Anova _),
     "q334_roc_auc" -> (q334RocAuc _),
@@ -2893,6 +2944,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q346_viterbi" -> q346Sql,
     "q340_fairness" -> q340Sql,
     "q338_anova" -> q338Sql,
     "q334_roc_auc" -> q334Sql,

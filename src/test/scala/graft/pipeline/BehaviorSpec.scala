@@ -242,4 +242,59 @@ class BehaviorSpec extends SparkSpec {
     assert(out("a_touch") == ((1L, 0L))) // lower id wins the tie
     assert(out("b_touch") == ((0L, 1L)))
   }
+
+  // Viterbi fixture HMM: sticky states (stay +1, switch −1), obs "a"
+  // strongly prefers state A (+2/−2), "b" prefers state B (−2/+2),
+  // "n" is neutral (0/0). Start (0, 0).
+  private def viterbi(df: org.apache.spark.sql.DataFrame, maxLen: Int = 100) =
+    Behavior.viterbiDecode(df, "user_id", "event_type", "ts", "event_id",
+      emit = Seq(("a", 2L, -2L), ("b", -2L, 2L), ("n", 0L, 0L)),
+      start = (0L, 0L), trans = (1L, -1L, -1L, 1L), maxLen = maxLen)
+
+  test("viterbiDecode recovers the planted regime switch") {
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "a"), (1L, 3L, 300L, "b"),
+      (1L, 4L, 400L, "b")).toDF("user_id", "event_id", "ts", "event_type")
+    val r = viterbi(ev).collect().head
+    // AABB: 2 + (1+2) + (−1+2) + (1+2) = 9
+    assert(r.getAs[String]("path") == "AABB")
+    assert(r.getAs[Long]("best_score") == 9L)
+    assert(r.getAs[Long]("n_obs") == 4L)
+  }
+
+  test("viterbiDecode stickiness smooths an isolated contrary observation") {
+    // a a b a a — switching to B for the lone b costs two transitions
+    // (−1 −1) for an emission gain of 4: path stays AAAAA only if the
+    // stay bonus wins; here scores say switch: AABAA = 2+3+1+1+3 = 10
+    // vs AAAAA = 2+3−1+3+3 = 10 — a TIE, resolved to the lower state
+    // path AAAAA by the >= discipline.
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "a"), (1L, 3L, 300L, "b"),
+      (1L, 4L, 400L, "a"), (1L, 5L, 500L, "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = viterbi(ev).collect().head
+    assert(r.getAs[Long]("best_score") == 10L)
+    assert(r.getAs[String]("path") == "AAAAA")
+  }
+
+  test("viterbiDecode truncates to maxLen and orders ties by event id") {
+    val ev = Seq(
+      (1L, 2L, 100L, "b"), (1L, 1L, 100L, "a"), (1L, 3L, 200L, "b"),
+      (1L, 4L, 300L, "b")).toDF("user_id", "event_id", "ts", "event_type")
+    val r = viterbi(ev, maxLen = 3).collect().head
+    // order a(id1) b(id2) b(id3); truncated to 3 obs: ABB = 2+1+3 = 6
+    assert(r.getAs[Long]("n_obs") == 3L)
+    assert(r.getAs[String]("path") == "ABB")
+    assert(r.getAs[Long]("best_score") == 6L)
+  }
+
+  test("viterbiDecode scores unknown event types 0 in both states") {
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "zzz"), (1L, 3L, 300L, "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = viterbi(ev).collect().head
+    // A?A with ?=A (stay beats switch-and-back): 2 + (1+0) + (1+2) = 6
+    assert(r.getAs[String]("path") == "AAA")
+    assert(r.getAs[Long]("best_score") == 6L)
+  }
 }
