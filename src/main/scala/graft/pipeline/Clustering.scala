@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Density-based clustering (DBSCAN, Ester et al. 1996) over an
+  * embedding column — the clustering family that needs NO cluster
+  * count and marks outliers explicitly, which is what a curation
+  * pipeline wants when it asks "what natural groups does this corpus
+  * form, and what is junk?" (k-means — [[Similarity.centroids]] /
+  * `lloydTrain` — answers a different question and never says "noise").
+  *
+  * Split the same way the dedup families are split ([[Similarity
+  * .semanticDedupFromPairs]]'s contract): the ε-NEIGHBOR PAIR STAGE is
+  * the scale-bearing, swappable part; the DBSCAN core/border/noise
+  * logic is a fixed keyed pipeline over whatever pair frame feeds it.
+  *
+  *   - [[euclideanPairs]]: exact quantized-integer ε-pairs — the
+  *     oracle-checkable baseline (hash-blocked broadcast nested loop,
+  *     the declared-exact-baseline regime of `embeddingDupPairsBlocked`).
+  *   - at 100 TB: feed [[dbscanFromPairs]] from LSH candidates
+  *     ([[Similarity.annDupPairs]]-style bucketed generation) verified
+  *     at the ε threshold — candidate recall misses split clusters,
+  *     the standard approximate-DBSCAN trade, and the ONLY part of the
+  *     operator that changes.
+  *
+  * Determinism (the cross-engine contract): distances are integer
+  * (floor(v·1000) quantization, d² = nrmA + nrmB − 2·dot — all longs);
+  * cluster ids are component-min core ids; border points attach to the
+  * MINIMUM cluster id among their core neighbors. Textbook DBSCAN
+  * leaves the border tie to visit order — this variant pins it, so the
+  * assignment is a pure function of the pair set.
+  */
+object Clustering {
+
+  /** Exact ε-neighbor pairs by quantized squared euclidean distance:
+    * one row per unordered pair with d² ≤ eps2, d² in quantized units
+    * (ε of 1.2 in embedding space ⇒ eps2 = (1.2·1000)² = 1,440,000).
+    *
+    * Identity d² = |a|² + |b|² − 2a·b over the packed longs, so the
+    * kernel reuses the codegen'd [[graft.functions.LongArrayDot]] and
+    * every comparison is integer-exact. Hash-blocked broadcast nested
+    * loop: exact-baseline regime, O(N²/blocks) per task — swap for LSH
+    * candidates past that regime (scaladoc above).
+    */
+  def euclideanPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      eps2: Long,
+      blocks: Int = 8): DataFrame = {
+    require(eps2 > 0, s"eps2 must be positive, got $eps2")
+    require(blocks >= 1, "blocks must be >= 1")
+    val packed = df.select(
+      col(idCol),
+      transform(col(embCol),
+        v => floor(v.cast("double") * lit(1000.0)).cast("long")).as("q"))
+      .select(col(idCol), col("q"),
+        graft.functions.GraftFunctions.longArrayDot(col("q"), col("q"))
+          .as("nrm"))
+      .withColumn("_blk", pmod(xxhash64(col(idCol)), lit(blocks)).cast("int"))
+    def side(i: Int, n: String) = packed.filter(col("_blk") === i)
+      .select(col(idCol).as(s"vec_$n"), col("q").as(s"q$n"),
+        col("nrm").as(s"n$n"))
+    val branches = for { i <- 0 until blocks; j <- i until blocks } yield {
+      val cond = if (i == j) col("vec_a") < col("vec_b")
+                 else col("vec_a") =!= col("vec_b")
+      side(i, "a").join(broadcast(side(j, "b")), cond)
+        .select(
+          least(col("vec_a"), col("vec_b")).as("vec_a"),
+          greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+          (col("na") + col("nb") -
+            lit(2L) * graft.functions.GraftFunctions
+              .longArrayDot(col("qa"), col("qb"))).as("d2"))
+        .filter(col("d2") <= eps2)
+    }
+    branches.reduce(_ unionByName _)
+  }
+
+  /** DBSCAN given the ε-neighbor pair frame (`vec_a`, `vec_b`, one row
+    * per unordered pair). Neighborhood counts INCLUDE the point itself
+    * (the paper's |N_ε(p)| ≥ minPts convention).
+    *
+    * Output per point: (idCol, n_neighbors, role core|border|noise,
+    * cluster = component-min core id, NULL for noise).
+    *
+    * Scale posture: degree = ONE pair-keyed aggregate; components run
+    * on the CORE-CORE edge subgraph through [[TextDedup.dupClusters]]
+    * (checkpointed min-label propagation with pointer jumping); border
+    * attachment is one more keyed join + min-aggregate. No stage ever
+    * carries embeddings — ids and longs only.
+    */
+  def dbscanFromPairs(
+      points: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val sym = pairs.select(col("vec_a").as("_g_s"), col("vec_b").as("_g_d"))
+      .union(pairs.select(col("vec_b"), col("vec_a")))
+      .distinct()
+    val deg = sym.groupBy(col("_g_s"))
+      .agg((count(lit(1)) + lit(1L)).as("_g_nn"))
+    val pts = points.select(col(idCol))
+      .join(deg.withColumnRenamed("_g_s", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_g_nn"), lit(1L)).as("n_neighbors"))
+    val core = pts.filter(col("n_neighbors") >= minPts).select(col(idCol))
+    val coreEdges = sym
+      .join(core.withColumnRenamed(idCol, "_g_s"), Seq("_g_s"))
+      .join(core.withColumnRenamed(idCol, "_g_d"), Seq("_g_d"))
+    val comp = TextDedup.dupClusters(coreEdges, "_g_s", "_g_d")
+      .withColumnRenamed("doc_id", idCol)
+    // isolated cores (all minPts neighbors are non-core) are their own
+    // cluster; border points take the MIN core neighbor's cluster
+    val coreCl = core.join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("_g_cl"))
+    val borderCl = sym
+      .join(coreCl.withColumnRenamed(idCol, "_g_d"), Seq("_g_d"))
+      .groupBy(col("_g_s").as(idCol))
+      .agg(min(col("_g_cl")).as("_g_bcl"))
+    pts.join(coreCl, Seq(idCol), "left")
+      .join(borderCl, Seq(idCol), "left")
+      .select(col(idCol), col("n_neighbors"),
+        when(col("_g_cl").isNotNull, lit("core"))
+          .when(col("_g_bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("_g_cl"), col("_g_bcl")).as("cluster"))
+  }
+
+  /** Exact DBSCAN composition: [[euclideanPairs]] → [[dbscanFromPairs]]. */
+  def dbscan(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      eps2: Long,
+      minPts: Int,
+      blocks: Int = 8): DataFrame =
+    dbscanFromPairs(df, idCol,
+      euclideanPairs(df, idCol, embCol, eps2, blocks), minPts)
+}

@@ -1698,7 +1698,60 @@ object Pipeline {
       |    AS shapley
       |FROM s GROUP BY 1""".stripMargin
 
+  // q347: DBSCAN over the embeddings (Clustering.dbscan) — density
+  // clustering with explicit noise, exact quantized-integer ε-pairs,
+  // component-min cluster ids, min-core-neighbor border attachment
+  // (the deterministic pin on textbook DBSCAN's visit-order tie). The
+  // oracle replays pairs → degrees → cores → recursive-CTE components
+  // → border min-attach; hash-exact including the role strings.
+  def q347Dbscan(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Clustering.dbscan(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      eps2 = 1380000L, minPts = 5)
+
+  val q347Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |pr AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range(1, len(a.q) + 1), i ->
+      |    (a.q[CAST(i AS INTEGER)] - b.q[CAST(i AS INTEGER)]) *
+      |    (a.q[CAST(i AS INTEGER)] - b.q[CAST(i AS INTEGER)])))
+      |    <= 1380000),
+      |sym AS (SELECT va AS s, vb AS d FROM pr
+      |        UNION SELECT vb, va FROM pr),
+      |deg AS (SELECT s, CAST(COUNT(*) + 1 AS BIGINT) AS nn
+      |        FROM sym GROUP BY 1),
+      |pts AS (SELECT e.vec_id, COALESCE(deg.nn, 1) AS nn
+      |        FROM e LEFT JOIN deg ON deg.s = e.vec_id),
+      |core AS (SELECT vec_id FROM pts WHERE nn >= 5),
+      |ce AS (SELECT sym.s, sym.d FROM sym
+      |       JOIN core c1 ON c1.vec_id = sym.s
+      |       JOIN core c2 ON c2.vec_id = sym.d),
+      |reach(id, lab) AS (
+      |  SELECT s, s FROM ce
+      |  UNION
+      |  SELECT ce.s, r.lab FROM ce JOIN reach r ON ce.d = r.id),
+      |comp AS (SELECT id, MIN(lab) AS cl FROM reach GROUP BY id),
+      |corecl AS (SELECT c.vec_id, COALESCE(comp.cl, c.vec_id) AS cl
+      |           FROM core c LEFT JOIN comp ON comp.id = c.vec_id),
+      |bord AS (SELECT sym.s AS vec_id, MIN(corecl.cl) AS bcl
+      |         FROM sym JOIN corecl ON corecl.vec_id = sym.d
+      |         GROUP BY 1)
+      |SELECT p.vec_id, p.nn AS n_neighbors,
+      |  CASE WHEN cc.vec_id IS NOT NULL THEN 'core'
+      |       WHEN b.bcl IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  COALESCE(cc.cl, b.bcl) AS cluster
+      |FROM pts p
+      |LEFT JOIN corecl cc ON cc.vec_id = p.vec_id
+      |LEFT JOIN bord b ON b.vec_id = p.vec_id""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_dbscan" -> (q347Dbscan _),
     "q345_knn_shapley" -> (q345KnnShapley _),
     "q344_silhouette" -> (q344Silhouette _),
     "q343_cdc_dup_pairs" -> (q343CdcDup _),
@@ -2407,6 +2460,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q347_dbscan" -> q347Sql,
     "q345_knn_shapley" -> q345Sql,
     "q344_silhouette" -> q344Sql,
     "q343_cdc_dup_pairs" -> q343Sql,
