@@ -1496,4 +1496,104 @@ object Similarity {
         d6(col("_sSum").cast("double") / col("n_points").cast("double"))
           .as("mean_silhouette"))
   }
+
+  /** MMR diverse top-k (Carbonell & Goldstein 1998): per query, pick k
+    * results greedily maximizing λ·rel − (1−λ)·max-sim-to-already-
+    * picked — the re-rank that keeps a RAG/retrieval result list from
+    * collapsing onto k near-duplicates, which is why it sits next to
+    * the dedup families here.
+    *
+    * Execution shape (the scale-bearing decision): MMR is sequential
+    * in k, so a naive build runs k distributed argmax jobs. Instead
+    * the standard re-rank-window form bounds the candidate set to the
+    * relevance top-`topN` PER QUERY (rank window over the broadcast
+    * query × corpus scores), collects that window onto ONE ROW per
+    * query, and runs the whole greedy selection IN-ROW as a k-step
+    * `aggregate` fold — zero driver participation, parallel across
+    * queries, O(topN·k) codegen'd integer dots per query. topN and k
+    * are interface constants (20/5-ish); corpus size only affects the
+    * scoring scan, which is the same broadcast-query pattern as
+    * [[bruteForceKnn]] (swap in [[lshCandidates]] past that regime).
+    *
+    * Exactness: every comparison is on fixed-point LONGS —
+    * r6 = floor(10⁶·dot/√(nrmA·nrmB)) relevance, m6 the same for
+    * pair sims, step score = λ6·r6 − (10⁶−λ6)·m6 at scale 10¹²
+    * (products stay ≤ 10¹² < 2⁶³). Ties: higher score, then LOWER
+    * candidate id (struct-max over (score, −id)). First pick has no
+    * selected set: the diversity term is 0 — argmax rel, the paper's
+    * base case.
+    *
+    * Output: (queryIdCol=query_id, rank 1..k, vec_id, score) where
+    * score = the d6 double of the fixed-point step score.
+    */
+  def mmrSelect(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      queryPred: Column,
+      topN: Int = 20,
+      k: Int = 5,
+      lambda: Double = 0.5): DataFrame = {
+    require(topN >= 1 && k >= 1 && k <= topN,
+      s"need 1 <= k <= topN, got k=$k topN=$topN")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val lam6 = math.floor(lambda * 1e6).toLong
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val packed = packedWithNorm(df, idCol, embCol)
+    val queries = packed.filter(queryPred)
+      .select(col(idCol).as("query_id"), col("q").as("qq"),
+        col("nrm").as("qn"))
+    val corpus = packed.filter(!queryPred)
+      .select(col(idCol).as("_cid"), col("q").as("_cq"),
+        col("nrm").as("_cn"))
+    def fp6(dot: Column, na: Column, nb: Column): Column =
+      floor(dot.cast("double") * lit(1e6) /
+        sqrt(na.cast("double") * nb.cast("double"))).cast("long")
+    val scored = corpus.join(broadcast(queries), col("_cid") =!= col("query_id"))
+      .select(col("query_id"), col("_cid"), col("_cq"), col("_cn"),
+        fp6(packedDot(col("_cq"), col("qq")), col("_cn"), col("qn"))
+          .as("_r6"))
+    val window = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("_r6").desc, col("_cid").asc)
+    val cands = scored
+      .withColumn("_rk", row_number().over(window))
+      .filter(col("_rk") <= topN)
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(
+        struct(col("_rk").as("rk"), col("_cid").as("cid"),
+          col("_cq").as("cq"), col("_cn").as("cn"), col("_r6").as("r6"))))
+        .as("_cands"))
+    // k-step greedy fold; accumulator = array of (idx into _cands, s6)
+    val emptySel = array().cast("array<struct<i:int,s6:bigint>>")
+    val sel = aggregate(
+      sequence(lit(1), lit(k)), emptySel,
+      (selAcc, _) => {
+        val scoredStep = transform(col("_cands"), (c, i0) => {
+          val taken = exists(selAcc, e => e.getField("i") === i0 + 1)
+          val maxSim6 = coalesce(
+            array_max(transform(selAcc, e => {
+              val s = element_at(col("_cands"), e.getField("i"))
+              fp6(packedDot(c.getField("cq"), s.getField("cq")),
+                c.getField("cn"), s.getField("cn"))
+            })),
+            lit(0L))
+          when(taken, lit(null)).otherwise(struct(
+            (lit(lam6) * c.getField("r6") -
+              lit(1000000L - lam6) * maxSim6).as("s6"),
+            (-c.getField("cid")).as("negid"),
+            (i0 + 1).as("i")))
+        })
+        val pick = array_max(filter(scoredStep, x => x.isNotNull))
+        // candidates exhausted (window had < k rows): selection stops
+        when(pick.isNull, selAcc).otherwise(
+          concat(selAcc, array(struct(
+            pick.getField("i").as("i"), pick.getField("s6").as("s6")))))
+      })
+    cands
+      .select(col("query_id"), col("_cands"), posexplode(sel))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        element_at(col("_cands"), col("col.i")).getField("cid").as("vec_id"),
+        d6(col("col.s6").cast("double") / lit(1e12)).as("score"))
+  }
 }

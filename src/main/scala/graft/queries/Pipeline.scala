@@ -1750,7 +1750,81 @@ object Pipeline {
       |LEFT JOIN corecl cc ON cc.vec_id = p.vec_id
       |LEFT JOIN bord b ON b.vec_id = p.vec_id""".stripMargin
 
+  // q348: MMR diverse top-5 (Similarity.mmrSelect) — greedy
+  // relevance/diversity re-rank inside a per-query top-20 window, all
+  // comparisons on fixed-point longs (r6/m6 at 10⁶, step scores at
+  // 10¹²). The oracle replays the greedy fold as a recursive CTE whose
+  // state is the selected (index, score) list, with the same
+  // struct-max (s6, −cid) tie rule.
+  def q348Mmr(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id", "embedding",
+      queryPred = col("vec_id") % 17 === 0, topN = 20, k = 5,
+      lambda = 0.5)
+
+  val q348Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q,
+      |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM e),
+      |qs AS (SELECT vec_id AS query_id, q AS qq, nrm AS qn
+      |       FROM n WHERE vec_id % 17 = 0),
+      |cs AS (SELECT vec_id AS cid, q AS cq, nrm AS cn
+      |       FROM n WHERE vec_id % 17 <> 0),
+      |sc AS (
+      |  SELECT query_id, cid, cq, cn,
+      |    CAST(floor(CAST(list_sum(list_transform(range(1, len(cq) + 1),
+      |      i -> cq[CAST(i AS INTEGER)] * qq[CAST(i AS INTEGER)]))
+      |      AS DOUBLE) * 1000000.0 /
+      |      sqrt(CAST(cn AS DOUBLE) * CAST(qn AS DOUBLE))) AS BIGINT)
+      |      AS r6
+      |  FROM cs CROSS JOIN qs),
+      |wnd AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY r6 DESC, cid ASC) AS rk
+      |  FROM sc),
+      |cand AS (
+      |  SELECT query_id,
+      |    list({rk: rk, cid: cid, cq: cq, cn: cn, r6: r6}
+      |      ORDER BY rk) AS cands
+      |  FROM wnd WHERE rk <= 20 GROUP BY query_id),
+      |step(query_id, cands, s, sel) AS (
+      |  SELECT query_id, cands, 0,
+      |    CAST([] AS STRUCT(i INTEGER, s6 BIGINT)[])
+      |  FROM cand
+      |  UNION ALL
+      |  SELECT query_id, cands, s + 1,
+      |    list_append(sel, (
+      |      SELECT {i: p.i, s6: p.s6} FROM (
+      |        SELECT list_max(list_filter(list_transform(cands,
+      |          (c, i0) ->
+      |          CASE WHEN len(list_filter(sel, e -> e.i = i0)) > 0
+      |          THEN NULL
+      |          ELSE {s6: 500000 * c.r6 - 500000 * COALESCE(
+      |              list_max(list_transform(sel, e ->
+      |                CAST(floor(CAST(list_sum(list_transform(
+      |                  range(1, len(c.cq) + 1), ii ->
+      |                  c.cq[CAST(ii AS INTEGER)] *
+      |                  cands[e.i].cq[CAST(ii AS INTEGER)]))
+      |                  AS DOUBLE) * 1000000.0 /
+      |                  sqrt(CAST(c.cn AS DOUBLE) *
+      |                    CAST(cands[e.i].cn AS DOUBLE)))
+      |                  AS BIGINT))), 0),
+      |            negid: -c.cid, i: i0}
+      |          END), x -> x IS NOT NULL)) AS p)))
+      |  FROM step WHERE s < 5),
+      |fin AS (SELECT query_id, cands, sel FROM step WHERE s = 5)
+      |SELECT f.query_id, u.j AS rank,
+      |  f.cands[f.sel[u.j].i].cid AS vec_id,
+      |  CAST(CAST(CAST(f.sel[u.j].s6 AS DOUBLE) / 1000000000000.0
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS score
+      |FROM fin f, (SELECT CAST(unnest(range(1, 6)) AS INTEGER) AS j) u
+      |WHERE u.j <= len(f.sel)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_mmr" -> (q348Mmr _),
     "q347_dbscan" -> (q347Dbscan _),
     "q345_knn_shapley" -> (q345KnnShapley _),
     "q344_silhouette" -> (q344Silhouette _),
@@ -2460,6 +2534,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q348_mmr" -> q348Sql,
     "q347_dbscan" -> q347Sql,
     "q345_knn_shapley" -> q345Sql,
     "q344_silhouette" -> q344Sql,
