@@ -488,6 +488,65 @@ object Behavior {
     rows.toSeq.toDF("event_type", "n_journeys", "shapley")
   }
 
+  /** Pairwise association rules (the support/confidence/lift core of
+    * Agrawal-Srikant market-basket mining) over event baskets: a
+    * basket is one distinct-item set per `basketCols` group (e.g.
+    * user×day), and every directed item pair (a → b) co-occurring in
+    * ≥ `minCount` baskets becomes a rule row.
+    *
+    * Metrics (exact cross-engine: integer counts, ONE double division
+    * each, d6-quantized):
+    *   support    = n_both / n_baskets
+    *   confidence = n_both / n_antecedent
+    *   lift       = (n_both · n_baskets) / (n_antecedent · n_consequent)
+    *
+    * Scale posture: baskets = one distinct over (basket, item) — the
+    * exchange carries keys only; pair counts = a basket-keyed
+    * self-equi-join (bounded per basket by items², with |item
+    * vocabulary| small by construction in event pipelines); totals
+    * ride a broadcast 1-row frame, never a collect. Item-pair output
+    * is ≤ |vocab|² rows. Frequent-itemset generalization beyond pairs
+    * is the standard iterated join on this same frame.
+    */
+  def associationRules(
+      events: DataFrame,
+      basketCols: Seq[String],
+      itemCol: String,
+      minCount: Long = 2L): DataFrame = {
+    require(basketCols.nonEmpty, "need at least one basket key column")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    requireFree(events, "_g_item", "_g_nb", "_g_na", "_g_nc")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val bk = basketCols.map(col)
+    val baskets = events.select(bk :+ col(itemCol).as("_g_item"): _*)
+      .filter(col("_g_item").isNotNull).distinct()
+    val nBaskets = baskets.select(bk: _*).distinct()
+      .agg(count(lit(1)).as("_g_nb"))
+    val itemCounts = baskets.groupBy(col("_g_item"))
+      .agg(count(lit(1)).as("_g_n"))
+    val pairCounts = baskets
+      .join(baskets.select(
+        bk :+ col("_g_item").as("_g_item_b"): _*), basketCols)
+      .filter(col("_g_item") =!= col("_g_item_b"))
+      .groupBy(col("_g_item").as("antecedent"),
+        col("_g_item_b").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCount)
+    pairCounts
+      .join(itemCounts.select(col("_g_item").as("antecedent"),
+        col("_g_n").as("_g_na")), Seq("antecedent"))
+      .join(itemCounts.select(col("_g_item").as("consequent"),
+        col("_g_n").as("_g_nc")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        d6(col("n_both").cast("double") / col("_g_nb").cast("double"))
+          .as("support"),
+        d6(col("n_both").cast("double") / col("_g_na").cast("double"))
+          .as("confidence"),
+        d6((col("n_both") * col("_g_nb")).cast("double") /
+          (col("_g_na") * col("_g_nc")).cast("double")).as("lift"))
+  }
+
   /** Two-state HMM Viterbi decode over each key's event sequence: the
     * max-score hidden-state path (e.g. browse/buy regimes) under
     * INTEGER additive scores — max-product Viterbi in the tropical

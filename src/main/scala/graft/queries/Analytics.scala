@@ -2875,7 +2875,47 @@ object Analytics {
       |  CASE WHEN r.s0 >= r.s1 THEN r.p0 ELSE r.p1 END AS path
       |FROM r JOIN n ON n.user_id = r.user_id AND r.i = n.n_obs""".stripMargin
 
+  // q349: pairwise association rules over user×day event baskets
+  // (Behavior.associationRules) — support/confidence/lift with integer
+  // counts and one d6 division per metric; broadcast 1-row basket
+  // total, basket-keyed pair self-join.
+  def q349AssocRules(s: SparkSession, dir: String): DataFrame =
+    Behavior.associationRules(
+      ev(s, dir).withColumn("day", expr("ts_us div 86400000000")),
+      basketCols = Seq("user_id", "day"), itemCol = "event_type",
+      minCount = 2L)
+
+  val q349Sql: String =
+    """WITH b AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    event_type
+      |  FROM events WHERE event_type IS NOT NULL),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM (SELECT DISTINCT user_id, day FROM b)),
+      |ic AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM b GROUP BY 1),
+      |pc AS (
+      |  SELECT a.event_type AS antecedent, c.event_type AS consequent,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+      |    AND a.event_type <> c.event_type
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT antecedent, consequent, n_both,
+      |  CAST(CAST(CAST(n_both AS DOUBLE) / CAST(nb.n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS support,
+      |  CAST(CAST(CAST(n_both AS DOUBLE) / CAST(ia.n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS confidence,
+      |  CAST(CAST(CAST(n_both * nb.n AS DOUBLE) /
+      |    CAST(ia.n * ic2.n AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS lift
+      |FROM pc
+      |JOIN ic ia ON ia.event_type = pc.antecedent
+      |JOIN ic ic2 ON ic2.event_type = pc.consequent
+      |CROSS JOIN nb""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_assoc_rules" -> (q349AssocRules _),
     "q346_viterbi" -> (q346Viterbi _),
     "q340_fairness" -> (q340Fairness _),
     "q338_anova" -> (q338Anova _),
@@ -2944,6 +2984,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q349_assoc_rules" -> q349Sql,
     "q346_viterbi" -> q346Sql,
     "q340_fairness" -> q340Sql,
     "q338_anova" -> q338Sql,

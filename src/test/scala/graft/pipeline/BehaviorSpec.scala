@@ -243,6 +243,26 @@ class BehaviorSpec extends SparkSpec {
     assert(out("b_touch") == ((0L, 1L)))
   }
 
+  test("associationRules: hand-checkable support/confidence/lift") {
+    // baskets (per user): u1 {a,b} (a twice — distinct collapses it),
+    // u2 {a,b}, u3 {a}, u4 {b,c}. (b,c) co-occurs once → cut at
+    // minCount 2.
+    val ev = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c"))
+      .toDF("user_id", "event_type")
+    val out = Behavior.associationRules(ev, Seq("user_id"), "event_type",
+      minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a")))
+    // a→b: 2 baskets of 4; conf 2/3; lift (2·4)/(3·3)
+    assert(out(("a", "b")) == ((2L, 0.5, 0.666667, 0.888889)))
+    assert(out(("b", "a")) == ((2L, 0.5, 0.666667, 0.888889)))
+  }
+
   // Viterbi fixture HMM: sticky states (stay +1, switch −1), obs "a"
   // strongly prefers state A (+2/−2), "b" prefers state B (−2/+2),
   // "n" is neutral (0/0). Start (0, 0).
