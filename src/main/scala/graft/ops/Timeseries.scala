@@ -383,4 +383,66 @@ object Timeseries {
         col("x").as(valueCol), col("phase"), col("trend"),
         col("seasonal"), col("residual"))
   }
+
+  /** Sample autocorrelation function per key: for each lag k = 1..
+    * `maxLag`, r_k = Σ_t (x_t−x̄)(x_{t−k}−x̄) / Σ_t (x_t−x̄)² over the
+    * key's series in `tCol` order — the diagnostic that tells a
+    * volume-monitoring pipeline whether its daily/6h cycle is real and
+    * how fast shocks decay (and, as a corrgram, feeds ARIMA order
+    * picks).
+    *
+    * Exactness (the cross-engine contract): the series must be
+    * INTEGER-valued (counts — enforced by a long cast). Deviations are
+    * denominator-cleared: d_t = n·x_t − S is a long, products go
+    * through decimal(38,0) (d² can pass 2⁶³), and r_k is ONE double
+    * division of two exact decimal sums, d6-quantized. The n² factor
+    * cancels between numerator and denominator, so clearing changes
+    * nothing but exactness. Constant series (zero variance) → NULL.
+    *
+    * Scale shape: one (key, t) aggregate upstream of the call; here
+    * one per-key stats aggregate, ONE ordered window pass producing
+    * all maxLag lagged deviations, an explode bounded by maxLag, and
+    * one (key, lag) aggregate — per-key windows are the bounded-series
+    * contract shared with [[seasonalDecompose]] (a key's series fits a
+    * partition; series length is time-range/step, not corpus size).
+    */
+  def acf(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val stats = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_n"), sum(col(xCol).cast("long")).as("_s"))
+    val dev = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .join(stats, Seq("_k"))
+      .withColumn("_d", col("_n") * col("_x") - col("_s"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val lagged = dev.select(
+      Seq(col("_k"), col("_n"), col("_d")) ++
+        (1 to maxLag).map(k => lag(col("_d"), k).over(w).as(s"_l$k")): _*)
+    val den = lagged.groupBy(col("_k"))
+      .agg(sum(d38(d38(col("_d")) * d38(col("_d")))).as("_den"),
+        max(col("_n")).as("_n"))
+    val prods = lagged.select(col("_k"),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"),
+          d38(d38(col("_d")) * d38(col(s"_l$k"))).as("p"))): _*))
+        .as("_e"))
+      .select(col("_k"), col("_e.lag").as("lag"), col("_e.p").as("p"))
+      .filter(col("p").isNotNull)
+    prods.groupBy(col("_k"), col("lag"))
+      .agg(sum(col("p")).as("_num"))
+      .join(den, Seq("_k"))
+      .select(col("_k").as(keyCol), col("lag"),
+        col("_n").as("n_periods"),
+        when(col("_den") > 0,
+          d6(col("_num").cast("double") / col("_den").cast("double")))
+          .as("acf"))
+  }
 }

@@ -2914,7 +2914,55 @@ object Analytics {
       |JOIN ic ic2 ON ic2.event_type = pc.consequent
       |CROSS JOIN nb""".stripMargin
 
+  // q350: sample ACF (lags 1..6) of per-type 6h event volumes
+  // (Timeseries.acf) — denominator-cleared integer deviations
+  // d_t = n·x_t − S, decimal(38,0)/HUGEINT product sums, one d6
+  // division per (type, lag). The corrgram over the same buckets
+  // q321 decomposes.
+  def q350Acf(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.acf(buckets, "event_type", "b", "x", maxLag = 6)
+  }
+
+  val q350Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx
+      |       FROM s GROUP BY 1),
+      |d AS (SELECT s.k, s.t, st.n, st.n * s.x - st.sx AS dv
+      |      FROM s JOIN st ON st.k = s.k),
+      |l AS (SELECT k, n, dv,
+      |    lag(dv, 1) OVER w AS l1, lag(dv, 2) OVER w AS l2,
+      |    lag(dv, 3) OVER w AS l3, lag(dv, 4) OVER w AS l4,
+      |    lag(dv, 5) OVER w AS l5, lag(dv, 6) OVER w AS l6
+      |  FROM d WINDOW w AS (PARTITION BY k ORDER BY t)),
+      |den AS (SELECT k, SUM(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT))
+      |          AS dn, MAX(n) AS n
+      |        FROM l GROUP BY 1),
+      |pr AS (
+      |  SELECT k, u.lg,
+      |    CAST(dv AS HUGEINT) * CAST(CASE u.lg
+      |      WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+      |      WHEN 4 THEN l4 WHEN 5 THEN l5 ELSE l6 END AS HUGEINT) AS p
+      |  FROM l, (SELECT unnest(range(1, 7)) AS lg) u),
+      |num AS (SELECT k, lg, SUM(p) AS nm FROM pr WHERE p IS NOT NULL
+      |        GROUP BY 1, 2)
+      |SELECT num.k AS event_type, CAST(num.lg AS INTEGER) AS lag,
+      |  den.n AS n_periods,
+      |  CASE WHEN den.dn > 0 THEN
+      |    CAST(CAST(CAST(num.nm AS DOUBLE) / CAST(den.dn AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS acf
+      |FROM num JOIN den ON den.k = num.k""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q350_acf" -> (q350Acf _),
     "q349_assoc_rules" -> (q349AssocRules _),
     "q346_viterbi" -> (q346Viterbi _),
     "q340_fairness" -> (q340Fairness _),
@@ -2984,6 +3032,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q350_acf" -> q350Sql,
     "q349_assoc_rules" -> q349Sql,
     "q346_viterbi" -> q346Sql,
     "q340_fairness" -> q340Sql,

@@ -246,4 +246,29 @@ class TimeseriesSpec extends SparkSpec {
       Timeseries.holtForecast(huge, "k", "t", "y").collect()
     }.getMessage.contains("1e6"))
   }
+
+  test("acf: alternating series has acf(1) = -5/6, acf(2) = 2/3") {
+    // x = 1,2,1,2,1,2: d = 6x−9 = ±3; den = 54, num(1) = −45,
+    // num(2) = +36
+    val alt = Seq(1L, 2L, 1L, 2L, 1L, 2L).zipWithIndex
+      .map { case (x, t) => ("a", t.toLong, x) }.toDF("k", "t", "x")
+    val out = Timeseries.acf(alt, "k", "t", "x", maxLag = 2)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1) == ((6L, Some(-0.833333))))
+    assert(out(2) == ((6L, Some(0.666667))))
+  }
+
+  test("acf: constant series yields NULL (zero variance); keys independent") {
+    val df = (Seq.tabulate(5)(t => ("flat", t.toLong, 7L)) ++
+      Seq(("alt", 0L, 1L), ("alt", 1L, 3L), ("alt", 2L, 1L),
+        ("alt", 3L, 3L))).toDF("k", "t", "x")
+    val out = Timeseries.acf(df, "k", "t", "x", maxLag = 1)
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out("flat").isEmpty)
+    // alt: d = 4x−8 = −4,4,−4,4; den = 64; num(1) = 3·(−16) = −48
+    assert(out("alt") == Some(-0.75))
+  }
 }
