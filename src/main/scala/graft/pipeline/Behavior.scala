@@ -488,6 +488,97 @@ object Behavior {
     rows.toSeq.toDF("event_type", "n_journeys", "shapley")
   }
 
+  /** Stationary distribution of the observed event-type Markov chain:
+    * where does a user's behavior settle long-run? Transition counts
+    * come from per-key LEAD bigrams (the [[transitions]] construction);
+    * the power iteration π ← πP then runs ENTIRELY IN-ROW on a single
+    * collected (states, cells) row, in FIXED-POINT INTEGER arithmetic
+    * (probabilities and masses at scale 10⁶, every step
+    * floor-quantized) — exact on both engines, so unlike the
+    * double-precision [[graft.ops.Graph.pageRank]] (whose node space
+    * is corpus-sized) this variant is hash-exact and belongs to the
+    * replayable-training class (q218/q220): the oracle replays all
+    * `iters` steps verbatim.
+    *
+    * Scale contract: the STATE VOCABULARY is small by construction
+    * (event taxonomies, not documents) — enforced by a loud in-plan
+    * guard at `maxStates`; the only exchange is the bigram count
+    * aggregate (≤ vocab² rows). For corpus-sized state spaces use
+    * pageRank's distributed iteration instead.
+    *
+    * Conventions: states with no outgoing transitions self-loop
+    * (absorbing); floor quantization leaks ≤ k·10⁻⁶ mass per step (no
+    * renormalization — documented, deterministic); initial mass is
+    * floor(10⁶/k) per state. Output: (event_type, pi).
+    */
+  def stationaryDistribution(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      iters: Int = 30,
+      maxStates: Int = 64): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxStates >= 2, s"maxStates must be >= 2, got $maxStates")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+    val counts = events
+      .select(col(keyCol), col(tsCol), col(idCol),
+        col(typeCol).as("_g_f"))
+      .withColumn("_g_t", lead(col("_g_f"), 1).over(w))
+      .filter(col("_g_t").isNotNull)
+      .groupBy(col("_g_f"), col("_g_t"))
+      .agg(count(lit(1)).as("_g_n"))
+    val one = counts.agg(
+      array_sort(array_distinct(concat(
+        collect_set(col("_g_f")), collect_set(col("_g_t"))))).as("_st"),
+      collect_list(struct(col("_g_f").as("f"), col("_g_t").as("t"),
+        col("_g_n").as("n"))).as("_cells"))
+    val k = size(col("_st"))
+    def cellSum(p: Column => Column): Column =
+      coalesce(aggregate(filter(col("_cells"), p),
+        lit(0L), (acc, c) => acc + c.getField("n")), lit(0L))
+    // guard embedded in the USED column (not a side column Catalyst
+    // would prune away) — the welchTTest in-plan require discipline
+    val guarded = one.select(
+      when(k <= maxStates, col("_st"))
+        .otherwise(raise_error(concat(
+          lit("stationaryDistribution: state vocabulary "),
+          k.cast("string"),
+          lit(s" exceeds maxStates=$maxStates — this operator is for " +
+            "bounded taxonomies; use Graph.pageRank for corpus-sized " +
+            "state spaces"))).cast("array<string>")).as("_st"),
+      col("_cells"))
+    val withMat = guarded
+      .withColumn("_rs", transform(col("_st"),
+        si => cellSum(c => c.getField("f") === si)))
+      .withColumn("_p6", flatten(transform(col("_st"), (si, i) =>
+        transform(col("_st"), sj =>
+          when(element_at(col("_rs"), i + 1) === 0L,
+            when(si === sj, lit(1000000L)).otherwise(lit(0L)))
+            .otherwise(floor(
+              cellSum(c => c.getField("f") === si && c.getField("t") === sj)
+                .cast("double") * lit(1000000.0) /
+                element_at(col("_rs"), i + 1).cast("double"))
+              .cast("long"))))))
+    val pi0 = transform(col("_st"),
+      _ => floor(lit(1000000.0) / k.cast("double")).cast("long"))
+    val piN = aggregate(
+      sequence(lit(1), lit(iters)), pi0,
+      (pi, _) => transform(sequence(lit(0), k - 1), j =>
+        floor(aggregate(sequence(lit(0), k - 1), lit(0L),
+          (acc, i) => acc + element_at(pi, i + 1) *
+            element_at(col("_p6"), i * k + j + 1))
+          .cast("double") / lit(1000000.0)).cast("long")))
+    withMat
+      .select(col("_st"), piN.as("_pi"))
+      .select(posexplode(arrays_zip(col("_st"), col("_pi"))))
+      .select(col("col._st").as("event_type"),
+        (col("col._pi").cast("double") / lit(1000000.0))
+          .cast("decimal(28,6)").cast("double").as("pi"))
+  }
+
   /** Pairwise association rules (the support/confidence/lift core of
     * Agrawal-Srikant market-basket mining) over event baskets: a
     * basket is one distinct-item set per `basketCols` group (e.g.

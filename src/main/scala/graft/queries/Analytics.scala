@@ -2961,7 +2961,63 @@ object Analytics {
       |      AS DECIMAL(28,6)) AS DOUBLE) END AS acf
       |FROM num JOIN den ON den.k = num.k""".stripMargin
 
+  // q351: stationary distribution of the event-type Markov chain
+  // (Behavior.stationaryDistribution) — 30 fixed-point power-iteration
+  // steps at scale 10⁶, floor-quantized each step, all in-row on the
+  // collected (states, cells) row. The oracle replays the full
+  // iteration as a recursive CTE; DuckDB's 1-based lambda index feeds
+  // rs[i] directly where Spark reads element_at(_rs, i+1).
+  def q351Stationary(s: SparkSession, dir: String): DataFrame =
+    Behavior.stationaryDistribution(ev(s, dir), "user_id", "event_type",
+      "ts_us", "event_id")
+
+  val q351Sql: String =
+    """WITH RECURSIVE tr AS (
+      |  SELECT event_type AS f,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t
+      |  FROM events),
+      |c AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n FROM tr
+      |      WHERE t IS NOT NULL GROUP BY 1, 2),
+      |m AS (SELECT
+      |    list_sort(list_distinct(flatten([list(f), list(t)]))) AS st,
+      |    list({f: f, t: t, n: n}) AS cells
+      |  FROM c),
+      |m2 AS (SELECT st, cells, CAST(len(st) AS BIGINT) AS k,
+      |    list_transform(st, si -> COALESCE(list_sum(list_transform(
+      |      list_filter(cells, x -> x.f = si), x -> x.n)), 0)) AS rs
+      |  FROM m),
+      |m3 AS (SELECT st, cells, k, rs,
+      |    flatten(list_transform(st, (si, i) ->
+      |      list_transform(st, sj ->
+      |        CASE WHEN rs[CAST(i AS INTEGER)] = 0 THEN
+      |          CASE WHEN si = sj THEN 1000000 ELSE 0 END
+      |        ELSE CAST(floor(CAST(COALESCE(list_sum(list_transform(
+      |          list_filter(cells, x -> x.f = si AND x.t = sj),
+      |          x -> x.n)), 0) AS DOUBLE) * 1000000.0 /
+      |          CAST(rs[CAST(i AS INTEGER)] AS DOUBLE)) AS BIGINT)
+      |        END))) AS p6
+      |  FROM m2),
+      |it AS (
+      |  SELECT 0 AS s,
+      |    (SELECT list_transform(st, x -> CAST(floor(1000000.0 /
+      |      CAST(k AS DOUBLE)) AS BIGINT)) FROM m3) AS pi
+      |  UNION ALL
+      |  SELECT s + 1,
+      |    (SELECT list_transform(range(0, k), j ->
+      |      CAST(floor(CAST(list_sum(list_transform(range(0, k), i ->
+      |        pi[CAST(i + 1 AS INTEGER)] *
+      |        p6[CAST(i * k + j + 1 AS INTEGER)])) AS DOUBLE)
+      |        / 1000000.0) AS BIGINT))
+      |     FROM m3)
+      |  FROM it WHERE s < 30)
+      |SELECT unnest((SELECT st FROM m3)) AS event_type,
+      |  CAST(CAST(CAST(unnest(pi) AS DOUBLE) / 1000000.0
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS pi
+      |FROM it WHERE s = 30""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_stationary" -> (q351Stationary _),
     "q350_acf" -> (q350Acf _),
     "q349_assoc_rules" -> (q349AssocRules _),
     "q346_viterbi" -> (q346Viterbi _),
@@ -3032,6 +3088,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q351_stationary" -> q351Sql,
     "q350_acf" -> q350Sql,
     "q349_assoc_rules" -> q349Sql,
     "q346_viterbi" -> q346Sql,
