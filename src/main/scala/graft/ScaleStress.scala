@@ -66,7 +66,13 @@ object ScaleStress {
     // rank windows + x|slices| fan-out — linear in rows at fixed slice
     // count) and TextRank (ONE corpus explode + vocabulary-sized graph
     // rounds — the corpus axis should dominate)
-    "q318_pack_ffd", "q317_quantile_normalize", "q315_textrank")
+    "q318_pack_ffd", "q317_quantile_normalize", "q315_textrank",
+    // round-14 addition: CDC chunk-level near-dup pairs — chunk_md5-
+    // bucketed + df-pruned, expected ~linear (the per-char rolling-hash
+    // compute dominates and is in-row); the DBSCAN family runs in its
+    // own F=3 block below (quadratic by declaration — F=10 would be
+    // ~100×·39s)
+    "q343_cdc_dup_pairs")
 
   /** Big tables replicated FACTOR×; dims copied through unchanged. */
   private val replicated = Seq(
@@ -249,12 +255,45 @@ object ScaleStress {
         }
         bitsScaled ++ autoRows
       } else Seq.empty
+    // DBSCAN family at F=3 (own replica dir): q347 is the DECLARED
+    // exact-quadratic baseline — at F=10 its pair stage alone would be
+    // ~100× of a ~40s base; F=3's expected ~9× exposes the quadratic
+    // form affordably. Next to it, the ANN swap (q352) at the SAME
+    // frozen fixture config — at the fixture's FAR threshold
+    // (cosine ≥ 0.31) candidate density is near-all-pairs by the
+    // density law, so its ratio shows what the swap buys (and doesn't)
+    // there — and the occupancy-scaled config (bits 2 → 4 so per-bucket
+    // density at 3× matches the base), whose ratio vs the BASE q352 is
+    // the scale-path number. Recall at a new size must be re-validated
+    // when bits move (q163_bits_scaled's caveat); this measures cost.
+    val dbscanRows =
+      if (args.isEmpty || args.contains("q347_dbscan")) {
+        val dir3 = sys.env.getOrElse("GRAFT_SCALE_DIR3", "target/scale/sf03")
+        synthesize(spark, base, dir3, 3)
+        val fam = Seq("q347_dbscan", "q352_dbscan_ann").map { nm =>
+          timed(nm, base) // warmup
+          val baseSec = timed(nm, base)
+          baseTimes(nm) = baseSec
+          listener.reset()
+          val scaleSec = timed(nm, dir3)
+          row(s"${nm}_f3", baseSec, scaleSec)
+        }
+        listener.reset()
+        val t0 = System.nanoTime()
+        graft.pipeline.Clustering.dbscanAnn(
+            graft.queries.Tables(spark, dir3, "embeddings"),
+            "vec_id", "embedding", eps2 = 1380000L, minPts = 5,
+            tables = 32, bits = 4)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        fam :+ row("q352_bits_scaled_f3", baseTimes("q352_dbscan_ann"), sec)
+      } else Seq.empty
     val loadEnd = osBean.getSystemLoadAverage
     val json =
       s"""{"factor":$factor,"base":"$base","scale_dir":"$scaleDir",""" +
         s""""cpus":$cpus,""" +
         f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,""" +
-        s""""entries":{${(rows ++ extraRows).mkString(",")}}}"""
+        s""""entries":{${(rows ++ extraRows ++ dbscanRows).mkString(",")}}}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

@@ -41,7 +41,10 @@ object Graph {
     * VALIDATED for free: an observe() on the edge-normalization pass
     * (which touches every weight anyway) checks `min(weight) >= 0` in
     * the same job and throws instead of silently corrupting the
-    * distribution.
+    * distribution. A source whose weights SUM to 0 (all-zero edges —
+    * legal input) is demoted to dangling: its edges drop at the
+    * normalization filter, so no 0.0/0.0 NaN ever enters the scores,
+    * and the node itself stays in the ranking universe.
     *
     * Convergence telemetry: each round's plan carries a named
     * observe() — `graft_pagerank_it<i>` with `l1_delta` =
@@ -70,20 +73,28 @@ object Graph {
     // plan, which Catalyst re-analyzes and re-optimizes per action
     // (the dupClusters lesson, BASELINE.md r8)
     val wObs = org.apache.spark.sql.Observation("graft_pagerank_weights")
+    // a source whose weights sum to 0 has no normalizable outgoing
+    // mass: its edges are dropped here, which makes the node DANGLING
+    // (its mass redistributes uniformly below) instead of silently
+    // poisoning every score with 0.0/0.0 = NaN transition probabilities
     val w = materialize(edges.select(
         col(srcCol).as("_g_src"), col(dstCol).as("_g_dst"),
         col(weightCol).cast("double").as("_g_w"))
       .observe(wObs, min(col("_g_w")).as("min_w"))
-      .withColumn("_g_p", col("_g_w") / sum(col("_g_w")).over(perSrc))
+      .withColumn("_g_sw", sum(col("_g_w")).over(perSrc))
+      .filter(col("_g_sw") > 0.0)
+      .withColumn("_g_p", col("_g_w") / col("_g_sw"))
       .select(col("_g_src"), col("_g_dst"), col("_g_p")))
     val minW = wObs.get("min_w")
     if (minW != null && minW.asInstanceOf[Double] < 0)
       throw new IllegalArgumentException(
         s"pageRank weights must be non-negative to normalize into " +
           s"transition probabilities; min($weightCol) = $minW")
+    // node universe from the RAW edge set — the zero-sum-source filter
+    // above must demote nodes to dangling, not erase them
     val nodes = materialize(
-      w.select(col("_g_src").as("node"))
-        .union(w.select(col("_g_dst")))
+      edges.select(col(srcCol).as("node"))
+        .union(edges.select(col(dstCol)))
         .distinct())
     // 1-row frames: N and the out-degree-bearing node set's complement
     // mass ride broadcasts — in-plan scalars, the q60/q113 discipline

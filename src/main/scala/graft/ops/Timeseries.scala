@@ -153,7 +153,11 @@ object Timeseries {
     *
     * over the trailing frame's exact sums (S1, S2, n are window sums
     * of integer counts), so the flag can NEVER flicker on a float
-    * boundary; the reported z itself is a d6 double for humans. Var=0
+    * boundary; the reported z itself is a d6 double for humans. The
+    * predicate (and S2 itself) runs in decimal(38,0), not long — at
+    * 100 TB a bucket count c can reach ~10⁹, where (n·c)² ≈ 10²²
+    * silently wraps 2⁶³ and would flip the flag; 38 digits cover
+    * c ≤ ~10¹⁶ at the default 24-bucket frame. Var=0
     * frames flag exactly when c ≠ mean (RHS 0 < LHS). Buckets with
     * fewer than `minBaseline` trailing observations emit z NULL and
     * flag 0 (warm-up). The trailing frame is a RANGE frame over bucket
@@ -188,8 +192,14 @@ object Timeseries {
     val n = col("_g_n")
     val s1 = col("_g_s1")
     val s2 = col("_g_s2")
-    val lhs = (n * c - s1) * (n * c - s1) * (n - 1L)
-    val rhs = lit(tau.toLong * tau) * n * (n * s2 - s1 * s1)
+    // exact predicate in decimal(38,0): long wraps at c ≈ 3·10⁹ here
+    val d38 = "decimal(38,0)"
+    val cD = c.cast(d38)
+    val nD = n.cast(d38)
+    val s1D = s1.cast(d38)
+    val s2D = s2.cast(d38)
+    val lhs = (nD * cD - s1D) * (nD * cD - s1D) * (nD - lit(1L).cast(d38))
+    val rhs = lit(tau.toLong * tau).cast(d38) * nD * (nD * s2D - s1D * s1D)
     val mean = s1.cast("double") / n.cast("double")
     val varS = (n.cast("double") * s2.cast("double") -
       s1.cast("double") * s1.cast("double")) /
@@ -198,7 +208,7 @@ object Timeseries {
     counts
       .withColumn("_g_n", count(c).over(w))
       .withColumn("_g_s1", sum(c).over(w))
-      .withColumn("_g_s2", sum(c * c).over(w))
+      .withColumn("_g_s2", sum(c.cast(d38) * c.cast(d38)).over(w))
       .select(kcols ++ Seq(
         (col("_g_b") * bucketUs).as("bucket_start_us"),
         c.as("n_events"),
@@ -444,5 +454,53 @@ object Timeseries {
         when(col("_den") > 0,
           d6(col("_num").cast("double") / col("_den").cast("double")))
           .as("acf"))
+  }
+
+  /** Ljung–Box portmanteau whiteness test per series — "is anything
+    * LEFT in the autocorrelations?", the one-number rollup of [[acf]]'s
+    * corrgram (Ljung & Box 1978) that an anomaly/forecast pipeline runs
+    * on its residuals or raw volumes before trusting an i.i.d.
+    * assumption:
+    *
+    *   Q = n(n+2) · Σ_{k=1..K} ρ_k²/(n−k)
+    *
+    * built ON the d6 ρ_k values [[acf]] already emits (the composition
+    * IS the determinism argument: each term ρ_k²/(n−k) d6-rounds before
+    * the order-free decimal sum, then Q closes with one more d6).
+    * `significant` compares Q to the fixed [[Stats.chiSq95]] literal at
+    * df = K (the raw-series convention; for model residuals subtract
+    * the fitted parameter count offline — df is reported). A series too
+    * short for all K lags (n ≤ K) or with zero variance (ρ NULL)
+    * answers NULL q_stat, not a crash — the [[acf]] convention.
+    *
+    * Scale shape: [[acf]]'s plan + ONE key-rollup of the ≤ keys×K
+    * corrgram frame. Nothing new touches the corpus.
+    */
+  def ljungBox(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30,
+      s"maxLag must be in [1,30] (chi-square table bound), got $maxLag")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val rho = acf(df, keyCol, tCol, xCol, maxLag)
+    val term = (col("acf") * col("acf") /
+      (col("n_periods") - col("lag")).cast("double"))
+      .cast("decimal(28,6)")
+    val agg = rho.groupBy(col(keyCol))
+      .agg(max(col("n_periods")).as("n_periods"),
+        count(col("acf")).as("n_lags"),
+        sum(term).as("_q6"))
+    val n = col("n_periods").cast("double")
+    val q = when(col("n_lags") === maxLag.toLong,
+      d6(n * (n + 2.0) * col("_q6").cast("double")))
+    agg.select(col(keyCol), col("n_periods"), col("n_lags"),
+      lit(maxLag).cast("long").as("df"),
+      q.as("q_stat"),
+      when(q.isNotNull,
+        (q >= graft.pipeline.Stats.chiSq95(maxLag - 1)).cast("int"))
+        .as("significant"))
   }
 }

@@ -128,6 +128,68 @@ object Clustering {
         coalesce(col("_g_cl"), col("_g_bcl")).as("cluster"))
   }
 
+  /** LSH-candidate ε-neighbor pairs verified at the exact quantized
+    * threshold — the linear-cost pair stage that replaces
+    * [[euclideanPairs]] past the exact-baseline regime (the
+    * [[Similarity.annDupPairs]] playbook applied to euclidean ε-pairs).
+    * Candidates meet through the (tbl, bucket) self equi-join on the
+    * random-hyperplane sign buckets; every surviving candidate pays one
+    * in-row codegen'd integer dot for the exact d² ≤ eps2 verify, so
+    * the output is ALWAYS a subset of [[euclideanPairs]]' pair set
+    * (false positives die at the verify; false negatives are true
+    * pairs whose buckets never collide). NEVER all-pairs by plan: the
+    * only shuffles are the bucket join and the pair-key distinct, both
+    * O(candidates).
+    *
+    * The density-law dial (the q243 discipline): hyperplane collision
+    * probability is p = 1 − θ/π at pair angle θ, so a FAR ε (the
+    * fixture's eps2 = 1.38·10⁶ on unit vectors ⇔ cosine ≥ 0.31,
+    * θ ≈ 72°) needs low bits / many tables for recall — defaults
+    * (32 × 2) hold empirical recall 1.0 on the fixture embeddings at
+    * every committed SF (asserted in ClusteringSpec), making
+    * [[dbscanAnn]] byte-equal to [[dbscan]] there, at the cost of
+    * near-all-pairs candidate density. At production ε (tight
+    * clusters, cosine ≥ 0.8+) raise `bits` and the candidate set turns
+    * linear — the regime this stage exists for.
+    *
+    * Approximate-DBSCAN semantics when recall < 1 (document, don't
+    * hide): a missed true pair UNDERCOUNTS both endpoints'
+    * `n_neighbors`, which can demote a threshold core to border/noise
+    * and SPLIT a cluster bridged only by missed edges — the standard
+    * trade (Ester et al.'s exact semantics need the full ε-graph).
+    * Roles/clusters remain a pure function of the emitted pair set.
+    */
+  def euclideanPairsAnn(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      eps2: Long,
+      tables: Int = 32,
+      bits: Int = 2): DataFrame = {
+    require(eps2 > 0, s"eps2 must be positive, got $eps2")
+    require(tables >= 1 && bits >= 1, "tables and bits must be >= 1")
+    val dims = df.select(size(col(embCol))).head().getInt(0)
+    val e = Similarity.packedWithNorm(df, idCol, embCol)
+    val hashed = Similarity.lshBuckets(e, idCol, tables, bits, dims)
+    val cand = hashed
+      .select(col("tbl"), col("bucket"), col(idCol).as("vec_a"))
+      .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col(idCol).as("vec_a"), col("q").as("qa"),
+        col("nrm").as("na")), Seq("vec_a"))
+      .join(e.select(col(idCol).as("vec_b"), col("q").as("qb"),
+        col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (col("na") + col("nb") - lit(2L) *
+          graft.functions.GraftFunctions.longArrayDot(col("qa"), col("qb")))
+          .as("d2"))
+      .filter(col("d2") <= eps2)
+  }
+
   /** Exact DBSCAN composition: [[euclideanPairs]] → [[dbscanFromPairs]]. */
   def dbscan(
       df: DataFrame,
@@ -138,4 +200,22 @@ object Clustering {
       blocks: Int = 8): DataFrame =
     dbscanFromPairs(df, idCol,
       euclideanPairs(df, idCol, embCol, eps2, blocks), minPts)
+
+  /** ANN-fed DBSCAN: [[euclideanPairsAnn]] → [[dbscanFromPairs]] — the
+    * 100 TB composition the exact [[dbscan]] scaladoc promises. At
+    * recall 1.0 (the fixture regime, asserted in ClusteringSpec) the
+    * pair set IS the exact one, so the output is byte-equal to
+    * [[dbscan]]; below it, see [[euclideanPairsAnn]]'s documented
+    * undercount semantics.
+    */
+  def dbscanAnn(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      eps2: Long,
+      minPts: Int,
+      tables: Int = 32,
+      bits: Int = 2): DataFrame =
+    dbscanFromPairs(df, idCol,
+      euclideanPairsAnn(df, idCol, embCol, eps2, tables, bits), minPts)
 }

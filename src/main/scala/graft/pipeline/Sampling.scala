@@ -641,7 +641,10 @@ object Sampling {
     * if a single slice outgrows a partition), a broadcast slice-size
     * frame, a ×S row fan-out (S = slice count — the [[vocabOverlap]]
     * bounded-fan-out class) and ONE (slice, rank) equi-join back.
-    * Output: (sliceCol, idCol, scoreCol, norm_score).
+    * Output: (sliceCol, idCol, scoreCol, norm_score) — one row per
+    * INPUT row: duplicate ids within a slice are legal and normalize
+    * independently at their own ranks (the fan-in aggregate keys on
+    * the unique within-slice rank, never the id).
     */
   def quantileNormalize(
       df: DataFrame,
@@ -668,10 +671,15 @@ object Sampling {
         expr("(_q_r * _q_nt + _q_ns - 1) div _q_ns"))
     val targets = ranked.select(col(sliceCol).as("_q_t"),
       col("_q_r").as("_q_tr"), col("_q_v").as("_q_tv"))
+    // the fan-in aggregate keys on the within-slice RANK (unique by
+    // construction), not the id: a duplicate id inside a slice is two
+    // distinct ranked rows and must normalize independently — an
+    // id-keyed groupBy would silently merge them (sum over 2S lookups
+    // divided by S) into a wrong norm_score
     lookups
       .join(targets, Seq("_q_t", "_q_tr"))
-      .groupBy(col(sliceCol), col(idCol))
-      .agg(first(col("_q_v")).as("_q_v"), sum(col("_q_tv")).as("_q_sum"))
+      .groupBy(col(sliceCol), col("_q_r"), col(idCol), col("_q_v"))
+      .agg(sum(col("_q_tv")).as("_q_sum"))
       .crossJoin(broadcast(nSlices))
       .select(col(sliceCol), col(idCol), col("_q_v").as(scoreCol),
         d6(col("_q_sum").cast("double") / col("_q_s").cast("double"))

@@ -31,7 +31,7 @@ object Similarity {
     * across engines. Dot products over the packed array run in-row through
     * the codegen'd [[graft.functions.LongArrayDot]].
     */
-  private def packedWithNorm(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  private[pipeline] def packedWithNorm(df: DataFrame, idCol: String, embCol: String): DataFrame =
     df.select(
       col(idCol),
       transform(col(embCol),
@@ -282,7 +282,7 @@ object Similarity {
     * scaling preserves sign structure, so it's the same LSH family.
     * No shuffle — a pure projection over the packed frame.
     */
-  private def lshBuckets(
+  private[pipeline] def lshBuckets(
       e: DataFrame, idCol: String,
       tables: Int, bits: Int, dims: Int): DataFrame = {
     val ps = planes(tables, bits, dims)

@@ -1206,7 +1206,9 @@ object Stats {
     * (one corpus-sized exchange); each round is one item-keyed
     * aggregate over that pair table with the current p broadcast —
     * driver state is the ITEM-bounded p vector (class-5 bounded state,
-    * Lloyd's contract). Items with zero wins fit to 0 (their true MLE
+    * Lloyd's contract), enforced LOUDLY at `maxItems` (default 10 000:
+    * a leaderboard regime — the per-round collect is O(items), never
+    * corpus-sized). Items with zero wins fit to 0 (their true MLE
     * limit); ties are not modeled — filter or split them upstream.
     *
     * Output per item: (item, n_wins, n_games, strength), strength from
@@ -1216,8 +1218,10 @@ object Stats {
       games: DataFrame,
       winnerCol: String,
       loserCol: String,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      maxItems: Int = 10000): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(maxItems >= 2, s"maxItems must be >= 2, got $maxItems")
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     val spark = games.sparkSession
     import spark.implicits._
@@ -1238,8 +1242,15 @@ object Stats {
         pairs.select(col("_l").as("_i"), col("_w").as("_j"), col("_n")))
       .groupBy(col("_i"), col("_j")).agg(sum(col("_n")).as("_nij"))
       .cache()
-    var p: Map[String, Double] =
-      items.select(col("_i")).as[String].collect().map(_ -> 1.0).toMap
+    val itemIds = items.select(col("_i")).as[String].collect()
+    // the rakeWeights discipline: the per-round collect is legal ONLY
+    // because the taxonomy is bounded — make the bound loud, not a
+    // silent driver OOM at a corpus-sized item vocabulary
+    require(itemIds.length <= maxItems,
+      s"bradleyTerry: ${itemIds.length} items > maxItems $maxItems — " +
+        "this MM fit collects the item vector per round; it is for " +
+        "bounded leaderboards, not corpus-sized vocabularies")
+    var p: Map[String, Double] = itemIds.map(_ -> 1.0).toMap
     for (_ <- 0 until iters) {
       val pDf = broadcast(p.toSeq.toDF("_i", "_pi"))
       val denTerms = und
@@ -2243,5 +2254,276 @@ object Stats {
         d6(col("_w1s").cast("double") /
           (col("_na").cast("double") * col("_nb").cast("double")))
           .as("w1"))
+  }
+
+  /** Upper 5% chi-square critical values for df 1..30 (the standard
+    * published table, 6 decimals) — the fixed-literal significance
+    * convention of [[welchTTest]]'s 1.959964 extended to the
+    * chi-square-distributed rank tests below. df > 30 reports NULL
+    * `significant` (compute the p-value offline) rather than shipping
+    * an incomplete approximation.
+    */
+  private[graft] val chiSq95: Seq[Double] = Seq(
+    3.841459, 5.991465, 7.814728, 9.487729, 11.070498,
+    12.591587, 14.067140, 15.507313, 16.918978, 18.307038,
+    19.675138, 21.026070, 22.362032, 23.684791, 24.995790,
+    26.296228, 27.587112, 28.869299, 30.143527, 31.410433,
+    32.670573, 33.924438, 35.172462, 36.415029, 37.652484,
+    38.885139, 40.113272, 41.337138, 42.556968, 43.772972)
+
+  private[graft] def chiSq95Col(dfCol: Column): Column =
+    chiSq95.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (v, i)) => when(dfCol === (i + 1).toLong, lit(v))
+        .otherwise(acc)
+    }
+
+  /** Kruskal–Wallis H (rank one-way ANOVA) over an integer metric and
+    * a categorical slice — the k-group generalisation of
+    * [[mannWhitneyU]] and the nonparametric sibling of [[anovaOneWay]]:
+    * "do these k slices share a location?" without the normality
+    * assumption the heavy-tailed curation metrics break.
+    *
+    * Rank arithmetic is EXACT in [[mannWhitneyU]]'s doubled units: the
+    * pooled corpus collapses to one row per (group, value), midranks
+    * come from the cumulative window over the DISTINCT-value frame
+    * (2·avgRank = 2·cumBefore + t + 1, always integral), and each
+    * group's rank sum is an exact decimal(38,0). The statistic
+    *
+    *   H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)
+    *
+    * d6-rounds each group's R_j²/n_j term BEFORE the order-free
+    * decimal sum (the [[anovaOneWay]] `_ssg6` discipline); the tie
+    * correction divides by C = 1 − Σ(t³−t)/(N³−N) in one more fixed
+    * step. `significant` compares h_corrected against the
+    * [[chiSq95]] literal for df = k−1 (NULL past df 30). Degenerate
+    * inputs fail loudly: k < 2, N ≤ k, or every row tied on one value
+    * (C = 0).
+    *
+    * Scale shape: one (group, value) aggregate, one value-keyed
+    * window over the DISTINCT-value frame (value-domain bounded — the
+    * GK-sketch frame class), one group rollup. No corpus-sized window.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byGV = df.groupBy(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val byV = byGV.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byV.select(col("_v"),
+      (lit(2L) * coalesce(sum(col("_t")).over(w), lit(0L)) +
+        col("_t") + 1L).as("_r2"))
+    val tiesRow = byV.agg(
+      sum(dec(col("_t")) * dec(col("_t")) * dec(col("_t")) -
+        dec(col("_t"))).as("_ties"))
+    val byG = byGV.join(ranked, Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n"),
+        sum(dec(col("_c")) * dec(col("_r2"))).as("_r2s"))
+    val agg = byG.agg(
+      count(lit(1)).as("_k"), sum(col("_n")).as("_nt"),
+      // d6-per-group R_j²/n_j (R_j = R2_j/2): order-free decimal sum
+      sum((col("_r2s").cast("double") * col("_r2s").cast("double") /
+        (lit(4.0) * col("_n").cast("double"))).cast("decimal(28,6)"))
+        .as("_rr6"))
+      .crossJoin(broadcast(tiesRow))
+    val nD = col("_nt").cast("double")
+    val maxTies = dec(col("_nt")) * dec(col("_nt")) * dec(col("_nt")) -
+      dec(col("_nt"))
+    val checked = agg.withColumn("_k",
+      when(col("_k") >= 2L && col("_nt") > col("_k") &&
+          col("_ties") < maxTies, col("_k"))
+        .otherwise(raise_error(concat(
+          lit("kruskalWallis: need >= 2 groups, N > k and at least two "),
+          lit("distinct values, got k="), col("_k").cast("string"),
+          lit(", N="), col("_nt").cast("string"))).cast("long")))
+    val h = d6(lit(12.0) / (nD * (nD + 1.0)) *
+      col("_rr6").cast("double") - lit(3.0) * (nD + 1.0))
+    val c = d6(lit(1.0) -
+      col("_ties").cast("double") / maxTies.cast("double"))
+    val staged = checked.select(col("_k").as("k_groups"),
+      col("_nt").as("n_rows"), h.as("h_stat"), c.as("_tc"))
+    val hc = d6(col("h_stat") / col("_tc"))
+    staged.select(col("k_groups"), col("n_rows"), col("h_stat"),
+      hc.as("h_corrected"),
+      when(chiSq95Col(col("k_groups") - 1L).isNotNull,
+        (hc >= chiSq95Col(col("k_groups") - 1L)).cast("int"))
+        .as("significant"))
+  }
+
+  /** Friedman rank test for k systems scored on the same n items
+    * (blocks) — THE eval-table test: "n prompts each scored by k
+    * models; do the models differ?" Classic repeated-measures
+    * nonparametrics (Friedman 1937), tie-corrected.
+    *
+    * Within each item the k scores midrank in doubled units (the
+    * per-item twin of [[mannWhitneyU]]'s pooled ranking — the window
+    * partitions by ITEM and the frame is k-bounded); each system's
+    * rank sum R2_j is an exact decimal. The statistic
+    *
+    *   Q = 12/(nk(k+1)) · Σ_j R_j² − 3n(k+1)
+    *
+    * d6-rounds per-system R_j² terms before the decimal sum, then the
+    * tie correction divides by C = 1 − Σ_items Σ(t³−t)/(nk(k²−1)).
+    * `significant` compares q_corrected to [[chiSq95]] at df = k−1.
+    *
+    * Complete-block contract, enforced LOUDLY in-plan: every item
+    * must score every system exactly once — a missing or duplicated
+    * (item, system) cell raises with the offending counts (an
+    * incomplete design needs Skillings–Mack, a different test).
+    *
+    * Scale shape: one (item, value) aggregate + k-bounded per-item
+    * windows + one system rollup; items stream, systems bound state.
+    */
+  def friedmanTest(
+      df: DataFrame,
+      itemCol: String,
+      systemCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(itemCol).cast("string").as("_i"),
+      col(systemCol).cast("string").as("_sys"),
+      col(valueCol).cast("long").as("_v"))
+    val byIV = base.groupBy(col("_i"), col("_v"))
+      .agg(count(lit(1)).as("_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_i")).orderBy(col("_v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byIV.select(col("_i"), col("_v"),
+      (lit(2L) * coalesce(sum(col("_t")).over(w), lit(0L)) +
+        col("_t") + 1L).as("_r2"))
+    val tiesRow = byIV.agg(coalesce(sum(
+      dec(col("_t")) * dec(col("_t")) * dec(col("_t")) - dec(col("_t"))),
+      dec(lit(0L))).as("_ties"))
+    // complete-block audit: n distinct items, k distinct systems,
+    // every (item, system) exactly once ⟺ rows = n·k AND no dup cell
+    val audit = base.groupBy(col("_i"), col("_sys"))
+      .agg(count(lit(1)).as("_dup"))
+      .agg(count(lit(1)).as("_cells"), max(col("_dup")).as("_maxDup"),
+        countDistinct(col("_i")).as("_n"),
+        countDistinct(col("_sys")).as("_k"))
+    val bySys = base.join(ranked, Seq("_i", "_v"))
+      .groupBy(col("_sys"))
+      .agg(sum(dec(col("_r2"))).as("_r2s"))
+    val agg = bySys.agg(
+      sum((col("_r2s").cast("double") * col("_r2s").cast("double") /
+        lit(4.0)).cast("decimal(28,6)")).as("_rr6"))
+      .crossJoin(broadcast(audit))
+      .crossJoin(broadcast(tiesRow))
+    val checked = agg.withColumn("_k",
+      when(col("_k") >= 2L && col("_n") >= 2L && col("_maxDup") === 1L &&
+          col("_cells") === col("_n") * col("_k"), col("_k"))
+        .otherwise(raise_error(concat(
+          lit("friedmanTest: need a complete block design (every item "),
+          lit("scores every system exactly once) with k >= 2 systems "),
+          lit("and n >= 2 items; got n_items="), col("_n").cast("string"),
+          lit(", k_systems="), col("_k").cast("string"),
+          lit(", cells="), col("_cells").cast("string"),
+          lit(", max_dup="), col("_maxDup").cast("string")))
+          .cast("long")))
+    val nD = col("_n").cast("double")
+    val kD = col("_k").cast("double")
+    val q = d6(lit(12.0) / (nD * kD * (kD + 1.0)) *
+      col("_rr6").cast("double") - lit(3.0) * nD * (kD + 1.0))
+    val c = d6(lit(1.0) - col("_ties").cast("double") /
+      (nD * kD * (kD * kD - 1.0)))
+    val staged = checked.select(col("_n").as("n_items"),
+      col("_k").as("k_systems"), q.as("q_stat"), c.as("_tc"))
+    val qc = when(col("_tc") > 0.0, d6(col("q_stat") / col("_tc")))
+    staged.select(col("n_items"), col("k_systems"), col("q_stat"),
+      qc.as("q_corrected"),
+      when(qc.isNotNull &&
+          chiSq95Col(col("k_systems") - 1L).isNotNull,
+        (qc >= chiSq95Col(col("k_systems") - 1L)).cast("int"))
+        .as("significant"))
+  }
+
+  /** Brown–Forsythe variance-homogeneity test (Levene's test with the
+    * MEDIAN center — the robust form): one-way ANOVA F on the absolute
+    * deviations z_ij = |x_ij − median_j|. The pre-flight check for
+    * [[anovaOneWay]]/[[welchTTest]] ("are the arms' spreads even
+    * comparable?") and a drift alarm in its own right — a slice whose
+    * VARIANCE moved while its mean held is invisible to every mean
+    * test.
+    *
+    * Everything before the final F is exact integers: the per-group
+    * median is computed in DOUBLED units (med2 = x_(⌈n/2⌉) + x_(⌊n/2⌋₊₁),
+    * two order statistics picked by cumulative counts over the
+    * per-group distinct-value frame — integral even for even n), so
+    * z2 = |2x − med2| is integer; F on z2 equals F on z because the
+    * ANOVA ratio is scale-invariant. Sufficient stats and the F/η²
+    * assembly follow [[anovaOneWay]] verbatim (d6-per-group decimal
+    * sums, NULL F on zero within-variance, loud k/N guards).
+    *
+    * Scale shape: one (group, value) aggregate; medians and z-stats
+    * ride value-domain-bounded frames (GK-sketch class); one final
+    * k-row rollup. The corpus is touched ONCE.
+    */
+  def brownForsythe(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val byGV = df.groupBy(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = byGV.select(col("_g"), col("_v"), col("_c"),
+      coalesce(sum(col("_c")).over(wg), lit(0L)).as("_cb"))
+      .join(byGV.groupBy(col("_g")).agg(sum(col("_c")).as("_n")),
+        Seq("_g"))
+    // the two middle order statistics (1-indexed ⌈n/2⌉ and ⌊n/2⌋+1):
+    // a value v covers position p iff cumBefore < p ≤ cumBefore + t
+    val lo = floor((col("_n") + 1L) / lit(2.0)).cast("long")
+    val hi = floor(col("_n") / lit(2.0)).cast("long") + 1L
+    val med = cum.groupBy(col("_g"), col("_n"))
+      .agg((max(when(col("_cb") < lo && lo <= col("_cb") + col("_c"),
+          col("_v"))) +
+        max(when(col("_cb") < hi && hi <= col("_cb") + col("_c"),
+          col("_v")))).as("_med2"))
+      .select(col("_g"), col("_med2"))
+    val z = byGV.join(med, Seq("_g"))
+      .select(col("_g"), col("_c"),
+        abs(lit(2L) * col("_v") - col("_med2")).as("_z2"))
+    val byG = z.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n"),
+        sum(dec(col("_c")) * dec(col("_z2"))).as("_s"),
+        sum(dec(col("_c")) * dec(col("_z2")) * dec(col("_z2"))).as("_q"))
+    val agg = byG.agg(
+      count(lit(1)).as("_k"), sum(col("_n")).as("_nt"),
+      sum(col("_s")).as("_st"), sum(col("_q")).as("_qt"),
+      sum((col("_s").cast("double") * col("_s").cast("double") /
+        col("_n").cast("double")).cast("decimal(28,6)")).as("_ssg6"))
+    val checked = agg.withColumn("_k",
+      when(col("_k") >= 2L && col("_nt") > col("_k"), col("_k"))
+        .otherwise(raise_error(concat(
+          lit("brownForsythe: need >= 2 groups and N > k, got k="),
+          col("_k").cast("string"), lit(", N="),
+          col("_nt").cast("string"))).cast("long")))
+    val nT = col("_nt").cast("double")
+    val ssb = d6(col("_ssg6").cast("double") -
+      col("_st").cast("double") * col("_st").cast("double") / nT)
+    val ssw = d6(col("_qt").cast("double") - col("_ssg6").cast("double"))
+    val staged = checked.select(col("_k").as("k_groups"),
+      col("_nt").as("n_rows"), ssb.as("ss_between"), ssw.as("ss_within"))
+    val dfB = (col("k_groups") - 1L).cast("double")
+    val dfW = (col("n_rows") - col("k_groups")).cast("double")
+    staged.select(col("k_groups"), col("n_rows"),
+      col("ss_between"), col("ss_within"),
+      when(col("ss_within") > 0.0,
+        d6((col("ss_between") / dfB) / (col("ss_within") / dfW)))
+        .as("f_stat"))
   }
 }

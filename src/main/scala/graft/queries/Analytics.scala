@@ -2830,7 +2830,10 @@ object Analytics {
   // integer tropical-semiring scores. The oracle replays the DP as a
   // recursive CTE whose per-step state is the two (score, backtracked
   // path) pairs, with the same >=-prefers-state-0 tie discipline, so
-  // the decoded path strings are hash-exact.
+  // the decoded path strings are hash-exact. The emission table joins
+  // LEFT with COALESCE(e,0) to mirror the operator's open-vocabulary
+  // default (unknown event types score (0,0) and stay in the path) —
+  // an inner join would silently drop users on out-of-map types.
   def q346Viterbi(s: SparkSession, dir: String): DataFrame =
     Behavior.viterbiDecode(ev(s, dir), "user_id", "event_type",
       "ts_us", "event_id",
@@ -2853,22 +2856,22 @@ object Analytics {
       |  ('error', 1, 0), ('purchase', -2, 3)) t(et, e0, e1)),
       |r AS (
       |  SELECT o.user_id, o.i,
-      |    CAST(0 + em.e0 AS BIGINT) AS s0,
-      |    CAST(-1 + em.e1 AS BIGINT) AS s1,
+      |    CAST(0 + COALESCE(em.e0, 0) AS BIGINT) AS s0,
+      |    CAST(-1 + COALESCE(em.e1, 0) AS BIGINT) AS s1,
       |    'A' AS p0, 'B' AS p1
-      |  FROM obs o JOIN em ON em.et = o.event_type
+      |  FROM obs o LEFT JOIN em ON em.et = o.event_type
       |  WHERE o.i = 1
       |  UNION ALL
       |  SELECT o.user_id, o.i,
-      |    GREATEST(r.s0 + 1, r.s1 - 1) + em.e0,
-      |    GREATEST(r.s0 - 1, r.s1 + 1) + em.e1,
+      |    GREATEST(r.s0 + 1, r.s1 - 1) + COALESCE(em.e0, 0),
+      |    GREATEST(r.s0 - 1, r.s1 + 1) + COALESCE(em.e1, 0),
       |    (CASE WHEN r.s0 + 1 >= r.s1 - 1 THEN r.p0 ELSE r.p1 END)
       |      || 'A',
       |    (CASE WHEN r.s0 - 1 >= r.s1 + 1 THEN r.p0 ELSE r.p1 END)
       |      || 'B'
       |  FROM r
       |  JOIN obs o ON o.user_id = r.user_id AND o.i = r.i + 1
-      |  JOIN em ON em.et = o.event_type)
+      |  LEFT JOIN em ON em.et = o.event_type)
       |SELECT r.user_id, n.n_obs,
       |  CAST(CASE WHEN r.s0 >= r.s1 THEN r.s0 ELSE r.s1 END AS BIGINT)
       |    AS best_score,
@@ -3003,20 +3006,247 @@ object Analytics {
       |    (SELECT list_transform(st, x -> CAST(floor(1000000.0 /
       |      CAST(k AS DOUBLE)) AS BIGINT)) FROM m3) AS pi
       |  UNION ALL
-      |  SELECT s + 1,
-      |    (SELECT list_transform(range(0, k), j ->
-      |      CAST(floor(CAST(list_sum(list_transform(range(0, k), i ->
-      |        pi[CAST(i + 1 AS INTEGER)] *
-      |        p6[CAST(i * k + j + 1 AS INTEGER)])) AS DOUBLE)
-      |        / 1000000.0) AS BIGINT))
-      |     FROM m3)
-      |  FROM it WHERE s < 30)
+      |  SELECT it.s + 1,
+      |    list_transform(range(0, m3.k), j ->
+      |      CAST(floor(CAST(list_sum(list_transform(range(0, m3.k), i ->
+      |        it.pi[CAST(i + 1 AS INTEGER)] *
+      |        m3.p6[CAST(i * m3.k + j + 1 AS INTEGER)])) AS DOUBLE)
+      |        / 1000000.0) AS BIGINT)) AS pi
+      |  FROM it, m3 WHERE it.s < 30)
       |SELECT unnest((SELECT st FROM m3)) AS event_type,
       |  CAST(CAST(CAST(unnest(pi) AS DOUBLE) / 1000000.0
       |    AS DECIMAL(28,6)) AS DOUBLE) AS pi
       |FROM it WHERE s = 30""".stripMargin
 
+  // the chi-square 95% critical-value CASE, generated from the SAME
+  // Stats.chiSq95 literal table the operators compare against — one
+  // source of truth for both engines
+  private def chiCase(dfExpr: String): String =
+    s"CASE $dfExpr " + graft.pipeline.Stats.chiSq95.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }
+      .mkString(" ") + " END"
+
+  // q353: Kruskal–Wallis H across document languages on n_chars
+  // (Stats.kruskalWallis) — rank one-way ANOVA, midranks in doubled
+  // units, d6-per-group R²/n terms, tie-corrected, chi-square table
+  // significance. The oracle replays ranks via the cumulative window
+  // over the (group, value) frame.
+  def q353Kruskal(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.kruskalWallis(
+      t(s, dir, "documents"), "lang", "n_chars")
+
+  val q353Sql: String =
+    s"""WITH gv AS (
+      |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |bv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM gv GROUP BY 1),
+      |r AS (SELECT v,
+      |    2 * COALESCE(SUM(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + t + 1 AS r2
+      |  FROM bv),
+      |ties AS (SELECT SUM(CAST(t AS HUGEINT) * t * t - t) AS tie FROM bv),
+      |bg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+      |         SUM(CAST(c AS HUGEINT) * r2) AS r2s
+      |       FROM gv JOIN r USING (v) GROUP BY 1),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |        CAST(SUM(n) AS BIGINT) AS nt,
+      |        SUM(CAST(CAST(r2s AS DOUBLE) * CAST(r2s AS DOUBLE) /
+      |          (4.0 * CAST(n AS DOUBLE)) AS DECIMAL(28,6))) AS rr6
+      |      FROM bg),
+      |f AS (SELECT k, nt,
+      |    CAST(CAST(12.0 / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE)
+      |      + 1.0)) * CAST(rr6 AS DOUBLE) - 3.0 * (CAST(nt AS DOUBLE)
+      |      + 1.0) AS DECIMAL(28,6)) AS DOUBLE) AS h,
+      |    CAST(CAST(1.0 - CAST(tie AS DOUBLE) /
+      |      CAST(CAST(nt AS HUGEINT) * nt * nt - nt AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS tc
+      |  FROM a, ties),
+      |f2 AS (SELECT k, nt, h,
+      |    CAST(CAST(h / tc AS DECIMAL(28,6)) AS DOUBLE) AS hc
+      |  FROM f)
+      |SELECT k AS k_groups, nt AS n_rows, h AS h_stat,
+      |  hc AS h_corrected,
+      |  CASE WHEN k - 1 <= 30 THEN
+      |    CAST(hc >= ${chiCase("k - 1")} AS INTEGER) END AS significant
+      |FROM f2""".stripMargin
+
+  // q354: Brown–Forsythe variance-homogeneity test across languages
+  // (Stats.brownForsythe) — ANOVA F on |x − group median| with the
+  // median in exact doubled units (two order statistics via cumulative
+  // counts), so everything before the final F is integer.
+  def q354BrownForsythe(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.brownForsythe(
+      t(s, dir, "documents"), "lang", "n_chars")
+
+  val q354Sql: String =
+    """WITH gv AS (
+      |  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cumt AS (SELECT g, v, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |    SUM(c) OVER (PARTITION BY g) AS n
+      |  FROM gv),
+      |med AS (SELECT g,
+      |    MAX(CASE WHEN cb < (n + 1) // 2 AND (n + 1) // 2 <= cb + c
+      |      THEN v END) +
+      |    MAX(CASE WHEN cb < n // 2 + 1 AND n // 2 + 1 <= cb + c
+      |      THEN v END) AS med2
+      |  FROM cumt GROUP BY g),
+      |z AS (SELECT gv.g, c, ABS(2 * v - med2) AS z2
+      |      FROM gv JOIN med ON med.g = gv.g),
+      |bg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+      |         SUM(CAST(c AS HUGEINT) * z2) AS s,
+      |         SUM(CAST(c AS HUGEINT) * z2 * z2) AS q
+      |       FROM z GROUP BY 1),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |        CAST(SUM(n) AS BIGINT) AS nt,
+      |        SUM(s) AS st, SUM(q) AS qt,
+      |        SUM(CAST(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |          CAST(n AS DOUBLE) AS DECIMAL(28,6))) AS ssg6
+      |      FROM bg),
+      |st2 AS (SELECT k, nt,
+      |    CAST(CAST(CAST(ssg6 AS DOUBLE) - CAST(st AS DOUBLE) *
+      |      CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS ssb,
+      |    CAST(CAST(CAST(qt AS DOUBLE) - CAST(ssg6 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS ssw
+      |  FROM a)
+      |SELECT k AS k_groups, nt AS n_rows, ssb AS ss_between,
+      |  ssw AS ss_within,
+      |  CASE WHEN ssw > 0 THEN
+      |    CAST(CAST((ssb / CAST(k - 1 AS DOUBLE)) /
+      |      (ssw / CAST(nt - k AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |  END AS f_stat
+      |FROM st2""".stripMargin
+
+  // q355: Friedman rank test — 40 user buckets (blocks) × 5 event
+  // types (systems) on per-cell event counts (Stats.friedmanTest):
+  // the "k models × n prompts" eval-table test, complete-block
+  // enforced loudly, per-item midranks, tie-corrected chi-square.
+  def q355Friedman(s: SparkSession, dir: String): DataFrame = {
+    val cells = ev(s, dir)
+      .groupBy((col("user_id") % 40).as("item"),
+        col("event_type").as("sys"))
+      .agg(count(lit(1)).as("v"))
+    graft.pipeline.Stats.friedmanTest(cells, "item", "sys", "v")
+  }
+
+  val q355Sql: String =
+    s"""WITH cells AS (
+      |  SELECT user_id % 40 AS i, event_type AS sys,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |iv AS (SELECT i, v, CAST(COUNT(*) AS BIGINT) AS t
+      |       FROM cells GROUP BY 1, 2),
+      |r AS (SELECT i, v,
+      |    2 * COALESCE(SUM(t) OVER (PARTITION BY i ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + t + 1 AS r2
+      |  FROM iv),
+      |ties AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+      |           AS tie FROM iv),
+      |aud AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n,
+      |          CAST(COUNT(DISTINCT sys) AS BIGINT) AS k
+      |        FROM cells),
+      |bs AS (SELECT sys, SUM(CAST(r2 AS HUGEINT)) AS r2s
+      |       FROM cells JOIN r ON r.i = cells.i AND r.v = cells.v
+      |       GROUP BY 1),
+      |a AS (SELECT SUM(CAST(CAST(r2s AS DOUBLE) * CAST(r2s AS DOUBLE)
+      |        / 4.0 AS DECIMAL(28,6))) AS rr6
+      |      FROM bs),
+      |f AS (SELECT n, k,
+      |    CAST(CAST(12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) *
+      |      (CAST(k AS DOUBLE) + 1.0)) * CAST(rr6 AS DOUBLE) -
+      |      3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS q,
+      |    CAST(CAST(1.0 - CAST(tie AS DOUBLE) / (CAST(n AS DOUBLE) *
+      |      CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+      |      - 1.0)) AS DECIMAL(28,6)) AS DOUBLE) AS tc
+      |  FROM a, ties, aud),
+      |f2 AS (SELECT n, k, q,
+      |    CASE WHEN tc > 0 THEN
+      |      CAST(CAST(q / tc AS DECIMAL(28,6)) AS DOUBLE) END AS qc
+      |  FROM f)
+      |SELECT n AS n_items, k AS k_systems, q AS q_stat,
+      |  qc AS q_corrected,
+      |  CASE WHEN qc IS NOT NULL AND k - 1 <= 30 THEN
+      |    CAST(qc >= ${chiCase("k - 1")} AS INTEGER) END AS significant
+      |FROM f2""".stripMargin
+
+  // q356: Ljung–Box whiteness test over the q350 volume buckets
+  // (Timeseries.ljungBox) — the one-number rollup of the corrgram:
+  // Q = n(n+2)·Σ ρ_k²/(n−k) on the d6 ρ values acf emits, fixed
+  // chi-square literal at df = maxLag.
+  def q356LjungBox(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.ljungBox(buckets, "event_type", "b", "x",
+      maxLag = 6)
+  }
+
+  val q356Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx
+      |       FROM s GROUP BY 1),
+      |d AS (SELECT s.k, s.t, st.n, st.n * s.x - st.sx AS dv
+      |      FROM s JOIN st ON st.k = s.k),
+      |l AS (SELECT k, n, dv,
+      |    lag(dv, 1) OVER w AS l1, lag(dv, 2) OVER w AS l2,
+      |    lag(dv, 3) OVER w AS l3, lag(dv, 4) OVER w AS l4,
+      |    lag(dv, 5) OVER w AS l5, lag(dv, 6) OVER w AS l6
+      |  FROM d WINDOW w AS (PARTITION BY k ORDER BY t)),
+      |den AS (SELECT k, SUM(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT))
+      |          AS dn, MAX(n) AS n
+      |        FROM l GROUP BY 1),
+      |pr AS (
+      |  SELECT k, u.lg,
+      |    CAST(dv AS HUGEINT) * CAST(CASE u.lg
+      |      WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+      |      WHEN 4 THEN l4 WHEN 5 THEN l5 ELSE l6 END AS HUGEINT) AS p
+      |  FROM l, (SELECT unnest(range(1, 7)) AS lg) u),
+      |num AS (SELECT k, lg, SUM(p) AS nm FROM pr WHERE p IS NOT NULL
+      |        GROUP BY 1, 2),
+      |acf AS (
+      |  SELECT num.k, CAST(num.lg AS INTEGER) AS lg, den.n,
+      |    CASE WHEN den.dn > 0 THEN
+      |      CAST(CAST(CAST(num.nm AS DOUBLE) / CAST(den.dn AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS rho
+      |  FROM num JOIN den ON den.k = num.k),
+      |lb AS (
+      |  SELECT k, MAX(n) AS n_periods, CAST(COUNT(rho) AS BIGINT)
+      |      AS n_lags,
+      |    SUM(CAST(rho * rho / CAST(n - lg AS DOUBLE)
+      |      AS DECIMAL(28,6))) AS q6
+      |  FROM acf GROUP BY 1),
+      |lb2 AS (
+      |  SELECT k, n_periods, n_lags,
+      |    CASE WHEN n_lags = 6 THEN
+      |      CAST(CAST(CAST(n_periods AS DOUBLE) *
+      |        (CAST(n_periods AS DOUBLE) + 2.0) * CAST(q6 AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS qs
+      |  FROM lb)
+      |SELECT k AS event_type, n_periods, n_lags,
+      |  CAST(6 AS BIGINT) AS df, qs AS q_stat,
+      |  CASE WHEN qs IS NOT NULL THEN
+      |    CAST(qs >= 12.591587 AS INTEGER) END AS significant
+      |FROM lb2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_ljung_box" -> (q356LjungBox _),
+    "q355_friedman" -> (q355Friedman _),
+    "q354_brown_forsythe" -> (q354BrownForsythe _),
+    "q353_kruskal" -> (q353Kruskal _),
     "q351_stationary" -> (q351Stationary _),
     "q350_acf" -> (q350Acf _),
     "q349_assoc_rules" -> (q349AssocRules _),
@@ -3089,6 +3319,10 @@ object Analytics {
 
   def oracles: Map[String, String] = Map(
     "q351_stationary" -> q351Sql,
+    "q353_kruskal" -> q353Sql,
+    "q354_brown_forsythe" -> q354Sql,
+    "q355_friedman" -> q355Sql,
+    "q356_ljung_box" -> q356Sql,
     "q350_acf" -> q350Sql,
     "q349_assoc_rules" -> q349Sql,
     "q346_viterbi" -> q346Sql,

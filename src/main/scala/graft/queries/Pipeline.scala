@@ -1750,6 +1750,17 @@ object Pipeline {
       |LEFT JOIN corecl cc ON cc.vec_id = p.vec_id
       |LEFT JOIN bord b ON b.vec_id = p.vec_id""".stripMargin
 
+  // q352: ANN-fed DBSCAN (Clustering.dbscanAnn) — q347's clustering
+  // with the O(N²/blocks) exact pair stage swapped for LSH-bucketed
+  // candidates verified at the exact quantized ε (the q163 playbook:
+  // same oracle, recall-1.0 precondition asserted in ClusteringSpec,
+  // so the composition reproduces q347 bit-for-bit at the fixture SFs;
+  // the recall < 1 undercount law is documented on euclideanPairsAnn).
+  def q352DbscanAnn(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Clustering.dbscanAnn(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      eps2 = 1380000L, minPts = 5)
+
   // q348: MMR diverse top-5 (Similarity.mmrSelect) — greedy
   // relevance/diversity re-rank inside a per-query top-20 window, all
   // comparisons on fixed-point longs (r6/m6 at 10⁶, step scores at
@@ -1824,6 +1835,7 @@ object Pipeline {
       |WHERE u.j <= len(f.sel)""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q352_dbscan_ann" -> (q352DbscanAnn _),
     "q348_mmr" -> (q348Mmr _),
     "q347_dbscan" -> (q347Dbscan _),
     "q345_knn_shapley" -> (q345KnnShapley _),
@@ -2536,6 +2548,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "q348_mmr" -> q348Sql,
     "q347_dbscan" -> q347Sql,
+    "q352_dbscan_ann" -> q347Sql,
     "q345_knn_shapley" -> q345Sql,
     "q344_silhouette" -> q344Sql,
     "q343_cdc_dup_pairs" -> q343Sql,

@@ -271,4 +271,34 @@ class TimeseriesSpec extends SparkSpec {
     // alt: d = 4x−8 = −4,4,−4,4; den = 64; num(1) = 3·(−16) = −48
     assert(out("alt") == Some(-0.75))
   }
+
+  test("ljungBox matches the hand-rolled Q on an alternating series") {
+    // x alternates 0,2 over n=8: d = ±8, den = 512, ρ₁ = −0.875,
+    // ρ₂ = 0.75, ρ₃ = −0.625 → terms ρ²/(n−k) = 0.109375, 0.09375,
+    // 0.078125 (each exact at d6) → Q = 8·10·0.28125 = 22.5;
+    // df = 3, crit 7.814728 → significant
+    val df = (1L to 8L).map(t => ("k", t, if (t % 2 == 1) 0L else 2L))
+      .toDF("k", "t", "x")
+    val r = Timeseries.ljungBox(df, "k", "t", "x", maxLag = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_periods") == 8L)
+    assert(r.getAs[Long]("n_lags") == 3L)
+    assert(r.getAs[Double]("q_stat") == 22.5)
+    assert(r.getAs[Int]("significant") == 1)
+  }
+
+  test("ljungBox: too-short and zero-variance series answer NULL, " +
+    "not a wrong Q") {
+    val df = Seq(
+      ("short", 1L, 1L), ("short", 2L, 3L), ("short", 3L, 1L),
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L),
+      ("flat", 4L, 5L), ("flat", 5L, 5L)).toDF("k", "t", "x")
+    val out = Timeseries.ljungBox(df, "k", "t", "x", maxLag = 3)
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    // short: only lags 1..2 exist (n = 3) → incomplete → NULL
+    assert(out("short").isEmpty)
+    // flat: ρ is NULL at every lag (zero variance) → NULL
+    assert(out("flat").isEmpty)
+  }
 }

@@ -317,4 +317,76 @@ class BehaviorSpec extends SparkSpec {
     assert(r.getAs[String]("path") == "AAA")
     assert(r.getAs[Long]("best_score") == 6L)
   }
+
+  // ------------------------------------------- stationaryDistribution
+
+  private def piOf(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("stationaryDistribution: deterministic cycle is exactly uniform") {
+    // one user walks a→b→c→a: P is the cyclic permutation, whose
+    // stationary vector is uniform — and the quantized iteration holds
+    // floor(10⁶/3) = 333333 per state at EVERY step (permutations
+    // only reorder), so 30 iters emit exactly 0.333333 each
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "b"),
+      (1L, 3L, 300L, "c"), (1L, 4L, 400L, "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = piOf(Behavior.stationaryDistribution(
+      ev, "user_id", "event_type", "ts", "event_id"))
+    assert(out == Map("a" -> 0.333333, "b" -> 0.333333, "c" -> 0.333333))
+  }
+
+  test("stationaryDistribution: a sink state self-loops and absorbs") {
+    // a→b only: b has no outgoing transitions, so it self-loops (the
+    // absorbing convention) and all mass drains into it by iter 1
+    val ev = Seq((1L, 1L, 100L, "a"), (1L, 2L, 200L, "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = piOf(Behavior.stationaryDistribution(
+      ev, "user_id", "event_type", "ts", "event_id"))
+    assert(out == Map("a" -> 0.0, "b" -> 1.0))
+  }
+
+  test("stationaryDistribution matches the hand-replayed quantized " +
+    "iteration on a 2-state chain (planted counts, known fixed point)") {
+    // counts: a→a 1, a→b 1, b→a 1 ⇒ P = [[.5,.5],[1,0]], exact
+    // stationary vector (2/3, 1/3). The operator's contract is the
+    // QUANTIZED trajectory, replayed here in plain Scala: p6 rows
+    // (500000, 500000) and (1000000, 0), pi₀ = (500000, 500000),
+    // π′_j = floor(Σ_i π_i·p6[i][j] / 10⁶), 30 steps
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "a"),
+      (1L, 3L, 300L, "b"), (1L, 4L, 400L, "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val p6 = Array(Array(500000L, 500000L), Array(1000000L, 0L))
+    var pi = Array(500000L, 500000L)
+    for (_ <- 1 to 30) {
+      pi = Array.tabulate(2)(j =>
+        math.floorDiv((0 until 2).map(i => pi(i) * p6(i)(j)).sum, 1000000L))
+    }
+    val expected = Map(
+      "a" -> BigDecimal(pi(0).toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "b" -> BigDecimal(pi(1).toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val out = piOf(Behavior.stationaryDistribution(
+      ev, "user_id", "event_type", "ts", "event_id"))
+    assert(out == expected)
+    // and the quantized trajectory sits on the true fixed point
+    assert(math.abs(out("a") - 2.0 / 3.0) < 1e-3, out)
+    assert(math.abs(out("b") - 1.0 / 3.0) < 1e-3, out)
+  }
+
+  test("stationaryDistribution: the maxStates guard fires loudly") {
+    val ev = Seq(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "b"), (1L, 3L, 300L, "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val e = intercept[Exception] {
+      Behavior.stationaryDistribution(
+        ev, "user_id", "event_type", "ts", "event_id",
+        maxStates = 2).collect()
+    }
+    assert(e.getMessage.contains("exceeds maxStates"),
+      s"unexpected: ${e.getMessage}")
+  }
 }

@@ -68,4 +68,105 @@ class ClusteringSpec extends SparkSpec {
     // the blob-1 diagonal pair at exactly 20000
     assert(one.contains((1L, 4L, 20000L)))
   }
+
+  test("a border tied between two clusters pins to the MIN cluster id") {
+    // two 4-point square blobs (side 0.125 — exact in float32), gap
+    // 0.3125 > ε; X sits midway on the axis, within ε of exactly ONE
+    // core in each blob (d² = 156² = 24336 ≤ eps2 = 31250, but the
+    // diagonal cores are at 39961 > eps2). X has 3 neighbors incl self
+    // < minPts = 4 → border, and its core neighbors live in clusters
+    // 1 and 11 — the pinned tie rule attaches it to min = 1, making
+    // the assignment a pure function of the pair set (textbook DBSCAN
+    // leaves this to visit order)
+    val pts = Seq(
+      1L -> Seq(0.0f, 0.0f), 2L -> Seq(0.125f, 0.0f),
+      3L -> Seq(0.0f, 0.125f), 4L -> Seq(0.125f, 0.125f),
+      11L -> Seq(0.4375f, 0.0f), 12L -> Seq(0.5625f, 0.0f),
+      13L -> Seq(0.4375f, 0.125f), 14L -> Seq(0.5625f, 0.125f),
+      99L -> Seq(0.28125f, 0.0f)
+    ).toDF("vec_id", "embedding")
+    val out = byId(Clustering.dbscan(pts, "vec_id", "embedding",
+      eps2 = 31250L, minPts = 4, blocks = 2))
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(out(id)._2 == "core" && out(id)._3 == Some(1L),
+        s"vec $id: ${out(id)}"))
+    Seq(11L, 12L, 13L, 14L).foreach(id =>
+      assert(out(id)._2 == "core" && out(id)._3 == Some(11L),
+        s"vec $id: ${out(id)}"))
+    assert(out(99L) == ((3L, "border", Some(1L))))
+  }
+
+  test("reachability does not chain through borders: beyond-border is noise") {
+    // blob cores ← B (within ε of core 2 only) ← Y (within ε of B
+    // only). B is density-reachable → border; Y touches only the
+    // NON-core B, so it is NOT reachable — noise, even though a path
+    // of ε-steps connects it to the cluster (Ester 1996's asymmetry)
+    val pts = Seq(
+      1L -> Seq(0.0f, 0.0f), 2L -> Seq(0.125f, 0.0f),
+      3L -> Seq(0.0f, 0.125f), 4L -> Seq(0.125f, 0.125f),
+      50L -> Seq(0.28125f, 0.0f), // B: core2 + Y + self = 3 < 4
+      60L -> Seq(0.4375f, 0.0f) // Y: B + self = 2 < 4, no core neighbor
+    ).toDF("vec_id", "embedding")
+    val out = byId(Clustering.dbscan(pts, "vec_id", "embedding",
+      eps2 = 31250L, minPts = 4, blocks = 2))
+    assert(out(50L) == ((3L, "border", Some(1L))))
+    assert(out(60L) == ((2L, "noise", None)))
+  }
+
+  test("minPts = 1 degenerates: every point is core, singletons included") {
+    val pts = Seq(
+      1L -> Seq(0.0f, 0.0f), 2L -> Seq(5.0f, 5.0f),
+      3L -> Seq(1.0f, 1.0f), 4L -> Seq(1.1f, 1.0f)
+    ).toDF("vec_id", "embedding")
+    val out = byId(Clustering.dbscan(pts, "vec_id", "embedding",
+      eps2 = 22500L, minPts = 1, blocks = 2))
+    assert(out(1L) == ((1L, "core", Some(1L)))) // isolated → own cluster
+    assert(out(2L) == ((1L, "core", Some(2L))))
+    assert(out(3L) == ((2L, "core", Some(3L))))
+    assert(out(4L) == ((2L, "core", Some(3L)))) // component-min id
+  }
+
+  test("euclideanPairsAnn is a verified SUBSET of the exact pair set") {
+    // false positives die at the exact integer d² verify, so ANN pairs
+    // ⊆ exact pairs ALWAYS, whatever the recall — the one-sided law
+    // that holds at every (tables, bits)
+    val exact = Clustering.euclideanPairs(blobs, "vec_id", "embedding",
+      eps2 = 22500L, blocks = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for ((t, b) <- Seq((4, 1), (32, 2), (8, 4))) {
+      val ann = Clustering.euclideanPairsAnn(blobs, "vec_id", "embedding",
+        eps2 = 22500L, tables = t, bits = b).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(ann.subsetOf(exact), s"tables=$t bits=$b: ${ann -- exact}")
+      assert(ann.forall { case (a, bb, d2) => a < bb && d2 <= 22500L })
+    }
+  }
+
+  test("ANN-fed DBSCAN equals the exact composition (recall 1.0)") {
+    // q352's precondition at BOTH the spec SF and the driver's compare
+    // SF (the q163 semantic-dedup playbook): at 32 tables × 2 bits the
+    // LSH candidates contain EVERY true ε-pair of the fixture
+    // embeddings at q347's far threshold (eps2 = 1.38·10⁶ on unit
+    // vectors ⇔ cosine ≥ 0.31), so pair set — and therefore degrees,
+    // roles and clusters — reproduce the exact operator bit-for-bit.
+    // Below recall 1.0 the documented undercount law applies instead.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val exactPairs = Clustering.euclideanPairs(
+        e, "vec_id", "embedding", eps2 = 1380000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val annPairs = Clustering.euclideanPairsAnn(
+        e, "vec_id", "embedding", eps2 = 1380000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(annPairs == exactPairs,
+        s"$sf: recall ${annPairs.size}/${exactPairs.size} — " +
+          "the ANN feed's recall-1.0 precondition broke")
+      val key = (df: org.apache.spark.sql.DataFrame) => rows(df)
+      assert(key(Clustering.dbscanAnn(e, "vec_id", "embedding",
+          eps2 = 1380000L, minPts = 5)) ==
+        key(Clustering.dbscan(e, "vec_id", "embedding",
+          eps2 = 1380000L, minPts = 5)),
+        s"$sf: ANN-fed DBSCAN diverges from exact")
+    }
+  }
 }

@@ -276,6 +276,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("non-negative"))
   }
 
+  test("pageRank demotes a zero-SUM-weight source to dangling, no NaN") {
+    // b's only outgoing edge has weight 0: normalizing would be
+    // 0.0/0.0 = NaN and poison every score — instead b's edges drop
+    // and b redistributes as dangling mass; c (reachable only via the
+    // zero edge) STAYS in the ranking universe
+    val edges = Seq(("a", "b", 1L), ("b", "c", 0L)).toDF("s", "d", "n")
+    val out = Graph.pageRank(edges, "s", "d", "n", iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(out.size == 3, s"node universe shrank: $out")
+    out.values.foreach(v => assert(!v.isNaN && v > 0.0, out))
+    // hand replay: b and c dangling, a's mass all to b
+    var (a, b, c) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    val t = (1.0 - 0.85) / 3
+    for (_ <- 0 until 10) {
+      val dang = (b + c) / 3
+      val (na, nb, nc) =
+        (t + 0.85 * dang, t + 0.85 * (a + dang), t + 0.85 * dang)
+      a = na; b = nb; c = nc
+    }
+    assert(math.abs(out("a") - a) < 1e-12, s"a: ${out("a")} vs $a")
+    assert(math.abs(out("b") - b) < 1e-12)
+    assert(math.abs(out("c") - c) < 1e-12)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
+
   test("pageRank/hits emit per-round l1_delta convergence metrics") {
     // the named observe() rides each round's materialization job and
     // reaches every QueryExecutionListener — capture them and assert

@@ -49,6 +49,27 @@ class PackNormSpec extends SparkSpec {
     assert(rows(a) == rows(b))
   }
 
+  test("quantileNormalize: duplicate ids in a slice normalize " +
+    "independently at their own ranks, one output row per input row") {
+    // id 1 appears twice in slice A with scores 10 and 30 — each
+    // occurrence is its own ranked row (the fan-in aggregate keys on
+    // the unique within-slice rank, never the id); an id-keyed merge
+    // would emit a single wrong (sum/S) row instead
+    val df = Seq(("A", 1L, 10L), ("A", 2L, 20L), ("A", 1L, 30L),
+      ("B", 5L, 100L), ("B", 6L, 200L), ("B", 7L, 300L))
+      .toDF("slice", "id", "score")
+    val out = Sampling.quantileNormalize(df, "slice", "id", "score")
+    assert(out.count() == 6L)
+    val a = out.filter(col("slice") === "A").collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getAs[Double]("norm_score"))
+      .toMap
+    // ranks in A: (10,id1)→1, (20,id2)→2, (30,id1)→3; equal sizes, so
+    // norm = mean with B's same-rank value
+    assert(a((1L, 10L)) == 55.0, a)
+    assert(a((2L, 20L)) == 110.0, a)
+    assert(a((1L, 30L)) == 165.0, a)
+  }
+
   // ------------------------------------------------------- packFirstFit
 
   test("packFirstFit: every bin respects capacity; every item appears once") {

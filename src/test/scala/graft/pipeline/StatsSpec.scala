@@ -265,6 +265,146 @@ class StatsSpec extends SparkSpec {
     assert(out("a") > 0.0 && out("b") > 0.0)
   }
 
+  test("kruskalWallis matches the hand computation; ties correct H") {
+    // A={1,2}, B={3,4}: ranks 1..4, R_A=3, R_B=7 →
+    // H = 12/20·(9/2+49/2) − 15 = 2.4; no ties; df=1 crit 3.841459
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L))
+      .toDF("g", "v")
+    val r = Stats.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Double]("h_stat") == 2.4)
+    assert(r.getAs[Double]("h_corrected") == 2.4)
+    assert(r.getAs[Int]("significant") == 0)
+    // A={1,1}, B={2,2}: midranks 1.5,1.5,3.5,3.5 → same H = 2.4,
+    // Σ(t³−t) = 12, C = 1 − 12/60 = 0.8 → H_c = 3.0
+    val tied = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L))
+      .toDF("g", "v")
+    val rt = Stats.kruskalWallis(tied, "g", "v").collect().head
+    assert(rt.getAs[Double]("h_stat") == 2.4)
+    assert(rt.getAs[Double]("h_corrected") == 3.0)
+  }
+
+  test("kruskalWallis: degenerate inputs fail loudly") {
+    val oneGroup = Seq(("A", 1L), ("A", 2L)).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      Stats.kruskalWallis(oneGroup, "g", "v").collect()
+    }
+    assert(e1.getMessage.contains("kruskalWallis"), e1.getMessage)
+    val allTied = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("g", "v")
+    val e2 = intercept[Exception] {
+      Stats.kruskalWallis(allTied, "g", "v").collect()
+    }
+    assert(e2.getMessage.contains("kruskalWallis"), e2.getMessage)
+  }
+
+  test("brownForsythe matches the hand ANOVA on |x − median|") {
+    // A={0,10,10,10}: med2 = 20, z2 = {20,0,0,0}; B={5,5,5,7}:
+    // med2 = 10, z2 = {0,0,0,4} → SSB=32, SSW=312, F = 32/52
+    val df = Seq(("A", 0L), ("A", 10L), ("A", 10L), ("A", 10L),
+      ("B", 5L), ("B", 5L), ("B", 5L), ("B", 7L)).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v").collect().head
+    assert(r.getAs[Double]("ss_between") == 32.0)
+    assert(r.getAs[Double]("ss_within") == 312.0)
+    assert(r.getAs[Double]("f_stat") == 0.615385)
+  }
+
+  test("brownForsythe: equal spreads → F near 0; zero SSW → NULL F; " +
+    "single group raises") {
+    // identical shapes shifted in location: deviations equal → SSB = 0
+    // (sizes of 4 keep every s²/n term exact at 6 decimals)
+    val df = Seq(("A", 0L), ("A", 2L), ("A", 4L), ("A", 6L),
+      ("B", 100L), ("B", 102L), ("B", 104L), ("B", 106L)).toDF("g", "v")
+    val r = Stats.brownForsythe(df, "g", "v").collect().head
+    assert(r.getAs[Double]("ss_between") == 0.0)
+    assert(r.getAs[Double]("f_stat") == 0.0)
+    val const = Seq(("A", 5L), ("A", 5L), ("B", 9L), ("B", 9L))
+      .toDF("g", "v")
+    val rc = Stats.brownForsythe(const, "g", "v").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("f_stat")))
+    val e = intercept[Exception] {
+      Stats.brownForsythe(Seq(("A", 1L), ("A", 2L)).toDF("g", "v"),
+        "g", "v").collect()
+    }
+    assert(e.getMessage.contains("brownForsythe"), e.getMessage)
+  }
+
+  test("friedmanTest: perfectly consistent rankings hit Q = n(k−1)") {
+    // 3 items × 3 systems, s3 > s2 > s1 everywhere → Q = 6,
+    // df = 2, crit 5.991465 → significant
+    val df = Seq(
+      (1L, "s1", 10L), (1L, "s2", 20L), (1L, "s3", 30L),
+      (2L, "s1", 1L), (2L, "s2", 5L), (2L, "s3", 9L),
+      (3L, "s1", 7L), (3L, "s2", 8L), (3L, "s3", 11L))
+      .toDF("item", "sys", "v")
+    val r = Stats.friedmanTest(df, "item", "sys", "v").collect().head
+    assert(r.getAs[Long]("n_items") == 3L)
+    assert(r.getAs[Long]("k_systems") == 3L)
+    assert(r.getAs[Double]("q_stat") == 6.0)
+    assert(r.getAs[Double]("q_corrected") == 6.0)
+    assert(r.getAs[Int]("significant") == 1)
+  }
+
+  test("friedmanTest: within-item ties midrank and correct Q; " +
+    "all-tied items → NULL q_corrected") {
+    // item 2 ties s1 = s2 < s3: midranks 1.5, 1.5, 3
+    val df = Seq(
+      (1L, "s1", 10L), (1L, "s2", 20L), (1L, "s3", 30L),
+      (2L, "s1", 5L), (2L, "s2", 5L), (2L, "s3", 9L))
+      .toDF("item", "sys", "v")
+    val r = Stats.friedmanTest(df, "item", "sys", "v").collect().head
+    // R_1 = 1+1.5 = 2.5, R_2 = 2+1.5 = 3.5, R_3 = 6 →
+    // Q = 12/(2·3·4)·(6.25+12.25+36) − 3·2·4 = 54.5/2 − 24 = 3.25;
+    // ties: one pair t=2 → Σ(t³−t) = 6, C = 1 − 6/(2·3·8) = 0.875
+    assert(r.getAs[Double]("q_stat") == 3.25)
+    assert(r.getAs[Double]("q_corrected") ==
+      BigDecimal(3.25 / 0.875).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val allTied = Seq(
+      (1L, "s1", 5L), (1L, "s2", 5L),
+      (2L, "s1", 7L), (2L, "s2", 7L)).toDF("item", "sys", "v")
+    val rt = Stats.friedmanTest(allTied, "item", "sys", "v")
+      .collect().head
+    assert(rt.isNullAt(rt.fieldIndex("q_corrected")))
+  }
+
+  test("friedmanTest: incomplete or duplicated blocks fail loudly") {
+    val missing = Seq(
+      (1L, "s1", 1L), (1L, "s2", 2L),
+      (2L, "s1", 3L)).toDF("item", "sys", "v")
+    val e1 = intercept[Exception] {
+      Stats.friedmanTest(missing, "item", "sys", "v").collect()
+    }
+    assert(e1.getMessage.contains("complete block"), e1.getMessage)
+    val dup = Seq(
+      (1L, "s1", 1L), (1L, "s1", 2L), (1L, "s2", 3L),
+      (2L, "s1", 4L), (2L, "s2", 5L)).toDF("item", "sys", "v")
+    val e2 = intercept[Exception] {
+      Stats.friedmanTest(dup, "item", "sys", "v").collect()
+    }
+    assert(e2.getMessage.contains("complete block"), e2.getMessage)
+  }
+
+  test("bradleyTerry: the maxItems guard fires loudly on a wide taxonomy") {
+    // the per-round driver collect is legal only for bounded
+    // leaderboards — the rakeWeights loud-bound discipline
+    val games = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("winner", "loser")
+    val e = intercept[IllegalArgumentException] {
+      Stats.bradleyTerry(games, "winner", "loser", iters = 1, maxItems = 3)
+    }
+    assert(e.getMessage.contains("maxItems"), e.getMessage)
+    // at the bound it still fits
+    assert(Stats.bradleyTerry(games, "winner", "loser", iters = 1,
+      maxItems = 4).count() == 4L)
+  }
+
+  test("isotonicCalibrate: the nBuckets bound rejects unbounded PAV input") {
+    val df = Seq((0.1, 0L), (0.9, 1L)).toDF("score", "label")
+    val e = intercept[IllegalArgumentException] {
+      Stats.isotonicCalibrate(df, "score", "label", nBuckets = 1001)
+    }
+    assert(e.getMessage.contains("nBuckets"), e.getMessage)
+  }
+
   test("isotonicCalibrate: PAV pools violations, output is monotone") {
     // 4 occupied bins with rates 0.2, 0.8, 0.4, 1.0: bins 2 and 3
     // violate → pool to (0.8+0.4)-ish = 6/10 = 0.6; result monotone

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Inventory lockstep: every driver entry in `SparkEntry.queries` must
+  * have a row in docs/OPERATORS.md — the catalog IS the contract the
+  * round audit checks against, and an entry shipped outside it is
+  * invisible to the next audit (the q351 lesson, VERDICT r13 #2).
+  * Red here means: you added a `queries` entry — add its catalog row.
+  */
+class InventorySpec extends AnyFunSuite {
+
+  test("every SparkEntry.queries key has a docs/OPERATORS.md row") {
+    val catalog = {
+      val src = scala.io.Source.fromFile("docs/OPERATORS.md", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val missing = graft.SparkEntry.queries.keys.toSeq.sorted.filterNot { k =>
+      // match on the qN token (q15 must not match q155)
+      val qn = k.takeWhile(_ != '_')
+      ("""(?<![0-9a-zA-Z])""" + qn + """(?![0-9])""").r
+        .findFirstIn(catalog).isDefined
+    }
+    assert(missing.isEmpty,
+      s"entries without a catalog row: ${missing.mkString(", ")}")
+  }
+
+  test("every SparkEntry.queries key has an oracle or a declared " +
+    "rows-only note in the catalog") {
+    // weaker sibling: oracleSql omissions are legal ONLY for the
+    // declared sketch/lossy set — catch silent drift in either map
+    val noOracle = graft.SparkEntry.queries.keySet diff
+      graft.SparkEntry.oracleSql.keySet
+    val declared = Set("q27_minhash_lsh", "q29_simhash_pairs",
+      "q30_fingerprints", "q31_ann_ivf", "q64_approx_distinct",
+      "q65_approx_quantiles", "q73_heavy_hitters",
+      "q101_compression_signal", "q162_count_min", "q223_jpeg_profile")
+    assert(noOracle == declared,
+      s"undeclared rows-only entries: ${(noOracle diff declared).toSeq.sorted
+        .mkString(", ")}; stale declarations: ${(declared diff noOracle)
+        .toSeq.sorted.mkString(", ")}")
+  }
+}
