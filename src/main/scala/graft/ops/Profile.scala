@@ -457,4 +457,51 @@ object Profile {
       .withColumn("mad", d6(sum(absDiff6).over(w).cast("double") / 9.0))
       .drop("_n")
   }
+
+  /** Shuffle-key skew advisor — the pre-flight a 100 TB join/groupBy
+    * deserves: per candidate shuffle key, the heavy hitters with their
+    * corpus share and the SALT FACTOR that would level them. A key
+    * holding share s of N rows puts s·N rows in one reducer task no
+    * matter how many partitions exist; the standard fix is salting the
+    * key into ⌈n_key / targetRowsPerTask⌉ sub-keys ([[graft.queries
+    * .Pipeline]]'s q70 salted-join pattern) — this emits that number
+    * per offender instead of leaving it to folklore.
+    *
+    * Exact counts; `share` is the one d6 division; `suggested_salt` is
+    * exact integer ⌈n/target⌉ (1 = no salting needed). Output: the
+    * top-`topK` keys by (count desc, key asc — total order), each with
+    * (key, n_rows, share, suggested_salt, rank), plus the global row
+    * and distinct-key counts carried on every row for the report.
+    *
+    * Scale shape: ONE key aggregate (map-side combined), a 1-row
+    * broadcast total, and a top-k window over the key-count frame —
+    * the advisor never shuffles wider than the aggregate it advises.
+    */
+  def skewAdvisor(
+      df: DataFrame,
+      keyCols: Seq[String],
+      targetRowsPerTask: Long,
+      topK: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    require(targetRowsPerTask >= 1, "targetRowsPerTask must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val key = concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+    val counts = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("_n"),
+      count(lit(1)).as("_k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_rows").desc, col("key").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("n_rows"),
+        d6(col("n_rows").cast("double") / col("_n").cast("double"))
+          .as("share"),
+        ((col("n_rows") + targetRowsPerTask - 1L) / targetRowsPerTask)
+          .cast("long").as("suggested_salt"),
+        col("_n").as("total_rows"), col("_k").as("distinct_keys"))
+  }
 }

@@ -72,6 +72,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** k-occurrence (hubness) audit of a kNN graph: how often each
+    * vector appears in OTHER vectors' top-k — the standard
+    * embedding-quality diagnostic (Radovanović et al. 2010): in high
+    * dimensions the in-degree distribution skews and a few "hub"
+    * vectors dominate every neighbor list, which silently corrupts
+    * kNN-based dedup, retrieval eval and KNN-Shapley alike. Rule of
+    * thumb: mean in-degree is ALWAYS k; a max ≫ k or a long zero tail
+    * ("anti-hubs") is the smell.
+    *
+    * This stage is a pure rollup of ANY (qid, nid, rank) neighbor
+    * frame — feed it [[bruteForceKnn]] (the exact baseline, see
+    * [[hubness]]) or the LSH path ([[lshCandidates]] →
+    * re-rank) at corpus scale; the swap never changes this half.
+    * Output one row per vector: (idCol, in_degree), zeros included
+    * (the anti-hub tail IS the signal — a left join keeps it).
+    */
+  def hubnessFromKnn(
+      points: DataFrame,
+      idCol: String,
+      knn: DataFrame): DataFrame =
+    points.select(col(idCol))
+      .join(knn.groupBy(col("nid").as(idCol))
+        .agg(count(lit(1)).as("_g_d")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_g_d"), lit(0L)).as("in_degree"))
+
+  /** Exact hubness composition: every vector queries [[bruteForceKnn]]
+    * (declared exact baseline — the query side is the whole corpus,
+    * O(N²) in-row integer dots) → [[hubnessFromKnn]]. At 100 TB swap
+    * the kNN stage for LSH candidates + exact re-rank; in-degree
+    * semantics are unchanged.
+    */
+  def hubness(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 10): DataFrame =
+    hubnessFromKnn(df, idCol,
+      bruteForceKnn(df, idCol, embCol, lit(true), k))
+
   /** All pairs with quantized cosine ≥ threshold (embedding-based
     * near-duplicate detection). Exact — inherently O(corpus²) dot
     * products, the ORACLE BASELINE at test scale; at 100 TB use [[annLsh]]

@@ -1202,4 +1202,71 @@ object TextDedup {
         d6(col("n_shared_chunks").cast("double") /
           col("_nb").cast("double")).as("overlap_b"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): k-gram rolling hashes, then the MINIMUM hash of
+    * every `window` consecutive k-grams, ties to the RIGHTMOST
+    * occurrence, consecutive re-selections deduplicated. The selection
+    * guarantee is what [[cdcChunks]]' content-defined boundaries can't
+    * give: any shared substring of length ≥ window + k − 1 between two
+    * documents shares AT LEAST ONE fingerprint — the local-dedup /
+    * clone-detection primitive with a provable detection floor.
+    *
+    * Hashing reuses the [[cdcChunks]] polynomial (Σ code·257^j mod
+    * 2³¹−1, position-independent, integer-exact: code points < 2²¹,
+    * products < 2⁵², k ≤ 16 keeps window sums < 2⁵⁶); the per-window
+    * argmin is an in-row fold whose `<=` update realises the
+    * rightmost-tie rule. Docs shorter than k emit no fingerprints; a
+    * doc with fewer than `window` k-grams is one (truncated) window.
+    *
+    * Scale shape: ZERO shuffles — pure per-row O(L·(k + window))
+    * lambda compute with every intermediate array lambda-BOUND (the
+    * q342 projection-collapse defense) and the same loud `maxChars`
+    * guard. Output: (idCol, pos — the k-gram's 1-based start,
+    * fingerprint). Downstream pairing buckets on (fingerprint), the
+    * q343 chunk_md5 pattern.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      window: Int = 4,
+      maxChars: Int = 100000): DataFrame = {
+    require(k >= 2 && k <= 16, s"k must be in [2,16], got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val M = 2147483647L
+    val pows = Iterator.iterate(1L)(p => (p * 257L) % M).take(k).toSeq
+    val powArr = s"array(${pows.map(p => s"${p}L").mkString(", ")})"
+    val t = "_g_t"
+    val guarded = df
+      .withColumn(t,
+        when(length(col(textCol)) <= maxChars, col(textCol))
+          .otherwise(raise_error(concat(
+            lit(s"winnowFingerprints: document longer than " +
+              s"maxChars=$maxChars ("),
+            length(col(textCol)).cast("string"),
+            lit(") — chunk it first")))))
+      .filter(length(col(t)) >= k)
+    val codes = s"transform(sequence(1, length($t)), " +
+      s"i -> CAST(ascii(substr($t, i, 1)) AS BIGINT))"
+    val hs = s"element_at(transform(array($codes), cs -> " +
+      s"transform(sequence(1, size(cs) - ${k - 1}), i -> " +
+      s"aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT), " +
+      s"(acc, j) -> acc + element_at(cs, i + j) * " +
+      s"element_at($powArr, j + 1)) % ${M}L)), 1)"
+    val sel = s"element_at(transform(array($hs), h -> " +
+      s"array_distinct(transform(" +
+      s"sequence(1, greatest(1, size(h) - ${window - 1})), w -> " +
+      s"aggregate(sequence(w, least(w + ${window - 1}, size(h))), " +
+      s"named_struct('m', CAST(NULL AS BIGINT), 'p', CAST(0 AS BIGINT)), " +
+      s"(acc, i) -> CASE WHEN acc.m IS NULL OR " +
+      s"element_at(h, i) <= acc.m THEN " +
+      s"named_struct('m', element_at(h, i), 'p', CAST(i AS BIGINT)) " +
+      s"ELSE acc END)))), 1)"
+    guarded
+      .select(col(idCol), explode(expr(sel)).as("_g_s"))
+      .select(col(idCol), col("_g_s.p").as("pos"),
+        col("_g_s.m").as("fingerprint"))
+  }
 }

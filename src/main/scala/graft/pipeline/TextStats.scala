@@ -2406,4 +2406,147 @@ object TextStats {
       when(col("n_words") > 0L,
         d6(lit(0.4) * (wps + lit(100.0) * cpw))).as("fog_index"))
   }
+
+  /** MTLD lexical diversity (McCarthy & Jarvis 2010) — the
+    * length-robust type/token measure: walk the token stream counting
+    * a FACTOR each time the running segment's TTR drops below 0.72,
+    * average the forward and backward factor counts, and report
+    * tokens/factors. Unlike raw TTR (which only falls with length),
+    * MTLD is comparable across documents of different sizes — the
+    * lexical-quality feature a curation gate can actually threshold.
+    *
+    * EXACT until the output: the TTR < 0.72 trigger is the integer
+    * predicate 25·types < 18·tokens; the trailing partial factor
+    * (1 − TTR)/(1 − 0.72) is the rational 25(n−t)/(7n), so each
+    * direction's MTLD is ONE d6 division
+    *
+    *   mtld_dir = 7·n_seg·N / (7·n_seg·factors + 25·(n_seg − t_seg))
+    *
+    * and the reported MTLD is the two directions' mean taken in
+    * micro-integer units with explicit HALF_UP ((a6+b6+1) div 2 — a
+    * double mean lands on exact .5 ties whenever a6+b6 is odd, where
+    * engines' decimal casts disagree). A
+    * document whose stream never completes or starts a factor
+    * (denominator 0 — every token unique) reports NULL: "too short to
+    * measure" is an answer, not a default.
+    *
+    * Scale shape: ZERO shuffles — per-document in-row aggregate folds
+    * over the (maxTokens-truncated) token array; the fold carries the
+    * current segment's distinct-token array, O(len·segTypes) per
+    * direction (the q342 in-row-fold class, bounded by `maxTokens`).
+    */
+  def mtld(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int = 200): DataFrame = {
+    require(maxTokens >= 10, s"maxTokens must be >= 10, got $maxTokens")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val toks = s"slice(filter(split($textCol, ' '), w -> w != ''), " +
+      s"1, $maxTokens)"
+    // fold state: (f factors, seg distinct-token array, st seg tokens)
+    def pass(arr: String): String =
+      s"aggregate($arr, " +
+        "named_struct('f', CAST(0 AS BIGINT), " +
+        "'seg', CAST(array() AS ARRAY<STRING>), " +
+        "'st', CAST(0 AS BIGINT)), " +
+        "(acc, w) -> CASE WHEN 25 * size(CASE WHEN " +
+        "array_contains(acc.seg, w) THEN acc.seg ELSE " +
+        "array_append(acc.seg, w) END) < 18 * (acc.st + 1) THEN " +
+        "named_struct('f', acc.f + CAST(1 AS BIGINT), " +
+        "'seg', CAST(array() AS ARRAY<STRING>), " +
+        "'st', CAST(0 AS BIGINT)) ELSE " +
+        "named_struct('f', acc.f, 'seg', CASE WHEN " +
+        "array_contains(acc.seg, w) THEN acc.seg ELSE " +
+        "array_append(acc.seg, w) END, 'st', acc.st + CAST(1 AS BIGINT)) " +
+        "END)"
+    val staged = df.select(col(idCol),
+      expr(s"size($toks)").cast("long").as("n_tokens"),
+      expr(pass(toks)).as("_fw"),
+      expr(pass(s"reverse($toks)")).as("_bw"))
+    def dir(s: String): Column = {
+      val f = col(s"$s.f")
+      val t = size(col(s"$s.seg")).cast("long")
+      val st = col(s"$s.st")
+      val den = lit(7L) * st * f + lit(25L) * (st - t)
+      // stream ended ON a factor boundary (st = 0): total factors = f
+      // exactly; otherwise the rational closed form; NULL only when no
+      // factor ever completed or started closing (all-unique stream)
+      when(st === 0L && f > 0L,
+        d6(col("n_tokens").cast("double") / f.cast("double")))
+        .otherwise(when(den > 0L,
+          d6((lit(7L) * st * col("n_tokens")).cast("double") /
+            den.cast("double"))))
+    }
+    // the fwd/bwd mean in MICRO-integers with explicit HALF_UP
+    // ((a6+b6+1) div 2): a double (a+b)/2 lands on an exact decimal
+    // .5 tie whenever a6+b6 is odd, where engines' decimal casts of
+    // the nearest-binary double disagree — the knnShapley
+    // floor(x·10⁶+0.5) discipline
+    def micro(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+    val mean6 = floor((micro(dir("_fw")) + micro(dir("_bw")) + 1L) /
+      lit(2.0)).cast("long")
+    staged.select(col(idCol), col("n_tokens"),
+      dir("_fw").as("mtld_fwd"), dir("_bw").as("mtld_bwd"),
+      d6(mean6.cast("double") / lit(1000000.0)).as("mtld"))
+  }
+
+  /** Gries' DP corpus dispersion (Gries 2008) — per token, how evenly
+    * its occurrences spread across corpus PARTS (sources, domains,
+    * shards): DP = ½·Σ_parts |v_i − s_i| with v_i the token's share of
+    * its own occurrences in part i and s_i the part's share of the
+    * corpus. DP ≈ 0 = evenly dispersed (function words); DP → 1 =
+    * concentrated in one part (topical/boilerplate vocabulary) — the
+    * dispersion axis frequency alone cannot see, and the right
+    * tie-breaker for stopword lists and domain-marker detection.
+    *
+    * EXACT: with f_ti the token's count in part i, f_t its total, F_i
+    * the part size and F the corpus size,
+    *
+    *   DP = [Σ_present |f_ti·F − F_i·f_t| + f_t·(F − Σ_present F_i)]
+    *        / (2·f_t·F)
+    *
+    * — the absent-part terms (v_i = 0, contribute s_i each) collapse
+    * into the closed form, every numerator term is an exact
+    * decimal(38,0), and DP is the ONE d6 division.
+    *
+    * Scale shape: one (token, part) count aggregate, a part-size frame
+    * small enough to BROADCAST (parts = sources/shards by contract),
+    * one token rollup. `minCount` prunes the hapax tail before the
+    * rollup.
+    */
+  def dpDispersion(
+      df: DataFrame,
+      textCol: String,
+      partCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val toks = df.select(col(partCol).cast("string").as("_p"),
+      explode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+        .as("tok"))
+    val tp = toks.groupBy(col("tok"), col("_p"))
+      .agg(count(lit(1)).as("_n"))
+    val tokTot = tp.groupBy(col("tok")).agg(sum(col("_n")).as("_ft"))
+      .filter(col("_ft") >= minCount)
+    val parts = tp.groupBy(col("_p")).agg(sum(col("_n")).as("_fi"))
+    val corpus = parts.agg(sum(col("_fi")).as("_f"))
+    tp
+      .join(tokTot, Seq("tok"))
+      .join(broadcast(parts), Seq("_p"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("tok"), col("_ft"), col("_f"))
+      .agg(
+        sum(abs(dec(col("_n")) * dec(col("_f")) -
+          dec(col("_fi")) * dec(col("_ft")))).as("_present"),
+        sum(col("_fi")).as("_fip"))
+      .select(col("tok"), col("_ft").as("n_total"),
+        d6((col("_present").cast("double") +
+          col("_ft").cast("double") *
+            (col("_f") - col("_fip")).cast("double")) /
+          (lit(2.0) * col("_ft").cast("double") *
+            col("_f").cast("double"))).as("dp"))
+  }
 }

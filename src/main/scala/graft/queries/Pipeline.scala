@@ -1761,6 +1761,231 @@ object Pipeline {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       eps2 = 1380000L, minPts = 5)
 
+  // q357: MTLD lexical diversity (TextStats.mtld) — factor-counting
+  // TTR with the integer trigger 25·types < 18·tokens, exact-rational
+  // partial factor, forward+backward mean. The oracle replays both
+  // sequential passes as recursive CTEs carrying the current segment's
+  // distinct-token list (the q346 viterbi lockstep-join discipline).
+  def q357Mtld(s: SparkSession, dir: String): DataFrame =
+    TextStats.mtld(t(s, dir, "documents"), "doc_id", "text",
+      maxTokens = 200)
+
+  val q357Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    (list_filter(string_split(text, ' '), w -> w <> ''))[1:200]
+      |      AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, list_reverse(toks) AS rtoks,
+      |        CAST(len(toks) AS BIGINT) AS nt
+      |      FROM d),
+      |fw(doc_id, i, f, seg, st) AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM n
+      |  UNION ALL
+      |  SELECT n.doc_id, fw.i + 1,
+      |    CASE WHEN 25 * len(CASE WHEN list_contains(fw.seg,
+      |        n.toks[CAST(fw.i + 1 AS INTEGER)]) THEN fw.seg
+      |      ELSE list_append(fw.seg, n.toks[CAST(fw.i + 1 AS INTEGER)])
+      |      END) < 18 * (fw.st + 1)
+      |      THEN fw.f + 1 ELSE fw.f END,
+      |    CASE WHEN 25 * len(CASE WHEN list_contains(fw.seg,
+      |        n.toks[CAST(fw.i + 1 AS INTEGER)]) THEN fw.seg
+      |      ELSE list_append(fw.seg, n.toks[CAST(fw.i + 1 AS INTEGER)])
+      |      END) < 18 * (fw.st + 1)
+      |      THEN CAST([] AS VARCHAR[])
+      |      ELSE CASE WHEN list_contains(fw.seg,
+      |        n.toks[CAST(fw.i + 1 AS INTEGER)]) THEN fw.seg
+      |      ELSE list_append(fw.seg, n.toks[CAST(fw.i + 1 AS INTEGER)])
+      |      END END,
+      |    CASE WHEN 25 * len(CASE WHEN list_contains(fw.seg,
+      |        n.toks[CAST(fw.i + 1 AS INTEGER)]) THEN fw.seg
+      |      ELSE list_append(fw.seg, n.toks[CAST(fw.i + 1 AS INTEGER)])
+      |      END) < 18 * (fw.st + 1)
+      |      THEN CAST(0 AS BIGINT) ELSE fw.st + 1 END
+      |  FROM fw JOIN n ON n.doc_id = fw.doc_id AND fw.i < n.nt),
+      |bw(doc_id, i, f, seg, st) AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST([] AS VARCHAR[]), CAST(0 AS BIGINT) FROM n
+      |  UNION ALL
+      |  SELECT n.doc_id, bw.i + 1,
+      |    CASE WHEN 25 * len(CASE WHEN list_contains(bw.seg,
+      |        n.rtoks[CAST(bw.i + 1 AS INTEGER)]) THEN bw.seg
+      |      ELSE list_append(bw.seg, n.rtoks[CAST(bw.i + 1 AS INTEGER)])
+      |      END) < 18 * (bw.st + 1)
+      |      THEN bw.f + 1 ELSE bw.f END,
+      |    CASE WHEN 25 * len(CASE WHEN list_contains(bw.seg,
+      |        n.rtoks[CAST(bw.i + 1 AS INTEGER)]) THEN bw.seg
+      |      ELSE list_append(bw.seg, n.rtoks[CAST(bw.i + 1 AS INTEGER)])
+      |      END) < 18 * (bw.st + 1)
+      |      THEN CAST([] AS VARCHAR[])
+      |      ELSE CASE WHEN list_contains(bw.seg,
+      |        n.rtoks[CAST(bw.i + 1 AS INTEGER)]) THEN bw.seg
+      |      ELSE list_append(bw.seg, n.rtoks[CAST(bw.i + 1 AS INTEGER)])
+      |      END END,
+      |    CASE WHEN 25 * len(CASE WHEN list_contains(bw.seg,
+      |        n.rtoks[CAST(bw.i + 1 AS INTEGER)]) THEN bw.seg
+      |      ELSE list_append(bw.seg, n.rtoks[CAST(bw.i + 1 AS INTEGER)])
+      |      END) < 18 * (bw.st + 1)
+      |      THEN CAST(0 AS BIGINT) ELSE bw.st + 1 END
+      |  FROM bw JOIN n ON n.doc_id = bw.doc_id AND bw.i < n.nt),
+      |fin AS (
+      |  SELECT n.doc_id, n.nt,
+      |    CASE WHEN fw.st = 0 AND fw.f > 0 THEN
+      |      CAST(CAST(CAST(n.nt AS DOUBLE) / CAST(fw.f AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE)
+      |    WHEN 7 * fw.st * fw.f + 25 * (fw.st - len(fw.seg)) > 0 THEN
+      |      CAST(CAST(CAST(7 * fw.st * n.nt AS DOUBLE) /
+      |        CAST(7 * fw.st * fw.f + 25 * (fw.st - len(fw.seg))
+      |        AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END AS mf,
+      |    CASE WHEN bw.st = 0 AND bw.f > 0 THEN
+      |      CAST(CAST(CAST(n.nt AS DOUBLE) / CAST(bw.f AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE)
+      |    WHEN 7 * bw.st * bw.f + 25 * (bw.st - len(bw.seg)) > 0 THEN
+      |      CAST(CAST(CAST(7 * bw.st * n.nt AS DOUBLE) /
+      |        CAST(7 * bw.st * bw.f + 25 * (bw.st - len(bw.seg))
+      |        AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END AS mb
+      |  FROM n
+      |  JOIN fw ON fw.doc_id = n.doc_id AND fw.i = n.nt
+      |  JOIN bw ON bw.doc_id = n.doc_id AND bw.i = n.nt)
+      |SELECT doc_id, nt AS n_tokens, mf AS mtld_fwd, mb AS mtld_bwd,
+      |  CAST(CAST(CAST((CAST(floor(mf * 1000000.0 + 0.5) AS BIGINT) +
+      |    CAST(floor(mb * 1000000.0 + 0.5) AS BIGINT) + 1) // 2
+      |    AS DOUBLE) / 1000000.0 AS DECIMAL(28,6)) AS DOUBLE) AS mtld
+      |FROM fin""".stripMargin
+
+  // q358: Gries DP dispersion of tokens across sources
+  // (TextStats.dpDispersion) — how evenly each token spreads over
+  // corpus parts; exact decimal numerators, one d6 division.
+  def q358DpDispersion(s: SparkSession, dir: String): DataFrame =
+    TextStats.dpDispersion(t(s, dir, "documents"), "text", "source",
+      minCount = 20L)
+
+  val q358Sql: String =
+    """WITH tk AS (
+      |  SELECT source AS p,
+      |    unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS tok
+      |  FROM documents),
+      |tp AS (SELECT tok, p, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM tk GROUP BY 1, 2),
+      |tt AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS ft FROM tp
+      |       GROUP BY 1 HAVING SUM(n) >= 20),
+      |pa AS (SELECT p, CAST(SUM(n) AS BIGINT) AS fi FROM tp GROUP BY 1),
+      |co AS (SELECT CAST(SUM(fi) AS BIGINT) AS f FROM pa)
+      |SELECT tp.tok, tt.ft AS n_total,
+      |  CAST(CAST((CAST(SUM(ABS(CAST(tp.n AS HUGEINT) * co.f -
+      |    CAST(pa.fi AS HUGEINT) * tt.ft)) AS DOUBLE) +
+      |    CAST(tt.ft AS DOUBLE) * CAST(co.f - SUM(pa.fi) AS DOUBLE)) /
+      |    (2.0 * CAST(tt.ft AS DOUBLE) * CAST(co.f AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS dp
+      |FROM tp JOIN tt USING (tok) JOIN pa USING (p) CROSS JOIN co
+      |GROUP BY tp.tok, tt.ft, co.f""".stripMargin
+
+  // q359: winnowing fingerprints (TextDedup.winnowFingerprints, the
+  // MOSS selection) over a 1-in-5 doc sample — k-gram rolling hashes,
+  // per-window min with the rightmost-tie rule, dedup. The oracle
+  // replays the fold with list_reduce (left fold + <= ⇒ rightmost).
+  def q359Winnowing(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextDedup.winnowFingerprints(
+      t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", k = 5, window = 4)
+
+  val q359Sql: String =
+    """WITH pw AS (
+      |  SELECT [1, 257, 66049, 16974593, 67503107] AS p),
+      |d AS (SELECT doc_id, text FROM documents
+      |      WHERE doc_id % 5 = 0 AND length(text) >= 5),
+      |st AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, length(text) + 1), i ->
+      |      CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))
+      |      AS codes
+      |  FROM d),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(codes) - 3), i ->
+      |      list_sum(list_transform(range(0, 5), j ->
+      |        codes[CAST(i + j AS INTEGER)] * p[CAST(j + 1 AS INTEGER)]))
+      |        % 2147483647) AS h
+      |  FROM st CROSS JOIN pw),
+      |sel AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(
+      |      range(1, greatest(CAST(2 AS BIGINT), len(h) - 2)), w ->
+      |      list_reduce(list_transform(range(CAST(w AS INTEGER),
+      |        CAST(least(w + 3, len(h)) + 1 AS INTEGER)), i ->
+      |        {m: CAST(h[CAST(i AS INTEGER)] AS BIGINT),
+      |         p: CAST(i AS BIGINT)}),
+      |        (acc, x) -> CASE WHEN x.m <= acc.m THEN x ELSE acc END)))
+      |      AS u
+      |  FROM hs)
+      |SELECT DISTINCT doc_id, u.p AS pos, u.m AS fingerprint
+      |FROM sel""".stripMargin
+
+  // q360: kNN-graph hubness audit (Similarity.hubness) — per-vector
+  // in-degree of the exact cosine top-5 graph, anti-hub zeros kept.
+  // The oracle replays q17's quantized cosine ranking over the whole
+  // corpus and rolls up in-degrees with a zero-preserving left join.
+  def q360Hubness(s: SparkSession, dir: String): DataFrame =
+    Similarity.hubness(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5)
+
+  val q360Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |           SUM(a.qv * b.qv) AS dot
+      |         FROM e a JOIN e b ON a.pos = b.pos
+      |         WHERE a.vec_id <> b.vec_id GROUP BY 1, 2),
+      |norms AS (SELECT vec_id, SUM(qv * qv) AS nrm FROM e GROUP BY 1),
+      |scored AS (
+      |  SELECT qid, nid,
+      |    CAST(dot AS DOUBLE) /
+      |      SQRT(CAST(nq.nrm AS DOUBLE) * CAST(nn.nrm AS DOUBLE))
+      |      AS cosine
+      |  FROM dots
+      |  JOIN norms nq ON qid = nq.vec_id
+      |  JOIN norms nn ON nid = nn.vec_id),
+      |topk AS (
+      |  SELECT nid FROM (
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY cosine DESC, nid ASC) AS rank
+      |    FROM scored) WHERE rank <= 5),
+      |deg AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS d
+      |        FROM topk GROUP BY 1)
+      |SELECT v.vec_id, COALESCE(deg.d, 0) AS in_degree
+      |FROM embeddings v LEFT JOIN deg ON deg.nid = v.vec_id""".stripMargin
+
+  // q361: shuffle-key skew advisor (Profile.skewAdvisor) — heavy keys
+  // with exact counts, d6 share and the ⌈n/target⌉ salt factor that
+  // would level each one.
+  def q361SkewAdvisor(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.skewAdvisor(t(s, dir, "events"),
+      Seq("event_type"), targetRowsPerTask = 5000L, topK = 10)
+
+  val q361Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(event_type AS VARCHAR) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS tot,
+      |        CAST(COUNT(*) AS BIGINT) AS k
+      |      FROM c),
+      |r AS (SELECT key, n_rows,
+      |        ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+      |      FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, key, n_rows,
+      |  CAST(CAST(CAST(n_rows AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS share,
+      |  CAST((n_rows + 4999) // 5000 AS BIGINT) AS suggested_salt,
+      |  tot AS total_rows, k AS distinct_keys
+      |FROM r CROSS JOIN t WHERE rank <= 10""".stripMargin
+
   // q348: MMR diverse top-5 (Similarity.mmrSelect) — greedy
   // relevance/diversity re-rank inside a per-query top-20 window, all
   // comparisons on fixed-point longs (r6/m6 at 10⁶, step scores at
@@ -1835,6 +2060,11 @@ object Pipeline {
       |WHERE u.j <= len(f.sel)""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q361_skew_advisor" -> (q361SkewAdvisor _),
+    "q360_hubness" -> (q360Hubness _),
+    "q359_winnowing" -> (q359Winnowing _),
+    "q358_dp_dispersion" -> (q358DpDispersion _),
+    "q357_mtld" -> (q357Mtld _),
     "q352_dbscan_ann" -> (q352DbscanAnn _),
     "q348_mmr" -> (q348Mmr _),
     "q347_dbscan" -> (q347Dbscan _),
@@ -2549,6 +2779,11 @@ object Pipeline {
     "q348_mmr" -> q348Sql,
     "q347_dbscan" -> q347Sql,
     "q352_dbscan_ann" -> q347Sql,
+    "q357_mtld" -> q357Sql,
+    "q358_dp_dispersion" -> q358Sql,
+    "q359_winnowing" -> q359Sql,
+    "q360_hubness" -> q360Sql,
+    "q361_skew_advisor" -> q361Sql,
     "q345_knn_shapley" -> q345Sql,
     "q344_silhouette" -> q344Sql,
     "q343_cdc_dup_pairs" -> q343Sql,

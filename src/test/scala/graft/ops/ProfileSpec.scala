@@ -297,4 +297,23 @@ class ProfileSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no positive"))
   }
+
+  test("skewAdvisor: exact counts, d6 shares, ceil-salt per heavy key") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Profile.skewAdvisor(df, Seq("k"), targetRowsPerTask = 2L)
+      .collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2),
+        r.getAs[Double]("share"), r.getLong(4), r.getLong(5),
+        r.getLong(6)))).toMap
+    assert(out("a") == ((1L, 6L, 0.6, 3L, 10L, 3L)))
+    assert(out("b") == ((2L, 3L, 0.3, 2L, 10L, 3L)))
+    assert(out("c") == ((3L, 1L, 0.1, 1L, 10L, 3L)))
+  }
+
+  test("skewAdvisor: topK truncates on the (count desc, key asc) order") {
+    val df = (Seq.fill(5)("z") ++ Seq.fill(5)("y") ++ Seq("x")).toDF("k")
+    val keys = Profile.skewAdvisor(df, Seq("k"), 100L, topK = 2)
+      .collect().map(_.getString(1)).toSeq
+    assert(keys == Seq("y", "z")) // tie on 5 → key asc
+  }
 }

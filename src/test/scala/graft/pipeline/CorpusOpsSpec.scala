@@ -1578,4 +1578,60 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_syllables") == 2L)
     assert(out(3L).getAs[Long]("n_words") == 2L)
   }
+
+  // ---- TextStats.mtld ----
+
+  test("mtld: hand-walked factor counts on repeat/alternating streams") {
+    val df = Seq(
+      // "a a a a": factor completes every 2nd token (25·1 < 18·2) →
+      // f = 2, stream ends ON a boundary → MTLD = 4/2 = 2.0
+      (1L, "a a a a"),
+      // alternating 10 tokens: factors at t3/t6/t9 → f = 3, trailing
+      // segment (1 token, 1 type) → 7·1·10/(7·1·3 + 0) = 70/21
+      (2L, "a b a b a b a b a b"),
+      // all unique: TTR never drops, no partial → NULL
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = TextStats.mtld(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("mtld") == 2.0)
+    assert(out(2L).getAs[Double]("mtld_fwd") == 3.333333)
+    assert(out(2L).getAs[Double]("mtld_bwd") == 3.333333)
+    assert(out(2L).getAs[Double]("mtld") == 3.333333)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("mtld")))
+  }
+
+  test("mtld: repetitive text scores far below diverse text") {
+    val rep = ("spam " * 100).trim
+    val div = (1 to 100).map(i => s"w$i w${i % 7}").mkString(" ")
+    val df = Seq((1L, rep), (2L, div)).toDF("doc_id", "text")
+    val out = TextStats.mtld(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("mtld")).toMap
+    assert(out(1L) < 3.0, s"repetitive: ${out(1L)}")
+    assert(out(2L) > 10.0, s"diverse: ${out(2L)}")
+  }
+
+  // ---- TextStats.dpDispersion ----
+
+  test("dpDispersion: proportional tokens score 0, concentrated 0.5") {
+    // parts X and Y each hold 4 tokens; "w" splits 2/2 (v = s
+    // everywhere → DP 0); "z" sits only in X (half the corpus → 0.5)
+    val df = Seq(("X", "w w z z"), ("Y", "w w q q"))
+      .toDF("source", "text")
+    val out = TextStats.dpDispersion(df, "text", "source", minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("dp"))).toMap
+    assert(out("w") == ((4L, 0.0)))
+    assert(out("z") == ((2L, 0.5)))
+    assert(out("q") == ((2L, 0.5)))
+  }
+
+  test("dpDispersion: minCount prunes the hapax tail") {
+    val df = Seq(("X", "a a a rare"), ("Y", "a a a a"))
+      .toDF("source", "text")
+    val toks = TextStats.dpDispersion(df, "text", "source", minCount = 2L)
+      .collect().map(_.getString(0)).toSet
+    assert(toks == Set("a"))
+  }
 }

@@ -2272,4 +2272,96 @@ class PipelineSpec extends SparkSpec {
       Seq(1L, 1L, false), Seq(2L, 1L, true), Seq(3L, 1L, false),
       Seq(4L, 4L, true)))
   }
+
+  // ---- TextDedup.winnowFingerprints ----
+
+  /** Plain-Scala replay of the winnowing selection — k-gram polynomial
+    * hashes, per-window min, rightmost tie, dedup — the ground truth
+    * the operator must match exactly.
+    */
+  private def winnowRef(
+      text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val M = 2147483647L
+    val pows = Iterator.iterate(1L)(p => (p * 257L) % M).take(k).toArray
+    val codes = text.map(_.toLong).toArray
+    val n = codes.length - k + 1
+    if (n <= 0) return Set.empty
+    val hs = (0 until n).map(i =>
+      (0 until k).map(j => codes(i + j) * pows(j)).sum % M).toArray
+    val nw = math.max(1, n - w + 1)
+    (0 until nw).flatMap { t =>
+      val end = math.min(t + w, n)
+      var best = t
+      (t until end).foreach(i => if (hs(i) <= hs(best)) best = i)
+      Some(((best + 1).toLong, hs(best)))
+    }.toSet
+  }
+
+  test("winnowFingerprints matches the plain-Scala replay exactly") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaa"), // max ties — exercises the rightmost rule
+      (3L, "abcabcabcabc"),
+      (4L, "abcd"), // exactly k chars: one k-gram, one window
+      (5L, "abc")) // shorter than k: no fingerprints
+    val df = texts.toDF("doc_id", "text")
+    val out = TextDedup.winnowFingerprints(df, "doc_id", "text",
+      k = 4, window = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet
+      }
+    texts.foreach { case (id, tx) =>
+      val ref = winnowRef(tx, 4, 3)
+      assert(out.getOrElse(id, Set.empty) == ref, s"doc $id")
+    }
+  }
+
+  test("winnowing guarantee: a shared substring of length >= w+k-1 " +
+    "shares at least one fingerprint") {
+    val shared = "common boilerplate sentence that both pages carry"
+    val df = Seq(
+      (1L, s"unique preamble one $shared and a different tail xyz"),
+      (2L, s"totally other opening $shared closing words qqq"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.winnowFingerprints(df, "doc_id", "text",
+      k = 5, window = 4).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((out(1L) intersect out(2L)).nonEmpty)
+  }
+
+  // ---- Similarity.hubness ----
+
+  test("hubness counts kNN in-degree with zeros for anti-hubs") {
+    // v1 is v2/v3's nearest; v2 wins every tie (lower id); v3 and v4
+    // are never anyone's top-1 (coordinates exact in float32 so the
+    // floor(v·1000) quantization keeps the ± symmetry)
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.875f, 0.125f)),
+      (3L, Seq(0.875f, -0.125f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hubness(df, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 0L, 4L -> 0L))
+    // mean in-degree is k by construction
+    assert(out.values.sum == 4L * 1L)
+  }
+
+  test("hubnessFromKnn accepts any candidate-fed neighbor frame") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.hubness(e, "vec_id", "embedding", k = 5)
+    val cand = Similarity.lshCandidates(
+      e, "vec_id", "embedding", lit(true), tables = 24, bits = 3)
+    val ann = Similarity.hubnessFromKnn(e, "vec_id",
+      Similarity.quantizedKnnFromCandidates(
+        e, "vec_id", "embedding", cand, k = 5))
+    // same rollup semantics; at recall 1.0 the int8-quantized ANN path
+    // may still rank differently from the floor-1000 exact path, so
+    // assert the invariants, not equality: total in-degree = N·k
+    assert(ann.agg(sum(col("in_degree"))).head.getLong(0) ==
+      exact.agg(sum(col("in_degree"))).head.getLong(0))
+    assert(ann.count() == exact.count())
+  }
 }
