@@ -476,6 +476,73 @@ object Timeseries {
     * Scale shape: [[acf]]'s plan + ONE key-rollup of the ≤ keys×K
     * corrgram frame. Nothing new touches the corpus.
     */
+  /** Sample cross-correlation function ρ_xy(lag) for lag 0..maxLag —
+    * [[acf]]'s two-series twin: "does series x LEAD series y by k
+    * buckets?" (views → purchases, deploys → errors). ρ_xy(k)
+    * correlates x_{t−k} with y_t, so a peak at k > 0 reads as x
+    * leading y by k periods — the lead–lag attribution a funnel or
+    * incident pipeline wants before any causal claim.
+    *
+    * The [[acf]] determinism contract, doubled: deviations are
+    * denominator-cleared integers (dx = n·x − Sx, dy = n·y − Sy — the
+    * n² cancels in the ratio), lag products sum in decimal(38,0), the
+    * denominator √(Σdx²·Σdy²) is one sqrt of an exact product, and
+    * each (key, lag) closes with ONE d6 division. Zero variance on
+    * either side answers NULL. Both series must ride the SAME bucket
+    * spine — join/densify upstream ([[resampleFfill]]) so a missing
+    * bucket is an explicit zero, not a silent skip.
+    *
+    * Scale shape: one stats aggregate + ONE ordered per-key window
+    * emitting all lags + a (key, lag) aggregate — [[acf]]'s plan with
+    * a second value column along for the ride.
+    */
+  def ccf(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      yCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val stats = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(xCol).cast("long")).as("_sx"),
+        sum(col(yCol).cast("long")).as("_sy"))
+    val dev = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .join(stats, Seq("_k"))
+      .withColumn("_dx", col("_n") * col("_x") - col("_sx"))
+      .withColumn("_dy", col("_n") * col("_y") - col("_sy"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val lagged = dev.select(
+      Seq(col("_k"), col("_n"), col("_dx"), col("_dy")) ++
+        (0 to maxLag).map(k =>
+          lag(col("_dx"), k).over(w).as(s"_l$k")): _*)
+    val den = lagged.groupBy(col("_k"))
+      .agg(sum(d38(d38(col("_dx")) * d38(col("_dx")))).as("_denx"),
+        sum(d38(d38(col("_dy")) * d38(col("_dy")))).as("_deny"),
+        max(col("_n")).as("_n"))
+    val prods = lagged.select(col("_k"),
+      explode(array((0 to maxLag).map(k =>
+        struct(lit(k).as("lag"),
+          d38(d38(col("_dy")) * d38(col(s"_l$k"))).as("p"))): _*))
+        .as("_e"))
+      .select(col("_k"), col("_e.lag").as("lag"), col("_e.p").as("p"))
+      .filter(col("p").isNotNull)
+    prods.groupBy(col("_k"), col("lag"))
+      .agg(sum(col("p")).as("_num"))
+      .join(den, Seq("_k"))
+      .select(col("_k").as(keyCol), col("lag"),
+        col("_n").as("n_periods"),
+        when(col("_denx") > 0 && col("_deny") > 0,
+          d6(col("_num").cast("double") /
+            sqrt(col("_denx").cast("double") *
+              col("_deny").cast("double")))).as("ccf"))
+  }
+
   def ljungBox(
       df: DataFrame,
       keyCol: String,

@@ -892,6 +892,44 @@ object Stats {
         col("n_censored"), col("survival"))
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator — [[kaplanMeier]]'s
+    * sibling on the HAZARD scale: H(t) = Σ_{s ≤ t} d_s/n_s over the
+    * same (duration, event) frame. Where KM answers "what fraction
+    * survives to t", the cumulative hazard reads as accumulated churn
+    * PRESSURE — its slope is the hazard rate, and plotting Ĥ against
+    * parametric forms (linear ⇒ constant rate, convex ⇒ aging) is the
+    * standard model-choice diagnostic KM's product form hides. Also
+    * the numerically-preferred estimator under heavy ties.
+    *
+    * MORE portable than KM: no log/exp anywhere — each increment
+    * d_s/n_s is ONE d6 division, the running sum is an order-fixed
+    * decimal cumulative window, and the reported hazard closes with
+    * one d6. Same discrete-duration contract (the window runs over the
+    * distinct-duration table, bounded by the time scale, not the
+    * corpus).
+    */
+  def nelsonAalen(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val byT = df.groupBy(col(durationCol).cast("long").as("duration"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(eventCol).cast("long")).as("n_events"))
+      .withColumn("n_censored", col("_n") - col("n_events"))
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("duration").asc)
+    val nRisk = sum(col("_n")).over(
+      wOrd.rowsBetween(W.currentRow, W.unboundedFollowing))
+    val upTo = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val term = (col("n_events").cast("double") /
+      col("n_risk").cast("double")).cast("decimal(28,6)")
+    byT.withColumn("n_risk", nRisk)
+      .withColumn("cum_hazard", d6(sum(term).over(upTo).cast("double")))
+      .select(col("duration"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("cum_hazard"))
+  }
+
   /** Sample-ratio-mismatch check (the first thing an experimentation
     * platform validates before reading ANY metric): Pearson χ² of the
     * observed arm counts against the design ratios. The statistic is
@@ -2444,6 +2482,148 @@ object Stats {
           chiSq95Col(col("k_systems") - 1L).isNotNull,
         (qc >= chiSq95Col(col("k_systems") - 1L)).cast("int"))
         .as("significant"))
+  }
+
+  /** Cochran's Q test — the BINARY [[friedmanTest]]: k systems scored
+    * pass/fail on the same n items ("which of these k models solve
+    * which prompts?"), complete blocks, testing whether the pass rates
+    * differ. The statistic is EXACT integers up to the one d6 close:
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    *
+    * with C_j the per-system pass totals, R_i the per-item pass
+    * totals, N total passes. Items every system passes (or fails)
+    * contribute nothing; when ALL items are like that the denominator
+    * is 0 and q_stat answers NULL. `significant` compares against
+    * [[chiSq95]] at df = k−1. Non-binary values and incomplete/
+    * duplicated blocks fail loudly in-plan.
+    *
+    * Scale shape: one (item, system) pass aggregate, then system and
+    * item rollups — nothing wider than the cell frame.
+    */
+  def cochranQ(
+      df: DataFrame,
+      itemCol: String,
+      systemCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(itemCol).cast("string").as("_i"),
+      col(systemCol).cast("string").as("_sys"),
+      col(valueCol).cast("long").as("_x"))
+    val audit = base.groupBy(col("_i"), col("_sys"))
+      .agg(count(lit(1)).as("_dup"), max(col("_x")).as("_mx"),
+        min(col("_x")).as("_mn"))
+      .agg(count(lit(1)).as("_cells"), max(col("_dup")).as("_maxDup"),
+        countDistinct(col("_i")).as("_n"),
+        countDistinct(col("_sys")).as("_k"),
+        max(col("_mx")).as("_gmx"), min(col("_mn")).as("_gmn"))
+    val bySys = base.groupBy(col("_sys")).agg(sum(col("_x")).as("_cj"))
+    val byItem = base.groupBy(col("_i")).agg(sum(col("_x")).as("_ri"))
+    val sysAgg = bySys.agg(sum(dec(col("_cj")) * dec(col("_cj")))
+      .as("_c2"), sum(col("_cj")).as("_nt"))
+    val itemAgg = byItem.agg(sum(dec(col("_ri")) * dec(col("_ri")))
+      .as("_r2"))
+    val agg = sysAgg.crossJoin(broadcast(itemAgg))
+      .crossJoin(broadcast(audit))
+    val checked = agg.withColumn("_k",
+      when(col("_k") >= 2L && col("_n") >= 2L && col("_maxDup") === 1L &&
+          col("_cells") === col("_n") * col("_k") &&
+          col("_gmn") >= 0L && col("_gmx") <= 1L, col("_k"))
+        .otherwise(raise_error(concat(
+          lit("cochranQ: need a complete block design of BINARY 0/1 "),
+          lit("outcomes (every item scores every system exactly once), "),
+          lit("k >= 2, n >= 2; got n_items="), col("_n").cast("string"),
+          lit(", k_systems="), col("_k").cast("string"),
+          lit(", cells="), col("_cells").cast("string"),
+          lit(", max_dup="), col("_maxDup").cast("string"),
+          lit(", value range ["), col("_gmn").cast("string"),
+          lit(","), col("_gmx").cast("string"), lit("]")))
+          .cast("long")))
+    val kD = dec(col("_k"))
+    val num = (kD - lit(1L).cast("decimal(38,0)")) *
+      (kD * col("_c2") - dec(col("_nt")) * dec(col("_nt")))
+    val den = kD * dec(col("_nt")) - col("_r2")
+    val q = when(den > 0L, d6(num.cast("double") / den.cast("double")))
+    checked.select(col("_n").as("n_items"), col("_k").as("k_systems"),
+      col("_nt").as("n_passes"), q.as("q_stat"),
+      when(q.isNotNull && chiSq95Col(col("_k") - 1L).isNotNull,
+        (q >= chiSq95Col(col("_k") - 1L)).cast("int"))
+        .as("significant"))
+  }
+
+  /** Kendall's coefficient of concordance W — the EFFECT SIZE next to
+    * [[friedmanTest]]'s p-value: how strongly do the n items' rankings
+    * of k systems agree, on [0, 1] (1 = every item ranks the systems
+    * identically). Tie-corrected (midranks):
+    *
+    *   W = 3·Σ_j (R2_j − n(k+1))² / (n²k(k²−1) − n·ΣT)
+    *
+    * with R2_j the doubled rank sums (so the deviations are exact
+    * integers), ΣT = Σ_items Σ(t³−t). EXACT rational → ONE d6. The
+    * denominator is 0 only when every item ties all k systems — W is
+    * undefined there and answers NULL. Same complete-block loud audit
+    * as Friedman.
+    */
+  def kendallW(
+      df: DataFrame,
+      itemCol: String,
+      systemCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(itemCol).cast("string").as("_i"),
+      col(systemCol).cast("string").as("_sys"),
+      col(valueCol).cast("long").as("_v"))
+    val byIV = base.groupBy(col("_i"), col("_v"))
+      .agg(count(lit(1)).as("_t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_i")).orderBy(col("_v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byIV.select(col("_i"), col("_v"),
+      (lit(2L) * coalesce(sum(col("_t")).over(w), lit(0L)) +
+        col("_t") + 1L).as("_r2"))
+    val tiesRow = byIV.agg(coalesce(sum(
+      dec(col("_t")) * dec(col("_t")) * dec(col("_t")) - dec(col("_t"))),
+      dec(lit(0L))).as("_ties"))
+    val audit = base.groupBy(col("_i"), col("_sys"))
+      .agg(count(lit(1)).as("_dup"))
+      .agg(count(lit(1)).as("_cells"), max(col("_dup")).as("_maxDup"),
+        countDistinct(col("_i")).as("_n"),
+        countDistinct(col("_sys")).as("_k"))
+    val bySys = base.join(ranked, Seq("_i", "_v"))
+      .groupBy(col("_sys"))
+      .agg(sum(col("_r2")).as("_r2s"))
+    val agg = bySys
+      .crossJoin(broadcast(audit))
+      .select(col("_r2s"), col("_n"), col("_k"), col("_cells"),
+        col("_maxDup"),
+        (dec(col("_r2s")) - dec(col("_n")) * dec(col("_k") + 1L))
+          .as("_d"))
+      .groupBy(col("_n"), col("_k"), col("_cells"), col("_maxDup"))
+      .agg(sum(col("_d") * col("_d")).as("_s4"))
+      .crossJoin(broadcast(tiesRow))
+    val checked = agg.withColumn("_k",
+      when(col("_k") >= 2L && col("_n") >= 1L && col("_maxDup") === 1L &&
+          col("_cells") === col("_n") * col("_k"), col("_k"))
+        .otherwise(raise_error(concat(
+          lit("kendallW: need a complete block design (every item "),
+          lit("scores every system exactly once) with k >= 2 systems; "),
+          lit("got n_items="), col("_n").cast("string"),
+          lit(", k_systems="), col("_k").cast("string"),
+          lit(", cells="), col("_cells").cast("string"),
+          lit(", max_dup="), col("_maxDup").cast("string")))
+          .cast("long")))
+    val nD = dec(col("_n"))
+    val kD = dec(col("_k"))
+    val den = nD * nD * kD * (kD * kD - lit(1L).cast("decimal(38,0)")) -
+      nD * col("_ties")
+    val wStat = when(den > 0L,
+      d6((lit(3L).cast("decimal(38,0)") * col("_s4")).cast("double") /
+        den.cast("double")))
+    checked.select(col("_n").as("n_items"), col("_k").as("k_systems"),
+      wStat.as("w"))
   }
 
   /** Brown–Forsythe variance-homogeneity test (Levene's test with the

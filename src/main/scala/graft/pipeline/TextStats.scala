@@ -2516,6 +2516,54 @@ object TextStats {
     * one token rollup. `minCount` prunes the hapax tail before the
     * rollup.
     */
+  /** Per-token burstiness via the Fano factor (variance-to-mean ratio
+    * of per-document counts, zeros included — Church & Gale 1995's
+    * observation that content words BURST): F ≈ 1 is Poisson-like
+    * scatter (function words), F ≫ 1 is a token that piles into few
+    * documents (topical vocabulary, boilerplate, spam markers) — the
+    * within-document concentration axis next to [[dpDispersion]]'s
+    * across-part evenness.
+    *
+    * EXACT: with per-document counts c (absent documents contribute
+    * exact zeros through the closed form), S = Σc, Q2 = Σc² over
+    * PRESENT documents and N the total document count,
+    *
+    *   F = N·(N·Q2 − S²) / ((N−1)·S)     — sample variance over mean
+    *
+    * is one d6 division over decimal(38,0) integers. Output per token:
+    * (tok, n_total, n_docs, fano).
+    *
+    * Scale shape: one (token, doc) count + one token rollup + a 1-row
+    * broadcast N; `minCount` prunes the hapax tail.
+    */
+  def fanoFactor(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val toks = df.select(col(idCol).as("_d"),
+      explode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+        .as("tok"))
+    val td = toks.groupBy(col("tok"), col("_d"))
+      .agg(count(lit(1)).as("_c"))
+    val nDocs = df.agg(count(lit(1)).as("_nd"))
+    td.groupBy(col("tok"))
+      .agg(sum(col("_c")).as("n_total"),
+        count(lit(1)).as("n_docs"),
+        sum(dec(col("_c")) * dec(col("_c"))).as("_q2"))
+      .filter(col("n_total") >= minCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"), col("n_total"), col("n_docs"),
+        when(col("_nd") > 1L,
+          d6((dec(col("_nd")) * (dec(col("_nd")) * col("_q2") -
+            dec(col("n_total")) * dec(col("n_total")))).cast("double") /
+            ((col("_nd") - 1L).cast("double") *
+              col("n_total").cast("double")))).as("fano"))
+  }
+
   def dpDispersion(
       df: DataFrame,
       textCol: String,

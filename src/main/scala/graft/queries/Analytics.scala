@@ -3242,7 +3242,227 @@ object Analytics {
       |    CAST(qs >= 12.591587 AS INTEGER) END AS significant
       |FROM lb2""".stripMargin
 
+  // q362: cross-correlation function view→purchase over 6h volume
+  // buckets (Timeseries.ccf) — lead-lag attribution with the acf
+  // determinism contract doubled (denominator-cleared integer
+  // deviations, decimal product sums, one d6 per lag).
+  def q362Ccf(s: SparkSession, dir: String): DataFrame = {
+    val b = ev(s, dir)
+      .groupBy(expr("ts_us div 21600000000").as("b"))
+      .agg(sum((col("event_type") === "view").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .withColumn("k", lit("all"))
+    graft.ops.Timeseries.ccf(b, "k", "b", "x", "y", maxLag = 6)
+  }
+
+  val q362Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS xv,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS yv
+      |  FROM events),
+      |s AS (SELECT t, CAST(SUM(xv) AS BIGINT) AS x,
+      |        CAST(SUM(yv) AS BIGINT) AS y
+      |      FROM e GROUP BY 1),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(y) AS BIGINT) AS sy
+      |       FROM s),
+      |d AS (SELECT s.t, st.n, st.n * s.x - st.sx AS dx,
+      |        st.n * s.y - st.sy AS dy
+      |      FROM s CROSS JOIN st),
+      |l AS (SELECT n, dy, dx AS l0,
+      |    lag(dx, 1) OVER w AS l1, lag(dx, 2) OVER w AS l2,
+      |    lag(dx, 3) OVER w AS l3, lag(dx, 4) OVER w AS l4,
+      |    lag(dx, 5) OVER w AS l5, lag(dx, 6) OVER w AS l6
+      |  FROM d WINDOW w AS (ORDER BY t)),
+      |den AS (SELECT SUM(CAST(l0 AS HUGEINT) * l0) AS dnx,
+      |          SUM(CAST(dy AS HUGEINT) * dy) AS dny, MAX(n) AS n
+      |        FROM l),
+      |pr AS (
+      |  SELECT u.lg,
+      |    CAST(dy AS HUGEINT) * CAST(CASE u.lg
+      |      WHEN 0 THEN l0 WHEN 1 THEN l1 WHEN 2 THEN l2
+      |      WHEN 3 THEN l3 WHEN 4 THEN l4 WHEN 5 THEN l5
+      |      ELSE l6 END AS HUGEINT) AS p
+      |  FROM l, (SELECT unnest(range(0, 7)) AS lg) u),
+      |num AS (SELECT lg, SUM(p) AS nm FROM pr WHERE p IS NOT NULL
+      |        GROUP BY 1)
+      |SELECT 'all' AS k, CAST(num.lg AS INTEGER) AS lag,
+      |  den.n AS n_periods,
+      |  CASE WHEN den.dnx > 0 AND den.dny > 0 THEN
+      |    CAST(CAST(CAST(num.nm AS DOUBLE) /
+      |      sqrt(CAST(den.dnx AS DOUBLE) * CAST(den.dny AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS ccf
+      |FROM num CROSS JOIN den""".stripMargin
+
+  // q363: Nelson–Aalen cumulative hazard over the q302 churn frame
+  // (Stats.nelsonAalen) — the hazard-scale sibling of Kaplan–Meier,
+  // fully log/exp-free: d6 increments + decimal cumulative sum.
+  def q363NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val spans = evt.groupBy(col("user_id"))
+      .agg(min(us).as("_f"), max(us).as("_l"))
+    val mx = evt.agg(max(us).as("_mx"))
+    val day = 86400000000L
+    val users = spans.crossJoin(broadcast(mx))
+      .select(expr(s"(_l - _f) div ${day}L").as("duration_days"),
+        (col("_mx") - col("_l") > lit(7L * day)).cast("int").as("churned"))
+    graft.pipeline.Stats.nelsonAalen(users, "duration_days", "churned")
+  }
+
+  val q363Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |uu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e
+      |       GROUP BY 1),
+      |mx AS (SELECT MAX(us) AS mx FROM e),
+      |d AS (
+      |  SELECT (l - f) // 86400000000 AS duration,
+      |    CASE WHEN mx - l > 604800000000 THEN 1 ELSE 0 END AS ev
+      |  FROM uu CROSS JOIN mx),
+      |byt AS (SELECT duration, CAST(COUNT(*) AS BIGINT) AS n,
+      |          CAST(SUM(ev) AS BIGINT) AS n_events
+      |        FROM d GROUP BY 1),
+      |r AS (SELECT *, CAST(SUM(n) OVER (ORDER BY duration
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |        AS BIGINT) AS n_risk FROM byt),
+      |t AS (SELECT *,
+      |    CAST(CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS trm
+      |  FROM r)
+      |SELECT duration, n_risk, n_events,
+      |  CAST(n - n_events AS BIGINT) AS n_censored,
+      |  CAST(CAST(CAST(SUM(trm) OVER w AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS cum_hazard
+      |FROM t WINDOW w AS (ORDER BY duration
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // q364: Cochran's Q — 30 user buckets × 5 event types, pass = the
+  // bucket logged ≥ 15 events of that type (Stats.cochranQ): the
+  // binary Friedman for "which models solve which prompts" tables.
+  def q364CochranQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = ev(s, dir)
+      .groupBy((col("user_id") % 30).as("item"),
+        col("event_type").as("sys"))
+      .agg((count(lit(1)) >= 15L).cast("long").as("x"))
+    graft.pipeline.Stats.cochranQ(cells, "item", "sys", "x")
+  }
+
+  val q364Sql: String =
+    s"""WITH cells AS (
+      |  SELECT user_id % 30 AS i, event_type AS sys,
+      |    CASE WHEN COUNT(*) >= 15 THEN 1 ELSE 0 END AS x
+      |  FROM events GROUP BY 1, 2),
+      |cj AS (SELECT sys, CAST(SUM(x) AS BIGINT) AS c FROM cells
+      |       GROUP BY 1),
+      |ri AS (SELECT i, CAST(SUM(x) AS BIGINT) AS r FROM cells
+      |       GROUP BY 1),
+      |sa AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS c2,
+      |         CAST(SUM(c) AS BIGINT) AS nt,
+      |         CAST(COUNT(*) AS BIGINT) AS k
+      |       FROM cj),
+      |ia AS (SELECT SUM(CAST(r AS HUGEINT) * r) AS r2,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM ri),
+      |f AS (SELECT n, k, nt,
+      |    (CAST(k AS HUGEINT) - 1) *
+      |      (CAST(k AS HUGEINT) * c2 - CAST(nt AS HUGEINT) * nt) AS num,
+      |    CAST(k AS HUGEINT) * nt - r2 AS den
+      |  FROM sa CROSS JOIN ia),
+      |f2 AS (SELECT n, k, nt,
+      |    CASE WHEN den > 0 THEN
+      |      CAST(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS q
+      |  FROM f)
+      |SELECT n AS n_items, k AS k_systems, nt AS n_passes,
+      |  q AS q_stat,
+      |  CASE WHEN q IS NOT NULL AND k - 1 <= 30 THEN
+      |    CAST(q >= ${chiCase("k - 1")} AS INTEGER) END AS significant
+      |FROM f2""".stripMargin
+
+  // q365: Kendall's W concordance over the q355 Friedman frame
+  // (Stats.kendallW) — the effect size next to Friedman's p-value;
+  // exact integer deviations in doubled-rank units, one d6.
+  def q365KendallW(s: SparkSession, dir: String): DataFrame = {
+    val cells = ev(s, dir)
+      .groupBy((col("user_id") % 40).as("item"),
+        col("event_type").as("sys"))
+      .agg(count(lit(1)).as("v"))
+    graft.pipeline.Stats.kendallW(cells, "item", "sys", "v")
+  }
+
+  val q365Sql: String =
+    """WITH cells AS (
+      |  SELECT user_id % 40 AS i, event_type AS sys,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |iv AS (SELECT i, v, CAST(COUNT(*) AS BIGINT) AS t
+      |       FROM cells GROUP BY 1, 2),
+      |r AS (SELECT i, v,
+      |    2 * COALESCE(SUM(t) OVER (PARTITION BY i ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + t + 1 AS r2
+      |  FROM iv),
+      |ties AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+      |           AS tie FROM iv),
+      |aud AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n,
+      |          CAST(COUNT(DISTINCT sys) AS BIGINT) AS k
+      |        FROM cells),
+      |bs AS (SELECT sys, SUM(CAST(r2 AS HUGEINT)) AS r2s
+      |       FROM cells JOIN r ON r.i = cells.i AND r.v = cells.v
+      |       GROUP BY 1),
+      |a AS (SELECT SUM((r2s - CAST(n AS HUGEINT) * (k + 1)) *
+      |        (r2s - CAST(n AS HUGEINT) * (k + 1))) AS s4
+      |      FROM bs CROSS JOIN aud),
+      |f AS (SELECT n, k,
+      |    CAST(n AS HUGEINT) * n * k * (CAST(k AS HUGEINT) * k - 1) -
+      |      CAST(n AS HUGEINT) * tie AS den
+      |  FROM aud CROSS JOIN ties)
+      |SELECT n AS n_items, k AS k_systems,
+      |  CASE WHEN den > 0 THEN
+      |    CAST(CAST(CAST(3 * s4 AS DOUBLE) / CAST(den AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS w
+      |FROM a CROSS JOIN f""".stripMargin
+
+  // q366: per-token Fano-factor burstiness (TextStats.fanoFactor) —
+  // variance-to-mean of per-document counts with exact zeros via the
+  // closed form; the within-document concentration axis next to
+  // q358's across-part dispersion.
+  def q366Fano(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.fanoFactor(t(s, dir, "documents"),
+      "doc_id", "text", minCount = 20L)
+
+  val q366Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id AS d,
+      |    unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS tok
+      |  FROM documents),
+      |td AS (SELECT tok, d, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tk GROUP BY 1, 2),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |tt AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS s,
+      |         CAST(COUNT(*) AS BIGINT) AS ndoc,
+      |         SUM(CAST(c AS HUGEINT) * c) AS q2
+      |       FROM td GROUP BY 1 HAVING SUM(c) >= 20)
+      |SELECT tok, s AS n_total, ndoc AS n_docs,
+      |  CASE WHEN n > 1 THEN
+      |    CAST(CAST(CAST(CAST(n AS HUGEINT) *
+      |      (CAST(n AS HUGEINT) * q2 - CAST(s AS HUGEINT) * s)
+      |      AS DOUBLE) /
+      |      (CAST(n - 1 AS DOUBLE) * CAST(s AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS fano
+      |FROM tt CROSS JOIN nd""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_fano" -> (q366Fano _),
+    "q365_kendall_w" -> (q365KendallW _),
+    "q364_cochran_q" -> (q364CochranQ _),
+    "q363_nelson_aalen" -> (q363NelsonAalen _),
+    "q362_ccf" -> (q362Ccf _),
     "q356_ljung_box" -> (q356LjungBox _),
     "q355_friedman" -> (q355Friedman _),
     "q354_brown_forsythe" -> (q354BrownForsythe _),
@@ -3323,6 +3543,11 @@ object Analytics {
     "q354_brown_forsythe" -> q354Sql,
     "q355_friedman" -> q355Sql,
     "q356_ljung_box" -> q356Sql,
+    "q362_ccf" -> q362Sql,
+    "q363_nelson_aalen" -> q363Sql,
+    "q364_cochran_q" -> q364Sql,
+    "q365_kendall_w" -> q365Sql,
+    "q366_fano" -> q366Sql,
     "q350_acf" -> q350Sql,
     "q349_assoc_rules" -> q349Sql,
     "q346_viterbi" -> q346Sql,

@@ -287,6 +287,31 @@ class TimeseriesSpec extends SparkSpec {
     assert(r.getAs[Int]("significant") == 1)
   }
 
+  test("ccf: a one-bucket shift peaks at lag 1 with the hand values") {
+    // y is x shifted by one bucket (and inverted in phase at lag 0):
+    // x = 0,2,0,2,…, y = 2,0,2,0,… over n = 8 → dx = ∓8, dy = ±8:
+    // ρ(0) = −512/512 = −1, ρ(1) = 448/512 = 0.875, ρ(2) = −0.75
+    val df = (1L to 8L).map(t => ("k", t,
+      if (t % 2 == 1) 0L else 2L, if (t % 2 == 1) 2L else 0L))
+      .toDF("k", "t", "x", "y")
+    val out = Timeseries.ccf(df, "k", "t", "x", "y", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r.getAs[Double]("ccf")).toMap
+    assert(out == Map(0 -> -1.0, 1 -> 0.875, 2 -> -0.75))
+  }
+
+  test("ccf: zero variance on either series answers NULL; keys " +
+    "stay independent") {
+    val df = Seq(
+      ("flat", 1L, 5L, 1L), ("flat", 2L, 5L, 9L), ("flat", 3L, 5L, 4L),
+      ("live", 1L, 0L, 0L), ("live", 2L, 2L, 2L), ("live", 3L, 0L, 0L),
+      ("live", 4L, 2L, 2L)).toDF("k", "t", "x", "y")
+    val out = Timeseries.ccf(df, "k", "t", "x", "y", maxLag = 1)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("flat", 0)).isEmpty) // x constant → NULL
+    assert(out(("live", 0)) == Some(1.0)) // y ≡ x → exact 1 at lag 0
+  }
+
   test("ljungBox: too-short and zero-variance series answer NULL, " +
     "not a wrong Q") {
     val df = Seq(

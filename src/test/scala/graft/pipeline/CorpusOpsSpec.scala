@@ -1627,6 +1627,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("q") == ((2L, 0.5)))
   }
 
+  // ---- TextStats.fanoFactor ----
+
+  test("fanoFactor: bursty token scores N·var/mean, uniform scores 0") {
+    // "a" piles 4 occurrences into one of 4 docs: S = 4, Q2 = 16 →
+    // F = 4·(4·16 − 16)/(3·4) = 16; "b" appears once per doc → var 0
+    val df = Seq((1L, "a a a a b"), (2L, "b"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val out = TextStats.fanoFactor(df, "doc_id", "text", minCount = 4L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("fano")))).toMap
+    assert(out("a") == ((4L, 1L, 16.0)))
+    assert(out("b") == ((4L, 4L, 0.0)))
+  }
+
   test("dpDispersion: minCount prunes the hapax tail") {
     val df = Seq(("X", "a a a rare"), ("Y", "a a a a"))
       .toDF("source", "text")

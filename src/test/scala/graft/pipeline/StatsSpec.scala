@@ -384,6 +384,67 @@ class StatsSpec extends SparkSpec {
     assert(e2.getMessage.contains("complete block"), e2.getMessage)
   }
 
+  test("nelsonAalen: hand cumulative hazard, d6 per increment") {
+    // durations 1(event), 2(censored), 3(event): risk 3,2,1 →
+    // increments 1/3, 0, 1 → H = 0.333333, 0.333333, 1.333333
+    val df = Seq((1L, 1), (2L, 0), (3L, 1)).toDF("d", "e")
+    val out = Stats.nelsonAalen(df, "d", "e")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getAs[Double]("cum_hazard")))).toMap
+    assert(out(1L) == ((3L, 0.333333)))
+    assert(out(2L) == ((2L, 0.333333)))
+    assert(out(3L) == ((1L, 1.333333)))
+  }
+
+  test("cochranQ: textbook 4x3 pass table; degenerate and guard paths") {
+    val df = Seq(
+      (1L, "s1", 1L), (1L, "s2", 1L), (1L, "s3", 0L),
+      (2L, "s1", 1L), (2L, "s2", 1L), (2L, "s3", 0L),
+      (3L, "s1", 1L), (3L, "s2", 0L), (3L, "s3", 0L),
+      (4L, "s1", 1L), (4L, "s2", 1L), (4L, "s3", 1L))
+      .toDF("item", "sys", "x")
+    val r = Stats.cochranQ(df, "item", "sys", "x").collect().head
+    // C = (4,3,1), N = 8, R = (2,2,1,3):
+    // Q = 2·(3·26 − 64)/(24 − 18) = 28/6 = 4.666667 < 5.991465
+    assert(r.getAs[Long]("n_passes") == 8L)
+    assert(r.getAs[Double]("q_stat") == 4.666667)
+    assert(r.getAs[Int]("significant") == 0)
+    // every item passes everything → denominator 0 → NULL q
+    val allPass = Seq(
+      (1L, "a", 1L), (1L, "b", 1L), (2L, "a", 1L), (2L, "b", 1L))
+      .toDF("item", "sys", "x")
+    val rn = Stats.cochranQ(allPass, "item", "sys", "x").collect().head
+    assert(rn.isNullAt(rn.fieldIndex("q_stat")))
+    // non-binary values fail loudly
+    val bad = Seq(
+      (1L, "a", 2L), (1L, "b", 0L), (2L, "a", 1L), (2L, "b", 0L))
+      .toDF("item", "sys", "x")
+    val e = intercept[Exception] {
+      Stats.cochranQ(bad, "item", "sys", "x").collect()
+    }
+    assert(e.getMessage.contains("BINARY"), e.getMessage)
+  }
+
+  test("kendallW: 1 on perfect agreement, 0 on perfect discordance, " +
+    "NULL when every item ties everything") {
+    val perfect = Seq(
+      (1L, "s1", 10L), (1L, "s2", 20L), (1L, "s3", 30L),
+      (2L, "s1", 1L), (2L, "s2", 5L), (2L, "s3", 9L))
+      .toDF("item", "sys", "v")
+    assert(Stats.kendallW(perfect, "item", "sys", "v")
+      .collect().head.getAs[Double]("w") == 1.0)
+    val opposite = Seq(
+      (1L, "s1", 1L), (1L, "s2", 2L),
+      (2L, "s1", 2L), (2L, "s2", 1L)).toDF("item", "sys", "v")
+    assert(Stats.kendallW(opposite, "item", "sys", "v")
+      .collect().head.getAs[Double]("w") == 0.0)
+    val tied = Seq(
+      (1L, "s1", 5L), (1L, "s2", 5L),
+      (2L, "s1", 7L), (2L, "s2", 7L)).toDF("item", "sys", "v")
+    val rt = Stats.kendallW(tied, "item", "sys", "v").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("w")))
+  }
+
   test("bradleyTerry: the maxItems guard fires loudly on a wide taxonomy") {
     // the per-round driver collect is legal only for bounded
     // leaderboards — the rakeWeights loud-bound discipline
