@@ -476,6 +476,94 @@ object Timeseries {
     * Scale shape: [[acf]]'s plan + ONE key-rollup of the ≤ keys×K
     * corrgram frame. Nothing new touches the corpus.
     */
+  /** Partial autocorrelation function (PACF) via Durbin–Levinson —
+    * the Box–Jenkins order-selection diagnostic next to [[acf]]: the
+    * lag-k partial correlation with lags 1..k−1 regressed out, so an
+    * AR(p) series cuts off sharply after lag p where the raw ACF only
+    * decays. Input contract and output shape mirror [[acf]]:
+    * (key, lag 1..maxLag, n_periods, pacf).
+    *
+    * REPLAYABLE-TRAINING class determinism (q218's discipline): the
+    * recursion runs on [[acf]]'s d6 ρ values and every stored
+    * coefficient d6-rounds —
+    *
+    *   φ_kk = d6((ρ_k − Σ_j φ_{k−1,j}·ρ_{k−j}) /
+    *              (1 − Σ_j φ_{k−1,j}·ρ_j))
+    *   φ_kj = d6(φ_{k−1,j} − φ_kk·φ_{k−1,k−j})
+    *
+    * — so an independent engine replays the trajectory bit-for-bit. A
+    * zero denominator (perfectly predictable series) answers NULL from
+    * that lag on; a series too short for all maxLag lags (or with zero
+    * variance) answers NULL at every lag — the [[acf]] convention.
+    *
+    * Scale shape: [[acf]]'s plan + one per-key rollup to a single
+    * (maxLag ≤ 30)-element row and an in-row O(K²) fold — the
+    * corrgram, not the corpus, pays for the recursion.
+    */
+  def pacf(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30,
+      s"maxLag must be in [1,30], got $maxLag")
+    val rho = acf(df, keyCol, tCol, xCol, maxLag)
+    val perKey = rho.groupBy(col(keyCol))
+      .agg(max(col("n_periods")).as("n_periods"),
+        count(col("acf")).as("_nl"),
+        array_sort(collect_list(struct(col("lag"), col("acf").as("r"))))
+          .as("_ra"))
+    val K = maxLag
+    // rho as a plain 1-indexed array, lambda-bound below
+    val rhoArr = "transform(_ra, s -> s.r)"
+    val d6 = (x: String) => s"CAST(CAST(($x) AS DECIMAL(28,6)) AS DOUBLE)"
+    // Durbin–Levinson fold: acc = (arr = φ_{k-1,·}, kk = diagonal so
+    // far, bad = poisoned by a zero denominator). Each step binds
+    // (num, den) — and then φ_kk — through the one-element-transform
+    // idiom.
+    val init = "named_struct(" +
+      "'arr', array(element_at(p, 1)), " +
+      "'kk', array(element_at(p, 1)), " +
+      "'bad', element_at(p, 1) IS NULL)"
+    val poisoned = "named_struct(" +
+      "'arr', acc.arr, " +
+      "'kk', concat(acc.kk, array(CAST(NULL AS DOUBLE))), " +
+      "'bad', true)"
+    val numDen = "named_struct(" +
+      "'n', element_at(p, k) - aggregate(sequence(1, k - 1), " +
+      "CAST(0.0 AS DOUBLE), (s, j) -> s + element_at(acc.arr, j) * " +
+      "element_at(p, k - j)), " +
+      "'d', 1.0 - aggregate(sequence(1, k - 1), CAST(0.0 AS DOUBLE), " +
+      "(s, j) -> s + element_at(acc.arr, j) * element_at(p, j)))"
+    val applyPk = "element_at(transform(array(" +
+      d6("nd.n / nd.d") + "), pk -> named_struct(" +
+      "'arr', concat(transform(sequence(1, k - 1), j -> " +
+      d6("element_at(acc.arr, j) - pk * element_at(acc.arr, k - j)") +
+      "), array(pk)), " +
+      "'kk', concat(acc.kk, array(pk)), " +
+      "'bad', false)), 1)"
+    val step = s"(acc, k) -> CASE WHEN acc.bad THEN $poisoned ELSE " +
+      s"element_at(transform(array($numDen), nd -> " +
+      s"CASE WHEN nd.d = 0.0 THEN $poisoned ELSE $applyPk END), 1) END"
+    val fold =
+      if (K == 1)
+        s"element_at(transform(array($rhoArr), " +
+          "p -> array(element_at(p, 1))), 1)"
+      else
+        s"element_at(transform(array($rhoArr), " +
+          s"p -> aggregate(sequence(2, $K), $init, $step)), 1).kk"
+    val complete = perKey.withColumn("_kk",
+      when(col("_nl") === K.toLong, expr(fold))
+        .otherwise(expr(
+          s"transform(sequence(1, $K), i -> CAST(NULL AS DOUBLE))")))
+    complete
+      .select(col(keyCol), col("n_periods"),
+        posexplode(col("_kk")).as(Seq("_p", "pacf")))
+      .select(col(keyCol), (col("_p") + 1).as("lag"),
+        col("n_periods"), col("pacf"))
+  }
+
   /** Sample cross-correlation function ρ_xy(lag) for lag 0..maxLag —
     * [[acf]]'s two-series twin: "does series x LEAD series y by k
     * buckets?" (views → purchases, deploys → errors). ρ_xy(k)
@@ -541,6 +629,85 @@ object Timeseries {
           d6(col("_num").cast("double") /
             sqrt(col("_denx").cast("double") *
               col("_deny").cast("double")))).as("ccf"))
+  }
+
+  /** Lag-1 Granger causality — the F-test behind "do x's past values
+    * improve the forecast of y beyond y's own past?": compare the
+    * restricted regression y_t ~ y_{t−1} against the unrestricted
+    * y_t ~ y_{t−1} + x_{t−1} on the same aligned window, F =
+    * (RSS_r − RSS_u)/(RSS_u/(n−3)). The quantitative step after
+    * [[ccf]]'s lead-lag picture (correlation at a lag is NOT
+    * incremental predictive value — this is).
+    *
+    * Sufficient statistics are EXACT decimal(38,0) raw sums over the
+    * aligned rows; the centered forms (n·Σab − Σa·Σb) stay decimal,
+    * and the closed-form OLS algebra (Cramer on the 2×2 normal
+    * equations) runs in ONE fixed double expression order with d6 at
+    * rss_r, rss_u and f_stat — engine-replayable because every input
+    * to the double chain is an exact integer. F is invariant to the
+    * n-scaling of the centered sums, so no division is needed before
+    * the ratio. `significant` uses the asymptotic F(1,∞) = χ²(1) 5%
+    * bound 3.841459 (documented: exact only as n grows; at the
+    * bucketed-series sizes this targets, n ≥ 100s, the gap is < 2%).
+    * Degenerate inputs answer NULL f (zero u-variance or collinear
+    * regressors); n < 4 fails loudly.
+    *
+    * Scale shape: one ordered per-key window (the lag) + ONE keyed
+    * aggregate — nothing wider than the series frame.
+    */
+  def granger(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val lagged = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .withColumn("_u", lag(col("_y"), 1).over(w))
+      .withColumn("_v", lag(col("_x"), 1).over(w))
+      .filter(col("_u").isNotNull)
+    val agg = lagged.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"),
+        sum(dec(col("_y"))).as("_sy"), sum(dec(col("_u"))).as("_su"),
+        sum(dec(col("_v"))).as("_sv"),
+        sum(dec(col("_y")) * dec(col("_y"))).as("_syy"),
+        sum(dec(col("_y")) * dec(col("_u"))).as("_syu"),
+        sum(dec(col("_y")) * dec(col("_v"))).as("_syv"),
+        sum(dec(col("_u")) * dec(col("_u"))).as("_suu"),
+        sum(dec(col("_u")) * dec(col("_v"))).as("_suv"),
+        sum(dec(col("_v")) * dec(col("_v"))).as("_svv"))
+    val checked = agg.withColumn("_n",
+      when(col("_n") >= 4L, col("_n"))
+        .otherwise(raise_error(concat(
+          lit("granger: need >= 4 aligned observations, got "),
+          col("_n").cast("string"))).cast("long")))
+    val nD = dec(col("_n"))
+    // centered sums (×n — F is invariant to the common scaling)
+    def c2(sab: Column, sa: Column, sb: Column): Column =
+      (nD * sab - sa * sb).cast("double")
+    val syy = c2(col("_syy"), col("_sy"), col("_sy"))
+    val suy = c2(col("_syu"), col("_su"), col("_sy"))
+    val svy = c2(col("_syv"), col("_sv"), col("_sy"))
+    val suu = c2(col("_suu"), col("_su"), col("_su"))
+    val suv = c2(col("_suv"), col("_su"), col("_sv"))
+    val svv = c2(col("_svv"), col("_sv"), col("_sv"))
+    val det = suu * svv - suv * suv
+    val b = (suy * svv - svy * suv) / det
+    val cc = (svy * suu - suy * suv) / det
+    val rssR = when(suu > 0.0, d6(syy - suy * suy / suu))
+    val rssU = when(det > 0.0, d6(syy - b * suy - cc * svy))
+    val staged = checked.select(col("_k").as(keyCol),
+      col("_n").as("n_obs"), rssR.as("rss_r"), rssU.as("rss_u"))
+    val f = when(col("rss_u") > 0.0,
+      d6((col("rss_r") - col("rss_u")) /
+        (col("rss_u") / (col("n_obs") - 3L).cast("double"))))
+    staged.select(col(keyCol), col("n_obs"), col("rss_r"), col("rss_u"),
+      f.as("f_stat"),
+      when(f.isNotNull, (f >= 3.841459).cast("int")).as("significant"))
   }
 
   def ljungBox(

@@ -172,6 +172,64 @@ object Behavior {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Conditional entropy of the event-type bigram chain — "given the
+    * current event type, how unpredictable is the next?": H(next|prev)
+    * in nats over [[transitions]]' bigram counts, with the marginal
+    * H(next) and Theil's uncertainty coefficient
+    * U = (H(next) − H(next|prev)) / H(next) ∈ [0, 1] (0 = the previous
+    * type tells you nothing, 1 = fully determined). The one-number
+    * "how Markov is this stream" readout next to
+    * [[stationaryDistribution]]'s long-run mix — flat U says event
+    * order carries no signal (synthetic/shuffled logs), high U says
+    * sessions have grammar.
+    *
+    * Determinism: counts exact; H(next|prev) = Σ n_xy·ln(n_x/n_xy)/N
+    * and H(next) = Σ m_y·ln(N/m_y)/N with each ln-term d6-rounded
+    * before the order-free decimal sum and ONE d6 per reported value
+    * (the naiveBayes ln discipline). Zero-information chains (one
+    * state) report H = 0 and NULL U.
+    *
+    * Scale shape: [[transitions]]' one user-keyed window + bigram
+    * aggregate; everything after is the ≤ vocab² count frame.
+    */
+  def transitionEntropy(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      tieCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val tr = transitions(events, userCol, typeCol, tsCol, tieCol)
+    val rows = tr.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("_nx"))
+    val cols2 = tr.groupBy(col("to_type"))
+      .agg(sum(col("n_transitions")).as("_my"))
+    val tot = tr.agg(sum(col("n_transitions")).as("_n"),
+      countDistinct(col("from_type")).as("_kf"))
+    val condTerm = (col("n_transitions").cast("double") *
+      log(col("_nx").cast("double") /
+        col("n_transitions").cast("double"))).cast("decimal(28,6)")
+    val cond = tr.join(rows, Seq("from_type"))
+      .agg(sum(condTerm).as("_hc6"))
+    val margTerm = (col("_my").cast("double") *
+      log(col("_n").cast("double") / col("_my").cast("double")))
+      .cast("decimal(28,6)")
+    val marg = cols2.crossJoin(broadcast(tot))
+      .agg(sum(margTerm).as("_hm6"), max(col("_n")).as("_n"),
+        max(col("_kf")).as("_kf"))
+    val joined = marg.crossJoin(broadcast(cond))
+    val hNext = d6(col("_hm6").cast("double") / col("_n").cast("double"))
+    val hCond = d6(col("_hc6").cast("double") / col("_n").cast("double"))
+    val staged = joined.select(col("_n").as("n_transitions"),
+      col("_kf").as("n_states"),
+      hNext.as("h_next"), hCond.as("h_cond"))
+    staged.select(col("n_transitions"), col("n_states"),
+      col("h_next"), col("h_cond"),
+      when(col("h_next") > 0.0,
+        d6((col("h_next") - col("h_cond")) / col("h_next")))
+        .as("uncertainty_coeff"))
+  }
+
   /** Cohort retention: assign each user to the cohort period of their
     * first event (`tsCol div periodLen`), then count the users active
     * in each (cohort_period, period_offset) cell. Offset 0 is the

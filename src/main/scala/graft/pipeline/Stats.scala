@@ -2552,6 +2552,82 @@ object Stats {
         .as("significant"))
   }
 
+  /** 2×2 association audit — odds ratio, risk ratio and the Woolf
+    * log-OR z-test for a binary exposure × binary outcome ("does the
+    * treated/flagged/exposed slice convert differently?"): the
+    * epidemiology-standard readout a gate audit quotes next to
+    * [[fairnessAudit]]'s rates. Haldane–Anscombe correction (+0.5 to
+    * every cell) applies automatically when ANY cell is zero —
+    * reported in the `corrected` flag, never silent.
+    *
+    * Determinism: the four cells are exact counts held in DOUBLED
+    * units (so the +0.5 correction stays integral: a2 = 2a or 2a+1);
+    * OR and RR are each ONE d6 division of exact decimal products;
+    * the Woolf chain stages d6 at log_or, se and z (ln/sqrt are
+    * libm-calls, but d6 staging absorbs the last-ulp divergence — the
+    * naiveBayes log-prob discipline). `significant` is the fixed
+    * two-sided 5% bound |z| ≥ 1.959964. Non-binary inputs or an empty
+    * table fail loudly.
+    *
+    * Scale shape: ONE aggregate over the corpus — four conditional
+    * sums — then a 1-row frame.
+    */
+  def oddsRatio(
+      df: DataFrame,
+      exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val e = col(exposureCol).cast("long")
+    val y = col(outcomeCol).cast("long")
+    val agg = df.agg(
+      sum(e * y).as("_a"), sum(e * (lit(1L) - y)).as("_b"),
+      sum((lit(1L) - e) * y).as("_c"),
+      sum((lit(1L) - e) * (lit(1L) - y)).as("_d"),
+      count(lit(1)).as("_n"),
+      max(greatest(e, y)).as("_mx"), min(least(e, y)).as("_mn"))
+    // guard embedded in the USED _a column (not the pruned-away _n —
+    // the stationaryDistribution in-plan-guard discipline)
+    val checked = agg.withColumn("_a",
+      when(col("_n") >= 1L && col("_mn") >= 0L && col("_mx") <= 1L,
+        col("_a"))
+        .otherwise(raise_error(concat(
+          lit("oddsRatio: need a non-empty table of BINARY 0/1 "),
+          lit("exposure and outcome; got n="), col("_n").cast("string"),
+          lit(", value range ["), col("_mn").cast("string"), lit(","),
+          col("_mx").cast("string"), lit("]"))).cast("long")))
+    val anyZero = col("_a") === 0L || col("_b") === 0L ||
+      col("_c") === 0L || col("_d") === 0L
+    def cell(c: Column): Column =
+      when(anyZero, lit(2L) * c + 1L).otherwise(lit(2L) * c)
+    val staged = checked.select(
+      col("_a").as("n_exposed_pos"), col("_b").as("n_exposed_neg"),
+      col("_c").as("n_control_pos"), col("_d").as("n_control_neg"),
+      anyZero.cast("int").as("corrected"),
+      cell(col("_a")).as("_a2"), cell(col("_b")).as("_b2"),
+      cell(col("_c")).as("_c2"), cell(col("_d")).as("_d2"))
+    val or = d6((dec(col("_a2")) * dec(col("_d2"))).cast("double") /
+      (dec(col("_b2")) * dec(col("_c2"))).cast("double"))
+    val rr = d6((dec(col("_a2")) * dec(col("_c2") + col("_d2")))
+      .cast("double") /
+      (dec(col("_c2")) * dec(col("_a2") + col("_b2"))).cast("double"))
+    val staged2 = staged.withColumn("odds_ratio", or)
+      .withColumn("risk_ratio", rr)
+      .withColumn("_logOr", d6(log(col("odds_ratio"))))
+      .withColumn("_se", d6(sqrt(
+        lit(2.0) / col("_a2").cast("double") +
+          lit(2.0) / col("_b2").cast("double") +
+          lit(2.0) / col("_c2").cast("double") +
+          lit(2.0) / col("_d2").cast("double"))))
+    val z = d6(col("_logOr") / col("_se"))
+    staged2.select(
+      col("n_exposed_pos"), col("n_exposed_neg"),
+      col("n_control_pos"), col("n_control_neg"), col("corrected"),
+      col("odds_ratio"), col("risk_ratio"),
+      z.as("z_stat"),
+      (abs(z) >= 1.959964).cast("int").as("significant"))
+  }
+
   /** Kendall's coefficient of concordance W — the EFFECT SIZE next to
     * [[friedmanTest]]'s p-value: how strongly do the n items' rankings
     * of k systems agree, on [0, 1] (1 = every item ranks the systems

@@ -2492,6 +2492,61 @@ object TextStats {
       d6(mean6.cast("double") / lit(1000000.0)).as("mtld"))
   }
 
+  /** Dunning log-likelihood-ratio keyness (G², Dunning 1993) — the
+    * corpus-linguistics standard for "which tokens distinguish slice A
+    * from slice B" (domain markers, contamination fingerprints,
+    * register shifts): per token the 2×2 table (count in A, count in
+    * B, slice totals) scores
+    *
+    *   G² = 2·[a·ln(a/e_A) + b·ln(b/e_B)],  e_X = (a+b)·N_X/(N_A+N_B)
+    *
+    * which, unlike raw frequency ratios, is comparable across
+    * frequency bands and robust to the rare-token noise χ² chokes on.
+    * `direction` = sign(a·N_B − b·N_A) — EXACT integers — says which
+    * slice over-uses the token; zero-count terms contribute exactly 0.
+    *
+    * Determinism: counts exact; each ln-term d6-rounds before the
+    * (two-term, fixed-order) decimal sum and G² closes with one d6 —
+    * the ln last-ulp divergence dies in the d6 staging (naiveBayes'
+    * discipline).
+    *
+    * Scale shape: one token × slice aggregate + a 1-row broadcast of
+    * the two totals; `minCount` prunes the tail before any ln.
+    */
+  def g2Keyness(
+      df: DataFrame,
+      textCol: String,
+      slicePred: Column,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val toks = df.select(slicePred.cast("int").as("_in"),
+      explode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+        .as("tok"))
+    val tp = toks.groupBy(col("tok"))
+      .agg(sum(col("_in").cast("long")).as("n_a"),
+        sum((lit(1L) - col("_in"))).as("n_b"))
+      .filter(col("n_a") + col("n_b") >= minCount)
+    val tot = toks.agg(sum(col("_in").cast("long")).as("_na"),
+      sum(lit(1L) - col("_in")).as("_nb"))
+    val joined = tp.crossJoin(broadcast(tot))
+    val nA = col("_na").cast("double")
+    val nB = col("_nb").cast("double")
+    val both = (col("n_a") + col("n_b")).cast("double")
+    val eA = both * nA / (nA + nB)
+    val eB = both * nB / (nA + nB)
+    def term(o: Column, e: Column): Column =
+      when(o > 0L, (o.cast("double") * log(o.cast("double") / e))
+        .cast("decimal(28,6)"))
+        .otherwise(lit(0).cast("decimal(28,6)"))
+    joined.select(col("tok"), col("n_a"), col("n_b"),
+      d6(lit(2.0) *
+        (term(col("n_a"), eA) + term(col("n_b"), eB)).cast("double"))
+        .as("g2"),
+      signum((col("n_a") * col("_nb") - col("n_b") * col("_na"))
+        .cast("double")).cast("int").as("direction"))
+  }
+
   /** Gries' DP corpus dispersion (Gries 2008) — per token, how evenly
     * its occurrences spread across corpus PARTS (sources, domains,
     * shards): DP = ½·Σ_parts |v_i − s_i| with v_i the token's share of

@@ -3457,7 +3457,302 @@ object Analytics {
       |      AS DECIMAL(28,6)) AS DOUBLE) END AS fano
       |FROM tt CROSS JOIN nd""".stripMargin
 
+  // q367: PACF (Timeseries.pacf) over the q350 volume buckets —
+  // Durbin–Levinson on the d6 ACF with every stored coefficient
+  // d6-rounded, so the oracle replays the recursion exactly (state =
+  // the φ row, carried through a recursive CTE; pacf_k is each step's
+  // last φ element — no separate diagonal list needed because the
+  // recursion RETAINS all step rows).
+  def q367Pacf(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.pacf(buckets, "event_type", "b", "x",
+      maxLag = 6)
+  }
+
+  val q367Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sx
+      |       FROM s GROUP BY 1),
+      |d AS (SELECT s.k, s.t, st.n, st.n * s.x - st.sx AS dv
+      |      FROM s JOIN st ON st.k = s.k),
+      |l AS (SELECT k, n, dv,
+      |    lag(dv, 1) OVER w AS l1, lag(dv, 2) OVER w AS l2,
+      |    lag(dv, 3) OVER w AS l3, lag(dv, 4) OVER w AS l4,
+      |    lag(dv, 5) OVER w AS l5, lag(dv, 6) OVER w AS l6
+      |  FROM d WINDOW w AS (PARTITION BY k ORDER BY t)),
+      |den AS (SELECT k, SUM(CAST(dv AS HUGEINT) * CAST(dv AS HUGEINT))
+      |          AS dn, MAX(n) AS n
+      |        FROM l GROUP BY 1),
+      |pr AS (
+      |  SELECT k, u.lg,
+      |    CAST(dv AS HUGEINT) * CAST(CASE u.lg
+      |      WHEN 1 THEN l1 WHEN 2 THEN l2 WHEN 3 THEN l3
+      |      WHEN 4 THEN l4 WHEN 5 THEN l5 ELSE l6 END AS HUGEINT) AS p
+      |  FROM l, (SELECT unnest(range(1, 7)) AS lg) u),
+      |num AS (SELECT k, lg, SUM(p) AS nm FROM pr WHERE p IS NOT NULL
+      |        GROUP BY 1, 2),
+      |acf AS (
+      |  SELECT num.k, num.lg, den.n,
+      |    CASE WHEN den.dn > 0 THEN
+      |      CAST(CAST(CAST(num.nm AS DOUBLE) / CAST(den.dn AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS rho
+      |  FROM num JOIN den ON den.k = num.k),
+      |rl AS (SELECT k AS key, MAX(n) AS n_periods,
+      |         CAST(COUNT(rho) AS BIGINT) AS nl,
+      |         list(rho ORDER BY lg) AS p
+      |       FROM acf GROUP BY 1),
+      |dl(key, step, arr, bad) AS (
+      |  SELECT key, CAST(1 AS BIGINT), [p[1]], p[1] IS NULL
+      |  FROM rl WHERE nl = 6
+      |  UNION ALL
+      |  SELECT rl.key, dl.step + 1,
+      |    (SELECT CASE WHEN dl.bad OR t.den = 0 THEN dl.arr
+      |       ELSE list_append(list_transform(range(1, dl.step + 1),
+      |         j -> CAST(CAST(dl.arr[CAST(j AS INTEGER)] - t.pk *
+      |           dl.arr[CAST(dl.step + 1 - j AS INTEGER)]
+      |           AS DECIMAL(28,6)) AS DOUBLE)), t.pk) END
+      |     FROM (SELECT den,
+      |         CASE WHEN den = 0 THEN NULL ELSE
+      |           CAST(CAST(num / den AS DECIMAL(28,6)) AS DOUBLE) END
+      |           AS pk
+      |       FROM (SELECT
+      |         rl.p[CAST(dl.step + 1 AS INTEGER)] -
+      |           list_sum(list_transform(range(1, dl.step + 1), j ->
+      |             dl.arr[CAST(j AS INTEGER)] *
+      |             rl.p[CAST(dl.step + 1 - j AS INTEGER)])) AS num,
+      |         1.0 - list_sum(list_transform(range(1, dl.step + 1),
+      |           j -> dl.arr[CAST(j AS INTEGER)] *
+      |           rl.p[CAST(j AS INTEGER)])) AS den) tt) t),
+      |    dl.bad OR (SELECT den = 0 FROM (SELECT
+      |      1.0 - list_sum(list_transform(range(1, dl.step + 1), j ->
+      |        dl.arr[CAST(j AS INTEGER)] * rl.p[CAST(j AS INTEGER)]))
+      |      AS den) x)
+      |  FROM dl JOIN rl ON rl.key = dl.key AND dl.step < 6)
+      |SELECT dl.key AS event_type, CAST(dl.step AS INTEGER) AS lag,
+      |  rl.n_periods,
+      |  CASE WHEN dl.bad THEN NULL
+      |    ELSE dl.arr[CAST(dl.step AS INTEGER)] END AS pacf
+      |FROM dl JOIN rl USING (key)
+      |UNION ALL
+      |SELECT key, CAST(u.lg AS INTEGER), n_periods, NULL
+      |FROM rl, (SELECT unnest(range(1, 7)) AS lg) u
+      |WHERE nl < 6""".stripMargin
+
+  // q368: lag-1 Granger causality view→purchase (Timeseries.granger)
+  // — do views' past values improve the purchase forecast beyond its
+  // own past? Exact decimal sufficient sums, Cramer closed form, d6
+  // staging at rss_r/rss_u/f.
+  def q368Granger(s: SparkSession, dir: String): DataFrame = {
+    val b = ev(s, dir)
+      .groupBy(expr("ts_us div 21600000000").as("b"))
+      .agg(sum((col("event_type") === "view").cast("long")).as("x"),
+        sum((col("event_type") === "purchase").cast("long")).as("y"))
+      .withColumn("k", lit("all"))
+    graft.ops.Timeseries.granger(b, "k", "b", "x", "y")
+  }
+
+  val q368Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS xv,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS yv
+      |  FROM events),
+      |s AS (SELECT t, CAST(SUM(xv) AS BIGINT) AS x,
+      |        CAST(SUM(yv) AS BIGINT) AS y
+      |      FROM e GROUP BY 1),
+      |l AS (SELECT y, lag(y, 1) OVER (ORDER BY t) AS u,
+      |        lag(x, 1) OVER (ORDER BY t) AS v
+      |      FROM s),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(u AS HUGEINT)) AS su,
+      |    SUM(CAST(v AS HUGEINT)) AS sv,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |    SUM(CAST(y AS HUGEINT) * u) AS syu,
+      |    SUM(CAST(y AS HUGEINT) * v) AS syv,
+      |    SUM(CAST(u AS HUGEINT) * u) AS suu,
+      |    SUM(CAST(u AS HUGEINT) * v) AS suv,
+      |    SUM(CAST(v AS HUGEINT) * v) AS svv
+      |  FROM l WHERE u IS NOT NULL),
+      |c AS (SELECT n,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+      |    CAST(n * syu - su * sy AS DOUBLE) AS cuy,
+      |    CAST(n * syv - sv * sy AS DOUBLE) AS cvy,
+      |    CAST(n * suu - su * su AS DOUBLE) AS cuu,
+      |    CAST(n * suv - su * sv AS DOUBLE) AS cuv,
+      |    CAST(n * svv - sv * sv AS DOUBLE) AS cvv
+      |  FROM a),
+      |f AS (SELECT 'all' AS k, n AS n_obs,
+      |    CASE WHEN cuu > 0 THEN
+      |      CAST(CAST(cyy - cuy * cuy / cuu AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS rss_r,
+      |    CASE WHEN cuu * cvv - cuv * cuv > 0 THEN
+      |      CAST(CAST(cyy -
+      |        (cuy * cvv - cvy * cuv) / (cuu * cvv - cuv * cuv) * cuy -
+      |        (cvy * cuu - cuy * cuv) / (cuu * cvv - cuv * cuv) * cvy
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS rss_u
+      |  FROM c),
+      |f2 AS (SELECT k, n_obs, rss_r, rss_u,
+      |    CASE WHEN rss_u > 0 THEN
+      |      CAST(CAST((rss_r - rss_u) /
+      |        (rss_u / CAST(n_obs - 3 AS DOUBLE)) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS f
+      |  FROM f)
+      |SELECT k, n_obs, rss_r, rss_u, f AS f_stat,
+      |  CASE WHEN f IS NOT NULL THEN
+      |    CAST(f >= 3.841459 AS INTEGER) END AS significant
+      |FROM f2""".stripMargin
+
+  // q369: 2×2 odds/risk ratio with the Woolf z-test — does the
+  // user-parity slice convert to purchase differently?
+  // (Stats.oddsRatio; Haldane correction auto-applies and is flagged.)
+  def q369OddsRatio(s: SparkSession, dir: String): DataFrame = {
+    val pu = ev(s, dir).groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase").cast("long")).as("y"))
+      .select((col("user_id") % 2).as("e"), col("y"))
+    graft.pipeline.Stats.oddsRatio(pu, "e", "y")
+  }
+
+  val q369Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id % 2 AS e,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+      |      ELSE 0 END) > 0 THEN 1 ELSE 0 END AS y
+      |  FROM events GROUP BY user_id),
+      |t4 AS (SELECT CAST(SUM(e * y) AS BIGINT) AS a,
+      |    CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+      |    CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+      |  FROM pu),
+      |cz AS (SELECT a, b, c, d,
+      |    CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN 1 ELSE 0 END
+      |      AS corr
+      |  FROM t4),
+      |dd AS (SELECT a, b, c, d, corr,
+      |    2 * a + corr AS a2, 2 * b + corr AS b2,
+      |    2 * c + corr AS c2, 2 * d + corr AS d2
+      |  FROM cz),
+      |m AS (SELECT a AS n_exposed_pos, b AS n_exposed_neg,
+      |    c AS n_control_pos, d AS n_control_neg, corr AS corrected,
+      |    CAST(CAST(CAST(CAST(a2 AS HUGEINT) * d2 AS DOUBLE) /
+      |      CAST(CAST(b2 AS HUGEINT) * c2 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS odds_ratio,
+      |    CAST(CAST(CAST(CAST(a2 AS HUGEINT) * (c2 + d2) AS DOUBLE) /
+      |      CAST(CAST(c2 AS HUGEINT) * (a2 + b2) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS risk_ratio,
+      |    a2, b2, c2, d2
+      |  FROM dd),
+      |w AS (SELECT *,
+      |    CAST(CAST(ln(odds_ratio) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS lor,
+      |    CAST(CAST(sqrt(2.0 / CAST(a2 AS DOUBLE) +
+      |      2.0 / CAST(b2 AS DOUBLE) + 2.0 / CAST(c2 AS DOUBLE) +
+      |      2.0 / CAST(d2 AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS se
+      |  FROM m),
+      |z AS (SELECT *,
+      |    CAST(CAST(lor / se AS DECIMAL(28,6)) AS DOUBLE) AS zs
+      |  FROM w)
+      |SELECT n_exposed_pos, n_exposed_neg, n_control_pos,
+      |  n_control_neg, corrected, odds_ratio, risk_ratio,
+      |  zs AS z_stat,
+      |  CAST(abs(zs) >= 1.959964 AS INTEGER) AS significant
+      |FROM z""".stripMargin
+
+  // q370: Dunning G² keyness of English vs non-English documents
+  // (TextStats.g2Keyness) — which tokens distinguish the slice;
+  // d6-per-ln-term, exact-integer direction.
+  def q370G2Keyness(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.g2Keyness(t(s, dir, "documents"), "text",
+      col("lang") === "en", minCount = 20L)
+
+  val q370Sql: String =
+    """WITH tk AS (
+      |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS s,
+      |    unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS tok
+      |  FROM documents),
+      |tp AS (SELECT tok, CAST(SUM(s) AS BIGINT) AS na,
+      |         CAST(SUM(1 - s) AS BIGINT) AS nb
+      |       FROM tk GROUP BY 1
+      |       HAVING SUM(s) + SUM(1 - s) >= 20),
+      |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS ta,
+      |          CAST(SUM(1 - s) AS BIGINT) AS tb
+      |        FROM tk)
+      |SELECT tok, na AS n_a, nb AS n_b,
+      |  CAST(CAST(2.0 * CAST(
+      |    (CASE WHEN na > 0 THEN
+      |      CAST(CAST(na AS DOUBLE) * ln(CAST(na AS DOUBLE) /
+      |        (CAST(na + nb AS DOUBLE) * CAST(ta AS DOUBLE) /
+      |         (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+      |        AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END +
+      |     CASE WHEN nb > 0 THEN
+      |      CAST(CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE) /
+      |        (CAST(na + nb AS DOUBLE) * CAST(tb AS DOUBLE) /
+      |         (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE))))
+      |        AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS g2,
+      |  CAST(sign(CAST(na AS HUGEINT) * tb - CAST(nb AS HUGEINT) * ta)
+      |    AS INTEGER) AS direction
+      |FROM tp CROSS JOIN tot""".stripMargin
+
+  // q371: conditional entropy + uncertainty coefficient of the
+  // event-type bigram chain (Behavior.transitionEntropy) — "how
+  // Markov is this stream": the predictability readout next to
+  // q351's stationary mix.
+  def q371TransitionEntropy(s: SparkSession, dir: String): DataFrame =
+    Behavior.transitionEntropy(ev(s, dir), "user_id", "event_type",
+      "ts_us", "event_id")
+
+  val q371Sql: String =
+    """WITH tr AS (
+      |  SELECT event_type AS f,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS t
+      |  FROM events),
+      |c AS (SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n FROM tr
+      |      WHERE t IS NOT NULL GROUP BY 1, 2),
+      |rx AS (SELECT f, CAST(SUM(n) AS BIGINT) AS nx FROM c GROUP BY 1),
+      |my AS (SELECT t, CAST(SUM(n) AS BIGINT) AS m FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |          CAST(COUNT(DISTINCT f) AS BIGINT) AS kf
+      |        FROM c),
+      |hc AS (SELECT SUM(CAST(CAST(n AS DOUBLE) *
+      |          ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+      |          AS DECIMAL(28,6))) AS h6
+      |       FROM c JOIN rx USING (f)),
+      |hm AS (SELECT SUM(CAST(CAST(m AS DOUBLE) *
+      |          ln(CAST(nn AS DOUBLE) / CAST(m AS DOUBLE))
+      |          AS DECIMAL(28,6))) AS h6,
+      |         MAX(nn) AS nn, MAX(kf) AS kf
+      |       FROM my CROSS JOIN tot),
+      |f AS (SELECT nn AS n_transitions, kf AS n_states,
+      |    CAST(CAST(CAST(hm.h6 AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS h_next,
+      |    CAST(CAST(CAST(hc.h6 AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS h_cond
+      |  FROM hm CROSS JOIN hc)
+      |SELECT n_transitions, n_states, h_next, h_cond,
+      |  CASE WHEN h_next > 0 THEN
+      |    CAST(CAST((h_next - h_cond) / h_next AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS uncertainty_coeff
+      |FROM f""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_transition_entropy" -> (q371TransitionEntropy _),
+    "q370_g2_keyness" -> (q370G2Keyness _),
+    "q369_odds_ratio" -> (q369OddsRatio _),
+    "q368_granger" -> (q368Granger _),
+    "q367_pacf" -> (q367Pacf _),
     "q366_fano" -> (q366Fano _),
     "q365_kendall_w" -> (q365KendallW _),
     "q364_cochran_q" -> (q364CochranQ _),
@@ -3548,6 +3843,11 @@ object Analytics {
     "q364_cochran_q" -> q364Sql,
     "q365_kendall_w" -> q365Sql,
     "q366_fano" -> q366Sql,
+    "q367_pacf" -> q367Sql,
+    "q368_granger" -> q368Sql,
+    "q369_odds_ratio" -> q369Sql,
+    "q370_g2_keyness" -> q370Sql,
+    "q371_transition_entropy" -> q371Sql,
     "q350_acf" -> q350Sql,
     "q349_assoc_rules" -> q349Sql,
     "q346_viterbi" -> q346Sql,

@@ -287,6 +287,83 @@ class TimeseriesSpec extends SparkSpec {
     assert(r.getAs[Int]("significant") == 1)
   }
 
+  test("pacf matches the plain-Scala Durbin-Levinson replay on the acf") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = (1L to 12L).map(t => ("k", t, (t * t * 7) % 23))
+      .toDF("k", "t", "x")
+    val K = 4
+    val rho = Timeseries.acf(df, "k", "t", "x", K).collect()
+      .map(r => r.getInt(1) -> r.getAs[Double]("acf")).toMap
+    // ground-truth recursion on the same d6 rho values
+    var arr = Vector(rho(1))
+    var kk = Vector(rho(1))
+    for (k <- 2 to K) {
+      val num = rho(k) -
+        (1 until k).map(j => arr(j - 1) * rho(k - j)).sum
+      val den = 1.0 - (1 until k).map(j => arr(j - 1) * rho(j)).sum
+      val pk = d6(num / den)
+      arr = (1 until k).map(j =>
+        d6(arr(j - 1) - pk * arr(k - j - 1))).toVector :+ pk
+      kk = kk :+ pk
+    }
+    val out = Timeseries.pacf(df, "k", "t", "x", K).collect()
+      .map(r => r.getInt(1) -> r.getAs[Double]("pacf")).toMap
+    (1 to K).foreach(k => assert(out(k) == kk(k - 1), s"lag $k"))
+    // lag-1 PACF is the lag-1 ACF by definition
+    assert(out(1) == rho(1))
+  }
+
+  test("pacf: short or flat series answer NULL at every lag") {
+    val df = Seq(
+      ("short", 1L, 1L), ("short", 2L, 5L), ("short", 3L, 2L),
+      ("flat", 1L, 4L), ("flat", 2L, 4L), ("flat", 3L, 4L),
+      ("flat", 4L, 4L), ("flat", 5L, 4L), ("flat", 6L, 4L),
+      ("flat", 7L, 4L)).toDF("k", "t", "x")
+    val out = Timeseries.pacf(df, "k", "t", "x", maxLag = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        Option(r.get(3))).toMap
+    assert(out.size == 8) // 4 lags per key, rows present
+    assert(out.forall(_._2.isEmpty))
+  }
+
+  test("granger: a lagged driver is detected; a perfect fit answers " +
+    "NULL; the replay matches the hand OLS") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // y_t = x_{t-1} + small wiggle: x's past carries real signal
+    val xs = Seq(3L, 9L, 1L, 8L, 2L, 7L, 4L, 9L, 1L, 6L, 3L, 8L)
+    val ys = xs.indices.map(i =>
+      if (i == 0) 5L else xs(i - 1) + (i % 3) - 1)
+    val df = xs.indices.map(i => ("k", (i + 1).toLong, xs(i), ys(i)))
+      .toDF("k", "t", "x", "y")
+    val r = Timeseries.granger(df, "k", "t", "x", "y").collect().head
+    // hand replay on the aligned rows (t = 2..12)
+    val n = 11
+    val y = (1 until 12).map(ys(_).toDouble)
+    val u = (1 until 12).map(i => ys(i - 1).toDouble)
+    val v = (1 until 12).map(i => xs(i - 1).toDouble)
+    def c2(a: Seq[Double], b: Seq[Double]): Double =
+      n * a.zip(b).map { case (p, q) => p * q }.sum - a.sum * b.sum
+    val (cyy, cuy, cvy) = (c2(y, y), c2(u, y), c2(v, y))
+    val (cuu, cuv, cvv) = (c2(u, u), c2(u, v), c2(v, v))
+    val rssR = d6(cyy - cuy * cuy / cuu)
+    val det = cuu * cvv - cuv * cuv
+    val rssU = d6(cyy - (cuy * cvv - cvy * cuv) / det * cuy -
+      (cvy * cuu - cuy * cuv) / det * cvy)
+    val f = d6((rssR - rssU) / (rssU / (n - 3).toDouble))
+    assert(r.getAs[Double]("rss_r") == rssR)
+    assert(r.getAs[Double]("rss_u") == rssU)
+    assert(r.getAs[Double]("f_stat") == f)
+    assert(r.getAs[Int]("significant") == 1, s"f = $f")
+    // perfect fit: y_t = x_{t-1} exactly → RSS_u = 0 → NULL F
+    val perfect = xs.indices.map(i => ("k", (i + 1).toLong, xs(i),
+      if (i == 0) 5L else xs(i - 1))).toDF("k", "t", "x", "y")
+    val rp = Timeseries.granger(perfect, "k", "t", "x", "y")
+      .collect().head
+    assert(rp.isNullAt(rp.fieldIndex("f_stat")))
+  }
+
   test("ccf: a one-bucket shift peaks at lag 1 with the hand values") {
     // y is x shifted by one bucket (and inverted in phase at lag 0):
     // x = 0,2,0,2,…, y = 2,0,2,0,… over n = 8 → dx = ∓8, dy = ±8:

@@ -377,6 +377,26 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(out("b") - 1.0 / 3.0) < 1e-3, out)
   }
 
+  test("transitionEntropy: deterministic chain has U = 1; " +
+    "single-state chain answers NULL U") {
+    // a,b,a,b,a: a→b and b→a only — next is fully determined by prev
+    val ev = (1L to 5L).map(i =>
+      (1L, i, i * 100L, if (i % 2 == 1) "a" else "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = Behavior.transitionEntropy(
+      ev, "user_id", "event_type", "ts", "event_id").collect().head
+    assert(r.getAs[Long]("n_transitions") == 4L)
+    assert(r.getAs[Double]("h_cond") == 0.0)
+    assert(r.getAs[Double]("h_next") == 0.693147) // ln 2, d6
+    assert(r.getAs[Double]("uncertainty_coeff") == 1.0)
+    val mono = Seq((1L, 1L, 100L, "a"), (1L, 2L, 200L, "a"),
+      (1L, 3L, 300L, "a")).toDF("user_id", "event_id", "ts", "event_type")
+    val rm = Behavior.transitionEntropy(
+      mono, "user_id", "event_type", "ts", "event_id").collect().head
+    assert(rm.getAs[Double]("h_next") == 0.0)
+    assert(rm.isNullAt(rm.fieldIndex("uncertainty_coeff")))
+  }
+
   test("stationaryDistribution: the maxStates guard fires loudly") {
     val ev = Seq(
       (1L, 1L, 100L, "a"), (1L, 2L, 200L, "b"), (1L, 3L, 300L, "c"))

@@ -1627,6 +1627,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("q") == ((2L, 0.5)))
   }
 
+  // ---- TextStats.g2Keyness ----
+
+  test("g2Keyness: hand G-squared with exact-integer direction") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // slice A = "x x x y" (4 tokens), B = "y y y z" (4 tokens)
+    val df = Seq(("en", "x x x y"), ("de", "y y y z"))
+      .toDF("lang", "text")
+    val out = TextStats.g2Keyness(df, "text", col("lang") === "en",
+      minCount = 1L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("g2"), r.getAs[Int]("direction")))).toMap
+    // x: a=3, b=0, eA = 1.5 → G² = 2·d6(3·ln 2) = 4.158884, dir +1
+    assert(out("x") == ((d6(2.0 * d6(3 * math.log(2.0))), 1)))
+    // y: a=1, b=3, eA = eB = 2 → terms ln(.5), 3·ln(1.5), dir −1
+    val gy = d6(2.0 * (d6(math.log(0.5)) + d6(3 * math.log(1.5))))
+    assert(out("y") == ((gy, -1)))
+    // z: a=0, b=1 → only the B term, dir −1
+    assert(out("z")._2 == -1)
+  }
+
   // ---- TextStats.fanoFactor ----
 
   test("fanoFactor: bursty token scores N·var/mean, uniform scores 0") {

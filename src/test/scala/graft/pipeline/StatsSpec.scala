@@ -425,6 +425,34 @@ class StatsSpec extends SparkSpec {
     assert(e.getMessage.contains("BINARY"), e.getMessage)
   }
 
+  test("oddsRatio: hand 2x2 (OR 9, RR 3); Haldane kicks in on a zero " +
+    "cell; non-binary rejected") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Seq.fill(30)((1L, 1L)) ++ Seq.fill(10)((1L, 0L)) ++
+      Seq.fill(10)((0L, 1L)) ++ Seq.fill(30)((0L, 0L))
+    val r = Stats.oddsRatio(rows.toDF("e", "y"), "e", "y")
+      .collect().head
+    assert(r.getAs[Int]("corrected") == 0)
+    assert(r.getAs[Double]("odds_ratio") == 9.0)
+    assert(r.getAs[Double]("risk_ratio") == 3.0)
+    val se = d6(math.sqrt(2.0 / 60 + 2.0 / 20 + 2.0 / 20 + 2.0 / 60))
+    val z = d6(d6(math.log(9.0)) / se)
+    assert(r.getAs[Double]("z_stat") == z)
+    assert(r.getAs[Int]("significant") == 1)
+    // a zero cell triggers the +0.5 correction, flagged
+    val zc = (Seq.fill(5)((1L, 1L)) ++ Seq.fill(5)((0L, 1L)) ++
+      Seq.fill(5)((0L, 0L))).toDF("e", "y")
+    val rz = Stats.oddsRatio(zc, "e", "y").collect().head
+    assert(rz.getAs[Int]("corrected") == 1)
+    // a2=11, b2=1, c2=11, d2=11 → OR = 121/11 = 11
+    assert(rz.getAs[Double]("odds_ratio") == 11.0)
+    val e = intercept[Exception] {
+      Stats.oddsRatio(Seq((2L, 0L)).toDF("e", "y"), "e", "y").collect()
+    }
+    assert(e.getMessage.contains("BINARY"), e.getMessage)
+  }
+
   test("kendallW: 1 on perfect agreement, 0 on perfect discordance, " +
     "NULL when every item ties everything") {
     val perfect = Seq(
