@@ -631,6 +631,66 @@ object Timeseries {
               col("_deny").cast("double")))).as("ccf"))
   }
 
+  /** Forecast accuracy battery — MAE, WMAPE and MASE (Hyndman &
+    * Koehler 2006) per series, the scale-free scorecard for ANY
+    * forecast column ([[holt]]'s, a seasonal-naive, an external
+    * model's): WMAPE normalizes by actual volume (comparable across
+    * series sizes), MASE by the in-window seasonal-naive error
+    * (< 1 = beats naive — THE threshold a forecast must clear to earn
+    * its complexity).
+    *
+    * Determinism: each |a_t − f_t| d6-rounds before the order-free
+    * decimal sum (forecasts are doubles by nature); the naive
+    * reference |a_t − a_{t−season}| is exact integers; mae, the naive
+    * mae, wmape and mase are each ONE d6 division in a fixed staged
+    * chain (mase = d6(mae / naive_mae) over the two already-d6
+    * values). Rows with a NULL forecast (warm-up) are excluded first;
+    * the naive lag runs over the surviving per-key frame. A series
+    * with no naive pairs or zero naive error answers NULL mase; zero
+    * actual volume answers NULL wmape.
+    *
+    * Scale shape: one ordered per-key window (the seasonal lag) +
+    * ONE keyed aggregate.
+    */
+  def forecastAccuracy(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      actualCol: String,
+      forecastCol: String,
+      season: Int = 1): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val base = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(actualCol).cast("long").as("_a"),
+        col(forecastCol).cast("double").as("_f"))
+      .filter(col("_f").isNotNull)
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val lagged = base
+      .withColumn("_al", lag(col("_a"), season).over(w))
+    val errTerm = abs(col("_a").cast("double") - col("_f"))
+      .cast("decimal(28,6)")
+    val agg = lagged.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(errTerm).as("_e6"),
+        sum(abs(col("_a"))).as("_sa"),
+        count(col("_al")).as("_nn"),
+        sum(abs(col("_a") - col("_al"))).as("_sn"))
+    val mae = d6(col("_e6").cast("double") / col("n_obs").cast("double"))
+    val staged = agg.select(col("_k").as(keyCol), col("n_obs"),
+      mae.as("mae"),
+      when(col("_sa") > 0L,
+        d6(col("_e6").cast("double") / col("_sa").cast("double")))
+        .as("wmape"),
+      when(col("_nn") > 0L && col("_sn") > 0L,
+        d6(col("_sn").cast("double") / col("_nn").cast("double")))
+        .as("_nmae"))
+    staged.select(col(keyCol), col("n_obs"), col("mae"), col("wmape"),
+      when(col("_nmae").isNotNull, d6(col("mae") / col("_nmae")))
+        .as("mase"))
+  }
+
   /** Lag-1 Granger causality — the F-test behind "do x's past values
     * improve the forecast of y beyond y's own past?": compare the
     * restricted regression y_t ~ y_{t−1} against the unrestricted

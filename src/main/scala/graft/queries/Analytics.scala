@@ -3747,7 +3747,65 @@ object Analytics {
       |      AS DOUBLE) END AS uncertainty_coeff
       |FROM f""".stripMargin
 
+  // q372: forecast scorecard (Timeseries.forecastAccuracy) — a
+  // 3-bucket moving-average forecast of each event type's 6h volume,
+  // scored with MAE / WMAPE / MASE against the season-4 naive
+  // (6h buckets ⇒ season 4 = daily). MASE < 1 = the MA earns its keep.
+  def q372ForecastAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(-3, -1)
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("f",
+        when(count(col("x")).over(w) === 3L,
+          (sum(col("x")).over(w).cast("double") / lit(3.0))
+            .cast("decimal(28,6)").cast("double")))
+    graft.ops.Timeseries.forecastAccuracy(buckets, "event_type", "b",
+      "x", "f", season = 4)
+  }
+
+  val q372Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |fc AS (SELECT k, t, x,
+      |    CASE WHEN COUNT(x) OVER w = 3 THEN
+      |      CAST(CAST(CAST(SUM(x) OVER w AS DOUBLE) / 3.0
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS f
+      |  FROM s WINDOW w AS (PARTITION BY k ORDER BY t
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+      |al AS (SELECT k, t, x, f,
+      |    lag(x, 4) OVER (PARTITION BY k ORDER BY t) AS xl
+      |  FROM fc WHERE f IS NOT NULL),
+      |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_obs,
+      |    SUM(CAST(abs(CAST(x AS DOUBLE) - f) AS DECIMAL(28,6)))
+      |      AS e6,
+      |    CAST(SUM(abs(x)) AS BIGINT) AS sa,
+      |    CAST(COUNT(xl) AS BIGINT) AS nn,
+      |    CAST(SUM(abs(x - xl)) AS BIGINT) AS sn
+      |  FROM al GROUP BY 1),
+      |m AS (SELECT k, n_obs,
+      |    CAST(CAST(CAST(e6 AS DOUBLE) / CAST(n_obs AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mae,
+      |    CASE WHEN sa > 0 THEN
+      |      CAST(CAST(CAST(e6 AS DOUBLE) / CAST(sa AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS wmape,
+      |    CASE WHEN nn > 0 AND sn > 0 THEN
+      |      CAST(CAST(CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS nmae
+      |  FROM a)
+      |SELECT k AS event_type, n_obs, mae, wmape,
+      |  CASE WHEN nmae IS NOT NULL THEN
+      |    CAST(CAST(mae / nmae AS DECIMAL(28,6)) AS DOUBLE) END AS mase
+      |FROM m""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q372_forecast_accuracy" -> (q372ForecastAccuracy _),
     "q371_transition_entropy" -> (q371TransitionEntropy _),
     "q370_g2_keyness" -> (q370G2Keyness _),
     "q369_odds_ratio" -> (q369OddsRatio _),
@@ -3848,6 +3906,7 @@ object Analytics {
     "q369_odds_ratio" -> q369Sql,
     "q370_g2_keyness" -> q370Sql,
     "q371_transition_entropy" -> q371Sql,
+    "q372_forecast_accuracy" -> q372Sql,
     "q350_acf" -> q350Sql,
     "q349_assoc_rules" -> q349Sql,
     "q346_viterbi" -> q346Sql,

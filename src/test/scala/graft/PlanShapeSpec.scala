@@ -123,6 +123,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(nl.isEmpty, s"ANN-fed miner fell back to all-pairs: $nl")
   }
 
+  test("q352 ANN-fed DBSCAN never plans the all-pairs nested loop") {
+    // q347 is the DECLARED exact baseline (hash-blocked broadcast
+    // nested loop by design); its scale composition q352 must meet
+    // ε-candidates through the (tbl, bucket) equi-join only — the
+    // q208/q163 pin applied to clustering
+    val nl = plans("q352_dbscan_ann").flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        => j })
+    assert(nl.isEmpty, s"ANN-fed DBSCAN fell back to all-pairs: $nl")
+  }
+
   test("q282 card audit is a zero-shuffle scan (regex + Luhn in-row)") {
     // the PII chain's whole 100 TB story: candidates, strip, length
     // gate and the codegen'd checksum are all projections

@@ -287,6 +287,27 @@ class TimeseriesSpec extends SparkSpec {
     assert(r.getAs[Int]("significant") == 1)
   }
 
+  test("forecastAccuracy: hand MAE/WMAPE/MASE; zero naive error → NULL") {
+    // forecast = actual + 2 → MAE 2; Σ|a| = 100 → WMAPE 0.08;
+    // season-1 naive diffs are 10 → naive MAE 10 → MASE 0.2
+    val df = Seq(("k", 1L, 10L, 12.0), ("k", 2L, 20L, 22.0),
+      ("k", 3L, 30L, 32.0), ("k", 4L, 40L, 42.0))
+      .toDF("k", "t", "a", "f")
+    val r = Timeseries.forecastAccuracy(df, "k", "t", "a", "f",
+      season = 1).collect().head
+    assert(r.getAs[Long]("n_obs") == 4L)
+    assert(r.getAs[Double]("mae") == 2.0)
+    assert(r.getAs[Double]("wmape") == 0.08)
+    assert(r.getAs[Double]("mase") == 0.2)
+    // constant actuals: the naive reference is 0 → MASE is undefined
+    val const = Seq(("k", 1L, 5L, 6.0), ("k", 2L, 5L, 6.0),
+      ("k", 3L, 5L, 6.0)).toDF("k", "t", "a", "f")
+    val rc = Timeseries.forecastAccuracy(const, "k", "t", "a", "f",
+      season = 1).collect().head
+    assert(rc.getAs[Double]("mae") == 1.0)
+    assert(rc.isNullAt(rc.fieldIndex("mase")))
+  }
+
   test("pacf matches the plain-Scala Durbin-Levinson replay on the acf") {
     def d6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
