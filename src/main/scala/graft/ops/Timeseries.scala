@@ -631,6 +631,158 @@ object Timeseries {
               col("_deny").cast("double")))).as("ccf"))
   }
 
+  /** Wald–Wolfowitz runs test per series — randomness of the
+    * above/below-median pattern: too FEW runs = sticky regimes
+    * (autocorrelation, level shifts), too MANY = oscillation. The
+    * cheap sanity check next to [[ljungBox]]: distribution-free, and
+    * it catches sign-pattern structure a correlation test can miss.
+    *
+    * Exact until the one d6 z: the per-key median is computed in
+    * DOUBLED units (two order statistics over the per-key
+    * distinct-value frame — the brownForsythe machinery), values
+    * EQUAL to the median drop (the standard convention), the run
+    * count R and the above/below counts n₊/n₋ are integers, and
+    *
+    *   z = (R − μ)/σ,  μ = 2n₊n₋/n + 1,
+    *   σ² = 2n₊n₋(2n₊n₋ − n) / (n²(n−1))
+    *
+    * evaluates in one fixed double order with d6 at z. Degenerate
+    * series (n₊ = 0 or n₋ = 0 after the drop) answer NULL.
+    * `significant` is the fixed |z| ≥ 1.959964.
+    *
+    * Scale shape: one (key, value) aggregate for the median, one
+    * ordered per-key window for the run boundaries, ONE keyed rollup.
+    */
+  def runsTest(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val W = Window
+    val byKV = df.groupBy(col(keyCol).as("_k"),
+        col(xCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wg = W.partitionBy(col("_k")).orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val cum = byKV.select(col("_k"), col("_v"), col("_c"),
+      coalesce(sum(col("_c")).over(wg), lit(0L)).as("_cb"))
+      .join(byKV.groupBy(col("_k")).agg(sum(col("_c")).as("_n")),
+        Seq("_k"))
+    val lo = floor((col("_n") + 1L) / lit(2.0)).cast("long")
+    val hi = floor(col("_n") / lit(2.0)).cast("long") + 1L
+    val med = cum.groupBy(col("_k"))
+      .agg((max(when(col("_cb") < lo && lo <= col("_cb") + col("_c"),
+          col("_v"))) +
+        max(when(col("_cb") < hi && hi <= col("_cb") + col("_c"),
+          col("_v")))).as("_med2"))
+    val signed = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .join(med, Seq("_k"))
+      .withColumn("_s", when(lit(2L) * col("_x") > col("_med2"), 1)
+        .when(lit(2L) * col("_x") < col("_med2"), -1))
+      .filter(col("_s").isNotNull)
+    val wo = W.partitionBy(col("_k")).orderBy(col("_t"))
+    val runs = signed
+      .withColumn("_brk",
+        when(lag(col("_s"), 1).over(wo).isNull ||
+          lag(col("_s"), 1).over(wo) =!= col("_s"), 1L).otherwise(0L))
+    val agg = runs.groupBy(col("_k"))
+      .agg(sum(col("_brk")).as("n_runs"),
+        sum(when(col("_s") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("_s") === -1, 1L).otherwise(0L)).as("n_below"))
+    val np = col("n_above").cast("double")
+    val nm = col("n_below").cast("double")
+    val n = np + nm
+    val mu = lit(2.0) * np * nm / n + 1.0
+    val sig2 = lit(2.0) * np * nm * (lit(2.0) * np * nm - n) /
+      (n * n * (n - 1.0))
+    val z = when(col("n_above") > 0L && col("n_below") > 0L &&
+        sig2 > 0.0,
+      d6((col("n_runs").cast("double") - mu) / sqrt(sig2)))
+    agg.select(col("_k").as(keyCol), col("n_runs"), col("n_above"),
+      col("n_below"), z.as("z_stat"),
+      when(z.isNotNull, (abs(z) >= 1.959964).cast("int"))
+        .as("significant"))
+  }
+
+  /** Mann–Kendall trend test per series — the significance partner of
+    * [[theilSen]]'s slope (the standard pairing in environmental /
+    * ops monitoring): S = Σ_{i<j} sign(x_j − x_i) counts concordant
+    * minus discordant time pairs, distribution-free and robust to
+    * spikes that wreck OLS trend tests.
+    *
+    * Exact: S and the tie spectrum are integers — S from an in-row
+    * O(n²) fold over the collected per-key series (bounded LOUDLY by
+    * `maxPeriods`; series length is the bucketed-time axis, not the
+    * corpus), ties from the (key, value) count frame; the normal
+    * approximation
+    *
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+    *   z = (S ∓ 1)/√Var  (continuity-corrected, 0 at S = 0)
+    *
+    * closes with ONE d6. `significant` is |z| ≥ 1.959964; a series
+    * with Var = 0 (all values tied) answers NULL.
+    *
+    * Scale shape: one ordered per-key collect to a guarded row +
+    * in-row pair fold, one (key, value) aggregate for ties — the
+    * series frame pays, never the corpus.
+    */
+  def mannKendall(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      maxPeriods: Int = 512): DataFrame = {
+    require(maxPeriods >= 3, s"maxPeriods must be >= 3, got $maxPeriods")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val series = df
+      .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .groupBy(col("_k"))
+      .agg(array_sort(collect_list(struct(col("_t"), col("_x"))))
+        .as("_sr"))
+    // loud in-plan guard on the USED column
+    val guarded = series.withColumn("_sr",
+      when(size(col("_sr")) <= maxPeriods, col("_sr"))
+        .otherwise(raise_error(concat(
+          lit("mannKendall: series of "),
+          size(col("_sr")).cast("string"),
+          lit(s" periods exceeds maxPeriods=$maxPeriods — widen the " +
+            "buckets or raise the bound")))
+          .cast("array<struct<_t:bigint,_x:bigint>>")))
+    val sExpr = "aggregate(sequence(1, size(_sr) - 1), CAST(0 AS BIGINT)," +
+      " (acc, i) -> acc + aggregate(sequence(CAST(i AS INT) + 1, " +
+      "size(_sr)), CAST(0 AS BIGINT), (a2, j) -> a2 + " +
+      "CAST(sign(element_at(_sr, j)._x - element_at(_sr, i)._x) " +
+      "AS BIGINT)))"
+    val withS = guarded.select(col("_k"),
+      size(col("_sr")).cast("long").as("n_periods"),
+      when(size(col("_sr")) >= 2, expr(sExpr)).otherwise(lit(0L))
+        .as("s_stat"))
+    val ties = df.groupBy(col(keyCol).as("_k"),
+        col(xCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_k"))
+      .agg(coalesce(sum(dec(col("_t")) * dec(col("_t") - 1L) *
+        dec(lit(2L) * col("_t") + 5L)), dec(lit(0L))).as("_tsum"))
+    val joined = withS.join(ties, Seq("_k"))
+    val nD = dec(col("n_periods"))
+    val varS = ((nD * dec(col("n_periods") - 1L) *
+      dec(lit(2L) * col("n_periods") + 5L) - col("_tsum")))
+      .cast("double") / lit(18.0)
+    val corr = when(col("s_stat") > 0L, col("s_stat") - 1L)
+      .when(col("s_stat") < 0L, col("s_stat") + 1L)
+      .otherwise(lit(0L))
+    val z = when(varS > 0.0, d6(corr.cast("double") / sqrt(varS)))
+    joined.select(col("_k").as(keyCol), col("n_periods"),
+      col("s_stat"), z.as("z_stat"),
+      when(z.isNotNull, (abs(z) >= 1.959964).cast("int"))
+        .as("significant"))
+  }
+
   /** Forecast accuracy battery — MAE, WMAPE and MASE (Hyndman &
     * Koehler 2006) per series, the scale-free scorecard for ANY
     * forecast column ([[holt]]'s, a seasonal-naive, an external

@@ -3247,11 +3247,15 @@ object Analytics {
   // determinism contract doubled (denominator-cleared integer
   // deviations, decimal product sums, one d6 per lag).
   def q362Ccf(s: SparkSession, dir: String): DataFrame = {
+    // the global-series key is DERIVED from data (empty substring of
+    // the bucket), not a literal: a foldable constant key would let
+    // Catalyst collapse ccf's stats equi-join into a CartesianProduct
+    // (the PlanLintSpec screen)
     val b = ev(s, dir)
       .groupBy(expr("ts_us div 21600000000").as("b"))
       .agg(sum((col("event_type") === "view").cast("long")).as("x"),
         sum((col("event_type") === "purchase").cast("long")).as("y"))
-      .withColumn("k", lit("all"))
+      .withColumn("k", substring(col("b").cast("string"), 1, 0))
     graft.ops.Timeseries.ccf(b, "k", "b", "x", "y", maxLag = 6)
   }
 
@@ -3288,7 +3292,7 @@ object Analytics {
       |  FROM l, (SELECT unnest(range(0, 7)) AS lg) u),
       |num AS (SELECT lg, SUM(p) AS nm FROM pr WHERE p IS NOT NULL
       |        GROUP BY 1)
-      |SELECT 'all' AS k, CAST(num.lg AS INTEGER) AS lag,
+      |SELECT '' AS k, CAST(num.lg AS INTEGER) AS lag,
       |  den.n AS n_periods,
       |  CASE WHEN den.dnx > 0 AND den.dny > 0 THEN
       |    CAST(CAST(CAST(num.nm AS DOUBLE) /
@@ -3804,7 +3808,121 @@ object Analytics {
       |    CAST(CAST(mae / nmae AS DECIMAL(28,6)) AS DOUBLE) END AS mase
       |FROM m""".stripMargin
 
+  // q373: Wald–Wolfowitz runs test on each event type's 6h volumes
+  // (Timeseries.runsTest) — above/below-median sign randomness, the
+  // regime-stickiness check next to q356's Ljung–Box.
+  def q373RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.runsTest(buckets, "event_type", "b", "x")
+  }
+
+  val q373Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |kv AS (SELECT k, x AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM s GROUP BY 1, 2),
+      |cum AS (SELECT k, v, c,
+      |    COALESCE(SUM(c) OVER (PARTITION BY k ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |    SUM(c) OVER (PARTITION BY k) AS n
+      |  FROM kv),
+      |med AS (SELECT k,
+      |    MAX(CASE WHEN cb < (n + 1) // 2 AND (n + 1) // 2 <= cb + c
+      |      THEN v END) +
+      |    MAX(CASE WHEN cb < n // 2 + 1 AND n // 2 + 1 <= cb + c
+      |      THEN v END) AS med2
+      |  FROM cum GROUP BY k),
+      |sg AS (SELECT s.k, s.t,
+      |    CASE WHEN 2 * s.x > med2 THEN 1
+      |         WHEN 2 * s.x < med2 THEN -1 END AS sgn
+      |  FROM s JOIN med ON med.k = s.k),
+      |sg2 AS (SELECT * FROM sg WHERE sgn IS NOT NULL),
+      |rn AS (SELECT k, sgn,
+      |    CASE WHEN lag(sgn) OVER w IS NULL OR lag(sgn) OVER w <> sgn
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM sg2 WINDOW w AS (PARTITION BY k ORDER BY t)),
+      |a AS (SELECT k, CAST(SUM(brk) AS BIGINT) AS n_runs,
+      |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_above,
+      |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_below
+      |  FROM rn GROUP BY 1),
+      |z AS (SELECT k, n_runs, n_above, n_below,
+      |    CASE WHEN n_above > 0 AND n_below > 0 AND
+      |      2.0 * n_above * n_below * (2.0 * n_above * n_below -
+      |        (CAST(n_above AS DOUBLE) + n_below)) /
+      |      ((CAST(n_above AS DOUBLE) + n_below) *
+      |       (CAST(n_above AS DOUBLE) + n_below) *
+      |       (CAST(n_above AS DOUBLE) + n_below - 1.0)) > 0 THEN
+      |      CAST(CAST((CAST(n_runs AS DOUBLE) -
+      |        (2.0 * n_above * n_below /
+      |         (CAST(n_above AS DOUBLE) + n_below) + 1.0)) /
+      |        sqrt(2.0 * n_above * n_below * (2.0 * n_above * n_below -
+      |          (CAST(n_above AS DOUBLE) + n_below)) /
+      |        ((CAST(n_above AS DOUBLE) + n_below) *
+      |         (CAST(n_above AS DOUBLE) + n_below) *
+      |         (CAST(n_above AS DOUBLE) + n_below - 1.0)))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS zs
+      |  FROM a)
+      |SELECT k AS event_type, n_runs, n_above, n_below, zs AS z_stat,
+      |  CASE WHEN zs IS NOT NULL THEN
+      |    CAST(abs(zs) >= 1.959964 AS INTEGER) END AS significant
+      |FROM z""".stripMargin
+
+  // q374: Mann–Kendall trend test on the same volumes
+  // (Timeseries.mannKendall) — the significance partner of q319's
+  // Theil–Sen slope; exact integer S + tie spectrum, one d6 z.
+  def q374MannKendall(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.mannKendall(buckets, "event_type", "b", "x")
+  }
+
+  val q374Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |nn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+      |pr AS (SELECT a.k, CAST(SUM(sign(b.x - a.x)) AS BIGINT) AS ss
+      |       FROM s a JOIN s b ON a.k = b.k AND a.t < b.t
+      |       GROUP BY 1),
+      |tie AS (SELECT k,
+      |    COALESCE(SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)), 0)
+      |      AS tsum
+      |  FROM (SELECT k, x AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM s GROUP BY 1, 2) GROUP BY 1),
+      |j AS (SELECT nn.k, nn.n, COALESCE(pr.ss, 0) AS ss, tie.tsum
+      |      FROM nn LEFT JOIN pr ON pr.k = nn.k
+      |      JOIN tie ON tie.k = nn.k),
+      |v AS (SELECT k, n, ss,
+      |    CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tsum
+      |      AS DOUBLE) / 18.0 AS vs
+      |  FROM j),
+      |z AS (SELECT k, n, ss,
+      |    CASE WHEN vs > 0 THEN
+      |      CAST(CAST(CAST(CASE WHEN ss > 0 THEN ss - 1
+      |        WHEN ss < 0 THEN ss + 1 ELSE 0 END AS DOUBLE) / sqrt(vs)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS zs
+      |  FROM v)
+      |SELECT k AS event_type, n AS n_periods, ss AS s_stat,
+      |  zs AS z_stat,
+      |  CASE WHEN zs IS NOT NULL THEN
+      |    CAST(abs(zs) >= 1.959964 AS INTEGER) END AS significant
+      |FROM z""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_mann_kendall" -> (q374MannKendall _),
+    "q373_runs_test" -> (q373RunsTest _),
     "q372_forecast_accuracy" -> (q372ForecastAccuracy _),
     "q371_transition_entropy" -> (q371TransitionEntropy _),
     "q370_g2_keyness" -> (q370G2Keyness _),
@@ -3907,6 +4025,8 @@ object Analytics {
     "q370_g2_keyness" -> q370Sql,
     "q371_transition_entropy" -> q371Sql,
     "q372_forecast_accuracy" -> q372Sql,
+    "q373_runs_test" -> q373Sql,
+    "q374_mann_kendall" -> q374Sql,
     "q350_acf" -> q350Sql,
     "q349_assoc_rules" -> q349Sql,
     "q346_viterbi" -> q346Sql,

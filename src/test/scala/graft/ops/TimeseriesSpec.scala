@@ -287,6 +287,53 @@ class TimeseriesSpec extends SparkSpec {
     assert(r.getAs[Int]("significant") == 1)
   }
 
+  test("runsTest: alternating vs sticky series, median drops, hand z") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // alternating 1,9 over n=8: R = 8, n+ = n- = 4 → μ = 5,
+    // σ² = 32·24/(64·7); sticky 111999: R = 2 → z negative
+    val df = ((1L to 8L).map(t =>
+      ("alt", t, if (t % 2 == 1) 1L else 9L)) ++
+      (1L to 6L).map(t => ("sticky", t, if (t <= 3) 1L else 9L)))
+      .toDF("k", "t", "x")
+    val out = Timeseries.runsTest(df, "k", "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val zAlt = d6((8.0 - (2.0 * 4 * 4 / 8 + 1.0)) /
+      math.sqrt(2.0 * 4 * 4 * (2.0 * 4 * 4 - 8) / (8.0 * 8 * 7)))
+    assert(out("alt").getAs[Long]("n_runs") == 8L)
+    assert(out("alt").getAs[Double]("z_stat") == zAlt)
+    assert(out("alt").getAs[Int]("significant") == 1)
+    assert(out("sticky").getAs[Long]("n_runs") == 2L)
+    assert(out("sticky").getAs[Double]("z_stat") < 0.0)
+    // values equal to the median drop (the standard convention)
+    val med = Seq(("m", 1L, 1L), ("m", 2L, 5L), ("m", 3L, 9L))
+      .toDF("k", "t", "x")
+    val rm = Timeseries.runsTest(med, "k", "t", "x").collect().head
+    assert(rm.getAs[Long]("n_above") == 1L)
+    assert(rm.getAs[Long]("n_below") == 1L)
+  }
+
+  test("mannKendall: monotone trend detected, all-tied NULL, guard") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = (1L to 8L).map(t => ("up", t, t * 3L))
+      .toDF("k", "t", "x")
+    val r = Timeseries.mannKendall(df, "k", "t", "x").collect().head
+    assert(r.getAs[Long]("s_stat") == 28L) // C(8,2) concordant pairs
+    val z = d6(27.0 / math.sqrt((8.0 * 7 * 21 - 0) / 18.0))
+    assert(r.getAs[Double]("z_stat") == z)
+    assert(r.getAs[Int]("significant") == 1)
+    val tied = (1L to 5L).map(t => ("flat", t, 7L)).toDF("k", "t", "x")
+    val rt = Timeseries.mannKendall(tied, "k", "t", "x").collect().head
+    assert(rt.getAs[Long]("s_stat") == 0L)
+    assert(rt.isNullAt(rt.fieldIndex("z_stat")))
+    val e = intercept[Exception] {
+      Timeseries.mannKendall(df, "k", "t", "x", maxPeriods = 3)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxPeriods"), e.getMessage)
+  }
+
   test("forecastAccuracy: hand MAE/WMAPE/MASE; zero naive error → NULL") {
     // forecast = actual + 2 → MAE 2; Σ|a| = 100 → WMAPE 0.08;
     // season-1 naive diffs are 10 → naive MAE 10 → MASE 0.2
