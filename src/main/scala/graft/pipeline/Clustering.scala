@@ -190,6 +190,36 @@ object Clustering {
       .filter(col("d2") <= eps2)
   }
 
+  /** Block count derived from the corpus so each broadcast side stays
+    * ~64 MB (the reason blocks exist) — the q243 auto-config
+    * discipline applied to the exact pair stage: a FIXED block count
+    * is wrong at both ends (too many blocks at fixture scale is pure
+    * plan overhead — B(B+1)/2 branch joins; measured 52s at blocks=8
+    * vs 4.5s at the derived blocks=1 on the sf0.1 fixture — and too
+    * few at corpus scale overflows the broadcast). The pair SET is
+    * block-invariant (asserted in ClusteringSpec), so this is a cost
+    * dial only.
+    */
+  def autoBlocks(rows: Long, dims: Int): Int = {
+    val bytesPerRow = 8L * dims + 32L
+    val target = 64L * 1024 * 1024
+    math.max(1, math.ceil(rows.toDouble * bytesPerRow / target).toInt)
+  }
+
+  /** [[euclideanPairs]] with the block count derived by [[autoBlocks]]
+    * (one count + one head to size the corpus — the
+    * semanticDedupAnnAuto precedent).
+    */
+  def euclideanPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      eps2: Long): DataFrame = {
+    val dims = df.select(size(col(embCol))).head().getInt(0)
+    euclideanPairs(df, idCol, embCol, eps2,
+      blocks = autoBlocks(df.count(), dims))
+  }
+
   /** Exact DBSCAN composition: [[euclideanPairs]] → [[dbscanFromPairs]]. */
   def dbscan(
       df: DataFrame,
@@ -200,6 +230,18 @@ object Clustering {
       blocks: Int = 8): DataFrame =
     dbscanFromPairs(df, idCol,
       euclideanPairs(df, idCol, embCol, eps2, blocks), minPts)
+
+  /** Exact DBSCAN with the [[autoBlocks]]-derived pair stage — same
+    * pair set, right-sized plan at any corpus size.
+    */
+  def dbscanAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      eps2: Long,
+      minPts: Int): DataFrame =
+    dbscanFromPairs(df, idCol,
+      euclideanPairsAuto(df, idCol, embCol, eps2), minPts)
 
   /** ANN-fed DBSCAN: [[euclideanPairsAnn]] → [[dbscanFromPairs]] — the
     * 100 TB composition the exact [[dbscan]] scaladoc promises. At

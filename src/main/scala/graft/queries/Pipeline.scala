@@ -1704,8 +1704,12 @@ object Pipeline {
   // (the deterministic pin on textbook DBSCAN's visit-order tie). The
   // oracle replays pairs → degrees → cores → recursive-CTE components
   // → border min-attach; hash-exact including the role strings.
+  // The pair stage sizes its blocks from the corpus (autoBlocks — each
+  // broadcast side ~64 MB): a fixed blocks=8 at fixture scale was 52s
+  // of B(B+1)/2 branch-join overhead vs 4.5s derived; the pair SET is
+  // block-invariant (ClusteringSpec), so the oracle is untouched.
   def q347Dbscan(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Clustering.dbscan(
+    graft.pipeline.Clustering.dbscanAuto(
       t(s, dir, "embeddings"), "vec_id", "embedding",
       eps2 = 1380000L, minPts = 5)
 

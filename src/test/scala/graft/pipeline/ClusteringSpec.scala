@@ -142,6 +142,20 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("autoBlocks targets ~64MB broadcast sides; dbscanAuto ≡ dbscan") {
+    // 2000 × 64-dim rows ≈ 1 MB → one block (the fixture regime where
+    // fixed blocks=8 was pure branch-join overhead); 1M rows ≈ 544 MB
+    // → 9 blocks
+    assert(Clustering.autoBlocks(2000L, 64) == 1)
+    assert(Clustering.autoBlocks(1000000L, 64) == 9)
+    assert(Clustering.autoBlocks(1L, 64) == 1)
+    val auto = Clustering.dbscanAuto(blobs, "vec_id", "embedding",
+      eps2 = 22500L, minPts = 4)
+    val fixed = Clustering.dbscan(blobs, "vec_id", "embedding",
+      eps2 = 22500L, minPts = 4, blocks = 2)
+    assert(rows(auto) == rows(fixed))
+  }
+
   test("ANN-fed DBSCAN equals the exact composition (recall 1.0)") {
     // q352's precondition at BOTH the spec SF and the driver's compare
     // SF (the q163 semantic-dedup playbook): at 32 tables × 2 bits the
