@@ -949,4 +949,295 @@ object Timeseries {
         (q >= graft.pipeline.Stats.chiSq95(maxLag - 1)).cast("int"))
         .as("significant"))
   }
+
+  /** Discrete-Fourier periodogram per series — the frequency-domain
+    * partner of [[acf]]: raw spectral power I(k) at integer frequencies
+    * k = 1..min(`maxFreq`, ⌊n/2⌋) over the key's `tCol`-ordered series,
+    * plus the dominant cycle (`is_peak`) — "is the 6h/daily cycle real,
+    * and which period carries the energy?" (Schuster 1898; the
+    * volume-seasonality detector a monitoring pipeline runs before
+    * committing to a seasonal forecast model).
+    *
+    * Determinism contract: the trig factors cos/sin(2πki/n) are each
+    * d6-QUANTIZED (both engines evaluate libm cos/sin of the identical
+    * double argument — the d6 collapse absorbs the ≤1-ulp libm spread);
+    * deviations are denominator-cleared integers d_i = n·x_i − S, the
+    * products d_i·trig go through decimal(38,6) (order-free sums), and
+    * I(k) = (C² + S²)/n³ closes with ONE d6. Constant series → power 0
+    * at every k. `is_peak` marks the max-power frequency (ties → lowest
+    * k), a per-key window over the ≤maxFreq-row corrgram frame.
+    *
+    * Scale shape: one per-key stats aggregate, the (series × freq)
+    * frame from a bounded per-key sequence explode (n·maxFreq rows per
+    * key — the bucketed-time axis squared, never the corpus), one
+    * (key, freq) aggregate, one tiny per-key ranking window.
+    */
+  def periodogram(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      maxFreq: Int): DataFrame = {
+    require(maxFreq >= 1 && maxFreq <= 512,
+      s"maxFreq must be in [1,512], got $maxFreq")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def d386(c: Column) = c.cast("decimal(38,6)")
+    val stats = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_n"), sum(col(xCol).cast("long")).as("_s"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val dev = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .join(stats, Seq("_k"))
+      .withColumn("_i", row_number().over(w).cast("long") - 1L)
+      .withColumn("_d", col("_n") * col("_x") - col("_s"))
+    val freqs = stats
+      .select(col("_k"),
+        explode(sequence(lit(1L),
+          least(lit(maxFreq.toLong), floor(col("_n") / 2).cast("long"))))
+          .as("_f"))
+    // identical double-expression order on both engines:
+    // 2.0 * pi * f * i / n   (left-assoc), then ONE d6 on the trig value
+    val ang = lit(2.0) * lit(math.Pi) * col("_f").cast("double") *
+      col("_i").cast("double") / col("_n").cast("double")
+    val terms = dev.join(freqs, Seq("_k"))
+      .select(col("_k"), col("_f"), col("_n"),
+        d386(col("_d").cast("double") * d6(cos(ang))).as("_tc"),
+        d386(col("_d").cast("double") * d6(sin(ang))).as("_ts"))
+    val agg = terms.groupBy(col("_k"), col("_f"))
+      .agg(max(col("_n")).as("n_periods"),
+        sum(col("_tc")).as("_cc"), sum(col("_ts")).as("_ss"))
+    val n3 = col("n_periods").cast("double") *
+      col("n_periods").cast("double") * col("n_periods").cast("double")
+    val pw = Window.partitionBy(col("_k"))
+      .orderBy(col("power").desc, col("_f").asc)
+    agg
+      .select(col("_k"), col("_f"), col("n_periods"),
+        d6((col("_cc").cast("double") * col("_cc").cast("double") +
+          col("_ss").cast("double") * col("_ss").cast("double")) / n3)
+          .as("power"))
+      .withColumn("is_peak", (row_number().over(pw) === 1).cast("int"))
+      .select(col("_k").as(keyCol), col("_f").as("freq"),
+        col("n_periods"),
+        d6(col("n_periods").cast("double") / col("_f").cast("double"))
+          .as("period_buckets"),
+        col("power"), col("is_peak"))
+  }
+
+  /** Haar-wavelet energy spectrum per series — where the variance
+    * lives across time scales: unnormalized Haar detail coefficients
+    * d_{j,m} = Σ_{first half of block m} x − Σ_{second half} over the
+    * first 2^`levels` buckets of the key's `tCol`-ordered series, level
+    * j blocks of 2^j buckets; energy_j = Σ_m d²/2^j (the ⟨h,h⟩ = 2^j
+    * normalization). A burst detector reads high fine-level energy, a
+    * drifting series high coarse-level energy — the multi-resolution
+    * complement of [[periodogram]]'s global frequencies.
+    *
+    * EXACT: integer series → every coefficient and raw energy is an
+    * integer (decimal(38,0) squares); the level share re-scales to the
+    * common 2^levels denominator (e_j·2^(levels−j), still integer), so
+    * `energy` and `share` are each ONE d6 division of exact integers.
+    * Keys with fewer than 2^levels buckets are OMITTED (documented:
+    * a partial dyadic frame has no complete coefficient set).
+    *
+    * Scale shape: one per-key ordered window (row_number), a bounded
+    * `levels`-way explode of the 2^levels-row head frame, two keyed
+    * aggregates — the dyadic frame pays, never the corpus.
+    */
+  def haarEnergy(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      levels: Int): DataFrame = {
+    require(levels >= 1 && levels <= 16,
+      s"levels must be in [1,16], got $levels")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val len = 1L << levels
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val head = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_i", row_number().over(w).cast("long") - 1L)
+      .filter(col("_i") < len)
+    val full = head.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") === len)
+      .select(col("_k"))
+    val lv = head.join(full, Seq("_k"))
+      .select(col("_k"), col("_i"), col("_x"),
+        explode(sequence(lit(1), lit(levels))).as("_j"))
+    // sign: +1 on the first half of the level-j block, -1 on the second
+    val sign = when(
+      expr("shiftright(_i, cast(_j - 1 as int))") % 2L === 0L,
+      lit(1L)).otherwise(lit(-1L))
+    val coef = lv
+      .withColumn("_m", expr("shiftright(_i, cast(_j as int))"))
+      .groupBy(col("_k"), col("_j"), col("_m"))
+      .agg(sum(sign * col("_x")).as("_d"))
+    val energy = coef.groupBy(col("_k"), col("_j"))
+      .agg(count(lit(1)).as("n_coeffs"),
+        sum(dec(col("_d")) * dec(col("_d"))).as("_e"))
+      .withColumn("_es",
+        col("_e") * dec(pow(lit(2.0), lit(levels) - col("_j"))
+          .cast("long")))
+    val tot = energy.groupBy(col("_k"))
+      .agg(sum(col("_es")).as("_tot"))
+    energy.join(tot, Seq("_k"))
+      .select(col("_k").as(keyCol), col("_j").as("level"),
+        col("n_coeffs"),
+        d6(col("_e").cast("double") /
+          pow(lit(2.0), col("_j").cast("double"))).as("energy"),
+        when(col("_tot") > 0,
+          d6(col("_es").cast("double") / col("_tot").cast("double")))
+          .as("share"))
+  }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis — long-range
+    * dependence in one number (Hurst 1951; Mandelbrot & Wallis 1969):
+    * H ≈ 0.5 = memoryless, H > 0.5 = persistent trends, H < 0.5 =
+    * mean-reverting. Per key: split the `tCol`-ordered series into
+    * full blocks of each window size in `windows`, compute each
+    * block's rescaled range R/S, average per size, and fit the slope
+    * of log2(mean R/S) on log2(size) — the slope IS H.
+    *
+    * Determinism: within a block, the cumulative deviation
+    * z_t = w·Σ_{i≤t}x_i − (t+1)·S and the cleared deviations
+    * d_t = w·x_t − S are exact integers, so R/S =
+    * (max z − min z)·√w / √(Σd²) is ONE double chain closed by d6;
+    * block means and the two log2 values d6-round before the 2–3-point
+    * least-squares slope (d6-rounded terms, order-free decimal sums,
+    * one final d6). Zero-variance blocks are excluded; keys with
+    * fewer than 2 window sizes yielding blocks answer NULL `hurst`.
+    *
+    * Scale shape: |windows| bounded explodes of the series frame, one
+    * windowed cumulative sum per (key, size, block), two keyed
+    * aggregates, and a per-key ≤|windows|-element in-row fold — the
+    * series frame pays |windows|×, never the corpus.
+    */
+  def hurst(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      windows: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ >= 4),
+      s"windows must be non-empty, each >= 4, got $windows")
+    require(windows.distinct.size == windows.size, "windows must be distinct")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val wOrd = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val base = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_i", row_number().over(wOrd).cast("long") - 1L)
+      .select(col("_k"), col("_i"), col("_x"),
+        explode(array(windows.map(w => lit(w.toLong)): _*)).as("_w"))
+      .withColumn("_b", floor(col("_i") / col("_w")).cast("long"))
+      .withColumn("_p", col("_i") % col("_w"))
+    val blockStats = base.groupBy(col("_k"), col("_w"), col("_b"))
+      .agg(count(lit(1)).as("_bn"), sum(col("_x")).as("_bs"))
+      .filter(col("_bn") === col("_w"))
+    val wCum = Window.partitionBy(col("_k"), col("_w"), col("_b"))
+      .orderBy(col("_p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlock = base.join(blockStats, Seq("_k", "_w", "_b"))
+      .withColumn("_z",
+        col("_w") * sum(col("_x")).over(wCum) - (col("_p") + 1L) * col("_bs"))
+      .withColumn("_d", col("_w") * col("_x") - col("_bs"))
+    val rs = inBlock.groupBy(col("_k"), col("_w"), col("_b"))
+      .agg(max(col("_z")).as("_zmax"), min(col("_z")).as("_zmin"),
+        sum(dec(col("_d")) * dec(col("_d"))).as("_d2"))
+      .filter(col("_d2") > 0)
+      // R includes the anchored origin z_{-1} = 0 of the cumulative walk
+      .select(col("_k"), col("_w"),
+        d6((greatest(col("_zmax"), lit(0L)) -
+          least(col("_zmin"), lit(0L))).cast("double") *
+          sqrt(col("_w").cast("double")) /
+          sqrt(col("_d2").cast("double"))).as("_rs"))
+    val perW = rs.groupBy(col("_k"), col("_w"))
+      .agg(count(lit(1)).as("_nb"),
+        sum(col("_rs").cast("decimal(28,6)")).as("_rss"))
+      .select(col("_k"), col("_w"), col("_nb"),
+        d6(log(col("_w").cast("double")) / log(lit(2.0))).as("_lx"),
+        d6(log(d6(col("_rss").cast("double") / col("_nb").cast("double"))) /
+          log(lit(2.0))).as("_ly"))
+    val folded = perW.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_scales"),
+        d6(sum(col("_lx").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("_mx"),
+        d6(sum(col("_ly").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("_my"),
+        collect_list(struct(col("_w"), col("_lx"), col("_ly"))).as("_pts"))
+    val num = expr("aggregate(array_sort(_pts), CAST(0 AS DECIMAL(38,6))," +
+      " (a, p) -> CAST(a + CAST((p._lx - _mx) * (p._ly - _my)" +
+      " AS DECIMAL(28,6)) AS DECIMAL(38,6)))")
+    val den = expr("aggregate(array_sort(_pts), CAST(0 AS DECIMAL(38,6))," +
+      " (a, p) -> CAST(a + CAST((p._lx - _mx) * (p._lx - _mx)" +
+      " AS DECIMAL(28,6)) AS DECIMAL(38,6)))")
+    folded.select(col("_k").as(keyCol), col("n_scales"),
+      when(col("n_scales") >= 2L && den > 0,
+        d6(num.cast("double") / den.cast("double"))).as("hurst"))
+  }
+
+  /** Rank-SAX symbolization per series — the Symbolic Aggregate
+    * approXimation (Lin et al. 2003) with EMPIRICAL-RANK breakpoints:
+    * the `tCol`-ordered series is piecewise-aggregate-approximated
+    * into `segments` equal spans (seg = ⌊i·segments/n⌋), each span's
+    * mean is ranked, and ntile(`alphabet`) assigns the symbol — so
+    * the word "aadbcc…" indexes the series' SHAPE for motif grouping
+    * / cheap whole-series matching without any Gaussian assumption
+    * (the classic SAX breakpoints assume z-normal data; ranks don't).
+    *
+    * EXACT: segment ids are integer arithmetic, span means are one
+    * correctly-rounded double division of exact integers (compared,
+    * never accumulated), ntile ties break on the segment id — every
+    * engine replays the identical word; no rounding contract needed.
+    * Series shorter than `segments` produce fewer, still-ordered
+    * spans (documented: seg ids skip, the word just shortens).
+    *
+    * Scale shape: one per-key stats aggregate, one (key, segment)
+    * aggregate, one ≤segments-row ranking window and one per-key
+    * word rollup — the segment frame pays, never the corpus.
+    */
+  def saxRank(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      segments: Int = 8,
+      alphabet: Int = 4): DataFrame = {
+    require(segments >= 2 && segments <= 64,
+      s"segments must be in [2,64], got $segments")
+    require(alphabet >= 2 && alphabet <= 26,
+      s"alphabet must be in [2,26], got $alphabet")
+    val stats = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val seg = df
+      .select(col(keyCol).as("_k"), col(tCol).as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .join(stats, Seq("_k"))
+      .withColumn("_i", row_number().over(w).cast("long") - 1L)
+      .withColumn("_sg",
+        floor((col("_i") * segments.toLong) / col("_n")).cast("long"))
+      .groupBy(col("_k"), col("_sg"))
+      .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_c"),
+        max(col("_n")).as("_n"))
+    val wr = Window.partitionBy(col("_k"))
+      .orderBy((col("_s").cast("double") / col("_c").cast("double")).asc,
+        col("_sg").asc)
+    val sym = seg
+      .withColumn("_nt", ntile(alphabet).over(wr))
+      .withColumn("_sym",
+        expr("substr('abcdefghijklmnopqrstuvwxyz', _nt, 1)"))
+    sym.groupBy(col("_k"))
+      .agg(max(col("_n")).as("n_periods"),
+        count(lit(1)).as("n_segments"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(_sg, _sym))), p -> p._sym)"), "").as("sax_word"))
+      .select(col("_k").as(keyCol), col("n_periods"),
+        col("n_segments"), col("sax_word"))
+  }
 }

@@ -764,4 +764,71 @@ object Sampling {
     }
     packed.toDF(idCol, sizeCol, "pack_shard", "pack_bin", "bin_fill")
   }
+
+  /** Stratified weighted sampling WITHOUT replacement — `k` rows PER
+    * stratum with probability ∝ `weightCol` (Efraimidis & Spirakis
+    * 2006, in the Gumbel-max form that [[gumbelTopK]] uses globally):
+    * perturb each row's ln(weight) with derived Gumbel noise and keep
+    * the per-stratum top k. THE corpus-mixing draw — "per language,
+    * prefer long/high-quality docs, but keep the draw a sample, not a
+    * deterministic top-k" — and reproducible: noise is a pure function
+    * of (salt, id), so reruns, engines and partitionings agree, and a
+    * different salt is an independent redraw.
+    *
+    * Rows are flagged, not dropped (`samp_rank`, `kept`) — audits read
+    * the 0s. The score d6-rounds BEFORE the rank cut with an id
+    * tie-break, so the boundary can't sit on a float ulp (the
+    * [[gumbelTopK]] contract). Non-positive weights fail loudly (a
+    * zero weight has no ln; filter first).
+    *
+    * Scale shape: pure projection + ONE stratum-partitioned window —
+    * per-stratum work only; no global ordering, no driver round-trip.
+    */
+  def stratifiedWeightedTopK(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "eswr"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val W = org.apache.spark.sql.expressions.Window
+    val wOk = when(col(weightCol).cast("double") > 0.0,
+      col(weightCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit("stratifiedWeightedTopK: non-positive weight for id "),
+        col(idCol).cast("string"),
+        lit(" — filter or floor weights first"))).cast("double"))
+    val u = (portableHash(col(idCol), salt).cast("double") + 0.5) /
+      1000000.0
+    val score = (log(wOk) - log(-log(u)))
+      .cast("decimal(28,6)").cast("double")
+    val w = W.partitionBy(col(stratumCol))
+      .orderBy(col("samp_score").desc, col(idCol).asc)
+    df.withColumn("samp_score", score)
+      .withColumn("samp_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", (col("samp_rank") <= k.toLong).cast("int"))
+  }
+
+  /** Grouped k-fold assignment — the cross-validation split that
+    * respects entity boundaries: fold = portable hash of the GROUP
+    * (user, session, domain), so all of an entity's rows land in one
+    * fold and no fold ever trains on an entity it validates on (the
+    * group-leakage law [[splitOf]] enforces for train/test, here for
+    * k-fold). Deterministic, engine-portable (md5), salted for
+    * independent re-splits.
+    *
+    * Scale shape: a pure in-row projection — membership is a function
+    * of the group id, so ANY frame carrying the group recovers its
+    * fold without a join against a fold table; zero shuffles.
+    */
+  def groupKFold(
+      df: DataFrame,
+      groupCol: String,
+      k: Int,
+      salt: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    df.withColumn("fold",
+      (portableHash(col(groupCol), salt) % k.toLong).cast("long"))
+  }
 }

@@ -2652,4 +2652,59 @@ object TextStats {
           (lit(2.0) * col("_ft").cast("double") *
             col("_f").cast("double"))).as("dp"))
   }
+
+  /** LZ78 phrase complexity per document — the incremental-parse
+    * phrase count (Ziv & Lempel 1978): scan the text once, growing the
+    * current phrase while it's already in the dictionary, emitting and
+    * resetting when it's new. Repetitive/templated text parses into
+    * few long phrases (low `lz_ratio`), diverse prose into many short
+    * ones — the dictionary-compression axis of the quality battery,
+    * next to q101's codec-based signal and q107's byte entropy, but
+    * deterministic and codec-free (the entropy-rate estimate
+    * n_phrases·log(n_phrases)/n converges on ergodic sources).
+    *
+    * EXACT: phrase counts are integers; `lz_ratio` = n_phrases /
+    * n_chars is ONE d6 division. The trailing in-dictionary suffix
+    * counts as a final phrase (the standard convention). Documents
+    * longer than `maxChars` fail LOUDLY (the [[TextDedup.cdcChunks]]
+    * contract: bound the row or shard the doc first); empty documents
+    * are omitted.
+    *
+    * Scale shape: zero shuffles — pure per-row compute; the in-row
+    * fold is O(L²) string compares worst case, bounded by `maxChars`
+    * (dictionary lookups against ≤L phrases), which is exactly the
+    * bounded-prefix regime this quality signal needs.
+    */
+  def lz78Complexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxChars: Int = 2000): DataFrame = {
+    require(maxChars >= 1 && maxChars <= 8192,
+      s"maxChars must be in [1,8192], got $maxChars")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val t = "_g_t"
+    val guarded = df
+      .withColumn(t,
+        when(length(col(textCol)) <= maxChars, col(textCol))
+          .otherwise(raise_error(concat(
+            lit(s"lz78Complexity: document longer than maxChars=" +
+              s"$maxChars ("),
+            length(col(textCol)).cast("string"),
+            lit(") — chunk it first")))))
+      .filter(length(col(t)) > 0)
+    val parse = s"aggregate(transform(sequence(1, length($t)), " +
+      s"i -> substr($t, i, 1)), " +
+      "named_struct('ph', CAST(array() AS ARRAY<STRING>), 'cur', ''), " +
+      "(s, c) -> IF(array_contains(s.ph, concat(s.cur, c)), " +
+      "named_struct('ph', s.ph, 'cur', concat(s.cur, c)), " +
+      "named_struct('ph', array_append(s.ph, concat(s.cur, c)), " +
+      "'cur', '')), " +
+      "s -> size(s.ph) + IF(s.cur = '', 0, 1))"
+    guarded
+      .select(col(idCol), length(col(t)).cast("long").as("n_chars"),
+        expr(parse).cast("long").as("n_phrases"))
+      .withColumn("lz_ratio",
+        d6(col("n_phrases").cast("double") / col("n_chars").cast("double")))
+  }
 }

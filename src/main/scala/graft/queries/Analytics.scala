@@ -3920,7 +3920,236 @@ object Analytics {
       |    CAST(abs(zs) >= 1.959964 AS INTEGER) END AS significant
       |FROM z""".stripMargin
 
+  // q375: DFT periodogram (Timeseries.periodogram) over the q350
+  // volume buckets — spectral power per integer frequency + the
+  // dominant-cycle flag; the frequency-domain partner of q350/q367.
+  def q375Periodogram(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.periodogram(buckets, "event_type", "b", "x",
+      maxFreq = 24)
+  }
+
+  val q375Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(x) AS BIGINT) AS sm
+      |       FROM s GROUP BY 1),
+      |d AS (SELECT s.k, st.n,
+      |    ROW_NUMBER() OVER (PARTITION BY s.k ORDER BY s.t) - 1 AS i,
+      |    st.n * s.x - st.sm AS dv
+      |  FROM s JOIN st ON st.k = s.k),
+      |f AS (SELECT k,
+      |    unnest(range(1, LEAST(24, n // 2) + 1)) AS fq
+      |  FROM st),
+      |tm AS (SELECT d.k, f.fq, d.n,
+      |    CAST(CAST(dv AS DOUBLE) *
+      |      CAST(CAST(cos(2.0 * pi() * CAST(fq AS DOUBLE) *
+      |        CAST(i AS DOUBLE) / CAST(d.n AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(38,6)) AS tc,
+      |    CAST(CAST(dv AS DOUBLE) *
+      |      CAST(CAST(sin(2.0 * pi() * CAST(fq AS DOUBLE) *
+      |        CAST(i AS DOUBLE) / CAST(d.n AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(38,6)) AS tsn
+      |  FROM d JOIN f ON f.k = d.k),
+      |a AS (SELECT k, fq, MAX(n) AS np,
+      |    SUM(tc) AS cc, SUM(tsn) AS ss
+      |  FROM tm GROUP BY 1, 2),
+      |p AS (SELECT k, fq, np,
+      |    CAST(CAST((CAST(cc AS DOUBLE) * CAST(cc AS DOUBLE) +
+      |      CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+      |      (CAST(np AS DOUBLE) * CAST(np AS DOUBLE) *
+      |       CAST(np AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) AS power
+      |  FROM a)
+      |SELECT k AS event_type, fq AS freq, np AS n_periods,
+      |  CAST(CAST(CAST(np AS DOUBLE) / CAST(fq AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS period_buckets,
+      |  power,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY k
+      |    ORDER BY power DESC, fq ASC) = 1 AS INTEGER) AS is_peak
+      |FROM p""".stripMargin
+
+  // q376: Haar-wavelet energy spectrum (Timeseries.haarEnergy) over
+  // the first 32 volume buckets — which time scale carries the
+  // variance; integer-exact details, one d6 per energy/share.
+  def q376HaarEnergy(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.haarEnergy(buckets, "event_type", "b", "x",
+      levels = 5)
+  }
+
+  val q376Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |h AS (SELECT k, x,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) - 1 AS i
+      |  FROM s),
+      |hd AS (SELECT * FROM h WHERE i < 32),
+      |fl AS (SELECT k FROM hd GROUP BY k HAVING COUNT(*) = 32),
+      |lv AS (SELECT hd.k, hd.i, hd.x, unnest(range(1, 6)) AS j
+      |       FROM hd JOIN fl ON fl.k = hd.k),
+      |co AS (SELECT k, j, i >> CAST(j AS INTEGER) AS m,
+      |    CAST(SUM(CASE WHEN (i >> CAST(j - 1 AS INTEGER)) % 2 = 0
+      |      THEN x ELSE -x END) AS BIGINT) AS d
+      |  FROM lv GROUP BY 1, 2, 3),
+      |en AS (SELECT k, j, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+      |    SUM(CAST(d AS HUGEINT) * d) AS e2
+      |  FROM co GROUP BY 1, 2),
+      |sc AS (SELECT *, e2 * CAST(pow(2.0, 5 - j) AS BIGINT) AS es
+      |       FROM en),
+      |tt AS (SELECT k, SUM(es) AS tot FROM sc GROUP BY 1)
+      |SELECT sc.k AS event_type, CAST(j AS INTEGER) AS level, n_coeffs,
+      |  CAST(CAST(CAST(e2 AS DOUBLE) / pow(2.0, CAST(j AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS energy,
+      |  CASE WHEN tot > 0 THEN
+      |    CAST(CAST(CAST(es AS DOUBLE) / CAST(tot AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS share
+      |FROM sc JOIN tt ON tt.k = sc.k""".stripMargin
+
+  // q377: Hurst exponent by R/S analysis (Timeseries.hurst) —
+  // long-range dependence of the volume series at window sizes
+  // 8/16/32; integer-exact ranges, d6 per block R/S and per log point.
+  def q377Hurst(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.hurst(buckets, "event_type", "b", "x",
+      windows = Seq(8, 16, 32))
+  }
+
+  val q377Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |b AS (SELECT k, x,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY t) - 1 AS i
+      |  FROM s),
+      |wb AS (SELECT k, i, x, w, i // w AS bl, i % w AS p
+      |       FROM b CROSS JOIN (SELECT unnest([8, 16, 32]) AS w)),
+      |bs AS (SELECT k, w, bl, CAST(SUM(x) AS BIGINT) AS sm
+      |       FROM wb GROUP BY 1, 2, 3 HAVING COUNT(*) = w),
+      |ib AS (SELECT wb.k, wb.w, wb.bl, wb.p,
+      |    wb.w * SUM(wb.x) OVER (PARTITION BY wb.k, wb.w, wb.bl
+      |      ORDER BY wb.p ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) - (wb.p + 1) * bs.sm AS z,
+      |    wb.w * wb.x - bs.sm AS d
+      |  FROM wb JOIN bs ON bs.k = wb.k AND bs.w = wb.w
+      |    AND bs.bl = wb.bl),
+      |rs AS (SELECT k, w, bl,
+      |    GREATEST(MAX(z), 0) - LEAST(MIN(z), 0) AS r,
+      |    SUM(CAST(d AS HUGEINT) * d) AS d2
+      |  FROM ib GROUP BY 1, 2, 3
+      |  HAVING SUM(CAST(d AS HUGEINT) * d) > 0),
+      |rs6 AS (SELECT k, w,
+      |    CAST(CAST(CAST(r AS DOUBLE) * sqrt(CAST(w AS DOUBLE)) /
+      |      sqrt(CAST(d2 AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) AS rsv
+      |  FROM rs),
+      |pw AS (SELECT k, w, CAST(COUNT(*) AS BIGINT) AS nb,
+      |    SUM(CAST(rsv AS DECIMAL(28,6))) AS rss
+      |  FROM rs6 GROUP BY 1, 2),
+      |pts AS (SELECT k, w,
+      |    CAST(CAST(ln(CAST(w AS DOUBLE)) / ln(2.0)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS lx,
+      |    CAST(CAST(ln(CAST(CAST(CAST(rss AS DOUBLE) /
+      |      CAST(nb AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)) / ln(2.0)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS ly
+      |  FROM pw),
+      |mn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_scales,
+      |    CAST(CAST(CAST(SUM(CAST(lx AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS mx,
+      |    CAST(CAST(CAST(SUM(CAST(ly AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS my
+      |  FROM pts GROUP BY 1),
+      |sl AS (SELECT pts.k,
+      |    SUM(CAST((lx - mx) * (ly - my) AS DECIMAL(28,6))) AS nm,
+      |    SUM(CAST((lx - mx) * (lx - mx) AS DECIMAL(28,6))) AS dn
+      |  FROM pts JOIN mn ON mn.k = pts.k GROUP BY 1)
+      |SELECT mn.k AS event_type, n_scales,
+      |  CASE WHEN n_scales >= 2 AND dn > 0 THEN
+      |    CAST(CAST(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS hurst
+      |FROM mn JOIN sl ON sl.k = mn.k""".stripMargin
+
+  // q378: rank-SAX symbolization (Timeseries.saxRank) — each volume
+  // series PAA'd into 8 spans, span means ntile-ranked into an 'a'-'d'
+  // word; the shape index for motif grouping, exact (no rounding).
+  def q378SaxWord(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.saxRank(buckets, "event_type", "b", "x",
+      segments = 8, alphabet = 4)
+  }
+
+  val q378Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+      |b AS (SELECT s.k, st.n, s.x,
+      |    ROW_NUMBER() OVER (PARTITION BY s.k ORDER BY s.t) - 1 AS i
+      |  FROM s JOIN st ON st.k = s.k),
+      |sg AS (SELECT k, (i * 8) // n AS seg,
+      |    CAST(SUM(x) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS c,
+      |    MAX(n) AS n
+      |  FROM b GROUP BY 1, 2),
+      |nt AS (SELECT k, seg, n,
+      |    ntile(4) OVER (PARTITION BY k
+      |      ORDER BY CAST(sm AS DOUBLE) / CAST(c AS DOUBLE), seg) AS q
+      |  FROM sg)
+      |SELECT k AS event_type, MAX(n) AS n_periods,
+      |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  string_agg(substr('abcdefghijklmnopqrstuvwxyz', q, 1), ''
+      |    ORDER BY seg) AS sax_word
+      |FROM nt GROUP BY 1""".stripMargin
+
+  // q381: grouped k-fold audit (Sampling.groupKFold) — events fold by
+  // USER hash (entity-respecting CV: a user never straddles folds —
+  // that law is structural, membership being a pure function of
+  // user_id); the audit reports per-(fold, event_type) volume and
+  // entity counts so fold balance is inspectable.
+  def q381GroupKfold(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.groupKFold(ev(s, dir), "user_id", k = 5)
+      .groupBy(col("fold"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val q381Sql: String =
+    """WITH f AS (
+      |  SELECT event_type, user_id,
+      |    CAST(concat('0x', substring(md5('fold:' ||
+      |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      |      % 1000000 % 5 AS fold
+      |  FROM events)
+      |SELECT fold, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM f GROUP BY 1, 2""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q381_group_kfold" -> (q381GroupKfold _),
+    "q378_sax_word" -> (q378SaxWord _),
+    "q377_hurst" -> (q377Hurst _),
+    "q376_haar_energy" -> (q376HaarEnergy _),
+    "q375_periodogram" -> (q375Periodogram _),
     "q374_mann_kendall" -> (q374MannKendall _),
     "q373_runs_test" -> (q373RunsTest _),
     "q372_forecast_accuracy" -> (q372ForecastAccuracy _),
@@ -4009,6 +4238,11 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q381_group_kfold" -> q381Sql,
+    "q378_sax_word" -> q378Sql,
+    "q375_periodogram" -> q375Sql,
+    "q376_haar_energy" -> q376Sql,
+    "q377_hurst" -> q377Sql,
     "q351_stationary" -> q351Sql,
     "q353_kruskal" -> q353Sql,
     "q354_brown_forsythe" -> q354Sql,

@@ -5401,7 +5401,38 @@ object Corpus {
       |FROM z za JOIN z zb ON za.w = zb.w AND za.a < zb.a
       |GROUP BY 1, 2""".stripMargin
 
+  // q379: LZ78 phrase complexity (TextStats.lz78Complexity) — the
+  // dictionary-compression quality axis next to q101's codec signal
+  // and q107's byte entropy; integer phrase counts, one d6 ratio.
+  def q379Lz78(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.lz78Complexity(t(s, dir, "documents"),
+      "doc_id", "text")
+
+  val q379Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, text AS t FROM documents WHERE length(text) > 0),
+      |it AS (
+      |  SELECT doc_id, t, CAST(1 AS BIGINT) AS pos,
+      |    CAST([] AS VARCHAR[]) AS ph, '' AS cur
+      |  FROM d
+      |  UNION ALL
+      |  SELECT doc_id, t, pos + 1,
+      |    CASE WHEN list_contains(ph, cur || substr(t, pos, 1))
+      |      THEN ph ELSE list_append(ph, cur || substr(t, pos, 1)) END,
+      |    CASE WHEN list_contains(ph, cur || substr(t, pos, 1))
+      |      THEN cur || substr(t, pos, 1) ELSE '' END
+      |  FROM it WHERE pos <= length(t))
+      |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+      |  CAST(len(ph) + CASE WHEN cur = '' THEN 0 ELSE 1 END AS BIGINT)
+      |    AS n_phrases,
+      |  CAST(CAST(CAST(len(ph) +
+      |    CASE WHEN cur = '' THEN 0 ELSE 1 END AS DOUBLE) /
+      |    CAST(length(t) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS lz_ratio
+      |FROM it WHERE pos = length(t) + 1""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q379_lz78" -> (q379Lz78 _),
     "q341_burrows_delta" -> (q341Burrows _),
     "q339_readability" -> (q339Readability _),
     "q336_nb_model" -> (q336NbModel _),
@@ -5516,6 +5547,7 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q379_lz78" -> q379Sql,
     "q341_burrows_delta" -> q341Sql,
     "q339_readability" -> q339Sql,
     "q336_nb_model" -> q336Sql,

@@ -1765,6 +1765,36 @@ object Pipeline {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       eps2 = 1380000L, minPts = 5)
 
+  // q380: stratified weighted sampling without replacement
+  // (Sampling.stratifiedWeightedTopK) — per-language Efraimidis–
+  // Spirakis draw ∝ n_chars via derived Gumbel noise; the corpus-
+  // mixing sample, reproducible by construction (md5 noise).
+  def q380StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Sampling.stratifiedWeightedTopK(
+      t(s, dir, "documents").filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "doc_id", "n_chars", k = 20)
+
+  val q380Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0),
+      |h AS (SELECT *,
+      |    (CAST(CAST(concat('0x', substring(md5('eswr:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      AS DOUBLE) + 0.5) / 1000000.0 AS u
+      |  FROM d),
+      |sc AS (SELECT doc_id, lang, n_chars,
+      |    CAST(CAST(ln(CAST(n_chars AS DOUBLE)) - ln(-ln(u))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS samp_score
+      |  FROM h),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY samp_score DESC, doc_id ASC) AS samp_rank
+      |  FROM sc)
+      |SELECT doc_id, lang, n_chars, samp_score, samp_rank,
+      |  CAST(samp_rank <= 20 AS INTEGER) AS kept
+      |FROM r""".stripMargin
+
   // q357: MTLD lexical diversity (TextStats.mtld) — factor-counting
   // TTR with the integer trigger 25·types < 18·tokens, exact-rational
   // partial factor, forward+backward mean. The oracle replays both
@@ -2064,6 +2094,7 @@ object Pipeline {
       |WHERE u.j <= len(f.sel)""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q380_stratified_sample" -> (q380StratifiedSample _),
     "q361_skew_advisor" -> (q361SkewAdvisor _),
     "q360_hubness" -> (q360Hubness _),
     "q359_winnowing" -> (q359Winnowing _),
@@ -2780,6 +2811,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q380_stratified_sample" -> q380Sql,
     "q348_mmr" -> q348Sql,
     "q347_dbscan" -> q347Sql,
     "q352_dbscan_ann" -> q347Sql,

@@ -471,4 +471,91 @@ class TimeseriesSpec extends SparkSpec {
     // flat: ρ is NULL at every lag (zero variance) → NULL
     assert(out("flat").isEmpty)
   }
+
+  test("periodogram: a planted period-8 cycle peaks at k = n/8; " +
+    "constant series answers zero power everywhere") {
+    // n = 16 buckets, the pattern repeats twice → fundamental at k = 2
+    val pat = Seq(9L, 7L, 5L, 7L, 9L, 11L, 13L, 11L)
+    val df = (0 until 16).map(i => ("cyc", i.toLong, pat(i % 8))) ++
+      (0 until 16).map(i => ("flat", i.toLong, 4L))
+    val out = Timeseries.periodogram(
+      df.toDF("k", "t", "x"), "k", "t", "x", maxFreq = 24)
+    val cyc = out.filter("k = 'cyc'").collect()
+      .map(r => r.getAs[Long]("freq") -> r).toMap
+    assert(cyc.size == 8) // min(maxFreq, n/2) frequencies
+    assert(cyc(2L).getAs[Int]("is_peak") == 1)
+    assert(cyc(2L).getAs[Double]("period_buckets") == 8.0)
+    val others = cyc.filterKeys(_ != 2L).values
+    assert(others.forall(r => r.getAs[Int]("is_peak") == 0 &&
+      r.getAs[Double]("power") < cyc(2L).getAs[Double]("power")))
+    val flat = out.filter("k = 'flat'").collect()
+    assert(flat.length == 8 &&
+      flat.forall(_.getAs[Double]("power") == 0.0))
+    intercept[IllegalArgumentException] {
+      Timeseries.periodogram(df.toDF("k", "t", "x"), "k", "t", "x", 0)
+    }
+  }
+
+  test("haarEnergy: hand-computed 4-point spectrum; short keys omitted") {
+    // [5,1,3,3]: level 1 details (5-1, 3-3) → energy 16/2 = 8;
+    // level 2 detail (5+1)-(3+3) = 0 → energy 0; share = 1.0 / 0.0
+    val df = (Seq(5L, 1L, 3L, 3L).zipWithIndex
+      .map { case (x, i) => ("h", i.toLong, x) } ++
+      Seq(("short", 0L, 1L), ("short", 1L, 2L), ("short", 2L, 3L)))
+      .toDF("k", "t", "x")
+    val out = Timeseries.haarEnergy(df, "k", "t", "x", levels = 2)
+      .collect().map(r => (r.getString(0), r.getAs[Int]("level")) -> r)
+      .toMap
+    assert(out.keySet == Set("h" -> 1, "h" -> 2)) // short key omitted
+    assert(out("h" -> 1).getAs[Long]("n_coeffs") == 2L)
+    assert(out("h" -> 1).getAs[Double]("energy") == 8.0)
+    assert(out("h" -> 1).getAs[Double]("share") == 1.0)
+    assert(out("h" -> 2).getAs[Double]("energy") == 0.0)
+    assert(out("h" -> 2).getAs[Double]("share") == 0.0)
+  }
+
+  test("hurst: a trending walk reads persistent, an alternating " +
+    "series anti-persistent; validation is loud") {
+    val trend = (0 until 64).map(i => ("up", i.toLong, i.toLong * 3L))
+    val alt = (0 until 64).map(i =>
+      ("alt", i.toLong, if (i % 2 == 0) 10L else 0L))
+    val out = Timeseries.hurst(
+      (trend ++ alt).toDF("k", "t", "x"), "k", "t", "x",
+      windows = Seq(8, 16, 32))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getAs[Long]("n_scales") == 3L)
+    assert(out("up").getAs[Double]("hurst") > 0.9)
+    assert(out("alt").getAs[Double]("hurst") < 0.5)
+    intercept[IllegalArgumentException] {
+      Timeseries.hurst(trend.toDF("k", "t", "x"), "k", "t", "x", Seq(2))
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.hurst(trend.toDF("k", "t", "x"), "k", "t", "x",
+        Seq(8, 8))
+    }
+  }
+
+  test("saxRank: hand word over single-bucket spans; short series " +
+    "shorten the word; validation is loud") {
+    // 8 values, 8 segments → span means are the values; rank-quartile
+    // symbols: 0,0→a 4,4→b 6,6→c 10,10→d, word in time order
+    val vals = Seq(0L, 0L, 10L, 10L, 4L, 4L, 6L, 6L)
+    val df = (vals.zipWithIndex.map { case (x, i) =>
+      ("w", i.toLong, x) } ++
+      (0 until 4).map(i => ("short", i.toLong, i.toLong * 2L)))
+      .toDF("k", "t", "x")
+    val out = Timeseries.saxRank(df, "k", "t", "x",
+      segments = 8, alphabet = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("w").getAs[String]("sax_word") == "aaddbbcc")
+    assert(out("w").getAs[Long]("n_segments") == 8L)
+    assert(out("short").getAs[String]("sax_word").length == 4)
+    assert(out("short").getAs[Long]("n_periods") == 4L)
+    intercept[IllegalArgumentException] {
+      Timeseries.saxRank(df, "k", "t", "x", segments = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.saxRank(df, "k", "t", "x", alphabet = 27)
+    }
+  }
 }

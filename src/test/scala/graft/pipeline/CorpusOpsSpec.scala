@@ -900,6 +900,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(s1 != s2, "independent salts drew identical samples")
   }
 
+  test("stratifiedWeightedTopK: per-stratum cut, heavy weight wins " +
+    "in its own stratum, non-positive weight is loud") {
+    val df = ((0L until 30L).map(i =>
+      (i, "en", if (i == 3L) 1.0e9 else 1.0)) ++
+      (100L until 130L).map(i => (i, "fr", 1.0)))
+      .toDF("doc_id", "lang", "w")
+    val out = Sampling.stratifiedWeightedTopK(
+      df, "lang", "doc_id", "w", k = 5, salt = "t")
+    val kept = out.filter("kept = 1").collect()
+      .groupBy(_.getString(1)).map { case (l, rs) =>
+        l -> rs.map(_.getLong(0)).toSet }
+    assert(kept("en").size == 5 && kept("fr").size == 5)
+    assert(kept("en").contains(3L), "the 1e9-weight doc lost its stratum")
+    // ranks are per-stratum dense 1..n
+    val frRanks = out.filter("lang = 'fr'").collect()
+      .map(_.getAs[Long]("samp_rank")).sorted.toSeq
+    assert(frRanks == (1L to 30L).toSeq)
+    val e = intercept[Exception] {
+      Sampling.stratifiedWeightedTopK(
+        Seq((1L, "en", 0.0)).toDF("doc_id", "lang", "w"),
+        "lang", "doc_id", "w", k = 2).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"), e.getMessage)
+  }
+
+  test("groupKFold: a group's rows never straddle folds; folds are " +
+    "salted-independent; k is validated") {
+    val df = (0L until 200L).map(i => (i % 40L, i))
+      .toDF("user_id", "event_id")
+    val out = Sampling.groupKFold(df, "user_id", k = 5).collect()
+    val byUser = out.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getAs[Long]("fold")).toSet }
+    assert(byUser.values.forall(_.size == 1), "a user straddled folds")
+    assert(out.map(_.getAs[Long]("fold")).toSet.subsetOf(
+      (0L until 5L).toSet))
+    val a = Sampling.groupKFold(df, "user_id", 5, salt = "a")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("fold")).toMap
+    val b = Sampling.groupKFold(df, "user_id", 5, salt = "b")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("fold")).toMap
+    assert(a != b, "independent salts produced identical folds")
+    intercept[IllegalArgumentException] {
+      Sampling.groupKFold(df, "user_id", 1)
+    }
+  }
+
   // ---- Similarity.hardNegatives / Sampling.temperatureShares/interleave ----
 
   test("hardNegatives never returns a same-label neighbor; ranks are dense") {
@@ -1668,5 +1713,33 @@ class CorpusOpsSpec extends SparkSpec {
     val toks = TextStats.dpDispersion(df, "text", "source", minCount = 2L)
       .collect().map(_.getString(0)).toSet
     assert(toks == Set("a"))
+  }
+
+  // ---- TextStats.lz78Complexity ----
+
+  test("lz78Complexity: hand-parsed phrase counts; repetitive text " +
+    "parses shorter than diverse text") {
+    // "aaaaaa" → a | aa | aaa → 3 phrases (trailing exact phrase
+    // "aaa" completes the parse); "abcdef" → 6 one-char phrases;
+    // "ababab" → a | b | ab | aba? no: a|b|ab|ab→grows "ab","aba"?
+    // parse: a, b, ab, aba? chars: a b a b a b →
+    //   a(new) b(new) a(seen)→ab(new) a(seen)→ab(seen)→trailing "ab"
+    //   = 3 + trailing 1 = 4
+    val df = Seq((1L, "aaaaaa"), (2L, "abcdef"), (3L, "ababab"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextStats.lz78Complexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[Double]("lz_ratio"))))
+      .toMap
+    assert(out(1L) == ((6L, 3L, 0.5)))
+    assert(out(2L) == ((6L, 6L, 1.0)))
+    assert(out(3L) == ((6L, 4L, 0.666667)))
+    assert(!out.contains(4L)) // empty doc omitted
+    val e = intercept[Exception] {
+      TextStats.lz78Complexity(
+        Seq((1L, "x" * 50)).toDF("doc_id", "text"),
+        "doc_id", "text", maxChars = 10).collect()
+    }
+    assert(e.getMessage.contains("maxChars"), e.getMessage)
   }
 }
