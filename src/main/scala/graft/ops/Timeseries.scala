@@ -1240,4 +1240,68 @@ object Timeseries {
       .select(col("_k").as(keyCol), col("n_periods"),
         col("n_segments"), col("sax_word"))
   }
+
+  /** Dynamic-time-warping distance between every PAIR of keys' series
+    * — the elastic-alignment distance (Sakoe & Chiba 1978) that
+    * matches series by SHAPE even when their features drift in phase;
+    * the alignment partner of [[ccf]]'s rigid lead-lag: ccf asks "at
+    * which fixed shift do they correlate", dtw asks "how far apart are
+    * they under the best monotone warp".
+    *
+    * EXACT: integer series ⇒ |a_i − b_j| step costs and the DP
+    * minimum are integers — no rounding contract at all; `dtw_norm` =
+    * dtw/(n_a+n_b) is the ONE d6. The DP is an in-row fold carrying
+    * the previous row (O(n·m) steps, O(n·m²) with append copies),
+    * bounded LOUDLY by `maxPeriods` per series — pairs × series², so
+    * widen buckets before raising the bound.
+    *
+    * Scale shape: one ordered per-key collect to a guarded row, a
+    * keys×keys/2 self-join of the TINY per-key frame (the series
+    * frame, never the corpus), then pure in-row compute.
+    */
+  def dtw(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      maxPeriods: Int = 128): DataFrame = {
+    require(maxPeriods >= 2 && maxPeriods <= 512,
+      s"maxPeriods must be in [2,512], got $maxPeriods")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val series = df
+      .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .groupBy(col("_k"))
+      .agg(array_sort(collect_list(struct(col("_t"), col("_x"))))
+        .as("_sr"))
+      .withColumn("_sr",
+        when(size(col("_sr")) <= maxPeriods, col("_sr"))
+          .otherwise(raise_error(concat(
+            lit("dtw: series of "), size(col("_sr")).cast("string"),
+            lit(s" periods exceeds maxPeriods=$maxPeriods — widen the " +
+              "buckets or raise the bound")))
+            .cast("array<struct<_t:bigint,_x:bigint>>")))
+      .select(col("_k"), expr("transform(_sr, p -> p._x)").as("_v"))
+    val pairs = series.select(col("_k").as("key_a"), col("_v").as("_va"))
+      .join(series.select(col("_k").as("key_b"), col("_v").as("_vb")),
+        col("key_a") < col("key_b"))
+    val inf = "CAST(1000000000000000 AS BIGINT)"
+    val dp = s"aggregate(sequence(1, size(_va)), " +
+      s"concat(array(CAST(0 AS BIGINT)), " +
+      s"transform(sequence(1, size(_vb)), x -> $inf)), " +
+      s"(pr, i) -> aggregate(sequence(1, size(_vb)), array($inf), " +
+      "(nr, j) -> array_append(nr, " +
+      "abs(element_at(_va, i) - element_at(_vb, j)) + " +
+      "least(element_at(pr, j), element_at(pr, j + 1), " +
+      "element_at(nr, j)))), " +
+      "fin -> element_at(fin, size(_vb) + 1))"
+    pairs
+      .select(col("key_a"), col("key_b"),
+        size(col("_va")).cast("long").as("n_a"),
+        size(col("_vb")).cast("long").as("n_b"),
+        expr(dp).as("dtw"))
+      .withColumn("dtw_norm",
+        d6(col("dtw").cast("double") /
+          (col("n_a") + col("n_b")).cast("double")))
+  }
 }

@@ -1636,4 +1636,65 @@ object Similarity {
         element_at(col("_cands"), col("col.i")).getField("cid").as("vec_id"),
         d6(col("col.s6").cast("double") / lit(1e12)).as("score"))
   }
+
+  /** Johnson–Lindenstrauss random projection — the dimensionality
+    * sketch (Achlioptas 2003's ±1 variant): out_j = Σ_i sign(j,i)·q_i
+    * over the floor(v·1000) integer grid, signs DERIVED from md5 of
+    * (salt, j, i) — so the projection matrix is never materialized,
+    * never shipped, and every engine rebuilds it bit-identically.
+    * The cheap front-end for coarse distance screens / compact
+    * vector fingerprints: JL preserves pairwise ℓ2 distances within
+    * (1±ε) at outDims = O(ln N / ε²), and ±1 entries make every
+    * output an EXACT integer (no rounding contract at all).
+    *
+    * `inDims` is a loud contract (the sign matrix is a bounded
+    * literal): a row whose vector length differs fails in-plan via
+    * raise_error, not silently truncates. Output is EXPLODED
+    * (id, dim, value) — engine-portable and join-ready.
+    *
+    * Scale shape: zero shuffles — the sign matrix is an
+    * outDims×inDims literal folded into the plan; per row O(d·k)
+    * integer work at the scan.
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      inDims: Int,
+      outDims: Int = 8,
+      salt: String = "rp"): DataFrame = {
+    require(inDims >= 1 && inDims <= 4096,
+      s"inDims must be in [1,4096], got $inDims")
+    require(outDims >= 1 && outDims <= 64,
+      s"outDims must be in [1,64], got $outDims")
+    // ±1 signs from the SAME portable-hash wire format the oracle
+    // rebuilds: first 8 md5 hex chars of "salt:j:i" mod 2
+    def sign(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$j:$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2L == 0L) 1L else -1L
+    }
+    val signRows = (0 until outDims).map { j =>
+      (1 to inDims).map(i => s"${sign(j, i)}L").mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    val q = "transform(_g_e, v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0) " +
+      "AS BIGINT))"
+    val proj = s"transform(sequence(0, ${outDims - 1}), j -> " +
+      s"aggregate(transform(array($q), qq -> aggregate(" +
+      s"sequence(1, $inDims), CAST(0 AS BIGINT), (a, i) -> " +
+      s"a + element_at(qq, i) * element_at(element_at($signRows, j + 1), " +
+      "i))), CAST(0 AS BIGINT), (z, s) -> s))"
+    df
+      .withColumn("_g_e",
+        when(size(col(embCol)) === inDims, col(embCol))
+          .otherwise(raise_error(concat(
+            lit(s"randomProjection: vector of length "),
+            size(col(embCol)).cast("string"),
+            lit(s" != inDims=$inDims")))
+            .cast(df.schema(embCol).dataType)))
+      .select(col(idCol), posexplode(expr(proj)).as(Seq("dim", "value")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        col("value").cast("long").as("value"))
+  }
 }

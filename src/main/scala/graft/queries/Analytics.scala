@@ -4144,7 +4144,56 @@ object Analytics {
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM f GROUP BY 1, 2""".stripMargin
 
+  // q383: DTW distance between every pair of event types' DAILY
+  // volume series (Timeseries.dtw) — elastic shape matching next to
+  // q362's rigid lead-lag CCF; integer DP, one d6 on the norm.
+  def q383Dtw(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.dtw(buckets, "event_type", "b", "x")
+  }
+
+  val q383Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |arr AS (SELECT k, list(x ORDER BY t) AS v FROM s GROUP BY 1),
+      |pr AS (SELECT a.k AS ka, b.k AS kb, a.v AS va, b.v AS vb
+      |       FROM arr a JOIN arr b ON a.k < b.k),
+      |it AS (
+      |  SELECT ka, kb, CAST(0 AS BIGINT) AS i,
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, len(vb) + 1),
+      |        x -> CAST(1000000000000000 AS BIGINT))) AS dp
+      |  FROM pr
+      |  UNION ALL
+      |  SELECT it.ka, it.kb, it.i + 1,
+      |    list_prepend(CAST(1000000000000000 AS BIGINT),
+      |      list_transform(range(1, len(pr.vb) + 1), j ->
+      |        list_min(list_transform(range(1, j + 1), kk ->
+      |          list_sum(list_transform(range(kk, j + 1), l ->
+      |            abs(pr.va[CAST(it.i + 1 AS INTEGER)] -
+      |              pr.vb[CAST(l AS INTEGER)]))) +
+      |          least(dp[CAST(kk AS INTEGER)],
+      |            dp[CAST(kk + 1 AS INTEGER)])))))
+      |  FROM it JOIN pr ON pr.ka = it.ka AND pr.kb = it.kb
+      |  WHERE it.i < len(pr.va))
+      |SELECT it.ka AS key_a, it.kb AS key_b,
+      |  CAST(len(pr.va) AS BIGINT) AS n_a,
+      |  CAST(len(pr.vb) AS BIGINT) AS n_b,
+      |  CAST(dp[len(pr.vb) + 1] AS BIGINT) AS dtw,
+      |  CAST(CAST(CAST(dp[len(pr.vb) + 1] AS DOUBLE) /
+      |    CAST(len(pr.va) + len(pr.vb) AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS dtw_norm
+      |FROM it JOIN pr ON pr.ka = it.ka AND pr.kb = it.kb
+      |WHERE it.i = len(pr.va)""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_dtw" -> (q383Dtw _),
     "q381_group_kfold" -> (q381GroupKfold _),
     "q378_sax_word" -> (q378SaxWord _),
     "q377_hurst" -> (q377Hurst _),
@@ -4238,6 +4287,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q383_dtw" -> q383Sql,
     "q381_group_kfold" -> q381Sql,
     "q378_sax_word" -> q378Sql,
     "q375_periodogram" -> q375Sql,

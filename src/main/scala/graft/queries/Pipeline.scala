@@ -1795,6 +1795,29 @@ object Pipeline {
       |  CAST(samp_rank <= 20 AS INTEGER) AS kept
       |FROM r""".stripMargin
 
+  // q382: JL random projection (Similarity.randomProjection) — the
+  // 64→8 ±1-sign sketch with the sign matrix DERIVED from md5 (never
+  // materialized, rebuilt bit-identically by any engine); exact
+  // integers end to end, zero shuffles.
+  def q382RandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(t(s, dir, "embeddings"),
+      "vec_id", "embedding", inDims = 64, outDims = 8)
+
+  val q382Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS ql
+      |  FROM embeddings),
+      |sg AS (SELECT j, i,
+      |    CASE WHEN CAST(concat('0x', substring(md5('rp:' ||
+      |      CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 8)) AS j),
+      |       (SELECT unnest(range(1, 65)) AS i))
+      |SELECT q.vec_id, sg.j AS dim,
+      |  CAST(SUM(ql[CAST(sg.i AS INTEGER)] * sg.s) AS BIGINT) AS value
+      |FROM q CROSS JOIN sg GROUP BY 1, 2""".stripMargin
+
   // q357: MTLD lexical diversity (TextStats.mtld) — factor-counting
   // TTR with the integer trigger 25·types < 18·tokens, exact-rational
   // partial factor, forward+backward mean. The oracle replays both
@@ -2094,6 +2117,7 @@ object Pipeline {
       |WHERE u.j <= len(f.sel)""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q382_random_projection" -> (q382RandomProjection _),
     "q380_stratified_sample" -> (q380StratifiedSample _),
     "q361_skew_advisor" -> (q361SkewAdvisor _),
     "q360_hubness" -> (q360Hubness _),
@@ -2811,6 +2835,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q382_random_projection" -> q382Sql,
     "q380_stratified_sample" -> q380Sql,
     "q348_mmr" -> q348Sql,
     "q347_dbscan" -> q347Sql,

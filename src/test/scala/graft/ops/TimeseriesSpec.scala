@@ -558,4 +558,31 @@ class TimeseriesSpec extends SparkSpec {
       Timeseries.saxRank(df, "k", "t", "x", alphabet = 27)
     }
   }
+
+  test("dtw: a monotone warp of the same shape costs 0; constant " +
+    "offset pays per-cell; the guard is loud") {
+    // a=[1,2,3] vs b=[1,2,2,3]: the doubled 2 warps for free → 0.
+    // c=[0,0,0] vs d=[1,1]: every cell costs 1, best path 3 cells → 3.
+    val df = (Seq(1L, 2L, 3L).zipWithIndex.map { case (x, i) =>
+        ("a", i.toLong, x) } ++
+      Seq(1L, 2L, 2L, 3L).zipWithIndex.map { case (x, i) =>
+        ("b", i.toLong, x) } ++
+      Seq(0L, 0L, 0L).zipWithIndex.map { case (x, i) =>
+        ("c", i.toLong, x) } ++
+      Seq(1L, 1L).zipWithIndex.map { case (x, i) =>
+        ("d", i.toLong, x) }).toDF("k", "t", "x")
+    val out = Timeseries.dtw(df, "k", "t", "x")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 6) // 4 choose 2 ordered pairs
+    assert(out(("a", "b")).getAs[Long]("dtw") == 0L)
+    assert(out(("a", "b")).getAs[Double]("dtw_norm") == 0.0)
+    assert(out(("c", "d")).getAs[Long]("dtw") == 3L)
+    assert(out(("c", "d")).getAs[Double]("dtw_norm") == 0.6)
+    assert(out(("a", "b")).getAs[Long]("n_a") == 3L)
+    assert(out(("a", "b")).getAs[Long]("n_b") == 4L)
+    val e = intercept[Exception] {
+      Timeseries.dtw(df, "k", "t", "x", maxPeriods = 3).collect()
+    }
+    assert(e.getMessage.contains("maxPeriods"), e.getMessage)
+  }
 }

@@ -2364,4 +2364,39 @@ class PipelineSpec extends SparkSpec {
       exact.agg(sum(col("in_degree"))).head.getLong(0))
     assert(ann.count() == exact.count())
   }
+
+  test("randomProjection: hand formula from the md5 sign matrix; " +
+    "dimension mismatch and bad bounds are loud") {
+    val df = Seq((1L, Array(2.0f, -3.0f)), (2L, Array(0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(
+      df, "vec_id", "embedding", inDims = 2, outDims = 3, salt = "rp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out.size == 6)
+    def sign(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$j:$i".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2L == 0L) 1L else -1L
+    }
+    // q = floor(v*1000): (2000, -3000) and (500, 250)
+    (0 until 3).foreach { j =>
+      assert(out((1L, j.toLong)) == sign(j, 1) * 2000L +
+        sign(j, 2) * -3000L, s"dim $j")
+      assert(out((2L, j.toLong)) == sign(j, 1) * 500L +
+        sign(j, 2) * 250L, s"dim $j")
+    }
+    val bad = Seq((9L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(bad, "vec_id", "embedding",
+        inDims = 2, outDims = 3).collect()
+    }
+    assert(e.getMessage.contains("inDims"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Similarity.randomProjection(df, "vec_id", "embedding",
+        inDims = 2, outDims = 0)
+    }
+  }
 }
