@@ -508,4 +508,75 @@ object Graph {
       d6(cov.cast("double") /
         sqrt(vx.cast("double") * vy.cast("double"))).as("assortativity"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, made DETERMINISTIC): every node starts as its own
+    * label; each round, every node adopts the most frequent label
+    * among its neighbors, ties broken by the SMALLEST label; exactly
+    * `iters` synchronous rounds. The community producer that
+    * [[modularity]] scores and the connected-components dedup can't
+    * replace (components merge everything reachable; LPA splits a
+    * connected graph along its dense cores). Fixed iteration count +
+    * min tie-break = bit-reproducible across engines, partitionings
+    * and reruns (the classic async/random-tie LPA is neither).
+    *
+    * Output: (node, community, community_size), community = the
+    * surviving label (a node id, STRING — the module's node key
+    * form). A node KEEPS its current label when it TIES the
+    * neighborhood mode's count (keep-current damping) — but a strict
+    * 1-vs-0 majority still flips, so a degree-1 pendant PAIR swaps
+    * labels each round (the documented synchronous-LPA artifact:
+    * period-2 on dumbbells; identity at even `iters`). Dense cores —
+    * the communities LPA exists for — settle in 2-3 rounds.
+    *
+    * Scale shape: per round ONE keyed join (labels onto edge dsts,
+    * shuffles on node id), one (node, label) count aggregate
+    * (map-side combinable) and one per-node ranking window;
+    * checkpoint every round truncates the iteration lineage. Rounds
+    * are bounded (`iters` ≤ 16 — LPA converges in a handful).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"iters must be in [1,16], got $iters")
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val undBase = undirected(edges, srcCol, dstCol)
+    // self-marker edges: the node's OWN label enters each round's race
+    // at count 0 with a tie-winning flag — ONE labels reference per
+    // round, so the oracle can replay the round inside a single
+    // recursive-CTE arm
+    val undx = materialize(
+      undBase.withColumn("_g_s", lit(0L))
+        .union(undBase.select(col("_g_a"), col("_g_a").as("_g_b"))
+          .distinct().withColumn("_g_s", lit(1L))))
+    var labels = undx.filter(col("_g_s") === 1L)
+      .select(col("_g_a").as("_g_n"))
+      .withColumn("_g_l", col("_g_n"))
+    val W = org.apache.spark.sql.expressions.Window
+    (1 to iters).foreach { _ =>
+      val counts = undx
+        .join(labels.select(col("_g_n").as("_g_b"), col("_g_l")),
+          Seq("_g_b"))
+        .groupBy(col("_g_a"), col("_g_l"))
+        .agg(sum(lit(1L) - col("_g_s")).as("_g_c"),
+          max(col("_g_s")).as("_g_cur"))
+      val w = W.partitionBy(col("_g_a"))
+        .orderBy(col("_g_c").desc, col("_g_cur").desc, col("_g_l").asc)
+      labels = materialize(counts
+        .withColumn("_g_r", row_number().over(w))
+        .filter(col("_g_r") === 1)
+        .select(col("_g_a").as("_g_n"), col("_g_l")))
+    }
+    val sizes = labels.groupBy(col("_g_l"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("_g_l"))
+      .select(col("_g_n").as("node"), col("_g_l").as("community"),
+        col("community_size"))
+  }
 }

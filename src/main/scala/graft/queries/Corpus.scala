@@ -5431,7 +5431,50 @@ object Corpus {
       |    AS lz_ratio
       |FROM it WHERE pos = length(t) + 1""".stripMargin
 
+  // q384: deterministic label-propagation communities
+  // (Graph.labelPropagation) on the q313 co-purchase graph — the
+  // community PRODUCER q325's modularity scores: 4 synchronous
+  // rounds, smallest-label ties, keep-current damping; the oracle
+  // replays each round inside one recursive-CTE arm (the self-marker
+  // edge trick keeps it to a single recursive reference).
+  def q384Lpa(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(coPurchaseEdges(s, dir), "u", "v", iters = 4)
+
+  val q384Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS b
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT CAST(a.user_id AS VARCHAR) AS u,
+      |    CAST(b.user_id AS VARCHAR) AS v
+      |  FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |und AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+      |undx AS (SELECT a, b, CAST(0 AS BIGINT) AS s FROM und
+      |  UNION ALL
+      |  SELECT DISTINCT a, a, CAST(1 AS BIGINT) FROM und),
+      |lp(i, n, l) AS (
+      |  SELECT 0, a, a FROM (SELECT DISTINCT a FROM und)
+      |  UNION ALL
+      |  SELECT i, n, l FROM (
+      |    SELECT lp.i + 1 AS i, undx.a AS n, lp.l AS l,
+      |      ROW_NUMBER() OVER (PARTITION BY undx.a
+      |        ORDER BY SUM(1 - undx.s) DESC, MAX(undx.s) DESC,
+      |          lp.l ASC) AS rn
+      |    FROM lp JOIN undx ON undx.b = lp.n
+      |    WHERE lp.i < 4
+      |    GROUP BY undx.a, lp.l, lp.i
+      |  ) WHERE rn = 1),
+      |fin AS (SELECT n, l FROM lp WHERE i = 4),
+      |sz AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS cs
+      |       FROM fin GROUP BY 1)
+      |SELECT fin.n AS node, fin.l AS community,
+      |  sz.cs AS community_size
+      |FROM fin JOIN sz ON sz.l = fin.l""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q384_lpa" -> (q384Lpa _),
     "q379_lz78" -> (q379Lz78 _),
     "q341_burrows_delta" -> (q341Burrows _),
     "q339_readability" -> (q339Readability _),
@@ -5547,6 +5590,7 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q384_lpa" -> q384Sql,
     "q379_lz78" -> q379Sql,
     "q341_burrows_delta" -> q341Sql,
     "q339_readability" -> q339Sql,

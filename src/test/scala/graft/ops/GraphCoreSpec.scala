@@ -148,4 +148,35 @@ class GraphCoreSpec extends SparkSpec {
     assert(out(0).getString(0) == "p" && out(0).getString(1) == "q")
     assert(out(1).getString(0) == "r" && out(1).getString(1) == "s")
   }
+
+  test("labelPropagation: two triangles across a bridge split into " +
+    "two min-label communities; sizes roll up; iters validated") {
+    // hand-replayed sync rounds with keep-current damping:
+    // after round 2 the left triangle settles on "1", the right on
+    // "4", and the bridge never merges them
+    val edges = Seq(
+      ("1", "2"), ("2", "3"), ("1", "3"), // left triangle
+      ("4", "5"), ("5", "6"), ("4", "6"), // right triangle
+      ("3", "4")) // bridge
+      .toDF("s", "d")
+    val out = Graph.labelPropagation(edges, "s", "d", iters = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getAs[Long]("community_size")))).toMap
+    assert(Set("1", "2", "3").map(out(_)) == Set(("1", 3L)))
+    assert(Set("4", "5", "6").map(out(_)) == Set(("4", 3L)))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(edges, "s", "d", iters = 0)
+    }
+    // the documented sync-LPA dumbbell artifact: a degree-1 pendant
+    // pair SWAPS labels each round (1-vs-0 strict majority beats the
+    // keep-current damping) — period 2, identity at even iters
+    val pairOdd = Graph.labelPropagation(
+      Seq(("b", "a")).toDF("s", "d"), "s", "d", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pairOdd == Map("a" -> "b", "b" -> "a"))
+    val pairEven = Graph.labelPropagation(
+      Seq(("b", "a")).toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pairEven == Map("a" -> "a", "b" -> "b"))
+  }
 }
