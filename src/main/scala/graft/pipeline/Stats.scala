@@ -2782,4 +2782,223 @@ object Stats {
         d6((col("ss_between") / dfB) / (col("ss_within") / dfW)))
         .as("f_stat"))
   }
+
+  /** Population Stability Index per key — THE industry drift score
+    * between a reference and a current slice of a numeric feature:
+    * bin by the REFERENCE deciles (rank-exact order statistics), then
+    * PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref), with +1 Laplace
+    * smoothing on the bin counts so empty bins score finitely
+    * (< 0.1 stable / 0.1–0.2 drifting / > 0.2 shifted — the credit-
+    * scoring rule of thumb). The monitoring partner of q256's drift
+    * battery: JS/Wasserstein compare distributions symmetrically; PSI
+    * is the binned, reference-anchored report reviewers expect.
+    *
+    * Determinism: values quantize to the floor(v·1000) grid; bin
+    * edges are EXACT reference order statistics at ranks ⌈k·n/B⌉
+    * (ties resolved by the total (value, id) order); assignment is
+    * integer comparison against the ≤B−1 edge literals; each PSI
+    * term d6-rounds before the order-free decimal sum and the total
+    * closes with ONE d6. Keys missing either slice answer NULL.
+    *
+    * Scale shape: one per-key ordered rank window over the REFERENCE
+    * slice (edges = B−1 rows kept), broadcast edges onto the corpus
+    * scan, one (key, slice, bin) aggregate + keyed rollup — the bin
+    * frame pays, never the corpus.
+    */
+  def psi(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      isRefCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2,100], got $bins")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("_k"),
+      col(idCol).as("_id"),
+      floor(col(valueCol).cast("double") * 1000.0).cast("long").as("_v"),
+      col(isRefCol).cast("boolean").as("_r"))
+    val ref = base.filter(col("_r"))
+    val wr = W.partitionBy(col("_k")).orderBy(col("_v").asc, col("_id").asc)
+    val nRef = ref.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+    // edge k (k = 1..B-1) = the ⌈k·n/B⌉-th order statistic
+    val ranked = ref.withColumn("_rn", row_number().over(wr))
+      .join(nRef, Seq("_k"))
+      .withColumn("_edge",
+        explode(expr(s"filter(transform(sequence(1, ${bins - 1}), " +
+          s"k -> IF(_rn = CAST(ceil(k * _n / ${bins}.0) AS BIGINT), " +
+          "k, -1)), k -> k >= 0)")))
+      .select(col("_k"), col("_edge"), col("_v").as("_ev"))
+    val edges = ranked.groupBy(col("_k"))
+      .agg(expr("transform(array_sort(collect_list(" +
+        "struct(_edge, _ev))), p -> p._ev)").as("_edges"))
+    val binned = base.join(broadcast(edges), Seq("_k"))
+      .withColumn("_bin",
+        expr("1 + aggregate(_edges, CAST(0 AS BIGINT), " +
+          "(a, e) -> a + IF(_v > e, 1, 0))"))
+      .groupBy(col("_k"), col("_bin"))
+      .agg(sum(when(col("_r"), 1L).otherwise(0L)).as("_cr"),
+        sum(when(!col("_r"), 1L).otherwise(0L)).as("_cc"))
+    val tot = binned.groupBy(col("_k"))
+      .agg(sum(col("_cr")).as("_nr"), sum(col("_cc")).as("_nc"))
+    // Laplace: p = (c+1)/(n+B) over ALL B bins — absent bins
+    // contribute the constant term on each side, added in closed form
+    val withTot = binned.join(tot, Seq("_k"))
+      .filter(col("_nr") > 0L && col("_nc") > 0L)
+    val pr = (col("_cr") + 1L).cast("double") /
+      (col("_nr") + bins.toLong).cast("double")
+    val pc = (col("_cc") + 1L).cast("double") /
+      (col("_nc") + bins.toLong).cast("double")
+    val term = d6((pc - pr) * log(pc / pr)).cast("decimal(28,6)")
+    val prEmpty = lit(1.0) / (col("_nr") + bins.toLong).cast("double")
+    val pcEmpty = lit(1.0) / (col("_nc") + bins.toLong).cast("double")
+    val emptyTerm = d6((pcEmpty - prEmpty) * log(pcEmpty / prEmpty))
+      .cast("decimal(28,6)")
+    tot.join(
+      withTot.groupBy(col("_k"))
+        .agg(sum(term).as("_s"), count(lit(1)).as("_nbins"),
+          max(emptyTerm).as("_et")),
+      Seq("_k"), "left")
+      .select(col("_k").as(keyCol), col("_nr").as("n_ref"),
+        col("_nc").as("n_cur"),
+        when(col("_nr") > 0L && col("_nc") > 0L,
+          d6(col("_s").cast("double") +
+            (lit(bins.toLong) - col("_nbins")).cast("double") *
+              col("_et"))).as("psi"))
+  }
+
+  /** Clustering-agreement scores between two labelings of the same
+    * rows — Adjusted Rand Index (Hubert & Arabie 1985) and Normalized
+    * Mutual Information (sqrt normalization): THE evaluation pair for
+    * any clustering this engine produces (DBSCAN q347, LPA q384,
+    * Lloyd codebooks) against ground truth or against each other.
+    * ARI = 1 exact agreement, ≈ 0 chance; NMI ∈ [0,1].
+    *
+    * Determinism: the contingency table and all C(x,2) pair counts
+    * are EXACT integers, so ARI is ONE d6 division of cleared decimal
+    * forms — ari = 2(c2·Σij − Σa·Σb) / (c2(Σa+Σb) − 2·Σa·Σb); NMI's
+    * ln terms d6-round each before order-free decimal sums and the
+    * final ratio is one d6 (n·ln-form: I and H computed in the
+    * n-scaled basis where every log argument is a ratio of integers).
+    * Degenerate splits (a single cluster on either side → H = 0 or
+    * the ARI denominator 0) answer NULL for that score.
+    *
+    * Scale shape: one (labelA, labelB) contingency aggregate
+    * (map-side combinable), two marginal rollups, three 1-row frames
+    * — the label-pair frame pays, never the corpus.
+    */
+  def clusterAgreement(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def c2(c: Column) = dec(c) * dec(c - 1L) / lit(2)
+    val cont = df.select(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_nij"))
+    val ma = cont.groupBy(col("_a")).agg(sum(col("_nij")).as("_ai"))
+    val mb = cont.groupBy(col("_b")).agg(sum(col("_nij")).as("_bj"))
+    val n1 = ma.agg(sum(col("_ai")).as("_n"),
+      count(lit(1)).as("n_clusters_a"), sum(c2(col("_ai"))).as("_sa"))
+    val n2 = mb.agg(count(lit(1)).as("n_clusters_b"),
+      sum(c2(col("_bj"))).as("_sb"))
+    val sij = cont.agg(sum(c2(col("_nij"))).as("_sij"))
+    // NMI in the n-scaled basis: I·n = Σij nij·ln(n·nij/(ai·bj)),
+    // H_a·n = −Σ ai·ln(ai/n) — every ln argument a ratio of exact
+    // integers; each term d6 before the decimal sum
+    val termI = cont.join(ma, Seq("_a")).join(mb, Seq("_b"))
+      .crossJoin(broadcast(n1.select(col("_n"))))
+      .select(d6(col("_nij").cast("double") *
+        log(col("_n").cast("double") * col("_nij").cast("double") /
+          (col("_ai").cast("double") * col("_bj").cast("double"))))
+        .cast("decimal(28,6)").as("_ti"))
+      .agg(sum(col("_ti")).as("_i6"))
+    val ha = ma.crossJoin(broadcast(n1.select(col("_n"))))
+      .select(d6(-col("_ai").cast("double") *
+        log(col("_ai").cast("double") / col("_n").cast("double")))
+        .cast("decimal(28,6)").as("_th"))
+      .agg(sum(col("_th")).as("_ha6"))
+    val hb = mb.crossJoin(broadcast(n1.select(col("_n"))))
+      .select(d6(-col("_bj").cast("double") *
+        log(col("_bj").cast("double") / col("_n").cast("double")))
+        .cast("decimal(28,6)").as("_th"))
+      .agg(sum(col("_th")).as("_hb6"))
+    val joined = n1.crossJoin(broadcast(n2))
+      .crossJoin(broadcast(sij)).crossJoin(broadcast(termI))
+      .crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+    val cn2 = c2(col("_n"))
+    val ariNum = lit(2) * (cn2 * col("_sij") - col("_sa") * col("_sb"))
+    val ariDen = cn2 * (col("_sa") + col("_sb")) -
+      lit(2) * col("_sa") * col("_sb")
+    joined.select(col("_n").as("n_rows"),
+      col("n_clusters_a"), col("n_clusters_b"),
+      when(ariDen =!= 0,
+        d6(ariNum.cast("double") / ariDen.cast("double"))).as("ari"),
+      when(col("_ha6") > 0 && col("_hb6") > 0,
+        d6(col("_i6").cast("double") /
+          sqrt(col("_ha6").cast("double") * col("_hb6").cast("double"))))
+        .as("nmi"))
+  }
+
+  /** Two-sample Cramér–von Mises test per key — the whole-
+    * distribution partner of [[wasserstein1]] and the KS entry:
+    * where KS reads the single worst CDF gap, CvM integrates the
+    * squared gap over the WHOLE range, so it catches spread/tail
+    * drift KS under-weights. Anderson's two-sample form:
+    *
+    *   U = n·Σ_i (r_i − i)² + m·Σ_j (s_j − j)²
+    *   T = U/(n·m·(n+m)) − (4nm − 1)/(6(n+m))
+    *
+    * with r/s = ranks in the combined sample. Ranks use the TOTAL
+    * (value, id) order — a deterministic tie resolution, documented:
+    * under heavy ties T depends on the id order within a tie run
+    * (the doubled-unit midrank refinement is not worth the formula's
+    * asymptotics being tie-approximate anyway). U and both rank sums
+    * are EXACT integers; T is one fixed double chain closed by d6;
+    * `significant` is T ≥ 0.461 (the asymptotic 5% point).
+    *
+    * Scale shape: one per-key ordered rank window + per-slice
+    * position windows + ONE keyed aggregate — the series frame pays.
+    */
+  def cramerVonMises(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      inXCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("_k"), col(idCol).as("_id"),
+      floor(col(valueCol).cast("double") * 1000.0).cast("long").as("_v"),
+      col(inXCol).cast("boolean").as("_x"))
+    val wAll = W.partitionBy(col("_k"))
+      .orderBy(col("_v").asc, col("_id").asc)
+    val wSlice = W.partitionBy(col("_k"), col("_x"))
+      .orderBy(col("_v").asc, col("_id").asc)
+    val ranked = base
+      .withColumn("_r", row_number().over(wAll).cast("long"))
+      .withColumn("_i", row_number().over(wSlice).cast("long"))
+    val agg = ranked.groupBy(col("_k"))
+      .agg(sum(when(col("_x"), 1L).otherwise(0L)).as("n_x"),
+        sum(when(!col("_x"), 1L).otherwise(0L)).as("n_y"),
+        sum(when(col("_x"),
+          dec((col("_r") - col("_i"))) * dec(col("_r") - col("_i")))
+          .otherwise(dec(lit(0L)))).as("_ux"),
+        sum(when(!col("_x"),
+          dec((col("_r") - col("_i"))) * dec(col("_r") - col("_i")))
+          .otherwise(dec(lit(0L)))).as("_uy"))
+    val n = col("n_x").cast("double")
+    val m = col("n_y").cast("double")
+    val u = (dec(col("n_x")) * col("_ux") + dec(col("n_y")) * col("_uy"))
+      .cast("double")
+    val t = when(col("n_x") > 0L && col("n_y") > 0L,
+      d6(u / (n * m * (n + m)) -
+        (lit(4.0) * n * m - 1.0) / (lit(6.0) * (n + m))))
+    agg.select(col("_k").as(keyCol), col("n_x"), col("n_y"),
+      t.as("t_stat"),
+      when(t.isNotNull, (t >= 0.461).cast("int")).as("significant"))
+  }
 }

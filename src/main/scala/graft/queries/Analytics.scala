@@ -4192,7 +4192,122 @@ object Analytics {
       |FROM it JOIN pr ON pr.ka = it.ka AND pr.kb = it.kb
       |WHERE it.i = len(pr.va)""".stripMargin
 
+  // q385: Population Stability Index (Stats.psi) — value drift of
+  // each event type between the first 15 fixture days (reference)
+  // and the rest (current), binned by the reference deciles; the
+  // reference-anchored drift report next to q256/q335.
+  def q385Psi(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).withColumn("_day", expr("ts_us div 86400000000"))
+    val lo = e.agg(min(col("_day")).as("_d0"))
+    graft.pipeline.Stats.psi(
+      e.crossJoin(broadcast(lo))
+        .withColumn("is_ref", col("_day") < col("_d0") + 15L),
+      "event_type", "event_id", "value", "is_ref", bins = 10)
+  }
+
+  val q385Sql: String =
+    """WITH d0 AS (
+      |  SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+      |    AS lo FROM events),
+      |b AS (
+      |  SELECT event_type AS k, event_id AS id,
+      |    CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 < lo + 15 AS r
+      |  FROM events CROSS JOIN d0),
+      |ref AS (SELECT * FROM b WHERE r),
+      |nr AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM ref GROUP BY 1),
+      |rk AS (SELECT ref.k, v,
+      |    ROW_NUMBER() OVER (PARTITION BY ref.k
+      |      ORDER BY v ASC, id ASC) AS rn, nr.n
+      |  FROM ref JOIN nr ON nr.k = ref.k),
+      |ed AS (SELECT k, v AS ev, kk
+      |  FROM rk, (SELECT unnest(range(1, 10)) AS kk)
+      |  WHERE rn = CAST(ceil(kk * n / 10.0) AS BIGINT)),
+      |edges AS (SELECT k, list(ev ORDER BY kk) AS es
+      |          FROM ed GROUP BY 1),
+      |bn AS (SELECT b.k, 1 + len(list_filter(edges.es, e -> b.v > e))
+      |    AS bin, b.r
+      |  FROM b JOIN edges ON edges.k = b.k),
+      |cnt AS (SELECT k, bin,
+      |    CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+      |    CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS cc
+      |  FROM bn GROUP BY 1, 2),
+      |tot AS (SELECT k, CAST(SUM(cr) AS BIGINT) AS nrr,
+      |    CAST(SUM(cc) AS BIGINT) AS ncc
+      |  FROM cnt GROUP BY 1),
+      |terms AS (SELECT cnt.k,
+      |    CAST(CAST((CAST(cc + 1 AS DOUBLE) / CAST(ncc + 10 AS DOUBLE) -
+      |      CAST(cr + 1 AS DOUBLE) / CAST(nrr + 10 AS DOUBLE)) *
+      |      ln((CAST(cc + 1 AS DOUBLE) / CAST(ncc + 10 AS DOUBLE)) /
+      |        (CAST(cr + 1 AS DOUBLE) / CAST(nrr + 10 AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DECIMAL(28,6)) AS t6,
+      |    CAST(CAST((1.0 / CAST(ncc + 10 AS DOUBLE) -
+      |      1.0 / CAST(nrr + 10 AS DOUBLE)) *
+      |      ln((1.0 / CAST(ncc + 10 AS DOUBLE)) /
+      |        (1.0 / CAST(nrr + 10 AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DECIMAL(28,6)) AS et6
+      |  FROM cnt JOIN tot ON tot.k = cnt.k
+      |  WHERE nrr > 0 AND ncc > 0),
+      |agg AS (SELECT k, SUM(t6) AS s6,
+      |    CAST(COUNT(*) AS BIGINT) AS nb, MAX(et6) AS et
+      |  FROM terms GROUP BY 1)
+      |SELECT tot.k AS event_type, nrr AS n_ref, ncc AS n_cur,
+      |  CASE WHEN nrr > 0 AND ncc > 0 THEN
+      |    CAST(CAST(CAST(s6 AS DOUBLE) +
+      |      CAST(10 - nb AS DOUBLE) * CAST(et AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS psi
+      |FROM tot LEFT JOIN agg ON agg.k = tot.k""".stripMargin
+
+  // q387: two-sample Cramér–von Mises (Stats.cramerVonMises) —
+  // weekday vs weekend value distributions per event type; the
+  // whole-CDF drift integral next to q307's single-gap KS.
+  def q387Cvm(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.cramerVonMises(
+      ev(s, dir).withColumn("is_weekday",
+        (expr("ts_us div 86400000000") + 3L) % 7L < 5L),
+      "event_type", "event_id", "value", "is_weekday")
+
+  val q387Sql: String =
+    """WITH b AS (
+      |  SELECT event_type AS k, event_id AS id,
+      |    CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7 < 5
+      |      AS x
+      |  FROM events),
+      |rk AS (SELECT k, x,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC, id ASC)
+      |      AS r,
+      |    ROW_NUMBER() OVER (PARTITION BY k, x ORDER BY v ASC, id ASC)
+      |      AS i
+      |  FROM b),
+      |a AS (SELECT k,
+      |    CAST(SUM(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+      |    CAST(SUM(CASE WHEN x THEN 0 ELSE 1 END) AS BIGINT) AS n_y,
+      |    SUM(CASE WHEN x THEN CAST(r - i AS HUGEINT) * (r - i)
+      |      ELSE 0 END) AS ux,
+      |    SUM(CASE WHEN x THEN 0
+      |      ELSE CAST(r - i AS HUGEINT) * (r - i) END) AS uy
+      |  FROM rk GROUP BY 1),
+      |t AS (SELECT k, n_x, n_y,
+      |    CASE WHEN n_x > 0 AND n_y > 0 THEN
+      |      CAST(CAST(
+      |        CAST(CAST(n_x AS HUGEINT) * ux + CAST(n_y AS HUGEINT) * uy
+      |          AS DOUBLE) /
+      |        (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) *
+      |         (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE))) -
+      |        (4.0 * CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE) - 1.0) /
+      |        (6.0 * (CAST(n_x AS DOUBLE) + CAST(n_y AS DOUBLE)))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS ts
+      |  FROM a)
+      |SELECT k AS event_type, n_x, n_y, ts AS t_stat,
+      |  CASE WHEN ts IS NOT NULL THEN
+      |    CAST(ts >= 0.461 AS INTEGER) END AS significant
+      |FROM t""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_psi" -> (q385Psi _),
+    "q387_cvm" -> (q387Cvm _),
     "q383_dtw" -> (q383Dtw _),
     "q381_group_kfold" -> (q381GroupKfold _),
     "q378_sax_word" -> (q378SaxWord _),
@@ -4287,6 +4402,8 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q385_psi" -> q385Sql,
+    "q387_cvm" -> q387Sql,
     "q383_dtw" -> q383Sql,
     "q381_group_kfold" -> q381Sql,
     "q378_sax_word" -> q378Sql,

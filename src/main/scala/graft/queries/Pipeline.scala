@@ -1818,6 +1818,72 @@ object Pipeline {
       |  CAST(SUM(ql[CAST(sg.i AS INTEGER)] * sg.s) AS BIGINT) AS value
       |FROM q CROSS JOIN sg GROUP BY 1, 2""".stripMargin
 
+  // q386: clustering agreement (Stats.clusterAgreement) — ARI + NMI
+  // of the ground-truth embedding labels against the 3-plane sign-
+  // pattern bucket (the cheapest LSH-style clustering); the metric
+  // pair that evaluates ANY clustering the engine produces.
+  def q386ClusterAgreement(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.clusterAgreement(
+      t(s, dir, "embeddings").select(col("label"),
+        ((element_at(col("embedding"), 1) > 0.0f).cast("int") * 4 +
+          (element_at(col("embedding"), 2) > 0.0f).cast("int") * 2 +
+          (element_at(col("embedding"), 3) > 0.0f).cast("int"))
+          .as("bucket")),
+      "label", "bucket")
+
+  val q386Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(label AS VARCHAR) AS a,
+      |    CAST((CASE WHEN embedding[1] > 0.0 THEN 4 ELSE 0 END +
+      |      CASE WHEN embedding[2] > 0.0 THEN 2 ELSE 0 END +
+      |      CASE WHEN embedding[3] > 0.0 THEN 1 ELSE 0 END)
+      |      AS VARCHAR) AS b
+      |  FROM embeddings),
+      |cont AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nij
+      |         FROM d GROUP BY 1, 2),
+      |ma AS (SELECT a, CAST(SUM(nij) AS BIGINT) AS ai
+      |       FROM cont GROUP BY 1),
+      |mb AS (SELECT b, CAST(SUM(nij) AS BIGINT) AS bj
+      |       FROM cont GROUP BY 1),
+      |n1 AS (SELECT CAST(SUM(ai) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS ka,
+      |    SUM(CAST(ai AS HUGEINT) * (ai - 1) // 2) AS sa
+      |  FROM ma),
+      |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb,
+      |    SUM(CAST(bj AS HUGEINT) * (bj - 1) // 2) AS sb
+      |  FROM mb),
+      |sij AS (SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1) // 2) AS s
+      |        FROM cont),
+      |ti AS (SELECT SUM(CAST(CAST(CAST(nij AS DOUBLE) *
+      |    ln(CAST(n1.n AS DOUBLE) * CAST(nij AS DOUBLE) /
+      |      (CAST(ai AS DOUBLE) * CAST(bj AS DOUBLE)))
+      |    AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS i6
+      |  FROM cont JOIN ma ON ma.a = cont.a
+      |  JOIN mb ON mb.b = cont.b CROSS JOIN n1),
+      |ha AS (SELECT SUM(CAST(CAST(-CAST(ai AS DOUBLE) *
+      |    ln(CAST(ai AS DOUBLE) / CAST(n1.n AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS h6
+      |  FROM ma CROSS JOIN n1),
+      |hb AS (SELECT SUM(CAST(CAST(-CAST(bj AS DOUBLE) *
+      |    ln(CAST(bj AS DOUBLE) / CAST(n1.n AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS h6
+      |  FROM mb CROSS JOIN n1),
+      |f AS (SELECT n, ka, kb, sa, sb, sij.s AS sij,
+      |    CAST(n AS HUGEINT) * (n - 1) // 2 AS cn2,
+      |    ti.i6, ha.h6 AS ha6, hb.h6 AS hb6
+      |  FROM n1 CROSS JOIN n2 CROSS JOIN sij CROSS JOIN ti
+      |  CROSS JOIN ha CROSS JOIN hb)
+      |SELECT n AS n_rows, ka AS n_clusters_a, kb AS n_clusters_b,
+      |  CASE WHEN cn2 * (sa + sb) - 2 * sa * sb <> 0 THEN
+      |    CAST(CAST(CAST(2 * (cn2 * sij - sa * sb) AS DOUBLE) /
+      |      CAST(cn2 * (sa + sb) - 2 * sa * sb AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS ari,
+      |  CASE WHEN ha6 > 0 AND hb6 > 0 THEN
+      |    CAST(CAST(CAST(i6 AS DOUBLE) /
+      |      sqrt(CAST(ha6 AS DOUBLE) * CAST(hb6 AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS nmi
+      |FROM f""".stripMargin
+
   // q357: MTLD lexical diversity (TextStats.mtld) — factor-counting
   // TTR with the integer trigger 25·types < 18·tokens, exact-rational
   // partial factor, forward+backward mean. The oracle replays both
@@ -2117,6 +2183,7 @@ object Pipeline {
       |WHERE u.j <= len(f.sel)""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q386_cluster_agreement" -> (q386ClusterAgreement _),
     "q382_random_projection" -> (q382RandomProjection _),
     "q380_stratified_sample" -> (q380StratifiedSample _),
     "q361_skew_advisor" -> (q361SkewAdvisor _),
@@ -2835,6 +2902,7 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q386_cluster_agreement" -> q386Sql,
     "q382_random_projection" -> q382Sql,
     "q380_stratified_sample" -> q380Sql,
     "q348_mmr" -> q348Sql,

@@ -846,4 +846,63 @@ class StatsSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("psi: identical slices score exactly 0; a shifted slice " +
+    "clears the 0.2 bar; missing current answers NULL") {
+    // ref = cur = 1..10, one per decile bin → every p_ref = p_cur
+    val same = (1 to 10).flatMap(v => Seq(
+      ("k", v.toLong * 2, v.toDouble, true),
+      ("k", v.toLong * 2 + 1, v.toDouble, false)))
+    val shifted = (1 to 10).flatMap(v => Seq(
+      ("s", v.toLong * 2, v.toDouble, true),
+      ("s", v.toLong * 2 + 1, v.toDouble + 7.0, false)))
+    val refOnly = (1 to 10).map(v => ("r", v.toLong, v.toDouble, true))
+    val df = (same ++ shifted ++ refOnly)
+      .toDF("k", "id", "v", "is_ref")
+    val out = Stats.psi(df, "k", "id", "v", "is_ref", bins = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getAs[Double]("psi") == 0.0)
+    assert(out("s").getAs[Double]("psi") > 0.2)
+    assert(out("r").isNullAt(out("r").fieldIndex("psi")))
+    assert(out("k").getAs[Long]("n_ref") == 10L &&
+      out("k").getAs[Long]("n_cur") == 10L)
+    intercept[IllegalArgumentException] {
+      Stats.psi(df, "k", "id", "v", "is_ref", bins = 1)
+    }
+  }
+
+  test("clusterAgreement: identical labelings score ARI = NMI = 1; " +
+    "a single-cluster side answers ARI 0 / NMI NULL") {
+    val df = (0 until 60).map(i => (i % 3, i % 3)).toDF("a", "b")
+    val r = Stats.clusterAgreement(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n_rows") == 60L)
+    assert(r.getAs[Long]("n_clusters_a") == 3L)
+    assert(r.getAs[Double]("ari") == 1.0)
+    assert(r.getAs[Double]("nmi") == 1.0)
+    val one = (0 until 60).map(i => (i % 3, 0)).toDF("a", "b")
+    val r1 = Stats.clusterAgreement(one, "a", "b").collect().head
+    assert(r1.getAs[Double]("ari") == 0.0)
+    assert(r1.isNullAt(r1.fieldIndex("nmi")))
+  }
+
+  test("cramerVonMises: hand T on disjoint samples; identical " +
+    "distributions stay insignificant") {
+    // x = {1,2}, y = {3,4}: U = 2·0 + 2·(2²+2²) = 16,
+    // T = 16/16 − 15/24 = 0.375 → not significant at 0.461
+    val df = Seq(("k", 1L, 1.0, true), ("k", 2L, 2.0, true),
+      ("k", 3L, 3.0, false), ("k", 4L, 4.0, false))
+      .toDF("k", "id", "v", "x")
+    val r = Stats.cramerVonMises(df, "k", "id", "v", "x")
+      .collect().head
+    assert(r.getAs[Long]("n_x") == 2L && r.getAs[Long]("n_y") == 2L)
+    assert(r.getAs[Double]("t_stat") == 0.375)
+    assert(r.getAs[Int]("significant") == 0)
+    // a fully separated larger pair IS significant
+    val big = ((1 to 40).map(i => ("g", i.toLong, i.toDouble, true)) ++
+      (1 to 40).map(i => ("g", 100L + i, 50.0 + i, false)))
+      .toDF("k", "id", "v", "x")
+    val rb = Stats.cramerVonMises(big, "k", "id", "v", "x")
+      .collect().head
+    assert(rb.getAs[Int]("significant") == 1)
+  }
 }
