@@ -3001,4 +3001,92 @@ object Stats {
       t.as("t_stat"),
       when(t.isNotNull, (t >= 0.461).cast("int")).as("significant"))
   }
+
+  /** Two-regressor OLS battery per key — y ~ b0 + b1·x1 + b2·x2 with
+    * the full report an analyst reads: slopes, R², and per-slope t
+    * statistics. [[Timeseries.granger]] runs this regression
+    * internally for ONE question (does x add predictive value); this
+    * is the general-purpose surface — seasonality + trend on volumes,
+    * treatment + covariate on metrics — for any integer-valued y/x
+    * (the module's exact-sufficient-stats contract; quantize first).
+    *
+    * Determinism: all ten raw sums are exact decimal(38,0); the
+    * n-cleared centered forms (n·Σab − Σa·Σb) stay decimal; slopes,
+    * rss, r², σ² and each t close in ONE FIXED staged d6 chain
+    * (Cramer on the 2×2 normal equations; Var(b̂1) = σ²·n·s22/det in
+    * the cleared basis). Collinear regressors or zero y-variance
+    * answer NULL (det/syy guards); n < 4 fails loudly.
+    *
+    * Scale shape: ONE keyed aggregate over the corpus — ten sums with
+    * map-side combine; everything after runs on the keys frame.
+    */
+  def ols2(
+      df: DataFrame,
+      keyCol: String,
+      yCol: String,
+      x1Col: String,
+      x2Col: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(keyCol).as("_k"),
+      col(yCol).cast("long").as("_y"),
+      col(x1Col).cast("long").as("_u"), col(x2Col).cast("long").as("_v"))
+    val agg = base.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"),
+        sum(dec(col("_y"))).as("_sy"), sum(dec(col("_u"))).as("_su"),
+        sum(dec(col("_v"))).as("_sv"),
+        sum(dec(col("_y")) * dec(col("_y"))).as("_syy"),
+        sum(dec(col("_y")) * dec(col("_u"))).as("_syu"),
+        sum(dec(col("_y")) * dec(col("_v"))).as("_syv"),
+        sum(dec(col("_u")) * dec(col("_u"))).as("_suu"),
+        sum(dec(col("_u")) * dec(col("_v"))).as("_suv"),
+        sum(dec(col("_v")) * dec(col("_v"))).as("_svv"))
+    val checked = agg.withColumn("_n",
+      when(col("_n") >= 4L, col("_n"))
+        .otherwise(raise_error(concat(
+          lit("ols2: need >= 4 observations, got "),
+          col("_n").cast("string"))).cast("long")))
+    val nD = dec(col("_n"))
+    def c2(sab: Column, sa: Column, sb: Column): Column =
+      (nD * sab - sa * sb).cast("double")
+    val syy = c2(col("_syy"), col("_sy"), col("_sy"))
+    val s1y = c2(col("_syu"), col("_su"), col("_sy"))
+    val s2y = c2(col("_syv"), col("_sv"), col("_sy"))
+    val s11 = c2(col("_suu"), col("_su"), col("_su"))
+    val s12 = c2(col("_suv"), col("_su"), col("_sv"))
+    val s22 = c2(col("_svv"), col("_sv"), col("_sv"))
+    val det = s11 * s22 - s12 * s12
+    val ok = det > 0.0 && syy > 0.0
+    val b1 = when(ok, d6((s1y * s22 - s2y * s12) / det))
+    val b2 = when(ok, d6((s2y * s11 - s1y * s12) / det))
+    val staged = checked.select(col("_k"), col("_n"),
+      syy.as("_cyy"), s1y.as("_c1y"), s2y.as("_c2y"),
+      s11.as("_c11"), s12.as("_c12"), s22.as("_c22"),
+      det.as("_det"), b1.as("slope_x1"), b2.as("slope_x2"))
+    val n = col("_n").cast("double")
+    val rss = when(col("slope_x1").isNotNull,
+      d6((col("_cyy") - col("slope_x1") * col("_c1y") -
+        col("slope_x2") * col("_c2y")) / n))
+    val staged2 = staged.select(col("_k"), col("_n"),
+      col("slope_x1"), col("slope_x2"),
+      col("_cyy"), col("_c1y"), col("_c2y"), col("_c11"), col("_c22"),
+      col("_det"), rss.as("_rss"),
+      when(col("slope_x1").isNotNull,
+        d6((col("slope_x1") * col("_c1y") +
+          col("slope_x2") * col("_c2y")) / col("_cyy"))).as("r2"))
+    val sigma2 = when(col("_rss").isNotNull,
+      d6(col("_rss") / (col("_n") - 3L).cast("double")))
+    val staged3 = staged2.select(col("_k"), col("_n"),
+      col("slope_x1"), col("slope_x2"), col("r2"),
+      col("_c11"), col("_c22"), col("_det"),
+      sigma2.as("_sig2"))
+    def tStat(b: Column, sOther: Column): Column =
+      when(b.isNotNull && col("_sig2") > 0.0,
+        d6(b / d6(sqrt(col("_sig2") * col("_n").cast("double") *
+          sOther / col("_det")))))
+    staged3.select(col("_k").as(keyCol), col("_n").as("n_obs"),
+      col("slope_x1"), col("slope_x2"), col("r2"),
+      tStat(col("slope_x1"), col("_c22")).as("t_x1"),
+      tStat(col("slope_x2"), col("_c11")).as("t_x2"))
+  }
 }

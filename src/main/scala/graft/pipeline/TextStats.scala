@@ -2653,6 +2653,66 @@ object TextStats {
             col("_f").cast("double"))).as("dp"))
   }
 
+  /** Skip-gram PPMI association pairs — the word2vec-style training-
+    * pair generator plus its classic count-based scorer: DIRECTED
+    * (center, context) pairs within ±`window` positions (Mikolov
+    * 2013's pair stream; [[pmiCollocations]] is the adjacent-bigram
+    * special case), scored by positive PMI over the pair table
+    * (Levy & Goldberg 2014: SGNS implicitly factorizes this matrix) —
+    * so the output doubles as the exact sparse matrix an embedding
+    * pipeline would factorize, and as a collocation report.
+    *
+    * Determinism: counts are exact integers (total T, row/col
+    * marginals r·s from the SAME directed pair table, so Σr = Σs =
+    * T); ppmi = max(0, d6(ln(c·T/(r·s)))) is one d6 per pair; the
+    * top-k cut orders (ppmi DESC, center ASC, context ASC) — total.
+    *
+    * Scale shape: one corpus explode, ONE per-doc ordered window
+    * producing all `window` leads (narrow doc-keyed exchange), a
+    * bounded explode, token-keyed counts with map-side combine,
+    * 1-row total on a broadcast crossJoin, TakeOrdered cut.
+    */
+  def skipgramPpmi(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 2,
+      minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in [1,16], got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("_d"),
+        posexplode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+          .as(Seq("_p", "_t")))
+    val w = W.partitionBy(col("_d")).orderBy(col("_p"))
+    val leads = toks.select(
+      Seq(col("_t")) ++
+        (1 to window).map(k => lead(col("_t"), k).over(w).as(s"_l$k")): _*)
+    val fwd = leads.select(col("_t").as("_x"),
+        explode(array((1 to window).map(k => col(s"_l$k")): _*)).as("_y"))
+      .filter(col("_y").isNotNull)
+    val directed = fwd.union(fwd.select(col("_y"), col("_x")))
+    val cnt = directed.groupBy(col("_x"), col("_y"))
+      .agg(count(lit(1)).as("n_pair"))
+    val rx = cnt.groupBy(col("_x")).agg(sum(col("n_pair")).as("_r"))
+    val sy = cnt.groupBy(col("_y")).agg(sum(col("n_pair")).as("_s"))
+    val tot = cnt.agg(sum(col("n_pair")).as("_tt"))
+    val ppmi = greatest(lit(0.0),
+      d6(log(col("n_pair").cast("double") * col("_tt").cast("double") /
+        (col("_r").cast("double") * col("_s").cast("double")))))
+    cnt.filter(col("n_pair") >= minCount)
+      .join(rx, Seq("_x")).join(sy, Seq("_y"))
+      .crossJoin(broadcast(tot))
+      .select(col("_x").as("center"), col("_y").as("context"),
+        col("n_pair"), ppmi.as("ppmi"))
+      .orderBy(col("ppmi").desc, col("center").asc, col("context").asc)
+      .limit(topK)
+  }
+
   /** LZ78 phrase complexity per document — the incremental-parse
     * phrase count (Ziv & Lempel 1978): scan the text once, growing the
     * current phrase while it's already in the dictionary, emitting and

@@ -4305,7 +4305,78 @@ object Analytics {
       |    CAST(ts >= 0.461 AS INTEGER) END AS significant
       |FROM t""".stripMargin
 
+  // q389: two-regressor OLS battery (Stats.ols2) — value (milli-
+  // quantized) on hour-of-day + epoch-day per event type: the
+  // seasonality-plus-trend regression report (slopes, R², t stats).
+  def q389Ols2(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.ols2(
+      ev(s, dir).select(col("event_type"),
+        floor(col("value").cast("double") * 1000.0).as("y"),
+        expr("(ts_us div 3600000000) % 24").as("x1"),
+        expr("ts_us div 86400000000").as("x2")),
+      "event_type", "y", "x1", "x2")
+
+  val q389Sql: String =
+    """WITH b AS (
+      |  SELECT event_type AS k,
+      |    CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS y,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS u,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS v
+      |  FROM events),
+      |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(u AS HUGEINT)) AS su,
+      |    SUM(CAST(v AS HUGEINT)) AS sv,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |    SUM(CAST(y AS HUGEINT) * u) AS syu,
+      |    SUM(CAST(y AS HUGEINT) * v) AS syv,
+      |    SUM(CAST(u AS HUGEINT) * u) AS suu,
+      |    SUM(CAST(u AS HUGEINT) * v) AS suv,
+      |    SUM(CAST(v AS HUGEINT) * v) AS svv
+      |  FROM b GROUP BY 1),
+      |c AS (SELECT k, n,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+      |    CAST(n * syu - su * sy AS DOUBLE) AS c1y,
+      |    CAST(n * syv - sv * sy AS DOUBLE) AS c2y,
+      |    CAST(n * suu - su * su AS DOUBLE) AS c11,
+      |    CAST(n * suv - su * sv AS DOUBLE) AS c12,
+      |    CAST(n * svv - sv * sv AS DOUBLE) AS c22
+      |  FROM a),
+      |d AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+      |e AS (SELECT k, n, cyy, c1y, c2y, c11, c22, det,
+      |    CASE WHEN det > 0 AND cyy > 0 THEN
+      |      CAST(CAST((c1y * c22 - c2y * c12) / det
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS b1,
+      |    CASE WHEN det > 0 AND cyy > 0 THEN
+      |      CAST(CAST((c2y * c11 - c1y * c12) / det
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS b2
+      |  FROM d),
+      |f AS (SELECT k, n, b1, b2, c11, c22, det,
+      |    CASE WHEN b1 IS NOT NULL THEN
+      |      CAST(CAST((cyy - b1 * c1y - b2 * c2y) / CAST(n AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS rss,
+      |    CASE WHEN b1 IS NOT NULL THEN
+      |      CAST(CAST((b1 * c1y + b2 * c2y) / cyy
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS r2
+      |  FROM e),
+      |g AS (SELECT k, n, b1, b2, r2, c11, c22, det,
+      |    CASE WHEN rss IS NOT NULL THEN
+      |      CAST(CAST(rss / CAST(n - 3 AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS sig2
+      |  FROM f)
+      |SELECT k AS event_type, n AS n_obs, b1 AS slope_x1,
+      |  b2 AS slope_x2, r2,
+      |  CASE WHEN b1 IS NOT NULL AND sig2 > 0 THEN
+      |    CAST(CAST(b1 / CAST(CAST(sqrt(sig2 * CAST(n AS DOUBLE) *
+      |      c22 / det) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS t_x1,
+      |  CASE WHEN b2 IS NOT NULL AND sig2 > 0 THEN
+      |    CAST(CAST(b2 / CAST(CAST(sqrt(sig2 * CAST(n AS DOUBLE) *
+      |      c11 / det) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS t_x2
+      |FROM g""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q389_ols2" -> (q389Ols2 _),
     "q385_psi" -> (q385Psi _),
     "q387_cvm" -> (q387Cvm _),
     "q383_dtw" -> (q383Dtw _),
@@ -4402,6 +4473,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q389_ols2" -> q389Sql,
     "q385_psi" -> q385Sql,
     "q387_cvm" -> q387Sql,
     "q383_dtw" -> q383Sql,

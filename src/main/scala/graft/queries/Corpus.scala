@@ -5473,7 +5473,48 @@ object Corpus {
       |  sz.cs AS community_size
       |FROM fin JOIN sz ON sz.l = fin.l""".stripMargin
 
+  // q388: skip-gram PPMI pairs (TextStats.skipgramPpmi) — the
+  // word2vec training-pair table with its count-based factorization
+  // scores; window ±2, directed counts, top-50 total-ordered cut.
+  def q388SkipgramPpmi(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.skipgramPpmi(t(s, dir, "documents"),
+      "doc_id", "text", window = 2, minCount = 5L, topK = 50)
+
+  val q388Sql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id AS d,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM documents),
+      |tk AS (SELECT d, unnest(ts) AS t,
+      |         unnest(range(1, len(ts) + 1)) AS p
+      |       FROM t0),
+      |ld AS (SELECT d, t,
+      |    lead(t, 1) OVER w AS l1, lead(t, 2) OVER w AS l2
+      |  FROM tk WINDOW w AS (PARTITION BY d ORDER BY p)),
+      |fw AS (SELECT t AS x, l1 AS y FROM ld WHERE l1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT t, l2 FROM ld WHERE l2 IS NOT NULL),
+      |dr AS (SELECT x, y FROM fw UNION ALL SELECT y, x FROM fw),
+      |cnt AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n_pair
+      |        FROM dr GROUP BY 1, 2),
+      |rx AS (SELECT x, CAST(SUM(n_pair) AS BIGINT) AS r
+      |       FROM cnt GROUP BY 1),
+      |sy AS (SELECT y, CAST(SUM(n_pair) AS BIGINT) AS s
+      |       FROM cnt GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t FROM cnt)
+      |SELECT cnt.x AS center, cnt.y AS context, n_pair,
+      |  GREATEST(0.0, CAST(CAST(ln(CAST(n_pair AS DOUBLE) *
+      |    CAST(tt.t AS DOUBLE) /
+      |    (CAST(rx.r AS DOUBLE) * CAST(sy.s AS DOUBLE)))
+      |    AS DECIMAL(28,6)) AS DOUBLE)) AS ppmi
+      |FROM cnt JOIN rx ON rx.x = cnt.x JOIN sy ON sy.y = cnt.y
+      |CROSS JOIN tt
+      |WHERE n_pair >= 5
+      |ORDER BY ppmi DESC, center ASC, context ASC
+      |LIMIT 50""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_skipgram_ppmi" -> (q388SkipgramPpmi _),
     "q384_lpa" -> (q384Lpa _),
     "q379_lz78" -> (q379Lz78 _),
     "q341_burrows_delta" -> (q341Burrows _),
@@ -5590,6 +5631,7 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q388_skipgram_ppmi" -> q388Sql,
     "q384_lpa" -> q384Sql,
     "q379_lz78" -> q379Sql,
     "q341_burrows_delta" -> q341Sql,

@@ -1715,6 +1715,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(toks == Set("a"))
   }
 
+  // ---- TextStats.skipgramPpmi ----
+
+  test("skipgramPpmi: hand counts on 'x y x y'; negatives clamp to " +
+    "0; ties order by (center, context); validation is loud") {
+    // fwd pairs (w=2): (x,y)x2 (x,x) (y,x) (y,y); directed doubles →
+    // c(x,y)=c(y,x)=3, c(x,x)=c(y,y)=2, T=10, every marginal 5
+    // ppmi(x,y)=ln(30/25)=d6(0.182322); ppmi(x,x)=ln(0.8)<0 → 0
+    val df = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val out = TextStats.skipgramPpmi(df, "doc_id", "text",
+      window = 2, minCount = 1L, topK = 10).collect()
+    assert(out.length == 4)
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getAs[Double]("ppmi")))).toMap
+    assert(m(("x", "y")) == ((3L, 0.182322)))
+    assert(m(("y", "x")) == ((3L, 0.182322)))
+    assert(m(("x", "x")) == ((2L, 0.0)))
+    assert(m(("y", "y")) == ((2L, 0.0)))
+    // the tie at 0.182322 orders (x,y) before (y,x)
+    assert((out(0).getString(0), out(0).getString(1)) == (("x", "y")))
+    intercept[IllegalArgumentException] {
+      TextStats.skipgramPpmi(df, "doc_id", "text", window = 0)
+    }
+  }
+
   // ---- TextStats.lz78Complexity ----
 
   test("lz78Complexity: hand-parsed phrase counts; repetitive text " +

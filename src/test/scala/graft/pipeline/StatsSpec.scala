@@ -905,4 +905,29 @@ class StatsSpec extends SparkSpec {
       .collect().head
     assert(rb.getAs[Int]("significant") == 1)
   }
+
+  test("ols2: exact plane recovered with R² = 1 (t NULL at zero " +
+    "residual); collinear regressors answer NULL; n < 4 is loud") {
+    // y = 2 + 3·x1 + 5·x2 on 5 non-collinear points
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L))
+    val exact = pts.map { case (u, v) => ("p", 2L + 3 * u + 5 * v, u, v) }
+    val noisy = pts.zipWithIndex.map { case ((u, v), i) =>
+      ("q", 2L + 3 * u + 5 * v + (if (i % 2 == 0) 1L else -1L), u, v) }
+    val coll = (1L to 5L).map(i => ("c", i * 2L, i, i * 2L))
+    val out = Stats.ols2((exact ++ noisy ++ coll)
+      .toDF("k", "y", "x1", "x2"), "k", "y", "x1", "x2")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("p").getAs[Double]("slope_x1") == 3.0)
+    assert(out("p").getAs[Double]("slope_x2") == 5.0)
+    assert(out("p").getAs[Double]("r2") == 1.0)
+    assert(out("p").isNullAt(out("p").fieldIndex("t_x1")))
+    assert(out("q").getAs[Double]("r2") < 1.0)
+    assert(!out("q").isNullAt(out("q").fieldIndex("t_x1")))
+    assert(out("c").isNullAt(out("c").fieldIndex("slope_x1")))
+    val e = intercept[Exception] {
+      Stats.ols2(Seq(("s", 1L, 1L, 1L), ("s", 2L, 2L, 1L))
+        .toDF("k", "y", "x1", "x2"), "k", "y", "x1", "x2").collect()
+    }
+    assert(e.getMessage.contains(">= 4"), e.getMessage)
+  }
 }
