@@ -72,7 +72,13 @@ object ScaleStress {
     // compute dominates and is in-row); the DBSCAN family runs in its
     // own F=3 block below (quadratic by declaration — F=10 would be
     // ~100×·39s)
-    "q343_cdc_dup_pairs")
+    "q343_cdc_dup_pairs",
+    // round-14 second wave: LZ78 (zero-shuffle in-row fold — the
+    // linear control next to q342's CDC compute) and LPA communities
+    // (per-round keyed joins on a user-replicated graph: edges and
+    // nodes both scale ~F, rounds fixed — expected ~linear with the
+    // per-round checkpoint keeping lineage flat)
+    "q379_lz78", "q384_lpa")
 
   /** Big tables replicated FACTOR×; dims copied through unchanged. */
   private val replicated = Seq(

@@ -3002,6 +3002,170 @@ object Stats {
       when(t.isNotNull, (t >= 0.461).cast("int")).as("significant"))
   }
 
+  /** Exact WEIGHTED percentiles per key — the corpus-planning form of
+    * a quantile: "the median BYTE lives in a document of length X"
+    * (value = doc length, weight = bytes), "the p90 training token
+    * comes from a source of quality Y". Plain percentiles answer
+    * per-ROW questions; weighted ones answer per-UNIT questions, and
+    * at 100 TB the unit (bytes, tokens) is what capacity planning
+    * bills.
+    *
+    * EXACT: integer weights accumulate in a cumulative window over
+    * the total (value, id) order; the percentile q‰ picks the FIRST
+    * value whose cumulative weight clears q·W/1000 — compared as
+    * cumw·1000 ≥ q‰·W, pure integers, no division anywhere. One row
+    * per (key, q‰).
+    *
+    * Scale shape: one per-key ordered cumulative window + one keyed
+    * total + a bounded |qs| explode and a first-hit min — the sorted
+    * key frame pays once for ALL requested percentiles.
+    */
+  def weightedPercentiles(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      weightCol: String,
+      qsPermille: Seq[Int] = Seq(250, 500, 750, 900)): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 999),
+      s"each q must be in [1,999] permille, got $qsPermille")
+    require(qsPermille.distinct.size == qsPermille.size,
+      "qs must be distinct")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("_k"), col(idCol).as("_id"),
+      col(valueCol).cast("long").as("_v"),
+      col(weightCol).cast("long").as("_w"))
+      .filter(col("_w") > 0L)
+    val wc = W.partitionBy(col("_k"))
+      .orderBy(col("_v").asc, col("_id").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = base.withColumn("_cw", sum(col("_w")).over(wc))
+    val tot = base.groupBy(col("_k")).agg(sum(col("_w")).as("_tw"))
+    cum.join(tot, Seq("_k"))
+      .select(col("_k"), col("_v"), col("_cw"), col("_tw"),
+        explode(array(qsPermille.map(q => lit(q.toLong)): _*)).as("_q"))
+      .filter(col("_cw") * 1000L >= col("_q") * col("_tw"))
+      .groupBy(col("_k"), col("_q"))
+      .agg(min(col("_v")).as("value"), max(col("_tw")).as("total_weight"))
+      .select(col("_k").as(keyCol), col("_q").as("q_permille"),
+        col("value"), col("total_weight"))
+  }
+
+  /** Chao1 vocabulary-richness estimate per key — "how many distinct
+    * types does this corpus REALLY have, counting the ones we haven't
+    * seen yet": chao1 = V + f1(f1−1)/(2(f2+1)) (the bias-corrected
+    * form, finite even with no doubletons) from the frequency-of-
+    * frequency table, plus Good–Turing sample coverage 1 − f1/N — the
+    * capacity-planning pair for tokenizer vocab sizing and dedup-rate
+    * forecasting (Chao 1984; the abundance twin of q327's Good–Turing
+    * smoothing, which re-estimates probabilities rather than richness).
+    *
+    * EXACT integer sufficient stats (V, f1, f2, N); chao1 and
+    * coverage each ONE d6.
+    *
+    * Scale shape: token aggregate → (key, freq) aggregate → keyed
+    * rollup; all map-side combinable.
+    */
+  def chao1(
+      df: DataFrame,
+      keyCol: String,
+      textCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val tok = df.select(col(keyCol).as("_k"),
+      explode(expr(s"filter(split($textCol, ' '), w -> w != '')"))
+        .as("_t"))
+    val tc = tok.groupBy(col("_k"), col("_t"))
+      .agg(count(lit(1)).as("_c"))
+    tc.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("_c")).as("n_tokens"),
+        sum(when(col("_c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("_c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("_k").as(keyCol), col("n_types"), col("n_tokens"),
+        col("f1"), col("f2"),
+        d6(col("n_types").cast("double") +
+          col("f1").cast("double") * (col("f1") - 1L).cast("double") /
+            (lit(2.0) * (col("f2") + 1L).cast("double"))).as("chao1"),
+        when(col("n_tokens") > 0L,
+          d6(lit(1.0) - col("f1").cast("double") /
+            col("n_tokens").cast("double"))).as("coverage"))
+  }
+
+  /** Platt scaling — fit p = σ(a·score + b) by `steps` full Newton
+    * iterations (Platt 1999): the parametric calibrator next to
+    * q295's isotonic (monotone, non-parametric) and q324's
+    * calibration ERROR (which only measures): this one FIXES an
+    * uncalibrated score column so thresholds mean probabilities.
+    *
+    * REPLAYABLE-TRAINING determinism (the q218/q220 discipline):
+    * scores snap to the floor(·1000) grid; every per-row gradient /
+    * Hessian / loss term d6-rounds before its order-free decimal sum;
+    * (a, b) re-d6 after each Newton update — an independent engine
+    * replays the whole trajectory bit-for-bit. exp's libm ulp spread
+    * is absorbed by the per-term d6 (the established cos/sin
+    * contract). A singular Hessian (constant scores or one-class
+    * labels) poisons (a, b) to NULL — answer, not crash.
+    *
+    * Scale shape: `steps` chained [corpus aggregate → 1-row broadcast
+    * params] rounds, ENTIRELY in-plan (no driver collect): each round
+    * is one map-side-combinable aggregate; the final row adds the
+    * d6 log-loss at the fitted params.
+    */
+  def plattScaling(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      steps: Int = 6): DataFrame = {
+    require(steps >= 1 && steps <= 12,
+      s"steps must be in [1,12], got $steps")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val base = df.select(
+      (floor(col(scoreCol).cast("double") * 1000.0).cast("long")
+        .cast("double") / 1000.0).as("_s"),
+      when(col(labelCol).cast("long").isin(0L, 1L),
+        col(labelCol).cast("long").cast("double"))
+        .otherwise(raise_error(concat(lit("plattScaling: label "),
+          col(labelCol).cast("string"), lit(" is not 0/1")))
+          .cast("double")).as("_y"))
+    var params = df.sparkSession.range(1)
+      .select(lit(0.0).as("_a"), lit(0.0).as("_b"))
+    (1 to steps).foreach { _ =>
+      val j = base.crossJoin(broadcast(params))
+      val p = lit(1.0) / (lit(1.0) + exp(-(col("_a") * col("_s") + col("_b"))))
+      val w = p * (lit(1.0) - p)
+      val sums = j.agg(
+        sum(d28(d6((p - col("_y")) * col("_s")))).as("_g1"),
+        sum(d28(d6(p - col("_y")))).as("_g2"),
+        sum(d28(d6(w * col("_s") * col("_s")))).as("_h11"),
+        sum(d28(d6(w * col("_s")))).as("_h12"),
+        sum(d28(d6(w))).as("_h22"),
+        max(col("_a")).as("_a0"), max(col("_b")).as("_b0"))
+      val g1 = col("_g1").cast("double")
+      val g2 = col("_g2").cast("double")
+      val h11 = col("_h11").cast("double")
+      val h12 = col("_h12").cast("double")
+      val h22 = col("_h22").cast("double")
+      val det = h11 * h22 - h12 * h12
+      params = sums.select(
+        when(det > 0.0,
+          d6(col("_a0") - (g1 * h22 - g2 * h12) / det)).as("_a"),
+        when(det > 0.0,
+          d6(col("_b0") - (g2 * h11 - g1 * h12) / det)).as("_b"))
+    }
+    val fin = base.crossJoin(broadcast(params))
+    val pf = lit(1.0) / (lit(1.0) + exp(-(col("_a") * col("_s") + col("_b"))))
+    fin.agg(count(lit(1)).as("n_rows"),
+      sum(col("_y").cast("long")).as("n_pos"),
+      max(col("_a")).as("a"), max(col("_b")).as("b"),
+      sum(d28(d6(-(col("_y") * log(pf) +
+        (lit(1.0) - col("_y")) * log(lit(1.0) - pf))))).as("_ll"))
+      .select(col("n_rows"), col("n_pos"), col("a"), col("b"),
+        when(col("a").isNotNull,
+          d6(col("_ll").cast("double") / col("n_rows").cast("double")))
+          .as("log_loss"))
+  }
+
   /** Two-regressor OLS battery per key — y ~ b0 + b1·x1 + b2·x2 with
     * the full report an analyst reads: slopes, R², and per-slope t
     * statistics. [[Timeseries.granger]] runs this regression

@@ -4375,7 +4375,65 @@ object Analytics {
       |      AS DECIMAL(28,6)) AS DOUBLE) END AS t_x2
       |FROM g""".stripMargin
 
+  // q392: Platt scaling (Stats.plattScaling) — calibrate "value
+  // predicts purchase" into a probability with 6 in-plan Newton
+  // rounds; the parametric calibrator next to q295's isotonic and
+  // q324's calibration error. Oracle = the same 6 rounds as chained
+  // CTEs, generated programmatically (the q220 trainer discipline).
+  def q392Platt(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.plattScaling(
+      ev(s, dir).select(col("value").as("score"),
+        (col("event_type") === "purchase").cast("long").as("y")),
+      "score", "y", steps = 6)
+
+  val q392Sql: String = {
+    def d6(x: String) = s"CAST(CAST($x AS DECIMAL(28,6)) AS DOUBLE)"
+    def d28(x: String) = s"CAST(${d6(x)} AS DECIMAL(28,6))"
+    val sig = "1.0 / (1.0 + exp(-(a * s + b)))"
+    val steps = (1 to 6).map { k =>
+      s"""s$k AS (SELECT
+         |    SUM(${d28(s"($sig - y) * s")}) AS g1,
+         |    SUM(${d28(s"$sig - y")}) AS g2,
+         |    SUM(${d28(s"$sig * (1.0 - $sig) * s * s")}) AS h11,
+         |    SUM(${d28(s"$sig * (1.0 - $sig) * s")}) AS h12,
+         |    SUM(${d28(s"$sig * (1.0 - $sig)")}) AS h22,
+         |    MAX(a) AS a0, MAX(b) AS b0
+         |  FROM bb CROSS JOIN p${k - 1}),
+         |p$k AS (SELECT
+         |  CASE WHEN CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE) -
+         |    CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE) > 0 THEN
+         |    ${d6("a0 - (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE) - " +
+                "CAST(g2 AS DOUBLE) * CAST(h12 AS DOUBLE)) / " +
+                "(CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE) - " +
+                "CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))")} END AS a,
+         |  CASE WHEN CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE) -
+         |    CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE) > 0 THEN
+         |    ${d6("b0 - (CAST(g2 AS DOUBLE) * CAST(h11 AS DOUBLE) - " +
+                "CAST(g1 AS DOUBLE) * CAST(h12 AS DOUBLE)) / " +
+                "(CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE) - " +
+                "CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))")} END AS b
+         |  FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bb AS (
+       |  SELECT CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT)
+       |      / 1000.0 AS s,
+       |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM events),
+       |p0 AS (SELECT 0.0 AS a, 0.0 AS b),
+       |$steps
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       |  MAX(a) AS a, MAX(b) AS b,
+       |  CASE WHEN MAX(a) IS NOT NULL THEN
+       |    ${d6("CAST(SUM(" + d28("-(y * ln(" + sig + ") + " +
+              "(1.0 - y) * ln(1.0 - (" + sig + ")))") +
+              ") AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} END
+       |    AS log_loss
+       |FROM bb CROSS JOIN p6""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q392_platt" -> (q392Platt _),
     "q389_ols2" -> (q389Ols2 _),
     "q385_psi" -> (q385Psi _),
     "q387_cvm" -> (q387Cvm _),
@@ -4473,6 +4531,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q392_platt" -> q392Sql,
     "q389_ols2" -> q389Sql,
     "q385_psi" -> q385Sql,
     "q387_cvm" -> q387Sql,

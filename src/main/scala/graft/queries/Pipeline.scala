@@ -1884,6 +1884,62 @@ object Pipeline {
       |      AS DECIMAL(28,6)) AS DOUBLE) END AS nmi
       |FROM f""".stripMargin
 
+  // q390: exact weighted percentiles (Stats.weightedPercentiles) —
+  // byte-weighted doc-length quartiles per language ("the median
+  // byte lives in a doc of length X"); pure integer comparisons.
+  def q390WeightedPercentiles(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.weightedPercentiles(
+      t(s, dir, "documents"),
+      "lang", "doc_id", "n_chars", "n_chars")
+
+  val q390Sql: String =
+    """WITH b AS (
+      |  SELECT lang AS k, doc_id AS id,
+      |    CAST(n_chars AS BIGINT) AS v, CAST(n_chars AS BIGINT) AS w
+      |  FROM documents WHERE n_chars > 0),
+      |c AS (SELECT k, v,
+      |    SUM(w) OVER (PARTITION BY k ORDER BY v ASC, id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      |  FROM b),
+      |t AS (SELECT k, CAST(SUM(w) AS BIGINT) AS tw FROM b GROUP BY 1),
+      |x AS (SELECT c.k, q, v, cw, tw
+      |  FROM c JOIN t ON t.k = c.k,
+      |    (SELECT unnest([250, 500, 750, 900]) AS q)
+      |  WHERE cw * 1000 >= q * tw)
+      |SELECT k AS lang, CAST(q AS BIGINT) AS q_permille,
+      |  CAST(MIN(v) AS BIGINT) AS value,
+      |  CAST(MAX(tw) AS BIGINT) AS total_weight
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  // q391: Chao1 vocabulary richness + Good–Turing coverage per
+  // language (Stats.chao1) — how many types the slice REALLY has and
+  // how complete the sample is; the tokenizer-vocab sizing pair.
+  def q391Chao1(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.chao1(t(s, dir, "documents"), "lang", "text")
+
+  val q391Sql: String =
+    """WITH tk AS (
+      |  SELECT lang AS k,
+      |    unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+      |      AS t
+      |  FROM documents),
+      |tc AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tk GROUP BY 1, 2),
+      |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_types,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM tc GROUP BY 1)
+      |SELECT k AS lang, n_types, n_tokens, f1, f2,
+      |  CAST(CAST(CAST(n_types AS DOUBLE) +
+      |    CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) /
+      |    (2.0 * CAST(f2 + 1 AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS chao1,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    CAST(CAST(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS coverage
+      |FROM a""".stripMargin
+
   // q357: MTLD lexical diversity (TextStats.mtld) — factor-counting
   // TTR with the integer trigger 25·types < 18·tokens, exact-rational
   // partial factor, forward+backward mean. The oracle replays both
@@ -2183,6 +2239,8 @@ object Pipeline {
       |WHERE u.j <= len(f.sel)""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q390_weighted_percentiles" -> (q390WeightedPercentiles _),
+    "q391_chao1" -> (q391Chao1 _),
     "q386_cluster_agreement" -> (q386ClusterAgreement _),
     "q382_random_projection" -> (q382RandomProjection _),
     "q380_stratified_sample" -> (q380StratifiedSample _),
@@ -2902,6 +2960,8 @@ object Pipeline {
       |  FROM pk)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q390_weighted_percentiles" -> q390Sql,
+    "q391_chao1" -> q391Sql,
     "q386_cluster_agreement" -> q386Sql,
     "q382_random_projection" -> q382Sql,
     "q380_stratified_sample" -> q380Sql,

@@ -930,4 +930,63 @@ class StatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(">= 4"), e.getMessage)
   }
+
+  test("weightedPercentiles: the median unit lands in the heavy row; " +
+    "zero weights drop; validation is loud") {
+    // weights (1,4,5) on values (1,2,10): W=10 → p25/p50 hit v=2,
+    // p90 hits v=10 (the unweighted median would be 2 regardless)
+    val df = Seq(("k", 1L, 1L, 1L), ("k", 2L, 2L, 4L),
+      ("k", 3L, 10L, 5L), ("k", 4L, 99L, 0L))
+      .toDF("k", "id", "v", "w")
+    val out = Stats.weightedPercentiles(df, "k", "id", "v", "w",
+      qsPermille = Seq(250, 500, 900))
+      .collect().map(r => r.getAs[Long]("q_permille") ->
+        ((r.getAs[Long]("value"), r.getAs[Long]("total_weight")))).toMap
+    assert(out(250L) == ((2L, 10L)))
+    assert(out(500L) == ((2L, 10L)))
+    assert(out(900L) == ((10L, 10L)))
+    intercept[IllegalArgumentException] {
+      Stats.weightedPercentiles(df, "k", "id", "v", "w", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.weightedPercentiles(df, "k", "id", "v", "w", Seq(500, 500))
+    }
+  }
+
+  test("chao1: hand richness on planted frequency spectra") {
+    // "a b b c c": V=3, f1=1, f2=2 → chao1 = 3 + 0 = 3, cov = 0.8;
+    // "x y z": all hapax → chao1 = 3 + 3·2/2 = 6, cov = 1 − 3/3 = 0
+    val df = Seq(("s", "a b b c c"), ("h", "x y z"))
+      .toDF("k", "text")
+    val out = Stats.chao1(df, "k", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getAs[Long]("n_types") == 3L)
+    assert(out("s").getAs[Long]("f1") == 1L)
+    assert(out("s").getAs[Long]("f2") == 2L)
+    assert(out("s").getAs[Double]("chao1") == 3.0)
+    assert(out("s").getAs[Double]("coverage") == 0.8)
+    assert(out("h").getAs[Double]("chao1") == 6.0)
+    assert(out("h").getAs[Double]("coverage") == 0.0)
+  }
+
+  test("plattScaling: a separable score earns a positive slope and " +
+    "sub-ln2 loss; constant scores answer NULL; bad labels are loud") {
+    val df = (1 to 100).map(i =>
+      (i.toDouble / 100.0, if (i > 55) 1L else 0L))
+      .toDF("score", "y")
+    val r = Stats.plattScaling(df, "score", "y").collect().head
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("n_pos") == 45L)
+    assert(r.getAs[Double]("a") > 0.0)
+    assert(r.getAs[Double]("log_loss") < math.log(2.0))
+    val const = (1 to 20).map(i => (0.5, (i % 2).toLong))
+      .toDF("score", "y")
+    val rc = Stats.plattScaling(const, "score", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("a")))
+    val e = intercept[Exception] {
+      Stats.plattScaling(Seq((0.1, 2L)).toDF("score", "y"),
+        "score", "y").collect()
+    }
+    assert(e.getMessage.contains("not 0/1"), e.getMessage)
+  }
 }
