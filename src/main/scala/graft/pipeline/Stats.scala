@@ -3166,6 +3166,110 @@ object Stats {
           .as("log_loss"))
   }
 
+  /** One-covariate Cox proportional-hazards fit per key (Breslow tie
+    * handling, `steps` full Newton rounds on the partial likelihood)
+    * — the MODEL tier of the survival family: q302's Kaplan–Meier
+    * and q363's Nelson–Aalen describe "when do they convert/churn";
+    * Cox answers "does this covariate CHANGE the hazard, and by what
+    * ratio" (Cox 1972). Output per key: β, hazard_ratio = e^β, the
+    * observed-information SE and Wald z.
+    *
+    * REPLAYABLE-TRAINING determinism (q392's Platt discipline):
+    * covariates are integer-quantized; per-row risk terms e^(βx),
+    * x·e^(βx), x²·e^(βx) each d6 before per-time decimal sums; risk
+    * sets are reverse-cumulative DECIMAL sums over the distinct-time
+    * frame; each event-time's score/information contribution d6s
+    * before the order-free decimal rollup; β re-d6s per round. An
+    * engine replaying the chain reproduces the trajectory bit-for-bit
+    * (exp's libm ulp absorbed per-term). Non-positive information
+    * (no events, or a constant covariate) poisons β to NULL.
+    *
+    * Scale shape: `steps` chained rounds of [corpus-frame projection
+    * → (key, time) aggregate → per-key ordered cumulative window →
+    * keyed rollup → ≤keys-row broadcast params]; the distinct-time
+    * frame (the bucketed survival axis, never the corpus) carries the
+    * windows. No driver collect.
+    */
+  def coxPh(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      eventCol: String,
+      xCol: String,
+      steps: Int = 6): DataFrame = {
+    require(steps >= 1 && steps <= 12,
+      s"steps must be in [1,12], got $steps")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("_k"),
+      col(timeCol).cast("long").as("_t"),
+      when(col(eventCol).cast("long").isin(0L, 1L),
+        col(eventCol).cast("long"))
+        .otherwise(raise_error(concat(lit("coxPh: event flag "),
+          col(eventCol).cast("string"), lit(" is not 0/1")))
+          .cast("long")).as("_d"),
+      col(xCol).cast("long").as("_x"))
+    var params = base.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_nr"), sum(col("_d")).as("_ne"))
+      .withColumn("_beta", lit(0.0))
+    val wRev = W.partitionBy(col("_k")).orderBy(col("_t").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    def risk(j: DataFrame): DataFrame = {
+      val e = exp(col("_beta") * col("_x").cast("double"))
+      val perT = j.groupBy(col("_k"), col("_t"))
+        .agg(sum(d28(d6(e))).as("_w0"),
+          sum(d28(d6(col("_x").cast("double") * e))).as("_w1"),
+          sum(d28(d6(col("_x").cast("double") *
+            col("_x").cast("double") * e))).as("_w2"),
+          sum(col("_d")).as("_dc"),
+          sum(col("_d") * col("_x")).as("_dx"),
+          max(col("_beta")).as("_b0"))
+      perT
+        .withColumn("_s0", sum(col("_w0")).over(wRev).cast("double"))
+        .withColumn("_s1", sum(col("_w1")).over(wRev).cast("double"))
+        .withColumn("_s2", sum(col("_w2")).over(wRev).cast("double"))
+    }
+    (1 to steps).foreach { _ =>
+      val j = base.join(
+        broadcast(params.select(col("_k"), col("_beta"))), Seq("_k"))
+      val cum = risk(j).filter(col("_dc") > 0L)
+      val r = col("_s1") / col("_s0")
+      val ut = d6(col("_dx").cast("double") -
+        col("_dc").cast("double") * r)
+      val it = d6(col("_dc").cast("double") *
+        (col("_s2") / col("_s0") - r * r))
+      val agg = cum.groupBy(col("_k"))
+        .agg(sum(d28(ut)).as("_uu"), sum(d28(it)).as("_ii"),
+          max(col("_b0")).as("_b0"))
+      params = params.drop("_beta").join(
+        agg.select(col("_k"),
+          when(col("_ii").cast("double") > 0.0,
+            d6(col("_b0") + col("_uu").cast("double") /
+              col("_ii").cast("double"))).as("_beta")),
+        Seq("_k"), "left")
+    }
+    // observed information at the FITTED beta → SE and Wald z
+    val jf = base.join(
+      broadcast(params.select(col("_k"), col("_beta"))), Seq("_k"))
+    val cumF = risk(jf).filter(col("_dc") > 0L)
+    val rF = col("_s1") / col("_s0")
+    val itF = d6(col("_dc").cast("double") *
+      (col("_s2") / col("_s0") - rF * rF))
+    val infoF = cumF.groupBy(col("_k"))
+      .agg(sum(d28(itF)).as("_if"))
+    params.join(infoF, Seq("_k"), "left")
+      .select(col("_k").as(keyCol), col("_nr").as("n_rows"),
+        col("_ne").as("n_events"), col("_beta").as("beta"),
+        when(col("_beta").isNotNull, d6(exp(col("_beta"))))
+          .as("hazard_ratio"),
+        when(col("_beta").isNotNull && col("_if").cast("double") > 0.0,
+          d6(lit(1.0) / sqrt(col("_if").cast("double")))).as("se"),
+        when(col("_beta").isNotNull && col("_if").cast("double") > 0.0,
+          d6(col("_beta") /
+            d6(lit(1.0) / sqrt(col("_if").cast("double"))))).as("z"))
+  }
+
   /** Two-regressor OLS battery per key — y ~ b0 + b1·x1 + b2·x2 with
     * the full report an analyst reads: slopes, R², and per-slope t
     * statistics. [[Timeseries.granger]] runs this regression

@@ -4432,7 +4432,110 @@ object Analytics {
        |FROM bb CROSS JOIN p6""".stripMargin
   }
 
+  // q393: Cox proportional hazards (Stats.coxPh) — per-user time to
+  // first purchase (censored at fixture end), covariate = distinct
+  // active days, three user-id cohorts; the MODEL tier over q302's
+  // Kaplan–Meier and q363's Nelson–Aalen. Oracle = the same Newton
+  // rounds as generated chained CTEs (the q392 Platt discipline).
+  def q393CoxPh(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"), col("event_type"),
+      expr("ts_us div 86400000000").as("day"))
+    val u = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("t0"),
+        min(when(col("event_type") === "purchase", col("day")))
+          .as("tp"),
+        countDistinct(col("day")).as("days"))
+    val mx = e.agg(max(col("day")).as("tmax"))
+    val frame = u.crossJoin(broadcast(mx))
+      .select((col("user_id") % 3L).as("cohort"),
+        (coalesce(col("tp"), col("tmax")) - col("t0")).as("t"),
+        col("tp").isNotNull.cast("long").as("d"),
+        col("days").as("x"))
+    graft.pipeline.Stats.coxPh(frame, "cohort", "t", "d", "x",
+      steps = 6)
+  }
+
+  val q393Sql: String = {
+    def d6(x: String) = s"CAST(CAST($x AS DECIMAL(28,6)) AS DOUBLE)"
+    def d28(x: String) = s"CAST(${d6(x)} AS DECIMAL(28,6))"
+    val ex = "exp(beta * CAST(x AS DOUBLE))"
+    val steps = (1 to 6).map { k =>
+      s"""g$k AS (SELECT bb.k, t,
+         |    SUM(${d28(ex)}) AS w0,
+         |    SUM(${d28(s"CAST(x AS DOUBLE) * $ex")}) AS w1,
+         |    SUM(${d28(s"CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * $ex")})
+         |      AS w2,
+         |    CAST(SUM(d) AS BIGINT) AS dc,
+         |    CAST(SUM(d * x) AS BIGINT) AS dx, MAX(beta) AS b0
+         |  FROM bb JOIN p${k - 1} p ON p.k = bb.k GROUP BY 1, 2),
+         |c$k AS (SELECT k, dc, dx, b0,
+         |    CAST(SUM(w0) OVER w AS DOUBLE) AS s0,
+         |    CAST(SUM(w1) OVER w AS DOUBLE) AS s1,
+         |    CAST(SUM(w2) OVER w AS DOUBLE) AS s2
+         |  FROM g$k WINDOW w AS (PARTITION BY k ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |a$k AS (SELECT k,
+         |    SUM(${d28("CAST(dx AS DOUBLE) - CAST(dc AS DOUBLE) * " +
+                "(s1 / s0)")}) AS uu,
+         |    SUM(${d28("CAST(dc AS DOUBLE) * (s2 / s0 - " +
+                "(s1 / s0) * (s1 / s0))")}) AS ii,
+         |    MAX(b0) AS b0
+         |  FROM c$k WHERE dc > 0 GROUP BY 1),
+         |p$k AS (SELECT k,
+         |  CASE WHEN CAST(ii AS DOUBLE) > 0 THEN
+         |    ${d6("b0 + CAST(uu AS DOUBLE) / CAST(ii AS DOUBLE)")}
+         |  END AS beta FROM a$k)""".stripMargin
+    }.mkString(",\n")
+    val seSql = d6("1.0 / sqrt(CAST(ii AS DOUBLE))")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+       |  FROM events),
+       |u AS (SELECT user_id, MIN(day) AS t0,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS tp,
+       |    CAST(COUNT(DISTINCT day) AS BIGINT) AS days
+       |  FROM e GROUP BY 1),
+       |mx AS (SELECT MAX(day) AS tmax FROM e),
+       |bb AS (SELECT user_id % 3 AS k,
+       |    COALESCE(tp, tmax) - t0 AS t,
+       |    CAST(CASE WHEN tp IS NULL THEN 0 ELSE 1 END AS BIGINT) AS d,
+       |    days AS x
+       |  FROM u CROSS JOIN mx),
+       |p0 AS (SELECT DISTINCT k, 0.0 AS beta FROM bb),
+       |$steps,
+       |gf AS (SELECT bb.k, t,
+       |    SUM(${d28(ex)}) AS w0,
+       |    SUM(${d28(s"CAST(x AS DOUBLE) * $ex")}) AS w1,
+       |    SUM(${d28(s"CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * $ex")})
+       |      AS w2,
+       |    CAST(SUM(d) AS BIGINT) AS dc
+       |  FROM bb JOIN p6 p ON p.k = bb.k GROUP BY 1, 2),
+       |cf AS (SELECT k, dc,
+       |    CAST(SUM(w0) OVER w AS DOUBLE) AS s0,
+       |    CAST(SUM(w1) OVER w AS DOUBLE) AS s1,
+       |    CAST(SUM(w2) OVER w AS DOUBLE) AS s2
+       |  FROM gf WINDOW w AS (PARTITION BY k ORDER BY t DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |af AS (SELECT k,
+       |    SUM(${d28("CAST(dc AS DOUBLE) * (s2 / s0 - " +
+              "(s1 / s0) * (s1 / s0))")}) AS ii
+       |  FROM cf WHERE dc > 0 GROUP BY 1),
+       |st AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS nr,
+       |    CAST(SUM(d) AS BIGINT) AS ne FROM bb GROUP BY 1)
+       |SELECT st.k AS cohort, nr AS n_rows, ne AS n_events,
+       |  p.beta AS beta,
+       |  CASE WHEN p.beta IS NOT NULL THEN
+       |    ${d6("exp(p.beta)")} END AS hazard_ratio,
+       |  CASE WHEN p.beta IS NOT NULL AND CAST(ii AS DOUBLE) > 0 THEN
+       |    $seSql END AS se,
+       |  CASE WHEN p.beta IS NOT NULL AND CAST(ii AS DOUBLE) > 0 THEN
+       |    ${d6(s"p.beta / $seSql")} END AS z
+       |FROM st LEFT JOIN p6 p ON p.k = st.k
+       |LEFT JOIN af ON af.k = st.k""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q393_cox_ph" -> (q393CoxPh _),
     "q392_platt" -> (q392Platt _),
     "q389_ols2" -> (q389Ols2 _),
     "q385_psi" -> (q385Psi _),
@@ -4531,6 +4634,7 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q393_cox_ph" -> q393Sql,
     "q392_platt" -> q392Sql,
     "q389_ols2" -> q389Sql,
     "q385_psi" -> q385Sql,

@@ -969,6 +969,37 @@ class StatsSpec extends SparkSpec {
     assert(out("h").getAs[Double]("coverage") == 0.0)
   }
 
+  test("coxPh: a planted protective/hazardous covariate is recovered " +
+    "with the right sign; constant covariate answers NULL; bad event " +
+    "flag is loud") {
+    // hand first Newton step on {(1,1,x=1),(2,1,x=0),(3,0,x=0)}:
+    // U = 1 − 1/3 = 0.666667, I = 1/3 − 1/9 = 0.222222 → β₁ ≈ 3.0
+    val tiny = Seq(("k", 1L, 1L, 1L), ("k", 2L, 1L, 0L),
+      ("k", 3L, 0L, 0L)).toDF("k", "t", "d", "x")
+    val b1 = Stats.coxPh(tiny, "k", "t", "d", "x", steps = 1)
+      .collect().head.getAs[Double]("beta")
+    assert(b1 > 2.9 && b1 < 3.1, s"one-step beta $b1")
+    // planted: x = 1 subjects convert on day 1-10, x = 0 on day
+    // 40-50 (half censored late) → hazard rises with x
+    val planted = ((1 to 120).map(i => ("p", (i % 10 + 1).toLong, 1L, 1L)) ++
+      (1 to 120).map(i => ("p", (40 + i % 10).toLong,
+        (i % 2).toLong, 0L))).toDF("k", "t", "d", "x")
+    val rp = Stats.coxPh(planted, "k", "t", "d", "x").collect().head
+    assert(rp.getAs[Double]("beta") > 0.0)
+    assert(rp.getAs[Double]("hazard_ratio") > 1.0)
+    assert(rp.getAs[Double]("z") > 1.96)
+    assert(rp.getAs[Long]("n_events") == 180L)
+    val const = (1 to 20).map(i =>
+      ("c", i.toLong, (i % 2).toLong, 7L)).toDF("k", "t", "d", "x")
+    val rc = Stats.coxPh(const, "k", "t", "d", "x").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("beta")))
+    val e = intercept[Exception] {
+      Stats.coxPh(Seq(("b", 1L, 2L, 1L)).toDF("k", "t", "d", "x"),
+        "k", "t", "d", "x").collect()
+    }
+    assert(e.getMessage.contains("not 0/1"), e.getMessage)
+  }
+
   test("plattScaling: a separable score earns a positive slope and " +
     "sub-ln2 loss; constant scores answer NULL; bad labels are loud") {
     val df = (1 to 100).map(i =>
