@@ -2814,32 +2814,7 @@ object Stats {
       bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 100, s"bins must be in [2,100], got $bins")
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
-    val W = org.apache.spark.sql.expressions.Window
-    val base = df.select(col(keyCol).as("_k"),
-      col(idCol).as("_id"),
-      floor(col(valueCol).cast("double") * 1000.0).cast("long").as("_v"),
-      col(isRefCol).cast("boolean").as("_r"))
-    val ref = base.filter(col("_r"))
-    val wr = W.partitionBy(col("_k")).orderBy(col("_v").asc, col("_id").asc)
-    val nRef = ref.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
-    // edge k (k = 1..B-1) = the ⌈k·n/B⌉-th order statistic
-    val ranked = ref.withColumn("_rn", row_number().over(wr))
-      .join(nRef, Seq("_k"))
-      .withColumn("_edge",
-        explode(expr(s"filter(transform(sequence(1, ${bins - 1}), " +
-          s"k -> IF(_rn = CAST(ceil(k * _n / ${bins}.0) AS BIGINT), " +
-          "k, -1)), k -> k >= 0)")))
-      .select(col("_k"), col("_edge"), col("_v").as("_ev"))
-    val edges = ranked.groupBy(col("_k"))
-      .agg(expr("transform(array_sort(collect_list(" +
-        "struct(_edge, _ev))), p -> p._ev)").as("_edges"))
-    val binned = base.join(broadcast(edges), Seq("_k"))
-      .withColumn("_bin",
-        expr("1 + aggregate(_edges, CAST(0 AS BIGINT), " +
-          "(a, e) -> a + IF(_v > e, 1, 0))"))
-      .groupBy(col("_k"), col("_bin"))
-      .agg(sum(when(col("_r"), 1L).otherwise(0L)).as("_cr"),
-        sum(when(!col("_r"), 1L).otherwise(0L)).as("_cc"))
+    val binned = psiBinCounts(df, keyCol, idCol, valueCol, isRefCol, bins)
     val tot = binned.groupBy(col("_k"))
       .agg(sum(col("_cr")).as("_nr"), sum(col("_cc")).as("_nc"))
     // Laplace: p = (c+1)/(n+B) over ALL B bins — absent bins
@@ -2866,6 +2841,50 @@ object Stats {
           d6(col("_s").cast("double") +
             (lit(bins.toLong) - col("_nbins")).cast("double") *
               col("_et"))).as("psi"))
+  }
+
+  /** The binned-counts stage [[psi]] is built on, public so a
+    * streaming twin can stage the identical (key, bin) count frame:
+    * reference-decile edges from exact rank order statistics, integer
+    * bin assignment against the broadcast edge literals, one
+    * (key, bin) aggregate of reference/current counts. Output:
+    * (_k, _bin, _cr, _cc); keys with no reference rows are absent
+    * (no deciles to bin by — the documented omission).
+    */
+  def psiBinCounts(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      isRefCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2,100], got $bins")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("_k"),
+      col(idCol).as("_id"),
+      floor(col(valueCol).cast("double") * 1000.0).cast("long").as("_v"),
+      col(isRefCol).cast("boolean").as("_r"))
+    val ref = base.filter(col("_r"))
+    val wr = W.partitionBy(col("_k")).orderBy(col("_v").asc, col("_id").asc)
+    val nRef = ref.groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+    // edge k (k = 1..B-1) = the ⌈k·n/B⌉-th order statistic
+    val ranked = ref.withColumn("_rn", row_number().over(wr))
+      .join(nRef, Seq("_k"))
+      .withColumn("_edge",
+        explode(expr(s"filter(transform(sequence(1, ${bins - 1}), " +
+          s"k -> IF(_rn = CAST(ceil(k * _n / ${bins}.0) AS BIGINT), " +
+          "k, -1)), k -> k >= 0)")))
+      .select(col("_k"), col("_edge"), col("_v").as("_ev"))
+    val edges = ranked.groupBy(col("_k"))
+      .agg(expr("transform(array_sort(collect_list(" +
+        "struct(_edge, _ev))), p -> p._ev)").as("_edges"))
+    base.join(broadcast(edges), Seq("_k"))
+      .withColumn("_bin",
+        expr("1 + aggregate(_edges, CAST(0 AS BIGINT), " +
+          "(a, e) -> a + IF(_v > e, 1, 0))"))
+      .groupBy(col("_k"), col("_bin"))
+      .agg(sum(when(col("_r"), 1L).otherwise(0L)).as("_cr"),
+        sum(when(!col("_r"), 1L).otherwise(0L)).as("_cc"))
   }
 
   /** Clustering-agreement scores between two labelings of the same

@@ -980,7 +980,64 @@ object StreamingEntries {
       |  CAST(mx - dd >= 500 * t AS INT) AS alarm_neg
       |FROM s""".stripMargin
 
+  private val psiDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage q385's pre-binned (key, bin, slice) counts as hash shards
+    * + per-key completion sentinels for
+    * [[graft.streaming.Streaming.psiMonitor]]. Binning reuses
+    * [[graft.pipeline.Stats.psiBinCounts]] VERBATIM — the reference-
+    * decile edges are constants of the reference corpus, so the
+    * stream carries observations, never quantiles.
+    */
+  private def stagePsiCounts(s: SparkSession, dir: String): String =
+    psiDirs.computeIfAbsent(dir, { _ =>
+      val staged = tempDirCleanedAtExit(None, "graft_q394_psi_")
+      val e = Tables.eventsUs(s, dir)
+        .withColumn("_day", expr("ts_us div 86400000000"))
+      val lo = e.agg(min(col("_day")).as("_d0"))
+      val binned = graft.pipeline.Stats.psiBinCounts(
+        e.crossJoin(broadcast(lo))
+          .withColumn("is_ref", col("_day") < col("_d0") + 15L),
+        "event_type", "event_id", "value", "is_ref", bins = 10)
+      val rows = binned.select(col("_k").as("key"), col("_bin").as("bin"),
+          lit(1L).as("isRef"), col("_cr").as("n"))
+        .union(binned.select(col("_k"), col("_bin"),
+          lit(0L), col("_cc")))
+      (0 until 3).foreach { i =>
+        rows.filter(abs(xxhash64(col("bin"), col("isRef"))) % 3 === i)
+          .coalesce(1).write.mode("append").parquet(staged.toString)
+      }
+      rows.groupBy(col("key"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("key"),
+          lit(graft.streaming.PsiMonitor.Sentinel).as("bin"),
+          lit(0L).as("isRef"), col("n"))
+        .coalesce(1).write.mode("append").parquet(staged.toString)
+      staged.toString
+    })
+
+  /** q394: the PSI drift report run as a STREAM, per event type — the
+    * q322 completion-sentinel discipline on q385's reference-decile
+    * form; the drained stream must hash-match q385's batch oracle
+    * (three-way agreement: batch entry, streaming twin, DuckDB).
+    */
+  def q394StreamingPsi(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagePsiCounts(s, dir)
+    val s2 = streamSession(s)
+    val schema = stagedSchema(s2, staged)
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .as[graft.streaming.BinCount](
+        Encoders.product[graft.streaming.BinCount])
+    val out = graft.streaming.Streaming.psiMonitor(stream)
+    runAvailableNow(out.toDF(), "graft_q394_psi")
+      .select(col("key").as("event_type"), col("n_ref"), col("n_cur"),
+        col("psi"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q394_streaming_psi" -> (q394StreamingPsi _),
     "q322_streaming_cusum" -> (q322StreamingCusum _),
     "q227_streaming_quality_score" -> (q227StreamingQualityScore _),
     "q290_streaming_ewma" -> (q290StreamingEwma _),
@@ -1002,6 +1059,8 @@ object StreamingEntries {
     "q147_streaming_sliding_window" -> (q147StreamingSlidingWindow _))
 
   def oracles: Map[String, String] = Map(
+    // batch q385, this streaming twin, and DuckDB agree three ways
+    "q394_streaming_psi" -> Analytics.q385Sql,
     "q322_streaming_cusum" -> q322Sql,
     // batch q226 scorer, the stateless streaming scorer, and DuckDB's
     // full gradient-descent replay agree three ways

@@ -769,7 +769,100 @@ object Streaming {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Streaming Population Stability Index — [[graft.pipeline.Stats.psi]]
+    * run as a monitor: pre-binned (key, bin, slice) count shards arrive
+    * in any order across micro-batches, ONE GroupState accumulator per
+    * key folds them (counts are associative — shard order is
+    * irrelevant by construction), and the key's PSI report emits when
+    * its completion sentinel count is met (the [[cusumMonitor]]
+    * discipline). Bin edges are REFERENCE-corpus constants, so
+    * computing them upstream (batch or a prior job) is the correct
+    * split: the stream carries observations, not quantiles.
+    *
+    * Determinism: the finalize replays Stats.psi's exact chain —
+    * Laplace-smoothed shares, per-bin d6 terms summed as BigDecimal
+    * (order-free), the closed-form absent-bin correction, ONE final
+    * d6 — so the drained stream hash-matches the batch oracle.
+    */
+  def psiMonitor(
+      rows: Dataset[BinCount],
+      bins: Int = 10): Dataset[PsiReport] = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2,100], got $bins")
+    implicit val accEnc = Encoders.product[PsiBuf]
+    implicit val outEnc = Encoders.product[PsiReport]
+    implicit val keyEnc = Encoders.STRING
+    def d6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def finalizeKey(key: String, buf: PsiBuf): Iterator[PsiReport] = {
+      val byBin = buf.bins.indices
+        .groupBy(i => buf.bins(i))
+        .map { case (b, is) =>
+          b -> ((is.map(i => if (buf.refs(i) == 1L) buf.ns(i) else 0L).sum,
+            is.map(i => if (buf.refs(i) == 1L) 0L else buf.ns(i)).sum))
+        }
+      val nr = byBin.values.map(_._1).sum
+      val nc = byBin.values.map(_._2).sum
+      val psi: Option[Double] =
+        if (nr > 0 && nc > 0) {
+          val terms = byBin.values.map { case (cr, cc) =>
+            val pr = (cr + 1L).toDouble / (nr + bins).toDouble
+            val pc = (cc + 1L).toDouble / (nc + bins).toDouble
+            BigDecimal(d6((pc - pr) * math.log(pc / pr)))
+          }
+          val prE = 1.0 / (nr + bins).toDouble
+          val pcE = 1.0 / (nc + bins).toDouble
+          val et = d6((pcE - prE) * math.log(pcE / prE))
+          val s = terms.sum.toDouble
+          Some(d6(s + (bins - byBin.size).toDouble * et))
+        } else None
+      Iterator.single(PsiReport(key, nr, nc, psi))
+    }
+    def update(
+        key: String,
+        batch: Iterator[BinCount],
+        state: GroupState[PsiBuf]): Iterator[PsiReport] = {
+      var buf = state.getOption.getOrElse(PsiBuf(Nil, Nil, Nil, -1L))
+      for (r <- batch) {
+        if (r.bin == PsiMonitor.Sentinel) buf = buf.copy(expected = r.n)
+        else buf = buf.copy(bins = buf.bins :+ r.bin,
+          refs = buf.refs :+ r.isRef, ns = buf.ns :+ r.n)
+      }
+      if (buf.expected >= 0 && buf.bins.length == buf.expected) {
+        state.remove()
+        finalizeKey(key, buf)
+      } else {
+        state.update(buf)
+        Iterator.empty
+      }
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }
+
+object PsiMonitor {
+  /** Sentinel bin marker carrying the key's expected row count in n
+    * (bins are ≥ 1 in the contract, so −1 is free). */
+  val Sentinel: Long = -1L
+}
+
+/** One per-key pre-binned slice count for [[Streaming.psiMonitor]]
+  * (or its completion sentinel: bin = [[PsiMonitor.Sentinel]],
+  * n = the key's expected row count). isRef: 1 = reference slice.
+  */
+final case class BinCount(key: String, bin: Long, isRef: Long, n: Long)
+
+/** Accumulator of [[Streaming.psiMonitor]]: parallel (bin, slice,
+  * count) triples plus the expected row count from the sentinel. */
+final case class PsiBuf(
+    bins: Seq[Long], refs: Seq[Long], ns: Seq[Long], expected: Long)
+
+/** One emitted PSI report of [[Streaming.psiMonitor]] — the exact
+  * column contract of [[graft.pipeline.Stats.psi]] with the key. */
+final case class PsiReport(
+    key: String, n_ref: Long, n_cur: Long, psi: Option[Double])
 
 object EwmaMonitor {
   /** Sentinel day marker carrying the key's expected row count in x. */

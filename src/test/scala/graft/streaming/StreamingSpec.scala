@@ -508,6 +508,48 @@ class StreamingSpec extends SparkSpec {
     assert(a(6L)(4) == 0)
   }
 
+  test("psiMonitor: any shard arrival order equals the batch psi " +
+    "exactly; emission waits for the sentinel") {
+    implicit val sql = spark.sqlContext
+    // the q385 batch frame: ref = values 1..10 once each, cur shifted
+    val raw = (1 to 10).flatMap(v => Seq(
+      ("k", v.toLong * 2, v.toDouble, true),
+      ("k", v.toLong * 2 + 1, v.toDouble + 3.0, false)))
+      .toDF("k", "id", "v", "is_ref")
+    val binned = graft.pipeline.Stats.psiBinCounts(
+      raw, "k", "id", "v", "is_ref", bins = 10)
+    val rows = binned.collect().flatMap(r => Seq(
+      BinCount(r.getString(0), r.getLong(1), 1L, r.getLong(2)),
+      BinCount(r.getString(0), r.getLong(1), 0L, r.getLong(3))))
+    val sentinel = BinCount("k", PsiMonitor.Sentinel, 0L, rows.length.toLong)
+    def drain(batches: Seq[Seq[BinCount]], name: String) = {
+      val in = MemoryStream[BinCount]
+      val q = Streaming.psiMonitor(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(_.toSeq)
+    }
+    val a = drain(Seq(Seq(sentinel), rows.drop(7).reverse.toSeq,
+      rows.take(7).toSeq), "psi_a")
+    val b = drain(Seq(rows.take(3).toSeq, rows.drop(3).toSeq :+ sentinel),
+      "psi_b")
+    assert(a.toSeq == b.toSeq && a.length == 1)
+    val batch = graft.pipeline.Stats.psi(
+      raw, "k", "id", "v", "is_ref", bins = 10).collect().map(_.toSeq)
+    assert(a.toSeq == batch.toSeq)
+    // nothing emits before the sentinel
+    val in2 = MemoryStream[BinCount]
+    val q2 = Streaming.psiMonitor(in2.toDS())
+      .writeStream.format("memory").queryName("psi_pre")
+      .outputMode("append").start()
+    in2.addData(rows.toSeq)
+    q2.processAllAvailable()
+    assert(spark.table("psi_pre").isEmpty)
+    q2.stop()
+  }
+
   test("cusumMonitor: an incomplete key fails loudly at its sentinel") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[PeriodCount]
