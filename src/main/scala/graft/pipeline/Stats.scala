@@ -3376,4 +3376,311 @@ object Stats {
       tStat(col("slope_x1"), col("_c22")).as("t_x1"),
       tStat(col("slope_x2"), col("_c11")).as("t_x2"))
   }
+
+  /** Two-group log-rank test (Mantel 1966) — "do these two survival
+    * curves differ?", the hypothesis-test partner of [[kaplanMeier]]
+    * (curve), [[nelsonAalen]] (hazard) and [[coxPh]] (model): at every
+    * distinct event time pool both groups, compare group-1's observed
+    * event count against its at-risk-proportional expectation, and sum
+    * the hypergeometric variance. Z = (O₁−E₁)/√V, χ² = Z² against
+    * χ²(1) (3.84 at 5% — a constant, no CDF in the plan).
+    *
+    * Determinism: O₁ is an exact long; each E₁ₜ/Vₜ term is ONE d6
+    * (fixed multiply-divide order) summed in decimal; Z and χ² close
+    * with one d6 each (χ² squares the already-d6 Z). Rows with zero
+    * pooled events contribute nothing; a time where n_risk = 1 has
+    * zero variance by the (n−d)/(n−1) factor's 0/0 → skipped via the
+    * d=n guard arithmetic (term is 0 there since n−d = 0).
+    *
+    * Scale shape: ONE (duration)-keyed aggregate with group-conditional
+    * sums, two reverse-cumulative windows over the distinct-duration
+    * frame (time-scale bounded, not corpus bounded), one global rollup.
+    * The group flag must be 0/1 — anything else fails loudly in-plan.
+    */
+  def logRank(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      groupCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val g = when(col(groupCol).cast("long").isin(0L, 1L),
+      col(groupCol).cast("long"))
+      .otherwise(raise_error(concat(lit("logRank: group flag "),
+        col(groupCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val byT = df
+      .select(col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("long").as("_d"), g.as("_g"))
+      .groupBy(col("_t"))
+      .agg(count(lit(1)).as("_n"), sum(col("_g")).as("_n1"),
+        sum(col("_d")).as("_d"), sum(col("_d") * col("_g")).as("_d1"))
+    val wRev = W.partitionBy(lit(1)).orderBy(col("_t").asc)
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val risk = byT
+      .withColumn("_nr", sum(col("_n")).over(wRev))
+      .withColumn("_n1r", sum(col("_n1")).over(wRev))
+      .filter(col("_d") > 0L)
+    val p1 = col("_n1r").cast("double") / col("_nr").cast("double")
+    val eTerm = d6(col("_d").cast("double") * p1)
+    val vTerm = when(col("_nr") > 1L,
+      d6(col("_d").cast("double") * p1 * (lit(1.0) - p1) *
+        (col("_nr") - col("_d")).cast("double") /
+        (col("_nr") - 1L).cast("double")))
+      .otherwise(lit(0.0))
+    val agg = risk.agg(
+      sum(col("_d1")).as("o1"),
+      sum(d28(eTerm)).as("_e1"), sum(d28(vTerm)).as("_v"))
+    agg.select(col("o1").as("n_events_g1"),
+      col("_e1").cast("double").as("expected_g1"),
+      col("_v").cast("double").as("variance"),
+      when(col("_v").cast("double") > 0.0,
+        d6((col("o1").cast("double") - col("_e1").cast("double")) /
+          sqrt(col("_v").cast("double")))).as("z"))
+      .withColumn("chi2",
+        when(col("z").isNotNull, d6(col("z") * col("z"))))
+      .withColumn("significant",
+        when(col("chi2").isNotNull,
+          (col("chi2") >= 3.841459).cast("int")).otherwise(lit(0)))
+  }
+
+  /** Jarque–Bera normality test per key (Jarque & Bera 1980) — the
+    * moment-based "is this metric even roughly normal?" gate an
+    * analyst runs BEFORE trusting a t-test/ANOVA readout: JB =
+    * n/6·(skew² + (kurt−3)²/4) against χ²(2) (5.991459 at 5%).
+    *
+    * Determinism: the four raw power sums are exact decimal(38,0)
+    * (module contract: integer-valued metric — quantize first), and
+    * the n-cleared central forms stay exact decimal — M₂ = nS₂−S₁²,
+    * M₃ = n²S₃−3nS₁S₂+2S₁³, M₄ = n³S₄−4n²S₁S₃+6nS₁²S₂−3S₁⁴. The
+    * n-powers CANCEL in both ratios (skew = M₃/M₂^{3/2}, kurt =
+    * M₄/M₂²), so each closes in ONE d6 from exact inputs; JB re-d6s
+    * from the d6'd skew/kurt. Zero variance answers NULL. The x⁴ sum
+    * bounds the regime: |x| ≤ ~3e7 at a billion rows keeps S₄ inside
+    * 38 digits — counts/cents/day metrics, not raw microseconds.
+    *
+    * Scale shape: ONE keyed aggregate (map-side combinable) → k-row
+    * frame; everything after is per-key scalar arithmetic.
+    */
+  def jarqueBera(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val agg = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_n"),
+        sum(dec(x)).as("_s1"), sum(dec(x) * dec(x)).as("_s2"),
+        sum(dec(x) * dec(x) * dec(x)).as("_s3"),
+        sum(dec(x) * dec(x) * dec(x) * dec(x)).as("_s4"))
+    val n = dec(col("_n"))
+    val m2 = (n * col("_s2") - col("_s1") * col("_s1")).cast("double")
+    val m3 = (n * n * col("_s3") -
+      lit(3).cast("decimal(38,0)") * n * col("_s1") * col("_s2") +
+      lit(2).cast("decimal(38,0)") * col("_s1") * col("_s1") *
+        col("_s1")).cast("double")
+    val m4 = (n * n * n * col("_s4") -
+      lit(4).cast("decimal(38,0)") * n * n * col("_s1") * col("_s3") +
+      lit(6).cast("decimal(38,0)") * n * col("_s1") * col("_s1") *
+        col("_s2") -
+      lit(3).cast("decimal(38,0)") * col("_s1") * col("_s1") *
+        col("_s1") * col("_s1")).cast("double")
+    val staged = agg.select(col("_k"), col("_n"),
+      d6(col("_s1").cast("double") / col("_n").cast("double"))
+        .as("mean"),
+      when(m2 > 0.0, d6(m3 / (m2 * sqrt(m2)))).as("skewness"),
+      when(m2 > 0.0, d6(m4 / (m2 * m2))).as("kurtosis"))
+    staged.select(col("_k").as(keyCol), col("_n").as("n_obs"),
+      col("mean"), col("skewness"), col("kurtosis"),
+      when(col("skewness").isNotNull,
+        d6(col("_n").cast("double") / 6.0 *
+          (col("skewness") * col("skewness") +
+            (col("kurtosis") - 3.0) * (col("kurtosis") - 3.0) / 4.0)))
+        .as("jb"))
+      .withColumn("rejected",
+        when(col("jb").isNotNull,
+          (col("jb") >= 5.991459).cast("int")).otherwise(lit(0)))
+  }
+
+  /** Restricted mean survival time (Royston & Parmar 2013) — the area
+    * under the [[kaplanMeier]] step curve up to a horizon τ: "expected
+    * days alive in the first τ days", the single-number survival
+    * summary that stays valid when hazards cross (where a hazard
+    * ratio misleads) and the standard churn-cost input (RMST × value
+    * per active day). S is right-continuous, so the area is
+    * 1·t₍₁₎ + Σ S(tᵢ)·(min(tᵢ₊₁,τ) − tᵢ) over event times below τ.
+    *
+    * Determinism: the leading all-alive segment is an exact integer;
+    * each step term d6s S(tᵢ)·width (S already d6 from kaplanMeier),
+    * terms sum in decimal, one closing d6. Scale shape: kaplanMeier's
+    * windows plus ONE lead window over the same distinct-duration
+    * frame — nothing new touches the corpus.
+    */
+  def rmst(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0L, s"tau must be positive, got $tau")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(df, durationCol, eventCol)
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("duration").asc)
+    val stepped = km
+      .withColumn("_next",
+        coalesce(lead(col("duration"), 1).over(wOrd), lit(tau)))
+      .filter(col("duration") < tau)
+      .withColumn("_w",
+        (least(col("_next"), lit(tau)) - col("duration")).cast("double"))
+      .withColumn("_term", d6(col("survival") * col("_w")))
+    // an empty post-filter frame (every event time ≥ τ) means S = 1 on
+    // all of [0, τ): RMST is exactly τ
+    val agg = stepped.agg(
+      least(min(col("duration")), lit(tau)).as("_t1"),
+      sum(d28(col("_term"))).as("_area"),
+      max(col("n_risk")).as("n_at_risk"))
+    agg.select(lit(tau).as("tau"), col("n_at_risk"),
+      d6(coalesce(col("_t1"), lit(tau)).cast("double") +
+        coalesce(col("_area"), lit(0).cast("decimal(28,6)"))
+          .cast("double")).as("rmst"))
+  }
+
+  /** Fisher's exact test on a 2×2 contingency table (Fisher 1935) —
+    * the SMALL-SAMPLE independence test the asymptotic battery
+    * ([[srmCheck]]'s χ², the G² keyness, the q369 odds ratio's normal
+    * CI) is invalid for: exact hypergeometric enumeration conditioned
+    * on the margins, two-sided by summing every table whose
+    * probability does not exceed the observed one.
+    *
+    * Small-sample BY CONTRACT: pmf enumeration is O(margin) and the
+    * ln-factorial table is O(n), so n is loudly capped (in-plan
+    * raise_error) at maxN — Fisher's regime IS small tables; past the
+    * cap the χ²/G² machinery is the right tool. Determinism: the
+    * ln-factorial table is a cumulative DECIMAL sum of d6(ln i) terms
+    * (absorbing libm's last-ulp spread), every ln-pmf is exact decimal
+    * arithmetic over it, each pmf closes in one d6 after exp, and the
+    * two-sided inclusion rule compares those d6-quantized pmfs with
+    * plain ≤ (R's 1+1e-7 tolerance is unnecessary once both sides are
+    * 6-decimal quantized — the documented convention).
+    *
+    * Scale shape: ONE corpus aggregate for the four cell counts; the
+    * ln-factorial frame (≤ maxN rows) and the k-enumeration frame
+    * (≤ min(r1,c1) rows) are both guard-bounded; joins against them
+    * broadcast.
+    */
+  def fisherExact(
+      df: DataFrame,
+      groupCol: String,
+      outcomeCol: String,
+      maxN: Long = 10000L): DataFrame = {
+    require(maxN >= 2L && maxN <= 100000L,
+      s"maxN must be in [2,100000], got $maxN")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    def flag(name: String, c: Column): Column =
+      when(c.cast("long").isin(0L, 1L), c.cast("long"))
+        .otherwise(raise_error(concat(lit(s"fisherExact: $name flag "),
+          c.cast("string"), lit(" is not 0/1"))).cast("long"))
+    val base = df.select(flag("group", col(groupCol)).as("_g"),
+      flag("outcome", col(outcomeCol)).as("_y"))
+    val agg = base.agg(count(lit(1)).as("_rawn"),
+      sum(col("_g") * col("_y")).as("a"),
+      sum(col("_g")).as("r1"), sum(col("_y")).as("c1"))
+      .select(when(col("_rawn") <= maxN, col("_rawn"))
+        .otherwise(raise_error(concat(lit("fisherExact: n = "),
+          col("_rawn").cast("string"),
+          lit(s" exceeds maxN = $maxN — use the asymptotic tests")))
+          .cast("long")).as("n"),
+        col("a"), col("r1"), col("c1"))
+    // ln-factorial table over 0..n: cumulative decimal sum of d6(ln i)
+    val lnf = agg.select(explode(sequence(lit(0L), col("n"))).as("m"))
+      .withColumn("_t", when(col("m") <= 1L,
+        lit(0).cast("decimal(28,6)"))
+        .otherwise(d28(d6(log(col("m").cast("double"))))))
+      .withColumn("lnfact", sum(col("_t")).over(
+        W.partitionBy(lit(1)).orderBy(col("m").asc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("m"), col("lnfact"))
+    def at(m: Column, alias: String): DataFrame =
+      broadcast(lnf).select(col("m").as(s"_m_$alias"),
+        col("lnfact").as(alias))
+    val ks = agg
+      .withColumn("r2", col("n") - col("r1"))
+      .withColumn("c2", col("n") - col("c1"))
+      .withColumn("k", explode(sequence(
+        greatest(lit(0L), col("c1") - col("r2")),
+        least(col("r1"), col("c1")))))
+    val joined = ks
+      .join(at(col("m"), "lf_r1"), col("r1") === col("_m_lf_r1"))
+      .join(at(col("m"), "lf_r2"), col("r2") === col("_m_lf_r2"))
+      .join(at(col("m"), "lf_c1"), col("c1") === col("_m_lf_c1"))
+      .join(at(col("m"), "lf_c2"), col("c2") === col("_m_lf_c2"))
+      .join(at(col("m"), "lf_n"), col("n") === col("_m_lf_n"))
+      .join(at(col("m"), "lf_k"), col("k") === col("_m_lf_k"))
+      .join(at(col("m"), "lf_r1k"),
+        col("r1") - col("k") === col("_m_lf_r1k"))
+      .join(at(col("m"), "lf_c1k"),
+        col("c1") - col("k") === col("_m_lf_c1k"))
+      .join(at(col("m"), "lf_rest"),
+        col("r2") - col("c1") + col("k") === col("_m_lf_rest"))
+    val lnPmf = (col("lf_r1") + col("lf_r2") + col("lf_c1") +
+      col("lf_c2") - col("lf_n") - col("lf_k") - col("lf_r1k") -
+      col("lf_c1k") - col("lf_rest")).cast("double")
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val pmfs = joined.withColumn("_pmf", d6(exp(lnPmf)))
+      .withColumn("_obs",
+        max(when(col("k") === col("a"), col("_pmf"))).over(wAll))
+    pmfs
+      .withColumn("_inc", when(col("_pmf") <= col("_obs"),
+        d28(col("_pmf"))).otherwise(lit(0).cast("decimal(28,6)")))
+      .groupBy(col("n"), col("a"), col("r1"), col("c1"))
+      .agg(max(when(col("k") === col("a"), col("_pmf")))
+        .as("pmf_observed"),
+        d6(sum(col("_inc")).cast("double")).as("p_two_sided"))
+      .withColumn("significant",
+        (col("p_two_sided") <= 0.05).cast("int"))
+  }
+
+  /** Smoothed target encoding (Micci-Barreca 2001) — the categorical
+    * feature-prep step every tabular training pipeline runs: replace
+    * category c with a shrunk mean (Σy_c + m·ȳ)/(n_c + m), pulling
+    * rare categories toward the global mean so the encoding doesn't
+    * memorize noise. Emits the per-category encoding TABLE (join it
+    * back to rows); m is the pseudo-count prior strength.
+    *
+    * Determinism: per-category and global sums are exact
+    * decimal(38,0) (integer-valued target — quantize first); the
+    * global mean closes in one d6 and the encoding in one more
+    * (fixed (Σ + m·ȳ)/(n + m) order). Scale shape: ONE keyed
+    * aggregate + a 1-row broadcast global — the output is
+    * category-cardinality sized.
+    */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      yCol: String,
+      m: Double = 100.0): DataFrame = {
+    require(m >= 0.0, s"smoothing m must be >= 0, got $m")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val y = col(yCol).cast("long")
+    val base = df.select(col(catCol).cast("string").as("_c"), y.as("_y"))
+    val perCat = base.groupBy(col("_c"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("_y"))).as("_sy"))
+    val global = base.agg(count(lit(1)).as("_gn"),
+      sum(dec(col("_y"))).as("_gs"))
+    perCat.crossJoin(broadcast(
+      global.select(d6(col("_gs").cast("double") /
+        col("_gn").cast("double")).as("_gmean"))))
+      .select(col("_c").as(catCol), col("n"),
+        d6(col("_sy").cast("double") / col("n").cast("double"))
+          .as("raw_mean"),
+        col("_gmean").as("global_mean"),
+        d6((col("_sy").cast("double") + lit(m) * col("_gmean")) /
+          (col("n").cast("double") + lit(m))).as("encoded"))
+  }
 }

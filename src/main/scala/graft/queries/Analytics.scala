@@ -4534,7 +4534,301 @@ object Analytics {
        |LEFT JOIN af ON af.k = st.k""".stripMargin
   }
 
+  // q395: two-group log-rank test (Stats.logRank) over the q302 churn
+  // frame, groups = user-id parity (an A/A-style split, so the test
+  // SHOULD read non-significant). Oracle replays the duration-keyed
+  // group-conditional sums, both reverse-cumulative risk windows and
+  // the d6 E/V term chain.
+  def q395LogRank(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val spans = evt.groupBy(col("user_id"))
+      .agg(min(us).as("_f"), max(us).as("_l"))
+    val mx = evt.agg(max(us).as("_mx"))
+    val day = 86400000000L
+    val users = spans.crossJoin(broadcast(mx))
+      .select((col("user_id") % 2L).as("grp"),
+        expr(s"(_l - _f) div ${day}L").as("duration_days"),
+        (col("_mx") - col("_l") > lit(7L * day)).cast("int")
+          .as("churned"))
+    graft.pipeline.Stats.logRank(users, "duration_days", "churned",
+      "grp")
+  }
+
+  val q395Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |uu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e
+      |       GROUP BY 1),
+      |mx AS (SELECT MAX(us) AS mx FROM e),
+      |du AS (
+      |  SELECT user_id % 2 AS g, (l - f) // 86400000000 AS t,
+      |    CASE WHEN mx - l > 604800000000 THEN 1 ELSE 0 END AS ev
+      |  FROM uu CROSS JOIN mx),
+      |byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(g) AS BIGINT) AS n1,
+      |    CAST(SUM(ev) AS BIGINT) AS d,
+      |    CAST(SUM(ev * g) AS BIGINT) AS d1
+      |  FROM du GROUP BY 1),
+      |r AS (SELECT *, CAST(SUM(n) OVER w AS BIGINT) AS nr,
+      |    CAST(SUM(n1) OVER w AS BIGINT) AS n1r
+      |  FROM byt WINDOW w AS (ORDER BY t
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |trm AS (SELECT d1,
+      |    CAST(CAST(d AS DOUBLE) *
+      |      (CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS et,
+      |    CAST(CASE WHEN nr > 1 THEN
+      |      CAST(CAST(CAST(d AS DOUBLE) *
+      |        (CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)) *
+      |        (1.0 - CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)) *
+      |        CAST(nr - d AS DOUBLE) / CAST(nr - 1 AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE)
+      |      ELSE 0.0 END AS DECIMAL(28,6)) AS vt
+      |  FROM r WHERE d > 0),
+      |a AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+      |    SUM(et) AS e1, SUM(vt) AS v FROM trm),
+      |zz AS (SELECT o1, CAST(e1 AS DOUBLE) AS e1d,
+      |    CAST(v AS DOUBLE) AS vd,
+      |    CASE WHEN CAST(v AS DOUBLE) > 0 THEN
+      |      CAST(CAST((CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) /
+      |        sqrt(CAST(v AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |    END AS z FROM a)
+      |SELECT o1 AS n_events_g1, e1d AS expected_g1, vd AS variance, z,
+      |  CASE WHEN z IS NOT NULL THEN
+      |    CAST(CAST(z * z AS DECIMAL(28,6)) AS DOUBLE) END AS chi2,
+      |  CASE WHEN z IS NOT NULL THEN
+      |    CAST(CAST(CAST(z * z AS DECIMAL(28,6)) AS DOUBLE)
+      |      >= 3.841459 AS INT) ELSE 0 END AS significant
+      |FROM zz""".stripMargin
+
+  // q396: Jarque–Bera normality gate (Stats.jarqueBera) on per-user
+  // event counts, keyed by event type — counts are Poisson-ish, so the
+  // gate should REJECT normality on the big types. Oracle replays the
+  // exact decimal power sums and the n-cleared central-moment ratios.
+  def q396JarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+    graft.pipeline.Stats.jarqueBera(perUser, "event_type", "n_ev")
+  }
+
+  val q396Sql: String = {
+    def hd(x: String) = s"CAST($x AS HUGEINT)"
+    """WITH pu AS (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(HX) AS s1, SUM(HX * HX) AS s2,
+      |    SUM(HX * HX * HX) AS s3, SUM(HX * HX * HX * HX) AS s4
+      |  FROM pu GROUP BY 1),
+      |m AS (SELECT event_type, n,
+      |    CAST(HN * s2 - s1 * s1 AS DOUBLE) AS m2,
+      |    CAST(HN * HN * s3 - 3 * HN * s1 * s2 + 2 * s1 * s1 * s1
+      |      AS DOUBLE) AS m3,
+      |    CAST(HN * HN * HN * s4 - 4 * HN * HN * s1 * s3
+      |      + 6 * HN * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      |      AS DOUBLE) AS m4,
+      |    CAST(CAST(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean
+      |  FROM a),
+      |sk AS (SELECT event_type, n, mean,
+      |    CASE WHEN m2 > 0 THEN
+      |      CAST(CAST(m3 / (m2 * sqrt(m2)) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS skewness,
+      |    CASE WHEN m2 > 0 THEN
+      |      CAST(CAST(m4 / (m2 * m2) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS kurtosis
+      |  FROM m),
+      |jb AS (SELECT *, CASE WHEN skewness IS NOT NULL THEN
+      |    CAST(CAST(CAST(n AS DOUBLE) / 6.0 *
+      |      (skewness * skewness +
+      |       (kurtosis - 3.0) * (kurtosis - 3.0) / 4.0)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS jb
+      |  FROM sk)
+      |SELECT event_type, n AS n_obs, mean, skewness, kurtosis, jb,
+      |  CASE WHEN jb IS NOT NULL THEN CAST(jb >= 5.991459 AS INT)
+      |    ELSE 0 END AS rejected
+      |FROM jb"""
+      .replace("HX", hd("x")).replace("HN", hd("n")).stripMargin
+  }
+
+  // q397: restricted mean survival time (Stats.rmst) at a 30-day
+  // horizon over the q302 churn frame — "expected active days in the
+  // first month". Oracle replays q302's KM chain plus the lead-window
+  // step areas.
+  def q397Rmst(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val spans = evt.groupBy(col("user_id"))
+      .agg(min(us).as("_f"), max(us).as("_l"))
+    val mx = evt.agg(max(us).as("_mx"))
+    val day = 86400000000L
+    val users = spans.crossJoin(broadcast(mx))
+      .select(expr(s"(_l - _f) div ${day}L").as("duration_days"),
+        (col("_mx") - col("_l") > lit(7L * day)).cast("int")
+          .as("churned"))
+    graft.pipeline.Stats.rmst(users, "duration_days", "churned", 30L)
+  }
+
+  val q397Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |uu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e
+      |       GROUP BY 1),
+      |mx AS (SELECT MAX(us) AS mx FROM e),
+      |d AS (
+      |  SELECT (l - f) // 86400000000 AS duration,
+      |    CASE WHEN mx - l > 604800000000 THEN 1 ELSE 0 END AS ev
+      |  FROM uu CROSS JOIN mx),
+      |byt AS (SELECT duration, CAST(COUNT(*) AS BIGINT) AS n,
+      |          CAST(SUM(ev) AS BIGINT) AS n_events
+      |        FROM d GROUP BY 1),
+      |r AS (SELECT *, CAST(SUM(n) OVER (ORDER BY duration
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |        AS BIGINT) AS n_risk FROM byt),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN n_events = 0 THEN CAST(0.0 AS DECIMAL(28,6))
+      |         WHEN n_events = n_risk THEN NULL
+      |         ELSE CAST(ln(1.0 - CAST(n_events AS DOUBLE) /
+      |           CAST(n_risk AS DOUBLE)) AS DECIMAL(28,6)) END AS lt,
+      |    CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS z
+      |  FROM r),
+      |km AS (
+      |  SELECT duration, n_risk,
+      |    CASE WHEN SUM(z) OVER w > 0 THEN 0.0
+      |      ELSE CAST(CAST(exp(CAST(COALESCE(SUM(lt) OVER w,
+      |        CAST(0 AS DECIMAL(28,6))) AS DOUBLE)) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS survival
+      |  FROM t WINDOW w AS (ORDER BY duration
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |led AS (
+      |  SELECT duration, n_risk, survival,
+      |    COALESCE(LEAD(duration) OVER (ORDER BY duration), 30)
+      |      AS nxt
+      |  FROM km),
+      |stepped AS (
+      |  SELECT duration, n_risk, survival,
+      |    CAST(survival * CAST(LEAST(nxt, 30) - duration AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS term
+      |  FROM led WHERE duration < 30),
+      |a AS (SELECT LEAST(MIN(duration), 30) AS t1, SUM(term) AS area,
+      |    MAX(n_risk) AS n_at_risk
+      |  FROM stepped)
+      |SELECT CAST(30 AS BIGINT) AS tau, n_at_risk,
+      |  CAST(CAST(CAST(COALESCE(t1, 30) AS DOUBLE) +
+      |    CAST(COALESCE(area, CAST(0 AS DECIMAL(28,6))) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS rmst
+      |FROM a""".stripMargin
+
+  // q398: Fisher's exact test (Stats.fisherExact) on a guard-bounded
+  // order slice — finished status × top priority, the small-sample
+  // exact companion to q369's odds ratio / q370's G². Oracle replays
+  // the d6-ln-factorial table, the hypergeometric k enumeration and
+  // the two-sided d6-pmf inclusion rule.
+  def q398FisherExact(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 100L === 0L)
+      .select((col("o_orderstatus") === "F").cast("int").as("g"),
+        col("o_orderpriority").startsWith("1").cast("int").as("y"))
+    graft.pipeline.Stats.fisherExact(o, "g", "y")
+  }
+
+  val q398Sql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g,
+      |    CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS y
+      |  FROM orders WHERE o_orderkey % 100 = 0),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(g * y) AS BIGINT) AS a,
+      |    CAST(SUM(g) AS BIGINT) AS r1,
+      |    CAST(SUM(y) AS BIGINT) AS c1 FROM b),
+      |ms AS (SELECT unnest(generate_series(0, n)) AS m FROM ag),
+      |lnf AS (SELECT m,
+      |    SUM(CASE WHEN m <= 1 THEN CAST(0 AS DECIMAL(28,6))
+      |      ELSE CAST(CAST(CAST(ln(CAST(m AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)) END)
+      |      OVER (ORDER BY m
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS lnfact
+      |  FROM ms),
+      |ks AS (SELECT n, a, r1, c1, n - r1 AS r2, n - c1 AS c2,
+      |    unnest(generate_series(GREATEST(0, c1 - (n - r1)),
+      |      LEAST(r1, c1))) AS k
+      |  FROM ag),
+      |j AS (SELECT ks.n, ks.a, ks.r1, ks.c1, ks.k,
+      |    CAST(f1.lnfact + f2.lnfact + f3.lnfact + f4.lnfact
+      |      - fn.lnfact - fk.lnfact - fa.lnfact - fb.lnfact
+      |      - fc.lnfact AS DOUBLE) AS lp
+      |  FROM ks
+      |  JOIN lnf f1 ON f1.m = ks.r1
+      |  JOIN lnf f2 ON f2.m = ks.r2
+      |  JOIN lnf f3 ON f3.m = ks.c1
+      |  JOIN lnf f4 ON f4.m = ks.c2
+      |  JOIN lnf fn ON fn.m = ks.n
+      |  JOIN lnf fk ON fk.m = ks.k
+      |  JOIN lnf fa ON fa.m = ks.r1 - ks.k
+      |  JOIN lnf fb ON fb.m = ks.c1 - ks.k
+      |  JOIN lnf fc ON fc.m = ks.r2 - ks.c1 + ks.k),
+      |p AS (SELECT *,
+      |    CAST(CAST(exp(lp) AS DECIMAL(28,6)) AS DOUBLE) AS pmf
+      |  FROM j),
+      |o AS (SELECT *, MAX(CASE WHEN k = a THEN pmf END) OVER ()
+      |    AS obs FROM p)
+      |SELECT n, a, r1, c1,
+      |  MAX(CASE WHEN k = a THEN pmf END) AS pmf_observed,
+      |  CAST(CAST(CAST(SUM(CASE WHEN pmf <= obs THEN
+      |      CAST(pmf AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS p_two_sided,
+      |  CAST(CAST(CAST(CAST(SUM(CASE WHEN pmf <= obs THEN
+      |      CAST(pmf AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) <= 0.05 AS INT) AS significant
+      |FROM o GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // q399: smoothed target encoding (Stats.targetEncode) of order
+  // priority against the order value in cents (m = 100 pseudo-count
+  // prior) — the categorical feature-prep table a tabular trainer
+  // joins back before fitting. Oracle replays the exact decimal sums
+  // and the two-d6 shrinkage chain.
+  def q399TargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.pipeline.Stats.targetEncode(o, "o_orderpriority", "cents",
+      m = 100.0)
+  }
+
+  val q399Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS c,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      |  FROM orders),
+      |pc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(y AS HUGEINT)) AS sy
+      |  FROM o GROUP BY 1),
+      |g AS (SELECT CAST(CAST(CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS gmean FROM o)
+      |SELECT c AS o_orderpriority, n,
+      |  CAST(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS raw_mean,
+      |  gmean AS global_mean,
+      |  CAST(CAST((CAST(sy AS DOUBLE) + 100.0 * gmean) /
+      |    (CAST(n AS DOUBLE) + 100.0) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS encoded
+      |FROM pc CROSS JOIN g""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q395_log_rank" -> (q395LogRank _),
+    "q396_jarque_bera" -> (q396JarqueBera _),
+    "q397_rmst" -> (q397Rmst _),
+    "q398_fisher_exact" -> (q398FisherExact _),
+    "q399_target_encode" -> (q399TargetEncode _),
     "q393_cox_ph" -> (q393CoxPh _),
     "q392_platt" -> (q392Platt _),
     "q389_ols2" -> (q389Ols2 _),
@@ -4634,6 +4928,11 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q395_log_rank" -> q395Sql,
+    "q396_jarque_bera" -> q396Sql,
+    "q397_rmst" -> q397Sql,
+    "q398_fisher_exact" -> q398Sql,
+    "q399_target_encode" -> q399Sql,
     "q393_cox_ph" -> q393Sql,
     "q392_platt" -> q392Sql,
     "q389_ols2" -> q389Sql,

@@ -1020,4 +1020,145 @@ class StatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not 0/1"), e.getMessage)
   }
+
+  test("logRank: hand-computed two-group case; mirrored groups score " +
+    "chi2 = 0; bad group flag is loud") {
+    // g0: (1,ev),(2,ev),(3,cens); g1: (1,ev),(3,ev),(4,cens) —
+    // t=1: E1 = 2·3/6 = 1, V = 2·¼·⅘ = .4; t=2: E1 = .5, V = .25;
+    // t=3: E1 = ⅔, V = 2/9 → O1 = 2, E1 = 2.166667, V = .872222
+    val df = Seq((1L, 1, 0), (2L, 1, 0), (3L, 0, 0),
+      (1L, 1, 1), (3L, 1, 1), (4L, 0, 1)).toDF("t", "d", "g")
+    val r = Stats.logRank(df, "t", "d", "g").collect().head
+    assert(r.getAs[Long]("n_events_g1") == 2L)
+    assert(math.abs(r.getAs[Double]("expected_g1") - 2.166667) < 1e-6)
+    assert(math.abs(r.getAs[Double]("variance") - 0.872222) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z") - -0.178457) < 1e-4)
+    assert(r.getAs[Int]("significant") == 0)
+    // mirrored groups: identical curves → O1 = E1 exactly, chi2 = 0
+    val mir = Seq((1L, 1, 0), (2L, 0, 0), (1L, 1, 1), (2L, 0, 1))
+      .toDF("t", "d", "g")
+    val rm = Stats.logRank(mir, "t", "d", "g").collect().head
+    assert(rm.getAs[Double]("z") == 0.0)
+    assert(rm.getAs[Double]("chi2") == 0.0)
+    val e = intercept[Exception] {
+      Stats.logRank(Seq((1L, 1, 2)).toDF("t", "d", "g"),
+        "t", "d", "g").collect()
+    }
+    assert(e.getMessage.contains("not 0/1"), e.getMessage)
+  }
+
+  test("jarqueBera: hand moments on {1,2,3}; constant series answers " +
+    "NULL; a planted outlier rejects normality") {
+    // n=3: M2 = 6, M3 = 0, M4 = 54 → skew 0, kurt 1.5,
+    // JB = .5·(2.25/4) = 0.28125
+    val df = Seq(("k", 1L), ("k", 2L), ("k", 3L)).toDF("k", "x")
+    val r = Stats.jarqueBera(df, "k", "x").collect().head
+    assert(r.getAs[Long]("n_obs") == 3L)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("skewness") == 0.0)
+    assert(r.getAs[Double]("kurtosis") == 1.5)
+    assert(r.getAs[Double]("jb") == 0.28125)
+    assert(r.getAs[Int]("rejected") == 0)
+    val const = (1 to 10).map(_ => ("c", 5L)).toDF("k", "x")
+    val rc = Stats.jarqueBera(const, "k", "x").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("skewness")))
+    assert(rc.isNullAt(rc.fieldIndex("jb")))
+    assert(rc.getAs[Int]("rejected") == 0)
+    // 50 zeros + one 100: skew ≈ 6.93 → JB far past 5.99
+    val out = ((1 to 50).map(_ => ("o", 0L)) :+ (("o", 100L)))
+      .toDF("k", "x")
+    val ro = Stats.jarqueBera(out, "k", "x").collect().head
+    assert(ro.getAs[Double]("skewness") > 6.0)
+    assert(ro.getAs[Double]("jb") > 100.0)
+    assert(ro.getAs[Int]("rejected") == 1)
+  }
+
+  test("rmst: hand step areas; horizon below the first event time " +
+    "answers tau; censoring-only tail holds the curve") {
+    // (2,ev),(5,cens): S = 1 on [0,2), .5 on [2,10) →
+    // rmst(10) = 2 + .5·3 + .5·5 = 6
+    val df = Seq((2L, 1), (5L, 0)).toDF("t", "d")
+    val r = Stats.rmst(df, "t", "d", tau = 10L).collect().head
+    assert(r.getAs[Long]("tau") == 10L)
+    assert(r.getAs[Double]("rmst") == 6.0)
+    // horizon cuts inside the second segment: 2 + .5·(4−2) = 3
+    val r4 = Stats.rmst(df, "t", "d", tau = 4L).collect().head
+    assert(r4.getAs[Double]("rmst") == 3.0)
+    // every event at/after the horizon → S = 1 throughout, rmst = tau
+    val r1 = Stats.rmst(df, "t", "d", tau = 2L).collect().head
+    assert(r1.getAs[Double]("rmst") == 2.0)
+    val e = intercept[IllegalArgumentException] {
+      Stats.rmst(df, "t", "d", tau = 0L)
+    }
+    assert(e.getMessage.contains("tau"), e.getMessage)
+  }
+
+  test("targetEncode: shrinkage pulls a rare category toward the " +
+    "global mean; m = 0 degenerates to the raw mean") {
+    // a: {10,20}, b: {40} → global mean 70/3 = 23.333333;
+    // m=1: enc_a = (30+23.333333)/3 = 17.777778,
+    //      enc_b = (40+23.333333)/2 = 31.666667
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 40L)).toDF("c", "y")
+    val out = Stats.targetEncode(df, "c", "y", m = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n") == 2L)
+    assert(out("a").getAs[Double]("raw_mean") == 15.0)
+    assert(math.abs(out("a").getAs[Double]("global_mean")
+      - 23.333333) < 1e-9)
+    assert(math.abs(out("a").getAs[Double]("encoded")
+      - 17.777778) < 1e-9)
+    // (40+23.333333)/2 = 31.6666665 sits on a decimal half whose
+    // DOUBLE is a hair below it → d6 rounds to 31.666666 (both
+    // engines see the identical double, so the oracle agrees)
+    assert(math.abs(out("b").getAs[Double]("encoded")
+      - 31.666666) < 1e-9)
+    // rare category sits closer to the global mean than its raw mean
+    assert(math.abs(out("b").getAs[Double]("encoded") - 23.333333) <
+      math.abs(out("b").getAs[Double]("raw_mean") - 23.333333))
+    val raw = Stats.targetEncode(df, "c", "y", m = 0.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(raw("a").getAs[Double]("encoded") == 15.0)
+    assert(raw("b").getAs[Double]("encoded") == 40.0)
+    val e = intercept[IllegalArgumentException] {
+      Stats.targetEncode(df, "c", "y", m = -1.0)
+    }
+    assert(e.getMessage.contains("smoothing"), e.getMessage)
+  }
+
+  test("fisherExact: the tea-tasting table earns p = 0.485714; " +
+    "independent margins answer p = 1; n past maxN and bad flags " +
+    "are loud") {
+    // margins 4/4 over n = 8, a = 3: pmf = {1,16,36,16,1}/70 →
+    // two-sided p = (16+1+16+1)/70 = 0.485714 (d6-quantized pmfs)
+    val tea = (Seq.fill(3)((1, 1)) ++ Seq.fill(1)((1, 0)) ++
+      Seq.fill(1)((0, 1)) ++ Seq.fill(3)((0, 0))).toDF("g", "y")
+    val r = Stats.fisherExact(tea, "g", "y").collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Long]("a") == 3L)
+    assert(r.getAs[Long]("r1") == 4L && r.getAs[Long]("c1") == 4L)
+    assert(math.abs(r.getAs[Double]("pmf_observed") - 0.228571) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p_two_sided") - 0.485714) < 2e-6)
+    assert(r.getAs[Int]("significant") == 0)
+    // a perfectly association-free table: every k is as likely or
+    // likelier than the balanced observed cell → p = 1 (within d6)
+    val flat = (Seq.fill(2)((1, 1)) ++ Seq.fill(2)((1, 0)) ++
+      Seq.fill(2)((0, 1)) ++ Seq.fill(2)((0, 0))).toDF("g", "y")
+    val rf = Stats.fisherExact(flat, "g", "y").collect().head
+    assert(math.abs(rf.getAs[Double]("p_two_sided") - 1.0) < 1e-5)
+    // a strongly diagonal table IS significant
+    val diag = (Seq.fill(8)((1, 1)) ++ Seq.fill(8)((0, 0)))
+      .toDF("g", "y")
+    val rd = Stats.fisherExact(diag, "g", "y").collect().head
+    assert(rd.getAs[Double]("p_two_sided") < 0.001)
+    assert(rd.getAs[Int]("significant") == 1)
+    val loud = intercept[Exception] {
+      Stats.fisherExact((1 to 20).map(i => (i % 2, i % 3 % 2))
+        .toDF("g", "y"), "g", "y", maxN = 10L).collect()
+    }
+    assert(loud.getMessage.contains("exceeds maxN"), loud.getMessage)
+    val bad = intercept[Exception] {
+      Stats.fisherExact(Seq((2, 1)).toDF("g", "y"), "g", "y").collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
 }
