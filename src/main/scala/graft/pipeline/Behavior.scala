@@ -787,4 +787,69 @@ object Behavior {
         when(col("_g_acc.s0") >= col("_g_acc.s1"), col("_g_acc.p0"))
           .otherwise(col("_g_acc.p1")).as("path"))
   }
+
+  /** Ordered-pair sequential support (the length-2 core of
+    * PrefixSpan, Pei 2001): for every ordered pair of distinct event
+    * types (a, b), how many users exhibit "some a happens strictly
+    * before some b"? [[transitions]] counts ADJACENT bigrams weighted
+    * by occurrence; this counts each user ONCE per pattern regardless
+    * of how often or how far apart — the sequence-mining support
+    * notion ("30% of users browse before they purchase"), robust to
+    * chatty users dominating the edge weights.
+    *
+    * Existence is a min/max fact: user u supports (a, b) iff
+    * min_ts(u, a) < max_ts(u, b) — no pairwise event scan. Ties at
+    * the same timestamp do NOT count (strictly before).
+    *
+    * Determinism: counts are exact longs; support closes in one d6
+    * over users-supporting / total-users. Scale shape: one
+    * (user, type) aggregate (map-side combine), a per-user self-join
+    * whose blow-up is bounded by the per-user distinct-type count —
+    * audited IN-PLAN against maxTypesPerUser (default 64, loud
+    * raise_error; event vocabularies are small by contract, this
+    * catches a mis-keyed column before it cross-products), then a
+    * (a, b)-keyed count. Total users ride a 1-row broadcast.
+    */
+  def orderedPairSupport(
+      events: DataFrame,
+      keyCol: String,
+      typeCol: String,
+      tsCol: String,
+      maxTypesPerUser: Int = 64): DataFrame = {
+    require(maxTypesPerUser >= 2 && maxTypesPerUser <= 4096,
+      s"maxTypesPerUser in [2,4096], got $maxTypesPerUser")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val perUT = events.groupBy(col(keyCol).as("_u"),
+        col(typeCol).as("_t"))
+      .agg(min(col(tsCol)).as("_mn"), max(col(tsCol)).as("_mx"))
+    val wU = Window.partitionBy(col("_u"))
+    // guard embedded in the USED _mn column (a side column Catalyst
+    // would prune away) — the stationaryDistribution discipline
+    val mnType = perUT.schema("_mn").dataType
+    val audited = perUT
+      .withColumn("_k", count(lit(1)).over(wU))
+      .select(col("_u"), col("_t"), col("_mx"),
+        when(col("_k") <= maxTypesPerUser, col("_mn"))
+          .otherwise(raise_error(concat(
+            lit("orderedPairSupport: user "), col("_u").cast("string"),
+            lit(" has "), col("_k").cast("string"),
+            lit(s" distinct types > maxTypesPerUser=$maxTypesPerUser")))
+            .cast(mnType)).as("_mn"))
+    val a = audited.select(col("_u"), col("_t").as("type_a"),
+      col("_mn").as("_amn"))
+    val b = audited.select(col("_u"), col("_t").as("type_b"),
+      col("_mx").as("_bmx"))
+    val supported = a.join(b, Seq("_u"))
+      .filter(col("type_a") =!= col("type_b") &&
+        col("_amn") < col("_bmx"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+    val total = events.agg(
+      countDistinct(col(keyCol)).as("_n_total"))
+    supported.crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        col("_n_total").as("n_users_total"),
+        d6(col("n_users").cast("double") /
+          col("_n_total").cast("double")).as("support"))
+  }
 }

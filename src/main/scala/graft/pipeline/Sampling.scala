@@ -831,4 +831,61 @@ object Sampling {
     df.withColumn("fold",
       (portableHash(col(groupCol), salt) % k.toLong).cast("long"))
   }
+
+  /** Neyman optimal allocation (Neyman 1934) — how to SPLIT a fixed
+    * labeling/sampling budget across strata so the stratified mean's
+    * variance is minimal: nₕ ∝ Nₕ·Sₕ (big AND internally-varied
+    * strata earn more samples). The planning table an eval-set or
+    * annotation budget is built from, and the design-side complement
+    * of [[fixedSizeStratifiedSample]] (which executes a given
+    * per-stratum quota).
+    *
+    * Determinism: per-stratum sufficient sums are exact decimal; the
+    * cleared variance Mₕ = NₕΣx²−(Σx)² stays exact; Sₕ = √(Mₕ/(Nₕ(Nₕ−1)))
+    * uses IEEE-exact sqrt over a d6 input; the weight NₕSₕ, its share
+    * and the floor(budget·share) allocation are each one fixed d6 /
+    * integer step. Single-row strata and zero-variance strata carry
+    * weight 0 (no spread to sample for — documented; seed them
+    * manually if coverage matters). All-degenerate input answers NULL
+    * shares. Floor rounding under-spends by < k samples by design
+    * (largest-remainder seat-filling is a POLICY choice left to the
+    * caller; the report carries the exact d6 share to do it with).
+    *
+    * Scale shape: ONE keyed aggregate (map-side combine) → k-row
+    * frame + a 1-row broadcast total.
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      xCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0L, s"budget must be positive, got $budget")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val per = df.groupBy(col(stratumCol).cast("string").as("_h"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(dec(x)).as("_s1"), sum(dec(x) * dec(x)).as("_s2"))
+      .withColumn("_m",
+        (dec(col("n_pop")) * col("_s2") - col("_s1") * col("_s1"))
+          .cast("double"))
+      .withColumn("sd",
+        when(col("n_pop") >= 2L && col("_m") > 0.0,
+          d6(sqrt(d6(col("_m") /
+            (col("n_pop") * (col("n_pop") - 1L)).cast("double")))))
+          .otherwise(lit(0.0)))
+      .withColumn("_w", d28(d6(col("n_pop").cast("double") * col("sd"))))
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("_wsum", sum(col("_w")).over(wAll).cast("double"))
+      .select(col("_h").as(stratumCol), col("n_pop"), col("sd"),
+        when(col("_wsum") > 0.0,
+          d6(col("_w").cast("double") / col("_wsum"))).as("share"))
+      .withColumn("n_alloc",
+        when(col("share").isNotNull,
+          floor(lit(budget.toDouble) * col("share")).cast("long"))
+          .otherwise(lit(0L)))
+  }
 }

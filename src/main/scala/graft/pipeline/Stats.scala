@@ -3547,6 +3547,121 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** Two-sample Poisson rate comparison per key (the conditional
+    * binomial "C-test", Przyborowski & Wilenski 1940): did the event
+    * RATE change between two exposure windows? Conditioned on the
+    * total count n = x₀+x₁, x₁ ~ Binomial(n, t₁/(t₀+t₁)) under equal
+    * rates — the test reduces to a one-sample binomial z against the
+    * exposure share, sidestepping any rate nuisance parameter. The
+    * incident-response question ("did this error type spike after the
+    * deploy?") asked properly when counts are small-to-moderate.
+    *
+    * Exposures are caller-supplied integer window lengths (same unit
+    * both sides). Determinism: counts are exact longs, p = t₁/(t₀+t₁)
+    * is one double division both engines share, and z closes in ONE
+    * d6 over the fixed (x₁−n·p)/√(n·p·(1−p)) chain. n = 0 answers
+    * NULL z. Normal approximation — document the n ≳ 20 regime;
+    * below that use [[fisherExact]] on the 2×2 against exposure.
+    *
+    * Scale shape: ONE keyed aggregate (map-side combine) → k-row
+    * scalar arithmetic.
+    */
+  def poissonRateTest(
+      df: DataFrame,
+      keyCol: String,
+      armCol: String,
+      exposure0: Long,
+      exposure1: Long): DataFrame = {
+    require(exposure0 > 0L && exposure1 > 0L,
+      s"exposures must be positive, got ($exposure0, $exposure1)")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("poissonRateTest: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val p = exposure1.toDouble / (exposure0 + exposure1).toDouble
+    val agg = df.select(col(keyCol).as("_k"), arm.as("_a"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("n"), sum(col("_a")).as("x1"))
+      .withColumn("x0", col("n") - col("x1"))
+    agg.select(col("_k").as(keyCol), col("x0"), col("x1"),
+      d6(col("x0").cast("double") / lit(exposure0.toDouble))
+        .as("rate0"),
+      d6(col("x1").cast("double") / lit(exposure1.toDouble))
+        .as("rate1"),
+      when(col("n") > 0L,
+        d6((col("x1").cast("double") - col("n").cast("double") * lit(p))
+          / sqrt(col("n").cast("double") * lit(p) * lit(1.0 - p))))
+        .as("z"))
+      .withColumn("significant",
+        when(col("z").isNotNull, (abs(col("z")) >= 1.959964).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Bartlett's test of variance homogeneity across k groups
+    * (Bartlett 1937) — the normal-theory sibling of [[brownForsythe]]:
+    * more powerful when the metric really is normal, famously fragile
+    * when it isn't (run [[jarqueBera]] first — that's the documented
+    * pairing). T = [(N−k)·ln s²_p − Σ(nᵢ−1)·ln s²ᵢ] / C against
+    * χ²(k−1) from the shared 95% literal table.
+    *
+    * Determinism: per-group sufficient sums are exact decimal; the
+    * cleared central form Mᵢ = nᵢΣx² − (Σx)² stays exact; s²ᵢ and the
+    * pooled numerator terms Mᵢ/nᵢ each close in one d6 before decimal
+    * sums; every ln lands in its own d6 (libm-ulp absorption); the
+    * Bartlett correction C and T close the fixed staged chain. Any
+    * group with nᵢ < 2 fails loudly in-plan; a zero-variance group
+    * answers NULL T (ln 0 undefined — variance-equality is already
+    * falsified by inspection there).
+    *
+    * Scale shape: ONE keyed aggregate → k-row frame → 1-row rollup.
+    */
+  def bartlett(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val per = df.groupBy(col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(dec(x)).as("_s1"), sum(dec(x) * dec(x)).as("_s2"))
+      .select(col("_g"),
+        when(col("_n") >= 2L, col("_n"))
+          .otherwise(raise_error(concat(
+            lit("bartlett: group "), col("_g"),
+            lit(" has fewer than 2 rows"))).cast("long")).as("_n"),
+        (dec(col("_n")) * col("_s2") - col("_s1") * col("_s1"))
+          .cast("double").as("_m"))
+    // s²ᵢ = Mᵢ/(nᵢ(nᵢ−1)); pooled numerator term = Mᵢ/nᵢ = (nᵢ−1)s²ᵢ
+    val vi = d6(col("_m") /
+      (col("_n") * (col("_n") - 1L)).cast("double"))
+    val staged = per.select(col("_n"), col("_m"), vi.as("_vi"),
+      d28(d6(col("_m") / col("_n").cast("double"))).as("_pool"),
+      d28(d6(lit(1.0) / (col("_n") - 1L).cast("double"))).as("_inv"))
+    val roll = staged.agg(count(lit(1)).as("k"),
+      sum(col("_n")).as("n_total"),
+      sum(col("_pool")).as("_poolsum"),
+      sum(col("_inv")).as("_invsum"),
+      sum(when(col("_vi") > 0.0,
+        d28(d6((col("_n") - 1L).cast("double") *
+          d6(log(col("_vi")))))).otherwise(lit(null)
+        .cast("decimal(28,6)"))).as("_lnsum"),
+      sum((col("_vi") <= 0.0).cast("long")).as("_degenerate"))
+    val nk = (col("n_total") - col("k")).cast("double")
+    val sp2 = d6(col("_poolsum").cast("double") / nk)
+    val tRaw = when(col("k") >= 2L && col("_degenerate") === 0L,
+      d6((nk * d6(log(sp2)) - col("_lnsum").cast("double")) /
+        d6(lit(1.0) + (col("_invsum").cast("double") - lit(1.0) / nk) /
+          (lit(3.0) * (col("k") - 1L).cast("double")))))
+    roll.select(col("k"), col("n_total"), sp2.as("pooled_var"),
+      tRaw.as("t_stat"))
+      .withColumn("significant",
+        when(col("t_stat").isNotNull,
+          (col("t_stat") >= chiSq95Col(col("k") - 1L)).cast("int")))
+  }
+
   /** Fisher's exact test on a 2×2 contingency table (Fisher 1935) —
     * the SMALL-SAMPLE independence test the asymptotic battery
     * ([[srmCheck]]'s χ², the G² keyness, the q369 odds ratio's normal

@@ -4724,6 +4724,153 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS rmst
       |FROM a""".stripMargin
 
+  // q400: two-sample Poisson rate test (Stats.poissonRateTest) per
+  // event type — first fixture half vs second (equal exposures by
+  // construction, p = 1/2), the "did this event type's RATE change?"
+  // readout. Oracle replays the midpoint split and the one-d6 z chain.
+  def q400PoissonRate(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val mm = evt.agg(min(us).as("_mn"), max(us).as("_mx"))
+    val flagged = evt.crossJoin(broadcast(mm))
+      .select(col("event_type"),
+        ((us * 2L) >= (col("_mn") + col("_mx"))).cast("int").as("arm"))
+    graft.pipeline.Stats.poissonRateTest(flagged, "event_type", "arm",
+      exposure0 = 1L, exposure1 = 1L)
+  }
+
+  val q400Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |mm AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+      |f AS (SELECT event_type,
+      |    CASE WHEN us * 2 >= mn + mx THEN 1 ELSE 0 END AS a
+      |  FROM e CROSS JOIN mm),
+      |ag AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(a) AS BIGINT) AS x1 FROM f GROUP BY 1)
+      |SELECT event_type, CAST(n - x1 AS BIGINT) AS x0, x1,
+      |  CAST(CAST(CAST(n - x1 AS DOUBLE) / 1.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS rate0,
+      |  CAST(CAST(CAST(x1 AS DOUBLE) / 1.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS rate1,
+      |  CASE WHEN n > 0 THEN
+      |    CAST(CAST((CAST(x1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.5) /
+      |      sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS z,
+      |  CASE WHEN n > 0 THEN
+      |    CAST(abs(CAST(CAST((CAST(x1 AS DOUBLE) -
+      |      CAST(n AS DOUBLE) * 0.5) /
+      |      sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5) AS DECIMAL(28,6))
+      |      AS DOUBLE)) >= 1.959964 AS INT) ELSE 0 END AS significant
+      |FROM ag""".stripMargin
+
+  // q403: Bartlett's variance-homogeneity test (Stats.bartlett) of
+  // document length across languages — the normal-theory partner of
+  // q354's Brown–Forsythe (and q396's Jarque–Bera is the validity
+  // pre-flight). Oracle replays the cleared variances, the d6-per-ln
+  // terms and the staged correction chain.
+  def q403Bartlett(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.bartlett(t(s, dir, "documents"), "lang",
+      "n_chars")
+
+  val q403Sql: String = {
+    """WITH per AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
+      |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+      |      AS s2
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT lang, n,
+      |    CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE) AS mm
+      |  FROM per),
+      |vi AS (SELECT lang, n, mm,
+      |    CAST(CAST(mm / CAST(n * (n - 1) AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS v
+      |  FROM m),
+      |st AS (SELECT n, v,
+      |    CAST(CAST(CAST(mm / CAST(n AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS DECIMAL(28,6)) AS pool,
+      |    CAST(CAST(CAST(1.0 / CAST(n - 1 AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS DECIMAL(28,6)) AS inv
+      |  FROM vi),
+      |roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(SUM(n) AS BIGINT) AS n_total,
+      |    SUM(pool) AS poolsum, SUM(inv) AS invsum,
+      |    SUM(CASE WHEN v > 0 THEN
+      |      CAST(CAST(CAST(CAST(n - 1 AS DOUBLE) *
+      |        CAST(CAST(ln(v) AS DECIMAL(28,6)) AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)) END)
+      |      AS lnsum,
+      |    CAST(SUM(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS degen
+      |  FROM st),
+      |sp AS (SELECT *,
+      |    CAST(n_total - k AS DOUBLE) AS nk,
+      |    CAST(CAST(CAST(poolsum AS DOUBLE) /
+      |      CAST(n_total - k AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS sp2
+      |  FROM roll),
+      |tt AS (SELECT k, n_total, sp2,
+      |    CASE WHEN k >= 2 AND degen = 0 THEN
+      |      CAST(CAST((nk * CAST(CAST(ln(sp2) AS DECIMAL(28,6))
+      |          AS DOUBLE) - CAST(lnsum AS DOUBLE)) /
+      |        CAST(CAST(1.0 + (CAST(invsum AS DOUBLE) - 1.0 / nk) /
+      |          (3.0 * CAST(k - 1 AS DOUBLE)) AS DECIMAL(28,6))
+      |          AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END AS t_stat
+      |  FROM sp)
+      |SELECT k, n_total, sp2 AS pooled_var, t_stat,
+      |  CASE WHEN t_stat IS NOT NULL THEN
+      |    CAST(t_stat >= CHI95 AS INT) END AS significant
+      |FROM tt""".replace("CHI95", chiCase("k - 1")).stripMargin
+  }
+
+  // q404: Neyman optimal allocation (Sampling.neymanAllocation) of a
+  // 10k-row sampling budget across return-flag strata on the price
+  // metric — the annotation-budget planning table. Oracle replays the
+  // cleared variances, IEEE sqrt, the d6 share and the floor.
+  def q404Neyman(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    graft.pipeline.Sampling.neymanAllocation(li, "l_returnflag",
+      "cents", budget = 10000L)
+  }
+
+  val q404Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag AS h,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+      |  FROM lineitem),
+      |per AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_pop,
+      |    SUM(CAST(x AS HUGEINT)) AS s1,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2
+      |  FROM li GROUP BY 1),
+      |m AS (SELECT h, n_pop,
+      |    CAST(CAST(n_pop AS HUGEINT) * s2 - s1 * s1 AS DOUBLE) AS mm
+      |  FROM per),
+      |sd AS (SELECT h, n_pop,
+      |    CASE WHEN n_pop >= 2 AND mm > 0 THEN
+      |      CAST(CAST(sqrt(CAST(CAST(mm /
+      |        CAST(n_pop * (n_pop - 1) AS DOUBLE) AS DECIMAL(28,6))
+      |        AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      ELSE 0.0 END AS sd
+      |  FROM m),
+      |w AS (SELECT h, n_pop, sd,
+      |    CAST(CAST(CAST(CAST(n_pop AS DOUBLE) * sd AS DECIMAL(28,6))
+      |      AS DOUBLE) AS DECIMAL(28,6)) AS wt
+      |  FROM sd),
+      |tw AS (SELECT *, CAST(SUM(wt) OVER () AS DOUBLE) AS wsum FROM w)
+      |SELECT h AS l_returnflag, n_pop, sd,
+      |  CASE WHEN wsum > 0 THEN
+      |    CAST(CAST(CAST(wt AS DOUBLE) / wsum AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS share,
+      |  CASE WHEN wsum > 0 THEN
+      |    CAST(floor(10000.0 * CAST(CAST(CAST(wt AS DOUBLE) / wsum
+      |      AS DECIMAL(28,6)) AS DOUBLE)) AS BIGINT)
+      |    ELSE 0 END AS n_alloc
+      |FROM tw""".stripMargin
+
   // q398: Fisher's exact test (Stats.fisherExact) on a guard-bounded
   // order slice — finished status × top priority, the small-sample
   // exact companion to q369's odds ratio / q370's G². Oracle replays
@@ -4828,6 +4975,9 @@ object Analytics {
     "q396_jarque_bera" -> (q396JarqueBera _),
     "q397_rmst" -> (q397Rmst _),
     "q398_fisher_exact" -> (q398FisherExact _),
+    "q400_poisson_rate" -> (q400PoissonRate _),
+    "q403_bartlett" -> (q403Bartlett _),
+    "q404_neyman" -> (q404Neyman _),
     "q399_target_encode" -> (q399TargetEncode _),
     "q393_cox_ph" -> (q393CoxPh _),
     "q392_platt" -> (q392Platt _),
@@ -4932,6 +5082,9 @@ object Analytics {
     "q396_jarque_bera" -> q396Sql,
     "q397_rmst" -> q397Sql,
     "q398_fisher_exact" -> q398Sql,
+    "q400_poisson_rate" -> q400Sql,
+    "q403_bartlett" -> q403Sql,
+    "q404_neyman" -> q404Sql,
     "q399_target_encode" -> q399Sql,
     "q393_cox_ph" -> q393Sql,
     "q392_platt" -> q392Sql,

@@ -190,6 +190,82 @@ object Corpus {
       |    END) AS DOUBLE) / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS oov_rate
       |FROM tk2 GROUP BY doc_id""".stripMargin
 
+  // q401: Katz centrality over the q128 transition graph — 10 rounds
+  // of c' = 1 + 0.5·Pᵀc on the normalized transition matrix; the
+  // walk-counting influence rank beside PageRank's stationary mass.
+  // Same oracle discipline as q128 (recursive-CTE iteration, d6 at
+  // output, every fixture node has in-edges so the plain recursive
+  // arm covers the universe; the no-in-edge β-hold semantics are
+  // pinned in GraphCoreSpec).
+  def q401Katz(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"))
+    val edges = Behavior.transitions(ev, "user_id", "event_type",
+      "ts_us", tieCol = "event_id")
+    Graph.katz(edges, "from_type", "to_type", "n_transitions",
+        iters = 10, alpha = 0.5, beta = 1.0)
+      .select(col("node"), d6(col("katz")).as("katz"))
+  }
+
+  val q401Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |seq AS (SELECT event_type AS from_type,
+      |          lead(event_type) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id) AS to_type
+      |        FROM e),
+      |ed AS (SELECT from_type, to_type, count(*) AS n FROM seq
+      |       WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |w AS (SELECT from_type, to_type,
+      |        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+      |          AS p
+      |      FROM ed),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |            SELECT from_type AS node FROM ed
+      |            UNION ALL SELECT to_type FROM ed)),
+      |ranks AS (
+      |  -- the anchor MUST be typed DOUBLE: a bare 1.0 is DECIMAL(2,1)
+      |  -- and the union coerces every round's score to scale 1
+      |  SELECT 0 AS it, node, CAST(1.0 AS DOUBLE) AS score FROM nodes
+      |  UNION ALL
+      |  SELECT r.it + 1, w.to_type, 1.0 + 0.5 * sum(r.score * w.p)
+      |  FROM ranks r JOIN w ON w.from_type = r.node
+      |  WHERE r.it < 10
+      |  GROUP BY r.it, w.to_type)
+      |SELECT node, CAST(CAST(score AS DECIMAL(28,6)) AS DOUBLE) AS katz
+      |FROM ranks WHERE it = 10""".stripMargin
+
+  // q402: ordered-pair sequential support (Behavior.orderedPairSupport)
+  // — the length-2 PrefixSpan support table over user event streams:
+  // each user counts ONCE per "a strictly before b" pattern, the
+  // per-user-deduplicated complement of q103's occurrence-weighted
+  // adjacent transitions. Oracle replays the (user,type) min/max
+  // frame, the existence join and the one-d6 support.
+  def q402OrderedPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsUs(s, dir)
+    Behavior.orderedPairSupport(ev, "user_id", "event_type", "ts_us")
+  }
+
+  val q402Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |ut AS (SELECT user_id, event_type, MIN(us) AS mn, MAX(us) AS mx
+      |       FROM e GROUP BY 1, 2),
+      |sup AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type <> b.event_type AND a.mn < b.mx
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nt
+      |        FROM e)
+      |SELECT type_a, type_b, n_users, nt AS n_users_total,
+      |  CAST(CAST(CAST(n_users AS DOUBLE) / CAST(nt AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS support
+      |FROM sup CROSS JOIN tot""".stripMargin
+
   // q128: PageRank over the event-type transition graph (q103's edges),
   // 10 fixed power-iteration rounds, damping 0.85. The oracle rebuilds
   // the same iteration with a recursive CTE whose working table is the
@@ -5514,6 +5590,8 @@ object Corpus {
       |LIMIT 50""".stripMargin
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q401_katz" -> (q401Katz _),
+    "q402_ordered_pairs" -> (q402OrderedPairs _),
     "q388_skipgram_ppmi" -> (q388SkipgramPpmi _),
     "q384_lpa" -> (q384Lpa _),
     "q379_lz78" -> (q379Lz78 _),
@@ -5631,6 +5709,8 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q401_katz" -> q401Sql,
+    "q402_ordered_pairs" -> q402Sql,
     "q388_skipgram_ppmi" -> q388Sql,
     "q384_lpa" -> q384Sql,
     "q379_lz78" -> q379Sql,

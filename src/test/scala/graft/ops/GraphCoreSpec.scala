@@ -179,4 +179,29 @@ class GraphCoreSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(pairEven == Map("a" -> "a", "b" -> "b"))
   }
+
+  test("katz: two-node cycle converges geometrically toward beta/(1-alpha); " +
+    "a no-in-edge node holds exactly beta; negative weights are loud") {
+    import org.apache.spark.sql.functions.col
+    // a ⇄ b, p = 1 both ways: c_{i+1} = 1 + 0.5·c_i from c₀ = 1 →
+    // c_10 = 2 − 2^{-10}
+    val cyc = Seq(("a", "b", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.katz(cyc, "src", "dst", "w", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - (2.0 - math.pow(2.0, -10))) < 1e-12)
+    assert(out("a") == out("b"))
+    // a → b only: a has no in-edges → stays at beta = 1 every round;
+    // b settles at 1 + 0.5·1 = 1.5
+    val chain = Seq(("a", "b", 3L)).toDF("src", "dst", "w")
+    val oc = Graph.katz(chain, "src", "dst", "w", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(oc("a") == 1.0)
+    assert(oc("b") == 1.5)
+    val e = intercept[Exception] {
+      Graph.katz(Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 1).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+  }
 }

@@ -409,4 +409,30 @@ class BehaviorSpec extends SparkSpec {
     assert(e.getMessage.contains("exceeds maxStates"),
       s"unexpected: ${e.getMessage}")
   }
+
+  test("orderedPairSupport: existence counts once per user, ties do " +
+    "not count, repeats support both directions; type blow-up is loud") {
+    // u1: a@1 b@2 → (a,b); u2: b@1 a@2 → (b,a); u3: a@1 b@1 tie →
+    // neither; u4: a@1 a@5 b@3 → both directions
+    val ev = Seq((1L, "a", 1L), (1L, "b", 2L),
+      (2L, "b", 1L), (2L, "a", 2L),
+      (3L, "a", 1L), (3L, "b", 1L),
+      (4L, "a", 1L), (4L, "a", 5L), (4L, "b", 3L))
+      .toDF("u", "t", "ts")
+    val out = Behavior.orderedPairSupport(ev, "u", "t", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("b", "a")))
+    assert(out(("a", "b")).getAs[Long]("n_users") == 2L)
+    assert(out(("b", "a")).getAs[Long]("n_users") == 2L)
+    assert(out(("a", "b")).getAs[Long]("n_users_total") == 4L)
+    assert(out(("a", "b")).getAs[Double]("support") == 0.5)
+    val loud = intercept[Exception] {
+      Behavior.orderedPairSupport(
+        Seq((1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L))
+          .toDF("u", "t", "ts"),
+        "u", "t", "ts", maxTypesPerUser = 2).collect()
+    }
+    assert(loud.getMessage.contains("maxTypesPerUser"), loud.getMessage)
+  }
 }

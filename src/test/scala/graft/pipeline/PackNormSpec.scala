@@ -135,4 +135,34 @@ class PackNormSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("10"))
   }
+
+  test("neymanAllocation: allocation follows N_h*S_h; zero-variance " +
+    "strata get zero; floors under-spend by design") {
+    // A {0,10}: sd = sqrt(50) = 7.071068 → w 14.142136
+    // B {5,5}:  sd 0 → w 0
+    // C {0,20}: sd = sqrt(200) = 14.142136 → w 28.284272
+    // shares: 1/3, 0, 2/3; budget 300 → 99 / 0 / 200 (d6 + floor)
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L),
+      ("C", 0L), ("C", 20L)).toDF("h", "x")
+    val out = Sampling.neymanAllocation(df, "h", "x", budget = 300L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("A").getAs[Double]("sd") - 7.071068) < 1e-9)
+    assert(out("B").getAs[Double]("sd") == 0.0)
+    assert(math.abs(out("A").getAs[Double]("share") - 0.333333) < 1e-9)
+    assert(math.abs(out("C").getAs[Double]("share") - 0.666667) < 1e-9)
+    assert(out("A").getAs[Long]("n_alloc") == 99L)
+    assert(out("B").getAs[Long]("n_alloc") == 0L)
+    assert(out("C").getAs[Long]("n_alloc") == 200L)
+    assert(out.values.map(_.getAs[Long]("n_alloc")).sum <= 300L)
+    // all-degenerate input: shares NULL, allocations 0
+    val deg = Seq(("A", 5L), ("A", 5L)).toDF("h", "x")
+    val od = Sampling.neymanAllocation(deg, "h", "x", budget = 10L)
+      .collect().head
+    assert(od.isNullAt(od.fieldIndex("share")))
+    assert(od.getAs[Long]("n_alloc") == 0L)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.neymanAllocation(df, "h", "x", budget = 0L)
+    }
+    assert(e.getMessage.contains("budget"), e.getMessage)
+  }
 }

@@ -1161,4 +1161,60 @@ class StatsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
   }
+
+  test("poissonRateTest: equal per-exposure rates under unequal " +
+    "exposures score z = 0; a doubled second-half rate clears 1.96; " +
+    "bad arm flag is loud") {
+    // t0 = 3, t1 = 1 → p = 1/4; x0 = 30, x1 = 10 → rates equal,
+    // E[x1] = 10 exactly → z = 0
+    val eq = ((1 to 30).map(_ => ("k", 0)) ++
+      (1 to 10).map(_ => ("k", 1))).toDF("k", "a")
+    val r = Stats.poissonRateTest(eq, "k", "a", 3L, 1L)
+      .collect().head
+    assert(r.getAs[Long]("x0") == 30L && r.getAs[Long]("x1") == 10L)
+    assert(r.getAs[Double]("rate0") == 10.0)
+    assert(r.getAs[Double]("rate1") == 10.0)
+    assert(r.getAs[Double]("z") == 0.0)
+    assert(r.getAs[Int]("significant") == 0)
+    // equal exposures, 5 vs 25 events: z = 20/sqrt(7.5) = 3.651484
+    val spike = ((1 to 5).map(_ => ("k", 0)) ++
+      (1 to 25).map(_ => ("k", 1))).toDF("k", "a")
+    val rs = Stats.poissonRateTest(spike, "k", "a", 1L, 1L)
+      .collect().head
+    assert(math.abs(rs.getAs[Double]("z") - 3.651484) < 1e-6)
+    assert(rs.getAs[Int]("significant") == 1)
+    val e = intercept[Exception] {
+      Stats.poissonRateTest(Seq(("k", 7)).toDF("k", "a"),
+        "k", "a", 1L, 1L).collect()
+    }
+    assert(e.getMessage.contains("not 0/1"), e.getMessage)
+  }
+
+  test("bartlett: hand two-group case; a zero-variance group answers " +
+    "NULL; a 1-row group is loud") {
+    // {1,2,3} (s² = 1) vs {2,4,6} (s² = 4): sp² = 2.5,
+    // T = (4·ln2.5 − 2·ln4)/ (1 + (1 − 1/4)/3) = 0.892576/1.25
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 2L), ("g2", 4L), ("g2", 6L)).toDF("g", "x")
+    val r = Stats.bartlett(df, "g", "x").collect().head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("n_total") == 6L)
+    assert(r.getAs[Double]("pooled_var") == 2.5)
+    assert(math.abs(r.getAs[Double]("t_stat") - 0.714061) < 1e-5)
+    assert(r.getAs[Int]("significant") == 0)
+    // equal variances: T ≈ 0 and never significant
+    val same = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L))
+      .toDF("g", "x")
+    val req = Stats.bartlett(same, "g", "x").collect().head
+    assert(math.abs(req.getAs[Double]("t_stat")) < 1e-6)
+    val const = Seq(("a", 1L), ("a", 2L), ("b", 5L), ("b", 5L))
+      .toDF("g", "x")
+    val rc = Stats.bartlett(const, "g", "x").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("t_stat")))
+    val loud = intercept[Exception] {
+      Stats.bartlett(Seq(("a", 1L), ("a", 2L), ("b", 9L))
+        .toDF("g", "x"), "g", "x").collect()
+    }
+    assert(loud.getMessage.contains("fewer than 2"), loud.getMessage)
+  }
 }
