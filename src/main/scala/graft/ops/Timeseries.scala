@@ -1304,4 +1304,59 @@ object Timeseries {
         d6(col("dtw").cast("double") /
           (col("n_a") + col("n_b")).cast("double")))
   }
+
+  /** Gumbel extreme-value fit over block maxima (Gumbel 1958, method
+    * of moments) with return levels — the capacity-planning question
+    * asked properly: "what daily peak should we expect once a decade?"
+    * is an EXTREME-VALUE quantile, and extrapolating it from a mean
+    * and a p99 understates it badly; the Fisher–Tippett theorem says
+    * block maxima converge to a GEV, and the Gumbel member is the
+    * standard light-tailed default. β = s·√6/π, μ = m − γ·β,
+    * z_T = μ − β·ln(−ln(1 − 1/T)) for each return period T.
+    *
+    * Determinism: block-max sufficient sums are exact decimal; the
+    * sample sd takes IEEE-exact sqrt over a d6 input; √6, π and the
+    * Euler–Mascheroni γ are shared literals; each ln lands in a d6
+    * stage; μ, β and every return level close in one d6 each.
+    * Fewer than 2 blocks or zero spread answer NULL (no tail to fit).
+    *
+    * Scale shape: one block-keyed max aggregate (map-side combine) →
+    * ONE 1-row moment aggregate → return-period literals expand
+    * in-row. The block frame is time-scale bounded, not corpus bound.
+    */
+  def gumbelReturnLevels(
+      df: DataFrame,
+      blockCol: String,
+      xCol: String,
+      returnPeriods: Seq[Long] = Seq(10L, 100L)): DataFrame = {
+    require(returnPeriods.nonEmpty && returnPeriods.forall(_ >= 2L),
+      s"return periods must all be >= 2, got $returnPeriods")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val maxima = df.groupBy(col(blockCol).as("_b"))
+      .agg(max(col(xCol).cast("long")).as("_m"))
+    val agg = maxima.agg(count(lit(1)).as("n_blocks"),
+      sum(dec(col("_m"))).as("_s1"),
+      sum(dec(col("_m")) * dec(col("_m"))).as("_s2"))
+    val cl = (dec(col("n_blocks")) * col("_s2") -
+      col("_s1") * col("_s1")).cast("double")
+    val sd = d6(sqrt(d6(cl /
+      (col("n_blocks") * (col("n_blocks") - 1L)).cast("double"))))
+    val mean = d6(col("_s1").cast("double") /
+      col("n_blocks").cast("double"))
+    val ok = col("n_blocks") >= 2L && cl > 0.0
+    val withParams = agg.select(col("n_blocks"),
+      when(ok, mean).as("mean_max"),
+      when(ok, d6(sd * sqrt(lit(6.0)) / lit(math.Pi))).as("beta"))
+      .withColumn("mu",
+        when(col("beta").isNotNull,
+          d6(col("mean_max") - lit(0.5772156649) * col("beta"))))
+    returnPeriods.foldLeft(withParams) { (acc, t) =>
+      val p = 1.0 - 1.0 / t.toDouble
+      acc.withColumn(s"rl_$t",
+        when(col("beta").isNotNull,
+          d6(col("mu") - col("beta") *
+            d6(log(-d6(log(lit(p))))))))
+    }
+  }
 }

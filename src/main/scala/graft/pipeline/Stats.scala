@@ -3547,6 +3547,160 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** OLS influence diagnostics for a simple regression y ~ a + b·x
+    * (Cook 1977): per-point leverage hᵢ, residual, and Cook's
+    * distance Dᵢ = rᵢ²·hᵢ / (2·MSE·(1−hᵢ)²) — "which days/points is
+    * this trend line actually standing on?", the audit run before
+    * trusting any fitted slope ([[ols2]], [[theilSen]]) on a frame
+    * with possible anomalies. Flags Dᵢ > 4/n (the standard screening
+    * cut).
+    *
+    * Determinism: sufficient sums are exact decimal; leverage's
+    * numerator (n·xᵢ−Sx)² and denominator n·(nSxx−Sx²) stay exact
+    * decimal, h closes in one d6 over the fixed 1/n + num/den chain;
+    * b, a, residuals and MSE follow fixed double chains from the
+    * cleared decimals with one d6 each; D re-d6s from the d6'd r/h.
+    * SSE uses the closed form (cl_yy − cl_xy²/cl_xx)/n — no second
+    * data pass. n < 4 fails loudly in-plan; zero x-variance answers
+    * NULL diagnostics.
+    *
+    * Scale shape: ONE 1-row aggregate broadcast back over the frame —
+    * per-row arithmetic after that. Run it on BOUNDED frames (daily
+    * rollups, per-key aggregates), not raw events: the OUTPUT is
+    * row-per-input-point by construction.
+    */
+  def olsInfluence(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val base = df.select(x.as("_x"), y.as("_y"))
+    val agg = base.agg(count(lit(1)).as("_n"),
+      sum(dec(col("_x"))).as("_sx"), sum(dec(col("_y"))).as("_sy"),
+      sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+      sum(dec(col("_x")) * dec(col("_y"))).as("_sxy"),
+      sum(dec(col("_y")) * dec(col("_y"))).as("_syy"))
+      .select(when(col("_n") >= 4L, col("_n"))
+        .otherwise(raise_error(concat(lit("olsInfluence: n = "),
+          col("_n").cast("string"), lit(" < 4"))).cast("long")).as("_n"),
+        col("_sx"), col("_sy"),
+        (dec(col("_n")) * col("_sxx") - col("_sx") * col("_sx"))
+          .as("_clxx"),
+        (dec(col("_n")) * col("_sxy") - col("_sx") * col("_sy"))
+          .as("_clxy"),
+        (dec(col("_n")) * col("_syy") - col("_sy") * col("_sy"))
+          .as("_clyy"))
+    val j = base.crossJoin(broadcast(agg))
+    val nD = col("_n").cast("double")
+    val clxx = col("_clxx").cast("double")
+    val b = col("_clxy").cast("double") / clxx
+    val a = (col("_sy").cast("double") - b * col("_sx").cast("double")) /
+      nD
+    val hNum = (dec(col("_n")) * dec(col("_x")) - col("_sx"))
+    val lev = d6(lit(1.0) / nD +
+      (hNum * hNum).cast("double") /
+        (dec(col("_n")) * col("_clxx")).cast("double"))
+    val resid = d6(col("_y").cast("double") -
+      (a + b * col("_x").cast("double")))
+    val sse = (col("_clyy").cast("double") -
+      col("_clxy").cast("double") * col("_clxy").cast("double") /
+        clxx) / nD
+    val mse = d6(sse / (nD - 2.0))
+    val ok = clxx > 0.0
+    val staged = j.select(col("_x").as(xCol), col("_y").as(yCol),
+      col("_n").as("n_obs"),
+      when(ok, lev).as("leverage"),
+      when(ok, resid).as("residual"),
+      when(ok, mse).as("_mse"))
+    staged
+      .withColumn("cooks_d",
+        when(col("_mse") > 0.0,
+          d6(col("residual") * col("residual") * col("leverage") /
+            (lit(2.0) * col("_mse") *
+              (lit(1.0) - col("leverage")) *
+              (lit(1.0) - col("leverage"))))))
+      .withColumn("influential",
+        when(col("cooks_d").isNotNull,
+          (col("cooks_d") > lit(4.0) / col("n_obs").cast("double"))
+            .cast("int")).otherwise(lit(0)))
+      .drop("_mse")
+  }
+
+  /** Cohen's d / Hedges' g standardized effect size between two arms
+    * (Cohen 1988; Hedges 1981) — the "how BIG is the difference"
+    * readout that belongs NEXT to [[welchTTest]]'s "is it real":
+    * pooled-SD mean difference, plus the small-sample bias-corrected
+    * g = d·(1 − 3/(4N−9)). An A/B readout quoting only p is
+    * half-blind; this is the other half.
+    *
+    * Determinism: per-arm sufficient sums exact decimal; the pooled
+    * variance assembles from cleared Mᵢ/nᵢ terms (each one d6, decimal
+    * sum) over n₀+n₁−2; means, sp, d and g close in fixed d6 stages
+    * (IEEE-exact sqrt). Either arm constant-and-tiny such that
+    * sp = 0 answers NULL d. Arms must be 0/1 — loud otherwise; an arm
+    * with n < 2 is loud too (no variance to pool).
+    *
+    * Scale shape: ONE aggregate with arm-conditional sums → 1-row
+    * arithmetic.
+    */
+  def cohensD(
+      df: DataFrame,
+      armCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("cohensD: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val x = col(xCol).cast("long")
+    val base = df.select(arm.as("_a"), x.as("_x"))
+    val agg = base.agg(
+      sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("_n0"),
+      sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_a") === 0L, dec(col("_x")))).as("_s0"),
+      sum(when(col("_a") === 1L, dec(col("_x")))).as("_s1"),
+      sum(when(col("_a") === 0L, dec(col("_x")) * dec(col("_x"))))
+        .as("_q0"),
+      sum(when(col("_a") === 1L, dec(col("_x")) * dec(col("_x"))))
+        .as("_q1"))
+    def guardN(c: Column): Column =
+      when(c >= 2L, c).otherwise(raise_error(concat(
+        lit("cohensD: an arm has "), c.cast("string"),
+        lit(" rows (< 2) — no variance to pool"))).cast("long"))
+    val g2 = agg.select(guardN(col("_n0")).as("_n0"),
+      guardN(col("_n1")).as("_n1"),
+      col("_s0"), col("_s1"),
+      (dec(col("_n0")) * col("_q0") - col("_s0") * col("_s0"))
+        .as("_m0"),
+      (dec(col("_n1")) * col("_q1") - col("_s1") * col("_s1"))
+        .as("_m1"))
+    // (nᵢ−1)s²ᵢ = Mᵢ/nᵢ; sp² = (M₀/n₀ + M₁/n₁)/(n₀+n₁−2)
+    val poolNum = (d28(d6(col("_m0").cast("double") /
+      col("_n0").cast("double"))) +
+      d28(d6(col("_m1").cast("double") / col("_n1").cast("double"))))
+      .cast("double")
+    val nTot = (col("_n0") + col("_n1")).cast("double")
+    val sp = d6(sqrt(d6(poolNum / (nTot - 2.0))))
+    val m0 = d6(col("_s0").cast("double") / col("_n0").cast("double"))
+    val m1 = d6(col("_s1").cast("double") / col("_n1").cast("double"))
+    val staged = g2.select(col("_n0").as("n0"), col("_n1").as("n1"),
+      m0.as("mean0"), m1.as("mean1"), sp.as("pooled_sd"))
+    staged
+      .withColumn("d",
+        when(col("pooled_sd") > 0.0,
+          d6((col("mean1") - col("mean0")) / col("pooled_sd"))))
+      .withColumn("hedges_g",
+        when(col("d").isNotNull,
+          d6(col("d") * (lit(1.0) - lit(3.0) /
+            (lit(4.0) * (col("n0") + col("n1")).cast("double") -
+              lit(9.0))))))
+  }
+
   /** Two-sample Poisson rate comparison per key (the conditional
     * binomial "C-test", Przyborowski & Wilenski 1940): did the event
     * RATE change between two exposure windows? Conditioned on the

@@ -2767,4 +2767,99 @@ object TextStats {
       .withColumn("lz_ratio",
         d6(col("n_phrases").cast("double") / col("n_chars").cast("double")))
   }
+
+  /** word2vec negative-sampling distribution (Mikolov 2013): the
+    * unigram distribution raised to the 3/4 power — the noise table a
+    * skip-gram trainer ([[graft.queries.Corpus]] q388's PPMI pairs are
+    * the signal side) draws its negatives from. Rare words are
+    * up-weighted relative to raw frequency, hubs damped.
+    *
+    * Determinism WITHOUT a pow() gamble: c^{3/4} = √(√(c³)) — two
+    * IEEE-exact sqrts over an exactly-representable c³ (the guard
+    * keeps c ≤ 2·10⁵ so c³ < 2⁵³; past that a corpus should shard or
+    * pre-scale — loud in-plan raise_error, not silent drift). Each
+    * weight lands in one d6, the total in a decimal sum, the
+    * probability in one more d6.
+    *
+    * Scale shape: token count (map-side combine) → minCount df-prune
+    * → one all-rows window over the PRUNED vocab frame. Output is
+    * vocab-sized by construction.
+    */
+  def negSamplingTable(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      maxCount: Long = 200000L): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxCount <= 200000L,
+      s"maxCount must be <= 200000 (c^3 must stay exact in a double)" +
+        s", got $maxCount")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = tokens(df, textCol)
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("tok"),
+        when(col("n") <= maxCount, col("n"))
+          .otherwise(raise_error(concat(
+            lit("negSamplingTable: count "), col("n").cast("string"),
+            lit(s" exceeds maxCount=$maxCount — c^3 leaves the " +
+              "exact-double range"))).cast("long")).as("n"))
+    val w = d6(sqrt(sqrt((col("n") * col("n") * col("n"))
+      .cast("double"))))
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    counts.withColumn("weight", w)
+      .withColumn("p_ns",
+        d6(col("weight") /
+          sum(d28(col("weight"))).over(wAll).cast("double")))
+  }
+
+  /** Bray–Curtis dissimilarity between slice-level token profiles
+    * (Bray & Curtis 1957): BC(a,b) = 1 − 2·Σₜ min(cₐₜ, c_bₜ) /
+    * (Nₐ + N_b) — "how different is what these two sources SAY",
+    * the corpus-composition distance a domain-mix planner reads
+    * before reweighting ([[graft.pipeline.Sampling]] domain-mix ops
+    * act on what this measures). 0 = identical profiles, 1 = fully
+    * disjoint vocabularies.
+    *
+    * Determinism: counts and the shared-min sum are exact longs; BC
+    * closes in ONE d6. Scale shape: one (slice, token) count
+    * (map-side combine), slice totals on a slices-row frame, and a
+    * token-keyed equi-join between slice pairs — disjoint tokens
+    * contribute min = 0 and never need to materialize, so the join is
+    * inner. Pair cardinality is slices², bounded by the slice
+    * vocabulary (sources/languages — small by contract).
+    */
+  def brayCurtis(
+      df: DataFrame,
+      sliceCol: String,
+      textCol: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val counts = tokens(df, textCol, sliceCol)
+      .filter(col("tok") =!= "")
+      .groupBy(col(sliceCol).as("_s"), col("tok"))
+      .agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col("_s"))
+      .agg(sum(col("_c")).as("_tot"))
+    val a = counts.select(col("_s").as("slice_a"), col("tok"),
+      col("_c").as("_ca"))
+    val b = counts.select(col("_s").as("slice_b"), col("tok"),
+      col("_c").as("_cb"))
+    val shared = a.join(b, Seq("tok"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(sum(least(col("_ca"), col("_cb"))).as("shared_min"))
+    shared
+      .join(totals.select(col("_s").as("slice_a"),
+        col("_tot").as("n_a")), Seq("slice_a"))
+      .join(totals.select(col("_s").as("slice_b"),
+        col("_tot").as("n_b")), Seq("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        col("shared_min"),
+        d6(lit(1.0) - lit(2.0) * col("shared_min").cast("double") /
+          (col("n_a") + col("n_b")).cast("double")).as("bray_curtis"))
+  }
 }

@@ -4871,6 +4871,186 @@ object Analytics {
       |    ELSE 0 END AS n_alloc
       |FROM tw""".stripMargin
 
+  // q405: OLS influence diagnostics (Stats.olsInfluence) on the daily
+  // event-volume trend — leverage, residual, Cook's D and the 4/n
+  // screening flag per day; the "which days is this slope standing
+  // on" audit beside q319's Theil–Sen. Oracle replays the cleared
+  // sufficient stats and the fixed per-row d6 chains.
+  def q405OlsInfluence(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsUs(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("volume"))
+    graft.pipeline.Stats.olsInfluence(daily, "day", "volume")
+  }
+
+  val q405Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |d AS (SELECT day AS x, CAST(COUNT(*) AS BIGINT) AS y
+      |      FROM e GROUP BY 1),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |  FROM d),
+      |cl AS (SELECT n, sx, sy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS clxx,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS clxy,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS clyy
+      |  FROM ag),
+      |j AS (SELECT d.x, d.y, cl.* FROM d CROSS JOIN cl),
+      |st AS (SELECT x, y, n,
+      |    CAST(clxx AS DOUBLE) > 0 AS ok,
+      |    CAST(clxy AS DOUBLE) / CAST(clxx AS DOUBLE) AS b,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    CAST(CAST(1.0 / CAST(n AS DOUBLE) +
+      |      CAST((CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - sx) *
+      |           (CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - sx)
+      |        AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * clxx AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS lev,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+      |    (CAST(clyy AS DOUBLE) - CAST(clxy AS DOUBLE) *
+      |      CAST(clxy AS DOUBLE) / CAST(clxx AS DOUBLE)) /
+      |      CAST(n AS DOUBLE) AS sse
+      |  FROM j),
+      |rr AS (SELECT x, y, n, ok, lev,
+      |    CAST(CAST(CAST(y AS DOUBLE) -
+      |      ((syd - b * sxd) / nd + b * CAST(x AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS resid,
+      |    CAST(CAST(sse / (nd - 2.0) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS mse
+      |  FROM st),
+      |cd AS (SELECT x AS day, y AS volume, n AS n_obs,
+      |    CASE WHEN ok THEN lev END AS leverage,
+      |    CASE WHEN ok THEN resid END AS residual,
+      |    CASE WHEN ok AND mse > 0 THEN
+      |      CAST(CAST(resid * resid * lev /
+      |        (2.0 * mse * (1.0 - lev) * (1.0 - lev))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS cooks_d
+      |  FROM rr)
+      |SELECT day, volume, n_obs, leverage, residual, cooks_d,
+      |  CASE WHEN cooks_d IS NOT NULL THEN
+      |    CAST(cooks_d > 4.0 / CAST(n_obs AS DOUBLE) AS INT)
+      |    ELSE 0 END AS influential
+      |FROM cd""".stripMargin
+
+  // q408: Cohen's d / Hedges' g effect size (Stats.cohensD) between
+  // the user-parity arms on per-user total spend cents — the
+  // magnitude readout beside q251's Welch significance. Oracle
+  // replays the arm-conditional cleared sums and the staged d6 chain.
+  def q408CohensD(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val units = evt.groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select((col("user_id") % 2L).as("arm"), col("x"))
+    graft.pipeline.Stats.cohensD(units, "arm", "x")
+  }
+
+  val q408Sql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 AS a,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY user_id),
+      |ag AS (SELECT
+      |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    SUM(CASE WHEN a = 0 THEN CAST(x AS HUGEINT) END) AS s0,
+      |    SUM(CASE WHEN a = 1 THEN CAST(x AS HUGEINT) END) AS s1,
+      |    SUM(CASE WHEN a = 0 THEN CAST(x AS HUGEINT) *
+      |      CAST(x AS HUGEINT) END) AS q0,
+      |    SUM(CASE WHEN a = 1 THEN CAST(x AS HUGEINT) *
+      |      CAST(x AS HUGEINT) END) AS q1
+      |  FROM u),
+      |m AS (SELECT n0, n1, s0, s1,
+      |    CAST(n0 AS HUGEINT) * q0 - s0 * s0 AS m0,
+      |    CAST(n1 AS HUGEINT) * q1 - s1 * s1 AS m1
+      |  FROM ag),
+      |st AS (SELECT n0, n1,
+      |    CAST(CAST(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean0,
+      |    CAST(CAST(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean1,
+      |    CAST(CAST(sqrt(CAST(CAST(
+      |      CAST((CAST(CAST(CAST(m0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |          AS DECIMAL(28,6)) AS DECIMAL(28,6)) +
+      |        CAST(CAST(CAST(m1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |          AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS DOUBLE) /
+      |        (CAST(n0 + n1 AS DOUBLE) - 2.0)
+      |      AS DECIMAL(28,6)) AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS pooled_sd
+      |  FROM m),
+      |dd AS (SELECT n0, n1, mean0, mean1, pooled_sd,
+      |    CASE WHEN pooled_sd > 0 THEN
+      |      CAST(CAST((mean1 - mean0) / pooled_sd AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS d
+      |  FROM st)
+      |SELECT n0, n1, mean0, mean1, pooled_sd, d,
+      |  CASE WHEN d IS NOT NULL THEN
+      |    CAST(CAST(d * (1.0 - 3.0 /
+      |      (4.0 * CAST(n0 + n1 AS DOUBLE) - 9.0)) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS hedges_g
+      |FROM dd""".stripMargin
+
+  // q409: Gumbel block-maxima fit with 10- and 100-period return
+  // levels (Timeseries.gumbelReturnLevels) over daily peak spend —
+  // the extreme-value capacity question a mean + p99 understates.
+  // Oracle replays the moment fit, the shared literals and the
+  // staged ln/d6 chain.
+  def q409Gumbel(s: SparkSession, dir: String): DataFrame = {
+    val frame = Tables.eventsUs(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.ops.Timeseries.gumbelReturnLevels(frame, "day", "cents")
+  }
+
+  val q409Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |mx AS (SELECT day, MAX(cents) AS m FROM e GROUP BY 1),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |    SUM(CAST(m AS HUGEINT)) AS s1,
+      |    SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS s2
+      |  FROM mx),
+      |st AS (SELECT n_blocks,
+      |    CAST(CAST(n_blocks AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+      |      AS cl,
+      |    CAST(CAST(CAST(s1 AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean_max
+      |  FROM ag),
+      |pr AS (SELECT n_blocks,
+      |    CASE WHEN n_blocks >= 2 AND cl > 0 THEN mean_max END
+      |      AS mean_max,
+      |    CASE WHEN n_blocks >= 2 AND cl > 0 THEN
+      |      CAST(CAST(
+      |        CAST(CAST(sqrt(CAST(CAST(cl /
+      |          CAST(n_blocks * (n_blocks - 1) AS DOUBLE)
+      |          AS DECIMAL(28,6)) AS DOUBLE)) AS DECIMAL(28,6))
+      |          AS DOUBLE) * sqrt(6.0) / pi()
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS beta
+      |  FROM st),
+      |mu AS (SELECT n_blocks, mean_max, beta,
+      |    CASE WHEN beta IS NOT NULL THEN
+      |      CAST(CAST(mean_max - 0.5772156649 * beta AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS mu
+      |  FROM pr)
+      |SELECT n_blocks, mean_max, beta, mu,
+      |  CASE WHEN beta IS NOT NULL THEN
+      |    CAST(CAST(mu - beta * CAST(CAST(ln(
+      |      -CAST(CAST(ln(0.9) AS DECIMAL(28,6)) AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    END AS rl_10,
+      |  CASE WHEN beta IS NOT NULL THEN
+      |    CAST(CAST(mu - beta * CAST(CAST(ln(
+      |      -CAST(CAST(ln(0.99) AS DECIMAL(28,6)) AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    END AS rl_100
+      |FROM mu""".stripMargin
+
   // q398: Fisher's exact test (Stats.fisherExact) on a guard-bounded
   // order slice — finished status × top priority, the small-sample
   // exact companion to q369's odds ratio / q370's G². Oracle replays
@@ -4978,6 +5158,9 @@ object Analytics {
     "q400_poisson_rate" -> (q400PoissonRate _),
     "q403_bartlett" -> (q403Bartlett _),
     "q404_neyman" -> (q404Neyman _),
+    "q405_ols_influence" -> (q405OlsInfluence _),
+    "q408_cohens_d" -> (q408CohensD _),
+    "q409_gumbel" -> (q409Gumbel _),
     "q399_target_encode" -> (q399TargetEncode _),
     "q393_cox_ph" -> (q393CoxPh _),
     "q392_platt" -> (q392Platt _),
@@ -5085,6 +5268,9 @@ object Analytics {
     "q400_poisson_rate" -> q400Sql,
     "q403_bartlett" -> q403Sql,
     "q404_neyman" -> q404Sql,
+    "q405_ols_influence" -> q405Sql,
+    "q408_cohens_d" -> q408Sql,
+    "q409_gumbel" -> q409Sql,
     "q399_target_encode" -> q399Sql,
     "q393_cox_ph" -> q393Sql,
     "q392_platt" -> q392Sql,

@@ -190,6 +190,58 @@ object Corpus {
       |    END) AS DOUBLE) / count(*) AS DECIMAL(28,6)) AS DOUBLE) AS oov_rate
       |FROM tk2 GROUP BY doc_id""".stripMargin
 
+  // q406: word2vec negative-sampling table (TextStats.negSamplingTable)
+  // over the corpus vocabulary (minCount 5) — the unigram^(3/4) noise
+  // distribution beside q388's PPMI signal pairs; c^(3/4) computed as
+  // √√(c³), two IEEE-exact sqrts, no pow() gamble. Oracle replays the
+  // prune, the double-sqrt weight and the d6 share.
+  def q406NegSampling(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.negSamplingTable(
+      t(s, dir, "documents"), "text", minCount = 5L)
+
+  val q406Sql: String =
+    """WITH tk AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+      |       WHERE tok <> '' GROUP BY 1
+      |       HAVING COUNT(*) >= 5),
+      |w AS (SELECT tok, n,
+      |    CAST(CAST(sqrt(sqrt(CAST(n * n * n AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS weight
+      |  FROM vc)
+      |SELECT tok, n, weight,
+      |  CAST(CAST(weight /
+      |    CAST(SUM(CAST(weight AS DECIMAL(28,6))) OVER () AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS p_ns
+      |FROM w""".stripMargin
+
+  // q407: Bray–Curtis dissimilarity (TextStats.brayCurtis) between
+  // source-level token profiles — the corpus-composition distance a
+  // domain-mix planner reads before reweighting; 190 source pairs at
+  // the fixture's 20 sources. Oracle replays the (source, token)
+  // counts, the shared-min join and the one-d6 closing.
+  def q407BrayCurtis(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TextStats.brayCurtis(
+      t(s, dir, "documents"), "source", "text")
+
+  val q407Sql: String =
+    """WITH tk AS (
+      |  SELECT source AS s, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT s, tok, CAST(COUNT(*) AS BIGINT) AS n FROM tk
+      |      WHERE tok <> '' GROUP BY 1, 2),
+      |tot AS (SELECT s, CAST(SUM(n) AS BIGINT) AS t FROM c GROUP BY 1),
+      |sh AS (SELECT a.s AS slice_a, b.s AS slice_b,
+      |    CAST(SUM(LEAST(a.n, b.n)) AS BIGINT) AS shared_min
+      |  FROM c a JOIN c b ON a.tok = b.tok AND a.s < b.s
+      |  GROUP BY 1, 2)
+      |SELECT slice_a, slice_b, ta.t AS n_a, tb.t AS n_b, shared_min,
+      |  CAST(CAST(1.0 - 2.0 * CAST(shared_min AS DOUBLE) /
+      |    CAST(ta.t + tb.t AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS bray_curtis
+      |FROM sh JOIN tot ta ON ta.s = slice_a
+      |JOIN tot tb ON tb.s = slice_b""".stripMargin
+
   // q401: Katz centrality over the q128 transition graph — 10 rounds
   // of c' = 1 + 0.5·Pᵀc on the normalized transition matrix; the
   // walk-counting influence rank beside PageRank's stationary mass.
@@ -5591,6 +5643,8 @@ object Corpus {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q401_katz" -> (q401Katz _),
+    "q406_neg_sampling" -> (q406NegSampling _),
+    "q407_bray_curtis" -> (q407BrayCurtis _),
     "q402_ordered_pairs" -> (q402OrderedPairs _),
     "q388_skipgram_ppmi" -> (q388SkipgramPpmi _),
     "q384_lpa" -> (q384Lpa _),
@@ -5710,6 +5764,8 @@ object Corpus {
 
   def oracles: Map[String, String] = Map(
     "q401_katz" -> q401Sql,
+    "q406_neg_sampling" -> q406Sql,
+    "q407_bray_curtis" -> q407Sql,
     "q402_ordered_pairs" -> q402Sql,
     "q388_skipgram_ppmi" -> q388Sql,
     "q384_lpa" -> q384Sql,

@@ -585,4 +585,36 @@ class TimeseriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxPeriods"), e.getMessage)
   }
+
+  test("gumbelReturnLevels: moment fit on two blocks matches the " +
+    "closed form; return levels rise with the period; single block " +
+    "answers NULL") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 10L), (1L, 3L), (2L, 20L), (2L, 5L))
+      .toDF("day", "x")
+    val r = Timeseries.gumbelReturnLevels(df, "day", "x")
+      .collect().head
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Double]("mean_max") == 15.0)
+    // maxima {10, 20}: sd = sqrt(50) d6-staged → replay the chain
+    val sd = math.rint(math.sqrt(50.0) * 1e6) / 1e6
+    val beta = math.rint(sd * math.sqrt(6.0) / math.Pi * 1e6) / 1e6
+    val mu = math.rint((15.0 - 0.5772156649 * beta) * 1e6) / 1e6
+    assert(math.abs(r.getAs[Double]("beta") - beta) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mu") - mu) < 1e-9)
+    val rl10 = r.getAs[Double]("rl_10")
+    val rl100 = r.getAs[Double]("rl_100")
+    assert(rl10 > r.getAs[Double]("mean_max"))
+    assert(rl100 > rl10)
+    val single = Seq((1L, 10L), (1L, 3L)).toDF("day", "x")
+    val rs = Timeseries.gumbelReturnLevels(single, "day", "x")
+      .collect().head
+    assert(rs.isNullAt(rs.fieldIndex("beta")))
+    assert(rs.isNullAt(rs.fieldIndex("rl_10")))
+    val e = intercept[IllegalArgumentException] {
+      Timeseries.gumbelReturnLevels(df, "day", "x",
+        returnPeriods = Seq(1L))
+    }
+    assert(e.getMessage.contains(">= 2"), e.getMessage)
+  }
 }

@@ -1766,4 +1766,46 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxChars"), e.getMessage)
   }
+
+  test("negSamplingTable: 16^(3/4) = 8 exactly via double sqrt; " +
+    "minCount prunes; count past maxCount is loud") {
+    val df = Seq((1L, ("a " * 16).trim + " b")).toDF("doc_id", "text")
+    val out = TextStats.negSamplingTable(df, "text", minCount = 1L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n") == 16L)
+    assert(out("a").getAs[Double]("weight") == 8.0)
+    assert(out("b").getAs[Double]("weight") == 1.0)
+    assert(math.abs(out("a").getAs[Double]("p_ns") - 0.888889) < 1e-9)
+    assert(math.abs(out("b").getAs[Double]("p_ns") - 0.111111) < 1e-9)
+    val pruned = TextStats.negSamplingTable(df, "text", minCount = 2L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(pruned.keySet == Set("a"))
+    assert(pruned("a").getAs[Double]("p_ns") == 1.0)
+    val loud = intercept[Exception] {
+      TextStats.negSamplingTable(df, "text", minCount = 1L,
+        maxCount = 10L).collect()
+    }
+    assert(loud.getMessage.contains("maxCount"), loud.getMessage)
+  }
+
+  test("brayCurtis: hand profile distance; fully-disjoint slice " +
+    "pairs never materialize (BC = 1 implicitly)") {
+    // s1 {a:2,b:1} vs s2 {a:1,b:2}: shared min = 2 → 1 − 4/6
+    val df = Seq((1L, "s1", "a a b"), (2L, "s2", "a b b"),
+      (3L, "s3", "c")).toDF("doc_id", "source", "text")
+    val out = TextStats.brayCurtis(df, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet == Set(("s1", "s2")))
+    val r = out(("s1", "s2"))
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("shared_min") == 2L)
+    assert(math.abs(r.getAs[Double]("bray_curtis") - 0.333333) < 1e-9)
+    // identical profiles → 0
+    val same = Seq((1L, "x", "a b"), (2L, "y", "a b"))
+      .toDF("doc_id", "source", "text")
+    val rs = TextStats.brayCurtis(same, "source", "text")
+      .collect().head
+    assert(rs.getAs[Double]("bray_curtis") == 0.0)
+  }
 }

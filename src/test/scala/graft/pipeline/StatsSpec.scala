@@ -1217,4 +1217,63 @@ class StatsSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("fewer than 2"), loud.getMessage)
   }
+
+  test("olsInfluence: hand leverages and Cook's D on a planted " +
+    "outlier; constant x answers NULL; n < 4 is loud") {
+    // (1,1),(2,2),(3,3),(4,10): b = 2.8, a = -3, mse = 5.4,
+    // leverages .7/.3/.3/.7, D = 1.037037/.020408/.32/2.333333
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 10L))
+      .toDF("x", "y")
+    val out = Stats.olsInfluence(df, "x", "y")
+      .collect().map(r => r.getAs[Long]("x") -> r).toMap
+    assert(out(1L).getAs[Double]("leverage") == 0.7)
+    assert(out(2L).getAs[Double]("leverage") == 0.3)
+    assert(out(1L).getAs[Double]("residual") == 1.2)
+    assert(math.abs(out(1L).getAs[Double]("cooks_d") - 1.037037) < 1e-6)
+    assert(math.abs(out(2L).getAs[Double]("cooks_d") - 0.020408) < 1e-6)
+    assert(math.abs(out(4L).getAs[Double]("cooks_d") - 2.333333) < 1e-6)
+    // 4/n = 1: the endpoints scream, the middle doesn't
+    assert(out(1L).getAs[Int]("influential") == 1)
+    assert(out(2L).getAs[Int]("influential") == 0)
+    assert(out(4L).getAs[Int]("influential") == 1)
+    val const = Seq((5L, 1L), (5L, 2L), (5L, 3L), (5L, 4L))
+      .toDF("x", "y")
+    val rc = Stats.olsInfluence(const, "x", "y").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("leverage")))
+    assert(rc.isNullAt(rc.fieldIndex("cooks_d")))
+    val loud = intercept[Exception] {
+      Stats.olsInfluence(Seq((1L, 1L), (2L, 2L), (3L, 3L))
+        .toDF("x", "y"), "x", "y").collect()
+    }
+    assert(loud.getMessage.contains("< 4"), loud.getMessage)
+  }
+
+  test("cohensD: hand effect size {1,2,3} vs {4,5,6}; constant arms " +
+    "answer NULL; tiny arm and bad flag are loud") {
+    // sp = 1 exactly → d = 3, g = 3·(1 − 3/15) = 2.4
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 4L), (1, 5L), (1, 6L))
+      .toDF("a", "x")
+    val r = Stats.cohensD(df, "a", "x").collect().head
+    assert(r.getAs[Long]("n0") == 3L && r.getAs[Long]("n1") == 3L)
+    assert(r.getAs[Double]("mean0") == 2.0)
+    assert(r.getAs[Double]("mean1") == 5.0)
+    assert(r.getAs[Double]("pooled_sd") == 1.0)
+    assert(r.getAs[Double]("d") == 3.0)
+    assert(r.getAs[Double]("hedges_g") == 2.4)
+    val const = Seq((0, 7L), (0, 7L), (1, 7L), (1, 7L)).toDF("a", "x")
+    val rc = Stats.cohensD(const, "a", "x").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("d")))
+    assert(rc.isNullAt(rc.fieldIndex("hedges_g")))
+    val tiny = intercept[Exception] {
+      Stats.cohensD(Seq((0, 1L), (0, 2L), (1, 5L)).toDF("a", "x"),
+        "a", "x").collect()
+    }
+    assert(tiny.getMessage.contains("no variance to pool"),
+      tiny.getMessage)
+    val bad = intercept[Exception] {
+      Stats.cohensD(Seq((2, 1L), (0, 1L)).toDF("a", "x"), "a", "x")
+        .collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
 }
