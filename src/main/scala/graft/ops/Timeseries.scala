@@ -1359,4 +1359,96 @@ object Timeseries {
             d6(log(-d6(log(lit(p))))))))
     }
   }
+
+  /** Newey–West HAC-robust slope inference for a simple time trend
+    * y ~ a + b·t (Newey & West 1987, Bartlett kernel): the OLS slope
+    * with a standard error that survives AUTOCORRELATED residuals —
+    * on daily volumes the iid SE is typically 2-5× too small, and
+    * "significant trend!" readouts born of that are the classic
+    * time-series false positive ([[graft.pipeline.Stats.olsInfluence]]
+    * audits the points; this audits the INFERENCE).
+    *
+    * Var(b̂) = S_L / (Σx̃²)², S_L = γ₀ + 2·Σ_{l≤L}(1−l/(L+1))·γ_l over
+    * score autocovariances γ_l = Σ vᵢvᵢ₊ₗ, vᵢ = x̃ᵢ·eᵢ.
+    *
+    * Determinism: cleared sufficient decimals give b and residuals in
+    * fixed double chains (one d6 each); each score vᵢ = d6(x̃ᵢ·eᵢ)
+    * with x̃ᵢ = (n·tᵢ−St)/n exact-over-one-division; lag products d6
+    * before decimal sums; kernel weights are exact rationals; SE and
+    * t close the staged chain (IEEE sqrt). n < lags+4 fails loudly;
+    * zero x-variance answers NULL.
+    *
+    * Scale shape: one 1-row aggregate broadcast back, one ordered
+    * window carrying `lags` leads over the (bounded-by-contract)
+    * series frame, one 1-row rollup.
+    */
+  def neweyWestSlope(
+      df: DataFrame,
+      orderCol: String,
+      yCol: String,
+      lags: Int = 3): DataFrame = {
+    require(lags >= 1 && lags <= 32, s"lags in [1,32], got $lags")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(orderCol).cast("long").as("_t"),
+      col(yCol).cast("long").as("_y"))
+    val agg = base.agg(count(lit(1)).as("_n"),
+      sum(dec(col("_t"))).as("_sx"), sum(dec(col("_y"))).as("_sy"),
+      sum(dec(col("_t")) * dec(col("_t"))).as("_sxx"),
+      sum(dec(col("_t")) * dec(col("_y"))).as("_sxy"))
+      .select(when(col("_n") >= lags + 4L, col("_n"))
+        .otherwise(raise_error(concat(lit("neweyWestSlope: n = "),
+          col("_n").cast("string"),
+          lit(s" < lags+4 = ${lags + 4}"))).cast("long")).as("_n"),
+        col("_sx"), col("_sy"),
+        (dec(col("_n")) * col("_sxx") - col("_sx") * col("_sx"))
+          .as("_clxx"),
+        (dec(col("_n")) * col("_sxy") - col("_sx") * col("_sy"))
+          .as("_clxy"))
+    val j = base.crossJoin(broadcast(agg))
+    val nD = col("_n").cast("double")
+    val clxxD = col("_clxx").cast("double")
+    val b = col("_clxy").cast("double") / clxxD
+    val a = (col("_sy").cast("double") - b * col("_sx").cast("double")) /
+      nD
+    val xt = (dec(col("_n")) * dec(col("_t")) - col("_sx"))
+      .cast("double") / nD
+    val e = col("_y").cast("double") - (a + b * col("_t").cast("double"))
+    val scored = j.select(col("_t"), col("_n"), col("_clxx"),
+      col("_clxy"), d6(xt * e).as("_v"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("_t").asc)
+    val withLeads = (1 to lags).foldLeft(scored) { (acc, l) =>
+      acc.withColumn(s"_v$l", lead(col("_v"), l).over(wOrd))
+    }
+    val aggCols = Seq(max(col("_n")).as("_n"),
+      max(col("_clxx")).as("_clxx"), max(col("_clxy")).as("_clxy"),
+      sum(d28(d6(col("_v") * col("_v")))).as("_g0")) ++
+      (1 to lags).map(l =>
+        sum(d28(d6(col("_v") * col(s"_v$l")))).as(s"_g$l"))
+    val gammas = withLeads.agg(aggCols.head, aggCols.tail: _*)
+    // S = γ₀ + 2·Σ (1 − l/(L+1))·γ_l — weights are exact rationals
+    val sL = (1 to lags).foldLeft(col("_g0").cast("double")) {
+      (acc, l) =>
+        acc + lit(2.0) * lit(1.0 - l.toDouble / (lags + 1).toDouble) *
+          col(s"_g$l").cast("double")
+    }
+    val clxxD2 = col("_clxx").cast("double")
+    val nD2 = col("_n").cast("double")
+    val sxx = clxxD2 / nD2
+    val ok = clxxD2 > 0.0
+    val staged = gammas.select(col("_n").as("n_obs"),
+      when(ok, d6(col("_clxy").cast("double") / clxxD2)).as("slope"),
+      when(ok, d6(sL)).as("s_hac"),
+      when(ok, d6(sxx)).as("_sxx"))
+    staged
+      .withColumn("se_hac",
+        when(col("_sxx").isNotNull && col("s_hac") > 0.0,
+          d6(sqrt(col("s_hac") / (col("_sxx") * col("_sxx"))))))
+      .withColumn("t_hac",
+        when(col("se_hac").isNotNull,
+          d6(col("slope") / col("se_hac"))))
+      .drop("_sxx")
+  }
 }

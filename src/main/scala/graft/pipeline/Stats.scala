@@ -3547,6 +3547,259 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** Single best mean-shift changepoint by binary segmentation (the
+    * one-split core of Scott & Knott 1974 / binary-seg CPD): over an
+    * ordered bounded series, the split minimizing SSE_left+SSE_right —
+    * equivalently maximizing the variance explained by "the level
+    * CHANGED here". [[cusum]] ALARMS on drift; this LOCATES the break
+    * and sizes the before/after levels — the incident-timeline
+    * question ("when did volume actually shift?").
+    *
+    * Determinism: prefix sums are order-fixed decimal cumulative
+    * windows over exact integers; each candidate's SSE terms close in
+    * one d6; the winner is picked by exact comparison against the
+    * window max of those d6 scores with the EARLIEST split on ties
+    * (min over the equal-score rows — no argmax nondeterminism).
+    * Scale shape: one ordered cumulative window + one all-rows window
+    * over the (bounded-by-contract) ordered frame. Series of n < 4
+    * fail loudly; a constant series reports zero reduction at the
+    * first split.
+    */
+  def changepoint(
+      df: DataFrame,
+      orderCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("_t").asc)
+    val upTo = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val base = df.select(col(orderCol).cast("long").as("_t"),
+      col(yCol).cast("long").as("_y"))
+    val cum = base
+      .withColumn("_k", count(lit(1)).over(upTo))
+      .withColumn("_l1", sum(dec(col("_y"))).over(upTo))
+      .withColumn("_l2", sum(dec(col("_y")) * dec(col("_y")))
+        .over(upTo))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_s1", sum(dec(col("_y"))).over(wAll))
+      .withColumn("_s2", sum(dec(col("_y")) * dec(col("_y")))
+        .over(wAll))
+      .select(col("_t"), col("_k"), col("_l1"), col("_l2"),
+        when(col("_n") >= 4L, col("_n"))
+          .otherwise(raise_error(concat(lit("changepoint: n = "),
+            col("_n").cast("string"), lit(" < 4"))).cast("long"))
+          .as("_n"),
+        col("_s1"), col("_s2"))
+    def sse(k: Column, l1: Column, l2: Column): Column =
+      when(k > 0L,
+        (dec(k) * l2 - l1 * l1).cast("double") / k.cast("double"))
+        .otherwise(lit(0.0))
+    val cands = cum.filter(col("_k") < col("_n"))
+      .withColumn("_sseL",
+        sse(col("_k"), col("_l1"), col("_l2")))
+      .withColumn("_sseR",
+        sse(col("_n") - col("_k"), col("_s1") - col("_l1"),
+          col("_s2") - col("_l2")))
+      .withColumn("_sseT",
+        sse(col("_n"), col("_s1"), col("_s2")))
+      .withColumn("_red",
+        d6((col("_sseT") - col("_sseL") - col("_sseR")) /
+          col("_n").cast("double")))
+    // winner by two window filters (max score, then earliest t among
+    // ties) — no self-join, no argmax nondeterminism
+    cands
+      .withColumn("_mx", max(col("_red")).over(wAll))
+      .filter(col("_red") === col("_mx"))
+      .withColumn("_mnT", min(col("_t")).over(wAll))
+      .filter(col("_t") === col("_mnT"))
+      .select(col("_t").as("split_at"), col("_k").as("n_left"),
+        (col("_n") - col("_k")).as("n_right"),
+        d6(col("_l1").cast("double") / col("_k").cast("double"))
+          .as("mean_left"),
+        d6((col("_s1") - col("_l1")).cast("double") /
+          (col("_n") - col("_k")).cast("double")).as("mean_right"),
+        col("_red").as("sse_reduction_per_n"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio across strata (Mantel &
+    * Haenszel 1959) with the Robins–Breslow–Greenland SE — the
+    * confounding-adjusted 2×2 readout: "does the treatment move the
+    * outcome once we stop comparing apples to oranges?" Pooling the
+    * per-stratum tables by their MH weights defeats Simpson's
+    * paradox, which is exactly the trap a naive q369-style single
+    * 2×2 falls into on stratified traffic.
+    *
+    * OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ); Var(ln OR) per RBG 1986. Every
+    * per-stratum R/S/P/Q term closes in one d6 before its decimal
+    * sum; the ratio, ln, SE and z each take one more d6 (ln absorbs
+    * libm). Zero ΣR or ΣS (no discordant evidence anywhere) answers
+    * NULL. Arms/outcomes must be 0/1 — loud otherwise.
+    *
+    * Scale shape: ONE (stratum)-keyed aggregate with conditional
+    * sums → strata-row frame → 1-row rollup.
+    */
+  def mantelHaenszel(
+      df: DataFrame,
+      stratumCol: String,
+      armCol: String,
+      outcomeCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def flag(name: String, c: Column): Column =
+      when(c.cast("long").isin(0L, 1L), c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"mantelHaenszel: $name flag "), c.cast("string"),
+          lit(" is not 0/1"))).cast("long"))
+    val base = df.select(col(stratumCol).cast("string").as("_s"),
+      flag("arm", col(armCol)).as("_g"),
+      flag("outcome", col(outcomeCol)).as("_y"))
+    val per = base.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_g") * col("_y")).as("_a"),
+        sum(col("_g") * (lit(1L) - col("_y"))).as("_b"),
+        sum((lit(1L) - col("_g")) * col("_y")).as("_c"),
+        sum((lit(1L) - col("_g")) * (lit(1L) - col("_y"))).as("_d"))
+    val nD = col("_n").cast("double")
+    val r = d6(col("_a").cast("double") * col("_d").cast("double") / nD)
+    val s = d6(col("_b").cast("double") * col("_c").cast("double") / nD)
+    val p = d6((col("_a") + col("_d")).cast("double") / nD)
+    val q = d6((col("_b") + col("_c")).cast("double") / nD)
+    val staged = per.select(
+      d28(r).as("_r"), d28(s).as("_sS"),
+      d28(d6(p * r)).as("_pr"),
+      d28(d6(p * s + q * r)).as("_psqr"),
+      d28(d6(q * s)).as("_qs"))
+    val roll = staged.agg(count(lit(1)).as("k_strata"),
+      sum(col("_r")).as("_sr"), sum(col("_sS")).as("_ss"),
+      sum(col("_pr")).as("_spr"), sum(col("_psqr")).as("_spsqr"),
+      sum(col("_qs")).as("_sqs"))
+    val sr = col("_sr").cast("double")
+    val ss = col("_ss").cast("double")
+    val ok = sr > 0.0 && ss > 0.0
+    val orMh = d6(sr / ss)
+    val se = d6(sqrt(
+      col("_spr").cast("double") / (lit(2.0) * sr * sr) +
+        col("_spsqr").cast("double") / (lit(2.0) * sr * ss) +
+        col("_sqs").cast("double") / (lit(2.0) * ss * ss)))
+    val staged2 = roll.select(col("k_strata"),
+      when(ok, orMh).as("or_mh"),
+      when(ok, d6(log(orMh))).as("ln_or"),
+      when(ok, se).as("se"))
+    staged2
+      .withColumn("z",
+        when(col("se").isNotNull && col("se") > 0.0,
+          d6(col("ln_or") / col("se"))))
+      .withColumn("significant",
+        when(col("z").isNotNull, (abs(col("z")) >= 1.959964).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Cochran–Armitage trend test (Cochran 1954; Armitage 1955) — is
+    * a binary outcome's rate MONOTONE in an ordered dose? The
+    * dose-response question a plain k-group χ² wastes power on by
+    * ignoring the ordering: document-quality band vs dedup-survival,
+    * user-tenure band vs churn. Scores are the integer dose values
+    * themselves.
+    *
+    * Determinism: everything up to the final division is EXACT
+    * integer/decimal — U = N·Σwr − R·Σwn, Var·N = R(N−R)(NΣw²n −
+    * (Σwn)²)/N assembled from exact decimal sums; z closes in ONE d6
+    * over U/√(that), and z² is the χ²(1) statistic. Degenerate
+    * designs (R = 0, R = N, single dose level) answer NULL.
+    *
+    * Scale shape: ONE dose-keyed aggregate → doses-row frame → 1-row
+    * rollup.
+    */
+  def cochranArmitage(
+      df: DataFrame,
+      doseCol: String,
+      outcomeCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val y = when(col(outcomeCol).cast("long").isin(0L, 1L),
+      col(outcomeCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("cochranArmitage: outcome flag "),
+        col(outcomeCol).cast("string"), lit(" is not 0/1")))
+        .cast("long"))
+    val per = df.select(col(doseCol).cast("long").as("_w"), y.as("_y"))
+      .groupBy(col("_w"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_r"))
+    val roll = per.agg(count(lit(1)).as("k_doses"),
+      sum(col("_n")).as("n_total"), sum(col("_r")).as("n_cases"),
+      sum(dec(col("_w")) * dec(col("_r"))).as("_swr"),
+      sum(dec(col("_w")) * dec(col("_n"))).as("_swn"),
+      sum(dec(col("_w")) * dec(col("_w")) * dec(col("_n")))
+        .as("_swwn"))
+    val nT = col("n_total")
+    val rT = col("n_cases")
+    val u = (dec(nT) * col("_swr") - dec(rT) * col("_swn"))
+      .cast("double")
+    val spread = (dec(nT) * col("_swwn") - col("_swn") * col("_swn"))
+      .cast("double")
+    // z = U / √(R(N−R)·spread/N): the binomial-variance CA form with
+    // everything inside the radical exact until the one division
+    val varU = rT.cast("double") * (nT - rT).cast("double") *
+      spread / nT.cast("double")
+    val ok = col("k_doses") >= 2L && rT > 0L && rT < nT
+    roll.select(col("k_doses"), col("n_total"), col("n_cases"),
+      when(ok && spread > 0.0, d6(u / sqrt(varU))).as("z"))
+      .withColumn("significant",
+        when(col("z").isNotNull, (abs(col("z")) >= 1.959964).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Chapman capture–recapture population estimate (Chapman 1951) —
+    * "how big is the corpus we can only SAMPLE?": two overlapping
+    * capture passes (two crawls, two dedup probes) estimate the
+    * unseen total from their overlap: N̂ = (n₁+1)(n₂+1)/(m+1) − 1,
+    * the bias-corrected Lincoln–Petersen. The coverage-estimation
+    * partner of [[graft.pipeline.TextStats]]'s Good–Turing unseen
+    * mass (q327) — that asks about unseen TOKENS, this about unseen
+    * DOCUMENTS.
+    *
+    * Determinism: capture counts are exact longs; N̂, the Seber
+    * variance and the symmetric 95% band each close in one d6
+    * (IEEE sqrt). Zero overlap answers estimates but NULL variance is
+    * avoided by Chapman's +1 smoothing — the band is still reported;
+    * flags must be 0/1, loud otherwise.
+    *
+    * Scale shape: ONE 1-row aggregate over the corpus.
+    */
+  def captureRecapture(
+      df: DataFrame,
+      flagACol: String,
+      flagBCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def flag(name: String, c: Column): Column =
+      when(c.cast("long").isin(0L, 1L), c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"captureRecapture: $name flag "), c.cast("string"),
+          lit(" is not 0/1"))).cast("long"))
+    val base = df.select(flag("capture A", col(flagACol)).as("_a"),
+      flag("capture B", col(flagBCol)).as("_b"))
+    val agg = base.agg(sum(col("_a")).as("n1"), sum(col("_b")).as("n2"),
+      sum(col("_a") * col("_b")).as("m_overlap"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val m = col("m_overlap").cast("double")
+    val est = d6((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0)
+    val v = d6((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m) /
+      ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    val staged = agg.select(col("n1"), col("n2"), col("m_overlap"),
+      est.as("n_estimated"), v.as("variance"))
+    staged
+      .withColumn("ci_low",
+        d6(col("n_estimated") - lit(1.959964) *
+          sqrt(col("variance"))))
+      .withColumn("ci_high",
+        d6(col("n_estimated") + lit(1.959964) *
+          sqrt(col("variance"))))
+  }
+
   /** OLS influence diagnostics for a simple regression y ~ a + b·x
     * (Cook 1977): per-point leverage hᵢ, residual, and Cook's
     * distance Dᵢ = rᵢ²·hᵢ / (2·MSE·(1−hᵢ)²) — "which days/points is

@@ -5051,6 +5051,309 @@ object Analytics {
       |    END AS rl_100
       |FROM mu""".stripMargin
 
+  // q410: single best mean-shift changepoint (Stats.changepoint) on
+  // the daily event-volume series — WHERE the level broke and the
+  // before/after means; q320's CUSUM alarms, this locates. Oracle
+  // replays the prefix-sum candidates and the earliest-max tie rule.
+  def q410Changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsUs(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("volume"))
+    graft.pipeline.Stats.changepoint(daily, "day", "volume")
+  }
+
+  val q410Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |d AS (SELECT day AS t, CAST(COUNT(*) AS BIGINT) AS y
+      |      FROM e GROUP BY 1),
+      |cum AS (SELECT t,
+      |    CAST(COUNT(*) OVER wo AS BIGINT) AS k,
+      |    SUM(CAST(y AS HUGEINT)) OVER wo AS l1,
+      |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER wo AS l2,
+      |    CAST(COUNT(*) OVER wa AS BIGINT) AS n,
+      |    SUM(CAST(y AS HUGEINT)) OVER wa AS s1,
+      |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER wa AS s2
+      |  FROM d WINDOW
+      |    wo AS (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wa AS (ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND UNBOUNDED FOLLOWING)),
+      |cands AS (SELECT t, k, l1, n, s1,
+      |    CAST(CAST((
+      |      (CASE WHEN n > 0 THEN CAST(CAST(n AS HUGEINT) * s2
+      |          - s1 * s1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |        ELSE 0.0 END) -
+      |      (CASE WHEN k > 0 THEN CAST(CAST(k AS HUGEINT) * l2
+      |          - l1 * l1 AS DOUBLE) / CAST(k AS DOUBLE)
+      |        ELSE 0.0 END) -
+      |      (CASE WHEN n - k > 0 THEN
+      |          CAST(CAST(n - k AS HUGEINT) * (s2 - l2)
+      |            - (s1 - l1) * (s1 - l1) AS DOUBLE) /
+      |          CAST(n - k AS DOUBLE)
+      |        ELSE 0.0 END)) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS red
+      |  FROM cum WHERE k < n),
+      |mx AS (SELECT *, MAX(red) OVER () AS m FROM cands),
+      |best AS (SELECT n, MIN(t) AS split_at, MAX(m) AS r
+      |  FROM mx WHERE red = m GROUP BY n)
+      |SELECT b.split_at, c.k AS n_left,
+      |  CAST(c.n - c.k AS BIGINT) AS n_right,
+      |  CAST(CAST(CAST(c.l1 AS DOUBLE) / CAST(c.k AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_left,
+      |  CAST(CAST(CAST(c.s1 - c.l1 AS DOUBLE) /
+      |    CAST(c.n - c.k AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS mean_right,
+      |  b.r AS sse_reduction_per_n
+      |FROM best b JOIN cands c ON c.t = b.split_at""".stripMargin
+
+  // q411: Mantel–Haenszel pooled odds ratio (Stats.mantelHaenszel) of
+  // finished status on above-median order value, stratified by
+  // priority — the Simpson's-paradox-proof 2×2 beside q369's single
+  // table. Oracle replays the per-stratum R/S/P/Q d6 terms and the
+  // RBG SE chain.
+  def q411MantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("stratum"),
+        (col("o_orderstatus") === "F").cast("int").as("arm"),
+        (col("o_totalprice") >= 250000.0).cast("int").as("outcome"))
+    graft.pipeline.Stats.mantelHaenszel(o, "stratum", "arm", "outcome")
+  }
+
+  val q411Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderpriority AS s,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g,
+      |    CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |per AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(g * y) AS BIGINT) AS a,
+      |    CAST(SUM(g * (1 - y)) AS BIGINT) AS bb,
+      |    CAST(SUM((1 - g) * y) AS BIGINT) AS c,
+      |    CAST(SUM((1 - g) * (1 - y)) AS BIGINT) AS dd
+      |  FROM b GROUP BY 1),
+      |tm AS (SELECT
+      |    CAST(CAST(CAST(a AS DOUBLE) * CAST(dd AS DOUBLE) /
+      |      CAST(n AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS r,
+      |    CAST(CAST(CAST(bb AS DOUBLE) * CAST(c AS DOUBLE) /
+      |      CAST(n AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS ss,
+      |    CAST(CAST(CAST(a + dd AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS p,
+      |    CAST(CAST(CAST(bb + c AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS q
+      |  FROM per),
+      |st AS (SELECT CAST(r AS DECIMAL(28,6)) AS r,
+      |    CAST(ss AS DECIMAL(28,6)) AS ss,
+      |    CAST(CAST(CAST(p * r AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS pr,
+      |    CAST(CAST(CAST(p * ss + q * r AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS psqr,
+      |    CAST(CAST(CAST(q * ss AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS qs
+      |  FROM tm),
+      |roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+      |    CAST(SUM(r) AS DOUBLE) AS sr, CAST(SUM(ss) AS DOUBLE) AS sss,
+      |    CAST(SUM(pr) AS DOUBLE) AS spr,
+      |    CAST(SUM(psqr) AS DOUBLE) AS spsqr,
+      |    CAST(SUM(qs) AS DOUBLE) AS sqs
+      |  FROM st),
+      |fin AS (SELECT k_strata,
+      |    CASE WHEN sr > 0 AND sss > 0 THEN
+      |      CAST(CAST(sr / sss AS DECIMAL(28,6)) AS DOUBLE) END
+      |      AS or_mh,
+      |    CASE WHEN sr > 0 AND sss > 0 THEN
+      |      CAST(CAST(ln(CAST(CAST(sr / sss AS DECIMAL(28,6))
+      |        AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) END AS ln_or,
+      |    CASE WHEN sr > 0 AND sss > 0 THEN
+      |      CAST(CAST(sqrt(spr / (2.0 * sr * sr) +
+      |        spsqr / (2.0 * sr * sss) +
+      |        sqs / (2.0 * sss * sss)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      END AS se
+      |  FROM roll),
+      |zz AS (SELECT *, CASE WHEN se IS NOT NULL AND se > 0 THEN
+      |    CAST(CAST(ln_or / se AS DECIMAL(28,6)) AS DOUBLE) END AS z
+      |  FROM fin)
+      |SELECT k_strata, or_mh, ln_or, se, z,
+      |  CASE WHEN z IS NOT NULL THEN CAST(abs(z) >= 1.959964 AS INT)
+      |    ELSE 0 END AS significant
+      |FROM zz""".stripMargin
+
+  // q412: Cochran–Armitage trend test (Stats.cochranArmitage) — is
+  // the above-median-value rate monotone in the priority band (doses
+  // 1..5)? The ordered-alternative test a plain k-group chi-square
+  // wastes power on. Oracle replays the exact integer U and variance.
+  def q412CochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+        .as("dose"),
+        (col("o_totalprice") >= 250000.0).cast("int").as("outcome"))
+    graft.pipeline.Stats.cochranArmitage(o, "dose", "outcome")
+  }
+
+  val q412Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+      |    CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |per AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS r
+      |  FROM b GROUP BY 1),
+      |roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_doses,
+      |    CAST(SUM(n) AS BIGINT) AS n_total,
+      |    CAST(SUM(r) AS BIGINT) AS n_cases,
+      |    SUM(CAST(w AS HUGEINT) * CAST(r AS HUGEINT)) AS swr,
+      |    SUM(CAST(w AS HUGEINT) * CAST(n AS HUGEINT)) AS swn,
+      |    SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT) *
+      |      CAST(n AS HUGEINT)) AS swwn
+      |  FROM per)
+      |SELECT k_doses, n_total, n_cases,
+      |  CASE WHEN k_doses >= 2 AND n_cases > 0 AND n_cases < n_total
+      |      AND CAST(CAST(n_total AS HUGEINT) * swwn - swn * swn
+      |        AS DOUBLE) > 0 THEN
+      |    CAST(CAST(
+      |      CAST(CAST(n_total AS HUGEINT) * swr -
+      |        CAST(n_cases AS HUGEINT) * swn AS DOUBLE) /
+      |      sqrt(CAST(n_cases AS DOUBLE) *
+      |        CAST(n_total - n_cases AS DOUBLE) *
+      |        CAST(CAST(n_total AS HUGEINT) * swwn - swn * swn
+      |          AS DOUBLE) / CAST(n_total AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS z,
+      |  CASE WHEN k_doses >= 2 AND n_cases > 0 AND n_cases < n_total
+      |      AND CAST(CAST(n_total AS HUGEINT) * swwn - swn * swn
+      |        AS DOUBLE) > 0 THEN
+      |    CAST(abs(CAST(CAST(
+      |      CAST(CAST(n_total AS HUGEINT) * swr -
+      |        CAST(n_cases AS HUGEINT) * swn AS DOUBLE) /
+      |      sqrt(CAST(n_cases AS DOUBLE) *
+      |        CAST(n_total - n_cases AS DOUBLE) *
+      |        CAST(CAST(n_total AS HUGEINT) * swwn - swn * swn
+      |          AS DOUBLE) / CAST(n_total AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE)) >= 1.959964 AS INT)
+      |    ELSE 0 END AS significant
+      |FROM roll""".stripMargin
+
+  // q413: Chapman capture-recapture estimate (Stats.captureRecapture)
+  // of the document universe from two overlapping deterministic
+  // "crawl" passes — the unseen-DOCUMENT coverage estimate beside
+  // q327's unseen-token mass. Oracle replays the counts and the
+  // bias-corrected estimator with its Seber band.
+  def q413CaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select((col("doc_id") % 2L === 0L).cast("int").as("in_a"),
+        (col("doc_id") % 3L =!= 0L).cast("int").as("in_b"))
+    graft.pipeline.Stats.captureRecapture(d, "in_a", "in_b")
+  }
+
+  val q413Sql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS bb
+      |  FROM documents),
+      |ag AS (SELECT CAST(SUM(a) AS BIGINT) AS n1,
+      |    CAST(SUM(bb) AS BIGINT) AS n2,
+      |    CAST(SUM(a * bb) AS BIGINT) AS m FROM b),
+      |st AS (SELECT n1, n2, m,
+      |    CAST(CAST((CAST(n1 AS DOUBLE) + 1.0) *
+      |      (CAST(n2 AS DOUBLE) + 1.0) / (CAST(m AS DOUBLE) + 1.0)
+      |      - 1.0 AS DECIMAL(28,6)) AS DOUBLE) AS est,
+      |    CAST(CAST((CAST(n1 AS DOUBLE) + 1.0) *
+      |      (CAST(n2 AS DOUBLE) + 1.0) *
+      |      (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE)) *
+      |      (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE)) /
+      |      ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0) *
+      |       (CAST(m AS DOUBLE) + 2.0)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS v
+      |  FROM ag)
+      |SELECT n1, n2, m AS m_overlap, est AS n_estimated,
+      |  v AS variance,
+      |  CAST(CAST(est - 1.959964 * sqrt(v) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS ci_low,
+      |  CAST(CAST(est + 1.959964 * sqrt(v) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS ci_high
+      |FROM st""".stripMargin
+
+  // q414: Newey–West HAC-robust trend inference
+  // (Timeseries.neweyWestSlope, Bartlett kernel, 3 lags) on the daily
+  // event-volume slope — the autocorrelation-honest SE beside q405's
+  // point audit and q374's nonparametric trend. Oracle replays the
+  // score series, the lag windows and the kernel-weighted sum.
+  def q414NeweyWest(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsUs(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("volume"))
+    graft.ops.Timeseries.neweyWestSlope(daily, "day", "volume",
+      lags = 3)
+  }
+
+  val q414Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |d AS (SELECT day AS t, CAST(COUNT(*) AS BIGINT) AS y
+      |      FROM e GROUP BY 1),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(t AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)) AS sxx,
+      |    SUM(CAST(t AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      |  FROM d),
+      |cl AS (SELECT n, sx, sy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS clxx,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS clxy
+      |  FROM ag),
+      |j AS (SELECT d.t, d.y, cl.* FROM d CROSS JOIN cl),
+      |sc AS (SELECT t, n, clxx, clxy,
+      |    CAST(CAST(
+      |      (CAST(CAST(n AS HUGEINT) * CAST(t AS HUGEINT) - sx
+      |        AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(y AS DOUBLE) -
+      |        ((CAST(sy AS DOUBLE) -
+      |          (CAST(clxy AS DOUBLE) / CAST(clxx AS DOUBLE)) *
+      |          CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) +
+      |         (CAST(clxy AS DOUBLE) / CAST(clxx AS DOUBLE)) *
+      |          CAST(t AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS v
+      |  FROM j),
+      |ld AS (SELECT *,
+      |    LEAD(v, 1) OVER wo AS v1, LEAD(v, 2) OVER wo AS v2,
+      |    LEAD(v, 3) OVER wo AS v3
+      |  FROM sc WINDOW wo AS (ORDER BY t)),
+      |gm AS (SELECT MAX(n) AS n, MAX(clxx) AS clxx,
+      |    MAX(clxy) AS clxy,
+      |    SUM(CAST(CAST(CAST(v * v AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6))) AS g0,
+      |    SUM(CAST(CAST(CAST(v * v1 AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6))) AS g1,
+      |    SUM(CAST(CAST(CAST(v * v2 AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6))) AS g2,
+      |    SUM(CAST(CAST(CAST(v * v3 AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6))) AS g3
+      |  FROM ld),
+      |st AS (SELECT n,
+      |    CASE WHEN CAST(clxx AS DOUBLE) > 0 THEN
+      |      CAST(CAST(CAST(clxy AS DOUBLE) / CAST(clxx AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS slope,
+      |    CASE WHEN CAST(clxx AS DOUBLE) > 0 THEN
+      |      CAST(CAST(CAST(g0 AS DOUBLE) +
+      |        2.0 * 0.75 * CAST(g1 AS DOUBLE) +
+      |        2.0 * 0.5 * CAST(g2 AS DOUBLE) +
+      |        2.0 * 0.25 * CAST(g3 AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS s_hac,
+      |    CASE WHEN CAST(clxx AS DOUBLE) > 0 THEN
+      |      CAST(CAST(CAST(clxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS sxxn
+      |  FROM gm),
+      |se AS (SELECT n AS n_obs, slope, s_hac,
+      |    CASE WHEN sxxn IS NOT NULL AND s_hac > 0 THEN
+      |      CAST(CAST(sqrt(s_hac / (sxxn * sxxn)) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS se_hac
+      |  FROM st)
+      |SELECT n_obs, slope, s_hac, se_hac,
+      |  CASE WHEN se_hac IS NOT NULL THEN
+      |    CAST(CAST(slope / se_hac AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS t_hac
+      |FROM se""".stripMargin
+
   // q398: Fisher's exact test (Stats.fisherExact) on a guard-bounded
   // order slice — finished status × top priority, the small-sample
   // exact companion to q369's odds ratio / q370's G². Oracle replays
@@ -5161,6 +5464,11 @@ object Analytics {
     "q405_ols_influence" -> (q405OlsInfluence _),
     "q408_cohens_d" -> (q408CohensD _),
     "q409_gumbel" -> (q409Gumbel _),
+    "q410_changepoint" -> (q410Changepoint _),
+    "q411_mantel_haenszel" -> (q411MantelHaenszel _),
+    "q412_cochran_armitage" -> (q412CochranArmitage _),
+    "q413_capture_recapture" -> (q413CaptureRecapture _),
+    "q414_newey_west" -> (q414NeweyWest _),
     "q399_target_encode" -> (q399TargetEncode _),
     "q393_cox_ph" -> (q393CoxPh _),
     "q392_platt" -> (q392Platt _),
@@ -5271,6 +5579,11 @@ object Analytics {
     "q405_ols_influence" -> q405Sql,
     "q408_cohens_d" -> q408Sql,
     "q409_gumbel" -> q409Sql,
+    "q410_changepoint" -> q410Sql,
+    "q411_mantel_haenszel" -> q411Sql,
+    "q412_cochran_armitage" -> q412Sql,
+    "q413_capture_recapture" -> q413Sql,
+    "q414_newey_west" -> q414Sql,
     "q399_target_encode" -> q399Sql,
     "q393_cox_ph" -> q393Sql,
     "q392_platt" -> q392Sql,

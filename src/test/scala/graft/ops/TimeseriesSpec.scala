@@ -617,4 +617,30 @@ class TimeseriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(">= 2"), e.getMessage)
   }
+
+  test("neweyWestSlope: exact-linear residuals zero out the HAC " +
+    "variance (NULL se); a noisy trend reports the OLS slope with a " +
+    "positive robust se; short series is loud") {
+    // y = 2t exactly: every residual is 0 → s_hac = 0 → NULL se
+    val exact = (1L to 10L).map(t => (t, 2L * t)).toDF("t", "y")
+    val re = Timeseries.neweyWestSlope(exact, "t", "y")
+      .collect().head
+    assert(re.getAs[Double]("slope") == 2.0)
+    assert(re.getAs[Double]("s_hac") == 0.0)
+    assert(re.isNullAt(re.fieldIndex("se_hac")))
+    // y = t + alternating ±3 noise: slope stays 1-ish, se positive
+    val noisy = (1L to 12L).map(t =>
+      (t, t + (if (t % 2L == 0L) 3L else -3L))).toDF("t", "y")
+    val rn = Timeseries.neweyWestSlope(noisy, "t", "y")
+      .collect().head
+    assert(math.abs(rn.getAs[Double]("slope") - 1.0) < 0.2)
+    assert(rn.getAs[Double]("se_hac") > 0.0)
+    assert(!rn.isNullAt(rn.fieldIndex("t_hac")))
+    val loud = intercept[Exception] {
+      Timeseries.neweyWestSlope(
+        (1L to 6L).map(t => (t, t)).toDF("t", "y"), "t", "y",
+        lags = 3).collect()
+    }
+    assert(loud.getMessage.contains("lags+4"), loud.getMessage)
+  }
 }

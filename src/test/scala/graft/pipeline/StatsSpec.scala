@@ -1276,4 +1276,99 @@ class StatsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
   }
+
+  test("changepoint: a planted level shift is located exactly; ties " +
+    "pick the earliest split; constant series scores zero; n < 4 is " +
+    "loud") {
+    // {0,0,10,10}: split after t=2 explains all variance —
+    // red = sseT/n = 100/4 = 25
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 10L), (4L, 10L))
+      .toDF("t", "y")
+    val r = Stats.changepoint(df, "t", "y").collect().head
+    assert(r.getAs[Long]("split_at") == 2L)
+    assert(r.getAs[Long]("n_left") == 2L)
+    assert(r.getAs[Long]("n_right") == 2L)
+    assert(r.getAs[Double]("mean_left") == 0.0)
+    assert(r.getAs[Double]("mean_right") == 10.0)
+    assert(r.getAs[Double]("sse_reduction_per_n") == 25.0)
+    // {0,5,0,5}: splits k=1 and k=3 tie → earliest (t=1) wins
+    val tie = Seq((1L, 0L), (2L, 5L), (3L, 0L), (4L, 5L))
+      .toDF("t", "y")
+    val rt = Stats.changepoint(tie, "t", "y").collect().head
+    assert(rt.getAs[Long]("split_at") == 1L)
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L))
+      .toDF("t", "y")
+    val rc = Stats.changepoint(const, "t", "y").collect().head
+    assert(rc.getAs[Double]("sse_reduction_per_n") == 0.0)
+    val loud = intercept[Exception] {
+      Stats.changepoint(Seq((1L, 1L), (2L, 2L), (3L, 3L))
+        .toDF("t", "y"), "t", "y").collect()
+    }
+    assert(loud.getMessage.contains("< 4"), loud.getMessage)
+  }
+
+  test("mantelHaenszel: two identical OR=3 strata pool to OR 3; a " +
+    "flat table scores z = 0; bad flags are loud") {
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, 1, 1)) ++ Seq.fill(b)((s, 1, 0)) ++
+        Seq.fill(c)((s, 0, 1)) ++ Seq.fill(d)((s, 0, 0))
+    val df = (stratum("s1", 3, 1, 1, 1) ++ stratum("s2", 3, 1, 1, 1))
+      .toDF("s", "g", "y")
+    val r = Stats.mantelHaenszel(df, "s", "g", "y").collect().head
+    assert(r.getAs[Long]("k_strata") == 2L)
+    assert(math.abs(r.getAs[Double]("or_mh") - 3.0) < 1e-4)
+    assert(r.getAs[Double]("z") > 0.0)
+    val flat = stratum("s1", 5, 5, 5, 5).toDF("s", "g", "y")
+    val rf = Stats.mantelHaenszel(flat, "s", "g", "y").collect().head
+    assert(rf.getAs[Double]("or_mh") == 1.0)
+    assert(rf.getAs[Double]("z") == 0.0)
+    assert(rf.getAs[Int]("significant") == 0)
+    val bad = intercept[Exception] {
+      Stats.mantelHaenszel(Seq(("s", 2, 1)).toDF("s", "g", "y"),
+        "s", "g", "y").collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
+
+  test("cochranArmitage: hand z on a perfect dose response; flat " +
+    "rates score 0; all-case input answers NULL") {
+    // doses 1/2/3, rates 0/.5/1: U = 300, Var = 4500 → z = 4.472136
+    def dose(w: Int, n: Int, r: Int) =
+      Seq.fill(r)((w, 1)) ++ Seq.fill(n - r)((w, 0))
+    val df = (dose(1, 10, 0) ++ dose(2, 10, 5) ++ dose(3, 10, 10))
+      .toDF("w", "y")
+    val r = Stats.cochranArmitage(df, "w", "y").collect().head
+    assert(r.getAs[Long]("k_doses") == 3L)
+    assert(r.getAs[Long]("n_cases") == 15L)
+    assert(math.abs(r.getAs[Double]("z") - 4.472136) < 1e-6)
+    assert(r.getAs[Int]("significant") == 1)
+    val flat = (dose(1, 10, 5) ++ dose(2, 10, 5) ++ dose(3, 10, 5))
+      .toDF("w", "y")
+    val rf = Stats.cochranArmitage(flat, "w", "y").collect().head
+    assert(rf.getAs[Double]("z") == 0.0)
+    val all = (dose(1, 5, 5) ++ dose(2, 5, 5)).toDF("w", "y")
+    val ra = Stats.cochranArmitage(all, "w", "y").collect().head
+    assert(ra.isNullAt(ra.fieldIndex("z")))
+    assert(ra.getAs[Int]("significant") == 0)
+  }
+
+  test("captureRecapture: Chapman estimate on a planted 100-doc " +
+    "universe brackets the truth; bad flag is loud") {
+    // A = id < 50, B = even: n1 = n2 = 50, m = 25 →
+    // N̂ = 51·51/26 − 1 = 99.038462
+    val df = (0L until 100L).map(i =>
+      (if (i < 50L) 1 else 0, if (i % 2L == 0L) 1 else 0))
+      .toDF("a", "b")
+    val r = Stats.captureRecapture(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n1") == 50L && r.getAs[Long]("n2") == 50L)
+    assert(r.getAs[Long]("m_overlap") == 25L)
+    assert(math.abs(r.getAs[Double]("n_estimated") - 99.038462) < 1e-6)
+    assert(r.getAs[Double]("ci_low") < 100.0)
+    assert(r.getAs[Double]("ci_high") > 100.0)
+    val bad = intercept[Exception] {
+      Stats.captureRecapture(Seq((2, 1)).toDF("a", "b"), "a", "b")
+        .collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
 }
