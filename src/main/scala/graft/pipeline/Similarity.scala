@@ -1537,6 +1537,115 @@ object Similarity {
           .as("mean_silhouette"))
   }
 
+  /** Davies–Bouldin clustering quality index (Davies & Bouldin 1979)
+    * in the same scalable centroid form as [[centroidSilhouette]]:
+    * per cluster the WORST (scatter_i + scatter_j)/d(cᵢ,cⱼ) ratio
+    * against any other cluster, and the index = mean of those worsts
+    * — LOWER is better. Where silhouette scores each point, DB scores
+    * each CLUSTER against its most-confusable neighbor, which is the
+    * readout a k-picker sweeps ("which k stops creating twin
+    * clusters").
+    *
+    * Determinism: the q344 discipline end-to-end — embeddings
+    * quantize to integer thousandths, per-point scatter distances are
+    * denominator-cleared exact decimals under one IEEE sqrt + d6,
+    * scatter means d6 over decimal sums, centroid-centroid distances
+    * clear to (nⱼ·s_id − nᵢ·s_jd)² exact decimal with sqrt/(nᵢnⱼ) in
+    * one d6, ratios and the final mean one d6 each. Coincident
+    * centroids (d = 0) contribute NULL ratios (skipped by max —
+    * documented; a duplicate-centroid pair means the labeling is
+    * degenerate anyway). Needs ≥ 2 labels — loud.
+    *
+    * Scale shape: centroid build is one (label, dim) aggregate;
+    * per-point scatter joins each point to ITS OWN broadcast centroid
+    * only (not all centroids — cheaper than silhouette); the pair
+    * stage is labels², label-cardinality bounded.
+    */
+  def daviesBouldin(
+      df: DataFrame,
+      idCol: String,
+      labelCol: String,
+      embCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dd6(c: Column) = c.cast("decimal(28,6)")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val q = df.select(col(idCol).as("_id"),
+      col(labelCol).cast("long").as("_l"),
+      transform(col(embCol),
+        v => floor(v.cast("double") * lit(1000.0)).cast("long")).as("_q"))
+    val sums = q.select(col("_l"), posexplode(col("_q"))
+        .as(Seq("_d", "_x")))
+      .groupBy(col("_l"), col("_d"))
+      .agg(sum(col("_x")).as("_s"))
+    val nPer = q.groupBy(col("_l")).agg(count(lit(1)).as("_n"))
+    val cents = sums
+      .groupBy(col("_l"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_d"), col("_s")))),
+        e => e.getField("_s")).as("_sarr"))
+      .join(nPer, "_l")
+      .select(col("_l").as("_cl"), col("_sarr"), col("_n"))
+    val guarded = cents
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("_nl"))))
+      .withColumn("_n",
+        when(col("_nl") >= 2L, col("_n"))
+          .otherwise(raise_error(lit(
+            "daviesBouldin: need >= 2 cluster labels")).cast("long")))
+      .drop("_nl")
+    // per-point distance to OWN centroid only
+    val own = q.join(broadcast(guarded), q("_l") === guarded("_cl"))
+      .select(col("_l"),
+        d6(sqrt(aggregate(
+          zip_with(col("_q"), col("_sarr"), (x, s) =>
+            ((col("_n") * x - s).cast("decimal(38,0)") *
+              (col("_n") * x - s).cast("decimal(38,0)"))
+              .cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)"),
+          (acc, v) => (acc + v).cast("decimal(38,0)"))
+          .cast("double")) / col("_n").cast("double")).as("_dist"))
+    val scat = own.groupBy(col("_l"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(dd6(col("_dist"))).as("_dSum"))
+      .select(col("_l"), col("n_points"),
+        d6(col("_dSum").cast("double") /
+          col("n_points").cast("double")).as("scatter"))
+    val a = guarded.select(col("_cl").as("_la"), col("_sarr").as("_sa"),
+      col("_n").as("_na"))
+    val b = guarded.select(col("_cl").as("_lb"), col("_sarr").as("_sb"),
+      col("_n").as("_nb"))
+    val cd = a.crossJoin(b).filter(col("_la") =!= col("_lb"))
+      .select(col("_la"), col("_lb"),
+        d6(sqrt(aggregate(
+          zip_with(col("_sa"), col("_sb"), (x, y) =>
+            ((d38(col("_nb")) * x - d38(col("_na")) * y) *
+              (d38(col("_nb")) * x - d38(col("_na")) * y))
+              .cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)"),
+          (acc, v) => (acc + v).cast("decimal(38,0)"))
+          .cast("double")) /
+          (col("_na").cast("double") * col("_nb").cast("double")))
+          .as("_dij"))
+    val sa = scat.select(col("_l").as("_la"),
+      col("scatter").as("_scA"))
+    val sb = scat.select(col("_l").as("_lb"),
+      col("scatter").as("_scB"))
+    val ratios = cd.join(sa, Seq("_la")).join(sb, Seq("_lb"))
+      .withColumn("_r",
+        when(col("_dij") > 0.0,
+          d6((col("_scA") + col("_scB")) / col("_dij"))))
+    val worst = ratios.groupBy(col("_la").as("_l"))
+      .agg(max(col("_r")).as("worst_ratio"))
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    scat.join(worst, Seq("_l"))
+      .select(col("_l").as(labelCol), col("n_points"), col("scatter"),
+        col("worst_ratio"))
+      .withColumn("db_index",
+        d6(sum(dd6(col("worst_ratio"))).over(wAll).cast("double") /
+          count(lit(1)).over(wAll).cast("double")))
+  }
+
   /** MMR diverse top-k (Carbonell & Goldstein 1998): per query, pick k
     * results greedily maximizing λ·rel − (1−λ)·max-sim-to-already-
     * picked — the re-rank that keeps a RAG/retrieval result list from

@@ -3547,6 +3547,222 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** Hellinger distance between the reference and current slices over
+    * one categorical/bucketed dimension — the bounded, SYMMETRIC,
+    * triangle-inequality-honest drift metric beside [[psiDrift]]
+    * (unbounded, asymmetric-ish) and [[jsDrift]] (bounded, not a
+    * metric): H = √(1 − Σ√(pᵢqᵢ)) ∈ [0,1]. Being a true metric makes
+    * Hellinger the one you can THRESHOLD TRANSITIVELY across many
+    * slices (d(a,c) ≤ d(a,b)+d(b,c)) — the multi-snapshot drift
+    * matrix use case.
+    *
+    * Same Laplace-smoothed shares as the siblings (+1 per bucket, so
+    * an unseen bucket never zeroes the affinity). Determinism: each
+    * √(pq) term is IEEE-exact sqrt over one shared double product,
+    * d6 before the decimal sum; H takes one more d6 (the 1−Σ
+    * difference clamps at 0 against d6 crumbs). Scale shape: ONE
+    * bucket-keyed aggregate + windows over the bucket frame.
+    */
+  def hellingerDrift(
+      df: DataFrame,
+      curCol: String,
+      bucket: Column): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val cur = col(curCol).cast("boolean")
+    val cnt = df.groupBy(bucket.cast("string").as("bucket"))
+      .agg(sum(when(cur, lit(0L)).otherwise(lit(1L))).as("n_ref"),
+        sum(when(cur, lit(1L)).otherwise(lit(0L))).as("n_cur"))
+    val w = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      (sum(col("n_ref")).over(w) + count(lit(1)).over(w)).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (sum(col("n_cur")).over(w) + count(lit(1)).over(w)).cast("double")
+    cnt
+      .withColumn("p_ref", d6(p))
+      .withColumn("p_cur", d6(q))
+      .withColumn("bc_term", d6(sqrt(p * q)))
+      .withColumn("hellinger",
+        d6(sqrt(greatest(lit(0.0),
+          lit(1.0) - sum(d28(col("bc_term"))).over(w)
+            .cast("double")))))
+  }
+
+  /** Two-sided normal p-value via the Abramowitz–Stegun 7.1.26 erfc
+    * polynomial (|error| ≤ 1.5e-7): p = erfc(|z|/√2). Spark has no
+    * erf builtin, and libm erf would not be engine-portable anyway —
+    * a FIXED shared polynomial in both engines is; the caller d6s the
+    * result (absorbing exp's last ulp). */
+  private[graft] def normalTwoSidedP(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t +
+      lit(1.421413741)) * t + lit(-0.284496736)) * t +
+      lit(0.254829592)) * t
+    poly * exp(-(x * x))
+  }
+
+  /** The identical erfc chain as DuckDB SQL text — oracle twin of
+    * [[normalTwoSidedP]]; keep the operation ORDER in lockstep. */
+  private[graft] def normalTwoSidedPSql(zExpr: String): String = {
+    val x = s"(abs($zExpr) / 1.4142135623730951)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    s"(((((1.061405429 * $t + -1.453152027) * $t + 1.421413741) * " +
+      s"$t + -0.284496736) * $t + 0.254829592) * $t * " +
+      s"exp(-($x * $x)))"
+  }
+
+  /** All pairwise Welch mean contrasts with Bonferroni control — the
+    * POST-HOC step after [[anovaOneWay]]/[[kruskalWallis]] says "the
+    * groups differ": WHICH pairs differ, with the family-wise error
+    * held at α across all k(k−1)/2 comparisons. The first multiple-
+    * testing-honest readout in the corpus: p-values come from the
+    * shared erfc polynomial, not a table.
+    *
+    * Determinism: per-group sufficient sums exact decimal; means and
+    * variances one d6 each (cleared forms); z per pair one d6 over
+    * the fixed Welch chain; p = d6(erfc poly); Bonferroni-adjusted
+    * p = d6(min(1, p·m)). A zero-variance-both-sides pair answers
+    * NULL z. Scale shape: ONE keyed aggregate → a groups² pair frame
+    * (group cardinality bounded by contract).
+    */
+  def pairwiseContrasts(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val per = df.groupBy(col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"),
+        sum(dec(x)).as("_s1"), sum(dec(x) * dec(x)).as("_s2"))
+      .select(col("_g"),
+        when(col("_n") >= 2L, col("_n"))
+          .otherwise(raise_error(concat(
+            lit("pairwiseContrasts: group "), col("_g"),
+            lit(" has fewer than 2 rows"))).cast("long")).as("_n"),
+        col("_s1"), col("_s2"))
+      .select(col("_g"), col("_n"),
+        d6(col("_s1").cast("double") / col("_n").cast("double"))
+          .as("_m"),
+        d6((dec(col("_n")) * col("_s2") - col("_s1") * col("_s1"))
+          .cast("double") /
+          (col("_n") * (col("_n") - 1L)).cast("double")).as("_v"))
+    val a = per.select(col("_g").as("group_a"), col("_n").as("n_a"),
+      col("_m").as("mean_a"), col("_v").as("_va"))
+    val b = per.select(col("_g").as("group_b"), col("_n").as("n_b"),
+      col("_m").as("mean_b"), col("_v").as("_vb"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val se2 = col("_va") / col("n_a").cast("double") +
+      col("_vb") / col("n_b").cast("double")
+    val pairs = a.crossJoin(b).filter(col("group_a") < col("group_b"))
+      .withColumn("z", when(se2 > 0.0,
+        d6((col("mean_a") - col("mean_b")) / sqrt(se2))))
+      .withColumn("m_comparisons", count(lit(1)).over(w))
+      .withColumn("p_raw",
+        when(col("z").isNotNull, d6(normalTwoSidedP(col("z")))))
+      .withColumn("p_bonf",
+        when(col("p_raw").isNotNull,
+          d6(least(lit(1.0),
+            col("p_raw") * col("m_comparisons").cast("double")))))
+      .withColumn("significant",
+        when(col("p_bonf").isNotNull,
+          (col("p_bonf") <= 0.05).cast("int")).otherwise(lit(0)))
+    pairs.select(col("group_a"), col("group_b"), col("n_a"),
+      col("n_b"), col("mean_a"), col("mean_b"), col("z"),
+      col("m_comparisons"), col("p_raw"), col("p_bonf"),
+      col("significant"))
+  }
+
+  /** z-battery front-end to [[bhFdr]]: turn a table of z-scored tests
+    * into BH-controlled discoveries — p = d6(erfc(|z|/√2)) via the
+    * shared [[normalTwoSidedP]] polynomial (Spark has no erf; a FIXED
+    * polynomial is the engine-portable route), then the existing
+    * step-up machinery (q264). This is the layer the module's
+    * per-test `significant` flags deliberately don't provide: run
+    * twenty drift/rate tests and "3 significant at 5%" is EXPECTED
+    * noise; BH holds the false-discovery rate instead.
+    *
+    * Output = [[bhFdr]]'s (key, p_value, rank, p_adj, rejected)
+    * plus the originating z. Scale shape: the battery frame is m
+    * TESTS — tiny by construction; everything here is windows over
+    * it.
+    */
+  def zBatteryFdr(
+      df: DataFrame,
+      keyCol: String,
+      zCol: String,
+      q: Double = 0.05): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val withP = df.select(col(keyCol), col(zCol).cast("double").as("z"))
+      .withColumn("_p_raw", d6(normalTwoSidedP(col("z"))))
+    bhFdr(withP, keyCol, "_p_raw", q)
+      .join(withP.select(col(keyCol), col("z")), Seq(keyCol))
+      .select(col(keyCol), col("z"), col("p_value"), col("rank"),
+        col("p_adj"), col("rejected"))
+  }
+
+  /** Risk ratio and risk difference with 95% CIs from a 2×2
+    * (arm × outcome) — the EPIDEMIOLOGIST'S pair to the odds ratio
+    * (q369) and [[mantelHaenszel]]: when the outcome isn't rare, the
+    * OR exaggerates and the risk ratio is what a decision-maker
+    * actually means by "1.4× more likely". RR CI on the log scale
+    * (Katz 1978), RD CI on the linear scale (Wald).
+    *
+    * Determinism: cells are exact longs; risks, RR, ln RR, both SEs
+    * and every CI bound close in fixed d6 stages (IEEE sqrt, ln/exp
+    * d6-absorbed). A zero cell making RR/its SE undefined (a = 0 or
+    * c = 0) answers NULL RR fields; the risk DIFFERENCE survives
+    * zero cells and is always reported. Flags must be 0/1 — loud.
+    *
+    * Scale shape: ONE 1-row aggregate over the corpus.
+    */
+  def riskRatio(
+      df: DataFrame,
+      armCol: String,
+      outcomeCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def flag(name: String, c: Column): Column =
+      when(c.cast("long").isin(0L, 1L), c.cast("long"))
+        .otherwise(raise_error(concat(lit(s"riskRatio: $name flag "),
+          c.cast("string"), lit(" is not 0/1"))).cast("long"))
+    val base = df.select(flag("arm", col(armCol)).as("_g"),
+      flag("outcome", col(outcomeCol)).as("_y"))
+    val agg = base.agg(
+      sum(col("_g") * col("_y")).as("_a"),
+      sum(col("_g") * (lit(1L) - col("_y"))).as("_b"),
+      sum((lit(1L) - col("_g")) * col("_y")).as("_c"),
+      sum((lit(1L) - col("_g")) * (lit(1L) - col("_y"))).as("_d"))
+    val n1 = (col("_a") + col("_b")).cast("double")
+    val n0 = (col("_c") + col("_d")).cast("double")
+    val r1 = d6(col("_a").cast("double") / n1)
+    val r0 = d6(col("_c").cast("double") / n0)
+    val okRr = col("_a") > 0L && col("_c") > 0L
+    val rr = d6(r1 / r0)
+    val lnRr = d6(log(rr))
+    val seLn = d6(sqrt(
+      lit(1.0) / col("_a").cast("double") - lit(1.0) / n1 +
+        lit(1.0) / col("_c").cast("double") - lit(1.0) / n0))
+    val rd = d6(r1 - r0)
+    val seRd = d6(sqrt(
+      r1 * (lit(1.0) - r1) / n1 + r0 * (lit(1.0) - r0) / n0))
+    agg.select(
+      (col("_a") + col("_b")).as("n_exposed"),
+      (col("_c") + col("_d")).as("n_unexposed"),
+      r1.as("risk_exposed"), r0.as("risk_unexposed"),
+      when(okRr, rr).as("risk_ratio"),
+      when(okRr, d6(exp(lnRr - lit(1.959964) * seLn))).as("rr_ci_low"),
+      when(okRr, d6(exp(lnRr + lit(1.959964) * seLn)))
+        .as("rr_ci_high"),
+      rd.as("risk_diff"),
+      d6(rd - lit(1.959964) * seRd).as("rd_ci_low"),
+      d6(rd + lit(1.959964) * seRd).as("rd_ci_high"))
+  }
+
   /** Single best mean-shift changepoint by binary segmentation (the
     * one-split core of Scott & Knott 1974 / binary-seg CPD): over an
     * ordered bounded series, the split minimizing SSE_left+SSE_right —

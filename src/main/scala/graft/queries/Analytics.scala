@@ -5051,6 +5051,172 @@ object Analytics {
       |    END AS rl_100
       |FROM mu""".stripMargin
 
+  // q416: pairwise Welch contrasts with Bonferroni control
+  // (Stats.pairwiseContrasts) across languages on document length —
+  // the post-hoc "WHICH pairs differ" after q338/q353 say "they
+  // differ", family-wise honest. Oracle replays the per-group cleared
+  // stats, the Welch z and the shared erfc polynomial.
+  def q416PairwiseContrasts(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.pairwiseContrasts(
+      t(s, dir, "documents"), "lang", "n_chars")
+
+  val q416Sql: String = {
+    val p = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH per AS (
+       |  SELECT lang AS g, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
+       |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+       |      AS s2
+       |  FROM documents GROUP BY 1),
+       |st AS (SELECT g, n,
+       |    CAST(CAST(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS DECIMAL(28,6)) AS DOUBLE) AS m,
+       |    CAST(CAST(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+       |      / CAST(n * (n - 1) AS DOUBLE) AS DECIMAL(28,6))
+       |      AS DOUBLE) AS v
+       |  FROM per),
+       |pr AS (SELECT a.g AS group_a, b.g AS group_b,
+       |    a.n AS n_a, b.n AS n_b, a.m AS mean_a, b.m AS mean_b,
+       |    CASE WHEN a.v / CAST(a.n AS DOUBLE) +
+       |        b.v / CAST(b.n AS DOUBLE) > 0 THEN
+       |      CAST(CAST((a.m - b.m) / sqrt(a.v / CAST(a.n AS DOUBLE) +
+       |        b.v / CAST(b.n AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+       |    END AS z
+       |  FROM st a JOIN st b ON a.g < b.g),
+       |pm AS (SELECT *, CAST(COUNT(*) OVER () AS BIGINT)
+       |    AS m_comparisons FROM pr),
+       |pv AS (SELECT *, CASE WHEN z IS NOT NULL THEN
+       |    CAST(CAST($p AS DECIMAL(28,6)) AS DOUBLE) END AS p_raw
+       |  FROM pm),
+       |pb AS (SELECT *, CASE WHEN p_raw IS NOT NULL THEN
+       |    CAST(CAST(LEAST(1.0,
+       |      p_raw * CAST(m_comparisons AS DOUBLE)) AS DECIMAL(28,6))
+       |      AS DOUBLE) END AS p_bonf
+       |  FROM pv)
+       |SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, z,
+       |  m_comparisons, p_raw, p_bonf,
+       |  CASE WHEN p_bonf IS NOT NULL THEN
+       |    CAST(p_bonf <= 0.05 AS INT) ELSE 0 END AS significant
+       |FROM pb""".stripMargin
+  }
+
+  // q417: BH-FDR over the q400 per-event-type Poisson-rate z battery
+  // (Stats.zBatteryFdr) — the portable erfc-polynomial p-values feed
+  // the existing q264 step-up machinery; the multiple-testing layer
+  // over the module's per-test flags. Oracle rebuilds the battery,
+  // the polynomial and the rank/k*/adjusted-p chain.
+  def q417BhFdr(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val mm = evt.agg(min(us).as("_mn"), max(us).as("_mx"))
+    val flagged = evt.crossJoin(broadcast(mm))
+      .select(col("event_type"),
+        ((us * 2L) >= (col("_mn") + col("_mx"))).cast("int").as("arm"))
+    val battery = graft.pipeline.Stats.poissonRateTest(flagged,
+      "event_type", "arm", 1L, 1L)
+      .select(col("event_type"), col("z"))
+    graft.pipeline.Stats.zBatteryFdr(battery, "event_type", "z",
+      q = 0.05)
+  }
+
+  val q417Sql: String = {
+    val p = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+       |  FROM events),
+       |mm AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+       |f AS (SELECT event_type,
+       |    CASE WHEN us * 2 >= mn + mx THEN 1 ELSE 0 END AS a
+       |  FROM e CROSS JOIN mm),
+       |ag AS (SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(a) AS BIGINT) AS x1 FROM f GROUP BY 1),
+       |bat AS (SELECT k,
+       |    CASE WHEN n > 0 THEN
+       |      CAST(CAST((CAST(x1 AS DOUBLE) - CAST(n AS DOUBLE) * 0.5) /
+       |        sqrt(CAST(n AS DOUBLE) * 0.5 * 0.5) AS DECIMAL(28,6))
+       |        AS DOUBLE) END AS z
+       |  FROM ag),
+       |pv AS (SELECT k, z,
+       |    CAST(CAST($p AS DECIMAL(28,6)) AS DOUBLE) AS p_raw
+       |  FROM bat),
+       |rk AS (SELECT *,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY p_raw, k) AS BIGINT)
+       |      AS rank,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM pv),
+       |ks AS (SELECT *,
+       |    COALESCE(MAX(CASE WHEN p_raw * m <=
+       |        CAST(rank AS DOUBLE) * 0.05 THEN rank END) OVER (), 0)
+       |      AS kstar,
+       |    CAST(CAST(LEAST(
+       |      MIN(p_raw * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE))
+       |        OVER (ORDER BY rank DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |      1.0) AS DECIMAL(28,6)) AS DOUBLE) AS p_adj
+       |  FROM rk)
+       |SELECT k AS event_type, z,
+       |  CAST(CAST(p_raw AS DECIMAL(28,6)) AS DOUBLE) AS p_value,
+       |  rank, p_adj,
+       |  CAST(rank <= kstar AS INT) AS rejected
+       |FROM ks""".stripMargin
+  }
+
+  // q419: risk ratio + risk difference with 95% CIs (Stats.riskRatio)
+  // for finished status on above-median order value — the
+  // epidemiologist's 2×2 beside q369's odds ratio (which exaggerates
+  // on common outcomes) and q411's stratified pool. Oracle replays
+  // the cells and every d6 stage.
+  def q419RiskRatio(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select((col("o_orderstatus") === "F").cast("int").as("arm"),
+        (col("o_totalprice") >= 250000.0).cast("int").as("outcome"))
+    graft.pipeline.Stats.riskRatio(o, "arm", "outcome")
+  }
+
+  val q419Sql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g,
+      |    CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS y
+      |  FROM orders),
+      |ag AS (SELECT CAST(SUM(g * y) AS BIGINT) AS a,
+      |    CAST(SUM(g * (1 - y)) AS BIGINT) AS bb,
+      |    CAST(SUM((1 - g) * y) AS BIGINT) AS c,
+      |    CAST(SUM((1 - g) * (1 - y)) AS BIGINT) AS dd FROM b),
+      |st AS (SELECT a, bb, c, dd,
+      |    CAST(a + bb AS DOUBLE) AS n1, CAST(c + dd AS DOUBLE) AS n0,
+      |    CAST(CAST(CAST(a AS DOUBLE) / CAST(a + bb AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS r1,
+      |    CAST(CAST(CAST(c AS DOUBLE) / CAST(c + dd AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS r0
+      |  FROM ag),
+      |rr AS (SELECT *,
+      |    CAST(CAST(r1 / r0 AS DECIMAL(28,6)) AS DOUBLE) AS rrv,
+      |    CAST(CAST(sqrt(1.0 / CAST(a AS DOUBLE) - 1.0 / n1 +
+      |      1.0 / CAST(c AS DOUBLE) - 1.0 / n0) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS seln,
+      |    CAST(CAST(r1 - r0 AS DECIMAL(28,6)) AS DOUBLE) AS rd,
+      |    CAST(CAST(sqrt(r1 * (1.0 - r1) / n1 +
+      |      r0 * (1.0 - r0) / n0) AS DECIMAL(28,6)) AS DOUBLE) AS serd
+      |  FROM st),
+      |ln2 AS (SELECT *,
+      |    CAST(CAST(ln(rrv) AS DECIMAL(28,6)) AS DOUBLE) AS lnrr
+      |  FROM rr)
+      |SELECT CAST(a + bb AS BIGINT) AS n_exposed,
+      |  CAST(c + dd AS BIGINT) AS n_unexposed,
+      |  r1 AS risk_exposed, r0 AS risk_unexposed,
+      |  CASE WHEN a > 0 AND c > 0 THEN rrv END AS risk_ratio,
+      |  CASE WHEN a > 0 AND c > 0 THEN
+      |    CAST(CAST(exp(lnrr - 1.959964 * seln) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS rr_ci_low,
+      |  CASE WHEN a > 0 AND c > 0 THEN
+      |    CAST(CAST(exp(lnrr + 1.959964 * seln) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS rr_ci_high,
+      |  rd AS risk_diff,
+      |  CAST(CAST(rd - 1.959964 * serd AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS rd_ci_low,
+      |  CAST(CAST(rd + 1.959964 * serd AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS rd_ci_high
+      |FROM ln2""".stripMargin
+
   // q410: single best mean-shift changepoint (Stats.changepoint) on
   // the daily event-volume series — WHERE the level broke and the
   // before/after means; q320's CUSUM alarms, this locates. Oracle
@@ -5469,6 +5635,9 @@ object Analytics {
     "q412_cochran_armitage" -> (q412CochranArmitage _),
     "q413_capture_recapture" -> (q413CaptureRecapture _),
     "q414_newey_west" -> (q414NeweyWest _),
+    "q416_pairwise_contrasts" -> (q416PairwiseContrasts _),
+    "q417_bh_fdr" -> (q417BhFdr _),
+    "q419_risk_ratio" -> (q419RiskRatio _),
     "q399_target_encode" -> (q399TargetEncode _),
     "q393_cox_ph" -> (q393CoxPh _),
     "q392_platt" -> (q392Platt _),
@@ -5584,6 +5753,9 @@ object Analytics {
     "q412_cochran_armitage" -> q412Sql,
     "q413_capture_recapture" -> q413Sql,
     "q414_newey_west" -> q414Sql,
+    "q416_pairwise_contrasts" -> q416Sql,
+    "q417_bh_fdr" -> q417Sql,
+    "q419_risk_ratio" -> q419Sql,
     "q399_target_encode" -> q399Sql,
     "q393_cox_ph" -> q393Sql,
     "q392_platt" -> q392Sql,

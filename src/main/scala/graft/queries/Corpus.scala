@@ -4308,6 +4308,44 @@ object Corpus {
       |  CAST(SUM(CAST(js_term AS DECIMAL(28,6))) OVER () AS DOUBLE) AS js
       |FROM t""".stripMargin
 
+  // q415: Hellinger drift between the even/odd doc_id halves over the
+  // language dimension — the true-METRIC member of the drift family
+  // (PSI q385 unbounded, JS q271 bounded-not-metric): transitively
+  // thresholdable across snapshots. Oracle replays the Laplace
+  // shares, the IEEE-sqrt bounded-affinity terms and the clamped
+  // closing d6.
+  def q415Hellinger(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.hellingerDrift(
+      t(s, dir, "documents").withColumn("is_cur", col("doc_id") % 2 === 1),
+      "is_cur", col("lang"))
+
+  val q415Sql: String =
+    """WITH f AS (
+      |  SELECT lang AS bucket, (doc_id % 2 = 1) AS cur FROM documents),
+      |c AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM f GROUP BY 1),
+      |s AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    CAST(n_ref + 1 AS DOUBLE)
+      |      / CAST(SUM(n_ref) OVER () + COUNT(*) OVER () AS DOUBLE) AS p,
+      |    CAST(n_cur + 1 AS DOUBLE)
+      |      / CAST(SUM(n_cur) OVER () + COUNT(*) OVER () AS DOUBLE) AS q
+      |  FROM c),
+      |t AS (
+      |  SELECT bucket, n_ref, n_cur,
+      |    CAST(CAST(p AS DECIMAL(28,6)) AS DOUBLE) AS p_ref,
+      |    CAST(CAST(q AS DECIMAL(28,6)) AS DOUBLE) AS p_cur,
+      |    CAST(CAST(sqrt(p * q) AS DECIMAL(28,6)) AS DOUBLE) AS bc_term
+      |  FROM s)
+      |SELECT bucket, n_ref, n_cur, p_ref, p_cur, bc_term,
+      |  CAST(CAST(sqrt(GREATEST(0.0, 1.0 -
+      |    CAST(SUM(CAST(bc_term AS DECIMAL(28,6))) OVER () AS DOUBLE)))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS hellinger
+      |FROM t""".stripMargin
+
   // q273: UniMax budget allocation (Chung et al. 2023) — water-fill a
   // 30k-token budget over the language domains at a 2-epoch repeat
   // cap. The oracle replays the all-integer saturation predicate, k*,
@@ -5644,6 +5682,7 @@ object Corpus {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q401_katz" -> (q401Katz _),
     "q406_neg_sampling" -> (q406NegSampling _),
+    "q415_hellinger" -> (q415Hellinger _),
     "q407_bray_curtis" -> (q407BrayCurtis _),
     "q402_ordered_pairs" -> (q402OrderedPairs _),
     "q388_skipgram_ppmi" -> (q388SkipgramPpmi _),
@@ -5765,6 +5804,7 @@ object Corpus {
   def oracles: Map[String, String] = Map(
     "q401_katz" -> q401Sql,
     "q406_neg_sampling" -> q406Sql,
+    "q415_hellinger" -> q415Sql,
     "q407_bray_curtis" -> q407Sql,
     "q402_ordered_pairs" -> q402Sql,
     "q388_skipgram_ppmi" -> q388Sql,

@@ -1640,6 +1640,76 @@ object Pipeline {
       |    AS mean_silhouette
       |FROM sc GROUP BY 1""".stripMargin
 
+  // q418: Davies-Bouldin index over the labeled embeddings — the
+  // cluster-vs-most-confusable-neighbor quality score beside q344's
+  // per-point silhouette (lower is better; the k-sweep readout).
+  // Oracle replays the q344 centroid discipline: quantized grid,
+  // cleared own-cluster scatter, cleared centroid-pair distances,
+  // worst-ratio max and the window mean.
+  def q418DaviesBouldin(s: SparkSession, dir: String): DataFrame =
+    Similarity.daviesBouldin(
+      t(s, dir, "embeddings"), "vec_id", "label", "embedding")
+
+  val q418Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS id, CAST(label AS BIGINT) AS l,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS ql
+      |  FROM embeddings),
+      |sums AS (
+      |  SELECT l, unnest(range(len(ql))) AS d, unnest(ql) AS x FROM q),
+      |sg AS (SELECT l, d, CAST(SUM(x) AS BIGINT) AS s
+      |       FROM sums GROUP BY 1, 2),
+      |np AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1),
+      |ce AS (SELECT l AS cl, list(s ORDER BY d) AS sarr
+      |       FROM sg GROUP BY l),
+      |cen AS (SELECT ce.cl, ce.sarr, np.n
+      |        FROM ce JOIN np ON np.l = ce.cl),
+      |own AS (
+      |  SELECT q.l,
+      |    CAST(CAST(sqrt(CAST(list_sum(list_transform(
+      |      range(1, len(ql) + 1), i ->
+      |      CAST(c.n * ql[CAST(i AS INTEGER)] -
+      |        c.sarr[CAST(i AS INTEGER)] AS HUGEINT) *
+      |      CAST(c.n * ql[CAST(i AS INTEGER)] -
+      |        c.sarr[CAST(i AS INTEGER)] AS HUGEINT)))
+      |      AS DOUBLE)) / CAST(c.n AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS dist
+      |  FROM q JOIN cen c ON c.cl = q.l),
+      |scat AS (
+      |  SELECT l, CAST(COUNT(*) AS BIGINT) AS n_points,
+      |    CAST(CAST(CAST(SUM(CAST(dist AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS scatter
+      |  FROM own GROUP BY 1),
+      |cd AS (
+      |  SELECT a.cl AS la, b.cl AS lb,
+      |    CAST(CAST(sqrt(CAST(list_sum(list_transform(
+      |      range(1, len(a.sarr) + 1), i ->
+      |      (CAST(b.n AS HUGEINT) * a.sarr[CAST(i AS INTEGER)] -
+      |       CAST(a.n AS HUGEINT) * b.sarr[CAST(i AS INTEGER)]) *
+      |      (CAST(b.n AS HUGEINT) * a.sarr[CAST(i AS INTEGER)] -
+      |       CAST(a.n AS HUGEINT) * b.sarr[CAST(i AS INTEGER)])))
+      |      AS DOUBLE)) /
+      |      (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS dij
+      |  FROM cen a JOIN cen b ON a.cl <> b.cl),
+      |rt AS (
+      |  SELECT cd.la,
+      |    CASE WHEN dij > 0 THEN
+      |      CAST(CAST((sa.scatter + sb.scatter) / dij
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS r
+      |  FROM cd JOIN scat sa ON sa.l = cd.la
+      |  JOIN scat sb ON sb.l = cd.lb),
+      |worst AS (SELECT la AS l, MAX(r) AS worst_ratio
+      |          FROM rt GROUP BY 1)
+      |SELECT s.l AS label, s.n_points, s.scatter, w.worst_ratio,
+      |  CAST(CAST(CAST(SUM(CAST(w.worst_ratio AS DECIMAL(28,6)))
+      |      OVER () AS DOUBLE) /
+      |    CAST(COUNT(*) OVER () AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS db_index
+      |FROM scat s JOIN worst w ON w.l = s.l""".stripMargin
+
   // q345: exact KNN-Shapley valuation of the training embeddings
   // against the held-out sixth (vec_id % 17 = 0) — per-example value
   // under the KNN utility via Jia et al.'s O(N log N) closed form.
@@ -2254,6 +2324,7 @@ object Pipeline {
     "q347_dbscan" -> (q347Dbscan _),
     "q345_knn_shapley" -> (q345KnnShapley _),
     "q344_silhouette" -> (q344Silhouette _),
+    "q418_davies_bouldin" -> (q418DaviesBouldin _),
     "q343_cdc_dup_pairs" -> (q343CdcDup _),
     "q342_cdc_chunks" -> (q342CdcChunks _),
     "q317_quantile_normalize" -> (q317QuantileNormalize _),
@@ -2975,6 +3046,7 @@ object Pipeline {
     "q361_skew_advisor" -> q361Sql,
     "q345_knn_shapley" -> q345Sql,
     "q344_silhouette" -> q344Sql,
+    "q418_davies_bouldin" -> q418Sql,
     "q343_cdc_dup_pairs" -> q343Sql,
     "q342_cdc_chunks" -> q342Sql,
     "q317_quantile_normalize" -> q317Sql,

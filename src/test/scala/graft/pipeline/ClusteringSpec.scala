@@ -183,4 +183,31 @@ class ClusteringSpec extends SparkSpec {
         s"$sf: ANN-fed DBSCAN diverges from exact")
     }
   }
+
+  test("daviesBouldin: hand two-cluster geometry; single label is " +
+    "loud") {
+    // 1-D on float32-EXACT values: {0, 1} and {10, 11} → quantized
+    // {0,1000} / {10000,11000}: scatter 500 each, centroid distance
+    // |2·1000 − 2·21000|/4 = 10000 → DB = 1000/10000 = 0.1
+    val df = Seq((1L, 0L, Seq(0.0f)), (2L, 0L, Seq(1.0f)),
+      (3L, 1L, Seq(10.0f)), (4L, 1L, Seq(11.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.daviesBouldin(df, "vec_id", "label",
+      "embedding").collect().map(r => r.getAs[Long]("label") -> r)
+      .toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L).getAs[Double]("scatter") == 500.0)
+    assert(out(1L).getAs[Double]("scatter") == 500.0)
+    assert(out(0L).getAs[Double]("worst_ratio") == 0.1)
+    assert(out(0L).getAs[Double]("db_index") == 0.1)
+    assert(out(1L).getAs[Double]("db_index") == 0.1)
+    val loud = intercept[Exception] {
+      Similarity.daviesBouldin(
+        Seq((1L, 0L, Seq(0.5f)), (2L, 0L, Seq(0.6f)))
+          .toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding").collect()
+    }
+    assert(loud.getMessage.contains(">= 2 cluster labels"),
+      loud.getMessage)
+  }
 }

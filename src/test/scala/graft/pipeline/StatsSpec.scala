@@ -1371,4 +1371,93 @@ class StatsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
   }
+
+  test("hellingerDrift: identical halves score ~0; disjoint slices " +
+    "approach 1; terms stay in [0,1]") {
+    val same = ((1 to 50).map(i => ("a", false)) ++
+      (1 to 50).map(i => ("a", true)) ++
+      (1 to 50).map(i => ("b", false)) ++
+      (1 to 50).map(i => ("b", true))).toDF("bucket", "is_cur")
+    val rs = Stats.hellingerDrift(same, "is_cur", col("bucket"))
+      .collect()
+    assert(rs.forall(_.getAs[Double]("hellinger") < 0.01))
+    val disj = ((1 to 500).map(i => ("a", false)) ++
+      (1 to 500).map(i => ("b", true))).toDF("bucket", "is_cur")
+    val rd = Stats.hellingerDrift(disj, "is_cur", col("bucket"))
+      .collect()
+    val h = rd.head.getAs[Double]("hellinger")
+    assert(h > 0.9 && h <= 1.0, s"hellinger $h")
+    assert(rd.forall(r => r.getAs[Double]("bc_term") >= 0.0 &&
+      r.getAs[Double]("bc_term") <= 1.0))
+  }
+
+  test("pairwiseContrasts: equal groups score z = 0 and p = 1; a " +
+    "shifted group is Bonferroni-significant; 1-row group is loud") {
+    val df = (Seq(1L, 2L, 3L).map(("a", _)) ++
+      Seq(1L, 2L, 3L).map(("b", _)) ++
+      Seq(11L, 12L, 13L).map(("c", _))).toDF("g", "x")
+    val out = Stats.pairwiseContrasts(df, "g", "x")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 3)
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Double]("z") == 0.0)
+    assert(ab.getAs[Double]("p_raw") == 1.0)
+    assert(ab.getAs[Int]("significant") == 0)
+    val ac = out(("a", "c"))
+    assert(math.abs(ac.getAs[Double]("z") - -12.247449) < 1e-5)
+    assert(ac.getAs[Double]("p_bonf") < 0.001)
+    assert(ac.getAs[Int]("significant") == 1)
+    assert(ac.getAs[Long]("m_comparisons") == 3L)
+    val loud = intercept[Exception] {
+      Stats.pairwiseContrasts(
+        (Seq(1L, 2L).map(("a", _)) :+ (("b", 5L))).toDF("g", "x"),
+        "g", "x").collect()
+    }
+    assert(loud.getMessage.contains("fewer than 2"), loud.getMessage)
+  }
+
+  test("zBatteryFdr: erfc p-values feed the q264 step-up — a huge z " +
+    "is the sole discovery against a null and a weak z") {
+    val battery = Seq(("t_null", 0.0), ("t_weak", 0.5),
+      ("t_strong", 6.0)).toDF("k", "z")
+    val out = Stats.zBatteryFdr(battery, "k", "z")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("t_null").getAs[Double]("p_value") == 1.0)
+    assert(out("t_strong").getAs[Double]("p_value") < 1e-6)
+    assert(out("t_strong").getAs[Int]("rejected") == 1)
+    assert(out("t_weak").getAs[Int]("rejected") == 0)
+    assert(out("t_null").getAs[Int]("rejected") == 0)
+    assert(out("t_strong").getAs[Long]("rank") == 1L)
+    // adjusted p is monotone in rank
+    assert(out("t_strong").getAs[Double]("p_adj") <=
+      out("t_weak").getAs[Double]("p_adj"))
+  }
+
+  test("riskRatio: hand 2x2 gives RR = 2 and RD = 0.1 with CIs " +
+    "bracketing; a zero exposed-case cell NULLs RR but keeps RD; " +
+    "bad flag is loud") {
+    def cells(a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((1, 1)) ++ Seq.fill(b)((1, 0)) ++
+        Seq.fill(c)((0, 1)) ++ Seq.fill(d)((0, 0))
+    val df = cells(20, 80, 10, 90).toDF("g", "y")
+    val r = Stats.riskRatio(df, "g", "y").collect().head
+    assert(r.getAs[Long]("n_exposed") == 100L)
+    assert(r.getAs[Double]("risk_exposed") == 0.2)
+    assert(r.getAs[Double]("risk_unexposed") == 0.1)
+    assert(r.getAs[Double]("risk_ratio") == 2.0)
+    assert(r.getAs[Double]("rr_ci_low") < 2.0)
+    assert(r.getAs[Double]("rr_ci_high") > 2.0)
+    assert(math.abs(r.getAs[Double]("risk_diff") - 0.1) < 1e-9)
+    assert(r.getAs[Double]("rd_ci_low") < 0.1)
+    assert(r.getAs[Double]("rd_ci_high") > 0.1)
+    val zero = cells(0, 100, 10, 90).toDF("g", "y")
+    val rz = Stats.riskRatio(zero, "g", "y").collect().head
+    assert(rz.isNullAt(rz.fieldIndex("risk_ratio")))
+    assert(rz.getAs[Double]("risk_diff") == -0.1)
+    val bad = intercept[Exception] {
+      Stats.riskRatio(Seq((3, 1)).toDF("g", "y"), "g", "y").collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
 }
