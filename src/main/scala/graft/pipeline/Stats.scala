@@ -3547,6 +3547,359 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** Cronbach's alpha internal-consistency reliability (Cronbach
+    * 1951): do k measurements of the same units move TOGETHER? α =
+    * k/(k−1)·(1 − Σ itemVar / totalVar). The instrument-reliability
+    * gate before averaging k quality heuristics / k probe scores into
+    * one number — an α near 0 says the composite is noise.
+    *
+    * The unit × item grid is zero-filled to a COMPLETE design (a
+    * missing (unit, item) cell means "measured 0", the right reading
+    * for count/sum measurements; for genuinely-missing ratings use
+    * [[krippendorffAlpha]]). Determinism: per-item and total-score
+    * variances are cleared exact decimals, one d6 each, item
+    * variances decimal-summed; α closes in one d6. Zero total
+    * variance answers NULL; k < 2 or < 2 units fail loudly.
+    *
+    * Scale shape: one (unit, item) aggregate, a units × k zero-fill
+    * join (k bounded by contract), one item-keyed and one unit-keyed
+    * variance aggregate → 1 row.
+    */
+  def cronbachAlpha(
+      df: DataFrame,
+      unitCol: String,
+      itemCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = df.groupBy(col(unitCol).as("_u"),
+        col(itemCol).cast("string").as("_i"))
+      .agg(sum(col(xCol).cast("long")).as("_x"))
+    val units = cells.select(col("_u")).distinct()
+    val items = cells.select(col("_i")).distinct()
+    val grid = units.crossJoin(broadcast(items))
+      .join(cells, Seq("_u", "_i"), "left")
+      .select(col("_u"), col("_i"),
+        coalesce(col("_x"), lit(0L)).as("_x"))
+    def varOf(g: DataFrame, key: Column, v: Column): DataFrame =
+      g.groupBy(key.as("_k"))
+        .agg(count(lit(1)).as("_n"), sum(dec(v)).as("_s1"),
+          sum(dec(v) * dec(v)).as("_s2"))
+        .select(col("_k"), col("_n"),
+          when(col("_n") >= 2L,
+            d6((dec(col("_n")) * col("_s2") - col("_s1") * col("_s1"))
+              .cast("double") /
+              (col("_n") * (col("_n") - 1L)).cast("double")))
+            .otherwise(raise_error(lit(
+              "cronbachAlpha: need >= 2 units")).cast("double"))
+            .as("_v"))
+    val itemVars = varOf(grid, col("_i"), col("_x"))
+      .agg(count(lit(1)).as("k_items"),
+        sum(d28(col("_v"))).as("_sumVi"))
+      .select(when(col("k_items") >= 2L, col("k_items"))
+        .otherwise(raise_error(lit(
+          "cronbachAlpha: need >= 2 items")).cast("long"))
+        .as("k_items"), col("_sumVi"))
+    val totals = grid.groupBy(col("_u"))
+      .agg(sum(col("_x")).as("_tot"))
+    val totalVar = varOf(totals, lit("all"), col("_tot"))
+      .select(col("_n").as("n_units"), col("_v").as("_vt"))
+    itemVars.crossJoin(broadcast(totalVar))
+      .select(col("k_items"), col("n_units"),
+        d6(col("_sumVi").cast("double")).as("sum_item_var"),
+        col("_vt").as("total_var"),
+        when(col("_vt") > 0.0,
+          d6(col("k_items").cast("double") /
+            (col("k_items") - 1L).cast("double") *
+            (lit(1.0) - col("_sumVi").cast("double") / col("_vt"))))
+          .as("alpha"))
+  }
+
+  /** First-order partial correlation r_xy·z (Fisher 1924) — the
+    * correlation of x and y with z HELD CONSTANT: the first
+    * confounder check on any "x drives y" correlation readout
+    * (volume↔spend is trivial if both just track user count; the
+    * partial asks what's left once z is removed):
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)).
+    *
+    * Determinism: all three Pearson r's come from one aggregate of
+    * exact cleared decimal sums, each r one d6 (IEEE sqrt of the
+    * exact cleared product); the partial closes in one more d6. Any
+    * zero-variance margin or a degenerate (|r| = 1) conditioning
+    * answers NULL. Scale shape: ONE 1-row aggregate.
+    */
+  def partialCorrelation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      zCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val z = col(zCol).cast("long")
+    val agg = df.agg(count(lit(1)).as("n"),
+      sum(dec(x)).as("_sx"), sum(dec(y)).as("_sy"),
+      sum(dec(z)).as("_sz"),
+      sum(dec(x) * dec(x)).as("_sxx"), sum(dec(y) * dec(y)).as("_syy"),
+      sum(dec(z) * dec(z)).as("_szz"),
+      sum(dec(x) * dec(y)).as("_sxy"), sum(dec(x) * dec(z)).as("_sxz"),
+      sum(dec(y) * dec(z)).as("_syz"))
+    def cl(sab: Column, sa: Column, sb: Column): Column =
+      (dec(col("n")) * sab - sa * sb).cast("double")
+    def r(sab: Column, sa: Column, sb: Column, claa: Column,
+        clbb: Column): Column =
+      when(claa > 0.0 && clbb > 0.0,
+        d6(cl(sab, sa, sb) / sqrt(claa * clbb)))
+    val clxx = cl(col("_sxx"), col("_sx"), col("_sx"))
+    val clyy = cl(col("_syy"), col("_sy"), col("_sy"))
+    val clzz = cl(col("_szz"), col("_sz"), col("_sz"))
+    val staged = agg.select(col("n"),
+      r(col("_sxy"), col("_sx"), col("_sy"), clxx, clyy).as("r_xy"),
+      r(col("_sxz"), col("_sx"), col("_sz"), clxx, clzz).as("r_xz"),
+      r(col("_syz"), col("_sy"), col("_sz"), clyy, clzz).as("r_yz"))
+    val den = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    staged.withColumn("r_partial",
+      when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+        col("r_yz").isNotNull && den > 0.0,
+        d6((col("r_xy") - col("r_xz") * col("r_yz")) / sqrt(den))))
+  }
+
+  /** Jonckheere–Terpstra ordered-alternative test (Jonckheere 1954)
+    * — is a CONTINUOUS metric monotone in an ordered dose? The
+    * partner of [[cochranArmitage]] (binary outcome) and the ordered
+    * upgrade of [[kruskalWallis]] (which ignores the dose order): J =
+    * Σ_{i<j} U(i,j), normal-approximated with the full
+    * Hollander–Wolfe tie-corrected variance.
+    *
+    * Exactness: J is counted in DOUBLED units (ties count 1, wins 2)
+    * via per-value cumulative-count windows — integers end to end;
+    * E[2J] = (N²−Σnᵢ²)/2 exact; the three variance terms assemble
+    * from exact decimal dose/tie spectra; ONE d6 closes z. Degenerate
+    * designs (one dose, all values tied) answer NULL.
+    *
+    * Scale shape: a (dose, value) cell aggregate, one per-dose
+    * cumulative window over the value-DOMAIN-bounded cell frame
+    * (quantize unbounded metrics first — the kruskalWallis
+    * contract), a doses×values×doses contribution join bounded by
+    * the same domains, dose/value rollups.
+    */
+  def jonckheereTerpstra(
+      df: DataFrame,
+      doseCol: String,
+      xCol: String,
+      maxCells: Long = 10000L): DataFrame = {
+    require(maxCells >= 4L && maxCells <= 1000000L,
+      s"maxCells in [4,1e6], got $maxCells")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val rawCells = df.select(col(doseCol).cast("long").as("_d"),
+        col(xCol).cast("long").as("_v"))
+      .groupBy(col("_d"), col("_v"))
+      .agg(count(lit(1)).as("_n"))
+    // the pair stage is quadratic in (dose, value) cells BY CONTRACT
+    // — loud guard (the kendallTau discipline); quantize first
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cells = rawCells.withColumn("_nc", count(lit(1)).over(wAll))
+      .select(col("_d"), col("_v"),
+        when(col("_nc") <= maxCells, col("_n"))
+          .otherwise(raise_error(concat(
+            lit("jonckheereTerpstra: "), col("_nc").cast("string"),
+            lit(s" distinct (dose,value) cells > maxCells=$maxCells" +
+              " — quantize the metric"))).cast("long")).as("_n"))
+    val ci = cells.select(col("_d").as("_di"), col("_v").as("_vi"),
+      col("_n").as("_ni"))
+    val cj = cells.select(col("_d").as("_dj"), col("_v").as("_vj"),
+      col("_n").as("_nj"))
+    val contrib = ci.join(cj,
+        col("_di") < col("_dj") && col("_vi") <= col("_vj"))
+      .select((col("_ni") * col("_nj") *
+        when(col("_vi") < col("_vj"), lit(2L)).otherwise(lit(1L)))
+        .as("_c"))
+    val ties = contrib.agg(
+      coalesce(sum(when(col("_c") > 0L, col("_c"))), lit(0L))
+        .as("_st"))
+    val perDose = cells.groupBy(col("_d"))
+      .agg(sum(col("_n")).as("_nd"))
+    val doseStats = perDose.agg(count(lit(1)).as("k_doses"),
+      sum(col("_nd")).as("n_total"),
+      sum(dec(col("_nd")) * dec(col("_nd"))).as("_sn2"),
+      sum(dec(col("_nd")) * (dec(col("_nd")) - lit(1)) *
+        (lit(2) * dec(col("_nd")) + lit(5))).as("_a2"),
+      sum(dec(col("_nd")) * (dec(col("_nd")) - lit(1)))
+        .as("_c1"),
+      sum(dec(col("_nd")) * (dec(col("_nd")) - lit(1)) *
+        (dec(col("_nd")) - lit(2))).as("_b1"))
+    val tieStats = cells.groupBy(col("_v"))
+      .agg(sum(col("_n")).as("_tv"))
+      .agg(sum(dec(col("_tv")) * (dec(col("_tv")) - lit(1)) *
+        (lit(2) * dec(col("_tv")) + lit(5))).as("_a3"),
+        sum(dec(col("_tv")) * (dec(col("_tv")) - lit(1)))
+          .as("_c2"),
+        sum(dec(col("_tv")) * (dec(col("_tv")) - lit(1)) *
+          (dec(col("_tv")) - lit(2))).as("_b2"))
+    val joined = ties
+      .crossJoin(broadcast(doseStats)).crossJoin(broadcast(tieStats))
+    val nD = col("n_total").cast("double")
+    val j2 = col("_st").cast("double")
+    val e2 = (dec(col("n_total")) * dec(col("n_total")) - col("_sn2"))
+      .cast("double")
+    val aTerm = (dec(col("n_total")) * (dec(col("n_total")) - lit(1)) *
+      (lit(2) * dec(col("n_total")) + lit(5)) - col("_a2") -
+      col("_a3")).cast("double") / 72.0
+    val bTerm = col("_b1").cast("double") * col("_b2").cast("double") /
+      (lit(36.0) * nD * (nD - 1.0) * (nD - 2.0))
+    val cTerm = col("_c1").cast("double") * col("_c2").cast("double") /
+      (lit(8.0) * nD * (nD - 1.0))
+    val varJ = aTerm + bTerm + cTerm
+    val ok = col("k_doses") >= 2L
+    joined.select(col("k_doses"), col("n_total"),
+      col("_st").as("j2_doubled"),
+      when(ok && varJ > 0.0,
+        d6((j2 / 2.0 - e2 / 4.0) / sqrt(varJ))).as("z"))
+      .withColumn("significant",
+        when(col("z").isNotNull, (abs(col("z")) >= 1.959964).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Harrell's concordance index for survival risk scores (Harrell
+    * 1982) — "does a higher risk score actually mean earlier churn?":
+    * among comparable pairs (the earlier time is an observed event),
+    * the fraction where the score ranks them correctly, ties worth
+    * half. THE standard discrimination readout for [[coxPh]]'s
+    * linear predictor (c = 0.5 random, 1.0 perfect).
+    *
+    * Exactness: pairs count in doubled units over (time, event,
+    * score) CELLS — concordant 2, score-tie 1 — so c =
+    * doubled/(2·comparable) takes ONE d6. The cell-pair join is
+    * quadratic in distinct (time, score) cells BY CONTRACT: a loud
+    * maxCells guard (the [[kendallTau]] discipline) — quantize
+    * continuous scores first.
+    *
+    * Scale shape: one cell aggregate, one guarded cells² join, one
+    * 1-row rollup.
+    */
+  def harrellC(
+      df: DataFrame,
+      timeCol: String,
+      eventCol: String,
+      scoreCol: String,
+      maxCells: Long = 10000L): DataFrame = {
+    require(maxCells >= 4L && maxCells <= 1000000L,
+      s"maxCells in [4,1e6], got $maxCells")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val ev = when(col(eventCol).cast("long").isin(0L, 1L),
+      col(eventCol).cast("long"))
+      .otherwise(raise_error(concat(lit("harrellC: event flag "),
+        col(eventCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val cells = df.select(col(timeCol).cast("long").as("_t"),
+        ev.as("_e"), col(scoreCol).cast("long").as("_s"))
+      .groupBy(col("_t"), col("_e"), col("_s"))
+      .agg(count(lit(1)).as("_n"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val guarded = cells.withColumn("_nc", count(lit(1)).over(wAll))
+      .select(col("_t"), col("_e"), col("_s"),
+        when(col("_nc") <= maxCells, col("_n"))
+          .otherwise(raise_error(concat(
+            lit("harrellC: "), col("_nc").cast("string"),
+            lit(s" distinct (time,event,score) cells > maxCells=" +
+              s"$maxCells — quantize the score"))).cast("long"))
+          .as("_n"))
+    val a = guarded.select(col("_t").as("_ta"), col("_e").as("_ea"),
+      col("_s").as("_sa"), col("_n").as("_na"))
+    val b = guarded.select(col("_t").as("_tb"), col("_s").as("_sb"),
+      col("_n").as("_nb"))
+    // comparable: a is an observed event strictly earlier than b
+    val pairs = a.filter(col("_ea") === 1L)
+      .join(b, col("_ta") < col("_tb"))
+      .select((col("_na") * col("_nb")).as("_np"),
+        when(col("_sa") > col("_sb"), lit(2L))
+          .when(col("_sa") === col("_sb"), lit(1L))
+          .otherwise(lit(0L)).as("_w"))
+    pairs.agg(coalesce(sum(col("_np")), lit(0L)).as("n_comparable"),
+      coalesce(sum(col("_np") * col("_w")), lit(0L)).as("_d2"))
+      .select(col("n_comparable"),
+        when(col("n_comparable") > 0L,
+          d6(col("_d2").cast("double") /
+            (lit(2.0) * col("n_comparable").cast("double"))))
+          .as("c_index"))
+  }
+
+  /** Intraclass correlation ICC(1,1) (Shrout & Fleiss 1979, one-way
+    * random) — what fraction of measurement variance is BETWEEN
+    * units rather than within-unit noise? The continuous-scale
+    * reliability readout beside [[cronbachAlpha]] (consistency of a
+    * composite) and [[cohensKappa]] (categorical agreement):
+    * ICC = (MSB − MSW)/(MSB + (k−1)·MSW) from the one-way ANOVA
+    * decomposition over a COMPLETE unit × measurement design
+    * (enforced loudly in-plan).
+    *
+    * Determinism: SSB/SSW assemble from exact cleared decimals
+    * (per-unit totals and the grand total), MSB/MSW/ICC close in
+    * fixed d6 stages. Zero between+within variance answers NULL.
+    * Scale shape: one (unit) aggregate with per-unit sums, one 1-row
+    * rollup.
+    */
+  def icc(
+      df: DataFrame,
+      unitCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = col(xCol).cast("long")
+    val per = df.groupBy(col(unitCol).as("_u"))
+      .agg(count(lit(1)).as("_k"), sum(dec(x)).as("_s"),
+        sum(dec(x) * dec(x)).as("_q"))
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val audited = per
+      .withColumn("_kmax", max(col("_k")).over(wAll))
+      .select(col("_u"),
+        when(col("_k") === col("_kmax"), col("_k"))
+          .otherwise(raise_error(concat(
+            lit("icc: unit "), col("_u").cast("string"), lit(" has "),
+            col("_k").cast("string"), lit(" measurements, others "),
+            col("_kmax").cast("string"),
+            lit(" — the one-way ICC needs a complete design")))
+            .cast("long")).as("_k"),
+        col("_s"), col("_q"))
+    val roll = audited.agg(count(lit(1)).as("n_units"),
+      max(col("_k")).as("k_per_unit"),
+      sum(col("_s")).as("_gs"), sum(col("_q")).as("_gq"),
+      sum(col("_s") * col("_s")).as("_sst"))
+    val n = col("n_units")
+    val k = col("k_per_unit")
+    val nTot = (n * k).cast("double")
+    // SSB = Σ Tᵤ²/k − G²/(nk); SSW = Σx² − Σ Tᵤ²/k (exact-decimal
+    // numerators, fixed double chain)
+    val ssb = col("_sst").cast("double") / k.cast("double") -
+      col("_gs").cast("double") * col("_gs").cast("double") / nTot
+    val ssw = col("_gq").cast("double") -
+      col("_sst").cast("double") / k.cast("double")
+    val msb = d6(ssb / (n - 1L).cast("double"))
+    val msw = d6(ssw / (n * (k - 1L)).cast("double"))
+    val guarded = roll.select(
+      when(n >= 2L, n).otherwise(raise_error(lit(
+        "icc: need >= 2 units")).cast("long")).as("n_units"),
+      when(k >= 2L, k).otherwise(raise_error(lit(
+        "icc: need >= 2 measurements per unit")).cast("long"))
+        .as("k_per_unit"),
+      msb.as("msb"), msw.as("msw"))
+    guarded.withColumn("icc",
+      when(col("msb") + (col("k_per_unit") - 1L).cast("double") *
+        col("msw") > 0.0,
+        d6((col("msb") - col("msw")) /
+          (col("msb") + (col("k_per_unit") - 1L).cast("double") *
+            col("msw")))))
+  }
+
   /** Hellinger distance between the reference and current slices over
     * one categorical/bucketed dimension — the bounded, SYMMETRIC,
     * triangle-inequality-honest drift metric beside [[psiDrift]]

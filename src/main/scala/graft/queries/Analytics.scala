@@ -5217,6 +5217,303 @@ object Analytics {
       |    AS rd_ci_high
       |FROM ln2""".stripMargin
 
+  // q420: Cronbach's alpha (Stats.cronbachAlpha) of the five per-user
+  // event-type activity counts — do the activity channels move
+  // together enough to average into one engagement score? Oracle
+  // replays the zero-filled grid and both cleared-variance chains.
+  def q420Cronbach(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), lit(1L).as("one"))
+    graft.pipeline.Stats.cronbachAlpha(evt, "user_id", "event_type",
+      "one")
+  }
+
+  val q420Sql: String =
+    """WITH cells AS (
+      |  SELECT user_id AS u, event_type AS i,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT uu.u, ii.i, COALESCE(cells.x, 0) AS x
+      |  FROM (SELECT DISTINCT u FROM cells) uu
+      |  CROSS JOIN (SELECT DISTINCT i FROM cells) ii
+      |  LEFT JOIN cells ON cells.u = uu.u AND cells.i = ii.i),
+      |iv AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS s1,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2
+      |  FROM grid GROUP BY 1),
+      |ivv AS (SELECT i,
+      |    CAST(CAST(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1 AS DOUBLE)
+      |      / CAST(n * (n - 1) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS v
+      |  FROM iv),
+      |ivr AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_items,
+      |    SUM(CAST(v AS DECIMAL(28,6))) AS sumvi FROM ivv),
+      |tt AS (SELECT u, CAST(SUM(x) AS BIGINT) AS tot
+      |       FROM grid GROUP BY 1),
+      |tv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+      |    SUM(CAST(tot AS HUGEINT)) AS s1,
+      |    SUM(CAST(tot AS HUGEINT) * CAST(tot AS HUGEINT)) AS s2
+      |  FROM tt),
+      |tvv AS (SELECT n_units,
+      |    CAST(CAST(CAST(CAST(n_units AS HUGEINT) * s2 - s1 * s1
+      |      AS DOUBLE) / CAST(n_units * (n_units - 1) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS vt
+      |  FROM tv)
+      |SELECT k_items, n_units,
+      |  CAST(CAST(CAST(sumvi AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS sum_item_var,
+      |  vt AS total_var,
+      |  CASE WHEN vt > 0 THEN
+      |    CAST(CAST(CAST(k_items AS DOUBLE) /
+      |      CAST(k_items - 1 AS DOUBLE) *
+      |      (1.0 - CAST(sumvi AS DOUBLE) / vt) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS alpha
+      |FROM ivr CROSS JOIN tvv""".stripMargin
+
+  // q421: partial correlation (Stats.partialCorrelation) of daily
+  // volume and daily spend given daily distinct users — is the
+  // volume↔spend correlation anything more than both tracking user
+  // count? Oracle replays the one-pass cleared sums and the staged
+  // d6 r chain.
+  def q421PartialCorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsUs(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"),
+        col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("volume"), sum(col("cents")).as("spend"),
+        countDistinct(col("user_id")).as("users"))
+    graft.pipeline.Stats.partialCorrelation(daily, "volume", "spend",
+      "users")
+  }
+
+  val q421Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(cents) AS BIGINT) AS y,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS z
+      |  FROM e GROUP BY 1),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(z AS HUGEINT)) AS sz,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+      |    SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+      |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(z AS HUGEINT)) AS sxz,
+      |    SUM(CAST(y AS HUGEINT) * CAST(z AS HUGEINT)) AS syz
+      |  FROM d),
+      |cl AS (SELECT n,
+      |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS clxx,
+      |    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS clyy,
+      |    CAST(CAST(n AS HUGEINT) * szz - sz * sz AS DOUBLE) AS clzz,
+      |    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS clxy,
+      |    CAST(CAST(n AS HUGEINT) * sxz - sx * sz AS DOUBLE) AS clxz,
+      |    CAST(CAST(n AS HUGEINT) * syz - sy * sz AS DOUBLE) AS clyz
+      |  FROM ag),
+      |rr AS (SELECT n,
+      |    CASE WHEN clxx > 0 AND clyy > 0 THEN
+      |      CAST(CAST(clxy / sqrt(clxx * clyy) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS r_xy,
+      |    CASE WHEN clxx > 0 AND clzz > 0 THEN
+      |      CAST(CAST(clxz / sqrt(clxx * clzz) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS r_xz,
+      |    CASE WHEN clyy > 0 AND clzz > 0 THEN
+      |      CAST(CAST(clyz / sqrt(clyy * clzz) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS r_yz
+      |  FROM cl)
+      |SELECT n, r_xy, r_xz, r_yz,
+      |  CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL
+      |      AND r_yz IS NOT NULL
+      |      AND (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0 THEN
+      |    CAST(CAST((r_xy - r_xz * r_yz) /
+      |      sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS r_partial
+      |FROM rr""".stripMargin
+
+  // q422: Jonckheere–Terpstra ordered trend (Stats.jonckheereTerpstra)
+  // of the 50k-value band against the priority dose — the continuous-
+  // outcome partner of q412's Cochran–Armitage, tie-corrected
+  // Hollander–Wolfe variance. Oracle replays the doubled-unit cell
+  // pairs and all three variance terms.
+  def q422Jonckheere(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+        .as("dose"),
+        floor(col("o_totalprice") / 50000.0).cast("long").as("band"))
+    graft.pipeline.Stats.jonckheereTerpstra(o, "dose", "band")
+  }
+
+  val q422Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS d,
+      |    CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS v
+      |  FROM orders),
+      |cells AS (SELECT d, v, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM b GROUP BY 1, 2),
+      |st AS (SELECT COALESCE(SUM(
+      |    ci.n * cj.n * (CASE WHEN ci.v < cj.v THEN 2 ELSE 1 END)),
+      |    0) AS st
+      |  FROM cells ci JOIN cells cj
+      |    ON ci.d < cj.d AND ci.v <= cj.v),
+      |pd AS (SELECT d, CAST(SUM(n) AS BIGINT) AS nd
+      |       FROM cells GROUP BY 1),
+      |ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_doses,
+      |    CAST(SUM(nd) AS BIGINT) AS n_total,
+      |    SUM(CAST(nd AS HUGEINT) * CAST(nd AS HUGEINT)) AS sn2,
+      |    SUM(CAST(nd AS HUGEINT) * (CAST(nd AS HUGEINT) - 1) *
+      |      (2 * CAST(nd AS HUGEINT) + 5)) AS a2,
+      |    SUM(CAST(nd AS HUGEINT) * (CAST(nd AS HUGEINT) - 1)) AS c1,
+      |    SUM(CAST(nd AS HUGEINT) * (CAST(nd AS HUGEINT) - 1) *
+      |      (CAST(nd AS HUGEINT) - 2)) AS b1
+      |  FROM pd),
+      |tsp AS (SELECT v, CAST(SUM(n) AS BIGINT) AS tv
+      |        FROM cells GROUP BY 1),
+      |ts AS (SELECT
+      |    SUM(CAST(tv AS HUGEINT) * (CAST(tv AS HUGEINT) - 1) *
+      |      (2 * CAST(tv AS HUGEINT) + 5)) AS a3,
+      |    SUM(CAST(tv AS HUGEINT) * (CAST(tv AS HUGEINT) - 1)) AS c2,
+      |    SUM(CAST(tv AS HUGEINT) * (CAST(tv AS HUGEINT) - 1) *
+      |      (CAST(tv AS HUGEINT) - 2)) AS b2
+      |  FROM tsp),
+      |fin AS (SELECT k_doses, n_total, st,
+      |    CAST(st AS DOUBLE) AS j2,
+      |    CAST(CAST(n_total AS HUGEINT) * CAST(n_total AS HUGEINT)
+      |      - sn2 AS DOUBLE) AS e2,
+      |    CAST(CAST(n_total AS HUGEINT) *
+      |        (CAST(n_total AS HUGEINT) - 1) *
+      |        (2 * CAST(n_total AS HUGEINT) + 5) - a2 - a3 AS DOUBLE)
+      |      / 72.0 +
+      |    CAST(b1 AS DOUBLE) * CAST(b2 AS DOUBLE) /
+      |      (36.0 * CAST(n_total AS DOUBLE) *
+      |       (CAST(n_total AS DOUBLE) - 1.0) *
+      |       (CAST(n_total AS DOUBLE) - 2.0)) +
+      |    CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE) /
+      |      (8.0 * CAST(n_total AS DOUBLE) *
+      |       (CAST(n_total AS DOUBLE) - 1.0)) AS varj
+      |  FROM st CROSS JOIN ds CROSS JOIN ts)
+      |SELECT k_doses, n_total, CAST(st AS BIGINT) AS j2_doubled,
+      |  CASE WHEN k_doses >= 2 AND varj > 0 THEN
+      |    CAST(CAST((j2 / 2.0 - e2 / 4.0) / sqrt(varj)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS z,
+      |  CASE WHEN k_doses >= 2 AND varj > 0 THEN
+      |    CAST(abs(CAST(CAST((j2 / 2.0 - e2 / 4.0) / sqrt(varj)
+      |      AS DECIMAL(28,6)) AS DOUBLE)) >= 1.959964 AS INT)
+      |    ELSE 0 END AS significant
+      |FROM fin""".stripMargin
+
+  // q423: Harrell's C-index (Stats.harrellC) — does per-user activity
+  // breadth (distinct active days) predict churn ORDER on the q302
+  // frame? The discrimination readout for q393's Cox model family.
+  // Oracle replays the (time,event,score) cells and the doubled-unit
+  // comparable-pair join.
+  def q423HarrellC(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("user_id"),
+      expr("ts_us div 86400000000").as("day"))
+    val spans = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("_f"), max(col("day")).as("_l"),
+        countDistinct(col("day")).as("score"))
+    val mx = e.agg(max(col("day")).as("_mx"))
+    val users = spans.crossJoin(broadcast(mx))
+      .select((col("_l") - col("_f")).as("t"),
+        (col("_mx") - col("_l") > 7L).cast("int").as("d"),
+        col("score"))
+    graft.pipeline.Stats.harrellC(users, "t", "d", "score")
+  }
+
+  val q423Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events),
+      |u AS (SELECT user_id, MIN(day) AS f, MAX(day) AS l,
+      |    CAST(COUNT(DISTINCT day) AS BIGINT) AS score
+      |  FROM e GROUP BY 1),
+      |mx AS (SELECT MAX(day) AS mx FROM e),
+      |d AS (SELECT l - f AS t,
+      |    CASE WHEN mx - l > 7 THEN 1 ELSE 0 END AS ev, score
+      |  FROM u CROSS JOIN mx),
+      |cells AS (SELECT t, ev, score, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM d GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT a.n * b.n AS np,
+      |    CASE WHEN a.score > b.score THEN 2
+      |         WHEN a.score = b.score THEN 1 ELSE 0 END AS w
+      |  FROM cells a JOIN cells b ON a.ev = 1 AND a.t < b.t),
+      |ag AS (SELECT COALESCE(CAST(SUM(np) AS BIGINT), 0)
+      |    AS n_comparable,
+      |  COALESCE(CAST(SUM(np * w) AS BIGINT), 0) AS d2
+      |  FROM pairs)
+      |SELECT n_comparable,
+      |  CASE WHEN n_comparable > 0 THEN
+      |    CAST(CAST(CAST(d2 AS DOUBLE) /
+      |      (2.0 * CAST(n_comparable AS DOUBLE)) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS c_index
+      |FROM ag""".stripMargin
+
+  // q424: ICC(1,1) (Stats.icc) — split each user's spend into three
+  // event-id thirds and ask what fraction of variance is BETWEEN
+  // users vs measurement noise; the continuous reliability readout
+  // beside q420's alpha. Oracle replays the zero-filled design and
+  // the exact ANOVA decomposition.
+  def q424Icc(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+      .select(col("user_id"), (col("event_id") % 3L).as("third"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cells = evt.groupBy(col("user_id"), col("third"))
+      .agg(sum(col("cents")).as("x"))
+    val grid = cells.select(col("user_id")).distinct()
+      .crossJoin(broadcast(
+        cells.select(col("third")).distinct()))
+      .join(cells, Seq("user_id", "third"), "left")
+      .select(col("user_id"), coalesce(col("x"), lit(0L)).as("x"))
+    graft.pipeline.Stats.icc(grid, "user_id", "x")
+  }
+
+  val q424Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id % 3 AS third,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |cells AS (SELECT user_id, third, CAST(SUM(cents) AS BIGINT) AS x
+      |          FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT uu.user_id, COALESCE(cells.x, 0) AS x
+      |  FROM (SELECT DISTINCT user_id FROM cells) uu
+      |  CROSS JOIN (SELECT DISTINCT third FROM cells) tt
+      |  LEFT JOIN cells ON cells.user_id = uu.user_id
+      |    AND cells.third = tt.third),
+      |per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k,
+      |    SUM(CAST(x AS HUGEINT)) AS s,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+      |  FROM grid GROUP BY 1),
+      |roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+      |    CAST(MAX(k) AS BIGINT) AS k_per_unit,
+      |    SUM(s) AS gs, SUM(q) AS gq, SUM(s * s) AS sst
+      |  FROM per),
+      |ms AS (SELECT n_units, k_per_unit,
+      |    CAST(CAST((CAST(sst AS DOUBLE) /
+      |        CAST(k_per_unit AS DOUBLE) -
+      |      CAST(gs AS DOUBLE) * CAST(gs AS DOUBLE) /
+      |        CAST(n_units * k_per_unit AS DOUBLE)) /
+      |      CAST(n_units - 1 AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS msb,
+      |    CAST(CAST((CAST(gq AS DOUBLE) -
+      |      CAST(sst AS DOUBLE) / CAST(k_per_unit AS DOUBLE)) /
+      |      CAST(n_units * (k_per_unit - 1) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS msw
+      |  FROM roll)
+      |SELECT n_units, k_per_unit, msb, msw,
+      |  CASE WHEN msb + CAST(k_per_unit - 1 AS DOUBLE) * msw > 0 THEN
+      |    CAST(CAST((msb - msw) /
+      |      (msb + CAST(k_per_unit - 1 AS DOUBLE) * msw)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS icc
+      |FROM ms""".stripMargin
+
   // q410: single best mean-shift changepoint (Stats.changepoint) on
   // the daily event-volume series — WHERE the level broke and the
   // before/after means; q320's CUSUM alarms, this locates. Oracle
@@ -5638,6 +5935,11 @@ object Analytics {
     "q416_pairwise_contrasts" -> (q416PairwiseContrasts _),
     "q417_bh_fdr" -> (q417BhFdr _),
     "q419_risk_ratio" -> (q419RiskRatio _),
+    "q420_cronbach" -> (q420Cronbach _),
+    "q421_partial_corr" -> (q421PartialCorr _),
+    "q422_jonckheere" -> (q422Jonckheere _),
+    "q423_harrell_c" -> (q423HarrellC _),
+    "q424_icc" -> (q424Icc _),
     "q399_target_encode" -> (q399TargetEncode _),
     "q393_cox_ph" -> (q393CoxPh _),
     "q392_platt" -> (q392Platt _),
@@ -5756,6 +6058,11 @@ object Analytics {
     "q416_pairwise_contrasts" -> q416Sql,
     "q417_bh_fdr" -> q417Sql,
     "q419_risk_ratio" -> q419Sql,
+    "q420_cronbach" -> q420Sql,
+    "q421_partial_corr" -> q421Sql,
+    "q422_jonckheere" -> q422Sql,
+    "q423_harrell_c" -> q423Sql,
+    "q424_icc" -> q424Sql,
     "q399_target_encode" -> q399Sql,
     "q393_cox_ph" -> q393Sql,
     "q392_platt" -> q392Sql,

@@ -1460,4 +1460,112 @@ class StatsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
   }
+
+  test("cronbachAlpha: perfectly correlated items score 1; a " +
+    "constant-total design has NULL alpha; one item is loud") {
+    val perfect = (1L to 4L).flatMap(u =>
+      Seq((u, "A", u), (u, "B", u))).toDF("u", "i", "x")
+    val r = Stats.cronbachAlpha(perfect, "u", "i", "x").collect().head
+    assert(r.getAs[Long]("k_items") == 2L)
+    assert(r.getAs[Long]("n_units") == 4L)
+    assert(r.getAs[Double]("alpha") == 1.0)
+    // anti-correlated items: every unit totals 5 → zero total var
+    val anti = Seq((1L, "A", 1L), (1L, "B", 4L), (2L, "A", 2L),
+      (2L, "B", 3L), (3L, "A", 3L), (3L, "B", 2L), (4L, "A", 4L),
+      (4L, "B", 1L)).toDF("u", "i", "x")
+    val ra = Stats.cronbachAlpha(anti, "u", "i", "x").collect().head
+    assert(ra.isNullAt(ra.fieldIndex("alpha")))
+    val loud = intercept[Exception] {
+      Stats.cronbachAlpha(Seq((1L, "A", 1L), (2L, "A", 2L))
+        .toDF("u", "i", "x"), "u", "i", "x").collect()
+    }
+    assert(loud.getMessage.contains(">= 2 items"), loud.getMessage)
+  }
+
+  test("partialCorrelation: controlling for an independent z leaves " +
+    "the xy correlation; a collinear conditioning answers NULL") {
+    // y = x + z with x ⊥ z: r_xy = r_yz = .707107, r_xz = 0 →
+    // partial ≈ 1 (x explains all of y once z is held)
+    val df = Seq((0L, 0L, 0L), (0L, 10L, 10L), (10L, 10L, 0L),
+      (10L, 20L, 10L)).toDF("x", "y", "z")
+    val r = Stats.partialCorrelation(df, "x", "y", "z").collect().head
+    assert(r.getAs[Double]("r_xy") == 0.707107)
+    assert(r.getAs[Double]("r_xz") == 0.0)
+    assert(math.abs(r.getAs[Double]("r_partial") - 1.0) < 1e-4)
+    // x = z exactly: conditioning is collinear → NULL partial
+    val coll = Seq((1L, 2L, 1L), (2L, 5L, 2L), (3L, 7L, 3L),
+      (4L, 11L, 4L)).toDF("x", "y", "z")
+    val rc = Stats.partialCorrelation(coll, "x", "y", "z")
+      .collect().head
+    assert(rc.getAs[Double]("r_xz") == 1.0)
+    assert(rc.isNullAt(rc.fieldIndex("r_partial")))
+  }
+
+  test("jonckheereTerpstra: a perfect dose-monotone metric scores a " +
+    "positive significant z (hand J); reversing flips the sign; one " +
+    "dose answers NULL; the cell guard is loud") {
+    // doses 1/2/3 with values {1,1}/{2,2}/{3,3}: J2 = 24, E[J] = 6,
+    // Var = 402/72 + 0 + 36/240 = 5.733333 → z = 6/2.394438
+    val up = Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 2L),
+      (3L, 3L), (3L, 3L)).toDF("d", "v")
+    val r = Stats.jonckheereTerpstra(up, "d", "v").collect().head
+    assert(r.getAs[Long]("j2_doubled") == 24L)
+    assert(math.abs(r.getAs[Double]("z") - 2.505813) < 1e-3)
+    assert(r.getAs[Int]("significant") == 1)
+    val down = Seq((1L, 3L), (1L, 3L), (2L, 2L), (2L, 2L),
+      (3L, 1L), (3L, 1L)).toDF("d", "v")
+    val rd = Stats.jonckheereTerpstra(down, "d", "v").collect().head
+    assert(rd.getAs[Double]("z") < -2.0)
+    val one = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("d", "v")
+    val ro = Stats.jonckheereTerpstra(one, "d", "v").collect().head
+    assert(ro.isNullAt(ro.fieldIndex("z")))
+    val wide = Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L),
+      (3L, 5L), (3L, 6L)).toDF("d", "v")
+    val loud = intercept[Exception] {
+      Stats.jonckheereTerpstra(wide, "d", "v", maxCells = 4L).collect()
+    }
+    assert(loud.getMessage.contains("maxCells"), loud.getMessage)
+  }
+
+  test("harrellC: a perfectly discriminating score earns c = 1, " +
+    "reversed 0, all-tied 0.5; bad event flag is loud") {
+    val df = Seq((1L, 1, 10L), (2L, 1, 5L), (3L, 0, 1L))
+      .toDF("t", "d", "s")
+    val r = Stats.harrellC(df, "t", "d", "s").collect().head
+    assert(r.getAs[Long]("n_comparable") == 3L)
+    assert(r.getAs[Double]("c_index") == 1.0)
+    val rev = Seq((1L, 1, 1L), (2L, 1, 5L), (3L, 0, 10L))
+      .toDF("t", "d", "s")
+    assert(Stats.harrellC(rev, "t", "d", "s")
+      .collect().head.getAs[Double]("c_index") == 0.0)
+    val tied = Seq((1L, 1, 7L), (2L, 1, 7L), (3L, 0, 7L))
+      .toDF("t", "d", "s")
+    assert(Stats.harrellC(tied, "t", "d", "s")
+      .collect().head.getAs[Double]("c_index") == 0.5)
+    val bad = intercept[Exception] {
+      Stats.harrellC(Seq((1L, 2, 1L)).toDF("t", "d", "s"),
+        "t", "d", "s").collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
+
+  test("icc: perfect within-unit consistency scores 1, pure noise " +
+    "scores the -1/(k-1) floor; an incomplete design is loud") {
+    val perfect = Seq((1L, 0L), (1L, 0L), (2L, 10L), (2L, 10L))
+      .toDF("u", "x")
+    val r = Stats.icc(perfect, "u", "x").collect().head
+    assert(r.getAs[Long]("n_units") == 2L)
+    assert(r.getAs[Long]("k_per_unit") == 2L)
+    assert(r.getAs[Double]("icc") == 1.0)
+    val noise = Seq((1L, 0L), (1L, 10L), (2L, 10L), (2L, 0L))
+      .toDF("u", "x")
+    val rn = Stats.icc(noise, "u", "x").collect().head
+    assert(rn.getAs[Double]("msb") == 0.0)
+    assert(rn.getAs[Double]("icc") == -1.0)
+    val loud = intercept[Exception] {
+      Stats.icc(Seq((1L, 1L), (2L, 2L), (2L, 3L)).toDF("u", "x"),
+        "u", "x").collect()
+    }
+    assert(loud.getMessage.contains("complete design"), loud.getMessage)
+  }
 }
