@@ -653,4 +653,82 @@ object Graph {
     }
     scores.select(col("node"), col("score").as("katz"))
   }
+
+  /** Harmonic centrality over unweighted directed hops (Marchiori &
+    * Latora 2000): H(v) = Σ_{u≠v} 1/d(u → v) — the closeness variant
+    * that stays defined on DISCONNECTED graphs (unreachable pairs
+    * contribute 0 instead of poisoning an average). "Which state can
+    * the rest of the system reach fastest" — the flow-convergence
+    * rank beside [[pageRank]]'s stationary mass.
+    *
+    * BOUNDED-GRAPH BY CONTRACT: the distance frame is O(N²) and the
+    * loop runs a fixed `maxRounds` (must be ≥ the diameter of
+    * interest; longer paths simply don't contribute) — a loud
+    * in-plan maxNodes guard keeps a corpus-sized edge list from
+    * silently building an N² frame; use pageRank/kCore for big
+    * graphs. Determinism: hop distances are exact integer BFS levels
+    * via min-plus rounds (each materialized — the pageRank loop
+    * discipline); each 1/d term is one d6 before the decimal sum,
+    * H one more.
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRounds: Int = 8,
+      maxNodes: Long = 4096L): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds in [1,64], got $maxRounds")
+    require(maxNodes >= 2L && maxNodes <= 100000L,
+      s"maxNodes in [2,1e5], got $maxNodes")
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    def d28(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val e0 = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+      .filter(col("_s") =!= col("_d")).distinct()
+    val nodes = e0.select(col("_s").as("node"))
+      .union(e0.select(col("_d"))).distinct()
+    val guarded = materialize(nodes
+      .withColumn("_nn", count(lit(1)).over(wAll))
+      .select(when(col("_nn") <= maxNodes, col("node"))
+        .otherwise(raise_error(concat(lit("harmonicCentrality: "),
+          col("_nn").cast("string"),
+          lit(s" nodes > maxNodes=$maxNodes — the distance frame is " +
+            "O(N^2); use pageRank/kCore at graph scale")))
+          .cast(nodes.schema("node").dataType)).as("node")))
+    val e = materialize(e0.join(guarded,
+      e0("_s") === guarded("node")).select(col("_s"), col("_d")))
+    var dist = materialize(e.select(col("_s"), col("_d"),
+      lit(1L).as("_h")))
+    var r = 1
+    while (r < maxRounds) {
+      val ext = dist.join(e.select(col("_s").as("_mid"),
+          col("_d").as("_nd")), dist("_d") === col("_mid"))
+        .filter(col("_s") =!= col("_nd"))
+        .select(col("_s"), col("_nd").as("_d"),
+          (col("_h") + lit(1L)).as("_h"))
+      dist = materialize(dist.union(ext)
+        .groupBy(col("_s"), col("_d"))
+        .agg(min(col("_h")).as("_h")))
+      r += 1
+    }
+    val contrib = dist
+      .select(col("_d").as("node"),
+        d28(d6(lit(1.0) / col("_h").cast("double"))).as("_t"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reachable"),
+        sum(col("_t")).as("_hsum"))
+    guarded.join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_reachable"), lit(0L)).as("n_reachable"),
+        d6(coalesce(col("_hsum"), lit(0).cast("decimal(28,6)"))
+          .cast("double")).as("harmonic"))
+  }
 }

@@ -888,4 +888,52 @@ object Sampling {
           floor(lit(budget.toDouble) * col("share")).cast("long"))
           .otherwise(lit(0L)))
   }
+
+  /** Quality-filter threshold sweep — the planning curve behind every
+    * "where do we set the cut?" decision: for each candidate
+    * threshold, how many documents and how much token mass survive a
+    * `score ≥ t` filter? Reading the knee of this curve is how a
+    * curation pipeline picks its operating point BEFORE burning a
+    * full filtering pass at each candidate.
+    *
+    * Determinism: kept counts/weights are exact longs (conditional
+    * sums); fractions close in one d6 each. Scale shape: ONE corpus
+    * aggregate computing ALL thresholds as conditional sums
+    * (map-side combinable — 2·T cells per partition, not T corpus
+    * passes), unpivoted to a T-row frame in-plan.
+    */
+  def thresholdSweep(
+      df: DataFrame,
+      scoreCol: String,
+      weightCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 1000,
+      s"need 1..1000 thresholds, got ${thresholds.size}")
+    require(thresholds.distinct.size == thresholds.size,
+      "thresholds must be distinct")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val sc = col(scoreCol).cast("long")
+    val w = col(weightCol).cast("long")
+    val sorted = thresholds.sorted
+    val aggs = Seq(count(lit(1)).as("_n"), sum(w).as("_w")) ++
+      sorted.zipWithIndex.flatMap { case (t, i) =>
+        Seq(sum(when(sc >= t, 1L).otherwise(0L)).as(s"_n$i"),
+          sum(when(sc >= t, w).otherwise(0L)).as(s"_w$i"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = sorted.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"), col(s"_n$i").as("n_kept"),
+        coalesce(col(s"_w$i"), lit(0L)).as("w_kept"))
+    }
+    one.select(col("_n"), col("_w"),
+        explode(array(rows: _*)).as("_r"))
+      .select(col("_r.threshold").as("threshold"),
+        col("_r.n_kept").as("n_kept"),
+        col("_r.w_kept").as("w_kept"),
+        d6(col("_r.n_kept").cast("double") / col("_n").cast("double"))
+          .as("doc_frac"),
+        when(col("_w") > 0L,
+          d6(col("_r.w_kept").cast("double") / col("_w").cast("double")))
+          .as("weight_frac"))
+  }
 }

@@ -3547,6 +3547,222 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** Binary-classifier confusion panel — accuracy, balanced accuracy,
+    * precision/recall/F1 and Matthews correlation from one confusion
+    * table: the metrics a filter-model card quotes. MCC is the one
+    * that stays honest under class imbalance (a 99%-negative corpus
+    * scores 0.99 accuracy for the all-negative classifier; MCC scores
+    * it 0), which is why it leads the panel.
+    *
+    * Determinism: cells are exact longs; every rate one d6; MCC's
+    * denominator product runs in decimal(38,0) before ONE IEEE sqrt
+    * (counts to ~3e9 stay exact). Degenerate margins answer NULL for
+    * the affected metrics only. Flags must be 0/1 — loud.
+    *
+    * Scale shape: ONE 1-row corpus aggregate.
+    */
+  def confusionPanel(
+      df: DataFrame,
+      labelCol: String,
+      predCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def flag(name: String, c: Column): Column =
+      when(c.cast("long").isin(0L, 1L), c.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"confusionPanel: $name flag "), c.cast("string"),
+          lit(" is not 0/1"))).cast("long"))
+    val base = df.select(flag("label", col(labelCol)).as("_y"),
+      flag("prediction", col(predCol)).as("_p"))
+    val agg = base.agg(
+      sum(col("_y") * col("_p")).as("tp"),
+      sum((lit(1L) - col("_y")) * col("_p")).as("fp"),
+      sum(col("_y") * (lit(1L) - col("_p"))).as("fn"),
+      sum((lit(1L) - col("_y")) * (lit(1L) - col("_p"))).as("tn"))
+    val n = (col("tp") + col("fp") + col("fn") + col("tn"))
+      .cast("double")
+    val tpr = d6(col("tp").cast("double") /
+      (col("tp") + col("fn")).cast("double"))
+    val tnr = d6(col("tn").cast("double") /
+      (col("tn") + col("fp")).cast("double"))
+    val prec = d6(col("tp").cast("double") /
+      (col("tp") + col("fp")).cast("double"))
+    val mccDen = (dec(col("tp") + col("fp")) *
+      dec(col("tp") + col("fn")) * dec(col("tn") + col("fp")) *
+      dec(col("tn") + col("fn"))).cast("double")
+    val mccNum = (dec(col("tp")) * dec(col("tn")) -
+      dec(col("fp")) * dec(col("fn"))).cast("double")
+    val staged = agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      d6((col("tp") + col("tn")).cast("double") / n).as("accuracy"),
+      when(col("tp") + col("fn") > 0L, tpr).as("recall"),
+      when(col("tn") + col("fp") > 0L, tnr).as("specificity"),
+      when(col("tp") + col("fp") > 0L, prec).as("precision"),
+      when(mccDen > 0.0, d6(mccNum / sqrt(mccDen))).as("mcc"))
+    staged
+      .withColumn("balanced_accuracy",
+        when(col("recall").isNotNull && col("specificity").isNotNull,
+          d6((col("recall") + col("specificity")) / 2.0)))
+      .withColumn("f1",
+        when(col("precision").isNotNull && col("recall").isNotNull &&
+          col("precision") + col("recall") > 0.0,
+          d6(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")))))
+  }
+
+  /** Page's trend test for ordered alternatives in a complete block
+    * design (Page 1963) — [[friedmanTest]] asks "do the k systems
+    * differ AT ALL across items"; Page asks the sharper ordered
+    * question "do they improve MONOTONICALLY in the hypothesized
+    * order" (checkpoint k beats checkpoint k−1 beats …), which is
+    * the actual claim behind a training-progress table. L = Σ j·Rⱼ
+    * over within-item midranks, normal-approximated.
+    *
+    * Determinism: midranks in doubled units keep L exact integer;
+    * E[2L] = b·k(k+1)²/2 and Var(2L) = 4·Var(L) =
+    * b·k²(k+1)(k²−1)/36 are exact integer formulas; ONE d6 closes z.
+    * Midranks under ties keep the no-ties variance (documented
+    * approximation — heavy ties inflate |z| slightly). The complete-
+    * block contract is enforced IN-PLAN (the friedman discipline);
+    * doses are the integer system order. k < 3 answers NULL (Page
+    * needs ≥ 3 ordered systems).
+    *
+    * Scale shape: item-partitioned k-bounded rank windows + one
+    * system rollup — the friedman machinery pointed at the ordered
+    * alternative.
+    */
+  def pageTrend(
+      df: DataFrame,
+      itemCol: String,
+      systemCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cells = df.groupBy(col(itemCol).as("_i"),
+        col(systemCol).cast("long").as("_j"))
+      .agg(count(lit(1)).as("_c"), sum(col(xCol).cast("long")).as("_x"))
+    // complete-block + no-duplicate audit, embedded in the USED _x
+    val audited = cells
+      .withColumn("_k", count(lit(1)).over(W.partitionBy(col("_i"))))
+      .withColumn("_kmax", max(col("_k")).over(wAll))
+      .select(col("_i"), col("_j"),
+        when(col("_c") === 1L && col("_k") === col("_kmax"), col("_x"))
+          .otherwise(raise_error(concat(
+            lit("pageTrend: item "), col("_i").cast("string"),
+            lit(" is not a complete single-measurement block (count "),
+            col("_c").cast("string"), lit(", systems "),
+            col("_k").cast("string"), lit(" of "),
+            col("_kmax").cast("string"), lit(")"))).cast("long"))
+          .as("_x"),
+        col("_kmax").as("_k"))
+    // doubled midranks within item: 2·rank = 2·below + ties + 1 per
+    // tied member → rank_sum trick via cumulative counts on the
+    // (item, value) frame
+    val wIt = W.partitionBy(col("_i")).orderBy(col("_x").asc)
+    val ranked = audited
+      .withColumn("_below", coalesce(
+        count(lit(1)).over(wIt.rowsBetween(W.unboundedPreceding, -1)),
+        lit(0L)))
+    // doubled midrank among k values with ties: 2r = 2·(#strictly
+    // below) + (#tied) + 1 — compute tie count per (item, value)
+    val wTie = W.partitionBy(col("_i"), col("_x"))
+    val r2 = ranked
+      .withColumn("_tied", count(lit(1)).over(wTie))
+      .withColumn("_mnBelow", min(col("_below")).over(wTie))
+      .withColumn("_r2",
+        lit(2L) * col("_mnBelow") + col("_tied") + lit(1L))
+    val bySys = r2.groupBy(col("_j"))
+      .agg(sum(col("_r2")).as("_rs2"), max(col("_k")).as("_k"))
+    // order index of each system (1..k by the system value order)
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("_j").asc)
+    val withIdx = bySys.withColumn("_w", row_number().over(wOrd)
+      .cast("long"))
+    val roll = withIdx.agg(max(col("_k")).as("k_systems"),
+      sum(dec(col("_w")) * dec(col("_rs2"))).as("_l2"),
+      count(lit(1)).as("_ks"))
+    val items = audited.select(col("_i")).distinct()
+      .agg(count(lit(1)).as("n_items"))
+    val joined = roll.crossJoin(broadcast(items))
+    val b = col("n_items").cast("double")
+    val k = col("k_systems").cast("double")
+    val e2 = b * k * (k + 1.0) * (k + 1.0) / 2.0
+    val var2 = b * k * k * (k + 1.0) * (k * k - 1.0) / 36.0
+    joined.select(col("n_items"), col("k_systems"),
+      col("_l2").cast("double").as("l2_doubled"),
+      when(col("k_systems") >= 3L && var2 > 0.0,
+        d6((col("_l2").cast("double") - e2) / sqrt(var2))).as("z"))
+      .withColumn("significant",
+        when(col("z").isNotNull, (abs(col("z")) >= 1.959964).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Goodman–Kruskal gamma and Somers' D for two ordinal columns —
+    * the DIRECTED ordinal-association pair beside [[kendallTau]]'s
+    * symmetric tau-b: gamma ignores all ties (the optimist), Somers'
+    * D_y|x charges y-ties against the prediction (the score-card
+    * convention — for a binary y it IS the credit-scoring Gini,
+    * 2·AUC−1). Same contingency-cell machinery and loud maxCells
+    * guard as kendallTau.
+    *
+    * Determinism: concordant/discordant/tie pair counts are exact
+    * decimal from the guarded cells² join; each ratio one d6.
+    * All-tied denominators answer NULL.
+    */
+  def ordinalAssociation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      maxCells: Long = 10000L): DataFrame = {
+    require(maxCells >= 4L && maxCells <= 1000000L,
+      s"maxCells in [4,1e6], got $maxCells")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val rawCells = df.select(col(xCol).cast("long").as("_x"),
+        col(yCol).cast("long").as("_y"))
+      .groupBy(col("_x"), col("_y")).agg(count(lit(1)).as("_n"))
+    val cells = rawCells.withColumn("_nc", count(lit(1)).over(wAll))
+      .select(col("_x"), col("_y"),
+        when(col("_nc") <= maxCells, col("_n"))
+          .otherwise(raise_error(concat(
+            lit("ordinalAssociation: "), col("_nc").cast("string"),
+            lit(s" cells > maxCells=$maxCells — quantize first")))
+          .cast("long")).as("_n"))
+    val a = cells.select(col("_x").as("_xa"), col("_y").as("_ya"),
+      col("_n").as("_na"))
+    val bb = cells.select(col("_x").as("_xb"), col("_y").as("_yb"),
+      col("_n").as("_nb"))
+    val pairs = a.join(bb,
+      col("_xa") < col("_xb") ||
+        (col("_xa") === col("_xb") && col("_ya") < col("_yb")))
+    val agg = pairs.agg(
+      coalesce(sum(when(col("_xa") < col("_xb") &&
+        col("_ya") < col("_yb"),
+        dec(col("_na")) * dec(col("_nb")))), lit(0).cast("decimal(38,0)"))
+        .as("_cc"),
+      coalesce(sum(when(col("_xa") < col("_xb") &&
+        col("_ya") > col("_yb"),
+        dec(col("_na")) * dec(col("_nb")))), lit(0).cast("decimal(38,0)"))
+        .as("_dd"),
+      coalesce(sum(when(col("_xa") < col("_xb") &&
+        col("_ya") === col("_yb"),
+        dec(col("_na")) * dec(col("_nb")))), lit(0).cast("decimal(38,0)"))
+        .as("_ty"))
+    val c = col("_cc").cast("double")
+    val d = col("_dd").cast("double")
+    val ty = col("_ty").cast("double")
+    agg.select(col("_cc").cast("long").as("concordant"),
+      col("_dd").cast("long").as("discordant"),
+      col("_ty").cast("long").as("ties_y_only"),
+      when(c + d > 0.0, d6((c - d) / (c + d))).as("gamma"),
+      when(c + d + ty > 0.0, d6((c - d) / (c + d + ty)))
+        .as("somers_d"))
+  }
+
   /** Cronbach's alpha internal-consistency reliability (Cronbach
     * 1951): do k measurements of the same units move TOGETHER? α =
     * k/(k−1)·(1 − Σ itemVar / totalVar). The instrument-reliability

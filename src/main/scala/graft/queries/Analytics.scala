@@ -5217,6 +5217,216 @@ object Analytics {
       |    AS rd_ci_high
       |FROM ln2""".stripMargin
 
+  // q425: quality-filter threshold sweep (Sampling.thresholdSweep) —
+  // the docs/tokens survival curve over a length-score grid; the
+  // "where do we set the cut" planning table computed in ONE corpus
+  // pass. Oracle replays the conditional sums per grid point.
+  def q425ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("n_chars"),
+      size(filter(split(col("text"), " "), x => length(x) > 0))
+        .cast("long").as("n_toks"))
+    graft.pipeline.Sampling.thresholdSweep(d, "n_chars", "n_toks",
+      Seq(0L, 200L, 400L, 600L, 800L, 1000L))
+  }
+
+  val q425Sql: String =
+    """WITH d AS (
+      |  SELECT n_chars AS sc,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS w
+      |  FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(w) AS BIGINT) AS wt FROM d),
+      |grid AS (SELECT unnest([0, 200, 400, 600, 800, 1000])
+      |    AS threshold),
+      |sw AS (SELECT threshold,
+      |    CAST(SUM(CASE WHEN sc >= threshold THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_kept,
+      |    CAST(COALESCE(SUM(CASE WHEN sc >= threshold THEN w
+      |      ELSE 0 END), 0) AS BIGINT) AS w_kept
+      |  FROM grid CROSS JOIN d GROUP BY 1)
+      |SELECT CAST(threshold AS BIGINT) AS threshold, n_kept, w_kept,
+      |  CAST(CAST(CAST(n_kept AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS doc_frac,
+      |  CASE WHEN wt > 0 THEN
+      |    CAST(CAST(CAST(w_kept AS DOUBLE) / CAST(wt AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS weight_frac
+      |FROM sw CROSS JOIN tot""".stripMargin
+
+  // q427: binary-classifier confusion panel (Stats.confusionPanel)
+  // for the "big value predicts purchase" rule — accuracy, balanced
+  // accuracy, P/R/F1 and the imbalance-honest MCC in one row. Oracle
+  // replays the cells and every d6 stage.
+  def q427ConfusionPanel(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select((col("event_type") === "purchase").cast("int")
+        .as("label"),
+        (col("value") >= 30.0).cast("int").as("pred"))
+    graft.pipeline.Stats.confusionPanel(e, "label", "pred")
+  }
+
+  val q427Sql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+      |      AS y,
+      |    CASE WHEN value >= 30.0 THEN 1 ELSE 0 END AS p
+      |  FROM events),
+      |ag AS (SELECT CAST(SUM(y * p) AS BIGINT) AS tp,
+      |    CAST(SUM((1 - y) * p) AS BIGINT) AS fp,
+      |    CAST(SUM(y * (1 - p)) AS BIGINT) AS fn,
+      |    CAST(SUM((1 - y) * (1 - p)) AS BIGINT) AS tn FROM b),
+      |st AS (SELECT tp, fp, fn, tn,
+      |    CAST(CAST(CAST(tp + tn AS DOUBLE) /
+      |      CAST(tp + fp + fn + tn AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS accuracy,
+      |    CASE WHEN tp + fn > 0 THEN
+      |      CAST(CAST(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS recall,
+      |    CASE WHEN tn + fp > 0 THEN
+      |      CAST(CAST(CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS specificity,
+      |    CASE WHEN tp + fp > 0 THEN
+      |      CAST(CAST(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS precision,
+      |    CASE WHEN CAST(CAST(tp + fp AS HUGEINT) *
+      |        CAST(tp + fn AS HUGEINT) * CAST(tn + fp AS HUGEINT) *
+      |        CAST(tn + fn AS HUGEINT) AS DOUBLE) > 0 THEN
+      |      CAST(CAST(CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+      |          - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT)
+      |          AS DOUBLE) /
+      |        sqrt(CAST(CAST(tp + fp AS HUGEINT) *
+      |          CAST(tp + fn AS HUGEINT) * CAST(tn + fp AS HUGEINT) *
+      |          CAST(tn + fn AS HUGEINT) AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS mcc
+      |  FROM ag)
+      |SELECT tp, fp, fn, tn, accuracy, recall, specificity,
+      |  precision, mcc,
+      |  CASE WHEN recall IS NOT NULL AND specificity IS NOT NULL THEN
+      |    CAST(CAST((recall + specificity) / 2.0 AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS balanced_accuracy,
+      |  CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+      |      AND precision + recall > 0 THEN
+      |    CAST(CAST(2.0 * precision * recall / (precision + recall)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS f1
+      |FROM st""".stripMargin
+
+  // q428: Page's ordered trend test (Stats.pageTrend) — do the three
+  // event-id thirds of per-user spend trend in order? (They
+  // shouldn't: the thirds are an arbitrary split, so this is an
+  // A/A-style null read beside q355's Friedman.) Oracle replays the
+  // zero-filled blocks, the doubled midranks and the exact L/E/Var.
+  def q428PageTrend(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+      .select(col("user_id"), (col("event_id") % 3L).as("third"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val cells = evt.groupBy(col("user_id"), col("third"))
+      .agg(sum(col("cents")).as("x"))
+    val grid = cells.select(col("user_id")).distinct()
+      .crossJoin(broadcast(cells.select(col("third")).distinct()))
+      .join(cells, Seq("user_id", "third"), "left")
+      .select(col("user_id"), col("third"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    graft.pipeline.Stats.pageTrend(grid, "user_id", "third", "x")
+  }
+
+  val q428Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id % 3 AS third,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |cells AS (SELECT user_id AS i, third AS j,
+      |    CAST(SUM(cents) AS BIGINT) AS x
+      |  FROM e GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT uu.i, tt.j, COALESCE(cells.x, 0) AS x
+      |  FROM (SELECT DISTINCT i FROM cells) uu
+      |  CROSS JOIN (SELECT DISTINCT j FROM cells) tt
+      |  LEFT JOIN cells ON cells.i = uu.i AND cells.j = tt.j),
+      |r2 AS (
+      |  SELECT a.i, a.j,
+      |    2 * SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END) +
+      |    SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) + 1 AS r2
+      |  FROM grid a JOIN grid b ON a.i = b.i
+      |  GROUP BY 1, 2),
+      |bysys AS (SELECT j, CAST(SUM(r2) AS BIGINT) AS rs2
+      |          FROM r2 GROUP BY 1),
+      |widx AS (SELECT j, rs2,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY j) AS BIGINT) AS w
+      |  FROM bysys),
+      |roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_systems,
+      |    SUM(CAST(w AS HUGEINT) * CAST(rs2 AS HUGEINT)) AS l2
+      |  FROM widx),
+      |it AS (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items
+      |       FROM grid),
+      |fin AS (SELECT n_items, k_systems,
+      |    CAST(l2 AS DOUBLE) AS l2d,
+      |    CAST(n_items AS DOUBLE) * CAST(k_systems AS DOUBLE) *
+      |      (CAST(k_systems AS DOUBLE) + 1.0) *
+      |      (CAST(k_systems AS DOUBLE) + 1.0) / 2.0 AS e2,
+      |    CAST(n_items AS DOUBLE) * CAST(k_systems AS DOUBLE) *
+      |      CAST(k_systems AS DOUBLE) *
+      |      (CAST(k_systems AS DOUBLE) + 1.0) *
+      |      (CAST(k_systems AS DOUBLE) * CAST(k_systems AS DOUBLE)
+      |        - 1.0) / 36.0 AS var2
+      |  FROM roll CROSS JOIN it)
+      |SELECT n_items, k_systems, l2d AS l2_doubled,
+      |  CASE WHEN k_systems >= 3 AND var2 > 0 THEN
+      |    CAST(CAST((l2d - e2) / sqrt(var2) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS z,
+      |  CASE WHEN k_systems >= 3 AND var2 > 0 THEN
+      |    CAST(abs(CAST(CAST((l2d - e2) / sqrt(var2)
+      |      AS DECIMAL(28,6)) AS DOUBLE)) >= 1.959964 AS INT)
+      |    ELSE 0 END AS significant
+      |FROM fin""".stripMargin
+
+  // q429: Goodman–Kruskal gamma + Somers' D (Stats.ordinalAssociation)
+  // of the 50k-value band against the priority order — the directed
+  // ordinal pair beside q309's symmetric tau-b (Somers' D is the
+  // scorecard Gini convention). Oracle replays the guarded cell
+  // pairs and both d6 ratios.
+  def q429OrdinalAssoc(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long")
+        .as("dose"),
+        floor(col("o_totalprice") / 50000.0).cast("long").as("band"))
+    graft.pipeline.Stats.ordinalAssociation(o, "dose", "band")
+  }
+
+  val q429Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x,
+      |    CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS y
+      |  FROM orders),
+      |cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM b GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT
+      |    COALESCE(SUM(CASE WHEN a.x < c.x AND a.y < c.y THEN
+      |      CAST(a.n AS HUGEINT) * CAST(c.n AS HUGEINT) END), 0)
+      |      AS cc,
+      |    COALESCE(SUM(CASE WHEN a.x < c.x AND a.y > c.y THEN
+      |      CAST(a.n AS HUGEINT) * CAST(c.n AS HUGEINT) END), 0)
+      |      AS dd,
+      |    COALESCE(SUM(CASE WHEN a.x < c.x AND a.y = c.y THEN
+      |      CAST(a.n AS HUGEINT) * CAST(c.n AS HUGEINT) END), 0)
+      |      AS ty
+      |  FROM cells a JOIN cells c
+      |    ON a.x < c.x OR (a.x = c.x AND a.y < c.y))
+      |SELECT CAST(cc AS BIGINT) AS concordant,
+      |  CAST(dd AS BIGINT) AS discordant,
+      |  CAST(ty AS BIGINT) AS ties_y_only,
+      |  CASE WHEN CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE) > 0 THEN
+      |    CAST(CAST((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+      |      (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS gamma,
+      |  CASE WHEN CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE) +
+      |      CAST(ty AS DOUBLE) > 0 THEN
+      |    CAST(CAST((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE)) /
+      |      (CAST(cc AS DOUBLE) + CAST(dd AS DOUBLE) +
+      |       CAST(ty AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS somers_d
+      |FROM pr""".stripMargin
+
   // q420: Cronbach's alpha (Stats.cronbachAlpha) of the five per-user
   // event-type activity counts — do the activity channels move
   // together enough to average into one engagement score? Oracle
@@ -5940,6 +6150,10 @@ object Analytics {
     "q422_jonckheere" -> (q422Jonckheere _),
     "q423_harrell_c" -> (q423HarrellC _),
     "q424_icc" -> (q424Icc _),
+    "q425_threshold_sweep" -> (q425ThresholdSweep _),
+    "q427_confusion_panel" -> (q427ConfusionPanel _),
+    "q428_page_trend" -> (q428PageTrend _),
+    "q429_ordinal_assoc" -> (q429OrdinalAssoc _),
     "q399_target_encode" -> (q399TargetEncode _),
     "q393_cox_ph" -> (q393CoxPh _),
     "q392_platt" -> (q392Platt _),
@@ -6063,6 +6277,10 @@ object Analytics {
     "q422_jonckheere" -> q422Sql,
     "q423_harrell_c" -> q423Sql,
     "q424_icc" -> q424Sql,
+    "q425_threshold_sweep" -> q425Sql,
+    "q427_confusion_panel" -> q427Sql,
+    "q428_page_trend" -> q428Sql,
+    "q429_ordinal_assoc" -> q429Sql,
     "q399_target_encode" -> q399Sql,
     "q393_cox_ph" -> q393Sql,
     "q392_platt" -> q392Sql,

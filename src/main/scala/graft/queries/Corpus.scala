@@ -242,6 +242,52 @@ object Corpus {
       |FROM sh JOIN tot ta ON ta.s = slice_a
       |JOIN tot tb ON tb.s = slice_b""".stripMargin
 
+  // q426: harmonic centrality (Graph.harmonicCentrality) over the
+  // q128 transition graph — Σ 1/hops(u→v), the disconnection-safe
+  // closeness rank beside PageRank's stationary mass and q401's Katz.
+  // Oracle replays the hop-capped BFS (recursive walk + MIN) and the
+  // d6-per-term harmonic sum.
+  def q426Harmonic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us"))
+    val edges = Behavior.transitions(e, "user_id", "event_type",
+      "ts_us", tieCol = "event_id")
+    Graph.harmonicCentrality(edges, "from_type", "to_type",
+      maxRounds = 6)
+  }
+
+  val q426Sql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |seq AS (SELECT event_type AS ft,
+      |          lead(event_type) OVER (PARTITION BY user_id
+      |            ORDER BY ts_us, event_id) AS tt
+      |        FROM e),
+      |ed AS (SELECT DISTINCT ft, tt FROM seq
+      |       WHERE tt IS NOT NULL AND ft <> tt),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |            SELECT ft AS node FROM ed
+      |            UNION ALL SELECT tt FROM ed)),
+      |walk AS (
+      |  SELECT ft AS s, tt AS d, 1 AS h FROM ed
+      |  UNION
+      |  SELECT w.s, ed.tt, w.h + 1
+      |  FROM walk w JOIN ed ON ed.ft = w.d
+      |  WHERE w.h < 6 AND w.s <> ed.tt),
+      |dist AS (SELECT s, d, CAST(MIN(h) AS BIGINT) AS h
+      |         FROM walk GROUP BY 1, 2),
+      |hc AS (SELECT d AS node, CAST(COUNT(*) AS BIGINT)
+      |    AS n_reachable,
+      |    SUM(CAST(CAST(1.0 / CAST(h AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DECIMAL(28,6))) AS hsum
+      |  FROM dist GROUP BY 1)
+      |SELECT n.node, COALESCE(hc.n_reachable, 0) AS n_reachable,
+      |  CAST(CAST(CAST(COALESCE(hc.hsum, CAST(0 AS DECIMAL(28,6)))
+      |    AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS harmonic
+      |FROM nodes n LEFT JOIN hc ON hc.node = n.node""".stripMargin
+
   // q401: Katz centrality over the q128 transition graph — 10 rounds
   // of c' = 1 + 0.5·Pᵀc on the normalized transition matrix; the
   // walk-counting influence rank beside PageRank's stationary mass.
@@ -5681,6 +5727,7 @@ object Corpus {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q401_katz" -> (q401Katz _),
+    "q426_harmonic" -> (q426Harmonic _),
     "q406_neg_sampling" -> (q406NegSampling _),
     "q415_hellinger" -> (q415Hellinger _),
     "q407_bray_curtis" -> (q407BrayCurtis _),
@@ -5803,6 +5850,7 @@ object Corpus {
 
   def oracles: Map[String, String] = Map(
     "q401_katz" -> q401Sql,
+    "q426_harmonic" -> q426Sql,
     "q406_neg_sampling" -> q406Sql,
     "q415_hellinger" -> q415Sql,
     "q407_bray_curtis" -> q407Sql,

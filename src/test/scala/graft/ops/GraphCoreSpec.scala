@@ -204,4 +204,29 @@ class GraphCoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-negative"), e.getMessage)
   }
+
+  test("harmonicCentrality: hand path/cycle distances; node blow-up " +
+    "is loud") {
+    import org.apache.spark.sql.functions.col
+    // a → b → c: H(a) = 0, H(b) = 1, H(c) = 1 + 1/2
+    val path = Seq(("a", "b"), ("b", "c")).toDF("s", "d")
+    val out = Graph.harmonicCentrality(path, "s", "d", maxRounds = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("harmonic") == 0.0)
+    assert(out("a").getAs[Long]("n_reachable") == 0L)
+    assert(out("b").getAs[Double]("harmonic") == 1.0)
+    assert(out("c").getAs[Double]("harmonic") == 1.5)
+    assert(out("c").getAs[Long]("n_reachable") == 2L)
+    // 2-cycle: each node reaches the other at distance 1
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("s", "d")
+    val oc = Graph.harmonicCentrality(cyc, "s", "d", maxRounds = 3)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(oc("a").getAs[Double]("harmonic") == 1.0)
+    assert(oc("b").getAs[Double]("harmonic") == 1.0)
+    val loud = intercept[Exception] {
+      Graph.harmonicCentrality(path, "s", "d", maxNodes = 2L)
+        .collect()
+    }
+    assert(loud.getMessage.contains("maxNodes"), loud.getMessage)
+  }
 }

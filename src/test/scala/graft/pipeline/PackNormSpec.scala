@@ -165,4 +165,28 @@ class PackNormSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("budget"), e.getMessage)
   }
+
+  test("thresholdSweep: hand survival curve over a 4-point grid; " +
+    "duplicate thresholds are rejected") {
+    val df = Seq((10L, 1L), (20L, 10L), (30L, 100L))
+      .toDF("score", "w")
+    val out = Sampling.thresholdSweep(df, "score", "w",
+      Seq(0L, 15L, 25L, 100L))
+      .collect().map(r => r.getAs[Long]("threshold") -> r).toMap
+    assert(out(0L).getAs[Long]("n_kept") == 3L)
+    assert(out(0L).getAs[Double]("doc_frac") == 1.0)
+    assert(out(0L).getAs[Double]("weight_frac") == 1.0)
+    assert(out(15L).getAs[Long]("n_kept") == 2L)
+    assert(out(15L).getAs[Long]("w_kept") == 110L)
+    assert(math.abs(out(15L).getAs[Double]("weight_frac") - 0.990991)
+      < 1e-9)
+    assert(math.abs(out(25L).getAs[Double]("doc_frac") - 0.333333)
+      < 1e-9)
+    assert(out(100L).getAs[Long]("n_kept") == 0L)
+    assert(out(100L).getAs[Double]("weight_frac") == 0.0)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.thresholdSweep(df, "score", "w", Seq(1L, 1L))
+    }
+    assert(e.getMessage.contains("distinct"), e.getMessage)
+  }
 }

@@ -1568,4 +1568,84 @@ class StatsSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("complete design"), loud.getMessage)
   }
+
+  test("confusionPanel: hand cells give the full panel incl. MCC; " +
+    "a single-class corpus NULLs only the affected metrics; bad " +
+    "flag is loud") {
+    def rows(tp: Int, fp: Int, fn: Int, tn: Int) =
+      Seq.fill(tp)((1, 1)) ++ Seq.fill(fp)((0, 1)) ++
+        Seq.fill(fn)((1, 0)) ++ Seq.fill(tn)((0, 0))
+    val df = rows(4, 1, 2, 3).toDF("y", "p")
+    val r = Stats.confusionPanel(df, "y", "p").collect().head
+    assert(r.getAs[Long]("tp") == 4L && r.getAs[Long]("tn") == 3L)
+    assert(r.getAs[Double]("accuracy") == 0.7)
+    assert(math.abs(r.getAs[Double]("recall") - 0.666667) < 1e-9)
+    assert(r.getAs[Double]("specificity") == 0.75)
+    assert(r.getAs[Double]("precision") == 0.8)
+    assert(math.abs(r.getAs[Double]("balanced_accuracy") - 0.708334)
+      < 2e-6)
+    assert(math.abs(r.getAs[Double]("f1") - 0.727273) < 1e-6)
+    assert(math.abs(r.getAs[Double]("mcc") - 0.408248) < 1e-6)
+    // tn = 0 keeps every margin positive: mcc = −2/√40
+    val onlyPos = rows(3, 2, 1, 0).toDF("y", "p")
+    val rp = Stats.confusionPanel(onlyPos, "y", "p").collect().head
+    assert(math.abs(rp.getAs[Double]("mcc") - -0.316228) < 1e-6)
+    val allPos = (rows(3, 0, 1, 0)).toDF("y", "p")
+    val ra = Stats.confusionPanel(allPos, "y", "p").collect().head
+    assert(ra.isNullAt(ra.fieldIndex("specificity")))
+    assert(ra.isNullAt(ra.fieldIndex("balanced_accuracy")))
+    assert(!ra.isNullAt(ra.fieldIndex("recall")))
+    val bad = intercept[Exception] {
+      Stats.confusionPanel(Seq((2, 1)).toDF("y", "p"), "y", "p")
+        .collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
+
+  test("pageTrend: a perfectly ordered design scores hand z = 2; " +
+    "reversing flips the sign; k = 2 answers NULL; incomplete " +
+    "blocks are loud") {
+    // 2 items × 3 systems, x rising with system: L2 = 56, E2 = 48,
+    // Var2 = 16 → z = 2
+    val up = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 1L, 1L), (2L, 2L, 2L), (2L, 3L, 3L))
+      .toDF("i", "j", "x")
+    val r = Stats.pageTrend(up, "i", "j", "x").collect().head
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("k_systems") == 3L)
+    assert(r.getAs[Double]("l2_doubled") == 56.0)
+    assert(r.getAs[Double]("z") == 2.0)
+    assert(r.getAs[Int]("significant") == 1)
+    val down = Seq((1L, 1L, 30L), (1L, 2L, 20L), (1L, 3L, 10L),
+      (2L, 1L, 3L), (2L, 2L, 2L), (2L, 3L, 1L)).toDF("i", "j", "x")
+    assert(Stats.pageTrend(down, "i", "j", "x")
+      .collect().head.getAs[Double]("z") == -2.0)
+    val two = Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 1L, 3L),
+      (2L, 2L, 4L)).toDF("i", "j", "x")
+    val rt = Stats.pageTrend(two, "i", "j", "x").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("z")))
+    val loud = intercept[Exception] {
+      Stats.pageTrend(Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 1L, 3L))
+        .toDF("i", "j", "x"), "i", "j", "x").collect()
+    }
+    assert(loud.getMessage.contains("complete"), loud.getMessage)
+  }
+
+  test("ordinalAssociation: hand 2x2 cells give gamma 0.6 and " +
+    "Somers' D 1/3; the cell guard is loud") {
+    val df = (Seq.fill(2)((1L, 1L)) ++ Seq((1L, 2L)) ++
+      Seq((2L, 1L)) ++ Seq.fill(2)((2L, 2L))).toDF("x", "y")
+    val r = Stats.ordinalAssociation(df, "x", "y").collect().head
+    assert(r.getAs[Long]("concordant") == 4L)
+    assert(r.getAs[Long]("discordant") == 1L)
+    assert(r.getAs[Long]("ties_y_only") == 4L)
+    assert(r.getAs[Double]("gamma") == 0.6)
+    assert(math.abs(r.getAs[Double]("somers_d") - 0.333333) < 1e-9)
+    val wide = (1L to 6L).map(i => (i, i)).toDF("x", "y")
+    val loud = intercept[Exception] {
+      Stats.ordinalAssociation(wide, "x", "y", maxCells = 4L)
+        .collect()
+    }
+    assert(loud.getMessage.contains("maxCells"), loud.getMessage)
+  }
 }
