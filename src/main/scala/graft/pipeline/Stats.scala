@@ -3547,6 +3547,360 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** Two-sample energy distance in 1-D (Székely & Rizzo 2004):
+    * D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| — zero iff the distributions
+    * are IDENTICAL, sensitive to every moment (where KS/CvM weight
+    * the middle and [[wasserstein1]] is location-dominated). The
+    * drift metric to reach for when "same mean, fatter tail" must
+    * not pass.
+    *
+    * EXACT in 1-D, no pair join: each absolute-difference double sum
+    * rewrites over the sorted distinct-value frame as
+    * Σ gapₖ·[belowA·(m−belowB) + belowB·(n−belowA)]-style crossing
+    * counts — integers end to end (decimal for the gap products);
+    * the three means take one d6 each, D² one more (clamped at 0
+    * against d6 crumbs). Value-DOMAIN-bounded windows (quantize
+    * first — the kruskalWallis contract). Empty arms fail loudly.
+    */
+  def energyDistance(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val arm = col(armCol).cast("int")
+    val byVal = df
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(sum(when(arm === 0, 1L).otherwise(0L)).as("_c0"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("_c1"))
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("_v").asc)
+    val upTo = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cum = byVal
+      .withColumn("_a0", sum(col("_c0")).over(upTo))
+      .withColumn("_a1", sum(col("_c1")).over(upTo))
+      .withColumn("_n0", sum(col("_c0")).over(wAll))
+      .withColumn("_n1", sum(col("_c1")).over(wAll))
+      .withColumn("_gap",
+        (lead(col("_v"), 1).over(wOrd) - col("_v")))
+      .filter(col("_gap").isNotNull)
+    // Σ|a−b| over A×B = Σ_k gap_k·[cumA_k·(m−cumB_k)+cumB_k·(n−cumA_k)]
+    def crossSum(ca: Column, cb: Column, nA: Column,
+        nB: Column): Column =
+      sum(dec(col("_gap")) * (dec(ca) * dec(nB - cb) +
+        dec(cb) * dec(nA - ca)))
+    val agg = cum.agg(
+      crossSum(col("_a0"), col("_a1"), col("_n0"), col("_n1"))
+        .as("_sab"),
+      crossSum(col("_a0"), col("_a0"), col("_n0"), col("_n0"))
+        .as("_saa2"),
+      crossSum(col("_a1"), col("_a1"), col("_n1"), col("_n1"))
+        .as("_sbb2"),
+      max(col("_n0")).as("n_a"), max(col("_n1")).as("n_b"))
+    val nD = col("n_a").cast("double")
+    val mD = col("n_b").cast("double")
+    val ok = col("n_a") >= 1L && col("n_b") >= 1L
+    // divisions live INSIDE the guard branch: ANSI division by an
+    // empty arm must not race the raise_error in the same projection
+    def guarded(c: Column): Column = when(ok, c)
+      .otherwise(raise_error(concat(
+        lit("energyDistance: both arms must be non-empty; got n_a="),
+        col("n_a").cast("string"), lit(" n_b="),
+        col("n_b").cast("string"))).cast("double"))
+    // within-group crossing formula double-counts (it IS the full
+    // ordered double sum), which is exactly what E|X−X′| = S/n² needs
+    val eab = d6(coalesce(col("_sab"), lit(0).cast("decimal(38,0)"))
+      .cast("double") / (nD * mD))
+    val eaa = d6(coalesce(col("_saa2"), lit(0).cast("decimal(38,0)"))
+      .cast("double") / (nD * nD))
+    val ebb = d6(coalesce(col("_sbb2"), lit(0).cast("decimal(38,0)"))
+      .cast("double") / (mD * mD))
+    agg.select(col("n_a"), col("n_b"),
+      guarded(eab).as("e_cross"), guarded(eaa).as("e_within_a"),
+      guarded(ebb).as("e_within_b"))
+      .withColumn("energy_dist",
+        d6(greatest(lit(0.0),
+          lit(2.0) * col("e_cross") - col("e_within_a") -
+            col("e_within_b"))))
+  }
+
+  /** Poisson regression with one covariate, fit by in-plan Newton
+    * (the [[plattScaling]]/[[coxPh]] trainer discipline): per key,
+    * λ = exp(a + b·x) maximizing the Poisson likelihood of integer
+    * counts — "is this event type's daily volume growing
+    * EXPONENTIALLY, and at what rate?" exp(b) is the per-x-unit rate
+    * ratio, the right model for counts where OLS on ln(y) chokes on
+    * zeros.
+    *
+    * Determinism: each round's score/information sums take d6 per
+    * term (absorbing exp's ulp) into decimal sums; the 2×2 Newton
+    * solve (Cramer) and the (a,b) update re-d6 per round — generated
+    * chained CTEs on the oracle side. Zero x-variance or a singular
+    * information matrix answers NULL. steps is FIXED (deterministic
+    * round count).
+    *
+    * Scale shape per round: ONE keyed aggregate (map-side combine) →
+    * ≤keys-row broadcast params; no driver collect.
+    */
+  def poissonRegression(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      yCol: String,
+      steps: Int = 6): DataFrame = {
+    require(steps >= 1 && steps <= 12, s"steps in [1,12], got $steps")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val base = df.select(col(keyCol).as("_k"),
+      col(xCol).cast("long").as("_x"),
+      when(col(yCol).cast("long") >= 0L, col(yCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("poissonRegression: negative count "),
+          col(yCol).cast("string"))).cast("long")).as("_y"))
+    // warm start at the null model a₀ = ln(ȳ) (+1 smoothing so an
+    // all-zero key stays finite), b₀ = 0 — Newton from a = 0 on
+    // large counts overshoots into exp overflow before it can turn
+    def decl(c: Column) = c.cast("decimal(38,0)")
+    // exact zero-x-variance detection: the d6-rounded information
+    // sums leave det ~1e-6 relative on a CONSTANT x (not ~0), so the
+    // singularity gate must come from the exact integer spread
+    var params = base.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_sy"),
+        sum(decl(col("_x"))).as("_sx"),
+        sum(decl(col("_x")) * decl(col("_x"))).as("_sxx"))
+      .withColumn("_clxx",
+        (decl(col("_n")) * col("_sxx") - col("_sx") * col("_sx"))
+          .cast("double"))
+      .withColumn("_a",
+        d6(log((col("_sy") + lit(1L)).cast("double") /
+          col("_n").cast("double"))))
+      .withColumn("_b", lit(0.0))
+      .drop("_sy").drop("_sx").drop("_sxx")
+    (1 to steps).foreach { _ =>
+      val j = base.join(broadcast(params.select(col("_k"), col("_a"),
+        col("_b"), col("_clxx"))), Seq("_k"))
+      val lam = exp(col("_a") + col("_b") * col("_x").cast("double"))
+      val agg = j.groupBy(col("_k"))
+        .agg(sum(d28(d6(col("_y").cast("double") - lam))).as("_ua"),
+          sum(d28(d6(col("_x").cast("double") *
+            (col("_y").cast("double") - lam)))).as("_ub"),
+          sum(d28(d6(lam))).as("_i00"),
+          sum(d28(d6(col("_x").cast("double") * lam))).as("_i01"),
+          sum(d28(d6(col("_x").cast("double") *
+            col("_x").cast("double") * lam))).as("_i11"),
+          max(col("_a")).as("_a0"), max(col("_b")).as("_b0"),
+          max(col("_clxx")).as("_clxx"))
+      val det = col("_i00").cast("double") * col("_i11").cast("double") -
+        col("_i01").cast("double") * col("_i01").cast("double")
+      val detOk = col("_clxx") > 0.0 && det > 0.0
+      val da = (col("_ua").cast("double") * col("_i11").cast("double") -
+        col("_ub").cast("double") * col("_i01").cast("double")) / det
+      val db = (col("_ub").cast("double") * col("_i00").cast("double") -
+        col("_ua").cast("double") * col("_i01").cast("double")) / det
+      params = params.drop("_a").drop("_b").join(
+        agg.select(col("_k"),
+          when(detOk, d6(col("_a0") + da)).as("_a"),
+          when(detOk, d6(col("_b0") + db)).as("_b")),
+        Seq("_k"), "left")
+    }
+    params.select(col("_k").as(keyCol), col("_n").as("n_obs"),
+      col("_a").as("intercept"), col("_b").as("slope"),
+      when(col("_b").isNotNull, d6(exp(col("_b")))).as("rate_ratio"))
+  }
+
+  /** Post-stratified mean with design-based SE (the estimation half
+    * of survey sampling; [[graft.pipeline.Sampling.neymanAllocation]]
+    * is the design half): reweight per-stratum sample means by KNOWN
+    * population shares — the correction applied when the sample's
+    * strata mix doesn't match the population's (quota panels,
+    * convenience crawls): ȳ_ps = Σ Wₕ·ȳₕ,
+    * SE² = Σ Wₕ²·s²ₕ/nₕ.
+    *
+    * Determinism: per-stratum sufficient sums exact decimal; means
+    * and variances one d6 each; the weighted sums run per-term-d6 →
+    * decimal; SE takes IEEE sqrt + d6. A stratum in the population
+    * map but absent from the sample fails LOUDLY (its mean is
+    * unestimable — collapse strata upstream); sample strata not in
+    * the map fail loudly too (unknown weight). Single-row strata
+    * contribute NULL variance → NULL SE overall (documented).
+    *
+    * Scale shape: ONE keyed aggregate against a broadcast weight map.
+    */
+  def postStratifiedMean(
+      df: DataFrame,
+      stratumCol: String,
+      xCol: String,
+      populationShares: Map[String, Double]): DataFrame = {
+    require(populationShares.nonEmpty, "populationShares is empty")
+    require(math.abs(populationShares.values.sum - 1.0) < 1e-9,
+      s"shares must sum to 1, got ${populationShares.values.sum}")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = broadcast(populationShares.toSeq.toDF("_h", "_w"))
+    val x = col(xCol).cast("long")
+    val per = df.groupBy(col(stratumCol).cast("string").as("_h"))
+      .agg(count(lit(1)).as("_n"), sum(dec(x)).as("_s1"),
+        sum(dec(x) * dec(x)).as("_s2"))
+      .join(shares, Seq("_h"), "full_outer")
+      .select(col("_h"),
+        coalesce(col("_n"),
+          raise_error(concat(lit("postStratifiedMean: stratum "),
+            col("_h"), lit(" has population weight but no sample " +
+              "rows — collapse strata upstream"))).cast("long"))
+          .as("_n"),
+        col("_s1"), col("_s2"),
+        coalesce(col("_w"),
+          raise_error(concat(lit("postStratifiedMean: stratum "),
+            col("_h"), lit(" not in the population map")))
+            .cast("double")).as("_w"))
+    val mean = d6(col("_s1").cast("double") / col("_n").cast("double"))
+    val v = when(col("_n") >= 2L,
+      d6((dec(col("_n")) * col("_s2") - col("_s1") * col("_s1"))
+        .cast("double") /
+        (col("_n") * (col("_n") - 1L)).cast("double")))
+    val staged = per.select(col("_h"), col("_n"), col("_w"),
+      mean.as("_m"), v.as("_v"))
+    // weighted terms quantize via floor(x·10⁶+0.5) — population
+    // shares are typically powers of two (1/2, 1/8), putting w·m on
+    // BINARY-EXACT decimal halves where HALF_UP and half-even engines
+    // split (the q345 lesson); floor-in-double-space is identical
+    // everywhere
+    def f6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val roll = staged.agg(count(lit(1)).as("k_strata"),
+      sum(col("_n")).as("n_sample"),
+      sum(d28(f6(col("_w") * col("_m")))).as("_wm"),
+      sum(d28(f6(col("_w") * col("_w") * col("_v") /
+        col("_n").cast("double")))).as("_wv"),
+      sum(when(col("_v").isNull, 1L).otherwise(0L)).as("_degen"))
+    roll.select(col("k_strata"), col("n_sample"),
+      d6(col("_wm").cast("double")).as("ps_mean"),
+      when(col("_degen") === 0L,
+        d6(sqrt(col("_wv").cast("double")))).as("ps_se"))
+  }
+
+  /** Two-proportion sample-size planning table (the experimentation-
+    * platform pre-launch staple): for each candidate relative MDE,
+    * the per-arm n needed to detect baseline·(1+MDE) at α = 5%
+    * two-sided, power 80% — the canonical
+    * n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀+p₁q₁))²/(p₁−p₀)² formula with
+    * the two z's as shared literals (1.959964, 0.841621).
+    *
+    * The baseline p₀ comes from DATA (one exact-count aggregate);
+    * everything after runs on the MDE grid frame. Determinism: p₀,
+    * each p₁, the radicals and n close in fixed d6 stages (IEEE
+    * sqrt); ceil gives the integer n. MDEs pushing p₁ out of (0,1)
+    * answer NULL. Outcome must be 0/1 — loud.
+    */
+  def sampleSizePlanner(
+      df: DataFrame,
+      outcomeCol: String,
+      relativeMdes: Seq[Double]): DataFrame = {
+    require(relativeMdes.nonEmpty && relativeMdes.size <= 100,
+      s"need 1..100 MDEs, got ${relativeMdes.size}")
+    require(relativeMdes.forall(m => m != 0.0),
+      "a zero MDE needs infinite n")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val y = when(col(outcomeCol).cast("long").isin(0L, 1L),
+      col(outcomeCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("sampleSizePlanner: outcome flag "),
+        col(outcomeCol).cast("string"), lit(" is not 0/1")))
+        .cast("long"))
+    val base = df.select(y.as("_y"))
+      .agg(count(lit(1)).as("n_baseline"), sum(col("_y")).as("_pos"))
+      .withColumn("p0",
+        d6(col("_pos").cast("double") /
+          col("n_baseline").cast("double")))
+    val grid = explode(array(relativeMdes.sorted.map(lit(_)): _*))
+    val rows = base.select(col("n_baseline"), col("p0"),
+      grid.as("relative_mde"))
+    val p1 = d6(col("p0") * (lit(1.0) + col("relative_mde")))
+    val withP1 = rows.withColumn("p1", p1)
+    val pbar = d6((col("p0") + col("p1")) / 2.0)
+    val zA = lit(1.959964)
+    val zB = lit(0.841621)
+    val num = zA * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      zB * sqrt(col("p0") * (lit(1.0) - col("p0")) +
+        col("p1") * (lit(1.0) - col("p1")))
+    val ok = col("p1") > 0.0 && col("p1") < 1.0 &&
+      col("p0") > 0.0 && col("p0") < 1.0
+    withP1.withColumn("n_per_arm",
+      when(ok, ceil(d6(num * num /
+        ((col("p1") - col("p0")) * (col("p1") - col("p0")))))
+        .cast("long")))
+  }
+
+  /** Kuiper two-sample test — [[ksTest]]'s rotation-invariant sibling:
+    * V = D⁺ + D⁻ weights the TAILS as heavily as the middle (KS's
+    * max|·| is mid-distribution dominated) and is the standard choice
+    * for cyclic domains (hour-of-day, day-of-week mixes). Same
+    * cleared-integer machinery as ksTest: both one-sided extrema are
+    * exact integer numerators over the shared denominator; V takes
+    * ONE d6; significance via the Stephens 1970 asymptotic series at
+    * the shared effective-n correction.
+    */
+  def kuiperTest(
+      df: DataFrame,
+      armCol: String,
+      valueCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val arm = col(armCol).cast("int")
+    val byVal = df
+      .groupBy(col(valueCol).cast("long").as("_v"))
+      .agg(sum(when(arm === 0, 1L).otherwise(0L)).as("_c0"),
+        sum(when(arm === 1, 1L).otherwise(0L)).as("_c1"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("_v"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val cum = byVal
+      .select(sum(col("_c0")).over(w).as("_a0"),
+        sum(col("_c1")).over(w).as("_a1"))
+    val tot = byVal.agg(sum(col("_c0")).as("_n0"),
+      sum(col("_c1")).as("_n1"))
+    val signed = col("_a0") * col("_n1") - col("_a1") * col("_n0")
+    val agg = cum.crossJoin(broadcast(tot))
+      .agg(greatest(max(signed), lit(0L)).as("_dplus"),
+        greatest(max(-signed), lit(0L)).as("_dminus"),
+        max(col("_n0")).as("_n0"), max(col("_n1")).as("_n1"))
+    val guard = when(col("_n0") >= 1L && col("_n1") >= 1L, col("_n0"))
+      .otherwise(raise_error(concat(
+        lit("kuiperTest: both arms must be non-empty; got n_a="),
+        col("_n0").cast("string"), lit(" n_b="),
+        col("_n1").cast("string"))).cast("long"))
+    val n0 = col("_n0").cast("double")
+    val n1 = col("_n1").cast("double")
+    val vStat = d6((col("_dplus") + col("_dminus")).cast("double") /
+      (n0 * n1))
+    val staged = agg.select(guard.as("n_a"), col("_n1").as("n_b"),
+      col("_dplus").as("d_plus_numerator"),
+      col("_dminus").as("d_minus_numerator"), vStat.as("v_stat"))
+    val ne = col("n_a").cast("double") * col("n_b").cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    // Stephens 1970: p = Σ 2(4k²λ²−1)e^{−2k²λ²}, λ = V·(√ne+0.155+
+    // 0.24/√ne); the same clamp discipline as ksTest
+    val lam = d6((sqrt(ne) + 0.155 + lit(0.24) / sqrt(ne)) *
+      col("v_stat"))
+    val withLam = staged.withColumn("lambda", lam)
+    val series = (1 to 20).foldLeft(
+      lit(BigDecimal(0)).cast("decimal(28,6)")) {
+      case (acc, k) =>
+        acc + ((lit(4.0 * k * k) * col("lambda") * col("lambda") -
+          lit(1.0)) * exp(lit(-2.0 * k * k) *
+          col("lambda") * col("lambda"))).cast("decimal(28,6)")
+    }
+    withLam.select(col("n_a"), col("n_b"), col("d_plus_numerator"),
+      col("d_minus_numerator"), col("v_stat"), col("lambda"),
+      when(col("lambda") < 0.4, lit(1.0))
+        .otherwise(d6(least(lit(1.0), greatest(lit(0.0),
+          lit(2.0) * series.cast("double"))))).as("p_value"))
+  }
+
   /** Binary-classifier confusion panel — accuracy, balanced accuracy,
     * precision/recall/F1 and Matthews correlation from one confusion
     * table: the metrics a filter-model card quotes. MCC is the one

@@ -5217,6 +5217,292 @@ object Analytics {
       |    AS rd_ci_high
       |FROM ln2""".stripMargin
 
+  // q430: two-sample energy distance (Stats.energyDistance) between
+  // the user-parity arms on spend cents — the every-moment-sensitive
+  // drift metric beside KS q307 / CvM q387 / W1 q335, computed EXACT
+  // in 1-D via gap-weighted crossing counts (no pair join). Oracle
+  // replays the sorted-gap identity and the d6 means.
+  def q430EnergyDistance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select((col("user_id") % 2L).cast("int").as("arm"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.pipeline.Stats.energyDistance(e, "arm", "cents")
+  }
+
+  val q430Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(user_id % 2 AS INT) AS arm,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |bv AS (SELECT v,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1
+      |  FROM b GROUP BY 1),
+      |cm AS (SELECT v,
+      |    CAST(SUM(c0) OVER wo AS BIGINT) AS a0,
+      |    CAST(SUM(c1) OVER wo AS BIGINT) AS a1,
+      |    CAST(SUM(c0) OVER () AS BIGINT) AS n0,
+      |    CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+      |    LEAD(v) OVER (ORDER BY v) - v AS gap
+      |  FROM bv WINDOW wo AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |ag AS (SELECT
+      |    SUM(CAST(gap AS HUGEINT) * (CAST(a0 AS HUGEINT) *
+      |      CAST(n1 - a1 AS HUGEINT) + CAST(a1 AS HUGEINT) *
+      |      CAST(n0 - a0 AS HUGEINT))) AS sab,
+      |    SUM(CAST(gap AS HUGEINT) * (CAST(a0 AS HUGEINT) *
+      |      CAST(n0 - a0 AS HUGEINT) + CAST(a0 AS HUGEINT) *
+      |      CAST(n0 - a0 AS HUGEINT))) AS saa2,
+      |    SUM(CAST(gap AS HUGEINT) * (CAST(a1 AS HUGEINT) *
+      |      CAST(n1 - a1 AS HUGEINT) + CAST(a1 AS HUGEINT) *
+      |      CAST(n1 - a1 AS HUGEINT))) AS sbb2,
+      |    MAX(n0) AS n_a, MAX(n1) AS n_b
+      |  FROM cm WHERE gap IS NOT NULL),
+      |st AS (SELECT n_a, n_b,
+      |    CAST(CAST(CAST(COALESCE(sab, 0) AS DOUBLE) /
+      |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS e_cross,
+      |    CAST(CAST(CAST(COALESCE(saa2, 0) AS DOUBLE) /
+      |      (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS e_within_a,
+      |    CAST(CAST(CAST(COALESCE(sbb2, 0) AS DOUBLE) /
+      |      (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS e_within_b
+      |  FROM ag)
+      |SELECT n_a, n_b, e_cross, e_within_a, e_within_b,
+      |  CAST(CAST(GREATEST(0.0,
+      |    2.0 * e_cross - e_within_a - e_within_b) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS energy_dist
+      |FROM st""".stripMargin
+
+  // q431: Poisson regression (Stats.poissonRegression) of daily
+  // volume on the day index, per event type — "is this stream
+  // growing exponentially, and at what daily rate ratio?"; the count
+  // GLM beside q389's OLS, fit by the q392/q393 in-plan Newton
+  // discipline. Oracle = the same warm-started rounds as generated
+  // chained CTEs.
+  def q431PoissonReg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(s, dir)
+      .select(col("event_type"),
+        expr("ts_us div 86400000000").as("day"))
+    val mn = e.agg(min(col("day")).as("_m"))
+    val daily = e.crossJoin(broadcast(mn))
+      .groupBy(col("event_type"), (col("day") - col("_m")).as("x"))
+      .agg(count(lit(1)).as("y"))
+    graft.pipeline.Stats.poissonRegression(daily, "event_type", "x",
+      "y", steps = 6)
+  }
+
+  val q431Sql: String = {
+    def d6(x: String) = s"CAST(CAST($x AS DECIMAL(28,6)) AS DOUBLE)"
+    def d28(x: String) = s"CAST(${d6(x)} AS DECIMAL(28,6))"
+    val lam = "exp(a + b * CAST(x AS DOUBLE))"
+    val steps = (1 to 6).map { k =>
+      s"""g$k AS (SELECT bb.k,
+         |    SUM(${d28(s"CAST(y AS DOUBLE) - $lam")}) AS ua,
+         |    SUM(${d28(s"CAST(x AS DOUBLE) * (CAST(y AS DOUBLE) - " +
+              s"$lam)")}) AS ub,
+         |    SUM(${d28(lam)}) AS i00,
+         |    SUM(${d28(s"CAST(x AS DOUBLE) * $lam")}) AS i01,
+         |    SUM(${d28(s"CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * " +
+              s"$lam")}) AS i11,
+         |    MAX(a) AS a0, MAX(b) AS b0, MAX(clxx) AS clxx
+         |  FROM bb JOIN p${k - 1} p ON p.k = bb.k GROUP BY 1),
+         |p$k AS (SELECT k, clxx,
+         |  CASE WHEN clxx > 0 AND
+         |      CAST(i00 AS DOUBLE) * CAST(i11 AS DOUBLE) -
+         |      CAST(i01 AS DOUBLE) * CAST(i01 AS DOUBLE) > 0 THEN
+         |    ${d6("a0 + (CAST(ua AS DOUBLE) * CAST(i11 AS DOUBLE) - " +
+              "CAST(ub AS DOUBLE) * CAST(i01 AS DOUBLE)) / " +
+              "(CAST(i00 AS DOUBLE) * CAST(i11 AS DOUBLE) - " +
+              "CAST(i01 AS DOUBLE) * CAST(i01 AS DOUBLE))")} END AS a,
+         |  CASE WHEN clxx > 0 AND
+         |      CAST(i00 AS DOUBLE) * CAST(i11 AS DOUBLE) -
+         |      CAST(i01 AS DOUBLE) * CAST(i01 AS DOUBLE) > 0 THEN
+         |    ${d6("b0 + (CAST(ub AS DOUBLE) * CAST(i00 AS DOUBLE) - " +
+              "CAST(ua AS DOUBLE) * CAST(i01 AS DOUBLE)) / " +
+              "(CAST(i00 AS DOUBLE) * CAST(i11 AS DOUBLE) - " +
+              "CAST(i01 AS DOUBLE) * CAST(i01 AS DOUBLE))")} END AS b
+         |  FROM g$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+       |  FROM events),
+       |mn AS (SELECT MIN(day) AS m FROM e),
+       |bb AS (SELECT event_type AS k, day - m AS x,
+       |    CAST(COUNT(*) AS BIGINT) AS y
+       |  FROM e CROSS JOIN mn GROUP BY 1, 2),
+       |nn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(CAST(COUNT(*) AS HUGEINT) *
+       |      SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) -
+       |      SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+       |      AS DOUBLE) AS clxx
+       |  FROM bb GROUP BY 1),
+       |p0 AS (SELECT k, clxx,
+       |    ${d6("ln(CAST(sy + 1 AS DOUBLE) / CAST(n AS DOUBLE))")}
+       |      AS a, 0.0 AS b
+       |  FROM nn),
+       |$steps
+       |SELECT nn.k AS event_type, nn.n AS n_obs,
+       |  p.a AS intercept, p.b AS slope,
+       |  CASE WHEN p.b IS NOT NULL THEN ${d6("exp(p.b)")} END
+       |    AS rate_ratio
+       |FROM nn LEFT JOIN p6 p ON p.k = nn.k""".stripMargin
+  }
+
+  // q432: post-stratified mean (Stats.postStratifiedMean) of document
+  // length under a KNOWN population language mix — the estimation
+  // half of survey sampling (q404's Neyman designs, this corrects);
+  // the crawl's lang mix rarely matches the target population's.
+  // Oracle replays the weight join and the per-term-d6 weighted sums.
+  def q432PostStratified(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.postStratifiedMean(
+      t(s, dir, "documents"), "lang", "n_chars",
+      Map("en" -> 0.5, "de" -> 0.125, "fr" -> 0.125, "es" -> 0.125,
+        "zh" -> 0.125))
+
+  val q432Sql: String =
+    """WITH per AS (
+      |  SELECT lang AS h, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(n_chars AS HUGEINT)) AS s1,
+      |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+      |      AS s2
+      |  FROM documents GROUP BY 1),
+      |ws AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.125),
+      |    ('fr', 0.125), ('es', 0.125), ('zh', 0.125)) AS t(h, w)),
+      |j AS (SELECT per.h, n, s1, s2, w
+      |      FROM per JOIN ws ON ws.h = per.h),
+      |st AS (SELECT h, n, w,
+      |    CAST(CAST(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS m,
+      |    CASE WHEN n >= 2 THEN
+      |      CAST(CAST(CAST(CAST(n AS HUGEINT) * s2 - s1 * s1
+      |        AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS v
+      |  FROM j),
+      |roll AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+      |    CAST(SUM(n) AS BIGINT) AS n_sample,
+      |    SUM(CAST(floor(w * m * 1000000.0 + 0.5) / 1000000.0
+      |      AS DECIMAL(28,6))) AS wm,
+      |    SUM(CAST(floor(w * w * v / CAST(n AS DOUBLE) * 1000000.0
+      |      + 0.5) / 1000000.0 AS DECIMAL(28,6))) AS wv,
+      |    CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS degen
+      |  FROM st)
+      |SELECT k_strata, n_sample,
+      |  CAST(CAST(CAST(wm AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS ps_mean,
+      |  CASE WHEN degen = 0 THEN
+      |    CAST(CAST(sqrt(CAST(wv AS DOUBLE)) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS ps_se
+      |FROM roll""".stripMargin
+
+  // q433: two-proportion sample-size planning table
+  // (Stats.sampleSizePlanner) — per-arm n to detect each relative
+  // MDE on the above-median-order rate at alpha 5% / power 80%; the
+  // pre-launch staple beside q251's readout and q303's SRM. Oracle
+  // replays the baseline aggregate and the fixed z-literal chain.
+  def q433SampleSize(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .select((col("o_totalprice") >= 250000.0).cast("int")
+        .as("outcome"))
+    graft.pipeline.Stats.sampleSizePlanner(o, "outcome",
+      Seq(0.01, 0.02, 0.05, 0.10, -0.05))
+  }
+
+  val q433Sql: String =
+    """WITH b AS (
+      |  SELECT CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END
+      |    AS y FROM orders),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baseline,
+      |    CAST(SUM(y) AS BIGINT) AS pos FROM b),
+      |p0 AS (SELECT n_baseline,
+      |    CAST(CAST(CAST(pos AS DOUBLE) / CAST(n_baseline AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS p0
+      |  FROM ag),
+      |grid AS (SELECT unnest([-0.05, 0.01, 0.02, 0.05, 0.10])
+      |    AS relative_mde),
+      |rows_ AS (SELECT n_baseline, p0, relative_mde,
+      |    CAST(CAST(p0 * (1.0 + relative_mde) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS p1
+      |  FROM p0 CROSS JOIN grid),
+      |st AS (SELECT *,
+      |    CAST(CAST((p0 + p1) / 2.0 AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS pbar
+      |  FROM rows_)
+      |SELECT n_baseline, p0, relative_mde, p1,
+      |  CASE WHEN p1 > 0 AND p1 < 1 AND p0 > 0 AND p0 < 1 THEN
+      |    CAST(ceil(CAST(CAST(
+      |      (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar)) +
+      |       0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))) *
+      |      (1.959964 * sqrt(2.0 * pbar * (1.0 - pbar)) +
+      |       0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))) /
+      |      ((p1 - p0) * (p1 - p0)) AS DECIMAL(28,6)) AS DOUBLE))
+      |      AS BIGINT) END AS n_per_arm
+      |FROM st""".stripMargin
+
+  // q434: Kuiper two-sample test (Stats.kuiperTest) of the
+  // hour-of-day mix between the user-parity arms — the cyclic-domain
+  // variant of q307's KS (V = D⁺ + D⁻ weights tails and middle
+  // equally; hour 23 vs 0 is a 1-hour gap, not 23). Oracle replays
+  // the cleared cumulative extrema and the Stephens series.
+  def q434Kuiper(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(s, dir)
+      .select((col("user_id") % 2L).cast("int").as("arm"),
+        (expr("ts_us div 3600000000") % 24L).as("hour"))
+    graft.pipeline.Stats.kuiperTest(e, "arm", "hour")
+  }
+
+  val q434Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(user_id % 2 AS INT) AS arm,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS v
+      |  FROM events),
+      |bv AS (SELECT v,
+      |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c0,
+      |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c1
+      |  FROM b GROUP BY 1),
+      |cm AS (SELECT
+      |    CAST(SUM(c0) OVER wo AS BIGINT) AS a0,
+      |    CAST(SUM(c1) OVER wo AS BIGINT) AS a1
+      |  FROM bv WINDOW wo AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+      |    CAST(SUM(c1) AS BIGINT) AS n1 FROM bv),
+      |ag AS (SELECT GREATEST(MAX(a0 * n1 - a1 * n0), 0) AS dplus,
+      |    GREATEST(MAX(-(a0 * n1 - a1 * n0)), 0) AS dminus,
+      |    MAX(n0) AS n_a, MAX(n1) AS n_b
+      |  FROM cm CROSS JOIN tot),
+      |st AS (SELECT n_a, n_b, dplus, dminus,
+      |    CAST(CAST(CAST(dplus + dminus AS DOUBLE) /
+      |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS v_stat
+      |  FROM ag),
+      |lm AS (SELECT *,
+      |    CAST(CAST((sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+      |      CAST(n_a + n_b AS DOUBLE)) + 0.155 +
+      |      0.24 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+      |      CAST(n_a + n_b AS DOUBLE))) * v_stat AS DECIMAL(28,6))
+      |      AS DOUBLE) AS lambda
+      |  FROM st),
+      |sr AS (SELECT *, CAST(SER AS DOUBLE) AS series FROM lm)
+      |SELECT n_a, n_b, dplus AS d_plus_numerator,
+      |  dminus AS d_minus_numerator, v_stat, lambda,
+      |  CASE WHEN lambda < 0.4 THEN 1.0
+      |    ELSE CAST(CAST(LEAST(1.0, GREATEST(0.0, 2.0 * series))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS p_value
+      |FROM sr""".stripMargin
+      .replace("SER", (1 to 20).map(k =>
+        s"CAST((4.0 * ${k * k} * lambda * lambda - 1.0) * " +
+          s"exp(-2.0 * ${k * k} * lambda * lambda) AS DECIMAL(28,6))")
+        .mkString("(", " + ", ")"))
+
   // q425: quality-filter threshold sweep (Sampling.thresholdSweep) —
   // the docs/tokens survival curve over a length-score grid; the
   // "where do we set the cut" planning table computed in ONE corpus
@@ -6151,6 +6437,11 @@ object Analytics {
     "q423_harrell_c" -> (q423HarrellC _),
     "q424_icc" -> (q424Icc _),
     "q425_threshold_sweep" -> (q425ThresholdSweep _),
+    "q430_energy_distance" -> (q430EnergyDistance _),
+    "q431_poisson_reg" -> (q431PoissonReg _),
+    "q432_post_stratified" -> (q432PostStratified _),
+    "q433_sample_size" -> (q433SampleSize _),
+    "q434_kuiper" -> (q434Kuiper _),
     "q427_confusion_panel" -> (q427ConfusionPanel _),
     "q428_page_trend" -> (q428PageTrend _),
     "q429_ordinal_assoc" -> (q429OrdinalAssoc _),
@@ -6278,6 +6569,11 @@ object Analytics {
     "q423_harrell_c" -> q423Sql,
     "q424_icc" -> q424Sql,
     "q425_threshold_sweep" -> q425Sql,
+    "q430_energy_distance" -> q430Sql,
+    "q431_poisson_reg" -> q431Sql,
+    "q432_post_stratified" -> q432Sql,
+    "q433_sample_size" -> q433Sql,
+    "q434_kuiper" -> q434Sql,
     "q427_confusion_panel" -> q427Sql,
     "q428_page_trend" -> q428Sql,
     "q429_ordinal_assoc" -> q429Sql,

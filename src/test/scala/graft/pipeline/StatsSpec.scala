@@ -1648,4 +1648,119 @@ class StatsSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("maxCells"), loud.getMessage)
   }
+
+  test("energyDistance: hand interleaved arms; identical samples " +
+    "score exactly 0; an empty arm is loud") {
+    // A {0,2}, B {1,3}: E|X−Y| = 1.5, both within-means 1 → D² = 1
+    val df = Seq((0, 0L), (0, 2L), (1, 1L), (1, 3L)).toDF("a", "v")
+    val r = Stats.energyDistance(df, "a", "v").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("e_cross") == 1.5)
+    assert(r.getAs[Double]("e_within_a") == 1.0)
+    assert(r.getAs[Double]("e_within_b") == 1.0)
+    assert(r.getAs[Double]("energy_dist") == 1.0)
+    val same = Seq((0, 0L), (0, 1L), (1, 0L), (1, 1L)).toDF("a", "v")
+    assert(Stats.energyDistance(same, "a", "v")
+      .collect().head.getAs[Double]("energy_dist") == 0.0)
+    val loud = intercept[Exception] {
+      Stats.energyDistance(Seq((0, 1L), (0, 2L)).toDF("a", "v"),
+        "a", "v").collect()
+    }
+    assert(loud.getMessage.contains("non-empty"), loud.getMessage)
+  }
+
+  test("poissonRegression: recovers a planted exponential growth " +
+    "rate; constant series fits slope ~0; zero x-variance answers " +
+    "NULL; negative counts are loud") {
+    val grown = (0 to 9).map(x =>
+      ("k", x.toLong, math.floor(10.0 * math.exp(0.2 * x)).toLong))
+      .toDF("k", "x", "y")
+    val r = Stats.poissonRegression(grown, "k", "x", "y")
+      .collect().head
+    assert(r.getAs[Double]("slope") > 0.15 &&
+      r.getAs[Double]("slope") < 0.25, s"slope ${r.getAs[Double]("slope")}")
+    assert(r.getAs[Double]("rate_ratio") > 1.15)
+    val const = (0 to 9).map(x => ("c", x.toLong, 7L))
+      .toDF("k", "x", "y")
+    val rc = Stats.poissonRegression(const, "k", "x", "y")
+      .collect().head
+    assert(math.abs(rc.getAs[Double]("slope")) < 0.01)
+    val flat = (1 to 5).map(_ => ("f", 3L, 9L)).toDF("k", "x", "y")
+    val rf = Stats.poissonRegression(flat, "k", "x", "y")
+      .collect().head
+    assert(rf.isNullAt(rf.fieldIndex("slope")))
+    val loud = intercept[Exception] {
+      Stats.poissonRegression(Seq(("b", 1L, -2L)).toDF("k", "x", "y"),
+        "k", "x", "y").collect()
+    }
+    assert(loud.getMessage.contains("negative count"), loud.getMessage)
+  }
+
+  test("postStratifiedMean: hand weighted mean and SE; unknown and " +
+    "unsampled strata are loud") {
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 10L), ("B", 20L))
+      .toDF("h", "x")
+    val r = Stats.postStratifiedMean(df, "h", "x",
+      Map("A" -> 0.75, "B" -> 0.25)).collect().head
+    assert(r.getAs[Long]("k_strata") == 2L)
+    assert(r.getAs[Double]("ps_mean") == 5.25)
+    assert(math.abs(r.getAs[Double]("ps_se") - 1.457738) < 1e-6)
+    val unknown = intercept[Exception] {
+      Stats.postStratifiedMean(df, "h", "x", Map("A" -> 1.0))
+        .collect()
+    }
+    assert(unknown.getMessage.contains("not in the population map"),
+      unknown.getMessage)
+    val unsampled = intercept[Exception] {
+      Stats.postStratifiedMean(df.filter(col("h") === "A"), "h", "x",
+        Map("A" -> 0.75, "B" -> 0.25)).collect()
+    }
+    assert(unsampled.getMessage.contains("no sample rows"),
+      unsampled.getMessage)
+  }
+
+  test("sampleSizePlanner: bigger effects need fewer samples; the " +
+    "hand 25%-baseline 20%-MDE case lands near 1251; bad flags and " +
+    "zero MDE are loud") {
+    val df = (Seq.fill(50)(1) ++ Seq.fill(150)(0)).toDF("y")
+    val out = Stats.sampleSizePlanner(df, "y", Seq(0.1, 0.2, 0.4))
+      .collect().map(r => r.getAs[Double]("relative_mde") -> r).toMap
+    assert(out(0.2).getAs[Double]("p0") == 0.25)
+    assert(out(0.2).getAs[Double]("p1") == 0.3)
+    val n02 = out(0.2).getAs[Long]("n_per_arm")
+    assert(n02 > 1200L && n02 < 1300L, s"n $n02")
+    assert(out(0.1).getAs[Long]("n_per_arm") >
+      out(0.2).getAs[Long]("n_per_arm"))
+    assert(out(0.2).getAs[Long]("n_per_arm") >
+      out(0.4).getAs[Long]("n_per_arm"))
+    val zero = intercept[IllegalArgumentException] {
+      Stats.sampleSizePlanner(df, "y", Seq(0.0))
+    }
+    assert(zero.getMessage.contains("infinite"), zero.getMessage)
+    val bad = intercept[Exception] {
+      Stats.sampleSizePlanner(Seq(2).toDF("y"), "y", Seq(0.1))
+        .collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
+
+  test("kuiperTest: identical mixes score V = 0 with p = 1; a " +
+    "disjoint shift scores V = 1; an empty arm is loud") {
+    val same = (0 to 9).flatMap(v => Seq((0, v.toLong), (1, v.toLong)))
+      .toDF("a", "v")
+    val rs = Stats.kuiperTest(same, "a", "v").collect().head
+    assert(rs.getAs[Double]("v_stat") == 0.0)
+    assert(rs.getAs[Double]("p_value") == 1.0)
+    val shift = Seq((0, 0L), (0, 1L), (1, 5L), (1, 5L)).toDF("a", "v")
+    val r = Stats.kuiperTest(shift, "a", "v").collect().head
+    assert(r.getAs[Double]("v_stat") == 1.0)
+    assert(r.getAs[Long]("d_plus_numerator") == 4L)
+    assert(r.getAs[Long]("d_minus_numerator") == 0L)
+    assert(r.getAs[Double]("p_value") < 0.5)
+    val loud = intercept[Exception] {
+      Stats.kuiperTest(Seq((0, 1L)).toDF("a", "v"), "a", "v")
+        .collect()
+    }
+    assert(loud.getMessage.contains("non-empty"), loud.getMessage)
+  }
 }
