@@ -1451,4 +1451,62 @@ object Timeseries {
           d6(col("slope") / col("se_hac"))))
       .drop("_sxx")
   }
+
+  /** Seasonal/trend strength scorecard (Hyndman & Athanasopoulos,
+    * FPP3 §4.3) over [[seasonalDecompose]]'s additive split:
+    * F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_t = max(0, 1 − Var(R)/Var(T+R)) per key — the one-row answer
+    * to "is this series actually seasonal / actually trending, and
+    * how much", which is what a seasonality-aware scheduler or a
+    * forecast-model picker branches on (F_s > ~0.64 is the usual
+    * "model the season" bar).
+    *
+    * Determinism: the decomposition's trend/seasonal/residual columns
+    * are already d6-quantized (q321's contract); variances run the
+    * two-pass d6 discipline — mean = d6(Σd28(v)/n), then
+    * Var = d6(Σd28(d6((v−mean)²))/n) — population variance over the
+    * interior rows (documented). Keys whose interior variance of S+R
+    * (or T+R) is 0 answer NULL for that strength.
+    *
+    * Scale shape: seasonalDecompose's windows + TWO keyed aggregates
+    * over the interior frame.
+    */
+  def decompositionStrength(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      period: Int): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val dc = seasonalDecompose(df, keyCol, timeCol, valueCol, period)
+      .filter(col("residual").isNotNull)
+      .select(col(keyCol).as("_k"), col("residual").as("_r"),
+        (col("seasonal") + col("residual")).as("_sr"),
+        (col("trend") + col("residual")).as("_tr"))
+    val means = dc.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_interior"),
+        d6(sum(d28(col("_r"))).cast("double") /
+          count(lit(1)).cast("double")).as("_mr"),
+        d6(sum(d28(col("_sr"))).cast("double") /
+          count(lit(1)).cast("double")).as("_msr"),
+        d6(sum(d28(col("_tr"))).cast("double") /
+          count(lit(1)).cast("double")).as("_mtr"))
+    val joined = dc.join(broadcast(means), Seq("_k"))
+    def variance(v: Column, m: Column): Column =
+      d6(sum(d28(d6((v - m) * (v - m)))).cast("double") /
+        count(lit(1)).cast("double"))
+    val vars = joined.groupBy(col("_k"))
+      .agg(max(col("n_interior")).as("n_interior"),
+        variance(col("_r"), col("_mr")).as("_vr"),
+        variance(col("_sr"), col("_msr")).as("_vsr"),
+        variance(col("_tr"), col("_mtr")).as("_vtr"))
+    vars.select(col("_k").as(keyCol), col("n_interior"),
+      when(col("_vsr") > 0.0,
+        d6(greatest(lit(0.0), lit(1.0) - col("_vr") / col("_vsr"))))
+        .as("seasonal_strength"),
+      when(col("_vtr") > 0.0,
+        d6(greatest(lit(0.0), lit(1.0) - col("_vr") / col("_vtr"))))
+        .as("trend_strength"))
+  }
 }

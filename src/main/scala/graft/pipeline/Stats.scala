@@ -3547,6 +3547,209 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** Wilcoxon signed-rank test for PAIRED samples (Wilcoxon 1945) —
+    * "did the metric move WITHIN subjects?": ranks of |differences|
+    * with the positive-rank sum against its null, the nonparametric
+    * partner of a paired t and the within-subject complement of
+    * [[mannWhitneyU]] (which compares independent groups). Zeros
+    * drop (reported); ties take midranks with the tie-corrected
+    * variance.
+    *
+    * Exactness: doubled midranks over (|d|) value cells keep 2W⁺
+    * exact integer; E[2W⁺] = n(n+1)/2 and Var(2W⁺) =
+    * n(n+1)(2n+1)/6 − Σ(t³−t)/12 assemble from exact decimals; ONE
+    * d6 closes z. All-zero differences answer NULL. Value-domain
+    * bounded windows (quantize big metrics first).
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val diff = df.select((col(xCol).cast("long") -
+      col(yCol).cast("long")).as("_d"))
+    val zeros = diff.filter(col("_d") === 0L)
+      .agg(count(lit(1)).as("_nz"))
+    val cells = diff.filter(col("_d") =!= 0L)
+      .groupBy(abs(col("_d")).as("_ad"))
+      .agg(count(lit(1)).as("_n"),
+        sum((col("_d") > 0L).cast("long")).as("_npos"))
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("_ad").asc)
+    val ranked = cells
+      .withColumn("_below", coalesce(sum(col("_n")).over(
+        wOrd.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_r2", lit(2L) * col("_below") + col("_n") + lit(1L))
+    val agg = ranked.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("n_nonzero"),
+      coalesce(sum(col("_npos")), lit(0L)).as("n_positive"),
+      coalesce(sum(dec(col("_npos")) * dec(col("_r2"))),
+        lit(0).cast("decimal(38,0)")).as("_w2"),
+      coalesce(sum(dec(col("_n")) * dec(col("_n")) * dec(col("_n")) -
+        dec(col("_n"))), lit(0).cast("decimal(38,0)")).as("_tie"))
+    val n = col("n_nonzero")
+    val nD = n.cast("double")
+    val e2 = nD * (nD + 1.0) / 2.0
+    val var2 = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 6.0 -
+      col("_tie").cast("double") / 12.0
+    agg.crossJoin(broadcast(zeros))
+      .select(col("n_nonzero"), col("_nz").as("n_zero"),
+        col("n_positive"), col("_w2").cast("long").as("w2_doubled"),
+        when(n >= 1L && var2 > 0.0,
+          d6((col("_w2").cast("double") - e2) / sqrt(var2))).as("z"))
+      .withColumn("significant",
+        when(col("z").isNotNull, (abs(col("z")) >= 1.959964).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Paired sign test — the assumption-free floor under
+    * [[wilcoxonSignedRank]]: only the SIGN of each within-pair
+    * difference counts, so it survives arbitrary outliers and ordinal
+    * scales. Continuity-corrected normal approximation; the two-sided
+    * p comes from the shared [[normalTwoSidedP]] erfc polynomial.
+    *
+    * Exactness: sign counts are exact longs; z takes ONE d6 over
+    * sign(2·pos−n)·max(0, |2·pos−n|−1)/√n; p one more. All-tied
+    * input answers NULL.
+    */
+  def signTest(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val diff = df.select((col(xCol).cast("long") -
+      col(yCol).cast("long")).as("_d"))
+    val agg = diff.agg(
+      sum((col("_d") > 0L).cast("long")).as("n_positive"),
+      sum((col("_d") < 0L).cast("long")).as("n_negative"),
+      sum((col("_d") === 0L).cast("long")).as("n_zero"))
+    val n = col("n_positive") + col("n_negative")
+    val raw = lit(2L) * col("n_positive") - n
+    val zExpr = d6(signum(raw.cast("double")) *
+      greatest(lit(0.0), abs(raw.cast("double")) - lit(1.0)) /
+      sqrt(n.cast("double")))
+    val staged = agg.select(col("n_positive"), col("n_negative"),
+      col("n_zero"), when(n >= 1L, zExpr).as("z"))
+    staged
+      .withColumn("p_value",
+        when(col("z").isNotNull, d6(normalTwoSidedP(col("z")))))
+      .withColumn("significant",
+        when(col("p_value").isNotNull,
+          (col("p_value") <= 0.05).cast("int")).otherwise(lit(0)))
+  }
+
+  /** Hodges–Lehmann pseudo-median (Hodges & Lehmann 1963) — the
+    * median of all Walsh averages (xᵢ+xⱼ)/2, i ≤ j: the LOCATION
+    * estimate behind [[wilcoxonSignedRank]] and the robust "typical
+    * shift" to quote next to its p-value (30% efficiency premium
+    * over the plain median at the normal, immune to a fat tail the
+    * mean isn't).
+    *
+    * Exactness: Walsh sums stay DOUBLED integers over (value) cells —
+    * same-cell pairs weigh n(n+1)/2 at 2v, cross pairs n₁n₂ at
+    * v₁+v₂; the lower weighted median picks by exact cumulative-
+    * weight comparison (2·cumW ≥ T+1 convention) and the estimate
+    * closes in ONE d6 halving. The cell-pair stage is quadratic —
+    * loud maxCells (quantize first).
+    */
+  def hodgesLehmann(
+      df: DataFrame,
+      xCol: String,
+      maxCells: Long = 10000L): DataFrame = {
+    require(maxCells >= 2L && maxCells <= 1000000L,
+      s"maxCells in [2,1e6], got $maxCells")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val rawCells = df.groupBy(col(xCol).cast("long").as("_v"))
+      .agg(count(lit(1)).as("_n"))
+    val cells = rawCells.withColumn("_nc", count(lit(1)).over(wAll))
+      .select(col("_v"),
+        when(col("_nc") <= maxCells, col("_n"))
+          .otherwise(raise_error(concat(
+            lit("hodgesLehmann: "), col("_nc").cast("string"),
+            lit(s" value cells > maxCells=$maxCells — quantize " +
+              "first"))).cast("long")).as("_n"))
+    val a = cells.select(col("_v").as("_va"), col("_n").as("_na"))
+    val b = cells.select(col("_v").as("_vb"), col("_n").as("_nb"))
+    val walsh = a.join(b, col("_va") <= col("_vb"))
+      .select((col("_va") + col("_vb")).as("_s2"),
+        when(col("_va") === col("_vb"),
+          (dec(col("_na")) * (dec(col("_na")) + lit(1)) / lit(2))
+            .cast("decimal(38,0)"))
+          .otherwise(dec(col("_na")) * dec(col("_nb"))).as("_w"))
+      .groupBy(col("_s2")).agg(sum(col("_w")).as("_w"))
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("_s2").asc)
+    val upTo = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ranked = walsh
+      .withColumn("_cum", sum(col("_w")).over(upTo))
+      .withColumn("_tot", sum(col("_w")).over(wAll))
+    // LOWER weighted median: position floor((T+1)/2) — the
+    // "2·cum ≥ T+1" shortcut over-shoots on even T
+    ranked
+      .filter(col("_cum").cast("long") >=
+        floor((col("_tot").cast("long") + lit(1L)) / lit(2.0))
+          .cast("long"))
+      .agg(min(col("_s2")).as("_med2"),
+        max(col("_tot")).cast("long").as("n_walsh_pairs"))
+      .select(col("n_walsh_pairs"),
+        d6(col("_med2").cast("double") / 2.0).as("pseudo_median"))
+  }
+
+  /** Split-half reliability with the Spearman–Brown step-up
+    * (Spearman 1910; Brown 1910) — the quick sibling of
+    * [[cronbachAlpha]]: correlate two deterministic halves of each
+    * unit's measurements, then project the full-length reliability
+    * 2r/(1+r). The "is this metric stable enough to rank users by"
+    * one-liner when items don't exist (alpha needs an item design;
+    * this needs only a 0/1 half flag).
+    *
+    * Determinism: half sums per unit are exact (conditional sums —
+    * missing halves read 0 by the same zero-fill reading as alpha);
+    * the Pearson r comes from one aggregate of cleared decimals with
+    * IEEE sqrt + one d6; Spearman–Brown takes one more. Degenerate
+    * variance or r = −1 answers NULL. Flags must be 0/1 — loud.
+    */
+  def splitHalfReliability(
+      df: DataFrame,
+      unitCol: String,
+      halfCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val half = when(col(halfCol).cast("long").isin(0L, 1L),
+      col(halfCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("splitHalfReliability: half flag "),
+        col(halfCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val per = df.select(col(unitCol).as("_u"), half.as("_h"),
+        col(xCol).cast("long").as("_x"))
+      .groupBy(col("_u"))
+      .agg(sum(when(col("_h") === 0L, col("_x")).otherwise(0L))
+        .as("_a"),
+        sum(when(col("_h") === 1L, col("_x")).otherwise(0L)).as("_b"))
+    val agg = per.agg(count(lit(1)).as("n_units"),
+      sum(dec(col("_a"))).as("_sa"), sum(dec(col("_b"))).as("_sb"),
+      sum(dec(col("_a")) * dec(col("_a"))).as("_saa"),
+      sum(dec(col("_b")) * dec(col("_b"))).as("_sbb"),
+      sum(dec(col("_a")) * dec(col("_b"))).as("_sab"))
+    val claa = (dec(col("n_units")) * col("_saa") -
+      col("_sa") * col("_sa")).cast("double")
+    val clbb = (dec(col("n_units")) * col("_sbb") -
+      col("_sb") * col("_sb")).cast("double")
+    val clab = (dec(col("n_units")) * col("_sab") -
+      col("_sa") * col("_sb")).cast("double")
+    val r = when(claa > 0.0 && clbb > 0.0,
+      d6(clab / sqrt(claa * clbb)))
+    val staged = agg.select(col("n_units"), r.as("half_r"))
+    staged.withColumn("spearman_brown",
+      when(col("half_r").isNotNull && col("half_r") > -1.0,
+        d6(lit(2.0) * col("half_r") / (lit(1.0) + col("half_r")))))
+  }
+
   /** Two-sample energy distance in 1-D (Székely & Rizzo 2004):
     * D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| — zero iff the distributions
     * are IDENTICAL, sensitive to every moment (where KS/CvM weight

@@ -5217,6 +5217,314 @@ object Analytics {
       |    AS rd_ci_high
       |FROM ln2""".stripMargin
 
+  // q435: Wilcoxon signed-rank (Stats.wilcoxonSignedRank) on paired
+  // per-user half-spend (first vs second fixture half, dollars) —
+  // "did spend move WITHIN users?", the nonparametric paired partner
+  // of q263's Mann–Whitney. Oracle replays the |d| cells, doubled
+  // midranks and the tie-corrected z.
+  private def halfSpendPairs(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val mm = evt.agg(min(us).as("_mn"), max(us).as("_mx"))
+    evt.crossJoin(broadcast(mm))
+      .select(col("user_id"),
+        when((us * 2L) < (col("_mn") + col("_mx")),
+          round(col("value") * 100).cast("long")).otherwise(0L)
+          .as("_c1"),
+        when((us * 2L) >= (col("_mn") + col("_mx")),
+          round(col("value") * 100).cast("long")).otherwise(0L)
+          .as("_c2"))
+      .groupBy(col("user_id"))
+      .agg((sum(col("_c1")) / 100L).cast("long").as("x"),
+        (sum(col("_c2")) / 100L).cast("long").as("y"))
+  }
+
+  private val halfSpendSql: String =
+    """e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |mm AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e),
+      |u AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN us * 2 < mn + mx THEN cents ELSE 0 END)
+      |      // 100 AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN us * 2 >= mn + mx THEN cents ELSE 0 END)
+      |      // 100 AS BIGINT) AS y
+      |  FROM e CROSS JOIN mm GROUP BY 1)""".stripMargin
+
+  def q435Wilcoxon(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.wilcoxonSignedRank(
+      halfSpendPairs(s, dir), "x", "y")
+
+  val q435Sql: String =
+    s"""WITH $halfSpendSql,
+      |d AS (SELECT x - y AS d FROM u),
+      |z AS (SELECT CAST(COUNT(*) AS BIGINT) AS nz FROM d WHERE d = 0),
+      |cells AS (SELECT abs(d) AS ad, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS npos
+      |  FROM d WHERE d <> 0 GROUP BY 1),
+      |rk AS (SELECT *, COALESCE(SUM(n) OVER (ORDER BY ad
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS below
+      |  FROM cells),
+      |ag AS (SELECT
+      |    COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_nonzero,
+      |    COALESCE(CAST(SUM(npos) AS BIGINT), 0) AS n_positive,
+      |    COALESCE(SUM(CAST(npos AS HUGEINT) *
+      |      CAST(2 * below + n + 1 AS HUGEINT)), 0) AS w2,
+      |    COALESCE(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) *
+      |      CAST(n AS HUGEINT) - CAST(n AS HUGEINT)), 0) AS tie
+      |  FROM rk)
+      |SELECT n_nonzero, nz AS n_zero, n_positive,
+      |  CAST(w2 AS BIGINT) AS w2_doubled,
+      |  CASE WHEN n_nonzero >= 1 AND
+      |      CAST(n_nonzero AS DOUBLE) *
+      |      (CAST(n_nonzero AS DOUBLE) + 1.0) *
+      |      (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) / 6.0 -
+      |      CAST(tie AS DOUBLE) / 12.0 > 0 THEN
+      |    CAST(CAST((CAST(w2 AS DOUBLE) -
+      |      CAST(n_nonzero AS DOUBLE) *
+      |      (CAST(n_nonzero AS DOUBLE) + 1.0) / 2.0) /
+      |      sqrt(CAST(n_nonzero AS DOUBLE) *
+      |        (CAST(n_nonzero AS DOUBLE) + 1.0) *
+      |        (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) / 6.0 -
+      |        CAST(tie AS DOUBLE) / 12.0) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS z,
+      |  CASE WHEN n_nonzero >= 1 AND
+      |      CAST(n_nonzero AS DOUBLE) *
+      |      (CAST(n_nonzero AS DOUBLE) + 1.0) *
+      |      (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) / 6.0 -
+      |      CAST(tie AS DOUBLE) / 12.0 > 0 THEN
+      |    CAST(abs(CAST(CAST((CAST(w2 AS DOUBLE) -
+      |      CAST(n_nonzero AS DOUBLE) *
+      |      (CAST(n_nonzero AS DOUBLE) + 1.0) / 2.0) /
+      |      sqrt(CAST(n_nonzero AS DOUBLE) *
+      |        (CAST(n_nonzero AS DOUBLE) + 1.0) *
+      |        (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0) / 6.0 -
+      |        CAST(tie AS DOUBLE) / 12.0) AS DECIMAL(28,6))
+      |      AS DOUBLE)) >= 1.959964 AS INT) ELSE 0 END AS significant
+      |FROM ag CROSS JOIN z""".stripMargin
+
+  // q436: Hodges–Lehmann pseudo-median (Stats.hodgesLehmann) of the
+  // paired half-spend differences — the robust "typical shift" to
+  // quote beside q435's p-value. Oracle replays the doubled Walsh
+  // cells and the lower-weighted-median pick.
+  def q436HodgesLehmann(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.hodgesLehmann(
+      halfSpendPairs(s, dir).select((col("x") - col("y")).as("d")),
+      "d")
+
+  val q436Sql: String =
+    s"""WITH $halfSpendSql,
+      |d AS (SELECT x - y AS v FROM u),
+      |cells AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM d GROUP BY 1),
+      |walsh AS (
+      |  SELECT a.v + b.v AS s2,
+      |    CAST(SUM(CASE WHEN a.v = b.v THEN
+      |      CAST(a.n AS HUGEINT) * (CAST(a.n AS HUGEINT) + 1) / 2
+      |      ELSE CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT) END)
+      |      AS HUGEINT) AS w
+      |  FROM cells a JOIN cells b ON a.v <= b.v
+      |  GROUP BY 1),
+      |rk AS (SELECT *, SUM(w) OVER (ORDER BY s2
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(w) OVER () AS tot
+      |  FROM walsh)
+      |SELECT CAST(MAX(tot) AS BIGINT) AS n_walsh_pairs,
+      |  CAST(CAST(CAST(MIN(s2) AS DOUBLE) / 2.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS pseudo_median
+      |FROM rk WHERE CAST(cum AS BIGINT) >=
+      |  CAST(floor(CAST(tot + 1 AS DOUBLE) / 2.0) AS BIGINT)"""
+      .stripMargin
+
+  // q437: paired sign test (Stats.signTest) on the same half-spend
+  // pairs — the assumption-free floor under q435; p from the shared
+  // erfc polynomial. Oracle replays the sign counts and the
+  // continuity-corrected z.
+  def q437SignTest(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.signTest(halfSpendPairs(s, dir), "x", "y")
+
+  val q437Sql: String = {
+    val p = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH $halfSpendSql,
+      |d AS (SELECT x - y AS d FROM u),
+      |ag AS (SELECT
+      |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_positive,
+      |    CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_negative,
+      |    CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_zero
+      |  FROM d),
+      |zz AS (SELECT *,
+      |    CASE WHEN n_positive + n_negative >= 1 THEN
+      |      CAST(CAST(
+      |        sign(CAST(2 * n_positive - (n_positive + n_negative)
+      |          AS DOUBLE)) *
+      |        GREATEST(0.0, abs(CAST(2 * n_positive -
+      |          (n_positive + n_negative) AS DOUBLE)) - 1.0) /
+      |        sqrt(CAST(n_positive + n_negative AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS z
+      |  FROM ag),
+      |pp AS (SELECT *, CASE WHEN z IS NOT NULL THEN
+      |    CAST(CAST($p AS DECIMAL(28,6)) AS DOUBLE) END AS p_value
+      |  FROM zz)
+      |SELECT n_positive, n_negative, n_zero, z, p_value,
+      |  CASE WHEN p_value IS NOT NULL THEN
+      |    CAST(p_value <= 0.05 AS INT) ELSE 0 END AS significant
+      |FROM pp""".stripMargin
+  }
+
+  // q438: seasonal/trend strength scorecard
+  // (Timeseries.decompositionStrength) over the q321 decomposition —
+  // Hyndman's F_s/F_t per event type, the "should the forecaster
+  // model the season" branch input. Oracle replays q321's chain plus
+  // the two-pass d6 variances.
+  def q438DecompStrength(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.decompositionStrength(buckets, "event_type",
+      "b", "x", period = 4)
+  }
+
+  val q438Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t)
+      |         AS rn,
+      |         COUNT(*) OVER (PARTITION BY k) AS nk
+      |       FROM s),
+      |tr AS (
+      |  SELECT k, t, x, rn, nk,
+      |    CAST((rn - 1) % 4 AS INT) AS phase,
+      |    CASE WHEN rn > 2 AND rn <= nk - 2 THEN
+      |      CAST(CAST(CAST(lag(x, 2) OVER wo + 2 * SUM(x) OVER win +
+      |        lead(x, 2) OVER wo AS DOUBLE) / 8.0 AS DECIMAL(28,6))
+      |        AS DOUBLE)
+      |    END AS trend
+      |  FROM rk
+      |  WINDOW wo AS (PARTITION BY k ORDER BY t),
+      |    win AS (PARTITION BY k ORDER BY t
+      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)),
+      |pm AS (
+      |  SELECT k, phase,
+      |    CAST(CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) - trend
+      |      AS DECIMAL(28,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS pmv
+      |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+      |ctr AS (
+      |  SELECT k,
+      |    CAST(CAST(CAST(SUM(CAST(pmv AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS cv
+      |  FROM pm GROUP BY 1),
+      |dcmp AS (
+      |  SELECT tr.k,
+      |    CAST(CAST(CAST(tr.x AS DOUBLE) - tr.trend -
+      |      CAST(CAST(pm.pmv - ctr.cv AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS r,
+      |    CAST(CAST(pm.pmv - ctr.cv AS DECIMAL(28,6)) AS DOUBLE) +
+      |      CAST(CAST(CAST(tr.x AS DOUBLE) - tr.trend -
+      |        CAST(CAST(pm.pmv - ctr.cv AS DECIMAL(28,6)) AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) AS sr,
+      |    tr.trend +
+      |      CAST(CAST(CAST(tr.x AS DOUBLE) - tr.trend -
+      |        CAST(CAST(pm.pmv - ctr.cv AS DECIMAL(28,6)) AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) AS tr2
+      |  FROM tr
+      |  LEFT JOIN pm ON pm.k = tr.k AND pm.phase = tr.phase
+      |  JOIN ctr ON ctr.k = tr.k
+      |  WHERE tr.trend IS NOT NULL AND pm.pmv IS NOT NULL),
+      |mn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_interior,
+      |    CAST(CAST(CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS mr,
+      |    CAST(CAST(CAST(SUM(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS msr,
+      |    CAST(CAST(CAST(SUM(CAST(tr2 AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS mtr
+      |  FROM dcmp GROUP BY 1),
+      |vr AS (SELECT dcmp.k, MAX(n_interior) AS n_interior,
+      |    CAST(CAST(CAST(SUM(CAST(CAST(CAST((r - mr) * (r - mr)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)))
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS vrr,
+      |    CAST(CAST(CAST(SUM(CAST(CAST(CAST((sr - msr) * (sr - msr)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)))
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS vsr,
+      |    CAST(CAST(CAST(SUM(CAST(CAST(CAST((tr2 - mtr) * (tr2 - mtr)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)))
+      |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS vtr
+      |  FROM dcmp JOIN mn ON mn.k = dcmp.k GROUP BY 1)
+      |SELECT k AS event_type, n_interior,
+      |  CASE WHEN vsr > 0 THEN
+      |    CAST(CAST(GREATEST(0.0, 1.0 - vrr / vsr) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS seasonal_strength,
+      |  CASE WHEN vtr > 0 THEN
+      |    CAST(CAST(GREATEST(0.0, 1.0 - vrr / vtr) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS trend_strength
+      |FROM vr""".stripMargin
+
+  // q439: split-half reliability with Spearman–Brown
+  // (Stats.splitHalfReliability) — correlate each user's even/odd
+  // event-id spend halves and project full-length reliability; the
+  // quick "is per-user spend stable enough to rank by" beside q420's
+  // alpha. Oracle replays the conditional half sums and the cleared
+  // Pearson chain.
+  def q439SplitHalf(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+      .select(col("user_id"), (col("event_id") % 2L).as("half"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.pipeline.Stats.splitHalfReliability(evt, "user_id", "half",
+      "cents")
+  }
+
+  val q439Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id % 2 AS h,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |per AS (SELECT user_id,
+      |    CAST(SUM(CASE WHEN h = 0 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS a,
+      |    CAST(SUM(CASE WHEN h = 1 THEN cents ELSE 0 END) AS BIGINT)
+      |      AS b
+      |  FROM e GROUP BY 1),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+      |    SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+      |    SUM(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS saa,
+      |    SUM(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS sbb,
+      |    SUM(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS sab
+      |  FROM per),
+      |rr AS (SELECT n_units,
+      |    CASE WHEN CAST(CAST(n_units AS HUGEINT) * saa - sa * sa
+      |        AS DOUBLE) > 0 AND
+      |        CAST(CAST(n_units AS HUGEINT) * sbb - sb * sb
+      |        AS DOUBLE) > 0 THEN
+      |      CAST(CAST(
+      |        CAST(CAST(n_units AS HUGEINT) * sab - sa * sb AS DOUBLE)
+      |        / sqrt(CAST(CAST(n_units AS HUGEINT) * saa - sa * sa
+      |            AS DOUBLE) *
+      |          CAST(CAST(n_units AS HUGEINT) * sbb - sb * sb
+      |            AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) END
+      |      AS half_r
+      |  FROM ag)
+      |SELECT n_units, half_r,
+      |  CASE WHEN half_r IS NOT NULL AND half_r > -1.0 THEN
+      |    CAST(CAST(2.0 * half_r / (1.0 + half_r) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS spearman_brown
+      |FROM rr""".stripMargin
+
   // q430: two-sample energy distance (Stats.energyDistance) between
   // the user-parity arms on spend cents — the every-moment-sensitive
   // drift metric beside KS q307 / CvM q387 / W1 q335, computed EXACT
@@ -6438,6 +6746,11 @@ object Analytics {
     "q424_icc" -> (q424Icc _),
     "q425_threshold_sweep" -> (q425ThresholdSweep _),
     "q430_energy_distance" -> (q430EnergyDistance _),
+    "q435_wilcoxon" -> (q435Wilcoxon _),
+    "q436_hodges_lehmann" -> (q436HodgesLehmann _),
+    "q437_sign_test" -> (q437SignTest _),
+    "q438_decomp_strength" -> (q438DecompStrength _),
+    "q439_split_half" -> (q439SplitHalf _),
     "q431_poisson_reg" -> (q431PoissonReg _),
     "q432_post_stratified" -> (q432PostStratified _),
     "q433_sample_size" -> (q433SampleSize _),
@@ -6570,6 +6883,11 @@ object Analytics {
     "q424_icc" -> q424Sql,
     "q425_threshold_sweep" -> q425Sql,
     "q430_energy_distance" -> q430Sql,
+    "q435_wilcoxon" -> q435Sql,
+    "q436_hodges_lehmann" -> q436Sql,
+    "q437_sign_test" -> q437Sql,
+    "q438_decomp_strength" -> q438Sql,
+    "q439_split_half" -> q439Sql,
     "q431_poisson_reg" -> q431Sql,
     "q432_post_stratified" -> q432Sql,
     "q433_sample_size" -> q433Sql,

@@ -643,4 +643,22 @@ class TimeseriesSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("lags+4"), loud.getMessage)
   }
+
+  test("decompositionStrength: a pure period signal is seasonal-" +
+    "strong; a pure linear trend scores trend strength 1 with NULL " +
+    "seasonal strength") {
+    import org.apache.spark.sql.functions.col
+    val seasonal = (1L to 12L).map(t =>
+      ("s", t, if (t % 2L == 0L) 100L else 0L)).toDF("k", "t", "x")
+    val rs = Timeseries.decompositionStrength(seasonal, "k", "t",
+      "x", period = 4).collect().head
+    assert(rs.getAs[Double]("seasonal_strength") > 0.8,
+      rs.toString)
+    val linear = (1L to 12L).map(t => ("l", t, 10L * t))
+      .toDF("k", "t", "x")
+    val rl = Timeseries.decompositionStrength(linear, "k", "t",
+      "x", period = 4).collect().head
+    assert(rl.getAs[Double]("trend_strength") == 1.0)
+    assert(rl.isNullAt(rl.fieldIndex("seasonal_strength")))
+  }
 }

@@ -1763,4 +1763,89 @@ class StatsSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("non-empty"), loud.getMessage)
   }
+
+  test("wilcoxonSignedRank: hand doubled rank sum on all-positive " +
+    "diffs; the mirrored pairs flip z; zeros drop and all-zero " +
+    "answers NULL") {
+    // diffs {1,2,3}: 2W+ = 12, E = 6, Var = 14 → z = 6/√14
+    val pos = Seq((2L, 1L), (4L, 2L), (6L, 3L)).toDF("x", "y")
+    val r = Stats.wilcoxonSignedRank(pos, "x", "y").collect().head
+    assert(r.getAs[Long]("n_nonzero") == 3L)
+    assert(r.getAs[Long]("w2_doubled") == 12L)
+    assert(math.abs(r.getAs[Double]("z") - 1.603567) < 1e-6)
+    assert(r.getAs[Int]("significant") == 0)
+    val neg = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    assert(math.abs(Stats.wilcoxonSignedRank(neg, "x", "y")
+      .collect().head.getAs[Double]("z") - -1.603567) < 1e-6)
+    val withZero = Seq((2L, 1L), (4L, 2L), (6L, 3L), (5L, 5L))
+      .toDF("x", "y")
+    val rz = Stats.wilcoxonSignedRank(withZero, "x", "y")
+      .collect().head
+    assert(rz.getAs[Long]("n_zero") == 1L)
+    assert(rz.getAs[Long]("n_nonzero") == 3L)
+    val allZero = Seq((1L, 1L), (2L, 2L)).toDF("x", "y")
+    val ra = Stats.wilcoxonSignedRank(allZero, "x", "y")
+      .collect().head
+    assert(ra.isNullAt(ra.fieldIndex("z")))
+  }
+
+  test("hodgesLehmann: hand Walsh medians incl. tied cells; the " +
+    "cell guard is loud") {
+    val df = Seq(1L, 2L, 10L).toDF("v")
+    val r = Stats.hodgesLehmann(df, "v").collect().head
+    assert(r.getAs[Long]("n_walsh_pairs") == 6L)
+    assert(r.getAs[Double]("pseudo_median") == 2.0)
+    // {1,1,3}: Walsh multiset {1,1,1,2,2,3} → LOWER median (the
+    // documented convention) is 1
+    val tied = Seq(1L, 1L, 3L).toDF("v")
+    val rt = Stats.hodgesLehmann(tied, "v").collect().head
+    assert(rt.getAs[Long]("n_walsh_pairs") == 6L)
+    assert(rt.getAs[Double]("pseudo_median") == 1.0)
+    val loud = intercept[Exception] {
+      Stats.hodgesLehmann((1L to 10L).toDF("v"), "v", maxCells = 4L)
+        .collect()
+    }
+    assert(loud.getMessage.contains("maxCells"), loud.getMessage)
+  }
+
+  test("signTest: continuity-corrected z and erfc p; a lopsided " +
+    "split is significant; all-tied answers NULL") {
+    val mild = (Seq.fill(8)((2L, 1L)) ++ Seq.fill(2)((1L, 2L)) :+
+      ((5L, 5L))).toDF("x", "y")
+    val r = Stats.signTest(mild, "x", "y").collect().head
+    assert(r.getAs[Long]("n_positive") == 8L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(math.abs(r.getAs[Double]("z") - 1.581139) < 1e-6)
+    assert(r.getAs[Int]("significant") == 0)
+    val strong = (Seq.fill(15)((2L, 1L)) :+ ((1L, 2L))).toDF("x", "y")
+    val rs = Stats.signTest(strong, "x", "y").collect().head
+    assert(rs.getAs[Double]("z") == 3.25)
+    assert(rs.getAs[Int]("significant") == 1)
+    val tied = Seq((1L, 1L), (2L, 2L)).toDF("x", "y")
+    val rt = Stats.signTest(tied, "x", "y").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("z")))
+  }
+
+  test("splitHalfReliability: identical-up-to-scale halves score " +
+    "r = 1 and SB = 1; perfectly opposed halves answer NULL; bad " +
+    "flag is loud") {
+    val good = Seq((1L, 0, 1L), (1L, 1, 2L), (2L, 0, 2L),
+      (2L, 1, 4L), (3L, 0, 3L), (3L, 1, 6L)).toDF("u", "h", "x")
+    val r = Stats.splitHalfReliability(good, "u", "h", "x")
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 3L)
+    assert(r.getAs[Double]("half_r") == 1.0)
+    assert(r.getAs[Double]("spearman_brown") == 1.0)
+    val anti = Seq((1L, 0, 1L), (1L, 1, 3L), (2L, 0, 2L),
+      (2L, 1, 2L), (3L, 0, 3L), (3L, 1, 1L)).toDF("u", "h", "x")
+    val ra = Stats.splitHalfReliability(anti, "u", "h", "x")
+      .collect().head
+    assert(ra.getAs[Double]("half_r") == -1.0)
+    assert(ra.isNullAt(ra.fieldIndex("spearman_brown")))
+    val bad = intercept[Exception] {
+      Stats.splitHalfReliability(Seq((1L, 2, 1L)).toDF("u", "h", "x"),
+        "u", "h", "x").collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
 }
