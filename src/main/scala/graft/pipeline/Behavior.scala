@@ -852,4 +852,89 @@ object Behavior {
         d6(col("n_users").cast("double") /
           col("_n_total").cast("double")).as("support"))
   }
+
+  /** RFM segmentation (Hughes 1994) — the classic behavioral cut:
+    * per user Recency (days since last event), Frequency (events),
+    * Monetary (spend), each coded into quintiles, rolled up to
+    * segment counts. The product-side complement of the corpus
+    * quality tiers: "who are the 5-5-5s and how many are drifting to
+    * 1-1-1". Quintile codes use exact rank arithmetic —
+    * code = ⌈5·rank/n⌉ over the (metric, user) total order (ties
+    * break on the user id, deterministic, no NTILE nondeterminism);
+    * recency codes ASCENDING days-since (code 5 = longest away,
+    * documented).
+    *
+    * Scale shape: one user aggregate + three rank windows over the
+    * users frame + one ≤125-row segment rollup.
+    */
+  def rfmSegments(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 2 && buckets <= 10,
+      s"buckets in [2,10], got $buckets")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val mx = events.agg(max(col(tsCol).cast("long")).as("_mx"))
+    val per = events.crossJoin(broadcast(mx))
+      .groupBy(col(keyCol).as("_u"))
+      .agg(max(col("_mx")).as("_gmx"),
+        max(col(tsCol).cast("long")).as("_last"),
+        count(lit(1)).as("_f"),
+        sum(col(valueCol).cast("long")).as("_m"))
+      .select(col("_u"), (col("_gmx") - col("_last")).as("_rec"),
+        col("_f"), col("_m"))
+    def code(metric: Column, name: String): Column =
+      ceil(lit(buckets) * row_number().over(
+        W.partitionBy(lit(1)).orderBy(metric.asc, col("_u").asc))
+        .cast("double") /
+        count(lit(1)).over(W.partitionBy(lit(1))).cast("double"))
+        .cast("long").as(name)
+    val coded = per.select(col("_u"),
+      code(col("_rec"), "r_code"), code(col("_f"), "f_code"),
+      code(col("_m"), "m_code"))
+    val total = coded.groupBy(col("r_code"), col("f_code"),
+        col("m_code"))
+      .agg(count(lit(1)).as("n_users"))
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    total.withColumn("user_frac",
+      d6(col("n_users").cast("double") /
+        sum(col("n_users")).over(wAll).cast("double")))
+  }
+
+  /** DAU/MAU stickiness — per day, the distinct actives that day over
+    * the distinct actives of the trailing `window` days: THE
+    * engagement-intensity ratio ("what share of the monthly audience
+    * shows up daily"). Exactness: both counts are exact distinct
+    * longs over the (user, day) frame; the ratio takes one d6.
+    *
+    * Scale shape: the (user, day) DISTINCT frame joins the day
+    * dimension on a bounded range (window × per-day actives rows —
+    * a ≤window-fold blow-up of the distinct frame, calendar-bounded,
+    * documented), then one day-keyed distinct aggregate.
+    */
+  def dauMauStickiness(
+      events: DataFrame,
+      keyCol: String,
+      dayCol: String,
+      window: Int = 28): DataFrame = {
+    require(window >= 2 && window <= 366,
+      s"window in [2,366], got $window")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val ud = events.select(col(keyCol).as("_u"),
+      col(dayCol).cast("long").as("_d")).distinct()
+    val days = ud.select(col("_d").as("day")).distinct()
+    val joined = days.join(ud,
+      col("_d") <= col("day") &&
+        col("_d") > col("day") - lit(window.toLong))
+    joined.groupBy(col("day"))
+      .agg(countDistinct(when(col("_d") === col("day"), col("_u")))
+        .as("dau"),
+        countDistinct(col("_u")).as("mau"))
+      .withColumn("stickiness",
+        d6(col("dau").cast("double") / col("mau").cast("double")))
+  }
 }

@@ -3547,6 +3547,95 @@ object Stats {
           .cast("double")).as("rmst"))
   }
 
+  /** Quantile–quantile drift table — WHERE did the distribution move?
+    * [[psiDrift]]/[[hellingerDrift]] answer "how much"; this lines up
+    * the reference and current slices' deciles side by side so the
+    * report reads "the p90 moved +40, the median didn't" — the
+    * operating-point diagnosis behind a drift alarm. Quantile picks
+    * use the q385 order-statistic convention (rank = ⌈k·n/10⌉ over
+    * the (value, id) total order), so every picked value is an exact
+    * corpus element, not an interpolation.
+    *
+    * Determinism: picks are exact integers; only the reported diff
+    * is arithmetic (exact long). Scale shape: one rank window per
+    * slice over (key, slice)-partitioned data + a 9-row-per-key
+    * equi-join.
+    */
+  def qqDriftTable(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      valueCol: String,
+      refCol: String,
+      quantiles: Int = 10): DataFrame = {
+    require(quantiles >= 2 && quantiles <= 100,
+      s"quantiles in [2,100], got $quantiles")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(keyCol).as("_k"),
+      col(idCol).as("_id"), col(valueCol).cast("long").as("_v"),
+      col(refCol).cast("boolean").as("_r"))
+    def picks(slice: DataFrame, out: String): DataFrame = {
+      val w = W.partitionBy(col("_k")).orderBy(col("_v").asc,
+        col("_id").asc)
+      val ranked = slice
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(W.partitionBy(col("_k"))))
+      val ks = (1 until quantiles).map(lit(_))
+      ranked.select(col("_k"), col("_v"), col("_rn"), col("_n"),
+          explode(array(ks: _*)).as("_q"))
+        .filter(col("_rn") === ceil(col("_q") * col("_n") /
+          lit(quantiles.toDouble)).cast("long"))
+        .select(col("_k"), col("_q"), col("_v").as(out))
+    }
+    val r = picks(base.filter(col("_r")), "ref_q")
+    val c = picks(base.filter(!col("_r")), "cur_q")
+    r.join(c, Seq("_k", "_q"), "full_outer")
+      .select(col("_k").as(keyCol), col("_q").as("quantile"),
+        col("ref_q"), col("cur_q"),
+        (col("cur_q") - col("ref_q")).as("shift"))
+  }
+
+  /** Pairwise Pearson correlation matrix over k named metric columns
+    * — the one-glance redundancy map an analyst reads before feeding
+    * metrics to a model or picking covariates ([[partialCorrelation]]
+    * then digs into any suspicious triangle). k is a code-level
+    * literal list, so all k(k+1)/2 sufficient products ride ONE
+    * aggregate (map-side combinable) and the matrix unpivots in-plan.
+    *
+    * Determinism: cleared decimal sums per pair, each r one d6 with
+    * IEEE sqrt; zero-variance margins answer NULL for their pairs.
+    */
+  def corrMatrix(
+      df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"need 2..16 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(cols.map(c => col(c).cast("long").as(c)): _*)
+    val sums = Seq(count(lit(1)).as("_n")) ++
+      cols.map(c => sum(dec(col(c))).as(s"_s_$c")) ++
+      cols.flatMap(a => cols.filter(_ >= a).map(b =>
+        sum(dec(col(a)) * dec(col(b))).as(s"_p_${a}_$b")))
+    val agg = base.agg(sums.head, sums.tail: _*)
+    def cl(a: String, b: String): Column = {
+      val (x, y) = if (a <= b) (a, b) else (b, a)
+      (dec(col("_n")) * col(s"_p_${x}_$y") -
+        col(s"_s_$a") * col(s"_s_$b")).cast("double")
+    }
+    val rows = for {
+      a <- cols; b <- cols if a < b
+    } yield struct(lit(a).as("metric_a"), lit(b).as("metric_b"),
+      when(cl(a, a) > 0.0 && cl(b, b) > 0.0,
+        d6(cl(a, b) / sqrt(cl(a, a) * cl(b, b)))).as("r"))
+    agg.select(col("_n").as("n_obs"),
+        explode(array(rows: _*)).as("_row"))
+      .select(col("_row.metric_a").as("metric_a"),
+        col("_row.metric_b").as("metric_b"), col("n_obs"),
+        col("_row.r").as("r"))
+  }
+
   /** Wilcoxon signed-rank test for PAIRED samples (Wilcoxon 1945) —
     * "did the metric move WITHIN subjects?": ranks of |differences|
     * with the positive-rank sum against its null, the nonparametric

@@ -5217,6 +5217,189 @@ object Analytics {
       |    AS rd_ci_high
       |FROM ln2""".stripMargin
 
+  // q441: quantile-quantile drift table (Stats.qqDriftTable) between
+  // the reference and current fixture halves per event type — WHERE
+  // the value distribution moved (q385's PSI says how much); picks
+  // are exact order statistics by the q385 rank convention. Oracle
+  // replays both slices' picks and the full-outer line-up.
+  def q441QqDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(s, dir)
+      .withColumn("_day", expr("ts_us div 86400000000"))
+    val lo = e.agg(min(col("_day")).as("_d0"))
+    val flagged = e.crossJoin(broadcast(lo))
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000.0).cast("long").as("v"),
+        (col("_day") < col("_d0") + 15L).as("is_ref"))
+    graft.pipeline.Stats.qqDriftTable(flagged, "event_type",
+      "event_id", "v", "is_ref")
+  }
+
+  val q441Sql: String =
+    """WITH d0 AS (
+      |  SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+      |    AS lo FROM events),
+      |b AS (
+      |  SELECT event_type AS k, event_id AS id,
+      |    CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 < lo + 15 AS r
+      |  FROM events CROSS JOIN d0),
+      |rp AS (
+      |  SELECT k, kk, v
+      |  FROM (SELECT k, v,
+      |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY k) AS n
+      |    FROM b WHERE r) t,
+      |    (SELECT unnest(range(1, 10)) AS kk)
+      |  WHERE rn = CAST(ceil(kk * n / 10.0) AS BIGINT)),
+      |cp AS (
+      |  SELECT k, kk, v
+      |  FROM (SELECT k, v,
+      |      ROW_NUMBER() OVER (PARTITION BY k ORDER BY v, id) AS rn,
+      |      COUNT(*) OVER (PARTITION BY k) AS n
+      |    FROM b WHERE NOT r) t,
+      |    (SELECT unnest(range(1, 10)) AS kk)
+      |  WHERE rn = CAST(ceil(kk * n / 10.0) AS BIGINT))
+      |SELECT COALESCE(rp.k, cp.k) AS event_type,
+      |  CAST(COALESCE(rp.kk, cp.kk) AS INT) AS quantile,
+      |  rp.v AS ref_q, cp.v AS cur_q,
+      |  cp.v - rp.v AS shift
+      |FROM rp FULL OUTER JOIN cp
+      |  ON cp.k = rp.k AND cp.kk = rp.kk""".stripMargin
+
+  // q442: pairwise correlation matrix (Stats.corrMatrix) over the
+  // daily volume/spend/users metrics — the redundancy map before
+  // q421's partial digs into a triangle; all pairs in ONE aggregate.
+  // Oracle replays the cleared sums and unions the three rows.
+  def q442CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsUs(s, dir)
+      .select(expr("ts_us div 86400000000").as("day"),
+        col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("volume"), sum(col("cents")).as("spend"),
+        countDistinct(col("user_id")).as("users"))
+    graft.pipeline.Stats.corrMatrix(daily,
+      Seq("volume", "spend", "users"))
+  }
+
+  val q442Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS volume,
+      |    CAST(SUM(cents) AS BIGINT) AS spend,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+      |  FROM e GROUP BY 1),
+      |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(volume AS HUGEINT)) AS sv,
+      |    SUM(CAST(spend AS HUGEINT)) AS ss,
+      |    SUM(CAST(users AS HUGEINT)) AS su,
+      |    SUM(CAST(volume AS HUGEINT) * CAST(volume AS HUGEINT))
+      |      AS svv,
+      |    SUM(CAST(spend AS HUGEINT) * CAST(spend AS HUGEINT)) AS sss,
+      |    SUM(CAST(users AS HUGEINT) * CAST(users AS HUGEINT)) AS suu,
+      |    SUM(CAST(spend AS HUGEINT) * CAST(users AS HUGEINT)) AS ssu,
+      |    SUM(CAST(spend AS HUGEINT) * CAST(volume AS HUGEINT))
+      |      AS ssv,
+      |    SUM(CAST(users AS HUGEINT) * CAST(volume AS HUGEINT))
+      |      AS suv
+      |  FROM d),
+      |cl AS (SELECT n,
+      |    CAST(CAST(n AS HUGEINT) * svv - sv * sv AS DOUBLE) AS cvv,
+      |    CAST(CAST(n AS HUGEINT) * sss - ss * ss AS DOUBLE) AS css,
+      |    CAST(CAST(n AS HUGEINT) * suu - su * su AS DOUBLE) AS cuu,
+      |    CAST(CAST(n AS HUGEINT) * ssu - ss * su AS DOUBLE) AS csu,
+      |    CAST(CAST(n AS HUGEINT) * ssv - ss * sv AS DOUBLE) AS csv,
+      |    CAST(CAST(n AS HUGEINT) * suv - su * sv AS DOUBLE) AS cuv
+      |  FROM ag)
+      |SELECT 'spend' AS metric_a, 'users' AS metric_b, n AS n_obs,
+      |  CASE WHEN css > 0 AND cuu > 0 THEN
+      |    CAST(CAST(csu / sqrt(css * cuu) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS r FROM cl
+      |UNION ALL
+      |SELECT 'spend', 'volume', n,
+      |  CASE WHEN css > 0 AND cvv > 0 THEN
+      |    CAST(CAST(csv / sqrt(css * cvv) AS DECIMAL(28,6))
+      |      AS DOUBLE) END FROM cl
+      |UNION ALL
+      |SELECT 'users', 'volume', n,
+      |  CASE WHEN cuu > 0 AND cvv > 0 THEN
+      |    CAST(CAST(cuv / sqrt(cuu * cvv) AS DECIMAL(28,6))
+      |      AS DOUBLE) END FROM cl""".stripMargin
+
+  // q443: RFM segmentation (Behavior.rfmSegments) — recency/
+  // frequency/monetary quintile codes per user rolled to segment
+  // counts; exact rank arithmetic, no NTILE nondeterminism. Oracle
+  // replays the per-user metrics, the ceil-rank codes and the
+  // rollup.
+  def q443Rfm(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(s, dir)
+      .select(col("user_id"),
+        expr("ts_us div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.pipeline.Behavior.rfmSegments(e, "user_id", "day", "cents")
+  }
+
+  val q443Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |mx AS (SELECT MAX(day) AS gmx FROM e),
+      |per AS (SELECT user_id AS u, gmx - MAX(day) AS rec,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    CAST(SUM(cents) AS BIGINT) AS m
+      |  FROM e CROSS JOIN mx GROUP BY 1, gmx),
+      |coded AS (SELECT u,
+      |    CAST(ceil(5 * ROW_NUMBER() OVER (ORDER BY rec, u) /
+      |      CAST(COUNT(*) OVER () AS DOUBLE)) AS BIGINT) AS r_code,
+      |    CAST(ceil(5 * ROW_NUMBER() OVER (ORDER BY f, u) /
+      |      CAST(COUNT(*) OVER () AS DOUBLE)) AS BIGINT) AS f_code,
+      |    CAST(ceil(5 * ROW_NUMBER() OVER (ORDER BY m, u) /
+      |      CAST(COUNT(*) OVER () AS DOUBLE)) AS BIGINT) AS m_code
+      |  FROM per),
+      |seg AS (SELECT r_code, f_code, m_code,
+      |    CAST(COUNT(*) AS BIGINT) AS n_users
+      |  FROM coded GROUP BY 1, 2, 3)
+      |SELECT r_code, f_code, m_code, n_users,
+      |  CAST(CAST(CAST(n_users AS DOUBLE) /
+      |    CAST(SUM(n_users) OVER () AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS user_frac
+      |FROM seg""".stripMargin
+
+  // q444: DAU/WAU stickiness (Behavior.dauMauStickiness, 7-day
+  // window) — per day, the share of the trailing-week audience that
+  // showed up that day; the engagement-intensity ratio beside q104's
+  // cohort retention. Oracle replays the distinct frame, the range
+  // join and the two distinct counts.
+  def q444Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsUs(s, dir)
+      .select(col("user_id"),
+        expr("ts_us div 86400000000").as("day"))
+    graft.pipeline.Behavior.dauMauStickiness(e, "user_id", "day",
+      window = 7)
+  }
+
+  val q444Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id AS u,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM e),
+      |j AS (SELECT days.day, e.u, e.d
+      |  FROM days JOIN e ON e.d <= days.day AND e.d > days.day - 7),
+      |g AS (SELECT day,
+      |    CAST(COUNT(DISTINCT CASE WHEN d = day THEN u END)
+      |      AS BIGINT) AS dau,
+      |    CAST(COUNT(DISTINCT u) AS BIGINT) AS mau
+      |  FROM j GROUP BY 1)
+      |SELECT day, dau, mau,
+      |  CAST(CAST(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS stickiness
+      |FROM g""".stripMargin
+
   // q435: Wilcoxon signed-rank (Stats.wilcoxonSignedRank) on paired
   // per-user half-spend (first vs second fixture half, dollars) —
   // "did spend move WITHIN users?", the nonparametric paired partner
@@ -6747,6 +6930,10 @@ object Analytics {
     "q425_threshold_sweep" -> (q425ThresholdSweep _),
     "q430_energy_distance" -> (q430EnergyDistance _),
     "q435_wilcoxon" -> (q435Wilcoxon _),
+    "q441_qq_drift" -> (q441QqDrift _),
+    "q442_corr_matrix" -> (q442CorrMatrix _),
+    "q443_rfm" -> (q443Rfm _),
+    "q444_stickiness" -> (q444Stickiness _),
     "q436_hodges_lehmann" -> (q436HodgesLehmann _),
     "q437_sign_test" -> (q437SignTest _),
     "q438_decomp_strength" -> (q438DecompStrength _),
@@ -6884,6 +7071,10 @@ object Analytics {
     "q425_threshold_sweep" -> q425Sql,
     "q430_energy_distance" -> q430Sql,
     "q435_wilcoxon" -> q435Sql,
+    "q441_qq_drift" -> q441Sql,
+    "q442_corr_matrix" -> q442Sql,
+    "q443_rfm" -> q443Sql,
+    "q444_stickiness" -> q444Sql,
     "q436_hodges_lehmann" -> q436Sql,
     "q437_sign_test" -> q437Sql,
     "q438_decomp_strength" -> q438Sql,

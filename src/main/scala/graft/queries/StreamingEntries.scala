@@ -1036,8 +1036,84 @@ object StreamingEntries {
         col("psi"))
   }
 
+  /** q440: the Hellinger drift report run as a STREAM — q394's
+    * completion-sentinel fold emitting the true-METRIC drift member
+    * over the same staged reference-decile BinCounts; the drained
+    * stream must hash-match the DuckDB batch replay.
+    */
+  def q440StreamingHellinger(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagePsiCounts(s, dir)
+    val s2 = streamSession(s)
+    val schema = stagedSchema(s2, staged)
+    val stream = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .as[graft.streaming.BinCount](
+        Encoders.product[graft.streaming.BinCount])
+    val out = graft.streaming.Streaming.hellingerMonitor(stream)
+    runAvailableNow(out.toDF(), "graft_q440_hellinger")
+      .select(col("key").as("event_type"), col("n_ref"), col("n_cur"),
+        col("hellinger"))
+  }
+
+  /** q385's binning chain with the Hellinger affinity instead of the
+    * PSI divergence — empty bins contribute the shared √(p_E·q_E)
+    * term, mirroring the monitor's finalize exactly. */
+  val q440Sql: String =
+    """WITH d0 AS (
+      |  SELECT MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+      |    AS lo FROM events),
+      |b AS (
+      |  SELECT event_type AS k, event_id AS id,
+      |    CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 < lo + 15 AS r
+      |  FROM events CROSS JOIN d0),
+      |ref AS (SELECT * FROM b WHERE r),
+      |nr AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM ref GROUP BY 1),
+      |rk AS (SELECT ref.k, v,
+      |    ROW_NUMBER() OVER (PARTITION BY ref.k
+      |      ORDER BY v ASC, id ASC) AS rn, nr.n
+      |  FROM ref JOIN nr ON nr.k = ref.k),
+      |ed AS (SELECT k, v AS ev, kk
+      |  FROM rk, (SELECT unnest(range(1, 10)) AS kk)
+      |  WHERE rn = CAST(ceil(kk * n / 10.0) AS BIGINT)),
+      |edges AS (SELECT k, list(ev ORDER BY kk) AS es
+      |          FROM ed GROUP BY 1),
+      |bn AS (SELECT b.k, 1 + len(list_filter(edges.es, e -> b.v > e))
+      |    AS bin, b.r
+      |  FROM b JOIN edges ON edges.k = b.k),
+      |cnt AS (SELECT k, bin,
+      |    CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+      |    CAST(SUM(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS cc
+      |  FROM bn GROUP BY 1, 2),
+      |tot AS (SELECT k, CAST(SUM(cr) AS BIGINT) AS nrr,
+      |    CAST(SUM(cc) AS BIGINT) AS ncc
+      |  FROM cnt GROUP BY 1),
+      |terms AS (SELECT cnt.k,
+      |    CAST(CAST(sqrt(
+      |      (CAST(cr + 1 AS DOUBLE) / CAST(nrr + 10 AS DOUBLE)) *
+      |      (CAST(cc + 1 AS DOUBLE) / CAST(ncc + 10 AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DECIMAL(28,6)) AS t6,
+      |    CAST(CAST(sqrt(
+      |      (1.0 / CAST(nrr + 10 AS DOUBLE)) *
+      |      (1.0 / CAST(ncc + 10 AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DECIMAL(28,6)) AS et6
+      |  FROM cnt JOIN tot ON tot.k = cnt.k
+      |  WHERE nrr > 0 AND ncc > 0),
+      |agg AS (SELECT k, SUM(t6) AS s6,
+      |    CAST(COUNT(*) AS BIGINT) AS nb, MAX(et6) AS et
+      |  FROM terms GROUP BY 1)
+      |SELECT tot.k AS event_type, nrr AS n_ref, ncc AS n_cur,
+      |  CASE WHEN nrr > 0 AND ncc > 0 THEN
+      |    CAST(CAST(sqrt(GREATEST(0.0, 1.0 -
+      |      (CAST(s6 AS DOUBLE) +
+      |       CAST(10 - nb AS DOUBLE) * CAST(et AS DOUBLE))))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS hellinger
+      |FROM tot LEFT JOIN agg ON agg.k = tot.k""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q394_streaming_psi" -> (q394StreamingPsi _),
+    "q440_streaming_hellinger" -> (q440StreamingHellinger _),
     "q322_streaming_cusum" -> (q322StreamingCusum _),
     "q227_streaming_quality_score" -> (q227StreamingQualityScore _),
     "q290_streaming_ewma" -> (q290StreamingEwma _),
@@ -1061,6 +1137,7 @@ object StreamingEntries {
   def oracles: Map[String, String] = Map(
     // batch q385, this streaming twin, and DuckDB agree three ways
     "q394_streaming_psi" -> Analytics.q385Sql,
+    "q440_streaming_hellinger" -> q440Sql,
     "q322_streaming_cusum" -> q322Sql,
     // batch q226 scorer, the stateless streaming scorer, and DuckDB's
     // full gradient-descent replay agree three ways

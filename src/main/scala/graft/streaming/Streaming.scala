@@ -840,6 +840,71 @@ object Streaming {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
   }
+
+  /** Streaming Hellinger drift monitor — [[psiMonitor]]'s machinery
+    * (associative per-key BinCount fold, completion-sentinel
+    * finalize, order-proof) emitting the TRUE-METRIC member of the
+    * drift family instead: H = √(1 − Σ√(pᵢqᵢ)) over the same
+    * Laplace-smoothed reference-decile bins (empty bins contribute
+    * the shared √(p_E·q_E) affinity term, mirroring PSI's empty-bin
+    * handling). Same d6 discipline so the drained stream hash-matches
+    * the batch oracle.
+    */
+  def hellingerMonitor(
+      rows: Dataset[BinCount],
+      bins: Int = 10): Dataset[HellingerReport] = {
+    require(bins >= 2 && bins <= 100, s"bins must be in [2,100], got $bins")
+    implicit val accEnc = Encoders.product[PsiBuf]
+    implicit val outEnc = Encoders.product[HellingerReport]
+    implicit val keyEnc = Encoders.STRING
+    def d6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def finalizeKey(key: String, buf: PsiBuf): Iterator[HellingerReport] = {
+      val byBin = buf.bins.indices
+        .groupBy(i => buf.bins(i))
+        .map { case (b, is) =>
+          b -> ((is.map(i => if (buf.refs(i) == 1L) buf.ns(i) else 0L).sum,
+            is.map(i => if (buf.refs(i) == 1L) 0L else buf.ns(i)).sum))
+        }
+      val nr = byBin.values.map(_._1).sum
+      val nc = byBin.values.map(_._2).sum
+      val h: Option[Double] =
+        if (nr > 0 && nc > 0) {
+          val terms = byBin.values.map { case (cr, cc) =>
+            val pr = (cr + 1L).toDouble / (nr + bins).toDouble
+            val pc = (cc + 1L).toDouble / (nc + bins).toDouble
+            BigDecimal(d6(math.sqrt(pr * pc)))
+          }
+          val prE = 1.0 / (nr + bins).toDouble
+          val pcE = 1.0 / (nc + bins).toDouble
+          val et = d6(math.sqrt(prE * pcE))
+          val s = terms.sum.toDouble + (bins - byBin.size).toDouble * et
+          Some(d6(math.sqrt(math.max(0.0, 1.0 - s))))
+        } else None
+      Iterator.single(HellingerReport(key, nr, nc, h))
+    }
+    def update(
+        key: String,
+        batch: Iterator[BinCount],
+        state: GroupState[PsiBuf]): Iterator[HellingerReport] = {
+      var buf = state.getOption.getOrElse(PsiBuf(Nil, Nil, Nil, -1L))
+      for (r <- batch) {
+        if (r.bin == PsiMonitor.Sentinel) buf = buf.copy(expected = r.n)
+        else buf = buf.copy(bins = buf.bins :+ r.bin,
+          refs = buf.refs :+ r.isRef, ns = buf.ns :+ r.n)
+      }
+      if (buf.expected >= 0 && buf.bins.length == buf.expected) {
+        state.remove()
+        finalizeKey(key, buf)
+      } else {
+        state.update(buf)
+        Iterator.empty
+      }
+    }
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update)
+  }
 }
 
 object PsiMonitor {
@@ -863,6 +928,10 @@ final case class PsiBuf(
   * column contract of [[graft.pipeline.Stats.psi]] with the key. */
 final case class PsiReport(
     key: String, n_ref: Long, n_cur: Long, psi: Option[Double])
+
+/** One emitted report of [[Streaming.hellingerMonitor]]. */
+final case class HellingerReport(
+    key: String, n_ref: Long, n_cur: Long, hellinger: Option[Double])
 
 object EwmaMonitor {
   /** Sentinel day marker carrying the key's expected row count in x. */

@@ -435,4 +435,39 @@ class BehaviorSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("maxTypesPerUser"), loud.getMessage)
   }
+
+  test("rfmSegments: five cleanly separated users land in five " +
+    "diagonal segments with exact quintile codes") {
+    // user u: active only day u, u events, u dollars → rec sorts
+    // opposite to f and m
+    val ev = (1 to 5).flatMap(u => (1 to u).map(i =>
+      (u.toLong, u.toLong, 100L))).toDF("u", "day", "cents")
+    val out = Behavior.rfmSegments(ev, "u", "day", "cents")
+      .collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[Long]("n_users") == 1L))
+    assert(out.forall(_.getAs[Double]("user_frac") == 0.2))
+    val codes = out.map(r => (r.getAs[Long]("r_code"),
+      r.getAs[Long]("f_code"), r.getAs[Long]("m_code"))).toSet
+    // recency code runs OPPOSITE to frequency/monetary here: the
+    // most recent (u = 5) is also the heaviest user
+    assert(codes == Set((5L, 1L, 1L), (4L, 2L, 2L), (3L, 3L, 3L),
+      (2L, 4L, 4L), (1L, 5L, 5L)), codes.toString)
+  }
+
+  test("dauMauStickiness: hand trailing-window ratios over a " +
+    "three-user fixture") {
+    val ev = ((1L to 7L).map(d => (1L, d)) :+ ((2L, 7L)) :+
+      ((3L, 1L))).toDF("u", "day")
+    val out = Behavior.dauMauStickiness(ev, "u", "day", window = 7)
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    assert(out(1L).getAs[Long]("dau") == 2L)
+    assert(out(1L).getAs[Long]("mau") == 2L)
+    assert(out(1L).getAs[Double]("stickiness") == 1.0)
+    assert(out(7L).getAs[Long]("dau") == 2L)
+    assert(out(7L).getAs[Long]("mau") == 3L)
+    assert(math.abs(out(7L).getAs[Double]("stickiness") - 0.666667)
+      < 1e-9)
+    assert(out(4L).getAs[Long]("dau") == 1L)
+  }
 }

@@ -1848,4 +1848,47 @@ class StatsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
   }
+
+  test("qqDriftTable: a planted +10 shift reads +10 at every decile; " +
+    "a slice missing a key lines up as NULLs") {
+    val rows = (1 to 10).flatMap(v => Seq(
+      ("k", v.toLong * 2, v.toLong, true),
+      ("k", v.toLong * 2 + 1, v.toLong + 10L, false))) ++
+      (1 to 10).map(v => ("only_ref", 100L + v, v.toLong, true))
+    val df = rows.toDF("k", "id", "v", "is_ref")
+    val out = Stats.qqDriftTable(df, "k", "id", "v", "is_ref")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out.size == 18)
+    (1 to 9).foreach { q =>
+      val r = out(("k", q))
+      assert(r.getAs[Long]("ref_q") == q.toLong)
+      assert(r.getAs[Long]("cur_q") == q.toLong + 10L)
+      assert(r.getAs[Long]("shift") == 10L)
+    }
+    val nr = out(("only_ref", 5))
+    assert(nr.getAs[Long]("ref_q") == 5L)
+    assert(nr.isNullAt(nr.fieldIndex("cur_q")))
+    assert(nr.isNullAt(nr.fieldIndex("shift")))
+  }
+
+  test("corrMatrix: planted perfect correlations with signs; a " +
+    "constant column answers NULL for its pairs; dup columns are " +
+    "rejected") {
+    val df = (1L to 8L).map(x => (x, 2L * x, 10L - x, 7L))
+      .toDF("a", "b", "c", "k")
+    val out = Stats.corrMatrix(df, Seq("a", "b", "c", "k"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 6)
+    assert(out(("a", "b")).getAs[Double]("r") == 1.0)
+    assert(out(("a", "c")).getAs[Double]("r") == -1.0)
+    assert(out(("b", "c")).getAs[Double]("r") == -1.0)
+    assert(out(("a", "k")).isNullAt(
+      out(("a", "k")).fieldIndex("r")))
+    val e = intercept[IllegalArgumentException] {
+      Stats.corrMatrix(df, Seq("a", "a"))
+    }
+    assert(e.getMessage.contains("distinct"), e.getMessage)
+  }
 }

@@ -565,4 +565,45 @@ class StreamingSpec extends SparkSpec {
       else String.valueOf(t.getMessage) + rootMsg(t.getCause)
     assert(rootMsg(e).contains("baseline periods"))
   }
+
+  test("hellingerMonitor: arrival order invariant; no emission " +
+    "before the sentinel; identical slices score near 0") {
+    implicit val sql = spark.sqlContext
+    val raw = (1 to 10).flatMap(v => Seq(
+      ("k", v.toLong * 2, v.toDouble, true),
+      ("k", v.toLong * 2 + 1, v.toDouble, false)))
+      .toDF("k", "id", "v", "is_ref")
+    val binned = graft.pipeline.Stats.psiBinCounts(
+      raw, "k", "id", "v", "is_ref", bins = 10)
+    val rows = binned.collect().flatMap(r => Seq(
+      BinCount(r.getString(0), r.getLong(1), 1L, r.getLong(2)),
+      BinCount(r.getString(0), r.getLong(1), 0L, r.getLong(3))))
+    val sentinel = BinCount("k", PsiMonitor.Sentinel, 0L,
+      rows.length.toLong)
+    def drain(batches: Seq[Seq[BinCount]], name: String) = {
+      val in = MemoryStream[BinCount]
+      val q = Streaming.hellingerMonitor(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(_.toSeq)
+    }
+    val a = drain(Seq(Seq(sentinel), rows.reverse.toSeq), "hel_a")
+    val b = drain(Seq(rows.take(5).toSeq, rows.drop(5).toSeq :+
+      sentinel), "hel_b")
+    assert(a.toSeq == b.toSeq && a.length == 1)
+    // identical ref/cur slices: H ~ 0 (Laplace smoothing keeps it
+    // tiny-positive at most)
+    val h = a.head(3).asInstanceOf[Double]
+    assert(h >= 0.0 && h < 0.01, s"hellinger $h")
+    val in2 = MemoryStream[BinCount]
+    val q2 = Streaming.hellingerMonitor(in2.toDS())
+      .writeStream.format("memory").queryName("hel_pre")
+      .outputMode("append").start()
+    in2.addData(rows.toSeq)
+    q2.processAllAvailable()
+    assert(spark.table("hel_pre").isEmpty)
+    q2.stop()
+  }
 }
