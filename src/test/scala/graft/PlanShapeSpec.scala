@@ -280,4 +280,49 @@ class PlanShapeSpec extends SparkSpec {
         => c })
     assert(cart.isEmpty, s"textRank planned a cartesian: $cart")
   }
+
+  test("q430 energy distance plans ZERO joins — the crossing-count " +
+      "identity replaces the pair join") {
+    val ps = plans("q430_energy_distance")
+    val joins = ps.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
+    assert(joins.isEmpty, s"energy distance planned a join: $joins")
+  }
+
+  test("q402 ordered-pair support pairs through the user equi-join, " +
+      "never a cartesian") {
+    // the only non-equi join allowed is the 1-row totals broadcast
+    // (the in-plan-scalar discipline); the PAIR stage itself must be
+    // an equi-join on the user key
+    val ps = plans("q402_ordered_pairs")
+    val cart = ps.flatMap(_.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+        => c })
+    assert(cart.isEmpty, s"ordered pairs planned a cartesian: $cart")
+    val equi = ps.flatMap(_.collect {
+      case j: BroadcastHashJoinExec => j
+      case j: SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        => j })
+    assert(equi.nonEmpty, "expected an equi pair join on the user key")
+  }
+
+  test("q425 threshold sweep reads the corpus ONCE — all thresholds " +
+      "are conditional sums in a single aggregate") {
+    val ps = plans("q425_threshold_sweep")
+    val scans = ps.flatMap(_.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f })
+    assert(scans.size == 1, s"threshold sweep scans ${scans.size} times")
+  }
+
+  test("q442 correlation matrix aggregates once and never re-joins " +
+      "the metric frame") {
+    val ps = plans("q442_corr_matrix")
+    val joins = ps.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
+    assert(joins.isEmpty, s"corrMatrix planned a join: $joins")
+    val scans = ps.flatMap(_.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f })
+    assert(scans.size == 1, s"corrMatrix scans ${scans.size} times")
+  }
 }
