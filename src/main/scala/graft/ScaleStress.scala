@@ -78,7 +78,12 @@ object ScaleStress {
     // (per-round keyed joins on a user-replicated graph: edges and
     // nodes both scale ~F, rounds fixed — expected ~linear with the
     // per-round checkpoint keeping lineage flat)
-    "q379_lz78", "q384_lpa")
+    "q379_lz78", "q384_lpa",
+    // round-15 addition: Cox PH — the heaviest new non-ANN r14 entry
+    // (6 chained Newton rounds, each a distinct-time-frame window
+    // chain + broadcast ≤keys-row params): expected ~linear in rows
+    // at fixed plan depth, the cost being 6× DEPTH not volume
+    "q393_cox_ph")
 
   /** Big tables replicated FACTOR×; dims copied through unchanged. */
   private val replicated = Seq(
@@ -292,7 +297,43 @@ object ScaleStress {
             tables = 32, bits = 4)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        fam :+ row("q352_bits_scaled_f3", baseTimes("q352_dbscan_ann"), sec)
+        val bitsScaled =
+          fam :+ row("q352_bits_scaled_f3", baseTimes("q352_dbscan_ann"), sec)
+        // tight-ε (production) regime: the density-law dial MEASURED,
+        // not asserted (VERDICT r14 #3) — candidate-pair count and
+        // verify wall at the production threshold (cosine ≥ 0.8 ⇔
+        // eps2 = 4·10⁵ on quantized unit vectors) across bits, at the
+        // base SF and 3×. Candidates depend only on (tables, bits), so
+        // cand_base/cand_scale directly expose bucket-occupancy growth;
+        // the claim under test is that raising bits with log N holds
+        // the candidate set ~linear where the frozen config quadruples.
+        val tightRows = Seq(2, 4, 6).map { b =>
+          def run(dir: String): (Double, Long) = {
+            val df = graft.queries.Tables(spark, dir, "embeddings")
+            val cand = graft.pipeline.Clustering.annCandidates(
+              df, "vec_id", "embedding", tables = 32, bits = b).count()
+            val t0 = System.nanoTime()
+            graft.pipeline.Clustering.euclideanPairsAnn(
+                df, "vec_id", "embedding", eps2 = 400000L,
+                tables = 32, bits = b)
+              .write.format("noop").mode("overwrite").save()
+            ((System.nanoTime() - t0) / 1e9, cand)
+          }
+          run(base) // warmup (fresh plan shape per bits)
+          val (baseSec, candBase) = run(base)
+          listener.reset()
+          val (scaleSec, candScale) = run(dir3)
+          System.err.println(f"[scale] q352_tight_eps_bits$b " +
+            f"base=$baseSec%.1fs x3=$scaleSec%.1fs " +
+            f"cand=$candBase -> $candScale")
+          f""""q352_tight_eps_bits$b":{"base_sec":$baseSec%.2f,""" +
+            f""""scale_sec":$scaleSec%.2f,""" +
+            f""""ratio":${scaleSec / baseSec}%.2f,""" +
+            f""""cand_base":$candBase,"cand_scale":$candScale,""" +
+            f""""max_task_shuffle_read_mb":${listener.maxShuffleRead / mb}%.1f,""" +
+            f""""max_task_shuffle_write_mb":${listener.maxShuffleWrite / mb}%.1f}"""
+        }
+        bitsScaled ++ tightRows
       } else Seq.empty
     val loadEnd = osBean.getSystemLoadAverage
     val json =

@@ -1257,16 +1257,23 @@ object Timeseries {
     *
     * Scale shape: one ordered per-key collect to a guarded row, a
     * keys×keys/2 self-join of the TINY per-key frame (the series
-    * frame, never the corpus), then pure in-row compute.
+    * frame, never the corpus), then pure in-row compute. The self-join
+    * is quadratic in SERIES COUNT, so that count is guarded too:
+    * `maxKeys` raises loudly (in-plan, before any pair forms) when the
+    * key column turns out corpus-cardinality (user_id instead of an
+    * event type) — this operator compares a bounded panel of series,
+    * not a population; shard or pre-bucket keys before raising it.
     */
   def dtw(
       df: DataFrame,
       keyCol: String,
       tCol: String,
       xCol: String,
-      maxPeriods: Int = 128): DataFrame = {
+      maxPeriods: Int = 128,
+      maxKeys: Int = 1000): DataFrame = {
     require(maxPeriods >= 2 && maxPeriods <= 512,
       s"maxPeriods must be in [2,512], got $maxPeriods")
+    require(maxKeys >= 2, s"maxKeys must be >= 2, got $maxKeys")
     def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
     val series = df
       .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
@@ -1282,8 +1289,21 @@ object Timeseries {
               "buckets or raise the bound")))
             .cast("array<struct<_t:bigint,_x:bigint>>")))
       .select(col("_k"), expr("transform(_sr, p -> p._x)").as("_v"))
-    val pairs = series.select(col("_k").as("key_a"), col("_v").as("_va"))
-      .join(series.select(col("_k").as("key_b"), col("_v").as("_vb")),
+    // loud key-count guard, in-plan so it fires before any pair forms
+    // and survives pruning (the guard column is the one the DP reads)
+    val nk = series.agg(count(lit(1)).as("_nk"))
+    val guarded = series.crossJoin(broadcast(nk))
+      .withColumn("_v",
+        when(col("_nk") <= maxKeys, col("_v"))
+          .otherwise(raise_error(concat(
+            lit("dtw: "), col("_nk").cast("string"),
+            lit(s" series exceed maxKeys=$maxKeys — the pair stage is " +
+              "keys²/2; bucket or shard the key column before " +
+              "raising the bound")))
+            .cast("array<bigint>")))
+      .drop("_nk")
+    val pairs = guarded.select(col("_k").as("key_a"), col("_v").as("_va"))
+      .join(guarded.select(col("_k").as("key_b"), col("_v").as("_vb")),
         col("key_a") < col("key_b"))
     val inf = "CAST(1000000000000000 AS BIGINT)"
     val dp = s"aggregate(sequence(1, size(_va)), " +

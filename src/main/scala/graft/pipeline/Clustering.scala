@@ -167,17 +167,8 @@ object Clustering {
       tables: Int = 32,
       bits: Int = 2): DataFrame = {
     require(eps2 > 0, s"eps2 must be positive, got $eps2")
-    require(tables >= 1 && bits >= 1, "tables and bits must be >= 1")
-    val dims = df.select(size(col(embCol))).head().getInt(0)
     val e = Similarity.packedWithNorm(df, idCol, embCol)
-    val hashed = Similarity.lshBuckets(e, idCol, tables, bits, dims)
-    val cand = hashed
-      .select(col("tbl"), col("bucket"), col(idCol).as("vec_a"))
-      .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("vec_b")),
-        Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .distinct()
+    val cand = annCandidates(df, idCol, embCol, tables, bits)
     cand
       .join(e.select(col(idCol).as("vec_a"), col("q").as("qa"),
         col("nrm").as("na")), Seq("vec_a"))
@@ -188,6 +179,33 @@ object Clustering {
           graft.functions.GraftFunctions.longArrayDot(col("qa"), col("qb")))
           .as("d2"))
       .filter(col("d2") <= eps2)
+  }
+
+  /** [[euclideanPairsAnn]]'s bucket stage alone: the unordered
+    * candidate pairs that share an LSH bucket in some table, BEFORE
+    * the exact d² verify. Exposed so the scale sidecar can MEASURE
+    * the density law (candidate count vs bits at each SF) instead of
+    * asserting it in prose — candidates depend only on (tables, bits)
+    * and the corpus, never on ε, so this one frame prices every ε
+    * regime of the same config.
+    */
+  def annCandidates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      tables: Int = 32,
+      bits: Int = 2): DataFrame = {
+    require(tables >= 1 && bits >= 1, "tables and bits must be >= 1")
+    val dims = df.select(size(col(embCol))).head().getInt(0)
+    val e = Similarity.packedWithNorm(df, idCol, embCol)
+    val hashed = Similarity.lshBuckets(e, idCol, tables, bits, dims)
+    hashed
+      .select(col("tbl"), col("bucket"), col(idCol).as("vec_a"))
+      .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("vec_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
   }
 
   /** Block count derived from the corpus so each broadcast side stays

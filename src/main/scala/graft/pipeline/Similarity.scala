@@ -112,6 +112,77 @@ object Similarity {
     hubnessFromKnn(df, idCol,
       bruteForceKnn(df, idCol, embCol, lit(true), k))
 
+  /** Whole-corpus kNN graph via LSH candidates + exact cosine re-rank
+    * — the scale twin of all-queries [[bruteForceKnn]], built for the
+    * every-vector-is-a-query regime where [[lshCandidates]]'s
+    * broadcast-the-query-buckets shape stops applying (the query side
+    * IS the corpus). Candidates meet through a SELF equi-join of the
+    * bucket frame on (tbl, bucket) — both sides shuffle-hash on the
+    * bucket key, nothing broadcasts corpus-sized state, never
+    * all-pairs by plan — then one codegen'd integer dot per surviving
+    * directed pair re-ranks and a per-query rank window keeps top-k
+    * (ties → lower neighbor id, [[bruteForceKnn]]'s rule).
+    *
+    * Equal to `bruteForceKnn(df, …, lit(true), k)` whenever every
+    * vector's true top-k shares a bucket with it in some table
+    * (recall 1.0 — the fixture regime at the 32×2 defaults, asserted
+    * per-SF in PipelineSpec); under partial recall a query's list
+    * tail degrades first, the standard ANN trade. Cost:
+    * O(rows × tables × bits × dims) in-row hashing + O(candidates)
+    * dots; the only shuffles are the bucket self-join, the pair
+    * distinct and the top-k window.
+    */
+  def knnGraphAnn(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 10,
+      tables: Int = 32,
+      bits: Int = 2): DataFrame = {
+    require(tables >= 1 && bits >= 1, "tables and bits must be >= 1")
+    val dims = df.select(size(col(embCol))).head().getInt(0)
+    val e = packedWithNorm(df, idCol, embCol)
+    val hashed = lshBuckets(e, idCol, tables, bits, dims)
+    val cand = hashed
+      .select(col("tbl"), col("bucket"), col(idCol).as("qid"))
+      .join(hashed.select(col("tbl"), col("bucket"), col(idCol).as("nid")),
+        Seq("tbl", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val cosine = packedDot(col("qq"), col("nq")).cast("double") /
+      sqrt(col("q_nrm").cast("double") * col("n_nrm").cast("double"))
+    val scored = cand
+      .join(e.select(col(idCol).as("nid"), col("q").as("nq"),
+        col("nrm").as("n_nrm")), Seq("nid"))
+      .join(e.select(col(idCol).as("qid"), col("q").as("qq"),
+        col("nrm").as("q_nrm")), Seq("qid"))
+      .select(col("qid"), col("nid"), cosine.as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    scored.select(col("qid"), col("nid"), row_number().over(w).as("rank"),
+        col("cosine"))
+      .filter(col("rank") <= k)
+  }
+
+  /** ANN-fed hubness: [[knnGraphAnn]] → [[hubnessFromKnn]] — the
+    * 100 TB composition the exact [[hubness]] scaladoc promises
+    * (in-degree is a pure function of the kNN frame, so at the
+    * asserted recall 1.0 the output is byte-equal to [[hubness]];
+    * below it, missed true neighbors shift in-degree mass toward the
+    * vectors the hash DOES retrieve — hub counts can only be
+    * undercounted or swapped among near-ties, never invented).
+    */
+  def hubnessAnn(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 10,
+      tables: Int = 32,
+      bits: Int = 2): DataFrame =
+    hubnessFromKnn(df, idCol,
+      knnGraphAnn(df, idCol, embCol, k, tables, bits))
+
   /** All pairs with quantized cosine ≥ threshold (embedding-based
     * near-duplicate detection). Exact — inherently O(corpus²) dot
     * products, the ORACLE BASELINE at test scale; at 100 TB use [[annLsh]]

@@ -2180,6 +2180,18 @@ object Pipeline {
     Similarity.hubness(t(s, dir, "embeddings"), "vec_id", "embedding",
       k = 5)
 
+  // q445: ANN-fed hubness (Similarity.hubnessAnn) — q360's in-degree
+  // audit with the O(N²) all-queries kNN stage swapped for the LSH
+  // bucket self-join + exact cosine re-rank (the q352/q163 playbook:
+  // same oracle verbatim, recall-1.0 precondition asserted per-SF in
+  // PipelineSpec — in-degree is a pure function of the kNN frame, so
+  // recall 1.0 ⇒ byte-equal; the undercount law below it is
+  // documented on knnGraphAnn). Never all-pairs by plan (pinned in
+  // PlanShapeSpec).
+  def q445HubnessAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.hubnessAnn(t(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 5)
+
   val q360Sql: String =
     """WITH e AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -2316,6 +2328,7 @@ object Pipeline {
     "q380_stratified_sample" -> (q380StratifiedSample _),
     "q361_skew_advisor" -> (q361SkewAdvisor _),
     "q360_hubness" -> (q360Hubness _),
+    "q445_hubness_ann" -> (q445HubnessAnn _),
     "q359_winnowing" -> (q359Winnowing _),
     "q358_dp_dispersion" -> (q358DpDispersion _),
     "q357_mtld" -> (q357Mtld _),
@@ -3043,6 +3056,7 @@ object Pipeline {
     "q358_dp_dispersion" -> q358Sql,
     "q359_winnowing" -> q359Sql,
     "q360_hubness" -> q360Sql,
+    "q445_hubness_ann" -> q360Sql,
     "q361_skew_advisor" -> q361Sql,
     "q345_knn_shapley" -> q345Sql,
     "q344_silhouette" -> q344Sql,

@@ -134,6 +134,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(nl.isEmpty, s"ANN-fed DBSCAN fell back to all-pairs: $nl")
   }
 
+  test("q445 ANN-fed hubness never plans the all-pairs nested loop") {
+    // q360 is the DECLARED exact baseline (all-queries broadcast
+    // nested loop by design); its scale composition q445 must meet
+    // kNN candidates through the (tbl, bucket) bucket SELF-join only
+    // — the q352/q208 pin applied to the hubness audit
+    val nl = plans("q445_hubness_ann").flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        => j })
+    assert(nl.isEmpty, s"ANN-fed hubness fell back to all-pairs: $nl")
+  }
+
   test("q282 card audit is a zero-shuffle scan (regex + Luhn in-row)") {
     // the PII chain's whole 100 TB story: candidates, strip, length
     // gate and the codegen'd checksum are all projections

@@ -584,6 +584,15 @@ class TimeseriesSpec extends SparkSpec {
       Timeseries.dtw(df, "k", "t", "x", maxPeriods = 3).collect()
     }
     assert(e.getMessage.contains("maxPeriods"), e.getMessage)
+    // the keys²/2 pair stage refuses corpus-cardinality key columns
+    // loudly (4 series > maxKeys=3) instead of going quadratic
+    val ek = intercept[Exception] {
+      Timeseries.dtw(df, "k", "t", "x", maxKeys = 3).collect()
+    }
+    assert(ek.getMessage.contains("maxKeys"), ek.getMessage)
+    intercept[IllegalArgumentException] {
+      Timeseries.dtw(df, "k", "t", "x", maxKeys = 1)
+    }
   }
 
   test("gumbelReturnLevels: moment fit on two blocks matches the " +

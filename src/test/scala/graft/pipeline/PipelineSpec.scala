@@ -2365,6 +2365,32 @@ class PipelineSpec extends SparkSpec {
     assert(ann.count() == exact.count())
   }
 
+  test("ANN-fed hubness equals the exact composition (recall 1.0)") {
+    // q445's precondition at BOTH the spec SF and the driver's compare
+    // SF (the q352/q163 playbook): at the 32 tables × 2 bits defaults
+    // the LSH bucket self-join retrieves EVERY vector's true cosine
+    // top-5 of the fixture embeddings, so the kNN frame — and
+    // therefore the in-degree rollup, a pure function of it —
+    // reproduces the exact operator bit-for-bit. Below recall 1.0 the
+    // documented undercount law applies instead.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(_.toSeq).toSet
+      val exactKnn = key(Similarity.bruteForceKnn(
+        e, "vec_id", "embedding", lit(true), k = 5))
+      val annKnn = key(Similarity.knnGraphAnn(
+        e, "vec_id", "embedding", k = 5))
+      assert(annKnn == exactKnn,
+        s"$sf: kNN recall ${(annKnn intersect exactKnn).size}/" +
+          s"${exactKnn.size} — the ANN feed's recall-1.0 " +
+          "precondition broke")
+      assert(key(Similarity.hubnessAnn(e, "vec_id", "embedding", k = 5))
+          == key(Similarity.hubness(e, "vec_id", "embedding", k = 5)),
+        s"$sf: ANN-fed hubness diverges from exact")
+    }
+  }
+
   test("randomProjection: hand formula from the md5 sign matrix; " +
     "dimension mismatch and bad bounds are loud") {
     val df = Seq((1L, Array(2.0f, -3.0f)), (2L, Array(0.5f, 0.25f)))
