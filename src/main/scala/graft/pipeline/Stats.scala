@@ -5636,4 +5636,347 @@ object Stats {
         d6((col("_sy").cast("double") + lit(m) * col("_gmean")) /
           (col("n").cast("double") + lit(m))).as("encoded"))
   }
+
+  /** Holm–Bonferroni step-down multiple-testing adjustment (Holm
+    * 1979) — [[bhFdr]]'s FWER sibling: controls the probability of
+    * ANY false rejection (the regime for a handful of confirmatory
+    * hypotheses) where BH controls the false-discovery RATE (the
+    * regime for exploratory sweeps). Step-down: walk the p-values
+    * ascending, reject while p₍ᵢ₎ ≤ α/(m−i+1), stop at the first
+    * failure — everything after it is retained regardless of its own
+    * threshold. Adjusted p₍ᵢ₎ = max_{j≤i} min(1, (m−j+1)·p₍ⱼ₎)
+    * (running max keeps the adjusted sequence monotone).
+    *
+    * Determinism: rank ties break on the key; (m−i+1)·p is one double
+    * product per row; the running max and the stop rank are exact
+    * integer/boolean logic; outputs close in d6. Scale shape: both
+    * windows run over the HYPOTHESIS table (report-sized by
+    * construction), exactly as [[bhFdr]].
+    *
+    * Output per hypothesis: (keyCol, p_value, rank, p_adj, rejected).
+    */
+  def holmBonferroni(
+      df: DataFrame,
+      keyCol: String,
+      pCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val p = col(pCol).cast("double")
+    val ranked = df
+      .select(col(keyCol), p.as("p_value"))
+      .withColumn("rank", row_number()
+        .over(W.orderBy(col("p_value").asc, col(keyCol).asc)).cast("long"))
+      .withColumn("_m", count(lit(1)).over(
+        W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    // k* = rank just before the first step-down failure (m if none)
+    val kStar = ranked
+      .agg(coalesce(min(when(
+          col("p_value") * (col("_m") - col("rank") + 1L).cast("double")
+            > alpha,
+          col("rank") - 1L)), max(col("rank"))).as("_kstar"))
+    val padj = max(least(
+        col("p_value") * (col("_m") - col("rank") + 1L).cast("double"),
+        lit(1.0)))
+      .over(W.orderBy(col("rank").asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked
+      .withColumn("p_adj", d6(padj))
+      .crossJoin(broadcast(kStar))
+      .select(col(keyCol), d6(col("p_value")).as("p_value"), col("rank"),
+        col("p_adj"),
+        (col("rank") <= col("_kstar")).cast("int").as("rejected"))
+  }
+
+  /** Cliff's delta ordinal effect size between two arms (Cliff 1993)
+    * — the nonparametric partner of [[cohensD]]: δ = (#(x₁>x₀) −
+    * #(x₁<x₀)) / (n₀·n₁), the probability a treatment draw beats a
+    * control draw minus the reverse; robust to every monotone
+    * transform of the metric. Also emits the common-language effect
+    * size CL = P(x₁>x₀) + ½P(x₁=x₀) (= the Mann–Whitney U ratio) and
+    * the Romano et al. 2006 magnitude label (|δ| < .147 negligible,
+    * < .33 small, < .474 medium, else large).
+    *
+    * NEVER the pair join: the pair counts assemble from the VALUE
+    * CELL frame (one row per distinct metric value — midrank
+    * machinery shared with the Mann–Whitney chain): with doubled
+    * midranks r₂ = 2·(cum below) + ties + 1, Σ over arm-1 cells of
+    * c₁·r₂ gives 2·R₁, and 2·U₁ = 2·R₁ − n₁(n₁+1) is an exact
+    * integer, so δ = (2·U₁ − n₀n₁)/(n₀n₁) is one exact rational →
+    * ONE d6 (CL likewise). Arms must be 0/1 — loud otherwise; an
+    * empty arm is loud (no pairs to compare).
+    *
+    * Scale shape: one cell aggregate (map-side combine), a
+    * cells-frame cumulative window, one 1-row rollup.
+    */
+  def cliffsDelta(
+      df: DataFrame,
+      armCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("cliffsDelta: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val cells = df
+      .select(arm.as("_a"), col(xCol).cast("long").as("_x"))
+      .groupBy(col("_x"))
+      .agg(sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("_c0"),
+        sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("_c1"))
+      .withColumn("_t", col("_c0") + col("_c1"))
+      .withColumn("_cb", coalesce(sum(col("_t"))
+        .over(W.orderBy(col("_x").asc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val agg = cells.agg(
+      sum(col("_c0")).as("_n0"), sum(col("_c1")).as("_n1"),
+      sum(dec(col("_c1")) * dec(lit(2L) * col("_cb") + col("_t") + 1L))
+        .as("_r1x2"))
+    def guardN(tag: String)(c: Column): Column =
+      when(c >= 1L, c).otherwise(raise_error(
+        lit(s"cliffsDelta: arm $tag is empty — no pairs to compare"))
+        .cast("long"))
+    val g = agg.select(guardN("0")(col("_n0")).as("_n0"),
+      guardN("1")(col("_n1")).as("_n1"),
+      (col("_r1x2") - dec(col("_n1")) * dec(col("_n1") + 1L))
+        .as("_u1x2"))
+    val pairs = dec(col("_n0")) * dec(col("_n1"))
+    g.select(col("_n0").as("n0"), col("_n1").as("n1"),
+        d6((col("_u1x2") - pairs).cast("double") /
+          pairs.cast("double")).as("delta"),
+        d6(col("_u1x2").cast("double") /
+          (lit(2.0) * pairs.cast("double"))).as("cl_effect"))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, lit("negligible"))
+          .when(abs(col("delta")) < 0.33, lit("small"))
+          .when(abs(col("delta")) < 0.474, lit("medium"))
+          .otherwise(lit("large")))
+  }
+
+  /** Single-instrument IV / two-stage-least-squares estimator
+    * (Wright 1928; the Wald 1940 grouping estimator when z is
+    * binary): β_IV = S_zy / S_zx over cleared cross-moments
+    * S_ab = n·Σab − Σa·Σb — the causal slope of y on x when x is
+    * endogenous but z moves x and touches y ONLY through x. Also
+    * emits the first-stage slope π = S_zx/S_zz and the first-stage
+    * F = (n−2)·S_zx² / (S_zz·S_xx − S_zx²) with the Staiger–Stock
+    * F < 10 weak-instrument flag — the diagnostic without which an
+    * IV readout is uninterpretable.
+    *
+    * Determinism: z, x, y are integer metrics; every S is exact
+    * DECIMAL(38,0); relevance is gated on the EXACT integer spread
+    * S_zx ≠ 0 (the poissonRegression det-gate discipline — no float
+    * epsilon), with S_zx = 0 answering NULL β/F rather than a 0/0;
+    * β, π, F each close in ONE d6. n < 3 is loud (no df for the
+    * first-stage F).
+    *
+    * Scale shape: ONE aggregate of six decimal sums (map-side
+    * combine) → 1-row arithmetic.
+    */
+  def ivEstimator(
+      df: DataFrame,
+      zCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(zCol).cast("long").as("_z"),
+      col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+    val agg = base.agg(count(lit(1)).as("_n"),
+      sum(dec(col("_z"))).as("_sz"), sum(dec(col("_x"))).as("_sx"),
+      sum(dec(col("_y"))).as("_sy"),
+      sum(dec(col("_z")) * dec(col("_z"))).as("_szz"),
+      sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+      sum(dec(col("_z")) * dec(col("_x"))).as("_szx"),
+      sum(dec(col("_z")) * dec(col("_y"))).as("_szy"))
+    val n = when(col("_n") >= 3L, col("_n"))
+      .otherwise(raise_error(concat(lit("ivEstimator: "),
+        col("_n").cast("string"),
+        lit(" rows (< 3) — no df for the first-stage F")))
+        .cast("long"))
+    val g = agg.select(n.as("n"),
+      (dec(col("_n")) * col("_szz") - col("_sz") * col("_sz"))
+        .as("_Szz"),
+      (dec(col("_n")) * col("_sxx") - col("_sx") * col("_sx"))
+        .as("_Sxx"),
+      (dec(col("_n")) * col("_szx") - col("_sz") * col("_sx"))
+        .as("_Szx"),
+      (dec(col("_n")) * col("_szy") - col("_sz") * col("_sy"))
+        .as("_Szy"))
+    val rel = col("_Szx") =!= lit(0L).cast("decimal(38,0)")
+    val fDen = (col("_Szz") * col("_Sxx") - col("_Szx") * col("_Szx"))
+      .cast("double")
+    g.select(col("n"),
+      when(rel, d6(col("_Szy").cast("double") /
+        col("_Szx").cast("double"))).as("beta_iv"),
+      when(col("_Szz") > 0L, d6(col("_Szx").cast("double") /
+        col("_Szz").cast("double"))).as("pi_first_stage"),
+      when(rel && fDen > 0.0,
+        d6((col("n") - 2L).cast("double") *
+          col("_Szx").cast("double") * col("_Szx").cast("double") /
+          fDen)).as("f_first_stage"))
+      .withColumn("weak_instrument",
+        when(col("f_first_stage").isNotNull,
+          (col("f_first_stage") < 10.0).cast("int")).otherwise(lit(1)))
+  }
+
+  /** Breusch–Pagan heteroskedasticity test (Breusch & Pagan 1979,
+    * Koenker's studentized LM form): fit y ~ x by OLS, regress the
+    * squared residuals on x, and LM = n·R²_aux ~ χ²₁ under
+    * homoskedasticity — the gate that decides whether the OLS
+    * standard errors next door ([[olsInfluence]], [[neweyWestSlope]])
+    * can be trusted unrobustified.
+    *
+    * Determinism: the OLS slope/intercept come from exact cleared
+    * decimals, each residual eᵢ = y − a − bx closes in d6 per row and
+    * uᵢ = d6(eᵢ²/10⁶) (the scale cut keeps u² inside exact decimal
+    * range; R² — hence LM — is invariant to any positive rescaling of
+    * the response) is a d6-grid DECIMAL(18,6) whose sums and squares
+    * are exact decimals; the cleared auxiliary moments then run in
+    * double over those exact sums in a fixed order, R² =
+    * S_xu²/(S_xx·S_uu), LM closes in ONE d6 and p is the shared
+    * [[normalTwoSidedP]] polynomial at √LM (P(χ²₁ > LM) = 2(1−Φ(√LM))
+    * — identical literals both engines). Degenerate inputs are gated
+    * exactly: S_xx = 0 (constant regressor) is loud; S_uu ≤ 0
+    * (homoskedastic residual grid) answers LM = 0, p = 1.
+    *
+    * Scale shape: one aggregate → broadcast 1-row params → one
+    * projection for residuals → one aggregate → 1-row arithmetic.
+    */
+  def breuschPagan(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+    val agg = base.agg(count(lit(1)).as("_n"),
+      sum(dec(col("_x"))).as("_sx"), sum(dec(col("_y"))).as("_sy"),
+      sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+      sum(dec(col("_x")) * dec(col("_y"))).as("_sxy"))
+    val sxxC = (dec(col("_n")) * col("_sxx") - col("_sx") * col("_sx"))
+    val sxyC = (dec(col("_n")) * col("_sxy") - col("_sx") * col("_sy"))
+    val params = agg.select(col("_n"), col("_sx"), col("_sy"),
+      when(sxxC =!= lit(0L).cast("decimal(38,0)"), sxxC)
+        .otherwise(raise_error(
+          lit("breuschPagan: constant regressor — zero x spread"))
+          .cast("decimal(38,0)")).as("_Sxx"),
+      sxyC.as("_Sxy"))
+      .select(col("_n"),
+        d6(col("_Sxy").cast("double") / col("_Sxx").cast("double"))
+          .as("_b"),
+        col("_sx"), col("_sy"))
+      .withColumn("_a", d6((col("_sy").cast("double") -
+        col("_b") * col("_sx").cast("double")) /
+        col("_n").cast("double")))
+    val resid = base.crossJoin(broadcast(params))
+      .withColumn("_e", d6(col("_y").cast("double") -
+        col("_a") - col("_b") * col("_x").cast("double")))
+      .withColumn("_u",
+        d6(col("_e") * col("_e") / lit(1000000.0)).cast("decimal(18,6)"))
+    val aux = resid.agg(count(lit(1)).as("n"),
+      sum(dec(col("_x"))).as("_sx"), sum(col("_u")).as("_su"),
+      sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+      sum(col("_x").cast("decimal(18,0)") * col("_u")).as("_sxu"),
+      sum(col("_u") * col("_u")).as("_suu"))
+    val nD = col("n").cast("double")
+    val sxuC = nD * col("_sxu").cast("double") -
+      col("_sx").cast("double") * col("_su").cast("double")
+    val sxxC2 = (dec(col("n")) * col("_sxx") - col("_sx") * col("_sx"))
+      .cast("double")
+    val suuC = nD * col("_suu").cast("double") -
+      col("_su").cast("double") * col("_su").cast("double")
+    val r2 = d6(sxuC * sxuC / (sxxC2 * suuC))
+    val lm = when(suuC > 0.0, d6(nD * r2)).otherwise(lit(0.0))
+    aux.select(col("n"), lm.as("lm_stat"))
+      .withColumn("p_value",
+        when(col("lm_stat") > 0.0,
+          d6(normalTwoSidedP(sqrt(col("lm_stat"))))).otherwise(lit(1.0)))
+      .withColumn("heteroskedastic",
+        (col("p_value") < 0.05).cast("int"))
+  }
+
+  /** Chow structural-break test (Chow 1960): do the two regimes a 0/1
+    * split column marks share ONE regression line, or did
+    * (intercept, slope) move? F = ((SSE_p − SSE₀ − SSE₁)/2) /
+    * ((SSE₀+SSE₁)/(n−4)) against F(2, n−4) — the deploy/policy-change
+    * readout for "did the relationship itself shift", the regression
+    * sibling of the mean-shift changepoint q410.
+    *
+    * Determinism: ONE split-keyed aggregate of exact decimal
+    * sufficient stats; pooled stats are the segment SUMS (exact —
+    * nothing is computed twice); each SSE = (S_xx·S_yy − S_xy²) /
+    * (n·S_xx) evaluates the cleared-decimal numerator EXACTLY and
+    * closes in one d6; F in one more d6. The F statistic and dfs are
+    * emitted WITHOUT a p-value — Spark and DuckDB share no portable
+    * F CDF, and a polynomial one would pretend precision the
+    * approximation lacks; judge it against the caller's critical
+    * value. Guards: each segment needs n ≥ 3 and nonzero EXACT x
+    * spread (loud), split values must be 0/1 (loud); a zero pooled
+    * residual (perfect joint fit) answers NULL F.
+    *
+    * Scale shape: ONE aggregate (map-side combine) → 1-row
+    * arithmetic.
+    */
+  def chowTest(
+      df: DataFrame,
+      splitCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val seg = when(col(splitCol).cast("long").isin(0L, 1L),
+      col(splitCol).cast("long"))
+      .otherwise(raise_error(concat(lit("chowTest: split flag "),
+        col(splitCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val base = df.select(seg.as("_g"), col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+    def sums(pred: Column, tag: String): Seq[Column] = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"_n$tag"),
+      sum(when(pred, dec(col("_x")))).as(s"_sx$tag"),
+      sum(when(pred, dec(col("_y")))).as(s"_sy$tag"),
+      sum(when(pred, dec(col("_x")) * dec(col("_x")))).as(s"_sxx$tag"),
+      sum(when(pred, dec(col("_x")) * dec(col("_y")))).as(s"_sxy$tag"),
+      sum(when(pred, dec(col("_y")) * dec(col("_y")))).as(s"_syy$tag"))
+    val cols = sums(col("_g") === 0L, "0") ++ sums(col("_g") === 1L, "1")
+    val agg = base.agg(cols.head, cols.tail: _*)
+    def sse(n: Column, sx: Column, sy: Column, sxx: Column,
+        sxy: Column, syy: Column, tag: String): Column = {
+      val nOk = when(n >= 3L, n).otherwise(raise_error(concat(
+        lit(s"chowTest: segment $tag has "), n.cast("string"),
+        lit(" rows (< 3)"))).cast("long"))
+      val sxxC = dec(nOk) * sxx - sx * sx
+      val sxxG = when(sxxC =!= lit(0L).cast("decimal(38,0)"), sxxC)
+        .otherwise(raise_error(
+          lit(s"chowTest: segment $tag has zero x spread"))
+          .cast("decimal(38,0)"))
+      val syyC = dec(n) * syy - sy * sy
+      val sxyC = dec(n) * sxy - sx * sy
+      // SSE = (SxxC·SyyC − SxyC²) / (n·SxxC) — exact decimal numerator
+      d6((sxxG * syyC - sxyC * sxyC).cast("double") /
+        (dec(n) * sxxG).cast("double"))
+    }
+    val st = agg.select(
+      (col("_n0") + col("_n1")).as("n"),
+      col("_n0").as("n0"), col("_n1").as("n1"),
+      sse(col("_n0"), col("_sx0"), col("_sy0"), col("_sxx0"),
+        col("_sxy0"), col("_syy0"), "0").as("sse0"),
+      sse(col("_n1"), col("_sx1"), col("_sy1"), col("_sxx1"),
+        col("_sxy1"), col("_syy1"), "1").as("sse1"),
+      sse(col("_n0") + col("_n1"), col("_sx0") + col("_sx1"),
+        col("_sy0") + col("_sy1"), col("_sxx0") + col("_sxx1"),
+        col("_sxy0") + col("_sxy1"), col("_syy0") + col("_syy1"),
+        "pooled").as("sse_pooled"))
+    val rss = col("sse0") + col("sse1")
+    st.select(col("n"), col("n0"), col("n1"),
+      col("sse_pooled"), col("sse0"), col("sse1"),
+      when(rss > 0.0,
+        d6(((col("sse_pooled") - rss) / lit(2.0)) /
+          (rss / (col("n") - 4L).cast("double")))).as("f_stat"),
+      lit(2L).as("df1"), (col("n") - 4L).as("df2"))
+  }
 }

@@ -6903,7 +6903,326 @@ object Analytics {
       |    AS encoded
       |FROM pc CROSS JOIN g""".stripMargin
 
+  // q446: Holm–Bonferroni step-down FWER control (Stats.holmBonferroni)
+  // over 40 planted per-slice p-values (md5-uniform ppm — boundary-
+  // clean thresholds) at α = 0.05 — q264's FWER sibling. The oracle
+  // replays rank, the first step-down failure and the running max.
+  def q446Holm(s: SparkSession, dir: String): DataFrame = {
+    val hyp = ev(s, dir)
+      .select((col("user_id") % 40).as("slice_id")).distinct()
+      .withColumn("p_raw",
+        graft.pipeline.Sampling.portableHash(col("slice_id"), "holm")
+          .cast("double") / 1000000.0)
+    graft.pipeline.Stats.holmBonferroni(hyp, "slice_id", "p_raw",
+      alpha = 0.05)
+  }
+
+  val q446Sql: String =
+    """WITH hyp AS (
+      |  SELECT DISTINCT user_id % 40 AS slice_id FROM events),
+      |p AS (
+      |  SELECT slice_id,
+      |    CAST(CAST(concat('0x', substring(md5('holm:' ||
+      |      CAST(slice_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      AS DOUBLE) / 1000000.0 AS pv
+      |  FROM hyp),
+      |rk AS (
+      |  SELECT slice_id, pv,
+      |    CAST(row_number() OVER (ORDER BY pv ASC, slice_id ASC)
+      |      AS BIGINT) AS rank,
+      |    COUNT(*) OVER () AS m
+      |  FROM p),
+      |ks AS (
+      |  SELECT COALESCE(MIN(CASE WHEN pv * CAST(m - rank + 1 AS DOUBLE)
+      |      > 0.05 THEN rank - 1 END), MAX(rank)) AS kstar
+      |  FROM rk),
+      |adj AS (
+      |  SELECT slice_id, pv, rank,
+      |    MAX(LEAST(pv * CAST(m - rank + 1 AS DOUBLE), 1.0))
+      |      OVER (ORDER BY rank ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj
+      |  FROM rk)
+      |SELECT a.slice_id,
+      |  CAST(CAST(a.pv AS DECIMAL(28,6)) AS DOUBLE) AS p_value,
+      |  a.rank,
+      |  CAST(CAST(a.padj AS DECIMAL(28,6)) AS DOUBLE) AS p_adj,
+      |  CAST(CASE WHEN a.rank <= ks.kstar THEN 1 ELSE 0 END AS INT)
+      |    AS rejected
+      |FROM adj a CROSS JOIN ks""".stripMargin
+
+  // q447: Cliff's delta ordinal effect size (Stats.cliffsDelta)
+  // between the user_id-parity arms on per-user cent totals — q408's
+  // nonparametric partner; pair counts assembled from the value-cell
+  // midrank frame, never a pair join. The oracle replays the doubled-
+  // midrank U and the two exact rationals.
+  def q447CliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    val units = ev(s, dir).groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .select((col("user_id") % 2L).as("arm"), col("x"))
+    graft.pipeline.Stats.cliffsDelta(units, "arm", "x")
+  }
+
+  val q447Sql: String =
+    """WITH u AS (
+      |  SELECT user_id % 2 AS a,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT x,
+      |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM u GROUP BY x),
+      |r AS (
+      |  SELECT x, c0, c1, c0 + c1 AS t,
+      |    COALESCE(SUM(c0 + c1) OVER (ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      |  FROM c),
+      |ag AS (
+      |  SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+      |    CAST(SUM(c1) AS BIGINT) AS n1,
+      |    SUM(CAST(c1 AS HUGEINT) *
+      |      CAST(2 * cb + t + 1 AS HUGEINT)) AS r1x2
+      |  FROM r),
+      |g AS (SELECT n0, n1,
+      |    r1x2 - CAST(n1 AS HUGEINT) * CAST(n1 + 1 AS HUGEINT) AS u1x2
+      |  FROM ag),
+      |d AS (SELECT n0, n1,
+      |    CAST(CAST(CAST(u1x2 - CAST(n0 AS HUGEINT) *
+      |        CAST(n1 AS HUGEINT) AS DOUBLE) /
+      |      CAST(CAST(n0 AS HUGEINT) * CAST(n1 AS HUGEINT) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS delta,
+      |    CAST(CAST(CAST(u1x2 AS DOUBLE) /
+      |      (2.0 * CAST(CAST(n0 AS HUGEINT) * CAST(n1 AS HUGEINT)
+      |        AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) AS cl_effect
+      |  FROM g)
+      |SELECT n0, n1, delta, cl_effect,
+      |  CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+      |       WHEN abs(delta) < 0.33 THEN 'small'
+      |       WHEN abs(delta) < 0.474 THEN 'medium'
+      |       ELSE 'large' END AS magnitude
+      |FROM d""".stripMargin
+
+  // q448: single-instrument IV / 2SLS (Stats.ivEstimator) — the
+  // user_id%3 instrument moving per-user event exposure, outcome the
+  // cent total; first-stage F with the Staiger–Stock weak flag. The
+  // oracle replays the cleared HUGEINT cross-moments.
+  def q448Iv(s: SparkSession, dir: String): DataFrame = {
+    val units = ev(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+      .select(when(col("user_id") % 3 === 0, 1L).otherwise(0L).as("z"),
+        col("x"), col("y"))
+    graft.pipeline.Stats.ivEstimator(units, "z", "x", "y")
+  }
+
+  val q448Sql: String =
+    """WITH u AS (
+      |  SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS z,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(z AS HUGEINT)) AS sz, SUM(CAST(x AS HUGEINT)) AS sx,
+      |    SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS szz,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(z AS HUGEINT) * CAST(x AS HUGEINT)) AS szx,
+      |    SUM(CAST(z AS HUGEINT) * CAST(y AS HUGEINT)) AS szy
+      |  FROM u),
+      |cl AS (
+      |  SELECT n,
+      |    CAST(n AS HUGEINT) * szz - sz * sz AS Szz,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS Sxx,
+      |    CAST(n AS HUGEINT) * szx - sz * sx AS Szx,
+      |    CAST(n AS HUGEINT) * szy - sz * sy AS Szy
+      |  FROM ag),
+      |fin AS (
+      |  SELECT n,
+      |    CASE WHEN Szx <> 0 THEN
+      |      CAST(CAST(CAST(Szy AS DOUBLE) / CAST(Szx AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS beta_iv,
+      |    CASE WHEN Szz > 0 THEN
+      |      CAST(CAST(CAST(Szx AS DOUBLE) / CAST(Szz AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS pi_first_stage,
+      |    CASE WHEN Szx <> 0 AND
+      |        CAST(Szz * Sxx - Szx * Szx AS DOUBLE) > 0 THEN
+      |      CAST(CAST(CAST(n - 2 AS DOUBLE) * CAST(Szx AS DOUBLE) *
+      |        CAST(Szx AS DOUBLE) /
+      |        CAST(Szz * Sxx - Szx * Szx AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS f_first_stage
+      |  FROM cl)
+      |SELECT n, beta_iv, pi_first_stage, f_first_stage,
+      |  CAST(CASE WHEN f_first_stage IS NOT NULL THEN
+      |    CASE WHEN f_first_stage < 10.0 THEN 1 ELSE 0 END
+      |    ELSE 1 END AS INT) AS weak_instrument
+      |FROM fin""".stripMargin
+
+  // q449: Breusch–Pagan heteroskedasticity gate (Stats.breuschPagan)
+  // on per-user (exposure, cent total) — LM = n·R² of the scaled
+  // squared-residual regression, χ²₁ p via the shared erfc
+  // polynomial. The oracle replays both OLS stages on the identical
+  // d6 grid.
+  def q449BreuschPagan(s: SparkSession, dir: String): DataFrame = {
+    val units = ev(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.pipeline.Stats.breuschPagan(units, "x", "y")
+  }
+
+  val q449Sql: String = {
+    val pChain = graft.pipeline.Stats.normalTwoSidedPSql("sqrt(lm)")
+    s"""WITH u AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      |  FROM u),
+      |pr AS (
+      |  SELECT n, sx, sy,
+      |    CAST(CAST(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS b
+      |  FROM ag),
+      |pa AS (
+      |  SELECT n, b,
+      |    CAST(CAST((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) /
+      |      CAST(n AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS a
+      |  FROM pr),
+      |res AS (
+      |  SELECT u.x,
+      |    CAST(CAST(CAST(CAST(u.y AS DOUBLE) - pa.a -
+      |        pa.b * CAST(u.x AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) *
+      |      CAST(CAST(CAST(u.y AS DOUBLE) - pa.a -
+      |        pa.b * CAST(u.x AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) /
+      |      1000000.0 AS DECIMAL(18,6)) AS uu
+      |  FROM u CROSS JOIN pa),
+      |aux AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(uu) AS su,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(x AS DECIMAL(18,0)) * uu) AS sxu,
+      |    SUM(CAST(uu AS DECIMAL(19,6)) * CAST(uu AS DECIMAL(19,6)))
+      |      AS suu
+      |  FROM res),
+      |mo AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) * CAST(sxu AS DOUBLE) -
+      |      CAST(sx AS DOUBLE) * CAST(su AS DOUBLE) AS sxuc,
+      |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS sxxc,
+      |    CAST(n AS DOUBLE) * CAST(suu AS DOUBLE) -
+      |      CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS suuc
+      |  FROM aux),
+      |lmv AS (
+      |  SELECT n,
+      |    CASE WHEN suuc > 0 THEN
+      |      CAST(CAST(CAST(n AS DOUBLE) *
+      |        CAST(CAST(sxuc * sxuc / (sxxc * suuc) AS DECIMAL(28,6))
+      |          AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      ELSE 0.0 END AS lm
+      |  FROM mo),
+      |pv AS (
+      |  SELECT n, lm,
+      |    CASE WHEN lm > 0 THEN
+      |      CAST(CAST($pChain AS DECIMAL(28,6)) AS DOUBLE)
+      |      ELSE 1.0 END AS p_value
+      |  FROM lmv)
+      |SELECT n, lm AS lm_stat, p_value,
+      |  CAST(CASE WHEN p_value < 0.05 THEN 1 ELSE 0 END AS INT)
+      |    AS heteroskedastic
+      |FROM pv""".stripMargin
+  }
+
+  // q450: Chow structural-break test (Stats.chowTest) — did the
+  // daily count→revenue line move between the first and second half
+  // of the events month? F emitted with dfs, no portable F CDF
+  // pretended. The oracle replays the one split-keyed aggregate and
+  // the three cleared SSEs.
+  def q450Chow(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+      .select((dayofmonth(col("day")) > 15).cast("long").as("seg"),
+        col("x"), col("y"))
+    graft.pipeline.Stats.chowTest(days, "seg", "x", "y")
+  }
+
+  val q450Sql: String =
+    """WITH d AS (
+      |  SELECT CASE WHEN extract(day FROM CAST(ts AS DATE)) > 15
+      |      THEN 1 ELSE 0 END AS g,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY CAST(ts AS DATE)),
+      |ag AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    SUM(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) END) AS sx0,
+      |    SUM(CASE WHEN g = 0 THEN CAST(y AS HUGEINT) END) AS sy0,
+      |    SUM(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) *
+      |      CAST(x AS HUGEINT) END) AS sxx0,
+      |    SUM(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) *
+      |      CAST(y AS HUGEINT) END) AS sxy0,
+      |    SUM(CASE WHEN g = 0 THEN CAST(y AS HUGEINT) *
+      |      CAST(y AS HUGEINT) END) AS syy0,
+      |    SUM(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) END) AS sx1,
+      |    SUM(CASE WHEN g = 1 THEN CAST(y AS HUGEINT) END) AS sy1,
+      |    SUM(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) *
+      |      CAST(x AS HUGEINT) END) AS sxx1,
+      |    SUM(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) *
+      |      CAST(y AS HUGEINT) END) AS sxy1,
+      |    SUM(CASE WHEN g = 1 THEN CAST(y AS HUGEINT) *
+      |      CAST(y AS HUGEINT) END) AS syy1
+      |  FROM d),
+      |st AS (
+      |  SELECT n0 + n1 AS n, n0, n1,
+      |    CAST(CAST(CAST((CAST(n0 AS HUGEINT) * sxx0 - sx0 * sx0) *
+      |        (CAST(n0 AS HUGEINT) * syy0 - sy0 * sy0) -
+      |        (CAST(n0 AS HUGEINT) * sxy0 - sx0 * sy0) *
+      |        (CAST(n0 AS HUGEINT) * sxy0 - sx0 * sy0) AS DOUBLE) /
+      |      CAST(CAST(n0 AS HUGEINT) *
+      |        (CAST(n0 AS HUGEINT) * sxx0 - sx0 * sx0) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS sse0,
+      |    CAST(CAST(CAST((CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1) *
+      |        (CAST(n1 AS HUGEINT) * syy1 - sy1 * sy1) -
+      |        (CAST(n1 AS HUGEINT) * sxy1 - sx1 * sy1) *
+      |        (CAST(n1 AS HUGEINT) * sxy1 - sx1 * sy1) AS DOUBLE) /
+      |      CAST(CAST(n1 AS HUGEINT) *
+      |        (CAST(n1 AS HUGEINT) * sxx1 - sx1 * sx1) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS sse1,
+      |    CAST(CAST(CAST((CAST(n0 + n1 AS HUGEINT) * (sxx0 + sxx1) -
+      |        (sx0 + sx1) * (sx0 + sx1)) *
+      |        (CAST(n0 + n1 AS HUGEINT) * (syy0 + syy1) -
+      |        (sy0 + sy1) * (sy0 + sy1)) -
+      |        (CAST(n0 + n1 AS HUGEINT) * (sxy0 + sxy1) -
+      |        (sx0 + sx1) * (sy0 + sy1)) *
+      |        (CAST(n0 + n1 AS HUGEINT) * (sxy0 + sxy1) -
+      |        (sx0 + sx1) * (sy0 + sy1)) AS DOUBLE) /
+      |      CAST(CAST(n0 + n1 AS HUGEINT) *
+      |        (CAST(n0 + n1 AS HUGEINT) * (sxx0 + sxx1) -
+      |        (sx0 + sx1) * (sx0 + sx1)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS sse_pooled
+      |  FROM ag)
+      |SELECT n, n0, n1, sse_pooled, sse0, sse1,
+      |  CASE WHEN sse0 + sse1 > 0 THEN
+      |    CAST(CAST(((sse_pooled - (sse0 + sse1)) / 2.0) /
+      |      ((sse0 + sse1) / CAST(n - 4 AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS f_stat,
+      |  CAST(2 AS BIGINT) AS df1, CAST(n - 4 AS BIGINT) AS df2
+      |FROM st""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q446_holm" -> (q446Holm _),
+    "q447_cliffs_delta" -> (q447CliffsDelta _),
+    "q448_iv" -> (q448Iv _),
+    "q449_breusch_pagan" -> (q449BreuschPagan _),
+    "q450_chow" -> (q450Chow _),
     "q395_log_rank" -> (q395LogRank _),
     "q396_jarque_bera" -> (q396JarqueBera _),
     "q397_rmst" -> (q397Rmst _),
@@ -7045,6 +7364,11 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q446_holm" -> q446Sql,
+    "q447_cliffs_delta" -> q447Sql,
+    "q448_iv" -> q448Sql,
+    "q449_breusch_pagan" -> q449Sql,
+    "q450_chow" -> q450Sql,
     "q395_log_rank" -> q395Sql,
     "q396_jarque_bera" -> q396Sql,
     "q397_rmst" -> q397Sql,

@@ -1891,4 +1891,121 @@ class StatsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("distinct"), e.getMessage)
   }
+
+  test("holmBonferroni: step-down walk rejects the prefix before the " +
+    "first failure; adjusted p is the running max") {
+    // m=4, α=.05: thresholds .0125/.016667/.025/.05 — ranks 1-3 pass,
+    // rank 4 (p=.5) fails → k*=3; p_adj = 4·.001, max(...,3·.01),
+    // max(...,2·.02), max(...,min(1,.5)) = .004/.03/.04/.5
+    val df = Seq(("a", 0.001), ("b", 0.01), ("c", 0.02), ("d", 0.5))
+      .toDF("k", "p")
+    val out = Stats.holmBonferroni(df, "k", "p", alpha = 0.05)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("p_adj") == 0.004)
+    assert(out("b").getAs[Double]("p_adj") == 0.03)
+    assert(out("c").getAs[Double]("p_adj") == 0.04)
+    assert(out("d").getAs[Double]("p_adj") == 0.5)
+    assert(Seq("a", "b", "c").forall(out(_).getAs[Int]("rejected") == 1))
+    assert(out("d").getAs[Int]("rejected") == 0)
+    intercept[IllegalArgumentException] {
+      Stats.holmBonferroni(df, "k", "p", alpha = 1.5)
+    }
+  }
+
+  test("cliffsDelta: hand pair counts via the cell frame; empty arm " +
+    "and non-0/1 arms are loud") {
+    // arm0 {1,2,3} vs arm1 {2,3,4}: 9 pairs — 6 wins, 1 loss, 2 ties
+    // → δ = 5/9, CL = (6 + 0.5·2)/9 = 7/9, magnitude large
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L),
+      (1L, 2L), (1L, 3L), (1L, 4L)).toDF("arm", "x")
+    val r = Stats.cliffsDelta(df, "arm", "x").collect().head
+    assert(r.getAs[Long]("n0") == 3L && r.getAs[Long]("n1") == 3L)
+    assert(r.getAs[Double]("delta") == 0.555556)
+    assert(r.getAs[Double]("cl_effect") == 0.777778)
+    assert(r.getAs[String]("magnitude") == "large")
+    val loud = intercept[Exception] {
+      Stats.cliffsDelta(df.filter(col("arm") === 1L), "arm", "x")
+        .collect()
+    }
+    assert(loud.getMessage.contains("empty"), loud.getMessage)
+    val bad = intercept[Exception] {
+      Stats.cliffsDelta(Seq((2L, 1L)).toDF("arm", "x"), "arm", "x")
+        .collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
+
+  test("ivEstimator: hand cleared moments give beta/pi/F; a dead " +
+    "instrument answers NULLs; n<3 is loud") {
+    // (z,x,y) rows → Szz=4, Sxx=20, Szx=8, Szy=12:
+    // β=1.5, π=2.0, F=2·64/(80−64)=8 → weak (F<10)
+    val df = Seq((0L, 1L, 2L), (0L, 2L, 3L), (1L, 3L, 5L), (1L, 4L, 6L))
+      .toDF("z", "x", "y")
+    val r = Stats.ivEstimator(df, "z", "x", "y").collect().head
+    assert(r.getAs[Double]("beta_iv") == 1.5)
+    assert(r.getAs[Double]("pi_first_stage") == 2.0)
+    assert(r.getAs[Double]("f_first_stage") == 8.0)
+    assert(r.getAs[Int]("weak_instrument") == 1)
+    val dead = Seq((1L, 1L, 2L), (1L, 2L, 3L), (1L, 3L, 5L))
+      .toDF("z", "x", "y")
+    val rd = Stats.ivEstimator(dead, "z", "x", "y").collect().head
+    assert(rd.isNullAt(rd.fieldIndex("beta_iv")))
+    assert(rd.isNullAt(rd.fieldIndex("f_first_stage")))
+    assert(rd.getAs[Int]("weak_instrument") == 1)
+    val loud = intercept[Exception] {
+      Stats.ivEstimator(df.limit(2), "z", "x", "y").collect()
+    }
+    assert(loud.getMessage.contains("< 3"), loud.getMessage)
+  }
+
+  test("breuschPagan: hand two-stage chain; a perfect line is " +
+    "homoskedastic by construction; constant x is loud") {
+    // x=[1..4], y=[0,0,0,8000]: b=2400, a=−4000, e=[1600,−800,−3200,
+    // 2400], u=e²/10⁶=[2.56,.64,10.24,5.76] → R²=38.4²/(20·211.3536),
+    // LM=4·R²=1.395348
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 8000L))
+      .toDF("x", "y")
+    val r = Stats.breuschPagan(df, "x", "y").collect().head
+    assert(r.getAs[Double]("lm_stat") == 1.395348)
+    val p = r.getAs[Double]("p_value")
+    assert(p > 0.2 && p < 0.3, p.toString)
+    assert(r.getAs[Int]("heteroskedastic") == 0)
+    val line = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x", "y")
+    val rl = Stats.breuschPagan(line, "x", "y").collect().head
+    assert(rl.getAs[Double]("lm_stat") == 0.0)
+    assert(rl.getAs[Double]("p_value") == 1.0)
+    val loud = intercept[Exception] {
+      Stats.breuschPagan(Seq((2L, 1L), (2L, 5L), (2L, 9L))
+        .toDF("x", "y"), "x", "y").collect()
+    }
+    assert(loud.getMessage.contains("constant regressor"), loud.getMessage)
+  }
+
+  test("chowTest: hand SSEs across a planted intercept jump; perfect " +
+    "segment fits answer NULL F; short/degenerate segments are loud") {
+    // g0 (1,1),(2,2),(3,4) and g1 (4,14),(5,15),(6,17): SSE₀ = SSE₁ =
+    // 3/18; pooled SSE = 15816/630 — the jump dwarfs the within noise
+    val df = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 4L),
+      (1L, 4L, 14L), (1L, 5L, 15L), (1L, 6L, 17L))
+      .toDF("g", "x", "y")
+    val r = Stats.chowTest(df, "g", "x", "y").collect().head
+    assert(r.getAs[Double]("sse0") == 0.166667)
+    assert(r.getAs[Double]("sse1") == 0.166667)
+    assert(r.getAs[Double]("sse_pooled") == 25.104762)
+    val expF = BigDecimal(((25.104762 - 0.333334) / 2.0) /
+      (0.333334 / 2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(r.getAs[Double]("f_stat") == expF)
+    assert(r.getAs[Long]("df1") == 2L && r.getAs[Long]("df2") == 2L)
+    val perfect = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L),
+      (1L, 4L, 14L), (1L, 5L, 15L), (1L, 6L, 16L))
+      .toDF("g", "x", "y")
+    val rp = Stats.chowTest(perfect, "g", "x", "y").collect().head
+    assert(rp.isNullAt(rp.fieldIndex("f_stat")))
+    val loud = intercept[Exception] {
+      Stats.chowTest(df.filter(col("g") === 0L ||
+        col("x") === 4L), "g", "x", "y").collect()
+    }
+    assert(loud.getMessage.contains("< 3"), loud.getMessage)
+  }
 }
