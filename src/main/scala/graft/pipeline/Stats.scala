@@ -5979,4 +5979,215 @@ object Stats {
           (rss / (col("n") - 4L).cast("double")))).as("f_stat"),
       lit(2L).as("df1"), (col("n") - 4L).as("df2"))
   }
+
+  /** Herfindahl–Hirschman concentration per market (Herfindahl 1950;
+    * the DOJ/FTC merger-screen statistic): HHI = 10⁴·Σsᵢ² over firm
+    * shares, the normalized HHI* = (HHI/10⁴ − 1/n)/(1 − 1/n) that
+    * removes the firm-count floor, and the top-`topK` concentration
+    * ratio CR_k — the "is this traffic/market/vocabulary dominated by
+    * a few heads" readout (the corpus twin: source concentration of a
+    * crawl, where a high HHI means a handful of domains own the
+    * data).
+    *
+    * Determinism: firm masses are exact long sums (negatives loud);
+    * Σxᵢ² is exact DECIMAL(38,0), so HHI = 10⁴·Q/T² and
+    * HHI* = (n·Q − T²)/(T²·(n−1)) are exact rationals → ONE d6 each;
+    * CR_k sums the top-k exact masses under the (mass desc, firm asc)
+    * total order → one more d6. A single-firm market answers NULL
+    * HHI* (no 1/n floor to remove); an empty-mass market (T = 0)
+    * answers NULL everywhere.
+    *
+    * Scale shape: one (market, firm) aggregate (map-side combine),
+    * one market-keyed rollup, one rank window over the FIRM frame for
+    * CR_k.
+    */
+  def hhiConcentration(
+      df: DataFrame,
+      marketCol: String,
+      firmCol: String,
+      xCol: String,
+      topK: Int = 4): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val x = when(col(xCol).cast("long") >= 0L, col(xCol).cast("long"))
+      .otherwise(raise_error(concat(lit("hhiConcentration: mass "),
+        col(xCol).cast("string"), lit(" is negative"))).cast("long"))
+    val firms = df
+      .select(col(marketCol).as("_m"), col(firmCol).as("_f"), x.as("_x"))
+      .groupBy(col("_m"), col("_f")).agg(sum(col("_x")).as("_fx"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(col("_m"))
+          .orderBy(col("_fx").desc, col("_f").asc)))
+    val agg = firms.groupBy(col("_m"))
+      .agg(count(lit(1)).as("n_firms"), sum(col("_fx")).as("total"),
+        sum(dec(col("_fx")) * dec(col("_fx"))).as("_q"),
+        sum(when(col("_rk") <= topK, col("_fx")).otherwise(0L))
+          .as("_top"))
+    val t2 = dec(col("total")) * dec(col("total"))
+    agg.select(col("_m").as(marketCol), col("n_firms"), col("total"),
+      when(col("total") > 0L,
+        d6(lit(10000.0) * col("_q").cast("double") / t2.cast("double")))
+        .as("hhi"),
+      when(col("total") > 0L && col("n_firms") > 1L,
+        d6((dec(col("n_firms")) * col("_q") - t2).cast("double") /
+          (t2 * dec(col("n_firms") - 1L)).cast("double")))
+        .as("hhi_normalized"),
+      when(col("total") > 0L,
+        d6(col("_top").cast("double") / col("total").cast("double")))
+        .as(s"cr$topK"))
+  }
+
+  /** Theil T inequality index with its exact between/within-group
+    * decomposition (Theil 1967) — the ONE inequality measure that
+    * splits additively: T = T_between + Σ_g (income share)·T_g, so a
+    * corpus/revenue concentration readout can say HOW MUCH of the
+    * inequality lives across groups (languages, sources, regions)
+    * versus inside them. Output one row per group: population and
+    * income shares, the within-group Theil T_g, the group's between
+    * term (s_g·ln(μ_g/μ)) and its within contribution s_g·T_g.
+    *
+    * Requires x > 0 (Theil is undefined at zero/negative mass —
+    * loud). Determinism: all sums exact (long/decimal); each ln term
+    * closes in d6 PER ROW before its decimal sum (the bartlett/
+    * g2Keyness discipline), group and global means are exact
+    * rationals evaluated in one double order; T_g = (1/S_g)·Σ_i
+    * d6(xᵢ·ln(xᵢ·N_g/S_g)) … cleared to avoid subtracting big logs.
+    *
+    * Scale shape: one (group)-keyed row-term aggregate (map-side
+    * combine) + a broadcast 1-row global frame — corpus never
+    * reshuffles twice.
+    */
+  def theilDecomposition(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = when(col(xCol).cast("long") > 0L, col(xCol).cast("long"))
+      .otherwise(raise_error(concat(lit("theilDecomposition: mass "),
+        col(xCol).cast("string"), lit(" is not positive"))).cast("long"))
+    val base = df.select(col(groupCol).as("_g"), x.as("_x"))
+    // per-group: N_g, S_g, and Σ x·ln x with the d6-per-term contract
+    val g = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_ng"), sum(dec(col("_x"))).as("_sg"),
+        sum(d28(d6(col("_x").cast("double") *
+          log(col("_x").cast("double"))))).as("_xlx"))
+    val tot = g.agg(sum(col("_ng")).as("_n"), sum(col("_sg")).as("_s"))
+    val withTot = g.crossJoin(broadcast(tot))
+    val muG = col("_sg").cast("double") / col("_ng").cast("double")
+    val mu = col("_s").cast("double") / col("_n").cast("double")
+    // T_g = (Σ x ln x)/S_g − ln μ_g  (exact-sum form of
+    // (1/S_g)Σ x ln(x/μ_g))
+    val tg = d6(col("_xlx").cast("double") /
+      col("_sg").cast("double") - log(muG))
+    val incShare = d6(col("_sg").cast("double") / col("_s").cast("double"))
+    withTot.select(col("_g").as(groupCol),
+      col("_ng").as("n"), col("_sg").cast("long").as("total"),
+      d6(col("_ng").cast("double") / col("_n").cast("double"))
+        .as("pop_share"),
+      incShare.as("income_share"),
+      tg.as("theil_within"),
+      d6(incShare * d6(log(muG / mu))).as("between_term"),
+      d6(incShare * tg).as("within_contrib"))
+  }
+
+  /** Atkinson inequality indices at ε = 1 and ε = 2 per group
+    * (Atkinson 1970) — the welfare-grounded complements of
+    * [[theilDecomposition]]: A₁ = 1 − geomean/μ (how much total mass
+    * society would give up for equality under log utility) and the
+    * harder-bottom-weighted A₂ = 1 − harmonic mean/μ. Requires x > 0
+    * (loud).
+    *
+    * Determinism: A₁'s log sum and A₂'s reciprocal sum both run on
+    * the d6-per-term contract (reciprocals PRE-SCALED to 10⁶/x so the
+    * d6 grid keeps 12 significant digits for cent-scale masses) into
+    * exact decimal sums; the closing exp/divisions run in one fixed
+    * order, one d6 per output. Scale shape: ONE keyed aggregate
+    * (map-side combine) → k-row arithmetic.
+    */
+  def atkinsonIndices(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val x = when(col(xCol).cast("long") > 0L, col(xCol).cast("long"))
+      .otherwise(raise_error(concat(lit("atkinsonIndices: mass "),
+        col(xCol).cast("string"), lit(" is not positive"))).cast("long"))
+    val base = df.select(col(groupCol).as("_g"), x.as("_x"))
+    val agg = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("_x"))).as("_s"),
+        sum(d28(d6(log(col("_x").cast("double"))))).as("_lnsum"),
+        sum(d28(d6(lit(1000000.0) / col("_x").cast("double"))))
+          .as("_rsum"))
+    val mu = col("_s").cast("double") / col("n").cast("double")
+    val geo = exp(col("_lnsum").cast("double") / col("n").cast("double"))
+    val harm = lit(1000000.0) * col("n").cast("double") /
+      col("_rsum").cast("double")
+    agg.select(col("_g").as(groupCol), col("n"),
+      col("_s").cast("long").as("total"),
+      d6(mu).as("mean"),
+      d6(lit(1.0) - d6(geo) / d6(mu)).as("a1"),
+      d6(lit(1.0) - d6(harm) / d6(mu)).as("a2"))
+  }
+
+  /** Palma ratio and tail income shares per group (Palma 2011; Cobham
+    * & Sumner 2013): the top-10% share over the bottom-40% share —
+    * the inequality headline that tracks where distributions actually
+    * move (the middle 50% is empirically stable), plus both raw
+    * shares and the top-20/bottom-20 quintile ratio. The corpus
+    * reading: how much of the token/revenue mass the head sources own
+    * against the long tail.
+    *
+    * Cutoff convention (documented, exact): under the (x asc, id asc)
+    * total order, the bottom block is the first floor(0.4·n) rows
+    * (resp. floor(0.2·n)) and the top block is the rows above
+    * floor(0.9·n) (resp. floor(0.8·n)) — integer arithmetic, no
+    * interpolation, ties broken by id. Requires x ≥ 0 (loud). Block
+    * sums are exact longs; each share and ratio is ONE d6; an empty
+    * bottom block (or zero bottom mass) answers NULL ratios.
+    *
+    * Scale shape: one rank window over the (group, id) frame + one
+    * keyed rollup.
+    */
+  def palmaShares(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val x = when(col(xCol).cast("long") >= 0L, col(xCol).cast("long"))
+      .otherwise(raise_error(concat(lit("palmaShares: mass "),
+        col(xCol).cast("string"), lit(" is negative"))).cast("long"))
+    val ranked = df
+      .select(col(groupCol).as("_g"), col(idCol).as("_id"), x.as("_x"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(col("_g"))
+          .orderBy(col("_x").asc, col("_id").asc)).cast("long"))
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(col("_g"))))
+    val agg = ranked.groupBy(col("_g"))
+      .agg(max(col("_n")).as("n"), sum(col("_x")).as("total"),
+        sum(when(col("_rk") <= floor(col("_n") * 0.4).cast("long"),
+          col("_x")).otherwise(0L)).as("_b40"),
+        sum(when(col("_rk") > floor(col("_n") * 0.9).cast("long"),
+          col("_x")).otherwise(0L)).as("_t10"),
+        sum(when(col("_rk") <= floor(col("_n") * 0.2).cast("long"),
+          col("_x")).otherwise(0L)).as("_b20"),
+        sum(when(col("_rk") > floor(col("_n") * 0.8).cast("long"),
+          col("_x")).otherwise(0L)).as("_t20"))
+    agg.select(col("_g").as(groupCol), col("n"), col("total"),
+      when(col("total") > 0L, d6(col("_b40").cast("double") /
+        col("total").cast("double"))).as("bottom40_share"),
+      when(col("total") > 0L, d6(col("_t10").cast("double") /
+        col("total").cast("double"))).as("top10_share"),
+      when(col("_b40") > 0L, d6(col("_t10").cast("double") /
+        col("_b40").cast("double"))).as("palma_ratio"),
+      when(col("_b20") > 0L, d6(col("_t20").cast("double") /
+        col("_b20").cast("double"))).as("quintile_ratio"))
+  }
 }

@@ -7217,7 +7217,177 @@ object Analytics {
       |  CAST(2 AS BIGINT) AS df1, CAST(n - 4 AS BIGINT) AS df2
       |FROM st""".stripMargin
 
+  // q451: Herfindahl–Hirschman concentration of event traffic per
+  // event type across users (Stats.hhiConcentration) — HHI points,
+  // the firm-count-floor-free HHI*, CR4. The oracle replays the firm
+  // aggregate, the HUGEINT share rationals and the top-4 rank cut.
+  def q451Hhi(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.hhiConcentration(
+      ev(s, dir).select(col("event_type"), col("user_id"),
+        lit(1L).as("w")),
+      "event_type", "user_id", "w", topK = 4)
+
+  val q451Sql: String =
+    """WITH f AS (
+      |  SELECT event_type AS m, user_id AS fm,
+      |    CAST(COUNT(*) AS BIGINT) AS fx
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT m, fm, fx, row_number() OVER (PARTITION BY m
+      |    ORDER BY fx DESC, fm ASC) AS rk
+      |  FROM f),
+      |a AS (
+      |  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_firms,
+      |    CAST(SUM(fx) AS BIGINT) AS total,
+      |    SUM(CAST(fx AS HUGEINT) * CAST(fx AS HUGEINT)) AS q,
+      |    CAST(SUM(CASE WHEN rk <= 4 THEN fx ELSE 0 END) AS BIGINT)
+      |      AS topk
+      |  FROM r GROUP BY 1)
+      |SELECT m AS event_type, n_firms, total,
+      |  CASE WHEN total > 0 THEN
+      |    CAST(CAST(10000.0 * CAST(q AS DOUBLE) /
+      |      CAST(CAST(total AS HUGEINT) * CAST(total AS HUGEINT)
+      |        AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END AS hhi,
+      |  CASE WHEN total > 0 AND n_firms > 1 THEN
+      |    CAST(CAST(CAST(CAST(n_firms AS HUGEINT) * q -
+      |        CAST(total AS HUGEINT) * CAST(total AS HUGEINT)
+      |        AS DOUBLE) /
+      |      CAST(CAST(total AS HUGEINT) * CAST(total AS HUGEINT) *
+      |        CAST(n_firms - 1 AS HUGEINT) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS hhi_normalized,
+      |  CASE WHEN total > 0 THEN
+      |    CAST(CAST(CAST(topk AS DOUBLE) / CAST(total AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS cr4
+      |FROM a""".stripMargin
+
+  // q452: Theil T inequality with between/within decomposition
+  // (Stats.theilDecomposition) of document character mass across
+  // languages — how much of corpus concentration is cross-language.
+  // The oracle replays the d6-per-ln-term sums and the share chain.
+  def q452Theil(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.theilDecomposition(
+      t(s, dir, "documents").filter(col("n_chars") > 0)
+        .select(col("lang"), col("n_chars")),
+      "lang", "n_chars")
+
+  val q452Sql: String =
+    """WITH b AS (
+      |  SELECT lang AS g, n_chars AS x FROM documents WHERE n_chars > 0),
+      |gg AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+      |    CAST(SUM(x) AS BIGINT) AS sg,
+      |    SUM(CAST(CAST(CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS xlx
+      |  FROM b GROUP BY 1),
+      |t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n,
+      |        CAST(SUM(sg) AS BIGINT) AS s FROM gg),
+      |st AS (
+      |  SELECT g, ng, sg, n, s,
+      |    CAST(CAST(CAST(ng AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS pop_share,
+      |    CAST(CAST(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS income_share,
+      |    CAST(CAST(CAST(xlx AS DOUBLE) / CAST(sg AS DOUBLE) -
+      |      ln(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS theil_within
+      |  FROM gg CROSS JOIN t)
+      |SELECT g AS lang, ng AS n, sg AS total, pop_share, income_share,
+      |  theil_within,
+      |  CAST(CAST(income_share * CAST(CAST(
+      |    ln((CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) /
+      |      (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS between_term,
+      |  CAST(CAST(income_share * theil_within AS DECIMAL(28,6))
+      |    AS DOUBLE) AS within_contrib
+      |FROM st""".stripMargin
+
+  // q453: Atkinson welfare indices ε=1/ε=2 per language
+  // (Stats.atkinsonIndices) over the same character mass — the
+  // bottom-weighted complements of q452. The oracle replays the
+  // d6-per-term log/reciprocal sums and the fixed closing order.
+  def q453Atkinson(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.atkinsonIndices(
+      t(s, dir, "documents").filter(col("n_chars") > 0)
+        .select(col("lang"), col("n_chars")),
+      "lang", "n_chars")
+
+  val q453Sql: String =
+    """WITH b AS (
+      |  SELECT lang AS g, n_chars AS x FROM documents WHERE n_chars > 0),
+      |ag AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS s,
+      |    SUM(CAST(CAST(ln(CAST(x AS DOUBLE)) AS DECIMAL(28,6))
+      |      AS DECIMAL(28,6))) AS lnsum,
+      |    SUM(CAST(CAST(1000000.0 / CAST(x AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DECIMAL(28,6))) AS rsum
+      |  FROM b GROUP BY 1),
+      |st AS (
+      |  SELECT g, n, s,
+      |    CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean6,
+      |    CAST(CAST(exp(CAST(lnsum AS DOUBLE) / CAST(n AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS geo6,
+      |    CAST(CAST(1000000.0 * CAST(n AS DOUBLE) /
+      |      CAST(rsum AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS harm6
+      |  FROM ag)
+      |SELECT g AS lang, n, s AS total, mean6 AS mean,
+      |  CAST(CAST(1.0 - geo6 / mean6 AS DECIMAL(28,6)) AS DOUBLE) AS a1,
+      |  CAST(CAST(1.0 - harm6 / mean6 AS DECIMAL(28,6)) AS DOUBLE) AS a2
+      |FROM st""".stripMargin
+
+  // q454: Palma ratio + tail shares per language (Stats.palmaShares)
+  // — top-10% vs bottom-40% character mass under the exact
+  // (x asc, doc_id asc) rank convention. The oracle replays the rank
+  // blocks and the four exact block sums.
+  def q454Palma(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.palmaShares(
+      t(s, dir, "documents").select(col("lang"), col("doc_id"),
+        col("n_chars")),
+      "lang", "doc_id", "n_chars")
+
+  val q454Sql: String =
+    """WITH b AS (
+      |  SELECT lang AS g, doc_id AS id, n_chars AS x FROM documents),
+      |r AS (
+      |  SELECT g, id, x,
+      |    CAST(row_number() OVER (PARTITION BY g
+      |      ORDER BY x ASC, id ASC) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY g) AS n
+      |  FROM b),
+      |a AS (
+      |  SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS total,
+      |    CAST(SUM(CASE WHEN rk <= CAST(floor(CAST(n AS DOUBLE) * 0.4)
+      |      AS BIGINT) THEN x ELSE 0 END) AS BIGINT) AS b40,
+      |    CAST(SUM(CASE WHEN rk > CAST(floor(CAST(n AS DOUBLE) * 0.9)
+      |      AS BIGINT) THEN x ELSE 0 END) AS BIGINT) AS t10,
+      |    CAST(SUM(CASE WHEN rk <= CAST(floor(CAST(n AS DOUBLE) * 0.2)
+      |      AS BIGINT) THEN x ELSE 0 END) AS BIGINT) AS b20,
+      |    CAST(SUM(CASE WHEN rk > CAST(floor(CAST(n AS DOUBLE) * 0.8)
+      |      AS BIGINT) THEN x ELSE 0 END) AS BIGINT) AS t20
+      |  FROM r GROUP BY 1)
+      |SELECT g AS lang, n, total,
+      |  CASE WHEN total > 0 THEN
+      |    CAST(CAST(CAST(b40 AS DOUBLE) / CAST(total AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS bottom40_share,
+      |  CASE WHEN total > 0 THEN
+      |    CAST(CAST(CAST(t10 AS DOUBLE) / CAST(total AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS top10_share,
+      |  CASE WHEN b40 > 0 THEN
+      |    CAST(CAST(CAST(t10 AS DOUBLE) / CAST(b40 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS palma_ratio,
+      |  CASE WHEN b20 > 0 THEN
+      |    CAST(CAST(CAST(t20 AS DOUBLE) / CAST(b20 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS quintile_ratio
+      |FROM a""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q451_hhi" -> (q451Hhi _),
+    "q452_theil" -> (q452Theil _),
+    "q453_atkinson" -> (q453Atkinson _),
+    "q454_palma" -> (q454Palma _),
     "q446_holm" -> (q446Holm _),
     "q447_cliffs_delta" -> (q447CliffsDelta _),
     "q448_iv" -> (q448Iv _),
@@ -7364,6 +7534,10 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q451_hhi" -> q451Sql,
+    "q452_theil" -> q452Sql,
+    "q453_atkinson" -> q453Sql,
+    "q454_palma" -> q454Sql,
     "q446_holm" -> q446Sql,
     "q447_cliffs_delta" -> q447Sql,
     "q448_iv" -> q448Sql,

@@ -2008,4 +2008,79 @@ class StatsSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("< 3"), loud.getMessage)
   }
+
+  test("hhiConcentration: hand shares; single-firm market has no " +
+    "normalized HHI; negative mass is loud") {
+    // market m: masses {6,3,1} → HHI = 10⁴·46/100 = 4600,
+    // HHI* = (3·46−100)/(100·2) = 0.19, CR2 = 9/10
+    val df = Seq(("m", "a", 6L), ("m", "b", 3L), ("m", "c", 1L),
+      ("s", "d", 5L)).toDF("mk", "firm", "w")
+    val out = Stats.hhiConcentration(df, "mk", "firm", "w", topK = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("m").getAs[Double]("hhi") == 4600.0)
+    assert(out("m").getAs[Double]("hhi_normalized") == 0.19)
+    assert(out("m").getAs[Double]("cr2") == 0.9)
+    assert(out("s").getAs[Double]("hhi") == 10000.0)
+    assert(out("s").isNullAt(out("s").fieldIndex("hhi_normalized")))
+    assert(out("s").getAs[Double]("cr2") == 1.0)
+    val loud = intercept[Exception] {
+      Stats.hhiConcentration(Seq(("m", "a", -1L)).toDF("mk", "f", "w"),
+        "mk", "f", "w").collect()
+    }
+    assert(loud.getMessage.contains("negative"), loud.getMessage)
+  }
+
+  test("theilDecomposition: equal masses give zero within-Theil; " +
+    "planted two-group split puts the inequality between groups") {
+    // g1 {2,2}, g2 {8}: μ=4 — within terms are 0 (equal masses inside
+    // each group), between terms carry sign ln(μ_g/μ)
+    val df = Seq(("g1", 2L), ("g1", 2L), ("g2", 8L)).toDF("g", "x")
+    val out = Stats.theilDecomposition(df, "g", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getAs[Double]("theil_within") == 0.0)
+    assert(out("g2").getAs[Double]("theil_within") == 0.0)
+    assert(out("g1").getAs[Double]("pop_share") == 0.666667)
+    assert(out("g1").getAs[Double]("income_share") == 0.333333)
+    assert(out("g1").getAs[Double]("between_term") == -0.231049)
+    assert(out("g2").getAs[Double]("between_term") == 0.462098)
+    assert(out("g1").getAs[Double]("within_contrib") == 0.0)
+    val loud = intercept[Exception] {
+      Stats.theilDecomposition(Seq(("g", 0L)).toDF("g", "x"), "g", "x")
+        .collect()
+    }
+    assert(loud.getMessage.contains("not positive"), loud.getMessage)
+  }
+
+  test("atkinsonIndices: hand geometric/harmonic means on {1,4}; " +
+    "non-positive mass is loud") {
+    // μ=2.5, geomean=2 (d6 of exp(½ln4)), harmonic=1.6 →
+    // A₁ = 1−2/2.5 = .2, A₂ = 1−1.6/2.5 = .36
+    val df = Seq(("g", 1L), ("g", 4L)).toDF("g", "x")
+    val r = Stats.atkinsonIndices(df, "g", "x").collect().head
+    assert(r.getAs[Double]("mean") == 2.5)
+    assert(r.getAs[Double]("a1") == 0.2)
+    assert(r.getAs[Double]("a2") == 0.36)
+    val loud = intercept[Exception] {
+      Stats.atkinsonIndices(Seq(("g", -2L)).toDF("g", "x"), "g", "x")
+        .collect()
+    }
+    assert(loud.getMessage.contains("not positive"), loud.getMessage)
+  }
+
+  test("palmaShares: hand rank blocks on 1..10; negative mass is loud") {
+    // n=10, x=1..10: bottom40 = {1..4} = 10, top10 = {10} = 10,
+    // bottom20 = {1,2} = 3, top20 = {9,10} = 19, total 55
+    val df = (1L to 10L).map(i => ("g", i, i)).toDF("g", "id", "x")
+    val r = Stats.palmaShares(df, "g", "id", "x").collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("total") == 55L)
+    assert(r.getAs[Double]("bottom40_share") == 0.181818)
+    assert(r.getAs[Double]("top10_share") == 0.181818)
+    assert(r.getAs[Double]("palma_ratio") == 1.0)
+    assert(r.getAs[Double]("quintile_ratio") == 6.333333)
+    val loud = intercept[Exception] {
+      Stats.palmaShares(Seq(("g", 1L, -5L)).toDF("g", "id", "x"),
+        "g", "id", "x").collect()
+    }
+    assert(loud.getMessage.contains("negative"), loud.getMessage)
+  }
 }
