@@ -74,10 +74,16 @@ object ScaleStress {
     // ~100×·39s)
     "q343_cdc_dup_pairs",
     // round-14 second wave: LZ78 (zero-shuffle in-row fold — the
-    // linear control next to q342's CDC compute) and LPA communities
-    // (per-round keyed joins on a user-replicated graph: edges and
-    // nodes both scale ~F, rounds fixed — expected ~linear with the
-    // per-round checkpoint keeping lineage flat)
+    // linear control next to q342's CDC compute) and LPA communities.
+    // LPA's measured ratio is dominated by its EDGE stage, not the
+    // rounds: co-purchase edges join users sharing a 6-hour bucket,
+    // and this synthesis replicates users while keeping the 30-day
+    // window fixed — bucket occupancy grows ×F, candidate pairs ×F²
+    // (the same occupancy law as q163's frozen-config LSH row). A
+    // real F× crawl that also extends the time axis keeps occupancy
+    // constant and the stage ~linear; the rounds themselves are
+    // linear in edges with the per-round checkpoint keeping lineage
+    // flat.
     "q379_lz78", "q384_lpa",
     // round-15 addition: Cox PH — the heaviest new non-ANN r14 entry
     // (6 chained Newton rounds, each a distinct-time-frame window

@@ -1529,4 +1529,369 @@ object Timeseries {
         d6(greatest(lit(0.0), lit(1.0) - col("_vr") / col("_vtr"))))
         .as("trend_strength"))
   }
+
+  /** Turning-points randomness test per key (Kendall 1973): count the
+    * strict interior extrema of the time-ordered series — under iid
+    * randomness E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, so too few
+    * turns means trend/momentum and too many means alternation — the
+    * cheapest "is this metric stream iid noise" gate next to
+    * [[runsTest]] (which sees level, not shape).
+    *
+    * Strict extrema only: a plateau point (equal to either neighbor)
+    * is NOT a turn — the documented tie convention; heavy ties bias T
+    * down, use [[bartelsRankVonNeumann]] there. Determinism: T is an
+    * exact integer off two lag/lead comparisons; E and Var are exact
+    * rationals of n evaluated in one double order; z ONE d6, p the
+    * shared erfc polynomial. n < 3 answers NULL z.
+    *
+    * Scale shape: one per-key ordered window (lag+lead) + one keyed
+    * rollup — no self-join, corpus shuffles once on the key.
+    */
+  def turningPointsTest(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+    val rows = df
+      .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_p", lag(col("_x"), 1).over(w))
+      .withColumn("_f", lead(col("_x"), 1).over(w))
+      .withColumn("_turn",
+        when(col("_p").isNotNull && col("_f").isNotNull &&
+          ((col("_x") > col("_p") && col("_x") > col("_f")) ||
+           (col("_x") < col("_p") && col("_x") < col("_f"))), 1L)
+          .otherwise(0L))
+    val agg = rows.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n"), sum(col("_turn")).as("n_turning"))
+    val nD = col("n").cast("double")
+    val e = lit(2.0) * (nD - 2.0) / 3.0
+    val v = (lit(16.0) * nD - 29.0) / 90.0
+    val staged = agg.select(col("_k").as(keyCol), col("n"),
+      col("n_turning"),
+      when(col("n") >= 3L, d6(e)).as("expected"),
+      when(col("n") >= 3L && v > 0.0,
+        d6((col("n_turning").cast("double") - e) / sqrt(v))).as("z"))
+    staged
+      .withColumn("p_value", when(col("z").isNotNull,
+        d6(graft.pipeline.Stats.normalTwoSidedP(col("z")))))
+      .withColumn("significant", when(col("p_value").isNotNull,
+        (col("p_value") <= 0.05).cast("int")).otherwise(lit(0)))
+  }
+
+  /** Bartels rank von Neumann randomness test per key (Bartels 1982)
+    * — the rank version of the von Neumann successive-difference
+    * ratio: RVN = Σ(rᵢ−rᵢ₊₁)²/Σ(rᵢ−r̄)² over the time order, E = 2
+    * under randomness, small means trend, large means alternation.
+    * The tie-robust complement of [[turningPointsTest]].
+    *
+    * Exactness: DOUBLED midranks (2·minrank + ties − 1) keep every
+    * rank an integer; their mean is EXACTLY n+1, so numerator and
+    * denominator are exact integer sums (the doubling cancels in the
+    * ratio) and RVN is one exact rational → ONE d6; z uses the exact
+    * Bartels variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²) in a fixed
+    * double order → d6, p the shared erfc polynomial. A constant
+    * series (zero denominator) answers NULL; n < 4 answers NULL.
+    *
+    * Scale shape: two per-key windows (value midranks, time
+    * neighbor) + one keyed rollup — no self-join.
+    */
+  def bartelsRankVonNeumann(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val wv = Window.partitionBy(col("_k")).orderBy(col("_x").asc)
+    val we = Window.partitionBy(col("_k"), col("_x"))
+    val wt = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+    val rows = df
+      .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_r2",
+        lit(2L) * rank().over(wv).cast("long") +
+          count(lit(1)).over(we) - 1L)
+      .withColumn("_r2next", lead(col("_r2"), 1).over(wt))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_k"))))
+    val agg = rows.groupBy(col("_k"))
+      .agg(max(col("_n")).as("n"),
+        sum(when(col("_r2next").isNotNull,
+          dec(col("_r2") - col("_r2next")) *
+            dec(col("_r2") - col("_r2next"))).otherwise(dec(lit(0L))))
+          .as("_nm"),
+        sum(dec(col("_r2") - col("_n") - 1L) *
+          dec(col("_r2") - col("_n") - 1L)).as("_dn"))
+    val nD = col("n").cast("double")
+    val rvn = d6(col("_nm").cast("double") / col("_dn").cast("double"))
+    val variance = lit(4.0) * (nD - 2.0) *
+      (lit(5.0) * nD * nD - lit(2.0) * nD - 9.0) /
+      (lit(5.0) * nD * (nD + 1.0) * (nD - 1.0) * (nD - 1.0))
+    val staged = agg.select(col("_k").as(keyCol), col("n"),
+      when(col("n") >= 4L && col("_dn") > 0L, rvn).as("rvn"))
+      .withColumn("z", when(col("rvn").isNotNull,
+        d6((col("rvn") - 2.0) / sqrt(variance))))
+    staged
+      .withColumn("p_value", when(col("z").isNotNull,
+        d6(graft.pipeline.Stats.normalTwoSidedP(col("z")))))
+      .withColumn("significant", when(col("p_value").isNotNull,
+        (col("p_value") <= 0.05).cast("int")).otherwise(lit(0)))
+  }
+
+  /** KPSS level-stationarity statistic per key (Kwiatkowski,
+    * Phillips, Schmidt & Shin 1992) — the null-reversed partner of
+    * the ADF-style gate: HERE the null IS stationarity, so a small η
+    * supports "this metric is mean-stable" positively instead of
+    * merely failing to reject a unit root. η = Σᵢ Sᵢ²/(n²·σ̂²_lrv)
+    * with Sᵢ the partial sums of demeaned values and σ̂²_lrv the
+    * Bartlett-kernel long-run variance at `lags`.
+    *
+    * EXACT RATIONAL FORM: with cᵢ = n·xᵢ − Σx (cleared demeaning),
+    * Pᵢ = Σ_{j≤i} cⱼ and G_l = Σᵢ cᵢcᵢ₊_l, the whole statistic
+    * collapses to η = ΣPᵢ²·(L+1)/(n·E) with
+    * E = (L+1)·G₀ + 2·Σ_{l≤L}(L+1−l)·G_l — every term an exact
+    * decimal integer (the Bartlett weights clear against L+1), so η
+    * is ONE exact rational → ONE d6. No float accumulates anywhere.
+    * `stationary` flags η ≤ 0.463 (the 5% level-case critical
+    * value). A constant series (E = 0) answers NULL η with
+    * stationary = 1 (a constant is stationary by inspection).
+    *
+    * Scale shape: per-key count/sum windows, one ordered cumsum
+    * window carrying L lead columns, one keyed rollup — no
+    * self-join; L is a small literal.
+    */
+  def kpssTest(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      lags: Int = 4): DataFrame = {
+    require(lags >= 0 && lags <= 32, s"lags in [0,32], got $lags")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val wk = Window.partitionBy(col("_k"))
+    val wt = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+    val base = df
+      .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_n", count(lit(1)).over(wk))
+      .withColumn("_s", sum(col("_x")).over(wk))
+      .withColumn("_c", col("_n") * col("_x") - col("_s"))
+      .withColumn("_p", sum(col("_c")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val withLeads = (1 to lags).foldLeft(base) { (d, l) =>
+      d.withColumn(s"_c$l", lead(col("_c"), l).over(wt))
+    }
+    val gCols = (1 to lags).map { l =>
+      sum(when(col(s"_c$l").isNotNull, dec(col("_c")) * dec(col(s"_c$l")))
+        .otherwise(dec(lit(0L)))).as(s"_g$l")
+    }
+    val aggCols = Seq(max(col("_n")).as("n"),
+      sum(dec(col("_p")) * dec(col("_p"))).as("_pp"),
+      sum(dec(col("_c")) * dec(col("_c"))).as("_g0")) ++ gCols
+    val agg = withLeads.groupBy(col("_k"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val eExpr = (1 to lags).foldLeft(
+      dec(lit(lags + 1L)) * col("_g0")) { (acc, l) =>
+      acc + dec(lit(2L * (lags + 1 - l))) * col(s"_g$l")
+    }
+    val withE = agg.withColumn("_e", eExpr)
+    val eta = d6((col("_pp") * dec(lit(lags + 1L))).cast("double") /
+      (dec(col("n")) * col("_e")).cast("double"))
+    withE.select(col("_k").as(keyCol), col("n"),
+        lit(lags).as("lags"),
+        when(col("_e") > 0L, eta).as("eta"))
+      .withColumn("stationary",
+        when(col("eta").isNotNull, (col("eta") <= 0.463).cast("int"))
+          .otherwise(lit(1)))
+  }
+
+  /** Cox–Stuart trend test per key (Cox & Stuart 1955): pair each
+    * point of the first half with its partner offset ⌈n/2⌉ ahead
+    * (middle point dropped when n is odd) and sign-test the pairs —
+    * the assumption-free "is it drifting" gate that needs no rank
+    * machinery, robust to any monotone transform.
+    *
+    * Determinism: plus/minus counts are exact (ties dropped, the
+    * sign-test convention); z uses [[graft.pipeline.Stats.signTest]]'s
+    * continuity correction verbatim (sign(raw)·max(0,|raw|−1)/√m on
+    * raw = plus − minus) → ONE d6, p the shared erfc polynomial.
+    * All pairs tied (m = 0) answers NULL z.
+    *
+    * Scale shape: one per-key rank window + ONE keyed equi-join on
+    * (key, rank+offset) — the join frame is the series frame.
+    */
+  def coxStuartTrend(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String): DataFrame = {
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val wt = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+    val ranked = df
+      .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_rn", row_number().over(wt).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_k"))))
+    val off = expr("(_n + 1) div 2") // integer division: ceil(n/2)
+    val a = ranked.select(col("_k"), col("_rn"), col("_x").as("_xa"),
+      (col("_rn") + off).as("_match"))
+    val b = ranked.select(col("_k"), col("_rn").as("_match"),
+      col("_x").as("_xb"))
+    val pairs = a.join(b, Seq("_k", "_match"))
+    val agg = pairs.groupBy(col("_k"))
+      .agg(sum((col("_xb") > col("_xa")).cast("long")).as("n_up"),
+        sum((col("_xb") < col("_xa")).cast("long")).as("n_down"))
+    val m = col("n_up") + col("n_down")
+    val raw = (col("n_up") - col("n_down")).cast("double")
+    val staged = agg.select(col("_k").as(keyCol), col("n_up"),
+      col("n_down"),
+      when(m >= 1L, d6(signum(raw) *
+        greatest(lit(0.0), abs(raw) - lit(1.0)) /
+        sqrt(m.cast("double")))).as("z"))
+    staged
+      .withColumn("p_value", when(col("z").isNotNull,
+        d6(graft.pipeline.Stats.normalTwoSidedP(col("z")))))
+      .withColumn("trend", when(col("p_value").isNotNull &&
+          col("p_value") <= 0.05,
+        when(col("n_up") > col("n_down"), lit("up")).otherwise(lit("down")))
+        .otherwise(lit("none")))
+  }
+
+  /** Diebold–Mariano equal-forecast-accuracy test per key (Diebold &
+    * Mariano 1995) under squared-error loss: is model 1's error
+    * series really worse than model 2's, accounting for the
+    * autocorrelation forecast errors always carry? The missing
+    * inference step behind every forecast-scorecard comparison
+    * (q372 ranks losses; this says whether the gap is real).
+    *
+    * The loss differential dᵢ = e₁ᵢ² − e₂ᵢ² is exact integer; its
+    * HAC variance reuses [[kpssTest]]'s cleared Bartlett form —
+    * cᵢ = n·dᵢ − Σd, G_l = Σcᵢcᵢ₊_l,
+    * E = (L+1)G₀ + 2Σ(L+1−l)G_l — making
+    * DM = Σd·n·√(L+1)/√E with every input exact (ONE d6, erfc p).
+    * A zero-variance differential (E = 0) answers NULL.
+    * `better_model` names the winner (1/2) at p ≤ 0.05, else 0.
+    *
+    * Scale shape: identical to kpssTest — windows + one rollup, no
+    * self-join.
+    */
+  def dieboldMariano(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      e1Col: String,
+      e2Col: String,
+      lags: Int = 2): DataFrame = {
+    require(lags >= 0 && lags <= 32, s"lags in [0,32], got $lags")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val wk = Window.partitionBy(col("_k"))
+    val wt = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+    val e1 = col(e1Col).cast("long")
+    val e2 = col(e2Col).cast("long")
+    val base = df
+      .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+        (e1 * e1 - e2 * e2).as("_d"))
+      .withColumn("_n", count(lit(1)).over(wk))
+      .withColumn("_sd", sum(col("_d")).over(wk))
+      .withColumn("_c", col("_n") * col("_d") - col("_sd"))
+    val withLeads = (1 to lags).foldLeft(base) { (d, l) =>
+      d.withColumn(s"_c$l", lead(col("_c"), l).over(wt))
+    }
+    val gCols = (1 to lags).map { l =>
+      sum(when(col(s"_c$l").isNotNull, dec(col("_c")) * dec(col(s"_c$l")))
+        .otherwise(dec(lit(0L)))).as(s"_g$l")
+    }
+    val aggCols = Seq(max(col("_n")).as("n"), max(col("_sd")).as("_sdt"),
+      sum(dec(col("_c")) * dec(col("_c"))).as("_g0")) ++ gCols
+    val agg = withLeads.groupBy(col("_k"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val eExpr = (1 to lags).foldLeft(
+      dec(lit(lags + 1L)) * col("_g0")) { (acc, l) =>
+      acc + dec(lit(2L * (lags + 1 - l))) * col(s"_g$l")
+    }
+    val withE = agg.withColumn("_e", eExpr)
+    val dm = d6(col("_sdt").cast("double") * col("n").cast("double") *
+      sqrt(lit((lags + 1).toDouble)) / sqrt(col("_e").cast("double")))
+    val staged = withE.select(col("_k").as(keyCol), col("n"),
+      d6(col("_sdt").cast("double") / col("n").cast("double"))
+        .as("mean_loss_diff"),
+      when(col("_e") > 0L, dm).as("dm_stat"))
+    staged
+      .withColumn("p_value", when(col("dm_stat").isNotNull,
+        d6(graft.pipeline.Stats.normalTwoSidedP(col("dm_stat")))))
+      .withColumn("better_model",
+        when(col("p_value").isNotNull && col("p_value") <= 0.05,
+          when(col("mean_loss_diff") > 0.0, lit(2)).otherwise(lit(1)))
+          .otherwise(lit(0)))
+  }
+
+  /** Quantile-forecast pinball (quantile-loss) scorecard per key:
+    * predict each requested quantile from the TRAIN window's exact
+    * order statistics (rank ⌈q·n⌉ under the (x asc, t asc) total
+    * order — the q385/q441 convention, no interpolation) and score it
+    * on the TEST window with pinball loss
+    * L_q = mean(max(q·(y−ŷ), (q−1)·(y−ŷ))) — the proper scoring rule
+    * for quantiles, and the standard judge for P10/P50/P90 capacity
+    * forecasts.
+    *
+    * Quantiles arrive as PPM integers, so every per-row loss term is
+    * an EXACT integer (ppm·D or (ppm−10⁶)·D on integer D = y−ŷ) and
+    * the mean is one exact rational → ONE d6. Keys must appear in
+    * both windows (inner join — a key with no train rows has no
+    * prediction to score; documented). `splitT` is the first TEST
+    * time.
+    *
+    * Scale shape: one train rank window, a ≤|quantiles|-row literal
+    * frame broadcast into the rank pick, one keyed test rollup.
+    */
+  def pinballScorecard(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      splitT: Long,
+      quantilesPpm: Seq[Long] = Seq(100000L, 500000L, 900000L)): DataFrame = {
+    require(quantilesPpm.nonEmpty &&
+      quantilesPpm.forall(q => q > 0L && q < 1000000L),
+      s"quantilesPpm must be in (0,1e6), got $quantilesPpm")
+    require(quantilesPpm.distinct.size == quantilesPpm.size,
+      "quantilesPpm must be distinct")
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val wt = Window.partitionBy(col("_k"))
+      .orderBy(col("_x").asc, col("_t").asc)
+    val base = df.select(col(keyCol).as("_k"),
+      col(tCol).cast("long").as("_t"), col(xCol).cast("long").as("_x"))
+    val train = base.filter(col("_t") < splitT)
+      .withColumn("_rk", row_number().over(wt).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("_k"))))
+    val session = df.sparkSession
+    import session.implicits._
+    val qf = quantilesPpm.toDF("q_ppm")
+    val preds = train.crossJoin(broadcast(qf))
+      .filter(col("_rk") ===
+        expr("(q_ppm * _n + 999999) div 1000000"))
+      .select(col("_k"), col("q_ppm"), col("_n").as("n_train"),
+        col("_x").as("prediction"))
+    val test = base.filter(col("_t") >= splitT)
+    test.join(preds, Seq("_k"))
+      .withColumn("_diff", col("_x") - col("prediction"))
+      .withColumn("_term", when(col("_diff") >= 0L,
+          dec(col("q_ppm")) * dec(col("_diff")))
+        .otherwise(dec(col("q_ppm") - 1000000L) * dec(col("_diff"))))
+      .groupBy(col("_k"), col("q_ppm"))
+      .agg(max(col("n_train")).as("n_train"),
+        count(lit(1)).as("n_test"),
+        max(col("prediction")).as("prediction"),
+        sum(col("_term")).as("_lsum"))
+      .select(col("_k").as(keyCol), col("q_ppm"), col("n_train"),
+        col("n_test"), col("prediction"),
+        d6(col("_lsum").cast("double") /
+          (col("n_test").cast("double") * lit(1000000.0)))
+          .as("pinball_loss"))
+  }
 }

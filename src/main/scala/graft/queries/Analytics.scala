@@ -7383,7 +7383,384 @@ object Analytics {
       |      AS DECIMAL(28,6)) AS DOUBLE) END AS quintile_ratio
       |FROM a""".stripMargin
 
+  // q455: turning-points randomness test (Timeseries.turningPointsTest)
+  // over the 6-hour event-count series per type — strict interior
+  // extrema vs the 2(n−2)/3 iid expectation. The oracle replays the
+  // lag/lead comparison and the fixed moment chain.
+  def q455TurningPoints(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.turningPointsTest(buckets, "event_type", "b", "x")
+  }
+
+  val q455Sql: String = {
+    val p = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |w AS (
+      |  SELECT k, x,
+      |    lag(x) OVER (PARTITION BY k ORDER BY t ASC) AS pv,
+      |    lead(x) OVER (PARTITION BY k ORDER BY t ASC) AS fv
+      |  FROM s),
+      |a AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN pv IS NOT NULL AND fv IS NOT NULL AND
+      |      ((x > pv AND x > fv) OR (x < pv AND x < fv))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS nt
+      |  FROM w GROUP BY 1),
+      |st AS (
+      |  SELECT k, n, nt,
+      |    CASE WHEN n >= 3 THEN
+      |      CAST(CAST(2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS expected,
+      |    CASE WHEN n >= 3 AND
+      |        (16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0 > 0 THEN
+      |      CAST(CAST((CAST(nt AS DOUBLE) -
+      |        2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0) /
+      |        sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS z
+      |  FROM a),
+      |pp AS (
+      |  SELECT k, n, nt, expected, z,
+      |    CASE WHEN z IS NOT NULL THEN
+      |      CAST(CAST($p AS DECIMAL(28,6)) AS DOUBLE) END AS p_value
+      |  FROM st)
+      |SELECT k AS event_type, n, nt AS n_turning, expected, z, p_value,
+      |  CAST(CASE WHEN p_value IS NOT NULL AND p_value <= 0.05
+      |    THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM pp""".stripMargin
+  }
+
+  // q456: Bartels rank von Neumann randomness test
+  // (Timeseries.bartelsRankVonNeumann) on the same series — doubled
+  // midranks make numerator/denominator exact integers. The oracle
+  // replays the two windows and the exact Bartels variance.
+  def q456Bartels(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.bartelsRankVonNeumann(
+      buckets, "event_type", "b", "x")
+  }
+
+  val q456Sql: String = {
+    val p = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT k, t,
+      |    2 * CAST(rank() OVER (PARTITION BY k ORDER BY x ASC)
+      |      AS BIGINT) + COUNT(*) OVER (PARTITION BY k, x) - 1 AS r2,
+      |    COUNT(*) OVER (PARTITION BY k) AS n
+      |  FROM s),
+      |w AS (
+      |  SELECT k, n, r2,
+      |    lead(r2) OVER (PARTITION BY k ORDER BY t ASC) AS r2n
+      |  FROM r),
+      |a AS (
+      |  SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+      |    SUM(CASE WHEN r2n IS NOT NULL THEN
+      |      CAST(r2 - r2n AS HUGEINT) * CAST(r2 - r2n AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS nm,
+      |    SUM(CAST(r2 - n - 1 AS HUGEINT) *
+      |      CAST(r2 - n - 1 AS HUGEINT)) AS dn
+      |  FROM w GROUP BY 1),
+      |st AS (
+      |  SELECT k, n,
+      |    CASE WHEN n >= 4 AND dn > 0 THEN
+      |      CAST(CAST(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS rvn
+      |  FROM a),
+      |zz AS (
+      |  SELECT k, n, rvn,
+      |    CASE WHEN rvn IS NOT NULL THEN
+      |      CAST(CAST((rvn - 2.0) / sqrt(4.0 * (CAST(n AS DOUBLE) - 2.0) *
+      |        (5.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+      |         2.0 * CAST(n AS DOUBLE) - 9.0) /
+      |        (5.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) *
+      |         (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 1.0)))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS z
+      |  FROM st),
+      |pp AS (
+      |  SELECT k, n, rvn, z,
+      |    CASE WHEN z IS NOT NULL THEN
+      |      CAST(CAST($p AS DECIMAL(28,6)) AS DOUBLE) END AS p_value
+      |  FROM zz)
+      |SELECT k AS event_type, n, rvn, z, p_value,
+      |  CAST(CASE WHEN p_value IS NOT NULL AND p_value <= 0.05
+      |    THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM pp""".stripMargin
+  }
+
+  // q457: KPSS level-stationarity statistic (Timeseries.kpssTest) on
+  // the same series at 4 Bartlett lags — the exact-rational collapsed
+  // form η = ΣP²·(L+1)/(n·E). The oracle replays the cleared
+  // partial sums and the integer Bartlett assembly.
+  def q457Kpss(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.kpssTest(buckets, "event_type", "b", "x",
+      lags = 4)
+  }
+
+  val q457Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |c AS (
+      |  SELECT k, t,
+      |    COUNT(*) OVER (PARTITION BY k) * x -
+      |      SUM(x) OVER (PARTITION BY k) AS cc,
+      |    COUNT(*) OVER (PARTITION BY k) AS n
+      |  FROM s),
+      |w AS (
+      |  SELECT k, n, cc,
+      |    SUM(cc) OVER (PARTITION BY k ORDER BY t ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+      |    lead(cc, 1) OVER (PARTITION BY k ORDER BY t ASC) AS c1,
+      |    lead(cc, 2) OVER (PARTITION BY k ORDER BY t ASC) AS c2,
+      |    lead(cc, 3) OVER (PARTITION BY k ORDER BY t ASC) AS c3,
+      |    lead(cc, 4) OVER (PARTITION BY k ORDER BY t ASC) AS c4
+      |  FROM c),
+      |a AS (
+      |  SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+      |    SUM(CAST(pp AS HUGEINT) * CAST(pp AS HUGEINT)) AS spp,
+      |    SUM(CAST(cc AS HUGEINT) * CAST(cc AS HUGEINT)) AS g0,
+      |    SUM(CASE WHEN c1 IS NOT NULL THEN CAST(cc AS HUGEINT) *
+      |      CAST(c1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS g1,
+      |    SUM(CASE WHEN c2 IS NOT NULL THEN CAST(cc AS HUGEINT) *
+      |      CAST(c2 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS g2,
+      |    SUM(CASE WHEN c3 IS NOT NULL THEN CAST(cc AS HUGEINT) *
+      |      CAST(c3 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS g3,
+      |    SUM(CASE WHEN c4 IS NOT NULL THEN CAST(cc AS HUGEINT) *
+      |      CAST(c4 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS g4
+      |  FROM w GROUP BY 1),
+      |ee AS (
+      |  SELECT k, n,
+      |    spp,
+      |    5 * g0 + 2 * (4 * g1 + 3 * g2 + 2 * g3 + 1 * g4) AS e
+      |  FROM a)
+      |SELECT k AS event_type, n, CAST(4 AS INT) AS lags,
+      |  CASE WHEN e > 0 THEN
+      |    CAST(CAST(CAST(spp * 5 AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * e AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS eta,
+      |  CAST(CASE WHEN e > 0 THEN
+      |    CASE WHEN CAST(CAST(CAST(spp * 5 AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * e AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) <= 0.463 THEN 1 ELSE 0 END
+      |    ELSE 1 END AS INT) AS stationary
+      |FROM ee""".stripMargin
+
+  // q458: Cox–Stuart trend test (Timeseries.coxStuartTrend) on the
+  // same series — first-half/second-half sign pairs with signTest's
+  // continuity correction. The oracle replays the offset pairing.
+  def q458CoxStuart(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.coxStuartTrend(buckets, "event_type", "b", "x")
+  }
+
+  val q458Sql: String = {
+    val p = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT k, x,
+      |    CAST(row_number() OVER (PARTITION BY k ORDER BY t ASC)
+      |      AS BIGINT) AS rn,
+      |    COUNT(*) OVER (PARTITION BY k) AS n
+      |  FROM s),
+      |pr AS (
+      |  SELECT a.k, a.x AS xa, b.x AS xb
+      |  FROM r a JOIN r b
+      |    ON a.k = b.k AND b.rn = a.rn + (a.n + 1) // 2),
+      |ag AS (
+      |  SELECT k,
+      |    CAST(SUM(CASE WHEN xb > xa THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_up,
+      |    CAST(SUM(CASE WHEN xb < xa THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_down
+      |  FROM pr GROUP BY 1),
+      |st AS (
+      |  SELECT k, n_up, n_down,
+      |    CASE WHEN n_up + n_down >= 1 THEN
+      |      CAST(CAST(
+      |        CASE WHEN n_up - n_down > 0 THEN 1.0
+      |             WHEN n_up - n_down < 0 THEN -1.0 ELSE 0.0 END *
+      |        GREATEST(0.0, abs(CAST(n_up - n_down AS DOUBLE)) - 1.0) /
+      |        sqrt(CAST(n_up + n_down AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS z
+      |  FROM ag),
+      |pp AS (
+      |  SELECT k, n_up, n_down, z,
+      |    CASE WHEN z IS NOT NULL THEN
+      |      CAST(CAST($p AS DECIMAL(28,6)) AS DOUBLE) END AS p_value
+      |  FROM st)
+      |SELECT k AS event_type, n_up, n_down, z, p_value,
+      |  CASE WHEN p_value IS NOT NULL AND p_value <= 0.05 THEN
+      |    CASE WHEN n_up > n_down THEN 'up' ELSE 'down' END
+      |  ELSE 'none' END AS trend
+      |FROM pp""".stripMargin
+  }
+
+  // q459: Diebold–Mariano equal-accuracy test
+  // (Timeseries.dieboldMariano) — naive lag-1 vs seasonal lag-4
+  // (same 6h slot, previous day) forecasts of the per-type series,
+  // squared-error loss, HAC variance at 2 Bartlett lags via the KPSS
+  // cleared form. The oracle replays the error frame and the exact
+  // integer HAC assembly.
+  def q459DieboldMariano(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("b").asc)
+    val errs = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("_l1", lag(col("x"), 1).over(w))
+      .withColumn("_l4", lag(col("x"), 4).over(w))
+      .filter(col("_l1").isNotNull && col("_l4").isNotNull)
+      .select(col("event_type"), col("b"),
+        (col("x") - col("_l1")).as("e1"),
+        (col("x") - col("_l4")).as("e2"))
+    graft.ops.Timeseries.dieboldMariano(errs, "event_type", "b",
+      "e1", "e2", lags = 2)
+  }
+
+  val q459Sql: String = {
+    val p = graft.pipeline.Stats.normalTwoSidedPSql("dm_stat")
+    s"""WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |er AS (
+      |  SELECT k, t,
+      |    x - lag(x, 1) OVER (PARTITION BY k ORDER BY t ASC) AS e1,
+      |    x - lag(x, 4) OVER (PARTITION BY k ORDER BY t ASC) AS e2
+      |  FROM s),
+      |dd AS (
+      |  SELECT k, t, e1 * e1 - e2 * e2 AS d
+      |  FROM er WHERE e1 IS NOT NULL AND e2 IS NOT NULL),
+      |c AS (
+      |  SELECT k, t,
+      |    COUNT(*) OVER (PARTITION BY k) AS n,
+      |    SUM(d) OVER (PARTITION BY k) AS sd,
+      |    COUNT(*) OVER (PARTITION BY k) * d -
+      |      SUM(d) OVER (PARTITION BY k) AS cc
+      |  FROM dd),
+      |w AS (
+      |  SELECT k, n, sd, cc,
+      |    lead(cc, 1) OVER (PARTITION BY k ORDER BY t ASC) AS c1,
+      |    lead(cc, 2) OVER (PARTITION BY k ORDER BY t ASC) AS c2
+      |  FROM c),
+      |a AS (
+      |  SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(MAX(sd) AS BIGINT) AS sd,
+      |    SUM(CAST(cc AS HUGEINT) * CAST(cc AS HUGEINT)) AS g0,
+      |    SUM(CASE WHEN c1 IS NOT NULL THEN CAST(cc AS HUGEINT) *
+      |      CAST(c1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS g1,
+      |    SUM(CASE WHEN c2 IS NOT NULL THEN CAST(cc AS HUGEINT) *
+      |      CAST(c2 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS g2
+      |  FROM w GROUP BY 1),
+      |ee AS (
+      |  SELECT k, n, sd, 3 * g0 + 2 * (2 * g1 + 1 * g2) AS e
+      |  FROM a),
+      |st AS (
+      |  SELECT k, n,
+      |    CAST(CAST(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean_loss_diff,
+      |    CASE WHEN e > 0 THEN
+      |      CAST(CAST(CAST(sd AS DOUBLE) * CAST(n AS DOUBLE) *
+      |        sqrt(3.0) / sqrt(CAST(e AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS dm_stat
+      |  FROM ee),
+      |pp AS (
+      |  SELECT k, n, mean_loss_diff, dm_stat,
+      |    CASE WHEN dm_stat IS NOT NULL THEN
+      |      CAST(CAST($p AS DECIMAL(28,6)) AS DOUBLE) END AS p_value
+      |  FROM st)
+      |SELECT k AS event_type, n, mean_loss_diff, dm_stat, p_value,
+      |  CAST(CASE WHEN p_value IS NOT NULL AND p_value <= 0.05 THEN
+      |    CASE WHEN mean_loss_diff > 0 THEN 2 ELSE 1 END
+      |  ELSE 0 END AS INT) AS better_model
+      |FROM pp""".stripMargin
+  }
+
+  // q460: pinball quantile-forecast scorecard
+  // (Timeseries.pinballScorecard) — P10/P50/P90 of daily counts from
+  // the first 20 days' exact order statistics, scored on the last
+  // 10 days with all-integer ppm loss terms. The oracle replays the
+  // rank picks and the exact term sums.
+  def q460Pinball(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.pinballScorecard(daily, "event_type", "day",
+      "x", splitT = 19743L)
+  }
+
+  val q460Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT k, x,
+      |    CAST(row_number() OVER (PARTITION BY k
+      |      ORDER BY x ASC, t ASC) AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY k) AS n
+      |  FROM s WHERE t < 19743),
+      |q AS (SELECT CAST(unnest([100000, 500000, 900000]) AS BIGINT)
+      |        AS q_ppm),
+      |pd AS (
+      |  SELECT tr.k, q.q_ppm, CAST(tr.n AS BIGINT) AS n_train,
+      |    tr.x AS prediction
+      |  FROM tr CROSS JOIN q
+      |  WHERE tr.rk = (q.q_ppm * tr.n + 999999) // 1000000),
+      |te AS (SELECT k, x FROM s WHERE t >= 19743),
+      |tm AS (
+      |  SELECT pd.k, pd.q_ppm, pd.n_train, pd.prediction,
+      |    CASE WHEN te.x - pd.prediction >= 0 THEN
+      |      CAST(pd.q_ppm AS HUGEINT) *
+      |        CAST(te.x - pd.prediction AS HUGEINT)
+      |    ELSE CAST(pd.q_ppm - 1000000 AS HUGEINT) *
+      |        CAST(te.x - pd.prediction AS HUGEINT) END AS term
+      |  FROM te JOIN pd ON te.k = pd.k)
+      |SELECT k AS event_type, q_ppm, n_train,
+      |  CAST(COUNT(*) AS BIGINT) AS n_test, prediction,
+      |  CAST(CAST(CAST(SUM(term) AS DOUBLE) /
+      |    (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS pinball_loss
+      |FROM tm GROUP BY 1, 2, 3, 5""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q455_turning_points" -> (q455TurningPoints _),
+    "q456_bartels_rvn" -> (q456Bartels _),
+    "q457_kpss" -> (q457Kpss _),
+    "q458_cox_stuart" -> (q458CoxStuart _),
+    "q459_diebold_mariano" -> (q459DieboldMariano _),
+    "q460_pinball" -> (q460Pinball _),
     "q451_hhi" -> (q451Hhi _),
     "q452_theil" -> (q452Theil _),
     "q453_atkinson" -> (q453Atkinson _),
@@ -7534,6 +7911,12 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q455_turning_points" -> q455Sql,
+    "q456_bartels_rvn" -> q456Sql,
+    "q457_kpss" -> q457Sql,
+    "q458_cox_stuart" -> q458Sql,
+    "q459_diebold_mariano" -> q459Sql,
+    "q460_pinball" -> q460Sql,
     "q451_hhi" -> q451Sql,
     "q452_theil" -> q452Sql,
     "q453_atkinson" -> q453Sql,

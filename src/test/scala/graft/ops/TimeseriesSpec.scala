@@ -670,4 +670,119 @@ class TimeseriesSpec extends SparkSpec {
     assert(rl.getAs[Double]("trend_strength") == 1.0)
     assert(rl.isNullAt(rl.fieldIndex("seasonal_strength")))
   }
+
+  test("turningPointsTest: hand extrema count; plateaus are not " +
+    "turns; n<3 answers NULL") {
+    import org.apache.spark.sql.functions.col
+    // [1,3,2,4,1]: 3 strict interior extrema; E = 2(5−2)/3 = 2
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 3L), ("a", 3L, 2L),
+      ("a", 4L, 4L), ("a", 5L, 1L),
+      ("p", 1L, 1L), ("p", 2L, 2L), ("p", 3L, 2L), ("p", 4L, 1L),
+      ("s", 1L, 7L), ("s", 2L, 9L)).toDF("k", "t", "x")
+    val out = Timeseries.turningPointsTest(df, "k", "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_turning") == 3L)
+    assert(out("a").getAs[Double]("expected") == 2.0)
+    val z = out("a").getAs[Double]("z")
+    assert(z > 1.3 && z < 1.35, z.toString)
+    assert(out("a").getAs[Int]("significant") == 0)
+    assert(out("p").getAs[Long]("n_turning") == 0L)
+    assert(out("s").isNullAt(out("s").fieldIndex("z")))
+  }
+
+  test("bartelsRankVonNeumann: a perfect trend reads RVN 0.4 and " +
+    "rejects; a constant series answers NULL") {
+    import org.apache.spark.sql.functions.col
+    // [1..5]: doubled ranks [2,4,6,8,10], NM = 16, DN = 40 → 0.4
+    val df = ((1L to 5L).map(t => ("tr", t, t)) ++
+      (1L to 5L).map(t => ("c", t, 7L))).toDF("k", "t", "x")
+    val out = Timeseries.bartelsRankVonNeumann(df, "k", "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("tr").getAs[Double]("rvn") == 0.4)
+    assert(out("tr").getAs[Double]("z") < -2.0)
+    assert(out("tr").getAs[Int]("significant") == 1)
+    assert(out("c").isNullAt(out("c").fieldIndex("rvn")))
+    assert(out("c").getAs[Int]("significant") == 0)
+  }
+
+  test("kpssTest: hand exact-rational eta on an alternating series; " +
+    "a constant series answers NULL eta with stationary=1") {
+    import org.apache.spark.sql.functions.col
+    // [5,1,5,1] at L=1: c=[8,−8,8,−8], ΣP²=128, G0=256, G1=−192,
+    // E=512−384=128 → η = 128·2/(4·128) = 0.5 (> .463 → flag 0)
+    val df = (Seq(5L, 1L, 5L, 1L).zipWithIndex.map { case (x, i) =>
+      ("alt", i.toLong, x) } ++
+      Seq(("c", 1L, 3L), ("c", 2L, 3L), ("c", 3L, 3L)))
+      .toDF("k", "t", "x")
+    val out = Timeseries.kpssTest(df, "k", "t", "x", lags = 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("alt").getAs[Double]("eta") == 0.5)
+    assert(out("alt").getAs[Int]("stationary") == 0)
+    assert(out("c").isNullAt(out("c").fieldIndex("eta")))
+    assert(out("c").getAs[Int]("stationary") == 1)
+    intercept[IllegalArgumentException] {
+      Timeseries.kpssTest(df, "k", "t", "x", lags = 40)
+    }
+  }
+
+  test("coxStuartTrend: offset pairing with the middle point " +
+    "dropped; signTest's continuity correction") {
+    import org.apache.spark.sql.functions.col
+    // even [1..6]: pairs (1,4),(2,5),(3,6) all up → z = 2/√3;
+    // odd [1..5]: offset 3, middle dropped → 2 pairs
+    val df = ((1L to 6L).map(t => ("e", t, t)) ++
+      (1L to 5L).map(t => ("o", t, t))).toDF("k", "t", "x")
+    val out = Timeseries.coxStuartTrend(df, "k", "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("e").getAs[Long]("n_up") == 3L)
+    assert(out("e").getAs[Long]("n_down") == 0L)
+    assert(out("e").getAs[Double]("z") == 1.154701)
+    assert(out("e").getAs[String]("trend") == "none")
+    assert(out("o").getAs[Long]("n_up") == 2L)
+    assert(out("o").getAs[Long]("n_down") == 0L)
+  }
+
+  test("dieboldMariano: hand HAC chain collapses to DM=4; a zero-" +
+    "variance differential answers NULL") {
+    import org.apache.spark.sql.functions.col
+    // e1=[2,0,2,0], e2=0: d=[4,0,4,0], c=[8,−8,8,−8], E=128 at L=1
+    // → DM = 8·4·√2/√128 = 4 exactly; mean d = 2
+    val df = (Seq(2L, 0L, 2L, 0L).zipWithIndex.map { case (e, i) =>
+      ("m", i.toLong, e, 0L) } ++
+      (1 to 4).map(i => ("z", i.toLong, 1L, 1L)))
+      .toDF("k", "t", "e1", "e2")
+    val out = Timeseries.dieboldMariano(df, "k", "t", "e1", "e2",
+      lags = 1).collect().map(r => r.getString(0) -> r).toMap
+    assert(out("m").getAs[Double]("mean_loss_diff") == 2.0)
+    assert(out("m").getAs[Double]("dm_stat") == 4.0)
+    assert(out("m").getAs[Int]("better_model") == 2)
+    assert(out("z").isNullAt(out("z").fieldIndex("dm_stat")))
+    assert(out("z").getAs[Int]("better_model") == 0)
+  }
+
+  test("pinballScorecard: exact order-statistic picks and all-" +
+    "integer ppm loss terms; bad quantiles are loud") {
+    import org.apache.spark.sql.functions.col
+    // train x=[10..50]: P50 rank ⌈.5·5⌉=3 → 30; P10 rank 1 → 10;
+    // test {25,45}: P50 loss (2.5e6+7.5e6)/2e6 = 5, P10 = 2.5
+    val df = (Seq(10L, 20L, 30L, 40L, 50L).zipWithIndex.map {
+      case (x, i) => ("a", i.toLong + 1L, x) } ++
+      Seq(("a", 6L, 25L), ("a", 7L, 45L))).toDF("k", "t", "x")
+    val out = Timeseries.pinballScorecard(df, "k", "t", "x",
+      splitT = 6L, quantilesPpm = Seq(100000L, 500000L))
+      .collect().map(r => r.getAs[Long]("q_ppm") -> r).toMap
+    assert(out(500000L).getAs[Long]("prediction") == 30L)
+    assert(out(500000L).getAs[Double]("pinball_loss") == 5.0)
+    assert(out(100000L).getAs[Long]("prediction") == 10L)
+    assert(out(100000L).getAs[Double]("pinball_loss") == 2.5)
+    assert(out(500000L).getAs[Long]("n_train") == 5L)
+    assert(out(500000L).getAs[Long]("n_test") == 2L)
+    intercept[IllegalArgumentException] {
+      Timeseries.pinballScorecard(df, "k", "t", "x", 6L, Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Timeseries.pinballScorecard(df, "k", "t", "x", 6L,
+        Seq(500000L, 500000L))
+    }
+  }
 }
