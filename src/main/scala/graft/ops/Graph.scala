@@ -731,4 +731,162 @@ object Graph {
         d6(coalesce(col("_hsum"), lit(0).cast("decimal(28,6)"))
           .cast("double")).as("harmonic"))
   }
+
+  /** Bipartite projection: collapse a (left, right) membership frame
+    * onto the RIGHT vertex set — item–item (tag–tag, day–day) edges
+    * weighted by shared left-members, with the three standard
+    * normalizations (overlap = co/min(d_a,d_b), cosine = co/√(d_a·d_b),
+    * Jaccard = co/(d_a+d_b−co)) — the co-occurrence graph behind
+    * "related items"/topic-affinity readouts, built without ever
+    * materializing the full incidence matrix.
+    *
+    * The pair generator is the membership SELF-JOIN on the left key —
+    * fan-out deg(left)² per member, the classic projection hot spot —
+    * so left degree is guarded LOUDLY by `maxLeftDegree` (the dtw
+    * discipline: a corpus-cardinality left key must be bucketed by the
+    * caller, not silently exploded). Co-counts and degrees are exact
+    * longs off DISTINCT memberships; each normalization is one exact
+    * rational (√ via IEEE double) → ONE d6. Output one row per
+    * unordered item pair with ≥ 1 shared member: (item_a, item_b,
+    * co_count, deg_a, deg_b, overlap, cosine, jaccard).
+    *
+    * Scale shape: one distinct, one degree aggregate, one left-keyed
+    * equi-join (bounded by the guard), one pair-keyed aggregate, two
+    * broadcast-sized degree joins.
+    */
+  def bipartiteProject(
+      df: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxLeftDegree: Int = 1000): DataFrame = {
+    require(maxLeftDegree >= 2, s"maxLeftDegree >= 2, got $maxLeftDegree")
+    def d6(c: org.apache.spark.sql.Column) =
+      c.cast("decimal(28,6)").cast("double")
+    val m = df.select(col(leftCol).cast("string").as("_l"),
+      col(rightCol).cast("string").as("_r")).distinct()
+    val ldeg = m.groupBy(col("_l")).agg(count(lit(1)).as("_ld"))
+    val guarded = m.join(ldeg, Seq("_l"))
+      .withColumn("_r",
+        when(col("_ld") <= maxLeftDegree, col("_r"))
+          .otherwise(raise_error(concat(
+            lit("bipartiteProject: left member "), col("_l"),
+            lit(" has degree "), col("_ld").cast("string"),
+            lit(s" > maxLeftDegree=$maxLeftDegree — the pair stage is " +
+              "deg² per member; bucket the left key or raise the " +
+              "bound"))).cast("string")))
+      .select(col("_l"), col("_r"))
+    val rdeg = m.groupBy(col("_r")).agg(count(lit(1)).as("_rd"))
+    val pairs = guarded.select(col("_l"), col("_r").as("item_a"))
+      .join(guarded.select(col("_l"), col("_r").as("item_b")), Seq("_l"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("co_count"))
+    pairs
+      .join(rdeg.select(col("_r").as("item_a"), col("_rd").as("deg_a")),
+        Seq("item_a"))
+      .join(rdeg.select(col("_r").as("item_b"), col("_rd").as("deg_b")),
+        Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co_count"),
+        col("deg_a"), col("deg_b"),
+        d6(col("co_count").cast("double") /
+          least(col("deg_a"), col("deg_b")).cast("double")).as("overlap"),
+        d6(col("co_count").cast("double") /
+          sqrt(col("deg_a").cast("double") * col("deg_b").cast("double")))
+          .as("cosine"),
+        d6(col("co_count").cast("double") /
+          (col("deg_a") + col("deg_b") - col("co_count")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Directed-graph reciprocity and dyad census: how often a directed
+    * relation is returned — r = |E ∩ Eᵀ|/|E| over the distinct
+    * self-loop-free edge set, plus the mutual/asymmetric dyad counts
+    * (Holland & Leinhardt 1976 minus the null dyads, which need the
+    * vertex count and carry no edge information). The
+    * follower-graph/hand-off health check: r ≈ 0 is broadcast, r ≈ 1
+    * is conversation.
+    *
+    * Determinism: all counts are exact longs off one distinct edge
+    * frame; the reverse test is ONE self-equi-join on the flipped
+    * key; r is one exact rational → ONE d6. An empty edge set answers
+    * NULL r. Output ONE row: (n_edges, n_mutual_edges,
+    * n_mutual_dyads, n_asym_dyads, reciprocity).
+    */
+  def reciprocity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    def d6(c: org.apache.spark.sql.Column) =
+      c.cast("decimal(28,6)").cast("double")
+    val e = edges
+      .select(col(srcCol).cast("string").as("_s"),
+        col(dstCol).cast("string").as("_d"))
+      .filter(col("_s") =!= col("_d"))
+      .distinct()
+    val mutual = e.join(
+      e.select(col("_d").as("_s"), col("_s").as("_d")),
+      Seq("_s", "_d"), "left_semi")
+    val agg = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(mutual.agg(count(lit(1)).as("n_mutual_edges")))
+    agg.select(col("n_edges"), col("n_mutual_edges"),
+      (col("n_mutual_edges") / lit(2)).cast("long").as("n_mutual_dyads"),
+      (col("n_edges") - col("n_mutual_edges")).as("n_asym_dyads"),
+      when(col("n_edges") > 0L,
+        d6(col("n_mutual_edges").cast("double") /
+          col("n_edges").cast("double"))).as("reciprocity"))
+  }
+
+  /** Rich-club coefficient ladder (Zhou & Mondragón 2004): for each
+    * degree threshold k, φ(k) = 2·E_{>k}/(N_{>k}·(N_{>k}−1)) — the
+    * density of the subgraph induced by nodes of degree > k. A rising
+    * φ ladder means the hubs wire to each other (the "rich club"):
+    * the crawl-graph / co-purchase concentration diagnostic that
+    * degree distribution alone can't see.
+    *
+    * Determinism: degrees and both counts are exact longs; the whole
+    * ladder is computed in ONE pass — the threshold list is a code
+    * literal, so N_k and E_k are conditional sums inside single
+    * aggregates, unpivoted in-plan (no per-k scan). φ is one exact
+    * rational → ONE d6; N_k < 2 answers NULL φ. Output one row per
+    * k: (k, n_rich_nodes, n_rich_edges, phi).
+    *
+    * Scale shape: degree aggregate + one pair-frame join to degrees
+    * + TWO one-row conditional aggregates + an in-plan unpivot.
+    */
+  def richClub(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      ks: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 0), s"bad ladder $ks")
+    require(ks.distinct.size == ks.size, "ladder must be distinct")
+    def d6(c: org.apache.spark.sql.Column) =
+      c.cast("decimal(28,6)").cast("double")
+    val und = undirected(edges, srcCol, dstCol)
+    val deg = und.groupBy(col("_g_a").as("node"))
+      .agg(count(lit(1)).as("_deg"))
+    val pairs = und.filter(col("_g_a") < col("_g_b"))
+      .join(deg.select(col("node").as("_g_a"), col("_deg").as("_da")),
+        Seq("_g_a"))
+      .join(deg.select(col("node").as("_g_b"), col("_deg").as("_db")),
+        Seq("_g_b"))
+    val nCols = ks.map(k =>
+      sum((col("_deg") > k).cast("long")).as(s"_n$k"))
+    val eCols = ks.map(k =>
+      sum((least(col("_da"), col("_db")) > k).cast("long")).as(s"_e$k"))
+    val nAgg = deg.agg(nCols.head, nCols.tail: _*)
+    val eAgg = pairs.agg(eCols.head, eCols.tail: _*)
+    val rows = ks.map { k =>
+      struct(lit(k).as("k"), col(s"_n$k").as("n"), col(s"_e$k").as("e"))
+    }
+    nAgg.crossJoin(eAgg)
+      .select(explode(array(rows: _*)).as("_r"))
+      .select(col("_r.k").as("k"),
+        col("_r.n").as("n_rich_nodes"),
+        col("_r.e").as("n_rich_edges"),
+        when(col("_r.n") >= 2L,
+          d6(lit(2.0) * col("_r.e").cast("double") /
+            (col("_r.n") * (col("_r.n") - 1L)).cast("double")))
+          .as("phi"))
+  }
 }

@@ -5725,7 +5725,130 @@ object Corpus {
       |ORDER BY ppmi DESC, center ASC, context ASC
       |LIMIT 50""".stripMargin
 
+  // q461: bipartite projection of (user, event_type) memberships onto
+  // the event-type graph (Graph.bipartiteProject) — co-member counts
+  // with overlap/cosine/Jaccard normalizations; user degree bounded
+  // loudly at 10 (≤ 5 event types by fixture). The oracle replays the
+  // distinct-membership self-join and the three rationals.
+  def q461Bipartite(s: SparkSession, dir: String): DataFrame =
+    Graph.bipartiteProject(
+      Tables.eventsUs(s, dir).select(col("user_id"), col("event_type")),
+      "user_id", "event_type", maxLeftDegree = 10)
+
+  val q461Sql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS l, event_type AS r
+      |  FROM events),
+      |rd AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS d FROM m GROUP BY 1),
+      |p AS (
+      |  SELECT a.r AS item_a, b.r AS item_b, CAST(COUNT(*) AS BIGINT)
+      |    AS co
+      |  FROM m a JOIN m b ON a.l = b.l AND a.r < b.r
+      |  GROUP BY 1, 2)
+      |SELECT item_a, item_b, co AS co_count,
+      |  da.d AS deg_a, db.d AS deg_b,
+      |  CAST(CAST(CAST(co AS DOUBLE) / CAST(LEAST(da.d, db.d) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS overlap,
+      |  CAST(CAST(CAST(co AS DOUBLE) /
+      |    sqrt(CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS cosine,
+      |  CAST(CAST(CAST(co AS DOUBLE) /
+      |    CAST(da.d + db.d - co AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS jaccard
+      |FROM p
+      |JOIN rd da ON da.r = item_a
+      |JOIN rd db ON db.r = item_b""".stripMargin
+
+  // q462: reciprocity + dyad census (Graph.reciprocity) of the
+  // temporal purchase hand-off graph — a→b when a purchases in a 6h
+  // bucket and b in the next one (≥ 2 hand-offs). The oracle replays
+  // the directed edge build and the flipped-key semi-join.
+  def q462Reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.eventsUs(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_us div 21600000000").as("b"))
+      .distinct()
+    val q = p.select(col("user_id").as("v"), col("b").as("b2"))
+    val edges = p.join(q, col("b") + 1 === col("b2") &&
+        col("user_id") =!= col("v"))
+      .groupBy(col("user_id").as("u"), col("v"))
+      .agg(count(lit(1)).as("n_handoffs"))
+      .filter(col("n_handoffs") >= 2)
+    Graph.reciprocity(edges, "u", "v")
+  }
+
+  val q462Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS b
+      |  FROM events WHERE event_type = 'purchase'),
+      |ed AS (
+      |  SELECT CAST(a.user_id AS VARCHAR) AS s,
+      |    CAST(b.user_id AS VARCHAR) AS d
+      |  FROM p a JOIN p b
+      |    ON a.b + 1 = b.b AND a.user_id <> b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |mu AS (
+      |  SELECT e.s, e.d FROM ed e
+      |  WHERE EXISTS (SELECT 1 FROM ed r
+      |                WHERE r.s = e.d AND r.d = e.s)),
+      |ag AS (
+      |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mu) AS n_mutual_edges)
+      |SELECT n_edges, n_mutual_edges,
+      |  CAST(n_mutual_edges / 2 AS BIGINT) AS n_mutual_dyads,
+      |  n_edges - n_mutual_edges AS n_asym_dyads,
+      |  CASE WHEN n_edges > 0 THEN
+      |    CAST(CAST(CAST(n_mutual_edges AS DOUBLE) /
+      |      CAST(n_edges AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS reciprocity
+      |FROM ag""".stripMargin
+
+  // q463: rich-club ladder (Graph.richClub) of the co-purchase graph
+  // — φ(k) over the k ∈ {1,2,4,8,16} thresholds in one pass. The
+  // oracle replays degrees, the degree-joined pair frame and the
+  // conditional counts per rung.
+  def q463RichClub(s: SparkSession, dir: String): DataFrame =
+    Graph.richClub(coPurchaseEdges(s, dir), "u", "v",
+      ks = Seq(1, 2, 4, 8, 16))
+
+  val q463Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS b
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT CAST(a.user_id AS VARCHAR) AS u,
+      |    CAST(b.user_id AS VARCHAR) AS v
+      |  FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |deg AS (
+      |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY 1),
+      |pr AS (
+      |  SELECT da.d AS da, db.d AS db
+      |  FROM e JOIN deg da ON da.n = e.u JOIN deg db ON db.n = e.v),
+      |ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS INT) AS k),
+      |nn AS (
+      |  SELECT k.k, CAST(COUNT(CASE WHEN deg.d > k.k THEN 1 END)
+      |    AS BIGINT) AS n
+      |  FROM ks k CROSS JOIN deg GROUP BY 1),
+      |ee AS (
+      |  SELECT k.k, CAST(COUNT(CASE WHEN LEAST(pr.da, pr.db) > k.k
+      |    THEN 1 END) AS BIGINT) AS e
+      |  FROM ks k CROSS JOIN pr GROUP BY 1)
+      |SELECT nn.k, nn.n AS n_rich_nodes, ee.e AS n_rich_edges,
+      |  CASE WHEN nn.n >= 2 THEN
+      |    CAST(CAST(2.0 * CAST(ee.e AS DOUBLE) /
+      |      CAST(nn.n * (nn.n - 1) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS phi
+      |FROM nn JOIN ee ON nn.k = ee.k""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q461_bipartite" -> (q461Bipartite _),
+    "q462_reciprocity" -> (q462Reciprocity _),
+    "q463_rich_club" -> (q463RichClub _),
     "q401_katz" -> (q401Katz _),
     "q426_harmonic" -> (q426Harmonic _),
     "q406_neg_sampling" -> (q406NegSampling _),
@@ -5849,6 +5972,9 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q461_bipartite" -> q461Sql,
+    "q462_reciprocity" -> q462Sql,
+    "q463_rich_club" -> q463Sql,
     "q401_katz" -> q401Sql,
     "q426_harmonic" -> q426Sql,
     "q406_neg_sampling" -> q406Sql,

@@ -229,4 +229,61 @@ class GraphCoreSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("maxNodes"), loud.getMessage)
   }
+
+  test("bipartiteProject: hand co-counts and the three " +
+    "normalizations; a hot left member is loud") {
+    import org.apache.spark.sql.functions.col
+    // A∈{u1,u2,u3}, B∈{u1,u2} → co(A,B)=2: overlap 2/2=1,
+    // cosine 2/√6, jaccard 2/3
+    val m = Seq(("u1", "A"), ("u1", "B"), ("u2", "A"), ("u2", "B"),
+      ("u3", "A")).toDF("u", "i")
+    val r = Graph.bipartiteProject(m, "u", "i").collect().head
+    assert(r.getAs[String]("item_a") == "A")
+    assert(r.getAs[Long]("co_count") == 2L)
+    assert(r.getAs[Long]("deg_a") == 3L && r.getAs[Long]("deg_b") == 2L)
+    assert(r.getAs[Double]("overlap") == 1.0)
+    assert(r.getAs[Double]("cosine") == 0.816497)
+    assert(r.getAs[Double]("jaccard") == 0.666667)
+    val hot = m.union(Seq(("u1", "C")).toDF("u", "i"))
+    val loud = intercept[Exception] {
+      Graph.bipartiteProject(hot, "u", "i", maxLeftDegree = 2)
+        .collect()
+    }
+    assert(loud.getMessage.contains("maxLeftDegree"), loud.getMessage)
+  }
+
+  test("reciprocity: hand dyad census; self-loops and duplicates " +
+    "drop; an empty edge set answers NULL") {
+    import org.apache.spark.sql.functions.col
+    val e = Seq(("1", "2"), ("2", "1"), ("1", "3"), ("4", "4"),
+      ("1", "2")).toDF("s", "d")
+    val r = Graph.reciprocity(e, "s", "d").collect().head
+    assert(r.getAs[Long]("n_edges") == 3L)
+    assert(r.getAs[Long]("n_mutual_edges") == 2L)
+    assert(r.getAs[Long]("n_mutual_dyads") == 1L)
+    assert(r.getAs[Long]("n_asym_dyads") == 1L)
+    assert(r.getAs[Double]("reciprocity") == 0.666667)
+    val re = Graph.reciprocity(e.filter(col("s") === "zz"), "s", "d")
+      .collect().head
+    assert(re.getAs[Long]("n_edges") == 0L)
+    assert(re.isNullAt(re.fieldIndex("reciprocity")))
+  }
+
+  test("richClub: the triangle is a perfect club above the pendant " +
+    "rung; a one-node club answers NULL phi") {
+    import org.apache.spark.sql.functions.col
+    // triangle {1,2,3} + pendant 3-4: deg 1:2, 2:2, 3:3, 4:1
+    val e = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"))
+      .toDF("s", "d")
+    val out = Graph.richClub(e, "s", "d", ks = Seq(1, 2))
+      .collect().map(r => r.getAs[Int]("k") -> r).toMap
+    assert(out(1).getAs[Long]("n_rich_nodes") == 3L)
+    assert(out(1).getAs[Long]("n_rich_edges") == 3L)
+    assert(out(1).getAs[Double]("phi") == 1.0)
+    assert(out(2).getAs[Long]("n_rich_nodes") == 1L)
+    assert(out(2).isNullAt(out(2).fieldIndex("phi")))
+    intercept[IllegalArgumentException] {
+      Graph.richClub(e, "s", "d", ks = Seq(1, 1))
+    }
+  }
 }
