@@ -1894,4 +1894,77 @@ object Timeseries {
           (col("n_test").cast("double") * lit(1000000.0)))
           .as("pinball_loss"))
   }
+
+  /** Shewhart X̄/R control chart per key (Shewhart 1931): partition
+    * the time-ordered series into consecutive subgroups of
+    * `subgroupSize`, chart each subgroup's mean and range against the
+    * R̄-derived 3σ limits (X̄̄ ± A₂R̄; D₃R̄/D₄R̄) — the classic SPC
+    * readout, and the batch twin of the EWMA/CUSUM monitors
+    * (q320/q329): those catch small sustained shifts, this catches
+    * the big special-cause excursions subgroup by subgroup.
+    *
+    * The A₂/D₃/D₄ constants are the published n = 2..10 table
+    * (Montgomery, Introduction to SQC) as code literals — `subgroupSize`
+    * outside that range is loud. An incomplete final subgroup is
+    * DROPPED (documented — partial ranges would understate R̄).
+    * Determinism: subgroup assignment is exact integer division on
+    * the per-key time rank; means are exact rationals → d6; ranges
+    * exact longs; the grand stats and limits close in fixed d6
+    * stages. Output one row per subgroup with the shared limits and
+    * both out-of-control flags.
+    *
+    * Scale shape: one rank window, one subgroup aggregate, one keyed
+    * rollup broadcast back — corpus shuffles once on the key.
+    */
+  def xbarRChart(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      subgroupSize: Int = 5): DataFrame = {
+    val consts: Map[Int, (Double, Double, Double)] = Map(
+      2 -> (1.88, 0.0, 3.267), 3 -> (1.023, 0.0, 2.574),
+      4 -> (0.729, 0.0, 2.282), 5 -> (0.577, 0.0, 2.114),
+      6 -> (0.483, 0.0, 2.004), 7 -> (0.419, 0.076, 1.924),
+      8 -> (0.373, 0.136, 1.864), 9 -> (0.337, 0.184, 1.816),
+      10 -> (0.308, 0.223, 1.777))
+    require(consts.contains(subgroupSize),
+      s"subgroupSize must be in 2..10 (published A2/D3/D4 table), " +
+        s"got $subgroupSize")
+    val (a2, dd3, dd4) = consts(subgroupSize)
+    def d6(c: Column): Column = c.cast("decimal(28,6)").cast("double")
+    val wt = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+    val sub = df
+      .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_sg",
+        floor((row_number().over(wt) - 1) / lit(subgroupSize))
+          .cast("long"))
+      .groupBy(col("_k"), col("_sg"))
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+        (max(col("_x")) - min(col("_x"))).as("r"))
+      .filter(col("_n") === subgroupSize)
+      .withColumn("xbar",
+        d6(col("_s").cast("double") / lit(subgroupSize.toDouble)))
+    val grand = sub.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n_subgroups"),
+        d6(sum(col("xbar").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("grand_mean"),
+        d6(sum(col("r").cast("decimal(38,0)")).cast("double") /
+          count(lit(1)).cast("double")).as("r_bar"))
+    sub.join(grand, Seq("_k"))
+      .select(col("_k").as(keyCol), col("_sg").as("subgroup"),
+        col("xbar"), col("r"), col("n_subgroups"),
+        col("grand_mean"), col("r_bar"),
+        d6(col("grand_mean") + lit(a2) * col("r_bar")).as("ucl_xbar"),
+        d6(col("grand_mean") - lit(a2) * col("r_bar")).as("lcl_xbar"),
+        d6(lit(dd4) * col("r_bar")).as("ucl_r"),
+        d6(lit(dd3) * col("r_bar")).as("lcl_r"))
+      .withColumn("xbar_out",
+        (col("xbar") > col("ucl_xbar") || col("xbar") < col("lcl_xbar"))
+          .cast("int"))
+      .withColumn("r_out",
+        (col("r").cast("double") > col("ucl_r") ||
+          col("r").cast("double") < col("lcl_r")).cast("int"))
+  }
 }

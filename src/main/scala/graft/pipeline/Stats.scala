@@ -6190,4 +6190,119 @@ object Stats {
       when(col("_b20") > 0L, d6(col("_t20").cast("double") /
         col("_b20").cast("double"))).as("quintile_ratio"))
   }
+
+  /** Process capability indices per key (Juran 1974; the Six Sigma
+    * Cp/Cpk pair): Cp = (USL−LSL)/6s asks whether the SPREAD fits the
+    * spec band, Cpk = min(USL−μ, μ−LSL)/3s asks whether the CENTERED
+    * process fits — Cpk < Cp means the mean has drifted off target.
+    * The SLA/latency-budget reading: can this pipeline stage hold its
+    * p99 budget, and is it centered or riding the edge?
+    *
+    * Determinism: sufficient sums exact decimal; the sample variance
+    * assembles from the cleared form S/(n(n−1)) (S = n·Σx²−(Σx)²
+    * exact), s closes in d6(√d6(·)); μ, Cp, Cpk each ONE d6. Zero
+    * spread (S = 0) answers NULL indices (a dead-constant process has
+    * no capability ratio); n < 2 is loud; USL ≤ LSL is loud.
+    *
+    * Scale shape: ONE keyed aggregate (map-side combine) → k-row
+    * arithmetic.
+    */
+  def processCapability(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      lsl: Long,
+      usl: Long): DataFrame = {
+    require(usl > lsl, s"need usl > lsl, got ($lsl, $usl)")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(keyCol).as("_k"),
+      col(xCol).cast("long").as("_x"))
+    val agg = base.groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"), sum(dec(col("_x"))).as("_s"),
+        sum(dec(col("_x")) * dec(col("_x"))).as("_q"))
+    val n = when(col("_n") >= 2L, col("_n"))
+      .otherwise(raise_error(concat(lit("processCapability: key "),
+        col("_k").cast("string"), lit(" has "),
+        col("_n").cast("string"), lit(" rows (< 2)"))).cast("long"))
+    val g = agg.select(col("_k"), n.as("n"), col("_s"),
+      (dec(col("_n")) * col("_q") - col("_s") * col("_s")).as("_m"))
+    val mu = d6(col("_s").cast("double") / col("n").cast("double"))
+    val s = d6(sqrt(d6(col("_m").cast("double") /
+      (dec(col("n")) * dec(col("n") - 1L)).cast("double"))))
+    val staged = g.select(col("_k").as(keyCol), col("n"),
+      mu.as("mean"), when(col("_m") > 0L, s).as("stddev"))
+    staged
+      .withColumn("cp", when(col("stddev").isNotNull,
+        d6(lit((usl - lsl).toDouble) / (lit(6.0) * col("stddev")))))
+      .withColumn("cpk", when(col("stddev").isNotNull,
+        d6(least(lit(usl.toDouble) - col("mean"),
+          col("mean") - lit(lsl.toDouble)) /
+          (lit(3.0) * col("stddev")))))
+      .withColumn("capable", when(col("cpk").isNotNull,
+        (col("cpk") >= 1.33).cast("int")).otherwise(lit(0)))
+  }
+
+  /** Delta-method CI for a ratio-of-sums metric clustered by unit
+    * (Fieller/Taylor linearization — the revenue-per-session /
+    * cost-per-token readout done honestly): R̂ = ΣX/ΣY with
+    * Var(R̂) ≈ (s²_x − 2R̂·s_xy + R̂²·s²_y)/(n·Ȳ²) over PER-UNIT sums,
+    * because rows within a user/session correlate and a row-level
+    * variance is a fiction (the Deng et al. 2017 metric framework).
+    *
+    * Determinism: the caller supplies exact per-unit integer sums;
+    * ONE aggregate collects exact decimal sufficient stats; R̂ is one
+    * d6; the cleared covariances S_ab = n·Σab − Σa·Σb stay exact
+    * decimal and the variance chain closes in a fixed double order →
+    * d6 se; the CI uses the caller's z (default 1.959964, the corpus
+    * convention). ΣY = 0 is loud (no ratio); n < 2 is loud; zero
+    * variance answers se = 0 with a degenerate CI.
+    *
+    * Scale shape: ONE aggregate (map-side combine) → 1-row
+    * arithmetic.
+    */
+  def ratioMetricCI(
+      df: DataFrame,
+      numCol: String,
+      denCol: String,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(numCol).cast("long").as("_x"),
+      col(denCol).cast("long").as("_y"))
+    val agg = base.agg(count(lit(1)).as("_n"),
+      sum(dec(col("_x"))).as("_sx"), sum(dec(col("_y"))).as("_sy"),
+      sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+      sum(dec(col("_x")) * dec(col("_y"))).as("_sxy"),
+      sum(dec(col("_y")) * dec(col("_y"))).as("_syy"))
+    val n = when(col("_n") >= 2L, col("_n"))
+      .otherwise(raise_error(concat(lit("ratioMetricCI: "),
+        col("_n").cast("string"), lit(" units (< 2)"))).cast("long"))
+    val sy = when(col("_sy") =!= lit(0L).cast("decimal(38,0)"), col("_sy"))
+      .otherwise(raise_error(
+        lit("ratioMetricCI: denominator total is zero — no ratio"))
+        .cast("decimal(38,0)"))
+    val g = agg.select(n.as("n"), col("_sx"), sy.as("_sy2"),
+      (dec(col("_n")) * col("_sxx") - col("_sx") * col("_sx"))
+        .as("_Sxx"),
+      (dec(col("_n")) * col("_sxy") - col("_sx") * col("_sy"))
+        .as("_Sxy"),
+      (dec(col("_n")) * col("_syy") - col("_sy") * col("_sy"))
+        .as("_Syy"))
+    val nD = col("n").cast("double")
+    val r = d6(col("_sx").cast("double") / col("_sy2").cast("double"))
+    val yBar = col("_sy2").cast("double") / nD
+    val denomNN = nD * (nD - 1.0)
+    val varR = (col("_Sxx").cast("double") / denomNN -
+      lit(2.0) * r * (col("_Sxy").cast("double") / denomNN) +
+      r * r * (col("_Syy").cast("double") / denomNN)) /
+      (nD * yBar * yBar)
+    val se = d6(sqrt(greatest(varR, lit(0.0))))
+    g.select(col("n"), col("_sx").cast("long").as("sum_num"),
+        col("_sy2").cast("long").as("sum_den"), r.as("ratio"),
+        se.as("se"))
+      .withColumn("ci_low", d6(col("ratio") - lit(z) * col("se")))
+      .withColumn("ci_high", d6(col("ratio") + lit(z) * col("se")))
+  }
 }

@@ -7754,7 +7754,173 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS pinball_loss
       |FROM tm GROUP BY 1, 2, 3, 5""".stripMargin
 
+  // q464: Shewhart X̄/R control chart (Timeseries.xbarRChart) — the
+  // 6h series in day-sized subgroups of 4 against the A2/D3/D4
+  // limits. The oracle replays the subgroup split and the d6 limit
+  // chain with the same published constants.
+  def q464XbarR(s: SparkSession, dir: String): DataFrame = {
+    val buckets = ev(s, dir)
+      .groupBy(col("event_type"), expr("ts_us div 21600000000").as("b"))
+      .agg(count(lit(1)).as("x"))
+    graft.ops.Timeseries.xbarRChart(buckets, "event_type", "b", "x",
+      subgroupSize = 4)
+  }
+
+  val q464Sql: String =
+    """WITH e AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS t
+      |  FROM events),
+      |s AS (SELECT k, t, CAST(COUNT(*) AS BIGINT) AS x
+      |      FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT k, x,
+      |    row_number() OVER (PARTITION BY k ORDER BY t ASC) AS rn
+      |  FROM s),
+      |sg AS (
+      |  SELECT k,
+      |    CAST(floor(CAST(rn - 1 AS DOUBLE) / 4.0) AS BIGINT) AS subgroup,
+      |    CAST(COUNT(*) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(MAX(x) - MIN(x) AS BIGINT) AS r
+      |  FROM r GROUP BY 1, 2),
+      |xb AS (
+      |  SELECT k, subgroup, r,
+      |    CAST(CAST(CAST(sx AS DOUBLE) / 4.0 AS DECIMAL(28,6))
+      |      AS DOUBLE) AS xbar
+      |  FROM sg WHERE nn = 4),
+      |g AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_subgroups,
+      |    CAST(CAST(CAST(SUM(CAST(xbar AS DECIMAL(28,6))) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS grand_mean,
+      |    CAST(CAST(CAST(SUM(CAST(r AS HUGEINT)) AS DOUBLE) /
+      |      CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS r_bar
+      |  FROM xb GROUP BY 1),
+      |li AS (
+      |  SELECT xb.k, xb.subgroup, xb.xbar, xb.r, g.n_subgroups,
+      |    g.grand_mean, g.r_bar,
+      |    CAST(CAST(g.grand_mean + 0.729 * g.r_bar AS DECIMAL(28,6))
+      |      AS DOUBLE) AS ucl_xbar,
+      |    CAST(CAST(g.grand_mean - 0.729 * g.r_bar AS DECIMAL(28,6))
+      |      AS DOUBLE) AS lcl_xbar,
+      |    CAST(CAST(2.282 * g.r_bar AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS ucl_r,
+      |    CAST(CAST(0.0 * g.r_bar AS DECIMAL(28,6)) AS DOUBLE) AS lcl_r
+      |  FROM xb JOIN g ON g.k = xb.k)
+      |SELECT k AS event_type, subgroup, xbar, r, n_subgroups,
+      |  grand_mean, r_bar, ucl_xbar, lcl_xbar, ucl_r, lcl_r,
+      |  CAST(CASE WHEN xbar > ucl_xbar OR xbar < lcl_xbar
+      |    THEN 1 ELSE 0 END AS INT) AS xbar_out,
+      |  CAST(CASE WHEN CAST(r AS DOUBLE) > ucl_r OR
+      |    CAST(r AS DOUBLE) < lcl_r THEN 1 ELSE 0 END AS INT) AS r_out
+      |FROM li""".stripMargin
+
+  // q465: process capability Cp/Cpk (Stats.processCapability) of
+  // daily per-type volumes against a (30, 110) spec band. The oracle
+  // replays the cleared variance and the d6 index chain.
+  def q465Capability(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.pipeline.Stats.processCapability(daily, "event_type", "x",
+      lsl = 30L, usl = 110L)
+  }
+
+  val q465Sql: String =
+    """WITH d AS (
+      |  SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |ag AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS s,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+      |  FROM d GROUP BY 1),
+      |g AS (
+      |  SELECT k, n, s, CAST(n AS HUGEINT) * q - s * s AS m
+      |  FROM ag),
+      |st AS (
+      |  SELECT k, n,
+      |    CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean,
+      |    CASE WHEN m > 0 THEN
+      |      CAST(CAST(sqrt(CAST(CAST(CAST(m AS DOUBLE) /
+      |        CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+      |          AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS stddev
+      |  FROM g)
+      |SELECT k AS event_type, n, mean, stddev,
+      |  CASE WHEN stddev IS NOT NULL THEN
+      |    CAST(CAST(80.0 / (6.0 * stddev) AS DECIMAL(28,6)) AS DOUBLE)
+      |    END AS cp,
+      |  CASE WHEN stddev IS NOT NULL THEN
+      |    CAST(CAST(LEAST(110.0 - mean, mean - 30.0) / (3.0 * stddev)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS cpk,
+      |  CAST(CASE WHEN stddev IS NOT NULL AND
+      |    CAST(CAST(LEAST(110.0 - mean, mean - 30.0) / (3.0 * stddev)
+      |      AS DECIMAL(28,6)) AS DOUBLE) >= 1.33
+      |    THEN 1 ELSE 0 END AS INT) AS capable
+      |FROM st""".stripMargin
+
+  // q466: delta-method ratio-metric CI (Stats.ratioMetricCI) for
+  // cents-per-event clustered by user — per-unit sums then ONE
+  // sufficient-stats aggregate. The oracle replays the cleared
+  // covariance chain in the identical double order.
+  def q466RatioCI(s: SparkSession, dir: String): DataFrame = {
+    val units = ev(s, dir).groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"),
+        count(lit(1)).as("y"))
+    graft.pipeline.Stats.ratioMetricCI(units, "x", "y")
+  }
+
+  val q466Sql: String =
+    """WITH u AS (
+      |  SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS x,
+      |    CAST(COUNT(*) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |  FROM u),
+      |cl AS (
+      |  SELECT n, sx, sy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS Sxx,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS Sxy,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS Syy
+      |  FROM ag),
+      |st AS (
+      |  SELECT n, sx, sy,
+      |    CAST(CAST(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS ratio,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+      |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) AS dnn,
+      |    CAST(Sxx AS DOUBLE) AS dxx, CAST(Sxy AS DOUBLE) AS dxy,
+      |    CAST(Syy AS DOUBLE) AS dyy
+      |  FROM cl),
+      |se AS (
+      |  SELECT n, sx, sy, ratio,
+      |    CAST(CAST(sqrt(GREATEST(
+      |      (dxx / dnn - 2.0 * ratio * (dxy / dnn) +
+      |       ratio * ratio * (dyy / dnn)) /
+      |      (CAST(n AS DOUBLE) * ybar * ybar), 0.0))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS se
+      |  FROM st)
+      |SELECT n, CAST(sx AS BIGINT) AS sum_num,
+      |  CAST(sy AS BIGINT) AS sum_den, ratio, se,
+      |  CAST(CAST(ratio - 1.959964 * se AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS ci_low,
+      |  CAST(CAST(ratio + 1.959964 * se AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS ci_high
+      |FROM se""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q464_xbar_r" -> (q464XbarR _),
+    "q465_capability" -> (q465Capability _),
+    "q466_ratio_ci" -> (q466RatioCI _),
     "q455_turning_points" -> (q455TurningPoints _),
     "q456_bartels_rvn" -> (q456Bartels _),
     "q457_kpss" -> (q457Kpss _),
@@ -7911,6 +8077,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q464_xbar_r" -> q464Sql,
+    "q465_capability" -> q465Sql,
+    "q466_ratio_ci" -> q466Sql,
     "q455_turning_points" -> q455Sql,
     "q456_bartels_rvn" -> q456Sql,
     "q457_kpss" -> q457Sql,

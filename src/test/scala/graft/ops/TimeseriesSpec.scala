@@ -785,4 +785,28 @@ class TimeseriesSpec extends SparkSpec {
         Seq(500000L, 500000L))
     }
   }
+
+  test("xbarRChart: hand subgroups flag the excursion; the " +
+    "incomplete tail subgroup drops; off-table sizes are loud") {
+    import org.apache.spark.sql.functions.col
+    // n=2 subgroups of [1,3][2,2][10,10][4,0] (+ dangling 9th point):
+    // x̄ = 2,2,10,2 → X̄̄=4, R̄=1.5; A₂=1.88 → UCL 6.82 — only the
+    // (10,10) subgroup is out
+    val df = Seq(1L, 3L, 2L, 2L, 10L, 10L, 4L, 0L, 100L).zipWithIndex
+      .map { case (x, i) => ("k", i.toLong, x) }.toDF("k", "t", "x")
+    val out = Timeseries.xbarRChart(df, "k", "t", "x", subgroupSize = 2)
+      .collect().map(r => r.getAs[Long]("subgroup") -> r).toMap
+    assert(out.size == 4) // the 9th point's subgroup dropped
+    assert(out(0L).getAs[Double]("grand_mean") == 4.0)
+    assert(out(0L).getAs[Double]("r_bar") == 1.5)
+    assert(out(0L).getAs[Double]("ucl_xbar") == 6.82)
+    assert(out(0L).getAs[Double]("lcl_xbar") == 1.18)
+    assert(out(0L).getAs[Double]("ucl_r") == 4.9005)
+    assert(out(2L).getAs[Int]("xbar_out") == 1)
+    assert(Seq(0L, 1L, 3L).forall(out(_).getAs[Int]("xbar_out") == 0))
+    assert(out(3L).getAs[Int]("r_out") == 0)
+    intercept[IllegalArgumentException] {
+      Timeseries.xbarRChart(df, "k", "t", "x", subgroupSize = 11)
+    }
+  }
 }

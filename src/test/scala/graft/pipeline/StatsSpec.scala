@@ -2083,4 +2083,50 @@ class StatsSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("negative"), loud.getMessage)
   }
+
+  test("processCapability: hand Cp/Cpk on a centered spec band; a " +
+    "constant key answers NULLs; degenerate inputs are loud") {
+    // {8,10,12} in (4,16): mean 10, s = 2 → Cp = 12/12 = 1,
+    // Cpk = min(6,6)/6 = 1
+    val df = Seq(("a", 8L), ("a", 10L), ("a", 12L),
+      ("c", 5L), ("c", 5L)).toDF("k", "x")
+    val out = Stats.processCapability(df, "k", "x", lsl = 4L, usl = 16L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("mean") == 10.0)
+    assert(out("a").getAs[Double]("stddev") == 2.0)
+    assert(out("a").getAs[Double]("cp") == 1.0)
+    assert(out("a").getAs[Double]("cpk") == 1.0)
+    assert(out("a").getAs[Int]("capable") == 0)
+    assert(out("c").isNullAt(out("c").fieldIndex("cp")))
+    intercept[IllegalArgumentException] {
+      Stats.processCapability(df, "k", "x", lsl = 10L, usl = 10L)
+    }
+    val loud = intercept[Exception] {
+      Stats.processCapability(Seq(("z", 1L)).toDF("k", "x"),
+        "k", "x", 0L, 10L).collect()
+    }
+    assert(loud.getMessage.contains("< 2"), loud.getMessage)
+  }
+
+  test("ratioMetricCI: a perfectly proportional panel has zero " +
+    "variance; zero denominator and single unit are loud") {
+    // units (2,1),(4,2),(6,3): R = 2 and the delta-method variance
+    // cancels exactly → degenerate CI [2, 2]
+    val df = Seq((2L, 1L), (4L, 2L), (6L, 3L)).toDF("x", "y")
+    val r = Stats.ratioMetricCI(df, "x", "y").collect().head
+    assert(r.getAs[Double]("ratio") == 2.0)
+    assert(r.getAs[Double]("se") == 0.0)
+    assert(r.getAs[Double]("ci_low") == 2.0)
+    assert(r.getAs[Double]("ci_high") == 2.0)
+    val zero = intercept[Exception] {
+      Stats.ratioMetricCI(Seq((1L, 0L), (2L, 0L)).toDF("x", "y"),
+        "x", "y").collect()
+    }
+    assert(zero.getMessage.contains("denominator"), zero.getMessage)
+    val one = intercept[Exception] {
+      Stats.ratioMetricCI(Seq((1L, 1L)).toDF("x", "y"), "x", "y")
+        .collect()
+    }
+    assert(one.getMessage.contains("< 2"), one.getMessage)
+  }
 }
