@@ -6305,4 +6305,200 @@ object Stats {
       .withColumn("ci_low", d6(col("ratio") - lit(z) * col("se")))
       .withColumn("ci_high", d6(col("ratio") + lit(z) * col("se")))
   }
+
+  /** Aalen–Johansen cumulative incidence under competing risks
+    * (Aalen & Johansen 1978): when a unit can exit for MORE than one
+    * reason (churn-to-competitor vs churn-to-inactivity; failure vs
+    * replacement), 1 − KM per cause OVERSTATES every cause's risk —
+    * the honest per-cause probability is CIF_k(t) = Σ_{s≤t}
+    * Ŝ(s⁻)·d_k(s)/n(s) with Ŝ the ALL-cause Kaplan–Meier. `causeCol`:
+    * 0 = censored, ≥ 1 = competing causes (negatives loud).
+    *
+    * Determinism: risk sets and per-cause event counts are exact
+    * longs; Ŝ rides [[kaplanMeier]]'s d6 log-domain product verbatim
+    * (zero-pin included); S(s⁻) is one lag (default 1); each CIF
+    * increment closes in d6 before its decimal cumulative sum. Output
+    * one row per (duration, cause) with ≥ 1 event of that cause:
+    * (duration, cause, n_risk, n_events, surv_prev, cif) — the CIFs
+    * across causes + Ŝ(t) partition 1 at every t.
+    *
+    * Scale shape: the duration axis is bounded by contract (the KM
+    * argument); one extra (duration, cause) aggregate + a per-cause
+    * cumulative window.
+    */
+  def aalenJohansen(
+      df: DataFrame,
+      durationCol: String,
+      causeCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val cause = when(col(causeCol).cast("long") >= 0L,
+      col(causeCol).cast("long"))
+      .otherwise(raise_error(concat(lit("aalenJohansen: cause "),
+        col(causeCol).cast("string"), lit(" is negative"))).cast("long"))
+    val base = df.select(col(durationCol).cast("long").as("_t"),
+      cause.as("_c"))
+    val km = kaplanMeier(
+      base.select(col("_t").as("duration"),
+        (col("_c") > 0L).cast("long").as("event")),
+      "duration", "event")
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("duration").asc)
+    val withPrev = km.withColumn("surv_prev",
+      coalesce(lag(col("survival"), 1).over(wOrd), lit(1.0)))
+    val causes = base.filter(col("_c") > 0L)
+      .groupBy(col("_t").as("duration"), col("_c").as("cause"))
+      .agg(count(lit(1)).as("n_events"))
+    val wC = W.partitionBy(col("cause")).orderBy(col("duration").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    causes
+      .join(withPrev.select(col("duration"), col("n_risk"),
+        col("surv_prev")), Seq("duration"))
+      .withColumn("_inc", d28(d6(col("surv_prev") *
+        col("n_events").cast("double") / col("n_risk").cast("double"))))
+      .withColumn("cif", d6(sum(col("_inc")).over(wC).cast("double")))
+      .select(col("duration"), col("cause"), col("n_risk"),
+        col("n_events"), col("surv_prev"), col("cif"))
+  }
+
+  /** Actuarial life table (Berkson & Gage 1950): group durations into
+    * fixed `width` intervals and estimate per-interval conditional
+    * exit probability, hazard rate and start-of-interval survival,
+    * with the standard half-interval censoring adjustment
+    * n′ = n − c/2 (a unit censored inside the interval was at risk
+    * for half of it, on average). The cohort-report sibling of the
+    * event-time [[kaplanMeier]]: coarser, but readable as "month 3
+    * loses 12% of who enters it".
+    *
+    * Exactness: DOUBLED effective counts keep everything integer —
+    * n′2 = 2n − c, q = 2d/n′2 (ONE d6), hazard = 2d/(w·(n′2 − d))
+    * (ONE d6), p = (n′2 − 2d)/n′2 an exact rational whose log runs
+    * through the d6 log-domain product discipline (zero-pin when an
+    * interval exhausts its cohort). Intervals with no entrants don't
+    * appear (n is a reverse-cumulative count, so coverage is
+    * contiguous from 0 to the max duration). Output per interval:
+    * (interval, t_start, n_enter, n_events, n_censored, q_interval,
+    * hazard_rate, surv_start).
+    */
+  def lifeTable(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      width: Long): DataFrame = {
+    require(width > 0L, s"width must be positive, got $width")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      (col(durationCol).cast("long") / lit(width)).cast("long")
+        .as("_i"),
+      col(eventCol).cast("long").as("_e"))
+    val byI = base.groupBy(col("_i"))
+      .agg(count(lit(1)).as("_n"), sum(col("_e")).as("n_events"))
+      .withColumn("n_censored", col("_n") - col("n_events"))
+    val wOrd = W.partitionBy(lit(1)).orderBy(col("_i").asc)
+    val nEnter = sum(col("_n")).over(
+      wOrd.rowsBetween(W.currentRow, W.unboundedFollowing))
+    val st = byI.withColumn("n_enter", nEnter)
+      .withColumn("_n2", lit(2L) * col("n_enter") - col("n_censored"))
+    val term = when(col("n_events") === 0L, lit(0.0).cast("decimal(28,6)"))
+      .when(lit(2L) * col("n_events") >= col("_n2"),
+        lit(null).cast("decimal(28,6)"))
+      .otherwise(log((col("_n2") - lit(2L) * col("n_events"))
+        .cast("double") / col("_n2").cast("double")).cast("decimal(28,6)"))
+    val before = wOrd.rowsBetween(W.unboundedPreceding, -1)
+    st
+      .withColumn("_lt", term)
+      .withColumn("_z",
+        when(lit(2L) * col("n_events") >= col("_n2"), 1L).otherwise(0L))
+      .withColumn("surv_start",
+        when(coalesce(sum(col("_z")).over(before), lit(0L)) > 0L,
+          lit(0.0))
+          .otherwise(d6(exp(
+            coalesce(sum(col("_lt")).over(before),
+              lit(0).cast("decimal(28,6)")).cast("double")))))
+      .select(col("_i").as("interval"),
+        (col("_i") * lit(width)).as("t_start"),
+        col("n_enter"), col("n_events"), col("n_censored"),
+        d6(lit(2L) * col("n_events").cast("double") /
+          col("_n2").cast("double")).as("q_interval"),
+        when(col("_n2") > col("n_events"),
+          d6(lit(2L) * col("n_events").cast("double") /
+            (lit(width.toDouble) *
+              (col("_n2") - col("n_events")).cast("double"))))
+          .as("hazard_rate"),
+        col("surv_start"))
+  }
+
+  /** Hoeffding's D dependence statistic (Hoeffding 1948) — the
+    * classic test that sees NON-MONOTONE association Pearson,
+    * Spearman and Kendall are all blind to (a V-shape, a circle):
+    * D ∈ [−0.5, 1] measures the L² distance between the joint rank
+    * distribution and independence. Midrank tie handling (the ½
+    * credits — Hollander & Wolfe's convention, matching R's
+    * `hoeffd`).
+    *
+    * EXACT INTEGER FORM: per row, the pair pass accumulates
+    * q4ᵢ = Σ_{j≠i}(2φₓ)(2φᵧ) (φ = 1 below / ½ tie / 0 above) and the
+    * doubled midranks r2ᵢ = Σ2φₓ + 2, s2ᵢ = Σ2φᵧ + 2 — all exact
+    * longs — so D1 = Σq4(q4−4)/16, D2 = Σ(r2−2)(r2−4)(s2−2)(s2−4)/16
+    * and D3 = Σ(r2−4)(s2−4)q4/16 share one /16 that folds into the
+    * closing rational: D = 30·((n−2)(n−3)S1 + S2 − 2(n−2)S3) /
+    * (16·n(n−1)(n−2)(n−3)(n−4)) — ONE d6, no p-value pretended (the
+    * null distribution is tabulated, not normal).
+    *
+    * The pair pass is O(n²) BY DEFINITION — guarded LOUDLY by
+    * `maxRows` (the dtw/bradleyTerry discipline): this runs on
+    * report-sized unit frames, not the corpus. n < 5 is loud (the
+    * denominator needs n−4 > 0).
+    */
+  def hoeffdingsD(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      maxRows: Long = 10000L): DataFrame = {
+    require(maxRows >= 5L, s"maxRows must be >= 5, got $maxRows")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+      .withColumn("_id", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("_x").asc, col("_y").asc))
+        .cast("long"))
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+      .withColumn("_x",
+        when(col("_n") >= 5L && col("_n") <= maxRows, col("_x"))
+          .otherwise(raise_error(concat(lit("hoeffdingsD: n = "),
+            col("_n").cast("string"),
+            lit(s" outside [5, maxRows=$maxRows] — the pair pass is " +
+              "n²; aggregate to a bounded unit frame first")))
+            .cast("long")))
+    val a = base.select(col("_id"), col("_x"), col("_y"), col("_n"))
+    val b = base.select(col("_id").as("_jd"), col("_x").as("_xj"),
+      col("_y").as("_yj"))
+    val codex = when(col("_xj") < col("_x"), 2L)
+      .when(col("_xj") === col("_x"), 1L).otherwise(0L)
+    val codey = when(col("_yj") < col("_y"), 2L)
+      .when(col("_yj") === col("_y"), 1L).otherwise(0L)
+    val perI = a.join(b, col("_id") =!= col("_jd"))
+      .groupBy(col("_id"))
+      .agg(max(col("_n")).as("_n"),
+        sum(codex * codey).as("_q4"),
+        (sum(codex) + 2L).as("_r2"),
+        (sum(codey) + 2L).as("_s2"))
+    val agg = perI.agg(max(col("_n")).as("n"),
+      sum(dec(col("_q4")) * dec(col("_q4") - 4L)).as("_s1"),
+      sum(dec(col("_r2") - 2L) * dec(col("_r2") - 4L) *
+        dec(col("_s2") - 2L) * dec(col("_s2") - 4L)).as("_s2s"),
+      sum(dec(col("_r2") - 4L) * dec(col("_s2") - 4L) *
+        dec(col("_q4"))).as("_s3"))
+    val nD = dec(col("n"))
+    val num = (nD - 2L) * (nD - 3L) * col("_s1") + col("_s2s") -
+      lit(2L).cast("decimal(38,0)") * (nD - 2L) * col("_s3")
+    val den = lit(16L).cast("decimal(38,0)") * nD * (nD - 1L) *
+      (nD - 2L) * (nD - 3L) * (nD - 4L)
+    agg.select(col("n"),
+      d6(lit(30.0) * num.cast("double") / den.cast("double"))
+        .as("hoeffding_d"))
+  }
 }

@@ -7917,7 +7917,203 @@ object Analytics {
       |    AS ci_high
       |FROM se""".stripMargin
 
+  // q467: Aalen–Johansen cumulative incidence (Stats.aalenJohansen)
+  // — 1-day-inactivity churn split into two competing causes by user
+  // parity, later
+  // actives censored; CIFs ride the all-cause KM product. The oracle
+  // replays q302's KM chain plus the per-cause increment sums.
+  def q467AalenJohansen(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val spans = evt.groupBy(col("user_id"))
+      .agg(min(us).as("_f"), max(us).as("_l"))
+    val mx = evt.agg(max(us).as("_mx"))
+    val day = 86400000000L
+    val users = spans.crossJoin(broadcast(mx))
+      .select(expr(s"(_l - _f) div ${day}L").as("duration_days"),
+        when(col("_mx") - col("_l") > lit(day),
+          lit(1L) + col("user_id") % 2L).otherwise(lit(0L)).as("cause"))
+    graft.pipeline.Stats.aalenJohansen(users, "duration_days", "cause")
+  }
+
+  val q467Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |uu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e
+      |       GROUP BY 1),
+      |mx AS (SELECT MAX(us) AS mx FROM e),
+      |d AS (
+      |  SELECT (l - f) // 86400000000 AS duration,
+      |    CASE WHEN mx - l > 86400000000 THEN 1 + user_id % 2
+      |         ELSE 0 END AS c
+      |  FROM uu CROSS JOIN mx),
+      |byt AS (SELECT duration, CAST(COUNT(*) AS BIGINT) AS n,
+      |          CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_events
+      |        FROM d GROUP BY 1),
+      |r AS (SELECT *, CAST(SUM(n) OVER (ORDER BY duration
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |        AS BIGINT) AS n_risk FROM byt),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN n_events = 0 THEN CAST(0.0 AS DECIMAL(28,6))
+      |         WHEN n_events = n_risk THEN NULL
+      |         ELSE CAST(ln(1.0 - CAST(n_events AS DOUBLE) /
+      |           CAST(n_risk AS DOUBLE)) AS DECIMAL(28,6)) END AS lt,
+      |    CASE WHEN n_events = n_risk THEN 1 ELSE 0 END AS z
+      |  FROM r),
+      |km AS (
+      |  SELECT duration, n_risk,
+      |    CASE WHEN SUM(z) OVER w > 0 THEN 0.0
+      |      ELSE CAST(CAST(exp(CAST(COALESCE(SUM(lt) OVER w,
+      |        CAST(0 AS DECIMAL(28,6))) AS DOUBLE)) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS survival
+      |  FROM t WINDOW w AS (ORDER BY duration
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |wp AS (
+      |  SELECT duration, n_risk,
+      |    COALESCE(lag(survival) OVER (ORDER BY duration), 1.0)
+      |      AS surv_prev
+      |  FROM km),
+      |ca AS (SELECT duration, c AS cause, CAST(COUNT(*) AS BIGINT)
+      |        AS n_events
+      |       FROM d WHERE c > 0 GROUP BY 1, 2),
+      |j AS (
+      |  SELECT ca.duration, ca.cause, wp.n_risk, ca.n_events,
+      |    wp.surv_prev,
+      |    CAST(CAST(wp.surv_prev * CAST(ca.n_events AS DOUBLE) /
+      |      CAST(wp.n_risk AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DECIMAL(28,6)) AS inc
+      |  FROM ca JOIN wp ON wp.duration = ca.duration)
+      |SELECT duration, cause, n_risk, n_events, surv_prev,
+      |  CAST(CAST(CAST(SUM(inc) OVER (PARTITION BY cause
+      |    ORDER BY duration
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS cif
+      |FROM j""".stripMargin
+
+  // q468: actuarial life table (Stats.lifeTable) — 3-day intervals of
+  // the churn cohort with the half-interval censoring adjustment on
+  // doubled counts. The oracle replays the doubled-integer chain and
+  // the log-domain start-survival product.
+  def q468LifeTable(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val spans = evt.groupBy(col("user_id"))
+      .agg(min(us).as("_f"), max(us).as("_l"))
+    val mx = evt.agg(max(us).as("_mx"))
+    val day = 86400000000L
+    val users = spans.crossJoin(broadcast(mx))
+      .select(expr(s"(_l - _f) div ${day}L").as("duration_days"),
+        (col("_mx") - col("_l") > lit(day)).cast("int")
+          .as("churned"))
+    graft.pipeline.Stats.lifeTable(users, "duration_days", "churned",
+      width = 3L)
+  }
+
+  val q468Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |uu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e
+      |       GROUP BY 1),
+      |mx AS (SELECT MAX(us) AS mx FROM e),
+      |d AS (
+      |  SELECT ((l - f) // 86400000000) // 3 AS i,
+      |    CASE WHEN mx - l > 86400000000 THEN 1 ELSE 0 END AS ev
+      |  FROM uu CROSS JOIN mx),
+      |byi AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+      |          CAST(SUM(ev) AS BIGINT) AS n_events
+      |        FROM d GROUP BY 1),
+      |st AS (
+      |  SELECT *, CAST(n - n_events AS BIGINT) AS n_censored,
+      |    CAST(SUM(n) OVER (ORDER BY i
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS BIGINT) AS n_enter
+      |  FROM byi),
+      |n2 AS (
+      |  SELECT *, 2 * n_enter - n_censored AS nn2 FROM st),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN n_events = 0 THEN CAST(0.0 AS DECIMAL(28,6))
+      |         WHEN 2 * n_events >= nn2 THEN NULL
+      |         ELSE CAST(ln(CAST(nn2 - 2 * n_events AS DOUBLE) /
+      |           CAST(nn2 AS DOUBLE)) AS DECIMAL(28,6)) END AS lt,
+      |    CASE WHEN 2 * n_events >= nn2 THEN 1 ELSE 0 END AS z
+      |  FROM n2)
+      |SELECT i AS interval, CAST(i * 3 AS BIGINT) AS t_start,
+      |  n_enter, n_events, n_censored,
+      |  CAST(CAST(2 * CAST(n_events AS DOUBLE) / CAST(nn2 AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS q_interval,
+      |  CASE WHEN nn2 > n_events THEN
+      |    CAST(CAST(2 * CAST(n_events AS DOUBLE) /
+      |      (3.0 * CAST(nn2 - n_events AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS hazard_rate,
+      |  CASE WHEN COALESCE(SUM(z) OVER wb, 0) > 0 THEN 0.0
+      |    ELSE CAST(CAST(exp(CAST(COALESCE(SUM(lt) OVER wb,
+      |      CAST(0 AS DECIMAL(28,6))) AS DOUBLE)) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS surv_start
+      |FROM t WINDOW wb AS (ORDER BY i
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+
+  // q469: Hoeffding's D dependence (Stats.hoeffdingsD) between
+  // per-user event exposure and cent totals — the non-monotone
+  // association gate beside Pearson/Spearman/Kendall. The oracle
+  // replays the pair pass with the same ½-credit codes and the one
+  // closing rational.
+  def q469HoeffdingsD(s: SparkSession, dir: String): DataFrame = {
+    val units = ev(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("value") * 100).cast("long")).as("y"))
+    graft.pipeline.Stats.hoeffdingsD(units, "x", "y")
+  }
+
+  val q469Sql: String =
+    """WITH u AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |ids AS (
+      |  SELECT x, y, row_number() OVER (ORDER BY x ASC, y ASC) AS id,
+      |    COUNT(*) OVER () AS n
+      |  FROM u),
+      |pj AS (
+      |  SELECT a.id, CAST(MAX(a.n) AS BIGINT) AS n,
+      |    CAST(SUM((CASE WHEN b.x < a.x THEN 2
+      |              WHEN b.x = a.x THEN 1 ELSE 0 END) *
+      |             (CASE WHEN b.y < a.y THEN 2
+      |              WHEN b.y = a.y THEN 1 ELSE 0 END)) AS BIGINT) AS q4,
+      |    CAST(SUM(CASE WHEN b.x < a.x THEN 2
+      |             WHEN b.x = a.x THEN 1 ELSE 0 END) + 2 AS BIGINT)
+      |      AS r2,
+      |    CAST(SUM(CASE WHEN b.y < a.y THEN 2
+      |             WHEN b.y = a.y THEN 1 ELSE 0 END) + 2 AS BIGINT)
+      |      AS s2
+      |  FROM ids a JOIN ids b ON a.id <> b.id
+      |  GROUP BY a.id),
+      |ag AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |    SUM(CAST(q4 AS HUGEINT) * CAST(q4 - 4 AS HUGEINT)) AS s1,
+      |    SUM(CAST(r2 - 2 AS HUGEINT) * CAST(r2 - 4 AS HUGEINT) *
+      |        CAST(s2 - 2 AS HUGEINT) * CAST(s2 - 4 AS HUGEINT)) AS s2s,
+      |    SUM(CAST(r2 - 4 AS HUGEINT) * CAST(s2 - 4 AS HUGEINT) *
+      |        CAST(q4 AS HUGEINT)) AS s3
+      |  FROM pj)
+      |SELECT n,
+      |  CAST(CAST(30.0 * CAST(
+      |    (CAST(n AS HUGEINT) - 2) * (CAST(n AS HUGEINT) - 3) * s1 +
+      |    s2s - 2 * (CAST(n AS HUGEINT) - 2) * s3 AS DOUBLE) /
+      |    CAST(16 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) *
+      |    (CAST(n AS HUGEINT) - 2) * (CAST(n AS HUGEINT) - 3) *
+      |    (CAST(n AS HUGEINT) - 4) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS hoeffding_d
+      |FROM ag""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q467_aalen_johansen" -> (q467AalenJohansen _),
+    "q468_life_table" -> (q468LifeTable _),
+    "q469_hoeffdings_d" -> (q469HoeffdingsD _),
     "q464_xbar_r" -> (q464XbarR _),
     "q465_capability" -> (q465Capability _),
     "q466_ratio_ci" -> (q466RatioCI _),
@@ -8077,6 +8273,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q467_aalen_johansen" -> q467Sql,
+    "q468_life_table" -> q468Sql,
+    "q469_hoeffdings_d" -> q469Sql,
     "q464_xbar_r" -> q464Sql,
     "q465_capability" -> q465Sql,
     "q466_ratio_ci" -> q466Sql,

@@ -2129,4 +2129,67 @@ class StatsSpec extends SparkSpec {
     }
     assert(one.getMessage.contains("< 2"), one.getMessage)
   }
+
+  test("aalenJohansen: hand CIFs ride the all-cause KM; causes " +
+    "partition the risk; negative cause is loud") {
+    // t=1: causes {1,2} of 5 at risk → inc .2 each, S(1)=.6;
+    // t=2: cause 1 of 3 at risk → inc .6/3 = .2, CIF₁ = .4
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 0L), (3L, 0L))
+      .toDF("t", "c")
+    val out = Stats.aalenJohansen(df, "t", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out.size == 3)
+    assert(out((1L, 1L)).getAs[Double]("cif") == 0.2)
+    assert(out((1L, 2L)).getAs[Double]("cif") == 0.2)
+    assert(out((2L, 1L)).getAs[Double]("surv_prev") == 0.6)
+    assert(out((2L, 1L)).getAs[Double]("cif") == 0.4)
+    assert(out((2L, 1L)).getAs[Long]("n_risk") == 3L)
+    val loud = intercept[Exception] {
+      Stats.aalenJohansen(Seq((1L, -1L)).toDF("t", "c"), "t", "c")
+        .collect()
+    }
+    assert(loud.getMessage.contains("negative"), loud.getMessage)
+  }
+
+  test("lifeTable: doubled half-interval adjustment by hand; " +
+    "start-survival chains the interval products") {
+    // width 2, durations [0,1,2,3,5], events [1,1,0,1,0]:
+    // i0: n'2=10, q=.4, h=.25, S=1; i1: n'2=5, q=.4, h=.25, S=.6;
+    // i2: n'2=1, q=0, h=0, S = p₀·p₁ = .6·(3/5) = .36
+    val df = Seq((0L, 1L), (1L, 1L), (2L, 0L), (3L, 1L), (5L, 0L))
+      .toDF("t", "e")
+    val out = Stats.lifeTable(df, "t", "e", width = 2L).collect()
+      .map(r => r.getAs[Long]("interval") -> r).toMap
+    assert(out.size == 3)
+    assert(out(0L).getAs[Long]("n_enter") == 5L)
+    assert(out(0L).getAs[Double]("q_interval") == 0.4)
+    assert(out(0L).getAs[Double]("hazard_rate") == 0.25)
+    assert(out(0L).getAs[Double]("surv_start") == 1.0)
+    assert(out(1L).getAs[Double]("q_interval") == 0.4)
+    assert(out(1L).getAs[Double]("surv_start") == 0.6)
+    assert(out(2L).getAs[Double]("q_interval") == 0.0)
+    assert(out(2L).getAs[Double]("hazard_rate") == 0.0)
+    assert(out(2L).getAs[Double]("surv_start") == 0.36)
+    intercept[IllegalArgumentException] {
+      Stats.lifeTable(df, "t", "e", width = 0L)
+    }
+  }
+
+  test("hoeffdingsD: perfect monotone dependence reads exactly 1; " +
+    "out-of-range n is loud") {
+    // x=y=[1..5]: D1=20, D2=184, D3=50 → D = 30·4/120 = 1
+    val df = (1L to 5L).map(i => (i, i)).toDF("x", "y")
+    val r = Stats.hoeffdingsD(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("hoeffding_d") == 1.0)
+    val small = intercept[Exception] {
+      Stats.hoeffdingsD(df.limit(4), "x", "y").collect()
+    }
+    assert(small.getMessage.contains("outside"), small.getMessage)
+    val big = intercept[Exception] {
+      Stats.hoeffdingsD((1L to 6L).map(i => (i, i)).toDF("x", "y"),
+        "x", "y", maxRows = 5L).collect()
+    }
+    assert(big.getMessage.contains("outside"), big.getMessage)
+  }
 }
