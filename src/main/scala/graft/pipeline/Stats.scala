@@ -6501,4 +6501,352 @@ object Stats {
       d6(lit(30.0) * num.cast("double") / den.cast("double"))
         .as("hoeffding_d"))
   }
+
+  /** Welch's heteroskedastic one-way ANOVA (Welch 1951) — the k-group
+    * mean comparison that [[anovaOneWay]] gets wrong when group
+    * variances differ (the Behrens–Fisher regime): weights wᵢ = nᵢ/s²ᵢ
+    * replace the pooled variance, and the W* statistic with its
+    * Welch–Satterthwaite df₂ is what [[welchTTest]] is to the pooled t.
+    * Emits W*, df₁ = k−1 and the fractional df₂ — no portable F CDF
+    * pretended (the chowTest convention).
+    *
+    * Determinism: per-group sufficient sums exact decimal; s²ᵢ one d6
+    * each (cleared form); every subsequent reduction (Σw, weighted
+    * mean, numerator, the λ term) closes in fixed d6 stages. Guards:
+    * every group needs n ≥ 2 (loud) and s² > 0 (loud — a constant
+    * group gives an infinite weight); k < 2 is loud.
+    *
+    * Scale shape: one keyed aggregate → one k-row rollup.
+    */
+  def welchAnova(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(groupCol).as("_g"),
+      col(xCol).cast("long").as("_x"))
+    val g = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(dec(col("_x"))).as("_s"),
+        sum(dec(col("_x")) * dec(col("_x"))).as("_q"))
+    val n = when(col("_n") >= 2L, col("_n"))
+      .otherwise(raise_error(concat(lit("welchAnova: group "),
+        col("_g").cast("string"), lit(" has "),
+        col("_n").cast("string"), lit(" rows (< 2)"))).cast("long"))
+    val mC = dec(col("_n")) * col("_q") - col("_s") * col("_s")
+    val m = when(mC > 0L, mC)
+      .otherwise(raise_error(concat(lit("welchAnova: group "),
+        col("_g").cast("string"),
+        lit(" has zero variance — infinite weight")))
+        .cast("decimal(38,0)"))
+    val perG = g.select(col("_g"), n.as("_n2"), col("_s"),
+        m.as("_m"))
+      .select(col("_g"), col("_n2"),
+        d6(col("_s").cast("double") / col("_n2").cast("double"))
+          .as("_mean"),
+        d6(col("_m").cast("double") /
+          (dec(col("_n2")) * dec(col("_n2") - 1L)).cast("double"))
+          .as("_var"))
+      .select(col("_g"), col("_n2"), col("_mean"), col("_var"),
+        d6(col("_n2").cast("double") / col("_var")).as("_w"))
+    val roll = perG.agg(count(lit(1)).as("k"),
+      sum(d28(col("_w"))).as("_wsum"),
+      sum(d28(d6(col("_w") * col("_mean")))).as("_wm"))
+    val kOk = when(col("k") >= 2L, col("k"))
+      .otherwise(raise_error(lit("welchAnova: needs >= 2 groups"))
+        .cast("long"))
+    val withTot = perG.crossJoin(broadcast(
+      roll.select(kOk.as("k"), col("_wsum"), col("_wm"))))
+      .withColumn("_mw",
+        d6(col("_wm").cast("double") / col("_wsum").cast("double")))
+    val aggF = withTot.agg(max(col("k")).as("k"),
+      max(col("_wsum")).as("_wsum"),
+      max(col("_mw")).as("_mw"),
+      sum(d28(d6(col("_w") *
+        (col("_mean") - col("_mw")) * (col("_mean") - col("_mw")))))
+        .as("_num"),
+      sum(d28(d6(
+        (lit(1.0) - col("_w") / col("_wsum").cast("double")) *
+        (lit(1.0) - col("_w") / col("_wsum").cast("double")) /
+        (col("_n2") - 1L).cast("double")))).as("_lam"))
+    val kD = col("k").cast("double")
+    val lam = d6(lit(3.0) * col("_lam").cast("double") /
+      (kD * kD - 1.0))
+    // Λ = Σ(1−wᵢ/W)²/(nᵢ−1); lam = 3Λ/(k²−1), so the denominator
+    // 1 + 2(k−2)Λ/(k²−1) = 1 + 2(k−2)·lam/3 and df₂ = 1/lam
+    aggF.select(col("k"),
+      d6((col("_num").cast("double") / (kD - 1.0)) /
+        (lit(1.0) + lit(2.0) * (kD - 2.0) * lam / lit(3.0)))
+        .as("w_stat"),
+      (col("k") - 1L).as("df1"),
+      d6(lit(1.0) / lam).as("df2"))
+  }
+
+  /** Mood's median test (Mood 1950): does each group straddle the
+    * POOLED median the way independence predicts? The bluntest —
+    * and most outlier-proof — k-group location gate: only the
+    * above/below-median counts matter, so a single wild value can't
+    * move it at all. The χ² with k−1 df is judged against the shared
+    * 95% critical-value table (the ljungBox convention).
+    *
+    * Determinism: the pooled median is the EXACT lower-median order
+    * statistic (rank ⌈n/2⌉ over the (value, group, rowid) total
+    * order — the corpus pick convention, no interpolation); counts
+    * are exact longs; expected cells and χ² terms close in d6. A
+    * degenerate split (every value on one side, e.g. a heavily
+    * repeated median) answers NULL χ².
+    *
+    * Scale shape: one rank window for the median pick + one keyed
+    * aggregate + a k-row rollup.
+    */
+  def moodMedianTest(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("_g"),
+      col(xCol).cast("long").as("_x"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("_x").asc, col("_g").asc))
+        .cast("long"))
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+    val med = base.filter(col("_rk") === expr("(_n + 1) div 2"))
+      .select(col("_x").as("_med"))
+    val counted = base.crossJoin(broadcast(med))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("_x") > col("_med")).cast("long")).as("n_above"),
+        max(col("_med")).as("_med"))
+    val tot = counted.agg(sum(col("n")).as("_tn"),
+      sum(col("n_above")).as("_ta"), count(lit(1)).as("_k"))
+    val j = counted.crossJoin(broadcast(tot))
+    val pAbove = col("_ta").cast("double") / col("_tn").cast("double")
+    val eA = col("n").cast("double") * pAbove
+    val eB = col("n").cast("double") * (lit(1.0) - pAbove)
+    val term = d6(
+      (col("n_above").cast("double") - eA) *
+        (col("n_above").cast("double") - eA) / eA +
+      ((col("n") - col("n_above")).cast("double") - eB) *
+        ((col("n") - col("n_above")).cast("double") - eB) / eB)
+    val perG = j.select(col("_g").as(groupCol), col("n"),
+      col("n_above"), col("_med").cast("long").as("pooled_median"),
+      when(col("_ta") > 0L && col("_ta") < col("_tn"), d28(term))
+        .as("_t"),
+      (col("_k") - 1L).as("_df"))
+    val agg = perG.agg(max(col("_df")).as("df"),
+      sum(col("_t")).as("_chi"), max(col("pooled_median")).as("pm"))
+    perG.select(col(groupCol), col("n"), col("n_above"),
+        col("pooled_median"))
+      .crossJoin(broadcast(agg.select(col("df"),
+        d6(col("_chi").cast("double")).as("chi2"))))
+      .withColumn("significant",
+        when(col("chi2").isNotNull,
+          (col("chi2") >= chiSq95Col(col("df"))).cast("int"))
+          .otherwise(lit(0)))
+  }
+
+  /** Ansari–Bradley scale test (Ansari & Bradley 1960): are two
+    * groups equally DISPERSED around a common median? Scores rank
+    * inward from both ends (extremes score low), so a group hogging
+    * the tails collects a small score sum — the rank cousin of
+    * [[brownForsythe]] with zero variance assumptions. Midrank ties
+    * via the general two-sample linear-rank form: with doubled
+    * scores s2 = min(r2, 2(n+1) − r2), E = n₁·S/n and
+    * Var = n₁n₂(n·Σs² − S²)/(n²(n−1)) stay EXACT integers/rationals,
+    * z closes in ONE d6, p is the shared erfc polynomial.
+    *
+    * Groups must be 0/1 (loud); zero score variance (all scores
+    * equal — degenerate spread) answers NULL z.
+    *
+    * Scale shape: value-cell midrank window + one keyed rollup — the
+    * mannWhitneyU shape.
+    */
+  def ansariBradley(
+      df: DataFrame,
+      armCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("ansariBradley: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val rows = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
+      .withColumn("_r2",
+        lit(2L) * rank().over(
+          W.partitionBy(lit(1)).orderBy(col("_x").asc)).cast("long") +
+          count(lit(1)).over(W.partitionBy(col("_x"))) - 1L)
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+      .withColumn("_s2",
+        least(col("_r2"), lit(2L) * (col("_n") + 1L) - col("_r2")))
+    val agg = rows.agg(max(col("_n")).as("n"),
+      sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("_a") === 1L, col("_s2")).otherwise(0L)).as("_ab2"),
+      sum(dec(col("_s2"))).as("_ss"),
+      sum(dec(col("_s2")) * dec(col("_s2"))).as("_ssq"))
+    val nD = col("n").cast("double")
+    val e2 = col("n1").cast("double") *
+      col("_ss").cast("double") / nD
+    val var2 = col("n1").cast("double") * col("n0").cast("double") *
+      (nD * col("_ssq").cast("double") -
+        col("_ss").cast("double") * col("_ss").cast("double")) /
+      (nD * nD * (nD - 1.0))
+    val staged = agg.select(col("n"), col("n0"), col("n1"),
+      d6(col("_ab2").cast("double") / 2.0).as("ab_stat"),
+      when(var2 > 0.0,
+        d6((col("_ab2").cast("double") - e2) / sqrt(var2))).as("z"))
+    staged
+      .withColumn("p_value", when(col("z").isNotNull,
+        d6(normalTwoSidedP(col("z")))))
+      .withColumn("significant", when(col("p_value").isNotNull,
+        (col("p_value") <= 0.05).cast("int")).otherwise(lit(0)))
+  }
+
+  /** Lin's concordance correlation coefficient (Lin 1989) — the
+    * agreement statistic Pearson's r silently overstates: r rewards
+    * any linear relation, CCC = 2s_xy/(s²_x + s²_y + (x̄−ȳ)²) rewards
+    * only y = x, decomposing as CCC = r·C_b with C_b the bias term
+    * penalising scale and location shifts. The model-vs-model /
+    * rater-vs-gold continuous-agreement readout next to the
+    * categorical kappas.
+    *
+    * Determinism: ONE aggregate of exact decimal cross-moments; the
+    * cleared forms share one denominator convention (n², population
+    * moments — documented; CCC is a ratio so the n²s cancel), each
+    * output one d6. Degenerate spreads (both variances and the mean
+    * gap zero) answer NULL. n < 2 is loud.
+    */
+  def linConcordance(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select(col(xCol).cast("long").as("_x"),
+      col(yCol).cast("long").as("_y"))
+    val agg = base.agg(count(lit(1)).as("_n"),
+      sum(dec(col("_x"))).as("_sx"), sum(dec(col("_y"))).as("_sy"),
+      sum(dec(col("_x")) * dec(col("_x"))).as("_sxx"),
+      sum(dec(col("_x")) * dec(col("_y"))).as("_sxy"),
+      sum(dec(col("_y")) * dec(col("_y"))).as("_syy"))
+    val n = when(col("_n") >= 2L, col("_n"))
+      .otherwise(raise_error(concat(lit("linConcordance: "),
+        col("_n").cast("string"), lit(" rows (< 2)"))).cast("long"))
+    val g = agg.select(n.as("n"), col("_sx"), col("_sy"),
+      (dec(col("_n")) * col("_sxx") - col("_sx") * col("_sx"))
+        .as("_Sxx"),
+      (dec(col("_n")) * col("_sxy") - col("_sx") * col("_sy"))
+        .as("_Sxy"),
+      (dec(col("_n")) * col("_syy") - col("_sy") * col("_sy"))
+        .as("_Syy"))
+    // cleared mean gap: n²(x̄−ȳ)² = (Σx−Σy)²·1 — scaled n² like the S's
+    val gap = (col("_sx") - col("_sy")) * (col("_sx") - col("_sy"))
+    val den = (col("_Sxx") + col("_Syy") + gap).cast("double")
+    val ccc = d6(lit(2.0) * col("_Sxy").cast("double") / den)
+    val r = d6(col("_Sxy").cast("double") /
+      sqrt(col("_Sxx").cast("double") * col("_Syy").cast("double")))
+    g.select(col("n"),
+        when(den > 0.0, ccc).as("ccc"),
+        when(col("_Sxx") > 0L && col("_Syy") > 0L, r)
+          .as("pearson_r"))
+      .withColumn("bias_correction",
+        when(col("ccc").isNotNull && col("pearson_r").isNotNull &&
+          col("pearson_r") =!= 0.0,
+          d6(col("ccc") / col("pearson_r"))))
+  }
+
+  /** Bland–Altman agreement limits (Bland & Altman 1986): the mean
+    * paired difference (bias) and bias ± z·SD limits, plus how many
+    * pairs fall outside — the method-comparison readout that answers
+    * "can measurement B replace A" where a correlation can't (two
+    * instruments can correlate at .99 and still disagree by a
+    * constant). z defaults to 1.959964 (the corpus convention).
+    *
+    * Determinism: differences are exact longs; the SD assembles from
+    * the cleared form → d6(√d6(·)); bias and both limits one d6
+    * each; the outside count compares exact longs against the d6
+    * limits (documented boundary convention: strictly outside).
+    * n < 2 is loud. Scale shape: TWO aggregates (moments, then the
+    * outside count against the broadcast 1-row limits).
+    */
+  def blandAltman(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = df.select((col(xCol).cast("long") -
+      col(yCol).cast("long")).as("_d"))
+    val agg = base.agg(count(lit(1)).as("_n"),
+      sum(dec(col("_d"))).as("_s"),
+      sum(dec(col("_d")) * dec(col("_d"))).as("_q"))
+    val n = when(col("_n") >= 2L, col("_n"))
+      .otherwise(raise_error(concat(lit("blandAltman: "),
+        col("_n").cast("string"), lit(" pairs (< 2)"))).cast("long"))
+    val g = agg.select(n.as("n"), col("_s"),
+      (dec(col("_n")) * col("_q") - col("_s") * col("_s")).as("_m"))
+    val bias = d6(col("_s").cast("double") / col("n").cast("double"))
+    val sd = d6(sqrt(d6(col("_m").cast("double") /
+      (dec(col("n")) * dec(col("n") - 1L)).cast("double"))))
+    val lims = g.select(col("n"), bias.as("bias"), sd.as("sd_diff"))
+      .withColumn("lower_limit", d6(col("bias") - lit(z) * col("sd_diff")))
+      .withColumn("upper_limit", d6(col("bias") + lit(z) * col("sd_diff")))
+    val outside = base.crossJoin(broadcast(lims))
+      .agg(sum((col("_d").cast("double") < col("lower_limit") ||
+        col("_d").cast("double") > col("upper_limit")).cast("long"))
+        .as("n_outside"))
+    lims.crossJoin(broadcast(outside))
+  }
+
+  /** Gwet's AC1 chance-corrected agreement (Gwet 2008) — the kappa
+    * that doesn't fall into the kappa paradox: when one label
+    * dominates, [[cohensKappa]]'s p_e approaches 1 and kappa
+    * collapses even at near-perfect raw agreement; AC1's chance term
+    * e = Σ_k π_k(1−π_k)/(K−1) (π = pooled marginal) stays calibrated.
+    * Quote both: kappa for balanced tasks, AC1 when the labels skew.
+    *
+    * Determinism: ONE label-domain-bounded aggregate; p_o and each
+    * π_k are exact rationals; e sums d6-per-category terms in
+    * decimal; AC1 closes in one d6. A single observed category
+    * (K = 1, e = 0) degenerates to AC1 = p_o (documented).
+    */
+  def gwetAC1(
+      df: DataFrame,
+      raterACol: String,
+      raterBCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val base = df.select(col(raterACol).cast("string").as("_a"),
+      col(raterBCol).cast("string").as("_b"))
+    val n = base.agg(count(lit(1)).as("_n"),
+      sum((col("_a") === col("_b")).cast("long")).as("_agree"))
+    val cats = base.select(explode(array(col("_a"), col("_b")))
+        .as("_c"))
+      .groupBy(col("_c")).agg(count(lit(1)).as("_cnt"))
+    val k = cats.agg(count(lit(1)).as("_k"),
+      sum(col("_cnt")).as("_tot"))
+    val pis = cats.crossJoin(broadcast(k))
+      .select(d6(col("_cnt").cast("double") /
+        col("_tot").cast("double")).as("_pi"), col("_k"))
+    val eAgg = pis.agg(max(col("_k")).as("_k"),
+      sum(d28(d6(col("_pi") * (lit(1.0) - col("_pi"))))).as("_esum"))
+    val j = n.crossJoin(broadcast(eAgg))
+    val po = d6(col("_agree").cast("double") / col("_n").cast("double"))
+    val e = when(col("_k") > 1L,
+      d6(col("_esum").cast("double") / (col("_k") - 1L).cast("double")))
+      .otherwise(lit(0.0))
+    j.select(col("_n").as("n_items"), col("_k").as("n_categories"),
+        po.as("po"), e.as("pe_gwet"))
+      .withColumn("ac1",
+        when(col("pe_gwet") < 1.0,
+          d6((col("po") - col("pe_gwet")) /
+            (lit(1.0) - col("pe_gwet")))))
+  }
 }

@@ -8110,7 +8110,366 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS hoeffding_d
       |FROM ag""".stripMargin
 
+  // q470: Welch heteroskedastic one-way ANOVA (Stats.welchAnova) of
+  // per-event cents across event types — W*, df1 and the fractional
+  // Welch–Satterthwaite df2, no fake F CDF. The oracle replays the
+  // weight chain in the identical d6 stage order.
+  def q470WelchAnova(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.welchAnova(
+      ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x")),
+      "event_type", "x")
+
+  val q470Sql: String =
+    """WITH b AS (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |gg AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS s,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+      |  FROM b GROUP BY 1),
+      |pg AS (
+      |  SELECT g, n,
+      |    CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean,
+      |    CAST(CAST(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS var
+      |  FROM gg),
+      |pw AS (
+      |  SELECT g, n, mean, var,
+      |    CAST(CAST(CAST(n AS DOUBLE) / var AS DECIMAL(28,6))
+      |      AS DOUBLE) AS w
+      |  FROM pg),
+      |ro AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |    SUM(CAST(w AS DECIMAL(28,6))) AS wsum,
+      |    SUM(CAST(CAST(CAST(w * mean AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6))) AS wm
+      |  FROM pw),
+      |mw AS (
+      |  SELECT k, wsum,
+      |    CAST(CAST(CAST(wm AS DOUBLE) / CAST(wsum AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mweighted
+      |  FROM ro),
+      |af AS (
+      |  SELECT MAX(mw.k) AS k,
+      |    SUM(CAST(CAST(CAST(pw.w * (pw.mean - mw.mweighted) *
+      |      (pw.mean - mw.mweighted) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6))) AS num,
+      |    SUM(CAST(CAST(CAST((1.0 - pw.w / CAST(mw.wsum AS DOUBLE)) *
+      |      (1.0 - pw.w / CAST(mw.wsum AS DOUBLE)) /
+      |      CAST(pw.n - 1 AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6))) AS lamsum
+      |  FROM pw CROSS JOIN mw),
+      |lm AS (
+      |  SELECT k, num,
+      |    CAST(CAST(3.0 * CAST(lamsum AS DOUBLE) /
+      |      (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS lam
+      |  FROM af)
+      |SELECT k,
+      |  CAST(CAST((CAST(num AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)) /
+      |    (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2.0) * lam / 3.0)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS w_stat,
+      |  CAST(k - 1 AS BIGINT) AS df1,
+      |  CAST(CAST(1.0 / lam AS DECIMAL(28,6)) AS DOUBLE) AS df2
+      |FROM lm""".stripMargin
+
+  // q471: Mood's median test (Stats.moodMedianTest) — do the event
+  // types straddle the pooled cent median evenly? χ² vs the shared
+  // 95% critical table (df 4 → 9.487729 in the oracle). The oracle
+  // replays the exact lower-median pick and the d6 cell terms.
+  def q471MoodMedian(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.moodMedianTest(
+      ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x")),
+      "event_type", "x")
+
+  val q471Sql: String =
+    """WITH b AS (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |r AS (
+      |  SELECT g, x,
+      |    CAST(row_number() OVER (ORDER BY x ASC, g ASC) AS BIGINT)
+      |      AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM b),
+      |md AS (SELECT x AS med FROM r WHERE rk = (n + 1) // 2),
+      |ct AS (
+      |  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN x > med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_above,
+      |    CAST(MAX(med) AS BIGINT) AS pooled_median
+      |  FROM b CROSS JOIN md GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tn,
+      |         CAST(SUM(n_above) AS BIGINT) AS ta,
+      |         CAST(COUNT(*) AS BIGINT) AS k FROM ct),
+      |tm AS (
+      |  SELECT g, ct.n, n_above, pooled_median, tt.k,
+      |    CASE WHEN tt.ta > 0 AND tt.ta < tt.tn THEN
+      |      CAST(CAST(
+      |        (CAST(n_above AS DOUBLE) - CAST(ct.n AS DOUBLE) *
+      |          (CAST(tt.ta AS DOUBLE) / CAST(tt.tn AS DOUBLE))) *
+      |        (CAST(n_above AS DOUBLE) - CAST(ct.n AS DOUBLE) *
+      |          (CAST(tt.ta AS DOUBLE) / CAST(tt.tn AS DOUBLE))) /
+      |        (CAST(ct.n AS DOUBLE) *
+      |          (CAST(tt.ta AS DOUBLE) / CAST(tt.tn AS DOUBLE))) +
+      |        (CAST(ct.n - n_above AS DOUBLE) - CAST(ct.n AS DOUBLE) *
+      |          (1.0 - CAST(tt.ta AS DOUBLE) / CAST(tt.tn AS DOUBLE))) *
+      |        (CAST(ct.n - n_above AS DOUBLE) - CAST(ct.n AS DOUBLE) *
+      |          (1.0 - CAST(tt.ta AS DOUBLE) / CAST(tt.tn AS DOUBLE))) /
+      |        (CAST(ct.n AS DOUBLE) *
+      |          (1.0 - CAST(tt.ta AS DOUBLE) / CAST(tt.tn AS DOUBLE)))
+      |        AS DECIMAL(28,6)) AS DECIMAL(28,6)) END AS term
+      |  FROM ct CROSS JOIN tt),
+      |ag AS (
+      |  SELECT CAST(MAX(k) - 1 AS BIGINT) AS df,
+      |    CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS chi2
+      |  FROM tm)
+      |SELECT tm.g AS event_type, tm.n, tm.n_above, tm.pooled_median,
+      |  ag.df, ag.chi2,
+      |  CAST(CASE WHEN ag.chi2 IS NOT NULL AND
+      |    ag.chi2 >= 9.487729 THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM tm CROSS JOIN ag""".stripMargin
+
+  // q472: Ansari–Bradley scale test (Stats.ansariBradley) — are the
+  // user-parity arms equally dispersed in cents? Inward-ranking
+  // doubled scores with the general tie-robust linear-rank moments.
+  // The oracle replays the score window and the exact E/Var chain.
+  def q472AnsariBradley(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.ansariBradley(
+      ev(s, dir).select((col("user_id") % 2L).as("arm"),
+        round(col("value") * 100).cast("long").as("x")),
+      "arm", "x")
+
+  val q472Sql: String = {
+    val p = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH b AS (
+      |  SELECT user_id % 2 AS a, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |r AS (
+      |  SELECT a, x,
+      |    2 * CAST(rank() OVER (ORDER BY x ASC) AS BIGINT) +
+      |      COUNT(*) OVER (PARTITION BY x) - 1 AS r2,
+      |    COUNT(*) OVER () AS n
+      |  FROM b),
+      |sc AS (
+      |  SELECT a, n, LEAST(r2, 2 * (n + 1) - r2) AS s2 FROM r),
+      |ag AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN s2 ELSE 0 END) AS BIGINT)
+      |      AS ab2,
+      |    SUM(CAST(s2 AS HUGEINT)) AS ss,
+      |    SUM(CAST(s2 AS HUGEINT) * CAST(s2 AS HUGEINT)) AS ssq
+      |  FROM sc),
+      |st AS (
+      |  SELECT n, n0, n1,
+      |    CAST(CAST(CAST(ab2 AS DOUBLE) / 2.0 AS DECIMAL(28,6))
+      |      AS DOUBLE) AS ab_stat,
+      |    CASE WHEN CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) *
+      |      (CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE) -
+      |       CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+      |       (CAST(n AS DOUBLE) - 1.0)) > 0 THEN
+      |      CAST(CAST((CAST(ab2 AS DOUBLE) - CAST(n1 AS DOUBLE) *
+      |        CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) *
+      |          (CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE) -
+      |           CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+      |          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+      |           (CAST(n AS DOUBLE) - 1.0)))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS z
+      |  FROM ag),
+      |pp AS (
+      |  SELECT n, n0, n1, ab_stat, z,
+      |    CASE WHEN z IS NOT NULL THEN
+      |      CAST(CAST($p AS DECIMAL(28,6)) AS DOUBLE) END AS p_value
+      |  FROM st)
+      |SELECT n, n0, n1, ab_stat, z, p_value,
+      |  CAST(CASE WHEN p_value IS NOT NULL AND p_value <= 0.05
+      |    THEN 1 ELSE 0 END AS INT) AS significant
+      |FROM pp""".stripMargin
+  }
+
+  // q473: Lin's concordance correlation (Stats.linConcordance) —
+  // does each user's second-half spend AGREE with the first half
+  // (y = x), not merely correlate? CCC, Pearson r and the bias term.
+  // The oracle replays the cleared moments and the shared-n² forms.
+  def q473LinCcc(s: SparkSession, dir: String): DataFrame = {
+    val split = 1705363200000000L // 2024-01-16T00:00Z in epoch micros
+    val units = ev(s, dir).groupBy(col("user_id"))
+      .agg(sum(when(col("ts_us") < split,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("ts_us") >= split,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+    graft.pipeline.Stats.linConcordance(units, "x", "y")
+  }
+
+  val q473Sql: String =
+    """WITH u AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <
+      |      1705363200000000 THEN CAST(round(value * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
+      |      1705363200000000 THEN CAST(round(value * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+      |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      |  FROM u),
+      |cl AS (
+      |  SELECT n, sx, sy,
+      |    CAST(n AS HUGEINT) * sxx - sx * sx AS Sxx,
+      |    CAST(n AS HUGEINT) * sxy - sx * sy AS Sxy,
+      |    CAST(n AS HUGEINT) * syy - sy * sy AS Syy
+      |  FROM ag),
+      |st AS (
+      |  SELECT n, Sxx, Syy,
+      |    CAST(Sxx + Syy + (sx - sy) * (sx - sy) AS DOUBLE) AS den,
+      |    CASE WHEN CAST(Sxx + Syy + (sx - sy) * (sx - sy) AS DOUBLE)
+      |      > 0 THEN
+      |      CAST(CAST(2.0 * CAST(Sxy AS DOUBLE) /
+      |        CAST(Sxx + Syy + (sx - sy) * (sx - sy) AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS ccc,
+      |    CASE WHEN Sxx > 0 AND Syy > 0 THEN
+      |      CAST(CAST(CAST(Sxy AS DOUBLE) /
+      |        sqrt(CAST(Sxx AS DOUBLE) * CAST(Syy AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE) END AS pearson_r
+      |  FROM cl)
+      |SELECT n, ccc, pearson_r,
+      |  CASE WHEN ccc IS NOT NULL AND pearson_r IS NOT NULL AND
+      |    pearson_r <> 0 THEN
+      |    CAST(CAST(ccc / pearson_r AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS bias_correction
+      |FROM st""".stripMargin
+
+  // q474: Bland–Altman agreement limits (Stats.blandAltman) on the
+  // same half-month spend pairs — bias, ±1.959964·SD limits and the
+  // strictly-outside count. The oracle replays the cleared SD and
+  // the boundary convention.
+  def q474BlandAltman(s: SparkSession, dir: String): DataFrame = {
+    val split = 1705363200000000L
+    val units = ev(s, dir).groupBy(col("user_id"))
+      .agg(sum(when(col("ts_us") < split,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("ts_us") >= split,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+    graft.pipeline.Stats.blandAltman(units, "x", "y")
+  }
+
+  val q474Sql: String =
+    """WITH u AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <
+      |      1705363200000000 THEN CAST(round(value * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) -
+      |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
+      |      1705363200000000 THEN CAST(round(value * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS d
+      |  FROM events GROUP BY user_id),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(d AS HUGEINT)) AS s,
+      |    SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS q
+      |  FROM u),
+      |st AS (
+      |  SELECT n,
+      |    CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS bias,
+      |    CAST(CAST(sqrt(CAST(CAST(
+      |      CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS sd_diff
+      |  FROM ag),
+      |li AS (
+      |  SELECT n, bias, sd_diff,
+      |    CAST(CAST(bias - 1.959964 * sd_diff AS DECIMAL(28,6))
+      |      AS DOUBLE) AS lower_limit,
+      |    CAST(CAST(bias + 1.959964 * sd_diff AS DECIMAL(28,6))
+      |      AS DOUBLE) AS upper_limit
+      |  FROM st)
+      |SELECT li.n, li.bias, li.sd_diff, li.lower_limit, li.upper_limit,
+      |  (SELECT CAST(COUNT(*) FILTER (CAST(u.d AS DOUBLE) <
+      |    li.lower_limit OR CAST(u.d AS DOUBLE) > li.upper_limit)
+      |    AS BIGINT) FROM u) AS n_outside
+      |FROM li""".stripMargin
+
+  // q475: Gwet's AC1 agreement (Stats.gwetAC1) between the two
+  // planted raters (q265's construction, shift on doc_id % 9 < 2) —
+  // the skew-robust kappa. The oracle replays the pooled marginals
+  // and the d6-per-category chance sum.
+  def q475GwetAc1(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = least(floor(length(col("text")) / 100).cast("long"), lit(3L))
+    val b = least(floor((length(col("text")) +
+      when(col("doc_id") % 9 < 2, 100).otherwise(0)) / 100).cast("long"),
+      lit(3L))
+    graft.pipeline.Stats.gwetAC1(
+      docs.select(a.as("rater_a"), b.as("rater_b")),
+      "rater_a", "rater_b")
+  }
+
+  val q475Sql: String =
+    """WITH rt AS (
+      |  SELECT
+      |    CAST(LEAST(CAST(floor(length(text) / 100) AS BIGINT), 3)
+      |      AS VARCHAR) AS a,
+      |    CAST(LEAST(CAST(floor((length(text) +
+      |      CASE WHEN doc_id % 9 < 2 THEN 100 ELSE 0 END) / 100)
+      |      AS BIGINT), 3) AS VARCHAR) AS b
+      |  FROM documents),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS agree
+      |       FROM rt),
+      |cats AS (
+      |  SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT a AS c FROM rt UNION ALL SELECT b FROM rt)
+      |  GROUP BY 1),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |         CAST(SUM(cnt) AS BIGINT) AS tot FROM cats),
+      |pis AS (
+      |  SELECT CAST(CAST(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS pi, k
+      |  FROM cats CROSS JOIN kk),
+      |ea AS (
+      |  SELECT CAST(MAX(k) AS BIGINT) AS k,
+      |    SUM(CAST(CAST(CAST(pi * (1.0 - pi) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS DECIMAL(28,6))) AS esum
+      |  FROM pis),
+      |st AS (
+      |  SELECT nn.n, ea.k,
+      |    CAST(CAST(CAST(agree AS DOUBLE) / CAST(nn.n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS po,
+      |    CASE WHEN ea.k > 1 THEN
+      |      CAST(CAST(CAST(esum AS DOUBLE) / CAST(ea.k - 1 AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE) ELSE 0.0 END AS pe_gwet
+      |  FROM nn CROSS JOIN ea)
+      |SELECT n AS n_items, k AS n_categories, po, pe_gwet,
+      |  CASE WHEN pe_gwet < 1.0 THEN
+      |    CAST(CAST((po - pe_gwet) / (1.0 - pe_gwet) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS ac1
+      |FROM st""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q470_welch_anova" -> (q470WelchAnova _),
+    "q471_mood_median" -> (q471MoodMedian _),
+    "q472_ansari_bradley" -> (q472AnsariBradley _),
+    "q473_lin_ccc" -> (q473LinCcc _),
+    "q474_bland_altman" -> (q474BlandAltman _),
+    "q475_gwet_ac1" -> (q475GwetAc1 _),
     "q467_aalen_johansen" -> (q467AalenJohansen _),
     "q468_life_table" -> (q468LifeTable _),
     "q469_hoeffdings_d" -> (q469HoeffdingsD _),
@@ -8273,6 +8632,12 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q470_welch_anova" -> q470Sql,
+    "q471_mood_median" -> q471Sql,
+    "q472_ansari_bradley" -> q472Sql,
+    "q473_lin_ccc" -> q473Sql,
+    "q474_bland_altman" -> q474Sql,
+    "q475_gwet_ac1" -> q475Sql,
     "q467_aalen_johansen" -> q467Sql,
     "q468_life_table" -> q468Sql,
     "q469_hoeffdings_d" -> q469Sql,

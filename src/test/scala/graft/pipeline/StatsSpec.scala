@@ -2192,4 +2192,112 @@ class StatsSpec extends SparkSpec {
     }
     assert(big.getMessage.contains("outside"), big.getMessage)
   }
+
+  test("welchAnova: hand equal-weight two-group case; constant " +
+    "groups and tiny groups are loud") {
+    // {1,2,3} vs {5,6,7}: w = 3 each, m̄w = 4, num = 24, Λ = .25 →
+    // lam = .25, W* = 24 (the k=2 denominator term vanishes), df₂ = 4
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 5L), ("b", 6L), ("b", 7L)).toDF("g", "x")
+    val r = Stats.welchAnova(df, "g", "x").collect().head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("w_stat") == 24.0)
+    assert(r.getAs[Long]("df1") == 1L)
+    assert(r.getAs[Double]("df2") == 4.0)
+    val const = intercept[Exception] {
+      Stats.welchAnova(df.union(Seq(("c", 9L), ("c", 9L))
+        .toDF("g", "x")), "g", "x").collect()
+    }
+    assert(const.getMessage.contains("zero variance"), const.getMessage)
+    val tiny = intercept[Exception] {
+      Stats.welchAnova(df.union(Seq(("d", 1L)).toDF("g", "x")),
+        "g", "x").collect()
+    }
+    assert(tiny.getMessage.contains("< 2"), tiny.getMessage)
+  }
+
+  test("moodMedianTest: hand 2x2 straddle of the exact pooled " +
+    "lower median") {
+    // {1,2,3} vs {4,5,6}: lower median = 3; above: 0 vs 3 → χ² = 6,
+    // df 1 → significant at the 3.841 critical value
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "x")
+    val out = Stats.moodMedianTest(df, "g", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("pooled_median") == 3L)
+    assert(out("a").getAs[Long]("n_above") == 0L)
+    assert(out("b").getAs[Long]("n_above") == 3L)
+    assert(out("a").getAs[Double]("chi2") == 6.0)
+    assert(out("a").getAs[Int]("significant") == 1)
+  }
+
+  test("ansariBradley: inward scores by hand — the spread arm " +
+    "collects the extremes; non-0/1 arms are loud") {
+    // arm0 {1,10} (tails) vs arm1 {5,6} (center): s2 = [2,4,4,2],
+    // AB(arm1) = 4, E = 3, Var(doubled) = 4/3 → z = √3
+    val df = Seq((0L, 1L), (0L, 10L), (1L, 5L), (1L, 6L))
+      .toDF("arm", "x")
+    val r = Stats.ansariBradley(df, "arm", "x").collect().head
+    assert(r.getAs[Double]("ab_stat") == 4.0)
+    assert(r.getAs[Double]("z") == 1.732051)
+    assert(r.getAs[Int]("significant") == 0)
+    val bad = intercept[Exception] {
+      Stats.ansariBradley(Seq((2L, 1L)).toDF("arm", "x"), "arm", "x")
+        .collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+  }
+
+  test("linConcordance: identity agrees at 1; a constant shift " +
+    "keeps r = 1 but collapses CCC") {
+    val same = (1L to 3L).map(i => (i, i)).toDF("x", "y")
+    val rs = Stats.linConcordance(same, "x", "y").collect().head
+    assert(rs.getAs[Double]("ccc") == 1.0)
+    assert(rs.getAs[Double]("pearson_r") == 1.0)
+    assert(rs.getAs[Double]("bias_correction") == 1.0)
+    // y = x + 10: Sxy = Sxx = 6, gap = 900 → CCC = 12/912
+    val shift = (1L to 3L).map(i => (i, i + 10L)).toDF("x", "y")
+    val rh = Stats.linConcordance(shift, "x", "y").collect().head
+    assert(rh.getAs[Double]("pearson_r") == 1.0)
+    assert(rh.getAs[Double]("ccc") == 0.013158)
+    val loud = intercept[Exception] {
+      Stats.linConcordance(Seq((1L, 1L)).toDF("x", "y"), "x", "y")
+        .collect()
+    }
+    assert(loud.getMessage.contains("< 2"), loud.getMessage)
+  }
+
+  test("blandAltman: hand bias/limits on symmetric differences; " +
+    "single pair is loud") {
+    // d = [2,−2,0]: bias 0, sd 2 → limits ∓3.919928, nothing outside
+    val df = Seq((10L, 8L), (10L, 12L), (10L, 10L)).toDF("x", "y")
+    val r = Stats.blandAltman(df, "x", "y").collect().head
+    assert(r.getAs[Double]("bias") == 0.0)
+    assert(r.getAs[Double]("sd_diff") == 2.0)
+    assert(r.getAs[Double]("upper_limit") == 3.919928)
+    assert(r.getAs[Double]("lower_limit") == -3.919928)
+    assert(r.getAs[Long]("n_outside") == 0L)
+    val loud = intercept[Exception] {
+      Stats.blandAltman(Seq((1L, 2L)).toDF("x", "y"), "x", "y")
+        .collect()
+    }
+    assert(loud.getMessage.contains("< 2"), loud.getMessage)
+  }
+
+  test("gwetAC1: hand pooled marginals; a single observed category " +
+    "degenerates to raw agreement") {
+    // (A,A),(A,A),(A,B),(B,B): po = .75, π = (.625,.375) →
+    // e = .46875, AC1 = .28125/.53125
+    val df = Seq(("A", "A"), ("A", "A"), ("A", "B"), ("B", "B"))
+      .toDF("a", "b")
+    val r = Stats.gwetAC1(df, "a", "b").collect().head
+    assert(r.getAs[Double]("po") == 0.75)
+    assert(r.getAs[Double]("pe_gwet") == 0.46875)
+    assert(r.getAs[Double]("ac1") == 0.529412)
+    val mono = Stats.gwetAC1(Seq(("A", "A"), ("A", "A")).toDF("a", "b"),
+      "a", "b").collect().head
+    assert(mono.getAs[Long]("n_categories") == 1L)
+    assert(mono.getAs[Double]("pe_gwet") == 0.0)
+    assert(mono.getAs[Double]("ac1") == 1.0)
+  }
 }
