@@ -889,4 +889,63 @@ object Graph {
             (col("_r.n") * (col("_r.n") - 1L)).cast("double")))
           .as("phi"))
   }
+
+  /** k-truss decomposition membership (Cohen 2008): iteratively peel
+    * EDGES supported by fewer than k−2 triangles until stable — the
+    * edge-grade refinement of [[kCore]] (every k-truss edge sits in a
+    * (k−1)-core, never vice versa): cores find dense NEIGHBORHOODS,
+    * trusses find dense RELATIONSHIPS, which is what community-seed
+    * and spam-ring mining actually want. Output: the surviving
+    * edges with their within-truss support.
+    *
+    * Execution follows the [[kCore]] loop discipline exactly: the
+    * a<b edge frame is materialized per round (lineage-truncated);
+    * each round counts common neighbors through ONE triangle join
+    * (edge frame × symmetric adjacency × symmetric adjacency on the
+    * shared endpoint) and peels; the only driver-side value is the
+    * edge COUNT. `maxRounds` bounds pathological peel chains loudly.
+    */
+  def kTruss(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k=2 keeps every edge), got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    def support(e: DataFrame): DataFrame = {
+      val sym = e.select(col("_g_a").as("_x"), col("_g_b").as("_w"))
+        .union(e.select(col("_g_b"), col("_g_a")))
+      e.join(sym.select(col("_x").as("_g_a"), col("_w")), Seq("_g_a"))
+        .join(sym.select(col("_x").as("_g_b"), col("_w")), Seq("_g_b", "_w"))
+        .groupBy(col("_g_a"), col("_g_b"))
+        .agg(count(lit(1)).as("_supp"))
+    }
+    var e = materialize(
+      undirected(edges, srcCol, dstCol).filter(col("_g_a") < col("_g_b")))
+    var n = e.count()
+    var rounds = 0
+    var stable = n == 0L
+    while (!stable) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"kTruss: not stable after $maxRounds peel rounds " +
+            s"($n edges alive) — raise maxRounds")
+      val next = materialize(
+        e.join(support(e).filter(col("_supp") >= k - 2),
+          Seq("_g_a", "_g_b"), "left_semi"))
+      val m = next.count()
+      if (m == n) stable = true
+      else { e = next; n = m }
+      if (n == 0L) stable = true
+    }
+    e.join(support(e), Seq("_g_a", "_g_b"), "left")
+      .select(col("_g_a").as("a"), col("_g_b").as("b"),
+        coalesce(col("_supp"), lit(0L)).as("support"))
+  }
 }

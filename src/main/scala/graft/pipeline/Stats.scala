@@ -6849,4 +6849,5 @@ object Stats {
           d6((col("po") - col("pe_gwet")) /
             (lit(1.0) - col("pe_gwet")))))
   }
+
 }

@@ -5845,7 +5845,82 @@ object Corpus {
       |      AS DECIMAL(28,6)) AS DOUBLE) END AS phi
       |FROM nn JOIN ee ON nn.k = ee.k""".stripMargin
 
+  // q476: 3-truss of the strong (≥ 5 shared buckets) co-purchase
+  // graph (Graph.kTruss) — peel edges in < 1 triangle to a fixed
+  // point, q313's edge-grade refinement. The tighter threshold keeps
+  // the ORACLE's packed-edge-list recursive peel (per-edge triangle
+  // counts are nested list lambdas over the edge list — O(E²·N) per
+  // round in the replay) at fixture cost; the Spark side is the
+  // same triangle equi-join at any threshold.
+  def q476KTruss(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.eventsUs(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_us div 21600000000").as("b"))
+      .distinct()
+    val q = p.select(col("user_id").as("v"), col("b"))
+    val strong = p.join(q, p("b") === q("b") && p("user_id") < col("v"))
+      .groupBy(p("user_id").as("u"), col("v"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+    Graph.kTruss(strong, "u", "v", k = 3)
+  }
+
+  val q476Sql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS b
+      |  FROM events WHERE event_type = 'purchase'),
+      |e AS (
+      |  SELECT CAST(a.user_id AS VARCHAR) AS u,
+      |    CAST(b.user_id AS VARCHAR) AS v
+      |  FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |ord AS (
+      |  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM e
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT list_sort(list({'a': a, 'b': b})) AS es FROM ord),
+      |peel(it, es) AS (
+      |  SELECT 0, es FROM e0
+      |  UNION ALL
+      |  SELECT it + 1,
+      |    list_sort(list_filter(peel.es, x ->
+      |      len(list_filter(
+      |        list_distinct(flatten(list_transform(peel.es,
+      |          q -> [q.a, q.b]))), w ->
+      |        w <> x.a AND w <> x.b AND
+      |        list_contains(peel.es,
+      |          {'a': LEAST(x.a, w), 'b': GREATEST(x.a, w)}) AND
+      |        list_contains(peel.es,
+      |          {'a': LEAST(x.b, w), 'b': GREATEST(x.b, w)}))) >= 1))
+      |  FROM peel
+      |  WHERE it < 50 AND
+      |    list_sort(list_filter(peel.es, x ->
+      |      len(list_filter(
+      |        list_distinct(flatten(list_transform(peel.es,
+      |          q -> [q.a, q.b]))), w ->
+      |        w <> x.a AND w <> x.b AND
+      |        list_contains(peel.es,
+      |          {'a': LEAST(x.a, w), 'b': GREATEST(x.a, w)}) AND
+      |        list_contains(peel.es,
+      |          {'a': LEAST(x.b, w), 'b': GREATEST(x.b, w)}))) >= 1))
+      |      <> peel.es),
+      |fin AS (SELECT es FROM peel ORDER BY it DESC LIMIT 1),
+      |sur AS (SELECT unnest(es) AS edge, es FROM fin)
+      |SELECT sur.edge.a AS a, sur.edge.b AS b,
+      |  CAST(len(list_filter(
+      |    list_distinct(flatten(list_transform(sur.es,
+      |      q -> [q.a, q.b]))), w ->
+      |    w <> sur.edge.a AND w <> sur.edge.b AND
+      |    list_contains(sur.es,
+      |      {'a': LEAST(sur.edge.a, w),
+      |       'b': GREATEST(sur.edge.a, w)}) AND
+      |    list_contains(sur.es,
+      |      {'a': LEAST(sur.edge.b, w),
+      |       'b': GREATEST(sur.edge.b, w)}))) AS BIGINT) AS support
+      |FROM sur""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q476_ktruss" -> (q476KTruss _),
     "q461_bipartite" -> (q461Bipartite _),
     "q462_reciprocity" -> (q462Reciprocity _),
     "q463_rich_club" -> (q463RichClub _),
@@ -5972,6 +6047,7 @@ object Corpus {
     "q210_fixed_stratified" -> (q210FixedStratified _))
 
   def oracles: Map[String, String] = Map(
+    "q476_ktruss" -> q476Sql,
     "q461_bipartite" -> q461Sql,
     "q462_reciprocity" -> q462Sql,
     "q463_rich_club" -> q463Sql,

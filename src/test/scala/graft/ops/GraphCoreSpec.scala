@@ -269,6 +269,25 @@ class GraphCoreSpec extends SparkSpec {
     assert(re.isNullAt(re.fieldIndex("reciprocity")))
   }
 
+  test("kTruss: the pendant edge peels out of the 3-truss; K4 is a " +
+    "4-truss; k=2 is loud") {
+    import org.apache.spark.sql.functions.col
+    val triTail = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"))
+      .toDF("s", "d")
+    val t3 = Graph.kTruss(triTail, "s", "d", k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t3.keySet == Set(("1", "2"), ("1", "3"), ("2", "3")))
+    assert(t3.values.forall(_ == 1L))
+    assert(Graph.kTruss(triTail, "s", "d", k = 4).collect().isEmpty)
+    val k4 = Seq(("1", "2"), ("1", "3"), ("1", "4"), ("2", "3"),
+      ("2", "4"), ("3", "4")).toDF("s", "d")
+    val t4 = Graph.kTruss(k4, "s", "d", k = 4).collect()
+    assert(t4.length == 6 && t4.forall(_.getLong(2) == 2L))
+    intercept[IllegalArgumentException] {
+      Graph.kTruss(k4, "s", "d", k = 2)
+    }
+  }
+
   test("richClub: the triangle is a perfect club above the pendant " +
     "rung; a one-node club answers NULL phi") {
     import org.apache.spark.sql.functions.col
