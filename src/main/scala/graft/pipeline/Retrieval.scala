@@ -766,4 +766,60 @@ object Retrieval {
       dist.cast("long").as("distance"),
       d6(dist.cast("double") / size(col("_r")).cast("double")).as("wer"))
   }
+
+  /** Rank-biased overlap between two rankings of the same item set
+    * (Webber, Moffat & Zobel 2010) — the top-weighted ranking
+    * similarity Kendall/Spearman are NOT: RBO discounts depth d by
+    * p^{d−1}, so two rankers that agree on the head and scramble the
+    * tail score high, which is how retrieval/feed comparisons should
+    * read. Truncated form:
+    * RBO@D = (1−p)·Σ_{d≤D} p^{d−1}·|A_d ∩ B_d|/d (the (1−p)
+    * prefix-sum normalization; the residual tail mass past D is
+    * p^D-bounded and documented, not hidden).
+    *
+    * Input: one row per item with its 1-based rank in each list
+    * (ties already broken upstream — the rank COLUMNS are the
+    * contract). Determinism: each |A_d ∩ B_d| is ONE conditional
+    * count (rank_a ≤ d ∧ rank_b ≤ d) inside a single aggregate —
+    * depth is a code literal, no per-depth scan; the p^{d−1}/d
+    * weights are Scala-computed double literals INLINED identically
+    * in the oracle SQL, each term one d6 before the decimal sum,
+    * the close one more d6. Output ONE row: (depth, p,
+    * overlap_at_depth, agreement_at_depth, rbo).
+    */
+  def rankBiasedOverlap(
+      df: DataFrame,
+      rankACol: String,
+      rankBCol: String,
+      p: Double = 0.9,
+      depth: Int = 20): DataFrame = {
+    require(p > 0 && p < 1, s"p in (0,1), got $p")
+    require(depth >= 1 && depth <= 1000, s"depth in [1,1000], got $depth")
+    def d6(c: org.apache.spark.sql.Column) =
+      c.cast("decimal(28,6)").cast("double")
+    def d28(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
+    val ra = col(rankACol).cast("long")
+    val rb = col(rankBCol).cast("long")
+    val base = df.select(ra.as("_ra"), rb.as("_rb"))
+    val xCols = (1 to depth).map { d =>
+      sum((col("_ra") <= d && col("_rb") <= d).cast("long")).as(s"_x$d")
+    }
+    val agg = base.agg(xCols.head, xCols.tail: _*)
+    val terms = (1 to depth).map { d =>
+      val w = math.pow(p, d - 1) / d
+      d28(d6(lit(w) * col(s"_x$d").cast("double")))
+    }
+    val sum28 = terms.reduce[org.apache.spark.sql.Column](_ + _)
+    agg.select(lit(depth).as("depth"), lit(p).as("p"),
+      col(s"_x$depth").as("overlap_at_depth"),
+      d6(col(s"_x$depth").cast("double") / lit(depth.toDouble))
+        .as("agreement_at_depth"),
+      d6(lit(1.0 - p) * sum28.cast("double")).as("rbo"))
+  }
+
+  /** [[rankBiasedOverlap]]'s weight literals as SQL text — the oracle
+    * embeds the SAME Scala-computed constants so both engines share
+    * every double bit. */
+  def rboWeightSql(p: Double, d: Int): String =
+    (math.pow(p, d - 1) / d).toString
 }

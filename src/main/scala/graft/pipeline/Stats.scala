@@ -6850,4 +6850,116 @@ object Stats {
             (lit(1.0) - col("pe_gwet")))))
   }
 
+
+  /** Cohen's h effect size for two proportions (Cohen 1988, ch. 6) —
+    * the arcsine-stabilized gap h = 2·asin(√p₁) − 2·asin(√p₀) that
+    * makes proportion differences COMPARABLE across baselines (a
+    * 1%→2% move and a 50%→60% move both read in the same units,
+    * where raw differences don't): the effect-size partner of the
+    * two-proportion z the way [[cohensD]] partners [[welchTTest]].
+    *
+    * Determinism: arm counts exact longs; each proportion is one
+    * exact rational; each φ = 2·asin(√p) closes in d6 (asin/√ are
+    * shared-libm one-call chains, d6 absorbs the last ulp); h one
+    * more d6, with the Cohen .2/.5/.8 magnitude label off the d6
+    * value. Arms must be 0/1 and outcomes 0/1 (loud); an empty arm
+    * is loud. Scale shape: ONE aggregate → 1-row arithmetic.
+    */
+  def cohensH(
+      df: DataFrame,
+      armCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("cohensH: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val x = when(col(xCol).cast("long").isin(0L, 1L),
+      col(xCol).cast("long"))
+      .otherwise(raise_error(concat(lit("cohensH: outcome "),
+        col(xCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val base = df.select(arm.as("_a"), x.as("_x"))
+    val agg = base.agg(
+      sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("_n0"),
+      sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("_n1"),
+      sum(when(col("_a") === 0L, col("_x")).otherwise(0L)).as("_s0"),
+      sum(when(col("_a") === 1L, col("_x")).otherwise(0L)).as("_s1"))
+    def guardN(tag: String)(c: Column): Column =
+      when(c >= 1L, c).otherwise(raise_error(
+        lit(s"cohensH: arm $tag is empty")).cast("long"))
+    val g = agg.select(guardN("0")(col("_n0")).as("n0"),
+      guardN("1")(col("_n1")).as("n1"), col("_s0"), col("_s1"))
+    val p0 = col("_s0").cast("double") / col("n0").cast("double")
+    val p1 = col("_s1").cast("double") / col("n1").cast("double")
+    val phi0 = d6(lit(2.0) * asin(sqrt(p0)))
+    val phi1 = d6(lit(2.0) * asin(sqrt(p1)))
+    g.select(col("n0"), col("n1"),
+        d6(p0).as("p0"), d6(p1).as("p1"),
+        d6(phi1 - phi0).as("h"))
+      .withColumn("magnitude",
+        when(abs(col("h")) < 0.2, lit("negligible"))
+          .when(abs(col("h")) < 0.5, lit("small"))
+          .when(abs(col("h")) < 0.8, lit("medium"))
+          .otherwise(lit("large")))
+  }
+
+  /** Standardized morbidity/mortality ratio via indirect
+    * standardization (the classic occupational-epi SMR; Breslow &
+    * Day 1987 vol. II): observed study-group events over the events
+    * EXPECTED if the reference group's per-stratum rates applied to
+    * the study group's stratum exposures — the confounder-honest way
+    * to compare a cohort's conversion/failure rate against a
+    * baseline population with a different stratum mix. `refPred`
+    * marks the reference rows; everything else is the study group.
+    *
+    * Determinism: stratum counts exact longs; each reference rate is
+    * one d6 rational; each expected term d6(n_study·rate) enters a
+    * decimal sum; SMR closes in one d6. Strata present only in the
+    * study group are LOUD (no reference rate to borrow — the
+    * classic silent-bias hole); zero expected (reference all-null
+    * outcomes) answers NULL SMR. Output ONE row: (n_strata,
+    * observed, expected, smr).
+    *
+    * Scale shape: one (stratum × arm) aggregate + 1-row rollup.
+    */
+  def smrIndirect(
+      df: DataFrame,
+      strataCol: String,
+      refPred: Column,
+      eventCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val x = when(col(eventCol).cast("long").isin(0L, 1L),
+      col(eventCol).cast("long"))
+      .otherwise(raise_error(concat(lit("smrIndirect: outcome "),
+        col(eventCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val base = df.select(col(strataCol).as("_s"),
+      refPred.cast("boolean").as("_ref"), x.as("_x"))
+    val byS = base.groupBy(col("_s"))
+      .agg(sum(when(col("_ref"), 1L).otherwise(0L)).as("_nref"),
+        sum(when(col("_ref"), col("_x")).otherwise(0L)).as("_dref"),
+        sum(when(!col("_ref"), 1L).otherwise(0L)).as("_nstu"),
+        sum(when(!col("_ref"), col("_x")).otherwise(0L)).as("_dstu"))
+    val guarded = byS.withColumn("_nref",
+      when(col("_nstu") === 0L || col("_nref") > 0L, col("_nref"))
+        .otherwise(raise_error(concat(lit("smrIndirect: stratum "),
+          col("_s").cast("string"),
+          lit(" has study rows but no reference rows — no rate to " +
+            "borrow"))).cast("long")))
+    val rate = d6(col("_dref").cast("double") /
+      col("_nref").cast("double"))
+    val agg = guarded
+      .withColumn("_exp",
+        when(col("_nstu") > 0L,
+          d28(d6(col("_nstu").cast("double") * rate)))
+          .otherwise(lit(0).cast("decimal(28,6)")))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("_dstu")).as("observed"),
+        sum(col("_exp")).as("_expsum"))
+    agg.select(col("n_strata"), col("observed"),
+      d6(col("_expsum").cast("double")).as("expected"),
+      when(col("_expsum") > 0,
+        d6(col("observed").cast("double") /
+          col("_expsum").cast("double"))).as("smr"))
+  }
 }

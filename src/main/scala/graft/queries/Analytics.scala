@@ -8463,7 +8463,160 @@ object Analytics {
       |      AS DOUBLE) END AS ac1
       |FROM st""".stripMargin
 
+  // q477: rank-biased overlap (Retrieval.rankBiasedOverlap) between
+  // the first-half and second-half user spend rankings — the
+  // top-weighted "did the leaderboard head move" readout at p = 0.9,
+  // depth 20. The oracle inlines the SAME Scala-computed p^{d−1}/d
+  // weight literals so both engines share every double bit.
+  def q477Rbo(s: SparkSession, dir: String): DataFrame = {
+    val split = 1705363200000000L
+    val W = org.apache.spark.sql.expressions.Window
+    val units = ev(s, dir).groupBy(col("user_id"))
+      .agg(sum(when(col("ts_us") < split,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+        sum(when(col("ts_us") >= split,
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+    val ranked = units.select(
+      row_number().over(W.partitionBy(lit(1))
+        .orderBy(col("x").desc, col("user_id").asc)).as("rank_a"),
+      row_number().over(W.partitionBy(lit(1))
+        .orderBy(col("y").desc, col("user_id").asc)).as("rank_b"))
+    graft.pipeline.Retrieval.rankBiasedOverlap(ranked,
+      "rank_a", "rank_b", p = 0.9, depth = 20)
+  }
+
+  val q477Sql: String = {
+    val xs = (1 to 20).map(d =>
+      s"CAST(SUM(CASE WHEN ra <= $d AND rb <= $d THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) AS x$d").mkString(", ")
+    val terms = (1 to 20).map(d =>
+      "CAST(CAST(" + graft.pipeline.Retrieval.rboWeightSql(0.9, d) +
+        s" * CAST(x$d AS DOUBLE) AS DECIMAL(28,6)) AS DECIMAL(28,6))")
+      .mkString(" + ")
+    val oneMinusP = (1.0 - 0.9).toString
+    s"""WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <
+      |      1705363200000000 THEN CAST(round(value * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) >=
+      |      1705363200000000 THEN CAST(round(value * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT
+      |    row_number() OVER (ORDER BY x DESC, user_id ASC) AS ra,
+      |    row_number() OVER (ORDER BY y DESC, user_id ASC) AS rb
+      |  FROM u),
+      |ag AS (SELECT $xs FROM r)
+      |SELECT CAST(20 AS INT) AS depth, 0.9 AS p,
+      |  x20 AS overlap_at_depth,
+      |  CAST(CAST(CAST(x20 AS DOUBLE) / 20.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS agreement_at_depth,
+      |  CAST(CAST($oneMinusP * CAST($terms AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS rbo
+      |FROM ag""".stripMargin
+  }
+
+  // q478: Cohen's h proportion effect size (Stats.cohensH) of the
+  // purchase rate between the user-parity arms — the arcsine-
+  // stabilized gap beside the raw z. The oracle replays the exact
+  // rationals and the d6 φ chain.
+  def q478CohensH(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.cohensH(
+      ev(s, dir).select((col("user_id") % 2L).as("arm"),
+        (col("event_type") === "purchase").cast("long").as("x")),
+      "arm", "x")
+
+  val q478Sql: String =
+    """WITH b AS (
+      |  SELECT user_id % 2 AS a,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      |  FROM events),
+      |ag AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN a = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN x ELSE 0 END) AS BIGINT) AS s1
+      |  FROM b),
+      |st AS (
+      |  SELECT n0, n1,
+      |    CAST(CAST(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS p0,
+      |    CAST(CAST(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS p1,
+      |    CAST(CAST(
+      |      CAST(CAST(2.0 * asin(sqrt(CAST(s1 AS DOUBLE) /
+      |        CAST(n1 AS DOUBLE))) AS DECIMAL(28,6)) AS DOUBLE) -
+      |      CAST(CAST(2.0 * asin(sqrt(CAST(s0 AS DOUBLE) /
+      |        CAST(n0 AS DOUBLE))) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS h
+      |  FROM ag)
+      |SELECT n0, n1, p0, p1, h,
+      |  CASE WHEN abs(h) < 0.2 THEN 'negligible'
+      |       WHEN abs(h) < 0.5 THEN 'small'
+      |       WHEN abs(h) < 0.8 THEN 'medium'
+      |       ELSE 'large' END AS magnitude
+      |FROM st""".stripMargin
+
+  // q479: indirect-standardization SMR (Stats.smrIndirect) — does
+  // the odd-parity cohort purchase more than the even-parity
+  // reference predicts once the time-of-day mix is held fixed?
+  // Strata = the four 6-hour day slots. The oracle replays the
+  // stratum rates and the d6 expected terms.
+  def q479Smr(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.smrIndirect(
+      ev(s, dir).select(
+        (expr("ts_us div 21600000000") % 4L).as("slot"),
+        col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("x")),
+      "slot", col("user_id") % 2L === 0L, "x")
+
+  val q479Sql: String =
+    """WITH b AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) % 4
+      |      AS s,
+      |    user_id % 2 = 0 AS ref,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      |  FROM events),
+      |bys AS (
+      |  SELECT s,
+      |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nref,
+      |    CAST(SUM(CASE WHEN ref THEN x ELSE 0 END) AS BIGINT)
+      |      AS dref,
+      |    CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nstu,
+      |    CAST(SUM(CASE WHEN NOT ref THEN x ELSE 0 END) AS BIGINT)
+      |      AS dstu
+      |  FROM b GROUP BY 1),
+      |ex AS (
+      |  SELECT s, dstu,
+      |    CASE WHEN nstu > 0 THEN
+      |      CAST(CAST(CAST(nstu AS DOUBLE) *
+      |        CAST(CAST(CAST(dref AS DOUBLE) / CAST(nref AS DOUBLE)
+      |          AS DECIMAL(28,6)) AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DECIMAL(28,6))
+      |      ELSE CAST(0 AS DECIMAL(28,6)) END AS expd
+      |  FROM bys),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |    CAST(SUM(dstu) AS BIGINT) AS observed,
+      |    SUM(expd) AS expsum
+      |  FROM ex)
+      |SELECT n_strata, observed,
+      |  CAST(CAST(CAST(expsum AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS expected,
+      |  CASE WHEN expsum > 0 THEN
+      |    CAST(CAST(CAST(observed AS DOUBLE) / CAST(expsum AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS smr
+      |FROM ag""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q477_rbo" -> (q477Rbo _),
+    "q478_cohens_h" -> (q478CohensH _),
+    "q479_smr" -> (q479Smr _),
     "q470_welch_anova" -> (q470WelchAnova _),
     "q471_mood_median" -> (q471MoodMedian _),
     "q472_ansari_bradley" -> (q472AnsariBradley _),
@@ -8632,6 +8785,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q477_rbo" -> q477Sql,
+    "q478_cohens_h" -> q478Sql,
+    "q479_smr" -> q479Sql,
     "q470_welch_anova" -> q470Sql,
     "q471_mood_median" -> q471Sql,
     "q472_ansari_bradley" -> q472Sql,

@@ -172,4 +172,29 @@ class RetrievalEvalSpec extends SparkSpec {
       Retrieval.wordErrorRate(big, "id", "ref", "hyp").collect()
     }.getMessage.contains("alphabet exhausted"))
   }
+
+  test("rankBiasedOverlap: identical rankings score (1-p) times the " +
+    "geometric prefix sum; disjoint heads score 0; bad knobs are " +
+    "loud") {
+    import org.apache.spark.sql.functions.col
+    // identical: X_d = d, terms p^{d-1} -> 0.5*(1+.5+.25) = .875
+    val same = (1 to 5).map(i => (i, i)).toDF("rank_a", "rank_b")
+    val r = Retrieval.rankBiasedOverlap(same, "rank_a", "rank_b",
+      p = 0.5, depth = 3).collect().head
+    assert(r.getAs[Long]("overlap_at_depth") == 3L)
+    assert(r.getAs[Double]("agreement_at_depth") == 1.0)
+    assert(r.getAs[Double]("rbo") == 0.875)
+    // reversed: the two heads are disjoint at depth 2
+    val rev = (1 to 5).map(i => (i, 6 - i)).toDF("rank_a", "rank_b")
+    val rr = Retrieval.rankBiasedOverlap(rev, "rank_a", "rank_b",
+      p = 0.5, depth = 2).collect().head
+    assert(rr.getAs[Double]("rbo") == 0.0)
+    intercept[IllegalArgumentException] {
+      Retrieval.rankBiasedOverlap(same, "rank_a", "rank_b", p = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rankBiasedOverlap(same, "rank_a", "rank_b",
+        depth = 0)
+    }
+  }
 }

@@ -2300,4 +2300,50 @@ class StatsSpec extends SparkSpec {
     assert(mono.getAs[Double]("pe_gwet") == 0.0)
     assert(mono.getAs[Double]("ac1") == 1.0)
   }
+
+  test("cohensH: hand arcsine gap on quarter/three-quarter arms; " +
+    "degenerate inputs are loud") {
+    // p0=.25, p1=.75: phi0 = 2 asin(.5) = pi/3, phi1 = 2 pi/3 ->
+    // h = d6(2.094395 - 1.047198) = 1.047197, large
+    val df = Seq((0L, 1L), (0L, 0L), (0L, 0L), (0L, 0L),
+      (1L, 1L), (1L, 1L), (1L, 1L), (1L, 0L)).toDF("arm", "x")
+    val r = Stats.cohensH(df, "arm", "x").collect().head
+    assert(r.getAs[Double]("p0") == 0.25)
+    assert(r.getAs[Double]("p1") == 0.75)
+    assert(r.getAs[Double]("h") == 1.047197)
+    assert(r.getAs[String]("magnitude") == "large")
+    val bad = intercept[Exception] {
+      Stats.cohensH(Seq((2L, 1L)).toDF("arm", "x"), "arm", "x")
+        .collect()
+    }
+    assert(bad.getMessage.contains("not 0/1"), bad.getMessage)
+    val empty = intercept[Exception] {
+      Stats.cohensH(df.filter(col("arm") === 1L), "arm", "x")
+        .collect()
+    }
+    assert(empty.getMessage.contains("empty"), empty.getMessage)
+  }
+
+  test("smrIndirect: hand stratum rates give expected = 3; a study-" +
+    "only stratum is loud") {
+    // s1: ref 2/10 -> rate .2, study n=5; s2: ref 1/4, study n=8 ->
+    // expected = 1 + 2 = 3; observed = 3 + 1 = 4 -> SMR = 4/3
+    val rows =
+      (1 to 10).map(i => ("s1", true, if (i <= 2) 1L else 0L)) ++
+      (1 to 5).map(i => ("s1", false, if (i <= 3) 1L else 0L)) ++
+      (1 to 4).map(i => ("s2", true, if (i <= 1) 1L else 0L)) ++
+      (1 to 8).map(i => ("s2", false, if (i <= 1) 1L else 0L))
+    val df = rows.toDF("s", "ref", "x")
+    val r = Stats.smrIndirect(df, "s", col("ref"), "x").collect().head
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("observed") == 4L)
+    assert(r.getAs[Double]("expected") == 3.0)
+    assert(r.getAs[Double]("smr") == 1.333333)
+    val loud = intercept[Exception] {
+      Stats.smrIndirect(
+        df.union(Seq(("s3", false, 1L)).toDF("s", "ref", "x")),
+        "s", col("ref"), "x").collect()
+    }
+    assert(loud.getMessage.contains("no reference rows"), loud.getMessage)
+  }
 }
