@@ -287,7 +287,11 @@ object ScaleStress {
       if (args.isEmpty || args.contains("q347_dbscan")) {
         val dir3 = sys.env.getOrElse("GRAFT_SCALE_DIR3", "target/scale/sf03")
         synthesize(spark, base, dir3, 3)
-        val fam = Seq("q347_dbscan", "q352_dbscan_ann").map { nm =>
+        // the hubness pair: q360 is the declared-exact O(N²) baseline,
+        // q445 its LSH-fed twin (r14 verdict #1) — same F=3 block so
+        // the swap's cost law is measured next to DBSCAN's
+        val fam = Seq("q347_dbscan", "q352_dbscan_ann",
+          "q360_hubness", "q445_hubness_ann").map { nm =>
           timed(nm, base) // warmup
           val baseSec = timed(nm, base)
           baseTimes(nm) = baseSec

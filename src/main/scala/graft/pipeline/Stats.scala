@@ -6962,4 +6962,115 @@ object Stats {
         d6(col("observed").cast("double") /
           col("_expsum").cast("double"))).as("smr"))
   }
+
+  /** Benjamini–Yekutieli FDR control (Benjamini & Yekutieli 2001) —
+    * [[bhFdr]] under ARBITRARY dependence: BH's guarantee needs
+    * positive dependence, and correlated hypotheses (overlapping
+    * slices, nested segments — the normal analytics case) can break
+    * it; BY pays the harmonic factor c(m) = Σ_{i≤m} 1/i for a
+    * guarantee that holds under any joint distribution. Step-up:
+    * k* = max{i : p₍ᵢ₎·m·c(m) ≤ i·q}; adjusted p is the reverse
+    * running min of min(1, p·m·c(m)/rank).
+    *
+    * Determinism: rank ties break on the key; c(m) accumulates
+    * d6(1/i) terms in a decimal window sum (identical both engines —
+    * no float-order ambiguity); the threshold comparison and the
+    * adjusted chain run in one fixed double order; outputs close in
+    * d6. Scale shape: windows over the report-sized HYPOTHESIS
+    * table, exactly as [[bhFdr]].
+    */
+  def byFdr(
+      df: DataFrame,
+      keyCol: String,
+      pCol: String,
+      q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"q in (0,1), got $q")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val p = col(pCol).cast("double")
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val ranked = df
+      .select(col(keyCol), p.as("p_value"))
+      .withColumn("rank", row_number()
+        .over(W.orderBy(col("p_value").asc, col(keyCol).asc)).cast("long"))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .withColumn("_c", sum(d28(d6(lit(1.0) /
+        col("rank").cast("double")))).over(wAll).cast("double"))
+    val scaled = col("p_value") * col("_m").cast("double") * col("_c")
+    val kStar = ranked
+      .agg(coalesce(max(when(
+          scaled <= col("rank").cast("double") * q, col("rank"))),
+        lit(0L)).as("_kstar"))
+    val padj = min(least(scaled / col("rank").cast("double"), lit(1.0)))
+      .over(W.orderBy(col("rank").desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked
+      .withColumn("p_adj", d6(padj))
+      .crossJoin(broadcast(kStar))
+      .select(col(keyCol), d6(col("p_value")).as("p_value"), col("rank"),
+        d6(col("_c")).as("c_m"), col("p_adj"),
+        (col("rank") <= col("_kstar")).cast("int").as("rejected"))
+  }
+
+  /** Trimmed and winsorized means per key at a ppm trim fraction —
+    * the robust-location panel: the f-trimmed mean DROPS the
+    * floor(f·n) most extreme values each side, the winsorized mean
+    * CLAMPS them to the surviving order statistics (Tukey 1962;
+    * winsorization keeps n for downstream variance formulas, the
+    * trim doesn't). The heavy-tail metric readout next to the raw
+    * mean that one fat outlier can't own.
+    *
+    * Determinism: g = (ppm·n) div 10⁶ is exact integer arithmetic;
+    * ranks order by value (a tie straddling the cut drops/keeps
+    * EQUAL values, so every block sum is value-deterministic);
+    * block sums exact decimal; the two order statistics are exact
+    * picks; each mean ONE d6. Over-trimming (n − 2g < 1) is loud;
+    * so is trimPpm ≥ 500000 (trimming everything).
+    *
+    * Scale shape: one per-key rank window + one keyed conditional
+    * rollup — no self-join.
+    */
+  def trimmedStats(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0L && trimPpm < 500000L,
+      s"trimPpm in [0, 5e5), got $trimPpm")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(col(keyCol).as("_k"), col(xCol).cast("long").as("_x"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(col("_k")).orderBy(col("_x").asc)).cast("long"))
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(col("_k"))))
+      .withColumn("_g", expr(s"($trimPpm * _n) div 1000000"))
+    val agg = ranked.groupBy(col("_k"))
+      .agg(max(col("_n")).as("n"), max(col("_g")).as("n_trimmed"),
+        sum(dec(col("_x"))).as("_s"),
+        sum(when(col("_rk") > col("_g") &&
+          col("_rk") <= col("_n") - col("_g"), dec(col("_x")))
+          .otherwise(dec(lit(0L)))).as("_smid"),
+        max(when(col("_rk") === col("_g") + 1L, col("_x"))).as("_lo"),
+        max(when(col("_rk") === col("_n") - col("_g"), col("_x")))
+          .as("_hi"))
+    val kept = col("n") - lit(2L) * col("n_trimmed")
+    val guarded = agg.withColumn("_smid",
+      when(kept >= 1L, col("_smid"))
+        .otherwise(raise_error(concat(lit("trimmedStats: key "),
+          col("_k").cast("string"), lit(" over-trimmed — "),
+          kept.cast("string"), lit(" values left")))
+          .cast("decimal(38,0)")))
+    guarded.select(col("_k").as(keyCol), col("n"), col("n_trimmed"),
+      d6(col("_s").cast("double") / col("n").cast("double"))
+        .as("mean_raw"),
+      d6(col("_smid").cast("double") / kept.cast("double"))
+        .as("mean_trimmed"),
+      d6((col("_smid") + dec(col("n_trimmed")) * dec(col("_lo")) +
+        dec(col("n_trimmed")) * dec(col("_hi"))).cast("double") /
+        col("n").cast("double")).as("mean_winsorized"))
+  }
 }

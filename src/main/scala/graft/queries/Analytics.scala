@@ -8613,7 +8613,106 @@ object Analytics {
       |      AS DECIMAL(28,6)) AS DOUBLE) END AS smr
       |FROM ag""".stripMargin
 
+  // q480: Benjamini–Yekutieli FDR (Stats.byFdr) — q264's step-up
+  // under arbitrary dependence: the harmonic c(m) factor accumulates
+  // d6(1/i) terms in a decimal window sum. Same planted p-value
+  // construction, salt "by".
+  def q480ByFdr(s: SparkSession, dir: String): DataFrame = {
+    val hyp = ev(s, dir)
+      .select((col("user_id") % 40).as("slice_id")).distinct()
+      .withColumn("p_raw",
+        graft.pipeline.Sampling.portableHash(col("slice_id"), "by")
+          .cast("double") / 1000000.0)
+    graft.pipeline.Stats.byFdr(hyp, "slice_id", "p_raw", q = 0.10)
+  }
+
+  val q480Sql: String =
+    """WITH hyp AS (
+      |  SELECT DISTINCT user_id % 40 AS slice_id FROM events),
+      |p AS (
+      |  SELECT slice_id,
+      |    CAST(CAST(concat('0x', substring(md5('by:' ||
+      |      CAST(slice_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      AS DOUBLE) / 1000000.0 AS pv
+      |  FROM hyp),
+      |rk AS (
+      |  SELECT slice_id, pv,
+      |    CAST(row_number() OVER (ORDER BY pv ASC, slice_id ASC)
+      |      AS BIGINT) AS rank,
+      |    COUNT(*) OVER () AS m
+      |  FROM p),
+      |cc AS (
+      |  SELECT slice_id, pv, rank, m,
+      |    CAST(SUM(CAST(CAST(CAST(1.0 / CAST(rank AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS DECIMAL(28,6))) OVER ()
+      |      AS DOUBLE) AS c
+      |  FROM rk),
+      |ks AS (
+      |  SELECT COALESCE(MAX(CASE WHEN pv * CAST(m AS DOUBLE) * c <=
+      |    CAST(rank AS DOUBLE) * 0.10 THEN rank END), 0) AS kstar
+      |  FROM cc),
+      |adj AS (
+      |  SELECT slice_id, pv, rank, c,
+      |    MIN(LEAST(pv * CAST(m AS DOUBLE) * c /
+      |      CAST(rank AS DOUBLE), 1.0))
+      |      OVER (ORDER BY rank DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj
+      |  FROM cc)
+      |SELECT a.slice_id,
+      |  CAST(CAST(a.pv AS DECIMAL(28,6)) AS DOUBLE) AS p_value,
+      |  a.rank,
+      |  CAST(CAST(a.c AS DECIMAL(28,6)) AS DOUBLE) AS c_m,
+      |  CAST(CAST(a.padj AS DECIMAL(28,6)) AS DOUBLE) AS p_adj,
+      |  CAST(CASE WHEN a.rank <= ks.kstar THEN 1 ELSE 0 END AS INT)
+      |    AS rejected
+      |FROM adj a CROSS JOIN ks""".stripMargin
+
+  // q481: trimmed/winsorized mean panel (Stats.trimmedStats) of
+  // per-event cents per type at a 10% trim — the robust-location
+  // readout beside the raw mean. The oracle replays the exact rank
+  // blocks and the clamped order statistics.
+  def q481TrimmedStats(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.trimmedStats(
+      ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x")),
+      "event_type", "x", trimPpm = 100000L)
+
+  val q481Sql: String =
+    """WITH b AS (
+      |  SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |r AS (
+      |  SELECT k, x,
+      |    CAST(row_number() OVER (PARTITION BY k ORDER BY x ASC)
+      |      AS BIGINT) AS rk,
+      |    COUNT(*) OVER (PARTITION BY k) AS n
+      |  FROM b),
+      |g AS (SELECT *, (100000 * n) // 1000000 AS gg FROM r),
+      |ag AS (
+      |  SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(MAX(gg) AS BIGINT) AS n_trimmed,
+      |    SUM(CAST(x AS HUGEINT)) AS s,
+      |    SUM(CASE WHEN rk > gg AND rk <= n - gg
+      |      THEN CAST(x AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)
+      |      AS smid,
+      |    CAST(MAX(CASE WHEN rk = gg + 1 THEN x END) AS BIGINT) AS lo,
+      |    CAST(MAX(CASE WHEN rk = n - gg THEN x END) AS BIGINT) AS hi
+      |  FROM g GROUP BY 1)
+      |SELECT k AS event_type, n, n_trimmed,
+      |  CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_raw,
+      |  CAST(CAST(CAST(smid AS DOUBLE) /
+      |    CAST(n - 2 * n_trimmed AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS mean_trimmed,
+      |  CAST(CAST(CAST(smid + CAST(n_trimmed AS HUGEINT) *
+      |      CAST(lo AS HUGEINT) + CAST(n_trimmed AS HUGEINT) *
+      |      CAST(hi AS HUGEINT) AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_winsorized
+      |FROM ag""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q480_by_fdr" -> (q480ByFdr _),
+    "q481_trimmed_stats" -> (q481TrimmedStats _),
     "q477_rbo" -> (q477Rbo _),
     "q478_cohens_h" -> (q478CohensH _),
     "q479_smr" -> (q479Smr _),
@@ -8785,6 +8884,8 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q480_by_fdr" -> q480Sql,
+    "q481_trimmed_stats" -> q481Sql,
     "q477_rbo" -> q477Sql,
     "q478_cohens_h" -> q478Sql,
     "q479_smr" -> q479Sql,

@@ -2346,4 +2346,41 @@ class StatsSpec extends SparkSpec {
     }
     assert(loud.getMessage.contains("no reference rows"), loud.getMessage)
   }
+
+  test("byFdr: the harmonic factor shrinks the BH reject set; " +
+    "adjusted p is the reverse running min of the c(m)-scaled chain") {
+    // m=4: c = 1 + .5 + .333333 + .25 = 2.083333 (d6 terms);
+    // q=.2 -> ranks 1-3 pass, rank 4 fails
+    val df = Seq(("a", 0.001), ("b", 0.01), ("c", 0.02), ("d", 0.5))
+      .toDF("k", "p")
+    val out = Stats.byFdr(df, "k", "p", q = 0.2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("c_m") == 2.083333)
+    assert(out("a").getAs[Double]("p_adj") == 0.008333)
+    assert(out("b").getAs[Double]("p_adj") == 0.041667)
+    assert(out("c").getAs[Double]("p_adj") == 0.055556)
+    assert(out("d").getAs[Double]("p_adj") == 1.0)
+    assert(Seq("a", "b", "c").forall(out(_).getAs[Int]("rejected") == 1))
+    assert(out("d").getAs[Int]("rejected") == 0)
+    intercept[IllegalArgumentException] {
+      Stats.byFdr(df, "k", "p", q = 0.0)
+    }
+  }
+
+  test("trimmedStats: a planted outlier owns the raw mean but not " +
+    "the trimmed/winsorized ones; trim bounds are loud") {
+    // x = [1,2,3,4,100] at 20% trim: g=1, mid = {2,3,4} -> trimmed 3,
+    // winsorized (9 + 2 + 4)/5 = 3, raw 22
+    val df = Seq(1L, 2L, 3L, 4L, 100L).map(("k", _)).toDF("k", "x")
+    val r = Stats.trimmedStats(df, "k", "x", trimPpm = 200000L)
+      .collect().head
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("n_trimmed") == 1L)
+    assert(r.getAs[Double]("mean_raw") == 22.0)
+    assert(r.getAs[Double]("mean_trimmed") == 3.0)
+    assert(r.getAs[Double]("mean_winsorized") == 3.0)
+    intercept[IllegalArgumentException] {
+      Stats.trimmedStats(df, "k", "x", trimPpm = 500000L)
+    }
+  }
 }
