@@ -317,7 +317,13 @@ object ScaleStress {
         // cand_base/cand_scale directly expose bucket-occupancy growth;
         // the claim under test is that raising bits with log N holds
         // the candidate set ~linear where the frozen config quadruples.
-        val tightRows = Seq(2, 4, 6).map { b =>
+        // bits 2-6 show the 2^bits cut; bits 10/16 are the production
+        // dial the tight-ε recall arithmetic affords (collision
+        // p ≈ 0.94/plane at cos ≥ 0.8 ⇒ per-table recall 0.94^16 ≈
+        // 0.37, 32 tables ⇒ ~1 − 0.63³² ≈ 1.0) — the rungs where the
+        // random-collision term 32·N²/2^bits stops dominating and the
+        // candidate set approaches the cluster-linear floor
+        val tightRows = Seq(2, 4, 6, 10, 16).map { b =>
           def run(dir: String): (Double, Long) = {
             val df = graft.queries.Tables(spark, dir, "embeddings")
             val cand = graft.pipeline.Clustering.annCandidates(
