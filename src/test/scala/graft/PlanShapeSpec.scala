@@ -336,4 +336,63 @@ class PlanShapeSpec extends SparkSpec {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f })
     assert(scans.size == 1, s"corrMatrix scans ${scans.size} times")
   }
+
+  // ---- round-15 scale-claim pins ----
+
+  test("q457 KPSS plans ZERO joins — the exact-rational collapsed " +
+      "form is pure window chains") {
+    val ps = plans("q457_kpss")
+    val joins = ps.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
+    assert(joins.isEmpty, s"KPSS planned a join: $joins")
+  }
+
+  test("q459 Diebold–Mariano plans ZERO joins — the HAC assembly " +
+      "rides lead windows, never a self-join") {
+    val ps = plans("q459_diebold_mariano")
+    val joins = ps.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
+    assert(joins.isEmpty, s"Diebold–Mariano planned a join: $joins")
+  }
+
+  test("q461 bipartite projection pairs through the left-key " +
+      "equi-join, never a cartesian") {
+    val ps = plans("q461_bipartite")
+    val cart = ps.flatMap(_.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+        => c
+      case n: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => n })
+    assert(cart.isEmpty, s"bipartite projection went all-pairs: $cart")
+  }
+
+  test("q476 k-truss meets triangles through equi-joins only (final " +
+      "round plan — earlier rounds are materialized)") {
+    val ps = plans("q476_ktruss")
+    val cart = ps.flatMap(_.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+        => c
+      case n: org.apache.spark.sql.execution.joins
+        .BroadcastNestedLoopJoinExec => n })
+    assert(cart.isEmpty, s"k-truss went all-pairs: $cart")
+  }
+
+  test("q477 RBO reads the corpus once — every depth is a " +
+      "conditional sum in one aggregate") {
+    val ps = plans("q477_rbo")
+    val scans = ps.flatMap(_.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f })
+    assert(scans.size == 1, s"RBO scans ${scans.size} times")
+    val joins = ps.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
+    assert(joins.isEmpty, s"RBO planned a join: $joins")
+  }
+
+  test("q481 trimmed stats plans ZERO joins — rank blocks are one " +
+      "window plus one keyed rollup") {
+    val ps = plans("q481_trimmed_stats")
+    val joins = ps.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
+    assert(joins.isEmpty, s"trimmed stats planned a join: $joins")
+  }
 }
