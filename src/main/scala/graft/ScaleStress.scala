@@ -74,17 +74,14 @@ object ScaleStress {
     // ~100×·39s)
     "q343_cdc_dup_pairs",
     // round-14 second wave: LZ78 (zero-shuffle in-row fold — the
-    // linear control next to q342's CDC compute) and LPA communities.
-    // LPA's measured ratio is dominated by its EDGE stage, not the
-    // rounds: co-purchase edges join users sharing a 6-hour bucket,
-    // and this synthesis replicates users while keeping the 30-day
-    // window fixed — bucket occupancy grows ×F, candidate pairs ×F²
-    // (the same occupancy law as q163's frozen-config LSH row). A
-    // real F× crawl that also extends the time axis keeps occupancy
-    // constant and the stage ~linear; the rounds themselves are
-    // linear in edges with the per-round checkpoint keeping lineage
-    // flat.
-    "q379_lz78", "q384_lpa",
+    // linear control next to q342's CDC compute). q384_lpa moved to
+    // its own block below in r16: its edge stage is now the GUARDED
+    // coBucketEdges generator, so the F=10 synthesis (users ×10 on a
+    // fixed time axis ⇒ bucket occupancy ×10 = ~1920 > the 1000 cap)
+    // must REFUSE loudly instead of going 57.2× quadratic (the r15
+    // measurement); F=3 (~576 ≤ cap) measures the occ² law under the
+    // ceiling.
+    "q379_lz78",
     // round-15 addition: Cox PH — the heaviest new non-ANN r14 entry
     // (6 chained Newton rounds, each a distinct-time-frame window
     // chain + broadcast ≤keys-row params): expected ~linear in rows
@@ -198,9 +195,11 @@ object ScaleStress {
 
     synthesize(spark, base, scaleDir, factor)
 
+    val special = Seq("q384_lpa", "q347_dbscan")
     val names =
       if (args.isEmpty) entries
-      else { require(args.forall(entries.contains), s"unknown: ${args.toSeq}")
+      else { require(args.forall(n => entries.contains(n) ||
+               special.contains(n)), s"unknown: ${args.toSeq}")
              entries.filter(args.toSet) }
 
     def timed(name: String, dir: String): Double = {
@@ -351,12 +350,51 @@ object ScaleStress {
         }
         bitsScaled ++ tightRows
       } else Seq.empty
+    // q384_lpa (VERDICT r15 #1): the co-purchase edge stage is now the
+    // GUARDED Graph.coBucketEdges — per-bucket purchaser occupancy
+    // raises in-plan past maxBucketKeys=1000. This synthesis replicates
+    // users on a FIXED time axis, so occupancy grows ×F: F=3 (~576 ≤
+    // cap) runs bounded and measures the occ² law under the ceiling
+    // (per-bucket pair work hard-capped at cap²/2); F=10 (~1920 > cap)
+    // must REFUSE loudly before any pair forms — the refusal row IS the
+    // scale evidence (r15 measured the unguarded form at 57.2× /
+    // 581.8 MB max-task shuffle write here).
+    val lpaRows =
+      if (args.isEmpty || args.contains("q384_lpa")) {
+        val dir3 = sys.env.getOrElse("GRAFT_SCALE_DIR3", "target/scale/sf03")
+        synthesize(spark, base, dir3, 3)
+        timed("q384_lpa", base) // warmup
+        val baseSec = timed("q384_lpa", base)
+        listener.reset()
+        val f3 = timed("q384_lpa", dir3)
+        val row3 = row("q384_lpa_f3", baseSec, f3)
+        def guardHit(t: Throwable): Boolean =
+          t != null && (Option(t.getMessage)
+            .exists(_.contains("coBucketEdges")) || guardHit(t.getCause))
+        val refusal =
+          try {
+            timed("q384_lpa", scaleDir)
+            """"q384_lpa_f10":{"refused":false,""" +
+              """"note":"guard did NOT fire — occupancy under cap?"}"""
+          } catch {
+            case e: Exception if guardHit(e) =>
+              System.err.println(s"[scale] q384_lpa_f10 refused loudly " +
+                s"(maxBucketKeys=1000) as designed")
+              f""""q384_lpa_f10":{"refused":true,""" +
+                f""""base_sec":$baseSec%.2f,""" +
+                """"guard":"coBucketEdges maxBucketKeys=1000 — bucket """ +
+                """occupancy ~1920 at F=10 raises in-plan before the """ +
+                """pair stage"}"""
+          }
+        Seq(row3, refusal)
+      } else Seq.empty
     val loadEnd = osBean.getSystemLoadAverage
     val json =
       s"""{"factor":$factor,"base":"$base","scale_dir":"$scaleDir",""" +
         s""""cpus":$cpus,""" +
         f""""load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,""" +
-        s""""entries":{${(rows ++ extraRows ++ dbscanRows).mkString(",")}}}"""
+        s""""entries":{${(rows ++ extraRows ++ dbscanRows ++ lpaRows)
+          .mkString(",")}}}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

@@ -948,4 +948,122 @@ object Graph {
       .select(col("_g_a").as("a"), col("_g_b").as("b"),
         coalesce(col("_supp"), lit(0L)).as("support"))
   }
+
+  /** Loud bucket-occupancy guard shared by [[coBucketEdges]] and
+    * [[handoffEdges]]: a bucket holding m keys feeds m²/2 (same-bucket)
+    * or m·m' (adjacent-bucket) candidate pairs into the generator's
+    * self-join — the occupancy-quadratic hazard class ([[dtw]]'s
+    * `maxKeys` / [[bipartiteProject]]'s `maxLeftDegree` discipline).
+    * In guard mode the `raise_error` rides the BUCKET column itself —
+    * the pair join's equi-key, which Catalyst therefore cannot prune —
+    * so a hot bucket raises BEFORE any pair forms. In prune mode
+    * (`pruneHot = true`, the [[graft.pipeline.TextDedup.jaccardPairs]]
+    * df-prune discipline) buckets above the cap are DROPPED from pair
+    * generation entirely: capped output ⊆ full output, per-bucket pair
+    * work is hard-bounded by maxBucketKeys²/2, and the drop is
+    * observable (the guard-mode twin raises on the same input).
+    * Input/output columns (_k, _b).
+    */
+  private def guardOccupancy(
+      m: DataFrame,
+      maxBucketKeys: Int,
+      pruneHot: Boolean,
+      opName: String): DataFrame = {
+    val occ = m.groupBy(col("_b")).agg(count(lit(1)).as("_occ"))
+    if (pruneHot)
+      m.join(occ.filter(col("_occ") <= maxBucketKeys).select(col("_b")),
+        Seq("_b"), "left_semi")
+    else {
+      val bType = m.schema("_b").dataType.catalogString
+      m.join(occ, Seq("_b"))
+        .select(
+          when(col("_occ") <= maxBucketKeys, col("_b"))
+            .otherwise(raise_error(concat(
+              lit(s"$opName: bucket "), col("_b").cast("string"),
+              lit(" holds "), col("_occ").cast("string"),
+              lit(s" keys > maxBucketKeys=$maxBucketKeys — the pair " +
+                "stage is occupancy-quadratic per bucket; prune hot " +
+                "buckets (pruneHot=true), coarsen the bucket key, or " +
+                "raise the bound"))).cast(bType)).as("_b"),
+          col("_k"))
+    }
+  }
+
+  /** Same-bucket co-occurrence pair generator: an undirected edge
+    * (key_a < key_b) between keys observed in the same bucket, weighted
+    * by the number of distinct shared buckets and kept at
+    * `n_shared ≥ minCount` — the generic build behind co-purchase /
+    * co-session / co-crawl fixture graphs (two users purchasing in the
+    * same 6-hour window, two documents fetched in the same crawl
+    * cycle).
+    *
+    * The pair stage is a bucket-keyed SELF-JOIN: a bucket with m
+    * distinct keys emits m·(m−1)/2 pairs, so one hot bucket (a
+    * flash-sale hour) goes quadratic silently at scale — exactly the
+    * hazard the r15 sidecar measured at 57.2× / 581.8 MB max-task
+    * shuffle when user density grew 10× on a fixed time axis. Bucket
+    * occupancy is therefore guarded LOUDLY by `maxBucketKeys` (in-plan,
+    * riding the join key, before any pair forms) or df-pruned with
+    * `pruneHot` — see [[guardOccupancy]]. Counts are exact longs off
+    * the DISTINCT (key, bucket) frame.
+    *
+    * Scale shape: one distinct, one bucket-count aggregate (broadcast
+    * back), one bucket-keyed equi-join bounded by the guard, one
+    * pair-keyed aggregate. Output: (key_a, key_b, n_shared).
+    */
+  def coBucketEdges(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      minCount: Int = 1,
+      maxBucketKeys: Int = 1000,
+      pruneHot: Boolean = false): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxBucketKeys >= 2, s"maxBucketKeys >= 2, got $maxBucketKeys")
+    val m = df.select(col(keyCol).as("_k"), col(bucketCol).as("_b"))
+      .distinct()
+    val g = guardOccupancy(m, maxBucketKeys, pruneHot, "coBucketEdges")
+    g.select(col("_b"), col("_k").as("key_a"))
+      .join(g.select(col("_b"), col("_k").as("key_b")), Seq("_b"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minCount)
+  }
+
+  /** Adjacent-bucket hand-off pair generator: a DIRECTED edge
+    * src → dst when src is observed in bucket b and dst in bucket b+1
+    * (self hand-offs dropped), weighted by the number of distinct
+    * hand-offs and kept at `n_handoffs ≥ minCount` — [[coBucketEdges]]'s
+    * temporal-sequence sibling (who follows whom across purchase
+    * windows / crawl cycles).
+    *
+    * Same occupancy hazard, adjacent form: buckets with m and m′ keys
+    * emit m·m′ candidate pairs, so the same loud `maxBucketKeys` guard
+    * (or `pruneHot` df-prune) bounds the join — see [[guardOccupancy]].
+    * The bucket column must be integral (b+1 is the adjacency).
+    *
+    * Scale shape: identical to [[coBucketEdges]] with the equi-key
+    * shifted on one side. Output: (src, dst, n_handoffs).
+    */
+  def handoffEdges(
+      df: DataFrame,
+      keyCol: String,
+      bucketCol: String,
+      minCount: Int = 1,
+      maxBucketKeys: Int = 1000,
+      pruneHot: Boolean = false): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(maxBucketKeys >= 2, s"maxBucketKeys >= 2, got $maxBucketKeys")
+    val m = df.select(col(keyCol).as("_k"),
+      col(bucketCol).cast("long").as("_b")).distinct()
+    val g = guardOccupancy(m, maxBucketKeys, pruneHot, "handoffEdges")
+    g.select(col("_b"), col("_k").as("src"))
+      .join(g.select((col("_b") - lit(1L)).as("_b"), col("_k").as("dst")),
+        Seq("_b"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_handoffs"))
+      .filter(col("n_handoffs") >= minCount)
+  }
 }

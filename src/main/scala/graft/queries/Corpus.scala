@@ -5010,20 +5010,29 @@ object Corpus {
       |SELECT term, n_a, n_b, delta, z FROM scored
       |ORDER BY ABS(z) DESC, term ASC LIMIT 50""".stripMargin
 
-  /** Co-purchase user graph: an edge between users who purchased in the
-    * same 6-hour bucket on >= 3 distinct buckets — sparse enough for a
-    * non-trivial k-core (88 of 150 users at sf0.01, 6 peel rounds). */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.eventsUs(s, dir)
+  /** Shared distinct (user, 6-hour-bucket) purchase frame feeding every
+    * co-purchase / hand-off fixture graph (q313/q314/q326/q384/q462/
+    * q463/q476) — ONE definition so the occupancy guard below cannot
+    * drift between consumers (VERDICT r15 #1/#7). */
+  private def purchaseBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsUs(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts_us div 21600000000").as("b"))
       .distinct()
-    val q = p.select(col("user_id").as("v"), col("b"))
-    p.join(q, p("b") === q("b") && p("user_id") < col("v"))
-      .groupBy(p("user_id").as("u"), col("v"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
-  }
+
+  /** Co-purchase user graph: an edge between users who purchased in the
+    * same 6-hour bucket on >= `minShared` distinct buckets — sparse
+    * enough for a non-trivial k-core at the default (88 of 150 users at
+    * sf0.01, 6 peel rounds). Built by the GUARDED [[Graph.coBucketEdges]]
+    * generator: per-bucket purchaser occupancy (192 max at sf0.1; the
+    * r15 sidecar measured the unguarded self-join at 57.2× when a fixed
+    * time axis grew 10× denser) raises loudly past maxBucketKeys=1000
+    * BEFORE any pair forms. */
+  private def coPurchaseEdges(
+      s: SparkSession, dir: String, minShared: Int = 3): DataFrame =
+    Graph.coBucketEdges(purchaseBuckets(s, dir), "user_id", "b",
+        minCount = minShared)
+      .select(col("key_a").as("u"), col("key_b").as("v"), col("n_shared"))
 
   // q313: 15-core of the co-purchase graph — iterative peel to a fixed
   // point. The oracle replays the peel as a packed-alive-list recursive
@@ -5761,21 +5770,16 @@ object Corpus {
 
   // q462: reciprocity + dyad census (Graph.reciprocity) of the
   // temporal purchase hand-off graph — a→b when a purchases in a 6h
-  // bucket and b in the next one (≥ 2 hand-offs). The oracle replays
-  // the directed edge build and the flipped-key semi-join.
-  def q462Reciprocity(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.eventsUs(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts_us div 21600000000").as("b"))
-      .distinct()
-    val q = p.select(col("user_id").as("v"), col("b").as("b2"))
-    val edges = p.join(q, col("b") + 1 === col("b2") &&
-        col("user_id") =!= col("v"))
-      .groupBy(col("user_id").as("u"), col("v"))
-      .agg(count(lit(1)).as("n_handoffs"))
-      .filter(col("n_handoffs") >= 2)
-    Graph.reciprocity(edges, "u", "v")
-  }
+  // bucket and b in the next one (≥ 2 hand-offs), built by the GUARDED
+  // Graph.handoffEdges generator off the shared purchaseBuckets frame
+  // (adjacent-bucket occupancy is the same m·m′ hazard as the
+  // co-purchase self-join — VERDICT r15 #1). The oracle replays the
+  // directed edge build and the flipped-key semi-join.
+  def q462Reciprocity(s: SparkSession, dir: String): DataFrame =
+    Graph.reciprocity(
+      Graph.handoffEdges(purchaseBuckets(s, dir), "user_id", "b",
+        minCount = 2),
+      "src", "dst")
 
   val q462Sql: String =
     """WITH p AS (
@@ -5852,18 +5856,8 @@ object Corpus {
   // counts are nested list lambdas over the edge list — O(E²·N) per
   // round in the replay) at fixture cost; the Spark side is the
   // same triangle equi-join at any threshold.
-  def q476KTruss(s: SparkSession, dir: String): DataFrame = {
-    val p = Tables.eventsUs(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts_us div 21600000000").as("b"))
-      .distinct()
-    val q = p.select(col("user_id").as("v"), col("b"))
-    val strong = p.join(q, p("b") === q("b") && p("user_id") < col("v"))
-      .groupBy(p("user_id").as("u"), col("v"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 5)
-    Graph.kTruss(strong, "u", "v", k = 3)
-  }
+  def q476KTruss(s: SparkSession, dir: String): DataFrame =
+    Graph.kTruss(coPurchaseEdges(s, dir, minShared = 5), "u", "v", k = 3)
 
   val q476Sql: String =
     """WITH RECURSIVE p AS (

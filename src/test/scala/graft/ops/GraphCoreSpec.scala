@@ -305,4 +305,72 @@ class GraphCoreSpec extends SparkSpec {
       Graph.richClub(e, "s", "d", ks = Seq(1, 1))
     }
   }
+
+  test("coBucketEdges: hand-computed shared-bucket counts, duplicates " +
+    "collapsed, minCount filter applied") {
+    // bucket 1: {a,b,c}; bucket 2: {a,b}; bucket 3: {a,b} (row dup'd)
+    val obs = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("a", 2L), ("b", 2L),
+      ("a", 3L), ("b", 3L), ("b", 3L)).toDF("k", "b")
+    val out = Graph.coBucketEdges(obs, "k", "b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 3L, ("a", "c") -> 1L,
+      ("b", "c") -> 1L))
+    val strong = Graph.coBucketEdges(obs, "k", "b", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strong == Set(("a", "b")))
+  }
+
+  test("coBucketEdges raises loudly BEFORE the pair stage when a " +
+    "bucket exceeds maxBucketKeys; pruneHot drops the hot bucket " +
+    "instead and keeps the rest") {
+    // bucket 1 holds 4 keys (> cap 3); bucket 2 holds 2
+    val obs = (Seq("a", "b", "c", "d").map(_ -> 1L) ++
+      Seq("x" -> 2L, "y" -> 2L)).toDF("k", "b")
+    val loud = intercept[Exception] {
+      Graph.coBucketEdges(obs, "k", "b", maxBucketKeys = 3).collect()
+    }
+    assert(loud.getMessage.contains("coBucketEdges"), loud.getMessage)
+    val pruned = Graph.coBucketEdges(obs, "k", "b", maxBucketKeys = 3,
+        pruneHot = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("x", "y")))
+    // capped output ⊆ full output at a non-binding cap
+    val full = Graph.coBucketEdges(obs, "k", "b", maxBucketKeys = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned.subsetOf(full) && full.size == 7)
+  }
+
+  test("handoffEdges: directed adjacent-bucket pairs with hand-computed " +
+    "counts; self hand-offs dropped; the loud guard and pruneHot both " +
+    "bind on occupancy") {
+    // b1: {a,b}; b2: {b,c}; b3: {c}
+    // b1→b2 pairs: (a,b),(a,c),(b,c) [b→b self dropped];
+    // b2→b3 pairs: (b,c) [c→c self dropped] → (b,c) count 2
+    val obs = Seq(("a", 1L), ("b", 1L), ("b", 2L), ("c", 2L), ("c", 3L))
+      .toDF("k", "b")
+    val out = Graph.handoffEdges(obs, "k", "b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("a", "b") -> 1L, ("a", "c") -> 1L,
+      ("b", "c") -> 2L))
+    assert(Graph.handoffEdges(obs, "k", "b", minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("b", "c")))
+    // a non-binding cap (every bucket ≤ 2 keys) changes nothing
+    assert(Graph.handoffEdges(obs, "k", "b", maxBucketKeys = 2)
+      .count() == 3L)
+    // grow b1 to 3 keys: cap 2 must raise loudly, pruneHot must drop
+    // exactly b1's hand-offs (leaving b2→b3's (b,c))
+    val hot = (Seq(("a", 1L), ("b", 1L), ("b", 2L), ("c", 2L),
+      ("c", 3L), ("z", 1L))).toDF("k", "b")
+    val loud = intercept[Exception] {
+      Graph.handoffEdges(hot, "k", "b", maxBucketKeys = 2).collect()
+    }
+    assert(loud.getMessage.contains("handoffEdges"), loud.getMessage)
+    assert(Graph.handoffEdges(hot, "k", "b", maxBucketKeys = 2,
+        pruneHot = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("b", "c")))
+  }
 }

@@ -58,4 +58,29 @@ class InventorySpec extends AnyFunSuite {
         .mkString(", ")}; stale declarations: ${(declared diff noOracle)
         .toSeq.sorted.mkString(", ")}")
   }
+
+  test("every bounded-occupancy pair generator in docs/SCALING.md names " +
+    "a bound that exists in its source") {
+    // class-3b lockstep (VERDICT r15 #5): the table row IS the promise
+    // that the generator's occupancy bound exists — a renamed/removed
+    // guard parameter goes red here instead of drifting silently
+    def read(p: String): String = {
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val scaling = read("docs/SCALING.md")
+    val RowRe =
+      """\| `([A-Za-z]+)\.([A-Za-z]+)`[^|]*\| (src/[^ |]+) \| ([A-Za-z]+) \|"""
+        .r
+    val rows = RowRe.findAllMatchIn(scaling).map(m =>
+      (m.group(1), m.group(2), m.group(3), m.group(4))).toSeq
+    assert(rows.size >= 7, s"class-3b table parsed only ${rows.size} rows")
+    val bad = rows.filterNot { case (_, method, path, bound) =>
+      val src = read(path)
+      // the generator must still exist and its named bound with it
+      src.contains(s"def $method(") && src.contains(bound)
+    }
+    assert(bad.isEmpty, s"class-3b rows whose bound is missing in " +
+      s"source: ${bad.mkString(", ")}")
+  }
 }
