@@ -74,24 +74,52 @@ object Bench {
     val warm0 = System.nanoTime()
     names.foreach(materialize) // warmup pass, untimed
     val warmupSec = (System.nanoTime() - warm0) / 1e9
-    val results = names.map { name =>
+    def medianOf3(name: String): Double = {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         materialize(name) // failure propagates: a broken query must not bench
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(1) // median of 3
+      times(1)
     }
+    val inRun = names.map(name => name -> medianOf3(name))
+
+    // auto-re-time in-run spikes (VERDICT r15 #2): a ≥2×-vs-prev entry
+    // that also costs ≥1s is re-timed in ISOLATION at the end of the
+    // run (the graft.Retime discipline — streaming entries' micro-batch
+    // machinery contends with in-run neighbors and has produced 2-5×
+    // position-noise spikes three rounds running), and the ISOLATED
+    // median goes into the queries map so the committed artifact needs
+    // no prose correction. Both numbers are recorded under "retimed".
+    val (prevName, prevTimes) = previousTimes()
+    val flagged = inRun.collect {
+      case (n, t) if t >= 1.0 &&
+        prevTimes.get(n).exists(pt => pt > 0 && t / pt >= 2.0) => n
+    }.take(10)
+    val isolated = flagged.map { n =>
+      val t = medianOf3(n)
+      System.err.println(f"[bench] retimed $n: in-run ${inRun.toMap
+        .apply(n)}%.2fs -> isolated $t%.2fs")
+      n -> t
+    }.toMap
+    val results = inRun.map { case (n, t) =>
+      n -> isolated.getOrElse(n, t) }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val (prevName, deltas) = previousRoundDeltas(results.toMap)
+    val deltas = deltaJson(prevName, prevTimes, results.toMap)
+    val retimedJson =
+      if (isolated.isEmpty) ""
+      else isolated.toSeq.sortBy(_._1).map { case (n, t) =>
+        f""""$n":{"in_run":${inRun.toMap.apply(n)}%.2f,"isolated":$t%.2f}"""
+      }.mkString(""","retimed":{""", ",", "}")
     val loadEnd = osBean.getSystemLoadAverage
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         f""""sf":"$sfDir","load_start":$loadStart%.2f,""" +
-        f""""load_end":$loadEnd%.2f,"warmup_sec":$warmupSec%.1f$deltas}"""
+        f""""load_end":$loadEnd%.2f,"warmup_sec":$warmupSec%.1f""" +
+        s"""$deltas$retimedJson}"""
     println(json)
     prevName.foreach(p => System.err.println(s"[bench] deltas vs $p"))
     Files.writeString(Paths.get(outPath), json + "\n")
@@ -106,15 +134,29 @@ object Bench {
     spark.stop()
   }
 
-  /** Per-query cur/prev ratio against the previous round's bench file
-    * (SPARK_GRAFT_BENCH_PREV, else the NEWEST BENCH_r*.json in the cwd
-    * whose queries object actually parses — a crashed round leaves an
+  /** Per-query cur/prev delta fragment from [[previousTimes]]' map —
+    * the artifact itself shows regressions, not just totals. */
+  private def deltaJson(
+      prevName: Option[String],
+      prevTimes: Map[String, Double],
+      current: Map[String, Double]): String = {
+    val ds = current.keys.toSeq.sorted.flatMap { q =>
+      prevTimes.get(q).filter(_ > 0).map { pt =>
+        "\"" + q + "\":" + f"${current(q) / pt}%.2f"
+      }
+    }
+    if (ds.isEmpty || prevName.isEmpty) ""
+    else s""","prev":"${prevName.get}","delta_vs_prev":${ds
+      .mkString("{", ",", "}")}"""
+  }
+
+  /** Previous round's per-query times (SPARK_GRAFT_BENCH_PREV, else
+    * BENCH_LOCAL.json, else the NEWEST BENCH_r*.json in the cwd whose
+    * queries object actually parses — a crashed round leaves an
     * artifact with no timings, e.g. BENCH_r09's rc=1 stub, and deltas
-    * should then come from the last VALID round, not silently vanish) —
-    * the artifact itself shows regressions, not just totals.
+    * should then come from the last VALID round, not silently vanish).
     */
-  private def previousRoundDeltas(
-      current: Map[String, Double]): (Option[String], String) = {
+  private def previousTimes(): (Option[String], Map[String, Double]) = {
     import scala.jdk.CollectionConverters._
     val candidates = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .map(p => Seq(Paths.get(p)))
@@ -151,17 +193,10 @@ object Bench {
       val PrevTime = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":([0-9.eE+-]+)".r
       val prevTimes = PrevTime.findAllMatchIn(inQueries)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      val ds = current.keys.toSeq.sorted.flatMap { q =>
-        prevTimes.get(q).filter(_ > 0).map { pt =>
-          "\"" + q + "\":" + f"${current(q) / pt}%.2f"
-        }
-      }
-      p -> ds
+      p -> prevTimes
     }.find(_._2.nonEmpty) match {
-      case Some((p, ds)) => (
-        Some(p.getFileName.toString),
-        s""","prev":"${p.getFileName}","delta_vs_prev":${ds.mkString("{", ",", "}")}""")
-      case None => (None, "")
+      case Some((p, times)) => (Some(p.getFileName.toString), times)
+      case None => (None, Map.empty[String, Double])
     }
   }
 }
