@@ -289,8 +289,13 @@ object ScaleStress {
         // the hubness pair: q360 is the declared-exact O(N²) baseline,
         // q445 its LSH-fed twin (r14 verdict #1) — same F=3 block so
         // the swap's cost law is measured next to DBSCAN's
+        // the auto-dialed twins (q482/q483, VERDICT r15 #3) run beside
+        // the frozen-config entries: the derivation recomputes from the
+        // SCALE corpus's own count, so their F=3 ratio vs the frozen
+        // rows is the auto dial's measured payoff
         val fam = Seq("q347_dbscan", "q352_dbscan_ann",
-          "q360_hubness", "q445_hubness_ann").map { nm =>
+          "q482_dbscan_ann_auto", "q360_hubness", "q445_hubness_ann",
+          "q483_hubness_ann_auto").map { nm =>
           timed(nm, base) // warmup
           val baseSec = timed(nm, base)
           baseTimes(nm) = baseSec

@@ -278,4 +278,36 @@ object Clustering {
       bits: Int = 2): DataFrame =
     dbscanFromPairs(df, idCol,
       euclideanPairsAnn(df, idCol, embCol, eps2, tables, bits), minPts)
+
+  /** [[dbscanAnn]] with the LSH config derived from the corpus size
+    * and the ε-implied cosine threshold by
+    * [[Similarity.lshAutoConfig]] — the q243 auto-config playbook
+    * applied to the DBSCAN pair stage: the dial moves with corpus
+    * size instead of freezing at authoring time (SCALE_LOCAL's bits
+    * ladder measured the frozen 32×2 fixture config as the WORST dial
+    * at 3× — candidates ×9 — while +1 bit halves them).
+    *
+    * ε ⇔ cosine on the quantized ~unit vectors: d² = |a|²+|b|²−2a·b ≈
+    * 2·n̄·(1−cos) with n̄ the MEAN packed norm (one tiny aggregate —
+    * the quantization scale), so the recall constraint is evaluated
+    * at the ε-ball's implied cosine floor, clamped into lshAutoConfig's
+    * domain. Two metadata-cheap jobs (count + norm mean) derive the
+    * config; everything downstream is [[dbscanAnn]] unchanged.
+    */
+  def dbscanAnnAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      eps2: Long,
+      minPts: Int,
+      recall: Double = 0.999): DataFrame = {
+    require(eps2 > 0, s"eps2 must be positive, got $eps2")
+    val n = df.count()
+    val meanNrm = Similarity.packedWithNorm(df, idCol, embCol)
+      .agg(avg(col("nrm").cast("double"))).head().getDouble(0)
+    val cosT = math.min(0.99,
+      math.max(-0.99, 1.0 - eps2.toDouble / (2.0 * meanNrm)))
+    val (tables, bits) = Similarity.lshAutoConfig(n, cosT, recall)
+    dbscanAnn(df, idCol, embCol, eps2, minPts, tables, bits)
+  }
 }

@@ -183,6 +183,32 @@ object Similarity {
     hubnessFromKnn(df, idCol,
       knnGraphAnn(df, idCol, embCol, k, tables, bits))
 
+  /** [[hubnessAnn]] with the LSH config derived from the corpus size
+    * by [[lshAutoConfig]] — the q243 auto-config playbook for the
+    * kNN-graph regime. Top-k has no intrinsic similarity threshold,
+    * so the caller names `floorCosine`: the lowest cosine any TRUE
+    * top-k neighbor is assumed to reach (the domain knowledge a
+    * 100 TB run has — embedding geometry is corpus-stable while N
+    * grows). The recall constraint is evaluated at that floor; true
+    * neighbors BELOW it may be missed (the documented ANN tail
+    * trade on [[knnGraphAnn]]). The fixture's 5-NN floor is 0.23 at
+    * every committed SF (measured; PipelineSpec asserts byte-equality
+    * to the exact [[hubness]] under the derived config per-SF), so
+    * the default floor 0.2 holds recall 1.0 there while letting bits
+    * grow with log N instead of freezing at the authoring-time 32×2.
+    */
+  def hubnessAnnAuto(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int = 10,
+      floorCosine: Double = 0.2,
+      recall: Double = 0.999): DataFrame = {
+    val (tables, bits) = lshAutoConfig(df.count(), floorCosine, recall)
+    hubnessFromKnn(df, idCol,
+      knnGraphAnn(df, idCol, embCol, k, tables, bits))
+  }
+
   /** All pairs with quantized cosine ≥ threshold (embedding-based
     * near-duplicate detection). Exact — inherently O(corpus²) dot
     * products, the ORACLE BASELINE at test scale; at 100 TB use [[annLsh]]

@@ -1835,6 +1835,31 @@ object Pipeline {
       t(s, dir, "embeddings"), "vec_id", "embedding",
       eps2 = 1380000L, minPts = 5)
 
+  // q482: auto-dialed ANN DBSCAN (Clustering.dbscanAnnAuto) — q352
+  // with the frozen 32×2 fixture config replaced by the lshAutoConfig
+  // derivation from (count, ε-implied cosine floor): the q243
+  // playbook, VERDICT r15 #3. recall = 1−10⁻⁵ because byte-equality
+  // is the contract here: at the family default 0.999 the expected
+  // boundary-pair misses at fixture pair counts (~750) is ~0.8 and
+  // one pair DID drop (measured); at 10⁻⁵ expected misses ≈ 0.008
+  // and the derived config's empirical recall is 1.0 at every
+  // committed SF (deterministic md5 planes — asserted per-SF in
+  // ClusteringSpec). Same oracle as q347/q352 verbatim.
+  def q482DbscanAnnAuto(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Clustering.dbscanAnnAuto(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      eps2 = 1380000L, minPts = 5, recall = 0.99999)
+
+  // q483: auto-dialed ANN hubness (Similarity.hubnessAnnAuto) — q445
+  // with the frozen 32×2 config replaced by the lshAutoConfig
+  // derivation at the caller-named neighbor-cosine floor (0.2 — the
+  // fixture's measured 5-NN floor is 0.23 at every committed SF).
+  // Same oracle as q360/q445 verbatim; per-SF byte-equality to the
+  // exact hubness asserted in PipelineSpec.
+  def q483HubnessAnnAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.hubnessAnnAuto(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 5, floorCosine = 0.2)
+
   // q380: stratified weighted sampling without replacement
   // (Sampling.stratifiedWeightedTopK) — per-language Efraimidis–
   // Spirakis draw ∝ n_chars via derived Gumbel noise; the corpus-
@@ -2333,6 +2358,8 @@ object Pipeline {
     "q358_dp_dispersion" -> (q358DpDispersion _),
     "q357_mtld" -> (q357Mtld _),
     "q352_dbscan_ann" -> (q352DbscanAnn _),
+    "q482_dbscan_ann_auto" -> (q482DbscanAnnAuto _),
+    "q483_hubness_ann_auto" -> (q483HubnessAnnAuto _),
     "q348_mmr" -> (q348Mmr _),
     "q347_dbscan" -> (q347Dbscan _),
     "q345_knn_shapley" -> (q345KnnShapley _),
@@ -3052,11 +3079,13 @@ object Pipeline {
     "q348_mmr" -> q348Sql,
     "q347_dbscan" -> q347Sql,
     "q352_dbscan_ann" -> q347Sql,
+    "q482_dbscan_ann_auto" -> q347Sql,
     "q357_mtld" -> q357Sql,
     "q358_dp_dispersion" -> q358Sql,
     "q359_winnowing" -> q359Sql,
     "q360_hubness" -> q360Sql,
     "q445_hubness_ann" -> q360Sql,
+    "q483_hubness_ann_auto" -> q360Sql,
     "q361_skew_advisor" -> q361Sql,
     "q345_knn_shapley" -> q345Sql,
     "q344_silhouette" -> q344Sql,

@@ -184,6 +184,37 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("auto-dialed ANN DBSCAN (q482): the lshAutoConfig-derived " +
+    "config holds recall 1.0 per SF — byte-equal to exact — and " +
+    "actually moves off the frozen fixture dial") {
+    // q482's recall dial: at the family default 0.999 ONE boundary
+    // pair drops at sf0.001 (measured — expected misses ~0.8 at 746
+    // pairs); the entry pins 1−10⁻⁵, whose derived config holds
+    // empirical recall 1.0 at both SFs (deterministic md5 planes)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      assert(rows(Clustering.dbscanAnnAuto(e, "vec_id", "embedding",
+          eps2 = 1380000L, minPts = 5, recall = 0.99999)) ==
+        rows(Clustering.dbscan(e, "vec_id", "embedding",
+          eps2 = 1380000L, minPts = 5)),
+        s"$sf: auto-dialed ANN DBSCAN diverges from exact — the " +
+          "derived config's recall-1.0 precondition broke")
+    }
+    // the dial must MOVE off the frozen 32×2: at the far ε floor +
+    // hard recall it derives fewer, coarser tables (candidate cost
+    // 13/4·n² vs the frozen 32/8·n²); at a PRODUCTION threshold it
+    // climbs the bits ladder instead (purer buckets)
+    val n = spark.read
+      .parquet("/root/testdata/sf0.01/embeddings.parquet").count()
+    val far = Similarity.lshAutoConfig(n, 0.31, 0.99999)
+    assert(far != ((32, 2)) &&
+      far._1.toDouble / (1 << far._2) < 32.0 / (1 << 2),
+      s"far-ε auto config $far is not cheaper than the frozen dial")
+    val tight = Similarity.lshAutoConfig(n, 0.9, 0.99999)
+    assert(tight._2 > 2, s"tight-threshold auto config $tight did " +
+      "not climb the bits ladder")
+  }
+
   test("daviesBouldin: hand two-cluster geometry; single label is " +
     "loud") {
     // 1-D on float32-EXACT values: {0, 1} and {10, 11} → quantized

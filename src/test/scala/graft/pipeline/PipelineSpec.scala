@@ -2391,6 +2391,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("auto-dialed ANN hubness (q483): the config derived at the 0.2 " +
+    "neighbor-cosine floor holds kNN recall 1.0 per SF — byte-equal " +
+    "to exact") {
+    // the fixture's measured 5-NN cosine floor is 0.23/0.24/0.30 at
+    // sf0.001/0.01/0.1, so the 0.2 caller floor covers every true
+    // neighbor; the lshAutoConfig recall constraint at that floor
+    // then makes the derived config's candidate set contain each true
+    // top-5 (deterministic md5 planes — this is a fixture FACT, not a
+    // probabilistic claim, which is why byte-equality is assertable)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(_.toSeq).toSet
+      assert(key(Similarity.hubnessAnnAuto(e, "vec_id", "embedding",
+          k = 5, floorCosine = 0.2)) ==
+        key(Similarity.hubness(e, "vec_id", "embedding", k = 5)),
+        s"$sf: auto-dialed ANN hubness diverges from exact — the " +
+          "derived config's recall-1.0 precondition broke")
+    }
+  }
+
   test("randomProjection: hand formula from the md5 sign matrix; " +
     "dimension mismatch and bad bounds are loud") {
     val df = Seq((1L, Array(2.0f, -3.0f)), (2L, Array(0.5f, 0.25f)))
