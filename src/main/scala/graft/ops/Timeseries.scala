@@ -1677,10 +1677,13 @@ object Timeseries {
       .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
         col(xCol).cast("long").as("_x"))
       .withColumn("_n", count(lit(1)).over(wk))
-      .withColumn("_s", sum(col("_x")).over(wk))
-      .withColumn("_c", col("_n") * col("_x") - col("_s"))
-      .withColumn("_p", sum(col("_c")).over(
-        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_s", dec(sum(dec(col("_x"))).over(wk)))
+      // clearing in decimal(38,0) (ADVICE r15, the dieboldMariano
+      // fix): n·x − Σx in raw longs wraps silently past ~2^63; the
+      // decimal form overflows loudly instead
+      .withColumn("_c", dec(dec(col("_n")) * dec(col("_x")) - col("_s")))
+      .withColumn("_p", dec(sum(col("_c")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
     val withLeads = (1 to lags).foldLeft(base) { (d, l) =>
       d.withColumn(s"_c$l", lead(col("_c"), l).over(wt))
     }
@@ -1790,14 +1793,19 @@ object Timeseries {
     def dec(c: Column) = c.cast("decimal(38,0)")
     val wk = Window.partitionBy(col("_k"))
     val wt = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
-    val e1 = col(e1Col).cast("long")
-    val e2 = col(e2Col).cast("long")
+    // squares and clearing in decimal(38,0) from the start (ADVICE
+    // r15): |e| above ~3e9 would silently wrap a raw long e² in Spark
+    // while the DuckDB oracle's HUGEINT path stays exact — decimal
+    // arithmetic instead overflows LOUDLY under ANSI if it ever
+    // exceeds 38 digits
+    val e1 = dec(col(e1Col).cast("long"))
+    val e2 = dec(col(e2Col).cast("long"))
     val base = df
       .select(col(keyCol).as("_k"), col(tCol).cast("long").as("_t"),
-        (e1 * e1 - e2 * e2).as("_d"))
+        dec(e1 * e1 - e2 * e2).as("_d"))
       .withColumn("_n", count(lit(1)).over(wk))
-      .withColumn("_sd", sum(col("_d")).over(wk))
-      .withColumn("_c", col("_n") * col("_d") - col("_sd"))
+      .withColumn("_sd", dec(sum(col("_d")).over(wk)))
+      .withColumn("_c", dec(dec(col("_n")) * col("_d") - col("_sd")))
     val withLeads = (1 to lags).foldLeft(base) { (d, l) =>
       d.withColumn(s"_c$l", lead(col("_c"), l).over(wt))
     }

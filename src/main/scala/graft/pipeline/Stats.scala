@@ -505,6 +505,21 @@ object Stats {
     * Output per hypothesis: (keyCol, p_value, rank, p_adj,
     * rejected) — `rejected` = 1 iff rank ≤ k*.
     */
+  /** p-value column with the loud NULL/NaN guard shared by the
+    * multiple-testing family (ADVICE r15): Spark windows rank NULLs
+    * FIRST ascending while DuckDB ranks them LAST, so an unguarded
+    * NULL p silently shifts every rank and p_adj across engines —
+    * raise instead (the arm-flag guard convention). The guard rides
+    * the ranked p column itself, so Catalyst cannot prune it. */
+  private def guardedP(pCol: String, keyCol: String, op: String): Column = {
+    val pRaw = col(pCol).cast("double")
+    when(pRaw.isNotNull && !isnan(pRaw), pRaw)
+      .otherwise(raise_error(concat(
+        lit(s"$op: NULL/NaN p_value at key "), col(keyCol).cast("string"),
+        lit(" — Spark ranks NULLs first, DuckDB last; clean the " +
+          "hypothesis table"))).cast("double"))
+  }
+
   def bhFdr(
       df: DataFrame,
       keyCol: String,
@@ -513,7 +528,7 @@ object Stats {
     require(q > 0 && q < 1, s"q in (0,1), got $q")
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     val W = org.apache.spark.sql.expressions.Window
-    val p = col(pCol).cast("double")
+    val p = guardedP(pCol, keyCol, "bhFdr")
     val ranked = df
       .select(col(keyCol), p.as("p_value"))
       .withColumn("rank", row_number()
@@ -5663,7 +5678,7 @@ object Stats {
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     val W = org.apache.spark.sql.expressions.Window
-    val p = col(pCol).cast("double")
+    val p = guardedP(pCol, keyCol, "holmBonferroni")
     val ranked = df
       .select(col(keyCol), p.as("p_value"))
       .withColumn("rank", row_number()
@@ -6388,10 +6403,20 @@ object Stats {
     require(width > 0L, s"width must be positive, got $width")
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     val W = org.apache.spark.sql.expressions.Window
+    // exact integer bucketing (ADVICE r15): `div` matches the oracle's
+    // `//` bit-for-bit for non-negative durations; negatives (where
+    // trunc and floor diverge) are loudly rejected — a life table has
+    // no negative time axis. Double `/`+cast would also double-round
+    // near 2^53.
+    val durRaw = col(durationCol).cast("long")
     val base = df.select(
-      (col(durationCol).cast("long") / lit(width)).cast("long")
-        .as("_i"),
+      when(durRaw >= 0L, durRaw)
+        .otherwise(raise_error(concat(
+          lit("lifeTable: negative duration "), durRaw.cast("string"),
+          lit(" — interval bucketing assumes durations >= 0")))
+          .cast("long")).as("_dur"),
       col(eventCol).cast("long").as("_e"))
+      .select(expr(s"_dur div ${width}L").as("_i"), col("_e"))
     val byI = base.groupBy(col("_i"))
       .agg(count(lit(1)).as("_n"), sum(col("_e")).as("n_events"))
       .withColumn("n_censored", col("_n") - col("n_events"))
@@ -6988,7 +7013,7 @@ object Stats {
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     def d28(c: Column) = c.cast("decimal(28,6)")
     val W = org.apache.spark.sql.expressions.Window
-    val p = col(pCol).cast("double")
+    val p = guardedP(pCol, keyCol, "byFdr")
     val wAll = W.partitionBy(lit(1))
       .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val ranked = df

@@ -1910,6 +1910,20 @@ class StatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Stats.holmBonferroni(df, "k", "p", alpha = 1.5)
     }
+    // NULL p must raise loudly (Spark ranks NULLs first, DuckDB
+    // last — a silent cross-engine rank shift otherwise), for every
+    // member of the multiple-testing family
+    val withNull = Seq(("a", Some(0.01)), ("b", None))
+      .toDF("k", "p")
+    for ((name, f) <- Seq[(String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("holmBonferroni", d => Stats.holmBonferroni(d, "k", "p", 0.05)),
+      ("bhFdr", d => Stats.bhFdr(d, "k", "p", 0.1)),
+      ("byFdr", d => Stats.byFdr(d, "k", "p", 0.1)))) {
+      val e = intercept[Exception] { f(withNull).collect() }
+      assert(e.getMessage.contains("NULL/NaN p_value"),
+        s"$name: ${e.getMessage}")
+    }
   }
 
   test("cliffsDelta: hand pair counts via the cell frame; empty arm " +
@@ -2173,6 +2187,14 @@ class StatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Stats.lifeTable(df, "t", "e", width = 0L)
     }
+    // negative durations are loud: integer `div` (the oracle's `//`)
+    // and trunc diverge below zero, so the operator refuses the
+    // regime instead of silently disagreeing with the oracle
+    val neg = intercept[Exception] {
+      Stats.lifeTable(Seq((-1L, 1L), (2L, 0L)).toDF("t", "e"),
+        "t", "e", width = 2L).collect()
+    }
+    assert(neg.getMessage.contains("negative duration"), neg.getMessage)
   }
 
   test("hoeffdingsD: perfect monotone dependence reads exactly 1; " +
