@@ -7098,4 +7098,273 @@ object Stats {
         dec(col("n_trimmed")) * dec(col("_hi"))).cast("double") /
         col("n").cast("double")).as("mean_winsorized"))
   }
+
+  /** Brunner–Munzel test (Brunner & Munzel 2000) — the nonparametric
+    * Behrens–Fisher answer [[mannWhitneyU]] can't give: MWU's variance
+    * assumes exchangeable arms, so unequal arm SPREADS inflate its
+    * false-positive rate; BM studentizes the same stochastic-superiority
+    * estimand p̂ = P(X₀<X₁) + ½P(X₀=X₁) by the PLACEMENT variances of
+    * each arm separately, with a Welch–Satterthwaite df. The robust
+    * two-arm gate when treatment changes the variance too (it usually
+    * does).
+    *
+    * Determinism: global and within-arm DOUBLED midranks (integers) off
+    * two rank windows; placements q₂ = R₂ − r₂ exact; per-arm placement
+    * variance via the cleared integer form Σ(n_a·q₂ − Σq₂)²/(4·n_a²·
+    * (n_a−1)) → ONE d6 each; p̂, W and df assemble from exact rational
+    * rank means and the two d6 variances in one fixed double order →
+    * ONE d6 each. Arms must be 0/1 and hold ≥ 2 rows — loud otherwise;
+    * zero pooled placement variance (complete separation) answers NULL
+    * W/df with p̂ still reported. No t-CDF is faked: the statistic and
+    * fractional df are the contract (the q470 Welch convention).
+    *
+    * Scale shape: two rank windows + one keyed aggregate + a broadcast
+    * params join + one keyed rollup. Output ONE row:
+    * (n0, n1, p_hat, bm_stat, df).
+    */
+  def brunnerMunzel(
+      df: DataFrame,
+      armCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("brunnerMunzel: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val rows = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
+      .withColumn("_gr2",
+        lit(2L) * rank().over(
+          W.partitionBy(lit(1)).orderBy(col("_x").asc)).cast("long") +
+          count(lit(1)).over(W.partitionBy(col("_x"))) - 1L)
+      .withColumn("_ar2",
+        lit(2L) * rank().over(
+          W.partitionBy(col("_a")).orderBy(col("_x").asc)).cast("long") +
+          count(lit(1)).over(W.partitionBy(col("_a"), col("_x"))) - 1L)
+      .withColumn("_q2", col("_gr2") - col("_ar2"))
+    val perArm = rows.groupBy(col("_a"))
+      .agg(count(lit(1)).as("_na"), sum(dec(col("_gr2"))).as("_sr"),
+        sum(dec(col("_q2"))).as("_sq"))
+      .select(col("_a"),
+        when(col("_na") >= 2L, col("_na"))
+          .otherwise(raise_error(concat(lit("brunnerMunzel: arm "),
+            col("_a").cast("string"), lit(" has "),
+            col("_na").cast("string"), lit(" rows (< 2)"))).cast("long"))
+          .as("_na"),
+        col("_sr"), col("_sq"))
+    val cleared = rows.join(broadcast(perArm), Seq("_a"))
+      .select(col("_a"),
+        (dec(col("_na")) * dec(col("_q2")) - col("_sq")).as("_cq"))
+      .groupBy(col("_a"))
+      .agg(sum(col("_cq") * col("_cq")).as("_cs"))
+    val per = perArm.join(cleared, Seq("_a"))
+      .select(col("_a"), col("_na"), col("_sr"),
+        d6(col("_cs").cast("double") /
+          (lit(4.0) * col("_na").cast("double") *
+            col("_na").cast("double") *
+            (col("_na").cast("double") - 1.0))).as("_v"))
+    val one = per.agg(
+      max(when(col("_a") === 0L, col("_na"))).as("_n0"),
+      max(when(col("_a") === 1L, col("_na"))).as("_n1"),
+      max(when(col("_a") === 0L, col("_sr"))).as("_sr0"),
+      max(when(col("_a") === 1L, col("_sr"))).as("_sr1"),
+      max(when(col("_a") === 0L, col("_v"))).as("_v0"),
+      max(when(col("_a") === 1L, col("_v"))).as("_v1"))
+    def need(c: Column, a: Int) = when(c.isNotNull, c)
+      .otherwise(raise_error(lit(s"brunnerMunzel: arm $a is empty"))
+        .cast("long"))
+    val n0 = need(col("_n0"), 0).cast("double")
+    val n1 = need(col("_n1"), 1).cast("double")
+    val rb0 = col("_sr0").cast("double") / (lit(2.0) * n0)
+    val rb1 = col("_sr1").cast("double") / (lit(2.0) * n1)
+    val nv0 = n0 * col("_v0")
+    val nv1 = n1 * col("_v1")
+    val se2 = nv0 + nv1
+    one.select(col("_n0").as("n0"), col("_n1").as("n1"),
+      d6((rb1 - (n1 + 1.0) / 2.0) / n0).as("p_hat"),
+      when(se2 > 0.0,
+        d6(n0 * n1 * (rb1 - rb0) / ((n0 + n1) * sqrt(se2))))
+        .as("bm_stat"),
+      when(se2 > 0.0,
+        d6(se2 * se2 /
+          (nv0 * nv0 / (n0 - 1.0) + nv1 * nv1 / (n1 - 1.0)))).as("df"))
+  }
+
+  /** Quade test (Quade 1979) — the blocked k-treatment rank test that
+    * WEIGHTS blocks by their range: Friedman treats a block where
+    * treatments barely differ the same as one where they differ wildly;
+    * Quade lets the informative blocks speak louder, which is the right
+    * default for per-day / per-segment treatment scorecards where some
+    * slices simply move more. Requires one observation per
+    * (block, treatment) cell and every block complete — loud otherwise.
+    *
+    * Determinism: within-block DOUBLED midranks r₂ and DOUBLED
+    * midranks Q₂ of the block ranges (exact integer ranges) make
+    * T = Q₂·(r₂ − (k+1)) = 4·S_ij exact integers; the scale cancels in
+    * F = (b−1)·ΣS_j² / (b·ΣT² − ΣS_j²) — one exact rational → ONE d6.
+    * Perfect cross-block agreement (denominator 0) answers NULL F (the
+    * statistic is +∞ by convention there). Output one row per
+    * treatment: (treatment, s4 = 4·S_j, f_stat, df1, df2) — the signed
+    * s4 column ranks the treatments the test just judged.
+    *
+    * Scale shape: per-block rank windows + a blocks-frame range rank +
+    * two rollups; everything is (blocks × treatments)-sized.
+    */
+  def quadeTest(
+      df: DataFrame,
+      blockCol: String,
+      treatCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val cell = df.select(col(blockCol).as("_b"), col(treatCol).as("_t"),
+        col(xCol).cast("long").as("_x"))
+      .withColumn("_dup", count(lit(1)).over(
+        W.partitionBy(col("_b"), col("_t"))))
+      .select(col("_b"), col("_t"),
+        when(col("_dup") === 1L, col("_x"))
+          .otherwise(raise_error(concat(
+            lit("quadeTest: duplicate cell (block "),
+            col("_b").cast("string"), lit(", treatment "),
+            col("_t").cast("string"), lit(")"))).cast("long")).as("_x"))
+    val kFrame = cell.select(col("_t").as("_kt"), col("_b").as("_kb"))
+      .agg(countDistinct(col("_kt")).as("_k"),
+        countDistinct(col("_kb")).as("_nb"))
+    val ranked = cell.crossJoin(broadcast(kFrame))
+      .withColumn("_bk", count(lit(1)).over(W.partitionBy(col("_b"))))
+      .withColumn("_kok",
+        when(col("_bk") === col("_k") && col("_k") >= 2L &&
+            col("_nb") >= 2L, col("_k"))
+          .otherwise(raise_error(concat(lit("quadeTest: block "),
+            col("_b").cast("string"), lit(" holds "),
+            col("_bk").cast("string"), lit(" of "),
+            col("_k").cast("string"),
+            lit(" treatments (design must be complete, k >= 2, " +
+              "blocks >= 2)"))).cast("long")))
+      .withColumn("_r2",
+        lit(2L) * rank().over(
+          W.partitionBy(col("_b")).orderBy(col("_x").asc)).cast("long") +
+          count(lit(1)).over(W.partitionBy(col("_b"), col("_x"))) - 1L)
+      .withColumn("_rng",
+        max(col("_x")).over(W.partitionBy(col("_b"))) -
+          min(col("_x")).over(W.partitionBy(col("_b"))))
+    val blocks = ranked.select(col("_b"), col("_rng")).distinct()
+      .withColumn("_q2",
+        lit(2L) * rank().over(
+          W.partitionBy(lit(1)).orderBy(col("_rng").asc)).cast("long") +
+          count(lit(1)).over(W.partitionBy(col("_rng"))) - 1L)
+    // fresh names at this boundary: `_t`/`_nb` also live inside the
+    // joined subtrees (blocks derives from ranked), and a groupBy
+    // above the unresolved Project would re-resolve them ambiguously
+    // under lazy analysis
+    val t = ranked.join(broadcast(blocks.select(col("_b"), col("_q2"))),
+        Seq("_b"))
+      .select(col("_t").as("_tt"), col("_nb").as("_tnb"),
+        (dec(col("_q2")) * dec(col("_r2") - (col("_kok") + 1L)))
+          .as("_T"))
+    val perTreat = t.groupBy(col("_tt"))
+      .agg(max(col("_tnb")).as("_nb"), sum(col("_T")).as("_sj"),
+        sum(col("_T") * col("_T")).as("_tq"), count(lit(1)).as("_ck"))
+    // whole-frame windows over the k-row treatment frame (no
+    // self-join: a crossJoin of perTreat with its own aggregate
+    // resolves ambiguously under lazy analysis)
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val withRoll = perTreat
+      .withColumn("_kk", count(lit(1)).over(wAll))
+      .withColumn("_a", sum(col("_tq")).over(wAll))
+      .withColumn("_bsum", sum(col("_sj") * col("_sj")).over(wAll))
+    val bD = col("_nb").cast("double")
+    val denom = dec(col("_nb")) * col("_a") - col("_bsum")
+    withRoll.select(col("_tt").as("treatment"),
+      col("_sj").cast("long").as("s4"),
+      when(denom > 0L,
+        d6(((bD - 1.0) * col("_bsum").cast("double")) /
+          denom.cast("double"))).as("f_stat"),
+      (col("_kk") - 1L).as("df1"),
+      ((col("_nb") - 1L) * (col("_kk") - 1L)).as("df2"))
+  }
+
+  /** Binary diagnostic-test panel — the full 2×2 readout a classifier
+    * gate needs beyond accuracy: sensitivity/specificity with Wilson
+    * 95% intervals (Wilson 1927 — the score interval that behaves at
+    * extreme rates where Wald collapses), predictive values, likelihood
+    * ratios LR± (the prevalence-free transfer numbers), Youden's J and
+    * the diagnostic odds ratio.
+    *
+    * Determinism: four exact count cells from ONE aggregate; every
+    * rate is one exact rational → ONE d6; Wilson bounds assemble from
+    * exact counts and the z = 1.96 literal in one fixed double order →
+    * ONE d6 each. Undefined readouts answer NULL rather than faking:
+    * sens/spec need a positive/negative truth row, LR+ needs spec < 1,
+    * LR− needs spec > 0, DOR needs fp·fn > 0. Truth and prediction
+    * must be 0/1 flags — loud otherwise.
+    *
+    * Scale shape: ONE corpus aggregate (map-side combine), everything
+    * after on one row. Output ONE row.
+    */
+  def diagnosticPanel(
+      df: DataFrame,
+      truthCol: String,
+      predCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def flag(cn: String) = when(col(cn).cast("long").isin(0L, 1L),
+      col(cn).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"diagnosticPanel: $cn flag "), col(cn).cast("string"),
+        lit(" is not 0/1"))).cast("long"))
+    val z = 1.96
+    val agg = df.select(flag(truthCol).as("_t"), flag(predCol).as("_p"))
+      .agg(
+        sum(when(col("_t") === 1L && col("_p") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("_t") === 0L && col("_p") === 1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("_t") === 0L && col("_p") === 0L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("_t") === 1L && col("_p") === 0L, 1L).otherwise(0L))
+          .as("fn"))
+    def rate(num: Column, den: Column) =
+      when(den > 0L, d6(num.cast("double") / den.cast("double")))
+    def wilson(num: Column, den: Column, up: Boolean) = {
+      val n = den.cast("double")
+      val ph = num.cast("double") / n
+      val dn = lit(1.0) + lit(z * z) / n
+      // ONE division at the end (the numerator sum/difference first)
+      // so the oracle's single-division form mirrors bit-for-bit
+      val centerNum = ph + lit(z * z) / (lit(2.0) * n)
+      val halfNum = lit(z) * sqrt((ph * (lit(1.0) - ph) +
+        lit(z * z) / (lit(4.0) * n)) / n)
+      when(den > 0L,
+        d6((if (up) centerNum + halfNum else centerNum - halfNum) / dn))
+    }
+    val nPos = col("tp") + col("fn")
+    val nNeg = col("tn") + col("fp")
+    val staged = agg.select(col("tp"), col("fp"), col("tn"), col("fn"),
+      rate(col("tp"), nPos).as("sensitivity"),
+      wilson(col("tp"), nPos, up = false).as("sens_lo"),
+      wilson(col("tp"), nPos, up = true).as("sens_hi"),
+      rate(col("tn"), nNeg).as("specificity"),
+      wilson(col("tn"), nNeg, up = false).as("spec_lo"),
+      wilson(col("tn"), nNeg, up = true).as("spec_hi"),
+      rate(col("tp"), col("tp") + col("fp")).as("ppv"),
+      rate(col("tn"), col("tn") + col("fn")).as("npv"))
+    staged.select(col("*"),
+      when(col("specificity").isNotNull && col("specificity") < 1.0 &&
+          col("sensitivity").isNotNull,
+        d6(col("sensitivity") / (lit(1.0) - col("specificity"))))
+        .as("lr_plus"),
+      when(col("specificity").isNotNull && col("specificity") > 0.0 &&
+          col("sensitivity").isNotNull,
+        d6((lit(1.0) - col("sensitivity")) / col("specificity")))
+        .as("lr_minus"),
+      when(col("sensitivity").isNotNull && col("specificity").isNotNull,
+        d6(col("sensitivity") + col("specificity") - lit(1.0)))
+        .as("youden_j"),
+      when(col("fp") > 0L && col("fn") > 0L,
+        d6((col("tp") * col("tn")).cast("double") /
+          (col("fp") * col("fn")).cast("double"))).as("dor"))
+  }
 }

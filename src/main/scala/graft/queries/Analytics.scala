@@ -8710,7 +8710,238 @@ object Analytics {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS mean_winsorized
       |FROM ag""".stripMargin
 
+  // q484: Brunner–Munzel test (Stats.brunnerMunzel) — do odd-user
+  // events stochastically dominate even-user events in cents, judged
+  // with per-arm placement variances (the nonparametric
+  // Behrens–Fisher gate q103's MWU can't give)? The oracle replays
+  // the doubled-midrank placements, the cleared per-arm variances and
+  // the fixed double assembly.
+  def q484BrunnerMunzel(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.brunnerMunzel(
+      ev(s, dir).select((col("user_id") % 2L).as("arm"),
+        round(col("value") * 100).cast("long").as("x")),
+      "arm", "x")
+
+  val q484Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |r AS (
+      |  SELECT a,
+      |    CAST(2 * rank() OVER (ORDER BY x ASC) +
+      |      COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS gr2,
+      |    CAST(2 * rank() OVER (PARTITION BY a ORDER BY x ASC) +
+      |      COUNT(*) OVER (PARTITION BY a, x) - 1 AS BIGINT) AS ar2
+      |  FROM b),
+      |q AS (SELECT a, gr2, gr2 - ar2 AS q2 FROM r),
+      |pa AS (
+      |  SELECT a, CAST(COUNT(*) AS BIGINT) AS na,
+      |    SUM(CAST(gr2 AS HUGEINT)) AS sr,
+      |    SUM(CAST(q2 AS HUGEINT)) AS sq
+      |  FROM q GROUP BY 1),
+      |cl AS (
+      |  SELECT q.a,
+      |    SUM((CAST(pa.na AS HUGEINT) * q.q2 - pa.sq) *
+      |        (CAST(pa.na AS HUGEINT) * q.q2 - pa.sq)) AS cs
+      |  FROM q JOIN pa ON pa.a = q.a GROUP BY 1),
+      |pv AS (
+      |  SELECT pa.a, pa.na, pa.sr,
+      |    CAST(CAST(CAST(cl.cs AS DOUBLE) /
+      |      (4.0 * CAST(pa.na AS DOUBLE) * CAST(pa.na AS DOUBLE) *
+      |       (CAST(pa.na AS DOUBLE) - 1.0)) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS v
+      |  FROM pa JOIN cl ON cl.a = pa.a),
+      |one AS (
+      |  SELECT MAX(CASE WHEN a = 0 THEN na END) AS n0,
+      |    MAX(CASE WHEN a = 1 THEN na END) AS n1,
+      |    MAX(CASE WHEN a = 0 THEN sr END) AS sr0,
+      |    MAX(CASE WHEN a = 1 THEN sr END) AS sr1,
+      |    MAX(CASE WHEN a = 0 THEN v END) AS v0,
+      |    MAX(CASE WHEN a = 1 THEN v END) AS v1
+      |  FROM pv),
+      |d AS (
+      |  SELECT n0, n1,
+      |    CAST(sr0 AS DOUBLE) / (2.0 * CAST(n0 AS DOUBLE)) AS rb0,
+      |    CAST(sr1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE)) AS rb1,
+      |    CAST(n0 AS DOUBLE) * v0 AS nv0,
+      |    CAST(n1 AS DOUBLE) * v1 AS nv1
+      |  FROM one)
+      |SELECT n0, n1,
+      |  CAST(CAST((rb1 - (CAST(n1 AS DOUBLE) + 1.0) / 2.0) /
+      |    CAST(n0 AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS p_hat,
+      |  CASE WHEN nv0 + nv1 > 0.0 THEN
+      |    CAST(CAST(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+      |      (rb1 - rb0) /
+      |      ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) *
+      |       sqrt(nv0 + nv1)) AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS bm_stat,
+      |  CASE WHEN nv0 + nv1 > 0.0 THEN
+      |    CAST(CAST((nv0 + nv1) * (nv0 + nv1) /
+      |      (nv0 * nv0 / (CAST(n0 AS DOUBLE) - 1.0) +
+      |       nv1 * nv1 / (CAST(n1 AS DOUBLE) - 1.0))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS df
+      |FROM d""".stripMargin
+
+  // q485: Quade test (Stats.quadeTest) — blocked by day-of-week
+  // (ts_us div 86400000000 % 7), do the event types differ in total
+  // daily cents once the informative days weigh more? The oracle
+  // replays the cell build, both doubled midrank windows and the
+  // cleared F rational.
+  def q485Quade(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.quadeTest(
+      Tables.eventsUs(s, dir).select(
+          expr("ts_us div 86400000000 % 7").as("dow"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("dow"), col("event_type"))
+        .agg(sum(col("cents")).as("x")),
+      "dow", "event_type", "x")
+
+  val q485Sql: String =
+    """WITH c AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS b,
+      |    event_type AS t,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k,
+      |        CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM c),
+      |r AS (
+      |  SELECT c.b, c.t, k.k, k.nb,
+      |    CAST(2 * rank() OVER (PARTITION BY c.b ORDER BY c.x ASC) +
+      |      COUNT(*) OVER (PARTITION BY c.b, c.x) - 1 AS BIGINT) AS r2,
+      |    MAX(c.x) OVER (PARTITION BY c.b) -
+      |      MIN(c.x) OVER (PARTITION BY c.b) AS rng
+      |  FROM c CROSS JOIN k),
+      |bl AS (
+      |  SELECT b, CAST(2 * rank() OVER (ORDER BY rng ASC) +
+      |      COUNT(*) OVER (PARTITION BY rng) - 1 AS BIGINT) AS q2
+      |  FROM (SELECT DISTINCT b, rng FROM r)),
+      |tt AS (
+      |  SELECT r.t, r.nb,
+      |    CAST(bl.q2 AS HUGEINT) * CAST(r.r2 - (r.k + 1) AS HUGEINT)
+      |      AS s
+      |  FROM r JOIN bl ON bl.b = r.b),
+      |pt AS (
+      |  SELECT t, MAX(nb) AS nb, SUM(s) AS sj, SUM(s * s) AS tq
+      |  FROM tt GROUP BY 1),
+      |ro AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k2, MAX(nb) AS nb,
+      |    SUM(tq) AS a, SUM(sj * sj) AS bsum
+      |  FROM pt)
+      |SELECT pt.t AS treatment, CAST(pt.sj AS BIGINT) AS s4,
+      |  CASE WHEN CAST(ro.nb AS HUGEINT) * ro.a - ro.bsum > 0 THEN
+      |    CAST(CAST((CAST(ro.nb AS DOUBLE) - 1.0) *
+      |      CAST(ro.bsum AS DOUBLE) /
+      |      CAST(CAST(ro.nb AS HUGEINT) * ro.a - ro.bsum AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS f_stat,
+      |  CAST(ro.k2 - 1 AS BIGINT) AS df1,
+      |  CAST((ro.nb - 1) * (ro.k2 - 1) AS BIGINT) AS df2
+      |FROM pt CROSS JOIN ro""".stripMargin
+
+  // q486: binary diagnostic-test panel (Stats.diagnosticPanel) — how
+  // well does "cents >= 5000" predict a purchase event?
+  // Sens/spec with Wilson 95% bounds, predictive values, LR±,
+  // Youden's J and the DOR off one exact 2×2. The oracle replays the
+  // cells and the z = 1.96 Wilson assembly in the identical order.
+  def q486DiagnosticPanel(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.diagnosticPanel(
+      ev(s, dir).select(
+        (col("event_type") === "purchase").cast("int").as("truth"),
+        (round(col("value") * 100).cast("long") >= 5000L).cast("int")
+          .as("pred")),
+      "truth", "pred")
+
+  val q486Sql: String = {
+    val z = "1.96"
+    val z2 = (1.96 * 1.96).toString
+    s"""WITH b AS (
+      |  SELECT CAST(event_type = 'purchase' AS INT) AS t,
+      |    CAST(CAST(round(value * 100) AS BIGINT) >= 5000 AS INT) AS p
+      |  FROM events),
+      |ag AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tn,
+      |    CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fn
+      |  FROM b),
+      |st AS (
+      |  SELECT tp, fp, tn, fn,
+      |    CASE WHEN tp + fn > 0 THEN CAST(CAST(
+      |      CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS sensitivity,
+      |    CASE WHEN tp + fn > 0 THEN CAST(CAST(
+      |      ((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) +
+      |        $z2 / (2.0 * CAST(tp + fn AS DOUBLE))) -
+      |       $z * sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) *
+      |         (1.0 - CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) +
+      |         $z2 / (4.0 * CAST(tp + fn AS DOUBLE))) /
+      |         CAST(tp + fn AS DOUBLE))) /
+      |      (1.0 + $z2 / CAST(tp + fn AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS sens_lo,
+      |    CASE WHEN tp + fn > 0 THEN CAST(CAST(
+      |      ((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) +
+      |        $z2 / (2.0 * CAST(tp + fn AS DOUBLE))) +
+      |       $z * sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) *
+      |         (1.0 - CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) +
+      |         $z2 / (4.0 * CAST(tp + fn AS DOUBLE))) /
+      |         CAST(tp + fn AS DOUBLE))) /
+      |      (1.0 + $z2 / CAST(tp + fn AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS sens_hi,
+      |    CASE WHEN tn + fp > 0 THEN CAST(CAST(
+      |      CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS specificity,
+      |    CASE WHEN tn + fp > 0 THEN CAST(CAST(
+      |      ((CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) +
+      |        $z2 / (2.0 * CAST(tn + fp AS DOUBLE))) -
+      |       $z * sqrt((CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) *
+      |         (1.0 - CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) +
+      |         $z2 / (4.0 * CAST(tn + fp AS DOUBLE))) /
+      |         CAST(tn + fp AS DOUBLE))) /
+      |      (1.0 + $z2 / CAST(tn + fp AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS spec_lo,
+      |    CASE WHEN tn + fp > 0 THEN CAST(CAST(
+      |      ((CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) +
+      |        $z2 / (2.0 * CAST(tn + fp AS DOUBLE))) +
+      |       $z * sqrt((CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) *
+      |         (1.0 - CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE)) +
+      |         $z2 / (4.0 * CAST(tn + fp AS DOUBLE))) /
+      |         CAST(tn + fp AS DOUBLE))) /
+      |      (1.0 + $z2 / CAST(tn + fp AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS spec_hi,
+      |    CASE WHEN tp + fp > 0 THEN CAST(CAST(
+      |      CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS ppv,
+      |    CASE WHEN tn + fn > 0 THEN CAST(CAST(
+      |      CAST(tn AS DOUBLE) / CAST(tn + fn AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS npv
+      |  FROM ag)
+      |SELECT st.*,
+      |  CASE WHEN specificity IS NOT NULL AND specificity < 1.0 AND
+      |      sensitivity IS NOT NULL THEN
+      |    CAST(CAST(sensitivity / (1.0 - specificity)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS lr_plus,
+      |  CASE WHEN specificity IS NOT NULL AND specificity > 0.0 AND
+      |      sensitivity IS NOT NULL THEN
+      |    CAST(CAST((1.0 - sensitivity) / specificity
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS lr_minus,
+      |  CASE WHEN sensitivity IS NOT NULL AND specificity IS NOT NULL
+      |      THEN CAST(CAST(sensitivity + specificity - 1.0
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS youden_j,
+      |  CASE WHEN fp > 0 AND fn > 0 THEN
+      |    CAST(CAST(CAST(tp * tn AS DOUBLE) / CAST(fp * fn AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS dor
+      |FROM st""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q484_brunner_munzel" -> (q484BrunnerMunzel _),
+    "q485_quade" -> (q485Quade _),
+    "q486_diagnostic_panel" -> (q486DiagnosticPanel _),
     "q480_by_fdr" -> (q480ByFdr _),
     "q481_trimmed_stats" -> (q481TrimmedStats _),
     "q477_rbo" -> (q477Rbo _),
@@ -8884,6 +9115,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q484_brunner_munzel" -> q484Sql,
+    "q485_quade" -> q485Sql,
+    "q486_diagnostic_panel" -> q486Sql,
     "q480_by_fdr" -> q480Sql,
     "q481_trimmed_stats" -> q481Sql,
     "q477_rbo" -> q477Sql,

@@ -2405,4 +2405,101 @@ class StatsSpec extends SparkSpec {
       Stats.trimmedStats(df, "k", "x", trimPpm = 500000L)
     }
   }
+
+  test("brunnerMunzel: hand placements on interleaved arms; complete " +
+    "separation answers NULL W with p_hat = 1; bad arm is loud") {
+    // arm0 = {1,3}, arm1 = {2,4}: placements arm0 {0,1}, arm1 {1,2},
+    // v0 = v1 = 0.5, R̄0 = 2, R̄1 = 3 → p̂ = .75, se² = 2,
+    // W = 4·1/(4·√2) = 0.707107 (d6), df = 4/(1+1) = 2
+    val df = Seq((0L, 1L), (0L, 3L), (1L, 2L), (1L, 4L)).toDF("a", "x")
+    val r = Stats.brunnerMunzel(df, "a", "x").collect()(0)
+    assert(r.getAs[Long]("n0") == 2L && r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Double]("p_hat") == 0.75)
+    assert(r.getAs[Double]("bm_stat") == 0.707107)
+    assert(r.getAs[Double]("df") == 2.0)
+    // complete separation: all placements constant per arm → se² = 0
+    val sep = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "x")
+    val rs = Stats.brunnerMunzel(sep, "a", "x").collect()(0)
+    assert(rs.getAs[Double]("p_hat") == 1.0)
+    assert(rs.isNullAt(rs.fieldIndex("bm_stat")))
+    assert(rs.isNullAt(rs.fieldIndex("df")))
+    val loud = intercept[Exception] {
+      Stats.brunnerMunzel(Seq((2L, 1L)).toDF("a", "x"), "a", "x")
+        .collect()
+    }
+    assert(loud.getMessage.contains("arm flag"), loud.getMessage)
+  }
+
+  test("quadeTest: the textbook 3-block 3-treatment table gives " +
+    "F = 4 exactly; incomplete designs and duplicate cells are loud") {
+    // ranges 14/29/12 → Q = 2/3/1; S_A = 2, S_B = 4, S_C = −6;
+    // A = 28, B = 56/3 → F = 2·(56/3)/(28/3) = 4, df (2, 4); s4 = 4S
+    val df = Seq(
+      ("b1", "A", 52L), ("b1", "B", 45L), ("b1", "C", 38L),
+      ("b2", "A", 63L), ("b2", "B", 79L), ("b2", "C", 50L),
+      ("b3", "A", 45L), ("b3", "B", 55L), ("b3", "C", 43L))
+      .toDF("blk", "trt", "x")
+    val out = Stats.quadeTest(df, "blk", "trt", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("s4") == 8L)
+    assert(out("B").getAs[Long]("s4") == 16L)
+    assert(out("C").getAs[Long]("s4") == -24L)
+    assert(out.values.forall(_.getAs[Double]("f_stat") == 4.0))
+    assert(out("A").getAs[Long]("df1") == 2L)
+    assert(out("A").getAs[Long]("df2") == 4L)
+    val incomplete = intercept[Exception] {
+      Stats.quadeTest(df.filter(!(col("blk") === "b3" &&
+        col("trt") === "C")), "blk", "trt", "x").collect()
+    }
+    assert(incomplete.getMessage.contains("complete"),
+      incomplete.getMessage)
+    val dup = intercept[Exception] {
+      Stats.quadeTest(df.union(Seq(("b1", "A", 99L))
+        .toDF("blk", "trt", "x")), "blk", "trt", "x").collect()
+    }
+    assert(dup.getMessage.contains("duplicate cell"), dup.getMessage)
+  }
+
+  test("diagnosticPanel: hand 2×2 rates, Wilson bounds replicate the " +
+    "fixed double order; undefined readouts are NULL; bad flag loud") {
+    // tp=8 fn=2 tn=6 fp=4: sens .8, spec .6, ppv 8/12, npv .75,
+    // LR+ 2, LR− .333333, J .4, DOR 6
+    val rows = Seq.fill(8)((1, 1)) ++ Seq.fill(2)((1, 0)) ++
+      Seq.fill(6)((0, 0)) ++ Seq.fill(4)((0, 1))
+    val r = Stats.diagnosticPanel(rows.toDF("t", "p"), "t", "p")
+      .collect()(0)
+    assert(r.getAs[Long]("tp") == 8L && r.getAs[Long]("fn") == 2L &&
+      r.getAs[Long]("tn") == 6L && r.getAs[Long]("fp") == 4L)
+    assert(r.getAs[Double]("sensitivity") == 0.8)
+    assert(r.getAs[Double]("specificity") == 0.6)
+    assert(r.getAs[Double]("ppv") == 0.666667)
+    assert(r.getAs[Double]("npv") == 0.75)
+    assert(r.getAs[Double]("lr_plus") == 2.0)
+    assert(r.getAs[Double]("lr_minus") == 0.333333)
+    assert(r.getAs[Double]("youden_j") == 0.4)
+    assert(r.getAs[Double]("dor") == 6.0)
+    // Wilson replicated in the same double order (z = 1.96, n = 10)
+    def wilson(num: Double, n: Double, up: Boolean): Double = {
+      val z = 1.96; val ph = num / n; val dn = 1.0 + z * z / n
+      val c = ph + z * z / (2.0 * n)
+      val h = z * math.sqrt((ph * (1.0 - ph) + z * z / (4.0 * n)) / n)
+      val raw = (if (up) c + h else c - h) / dn
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(r.getAs[Double]("sens_lo") == wilson(8, 10, up = false))
+    assert(r.getAs[Double]("sens_hi") == wilson(8, 10, up = true))
+    assert(r.getAs[Double]("sens_lo") > 0.4 &&
+      r.getAs[Double]("sens_hi") < 1.0)
+    // all-positive truth: specificity family is NULL, DOR too (fp=0)
+    val allPos = Stats.diagnosticPanel(
+      Seq((1, 1), (1, 0)).toDF("t", "p"), "t", "p").collect()(0)
+    assert(allPos.isNullAt(allPos.fieldIndex("specificity")))
+    assert(allPos.isNullAt(allPos.fieldIndex("dor")))
+    val loud = intercept[Exception] {
+      Stats.diagnosticPanel(Seq((2, 1)).toDF("t", "p"), "t", "p")
+        .collect()
+    }
+    assert(loud.getMessage.contains("flag"), loud.getMessage)
+  }
 }
