@@ -1975,4 +1975,159 @@ object Timeseries {
         (col("r").cast("double") > col("ucl_r") ||
           col("r").cast("double") < col("lcl_r")).cast("int"))
   }
+
+  /** c-chart (Shewhart attribute chart for defect COUNTS per equal-
+    * size inspection unit): centre c̄ = mean defects per unit, limits
+    * c̄ ± 3·√c̄ (Poisson ±3σ), flag units outside. The error-budget
+    * monitor beside [[xbarRChart]]'s continuous twin — crawl errors
+    * per cycle, schema violations per batch.
+    *
+    * Determinism: c̄ is one exact rational → ONE d6; limits assemble
+    * FROM the d6'd centre in one fixed double order → ONE d6 each
+    * (LCL clamps at 0); the flag compares exact counts to the d6
+    * limits. Negative counts are loud.
+    *
+    * Scale shape: one 1-row aggregate broadcast back over the units
+    * frame. Output per unit: (unit, n_defects, c_bar, ucl, lcl,
+    * out_of_control).
+    */
+  def cChart(
+      df: DataFrame,
+      unitCol: String,
+      countCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cnt = when(col(countCol).cast("long") >= 0L,
+      col(countCol).cast("long"))
+      .otherwise(raise_error(concat(lit("cChart: negative count "),
+        col(countCol).cast("string"))).cast("long"))
+    val base = df.select(col(unitCol).as("unit"), cnt.as("n_defects"))
+    val tot = base.agg(count(lit(1)).as("_nu"),
+      sum(dec(col("n_defects"))).as("_sc"))
+      .select(d6(col("_sc").cast("double") / col("_nu").cast("double"))
+        .as("c_bar"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("ucl", d6(col("c_bar") +
+        lit(3.0) * sqrt(col("c_bar"))))
+      .withColumn("lcl", d6(greatest(lit(0.0),
+        col("c_bar") - lit(3.0) * sqrt(col("c_bar")))))
+      .select(col("unit"), col("n_defects"), col("c_bar"), col("ucl"),
+        col("lcl"),
+        (col("n_defects").cast("double") > col("ucl") ||
+          col("n_defects").cast("double") < col("lcl")).cast("int")
+          .as("out_of_control"))
+  }
+
+  /** u-chart ([[cChart]] for UNEQUAL inspection-unit sizes): rate
+    * ū = Σdefects/Σopportunities, per-unit limits ū ± 3·√(ū/nᵢ) —
+    * bigger units get tighter limits, which is why a raw c-chart
+    * misleads the moment batch sizes drift. Defects-per-1000-events,
+    * violations-per-GB.
+    *
+    * Determinism: ū ONE d6; per-unit rate uᵢ ONE d6; limits from the
+    * d6'd ū in one fixed double order → ONE d6 each (LCL clamps at 0);
+    * flags compare d6 rates to d6 limits. Non-positive unit sizes and
+    * negative counts are loud.
+    *
+    * Scale shape: one 1-row aggregate broadcast back. Output per
+    * unit: (unit, n_defects, n_units, u, u_bar, ucl, lcl,
+    * out_of_control).
+    */
+  def uChart(
+      df: DataFrame,
+      unitCol: String,
+      countCol: String,
+      sizeCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cnt = when(col(countCol).cast("long") >= 0L,
+      col(countCol).cast("long"))
+      .otherwise(raise_error(concat(lit("uChart: negative count "),
+        col(countCol).cast("string"))).cast("long"))
+    val sz = when(col(sizeCol).cast("long") > 0L,
+      col(sizeCol).cast("long"))
+      .otherwise(raise_error(concat(lit("uChart: unit size "),
+        col(sizeCol).cast("string"), lit(" must be positive")))
+        .cast("long"))
+    val base = df.select(col(unitCol).as("unit"), cnt.as("n_defects"),
+      sz.as("n_units"))
+    val tot = base.agg(sum(dec(col("n_defects"))).as("_sc"),
+        sum(dec(col("n_units"))).as("_sn"))
+      .select(d6(col("_sc").cast("double") / col("_sn").cast("double"))
+        .as("u_bar"))
+    base.crossJoin(broadcast(tot))
+      .withColumn("u", d6(col("n_defects").cast("double") /
+        col("n_units").cast("double")))
+      .withColumn("ucl", d6(col("u_bar") +
+        lit(3.0) * sqrt(col("u_bar") / col("n_units").cast("double"))))
+      .withColumn("lcl", d6(greatest(lit(0.0), col("u_bar") -
+        lit(3.0) * sqrt(col("u_bar") / col("n_units").cast("double")))))
+      .select(col("unit"), col("n_defects"), col("n_units"), col("u"),
+        col("u_bar"), col("ucl"), col("lcl"),
+        (col("u") > col("ucl") || col("u") < col("lcl")).cast("int")
+          .as("out_of_control"))
+  }
+
+  /** Permutation entropy per key (Bandt & Pompe 2002): Shannon
+    * entropy of the ordinal patterns of m consecutive values — the
+    * model-free complexity readout that separates trending, periodic
+    * and noisy metric series at O(n) cost (a monotone series uses ONE
+    * pattern → entropy 0; white noise uses all m! evenly → normalized
+    * entropy 1). The regime classifier in front of the heavier
+    * forecast/changepoint machinery.
+    *
+    * Determinism: ordinal patterns use the STABLE tie rule (equal
+    * values rank by time position — Bandt–Pompe's convention), so a
+    * pattern is exactly the vector of strict pairwise comparisons
+    * x_j < x_i (i < j), folded into an integer id; only complete
+    * windows count. Pattern counts are exact longs; each entropy term
+    * is ONE d6 of p·ln p (the q386 NMI discipline), summed in
+    * decimal; normalization divides by the ln(m!) literal → ONE d6.
+    * Keys with fewer than m points emit no row.
+    *
+    * Scale shape: one ordered per-key window carrying m−1 leads + one
+    * (key, pattern) aggregate (≤ m! patterns per key) + a keyed
+    * rollup. `m` is a small code literal (2..5 — loud outside).
+    */
+  def permutationEntropy(
+      df: DataFrame,
+      keyCol: String,
+      tCol: String,
+      xCol: String,
+      m: Int = 3): DataFrame = {
+    require(m >= 2 && m <= 5, s"m in [2,5], got $m")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val wt = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+    val base = df.select(col(keyCol).as("_k"),
+      col(tCol).cast("long").as("_t"), col(xCol).cast("long").as("_x"))
+    val withLeads = (1 until m).foldLeft(base) { (d, l) =>
+      d.withColumn(s"_x$l", lead(col("_x"), l).over(wt))
+    }
+    def at(i: Int): Column = if (i == 0) col("_x") else col(s"_x${i}")
+    val pairs = for { i <- 0 until m; j <- (i + 1) until m } yield (i, j)
+    val pattern = pairs.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, ((i, j), idx)) =>
+        acc + when(at(j) < at(i), lit(1L << idx)).otherwise(lit(0L))
+    }
+    val complete = withLeads.filter(col(s"_x${m - 1}").isNotNull)
+      .select(col("_k"), pattern.as("_pat"))
+    val counts = complete.groupBy(col("_k"), col("_pat"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(col("_k"))))
+    val lnFact = math.log((1 to m).product.toDouble)
+    counts
+      .withColumn("_term", d6(
+        (col("_c").cast("double") / col("_n").cast("double")) *
+          log(col("_c").cast("double") / col("_n").cast("double"))))
+      .groupBy(col("_k"))
+      .agg(max(col("_n")).as("n_windows"),
+        count(lit(1)).as("n_patterns"),
+        d6(-sum(d28(col("_term"))).cast("double")).as("entropy"))
+      .select(col("_k").as(keyCol), col("n_windows"),
+        col("n_patterns"),
+        col("entropy"),
+        d6(col("entropy") / lit(lnFact)).as("pe_norm"))
+  }
 }

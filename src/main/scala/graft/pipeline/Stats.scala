@@ -7099,6 +7099,84 @@ object Stats {
         col("n").cast("double")).as("mean_winsorized"))
   }
 
+  /** Hosmer–Lemeshow calibration test (Hosmer & Lemeshow 1980) — the
+    * inference partner of the q324 expected-calibration-error readout:
+    * group predictions into G equal-count risk groups and judge
+    * observed-vs-expected event counts as χ² with G−2 df. The gate a
+    * quality-score or dedup-confidence model runs before its scores
+    * are used as probabilities.
+    *
+    * Determinism: probabilities arrive as exact PPM longs (0..10⁶ —
+    * loud otherwise); the risk groups cut the (prob, id) TOTAL order
+    * (the corpus pick convention), so membership is reproducible; each
+    * group's χ² term collapses to the exact rational
+    * (obs·10⁶ − Σp)²·n_g / (Σp·(n_g·10⁶ − Σp)) → ONE d6, summed d28.
+    * A degenerate group (Σp = 0 or Σp = n_g·10⁶: expected 0 or n
+    * events) makes the term infinite — the whole χ² answers NULL, the
+    * group table still reports. Significance against the shared
+    * [[chiSq95]] table (NULL past df 30).
+    *
+    * Scale shape: one rank window + one group aggregate + a G-row
+    * rollup. Output one row per risk group:
+    * (cal_group, n, obs_events, exp_events, chi2, df, significant).
+    */
+  def hosmerLemeshow(
+      df: DataFrame,
+      idCol: String,
+      probPpmCol: String,
+      labelCol: String,
+      groups: Int = 10): DataFrame = {
+    require(groups >= 3, s"groups must be >= 3 (df = G-2), got $groups")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val p = when(col(probPpmCol).cast("long").between(0L, 1000000L),
+      col(probPpmCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("hosmerLemeshow: prob_ppm "),
+        col(probPpmCol).cast("string"),
+        lit(" outside [0, 1000000]"))).cast("long"))
+    val y = when(col(labelCol).cast("long").isin(0L, 1L),
+      col(labelCol).cast("long"))
+      .otherwise(raise_error(concat(lit("hosmerLemeshow: label "),
+        col(labelCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val ranked = df.select(col(idCol).as("_id"), p.as("_p"), y.as("_y"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("_p").asc, col("_id").asc))
+        .cast("long"))
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+      .withColumn("_g",
+        expr(s"((_rk - 1) * ${groups}L) div _n"))
+    val byG = ranked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("obs_events"),
+        sum(dec(col("_p"))).as("_sp"))
+    val spOk = col("_sp") > 0L &&
+      col("_sp") < dec(col("n")) * dec(lit(1000000L))
+    val num = dec(col("obs_events")) * dec(lit(1000000L)) - col("_sp")
+    val term = when(spOk,
+      d6((num * num * dec(col("n"))).cast("double") /
+        (col("_sp") * (dec(col("n")) * dec(lit(1000000L)) - col("_sp")))
+          .cast("double")))
+    val staged = byG.select(col("_g").as("cal_group"), col("n"),
+      col("obs_events"), d6(col("_sp").cast("double") / 1.0e6)
+        .as("exp_events"),
+      term.as("_term"), when(spOk, 0L).otherwise(1L).as("_degen"))
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val withChi = staged
+      .withColumn("_ndeg", sum(col("_degen")).over(wAll))
+      .withColumn("chi2",
+        when(col("_ndeg") === 0L,
+          d6(sum(d28(col("_term"))).over(wAll).cast("double"))))
+      .withColumn("df", lit(groups.toLong - 2L))
+    withChi.select(col("cal_group"), col("n"), col("obs_events"),
+      col("exp_events"), col("chi2"), col("df"),
+      when(col("chi2").isNotNull && chiSq95Col(col("df")).isNotNull,
+        (col("chi2") >= chiSq95Col(col("df"))).cast("int"))
+        .as("significant"))
+  }
+
   /** Brunner–Munzel test (Brunner & Munzel 2000) — the nonparametric
     * Behrens–Fisher answer [[mannWhitneyU]] can't give: MWU's variance
     * assumes exchangeable arms, so unequal arm SPREADS inflate its

@@ -8938,7 +8938,198 @@ object Analytics {
       |FROM st""".stripMargin
   }
 
+  // q487: Hosmer–Lemeshow calibration test (Stats.hosmerLemeshow) —
+  // a deterministic md5-derived ppm score judged as a "purchase
+  // probability" across 10 risk deciles (a score that ISN'T a
+  // calibrated probability should fail, and does). The oracle replays
+  // the (prob, id) total-order decile cut and the exact rational χ²
+  // terms; df 8 judged against the shared 15.507313 critical literal.
+  def q487HosmerLemeshow(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.hosmerLemeshow(
+      ev(s, dir).select(col("event_id"),
+        graft.pipeline.Sampling.portableHash(col("event_id"), "hl")
+          .as("p_ppm"),
+        (col("event_type") === "purchase").cast("int").as("y")),
+      "event_id", "p_ppm", "y", groups = 10)
+
+  val q487Sql: String =
+    """WITH b AS (
+      |  SELECT event_id,
+      |    CAST(concat('0x', substring(md5('hl:' ||
+      |      CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      AS p,
+      |    CAST(event_type = 'purchase' AS INT) AS y
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY p ASC, event_id ASC)
+      |      AS BIGINT) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM b),
+      |g AS (SELECT *, ((rk - 1) * 10) // n AS grp FROM r),
+      |ag AS (
+      |  SELECT grp AS cal_group, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS obs_events,
+      |    SUM(CAST(p AS HUGEINT)) AS sp
+      |  FROM g GROUP BY 1),
+      |tm AS (
+      |  SELECT cal_group, n, obs_events,
+      |    CAST(CAST(CAST(sp AS DOUBLE) / 1000000.0 AS DECIMAL(28,6))
+      |      AS DOUBLE) AS exp_events,
+      |    CASE WHEN sp > 0 AND sp < CAST(n AS HUGEINT) * 1000000 THEN
+      |      CAST(CAST(CAST(
+      |        (CAST(obs_events AS HUGEINT) * 1000000 - sp) *
+      |        (CAST(obs_events AS HUGEINT) * 1000000 - sp) *
+      |        CAST(n AS HUGEINT) AS DOUBLE) /
+      |        CAST(sp * (CAST(n AS HUGEINT) * 1000000 - sp) AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DECIMAL(28,6)) END AS term,
+      |    CASE WHEN sp > 0 AND sp < CAST(n AS HUGEINT) * 1000000
+      |      THEN 0 ELSE 1 END AS degen
+      |  FROM ag),
+      |ch AS (
+      |  SELECT CASE WHEN SUM(degen) = 0 THEN
+      |    CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS chi2
+      |  FROM tm)
+      |SELECT tm.cal_group, tm.n, tm.obs_events, tm.exp_events,
+      |  ch.chi2, CAST(8 AS BIGINT) AS df,
+      |  CASE WHEN ch.chi2 IS NOT NULL THEN
+      |    CAST(ch.chi2 >= 15.507313 AS INT) END AS significant
+      |FROM tm CROSS JOIN ch""".stripMargin
+
+  // q488: c-chart (Timeseries.cChart) — daily error-event counts
+  // against Poisson ±3σ limits around the mean; days with zero
+  // errors don't enter the frame (the chart monitors observed
+  // inspection units). The oracle replays the d6 centre and the
+  // fixed-order limits.
+  def q488CChart(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.cChart(
+      Tables.eventsUs(s, dir).filter(col("event_type") === "error")
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_errors")),
+      "day", "n_errors")
+
+  val q488Sql: String =
+    """WITH u AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS unit,
+      |    CAST(COUNT(*) AS BIGINT) AS n_defects
+      |  FROM events WHERE event_type = 'error' GROUP BY 1),
+      |cb AS (
+      |  SELECT CAST(CAST(CAST(SUM(CAST(n_defects AS HUGEINT))
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS c_bar
+      |  FROM u)
+      |SELECT u.unit, u.n_defects, cb.c_bar,
+      |  CAST(CAST(cb.c_bar + 3.0 * sqrt(cb.c_bar) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS ucl,
+      |  CAST(CAST(greatest(0.0, cb.c_bar - 3.0 * sqrt(cb.c_bar))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS lcl,
+      |  CAST(CAST(u.n_defects AS DOUBLE) >
+      |      CAST(CAST(cb.c_bar + 3.0 * sqrt(cb.c_bar)
+      |        AS DECIMAL(28,6)) AS DOUBLE) OR
+      |    CAST(u.n_defects AS DOUBLE) <
+      |      CAST(CAST(greatest(0.0, cb.c_bar - 3.0 * sqrt(cb.c_bar))
+      |        AS DECIMAL(28,6)) AS DOUBLE) AS INT) AS out_of_control
+      |FROM u CROSS JOIN cb""".stripMargin
+
+  // q489: u-chart (Timeseries.uChart) — daily error RATE per event
+  // with per-day limits ū ± 3√(ū/nᵢ): busier days get tighter
+  // limits. The oracle replays the d6 rate/limit chain.
+  def q489UChart(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.uChart(
+      Tables.eventsUs(s, dir)
+        .groupBy(expr("ts_us div 86400000000").as("day"))
+        .agg(sum((col("event_type") === "error").cast("long"))
+          .as("n_errors"), count(lit(1)).as("n_events")),
+      "day", "n_errors", "n_events")
+
+  val q489Sql: String =
+    """WITH u AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS unit,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_defects,
+      |    CAST(COUNT(*) AS BIGINT) AS n_units
+      |  FROM events GROUP BY 1),
+      |ub AS (
+      |  SELECT CAST(CAST(CAST(SUM(CAST(n_defects AS HUGEINT))
+      |    AS DOUBLE) / CAST(SUM(CAST(n_units AS HUGEINT)) AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS u_bar
+      |  FROM u),
+      |st AS (
+      |  SELECT u.unit, u.n_defects, u.n_units,
+      |    CAST(CAST(CAST(u.n_defects AS DOUBLE) /
+      |      CAST(u.n_units AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS uu,
+      |    ub.u_bar,
+      |    CAST(CAST(ub.u_bar + 3.0 *
+      |      sqrt(ub.u_bar / CAST(u.n_units AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS ucl,
+      |    CAST(CAST(greatest(0.0, ub.u_bar - 3.0 *
+      |      sqrt(ub.u_bar / CAST(u.n_units AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS lcl
+      |  FROM u CROSS JOIN ub)
+      |SELECT unit, n_defects, n_units, uu AS u, u_bar, ucl, lcl,
+      |  CAST(uu > ucl OR uu < lcl AS INT) AS out_of_control
+      |FROM st""".stripMargin
+
+  // q490: permutation entropy (Timeseries.permutationEntropy) of each
+  // event type's 6h-bucket cents series at m = 3 — the ordinal
+  // complexity readout (trend→0, noise→1). The oracle replays the
+  // stable-tie pairwise-comparison pattern ids and the d6-per-term
+  // entropy with the inlined ln(3!) literal.
+  def q490PermEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Timeseries.permutationEntropy(
+      Tables.eventsUs(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_us div 21600000000").as("b"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")),
+      "event_type", "b", "x", m = 3)
+
+  val q490Sql: String = {
+    val ln6 = math.log(6.0).toString
+    s"""WITH c AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000 AS b,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |ld AS (
+      |  SELECT k, x,
+      |    lead(x, 1) OVER (PARTITION BY k ORDER BY b ASC) AS x1,
+      |    lead(x, 2) OVER (PARTITION BY k ORDER BY b ASC) AS x2
+      |  FROM c),
+      |pat AS (
+      |  SELECT k,
+      |    CAST(CASE WHEN x1 < x THEN 1 ELSE 0 END +
+      |      CASE WHEN x2 < x THEN 2 ELSE 0 END +
+      |      CASE WHEN x2 < x1 THEN 4 ELSE 0 END AS BIGINT) AS p
+      |  FROM ld WHERE x2 IS NOT NULL),
+      |ct AS (
+      |  SELECT k, p, CAST(COUNT(*) AS BIGINT) AS c,
+      |    SUM(COUNT(*)) OVER (PARTITION BY k) AS n
+      |  FROM pat GROUP BY 1, 2),
+      |tm AS (
+      |  SELECT k, n,
+      |    CAST(CAST((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DECIMAL(28,6)) AS term
+      |  FROM ct),
+      |ag AS (
+      |  SELECT k, CAST(MAX(n) AS BIGINT) AS n_windows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_patterns,
+      |    CAST(CAST(-CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS entropy
+      |  FROM tm GROUP BY 1)
+      |SELECT k AS event_type, n_windows, n_patterns, entropy,
+      |  CAST(CAST(entropy / $ln6 AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS pe_norm
+      |FROM ag""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q487_hosmer_lemeshow" -> (q487HosmerLemeshow _),
+    "q488_c_chart" -> (q488CChart _),
+    "q489_u_chart" -> (q489UChart _),
+    "q490_perm_entropy" -> (q490PermEntropy _),
     "q484_brunner_munzel" -> (q484BrunnerMunzel _),
     "q485_quade" -> (q485Quade _),
     "q486_diagnostic_panel" -> (q486DiagnosticPanel _),
@@ -9115,6 +9306,10 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q487_hosmer_lemeshow" -> q487Sql,
+    "q488_c_chart" -> q488Sql,
+    "q489_u_chart" -> q489Sql,
+    "q490_perm_entropy" -> q490Sql,
     "q484_brunner_munzel" -> q484Sql,
     "q485_quade" -> q485Sql,
     "q486_diagnostic_panel" -> q486Sql,

@@ -809,4 +809,79 @@ class TimeseriesSpec extends SparkSpec {
       Timeseries.xbarRChart(df, "k", "t", "x", subgroupSize = 11)
     }
   }
+
+  private def d6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("cChart: hand Poisson limits flag the spike; LCL clamps at 0; " +
+    "negative counts are loud") {
+    // counts 1,2,3,4,15: c̄ = 5, UCL = 5+3√5 = 11.708204, LCL = 0
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 15L))
+      .toDF("u", "c")
+    val out = Timeseries.cChart(df, "u", "c").collect()
+      .map(r => r.getAs[Long]("unit") -> r).toMap
+    assert(out(1L).getAs[Double]("c_bar") == 5.0)
+    assert(out(1L).getAs[Double]("ucl") ==
+      d6(5.0 + 3.0 * math.sqrt(5.0)))
+    assert(out(1L).getAs[Double]("lcl") == 0.0)
+    assert(out(5L).getAs[Int]("out_of_control") == 1)
+    assert(Seq(1L, 2L, 3L, 4L)
+      .forall(out(_).getAs[Int]("out_of_control") == 0))
+    val loud = intercept[Exception] {
+      Timeseries.cChart(Seq((1L, -1L)).toDF("u", "c"), "u", "c")
+        .collect()
+    }
+    assert(loud.getMessage.contains("negative count"), loud.getMessage)
+  }
+
+  test("uChart: per-unit limits tighten with size; the small noisy " +
+    "unit flags; zero size is loud") {
+    // defects 10/5 over sizes 100/1: ū = 15/101; unit 2's rate 5.0
+    // blows its wide limit, unit 1's 0.1 sits inside its tight one
+    val df = Seq((1L, 10L, 100L), (2L, 5L, 1L)).toDF("u", "c", "n")
+    val out = Timeseries.uChart(df, "u", "c", "n").collect()
+      .map(r => r.getAs[Long]("unit") -> r).toMap
+    val ubar = d6(15.0 / 101.0)
+    assert(out(1L).getAs[Double]("u_bar") == ubar)
+    assert(out(1L).getAs[Double]("u") == 0.1)
+    assert(out(1L).getAs[Double]("ucl") ==
+      d6(ubar + 3.0 * math.sqrt(ubar / 100.0)))
+    assert(out(1L).getAs[Int]("out_of_control") == 0)
+    assert(out(2L).getAs[Double]("u") == 5.0)
+    assert(out(2L).getAs[Int]("out_of_control") == 1)
+    val loud = intercept[Exception] {
+      Timeseries.uChart(Seq((1L, 1L, 0L)).toDF("u", "c", "n"),
+        "u", "c", "n").collect()
+    }
+    assert(loud.getMessage.contains("unit size"), loud.getMessage)
+  }
+
+  test("permutationEntropy: monotone series reads 0; hand two-pattern " +
+    "entropy; short series emit no row; bad m is loud") {
+    val mono = Seq.tabulate(5)(i => ("k", i.toLong, (i + 1).toLong))
+      .toDF("k", "t", "x")
+    val m = Timeseries.permutationEntropy(mono, "k", "t", "x", m = 3)
+      .collect()(0)
+    assert(m.getAs[Long]("n_windows") == 3L)
+    assert(m.getAs[Long]("n_patterns") == 1L)
+    assert(m.getAs[Double]("entropy") == 0.0)
+    assert(m.getAs[Double]("pe_norm") == 0.0)
+    // [1,5,2,6,3] → patterns {4,1,4}: p = 2/3, 1/3 → d6 terms
+    // −0.270310, −0.366204 → H = 0.636514
+    val zig = Seq(("k", 0L, 1L), ("k", 1L, 5L), ("k", 2L, 2L),
+      ("k", 3L, 6L), ("k", 4L, 3L)).toDF("k", "t", "x")
+    val z = Timeseries.permutationEntropy(zig, "k", "t", "x", m = 3)
+      .collect()(0)
+    assert(z.getAs[Long]("n_windows") == 3L)
+    assert(z.getAs[Long]("n_patterns") == 2L)
+    assert(z.getAs[Double]("entropy") == 0.636514)
+    assert(z.getAs[Double]("pe_norm") == d6(0.636514 / math.log(6.0)))
+    // a 2-point series has no complete m=3 window → no row
+    assert(Timeseries.permutationEntropy(
+      Seq(("s", 0L, 1L), ("s", 1L, 2L)).toDF("k", "t", "x"),
+      "k", "t", "x", m = 3).collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      Timeseries.permutationEntropy(mono, "k", "t", "x", m = 6)
+    }
+  }
 }

@@ -2406,6 +2406,40 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("hosmerLemeshow: hand 3-group χ² terms; a zero-expected group " +
+    "answers NULL χ²; out-of-range prob and bad label are loud") {
+    // groups of 3 by (prob, id): sp 6e5/1.5e6/2.4e6, obs 1/2/3 →
+    // terms 1/3, 1/3, 3/4 → χ² = 1.416666 (d6 per term), df 1, not
+    // significant at 3.841459
+    val df = Seq(
+      (1L, 100000L, 0), (2L, 200000L, 0), (3L, 300000L, 1),
+      (4L, 400000L, 0), (5L, 500000L, 1), (6L, 600000L, 1),
+      (7L, 700000L, 1), (8L, 800000L, 1), (9L, 900000L, 1))
+      .toDF("id", "p", "y")
+    val out = Stats.hosmerLemeshow(df, "id", "p", "y", groups = 3)
+      .collect().map(r => r.getAs[Long]("cal_group") -> r).toMap
+    assert(out.size == 3)
+    assert(out(0L).getAs[Long]("obs_events") == 1L)
+    assert(out(0L).getAs[Double]("exp_events") == 0.6)
+    assert(out(2L).getAs[Long]("obs_events") == 3L)
+    assert(out.values.forall(_.getAs[Double]("chi2") == 1.416666))
+    assert(out(0L).getAs[Long]("df") == 1L)
+    assert(out(0L).getAs[Int]("significant") == 0)
+    // a group with every prob 0 has expected 0 events → NULL χ²
+    val degen = Stats.hosmerLemeshow(
+      df.withColumn("p", when(col("id") <= 3L, 0L).otherwise(col("p"))),
+      "id", "p", "y", groups = 3).collect()(0)
+    assert(degen.isNullAt(degen.fieldIndex("chi2")))
+    val loudP = intercept[Exception] {
+      Stats.hosmerLemeshow(Seq((1L, 2000000L, 1), (2L, 1L, 0))
+        .toDF("id", "p", "y"), "id", "p", "y", groups = 3).collect()
+    }
+    assert(loudP.getMessage.contains("prob_ppm"), loudP.getMessage)
+    intercept[IllegalArgumentException] {
+      Stats.hosmerLemeshow(df, "id", "p", "y", groups = 2)
+    }
+  }
+
   test("brunnerMunzel: hand placements on interleaved arms; complete " +
     "separation answers NULL W with p_hat = 1; bad arm is loud") {
     // arm0 = {1,3}, arm1 = {2,4}: placements arm0 {0,1}, arm1 {1,2},
