@@ -7099,6 +7099,253 @@ object Stats {
         col("n").cast("double")).as("mean_winsorized"))
   }
 
+  /** Lorenz curve points — the cumulative-share table behind every
+    * inequality readout ([[giniConcentration]] reports the area
+    * summary; this is the curve itself): after sorting units by
+    * value ascending, L(i/points) = share of total value held by the
+    * bottom i/points of units. The "what fraction of the corpus do
+    * the bottom half of domains contribute" readout a mix policy
+    * reads directly.
+    *
+    * Determinism: the order is the (value, unit) TOTAL order (the
+    * corpus pick convention — ties deterministic); cut ranks are
+    * exact integers kᵢ = (i·n) div points; cumulative sums exact
+    * decimals; each share ONE d6. Negative values are loud (shares
+    * would not be monotone); n < points is loud (cuts would repeat).
+    *
+    * Scale shape: one rank window + one cumulative window + a
+    * points-row semi-pick. Output one row per point:
+    * (point, pop_share, n_cum, value_share).
+    */
+  def lorenzCurve(
+      df: DataFrame,
+      unitCol: String,
+      valueCol: String,
+      points: Int = 10): DataFrame = {
+    require(points >= 2, s"points must be >= 2, got $points")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val y = when(col(valueCol).cast("long") >= 0L,
+      col(valueCol).cast("long"))
+      .otherwise(raise_error(concat(lit("lorenzCurve: negative value "),
+        col(valueCol).cast("string"))).cast("long"))
+    val ranked = df.select(col(unitCol).as("_u"), y.as("_y"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("_y").asc, col("_u").asc))
+        .cast("long"))
+      .withColumn("_n",
+        count(lit(1)).over(W.partitionBy(lit(1))))
+      .withColumn("_cum", sum(dec(col("_y"))).over(
+        W.partitionBy(lit(1)).orderBy(col("_rk").asc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("_tot", sum(dec(col("_y"))).over(W.partitionBy(lit(1))))
+    val guarded = ranked.withColumn("_n",
+      when(col("_n") >= points.toLong, col("_n"))
+        .otherwise(raise_error(concat(
+          lit(s"lorenzCurve: n = "), col("_n").cast("string"),
+          lit(s" < points = $points — cut ranks would repeat")))
+          .cast("long")))
+    val pts = explode(array((1 to points).map(i => lit(i.toLong)): _*))
+    guarded.select(col("_rk"), col("_n"), col("_cum"), col("_tot"))
+      .withColumn("point", pts)
+      .filter(col("_rk") === expr(s"(point * _n) div ${points}L"))
+      .select(col("point"),
+        d6(col("point").cast("double") / lit(points.toDouble))
+          .as("pop_share"),
+        col("_rk").as("n_cum"),
+        when(col("_tot") > 0L,
+          d6(col("_cum").cast("double") / col("_tot").cast("double")))
+          .as("value_share"))
+  }
+
+  /** Kakwani progressivity index (Kakwani 1977): K = C_t − G_y, the
+    * concentration index of a "contribution" column (tax, purchases,
+    * premium traffic) RANKED BY the base column (income, total
+    * activity) minus the base column's own Gini. K > 0 means the
+    * contribution is more concentrated among the base-rich than the
+    * base itself — progressive; K < 0 regressive. The mix-policy
+    * fairness readout next to [[lorenzCurve]].
+    *
+    * Determinism: ONE (base, unit) total order supplies the ranks for
+    * both indices (Gini and concentration share the closed form
+    * (2Σr·v − (n+1)Σv)/(n·Σv) — exact integer/decimal rationals →
+    * ONE d6 each, K one more). Negative values in either column are
+    * loud; zero totals answer NULL. Ties follow the total-order
+    * convention (documented; deterministic).
+    *
+    * Scale shape: one rank window + ONE corpus aggregate.
+    * Output ONE row: (n, gini_base, conc_contrib, kakwani).
+    */
+  def kakwani(
+      df: DataFrame,
+      unitCol: String,
+      baseCol: String,
+      contribCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    def pos(cn: String) = when(col(cn).cast("long") >= 0L,
+      col(cn).cast("long"))
+      .otherwise(raise_error(concat(lit(s"kakwani: negative $cn "),
+        col(cn).cast("string"))).cast("long"))
+    val ranked = df.select(col(unitCol).as("_u"), pos(baseCol).as("_y"),
+        pos(contribCol).as("_t"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("_y").asc, col("_u").asc))
+        .cast("long"))
+    val agg = ranked.agg(count(lit(1)).as("n"),
+      sum(dec(col("_y"))).as("_sy"), sum(dec(col("_t"))).as("_st"),
+      sum(dec(col("_rk")) * dec(col("_y"))).as("_sry"),
+      sum(dec(col("_rk")) * dec(col("_t"))).as("_srt"))
+    def index(srv: Column, sv: Column) = when(sv > 0L,
+      d6((dec(lit(2L)) * srv -
+        dec(col("n") + 1L) * sv).cast("double") /
+        (dec(col("n")) * sv).cast("double")))
+    agg.select(col("n"),
+        index(col("_sry"), col("_sy")).as("gini_base"),
+        index(col("_srt"), col("_st")).as("conc_contrib"))
+      .withColumn("kakwani",
+        when(col("gini_base").isNotNull && col("conc_contrib").isNotNull,
+          d6(col("conc_contrib") - col("gini_base"))))
+  }
+
+  /** Anderson–Darling one-sample normality test (case 4: mean and
+    * variance estimated) — the tail-sensitive goodness-of-fit gate
+    * the KS statistic blunts (AD weights the tails by 1/(F(1−F)),
+    * which is where metric distributions actually fail normality):
+    * A² = −n − (1/n)·Σ(2i−1)·[ln Φ(zᵢ) + ln(1−Φ(z_{n+1−i}))], with
+    * the small-sample correction A*² = A²·(1 + 4/n − 25/n²) judged
+    * against the 0.787 5% critical value (Stephens 1974).
+    *
+    * Determinism: exact decimal sufficient sums; mean and sd close in
+    * the [[processCapability]] d6(√d6) chain; each z ONE d6; Φ via
+    * the shared [[normalTwoSidedP]] erfc polynomial; the rank-paired
+    * term (2i−1)·[ln Φ(zᵢ) + ln(1−Φ(z_rev))] ONE d6 per rank, summed
+    * decimal; A² and A*² one d6 each. A z extreme enough that Φ
+    * saturates to 0/1 in doubles (|z| ≳ 8) makes its log infinite —
+    * the whole statistic answers NULL (the outlier IS the answer).
+    * Constant series (sd 0) answer NULL; n < 8 is loud (the
+    * correction and critical value need a minimal sample).
+    *
+    * Scale shape: ONE corpus aggregate + one rank window + one
+    * rank-key self equi-join (i ↔ n+1−i) + a 1-row rollup.
+    */
+  def andersonDarling(
+      df: DataFrame,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(xCol).cast("long").as("_x"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("_x").asc)).cast("long"))
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+      .withColumn("_s", sum(dec(col("_x"))).over(W.partitionBy(lit(1))))
+      .withColumn("_q", sum(dec(col("_x")) * dec(col("_x")))
+        .over(W.partitionBy(lit(1))))
+    val nOk = when(col("_n") >= 8L, col("_n"))
+      .otherwise(raise_error(concat(lit("andersonDarling: n = "),
+        col("_n").cast("string"), lit(" < 8"))).cast("long"))
+    val withZ = base
+      .withColumn("_n", nOk)
+      .withColumn("_mean",
+        d6(col("_s").cast("double") / col("_n").cast("double")))
+      .withColumn("_sd", d6(sqrt(d6(
+        (dec(col("_n")) * col("_q") - col("_s") * col("_s"))
+          .cast("double") /
+          (dec(col("_n")) * dec(col("_n") - 1L)).cast("double")))))
+      .withColumn("_z",
+        when(col("_sd") > 0.0,
+          d6((col("_x").cast("double") - col("_mean")) / col("_sd"))))
+    val p = normalTwoSidedP(col("_z"))
+    val phi = when(col("_z") >= 0.0, lit(1.0) - p / lit(2.0))
+      .otherwise(p / lit(2.0))
+    val fwd = withZ.select(col("_rk"), col("_n"), col("_mean"),
+      col("_sd"), phi.as("_phi"))
+    val rev = fwd.select((col("_n") + 1L - col("_rk")).as("_rk"),
+      col("_phi").as("_phirev"))
+    val joined = fwd.join(rev, Seq("_rk"))
+      .withColumn("_ok",
+        (col("_phi") > 0.0 && col("_phi") < 1.0 &&
+          col("_phirev") > 0.0 && col("_phirev") < 1.0 &&
+          col("_sd") > 0.0).cast("long"))
+      .withColumn("_term",
+        when(col("_ok") === 1L,
+          d6((lit(2L) * col("_rk") - lit(1L)).cast("double") *
+            (log(col("_phi")) + log(lit(1.0) - col("_phirev"))))))
+    val agg = joined.agg(max(col("_n")).as("n"),
+      max(col("_mean")).as("mean"), max(col("_sd")).as("sd"),
+      sum(lit(1L) - col("_ok")).as("_bad"),
+      sum(d28(col("_term"))).as("_tsum"))
+    val nD = col("n").cast("double")
+    val a2 = d6(-nD - col("_tsum").cast("double") / nD)
+    val staged = agg.select(col("n"), col("mean"), col("sd"),
+      when(col("_bad") === 0L, a2).as("a2"))
+    staged.select(col("n"), col("mean"), col("sd"), col("a2"),
+      when(col("a2").isNotNull,
+        d6(col("a2") * (lit(1.0) + lit(4.0) / col("n").cast("double") -
+          lit(25.0) / (col("n") * col("n")).cast("double"))))
+        .as("a2_star"))
+      .withColumn("significant", when(col("a2_star").isNotNull,
+        (col("a2_star") >= 0.787).cast("int")))
+  }
+
+  /** G-test of independence (likelihood-ratio χ²) over a two-way
+    * contingency table: G = 2·Σ O·ln(O/E) — [[cramersV]]'s Pearson
+    * sibling with better behavior at small expected counts and exact
+    * additivity across table collapses (the property that makes it
+    * the standard corpus-linguistics association gate, Dunning 1993).
+    * Zero cells contribute exactly 0.
+    *
+    * Determinism: all counts exact longs off ONE (a, b) aggregate;
+    * each cell term is ONE d6 of 2·O·ln(O·n/(rowTot·colTot)) — the
+    * ratio inside the log is one exact rational; terms sum in
+    * decimal; df = (r−1)(c−1) judged against the shared [[chiSq95]]
+    * table (NULL past 30). Needs ≥ 2 rows and ≥ 2 cols — loud.
+    *
+    * Scale shape: one cell aggregate (grid bounded by the facet
+    * cardinalities) + margin windows + a 1-row rollup. Output ONE
+    * row: (n, n_rows, n_cols, g_stat, df, significant).
+    */
+  def gTest(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cells = df.select(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+      .withColumn("_ra", sum(col("_o")).over(W.partitionBy(col("_a"))))
+      .withColumn("_cb", sum(col("_o")).over(W.partitionBy(col("_b"))))
+      .withColumn("_nn", sum(col("_o")).over(wAll))
+      .withColumn("_term", d6(lit(2.0) * col("_o").cast("double") *
+        log((dec(col("_o")) * dec(col("_nn"))).cast("double") /
+          (dec(col("_ra")) * dec(col("_cb"))).cast("double"))))
+    val agg = cells.agg(max(col("_nn")).as("n"),
+      countDistinct(col("_a")).as("n_rows"),
+      countDistinct(col("_b")).as("n_cols"),
+      sum(d28(col("_term"))).as("_g"))
+    val dims = when(col("n_rows") >= 2L && col("n_cols") >= 2L,
+      (col("n_rows") - 1L) * (col("n_cols") - 1L))
+      .otherwise(raise_error(concat(
+        lit("gTest: contingency table is "),
+        col("n_rows").cast("string"), lit("x"),
+        col("n_cols").cast("string"),
+        lit(" — needs >= 2 rows and >= 2 cols"))).cast("long"))
+    agg.select(col("n"), col("n_rows"), col("n_cols"),
+        d6(col("_g").cast("double")).as("g_stat"), dims.as("df"))
+      .withColumn("significant",
+        when(chiSq95Col(col("df")).isNotNull,
+          (col("g_stat") >= chiSq95Col(col("df"))).cast("int")))
+  }
+
   /** Hosmer–Lemeshow calibration test (Hosmer & Lemeshow 1980) — the
     * inference partner of the q324 expected-calibration-error readout:
     * group predictions into G equal-count risk groups and judge

@@ -9125,7 +9125,214 @@ object Analytics {
       |FROM ag""".stripMargin
   }
 
+  // q491: Lorenz curve (Stats.lorenzCurve) — cumulative spend share
+  // of users by spend decile (the curve q272's Gini summarizes). The
+  // oracle replays the (value, unit) total order, the exact cut
+  // ranks and the d6 shares.
+  def q491Lorenz(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.lorenzCurve(
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y")),
+      "user_id", "y", points = 10)
+
+  val q491Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT user_id, y,
+      |    CAST(row_number() OVER (ORDER BY y ASC, user_id ASC)
+      |      AS BIGINT) AS rk,
+      |    COUNT(*) OVER () AS n,
+      |    SUM(CAST(y AS HUGEINT)) OVER (ORDER BY y ASC, user_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(CAST(y AS HUGEINT)) OVER () AS tot
+      |  FROM u),
+      |p AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS point)
+      |SELECT p.point,
+      |  CAST(CAST(CAST(p.point AS DOUBLE) / 10.0 AS DECIMAL(28,6))
+      |    AS DOUBLE) AS pop_share,
+      |  r.rk AS n_cum,
+      |  CASE WHEN r.tot > 0 THEN
+      |    CAST(CAST(CAST(r.cum AS DOUBLE) / CAST(r.tot AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS value_share
+      |FROM r JOIN p ON r.rk = (p.point * r.n) // 10""".stripMargin
+
+  // q492: Kakwani progressivity (Stats.kakwani) — is purchase spend
+  // more concentrated among high-total-spend users than total spend
+  // itself? K = C_purchase − G_total off ONE total-order rank. The
+  // oracle replays the shared closed form.
+  def q492Kakwani(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.kakwani(
+      ev(s, dir).groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("y"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("t")),
+      "user_id", "y", "t")
+
+  val q492Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+      |      CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS t
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT y, t,
+      |    CAST(row_number() OVER (ORDER BY y ASC, user_id ASC)
+      |      AS BIGINT) AS rk
+      |  FROM u),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(y AS HUGEINT)) AS sy, SUM(CAST(t AS HUGEINT)) AS st,
+      |    SUM(CAST(rk AS HUGEINT) * CAST(y AS HUGEINT)) AS sry,
+      |    SUM(CAST(rk AS HUGEINT) * CAST(t AS HUGEINT)) AS srt
+      |  FROM r),
+      |ix AS (
+      |  SELECT n,
+      |    CASE WHEN sy > 0 THEN CAST(CAST(
+      |      CAST(2 * sry - CAST(n + 1 AS HUGEINT) * sy AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * sy AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS gini_base,
+      |    CASE WHEN st > 0 THEN CAST(CAST(
+      |      CAST(2 * srt - CAST(n + 1 AS HUGEINT) * st AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * st AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS conc_contrib
+      |  FROM ag)
+      |SELECT n, gini_base, conc_contrib,
+      |  CASE WHEN gini_base IS NOT NULL AND conc_contrib IS NOT NULL
+      |    THEN CAST(CAST(conc_contrib - gini_base AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS kakwani
+      |FROM ix""".stripMargin
+
+  // q493: Anderson–Darling normality (Stats.andersonDarling) of
+  // per-event cents — the tail-weighted gate (heavily skewed spend
+  // should FAIL, and does). The oracle replays the d6(√d6) sd chain,
+  // the shared erfc Φ and the rank-paired log terms.
+  def q493AndersonDarling(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.andersonDarling(
+      ev(s, dir).select(round(col("value") * 100).cast("long").as("x")),
+      "x")
+
+  val q493Sql: String = {
+    val pz = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH b AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS x FROM events),
+      |r AS (
+      |  SELECT x,
+      |    CAST(row_number() OVER (ORDER BY x ASC) AS BIGINT) AS rk,
+      |    COUNT(*) OVER () AS n,
+      |    SUM(CAST(x AS HUGEINT)) OVER () AS s,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER () AS q
+      |  FROM b),
+      |mz AS (
+      |  SELECT rk, n,
+      |    CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean,
+      |    CAST(CAST(sqrt(CAST(CAST(
+      |      CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+      |        AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS sd,
+      |    x
+      |  FROM r),
+      |z AS (
+      |  SELECT rk, n, mean, sd,
+      |    CASE WHEN sd > 0.0 THEN CAST(CAST(
+      |      (CAST(x AS DOUBLE) - mean) / sd AS DECIMAL(28,6))
+      |      AS DOUBLE) END AS z
+      |  FROM mz),
+      |ph AS (
+      |  SELECT rk, n, mean, sd,
+      |    CASE WHEN z >= 0.0 THEN 1.0 - $pz / 2.0
+      |      ELSE $pz / 2.0 END AS phi,
+      |    sd AS sd2
+      |  FROM z),
+      |j AS (
+      |  SELECT f.rk, f.n, f.mean, f.sd, f.phi, g.phi AS phirev,
+      |    CASE WHEN f.phi > 0.0 AND f.phi < 1.0 AND g.phi > 0.0 AND
+      |      g.phi < 1.0 AND f.sd > 0.0 THEN 1 ELSE 0 END AS ok
+      |  FROM ph f JOIN ph g ON g.rk = f.n + 1 - f.rk),
+      |tm AS (
+      |  SELECT rk, n, mean, sd, ok,
+      |    CASE WHEN ok = 1 THEN CAST(CAST(
+      |      CAST(2 * rk - 1 AS DOUBLE) *
+      |      (ln(phi) + ln(1.0 - phirev)) AS DECIMAL(28,6))
+      |      AS DECIMAL(28,6)) END AS term
+      |  FROM j),
+      |ag AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(mean) AS mean,
+      |    MAX(sd) AS sd, SUM(1 - ok) AS bad, SUM(term) AS tsum
+      |  FROM tm),
+      |a2s AS (
+      |  SELECT n, mean, sd,
+      |    CASE WHEN bad = 0 THEN CAST(CAST(
+      |      -CAST(n AS DOUBLE) - CAST(tsum AS DOUBLE) /
+      |      CAST(n AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END AS a2
+      |  FROM ag)
+      |SELECT n, mean, sd, a2,
+      |  CASE WHEN a2 IS NOT NULL THEN CAST(CAST(a2 *
+      |    (1.0 + 4.0 / CAST(n AS DOUBLE) -
+      |     25.0 / CAST(n * n AS DOUBLE)) AS DECIMAL(28,6))
+      |    AS DOUBLE) END AS a2_star,
+      |  CASE WHEN a2 IS NOT NULL THEN CAST(CAST(CAST(a2 *
+      |    (1.0 + 4.0 / CAST(n AS DOUBLE) -
+      |     25.0 / CAST(n * n AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |    >= 0.787 AS INT) END AS significant
+      |FROM a2s""".stripMargin
+  }
+
+  // q494: G-test of independence (Stats.gTest) — likelihood-ratio
+  // association between event type and user parity (the Pearson q305
+  // table's Dunning sibling). The oracle replays the cells, margins
+  // and d6 log terms.
+  def q494GTest(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.gTest(
+      ev(s, dir).select(col("event_type"),
+        (col("user_id") % 2L).as("parity")),
+      "event_type", "parity")
+
+  val q494Sql: String =
+    """WITH c AS (
+      |  SELECT CAST(event_type AS VARCHAR) AS a,
+      |    CAST(user_id % 2 AS VARCHAR) AS b,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT a, b, o,
+      |    SUM(o) OVER (PARTITION BY a) AS ra,
+      |    SUM(o) OVER (PARTITION BY b) AS cb,
+      |    SUM(o) OVER () AS nn
+      |  FROM c),
+      |tm AS (
+      |  SELECT a, b, nn,
+      |    CAST(CAST(2.0 * CAST(o AS DOUBLE) *
+      |      ln(CAST(CAST(o AS HUGEINT) * CAST(nn AS HUGEINT)
+      |           AS DOUBLE) /
+      |         CAST(CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)
+      |           AS DOUBLE)) AS DECIMAL(28,6)) AS DECIMAL(28,6))
+      |      AS term
+      |  FROM m),
+      |ag AS (
+      |  SELECT CAST(MAX(nn) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols,
+      |    CAST(CAST(CAST(SUM(term) AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS g_stat
+      |  FROM tm)
+      |SELECT n, n_rows, n_cols, g_stat,
+      |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS df,
+      |  CAST(g_stat >= 9.487729 AS INT) AS significant
+      |FROM ag""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q491_lorenz" -> (q491Lorenz _),
+    "q492_kakwani" -> (q492Kakwani _),
+    "q493_anderson_darling" -> (q493AndersonDarling _),
+    "q494_g_test" -> (q494GTest _),
     "q487_hosmer_lemeshow" -> (q487HosmerLemeshow _),
     "q488_c_chart" -> (q488CChart _),
     "q489_u_chart" -> (q489UChart _),
@@ -9306,6 +9513,10 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q491_lorenz" -> q491Sql,
+    "q492_kakwani" -> q492Sql,
+    "q493_anderson_darling" -> q493Sql,
+    "q494_g_test" -> q494Sql,
     "q487_hosmer_lemeshow" -> q487Sql,
     "q488_c_chart" -> q488Sql,
     "q489_u_chart" -> q489Sql,

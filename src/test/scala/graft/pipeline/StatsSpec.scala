@@ -2406,6 +2406,115 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("lorenzCurve: hand cumulative shares at the exact cut ranks; " +
+    "negatives and n < points are loud") {
+    // values 1,2,3,4 at 2 points: cuts at ranks 2 and 4 → shares
+    // 3/10 and 1
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L))
+      .toDF("u", "y")
+    val out = Stats.lorenzCurve(df, "u", "y", points = 2).collect()
+      .map(r => r.getAs[Long]("point") -> r).toMap
+    assert(out(1L).getAs[Double]("pop_share") == 0.5)
+    assert(out(1L).getAs[Long]("n_cum") == 2L)
+    assert(out(1L).getAs[Double]("value_share") == 0.3)
+    assert(out(2L).getAs[Double]("value_share") == 1.0)
+    val neg = intercept[Exception] {
+      Stats.lorenzCurve(Seq(("a", -1L), ("b", 1L)).toDF("u", "y"),
+        "u", "y", points = 2).collect()
+    }
+    assert(neg.getMessage.contains("negative value"), neg.getMessage)
+    val small = intercept[Exception] {
+      Stats.lorenzCurve(df, "u", "y", points = 5).collect()
+    }
+    assert(small.getMessage.contains("cut ranks"), small.getMessage)
+  }
+
+  test("kakwani: hand closed-form indices; zero contribution answers " +
+    "NULL; negatives are loud") {
+    // base 1,2,3 / contrib 0,0,6: G = 4/18 = .222222,
+    // C = 12/18 = .666667 → K = .444445 (d6 of d6 difference)
+    val df = Seq(("u1", 1L, 0L), ("u2", 2L, 0L), ("u3", 3L, 6L))
+      .toDF("u", "y", "t")
+    val r = Stats.kakwani(df, "u", "y", "t").collect()(0)
+    assert(r.getAs[Double]("gini_base") == 0.222222)
+    assert(r.getAs[Double]("conc_contrib") == 0.666667)
+    assert(r.getAs[Double]("kakwani") == 0.444445)
+    val z = Stats.kakwani(
+      Seq(("u1", 1L, 0L), ("u2", 2L, 0L)).toDF("u", "y", "t"),
+      "u", "y", "t").collect()(0)
+    assert(z.isNullAt(z.fieldIndex("conc_contrib")))
+    assert(z.isNullAt(z.fieldIndex("kakwani")))
+    val loud = intercept[Exception] {
+      Stats.kakwani(Seq(("u1", 1L, -1L)).toDF("u", "y", "t"),
+        "u", "y", "t").collect()
+    }
+    assert(loud.getMessage.contains("negative"), loud.getMessage)
+  }
+
+  test("andersonDarling: replicated d6 chain on a hand sample; " +
+    "skewed spend is significant; constant NULL; n < 8 loud") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val xs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 100L)
+    val out = Stats.andersonDarling(xs.map(Tuple1(_)).toDF("x"), "x")
+      .collect()(0)
+    // replicate: exact sums → d6 mean, d6(√d6) sd, d6 z, shared-poly
+    // Φ, d6 rank-paired terms, d6 A², d6 A*²
+    val n = xs.size
+    val s = xs.sum.toDouble
+    val q = xs.map(v => v.toDouble * v).sum
+    val mean = d6(s / n)
+    val sd = d6(math.sqrt(d6((n * q - s * s) / (n.toDouble * (n - 1)))))
+    def phi(z: Double): Double = {
+      val x = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val p = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) *
+        t - 0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
+      if (z >= 0.0) 1.0 - p / 2.0 else p / 2.0
+    }
+    val zs = xs.sorted.map(v => d6((v - mean) / sd))
+    val terms = (1 to n).map { i =>
+      d6((2 * i - 1).toDouble *
+        (math.log(phi(zs(i - 1))) + math.log(1.0 - phi(zs(n - i)))))
+    }
+    val a2 = d6(-n.toDouble - BigDecimal(terms.map(BigDecimal(_)).sum
+      .toDouble).toDouble / n)
+    assert(out.getAs[Double]("mean") == mean)
+    assert(out.getAs[Double]("sd") == sd)
+    assert(out.getAs[Double]("a2") == a2)
+    assert(out.getAs[Double]("a2_star") ==
+      d6(a2 * (1.0 + 4.0 / n - 25.0 / (n.toDouble * n))))
+    assert(out.getAs[Int]("significant") == 1) // one huge outlier
+    val const = Stats.andersonDarling(
+      Seq.fill(8)(Tuple1(5L)).toDF("x"), "x").collect()(0)
+    assert(const.isNullAt(const.fieldIndex("a2")))
+    val loud = intercept[Exception] {
+      Stats.andersonDarling(Seq(Tuple1(1L), Tuple1(2L)).toDF("x"), "x")
+        .collect()
+    }
+    assert(loud.getMessage.contains("< 8"), loud.getMessage)
+  }
+
+  test("gTest: hand 2×2 likelihood-ratio terms; degenerate table is " +
+    "loud") {
+    // O = [[10,20],[20,10]]: terms ±d6 → G = 6.795962, df 1,
+    // significant at 3.841459
+    val rows = Seq.fill(10)(("r0", "c0")) ++ Seq.fill(20)(("r0", "c1")) ++
+      Seq.fill(20)(("r1", "c0")) ++ Seq.fill(10)(("r1", "c1"))
+    val r = Stats.gTest(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Long]("n_rows") == 2L && r.getAs[Long]("n_cols") == 2L)
+    assert(r.getAs[Double]("g_stat") == 6.795962)
+    assert(r.getAs[Long]("df") == 1L)
+    assert(r.getAs[Int]("significant") == 1)
+    val loud = intercept[Exception] {
+      Stats.gTest(Seq(("r0", "c0"), ("r1", "c0")).toDF("a", "b"),
+        "a", "b").collect()
+    }
+    assert(loud.getMessage.contains("needs >= 2"), loud.getMessage)
+  }
+
   test("hosmerLemeshow: hand 3-group χ² terms; a zero-expected group " +
     "answers NULL χ²; out-of-range prob and bad label are loud") {
     // groups of 3 by (prob, id): sp 6e5/1.5e6/2.4e6, obs 1/2/3 →
