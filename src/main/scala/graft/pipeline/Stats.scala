@@ -7099,6 +7099,187 @@ object Stats {
         col("n").cast("double")).as("mean_winsorized"))
   }
 
+  /** Two-proportion difference with the Newcombe hybrid-score interval
+    * (Newcombe 1998, method 10): d = p₁ − p₀ bounded by composing the
+    * per-arm Wilson score intervals — the CI that stays honest at
+    * extreme rates and small arms where the Wald interval collapses
+    * to zero width. The effect-SIZE companion of q478's Cohen's h:
+    * h says how big in transformed units, this says how big in raw
+    * rate points with an interval.
+    *
+    * Determinism: exact per-arm counts off ONE aggregate; p, each
+    * Wilson bound (single-division form, z = 1.96 literals), the
+    * difference and both CI ends are ONE d6 each, assembled in one
+    * fixed double order. `significant` flags a CI excluding 0. Arms
+    * and flags must be 0/1 and arms non-empty — loud.
+    *
+    * Scale shape: ONE corpus aggregate. Output ONE row:
+    * (n0, x0, p0, n1, x1, p1, diff, ci_lo, ci_hi, significant).
+    */
+  def twoProportionDiff(
+      df: DataFrame,
+      armCol: String,
+      flagCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val z = 1.96
+    def f01(cn: String) = when(col(cn).cast("long").isin(0L, 1L),
+      col(cn).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"twoProportionDiff: $cn "), col(cn).cast("string"),
+        lit(" is not 0/1"))).cast("long"))
+    val agg = df.select(f01(armCol).as("_a"), f01(flagCol).as("_y"))
+      .agg(
+        sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("_n0raw"),
+        sum(when(col("_a") === 0L, col("_y")).otherwise(0L)).as("x0"),
+        sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("_n1raw"),
+        sum(when(col("_a") === 1L, col("_y")).otherwise(0L)).as("x1"))
+    def needArm(c: Column, a: Int) = when(c > 0L, c)
+      .otherwise(raise_error(lit(s"twoProportionDiff: arm $a is empty"))
+        .cast("long"))
+    val withN = agg.select(needArm(col("_n0raw"), 0).as("n0"), col("x0"),
+      needArm(col("_n1raw"), 1).as("n1"), col("x1"))
+    def wilson(num: Column, den: Column, up: Boolean) = {
+      val n = den.cast("double")
+      val ph = num.cast("double") / n
+      val dn = lit(1.0) + lit(z * z) / n
+      val centerNum = ph + lit(z * z) / (lit(2.0) * n)
+      val halfNum = lit(z) * sqrt((ph * (lit(1.0) - ph) +
+        lit(z * z) / (lit(4.0) * n)) / n)
+      d6((if (up) centerNum + halfNum else centerNum - halfNum) / dn)
+    }
+    val staged = withN.select(col("n0"), col("x0"), col("n1"), col("x1"),
+      d6(col("x0").cast("double") / col("n0").cast("double")).as("p0"),
+      wilson(col("x0"), col("n0"), up = false).as("_l0"),
+      wilson(col("x0"), col("n0"), up = true).as("_u0"),
+      d6(col("x1").cast("double") / col("n1").cast("double")).as("p1"),
+      wilson(col("x1"), col("n1"), up = false).as("_l1"),
+      wilson(col("x1"), col("n1"), up = true).as("_u1"))
+    staged.select(col("n0"), col("x0"), col("p0"),
+        col("n1"), col("x1"), col("p1"),
+        d6(col("p1") - col("p0")).as("diff"),
+        d6((col("p1") - col("p0")) - sqrt(
+          (col("p1") - col("_l1")) * (col("p1") - col("_l1")) +
+            (col("_u0") - col("p0")) * (col("_u0") - col("p0"))))
+          .as("ci_lo"),
+        d6((col("p1") - col("p0")) + sqrt(
+          (col("_u1") - col("p1")) * (col("_u1") - col("p1")) +
+            (col("p0") - col("_l0")) * (col("p0") - col("_l0"))))
+          .as("ci_hi"))
+      .withColumn("significant",
+        (col("ci_lo") > 0.0 || col("ci_hi") < 0.0).cast("int"))
+  }
+
+  /** Gumbel (type-I extreme value) fit over per-key block maxima via
+    * the method of moments, with return levels — the tail-risk
+    * readout "what daily-max spend do we see once per 100 days":
+    * σ̂ = s·√6/π, μ̂ = x̄ − γ·σ̂ (γ the Euler–Mascheroni constant),
+    * r_T = μ̂ + σ̂·y_T with y_T = −ln(−ln(1 − 1/T)) the Gumbel
+    * quantile factor. Feed it block maxima (the caller's aggregation
+    * — daily/hourly max per key).
+    *
+    * Determinism: exact decimal sufficient sums; x̄ and the
+    * [[processCapability]] d6(√d6) sd chain; σ̂ ONE d6 with the √6/π
+    * Scala literal; μ̂ ONE d6 with the γ literal; each return level
+    * ONE d6 with the per-T y_T computed at plan-build time (return
+    * periods are code literals) and inlined identically in the
+    * oracle. Constant maxima (s = 0) answer NULL σ̂/levels; n < 2 is
+    * loud; return periods must be ≥ 2 (T = 1 has no finite quantile).
+    *
+    * Scale shape: ONE keyed aggregate + an in-plan literal unpivot
+    * (one row per (key, T)). Output: (key, n, mean_max, mu, sigma,
+    * return_period, return_level).
+    */
+  def gumbelFit(
+      df: DataFrame,
+      keyCol: String,
+      xCol: String,
+      returnPeriods: Seq[Int] = Seq(10, 100)): DataFrame = {
+    require(returnPeriods.nonEmpty && returnPeriods.forall(_ >= 2),
+      s"return periods must all be >= 2, got $returnPeriods")
+    require(returnPeriods.distinct.size == returnPeriods.size,
+      "return periods must be distinct")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val euler = 0.5772156649015329
+    val sqrt6OverPi = math.sqrt(6.0) / math.Pi
+    val g = df.select(col(keyCol).as("_k"), col(xCol).cast("long").as("_x"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("_n"), sum(dec(col("_x"))).as("_s"),
+        sum(dec(col("_x")) * dec(col("_x"))).as("_q"))
+    val nOk = when(col("_n") >= 2L, col("_n"))
+      .otherwise(raise_error(concat(lit("gumbelFit: key "),
+        col("_k").cast("string"), lit(" has "),
+        col("_n").cast("string"), lit(" maxima (< 2)"))).cast("long"))
+    val staged = g.select(col("_k"), nOk.as("n"), col("_s"), col("_q"))
+      .withColumn("mean_max",
+        d6(col("_s").cast("double") / col("n").cast("double")))
+      .withColumn("_sd", d6(sqrt(d6(
+        (dec(col("n")) * col("_q") - col("_s") * col("_s"))
+          .cast("double") /
+          (dec(col("n")) * dec(col("n") - 1L)).cast("double")))))
+      .withColumn("sigma",
+        when(col("_sd") > 0.0, d6(col("_sd") * lit(sqrt6OverPi))))
+      .withColumn("mu",
+        when(col("sigma").isNotNull,
+          d6(col("mean_max") - lit(euler) * col("sigma"))))
+    val rows = returnPeriods.map { t =>
+      val yT = -math.log(-math.log(1.0 - 1.0 / t))
+      struct(lit(t.toLong).as("return_period"),
+        when(col("sigma").isNotNull,
+          d6(col("mu") + col("sigma") * lit(yT))).as("return_level"))
+    }
+    staged.select(col("_k").as(keyCol), col("n"), col("mean_max"),
+        col("mu"), col("sigma"), explode(array(rows: _*)).as("_r"))
+      .select(col(keyCol), col("n"), col("mean_max"), col("mu"),
+        col("sigma"), col("_r.return_period").as("return_period"),
+        col("_r.return_level").as("return_level"))
+  }
+
+  /** Required per-arm sample size for a two-proportion z-test
+    * (closed form, α = .05 two-sided / power = .80 one-sided
+    * literals): n = ⌈((z_{α/2}·√(2p̄q̄) + z_β·√(p₀q₀+p₁q₁)) / |δ|)²⌉
+    * — the experiment-design answer to "how long must this A/B run",
+    * evaluated over a frame of (p₀, p₁) scenarios in PPM. The design
+    * partner of q478's after-the-fact effect size.
+    *
+    * Determinism: probabilities arrive as exact PPM longs (loud
+    * outside (0, 10⁶)); p̄ is one exact rational; the z constants
+    * 1.959964 / 0.841621 are the shared published literals; n is one
+    * fixed double chain → ceil → long. δ = 0 answers NULL (no finite
+    * n distinguishes equal rates).
+    *
+    * Scale shape: pure in-row projection (class 1 — no exchange).
+    * Output per scenario row: (p0, p1, diff, n_required).
+    */
+  def powerTwoProportions(
+      df: DataFrame,
+      p0PpmCol: String,
+      p1PpmCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val zA = 1.959964
+    val zB = 0.841621
+    def ppm(cn: String) = when(col(cn).cast("long") > 0L &&
+        col(cn).cast("long") < 1000000L, col(cn).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"powerTwoProportions: $cn "), col(cn).cast("string"),
+        lit(" outside (0, 1000000)"))).cast("long"))
+    val base = df.select(ppm(p0PpmCol).as("_p0"), ppm(p1PpmCol).as("_p1"))
+    val p0 = col("_p0").cast("double") / lit(1.0e6)
+    val p1 = col("_p1").cast("double") / lit(1.0e6)
+    val pBar = (col("_p0") + col("_p1")).cast("double") / lit(2.0e6)
+    val delta = p1 - p0
+    val nReq = ceil(
+      ((lit(zA) * sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +
+        lit(zB) * sqrt(p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1))) /
+        abs(delta)) *
+      ((lit(zA) * sqrt(lit(2.0) * pBar * (lit(1.0) - pBar)) +
+        lit(zB) * sqrt(p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1))) /
+        abs(delta))).cast("long")
+    base.select(d6(p0).as("p0"), d6(p1).as("p1"),
+      d6(delta).as("diff"),
+      when(col("_p0") =!= col("_p1"), nReq).as("n_required"))
+  }
+
   /** Lorenz curve points — the cumulative-share table behind every
     * inequality readout ([[giniConcentration]] reports the area
     * summary; this is the curve itself): after sorting units by

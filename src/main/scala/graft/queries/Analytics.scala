@@ -9328,7 +9328,185 @@ object Analytics {
       |  CAST(g_stat >= 9.487729 AS INT) AS significant
       |FROM ag""".stripMargin
 
+  // q495: two-proportion difference with the Newcombe hybrid-score CI
+  // (Stats.twoProportionDiff) — purchase-rate gap between user-parity
+  // arms with per-arm Wilson bounds composed into the interval. The
+  // oracle replays the single-division Wilson forms and the fixed
+  // assembly.
+  def q495TwoPropDiff(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.twoProportionDiff(
+      ev(s, dir).select((col("user_id") % 2L).as("arm"),
+        (col("event_type") === "purchase").cast("int").as("y")),
+      "arm", "y")
+
+  val q495Sql: String = {
+    val z = "1.96"
+    val z2 = (1.96 * 1.96).toString
+    def wil(x: String, n: String, up: Boolean): String = {
+      val ph = s"(CAST($x AS DOUBLE) / CAST($n AS DOUBLE))"
+      val nD = s"CAST($n AS DOUBLE)"
+      val sign = if (up) "+" else "-"
+      s"""CAST(CAST((($ph + $z2 / (2.0 * $nD)) $sign
+         |      $z * sqrt(($ph * (1.0 - $ph) + $z2 / (4.0 * $nD)) /
+         |        $nD)) / (1.0 + $z2 / $nD)
+         |      AS DECIMAL(28,6)) AS DOUBLE)""".stripMargin
+    }
+    s"""WITH b AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS a,
+      |    CAST(event_type = 'purchase' AS INT) AS y
+      |  FROM events),
+      |ag AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(SUM(CASE WHEN a = 0 THEN y ELSE 0 END) AS BIGINT) AS x0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN a = 1 THEN y ELSE 0 END) AS BIGINT) AS x1
+      |  FROM b),
+      |st AS (
+      |  SELECT n0, x0, n1, x1,
+      |    CAST(CAST(CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS p0,
+      |    ${wil("x0", "n0", up = false)} AS l0,
+      |    ${wil("x0", "n0", up = true)} AS u0,
+      |    CAST(CAST(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS p1,
+      |    ${wil("x1", "n1", up = false)} AS l1,
+      |    ${wil("x1", "n1", up = true)} AS u1
+      |  FROM ag),
+      |fin AS (
+      |  SELECT n0, x0, p0, n1, x1, p1,
+      |    CAST(CAST(p1 - p0 AS DECIMAL(28,6)) AS DOUBLE) AS diff,
+      |    CAST(CAST((p1 - p0) - sqrt((p1 - l1) * (p1 - l1) +
+      |      (u0 - p0) * (u0 - p0)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS ci_lo,
+      |    CAST(CAST((p1 - p0) + sqrt((u1 - p1) * (u1 - p1) +
+      |      (p0 - l0) * (p0 - l0)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS ci_hi
+      |  FROM st)
+      |SELECT *, CAST(ci_lo > 0.0 OR ci_hi < 0.0 AS INT)
+      |  AS significant
+      |FROM fin""".stripMargin
+  }
+
+  // q496: Gumbel block-maxima fit + return levels (Stats.gumbelFit)
+  // over each event type's DAILY MAX cents — "what 1-in-100-day spike
+  // should this type budget for". The oracle replays the moment fit
+  // with the identical √6/π, γ and per-T quantile literals.
+  def q496GumbelFit(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.gumbelFit(
+      Tables.eventsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000")
+          .as("day"))
+        .agg(max(round(col("value") * 100).cast("long")).as("x")),
+      "event_type", "x", returnPeriods = Seq(10, 100))
+
+  val q496Sql: String = {
+    val s6p = (math.sqrt(6.0) / math.Pi).toString
+    val eul = "0.5772156649015329"
+    val y10 = (-math.log(-math.log(1.0 - 1.0 / 10))).toString
+    val y100 = (-math.log(-math.log(1.0 - 1.0 / 100))).toString
+    s"""WITH m AS (
+      |  SELECT event_type AS k,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+      |    CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS s,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+      |  FROM m GROUP BY 1),
+      |st AS (
+      |  SELECT k, n,
+      |    CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean_max,
+      |    CAST(CAST(sqrt(CAST(CAST(
+      |      CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+      |        AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS sd
+      |  FROM g),
+      |pm AS (
+      |  SELECT k, n, mean_max,
+      |    CASE WHEN sd > 0.0 THEN
+      |      CAST(CAST(sd * $s6p AS DECIMAL(28,6)) AS DOUBLE) END
+      |      AS sigma
+      |  FROM st),
+      |wm AS (
+      |  SELECT k, n, mean_max, sigma,
+      |    CASE WHEN sigma IS NOT NULL THEN
+      |      CAST(CAST(mean_max - $eul * sigma AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS mu
+      |  FROM pm)
+      |SELECT k AS event_type, n, mean_max, mu, sigma,
+      |  t.rp AS return_period,
+      |  CASE WHEN sigma IS NOT NULL THEN
+      |    CAST(CAST(mu + sigma * t.y AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS return_level
+      |FROM wm CROSS JOIN (VALUES (CAST(10 AS BIGINT), $y10),
+      |  (CAST(100 AS BIGINT), $y100)) AS t(rp, y)""".stripMargin
+  }
+
+  // q497: required A/B sample size per arm (Stats.powerTwoProportions)
+  // for detecting 1/2/5/10% relative purchase-rate lifts off the
+  // observed base rate — exact integer ppm scenarios, published
+  // z literals. The oracle replays the closed chain.
+  def q497PowerTwoProps(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).agg(
+      sum((col("event_type") === "purchase").cast("long")).as("x"),
+      count(lit(1)).as("n"))
+      .select(expr("(x * 1000000L) div n").as("p0_ppm"))
+    val lifts = Seq(10000L, 20000L, 50000L, 100000L)
+    val scen = base.crossJoin(
+        broadcast(s.createDataFrame(s.sparkContext.parallelize(
+          lifts.map(org.apache.spark.sql.Row(_))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("lift",
+              org.apache.spark.sql.types.LongType)))))
+      )
+      .select(col("p0_ppm"),
+        expr("(p0_ppm * (1000000L + lift)) div 1000000L").as("p1_ppm"))
+    graft.pipeline.Stats.powerTwoProportions(scen, "p0_ppm", "p1_ppm")
+  }
+
+  val q497Sql: String = {
+    val zA = "1.959964"
+    val zB = "0.841621"
+    s"""WITH r AS (
+      |  SELECT CAST((CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN 1 ELSE 0 END) AS HUGEINT) * 1000000) //
+      |    CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS p0ppm
+      |  FROM events),
+      |l AS (SELECT CAST(unnest([10000, 20000, 50000, 100000])
+      |  AS BIGINT) AS lift),
+      |sc AS (
+      |  SELECT p0ppm,
+      |    CAST((CAST(p0ppm AS HUGEINT) * (1000000 + lift)) // 1000000
+      |      AS BIGINT) AS p1ppm
+      |  FROM r CROSS JOIN l),
+      |d AS (
+      |  SELECT p0ppm, p1ppm,
+      |    CAST(p0ppm AS DOUBLE) / 1000000.0 AS p0d,
+      |    CAST(p1ppm AS DOUBLE) / 1000000.0 AS p1d,
+      |    CAST(p0ppm + p1ppm AS DOUBLE) / 2000000.0 AS pb
+      |  FROM sc)
+      |SELECT
+      |  CAST(CAST(p0d AS DECIMAL(28,6)) AS DOUBLE) AS p0,
+      |  CAST(CAST(p1d AS DECIMAL(28,6)) AS DOUBLE) AS p1,
+      |  CAST(CAST(p1d - p0d AS DECIMAL(28,6)) AS DOUBLE) AS diff,
+      |  CASE WHEN p0ppm <> p1ppm THEN CAST(ceil(
+      |    (($zA * sqrt(2.0 * pb * (1.0 - pb)) +
+      |      $zB * sqrt(p0d * (1.0 - p0d) + p1d * (1.0 - p1d))) /
+      |      abs(p1d - p0d)) *
+      |    (($zA * sqrt(2.0 * pb * (1.0 - pb)) +
+      |      $zB * sqrt(p0d * (1.0 - p0d) + p1d * (1.0 - p1d))) /
+      |      abs(p1d - p0d))) AS BIGINT) END AS n_required
+      |FROM d""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q495_two_prop_diff" -> (q495TwoPropDiff _),
+    "q496_gumbel_fit" -> (q496GumbelFit _),
+    "q497_power_two_props" -> (q497PowerTwoProps _),
     "q491_lorenz" -> (q491Lorenz _),
     "q492_kakwani" -> (q492Kakwani _),
     "q493_anderson_darling" -> (q493AndersonDarling _),
@@ -9513,6 +9691,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q495_two_prop_diff" -> q495Sql,
+    "q496_gumbel_fit" -> q496Sql,
+    "q497_power_two_props" -> q497Sql,
     "q491_lorenz" -> q491Sql,
     "q492_kakwani" -> q492Sql,
     "q493_anderson_darling" -> q493Sql,

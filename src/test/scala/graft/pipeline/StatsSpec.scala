@@ -2406,6 +2406,104 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("twoProportionDiff: replicated Newcombe interval on a hand " +
+    "2x10 design; empty arm and bad flag are loud") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def wilson(x: Double, n: Double, up: Boolean): Double = {
+      val z = 1.96; val ph = x / n; val dn = 1.0 + z * z / n
+      val c = ph + z * z / (2.0 * n)
+      val h = z * math.sqrt((ph * (1.0 - ph) + z * z / (4.0 * n)) / n)
+      d6((if (up) c + h else c - h) / dn)
+    }
+    val rows = Seq.fill(2)((0, 1)) ++ Seq.fill(8)((0, 0)) ++
+      Seq.fill(8)((1, 1)) ++ Seq.fill(2)((1, 0))
+    val r = Stats.twoProportionDiff(rows.toDF("a", "y"), "a", "y")
+      .collect()(0)
+    assert(r.getAs[Double]("p0") == 0.2 && r.getAs[Double]("p1") == 0.8)
+    assert(r.getAs[Double]("diff") == 0.6)
+    val (p0, p1) = (0.2, 0.8)
+    val (l0, u0) = (wilson(2, 10, up = false), wilson(2, 10, up = true))
+    val (l1, u1) = (wilson(8, 10, up = false), wilson(8, 10, up = true))
+    assert(r.getAs[Double]("ci_lo") == d6((p1 - p0) -
+      math.sqrt((p1 - l1) * (p1 - l1) + (u0 - p0) * (u0 - p0))))
+    assert(r.getAs[Double]("ci_hi") == d6((p1 - p0) +
+      math.sqrt((u1 - p1) * (u1 - p1) + (p0 - l0) * (p0 - l0))))
+    assert(r.getAs[Int]("significant") == 1)
+    val empty = intercept[Exception] {
+      Stats.twoProportionDiff(Seq((1, 1), (1, 0)).toDF("a", "y"),
+        "a", "y").collect()
+    }
+    assert(empty.getMessage.contains("arm 0 is empty"), empty.getMessage)
+    val loud = intercept[Exception] {
+      Stats.twoProportionDiff(Seq((0, 2)).toDF("a", "y"), "a", "y")
+        .collect()
+    }
+    assert(loud.getMessage.contains("not 0/1"), loud.getMessage)
+  }
+
+  test("gumbelFit: replicated moment fit on two maxima; constant " +
+    "maxima answer NULL; n < 2 and bad periods are loud") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val out = Stats.gumbelFit(
+      Seq(("k", 10L), ("k", 20L)).toDF("g", "x"), "g", "x",
+      returnPeriods = Seq(10))
+      .collect()(0)
+    val mean = 15.0
+    val sd = d6(math.sqrt(d6((2.0 * 500 - 900) / 2.0)))
+    val sigma = d6(sd * (math.sqrt(6.0) / math.Pi))
+    val mu = d6(mean - 0.5772156649015329 * sigma)
+    val y10 = -math.log(-math.log(0.9))
+    assert(out.getAs[Double]("mean_max") == mean)
+    assert(out.getAs[Double]("sigma") == sigma)
+    assert(out.getAs[Double]("mu") == mu)
+    assert(out.getAs[Long]("return_period") == 10L)
+    assert(out.getAs[Double]("return_level") == d6(mu + sigma * y10))
+    val const = Stats.gumbelFit(
+      Seq(("k", 5L), ("k", 5L)).toDF("g", "x"), "g", "x").collect()(0)
+    assert(const.isNullAt(const.fieldIndex("sigma")))
+    assert(const.isNullAt(const.fieldIndex("return_level")))
+    val loud = intercept[Exception] {
+      Stats.gumbelFit(Seq(("k", 5L)).toDF("g", "x"), "g", "x")
+        .collect()
+    }
+    assert(loud.getMessage.contains("< 2"), loud.getMessage)
+    intercept[IllegalArgumentException] {
+      Stats.gumbelFit(Seq(("k", 5L)).toDF("g", "x"), "g", "x",
+        returnPeriods = Seq(1))
+    }
+  }
+
+  test("powerTwoProportions: replicated closed form; equal rates " +
+    "answer NULL; out-of-range ppm is loud") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val out = Stats.powerTwoProportions(
+      Seq((100000L, 150000L), (100000L, 100000L)).toDF("p0", "p1"),
+      "p0", "p1").collect().map(r => r.getAs[Double]("p1") -> r).toMap
+    // replicate the exact double path: ppm/1e6 divisions, then the
+    // raw double delta (≈ .05 − one ulp), never a literal .05
+    val p0 = 100000L.toDouble / 1.0e6
+    val p1 = 150000L.toDouble / 1.0e6
+    val pb = (100000L + 150000L).toDouble / 2.0e6
+    val delta = math.abs(p1 - p0)
+    val a = 1.959964 * math.sqrt(2.0 * pb * (1.0 - pb)) +
+      0.841621 * math.sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))
+    val expected = math.ceil((a / delta) * (a / delta)).toLong
+    assert(out(0.15).getAs[Long]("n_required") == expected)
+    assert(out(0.15).getAs[Double]("diff") == d6(0.05))
+    assert(out(0.1).isNullAt(out(0.1).fieldIndex("n_required")))
+    val loud = intercept[Exception] {
+      Stats.powerTwoProportions(Seq((0L, 5L)).toDF("p0", "p1"),
+        "p0", "p1").collect()
+    }
+    assert(loud.getMessage.contains("outside"), loud.getMessage)
+  }
+
   test("lorenzCurve: hand cumulative shares at the exact cut ranks; " +
     "negatives and n < points are loud") {
     // values 1,2,3,4 at 2 points: cuts at ranks 2 and 4 → shares
