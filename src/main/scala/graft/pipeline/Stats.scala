@@ -7099,6 +7099,199 @@ object Stats {
         col("n").cast("double")).as("mean_winsorized"))
   }
 
+  /** Classical item analysis over a complete (rater × item) 0/1 score
+    * grid: per-item DIFFICULTY (fraction correct) and DISCRIMINATION
+    * (point-biserial correlation between the item score and each
+    * rater's REST score, i.e. total minus this item) — the eval-set
+    * curation readout that flags broken items: near-0/1 difficulty
+    * says the item measures nothing, low or negative discrimination
+    * says it disagrees with the rest of the test (miskeyed/ambiguous).
+    *
+    * Determinism: the complete-grid contract is enforced in-plan
+    * (every rater scores every item exactly once — loud otherwise,
+    * the [[friedmanTest]] audit); rest scores are exact integers; the
+    * point-biserial is the cleared integer Pearson form
+    * (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) → ONE d6. Zero variance
+    * on either side answers NULL discrimination. Scores must be 0/1 —
+    * loud.
+    *
+    * Scale shape: one rater-keyed window (totals) + one item-keyed
+    * aggregate. Output per item: (item, n_raters, difficulty,
+    * discrimination).
+    */
+  def itemAnalysis(
+      df: DataFrame,
+      raterCol: String,
+      itemCol: String,
+      scoreCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val y = when(col(scoreCol).cast("long").isin(0L, 1L),
+      col(scoreCol).cast("long"))
+      .otherwise(raise_error(concat(lit("itemAnalysis: score "),
+        col(scoreCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val base = df.select(col(raterCol).as("_r"), col(itemCol).as("_i"),
+        y.as("_y"))
+      .withColumn("_dup", count(lit(1)).over(
+        W.partitionBy(col("_r"), col("_i"))))
+      .withColumn("_ni", count(lit(1)).over(W.partitionBy(col("_r"))))
+      .withColumn("_k", size(collect_set(col("_i")).over(
+        W.partitionBy(lit(1)))).cast("long"))
+      .withColumn("_chk",
+        when(col("_dup") === 1L && col("_ni") === col("_k"), col("_y"))
+          .otherwise(raise_error(concat(
+            lit("itemAnalysis: incomplete grid at rater "),
+            col("_r").cast("string"), lit(" (items scored "),
+            col("_ni").cast("string"), lit(" of "),
+            col("_k").cast("string"),
+            lit(", max duplicate "), col("_dup").cast("string"),
+            lit(")"))).cast("long")))
+      .withColumn("_tot", sum(col("_chk")).over(
+        W.partitionBy(col("_r"))))
+      .withColumn("_rest", col("_tot") - col("_chk"))
+    val byItem = base.groupBy(col("_i"))
+      .agg(count(lit(1)).as("n_raters"),
+        sum(col("_chk")).as("_sy"),
+        sum(dec(col("_rest"))).as("_sx"),
+        sum(dec(col("_rest")) * dec(col("_rest"))).as("_sxx"),
+        sum(dec(col("_rest")) * dec(col("_chk"))).as("_sxy"))
+    val n = dec(col("n_raters"))
+    val varY = n * dec(col("_sy")) - dec(col("_sy")) * dec(col("_sy"))
+    val varX = n * col("_sxx") - col("_sx") * col("_sx")
+    val cov = n * col("_sxy") - col("_sx") * dec(col("_sy"))
+    byItem.select(col("_i").as("item"), col("n_raters"),
+      d6(col("_sy").cast("double") / col("n_raters").cast("double"))
+        .as("difficulty"),
+      when(varX > 0L && varY > 0L,
+        d6(cov.cast("double") /
+          sqrt(varX.cast("double") * varY.cast("double"))))
+        .as("discrimination"))
+  }
+
+  /** Quadratic-weighted Cohen's kappa over two ORDINAL raters
+    * (integer categories): disagreement weighted by (i−j)², so a
+    * 1-vs-5 clash costs 16× a 1-vs-2 — the agreement statistic for
+    * ordered quality scores where plain [[cohensKappa]] treats every
+    * miss as equal. κ_w = 1 − n·Σ(i−j)²·O_ij / Σ(i−j)²·rᵢ·cⱼ (the
+    * (k−1)² weight scale cancels).
+    *
+    * Determinism: the whole statistic is ONE exact integer/decimal
+    * rational off the (a, b) contingency aggregate → ONE d6. A zero
+    * expected-disagreement denominator (both raters collapsed onto
+    * one shared category) answers NULL. Categories must be integral — loud on non-integer
+    * strings (cast contract).
+    *
+    * Scale shape: one cell aggregate (grid bounded by category
+    * cardinalities) + margin joins on the cells frame. Output ONE
+    * row: (n_items, kappa_w).
+    */
+  def weightedKappa(
+      df: DataFrame,
+      raterACol: String,
+      raterBCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cells = df.select(col(raterACol).cast("long").as("_a"),
+        col(raterBCol).cast("long").as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+      .withColumn("_ra", sum(col("_o")).over(W.partitionBy(col("_a"))))
+      .withColumn("_cb", sum(col("_o")).over(W.partitionBy(col("_b"))))
+      .withColumn("_n", sum(col("_o")).over(wAll))
+    val d2 = dec(col("_a") - col("_b")) * dec(col("_a") - col("_b"))
+    val agg = cells.agg(max(col("_n")).as("n_items"),
+      sum(d2 * dec(col("_o"))).as("_num"),
+      sum(d2 * dec(col("_ra")) * dec(col("_cb"))).as("_den"))
+    agg.select(col("n_items"),
+      when(col("_den") > 0L,
+        d6(lit(1.0) - (dec(col("n_items")) * col("_num")).cast("double") /
+          col("_den").cast("double"))).as("kappa_w"))
+  }
+
+  /** TOST mean-equivalence test (Schuirmann 1987, large-sample z
+    * form): are two arm means equivalent within ±margin? Two
+    * one-sided tests — t_lower = (d + m)/se against d > −m and
+    * t_upper = (m − d)/se against d < m — BOTH must clear the
+    * one-sided 5% critical 1.644854; p-values from the shared erfc
+    * polynomial. The non-inferiority gate a "this refactor didn't
+    * move the metric" claim actually needs (a non-significant t-test
+    * is NOT evidence of equivalence).
+    *
+    * Determinism: per-arm exact decimal sums; means/variances in the
+    * [[welchAnova]] d6 chain; se, both statistics and p-values ONE d6
+    * each in fixed double order. Zero pooled variance answers NULL
+    * statistics with the means still reported; arms must be 0/1 with
+    * ≥ 2 rows each — loud; margin must be positive.
+    *
+    * Scale shape: ONE corpus aggregate. Output ONE row: (n0, mean0,
+    * n1, mean1, diff, se, margin, t_lower, t_upper, p_lower, p_upper,
+    * equivalent).
+    */
+  def tostMeans(
+      df: DataFrame,
+      armCol: String,
+      xCol: String,
+      margin: Double): DataFrame = {
+    require(margin > 0.0, s"margin must be positive, got $margin")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("tostMeans: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val agg = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
+      .groupBy(col("_a"))
+      .agg(count(lit(1)).as("_n"), sum(dec(col("_x"))).as("_s"),
+        sum(dec(col("_x")) * dec(col("_x"))).as("_q"))
+    val nOk = when(col("_n") >= 2L, col("_n"))
+      .otherwise(raise_error(concat(lit("tostMeans: arm "),
+        col("_a").cast("string"), lit(" has "),
+        col("_n").cast("string"), lit(" rows (< 2)"))).cast("long"))
+    val per = agg.select(col("_a"), nOk.as("_n"), col("_s"), col("_q"))
+      .withColumn("_mean",
+        d6(col("_s").cast("double") / col("_n").cast("double")))
+      .withColumn("_var", d6(
+        (dec(col("_n")) * col("_q") - col("_s") * col("_s"))
+          .cast("double") /
+          (dec(col("_n")) * dec(col("_n") - 1L)).cast("double")))
+    val one = per.agg(
+      max(when(col("_a") === 0L, col("_n"))).as("_n0"),
+      max(when(col("_a") === 1L, col("_n"))).as("_n1"),
+      max(when(col("_a") === 0L, col("_mean"))).as("mean0"),
+      max(when(col("_a") === 1L, col("_mean"))).as("mean1"),
+      max(when(col("_a") === 0L, col("_var"))).as("_v0"),
+      max(when(col("_a") === 1L, col("_var"))).as("_v1"))
+    def need(c: Column, a: Int) = when(c.isNotNull, c)
+      .otherwise(raise_error(lit(s"tostMeans: arm $a is empty"))
+        .cast("long"))
+    val se2 = col("_v0") / need(col("_n0"), 0).cast("double") +
+      col("_v1") / need(col("_n1"), 1).cast("double")
+    val staged = one.select(col("_n0").as("n0"), col("mean0"),
+        col("_n1").as("n1"), col("mean1"),
+        d6(col("mean1") - col("mean0")).as("diff"),
+        when(se2 > 0.0, d6(sqrt(se2))).as("se"))
+      .withColumn("margin", lit(margin))
+      .withColumn("t_lower", when(col("se").isNotNull,
+        d6((col("diff") + lit(margin)) / col("se"))))
+      .withColumn("t_upper", when(col("se").isNotNull,
+        d6((lit(margin) - col("diff")) / col("se"))))
+    // one-sided p = P(Z > t): erfc/2 for t ≥ 0, 1 − erfc/2 below
+    def pOne(t: Column) = when(t >= 0.0,
+      normalTwoSidedP(t) / lit(2.0))
+      .otherwise(lit(1.0) - normalTwoSidedP(t) / lit(2.0))
+    staged
+      .withColumn("p_lower", when(col("t_lower").isNotNull,
+        d6(pOne(col("t_lower")))))
+      .withColumn("p_upper", when(col("t_upper").isNotNull,
+        d6(pOne(col("t_upper")))))
+      .withColumn("equivalent", when(col("t_lower").isNotNull,
+        (col("t_lower") >= 1.644854 && col("t_upper") >= 1.644854)
+          .cast("int")))
+  }
+
   /** Two-proportion difference with the Newcombe hybrid-score interval
     * (Newcombe 1998, method 10): d = p₁ − p₀ bounded by composing the
     * per-arm Wilson score intervals — the CI that stays honest at

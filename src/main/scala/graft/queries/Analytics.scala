@@ -9503,7 +9503,178 @@ object Analytics {
       |FROM d""".stripMargin
   }
 
+  // q498: classical item analysis (Stats.itemAnalysis) — 20 user-
+  // bucket "raters" × 5 event-type "items" on a parity score grid
+  // completed by construction (missing cells score 0): per-item
+  // difficulty + rest-score point-biserial discrimination. The
+  // oracle replays the grid build, rater totals and the cleared
+  // Pearson form.
+  def q498ItemAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select((col("user_id") % 20L).as("r"),
+      col("event_type").as("i"))
+    val cnt = e.groupBy(col("r"), col("i")).agg(count(lit(1)).as("c"))
+    val grid = e.select(col("r")).distinct()
+      .crossJoin(e.select(col("i")).distinct())
+      .join(cnt, Seq("r", "i"), "left")
+      .select(col("r"), col("i"),
+        (coalesce(col("c"), lit(0L)) % 2L).as("y"))
+    graft.pipeline.Stats.itemAnalysis(grid, "r", "i", "y")
+  }
+
+  val q498Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(user_id % 20 AS BIGINT) AS r, event_type AS i
+      |  FROM events),
+      |cnt AS (SELECT r, i, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM e GROUP BY 1, 2),
+      |rs AS (SELECT DISTINCT r FROM e),
+      |its AS (SELECT DISTINCT i FROM e),
+      |grid AS (
+      |  SELECT rs.r, its.i, COALESCE(cnt.c, 0) % 2 AS y
+      |  FROM rs CROSS JOIN its
+      |  LEFT JOIN cnt ON cnt.r = rs.r AND cnt.i = its.i),
+      |tot AS (SELECT r, CAST(SUM(y) AS BIGINT) AS t
+      |        FROM grid GROUP BY 1),
+      |g2 AS (
+      |  SELECT grid.i, grid.y, tot.t - grid.y AS rest
+      |  FROM grid JOIN tot ON tot.r = grid.r),
+      |ag AS (
+      |  SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS sy,
+      |    SUM(CAST(rest AS HUGEINT)) AS sx,
+      |    SUM(CAST(rest AS HUGEINT) * CAST(rest AS HUGEINT)) AS sxx,
+      |    SUM(CAST(rest AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      |  FROM g2 GROUP BY 1)
+      |SELECT i AS item, n AS n_raters,
+      |  CAST(CAST(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS difficulty,
+      |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0 AND
+      |      CAST(n AS HUGEINT) * sy - CAST(sy AS HUGEINT) * sy > 0
+      |    THEN CAST(CAST(
+      |      CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+      |        CAST(CAST(n AS HUGEINT) * sy - CAST(sy AS HUGEINT) * sy
+      |          AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS discrimination
+      |FROM ag""".stripMargin
+
+  // q499: quadratic-weighted kappa (Stats.weightedKappa) between two
+  // deterministic ordinal spend bands — ordered disagreement costs
+  // (i−j)². The oracle replays the single exact rational.
+  def q499WeightedKappa(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.weightedKappa(
+      ev(s, dir).select(
+        round(col("value") * 100).cast("long").as("cents"))
+        .select(expr("least(4L, cents div 10000L)").as("ra"),
+          expr("least(4L, (cents * 3L) div 20000L)").as("rb")),
+      "ra", "rb")
+
+  val q499Sql: String =
+    """WITH bb AS (
+      |  SELECT least(4, CAST(round(value * 100) AS BIGINT) // 10000)
+      |      AS a,
+      |    least(4, (CAST(round(value * 100) AS BIGINT) * 3) // 20000)
+      |      AS b
+      |  FROM events),
+      |c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+      |      FROM bb GROUP BY 1, 2),
+      |m AS (
+      |  SELECT a, b, o,
+      |    SUM(o) OVER (PARTITION BY a) AS ra,
+      |    SUM(o) OVER (PARTITION BY b) AS cb,
+      |    SUM(o) OVER () AS n
+      |  FROM c),
+      |ag AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n_items,
+      |    SUM(CAST((a - b) AS HUGEINT) * CAST((a - b) AS HUGEINT) *
+      |      CAST(o AS HUGEINT)) AS num,
+      |    SUM(CAST((a - b) AS HUGEINT) * CAST((a - b) AS HUGEINT) *
+      |      CAST(ra AS HUGEINT) * CAST(cb AS HUGEINT)) AS den
+      |  FROM m)
+      |SELECT n_items,
+      |  CASE WHEN den > 0 THEN CAST(CAST(1.0 -
+      |    CAST(CAST(n_items AS HUGEINT) * num AS DOUBLE) /
+      |    CAST(den AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS kappa_w
+      |FROM ag""".stripMargin
+
+  // q500: TOST mean-equivalence (Stats.tostMeans) — are the parity
+  // arms' mean cents equivalent within ±50? Both one-sided z tests
+  // must clear 1.644854. The oracle replays the d6 chain and the
+  // one-sided erfc p-values.
+  def q500Tost(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.tostMeans(
+      ev(s, dir).select((col("user_id") % 2L).as("arm"),
+        round(col("value") * 100).cast("long").as("x")),
+      "arm", "x", margin = 50.0)
+
+  val q500Sql: String = {
+    val pzL = graft.pipeline.Stats.normalTwoSidedPSql("t_lower")
+    val pzU = graft.pipeline.Stats.normalTwoSidedPSql("t_upper")
+    s"""WITH b AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |pa AS (
+      |  SELECT a, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT)) AS s,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+      |  FROM b GROUP BY 1),
+      |pv AS (
+      |  SELECT a, n,
+      |    CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS mean,
+      |    CAST(CAST(
+      |      CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
+      |      CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+      |        AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE) AS var
+      |  FROM pa),
+      |one AS (
+      |  SELECT MAX(CASE WHEN a = 0 THEN n END) AS n0,
+      |    MAX(CASE WHEN a = 1 THEN n END) AS n1,
+      |    MAX(CASE WHEN a = 0 THEN mean END) AS mean0,
+      |    MAX(CASE WHEN a = 1 THEN mean END) AS mean1,
+      |    MAX(CASE WHEN a = 0 THEN var END) AS v0,
+      |    MAX(CASE WHEN a = 1 THEN var END) AS v1
+      |  FROM pv),
+      |st AS (
+      |  SELECT n0, mean0, n1, mean1,
+      |    CAST(CAST(mean1 - mean0 AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS diff,
+      |    CASE WHEN v0 / CAST(n0 AS DOUBLE) +
+      |        v1 / CAST(n1 AS DOUBLE) > 0.0 THEN
+      |      CAST(CAST(sqrt(v0 / CAST(n0 AS DOUBLE) +
+      |        v1 / CAST(n1 AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      END AS se
+      |  FROM one),
+      |ts AS (
+      |  SELECT *, 50.0 AS margin,
+      |    CASE WHEN se IS NOT NULL THEN
+      |      CAST(CAST((diff + 50.0) / se AS DECIMAL(28,6)) AS DOUBLE)
+      |      END AS t_lower,
+      |    CASE WHEN se IS NOT NULL THEN
+      |      CAST(CAST((50.0 - diff) / se AS DECIMAL(28,6)) AS DOUBLE)
+      |      END AS t_upper
+      |  FROM st)
+      |SELECT n0, mean0, n1, mean1, diff, se, margin, t_lower, t_upper,
+      |  CASE WHEN t_lower IS NOT NULL THEN
+      |    CAST(CAST(CASE WHEN t_lower >= 0.0 THEN $pzL / 2.0
+      |      ELSE 1.0 - $pzL / 2.0 END AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS p_lower,
+      |  CASE WHEN t_upper IS NOT NULL THEN
+      |    CAST(CAST(CASE WHEN t_upper >= 0.0 THEN $pzU / 2.0
+      |      ELSE 1.0 - $pzU / 2.0 END AS DECIMAL(28,6)) AS DOUBLE) END
+      |    AS p_upper,
+      |  CASE WHEN t_lower IS NOT NULL THEN
+      |    CAST(t_lower >= 1.644854 AND t_upper >= 1.644854 AS INT) END
+      |    AS equivalent
+      |FROM ts""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q498_item_analysis" -> (q498ItemAnalysis _),
+    "q499_weighted_kappa" -> (q499WeightedKappa _),
+    "q500_tost" -> (q500Tost _),
     "q495_two_prop_diff" -> (q495TwoPropDiff _),
     "q496_gumbel_fit" -> (q496GumbelFit _),
     "q497_power_two_props" -> (q497PowerTwoProps _),
@@ -9691,6 +9862,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q498_item_analysis" -> q498Sql,
+    "q499_weighted_kappa" -> q499Sql,
+    "q500_tost" -> q500Sql,
     "q495_two_prop_diff" -> q495Sql,
     "q496_gumbel_fit" -> q496Sql,
     "q497_power_two_props" -> q497Sql,

@@ -2406,6 +2406,90 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("itemAnalysis: hand difficulty and rest-score point-biserial; " +
+    "zero-variance item answers NULL; incomplete grid and bad score " +
+    "are loud") {
+    // 3 raters × 2 items: both items have discrimination 0.5
+    val df = Seq(("r1", "i1", 1), ("r1", "i2", 1), ("r2", "i1", 1),
+      ("r2", "i2", 0), ("r3", "i1", 0), ("r3", "i2", 0))
+      .toDF("r", "i", "y")
+    val out = Stats.itemAnalysis(df, "r", "i", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("i1").getAs[Long]("n_raters") == 3L)
+    assert(out("i1").getAs[Double]("difficulty") == 0.666667)
+    assert(out("i1").getAs[Double]("discrimination") == 0.5)
+    assert(out("i2").getAs[Double]("difficulty") == 0.333333)
+    assert(out("i2").getAs[Double]("discrimination") == 0.5)
+    // an all-correct item has zero variance → NULL discrimination
+    val flat = Stats.itemAnalysis(
+      df.withColumn("y", when(col("i") === "i1", 1).otherwise(col("y"))),
+      "r", "i", "y").collect().map(r => r.getString(0) -> r).toMap
+    assert(flat("i1").isNullAt(flat("i1").fieldIndex("discrimination")))
+    val inc = intercept[Exception] {
+      Stats.itemAnalysis(df.limit(5), "r", "i", "y").collect()
+    }
+    assert(inc.getMessage.contains("incomplete grid"), inc.getMessage)
+    val loud = intercept[Exception] {
+      Stats.itemAnalysis(Seq(("r1", "i1", 2)).toDF("r", "i", "y"),
+        "r", "i", "y").collect()
+    }
+    assert(loud.getMessage.contains("not 0/1"), loud.getMessage)
+  }
+
+  test("weightedKappa: hand 2x2 ordinal table; a single shared " +
+    "category answers NULL") {
+    // O = [[2,1],[1,2]] on categories {1,2}: κ_w = 1 − 6·2/18 = 1/3
+    val rows = Seq.fill(2)((1L, 1L)) ++ Seq((1L, 2L), (2L, 1L)) ++
+      Seq.fill(2)((2L, 2L))
+    val r = Stats.weightedKappa(rows.toDF("ra", "rb"), "ra", "rb")
+      .collect()(0)
+    assert(r.getAs[Long]("n_items") == 6L)
+    assert(r.getAs[Double]("kappa_w") == 0.333333)
+    val const = Stats.weightedKappa(
+      Seq((1L, 1L), (1L, 1L)).toDF("ra", "rb"), "ra", "rb")
+      .collect()(0)
+    assert(const.isNullAt(const.fieldIndex("kappa_w")))
+  }
+
+  test("tostMeans: replicated z chain on tight arms; constant arms " +
+    "answer NULL; bad arm and margin are loud") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val df = Seq((0L, 100L), (0L, 102L), (1L, 101L), (1L, 103L))
+      .toDF("a", "x")
+    val r = Stats.tostMeans(df, "a", "x", margin = 10.0).collect()(0)
+    assert(r.getAs[Double]("mean0") == 101.0)
+    assert(r.getAs[Double]("mean1") == 102.0)
+    assert(r.getAs[Double]("diff") == 1.0)
+    val se = d6(math.sqrt(2.0))
+    assert(r.getAs[Double]("se") == se)
+    assert(r.getAs[Double]("t_lower") == d6(11.0 / se))
+    assert(r.getAs[Double]("t_upper") == d6(9.0 / se))
+    assert(r.getAs[Int]("equivalent") == 1)
+    assert(r.getAs[Double]("p_lower") < 0.001)
+    // a NEGATIVE one-sided statistic must read p > 0.5 (the branch
+    // an unfixed erfc/2 would get wrong)
+    val far = Stats.tostMeans(
+      Seq((0L, 0L), (0L, 2L), (1L, 100L), (1L, 102L)).toDF("a", "x"),
+      "a", "x", margin = 10.0).collect()(0)
+    assert(far.getAs[Double]("t_upper") < 0.0)
+    assert(far.getAs[Double]("p_upper") > 0.5)
+    assert(far.getAs[Int]("equivalent") == 0)
+    val const = Stats.tostMeans(
+      Seq((0L, 5L), (0L, 5L), (1L, 5L), (1L, 5L)).toDF("a", "x"),
+      "a", "x", margin = 1.0).collect()(0)
+    assert(const.isNullAt(const.fieldIndex("se")))
+    intercept[IllegalArgumentException] {
+      Stats.tostMeans(df, "a", "x", margin = 0.0)
+    }
+    val loud = intercept[Exception] {
+      Stats.tostMeans(Seq((2L, 1L)).toDF("a", "x"), "a", "x", 1.0)
+        .collect()
+    }
+    assert(loud.getMessage.contains("arm flag"), loud.getMessage)
+  }
+
   test("twoProportionDiff: replicated Newcombe interval on a hand " +
     "2x10 design; empty arm and bad flag are loud") {
     def d6(x: Double): Double =
