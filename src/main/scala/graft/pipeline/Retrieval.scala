@@ -678,6 +678,74 @@ object Retrieval {
     * (the contract a top-k producer already meets). Output ONE row:
     * (k, n_common, rbo).
     */
+  /** Classic rank-distance panel between two PERMUTATIONS of the same
+    * item set: Spearman footrule F = Σ|r_A − r_B| and the Kendall tau
+    * distance (count of pairwise order disagreements), each with its
+    * normalized form — the exact full-list companions of
+    * [[rankBiasedOverlap]]'s top-weighted overlap (RBO asks "do the
+    * heads agree", these ask "how far apart are the whole orders").
+    *
+    * Determinism: both rank columns are audited in-plan as exact
+    * permutations of 1..n (loud otherwise); the footrule and its
+    * ⌊n²/2⌋ normalizer are exact integers → ONE d6; the Kendall
+    * distance counts sign-discordant pairs through the i<j pair join
+    * — a bounded-occupancy pair generator (class 3b), so `maxItems`
+    * raises loudly (riding the joined rank column) before any pair
+    * forms; the C(n,2) normalizer is exact → ONE d6. n = 1 answers
+    * zero distances with NULL normalized forms (no pairs to
+    * disagree).
+    *
+    * Scale shape: one audit window + one guarded n²/2 pair join on
+    * the RANKING frame (report-sized by contract — never a corpus).
+    * Output ONE row: (n, footrule, footrule_norm, kendall_distance,
+    * kendall_norm).
+    */
+  def rankDistance(
+      df: DataFrame,
+      itemCol: String,
+      rankACol: String,
+      rankBCol: String,
+      maxItems: Int = 1000): DataFrame = {
+    require(maxItems >= 2, s"maxItems must be >= 2, got $maxItems")
+    val d6 = (c: org.apache.spark.sql.Column) =>
+      c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    def audit(cn: String, c: org.apache.spark.sql.Column) = {
+      val n = count(lit(1)).over(wAll)
+      val dist = size(collect_set(c).over(wAll)).cast("long")
+      val mn = min(c).over(wAll)
+      val mx = max(c).over(wAll)
+      when(dist === n && mn === 1L && mx === n && n <= maxItems, c)
+        .otherwise(raise_error(concat(
+          lit(s"rankDistance: $cn must be a permutation of 1..n with "),
+          lit(s"n <= maxItems=$maxItems (the pair stage is n²/2); got "),
+          lit("n="), n.cast("string"), lit(" distinct="),
+          dist.cast("string"), lit(" min="), mn.cast("string"),
+          lit(" max="), mx.cast("string"))).cast("long"))
+    }
+    val base = df.select(col(itemCol).as("_i"),
+        col(rankACol).cast("long").as("_ra0"),
+        col(rankBCol).cast("long").as("_rb0"))
+      .select(col("_i"), audit(rankACol, col("_ra0")).as("_ra"),
+        audit(rankBCol, col("_rb0")).as("_rb"))
+    val pairs = base.select(col("_ra").as("_ra1"), col("_rb").as("_rb1"))
+      .crossJoin(base.select(col("_ra").as("_ra2"), col("_rb").as("_rb2")))
+      .filter(col("_ra1") < col("_ra2"))
+      .agg(sum(((col("_rb1") > col("_rb2")).cast("long"))).as("_kd"),
+        count(lit(1)).as("_np"))
+    val foot = base.agg(count(lit(1)).as("n"),
+      sum(abs(col("_ra") - col("_rb"))).as("footrule"))
+    foot.crossJoin(broadcast(pairs))
+      .select(col("n"), col("footrule"),
+        when(col("n") > 1L, d6(col("footrule").cast("double") /
+          expr("((n * n) div 2L)").cast("double"))).as("footrule_norm"),
+        coalesce(col("_kd"), lit(0L)).as("kendall_distance"),
+        when(col("n") > 1L, d6(col("_kd").cast("double") /
+          col("_np").cast("double"))).as("kendall_norm"))
+  }
+
   def rankBiasedOverlap(
       runA: DataFrame,
       runB: DataFrame,

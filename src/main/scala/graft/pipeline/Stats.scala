@@ -7099,6 +7099,136 @@ object Stats {
         col("n").cast("double")).as("mean_winsorized"))
   }
 
+  /** Decile gain/lift table — the targeting readout behind every
+    * "contact the top 20% by model score" decision: cut the
+    * (score DESC, id) total order into G equal-count bands and report
+    * each band's response rate, lift vs the base rate, and cumulative
+    * capture — [[rocPrAuc]] summarizes ranking quality in one number,
+    * this says what the budgeted action actually yields.
+    *
+    * Determinism: bands cut the exact total order (ties broken by id —
+    * the corpus pick convention); counts exact; rate/lift/capture ONE
+    * d6 each off exact rationals (lift = (resp·n)/(n_g·total_resp) in
+    * one division). Labels must be 0/1 — loud; zero total responders
+    * answers NULL lift/capture. Output one row per band (band 1 = top
+    * scores): (band, n, n_resp, resp_rate, lift, cum_resp,
+    * cum_capture).
+    *
+    * Scale shape: one rank window + one band aggregate + a G-row
+    * cumulative window.
+    */
+  def gainLiftTable(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      labelCol: String,
+      groups: Int = 10): DataFrame = {
+    require(groups >= 2, s"groups must be >= 2, got $groups")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val y = when(col(labelCol).cast("long").isin(0L, 1L),
+      col(labelCol).cast("long"))
+      .otherwise(raise_error(concat(lit("gainLiftTable: label "),
+        col(labelCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val ranked = df.select(col(idCol).as("_id"),
+        col(scoreCol).cast("long").as("_s"), y.as("_y"))
+      .withColumn("_rk", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("_s").desc, col("_id").asc))
+        .cast("long"))
+      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+      .withColumn("_g", expr(s"((_rk - 1) * ${groups}L) div _n"))
+    val byG = ranked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_resp"),
+        max(col("_n")).as("_tot"))
+    val wCum = W.partitionBy(lit(1)).orderBy(col("_g").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    byG
+      .withColumn("_totResp", sum(col("n_resp")).over(wAll))
+      .withColumn("cum_resp", sum(col("n_resp")).over(wCum))
+      .select((col("_g") + 1L).as("band"), col("n"), col("n_resp"),
+        d6(col("n_resp").cast("double") / col("n").cast("double"))
+          .as("resp_rate"),
+        when(col("_totResp") > 0L,
+          d6((dec(col("n_resp")) * dec(col("_tot"))).cast("double") /
+            (dec(col("n")) * dec(col("_totResp"))).cast("double")))
+          .as("lift"),
+        col("cum_resp"),
+        when(col("_totResp") > 0L,
+          d6(col("cum_resp").cast("double") /
+            col("_totResp").cast("double"))).as("cum_capture"))
+  }
+
+  /** Cost-sensitive optimal score threshold: sweep every distinct
+    * score as a "predict positive when score ≥ t" cutoff and pick the
+    * one maximizing utility = b_tp·TP − c_fp·FP − c_fn·FN — the
+    * decision layer [[rocPrAuc]] deliberately leaves open (AUC is
+    * threshold-free; shipping a classifier isn't). Reported against
+    * the all-negative baseline utility −c_fn·P.
+    *
+    * Determinism: TP/FP at each candidate come from exact descending
+    * cumulative counts over the distinct-score frame; utilities are
+    * exact integers (long coefficients); the winner is the exact
+    * window max with the LOWEST winning threshold as tie rule (the
+    * [[changepoint]] discipline — no argmax nondeterminism). Labels
+    * 0/1 — loud; both classes must appear — loud.
+    *
+    * Scale shape: one score-keyed aggregate + windows over the
+    * distinct-score frame (cardinality-bounded — quantize unbounded
+    * scores). Output ONE row: (threshold, n_pred_pos, tp, fp, fn,
+    * utility, base_utility).
+    */
+  def optimalThreshold(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      benefitTp: Long,
+      costFp: Long,
+      costFn: Long): DataFrame = {
+    require(benefitTp >= 0L && costFp >= 0L && costFn >= 0L,
+      "coefficients must be non-negative")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val y = when(col(labelCol).cast("long").isin(0L, 1L),
+      col(labelCol).cast("long"))
+      .otherwise(raise_error(concat(lit("optimalThreshold: label "),
+        col(labelCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val byScore = df.select(col(scoreCol).cast("long").as("_s"),
+        y.as("_y"))
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_p"))
+    val wDesc = W.partitionBy(lit(1)).orderBy(col("_s").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val staged = byScore
+      .withColumn("_tp", sum(col("_p")).over(wDesc))
+      .withColumn("_fp", sum(col("_n") - col("_p")).over(wDesc))
+      .withColumn("_pos", sum(col("_p")).over(wAll))
+      .withColumn("_neg", sum(col("_n") - col("_p")).over(wAll))
+    val guarded = staged.withColumn("_pos",
+      when(col("_pos") > 0L && col("_neg") > 0L, col("_pos"))
+        .otherwise(raise_error(lit(
+          "optimalThreshold: need at least one positive and one " +
+            "negative label")).cast("long")))
+    val util = guarded.withColumn("_u",
+      lit(benefitTp) * col("_tp") - lit(costFp) * col("_fp") -
+        lit(costFn) * (col("_pos") - col("_tp")))
+    val withMax = util
+      .withColumn("_umax", max(col("_u")).over(wAll))
+      .filter(col("_u") === col("_umax"))
+      .withColumn("_smin", min(col("_s")).over(wAll))
+      .filter(col("_s") === col("_smin"))
+    withMax.select(col("_s").as("threshold"),
+      (col("_tp") + col("_fp")).as("n_pred_pos"),
+      col("_tp").as("tp"), col("_fp").as("fp"),
+      (col("_pos") - col("_tp")).as("fn"),
+      col("_u").as("utility"),
+      (lit(-costFn) * col("_pos")).as("base_utility"))
+  }
+
   /** Classical item analysis over a complete (rater × item) 0/1 score
     * grid: per-item DIFFICULTY (fraction correct) and DISCRIMINATION
     * (point-biserial correlation between the item score and each

@@ -9671,7 +9671,150 @@ object Analytics {
       |FROM ts""".stripMargin
   }
 
+  // q501: rank-distance panel (Retrieval.rankDistance) — how far
+  // apart are the spend-ranked and volume-ranked event-type orders?
+  // Footrule + Kendall distance with exact normalizers. The oracle
+  // replays the permutation build and the guarded pair count.
+  def q501RankDistance(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val m = ev(s, dir).groupBy(col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sc"),
+        count(lit(1)).as("c"))
+    val ranked = m.select(col("event_type"),
+      row_number().over(W.orderBy(col("sc").desc, col("event_type").asc))
+        .cast("long").as("ra"),
+      row_number().over(W.orderBy(col("c").desc, col("event_type").asc))
+        .cast("long").as("rb"))
+    graft.pipeline.Retrieval.rankDistance(ranked, "event_type",
+      "ra", "rb")
+  }
+
+  val q501Sql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    SUM(CAST(round(value * 100) AS BIGINT)) AS sc,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1),
+      |r AS (
+      |  SELECT event_type,
+      |    CAST(row_number() OVER (ORDER BY sc DESC, event_type ASC)
+      |      AS BIGINT) AS ra,
+      |    CAST(row_number() OVER (ORDER BY c DESC, event_type ASC)
+      |      AS BIGINT) AS rb
+      |  FROM m),
+      |f AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(ABS(ra - rb)) AS BIGINT) AS footrule
+      |  FROM r),
+      |p AS (
+      |  SELECT CAST(SUM(CASE WHEN a.rb > b.rb THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS kd,
+      |    CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM r a JOIN r b ON a.ra < b.ra)
+      |SELECT f.n, f.footrule,
+      |  CASE WHEN f.n > 1 THEN CAST(CAST(
+      |    CAST(f.footrule AS DOUBLE) /
+      |    CAST((f.n * f.n) // 2 AS DOUBLE) AS DECIMAL(28,6))
+      |    AS DOUBLE) END AS footrule_norm,
+      |  COALESCE(p.kd, 0) AS kendall_distance,
+      |  CASE WHEN f.n > 1 THEN CAST(CAST(
+      |    CAST(p.kd AS DOUBLE) / CAST(p.np AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) END AS kendall_norm
+      |FROM f CROSS JOIN p""".stripMargin
+
+  // q502: decile gain/lift table (Stats.gainLiftTable) — cents as a
+  // purchase-targeting score: per band, response rate, lift vs base
+  // and cumulative capture. The oracle replays the descending
+  // total-order cut and the one-division lift rational.
+  def q502GainLift(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.gainLiftTable(
+      ev(s, dir).select(col("event_id"),
+        round(col("value") * 100).cast("long").as("score"),
+        (col("event_type") === "purchase").cast("int").as("y")),
+      "event_id", "score", "y", groups = 10)
+
+  val q502Sql: String =
+    """WITH b AS (
+      |  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS s,
+      |    CAST(event_type = 'purchase' AS INT) AS y
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY s DESC, event_id ASC)
+      |      AS BIGINT) AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM b),
+      |g AS (SELECT *, ((rk - 1) * 10) // n AS grp FROM r),
+      |ag AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS n_resp,
+      |    CAST(MAX(n) AS BIGINT) AS tot
+      |  FROM g GROUP BY 1),
+      |cm AS (
+      |  SELECT *,
+      |    SUM(n_resp) OVER () AS tot_resp,
+      |    SUM(n_resp) OVER (ORDER BY grp ASC ROWS UNBOUNDED PRECEDING)
+      |      AS cum_resp
+      |  FROM ag)
+      |SELECT CAST(grp + 1 AS BIGINT) AS band, n, n_resp,
+      |  CAST(CAST(CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS resp_rate,
+      |  CASE WHEN tot_resp > 0 THEN CAST(CAST(
+      |    CAST(CAST(n_resp AS HUGEINT) * tot AS DOUBLE) /
+      |    CAST(CAST(n AS HUGEINT) * tot_resp AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) END AS lift,
+      |  CAST(cum_resp AS BIGINT) AS cum_resp,
+      |  CASE WHEN tot_resp > 0 THEN CAST(CAST(
+      |    CAST(cum_resp AS DOUBLE) / CAST(tot_resp AS DOUBLE)
+      |    AS DECIMAL(28,6)) AS DOUBLE) END AS cum_capture
+      |FROM cm""".stripMargin
+
+  // q503: cost-sensitive optimal threshold (Stats.optimalThreshold)
+  // — the cents cutoff maximizing 30·TP − 10·FP − 5·FN for predicting
+  // purchases, lowest winning threshold on ties. The oracle replays
+  // the distinct-score cumulative counts and the exact window max.
+  def q503OptimalThreshold(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.optimalThreshold(
+      ev(s, dir).select(round(col("value") * 100).cast("long")
+          .as("score"),
+        (col("event_type") === "purchase").cast("int").as("y")),
+      "score", "y", benefitTp = 30L, costFp = 10L, costFn = 5L)
+
+  val q503Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+      |    CAST(event_type = 'purchase' AS INT) AS y
+      |  FROM events),
+      |bs AS (
+      |  SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(y) AS BIGINT) AS p
+      |  FROM b GROUP BY 1),
+      |cm AS (
+      |  SELECT s,
+      |    SUM(p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+      |      AS tp,
+      |    SUM(n - p) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+      |      AS fp,
+      |    SUM(p) OVER () AS pos, SUM(n - p) OVER () AS neg
+      |  FROM bs),
+      |ut AS (
+      |  SELECT s, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |    CAST(pos AS BIGINT) AS pos,
+      |    CAST(30 * tp - 10 * fp - 5 * (pos - tp) AS BIGINT) AS u
+      |  FROM cm),
+      |mx AS (SELECT MAX(u) AS umax FROM ut),
+      |win AS (
+      |  SELECT ut.* FROM ut CROSS JOIN mx WHERE ut.u = mx.umax),
+      |fin AS (SELECT * FROM win WHERE s = (SELECT MIN(s) FROM win))
+      |SELECT s AS threshold, tp + fp AS n_pred_pos, tp, fp,
+      |  pos - tp AS fn, u AS utility,
+      |  CAST(-5 * pos AS BIGINT) AS base_utility
+      |FROM fin""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q501_rank_distance" -> (q501RankDistance _),
+    "q502_gain_lift" -> (q502GainLift _),
+    "q503_optimal_threshold" -> (q503OptimalThreshold _),
     "q498_item_analysis" -> (q498ItemAnalysis _),
     "q499_weighted_kappa" -> (q499WeightedKappa _),
     "q500_tost" -> (q500Tost _),
@@ -9862,6 +10005,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q501_rank_distance" -> q501Sql,
+    "q502_gain_lift" -> q502Sql,
+    "q503_optimal_threshold" -> q503Sql,
     "q498_item_analysis" -> q498Sql,
     "q499_weighted_kappa" -> q499Sql,
     "q500_tost" -> q500Sql,

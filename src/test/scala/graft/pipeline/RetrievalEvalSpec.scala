@@ -197,4 +197,45 @@ class RetrievalEvalSpec extends SparkSpec {
         depth = 0)
     }
   }
+
+  test("rankDistance: hand footrule and Kendall distance; " +
+    "non-permutation ranks and oversize lists are loud; a singleton " +
+    "list answers zero with NULL normalized forms") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ra [1,2,3] vs rb [3,1,2]: footrule 4 (norm 4/4 = 1),
+    // Kendall distance 2 (norm 2/3)
+    val df = Seq(("x", 1L, 3L), ("y", 2L, 1L), ("z", 3L, 2L))
+      .toDF("item", "ra", "rb")
+    val r = graft.pipeline.Retrieval.rankDistance(df, "item", "ra", "rb")
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("footrule") == 4L)
+    assert(r.getAs[Double]("footrule_norm") == 1.0)
+    assert(r.getAs[Long]("kendall_distance") == 2L)
+    assert(r.getAs[Double]("kendall_norm") == 0.666667)
+    // identical orders read zero everywhere
+    val same = graft.pipeline.Retrieval.rankDistance(
+      Seq(("x", 1L, 1L), ("y", 2L, 2L)).toDF("item", "ra", "rb"),
+      "item", "ra", "rb").collect()(0)
+    assert(same.getAs[Long]("footrule") == 0L)
+    assert(same.getAs[Double]("kendall_norm") == 0.0)
+    val single = graft.pipeline.Retrieval.rankDistance(
+      Seq(("x", 1L, 1L)).toDF("item", "ra", "rb"),
+      "item", "ra", "rb").collect()(0)
+    assert(single.getAs[Long]("kendall_distance") == 0L)
+    assert(single.isNullAt(single.fieldIndex("kendall_norm")))
+    val dup = intercept[Exception] {
+      graft.pipeline.Retrieval.rankDistance(
+        Seq(("x", 1L, 1L), ("y", 1L, 2L)).toDF("item", "ra", "rb"),
+        "item", "ra", "rb").collect()
+    }
+    assert(dup.getMessage.contains("permutation"), dup.getMessage)
+    val big = intercept[Exception] {
+      graft.pipeline.Retrieval.rankDistance(
+        (1L to 4L).map(i => (s"i$i", i, i)).toDF("item", "ra", "rb"),
+        "item", "ra", "rb", maxItems = 3).collect()
+    }
+    assert(big.getMessage.contains("maxItems"), big.getMessage)
+  }
 }

@@ -2406,6 +2406,54 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("gainLiftTable: hand two-band cut; perfect top-band targeting " +
+    "reads lift 2 on a 50% base; bad label is loud") {
+    val df = Seq((1L, 40L, 1), (2L, 30L, 1), (3L, 20L, 0),
+      (4L, 10L, 0)).toDF("id", "s", "y")
+    val out = Stats.gainLiftTable(df, "id", "s", "y", groups = 2)
+      .collect().map(r => r.getAs[Long]("band") -> r).toMap
+    assert(out(1L).getAs[Long]("n") == 2L)
+    assert(out(1L).getAs[Long]("n_resp") == 2L)
+    assert(out(1L).getAs[Double]("resp_rate") == 1.0)
+    assert(out(1L).getAs[Double]("lift") == 2.0)
+    assert(out(1L).getAs[Double]("cum_capture") == 1.0)
+    assert(out(2L).getAs[Double]("lift") == 0.0)
+    assert(out(2L).getAs[Long]("cum_resp") == 2L)
+    // zero responders: lift/capture NULL
+    val zero = Stats.gainLiftTable(
+      df.withColumn("y", lit(0)), "id", "s", "y", groups = 2)
+      .collect()(0)
+    assert(zero.isNullAt(zero.fieldIndex("lift")))
+    val loud = intercept[Exception] {
+      Stats.gainLiftTable(Seq((1L, 1L, 7)).toDF("id", "s", "y"),
+        "id", "s", "y", groups = 2).collect()
+    }
+    assert(loud.getMessage.contains("not 0/1"), loud.getMessage)
+  }
+
+  test("optimalThreshold: hand utility sweep picks the exact winner; " +
+    "ties break to the LOWEST threshold; single-class input is loud") {
+    val df = Seq((10L, 1), (8L, 1), (6L, 0), (4L, 1), (2L, 0))
+      .toDF("s", "y")
+    val r = Stats.optimalThreshold(df, "s", "y", benefitTp = 2L,
+      costFp = 1L, costFn = 1L).collect()(0)
+    assert(r.getAs[Long]("threshold") == 4L)
+    assert(r.getAs[Long]("tp") == 3L && r.getAs[Long]("fp") == 1L)
+    assert(r.getAs[Long]("utility") == 5L)
+    assert(r.getAs[Long]("base_utility") == -3L)
+    // utility ties at t=10 and t=3 → lowest threshold wins
+    val tie = Stats.optimalThreshold(
+      Seq((10L, 1), (5L, 0), (3L, 1)).toDF("s", "y"), "s", "y",
+      benefitTp = 1L, costFp = 1L, costFn = 0L).collect()(0)
+    assert(tie.getAs[Long]("threshold") == 3L)
+    assert(tie.getAs[Long]("utility") == 1L)
+    val loud = intercept[Exception] {
+      Stats.optimalThreshold(Seq((1L, 1), (2L, 1)).toDF("s", "y"),
+        "s", "y", 1L, 1L, 1L).collect()
+    }
+    assert(loud.getMessage.contains("at least one"), loud.getMessage)
+  }
+
   test("itemAnalysis: hand difficulty and rest-score point-biserial; " +
     "zero-variance item answers NULL; incomplete grid and bad score " +
     "are loud") {
