@@ -145,6 +145,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(nl.isEmpty, s"ANN-fed hubness fell back to all-pairs: $nl")
   }
 
+  test("q482/q483 auto-dialed ANN twins never plan the all-pairs " +
+    "nested loop — the q352/q445 pin survives the config derivation") {
+    // the lshAutoConfig derivation changes (tables, bits), never the
+    // plan family: candidates must still meet through bucket
+    // equi-joins only
+    for (q <- Seq("q482_dbscan_ann_auto", "q483_hubness_ann_auto")) {
+      val nl = plans(q).flatMap(_.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          => j })
+      assert(nl.isEmpty, s"$q fell back to all-pairs: $nl")
+    }
+  }
+
+  test("q384's guarded co-purchase edge stage keeps every join an " +
+    "equi-join (the occupancy guard adds no cartesian)") {
+    // coBucketEdges' occ-count join and the pair self-join are both
+    // hash equi-joins; the raise_error guard rides the bucket key —
+    // no plan-shape regression from guarding (VERDICT r15 #1)
+    val nl = plans("q384_lpa").flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+        => c })
+    assert(nl.isEmpty, s"guarded edge stage planned a non-equi join: $nl")
+  }
+
   test("q282 card audit is a zero-shuffle scan (regex + Luhn in-row)") {
     // the PII chain's whole 100 TB story: candidates, strip, length
     // gate and the codegen'd checksum are all projections
