@@ -9456,13 +9456,9 @@ object Analytics {
       count(lit(1)).as("n"))
       .select(expr("(x * 1000000L) div n").as("p0_ppm"))
     val lifts = Seq(10000L, 20000L, 50000L, 100000L)
-    val scen = base.crossJoin(
-        broadcast(s.createDataFrame(s.sparkContext.parallelize(
-          lifts.map(org.apache.spark.sql.Row(_))),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("lift",
-              org.apache.spark.sql.types.LongType)))))
-      )
+    val scen = base
+      .select(col("p0_ppm"),
+        explode(array(lifts.map(lit): _*)).as("lift"))
       .select(col("p0_ppm"),
         expr("(p0_ppm * (1000000L + lift)) div 1000000L").as("p1_ppm"))
     graft.pipeline.Stats.powerTwoProportions(scen, "p0_ppm", "p1_ppm")
