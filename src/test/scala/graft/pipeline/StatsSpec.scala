@@ -2779,6 +2779,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("brunnerMunzel reproduces the published lawstat reference " +
+    "example (external cross-validation — the replayed oracle cannot " +
+    "catch a formula error; a published value can)") {
+    // Brunner & Munzel (2000) / R lawstat::brunner.munzel.test docs:
+    // x = (1,2,1,1,1,1,1,1,1,1,2,4,1,1), y = (3,3,4,3,1,2,3,1,1,5,4)
+    // → p̂ = 0.788961, W = 3.1375, df = 17.683
+    val x = Seq(1L, 2L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 2L, 4L, 1L, 1L)
+    val y = Seq(3L, 3L, 4L, 3L, 1L, 2L, 3L, 1L, 1L, 5L, 4L)
+    val df = (x.map((0L, _)) ++ y.map((1L, _))).toDF("a", "v")
+    val r = Stats.brunnerMunzel(df, "a", "v").collect()(0)
+    assert(r.getAs[Double]("p_hat") == 0.788961)
+    assert(math.abs(r.getAs[Double]("bm_stat") - 3.1375) < 5e-5,
+      r.getAs[Double]("bm_stat").toString)
+    assert(math.abs(r.getAs[Double]("df") - 17.683) < 5e-4,
+      r.getAs[Double]("df").toString)
+  }
+
   test("brunnerMunzel: hand placements on interleaved arms; complete " +
     "separation answers NULL W with p_hat = 1; bad arm is loud") {
     // arm0 = {1,3}, arm1 = {2,4}: placements arm0 {0,1}, arm1 {1,2},
