@@ -2538,6 +2538,21 @@ class StatsSpec extends SparkSpec {
     assert(loud.getMessage.contains("arm flag"), loud.getMessage)
   }
 
+  test("twoProportionDiff reproduces Newcombe (1998)'s published " +
+    "method-10 example (external cross-validation)") {
+    // 56/70 vs 48/80: d = 0.2, CI (0.0524, 0.3339) per the paper
+    val rows = Seq.fill(56)((1, 1)) ++ Seq.fill(14)((1, 0)) ++
+      Seq.fill(48)((0, 1)) ++ Seq.fill(32)((0, 0))
+    val r = Stats.twoProportionDiff(rows.toDF("a", "y"), "a", "y")
+      .collect()(0)
+    assert(r.getAs[Double]("diff") == 0.2)
+    assert(math.abs(r.getAs[Double]("ci_lo") - 0.0524) < 5e-5,
+      r.getAs[Double]("ci_lo").toString)
+    assert(math.abs(r.getAs[Double]("ci_hi") - 0.3339) < 5e-5,
+      r.getAs[Double]("ci_hi").toString)
+    assert(r.getAs[Int]("significant") == 1)
+  }
+
   test("twoProportionDiff: replicated Newcombe interval on a hand " +
     "2x10 design; empty arm and bad flag are loud") {
     def d6(x: Double): Double =
