@@ -2099,8 +2099,20 @@ object Timeseries {
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     def d28(c: Column) = c.cast("decimal(28,6)")
     val wt = Window.partitionBy(col("_k")).orderBy(col("_t").asc)
+    // loud NULL contract (ADVICE r16): an interior NULL x would fall
+    // through every `x_j < x_i` comparison to the 0 branch and bias
+    // the pattern id silently — only the LAST lead is null-checked
+    // for window completeness, so a mid-window NULL passes. Raise
+    // instead, matching the file's loud cast convention.
+    val xLoud = when(col(xCol).cast("long").isNotNull,
+      col(xCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("permutationEntropy: NULL x at key "),
+        col(keyCol).cast("string"),
+        lit(" — ordinal patterns need every value present")))
+        .cast("long"))
     val base = df.select(col(keyCol).as("_k"),
-      col(tCol).cast("long").as("_t"), col(xCol).cast("long").as("_x"))
+      col(tCol).cast("long").as("_t"), xLoud.as("_x"))
     val withLeads = (1 until m).foldLeft(base) { (d, l) =>
       d.withColumn(s"_x$l", lead(col("_x"), l).over(wt))
     }

@@ -864,8 +864,11 @@ object Behavior {
     * recency codes ASCENDING days-since (code 5 = longest away,
     * documented).
     *
-    * Scale shape: one user aggregate + three rank windows over the
-    * users frame + one ≤125-row segment rollup.
+    * Scale shape: one user aggregate + three SHARDED ranks over the
+    * users frame ([[graft.pipeline.Stats.shardedTotalOrder]],
+    * SCALING.md class 6 — the users frame is corpus-scaling, so a
+    * global rank window would serialize it through one task) + one
+    * ≤buckets³-row segment rollup.
     */
   def rfmSegments(
       events: DataFrame,
@@ -886,15 +889,18 @@ object Behavior {
         sum(col(valueCol).cast("long")).as("_m"))
       .select(col("_u"), (col("_gmx") - col("_last")).as("_rec"),
         col("_f"), col("_m"))
-    def code(metric: Column, name: String): Column =
-      ceil(lit(buckets) * row_number().over(
-        W.partitionBy(lit(1)).orderBy(metric.asc, col("_u").asc))
-        .cast("double") /
-        count(lit(1)).over(W.partitionBy(lit(1))).cast("double"))
-        .cast("long").as(name)
-    val coded = per.select(col("_u"),
-      code(col("_rec"), "r_code"), code(col("_f"), "f_code"),
-      code(col("_m"), "m_code"))
+    // sharded exact rank per metric — identical integers to the old
+    // (metric asc, user asc) global window, never its one-task sort
+    def codeBy(dfIn: DataFrame, metric: String, name: String): DataFrame =
+      graft.pipeline.Stats.shardedTotalOrder(
+        dfIn.withColumn("_sk", col(metric)).withColumn("_tb", col("_u")))
+        .withColumn(name,
+          ceil(lit(buckets) * col("_grk").cast("double") /
+            col("_n").cast("double")).cast("long"))
+        .drop("_sk", "_tb", "_grk", "_n")
+    val coded = codeBy(codeBy(codeBy(per,
+        "_rec", "r_code"), "_f", "f_code"), "_m", "m_code")
+      .select(col("_u"), col("r_code"), col("f_code"), col("m_code"))
     val total = coded.groupBy(col("r_code"), col("f_code"),
         col("m_code"))
       .agg(count(lit(1)).as("n_users"))

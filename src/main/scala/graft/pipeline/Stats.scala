@@ -769,6 +769,101 @@ object Stats {
               (col("n_10") + col("n_01")).cast("double"))).as("chi2"))
   }
 
+  /** Sharded total-order machinery (SCALING.md class 6) — the exact
+    * global (key, tie) rank WITHOUT a single-partition window: keys
+    * shard by an exact monotone integral range map (`div` on
+    * decimal(38,0) — no floating rounding anywhere near a shard
+    * boundary), each shard ranks locally under its own
+    * `row_number()`, and a ≤(shards+1)-row broadcast offset table
+    * lifts local ranks to global ranks. Optionally the same pass
+    * carries an exact decimal cumulative sum of `cumCol` in rank
+    * order (per-shard running sum + broadcast shard-prefix totals —
+    * decimal addition is exact, so the regrouping changes nothing).
+    * This is [[liftTable]]'s/conformalGate's prefix pattern factored
+    * once, so the class-6 rewrite lands in one place (VERDICT r16 #6).
+    *
+    * Contract: input carries `_sk` (long sort key; NULLs allowed and
+    * placed exactly where the engines' windows put them — first
+    * ascending, last descending — via dedicated end shards) and `_tb`
+    * (tie-break, any orderable type; (key, tie) must be unique for
+    * ranks to be reproducible). Every other column passes through.
+    * Output adds `_grk` (1-based long global rank), `_n` (total row
+    * count) and — when `cumCol` is set — `_gcum` (inclusive
+    * decimal(38,0) cumulative of `cumCol` in rank order). `_grk` is
+    * EXACTLY the one-window `row_number()` over (_sk, _tb) — the
+    * sharded-equals-global law is pinned in StatsSpec — so consumers'
+    * oracles keep replaying a plain SQL window verbatim.
+    *
+    * Scale shape: one bounds/count aggregate (1-row broadcast), ONE
+    * shard-partitioned sort of the corpus, one ≤shards-row offsets
+    * frame (broadcast). Max-task work is corpus/shards at any scale;
+    * a constant-key input collapses to one shard (data degeneracy —
+    * a constant key carries no order to distribute; ties still break
+    * deterministically on `_tb`).
+    */
+  private[pipeline] def shardedTotalOrder(
+      rows: DataFrame,
+      desc: Boolean = false,
+      cumCol: Option[String] = None,
+      shards: Int = 64): DataFrame = {
+    require(shards >= 2 && shards <= 4096,
+      s"shards in [2,4096], got $shards")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val bounds = rows.agg(min(col("_sk")).as("_lo"),
+      max(col("_sk")).as("_hi"), count(lit(1)).as("_n"))
+    // exact integral shard map, monotone in the sort direction; NULL
+    // keys take the end shard matching the engines' window placement
+    // (nulls first ascending, last descending)
+    val spanned = rows.crossJoin(broadcast(bounds))
+      .withColumn("_skn",
+        if (desc) dec(col("_hi")) - dec(col("_sk"))
+        else dec(col("_sk")) - dec(col("_lo")))
+      .withColumn("_skd", dec(col("_hi")) - dec(col("_lo")) + lit(1L))
+      .withColumn("_shard",
+        when(col("_sk").isNull, lit(if (desc) shards.toLong else -1L))
+          .otherwise(
+            expr(s"CAST((_skn * ${shards}L) div _skd AS BIGINT)")))
+      .drop("_lo", "_hi", "_skn", "_skd")
+    val ord =
+      if (desc) Seq(col("_sk").desc, col("_tb").asc)
+      else Seq(col("_sk").asc, col("_tb").asc)
+    val wLoc = W.partitionBy(col("_shard")).orderBy(ord: _*)
+    val local = cumCol match {
+      case Some(c) => spanned
+        .withColumn("_lrk", row_number().over(wLoc).cast("long"))
+        .withColumn("_lcum", sum(dec(col(c))).over(
+          wLoc.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      case None => spanned
+        .withColumn("_lrk", row_number().over(wLoc).cast("long"))
+    }
+    val offAgg = cumCol match {
+      case Some(c) => spanned.groupBy(col("_shard"))
+        .agg(count(lit(1)).as("_sc"), sum(dec(col(c))).as("_sv"))
+      case None => spanned.groupBy(col("_shard"))
+        .agg(count(lit(1)).as("_sc"))
+    }
+    // ≤(shards+1)-row frame: its own cumulative window is bounded by
+    // the shard-count code literal, not the corpus
+    val wOff = W.orderBy(col("_shard").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val offsets = (cumCol match {
+      case Some(_) => offAgg.select(col("_shard"),
+        (sum(col("_sc")).over(wOff) - col("_sc")).as("_rkoff"),
+        (sum(col("_sv")).over(wOff) - col("_sv")).as("_cumoff"))
+      case None => offAgg.select(col("_shard"),
+        (sum(col("_sc")).over(wOff) - col("_sc")).as("_rkoff"))
+    })
+    val joined = local.join(broadcast(offsets), Seq("_shard"))
+      .withColumn("_grk", col("_rkoff") + col("_lrk"))
+    (cumCol match {
+      case Some(_) => joined
+        .withColumn("_gcum", col("_cumoff") + col("_lcum"))
+        .drop("_lcum", "_cumoff")
+      case None => joined
+    }).drop("_shard", "_lrk", "_rkoff")
+  }
+
   /** Decile lift / gains table — the model-eval report every scored
     * targeting pipeline prints: rank rows by score descending, split
     * into `nBuckets` equal-count bands, and per band report the
@@ -6408,9 +6503,13 @@ object Stats {
     // trunc and floor diverge) are loudly rejected — a life table has
     // no negative time axis. Double `/`+cast would also double-round
     // near 2^53.
+    // NULL durations keep flowing to the NULL interval bucket (the
+    // pre-r16 cross-engine agreement — ADVICE r16: the negative guard
+    // must not swallow NULLs into a NULL-message raise); only a
+    // genuinely negative duration is loud
     val durRaw = col(durationCol).cast("long")
     val base = df.select(
-      when(durRaw >= 0L, durRaw)
+      when(durRaw >= 0L || durRaw.isNull, durRaw)
         .otherwise(raise_error(concat(
           lit("lifeTable: negative duration "), durRaw.cast("string"),
           lit(" — interval bucketing assumes durations >= 0")))
@@ -6474,7 +6573,11 @@ object Stats {
     * The pair pass is O(n²) BY DEFINITION — guarded LOUDLY by
     * `maxRows` (the dtw/bradleyTerry discipline): this runs on
     * report-sized unit frames, not the corpus. n < 5 is loud (the
-    * denominator needs n−4 > 0).
+    * denominator needs n−4 > 0). The count comes from a DISTRIBUTED
+    * aggregate (1-row broadcast) and the guard rides the id window's
+    * own sort key, so an oversized corpus refuses at the map side —
+    * BEFORE the single-partition id sort, which therefore only ever
+    * sees ≤ maxRows rows (the loud-bound class of SCALING.md class 6).
     */
   def hoeffdingsD(
       df: DataFrame,
@@ -6485,19 +6588,20 @@ object Stats {
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val W = org.apache.spark.sql.expressions.Window
-    val base = df.select(col(xCol).cast("long").as("_x"),
+    val raw = df.select(col(xCol).cast("long").as("_x0"),
       col(yCol).cast("long").as("_y"))
-      .withColumn("_id", row_number().over(
-        W.partitionBy(lit(1)).orderBy(col("_x").asc, col("_y").asc))
-        .cast("long"))
-      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+    val cnt = raw.agg(count(lit(1)).as("_n"))
+    val base = raw.crossJoin(broadcast(cnt))
       .withColumn("_x",
-        when(col("_n") >= 5L && col("_n") <= maxRows, col("_x"))
+        when(col("_n") >= 5L && col("_n") <= maxRows, col("_x0"))
           .otherwise(raise_error(concat(lit("hoeffdingsD: n = "),
             col("_n").cast("string"),
             lit(s" outside [5, maxRows=$maxRows] — the pair pass is " +
               "n²; aggregate to a bounded unit frame first")))
             .cast("long")))
+      .withColumn("_id", row_number().over(
+        W.partitionBy(lit(1)).orderBy(col("_x").asc, col("_y").asc))
+        .cast("long"))
     val a = base.select(col("_id"), col("_x"), col("_y"), col("_n"))
     val b = base.select(col("_id").as("_jd"), col("_x").as("_xj"),
       col("_y").as("_yj"))
@@ -6616,14 +6720,19 @@ object Stats {
     * 95% critical-value table (the ljungBox convention).
     *
     * Determinism: the pooled median is the EXACT lower-median order
-    * statistic (rank ⌈n/2⌉ over the (value, group, rowid) total
-    * order — the corpus pick convention, no interpolation); counts
-    * are exact longs; expected cells and χ² terms close in d6. A
-    * degenerate split (every value on one side, e.g. a heavily
-    * repeated median) answers NULL χ².
+    * statistic — rank ⌈n/2⌉ of the total order, located WITHOUT
+    * ranking any row: the value at that rank depends only on the
+    * per-value counts, so the distinct-value cumulative frame (the
+    * [[mannWhitneyU]] value-grouped discipline, SCALING.md class 6)
+    * pins it as the unique value run whose cumulative count straddles
+    * the target rank. No interpolation; counts are exact longs;
+    * expected cells and χ² terms close in d6. A degenerate split
+    * (every value on one side, e.g. a heavily repeated median)
+    * answers NULL χ².
     *
-    * Scale shape: one rank window for the median pick + one keyed
-    * aggregate + a k-row rollup.
+    * Scale shape: one value-keyed aggregate + a cumulative window
+    * over the domain-bounded distinct-value frame (the median pick,
+    * a 1-row broadcast) + one keyed aggregate + a k-row rollup.
     */
   def moodMedianTest(
       df: DataFrame,
@@ -6634,11 +6743,17 @@ object Stats {
     val W = org.apache.spark.sql.expressions.Window
     val base = df.select(col(groupCol).as("_g"),
       col(xCol).cast("long").as("_x"))
-      .withColumn("_rk", row_number().over(
-        W.partitionBy(lit(1)).orderBy(col("_x").asc, col("_g").asc))
-        .cast("long"))
-      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
-    val med = base.filter(col("_rk") === expr("(_n + 1) div 2"))
+    val wBefore = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wFrame = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // the lower-median value run: cumBefore < ⌈n/2⌉ ≤ cumBefore + t
+    val med = base.groupBy(col("_x"))
+      .agg(count(lit(1)).as("_t"))
+      .withColumn("_cb", coalesce(sum(col("_t")).over(wBefore), lit(0L)))
+      .withColumn("_n", sum(col("_t")).over(wFrame))
+      .filter(col("_cb") < expr("(_n + 1) div 2") &&
+        col("_cb") + col("_t") >= expr("(_n + 1) div 2"))
       .select(col("_x").as("_med"))
     val counted = base.crossJoin(broadcast(med))
       .groupBy(col("_g"))
@@ -6686,8 +6801,11 @@ object Stats {
     * Groups must be 0/1 (loud); zero score variance (all scores
     * equal — degenerate spread) answers NULL z.
     *
-    * Scale shape: value-cell midrank window + one keyed rollup — the
-    * mannWhitneyU shape.
+    * Scale shape: the corpus collapses to ONE row per distinct value
+    * FIRST (the [[mannWhitneyU]] value-grouped discipline, SCALING.md
+    * class 6 — the doubled midrank, and hence the inward score, is
+    * constant on a value run); the cumulative window runs over the
+    * domain-bounded distinct-value frame, then one 1-row rollup.
     */
   def ansariBradley(
       df: DataFrame,
@@ -6700,20 +6818,32 @@ object Stats {
       col(armCol).cast("long"))
       .otherwise(raise_error(concat(lit("ansariBradley: arm flag "),
         col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
-    val rows = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
-      .withColumn("_r2",
-        lit(2L) * rank().over(
-          W.partitionBy(lit(1)).orderBy(col("_x").asc)).cast("long") +
-          count(lit(1)).over(W.partitionBy(col("_x"))) - 1L)
-      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+    val byVal = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
+      .groupBy(col("_x"))
+      .agg(sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("_c0"),
+        sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("_c1"))
+      .withColumn("_t", col("_c0") + col("_c1"))
+    val wBefore = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wFrame = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // doubled midrank of the run (2·rank + ties − 1 of the old
+    // row-level window = 2·cumBefore + t + 1, exact) and the inward
+    // doubled score — both constant per value run
+    val cells = byVal
+      .withColumn("_r2", lit(2L) *
+        coalesce(sum(col("_t")).over(wBefore), lit(0L)) +
+        col("_t") + 1L)
+      .withColumn("_n", sum(col("_t")).over(wFrame))
       .withColumn("_s2",
         least(col("_r2"), lit(2L) * (col("_n") + 1L) - col("_r2")))
-    val agg = rows.agg(max(col("_n")).as("n"),
-      sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("n1"),
-      sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("n0"),
-      sum(when(col("_a") === 1L, col("_s2")).otherwise(0L)).as("_ab2"),
-      sum(dec(col("_s2"))).as("_ss"),
-      sum(dec(col("_s2")) * dec(col("_s2"))).as("_ssq"))
+    val agg = cells.agg(max(col("_n")).as("n"),
+      sum(col("_c1")).as("n1"),
+      sum(col("_c0")).as("n0"),
+      sum(col("_c1") * col("_s2")).as("_ab2"),
+      sum(dec(col("_t")) * dec(col("_s2"))).as("_ss"),
+      sum(dec(col("_t")) * dec(col("_s2")) * dec(col("_s2")))
+        .as("_ssq"))
     val nD = col("n").cast("double")
     val e2 = col("n1").cast("double") *
       col("_ss").cast("double") / nD
@@ -7114,8 +7244,9 @@ object Stats {
     * scores): (band, n, n_resp, resp_rate, lift, cum_resp,
     * cum_capture).
     *
-    * Scale shape: one rank window + one band aggregate + a G-row
-    * cumulative window.
+    * Scale shape: the sharded (score desc, id) rank
+    * ([[shardedTotalOrder]] — SCALING.md class 6, never a raw-row
+    * global window) + one band aggregate + a G-row cumulative window.
     */
   def gainLiftTable(
       df: DataFrame,
@@ -7131,13 +7262,11 @@ object Stats {
       col(labelCol).cast("long"))
       .otherwise(raise_error(concat(lit("gainLiftTable: label "),
         col(labelCol).cast("string"), lit(" is not 0/1"))).cast("long"))
-    val ranked = df.select(col(idCol).as("_id"),
-        col(scoreCol).cast("long").as("_s"), y.as("_y"))
-      .withColumn("_rk", row_number().over(
-        W.partitionBy(lit(1)).orderBy(col("_s").desc, col("_id").asc))
-        .cast("long"))
-      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
-      .withColumn("_g", expr(s"((_rk - 1) * ${groups}L) div _n"))
+    val ranked = shardedTotalOrder(
+      df.select(col(idCol).as("_tb"),
+        col(scoreCol).cast("long").as("_sk"), y.as("_y")),
+      desc = true)
+      .withColumn("_g", expr(s"((_grk - 1) * ${groups}L) div _n"))
     val byG = ranked.groupBy(col("_g"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_resp"),
         max(col("_n")).as("_tot"))
@@ -7617,9 +7746,12 @@ object Stats {
     * decimals; each share ONE d6. Negative values are loud (shares
     * would not be monotone); n < points is loud (cuts would repeat).
     *
-    * Scale shape: one rank window + one cumulative window + a
-    * points-row semi-pick. Output one row per point:
-    * (point, pop_share, n_cum, value_share).
+    * Scale shape: the sharded rank + exact sharded cumulative
+    * ([[shardedTotalOrder]] with its decimal prefix carry — SCALING.md
+    * class 6, never a raw-row global window) + an in-row cut-rank
+    * test (each rank knows the unique point it could cut — no
+    * points-fold explode) + a 1-row totals broadcast. Output one row
+    * per point: (point, pop_share, n_cum, value_share).
     */
   def lorenzCurve(
       df: DataFrame,
@@ -7629,37 +7761,37 @@ object Stats {
     require(points >= 2, s"points must be >= 2, got $points")
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val W = org.apache.spark.sql.expressions.Window
     val y = when(col(valueCol).cast("long") >= 0L,
       col(valueCol).cast("long"))
       .otherwise(raise_error(concat(lit("lorenzCurve: negative value "),
         col(valueCol).cast("string"))).cast("long"))
-    val ranked = df.select(col(unitCol).as("_u"), y.as("_y"))
-      .withColumn("_rk", row_number().over(
-        W.partitionBy(lit(1)).orderBy(col("_y").asc, col("_u").asc))
-        .cast("long"))
-      .withColumn("_n",
-        count(lit(1)).over(W.partitionBy(lit(1))))
-      .withColumn("_cum", sum(dec(col("_y"))).over(
-        W.partitionBy(lit(1)).orderBy(col("_rk").asc)
-          .rowsBetween(W.unboundedPreceding, W.currentRow)))
-      .withColumn("_tot", sum(dec(col("_y"))).over(W.partitionBy(lit(1))))
+    val tot = df.select(y.as("_y0"))
+      .agg(sum(dec(col("_y0"))).as("_tot"))
+    val ranked = shardedTotalOrder(
+      df.select(col(unitCol).as("_tb"), y.as("_sk"),
+        y.as("_y")),
+      cumCol = Some("_y"))
+      .crossJoin(broadcast(tot))
     val guarded = ranked.withColumn("_n",
       when(col("_n") >= points.toLong, col("_n"))
         .otherwise(raise_error(concat(
           lit(s"lorenzCurve: n = "), col("_n").cast("string"),
           lit(s" < points = $points — cut ranks would repeat")))
           .cast("long")))
-    val pts = explode(array((1 to points).map(i => lit(i.toLong)): _*))
-    guarded.select(col("_rk"), col("_n"), col("_cum"), col("_tot"))
-      .withColumn("point", pts)
-      .filter(col("_rk") === expr(s"(point * _n) div ${points}L"))
+    // rank k is a cut iff the SMALLEST point p with (p·n) div P ≥ k —
+    // p = ⌈k·P/n⌉ — lands exactly on k; with n ≥ P (guarded) the cut
+    // ranks are strictly increasing, so the point is unique per rank
+    guarded
+      .withColumn("point",
+        expr(s"(_grk * ${points}L + _n - 1) div _n"))
+      .filter(col("point") <= points.toLong &&
+        col("_grk") === expr(s"(point * _n) div ${points}L"))
       .select(col("point"),
         d6(col("point").cast("double") / lit(points.toDouble))
           .as("pop_share"),
-        col("_rk").as("n_cum"),
+        col("_grk").as("n_cum"),
         when(col("_tot") > 0L,
-          d6(col("_cum").cast("double") / col("_tot").cast("double")))
+          d6(col("_gcum").cast("double") / col("_tot").cast("double")))
           .as("value_share"))
   }
 
@@ -7678,8 +7810,10 @@ object Stats {
     * loud; zero totals answer NULL. Ties follow the total-order
     * convention (documented; deterministic).
     *
-    * Scale shape: one rank window + ONE corpus aggregate.
-    * Output ONE row: (n, gini_base, conc_contrib, kakwani).
+    * Scale shape: the sharded (base, unit) rank
+    * ([[shardedTotalOrder]], SCALING.md class 6 — same exact ranks as
+    * a global window, never its single-task sort) + ONE corpus
+    * aggregate. Output ONE row: (n, gini_base, conc_contrib, kakwani).
     */
   def kakwani(
       df: DataFrame,
@@ -7688,20 +7822,17 @@ object Stats {
       contribCol: String): DataFrame = {
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val W = org.apache.spark.sql.expressions.Window
     def pos(cn: String) = when(col(cn).cast("long") >= 0L,
       col(cn).cast("long"))
       .otherwise(raise_error(concat(lit(s"kakwani: negative $cn "),
         col(cn).cast("string"))).cast("long"))
-    val ranked = df.select(col(unitCol).as("_u"), pos(baseCol).as("_y"),
-        pos(contribCol).as("_t"))
-      .withColumn("_rk", row_number().over(
-        W.partitionBy(lit(1)).orderBy(col("_y").asc, col("_u").asc))
-        .cast("long"))
+    val ranked = shardedTotalOrder(
+      df.select(col(unitCol).as("_tb"), pos(baseCol).as("_sk"),
+        pos(contribCol).as("_t")))
     val agg = ranked.agg(count(lit(1)).as("n"),
-      sum(dec(col("_y"))).as("_sy"), sum(dec(col("_t"))).as("_st"),
-      sum(dec(col("_rk")) * dec(col("_y"))).as("_sry"),
-      sum(dec(col("_rk")) * dec(col("_t"))).as("_srt"))
+      sum(dec(col("_sk"))).as("_sy"), sum(dec(col("_t"))).as("_st"),
+      sum(dec(col("_grk")) * dec(col("_sk"))).as("_sry"),
+      sum(dec(col("_grk")) * dec(col("_t"))).as("_srt"))
     def index(srv: Column, sv: Column) = when(sv > 0L,
       d6((dec(lit(2L)) * srv -
         dec(col("n") + 1L) * sv).cast("double") /
@@ -7722,18 +7853,29 @@ object Stats {
     * the small-sample correction A*² = A²·(1 + 4/n − 25/n²) judged
     * against the 0.787 5% critical value (Stephens 1974).
     *
-    * Determinism: exact decimal sufficient sums; mean and sd close in
-    * the [[processCapability]] d6(√d6) chain; each z ONE d6; Φ via
-    * the shared [[normalTwoSidedP]] erfc polynomial; the rank-paired
-    * term (2i−1)·[ln Φ(zᵢ) + ln(1−Φ(z_rev))] ONE d6 per rank, summed
+    * Determinism: exact decimal sufficient sums off ONE value-keyed
+    * aggregate; mean and sd close in the [[processCapability]]
+    * d6(√d6) chain; each z ONE d6; Φ via the shared
+    * [[normalTwoSidedP]] erfc polynomial. The rank sum collapses to
+    * the DISTINCT-VALUE frame (the [[mannWhitneyU]] discipline,
+    * SCALING.md class 6) by the index substitution j = n+1−i —
+    *   Σᵢ(2i−1)[lnΦ(zᵢ) + ln(1−Φ(z_{n+1−i}))]
+    *     = Σᵢ[(2i−1)·lnΦ(zᵢ) + (2n+1−2i)·ln(1−Φ(zᵢ))]
+    * — which both removes the rank-key self-join and makes the weight
+    * of a tied run [a, b] closed-form: Σ(2i−1) = b²−(a−1)² and
+    * Σ(2n+1−2i) = t(2n+1) − (b(b+1) − (a−1)a), exact integers off the
+    * cumulative window over the distinct-value frame. Each run's term
+    * w₁·lnΦ(z) + w₂·ln(1−Φ(z)) takes ONE d6 (the per-RUN granularity
+    * is the documented contract; the oracle replays it), terms sum in
     * decimal; A² and A*² one d6 each. A z extreme enough that Φ
     * saturates to 0/1 in doubles (|z| ≳ 8) makes its log infinite —
     * the whole statistic answers NULL (the outlier IS the answer).
     * Constant series (sd 0) answer NULL; n < 8 is loud (the
     * correction and critical value need a minimal sample).
     *
-    * Scale shape: ONE corpus aggregate + one rank window + one
-    * rank-key self equi-join (i ↔ n+1−i) + a 1-row rollup.
+    * Scale shape: one value-keyed aggregate (map-side combined) + a
+    * cumulative window over the domain-bounded distinct-value frame +
+    * a 1-row rollup. No raw-row window, no self-join.
     */
   def andersonDarling(
       df: DataFrame,
@@ -7742,17 +7884,24 @@ object Stats {
     def d28(c: Column) = c.cast("decimal(28,6)")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val W = org.apache.spark.sql.expressions.Window
-    val base = df.select(col(xCol).cast("long").as("_x"))
-      .withColumn("_rk", row_number().over(
-        W.partitionBy(lit(1)).orderBy(col("_x").asc)).cast("long"))
-      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
-      .withColumn("_s", sum(dec(col("_x"))).over(W.partitionBy(lit(1))))
-      .withColumn("_q", sum(dec(col("_x")) * dec(col("_x")))
-        .over(W.partitionBy(lit(1))))
+    val byVal = df.select(col(xCol).cast("long").as("_x"))
+      .groupBy(col("_x"))
+      .agg(count(lit(1)).as("_t"))
+    val wBefore = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wFrame = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cells = byVal
+      .withColumn("_cb", coalesce(sum(col("_t")).over(wBefore), lit(0L)))
+      .withColumn("_n", sum(col("_t")).over(wFrame))
+      .withColumn("_s", sum(dec(col("_x")) * dec(col("_t")))
+        .over(wFrame))
+      .withColumn("_q", sum(dec(col("_x")) * dec(col("_x")) *
+        dec(col("_t"))).over(wFrame))
     val nOk = when(col("_n") >= 8L, col("_n"))
       .otherwise(raise_error(concat(lit("andersonDarling: n = "),
         col("_n").cast("string"), lit(" < 8"))).cast("long"))
-    val withZ = base
+    val withZ = cells
       .withColumn("_n", nOk)
       .withColumn("_mean",
         d6(col("_s").cast("double") / col("_n").cast("double")))
@@ -7766,20 +7915,23 @@ object Stats {
     val p = normalTwoSidedP(col("_z"))
     val phi = when(col("_z") >= 0.0, lit(1.0) - p / lit(2.0))
       .otherwise(p / lit(2.0))
-    val fwd = withZ.select(col("_rk"), col("_n"), col("_mean"),
-      col("_sd"), phi.as("_phi"))
-    val rev = fwd.select((col("_n") + 1L - col("_rk")).as("_rk"),
-      col("_phi").as("_phirev"))
-    val joined = fwd.join(rev, Seq("_rk"))
+    // run [a, b] = [cb+1, cb+t]: closed-form odd/even index sums
+    // w1 = b² − (a−1)², w2 = t(2n+1) − (b(b+1) − (a−1)a) — exact
+    val a1 = dec(col("_cb"))          // a − 1
+    val b = dec(col("_cb") + col("_t"))
+    val w1 = b * b - a1 * a1
+    val w2 = dec(col("_t")) * dec(lit(2L) * col("_n") + 1L) -
+      (b * (b + lit(1L)) - a1 * (a1 + lit(1L)))
+    val terms = withZ
+      .withColumn("_phi", phi)
       .withColumn("_ok",
         (col("_phi") > 0.0 && col("_phi") < 1.0 &&
-          col("_phirev") > 0.0 && col("_phirev") < 1.0 &&
           col("_sd") > 0.0).cast("long"))
       .withColumn("_term",
         when(col("_ok") === 1L,
-          d6((lit(2L) * col("_rk") - lit(1L)).cast("double") *
-            (log(col("_phi")) + log(lit(1.0) - col("_phirev"))))))
-    val agg = joined.agg(max(col("_n")).as("n"),
+          d6(w1.cast("double") * log(col("_phi")) +
+            w2.cast("double") * log(lit(1.0) - col("_phi")))))
+    val agg = terms.agg(max(col("_n")).as("n"),
       max(col("_mean")).as("mean"), max(col("_sd")).as("sd"),
       sum(lit(1L) - col("_ok")).as("_bad"),
       sum(d28(col("_term"))).as("_tsum"))
@@ -7867,8 +8019,9 @@ object Stats {
     * group table still reports. Significance against the shared
     * [[chiSq95]] table (NULL past df 30).
     *
-    * Scale shape: one rank window + one group aggregate + a G-row
-    * rollup. Output one row per risk group:
+    * Scale shape: the sharded (prob, id) rank ([[shardedTotalOrder]],
+    * SCALING.md class 6) + one group aggregate + a G-row rollup.
+    * Output one row per risk group:
     * (cal_group, n, obs_events, exp_events, chi2, df, significant).
     */
   def hosmerLemeshow(
@@ -7892,16 +8045,16 @@ object Stats {
       col(labelCol).cast("long"))
       .otherwise(raise_error(concat(lit("hosmerLemeshow: label "),
         col(labelCol).cast("string"), lit(" is not 0/1"))).cast("long"))
-    val ranked = df.select(col(idCol).as("_id"), p.as("_p"), y.as("_y"))
-      .withColumn("_rk", row_number().over(
-        W.partitionBy(lit(1)).orderBy(col("_p").asc, col("_id").asc))
-        .cast("long"))
-      .withColumn("_n", count(lit(1)).over(W.partitionBy(lit(1))))
+    // risk groups cut the sharded (prob, id) total order
+    // ([[shardedTotalOrder]], SCALING.md class 6 — same exact ranks
+    // as the old raw-row global window, never its single-task sort)
+    val ranked = shardedTotalOrder(
+      df.select(col(idCol).as("_tb"), p.as("_sk"), y.as("_y")))
       .withColumn("_g",
-        expr(s"((_rk - 1) * ${groups}L) div _n"))
+        expr(s"((_grk - 1) * ${groups}L) div _n"))
     val byG = ranked.groupBy(col("_g"))
       .agg(count(lit(1)).as("n"), sum(col("_y")).as("obs_events"),
-        sum(dec(col("_p"))).as("_sp"))
+        sum(dec(col("_sk"))).as("_sp"))
     val spOk = col("_sp") > 0L &&
       col("_sp") < dec(col("n")) * dec(lit(1000000L))
     val num = dec(col("obs_events")) * dec(lit(1000000L)) - col("_sp")
@@ -7937,18 +8090,27 @@ object Stats {
     * two-arm gate when treatment changes the variance too (it usually
     * does).
     *
-    * Determinism: global and within-arm DOUBLED midranks (integers) off
-    * two rank windows; placements q₂ = R₂ − r₂ exact; per-arm placement
+    * Determinism: the corpus collapses to ONE row per distinct metric
+    * value FIRST (the [[mannWhitneyU]] value-grouped discipline —
+    * SCALING.md class 6: both the global and within-arm DOUBLED
+    * midranks are constant on (arm, value) cells, so the statistic is
+    * a function of per-(arm, value) counts); midranks come off the
+    * domain-bounded cumulative window over that frame as exact
+    * integers; placements q₂ = R₂ − r₂ exact; per-arm placement
     * variance via the cleared integer form Σ(n_a·q₂ − Σq₂)²/(4·n_a²·
-    * (n_a−1)) → ONE d6 each; p̂, W and df assemble from exact rational
-    * rank means and the two d6 variances in one fixed double order →
-    * ONE d6 each. Arms must be 0/1 and hold ≥ 2 rows — loud otherwise;
-    * zero pooled placement variance (complete separation) answers NULL
-    * W/df with p̂ still reported. No t-CDF is faked: the statistic and
+    * (n_a−1)) — assembled from the algebraically identical one-pass
+    * expansion n_a²·Σc·q₂² − n_a·(Σc·q₂)², same exact integer — →
+    * ONE d6 each; p̂, W and df assemble from exact rational rank means
+    * and the two d6 variances in one fixed double order → ONE d6 each.
+    * Arms must be 0/1 and hold ≥ 2 rows — loud otherwise; zero pooled
+    * placement variance (complete separation) answers NULL W/df with
+    * p̂ still reported. No t-CDF is faked: the statistic and
     * fractional df are the contract (the q470 Welch convention).
     *
-    * Scale shape: two rank windows + one keyed aggregate + a broadcast
-    * params join + one keyed rollup. Output ONE row:
+    * Scale shape: one (value)-keyed aggregate (map-side combined) +
+    * cumulative windows over the distinct-value frame (value-domain
+    * bounded, the GK-sketch frame class — never a raw-row global
+    * window) + one 1-row rollup. Output ONE row:
     * (n0, n1, p_hat, bm_stat, df).
     */
   def brunnerMunzel(
@@ -7962,49 +8124,55 @@ object Stats {
       col(armCol).cast("long"))
       .otherwise(raise_error(concat(lit("brunnerMunzel: arm flag "),
         col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
-    val rows = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
-      .withColumn("_gr2",
-        lit(2L) * rank().over(
-          W.partitionBy(lit(1)).orderBy(col("_x").asc)).cast("long") +
-          count(lit(1)).over(W.partitionBy(col("_x"))) - 1L)
-      .withColumn("_ar2",
-        lit(2L) * rank().over(
-          W.partitionBy(col("_a")).orderBy(col("_x").asc)).cast("long") +
-          count(lit(1)).over(W.partitionBy(col("_a"), col("_x"))) - 1L)
-      .withColumn("_q2", col("_gr2") - col("_ar2"))
-    val perArm = rows.groupBy(col("_a"))
-      .agg(count(lit(1)).as("_na"), sum(dec(col("_gr2"))).as("_sr"),
-        sum(dec(col("_q2"))).as("_sq"))
-      .select(col("_a"),
-        when(col("_na") >= 2L, col("_na"))
-          .otherwise(raise_error(concat(lit("brunnerMunzel: arm "),
-            col("_a").cast("string"), lit(" has "),
-            col("_na").cast("string"), lit(" rows (< 2)"))).cast("long"))
-          .as("_na"),
-        col("_sr"), col("_sq"))
-    val cleared = rows.join(broadcast(perArm), Seq("_a"))
-      .select(col("_a"),
-        (dec(col("_na")) * dec(col("_q2")) - col("_sq")).as("_cq"))
-      .groupBy(col("_a"))
-      .agg(sum(col("_cq") * col("_cq")).as("_cs"))
-    val per = perArm.join(cleared, Seq("_a"))
-      .select(col("_a"), col("_na"), col("_sr"),
-        d6(col("_cs").cast("double") /
-          (lit(4.0) * col("_na").cast("double") *
-            col("_na").cast("double") *
-            (col("_na").cast("double") - 1.0))).as("_v"))
-    val one = per.agg(
-      max(when(col("_a") === 0L, col("_na"))).as("_n0"),
-      max(when(col("_a") === 1L, col("_na"))).as("_n1"),
-      max(when(col("_a") === 0L, col("_sr"))).as("_sr0"),
-      max(when(col("_a") === 1L, col("_sr"))).as("_sr1"),
-      max(when(col("_a") === 0L, col("_v"))).as("_v0"),
-      max(when(col("_a") === 1L, col("_v"))).as("_v1"))
-    def need(c: Column, a: Int) = when(c.isNotNull, c)
-      .otherwise(raise_error(lit(s"brunnerMunzel: arm $a is empty"))
+    val byVal = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
+      .groupBy(col("_x"))
+      .agg(sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("_c0"),
+        sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("_c1"))
+      .withColumn("_t", col("_c0") + col("_c1"))
+    val wBefore = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    // doubled midranks per value run: 2·avgRank = 2·cumBefore + t + 1
+    // (= 2·rank + tieCount − 1 of the old row-level windows — exact)
+    val cells = byVal
+      .withColumn("_cbt", coalesce(sum(col("_t")).over(wBefore), lit(0L)))
+      .withColumn("_cb0", coalesce(sum(col("_c0")).over(wBefore), lit(0L)))
+      .withColumn("_cb1", coalesce(sum(col("_c1")).over(wBefore), lit(0L)))
+      .withColumn("_gr2", lit(2L) * col("_cbt") + col("_t") + 1L)
+      .withColumn("_q20",
+        col("_gr2") - (lit(2L) * col("_cb0") + col("_c0") + 1L))
+      .withColumn("_q21",
+        col("_gr2") - (lit(2L) * col("_cb1") + col("_c1") + 1L))
+    val one0 = cells.agg(
+      sum(col("_c0")).as("_n0r"), sum(col("_c1")).as("_n1r"),
+      sum(dec(col("_c0")) * dec(col("_gr2"))).as("_sr0"),
+      sum(dec(col("_c1")) * dec(col("_gr2"))).as("_sr1"),
+      sum(dec(col("_c0")) * dec(col("_q20"))).as("_sq0"),
+      sum(dec(col("_c1")) * dec(col("_q21"))).as("_sq1"),
+      sum(dec(col("_c0")) * dec(col("_q20")) * dec(col("_q20")))
+        .as("_qq0"),
+      sum(dec(col("_c1")) * dec(col("_q21")) * dec(col("_q21")))
+        .as("_qq1"))
+    // empty-arm and n<2 stay loud (the old per-arm guard, now riding
+    // the rollup scalars); a missing arm reads count 0 here, never NULL
+    def nOk(c: Column, a: Int) = when(c >= 2L, c)
+      .otherwise(raise_error(concat(lit(s"brunnerMunzel: arm $a has "),
+        coalesce(c, lit(0L)).cast("string"), lit(" rows (< 2)")))
         .cast("long"))
-    val n0 = need(col("_n0"), 0).cast("double")
-    val n1 = need(col("_n1"), 1).cast("double")
+    // cleared per-arm placement variance, one-pass expansion:
+    // Σc(n_a·q₂ − Σcq₂)² = n_a²·Σc·q₂² − n_a·(Σc·q₂)²
+    def vArm(na: Column, sq: Column, qq: Column): Column = {
+      val cs = dec(na) * dec(na) * qq - dec(na) * sq * sq
+      d6(cs.cast("double") /
+        (lit(4.0) * na.cast("double") * na.cast("double") *
+          (na.cast("double") - 1.0)))
+    }
+    val one = one0.select(
+      nOk(col("_n0r"), 0).as("_n0"), nOk(col("_n1r"), 1).as("_n1"),
+      col("_sr0"), col("_sr1"),
+      vArm(col("_n0r"), col("_sq0"), col("_qq0")).as("_v0"),
+      vArm(col("_n1r"), col("_sq1"), col("_qq1")).as("_v1"))
+    val n0 = col("_n0").cast("double")
+    val n1 = col("_n1").cast("double")
     val rb0 = col("_sr0").cast("double") / (lit(2.0) * n0)
     val rb1 = col("_sr1").cast("double") / (lit(2.0) * n1)
     val nv0 = n0 * col("_v0")

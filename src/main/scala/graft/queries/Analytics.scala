@@ -9211,7 +9211,10 @@ object Analytics {
   // q493: Anderson–Darling normality (Stats.andersonDarling) of
   // per-event cents — the tail-weighted gate (heavily skewed spend
   // should FAIL, and does). The oracle replays the d6(√d6) sd chain,
-  // the shared erfc Φ and the rank-paired log terms.
+  // the shared erfc Φ, and the value-grouped substitution form
+  // (j = n+1−i folds the reverse term onto the same value run, so
+  // per-run closed-form index weights replace the rank self-join;
+  // per-run d6 is the documented granularity — the class-6 rewrite).
   def q493AndersonDarling(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.Stats.andersonDarling(
       ev(s, dir).select(round(col("value") * 100).cast("long").as("x")),
@@ -9221,48 +9224,56 @@ object Analytics {
     val pz = graft.pipeline.Stats.normalTwoSidedPSql("z")
     s"""WITH b AS (
       |  SELECT CAST(round(value * 100) AS BIGINT) AS x FROM events),
+      |v AS (
+      |  SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM b GROUP BY 1),
       |r AS (
-      |  SELECT x,
-      |    CAST(row_number() OVER (ORDER BY x ASC) AS BIGINT) AS rk,
-      |    COUNT(*) OVER () AS n,
-      |    SUM(CAST(x AS HUGEINT)) OVER () AS s,
-      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER () AS q
-      |  FROM b),
+      |  SELECT x, t,
+      |    CAST(COALESCE(SUM(t) OVER (ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cb,
+      |    CAST(SUM(t) OVER () AS BIGINT) AS n,
+      |    SUM(CAST(x AS HUGEINT) * CAST(t AS HUGEINT)) OVER () AS s,
+      |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT) *
+      |      CAST(t AS HUGEINT)) OVER () AS q
+      |  FROM v),
       |mz AS (
-      |  SELECT rk, n,
+      |  SELECT x, t, cb, n,
       |    CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
       |      AS DECIMAL(28,6)) AS DOUBLE) AS mean,
       |    CAST(CAST(sqrt(CAST(CAST(
       |      CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) /
       |      CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
       |        AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE))
-      |      AS DECIMAL(28,6)) AS DOUBLE) AS sd,
-      |    x
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS sd
       |  FROM r),
       |z AS (
-      |  SELECT rk, n, mean, sd,
+      |  SELECT x, t, cb, n, mean, sd,
       |    CASE WHEN sd > 0.0 THEN CAST(CAST(
       |      (CAST(x AS DOUBLE) - mean) / sd AS DECIMAL(28,6))
       |      AS DOUBLE) END AS z
       |  FROM mz),
       |ph AS (
-      |  SELECT rk, n, mean, sd,
+      |  SELECT t, cb, n, mean, sd,
       |    CASE WHEN z >= 0.0 THEN 1.0 - $pz / 2.0
-      |      ELSE $pz / 2.0 END AS phi,
-      |    sd AS sd2
+      |      ELSE $pz / 2.0 END AS phi
       |  FROM z),
-      |j AS (
-      |  SELECT f.rk, f.n, f.mean, f.sd, f.phi, g.phi AS phirev,
-      |    CASE WHEN f.phi > 0.0 AND f.phi < 1.0 AND g.phi > 0.0 AND
-      |      g.phi < 1.0 AND f.sd > 0.0 THEN 1 ELSE 0 END AS ok
-      |  FROM ph f JOIN ph g ON g.rk = f.n + 1 - f.rk),
+      |w AS (
+      |  SELECT n, mean, sd, phi,
+      |    CAST(cb + t AS HUGEINT) * CAST(cb + t AS HUGEINT) -
+      |      CAST(cb AS HUGEINT) * CAST(cb AS HUGEINT) AS w1,
+      |    CAST(t AS HUGEINT) * CAST(2 * n + 1 AS HUGEINT) -
+      |      (CAST(cb + t AS HUGEINT) * CAST(cb + t + 1 AS HUGEINT) -
+      |       CAST(cb AS HUGEINT) * CAST(cb + 1 AS HUGEINT)) AS w2,
+      |    CASE WHEN phi > 0.0 AND phi < 1.0 AND sd > 0.0
+      |      THEN 1 ELSE 0 END AS ok
+      |  FROM ph),
       |tm AS (
-      |  SELECT rk, n, mean, sd, ok,
-      |    CASE WHEN ok = 1 THEN CAST(CAST(
-      |      CAST(2 * rk - 1 AS DOUBLE) *
-      |      (ln(phi) + ln(1.0 - phirev)) AS DECIMAL(28,6))
+      |  SELECT n, mean, sd, ok,
+      |    CASE WHEN ok = 1 THEN CAST(
+      |      CAST(w1 AS DOUBLE) * ln(phi) +
+      |      CAST(w2 AS DOUBLE) * ln(1.0 - phi)
       |      AS DECIMAL(28,6)) END AS term
-      |  FROM j),
+      |  FROM w),
       |ag AS (
       |  SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(mean) AS mean,
       |    MAX(sd) AS sd, SUM(1 - ok) AS bad, SUM(term) AS tsum
@@ -9296,7 +9307,7 @@ object Analytics {
       "event_type", "parity")
 
   val q494Sql: String =
-    """WITH c AS (
+    s"""WITH c AS (
       |  SELECT CAST(event_type AS VARCHAR) AS a,
       |    CAST(user_id % 2 AS VARCHAR) AS b,
       |    CAST(COUNT(*) AS BIGINT) AS o
@@ -9325,7 +9336,9 @@ object Analytics {
       |  FROM tm)
       |SELECT n, n_rows, n_cols, g_stat,
       |  CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS df,
-      |  CAST(g_stat >= 9.487729 AS INT) AS significant
+      |  CAST(g_stat >= ${chiCase(
+      "CAST((n_rows - 1) * (n_cols - 1) AS BIGINT)")} AS INT)
+      |    AS significant
       |FROM ag""".stripMargin
 
   // q495: two-proportion difference with the Newcombe hybrid-score CI

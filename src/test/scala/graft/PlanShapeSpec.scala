@@ -421,4 +421,54 @@ class PlanShapeSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
     assert(joins.isEmpty, s"trimmed stats planned a join: $joins")
   }
+
+  // ---- round-17 class-6 pins: global-order statistics ----
+
+  /** The class-6 law (SCALING.md): an UNPARTITIONED window may only
+    * consume an already-collapsed frame — value-grouped, sharded
+    * offsets (≤shards rows), or a G-row rollup — never raw corpus
+    * rows. Operationally: every unpartitioned WindowExec must have at
+    * least one aggregate strictly below it (the collapse, or the
+    * 1-row broadcast count whose guard rides the sort key in the
+    * loud-bound class). The pre-r17 shape — row_number over a bare
+    * scan/project — has no aggregate below and fails here.
+    */
+  private def assertNoRawRowGlobalWindow(name: String): Unit = {
+    import org.apache.spark.sql.execution.aggregate.{
+      BaseAggregateExec}
+    val wins = plans(name)
+      .flatMap(_.collect { case w: WindowExec => w })
+    val bad = wins.filter(w => w.partitionSpec.isEmpty &&
+      w.child.collect { case a: BaseAggregateExec => a }.isEmpty)
+    assert(bad.isEmpty,
+      s"$name: unpartitioned window over a raw row-level frame:\n" +
+        bad.map(_.simpleStringWithNodeId()).mkString("\n"))
+  }
+
+  test("class-6 rank statistics never window raw corpus rows " +
+      "(the nine r16-flagged entries + the rfm sweep)") {
+    Seq("q469_hoeffdings_d", "q471_mood_median", "q472_ansari_bradley",
+      "q484_brunner_munzel", "q487_hosmer_lemeshow", "q491_lorenz",
+      "q492_kakwani", "q493_anderson_darling", "q502_gain_lift",
+      "q443_rfm").foreach(assertNoRawRowGlobalWindow)
+  }
+
+  test("class-6 sharded-rank entries actually shard — a partitioned " +
+      "rank window is present (q487/q491/q492/q502/q443)") {
+    Seq("q487_hosmer_lemeshow", "q491_lorenz", "q492_kakwani",
+      "q502_gain_lift", "q443_rfm").foreach { name =>
+      val wins = plans(name)
+        .flatMap(_.collect { case w: WindowExec => w })
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        s"$name: expected the shard-partitioned rank window")
+    }
+  }
+
+  test("q493 Anderson–Darling plans ZERO joins — the substitution " +
+      "form removes the rank-key self-join") {
+    val ps = plans("q493_anderson_darling")
+    val joins = ps.flatMap(_.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
+    assert(joins.isEmpty, s"Anderson–Darling planned a join: $joins")
+  }
 }

@@ -883,5 +883,17 @@ class TimeseriesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Timeseries.permutationEntropy(mono, "k", "t", "x", m = 6)
     }
+    // a NULL x is loud (ADVICE r16): an interior NULL would fall
+    // through every ordinal comparison to the 0 branch and bias the
+    // pattern id silently — only the last lead is completeness-checked
+    val nullX = Seq(("k", 0L, java.lang.Long.valueOf(1L)),
+      ("k", 1L, null.asInstanceOf[java.lang.Long]),
+      ("k", 2L, java.lang.Long.valueOf(2L)),
+      ("k", 3L, java.lang.Long.valueOf(3L))).toDF("k", "t", "x")
+    val loudNull = intercept[Exception] {
+      Timeseries.permutationEntropy(nullX, "k", "t", "x", m = 3)
+        .collect()
+    }
+    assert(loudNull.getMessage.contains("NULL x"), loudNull.getMessage)
   }
 }

@@ -2195,6 +2195,16 @@ class StatsSpec extends SparkSpec {
         "t", "e", width = 2L).collect()
     }
     assert(neg.getMessage.contains("negative duration"), neg.getMessage)
+    // NULL durations keep flowing to the NULL interval bucket — the
+    // pre-guard cross-engine behavior (ADVICE r16: the negative guard
+    // must not swallow NULLs into a NULL-message raise)
+    val withNull = Seq((java.lang.Long.valueOf(0L), 1L),
+      (null.asInstanceOf[java.lang.Long], 0L),
+      (java.lang.Long.valueOf(2L), 0L)).toDF("t", "e")
+    val nullOut = Stats.lifeTable(withNull, "t", "e", width = 2L)
+      .collect()
+    assert(nullOut.exists(r => r.isNullAt(r.fieldIndex("interval"))),
+      nullOut.mkString("; "))
   }
 
   test("hoeffdingsD: perfect monotone dependence reads exactly 1; " +
@@ -2705,7 +2715,9 @@ class StatsSpec extends SparkSpec {
     val out = Stats.andersonDarling(xs.map(Tuple1(_)).toDF("x"), "x")
       .collect()(0)
     // replicate: exact sums → d6 mean, d6(√d6) sd, d6 z, shared-poly
-    // Φ, d6 rank-paired terms, d6 A², d6 A*²
+    // Φ, then the class-6 substitution form — per VALUE RUN [a, b]:
+    // w1 = b²−(a−1)², w2 = t(2n+1) − (b(b+1) − (a−1)a), ONE d6 of
+    // w1·lnΦ + w2·ln(1−Φ) per run — then d6 A², d6 A*²
     val n = xs.size
     val s = xs.sum.toDouble
     val q = xs.map(v => v.toDouble * v).sum
@@ -2718,11 +2730,21 @@ class StatsSpec extends SparkSpec {
         t - 0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
       if (z >= 0.0) 1.0 - p / 2.0 else p / 2.0
     }
-    val zs = xs.sorted.map(v => d6((v - mean) / sd))
-    val terms = (1 to n).map { i =>
-      d6((2 * i - 1).toDouble *
-        (math.log(phi(zs(i - 1))) + math.log(1.0 - phi(zs(n - i)))))
+    def runTerms(sorted: Seq[Long], nn: Int, m: Double, sdev: Double) = {
+      val runs = sorted.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (v, g) => (v, g.size) }
+      runs.foldLeft((0L, Seq.empty[Double])) {
+        case ((cb, acc), (v, t)) =>
+          val zz = d6((v - m) / sdev)
+          val b = cb + t
+          val w1 = (b * b - cb * cb).toDouble
+          val w2 = (t.toLong * (2L * nn + 1L) -
+            (b * (b + 1L) - cb * (cb + 1L))).toDouble
+          (b, acc :+ d6(w1 * math.log(phi(zz)) +
+            w2 * math.log(1.0 - phi(zz))))
+      }._2
     }
+    val terms = runTerms(xs.sorted, n, mean, sd)
     val a2 = d6(-n.toDouble - BigDecimal(terms.map(BigDecimal(_)).sum
       .toDouble).toDouble / n)
     assert(out.getAs[Double]("mean") == mean)
@@ -2731,6 +2753,19 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[Double]("a2_star") ==
       d6(a2 * (1.0 + 4.0 / n - 25.0 / (n.toDouble * n))))
     assert(out.getAs[Int]("significant") == 1) // one huge outlier
+    // tied runs exercise the closed-form odd-sum weights (a 3-run
+    // sample where one run has t = 3): replicate the same chain
+    val tied = Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L, 9L)
+    val outT = Stats.andersonDarling(tied.map(Tuple1(_)).toDF("x"), "x")
+      .collect()(0)
+    val sT = tied.sum.toDouble
+    val qT = tied.map(v => v.toDouble * v).sum
+    val meanT = d6(sT / 8)
+    val sdT = d6(math.sqrt(d6((8 * qT - sT * sT) / (8.0 * 7))))
+    val termsT = runTerms(tied, 8, meanT, sdT)
+    val a2T = d6(-8.0 - BigDecimal(termsT.map(BigDecimal(_)).sum
+      .toDouble).toDouble / 8)
+    assert(outT.getAs[Double]("a2") == a2T)
     val const = Stats.andersonDarling(
       Seq.fill(8)(Tuple1(5L)).toDF("x"), "x").collect()(0)
     assert(const.isNullAt(const.fieldIndex("a2")))
@@ -2833,6 +2868,15 @@ class StatsSpec extends SparkSpec {
         .collect()
     }
     assert(loud.getMessage.contains("arm flag"), loud.getMessage)
+    // a missing arm reads count 0 off the value-grouped rollup and
+    // stays loud (the old per-arm guard, class-6 rewrite preserved)
+    val oneArm = intercept[Exception] {
+      Stats.brunnerMunzel(
+        Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "x"), "a", "x")
+        .collect()
+    }
+    assert(oneArm.getMessage.contains("arm 1 has 0 rows"),
+      oneArm.getMessage)
   }
 
   test("quadeTest: the textbook 3-block 3-treatment table gives " +
@@ -2906,5 +2950,46 @@ class StatsSpec extends SparkSpec {
         .collect()
     }
     assert(loud.getMessage.contains("flag"), loud.getMessage)
+  }
+
+  test("shardedTotalOrder equals the one-window form exactly — ranks, " +
+    "cumulative, null placement, both directions, shard-count " +
+    "invariant (the class-6 law, the deterministicShuffle q53 " +
+    "playbook)") {
+    import org.apache.spark.sql.expressions.Window
+    // ties, a negative key, duplicated keys across many rows, and a
+    // NULL key — everything the range map and end shards must handle
+    val rows = (1L to 500L).map { i =>
+      (s"id$i", if (i % 7 == 0) null else java.lang.Long.valueOf(
+        (i * 37 % 83) - 11), i % 13)
+    }.toDF("_tb", "_sk", "_v")
+    for (desc <- Seq(false, true); nShards <- Seq(3, 64)) {
+      val got = Stats.shardedTotalOrder(rows, desc = desc,
+        cumCol = Some("_v"), shards = nShards)
+        .select(col("_tb"), col("_grk"), col("_n"),
+          col("_gcum").cast("long").as("_gcum"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val w =
+        if (desc) Window.orderBy(col("_sk").desc, col("_tb").asc)
+        else Window.orderBy(col("_sk").asc, col("_tb").asc)
+      val want = rows
+        .withColumn("_grk", row_number().over(w).cast("long"))
+        .withColumn("_n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .withColumn("_gcum", sum(col("_v").cast("decimal(38,0)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .collect().map(r => r.getAs[String]("_tb") ->
+          (r.getAs[Long]("_grk"), r.getAs[Long]("_n"),
+            r.getAs[Long]("_gcum"))).toMap
+      assert(got == want, s"desc=$desc shards=$nShards")
+    }
+    // constant key: one shard, ties broken on _tb — still exact
+    val const = Seq(("b", 5L), ("a", 5L), ("c", 5L)).toDF("_tb", "_sk")
+    val gotC = Stats.shardedTotalOrder(const)
+      .select(col("_tb"), col("_grk")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotC == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
   }
 }
