@@ -86,7 +86,16 @@ object ScaleStress {
     // (6 chained Newton rounds, each a distinct-time-frame window
     // chain + broadcast ≤keys-row params): expected ~linear in rows
     // at fixed plan depth, the cost being 6× DEPTH not volume
-    "q393_cox_ph")
+    "q393_cox_ph",
+    // round-17 addition (VERDICT r16 #3): the class-6 rewrites' proof
+    // rows. q502 rides the sharded (score desc, id) rank — expected
+    // ~linear wall with max-task shuffle ≈ corpus/64 (the old raw-row
+    // global window serialized the whole corpus through ONE task);
+    // q493 rides the value-grouped substitution form — the corpus
+    // collapses to the distinct-cents frame in ONE map-side-combined
+    // aggregate, so the F=10 cost is the aggregate, not a sort (and
+    // the old rank-key self-join is gone from the plan entirely)
+    "q502_gain_lift", "q493_anderson_darling")
 
   /** Big tables replicated FACTOR×; dims copied through unchanged. */
   private val replicated = Seq(

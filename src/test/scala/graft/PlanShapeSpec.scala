@@ -434,12 +434,19 @@ class PlanShapeSpec extends SparkSpec {
     * scan/project — has no aggregate below and fails here.
     */
   private def assertNoRawRowGlobalWindow(name: String): Unit = {
-    import org.apache.spark.sql.execution.aggregate.{
-      BaseAggregateExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // a ReusedExchangeExec is a leaf that POINTS at the collapsed
+    // subtree — pierce it, or a reused value-grouped aggregate reads
+    // as a raw frame
+    def hasAggBelow(p: SparkPlan): Boolean =
+      p.collect { case a: BaseAggregateExec => a }.nonEmpty ||
+        p.collect { case r: ReusedExchangeExec => r }
+          .exists(r => hasAggBelow(r.child))
     val wins = plans(name)
       .flatMap(_.collect { case w: WindowExec => w })
     val bad = wins.filter(w => w.partitionSpec.isEmpty &&
-      w.child.collect { case a: BaseAggregateExec => a }.isEmpty)
+      !hasAggBelow(w.child))
     assert(bad.isEmpty,
       s"$name: unpartitioned window over a raw row-level frame:\n" +
         bad.map(_.simpleStringWithNodeId()).mkString("\n"))

@@ -83,4 +83,41 @@ class InventorySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"class-3b rows whose bound is missing in " +
       s"source: ${bad.mkString(", ")}")
   }
+
+  test("every class-6 global-order operator in docs/SCALING.md names " +
+    "a sanctioned shape whose evidence exists in its source") {
+    // class-6 lockstep (VERDICT r16 #2): the table row IS the promise
+    // that a rank-consuming operator uses a sanctioned total-order
+    // shape — a renamed operator, a dropped helper call or a removed
+    // bound goes red here instead of drifting silently; a NEW
+    // rank-consuming operator ships with a row or PlanShapeSpec's
+    // class-6 law has nothing naming it
+    def read(p: String): String = {
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val scaling = read("docs/SCALING.md")
+    val sanctioned = Set("value-grouped", "sharded-rank", "loud-bound")
+    val RowRe =
+      ("""\| `([A-Za-z]+)\.([A-Za-z]+)` \| (src/[^ |]+) \| """ +
+        """([a-z-]+) \| ([^|]+) \|""").r
+    val rows = RowRe.findAllMatchIn(scaling).map(m =>
+      (m.group(1), m.group(2), m.group(3), m.group(4),
+        m.group(5).trim)).toSeq
+    assert(rows.size >= 28, s"class-6 table parsed only ${rows.size} rows")
+    val badShape = rows.filterNot(r => sanctioned(r._4))
+    assert(badShape.isEmpty,
+      s"class-6 rows with an unsanctioned shape: ${badShape.mkString(", ")}")
+    val bad = rows.filterNot { case (_, method, path, _, evidence) =>
+      val src = read(path)
+      src.contains(s"def $method(") && src.contains(evidence)
+    }
+    assert(bad.isEmpty, s"class-6 rows whose operator or evidence is " +
+      s"missing in source: ${bad.mkString(", ")}")
+    // the sharded rows must actually ride the factored helper (or the
+    // liftTable/conformalGate inline shard stage it factored)
+    val sharded = rows.filter(_._4 == "sharded-rank")
+    assert(sharded.size >= 7, s"expected >= 7 sharded-rank rows, " +
+      s"got ${sharded.size}")
+  }
 }
