@@ -8364,4 +8364,357 @@ object Stats {
         d6((col("tp") * col("tn")).cast("double") /
           (col("fp") * col("fn")).cast("double"))).as("dor"))
   }
+
+  /** Cucconi two-sample location-scale test (Cucconi 1968; Marozzi
+    * 2009's revival) — ONE rank statistic that reacts to a shift in
+    * EITHER the center or the spread: U standardizes the sum of
+    * squared ranks of arm 1, V the sum of squared CONTRARY ranks
+    * (n+1−R), and C = (U*² + V*² − 2ρU*V*)/(2(1−ρ²)) combines them
+    * with their known negative correlation ρ = 2(n²−4)/((2n+1)(8n+11))
+    * − 1. Predates and (per Marozzi's power study) generally beats
+    * the Lepage combination it's usually compared with; asymptotic
+    * null P(C > c) = e^{−c}, so the p-value is one exp — no CDF table.
+    *
+    * Determinism: the corpus collapses to the distinct-value frame
+    * FIRST (the [[mannWhitneyU]] value-grouped discipline, SCALING.md
+    * class 6); DOUBLED midranks keep U4 = Σc₁·r₂² and V4 =
+    * Σc₁·(2(n+1)−r₂)² exact decimal (U4 = 4U, so the no-tie moments
+    * scale by 4/16 in the fixed standardization chain); U*, V*, C and
+    * p = e^{−C} take ONE d6 each. Midrank tie handling is the
+    * documented convention (the exact no-tie moments make C
+    * tie-APPROXIMATE — the cramerVonMises trade, stated not hidden).
+    * Arms must be 0/1 with both non-empty and n ≥ 3 (ρ = −1 at n = 2
+    * degenerates the denominator) — loud otherwise.
+    *
+    * Scale shape: one value-keyed aggregate (map-side combined) + a
+    * cumulative window over the domain-bounded distinct-value frame +
+    * one 1-row rollup. Output ONE row:
+    * (n_a, n_b, u_star, v_star, cucconi_c, p_value, significant).
+    */
+  def cucconiTest(
+      df: DataFrame,
+      armCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("cucconiTest: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val byVal = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
+      .groupBy(col("_x"))
+      .agg(sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("_c0"),
+        sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("_c1"))
+      .withColumn("_t", col("_c0") + col("_c1"))
+    val wBefore = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wFrame = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cells = byVal
+      .withColumn("_r2", lit(2L) *
+        coalesce(sum(col("_t")).over(wBefore), lit(0L)) +
+        col("_t") + 1L)
+      .withColumn("_n", sum(col("_t")).over(wFrame))
+      .withColumn("_k2", lit(2L) * (col("_n") + 1L) - col("_r2"))
+    val agg = cells.agg(max(col("_n")).as("_nr"),
+      sum(col("_c0")).as("_n0"), sum(col("_c1")).as("_n1"),
+      sum(dec(col("_c1")) * dec(col("_r2")) * dec(col("_r2")))
+        .as("_u4"),
+      sum(dec(col("_c1")) * dec(col("_k2")) * dec(col("_k2")))
+        .as("_v4"))
+    val guarded = agg.select(
+      when(col("_n0") >= 1L && col("_n1") >= 1L && col("_nr") >= 3L,
+        col("_n0"))
+        .otherwise(raise_error(concat(
+          lit("cucconiTest: need both arms non-empty and n >= 3; "),
+          lit("got n_a="), coalesce(col("_n0"), lit(0L)).cast("string"),
+          lit(" n_b="), coalesce(col("_n1"), lit(0L)).cast("string"),
+          lit(" n="), coalesce(col("_nr"), lit(0L)).cast("string")))
+          .cast("long")).as("n_a"),
+      col("_n1").as("n_b"), col("_nr").as("_n"),
+      col("_u4"), col("_v4"))
+    val n = col("_n").cast("double")
+    val n0 = col("n_a").cast("double")
+    val n1 = col("n_b").cast("double")
+    // no-tie moments in the 4× doubled-square units: E[U4] = 4E[U],
+    // sd[U4] = 4·sd[U]; fixed multiply-divide order, shared by the
+    // oracle verbatim
+    val eU4 = lit(2.0) * n1 * (n + 1.0) * (lit(2.0) * n + 1.0) / 3.0
+    val sdU4 = lit(4.0) * sqrt(n0 * n1 * (n + 1.0) *
+      (lit(2.0) * n + 1.0) * (lit(8.0) * n + 11.0) / 180.0)
+    val uStar = d6((col("_u4").cast("double") - eU4) / sdU4)
+    val vStar = d6((col("_v4").cast("double") - eU4) / sdU4)
+    val rho = lit(2.0) * (n * n - 4.0) /
+      ((lit(2.0) * n + 1.0) * (lit(8.0) * n + 11.0)) - 1.0
+    val staged = guarded.select(col("n_a"), col("n_b"),
+      uStar.as("u_star"), vStar.as("v_star"), rho.as("_rho"))
+    val c = d6((col("u_star") * col("u_star") +
+      col("v_star") * col("v_star") -
+      lit(2.0) * col("_rho") * col("u_star") * col("v_star")) /
+      (lit(2.0) * (lit(1.0) - col("_rho") * col("_rho"))))
+    staged
+      .withColumn("cucconi_c", c)
+      .withColumn("p_value", d6(exp(-col("cucconi_c"))))
+      .select(col("n_a"), col("n_b"), col("u_star"), col("v_star"),
+        col("cucconi_c"), col("p_value"),
+        (col("p_value") <= 0.05).cast("int").as("significant"))
+  }
+
+  /** Lepage two-sample location-scale test (Lepage 1971): L = z_W² +
+    * z_AB², the Wilcoxon rank-sum z ([[mannWhitneyU]]'s, tie-corrected)
+    * plus the Ansari–Bradley dispersion z ([[ansariBradley]]'s),
+    * combined as χ²(2) — the classical "did the treatment move the
+    * center OR the spread" omnibus next to [[cucconiTest]] (which
+    * models the correlation between its two halves instead of assuming
+    * the components independent; Lepage's W and AB statistics ARE
+    * asymptotically independent, which is why the plain sum works).
+    *
+    * Determinism: BOTH component z's assemble from the SAME
+    * value-grouped pass (one distinct-value frame, one cumulative
+    * window — SCALING.md class 6), each replaying its parent
+    * operator's exact integer/d6 chain verbatim; L is one more d6;
+    * `significant` is L ≥ 5.991459 (the shared χ²(2) literal,
+    * [[jarqueBera]]'s). Degenerate spreads (either component's
+    * variance 0 — every unit tied, or every inward score equal)
+    * answer NULL L rather than faking a 0. Arms must be 0/1 and both
+    * non-empty — loud.
+    *
+    * Scale shape: one value-keyed aggregate + a cumulative window over
+    * the domain-bounded distinct-value frame + one 1-row rollup —
+    * [[mannWhitneyU]]'s plan, paying once for both components.
+    */
+  def lepageTest(
+      df: DataFrame,
+      armCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val arm = when(col(armCol).cast("long").isin(0L, 1L),
+      col(armCol).cast("long"))
+      .otherwise(raise_error(concat(lit("lepageTest: arm flag "),
+        col(armCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val byVal = df.select(arm.as("_a"), col(xCol).cast("long").as("_x"))
+      .groupBy(col("_x"))
+      .agg(sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("_c0"),
+        sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("_c1"))
+      .withColumn("_t", col("_c0") + col("_c1"))
+    val wBefore = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wFrame = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val cells = byVal
+      .withColumn("_r2", lit(2L) *
+        coalesce(sum(col("_t")).over(wBefore), lit(0L)) +
+        col("_t") + 1L)
+      .withColumn("_n", sum(col("_t")).over(wFrame))
+      .withColumn("_s2",
+        least(col("_r2"), lit(2L) * (col("_n") + 1L) - col("_r2")))
+    val agg = cells.agg(max(col("_n")).as("_nr"),
+      sum(col("_c0")).as("_n0"), sum(col("_c1")).as("_n1"),
+      sum(dec(col("_c1")) * dec(col("_r2"))).as("_r1x2"),
+      sum(dec(col("_t")) * dec(col("_t")) * dec(col("_t")) -
+        dec(col("_t"))).as("_ties"),
+      sum(col("_c1") * col("_s2")).as("_ab2"),
+      sum(dec(col("_t")) * dec(col("_s2"))).as("_ss"),
+      sum(dec(col("_t")) * dec(col("_s2")) * dec(col("_s2")))
+        .as("_ssq"))
+    val guarded = agg.select(
+      when(col("_n0") >= 1L && col("_n1") >= 1L, col("_n0"))
+        .otherwise(raise_error(concat(
+          lit("lepageTest: need both arms non-empty; got n_a="),
+          coalesce(col("_n0"), lit(0L)).cast("string"), lit(" n_b="),
+          coalesce(col("_n1"), lit(0L)).cast("string"))).cast("long"))
+        .as("n_a"),
+      col("_n1").as("n_b"), col("_nr").as("_n"),
+      col("_r1x2"), col("_ties"), col("_ab2"), col("_ss"), col("_ssq"))
+    val n0 = col("n_a").cast("double")
+    val n1 = col("n_b").cast("double")
+    val n = n0 + n1
+    // Wilcoxon component — mannWhitneyU's exact chain verbatim
+    val u1x2 = col("_r1x2") - dec(col("n_b")) * dec(col("n_b") + 1L)
+    val varU = n0 * n1 / 12.0 *
+      ((n + 1.0) - col("_ties").cast("double") / (n * (n - 1.0)))
+    val zW = when(varU > 0.0,
+      d6((u1x2.cast("double") - n0 * n1) / (lit(2.0) * sqrt(varU))))
+    // Ansari–Bradley component — ansariBradley's exact chain verbatim
+    val nD = col("_n").cast("double")
+    val e2 = n1 * col("_ss").cast("double") / nD
+    val var2 = n1 * n0 *
+      (nD * col("_ssq").cast("double") -
+        col("_ss").cast("double") * col("_ss").cast("double")) /
+      (nD * nD * (nD - 1.0))
+    val zA = when(var2 > 0.0,
+      d6((col("_ab2").cast("double") - e2) / sqrt(var2)))
+    val staged = guarded.select(col("n_a"), col("n_b"),
+      zW.as("z_wilcoxon"), zA.as("z_ansari"))
+    staged
+      .withColumn("lepage_l",
+        when(col("z_wilcoxon").isNotNull && col("z_ansari").isNotNull,
+          d6(col("z_wilcoxon") * col("z_wilcoxon") +
+            col("z_ansari") * col("z_ansari"))))
+      .withColumn("significant",
+        when(col("lepage_l").isNotNull,
+          (col("lepage_l") >= 5.991459).cast("int")).otherwise(lit(0)))
+  }
+
+  /** Gehan–Breslow generalized Wilcoxon test (Gehan 1965; Breslow
+    * 1970) — [[logRank]]'s early-difference-weighted sibling: the
+    * log-rank weighs every event time equally (power against
+    * proportional hazards), Gehan weights each time by the pooled
+    * at-risk count n_t, so EARLY separation — onboarding churn, first-
+    * week abandonment — dominates where late-tail noise would dilute
+    * the log-rank. Run both; they disagree exactly when the hazard
+    * gap moves over time.
+    *
+    * Determinism: the same duration-keyed frame as [[logRank]]; each
+    * weighted term U_t = n_t·(d₁ₜ − dₜ·p₁ₜ) and V_t = n_t²·v_t takes
+    * ONE d6 (fixed multiply order) and sums in decimal; z, χ² one d6
+    * each, judged at the shared 3.841459 χ²(1) literal. Zero total
+    * variance (no events, or a single event time exhausting the risk
+    * set) answers NULL z. Group flags must be 0/1 — loud.
+    *
+    * Scale shape: ONE duration-keyed aggregate + two reverse-cumulative
+    * windows over the distinct-duration frame (discrete-scale bounded
+    * by the survival-family contract) + one 1-row rollup.
+    */
+  def gehanWilcoxon(
+      df: DataFrame,
+      durationCol: String,
+      eventCol: String,
+      groupCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val W = org.apache.spark.sql.expressions.Window
+    val g = when(col(groupCol).cast("long").isin(0L, 1L),
+      col(groupCol).cast("long"))
+      .otherwise(raise_error(concat(lit("gehanWilcoxon: group flag "),
+        col(groupCol).cast("string"), lit(" is not 0/1"))).cast("long"))
+    val byT = df
+      .select(col(durationCol).cast("long").as("_t"),
+        col(eventCol).cast("long").as("_d"), g.as("_g"))
+      .groupBy(col("_t"))
+      .agg(count(lit(1)).as("_n"), sum(col("_g")).as("_n1"),
+        sum(col("_d")).as("_d"), sum(col("_d") * col("_g")).as("_d1"))
+    val wRev = W.partitionBy(lit(1)).orderBy(col("_t").asc)
+      .rowsBetween(W.currentRow, W.unboundedFollowing)
+    val risk = byT
+      .withColumn("_nr", sum(col("_n")).over(wRev))
+      .withColumn("_n1r", sum(col("_n1")).over(wRev))
+      .filter(col("_d") > 0L)
+    val p1 = col("_n1r").cast("double") / col("_nr").cast("double")
+    val uTerm = d6(col("_nr").cast("double") *
+      (col("_d1").cast("double") - col("_d").cast("double") * p1))
+    val vTerm = when(col("_nr") > 1L,
+      d6(col("_nr").cast("double") * col("_nr").cast("double") *
+        col("_d").cast("double") * p1 * (lit(1.0) - p1) *
+        (col("_nr") - col("_d")).cast("double") /
+        (col("_nr") - 1L).cast("double")))
+      .otherwise(lit(0.0))
+    val agg = risk.agg(
+      sum(col("_d1")).as("n_events_g1"),
+      sum(d28(uTerm)).as("_u"), sum(d28(vTerm)).as("_v"))
+    agg.select(col("n_events_g1"),
+      col("_u").cast("double").as("u_gehan"),
+      col("_v").cast("double").as("variance"),
+      when(col("_v").cast("double") > 0.0,
+        d6(col("_u").cast("double") /
+          sqrt(col("_v").cast("double")))).as("z"))
+      .withColumn("chi2",
+        when(col("z").isNotNull, d6(col("z") * col("z"))))
+      .withColumn("significant",
+        when(col("chi2").isNotNull,
+          (col("chi2") >= 3.841459).cast("int")).otherwise(lit(0)))
+  }
+
+  /** Dunn's post-hoc pairwise rank test (Dunn 1964) with Bonferroni
+    * control — the step AFTER [[kruskalWallis]] says "the k groups
+    * differ": WHICH pairs differ, judged on mean midranks against the
+    * tie-corrected pooled rank variance. The rank-based sibling of
+    * [[pairwiseContrasts]] (which contrasts MEANS — wrong tool when
+    * KW was chosen precisely because means weren't trusted).
+    *
+    * Determinism: global DOUBLED midranks come off the distinct-value
+    * cumulative frame (the [[mannWhitneyU]] value-grouped discipline,
+    * SCALING.md class 6 — the (group, value) cell aggregate carries
+    * each group's rank mass exactly); mean ranks R̄_g = Σc·r₂/(2n_g)
+    * take ONE d6; the shared variance factor A = N(N+1)/12 −
+    * ΣT/(12(N−1)) and each pair's z close in fixed double chains →
+    * ONE d6; p from the shared erfc polynomial; Bonferroni p·m at
+    * m = k(k−1)/2 capped at 1 (the [[pairwiseContrasts]] convention).
+    * Every value tied (A = 0) answers NULL z. k < 2 emits an EMPTY
+    * pair table — there is no pair to contrast, and an in-plan raise
+    * cannot ride a frame with zero rows (documented, the
+    * answer-not-crash convention).
+    *
+    * Scale shape: one (group, value) cell aggregate + a cumulative
+    * window over the domain-bounded distinct-value frame + a k-row
+    * group frame self-paired through a broadcast (k² grid, group
+    * cardinality bounded by contract) — never a raw-row window.
+    * Output one row per unordered pair (group_a < group_b as strings):
+    * (group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b, z,
+    * p_value, p_bonferroni, significant).
+    */
+  def dunnTest(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).cast("string").as("_g"),
+      col(xCol).cast("long").as("_x"))
+      .groupBy(col("_g"), col("_x"))
+      .agg(count(lit(1)).as("_c"))
+    val byVal = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_t"))
+    val wBefore = W.orderBy(col("_x").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    val withR2 = byVal
+      .withColumn("_r2", lit(2L) *
+        coalesce(sum(col("_t")).over(wBefore), lit(0L)) +
+        col("_t") + 1L)
+    val tot = byVal.agg(sum(col("_t")).as("_N"),
+      sum(dec(col("_t")) * dec(col("_t")) * dec(col("_t")) -
+        dec(col("_t"))).as("_T"))
+    val perG = cells
+      .join(withR2.select(col("_x"), col("_r2")), Seq("_x"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(dec(col("_c")) * dec(col("_r2"))).as("_sr"))
+      .withColumn("_rbar",
+        d6(col("_sr").cast("double") /
+          (lit(2.0) * col("_ng").cast("double"))))
+    val k = perG.agg(count(lit(1)).as("_k"))
+    val a = perG.select(col("_g").as("group_a"), col("_ng").as("n_a"),
+      col("_rbar").as("mean_rank_a"))
+    val b = perG.select(col("_g").as("group_b"), col("_ng").as("n_b"),
+      col("_rbar").as("mean_rank_b"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(col("group_a") < col("group_b"))
+      .crossJoin(broadcast(tot.crossJoin(k)))
+    val nD = col("_N").cast("double")
+    val aFac = nD * (nD + 1.0) / 12.0 -
+      col("_T").cast("double") / (lit(12.0) * (nD - 1.0))
+    val se = sqrt(aFac * (lit(1.0) / col("n_a").cast("double") +
+      lit(1.0) / col("n_b").cast("double")))
+    val z = when(aFac > 0.0,
+      d6((col("mean_rank_a") - col("mean_rank_b")) / se))
+    val m = (col("_k") * (col("_k") - 1L) / lit(2L)).cast("double")
+    val staged = pairs.select(col("group_a"), col("group_b"),
+      col("n_a"), col("n_b"), col("mean_rank_a"), col("mean_rank_b"),
+      z.as("z"), m.as("_m"))
+    val p = when(col("z").isNotNull, d6(normalTwoSidedP(col("z"))))
+    staged
+      .withColumn("p_value", p)
+      .withColumn("p_bonferroni",
+        when(col("p_value").isNotNull,
+          d6(least(lit(1.0), col("p_value") * col("_m")))))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("mean_rank_a"), col("mean_rank_b"), col("z"),
+        col("p_value"), col("p_bonferroni"),
+        when(col("p_bonferroni").isNotNull,
+          (col("p_bonferroni") <= 0.05).cast("int")).otherwise(lit(0))
+          .as("significant"))
+  }
 }

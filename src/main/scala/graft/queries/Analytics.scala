@@ -9820,7 +9820,323 @@ object Analytics {
       |  CAST(-5 * pos AS BIGINT) AS base_utility
       |FROM fin""".stripMargin
 
+  // q504: Cucconi location-scale test (Stats.cucconiTest) — did odd
+  // vs even user parity move the cents distribution's center OR
+  // spread (an A/A-style split: should read non-significant)? The
+  // oracle replays the value-grouped doubled-midrank squares, the
+  // no-tie moment standardization and the ρ-combined C with
+  // p = e^{−C}.
+  def q504Cucconi(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.cucconiTest(
+      ev(s, dir).select((col("user_id") % 2L).as("arm"),
+        round(col("value") * 100).cast("long").as("x")),
+      "arm", "x")
+
+  val q504Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |v AS (
+      |  SELECT x,
+      |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM b GROUP BY 1),
+      |r AS (
+      |  SELECT c0, c1,
+      |    CAST(2 * COALESCE(SUM(c0 + c1) OVER (ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+      |      (c0 + c1) + 1 AS BIGINT) AS r2,
+      |    CAST(SUM(c0 + c1) OVER () AS BIGINT) AS n
+      |  FROM v),
+      |ag AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(SUM(c0) AS BIGINT) AS n0,
+      |    CAST(SUM(c1) AS BIGINT) AS n1,
+      |    SUM(CAST(c1 AS HUGEINT) * CAST(r2 AS HUGEINT) *
+      |      CAST(r2 AS HUGEINT)) AS u4,
+      |    SUM(CAST(c1 AS HUGEINT) * CAST(2 * (n + 1) - r2 AS HUGEINT) *
+      |      CAST(2 * (n + 1) - r2 AS HUGEINT)) AS v4
+      |  FROM r),
+      |st AS (
+      |  SELECT n0 AS n_a, n1 AS n_b,
+      |    CAST(CAST((CAST(u4 AS DOUBLE) -
+      |      2.0 * CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) *
+      |        (2.0 * CAST(n AS DOUBLE) + 1.0) / 3.0) /
+      |      (4.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+      |        (CAST(n AS DOUBLE) + 1.0) *
+      |        (2.0 * CAST(n AS DOUBLE) + 1.0) *
+      |        (8.0 * CAST(n AS DOUBLE) + 11.0) / 180.0))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS u_star,
+      |    CAST(CAST((CAST(v4 AS DOUBLE) -
+      |      2.0 * CAST(n1 AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) *
+      |        (2.0 * CAST(n AS DOUBLE) + 1.0) / 3.0) /
+      |      (4.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) *
+      |        (CAST(n AS DOUBLE) + 1.0) *
+      |        (2.0 * CAST(n AS DOUBLE) + 1.0) *
+      |        (8.0 * CAST(n AS DOUBLE) + 11.0) / 180.0))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS v_star,
+      |    2.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 4.0) /
+      |      ((2.0 * CAST(n AS DOUBLE) + 1.0) *
+      |       (8.0 * CAST(n AS DOUBLE) + 11.0)) - 1.0 AS rho
+      |  FROM ag),
+      |cc AS (
+      |  SELECT n_a, n_b, u_star, v_star,
+      |    CAST(CAST((u_star * u_star + v_star * v_star -
+      |      2.0 * rho * u_star * v_star) /
+      |      (2.0 * (1.0 - rho * rho)) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS cucconi_c
+      |  FROM st),
+      |pp AS (
+      |  SELECT n_a, n_b, u_star, v_star, cucconi_c,
+      |    CAST(CAST(exp(-cucconi_c) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS p_value
+      |  FROM cc)
+      |SELECT n_a, n_b, u_star, v_star, cucconi_c, p_value,
+      |  CAST(p_value <= 0.05 AS INT) AS significant
+      |FROM pp""".stripMargin
+
+  // q505: Lepage location-scale omnibus (Stats.lepageTest) — the
+  // Wilcoxon z and Ansari–Bradley z off ONE value-grouped pass,
+  // combined as χ²(2), on the same parity arms as q504 (its
+  // correlation-modeling sibling). The oracle replays both parent
+  // chains verbatim from the shared distinct-value frame.
+  def q505Lepage(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.lepageTest(
+      ev(s, dir).select((col("user_id") % 2L).as("arm"),
+        round(col("value") * 100).cast("long").as("x")),
+      "arm", "x")
+
+  val q505Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(user_id % 2 AS BIGINT) AS a,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |v AS (
+      |  SELECT x,
+      |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM b GROUP BY 1),
+      |r AS (
+      |  SELECT c0, c1, c0 + c1 AS t,
+      |    CAST(2 * COALESCE(SUM(c0 + c1) OVER (ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+      |      (c0 + c1) + 1 AS BIGINT) AS r2,
+      |    CAST(SUM(c0 + c1) OVER () AS BIGINT) AS n
+      |  FROM v),
+      |s2 AS (
+      |  SELECT c0, c1, t, r2, n,
+      |    LEAST(r2, 2 * (n + 1) - r2) AS s2
+      |  FROM r),
+      |ag AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n,
+      |    CAST(SUM(c0) AS BIGINT) AS n0,
+      |    CAST(SUM(c1) AS BIGINT) AS n1,
+      |    SUM(CAST(c1 AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r1x2,
+      |    SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) *
+      |      CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS ties,
+      |    CAST(SUM(c1 * s2) AS BIGINT) AS ab2,
+      |    SUM(CAST(t AS HUGEINT) * CAST(s2 AS HUGEINT)) AS ss,
+      |    SUM(CAST(t AS HUGEINT) * CAST(s2 AS HUGEINT) *
+      |      CAST(s2 AS HUGEINT)) AS ssq
+      |  FROM s2),
+      |zz AS (
+      |  SELECT n0 AS n_a, n1 AS n_b,
+      |    CASE WHEN CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+      |      ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) + 1.0) -
+      |       CAST(ties AS DOUBLE) /
+      |       ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) *
+      |        (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 1.0))) > 0.0
+      |    THEN CAST(CAST(
+      |      (CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE) -
+      |       CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) /
+      |      (2.0 * sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+      |        ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) + 1.0) -
+      |         CAST(ties AS DOUBLE) /
+      |         ((CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) *
+      |          (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 1.0)))))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS z_wilcoxon,
+      |    CASE WHEN CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) *
+      |      (CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE) -
+      |       CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+      |       (CAST(n AS DOUBLE) - 1.0)) > 0.0
+      |    THEN CAST(CAST(
+      |      (CAST(ab2 AS DOUBLE) - CAST(n1 AS DOUBLE) *
+      |        CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |      sqrt(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) *
+      |        (CAST(n AS DOUBLE) * CAST(ssq AS DOUBLE) -
+      |         CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+      |         (CAST(n AS DOUBLE) - 1.0)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS z_ansari
+      |  FROM ag)
+      |SELECT n_a, n_b, z_wilcoxon, z_ansari,
+      |  CASE WHEN z_wilcoxon IS NOT NULL AND z_ansari IS NOT NULL
+      |    THEN CAST(CAST(z_wilcoxon * z_wilcoxon +
+      |      z_ansari * z_ansari AS DECIMAL(28,6)) AS DOUBLE)
+      |    END AS lepage_l,
+      |  CASE WHEN z_wilcoxon IS NOT NULL AND z_ansari IS NOT NULL
+      |    THEN CAST(CAST(CAST(z_wilcoxon * z_wilcoxon +
+      |      z_ansari * z_ansari AS DECIMAL(28,6)) AS DOUBLE)
+      |      >= 5.991459 AS INT) ELSE 0 END AS significant
+      |FROM zz""".stripMargin
+
+  // q506: Gehan–Breslow generalized Wilcoxon (Stats.gehanWilcoxon) —
+  // q395's churn frame under the EARLY-difference weighting (w = n_t):
+  // the A/A parity split should stay non-significant under both
+  // weightings. The oracle replays the n_t-weighted U/V term chain.
+  def q506Gehan(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val spans = evt.groupBy(col("user_id"))
+      .agg(min(us).as("_f"), max(us).as("_l"))
+    val mx = evt.agg(max(us).as("_mx"))
+    val day = 86400000000L
+    val users = spans.crossJoin(broadcast(mx))
+      .select((col("user_id") % 2L).as("grp"),
+        expr(s"(_l - _f) div ${day}L").as("duration_days"),
+        (col("_mx") - col("_l") > lit(7L * day)).cast("int")
+          .as("churned"))
+    graft.pipeline.Stats.gehanWilcoxon(users, "duration_days",
+      "churned", "grp")
+  }
+
+  val q506Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |uu AS (SELECT user_id, MIN(us) AS f, MAX(us) AS l FROM e
+      |       GROUP BY 1),
+      |mx AS (SELECT MAX(us) AS mx FROM e),
+      |du AS (
+      |  SELECT user_id % 2 AS g, (l - f) // 86400000000 AS t,
+      |    CASE WHEN mx - l > 604800000000 THEN 1 ELSE 0 END AS ev
+      |  FROM uu CROSS JOIN mx),
+      |byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(g) AS BIGINT) AS n1,
+      |    CAST(SUM(ev) AS BIGINT) AS d,
+      |    CAST(SUM(ev * g) AS BIGINT) AS d1
+      |  FROM du GROUP BY 1),
+      |r AS (SELECT *, CAST(SUM(n) OVER w AS BIGINT) AS nr,
+      |    CAST(SUM(n1) OVER w AS BIGINT) AS n1r
+      |  FROM byt WINDOW w AS (ORDER BY t
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      |trm AS (SELECT d1,
+      |    CAST(CAST(nr AS DOUBLE) * (CAST(d1 AS DOUBLE) -
+      |      CAST(d AS DOUBLE) *
+      |      (CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS ut,
+      |    CAST(CASE WHEN nr > 1 THEN
+      |      CAST(CAST(CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE) *
+      |        CAST(d AS DOUBLE) *
+      |        (CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)) *
+      |        (1.0 - CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)) *
+      |        CAST(nr - d AS DOUBLE) / CAST(nr - 1 AS DOUBLE)
+      |        AS DECIMAL(28,6)) AS DOUBLE)
+      |      ELSE 0.0 END AS DECIMAL(28,6)) AS vt
+      |  FROM r WHERE d > 0),
+      |a AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+      |    SUM(ut) AS u, SUM(vt) AS v FROM trm),
+      |zz AS (SELECT o1, CAST(u AS DOUBLE) AS ud,
+      |    CAST(v AS DOUBLE) AS vd,
+      |    CASE WHEN CAST(v AS DOUBLE) > 0 THEN
+      |      CAST(CAST(CAST(u AS DOUBLE) / sqrt(CAST(v AS DOUBLE))
+      |        AS DECIMAL(28,6)) AS DOUBLE)
+      |    END AS z FROM a)
+      |SELECT o1 AS n_events_g1, ud AS u_gehan, vd AS variance, z,
+      |  CASE WHEN z IS NOT NULL THEN
+      |    CAST(CAST(z * z AS DECIMAL(28,6)) AS DOUBLE) END AS chi2,
+      |  CASE WHEN z IS NOT NULL THEN
+      |    CAST(CAST(CAST(z * z AS DECIMAL(28,6)) AS DOUBLE)
+      |      >= 3.841459 AS INT) ELSE 0 END AS significant
+      |FROM zz""".stripMargin
+
+  // q507: Dunn's post-hoc pairwise rank test (Stats.dunnTest) — after
+  // q353's Kruskal–Wallis says the event types differ on cents, WHICH
+  // pairs differ, Bonferroni-held at the 10 comparisons. The oracle
+  // replays the value-grouped midranks, the tie-corrected variance
+  // factor and the erfc p chain.
+  def q507Dunn(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Stats.dunnTest(
+      ev(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("x")),
+      "event_type", "x")
+
+  val q507Sql: String = {
+    val pz = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    s"""WITH b AS (
+      |  SELECT CAST(event_type AS VARCHAR) AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS x
+      |  FROM events),
+      |c AS (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM b GROUP BY 1, 2),
+      |v AS (SELECT x, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT x,
+      |    CAST(2 * COALESCE(SUM(t) OVER (ORDER BY x ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+      |      t + 1 AS BIGINT) AS r2
+      |  FROM v),
+      |tt AS (SELECT CAST(SUM(t) AS BIGINT) AS nn,
+      |    SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) *
+      |      CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie
+      |  FROM v),
+      |pg AS (
+      |  SELECT c.g, CAST(SUM(c.c) AS BIGINT) AS ng,
+      |    SUM(CAST(c.c AS HUGEINT) * CAST(r.r2 AS HUGEINT)) AS sr
+      |  FROM c JOIN r ON r.x = c.x GROUP BY 1),
+      |pr AS (
+      |  SELECT g, ng,
+      |    CAST(CAST(CAST(sr AS DOUBLE) / (2.0 * CAST(ng AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS rbar
+      |  FROM pg),
+      |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM pr),
+      |p AS (
+      |  SELECT pa.g AS group_a, pb.g AS group_b, pa.ng AS n_a,
+      |    pb.ng AS n_b, pa.rbar AS mean_rank_a, pb.rbar AS mean_rank_b
+      |  FROM pr pa CROSS JOIN pr pb WHERE pa.g < pb.g),
+      |zz AS (
+      |  SELECT p.*,
+      |    CASE WHEN CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) /
+      |      12.0 - CAST(tie AS DOUBLE) /
+      |      (12.0 * (CAST(nn AS DOUBLE) - 1.0)) > 0.0
+      |    THEN CAST(CAST(
+      |      (mean_rank_a - mean_rank_b) /
+      |      sqrt((CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0) /
+      |        12.0 - CAST(tie AS DOUBLE) /
+      |        (12.0 * (CAST(nn AS DOUBLE) - 1.0))) *
+      |        (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+      |      AS DECIMAL(28,6)) AS DOUBLE) END AS z,
+      |    CAST((k * (k - 1)) // 2 AS DOUBLE) AS m
+      |  FROM p CROSS JOIN tt CROSS JOIN kk),
+      |pp AS (
+      |  SELECT group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+      |    z,
+      |    CASE WHEN z IS NOT NULL THEN
+      |      CAST(CAST($pz AS DECIMAL(28,6)) AS DOUBLE) END AS p_value,
+      |    m
+      |  FROM zz),
+      |pb AS (
+      |  SELECT group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+      |    z, p_value,
+      |    CASE WHEN p_value IS NOT NULL THEN
+      |      CAST(CAST(LEAST(1.0, p_value * m) AS DECIMAL(28,6))
+      |        AS DOUBLE) END AS p_bonferroni
+      |  FROM pp)
+      |SELECT group_a, group_b, n_a, n_b, mean_rank_a, mean_rank_b,
+      |  z, p_value, p_bonferroni,
+      |  CAST(CASE WHEN p_bonferroni IS NOT NULL AND
+      |    p_bonferroni <= 0.05 THEN 1 ELSE 0 END AS INT)
+      |    AS significant
+      |FROM pb""".stripMargin
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q504_cucconi" -> (q504Cucconi _),
+    "q505_lepage" -> (q505Lepage _),
+    "q506_gehan_wilcoxon" -> (q506Gehan _),
+    "q507_dunn" -> (q507Dunn _),
     "q501_rank_distance" -> (q501RankDistance _),
     "q502_gain_lift" -> (q502GainLift _),
     "q503_optimal_threshold" -> (q503OptimalThreshold _),
@@ -10014,6 +10330,10 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q504_cucconi" -> q504Sql,
+    "q505_lepage" -> q505Sql,
+    "q506_gehan_wilcoxon" -> q506Sql,
+    "q507_dunn" -> q507Sql,
     "q501_rank_distance" -> q501Sql,
     "q502_gain_lift" -> q502Sql,
     "q503_optimal_threshold" -> q503Sql,

@@ -457,7 +457,10 @@ class PlanShapeSpec extends SparkSpec {
     Seq("q469_hoeffdings_d", "q471_mood_median", "q472_ansari_bradley",
       "q484_brunner_munzel", "q487_hosmer_lemeshow", "q491_lorenz",
       "q492_kakwani", "q493_anderson_darling", "q502_gain_lift",
-      "q443_rfm").foreach(assertNoRawRowGlobalWindow)
+      "q443_rfm",
+      // the r17 additions ship under the same law from day one
+      "q504_cucconi", "q505_lepage", "q506_gehan_wilcoxon",
+      "q507_dunn").foreach(assertNoRawRowGlobalWindow)
   }
 
   test("class-6 sharded-rank entries actually shard — a partitioned " +

@@ -2952,6 +2952,142 @@ class StatsSpec extends SparkSpec {
     assert(loud.getMessage.contains("flag"), loud.getMessage)
   }
 
+  test("cucconiTest: replicated standardization chain on clean split " +
+    "arms; n = 2 and bad arm flags are loud") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // arms 0 = {1,2}, 1 = {3,4}: U4 = 36+64 = 100, V4 = 16+4 = 20
+    val df = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "x")
+    val r = Stats.cucconiTest(df, "a", "x").collect()(0)
+    val (n, n0, n1) = (4.0, 2.0, 2.0)
+    val eU4 = 2.0 * n1 * (n + 1.0) * (2.0 * n + 1.0) / 3.0
+    val sdU4 = 4.0 * math.sqrt(n0 * n1 * (n + 1.0) * (2.0 * n + 1.0) *
+      (8.0 * n + 11.0) / 180.0)
+    val uS = d6((100.0 - eU4) / sdU4)
+    val vS = d6((20.0 - eU4) / sdU4)
+    val rho = 2.0 * (n * n - 4.0) /
+      ((2.0 * n + 1.0) * (8.0 * n + 11.0)) - 1.0
+    val c = d6((uS * uS + vS * vS - 2.0 * rho * uS * vS) /
+      (2.0 * (1.0 - rho * rho)))
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_star") == uS)
+    assert(r.getAs[Double]("v_star") == vS)
+    assert(r.getAs[Double]("cucconi_c") == c)
+    assert(r.getAs[Double]("p_value") == d6(math.exp(-c)))
+    // a shifted-AND-widened arm 1 must read more extreme C than A/A
+    val aa = Stats.cucconiTest(
+      Seq((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)).toDF("a", "x"),
+      "a", "x").collect()(0)
+    assert(aa.getAs[Double]("cucconi_c") < r.getAs[Double]("cucconi_c"))
+    val loudN = intercept[Exception] {
+      Stats.cucconiTest(Seq((0L, 1L), (1L, 2L)).toDF("a", "x"),
+        "a", "x").collect()
+    }
+    assert(loudN.getMessage.contains("n >= 3"), loudN.getMessage)
+    val loudArm = intercept[Exception] {
+      Stats.cucconiTest(Seq((2L, 1L)).toDF("a", "x"), "a", "x")
+        .collect()
+    }
+    assert(loudArm.getMessage.contains("arm flag"), loudArm.getMessage)
+  }
+
+  test("lepageTest: components equal mannWhitneyU's and " +
+    "ansariBradley's z exactly (one value-grouped pass, two parent " +
+    "chains); all-tied answers NULL; bad arm is loud") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val df = Seq((0L, 1L), (0L, 3L), (0L, 5L), (1L, 2L), (1L, 4L),
+      (1L, 100L)).toDF("a", "x")
+    val r = Stats.lepageTest(df, "a", "x").collect()(0)
+    val mwu = Stats.mannWhitneyU(df, "a", "x").collect()(0)
+    val ab = Stats.ansariBradley(df, "a", "x").collect()(0)
+    assert(r.getAs[Double]("z_wilcoxon") == mwu.getAs[Double]("z_stat"))
+    assert(r.getAs[Double]("z_ansari") == ab.getAs[Double]("z"))
+    assert(r.getAs[Double]("lepage_l") ==
+      d6(mwu.getAs[Double]("z_stat") * mwu.getAs[Double]("z_stat") +
+        ab.getAs[Double]("z") * ab.getAs[Double]("z")))
+    // every unit tied: both variances are 0 → NULL L (mannWhitneyU
+    // raises there; the omnibus answers NULL instead — documented)
+    val tied = Stats.lepageTest(
+      Seq((0L, 5L), (0L, 5L), (1L, 5L), (1L, 5L)).toDF("a", "x"),
+      "a", "x").collect()(0)
+    assert(tied.isNullAt(tied.fieldIndex("lepage_l")))
+    assert(tied.getAs[Int]("significant") == 0)
+    val loud = intercept[Exception] {
+      Stats.lepageTest(Seq((3L, 1L)).toDF("a", "x"), "a", "x")
+        .collect()
+    }
+    assert(loud.getMessage.contains("arm flag"), loud.getMessage)
+  }
+
+  test("gehanWilcoxon: hand n_t-weighted U/V on a 2x2 survival " +
+    "fixture; no-event input answers NULL z; bad group is loud") {
+    // t=1: nr=4, p1=.5, u=4·(0−.5)=−2, v=16·1·.25·(3/3)=4
+    // t=2: nr=2, p1=.5, u=2·(1−1)=0, v=0 (nr−d=0) → z = −2/2 = −1
+    val df = Seq((1L, 1L, 0L), (2L, 1L, 0L), (1L, 0L, 1L),
+      (2L, 1L, 1L)).toDF("t", "e", "g")
+    val r = Stats.gehanWilcoxon(df, "t", "e", "g").collect()(0)
+    assert(r.getAs[Long]("n_events_g1") == 1L)
+    assert(r.getAs[Double]("u_gehan") == -2.0)
+    assert(r.getAs[Double]("variance") == 4.0)
+    assert(r.getAs[Double]("z") == -1.0)
+    assert(r.getAs[Double]("chi2") == 1.0)
+    assert(r.getAs[Int]("significant") == 0)
+    val none = Stats.gehanWilcoxon(
+      Seq((1L, 0L, 0L), (2L, 0L, 1L)).toDF("t", "e", "g"),
+      "t", "e", "g").collect()(0)
+    assert(none.isNullAt(none.fieldIndex("z")))
+    val loud = intercept[Exception] {
+      Stats.gehanWilcoxon(Seq((1L, 1L, 2L)).toDF("t", "e", "g"),
+        "t", "e", "g").collect()
+    }
+    assert(loud.getMessage.contains("group flag"), loud.getMessage)
+  }
+
+  test("dunnTest: hand tie-free pair z and erfc p; all-tied answers " +
+    "NULL z; one group emits no pairs; pair count is k(k-1)/2") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def erfcP(z: Double): Double = {
+      val x = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      ((((1.061405429 * t - 1.453152027) * t + 1.421413741) *
+        t - 0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
+    }
+    // a = {1,2}, b = {3,4}: rbar 1.5 vs 3.5; A = 4·5/12; se =
+    // sqrt(A·1); z = −2/se
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "x")
+    val r = Stats.dunnTest(df, "g", "x").collect()(0)
+    val aFac = 4.0 * 5.0 / 12.0
+    val z = d6((1.5 - 3.5) / math.sqrt(aFac * (0.5 + 0.5)))
+    assert(r.getAs[String]("group_a") == "a")
+    assert(r.getAs[Double]("mean_rank_a") == 1.5)
+    assert(r.getAs[Double]("mean_rank_b") == 3.5)
+    assert(r.getAs[Double]("z") == z)
+    assert(r.getAs[Double]("p_value") == d6(erfcP(z)))
+    assert(r.getAs[Double]("p_bonferroni") == r.getAs[Double]("p_value"))
+    // three groups → 3 pairs, Bonferroni m = 3
+    val three = Stats.dunnTest(
+      Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L), ("c", 5L),
+        ("c", 6L)).toDF("g", "x"), "g", "x").collect()
+    assert(three.length == 3)
+    val p0 = three(0).getAs[Double]("p_value")
+    assert(three(0).getAs[Double]("p_bonferroni") ==
+      d6(math.min(1.0, p0 * 3.0)))
+    // every value tied → A = 0 → NULL z
+    val tied = Stats.dunnTest(
+      Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "x"),
+      "g", "x").collect()(0)
+    assert(tied.isNullAt(tied.fieldIndex("z")))
+    // one group: no pair to contrast (documented empty, not loud)
+    assert(Stats.dunnTest(Seq(("a", 1L), ("a", 2L)).toDF("g", "x"),
+      "g", "x").collect().isEmpty)
+  }
+
   test("shardedTotalOrder equals the one-window form exactly — ranks, " +
     "cumulative, null placement, both directions, shard-count " +
     "invariant (the class-6 law, the deterministicShuffle q53 " +
