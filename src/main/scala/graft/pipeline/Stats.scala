@@ -8717,4 +8717,178 @@ object Stats {
           (col("p_bonferroni") <= 0.05).cast("int")).otherwise(lit(0))
           .as("significant"))
   }
+
+  /** Storey q-values (Storey 2002) — the positive-FDR upgrade of
+    * [[bhFdr]]: BH implicitly assumes EVERY hypothesis is null
+    * (π₀ = 1), so when a real fraction of tests carry signal it
+    * overpays; Storey estimates π₀ = #{p > λ}/((1−λ)·m) from the flat
+    * tail of the p histogram and scales the BH walk by it, and the
+    * q-value of test i is the smallest pFDR at which it would be
+    * called. q(i) = min_{j ≥ i} π₀·m·p_(j)/j, capped at 1.
+    *
+    * Determinism: the rank walk and reverse running min follow
+    * [[bhFdr]]'s exact machinery on the (p, id) total order; π₀ is
+    * one d6 off exact counts (capped at 1); each q one d6. λ is a
+    * PERMILLE code literal (loud outside [1, 999]). NULL/NaN p fails
+    * loudly (the shared FDR-family guard). π₀ = 0 (no p above λ —
+    * everything looks signal) sends every q to 0 by the formula;
+    * documented, not clamped (Storey's own recommendation of a
+    * λ-smoothed floor is a modeling choice this operator does not
+    * silently make).
+    *
+    * Scale shape: windows over the HYPOTHESIS frame — one row per
+    * TEST, not per observation (the FDR-family contract; SCALING.md
+    * class 6 trivial member). Output per test:
+    * (keyCol, p_value, rank, pi0, q_value, significant at q ≤ 0.05).
+    */
+  def storeyQValues(
+      df: DataFrame,
+      keyCol: String,
+      pCol: String,
+      lambdaPermille: Int = 500): DataFrame = {
+    require(lambdaPermille >= 1 && lambdaPermille <= 999,
+      s"lambdaPermille in [1,999], got $lambdaPermille")
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    val W = org.apache.spark.sql.expressions.Window
+    val lam = lambdaPermille.toDouble / 1000.0
+    val p = guardedP(pCol, keyCol, "storeyQValues")
+    val ranked = df
+      .select(col(keyCol), p.as("p_value"))
+      .withColumn("rank", row_number()
+        .over(W.orderBy(col("p_value").asc, col(keyCol).asc))
+        .cast("long"))
+      .withColumn("_m", count(lit(1)).over(
+        W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("_tail", sum((col("p_value") > lam).cast("long"))
+        .over(W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("pi0", d6(least(lit(1.0),
+        col("_tail").cast("double") /
+          (lit(1.0 - lam) * col("_m").cast("double")))))
+    val qRaw = min(col("pi0") * col("_m").cast("double") *
+        col("p_value") / col("rank").cast("double"))
+      .over(W.orderBy(col("rank").desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked
+      .withColumn("q_value", d6(least(qRaw, lit(1.0))))
+      .select(col(keyCol), d6(col("p_value")).as("p_value"),
+        col("rank"), col("pi0"), col("q_value"),
+        (col("q_value") <= 0.05).cast("int").as("significant"))
+  }
+
+  /** Meta-analytic evidence combiners over a frame of per-test
+    * z-scores — "five slices each read z ≈ 1.5: is the POOLED
+    * evidence significant?" Two classical answers, both reported:
+    * Stouffer's Z = Σzᵢ/√m (direction-aware — opposite signs cancel,
+    * the right default for one-sided replication questions) and
+    * Fisher's χ² = −2Σln pᵢ with 2m df (direction-blind — a strong
+    * effect in EITHER direction drives it). They disagree exactly
+    * when effects conflict in sign; report both, read both.
+    *
+    * Determinism: pᵢ = d6 of the shared [[normalTwoSidedP]] erfc
+    * polynomial per z; each −2·ln pᵢ term ONE d6, summed decimal;
+    * Stouffer assembles from the exact decimal Σz in one fixed chain
+    * → ONE d6, its p one more d6. A pᵢ that saturates to 0 (|z| ≳ 8
+    * under the polynomial) makes its log infinite — Fisher answers
+    * NULL (the [[andersonDarling]] outlier convention; Stouffer still
+    * reports). Fisher significance judges against the shared
+    * [[chiSq95]] table — NULL past df 30 (m > 15), documented.
+    * z values must be non-NULL — loud; m ≥ 2 — loud.
+    *
+    * Scale shape: ONE aggregate over the TEST frame (one row per
+    * test — the FDR-family contract). Output ONE row: (m, stouffer_z,
+    * stouffer_p, fisher_chi2, fisher_df, fisher_significant).
+    */
+  def metaCombine(
+      df: DataFrame,
+      zCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val z = when(col(zCol).cast("double").isNotNull &&
+      !isnan(col(zCol).cast("double")), col(zCol).cast("double"))
+      .otherwise(raise_error(lit(
+        "metaCombine: NULL/NaN z — combiners need every test's score"))
+        .cast("double"))
+    val base = df.select(z.as("_z"))
+      .withColumn("_p", d6(normalTwoSidedP(col("_z"))))
+      .withColumn("_ok", (col("_p") > 0.0).cast("long"))
+      .withColumn("_f",
+        when(col("_ok") === 1L, d6(lit(-2.0) * log(col("_p")))))
+    val agg = base.agg(count(lit(1)).as("_mRaw"),
+      sum(d28(col("_z"))).as("_zsum"),
+      sum(lit(1L) - col("_ok")).as("_bad"),
+      sum(d28(col("_f"))).as("_fsum"))
+    val m = when(col("_mRaw") >= 2L, col("_mRaw"))
+      .otherwise(raise_error(concat(lit("metaCombine: m = "),
+        coalesce(col("_mRaw"), lit(0L)).cast("string"),
+        lit(" tests (< 2) — nothing to combine"))).cast("long"))
+    val staged = agg.select(m.as("m"), col("_zsum"), col("_bad"),
+      col("_fsum"))
+    val zS = d6(col("_zsum").cast("double") /
+      sqrt(col("m").cast("double")))
+    val staged2 = staged.select(col("m"), col("_bad"), col("_fsum"),
+      zS.as("stouffer_z"))
+    staged2.select(col("m"), col("stouffer_z"),
+      d6(normalTwoSidedP(col("stouffer_z"))).as("stouffer_p"),
+      when(col("_bad") === 0L,
+        d6(col("_fsum").cast("double"))).as("fisher_chi2"),
+      (lit(2L) * col("m")).as("fisher_df"))
+      .withColumn("fisher_significant",
+        when(col("fisher_chi2").isNotNull &&
+          chiSq95Col(col("fisher_df")).isNotNull,
+          (col("fisher_chi2") >= chiSq95Col(col("fisher_df")))
+            .cast("int")))
+  }
+
+  /** Bowker's test of symmetry (Bowker 1948) — [[mcnemar]] for k × k:
+    * did the new model/rater move the SAME items' labels
+    * asymmetrically, beyond noise? χ² = Σ_{i<j} (n_ij − n_ji)² /
+    * (n_ij + n_ji): each unordered label pair contributes its
+    * McNemar cell, df = the number of CONTRIBUTING pairs (pairs with
+    * n_ij + n_ji = 0 carry no information and drop from both the sum
+    * and the df — the degenerate-safe convention R's mcnemar.test
+    * refuses with NaN; documented).
+    *
+    * Determinism: one (a, b) cell aggregate over the label-domain-
+    * bounded confusion table; the i<j pairing is an exact self-join
+    * on swapped cells (string label order, deterministic); each term
+    * is ONE d6 of an exact integer rational, summed decimal; judged
+    * against the shared [[chiSq95]] table (NULL past df 30).
+    *
+    * Scale shape: ONE keyed aggregate → a ≤k²-row cell frame
+    * self-paired through a broadcast — the grid-bounded class.
+    * Output ONE row: (n_items, chi2, df, significant) — df IS the
+    * contributing-pair count.
+    */
+  def bowkerTest(
+      df: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
+    def d28(c: Column) = c.cast("decimal(28,6)")
+    val cells = df.groupBy(col(aCol).cast("string").as("_a"),
+        col(bCol).cast("string").as("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val tot = cells.agg(sum(col("_n")).as("n_items"))
+    val fwd = cells.filter(col("_a") < col("_b"))
+      .select(col("_a"), col("_b"), col("_n").as("_nij"))
+    val rev = cells.filter(col("_a") > col("_b"))
+      .select(col("_b").as("_a"), col("_a").as("_b"),
+        col("_n").as("_nji"))
+    val pairs = fwd.join(rev, Seq("_a", "_b"), "full_outer")
+      .withColumn("_nij", coalesce(col("_nij"), lit(0L)))
+      .withColumn("_nji", coalesce(col("_nji"), lit(0L)))
+    val term = d6(((col("_nij") - col("_nji")) *
+      (col("_nij") - col("_nji"))).cast("double") /
+      (col("_nij") + col("_nji")).cast("double"))
+    val agg = pairs.agg(count(lit(1)).as("df"),
+      sum(d28(term)).as("_chi"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("n_items"),
+        d6(col("_chi").cast("double")).as("chi2"), col("df"))
+      .withColumn("significant",
+        when(col("chi2").isNotNull && chiSq95Col(col("df")).isNotNull,
+          (col("chi2") >= chiSq95Col(col("df"))).cast("int")))
+  }
 }

@@ -10132,11 +10132,192 @@ object Analytics {
       |FROM pb""".stripMargin
   }
 
+  // q508: Storey q-values (Stats.storeyQValues) over the same planted
+  // md5-uniform p frame family as q264's BH walk (salt "st", 50
+  // slices, λ = 0.5) — π₀ estimated from the flat tail scales the BH
+  // walk down. The oracle replays the tail count, the rank walk and
+  // the reverse running min.
+  def q508Storey(s: SparkSession, dir: String): DataFrame = {
+    val hyp = ev(s, dir)
+      .select((col("user_id") % 50).as("slice_id")).distinct()
+      .withColumn("p_raw",
+        graft.pipeline.Sampling.portableHash(col("slice_id"), "st")
+          .cast("double") / 1000000.0)
+    graft.pipeline.Stats.storeyQValues(hyp, "slice_id", "p_raw",
+      lambdaPermille = 500)
+  }
+
+  val q508Sql: String =
+    """WITH hyp AS (
+      |  SELECT DISTINCT user_id % 50 AS slice_id FROM events),
+      |p AS (
+      |  SELECT slice_id,
+      |    CAST(CAST(concat('0x', substring(md5('st:' ||
+      |      CAST(slice_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      AS DOUBLE) / 1000000.0 AS pv
+      |  FROM hyp),
+      |rk AS (
+      |  SELECT slice_id, pv,
+      |    CAST(row_number() OVER (ORDER BY pv ASC, slice_id ASC)
+      |      AS BIGINT) AS rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS m,
+      |    CAST(SUM(CASE WHEN pv > 0.5 THEN 1 ELSE 0 END) OVER ()
+      |      AS BIGINT) AS tail
+      |  FROM p),
+      |pi AS (
+      |  SELECT *,
+      |    CAST(CAST(LEAST(1.0, CAST(tail AS DOUBLE) /
+      |      (0.5 * CAST(m AS DOUBLE))) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS pi0
+      |  FROM rk),
+      |adj AS (
+      |  SELECT slice_id, pv, rank, pi0,
+      |    MIN(pi0 * CAST(m AS DOUBLE) * pv / CAST(rank AS DOUBLE))
+      |      OVER (ORDER BY rank DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qraw
+      |  FROM pi),
+      |qq AS (
+      |  SELECT slice_id,
+      |    CAST(CAST(pv AS DECIMAL(28,6)) AS DOUBLE) AS p_value,
+      |    rank, pi0,
+      |    CAST(CAST(LEAST(qraw, 1.0) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS q_value
+      |  FROM adj)
+      |SELECT slice_id, p_value, rank, pi0, q_value,
+      |  CAST(q_value <= 0.05 AS INT) AS significant
+      |FROM qq""".stripMargin
+
+  // q509: meta-analytic combiners (Stats.metaCombine) over 10 planted
+  // per-slice z-scores (md5-ppm mapped to (−2.5, 2.5)) — Stouffer's
+  // direction-aware pooled Z beside Fisher's direction-blind χ²(2m).
+  // The oracle replays the erfc p per z, the d6 log terms and both
+  // assemblies.
+  def q509MetaCombine(s: SparkSession, dir: String): DataFrame = {
+    val zf = ev(s, dir)
+      .select((col("user_id") % 10).as("slice_id")).distinct()
+      .withColumn("z",
+        (graft.pipeline.Sampling.portableHash(col("slice_id"), "mc")
+          .cast("double") - 500000.0) / 200000.0)
+    graft.pipeline.Stats.metaCombine(zf, "z")
+  }
+
+  val q509Sql: String = {
+    val pz = graft.pipeline.Stats.normalTwoSidedPSql("z")
+    val pzS = graft.pipeline.Stats.normalTwoSidedPSql("stouffer_z")
+    s"""WITH hyp AS (
+      |  SELECT DISTINCT user_id % 10 AS slice_id FROM events),
+      |zf AS (
+      |  SELECT slice_id,
+      |    (CAST(CAST(concat('0x', substring(md5('mc:' ||
+      |      CAST(slice_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |      AS DOUBLE) - 500000.0) / 200000.0 AS z
+      |  FROM hyp),
+      |pp AS (
+      |  SELECT z,
+      |    CAST(CAST($pz AS DECIMAL(28,6)) AS DOUBLE) AS p
+      |  FROM zf),
+      |tm AS (
+      |  SELECT z, p,
+      |    CASE WHEN p > 0.0 THEN 1 ELSE 0 END AS ok,
+      |    CASE WHEN p > 0.0 THEN
+      |      CAST(CAST(-2.0 * ln(p) AS DECIMAL(28,6)) AS DECIMAL(28,6))
+      |      END AS f
+      |  FROM pp),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    SUM(CAST(z AS DECIMAL(28,6))) AS zsum,
+      |    SUM(1 - ok) AS bad, SUM(f) AS fsum
+      |  FROM tm),
+      |st AS (
+      |  SELECT m,
+      |    CAST(CAST(CAST(zsum AS DOUBLE) / sqrt(CAST(m AS DOUBLE))
+      |      AS DECIMAL(28,6)) AS DOUBLE) AS stouffer_z,
+      |    bad, fsum
+      |  FROM ag)
+      |SELECT m, stouffer_z,
+      |  CAST(CAST($pzS AS DECIMAL(28,6)) AS DOUBLE) AS stouffer_p,
+      |  CASE WHEN bad = 0 THEN
+      |    CAST(CAST(CAST(fsum AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    END AS fisher_chi2,
+      |  CAST(2 * m AS BIGINT) AS fisher_df,
+      |  CASE WHEN bad = 0 THEN
+      |    CAST(CAST(CAST(CAST(fsum AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) >= ${chiCase("CAST(2 * m AS BIGINT)")} AS INT)
+      |    END AS fisher_significant
+      |FROM st""".stripMargin
+  }
+
+  // q510: Bowker symmetry test (Stats.bowkerTest) — per user, did the
+  // LAST event's type move away from the FIRST event's type
+  // asymmetrically (k×k McNemar over the deterministic
+  // (ts, event_id)-ordered endpoints)? The oracle replays the
+  // endpoint pick, the swapped-cell pairing and the d6 term chain.
+  def q510Bowker(s: SparkSession, dir: String): DataFrame = {
+    val evt = t(s, dir, "events")
+    val us = Tables.tsUs(evt, "ts")
+    val fl = evt
+      .select(col("user_id"), us.as("_us"), col("event_id"),
+        col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("_us"), col("event_id"), col("event_type")))
+          .as("_f"),
+        max(struct(col("_us"), col("event_id"), col("event_type")))
+          .as("_l"))
+      .select(col("_f.event_type").as("first_type"),
+        col("_l.event_type").as("last_type"))
+    graft.pipeline.Stats.bowkerTest(fl, "first_type", "last_type")
+  }
+
+  val q510Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_id, event_type
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us ASC, event_id ASC) AS rf,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rl
+      |  FROM e),
+      |fl AS (
+      |  SELECT f.event_type AS a, l.event_type AS b
+      |  FROM (SELECT user_id, event_type FROM o WHERE rf = 1) f
+      |  JOIN (SELECT user_id, event_type FROM o WHERE rl = 1) l
+      |    USING (user_id)),
+      |c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM fl GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_items FROM c),
+      |fw AS (SELECT a, b, n AS nij FROM c WHERE a < b),
+      |rv AS (SELECT b AS a, a AS b, n AS nji FROM c WHERE a > b),
+      |pr AS (
+      |  SELECT COALESCE(fw.nij, 0) AS nij, COALESCE(rv.nji, 0) AS nji
+      |  FROM fw FULL OUTER JOIN rv
+      |    ON rv.a = fw.a AND rv.b = fw.b),
+      |ag AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS df,
+      |    SUM(CAST(CAST((nij - nji) * (nij - nji) AS DOUBLE) /
+      |      CAST(nij + nji AS DOUBLE) AS DECIMAL(28,6))) AS chi
+      |  FROM pr)
+      |SELECT tot.n_items,
+      |  CAST(CAST(CAST(ag.chi AS DOUBLE) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS chi2,
+      |  ag.df,
+      |  CASE WHEN ag.chi IS NOT NULL THEN
+      |    CAST(CAST(CAST(CAST(ag.chi AS DOUBLE) AS DECIMAL(28,6))
+      |      AS DOUBLE) >= ${chiCase("ag.df")} AS INT) END
+      |    AS significant
+      |FROM ag CROSS JOIN tot""".stripMargin
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q504_cucconi" -> (q504Cucconi _),
     "q505_lepage" -> (q505Lepage _),
     "q506_gehan_wilcoxon" -> (q506Gehan _),
     "q507_dunn" -> (q507Dunn _),
+    "q508_storey_q" -> (q508Storey _),
+    "q509_meta_combine" -> (q509MetaCombine _),
+    "q510_bowker" -> (q510Bowker _),
     "q501_rank_distance" -> (q501RankDistance _),
     "q502_gain_lift" -> (q502GainLift _),
     "q503_optimal_threshold" -> (q503OptimalThreshold _),
@@ -10330,6 +10511,9 @@ object Analytics {
     "q187_funnel_delays" -> (q187FunnelDelays _))
 
   def oracles: Map[String, String] = Map(
+    "q508_storey_q" -> q508Sql,
+    "q509_meta_combine" -> q509Sql,
+    "q510_bowker" -> q510Sql,
     "q504_cucconi" -> q504Sql,
     "q505_lepage" -> q505Sql,
     "q506_gehan_wilcoxon" -> q506Sql,

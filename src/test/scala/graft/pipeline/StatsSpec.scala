@@ -3088,6 +3088,101 @@ class StatsSpec extends SparkSpec {
       "g", "x").collect().isEmpty)
   }
 
+  test("storeyQValues: hand pi0-scaled walk; pi0 = 1 collapses to the " +
+    "BH adjusted p exactly; NULL p and bad lambda are loud") {
+    // p = {.01,.02,.03,.8}, λ = .5: tail 1 → π₀ = .5; q = 2p/r with
+    // the reverse running min → {.02,.02,.02,.4}
+    val df = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03),
+      ("t4", 0.8)).toDF("id", "p")
+    val out = Stats.storeyQValues(df, "id", "p")
+      .collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(out("t1").getAs[Double]("pi0") == 0.5)
+    assert(out("t1").getAs[Double]("q_value") == 0.02)
+    assert(out("t3").getAs[Double]("q_value") == 0.02)
+    assert(out("t4").getAs[Double]("q_value") == 0.4)
+    assert(out("t1").getAs[Int]("significant") == 1)
+    assert(out("t4").getAs[Int]("significant") == 0)
+    // π₀ = 1 (half the mass above λ) ⇒ q == BH adjusted p, exactly
+    val dfBh = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.8),
+      ("t4", 0.9)).toDF("id", "p")
+    val q = Stats.storeyQValues(dfBh, "id", "p")
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Double]("q_value")).toMap
+    val bh = Stats.bhFdr(dfBh, "id", "p", q = 0.05)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Double]("p_adj")).toMap
+    assert(q == bh, s"$q vs $bh")
+    intercept[IllegalArgumentException] {
+      Stats.storeyQValues(df, "id", "p", lambdaPermille = 0)
+    }
+    val loud = intercept[Exception] {
+      Stats.storeyQValues(
+        Seq(("t1", Double.NaN)).toDF("id", "p"), "id", "p").collect()
+    }
+    assert(loud.getMessage.contains("storeyQValues"), loud.getMessage)
+  }
+
+  test("metaCombine: cancelling z's zero Stouffer while Fisher still " +
+    "accumulates; replicated erfc/log chain; m = 1 and NaN are loud") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def erfcP(z: Double): Double = {
+      val x = math.abs(z) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      ((((1.061405429 * t - 1.453152027) * t + 1.421413741) *
+        t - 0.284496736) * t + 0.254829592) * t * math.exp(-(x * x))
+    }
+    val r = Stats.metaCombine(
+      Seq(Tuple1(1.0), Tuple1(-1.0)).toDF("z"), "z").collect()(0)
+    assert(r.getAs[Long]("m") == 2L)
+    assert(r.getAs[Double]("stouffer_z") == 0.0)
+    assert(r.getAs[Double]("stouffer_p") == d6(erfcP(0.0)))
+    val p1 = d6(erfcP(1.0))
+    val f = d6(-2.0 * math.log(p1))
+    assert(r.getAs[Double]("fisher_chi2") ==
+      d6((BigDecimal(f) + BigDecimal(f)).toDouble))
+    assert(r.getAs[Long]("fisher_df") == 4L)
+    assert(r.getAs[Int]("fisher_significant") == 0)
+    // conflicting strong effects: Stouffer blind, Fisher loud
+    val c = Stats.metaCombine(
+      Seq(Tuple1(3.0), Tuple1(-3.0)).toDF("z"), "z").collect()(0)
+    assert(c.getAs[Double]("stouffer_z") == 0.0)
+    assert(c.getAs[Int]("fisher_significant") == 1)
+    val loudM = intercept[Exception] {
+      Stats.metaCombine(Seq(Tuple1(1.0)).toDF("z"), "z").collect()
+    }
+    assert(loudM.getMessage.contains("< 2"), loudM.getMessage)
+    val loudNan = intercept[Exception] {
+      Stats.metaCombine(Seq(Tuple1(1.0), Tuple1(Double.NaN)).toDF("z"),
+        "z").collect()
+    }
+    assert(loudNan.getMessage.contains("NULL/NaN z"), loudNan.getMessage)
+  }
+
+  test("bowkerTest: hand swapped-cell terms incl. a one-way pair; " +
+    "strong asymmetry is significant; diagonal never counts") {
+    // cells: (a,a)·2, (a,b)·3, (b,a)·1, (a,c)·2 → terms (3−1)²/4 = 1
+    // and (2−0)²/2 = 2 → χ² = 3, df = 2, n = 8
+    val rows = Seq.fill(2)(("a", "a")) ++ Seq.fill(3)(("a", "b")) ++
+      Seq(("b", "a")) ++ Seq.fill(2)(("a", "c"))
+    val r = Stats.bowkerTest(rows.toDF("x", "y"), "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_items") == 8L)
+    assert(r.getAs[Double]("chi2") == 3.0)
+    assert(r.getAs[Long]("df") == 2L)
+    assert(r.getAs[Int]("significant") == 0)
+    val strong = Stats.bowkerTest(
+      (Seq.fill(10)(("a", "b")) ++ Seq.fill(5)(("c", "c")))
+        .toDF("x", "y"), "x", "y").collect()(0)
+    assert(strong.getAs[Double]("chi2") == 10.0)
+    assert(strong.getAs[Long]("df") == 1L)
+    assert(strong.getAs[Int]("significant") == 1)
+    // pure diagonal: no off-diagonal pair, NULL χ², never significant
+    val diag = Stats.bowkerTest(
+      Seq(("a", "a"), ("b", "b")).toDF("x", "y"), "x", "y").collect()(0)
+    assert(diag.isNullAt(diag.fieldIndex("chi2")))
+  }
+
   test("shardedTotalOrder equals the one-window form exactly — ranks, " +
     "cumulative, null placement, both directions, shard-count " +
     "invariant (the class-6 law, the deterministicShuffle q53 " +
