@@ -890,17 +890,25 @@ object Behavior {
       .select(col("_u"), (col("_gmx") - col("_last")).as("_rec"),
         col("_f"), col("_m"))
     // sharded exact rank per metric — identical integers to the old
-    // (metric asc, user asc) global window, never its one-task sort
-    def codeBy(dfIn: DataFrame, metric: String, name: String): DataFrame =
+    // (metric asc, user asc) global window, never its one-task sort.
+    // The users frame is an AGGREGATE of the corpus: persist it so the
+    // three rank passes (each needs a bounds scan + the rank pass)
+    // reuse ONE materialization as SIBLING plans joined on the user
+    // key — nesting them re-aggregated events once per bounds scan
+    // and read 9× the corpus (the r17 bench caught it at 4.15s vs
+    // 0.45s; the TextStats persist discipline)
+    val perP = per.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def codeBy(metric: String, name: String): DataFrame =
       graft.pipeline.Stats.shardedTotalOrder(
-        dfIn.withColumn("_sk", col(metric)).withColumn("_tb", col("_u")))
-        .withColumn(name,
+        perP.select(col("_u"), col(metric).as("_sk"))
+          .withColumn("_tb", col("_u")))
+        .select(col("_u"),
           ceil(lit(buckets) * col("_grk").cast("double") /
-            col("_n").cast("double")).cast("long"))
-        .drop("_sk", "_tb", "_grk", "_n")
-    val coded = codeBy(codeBy(codeBy(per,
-        "_rec", "r_code"), "_f", "f_code"), "_m", "m_code")
-      .select(col("_u"), col("r_code"), col("f_code"), col("m_code"))
+            col("_n").cast("double")).cast("long").as(name))
+    val coded = codeBy("_rec", "r_code")
+      .join(codeBy("_f", "f_code"), Seq("_u"))
+      .join(codeBy("_m", "m_code"), Seq("_u"))
     val total = coded.groupBy(col("r_code"), col("f_code"),
         col("m_code"))
       .agg(count(lit(1)).as("n_users"))
