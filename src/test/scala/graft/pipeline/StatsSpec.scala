@@ -3183,6 +3183,68 @@ class StatsSpec extends SparkSpec {
     assert(diag.isNullAt(diag.fieldIndex("chi2")))
   }
 
+  test("value-grouped rewrites equal an exact raw-row replay on a " +
+    "300-row tie-heavy fixture (BM placements, AB scores, Mood " +
+    "median — the class-6 other-discipline law)") {
+    def d6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // 300 rows, values folded to 0..22 so tie runs are long, arms
+    // interleaved deterministically
+    val rows = (1 to 300).map(i => ((i % 2).toLong, (i * 37 % 23).toLong))
+    val df = rows.toDF("a", "x")
+    // raw-row doubled midranks replayed in plain Scala collections
+    val xs = rows.map(_._2)
+    def gr2(v: Long): Long =
+      2L * (xs.count(_ < v) + 1) + xs.count(_ == v) - 1
+    def ar2(arm: Long, v: Long): Long = {
+      val ys = rows.filter(_._1 == arm).map(_._2)
+      2L * (ys.count(_ < v) + 1) + ys.count(_ == v) - 1
+    }
+    // Brunner–Munzel: per-row placements → per-arm sums → the exact
+    // double assembly the operator documents
+    val byArm = rows.groupBy(_._1)
+    val na = byArm.map { case (a, g) => a -> g.size.toLong }
+    val sr = byArm.map { case (a, g) =>
+      a -> g.map(r => BigInt(gr2(r._2))).sum }
+    val q2s = rows.map { case (a, v) => (a, gr2(v) - ar2(a, v)) }
+    val v6 = byArm.map { case (a, _) =>
+      val qs = q2s.filter(_._1 == a).map(_._2)
+      val n = na(a); val s = qs.map(BigInt(_)).sum
+      val cs = qs.map(q => { val c = BigInt(n) * q - s; c * c }).sum
+      a -> d6(cs.toDouble /
+        (4.0 * n.toDouble * n.toDouble * (n.toDouble - 1.0)))
+    }
+    val (n0, n1) = (na(0L).toDouble, na(1L).toDouble)
+    val rb0 = sr(0L).toDouble / (2.0 * n0)
+    val rb1 = sr(1L).toDouble / (2.0 * n1)
+    val (nv0, nv1) = (n0 * v6(0L), n1 * v6(1L))
+    val bm = Stats.brunnerMunzel(df, "a", "x").collect()(0)
+    assert(bm.getAs[Double]("p_hat") == d6((rb1 - (n1 + 1.0) / 2.0) / n0))
+    assert(bm.getAs[Double]("bm_stat") ==
+      d6(n0 * n1 * (rb1 - rb0) / ((n0 + n1) * math.sqrt(nv0 + nv1))))
+    // Ansari–Bradley: inward doubled scores per row → the moments
+    val nAll = rows.size.toLong
+    val s2s = rows.map { case (_, v) =>
+      val r2 = gr2(v); math.min(r2, 2L * (nAll + 1L) - r2) }
+    val ab2 = rows.zip(s2s).collect { case ((1L, _), s) => s }.sum
+    val ss = s2s.map(BigInt(_)).sum
+    val ssq = s2s.map(s => BigInt(s) * s).sum
+    val e2 = n1 * ss.toDouble / nAll.toDouble
+    val var2 = n1 * n0 * (nAll.toDouble * ssq.toDouble -
+      ss.toDouble * ss.toDouble) /
+      (nAll.toDouble * nAll.toDouble * (nAll.toDouble - 1.0))
+    val ab = Stats.ansariBradley(df, "a", "x").collect()(0)
+    assert(ab.getAs[Double]("ab_stat") == d6(ab2.toDouble / 2.0))
+    assert(ab.getAs[Double]("z") ==
+      d6((ab2.toDouble - e2) / math.sqrt(var2)))
+    // Mood: the lower-median order statistic of the raw total order
+    val sorted = rows.map(_._2).sorted
+    val med = sorted(((rows.size + 1) / 2) - 1)
+    val mood = Stats.moodMedianTest(df, "a", "x").collect()(0)
+    assert(mood.getAs[Long]("pooled_median") == med)
+  }
+
   test("shardedTotalOrder equals the one-window form exactly — ranks, " +
     "cumulative, null placement, both directions, shard-count " +
     "invariant (the class-6 law, the deterministicShuffle q53 " +
