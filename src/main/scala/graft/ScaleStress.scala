@@ -95,7 +95,13 @@ object ScaleStress {
     // collapses to the distinct-cents frame in ONE map-side-combined
     // aggregate, so the F=10 cost is the aggregate, not a sort (and
     // the old rank-key self-join is gone from the plan entirely)
-    "q502_gain_lift", "q493_anderson_darling")
+    "q502_gain_lift", "q493_anderson_darling",
+    // round-18 addition (VERDICT r17 #3): rfm's three metric ranks now
+    // ride ONE grouped sharded pass (stacked metric frame) instead of
+    // three sharded passes + two user-keyed joins — this row proves
+    // the restructure stays flat at F=10 with bounded max-task shuffle
+    // (users scale with replicas, so the rank frame is 10× the users)
+    "q443_rfm")
 
   /** Big tables replicated FACTOR×; dims copied through unchanged. */
   private val replicated = Seq(

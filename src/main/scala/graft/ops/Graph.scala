@@ -688,15 +688,17 @@ object Graph {
     val d6 = (c: org.apache.spark.sql.Column) =>
       c.cast("decimal(28,6)").cast("double")
     def d28(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
-    val W = org.apache.spark.sql.expressions.Window
-    val wAll = W.partitionBy(lit(1))
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val e0 = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
       .filter(col("_s") =!= col("_d")).distinct()
     val nodes = e0.select(col("_s").as("node"))
       .union(e0.select(col("_d"))).distinct()
-    val guarded = materialize(nodes
-      .withColumn("_nn", count(lit(1)).over(wAll))
+    // fast refusal (the hoeffdingsD r17 treatment, VERDICT r17 #4):
+    // the node count comes from a DISTRIBUTED aggregate (1-row
+    // broadcast) and the raise rides the consumed column, so an
+    // oversized graph refuses at the map side — the old form counted
+    // through a single-partition window ON THE REFUSAL PATH
+    val cnt = nodes.agg(count(lit(1)).as("_nn"))
+    val guarded = materialize(nodes.crossJoin(broadcast(cnt))
       .select(when(col("_nn") <= maxNodes, col("node"))
         .otherwise(raise_error(concat(lit("harmonicCentrality: "),
           col("_nn").cast("string"),

@@ -864,11 +864,18 @@ object Behavior {
     * recency codes ASCENDING days-since (code 5 = longest away,
     * documented).
     *
-    * Scale shape: one user aggregate + three SHARDED ranks over the
-    * users frame ([[graft.pipeline.Stats.shardedTotalOrder]],
-    * SCALING.md class 6 — the users frame is corpus-scaling, so a
-    * global rank window would serialize it through one task) + one
-    * ≤buckets³-row segment rollup.
+    * Scale shape: one user aggregate (materialized ONCE via
+    * localCheckpoint — blocks are context-cleaned when the frame is
+    * unreferenced, unlike the r17 persist form which leaked a cache
+    * entry per call, ADVICE r17) + ONE grouped sharded rank pass over
+    * the stacked (metric, value) frame
+    * ([[graft.pipeline.Stats.shardedTotalOrder]] with
+    * groupCols=metric, SCALING.md class 6 — the users frame is
+    * corpus-scaling, so a global rank window would serialize it
+    * through one task; the r17 form ran three separate sharded passes,
+    * 3× the bounds scans, rank exchanges and offsets broadcasts plus
+    * two user-keyed joins, VERDICT r17 #3) + one user-keyed code
+    * rollup + one ≤buckets³-row segment rollup.
     */
   def rfmSegments(
       events: DataFrame,
@@ -891,24 +898,29 @@ object Behavior {
         col("_f"), col("_m"))
     // sharded exact rank per metric — identical integers to the old
     // (metric asc, user asc) global window, never its one-task sort.
-    // The users frame is an AGGREGATE of the corpus: persist it so the
-    // three rank passes (each needs a bounds scan + the rank pass)
-    // reuse ONE materialization as SIBLING plans joined on the user
-    // key — nesting them re-aggregated events once per bounds scan
-    // and read 9× the corpus (the r17 bench caught it at 4.15s vs
-    // 0.45s; the TextStats persist discipline)
-    val perP = per.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def codeBy(metric: String, name: String): DataFrame =
-      graft.pipeline.Stats.shardedTotalOrder(
-        perP.select(col("_u"), col(metric).as("_sk"))
-          .withColumn("_tb", col("_u")))
-        .select(col("_u"),
-          ceil(lit(buckets) * col("_grk").cast("double") /
-            col("_n").cast("double")).cast("long").as(name))
-    val coded = codeBy("_rec", "r_code")
-      .join(codeBy("_f", "f_code"), Seq("_u"))
-      .join(codeBy("_m", "m_code"), Seq("_u"))
+    // The users frame is an AGGREGATE of the corpus: materialize it
+    // ONCE (localCheckpoint — nesting the passes re-aggregated events
+    // once per bounds scan and read 9× the corpus; the r17 bench
+    // caught it at 4.15s vs 0.45s), then rank ALL THREE metrics in a
+    // single grouped sharded pass over the stacked (metric, value)
+    // frame — one bounds scan, one rank exchange and one offsets
+    // broadcast instead of three of each plus two user-keyed joins
+    // (VERDICT r17 #3). The codes pivot back through one user-keyed
+    // aggregate; each user stacks exactly 3 rows, so the max(when)
+    // pivot is exact.
+    val perC = per.localCheckpoint()
+    val stacked = perC.selectExpr("_u",
+      "stack(3, 'r', _rec, 'f', _f, 'm', _m) AS (_metric, _sk)")
+      .withColumn("_tb", col("_u"))
+    val ranked = graft.pipeline.Stats.shardedTotalOrder(stacked,
+      groupCols = Seq("_metric"))
+    def codeOf(metric: String) =
+      max(when(col("_metric") === metric,
+        ceil(lit(buckets) * col("_grk").cast("double") /
+          col("_n").cast("double")).cast("long")))
+    val coded = ranked.groupBy(col("_u"))
+      .agg(codeOf("r").as("r_code"), codeOf("f").as("f_code"),
+        codeOf("m").as("m_code"))
     val total = coded.groupBy(col("r_code"), col("f_code"),
         col("m_code"))
       .agg(count(lit(1)).as("n_users"))

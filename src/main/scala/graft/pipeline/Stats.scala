@@ -794,41 +794,89 @@ object Stats {
     * sharded-equals-global law is pinned in StatsSpec — so consumers'
     * oracles keep replaying a plain SQL window verbatim.
     *
-    * Scale shape: one bounds/count aggregate (1-row broadcast), ONE
-    * shard-partitioned sort of the corpus, one ≤shards-row offsets
-    * frame (broadcast). Max-task work is corpus/shards at any scale;
-    * a constant-key input collapses to one shard (data degeneracy —
-    * a constant key carries no order to distribute; ties still break
-    * deterministically on `_tb`).
+    * Optionally the total order runs PER GROUP (`groupCols`): bounds,
+    * shard maps and offsets are then all keyed by the group, the rank
+    * window partitions on (group, shard), and `_grk`/`_n`/`_gcum` are
+    * the group's own rank/count/cumulative — exactly the one-window-
+    * per-group `row_number().over(partitionBy(group).orderBy(_sk,
+    * _tb))`. The offsets broadcast is groups×shards rows, so the
+    * grouped form is for the class-6 FEW-GROUP hazard (a handful of
+    * groups over a unit corpus — SCALING.md); corpus-cardinality
+    * groups should keep the plain group-partitioned window, which
+    * already distributes. Group matching is null-safe (`<=>`), so a
+    * NULL group ranks as its own group exactly as a window partition
+    * would.
+    *
+    * `shards` is a CEILING, not the shard count: the effective count
+    * dials IN-PLAN from the bounds row as ⌈n / rowsPerShard⌉ clamped
+    * to [2, shards] (VERDICT r17 #3 — 64 micro-shards on a report-
+    * sized frame is pure fixed overhead), and ranks are exact for ANY
+    * shard count because the range map is monotone whatever the
+    * divisor (the shard-count-invariant law in StatsSpec).
+    *
+    * Determinism contract (ADVICE r17): bounds, local ranks and
+    * offsets derive from SEPARATE scans of the same input plan, so
+    * the input must be deterministic under re-evaluation (the repo's
+    * standing discipline — seeded hashes, no unseeded rand);
+    * materialize upstream first if it is not (rfmSegments'
+    * localCheckpoint pattern).
+    *
+    * Scale shape: one bounds/count aggregate ((groups)-row broadcast),
+    * ONE shard-partitioned sort of the corpus, one ≤groups×shards-row
+    * offsets frame (broadcast). Max-task work is corpus/shards at any
+    * scale; a constant-key input collapses to one shard (data
+    * degeneracy — a constant key carries no order to distribute; ties
+    * still break deterministically on `_tb`).
     */
   private[pipeline] def shardedTotalOrder(
       rows: DataFrame,
       desc: Boolean = false,
       cumCol: Option[String] = None,
-      shards: Int = 64): DataFrame = {
+      shards: Int = 64,
+      groupCols: Seq[String] = Nil,
+      rowsPerShard: Long = 65536L): DataFrame = {
     require(shards >= 2 && shards <= 4096,
       s"shards in [2,4096], got $shards")
+    require(rowsPerShard >= 1L, s"rowsPerShard >= 1, got $rowsPerShard")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val W = org.apache.spark.sql.expressions.Window
-    val bounds = rows.agg(min(col("_sk")).as("_lo"),
+    val g = groupCols.map(col)
+    val boundsAggs = Seq(min(col("_sk")).as("_lo"),
       max(col("_sk")).as("_hi"), count(lit(1)).as("_n"))
+    // per-(group) bounds; the join back is null-safe on the group so a
+    // NULL group behaves exactly like a window partition value
+    val bounds =
+      if (groupCols.isEmpty) rows.agg(boundsAggs.head, boundsAggs.tail: _*)
+      else rows.groupBy(g: _*).agg(boundsAggs.head, boundsAggs.tail: _*)
+        .select((groupCols.map(c => col(c).as(s"_bg_$c")) ++
+          Seq(col("_lo"), col("_hi"), col("_n"))): _*)
+    val withBounds =
+      if (groupCols.isEmpty) rows.crossJoin(broadcast(bounds))
+      else rows.join(broadcast(bounds),
+          groupCols.map(c => col(c) <=> col(s"_bg_$c")).reduce(_ && _))
+        .drop(groupCols.map(c => s"_bg_$c"): _*)
     // exact integral shard map, monotone in the sort direction; NULL
     // keys take the end shard matching the engines' window placement
-    // (nulls first ascending, last descending)
-    val spanned = rows.crossJoin(broadcast(bounds))
+    // (nulls first ascending, last descending). _nsh is the dialed
+    // shard count — in-plan integer arithmetic off the bounds count.
+    val spanned = withBounds
+      .withColumn("_nsh", greatest(lit(2L), least(lit(shards.toLong),
+        expr(s"(_n + ${rowsPerShard - 1L}L) div ${rowsPerShard}L"))))
       .withColumn("_skn",
         if (desc) dec(col("_hi")) - dec(col("_sk"))
         else dec(col("_sk")) - dec(col("_lo")))
       .withColumn("_skd", dec(col("_hi")) - dec(col("_lo")) + lit(1L))
       .withColumn("_shard",
-        when(col("_sk").isNull, lit(if (desc) shards.toLong else -1L))
+        when(col("_sk").isNull,
+          if (desc) col("_nsh") else lit(-1L))
           .otherwise(
-            expr(s"CAST((_skn * ${shards}L) div _skd AS BIGINT)")))
-      .drop("_lo", "_hi", "_skn", "_skd")
+            expr("CAST((_skn * _nsh) div _skd AS BIGINT)")))
+      .drop("_lo", "_hi", "_nsh", "_skn", "_skd")
     val ord =
       if (desc) Seq(col("_sk").desc, col("_tb").asc)
       else Seq(col("_sk").asc, col("_tb").asc)
-    val wLoc = W.partitionBy(col("_shard")).orderBy(ord: _*)
+    val shardKeys = g :+ col("_shard")
+    val wLoc = W.partitionBy(shardKeys: _*).orderBy(ord: _*)
     val local = cumCol match {
       case Some(c) => spanned
         .withColumn("_lrk", row_number().over(wLoc).cast("long"))
@@ -838,23 +886,31 @@ object Stats {
         .withColumn("_lrk", row_number().over(wLoc).cast("long"))
     }
     val offAgg = cumCol match {
-      case Some(c) => spanned.groupBy(col("_shard"))
+      case Some(c) => spanned.groupBy(shardKeys: _*)
         .agg(count(lit(1)).as("_sc"), sum(dec(col(c))).as("_sv"))
-      case None => spanned.groupBy(col("_shard"))
+      case None => spanned.groupBy(shardKeys: _*)
         .agg(count(lit(1)).as("_sc"))
     }
-    // ≤(shards+1)-row frame: its own cumulative window is bounded by
-    // the shard-count code literal, not the corpus
-    val wOff = W.orderBy(col("_shard").asc)
-      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // ≤(shards+1)-row frame per group: its own cumulative window is
+    // bounded by the shard-count code literal, not the corpus
+    val wOff0 =
+      if (groupCols.isEmpty) W.orderBy(col("_shard").asc)
+      else W.partitionBy(g: _*).orderBy(col("_shard").asc)
+    val wOff = wOff0.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val offKeep = groupCols.map(c => col(c).as(s"_og_$c")) :+
+      col("_shard")
     val offsets = (cumCol match {
-      case Some(_) => offAgg.select(col("_shard"),
+      case Some(_) => offAgg.select(offKeep ++ Seq(
         (sum(col("_sc")).over(wOff) - col("_sc")).as("_rkoff"),
-        (sum(col("_sv")).over(wOff) - col("_sv")).as("_cumoff"))
-      case None => offAgg.select(col("_shard"),
-        (sum(col("_sc")).over(wOff) - col("_sc")).as("_rkoff"))
+        (sum(col("_sv")).over(wOff) - col("_sv")).as("_cumoff")): _*)
+      case None => offAgg.select(offKeep :+
+        (sum(col("_sc")).over(wOff) - col("_sc")).as("_rkoff"): _*)
     })
-    val joined = local.join(broadcast(offsets), Seq("_shard"))
+    val joinCond = (groupCols.map(c => local(c) <=> offsets(s"_og_$c")) :+
+      (local("_shard") === offsets("_shard"))).reduce(_ && _)
+    val joined = local.join(broadcast(offsets), joinCond)
+      .drop(offsets("_shard"))
+      .drop(groupCols.map(c => s"_og_$c"): _*)
       .withColumn("_grk", col("_rkoff") + col("_lrk"))
     (cumCol match {
       case Some(_) => joined
@@ -4394,15 +4450,19 @@ object Stats {
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val W = org.apache.spark.sql.expressions.Window
-    val wAll = W.partitionBy(lit(1))
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val cells = df.groupBy(col(itemCol).as("_i"),
         col(systemCol).cast("long").as("_j"))
       .agg(count(lit(1)).as("_c"), sum(col(xCol).cast("long")).as("_x"))
-    // complete-block + no-duplicate audit, embedded in the USED _x
+    // complete-block + no-duplicate audit, embedded in the USED _x.
+    // _kmax rides a DISTRIBUTED max (1-row broadcast) — the r17 form
+    // windowed the (item, system) cells frame unpartitioned, an
+    // item-scaling frame through one task (the corpus-wide class-6
+    // law caught it in r18; the hoeffdingsD treatment)
+    val kmax = cells.groupBy(col("_i")).agg(count(lit(1)).as("_ki"))
+      .agg(max(col("_ki")).as("_kmax"))
     val audited = cells
       .withColumn("_k", count(lit(1)).over(W.partitionBy(col("_i"))))
-      .withColumn("_kmax", max(col("_k")).over(wAll))
+      .crossJoin(broadcast(kmax))
       .select(col("_i"), col("_j"),
         when(col("_c") === 1L && col("_k") === col("_kmax"), col("_x"))
           .otherwise(raise_error(concat(
@@ -4828,11 +4888,12 @@ object Stats {
     val per = df.groupBy(col(unitCol).as("_u"))
       .agg(count(lit(1)).as("_k"), sum(dec(x)).as("_s"),
         sum(dec(x) * dec(x)).as("_q"))
-    val W = org.apache.spark.sql.expressions.Window
-    val wAll = W.partitionBy(lit(1))
-      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    // complete-design audit rides a DISTRIBUTED max (1-row broadcast)
+    // — the r17 form windowed the per-unit frame unpartitioned, a
+    // corpus-scaling frame through one task (the corpus-wide class-6
+    // law caught it in r18; the hoeffdingsD treatment)
     val audited = per
-      .withColumn("_kmax", max(col("_k")).over(wAll))
+      .crossJoin(broadcast(per.agg(max(col("_k")).as("_kmax"))))
       .select(col("_u"),
         when(col("_k") === col("_kmax"), col("_k"))
           .otherwise(raise_error(concat(
@@ -6261,8 +6322,14 @@ object Stats {
     * sums are exact longs; each share and ratio is ONE d6; an empty
     * bottom block (or zero bottom mass) answers NULL ratios.
     *
-    * Scale shape: one rank window over the (group, id) frame + one
-    * keyed rollup.
+    * Scale shape: one PER-GROUP sharded rank pass
+    * ([[shardedTotalOrder]] with groupCols — SCALING.md class 6: the
+    * group axis is a handful of segments over a unit corpus, so a
+    * plain group-partitioned window would serialize each group
+    * through one task; sharding within the group caps max-task work
+    * at group/shards) + one keyed rollup. Same exact ranks and counts
+    * as the per-group `row_number()` window, per the sharded-equals-
+    * one-window law.
     */
   def palmaShares(
       df: DataFrame,
@@ -6270,16 +6337,15 @@ object Stats {
       idCol: String,
       xCol: String): DataFrame = {
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
-    val W = org.apache.spark.sql.expressions.Window
     val x = when(col(xCol).cast("long") >= 0L, col(xCol).cast("long"))
       .otherwise(raise_error(concat(lit("palmaShares: mass "),
         col(xCol).cast("string"), lit(" is negative"))).cast("long"))
-    val ranked = df
-      .select(col(groupCol).as("_g"), col(idCol).as("_id"), x.as("_x"))
-      .withColumn("_rk", row_number().over(
-        W.partitionBy(col("_g"))
-          .orderBy(col("_x").asc, col("_id").asc)).cast("long"))
-      .withColumn("_n", count(lit(1)).over(W.partitionBy(col("_g"))))
+    val ranked = shardedTotalOrder(
+      df.select(col(groupCol).as("_g"), col(idCol).as("_tb"),
+          x.as("_sk"))
+        .withColumn("_x", col("_sk")),
+      groupCols = Seq("_g"))
+      .withColumnRenamed("_grk", "_rk")
     val agg = ranked.groupBy(col("_g"))
       .agg(max(col("_n")).as("n"), sum(col("_x")).as("total"),
         sum(when(col("_rk") <= floor(col("_n") * 0.4).cast("long"),
@@ -8646,7 +8712,9 @@ object Stats {
     * Every value tied (A = 0) answers NULL z. k < 2 emits an EMPTY
     * pair table — there is no pair to contrast, and an in-plan raise
     * cannot ride a frame with zero rows (documented, the
-    * answer-not-crash convention).
+    * answer-not-crash convention). A NULL group raises LOUDLY
+    * (ADVICE r17): such rows would inflate N and the tie term while
+    * appearing in no pair, silently deflating every z.
     *
     * Scale shape: one (group, value) cell aggregate + a cumulative
     * window over the domain-bounded distinct-value frame + a k-row
@@ -8663,7 +8731,16 @@ object Stats {
     val d6 = (c: Column) => c.cast("decimal(28,6)").cast("double")
     def dec(c: Column) = c.cast("decimal(38,0)")
     val W = org.apache.spark.sql.expressions.Window
-    val cells = df.select(col(groupCol).cast("string").as("_g"),
+    // NULL group raises loudly (ADVICE r17: a NULL group would inflate
+    // N and the tie term while vanishing from every output pair — both
+    // `<` orderings fail — silently deflating all z's; the file's
+    // loud-cast convention)
+    val cells = df.select(
+      when(col(groupCol).isNotNull, col(groupCol).cast("string"))
+        .otherwise(raise_error(lit(
+          "dunnTest: NULL group — rows with a NULL group would count " +
+            "into N and the tie correction but appear in no pair; " +
+            "filter or recode them first"))).as("_g"),
       col(xCol).cast("long").as("_x"))
       .groupBy(col("_g"), col("_x"))
       .agg(count(lit(1)).as("_c"))
@@ -8700,7 +8777,9 @@ object Stats {
       lit(1.0) / col("n_b").cast("double")))
     val z = when(aFac > 0.0,
       d6((col("mean_rank_a") - col("mean_rank_b")) / se))
-    val m = (col("_k") * (col("_k") - 1L) / lit(2L)).cast("double")
+    // integral divide (ADVICE r17): k(k−1) is always even, so `div`
+    // matches the oracle's `//` exactly with no double-division detour
+    val m = expr("(_k * (_k - 1)) div 2").cast("double")
     val staged = pairs.select(col("group_a"), col("group_b"),
       col("n_a"), col("n_b"), col("mean_rank_a"), col("mean_rank_b"),
       z.as("z"), m.as("_m"))

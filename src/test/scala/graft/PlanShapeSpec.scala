@@ -403,15 +403,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(cart.isEmpty, s"k-truss went all-pairs: $cart")
   }
 
-  test("q477 RBO reads the corpus once — every depth is a " +
-      "conditional sum in one aggregate") {
+  test("q477 RBO never globally sorts the users frame — each side's " +
+      "head is a TakeOrdered top-depth over its own partial-agg pass " +
+      "(≤2 corpus scans), the union pivot is join-free, and every " +
+      "unpartitioned window sits above the depth-bounded limit " +
+      "(VERDICT r17 #2)") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     val ps = plans("q477_rbo")
+    // column pruning makes the two head aggregates genuinely different
+    // (each reads only its own metric), so exchange reuse cannot fire:
+    // two partial-agg scans, never more — and never a sort
     val scans = ps.flatMap(_.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f })
-    assert(scans.size == 1, s"RBO scans ${scans.size} times")
+    assert(scans.size <= 2, s"RBO scans ${scans.size} times")
     val joins = ps.flatMap(_.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
     assert(joins.isEmpty, s"RBO planned a join: $joins")
+    val topk = ps.flatMap(_.collect {
+      case t: TakeOrderedAndProjectExec => t })
+    assert(topk.size == 2, s"expected the two top-depth heads, got $topk")
+    val globalSorts = ps.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s })
+    assert(globalSorts.isEmpty,
+      s"RBO still globally sorts the users frame: $globalSorts")
+    // the head rank windows are unpartitioned but depth-bounded: a
+    // TakeOrdered sits strictly below each
+    val wins = ps.flatMap(_.collect { case w: WindowExec
+      if w.partitionSpec.isEmpty => w })
+    assert(wins.nonEmpty && wins.forall(w => w.child.collect {
+      case t: TakeOrderedAndProjectExec => t }.nonEmpty),
+      "every unpartitioned window must sit above the top-depth cut")
   }
 
   test("q481 trimmed stats plans ZERO joins — rank blocks are one " +
@@ -480,5 +501,126 @@ class PlanShapeSpec extends SparkSpec {
     val joins = ps.flatMap(_.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j })
     assert(joins.isEmpty, s"Anderson–Darling planned a join: $joins")
+  }
+
+  // ---- round-18: the class-6 law, corpus-wide (VERDICT r17 #1) ----
+
+  /** Column names that mean "one row per corpus unit": an aggregate
+    * keyed on one of these COLLAPSES NOTHING — its output frame scales
+    * with the corpus, and feeding it into an unpartitioned window is
+    * exactly the shape r17's "aggregate strictly below" test could not
+    * see (q477's per-user aggregate under the global rank windows).
+    */
+  private val corpusKeyNames = Set("user_id", "doc_id", "vec_id",
+    "event_id", "l_orderkey", "o_orderkey", "_u")
+
+  /** Entries whose unpartitioned windows are sanctioned for a reason
+    * the structural test cannot see, each with the reason (the
+    * VERDICT-approved whitelist arm of the law). Keep this SHORT: a
+    * new entry should satisfy the structural law by construction —
+    * the r18 sweep needed ZERO whitelist entries (the two violations
+    * it surfaced, q424_icc's and q428_page_trend's global audit-max
+    * windows, were FIXED with distributed broadcast maxima instead).
+    */
+  private val class6Whitelist: Map[String, String] = Map.empty
+
+  test("class-6 law, corpus-wide: every unpartitioned window in every " +
+      "entry sits above a LIMIT, a collapsing (non-corpus-keyed) " +
+      "aggregate frontier, or a loud guard — never raw/corpus-keyed " +
+      "rows (VERDICT r17 #1; red on the pre-r18 q477 shape)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec,
+      TakeOrderedAndProjectExec, CollectLimitExec, RangeExec,
+      LocalTableScanExec, SparkPlan}
+    import org.apache.spark.sql.catalyst.expressions.RaiseError
+
+    // bounded-frontier walk: TRUE iff every leafward path from p hits
+    // a limit, a non-corpus-keyed aggregate, or a literal leaf before
+    // any data leaf. The FIRST aggregate on a path decides (aggregates
+    // above a corpus-keyed one may re-collapse — the survival duration
+    // frames — so only the frontier matters); a corpus-keyed frontier
+    // aggregate is the q477 shape and fails the walk.
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec =>
+        val names = a.groupingExpressions.map(_.name.toLowerCase)
+        !names.exists(corpusKeyNames.contains(_))
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+           _: CollectLimitExec => true
+      case _: RangeExec | _: LocalTableScanExec => true // literal frames
+      case r: ReusedExchangeExec => bounded(r.child)
+      case leaf if leaf.children.isEmpty => false // scan/RDD: raw rows
+      case other => other.children.forall(bounded)
+    }
+    // loud-bound clause (hoeffdingsD's class): the window input is raw
+    // BY DESIGN, bounded at runtime by a raise_error guard riding a
+    // consumed column, with the count from a distributed (groupless)
+    // aggregate underneath
+    def guarded(p: SparkPlan): Boolean = {
+      val hasRaise = (p +: p.collect { case q => q }).exists(
+        _.expressions.exists(_.exists {
+          case _: RaiseError => true
+          case _ => false
+        }))
+      def scalarAggBelow(q: SparkPlan): Boolean =
+        q.collect { case a: BaseAggregateExec
+          if a.groupingExpressions.isEmpty => a }.nonEmpty ||
+          q.collect { case r: ReusedExchangeExec => r }
+            .exists(r => scalarAggBelow(r.child))
+      hasRaise && scalarAggBelow(p)
+    }
+    val names =
+      SparkEntry.queries.keys.filterNot(SparkEntry.mutating).toSeq.sorted
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    names.foreach { n =>
+      try {
+        val wins = plans(n)
+          .flatMap(_.collect { case w: WindowExec
+            if w.partitionSpec.isEmpty => w })
+        val bad = wins.filterNot(w =>
+          bounded(w.child) || guarded(w.child) ||
+            class6Whitelist.contains(n))
+        if (bad.nonEmpty)
+          violations += s"$n: ${bad.size} unpartitioned window(s) over " +
+            s"an unbounded/corpus-keyed frame"
+      } catch {
+        case e: Exception => violations += s"$n: failed to plan: " +
+          s"${String.valueOf(e.getMessage).take(120)}"
+      }
+    }
+    assert(violations.isEmpty,
+      s"\nclass-6 corpus-wide violations:\n  ${violations.mkString("\n  ")}")
+  }
+
+  test("the corpus-wide class-6 law actually fires on the retired " +
+      "q477 shape (a global rank window over a per-user aggregate)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.functions._
+    val W = org.apache.spark.sql.expressions.Window
+    val df = spark.range(100).select(col("id").as("user_id"),
+      (col("id") * 7 % 13).as("x"))
+      .groupBy(col("user_id")).agg(sum(col("x")).as("sx"))
+      .select(row_number().over(W.partitionBy(lit(1))
+        .orderBy(col("sx").desc, col("user_id").asc)).as("r"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = df.queryExecution.executedPlan
+      val wins = p.collect { case w: WindowExec
+        if w.partitionSpec.isEmpty => w }
+      assert(wins.nonEmpty, "expected the unpartitioned window")
+      // the r17 law would have passed this (an aggregate IS below);
+      // the r18 frontier walk must reject it — per-user keyed
+      def frontierOk(q: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        q match {
+          case a: BaseAggregateExec =>
+            !a.groupingExpressions.map(_.name.toLowerCase)
+              .exists(Set("user_id").contains(_))
+          case leaf if leaf.children.isEmpty => true // range = literal
+          case other => other.children.forall(frontierOk)
+        }
+      assert(wins.exists(w => !frontierOk(w.child)),
+        "the frontier walk failed to flag the per-user aggregate")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
