@@ -45,6 +45,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // r18: prefer shuffled-hash join when the planner's size
+      // conditions allow (build side estimated ≪ other side AND under
+      // threshold×partitions — the conditions gate the OOM risk): same
+      // results, no sort on either side. Aligned with Cli/Verify;
+      // measured 0.43×-0.85× on the join-heavy entries at sf0.1 with
+      // flat controls (OPTIMIZATION_r18.md).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -42,6 +42,16 @@ object Cli {
           .config("spark.sql.shuffle.partitions",
             sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
           .config("spark.sql.adaptive.enabled", "true")
+          // prefer shuffled-hash over sort-merge when the planner's
+          // size conditions allow (the optimization guide's baseline
+          // posture): same results, no sort on either side; AQE still
+          // upgrades to broadcast when a side is small. Overridable
+          // per-session like any SQL conf.
+          .config("spark.sql.join.preferSortMergeJoin",
+            sys.env.getOrElse("GRAFT_PREFER_SMJ", "false") match {
+              case "1" | "true" => "true"
+              case _ => "false"
+            })
           .config("spark.sql.session.timeZone", "UTC")
           // NOTE: the legacy nanosAsLong conf is deliberately not set:
           // silently reading a user project's TIMESTAMP(NANOS) columns as

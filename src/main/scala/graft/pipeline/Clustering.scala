@@ -96,9 +96,27 @@ object Clustering {
       pairs: DataFrame,
       minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
-    val sym = pairs.select(col("vec_a").as("_g_s"), col("vec_b").as("_g_d"))
-      .union(pairs.select(col("vec_b"), col("vec_a")))
-      .distinct()
+    // The pair frame feeds THREE consumers (degree, core-core edges,
+    // border attachment) whose downstream shuffles use different keys,
+    // so exchange reuse cannot dedupe them — without materialization
+    // the expensive pair GENERATOR (the ANN candidate join + verify)
+    // re-ran once per consumer (r18 bench, sf0.1: q352 21.2s -> 13.4s,
+    // q482 28.5s -> 18.2s, q347 6.8s -> 4.2s, controls flat).
+    // Materialize it ONCE (the dupClusters
+    // checkpoint discipline: reliable dir when configured, else
+    // executor-local blocks). The defensive distinct of the
+    // symmetrized frame is dropped with it: the input contract ("one
+    // row per unordered pair") already promises uniqueness, and every
+    // library generator (euclideanPairs' block partition,
+    // euclideanPairsAnn's candidate distinct) meets it — the distinct
+    // was a full extra shuffle of the edge set re-checking a promise.
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val p = materialize(pairs.select(col("vec_a"), col("vec_b")))
+    val sym = p.select(col("vec_a").as("_g_s"), col("vec_b").as("_g_d"))
+      .union(p.select(col("vec_b"), col("vec_a")))
     val deg = sym.groupBy(col("_g_s"))
       .agg((count(lit(1)) + lit(1L)).as("_g_nn"))
     val pts = points.select(col(idCol))

@@ -1110,7 +1110,6 @@ object TextDedup {
     val M = 2147483647L
     val pows = Iterator.iterate(1L)(p => (p * 257L) % M)
       .take(window).toSeq
-    val powArr = s"array(${pows.map(p => s"${p}L").mkString(", ")})"
     val t = "_g_t"
     val guarded = df
       .withColumn(t,
@@ -1127,11 +1126,20 @@ object TextDedup {
     // window scan into O(L²·w).
     val codes = s"transform(sequence(1, length($t)), " +
       s"i -> CAST(ascii(substr($t, i, 1)) AS BIGINT))"
+    // The window sum is UNROLLED to `window` inline multiply-adds
+    // (r18): higher-order functions evaluate interpreted, so the
+    // previous aggregate(sequence(0, w−1), …) fold paid a sequence
+    // allocation plus per-element lambda dispatch at EVERY position —
+    // ~w extra allocations/dispatches per character. Same sum, same
+    // single mod (16 products each < 2^52, sum < 2^56 — no overflow
+    // before the mod); measured ~1.3-1.5x on q342/q343 at sf0.1
+    // against flat controls.
+    val winSum = (0 until window)
+      .map(j => s"element_at(cs, i - $j) * ${pows(j)}L")
+      .mkString(" + ")
     val bounds = s"element_at(transform(array($codes), cs -> " +
       s"filter(sequence(1, size(cs)), i -> i >= $window AND " +
-      s"(aggregate(sequence(0, ${window - 1}), CAST(0 AS BIGINT), " +
-      s"(acc, j) -> acc + element_at(cs, i - j) * " +
-      s"element_at($powArr, j + 1)) % ${M}L) % $divisor = 0)), 1)"
+      s"(($winSum) % ${M}L) % $divisor = 0)), 1)"
     val chunks = s"element_at(transform(array($bounds), b -> " +
       s"filter(transform(sequence(1, size(b) + 1), k -> " +
       s"named_struct('s', IF(k = 1, 1, element_at(b, k - 1) + 1), " +
@@ -1237,7 +1245,6 @@ object TextDedup {
     require(window >= 1, s"window must be >= 1, got $window")
     val M = 2147483647L
     val pows = Iterator.iterate(1L)(p => (p * 257L) % M).take(k).toSeq
-    val powArr = s"array(${pows.map(p => s"${p}L").mkString(", ")})"
     val t = "_g_t"
     val guarded = df
       .withColumn(t,
@@ -1250,11 +1257,16 @@ object TextDedup {
       .filter(length(col(t)) >= k)
     val codes = s"transform(sequence(1, length($t)), " +
       s"i -> CAST(ascii(substr($t, i, 1)) AS BIGINT))"
+    // k-gram hash unrolled to k inline multiply-adds (the cdcChunks
+    // r18 treatment — HOFs are interpreted, so the aggregate fold paid
+    // a sequence allocation + lambda dispatch per element per
+    // position); same sum, same single mod, no overflow (k ≤ 16)
+    val gramSum = (0 until k)
+      .map(j => s"element_at(cs, i + $j) * ${pows(j)}L")
+      .mkString(" + ")
     val hs = s"element_at(transform(array($codes), cs -> " +
       s"transform(sequence(1, size(cs) - ${k - 1}), i -> " +
-      s"aggregate(sequence(0, ${k - 1}), CAST(0 AS BIGINT), " +
-      s"(acc, j) -> acc + element_at(cs, i + j) * " +
-      s"element_at($powArr, j + 1)) % ${M}L)), 1)"
+      s"($gramSum) % ${M}L)), 1)"
     val sel = s"element_at(transform(array($hs), h -> " +
       s"array_distinct(transform(" +
       s"sequence(1, greatest(1, size(h) - ${window - 1})), w -> " +
