@@ -9,8 +9,17 @@ import java.nio.file.{Files, Paths}
   * Methodology (VERDICT r1 "bench hygiene"):
   *   - deterministic query order (sorted names), so per-query numbers are
   *     comparable across rounds;
-  *   - one untimed warmup pass per query (JVM/codegen/parquet-footer
-  *     warmup is real but isn't the query's cost);
+  *   - a BOUNDED warmup pass (r19, VERDICT r18 #1): the driver's 32-core
+  *     run was killed on its wall budget (BENCH_r18.json rc=124) and the
+  *     FULL-corpus warmup pass alone cost ~1,130 s — a third of the wall
+  *     clock. Warmup now runs a fixed representative subset that touches
+  *     every fixture table and engine subsystem once (session, parquet
+  *     footers, codegen/JIT machinery, streaming micro-batch, temp-dir
+  *     I/O). Residual per-query cold cost (each query's own generated
+  *     code compiles on its first timed run) lands in ONE of the three
+  *     timed runs and the MEDIAN discards it; measured effect on the
+  *     medians is <±5% on controls (OPTIMIZATION_r19.md declares this
+  *     measurement change and keeps the old-methodology r18 numbers);
   *   - per-query time is the MEDIAN of 3 timed runs — single-shot
   *     timing showed order-dependent noise (r3's first-in-loop query
   *     read 4.4× its r2 time);
@@ -24,7 +33,11 @@ import java.nio.file.{Files, Paths}
   *     so regressions are visible in the artifact itself;
   *   - the JSON line goes to stdout AND to SPARK_GRAFT_BENCH_OUT
   *     (default bench_out.json) so the driver can parse it without
-  *     scraping sbt log noise;
+  *     scraping sbt log noise; the out file is additionally REWRITTEN
+  *     after every completed query with the partial map (tagged
+  *     "partial":true), so a run killed on the wall budget still leaves
+  *     a parseable artifact with every median that landed (r19,
+  *     VERDICT r18 #1 — BENCH_r18's rc=124 left nothing);
   *   - the line records the 1-minute system load average at start and
   *     end plus the warmup-pass wall time, so a load-inflated run is
   *     self-identifying (VERDICT r8: per-query deltas that re-timed
@@ -79,7 +92,18 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
     val warm0 = System.nanoTime()
-    names.foreach(materialize) // warmup pass, untimed
+    // bounded warmup (see header): one entry per fixture table / engine
+    // subsystem — events agg/scan/window, embeddings join, documents
+    // text, multimodal decode, streaming micro-batch, jsonl temp-dir
+    // round-trip, date dim, TPC-H join tails (orders/lineitem/supplier/
+    // nation/region and part), JSON props. Intersected with the corpus
+    // so a renamed entry can never break the bench.
+    val warmupNames = Seq(
+      "q1_agg", "q2_filter_project", "q11_window", "q17_knn",
+      "q18_text_stats", "q25_multimodal", "q38_streaming_sessions",
+      "q109_copy_jsonl", "q150_date_dim", "q193_top_supplier",
+      "q232_min_cost_supplier", "q32_json_props").filter(names0.contains)
+    warmupNames.foreach(materialize)
     val warmupSec = (System.nanoTime() - warm0) / 1e9
     def medianOf3(name: String): Double = {
       val times = (1 to 3).map { _ =>
@@ -89,7 +113,23 @@ object Bench {
       }.sorted
       times(1)
     }
-    val inRun = names.map(name => name -> medianOf3(name))
+    // partial-progress flush: rewrite the out file after every query so
+    // a budget-killed run still parses (the final write below replaces
+    // it with the complete, retimed line)
+    def flushPartial(done: Seq[(String, Double)]): Unit = {
+      val qs = done.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val json = s"""{"metric":"total","value":${done.map(_._2).sum},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sfDir","partial":true,""" +
+        s""""n_done":${done.size},"n_total":${names.size}}"""
+      try Files.writeString(Paths.get(outPath), json + "\n")
+      catch { case _: java.io.IOException => () } // flush is best-effort
+    }
+    val inRun = names.foldLeft(Vector.empty[(String, Double)]) { (acc, name) =>
+      val acc2 = acc :+ (name -> medianOf3(name))
+      flushPartial(acc2)
+      acc2
+    }
 
     // auto-re-time in-run spikes (VERDICT r15 #2): a ≥2×-vs-prev entry
     // that also costs ≥1s is re-timed in ISOLATION at the end of the
@@ -99,10 +139,17 @@ object Bench {
     // median goes into the queries map so the committed artifact needs
     // no prose correction. Both numbers are recorded under "retimed".
     val (prevName, prevTimes) = previousTimes()
+    // retime cap (r19, VERDICT r18 #1): at most 6 isolated retimes, and
+    // none once the run has already spent 2700 s of wall — a spiky run
+    // must degrade to in-run numbers rather than blow the driver budget
+    val elapsedSec = (System.nanoTime() - warm0) / 1e9
+    val retimeCap =
+      if (elapsedSec > sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_RETIME_GUARD", "2700").toDouble) 0 else 6
     val flagged = inRun.collect {
       case (n, t) if t >= 1.0 &&
         prevTimes.get(n).exists(pt => pt > 0 && t / pt >= 2.0) => n
-    }.take(10)
+    }.take(retimeCap)
     val isolated = flagged.map { n =>
       val t = medianOf3(n)
       System.err.println(f"[bench] retimed $n: in-run ${inRun.toMap
