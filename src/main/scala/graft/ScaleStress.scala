@@ -101,7 +101,13 @@ object ScaleStress {
     // three sharded passes + two user-keyed joins — this row proves
     // the restructure stays flat at F=10 with bounded max-task shuffle
     // (users scale with replicas, so the rank frame is 10× the users)
-    "q443_rfm")
+    "q443_rfm",
+    // round-19 addition (VERDICT r18 #2): palmaShares moved onto the
+    // grouped sharded rank in r18 (a ~0.2s local price bought for
+    // max-task = group/shards at scale) — this row is the F=10 proof
+    // that the sharded shape holds flat where the old per-group window
+    // would serialize each group through one task
+    "q454_palma")
 
   /** Big tables replicated FACTOR×; dims copied through unchanged. */
   private val replicated = Seq(

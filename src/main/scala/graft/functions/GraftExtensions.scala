@@ -61,6 +61,7 @@ object GraftExtensions {
     one("nfc_normalize")(NfcNormalize(_)),
     one("accent_strip")(AccentStrip(_)),
     one("script_counts")(ScriptCounts(_)),
+    one("lz78_phrases")(Lz78Phrases(_)),
     two("long_array_dot")(LongArrayDot(_, _)),
     two("jaro_winkler")(JaroWinkler(_, _)))
 

@@ -63,9 +63,7 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(damping >= 0 && damping < 1, s"damping in [0,1), got $damping")
     def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      graft.pipeline.Stage.materialize(df)
 
     val perSrc = Window.partitionBy(col("_g_src"))
     // MATERIALIZED, not cache()d — the loop re-references these frames
@@ -225,9 +223,7 @@ object Graph {
       iters: Int = 10): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      graft.pipeline.Stage.materialize(df)
     val wObs = org.apache.spark.sql.Observation("graft_hits_weights")
     val w = materialize(edges.select(
         col(srcCol).as("_g_src"), col(dstCol).as("_g_dst"),
@@ -313,9 +309,7 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      graft.pipeline.Stage.materialize(df)
     val und = materialize(undirected(edges, srcCol, dstCol))
     var alive = materialize(und.select(col("_g_a").as("node")).distinct())
     var n = alive.count()
@@ -543,9 +537,7 @@ object Graph {
     require(iters >= 1 && iters <= 16,
       s"iters must be in [1,16], got $iters")
     def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      graft.pipeline.Stage.materialize(df)
     val undBase = undirected(edges, srcCol, dstCol)
     // self-marker edges: the node's OWN label enters each round's race
     // at count 0 with a tie-winning flag — ONE labels reference per
@@ -614,9 +606,7 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
     def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      graft.pipeline.Stage.materialize(df)
     val perSrc = Window.partitionBy(col("_g_src"))
     val wObs = org.apache.spark.sql.Observation("graft_katz_weights")
     val w = materialize(edges.select(
@@ -682,9 +672,7 @@ object Graph {
     require(maxNodes >= 2L && maxNodes <= 100000L,
       s"maxNodes in [2,1e5], got $maxNodes")
     def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      graft.pipeline.Stage.materialize(df)
     val d6 = (c: org.apache.spark.sql.Column) =>
       c.cast("decimal(28,6)").cast("double")
     def d28(c: org.apache.spark.sql.Column) = c.cast("decimal(28,6)")
@@ -916,9 +904,7 @@ object Graph {
     require(k >= 3, s"k must be >= 3 (k=2 keeps every edge), got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      graft.pipeline.Stage.materialize(df)
     def support(e: DataFrame): DataFrame = {
       val sym = e.select(col("_g_a").as("_x"), col("_g_b").as("_w"))
         .union(e.select(col("_g_b"), col("_g_a")))

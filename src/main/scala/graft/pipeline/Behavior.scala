@@ -865,9 +865,11 @@ object Behavior {
     * documented).
     *
     * Scale shape: one user aggregate (materialized ONCE via
-    * localCheckpoint — blocks are context-cleaned when the frame is
-    * unreferenced, unlike the r17 persist form which leaked a cache
-    * entry per call, ADVICE r17) + ONE grouped sharded rank pass over
+    * [[Stage.materialize]] — reliable checkpoint when a dir is
+    * configured, else localCheckpoint whose blocks are context-cleaned
+    * when the frame is unreferenced; unlike the r17 persist form which
+    * leaked a cache entry per call, ADVICE r17) + ONE grouped sharded
+    * rank pass over
     * the stacked (metric, value) frame
     * ([[graft.pipeline.Stats.shardedTotalOrder]] with
     * groupCols=metric, SCALING.md class 6 — the users frame is
@@ -899,7 +901,7 @@ object Behavior {
     // sharded exact rank per metric — identical integers to the old
     // (metric asc, user asc) global window, never its one-task sort.
     // The users frame is an AGGREGATE of the corpus: materialize it
-    // ONCE (localCheckpoint — nesting the passes re-aggregated events
+    // ONCE (Stage.materialize — nesting the passes re-aggregated events
     // once per bounds scan and read 9× the corpus; the r17 bench
     // caught it at 4.15s vs 0.45s), then rank ALL THREE metrics in a
     // single grouped sharded pass over the stacked (metric, value)
@@ -908,7 +910,7 @@ object Behavior {
     // (VERDICT r17 #3). The codes pivot back through one user-keyed
     // aggregate; each user stacks exactly 3 rows, so the max(when)
     // pivot is exact.
-    val perC = per.localCheckpoint()
+    val perC = Stage.materialize(per)
     val stacked = perC.selectExpr("_u",
       "stack(3, 'r', _rec, 'f', _f, 'm', _m) AS (_metric, _sk)")
       .withColumn("_tb", col("_u"))

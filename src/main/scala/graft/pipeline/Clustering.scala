@@ -81,6 +81,17 @@ object Clustering {
     * per unordered pair). Neighborhood counts INCLUDE the point itself
     * (the paper's |N_ε(p)| ≥ minPts convention).
     *
+    * LOAD-BEARING input contract (ADVICE r18): `pairs` must hold
+    * EXACTLY one row per unordered neighbor pair — no duplicate rows,
+    * no (b, a) mirror of an (a, b) row. The r18 optimization dropped
+    * the defensive `.distinct()` on the symmetrized frame, so a
+    * violating caller now gets silently inflated degrees and wrong
+    * core/border labels instead of being normalized. Every library
+    * generator satisfies it ([[euclideanPairs]]' block partition emits
+    * each pair once; [[euclideanPairsAnn]]'s candidate distinct + the
+    * `vec_a < vec_b` verify filter); external callers must dedupe
+    * first.
+    *
     * Output per point: (idCol, n_neighbors, role core|border|noise,
     * cluster = component-min core id, NULL for noise).
     *
@@ -110,11 +121,7 @@ object Clustering {
     // library generator (euclideanPairs' block partition,
     // euclideanPairsAnn's candidate distinct) meets it — the distinct
     // was a full extra shuffle of the edge set re-checking a promise.
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    val p = materialize(pairs.select(col("vec_a"), col("vec_b")))
+    val p = Stage.materialize(pairs.select(col("vec_a"), col("vec_b")))
     val sym = p.select(col("vec_a").as("_g_s"), col("vec_b").as("_g_d"))
       .union(p.select(col("vec_b"), col("vec_a")))
     val deg = sym.groupBy(col("_g_s"))

@@ -526,6 +526,13 @@ object Retrieval {
     * Scale shape: maxN unioned char-gram passes, each an in-row gram
     * build + two map-side-combined keyed exchanges carrying counts.
     * Per-doc gram count is O(maxN · chars) — in-row, never joined.
+    * The staged whitespace-stripped strings + char arrays feed all
+    * maxN passes TWICE each (gram explode + the id left-join frame) —
+    * 2·maxN differently-shaped consumers that exchange reuse cannot
+    * dedupe, so the staged frame is materialized ONCE
+    * ([[Stage.materialize]], the dbscan pair-frame discipline; r19 —
+    * before it, the upstream candidate construction re-ran 8× and
+    * q269 cost 16.4 s at sf0.1).
     *
     * Output per pair: (idCol, n_chars_cand, n_chars_ref, f_1..f_maxN,
     * chrf).
@@ -550,11 +557,11 @@ object Retrieval {
     // no-op since size ≥ length ≥ m), so CollapseProject sees two
     // uses of a non-cheap alias and cannot push the split back into
     // the per-element path.
-    val staged = df.select(col(idCol).as("_id"),
+    val staged = Stage.materialize(df.select(col(idCol).as("_id"),
       regexp_replace(col(candCol), " ", "").as("_cs"),
       regexp_replace(col(refCol), " ", "").as("_rs"))
       .select(col("_id"), col("_cs"), col("_rs"),
-        split(col("_cs"), "").as("_cch"), split(col("_rs"), "").as("_rch"))
+        split(col("_cs"), "").as("_cch"), split(col("_rs"), "").as("_rch")))
     def charGrams(sAttr: org.apache.spark.sql.Column,
         chAttr: org.apache.spark.sql.Column, n: Int) = {
       val m = least(length(sAttr) - (n - 1), size(chAttr))
@@ -575,7 +582,7 @@ object Retrieval {
         .groupBy(col("_id"))
         .agg(sum(least(col("_cc"), col("_cr"))).as("_m"),
           sum(col("_cc")).as("_nc"), sum(col("_cr")).as("_nr"))
-      df.select(col(idCol).as("_id"))
+      staged.select(col("_id"))
         .join(agg, Seq("_id"), "left")
         .select(col("_id"), lit(n).as("_n"),
           coalesce(col("_m"), lit(0L)).as("_m"),

@@ -80,10 +80,7 @@ object SuffixArray {
     * are unaffected — every broadcast in this pipeline is explicit.
     */
   private def materialize(df: DataFrame): DataFrame = {
-    val ck =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    val ck = Stage.materialize(df)
     df.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 

@@ -594,10 +594,7 @@ object TextDedup {
     // eager, lineage-truncating materialization: reliable checkpoint
     // when a checkpoint dir is set (survives executor loss), else
     // executor-local blocks
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    def materialize(df: DataFrame): DataFrame = Stage.materialize(df)
     // MATERIALIZED, not cache()d: the loop re-references sym every
     // round, and a cached frame still carries its full LOGICAL plan —
     // Catalyst re-analyzes and re-optimizes that subtree on every
@@ -1105,7 +1102,15 @@ object TextDedup {
       window: Int = 16,
       divisor: Int = 64,
       maxChars: Int = 100000): DataFrame = {
-    require(window >= 2, s"window must be >= 2, got $window")
+    // upper bound (ADVICE r18): the window sum is UNROLLED to `window`
+    // inline multiply-add terms in the generated SQL below — an
+    // unbounded window would (a) emit an expression string that can
+    // blow past codegen method-size limits and fall back to the
+    // interpreted path the unroll exists to avoid, and (b) break the
+    // no-overflow argument (sum < window·2^52 must stay under 2^63;
+    // 64 terms < 2^58). CDC windows are 16-48 code points in practice.
+    require(window >= 2 && window <= 64,
+      s"window must be in [2, 64], got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     val M = 2147483647L
     val pows = Iterator.iterate(1L)(p => (p * 257L) % M)

@@ -514,6 +514,66 @@ class PlanShapeSpec extends SparkSpec {
   private val corpusKeyNames = Set("user_id", "doc_id", "vec_id",
     "event_id", "l_orderkey", "o_orderkey", "_u")
 
+  /** r19 hardening (VERDICT r18 #7): the name set alone is blind to a
+    * RENAME (`user_id AS uid` escaped it) and to GENERATED columns (a
+    * `groupBy(term)` over exploded tokens collapses to the vocabulary,
+    * which scales with the corpus). This walks a grouping attribute
+    * back through pure alias chains in the subtree below the
+    * aggregate; the key is corpus-scaling if the chain terminates at
+    * (a) a data-leaf column whose NAME is a corpus unit key, or (b)
+    * any Generate (explode) output. A key that passes through a real
+    * function (hash bucket, time floor, substring) stops the trace
+    * and PASSES — boundedness of derived keys is the operator
+    * author's responsibility, sanctioned per-entry in the whitelist
+    * with a reason when the structural test cannot see it.
+    */
+  private def corpusScalingKey(
+      a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec)
+      : Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, ExprId}
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // every node in (and referenced by) the subtree, piercing reuse
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case q => q }.flatMap {
+        case r: ReusedExchangeExec => r +: all(r.child)
+        case q => Seq(q)
+      }
+    val nodes = all(a)
+    val aliasOf: Map[ExprId, org.apache.spark.sql.catalyst.expressions
+        .Expression] =
+      nodes.flatMap(_.expressions).flatMap(_.collect {
+        case al: Alias => al.exprId -> al.child
+      }).toMap
+    // only DATA-FED generators scale: explode of a literal sequence
+    // (bootstrapCI's replicate axis) references no input attribute and
+    // is bounded by the code literal. (The UNBOUND generator — the
+    // bound one's references are ordinals, always empty.)
+    val generated: Set[ExprId] = nodes.collect {
+      case g: GenerateExec if g.generator.references.nonEmpty =>
+        g.generatorOutput.map(_.exprId)
+    }.flatten.toSet
+    val leafCols: Map[ExprId, String] = nodes
+      .filter(_.children.isEmpty)
+      .flatMap(_.output.map(o => o.exprId -> o.name.toLowerCase)).toMap
+    @annotation.tailrec
+    def scaling(id: ExprId, hops: Int): Boolean =
+      if (hops > 64) false
+      else if (generated.contains(id)) true
+      else aliasOf.get(id) match {
+        case Some(ar: AttributeReference) => scaling(ar.exprId, hops + 1)
+        case Some(_) => false // a real function — trace stops, passes
+        case None => leafCols.get(id).exists(corpusKeyNames.contains)
+      }
+    a.groupingExpressions.exists {
+      case ar: AttributeReference =>
+        corpusKeyNames.contains(ar.name.toLowerCase) ||
+          scaling(ar.exprId, 0)
+      case g => corpusKeyNames.contains(g.name.toLowerCase)
+    }
+  }
+
   /** Entries whose unpartitioned windows are sanctioned for a reason
     * the structural test cannot see, each with the reason (the
     * VERDICT-approved whitelist arm of the law). Keep this SHORT: a
@@ -543,8 +603,8 @@ class PlanShapeSpec extends SparkSpec {
     // aggregate is the q477 shape and fails the walk.
     def bounded(p: SparkPlan): Boolean = p match {
       case a: BaseAggregateExec =>
-        val names = a.groupingExpressions.map(_.name.toLowerCase)
-        !names.exists(corpusKeyNames.contains(_))
+        // r19: provenance-hardened (rename + generate blind spots)
+        !corpusScalingKey(a)
       case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
            _: CollectLimitExec => true
       case _: RangeExec | _: LocalTableScanExec => true // literal frames
@@ -621,6 +681,185 @@ class PlanShapeSpec extends SparkSpec {
         }
       assert(wins.exists(w => !frontierOk(w.child)),
         "the frontier walk failed to flag the per-user aggregate")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  // ---- round-19: hash-join build sides in the heavy entries ----
+
+  test("heavy entries never BUILD a hash table from a corpus-scaling " +
+      "frame without AQE protection: every BroadcastHashJoin build " +
+      "side is bounded (a broadcast of a corpus frame OOMs the driver " +
+      "at scale regardless of AQE), and ShuffledHashJoin build sides " +
+      "that do scale with the corpus are enumerated with the reason " +
+      "they are safe (VERDICT r18 #6 / SCALING.md SHJ caveat)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.execution.{CollectLimitExec,
+      GlobalLimitExec, LocalTableScanExec, RangeExec,
+      TakeOrderedAndProjectExec}
+    // bounded = every leafward path collapses (non-corpus-keyed
+    // aggregate / limit / literal) before a data leaf — the class-6
+    // walk's definition, reused for build sides
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec => !corpusScalingKey(a)
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec |
+           _: CollectLimitExec => true
+      case _: RangeExec | _: LocalTableScanExec => true
+      // a materialized intermediate (localCheckpoint → LogicalRDD, or
+      // a temp-dir parquet round-trip — q224's per-round Lloyd
+      // centroid/codebook frames, k rows by construction): shape
+      // analysis cannot cross a materialization boundary; boundedness
+      // there is the materializing operator's documented contract.
+      // Only scans of the FIXTURE corpus count as raw corpus rows.
+      case _: org.apache.spark.sql.execution.RDDScanExec => true
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        !f.relation.location.rootPaths.exists(_.toString.contains(dir))
+      case r: ReusedExchangeExec => bounded(r.child)
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
+    // the cost tail (≥ ~4 s in the r18 bench) — where a build-side
+    // OOM would actually hurt
+    val heavy = Seq("q352_dbscan_ann", "q482_dbscan_ann_auto",
+      "q445_hubness_ann", "q483_hubness_ann_auto", "q243_semantic_dedup_ann_auto",
+      "q129_semantic_dedup", "q163_semantic_dedup_ann", "q249_semdedup",
+      "q259_sa_dedup_cut", "q254_longest_repeats", "q253_repeated_suffixes",
+      "q252_suffix_ranks", "q269_chrf", "q343_cdc_dup_pairs",
+      "q342_cdc_chunks", "q393_cox_ph", "q325_modularity", "q384_lpa",
+      "q16_ngram_jaccard", "q112_jaccard_prefix", "q345_knn_shapley",
+      "q224_ann_ivfpq_portable", "q231_curation_funnel", "q379_lz78",
+      "q246_unigram_apply")
+    // under the bench/CLI join preference, so the law checks the plans
+    // the bench actually times — and with AUTO-broadcast off: at
+    // sf0.001 every frame estimates under the 10 MB threshold, so the
+    // static planner broadcasts corpus frames the real-scale planner
+    // never would; with the threshold at -1 the surviving
+    // BroadcastHashJoins are exactly the code's EXPLICIT broadcast()
+    // hints, which are the ones that must be bounded at any scale
+    val prevPref = spark.conf.get("spark.sql.join.preferSortMergeJoin",
+      "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+      "10485760")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val broadcastViolations =
+      scala.collection.mutable.ArrayBuffer.empty[String]
+    val shjScaling = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      heavy.foreach { n =>
+        val ps = plans(n)
+        ps.flatMap(_.collect {
+          case j: org.apache.spark.sql.execution.joins
+              .BroadcastHashJoinExec => j
+        }).foreach { j =>
+          val build = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          // sanctioned-by-contract broadcasts: a selective filter over
+          // the fixture is structurally a raw scan, but the operator's
+          // CONTRACT bounds it (a retrieval query set ≪ the corpus) —
+          // enumerate each with its reason, like the SHJ arm below
+          val broadcastSanction: Map[String, String] = Map(
+            "q224_ann_ivfpq_portable" ->
+              ("explicit broadcast(queries/probes): the retrieval " +
+                "QUERY-side frame (vec_id-filtered, ≪ corpus by the " +
+                "top-k contract) and the probed-centroid slice"))
+          if (!bounded(build) && !broadcastSanction.contains(n))
+            broadcastViolations += s"$n: broadcast of an unbounded " +
+              s"frame:\n${build.simpleStringWithNodeId()}"
+        }
+        ps.flatMap(_.collect { case j: ShuffledHashJoinExec => j })
+          .foreach { j =>
+            val build = j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }
+            if (!bounded(build)) shjScaling += n
+          }
+      }
+    } finally {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", prevPref)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+    assert(broadcastViolations.isEmpty,
+      s"\ncorpus-scaling BROADCAST build sides:\n  " +
+        broadcastViolations.mkString("\n  "))
+    // SHJ build sides that scale with the corpus are SAFE here only
+    // because every session (bench, verify, CLI) runs AQE, which
+    // re-plans each join from REAL shuffle sizes — at 100 TB the size
+    // gate (estimate < threshold × partitions) fails for these frames
+    // and the join reverts to sort-merge; the static sf0.001 plan
+    // shows SHJ because tiny estimates pass the same gate. The
+    // enumeration below is the watch list: a NEW name appearing means
+    // a restructure moved a corpus frame onto a build side — re-check
+    // the entry against SCALING.md's SHJ caveat before sanctioning it.
+    // the r19 sweep needed ZERO sanctions: with auto-broadcast off and
+    // the SHJ preference on, every shuffled-hash build side in the
+    // heavy entries is bounded or a materialized intermediate — the
+    // muchSmaller gate picks the collapsed side everywhere
+    val sanctioned = Set.empty[String]
+    val unsanctioned = shjScaling.distinct.filterNot(sanctioned)
+    assert(unsanctioned.isEmpty,
+      s"\nNEW corpus-scaling ShuffledHashJoin build sides (sanction " +
+        s"after review, or restructure):\n  ${unsanctioned.mkString("\n  ")}")
+  }
+
+  // ---- round-19: provenance hardening of the class-6 law ----
+
+  test("the hardened walk reds on a groupBy(term) global-window shape " +
+      "— a generated (exploded) grouping key is corpus-scaling even " +
+      "though 'term' is not in the unit-name set (VERDICT r18 #7)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.functions._
+    val W = org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .select(col("term"),
+        row_number().over(W.partitionBy(lit(1))
+          .orderBy(col("n").desc, col("term").asc)).as("r"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = df.queryExecution.executedPlan
+      val wins = p.collect { case w: WindowExec
+        if w.partitionSpec.isEmpty => w }
+      assert(wins.nonEmpty, "expected the unpartitioned window")
+      val frontier = wins.flatMap(_.child.collect {
+        case a: BaseAggregateExec => a })
+      assert(frontier.nonEmpty, "expected the term-keyed aggregate")
+      assert(frontier.exists(corpusScalingKey),
+        "the provenance walk failed to flag the generated term key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("the hardened walk reds on a RENAMED unit key — `user_id AS " +
+      "uid` must not escape the name set (VERDICT r18 #7)") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("uid"), col("value"))
+      .groupBy(col("uid")).agg(sum(col("value")).as("sv"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = df.queryExecution.executedPlan
+      val aggs = p.collect { case a: BaseAggregateExec => a }
+      assert(aggs.nonEmpty)
+      assert(aggs.exists(corpusScalingKey),
+        "the provenance walk failed to trace uid back to user_id")
+      // and a genuinely derived key still passes: bucketed by a hash
+      val ok = spark.read.parquet(s"$dir/events.parquet")
+        .groupBy((xxhash64(col("user_id")) % 64).as("b"))
+        .agg(count(lit(1)).as("n"))
+      val aggs2 = ok.queryExecution.executedPlan
+        .collect { case a: BaseAggregateExec => a }
+      assert(aggs2.nonEmpty && !aggs2.exists(corpusScalingKey),
+        "a hash-bucketed key must not flag (the trace stops at the " +
+          "function boundary)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 }
