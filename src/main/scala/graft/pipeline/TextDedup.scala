@@ -1090,10 +1090,12 @@ object TextDedup {
     * chunk identity is md5 of the substring. Zero-length docs emit no
     * chunks; a doc shorter than `window` is one whole-doc chunk.
     *
-    * Scale shape: zero shuffles — pure per-row compute, O(L·w) lambda
-    * steps per doc with a loud `maxChars` guard (the in-row-fold
-    * contract of q318: bound the row, or shard the doc with
-    * [[TextStats.chunkDocuments]] first).
+    * Scale shape: zero shuffles — pure per-row compute; boundary
+    * positions come from the compiled [[graft.functions.CdcBoundaries]]
+    * rolling-hash kernel (O(w) multiply-adds per code point, compiled
+    * — r19; the interpreted HOF forms cost µs/char), with a loud
+    * `maxChars` guard (the in-row-fold contract of q318: bound the
+    * row, or shard the doc with [[TextStats.chunkDocuments]] first).
     */
   def cdcChunks(
       df: DataFrame,
@@ -1102,19 +1104,14 @@ object TextDedup {
       window: Int = 16,
       divisor: Int = 64,
       maxChars: Int = 100000): DataFrame = {
-    // upper bound (ADVICE r18): the window sum is UNROLLED to `window`
-    // inline multiply-add terms in the generated SQL below — an
-    // unbounded window would (a) emit an expression string that can
-    // blow past codegen method-size limits and fall back to the
-    // interpreted path the unroll exists to avoid, and (b) break the
-    // no-overflow argument (sum < window·2^52 must stay under 2^63;
-    // 64 terms < 2^58). CDC windows are 16-48 code points in practice.
+    // upper bound (ADVICE r18): the kernel sums `window` multiply-add
+    // terms per position with ONE trailing mod, so the no-overflow
+    // argument needs sum < window·2^52 to stay under 2^63 — 64 terms
+    // < 2^58. CDC windows are 16-48 code points in practice.
+    // (CdcBoundaries enforces the same bound.)
     require(window >= 2 && window <= 64,
       s"window must be in [2, 64], got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
-    val M = 2147483647L
-    val pows = Iterator.iterate(1L)(p => (p * 257L) % M)
-      .take(window).toSeq
     val t = "_g_t"
     val guarded = df
       .withColumn(t,
@@ -1124,33 +1121,29 @@ object TextDedup {
             length(col(textCol)).cast("string"),
             lit(s") — chunk it first")))))
       .filter(length(col(t)) > 0)
-    // Each intermediate array is BOUND as a lambda variable (the
-    // transform(array(x), v -> ...) idiom) instead of referenced as a
-    // named column: projection collapse would otherwise inline the
-    // codes array into EVERY element_at call, turning the O(L·w)
-    // window scan into O(L²·w).
-    val codes = s"transform(sequence(1, length($t)), " +
-      s"i -> CAST(ascii(substr($t, i, 1)) AS BIGINT))"
-    // The window sum is UNROLLED to `window` inline multiply-adds
-    // (r18): higher-order functions evaluate interpreted, so the
-    // previous aggregate(sequence(0, w−1), …) fold paid a sequence
-    // allocation plus per-element lambda dispatch at EVERY position —
-    // ~w extra allocations/dispatches per character. Same sum, same
-    // single mod (16 products each < 2^52, sum < 2^56 — no overflow
-    // before the mod); measured ~1.3-1.5x on q342/q343 at sf0.1
-    // against flat controls.
-    val winSum = (0 until window)
-      .map(j => s"element_at(cs, i - $j) * ${pows(j)}L")
-      .mkString(" + ")
-    val bounds = s"element_at(transform(array($codes), cs -> " +
-      s"filter(sequence(1, size(cs)), i -> i >= $window AND " +
-      s"(($winSum) % ${M}L) % $divisor = 0)), 1)"
-    val chunks = s"element_at(transform(array($bounds), b -> " +
+    // Boundary positions come from the COMPILED rolling-hash kernel
+    // (graft.functions.CdcBoundaries, r19): the r18 form had already
+    // unrolled the window sum to inline multiply-adds, but each
+    // position still paid interpreted HOF dispatch — a per-char
+    // ascii(substr) lambda, a filter lambda, and `window` interpreted
+    // multiply-add evaluations (q342 ~9s at sf0.1 → ~1s compiled).
+    // Same h(i) = Σ code(c_{i−j})·257^j mod M arithmetic, same
+    // single-mod order, bit-identical boundaries — chunk md5s are
+    // oracle-hash-locked, and the kernel spec replays the retired SQL
+    // fold. The boundary array is BOUND as a lambda variable (the
+    // transform(array(x), b -> ...) idiom), not referenced repeatedly
+    // as a named column: projection collapse would otherwise inline
+    // the kernel call into EVERY element_at reference.
+    val chunks = s"element_at(transform(array(_g_b), b -> " +
       s"filter(transform(sequence(1, size(b) + 1), k -> " +
       s"named_struct('s', IF(k = 1, 1, element_at(b, k - 1) + 1), " +
       s"'e', IF(k = size(b) + 1, length($t), element_at(b, k)))), " +
       s"c -> c.s <= c.e)), 1)"
-    val staged = guarded.withColumn("_g_ck", expr(chunks))
+    val staged = guarded
+      .withColumn("_g_b",
+        graft.functions.CdcBoundaries.cdcBoundaries(col(t), window, divisor))
+      .withColumn("_g_ck", expr(chunks))
+      .drop("_g_b")
     staged
       .select(col(idCol), col(t),
         posexplode(col("_g_ck")).as(Seq("_g_k", "_g_c")))
